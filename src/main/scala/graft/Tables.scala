@@ -18,7 +18,18 @@ object Tables {
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
   def df(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(path(dir, name))
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+      // reader rejects (PARQUET_TYPE_ILLEGAL). Read it as a raw ns long and
+      // rebuild a microsecond TimestampType column (floor division matches
+      // DuckDB's TIMESTAMP_NS -> TIMESTAMP truncation, so oracle SQL can
+      // compare on CAST(ts AS TIMESTAMP)).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(path(dir, name))
+        .withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+    } else spark.read.parquet(path(dir, name))
 
   /** Register every test table as a temp view for SQL-path queries.
     * Cheap (lazy plans); safe to call repeatedly. */

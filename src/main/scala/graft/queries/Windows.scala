@@ -1,0 +1,163 @@
+package graft.queries
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Window-function coverage (SURVEY §2.4): ranking (row_number/rank/
+  * dense_rank/percent_rank/cume_dist/ntile), analytic (lead/lag/
+  * first_value/nth_value), windowed aggregates with explicit ROWS/RANGE
+  * frames, and rank-based per-partition top-k (WindowGroupLimit pushdown).
+  *
+  * The reference supports only each function's default cumulative frame and
+  * has no LAG (auron.proto:132-141; NativeWindowBase.scala:135-208) — we
+  * deliberately exceed it with full frame support, per SURVEY §7.4.
+  *
+  * Scale: every window is partitioned by a high-cardinality key (custkey /
+  * user_id) — state per partition group is bounded, no global sort.
+  */
+object Windows extends QueryModule {
+
+  private val D2 = DecimalType(18, 2)
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Ranking trio + per-partition top-k (rank <= 3 triggers Spark 3.5+
+    // WindowGroupLimitExec pushdown, parity with the reference's
+    // WindowGroupLimit node, auron.proto:600-603).
+    "q30_window_rank" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.df(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).as("rn"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"))
+        .filter(col("rn") <= 3)
+        .orderBy(col("o_custkey"), col("rn"))
+    },
+
+    // Analytic functions over an event stream per user: lead/lag/first.
+    "q31_window_leadlag" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.df(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          col("event_type"),
+          lag(col("event_type"), 1).over(w).as("prev_type"),
+          lead(col("event_type"), 1).over(w).as("next_type"),
+          first(col("event_type")).over(w).as("first_type"),
+          (unix_micros(col("ts")) -
+            lag(unix_micros(col("ts")), 1).over(w)).as("gap_us"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+
+    // Explicit frames: cumulative sum (ROWS UNBOUNDED PRECEDING), 3-row
+    // moving average, and a numeric RANGE frame — all beyond the
+    // reference's default-frame-only support.
+    "q32_window_frames" -> { (s, dir) =>
+      val byCust = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderkey"))
+      val cum = byCust.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val mov = byCust.rowsBetween(-2, Window.currentRow)
+      // Fractional RANGE bound: the DataFrame API only takes Long offsets,
+      // so the double-valued band goes through expr() (same plan).
+      val rng = expr(
+        """count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+          |RANGE BETWEEN 50000.0 PRECEDING AND CURRENT ROW)""".stripMargin)
+      Tables.df(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(col("o_totalprice").cast(D2)).over(cum)
+            .cast(DoubleType).as("cum_spend"),
+          (sum(col("o_totalprice").cast(D2)).over(mov).cast(DoubleType) /
+            count(lit(1)).over(mov)).as("mov_avg3"),
+          rng.as("n_in_band"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+
+    // Distribution functions + ntile over a unique total order.
+    "q33_window_dist" -> { (s, dir) =>
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables.df(s, dir, "customer")
+        .select(col("c_mktsegment"), col("c_custkey"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          ntile(4).over(w).cast(LongType).as("quartile"))
+        .orderBy(col("c_mktsegment"), col("c_custkey"))
+    },
+
+    // Windowed aggregates with full-partition frame + nth_value.
+    "q34_window_agg" -> { (s, dir) =>
+      val wFull = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val wOrd = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+      Tables.df(s, dir, "lineitem")
+        .filter(col("l_orderkey") <= 100)
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          max(col("l_quantity")).over(wFull).as("part_max_qty"),
+          nth_value(col("l_quantity"), 2).over(wOrd).as("second_qty"))
+        .orderBy(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
+    }
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "q30_window_rank" ->
+      """SELECT * FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER w AS rn, rank() OVER w AS rnk,
+        |    dense_rank() OVER w AS drnk
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |               ORDER BY o_totalprice DESC, o_orderkey)
+        |) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q31_window_leadlag" ->
+      """SELECT user_id, event_id, event_type,
+        |  lag(event_type, 1) OVER w AS prev_type,
+        |  lead(event_type, 1) OVER w AS next_type,
+        |  first_value(event_type) OVER w AS first_type,
+        |  epoch_us(CAST(ts AS TIMESTAMP))
+        |    - lag(epoch_us(CAST(ts AS TIMESTAMP)), 1) OVER w AS gap_us
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q32_window_frames" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER cum AS DOUBLE)
+        |    AS cum_spend,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER mov AS DOUBLE)
+        |    / count(*) OVER mov AS mov_avg3,
+        |  count(*) OVER rng AS n_in_band
+        |FROM orders
+        |WINDOW
+        |  cum AS (PARTITION BY o_custkey ORDER BY o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  mov AS (PARTITION BY o_custkey ORDER BY o_orderkey
+        |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+        |  rng AS (PARTITION BY o_custkey ORDER BY o_totalprice
+        |          RANGE BETWEEN 50000.0 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q33_window_dist" ->
+      """SELECT c_mktsegment, c_custkey,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd,
+        |  ntile(4) OVER w AS quartile
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin,
+    "q34_window_agg" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber,
+        |  max(l_quantity) OVER wf AS part_max_qty,
+        |  nth_value(l_quantity, 2) OVER wo AS second_qty
+        |FROM lineitem WHERE l_orderkey <= 100
+        |WINDOW
+        |  wf AS (PARTITION BY l_returnflag
+        |         ORDER BY l_orderkey, l_linenumber
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+        |  wo AS (PARTITION BY l_returnflag ORDER BY l_orderkey, l_linenumber)
+        |ORDER BY l_returnflag, l_orderkey, l_linenumber""".stripMargin
+  )
+}
