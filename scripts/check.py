@@ -96,12 +96,13 @@ def main():
     missing = sorted(set(oracles) - set(names))
     width = max(len(n) for n in list(results) + missing) if results or missing else 0
     ok = sum(1 for v in results.values() if v == "OK")
+    noracle = sum(1 for v in results.values() if v.startswith("NO-ORACLE"))
     for name in sorted(results):
         print(f"{name:<{width}}  {results[name]}")
     for name in missing:
         print(f"{name:<{width}}  MISSING-RESULT (oracle declared, no parquet)")
-    print(f"-- {ok}/{len(results)} OK, {len(missing)} missing")
-    sys.exit(0 if ok == len(results) and not missing else 1)
+    print(f"-- {ok}/{len(results)} OK ({noracle} rows-only), {len(missing)} missing")
+    sys.exit(0 if ok + noracle == len(results) and not missing else 1)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,103 @@
+package graft.queries
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Source/sink coverage (SURVEY §2.1 rows 1-2, 24-25; §2.7): parquet and
+  * ORC write+read round-trips (incl. dynamic-partition parquet write —
+  * reference parquet_sink_exec.rs:532 with num_dyn_parts), plus CSV and
+  * JSON sources (reference falls back to Spark for these; we support them
+  * natively via the built-in DataSource framework).
+  *
+  * Each round-trip writes a deterministic aggregate to a scratch dir, reads
+  * it back through the matching source, and re-sorts; the oracle is the
+  * same aggregate straight from the parquet fixtures — proving the sink+
+  * source pair is lossless.
+  */
+object Sinks extends QueryModule {
+
+  private val D2 = DecimalType(18, 2)
+
+  private def scratch(name: String): String = {
+    val d = s"/tmp/graft_sink/$name"
+    d
+  }
+
+  /** Deterministic small aggregate used as the round-trip payload. */
+  private def payload(s: SparkSession, dir: String): DataFrame =
+    Tables.df(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast(D2)).cast(DoubleType).as("sum_qty"),
+        count(lit(1)).as("n"))
+
+  private val payloadOracle =
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      | count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Parquet sink with dynamic partitions (partitionBy) + scan-back.
+    "q60_parquet_roundtrip" -> { (s, dir) =>
+      val out = scratch("parquet")
+      payload(s, dir).write.mode("overwrite")
+        .partitionBy("l_returnflag").parquet(out)
+      s.read.parquet(out)
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("sum_qty"), col("n"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // ORC sink + scan.
+    "q61_orc_roundtrip" -> { (s, dir) =>
+      val out = scratch("orc")
+      payload(s, dir).write.mode("overwrite").orc(out)
+      s.read.orc(out)
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("sum_qty"), col("n"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // CSV sink + schema-ful scan (header on, explicit schema back).
+    "q62_csv_roundtrip" -> { (s, dir) =>
+      val out = scratch("csv")
+      payload(s, dir).write.mode("overwrite")
+        .option("header", "true").csv(out)
+      s.read
+        .schema(StructType(Seq(
+          StructField("l_returnflag", StringType),
+          StructField("l_linestatus", StringType),
+          StructField("sum_qty", DoubleType),
+          StructField("n", LongType))))
+        .option("header", "true").csv(out)
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // JSON-lines sink + scan.
+    "q63_json_roundtrip" -> { (s, dir) =>
+      val out = scratch("json")
+      payload(s, dir).write.mode("overwrite").json(out)
+      s.read
+        .schema(StructType(Seq(
+          StructField("l_returnflag", StringType),
+          StructField("l_linestatus", StringType),
+          StructField("sum_qty", DoubleType),
+          StructField("n", LongType))))
+        .json(out)
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("sum_qty"), col("n"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "q60_parquet_roundtrip" -> payloadOracle,
+    "q61_orc_roundtrip" -> payloadOracle,
+    "q62_csv_roundtrip" -> payloadOracle,
+    "q63_json_roundtrip" -> payloadOracle
+  )
+}
