@@ -10,7 +10,8 @@ import graft.queries._
   */
 object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
-    Relational, Joins, Aggregates, Windows, Functions, Generate, Sinks
+    Relational, Joins, Aggregates, Windows, Functions, Generate, Sinks,
+    Pipeline, Similarity, Multimodal
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,44 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Vector (embedding) Column builders: cosine similarity and a
+  * random-hyperplane LSH bucketing for approximate nearest-neighbor
+  * search over `ArrayType(FloatType)` columns.
+  *
+  * Pure higher-order-function compositions (zip_with / aggregate /
+  * transform) — codegen'd, no UDF, distribute trivially. The LSH path is
+  * the 100 TB design: bucket both sides on the hyperplane signature and
+  * equi-join buckets instead of the quadratic cross join.
+  */
+object VectorOps {
+
+  /** float[] -> double[] (deterministic promotion before arithmetic). */
+  def asDouble(v: Column): Column = transform(v, _.cast(DoubleType))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity of two double arrays. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Deterministic pseudo-random hyperplanes (fixed seed), `n` planes of
+    * dimension `dim`. */
+  def hyperplanes(n: Int, dim: Int, seed: Long = 42L): Seq[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(n)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-bit LSH bucket id: bit i = (v . plane_i) > 0. Nearby vectors
+    * (cosine-wise) collide with high probability. */
+  def lshBucket(v: Column, planes: Seq[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val planeCol = array(p.map(lit).toIndexedSeq: _*)
+      when(dot(v, planeCol) > 0.0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+}

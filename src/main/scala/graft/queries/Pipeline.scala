@@ -1,0 +1,210 @@
+package graft.queries
+
+import graft.{QueryModule, Tables}
+import graft.functions.{SimHash64, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** LLM-training-data pipeline operators over `documents` (north star
+  * beyond the reference surface): text statistics / quality scoring,
+  * language-ID, exact dedup, n-gram Jaccard near-dup, bag-of-words
+  * fingerprinting, MinHash+LSH near-dup at scale, SimHash.
+  *
+  * Scale design: every operator is a scan → map → (shuffle-on-key) agg/
+  * join. The only self-join (q73) is the *oracle calibration* variant on a
+  * bounded slice; the scale path is q75's LSH banding — candidates come
+  * from an equi-join on (band, band_hash), never a cross join.
+  */
+object Pipeline extends QueryModule {
+
+  import TextOps._
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Per-document text statistics & quality signals.
+    "q70_text_stats" -> { (s, dir) =>
+      Tables.df(s, dir, "documents")
+        .select(col("doc_id"),
+          length(col("text")).cast(LongType).as("n_chars_m"),
+          size(tokens(col("text"))).cast(LongType).as("n_tokens"),
+          size(uniqueTokens(col("text"))).cast(LongType).as("n_uniq"),
+          avgWordLen(col("text")).as("avg_wlen"),
+          stopRatio(col("text")).as("stop_ratio"),
+          (size(uniqueTokens(col("text"))).cast(DoubleType) /
+            size(tokens(col("text")))).as("ttr"),
+          (size(tokens(col("text"))) < 40).as("is_short"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Stopword-profile language identification.
+    "q71_lang_id" -> { (s, dir) =>
+      Tables.df(s, dir, "documents")
+        .select(col("doc_id"), col("lang").as("lang_label"),
+          langScore(col("text"), stopwords.head._2).as("score_en"),
+          langScore(col("text"), stopwords(1)._2).as("score_de"),
+          langScore(col("text"), stopwords(2)._2).as("score_es"),
+          langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Exact dedup summary (hash-groupBy on md5(text); scale: one shuffle
+    // on the 128-bit key, count-style agg, no row explosion).
+    "q72_dedup_exact" -> { (s, dir) =>
+      val perText = Tables.df(s, dir, "documents")
+        .groupBy(md5(col("text").cast(BinaryType)).as("h"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keep_id"))
+      perText.agg(
+        sum(col("n")).as("n_docs"),
+        count(lit(1)).as("n_distinct"),
+        sum(when(col("n") > 1, 1L).otherwise(0L)).as("n_dup_groups"),
+        sum(when(col("n") > 1, col("n") - 1).otherwise(0L)).as("n_dup_docs"))
+    },
+
+    // Brute-force token-set Jaccard near-dup pairs on a bounded slice —
+    // the exactness oracle for what q75 approximates at scale.
+    "q73_jaccard_pairs" -> { (s, dir) =>
+      val t = Tables.df(s, dir, "documents")
+        .filter(col("doc_id") <= 200)
+        .select(col("doc_id"), uniqueTokens(col("text")).as("tok"))
+      val a = t.select(col("doc_id").as("a_id"), col("tok").as("tok_a"))
+      val b = t.select(col("doc_id").as("b_id"), col("tok").as("tok_b"))
+      a.join(b, col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          jaccard(col("tok_a"), col("tok_b")).as("jac"))
+        .filter(col("jac") >= 0.95)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // Bag-of-words fingerprint dedup groups (order-insensitive near-dup).
+    "q74_fingerprint" -> { (s, dir) =>
+      Tables.df(s, dir, "documents")
+        .groupBy(fingerprint(col("text")).as("fp"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
+        .orderBy(col("fp"))
+    },
+
+    // MinHash + LSH banding near-dup, the 100 TB scale path:
+    // signature (k=64) → 4 bands × 16 rows → equi-join on band key →
+    // exact-Jaccard verification of the candidates only. Banding tuned
+    // for the ≥0.95 similarity target (recall ~0.9 at j=0.95, candidate
+    // rate ~0.1% at j=0.6). No DuckDB oracle (xxhash64 is Spark-native):
+    // correctness is cross-checked against q73 in PipelineSpec.
+    "q75_minhash_lsh" -> { (s, dir) =>
+      val bands = 4
+      val rows = 16
+      val docs = Tables.df(s, dir, "documents")
+        .filter(col("doc_id") <= 200)
+        .select(col("doc_id"), uniqueTokens(col("text")).as("tok"),
+          minhashSignature(col("text"), bands * rows).as("sig"))
+      val banded = docs.select(col("doc_id"), col("tok"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"), bandHash(col("sig"), b, rows).as("bh"))
+        ): _*)).as("bk"))
+        .select(col("doc_id"), col("tok"),
+          col("bk.band").as("band"), col("bk.bh").as("bh"))
+      val cand = banded.as("x").join(banded.as("y"),
+          col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+          col("x.tok").as("tok_a"), col("y.tok").as("tok_b"))
+        .distinct()
+      cand.select(col("a_id"), col("b_id"),
+          jaccard(col("tok_a"), col("tok_b")).as("jac"))
+        .filter(col("jac") >= 0.95)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // SimHash (custom codegen'd Catalyst Expression) + bucket histogram.
+    "q76_simhash" -> { (s, dir) =>
+      Tables.df(s, dir, "documents")
+        .select(col("doc_id"),
+          SimHash64.simhash64(tokens(col("text"))).as("sim"))
+        .select(col("doc_id"), col("sim"),
+          shiftrightunsigned(col("sim"), 52).as("bucket"))
+        .orderBy(col("doc_id"))
+    }
+  )
+
+  private val tokSql = "string_split(text, ' ')"
+  private val utokSql = s"list_distinct($tokSql)"
+
+  override def oracle: Map[String, String] = Map(
+    "q70_text_stats" ->
+      s"""SELECT doc_id,
+         | CAST(length(text) AS BIGINT) AS n_chars_m,
+         | CAST(len($tokSql) AS BIGINT) AS n_tokens,
+         | CAST(len($utokSql) AS BIGINT) AS n_uniq,
+         | CAST(length(text) - (len($tokSql) - 1) AS DOUBLE)
+         |   / len($tokSql) AS avg_wlen,
+         | CAST(len(list_filter($tokSql, t -> list_contains(
+         |   ['the','a','an','of','and','to','in','is'], t))) AS DOUBLE)
+         |   / len($tokSql) AS stop_ratio,
+         | CAST(len($utokSql) AS DOUBLE) / len($tokSql) AS ttr,
+         | len($tokSql) < 40 AS is_short
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q71_lang_id" ->
+      s"""SELECT doc_id, lang AS lang_label,
+         | CAST(len(list_intersect($utokSql,
+         |   ['the','a','an','of','and','to','in','is'])) AS BIGINT) AS score_en,
+         | CAST(len(list_intersect($utokSql,
+         |   ['der','die','das','und','zu','ein','ist'])) AS BIGINT) AS score_de,
+         | CAST(len(list_intersect($utokSql,
+         |   ['el','la','de','que','y','en','un','es'])) AS BIGINT) AS score_es,
+         | CASE
+         |  WHEN len(list_intersect($utokSql,
+         |    ['the','a','an','of','and','to','in','is'])) >= greatest(
+         |      len(list_intersect($utokSql, ['der','die','das','und','zu','ein','ist'])),
+         |      len(list_intersect($utokSql, ['el','la','de','que','y','en','un','es'])),
+         |      len(list_intersect($utokSql, ['le','la','de','et','un','une','est'])),
+         |      len(list_intersect($utokSql, ['de5','shi4','le5','zai4','he2'])))
+         |   AND len(list_intersect($utokSql,
+         |    ['the','a','an','of','and','to','in','is'])) > 0 THEN 'en'
+         |  WHEN len(list_intersect($utokSql,
+         |    ['der','die','das','und','zu','ein','ist'])) >= greatest(
+         |      len(list_intersect($utokSql, ['el','la','de','que','y','en','un','es'])),
+         |      len(list_intersect($utokSql, ['le','la','de','et','un','une','est'])),
+         |      len(list_intersect($utokSql, ['de5','shi4','le5','zai4','he2'])))
+         |   AND len(list_intersect($utokSql,
+         |    ['der','die','das','und','zu','ein','ist'])) > 0 THEN 'de'
+         |  WHEN len(list_intersect($utokSql,
+         |    ['el','la','de','que','y','en','un','es'])) >= greatest(
+         |      len(list_intersect($utokSql, ['le','la','de','et','un','une','est'])),
+         |      len(list_intersect($utokSql, ['de5','shi4','le5','zai4','he2'])))
+         |   AND len(list_intersect($utokSql,
+         |    ['el','la','de','que','y','en','un','es'])) > 0 THEN 'es'
+         |  WHEN len(list_intersect($utokSql,
+         |    ['le','la','de','et','un','une','est'])) >= len(list_intersect(
+         |      $utokSql, ['de5','shi4','le5','zai4','he2']))
+         |   AND len(list_intersect($utokSql,
+         |    ['le','la','de','et','un','une','est'])) > 0 THEN 'fr'
+         |  WHEN len(list_intersect($utokSql,
+         |    ['de5','shi4','le5','zai4','he2'])) > 0 THEN 'zh'
+         |  ELSE 'und' END AS lang_pred
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q72_dedup_exact" ->
+      """SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+        | count(*) AS n_distinct,
+        | CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_dup_groups,
+        | CAST(sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS BIGINT)
+        |   AS n_dup_docs
+        |FROM (SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keep_id
+        |      FROM documents GROUP BY md5(text))""".stripMargin,
+    "q73_jaccard_pairs" ->
+      s"""WITH t AS (SELECT doc_id, $utokSql AS tok FROM documents
+         |           WHERE doc_id <= 200)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+         |    / CAST(len(list_distinct(a.tok || b.tok)) AS DOUBLE) AS jac
+         |FROM t a JOIN t b ON a.doc_id < b.doc_id
+         |WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+         |    / CAST(len(list_distinct(a.tok || b.tok)) AS DOUBLE) >= 0.95
+         |ORDER BY a_id, b_id""".stripMargin,
+    "q74_fingerprint" ->
+      s"""SELECT md5(array_to_string(list_sort($utokSql), ' ')) AS fp,
+         | count(*) AS n_docs, min(doc_id) AS keep_id
+         |FROM documents
+         |GROUP BY md5(array_to_string(list_sort($utokSql), ' '))
+         |ORDER BY fp""".stripMargin
+  )
+}

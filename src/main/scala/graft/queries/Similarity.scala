@@ -1,0 +1,120 @@
+package graft.queries
+
+import graft.{QueryModule, Tables}
+import graft.functions.VectorOps._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over `embeddings` (ArrayType(FloatType), dim=64).
+  *
+  * q77 is the exact baseline: brute-force cosine top-k for a probe set —
+  * probes broadcast, corpus scanned once, per-partition top-k via window.
+  * q78 is the scale path: sign-LSH bucketing turns the quadratic cross
+  * join into an equi-join on bucket id (both sides bucketed once); at
+  * 100 TB the bucket join + local rerank is the only shape that works.
+  *
+  * Cosine values are rounded to 6dp on both engines before ranking —
+  * Spark and DuckDB disagree at ulp level on float reductions; ranking
+  * ties are broken by vec_id so row sets stay deterministic.
+  */
+object Similarity extends QueryModule {
+
+  private def corpus(s: SparkSession, dir: String): DataFrame =
+    Tables.df(s, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"), col("label"))
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact brute-force cosine top-5 per probe (probes = every 50th id).
+    "q77_ann_bruteforce" -> { (s, dir) =>
+      val c = corpus(s, dir)
+      val probes = c.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("sim").desc, col("vec_id"))
+      c.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          round(cosine(col("pv"), col("v")), 6).as("sim"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("probe_id"), col("vec_id"), col("sim"),
+          col("rk").cast(LongType).as("rk"))
+        .orderBy(col("probe_id"), col("rk"))
+    },
+
+    // Multi-table LSH ANN: 4 independent tables of 6 hyperplane sign
+    // bits; a vector lands in one (table, bucket) per table, candidates
+    // are the union over tables (equi-join on the key, never a cross
+    // join), then exact-cosine rerank of candidates only. Rows-only
+    // check (hyperplane literals are not oracle-expressible); candidate
+    // validity is asserted in PipelineSpec.
+    "q78_ann_lsh" -> { (s, dir) =>
+      val tables = 4
+      val bits = 6
+      val c = corpus(s, dir)
+      val keyed = c.select(col("vec_id"), col("v"),
+        explode(array((0 until tables).map { t =>
+          struct(lit(t).as("t"),
+            lshBucket(col("v"), hyperplanes(bits, 64, seed = 1000 + t))
+              .as("bucket"))
+        }: _*)).as("k"))
+        .select(col("vec_id"), col("v"),
+          col("k.t").as("t"), col("k.bucket").as("bucket"))
+      val probes = keyed.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+          col("t").as("pt"), col("bucket").as("pbucket"))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("sim").desc, col("vec_id"))
+      keyed.join(probes,
+          col("t") === col("pt") && col("bucket") === col("pbucket") &&
+            col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"), col("pv"), col("v"))
+        .distinct()
+        .select(col("probe_id"), col("vec_id"),
+          round(cosine(col("pv"), col("v")), 6).as("sim"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("probe_id"), col("vec_id"), col("sim"),
+          col("rk").cast(LongType).as("rk"))
+        .orderBy(col("probe_id"), col("rk"))
+    },
+
+    // Embedding near-duplicate pairs: same-label vectors with cosine >=
+    // 0.3 on a bounded slice (oracle-checked exact variant of embedding
+    // dedup; the scale path reuses q78's bucketing).
+    "q79_embed_dups" -> { (s, dir) =>
+      val c = corpus(s, dir).filter(col("vec_id") <= 300)
+      val a = c.select(col("vec_id").as("a_id"), col("v").as("va"),
+        col("label").as("la"))
+      val b = c.select(col("vec_id").as("b_id"), col("v").as("vb"),
+        col("label").as("lb"))
+      a.join(b, col("a_id") < col("b_id") && col("la") === col("lb"))
+        .select(col("a_id"), col("b_id"), col("la").as("label"),
+          round(cosine(col("va"), col("vb")), 6).as("sim"))
+        .filter(col("sim") >= 0.3)
+        .orderBy(col("a_id"), col("b_id"))
+    }
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "q77_ann_bruteforce" ->
+      """SELECT probe_id, vec_id, sim, CAST(rk AS BIGINT) AS rk FROM (
+        |  SELECT p.vec_id AS probe_id, c.vec_id,
+        |    round(list_cosine_similarity(p.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS sim,
+        |    row_number() OVER (PARTITION BY p.vec_id
+        |      ORDER BY round(list_cosine_similarity(p.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
+        |               c.vec_id) AS rk
+        |  FROM embeddings p JOIN embeddings c ON c.vec_id != p.vec_id
+        |  WHERE p.vec_id % 50 = 0
+        |) WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin,
+    "q79_embed_dups" ->
+      """SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.vec_id < b.vec_id AND a.label = b.label
+        |WHERE a.vec_id <= 300 AND b.vec_id <= 300
+        |  AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.3
+        |ORDER BY a_id, b_id""".stripMargin
+  )
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cross-validation for the queries whose DuckDB oracle is inexpressible
+  * (q75 MinHash-LSH, q76 SimHash, q78 LSH-ANN): check them against their
+  * exact in-engine counterparts instead. */
+class PipelineSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("q75 minhash-lsh finds a high-recall subset of q73 exact jaccard pairs") {
+    val exact = SparkEntry.queries("q73_jaccard_pairs")(spark, sf)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SparkEntry.queries("q75_minhash_lsh")(spark, sf)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "LSH pairs must pass the exact-jaccard verify")
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.6, s"LSH recall too low: $recall (${lsh.size}/${exact.size})")
+  }
+
+  test("q76 simhash: identical docs get identical signatures, and near-dup " +
+    "pairs from q73 are close in hamming distance") {
+    val rows = SparkEntry.queries("q76_simhash")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = SparkEntry.queries("q73_jaccard_pairs")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    val hams = pairs.flatMap { case (a, b) =>
+      for (x <- rows.get(a); y <- rows.get(b))
+        yield java.lang.Long.bitCount(x ^ y)
+    }
+    val meanHam = hams.sum.toDouble / hams.length
+    assert(meanHam < 16.0,
+      s"jaccard>=0.95 pairs should be hamming-close, mean=$meanHam")
+  }
+
+  test("q78 lsh-ann returns valid (probe, neighbor) rows with true cosines") {
+    val exact = SparkEntry.queries("q77_ann_bruteforce")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = SparkEntry.queries("q78_ann_lsh")(spark, sf).collect()
+    assert(lsh.nonEmpty)
+    // every LSH sim must equal the exact cosine for that pair when the
+    // pair is also in the exact top-5 (same rounding, same formula)
+    lsh.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      exact.get(key).foreach { c =>
+        assert(math.abs(c - r.getDouble(2)) < 1e-9, s"cosine mismatch at $key")
+      }
+    }
+  }
+
+  test("q80 decode stub is deterministic across runs") {
+    val a = SparkEntry.queries("q80_multimodal_decode")(spark, sf).collect()
+    val b = SparkEntry.queries("q80_multimodal_decode")(spark, sf).collect()
+    assert(a.sameElements(b))
+  }
+
+  test("q76 simhash stays inside whole-stage codegen") {
+    val df = SparkEntry.queries("q76_simhash")(spark, sf)
+    df.collect() // materialize so AQE finalizes the plan
+    val plan = df.queryExecution.executedPlan.toString
+    // whole-stage-codegen'd operators print as "*(n) Op"; the simhash
+    // projection must carry the marker (doGenCode worked, no fallback)
+    assert(plan.split("\n").exists(l =>
+      l.contains("simhash64") && l.contains("*(")), plan)
+  }
+}
