@@ -1,23 +1,54 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): runs the headline query set on
+  * SPARK_GRAFT_SF_DIR, prints ONE JSON line with per-query seconds.
+  *
+  * A warmup pass (flagship query, executed twice) absorbs JVM/codegen/
+  * file-index startup so per-query numbers measure the plans, not the
+  * JIT. Headline set spans the scale-critical shapes: scan+agg, big-big
+  * join, broadcast star join, outer-join histogram, rollup, window top-k,
+  * explode wordcount, dedup (exact + minhash-LSH + fingerprint), simhash,
+  * ANN (brute force + LSH), and the streaming tumbling window.
+  */
 object Bench {
+  val headline: Seq[String] = Seq(
+    "q1_agg", "q10_join_inner", "q11_join_star", "q12_join_left",
+    "q25_rollup", "q30_window_rank", "q50_explode_wordcount",
+    "q70_text_stats", "q72_dedup_exact", "q74_fingerprint",
+    "q75_minhash_lsh", "q76_simhash", "q77_ann_bruteforce", "q78_ann_lsh",
+    "q85_stream_tumbling")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    // Warmup: JVM + codegen + parquet footer caches.
+    (1 to 2).foreach { _ =>
+      try SparkEntry.queries("q1_agg")(spark, sfDir).count()
+      catch { case _: Throwable => }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val results = headline.flatMap { name =>
+      SparkEntry.queries.get(name).map { fn =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -1,0 +1,135 @@
+package graft.streaming
+
+import graft.QueryModule
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming coverage (SURVEY §7.2 step 9 — exceeds the
+  * reference, whose only streaming piece is the Flink Kafka scan,
+  * auron.proto:780-807): file-source stream → event-time windows +
+  * watermark → memory sink, plus mapGroupsWithState sessionization.
+  *
+  * Batch-equivalence: each query drains the bounded events stream with
+  * processAllAvailable(), so results equal the batch computation and the
+  * DuckDB oracle can check them. At scale the same code runs against a
+  * Kafka source (`readStream.format("kafka")` + from_json) — swap the
+  * source, keep the pipeline.
+  */
+object Streaming extends QueryModule {
+
+  private val D2 = DecimalType(18, 2)
+
+  /** events schema for readStream (ts arrives as raw ns long because
+    * Spark rejects parquet TIMESTAMP(NANOS) — see Tables.df). */
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  private def eventStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The file stream source requires a DIRECTORY; stage a symlink dir
+    // pointing at the single events.parquet fixture.
+    val stage = java.nio.file.Paths.get(
+      "/tmp/graft_stream", Integer.toHexString(dir.hashCode))
+    java.nio.file.Files.createDirectories(stage)
+    val link = stage.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(link))
+      java.nio.file.Files.createSymbolicLink(
+        link, java.nio.file.Paths.get(dir, "events.parquet"))
+    s.readStream.schema(eventsSchema)
+      .parquet(stage.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Run a bounded streaming query to completion on a memory sink and
+    * return the materialized table. */
+  private def drain(df: DataFrame, s: SparkSession, name: String,
+                    mode: OutputMode): DataFrame = {
+    val q = df.writeStream.outputMode(mode)
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Tumbling 1h event-time window + watermark per event_type.
+    "q85_stream_tumbling" -> { (s, dir) =>
+      val agg = eventStream(s, dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(D2)).cast(DoubleType).as("sum_v"))
+        .select(unix_micros(col("w.start")).as("w_start"),
+          col("event_type"), col("n"), col("sum_v"))
+      drain(agg, s, "q85_sink", OutputMode.Complete())
+        .orderBy(col("w_start"), col("event_type"))
+    },
+
+    // Sliding 2h window, 1h slide (each event in two windows).
+    "q86_stream_sliding" -> { (s, dir) =>
+      val agg = eventStream(s, dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(D2)).cast(DoubleType).as("sum_v"))
+        .select(unix_micros(col("w.start")).as("w_start"), col("n"),
+          col("sum_v"))
+      drain(agg, s, "q86_sink", OutputMode.Complete())
+        .orderBy(col("w_start"))
+    },
+
+    // Stateful sessionization: mapGroupsWithState per user, 30-minute
+    // inactivity gap. Bounded stream -> single batch -> deterministic
+    // final state, oracle-checkable via a lag-window reformulation.
+    "q87_stream_sessions" -> { (s, dir) =>
+      import s.implicits._
+      val gapUs = 30L * 60 * 1000000
+      val typed = eventStream(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+        .as[(Long, Long)]
+      val sessions = typed.groupByKey(_._1)
+        .mapGroupsWithState[List[Long], (Long, Long, Long)](
+          GroupStateTimeout.NoTimeout()) {
+          case (uid, rows, state: GroupState[List[Long]]) =>
+            val all = (state.getOption.getOrElse(Nil) ++
+              rows.map(_._2)).sorted
+            state.update(all)
+            val nSessions = 1 + all.zip(all.drop(1))
+              .count { case (a, b) => b - a > gapUs }
+            (uid, all.size.toLong, nSessions.toLong)
+        }
+        .toDF("user_id", "n_events", "n_sessions")
+      drain(sessions, s, "q87_sink", OutputMode.Update())
+        .orderBy(col("user_id"))
+    }
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "q85_stream_tumbling" ->
+      """SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS w_start,
+        | event_type, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+    "q86_stream_sliding" ->
+      """SELECT w_start, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        |FROM (
+        |  SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))
+        |           - h * INTERVAL 1 HOUR) AS w_start, value
+        |  FROM events, unnest([0, 1]) AS t(h)
+        |) GROUP BY w_start ORDER BY w_start""".stripMargin,
+    "q87_stream_sessions" ->
+      """SELECT user_id, count(*) AS n_events,
+        | CAST(1 + sum(CASE WHEN gap > 30*60*1000000 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_sessions
+        |FROM (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) -
+        |    lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+        |      PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)) AS gap
+        |  FROM events
+        |) GROUP BY user_id ORDER BY user_id""".stripMargin
+  )
+}
