@@ -1,0 +1,49 @@
+package graft
+
+import graft.functions.{BigramsGenerator, KmvDistinctSketch, SimHash64}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL-surface registration for the engine's custom expressions — the
+  * same `SparkSessionExtensions` hook the reference uses to inject its
+  * columnar rules (AuronSparkSessionExtension.scala:42-45). Enables
+  *   SELECT simhash64(split(text, ' ')), kmv_distinct(...), and
+  *   LATERAL VIEW bigrams(...)
+  * from plain SQL. Use via
+  *   SparkSession.builder().withExtensions(new GraftExtensions) or
+  *   spark.sql.extensions=graft.GraftExtensions, or imperatively with
+  *   GraftExtensions.register(spark).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    GraftExtensions.functions.foreach { case (name, info, builder) =>
+      e.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+  }
+}
+
+object GraftExtensions {
+  private type Builder = Seq[Expression] => Expression
+
+  val functions: Seq[(String, ExpressionInfo, Builder)] = Seq(
+    ("simhash64",
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (es: Seq[Expression]) => SimHash64(es.head)),
+    ("kmv_distinct",
+      new ExpressionInfo(classOf[KmvDistinctSketch].getName, "kmv_distinct"),
+      (es: Seq[Expression]) =>
+        KmvDistinctSketch(es.head).toAggregateExpression()),
+    ("bigrams",
+      new ExpressionInfo(classOf[BigramsGenerator].getName, "bigrams"),
+      (es: Seq[Expression]) => BigramsGenerator(es.head)))
+
+  /** Imperative registration on an existing session (used by the query
+    * modules so the driver-created sessions get the SQL functions too). */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
+}

@@ -60,6 +60,8 @@ object Aggregates extends QueryModule {
         .agg(
           array_join(array_sort(collect_set(col("o_orderpriority"))), ",")
             .as("priorities"),
+          array_join(array_sort(collect_list(substring(
+            col("o_orderpriority"), 1, 1))), "").as("prio_digits"),
           count(lit(1)).as("n"))
         .orderBy(col("o_orderstatus"))
     },
@@ -168,6 +170,8 @@ object Aggregates extends QueryModule {
       """SELECT o_orderstatus,
         | array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',')
         |   AS priorities,
+        | array_to_string(list_sort(list(substring(o_orderpriority, 1, 1))),
+        |   '') AS prio_digits,
         | count(*) AS n
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q24_agg_filter" ->

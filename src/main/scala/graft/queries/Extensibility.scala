@@ -1,0 +1,73 @@
+package graft.queries
+
+import graft.{GraftExtensions, QueryModule, Tables}
+import graft.functions.BigramsGenerator.bigrams
+import graft.functions.KmvDistinctSketch.kmvDistinct
+import graft.functions.TextOps.{tokens, uniqueTokens}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** UDF / UDAF / UDTF extension surface (SURVEY §2.6): the reference wraps
+  * all three as JNI fallbacks (spark_udf_wrapper.rs, spark_udaf_wrapper.rs,
+  * spark_udtf_wrapper.rs); ours are native Catalyst citizens — a
+  * registered scalar UDF, a TypedImperativeAggregate sketch, and a custom
+  * Generator — all usable from SQL via GraftExtensions.
+  */
+object Extensibility extends QueryModule {
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Scalar UDF (spark.udf.register): vowel count. The oracle expresses
+    // the same semantics in pure SQL — proving the UDF surface without
+    // sacrificing checkability.
+    "q49_scalar_udf" -> { (s, dir) =>
+      s.udf.register("vowel_count",
+        (t: String) => t.count("aeiou".contains(_)).toLong)
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT doc_id, vowel_count(text) AS n_vowels
+          |FROM documents ORDER BY doc_id""".stripMargin)
+    },
+
+    // Custom Generator UDTF via SQL LATERAL VIEW: bigram shingles,
+    // counted — the n-gram dedup primitive.
+    "q55_bigrams_udtf" -> { (s, dir) =>
+      GraftExtensions.register(s)
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT w1, w2, count(*) AS n
+          |FROM documents
+          |LATERAL VIEW bigrams(split(text, ' ')) b AS w1, w2
+          |GROUP BY w1, w2
+          |ORDER BY n DESC, w1, w2 LIMIT 50""".stripMargin)
+    },
+
+    // TypedImperativeAggregate: KMV distinct-token sketch per lang,
+    // with the exact distinct count alongside (rows-only check; the
+    // estimate's relative error is asserted in ExtensibilitySpec).
+    "q90_kmv_sketch" -> { (s, dir) =>
+      val docs = Tables.df(s, dir, "documents")
+      val exact = docs
+        .select(col("lang"), explode(uniqueTokens(col("text"))).as("tok"))
+        .groupBy(col("lang"))
+        .agg(countDistinct(col("tok")).as("exact_distinct"))
+      docs.groupBy(col("lang"))
+        .agg(kmvDistinct(tokens(col("text"))).as("est_distinct"))
+        .join(exact, "lang")
+        .orderBy(col("lang"))
+    }
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "q49_scalar_udf" ->
+      """SELECT doc_id,
+        | CAST(length(text) - length(translate(text, 'aeiou', ''))
+        |   AS BIGINT) AS n_vowels
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q55_bigrams_udtf" ->
+      """SELECT parts[i] AS w1, parts[i+1] AS w2, count(*) AS n
+        |FROM (SELECT string_split(text, ' ') AS parts FROM documents),
+        |     unnest(generate_series(1, len(parts) - 1)) AS t(i)
+        |GROUP BY w1, w2 ORDER BY n DESC, w1, w2 LIMIT 50""".stripMargin
+  )
+}

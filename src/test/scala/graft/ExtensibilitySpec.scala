@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExtensibilitySpec extends AnyFunSuite {
+  import TestSession._
+
+  test("q90 kmv sketch estimates distinct tokens within 20% of exact") {
+    val rows = SparkEntry.queries("q90_kmv_sketch")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val est = r.getAs[Double]("est_distinct")
+      val exact = r.getAs[Long]("exact_distinct").toDouble
+      val relErr = math.abs(est - exact) / exact
+      assert(relErr < 0.2,
+        s"lang=${r.getAs[String]("lang")}: est=$est exact=$exact err=$relErr")
+    }
+  }
+
+  test("custom functions work from plain SQL via GraftExtensions") {
+    GraftExtensions.register(spark)
+    Tables.registerAll(spark, sf)
+    val rows = spark.sql(
+      """SELECT lang, kmv_distinct(split(text, ' ')) AS est,
+        |       count(DISTINCT simhash64(split(text, ' '))) AS n_sigs
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin).collect()
+    assert(rows.length == 5)
+    assert(rows.forall(_.getAs[Double]("est") > 0))
+  }
+
+  test("withExtensions session builder injects the functions") {
+    import org.apache.spark.sql.SparkSession
+    val prev = spark // keep the shared session alive
+    // getOrCreate only applies extensions to a NEW session: detach the
+    // current default first, then restore it after.
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val n = s2.sql("SELECT simhash64(array('a','b')) AS h").collect()
+      assert(n.head.getLong(0) != 0L)
+    } finally {
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
+
+  test("kmv sketch merge across partitions is consistent") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.KmvDistinctSketch.kmvDistinct
+    import graft.functions.TextOps.tokens
+    val docs = Tables.df(spark, sf, "documents")
+    val onePart = docs.repartition(1)
+      .agg(kmvDistinct(tokens(col("text"))).as("est")).collect().head.getDouble(0)
+    val manyParts = docs.repartition(8)
+      .agg(kmvDistinct(tokens(col("text"))).as("est")).collect().head.getDouble(0)
+    assert(onePart == manyParts,
+      s"sketch must be merge-invariant: $onePart vs $manyParts")
+  }
+}
