@@ -1,0 +1,19 @@
+package graft
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.1"
+    for (q <- Seq("q1_agg", "q10_join_inner", "q11_join_star", "q12_join_left", "q30_window_rank", "q77_ann_bruteforce", "q50_explode_wordcount")) {
+      val df = SparkEntry.queries(q)(spark, dir)
+      df.collect()
+      println(s"===== $q =====")
+      println(df.queryExecution.executedPlan.toString.split("\n").map(_.take(150)).mkString("\n"))
+    }
+    spark.stop()
+  }
+}

@@ -165,6 +165,29 @@ object Joins extends QueryModule {
         .orderBy(col("r_name"), col("n_name"))
     },
 
+    // Forced sort-merge join (merge hint) — the algorithm big-big joins
+    // use at 100 TB where neither side broadcasts (reference:
+    // sort_merge_join_exec.rs; SURVEY §2.2).
+    "q35_join_smj" -> { (s, dir) =>
+      val li = Tables.df(s, dir, "lineitem").hint("merge")
+      val ord = Tables.df(s, dir, "orders")
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .groupBy(col("l_linestatus"))
+        .agg(revenue().as("revenue"), count(lit(1)).as("n"))
+        .orderBy(col("l_linestatus"))
+    },
+
+    // Forced shuffled-hash join (reference FORCE_SHUFFLED_HASH_JOIN,
+    // SparkAuronConfiguration.java:205).
+    "q36_join_shj" -> { (s, dir) =>
+      val li = Tables.df(s, dir, "lineitem")
+      val ord = Tables.df(s, dir, "orders").hint("shuffle_hash")
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(revenue().as("revenue"), count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus"))
+    },
+
     // Existence join: IN-subquery in the projection (plans ExistenceJoin;
     // reference maps it from decorrelated IN, NativeConverters.scala:1390).
     "q20_join_existence" -> { (s, dir) =>
@@ -244,6 +267,18 @@ object Joins extends QueryModule {
     "q19_join_cross" ->
       """SELECT r_name, n_name FROM region CROSS JOIN nation
         |ORDER BY r_name, n_name""".stripMargin,
+    "q35_join_smj" ->
+      """SELECT l_linestatus,
+        | CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        | count(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "q36_join_shj" ->
+      """SELECT o_orderstatus,
+        | CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        | count(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q20_join_existence" ->
       """SELECT c_custkey,
         | c_custkey IN (SELECT o_custkey FROM orders

@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions — the 100 TB design contract. A query
+  * that silently loses its broadcast, pushdown, partial agg, or top-k
+  * pushdown would still be correct on 60k rows and catastrophic at scale;
+  * these tests pin the plan shapes. */
+class PlanSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def finalPlan(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, sf)
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q11 star join broadcasts all four dims (no fact shuffle pre-agg)") {
+    val p = finalPlan("q11_join_star")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p.take(2000))
+    assert(!p.contains("SortMergeJoin"), "dims must broadcast, not SMJ")
+  }
+
+  test("q1 aggregates map-side before the shuffle (partial_sum)") {
+    val p = finalPlan("q1_agg")
+    assert(p.contains("partial_sum"), p.take(2000))
+  }
+
+  test("q30 rank top-k uses WindowGroupLimit partial+final pushdown") {
+    val p = finalPlan("q30_window_rank")
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2, p.take(2000))
+  }
+
+  test("q35 merge hint plans SortMergeJoin") {
+    val p = finalPlan("q35_join_smj")
+    assert(p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("q36 shuffle_hash hint plans ShuffledHashJoin") {
+    val p = finalPlan("q36_join_shj")
+    assert(p.contains("ShuffledHashJoin"), p.take(2000))
+  }
+
+  test("q17 non-equi band join plans BroadcastNestedLoopJoin") {
+    val p = finalPlan("q17_join_nonequi")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("q15/q16 semi/anti lower to semi/anti joins") {
+    assert(finalPlan("q15_join_semi").contains("LeftSemi"))
+    assert(finalPlan("q16_join_anti").contains("LeftAnti"))
+  }
+
+  test("q77 ANN broadcasts probes and top-ks via WindowGroupLimit") {
+    val p = finalPlan("q77_ann_bruteforce")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+  }
+
+  test("q25 rollup plans the Expand operator") {
+    val p = finalPlan("q25_rollup")
+    assert(p.contains("Expand"), p.take(2000))
+  }
+
+  test("q50 wordcount partial-aggregates before its shuffle") {
+    val p = finalPlan("q50_explode_wordcount")
+    assert(p.contains("partial_count") || p.contains("partial_"), p.take(2000))
+    assert(p.contains("Generate"), p.take(2000))
+  }
+}
