@@ -10,8 +10,8 @@ import graft.queries._
   */
 object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
-    Relational, Joins, Aggregates, Windows, Functions, Generate, Sinks,
-    Pipeline, Similarity, Multimodal, Extensibility,
+    Relational, Joins, Aggregates, Windows, Functions, Functions2,
+    Generate, Sinks, Pipeline, Similarity, Multimodal, Extensibility,
     graft.streaming.Streaming
   )
 

@@ -1,0 +1,94 @@
+package graft.queries
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Second scalar-function sweep — the remaining SURVEY §2.5 rows:
+  * bit_length, chr, space, find_in_set, rpad, left/right, regexp_extract,
+  * base64/unbase64, initcap (string); bround (half-even), hex, pmod,
+  * inverse trig, expm1, acosh, isnan (math); to_timestamp parse (date).
+  */
+object Functions2 extends QueryModule {
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q56_string_funcs2" -> { (s, dir) =>
+      Tables.df(s, dir, "documents")
+        .select(col("doc_id"),
+          bit_length(col("lang")).cast(LongType).as("bl"),
+          chr(col("doc_id") % 26 + 65).as("ch"),
+          concat(lit("x"), lit(" " * 3), lit("y")).as("spaced"),
+          expr("find_in_set(lang, 'en,de,es,fr,zh')").cast(LongType)
+            .as("fis"),
+          rpad(col("lang"), 5, "*").as("rp"),
+          expr("left(text, 4)").as("lf"),
+          expr("right(lang, 1)").as("rt"),
+          regexp_extract(col("text"), "[a-z]+a", 0).as("rex"),
+          base64(col("lang").cast(BinaryType)).as("b64"),
+          unbase64(base64(col("lang").cast(BinaryType))).cast(StringType)
+            .as("b64rt"),
+          initcap(substring(col("text"), 1, 15)).as("ic"))
+        .orderBy(col("doc_id"))
+    },
+
+    "q57_math_funcs2" -> { (s, dir) =>
+      Tables.df(s, dir, "lineitem")
+        .filter(col("l_orderkey") <= 100)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          bround(col("l_quantity") + 0.5, 0).as("br"),
+          hex(col("l_orderkey")).as("hx"),
+          pmod(col("l_orderkey") * -1, lit(7L)).as("pm"),
+          round(atan(col("l_discount")), 6).as("at"),
+          round(asin(col("l_discount") * 5), 6).as("as"),
+          round(acos(col("l_discount") * 5), 6).as("ac"),
+          round(tan(col("l_discount")), 6).as("tn"),
+          round(expm1(col("l_discount")), 6).as("em1"),
+          round(acosh(col("l_quantity") + 1.0), 6).as("ah"),
+          isnan(lit("NaN").cast(DoubleType)).as("nan_t"),
+          isnan(col("l_quantity")).as("nan_f"),
+          to_timestamp(date_format(col("l_shipdate"), "yyyy-MM-dd"),
+            "yyyy-MM-dd").cast(DateType).as("reparsed"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "q56_string_funcs2" ->
+      """SELECT doc_id,
+        | CAST(bit_length(lang) AS BIGINT) AS bl,
+        | chr(CAST(doc_id % 26 + 65 AS INT)) AS ch,
+        | 'x' || repeat(' ', 3) || 'y' AS spaced,
+        | CAST(list_position(string_split('en,de,es,fr,zh', ','), lang)
+        |   AS BIGINT) AS fis,
+        | rpad(lang, 5, '*') AS rp,
+        | left(text, 4) AS lf,
+        | right(lang, 1) AS rt,
+        | coalesce(regexp_extract(text, '[a-z]+a'), '') AS rex,
+        | to_base64(encode(lang)) AS b64,
+        | lang AS b64rt,
+        | array_to_string(list_transform(
+        |     string_split(substring(text, 1, 15), ' '),
+        |     w -> CASE WHEN len(w) = 0 THEN w
+        |          ELSE upper(w[1]) || lower(w[2:]) END), ' ') AS ic
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q57_math_funcs2" ->
+      """SELECT l_orderkey, l_linenumber,
+        | roundbankers(l_quantity + 0.5, 0) AS br,
+        | hex(l_orderkey) AS hx,
+        | CAST(((l_orderkey * -1) % 7 + 7) % 7 AS BIGINT) AS pm,
+        | round(atan(l_discount), 6) AS at,
+        | round(asin(l_discount * 5), 6) AS "as",
+        | round(acos(l_discount * 5), 6) AS ac,
+        | round(tan(l_discount), 6) AS tn,
+        | round(exp(l_discount) - 1, 6) AS em1,
+        | round(ln(l_quantity + 1.0 +
+        |   sqrt((l_quantity + 1.0) * (l_quantity + 1.0) - 1)), 6) AS ah,
+        | isnan(CAST('NaN' AS DOUBLE)) AS nan_t,
+        | isnan(l_quantity) AS nan_f,
+        | CAST(strptime(strftime(l_shipdate, '%Y-%m-%d'), '%Y-%m-%d')
+        |   AS DATE) AS reparsed
+        |FROM lineitem WHERE l_orderkey <= 100
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin
+  )
+}
