@@ -63,6 +63,37 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Expand"), p.take(2000))
   }
 
+  test("q64 bucketed join runs without a shuffle exchange before the join") {
+    // consider only the Final Plan section (the Initial Plan dump below it
+    // repeats the pre-AQE tree)
+    val p = finalPlan("q64_bucketed_join").split("== Initial Plan ==").head
+    val joinIdx = p.indexOf("SortMergeJoin")
+    assert(joinIdx >= 0, p.take(2000))
+    assert(p.contains("Bucketed: true"), p.take(2000))
+    // no Exchange may feed the join inputs (bucketing pre-shuffled them);
+    // the only exchanges allowed are the post-join agg/sort ones above it
+    val belowJoin = p.substring(joinIdx)
+    assert(!belowJoin.contains("Exchange hashpartitioning"),
+      s"bucketed join must not reshuffle:\n${belowJoin.take(2000)}")
+  }
+
+  test("repartition flavors plan the right partitionings (§2.1 row 18)") {
+    import org.apache.spark.sql.functions.col
+    val li = Tables.df(spark, sf, "lineitem")
+    assert(li.repartition(4).queryExecution.executedPlan.toString
+      .contains("RoundRobinPartitioning"))
+    assert(li.repartition(4, col("l_orderkey")).queryExecution.executedPlan
+      .toString.contains("hashpartitioning"))
+    assert(li.repartitionByRange(4, col("l_orderkey")).queryExecution
+      .executedPlan.toString.contains("rangepartitioning"))
+  }
+
+  test("plain limit plans CollectLimit") {
+    val p = Tables.df(spark, sf, "lineitem").limit(3)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("CollectLimit"), p)
+  }
+
   test("q50 wordcount partial-aggregates before its shuffle") {
     val p = finalPlan("q50_explode_wordcount")
     assert(p.contains("partial_count") || p.contains("partial_"), p.take(2000))
