@@ -32,6 +32,24 @@ object Functions2 extends QueryModule {
         .orderBy(col("doc_id"))
     },
 
+    // Higher-order functions over arrays: transform / filter / exists /
+    // forall / aggregate — all codegen-adjacent lambda expressions (the
+    // reference test corpus has a HigherOrderFunctions suite; SURVEY §5).
+    "q65_higher_order" -> { (s, dir) =>
+      import graft.functions.TextOps.tokens
+      val tk = tokens(col("text"))
+      Tables.df(s, dir, "documents")
+        .select(col("doc_id"),
+          size(filter(tk, t => length(t) > 4)).cast(LongType).as("n_long"),
+          exists(tk, t => t === "the").as("has_the"),
+          forall(tk, t => t === lower(t)).as("all_lower"),
+          aggregate(tk, lit(0), (acc, t) => acc + length(t))
+            .cast(LongType).as("total_chars"),
+          array_join(transform(slice(tk, 1, 5),
+            t => length(t).cast(StringType)), ",").as("len5"))
+        .orderBy(col("doc_id"))
+    },
+
     "q57_math_funcs2" -> { (s, dir) =>
       Tables.df(s, dir, "lineitem")
         .filter(col("l_orderkey") <= 100)
@@ -71,6 +89,19 @@ object Functions2 extends QueryModule {
         |     string_split(substring(text, 1, 15), ' '),
         |     w -> CASE WHEN len(w) = 0 THEN w
         |          ELSE upper(w[1]) || lower(w[2:]) END), ' ') AS ic
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q65_higher_order" ->
+      """SELECT doc_id,
+        | CAST(len(list_filter(string_split(text, ' '), t -> len(t) > 4))
+        |   AS BIGINT) AS n_long,
+        | len(list_filter(string_split(text, ' '), t -> t = 'the')) > 0
+        |   AS has_the,
+        | len(list_filter(string_split(text, ' '), t -> t != lower(t))) = 0
+        |   AS all_lower,
+        | CAST(list_aggregate(list_transform(string_split(text, ' '),
+        |   t -> len(t)), 'sum') AS BIGINT) AS total_chars,
+        | array_to_string(list_transform(string_split(text, ' ')[1:5],
+        |   t -> CAST(len(t) AS VARCHAR)), ',') AS len5
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q57_math_funcs2" ->
       """SELECT l_orderkey, l_linenumber,
