@@ -136,6 +136,31 @@ object Aggregates extends QueryModule {
         .orderBy(col("l_returnflag"))
     },
 
+    // Exact interpolated percentiles (Spark `percentile` == DuckDB
+    // quantile_cont: both use the (n-1)p convention over sorted values;
+    // inputs are exact 2dp doubles so interpolation is IEEE-identical).
+    "q66_percentile" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT l_returnflag,
+          |  percentile(l_quantity, 0.25) AS p25,
+          |  percentile(l_quantity, 0.5) AS p50,
+          |  percentile(l_quantity, 0.75) AS p75,
+          |  percentile(l_quantity, 0.99) AS p99
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    },
+
+    // Approximate distinct (HLL++) alongside exact — rows-only check
+    // (estimator differs per engine); error bound asserted in
+    // ExtensibilitySpec-style test.
+    "q67_approx_distinct" -> { (s, dir) =>
+      Tables.df(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // Conditional aggregation (CASE WHEN inside SUM) — manual pivot.
     "q29_agg_conditional" -> { (s, dir) =>
       Tables.df(s, dir, "orders")
@@ -212,6 +237,13 @@ object Aggregates extends QueryModule {
         |  CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS s2
         |  FROM lineitem GROUP BY l_returnflag)
         |ORDER BY l_returnflag""".stripMargin,
+    "q66_percentile" ->
+      """SELECT l_returnflag,
+        | quantile_cont(l_quantity, 0.25) AS p25,
+        | quantile_cont(l_quantity, 0.5) AS p50,
+        | quantile_cont(l_quantity, 0.75) AS p75,
+        | quantile_cont(l_quantity, 0.99) AS p99
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q29_agg_conditional" ->
       """SELECT o_orderpriority,
         | CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,

@@ -188,6 +188,27 @@ object Joins extends QueryModule {
         .orderBy(col("o_orderstatus"))
     },
 
+    // Salted join — THE skew-mitigation pattern for hot keys at 100 TB:
+    // replicate the dim SALT times (explode), derive a deterministic salt
+    // on the fact side, and join on (key, salt) so one hot key spreads
+    // over SALT reducers. Result provably equals the unsalted join (the
+    // oracle is the plain join).
+    "q38_salted_join" -> { (s, dir) =>
+      val salt = 8
+      val ev = Tables.df(s, dir, "events")
+        .withColumn("salt", pmod(col("event_id"), lit(salt)))
+      val dim = Tables.df(s, dir, "nation")
+        .withColumn("salt", explode(array((0 until salt).map(lit): _*)))
+      ev.join(broadcast(dim),
+          ev("user_id") === dim("n_nationkey") &&
+            ev("salt") === dim("salt"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType)
+            .as("sum_v"))
+        .orderBy(col("n_name"))
+    },
+
     // Existence join: IN-subquery in the projection (plans ExistenceJoin;
     // reference maps it from decorrelated IN, NativeConverters.scala:1390).
     "q20_join_existence" -> { (s, dir) =>
@@ -267,6 +288,11 @@ object Joins extends QueryModule {
     "q19_join_cross" ->
       """SELECT r_name, n_name FROM region CROSS JOIN nation
         |ORDER BY r_name, n_name""".stripMargin,
+    "q38_salted_join" ->
+      """SELECT n_name, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        |FROM events JOIN nation ON user_id = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q35_join_smj" ->
       """SELECT l_linestatus,
         | CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,

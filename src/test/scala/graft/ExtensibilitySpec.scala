@@ -49,6 +49,16 @@ class ExtensibilitySpec extends AnyFunSuite {
     }
   }
 
+  test("q67 approx_count_distinct within 10% of exact") {
+    val rows = SparkEntry.queries("q67_approx_distinct")(spark, sf).collect()
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_parts").toDouble
+      val exact = r.getAs[Long]("exact_parts").toDouble
+      assert(math.abs(approx - exact) / exact < 0.10,
+        s"approx=$approx exact=$exact")
+    }
+  }
+
   test("kmv sketch merge across partitions is consistent") {
     import org.apache.spark.sql.functions._
     import graft.functions.KmvDistinctSketch.kmvDistinct
