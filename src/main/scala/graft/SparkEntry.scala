@@ -11,8 +11,8 @@ import graft.queries._
 object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
     Relational, Joins, Aggregates, Windows, Functions, Functions2,
-    Generate, Sinks, Storage, Pipeline, Similarity, Multimodal,
-    Extensibility, graft.streaming.Streaming
+    Generate, Sinks, Storage, Collections, Pipeline, Similarity,
+    Multimodal, Extensibility, graft.streaming.Streaming
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
