@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BigramsGenerator, KmvDistinctSketch, SimHash64}
+import graft.functions.{BigramsGenerator, CosineSimilarity, KmvDistinctSketch, SimHash64}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -37,7 +37,15 @@ object GraftExtensions {
         KmvDistinctSketch(es.head).toAggregateExpression()),
     ("bigrams",
       new ExpressionInfo(classOf[BigramsGenerator].getName, "bigrams"),
-      (es: Seq[Expression]) => BigramsGenerator(es.head)))
+      (es: Seq[Expression]) => BigramsGenerator(es.head)),
+    ("cosine_similarity",
+      new ExpressionInfo(classOf[CosineSimilarity].getName,
+        "cosine_similarity"),
+      (es: Seq[Expression]) => {
+        require(es.length == 2,
+          s"cosine_similarity requires exactly 2 arguments, got ${es.length}")
+        CosineSimilarity(es.head, es(1))
+      }))
 
   /** Imperative registration on an existing session (used by the query
     * modules so the driver-created sessions get the SQL functions too). */
