@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Fused k-permutation MinHash signature — one pass over the token array
+  * computes all k slots via double hashing (h_i = h1 + i*h2, the
+  * standard Kirsch-Mitzenstein construction), versus k separate
+  * transform+array_min traversals. Codegen'd (doGenCode static call).
+  *
+  * Signature quality is equivalent to k independent hash permutations
+  * for LSH banding purposes; PipelineSpec asserts recall >= 0.6 against
+  * the exact-Jaccard pairs.
+  */
+case class MinHashSignatureExpr(child: Expression, k: Int)
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashSignatureExpr.compute(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val cls = MinHashSignatureExpr.getClass.getName.stripSuffix("$") +
+        "$.MODULE$"
+      s"${ev.value} = $cls.compute($c, $k);"
+    })
+
+  override protected def withNewChildInternal(c: Expression): MinHashSignatureExpr =
+    copy(child = c)
+}
+
+object MinHashSignatureExpr {
+  def compute(arr: ArrayData, k: Int): ArrayData = {
+    val mins = Array.fill(k)(Long.MaxValue)
+    val n = arr.numElements()
+    var t = 0
+    while (t < n) {
+      val tok = arr.getUTF8String(t)
+      val s = if (tok == null) "" else tok.toString
+      val h1 = scala.util.hashing.MurmurHash3.stringHash(s, 0x3c074a61)
+      val h2 = scala.util.hashing.MurmurHash3.stringHash(s, 0x7a9b4c5d) | 1
+      val b1 = (h1.toLong << 32) | (h1.toLong & 0xffffffffL)
+      val b2 = (h2.toLong << 32) | (h2.toLong & 0xffffffffL)
+      var i = 0
+      var h = b1
+      while (i < k) {
+        if (h < mins(i)) mins(i) = h
+        h += b2
+        i += 1
+      }
+      t += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  def minhashSignature(tokens: Column, k: Int): Column =
+    ColumnBridge.column(
+      MinHashSignatureExpr(ColumnBridge.expression(tokens), k))
+}

@@ -58,15 +58,12 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(array_join(array_sort(uniqueTokens(text)), " ").cast(BinaryType))
 
-  /** MinHash signature: k permutations simulated as seeded xxhash64 over
-    * the distinct token set; each signature slot is the min hash.
-    * Codegen-friendly (higher-order functions over arrays, no UDF).
-    * Mirrors the classic shingle→minhash construction; the reference has
-    * no built-in equivalent (we exceed its surface per the north star). */
+  /** MinHash signature over the distinct token set — fused native
+    * expression (one pass computes all k slots via double hashing; see
+    * MinHashSignatureExpr). Mirrors the classic shingle→minhash
+    * construction; the reference has no built-in equivalent. */
   def minhashSignature(text: Column, k: Int): Column =
-    array((0 until k).map { i =>
-      array_min(transform(uniqueTokens(text), t => xxhash64(lit(i), t)))
-    }: _*)
+    MinHashSignatureExpr.minhashSignature(uniqueTokens(text), k)
 
   /** LSH band key: hash of `r` consecutive signature slots (band `b`). */
   def bandHash(sig: Column, b: Int, r: Int): Column = {

@@ -66,11 +66,18 @@ object Similarity extends QueryModule {
           col("t").as("pt"), col("bucket").as("pbucket"))
       val w = Window.partitionBy(col("probe_id"))
         .orderBy(col("sim").desc, col("vec_id"))
-      keyed.join(probes,
+      // dedup candidates on the narrow (probe, vec) key, then re-attach
+      // vectors for the rerank — never distinct() over array payloads
+      val candPairs = keyed.join(probes,
           col("t") === col("pt") && col("bucket") === col("pbucket") &&
             col("vec_id") =!= col("probe_id"))
-        .select(col("probe_id"), col("vec_id"), col("pv"), col("v"))
+        .select(col("probe_id"), col("vec_id"))
         .distinct()
+      val probeVecs = c.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+      candPairs
+        .join(c.select(col("vec_id"), col("v")), "vec_id")
+        .join(broadcast(probeVecs), "probe_id")
         .select(col("probe_id"), col("vec_id"),
           round(cosine(col("pv"), col("v")), 6).as("sim"))
         .withColumn("rk", row_number().over(w))
