@@ -21,6 +21,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftExtensions.functions.foreach { case (name, info, builder) =>
       e.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // opt-in ANN rewrite (spark.graft.ann.lshRewrite.enabled)
+    e.injectOptimizerRule(_ => graft.plans.GraftLshRewrite)
   }
 }
 
