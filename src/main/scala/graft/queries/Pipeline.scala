@@ -114,6 +114,24 @@ object Pipeline extends QueryModule {
         .orderBy(col("a_id"), col("b_id"))
     },
 
+    // Flagship composite: the corpus-cleaning pipeline end-to-end —
+    // quality filter (length), near-dup removal (bag-of-words
+    // fingerprint groups keep the lowest doc_id). One scan, one shuffle
+    // on the fingerprint, a window top-1 per group: linear at 100 TB.
+    "q95_clean_corpus" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+      Tables.df(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(tokens(col("text"))).cast(LongType).as("n_tokens"),
+          fingerprint(col("text")).as("fp"))
+        .filter(col("n_tokens") >= 40)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("lang"), col("n_tokens"))
+        .orderBy(col("doc_id"))
+    },
+
     // SimHash (custom codegen'd Catalyst Expression) + bucket histogram.
     "q76_simhash" -> { (s, dir) =>
       Tables.df(s, dir, "documents")
@@ -200,6 +218,15 @@ object Pipeline extends QueryModule {
          |WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
          |    / CAST(len(list_distinct(a.tok || b.tok)) AS DOUBLE) >= 0.95
          |ORDER BY a_id, b_id""".stripMargin,
+    "q95_clean_corpus" ->
+      s"""SELECT doc_id, lang, n_tokens FROM (
+         |  SELECT doc_id, lang,
+         |    CAST(len($tokSql) AS BIGINT) AS n_tokens,
+         |    row_number() OVER (
+         |      PARTITION BY md5(array_to_string(list_sort($utokSql), ' '))
+         |      ORDER BY doc_id) AS rn
+         |  FROM documents WHERE len($tokSql) >= 40
+         |) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "q74_fingerprint" ->
       s"""SELECT md5(array_to_string(list_sort($utokSql), ' ')) AS fp,
          | count(*) AS n_docs, min(doc_id) AS keep_id
