@@ -18,7 +18,9 @@ object Bench {
     "q25_rollup", "q30_window_rank", "q50_explode_wordcount",
     "q70_text_stats", "q72_dedup_exact", "q74_fingerprint",
     "q75_minhash_lsh", "q76_simhash", "q77_ann_bruteforce", "q78_ann_lsh",
-    "q85_stream_tumbling")
+    "q85_stream_tumbling",
+    "q100_shipping_priority", "q101_local_supplier_volume",
+    "q102_returned_items", "q95_clean_corpus")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -12,7 +12,7 @@ object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
     Relational, Joins, Aggregates, Windows, Functions, Functions2,
     Generate, Sinks, Storage, Collections, Pipeline, Similarity,
-    Multimodal, Extensibility, graft.streaming.Streaming
+    Multimodal, Extensibility, Analytics, graft.streaming.Streaming
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
