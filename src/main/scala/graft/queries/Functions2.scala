@@ -50,6 +50,24 @@ object Functions2 extends QueryModule {
         .orderBy(col("doc_id"))
     },
 
+    // Error-safe function family: try_divide/try_cast/nullif-guarded
+    // arithmetic (Spark's non-failing variants; the reference inherits
+    // Spark's div-by-zero -> null semantics, NativeConverters.scala
+    // arithmetic notes).
+    "q93_try_funcs" -> { (s, dir) =>
+      Tables.df(s, dir, "lineitem")
+        .filter(col("l_orderkey") <= 100)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          // integral divide-by-zero -> NULL (double division would give
+          // IEEE Infinity and not trigger the TRY path)
+          try_divide(col("l_linenumber"), lit(0)).as("div0"),
+          try_divide(col("l_extendedprice"), col("l_quantity")).as("divok"),
+          expr("try_cast(l_returnflag AS INT)").as("badcast"),
+          expr("try_cast(l_linenumber AS STRING)").as("okcast"),
+          try_add(col("l_orderkey") + 1, lit(Long.MaxValue)).as("overflow"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
     "q57_math_funcs2" -> { (s, dir) =>
       Tables.df(s, dir, "lineitem")
         .filter(col("l_orderkey") <= 100)
@@ -90,6 +108,15 @@ object Functions2 extends QueryModule {
         |     w -> CASE WHEN len(w) = 0 THEN w
         |          ELSE upper(w[1]) || lower(w[2:]) END), ' ') AS ic
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q93_try_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        | CAST(NULL AS DOUBLE) AS div0,
+        | l_extendedprice / l_quantity AS divok,
+        | TRY_CAST(l_returnflag AS INT) AS badcast,
+        | TRY_CAST(l_linenumber AS VARCHAR) AS okcast,
+        | CAST(NULL AS BIGINT) AS overflow
+        |FROM lineitem WHERE l_orderkey <= 100
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q65_higher_order" ->
       """SELECT doc_id,
         | CAST(len(list_filter(string_split(text, ' '), t -> len(t) > 4))

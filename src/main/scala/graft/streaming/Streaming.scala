@@ -45,12 +45,20 @@ object Streaming extends QueryModule {
   }
 
   /** Run a bounded streaming query to completion on a memory sink and
-    * return the materialized table. */
+    * return the materialized table. Stateful-stream shuffle partitions
+    * are capped at 8 for the run: each partition carries a state store,
+    * and 32 stores for a single bounded file is pure overhead. */
   private def drain(df: DataFrame, s: SparkSession, name: String,
                     mode: OutputMode): DataFrame = {
+    val partKey = "spark.sql.shuffle.partitions"
+    val saved = s.conf.get(partKey)
+    if (saved.toInt > 8) s.conf.set(partKey, "8")
     val q = df.writeStream.outputMode(mode)
       .format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
+    try q.processAllAvailable() finally {
+      q.stop()
+      s.conf.set(partKey, saved)
+    }
     s.table(name)
   }
 
@@ -79,6 +87,31 @@ object Streaming extends QueryModule {
           col("sum_v"))
       drain(agg, s, "q86_sink", OutputMode.Complete())
         .orderBy(col("w_start"))
+    },
+
+    // Streaming -> file sink via foreachBatch (the production path for
+    // stream-to-lake writes): each micro-batch lands as parquet, result
+    // read back from the files. Oracle = the equivalent batch aggregate.
+    "q88_stream_foreachbatch" -> { (s, dir) =>
+      val out = "/tmp/graft_stream_sink/q88"
+      val agg = eventStream(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(D2)).cast(DoubleType).as("sum_v"))
+      val partKey = "spark.sql.shuffle.partitions"
+      val saved = s.conf.get(partKey)
+      if (saved.toInt > 8) s.conf.set(partKey, "8")
+      val q = agg.writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batch.write.mode("overwrite").parquet(out)
+        }
+        .start()
+      try q.processAllAvailable() finally {
+        q.stop()
+        s.conf.set(partKey, saved)
+      }
+      s.read.parquet(out).orderBy(col("event_type"))
     },
 
     // Stateful sessionization: mapGroupsWithState per user, 30-minute
@@ -121,6 +154,10 @@ object Streaming extends QueryModule {
         |           - h * INTERVAL 1 HOUR) AS w_start, value
         |  FROM events, unnest([0, 1]) AS t(h)
         |) GROUP BY w_start ORDER BY w_start""".stripMargin,
+    "q88_stream_foreachbatch" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q87_stream_sessions" ->
       """SELECT user_id, count(*) AS n_events,
         | CAST(1 + sum(CASE WHEN gap > 30*60*1000000 THEN 1 ELSE 0 END)

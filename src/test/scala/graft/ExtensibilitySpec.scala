@@ -72,3 +72,20 @@ class ExtensibilitySpec extends AnyFunSuite {
       s"sketch must be merge-invariant: $onePart vs $manyParts")
   }
 }
+
+/** Pin Spark-native hash outputs (murmur3 seed 42, xxhash64 seed 42L,
+  * crc32) to known constants so q44's rows-only gate still has a strong
+  * in-engine anchor across Spark upgrades. */
+class SparkHashPinSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import TestSession._
+  test("murmur3/xxhash64/crc32 of 'abc' match pinned values") {
+    import org.apache.spark.sql.functions._
+    val r = spark.range(1).select(
+      hash(lit("abc")).as("m3"),
+      xxhash64(lit("abc")).as("xx"),
+      crc32(lit("abc").cast("binary")).as("crc")).collect().head
+    assert(r.getAs[Int]("m3") == 1322437556)
+    assert(r.getAs[Long]("xx") == 1423657621850124518L)
+    assert(r.getAs[Long]("crc") == 891568578L)
+  }
+}
