@@ -89,7 +89,9 @@ object Functions extends QueryModule {
             lit("2000-01-01").cast(DateType)).cast(LongType).as("dd"),
           last_day(col("o_orderdate").cast(DateType)).as("eom"),
           make_date(year(col("o_orderdate")), month(col("o_orderdate")),
-            lit(1)).as("md"))
+            lit(1)).as("md"),
+          months_between(col("o_orderdate").cast(DateType),
+            lit("2000-01-15").cast(DateType)).as("mb"))
         .orderBy(col("o_orderkey"))
     },
 
@@ -228,7 +230,10 @@ object Functions extends QueryModule {
         | CAST(date_diff('day', DATE '2000-01-01', CAST(o_orderdate AS DATE))
         |      AS BIGINT) AS dd,
         | last_day(CAST(o_orderdate AS DATE)) AS eom,
-        | make_date(year(o_orderdate), month(o_orderdate), 1) AS md
+        | make_date(year(o_orderdate), month(o_orderdate), 1) AS md,
+        | round((year(o_orderdate) - 2000) * 12 + (month(o_orderdate) - 1)
+        |   + CASE WHEN day(o_orderdate) = 15 THEN 0.0
+        |          ELSE (day(o_orderdate) - 15) / 31.0 END, 8) AS mb
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q43_hash_funcs" ->
       """SELECT doc_id, md5(text) AS h_md5, sha256(text) AS h_sha256

@@ -100,6 +100,24 @@ object Relational extends QueryModule {
       cust.intersect(ord).orderBy(col("c_custkey"))
     },
 
+    // unionByName: schema-aligned union (column order differs; one side
+    // is missing a column, filled with NULL via allowMissingColumns).
+    "q9_union_by_name" -> { (s, dir) =>
+      val a = Tables.df(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus"))
+      val b = Tables.df(s, dir, "orders")
+        .filter(col("o_totalprice") > 300000.0)
+        .select(col("o_totalprice"), col("o_orderkey")) // reordered, short
+      a.unionByName(b, allowMissingColumns = true)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("o_totalprice")).as("sum_price"))
+        .select(coalesce(col("o_orderstatus"), lit("(null)"))
+          .as("o_orderstatus"), col("n"), col("sum_price"))
+        .orderBy(col("o_orderstatus"))
+    },
+
     // EXCEPT — lowers to left-anti join. Filtered right side so the
     // difference is non-empty at every scale factor.
     "q8_except" -> { (s, dir) =>
@@ -148,6 +166,17 @@ object Relational extends QueryModule {
         |INTERSECT
         |SELECT o_custkey AS c_custkey FROM orders
         |ORDER BY c_custkey""".stripMargin,
+    "q9_union_by_name" ->
+      """SELECT coalesce(o_orderstatus, '(null)') AS o_orderstatus,
+        | count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_price
+        |FROM (
+        |  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice, NULL AS o_orderstatus
+        |  FROM orders WHERE o_totalprice > 300000.0
+        |) GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
     "q8_except" ->
       """SELECT c_custkey FROM customer
         |EXCEPT

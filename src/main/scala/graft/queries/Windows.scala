@@ -88,6 +88,20 @@ object Windows extends QueryModule {
         .orderBy(col("c_mktsegment"), col("c_custkey"))
     },
 
+    // Ignore-nulls analytics: lead IGNORE NULLS + last_value IGNORE NULLS
+    // (= last-observation-carried-forward). Parity with the reference's
+    // nth_value ignore-nulls support (auron.proto:140 NTH_VALUE + flag).
+    "q39_window_ignorenulls" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val v = nullif(col("event_type"), lit("error"))
+      Tables.df(s, dir, "events")
+        .select(col("user_id"), col("event_id"), v.as("v"),
+          lead(v, 1, null, ignoreNulls = true).over(w).as("next_nonnull"),
+          last(v, ignoreNulls = true).over(w).as("locf"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+
     // Windowed aggregates with full-partition frame + nth_value.
     "q34_window_agg" -> { (s, dir) =>
       val wFull = Window.partitionBy(col("l_returnflag"))
@@ -148,6 +162,16 @@ object Windows extends QueryModule {
         |FROM customer
         |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
         |ORDER BY c_mktsegment, c_custkey""".stripMargin,
+    "q39_window_ignorenulls" ->
+      """SELECT user_id, event_id, nullif(event_type, 'error') AS v,
+        |  lead(nullif(event_type, 'error'), 1 IGNORE NULLS) OVER w
+        |    AS next_nonnull,
+        |  last_value(nullif(event_type, 'error') IGNORE NULLS) OVER w
+        |    AS locf
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id
+        |             ORDER BY CAST(ts AS TIMESTAMP), event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
     "q34_window_agg" ->
       """SELECT l_returnflag, l_orderkey, l_linenumber,
         |  max(l_quantity) OVER wf AS part_max_qty,
