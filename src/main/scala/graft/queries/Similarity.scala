@@ -87,6 +87,25 @@ object Similarity extends QueryModule {
         .orderBy(col("probe_id"), col("rk"))
     },
 
+    // Hybrid retrieval: keyword pre-filter on documents, then cosine
+    // ranking of the surviving docs' embeddings against a probe vector —
+    // the text+vector search pattern (filter prunes the candidate set
+    // BEFORE any vector math; at scale the filter is pushed to parquet).
+    "q96_hybrid_search" -> { (s, dir) =>
+      val docs = Tables.df(s, dir, "documents")
+        .filter(col("text").contains("vector"))
+        .select(col("doc_id"))
+      val emb = corpus(s, dir)
+      val probe = emb.filter(col("vec_id") === 0)
+        .select(col("v").as("pv"))
+      docs.join(emb, docs("doc_id") === emb("vec_id"))
+        .crossJoin(broadcast(probe))
+        .select(col("doc_id"), col("label"),
+          round(cosine(col("pv"), col("v")), 6).as("sim"))
+        .orderBy(col("sim").desc, col("doc_id"))
+        .limit(10)
+    },
+
     // Embedding near-duplicate pairs: same-label vectors with cosine >=
     // 0.3 on a bounded slice (oracle-checked exact variant of embedding
     // dedup; the scale path reuses q78's bucketing).
@@ -115,6 +134,14 @@ object Similarity extends QueryModule {
         |  FROM embeddings p JOIN embeddings c ON c.vec_id != p.vec_id
         |  WHERE p.vec_id % 50 = 0
         |) WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin,
+    "q96_hybrid_search" ->
+      """SELECT d.doc_id, e.label,
+        |  round(list_cosine_similarity(
+        |    (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0),
+        |    e.embedding::DOUBLE[]), 6) AS sim
+        |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        |WHERE contains(d.text, 'vector')
+        |ORDER BY sim DESC, d.doc_id LIMIT 10""".stripMargin,
     "q79_embed_dups" ->
       """SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label,
         |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim

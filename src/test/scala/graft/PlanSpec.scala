@@ -88,6 +88,18 @@ class PlanSpec extends AnyFunSuite {
       .executedPlan.toString.contains("rangepartitioning"))
   }
 
+  test("partitioned parquet read-back prunes partitions on the filter") {
+    import org.apache.spark.sql.functions.col
+    // q60 wrote /tmp/graft_sink/parquet partitioned by l_returnflag
+    SparkEntry.queries("q60_parquet_roundtrip")(spark, sf).collect()
+    val df = spark.read.parquet("/tmp/graft_sink/parquet")
+      .filter(col("l_returnflag") === "A")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(l_returnflag"),
+      plan.take(1500))
+  }
+
   test("plain limit plans CollectLimit") {
     val p = Tables.df(spark, sf, "lineitem").limit(3)
       .queryExecution.executedPlan.toString
