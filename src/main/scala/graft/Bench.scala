@@ -20,7 +20,7 @@ object Bench {
     "q75_minhash_lsh", "q76_simhash", "q77_ann_bruteforce", "q78_ann_lsh",
     "q85_stream_tumbling",
     "q100_shipping_priority", "q101_local_supplier_volume",
-    "q102_returned_items", "q95_clean_corpus")
+    "q102_returned_items", "q95_clean_corpus", "q97_minhash_full")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -114,6 +114,33 @@ object Pipeline extends QueryModule {
         .orderBy(col("a_id"), col("b_id"))
     },
 
+    // Full-corpus MinHash-LSH dedup (no doc_id bound — the actual scale
+    // path q75 calibrates): banding over every document, exact-Jaccard
+    // verification of candidates only, single summary row.
+    "q97_minhash_full" -> { (s, dir) =>
+      val bands = 4
+      val rows = 16
+      val docs = Tables.df(s, dir, "documents")
+        .select(col("doc_id"), uniqueTokens(col("text")).as("tok"),
+          minhashSignature(col("text"), bands * rows).as("sig"))
+      val banded = docs.select(col("doc_id"), col("tok"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"), bandHash(col("sig"), b, rows).as("bh"))
+        ): _*)).as("bk"))
+        .select(col("doc_id"), col("tok"),
+          col("bk.band").as("band"), col("bk.bh").as("bh"))
+      val cand = banded.as("x").join(banded.as("y"),
+          col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+          col("x.tok").as("tok_a"), col("y.tok").as("tok_b"))
+        .distinct()
+      cand.select(col("a_id"),
+          (jaccard(col("tok_a"), col("tok_b")) >= 0.95).as("verified"))
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(when(col("verified"), 1L).otherwise(0L)).as("n_verified"))
+    },
+
     // Flagship composite: the corpus-cleaning pipeline end-to-end —
     // quality filter (length), near-dup removal (bag-of-words
     // fingerprint groups keep the lowest doc_id). One scan, one shuffle
