@@ -83,6 +83,13 @@ object Functions2 extends QueryModule {
           round(acosh(col("l_quantity") + 1.0), 6).as("ah"),
           isnan(lit("NaN").cast(DoubleType)).as("nan_t"),
           isnan(col("l_quantity")).as("nan_f"),
+          round(degrees(col("l_discount")), 6).as("deg"),
+          round(radians(col("l_quantity")), 6).as("rad"),
+          round(sinh(col("l_discount")), 6).as("sh"),
+          round(cosh(col("l_discount")), 6).as("ch"),
+          round(tanh(col("l_discount")), 6).as("th"),
+          round(cbrt(col("l_quantity")), 6).as("cb"),
+          bin(col("l_linenumber")).as("bn"),
           to_timestamp(date_format(col("l_shipdate"), "yyyy-MM-dd"),
             "yyyy-MM-dd").cast(DateType).as("reparsed"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
@@ -144,6 +151,14 @@ object Functions2 extends QueryModule {
         |   sqrt((l_quantity + 1.0) * (l_quantity + 1.0) - 1)), 6) AS ah,
         | isnan(CAST('NaN' AS DOUBLE)) AS nan_t,
         | isnan(l_quantity) AS nan_f,
+        | round(degrees(l_discount), 6) AS deg,
+        | round(radians(l_quantity), 6) AS rad,
+        | round((exp(l_discount) - exp(-l_discount)) / 2, 6) AS sh,
+        | round((exp(l_discount) + exp(-l_discount)) / 2, 6) AS ch,
+        | round((exp(l_discount) - exp(-l_discount))
+        |     / (exp(l_discount) + exp(-l_discount)), 6) AS th,
+        | round(cbrt(l_quantity), 6) AS cb,
+        | bin(CAST(l_linenumber AS BIGINT)) AS bn,
         | CAST(strptime(strftime(l_shipdate, '%Y-%m-%d'), '%Y-%m-%d')
         |   AS DATE) AS reparsed
         |FROM lineitem WHERE l_orderkey <= 100

@@ -20,6 +20,30 @@ object Pipeline extends QueryModule {
 
   import TextOps._
 
+  /** Shared MinHash-LSH candidate generation: signature → band keys →
+    * band equi-join → distinct (a_id, b_id, tok_a, tok_b) pairs.
+    * 4 bands × 16 rows targets j ≥ 0.95 recall with ~0.1% candidate
+    * rate at j = 0.6. */
+  private def lshCandidates(docsIn: org.apache.spark.sql.DataFrame,
+                            bands: Int = 4, rows: Int = 16)
+      : org.apache.spark.sql.DataFrame = {
+    val docs = docsIn.select(col("doc_id"),
+      uniqueTokens(col("text")).as("tok"),
+      minhashSignature(col("text"), bands * rows).as("sig"))
+    val banded = docs.select(col("doc_id"), col("tok"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"), bandHash(col("sig"), b, rows).as("bh"))
+      ): _*)).as("bk"))
+      .select(col("doc_id"), col("tok"),
+        col("bk.band").as("band"), col("bk.bh").as("bh"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        col("x.tok").as("tok_a"), col("y.tok").as("tok_b"))
+      .distinct()
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Per-document text statistics & quality signals.
     "q70_text_stats" -> { (s, dir) =>
@@ -86,29 +110,13 @@ object Pipeline extends QueryModule {
     // MinHash + LSH banding near-dup, the 100 TB scale path:
     // signature (k=64) → 4 bands × 16 rows → equi-join on band key →
     // exact-Jaccard verification of the candidates only. Banding tuned
-    // for the ≥0.95 similarity target (recall ~0.9 at j=0.95, candidate
-    // rate ~0.1% at j=0.6). No DuckDB oracle (xxhash64 is Spark-native):
-    // correctness is cross-checked against q73 in PipelineSpec.
+    // for the ≥0.95 similarity target. No DuckDB oracle (the minhash
+    // kernel is engine-native): correctness is cross-checked against q73
+    // in PipelineSpec (LSH pairs ⊂ exact pairs, recall ≥ 0.6).
     "q75_minhash_lsh" -> { (s, dir) =>
-      val bands = 4
-      val rows = 16
-      val docs = Tables.df(s, dir, "documents")
-        .filter(col("doc_id") <= 200)
-        .select(col("doc_id"), uniqueTokens(col("text")).as("tok"),
-          minhashSignature(col("text"), bands * rows).as("sig"))
-      val banded = docs.select(col("doc_id"), col("tok"),
-        explode(array((0 until bands).map(b =>
-          struct(lit(b).as("band"), bandHash(col("sig"), b, rows).as("bh"))
-        ): _*)).as("bk"))
-        .select(col("doc_id"), col("tok"),
-          col("bk.band").as("band"), col("bk.bh").as("bh"))
-      val cand = banded.as("x").join(banded.as("y"),
-          col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
-          col("x.tok").as("tok_a"), col("y.tok").as("tok_b"))
-        .distinct()
-      cand.select(col("a_id"), col("b_id"),
+      lshCandidates(Tables.df(s, dir, "documents")
+          .filter(col("doc_id") <= 200))
+        .select(col("a_id"), col("b_id"),
           jaccard(col("tok_a"), col("tok_b")).as("jac"))
         .filter(col("jac") >= 0.95)
         .orderBy(col("a_id"), col("b_id"))
@@ -118,24 +126,8 @@ object Pipeline extends QueryModule {
     // path q75 calibrates): banding over every document, exact-Jaccard
     // verification of candidates only, single summary row.
     "q97_minhash_full" -> { (s, dir) =>
-      val bands = 4
-      val rows = 16
-      val docs = Tables.df(s, dir, "documents")
-        .select(col("doc_id"), uniqueTokens(col("text")).as("tok"),
-          minhashSignature(col("text"), bands * rows).as("sig"))
-      val banded = docs.select(col("doc_id"), col("tok"),
-        explode(array((0 until bands).map(b =>
-          struct(lit(b).as("band"), bandHash(col("sig"), b, rows).as("bh"))
-        ): _*)).as("bk"))
-        .select(col("doc_id"), col("tok"),
-          col("bk.band").as("band"), col("bk.bh").as("bh"))
-      val cand = banded.as("x").join(banded.as("y"),
-          col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
-          col("x.tok").as("tok_a"), col("y.tok").as("tok_b"))
-        .distinct()
-      cand.select(col("a_id"),
+      lshCandidates(Tables.df(s, dir, "documents"))
+        .select(col("a_id"),
           (jaccard(col("tok_a"), col("tok_b")) >= 0.95).as("verified"))
         .agg(count(lit(1)).as("n_candidates"),
           sum(when(col("verified"), 1L).otherwise(0L)).as("n_verified"))

@@ -100,6 +100,18 @@ class PlanSpec extends AnyFunSuite {
       plan.take(1500))
   }
 
+  test("cached dataframe scans from InMemoryTableScan") {
+    import org.apache.spark.sql.functions.col
+    val df = Tables.df(spark, sf, "nation").cache()
+    try {
+      df.count() // materialize the cache
+      val agg = df.groupBy(col("n_regionkey")).count()
+      agg.collect()
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(plan.contains("InMemoryTableScan"), plan.take(1500))
+    } finally df.unpersist()
+  }
+
   test("plain limit plans CollectLimit") {
     val p = Tables.df(spark, sf, "lineitem").limit(3)
       .queryExecution.executedPlan.toString
