@@ -33,6 +33,25 @@ class RuntimeFeaturesSpec extends AnyFunSuite {
     }
   }
 
+  test("ANSI mode raises on overflow/div-zero where default mode nulls") {
+    import org.apache.spark.sql.functions.{expr, lit}
+    val key = "spark.sql.ansi.enabled"
+    val saved = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "true")
+      val err = intercept[Exception] {
+        spark.range(1).select(expr("1 / 0")).collect()
+      }
+      assert(err.getMessage.contains("DIVIDE_BY_ZERO"), err.getMessage)
+      spark.conf.set(key, "false")
+      val r = spark.range(1).select(expr("try_divide(1, 0)")).collect()
+      assert(r.head.isNullAt(0))
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("spark_partition_id / monotonically_increasing_id / rand " +
     "distribution properties") {
     val df = Tables.df(spark, sf, "lineitem")
