@@ -88,6 +88,32 @@ object Windows extends QueryModule {
         .orderBy(col("c_mktsegment"), col("c_custkey"))
     },
 
+    // As-of join (reference has NO range/as-of joins, SURVEY §2.2 — we
+    // exceed it): for each purchase, the latest click at-or-before it
+    // per user. Implemented the 100 TB way: union both sides, ONE
+    // cumulative window pass with last(...ignoreNulls) — an O(n log n)
+    // sort instead of the quadratic time-range join. Oracle: DuckDB's
+    // native ASOF JOIN (independent implementation, same semantics).
+    "q103_asof_join" -> { (s, dir) =>
+      val ev = Tables.df(s, dir, "events")
+        .filter(col("event_type").isin("purchase", "click"))
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          (col("event_type") === "purchase").as("is_p"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      ev.withColumn("click_id",
+          last(when(!col("is_p"), col("event_id")), ignoreNulls = true)
+            .over(w))
+        .withColumn("click_ts_us",
+          last(when(!col("is_p"), col("ts_us")), ignoreNulls = true)
+            .over(w))
+        .filter(col("is_p"))
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts_us"), col("click_id"), col("click_ts_us"))
+        .orderBy(col("purchase_id"))
+    },
+
     // Ignore-nulls analytics: lead IGNORE NULLS + last_value IGNORE NULLS
     // (= last-observation-carried-forward). Parity with the reference's
     // nth_value ignore-nulls support (auron.proto:140 NTH_VALUE + flag).
@@ -162,6 +188,16 @@ object Windows extends QueryModule {
         |FROM customer
         |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
         |ORDER BY c_mktsegment, c_custkey""".stripMargin,
+    "q103_asof_join" ->
+      """SELECT p.event_id AS purchase_id, p.user_id,
+        |  epoch_us(CAST(p.ts AS TIMESTAMP)) AS ts_us,
+        |  c.event_id AS click_id,
+        |  epoch_us(CAST(c.ts AS TIMESTAMP)) AS click_ts_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        | AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+        |ORDER BY purchase_id""".stripMargin,
     "q39_window_ignorenulls" ->
       """SELECT user_id, event_id, nullif(event_type, 'error') AS v,
         |  lead(nullif(event_type, 'error'), 1 IGNORE NULLS) OVER w
