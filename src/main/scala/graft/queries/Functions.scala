@@ -91,7 +91,10 @@ object Functions extends QueryModule {
           make_date(year(col("o_orderdate")), month(col("o_orderdate")),
             lit(1)).as("md"),
           months_between(col("o_orderdate").cast(DateType),
-            lit("2000-01-15").cast(DateType)).as("mb"))
+            lit("2000-01-15").cast(DateType)).as("mb"),
+          dayofyear(col("o_orderdate")).cast(LongType).as("doy"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("fmt"),
+          unix_timestamp(col("o_orderdate")).as("epoch_s"))
         .orderBy(col("o_orderkey"))
     },
 
@@ -233,7 +236,10 @@ object Functions extends QueryModule {
         | make_date(year(o_orderdate), month(o_orderdate), 1) AS md,
         | round((year(o_orderdate) - 2000) * 12 + (month(o_orderdate) - 1)
         |   + CASE WHEN day(o_orderdate) = 15 THEN 0.0
-        |          ELSE (day(o_orderdate) - 15) / 31.0 END, 8) AS mb
+        |          ELSE (day(o_orderdate) - 15) / 31.0 END, 8) AS mb,
+        | CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+        | strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS fmt,
+        | epoch(o_orderdate) AS epoch_s
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q43_hash_funcs" ->
       """SELECT doc_id, md5(text) AS h_md5, sha256(text) AS h_sha256
