@@ -114,6 +114,18 @@ object Streaming extends QueryModule {
       s.read.parquet(out).orderBy(col("event_type"))
     },
 
+    // Streaming deduplication: dropDuplicates over a key set keeps the
+    // first arrival per key in state — the streaming half of the dedup
+    // pipeline (batch half: q72/q75). Output = the distinct key set.
+    "q89_stream_dedup" -> { (s, dir) =>
+      val dedup = eventStream(s, dir)
+        .select(col("user_id"), col("event_type"))
+        .dropDuplicates("user_id", "event_type")
+      drain(dedup, s, "q89_sink",
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .orderBy(col("user_id"), col("event_type"))
+    },
+
     // Stateful sessionization: mapGroupsWithState per user, 30-minute
     // inactivity gap. Bounded stream -> single batch -> deterministic
     // final state, oracle-checkable via a lag-window reformulation.
@@ -154,6 +166,9 @@ object Streaming extends QueryModule {
         |           - h * INTERVAL 1 HOUR) AS w_start, value
         |  FROM events, unnest([0, 1]) AS t(h)
         |) GROUP BY w_start ORDER BY w_start""".stripMargin,
+    "q89_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
     "q88_stream_foreachbatch" ->
       """SELECT event_type, count(*) AS n,
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
