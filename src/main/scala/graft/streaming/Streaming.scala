@@ -126,6 +126,31 @@ object Streaming extends QueryModule {
         .orderBy(col("user_id"), col("event_type"))
     },
 
+    // Stream-stream inner join with a time-range condition: purchases
+    // joined to same-user clicks within the preceding 30 minutes.
+    // Watermarks bound both join states; draining the bounded stream
+    // yields the full deterministic pair set (= the batch range join).
+    "q104_stream_stream_join" -> { (s, dir) =>
+      val p = eventStream(s, dir)
+        .filter(col("event_type") === "purchase")
+        .withWatermark("ts", "1 hour")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("p_id"))
+      val c = eventStream(s, dir)
+        .filter(col("event_type") === "click")
+        .withWatermark("ts", "1 hour")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+          col("event_id").as("c_id"))
+      val joined = p.join(c,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+          col("c_ts") <= col("p_ts"))
+        .select(col("p_id"), col("c_id"))
+      drain(joined, s, "q104_sink",
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .orderBy(col("p_id"), col("c_id"))
+    },
+
     // Stateful sessionization: mapGroupsWithState per user, 30-minute
     // inactivity gap. Bounded stream -> single batch -> deterministic
     // final state, oracle-checkable via a lag-window reformulation.
@@ -166,6 +191,14 @@ object Streaming extends QueryModule {
         |           - h * INTERVAL 1 HOUR) AS w_start, value
         |  FROM events, unnest([0, 1]) AS t(h)
         |) GROUP BY w_start ORDER BY w_start""".stripMargin,
+    "q104_stream_stream_join" ->
+      """SELECT p.event_id AS p_id, c.event_id AS c_id
+        |FROM events p JOIN events c ON p.user_id = c.user_id
+        | AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND CAST(c.ts AS TIMESTAMP)
+        |     >= CAST(p.ts AS TIMESTAMP) - INTERVAL 30 MINUTE
+        | AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+        |ORDER BY p_id, c_id""".stripMargin,
     "q89_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
