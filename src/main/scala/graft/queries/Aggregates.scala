@@ -150,14 +150,18 @@ object Aggregates extends QueryModule {
           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
     },
 
-    // Approximate distinct (HLL++) alongside exact — rows-only check
-    // (estimator differs per engine); error bound asserted in
-    // ExtensibilitySpec-style test.
+    // Approximate distinct (HLL++) checked against exact via an
+    // error-bound boolean: the estimator differs per engine, so emit
+    // `approx_ok = |approx-exact|/exact <= 0.1` and let the oracle
+    // supply the same exact side + TRUE — a hash-matchable row.
     "q67_approx_distinct" -> { (s, dir) =>
       Tables.df(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
           countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx_parts") - col("exact_parts"))
+            <= col("exact_parts") * lit(0.1)).as("approx_ok"))
         .orderBy(col("l_returnflag"))
     },
 
@@ -237,6 +241,11 @@ object Aggregates extends QueryModule {
         |  CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS s2
         |  FROM lineitem GROUP BY l_returnflag)
         |ORDER BY l_returnflag""".stripMargin,
+    "q67_approx_distinct" ->
+      """SELECT l_returnflag,
+        | count(DISTINCT l_partkey) AS exact_parts,
+        | TRUE AS approx_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q66_percentile" ->
       """SELECT l_returnflag,
         | quantile_cont(l_quantity, 0.25) AS p25,

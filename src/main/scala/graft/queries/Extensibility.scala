@@ -43,8 +43,10 @@ object Extensibility extends QueryModule {
     },
 
     // TypedImperativeAggregate: KMV distinct-token sketch per lang,
-    // with the exact distinct count alongside (rows-only check; the
-    // estimate's relative error is asserted in ExtensibilitySpec).
+    // checked against the exact distinct count via an error-bound
+    // boolean (`approx_ok = relErr <= 0.2`, the sketch's k=256 bound) —
+    // the oracle supplies the identical exact side + TRUE, making the
+    // sketch hash-checkable despite being engine-specific.
     "q90_kmv_sketch" -> { (s, dir) =>
       val docs = Tables.df(s, dir, "documents")
       val exact = docs
@@ -54,6 +56,9 @@ object Extensibility extends QueryModule {
       docs.groupBy(col("lang"))
         .agg(kmvDistinct(tokens(col("text"))).as("est_distinct"))
         .join(exact, "lang")
+        .select(col("lang"), col("exact_distinct"),
+          (abs(col("est_distinct") - col("exact_distinct"))
+            <= col("exact_distinct") * lit(0.2)).as("approx_ok"))
         .orderBy(col("lang"))
     }
   )
@@ -68,6 +73,12 @@ object Extensibility extends QueryModule {
       """SELECT parts[i] AS w1, parts[i+1] AS w2, count(*) AS n
         |FROM (SELECT string_split(text, ' ') AS parts FROM documents),
         |     unnest(generate_series(1, len(parts) - 1)) AS t(i)
-        |GROUP BY w1, w2 ORDER BY n DESC, w1, w2 LIMIT 50""".stripMargin
+        |GROUP BY w1, w2 ORDER BY n DESC, w1, w2 LIMIT 50""".stripMargin,
+    "q90_kmv_sketch" ->
+      """SELECT lang, count(DISTINCT tok) AS exact_distinct,
+        | TRUE AS approx_ok
+        |FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok
+        |      FROM documents)
+        |GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

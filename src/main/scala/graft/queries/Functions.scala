@@ -239,7 +239,7 @@ object Functions extends QueryModule {
         |          ELSE (day(o_orderdate) - 15) / 31.0 END, 8) AS mb,
         | CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
         | strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS fmt,
-        | epoch(o_orderdate) AS epoch_s
+        | CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q43_hash_funcs" ->
       """SELECT doc_id, md5(text) AS h_md5, sha256(text) AS h_sha256

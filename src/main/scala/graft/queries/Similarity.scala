@@ -9,11 +9,14 @@ import org.apache.spark.sql.types._
 
 /** Similarity search over `embeddings` (ArrayType(FloatType), dim=64).
   *
-  * q77 is the exact baseline: brute-force cosine top-k for a probe set —
-  * probes broadcast, corpus scanned once, per-partition top-k via window.
+  * q77 is the exact baseline: brute-force cosine top-k for a FIXED-SIZE
+  * probe set (broadcast stays O(1) in corpus size) — probes broadcast,
+  * corpus scanned once, per-partition top-k via window.
   * q78 is the scale path: sign-LSH bucketing turns the quadratic cross
-  * join into an equi-join on bucket id (both sides bucketed once); at
-  * 100 TB the bucket join + local rerank is the only shape that works.
+  * join into an equi-join on bucket id (both sides bucketed once), with
+  * the bit-width derived from corpus size so bucket occupancy — and
+  * therefore candidates per probe — stays ~constant as the corpus grows;
+  * at 100 TB the bucket join + local rerank is the only shape that works.
   *
   * Cosine values are rounded to 6dp on both engines before ranking —
   * Spark and DuckDB disagree at ulp level on float reductions; ranking
@@ -25,11 +28,53 @@ object Similarity extends QueryModule {
     Tables.df(s, dir, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("v"), col("label"))
 
+  private val annTables = 4
+
+  /** Fixed-size probe set (first 20 ids): the probe broadcast stays O(1)
+    * in corpus size — a `% 50` sample would grow with the corpus and
+    * blow the broadcast at 100x. */
+  private val annProbeCount = 20
+
+  /** LSH bits for a corpus of n vectors: ~log2(n / 64), so expected
+    * bucket occupancy stays ~64 as the corpus grows. Candidates per
+    * probe are then O(tables * 64) — constant — instead of growing
+    * linearly with n (a fixed bit-width is the classic LSH scale
+    * killer). Overridable via spark.graft.ann.bits. */
+  private[graft] def lshBits(n: Long): Int =
+    math.min(48, math.max(4,
+      math.ceil(math.log(math.max(1.0, n.toDouble / 64.0)) /
+        math.log(2.0)).toInt))
+
+  /** Candidate (probe_id, vec_id) pairs from multi-table sign-LSH:
+    * bucket both sides once, equi-join on (table, bucket) — never a
+    * cross join — and dedup on the narrow key. Shared by q78 and the
+    * scale-linearity spec (PipelineSpec). */
+  private[graft] def annCandidates(s: SparkSession, dir: String): DataFrame = {
+    val c = corpus(s, dir)
+    val bits = s.conf.getOption("spark.graft.ann.bits").map(_.toInt)
+      .getOrElse(lshBits(c.count()))
+    val keyed = c.select(col("vec_id"), col("v"),
+      explode(array((0 until annTables).map { t =>
+        struct(lit(t).as("t"),
+          lshBucket(col("v"), hyperplanes(bits, 64, seed = 1000 + t))
+            .as("bucket"))
+      }: _*)).as("k"))
+      .select(col("vec_id"), col("k.t").as("t"), col("k.bucket").as("bucket"))
+    val probes = keyed.filter(col("vec_id") < annProbeCount)
+      .select(col("vec_id").as("probe_id"), col("t").as("pt"),
+        col("bucket").as("pbucket"))
+    keyed.join(broadcast(probes),
+        col("t") === col("pt") && col("bucket") === col("pbucket") &&
+          col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"))
+      .distinct()
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Exact brute-force cosine top-5 per probe (probes = every 50th id).
+    // Exact brute-force cosine top-5 per probe (fixed 20-probe set).
     "q77_ann_bruteforce" -> { (s, dir) =>
       val c = corpus(s, dir)
-      val probes = c.filter(col("vec_id") % 50 === 0)
+      val probes = c.filter(col("vec_id") < annProbeCount)
         .select(col("vec_id").as("probe_id"), col("v").as("pv"))
       val w = Window.partitionBy(col("probe_id"))
         .orderBy(col("sim").desc, col("vec_id"))
@@ -43,39 +88,22 @@ object Similarity extends QueryModule {
         .orderBy(col("probe_id"), col("rk"))
     },
 
-    // Multi-table LSH ANN: 4 independent tables of 6 hyperplane sign
-    // bits; a vector lands in one (table, bucket) per table, candidates
-    // are the union over tables (equi-join on the key, never a cross
-    // join), then exact-cosine rerank of candidates only. Rows-only
-    // check (hyperplane literals are not oracle-expressible); candidate
-    // validity is asserted in PipelineSpec.
+    // Multi-table LSH ANN: 4 independent tables of corpus-scaled sign
+    // bits (see lshBits/annCandidates); a vector lands in one
+    // (table, bucket) per table, candidates are the union over tables
+    // (equi-join on the key, never a cross join), then exact-cosine
+    // rerank of candidates only. Rows-only check (hyperplane literals
+    // are not oracle-expressible); candidate validity + linear scaling
+    // are asserted in PipelineSpec.
     "q78_ann_lsh" -> { (s, dir) =>
-      val tables = 4
-      val bits = 6
       val c = corpus(s, dir)
-      val keyed = c.select(col("vec_id"), col("v"),
-        explode(array((0 until tables).map { t =>
-          struct(lit(t).as("t"),
-            lshBucket(col("v"), hyperplanes(bits, 64, seed = 1000 + t))
-              .as("bucket"))
-        }: _*)).as("k"))
-        .select(col("vec_id"), col("v"),
-          col("k.t").as("t"), col("k.bucket").as("bucket"))
-      val probes = keyed.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("probe_id"), col("v").as("pv"),
-          col("t").as("pt"), col("bucket").as("pbucket"))
       val w = Window.partitionBy(col("probe_id"))
         .orderBy(col("sim").desc, col("vec_id"))
       // dedup candidates on the narrow (probe, vec) key, then re-attach
       // vectors for the rerank — never distinct() over array payloads
-      val candPairs = keyed.join(probes,
-          col("t") === col("pt") && col("bucket") === col("pbucket") &&
-            col("vec_id") =!= col("probe_id"))
-        .select(col("probe_id"), col("vec_id"))
-        .distinct()
-      val probeVecs = c.filter(col("vec_id") % 50 === 0)
+      val probeVecs = c.filter(col("vec_id") < annProbeCount)
         .select(col("vec_id").as("probe_id"), col("v").as("pv"))
-      candPairs
+      annCandidates(s, dir)
         .join(c.select(col("vec_id"), col("v")), "vec_id")
         .join(broadcast(probeVecs), "probe_id")
         .select(col("probe_id"), col("vec_id"),
@@ -132,7 +160,7 @@ object Similarity extends QueryModule {
         |      ORDER BY round(list_cosine_similarity(p.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
         |               c.vec_id) AS rk
         |  FROM embeddings p JOIN embeddings c ON c.vec_id != p.vec_id
-        |  WHERE p.vec_id % 50 = 0
+        |  WHERE p.vec_id < 20
         |) WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin,
     "q96_hybrid_search" ->
       """SELECT d.doc_id, e.label,

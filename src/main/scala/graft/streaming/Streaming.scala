@@ -30,6 +30,10 @@ object Streaming extends QueryModule {
 
   private def eventStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The bounded drain needs no watermark-only ticks: inner joins and
+    // Complete/Update aggregations emit on data batches, so skipping the
+    // trailing no-data micro-batch shaves fixed overhead per query.
+    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     // The file stream source requires a DIRECTORY; stage a symlink dir
     // pointing at the single events.parquet fixture.
     val stage = java.nio.file.Paths.get(
@@ -152,8 +156,14 @@ object Streaming extends QueryModule {
     },
 
     // Stateful sessionization: mapGroupsWithState per user, 30-minute
-    // inactivity gap. Bounded stream -> single batch -> deterministic
-    // final state, oracle-checkable via a lag-window reformulation.
+    // inactivity gap. State is O(1) per key — (lastTs, nEvents,
+    // nSessions) — never the event history, so an unbounded stream at
+    // any scale holds three longs per user. Each micro-batch's rows are
+    // sorted locally (bounded by batch size, not stream length); events
+    // older than lastTs arriving in a LATER batch fold into the current
+    // session (a real deployment adds a watermark to bound that
+    // lateness). Bounded fixture -> single batch -> equals the batch
+    // lag-window oracle.
     "q87_stream_sessions" -> { (s, dir) =>
       import s.implicits._
       val gapUs = 30L * 60 * 1000000
@@ -161,15 +171,21 @@ object Streaming extends QueryModule {
         .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
         .as[(Long, Long)]
       val sessions = typed.groupByKey(_._1)
-        .mapGroupsWithState[List[Long], (Long, Long, Long)](
+        .mapGroupsWithState[(Long, Long, Long), (Long, Long, Long)](
           GroupStateTimeout.NoTimeout()) {
-          case (uid, rows, state: GroupState[List[Long]]) =>
-            val all = (state.getOption.getOrElse(Nil) ++
-              rows.map(_._2)).sorted
-            state.update(all)
-            val nSessions = 1 + all.zip(all.drop(1))
-              .count { case (a, b) => b - a > gapUs }
-            (uid, all.size.toLong, nSessions.toLong)
+          case (uid, rows, state: GroupState[(Long, Long, Long)]) =>
+            var (lastTs, nEvents, nSessions) =
+              state.getOption.getOrElse((Long.MinValue, 0L, 0L))
+            val batch = rows.map(_._2).toArray
+            java.util.Arrays.sort(batch)
+            batch.foreach { t =>
+              if (nEvents == 0L) nSessions = 1L
+              else if (t - lastTs > gapUs) nSessions += 1L
+              nEvents += 1L
+              if (t > lastTs) lastTs = t
+            }
+            state.update((lastTs, nEvents, nSessions))
+            (uid, nEvents, nSessions)
         }
         .toDF("user_id", "n_events", "n_sessions")
       drain(sessions, s, "q87_sink", OutputMode.Update())

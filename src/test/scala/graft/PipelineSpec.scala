@@ -49,6 +49,22 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("q78 candidate volume scales sublinearly with corpus size") {
+    // corpus grows 4x (sf0.01: 500 vectors -> sf0.1: 2000); lshBits
+    // widens the bucket space with log2(n), keeping expected occupancy
+    // ~constant — so candidates for the fixed probe set must grow well
+    // below the 4x a fixed bit-width would produce.
+    import graft.queries.Similarity
+    assert(Similarity.lshBits(500) < Similarity.lshBits(2000))
+    assert(Similarity.lshBits(1L << 30) <= 48)
+    val small = Similarity.annCandidates(spark, "/root/testdata/sf0.01")
+      .count().toDouble
+    val big = Similarity.annCandidates(spark, "/root/testdata/sf0.1")
+      .count().toDouble
+    assert(big / small < 3.0,
+      s"candidates grew ~linearly with corpus: $small -> $big")
+  }
+
   test("q80 decode stub is deterministic across runs") {
     val a = SparkEntry.queries("q80_multimodal_decode")(spark, sf).collect()
     val b = SparkEntry.queries("q80_multimodal_decode")(spark, sf).collect()
