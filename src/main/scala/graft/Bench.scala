@@ -42,7 +42,12 @@ object Bench {
       catch { case _: Throwable => }
     }
 
-    val results = headline.flatMap { name =>
+    // SPARK_GRAFT_ONLY=<prefix>: bench only matching queries (local
+    // iteration; the driver never sets it)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+    val results = headline
+      .filter(n => only.forall(n.startsWith))
+      .flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

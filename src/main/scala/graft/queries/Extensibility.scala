@@ -60,6 +60,25 @@ object Extensibility extends QueryModule {
           (abs(col("est_distinct") - col("exact_distinct"))
             <= col("exact_distinct") * lit(0.2)).as("approx_ok"))
         .orderBy(col("lang"))
+    },
+
+    // Brickhouse collect / combine_unique UDAFs (SURVEY §2.3 row 7;
+    // reference lowers both onto a collect-set kernel — see
+    // functions/Brickhouse.scala). Registered as SQL UDAFs via
+    // functions.udaf; first-5-tokens slice bounds each row's
+    // contribution so the duplicate-preserving side stays compact.
+    "q105_brickhouse" -> { (s, dir) =>
+      import graft.functions.Brickhouse
+      s.udf.register("combine_unique", udaf(Brickhouse.CombineUnique))
+      s.udf.register("bh_collect", udaf(Brickhouse.BhCollect))
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT lang,
+          | array_join(combine_unique(slice(split(text, ' '), 1, 5)), ' ')
+          |   AS uniq_toks,
+          | array_join(bh_collect(slice(split(text, ' '), 1, 5)), ' ')
+          |   AS all_toks
+          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
     }
   )
 
@@ -78,6 +97,13 @@ object Extensibility extends QueryModule {
       """SELECT lang, count(DISTINCT tok) AS exact_distinct,
         | TRUE AS approx_ok
         |FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok
+        |      FROM documents)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q105_brickhouse" ->
+      """SELECT lang,
+        | array_to_string(list_sort(list(DISTINCT tok)), ' ') AS uniq_toks,
+        | array_to_string(list_sort(list(tok)), ' ') AS all_toks
+        |FROM (SELECT lang, unnest(string_split(text, ' ')[1:5]) AS tok
         |      FROM documents)
         |GROUP BY lang ORDER BY lang""".stripMargin
   )

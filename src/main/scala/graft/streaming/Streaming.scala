@@ -56,7 +56,7 @@ object Streaming extends QueryModule {
                     mode: OutputMode): DataFrame = {
     val partKey = "spark.sql.shuffle.partitions"
     val saved = s.conf.get(partKey)
-    if (saved.toInt > 8) s.conf.set(partKey, "8")
+    if (saved.toInt > 2) s.conf.set(partKey, "2")
     val q = df.writeStream.outputMode(mode)
       .format("memory").queryName(name).start()
     try q.processAllAvailable() finally {

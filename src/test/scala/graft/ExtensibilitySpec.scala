@@ -58,6 +58,32 @@ class ExtensibilitySpec extends AnyFunSuite {
     }
   }
 
+  test("q105 brickhouse: combine_unique dedups, bh_collect keeps duplicates") {
+    val rows = SparkEntry.queries("q105_brickhouse")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val uniq = r.getAs[String]("uniq_toks").split(' ')
+      val all = r.getAs[String]("all_toks").split(' ')
+      assert(uniq.distinct.sameElements(uniq), "combine_unique must dedup")
+      assert(uniq.sorted.sameElements(uniq) && all.sorted.sameElements(all),
+        "both outputs must be sorted")
+      assert(all.length >= uniq.length)
+      assert(all.distinct.sorted.sameElements(uniq),
+        "bh_collect's element set must equal combine_unique's output")
+    }
+  }
+
+  test("brickhouse aggregators are merge-invariant across partitions") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.Brickhouse
+    val cu = udaf(Brickhouse.CombineUnique)
+    val docs = Tables.df(spark, sf, "documents")
+      .select(split(col("text"), " ").as("toks"))
+    val one = docs.repartition(1).agg(cu(col("toks"))).collect().head.getSeq[String](0)
+    val many = docs.repartition(8).agg(cu(col("toks"))).collect().head.getSeq[String](0)
+    assert(one == many, "combine_unique must be merge-invariant")
+  }
+
   test("kmv sketch merge across partitions is consistent") {
     import org.apache.spark.sql.functions._
     import graft.functions.KmvDistinctSketch.kmvDistinct

@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-stability goldens (reference analog:
+  * dev/auron-it/src/test/scala/.../PlanStabilityChecker.scala, which
+  * diffs stored plan text per TPC-DS query): the normalized
+  * operator-tree shape of every non-streaming bench headline query is
+  * pinned to a checked-in golden file. A future change that drops a
+  * broadcast, adds an exchange, or loses a partial aggregate fails
+  * `sbt test` here instead of silently regressing at scale.
+  *
+  * Regenerate INTENTIONALLY with `GRAFT_REGEN_GOLDENS=1 sbt test`,
+  * then review the golden diff like code: every changed line is a
+  * physical-plan change at 100 TB.
+  */
+class PlanGoldenSpec extends AnyFunSuite {
+  import TestSession._
+
+  private val goldenDir = Paths.get("src/test/resources/plan_goldens")
+  private val regen = sys.env.contains("GRAFT_REGEN_GOLDENS")
+
+  // streaming plans (q85) re-plan per micro-batch; shape is asserted in
+  // StreamingSpec behavior tests instead
+  private val pinned = Bench.headline.filterNot(_.contains("stream"))
+
+  /** Normalized fingerprint: tree prefix + operator name per line.
+    * Strips codegen stage ids, expression ids, literals, paths, stats —
+    * anything run-variable — keeping exactly the operator tree. Keeps
+    * the partitioning kind on Exchange lines (hash vs range vs single
+    * IS the scale contract). */
+  private def fingerprint(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, sf)
+    df.collect() // drive AQE to the final plan
+    val planText = df.queryExecution.executedPlan.toString
+      .split("\\+- == Initial Plan ==").head
+    planText.split('\n').iterator.flatMap { raw =>
+      val line = raw.replaceAll("\\*\\(\\d+\\) ", "")
+      "^([ :+\\-]*)([A-Za-z][A-Za-z0-9_]*)".r.findFirstMatchIn(line).map {
+        m =>
+          val prefix = m.group(1)
+          val op = m.group(2)
+          val detail = op match {
+            case "Exchange" =>
+              "(hashpartitioning|rangepartitioning|SinglePartition|RoundRobinPartitioning)".r
+                .findFirstIn(line).map(" " + _).getOrElse("")
+            case "AQEShuffleRead" =>
+              "(coalesced|local)".r.findFirstIn(line)
+                .map(" " + _).getOrElse("")
+            case _ => ""
+          }
+          prefix + op + detail
+      }
+    }.mkString("\n") + "\n"
+  }
+
+  pinned.foreach { q =>
+    test(s"plan shape of $q matches its golden") {
+      val fp = fingerprint(q)
+      val file = goldenDir.resolve(s"$q.txt")
+      if (regen || !Files.exists(file)) {
+        Files.createDirectories(goldenDir)
+        Files.writeString(file, fp)
+        info(s"golden (re)written: $file")
+      } else {
+        val want = Files.readString(file)
+        assert(fp == want,
+          s"""plan shape of $q drifted from src/test/resources/plan_goldens/$q.txt.
+             |If intentional, GRAFT_REGEN_GOLDENS=1 sbt test and review the diff.
+             |--- golden ---
+             |$want
+             |--- actual ---
+             |$fp""".stripMargin)
+      }
+    }
+  }
+}
