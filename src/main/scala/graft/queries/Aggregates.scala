@@ -165,6 +165,22 @@ object Aggregates extends QueryModule {
         .orderBy(col("l_returnflag"))
     },
 
+    // Bitwise aggregates (bit_and/bit_or/bit_xor) + scalar bit ops
+    // (shifts, popcount). All codegen'd fixed-width integer kernels —
+    // partial/final aggregation applies like any other agg, so one
+    // shuffle of 5 groups regardless of input size.
+    "q112_bitwise" -> { (s, dir) =>
+      Tables.df(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          expr("bit_and(o_orderkey)").as("band"),
+          expr("bit_or(o_orderkey)").as("bor"),
+          expr("bit_xor(o_orderkey)").as("bxor"),
+          sum(expr("bit_count(o_orderkey)").cast(LongType)).as("popcnt"),
+          expr("bit_xor(shiftleft(o_orderkey, 2) | 5)").as("shift_xor"))
+        .orderBy(col("o_orderpriority"))
+    },
+
     // Conditional aggregation (CASE WHEN inside SUM) — manual pivot.
     "q29_agg_conditional" -> { (s, dir) =>
       Tables.df(s, dir, "orders")
@@ -261,6 +277,14 @@ object Aggregates extends QueryModule {
         | CAST(sum(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice
         |                    ELSE 0.0 END AS DECIMAL(18,2))) AS DOUBLE)
         |   AS sum_f_price
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q112_bitwise" ->
+      """SELECT o_orderpriority,
+        | bit_and(o_orderkey) AS band,
+        | bit_or(o_orderkey) AS bor,
+        | bit_xor(o_orderkey) AS bxor,
+        | CAST(sum(bit_count(o_orderkey)) AS BIGINT) AS popcnt,
+        | bit_xor((o_orderkey << 2) | 5) AS shift_xor
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
   )
 }

@@ -57,6 +57,25 @@ object Collections extends QueryModule {
         .agg(count(lit(1)))
         .na.fill(0L)
         .orderBy(col("o_orderpriority"))
+    },
+
+    // Unpivot (melt) — the inverse reshape: wide pivot output back to
+    // long (priority, status, n) rows. Expand-based, map-only: no
+    // shuffle beyond the pivot's own aggregation, so it scales as a
+    // projection. Zero-filled cells are dropped to keep parity with the
+    // long-form oracle aggregate.
+    "q110_unpivot" -> { (s, dir) =>
+      val wide = Tables.df(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+      wide.unpivot(
+          Array(col("o_orderpriority")),
+          Array(col("F"), col("O"), col("P")),
+          "status", "n")
+        .filter(col("n") > 0L)
+        .orderBy(col("o_orderpriority"), col("status"))
     }
   )
 
@@ -89,6 +108,11 @@ object Collections extends QueryModule {
         | CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS "F",
         | CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS "O",
         | CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS "P"
-        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q110_unpivot" ->
+      """SELECT o_orderpriority, o_orderstatus AS status,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM orders GROUP BY o_orderpriority, o_orderstatus
+        |ORDER BY o_orderpriority, status""".stripMargin
   )
 }

@@ -135,6 +135,25 @@ object Functions extends QueryModule {
         .orderBy(col("event_id"))
     },
 
+    // VARIANT type (Spark 4): parse-once binary-encoded semi-structured
+    // values. At scale this beats re-parsing JSON strings per extraction —
+    // parse_json runs once, each variant_get is a cheap binary probe, and
+    // typed extraction prunes like any other column.
+    "q109_variant" -> { (s, dir) =>
+      Tables.df(s, dir, "events")
+        .select(col("event_id"),
+          parse_json(col("props")).as("v"),
+          try_parse_json(lit("not json")).as("bad"))
+        .select(col("event_id"),
+          variant_get(col("v"), "$.k", "bigint").as("k_long"),
+          variant_get(col("v"), "$.k", "string").as("k_str"),
+          variant_get(col("v"), "$.missing", "bigint").as("k_missing"),
+          is_variant_null(col("v")).as("v_isnull"),
+          schema_of_variant(col("v")).as("v_schema"),
+          col("bad").isNull.as("bad_isnull"))
+        .orderBy(col("event_id"))
+    },
+
     // Conditional family: CASE WHEN, coalesce, nullif, if.
     "q46_conditional" -> { (s, dir) =>
       Tables.df(s, dir, "orders")
@@ -249,6 +268,15 @@ object Functions extends QueryModule {
         | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k1,
         | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k2,
         | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k3
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q109_variant" ->
+      """SELECT event_id,
+        | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_long,
+        | json_extract_string(props, '$.k') AS k_str,
+        | CAST(NULL AS BIGINT) AS k_missing,
+        | FALSE AS v_isnull,
+        | 'OBJECT<k: BIGINT>' AS v_schema,
+        | TRUE AS bad_isnull
         |FROM events ORDER BY event_id""".stripMargin,
     "q46_conditional" ->
       """SELECT o_orderkey,

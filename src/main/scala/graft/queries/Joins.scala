@@ -218,6 +218,37 @@ object Joins extends QueryModule {
           |  c_custkey IN (SELECT o_custkey FROM orders
           |                WHERE o_totalprice > 300000.0) AS has_big
           |FROM customer ORDER BY c_custkey""".stripMargin)
+    },
+
+    // Binned range join: point-in-interval join rewritten as an equi-join.
+    // A naive `p BETWEEN start AND end` join has no equi key, so Spark
+    // plans a nested-loop — O(n·m), a scale-killer. Binning both sides by
+    // the interval width (each 3-day interval covers ≤2 bins; each point
+    // falls in exactly one) turns it into a shuffled equi-join on the bin
+    // plus a residual filter: O(n+m) shuffle, pairs generated only within
+    // a bin. Plan shape (SMJ/SHJ on `bin`, no BNLJ) asserted in PlanSpec.
+    "q108_range_join_binned" -> { (s, dir) =>
+      val w = 3 // bin width = interval length, days
+      val epoch = lit("1995-01-01").cast(DateType)
+      val ivals = Tables.df(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"),
+          datediff(col("o_orderdate").cast(DateType), epoch).as("d0"))
+        // interval [d0, d0+w) touches bins floor(d0/w) .. floor((d0+w-1)/w)
+        .withColumn("bin",
+          explode(sequence(floor(col("d0") / w), floor((col("d0") + (w - 1)) / w))))
+      val points = Tables.df(s, dir, "lineitem")
+        .select(col("l_quantity"),
+          datediff(col("l_shipdate").cast(DateType), epoch).as("dp"))
+        .withColumn("bin", floor(col("dp") / w))
+      ivals.join(points,
+          ivals("bin") === points("bin") &&
+            col("dp") >= col("d0") && col("dp") < col("d0") + w)
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType)
+            .as("qty"))
+        .orderBy(col("o_orderkey"))
     }
   )
 
@@ -309,6 +340,14 @@ object Joins extends QueryModule {
       """SELECT c_custkey,
         | c_custkey IN (SELECT o_custkey FROM orders
         |               WHERE o_totalprice > 300000.0) AS has_big
-        |FROM customer ORDER BY c_custkey""".stripMargin
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q108_range_join_binned" ->
+      """SELECT o_orderkey, count(*) AS n_items,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM orders JOIN lineitem
+        | ON l_shipdate >= o_orderdate
+        | AND l_shipdate < o_orderdate + INTERVAL 3 DAY
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin
   )
 }

@@ -91,6 +91,41 @@ object Sinks extends QueryModule {
         .select(col("l_returnflag"), col("l_linestatus"),
           col("sum_qty"), col("n"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // Avro sink + scan (row-oriented container format). This distribution
+    // bundles the avro classes in spark-sql but omits the
+    // DataSourceRegister service entry, so the format is addressed by
+    // class name instead of the "avro" shortname. Snappy-compressed
+    // blocks are splittable, so reads parallelize at scale like the
+    // columnar sources above.
+    "q106_avro_roundtrip" -> { (s, dir) =>
+      val fmt = "org.apache.spark.sql.avro.AvroFileFormat"
+      val out = scratch("avro")
+      payload(s, dir).write.mode("overwrite").format(fmt).save(out)
+      s.read.format(fmt).load(out)
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("sum_qty"), col("n"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // XML sink + scan (Spark 4 ships the spark-xml donation in-core).
+    // Schema-ful read back: XML has no native long/double, so types are
+    // declared on the scan exactly like the CSV/JSON sources above.
+    "q107_xml_roundtrip" -> { (s, dir) =>
+      val out = scratch("xml")
+      payload(s, dir).write.mode("overwrite")
+        .option("rowTag", "row").format("xml").save(out)
+      s.read
+        .schema(StructType(Seq(
+          StructField("l_returnflag", StringType),
+          StructField("l_linestatus", StringType),
+          StructField("sum_qty", DoubleType),
+          StructField("n", LongType))))
+        .option("rowTag", "row").format("xml").load(out)
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("sum_qty"), col("n"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
     }
   )
 
@@ -98,6 +133,8 @@ object Sinks extends QueryModule {
     "q60_parquet_roundtrip" -> payloadOracle,
     "q61_orc_roundtrip" -> payloadOracle,
     "q62_csv_roundtrip" -> payloadOracle,
-    "q63_json_roundtrip" -> payloadOracle
+    "q63_json_roundtrip" -> payloadOracle,
+    "q106_avro_roundtrip" -> payloadOracle,
+    "q107_xml_roundtrip" -> payloadOracle
   )
 }

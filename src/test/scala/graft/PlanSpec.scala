@@ -123,4 +123,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count") || p.contains("partial_"), p.take(2000))
     assert(p.contains("Generate"), p.take(2000))
   }
+
+  test("q108 binned range join plans an equi-join on the bin, not BNLJ") {
+    val p = finalPlan("q108_range_join_binned")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "range join must not fall back to nested-loop: " + p.take(2000))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p.take(2000))
+  }
 }
