@@ -70,6 +70,32 @@ object Similarity extends QueryModule {
       .distinct()
   }
 
+  /** IVF coarse quantizer: k=16 centroids as a fixed deterministic
+    * corpus slice (vec_id 100..115) so the DuckDB oracle can replay the
+    * identical index; production k-means-samples these, the machinery
+    * below is unchanged. */
+  private val ivfK = 16
+
+  private[graft] def ivfCentroids(s: SparkSession, dir: String): DataFrame =
+    corpus(s, dir)
+      .filter(col("vec_id") >= 100 && col("vec_id") < 100 + ivfK)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+
+  /** IVF index build: nearest-centroid cell per corpus vector —
+    * broadcast the k centroids, one corpus-wide argmax. At scale this is
+    * a one-time build written out partitioned by cell. Shared by q111
+    * and the cell-balance spec (PipelineSpec). */
+  private[graft] def ivfAssigned(s: SparkSession, dir: String): DataFrame = {
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cent_id"))
+    corpus(s, dir).crossJoin(broadcast(ivfCentroids(s, dir)))
+      .select(col("vec_id"), col("v"), col("cent_id"),
+        round(cosine(col("cv"), col("v")), 6).as("csim"))
+      .withColumn("rk", row_number().over(wAssign))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("v"), col("cent_id").as("cell"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact brute-force cosine top-5 per probe (fixed 20-probe set).
     "q77_ann_bruteforce" -> { (s, dir) =>
@@ -109,6 +135,47 @@ object Similarity extends QueryModule {
         .select(col("probe_id"), col("vec_id"),
           round(cosine(col("pv"), col("v")), 6).as("sim"))
         .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("probe_id"), col("vec_id"), col("sim"),
+          col("rk").cast(LongType).as("rk"))
+        .orderBy(col("probe_id"), col("rk"))
+    },
+
+    // IVF (inverted-file) ANN — the other classic scale path next to
+    // LSH (q78). Index build: every corpus vector is assigned to its
+    // nearest of k coarse centroids (broadcast the k centroids, one
+    // corpus-wide argmax — at scale this is a one-time build, written
+    // out partitioned by cell). Query: each probe ranks the same k
+    // centroids, visits only its nprobe best cells via an equi-join on
+    // cell id, and exact-reranks candidates — touching ~nprobe/k of the
+    // corpus instead of all of it. Centroids here are a fixed
+    // deterministic slice of the corpus (vec_id 100..115) so the oracle
+    // can replay the exact same index; production would k-means-sample
+    // them, the assignment/probe machinery is identical.
+    "q111_ann_ivf" -> { (s, dir) =>
+      val c = corpus(s, dir)
+      val nprobe = 2
+      val cents = ivfCentroids(s, dir)
+      val assigned = ivfAssigned(s, dir)
+      // query: nprobe best cells per probe
+      val probes = c.filter(col("vec_id") < annProbeCount)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+      val wProbe = Window.partitionBy(col("probe_id"))
+        .orderBy(col("csim").desc, col("cent_id"))
+      val probeCells = probes.crossJoin(broadcast(cents))
+        .select(col("probe_id"), col("pv"), col("cent_id"),
+          round(cosine(col("cv"), col("pv")), 6).as("csim"))
+        .withColumn("rk", row_number().over(wProbe))
+        .filter(col("rk") <= nprobe)
+        .select(col("probe_id"), col("pv"), col("cent_id").as("cell"))
+      // candidates = vectors in the probed cells only; exact rerank
+      val wTop = Window.partitionBy(col("probe_id"))
+        .orderBy(col("sim").desc, col("vec_id"))
+      assigned.join(broadcast(probeCells), "cell")
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          round(cosine(col("pv"), col("v")), 6).as("sim"))
+        .withColumn("rk", row_number().over(wTop))
         .filter(col("rk") <= 5)
         .select(col("probe_id"), col("vec_id"), col("sim"),
           col("rk").cast(LongType).as("rk"))
@@ -161,6 +228,36 @@ object Similarity extends QueryModule {
         |               c.vec_id) AS rk
         |  FROM embeddings p JOIN embeddings c ON c.vec_id != p.vec_id
         |  WHERE p.vec_id < 20
+        |) WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin,
+    "q111_ann_ivf" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cv
+        |  FROM embeddings WHERE vec_id >= 100 AND vec_id < 116),
+        |assigned AS (
+        |  SELECT vec_id, embedding, cell FROM (
+        |    SELECT e.vec_id, e.embedding, c.cent_id AS cell,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY round(list_cosine_similarity(c.cv, e.embedding::DOUBLE[]), 6) DESC,
+        |                 c.cent_id) AS rk
+        |    FROM embeddings e CROSS JOIN cents c
+        |  ) WHERE rk = 1),
+        |probe_cells AS (
+        |  SELECT probe_id, pv, cell FROM (
+        |    SELECT p.vec_id AS probe_id, p.embedding::DOUBLE[] AS pv,
+        |      c.cent_id AS cell,
+        |      row_number() OVER (PARTITION BY p.vec_id
+        |        ORDER BY round(list_cosine_similarity(c.cv, p.embedding::DOUBLE[]), 6) DESC,
+        |                 c.cent_id) AS rk
+        |    FROM embeddings p CROSS JOIN cents c WHERE p.vec_id < 20
+        |  ) WHERE rk <= 2)
+        |SELECT probe_id, vec_id, sim, CAST(rk AS BIGINT) AS rk FROM (
+        |  SELECT pc.probe_id, a.vec_id,
+        |    round(list_cosine_similarity(pc.pv, a.embedding::DOUBLE[]), 6) AS sim,
+        |    row_number() OVER (PARTITION BY pc.probe_id
+        |      ORDER BY round(list_cosine_similarity(pc.pv, a.embedding::DOUBLE[]), 6) DESC,
+        |               a.vec_id) AS rk
+        |  FROM assigned a JOIN probe_cells pc ON a.cell = pc.cell
+        |  WHERE a.vec_id != pc.probe_id
         |) WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin,
     "q96_hybrid_search" ->
       """SELECT d.doc_id, e.label,

@@ -65,6 +65,30 @@ class PipelineSpec extends AnyFunSuite {
       s"candidates grew ~linearly with corpus: $small -> $big")
   }
 
+  test("q111 ivf prunes the search space and finds real near neighbors") {
+    val exact = SparkEntry.queries("q77_ann_bruteforce")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivf = SparkEntry.queries("q111_ann_ivf")(spark, sf).collect()
+    assert(ivf.nonEmpty)
+    // same formula + rounding as the exact path wherever the pair overlaps
+    ivf.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      exact.get(key).foreach { c =>
+        assert(math.abs(c - r.getDouble(2)) < 1e-9, s"cosine mismatch at $key")
+      }
+    }
+    // the point of IVF: a probe visits nprobe=2 of 16 cells, so even the
+    // two LARGEST cells together must leave most of the corpus untouched
+    import graft.queries.Similarity
+    val corpusN = Tables.df(spark, sf, "embeddings").count().toDouble
+    val cellSizes = Similarity.ivfAssigned(spark, sf)
+      .groupBy("cell").count().collect().map(_.getLong(1))
+    assert(cellSizes.length > 8, "assignment collapsed into too few cells")
+    val worstTwo = cellSizes.sorted.reverse.take(2).sum.toDouble
+    assert(worstTwo / corpusN < 0.5,
+      s"worst 2 cells hold ${worstTwo / corpusN} of the corpus — no pruning")
+  }
+
   test("q80 decode stub is deterministic across runs") {
     val a = SparkEntry.queries("q80_multimodal_decode")(spark, sf).collect()
     val b = SparkEntry.queries("q80_multimodal_decode")(spark, sf).collect()
