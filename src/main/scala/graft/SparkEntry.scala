@@ -11,7 +11,7 @@ import graft.queries._
 object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
     Relational, Joins, Aggregates, Windows, Functions, Functions2,
-    Generate, Sinks, Storage, Collections, Pipeline, Similarity,
+    Generate, Sinks, Storage, Collections, Pipeline, Pipeline2, Similarity,
     Multimodal, Extensibility, Analytics, graft.streaming.Streaming
   )
 
