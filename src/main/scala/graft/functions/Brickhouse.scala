@@ -30,6 +30,14 @@ import scala.collection.mutable
   */
 object Brickhouse {
 
+  /** UTF-8 byte-order comparison, matching DuckDB's binary collation in
+    * list_sort: Scala's default String ordering compares UTF-16 code
+    * units, which diverges for supplementary-plane characters. */
+  private val utf8Order: Ordering[String] = (a: String, b: String) =>
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
   /** Distinct union of array elements per group, sorted. */
   object CombineUnique
       extends Aggregator[Seq[String], mutable.HashSet[String], Seq[String]] {
@@ -43,7 +51,7 @@ object Brickhouse {
         x: mutable.HashSet[String],
         y: mutable.HashSet[String]): mutable.HashSet[String] = x ++= y
     override def finish(b: mutable.HashSet[String]): Seq[String] =
-      b.toSeq.sorted
+      b.toSeq.sorted(utf8Order)
     override def bufferEncoder: Encoder[mutable.HashSet[String]] =
       org.apache.spark.sql.Encoders.kryo[mutable.HashSet[String]]
     override def outputEncoder: Encoder[Seq[String]] =
@@ -64,7 +72,7 @@ object Brickhouse {
         x: mutable.ArrayBuffer[String],
         y: mutable.ArrayBuffer[String]): mutable.ArrayBuffer[String] = x ++= y
     override def finish(b: mutable.ArrayBuffer[String]): Seq[String] =
-      b.toSeq.sorted
+      b.toSeq.sorted(utf8Order)
     override def bufferEncoder: Encoder[mutable.ArrayBuffer[String]] =
       org.apache.spark.sql.Encoders.kryo[mutable.ArrayBuffer[String]]
     override def outputEncoder: Encoder[Seq[String]] =

@@ -39,13 +39,15 @@ object Pipeline2 extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Benchmark decontamination: flag training docs sharing word 4-grams
-    // with a held-out benchmark slice (here: the top 10% of doc_ids, the
-    // split bound computed in-plan — no driver collect). At 100 TB the
-    // benchmark gram set is small and broadcast; the corpus is scanned
-    // once and never self-joined.
+    // with a held-out benchmark slice (here: a FIXED 200-doc tail of the
+    // id space, the split bound computed in-plan — no driver collect).
+    // The bench slice is O(1) in corpus size, so its gram set stays
+    // broadcast-safe at 100 TB (real benchmarks are a fixed artifact,
+    // not a corpus fraction); the corpus is scanned once and never
+    // self-joined.
     "q113_decontamination" -> { (s, dir) =>
       val docs = Tables.df(s, dir, "documents")
-      val cut = docs.agg(floor(max(col("doc_id")) * 0.9)
+      val cut = docs.agg((max(col("doc_id")) - 200)
         .cast(LongType).as("cut"))
       val grams = docGrams(docs).crossJoin(broadcast(cut))
       val corpus = grams.filter(col("doc_id") < col("cut"))
@@ -133,7 +135,7 @@ object Pipeline2 extends QueryModule {
 
   override def oracle: Map[String, String] = Map(
     "q113_decontamination" ->
-      s"""WITH cut AS (SELECT CAST(floor(0.9 * max(doc_id)) AS BIGINT) AS cut
+      s"""WITH cut AS (SELECT CAST(max(doc_id) - 200 AS BIGINT) AS cut
          |             FROM documents),
          |d AS (SELECT doc_id, $tokSql AS tok FROM documents
          |      WHERE len($tokSql) >= 4),

@@ -49,10 +49,19 @@ object Similarity extends QueryModule {
     * bucket both sides once, equi-join on (table, bucket) — never a
     * cross join — and dedup on the narrow key. Shared by q78 and the
     * scale-linearity spec (PipelineSpec). */
+  /** Corpus row count per dataset dir, computed once per JVM: sizing the
+    * LSH bit-width must not cost a full corpus scan per query. The count
+    * itself is parquet-footer metadata (no data pages read); production
+    * would take it from table statistics or pin bits via
+    * spark.graft.ann.bits. */
+  private val corpusCount =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]
+
   private[graft] def annCandidates(s: SparkSession, dir: String): DataFrame = {
     val c = corpus(s, dir)
     val bits = s.conf.getOption("spark.graft.ann.bits").map(_.toInt)
-      .getOrElse(lshBits(c.count()))
+      .getOrElse(lshBits(
+        corpusCount.computeIfAbsent(dir, _ => c.count()).longValue()))
     val keyed = c.select(col("vec_id"), col("v"),
       explode(array((0 until annTables).map { t =>
         struct(lit(t).as("t"),

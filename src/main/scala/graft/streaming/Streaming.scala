@@ -30,10 +30,6 @@ object Streaming extends QueryModule {
 
   private def eventStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // The bounded drain needs no watermark-only ticks: inner joins and
-    // Complete/Update aggregations emit on data batches, so skipping the
-    // trailing no-data micro-batch shaves fixed overhead per query.
-    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     // The file stream source requires a DIRECTORY; stage a symlink dir
     // pointing at the single events.parquet fixture.
     val stage = java.nio.file.Paths.get(
@@ -48,20 +44,35 @@ object Streaming extends QueryModule {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Run `body` with bounded-drain confs applied and restored after:
+    * shuffle partitions capped (each stateful partition carries a state
+    * store — 32 stores for one bounded file is pure overhead) and
+    * no-data micro-batches disabled (inner joins and Complete/Update
+    * aggregations emit on data batches; the trailing watermark-only tick
+    * is fixed overhead here). Restoring matters: an Append-mode windowed
+    * aggregate elsewhere NEEDS no-data ticks to finalize windows, and
+    * batch queries on the shared session need their own partition conf. */
+  private def withDrainConfs[T](s: SparkSession, parts: Int)(body: => T): T = {
+    val partKey = "spark.sql.shuffle.partitions"
+    val tickKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val savedParts = s.conf.get(partKey)
+    val savedTick = s.conf.get(tickKey, "true")
+    if (savedParts.toInt > parts) s.conf.set(partKey, parts.toString)
+    s.conf.set(tickKey, "false")
+    try body finally {
+      s.conf.set(partKey, savedParts)
+      s.conf.set(tickKey, savedTick)
+    }
+  }
+
   /** Run a bounded streaming query to completion on a memory sink and
-    * return the materialized table. Stateful-stream shuffle partitions
-    * are capped at 8 for the run: each partition carries a state store,
-    * and 32 stores for a single bounded file is pure overhead. */
+    * return the materialized table. */
   private def drain(df: DataFrame, s: SparkSession, name: String,
                     mode: OutputMode): DataFrame = {
-    val partKey = "spark.sql.shuffle.partitions"
-    val saved = s.conf.get(partKey)
-    if (saved.toInt > 2) s.conf.set(partKey, "2")
-    val q = df.writeStream.outputMode(mode)
-      .format("memory").queryName(name).start()
-    try q.processAllAvailable() finally {
-      q.stop()
-      s.conf.set(partKey, saved)
+    withDrainConfs(s, parts = 2) {
+      val q = df.writeStream.outputMode(mode)
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
     }
     s.table(name)
   }
@@ -102,18 +113,14 @@ object Streaming extends QueryModule {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast(D2)).cast(DoubleType).as("sum_v"))
-      val partKey = "spark.sql.shuffle.partitions"
-      val saved = s.conf.get(partKey)
-      if (saved.toInt > 8) s.conf.set(partKey, "8")
-      val q = agg.writeStream
-        .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-          batch.write.mode("overwrite").parquet(out)
-        }
-        .start()
-      try q.processAllAvailable() finally {
-        q.stop()
-        s.conf.set(partKey, saved)
+      withDrainConfs(s, parts = 8) {
+        val q = agg.writeStream
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            batch.write.mode("overwrite").parquet(out)
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
       }
       s.read.parquet(out).orderBy(col("event_type"))
     },

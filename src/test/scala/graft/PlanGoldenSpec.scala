@@ -59,10 +59,14 @@ class PlanGoldenSpec extends AnyFunSuite {
     test(s"plan shape of $q matches its golden") {
       val fp = fingerprint(q)
       val file = goldenDir.resolve(s"$q.txt")
-      if (regen || !Files.exists(file)) {
+      if (regen) {
         Files.createDirectories(goldenDir)
         Files.writeString(file, fp)
         info(s"golden (re)written: $file")
+      } else if (!Files.exists(file)) {
+        // a silently auto-written golden would pin a never-reviewed plan
+        fail(s"no golden for $q — run GRAFT_REGEN_GOLDENS=1 sbt test and " +
+          "review the new file like code before committing it")
       } else {
         val want = Files.readString(file)
         assert(fp == want,
