@@ -11,7 +11,8 @@ import graft.queries._
 object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
     Relational, Joins, Aggregates, Windows, Functions, Functions2,
-    Generate, Sinks, Storage, Collections, Pipeline, Pipeline2, Similarity,
+    Generate, Sinks, Storage, Collections, Pipeline, Pipeline2, Pipeline3,
+    Similarity,
     Multimodal, Extensibility, Analytics, graft.streaming.Streaming
   )
 

@@ -1,0 +1,158 @@
+package graft.queries
+
+import graft.{QueryModule, Tables}
+import graft.functions.TextOps._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Third wave of LLM-training-data pipeline operators: near-duplicate
+  * CLUSTERING (connected components over the similarity graph — the step
+  * that turns pairwise dedup candidates into keep/drop decisions),
+  * per-domain quality quotas (mixture construction), and deterministic
+  * globally-shuffled export sharding.
+  *
+  * Scale design notes (100 TB):
+  *  - q118: min-label propagation runs O(diameter) rounds; each round is
+  *    ONE shuffle on node id (near-dup clusters are clique-ish, diameter
+  *    2-3 in practice). Lineage is cut per round (localCheckpoint here;
+  *    a real cluster checkpoints to the DFS), the edge list is
+  *    materialized once. The large-star/small-star variant drops rounds
+  *    to O(log n) if diameter ever bites.
+  *  - q119: quota top-k per domain is a rank-filter window — Spark plans
+  *    it as WindowGroupLimit, so each map task keeps only k rows per
+  *    group BEFORE the shuffle; state is O(domains x k), not O(corpus).
+  *  - q120: sharding key is a salted hash, position is a window WITHIN
+  *    each shard — all shards rank in parallel; no global sort, no
+  *    single-partition window. The production write is
+  *    partitionBy(shard) + sortWithinPartitions(h).
+  */
+object Pipeline3 extends QueryModule {
+
+  /** Symmetric near-dup edge list on the bounded q73 slice: exact
+    * token-set Jaccard >= 0.9 (the LSH path q75/q97 produces the same
+    * pairs at scale; exact keeps the oracle expressible). */
+  private def dupEdges(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables.df(s, dir, "documents")
+      .filter(col("doc_id") <= 200)
+      .select(col("doc_id"), uniqueTokens(col("text")).as("tok"))
+    val a = t.select(col("doc_id").as("a_id"), col("tok").as("tok_a"))
+    val b = t.select(col("doc_id").as("b_id"), col("tok").as("tok_b"))
+    val pairs = a.join(b, col("a_id") < col("b_id"))
+      .filter(jaccard(col("tok_a"), col("tok_b")) >= 0.9)
+      .select(col("a_id"), col("b_id"))
+    pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Near-dup cluster assignment: connected components over the
+    // similarity graph via min-label propagation — every doc maps to its
+    // cluster's min doc_id (the canonical keeper). Each iteration:
+    // labels flow one hop along edges, then min-combine per node. The
+    // label sum is monotonically non-increasing and strictly decreases
+    // until the fixpoint, so it doubles as the convergence test (one
+    // cheap scalar action per round — control flow only; the data never
+    // visits the driver).
+    "q118_dedup_clusters" -> { (s, dir) =>
+      val edges = dupEdges(s, dir).localCheckpoint()
+      def labelSum(df: DataFrame): Long =
+        df.agg(sum(col("root")).as("s")).head().getLong(0)
+      var labels = edges.select(col("src").as("node")).distinct()
+        .withColumn("root", col("node")).localCheckpoint()
+      var prev = Long.MaxValue
+      var cur = labelSum(labels)
+      var iters = 0
+      while (cur < prev && iters < 20) {
+        labels = edges.join(labels, edges("src") === labels("node"))
+          .select(col("dst").as("node"), col("root"))
+          .union(labels)
+          .groupBy(col("node")).agg(min(col("root")).as("root"))
+          .localCheckpoint()
+        prev = cur
+        cur = labelSum(labels)
+        iters += 1
+      }
+      labels.select(col("node").as("doc_id"), col("root").as("cluster_id"),
+          (col("node") === col("root")).as("is_canonical"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Mixture construction: per-domain (source) quality quota — keep the
+    // top 25 docs per source by length (quality stand-in), deterministic
+    // tiebreak on doc_id. The rank filter plans as WindowGroupLimit:
+    // map-side partial top-k, so the shuffle carries O(domains x 25)
+    // rows no matter the corpus size.
+    "q119_domain_mixture" -> { (s, dir) =>
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      Tables.df(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("rk", row_number().over(w).cast(LongType))
+        .filter(col("rk") <= 25)
+        .orderBy(col("source"), col("rk"))
+    },
+
+    // Deterministic training-data export sharding: a salted md5 assigns
+    // every doc a reproducible pseudo-random position — shard from the
+    // first hex nibble, position by hash order WITHIN the shard (window
+    // per shard, all shards in parallel; never a global sort). Rerunning
+    // on any cluster layout yields byte-identical shards.
+    "q120_export_shards" -> { (s, dir) =>
+      val w = Window.partitionBy(col("shard"))
+        .orderBy(col("h"), col("doc_id"))
+      Tables.df(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(concat(lit("exp"), col("doc_id").cast(StringType))
+            .cast(BinaryType)).as("h"))
+        .withColumn("shard",
+          ((expr("position(substr(h, 1, 1), '0123456789abcdef')") - 1) % 4)
+            .cast(LongType))
+        .withColumn("pos", row_number().over(w).cast(LongType))
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy(col("shard"), col("pos"))
+    }
+  )
+
+  private val utokSql = "list_distinct(string_split(text, ' '))"
+
+  override def oracle: Map[String, String] = Map(
+    "q118_dedup_clusters" ->
+      s"""WITH RECURSIVE t AS (
+         |  SELECT doc_id, $utokSql AS tok FROM documents
+         |  WHERE doc_id <= 200),
+         |pairs AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+         |      / CAST(len(list_distinct(a.tok || b.tok)) AS DOUBLE) >= 0.9),
+         |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+         |          UNION ALL SELECT b_id, a_id FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(node, root) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node)
+         |SELECT node AS doc_id, min(root) AS cluster_id,
+         |  node = min(root) AS is_canonical
+         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+    "q119_domain_mixture" ->
+      """SELECT doc_id, source, n_chars, rk FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM documents
+        |) WHERE rk <= 25 ORDER BY source, rk""".stripMargin,
+    "q120_export_shards" ->
+      """SELECT doc_id, shard, CAST(row_number() OVER (
+        |    PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos
+        |FROM (
+        |  SELECT doc_id, md5('exp' || CAST(doc_id AS VARCHAR)) AS h,
+        |    CAST((strpos('0123456789abcdef',
+        |      substr(md5('exp' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) % 4
+        |      AS BIGINT) AS shard
+        |  FROM documents
+        |) ORDER BY shard, pos""".stripMargin
+  )
+}

@@ -191,6 +191,52 @@ object Similarity extends QueryModule {
         .orderBy(col("probe_id"), col("rk"))
     },
 
+    // One Lloyd iteration of k-means on the embedding corpus (the
+    // embedding-clustering primitive behind semantic dedup / corpus
+    // bucketing): assign every vector to its nearest of k=16 seed
+    // centroids (broadcast argmax, as q111), recompute centroids as the
+    // element-wise mean of members, then re-assign against the updated
+    // centroids and report the resulting cell census. Iterating = the
+    // full k-means loop; one step keeps the oracle tractable while
+    // exercising the whole assign→update→assign machinery.
+    //
+    // Determinism across engines: the mean routes through an EXACT
+    // decimal sum — each double becomes its shortest-round-trip string,
+    // parsed as DECIMAL(38,20) (exact: ≤17 significant digits), summed
+    // without float error, cast back — so Spark and DuckDB derive
+    // byte-identical centroids regardless of summation order. Scale: the
+    // update is one shuffle on (cell, dim) — fully parallel across the
+    // 64·k dimension keys; centroids stay broadcast-sized.
+    "q121_kmeans" -> { (s, dir) =>
+      val c = corpus(s, dir)
+      val assign1 = ivfAssigned(s, dir) // nearest seed centroid per vector
+      val means = assign1
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "val")))
+        .groupBy(col("cell"), col("pos"))
+        .agg((sum(col("val").cast(StringType).cast(DecimalType(38, 20)))
+          .cast(DoubleType) / count(lit(1))).as("m"))
+      val newCents = means
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+          .as("pm"))
+        .select(col("cell").as("cent_id"),
+          transform(col("pm"), x => x.getField("m")).as("cv"))
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("csim").desc, col("cent_id"))
+      c.crossJoin(broadcast(newCents))
+        .select(col("vec_id"), col("cent_id"),
+          round(cosine(col("cv"), col("v")), 6).as("csim"))
+        .withColumn("rk", row_number().over(wAssign))
+        .filter(col("rk") === 1)
+        .groupBy(col("cent_id").as("cell"))
+        .agg(count(lit(1)).as("n_members"),
+          (sum(col("csim").cast(DecimalType(18, 6))).cast(DoubleType) /
+            count(lit(1))).as("mean_sim"))
+        .select(col("cell"), col("n_members"), round(col("mean_sim"), 6)
+          .as("mean_sim"))
+        .orderBy(col("cell"))
+    },
+
     // Hybrid retrieval: keyword pre-filter on documents, then cosine
     // ranking of the surviving docs' embeddings against a probe vector —
     // the text+vector search pattern (filter prunes the candidate set
@@ -268,6 +314,42 @@ object Similarity extends QueryModule {
         |  FROM assigned a JOIN probe_cells pc ON a.cell = pc.cell
         |  WHERE a.vec_id != pc.probe_id
         |) WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin,
+    "q121_kmeans" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cv
+        |  FROM embeddings WHERE vec_id >= 100 AND vec_id < 116),
+        |assign1 AS (
+        |  SELECT vec_id, v, cell FROM (
+        |    SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.cent_id AS cell,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY round(list_cosine_similarity(c.cv, e.embedding::DOUBLE[]), 6) DESC,
+        |                 c.cent_id) AS rk
+        |    FROM embeddings e CROSS JOIN cents c
+        |  ) WHERE rk = 1),
+        |vals AS (
+        |  SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS val
+        |  FROM assign1),
+        |means AS (
+        |  SELECT cell, pos,
+        |    CAST(sum(CAST(CAST(val AS VARCHAR) AS DECIMAL(38,20))) AS DOUBLE)
+        |      / count(*) AS m
+        |  FROM vals GROUP BY cell, pos),
+        |newcents AS (
+        |  SELECT cell AS cent_id, list(m ORDER BY pos) AS cv
+        |  FROM means GROUP BY cell),
+        |assign2 AS (
+        |  SELECT vec_id, cell, csim FROM (
+        |    SELECT e.vec_id, c.cent_id AS cell,
+        |      round(list_cosine_similarity(c.cv, e.embedding::DOUBLE[]), 6) AS csim,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY round(list_cosine_similarity(c.cv, e.embedding::DOUBLE[]), 6) DESC,
+        |                 c.cent_id) AS rk
+        |    FROM embeddings e CROSS JOIN newcents c
+        |  ) WHERE rk = 1)
+        |SELECT cell, count(*) AS n_members,
+        |  round(CAST(sum(CAST(csim AS DECIMAL(18,6))) AS DOUBLE)
+        |    / count(*), 6) AS mean_sim
+        |FROM assign2 GROUP BY cell ORDER BY cell""".stripMargin,
     "q96_hybrid_search" ->
       """SELECT d.doc_id, e.label,
         |  round(list_cosine_similarity(

@@ -126,6 +126,27 @@ object Sinks extends QueryModule {
         .select(col("l_returnflag"), col("l_linestatus"),
           col("sum_qty"), col("n"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // Text sink + scan (the line-oriented source: one string column per
+    // line — what raw-corpus ingestion reads before any parsing). The
+    // payload is self-delimited with \u0001 and re-split on read; the
+    // 2-dp sum rides through a DECIMAL-string so the double survives the
+    // text round-trip exactly.
+    "q122_text_roundtrip" -> { (s, dir) =>
+      val out = scratch("text")
+      payload(s, dir)
+        .select(concat_ws("\u0001", col("l_returnflag"),
+          col("l_linestatus"), col("sum_qty").cast(D2).cast(StringType),
+          col("n").cast(StringType)).as("value"))
+        .write.mode("overwrite").text(out)
+      s.read.text(out)
+        .select(split(col("value"), "\u0001").as("f"))
+        .select(element_at(col("f"), 1).as("l_returnflag"),
+          element_at(col("f"), 2).as("l_linestatus"),
+          element_at(col("f"), 3).cast(DoubleType).as("sum_qty"),
+          element_at(col("f"), 4).cast(LongType).as("n"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
     }
   )
 
@@ -135,6 +156,7 @@ object Sinks extends QueryModule {
     "q62_csv_roundtrip" -> payloadOracle,
     "q63_json_roundtrip" -> payloadOracle,
     "q106_avro_roundtrip" -> payloadOracle,
-    "q107_xml_roundtrip" -> payloadOracle
+    "q107_xml_roundtrip" -> payloadOracle,
+    "q122_text_roundtrip" -> payloadOracle
   )
 }
