@@ -23,6 +23,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     // opt-in ANN rewrite (spark.graft.ann.lshRewrite.enabled)
     e.injectOptimizerRule(_ => graft.plans.GraftLshRewrite)
+    // whole-operator path: as-of join logical node -> physical exec
+    e.injectPlannerStrategy(_ => graft.plans.GraftStrategies)
   }
 }
 
@@ -50,10 +52,17 @@ object GraftExtensions {
       }))
 
   /** Imperative registration on an existing session (used by the query
-    * modules so the driver-created sessions get the SQL functions too). */
-  def register(spark: SparkSession): Unit =
+    * modules so the driver-created sessions get the SQL functions too).
+    * `getOrCreate()` ignores withExtensions once a session exists, so
+    * this is the reliable path for driver-owned sessions. */
+  def register(spark: SparkSession): Unit = {
     functions.foreach { case (name, _, builder) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         name, builder, "built-in")
     }
+    if (!spark.experimental.extraStrategies.contains(
+        graft.plans.GraftStrategies))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.GraftStrategies
+  }
 }

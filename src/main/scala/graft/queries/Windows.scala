@@ -114,6 +114,29 @@ object Windows extends QueryModule {
         .orderBy(col("purchase_id"))
     },
 
+    // The SAME as-of join through the native whole-operator path:
+    // custom AsOfJoinPlan logical node -> injected GraftStrategies ->
+    // BroadcastAsOfJoinExec (clicks broadcast + per-key binary-search
+    // probe; see plans/AsOfJoinNative.scala). Same oracle as q103 —
+    // three independent implementations (window composition, custom
+    // exec, DuckDB native ASOF) must agree row-for-row.
+    "q125_asof_native" -> { (s, dir) =>
+      graft.GraftExtensions.register(s)
+      val ev = Tables.df(s, dir, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"),
+          col("user_id").as("c_user"),
+          unix_micros(col("ts")).as("click_ts_us"))
+      graft.plans.AsOfJoinOps
+        .asof(p, c, "user_id", "c_user", "ts_us", "click_ts_us", "click_id")
+        .select(col("purchase_id"), col("user_id"), col("ts_us"),
+          col("click_id"), col("click_ts_us"))
+        .orderBy(col("purchase_id"))
+    },
+
     // Ignore-nulls analytics: lead IGNORE NULLS + last_value IGNORE NULLS
     // (= last-observation-carried-forward). Parity with the reference's
     // nth_value ignore-nulls support (auron.proto:140 NTH_VALUE + flag).
@@ -143,6 +166,19 @@ object Windows extends QueryModule {
         .orderBy(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
     }
   )
+
+  /** Shared by q103 (window formulation) and q125 (native exec): both
+    * must match DuckDB's independent ASOF JOIN implementation. */
+  private val asofOracle =
+    """SELECT p.event_id AS purchase_id, p.user_id,
+      |  epoch_us(CAST(p.ts AS TIMESTAMP)) AS ts_us,
+      |  c.event_id AS click_id,
+      |  epoch_us(CAST(c.ts AS TIMESTAMP)) AS click_ts_us
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id
+      | AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+      |ORDER BY purchase_id""".stripMargin
 
   override def oracle: Map[String, String] = Map(
     "q30_window_rank" ->
@@ -188,16 +224,8 @@ object Windows extends QueryModule {
         |FROM customer
         |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
         |ORDER BY c_mktsegment, c_custkey""".stripMargin,
-    "q103_asof_join" ->
-      """SELECT p.event_id AS purchase_id, p.user_id,
-        |  epoch_us(CAST(p.ts AS TIMESTAMP)) AS ts_us,
-        |  c.event_id AS click_id,
-        |  epoch_us(CAST(c.ts AS TIMESTAMP)) AS click_ts_us
-        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
-        |  ON p.user_id = c.user_id
-        | AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
-        |ORDER BY purchase_id""".stripMargin,
+    "q103_asof_join" -> asofOracle,
+    "q125_asof_native" -> asofOracle,
     "q39_window_ignorenulls" ->
       """SELECT user_id, event_id, nullif(event_type, 'error') AS v,
         |  lead(nullif(event_type, 'error'), 1 IGNORE NULLS) OVER w
