@@ -73,6 +73,32 @@ object Multimodal extends QueryModule {
           length(col("chunk")).cast(LongType).as("chunk_len"),
           md5(col("chunk").cast(BinaryType)).as("chunk_md5"))
         .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+
+    // Feature-extraction + resize stub over the payload: a 4-bin
+    // byte-class histogram as the "extracted feature vector" (a real
+    // pipeline would emit CNN features here — same shape: map-only,
+    // fixed-width vector per row) and aspect-preserving resize targets
+    // computed from the decoded dimensions (width fixed at 224). All
+    // codegen'd column ops, no UDF.
+    "q128_multimodal_features" -> { (s, dir) =>
+      def cnt(cls: String) =
+        (length(col("text")) -
+          length(regexp_replace(col("text"), cls, ""))).cast(LongType)
+      val nBytes = octet_length(col("text").cast(BinaryType))
+      val wRaw = (nBytes % 640 + 1).cast(DoubleType)
+      val hRaw = ((nBytes * 7) % 480 + 1).cast(DoubleType)
+      Tables.df(s, dir, "documents")
+        .select(col("doc_id"),
+          cnt("[a-h]").as("f1"), cnt("[i-p]").as("f2"),
+          cnt("[q-z]").as("f3"), cnt("[^a-z]").as("f4"),
+          lit(224L).as("resize_w"),
+          floor(lit(224.0) * hRaw / wRaw).cast(LongType).as("resize_h"))
+        .withColumn("fnorm",
+          round(sqrt((col("f1") * col("f1") + col("f2") * col("f2") +
+            col("f3") * col("f3") + col("f4") * col("f4"))
+            .cast(DoubleType)), 6))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -94,6 +120,30 @@ object Multimodal extends QueryModule {
         |  unnest(generate_series(0,
         |    CAST(ceil(octet_length(encode(text)) / 100.0) AS INT) - 1)) AS t(i)
         |WHERE doc_id <= 50
-        |ORDER BY doc_id, chunk_idx""".stripMargin
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q128_multimodal_features" ->
+      """SELECT doc_id,
+        |  CAST(length(text) - length(regexp_replace(text, '[a-h]', '', 'g'))
+        |    AS BIGINT) AS f1,
+        |  CAST(length(text) - length(regexp_replace(text, '[i-p]', '', 'g'))
+        |    AS BIGINT) AS f2,
+        |  CAST(length(text) - length(regexp_replace(text, '[q-z]', '', 'g'))
+        |    AS BIGINT) AS f3,
+        |  CAST(length(text) - length(regexp_replace(text, '[^a-z]', '', 'g'))
+        |    AS BIGINT) AS f4,
+        |  CAST(224 AS BIGINT) AS resize_w,
+        |  CAST(floor(224.0 * ((octet_length(encode(text)) * 7) % 480 + 1)
+        |    / (octet_length(encode(text)) % 640 + 1)) AS BIGINT) AS resize_h,
+        |  round(sqrt(CAST(
+        |    (length(text) - length(regexp_replace(text, '[a-h]', '', 'g'))) *
+        |    (length(text) - length(regexp_replace(text, '[a-h]', '', 'g'))) +
+        |    (length(text) - length(regexp_replace(text, '[i-p]', '', 'g'))) *
+        |    (length(text) - length(regexp_replace(text, '[i-p]', '', 'g'))) +
+        |    (length(text) - length(regexp_replace(text, '[q-z]', '', 'g'))) *
+        |    (length(text) - length(regexp_replace(text, '[q-z]', '', 'g'))) +
+        |    (length(text) - length(regexp_replace(text, '[^a-z]', '', 'g'))) *
+        |    (length(text) - length(regexp_replace(text, '[^a-z]', '', 'g')))
+        |    AS DOUBLE)), 6) AS fnorm
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

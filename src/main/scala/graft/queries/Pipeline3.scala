@@ -112,6 +112,54 @@ object Pipeline3 extends QueryModule {
         .withColumn("pos", row_number().over(w).cast(LongType))
         .select(col("doc_id"), col("shard"), col("pos"))
         .orderBy(col("shard"), col("pos"))
+    },
+
+    // Token counting, whitespace vs BPE-ish: a GPT-2-style pre-tokenizer
+    // regex (letter runs | digit runs | single punctuation) against the
+    // whitespace count, plus chars-per-BPE-token — the unit LLM data
+    // budgets are priced in. Map-only.
+    "q126_tokenizer" -> { (s, dir) =>
+      val pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+      Tables.df(s, dir, "documents")
+        .select(col("doc_id"),
+          size(tokens(col("text"))).cast(LongType).as("n_ws"),
+          size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+            .cast(LongType).as("n_bpe"),
+          length(col("text")).cast(LongType).as("n_chars"))
+        .withColumn("chars_per_tok",
+          round(col("n_chars").cast(DoubleType) / col("n_bpe"), 6))
+        .orderBy(col("doc_id"))
+    },
+
+    // k-min sketch fingerprint dedup (the winnowing/rolling-hash family
+    // with an engine-portable hash): each doc keeps the 4 smallest
+    // md5(3-gram) values as its sketch — the top-k per doc is a
+    // WindowGroupLimit (map-side partial top-k) — and docs sharing >= 2
+    // sketch hashes pair up through an EQUI-join on the hash value
+    // (bucket sizes bounded by the dup-group size; never all-pairs).
+    "q127_kmin_sketch_dedup" -> { (s, dir) =>
+      val grams = Tables.df(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("tok"))
+        .filter(size(col("tok")) >= 3)
+        .select(col("doc_id"),
+          explode(array_distinct(transform(
+            sequence(lit(0), size(col("tok")) - 3),
+            i => array_join(slice(col("tok"), i + 1, lit(3)), " "))))
+            .as("g"))
+        .select(col("doc_id"), md5(col("g").cast(BinaryType)).as("h"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("h"))
+      val sketch = grams
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 4)
+        .select(col("doc_id"), col("h"))
+      val a = sketch.select(col("doc_id").as("a_id"), col("h"))
+      val b = sketch.select(col("doc_id").as("b_id"), col("h"))
+      a.join(b, "h")
+        .filter(col("a_id") < col("b_id"))
+        .groupBy(col("a_id"), col("b_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+        .orderBy(col("a_id"), col("b_id"))
     }
   )
 
@@ -153,6 +201,34 @@ object Pipeline3 extends QueryModule {
         |      substr(md5('exp' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) % 4
         |      AS BIGINT) AS shard
         |  FROM documents
-        |) ORDER BY shard, pos""".stripMargin
+        |) ORDER BY shard, pos""".stripMargin,
+    "q126_tokenizer" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  round(CAST(length(text) AS DOUBLE)
+        |    / len(regexp_extract_all(text,
+        |        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')), 6) AS chars_per_tok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q127_kmin_sketch_dedup" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tok
+         |              FROM documents WHERE len(string_split(text, ' ')) >= 3),
+         |idx AS (SELECT doc_id, tok, unnest(range(1, len(tok) - 1)) AS i
+         |        FROM toks),
+         |grams AS (SELECT DISTINCT doc_id,
+         |            md5(array_to_string(tok[i:i+2], ' ')) AS h FROM idx),
+         |sketch AS (SELECT doc_id, h FROM (
+         |    SELECT doc_id, h, row_number() OVER (
+         |      PARTITION BY doc_id ORDER BY h) AS rk FROM grams
+         |  ) WHERE rk <= 4)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  count(*) AS n_shared
+         |FROM sketch a JOIN sketch b
+         |  ON a.h = b.h AND a.doc_id < b.doc_id
+         |GROUP BY a.doc_id, b.doc_id
+         |HAVING count(*) >= 2
+         |ORDER BY a_id, b_id""".stripMargin
   )
 }
