@@ -8,7 +8,7 @@ object PlanAudit {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.1"
-    for (q <- Seq("q1_agg", "q10_join_inner", "q11_join_star", "q12_join_left", "q30_window_rank", "q77_ann_bruteforce", "q50_explode_wordcount")) {
+    for (q <- args.toSeq) {
       val df = SparkEntry.queries(q)(spark, dir)
       df.collect()
       println(s"===== $q =====")
