@@ -20,28 +20,41 @@ object Pipeline extends QueryModule {
 
   import TextOps._
 
-  /** Shared MinHash-LSH candidate generation: signature → band keys →
-    * band equi-join → distinct (a_id, b_id, tok_a, tok_b) pairs.
-    * 4 bands × 16 rows targets j ≥ 0.95 recall with ~0.1% candidate
-    * rate at j = 0.6. */
-  private def lshCandidates(docsIn: org.apache.spark.sql.DataFrame,
-                            bands: Int = 4, rows: Int = 16)
-      : org.apache.spark.sql.DataFrame = {
-    val docs = docsIn.select(col("doc_id"),
-      uniqueTokens(col("text")).as("tok"),
-      minhashSignature(col("text"), bands * rows).as("sig"))
-    val banded = docs.select(col("doc_id"), col("tok"),
-      explode(array((0 until bands).map(b =>
-        struct(lit(b).as("band"), bandHash(col("sig"), b, rows).as("bh"))
-      ): _*)).as("bk"))
-      .select(col("doc_id"), col("tok"),
-        col("bk.band").as("band"), col("bk.bh").as("bh"))
+  /** Narrow-key MinHash-LSH candidate pairs: signature → band keys →
+    * band equi-join carrying doc_id ONLY (the shuffle payload is three
+    * longs per row) → distinct over the narrow (a_id, b_id) pair.
+    * Token arrays are deliberately NOT in flight here — the band join
+    * duplicates every row ×bands, so at 100 TB an array payload would
+    * multiply the shuffle by the corpus token volume, and a distinct()
+    * over array columns compares array-wide. The q78 ANN pattern:
+    * dedup on the narrow key, re-attach payloads after. */
+  private[graft] def lshCandidatePairs(docsIn: DataFrame,
+                                       bands: Int, rows: Int): DataFrame = {
+    val banded = docsIn
+      .select(col("doc_id"), minhashSignature(col("text"), bands * rows).as("sig"))
+      .select(col("doc_id"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"), bandHash(col("sig"), b, rows).as("bh"))
+        ): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
-        col("x.tok").as("tok_a"), col("y.tok").as("tok_b"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
+  }
+
+  /** Shared MinHash-LSH candidate generation: narrow-key pairs (above),
+    * then token sets re-joined once per side for the exact-Jaccard
+    * verification. 4 bands × 16 rows targets j ≥ 0.95 recall with
+    * ~0.1% candidate rate at j = 0.6. */
+  private[graft] def lshCandidates(docsIn: DataFrame,
+                                   bands: Int = 4, rows: Int = 16): DataFrame = {
+    val toks = docsIn.select(col("doc_id"), uniqueTokens(col("text")).as("tok"))
+    lshCandidatePairs(docsIn, bands, rows)
+      .join(toks.select(col("doc_id").as("a_id"), col("tok").as("tok_a")), "a_id")
+      .join(toks.select(col("doc_id").as("b_id"), col("tok").as("tok_b")), "b_id")
+      .select(col("a_id"), col("b_id"), col("tok_a"), col("tok_b"))
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

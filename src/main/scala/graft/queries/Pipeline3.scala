@@ -30,6 +30,66 @@ import org.apache.spark.sql.types._
   */
 object Pipeline3 extends QueryModule {
 
+  /** Min-label-propagation connected components over a symmetric edge
+    * list (src, dst) → (node, root): labels flow one hop per round,
+    * min-combine per node; the monotone label sum doubles as the
+    * convergence test (one scalar action per round — control flow only,
+    * the data never visits the driver). One shuffle per round, lineage
+    * cut per round (localCheckpoint; a real cluster checkpoints to the
+    * DFS). Near-dup clusters are clique-ish → diameter 2-3 in practice;
+    * large-star/small-star drops rounds to O(log n) if it ever bites. */
+  private[graft] def connectedComponents(edgesIn: DataFrame): DataFrame = {
+    val edges = edgesIn.localCheckpoint()
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum(col("root")).as("s")).head().getLong(0)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("root", col("node")).localCheckpoint()
+    var prev = Long.MaxValue
+    var cur = labelSum(labels)
+    var iters = 0
+    while (cur < prev && iters < 20) {
+      labels = edges.join(labels, edges("src") === labels("node"))
+        .select(col("dst").as("node"), col("root"))
+        .union(labels)
+        .groupBy(col("node")).agg(min(col("root")).as("root"))
+        .localCheckpoint()
+      prev = cur
+      cur = labelSum(labels)
+      iters += 1
+    }
+    labels
+  }
+
+  /** The full-corpus dedup pipeline, end-to-end: MinHash-LSH candidate
+    * pairs over EVERY document (narrow-key band join — Pipeline
+    * .lshCandidates), exact-Jaccard verification of candidates only,
+    * connected components over the verified edges, then every corpus doc
+    * labeled with its cluster's canonical (min) id and a keep/drop
+    * decision. 8 bands × 8 rows puts per-pair recall at j = 0.9 above
+    * 98.9% (1-(1-0.9^8)^8); docs in no verified pair are their own
+    * singleton cluster via the left join + coalesce.
+    *
+    * Scale: candidate generation is the banded equi-join (never
+    * all-pairs), verification touches candidates only, CC shuffles the
+    * edge list (≪ corpus) once per round, and the final labeling is one
+    * left join of the corpus against the (small) non-singleton label
+    * set. No stage carries token payloads beyond the one verify join. */
+  private[graft] def dedupPipeline(docs: DataFrame): DataFrame = {
+    val pairs = Pipeline.lshCandidates(docs, bands = 8, rows = 8)
+      .filter(jaccard(col("tok_a"), col("tok_b")) >= 0.9)
+      .select(col("a_id"), col("b_id"))
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+    val labels = connectedComponents(edges)
+      .select(col("node").as("doc_id"), col("root"))
+    docs.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("root"), col("doc_id")).as("cluster_id"))
+      .withColumn("keep", col("doc_id") === col("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Symmetric near-dup edge list on the bounded q73 slice: exact
     * token-set Jaccard >= 0.9 (the LSH path q75/q97 produces the same
     * pairs at scale; exact keeps the oracle expressible). */
@@ -56,27 +116,19 @@ object Pipeline3 extends QueryModule {
     // cheap scalar action per round — control flow only; the data never
     // visits the driver).
     "q118_dedup_clusters" -> { (s, dir) =>
-      val edges = dupEdges(s, dir).localCheckpoint()
-      def labelSum(df: DataFrame): Long =
-        df.agg(sum(col("root")).as("s")).head().getLong(0)
-      var labels = edges.select(col("src").as("node")).distinct()
-        .withColumn("root", col("node")).localCheckpoint()
-      var prev = Long.MaxValue
-      var cur = labelSum(labels)
-      var iters = 0
-      while (cur < prev && iters < 20) {
-        labels = edges.join(labels, edges("src") === labels("node"))
-          .select(col("dst").as("node"), col("root"))
-          .union(labels)
-          .groupBy(col("node")).agg(min(col("root")).as("root"))
-          .localCheckpoint()
-        prev = cur
-        cur = labelSum(labels)
-        iters += 1
-      }
-      labels.select(col("node").as("doc_id"), col("root").as("cluster_id"),
+      connectedComponents(dupEdges(s, dir))
+        .select(col("node").as("doc_id"), col("root").as("cluster_id"),
           (col("node") === col("root")).as("is_canonical"))
         .orderBy(col("doc_id"))
+    },
+
+    // The north-star composition run over the FULL corpus (no doc_id
+    // bound): LSH candidates → exact-Jaccard verify → connected
+    // components → (doc_id, cluster_id, keep). No DuckDB oracle (the
+    // minhash kernel is engine-native); Pipeline3Spec cross-checks that
+    // on the q118 slice the clusters equal the recursive-CTE oracle's.
+    "q129_dedup_pipeline" -> { (s, dir) =>
+      dedupPipeline(Tables.df(s, dir, "documents"))
     },
 
     // Mixture construction: per-domain (source) quality quota — keep the

@@ -32,6 +32,40 @@ class Pipeline3Spec extends AnyFunSuite {
     }
   }
 
+  test("q129 dedup pipeline on the q118 slice reproduces the " +
+    "oracle-checked clusters (cluster-level LSH recall)") {
+    import org.apache.spark.sql.functions.col
+    val slice = Tables.df(spark, sf, "documents").filter(col("doc_id") <= 200)
+    val pipe = graft.queries.Pipeline3.dedupPipeline(slice).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val oracle = SparkEntry.queries("q118_dedup_clusters")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(oracle.nonEmpty)
+    // every node the exact-edge CC covers must land in the SAME cluster
+    // via the LSH path (pipeline edges are exact-verified, so they are a
+    // subset of q118's — equality means the LSH missed no needed edge)
+    oracle.foreach { case (d, c) =>
+      assert(pipe(d) == c, s"doc $d: pipeline cluster ${pipe(d)} != $c")
+    }
+    // docs in no dup group are their own singleton keepers
+    pipe.filterNot { case (d, _) => oracle.contains(d) }
+      .foreach { case (d, c) => assert(c == d, s"doc $d not a singleton") }
+  }
+
+  test("q129 full-corpus pipeline: every doc labeled, cluster id is the " +
+    "member min, exactly one keeper per cluster") {
+    val rows = SparkEntry.queries("q129_dedup_pipeline")(spark, sf).collect()
+    val n = Tables.df(spark, sf, "documents").count()
+    assert(rows.length == n, "one row per corpus doc")
+    rows.groupBy(_.getLong(1)).foreach { case (c, members) =>
+      assert(members.map(_.getLong(0)).min == c,
+        s"cluster $c id is not its member min")
+      assert(members.count(_.getBoolean(2)) == 1,
+        s"cluster $c keeper count != 1")
+    }
+    assert(rows.exists(r => !r.getBoolean(2)), "full corpus has dup drops")
+  }
+
   test("q120 export shards: deterministic across partition layouts, " +
     "dense positions per shard") {
     val a = SparkEntry.queries("q120_export_shards")(spark, sf).collect()
