@@ -5,11 +5,12 @@ import org.apache.spark.sql.{DataFrame, GraftPlanBridge}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
-import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, Distribution, IdentityBroadcastMode, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, ClusteredDistribution, Distribution, IdentityBroadcastMode, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.internal.SQLConf
 
 /** Whole-operator extension path (SURVEY §7.3 preference (c)): a custom
-  * logical plan node + planner Strategy + physical operator for the
+  * logical plan node + planner Strategy + physical operators for the
   * backward as-of join — an operator Spark's built-in join set lacks
   * (the reference engine lacks it too; q103 implements the same
   * semantics compositionally via a union + cumulative window).
@@ -19,16 +20,18 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * (ties on time broken by the greatest tie-break value); unmatched left
   * rows pad the right side with nulls.
   *
-  * Physical shape: the right (reference/quote) side flows through
-  * Spark's own BroadcastExchange (declared via requiredChildDistribution
-  * = BroadcastDistribution), each task builds a per-key time-sorted
-  * index of it once per partition, and the streamed left side probes by
-  * binary search — O(left + right·log right) with NO shuffle of the big
-  * side and no sort of the probe side. At 100 TB this is the
-  * fact-to-reference-series join shape (prices, dimensions-as-of,
-  * config history); a shuffled merge variant would cover
-  * right-side-too-big-to-broadcast, which q103's single-window-pass
-  * formulation already provides.
+  * Two physical shapes, chosen by the planner on right-side size (the
+  * same decision Spark's JoinSelection makes for equi-joins):
+  *  - [[BroadcastAsOfJoinExec]] — right side under the broadcast
+  *    threshold rides Spark's own BroadcastExchange; the streamed left
+  *    side probes a per-key time-sorted index by binary search. NO
+  *    shuffle of the big side: the 100 TB fact-to-reference-series
+  *    shape (prices, dimensions-as-of, config history).
+  *  - [[ShuffledAsOfJoinExec]] — both sides hash-clustered on the key
+  *    (EnsureRequirements co-partitions them); each task indexes its
+  *    right partition and streams its left partition. Covers
+  *    right-side-too-big-to-broadcast with one shuffle per side,
+  *    analogous to ShuffledHashJoinExec.
   */
 case class AsOfJoinPlan(
     left: LogicalPlan,
@@ -47,12 +50,86 @@ case class AsOfJoinPlan(
     copy(left = newLeft, right = newRight)
 }
 
-/** Broadcast backward as-of join: probe side streamed, build side
-  * broadcast and indexed (per key: times ascending, ties by tie-break
-  * ascending; the probe takes the LAST qualifying slot, so ties resolve
-  * to the max tie-break — matching q103's window formulation and
-  * DuckDB's ASOF JOIN). Key and time/tie-break expressions must
+/** Shared build/probe core: a per-key time-sorted array index of the
+  * right side (times ascending, ties by tie-break ascending — the probe
+  * takes the LAST qualifying slot, so ties resolve to the max tie-break,
+  * matching q103's window formulation and DuckDB's ASOF JOIN), probed by
+  * rightmost-<=-binary-search. Key and time/tie-break expressions must
   * evaluate to null-safe hashable keys and Long-valued times. */
+private[plans] object AsOfCore {
+  type Index = java.util.HashMap[Any, (Array[Long], Array[InternalRow])]
+
+  /** `copyRows` must be true when `rows` come from a shuffle iterator
+    * (Spark reuses the row object between next() calls). */
+  def buildIndex(rows: Iterator[InternalRow], rightOut: Seq[Attribute],
+                 rk: Expression, rt: Expression, rb: Expression,
+                 copyRows: Boolean): Index = {
+    val keyEval = BindReferences.bindReference(rk, rightOut)
+    val timeEval = BindReferences.bindReference(rt, rightOut)
+    val tieEval = BindReferences.bindReference(rb, rightOut)
+    val grouped = new java.util.HashMap[Any,
+      scala.collection.mutable.ArrayBuffer[(Long, Long, InternalRow)]]
+    rows.foreach { row0 =>
+      val k = keyEval.eval(row0)
+      val t = timeEval.eval(row0)
+      if (k != null && t != null) {
+        val row = if (copyRows) row0.copy() else row0
+        val tie = tieEval.eval(row) match {
+          case null => Long.MinValue
+          case v: Long => v
+          case v: Int => v.toLong
+        }
+        var buf = grouped.get(k)
+        if (buf == null) {
+          buf = scala.collection.mutable.ArrayBuffer.empty
+          grouped.put(k, buf)
+        }
+        buf += ((t.asInstanceOf[Long], tie, row))
+      }
+    }
+    val index = new Index
+    grouped.forEach { (k, buf) =>
+      val sorted = buf.sortBy(e => (e._1, e._2)).toArray
+      index.put(k, (sorted.map(_._1), sorted.map(_._3)))
+    }
+    index
+  }
+
+  def probe(leftIter: Iterator[InternalRow], index: Index,
+            leftOut: Seq[Attribute], rightOut: Seq[Attribute],
+            outAttrs: Seq[Attribute],
+            lk: Expression, lt: Expression): Iterator[InternalRow] = {
+    val lKeyEval = BindReferences.bindReference(lk, leftOut)
+    val lTimeEval = BindReferences.bindReference(lt, leftOut)
+    val joined = new JoinedRow
+    val nullRight = new GenericInternalRow(rightOut.length)
+    val project = UnsafeProjection.create(outAttrs, leftOut ++ rightOut)
+    leftIter.map { lrow =>
+      val k = lKeyEval.eval(lrow)
+      val t = lTimeEval.eval(lrow)
+      var matched: InternalRow = nullRight
+      if (k != null && t != null) {
+        val entry = index.get(k)
+        if (entry != null) {
+          val (times, rows) = entry
+          // rightmost slot with times(i) <= t
+          var lo = 0; var hi = times.length - 1; var ans = -1
+          val tv = t.asInstanceOf[Long]
+          while (lo <= hi) {
+            val mid = (lo + hi) >>> 1
+            if (times(mid) <= tv) { ans = mid; lo = mid + 1 }
+            else hi = mid - 1
+          }
+          if (ans >= 0) matched = rows(ans)
+        }
+      }
+      project(joined(lrow, matched))
+    }
+  }
+}
+
+/** Broadcast backward as-of join: probe side streamed in place, build
+  * side broadcast once and indexed per task. */
 case class BroadcastAsOfJoinExec(
     left: SparkPlan,
     right: SparkPlan,
@@ -64,6 +141,8 @@ case class BroadcastAsOfJoinExec(
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
 
   override def requiredChildDistribution: Seq[Distribution] =
     Seq(UnspecifiedDistribution, BroadcastDistribution(IdentityBroadcastMode))
@@ -79,75 +158,69 @@ case class BroadcastAsOfJoinExec(
     val outAttrs = output
     val (lk, lt) = (leftKey, leftTime)
     val (rk, rt, rb) = (rightKey, rightTime, rightTieBreak)
-
     left.execute().mapPartitions { leftIter =>
-      // Build the per-key sorted index once per task from the broadcast.
-      val keyEval = BindReferences.bindReference(rk, rightOut)
-      val timeEval = BindReferences.bindReference(rt, rightOut)
-      val tieEval = BindReferences.bindReference(rb, rightOut)
-      val grouped = new java.util.HashMap[Any,
-        scala.collection.mutable.ArrayBuffer[(Long, Long, InternalRow)]]
-      broadcastRight.value.foreach { row =>
-        val k = keyEval.eval(row)
-        val t = timeEval.eval(row)
-        if (k != null && t != null) {
-          val tie = tieEval.eval(row) match {
-            case null => Long.MinValue
-            case v: Long => v
-            case v: Int => v.toLong
-          }
-          var buf = grouped.get(k)
-          if (buf == null) {
-            buf = scala.collection.mutable.ArrayBuffer.empty
-            grouped.put(k, buf)
-          }
-          buf += ((t.asInstanceOf[Long], tie, row))
-        }
-      }
-      val index = new java.util.HashMap[Any, (Array[Long], Array[InternalRow])]
-      grouped.forEach { (k, buf) =>
-        val sorted = buf.sortBy(e => (e._1, e._2)).toArray
-        index.put(k, (sorted.map(_._1), sorted.map(_._3)))
-      }
-
-      val lKeyEval = BindReferences.bindReference(lk, leftOut)
-      val lTimeEval = BindReferences.bindReference(lt, leftOut)
-      val joined = new JoinedRow
-      val nullRight = new GenericInternalRow(rightOut.length)
-      val project = UnsafeProjection.create(outAttrs, leftOut ++ rightOut)
-
-      leftIter.map { lrow =>
-        val k = lKeyEval.eval(lrow)
-        val t = lTimeEval.eval(lrow)
-        var matched: InternalRow = nullRight
-        if (k != null && t != null) {
-          val entry = index.get(k)
-          if (entry != null) {
-            val (times, rows) = entry
-            // rightmost slot with times(i) <= t
-            var lo = 0; var hi = times.length - 1; var ans = -1
-            val tv = t.asInstanceOf[Long]
-            while (lo <= hi) {
-              val mid = (lo + hi) >>> 1
-              if (times(mid) <= tv) { ans = mid; lo = mid + 1 }
-              else hi = mid - 1
-            }
-            if (ans >= 0) matched = rows(ans)
-          }
-        }
-        project(joined(lrow, matched))
-      }
+      val index = AsOfCore.buildIndex(broadcastRight.value.iterator,
+        rightOut, rk, rt, rb, copyRows = false)
+      AsOfCore.probe(leftIter, index, leftOut, rightOut, outAttrs, lk, lt)
     }
   }
 }
 
-/** Planner strategy mapping the logical as-of node onto its physical
-  * operator (injected via SparkSessionExtensions / extraStrategies). */
+/** Shuffled backward as-of join: both sides hash-clustered on the key,
+  * each task builds the index from ITS right partition (bounded by the
+  * per-key right volume, not the whole table) and streams its left
+  * partition — the right-too-big-for-broadcast path. */
+case class ShuffledAsOfJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKey: Expression,
+    rightKey: Expression,
+    leftTime: Expression,
+    rightTime: Expression,
+    rightTieBreak: Expression) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    Seq(ClusteredDistribution(Seq(leftKey)),
+      ClusteredDistribution(Seq(rightKey)))
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): ShuffledAsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val leftOut = left.output
+    val rightOut = right.output
+    val outAttrs = output
+    val (lk, lt) = (leftKey, leftTime)
+    val (rk, rt, rb) = (rightKey, rightTime, rightTieBreak)
+    left.execute().zipPartitions(right.execute()) { (leftIter, rightIter) =>
+      val index = AsOfCore.buildIndex(rightIter, rightOut, rk, rt, rb,
+        copyRows = true)
+      AsOfCore.probe(leftIter, index, leftOut, rightOut, outAttrs, lk, lt)
+    }
+  }
+}
+
+/** Planner strategy mapping the logical as-of node onto a physical
+  * operator (injected via SparkSessionExtensions / extraStrategies):
+  * broadcast when the right side's estimated size fits under
+  * spark.sql.autoBroadcastJoinThreshold, shuffled co-partition
+  * otherwise — the JoinSelection decision, applied to the custom op. */
 object GraftStrategies extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoinPlan(l, r, lk, rk, lt, rt, tb) =>
-      BroadcastAsOfJoinExec(
-        planLater(l), planLater(r), lk, rk, lt, rt, tb) :: Nil
+      val threshold = SQLConf.get.autoBroadcastJoinThreshold
+      val exec =
+        if (threshold > 0 && r.stats.sizeInBytes <= threshold)
+          BroadcastAsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb)
+        else
+          ShuffledAsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb)
+      exec :: Nil
     case _ => Nil
   }
 }

@@ -109,14 +109,30 @@ object Functions extends QueryModule {
 
     // Spark-specific hashes (murmur3 seed 42 / xxhash64 seed 42L — the
     // exact kernels the reference re-implements, shuffle/mod.rs:172,
-    // spark_hash.rs). Deterministic but DuckDB-inexpressible: rows-only.
+    // spark_hash.rs). DuckDB cannot COMPUTE them, but it can check them:
+    // the query hashes a fixed input set whose expected values are
+    // pinned literals on BOTH sides (SparkHashPinSpec anchors 'abc'),
+    // and matches_pinned re-derives the equality in-engine — so a Spark
+    // kernel change flips the boolean and the oracle hash goes red
+    // instead of silently drifting.
     "q44_spark_hashes" -> { (s, dir) =>
-      Tables.df(s, dir, "documents")
-        .select(col("doc_id"),
-          hash(col("text")).as("murmur3"),
-          xxhash64(col("text")).as("xx64"),
-          crc32(col("text").cast(BinaryType)).as("crc"))
-        .orderBy(col("doc_id"))
+      import s.implicits._
+      val pinned = Seq(
+        ("", 142593372L, -7444071767201028348L, 0L),
+        ("abc", 1322437556L, 1423657621850124518L, 891568578L),
+        ("graft", -1930494102L, -4815631219266125053L, 31255620L),
+        ("spark sql", 40074111L, -3741135727865485229L, 2182859546L),
+        ("minhash lsh", -1493102839L, -7783688322173173549L, 3844865734L))
+      pinned.toDF("input", "m3_exp", "xx_exp", "crc_exp")
+        .select(col("input"),
+          hash(col("input")).cast(LongType).as("murmur3"),
+          xxhash64(col("input")).as("xx64"),
+          crc32(col("input").cast(BinaryType)).as("crc"),
+          (hash(col("input")).cast(LongType) === col("m3_exp") &&
+            xxhash64(col("input")) === col("xx_exp") &&
+            crc32(col("input").cast(BinaryType)) === col("crc_exp"))
+            .as("matches_pinned"))
+        .orderBy(col("input"))
     },
 
     // JSON family over events.props: get_json_object / json_tuple /
@@ -263,6 +279,24 @@ object Functions extends QueryModule {
     "q43_hash_funcs" ->
       """SELECT doc_id, md5(text) AS h_md5, sha256(text) AS h_sha256
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q44_spark_hashes" ->
+      """SELECT * FROM (VALUES
+        |  ('', CAST(142593372 AS BIGINT),
+        |   CAST(-7444071767201028348 AS BIGINT), CAST(0 AS BIGINT), TRUE),
+        |  ('abc', CAST(1322437556 AS BIGINT),
+        |   CAST(1423657621850124518 AS BIGINT),
+        |   CAST(891568578 AS BIGINT), TRUE),
+        |  ('graft', CAST(-1930494102 AS BIGINT),
+        |   CAST(-4815631219266125053 AS BIGINT),
+        |   CAST(31255620 AS BIGINT), TRUE),
+        |  ('spark sql', CAST(40074111 AS BIGINT),
+        |   CAST(-3741135727865485229 AS BIGINT),
+        |   CAST(2182859546 AS BIGINT), TRUE),
+        |  ('minhash lsh', CAST(-1493102839 AS BIGINT),
+        |   CAST(-7783688322173173549 AS BIGINT),
+        |   CAST(3844865734 AS BIGINT), TRUE)
+        |) AS t(input, murmur3, xx64, crc, matches_pinned)
+        |ORDER BY input""".stripMargin,
     "q45_json_funcs" ->
       """SELECT event_id,
         | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k1,

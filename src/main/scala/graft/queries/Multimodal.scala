@@ -76,24 +76,25 @@ object Multimodal extends QueryModule {
     },
 
     // Feature-extraction + resize stub over the payload: a 4-bin
-    // byte-class histogram as the "extracted feature vector" (a real
-    // pipeline would emit CNN features here — same shape: map-only,
+    // character-class histogram as the "extracted feature vector" (a
+    // real pipeline would emit CNN features here — same shape: map-only,
     // fixed-width vector per row) and aspect-preserving resize targets
-    // computed from the decoded dimensions (width fixed at 224). All
-    // codegen'd column ops, no UDF.
+    // computed from the decoded dimensions (width fixed at 224). The
+    // histogram is ONE codegen'd text pass (CharClassCounts) — the
+    // four-regexp_replace formulation scanned each document 4×.
     "q128_multimodal_features" -> { (s, dir) =>
-      def cnt(cls: String) =
-        (length(col("text")) -
-          length(regexp_replace(col("text"), cls, ""))).cast(LongType)
+      import graft.functions.CharClassCounts.charClassCounts
       val nBytes = octet_length(col("text").cast(BinaryType))
       val wRaw = (nBytes % 640 + 1).cast(DoubleType)
       val hRaw = ((nBytes * 7) % 480 + 1).cast(DoubleType)
       Tables.df(s, dir, "documents")
-        .select(col("doc_id"),
-          cnt("[a-h]").as("f1"), cnt("[i-p]").as("f2"),
-          cnt("[q-z]").as("f3"), cnt("[^a-z]").as("f4"),
+        .select(col("doc_id"), charClassCounts(col("text")).as("f"),
           lit(224L).as("resize_w"),
           floor(lit(224.0) * hRaw / wRaw).cast(LongType).as("resize_h"))
+        .select(col("doc_id"),
+          element_at(col("f"), 1).as("f1"), element_at(col("f"), 2).as("f2"),
+          element_at(col("f"), 3).as("f3"), element_at(col("f"), 4).as("f4"),
+          col("resize_w"), col("resize_h"))
         .withColumn("fnorm",
           round(sqrt((col("f1") * col("f1") + col("f2") * col("f2") +
             col("f3") * col("f3") + col("f4") * col("f4"))

@@ -162,6 +162,28 @@ object Streaming extends QueryModule {
         .orderBy(col("p_id"), col("c_id"))
     },
 
+    // Sessionization via the BUILT-IN session_window construct on the
+    // stream (batch analog: q123; custom-state analog: q87): watermarked
+    // event-time gap-merge inside the streaming engine, one row per
+    // (user, session). The engine owns the session state (merge on
+    // arrival, eviction by watermark) instead of mapGroupsWithState's
+    // hand-rolled (lastTs, n, n) tuple. The per-user rollup to
+    // (n_events, n_sessions) runs as a BATCH aggregation over the
+    // drained session rows — streaming allows one stateful aggregation
+    // per query, and the rollup needs the final session set anyway.
+    "q130_stream_session_window" -> { (s, dir) =>
+      val sess = eventStream(s, dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"), col("n"))
+      drain(sess, s, "q130_sink", OutputMode.Complete())
+        .groupBy(col("user_id"))
+        .agg(sum(col("n")).cast(LongType).as("n_events"),
+          count(lit(1)).as("n_sessions"))
+        .orderBy(col("user_id"))
+    },
+
     // Stateful sessionization: mapGroupsWithState per user, 30-minute
     // inactivity gap. State is O(1) per key — (lastTs, nEvents,
     // nSessions) — never the event history, so an unbounded stream at
@@ -229,6 +251,16 @@ object Streaming extends QueryModule {
       """SELECT event_type, count(*) AS n,
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q130_stream_session_window" ->
+      """SELECT user_id, count(*) AS n_events,
+        | CAST(1 + sum(CASE WHEN gap > 30*60*1000000 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_sessions
+        |FROM (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) -
+        |    lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+        |      PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)) AS gap
+        |  FROM events
+        |) GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q87_stream_sessions" ->
       """SELECT user_id, count(*) AS n_events,
         | CAST(1 + sum(CASE WHEN gap > 30*60*1000000 THEN 1 ELSE 0 END)

@@ -29,6 +29,29 @@ class AsOfJoinSpec extends AnyFunSuite {
     native.zip(window).foreach { case (a, b) => assert(a == b) }
   }
 
+  test("right side over the broadcast threshold plans the SHUFFLED " +
+    "as-of exec (co-partitioned, big-big path) with identical results") {
+    val broadcastRows = SparkEntry.queries("q125_asof_native")(spark, sf)
+      .collect().map(_.toSeq)
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1") // nothing broadcasts -> shuffled branch
+      val df = SparkEntry.queries("q125_asof_native")(spark, sf)
+      val rows = df.collect().map(_.toSeq)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("ShuffledAsOfJoin"),
+        s"expected the shuffled exec in:\n$plan")
+      assert(!plan.split("\\+- == Initial Plan ==").head
+          .contains("BroadcastAsOfJoin"))
+      // both sides hash-clustered on the key by EnsureRequirements
+      assert("hashpartitioning\\(user_id".r.findFirstIn(plan).isDefined ||
+        "hashpartitioning\\(c_user".r.findFirstIn(plan).isDefined, plan)
+      assert(rows.length == broadcastRows.length)
+      rows.zip(broadcastRows).foreach { case (a, b) => assert(a == b) }
+    } finally spark.conf.set(key, saved)
+  }
+
   test("unmatched left rows null-pad; matched rows take the latest " +
     "at-or-before right row") {
     val rows = SparkEntry.queries("q125_asof_native")(spark, sf).collect()

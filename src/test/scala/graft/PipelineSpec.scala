@@ -95,6 +95,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("q128 char-class histogram is computed ONCE per row inside codegen") {
+    val df = SparkEntry.queries("q128_multimodal_features")(spark, sf)
+    df.collect() // materialize so AQE finalizes the plan
+    val plan = df.queryExecution.executedPlan.toString
+      .split("\\+- == Initial Plan ==").head // AQE prints the plan twice
+    val evals = "char_class_counts".r.findAllIn(plan).length
+    assert(evals == 1,
+      s"histogram must appear exactly once (one text pass), got $evals:\n$plan")
+    assert(plan.split("\n").exists(l =>
+      l.contains("char_class_counts") && l.contains("*(")), plan)
+  }
+
   test("q76 simhash stays inside whole-stage codegen") {
     val df = SparkEntry.queries("q76_simhash")(spark, sf)
     df.collect() // materialize so AQE finalizes the plan

@@ -22,8 +22,15 @@ class PlanGoldenSpec extends AnyFunSuite {
   private val regen = sys.env.contains("GRAFT_REGEN_GOLDENS")
 
   // streaming plans (q85) re-plan per micro-batch; shape is asserted in
-  // StreamingSpec behavior tests instead
-  private val pinned = Bench.headline.filterNot(_.contains("stream"))
+  // StreamingSpec behavior tests instead. Beyond the bench headline,
+  // pin the scale-critical non-bench shapes: the binned range join
+  // (no-BNLJ contract), IVF ANN (broadcast centroids + cell equi-join),
+  // decontamination (broadcast bench grams, no corpus self-join), and
+  // the k-min sketch dedup (WindowGroupLimit + hash equi-join).
+  private val extraPinned = Seq("q108_range_join_binned", "q111_ann_ivf",
+    "q113_decontamination", "q127_kmin_sketch_dedup")
+  private val pinned =
+    Bench.headline.filterNot(_.contains("stream")) ++ extraPinned
 
   /** Normalized fingerprint: tree prefix + operator name per line.
     * Strips codegen stage ids, expression ids, literals, paths, stats —

@@ -131,4 +131,32 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
       || p.contains("BroadcastHashJoin"), p.take(2000))
   }
+
+  test("q97 LSH band join carries narrow keys only — no token arrays " +
+    "in the band shuffle or candidate distinct") {
+    import org.apache.spark.sql.catalyst.plans.logical
+    val df = SparkEntry.queries("q97_minhash_full")(spark, sf)
+    val bandJoins = df.queryExecution.optimizedPlan.collect {
+      case j: logical.Join if j.condition.exists(
+          _.references.exists(_.name == "band")) => j
+    }
+    assert(bandJoins.nonEmpty, "band equi-join missing from the plan")
+    bandJoins.foreach { j =>
+      val carried = j.children.flatMap(_.output).map(_.name)
+      assert(!carried.exists(_.startsWith("tok")),
+        s"band join must not shuffle token payloads, carries: $carried")
+    }
+    // the candidate dedup must also be over the narrow pair, not arrays
+    val aggs = df.queryExecution.optimizedPlan.collect {
+      case a: logical.Aggregate
+          if a.groupingExpressions.nonEmpty &&
+            a.references.exists(_.name == "a_id") &&
+            a.groupingExpressions.length == a.aggregateExpressions.length =>
+        a
+    }
+    aggs.foreach { a =>
+      assert(!a.output.map(_.name).exists(_.startsWith("tok")),
+        s"distinct must be narrow-key, got ${a.output.map(_.name)}")
+    }
+  }
 }
