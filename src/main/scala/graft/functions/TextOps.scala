@@ -71,8 +71,10 @@ object TextOps {
     xxhash64((lit(b) +: slots): _*)
   }
 
-  /** Exact token-set Jaccard similarity of two token arrays. */
+  /** Exact token-set Jaccard similarity of two token arrays — fused
+    * single-pass native expression (see JaccardSim; replaces the
+    * array_intersect/array_union composition that allocated two arrays
+    * per evaluation on the million-pair LSH verify path). */
   def jaccard(tokA: Column, tokB: Column): Column =
-    size(array_intersect(tokA, tokB)).cast(DoubleType) /
-      size(array_union(tokA, tokB)).cast(DoubleType)
+    JaccardSim.jaccardSim(tokA, tokB)
 }
