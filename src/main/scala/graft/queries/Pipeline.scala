@@ -30,6 +30,13 @@ object Pipeline extends QueryModule {
     * dedup on the narrow key, re-attach payloads after. */
   private[graft] def lshCandidatePairs(docsIn: DataFrame,
                                        bands: Int, rows: Int): DataFrame = {
+    // Explicit repartition on the band key makes both sides of the
+    // self-join IDENTICAL exchange subtrees, so ReuseExchange computes
+    // the minhash signatures + band explode ONCE and the co-partitioned
+    // join adds no further shuffle. (Letting the planner broadcast one
+    // side would re-evaluate the signature subtree per side — and a
+    // broadcast of the banded corpus is exactly what cannot exist at
+    // 100 TB.) The shuffle_hash hint pins that choice.
     val banded = docsIn
       .select(col("doc_id"), minhashSignature(col("text"), bands * rows).as("sig"))
       .select(col("doc_id"),
@@ -37,7 +44,8 @@ object Pipeline extends QueryModule {
           struct(lit(b).as("band"), bandHash(col("sig"), b, rows).as("bh"))
         ): _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
-    banded.as("x").join(banded.as("y"),
+      .repartition(col("band"), col("bh"))
+    banded.as("x").hint("shuffle_hash").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
