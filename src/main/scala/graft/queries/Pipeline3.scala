@@ -40,8 +40,10 @@ object Pipeline3 extends QueryModule {
     * large-star/small-star drops rounds to O(log n) if it ever bites. */
   private[graft] def connectedComponents(edgesIn: DataFrame): DataFrame = {
     val edges = edgesIn.localCheckpoint()
-    def labelSum(df: DataFrame): Long =
-      df.agg(sum(col("root")).as("s")).head().getLong(0)
+    def labelSum(df: DataFrame): Long = {
+      val r = df.agg(sum(col("root")).as("s")).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0) // empty graph -> no rounds
+    }
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("root", col("node")).localCheckpoint()
     var prev = Long.MaxValue

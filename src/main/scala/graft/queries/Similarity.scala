@@ -256,6 +256,57 @@ object Similarity extends QueryModule {
         .limit(10)
     },
 
+    // Embedding-space dedup end-to-end over ALL vectors (the q129
+    // composition in cosine space): multi-table sign-LSH buckets both
+    // sides once, candidate pairs come from a narrow-key self-join on
+    // (table, bucket) — never all-pairs — vectors re-attach only for
+    // the exact-cosine verification, and connected components over the
+    // verified edges assign every vector a cluster + keep decision.
+    // The fixture's "semantic neighbors" sit at cosine ~0.4-0.5 (no
+    // >=0.8 pairs exist), and sign-LSH per-bit collision is only
+    // 1 - θ/π ≈ 0.63 there, so this variant amplifies with 8 tables
+    // (recall ≈ 0.9 at the spec's corpus size) where the >=0.9-cosine
+    // ANN path (q78) needs just 4. Rows-only (hyperplane literals are
+    // not oracle-expressible); PipelineSpec cross-checks cluster
+    // agreement against the exact all-pairs edges on a bounded slice.
+    "q133_semantic_dedup" -> { (s, dir) =>
+      val c = corpus(s, dir)
+      val tables = 8
+      val bits = s.conf.getOption("spark.graft.ann.bits").map(_.toInt)
+        .getOrElse(lshBits(
+          corpusCount.computeIfAbsent(dir, _ => c.count()).longValue()))
+      val keyed = c.select(col("vec_id"), col("v"),
+        explode(array((0 until tables).map { t =>
+          struct(lit(t).as("t"),
+            lshBucket(col("v"), hyperplanes(bits, 64, seed = 1000 + t))
+              .as("bucket"))
+        }: _*)).as("k"))
+        .select(col("vec_id"), col("k.t").as("t"), col("k.bucket").as("bucket"))
+        .repartition(col("t"), col("bucket")) // ReuseExchange: bucket once
+      val pairs = keyed.as("x").hint("shuffle_hash").join(keyed.as("y"),
+          col("x.t") === col("y.t") && col("x.bucket") === col("y.bucket") &&
+            col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
+        .distinct()
+      val vecs = c.select(col("vec_id"), col("v"))
+      val edgesOnce = pairs
+        .join(vecs.select(col("vec_id").as("a_id"), col("v").as("va")), "a_id")
+        .join(vecs.select(col("vec_id").as("b_id"), col("v").as("vb")), "b_id")
+        .filter(round(cosine(col("va"), col("vb")), 6) >= 0.4)
+        .select(col("a_id"), col("b_id"))
+      val edges = edgesOnce
+        .select(col("a_id").as("src"), col("b_id").as("dst"))
+        .union(edgesOnce.select(col("b_id").as("src"), col("a_id").as("dst")))
+      val labels = Pipeline3.connectedComponents(edges)
+        .select(col("node").as("vec_id"), col("root"))
+      c.select(col("vec_id"))
+        .join(labels, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("root"), col("vec_id")).as("cluster_id"))
+        .withColumn("keep", col("vec_id") === col("cluster_id"))
+        .orderBy(col("vec_id"))
+    },
+
     // Embedding near-duplicate pairs: same-label vectors with cosine >=
     // 0.3 on a bounded slice (oracle-checked exact variant of embedding
     // dedup; the scale path reuses q78's bucketing).

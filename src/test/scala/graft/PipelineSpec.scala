@@ -89,6 +89,35 @@ class PipelineSpec extends AnyFunSuite {
       s"worst 2 cells hold ${worstTwo / corpusN} of the corpus — no pruning")
   }
 
+  test("q133 semantic dedup: valid labels, and exact cosine>=0.4 pairs " +
+    "on the probe slice land in the same cluster (LSH recall)") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorOps._
+    val rows = SparkEntry.queries("q133_semantic_dedup")(spark, sf).collect()
+    val n = Tables.df(spark, sf, "embeddings").count()
+    assert(rows.length == n, "one row per corpus vector")
+    val label = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.groupBy(_.getLong(1)).foreach { case (c, members) =>
+      assert(members.map(_.getLong(0)).min == c)
+      assert(members.count(_.getBoolean(2)) == 1)
+    }
+    // exact all-pairs edges on a bounded slice: how many end up
+    // co-clustered through the LSH path
+    val c = Tables.df(spark, sf, "embeddings")
+      .filter(col("vec_id") <= 300)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val a = c.select(col("vec_id").as("a_id"), col("v").as("va"))
+    val b = c.select(col("vec_id").as("b_id"), col("v").as("vb"))
+    val exact = a.join(b, col("a_id") < col("b_id"))
+      .filter(round(cosine(col("va"), col("vb")), 6) >= 0.4)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(exact.nonEmpty, "slice has no near-dup pairs to check")
+    val agree = exact.count { case (x, y) => label(x) == label(y) }
+    assert(agree.toDouble / exact.length >= 0.6,
+      s"cluster-level recall too low: $agree/${exact.length}")
+  }
+
   test("q80 decode stub is deterministic across runs") {
     val a = SparkEntry.queries("q80_multimodal_decode")(spark, sf).collect()
     val b = SparkEntry.queries("q80_multimodal_decode")(spark, sf).collect()
