@@ -1,0 +1,90 @@
+package graft.queries
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Connector-surface coverage beyond the file formats in Sinks:
+  * the whole-file binary ingestion source (how raw media lands in a
+  * multimodal pipeline before q80-style decoding) and a custom
+  * DataSource V2 table with filter + column pushdown (the Spark-native
+  * analog of the reference's bespoke scan nodes — see
+  * sources/GraftRangeSource.scala).
+  */
+object Connectors extends QueryModule {
+
+  /** Stage each small doc (doc_id < 50) as its own file once per
+    * (dir, JVM): a distributed foreachPartition write — executors write
+    * their partitions in parallel, nothing funnels through the driver —
+    * then `binaryFile` reads the directory back whole-file-per-row. */
+  private def stageBinaryFiles(s: SparkSession, dir: String): String = {
+    val stage = java.nio.file.Paths.get("/tmp/graft_binfiles",
+      Integer.toHexString(dir.hashCode))
+    val done = stage.resolve("_STAGED")
+    if (!java.nio.file.Files.exists(done)) {
+      java.nio.file.Files.createDirectories(stage)
+      val stageDir = stage.toString // serializable capture for the task
+      Tables.df(s, dir, "documents")
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"), col("text"))
+        .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+          rows.foreach { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(stageDir,
+                f"doc_${r.getLong(0)}%05d.bin"),
+              r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+        }
+      java.nio.file.Files.write(done, Array.emptyByteArray)
+    }
+    stage.toString
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Whole-file binary ingestion: stage docs as files, read back via
+    // the binaryFile source (path, length, content), recover the doc id
+    // from the file name and digest the payload. The read path is the
+    // real one a media pipeline uses; at scale binaryFile splits by
+    // file across executors and never materializes payloads centrally.
+    "q134_binaryfile_source" -> { (s, dir) =>
+      val stage = stageBinaryFiles(s, dir)
+      s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(stage)
+        .select(
+          regexp_extract(col("path"), "doc_(\\d+)\\.bin", 1)
+            .cast(LongType).as("doc_id"),
+          col("length").as("n_bytes"),
+          md5(col("content")).as("payload_md5"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Custom DSv2 source with pushdown: id-range predicates narrow the
+    // generated range SOURCE-side (out-of-range splits are never
+    // planned) and only the required columns are emitted. SourcesSpec
+    // asserts both pushdowns in the scan description; the oracle checks
+    // row-level semantics against DuckDB's range().
+    "q136_dsv2_pushdown" -> { (s, dir) =>
+      s.read.format("graft.sources.GraftRangeSource")
+        .option("n", "100000").option("slices", "8")
+        .load()
+        .filter(col("id") >= 90000L && col("id") < 90500L)
+        .select(col("id"), col("sq"), col("tag"))
+        .orderBy(col("id"))
+    }
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "q134_binaryfile_source" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT)
+        |    AS n_bytes,
+        |  md5(text) AS payload_md5
+        |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin,
+    "q136_dsv2_pushdown" ->
+      """SELECT CAST(range AS BIGINT) AS id,
+        |  CAST(range * range AS BIGINT) AS sq,
+        |  't' || CAST(range % 7 AS VARCHAR) AS tag
+        |FROM range(90000, 90500) ORDER BY id""".stripMargin
+  )
+}

@@ -184,6 +184,50 @@ object Streaming extends QueryModule {
         .orderBy(col("user_id"))
     },
 
+    // flatMapGroupsWithState: the MULTI-ROW custom-state surface (q87's
+    // mapGroups variant emits one row per group; this emits one row per
+    // SESSION). State is the count of sessions already emitted plus the
+    // open session's (lastTs, nEvents) — O(1) per key. Bounded fixture
+    // -> single batch -> emits the complete per-session breakdown,
+    // equal to the batch gap-split oracle.
+    "q135_stream_sessions_flat" -> { (s, dir) =>
+      import s.implicits._
+      val gapUs = 30L * 60 * 1000000
+      val typed = eventStream(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+        .as[(Long, Long)]
+      val sessions = typed.groupByKey(_._1)
+        .flatMapGroupsWithState[(Long, Long, Long), (Long, Long, Long)](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+          case (uid, rows, state: GroupState[(Long, Long, Long)]) =>
+            var (emitted, lastTs, openN) =
+              state.getOption.getOrElse((0L, Long.MinValue, 0L))
+            val batch = rows.map(_._2).toArray
+            java.util.Arrays.sort(batch)
+            val out = scala.collection.mutable.ArrayBuffer
+              .empty[(Long, Long, Long)]
+            batch.foreach { t =>
+              if (openN > 0L && t - lastTs > gapUs) {
+                emitted += 1L
+                out += ((uid, emitted, openN))
+                openN = 0L
+              }
+              openN += 1L
+              if (t > lastTs) lastTs = t
+            }
+            if (openN > 0L) { // bounded stream: close the final session
+              emitted += 1L
+              out += ((uid, emitted, openN))
+              openN = 0L
+            }
+            state.update((emitted, lastTs, openN))
+            out.iterator
+        }
+        .toDF("user_id", "session_idx", "n_events")
+      drain(sessions, s, "q135_sink", OutputMode.Append())
+        .orderBy(col("user_id"), col("session_idx"))
+    },
+
     // Stateful sessionization: mapGroupsWithState per user, 30-minute
     // inactivity gap. State is O(1) per key — (lastTs, nEvents,
     // nSessions) — never the event history, so an unbounded stream at
@@ -251,6 +295,24 @@ object Streaming extends QueryModule {
       """SELECT event_type, count(*) AS n,
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q135_stream_sessions_flat" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, ts_us,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL
+        |           OR ts_us - lag(ts_us) OVER w > 30*60*1000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+        |s AS (
+        |  SELECT user_id, ts_us, sum(new_s) OVER (
+        |    PARTITION BY user_id ORDER BY ts_us) AS session_idx
+        |  FROM g)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
     "q130_stream_session_window" ->
       """SELECT user_id, count(*) AS n_events,
         | CAST(1 + sum(CASE WHEN gap > 30*60*1000000 THEN 1 ELSE 0 END)

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Connector behavior: the custom DSv2 source must actually push work
+  * to the source (filters narrow the planned splits, projections
+  * narrow the emitted columns), and the binaryFile staging must be
+  * deterministic. */
+class SourcesSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def dsv2(n: String = "100000") =
+    spark.read.format("graft.sources.GraftRangeSource")
+      .option("n", n).option("slices", "8").load()
+
+  test("q136 DSv2 scan pushes id-range filters into the source") {
+    val df = dsv2().filter(col("id") >= 90000L && col("id") < 90500L)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftRangeScan range=[90000,90500)"),
+      s"filters must narrow the source range:\n$plan")
+    assert(plan.contains("GreaterThanOrEqual(id,90000)"), plan)
+  }
+
+  test("q136 DSv2 scan prunes columns to the projection") {
+    val df = dsv2().select(col("tag"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadColumns: tag"),
+      s"projection must reach the source:\n$plan")
+  }
+
+  test("DSv2 source partitions the range across splits and computes " +
+    "rows correctly") {
+    val rows = dsv2(n = "1000").collect()
+    assert(rows.length == 1000)
+    val r7 = rows.find(_.getLong(0) == 7L).get
+    assert(r7.getLong(1) == 49L && r7.getString(2) == "t0")
+    // out-of-range splits are never planned
+    val pruned = dsv2().filter(col("id") < 10L)
+    assert(pruned.rdd.getNumPartitions <= 8)
+    assert(pruned.count() == 10)
+  }
+
+  test("q134 binaryFile staging is deterministic across runs") {
+    val a = SparkEntry.queries("q134_binaryfile_source")(spark, sf)
+      .collect().map(_.toSeq)
+    val b = SparkEntry.queries("q134_binaryfile_source")(spark, sf)
+      .collect().map(_.toSeq)
+    assert(a.nonEmpty && a.sameElements(b))
+  }
+}
