@@ -75,6 +75,71 @@ object Analytics extends QueryModule {
         .limit(20)
     },
 
+    // TPC-H Q8 shape: national market share — the share of a chosen
+    // supplier-nation in a region's yearly revenue for one part type.
+    // The optimizer stressor here is nation playing TWO roles (customer
+    // side scopes the region, supplier side defines the share) — the
+    // dim is joined twice under different keys, and all five dims
+    // broadcast while the fact chain (lineitem ⋈ orders) is the only
+    // shuffle. Share math: exact-decimal conditional revenue over exact
+    // total, divided once as doubles.
+    "q137_market_share" -> { (s, dir) =>
+      val li = Tables.df(s, dir, "lineitem")
+      val ord = Tables.df(s, dir, "orders")
+      val cust = Tables.df(s, dir, "customer")
+      val supp = Tables.df(s, dir, "supplier")
+      val part = Tables.df(s, dir, "part")
+        .filter(col("p_type") === "PROMO")
+      val natC = Tables.df(s, dir, "nation")
+        .select(col("n_nationkey").as("cn_key"),
+          col("n_regionkey").as("cn_region"))
+      val natS = Tables.df(s, dir, "nation")
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("sn_name"))
+      val reg = Tables.df(s, dir, "region").filter(col("r_name") === "ASIA")
+      val volume = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast(D4)
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(part), li("l_partkey") === part("p_partkey"))
+        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .join(broadcast(natC), cust("c_nationkey") === natC("cn_key"))
+        .join(broadcast(reg), natC("cn_region") === reg("r_regionkey"))
+        .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+        .join(broadcast(natS), supp("s_nationkey") === natS("sn_key"))
+        .groupBy(year(col("o_orderdate")).cast(LongType).as("o_year"))
+        .agg(
+          (sum(when(col("sn_name") === "NATION_1", volume)
+            .otherwise(lit(0).cast(D4))).cast(DoubleType) /
+            sum(volume).cast(DoubleType)).as("mkt_share_raw"),
+          sum(volume).cast(DoubleType).as("total_volume"))
+        .select(col("o_year"), round(col("mkt_share_raw"), 6)
+          .as("mkt_share"), col("total_volume"))
+        .orderBy(col("o_year"))
+    },
+
+    // TPC-H Q9 shape: product-type profit by supplier nation and year
+    // (no partsupp table in the fixture, so profit = discounted revenue
+    // less a 10%-of-retail cost stand-in — same join topology: fact
+    // chain + part/supplier/nation dims, grouped on (nation, year)).
+    "q138_product_profit" -> { (s, dir) =>
+      val li = Tables.df(s, dir, "lineitem")
+      val ord = Tables.df(s, dir, "orders")
+      val supp = Tables.df(s, dir, "supplier")
+      val part = Tables.df(s, dir, "part")
+        .filter(col("p_name").contains("1"))
+      val nat = Tables.df(s, dir, "nation")
+      val amount = (col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+        col("p_retailprice") * lit(0.1) * col("l_quantity")).cast(D4)
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(part), li("l_partkey") === part("p_partkey"))
+        .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+        .join(broadcast(nat), supp("s_nationkey") === nat("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast(LongType).as("o_year"))
+        .agg(sum(amount).cast(DoubleType).as("profit"),
+          count(lit(1)).as("n"))
+        .orderBy(col("nation"), col("o_year").desc)
+    },
+
     // Batch session windows (session_window is one grouping construct
     // across batch AND streaming — the streaming side is q87): per-user
     // 30-minute-gap sessions over events, each with its span and value
@@ -137,6 +202,41 @@ object Analytics extends QueryModule {
     "CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)"
 
   override def oracle: Map[String, String] = Map(
+    "q137_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  round(
+        |    CAST(sum(CASE WHEN n2.n_name = 'NATION_1'
+        |      THEN CAST(l_extendedprice * (1.0 - l_discount)
+        |        AS DECIMAL(18,4))
+        |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+        |    / CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |        AS DECIMAL(18,4))) AS DOUBLE), 6) AS mkt_share,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS total_volume
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN part ON l_partkey = p_partkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        | JOIN region ON n1.n_regionkey = r_regionkey
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+        |GROUP BY o_year ORDER BY o_year""".stripMargin,
+    "q138_product_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT)
+        |    AS o_year,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |    - p_retailprice * 0.1 * l_quantity AS DECIMAL(18,4)))
+        |    AS DOUBLE) AS profit,
+        |  count(*) AS n
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN part ON l_partkey = p_partkey
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        |WHERE contains(p_name, '1')
+        |GROUP BY n_name, o_year ORDER BY n_name, o_year DESC""".stripMargin,
     "q100_shipping_priority" ->
       s"""SELECT o_orderkey, CAST(o_orderdate AS DATE) AS odate,
          | $revSql AS revenue
