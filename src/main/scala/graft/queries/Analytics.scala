@@ -125,7 +125,7 @@ object Analytics extends QueryModule {
       val ord = Tables.df(s, dir, "orders")
       val supp = Tables.df(s, dir, "supplier")
       val part = Tables.df(s, dir, "part")
-        .filter(col("p_name").contains("1"))
+        .filter(col("p_name").contains("widget"))
       val nat = Tables.df(s, dir, "nation")
       val amount = (col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
         col("p_retailprice") * lit(0.1) * col("l_quantity")).cast(D4)
@@ -235,7 +235,7 @@ object Analytics extends QueryModule {
         | JOIN part ON l_partkey = p_partkey
         | JOIN supplier ON l_suppkey = s_suppkey
         | JOIN nation ON s_nationkey = n_nationkey
-        |WHERE contains(p_name, '1')
+        |WHERE contains(p_name, 'widget')
         |GROUP BY n_name, o_year ORDER BY n_name, o_year DESC""".stripMargin,
     "q100_shipping_priority" ->
       s"""SELECT o_orderkey, CAST(o_orderdate AS DATE) AS odate,
