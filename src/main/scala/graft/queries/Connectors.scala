@@ -72,6 +72,20 @@ object Connectors extends QueryModule {
         .filter(col("id") >= 90000L && col("id") < 90500L)
         .select(col("id"), col("sq"), col("tag"))
         .orderBy(col("id"))
+    },
+
+    // COMPLETE aggregate pushdown: an ungrouped count/min/max over a
+    // BILLION-row table answered source-side in O(1) — the engine plans
+    // no aggregation and the scan emits one row (SourcesSpec asserts
+    // PushedAggregates + the absence of any HashAggregate). DuckDB
+    // honestly grinds the billion rows to agree.
+    "q139_dsv2_agg_pushdown" -> { (s, dir) =>
+      s.read.format("graft.sources.GraftRangeSource")
+        .option("n", "1000000000").option("slices", "8")
+        .load()
+        .filter(col("id") >= 12345L)
+        .agg(count(lit(1)).as("n_rows"), min(col("id")).as("min_id"),
+          max(col("id")).as("max_id"))
     }
   )
 
@@ -85,6 +99,10 @@ object Connectors extends QueryModule {
       """SELECT CAST(range AS BIGINT) AS id,
         |  CAST(range * range AS BIGINT) AS sq,
         |  't' || CAST(range % 7 AS VARCHAR) AS tag
-        |FROM range(90000, 90500) ORDER BY id""".stripMargin
+        |FROM range(90000, 90500) ORDER BY id""".stripMargin,
+    "q139_dsv2_agg_pushdown" ->
+      """SELECT count(*) AS n_rows, CAST(min(range) AS BIGINT) AS min_id,
+        |  CAST(max(range) AS BIGINT) AS max_id
+        |FROM range(12345, 1000000000)""".stripMargin
   )
 }

@@ -5,8 +5,9 @@ import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -63,12 +64,42 @@ class GraftRangeTable(n: Long, slices: Int) extends Table with SupportsRead {
 
 class GraftRangeScanBuilder(n: Long, slices: Int)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   private var lo: Long = 0L
   private var hi: Long = n // exclusive
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = GraftRangeTable.schema
+  private var aggPushed: Option[Aggregation] = None
+
+  private def isId(f: AggregateFunc): Boolean = f match {
+    case m: Min => m.column() match {
+      case r: NamedReference => r.fieldNames.sameElements(Array("id"))
+      case _ => false
+    }
+    case m: Max => m.column() match {
+      case r: NamedReference => r.fieldNames.sameElements(Array("id"))
+      case _ => false
+    }
+    case c: Count => !c.isDistinct && (c.column() match {
+      case r: NamedReference => r.fieldNames.sameElements(Array("id"))
+      case _ => false
+    })
+    case _: CountStar => true
+    case _ => false
+  }
+
+  /** COMPLETE aggregate pushdown for ungrouped count(*)/count(id)/
+    * min(id)/max(id): on a range the answers are arithmetic over
+    * [lo, hi) — the source returns ONE row and the engine plans no
+    * aggregation at all. Filter pushdown runs first, so the pushed
+    * range already reflects id predicates. */
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    agg.groupByExpressions().isEmpty && agg.aggregateExpressions().forall(isId)
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    if (supportCompletePushDown(agg)) { aggPushed = Some(agg); true }
+    else false
 
   /** Accept id-range predicates; everything else stays post-scan. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
@@ -97,9 +128,63 @@ class GraftRangeScanBuilder(n: Long, slices: Int)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan =
-    new GraftRangeScan(math.max(lo, 0L), math.max(hi, lo), slices,
-      required, pushed)
+  override def build(): Scan = aggPushed match {
+    case Some(agg) =>
+      new GraftRangeAggScan(math.max(lo, 0L), math.max(hi, lo), agg, pushed)
+    case None =>
+      new GraftRangeScan(math.max(lo, 0L), math.max(hi, lo), slices,
+        required, pushed)
+  }
+}
+
+/** Scan for a completely-pushed ungrouped aggregate: one partition,
+  * one row, values computed arithmetically from the (filtered) range. */
+class GraftRangeAggScan(lo: Long, hi: Long, agg: Aggregation,
+                        pushed: Array[Filter]) extends Scan with Batch {
+  private val fields = agg.aggregateExpressions().map {
+    case _: CountStar => ("count_star", LongType)
+    case _: Count => ("count_id", LongType)
+    case _: Min => ("min_id", LongType)
+    case _: Max => ("max_id", LongType)
+    case other => throw new IllegalStateException(other.toString)
+  }
+
+  override def readSchema(): StructType =
+    StructType(fields.map { case (nm, dt) =>
+      StructField(nm, dt, nullable = true) })
+
+  override def description(): String =
+    s"GraftRangeAggScan range=[$lo,$hi) PushedAggregates: " +
+      s"[${agg.aggregateExpressions().mkString(", ")}]" +
+      s" PushedFilters: [${pushed.mkString(", ")}]"
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GraftRangePartition(0, 1))
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val span = math.max(0L, hi - lo)
+    val values: Array[Any] = agg.aggregateExpressions().map {
+      case _: CountStar => span
+      case _: Count => span // id is never null
+      case _: Min => if (span == 0) null else lo
+      case _: Max => if (span == 0) null else hi - 1
+      case other => throw new IllegalStateException(other.toString)
+    }
+    new GraftSingleRowReaderFactory(values)
+  }
+}
+
+class GraftSingleRowReaderFactory(values: Array[Any])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val r = !emitted; emitted = true; r }
+      override def get(): InternalRow = new GenericInternalRow(values)
+      override def close(): Unit = ()
+    }
 }
 
 class GraftRangeScan(lo: Long, hi: Long, slices: Int,

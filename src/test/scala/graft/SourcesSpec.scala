@@ -43,6 +43,22 @@ class SourcesSpec extends AnyFunSuite {
     assert(pruned.count() == 10)
   }
 
+  test("q139 aggregate pushdown: no engine-side aggregation, one row " +
+    "from a billion-row source") {
+    val df = SparkEntry.queries("q139_dsv2_agg_pushdown")(spark, sf)
+    val t0 = System.nanoTime()
+    val r = df.collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(r.length == 1)
+    assert(r.head.getLong(0) == 999987655L)
+    assert(r.head.getLong(1) == 12345L && r.head.getLong(2) == 999999999L)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates"), plan)
+    assert(!plan.contains("HashAggregate"),
+      s"aggregation must not run engine-side:\n$plan")
+    assert(secs < 10, s"O(1) source aggregate took ${secs}s")
+  }
+
   test("q134 binaryFile staging is deterministic across runs") {
     val a = SparkEntry.queries("q134_binaryfile_source")(spark, sf)
       .collect().map(_.toSeq)
