@@ -1,9 +1,9 @@
 package graft.streaming
 
 import graft.QueryModule
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming coverage (SURVEY §7.2 step 9 — exceeds the
@@ -17,6 +17,36 @@ import org.apache.spark.sql.types._
   * Kafka source (`readStream.format("kafka")` + from_json) — swap the
   * source, keep the pipeline.
   */
+/** StatefulProcessor for q140: per-user gap sessionization with a
+  * single named ValueState holding (lastTs, nEvents, nSessions) —
+  * O(1) per key regardless of stream length. Batch rows are sorted
+  * locally (bounded by batch size); the drained bounded fixture is a
+  * single batch, so output equals the batch gap-split oracle. */
+class SessionProcessor(gapUs: Long)
+    extends StatefulProcessor[Long, (Long, Long), (Long, Long, Long)] {
+  @transient private var state: ValueState[(Long, Long, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[(Long, Long, Long)]("sess",
+      Encoders.product[(Long, Long, Long)], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+                               timers: TimerValues): Iterator[(Long, Long, Long)] = {
+    var (lastTs, nEvents, nSessions) =
+      if (state.exists()) state.get() else (Long.MinValue, 0L, 0L)
+    val batch = rows.map(_._2).toArray
+    java.util.Arrays.sort(batch)
+    batch.foreach { t =>
+      if (nEvents == 0L) nSessions = 1L
+      else if (t - lastTs > gapUs) nSessions += 1L
+      nEvents += 1L
+      if (t > lastTs) lastTs = t
+    }
+    state.update((lastTs, nEvents, nSessions))
+    Iterator.single((key, nEvents, nSessions))
+  }
+}
+
 object Streaming extends QueryModule {
 
   private val D2 = DecimalType(18, 2)
@@ -184,6 +214,33 @@ object Streaming extends QueryModule {
         .orderBy(col("user_id"))
     },
 
+    // transformWithState (Spark 4's arbitrary-state API, successor to
+    // mapGroupsWithState): the same sessionization through a
+    // StatefulProcessor with named ValueState on the RocksDB state
+    // store provider (required by this API — state lives off-heap and
+    // checkpoints incrementally, the 100 TB streaming-state design).
+    // Same O(1)-per-key state tuple, same oracle as q87.
+    "q140_transform_with_state" -> { (s, dir) =>
+      import s.implicits._
+      val typed = eventStream(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+        .as[(Long, Long)]
+      val sessions = typed.groupByKey(_._1)
+        .transformWithState(new SessionProcessor(30L * 60 * 1000000),
+          TimeMode.None(), OutputMode.Update())
+        .toDF("user_id", "n_events", "n_sessions")
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val saved = s.conf.getOption(provKey)
+      s.conf.set(provKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try drain(sessions, s, "q140_sink", OutputMode.Update())
+        .orderBy(col("user_id"))
+      finally saved match {
+        case Some(v) => s.conf.set(provKey, v)
+        case None => s.conf.unset(provKey)
+      }
+    },
+
     // flatMapGroupsWithState: the MULTI-ROW custom-state surface (q87's
     // mapGroups variant emits one row per group; this emits one row per
     // SESSION). State is the count of sessions already emitted plus the
@@ -295,6 +352,16 @@ object Streaming extends QueryModule {
       """SELECT event_type, count(*) AS n,
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q140_transform_with_state" ->
+      """SELECT user_id, count(*) AS n_events,
+        | CAST(1 + sum(CASE WHEN gap > 30*60*1000000 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_sessions
+        |FROM (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) -
+        |    lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+        |      PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)) AS gap
+        |  FROM events
+        |) GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q135_stream_sessions_flat" ->
       """WITH e AS (
         |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
