@@ -74,6 +74,23 @@ object Connectors extends QueryModule {
         .orderBy(col("id"))
     },
 
+    // DSv2 WRITE path round-trip: docs projected to (doc_id, n_chars),
+    // written through the custom sink's two-phase task-commit protocol
+    // (task-unique temp files, driver-side rename-on-commit — see
+    // sources/GraftCsvSink.scala), read back as CSV, checked against
+    // the oracle computing the same projection from the table.
+    "q141_dsv2_sink_roundtrip" -> { (s, dir) =>
+      val out = "/tmp/graft_csvsink/" + Integer.toHexString(dir.hashCode)
+      Tables.df(s, dir, "documents")
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"), length(col("text")).cast(LongType)
+          .as("n_chars"))
+        .write.format("graft.sources.GraftCsvSink")
+        .option("path", out).mode("append").save()
+      s.read.schema("doc_id LONG, n_chars LONG").csv(out)
+        .orderBy(col("doc_id"))
+    },
+
     // COMPLETE aggregate pushdown: an ungrouped count/min/max over a
     // BILLION-row table answered source-side in O(1) — the engine plans
     // no aggregation and the scan emits one row (SourcesSpec asserts
@@ -103,6 +120,9 @@ object Connectors extends QueryModule {
     "q139_dsv2_agg_pushdown" ->
       """SELECT count(*) AS n_rows, CAST(min(range) AS BIGINT) AS min_id,
         |  CAST(max(range) AS BIGINT) AS max_id
-        |FROM range(12345, 1000000000)""".stripMargin
+        |FROM range(12345, 1000000000)""".stripMargin,
+    "q141_dsv2_sink_roundtrip" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin
   )
 }

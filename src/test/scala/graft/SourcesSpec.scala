@@ -59,6 +59,30 @@ class SourcesSpec extends AnyFunSuite {
     assert(secs < 10, s"O(1) source aggregate took ${secs}s")
   }
 
+  test("DSv2 limit pushdown shortens the source range") {
+    val df = dsv2().limit(5)
+    val rows = df.collect()
+    assert(rows.length == 5)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("range=[0,5)"),
+      s"limit must narrow the source range:\n$plan")
+  }
+
+  test("q141 sink commit protocol: no temp files survive, rerun is " +
+    "idempotent, content round-trips") {
+    val a = SparkEntry.queries("q141_dsv2_sink_roundtrip")(spark, sf)
+      .collect().map(_.toSeq)
+    val b = SparkEntry.queries("q141_dsv2_sink_roundtrip")(spark, sf)
+      .collect().map(_.toSeq)
+    assert(a.nonEmpty && a.sameElements(b), "rerun must be idempotent")
+    val out = java.nio.file.Paths.get("/tmp/graft_csvsink",
+      Integer.toHexString(sf.hashCode))
+    var tmps = 0
+    java.nio.file.Files.list(out).forEach(p =>
+      if (p.getFileName.toString.startsWith(".tmp-")) tmps += 1)
+    assert(tmps == 0, s"$tmps uncommitted temp files left behind")
+  }
+
   test("q134 binaryFile staging is deterministic across runs") {
     val a = SparkEntry.queries("q134_binaryfile_source")(spark, sf)
       .collect().map(_.toSeq)
