@@ -46,6 +46,48 @@ class LshRewriteSpec extends AnyFunSuite {
     }
   }
 
+  private def jaccardPairsQuery() = {
+    import graft.functions.TextOps
+    val t = Tables.df(spark, sf, "documents")
+      .filter(col("doc_id") <= 150)
+      .select(col("doc_id"), TextOps.uniqueTokens(col("text")).as("tok"))
+    val a = t.select(col("doc_id").as("a_id"), col("tok").as("tok_a"))
+    val b = t.select(col("doc_id").as("b_id"), col("tok").as("tok_b"))
+    a.join(b, col("a_id") < col("b_id") &&
+      TextOps.jaccard(col("tok_a"), col("tok_b")) >= 0.9)
+      .select(col("a_id"), col("b_id"))
+  }
+
+  test("jaccard threshold join rewrites to a minhash-band equi-join, " +
+    "result is a high-recall subset of exact") {
+    val exact = jaccardPairsQuery().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "need some exact pairs for the comparison")
+
+    spark.experimental.extraOptimizations =
+      Seq(graft.plans.GraftLshRewrite)
+    spark.conf.set("spark.graft.ann.lshRewrite.enabled", "true")
+    try {
+      val df = jaccardPairsQuery()
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("minhash_signature"), plan.take(2000))
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+        s"rewrite must eliminate the nested loop:\n${plan.take(2000)}")
+      val approx = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(approx.subsetOf(exact),
+        s"band-joined result must be a subset (${approx.size} vs ${exact.size})")
+      // fixture dups sit at jaccard ~1.0, where a 4-row band recalls
+      // essentially everything; demand a non-trivial fraction
+      assert(approx.size.toDouble / exact.size >= 0.5,
+        s"recall too low: ${approx.size}/${exact.size}")
+    } finally {
+      spark.conf.unset("spark.graft.ann.lshRewrite.enabled")
+      spark.experimental.extraOptimizations = Nil
+    }
+  }
+
   test("rule is inert when disabled") {
     spark.experimental.extraOptimizations =
       Seq(graft.plans.GraftLshRewrite)

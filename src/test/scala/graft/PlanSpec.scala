@@ -132,6 +132,32 @@ class PlanSpec extends AnyFunSuite {
       || p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  test("dynamic partition pruning: a dim filter prunes fact partitions " +
+    "at runtime") {
+    import spark.implicits._
+    val out = "/tmp/graft_dpp_fact"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(out, "_SUCCESS")))
+      Tables.df(spark, sf, "lineitem")
+        .write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    val dimPath = "/tmp/graft_dpp_dim"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dimPath, "_SUCCESS")))
+      Seq(("R", "returned"), ("A", "accepted"), ("N", "none"))
+        .toDF("flag", "label").write.mode("overwrite").parquet(dimPath)
+    val fact = spark.read.parquet(out)
+    // DPP fires only when the build side carries a SELECTIVE predicate;
+    // the dim must be file-based (a filtered LocalRelation constant-folds
+    // into an unfiltered one and the selectivity check sees nothing)
+    val dim = spark.read.parquet(dimPath)
+      .filter(org.apache.spark.sql.functions.col("label") === "returned")
+    val df = fact.join(dim, fact("l_returnflag") === dim("flag"))
+      .groupBy(dim("flag")).count()
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruningexpression"),
+      s"fact scan must carry a runtime partition-pruning filter:\n" +
+        plan.take(3000))
+  }
+
   test("q97 LSH band join carries narrow keys only — no token arrays " +
     "in the band shuffle or candidate distinct") {
     import org.apache.spark.sql.catalyst.plans.logical
