@@ -91,6 +91,24 @@ object Connectors extends QueryModule {
         .orderBy(col("doc_id"))
     },
 
+    // V2 catalog integration (the surface lakehouse formats plug
+    // through): register the catalog, CREATE a named table via SQL DDL,
+    // SELECT against the catalog identifier — the analyzer resolves
+    // graft_cat.default.events_dim through GraftCatalog and the scan
+    // still gets the full pushdown stack. DuckDB mirrors the range
+    // semantics.
+    "q142_catalog_table" -> { (s, dir) =>
+      s.conf.set("spark.sql.catalog.graft_cat",
+        "graft.sources.GraftCatalog")
+      s.sql("CREATE TABLE IF NOT EXISTS graft_cat.default.events_dim " +
+        "(id BIGINT, sq BIGINT, tag STRING) TBLPROPERTIES " +
+        "('n'='50000', 'slices'='4')")
+      s.sql("SELECT tag, count(*) AS n, min(id) AS min_id, " +
+        "max(id) AS max_id, sum(sq) AS sum_sq " +
+        "FROM graft_cat.default.events_dim WHERE id >= 1000 AND id < 2000 " +
+        "GROUP BY tag ORDER BY tag")
+    },
+
     // COMPLETE aggregate pushdown: an ungrouped count/min/max over a
     // BILLION-row table answered source-side in O(1) — the engine plans
     // no aggregation and the scan emits one row (SourcesSpec asserts
@@ -123,6 +141,12 @@ object Connectors extends QueryModule {
         |FROM range(12345, 1000000000)""".stripMargin,
     "q141_dsv2_sink_roundtrip" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
-        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+    "q142_catalog_table" ->
+      """SELECT 't' || CAST(range % 7 AS VARCHAR) AS tag,
+        |  count(*) AS n, CAST(min(range) AS BIGINT) AS min_id,
+        |  CAST(max(range) AS BIGINT) AS max_id,
+        |  CAST(sum(range * range) AS BIGINT) AS sum_sq
+        |FROM range(1000, 2000) GROUP BY tag ORDER BY tag""".stripMargin
   )
 }

@@ -83,6 +83,29 @@ class SourcesSpec extends AnyFunSuite {
     assert(tmps == 0, s"$tmps uncommitted temp files left behind")
   }
 
+  test("catalog DDL: create, show, select-with-pushdown, rename, drop") {
+    spark.conf.set("spark.sql.catalog.graft_spec",
+      "graft.sources.GraftCatalog")
+    spark.sql("CREATE TABLE graft_spec.default.t1 (id BIGINT, sq BIGINT, " +
+      "tag STRING) TBLPROPERTIES ('n'='100')")
+    val shown = spark.sql("SHOW TABLES IN graft_spec.default").collect()
+      .map(_.getString(1))
+    assert(shown.contains("t1"))
+    val df = spark.sql(
+      "SELECT count(*) AS n FROM graft_spec.default.t1 WHERE id >= 40")
+    assert(df.collect().head.getLong(0) == 60L)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates") ||
+      plan.contains("range=[40,100)"),
+      s"catalog table must keep the pushdown stack:\n$plan")
+    // the new name resolves WITHIN the source catalog: no catalog prefix
+    spark.sql("ALTER TABLE graft_spec.default.t1 RENAME TO default.t2")
+    assert(spark.sql("SELECT count(*) AS n FROM graft_spec.default.t2")
+      .collect().head.getLong(0) == 100L)
+    spark.sql("DROP TABLE graft_spec.default.t2")
+    assert(spark.sql("SHOW TABLES IN graft_spec.default").collect().isEmpty)
+  }
+
   test("q134 binaryFile staging is deterministic across runs") {
     val a = SparkEntry.queries("q134_binaryfile_source")(spark, sf)
       .collect().map(_.toSeq)
