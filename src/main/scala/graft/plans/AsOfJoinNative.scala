@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Exp
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, ClusteredDistribution, Distribution, IdentityBroadcastMode, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 import org.apache.spark.sql.internal.SQLConf
 
 /** Whole-operator extension path (SURVEY §7.3 preference (c)): a custom
@@ -98,7 +99,8 @@ private[plans] object AsOfCore {
   def probe(leftIter: Iterator[InternalRow], index: Index,
             leftOut: Seq[Attribute], rightOut: Seq[Attribute],
             outAttrs: Seq[Attribute],
-            lk: Expression, lt: Expression): Iterator[InternalRow] = {
+            lk: Expression, lt: Expression,
+            numMatched: SQLMetric, numNullPadded: SQLMetric): Iterator[InternalRow] = {
     val lKeyEval = BindReferences.bindReference(lk, leftOut)
     val lTimeEval = BindReferences.bindReference(lt, leftOut)
     val joined = new JoinedRow
@@ -123,9 +125,18 @@ private[plans] object AsOfCore {
           if (ans >= 0) matched = rows(ans)
         }
       }
+      if (matched eq nullRight) numNullPadded += 1 else numMatched += 1
       project(joined(lrow, matched))
     }
   }
+
+  /** Per-operator metrics shared by both physical shapes: how many
+    * probe rows found an as-of match vs were null-padded — the
+    * first thing to look at when an as-of result looks thin. */
+  def metricsFor(sc: org.apache.spark.SparkContext): Map[String, SQLMetric] =
+    Map(
+      "numMatched" -> SQLMetrics.createMetric(sc, "matched probe rows"),
+      "numNullPadded" -> SQLMetrics.createMetric(sc, "null-padded probe rows"))
 }
 
 /** Broadcast backward as-of join: probe side streamed in place, build
@@ -147,6 +158,9 @@ case class BroadcastAsOfJoinExec(
   override def requiredChildDistribution: Seq[Distribution] =
     Seq(UnspecifiedDistribution, BroadcastDistribution(IdentityBroadcastMode))
 
+  override lazy val metrics: Map[String, SQLMetric] =
+    AsOfCore.metricsFor(sparkContext)
+
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): BroadcastAsOfJoinExec =
     copy(left = newLeft, right = newRight)
@@ -158,10 +172,12 @@ case class BroadcastAsOfJoinExec(
     val outAttrs = output
     val (lk, lt) = (leftKey, leftTime)
     val (rk, rt, rb) = (rightKey, rightTime, rightTieBreak)
+    val (nm, np) = (longMetric("numMatched"), longMetric("numNullPadded"))
     left.execute().mapPartitions { leftIter =>
       val index = AsOfCore.buildIndex(broadcastRight.value.iterator,
         rightOut, rk, rt, rb, copyRows = false)
-      AsOfCore.probe(leftIter, index, leftOut, rightOut, outAttrs, lk, lt)
+      AsOfCore.probe(leftIter, index, leftOut, rightOut, outAttrs, lk, lt,
+        nm, np)
     }
   }
 }
@@ -188,6 +204,9 @@ case class ShuffledAsOfJoinExec(
     Seq(ClusteredDistribution(Seq(leftKey)),
       ClusteredDistribution(Seq(rightKey)))
 
+  override lazy val metrics: Map[String, SQLMetric] =
+    AsOfCore.metricsFor(sparkContext)
+
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): ShuffledAsOfJoinExec =
     copy(left = newLeft, right = newRight)
@@ -198,10 +217,12 @@ case class ShuffledAsOfJoinExec(
     val outAttrs = output
     val (lk, lt) = (leftKey, leftTime)
     val (rk, rt, rb) = (rightKey, rightTime, rightTieBreak)
+    val (nm, np) = (longMetric("numMatched"), longMetric("numNullPadded"))
     left.execute().zipPartitions(right.execute()) { (leftIter, rightIter) =>
       val index = AsOfCore.buildIndex(rightIter, rightOut, rk, rt, rb,
         copyRows = true)
-      AsOfCore.probe(leftIter, index, leftOut, rightOut, outAttrs, lk, lt)
+      AsOfCore.probe(leftIter, index, leftOut, rightOut, outAttrs, lk, lt,
+        nm, np)
     }
   }
 }

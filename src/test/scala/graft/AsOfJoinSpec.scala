@@ -52,6 +52,46 @@ class AsOfJoinSpec extends AnyFunSuite {
     } finally spark.conf.set(key, saved)
   }
 
+  test("as-of exec reports matched/null-padded SQL metrics") {
+    import org.apache.spark.sql.functions._
+    graft.GraftExtensions.register(spark)
+    // no trailing orderBy: a global sort's range-partitioner sampling
+    // pass would execute the probe twice and double the metrics
+    val ev = Tables.df(spark, sf, "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        unix_micros(col("ts")).as("click_ts_us"))
+    val df = graft.plans.AsOfJoinOps
+      .asof(p, c, "user_id", "c_user", "ts_us", "click_ts_us", "click_id")
+    val rows = df.collect()
+    val nulls = rows.count(_.isNullAt(3)).toLong
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    // walk through AQE wrappers and query-stage leaves
+    def findExecs(p: SparkPlan): Seq[graft.plans.BroadcastAsOfJoinExec] = {
+      val here = p match {
+        case e: graft.plans.BroadcastAsOfJoinExec => Seq(e)
+        case _ => Nil
+      }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      here ++ kids.flatMap(findExecs)
+    }
+    val execs = findExecs(df.queryExecution.executedPlan)
+    assert(execs.nonEmpty, "custom exec not found in the plan")
+    val m = execs.head.metrics
+    assert(m("numMatched").value == rows.length - nulls,
+      s"matched metric ${m("numMatched").value} != ${rows.length - nulls}")
+    assert(m("numNullPadded").value == nulls,
+      s"null-pad metric ${m("numNullPadded").value} != $nulls")
+  }
+
   test("unmatched left rows null-pad; matched rows take the latest " +
     "at-or-before right row") {
     val rows = SparkEntry.queries("q125_asof_native")(spark, sf).collect()
