@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QueryModule, Tables}
 import graft.functions.VectorOps._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -237,6 +237,63 @@ object Similarity extends QueryModule {
         .orderBy(col("cell"))
     },
 
+    // Product-quantization ANN (ADC — asymmetric distance computation),
+    // the memory-compressed index family next to LSH (q78) and IVF
+    // (q111): vectors split into m=8 subvectors, each encoded as its
+    // nearest of k=16 per-subspace centroids — 8 bytes per vector
+    // instead of 256 — and probes rank by the sum of per-subspace
+    // L2² lookups against the codebook (the probe is NEVER compared to
+    // raw corpus vectors). Codebook = subvectors of the fixed corpus
+    // slice 100..115 (same determinism trick as q111) so DuckDB can
+    // replay the identical index; production k-means-trains it, the
+    // encode/LUT/rank machinery is unchanged. Scale: encode is one
+    // corpus pass against a broadcast 128-row codebook; the query cost
+    // is (probes × m × k) LUT entries + one shuffle on the narrow
+    // (probe, vec) key over CODES, never raw vectors.
+    "q143_ann_pq" -> { (s, dir) =>
+      val m = 8; val subDim = 8
+      val c = corpus(s, dir)
+      def subvectors(vcol: Column): Column =
+        transform(sequence(lit(0), lit(m - 1)),
+          j => slice(vcol, j * subDim + 1, lit(subDim)))
+      def l2sq(a: Column, b: Column): Column =
+        round(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, v) => acc + v), 6)
+      val codebook = c.filter(col("vec_id") >= 100 && col("vec_id") < 116)
+        .select((col("vec_id") - 100).as("cent_id"),
+          posexplode(subvectors(col("v"))).as(Seq("j", "cv")))
+      val subv = c.select(col("vec_id"),
+        posexplode(subvectors(col("v"))).as(Seq("j", "sv")))
+      val wCode = Window.partitionBy(col("vec_id"), col("j"))
+        .orderBy(col("d"), col("cent_id"))
+      val codes = subv.join(broadcast(codebook), "j")
+        .select(col("vec_id"), col("j"), col("cent_id"),
+          l2sq(col("sv"), col("cv")).as("d"))
+        .withColumn("rk", row_number().over(wCode))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("j"), col("cent_id").as("code"))
+      val lut = c.filter(col("vec_id") < annProbeCount)
+        .select(col("vec_id").as("probe_id"),
+          posexplode(subvectors(col("v"))).as(Seq("j", "pv")))
+        .join(broadcast(codebook), "j")
+        .select(col("probe_id"), col("j"), col("cent_id").as("code"),
+          l2sq(col("pv"), col("cv")).as("d"))
+      val wTop = Window.partitionBy(col("probe_id"))
+        .orderBy(col("adist"), col("vec_id"))
+      codes.join(broadcast(lut), Seq("j", "code"))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .groupBy(col("probe_id"), col("vec_id"))
+        // d is 6dp-rounded: the DECIMAL sum is exact and therefore
+        // summation-order-independent across engines
+        .agg(sum(col("d").cast(DecimalType(18, 6))).cast(DoubleType)
+          .as("adist"))
+        .withColumn("rk", row_number().over(wTop))
+        .filter(col("rk") <= 5)
+        .select(col("probe_id"), col("vec_id"), col("adist"),
+          col("rk").cast(LongType).as("rk"))
+        .orderBy(col("probe_id"), col("rk"))
+    },
+
     // Hybrid retrieval: keyword pre-filter on documents, then cosine
     // ranking of the surviving docs' embeddings against a probe vector —
     // the text+vector search pattern (filter prunes the candidate set
@@ -401,6 +458,38 @@ object Similarity extends QueryModule {
         |  round(CAST(sum(CAST(csim AS DECIMAL(18,6))) AS DOUBLE)
         |    / count(*), 6) AS mean_sim
         |FROM assign2 GROUP BY cell ORDER BY cell""".stripMargin,
+    "q143_ann_pq" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |sub AS (
+        |  SELECT vec_id, j, v[j*8+1 : j*8+8] AS sv
+        |  FROM v, unnest(range(0, 8)) AS t(j)),
+        |codebook AS (
+        |  SELECT vec_id - 100 AS cent_id, j, sv AS cv FROM sub
+        |  WHERE vec_id >= 100 AND vec_id < 116),
+        |dists AS (
+        |  SELECT s.vec_id, s.j, cb.cent_id,
+        |    round(list_sum(list_transform(range(1, 9),
+        |      i -> (s.sv[i] - cb.cv[i]) * (s.sv[i] - cb.cv[i]))), 6) AS d
+        |  FROM sub s JOIN codebook cb ON s.j = cb.j),
+        |codes AS (
+        |  SELECT vec_id, j, cent_id AS code FROM (
+        |    SELECT vec_id, j, cent_id, row_number() OVER (
+        |      PARTITION BY vec_id, j ORDER BY d, cent_id) AS rk
+        |    FROM dists) WHERE rk = 1),
+        |lut AS (
+        |  SELECT vec_id AS probe_id, j, cent_id AS code, d
+        |  FROM dists WHERE vec_id < 20),
+        |scored AS (
+        |  SELECT l.probe_id, c.vec_id,
+        |    CAST(sum(CAST(l.d AS DECIMAL(18,6))) AS DOUBLE) AS adist
+        |  FROM codes c JOIN lut l ON c.j = l.j AND c.code = l.code
+        |  WHERE c.vec_id != l.probe_id
+        |  GROUP BY l.probe_id, c.vec_id)
+        |SELECT probe_id, vec_id, adist, CAST(rk AS BIGINT) AS rk FROM (
+        |  SELECT probe_id, vec_id, adist, row_number() OVER (
+        |    PARTITION BY probe_id ORDER BY adist, vec_id) AS rk
+        |  FROM scored) WHERE rk <= 5
+        |ORDER BY probe_id, rk""".stripMargin,
     "q96_hybrid_search" ->
       """SELECT d.doc_id, e.label,
         |  round(list_cosine_similarity(

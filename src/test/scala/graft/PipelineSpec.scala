@@ -118,6 +118,36 @@ class PipelineSpec extends AnyFunSuite {
       s"cluster-level recall too low: $agree/${exact.length}")
   }
 
+  test("q143 PQ codes rank real L2 neighbors far above chance") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorOps._
+    val pq = SparkEntry.queries("q143_ann_pq")(spark, sf).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet)
+    // exact L2 top-5 per probe (same metric PQ approximates)
+    val c = Tables.df(spark, sf, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val probes = c.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+    val l2 = aggregate(zip_with(col("pv"), col("v"),
+      (x, y) => (x - y) * (x - y)), lit(0.0), (a, b) => a + b)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id")).orderBy(col("d"), col("vec_id"))
+    val exact = c.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"), l2.as("d"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet)
+    val n = Tables.df(spark, sf, "embeddings").count().toDouble
+    val overlaps = exact.map { case (p, ex) => (pq(p) & ex).size }.toSeq
+    val mean = overlaps.sum.toDouble / overlaps.size
+    // random top-5 would overlap ~ 5*5/n per probe; PQ on a
+    // structureless corpus is coarse (its worst case) but must carry
+    // far-above-chance signal
+    val chance = 5.0 * 5.0 / n
+    assert(mean >= math.max(0.25, 5 * chance),
+      s"PQ overlap $mean is not above chance ($chance)")
+  }
+
   test("q80 decode stub is deterministic across runs") {
     val a = SparkEntry.queries("q80_multimodal_decode")(spark, sf).collect()
     val b = SparkEntry.queries("q80_multimodal_decode")(spark, sf).collect()
