@@ -62,6 +62,40 @@ object Extensibility extends QueryModule {
         .orderBy(col("lang"))
     },
 
+    // Sketch SET OPERATIONS: mergeable KMV sketches estimate the
+    // distinct-user union and intersection of two event slices —
+    // union = one sketch over both slices (sketch merge is the union
+    // by construction), intersection by inclusion-exclusion over three
+    // estimates. At 100 TB this is how cross-dataset overlap is
+    // measured without ever shuffling raw ids into one place; the
+    // exact sides + error-bound booleans keep it oracle-checkable
+    // (the intersection bound is vs the UNION size — differences of
+    // estimates carry the summed error).
+    "q145_sketch_setops" -> { (s, dir) =>
+      val ev = Tables.df(s, dir, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("user_id").cast(StringType).as("uid"),
+          col("event_type"))
+      def side(t: String, nm: String) = ev.filter(col("event_type") === t)
+        .agg(kmvDistinct(array(col("uid"))).as(s"est_$nm"),
+          countDistinct(col("uid")).as(s"exact_$nm"))
+      val u = ev.agg(kmvDistinct(array(col("uid"))).as("est_u"),
+        countDistinct(col("uid")).as("exact_u"))
+      side("click", "a").crossJoin(broadcast(side("purchase", "b")))
+        .crossJoin(broadcast(u))
+        .select(col("exact_a"), col("exact_b"), col("exact_u"),
+          (col("exact_a") + col("exact_b") - col("exact_u")).as("exact_i"),
+          (abs(col("est_a") - col("exact_a"))
+            <= col("exact_a") * 0.2).as("a_ok"),
+          (abs(col("est_b") - col("exact_b"))
+            <= col("exact_b") * 0.2).as("b_ok"),
+          (abs(col("est_u") - col("exact_u"))
+            <= col("exact_u") * 0.2).as("u_ok"),
+          (abs(col("est_a") + col("est_b") - col("est_u") -
+            (col("exact_a") + col("exact_b") - col("exact_u")))
+            <= col("exact_u") * 0.3).as("i_ok"))
+    },
+
     // Brickhouse collect / combine_unique UDAFs (SURVEY §2.3 row 7;
     // reference lowers both onto a collect-set kernel — see
     // functions/Brickhouse.scala). Registered as SQL UDAFs via
@@ -99,6 +133,21 @@ object Extensibility extends QueryModule {
         |FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok
         |      FROM documents)
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q145_sketch_setops" ->
+      """SELECT
+        | (SELECT count(DISTINCT user_id) FROM events
+        |  WHERE event_type = 'click') AS exact_a,
+        | (SELECT count(DISTINCT user_id) FROM events
+        |  WHERE event_type = 'purchase') AS exact_b,
+        | (SELECT count(DISTINCT user_id) FROM events
+        |  WHERE event_type IN ('click', 'purchase')) AS exact_u,
+        | (SELECT count(DISTINCT user_id) FROM events
+        |  WHERE event_type = 'click')
+        |  + (SELECT count(DISTINCT user_id) FROM events
+        |     WHERE event_type = 'purchase')
+        |  - (SELECT count(DISTINCT user_id) FROM events
+        |     WHERE event_type IN ('click', 'purchase')) AS exact_i,
+        | TRUE AS a_ok, TRUE AS b_ok, TRUE AS u_ok, TRUE AS i_ok""".stripMargin,
     "q105_brickhouse" ->
       """SELECT lang,
         | array_to_string(list_sort(list(DISTINCT tok)), ' ') AS uniq_toks,

@@ -167,6 +167,22 @@ object Streaming extends QueryModule {
         .orderBy(col("user_id"), col("event_type"))
     },
 
+    // dropDuplicatesWithinWatermark (Spark 3.5+): dedup where the state
+    // for a key is EVICTED once the watermark passes it — bounded state
+    // for unbounded streams, the production-correct streaming dedup
+    // (plain dropDuplicates state grows forever). Bounded fixture:
+    // every duplicate pair sits within the delay, so the result equals
+    // the batch distinct.
+    "q144_stream_dedup_watermark" -> { (s, dir) =>
+      val dedup = eventStream(s, dir)
+        .withWatermark("ts", "2 hours")
+        .select(col("user_id"), col("event_type"), col("ts"))
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .select(col("user_id"), col("event_type"))
+      drain(dedup, s, "q144_sink", OutputMode.Append())
+        .orderBy(col("user_id"), col("event_type"))
+    },
+
     // Stream-stream inner join with a time-range condition: purchases
     // joined to same-user clicks within the preceding 30 minutes.
     // Watermarks bound both join states; draining the bounded stream
@@ -346,6 +362,9 @@ object Streaming extends QueryModule {
         | AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
         |ORDER BY p_id, c_id""".stripMargin,
     "q89_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
+    "q144_stream_dedup_watermark" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
     "q88_stream_foreachbatch" ->
