@@ -29,7 +29,7 @@ object Pipeline2 extends QueryModule {
   private val gramN = 4
 
   /** Distinct word n-grams per document (n = `gramN`). */
-  private def docGrams(docs: DataFrame): DataFrame =
+  private[graft] def docGrams(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), tokens(col("text")).as("tok"))
       .filter(size(col("tok")) >= gramN)
       .select(col("doc_id"),

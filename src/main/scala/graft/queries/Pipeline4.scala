@@ -52,6 +52,51 @@ object Pipeline4 extends QueryModule {
         .orderBy(col("doc_id"))
     },
 
+    // The CURATION PIPELINE end-to-end, oracle-checkable: the whole
+    // LLM-data flow in one declarative plan — quality filter (length),
+    // near-dup removal (fingerprint groups keep the min doc_id),
+    // benchmark decontamination (drop docs sharing >= 3 word-4-grams
+    // with the fixed 200-doc benchmark tail, and the tail itself), and
+    // deterministic split assignment on the survivors. Every stage is
+    // the oracle-expressible variant of its scalable twin (fingerprint
+    // ~ q129's LSH clusters, gram overlap = q113, split = q132), so
+    // DuckDB replays the ENTIRE pipeline hash-exactly.
+    // Scale: scan → window-on-fp → gram join vs broadcast bench set →
+    // anti join → map-only split. No stage is quadratic in the corpus.
+    "q149_curation" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.df(s, dir, "documents")
+      val cut = docs.agg((max(col("doc_id")) - 200).cast(LongType).as("cut"))
+      val wFp = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+      val quality = docs
+        .select(col("doc_id"), col("text"),
+          size(tokens(col("text"))).cast(LongType).as("n_tokens"))
+        .filter(col("n_tokens") >= 40)
+      val deduped = quality
+        .withColumn("fp", fingerprint(col("text")))
+        .withColumn("rn", row_number().over(wFp))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("text"))
+      val grams = Pipeline2.docGrams(docs).crossJoin(broadcast(cut))
+      val bench = grams.filter(col("doc_id") >= col("cut"))
+        .select(col("g")).distinct()
+      val contaminated = grams.filter(col("doc_id") < col("cut"))
+        .join(broadcast(bench), "g")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+        .filter(col("n_hits") >= 3)
+        .select(col("doc_id"))
+      val u = substring(md5(concat(lit("split"),
+        col("doc_id").cast(StringType)).cast(BinaryType)), 1, 8)
+      deduped.crossJoin(broadcast(cut))
+        .filter(col("doc_id") < col("cut"))
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"),
+          when(u < "cccccccc", "train")
+            .when(u < "e6666666", "val")
+            .otherwise("test").as("split"))
+        .orderBy(col("doc_id"))
+    },
+
     // Deterministic train/val/test split (80/10/10): a salted md5 maps
     // every doc to a stable uniform draw; thresholds on the 8-hex-char
     // prefix partition the unit interval. Emits the assignment — the
@@ -71,6 +116,40 @@ object Pipeline4 extends QueryModule {
   private val tokSql = "string_split(text, ' ')"
 
   override def oracle: Map[String, String] = Map(
+    "q149_curation" ->
+      s"""WITH cut AS (SELECT CAST(max(doc_id) - 200 AS BIGINT) AS cut
+         |             FROM documents),
+         |quality AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE len($tokSql) >= 40),
+         |deduped AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, row_number() OVER (
+         |      PARTITION BY md5(array_to_string(list_sort(
+         |        list_distinct($tokSql)), ' '))
+         |      ORDER BY doc_id) AS rn
+         |    FROM quality) WHERE rn = 1),
+         |d AS (SELECT doc_id, $tokSql AS tok FROM documents
+         |      WHERE len($tokSql) >= 4),
+         |idx AS (SELECT doc_id, tok, unnest(range(1, len(tok) - 2)) AS i
+         |        FROM d),
+         |grams AS (SELECT DISTINCT doc_id,
+         |            array_to_string(tok[i:i+3], ' ') AS g FROM idx),
+         |bench AS (SELECT DISTINCT g FROM grams, cut WHERE doc_id >= cut),
+         |contaminated AS (
+         |  SELECT c.doc_id FROM grams c JOIN bench b USING (g), cut
+         |  WHERE c.doc_id < cut
+         |  GROUP BY c.doc_id HAVING count(*) >= 3)
+         |SELECT doc_id,
+         |  CASE WHEN substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8)
+         |         < 'cccccccc' THEN 'train'
+         |       WHEN substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8)
+         |         < 'e6666666' THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM deduped, cut
+         |WHERE doc_id < cut
+         |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+         |ORDER BY doc_id""".stripMargin,
     "q131_repetition" ->
       s"""WITH d AS (SELECT doc_id, $tokSql AS tok FROM documents
          |           WHERE len($tokSql) >= 3),
