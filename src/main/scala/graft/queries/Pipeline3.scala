@@ -14,12 +14,12 @@ import org.apache.spark.sql.types._
   * globally-shuffled export sharding.
   *
   * Scale design notes (100 TB):
-  *  - q118: min-label propagation runs O(diameter) rounds; each round is
-  *    ONE shuffle on node id (near-dup clusters are clique-ish, diameter
-  *    2-3 in practice). Lineage is cut per round (localCheckpoint here;
-  *    a real cluster checkpoints to the DFS), the edge list is
-  *    materialized once. The large-star/small-star variant drops rounds
-  *    to O(log n) if diameter ever bites.
+  *  - q118: min-label propagation with pointer doubling runs
+  *    O(log diameter) rounds; each round is two shuffles on node id.
+  *    Lineage is cut per round (localCheckpoint here; a real cluster
+  *    checkpoints to the DFS), the edge list is materialized once, and
+  *    a non-converged exit fails loudly (q150 proves a diameter-99
+  *    chain against the DuckDB oracle).
   *  - q119: quota top-k per domain is a rank-filter window — Spark plans
   *    it as WindowGroupLimit, so each map task keeps only k rows per
   *    group BEFORE the shuffle; state is O(domains x k), not O(corpus).
@@ -30,14 +30,22 @@ import org.apache.spark.sql.types._
   */
 object Pipeline3 extends QueryModule {
 
-  /** Min-label-propagation connected components over a symmetric edge
-    * list (src, dst) → (node, root): labels flow one hop per round,
-    * min-combine per node; the monotone label sum doubles as the
-    * convergence test (one scalar action per round — control flow only,
-    * the data never visits the driver). One shuffle per round, lineage
-    * cut per round (localCheckpoint; a real cluster checkpoints to the
-    * DFS). Near-dup clusters are clique-ish → diameter 2-3 in practice;
-    * large-star/small-star drops rounds to O(log n) if it ever bites. */
+  /** Min-label-propagation connected components WITH pointer doubling,
+    * over a symmetric edge list (src, dst) → (node, root). Each round:
+    *  1. hop — labels flow one edge, min-combine per node;
+    *  2. shortcut — root ← root's root (every root value is itself a
+    *     node, so the self-join always hits).
+    * The hop alone moves the min label one hop per round (O(diameter)
+    * rounds — a silent under-merge risk on long dup CHAINS at corpus
+    * scale); the shortcut roughly doubles the covered distance each
+    * round, so convergence is O(log diameter): a diameter-10^6 chain
+    * settles in ~20 rounds. The monotone label sum is the convergence
+    * test (one scalar action per round — control flow only; the data
+    * never visits the driver), and if the 64-round cap is ever hit while
+    * the sum is still improving the loop FAILS LOUDLY instead of
+    * returning a plausible-looking partial merge. Two shuffles per
+    * round, lineage cut per round (localCheckpoint; a real cluster
+    * checkpoints to the DFS). */
   private[graft] def connectedComponents(edgesIn: DataFrame): DataFrame = {
     val edges = edgesIn.localCheckpoint()
     def labelSum(df: DataFrame): Long = {
@@ -49,16 +57,31 @@ object Pipeline3 extends QueryModule {
     var prev = Long.MaxValue
     var cur = labelSum(labels)
     var iters = 0
-    while (cur < prev && iters < 20) {
-      labels = edges.join(labels, edges("src") === labels("node"))
+    val maxIters = 64
+    while (cur < prev && iters < maxIters) {
+      val hopped = edges.join(labels, edges("src") === labels("node"))
         .select(col("dst").as("node"), col("root"))
         .union(labels)
         .groupBy(col("node")).agg(min(col("root")).as("root"))
+      // Pointer doubling: root(u) ← root(root(u)). The invariant
+      // root(u) <= u holds throughout (labels start at the node id and
+      // only min-combine), so the shortcut is monotone; least() is
+      // defensive only.
+      val byNode = hopped
+        .select(col("node").as("r_node"), col("root").as("r_root"))
+      labels = hopped.join(byNode, hopped("root") === byNode("r_node"))
+        .select(col("node"), least(col("root"), col("r_root")).as("root"))
         .localCheckpoint()
       prev = cur
       cur = labelSum(labels)
       iters += 1
     }
+    if (cur < prev)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge after $maxIters rounds " +
+          s"(label sum still improving: $prev -> $cur); the graph is " +
+          "adversarially deep — raise the cap rather than return a " +
+          "silently partial merge")
     labels
   }
 
@@ -185,6 +208,28 @@ object Pipeline3 extends QueryModule {
         .orderBy(col("doc_id"))
     },
 
+    // Deep-graph convergence proof for the CC kernel: a synthetic chain
+    // graph — doc i links to doc i+1 except across 100-doc boundaries,
+    // so every component is a PATH of diameter 99 (worst case for
+    // one-hop label propagation, which a 20-round cap would silently
+    // under-merge; pointer doubling settles it in ~8 rounds). Oracle:
+    // each doc's cluster is its chain head, doc_id - doc_id % 100.
+    "q150_cc_chain" -> { (s, dir) =>
+      val d = Tables.df(s, dir, "documents").select(col("doc_id"))
+      val a = d.select(col("doc_id").as("src"))
+      val b = d.select(col("doc_id").as("dst"))
+      val fwd = a.join(b, col("src") + 1 === col("dst") &&
+          col("src") % 100 =!= 99)
+      val edges = fwd.union(fwd.select(col("dst").as("src"),
+        col("src").as("dst")))
+      val labels = connectedComponents(edges)
+        .select(col("node").as("doc_id"), col("root"))
+      d.join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("root"), col("doc_id")).as("cluster_id"))
+        .orderBy(col("doc_id"))
+    },
+
     // k-min sketch fingerprint dedup (the winnowing/rolling-hash family
     // with an engine-portable hash): each doc keeps the 4 smallest
     // md5(3-gram) values as its sketch — the top-k per doc is a
@@ -239,6 +284,9 @@ object Pipeline3 extends QueryModule {
          |SELECT node AS doc_id, min(root) AS cluster_id,
          |  node = min(root) AS is_canonical
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+    "q150_cc_chain" ->
+      """SELECT doc_id, CAST(doc_id - doc_id % 100 AS BIGINT) AS cluster_id
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q119_domain_mixture" ->
       """SELECT doc_id, source, n_chars, rk FROM (
         |  SELECT doc_id, source, n_chars,

@@ -32,6 +32,35 @@ class Pipeline3Spec extends AnyFunSuite {
     }
   }
 
+  test("connected components converges on a diameter-128 path graph " +
+    "(beyond any fixed hop-count budget)") {
+    import org.apache.spark.sql.functions.col
+    // path 0-1-2-...-128: worst case for one-hop label propagation
+    // (the old 20-round cap silently under-merged this); pointer
+    // doubling settles it in ~log2(128) rounds
+    val fwd = spark.range(0, 128).toDF("src")
+      .select(col("src"), (col("src") + 1).as("dst"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"),
+      col("src").as("dst")))
+    val labels = graft.queries.Pipeline3.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 129, "every path node labeled")
+    labels.foreach { case (n, root) =>
+      assert(root == 0L, s"node $n labeled $root, expected 0")
+    }
+    // two disjoint deep paths must NOT merge
+    val fwd2 = spark.range(0, 200).toDF("src")
+      .filter(col("src") % 100 =!= 99)
+      .select(col("src"), (col("src") + 1).as("dst"))
+    val edges2 = fwd2.union(fwd2.select(col("dst").as("src"),
+      col("src").as("dst")))
+    val labels2 = graft.queries.Pipeline3.connectedComponents(edges2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    labels2.foreach { case (n, root) =>
+      assert(root == n - n % 100, s"node $n labeled $root")
+    }
+  }
+
   test("q129 dedup pipeline on the q118 slice reproduces the " +
     "oracle-checked clusters (cluster-level LSH recall)") {
     import org.apache.spark.sql.functions.col
