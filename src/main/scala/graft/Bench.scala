@@ -9,8 +9,12 @@ import org.apache.spark.sql.SparkSession
   * file-index startup so per-query numbers measure the plans, not the
   * JIT. Headline set spans the scale-critical shapes: scan+agg, big-big
   * join, broadcast star join, outer-join histogram, rollup, window top-k,
-  * explode wordcount, dedup (exact + minhash-LSH + fingerprint), simhash,
-  * ANN (brute force + LSH), and the streaming tumbling window.
+  * explode wordcount, dedup (exact + minhash-LSH + fingerprint + the
+  * full LSH→CC pipeline + semantic), simhash, ANN (brute force + LSH +
+  * IVF + PQ), the end-to-end curation pipeline, and the streaming
+  * tumbling window. (q111/q129/q133/q143/q149 added round 6 — the
+  * heavy round-5 operators were previously unbenched, so regressions
+  * in them were invisible; the total is re-baselined accordingly.)
   */
 object Bench {
   val headline: Seq[String] = Seq(
@@ -20,7 +24,9 @@ object Bench {
     "q75_minhash_lsh", "q76_simhash", "q77_ann_bruteforce", "q78_ann_lsh",
     "q85_stream_tumbling",
     "q100_shipping_priority", "q101_local_supplier_volume",
-    "q102_returned_items", "q95_clean_corpus", "q97_minhash_full")
+    "q102_returned_items", "q95_clean_corpus", "q97_minhash_full",
+    "q111_ann_ivf", "q129_dedup_pipeline", "q133_semantic_dedup",
+    "q143_ann_pq", "q149_curation")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

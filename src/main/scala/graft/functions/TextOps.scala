@@ -71,6 +71,12 @@ object TextOps {
     xxhash64((lit(b) +: slots): _*)
   }
 
+  /** All LSH band keys at once: fused signature + per-band fold (see
+    * MinHashBandsExpr) — one expression call per document where the
+    * bandHash composition generated bands×rows element_at calls. */
+  def minhashBands(text: Column, bands: Int, rows: Int): Column =
+    MinHashSignatureExpr.minhashBands(uniqueTokens(text), bands, rows)
+
   /** Exact token-set Jaccard similarity of two token arrays — fused
     * single-pass native expression (see JaccardSim; replaces the
     * array_intersect/array_union composition that allocated two arrays

@@ -3,7 +3,8 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, GraftPlanBridge}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, ClusteredDistribution, Distribution, IdentityBroadcastMode, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
@@ -21,8 +22,8 @@ import org.apache.spark.sql.internal.SQLConf
   * (ties on time broken by the greatest tie-break value); unmatched left
   * rows pad the right side with nulls.
   *
-  * Two physical shapes, chosen by the planner on right-side size (the
-  * same decision Spark's JoinSelection makes for equi-joins):
+  * Three physical shapes, chosen by the planner on right-side size
+  * (the same ladder Spark's JoinSelection walks for equi-joins):
   *  - [[BroadcastAsOfJoinExec]] — right side under the broadcast
   *    threshold rides Spark's own BroadcastExchange; the streamed left
   *    side probes a per-key time-sorted index by binary search. NO
@@ -33,6 +34,11 @@ import org.apache.spark.sql.internal.SQLConf
   *    right partition and streams its left partition. Covers
   *    right-side-too-big-to-broadcast with one shuffle per side,
   *    analogous to ShuffledHashJoinExec.
+  *  - [[SortMergeAsOfJoinExec]] — both sides clustered AND sorted
+  *    (Spark's spill-capable SortExec); the merge keeps one candidate
+  *    row per key group. The skew-complete shape: a hot key that would
+  *    OOM the hash index streams through in O(1) memory, analogous to
+  *    SortMergeJoinExec.
   */
 case class AsOfJoinPlan(
     left: LogicalPlan,
@@ -60,6 +66,13 @@ case class AsOfJoinPlan(
 private[plans] object AsOfCore {
   type Index = java.util.HashMap[Any, (Array[Long], Array[InternalRow])]
 
+  /** Time/tie-break values are validated Long-backed or Int-backed at
+    * plan build (AsOfJoinOps.asof) — normalize both to Long. */
+  def toLongTime(v: Any): Long = v match {
+    case l: Long => l
+    case i: Int => i.toLong
+  }
+
   /** `copyRows` must be true when `rows` come from a shuffle iterator
     * (Spark reuses the row object between next() calls). */
   def buildIndex(rows: Iterator[InternalRow], rightOut: Seq[Attribute],
@@ -77,15 +90,14 @@ private[plans] object AsOfCore {
         val row = if (copyRows) row0.copy() else row0
         val tie = tieEval.eval(row) match {
           case null => Long.MinValue
-          case v: Long => v
-          case v: Int => v.toLong
+          case v => toLongTime(v)
         }
         var buf = grouped.get(k)
         if (buf == null) {
           buf = scala.collection.mutable.ArrayBuffer.empty
           grouped.put(k, buf)
         }
-        buf += ((t.asInstanceOf[Long], tie, row))
+        buf += ((toLongTime(t), tie, row))
       }
     }
     val index = new Index
@@ -116,7 +128,7 @@ private[plans] object AsOfCore {
           val (times, rows) = entry
           // rightmost slot with times(i) <= t
           var lo = 0; var hi = times.length - 1; var ans = -1
-          val tv = t.asInstanceOf[Long]
+          val tv = toLongTime(t)
           while (lo <= hi) {
             val mid = (lo + hi) >>> 1
             if (times(mid) <= tv) { ans = mid; lo = mid + 1 }
@@ -227,28 +239,161 @@ case class ShuffledAsOfJoinExec(
   }
 }
 
+/** Sort-merge backward as-of join — the skew/spill-complete shape.
+  * Both sides hash-clustered on the key AND sorted within partitions
+  * (left by (key, time), right by (key, time, tie-break)); Spark's own
+  * SortExec does the heavy lifting with full spill support, and the
+  * merge itself holds ONE candidate right row per key group — O(1)
+  * state where ShuffledAsOfJoinExec holds the whole right partition in
+  * a hash index. A hot key at 100 TB streams through here where the
+  * hash path would OOM — the same trade as Spark's own SMJ vs SHJ. */
+case class SortMergeAsOfJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKey: Expression,
+    rightKey: Expression,
+    leftTime: Expression,
+    rightTime: Expression,
+    rightTieBreak: Expression) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    Seq(ClusteredDistribution(Seq(leftKey)),
+      ClusteredDistribution(Seq(rightKey)))
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending),
+      SortOrder(rightTieBreak, Ascending)))
+
+  override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
+
+  override lazy val metrics: Map[String, SQLMetric] =
+    AsOfCore.metricsFor(sparkContext)
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): SortMergeAsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val leftOut = left.output
+    val rightOut = right.output
+    val outAttrs = output
+    val (lk, lt) = (leftKey, leftTime)
+    val (rk, rt) = (rightKey, rightTime)
+    val keyType = leftKey.dataType
+    val (nm, np) = (longMetric("numMatched"), longMetric("numNullPadded"))
+    left.execute().zipPartitions(right.execute()) { (leftIter, rightIter) =>
+      val keyOrd = TypeUtils.getInterpretedOrdering(keyType)
+      val lKeyEval = BindReferences.bindReference(lk, leftOut)
+      val lTimeEval = BindReferences.bindReference(lt, leftOut)
+      val rKeyEval = BindReferences.bindReference(rk, rightOut)
+      val rTimeEval = BindReferences.bindReference(rt, rightOut)
+      val buffered = rightIter.buffered
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(rightOut.length)
+      val project = UnsafeProjection.create(outAttrs, leftOut ++ rightOut)
+      // the single retained right row: the latest (time, tie) <= the
+      // current left row's time within the current key group
+      var candidate: InternalRow = null
+      var candidateKey: Any = null
+      leftIter.map { lrow =>
+        val k = lKeyEval.eval(lrow)
+        val t = lTimeEval.eval(lrow)
+        var matched: InternalRow = nullRight
+        if (k != null && t != null) {
+          val tv = AsOfCore.toLongTime(t)
+          if (candidate != null && keyOrd.compare(candidateKey, k) != 0)
+            candidate = null // left moved to a new key group
+          var advancing = true
+          while (advancing && buffered.hasNext) {
+            val rrow = buffered.head
+            val rkv = rKeyEval.eval(rrow)
+            val rtv = rTimeEval.eval(rrow)
+            if (rkv == null || rtv == null) { buffered.next(); () }
+            else {
+              val c = keyOrd.compare(rkv, k)
+              if (c < 0) { buffered.next(); () } // before our key group
+              else if (c == 0 && AsOfCore.toLongTime(rtv) <= tv) {
+                // sorted (time, tie) ascending: the LAST consumed
+                // qualifier is the max — same tie semantics as the
+                // hash-index probe's rightmost binary search
+                candidate = buffered.next().copy()
+                candidateKey = rkv
+              } else advancing = false // beyond this key, or time > t
+            }
+          }
+          if (candidate != null && keyOrd.compare(candidateKey, k) == 0)
+            matched = candidate
+        }
+        if (matched eq nullRight) np += 1 else nm += 1
+        project(joined(lrow, matched))
+      }
+    }
+  }
+}
+
 /** Planner strategy mapping the logical as-of node onto a physical
-  * operator (injected via SparkSessionExtensions / extraStrategies):
-  * broadcast when the right side's estimated size fits under
-  * spark.sql.autoBroadcastJoinThreshold, shuffled co-partition
-  * otherwise — the JoinSelection decision, applied to the custom op. */
+  * operator (injected via SparkSessionExtensions / extraStrategies),
+  * mirroring Spark's JoinSelection ladder:
+  *   1. right side under spark.sql.autoBroadcastJoinThreshold →
+  *      broadcast (no shuffle of the probe side);
+  *   2. right side small enough to hash per partition (the same
+  *      criterion as JoinSelection's canBuildLocalHashMapBySize:
+  *      estimated size <= threshold × shuffle partitions) →
+  *      shuffled hash-index;
+  *   3. otherwise → sort-merge (spill-safe, O(1) merge state — the
+  *      only shape that survives a hot key at 100 TB).
+  * spark.graft.asof.impl = broadcast|shuffled_hash|sort_merge
+  * overrides the ladder (like Spark's join hints). */
 object GraftStrategies extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoinPlan(l, r, lk, rk, lt, rt, tb) =>
-      val threshold = SQLConf.get.autoBroadcastJoinThreshold
-      val exec =
-        if (threshold > 0 && r.stats.sizeInBytes <= threshold)
-          BroadcastAsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb)
-        else
-          ShuffledAsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb)
+      def broadcast = BroadcastAsOfJoinExec(
+        planLater(l), planLater(r), lk, rk, lt, rt, tb)
+      def shuffled = ShuffledAsOfJoinExec(
+        planLater(l), planLater(r), lk, rk, lt, rt, tb)
+      def sortMerge = SortMergeAsOfJoinExec(
+        planLater(l), planLater(r), lk, rk, lt, rt, tb)
+      val conf = SQLConf.get
+      val exec = conf.getConfString("spark.graft.asof.impl", "auto") match {
+        case "broadcast" => broadcast
+        case "shuffled_hash" => shuffled
+        case "sort_merge" => sortMerge
+        case _ =>
+          val threshold = conf.autoBroadcastJoinThreshold
+          // hash bound falls back to the 10 MB default when broadcast
+          // is disabled outright (threshold = -1), so disabling
+          // broadcast alone doesn't also disable the hash path
+          val hashBound =
+            (if (threshold > 0) threshold else 10L << 20) *
+              conf.numShufflePartitions
+          if (threshold > 0 && r.stats.sizeInBytes <= threshold) broadcast
+          else if (r.stats.sizeInBytes <= hashBound) shuffled
+          else sortMerge
+      }
       exec :: Nil
     case _ => Nil
   }
 }
 
 /** User-facing constructor: resolve the named columns against each
-  * side's analyzed plan and materialize the custom node. */
+  * side's analyzed plan, validate the time/tie-break types at PLAN
+  * BUILD time (the execs normalize them to Long — an unsupported type
+  * must be an analysis-time error, not a task MatchError), and
+  * materialize the custom node. */
 object AsOfJoinOps {
+  import org.apache.spark.sql.types._
+
+  /** Types whose InternalRow representation is Long or Int — what the
+    * as-of probe's binary search / merge can order natively. */
+  private val longBacked: Set[DataType] =
+    Set(LongType, IntegerType, DateType, TimestampType, TimestampNTZType)
+
   def asof(left: DataFrame, right: DataFrame,
            leftKey: String, rightKey: String,
            leftTime: String, rightTime: String,
@@ -259,8 +404,19 @@ object AsOfJoinOps {
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(
           s"column $n not in ${p.output.map(_.name).mkString(", ")}"))
+    def requireOrderable(role: String, a: Attribute): Attribute = {
+      if (!longBacked.contains(a.dataType))
+        throw new IllegalArgumentException(
+          s"as-of $role column ${a.name} has type " +
+            s"${a.dataType.simpleString}; supported: bigint, int, date, " +
+            "timestamp, timestamp_ntz (cast explicitly, e.g. " +
+            "unix_micros(ts))")
+      a
+    }
     GraftPlanBridge.ofRows(left.sparkSession,
       AsOfJoinPlan(lp, rp, attr(lp, leftKey), attr(rp, rightKey),
-        attr(lp, leftTime), attr(rp, rightTime), attr(rp, rightTieBreak)))
+        requireOrderable("time", attr(lp, leftTime)),
+        requireOrderable("time", attr(rp, rightTime)),
+        requireOrderable("tie-break", attr(rp, rightTieBreak))))
   }
 }

@@ -16,29 +16,39 @@ object Connectors extends QueryModule {
 
   /** Stage each small doc (doc_id < 50) as its own file once per
     * (dir, JVM): a distributed foreachPartition write — executors write
-    * their partitions in parallel, nothing funnels through the driver —
-    * then `binaryFile` reads the directory back whole-file-per-row. */
+    * their partitions in parallel, nothing funnels through the driver.
+    * All I/O goes through the Hadoop FileSystem API resolved from the
+    * stage path, so the staging is cluster-correct: point the stage
+    * root at a shared DFS path (hdfs://, s3a://) and every executor
+    * writes to the SAME directory the subsequent binaryFile scan
+    * reads; locally it resolves to file:///tmp. */
   private def stageBinaryFiles(s: SparkSession, dir: String): String = {
-    val stage = java.nio.file.Paths.get("/tmp/graft_binfiles",
-      Integer.toHexString(dir.hashCode))
-    val done = stage.resolve("_STAGED")
-    if (!java.nio.file.Files.exists(done)) {
-      java.nio.file.Files.createDirectories(stage)
-      val stageDir = stage.toString // serializable capture for the task
+    val stage = "/tmp/graft_binfiles/" + Integer.toHexString(dir.hashCode)
+    val stagePath = new org.apache.hadoop.fs.Path(stage)
+    val fs = stagePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val done = new org.apache.hadoop.fs.Path(stagePath, "_STAGED")
+    if (!fs.exists(done)) {
+      fs.mkdirs(stagePath)
       Tables.df(s, dir, "documents")
         .filter(col("doc_id") < 50)
         .select(col("doc_id"), col("text"))
         .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+          // task-side FS resolution (executors load the cluster's FS
+          // config from their own classpath; the driver's conf object
+          // is not serializable into the closure)
+          val taskFs = new org.apache.hadoop.fs.Path(stage)
+            .getFileSystem(new org.apache.hadoop.conf.Configuration())
           rows.foreach { r =>
-            java.nio.file.Files.write(
-              java.nio.file.Paths.get(stageDir,
-                f"doc_${r.getLong(0)}%05d.bin"),
+            val out = taskFs.create(new org.apache.hadoop.fs.Path(
+              stage, f"doc_${r.getLong(0)}%05d.bin"), true)
+            try out.write(
               r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            finally out.close()
           }
         }
-      java.nio.file.Files.write(done, Array.emptyByteArray)
+      fs.create(done, true).close()
     }
-    stage.toString
+    stage
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -38,12 +38,9 @@ object Pipeline extends QueryModule {
     // broadcast of the banded corpus is exactly what cannot exist at
     // 100 TB.) The shuffle_hash hint pins that choice.
     val banded = docsIn
-      .select(col("doc_id"), minhashSignature(col("text"), bands * rows).as("sig"))
       .select(col("doc_id"),
-        explode(array((0 until bands).map(b =>
-          struct(lit(b).as("band"), bandHash(col("sig"), b, rows).as("bh"))
-        ): _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+        posexplode(minhashBands(col("text"), bands, rows))
+          .as(Seq("band", "bh")))
       .repartition(col("band"), col("bh"))
     banded.as("x").hint("shuffle_hash").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
@@ -54,10 +51,16 @@ object Pipeline extends QueryModule {
 
   /** Shared MinHash-LSH candidate generation: narrow-key pairs (above),
     * then token sets re-joined once per side for the exact-Jaccard
-    * verification. 4 bands × 16 rows targets j ≥ 0.95 recall with
-    * ~0.1% candidate rate at j = 0.6. */
+    * verification. 8 bands × 32 rows: at corpus scale the CANDIDATE
+    * VOLUME, not recall, is the binding constraint — this fixture has
+    * large j≈0.8 template families, and 16-row bands admit them at
+    * ~10% pair rate (quadratic blowup at 100 TB) where 32-row bands
+    * hold the false-candidate rate at j=0.8 under 1%. Recall at the
+    * j≥0.95 verify target is 1-(1-0.95^32)^8 ≈ 0.82 (PipelineSpec
+    * cross-checks ≥ 0.6 against the exact pairs); more bands buy
+    * recall back linearly in compute if a corpus needs it. */
   private[graft] def lshCandidates(docsIn: DataFrame,
-                                   bands: Int = 4, rows: Int = 16): DataFrame = {
+                                   bands: Int = 8, rows: Int = 32): DataFrame = {
     val toks = docsIn.select(col("doc_id"), uniqueTokens(col("text")).as("tok"))
     lshCandidatePairs(docsIn, bands, rows)
       .join(toks.select(col("doc_id").as("a_id"), col("tok").as("tok_a")), "a_id")
@@ -129,11 +132,14 @@ object Pipeline extends QueryModule {
     },
 
     // MinHash + LSH banding near-dup, the 100 TB scale path:
-    // signature (k=64) → 4 bands × 16 rows → equi-join on band key →
-    // exact-Jaccard verification of the candidates only. Banding tuned
-    // for the ≥0.95 similarity target. No DuckDB oracle (the minhash
-    // kernel is engine-native): correctness is cross-checked against q73
-    // in PipelineSpec (LSH pairs ⊂ exact pairs, recall ≥ 0.6).
+    // fused signature+banding (8 bands × 32 rows) → equi-join on band
+    // key → exact-Jaccard verification of the candidates only. The
+    // minhash kernel is engine-native, but the pair set it finds is
+    // deterministic given the fixture: the oracle pins the candidate
+    // ids found at sf0.01 and DuckDB recomputes each pair's EXACT
+    // jaccard from the documents table — a kernel change shifts the
+    // pair set and goes red. Recall vs the exact q73 pairs is also
+    // spec'd (PipelineSpec, ≥ 0.6).
     "q75_minhash_lsh" -> { (s, dir) =>
       lshCandidates(Tables.df(s, dir, "documents")
           .filter(col("doc_id") <= 200))
@@ -145,13 +151,21 @@ object Pipeline extends QueryModule {
 
     // Full-corpus MinHash-LSH dedup (no doc_id bound — the actual scale
     // path q75 calibrates): banding over every document, exact-Jaccard
-    // verification of candidates only, single summary row.
+    // verification of candidates only, single summary row. The counts
+    // are deterministic given the fixture, so they are PINNED at
+    // sf0.01 (the driver's correctness scale) via the q44 pattern:
+    // matches_pinned recomputes the equality in-engine, and the oracle
+    // restates the same literals — a minhash/banding kernel change
+    // flips the boolean and goes red in CORRECTNESS, not just in specs.
     "q97_minhash_full" -> { (s, dir) =>
       lshCandidates(Tables.df(s, dir, "documents"))
         .select(col("a_id"),
           (jaccard(col("tok_a"), col("tok_b")) >= 0.95).as("verified"))
         .agg(count(lit(1)).as("n_candidates"),
           sum(when(col("verified"), 1L).otherwise(0L)).as("n_verified"))
+        .select(col("n_candidates"), col("n_verified"),
+          (col("n_candidates") === 3876L && col("n_verified") === 1564L)
+            .as("matches_pinned"))
     },
 
     // Flagship composite: the corpus-cleaning pipeline end-to-end —
@@ -172,19 +186,64 @@ object Pipeline extends QueryModule {
         .orderBy(col("doc_id"))
     },
 
-    // SimHash (custom codegen'd Catalyst Expression) + bucket histogram.
+    // SimHash (custom codegen'd Catalyst Expression) over the full
+    // corpus, reduced to an order-independent checksum row: count,
+    // exact-decimal sum, xor fold, distinct signatures/buckets. The
+    // per-doc values are engine-native (DuckDB cannot compute simhash),
+    // but the checksums are deterministic given the fixture — pinned
+    // at sf0.01 via the q44 pattern (matches_pinned in-engine, same
+    // literals in the oracle), so a SimHash64 kernel change goes red
+    // in CORRECTNESS. Per-doc behavior is spec'd (PipelineSpec:
+    // identical docs → identical sigs, near-dups → close in hamming).
     "q76_simhash" -> { (s, dir) =>
       Tables.df(s, dir, "documents")
         .select(col("doc_id"),
           SimHash64.simhash64(tokens(col("text"))).as("sim"))
-        .select(col("doc_id"), col("sim"),
-          shiftrightunsigned(col("sim"), 52).as("bucket"))
-        .orderBy(col("doc_id"))
+        .select(col("sim"), shiftrightunsigned(col("sim"), 52).as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("sim").cast(DecimalType(38, 0))).as("sum_sim"),
+          expr("bit_xor(sim)").as("xor_sim"),
+          countDistinct(col("sim")).as("n_distinct_sim"),
+          countDistinct(col("bucket")).as("n_buckets"))
+        .select(col("n_docs"), col("sum_sim"), col("xor_sim"),
+          col("n_distinct_sim"), col("n_buckets"),
+          (col("n_docs") === 500L &&
+            col("sum_sim") === lit(new java.math.BigDecimal(
+              "-2893198162618330880280")) &&
+            col("xor_sim") === 3804085301084074568L &&
+            col("n_distinct_sim") === 496L && col("n_buckets") === 145L)
+            .as("matches_pinned"))
     }
   )
 
   private val tokSql = "string_split(text, ' ')"
   private val utokSql = s"list_distinct($tokSql)"
+
+  /** The (a_id, b_id) candidate pairs q75's LSH finds at sf0.01 —
+    * regenerate with graft.Scratch if the minhash/banding kernel or the
+    * fixture changes. The ORACLE recomputes each pair's exact jaccard;
+    * only the pair ids are pinned. */
+  private val q75PinnedPairs: String =
+    "(20,56),(20,57),(20,63),(20,66),(20,98),(20,100),(20,111),(20,142)," +
+    "(20,147),(20,167),(20,173),(22,190),(24,135),(25,56),(25,57)," +
+    "(25,98),(25,100),(25,111),(25,142),(25,147),(25,167),(25,173)," +
+    "(27,81),(56,57),(56,63),(56,73),(56,98),(56,100),(56,111),(56,127)," +
+    "(56,135),(56,142),(56,147),(56,151),(56,167),(56,173),(56,184)," +
+    "(56,197),(57,63),(57,73),(57,98),(57,100),(57,111),(57,127)," +
+    "(57,135),(57,142),(57,147),(57,151),(57,167),(57,173),(57,184)," +
+    "(57,197),(61,185),(63,66),(63,98),(63,100),(63,111),(63,142)," +
+    "(63,147),(63,167),(63,173),(70,187),(73,98),(73,100),(73,111)," +
+    "(73,142),(73,147),(73,167),(73,173),(76,135),(91,127),(91,176)," +
+    "(98,100),(98,111),(98,127),(98,135),(98,142),(98,147),(98,151)," +
+    "(98,167),(98,173),(98,184),(98,197),(100,111),(100,127),(100,135)," +
+    "(100,142),(100,147),(100,151),(100,167),(100,173),(100,184)," +
+    "(100,197),(103,184),(111,127),(111,135),(111,142),(111,147)," +
+    "(111,151),(111,167),(111,173),(111,184),(111,197),(127,142)," +
+    "(127,147),(127,162),(127,167),(127,173),(127,176),(128,187)," +
+    "(135,142),(135,147),(135,167),(135,173),(142,147),(142,151)," +
+    "(142,167),(142,173),(142,184),(142,197),(147,151),(147,167)," +
+    "(147,173),(147,184),(147,197),(151,167),(151,173),(152,178)," +
+    "(153,197),(167,173),(167,184),(167,197),(173,184),(173,197)"
 
   override def oracle: Map[String, String] = Map(
     "q70_text_stats" ->
@@ -258,6 +317,29 @@ object Pipeline extends QueryModule {
          |WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
          |    / CAST(len(list_distinct(a.tok || b.tok)) AS DOUBLE) >= 0.95
          |ORDER BY a_id, b_id""".stripMargin,
+    "q75_minhash_lsh" ->
+      s"""WITH t AS (SELECT doc_id, $utokSql AS tok FROM documents
+         |           WHERE doc_id <= 200),
+         |ids(a_id, b_id) AS (VALUES $q75PinnedPairs)
+         |SELECT CAST(i.a_id AS BIGINT) AS a_id,
+         |  CAST(i.b_id AS BIGINT) AS b_id,
+         |  CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+         |    / CAST(len(list_distinct(a.tok || b.tok)) AS DOUBLE) AS jac
+         |FROM ids i
+         |JOIN t a ON a.doc_id = i.a_id
+         |JOIN t b ON b.doc_id = i.b_id
+         |ORDER BY a_id, b_id""".stripMargin,
+    "q97_minhash_full" ->
+      """SELECT CAST(3876 AS BIGINT) AS n_candidates,
+        |  CAST(1564 AS BIGINT) AS n_verified,
+        |  true AS matches_pinned""".stripMargin,
+    "q76_simhash" ->
+      """SELECT CAST(500 AS BIGINT) AS n_docs,
+        |  CAST('-2893198162618330880280' AS DECIMAL(38,0)) AS sum_sim,
+        |  CAST(3804085301084074568 AS BIGINT) AS xor_sim,
+        |  CAST(496 AS BIGINT) AS n_distinct_sim,
+        |  CAST(145 AS BIGINT) AS n_buckets,
+        |  true AS matches_pinned""".stripMargin,
     "q95_clean_corpus" ->
       s"""SELECT doc_id, lang, n_tokens FROM (
          |  SELECT doc_id, lang,

@@ -52,6 +52,66 @@ class AsOfJoinSpec extends AnyFunSuite {
     } finally spark.conf.set(key, saved)
   }
 
+  test("spark.graft.asof.impl=sort_merge plans the SORT-MERGE as-of " +
+    "exec (spill-safe O(1) merge state) with identical results") {
+    val broadcastRows = SparkEntry.queries("q125_asof_native")(spark, sf)
+      .collect().map(_.toSeq)
+    val key = "spark.graft.asof.impl"
+    try {
+      spark.conf.set(key, "sort_merge")
+      val df = SparkEntry.queries("q125_asof_native")(spark, sf)
+      val rows = df.collect().map(_.toSeq)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeAsOfJoin"),
+        s"expected the sort-merge exec in:\n$plan")
+      // EnsureRequirements must have inserted in-partition sorts on
+      // both sides (the spill-capable part of the design)
+      assert("(?s)Sort .*Sort ".r.findFirstIn(plan).isDefined,
+        s"expected SortExec on both children in:\n$plan")
+      assert(rows.length == broadcastRows.length)
+      rows.zip(broadcastRows).foreach { case (a, b) => assert(a == b) }
+    } finally spark.conf.unset(key)
+  }
+
+  test("auto ladder picks sort-merge when the right side is too big " +
+    "to hash per partition") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val bKey = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(bKey)
+    try {
+      spark.conf.set(bKey, "1") // 1 byte: nothing broadcasts or hashes
+      val df = SparkEntry.queries("q125_asof_native")(spark, sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.split("== Initial Plan ==").head
+        .contains("SortMergeAsOfJoin"), s"expected SMJ shape in:\n$plan")
+    } finally spark.conf.set(bKey, saved)
+  }
+
+  test("non-integral time/tie-break columns are rejected at plan build " +
+    "time, not at task runtime") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.df(spark, sf, "events")
+    val p = ev.select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("ts_us"), col("event_type"))
+    val c = ev.select(col("event_id").as("c_id"),
+      col("user_id").as("c_user"), unix_micros(col("ts")).as("c_ts"),
+      col("event_type").as("c_type"), col("ts").as("c_raw_ts"))
+    val strTime = intercept[IllegalArgumentException] {
+      graft.plans.AsOfJoinOps.asof(p, c,
+        "user_id", "c_user", "event_type", "c_ts", "c_id")
+    }
+    assert(strTime.getMessage.contains("time column event_type"))
+    val strTie = intercept[IllegalArgumentException] {
+      graft.plans.AsOfJoinOps.asof(p, c,
+        "user_id", "c_user", "ts_us", "c_ts", "c_type")
+    }
+    assert(strTie.getMessage.contains("tie-break column c_type"))
+    // timestamp (long-backed) time IS accepted at build
+    graft.plans.AsOfJoinOps.asof(p, c,
+      "user_id", "c_user", "ts_us", "c_raw_ts", "c_id")
+  }
+
   test("as-of exec reports matched/null-padded SQL metrics") {
     import org.apache.spark.sql.functions._
     graft.GraftExtensions.register(spark)

@@ -20,7 +20,13 @@ class PipelineSpec extends AnyFunSuite {
 
   test("q76 simhash: identical docs get identical signatures, and near-dup " +
     "pairs from q73 are close in hamming distance") {
-    val rows = SparkEntry.queries("q76_simhash")(spark, sf)
+    import org.apache.spark.sql.functions.col
+    import graft.functions.{SimHash64, TextOps}
+    // per-doc signatures straight from the kernel (the q76 query reduces
+    // them to a pinned checksum row for the oracle)
+    val rows = Tables.df(spark, sf, "documents")
+      .select(col("doc_id"),
+        SimHash64.simhash64(TextOps.tokens(col("text"))).as("sim"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val pairs = SparkEntry.queries("q73_jaccard_pairs")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
@@ -166,8 +172,12 @@ class PipelineSpec extends AnyFunSuite {
       l.contains("char_class_counts") && l.contains("*(")), plan)
   }
 
-  test("q76 simhash stays inside whole-stage codegen") {
-    val df = SparkEntry.queries("q76_simhash")(spark, sf)
+  test("simhash64 projection stays inside whole-stage codegen") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.{SimHash64, TextOps}
+    val df = Tables.df(spark, sf, "documents")
+      .select(col("doc_id"),
+        SimHash64.simhash64(TextOps.tokens(col("text"))).as("sim"))
     df.collect() // materialize so AQE finalizes the plan
     val plan = df.queryExecution.executedPlan.toString
     // whole-stage-codegen'd operators print as "*(n) Op"; the simhash

@@ -30,7 +30,7 @@ class PlanGoldenSpec extends AnyFunSuite {
   private val extraPinned = Seq("q108_range_join_binned", "q111_ann_ivf",
     "q113_decontamination", "q127_kmin_sketch_dedup")
   private val pinned =
-    Bench.headline.filterNot(_.contains("stream")) ++ extraPinned
+    (Bench.headline.filterNot(_.contains("stream")) ++ extraPinned).distinct
 
   /** Normalized fingerprint: tree prefix + operator name per line.
     * Strips codegen stage ids, expression ids, literals, paths, stats —
