@@ -3,8 +3,9 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Exact token-set Jaccard similarity of two string arrays as a fused
@@ -26,6 +27,18 @@ case class JaccardSim(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "jaccard_sim"
 
+  // analysis-time type gate: the kernel reads UTF8String slots straight
+  // out of ArrayData — a non-string array would read garbage memory,
+  // not throw
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs two array<string> inputs, got " +
+          s"${l.simpleString(10)} and ${r.simpleString(10)}")
+    }
+
   override protected def nullSafeEval(a: Any, b: Any): Any =
     JaccardSim.jaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
@@ -40,7 +53,69 @@ case class JaccardSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Jaccard over two SORTED Long arrays (64-bit token-hash sets) — the
+  * cheap verify kernel for the LSH pipelines: a branchy two-pointer
+  * merge over primitive longs, no per-token hashing or allocation at
+  * pair time (the corpus is hashed+sorted once per DOCUMENT, the merge
+  * runs once per CANDIDATE PAIR — millions of pairs per batch). Equals
+  * string-set jaccard exactly unless two distinct tokens collide in 64
+  * bits (P ≈ n²/2⁶⁵ per pair — immaterial); inputs must be sorted
+  * ascending and duplicate-free (TextOps.tokenHashSet guarantees both). */
+case class JaccardSortedLongs(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaccard_sorted_longs"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs two array<bigint> inputs, got " +
+          s"${l.simpleString(10)} and ${r.simpleString(10)}")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    JaccardSim.jaccardSortedLongs(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val cls = JaccardSim.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $cls.jaccardSortedLongs($a, $b);"
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaccardSortedLongs =
+    copy(left = newLeft, right = newRight)
+}
+
 object JaccardSim {
+  /** Two-pointer sorted-set intersection count → jaccard. */
+  def jaccardSortedLongs(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    val union = na + nb - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
+  /** Column-level entry: jaccard_sorted_longs(ha, hb). */
+  def jaccardSortedLongsCol(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(JaccardSortedLongs(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
   /** Interpreted + codegen entry point. Null array elements are ignored
     * (upstream tokenizers never emit them). */
   def jaccard(a: ArrayData, b: ArrayData): Double = {

@@ -83,4 +83,16 @@ object TextOps {
     * per evaluation on the million-pair LSH verify path). */
   def jaccard(tokA: Column, tokB: Column): Column =
     JaccardSim.jaccardSim(tokA, tokB)
+
+  /** Sorted 64-bit token-hash set — hashed+sorted ONCE per document so
+    * the pairwise verify (run once per candidate pair, millions per
+    * batch) is a primitive-long merge instead of a string hash-set
+    * build. Pair with [[jaccardHashed]]. */
+  def tokenHashSet(text: Column): Column =
+    array_sort(transform(uniqueTokens(text), t => xxhash64(t)))
+
+  /** Jaccard over two [[tokenHashSet]] columns (see JaccardSortedLongs:
+    * equals string-set jaccard modulo 64-bit collisions). */
+  def jaccardHashed(hashA: Column, hashB: Column): Column =
+    JaccardSim.jaccardSortedLongsCol(hashA, hashB)
 }

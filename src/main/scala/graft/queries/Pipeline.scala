@@ -37,11 +37,18 @@ object Pipeline extends QueryModule {
     // side would re-evaluate the signature subtree per side — and a
     // broadcast of the banded corpus is exactly what cannot exist at
     // 100 TB.) The shuffle_hash hint pins that choice.
+    // Explicit partition count: the banded rows are narrow (three
+    // longs), so AQE would coalesce this exchange to one or two
+    // partitions by SIZE — but each (band,bh) dup-family bucket fans
+    // out quadratically in the join below, so the cheap-looking
+    // exchange feeds heavy partitions; byte-based coalescing strangles
+    // the join and the pair-distinct that follow.
+    val nPart = docsIn.sparkSession.sessionState.conf.numShufflePartitions
     val banded = docsIn
       .select(col("doc_id"),
         posexplode(minhashBands(col("text"), bands, rows))
           .as(Seq("band", "bh")))
-      .repartition(col("band"), col("bh"))
+      .repartition(nPart, col("band"), col("bh"))
     banded.as("x").hint("shuffle_hash").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -61,7 +68,12 @@ object Pipeline extends QueryModule {
     * recall back linearly in compute if a corpus needs it. */
   private[graft] def lshCandidates(docsIn: DataFrame,
                                    bands: Int = 8, rows: Int = 32): DataFrame = {
-    val toks = docsIn.select(col("doc_id"), uniqueTokens(col("text")).as("tok"))
+    // tok_a/tok_b are sorted 64-bit token-hash SETS (hashed once per
+    // document), so the per-pair exact-jaccard verify is a primitive
+    // merge (JaccardSortedLongs) — identical values to string-set
+    // jaccard modulo 64-bit hash collisions, at a fraction of the cost
+    // and an 8-bytes-per-token re-attach payload.
+    val toks = docsIn.select(col("doc_id"), tokenHashSet(col("text")).as("tok"))
     lshCandidatePairs(docsIn, bands, rows)
       .join(toks.select(col("doc_id").as("a_id"), col("tok").as("tok_a")), "a_id")
       .join(toks.select(col("doc_id").as("b_id"), col("tok").as("tok_b")), "b_id")
@@ -144,7 +156,7 @@ object Pipeline extends QueryModule {
       lshCandidates(Tables.df(s, dir, "documents")
           .filter(col("doc_id") <= 200))
         .select(col("a_id"), col("b_id"),
-          jaccard(col("tok_a"), col("tok_b")).as("jac"))
+          jaccardHashed(col("tok_a"), col("tok_b")).as("jac"))
         .filter(col("jac") >= 0.95)
         .orderBy(col("a_id"), col("b_id"))
     },
@@ -160,7 +172,7 @@ object Pipeline extends QueryModule {
     "q97_minhash_full" -> { (s, dir) =>
       lshCandidates(Tables.df(s, dir, "documents"))
         .select(col("a_id"),
-          (jaccard(col("tok_a"), col("tok_b")) >= 0.95).as("verified"))
+          (jaccardHashed(col("tok_a"), col("tok_b")) >= 0.95).as("verified"))
         .agg(count(lit(1)).as("n_candidates"),
           sum(when(col("verified"), 1L).otherwise(0L)).as("n_verified"))
         .select(col("n_candidates"), col("n_verified"),

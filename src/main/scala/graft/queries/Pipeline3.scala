@@ -47,7 +47,15 @@ object Pipeline3 extends QueryModule {
     * round, lineage cut per round (localCheckpoint; a real cluster
     * checkpoints to the DFS). */
   private[graft] def connectedComponents(edgesIn: DataFrame): DataFrame = {
-    val edges = edgesIn.localCheckpoint()
+    // Hash-cluster the edge list on src ONCE (localCheckpoint preserves
+    // the partitioning): every round's hop join is then co-partitioned
+    // with the label table — checkpointed frames carry no stats, so an
+    // unhinted join would SortMergeJoin and re-sort the full edge list
+    // EVERY round; the shuffle_hash hint instead streams the edges in
+    // place and builds the (node-count-sized, ≪ edges) label side.
+    // With the map-side partial min in the groupBy, the per-round
+    // shuffle volume is label-table-sized, never edge-list-sized.
+    val edges = edgesIn.repartition(col("src")).localCheckpoint()
     def labelSum(df: DataFrame): Long = {
       val r = df.agg(sum(col("root")).as("s")).head()
       if (r.isNullAt(0)) 0L else r.getLong(0) // empty graph -> no rounds
@@ -59,7 +67,8 @@ object Pipeline3 extends QueryModule {
     var iters = 0
     val maxIters = 64
     while (cur < prev && iters < maxIters) {
-      val hopped = edges.join(labels, edges("src") === labels("node"))
+      val hopped = edges.join(labels.hint("shuffle_hash"),
+          edges("src") === labels("node"))
         .select(col("dst").as("node"), col("root"))
         .union(labels)
         .groupBy(col("node")).agg(min(col("root")).as("root"))
@@ -69,7 +78,8 @@ object Pipeline3 extends QueryModule {
       // defensive only.
       val byNode = hopped
         .select(col("node").as("r_node"), col("root").as("r_root"))
-      labels = hopped.join(byNode, hopped("root") === byNode("r_node"))
+      labels = hopped.join(byNode.hint("shuffle_hash"),
+          hopped("root") === byNode("r_node"))
         .select(col("node"), least(col("root"), col("r_root")).as("root"))
         .localCheckpoint()
       prev = cur
@@ -101,7 +111,7 @@ object Pipeline3 extends QueryModule {
     * set. No stage carries token payloads beyond the one verify join. */
   private[graft] def dedupPipeline(docs: DataFrame): DataFrame = {
     val pairs = Pipeline.lshCandidates(docs, bands = 8, rows = 8)
-      .filter(jaccard(col("tok_a"), col("tok_b")) >= 0.9)
+      .filter(jaccardHashed(col("tok_a"), col("tok_b")) >= 0.9)
       .select(col("a_id"), col("b_id"))
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
