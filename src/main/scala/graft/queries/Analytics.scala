@@ -195,6 +195,86 @@ object Analytics extends QueryModule {
               (col("n_d") * col("syy_d") - col("sy_d") * col("sy_d"))), 6)
             .as("corr_qp"))
         .orderBy(col("l_returnflag"))
+    },
+
+    // TPC-DS Q67 shape: top-k over a ROLLUP — quantity totals rolled up
+    // over (returnflag, linestatus, ship month), then ranked WITHIN each
+    // returnflag slice across all rollup levels, keep the top 5. The
+    // scale contract: the Expand-fed partial aggregation shrinks the
+    // fact before its one shuffle, and the rank filter plans a
+    // WindowGroupLimit (map-side top-k per slice). Fully deterministic
+    // rank: ties broken on the remaining group keys.
+    "q151_rollup_window_topk" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val grouped = Tables.df(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"),
+          month(col("l_shipdate")).cast(LongType).as("ship_m"))
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("sum_qty"),
+          grouping_id().cast(LongType).as("gid"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          coalesce(col("ship_m"), lit(-1L)).as("ship_m"),
+          col("sum_qty"), col("gid"))
+      val w = Window.partitionBy(col("flag"))
+        .orderBy(col("sum_qty").desc, col("gid"), col("status"),
+          col("ship_m"))
+      grouped.withColumn("rk", row_number().over(w).cast(LongType))
+        .filter(col("rk") <= 5)
+        .orderBy(col("flag"), col("rk"))
+    },
+
+    // TPC-DS Q51 shape: window-over-union cumulative compare — daily
+    // cumulative revenue of the returned ('R') vs accepted ('A') flows,
+    // FULL OUTER joined on the day, keeping days where the returned
+    // cumulative overtakes the accepted. Each side is one partial-agged
+    // shuffle on the day; the running sums are one window pass each
+    // (single ordered partition per side is the Q51 contract — the real
+    // query partitions by item, here the fixture has one series).
+    "q152_cumulative_compare" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val D2 = DecimalType(18, 2)
+      def daily(flag: String, out: String) =
+        Tables.df(s, dir, "lineitem")
+          .filter(col("l_returnflag") === flag)
+          .groupBy(col("l_shipdate").cast(DateType).as("d"))
+          .agg(sum(col("l_quantity").cast(D2)).as("q"))
+          .withColumn(out,
+            sum(col("q")).over(Window.orderBy(col("d"))).cast(DoubleType))
+          .select(col("d").as(s"d_$out"), col(out))
+      val r = daily("R", "cum_r")
+      val a = daily("A", "cum_a")
+      r.join(a, r("d_cum_r") === a("d_cum_a"), "full_outer")
+        .select(coalesce(col("d_cum_r"), col("d_cum_a")).as("d"),
+          col("cum_r"), col("cum_a"))
+        .filter(col("cum_r") > col("cum_a"))
+        .orderBy(col("d"))
+    },
+
+    // TPC-DS Q5 shape: multi-channel UNION ALL → ROLLUP — three order
+    // "channels" (status classes) each pre-shaped with a channel tag,
+    // unioned, then rolled up over (channel, priority) with exact-
+    // decimal money. One Expand + one shuffle over the union; each
+    // channel's scan stays filter-pushed.
+    "q153_channel_rollup" -> { (s, dir) =>
+      val D2 = DecimalType(18, 2)
+      val ord = Tables.df(s, dir, "orders")
+      def channel(status: String, name: String) =
+        ord.filter(col("o_orderstatus") === status)
+          .select(lit(name).as("channel"),
+            col("o_orderpriority").as("priority"),
+            col("o_totalprice").cast(D2).as("amt"))
+      channel("O", "open")
+        .unionAll(channel("F", "fulfilled"))
+        .unionAll(channel("P", "pending"))
+        .rollup(col("channel"), col("priority"))
+        .agg(sum(col("amt")).cast(DoubleType).as("sales"),
+          count(lit(1)).as("n"),
+          grouping_id().cast(LongType).as("gid"))
+        .select(coalesce(col("channel"), lit("ALL")).as("channel"),
+          coalesce(col("priority"), lit("ALL")).as("priority"),
+          col("sales"), col("n"), col("gid"))
+        .orderBy(col("gid"), col("channel"), col("priority"))
     }
   )
 
@@ -307,6 +387,57 @@ object Analytics extends QueryModule {
         |  round((n_d * sxy_d - sx_d * sy_d)
         |    / sqrt((n_d * sxx_d - sx_d * sx_d)
         |         * (n_d * syy_d - sy_d * sy_d)), 6) AS corr_qp
-        |FROM m ORDER BY l_returnflag""".stripMargin
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+    "q151_rollup_window_topk" ->
+      """WITH grouped AS (
+        |  SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |    coalesce(l_linestatus, 'ALL') AS status,
+        |    coalesce(CAST(month(l_shipdate) AS BIGINT), -1) AS ship_m,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS sum_qty,
+        |    CAST(GROUPING(l_returnflag) * 4 + GROUPING(l_linestatus) * 2
+        |      + GROUPING(month(l_shipdate)) AS BIGINT) AS gid
+        |  FROM lineitem
+        |  GROUP BY ROLLUP (l_returnflag, l_linestatus, month(l_shipdate)))
+        |SELECT flag, status, ship_m, sum_qty, gid, rk FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY flag
+        |    ORDER BY sum_qty DESC, gid, status, ship_m) AS BIGINT) AS rk
+        |  FROM grouped)
+        |WHERE rk <= 5 ORDER BY flag, rk""".stripMargin,
+    "q152_cumulative_compare" ->
+      """WITH r AS (
+        |  SELECT CAST(l_shipdate AS DATE) AS d,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS q
+        |  FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1),
+        |rc AS (SELECT d AS d_r,
+        |  CAST(sum(q) OVER (ORDER BY d) AS DOUBLE) AS cum_r FROM r),
+        |a AS (
+        |  SELECT CAST(l_shipdate AS DATE) AS d,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS q
+        |  FROM lineitem WHERE l_returnflag = 'A' GROUP BY 1),
+        |ac AS (SELECT d AS d_a,
+        |  CAST(sum(q) OVER (ORDER BY d) AS DOUBLE) AS cum_a FROM a)
+        |SELECT coalesce(d_r, d_a) AS d, cum_r, cum_a
+        |FROM rc FULL OUTER JOIN ac ON d_r = d_a
+        |WHERE cum_r > cum_a ORDER BY d""".stripMargin,
+    "q153_channel_rollup" ->
+      """WITH u AS (
+        |  SELECT 'open' AS channel, o_orderpriority AS priority,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS amt
+        |  FROM orders WHERE o_orderstatus = 'O'
+        |  UNION ALL
+        |  SELECT 'fulfilled', o_orderpriority,
+        |    CAST(o_totalprice AS DECIMAL(18,2))
+        |  FROM orders WHERE o_orderstatus = 'F'
+        |  UNION ALL
+        |  SELECT 'pending', o_orderpriority,
+        |    CAST(o_totalprice AS DECIMAL(18,2))
+        |  FROM orders WHERE o_orderstatus = 'P')
+        |SELECT coalesce(channel, 'ALL') AS channel,
+        |  coalesce(priority, 'ALL') AS priority,
+        |  CAST(sum(amt) AS DOUBLE) AS sales, count(*) AS n,
+        |  CAST(GROUPING(channel) * 2 + GROUPING(priority) AS BIGINT) AS gid
+        |FROM u GROUP BY ROLLUP (channel, priority)
+        |ORDER BY gid, channel, priority""".stripMargin
   )
 }

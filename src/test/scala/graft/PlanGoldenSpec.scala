@@ -28,7 +28,9 @@ class PlanGoldenSpec extends AnyFunSuite {
   // decontamination (broadcast bench grams, no corpus self-join), and
   // the k-min sketch dedup (WindowGroupLimit + hash equi-join).
   private val extraPinned = Seq("q108_range_join_binned", "q111_ann_ivf",
-    "q113_decontamination", "q127_kmin_sketch_dedup")
+    "q113_decontamination", "q127_kmin_sketch_dedup",
+    "q151_rollup_window_topk", "q152_cumulative_compare",
+    "q153_channel_rollup")
   private val pinned =
     (Bench.headline.filterNot(_.contains("stream")) ++ extraPinned).distinct
 
