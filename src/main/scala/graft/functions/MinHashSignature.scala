@@ -1,11 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
 /** Fused k-permutation MinHash signature — one pass over the token array
   * computes all k slots via double hashing (h_i = h1 + i*h2, the
@@ -21,6 +22,16 @@ case class MinHashSignatureExpr(child: Expression, k: Int)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_signature"
+
+  // analysis-time type gate: the kernel reads UTF8String slots straight
+  // out of ArrayData — a non-string array would read garbage memory,
+  // not throw (same gate as JaccardSim)
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs an array<string> input, got ${t.simpleString(10)}")
+    }
 
   override protected def nullSafeEval(input: Any): Any =
     MinHashSignatureExpr.compute(input.asInstanceOf[ArrayData], k)
@@ -51,6 +62,13 @@ case class MinHashBandsExpr(child: Expression, bands: Int, rows: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_bands"
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs an array<string> input, got ${t.simpleString(10)}")
+    }
+
   override protected def nullSafeEval(input: Any): Any =
     MinHashSignatureExpr.computeBands(
       input.asInstanceOf[ArrayData], bands, rows)
@@ -67,7 +85,10 @@ case class MinHashBandsExpr(child: Expression, bands: Int, rows: Int)
 }
 
 object MinHashSignatureExpr {
-  def compute(arr: ArrayData, k: Int): ArrayData = {
+  /** The ONE min-hash kernel both entry points share — signature-only
+    * and banded callers must stay hash-identical, or minhashSignature-
+    * based queries silently desynchronize from minhashBands-based ones. */
+  private def computeMins(arr: ArrayData, k: Int): Array[Long] = {
     val mins = Array.fill(k)(Long.MaxValue)
     val n = arr.numElements()
     var t = 0
@@ -87,8 +108,11 @@ object MinHashSignatureExpr {
       }
       t += 1
     }
-    new GenericArrayData(mins)
+    mins
   }
+
+  def compute(arr: ArrayData, k: Int): ArrayData =
+    new GenericArrayData(computeMins(arr, k))
 
   /** murmur3 fmix64 — the standard 64-bit avalanche. */
   private def fmix64(x0: Long): Long = {
@@ -100,26 +124,7 @@ object MinHashSignatureExpr {
   }
 
   def computeBands(arr: ArrayData, bands: Int, rows: Int): ArrayData = {
-    val k = bands * rows
-    val mins = Array.fill(k)(Long.MaxValue)
-    val n = arr.numElements()
-    var t = 0
-    while (t < n) {
-      val tok = arr.getUTF8String(t)
-      val s = if (tok == null) "" else tok.toString
-      val h1 = scala.util.hashing.MurmurHash3.stringHash(s, 0x3c074a61)
-      val h2 = scala.util.hashing.MurmurHash3.stringHash(s, 0x7a9b4c5d) | 1
-      val b1 = (h1.toLong << 32) | (h1.toLong & 0xffffffffL)
-      val b2 = (h2.toLong << 32) | (h2.toLong & 0xffffffffL)
-      var i = 0
-      var h = b1
-      while (i < k) {
-        if (h < mins(i)) mins(i) = h
-        h += b2
-        i += 1
-      }
-      t += 1
-    }
+    val mins = computeMins(arr, bands * rows)
     val out = new Array[Long](bands)
     var b = 0
     while (b < bands) {

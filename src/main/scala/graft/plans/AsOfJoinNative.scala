@@ -84,10 +84,13 @@ private[plans] object AsOfCore {
     val grouped = new java.util.HashMap[Any,
       scala.collection.mutable.ArrayBuffer[(Long, Long, InternalRow)]]
     rows.foreach { row0 =>
-      val k = keyEval.eval(row0)
-      val t = timeEval.eval(row0)
-      if (k != null && t != null) {
+      if (keyEval.eval(row0) != null && timeEval.eval(row0) != null) {
         val row = if (copyRows) row0.copy() else row0
+        // the HashMap key must be derived from the STABLE row: with a
+        // reused shuffle row a UTF8String key would be a view into a
+        // buffer the iterator overwrites on the next next()
+        val k = keyEval.eval(row)
+        val t = timeEval.eval(row)
         val tie = tieEval.eval(row) match {
           case null => Long.MinValue
           case v => toLongTime(v)
@@ -321,9 +324,12 @@ case class SortMergeAsOfJoinExec(
               else if (c == 0 && AsOfCore.toLongTime(rtv) <= tv) {
                 // sorted (time, tie) ascending: the LAST consumed
                 // qualifier is the max — same tie semantics as the
-                // hash-index probe's rightmost binary search
+                // hash-index probe's rightmost binary search.
+                // candidateKey must come from the stable COPY: rkv may
+                // be a UTF8String view into the sort iterator's record
+                // buffer, which spill readers reuse between rows
                 candidate = buffered.next().copy()
-                candidateKey = rkv
+                candidateKey = rKeyEval.eval(candidate)
               } else advancing = false // beyond this key, or time > t
             }
           }

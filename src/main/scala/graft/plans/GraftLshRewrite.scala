@@ -49,13 +49,15 @@ object GraftLshRewrite extends Rule[LogicalPlan] {
       case _ => None
     }
 
-  /** Find `jaccard_sim(ta,tb) >= θ` (or > θ) with θ > 0. */
-  private def findJaccardThreshold(e: Expression): Option[(Expression, Expression)] =
+  /** Find `jaccard_sim(ta,tb) >= θ` (or > θ) with θ > 0 — the threshold
+    * itself is returned so the band length can be picked from the
+    * shared [[graft.functions.LshKnobs]] table. */
+  private def findJaccardThreshold(e: Expression): Option[(Expression, Expression, Double)] =
     e match {
       case GreaterThanOrEqual(JaccardSim(a, b), Literal(t: Double, _))
-        if t > 0 => Some((a, b))
+        if t > 0 => Some((a, b, t))
       case GreaterThan(JaccardSim(a, b), Literal(t: Double, _))
-        if t > 0 => Some((a, b))
+        if t > 0 => Some((a, b, t))
       case And(l, r) => findJaccardThreshold(l).orElse(findJaccardThreshold(r))
       case _ => None
     }
@@ -67,7 +69,6 @@ object GraftLshRewrite extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!conf.getConfString(enabledKey, "false").toBoolean) return plan
     val bits = conf.getConfString(bitsKey, "6").toInt
-    val rows = conf.getConfString(rowsKey, "4").toInt
     plan.transform {
       case j @ Join(_, _, Inner | Cross, Some(cond), _)
         if !alreadyBucketed(cond) =>
@@ -78,7 +79,14 @@ object GraftLshRewrite extends Rule[LogicalPlan] {
               LshBucketExpr(b, bits, seed = 7))
             j.copy(condition = Some(And(cond, bucketEq)))
           case None => findJaccardThreshold(cond) match {
-            case Some((a, b)) =>
+            case Some((a, b, theta)) =>
+              // band length comes from the SAME tuning table the
+              // hand-built pipelines use (LshKnobs); the conf is an
+              // explicit per-session override, not a second default
+              val rows = conf.getConfString(rowsKey, "").trim match {
+                case "" => graft.functions.LshKnobs.singleBandRows(theta)
+                case v => v.toInt
+              }
               val bandEq = EqualTo(
                 MinHashSignatureExpr(a, rows),
                 MinHashSignatureExpr(b, rows))

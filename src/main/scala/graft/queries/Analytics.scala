@@ -226,11 +226,19 @@ object Analytics extends QueryModule {
 
     // TPC-DS Q51 shape: window-over-union cumulative compare — daily
     // cumulative revenue of the returned ('R') vs accepted ('A') flows,
-    // FULL OUTER joined on the day, keeping days where the returned
-    // cumulative overtakes the accepted. Each side is one partial-agged
-    // shuffle on the day; the running sums are one window pass each
-    // (single ordered partition per side is the Q51 contract — the real
-    // query partitions by item, here the fixture has one series).
+    // joined on the day, keeping days where the returned cumulative
+    // overtakes the accepted. The join is DECLARED full-outer (Q51's
+    // shape) but the `cum_r > cum_a` filter is null-rejecting on both
+    // sides, so Catalyst correctly executes an INNER join. The two
+    // sides are near-identical in size (daily aggregates of two flag
+    // slices), which left AQE's broadcast-side choice a coin flip —
+    // the explicit broadcast() hint on the accepted side pins it, and
+    // is scale-safe: a daily aggregate is bounded by calendar days
+    // (~thousands of rows at ANY corpus size). Each side is one
+    // partial-agged shuffle on the day; the running sums are one
+    // window pass each (single ordered partition per side is the Q51
+    // contract — the real query partitions by item, here the fixture
+    // has one series).
     "q152_cumulative_compare" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val D2 = DecimalType(18, 2)
@@ -244,7 +252,7 @@ object Analytics extends QueryModule {
           .select(col("d").as(s"d_$out"), col(out))
       val r = daily("R", "cum_r")
       val a = daily("A", "cum_a")
-      r.join(a, r("d_cum_r") === a("d_cum_a"), "full_outer")
+      r.join(broadcast(a), r("d_cum_r") === a("d_cum_a"), "full_outer")
         .select(coalesce(col("d_cum_r"), col("d_cum_a")).as("d"),
           col("cum_r"), col("cum_a"))
         .filter(col("cum_r") > col("cum_a"))

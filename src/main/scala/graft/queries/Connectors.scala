@@ -29,15 +29,21 @@ object Connectors extends QueryModule {
     val done = new org.apache.hadoop.fs.Path(stagePath, "_STAGED")
     if (!fs.exists(done)) {
       fs.mkdirs(stagePath)
+      // broadcast the DRIVER's Hadoop conf into the tasks (the standard
+      // Spark pattern): a task-side `new Configuration()` would see only
+      // the executor classpath's XML and drop everything set
+      // programmatically or via spark.hadoop.* (fs.defaultFS, s3a
+      // credentials), so driver-side existence checks and task-side
+      // writes could resolve to DIFFERENT filesystems on a real cluster
+      val hadoopConfB = s.sparkContext.broadcast(
+        new org.apache.spark.util.SerializableConfiguration(
+          s.sparkContext.hadoopConfiguration))
       Tables.df(s, dir, "documents")
         .filter(col("doc_id") < 50)
         .select(col("doc_id"), col("text"))
         .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
-          // task-side FS resolution (executors load the cluster's FS
-          // config from their own classpath; the driver's conf object
-          // is not serializable into the closure)
           val taskFs = new org.apache.hadoop.fs.Path(stage)
-            .getFileSystem(new org.apache.hadoop.conf.Configuration())
+            .getFileSystem(hadoopConfB.value.value)
           rows.foreach { r =>
             val out = taskFs.create(new org.apache.hadoop.fs.Path(
               stage, f"doc_${r.getLong(0)}%05d.bin"), true)

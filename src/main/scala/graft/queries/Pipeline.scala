@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryModule, Tables}
-import graft.functions.{SimHash64, TextOps}
+import graft.functions.{LshKnobs, SimHash64, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -56,18 +56,26 @@ object Pipeline extends QueryModule {
       .distinct()
   }
 
+  /** The verify threshold the default banding serves (q75/q97's
+    * near-identical dedup target); the (bands, rows) defaults below
+    * come from the ONE shared tuning table (LshKnobs) keyed by it. */
+  private[graft] val defaultVerifyThreshold = 0.95
+
   /** Shared MinHash-LSH candidate generation: narrow-key pairs (above),
     * then token sets re-joined once per side for the exact-Jaccard
-    * verification. 8 bands × 32 rows: at corpus scale the CANDIDATE
-    * VOLUME, not recall, is the binding constraint — this fixture has
-    * large j≈0.8 template families, and 16-row bands admit them at
-    * ~10% pair rate (quadratic blowup at 100 TB) where 32-row bands
-    * hold the false-candidate rate at j=0.8 under 1%. Recall at the
-    * j≥0.95 verify target is 1-(1-0.95^32)^8 ≈ 0.82 (PipelineSpec
-    * cross-checks ≥ 0.6 against the exact pairs); more bands buy
-    * recall back linearly in compute if a corpus needs it. */
-  private[graft] def lshCandidates(docsIn: DataFrame,
-                                   bands: Int = 8, rows: Int = 32): DataFrame = {
+    * verification. Default banding is LshKnobs.bandsRows(0.95) = 8×32:
+    * at corpus scale the CANDIDATE VOLUME, not recall, is the binding
+    * constraint — this fixture has large j≈0.8 template families, and
+    * 16-row bands admit them at ~10% pair rate (quadratic blowup at
+    * 100 TB) where 32-row bands hold the false-candidate rate at j=0.8
+    * under 1%. Recall at the j≥0.95 verify target is 1-(1-0.95^32)^8
+    * ≈ 0.82 (PipelineSpec cross-checks ≥ 0.6 against the exact pairs);
+    * more bands buy recall back linearly in compute if a corpus needs
+    * it. */
+  private[graft] def lshCandidates(
+      docsIn: DataFrame,
+      bands: Int = LshKnobs.bandsRows(defaultVerifyThreshold)._1,
+      rows: Int = LshKnobs.bandsRows(defaultVerifyThreshold)._2): DataFrame = {
     // tok_a/tok_b are sorted 64-bit token-hash SETS (hashed once per
     // document), so the per-pair exact-jaccard verify is a primitive
     // merge (JaccardSortedLongs) — identical values to string-set
@@ -200,28 +208,31 @@ object Pipeline extends QueryModule {
 
     // SimHash (custom codegen'd Catalyst Expression) over the full
     // corpus, reduced to an order-independent checksum row: count,
-    // exact-decimal sum, xor fold, distinct signatures/buckets. The
+    // mod-folded sum, xor fold, distinct signatures/buckets. The
     // per-doc values are engine-native (DuckDB cannot compute simhash),
     // but the checksums are deterministic given the fixture — pinned
     // at sf0.01 via the q44 pattern (matches_pinned in-engine, same
     // literals in the oracle), so a SimHash64 kernel change goes red
-    // in CORRECTNESS. Per-doc behavior is spec'd (PipelineSpec:
-    // identical docs → identical sigs, near-dups → close in hamming).
+    // in CORRECTNESS. Every pinned value is FLOAT64-SAFE (< 2^53):
+    // a full sum(sim) needs 22 decimal digits, which no driver-side
+    // decimal→float canonicalization can hash bit-exactly, so the sum
+    // is folded mod 1e9 per term (|sum| < 500×1e9 ≈ 2^39). Per-doc
+    // behavior is spec'd (PipelineSpec: identical docs → identical
+    // sigs, near-dups → close in hamming).
     "q76_simhash" -> { (s, dir) =>
       Tables.df(s, dir, "documents")
         .select(col("doc_id"),
           SimHash64.simhash64(tokens(col("text"))).as("sim"))
         .select(col("sim"), shiftrightunsigned(col("sim"), 52).as("bucket"))
         .agg(count(lit(1)).as("n_docs"),
-          sum(col("sim").cast(DecimalType(38, 0))).as("sum_sim"),
+          sum(col("sim") % 1000000000L).as("sum_sim_mod"),
           expr("bit_xor(sim)").as("xor_sim"),
           countDistinct(col("sim")).as("n_distinct_sim"),
           countDistinct(col("bucket")).as("n_buckets"))
-        .select(col("n_docs"), col("sum_sim"), col("xor_sim"),
+        .select(col("n_docs"), col("sum_sim_mod"), col("xor_sim"),
           col("n_distinct_sim"), col("n_buckets"),
           (col("n_docs") === 500L &&
-            col("sum_sim") === lit(new java.math.BigDecimal(
-              "-2893198162618330880280")) &&
+            col("sum_sim_mod") === -214330880280L &&
             col("xor_sim") === 3804085301084074568L &&
             col("n_distinct_sim") === 496L && col("n_buckets") === 145L)
             .as("matches_pinned"))
@@ -347,7 +358,7 @@ object Pipeline extends QueryModule {
         |  true AS matches_pinned""".stripMargin,
     "q76_simhash" ->
       """SELECT CAST(500 AS BIGINT) AS n_docs,
-        |  CAST('-2893198162618330880280' AS DECIMAL(38,0)) AS sum_sim,
+        |  CAST(-214330880280 AS BIGINT) AS sum_sim_mod,
         |  CAST(3804085301084074568 AS BIGINT) AS xor_sim,
         |  CAST(496 AS BIGINT) AS n_distinct_sim,
         |  CAST(145 AS BIGINT) AS n_buckets,

@@ -56,17 +56,24 @@ object Pipeline3 extends QueryModule {
     // With the map-side partial min in the groupBy, the per-round
     // shuffle volume is label-table-sized, never edge-list-sized.
     val edges = edgesIn.repartition(col("src")).localCheckpoint()
-    def labelSum(df: DataFrame): Long = {
-      val r = df.agg(sum(col("root")).as("s")).head()
-      if (r.isNullAt(0)) 0L else r.getLong(0) // empty graph -> no rounds
+    // overflow-safe monotone convergence probe: a bigint sum(root)
+    // wraps SILENTLY on overflow, so with large/hashed node ids a
+    // wrapped cur could read >= prev while labels are still changing —
+    // exactly the silent partial merge the loud-failure exit exists to
+    // prevent. decimal(38,0) holds ~1e12 nodes × 2^63 with headroom.
+    def labelSum(df: DataFrame): BigDecimal = {
+      val r = df.agg(sum(col("root").cast(DecimalType(38, 0))).as("s"))
+        .head()
+      // empty graph -> no rounds
+      if (r.isNullAt(0)) BigDecimal(0) else BigDecimal(r.getDecimal(0))
     }
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("root", col("node")).localCheckpoint()
-    var prev = Long.MaxValue
+    var prev: BigDecimal = null // first round always runs
     var cur = labelSum(labels)
     var iters = 0
     val maxIters = 64
-    while (cur < prev && iters < maxIters) {
+    while ((prev == null || cur < prev) && iters < maxIters) {
       val hopped = edges.join(labels.hint("shuffle_hash"),
           edges("src") === labels("node"))
         .select(col("dst").as("node"), col("root"))
@@ -109,10 +116,21 @@ object Pipeline3 extends QueryModule {
     * edge list (≪ corpus) once per round, and the final labeling is one
     * left join of the corpus against the (small) non-singleton label
     * set. No stage carries token payloads beyond the one verify join. */
-  private[graft] def dedupPipeline(docs: DataFrame): DataFrame = {
-    val pairs = Pipeline.lshCandidates(docs, bands = 8, rows = 8)
-      .filter(jaccardHashed(col("tok_a"), col("tok_b")) >= 0.9)
+  /** The q129 verified edge set: LSH(8×8) candidates that survive the
+    * exact-Jaccard ≥ 0.9 verification. Shared by the pipeline and by
+    * graft.Scratch, which dumps it at sf0.01 to regenerate the pinned
+    * oracle edge list — one definition, so the pins can't drift from
+    * the query. */
+  private[graft] def verifiedPairs(docs: DataFrame): DataFrame = {
+    val theta = 0.9
+    val (bands, rows) = graft.functions.LshKnobs.bandsRows(theta)
+    Pipeline.lshCandidates(docs, bands, rows)
+      .filter(jaccardHashed(col("tok_a"), col("tok_b")) >= theta)
       .select(col("a_id"), col("b_id"))
+  }
+
+  private[graft] def dedupPipeline(docs: DataFrame): DataFrame = {
+    val pairs = verifiedPairs(docs)
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
     val labels = connectedComponents(edges)
@@ -159,9 +177,15 @@ object Pipeline3 extends QueryModule {
 
     // The north-star composition run over the FULL corpus (no doc_id
     // bound): LSH candidates → exact-Jaccard verify → connected
-    // components → (doc_id, cluster_id, keep). No DuckDB oracle (the
-    // minhash kernel is engine-native); Pipeline3Spec cross-checks that
-    // on the q118 slice the clusters equal the recursive-CTE oracle's.
+    // components → (doc_id, cluster_id, keep). Oracle: DuckDB brute-
+    // forces ALL pairs at jaccard >= 0.9 and runs the recursive-CTE CC
+    // — fully independent (no pinned ids). The LSH path surfaces 9011
+    // of the 9020 brute-force edges at sf0.01, and the 9 missed are
+    // redundant bridges inside already-connected clusters, so the
+    // CLUSTER labels agree exactly — which is the point: at j >= 0.9
+    // the 8×8 banding's per-pair recall (~0.989) makes a cluster-
+    // splitting miss vanishingly rare, and Pipeline3Spec additionally
+    // pins slice-level equality.
     "q129_dedup_pipeline" -> { (s, dir) =>
       dedupPipeline(Tables.df(s, dir, "documents"))
     },
@@ -275,6 +299,28 @@ object Pipeline3 extends QueryModule {
   private val utokSql = "list_distinct(string_split(text, ' '))"
 
   override def oracle: Map[String, String] = Map(
+    "q129_dedup_pipeline" ->
+      s"""WITH RECURSIVE t AS (
+         |  SELECT doc_id, $utokSql AS tok FROM documents),
+         |pairs AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+         |      / CAST(len(list_distinct(a.tok || b.tok)) AS DOUBLE) >= 0.9),
+         |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+         |          UNION ALL SELECT b_id, a_id FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(node, root) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node),
+         |labels AS (SELECT node, min(root) AS cluster_id
+         |           FROM reach GROUP BY node)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(l.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
+         |  d.doc_id = coalesce(l.cluster_id, d.doc_id) AS keep
+         |FROM documents d LEFT JOIN labels l ON d.doc_id = l.node
+         |ORDER BY d.doc_id""".stripMargin,
     "q118_dedup_clusters" ->
       s"""WITH RECURSIVE t AS (
          |  SELECT doc_id, $utokSql AS tok FROM documents

@@ -79,6 +79,40 @@ object Similarity extends QueryModule {
       .distinct()
   }
 
+  /** The q133 verified edge set: 8-table sign-LSH candidate pairs that
+    * survive the exact-cosine ≥ 0.4 verification. Shared by the query
+    * and by graft.Scratch, which dumps it at sf0.01 to regenerate the
+    * pinned oracle edge list — one definition, so the pins can't drift
+    * from the query. 8 tables (vs q78's 4) because the fixture's
+    * semantic neighbors sit at cosine ~0.4-0.5, where per-bit sign
+    * collision is only ≈ 0.63. */
+  private[graft] def semanticVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
+    val c = corpus(s, dir)
+    val tables = 8
+    val bits = s.conf.getOption("spark.graft.ann.bits").map(_.toInt)
+      .getOrElse(lshBits(
+        corpusCount.computeIfAbsent(dir, _ => c.count()).longValue()))
+    val keyed = c.select(col("vec_id"), col("v"),
+      explode(array((0 until tables).map { t =>
+        struct(lit(t).as("t"),
+          lshBucket(col("v"), hyperplanes(bits, 64, seed = 1000 + t))
+            .as("bucket"))
+      }: _*)).as("k"))
+      .select(col("vec_id"), col("k.t").as("t"), col("k.bucket").as("bucket"))
+      .repartition(col("t"), col("bucket")) // ReuseExchange: bucket once
+    val pairs = keyed.as("x").hint("shuffle_hash").join(keyed.as("y"),
+        col("x.t") === col("y.t") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
+      .distinct()
+    val vecs = c.select(col("vec_id"), col("v"))
+    pairs
+      .join(vecs.select(col("vec_id").as("a_id"), col("v").as("va")), "a_id")
+      .join(vecs.select(col("vec_id").as("b_id"), col("v").as("vb")), "b_id")
+      .filter(round(cosine(col("va"), col("vb")), 6) >= 0.4)
+      .select(col("a_id"), col("b_id"))
+  }
+
   /** IVF coarse quantizer: k=16 centroids as a fixed deterministic
     * corpus slice (vec_id 100..115) so the DuckDB oracle can replay the
     * identical index; production k-means-samples these, the machinery
@@ -127,9 +161,15 @@ object Similarity extends QueryModule {
     // bits (see lshBits/annCandidates); a vector lands in one
     // (table, bucket) per table, candidates are the union over tables
     // (equi-join on the key, never a cross join), then exact-cosine
-    // rerank of candidates only. Rows-only check (hyperplane literals
-    // are not oracle-expressible); candidate validity + linear scaling
-    // are asserted in PipelineSpec.
+    // rerank of candidates only. Oracle (q75 pattern — hyperplane
+    // literals are not oracle-expressible, but the result ids ARE
+    // deterministic given the fixture): the top-5 (probe_id, vec_id)
+    // ids found at sf0.01 are pinned and DuckDB recomputes each pair's
+    // exact cosine + rank — a hyperplane/bucketing change shifts the
+    // top-5 and goes red. Candidate validity + sublinear scaling are
+    // additionally spec'd (PipelineSpec). Regenerate pins from the
+    // Verify dump if the kernel or fixture changes (graft.Scratch
+    // prints the candidate set; the pins are the verified top-5).
     "q78_ann_lsh" -> { (s, dir) =>
       val c = corpus(s, dir)
       val w = Window.partitionBy(col("probe_id"))
@@ -323,34 +363,17 @@ object Similarity extends QueryModule {
     // >=0.8 pairs exist), and sign-LSH per-bit collision is only
     // 1 - θ/π ≈ 0.63 there, so this variant amplifies with 8 tables
     // (recall ≈ 0.9 at the spec's corpus size) where the >=0.9-cosine
-    // ANN path (q78) needs just 4. Rows-only (hyperplane literals are
-    // not oracle-expressible); PipelineSpec cross-checks cluster
-    // agreement against the exact all-pairs edges on a bounded slice.
+    // ANN path (q78) needs just 4. Oracle (q75 pattern — hyperplane
+    // literals are not oracle-expressible): the 44 verified edges
+    // found at sf0.01 are pinned (graft.Scratch regenerates them from
+    // semanticVerifiedPairs) and DuckDB runs the recursive-CTE CC over
+    // them — so both a bucketing change (edge set shifts) and a CC
+    // defect (labels shift) go red. PipelineSpec additionally
+    // cross-checks cluster agreement against the exact all-pairs edges
+    // on a bounded slice.
     "q133_semantic_dedup" -> { (s, dir) =>
       val c = corpus(s, dir)
-      val tables = 8
-      val bits = s.conf.getOption("spark.graft.ann.bits").map(_.toInt)
-        .getOrElse(lshBits(
-          corpusCount.computeIfAbsent(dir, _ => c.count()).longValue()))
-      val keyed = c.select(col("vec_id"), col("v"),
-        explode(array((0 until tables).map { t =>
-          struct(lit(t).as("t"),
-            lshBucket(col("v"), hyperplanes(bits, 64, seed = 1000 + t))
-              .as("bucket"))
-        }: _*)).as("k"))
-        .select(col("vec_id"), col("k.t").as("t"), col("k.bucket").as("bucket"))
-        .repartition(col("t"), col("bucket")) // ReuseExchange: bucket once
-      val pairs = keyed.as("x").hint("shuffle_hash").join(keyed.as("y"),
-          col("x.t") === col("y.t") && col("x.bucket") === col("y.bucket") &&
-            col("x.vec_id") < col("y.vec_id"))
-        .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
-        .distinct()
-      val vecs = c.select(col("vec_id"), col("v"))
-      val edgesOnce = pairs
-        .join(vecs.select(col("vec_id").as("a_id"), col("v").as("va")), "a_id")
-        .join(vecs.select(col("vec_id").as("b_id"), col("v").as("vb")), "b_id")
-        .filter(round(cosine(col("va"), col("vb")), 6) >= 0.4)
-        .select(col("a_id"), col("b_id"))
+      val edgesOnce = semanticVerifiedPairs(s, dir)
       val edges = edgesOnce
         .select(col("a_id").as("src"), col("b_id").as("dst"))
         .union(edgesOnce.select(col("b_id").as("src"), col("a_id").as("dst")))
@@ -381,7 +404,72 @@ object Similarity extends QueryModule {
     }
   )
 
+  /** The (probe_id, vec_id) top-5 ids q78's LSH ANN returns at sf0.01 —
+    * regenerate from the Verify dump (or graft.Scratch's candidate set)
+    * if the hyperplane seeds, lshBits scaling, or the fixture change.
+    * Only the ids are pinned; the ORACLE recomputes every cosine and
+    * rank from the embeddings table. */
+  private val q78PinnedTop5: String =
+    "(0,365),(0,334),(0,387),(0,73),(0,7),(1,386),(1,407),(1,472)," +
+    "(1,220),(1,233),(2,450),(2,188),(2,320),(2,418),(2,471),(3,130)," +
+    "(3,207),(3,315),(3,437),(3,463),(4,408),(4,482),(4,280),(4,470)," +
+    "(4,384),(5,404),(5,157),(5,487),(5,266),(5,11),(6,145),(6,386)," +
+    "(6,374),(6,11),(6,271),(7,425),(7,334),(7,445),(7,302),(7,0)," +
+    "(8,39),(8,138),(8,497),(8,173),(8,494),(9,386),(9,198),(9,259)," +
+    "(9,319),(9,274),(10,233),(10,38),(10,243),(10,124),(10,230)," +
+    "(11,277),(11,20),(11,78),(11,233),(11,5),(12,127),(12,274)," +
+    "(12,157),(12,303),(12,429),(13,274),(13,314),(13,431),(13,127)," +
+    "(13,240),(14,146),(14,147),(14,271),(14,479),(14,156),(15,59)," +
+    "(15,284),(15,452),(15,302),(15,476),(16,402),(16,222),(16,124)," +
+    "(16,282),(16,88),(17,115),(17,416),(17,385),(17,70),(17,399)," +
+    "(18,181),(18,112),(18,63),(18,255),(18,356),(19,87),(19,317)," +
+    "(19,54),(19,276),(19,273)"
+
+  /** The verified (a_id, b_id) edges q133's sign-LSH + cosine >= 0.4
+    * verification finds at sf0.01 — regenerate with graft.Scratch
+    * (Q133_EDGES) if the hyperplane seeds or fixture change. The ORACLE
+    * runs its own recursive-CTE connected components over these edges,
+    * so the engine's CC kernel is independently re-derived. */
+  private val q133PinnedEdges: String =
+    "(7,425),(16,402),(19,87),(24,384),(28,305),(32,200),(35,351)," +
+    "(44,301),(45,298),(53,234),(70,210),(75,256),(83,310),(84,190)," +
+    "(85,404),(108,142),(120,421),(150,152),(156,438),(158,452)," +
+    "(159,202),(162,282),(166,324),(169,466),(172,440),(191,431)," +
+    "(195,317),(197,318),(200,204),(202,245),(203,414),(205,485)," +
+    "(207,326),(238,287),(253,385),(262,291),(290,325),(290,331)," +
+    "(325,331),(334,382),(335,439),(350,395),(355,417),(387,388)"
+
   override def oracle: Map[String, String] = Map(
+    "q78_ann_lsh" ->
+      s"""WITH ids(probe_id, vec_id) AS (VALUES $q78PinnedTop5)
+         |SELECT CAST(probe_id AS BIGINT) AS probe_id,
+         |  CAST(vec_id AS BIGINT) AS vec_id, sim,
+         |  CAST(row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY sim DESC, vec_id) AS BIGINT) AS rk
+         |FROM (
+         |  SELECT i.probe_id, i.vec_id,
+         |    round(list_cosine_similarity(p.embedding::DOUBLE[],
+         |      c.embedding::DOUBLE[]), 6) AS sim
+         |  FROM ids i
+         |  JOIN embeddings p ON p.vec_id = i.probe_id
+         |  JOIN embeddings c ON c.vec_id = i.vec_id)
+         |ORDER BY probe_id, rk""".stripMargin,
+    "q133_semantic_dedup" ->
+      s"""WITH RECURSIVE ids(a_id, b_id) AS (VALUES $q133PinnedEdges),
+         |edges AS (SELECT a_id AS src, b_id AS dst FROM ids
+         |          UNION ALL SELECT b_id, a_id FROM ids),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(node, root) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node),
+         |labels AS (SELECT node, min(root) AS cluster_id
+         |           FROM reach GROUP BY node)
+         |SELECT e.vec_id,
+         |  CAST(coalesce(l.cluster_id, e.vec_id) AS BIGINT) AS cluster_id,
+         |  e.vec_id = coalesce(l.cluster_id, e.vec_id) AS keep
+         |FROM embeddings e LEFT JOIN labels l ON e.vec_id = l.node
+         |ORDER BY e.vec_id""".stripMargin,
     "q77_ann_bruteforce" ->
       """SELECT probe_id, vec_id, sim, CAST(rk AS BIGINT) AS rk FROM (
         |  SELECT p.vec_id AS probe_id, c.vec_id,

@@ -152,6 +152,60 @@ class AsOfJoinSpec extends AnyFunSuite {
       s"null-pad metric ${m("numNullPadded").value} != $nulls")
   }
 
+  test("sort-merge as-of with STRING keys matches the broadcast path " +
+    "under forced spill (UTF8String views must not outlive the spill " +
+    "reader's reused buffer)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    // 200k right rows in ONE partition overshoots the session's 64k
+    // force-spill threshold -> SortExec spills -> merge rows come back
+    // through UnsafeSorterSpillReader's reused record buffer, the exact
+    // scenario where a retained UTF8String candidateKey view corrupts
+    def skey(c: org.apache.spark.sql.Column) =
+      when(c % 3 === 0, lit("hot_key"))
+        .otherwise(format_string("key_%03d", c % 40))
+    val nRight = 200000L
+    val right = spark.range(nRight).select(
+      skey(col("id")).as("r_key"), col("id").as("r_time"),
+      (col("id") * 7 % 1000).as("r_val"))
+    val left = spark.range(5000).select(
+      skey(col("id") * 11).as("l_key"),
+      (col("id") * 37 % nRight).as("l_time"))
+    def run(impl: String, parts: String): (Array[Seq[Any]], SparkPlan) = {
+      val saved = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.graft.asof.impl", impl)
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try {
+        val df = graft.plans.AsOfJoinOps.asof(left, right,
+          "l_key", "r_key", "l_time", "r_time", "r_val")
+        val rows = df.collect().map(_.toSeq)
+          .sortBy(_.mkString(" "))
+        (rows, df.queryExecution.executedPlan)
+      } finally {
+        spark.conf.unset("spark.graft.asof.impl")
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+      }
+    }
+    val (expected, _) = run("broadcast", "4")
+    val (got, plan) = run("sort_merge", "1")
+    def findSorts(p: SparkPlan): Seq[SortExec] = {
+      val here = p match { case s: SortExec => Seq(s); case _ => Nil }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      here ++ kids.flatMap(findSorts)
+    }
+    val spilled = findSorts(plan).map(_.metrics("spillSize").value).sum
+    assert(spilled > 0, s"scenario unexercised: no sort spilled in:\n$plan")
+    assert(got.length == expected.length,
+      s"${got.length} rows vs ${expected.length}")
+    got.zip(expected).foreach { case (a, b) => assert(a == b) }
+  }
+
   test("unmatched left rows null-pad; matched rows take the latest " +
     "at-or-before right row") {
     val rows = SparkEntry.queries("q125_asof_native")(spark, sf).collect()

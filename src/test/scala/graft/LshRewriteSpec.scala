@@ -88,6 +88,35 @@ class LshRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("rewrite and the hand-built pipelines read band length from the " +
+    "ONE shared LshKnobs table") {
+    import graft.functions.LshKnobs
+    // the rewrite's single-band key for the θ=0.9 query above must be
+    // exactly what the table prescribes...
+    val expectRows = LshKnobs.singleBandRows(0.9)
+    spark.experimental.extraOptimizations =
+      Seq(graft.plans.GraftLshRewrite)
+    spark.conf.set("spark.graft.ann.lshRewrite.enabled", "true")
+    try {
+      val plan = jaccardPairsQuery().queryExecution.optimizedPlan.toString
+      assert(s"minhash_signature\\(.*, $expectRows\\)".r
+        .findFirstIn(plan).isDefined,
+        s"expected $expectRows-row band key in:\n${plan.take(2000)}")
+    } finally {
+      spark.conf.unset("spark.graft.ann.lshRewrite.enabled")
+      spark.experimental.extraOptimizations = Nil
+    }
+    // ...and the explode pipeline's fused banding must carry the
+    // table's (bands, rows) for ITS default verify threshold
+    val (b, r) = LshKnobs.bandsRows(
+      graft.queries.Pipeline.defaultVerifyThreshold)
+    val pipelinePlan = SparkEntry.queries("q75_minhash_lsh")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(s"minhash_bands\\(.*, $b, $r\\)".r
+      .findFirstIn(pipelinePlan).isDefined,
+      s"expected minhash_bands(_, $b, $r) in:\n${pipelinePlan.take(2000)}")
+  }
+
   test("rule is inert when disabled") {
     spark.experimental.extraOptimizations =
       Seq(graft.plans.GraftLshRewrite)

@@ -13,6 +13,10 @@ object TestSession {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // force UnsafeExternalSorter to spill past 64k elements so specs
+      // can exercise spill-reader row reuse (AsOfJoinSpec); test-scale
+      // sorts stay under it except where a spec overshoots on purpose
+      .config("spark.shuffle.spill.numElementsForceSpillThreshold", "65536")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
