@@ -283,6 +283,123 @@ object Analytics extends QueryModule {
           coalesce(col("priority"), lit("ALL")).as("priority"),
           col("sales"), col("n"), col("gid"))
         .orderBy(col("gid"), col("channel"), col("priority"))
+    },
+
+    // TPC-DS Q14 shape: INTERSECT-heavy cross-channel match — parts
+    // sold through ALL THREE order-status "channels", then revenue by
+    // brand restricted to those parts. The INTERSECTs are written as
+    // the distinct + left-semi joins Spark's own
+    // ReplaceIntersectWithSemiJoin rewrite produces (the oracle keeps
+    // the literal INTERSECT SQL) — hand-written because that rewrite
+    // DROPS broadcast hints placed on intersect operands (it runs
+    // after EliminateResolvedHint), and without a pinned build side
+    // AQE's runtime shuffled→broadcast conversion races on
+    // stage-completion order for these near-equal channel sets and
+    // flips the plan run to run. The sets are bounded by |part|, so
+    // broadcasting every semi build side is scale-safe AND
+    // deterministic. The fact is scanned once per channel for the
+    // build sets + once for the agg, same as Q14's design.
+    "q154_channel_intersect" -> { (s, dir) =>
+      def chParts(status: String, out: String) = {
+        val o = Tables.df(s, dir, "orders")
+          .filter(col("o_orderstatus") === status)
+          .select(col("o_orderkey").as(s"ok_$out"))
+        Tables.df(s, dir, "lineitem")
+          .join(broadcast(o), col("l_orderkey") === col(s"ok_$out"))
+          .select(col("l_partkey").as(out)).distinct()
+      }
+      val common = chParts("O", "pk_o")
+        .join(broadcast(chParts("F", "pk_f")),
+          col("pk_o") <=> col("pk_f"), "left_semi")
+        .join(broadcast(chParts("P", "pk_p")),
+          col("pk_o") <=> col("pk_p"), "left_semi")
+        .select(col("pk_o").as("l_partkey"))
+      Tables.df(s, dir, "lineitem")
+        .join(broadcast(common), Seq("l_partkey"), "left_semi")
+        .join(broadcast(Tables.df(s, dir, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(rev.as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy(col("p_brand"))
+    },
+
+    // TPC-DS Q88 shape: multi-CASE single-scan aggregates — eight
+    // time-band click counts that the naive Q88 formulation writes as
+    // eight independent full-table subqueries, fused into ONE scan with
+    // conditional aggregates. The plan is a single filter-pushed scan
+    // + one partial agg collapsing to a single row; at 100 TB that is
+    // an 8× scan saving over the literal translation.
+    "q155_hour_band_counts" -> { (s, dir) =>
+      val h = hour(col("ts"))
+      def band(lo: Int, hi: Int) =
+        count(when(h.between(lo, hi), 1)).as(s"h${lo}_$hi")
+      Tables.df(s, dir, "events")
+        .filter(col("event_type") === "click")
+        .agg(band(0, 2), band(3, 5), band(6, 8), band(9, 11),
+          band(12, 14), band(15, 17), band(18, 20), band(21, 23),
+          count(lit(1)).as("n_clicks"))
+    },
+
+    // TPC-DS Q64 shape: multi-join chain with a REPEATED dimension —
+    // nation joined twice in different roles (customer's vs
+    // supplier's), cross-border flows only, revenue by (cust_nation,
+    // supp_nation, year). One fact scan, every dim broadcast (nation
+    // twice under different projections), exactly one shuffle (the
+    // final group-by) — the Q64 trap of shuffling the fact once per
+    // dim role never appears.
+    "q156_crossborder_flows" -> { (s, dir) =>
+      val li = Tables.df(s, dir, "lineitem")
+      val ord = Tables.df(s, dir, "orders")
+      val cust = Tables.df(s, dir, "customer")
+      val supp = Tables.df(s, dir, "supplier")
+      val nat = Tables.df(s, dir, "nation")
+      val cn = nat.select(col("n_nationkey").as("c_nk"),
+        col("n_name").as("cust_nation"))
+      val sn = nat.select(col("n_nationkey").as("s_nk"),
+        col("n_name").as("supp_nation"))
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+        .join(broadcast(cn), col("c_nationkey") === col("c_nk"))
+        .join(broadcast(sn), col("s_nationkey") === col("s_nk"))
+        .filter(col("cust_nation") =!= col("supp_nation"))
+        .groupBy(col("cust_nation"), col("supp_nation"),
+          year(col("o_orderdate")).cast(LongType).as("o_year"))
+        .agg(rev.as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy(col("cust_nation"), col("supp_nation"), col("o_year"))
+    },
+
+    // TPC-H Q21 shape: EXISTS + NOT EXISTS correlated self-subqueries —
+    // suppliers whose returned line was the ONLY return in a
+    // multi-supplier order. Spark-first: the correlated EXISTS becomes
+    // a left-SEMI self-join and the NOT EXISTS a left-ANTI self-join,
+    // both with the non-equi (different supplier) conjunct — the
+    // decorrelation TPC-H Q21 forces every engine to get right. Scale:
+    // all three legs are DISTINCT-reduced narrow (orderkey, suppkey)
+    // pairs co-clustered on orderkey (fact-sized but 16 bytes/row);
+    // semi/anti build sides are fixed (right) so there is no AQE side
+    // flip; the supplier dim broadcasts.
+    "q157_sole_returned_supplier" -> { (s, dir) =>
+      val li = Tables.df(s, dir, "lineitem")
+      def pairs(name: String) = li
+        .select(col("l_orderkey").as(s"ok_$name"),
+          col("l_suppkey").as(s"sk_$name"))
+      val l1 = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        .distinct()
+      val lAll = pairs("all").distinct()
+      val lRet = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("ok_ret"),
+          col("l_suppkey").as("sk_ret")).distinct()
+      l1.join(lAll, col("ok") === col("ok_all") &&
+          col("sk") =!= col("sk_all"), "left_semi")
+        .join(lRet, col("ok") === col("ok_ret") &&
+          col("sk") =!= col("sk_ret"), "left_anti")
+        .join(broadcast(Tables.df(s, dir, "supplier")),
+          col("sk") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
     }
   )
 
@@ -446,6 +563,61 @@ object Analytics extends QueryModule {
         |  CAST(sum(amt) AS DOUBLE) AS sales, count(*) AS n,
         |  CAST(GROUPING(channel) * 2 + GROUPING(priority) AS BIGINT) AS gid
         |FROM u GROUP BY ROLLUP (channel, priority)
-        |ORDER BY gid, channel, priority""".stripMargin
+        |ORDER BY gid, channel, priority""".stripMargin,
+    "q154_channel_intersect" ->
+      s"""WITH common AS (
+         |  SELECT DISTINCT l_partkey FROM lineitem
+         |    JOIN orders ON l_orderkey = o_orderkey
+         |    WHERE o_orderstatus = 'O'
+         |  INTERSECT
+         |  SELECT DISTINCT l_partkey FROM lineitem
+         |    JOIN orders ON l_orderkey = o_orderkey
+         |    WHERE o_orderstatus = 'F'
+         |  INTERSECT
+         |  SELECT DISTINCT l_partkey FROM lineitem
+         |    JOIN orders ON l_orderkey = o_orderkey
+         |    WHERE o_orderstatus = 'P')
+         |SELECT p_brand, $revSql AS revenue, count(*) AS n_items
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE l_partkey IN (SELECT l_partkey FROM common)
+         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q155_hour_band_counts" ->
+      """SELECT
+        |  count(*) FILTER (hour(ts) BETWEEN 0 AND 2) AS h0_2,
+        |  count(*) FILTER (hour(ts) BETWEEN 3 AND 5) AS h3_5,
+        |  count(*) FILTER (hour(ts) BETWEEN 6 AND 8) AS h6_8,
+        |  count(*) FILTER (hour(ts) BETWEEN 9 AND 11) AS h9_11,
+        |  count(*) FILTER (hour(ts) BETWEEN 12 AND 14) AS h12_14,
+        |  count(*) FILTER (hour(ts) BETWEEN 15 AND 17) AS h15_17,
+        |  count(*) FILTER (hour(ts) BETWEEN 18 AND 20) AS h18_20,
+        |  count(*) FILTER (hour(ts) BETWEEN 21 AND 23) AS h21_23,
+        |  count(*) AS n_clicks
+        |FROM events WHERE event_type = 'click'""".stripMargin,
+    "q156_crossborder_flows" ->
+      s"""SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+         |  CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         |  $revSql AS revenue, count(*) AS n_items
+         |FROM lineitem
+         | JOIN orders ON l_orderkey = o_orderkey
+         | JOIN customer ON o_custkey = c_custkey
+         | JOIN supplier ON l_suppkey = s_suppkey
+         | JOIN nation cn ON c_nationkey = cn.n_nationkey
+         | JOIN nation sn ON s_nationkey = sn.n_nationkey
+         |WHERE cn.n_name != sn.n_name
+         |GROUP BY cn.n_name, sn.n_name, year(o_orderdate)
+         |ORDER BY cust_nation, supp_nation, o_year""".stripMargin,
+    "q157_sole_returned_supplier" ->
+      """WITH l1 AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+        |            FROM lineitem WHERE l_returnflag = 'R')
+        |SELECT s_name, count(*) AS numwait
+        |FROM l1 JOIN supplier ON sk = s_suppkey
+        |WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.ok
+        |                AND l2.l_suppkey != l1.sk)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.ok
+        |                    AND l3.l_suppkey != l1.sk
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin
   )
 }

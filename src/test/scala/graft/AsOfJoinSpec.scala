@@ -159,6 +159,7 @@ class AsOfJoinSpec extends AnyFunSuite {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.SortExec
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    graft.GraftExtensions.register(spark) // planner strategy for AsOfJoinPlan
     // 200k right rows in ONE partition overshoots the session's 64k
     // force-spill threshold -> SortExec spills -> merge rows come back
     // through UnsafeSorterSpillReader's reused record buffer, the exact

@@ -30,7 +30,8 @@ class PlanGoldenSpec extends AnyFunSuite {
   private val extraPinned = Seq("q108_range_join_binned", "q111_ann_ivf",
     "q113_decontamination", "q127_kmin_sketch_dedup",
     "q151_rollup_window_topk", "q152_cumulative_compare",
-    "q153_channel_rollup")
+    "q153_channel_rollup", "q154_channel_intersect",
+    "q155_hour_band_counts", "q156_crossborder_flows")
   private val pinned =
     (Bench.headline.filterNot(_.contains("stream")) ++ extraPinned).distinct
 
