@@ -128,12 +128,67 @@ object Pipeline2 extends QueryModule {
           md5(array_join(slice(col("tok"), col("start") + 1, lit(64)), " ")
             .cast(BinaryType)).as("chunk_md5"))
         .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+
+    // Model-based quality scoring (the KenLM-style LM filter of real
+    // curation stacks, with a transparent bigram frequency model
+    // standing in for the LM): PASS 1 aggregates corpus bigram counts
+    // and keeps the top 1000 with a deterministic (count desc, bigram)
+    // tiebreak — partial agg + TakeOrdered, so the model is
+    // broadcast-sized BY CONSTRUCTION at any corpus size; PASS 2
+    // re-scans the corpus, joins each doc's bigrams against the
+    // broadcast model map-side (no corpus-keyed shuffle), and scores
+    // docs by model coverage and mean log-frequency. Engine-portable
+    // floats: each ln(count) is rounded to 6dp then summed EXACTLY as
+    // decimal, so summation order cannot move the score.
+    "q158_lm_quality" -> { (s, dir) =>
+      val docs = Tables.df(s, dir, "documents")
+      def bigrams(df: DataFrame) = df
+        .select(col("doc_id"), tokens(col("text")).as("tok"))
+        .filter(size(col("tok")) >= 2)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(0), size(col("tok")) - 2),
+            i => array_join(slice(col("tok"), i + 1, lit(2)), " ")))
+            .as("b"))
+      val model = bigrams(docs)
+        .groupBy(col("b")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("b")).limit(1000)
+      bigrams(docs)
+        .join(broadcast(model), Seq("b"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          count(col("cnt")).as("n_covered"),
+          sum(round(log(col("cnt").cast(DoubleType)), 6)
+            .cast(DecimalType(18, 6))).as("sum_lf"))
+        .select(col("doc_id"), col("n_bigrams"), col("n_covered"),
+          round(col("n_covered").cast(DoubleType) / col("n_bigrams"), 6)
+            .as("coverage"),
+          round(coalesce(col("sum_lf").cast(DoubleType) / col("n_covered"),
+            lit(0.0)), 6).as("avg_logfreq"))
+        .orderBy(col("doc_id"))
     }
   )
 
   private val tokSql = "string_split(text, ' ')"
 
   override def oracle: Map[String, String] = Map(
+    "q158_lm_quality" ->
+      s"""WITH tok AS (SELECT doc_id, $tokSql AS t FROM documents
+         |             WHERE len($tokSql) >= 2),
+         |idx AS (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM tok),
+         |bg AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS b FROM idx),
+         |model AS (SELECT b, count(*) AS cnt FROM bg GROUP BY b
+         |          ORDER BY cnt DESC, b LIMIT 1000),
+         |per AS (
+         |  SELECT doc_id, count(*) AS n_bigrams, count(m.cnt) AS n_covered,
+         |    sum(CAST(round(ln(m.cnt), 6) AS DECIMAL(18,6))) AS sum_lf
+         |  FROM bg LEFT JOIN model m USING (b)
+         |  GROUP BY doc_id)
+         |SELECT doc_id, n_bigrams, n_covered,
+         |  round(CAST(n_covered AS DOUBLE) / n_bigrams, 6) AS coverage,
+         |  round(coalesce(CAST(sum_lf AS DOUBLE) / n_covered, 0.0), 6)
+         |    AS avg_logfreq
+         |FROM per ORDER BY doc_id""".stripMargin,
     "q113_decontamination" ->
       s"""WITH cut AS (SELECT CAST(max(doc_id) - 200 AS BIGINT) AS cut
          |             FROM documents),

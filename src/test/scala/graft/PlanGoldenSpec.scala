@@ -31,7 +31,8 @@ class PlanGoldenSpec extends AnyFunSuite {
     "q113_decontamination", "q127_kmin_sketch_dedup",
     "q151_rollup_window_topk", "q152_cumulative_compare",
     "q153_channel_rollup", "q154_channel_intersect",
-    "q155_hour_band_counts", "q156_crossborder_flows")
+    "q155_hour_band_counts", "q156_crossborder_flows",
+    "q158_lm_quality")
   private val pinned =
     (Bench.headline.filterNot(_.contains("stream")) ++ extraPinned).distinct
 
