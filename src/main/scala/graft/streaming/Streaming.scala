@@ -121,6 +121,30 @@ object Streaming extends QueryModule {
         .orderBy(col("w_start"), col("event_type"))
     },
 
+    // Stream-STATIC enrichment join — the production pattern for
+    // joining a stream against a dimension table: the static side is a
+    // plain batch DataFrame joined per micro-batch (STATELESS — no
+    // watermark constraint, no state store; the dim broadcasts), here
+    // customer market segments keyed by user id, followed by a
+    // tumbling-window revenue-per-segment aggregation. At scale the
+    // static side re-resolves per batch, so a slowly-refreshed dim
+    // parquet is picked up without restarting the stream.
+    "q159_stream_static_enrich" -> { (s, dir) =>
+      val dim = graft.Tables.df(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment").as("segment"))
+      val agg = eventStream(s, dir)
+        .filter(col("event_type") === "purchase")
+        .join(broadcast(dim), col("user_id") === col("c_custkey"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("segment"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(D2)).cast(DoubleType).as("sum_v"))
+        .select(unix_micros(col("w.start")).as("w_start"), col("segment"),
+          col("n"), col("sum_v"))
+      drain(agg, s, "q159_sink", OutputMode.Complete())
+        .orderBy(col("w_start"), col("segment"))
+    },
+
     // Sliding 2h window, 1h slide (each event in two windows).
     "q86_stream_sliding" -> { (s, dir) =>
       val agg = eventStream(s, dir)
@@ -345,6 +369,14 @@ object Streaming extends QueryModule {
         | event_type, count(*) AS n,
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
         |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+    "q159_stream_static_enrich" ->
+      """SELECT epoch_us(date_trunc('hour', CAST(e.ts AS TIMESTAMP)))
+        |    AS w_start,
+        |  c.c_mktsegment AS segment, count(*) AS n,
+        |  CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |WHERE e.event_type = 'purchase'
+        |GROUP BY 1, 2 ORDER BY w_start, segment""".stripMargin,
     "q86_stream_sliding" ->
       """SELECT w_start, count(*) AS n,
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
