@@ -13,14 +13,19 @@ import org.apache.spark.sql.internal.SQLConf
 
 /** Whole-operator extension path (SURVEY §7.3 preference (c)): a custom
   * logical plan node + planner Strategy + physical operators for the
-  * backward as-of join — an operator Spark's built-in join set lacks
+  * as-of join — an operator Spark's built-in join set lacks
   * (the reference engine lacks it too; q103 implements the same
   * semantics compositionally via a union + cumulative window).
   *
-  * Semantics: LEFT OUTER as-of — for every left row, the single right
-  * row with the same key and the greatest time <= the left row's time
-  * (ties on time broken by the greatest tie-break value); unmatched left
-  * rows pad the right side with nulls.
+  * Semantics: LEFT OUTER as-of — for every left row, ONE right row with
+  * the same key, chosen by `direction` (pandas merge_asof's axis):
+  *  - "backward": greatest right time <= left time; ties on time
+  *    resolve to the GREATEST tie-break (last hit scanning backward);
+  *  - "forward": smallest right time >= left time; ties resolve to the
+  *    SMALLEST tie-break (first hit scanning forward);
+  *  - "nearest": the closer of the two by |Δtime|, backward preferred
+  *    on equal distance.
+  * Unmatched left rows pad the right side with nulls.
   *
   * Three physical shapes, chosen by the planner on right-side size
   * (the same ladder Spark's JoinSelection walks for equi-joins):
@@ -47,7 +52,8 @@ case class AsOfJoinPlan(
     rightKey: Expression,
     leftTime: Expression,
     rightTime: Expression,
-    rightTieBreak: Expression) extends BinaryNode {
+    rightTieBreak: Expression,
+    direction: String = "backward") extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -114,13 +120,15 @@ private[plans] object AsOfCore {
   def probe(leftIter: Iterator[InternalRow], index: Index,
             leftOut: Seq[Attribute], rightOut: Seq[Attribute],
             outAttrs: Seq[Attribute],
-            lk: Expression, lt: Expression,
+            lk: Expression, lt: Expression, direction: String,
             numMatched: SQLMetric, numNullPadded: SQLMetric): Iterator[InternalRow] = {
     val lKeyEval = BindReferences.bindReference(lk, leftOut)
     val lTimeEval = BindReferences.bindReference(lt, leftOut)
     val joined = new JoinedRow
     val nullRight = new GenericInternalRow(rightOut.length)
     val project = UnsafeProjection.create(outAttrs, leftOut ++ rightOut)
+    val wantBack = direction != "forward"
+    val wantFwd = direction != "backward"
     leftIter.map { lrow =>
       val k = lKeyEval.eval(lrow)
       val t = lTimeEval.eval(lrow)
@@ -129,15 +137,39 @@ private[plans] object AsOfCore {
         val entry = index.get(k)
         if (entry != null) {
           val (times, rows) = entry
-          // rightmost slot with times(i) <= t
-          var lo = 0; var hi = times.length - 1; var ans = -1
+          val n = times.length
           val tv = toLongTime(t)
-          while (lo <= hi) {
-            val mid = (lo + hi) >>> 1
-            if (times(mid) <= tv) { ans = mid; lo = mid + 1 }
-            else hi = mid - 1
+          // b: rightmost slot with times(b) <= t — the array is sorted
+          // (time, tie) ascending, so the last of an equal-time run is
+          // the greatest tie-break (backward's tie rule)
+          var b = -1
+          if (wantBack) {
+            var lo = 0; var hi = n - 1
+            while (lo <= hi) {
+              val mid = (lo + hi) >>> 1
+              if (times(mid) <= tv) { b = mid; lo = mid + 1 }
+              else hi = mid - 1
+            }
           }
-          if (ans >= 0) matched = rows(ans)
+          // f: leftmost slot with times(f) >= t — the first of an
+          // equal-time run is the smallest tie-break (forward's rule)
+          var f = n
+          if (wantFwd) {
+            var lo = 0; var hi = n - 1
+            while (lo <= hi) {
+              val mid = (lo + hi) >>> 1
+              if (times(mid) >= tv) { f = mid; hi = mid - 1 }
+              else lo = mid + 1
+            }
+          }
+          direction match {
+            case "forward" => if (f < n) matched = rows(f)
+            case "backward" => if (b >= 0) matched = rows(b)
+            case _ => // nearest: closer wins, backward on equal distance
+              if (b >= 0 && (f >= n || tv - times(b) <= times(f) - tv))
+                matched = rows(b)
+              else if (f < n) matched = rows(f)
+          }
         }
       }
       if (matched eq nullRight) numNullPadded += 1 else numMatched += 1
@@ -163,7 +195,8 @@ case class BroadcastAsOfJoinExec(
     rightKey: Expression,
     leftTime: Expression,
     rightTime: Expression,
-    rightTieBreak: Expression) extends BinaryExecNode {
+    rightTieBreak: Expression,
+    direction: String) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -187,12 +220,13 @@ case class BroadcastAsOfJoinExec(
     val outAttrs = output
     val (lk, lt) = (leftKey, leftTime)
     val (rk, rt, rb) = (rightKey, rightTime, rightTieBreak)
+    val dir = direction
     val (nm, np) = (longMetric("numMatched"), longMetric("numNullPadded"))
     left.execute().mapPartitions { leftIter =>
       val index = AsOfCore.buildIndex(broadcastRight.value.iterator,
         rightOut, rk, rt, rb, copyRows = false)
       AsOfCore.probe(leftIter, index, leftOut, rightOut, outAttrs, lk, lt,
-        nm, np)
+        dir, nm, np)
     }
   }
 }
@@ -208,7 +242,8 @@ case class ShuffledAsOfJoinExec(
     rightKey: Expression,
     leftTime: Expression,
     rightTime: Expression,
-    rightTieBreak: Expression) extends BinaryExecNode {
+    rightTieBreak: Expression,
+    direction: String) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -232,12 +267,13 @@ case class ShuffledAsOfJoinExec(
     val outAttrs = output
     val (lk, lt) = (leftKey, leftTime)
     val (rk, rt, rb) = (rightKey, rightTime, rightTieBreak)
+    val dir = direction
     val (nm, np) = (longMetric("numMatched"), longMetric("numNullPadded"))
     left.execute().zipPartitions(right.execute()) { (leftIter, rightIter) =>
       val index = AsOfCore.buildIndex(rightIter, rightOut, rk, rt, rb,
         copyRows = true)
       AsOfCore.probe(leftIter, index, leftOut, rightOut, outAttrs, lk, lt,
-        nm, np)
+        dir, nm, np)
     }
   }
 }
@@ -257,7 +293,8 @@ case class SortMergeAsOfJoinExec(
     rightKey: Expression,
     leftTime: Expression,
     rightTime: Expression,
-    rightTieBreak: Expression) extends BinaryExecNode {
+    rightTieBreak: Expression,
+    direction: String) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -289,6 +326,7 @@ case class SortMergeAsOfJoinExec(
     val (lk, lt) = (leftKey, leftTime)
     val (rk, rt) = (rightKey, rightTime)
     val keyType = leftKey.dataType
+    val dir = direction
     val (nm, np) = (longMetric("numMatched"), longMetric("numNullPadded"))
     left.execute().zipPartitions(right.execute()) { (leftIter, rightIter) =>
       val keyOrd = TypeUtils.getInterpretedOrdering(keyType)
@@ -300,8 +338,11 @@ case class SortMergeAsOfJoinExec(
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rightOut.length)
       val project = UnsafeProjection.create(outAttrs, leftOut ++ rightOut)
-      // the single retained right row: the latest (time, tie) <= the
-      // current left row's time within the current key group
+      // backward keeps the last consumed qualifier (a COPY — it must
+      // outlive the rows the iterator reuses); forward only needs a
+      // PEEK at the un-consumed head, which stays valid until our own
+      // next() call. nearest uses both.
+      val keepBack = dir != "forward"
       var candidate: InternalRow = null
       var candidateKey: Any = null
       leftIter.map { lrow =>
@@ -312,6 +353,10 @@ case class SortMergeAsOfJoinExec(
           val tv = AsOfCore.toLongTime(t)
           if (candidate != null && keyOrd.compare(candidateKey, k) != 0)
             candidate = null // left moved to a new key group
+          // consume rights up to the direction's threshold: backward/
+          // nearest take time <= t (last consumed = back candidate),
+          // forward drops strictly-before rows only, so the head is
+          // the earliest at-or-after
           var advancing = true
           while (advancing && buffered.hasNext) {
             val rrow = buffered.head
@@ -321,20 +366,44 @@ case class SortMergeAsOfJoinExec(
             else {
               val c = keyOrd.compare(rkv, k)
               if (c < 0) { buffered.next(); () } // before our key group
-              else if (c == 0 && AsOfCore.toLongTime(rtv) <= tv) {
+              else if (c == 0 && (if (keepBack)
+                  AsOfCore.toLongTime(rtv) <= tv
+                else AsOfCore.toLongTime(rtv) < tv)) {
                 // sorted (time, tie) ascending: the LAST consumed
                 // qualifier is the max — same tie semantics as the
                 // hash-index probe's rightmost binary search.
                 // candidateKey must come from the stable COPY: rkv may
                 // be a UTF8String view into the sort iterator's record
                 // buffer, which spill readers reuse between rows
-                candidate = buffered.next().copy()
-                candidateKey = rKeyEval.eval(candidate)
-              } else advancing = false // beyond this key, or time > t
+                if (keepBack) {
+                  candidate = buffered.next().copy()
+                  candidateKey = rKeyEval.eval(candidate)
+                } else { buffered.next(); () }
+              } else advancing = false // beyond this key, or time >= t
             }
           }
-          if (candidate != null && keyOrd.compare(candidateKey, k) == 0)
-            matched = candidate
+          val back =
+            if (candidate != null && keyOrd.compare(candidateKey, k) == 0)
+              candidate else null
+          // forward candidate: the head, iff still in our key group
+          // (its time/key are non-null — null-first sorting means null
+          // rows of this key were consumed above)
+          var fwd: InternalRow = null
+          if (dir != "backward" && buffered.hasNext) {
+            val h = buffered.head
+            val hk = rKeyEval.eval(h)
+            if (hk != null && keyOrd.compare(hk, k) == 0) fwd = h
+          }
+          matched = dir match {
+            case "backward" => if (back != null) back else nullRight
+            case "forward" => if (fwd != null) fwd else nullRight
+            case _ =>
+              if (back != null && (fwd == null ||
+                  tv - AsOfCore.toLongTime(rTimeEval.eval(back)) <=
+                    AsOfCore.toLongTime(rTimeEval.eval(fwd)) - tv)) back
+              else if (fwd != null) fwd
+              else nullRight
+          }
         }
         if (matched eq nullRight) np += 1 else nm += 1
         project(joined(lrow, matched))
@@ -358,13 +427,13 @@ case class SortMergeAsOfJoinExec(
   * overrides the ladder (like Spark's join hints). */
 object GraftStrategies extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tb) =>
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tb, dir) =>
       def broadcast = BroadcastAsOfJoinExec(
-        planLater(l), planLater(r), lk, rk, lt, rt, tb)
+        planLater(l), planLater(r), lk, rk, lt, rt, tb, dir)
       def shuffled = ShuffledAsOfJoinExec(
-        planLater(l), planLater(r), lk, rk, lt, rt, tb)
+        planLater(l), planLater(r), lk, rk, lt, rt, tb, dir)
       def sortMerge = SortMergeAsOfJoinExec(
-        planLater(l), planLater(r), lk, rk, lt, rt, tb)
+        planLater(l), planLater(r), lk, rk, lt, rt, tb, dir)
       val conf = SQLConf.get
       val exec = conf.getConfString("spark.graft.asof.impl", "auto") match {
         case "broadcast" => broadcast
@@ -403,7 +472,10 @@ object AsOfJoinOps {
   def asof(left: DataFrame, right: DataFrame,
            leftKey: String, rightKey: String,
            leftTime: String, rightTime: String,
-           rightTieBreak: String): DataFrame = {
+           rightTieBreak: String,
+           direction: String = "backward"): DataFrame = {
+    require(Set("backward", "forward", "nearest").contains(direction),
+      s"as-of direction must be backward|forward|nearest, got $direction")
     val lp = left.queryExecution.analyzed
     val rp = right.queryExecution.analyzed
     def attr(p: LogicalPlan, n: String): Attribute =
@@ -423,6 +495,7 @@ object AsOfJoinOps {
       AsOfJoinPlan(lp, rp, attr(lp, leftKey), attr(rp, rightKey),
         requireOrderable("time", attr(lp, leftTime)),
         requireOrderable("time", attr(rp, rightTime)),
-        requireOrderable("tie-break", attr(rp, rightTieBreak))))
+        requireOrderable("tie-break", attr(rp, rightTieBreak)),
+        direction))
   }
 }

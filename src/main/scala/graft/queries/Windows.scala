@@ -137,6 +137,52 @@ object Windows extends QueryModule {
         .orderBy(col("purchase_id"))
     },
 
+    // FORWARD as-of through the same native operator (pandas
+    // merge_asof direction="forward"): for each purchase, the EARLIEST
+    // click at-or-after it per user; ties on time resolve to the
+    // smallest click id (first hit scanning forward). The oracle is an
+    // explicit rank-1 window over the qualifying clicks — fully
+    // deterministic, unlike relying on any engine's native ASOF tie
+    // behavior.
+    "q160_asof_forward" -> { (s, dir) =>
+      graft.GraftExtensions.register(s)
+      val ev = Tables.df(s, dir, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"),
+          col("user_id").as("c_user"),
+          unix_micros(col("ts")).as("click_ts_us"))
+      graft.plans.AsOfJoinOps
+        .asof(p, c, "user_id", "c_user", "ts_us", "click_ts_us",
+          "click_id", direction = "forward")
+        .select(col("purchase_id"), col("user_id"), col("ts_us"),
+          col("click_id"), col("click_ts_us"))
+        .orderBy(col("purchase_id"))
+    },
+
+    // NEAREST as-of (pandas merge_asof direction="nearest"): the
+    // closer click on either side of each purchase, backward preferred
+    // on equal distance; per-side tie rules as q125/q160.
+    "q161_asof_nearest" -> { (s, dir) =>
+      graft.GraftExtensions.register(s)
+      val ev = Tables.df(s, dir, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"),
+          col("user_id").as("c_user"),
+          unix_micros(col("ts")).as("click_ts_us"))
+      graft.plans.AsOfJoinOps
+        .asof(p, c, "user_id", "c_user", "ts_us", "click_ts_us",
+          "click_id", direction = "nearest")
+        .select(col("purchase_id"), col("user_id"), col("ts_us"),
+          col("click_id"), col("click_ts_us"))
+        .orderBy(col("purchase_id"))
+    },
+
     // Ignore-nulls analytics: lead IGNORE NULLS + last_value IGNORE NULLS
     // (= last-observation-carried-forward). Parity with the reference's
     // nth_value ignore-nulls support (auron.proto:140 NTH_VALUE + flag).
@@ -166,6 +212,28 @@ object Windows extends QueryModule {
         .orderBy(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
     }
   )
+
+  /** Forward/nearest as-of oracles: rank-1 window over qualifying
+    * clicks, direction encoded in the join predicate and the ORDER BY.
+    * `sideOrder` reproduces the per-side tie rules (backward: greatest
+    * click id; forward: smallest) and nearest's backward preference. */
+  private def asofDirOracle(pred: String, order: String) =
+    s"""WITH p AS (SELECT event_id AS purchase_id, user_id,
+       |             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+       |           FROM events WHERE event_type = 'purchase'),
+       |c AS (SELECT event_id AS click_id, user_id AS c_user,
+       |        epoch_us(CAST(ts AS TIMESTAMP)) AS click_ts_us
+       |      FROM events WHERE event_type = 'click'),
+       |cand AS (
+       |  SELECT p.purchase_id, c.click_id, c.click_ts_us,
+       |    row_number() OVER (PARTITION BY p.purchase_id
+       |      ORDER BY $order) AS rn
+       |  FROM p JOIN c ON c.c_user = p.user_id AND $pred)
+       |SELECT p.purchase_id, p.user_id, p.ts_us,
+       |  m.click_id, m.click_ts_us
+       |FROM p LEFT JOIN (SELECT * FROM cand WHERE rn = 1) m
+       |  ON m.purchase_id = p.purchase_id
+       |ORDER BY p.purchase_id""".stripMargin
 
   /** Shared by q103 (window formulation) and q125 (native exec): both
     * must match DuckDB's independent ASOF JOIN implementation. */
@@ -226,6 +294,15 @@ object Windows extends QueryModule {
         |ORDER BY c_mktsegment, c_custkey""".stripMargin,
     "q103_asof_join" -> asofOracle,
     "q125_asof_native" -> asofOracle,
+    "q160_asof_forward" -> asofDirOracle(
+      "c.click_ts_us >= p.ts_us",
+      "c.click_ts_us ASC, c.click_id ASC"),
+    "q161_asof_nearest" -> asofDirOracle(
+      "true",
+      """abs(c.click_ts_us - p.ts_us) ASC,
+        |        (c.click_ts_us > p.ts_us) ASC,
+        |        CASE WHEN c.click_ts_us <= p.ts_us
+        |          THEN -c.click_id ELSE c.click_id END ASC""".stripMargin),
     "q39_window_ignorenulls" ->
       """SELECT user_id, event_id, nullif(event_type, 'error') AS v,
         |  lead(nullif(event_type, 'error'), 1 IGNORE NULLS) OVER w

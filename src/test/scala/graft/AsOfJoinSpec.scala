@@ -207,6 +207,48 @@ class AsOfJoinSpec extends AnyFunSuite {
     got.zip(expected).foreach { case (a, b) => assert(a == b) }
   }
 
+  test("forward and nearest directions agree across all three physical " +
+    "shapes, and forward matches are at-or-after") {
+    import org.apache.spark.sql.functions._
+    graft.GraftExtensions.register(spark)
+    def build(direction: String, impl: String): Array[Seq[Any]] = {
+      spark.conf.set("spark.graft.asof.impl", impl)
+      try {
+        val ev = Tables.df(spark, sf, "events")
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us"))
+        val c = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"),
+            col("user_id").as("c_user"),
+            unix_micros(col("ts")).as("click_ts_us"))
+        graft.plans.AsOfJoinOps
+          .asof(p, c, "user_id", "c_user", "ts_us", "click_ts_us",
+            "click_id", direction)
+          .select(col("purchase_id"), col("user_id"), col("ts_us"),
+            col("click_id"), col("click_ts_us"))
+          .orderBy(col("purchase_id")).collect().map(_.toSeq)
+      } finally spark.conf.unset("spark.graft.asof.impl")
+    }
+    Seq("forward", "nearest").foreach { d =>
+      val bc = build(d, "broadcast")
+      val sh = build(d, "shuffled_hash")
+      val sm = build(d, "sort_merge")
+      assert(bc.length == sh.length && bc.length == sm.length, d)
+      bc.indices.foreach { i =>
+        assert(bc(i) == sh(i), s"$d: broadcast vs shuffled row $i")
+        assert(bc(i) == sm(i), s"$d: broadcast vs sort-merge row $i")
+      }
+    }
+    val fwd = build("forward", "broadcast")
+    assert(fwd.exists(r => r(3) != null), "no forward matches in fixture")
+    fwd.foreach { r =>
+      if (r(3) != null)
+        assert(r(4).asInstanceOf[Long] >= r(2).asInstanceOf[Long],
+          "forward click must be at-or-after the purchase")
+    }
+  }
+
   test("unmatched left rows null-pad; matched rows take the latest " +
     "at-or-before right row") {
     val rows = SparkEntry.queries("q125_asof_native")(spark, sf).collect()
