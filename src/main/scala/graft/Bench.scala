@@ -14,7 +14,9 @@ import org.apache.spark.sql.SparkSession
   * IVF + PQ), the end-to-end curation pipeline, and the streaming
   * tumbling window. (q111/q129/q133/q143/q149 added round 6 — the
   * heavy round-5 operators were previously unbenched, so regressions
-  * in them were invisible; the total is re-baselined accordingly.)
+  * in them were invisible; the total is re-baselined accordingly.
+  * Round 7 adds the new TPC-DS shapes q151/q154/q156, the bigram-LM
+  * scorer q158, and the incremental dedup q162 — same reasoning.)
   */
 object Bench {
   val headline: Seq[String] = Seq(
@@ -26,7 +28,10 @@ object Bench {
     "q100_shipping_priority", "q101_local_supplier_volume",
     "q102_returned_items", "q95_clean_corpus", "q97_minhash_full",
     "q111_ann_ivf", "q129_dedup_pipeline", "q133_semantic_dedup",
-    "q143_ann_pq", "q149_curation")
+    "q143_ann_pq", "q149_curation",
+    "q151_rollup_window_topk", "q154_channel_intersect",
+    "q156_crossborder_flows", "q158_lm_quality",
+    "q162_incremental_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

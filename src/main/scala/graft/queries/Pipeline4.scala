@@ -24,6 +24,61 @@ import org.apache.spark.sql.types._
 object Pipeline4 extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Incremental dedup — the production "today's batch vs the standing
+    // corpus" shape the full-corpus pipelines (q129/q133) don't cover:
+    // the last 100 docs of the id space play the incoming batch (the
+    // split bound computed in-plan, as q113), everything before is the
+    // corpus. Exact layer: batch fingerprints probe the corpus
+    // fingerprint set via a left join flag on the 128-bit key (at scale
+    // the corpus side is a precomputed index; the join shuffles on fp —
+    // never broadcast, the corpus is the BIG side). Near layer:
+    // ASYMMETRIC MinHash-LSH — batch band keys equi-join corpus band
+    // keys (candidates are batch×dup-family, never batch×corpus),
+    // exact-Jaccard >= 0.9 verification on candidates only, with the
+    // shared LshKnobs(0.9) = 8×8 banding. Output: one row per batch doc
+    // with dup evidence + keep decision. Oracle: DuckDB brute-forces
+    // both layers; the 8×8 banding's ~98.9% per-pair recall reproduces
+    // the exact flags on this fixture (same argument as q129).
+    "q162_incremental_dedup" -> { (s, dir) =>
+      val (bands, rows) = graft.functions.LshKnobs.bandsRows(0.9)
+      val docs = Tables.df(s, dir, "documents")
+      val cut = docs.agg((max(col("doc_id")) - 100).cast(LongType)
+        .as("cut"))
+      val withCut = docs.crossJoin(broadcast(cut))
+      val batch = withCut.filter(col("doc_id") >= col("cut"))
+      val corpus = withCut.filter(col("doc_id") < col("cut"))
+      // shuffle_hash hints pin the physical choice (both sides here are
+      // corpus-scaled at 100 TB — neither may broadcast — and at test
+      // scale an unhinted AQE conversion is a plan-golden coin flip)
+      val exactDup = batch
+        .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+        .join(corpus.select(fingerprint(col("text")).as("fp")).distinct()
+          .withColumn("fp_hit", lit(true)).hint("shuffle_hash"),
+          Seq("fp"), "left")
+        .select(col("doc_id"),
+          coalesce(col("fp_hit"), lit(false)).as("exact_dup"))
+      def banded(df: DataFrame, idCol: String) = df.select(
+        col("doc_id").as(idCol),
+        posexplode(minhashBands(col("text"), bands, rows))
+          .as(Seq("band", "bh")))
+      val candidates = banded(batch, "b_id").hint("shuffle_hash")
+        .join(banded(corpus, "c_id"), Seq("band", "bh"))
+        .select(col("b_id"), col("c_id")).distinct()
+      val bToks = batch.select(col("doc_id").as("b_id"),
+        tokenHashSet(col("text")).as("tok_b"))
+      val cToks = corpus.select(col("doc_id").as("c_id"),
+        tokenHashSet(col("text")).as("tok_c"))
+      val nearDup = candidates.join(bToks, "b_id").join(cToks, "c_id")
+        .filter(jaccardHashed(col("tok_b"), col("tok_c")) >= 0.9)
+        .select(col("b_id").as("doc_id")).distinct()
+        .withColumn("near_hit", lit(true))
+      exactDup.join(nearDup, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("exact_dup"),
+          coalesce(col("near_hit"), lit(false)).as("near_dup"))
+        .withColumn("keep", !col("exact_dup") && !col("near_dup"))
+        .orderBy(col("doc_id"))
+    },
+
     // Repetition signals: 1 - distinct/total 3-grams (degenerate-text
     // detector — boilerplate and looped generations repeat grams), plus
     // the most-frequent-token share of the doc.
@@ -116,6 +171,29 @@ object Pipeline4 extends QueryModule {
   private val tokSql = "string_split(text, ' ')"
 
   override def oracle: Map[String, String] = Map(
+    "q162_incremental_dedup" ->
+      """WITH cut AS (SELECT CAST(max(doc_id) - 100 AS BIGINT) AS cut
+        |             FROM documents),
+        |d AS (SELECT doc_id,
+        |        list_distinct(string_split(text, ' ')) AS tok,
+        |        md5(array_to_string(
+        |          list_sort(list_distinct(string_split(text, ' '))), ' '))
+        |          AS fp
+        |      FROM documents),
+        |b AS (SELECT d.* FROM d, cut WHERE doc_id >= cut),
+        |c AS (SELECT d.* FROM d, cut WHERE doc_id < cut)
+        |SELECT b.doc_id,
+        |  EXISTS (SELECT 1 FROM c WHERE c.fp = b.fp) AS exact_dup,
+        |  EXISTS (SELECT 1 FROM c
+        |          WHERE CAST(len(list_intersect(b.tok, c.tok)) AS DOUBLE)
+        |              / CAST(len(list_distinct(b.tok || c.tok)) AS DOUBLE)
+        |              >= 0.9) AS near_dup,
+        |  NOT (EXISTS (SELECT 1 FROM c WHERE c.fp = b.fp)
+        |    OR EXISTS (SELECT 1 FROM c
+        |         WHERE CAST(len(list_intersect(b.tok, c.tok)) AS DOUBLE)
+        |             / CAST(len(list_distinct(b.tok || c.tok)) AS DOUBLE)
+        |             >= 0.9)) AS keep
+        |FROM b ORDER BY b.doc_id""".stripMargin,
     "q149_curation" ->
       s"""WITH cut AS (SELECT CAST(max(doc_id) - 200 AS BIGINT) AS cut
          |             FROM documents),
