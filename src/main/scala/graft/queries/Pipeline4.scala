@@ -79,6 +79,37 @@ object Pipeline4 extends QueryModule {
         .orderBy(col("doc_id"))
     },
 
+    // Sequence packing — concatenation-style packing of documents into
+    // fixed-length (2048-token) training sequences, the layout step
+    // right before tokenized-shard export in a pretraining pipeline.
+    // Deterministic: docs are ordered by a salted hash within their
+    // export shard (q120's sharding), the running token offset is ONE
+    // window cumulative sum per shard, and each doc's (seq_id, offset)
+    // falls out arithmetically — docs crossing a 2048 boundary simply
+    // continue into the next sequence, exactly like packed pretraining
+    // data. All shards pack in parallel; no global sort, no driver
+    // state, identical output on any cluster layout.
+    "q163_sequence_packing" -> { (s, dir) =>
+      val seqLen = 2048L
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+      Tables.df(s, dir, "documents")
+        .select(col("doc_id"),
+          size(tokens(col("text"))).cast(LongType).as("n_tokens"),
+          md5(concat(lit("pack"), col("doc_id").cast(StringType))
+            .cast(BinaryType)).as("h"))
+        .withColumn("shard",
+          ((expr("position(substr(h, 1, 1), '0123456789abcdef')") - 1) % 4)
+            .cast(LongType))
+        .withColumn("start_tok",
+          coalesce(sum(col("n_tokens")).over(w) - col("n_tokens"), lit(0L)))
+        .select(col("doc_id"), col("shard"), col("n_tokens"),
+          (col("start_tok") / seqLen).cast(LongType).as("seq_id"),
+          (col("start_tok") % seqLen).as("seq_offset"))
+        .orderBy(col("shard"), col("seq_id"), col("seq_offset"),
+          col("doc_id"))
+    },
+
     // Repetition signals: 1 - distinct/total 3-grams (degenerate-text
     // detector — boilerplate and looped generations repeat grams), plus
     // the most-frequent-token share of the doc.
@@ -171,6 +202,24 @@ object Pipeline4 extends QueryModule {
   private val tokSql = "string_split(text, ' ')"
 
   override def oracle: Map[String, String] = Map(
+    "q163_sequence_packing" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    md5('pack' || CAST(doc_id AS VARCHAR)) AS h,
+        |    CAST((strpos('0123456789abcdef',
+        |      substr(md5('pack' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) % 4
+        |      AS BIGINT) AS shard
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY shard
+        |      ORDER BY h, doc_id) - n_tokens, 0) AS start_tok
+        |  FROM d)
+        |SELECT doc_id, shard, n_tokens,
+        |  CAST(start_tok // 2048 AS BIGINT) AS seq_id,
+        |  CAST(start_tok % 2048 AS BIGINT) AS seq_offset
+        |FROM p ORDER BY shard, seq_id, seq_offset, doc_id""".stripMargin,
     "q162_incremental_dedup" ->
       """WITH cut AS (SELECT CAST(max(doc_id) - 100 AS BIGINT) AS cut
         |             FROM documents),
