@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{QueryModule, Tables}
+import graft.functions.TextOps.tokens
 import graft.functions.VectorOps._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -387,6 +388,37 @@ object Similarity extends QueryModule {
         .orderBy(col("vec_id"))
     },
 
+    // Fuzzy string matching by EDIT DISTANCE with length-banded
+    // candidate pruning — the missing similarity family next to
+    // Jaccard (q73/q75), cosine (q77+) and SimHash (q76): match doc
+    // "titles" (first 4 tokens) within levenshtein <= 5. Scale path:
+    // dist <= k implies |len(a)-len(b)| <= k, so bucketing titles by
+    // floor(len/(k+1)) and probing each title against its own and the
+    // two adjacent buckets is an EQUI-join that is provably
+    // recall-LOSSLESS (unlike LSH there is no missed-pair probability)
+    // while candidates stay bucket-occupancy-bounded — never all-pairs.
+    // The quadratic levenshtein kernel runs on candidates only.
+    "q164_fuzzy_title_match" -> { (s, dir) =>
+      val maxDist = 5
+      val t = Tables.df(s, dir, "documents")
+        .filter(col("doc_id") <= 200)
+        .select(col("doc_id"),
+          array_join(slice(tokens(col("text")), 1, 4), " ").as("title"))
+        .withColumn("b",
+          floor(length(col("title")) / (maxDist + 1)).cast(LongType))
+      val probe = t.select(col("doc_id").as("a_id"),
+        col("title").as("ta"),
+        explode(array(col("b") - 1, col("b"), col("b") + 1)).as("eb"))
+      val build = t.select(col("doc_id").as("b_id"),
+        col("title").as("tb"), col("b").as("bb"))
+      probe.join(build, col("eb") === col("bb") &&
+          col("a_id") < col("b_id"))
+        .filter(levenshtein(col("ta"), col("tb")) <= maxDist)
+        .select(col("a_id"), col("b_id"),
+          levenshtein(col("ta"), col("tb")).cast(LongType).as("dist"))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
     // Embedding near-duplicate pairs: same-label vectors with cosine >=
     // 0.3 on a bounded slice (oracle-checked exact variant of embedding
     // dedup; the scale path reuses q78's bucketing).
@@ -440,6 +472,15 @@ object Similarity extends QueryModule {
     "(325,331),(334,382),(335,439),(350,395),(355,417),(387,388)"
 
   override def oracle: Map[String, String] = Map(
+    "q164_fuzzy_title_match" ->
+      """WITH t AS (SELECT doc_id,
+        |  array_to_string((string_split(text, ' '))[1:4], ' ') AS title
+        |  FROM documents WHERE doc_id <= 200)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(levenshtein(a.title, b.title) AS BIGINT) AS dist
+        |FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |WHERE levenshtein(a.title, b.title) <= 5
+        |ORDER BY a_id, b_id""".stripMargin,
     "q78_ann_lsh" ->
       s"""WITH ids(probe_id, vec_id) AS (VALUES $q78PinnedTop5)
          |SELECT CAST(probe_id AS BIGINT) AS probe_id,
