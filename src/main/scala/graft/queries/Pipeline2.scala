@@ -130,6 +130,29 @@ object Pipeline2 extends QueryModule {
         .orderBy(col("doc_id"), col("chunk_idx"))
     },
 
+    // Token-budget WEIGHTED sampling (Efraimidis-Spirakis A-Res): each
+    // doc draws key = u^(1/w) with weight w = token count and a
+    // DETERMINISTIC uniform u from a Knuth multiplicative hash of the
+    // doc id (exact integer math, then an exact binary fraction — no
+    // RNG state, identical on any cluster layout or rerun); the sample
+    // is the top-k by key, which Spark plans as TakeOrderedAndProject —
+    // map-side top-k, O(k) state per task at any corpus size. Longer
+    // docs are proportionally likelier, the standard token-budget
+    // mixture-sampling primitive. pow() is rounded to 9dp on both
+    // engines (libm vs java.lang.Math ulp drift).
+    "q165_weighted_sample" -> { (s, dir) =>
+      Tables.df(s, dir, "documents")
+        .select(col("doc_id"),
+          size(tokens(col("text"))).cast(LongType).as("w"))
+        .withColumn("u",
+          ((col("doc_id") * 2654435761L) % 2147483648L) /
+            lit(2147483648.0))
+        .select(col("doc_id"), col("w"),
+          round(pow(col("u"), lit(1.0) / col("w")), 9).as("skey"))
+        .orderBy(col("skey").desc, col("doc_id"))
+        .limit(25)
+    },
+
     // Model-based quality scoring (the KenLM-style LM filter of real
     // curation stacks, with a transparent bigram frequency model
     // standing in for the LM): PASS 1 aggregates corpus bigram counts
@@ -172,6 +195,13 @@ object Pipeline2 extends QueryModule {
   private val tokSql = "string_split(text, ' ')"
 
   override def oracle: Map[String, String] = Map(
+    "q165_weighted_sample" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, CAST(len($tokSql) AS BIGINT) AS w,
+         |    ((doc_id * 2654435761) % 2147483648) / 2147483648.0 AS u
+         |  FROM documents)
+         |SELECT doc_id, w, round(pow(u, 1.0 / w), 9) AS skey
+         |FROM d ORDER BY skey DESC, doc_id LIMIT 25""".stripMargin,
     "q158_lm_quality" ->
       s"""WITH tok AS (SELECT doc_id, $tokSql AS t FROM documents
          |             WHERE len($tokSql) >= 2),

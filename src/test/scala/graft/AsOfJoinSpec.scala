@@ -207,6 +207,18 @@ class AsOfJoinSpec extends AnyFunSuite {
     got.zip(expected).foreach { case (a, b) => assert(a == b) }
   }
 
+  test("an unknown as-of direction is rejected at plan build time") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.df(spark, sf, "events")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"))
+    val e = intercept[IllegalArgumentException] {
+      graft.plans.AsOfJoinOps.asof(ev, ev,
+        "user_id", "user_id", "ts_us", "ts_us", "event_id", "sideways")
+    }
+    assert(e.getMessage.contains("backward|forward|nearest"))
+  }
+
   test("forward and nearest directions agree across all three physical " +
     "shapes, and forward matches are at-or-after") {
     import org.apache.spark.sql.functions._

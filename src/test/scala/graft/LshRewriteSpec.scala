@@ -117,6 +117,23 @@ class LshRewriteSpec extends AnyFunSuite {
       s"expected minhash_bands(_, $b, $r) in:\n${pipelinePlan.take(2000)}")
   }
 
+  test("spark.graft.ann.lshRewrite.jaccardRows overrides the LshKnobs " +
+    "table per session") {
+    spark.experimental.extraOptimizations =
+      Seq(graft.plans.GraftLshRewrite)
+    spark.conf.set("spark.graft.ann.lshRewrite.enabled", "true")
+    spark.conf.set("spark.graft.ann.lshRewrite.jaccardRows", "7")
+    try {
+      val plan = jaccardPairsQuery().queryExecution.optimizedPlan.toString
+      assert("minhash_signature\\(.*, 7\\)".r.findFirstIn(plan).isDefined,
+        s"expected the 7-row override in:\n${plan.take(2000)}")
+    } finally {
+      spark.conf.unset("spark.graft.ann.lshRewrite.jaccardRows")
+      spark.conf.unset("spark.graft.ann.lshRewrite.enabled")
+      spark.experimental.extraOptimizations = Nil
+    }
+  }
+
   test("rule is inert when disabled") {
     spark.experimental.extraOptimizations =
       Seq(graft.plans.GraftLshRewrite)
