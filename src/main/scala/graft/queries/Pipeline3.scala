@@ -67,8 +67,16 @@ object Pipeline3 extends QueryModule {
       // empty graph -> no rounds
       if (r.isNullAt(0)) BigDecimal(0) else BigDecimal(r.getDecimal(0))
     }
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("root", col("node")).localCheckpoint()
+    // Seed labels with min(self, direct neighbors) — the first hop's
+    // result computed as ONE aggregation during init (the edge list is
+    // symmetric, so min-over-dst covers the neighborhood), instead of
+    // a full loop round of hop join + shortcut join + checkpoint +
+    // probe. Saves one of the O(log d) rounds on every graph.
+    var labels = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("mn"))
+      .select(col("src").as("node"),
+        least(col("mn"), col("src")).as("root"))
+      .localCheckpoint()
     var prev: BigDecimal = null // first round always runs
     var cur = labelSum(labels)
     var iters = 0
