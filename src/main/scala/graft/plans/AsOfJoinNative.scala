@@ -126,7 +126,12 @@ private[plans] object AsOfCore {
     val lTimeEval = BindReferences.bindReference(lt, leftOut)
     val joined = new JoinedRow
     val nullRight = new GenericInternalRow(rightOut.length)
-    val project = UnsafeProjection.create(outAttrs, leftOut ++ rightOut)
+    // the projection input schema must carry the OUTER-JOIN nullability
+    // on the right side: binding against the raw right attributes lets
+    // codegen skip the null checks for non-nullable inputs (e.g. a
+    // local relation of longs) and read a null-pad row as ZEROS
+    val project = UnsafeProjection.create(outAttrs,
+      leftOut ++ rightOut.map(_.withNullability(true)))
     val wantBack = direction != "forward"
     val wantFwd = direction != "backward"
     leftIter.map { lrow =>
@@ -337,7 +342,9 @@ case class SortMergeAsOfJoinExec(
       val buffered = rightIter.buffered
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rightOut.length)
-      val project = UnsafeProjection.create(outAttrs, leftOut ++ rightOut)
+      // right side nullability-adjusted — see AsOfCore.probe
+      val project = UnsafeProjection.create(outAttrs,
+        leftOut ++ rightOut.map(_.withNullability(true)))
       // backward keeps the last consumed qualifier (a COPY — it must
       // outlive the rows the iterator reuses); forward only needs a
       // PEEK at the un-consumed head, which stays valid until our own

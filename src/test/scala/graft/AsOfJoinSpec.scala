@@ -207,6 +207,43 @@ class AsOfJoinSpec extends AnyFunSuite {
     got.zip(expected).foreach { case (a, b) => assert(a == b) }
   }
 
+  test("metamorphic: forward as-of equals backward as-of under " +
+    "time/tie negation (randomized keyed series)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.GraftExtensions.register(spark)
+    // forward(t, tie) must equal backward(-t, -tie) negated back:
+    // greatest -rt <= -lt is smallest rt >= lt, and the per-direction
+    // tie rules (backward greatest / forward smallest) swap the same
+    // way. Random data exercises null-pads, duplicate times and tie
+    // collisions that the fixture might not.
+    val rnd = new scala.util.Random(20260813L)
+    // left times overshoot the right range so forward null-pads occur
+    val L = Seq.fill(400)((rnd.nextInt(8).toLong,
+      rnd.nextInt(1000).toLong)).toDF("k", "t")
+    val R = Seq.fill(400)((rnd.nextInt(8).toLong,
+      rnd.nextInt(500).toLong, rnd.nextInt(50).toLong))
+      .toDF("rk", "rt", "tie")
+    val fwd = graft.plans.AsOfJoinOps
+      .asof(L, R, "k", "rk", "t", "rt", "tie", "forward")
+      .select(col("k"), col("t"), col("rt"), col("tie"))
+      .collect().map(_.toSeq.map(String.valueOf)).sorted(
+        Ordering.by((s: Seq[String]) => s.mkString("|")))
+    val Ln = L.select(col("k"), (-col("t")).as("t"))
+    val Rn = R.select(col("rk"), (-col("rt")).as("rt"),
+      (-col("tie")).as("tie"))
+    val back = graft.plans.AsOfJoinOps
+      .asof(Ln, Rn, "k", "rk", "t", "rt", "tie", "backward")
+      .select(col("k"), (-col("t")).as("t"), (-col("rt")).as("rt"),
+        (-col("tie")).as("tie"))
+      .collect().map(_.toSeq.map(String.valueOf)).sorted(
+        Ordering.by((s: Seq[String]) => s.mkString("|")))
+    assert(fwd.length == back.length)
+    fwd.zip(back).foreach { case (a, b) => assert(a == b) }
+    assert(fwd.exists(_(2) != "null"), "no matches — fixture too sparse")
+    assert(fwd.exists(_(2) == "null"), "no null-pads — fixture too dense")
+  }
+
   test("an unknown as-of direction is rejected at plan build time") {
     import org.apache.spark.sql.functions._
     val ev = Tables.df(spark, sf, "events")
