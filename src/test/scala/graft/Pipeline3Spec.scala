@@ -61,6 +61,42 @@ class Pipeline3Spec extends AnyFunSuite {
     }
   }
 
+  test("connected components equals a driver-side union-find on " +
+    "randomized graphs (incl. hashed-magnitude node ids)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814L)
+    (1 to 3).foreach { trial =>
+      // node ids up to 2^62 on the last trial: exercises the
+      // decimal-sum convergence probe far beyond bigint-sum territory
+      val idSpace: Long => Long =
+        if (trial == 3) n => n * 4611686018427387L else n => n
+      val nodes = (0L until 60L).map(idSpace)
+      val fwd = Seq.fill(70)((nodes(rnd.nextInt(60)),
+        nodes(rnd.nextInt(60)))).filter(e => e._1 != e._2)
+      // driver-side union-find ground truth
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      fwd.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = fwd.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(n => n -> find(n)).toMap
+      val edges = (fwd ++ fwd.map(_.swap)).toDF("src", "dst")
+      val got = graft.queries.Pipeline3.connectedComponents(edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got.keySet == expected.keySet, s"trial $trial node set")
+      got.foreach { case (n, root) =>
+        assert(root == expected(n),
+          s"trial $trial: node $n got $root want ${expected(n)}")
+      }
+    }
+  }
+
   test("q129 dedup pipeline on the q118 slice reproduces the " +
     "oracle-checked clusters (cluster-level LSH recall)") {
     import org.apache.spark.sql.functions.col
