@@ -25,6 +25,9 @@ import org.apache.spark.sql.internal.SQLConf
   *    SMALLEST tie-break (first hit scanning forward);
   *  - "nearest": the closer of the two by |Δtime|, backward preferred
   *    on equal distance.
+  * An optional `tolerance` (same unit as the time columns) rejects
+  * matches with |Δtime| > tolerance — pandas merge_asof's knob for
+  * "a quote is only valid for N seconds".
   * Unmatched left rows pad the right side with nulls.
   *
   * Three physical shapes, chosen by the planner on right-side size
@@ -53,7 +56,8 @@ case class AsOfJoinPlan(
     leftTime: Expression,
     rightTime: Expression,
     rightTieBreak: Expression,
-    direction: String = "backward") extends BinaryNode {
+    direction: String = "backward",
+    tolerance: Long = Long.MaxValue) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -121,6 +125,7 @@ private[plans] object AsOfCore {
             leftOut: Seq[Attribute], rightOut: Seq[Attribute],
             outAttrs: Seq[Attribute],
             lk: Expression, lt: Expression, direction: String,
+            tolerance: Long,
             numMatched: SQLMetric, numNullPadded: SQLMetric): Iterator[InternalRow] = {
     val lKeyEval = BindReferences.bindReference(lk, leftOut)
     val lTimeEval = BindReferences.bindReference(lt, leftOut)
@@ -167,6 +172,9 @@ private[plans] object AsOfCore {
               else lo = mid + 1
             }
           }
+          // tolerance: a candidate farther than `tolerance` is no match
+          if (b >= 0 && tv - times(b) > tolerance) b = -1
+          if (f < n && times(f) - tv > tolerance) f = n
           direction match {
             case "forward" => if (f < n) matched = rows(f)
             case "backward" => if (b >= 0) matched = rows(b)
@@ -201,7 +209,8 @@ case class BroadcastAsOfJoinExec(
     leftTime: Expression,
     rightTime: Expression,
     rightTieBreak: Expression,
-    direction: String) extends BinaryExecNode {
+    direction: String,
+    tolerance: Long) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -226,12 +235,13 @@ case class BroadcastAsOfJoinExec(
     val (lk, lt) = (leftKey, leftTime)
     val (rk, rt, rb) = (rightKey, rightTime, rightTieBreak)
     val dir = direction
+    val tol = tolerance
     val (nm, np) = (longMetric("numMatched"), longMetric("numNullPadded"))
     left.execute().mapPartitions { leftIter =>
       val index = AsOfCore.buildIndex(broadcastRight.value.iterator,
         rightOut, rk, rt, rb, copyRows = false)
       AsOfCore.probe(leftIter, index, leftOut, rightOut, outAttrs, lk, lt,
-        dir, nm, np)
+        dir, tol, nm, np)
     }
   }
 }
@@ -248,7 +258,8 @@ case class ShuffledAsOfJoinExec(
     leftTime: Expression,
     rightTime: Expression,
     rightTieBreak: Expression,
-    direction: String) extends BinaryExecNode {
+    direction: String,
+    tolerance: Long) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -273,12 +284,13 @@ case class ShuffledAsOfJoinExec(
     val (lk, lt) = (leftKey, leftTime)
     val (rk, rt, rb) = (rightKey, rightTime, rightTieBreak)
     val dir = direction
+    val tol = tolerance
     val (nm, np) = (longMetric("numMatched"), longMetric("numNullPadded"))
     left.execute().zipPartitions(right.execute()) { (leftIter, rightIter) =>
       val index = AsOfCore.buildIndex(rightIter, rightOut, rk, rt, rb,
         copyRows = true)
       AsOfCore.probe(leftIter, index, leftOut, rightOut, outAttrs, lk, lt,
-        dir, nm, np)
+        dir, tol, nm, np)
     }
   }
 }
@@ -299,7 +311,8 @@ case class SortMergeAsOfJoinExec(
     leftTime: Expression,
     rightTime: Expression,
     rightTieBreak: Expression,
-    direction: String) extends BinaryExecNode {
+    direction: String,
+    tolerance: Long) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -332,6 +345,7 @@ case class SortMergeAsOfJoinExec(
     val (rk, rt) = (rightKey, rightTime)
     val keyType = leftKey.dataType
     val dir = direction
+    val tol = tolerance
     val (nm, np) = (longMetric("numMatched"), longMetric("numNullPadded"))
     left.execute().zipPartitions(right.execute()) { (leftIter, rightIter) =>
       val keyOrd = TypeUtils.getInterpretedOrdering(keyType)
@@ -389,9 +403,12 @@ case class SortMergeAsOfJoinExec(
               } else advancing = false // beyond this key, or time >= t
             }
           }
-          val back =
+          var back =
             if (candidate != null && keyOrd.compare(candidateKey, k) == 0)
               candidate else null
+          if (back != null &&
+              tv - AsOfCore.toLongTime(rTimeEval.eval(back)) > tol)
+            back = null // candidate stays retained, just not a match
           // forward candidate: the head, iff still in our key group
           // (its time/key are non-null — null-first sorting means null
           // rows of this key were consumed above)
@@ -399,7 +416,8 @@ case class SortMergeAsOfJoinExec(
           if (dir != "backward" && buffered.hasNext) {
             val h = buffered.head
             val hk = rKeyEval.eval(h)
-            if (hk != null && keyOrd.compare(hk, k) == 0) fwd = h
+            if (hk != null && keyOrd.compare(hk, k) == 0 &&
+                AsOfCore.toLongTime(rTimeEval.eval(h)) - tv <= tol) fwd = h
           }
           matched = dir match {
             case "backward" => if (back != null) back else nullRight
@@ -434,13 +452,13 @@ case class SortMergeAsOfJoinExec(
   * overrides the ladder (like Spark's join hints). */
 object GraftStrategies extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tb, dir) =>
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tb, dir, tol) =>
       def broadcast = BroadcastAsOfJoinExec(
-        planLater(l), planLater(r), lk, rk, lt, rt, tb, dir)
+        planLater(l), planLater(r), lk, rk, lt, rt, tb, dir, tol)
       def shuffled = ShuffledAsOfJoinExec(
-        planLater(l), planLater(r), lk, rk, lt, rt, tb, dir)
+        planLater(l), planLater(r), lk, rk, lt, rt, tb, dir, tol)
       def sortMerge = SortMergeAsOfJoinExec(
-        planLater(l), planLater(r), lk, rk, lt, rt, tb, dir)
+        planLater(l), planLater(r), lk, rk, lt, rt, tb, dir, tol)
       val conf = SQLConf.get
       val exec = conf.getConfString("spark.graft.asof.impl", "auto") match {
         case "broadcast" => broadcast
@@ -480,9 +498,11 @@ object AsOfJoinOps {
            leftKey: String, rightKey: String,
            leftTime: String, rightTime: String,
            rightTieBreak: String,
-           direction: String = "backward"): DataFrame = {
+           direction: String = "backward",
+           tolerance: Long = Long.MaxValue): DataFrame = {
     require(Set("backward", "forward", "nearest").contains(direction),
       s"as-of direction must be backward|forward|nearest, got $direction")
+    require(tolerance > 0, s"as-of tolerance must be positive, got $tolerance")
     val lp = left.queryExecution.analyzed
     val rp = right.queryExecution.analyzed
     def attr(p: LogicalPlan, n: String): Attribute =
@@ -503,6 +523,6 @@ object AsOfJoinOps {
         requireOrderable("time", attr(lp, leftTime)),
         requireOrderable("time", attr(rp, rightTime)),
         requireOrderable("tie-break", attr(rp, rightTieBreak)),
-        direction))
+        direction, tolerance))
   }
 }

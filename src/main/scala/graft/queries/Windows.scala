@@ -183,6 +183,29 @@ object Windows extends QueryModule {
         .orderBy(col("purchase_id"))
     },
 
+    // As-of with TOLERANCE (pandas merge_asof's third knob): the latest
+    // click at-or-before each purchase, but only within 10 minutes —
+    // "a quote is only valid for N seconds". Same native operator,
+    // matches farther than the tolerance null-pad instead.
+    "q166_asof_tolerance" -> { (s, dir) =>
+      graft.GraftExtensions.register(s)
+      val ev = Tables.df(s, dir, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"),
+          col("user_id").as("c_user"),
+          unix_micros(col("ts")).as("click_ts_us"))
+      graft.plans.AsOfJoinOps
+        .asof(p, c, "user_id", "c_user", "ts_us", "click_ts_us",
+          "click_id", direction = "backward",
+          tolerance = 10L * 60 * 1000000)
+        .select(col("purchase_id"), col("user_id"), col("ts_us"),
+          col("click_id"), col("click_ts_us"))
+        .orderBy(col("purchase_id"))
+    },
+
     // Ignore-nulls analytics: lead IGNORE NULLS + last_value IGNORE NULLS
     // (= last-observation-carried-forward). Parity with the reference's
     // nth_value ignore-nulls support (auron.proto:140 NTH_VALUE + flag).
@@ -297,6 +320,9 @@ object Windows extends QueryModule {
     "q160_asof_forward" -> asofDirOracle(
       "c.click_ts_us >= p.ts_us",
       "c.click_ts_us ASC, c.click_id ASC"),
+    "q166_asof_tolerance" -> asofDirOracle(
+      "c.click_ts_us BETWEEN p.ts_us - 600000000 AND p.ts_us",
+      "c.click_ts_us DESC, c.click_id DESC"),
     "q161_asof_nearest" -> asofDirOracle(
       "true",
       """abs(c.click_ts_us - p.ts_us) ASC,

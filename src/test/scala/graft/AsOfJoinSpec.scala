@@ -244,6 +244,47 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(fwd.exists(_(2) == "null"), "no null-pads — fixture too dense")
   }
 
+  test("tolerance prunes far matches identically across all three " +
+    "physical shapes") {
+    import org.apache.spark.sql.functions._
+    graft.GraftExtensions.register(spark)
+    val tol = 10L * 60 * 1000000 // 10 min in µs
+    def run(impl: String): Array[Seq[Any]] = {
+      spark.conf.set("spark.graft.asof.impl", impl)
+      try {
+        val ev = Tables.df(spark, sf, "events")
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us"))
+        val c = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"),
+            col("user_id").as("c_user"),
+            unix_micros(col("ts")).as("click_ts_us"))
+        graft.plans.AsOfJoinOps
+          .asof(p, c, "user_id", "c_user", "ts_us", "click_ts_us",
+            "click_id", "backward", tol)
+          .select(col("purchase_id"), col("ts_us"), col("click_ts_us"))
+          .orderBy(col("purchase_id")).collect().map(_.toSeq)
+      } finally spark.conf.unset("spark.graft.asof.impl")
+    }
+    val bc = run("broadcast")
+    val sh = run("shuffled_hash")
+    val sm = run("sort_merge")
+    bc.indices.foreach { i =>
+      assert(bc(i) == sh(i) && bc(i) == sm(i), s"row $i")
+    }
+    // every match is within tolerance, and tolerance actually pruned
+    // something relative to the unbounded q125 run
+    bc.foreach { r =>
+      if (r(2) != null)
+        assert(r(1).asInstanceOf[Long] - r(2).asInstanceOf[Long] <= tol)
+    }
+    val unboundedNulls = SparkEntry.queries("q125_asof_native")(spark, sf)
+      .collect().count(_.isNullAt(3))
+    assert(bc.count(_(2) == null) > unboundedNulls,
+      "tolerance pruned nothing — fixture too dense or tol too wide")
+  }
+
   test("an unknown as-of direction is rejected at plan build time") {
     import org.apache.spark.sql.functions._
     val ev = Tables.df(spark, sf, "events")
