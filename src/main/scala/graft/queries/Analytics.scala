@@ -400,6 +400,59 @@ object Analytics extends QueryModule {
         .groupBy(col("s_name"))
         .agg(count(lit(1)).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name"))
+    },
+
+    // TPC-DS Q13 shape: a DISJUNCTION of conjunctive bands mixing dim
+    // and fact columns — the multi-OR predicate every BI tool emits.
+    // ONE fact scan (the naive per-band formulation scans it once per
+    // band): dims broadcast, the OR evaluated post-join, ungrouped
+    // exact-decimal aggregates collapse to a single row. Only the
+    // IsNotNull guards push to parquet (the bands reference joined
+    // columns), which is the correct contract for this shape.
+    "q167_banded_profile" -> { (s, dir) =>
+      val li = Tables.df(s, dir, "lineitem")
+      val ord = Tables.df(s, dir, "orders")
+      val cust = Tables.df(s, dir, "customer")
+      def band(seg: String, qLo: Int, qHi: Int, dLo: Double, dHi: Double) =
+        col("c_mktsegment") === seg &&
+          col("l_quantity").between(qLo, qHi) &&
+          col("l_discount").between(dLo, dHi)
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .filter(band("BUILDING", 1, 15, 0.00, 0.04) ||
+          band("AUTOMOBILE", 16, 30, 0.02, 0.06) ||
+          band("MACHINERY", 31, 50, 0.04, 0.10))
+        .agg(count(lit(1)).as("n_rows"),
+          // avg computed as exact-decimal sum ÷ count (both engines do
+          // the identical IEEE division; their avg(DECIMAL) built-ins
+          // round at different scales)
+          round((sum(col("l_quantity").cast(DecimalType(18, 2)))
+            .cast(DoubleType) / count(lit(1))), 6).as("avg_qty"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_price"))
+    },
+
+    // TPC-DS Q34/Q73 shape: frequent big-basket buyers — orders with
+    // 6-7 line items (a HAVING over the per-order count), joined back
+    // through orders to customers who placed at least two such orders.
+    // Scale contract: the basket census is a partial-agged count on the
+    // already-clustered order key, the HAVING prunes BEFORE the join,
+    // and only (custkey, basket-count) survives to the second agg.
+    "q168_frequent_baskets" -> { (s, dir) =>
+      val baskets = Tables.df(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_items"))
+        .filter(col("n_items").between(6, 7))
+      baskets
+        .join(Tables.df(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_baskets"))
+        .filter(col("n_baskets") >= 2)
+        .join(broadcast(Tables.df(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("n_baskets"))
+        .orderBy(col("n_baskets").desc, col("c_custkey"))
     }
   )
 
@@ -618,6 +671,33 @@ object Analytics extends QueryModule {
         |                  WHERE l3.l_orderkey = l1.ok
         |                    AND l3.l_suppkey != l1.sk
         |                    AND l3.l_returnflag = 'R')
-        |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin
+        |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin,
+    "q167_banded_profile" ->
+      """SELECT count(*) AS n_rows,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    / count(*), 6) AS avg_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        |WHERE (c_mktsegment = 'BUILDING'
+        |    AND l_quantity BETWEEN 1 AND 15
+        |    AND l_discount BETWEEN 0.00 AND 0.04)
+        |  OR (c_mktsegment = 'AUTOMOBILE'
+        |    AND l_quantity BETWEEN 16 AND 30
+        |    AND l_discount BETWEEN 0.02 AND 0.06)
+        |  OR (c_mktsegment = 'MACHINERY'
+        |    AND l_quantity BETWEEN 31 AND 50
+        |    AND l_discount BETWEEN 0.04 AND 0.10)""".stripMargin,
+    "q168_frequent_baskets" ->
+      """SELECT c_custkey, c_name, n_baskets FROM (
+        |  SELECT o_custkey, count(*) AS n_baskets FROM (
+        |    SELECT l_orderkey FROM lineitem
+        |    GROUP BY l_orderkey HAVING count(*) BETWEEN 6 AND 7) b
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY o_custkey HAVING count(*) >= 2) f
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY n_baskets DESC, c_custkey""".stripMargin
   )
 }
