@@ -153,6 +153,40 @@ object Pipeline2 extends QueryModule {
         .limit(25)
     },
 
+    // Boilerplate-chunk detection — repeated-paragraph removal, the
+    // chunk-granular dedup real curation runs AFTER doc-level dedup
+    // (navigation headers, license blocks and template paragraphs
+    // repeat across otherwise-distinct docs): non-overlapping 32-token
+    // chunks are fingerprinted, a corpus-wide census flags fingerprints
+    // appearing in >= 3 docs as boilerplate, and each doc reports its
+    // boilerplate ratio. Two narrow shuffles (census on the 128-bit
+    // fingerprint, rollup on doc_id) + one broadcast-sized flag join —
+    // the census output above the threshold is tiny by definition.
+    "q169_boilerplate_chunks" -> { (s, dir) =>
+      val tok = tokens(col("text"))
+      val chunks = Tables.df(s, dir, "documents")
+        .select(col("doc_id"), tok.as("tok"))
+        .select(col("doc_id"),
+          explode(sequence(lit(0), size(col("tok")) - 1, lit(32)))
+            .as("start"), col("tok"))
+        .select(col("doc_id"),
+          md5(array_join(slice(col("tok"), col("start") + 1, lit(32)), " ")
+            .cast(BinaryType)).as("h"))
+      val boiler = chunks.groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"))
+        .filter(col("n_docs") >= 3)
+        .select(col("h").as("bh"))
+        .withColumn("is_boiler", lit(true))
+      chunks.join(broadcast(boiler), col("h") === col("bh"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          count(col("is_boiler")).as("n_boiler"))
+        .select(col("doc_id"), col("n_chunks"), col("n_boiler"),
+          round(col("n_boiler").cast(DoubleType) / col("n_chunks"), 6)
+            .as("boiler_ratio"))
+        .orderBy(col("doc_id"))
+    },
+
     // Model-based quality scoring (the KenLM-style LM filter of real
     // curation stacks, with a transparent bigram frequency model
     // standing in for the LM): PASS 1 aggregates corpus bigram counts
@@ -195,6 +229,22 @@ object Pipeline2 extends QueryModule {
   private val tokSql = "string_split(text, ' ')"
 
   override def oracle: Map[String, String] = Map(
+    "q169_boilerplate_chunks" ->
+      s"""WITH d AS (SELECT doc_id, $tokSql AS tok FROM documents),
+         |starts AS (SELECT doc_id, tok,
+         |             unnest(range(0, len(tok), 32)) AS start FROM d),
+         |chunks AS (SELECT doc_id,
+         |             md5(array_to_string(tok[start+1:start+32], ' ')) AS h
+         |           FROM starts),
+         |boiler AS (SELECT h FROM chunks
+         |           GROUP BY h HAVING count(DISTINCT doc_id) >= 3)
+         |SELECT c.doc_id, count(*) AS n_chunks,
+         |  CAST(sum(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_boiler,
+         |  round(CAST(sum(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / count(*), 6) AS boiler_ratio
+         |FROM chunks c LEFT JOIN boiler b ON c.h = b.h
+         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
     "q165_weighted_sample" ->
       s"""WITH d AS (
          |  SELECT doc_id, CAST(len($tokSql) AS BIGINT) AS w,
