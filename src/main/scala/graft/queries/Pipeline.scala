@@ -206,6 +206,43 @@ object Pipeline extends QueryModule {
         .orderBy(col("doc_id"))
     },
 
+    // Dedup-quality evaluation — the recall/precision report every
+    // production dedup pipeline publishes next to its output: the
+    // verified MinHash-LSH pairs (q75's scale path) scored against the
+    // exact all-pairs ground truth (q73's calibration slice). One
+    // slice-bounded exact join + the LSH path + two narrow-key
+    // semi/anti joins; at scale the ground truth is always a bounded
+    // audit sample exactly like this. Expected: precision 1.0 (LSH
+    // verifies with exact jaccard), recall = the banding recall.
+    "q170_dedup_quality" -> { (s, dir) =>
+      val docs = Tables.df(s, dir, "documents")
+        .filter(col("doc_id") <= 200)
+      val t = docs.select(col("doc_id"), uniqueTokens(col("text")).as("tok"))
+      val a = t.select(col("doc_id").as("a_id"), col("tok").as("tok_a"))
+      val b = t.select(col("doc_id").as("b_id"), col("tok").as("tok_b"))
+      val exact = a.join(b, col("a_id") < col("b_id"))
+        .filter(jaccard(col("tok_a"), col("tok_b")) >= 0.95)
+        .select(col("a_id"), col("b_id"))
+      val lsh = lshCandidates(docs)
+        .filter(jaccardHashed(col("tok_a"), col("tok_b")) >= 0.95)
+        .select(col("a_id"), col("b_id"))
+      val tp = lsh.join(exact.select(col("a_id").as("ea"),
+          col("b_id").as("eb")),
+        col("a_id") === col("ea") && col("b_id") === col("eb"), "left_semi")
+      val fn = exact.join(lsh.select(col("a_id").as("la"),
+          col("b_id").as("lb")),
+        col("a_id") === col("la") && col("b_id") === col("lb"), "left_anti")
+      val row = lsh.agg(count(lit(1)).as("n_lsh"))
+        .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+        .crossJoin(tp.agg(count(lit(1)).as("n_tp")))
+        .crossJoin(fn.agg(count(lit(1)).as("n_fn")))
+      row.select(col("n_lsh"), col("n_exact"), col("n_tp"), col("n_fn"),
+        round(col("n_tp").cast(DoubleType) / col("n_exact"), 6)
+          .as("recall"),
+        round(col("n_tp").cast(DoubleType) / col("n_lsh"), 6)
+          .as("lsh_precision"))
+    },
+
     // SimHash (custom codegen'd Catalyst Expression) over the full
     // corpus, reduced to an order-independent checksum row: count,
     // mod-folded sum, xor fold, distinct signatures/buckets. The
@@ -269,6 +306,31 @@ object Pipeline extends QueryModule {
     "(153,197),(167,173),(167,184),(167,197),(173,184),(173,197)"
 
   override def oracle: Map[String, String] = Map(
+    "q170_dedup_quality" ->
+      s"""WITH t AS (SELECT doc_id, $utokSql AS tok FROM documents
+         |           WHERE doc_id <= 200),
+         |exact AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+         |      / CAST(len(list_distinct(a.tok || b.tok)) AS DOUBLE)
+         |      >= 0.95),
+         |lsh(a_id, b_id) AS (VALUES $q75PinnedPairs),
+         |tp AS (SELECT l.a_id, l.b_id FROM lsh l
+         |       WHERE EXISTS (SELECT 1 FROM exact e
+         |                     WHERE e.a_id = l.a_id AND e.b_id = l.b_id)),
+         |fn AS (SELECT e.a_id, e.b_id FROM exact e
+         |       WHERE NOT EXISTS (SELECT 1 FROM lsh l
+         |                         WHERE l.a_id = e.a_id AND l.b_id = e.b_id))
+         |SELECT (SELECT count(*) FROM lsh) AS n_lsh,
+         |  (SELECT count(*) FROM exact) AS n_exact,
+         |  (SELECT count(*) FROM tp) AS n_tp,
+         |  (SELECT count(*) FROM fn) AS n_fn,
+         |  round(CAST((SELECT count(*) FROM tp) AS DOUBLE)
+         |    / (SELECT count(*) FROM exact), 6) AS recall,
+         |  round(CAST((SELECT count(*) FROM tp) AS DOUBLE)
+         |    / (SELECT count(*) FROM lsh), 6) AS lsh_precision
+         |""".stripMargin,
     "q70_text_stats" ->
       s"""SELECT doc_id,
          | CAST(length(text) AS BIGINT) AS n_chars_m,
