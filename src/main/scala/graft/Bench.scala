@@ -75,6 +75,13 @@ object Bench {
           try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
           (System.nanoTime() - t0) / 1e9
         }
+        // JMH-style isolation: Spark frees shuffle files / broadcast /
+        // checkpoint blocks via weak references, i.e. only on a driver
+        // GC — without one here, a heavy query's cleanup debt lands
+        // inside the NEXT query's timing (round 7's q133 read 6.4 s
+        // after q129 in the full bench vs 3.8 s isolated, same code).
+        // The forced GC runs OUTSIDE the timed region.
+        System.gc()
         name -> math.min(once(), once())
       }
     }

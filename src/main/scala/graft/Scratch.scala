@@ -49,6 +49,19 @@ object Scratch {
     dumpPairs("Q78_CANDS",
       graft.queries.Similarity.annCandidates(spark, dir),
       "probe_id", "vec_id")
+    // q170b pins: LSH-verified pairs on the calibration slice at the
+    // 16×16 banding operating point (selected via the public confs —
+    // the same path the query takes)
+    val tuned = spark.newSession()
+    tuned.conf.set(graft.functions.LshKnobs.bandsConf, "16")
+    tuned.conf.set(graft.functions.LshKnobs.rowsConf, "16")
+    dumpPairs("Q170B_PAIRS",
+      graft.queries.Pipeline.lshCandidates(
+          Tables.df(tuned, dir, "documents").filter(col("doc_id") <= 200))
+        .filter(graft.functions.TextOps.jaccardHashed(
+          col("tok_a"), col("tok_b")) >= 0.95)
+        .select(col("a_id"), col("b_id")),
+      "a_id", "b_id")
     spark.stop()
   }
 }

@@ -12,7 +12,7 @@ object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
     Relational, Joins, Aggregates, Windows, Functions, Functions2,
     Generate, Sinks, Storage, Collections, Pipeline, Pipeline2, Pipeline3,
-    Pipeline4, Similarity, Connectors, Warehouse,
+    Pipeline4, Similarity, Connectors, Warehouse, CastMatrix,
     Multimodal, Extensibility, Analytics, graft.streaming.Streaming
   )
 

@@ -1,5 +1,7 @@
 package graft.functions
 
+import org.apache.spark.sql.SparkSession
+
 /** THE single MinHash-LSH tuning table — every surface that picks a
   * banding scheme consults this object, so the optimizer rewrite
   * (plans/GraftLshRewrite), the hand-built candidate pipelines
@@ -16,6 +18,15 @@ package graft.functions
   */
 object LshKnobs {
 
+  /** Per-corpus banding overrides. The defaults below are tuned for
+    * this fixture's dup-family shape; a production corpus owner picks
+    * their own point on the recall/candidate-volume curve (q170 vs
+    * q170b publish two points of it) without touching code. Both confs
+    * must be set together — a lone override would silently change the
+    * recall model the other half was tuned against. */
+  val bandsConf = "spark.graft.dedup.lsh.bands"
+  val rowsConf = "spark.graft.dedup.lsh.rows"
+
   /** (bands, rows) for the multi-band explode pipelines, keyed by the
     * exact-verify threshold the candidates feed:
     *  - θ ≥ 0.95 (q75/q97 near-identical dedup): 8×32 — recall
@@ -28,12 +39,35 @@ object LshKnobs {
     else if (theta >= 0.85) (8, 8)
     else (16, 4)
 
+  /** Conf-resolved banding: the spark.graft.dedup.lsh.{bands,rows}
+    * pair when set, else the theta-keyed table. Every production
+    * surface (lshCandidates, the q129/q162 pipelines) resolves through
+    * here, so one session conf retunes them all coherently. */
+  def bandsRows(theta: Double, s: SparkSession): (Int, Int) = {
+    val b = s.conf.getOption(bandsConf).map(_.toInt)
+    val r = s.conf.getOption(rowsConf).map(_.toInt)
+    (b, r) match {
+      case (Some(bb), Some(rr)) =>
+        require(bb > 0 && rr > 0,
+          s"$bandsConf/$rowsConf must be positive, got ($bb, $rr)")
+        (bb, rr)
+      case (None, None) => bandsRows(theta)
+      case _ => throw new IllegalArgumentException(
+        s"set both $bandsConf and $rowsConf or neither — a lone " +
+          "override silently changes the recall model")
+    }
+  }
+
   /** Band length for the SINGLE-band equi-key conjunct rewrite
     * (GraftLshRewrite) — one band only, because an OR over bands would
     * defeat Catalyst's equi-key extraction. The longest band that keeps
     * single-band recall θ^rows ≥ 0.8 (longer = fewer false candidates,
     * same reasoning as above, but recall has no multi-band rescue
-    * here). */
+    * here). Capped at 64: past that the per-row signature cost buys
+    * no useful selectivity, and θ→1 would otherwise send the formula
+    * to thousands of rows (θ ≥ 1 means exact equality — band of 1 on
+    * the full fingerprint is already a perfect filter). */
   def singleBandRows(theta: Double): Int =
-    math.max(1, (math.log(0.8) / math.log(theta)).toInt)
+    if (theta >= 1.0) 1
+    else math.min(64, math.max(1, (math.log(0.8) / math.log(theta)).toInt))
 }

@@ -29,8 +29,10 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * buckets/bands are dropped), hence gated behind
   * `spark.graft.ann.lshRewrite.enabled` (default false),
   * `spark.graft.ann.lshRewrite.bits` (default 6) and
-  * `spark.graft.ann.lshRewrite.jaccardRows` (default 4). Enable only
-  * for workloads that accept ANN semantics.
+  * `spark.graft.ann.lshRewrite.jaccardRows` (default derived from the
+  * matched θ via LshKnobs.singleBandRows — the longest band keeping
+  * single-band recall ≥ 0.8; the conf is a per-session override).
+  * Enable only for workloads that accept ANN semantics.
   */
 object GraftLshRewrite extends Rule[LogicalPlan] {
 

@@ -74,8 +74,14 @@ object Pipeline extends QueryModule {
     * it. */
   private[graft] def lshCandidates(
       docsIn: DataFrame,
-      bands: Int = LshKnobs.bandsRows(defaultVerifyThreshold)._1,
-      rows: Int = LshKnobs.bandsRows(defaultVerifyThreshold)._2): DataFrame = {
+      bandsIn: Int = -1,
+      rowsIn: Int = -1): DataFrame = {
+    // default banding resolves through the conf-aware knob table, so a
+    // corpus owner retunes the recall/candidate-volume point with
+    // spark.graft.dedup.lsh.{bands,rows} — no code change
+    val (bands, rows) =
+      if (bandsIn > 0 && rowsIn > 0) (bandsIn, rowsIn)
+      else LshKnobs.bandsRows(defaultVerifyThreshold, docsIn.sparkSession)
     // tok_a/tok_b are sorted 64-bit token-hash SETS (hashed once per
     // document), so the per-pair exact-jaccard verify is a primitive
     // merge (JaccardSortedLongs) — identical values to string-set
@@ -86,6 +92,39 @@ object Pipeline extends QueryModule {
       .join(toks.select(col("doc_id").as("a_id"), col("tok").as("tok_a")), "a_id")
       .join(toks.select(col("doc_id").as("b_id"), col("tok").as("tok_b")), "b_id")
       .select(col("a_id"), col("b_id"), col("tok_a"), col("tok_b"))
+  }
+
+  /** q170/q170b shared audit body: LSH-verified pairs vs the exact
+    * all-pairs ground truth on the doc_id ≤ 200 calibration slice.
+    * Banding comes from whatever the frame's session confs resolve to
+    * (LshKnobs via lshCandidates), so each variant is purely a conf
+    * choice. */
+  private def dedupQualityAudit(docsAll: DataFrame): DataFrame = {
+    val docs = docsAll.filter(col("doc_id") <= 200)
+    val t = docs.select(col("doc_id"), uniqueTokens(col("text")).as("tok"))
+    val a = t.select(col("doc_id").as("a_id"), col("tok").as("tok_a"))
+    val b = t.select(col("doc_id").as("b_id"), col("tok").as("tok_b"))
+    val exact = a.join(b, col("a_id") < col("b_id"))
+      .filter(jaccard(col("tok_a"), col("tok_b")) >= 0.95)
+      .select(col("a_id"), col("b_id"))
+    val lsh = lshCandidates(docs)
+      .filter(jaccardHashed(col("tok_a"), col("tok_b")) >= 0.95)
+      .select(col("a_id"), col("b_id"))
+    val tp = lsh.join(exact.select(col("a_id").as("ea"),
+        col("b_id").as("eb")),
+      col("a_id") === col("ea") && col("b_id") === col("eb"), "left_semi")
+    val fn = exact.join(lsh.select(col("a_id").as("la"),
+        col("b_id").as("lb")),
+      col("a_id") === col("la") && col("b_id") === col("lb"), "left_anti")
+    val row = lsh.agg(count(lit(1)).as("n_lsh"))
+      .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+      .crossJoin(tp.agg(count(lit(1)).as("n_tp")))
+      .crossJoin(fn.agg(count(lit(1)).as("n_fn")))
+    row.select(col("n_lsh"), col("n_exact"), col("n_tp"), col("n_fn"),
+      round(col("n_tp").cast(DoubleType) / col("n_exact"), 6)
+        .as("recall"),
+      round(col("n_tp").cast(DoubleType) / col("n_lsh"), 6)
+        .as("lsh_precision"))
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -215,32 +254,22 @@ object Pipeline extends QueryModule {
     // audit sample exactly like this. Expected: precision 1.0 (LSH
     // verifies with exact jaccard), recall = the banding recall.
     "q170_dedup_quality" -> { (s, dir) =>
-      val docs = Tables.df(s, dir, "documents")
-        .filter(col("doc_id") <= 200)
-      val t = docs.select(col("doc_id"), uniqueTokens(col("text")).as("tok"))
-      val a = t.select(col("doc_id").as("a_id"), col("tok").as("tok_a"))
-      val b = t.select(col("doc_id").as("b_id"), col("tok").as("tok_b"))
-      val exact = a.join(b, col("a_id") < col("b_id"))
-        .filter(jaccard(col("tok_a"), col("tok_b")) >= 0.95)
-        .select(col("a_id"), col("b_id"))
-      val lsh = lshCandidates(docs)
-        .filter(jaccardHashed(col("tok_a"), col("tok_b")) >= 0.95)
-        .select(col("a_id"), col("b_id"))
-      val tp = lsh.join(exact.select(col("a_id").as("ea"),
-          col("b_id").as("eb")),
-        col("a_id") === col("ea") && col("b_id") === col("eb"), "left_semi")
-      val fn = exact.join(lsh.select(col("a_id").as("la"),
-          col("b_id").as("lb")),
-        col("a_id") === col("la") && col("b_id") === col("lb"), "left_anti")
-      val row = lsh.agg(count(lit(1)).as("n_lsh"))
-        .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
-        .crossJoin(tp.agg(count(lit(1)).as("n_tp")))
-        .crossJoin(fn.agg(count(lit(1)).as("n_fn")))
-      row.select(col("n_lsh"), col("n_exact"), col("n_tp"), col("n_fn"),
-        round(col("n_tp").cast(DoubleType) / col("n_exact"), 6)
-          .as("recall"),
-        round(col("n_tp").cast(DoubleType) / col("n_lsh"), 6)
-          .as("lsh_precision"))
+      dedupQualityAudit(Tables.df(s, dir, "documents"))
+    },
+
+    // The same audit at a SECOND banding operating point (16×16),
+    // selected through the public spark.graft.dedup.lsh.{bands,rows}
+    // confs (exercised end-to-end: child session conf → LshKnobs →
+    // lshCandidates). Together with q170 this publishes two points of
+    // the recall/candidate-volume curve a corpus owner tunes along:
+    // 8×32 trades recall (≈0.73 here) for ~1% false-candidate volume;
+    // 16×16 buys recall ≈1 at j≥0.95 (1-(1-0.95^16)^16) by admitting
+    // more candidates into the exact-verify stage.
+    "q170b_dedup_quality_16x16" -> { (s, dir) =>
+      val tuned = s.newSession()
+      tuned.conf.set(LshKnobs.bandsConf, "16")
+      tuned.conf.set(LshKnobs.rowsConf, "16")
+      dedupQualityAudit(Tables.df(tuned, dir, "documents"))
     },
 
     // SimHash (custom codegen'd Catalyst Expression) over the full
@@ -305,32 +334,72 @@ object Pipeline extends QueryModule {
     "(147,173),(147,184),(147,197),(151,167),(151,173),(152,178)," +
     "(153,197),(167,173),(167,184),(167,197),(173,184),(173,197)"
 
+  /** The (a_id, b_id) LSH-verified pairs at the 16×16 operating point
+    * (q170b) on the sf0.01 calibration slice — regenerate with
+    * graft.Scratch (Q170B_PAIRS) if the kernel or fixture changes. */
+  private val q170bPinnedPairs: String =
+    "(18,32),(18,81),(20,56),(20,57),(20,63),(20,66),(20,98),(20,100)," +
+    "(20,111),(20,142),(20,147),(20,167),(20,173),(22,56),(22,57)," +
+    "(22,98),(22,100),(22,111),(22,142),(22,147),(22,167),(22,173)," +
+    "(22,190),(24,135),(25,56),(25,57),(25,98),(25,100),(25,111)," +
+    "(25,142),(25,147),(25,167),(25,173),(27,81),(27,135),(32,56)," +
+    "(32,57),(32,98),(32,100),(32,111),(32,142),(32,147),(32,167)," +
+    "(32,173),(56,57),(56,60),(56,63),(56,73),(56,81),(56,98),(56,100)," +
+    "(56,111),(56,127),(56,135),(56,142),(56,147),(56,151),(56,167)," +
+    "(56,173),(56,184),(56,187),(56,197),(57,60),(57,63),(57,73)," +
+    "(57,81),(57,98),(57,100),(57,111),(57,127),(57,135),(57,142)," +
+    "(57,147),(57,151),(57,167),(57,173),(57,184),(57,187),(57,197)," +
+    "(60,98),(60,100),(60,111),(60,142),(60,147),(60,167),(60,173)," +
+    "(61,185),(63,66),(63,98),(63,100),(63,111),(63,142),(63,147)," +
+    "(63,167),(63,173),(70,187),(73,98),(73,100),(73,111),(73,142)," +
+    "(73,147),(73,167),(73,173),(76,135),(81,98),(81,100),(81,111)," +
+    "(81,142),(81,147),(81,167),(81,173),(91,127),(91,176),(98,100)," +
+    "(98,111),(98,127),(98,135),(98,142),(98,147),(98,151),(98,167)," +
+    "(98,173),(98,184),(98,187),(98,197),(100,111),(100,127),(100,135)," +
+    "(100,142),(100,147),(100,151),(100,167),(100,173),(100,184)," +
+    "(100,187),(100,197),(103,184),(109,184),(111,127),(111,135)," +
+    "(111,142),(111,147),(111,151),(111,167),(111,173),(111,184)," +
+    "(111,187),(111,197),(127,142),(127,147),(127,162),(127,167)," +
+    "(127,173),(127,176),(128,187),(135,142),(135,147),(135,167)," +
+    "(135,173),(142,147),(142,151),(142,167),(142,173),(142,184)," +
+    "(142,187),(142,197),(147,151),(147,167),(147,173),(147,184)," +
+    "(147,187),(147,197),(151,167),(151,173),(152,178),(153,197)," +
+    "(167,173),(167,184),(167,187),(167,197),(173,184),(173,187)," +
+    "(173,197)"
+
+  /** q170/q170b oracle body, parameterized by the pinned LSH pair
+    * list (the only banding-dependent input — the exact ground truth
+    * and the report arithmetic are identical at every operating
+    * point). */
+  private def dedupQualityOracle(pins: String): String =
+    s"""WITH t AS (SELECT doc_id, $utokSql AS tok FROM documents
+       |           WHERE doc_id <= 200),
+       |exact AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+       |      / CAST(len(list_distinct(a.tok || b.tok)) AS DOUBLE)
+       |      >= 0.95),
+       |lsh(a_id, b_id) AS (VALUES $pins),
+       |tp AS (SELECT l.a_id, l.b_id FROM lsh l
+       |       WHERE EXISTS (SELECT 1 FROM exact e
+       |                     WHERE e.a_id = l.a_id AND e.b_id = l.b_id)),
+       |fn AS (SELECT e.a_id, e.b_id FROM exact e
+       |       WHERE NOT EXISTS (SELECT 1 FROM lsh l
+       |                         WHERE l.a_id = e.a_id AND l.b_id = e.b_id))
+       |SELECT (SELECT count(*) FROM lsh) AS n_lsh,
+       |  (SELECT count(*) FROM exact) AS n_exact,
+       |  (SELECT count(*) FROM tp) AS n_tp,
+       |  (SELECT count(*) FROM fn) AS n_fn,
+       |  round(CAST((SELECT count(*) FROM tp) AS DOUBLE)
+       |    / (SELECT count(*) FROM exact), 6) AS recall,
+       |  round(CAST((SELECT count(*) FROM tp) AS DOUBLE)
+       |    / (SELECT count(*) FROM lsh), 6) AS lsh_precision
+       |""".stripMargin
+
   override def oracle: Map[String, String] = Map(
-    "q170_dedup_quality" ->
-      s"""WITH t AS (SELECT doc_id, $utokSql AS tok FROM documents
-         |           WHERE doc_id <= 200),
-         |exact AS (
-         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
-         |  FROM t a JOIN t b ON a.doc_id < b.doc_id
-         |  WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
-         |      / CAST(len(list_distinct(a.tok || b.tok)) AS DOUBLE)
-         |      >= 0.95),
-         |lsh(a_id, b_id) AS (VALUES $q75PinnedPairs),
-         |tp AS (SELECT l.a_id, l.b_id FROM lsh l
-         |       WHERE EXISTS (SELECT 1 FROM exact e
-         |                     WHERE e.a_id = l.a_id AND e.b_id = l.b_id)),
-         |fn AS (SELECT e.a_id, e.b_id FROM exact e
-         |       WHERE NOT EXISTS (SELECT 1 FROM lsh l
-         |                         WHERE l.a_id = e.a_id AND l.b_id = e.b_id))
-         |SELECT (SELECT count(*) FROM lsh) AS n_lsh,
-         |  (SELECT count(*) FROM exact) AS n_exact,
-         |  (SELECT count(*) FROM tp) AS n_tp,
-         |  (SELECT count(*) FROM fn) AS n_fn,
-         |  round(CAST((SELECT count(*) FROM tp) AS DOUBLE)
-         |    / (SELECT count(*) FROM exact), 6) AS recall,
-         |  round(CAST((SELECT count(*) FROM tp) AS DOUBLE)
-         |    / (SELECT count(*) FROM lsh), 6) AS lsh_precision
-         |""".stripMargin,
+    "q170_dedup_quality" -> dedupQualityOracle(q75PinnedPairs),
+    "q170b_dedup_quality_16x16" -> dedupQualityOracle(q170bPinnedPairs),
     "q70_text_stats" ->
       s"""SELECT doc_id,
          | CAST(length(text) AS BIGINT) AS n_chars_m,

@@ -30,6 +30,20 @@ import org.apache.spark.sql.types._
   */
 object Pipeline3 extends QueryModule {
 
+  /** The block-manager blocks behind a localCheckpoint'd frame.
+    * localCheckpoint persists the materialized RDD (MEMORY_AND_DISK)
+    * and only frees it when the driver GCs the RDD object — in an
+    * iterative loop that means every superseded round's label table
+    * stays pinned until some future GC. Locally that is bench noise;
+    * at 100 TB the label table is corpus-sized and ~20 leaked rounds
+    * of it is an executor-memory incident. So the loop frees each
+    * round's blocks explicitly the moment the next round is
+    * materialized. */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false))
+
   /** Min-label-propagation connected components WITH pointer doubling,
     * over a symmetric edge list (src, dst) → (node, root). Each round:
     *  1. hop — labels flow one edge, min-combine per node;
@@ -93,14 +107,22 @@ object Pipeline3 extends QueryModule {
       // defensive only.
       val byNode = hopped
         .select(col("node").as("r_node"), col("root").as("r_root"))
-      labels = hopped.join(byNode.hint("shuffle_hash"),
+      val next = hopped.join(byNode.hint("shuffle_hash"),
           hopped("root") === byNode("r_node"))
         .select(col("node"), least(col("root"), col("r_root")).as("root"))
         .localCheckpoint()
+      // next is materialized (localCheckpoint is eager) — the previous
+      // round's label blocks are now dead; free them instead of waiting
+      // for a driver GC (see freeCheckpoint)
+      freeCheckpoint(labels)
+      labels = next
       prev = cur
       cur = labelSum(labels)
       iters += 1
     }
+    // the result is checkpointed, so the edge-list blocks are no longer
+    // reachable from it — free them too
+    freeCheckpoint(edges)
     if (cur < prev)
       throw new IllegalStateException(
         s"connectedComponents did not converge after $maxIters rounds " +
@@ -131,7 +153,8 @@ object Pipeline3 extends QueryModule {
     * the query. */
   private[graft] def verifiedPairs(docs: DataFrame): DataFrame = {
     val theta = 0.9
-    val (bands, rows) = graft.functions.LshKnobs.bandsRows(theta)
+    val (bands, rows) =
+      graft.functions.LshKnobs.bandsRows(theta, docs.sparkSession)
     Pipeline.lshCandidates(docs, bands, rows)
       .filter(jaccardHashed(col("tok_a"), col("tok_b")) >= theta)
       .select(col("a_id"), col("b_id"))

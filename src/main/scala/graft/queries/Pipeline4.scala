@@ -40,7 +40,7 @@ object Pipeline4 extends QueryModule {
     // both layers; the 8×8 banding's ~98.9% per-pair recall reproduces
     // the exact flags on this fixture (same argument as q129).
     "q162_incremental_dedup" -> { (s, dir) =>
-      val (bands, rows) = graft.functions.LshKnobs.bandsRows(0.9)
+      val (bands, rows) = graft.functions.LshKnobs.bandsRows(0.9, s)
       val docs = Tables.df(s, dir, "documents")
       val cut = docs.agg((max(col("doc_id")) - 100).cast(LongType)
         .as("cut"))
@@ -104,7 +104,9 @@ object Pipeline4 extends QueryModule {
         .withColumn("start_tok",
           coalesce(sum(col("n_tokens")).over(w) - col("n_tokens"), lit(0L)))
         .select(col("doc_id"), col("shard"), col("n_tokens"),
-          (col("start_tok") / seqLen).cast(LongType).as("seq_id"),
+          // integer `div`, not `/`: double division is only exact below
+          // 2^53 cumulative tokens, which a 100 TB shard can exceed
+          expr(s"start_tok div $seqLen").as("seq_id"),
           (col("start_tok") % seqLen).as("seq_offset"))
         .orderBy(col("shard"), col("seq_id"), col("seq_offset"),
           col("doc_id"))

@@ -134,6 +134,32 @@ class LshRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("spark.graft.dedup.lsh.{bands,rows} retune the explode " +
+    "pipeline's banding per session") {
+    import graft.functions.LshKnobs
+    val tuned = spark.newSession()
+    tuned.conf.set(LshKnobs.bandsConf, "16")
+    tuned.conf.set(LshKnobs.rowsConf, "16")
+    assert(LshKnobs.bandsRows(0.95, tuned) === ((16, 16)))
+    // ...and the conf reaches the physical banding expression through
+    // lshCandidates (the q170b path)
+    val plan = graft.queries.Pipeline.lshCandidates(
+        graft.Tables.df(tuned, sf, "documents"))
+      .queryExecution.optimizedPlan.toString
+    assert("minhash_bands\\(.*, 16, 16\\)".r.findFirstIn(plan).isDefined,
+      s"expected minhash_bands(_, 16, 16) in:\n${plan.take(2000)}")
+    // a lone override fails loudly instead of silently retuning half
+    // the recall model
+    val half = spark.newSession()
+    half.conf.set(LshKnobs.bandsConf, "16")
+    intercept[IllegalArgumentException] {
+      LshKnobs.bandsRows(0.95, half)
+    }
+    // an unset session still resolves to the theta-keyed table
+    assert(LshKnobs.bandsRows(0.95, spark.newSession()) ===
+      LshKnobs.bandsRows(0.95))
+  }
+
   test("rule is inert when disabled") {
     spark.experimental.extraOptimizations =
       Seq(graft.plans.GraftLshRewrite)
