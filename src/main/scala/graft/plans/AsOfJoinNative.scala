@@ -28,7 +28,13 @@ import org.apache.spark.sql.internal.SQLConf
   * An optional `tolerance` (same unit as the time columns) rejects
   * matches with |Δtime| > tolerance — pandas merge_asof's knob for
   * "a quote is only valid for N seconds".
-  * Unmatched left rows pad the right side with nulls.
+  * `joinType` picks what happens to unmatched left rows: "outer"
+  * (default, pandas parity) pads the right side with nulls; "inner"
+  * DROPS them inside the operator — native semantics rather than a
+  * post-filter on the padded output, which would also poison the
+  * matched-rows SQLMetric; "anti" emits ONLY the unmatched left rows,
+  * left columns only ("which facts have no reference observation
+  * as-of their time" — the audit query for every as-of pipeline).
   *
   * Three physical shapes, chosen by the planner on right-side size
   * (the same ladder Spark's JoinSelection walks for equi-joins):
@@ -57,10 +63,11 @@ case class AsOfJoinPlan(
     rightTime: Expression,
     rightTieBreak: Expression,
     direction: String = "backward",
-    tolerance: Long = Long.MaxValue) extends BinaryNode {
+    tolerance: Long = Long.MaxValue,
+    joinType: String = "outer") extends BinaryNode {
 
   override def output: Seq[Attribute] =
-    left.output ++ right.output.map(_.withNullability(true))
+    AsOfCore.outputFor(joinType, left.output, right.output)
 
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
@@ -81,6 +88,29 @@ private[plans] object AsOfCore {
   def toLongTime(v: Any): Long = v match {
     case l: Long => l
     case i: Int => i.toLong
+  }
+
+  /** Output schema per join type: OUTER null-pads the right side (so
+    * its attributes turn nullable), INNER keeps both sides' original
+    * nullability (no pad row can appear), ANTI emits the left side
+    * only — the standard anti-join shape ("which fact rows have NO
+    * reference observation as-of their time"). */
+  def outputFor(joinType: String, left: Seq[Attribute],
+                right: Seq[Attribute]): Seq[Attribute] = joinType match {
+    case "anti" => left
+    case "inner" => left ++ right
+    case _ => left ++ right.map(_.withNullability(true))
+  }
+
+  /** Overflow-safe `later - earlier <= tol` for call sites where
+    * `later >= earlier` mathematically (binary search / merge order
+    * guarantees it). A raw Long subtraction wraps negative when the
+    * true spread exceeds Long.MaxValue — which, since tol <= MaxValue,
+    * always means "outside tolerance" — so `d >= 0 && d <= tol` is
+    * exact, not merely fail-closed. */
+  def withinTol(later: Long, earlier: Long, tol: Long): Boolean = {
+    val d = later - earlier
+    d >= 0 && d <= tol
   }
 
   /** `copyRows` must be true when `rows` come from a shuffle iterator
@@ -125,7 +155,7 @@ private[plans] object AsOfCore {
             leftOut: Seq[Attribute], rightOut: Seq[Attribute],
             outAttrs: Seq[Attribute],
             lk: Expression, lt: Expression, direction: String,
-            tolerance: Long,
+            tolerance: Long, joinType: String,
             numMatched: SQLMetric, numNullPadded: SQLMetric): Iterator[InternalRow] = {
     val lKeyEval = BindReferences.bindReference(lk, leftOut)
     val lTimeEval = BindReferences.bindReference(lt, leftOut)
@@ -134,12 +164,15 @@ private[plans] object AsOfCore {
     // the projection input schema must carry the OUTER-JOIN nullability
     // on the right side: binding against the raw right attributes lets
     // codegen skip the null checks for non-nullable inputs (e.g. a
-    // local relation of longs) and read a null-pad row as ZEROS
-    val project = UnsafeProjection.create(outAttrs,
-      leftOut ++ rightOut.map(_.withNullability(true)))
+    // local relation of longs) and read a null-pad row as ZEROS.
+    // ANTI emits left columns only, so it binds against the left alone.
+    val project =
+      if (joinType == "anti") UnsafeProjection.create(outAttrs, leftOut)
+      else UnsafeProjection.create(outAttrs,
+        leftOut ++ rightOut.map(_.withNullability(true)))
     val wantBack = direction != "forward"
     val wantFwd = direction != "backward"
-    leftIter.map { lrow =>
+    def findMatch(lrow: InternalRow): InternalRow = {
       val k = lKeyEval.eval(lrow)
       val t = lTimeEval.eval(lrow)
       var matched: InternalRow = nullRight
@@ -173,8 +206,9 @@ private[plans] object AsOfCore {
             }
           }
           // tolerance: a candidate farther than `tolerance` is no match
-          if (b >= 0 && tv - times(b) > tolerance) b = -1
-          if (f < n && times(f) - tv > tolerance) f = n
+          // (withinTol is overflow-safe for pathological time spreads)
+          if (b >= 0 && !withinTol(tv, times(b), tolerance)) b = -1
+          if (f < n && !withinTol(times(f), tv, tolerance)) f = n
           direction match {
             case "forward" => if (f < n) matched = rows(f)
             case "backward" => if (b >= 0) matched = rows(b)
@@ -186,7 +220,23 @@ private[plans] object AsOfCore {
         }
       }
       if (matched eq nullRight) numNullPadded += 1 else numMatched += 1
-      project(joined(lrow, matched))
+      matched
+    }
+    // OUTER stays a straight map (the hot path allocates nothing per
+    // row); INNER/ANTI filter on match-ness before projecting
+    joinType match {
+      case "inner" => leftIter.flatMap { lrow =>
+        val m = findMatch(lrow)
+        if (m eq nullRight) Iterator.empty
+        else Iterator.single(project(joined(lrow, m)))
+      }
+      case "anti" => leftIter.flatMap { lrow =>
+        if (findMatch(lrow) eq nullRight) Iterator.single(project(lrow))
+        else Iterator.empty
+      }
+      case _ => leftIter.map { lrow =>
+        project(joined(lrow, findMatch(lrow)))
+      }
     }
   }
 
@@ -210,10 +260,11 @@ case class BroadcastAsOfJoinExec(
     rightTime: Expression,
     rightTieBreak: Expression,
     direction: String,
-    tolerance: Long) extends BinaryExecNode {
+    tolerance: Long,
+    joinType: String) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
-    left.output ++ right.output.map(_.withNullability(true))
+    AsOfCore.outputFor(joinType, left.output, right.output)
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
 
@@ -236,12 +287,13 @@ case class BroadcastAsOfJoinExec(
     val (rk, rt, rb) = (rightKey, rightTime, rightTieBreak)
     val dir = direction
     val tol = tolerance
+    val jt = joinType
     val (nm, np) = (longMetric("numMatched"), longMetric("numNullPadded"))
     left.execute().mapPartitions { leftIter =>
       val index = AsOfCore.buildIndex(broadcastRight.value.iterator,
         rightOut, rk, rt, rb, copyRows = false)
       AsOfCore.probe(leftIter, index, leftOut, rightOut, outAttrs, lk, lt,
-        dir, tol, nm, np)
+        dir, tol, jt, nm, np)
     }
   }
 }
@@ -259,10 +311,11 @@ case class ShuffledAsOfJoinExec(
     rightTime: Expression,
     rightTieBreak: Expression,
     direction: String,
-    tolerance: Long) extends BinaryExecNode {
+    tolerance: Long,
+    joinType: String) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
-    left.output ++ right.output.map(_.withNullability(true))
+    AsOfCore.outputFor(joinType, left.output, right.output)
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
 
@@ -285,12 +338,13 @@ case class ShuffledAsOfJoinExec(
     val (rk, rt, rb) = (rightKey, rightTime, rightTieBreak)
     val dir = direction
     val tol = tolerance
+    val jt = joinType
     val (nm, np) = (longMetric("numMatched"), longMetric("numNullPadded"))
     left.execute().zipPartitions(right.execute()) { (leftIter, rightIter) =>
       val index = AsOfCore.buildIndex(rightIter, rightOut, rk, rt, rb,
         copyRows = true)
       AsOfCore.probe(leftIter, index, leftOut, rightOut, outAttrs, lk, lt,
-        dir, tol, nm, np)
+        dir, tol, jt, nm, np)
     }
   }
 }
@@ -312,10 +366,11 @@ case class SortMergeAsOfJoinExec(
     rightTime: Expression,
     rightTieBreak: Expression,
     direction: String,
-    tolerance: Long) extends BinaryExecNode {
+    tolerance: Long,
+    joinType: String) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
-    left.output ++ right.output.map(_.withNullability(true))
+    AsOfCore.outputFor(joinType, left.output, right.output)
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
 
@@ -346,6 +401,7 @@ case class SortMergeAsOfJoinExec(
     val keyType = leftKey.dataType
     val dir = direction
     val tol = tolerance
+    val jt = joinType
     val (nm, np) = (longMetric("numMatched"), longMetric("numNullPadded"))
     left.execute().zipPartitions(right.execute()) { (leftIter, rightIter) =>
       val keyOrd = TypeUtils.getInterpretedOrdering(keyType)
@@ -357,8 +413,10 @@ case class SortMergeAsOfJoinExec(
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rightOut.length)
       // right side nullability-adjusted — see AsOfCore.probe
-      val project = UnsafeProjection.create(outAttrs,
-        leftOut ++ rightOut.map(_.withNullability(true)))
+      val project =
+        if (jt == "anti") UnsafeProjection.create(outAttrs, leftOut)
+        else UnsafeProjection.create(outAttrs,
+          leftOut ++ rightOut.map(_.withNullability(true)))
       // backward keeps the last consumed qualifier (a COPY — it must
       // outlive the rows the iterator reuses); forward only needs a
       // PEEK at the un-consumed head, which stays valid until our own
@@ -366,7 +424,11 @@ case class SortMergeAsOfJoinExec(
       val keepBack = dir != "forward"
       var candidate: InternalRow = null
       var candidateKey: Any = null
-      leftIter.map { lrow =>
+      // the merge advance is STATEFUL (candidate/buffered head carry
+      // across left rows), so every left row must pass through
+      // findMatch exactly once regardless of whether its output row
+      // is emitted — the INNER/ANTI filters below sit outside it
+      def findMatch(lrow: InternalRow): InternalRow = {
         val k = lKeyEval.eval(lrow)
         val t = lTimeEval.eval(lrow)
         var matched: InternalRow = nullRight
@@ -406,8 +468,8 @@ case class SortMergeAsOfJoinExec(
           var back =
             if (candidate != null && keyOrd.compare(candidateKey, k) == 0)
               candidate else null
-          if (back != null &&
-              tv - AsOfCore.toLongTime(rTimeEval.eval(back)) > tol)
+          if (back != null && !AsOfCore.withinTol(
+              tv, AsOfCore.toLongTime(rTimeEval.eval(back)), tol))
             back = null // candidate stays retained, just not a match
           // forward candidate: the head, iff still in our key group
           // (its time/key are non-null — null-first sorting means null
@@ -416,8 +478,9 @@ case class SortMergeAsOfJoinExec(
           if (dir != "backward" && buffered.hasNext) {
             val h = buffered.head
             val hk = rKeyEval.eval(h)
-            if (hk != null && keyOrd.compare(hk, k) == 0 &&
-                AsOfCore.toLongTime(rTimeEval.eval(h)) - tv <= tol) fwd = h
+            if (hk != null && keyOrd.compare(hk, k) == 0 && AsOfCore
+                .withinTol(AsOfCore.toLongTime(rTimeEval.eval(h)), tv, tol))
+              fwd = h
           }
           matched = dir match {
             case "backward" => if (back != null) back else nullRight
@@ -431,7 +494,21 @@ case class SortMergeAsOfJoinExec(
           }
         }
         if (matched eq nullRight) np += 1 else nm += 1
-        project(joined(lrow, matched))
+        matched
+      }
+      jt match {
+        case "inner" => leftIter.flatMap { lrow =>
+          val m = findMatch(lrow)
+          if (m eq nullRight) Iterator.empty
+          else Iterator.single(project(joined(lrow, m)))
+        }
+        case "anti" => leftIter.flatMap { lrow =>
+          if (findMatch(lrow) eq nullRight) Iterator.single(project(lrow))
+          else Iterator.empty
+        }
+        case _ => leftIter.map { lrow =>
+          project(joined(lrow, findMatch(lrow)))
+        }
       }
     }
   }
@@ -452,13 +529,13 @@ case class SortMergeAsOfJoinExec(
   * overrides the ladder (like Spark's join hints). */
 object GraftStrategies extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tb, dir, tol) =>
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tb, dir, tol, jt) =>
       def broadcast = BroadcastAsOfJoinExec(
-        planLater(l), planLater(r), lk, rk, lt, rt, tb, dir, tol)
+        planLater(l), planLater(r), lk, rk, lt, rt, tb, dir, tol, jt)
       def shuffled = ShuffledAsOfJoinExec(
-        planLater(l), planLater(r), lk, rk, lt, rt, tb, dir, tol)
+        planLater(l), planLater(r), lk, rk, lt, rt, tb, dir, tol, jt)
       def sortMerge = SortMergeAsOfJoinExec(
-        planLater(l), planLater(r), lk, rk, lt, rt, tb, dir, tol)
+        planLater(l), planLater(r), lk, rk, lt, rt, tb, dir, tol, jt)
       val conf = SQLConf.get
       val exec = conf.getConfString("spark.graft.asof.impl", "auto") match {
         case "broadcast" => broadcast
@@ -499,10 +576,13 @@ object AsOfJoinOps {
            leftTime: String, rightTime: String,
            rightTieBreak: String,
            direction: String = "backward",
-           tolerance: Long = Long.MaxValue): DataFrame = {
+           tolerance: Long = Long.MaxValue,
+           joinType: String = "outer"): DataFrame = {
     require(Set("backward", "forward", "nearest").contains(direction),
       s"as-of direction must be backward|forward|nearest, got $direction")
     require(tolerance > 0, s"as-of tolerance must be positive, got $tolerance")
+    require(Set("outer", "inner", "anti").contains(joinType),
+      s"as-of joinType must be outer|inner|anti, got $joinType")
     val lp = left.queryExecution.analyzed
     val rp = right.queryExecution.analyzed
     def attr(p: LogicalPlan, n: String): Attribute =
@@ -523,6 +603,6 @@ object AsOfJoinOps {
         requireOrderable("time", attr(lp, leftTime)),
         requireOrderable("time", attr(rp, rightTime)),
         requireOrderable("tie-break", attr(rp, rightTieBreak)),
-        direction, tolerance))
+        direction, tolerance, joinType))
   }
 }

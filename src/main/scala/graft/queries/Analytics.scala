@@ -453,6 +453,136 @@ object Analytics extends QueryModule {
           col("o_custkey") === col("c_custkey"))
         .select(col("c_custkey"), col("c_name"), col("n_baskets"))
         .orderBy(col("n_baskets").desc, col("c_custkey"))
+    },
+
+    // TPC-DS Q95 shape: semi-join CHAIN on a self-joined fact —
+    // orders confirmed by a SECOND supplier (EXISTS a lineitem of the
+    // same order from a different supplier) with NO returned item
+    // (NOT EXISTS). Scale contract: both existence probes are
+    // left-semi/left-anti joins keyed on the SAME l_orderkey the fact
+    // is already clustered on (one shuffle family, no re-keying), the
+    // self-join dedupes to order grain BEFORE touching orders, and
+    // nothing wider than (orderkey) crosses a shuffle.
+    "q175_semi_chain" -> { (s, dir) =>
+      val li = Tables.df(s, dir, "lineitem")
+      val multiSupp = li.select(col("l_orderkey"), col("l_suppkey"))
+        .join(li.select(col("l_orderkey").as("b_ok"),
+            col("l_suppkey").as("b_sk")),
+          col("l_orderkey") === col("b_ok") &&
+            col("l_suppkey") =!= col("b_sk"), "left_semi")
+        .select(col("l_orderkey")).distinct()
+      val returned = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("r_ok")).distinct()
+      Tables.df(s, dir, "orders")
+        .join(multiSupp, col("o_orderkey") === col("l_orderkey"),
+          "left_semi")
+        .join(returned, col("o_orderkey") === col("r_ok"), "left_anti")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(D4)).cast(DoubleType)
+            .as("total_price"))
+    },
+
+    // TPC-DS Q23 shape: multi-CTE reuse feeding two channels — a
+    // "frequent parts" set and a "best customers" set (spend above 2×
+    // the mean — the threshold expression has the same shape on the
+    // oracle side, so the IEEE arithmetic is bit-identical), each
+    // consumed by BOTH
+    // channel branches of a union. The two set frames are single
+    // DataFrame objects referenced twice, so their exchange subtrees
+    // are identical and ReuseExchange materializes each once — the
+    // DataFrame-native equivalent of Q23's WITH clauses. No global
+    // sort/window anywhere: the customer threshold is a broadcast
+    // scalar, scale-safe at any corpus size.
+    "q176_cte_reuse" -> { (s, dir) =>
+      val li = Tables.df(s, dir, "lineitem")
+      val ord = Tables.df(s, dir, "orders")
+      val freqParts = li.groupBy(col("l_partkey"))
+        .agg(countDistinct(col("l_orderkey")).as("n_ord"))
+        .filter(col("n_ord") >= 5).select(col("l_partkey"))
+      val spend = ord.groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast(D4)).as("spend"))
+      val totals = spend.agg(
+        sum(col("spend")).as("tot"), count(lit(1)).as("n_cust"))
+      val bestCust = spend.crossJoin(broadcast(totals))
+        // both engines evaluate the identical double expression tree
+        // over identical exact-decimal sums — bit-identical selection
+        .filter(col("spend").cast(DoubleType) >
+          lit(2.0) * (col("tot").cast(DoubleType) / col("n_cust")))
+        .select(col("o_custkey").as("bc_ck"))
+      def channel(status: String) =
+        li.join(ord.filter(col("o_orderstatus") === status)
+            .select(col("o_orderkey"), col("o_custkey"),
+              col("o_orderstatus")),
+          col("l_orderkey") === col("o_orderkey"))
+          .join(freqParts, Seq("l_partkey"), "left_semi")
+          .join(bestCust, col("o_custkey") === col("bc_ck"), "left_semi")
+          // groupBy (not a global agg): an empty channel contributes
+          // ZERO rows, same as the oracle's GROUP BY
+          .groupBy(col("o_orderstatus").as("channel"))
+          .agg(rev.as("revenue"), count(lit(1)).as("n_items"))
+      channel("O").unionByName(channel("F")).orderBy(col("channel"))
+    },
+
+    // TPC-DS Q49 shape: union of PER-CHANNEL rankings — worst return
+    // ratio per part within each order-priority "channel", top-10 per
+    // channel by (ratio desc, part). The rank-filter window plans as
+    // WindowGroupLimit, so each map task keeps ≤10 rows per channel
+    // before the shuffle (state O(channels × 10), never O(parts));
+    // the ratio is long/long double division (bit-identical across
+    // engines) rounded once at the edge.
+    "q177_channel_rankings" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("channel"))
+        .orderBy(col("ratio_raw").desc, col("l_partkey"))
+      Tables.df(s, dir, "lineitem")
+        .join(Tables.df(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority").as("channel"), col("l_partkey"))
+        .agg(
+          sum(when(col("l_returnflag") === "R", col("l_quantity"))
+            .otherwise(lit(0))).cast(LongType).as("ret_qty"),
+          sum(col("l_quantity")).cast(LongType).as("tot_qty"))
+        .withColumn("ratio_raw",
+          col("ret_qty").cast(DoubleType) / col("tot_qty"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .select(col("channel"), col("l_partkey"),
+          col("ret_qty"), col("tot_qty"),
+          round(col("ratio_raw"), 6).as("return_ratio"),
+          col("rk").cast(LongType).as("rk"))
+        .orderBy(col("channel"), col("rk"))
+    },
+
+    // TPC-DS Q31 shape: year-over-year SHARE — each nation's slice of
+    // yearly order revenue vs its slice the year before. Two window
+    // passes over the (nation, year) aggregate (year-total sum, then
+    // per-nation lag), both on the tiny grouped frame — the fact is
+    // touched once. share/prev are exact-decimal sums divided once at
+    // the edge and rounded.
+    "q178_yoy_share" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val wYear = Window.partitionBy(col("yr"))
+      val wNation = Window.partitionBy(col("n_name")).orderBy(col("yr"))
+      Tables.df(s, dir, "orders")
+        .join(broadcast(Tables.df(s, dir, "customer")
+            .select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.df(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"),
+          year(col("o_orderdate")).cast(LongType).as("yr"))
+        .agg(sum(col("o_totalprice").cast(D4)).as("nrev"))
+        .withColumn("share_raw",
+          col("nrev").cast(DoubleType) /
+            sum(col("nrev")).over(wYear).cast(DoubleType))
+        .withColumn("prev_raw", lag(col("share_raw"), 1).over(wNation))
+        .filter(col("prev_raw").isNotNull)
+        .select(col("n_name"), col("yr"),
+          round(col("share_raw"), 6).as("share"),
+          round(col("prev_raw"), 6).as("prev_share"),
+          (col("share_raw") > col("prev_raw")).as("grew"))
+        .orderBy(col("n_name"), col("yr"))
     }
   )
 
@@ -698,6 +828,74 @@ object Analytics extends QueryModule {
         |  JOIN orders ON l_orderkey = o_orderkey
         |  GROUP BY o_custkey HAVING count(*) >= 2) f
         |JOIN customer ON o_custkey = c_custkey
-        |ORDER BY n_baskets DESC, c_custkey""".stripMargin
+        |ORDER BY n_baskets DESC, c_custkey""".stripMargin,
+    "q175_semi_chain" ->
+      """SELECT count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS total_price
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+        |  WHERE a.l_orderkey = o.o_orderkey)
+        |AND NOT EXISTS (SELECT 1 FROM lineitem r
+        |  WHERE r.l_orderkey = o.o_orderkey
+        |    AND r.l_returnflag = 'R')""".stripMargin,
+    "q176_cte_reuse" ->
+      s"""WITH freq AS (SELECT l_partkey FROM lineitem
+         |  GROUP BY l_partkey HAVING count(DISTINCT l_orderkey) >= 5),
+         |spend AS (SELECT o_custkey,
+         |    sum(CAST(o_totalprice AS DECIMAL(18,4))) AS spend
+         |  FROM orders GROUP BY o_custkey),
+         |tot AS (SELECT sum(spend) AS tot, count(*) AS n_cust FROM spend),
+         |best AS (SELECT o_custkey FROM spend, tot
+         |  WHERE CAST(spend AS DOUBLE)
+         |      > 2.0 * (CAST(tot AS DOUBLE) / n_cust))
+         |SELECT o.o_orderstatus AS channel, $revSql AS revenue,
+         |  count(*) AS n_items
+         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |WHERE o.o_orderstatus IN ('O', 'F')
+         |  AND EXISTS (SELECT 1 FROM freq f
+         |              WHERE f.l_partkey = l.l_partkey)
+         |  AND EXISTS (SELECT 1 FROM best b
+         |              WHERE b.o_custkey = o.o_custkey)
+         |GROUP BY o.o_orderstatus
+         |ORDER BY channel""".stripMargin,
+    "q177_channel_rankings" ->
+      """WITH g AS (
+        |  SELECT o.o_orderpriority AS channel, l.l_partkey,
+        |    CAST(sum(CASE WHEN l.l_returnflag = 'R' THEN l.l_quantity
+        |             ELSE 0 END) AS BIGINT) AS ret_qty,
+        |    CAST(sum(l.l_quantity) AS BIGINT) AS tot_qty
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY 1, 2),
+        |r AS (SELECT channel, l_partkey, ret_qty, tot_qty,
+        |    CAST(ret_qty AS DOUBLE) / tot_qty AS ratio_raw,
+        |    row_number() OVER (PARTITION BY channel
+        |      ORDER BY CAST(ret_qty AS DOUBLE) / tot_qty DESC,
+        |        l_partkey) AS rk
+        |  FROM g)
+        |SELECT channel, l_partkey, ret_qty, tot_qty,
+        |  round(ratio_raw, 6) AS return_ratio, rk
+        |FROM r WHERE rk <= 10 ORDER BY channel, rk""".stripMargin,
+    "q178_yoy_share" ->
+      """WITH g AS (
+        |  SELECT n.n_name, year(o.o_orderdate) AS yr,
+        |    sum(CAST(o.o_totalprice AS DECIMAL(18,4))) AS nrev
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  GROUP BY 1, 2),
+        |s AS (SELECT n_name, yr,
+        |    CAST(nrev AS DOUBLE)
+        |      / CAST(sum(nrev) OVER (PARTITION BY yr) AS DOUBLE)
+        |      AS share_raw
+        |  FROM g),
+        |d AS (SELECT n_name, yr, share_raw,
+        |    lag(share_raw, 1) OVER (PARTITION BY n_name ORDER BY yr)
+        |      AS prev_raw
+        |  FROM s)
+        |SELECT n_name, yr, round(share_raw, 6) AS share,
+        |  round(prev_raw, 6) AS prev_share, share_raw > prev_raw AS grew
+        |FROM d WHERE prev_raw IS NOT NULL
+        |ORDER BY n_name, yr""".stripMargin
   )
 }

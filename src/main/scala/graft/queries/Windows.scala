@@ -206,6 +206,51 @@ object Windows extends QueryModule {
         .orderBy(col("purchase_id"))
     },
 
+    // INNER as-of (q166's tolerance query with joinType="inner"):
+    // unmatched purchases are dropped INSIDE the operator — native
+    // semantics, not a post-filter on null-padded output (which would
+    // also poison the matched-rows SQLMetric). The count difference
+    // vs q166 is exactly q166's null-padded rows.
+    "q173_asof_inner" -> { (s, dir) =>
+      graft.GraftExtensions.register(s)
+      val ev = Tables.df(s, dir, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"),
+          col("user_id").as("c_user"),
+          unix_micros(col("ts")).as("click_ts_us"))
+      graft.plans.AsOfJoinOps
+        .asof(p, c, "user_id", "c_user", "ts_us", "click_ts_us",
+          "click_id", direction = "backward",
+          tolerance = 10L * 60 * 1000000, joinType = "inner")
+        .select(col("purchase_id"), col("user_id"), col("ts_us"),
+          col("click_id"), col("click_ts_us"))
+        .orderBy(col("purchase_id"))
+    },
+
+    // ANTI as-of: ONLY the purchases with NO click at-or-before them
+    // within the tolerance, left columns only — the audit query of
+    // every as-of pipeline ("which facts have no reference
+    // observation"). Complement of q173 over q166's row set.
+    "q174_asof_anti" -> { (s, dir) =>
+      graft.GraftExtensions.register(s)
+      val ev = Tables.df(s, dir, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"),
+          col("user_id").as("c_user"),
+          unix_micros(col("ts")).as("click_ts_us"))
+      graft.plans.AsOfJoinOps
+        .asof(p, c, "user_id", "c_user", "ts_us", "click_ts_us",
+          "click_id", direction = "backward",
+          tolerance = 10L * 60 * 1000000, joinType = "anti")
+        .orderBy(col("purchase_id"))
+    },
+
     // Ignore-nulls analytics: lead IGNORE NULLS + last_value IGNORE NULLS
     // (= last-observation-carried-forward). Parity with the reference's
     // nth_value ignore-nulls support (auron.proto:140 NTH_VALUE + flag).
@@ -323,6 +368,36 @@ object Windows extends QueryModule {
     "q166_asof_tolerance" -> asofDirOracle(
       "c.click_ts_us BETWEEN p.ts_us - 600000000 AND p.ts_us",
       "c.click_ts_us DESC, c.click_id DESC"),
+    "q173_asof_inner" ->
+      """WITH p AS (SELECT event_id AS purchase_id, user_id,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS click_id, user_id AS c_user,
+        |        epoch_us(CAST(ts AS TIMESTAMP)) AS click_ts_us
+        |      FROM events WHERE event_type = 'click'),
+        |cand AS (
+        |  SELECT p.purchase_id, c.click_id, c.click_ts_us,
+        |    row_number() OVER (PARTITION BY p.purchase_id
+        |      ORDER BY c.click_ts_us DESC, c.click_id DESC) AS rn
+        |  FROM p JOIN c ON c.c_user = p.user_id
+        |   AND c.click_ts_us BETWEEN p.ts_us - 600000000 AND p.ts_us)
+        |SELECT p.purchase_id, p.user_id, p.ts_us,
+        |  m.click_id, m.click_ts_us
+        |FROM p JOIN (SELECT * FROM cand WHERE rn = 1) m
+        |  ON m.purchase_id = p.purchase_id
+        |ORDER BY p.purchase_id""".stripMargin,
+    "q174_asof_anti" ->
+      """WITH p AS (SELECT event_id AS purchase_id, user_id,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS click_id, user_id AS c_user,
+        |        epoch_us(CAST(ts AS TIMESTAMP)) AS click_ts_us
+        |      FROM events WHERE event_type = 'click')
+        |SELECT p.purchase_id, p.user_id, p.ts_us FROM p
+        |WHERE NOT EXISTS (SELECT 1 FROM c
+        |  WHERE c.c_user = p.user_id
+        |   AND c.click_ts_us BETWEEN p.ts_us - 600000000 AND p.ts_us)
+        |ORDER BY p.purchase_id""".stripMargin,
     "q161_asof_nearest" -> asofDirOracle(
       "true",
       """abs(c.click_ts_us - p.ts_us) ASC,

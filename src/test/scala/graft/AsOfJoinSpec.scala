@@ -339,6 +339,48 @@ class AsOfJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("inner and anti as-of agree with the outer formulation across " +
+    "all three physical shapes") {
+    import org.apache.spark.sql.functions._
+    graft.GraftExtensions.register(spark)
+    val tol = 10L * 60 * 1000000
+    def frames(impl: String)
+        : (Array[Seq[Any]], Array[Seq[Any]], Array[Seq[Any]]) = {
+      spark.conf.set("spark.graft.asof.impl", impl)
+      try {
+        val ev = Tables.df(spark, sf, "events")
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us"))
+        val c = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"),
+            col("user_id").as("c_user"),
+            unix_micros(col("ts")).as("click_ts_us"))
+        def go(jt: String) = graft.plans.AsOfJoinOps
+          .asof(p, c, "user_id", "c_user", "ts_us", "click_ts_us",
+            "click_id", "backward", tol, jt)
+        val anti = go("anti")
+        // anti emits the LEFT schema only
+        assert(anti.columns.toSeq ===
+          Seq("purchase_id", "user_id", "ts_us"), s"$impl anti schema")
+        (go("outer").orderBy(col("purchase_id")).collect().map(_.toSeq),
+          go("inner").orderBy(col("purchase_id")).collect().map(_.toSeq),
+          anti.orderBy(col("purchase_id")).collect().map(_.toSeq))
+      } finally spark.conf.unset("spark.graft.asof.impl")
+    }
+    Seq("broadcast", "shuffled_hash", "sort_merge").foreach { impl =>
+      val (outer, inner, anti) = frames(impl)
+      // output col order: purchase_id, user_id, ts_us, click_id, ...
+      val matched = outer.filter(_(3) != null)
+      val unmatched = outer.filter(_(3) == null).map(_.take(3))
+      assert(inner.nonEmpty && anti.nonEmpty,
+        s"$impl: fixture must exercise both paths")
+      assert(inner.length + anti.length == outer.length, impl)
+      assert(inner.toSeq == matched.toSeq, s"$impl inner != outer-matched")
+      assert(anti.toSeq == unmatched.toSeq, s"$impl anti != outer-unmatched")
+    }
+  }
+
   test("unmatched left rows null-pad; matched rows take the latest " +
     "at-or-before right row") {
     val rows = SparkEntry.queries("q125_asof_native")(spark, sf).collect()

@@ -185,4 +185,26 @@ class PlanSpec extends AnyFunSuite {
         s"distinct must be narrow-key, got ${a.output.map(_.name)}")
     }
   }
+
+  test("q176 CTE frames materialize once: both channels read the " +
+    "frequent-parts and best-customers sets through exchange reuse") {
+    val p = finalPlan("q176_cte_reuse")
+    // the two channel branches consume identical freqParts/bestCust
+    // subtrees; ReuseExchange (or AQE's stage reuse) must dedupe them
+    // rather than recompute the aggregations per branch
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+      p.take(3000))
+  }
+
+  test("q177 per-channel top-10 pushes down via WindowGroupLimit") {
+    val p = finalPlan("q177_channel_rankings")
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2, p.take(2000))
+  }
+
+  test("q178 dims broadcast; the fact is shuffled only once (grouped " +
+    "frame feeds both window passes)") {
+    val p = finalPlan("q178_yoy_share")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(2000))
+    assert(!p.contains("SortMergeJoin"), "dims must broadcast, not SMJ")
+  }
 }
