@@ -125,6 +125,34 @@ object Connectors extends QueryModule {
         "GROUP BY tag ORDER BY tag")
     },
 
+    // PARTITIONED catalog table — the lakehouse lifecycle end-to-end
+    // through the same GraftCatalog: CREATE ... PARTITIONED BY
+    // (identity Transform), INSERT INTO via the two-phase V2 batch
+    // write, ALTER TABLE ADD COLUMN (schema evolution: rows written
+    // before the column read back null), then a SELECT whose
+    // partition-key predicate PRUNES partitions source-side
+    // (SourcesSpec asserts partitions=1/5 in the scan). DROP first so
+    // the query is a pure function of the input on every rerun.
+    "q172_partitioned_catalog" -> { (s, dir) =>
+      s.conf.set("spark.sql.catalog.graft_cat",
+        "graft.sources.GraftCatalog")
+      s.sql("DROP TABLE IF EXISTS graft_cat.default.po_q172")
+      s.sql("CREATE TABLE graft_cat.default.po_q172 " +
+        "(prio STRING, ok BIGINT, price DOUBLE) PARTITIONED BY (prio)")
+      Tables.df(s, dir, "orders")
+        .filter(col("o_orderkey") < 1000)
+        .select(col("o_orderpriority").as("prio"),
+          col("o_orderkey").as("ok"),
+          col("o_totalprice").as("price"))
+        .writeTo("graft_cat.default.po_q172").append()
+      s.sql("ALTER TABLE graft_cat.default.po_q172 ADD COLUMN note STRING")
+      s.sql("SELECT prio, count(*) AS n_orders, min(ok) AS min_ok, " +
+        "CAST(sum(CAST(price AS DECIMAL(18,4))) AS DOUBLE) " +
+        "AS total_price, count(note) AS n_note " +
+        "FROM graft_cat.default.po_q172 WHERE prio = '1-URGENT' " +
+        "GROUP BY prio")
+    },
+
     // COMPLETE aggregate pushdown: an ungrouped count/min/max over a
     // BILLION-row table answered source-side in O(1) — the engine plans
     // no aggregation and the scan emits one row (SourcesSpec asserts
@@ -163,6 +191,15 @@ object Connectors extends QueryModule {
         |  count(*) AS n, CAST(min(range) AS BIGINT) AS min_id,
         |  CAST(max(range) AS BIGINT) AS max_id,
         |  CAST(sum(range * range) AS BIGINT) AS sum_sq
-        |FROM range(1000, 2000) GROUP BY tag ORDER BY tag""".stripMargin
+        |FROM range(1000, 2000) GROUP BY tag ORDER BY tag""".stripMargin,
+    "q172_partitioned_catalog" ->
+      """SELECT o_orderpriority AS prio, count(*) AS n_orders,
+        |  min(o_orderkey) AS min_ok,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS total_price,
+        |  CAST(0 AS BIGINT) AS n_note
+        |FROM orders
+        |WHERE o_orderkey < 1000 AND o_orderpriority = '1-URGENT'
+        |GROUP BY o_orderpriority""".stripMargin
   )
 }

@@ -6,6 +6,7 @@ import java.util.concurrent.ConcurrentHashMap
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog.{CatalogPlugin, Column, Identifier, SupportsNamespaces, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** DataSource V2 catalog plugin (SURVEY "what's missing #1" — lakehouse
@@ -38,6 +39,9 @@ class GraftCatalog extends CatalogPlugin with TableCatalog
 
   override def name(): String = catalogName
 
+  private def storeKey(ident: Identifier): String =
+    s"$catalogName.${(ident.namespace() :+ ident.name()).mkString(".")}"
+
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     if (!(namespace.isEmpty || namespace.sameElements(Array("default"))))
       throw new NoSuchNamespaceException(namespace)
@@ -48,7 +52,9 @@ class GraftCatalog extends CatalogPlugin with TableCatalog
   override def loadTable(ident: Identifier): Table = {
     val props = tables.get(ident)
     if (props == null) throw new NoSuchTableException(ident)
-    new GraftRangeTable(
+    if (GraftPartitionedStore.tables.containsKey(storeKey(ident)))
+      new GraftPartitionedTable(storeKey(ident))
+    else new GraftRangeTable(
       Option(props.get("n")).map(_.toLong).getOrElse(1000L),
       Option(props.get("slices")).map(_.toInt).getOrElse(4))
   }
@@ -57,6 +63,21 @@ class GraftCatalog extends CatalogPlugin with TableCatalog
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
     if (tables.containsKey(ident)) throw new TableAlreadyExistsException(ident)
+    // PARTITIONED BY (col) → a writable partition-pruned row table
+    // (the lakehouse shape); unpartitioned stays the synthetic
+    // range table q142 exercises
+    if (partitions.nonEmpty) {
+      require(partitions.length == 1 && partitions(0).name() == "identity",
+        s"only PARTITIONED BY (column) is supported, got " +
+          partitions.mkString(", "))
+      val partCol = partitions(0).references()(0).fieldNames()(0)
+      val schema = StructType(columns.map(c =>
+        StructField(c.name(), c.dataType(), c.nullable())))
+      require(schema.fieldNames.contains(partCol),
+        s"partition column $partCol not in ${schema.fieldNames.mkString(",")}")
+      GraftPartitionedStore.tables.put(storeKey(ident),
+        new GraftPartitionedStore.TableState(schema, partCol))
+    }
     tables.put(ident, new util.HashMap[String, String](properties))
     loadTable(ident)
   }
@@ -65,16 +86,27 @@ class GraftCatalog extends CatalogPlugin with TableCatalog
                           changes: TableChange*): Table = {
     val props = tables.get(ident)
     if (props == null) throw new NoSuchTableException(ident)
+    val state = GraftPartitionedStore.tables.get(storeKey(ident))
     changes.foreach {
       case s: TableChange.SetProperty => props.put(s.property(), s.value())
       case r: TableChange.RemoveProperty => props.remove(r.property())
+      // schema evolution: the new column appends NULLABLE; rows
+      // written before it resolve by name and read back null
+      // (GraftRowsReaderFactory), Iceberg-style
+      case a: TableChange.AddColumn if state != null =>
+        require(a.fieldNames().length == 1,
+          s"nested add-column unsupported: ${a.fieldNames().mkString(".")}")
+        state.schema = StructType(state.schema.fields :+
+          StructField(a.fieldNames()(0), a.dataType(), nullable = true))
       case other => throw new UnsupportedOperationException(other.toString)
     }
     loadTable(ident)
   }
 
-  override def dropTable(ident: Identifier): Boolean =
+  override def dropTable(ident: Identifier): Boolean = {
+    GraftPartitionedStore.tables.remove(storeKey(ident))
     tables.remove(ident) != null
+  }
 
   override def renameTable(oldIdent: Identifier,
                            newIdent: Identifier): Unit = {

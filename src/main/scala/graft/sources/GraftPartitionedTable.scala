@@ -1,0 +1,206 @@
+package graft.sources
+
+import java.util
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.sources.{EqualTo, Filter, In}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** PARTITIONED + WRITABLE catalog table (the Iceberg-shaped seam of
+  * GraftCatalog — reference thirdparty lakehouse providers plug into
+  * exactly this surface: CREATE TABLE ... PARTITIONED BY resolved to a
+  * V2 identity Transform, INSERT INTO through the two-phase V2 batch
+  * write, SELECT through a ScanBuilder whose partition-key predicates
+  * PRUNE partitions source-side, ALTER TABLE ADD COLUMN as in-place
+  * schema evolution with null read-back for pre-existing rows).
+  *
+  * Storage is an in-JVM map of partition-value → rows, each row keyed
+  * by column NAME (so a schema-evolved read resolves by name and pads
+  * missing columns with null — the same name-based resolution Iceberg
+  * does with field ids). A real format durably writes files and keeps
+  * manifests; the task-side write buffers + commit-message merge here
+  * are the same two-phase commit CONTRACT at fixture scale (Spark's own
+  * in-memory V2 test table ships row data in commit messages the same
+  * way). The scan plans ONE InputPartition per surviving partition and
+  * reports `partitions=kept/total` in its description — SourcesSpec
+  * asserts pruning on it.
+  */
+object GraftPartitionedStore {
+  final class TableState(@volatile var schema: StructType,
+                         val partCol: String) {
+    val data = new ConcurrentHashMap[String, Vector[Map[String, Any]]]()
+  }
+  val tables = new ConcurrentHashMap[String, TableState]()
+}
+
+class GraftPartitionedTable(key: String) extends Table
+    with SupportsRead with SupportsWrite {
+  private def state: GraftPartitionedStore.TableState =
+    GraftPartitionedStore.tables.get(key)
+
+  override def name(): String = key
+  override def schema(): StructType = state.schema
+  override def partitioning(): Array[Transform] =
+    Array(Expressions.identity(state.partCol))
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftPartitionedScanBuilder(key)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftPartitionedWriteBuilder(key, info.schema())
+}
+
+class GraftPartitionedScanBuilder(key: String) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  private val state = GraftPartitionedStore.tables.get(key)
+  private var required: StructType = state.schema
+  private var pushed: Array[Filter] = Array.empty
+  private var keep: Option[Set[String]] = None // None = all partitions
+
+  /** Accept partition-key equality/IN — the predicates a partitioned
+    * store prunes with; everything else stays post-scan. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rejected) = filters.partition {
+      case EqualTo(c, _) => c == state.partCol
+      case In(c, _) => c == state.partCol
+      case _ => false
+    }
+    accepted.foreach {
+      case EqualTo(_, v) =>
+        val s = Set(String.valueOf(v))
+        keep = Some(keep.fold(s)(_ intersect s))
+      case In(_, vs) =>
+        val s = vs.map(String.valueOf(_)).toSet
+        keep = Some(keep.fold(s)(_ intersect s))
+      case _ =>
+    }
+    pushed = accepted
+    rejected
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = {
+    val all = state.data.keySet().toArray(Array.empty[String]).sorted
+    val kept = keep.fold(all)(k => all.filter(k.contains))
+    new GraftPartitionedScan(key, kept, all.length, required, pushed)
+  }
+}
+
+/** One InputPartition per SURVIVING partition value — pruned partitions
+  * are never planned (the row payload rides the partition descriptor;
+  * a real format ships file handles instead). */
+class GraftPartitionedScan(key: String, kept: Array[String], total: Int,
+                           required: StructType, pushed: Array[Filter])
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def description(): String =
+    s"GraftPartitionedScan table=$key partitions=${kept.length}/$total" +
+      s" PushedFilters: [${pushed.mkString(", ")}]" +
+      s" ReadColumns: ${required.fieldNames.mkString(",")}"
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val data = GraftPartitionedStore.tables.get(key).data
+    kept.map(pv =>
+      GraftRowsPartition(data.getOrDefault(pv, Vector.empty)): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftRowsReaderFactory(required)
+}
+
+case class GraftRowsPartition(rows: Vector[Map[String, Any]])
+    extends InputPartition
+
+class GraftRowsReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val rows = p.asInstanceOf[GraftRowsPartition].rows
+    // name-based resolution: a column added AFTER these rows were
+    // written is absent from their maps and reads as null
+    val converters = required.fields.map(f =>
+      (f.name, CatalystTypeConverters.createToCatalystConverter(f.dataType)))
+    new PartitionReader[InternalRow] {
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < rows.length }
+      override def get(): InternalRow = {
+        val r = rows(i)
+        new GenericInternalRow(converters.map { case (n, conv) =>
+          r.get(n).map(conv).orNull
+        }: Array[Any])
+      }
+      override def close(): Unit = ()
+    }
+  }
+}
+
+class GraftPartitionedWriteBuilder(key: String, writeSchema: StructType)
+    extends WriteBuilder {
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new GraftPartitionedBatchWrite(
+      key, writeSchema, GraftPartitionedStore.tables.get(key).partCol)
+  }
+}
+
+/** Two-phase commit: each task buffers its rows and hands them to the
+  * driver in its commit message; nothing is visible until
+  * BatchWrite.commit merges all messages — a failed/aborted task
+  * contributes nothing (same atomicity contract a file format gets
+  * from its manifest swap). */
+class GraftPartitionedBatchWrite(key: String, writeSchema: StructType,
+                                 partCol: String) extends BatchWrite {
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    new GraftPartitionedWriterFactory(writeSchema)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val data = GraftPartitionedStore.tables.get(key).data
+    messages.foreach { case GraftRowsCommit(rows) =>
+      rows.groupBy(r => String.valueOf(r.getOrElse(partCol, null)))
+        .foreach { case (pv, rs) =>
+          data.merge(pv, rs.toVector, (a, b) => a ++ b)
+        }
+    }
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+case class GraftRowsCommit(rows: Seq[Map[String, Any]])
+    extends WriterCommitMessage
+
+class GraftPartitionedWriterFactory(writeSchema: StructType)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int,
+                            taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val buf = ArrayBuffer.empty[Map[String, Any]]
+      private val fields = writeSchema.fields.zipWithIndex.map {
+        case (f, i) =>
+          (f.name, i, f.dataType,
+            CatalystTypeConverters.createToScalaConverter(f.dataType))
+      }
+      override def write(row: InternalRow): Unit =
+        buf += fields.flatMap { case (n, i, dt, conv) =>
+          if (row.isNullAt(i)) None
+          else Some(n -> conv(row.get(i, dt)))
+        }.toMap
+      override def commit(): WriterCommitMessage = GraftRowsCommit(buf.toSeq)
+      override def abort(): Unit = buf.clear()
+      override def close(): Unit = ()
+    }
+}

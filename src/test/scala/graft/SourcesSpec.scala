@@ -113,4 +113,26 @@ class SourcesSpec extends AnyFunSuite {
       .collect().map(_.toSeq)
     assert(a.nonEmpty && a.sameElements(b))
   }
+
+  test("q172 partitioned catalog table: partition-key predicate prunes " +
+    "partitions source-side; added column reads back null") {
+    val df = SparkEntry.queries("q172_partitioned_catalog")(spark, sf)
+    val rows = df.collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Long]("n_note") == 0L,
+      "rows written before ADD COLUMN must read the new column as null")
+    // the scan plans ONE of the five priority partitions — the pruning
+    // a real lakehouse format does with its manifest
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partitions=1/5"), plan.take(2000))
+    assert(plan.contains("EqualTo(prio,1-URGENT)"), plan.take(2000))
+    // an unfiltered read sees every partition and all columns
+    val full = spark.sql(
+      "SELECT prio, count(note) AS n FROM graft_cat.default.po_q172 " +
+        "GROUP BY prio")
+    assert(full.collect().length == 5)
+    assert(full.queryExecution.executedPlan.toString
+      .contains("partitions=5/5"))
+    spark.sql("DROP TABLE graft_cat.default.po_q172")
+  }
 }
