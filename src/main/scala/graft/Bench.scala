@@ -31,7 +31,12 @@ object Bench {
     "q143_ann_pq", "q149_curation",
     "q151_rollup_window_topk", "q154_channel_intersect",
     "q156_crossborder_flows", "q158_lm_quality",
-    "q162_incremental_dedup")
+    "q162_incremental_dedup",
+    // round 8: the new TPC-DS plan shapes (semi-chain on self-joined
+    // fact, CTE reuse, per-channel rankings, YoY share) — added so
+    // regressions in them are visible; total re-baselines accordingly
+    "q175_semi_chain", "q176_cte_reuse", "q177_channel_rankings",
+    "q178_yoy_share")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

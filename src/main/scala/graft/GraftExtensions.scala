@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BigramsGenerator, CosineSimilarity, KmvDistinctSketch, SimHash64}
+import graft.functions.{BigramsGenerator, CharClassCounts, CosineSimilarity, JaccardSortedLongs, KmvDistinctSketch, LshBucketExpr, MinHashBandsExpr, MinHashSignatureExpr, SimHash64}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -49,7 +49,48 @@ object GraftExtensions {
         require(es.length == 2,
           s"cosine_similarity requires exactly 2 arguments, got ${es.length}")
         CosineSimilarity(es.head, es(1))
-      }))
+      }),
+    // the dedup/ANN primitive kernels, so a SQL-only user can compose
+    // the same pipelines the DataFrame modules build (q75/q78 shapes)
+    ("minhash_signature",
+      new ExpressionInfo(classOf[MinHashSignatureExpr].getName,
+        "minhash_signature"),
+      (es: Seq[Expression]) =>
+        MinHashSignatureExpr(es.head, litInt(es, 1, "minhash_signature"))),
+    ("minhash_bands",
+      new ExpressionInfo(classOf[MinHashBandsExpr].getName,
+        "minhash_bands"),
+      (es: Seq[Expression]) => MinHashBandsExpr(es.head,
+        litInt(es, 1, "minhash_bands"), litInt(es, 2, "minhash_bands"))),
+    ("lsh_bucket",
+      new ExpressionInfo(classOf[LshBucketExpr].getName, "lsh_bucket"),
+      (es: Seq[Expression]) => LshBucketExpr(es.head,
+        litInt(es, 1, "lsh_bucket"), litInt(es, 2, "lsh_bucket"))),
+    ("jaccard_sorted_longs",
+      new ExpressionInfo(classOf[JaccardSortedLongs].getName,
+        "jaccard_sorted_longs"),
+      (es: Seq[Expression]) => {
+        require(es.length == 2, s"jaccard_sorted_longs requires exactly " +
+          s"2 arguments, got ${es.length}")
+        JaccardSortedLongs(es.head, es(1))
+      }),
+    ("char_class_counts",
+      new ExpressionInfo(classOf[CharClassCounts].getName,
+        "char_class_counts"),
+      (es: Seq[Expression]) => CharClassCounts(es.head)))
+
+  /** Kernel knobs (signature width, banding, hyperplane count/seed) are
+    * part of the generated code — they must be literal ints in SQL. */
+  private def litInt(es: Seq[Expression], i: Int, fn: String): Int = {
+    require(es.length > i, s"$fn: missing argument ${i + 1}")
+    es(i) match {
+      case e if e.foldable && e.dataType ==
+          org.apache.spark.sql.types.IntegerType =>
+        e.eval().asInstanceOf[Int]
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${i + 1} must be an INT literal, got $other")
+    }
+  }
 
   /** Imperative registration on an existing session (used by the query
     * modules so the driver-created sessions get the SQL functions too).

@@ -360,6 +360,51 @@ object Streaming extends QueryModule {
         .toDF("user_id", "n_events", "n_sessions")
       drain(sessions, s, "q87_sink", OutputMode.Update())
         .orderBy(col("user_id"))
+    },
+
+    // Streaming AS-OF enrichment — the production shape for "join each
+    // incoming fact to the latest reference observation at-or-before
+    // it" (quotes-at-trade-time, config-as-of, price-as-of): purchases
+    // stream in, each micro-batch runs the NATIVE as-of operator
+    // (plans/AsOfJoinNative) against the static click reference, and
+    // lands in the lake via foreachBatch. Correct per construction:
+    // the static side is complete, so each batch's as-of answer is
+    // independent of batching — the union over batches equals the
+    // batch-mode as-of (q125's oracle, verbatim). At 100 TB the
+    // reference side rides the same broadcast/shuffle/sort-merge size
+    // ladder as batch.
+    "q180_stream_asof_enrich" -> { (s, dir) =>
+      graft.GraftExtensions.register(s)
+      val out = "/tmp/graft_stream_sink/q180_" +
+        Integer.toHexString(dir.hashCode)
+      val clicks = graft.Tables.df(s, dir, "events")
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"),
+          col("user_id").as("c_user"),
+          unix_micros(col("ts")).as("click_ts_us"))
+      val purchases = eventStream(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"))
+      withDrainConfs(s, parts = 8) {
+        val q = purchases.writeStream
+          .outputMode(OutputMode.Append())
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             id: Long) =>
+              graft.plans.AsOfJoinOps
+                .asof(batch.toDF(), clicks, "user_id", "c_user",
+                  "ts_us", "click_ts_us", "click_id")
+                .write.mode(if (id == 0L) "overwrite" else "append")
+                .parquet(out)
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.read.parquet(out)
+        .select(col("purchase_id"), col("user_id"), col("ts_us"),
+          col("click_id"), col("click_ts_us"))
+        .orderBy(col("purchase_id"))
     }
   )
 
@@ -396,6 +441,19 @@ object Streaming extends QueryModule {
     "q89_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+    // identical to q103/q125's oracle: three engine paths (window
+    // formulation, native batch exec, per-micro-batch native exec) and
+    // DuckDB's ASOF JOIN must all agree row-for-row
+    "q180_stream_asof_enrich" ->
+      """SELECT p.event_id AS purchase_id, p.user_id,
+        |  epoch_us(CAST(p.ts AS TIMESTAMP)) AS ts_us,
+        |  c.event_id AS click_id,
+        |  epoch_us(CAST(c.ts AS TIMESTAMP)) AS click_ts_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        | AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+        |ORDER BY purchase_id""".stripMargin,
     "q144_stream_dedup_watermark" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,

@@ -28,6 +28,44 @@ class ExtensibilitySpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Double]("est") > 0))
   }
 
+  test("dedup/ANN primitive kernels compose the q75 shape from plain " +
+    "SQL (and knob arguments must be literals)") {
+    GraftExtensions.register(spark)
+    Tables.registerAll(spark, sf)
+    // a SQL-only user's LSH candidate query: band the corpus, self-join
+    // on the band key, verify with the exact kernel
+    val rows = spark.sql(
+      """WITH banded AS (
+        |  SELECT doc_id,
+        |    posexplode(minhash_bands(split(text, ' '), 4, 8))
+        |      AS (band, bh)
+        |  FROM documents WHERE doc_id <= 60)
+        |SELECT x.doc_id AS a_id, y.doc_id AS b_id
+        |FROM banded x JOIN banded y
+        |  ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin).collect()
+    assert(rows.nonEmpty, "LSH bands from SQL found no candidates")
+    val scalar = spark.sql(
+      """SELECT
+        |  size(minhash_signature(array('a','b'), 16)) AS sig_n,
+        |  lsh_bucket(array(1.0d, -2.0d), 6, 7) AS bucket,
+        |  jaccard_sorted_longs(array(1L, 2L, 3L), array(2L, 3L, 4L))
+        |    AS jac,
+        |  char_class_counts('Ab1 !') AS ccc""".stripMargin).collect().head
+    assert(scalar.getAs[Int]("sig_n") == 16)
+    assert(math.abs(scalar.getAs[Double]("jac") - 0.5) < 1e-12)
+    assert(scalar.getAs[Seq[Long]]("ccc").sum == 5L,
+      "char classes must cover every char of 'Ab1 !'")
+    // knobs are part of the generated kernel — non-literal rejected
+    val e = intercept[Exception] {
+      spark.sql("SELECT minhash_signature(array('a'), doc_id) " +
+        "FROM documents LIMIT 1").collect()
+    }
+    assert(e.getMessage.contains("INT literal") ||
+      e.getCause != null &&
+        e.getCause.getMessage.contains("INT literal"))
+  }
+
   test("withExtensions session builder injects the functions") {
     import org.apache.spark.sql.SparkSession
     val prev = spark // keep the shared session alive
