@@ -102,6 +102,41 @@ private[plans] object AsOfCore {
     case _ => left ++ right.map(_.withNullability(true))
   }
 
+  /** Key evaluator for the HASH-index paths. Single (atomic) keys
+    * evaluate directly — UTF8String/boxed-primitive equality makes
+    * them valid HashMap keys. A multi-column (struct) key evaluates
+    * through an UnsafeProjection over its FIELDS: UnsafeRow equality
+    * is byte-wise (GenericInternalRow has no value equality, so a raw
+    * struct eval would silently never match), and a row with ANY null
+    * field maps to null = no match — SQL equality semantics, same as
+    * a null atomic key. `copyKeys` must be true when the evaluator's
+    * results outlive the call (index build): the projection reuses
+    * its buffer. */
+  def keyEvaluator(key: Expression, schema: Seq[Attribute],
+                   copyKeys: Boolean): InternalRow => Any =
+    key.dataType match {
+      case st: org.apache.spark.sql.types.StructType =>
+        val bound = BindReferences.bindReference(key, schema)
+        val proj = UnsafeProjection.create(st.fields.indices.map(i =>
+          org.apache.spark.sql.catalyst.expressions.GetStructField(bound, i)))
+        row => {
+          val r = proj(row)
+          if (r.anyNull) null
+          else if (copyKeys) r.copy() else r
+        }
+      case _ =>
+        val bound = BindReferences.bindReference(key, schema)
+        row => bound.eval(row)
+    }
+
+  /** Null-key test that matches keyEvaluator's semantics on the
+    * SORT-MERGE path, where keys stay as raw struct rows for the
+    * interpreted ordering: an atomic null, or any null FIELD of a
+    * multi-column key, means "matches nothing". */
+  def keyIsNull(dt: org.apache.spark.sql.types.DataType, v: Any): Boolean =
+    v == null || (dt.isInstanceOf[org.apache.spark.sql.types.StructType] &&
+      v.asInstanceOf[InternalRow].anyNull)
+
   /** Overflow-safe `later - earlier <= tol` for call sites where
     * `later >= earlier` mathematically (binary search / merge order
     * guarantees it). A raw Long subtraction wraps negative when the
@@ -118,18 +153,18 @@ private[plans] object AsOfCore {
   def buildIndex(rows: Iterator[InternalRow], rightOut: Seq[Attribute],
                  rk: Expression, rt: Expression, rb: Expression,
                  copyRows: Boolean): Index = {
-    val keyEval = BindReferences.bindReference(rk, rightOut)
+    val keyEval = keyEvaluator(rk, rightOut, copyKeys = true)
     val timeEval = BindReferences.bindReference(rt, rightOut)
     val tieEval = BindReferences.bindReference(rb, rightOut)
     val grouped = new java.util.HashMap[Any,
       scala.collection.mutable.ArrayBuffer[(Long, Long, InternalRow)]]
     rows.foreach { row0 =>
-      if (keyEval.eval(row0) != null && timeEval.eval(row0) != null) {
+      if (keyEval(row0) != null && timeEval.eval(row0) != null) {
         val row = if (copyRows) row0.copy() else row0
         // the HashMap key must be derived from the STABLE row: with a
         // reused shuffle row a UTF8String key would be a view into a
         // buffer the iterator overwrites on the next next()
-        val k = keyEval.eval(row)
+        val k = keyEval(row)
         val t = timeEval.eval(row)
         val tie = tieEval.eval(row) match {
           case null => Long.MinValue
@@ -157,7 +192,8 @@ private[plans] object AsOfCore {
             lk: Expression, lt: Expression, direction: String,
             tolerance: Long, joinType: String,
             numMatched: SQLMetric, numNullPadded: SQLMetric): Iterator[InternalRow] = {
-    val lKeyEval = BindReferences.bindReference(lk, leftOut)
+    // probe keys are transient (looked up, never stored) — no copy
+    val lKeyEval = keyEvaluator(lk, leftOut, copyKeys = false)
     val lTimeEval = BindReferences.bindReference(lt, leftOut)
     val joined = new JoinedRow
     val nullRight = new GenericInternalRow(rightOut.length)
@@ -173,7 +209,7 @@ private[plans] object AsOfCore {
     val wantBack = direction != "forward"
     val wantFwd = direction != "backward"
     def findMatch(lrow: InternalRow): InternalRow = {
-      val k = lKeyEval.eval(lrow)
+      val k = lKeyEval(lrow)
       val t = lTimeEval.eval(lrow)
       var matched: InternalRow = nullRight
       if (k != null && t != null) {
@@ -432,7 +468,9 @@ case class SortMergeAsOfJoinExec(
         val k = lKeyEval.eval(lrow)
         val t = lTimeEval.eval(lrow)
         var matched: InternalRow = nullRight
-        if (k != null && t != null) {
+        // keyIsNull (not a bare null check): a multi-column key with
+        // any null FIELD matches nothing, same as the hash paths
+        if (!AsOfCore.keyIsNull(keyType, k) && t != null) {
           val tv = AsOfCore.toLongTime(t)
           if (candidate != null && keyOrd.compare(candidateKey, k) != 0)
             candidate = null // left moved to a new key group
@@ -445,7 +483,9 @@ case class SortMergeAsOfJoinExec(
             val rrow = buffered.head
             val rkv = rKeyEval.eval(rrow)
             val rtv = rTimeEval.eval(rrow)
-            if (rkv == null || rtv == null) { buffered.next(); () }
+            if (AsOfCore.keyIsNull(keyType, rkv) || rtv == null) {
+              buffered.next(); ()
+            }
             else {
               val c = keyOrd.compare(rkv, k)
               if (c < 0) { buffered.next(); () } // before our key group
@@ -478,7 +518,8 @@ case class SortMergeAsOfJoinExec(
           if (dir != "backward" && buffered.hasNext) {
             val h = buffered.head
             val hk = rKeyEval.eval(h)
-            if (hk != null && keyOrd.compare(hk, k) == 0 && AsOfCore
+            if (!AsOfCore.keyIsNull(keyType, hk) &&
+                keyOrd.compare(hk, k) == 0 && AsOfCore
                 .withinTol(AsOfCore.toLongTime(rTimeEval.eval(h)), tv, tol))
               fwd = h
           }
@@ -577,12 +618,32 @@ object AsOfJoinOps {
            rightTieBreak: String,
            direction: String = "backward",
            tolerance: Long = Long.MaxValue,
-           joinType: String = "outer"): DataFrame = {
+           joinType: String = "outer"): DataFrame =
+    asofBy(left, right, Seq(leftKey), Seq(rightKey), leftTime, rightTime,
+      rightTieBreak, direction, tolerance, joinType)
+
+  /** Multi-column match keys — pandas merge_asof's `by=[k1, k2, ...]`
+    * (instrument AND venue, user AND device). A single key stays the
+    * plain attribute (identical plan to before); multiple keys become
+    * ONE struct key expression, which every physical shape already
+    * handles: hash paths key their index on the fields' UnsafeRow
+    * (byte-wise equality), sort-merge orders by the struct's
+    * interpreted ordering, and a null in ANY key column matches
+    * nothing (SQL equality), uniformly across shapes. */
+  def asofBy(left: DataFrame, right: DataFrame,
+             leftKeys: Seq[String], rightKeys: Seq[String],
+             leftTime: String, rightTime: String,
+             rightTieBreak: String,
+             direction: String = "backward",
+             tolerance: Long = Long.MaxValue,
+             joinType: String = "outer"): DataFrame = {
     require(Set("backward", "forward", "nearest").contains(direction),
       s"as-of direction must be backward|forward|nearest, got $direction")
     require(tolerance > 0, s"as-of tolerance must be positive, got $tolerance")
     require(Set("outer", "inner", "anti").contains(joinType),
       s"as-of joinType must be outer|inner|anti, got $joinType")
+    require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length,
+      s"as-of needs matching key lists, got $leftKeys vs $rightKeys")
     val lp = left.queryExecution.analyzed
     val rp = right.queryExecution.analyzed
     def attr(p: LogicalPlan, n: String): Attribute =
@@ -598,8 +659,22 @@ object AsOfJoinOps {
             "unix_micros(ts))")
       a
     }
+    val lks = leftKeys.map(attr(lp, _))
+    val rks = rightKeys.map(attr(rp, _))
+    // key types must MATCH pairwise: an int-vs-bigint pair would box
+    // to Integer vs Long on the hash paths and silently never match —
+    // an analysis-time error, not an empty result
+    lks.zip(rks).foreach { case (l, r) =>
+      require(org.apache.spark.sql.catalyst.types.DataTypeUtils.sameType(
+          l.dataType, r.dataType),
+        s"as-of key type mismatch: ${l.name}: ${l.dataType.simpleString} " +
+          s"vs ${r.name}: ${r.dataType.simpleString} — cast one side")
+    }
+    def keyExpr(as: Seq[Attribute]): Expression =
+      if (as.length == 1) as.head
+      else org.apache.spark.sql.catalyst.expressions.CreateStruct(as)
     GraftPlanBridge.ofRows(left.sparkSession,
-      AsOfJoinPlan(lp, rp, attr(lp, leftKey), attr(rp, rightKey),
+      AsOfJoinPlan(lp, rp, keyExpr(lks), keyExpr(rks),
         requireOrderable("time", attr(lp, leftTime)),
         requireOrderable("time", attr(rp, rightTime)),
         requireOrderable("tie-break", attr(rp, rightTieBreak)),

@@ -251,6 +251,33 @@ object Windows extends QueryModule {
         .orderBy(col("purchase_id"))
     },
 
+    // MULTI-KEY as-of (pandas merge_asof by=[k1,k2]): match on
+    // (user_id div 100, user_id % 100) — a composite that carries
+    // exactly the information of the single key, so the result MUST
+    // equal q125 row-for-row and the independent DuckDB ASOF oracle
+    // verifies the composite-key plumbing (struct hash keys, struct
+    // ordering on the sort-merge path) end-to-end.
+    "q181_asof_multikey" -> { (s, dir) =>
+      graft.GraftExtensions.register(s)
+      val ev = Tables.df(s, dir, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          expr("user_id div 100").as("u_hi"),
+          pmod(col("user_id"), lit(100)).as("u_lo"),
+          unix_micros(col("ts")).as("ts_us"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"),
+          expr("user_id div 100").as("c_hi"),
+          pmod(col("user_id"), lit(100)).as("c_lo"),
+          unix_micros(col("ts")).as("click_ts_us"))
+      graft.plans.AsOfJoinOps
+        .asofBy(p, c, Seq("u_hi", "u_lo"), Seq("c_hi", "c_lo"),
+          "ts_us", "click_ts_us", "click_id")
+        .select(col("purchase_id"), col("user_id"), col("ts_us"),
+          col("click_id"), col("click_ts_us"))
+        .orderBy(col("purchase_id"))
+    },
+
     // Ignore-nulls analytics: lead IGNORE NULLS + last_value IGNORE NULLS
     // (= last-observation-carried-forward). Parity with the reference's
     // nth_value ignore-nulls support (auron.proto:140 NTH_VALUE + flag).
@@ -362,6 +389,7 @@ object Windows extends QueryModule {
         |ORDER BY c_mktsegment, c_custkey""".stripMargin,
     "q103_asof_join" -> asofOracle,
     "q125_asof_native" -> asofOracle,
+    "q181_asof_multikey" -> asofOracle,
     "q160_asof_forward" -> asofDirOracle(
       "c.click_ts_us >= p.ts_us",
       "c.click_ts_us ASC, c.click_id ASC"),

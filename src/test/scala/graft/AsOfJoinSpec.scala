@@ -381,6 +381,64 @@ class AsOfJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-key as-of: a composite key equivalent to the single key " +
+    "reproduces it exactly across all three physical shapes; a null " +
+    "key FIELD matches nothing on every shape") {
+    import org.apache.spark.sql.functions._
+    graft.GraftExtensions.register(spark)
+    val ev = Tables.df(spark, sf, "events")
+    def purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"))
+    def clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"),
+        col("user_id").as("c_user"),
+        unix_micros(col("ts")).as("click_ts_us"))
+    val baseline = graft.plans.AsOfJoinOps
+      .asof(purchases, clicks, "user_id", "c_user", "ts_us",
+        "click_ts_us", "click_id")
+      .select(col("purchase_id"), col("click_id"))
+      .orderBy(col("purchase_id")).collect().map(_.toSeq)
+    // composite with a STRING component (exercises var-length fields
+    // in the UnsafeRow key): (user_id % 3 as string, user_id) carries
+    // exactly the single key\'s information
+    Seq("broadcast", "shuffled_hash", "sort_merge").foreach { impl =>
+      spark.conf.set("spark.graft.asof.impl", impl)
+      try {
+        val p2 = purchases
+          .withColumn("grp", (col("user_id") % 3).cast("string"))
+        val c2 = clicks
+          .withColumn("cgrp", (col("c_user") % 3).cast("string"))
+        val multi = graft.plans.AsOfJoinOps
+          .asofBy(p2, c2, Seq("grp", "user_id"), Seq("cgrp", "c_user"),
+            "ts_us", "click_ts_us", "click_id")
+          .select(col("purchase_id"), col("click_id"))
+          .orderBy(col("purchase_id")).collect().map(_.toSeq)
+        assert(multi.toSeq == baseline.toSeq, s"$impl multi != single")
+        // null in ANY key column -> matches nothing (null-padded),
+        // uniformly across shapes
+        val pNull = purchases.withColumn("grp",
+          when(col("user_id") % 2 === 0, (col("user_id") % 3).cast("string")))
+        val nulled = graft.plans.AsOfJoinOps
+          .asofBy(pNull, c2, Seq("grp", "user_id"), Seq("cgrp", "c_user"),
+            "ts_us", "click_ts_us", "click_id")
+          .select(col("user_id"), col("click_id")).collect()
+        val oddMatched = nulled.exists(r =>
+          r.getLong(0) % 2 != 0 && !r.isNullAt(1))
+        assert(!oddMatched, s"$impl: null key field must never match")
+        assert(nulled.exists(r => !r.isNullAt(1)),
+          s"$impl: even keys should still match")
+      } finally spark.conf.unset("spark.graft.asof.impl")
+    }
+    // mismatched key types are an analysis-time error, not an empty join
+    val e = intercept[IllegalArgumentException] {
+      graft.plans.AsOfJoinOps.asofBy(
+        purchases.withColumn("k", col("user_id").cast("int")), clicks,
+        Seq("k"), Seq("c_user"), "ts_us", "click_ts_us", "click_id")
+    }
+    assert(e.getMessage.contains("key type mismatch"))
+  }
+
   test("unmatched left rows null-pad; matched rows take the latest " +
     "at-or-before right row") {
     val rows = SparkEntry.queries("q125_asof_native")(spark, sf).collect()
