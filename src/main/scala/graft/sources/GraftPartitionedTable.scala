@@ -9,8 +9,9 @@ import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability}
-import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{EqualTo, Filter, In}
 import org.apache.spark.sql.types._
@@ -97,16 +98,27 @@ class GraftPartitionedScanBuilder(key: String) extends ScanBuilder
   override def build(): Scan = {
     val all = state.data.keySet().toArray(Array.empty[String]).sorted
     val kept = keep.fold(all)(k => all.filter(k.contains))
-    new GraftPartitionedScan(key, kept, all.length, required, pushed)
+    new GraftPartitionedScan(key, state.partCol, kept, all.length,
+      required, pushed)
   }
 }
 
 /** One InputPartition per SURVIVING partition value — pruned partitions
   * are never planned (the row payload rides the partition descriptor;
-  * a real format ships file handles instead). */
-class GraftPartitionedScan(key: String, kept: Array[String], total: Int,
+  * a real format ships file handles instead). Implements RUNTIME
+  * filtering too (SupportsRuntimeV2Filtering — the V2 dynamic-
+  * partition-pruning seam): when the partitioned side joins a dim on
+  * the partition column, Spark materializes the dim's key set first
+  * and hands it here as an IN predicate, and partitions outside it are
+  * dropped before planning — the join reads only the partitions the
+  * dim can match, exactly how Iceberg prunes under DPP. */
+class GraftPartitionedScan(key: String, partCol: String,
+                           kept: Array[String], total: Int,
                            required: StructType, pushed: Array[Filter])
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsRuntimeV2Filtering {
+  // static pruning result, then narrowed again at runtime
+  @volatile private var runtimeKept: Array[String] = kept
+
   override def readSchema(): StructType = required
   override def description(): String =
     s"GraftPartitionedScan table=$key partitions=${kept.length}/$total" +
@@ -114,9 +126,40 @@ class GraftPartitionedScan(key: String, kept: Array[String], total: Int,
       s" ReadColumns: ${required.fieldNames.mkString(",")}"
   override def toBatch: Batch = this
 
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column(partCol))
+
+  override def filter(predicates: Array[Predicate]): Unit = {
+    def refIsPartCol(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+      e match {
+        case r: NamedReference =>
+          r.fieldNames().length == 1 && r.fieldNames()(0) == partCol
+        case _ => false
+      }
+    def litStr(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+          Some(String.valueOf(l.value()))
+        case _ => None
+      }
+    predicates.foreach { p =>
+      val kids = p.children()
+      p.name() match {
+        case "IN" if kids.nonEmpty && refIsPartCol(kids.head) =>
+          val vals = kids.tail.flatMap(litStr).toSet
+          if (vals.size == kids.length - 1) // all literals parsed
+            runtimeKept = runtimeKept.filter(vals.contains)
+        case "=" if kids.length == 2 && refIsPartCol(kids.head) =>
+          litStr(kids(1)).foreach(v =>
+            runtimeKept = runtimeKept.filter(_ == v))
+        case _ => // unrecognized runtime predicate: prune nothing (safe)
+      }
+    }
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
     val data = GraftPartitionedStore.tables.get(key).data
-    kept.map(pv =>
+    runtimeKept.map(pv =>
       GraftRowsPartition(data.getOrDefault(pv, Vector.empty)): InputPartition)
   }
 

@@ -114,6 +114,58 @@ class SourcesSpec extends AnyFunSuite {
     assert(a.nonEmpty && a.sameElements(b))
   }
 
+  test("partitioned catalog table prunes partitions at RUNTIME from a " +
+    "join's dim keys (the DSv2 dynamic-partition-pruning seam)") {
+    import org.apache.spark.sql.functions._
+    // (re)build the table: q172 drops, creates, inserts
+    SparkEntry.queries("q172_partitioned_catalog")(spark, sf).collect()
+    val full = spark.table("graft_cat.default.po_q172").count()
+    import spark.implicits._
+    // The dim must (a) be a real scan with a LIKELY-SELECTIVE predicate
+    // — a local Seq folds to a bare LocalRelation and the planner's
+    // PartitionPruning rule declines — and (b) filter on a NON-key
+    // column, otherwise constraint propagation turns the dim predicate
+    // into a STATIC pushed filter on prio and the test would pass
+    // without any runtime pruning. o_orderkey = 1 resolves (at runtime
+    // only) to the single priority '4-NOT SPECIFIED'.
+    val dim = Tables.df(spark, sf, "orders")
+      .filter(col("o_orderkey") === 1L)
+      .select(col("o_orderpriority").as("dprio")).distinct()
+    val joined = spark.table("graft_cat.default.po_q172")
+      .join(dim, col("prio") === col("dprio"))
+    val rows = joined.collect()
+    assert(rows.nonEmpty &&
+      rows.forall(_.getAs[String]("prio") == "4-NOT SPECIFIED"))
+    val plan = joined.queryExecution.executedPlan
+    assert(plan.toString.contains("RuntimeFilters: [dynamicpruning"),
+      s"no runtime filter planned:\n${plan.toString.take(2000)}")
+    // the scan must have emitted ONLY the surviving partition's rows —
+    // source-side pruning, not a post-scan filter. (Adaptive plans and
+    // query stages are collect-leaves — recurse through them manually.)
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val more = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          Seq(q.plan)
+        case other => other.children
+      }
+      p +: more.flatMap(nodes)
+    }
+    val scans = nodes(plan).collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+          if b.scan.isInstanceOf[graft.sources.GraftPartitionedScan] => b
+    }
+    assert(scans.nonEmpty)
+    val scanned = scans.map(_.metrics("numOutputRows").value).max
+    assert(scanned < full,
+      s"runtime filter pruned nothing: scanned $scanned of $full")
+    assert(scanned == rows.length.toLong,
+      "scan should emit exactly the matching partition's rows")
+    spark.sql("DROP TABLE graft_cat.default.po_q172")
+  }
+
   test("q172 partitioned catalog table: partition-key predicate prunes " +
     "partitions source-side; added column reads back null") {
     val df = SparkEntry.queries("q172_partitioned_catalog")(spark, sf)
