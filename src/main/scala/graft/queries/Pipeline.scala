@@ -154,6 +154,50 @@ object Pipeline extends QueryModule {
         .orderBy(col("doc_id"))
     },
 
+    // Language-ID QUALITY report (the q170 eval pattern applied to
+    // q71): per-language accuracy of the stopword-profile classifier
+    // against the fixture's lang label — the calibration table a
+    // pipeline owner reads before trusting a language filter at corpus
+    // scale. One scan, one narrow groupBy.
+    "q182_langid_quality" -> { (s, dir) =>
+      Tables.df(s, dir, "documents")
+        .select(col("lang"), langId(col("text")).as("pred"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("pred") === col("lang"), 1L).otherwise(0L))
+            .as("n_correct"),
+          sum(when(col("pred") === "und", 1L).otherwise(0L)).as("n_und"))
+        .select(col("lang"), col("n_docs"), col("n_correct"), col("n_und"),
+          round(col("n_correct").cast(DoubleType) / col("n_docs"), 6)
+            .as("accuracy"))
+        .orderBy(col("lang"))
+    },
+
+    // Context-length histogram — the token-count distribution a
+    // sequence-packing planner (q163) reads to size its budget:
+    // power-of-two buckets with per-bucket doc count, token mass and
+    // mass share. The bucket is length(bin(n)) = floor(log2 n)+1,
+    // EXACT integer arithmetic on both engines (a float log2 flips
+    // floor() at exact powers of two). The share window runs over the
+    // ~30-row bucket frame, never the corpus.
+    "q183_length_histogram" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      Tables.df(s, dir, "documents")
+        .select(size(tokens(col("text"))).cast(LongType).as("n_tok"))
+        .filter(col("n_tok") > 0)
+        .select(col("n_tok"), length(bin(col("n_tok"))).cast(LongType)
+          .as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("tok_mass"),
+          min(col("n_tok")).as("min_tok"),
+          max(col("n_tok")).as("max_tok"))
+        .withColumn("mass_share",
+          round(col("tok_mass").cast(DoubleType) /
+            sum(col("tok_mass")).over(Window.partitionBy()), 6))
+        .orderBy(col("bucket"))
+    },
+
     // Exact dedup summary (hash-groupBy on md5(text); scale: one shuffle
     // on the 128-bit key, count-style agg, no row explosion).
     "q72_dedup_exact" -> { (s, dir) =>
@@ -308,6 +352,42 @@ object Pipeline extends QueryModule {
   private val tokSql = "string_split(text, ' ')"
   private val utokSql = s"list_distinct($tokSql)"
 
+  /** The q71 language-ID decision as oracle SQL — shared with
+    * q182's per-language quality report so the two cannot
+    * drift. */
+  private val langPredSql: String =
+    s"CASE " +
+    s" WHEN len(list_intersect($utokSql, " +
+    s"   ['the','a','an','of','and','to','in','is'])) >= greatest( " +
+    s"     len(list_intersect($utokSql, ['der','die','das','und','zu','ein','ist'])), " +
+    s"     len(list_intersect($utokSql, ['el','la','de','que','y','en','un','es'])), " +
+    s"     len(list_intersect($utokSql, ['le','la','de','et','un','une','est'])), " +
+    s"     len(list_intersect($utokSql, ['de5','shi4','le5','zai4','he2']))) " +
+    s"  AND len(list_intersect($utokSql, " +
+    s"   ['the','a','an','of','and','to','in','is'])) > 0 THEN 'en' " +
+    s" WHEN len(list_intersect($utokSql, " +
+    s"   ['der','die','das','und','zu','ein','ist'])) >= greatest( " +
+    s"     len(list_intersect($utokSql, ['el','la','de','que','y','en','un','es'])), " +
+    s"     len(list_intersect($utokSql, ['le','la','de','et','un','une','est'])), " +
+    s"     len(list_intersect($utokSql, ['de5','shi4','le5','zai4','he2']))) " +
+    s"  AND len(list_intersect($utokSql, " +
+    s"   ['der','die','das','und','zu','ein','ist'])) > 0 THEN 'de' " +
+    s" WHEN len(list_intersect($utokSql, " +
+    s"   ['el','la','de','que','y','en','un','es'])) >= greatest( " +
+    s"     len(list_intersect($utokSql, ['le','la','de','et','un','une','est'])), " +
+    s"     len(list_intersect($utokSql, ['de5','shi4','le5','zai4','he2']))) " +
+    s"  AND len(list_intersect($utokSql, " +
+    s"   ['el','la','de','que','y','en','un','es'])) > 0 THEN 'es' " +
+    s" WHEN len(list_intersect($utokSql, " +
+    s"   ['le','la','de','et','un','une','est'])) >= len(list_intersect( " +
+    s"     $utokSql, ['de5','shi4','le5','zai4','he2'])) " +
+    s"  AND len(list_intersect($utokSql, " +
+    s"   ['le','la','de','et','un','une','est'])) > 0 THEN 'fr' " +
+    s" WHEN len(list_intersect($utokSql, " +
+    s"   ['de5','shi4','le5','zai4','he2'])) > 0 THEN 'zh' " +
+    s" ELSE 'und' END "
+
+
   /** The (a_id, b_id) candidate pairs q75's LSH finds at sf0.01 —
     * regenerate with graft.Scratch if the minhash/banding kernel or the
     * fixture changes. The ORACLE recomputes each pair's exact jaccard;
@@ -421,37 +501,32 @@ object Pipeline extends QueryModule {
          |   ['der','die','das','und','zu','ein','ist'])) AS BIGINT) AS score_de,
          | CAST(len(list_intersect($utokSql,
          |   ['el','la','de','que','y','en','un','es'])) AS BIGINT) AS score_es,
-         | CASE
-         |  WHEN len(list_intersect($utokSql,
-         |    ['the','a','an','of','and','to','in','is'])) >= greatest(
-         |      len(list_intersect($utokSql, ['der','die','das','und','zu','ein','ist'])),
-         |      len(list_intersect($utokSql, ['el','la','de','que','y','en','un','es'])),
-         |      len(list_intersect($utokSql, ['le','la','de','et','un','une','est'])),
-         |      len(list_intersect($utokSql, ['de5','shi4','le5','zai4','he2'])))
-         |   AND len(list_intersect($utokSql,
-         |    ['the','a','an','of','and','to','in','is'])) > 0 THEN 'en'
-         |  WHEN len(list_intersect($utokSql,
-         |    ['der','die','das','und','zu','ein','ist'])) >= greatest(
-         |      len(list_intersect($utokSql, ['el','la','de','que','y','en','un','es'])),
-         |      len(list_intersect($utokSql, ['le','la','de','et','un','une','est'])),
-         |      len(list_intersect($utokSql, ['de5','shi4','le5','zai4','he2'])))
-         |   AND len(list_intersect($utokSql,
-         |    ['der','die','das','und','zu','ein','ist'])) > 0 THEN 'de'
-         |  WHEN len(list_intersect($utokSql,
-         |    ['el','la','de','que','y','en','un','es'])) >= greatest(
-         |      len(list_intersect($utokSql, ['le','la','de','et','un','une','est'])),
-         |      len(list_intersect($utokSql, ['de5','shi4','le5','zai4','he2'])))
-         |   AND len(list_intersect($utokSql,
-         |    ['el','la','de','que','y','en','un','es'])) > 0 THEN 'es'
-         |  WHEN len(list_intersect($utokSql,
-         |    ['le','la','de','et','un','une','est'])) >= len(list_intersect(
-         |      $utokSql, ['de5','shi4','le5','zai4','he2']))
-         |   AND len(list_intersect($utokSql,
-         |    ['le','la','de','et','un','une','est'])) > 0 THEN 'fr'
-         |  WHEN len(list_intersect($utokSql,
-         |    ['de5','shi4','le5','zai4','he2'])) > 0 THEN 'zh'
-         |  ELSE 'und' END AS lang_pred
+         | $langPredSql AS lang_pred
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "q182_langid_quality" ->
+      s"""WITH p AS (SELECT lang, $langPredSql AS pred FROM documents)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN pred = lang THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_correct,
+         |  CAST(sum(CASE WHEN pred = 'und' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_und,
+         |  round(CAST(sum(CASE WHEN pred = lang THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / count(*), 6) AS accuracy
+         |FROM p GROUP BY lang ORDER BY lang""".stripMargin,
+    "q183_length_histogram" ->
+      s"""WITH d AS (
+         |  SELECT CAST(len($tokSql) AS BIGINT) AS n_tok FROM documents
+         |  WHERE len($tokSql) > 0),
+         |g AS (
+         |  SELECT CAST(length(format('{:b}', n_tok)) AS BIGINT)
+         |      AS bucket,
+         |    count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS tok_mass,
+         |    min(n_tok) AS min_tok, max(n_tok) AS max_tok
+         |  FROM d GROUP BY 1)
+         |SELECT bucket, n_docs, tok_mass, min_tok, max_tok,
+         |  round(CAST(tok_mass AS DOUBLE)
+         |    / CAST(sum(tok_mass) OVER () AS DOUBLE), 6) AS mass_share
+         |FROM g ORDER BY bucket""".stripMargin,
     "q72_dedup_exact" ->
       """SELECT CAST(sum(n) AS BIGINT) AS n_docs,
         | count(*) AS n_distinct,
