@@ -52,6 +52,62 @@ object Sinks extends QueryModule {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     },
 
+    // SCHEMA DRIFT ingestion (mergeSchema): two parquet batches with
+    // different schemas — the later batch grew a column, the exact
+    // shape of a crawl pipeline whose extractor gains a field
+    // mid-stream. A mergeSchema read unions the schemas by NAME and
+    // pads the early batch's missing column with null; the oracle
+    // recomputes both batches from the source table. At scale
+    // mergeSchema costs one footer read per FILE at planning — bounded
+    // by file count, not data.
+    "q184_schema_drift" -> { (s, dir) =>
+      val base = scratch("drift_" + Integer.toHexString(dir.hashCode))
+      val docs = Tables.df(s, dir, "documents")
+      docs.filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          length(col("text")).cast(LongType).as("n_chars"))
+        .write.mode("overwrite").parquet(base + "/b1")
+      docs.filter(col("doc_id") >= 100 && col("doc_id") < 200)
+        .select(col("doc_id"),
+          length(col("text")).cast(LongType).as("n_chars"),
+          size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+        .write.mode("overwrite").parquet(base + "/b2")
+      s.read.option("mergeSchema", "true")
+        .parquet(base + "/b1", base + "/b2")
+        .select(col("doc_id"), col("n_chars"), col("n_tokens"))
+        .orderBy(col("doc_id"))
+    },
+
+    // File PROVENANCE via the _metadata column: which ingestion batch
+    // produced each row — training-data governance's first question.
+    // The hidden _metadata struct is projected only when referenced
+    // (zero cost otherwise); the batch label is the parent directory
+    // of the file that physically holds the row.
+    "q185_file_provenance" -> { (s, dir) =>
+      val base = scratch("drift_" + Integer.toHexString(dir.hashCode))
+      // reuse q184's staged batches (rewrite if absent — order of
+      // queries in a Verify run is not guaranteed)
+      val docs = Tables.df(s, dir, "documents")
+      docs.filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          length(col("text")).cast(LongType).as("n_chars"))
+        .write.mode("overwrite").parquet(base + "/b1")
+      docs.filter(col("doc_id") >= 100 && col("doc_id") < 200)
+        .select(col("doc_id"),
+          length(col("text")).cast(LongType).as("n_chars"),
+          size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+        .write.mode("overwrite").parquet(base + "/b2")
+      s.read.option("mergeSchema", "true")
+        .parquet(base + "/b1", base + "/b2")
+        .select(col("doc_id"),
+          element_at(split(col("_metadata.file_path"), "/"), -2)
+            .as("batch"))
+        .groupBy(col("batch"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy(col("batch"))
+    },
+
     // ORC sink + scan.
     "q61_orc_roundtrip" -> { (s, dir) =>
       val out = scratch("orc")
@@ -157,6 +213,21 @@ object Sinks extends QueryModule {
     "q63_json_roundtrip" -> payloadOracle,
     "q106_avro_roundtrip" -> payloadOracle,
     "q107_xml_roundtrip" -> payloadOracle,
-    "q122_text_roundtrip" -> payloadOracle
+    "q122_text_roundtrip" -> payloadOracle,
+    "q184_schema_drift" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        |  CASE WHEN doc_id >= 100
+        |    THEN CAST(len(string_split(text, ' ')) AS BIGINT) END
+        |    AS n_tokens
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
+    "q185_file_provenance" ->
+      """SELECT 'b1' AS batch, count(*) AS n_docs,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents WHERE doc_id < 100
+        |UNION ALL
+        |SELECT 'b2' AS batch, count(*) AS n_docs,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents WHERE doc_id >= 100 AND doc_id < 200
+        |ORDER BY batch""".stripMargin
   )
 }
