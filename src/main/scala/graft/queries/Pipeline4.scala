@@ -185,6 +185,40 @@ object Pipeline4 extends QueryModule {
         .orderBy(col("doc_id"))
     },
 
+    // TEMPERATURE (α=0.5) mixture re-sampling — the standard
+    // multilingual/multi-domain re-balancing recipe: target weight
+    // w_s ∝ n_s^α flattens the domain distribution (α=1 keeps it,
+    // α=0 is uniform), per-domain keep fraction = min(1, T·w_s/n_s)
+    // for a half-corpus budget, membership decided by a deterministic
+    // per-doc uniform draw (Knuth multiplicative hash — exact integer
+    // arithmetic on both engines; sqrt not pow, because sqrt is
+    // IEEE-correctly-rounded everywhere and pow's last ulp is
+    // platform-library-dependent). Scale: two tiny aggregates + one
+    // broadcast join; the corpus is scanned twice, never shuffled.
+    "q186_temperature_mixture" -> { (s, dir) =>
+      val docs = Tables.df(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          (((col("doc_id") * 2654435761L) % 4294967296L)
+            .cast(DoubleType) / 4294967296.0).as("u"))
+      val counts = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+      val tot = counts.agg(sum(sqrt(col("n_docs"))).as("z"),
+        sum(col("n_docs")).as("n_total"))
+      val plan = counts.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"),
+          (sqrt(col("n_docs")) / col("z")).as("w"),
+          least(lit(1.0), lit(0.5) * col("n_total") *
+            (sqrt(col("n_docs")) / col("z")) / col("n_docs")).as("frac"))
+      docs.join(broadcast(plan), "source")
+        .groupBy(col("source"), col("n_docs"), col("w"), col("frac"))
+        .agg(sum(when(col("u") < col("frac"), 1L).otherwise(0L))
+          .as("n_sampled"))
+        .select(col("source"), col("n_docs"),
+          round(col("w"), 6).as("weight"),
+          round(col("frac"), 6).as("keep_frac"), col("n_sampled"))
+        .orderBy(col("source"))
+    },
+
     // Deterministic train/val/test split (80/10/10): a salted md5 maps
     // every doc to a stable uniform draw; thresholds on the 8-hex-char
     // prefix partition the unit interval. Emits the assignment — the
@@ -296,6 +330,25 @@ object Pipeline4 extends QueryModule {
          |  round(max(tf) / CAST(sum(tf) AS DOUBLE), 6) AS top_tok_share
          |FROM tf GROUP BY doc_id, n_grams, n_uniq_grams
          |ORDER BY doc_id""".stripMargin,
+    "q186_temperature_mixture" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE)
+        |      / 4294967296.0 AS u
+        |  FROM documents),
+        |c AS (SELECT source, count(*) AS n_docs FROM d GROUP BY source),
+        |t AS (SELECT sum(sqrt(n_docs)) AS z, sum(n_docs) AS n_total
+        |      FROM c),
+        |p AS (SELECT source, n_docs, sqrt(n_docs) / z AS w,
+        |    least(1.0, 0.5 * n_total * (sqrt(n_docs) / z) / n_docs)
+        |      AS frac
+        |  FROM c, t)
+        |SELECT p.source, p.n_docs, round(p.w, 6) AS weight,
+        |  round(p.frac, 6) AS keep_frac,
+        |  CAST(sum(CASE WHEN d.u < p.frac THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_sampled
+        |FROM d JOIN p ON d.source = p.source
+        |GROUP BY p.source, p.n_docs, p.w, p.frac
+        |ORDER BY p.source""".stripMargin,
     "q132_train_split" ->
       """SELECT doc_id,
         |  CASE WHEN substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8)
