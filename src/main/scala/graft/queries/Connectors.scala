@@ -153,6 +153,34 @@ object Connectors extends QueryModule {
         "GROUP BY prio")
     },
 
+    // INSERT OVERWRITE ... PARTITION — the nightly partition BACKFILL:
+    // load the table once, then recompute and overwrite ONE partition
+    // (with a deliberately different slice of the data) while every
+    // other partition stays byte-identical. The deletion happens inside
+    // the V2 commit after all tasks succeed, so a failed backfill
+    // leaves yesterday's data intact. Oracle recomputes the spliced
+    // state from the source table.
+    "q187_partition_backfill" -> { (s, dir) =>
+      s.conf.set("spark.sql.catalog.graft_cat",
+        "graft.sources.GraftCatalog")
+      s.sql("DROP TABLE IF EXISTS graft_cat.default.po_q187")
+      s.sql("CREATE TABLE graft_cat.default.po_q187 " +
+        "(prio STRING, ok BIGINT, price DOUBLE) PARTITIONED BY (prio)")
+      val src = Tables.df(s, dir, "orders")
+        .select(col("o_orderpriority").as("prio"),
+          col("o_orderkey").as("ok"), col("o_totalprice").as("price"))
+      src.filter(col("ok") < 1000)
+        .writeTo("graft_cat.default.po_q187").append()
+      // backfill: 1-URGENT gets the ok in [1000, 2000) slice instead
+      src.filter(col("prio") === "1-URGENT" &&
+          col("ok") >= 1000 && col("ok") < 2000)
+        .writeTo("graft_cat.default.po_q187").overwritePartitions()
+      s.sql("SELECT prio, count(*) AS n_orders, min(ok) AS min_ok, " +
+        "max(ok) AS max_ok, CAST(sum(CAST(price AS DECIMAL(18,4))) " +
+        "AS DOUBLE) AS total_price FROM graft_cat.default.po_q187 " +
+        "GROUP BY prio ORDER BY prio")
+    },
+
     // COMPLETE aggregate pushdown: an ungrouped count/min/max over a
     // BILLION-row table answered source-side in O(1) — the engine plans
     // no aggregation and the scan emits one row (SourcesSpec asserts
@@ -200,6 +228,22 @@ object Connectors extends QueryModule {
         |  CAST(0 AS BIGINT) AS n_note
         |FROM orders
         |WHERE o_orderkey < 1000 AND o_orderpriority = '1-URGENT'
-        |GROUP BY o_orderpriority""".stripMargin
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q187_partition_backfill" ->
+      """WITH spliced AS (
+        |  SELECT o_orderpriority AS prio, o_orderkey AS ok,
+        |    o_totalprice AS price
+        |  FROM orders
+        |  WHERE o_orderkey < 1000 AND o_orderpriority <> '1-URGENT'
+        |  UNION ALL
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice
+        |  FROM orders
+        |  WHERE o_orderpriority = '1-URGENT'
+        |    AND o_orderkey >= 1000 AND o_orderkey < 2000)
+        |SELECT prio, count(*) AS n_orders, min(ok) AS min_ok,
+        |  max(ok) AS max_ok,
+        |  CAST(sum(CAST(price AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS total_price
+        |FROM spliced GROUP BY prio ORDER BY prio""".stripMargin
   )
 }

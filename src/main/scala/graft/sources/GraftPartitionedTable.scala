@@ -12,8 +12,8 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsRuntimeV2Filtering}
-import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
-import org.apache.spark.sql.sources.{EqualTo, Filter, In}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsDynamicOverwrite, SupportsOverwrite, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.sources.{AlwaysTrue, EqualNullSafe, EqualTo, Filter, In}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -54,7 +54,9 @@ class GraftPartitionedTable(key: String) extends Table
   override def partitioning(): Array[Transform] =
     Array(Expressions.identity(state.partCol))
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.OVERWRITE_BY_FILTER, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_DYNAMIC)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftPartitionedScanBuilder(key)
@@ -192,11 +194,33 @@ class GraftRowsReaderFactory(required: StructType)
   }
 }
 
+/** Write modes: plain append; INSERT OVERWRITE TABLE (an AlwaysTrue
+  * overwrite = truncate-and-load); overwrite-by-filter on the
+  * partition column; and DYNAMIC partition overwrite
+  * (overwritePartitions() — replace exactly the partitions present in
+  * the incoming data, the nightly-backfill semantics). All deletion
+  * happens INSIDE commit, after every task has succeeded — a failed
+  * job leaves the old data fully intact, the same atomicity a file
+  * format gets from its manifest swap. */
 class GraftPartitionedWriteBuilder(key: String, writeSchema: StructType)
-    extends WriteBuilder {
+    extends WriteBuilder with SupportsOverwrite with SupportsDynamicOverwrite {
+  private var overwriteFilters: Option[Array[Filter]] = None
+  private var dynamic = false
+
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    overwriteFilters = Some(filters)
+    this
+  }
+
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    dynamic = true
+    this
+  }
+
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new GraftPartitionedBatchWrite(
-      key, writeSchema, GraftPartitionedStore.tables.get(key).partCol)
+      key, writeSchema, GraftPartitionedStore.tables.get(key).partCol,
+      overwriteFilters, dynamic)
   }
 }
 
@@ -206,18 +230,38 @@ class GraftPartitionedWriteBuilder(key: String, writeSchema: StructType)
   * contributes nothing (same atomicity contract a file format gets
   * from its manifest swap). */
 class GraftPartitionedBatchWrite(key: String, writeSchema: StructType,
-                                 partCol: String) extends BatchWrite {
+                                 partCol: String,
+                                 overwriteFilters: Option[Array[Filter]],
+                                 dynamic: Boolean)
+    extends BatchWrite {
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
     new GraftPartitionedWriterFactory(writeSchema)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val data = GraftPartitionedStore.tables.get(key).data
-    messages.foreach { case GraftRowsCommit(rows) =>
-      rows.groupBy(r => String.valueOf(r.getOrElse(partCol, null)))
-        .foreach { case (pv, rs) =>
-          data.merge(pv, rs.toVector, (a, b) => a ++ b)
-        }
+    val incoming = messages.flatMap { case GraftRowsCommit(rows) => rows }
+      .groupBy(r => String.valueOf(r.getOrElse(partCol, null)))
+    overwriteFilters.foreach { filters =>
+      filters.foreach {
+        case AlwaysTrue() => data.clear() // truncate-and-load
+        case EqualTo(c, v) if c == partCol =>
+          data.remove(String.valueOf(v))
+        // a static PARTITION (col = 'v') spec arrives null-safe
+        case EqualNullSafe(c, v) if c == partCol =>
+          data.remove(String.valueOf(v))
+        case In(c, vs) if c == partCol =>
+          vs.foreach(v => data.remove(String.valueOf(v)))
+        case other => throw new UnsupportedOperationException(
+          s"overwrite filter $other not supported (partition-column " +
+            "equality/IN or full truncate only)")
+      }
+    }
+    // dynamic mode: replace exactly the partitions the incoming data
+    // touches; untouched partitions keep their rows
+    if (dynamic) incoming.keys.foreach(data.remove)
+    incoming.foreach { case (pv, rs) =>
+      data.merge(pv, rs.toVector, (a, b) => a ++ b)
     }
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()

@@ -166,6 +166,33 @@ class SourcesSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft_cat.default.po_q172")
   }
 
+  test("partitioned catalog table: INSERT OVERWRITE by static partition " +
+    "spec replaces ONLY that partition; full INSERT OVERWRITE truncates") {
+    spark.conf.set("spark.sql.catalog.graft_cat",
+      "graft.sources.GraftCatalog")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.default.ow_spec")
+    spark.sql("CREATE TABLE graft_cat.default.ow_spec " +
+      "(prio STRING, ok BIGINT) PARTITIONED BY (prio)")
+    spark.sql("INSERT INTO graft_cat.default.ow_spec VALUES " +
+      "('a', 1), ('a', 2), ('b', 10), ('c', 20)")
+    // static-partition overwrite: partition a replaced, b/c untouched
+    spark.sql("INSERT OVERWRITE graft_cat.default.ow_spec " +
+      "PARTITION (prio = 'a') VALUES (99)")
+    val afterPart = spark.sql(
+      "SELECT prio, count(*) AS n, max(ok) AS mx " +
+        "FROM graft_cat.default.ow_spec GROUP BY prio ORDER BY prio")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(afterPart.toSeq ===
+      Seq(("a", 1L, 99L), ("b", 1L, 10L), ("c", 1L, 20L)))
+    // unqualified overwrite: truncate-and-load
+    spark.sql("INSERT OVERWRITE graft_cat.default.ow_spec VALUES ('z', 7)")
+    val afterFull = spark.sql(
+      "SELECT prio, ok FROM graft_cat.default.ow_spec")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(afterFull.toSeq === Seq(("z", 7L)))
+    spark.sql("DROP TABLE graft_cat.default.ow_spec")
+  }
+
   test("q172 partitioned catalog table: partition-key predicate prunes " +
     "partitions source-side; added column reads back null") {
     val df = SparkEntry.queries("q172_partitioned_catalog")(spark, sf)
