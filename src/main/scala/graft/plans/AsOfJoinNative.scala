@@ -116,9 +116,18 @@ private[plans] object AsOfCore {
                    copyKeys: Boolean): InternalRow => Any =
     key.dataType match {
       case st: org.apache.spark.sql.types.StructType =>
-        val bound = BindReferences.bindReference(key, schema)
-        val proj = UnsafeProjection.create(st.fields.indices.map(i =>
-          org.apache.spark.sql.catalyst.expressions.GetStructField(bound, i)))
+        // project the key's FIELD expressions directly (projecting
+        // GetStructField over the struct would rebuild the struct once
+        // per field); asofBy always passes a CreateNamedStruct of
+        // attributes, the fallback covers any other struct-typed key
+        val fieldExprs = key match {
+          case cns: org.apache.spark.sql.catalyst.expressions.CreateNamedStruct =>
+            cns.valExprs
+          case _ => st.fields.indices.map(i =>
+            org.apache.spark.sql.catalyst.expressions.GetStructField(key, i))
+        }
+        val proj = UnsafeProjection.create(
+          fieldExprs.map(BindReferences.bindReference(_, schema)))
         row => {
           val r = proj(row)
           if (r.anyNull) null
