@@ -168,23 +168,26 @@ private[plans] object AsOfCore {
     val grouped = new java.util.HashMap[Any,
       scala.collection.mutable.ArrayBuffer[(Long, Long, InternalRow)]]
     rows.foreach { row0 =>
-      if (keyEval(row0) != null && timeEval.eval(row0) != null) {
+      if (timeEval.eval(row0) != null) {
         val row = if (copyRows) row0.copy() else row0
         // the HashMap key must be derived from the STABLE row: with a
         // reused shuffle row a UTF8String key would be a view into a
-        // buffer the iterator overwrites on the next next()
+        // buffer the iterator overwrites on the next next(). One
+        // evaluation per row — null keys fall through to the skip.
         val k = keyEval(row)
-        val t = timeEval.eval(row)
-        val tie = tieEval.eval(row) match {
-          case null => Long.MinValue
-          case v => toLongTime(v)
+        if (k != null) { // null keys match nothing — never index them
+          val t = timeEval.eval(row)
+          val tie = tieEval.eval(row) match {
+            case null => Long.MinValue
+            case v => toLongTime(v)
+          }
+          var buf = grouped.get(k)
+          if (buf == null) {
+            buf = scala.collection.mutable.ArrayBuffer.empty
+            grouped.put(k, buf)
+          }
+          buf += ((toLongTime(t), tie, row))
         }
-        var buf = grouped.get(k)
-        if (buf == null) {
-          buf = scala.collection.mutable.ArrayBuffer.empty
-          grouped.put(k, buf)
-        }
-        buf += ((toLongTime(t), tie, row))
       }
     }
     val index = new Index
@@ -678,6 +681,16 @@ object AsOfJoinOps {
           l.dataType, r.dataType),
         s"as-of key type mismatch: ${l.name}: ${l.dataType.simpleString} " +
           s"vs ${r.name}: ${r.dataType.simpleString} — cast one side")
+    }
+    // ...and be ORDERABLE: the sort-merge shape sorts and compares on
+    // the key, so a map-typed key would fail at task time with an
+    // obscure ordering error while the hash shapes succeed — make it
+    // an analysis-time error, uniform across shapes
+    lks.foreach { l =>
+      require(org.apache.spark.sql.catalyst.expressions.RowOrdering
+          .isOrderable(l.dataType),
+        s"as-of key column ${l.name} has non-orderable type " +
+          s"${l.dataType.simpleString}")
     }
     def keyExpr(as: Seq[Attribute]): Expression =
       if (as.length == 1) as.head

@@ -78,9 +78,13 @@ object Pipeline extends QueryModule {
       rowsIn: Int = -1): DataFrame = {
     // default banding resolves through the conf-aware knob table, so a
     // corpus owner retunes the recall/candidate-volume point with
-    // spark.graft.dedup.lsh.{bands,rows} — no code change
+    // spark.graft.dedup.lsh.{bands,rows} — no code change. Half a
+    // banding is rejected loudly (same rule as the conf pair): a lone
+    // override would silently change the recall model.
+    require((bandsIn > 0) == (rowsIn > 0),
+      s"pass both bands and rows or neither, got ($bandsIn, $rowsIn)")
     val (bands, rows) =
-      if (bandsIn > 0 && rowsIn > 0) (bandsIn, rowsIn)
+      if (bandsIn > 0) (bandsIn, rowsIn)
       else LshKnobs.bandsRows(defaultVerifyThreshold, docsIn.sparkSession)
     // tok_a/tok_b are sorted 64-bit token-hash SETS (hashed once per
     // document), so the per-pair exact-jaccard verify is a primitive

@@ -113,6 +113,12 @@ class GraftCatalog extends CatalogPlugin with TableCatalog
     val props = tables.remove(oldIdent)
     if (props == null) throw new NoSuchTableException(oldIdent)
     tables.put(newIdent, props)
+    // a partitioned table's schema+rows live in the store keyed by
+    // identifier — move them too, or the renamed table would silently
+    // resolve to a synthetic range table and orphan its data
+    val state = GraftPartitionedStore.tables.remove(storeKey(oldIdent))
+    if (state != null)
+      GraftPartitionedStore.tables.put(storeKey(newIdent), state)
   }
 
   // SupportsNamespaces: single implicit "default" namespace

@@ -195,13 +195,15 @@ class GraftRowsReaderFactory(required: StructType)
 }
 
 /** Write modes: plain append; INSERT OVERWRITE TABLE (an AlwaysTrue
-  * overwrite = truncate-and-load); overwrite-by-filter on the
-  * partition column; and DYNAMIC partition overwrite
-  * (overwritePartitions() — replace exactly the partitions present in
-  * the incoming data, the nightly-backfill semantics). All deletion
-  * happens INSIDE commit, after every task has succeeded — a failed
-  * job leaves the old data fully intact, the same atomicity a file
-  * format gets from its manifest swap. */
+  * overwrite = truncate-and-load); overwrite-by-filter (the filter
+  * array is a conjunction per the SupportsOverwrite contract,
+  * evaluated row-level — equality/IN on any column); and DYNAMIC
+  * partition overwrite (overwritePartitions() — replace exactly the
+  * partitions present in the incoming data, the nightly-backfill
+  * semantics). All deletion happens INSIDE commit, after every task
+  * has succeeded and after every filter has validated — a failed job
+  * or an unsupported filter leaves the old data fully intact, the
+  * same atomicity a file format gets from its manifest swap. */
 class GraftPartitionedWriteBuilder(key: String, writeSchema: StructType)
     extends WriteBuilder with SupportsOverwrite with SupportsDynamicOverwrite {
   private var overwriteFilters: Option[Array[Filter]] = None
@@ -238,24 +240,36 @@ class GraftPartitionedBatchWrite(key: String, writeSchema: StructType,
       info: PhysicalWriteInfo): DataWriterFactory =
     new GraftPartitionedWriterFactory(writeSchema)
 
+  /** One overwrite filter as a row predicate. The filters array is a
+    * CONJUNCTION (the SupportsOverwrite contract) — rows are deleted
+    * only when EVERY filter matches — and unsupported filter shapes
+    * must be rejected BEFORE any mutation, so the whole parse happens
+    * here and a failure leaves the table untouched. */
+  private def rowPredicate(f: Filter): Map[String, Any] => Boolean =
+    f match {
+      case AlwaysTrue() => _ => true
+      case EqualTo(c, v) => r => r.get(c).contains(v)
+      // a static PARTITION (col = 'v') spec arrives null-safe
+      case EqualNullSafe(c, v) =>
+        if (v == null) r => !r.contains(c)
+        else r => r.get(c).contains(v)
+      case In(c, vs) => r => r.get(c).exists(vs.contains)
+      case other => throw new UnsupportedOperationException(
+        s"overwrite filter $other not supported " +
+          "(equality/IN/always-true only)")
+    }
+
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val data = GraftPartitionedStore.tables.get(key).data
     val incoming = messages.flatMap { case GraftRowsCommit(rows) => rows }
       .groupBy(r => String.valueOf(r.getOrElse(partCol, null)))
     overwriteFilters.foreach { filters =>
-      filters.foreach {
-        case AlwaysTrue() => data.clear() // truncate-and-load
-        case EqualTo(c, v) if c == partCol =>
-          data.remove(String.valueOf(v))
-        // a static PARTITION (col = 'v') spec arrives null-safe
-        case EqualNullSafe(c, v) if c == partCol =>
-          data.remove(String.valueOf(v))
-        case In(c, vs) if c == partCol =>
-          vs.foreach(v => data.remove(String.valueOf(v)))
-        case other => throw new UnsupportedOperationException(
-          s"overwrite filter $other not supported (partition-column " +
-            "equality/IN or full truncate only)")
-      }
+      // parse ALL filters first — an unsupported shape throws with the
+      // table still intact
+      val preds = filters.map(rowPredicate)
+      val doomed = (r: Map[String, Any]) => preds.forall(_(r))
+      data.replaceAll { (_, rows) => rows.filterNot(doomed) }
+      data.entrySet().removeIf(e => e.getValue.isEmpty)
     }
     // dynamic mode: replace exactly the partitions the incoming data
     // touches; untouched partitions keep their rows

@@ -33,8 +33,17 @@ class PlanGoldenSpec extends AnyFunSuite {
     "q153_channel_rollup", "q154_channel_intersect",
     "q155_hour_band_counts", "q156_crossborder_flows",
     "q158_lm_quality")
+  // q176's two union branches consume IDENTICAL set-building subtrees;
+  // WHICH branch materializes its exchange first (and which prints as
+  // ReusedExchange) is stage-completion-order dependent under AQE — a
+  // position-sensitive fingerprint of it flakes with no code change
+  // (this repo's known golden-race mode). The reuse CONTRACT is
+  // asserted position-independently in PlanSpec instead.
+  private val racePrune = Set("q176_cte_reuse")
+
   private val pinned =
-    (Bench.headline.filterNot(_.contains("stream")) ++ extraPinned).distinct
+    (Bench.headline.filterNot(_.contains("stream")) ++ extraPinned)
+      .distinct.filterNot(racePrune)
 
   /** Normalized fingerprint: tree prefix + operator name per line.
     * Strips codegen stage ids, expression ids, literals, paths, stats —

@@ -193,6 +193,36 @@ class SourcesSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft_cat.default.ow_spec")
   }
 
+  test("partitioned catalog: overwrite filters are a CONJUNCTION " +
+    "(row-level), and RENAME carries the partitioned store along") {
+    spark.conf.set("spark.sql.catalog.graft_cat",
+      "graft.sources.GraftCatalog")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.default.ow_conj")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.default.ow_conj2")
+    spark.sql("CREATE TABLE graft_cat.default.ow_conj " +
+      "(prio STRING, ok BIGINT) PARTITIONED BY (prio)")
+    spark.sql("INSERT INTO graft_cat.default.ow_conj VALUES " +
+      "('a', 1), ('a', 2), ('b', 10)")
+    // conjunction semantics: prio='a' AND ok=1 must delete ONLY that
+    // row — not the whole 'a' partition
+    import spark.implicits._
+    Seq(("a", 99L)).toDF("prio", "ok")
+      .writeTo("graft_cat.default.ow_conj")
+      .overwrite(col("prio") === "a" && col("ok") === 1L)
+    val after = spark.sql(
+      "SELECT prio, ok FROM graft_cat.default.ow_conj ORDER BY prio, ok")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(after.toSeq === Seq(("a", 2L), ("a", 99L), ("b", 10L)))
+    // rename: data and schema must follow the identifier
+    spark.sql("ALTER TABLE graft_cat.default.ow_conj " +
+      "RENAME TO default.ow_conj2")
+    val renamed = spark.sql(
+      "SELECT prio, ok FROM graft_cat.default.ow_conj2 ORDER BY prio, ok")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(renamed.toSeq === Seq(("a", 2L), ("a", 99L), ("b", 10L)))
+    spark.sql("DROP TABLE graft_cat.default.ow_conj2")
+  }
+
   test("q172 partitioned catalog table: partition-key predicate prunes " +
     "partitions source-side; added column reads back null") {
     val df = SparkEntry.queries("q172_partitioned_catalog")(spark, sf)
