@@ -8,7 +8,7 @@ import scala.collection.mutable.ArrayBuffer
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsRuntimeV2Filtering}
@@ -42,12 +42,48 @@ object GraftPartitionedStore {
     val data = new ConcurrentHashMap[String, Vector[Map[String, Any]]]()
   }
   val tables = new ConcurrentHashMap[String, TableState]()
+
+  /** One v1 filter as a row predicate over the stored name→value maps,
+    * or None for shapes the store cannot evaluate. Shared by the
+    * overwrite commit and DELETE FROM — a filter ARRAY is always a
+    * CONJUNCTION (the DSv2 contract). Null-safe equality against null
+    * means "the column is absent" (nulls are not stored). */
+  def rowPredicate(f: Filter): Option[Map[String, Any] => Boolean] =
+    f match {
+      case AlwaysTrue() => Some(_ => true)
+      case EqualTo(c, v) => Some(r => r.get(c).contains(v))
+      case EqualNullSafe(c, v) =>
+        if (v == null) Some(r => !r.contains(c))
+        else Some(r => r.get(c).contains(v))
+      case In(c, vs) => Some(r => r.get(c).exists(vs.contains))
+      case _ => None
+    }
+
+  /** Conjunction delete: drop every row matching ALL filters, then
+    * drop emptied partitions. Throws (before mutating) on an
+    * unsupported filter shape. */
+  def deleteMatching(state: TableState, filters: Array[Filter]): Unit = {
+    val preds = filters.map(f => rowPredicate(f).getOrElse(
+      throw new UnsupportedOperationException(
+        s"filter $f not supported (equality/IN/always-true only)")))
+    val doomed = (r: Map[String, Any]) => preds.forall(_(r))
+    state.data.replaceAll((_, rows) => rows.filterNot(doomed))
+    state.data.entrySet().removeIf(e => e.getValue.isEmpty)
+  }
 }
 
 class GraftPartitionedTable(key: String) extends Table
-    with SupportsRead with SupportsWrite {
+    with SupportsRead with SupportsWrite with SupportsDelete {
   private def state: GraftPartitionedStore.TableState =
     GraftPartitionedStore.tables.get(key)
+
+  // DELETE FROM ... WHERE <conjunction of equality/IN on any column>
+  // resolves as a metadata delete; SupportsDelete's default
+  // truncateTable() routes TRUNCATE TABLE through the same path
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(GraftPartitionedStore.rowPredicate(_).isDefined)
+  override def deleteWhere(filters: Array[Filter]): Unit =
+    GraftPartitionedStore.deleteMatching(state, filters)
 
   override def name(): String = key
   override def schema(): StructType = state.schema
@@ -240,37 +276,16 @@ class GraftPartitionedBatchWrite(key: String, writeSchema: StructType,
       info: PhysicalWriteInfo): DataWriterFactory =
     new GraftPartitionedWriterFactory(writeSchema)
 
-  /** One overwrite filter as a row predicate. The filters array is a
-    * CONJUNCTION (the SupportsOverwrite contract) — rows are deleted
-    * only when EVERY filter matches — and unsupported filter shapes
-    * must be rejected BEFORE any mutation, so the whole parse happens
-    * here and a failure leaves the table untouched. */
-  private def rowPredicate(f: Filter): Map[String, Any] => Boolean =
-    f match {
-      case AlwaysTrue() => _ => true
-      case EqualTo(c, v) => r => r.get(c).contains(v)
-      // a static PARTITION (col = 'v') spec arrives null-safe
-      case EqualNullSafe(c, v) =>
-        if (v == null) r => !r.contains(c)
-        else r => r.get(c).contains(v)
-      case In(c, vs) => r => r.get(c).exists(vs.contains)
-      case other => throw new UnsupportedOperationException(
-        s"overwrite filter $other not supported " +
-          "(equality/IN/always-true only)")
-    }
-
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val data = GraftPartitionedStore.tables.get(key).data
+    val tableState = GraftPartitionedStore.tables.get(key)
+    val data = tableState.data
     val incoming = messages.flatMap { case GraftRowsCommit(rows) => rows }
       .groupBy(r => String.valueOf(r.getOrElse(partCol, null)))
-    overwriteFilters.foreach { filters =>
-      // parse ALL filters first — an unsupported shape throws with the
-      // table still intact
-      val preds = filters.map(rowPredicate)
-      val doomed = (r: Map[String, Any]) => preds.forall(_(r))
-      data.replaceAll { (_, rows) => rows.filterNot(doomed) }
-      data.entrySet().removeIf(e => e.getValue.isEmpty)
-    }
+    // conjunction row-level delete; parses all filters before mutating
+    // (an unsupported shape throws with the table intact). A static
+    // PARTITION (col = 'v') spec arrives as EqualNullSafe.
+    overwriteFilters.foreach(
+      GraftPartitionedStore.deleteMatching(tableState, _))
     // dynamic mode: replace exactly the partitions the incoming data
     // touches; untouched partitions keep their rows
     if (dynamic) incoming.keys.foreach(data.remove)

@@ -193,6 +193,31 @@ class SourcesSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft_cat.default.ow_spec")
   }
 
+  test("partitioned catalog: DELETE FROM with a conjunction condition " +
+    "and TRUNCATE TABLE both resolve as metadata deletes") {
+    spark.conf.set("spark.sql.catalog.graft_cat",
+      "graft.sources.GraftCatalog")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.default.del_spec")
+    spark.sql("CREATE TABLE graft_cat.default.del_spec " +
+      "(prio STRING, ok BIGINT) PARTITIONED BY (prio)")
+    spark.sql("INSERT INTO graft_cat.default.del_spec VALUES " +
+      "('a', 1), ('a', 2), ('b', 10), ('c', 20)")
+    // conjunction: only ('a', 1) goes
+    spark.sql("DELETE FROM graft_cat.default.del_spec " +
+      "WHERE prio = 'a' AND ok = 1")
+    val afterRow = spark.sql(
+      "SELECT prio, ok FROM graft_cat.default.del_spec ORDER BY prio, ok")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(afterRow.toSeq === Seq(("a", 2L), ("b", 10L), ("c", 20L)))
+    // whole-partition delete
+    spark.sql("DELETE FROM graft_cat.default.del_spec WHERE prio = 'b'")
+    assert(spark.table("graft_cat.default.del_spec").count() == 2L)
+    // TRUNCATE rides SupportsDelete's default truncateTable()
+    spark.sql("TRUNCATE TABLE graft_cat.default.del_spec")
+    assert(spark.table("graft_cat.default.del_spec").count() == 0L)
+    spark.sql("DROP TABLE graft_cat.default.del_spec")
+  }
+
   test("partitioned catalog: overwrite filters are a CONJUNCTION " +
     "(row-level), and RENAME carries the partitioned store along") {
     spark.conf.set("spark.sql.catalog.graft_cat",
