@@ -232,6 +232,53 @@ object Streaming extends QueryModule {
         .orderBy(col("p_id"), col("c_id"))
     },
 
+    // Stream-stream LEFT OUTER join — q104's inner join plus the
+    // null-padded unmatched purchases, which the engine can emit only
+    // after the WATERMARK closes a row's match window (the state
+    // eviction that makes outer stream joins bounded-memory at scale).
+    // End-of-stream subtlety: outer rows finalize on a no-data
+    // micro-batch advancing the watermark to max(event time) − delay,
+    // so this drain keeps noDataMicroBatches ENABLED (the shared drain
+    // turns them off), and rows within (delay + margin) of the
+    // stream's end are excluded from the comparison ON BOTH SIDES —
+    // their emission depends on Spark's exact eviction boundary, which
+    // is not a contract worth pinning. Everything older MUST have
+    // finalized, and the oracle checks exactly that region.
+    "q188_stream_stream_outer" -> { (s, dir) =>
+      val p = eventStream(s, dir)
+        .filter(col("event_type") === "purchase")
+        .withWatermark("ts", "1 hour")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("p_id"))
+      val c = eventStream(s, dir)
+        .filter(col("event_type") === "click")
+        .withWatermark("ts", "1 hour")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+          col("event_id").as("c_id"))
+      val joined = p.join(c,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+          col("c_ts") <= col("p_ts"),
+        "left_outer")
+        .select(col("p_id"), col("p_ts"), col("c_id"))
+      val partKey = "spark.sql.shuffle.partitions"
+      val savedParts = s.conf.get(partKey)
+      if (savedParts.toInt > 2) s.conf.set(partKey, "2")
+      try {
+        val q = joined.writeStream
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+          .format("memory").queryName("q188_sink").start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set(partKey, savedParts)
+      val mx = graft.Tables.df(s, dir, "events")
+        .agg(max(unix_micros(col("ts"))).as("mx"))
+      s.table("q188_sink")
+        .crossJoin(broadcast(mx))
+        .filter(unix_micros(col("p_ts")) <= col("mx") - 7200000000L)
+        .select(col("p_id"), col("c_id"))
+        .orderBy(col("p_id"), col("c_id"))
+    },
+
     // Sessionization via the BUILT-IN session_window construct on the
     // stream (batch analog: q123; custom-state analog: q87): watermarked
     // event-time gap-merge inside the streaming engine, one row per
@@ -430,6 +477,19 @@ object Streaming extends QueryModule {
         |           - h * INTERVAL 1 HOUR) AS w_start, value
         |  FROM events, unnest([0, 1]) AS t(h)
         |) GROUP BY w_start ORDER BY w_start""".stripMargin,
+    "q188_stream_stream_outer" ->
+      """WITH m AS (SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) AS mx
+        |           FROM events)
+        |SELECT p.event_id AS p_id, c.event_id AS c_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        | AND CAST(c.ts AS TIMESTAMP)
+        |     >= CAST(p.ts AS TIMESTAMP) - INTERVAL 30 MINUTE
+        | AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+        |CROSS JOIN m
+        |WHERE epoch_us(CAST(p.ts AS TIMESTAMP)) <= m.mx - 7200000000
+        |ORDER BY p_id, c_id""".stripMargin,
     "q104_stream_stream_join" ->
       """SELECT p.event_id AS p_id, c.event_id AS c_id
         |FROM events p JOIN events c ON p.user_id = c.user_id
