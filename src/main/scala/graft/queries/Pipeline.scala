@@ -320,6 +320,56 @@ object Pipeline extends QueryModule {
       dedupQualityAudit(Tables.df(tuned, dir, "documents"))
     },
 
+    // SimHash NEAR-DUP dedup — the banded-signature pipeline over q76's
+    // signatures (the third dedup modality next to exact-hash and
+    // MinHash-Jaccard; simhash catches "mostly same words, slightly
+    // permuted" families cheaply because the signature is one long per
+    // doc). Standard construction: split the 64-bit signature into four
+    // 16-bit bands; any shared band makes a candidate pair (a pair
+    // within hamming distance 3 always shares at least one intact band
+    // — pigeonhole); verify with exact popcount(xor) <= 6. Scale shape
+    // is q75's: the band equi-join carries (doc_id, band, bh) ONLY,
+    // signatures re-attach per side after the narrow-key distinct; the
+    // per-band bucket key space is 4 x 2^16, so bucket occupancy (and
+    // the quadratic fan-out) shrinks as corpora grow only via real
+    // near-dup families, not hash crowding. Engine-native values
+    // (DuckDB cannot compute simhash) -> q44/q97 pattern: pinned
+    // counts + an order-independent pair checksum, matches_pinned
+    // re-derived in-engine.
+    "q189_simhash_dedup" -> { (s, dir) =>
+      val sigs = Tables.df(s, dir, "documents")
+        .select(col("doc_id"), SimHash64.simhash64(tokens(col("text")))
+          .as("sig"))
+      val banded = sigs.select(col("doc_id"),
+        posexplode(array((0 until 4).map(i =>
+          shiftrightunsigned(col("sig"), i * 16) % 65536): _*))
+          .as(Seq("band", "bh")))
+      val nPart = s.sessionState.conf.numShufflePartitions
+      val keyed = banded.repartition(nPart, col("band"), col("bh"))
+      val cand = keyed.as("x").hint("shuffle_hash").join(keyed.as("y"),
+          col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .distinct()
+      val verified = cand
+        .join(sigs.select(col("doc_id").as("a_id"), col("sig").as("sig_a")),
+          "a_id")
+        .join(sigs.select(col("doc_id").as("b_id"), col("sig").as("sig_b")),
+          "b_id")
+        .withColumn("hamming",
+          expr("bit_count(sig_a ^ sig_b)").cast(LongType))
+      verified.agg(
+          count(lit(1)).as("n_candidates"),
+          sum(when(col("hamming") <= 6, 1L).otherwise(0L))
+            .as("n_dups"),
+          sum(when(col("hamming") <= 6,
+              (col("a_id") * 100000L + col("b_id")) % 1000000000L)
+            .otherwise(0L)).as("pair_checksum"))
+        .select(col("n_candidates"), col("n_dups"), col("pair_checksum"),
+          (col("n_candidates") === 3971L && col("n_dups") === 143L &&
+            col("pair_checksum") === 2360747421L).as("matches_pinned"))
+    },
+
     // SimHash (custom codegen'd Catalyst Expression) over the full
     // corpus, reduced to an order-independent checksum row: count,
     // mod-folded sum, xor fold, distinct signatures/buckets. The
@@ -565,6 +615,11 @@ object Pipeline extends QueryModule {
     "q97_minhash_full" ->
       """SELECT CAST(3876 AS BIGINT) AS n_candidates,
         |  CAST(1564 AS BIGINT) AS n_verified,
+        |  true AS matches_pinned""".stripMargin,
+    "q189_simhash_dedup" ->
+      """SELECT CAST(3971 AS BIGINT) AS n_candidates,
+        |  CAST(143 AS BIGINT) AS n_dups,
+        |  CAST(2360747421 AS BIGINT) AS pair_checksum,
         |  true AS matches_pinned""".stripMargin,
     "q76_simhash" ->
       """SELECT CAST(500 AS BIGINT) AS n_docs,

@@ -185,4 +185,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(plan.split("\n").exists(l =>
       l.contains("simhash64") && l.contains("*(")), plan)
   }
+
+  test("q189 simhash banding is recall-LOSSLESS for hamming <= 3 " +
+    "(pigeonhole: 4 bands, so <=3 flipped bits leave one band intact)") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.SimHash64
+    import graft.functions.TextOps.tokens
+    val sigs = Tables.df(spark, sf, "documents")
+      .filter(col("doc_id") <= 300)
+      .select(col("doc_id"), SimHash64.simhash64(tokens(col("text")))
+        .as("sig"))
+    val bruteClose = sigs.as("a").join(sigs.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .filter(expr("bit_count(a.sig ^ b.sig)") <= 3)
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bruteClose.nonEmpty, "fixture has no hamming<=3 pairs <=300")
+    val banded = sigs.select(col("doc_id"),
+      posexplode(array((0 until 4).map(i =>
+        shiftrightunsigned(col("sig"), i * 16) % 65536): _*))
+        .as(Seq("band", "bh")))
+    val cands = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missed = bruteClose -- cands
+    assert(missed.isEmpty,
+      s"pigeonhole violated — hamming<=3 pairs not in candidates: $missed")
+  }
 }
