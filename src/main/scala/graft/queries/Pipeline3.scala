@@ -206,6 +206,21 @@ object Pipeline3 extends QueryModule {
         .orderBy(col("doc_id"))
     },
 
+    // Cluster-SIZE distribution — the report a dedup owner reads to
+    // judge the corpus's duplication structure (many tiny clusters =
+    // crawl noise, few giant ones = template families; what to fix
+    // differs). One groupBy over the q118 labels, then a groupBy over
+    // the sizes: output is O(distinct sizes), never corpus-sized.
+    "q190_cluster_sizes" -> { (s, dir) =>
+      connectedComponents(dupEdges(s, dir))
+        .groupBy(col("root"))
+        .agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("cluster_size")).as("n_docs"))
+        .orderBy(col("cluster_size"))
+    },
+
     // The north-star composition run over the FULL corpus (no doc_id
     // bound): LSH candidates → exact-Jaccard verify → connected
     // components → (doc_id, cluster_id, keep). Oracle: DuckDB brute-
@@ -374,6 +389,30 @@ object Pipeline3 extends QueryModule {
     "q150_cc_chain" ->
       """SELECT doc_id, CAST(doc_id - doc_id % 100 AS BIGINT) AS cluster_id
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q190_cluster_sizes" ->
+      s"""WITH RECURSIVE t AS (
+         |  SELECT doc_id, $utokSql AS tok FROM documents
+         |  WHERE doc_id <= 200),
+         |pairs AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+         |      / CAST(len(list_distinct(a.tok || b.tok)) AS DOUBLE) >= 0.9),
+         |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+         |          UNION ALL SELECT b_id, a_id FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(node, root) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node),
+         |labels AS (SELECT node, min(root) AS cluster_id
+         |           FROM reach GROUP BY node),
+         |sizes AS (SELECT cluster_id, count(*) AS cluster_size
+         |          FROM labels GROUP BY cluster_id)
+         |SELECT cluster_size, count(*) AS n_clusters,
+         |  CAST(sum(cluster_size) AS BIGINT) AS n_docs
+         |FROM sizes GROUP BY cluster_size
+         |ORDER BY cluster_size""".stripMargin,
     "q119_domain_mixture" ->
       """SELECT doc_id, source, n_chars, rk FROM (
         |  SELECT doc_id, source, n_chars,
