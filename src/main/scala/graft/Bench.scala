@@ -38,6 +38,38 @@ object Bench {
     "q175_semi_chain", "q176_cte_reuse", "q177_channel_rankings",
     "q178_yoy_share")
 
+  /** Drain the ContextCleaner so no prior query's cleanup I/O bills the
+    * next timed region. A GC enqueues the dead weak refs; the cleaner
+    * thread then pops each one off `referenceBuffer` and (in blocking
+    * mode, set above) waits for the shuffle files / broadcast blocks to
+    * actually be removed before taking the next. We watch the buffer
+    * size via reflection until it stops shrinking (3 consecutive stable
+    * 50 ms samples, ≤2 s total — the buffer also holds refs for still-
+    * live objects such as cached tables, so "stable", not "empty"), then
+    * GC once more for the refs freed by the cleanup itself.
+    */
+  private def quiesceCleaner(spark: SparkSession): Unit = {
+    System.gc()
+    try {
+      val sc = spark.sparkContext
+      // SparkContext.cleaner is private[spark] = public in bytecode
+      val cleanerOpt = sc.getClass.getMethod("cleaner").invoke(sc)
+        .asInstanceOf[Option[AnyRef]]
+      cleanerOpt.foreach { cl =>
+        val f = cl.getClass.getDeclaredField("referenceBuffer")
+        f.setAccessible(true)
+        val buf = f.get(cl).asInstanceOf[java.util.Set[_]]
+        var prev = -1; var stable = 0; var spins = 0
+        while (stable < 3 && spins < 40) {
+          val n = buf.size()
+          if (n == prev) stable += 1 else { stable = 0; prev = n }
+          Thread.sleep(50); spins += 1
+        }
+      }
+    } catch { case _: Throwable => () }
+    System.gc()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -46,6 +78,15 @@ object Bench {
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // Shuffle-file removal is async by default: the ContextCleaner
+      // fires removeShuffle and returns, so the disk I/O for a heavy
+      // query's shuffle files lands inside the NEXT query's timed
+      // region (round 8: q129 read 16.9s in the full run vs 5.2s
+      // isolated — the cleanup debt of the 20 prior queries). Blocking
+      // mode makes the cleaner thread wait for each removal, which
+      // lets quiesce() below observe actual completion.
+      .config("spark.cleaner.referenceTracking.blocking", "true")
+      .config("spark.cleaner.referenceTracking.blocking.shuffle", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
       .config("spark.ui.enabled", "false")
@@ -76,17 +117,17 @@ object Bench {
       .flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         def once(): Double = {
+          // Quiesce INSIDE once(), before the clock starts: Spark frees
+          // shuffle files / broadcast / checkpoint blocks via weak
+          // references, so prior queries' cleanup only begins on a
+          // driver GC, and (without draining) the deletion work runs
+          // asynchronously DURING the next timed pass. gc → settle →
+          // gc, between passes too, all outside the timed region.
+          quiesceCleaner(spark)
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
           (System.nanoTime() - t0) / 1e9
         }
-        // JMH-style isolation: Spark frees shuffle files / broadcast /
-        // checkpoint blocks via weak references, i.e. only on a driver
-        // GC — without one here, a heavy query's cleanup debt lands
-        // inside the NEXT query's timing (round 7's q133 read 6.4 s
-        // after q129 in the full bench vs 3.8 s isolated, same code).
-        // The forced GC runs OUTSIDE the timed region.
-        System.gc()
         name -> math.min(once(), once())
       }
     }
@@ -96,4 +137,10 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
+}
+
+/** scripts/bench_isolated.sh asks for the headline list here so the
+  * per-JVM isolated reps always cover exactly the committed set. */
+object BenchNames {
+  def main(args: Array[String]): Unit = Bench.headline.foreach(println)
 }

@@ -86,7 +86,14 @@ object GraftExtensions {
     es(i) match {
       case e if e.foldable && e.dataType ==
           org.apache.spark.sql.types.IntegerType =>
-        e.eval().asInstanceOf[Int]
+        // a foldable NULL (CAST(NULL AS INT)) would unbox to 0 — reject
+        // it the same way as a non-literal rather than silently using
+        // width/seed 0 (0 itself stays legal: it is a valid seed)
+        e.eval() match {
+          case n: java.lang.Integer => n.intValue()
+          case _ => throw new IllegalArgumentException(
+            s"$fn: argument ${i + 1} must be a non-NULL INT literal, got $e")
+        }
       case other => throw new IllegalArgumentException(
         s"$fn: argument ${i + 1} must be an INT literal, got $other")
     }

@@ -43,6 +43,16 @@ object GraftPartitionedStore {
   }
   val tables = new ConcurrentHashMap[String, TableState]()
 
+  /** Render a partition VALUE as a storage key. NULL gets a reserved
+    * sentinel and real values are prefixed, so a row whose partition
+    * value is the STRING "null" can never share a bucket with the
+    * null partition (previously both rendered "null", so a pruned
+    * EqualTo(partCol, "null") — fully consumed, never re-evaluated by
+    * Spark — wrongly returned NULL-partition rows, and a dynamic
+    * overwrite of the "null" partition clobbered the NULL one). */
+  def partKey(v: Any): String =
+    if (v == null) "\u0000NULL" else "=" + String.valueOf(v)
+
   /** One v1 filter as a row predicate over the stored name→value maps,
     * or None for shapes the store cannot evaluate. Shared by the
     * overwrite commit and DELETE FROM — a filter ARRAY is always a
@@ -109,19 +119,23 @@ class GraftPartitionedScanBuilder(key: String) extends ScanBuilder
   private var keep: Option[Set[String]] = None // None = all partitions
 
   /** Accept partition-key equality/IN — the predicates a partitioned
-    * store prunes with; everything else stays post-scan. */
+    * store prunes with; everything else stays post-scan. Filters whose
+    * value set contains NULL are NOT accepted (left for Spark to
+    * evaluate): SQL equality to NULL is never true, so consuming one
+    * here and pruning to the NULL-sentinel bucket would invert the
+    * semantics. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, rejected) = filters.partition {
-      case EqualTo(c, _) => c == state.partCol
-      case In(c, _) => c == state.partCol
+      case EqualTo(c, v) => c == state.partCol && v != null
+      case In(c, vs) => c == state.partCol && !vs.contains(null)
       case _ => false
     }
     accepted.foreach {
       case EqualTo(_, v) =>
-        val s = Set(String.valueOf(v))
+        val s = Set(GraftPartitionedStore.partKey(v))
         keep = Some(keep.fold(s)(_ intersect s))
       case In(_, vs) =>
-        val s = vs.map(String.valueOf(_)).toSet
+        val s = vs.map(GraftPartitionedStore.partKey).toSet
         keep = Some(keep.fold(s)(_ intersect s))
       case _ =>
     }
@@ -177,7 +191,7 @@ class GraftPartitionedScan(key: String, partCol: String,
     def litStr(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
         case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
-          Some(String.valueOf(l.value()))
+          Some(GraftPartitionedStore.partKey(l.value()))
         case _ => None
       }
     predicates.foreach { p =>
@@ -280,7 +294,7 @@ class GraftPartitionedBatchWrite(key: String, writeSchema: StructType,
     val tableState = GraftPartitionedStore.tables.get(key)
     val data = tableState.data
     val incoming = messages.flatMap { case GraftRowsCommit(rows) => rows }
-      .groupBy(r => String.valueOf(r.getOrElse(partCol, null)))
+      .groupBy(r => GraftPartitionedStore.partKey(r.getOrElse(partCol, null)))
     // conjunction row-level delete; parses all filters before mutating
     // (an unsupported shape throws with the table intact). A static
     // PARTITION (col = 'v') spec arrives as EqualNullSafe.
