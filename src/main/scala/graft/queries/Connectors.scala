@@ -181,6 +181,40 @@ object Connectors extends QueryModule {
         "GROUP BY prio ORDER BY prio")
     },
 
+    // SQL MERGE INTO through the DSv2 row-level-operation seam (the
+    // nightly lakehouse upsert, run against SupportsRowLevelOperations
+    // exactly as Iceberg runs it): load orders ok<1000 as the standing
+    // table, then MERGE a source holding (a) re-priced versions of ok
+    // in [500,1000) and (b) brand-new ok in [1000,1500). Spark rewrites
+    // this to a group-replace — scan affected partitions, join with the
+    // source, write back carried + updated + inserted rows; the commit
+    // swaps exactly the scanned partitions. Oracle composes the same
+    // upsert relationally.
+    "q191_merge_into" -> { (s, dir) =>
+      s.conf.set("spark.sql.catalog.graft_cat",
+        "graft.sources.GraftCatalog")
+      s.sql("DROP TABLE IF EXISTS graft_cat.default.po_q191")
+      s.sql("CREATE TABLE graft_cat.default.po_q191 " +
+        "(prio STRING, ok BIGINT, price DOUBLE) PARTITIONED BY (prio)")
+      val src = Tables.df(s, dir, "orders")
+        .select(col("o_orderpriority").as("prio"),
+          col("o_orderkey").as("ok"), col("o_totalprice").as("price"))
+      src.filter(col("ok") < 1000)
+        .writeTo("graft_cat.default.po_q191").append()
+      src.filter(col("ok") >= 500 && col("ok") < 1500)
+        .createOrReplaceTempView("merge_src_q191")
+      s.sql("""MERGE INTO graft_cat.default.po_q191 t
+        |USING merge_src_q191 s
+        |ON t.ok = s.ok
+        |WHEN MATCHED THEN UPDATE SET price = s.price + 1000.0
+        |WHEN NOT MATCHED THEN INSERT (prio, ok, price)
+        |  VALUES (s.prio, s.ok, s.price)""".stripMargin)
+      s.sql("SELECT prio, count(*) AS n_orders, min(ok) AS min_ok, " +
+        "max(ok) AS max_ok, CAST(sum(CAST(price AS DECIMAL(18,4))) " +
+        "AS DOUBLE) AS total_price FROM graft_cat.default.po_q191 " +
+        "GROUP BY prio ORDER BY prio")
+    },
+
     // COMPLETE aggregate pushdown: an ungrouped count/min/max over a
     // BILLION-row table answered source-side in O(1) — the engine plans
     // no aggregation and the scan emits one row (SourcesSpec asserts
@@ -229,6 +263,22 @@ object Connectors extends QueryModule {
         |FROM orders
         |WHERE o_orderkey < 1000 AND o_orderpriority = '1-URGENT'
         |GROUP BY o_orderpriority""".stripMargin,
+    "q191_merge_into" ->
+      """WITH merged AS (
+        |  SELECT o_orderpriority AS prio, o_orderkey AS ok,
+        |    o_totalprice AS price
+        |  FROM orders WHERE o_orderkey < 500
+        |  UNION ALL
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice + 1000.0
+        |  FROM orders WHERE o_orderkey >= 500 AND o_orderkey < 1000
+        |  UNION ALL
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice
+        |  FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 1500)
+        |SELECT prio, count(*) AS n_orders, min(ok) AS min_ok,
+        |  max(ok) AS max_ok,
+        |  CAST(sum(CAST(price AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS total_price
+        |FROM merged GROUP BY prio ORDER BY prio""".stripMargin,
     "q187_partition_backfill" ->
       """WITH spliced AS (
         |  SELECT o_orderpriority AS prio, o_orderkey AS ok,

@@ -8,11 +8,11 @@ import scala.collection.mutable.ArrayBuffer
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsDelete, SupportsMetadataColumns, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsRuntimeV2Filtering}
-import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsDynamicOverwrite, SupportsOverwrite, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsDynamicOverwrite, SupportsOverwrite, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{AlwaysTrue, EqualNullSafe, EqualTo, Filter, In}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -83,7 +83,24 @@ object GraftPartitionedStore {
 }
 
 class GraftPartitionedTable(key: String) extends Table
-    with SupportsRead with SupportsWrite with SupportsDelete {
+    with SupportsRead with SupportsWrite with SupportsDelete
+    with SupportsRowLevelOperations with SupportsMetadataColumns {
+
+  /** `_partition` metadata column (the same provenance column Iceberg
+    * exposes). Doubles as the row-level-operation metadata attribute:
+    * its presence makes Spark plan the metadata-aware ReplaceData
+    * writing task, whose projections split each merged row into
+    * (metadata, data) — the DataWriter then receives rows in exactly
+    * the declared write schema. Without any metadata attribute Spark's
+    * plain writing task hands the writer the raw MergeRows output
+    * (operation column included), which no by-position writer can
+    * interpret. */
+  override def metadataColumns(): Array[MetadataColumn] = Array(
+    new MetadataColumn {
+      override def name(): String = "_partition"
+      override def dataType(): DataType = StringType
+      override def isNullable: Boolean = false
+    })
   private def state: GraftPartitionedStore.TableState =
     GraftPartitionedStore.tables.get(key)
 
@@ -109,6 +126,155 @@ class GraftPartitionedTable(key: String) extends Table
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftPartitionedWriteBuilder(key, info.schema())
+
+  // SQL MERGE INTO / UPDATE / non-metadata DELETE resolve through here
+  // (the seam Iceberg's nightly upserts run on). canDeleteWhere above
+  // still short-circuits simple deletes to the metadata path; anything
+  // it declines falls back to this group-based rewrite.
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    new RowLevelOperationBuilder {
+      override def build(): RowLevelOperation =
+        new GraftRowLevelOperation(key, info.command())
+    }
+}
+
+/** GROUP-BASED row-level operation (the Iceberg copy-on-write model):
+  * Spark rewrites MERGE/UPDATE/DELETE into (1) a scan of the affected
+  * groups — here, partitions — through `newScanBuilder`, (2) a
+  * replacement-row computation (the merge join / update projection,
+  * planned entirely by Spark), and (3) a ReplaceData write through
+  * `newWriteBuilder` whose commit swaps the scanned groups for the
+  * replacement rows. The SAME operation instance serves both sides, so
+  * the scan records which partitions the final plan actually read and
+  * the write's commit replaces exactly those — partitions never
+  * scanned are never touched.
+  *
+  * The scan deliberately does NOT push row-level filters: a group
+  * replace must read every surviving row of an affected group (a
+  * row-filtered scan would silently drop the carried-over rows on
+  * rewrite). Partition-granular narrowing still happens at RUNTIME via
+  * SupportsRuntimeV2Filtering — Spark's group-filter rule computes the
+  * partitions containing matching rows with a separate throwaway scan
+  * and hands them here as an IN predicate, so a MERGE touching one
+  * partition of a 100 TB table reads and rewrites one partition, not
+  * the table (the copy-on-write cost model Iceberg documents).
+  */
+class GraftRowLevelOperation(key: String, cmd: RowLevelOperation.Command)
+    extends RowLevelOperation {
+  /** Partitions the final planned scan read = the groups commit swaps. */
+  @volatile private[sources] var scannedPartitions: Array[String] = _
+
+  override def command(): RowLevelOperation.Command = cmd
+  override def description(): String = s"GraftRowLevelOperation[$cmd]"
+
+  // requesting _partition is what routes ReplaceData through the
+  // projection-applying writing task — see metadataColumns() above
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array(Expressions.column("_partition"))
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private val state = GraftPartitionedStore.tables.get(key)
+      private var required: StructType = state.schema
+      override def pruneColumns(s: StructType): Unit = required = s
+      override def build(): Scan =
+        new GraftGroupReplaceScan(GraftRowLevelOperation.this, key,
+          state.partCol, required)
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite = new GraftReplaceGroupsWrite(
+          GraftRowLevelOperation.this, key,
+          GraftPartitionedStore.tables.get(key).partCol, info.schema())
+      }
+    }
+}
+
+/** The affected-groups scan of a row-level operation: starts at every
+  * partition, narrowed ONLY group-wise (runtime IN/= on the partition
+  * column from Spark's group-filter rule), and reports what it planned
+  * back to the operation so commit replaces exactly those groups. */
+class GraftGroupReplaceScan(op: GraftRowLevelOperation, key: String,
+                            partCol: String, required: StructType)
+    extends Scan with Batch with SupportsRuntimeV2Filtering {
+  @volatile private var runtimeKept: Array[String] =
+    GraftPartitionedStore.tables.get(key).data.keySet()
+      .toArray(Array.empty[String]).sorted
+
+  override def readSchema(): StructType = required
+  override def description(): String =
+    s"GraftGroupReplaceScan table=$key groups=${runtimeKept.length}"
+  override def toBatch: Batch = this
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column(partCol))
+
+  override def filter(predicates: Array[Predicate]): Unit = {
+    def refIsPartCol(e: org.apache.spark.sql.connector.expressions.Expression) =
+      e match {
+        case r: NamedReference =>
+          r.fieldNames().length == 1 && r.fieldNames()(0) == partCol
+        case _ => false
+      }
+    def litKey(e: org.apache.spark.sql.connector.expressions.Expression) =
+      e match {
+        case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+          Some(GraftPartitionedStore.partKey(l.value()))
+        case _ => None
+      }
+    predicates.foreach { p =>
+      val kids = p.children()
+      p.name() match {
+        case "IN" if kids.nonEmpty && refIsPartCol(kids.head) =>
+          val vals = kids.tail.flatMap(litKey).toSet
+          if (vals.size == kids.length - 1)
+            runtimeKept = runtimeKept.filter(vals.contains)
+        case "=" if kids.length == 2 && refIsPartCol(kids.head) =>
+          litKey(kids(1)).foreach(v =>
+            runtimeKept = runtimeKept.filter(_ == v))
+        case _ => // unrecognized: keep the group (safe, never lossy)
+      }
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    op.scannedPartitions = runtimeKept
+    val data = GraftPartitionedStore.tables.get(key).data
+    runtimeKept.map(pv =>
+      GraftRowsPartition(data.getOrDefault(pv, Vector.empty)): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftRowsReaderFactory(required, partCol)
+}
+
+/** ReplaceData commit: atomically swap the scanned groups for the
+  * replacement rows. Tasks only buffer (same two-phase protocol as the
+  * plain write), so an aborted job — task failure, thrown merge
+  * expression — leaves the table byte-identical. */
+class GraftReplaceGroupsWrite(op: GraftRowLevelOperation, key: String,
+                              partCol: String, writeSchema: StructType)
+    extends BatchWrite {
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    new GraftPartitionedWriterFactory(writeSchema)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val data = GraftPartitionedStore.tables.get(key).data
+    val incoming = messages.flatMap { case GraftRowsCommit(rows) => rows }
+      .groupBy(r => GraftPartitionedStore.partKey(r.getOrElse(partCol, null)))
+    val replaced = Option(op.scannedPartitions).getOrElse(
+      throw new IllegalStateException(
+        "ReplaceData commit before its group scan was planned"))
+    replaced.foreach(data.remove)
+    incoming.foreach { case (pv, rs) =>
+      data.merge(pv, rs.toVector, (a, b) => a ++ b)
+    }
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
 class GraftPartitionedScanBuilder(key: String) extends ScanBuilder
@@ -216,29 +382,35 @@ class GraftPartitionedScan(key: String, partCol: String,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftRowsReaderFactory(required)
+    new GraftRowsReaderFactory(required, partCol)
 }
 
 case class GraftRowsPartition(rows: Vector[Map[String, Any]])
     extends InputPartition
 
-class GraftRowsReaderFactory(required: StructType)
+class GraftRowsReaderFactory(required: StructType, partCol: String)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val rows = p.asInstanceOf[GraftRowsPartition].rows
+    val strConv = CatalystTypeConverters.createToCatalystConverter(StringType)
     // name-based resolution: a column added AFTER these rows were
-    // written is absent from their maps and reads as null
-    val converters = required.fields.map(f =>
-      (f.name, CatalystTypeConverters.createToCatalystConverter(f.dataType)))
+    // written is absent from their maps and reads as null. The
+    // `_partition` metadata column is synthesized from the row's
+    // partition value rather than stored.
+    val getters: Array[Map[String, Any] => Any] = required.fields.map { f =>
+      if (f.name == "_partition")
+        (r: Map[String, Any]) =>
+          strConv(GraftPartitionedStore.partKey(r.get(partCol).orNull))
+      else {
+        val conv = CatalystTypeConverters.createToCatalystConverter(f.dataType)
+        (r: Map[String, Any]) => r.get(f.name).map(conv).orNull
+      }
+    }
     new PartitionReader[InternalRow] {
       private var i = -1
       override def next(): Boolean = { i += 1; i < rows.length }
-      override def get(): InternalRow = {
-        val r = rows(i)
-        new GenericInternalRow(converters.map { case (n, conv) =>
-          r.get(n).map(conv).orNull
-        }: Array[Any])
-      }
+      override def get(): InternalRow =
+        new GenericInternalRow(getters.map(_(rows(i))): Array[Any])
       override def close(): Unit = ()
     }
   }

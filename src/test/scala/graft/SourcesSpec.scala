@@ -248,6 +248,78 @@ class SourcesSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft_cat.default.ow_conj2")
   }
 
+  test("q191 MERGE INTO: matched rows update, unmatched insert, " +
+    "untouched rows carry over byte-identical") {
+    spark.conf.set("spark.sql.catalog.graft_cat",
+      "graft.sources.GraftCatalog")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.default.mrg_t")
+    spark.sql("CREATE TABLE graft_cat.default.mrg_t " +
+      "(prio STRING, ok BIGINT, price DOUBLE) PARTITIONED BY (prio)")
+    spark.sql("INSERT INTO graft_cat.default.mrg_t VALUES " +
+      "('a', 1, 10.0), ('a', 2, 20.0), ('b', 3, 30.0)")
+    spark.sql("SELECT 2L AS ok, 'a' AS prio, 99.0 AS price " +
+      "UNION ALL SELECT 4L, 'c', 40.0").createOrReplaceTempView("mrg_s")
+    spark.sql("""MERGE INTO graft_cat.default.mrg_t t
+      USING mrg_s s ON t.ok = s.ok
+      WHEN MATCHED THEN UPDATE SET price = s.price
+      WHEN NOT MATCHED THEN INSERT (prio, ok, price)
+        VALUES (s.prio, s.ok, s.price)""")
+    val after = spark.sql("SELECT prio, ok, price " +
+      "FROM graft_cat.default.mrg_t ORDER BY ok")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(after.toSeq === Seq(("a", 1L, 10.0), ("a", 2L, 99.0),
+      ("b", 3L, 30.0), ("c", 4L, 40.0)))
+    spark.sql("DROP TABLE graft_cat.default.mrg_t")
+  }
+
+  test("MERGE INTO abort safety: a throwing merge expression leaves " +
+    "the table byte-identical (two-phase replace commit)") {
+    spark.conf.set("spark.sql.catalog.graft_cat",
+      "graft.sources.GraftCatalog")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.default.mrg_abort")
+    spark.sql("CREATE TABLE graft_cat.default.mrg_abort " +
+      "(prio STRING, ok BIGINT, price DOUBLE) PARTITIONED BY (prio)")
+    spark.sql("INSERT INTO graft_cat.default.mrg_abort VALUES " +
+      "('a', 1, 10.0), ('b', 2, 20.0)")
+    spark.sql("SELECT 1L AS ok, 'a' AS prio, 0.0 AS price")
+      .createOrReplaceTempView("mrg_abort_s")
+    // raise_error evaluates task-side during the replace job: every
+    // task fails, the write aborts, and commit never runs
+    intercept[Exception] {
+      spark.sql("""MERGE INTO graft_cat.default.mrg_abort t
+        USING mrg_abort_s s ON t.ok = s.ok
+        WHEN MATCHED THEN UPDATE SET
+          price = CAST(raise_error('merge boom') AS DOUBLE)""")
+    }
+    val after = spark.sql("SELECT prio, ok, price " +
+      "FROM graft_cat.default.mrg_abort ORDER BY ok")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(after.toSeq === Seq(("a", 1L, 10.0), ("b", 2L, 20.0)),
+      "aborted MERGE must not mutate the table")
+    spark.sql("DROP TABLE graft_cat.default.mrg_abort")
+  }
+
+  test("UPDATE and DELETE with non-equality predicates route through " +
+    "the group-based row-level operation") {
+    spark.conf.set("spark.sql.catalog.graft_cat",
+      "graft.sources.GraftCatalog")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.default.rlo_ud")
+    spark.sql("CREATE TABLE graft_cat.default.rlo_ud " +
+      "(prio STRING, ok BIGINT, price DOUBLE) PARTITIONED BY (prio)")
+    spark.sql("INSERT INTO graft_cat.default.rlo_ud VALUES " +
+      "('a', 1, 10.0), ('a', 5, 50.0), ('b', 9, 90.0)")
+    // ok > 4 is not an equality conjunction: canDeleteWhere declines it
+    // and Spark rewrites through the RowLevelOperation seam instead
+    spark.sql("UPDATE graft_cat.default.rlo_ud SET price = price + 1.0 " +
+      "WHERE ok > 4")
+    spark.sql("DELETE FROM graft_cat.default.rlo_ud WHERE ok > 8")
+    val after = spark.sql("SELECT prio, ok, price " +
+      "FROM graft_cat.default.rlo_ud ORDER BY ok")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(after.toSeq === Seq(("a", 1L, 10.0), ("a", 5L, 51.0)))
+    spark.sql("DROP TABLE graft_cat.default.rlo_ud")
+  }
+
   test("q172 partitioned catalog table: partition-key predicate prunes " +
     "partitions source-side; added column reads back null") {
     val df = SparkEntry.queries("q172_partitioned_catalog")(spark, sf)
