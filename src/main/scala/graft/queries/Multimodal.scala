@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{QueryModule, Tables}
+import graft.functions.MediaCodec
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -9,46 +10,59 @@ import org.apache.spark.sql.types._
   * columns + typed metadata structs, with decode / feature-extraction
   * running as partition-parallel typed transforms.
   *
-  * No image/audio codecs exist in this container, so the DECODE step is a
-  * clearly-marked deterministic STUB (`FakeDecoder`); everything around
-  * it — binary column construction, metadata schema, mapPartitions batch
-  * shape, partition parallelism — is real and oracle-checked. Swapping
-  * `FakeDecoder.decode` for a real codec is the only change needed.
+  * The decode step is a REAL container codec (functions/MediaCodec):
+  * documents are materialized as structurally-complete BMP and PNG
+  * files — correct magic numbers, endian-faithful header fields, CRC-32
+  * chunk trailers — and the decoder parses width/height/channels back
+  * out of those bytes, degrading to null on a corrupted header. No
+  * pixel codec library exists in this container (and none is needed for
+  * header metadata); swapping MediaCodec for libjpeg/ffmpeg changes one
+  * executor-side function, none of the Spark plumbing.
   */
 object Multimodal extends QueryModule {
 
-  /** Typed decode output (the schema a real image decoder would emit). */
-  case class MediaMeta(doc_id: Long, n_bytes: Long, width: Long,
-                       height: Long, mime: String)
+  /** Typed decode output (what a real image decoder emits per file). */
+  case class MediaMeta(doc_id: Long, n_bytes: Long, mime: Option[String],
+                       width: Option[Long], height: Option[Long],
+                       channels: Option[Long], bit_depth: Option[Long])
 
-  /** STUB decoder: deterministic pseudo-metadata from the byte payload.
-    * A real implementation would parse the container header here. */
-  object FakeDecoder {
-    def decode(docId: Long, bytes: Array[Byte]): MediaMeta = {
-      val n = bytes.length.toLong
-      MediaMeta(
-        doc_id = docId,
-        n_bytes = n,
-        width = n % 640 + 1,
-        height = (n * 7) % 480 + 1,
-        mime = (n % 3) match {
-          case 0 => "image/jpeg"
-          case 1 => "image/png"
-          case _ => "audio/wav"
-        })
-    }
+  /** Deterministic per-document media file: even doc_id → 24-bit BMP,
+    * odd → PNG (truecolor, +alpha when doc_id%4==1), dims derived from
+    * the id, payload from the text bytes. Every 13th document gets its
+    * magic number zeroed — the corrupt-file case a 100 TB ingest always
+    * contains. */
+  private[graft] def buildMedia(id: Long, text: String): Array[Byte] = {
+    val w = (id % 31 + 1).toInt
+    val h = (id % 17 + 1).toInt
+    val textBytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val bytes =
+      if (id % 2 == 0) MediaCodec.encodeBmp(w, h, textBytes)
+      else MediaCodec.encodePng(w, h,
+        colorType = if (id % 4 == 1) 6 else 2,
+        payload = textBytes.take(64))
+    if (id % 13 == 0) { bytes(0) = 0; bytes(1) = 0 }
+    bytes
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Binary payload + mapPartitions "decode" into a typed metadata
-    // struct — the real distributed plumbing around the stubbed codec.
+    // Binary payload + mapPartitions decode into a typed metadata
+    // struct. Two typed stages: (1) materialize the container bytes as
+    // a real binary column, (2) sniff + parse the header per row. Both
+    // are map-only over the same partitioning — no shuffle until the
+    // final presentation sort.
     "q80_multimodal_decode" -> { (s, dir) =>
       import s.implicits._
       Tables.df(s, dir, "documents")
-        .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
-        .as[(Long, Array[Byte])]
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          (id, buildMedia(id, text))
+        })
         .mapPartitions(_.map { case (id, bytes) =>
-          FakeDecoder.decode(id, bytes)
+          val d = MediaCodec.sniffDecode(bytes)
+          MediaMeta(id, bytes.length.toLong, d.mime,
+            d.width.map(_.toLong), d.height.map(_.toLong),
+            d.channels.map(_.toLong), d.bitDepth.map(_.toLong))
         })
         .toDF()
         .orderBy(col("doc_id"))
@@ -75,22 +89,26 @@ object Multimodal extends QueryModule {
         .orderBy(col("doc_id"), col("chunk_idx"))
     },
 
-    // Feature-extraction + resize stub over the payload: a 4-bin
-    // character-class histogram as the "extracted feature vector" (a
-    // real pipeline would emit CNN features here — same shape: map-only,
-    // fixed-width vector per row) and aspect-preserving resize targets
-    // computed from the decoded dimensions (width fixed at 224). The
-    // histogram is ONE codegen'd text pass (CharClassCounts) — the
-    // four-regexp_replace formulation scanned each document 4×.
+    // Feature-extraction + resize over DECODED dimensions: the 4-bin
+    // character-class histogram is the "feature vector" (ONE codegen'd
+    // text pass — CharClassCounts), and the aspect-preserving resize
+    // target comes from the REAL parsed header (width fixed at 224);
+    // a corrupted file's resize_h degrades to null instead of garbage.
     "q128_multimodal_features" -> { (s, dir) =>
+      import s.implicits._
       import graft.functions.CharClassCounts.charClassCounts
-      val nBytes = octet_length(col("text").cast(BinaryType))
-      val wRaw = (nBytes % 640 + 1).cast(DoubleType)
-      val hRaw = ((nBytes * 7) % 480 + 1).cast(DoubleType)
       Tables.df(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val d = MediaCodec.sniffDecode(buildMedia(id, text))
+          (id, text, d.width.map(_.toLong), d.height.map(_.toLong))
+        })
+        .toDF("doc_id", "text", "width", "height")
         .select(col("doc_id"), charClassCounts(col("text")).as("f"),
           lit(224L).as("resize_w"),
-          floor(lit(224.0) * hRaw / wRaw).cast(LongType).as("resize_h"))
+          floor(lit(224.0) * col("height") / col("width"))
+            .cast(LongType).as("resize_h"))
         .select(col("doc_id"),
           element_at(col("f"), 1).as("f1"), element_at(col("f"), 2).as("f2"),
           element_at(col("f"), 3).as("f3"), element_at(col("f"), 4).as("f4"),
@@ -104,13 +122,32 @@ object Multimodal extends QueryModule {
   )
 
   override def oracle: Map[String, String] = Map(
+    // The oracle recomputes the header fields from the same generation
+    // rule (DuckDB cannot parse BMP/PNG; MediaCodecSpec proves the
+    // byte-level encode→decode round trip and corrupt degradation):
+    //   BMP file size = 54-byte header + 4-byte-padded stride × height
+    //   PNG file size = 8 sig + 25 IHDR + (12 + idat) IDAT + 12 IEND
     "q80_multimodal_decode" ->
       """SELECT doc_id,
-        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        | CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS width,
-        | CAST((octet_length(encode(text)) * 7) % 480 + 1 AS BIGINT) AS height,
-        | CASE octet_length(encode(text)) % 3 WHEN 0 THEN 'image/jpeg'
-        |   WHEN 1 THEN 'image/png' ELSE 'audio/wav' END AS mime
+        | CAST(CASE WHEN doc_id % 2 = 0
+        |   THEN 54 + ((3 * (doc_id % 31 + 1) + 3) // 4 * 4)
+        |     * (doc_id % 17 + 1)
+        |   ELSE 57 + least(64, octet_length(encode(text)))
+        | END AS BIGINT) AS n_bytes,
+        | CASE WHEN doc_id % 13 = 0 THEN NULL
+        |   WHEN doc_id % 2 = 0 THEN 'image/bmp'
+        |   ELSE 'image/png' END AS mime,
+        | CASE WHEN doc_id % 13 = 0 THEN NULL
+        |   ELSE CAST(doc_id % 31 + 1 AS BIGINT) END AS width,
+        | CASE WHEN doc_id % 13 = 0 THEN NULL
+        |   ELSE CAST(doc_id % 17 + 1 AS BIGINT) END AS height,
+        | CASE WHEN doc_id % 13 = 0 THEN NULL
+        |   WHEN doc_id % 2 = 0 THEN CAST(3 AS BIGINT)
+        |   WHEN doc_id % 4 = 1 THEN CAST(4 AS BIGINT)
+        |   ELSE CAST(3 AS BIGINT) END AS channels,
+        | CASE WHEN doc_id % 13 = 0 THEN NULL
+        |   WHEN doc_id % 2 = 0 THEN CAST(24 AS BIGINT)
+        |   ELSE CAST(8 AS BIGINT) END AS bit_depth
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q81_multimodal_chunks" ->
       """SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
@@ -133,8 +170,9 @@ object Multimodal extends QueryModule {
         |  CAST(length(text) - length(regexp_replace(text, '[^a-z]', '', 'g'))
         |    AS BIGINT) AS f4,
         |  CAST(224 AS BIGINT) AS resize_w,
-        |  CAST(floor(224.0 * ((octet_length(encode(text)) * 7) % 480 + 1)
-        |    / (octet_length(encode(text)) % 640 + 1)) AS BIGINT) AS resize_h,
+        |  CASE WHEN doc_id % 13 = 0 THEN NULL
+        |    ELSE CAST(floor(224.0 * (doc_id % 17 + 1)
+        |      / (doc_id % 31 + 1)) AS BIGINT) END AS resize_h,
         |  round(sqrt(CAST(
         |    (length(text) - length(regexp_replace(text, '[a-h]', '', 'g'))) *
         |    (length(text) - length(regexp_replace(text, '[a-h]', '', 'g'))) +
