@@ -36,7 +36,10 @@ object Bench {
     // fact, CTE reuse, per-channel rankings, YoY share) — added so
     // regressions in them are visible; total re-baselines accordingly
     "q175_semi_chain", "q176_cte_reuse", "q177_channel_rankings",
-    "q178_yoy_share")
+    "q178_yoy_share",
+    // round 9: time-interval range frame + the Q47/Q4/Q78 topologies
+    "q192_window_time_range", "q193_moving_avg", "q194_yoy_growth",
+    "q195_channel_fullouter")
 
   /** Drain the ContextCleaner so no prior query's cleanup I/O bills the
     * next timed region. A GC enqueues the dead weak refs; the cleaner

@@ -583,6 +583,99 @@ object Analytics extends QueryModule {
           round(col("prev_raw"), 6).as("prev_share"),
           (col("share_raw") > col("prev_raw")).as("grew"))
         .orderBy(col("n_name"), col("yr"))
+    },
+
+    // TPC-DS Q47/Q57 shape: MOVING-AVERAGE anomaly months — each
+    // nation's monthly revenue vs the centered 3-month moving average
+    // (ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING), keeping months that
+    // exceed the frame mean by >10%. All selection arithmetic is exact
+    // integer money (decimal sum × 10000 → BIGINT, cross-multiplied
+    // comparison) so the filter is bit-identical across engines; the
+    // fact is shuffled once to (nation, month) grain and the window
+    // runs on the tiny grouped frame. Dims broadcast.
+    "q193_moving_avg" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("n_name")).orderBy(col("mo"))
+        .rowsBetween(-1, 1)
+      Tables.df(s, dir, "orders")
+        .join(broadcast(Tables.df(s, dir, "customer")
+            .select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.df(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), date_format(col("o_orderdate"), "yyyy-MM")
+          .as("mo"))
+        .agg((sum(col("o_totalprice").cast(D4)) * 10000)
+          .cast(LongType).as("mrev_i"))
+        .withColumn("frame_sum_i", sum(col("mrev_i")).over(w))
+        .withColumn("frame_n", count(lit(1)).over(w))
+        // mrev > 1.1 × (frame_sum / frame_n), cross-multiplied in longs
+        .filter(col("mrev_i") * col("frame_n") * 10 >
+          col("frame_sum_i") * 11)
+        .select(col("n_name"), col("mo"),
+          (col("mrev_i").cast(DoubleType) / 10000).as("mrev"),
+          round(col("frame_sum_i").cast(DoubleType) / 10000 /
+            col("frame_n"), 6).as("mavg3"))
+        .orderBy(col("n_name"), col("mo"))
+    },
+
+    // TPC-DS Q4/Q11 shape: multi-year self-join on the customer-year
+    // aggregate — customers whose spend grew >25% year over year.
+    // The yearly CTE is built once (one fact shuffle to (custkey, yr)
+    // grain), self-joined on custkey with yr offset — both sides share
+    // the custkey clustering, so the join re-uses one shuffle family.
+    // Growth selection is exact integer money (spend2 × 4 > spend1 × 5);
+    // the customer dim broadcasts for the name.
+    "q194_yoy_growth" -> { (s, dir) =>
+      val spend = Tables.df(s, dir, "orders")
+        .groupBy(col("o_custkey"),
+          year(col("o_orderdate")).cast(LongType).as("yr"))
+        .agg((sum(col("o_totalprice").cast(D4)) * 10000)
+          .cast(LongType).as("spend_i"))
+      val grown = spend.as("y1")
+        .join(spend.as("y2"),
+          col("y1.o_custkey") === col("y2.o_custkey") &&
+            col("y2.yr") === col("y1.yr") + 1)
+        .filter(col("y2.spend_i") * 4 > col("y1.spend_i") * 5)
+      grown
+        .join(broadcast(Tables.df(s, dir, "customer")
+            .select(col("c_custkey"), col("c_name"))),
+          col("y1.o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"),
+          col("y1.yr").as("yr1"), col("y2.yr").as("yr2"),
+          (col("y1.spend_i").cast(DoubleType) / 10000).as("spend1"),
+          (col("y2.spend_i").cast(DoubleType) / 10000).as("spend2"),
+          round(col("y2.spend_i").cast(DoubleType) /
+            col("y1.spend_i"), 6).as("growth"))
+        .orderBy(col("c_custkey"), col("yr1"))
+    },
+
+    // TPC-DS Q78 shape: cross-channel FULL OUTER on aggregated facts
+    // with the null-channel filter — customers active in exactly ONE
+    // order-status channel ('O' open vs 'F' finished). Both channel
+    // frames aggregate to customer grain BEFORE the join (the full
+    // outer joins two small aggregates, never fact×fact), and the
+    // null-side filter is the point of the full join: an inner join
+    // would drop exactly the rows this report wants.
+    "q195_channel_fullouter" -> { (s, dir) =>
+      val ord = Tables.df(s, dir, "orders")
+      def chan(status: String, ck: String, rev: String, n: String) = ord
+        .filter(col("o_orderstatus") === status)
+        .groupBy(col("o_custkey").as(ck))
+        .agg((sum(col("o_totalprice").cast(D4)) * 10000)
+          .cast(LongType).as(rev), count(lit(1)).as(n))
+      chan("O", "o_ck", "o_rev_i", "n_o")
+        .join(chan("F", "f_ck", "f_rev_i", "n_f"),
+          col("o_ck") === col("f_ck"), "full_outer")
+        .filter(col("o_rev_i").isNull || col("f_rev_i").isNull)
+        .select(
+          coalesce(col("o_ck"), col("f_ck")).as("custkey"),
+          when(col("o_rev_i").isNull, "F-only").otherwise("O-only")
+            .as("channel"),
+          (coalesce(col("o_rev_i"), col("f_rev_i")).cast(DoubleType)
+            / 10000).as("revenue"),
+          coalesce(col("n_o"), col("n_f")).as("n_orders"))
+        .orderBy(col("custkey"))
     }
   )
 
@@ -896,6 +989,61 @@ object Analytics extends QueryModule {
         |SELECT n_name, yr, round(share_raw, 6) AS share,
         |  round(prev_raw, 6) AS prev_share, share_raw > prev_raw AS grew
         |FROM d WHERE prev_raw IS NOT NULL
-        |ORDER BY n_name, yr""".stripMargin
+        |ORDER BY n_name, yr""".stripMargin,
+    "q193_moving_avg" ->
+      """WITH m AS (
+        |  SELECT n_name, strftime(o_orderdate, '%Y-%m') AS mo,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) * 10000
+        |      AS BIGINT) AS mrev_i
+        |  FROM orders
+        |   JOIN customer ON o_custkey = c_custkey
+        |   JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY n_name, mo),
+        |w AS (
+        |  SELECT n_name, mo, mrev_i,
+        |    sum(mrev_i) OVER fr AS frame_sum_i,
+        |    count(*) OVER fr AS frame_n
+        |  FROM m
+        |  WINDOW fr AS (PARTITION BY n_name ORDER BY mo
+        |    ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING))
+        |SELECT n_name, mo, CAST(mrev_i AS DOUBLE) / 10000 AS mrev,
+        |  round(CAST(frame_sum_i AS DOUBLE) / 10000 / frame_n, 6)
+        |    AS mavg3
+        |FROM w WHERE mrev_i * frame_n * 10 > frame_sum_i * 11
+        |ORDER BY n_name, mo""".stripMargin,
+    "q194_yoy_growth" ->
+      """WITH spend AS (
+        |  SELECT o_custkey, CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) * 10000
+        |      AS BIGINT) AS spend_i
+        |  FROM orders GROUP BY o_custkey, yr)
+        |SELECT c_custkey, c_name, y1.yr AS yr1, y2.yr AS yr2,
+        |  CAST(y1.spend_i AS DOUBLE) / 10000 AS spend1,
+        |  CAST(y2.spend_i AS DOUBLE) / 10000 AS spend2,
+        |  round(CAST(y2.spend_i AS DOUBLE) / y1.spend_i, 6) AS growth
+        |FROM spend y1 JOIN spend y2
+        |  ON y1.o_custkey = y2.o_custkey AND y2.yr = y1.yr + 1
+        | JOIN customer ON y1.o_custkey = c_custkey
+        |WHERE y2.spend_i * 4 > y1.spend_i * 5
+        |ORDER BY c_custkey, yr1""".stripMargin,
+    "q195_channel_fullouter" ->
+      """WITH o AS (
+        |  SELECT o_custkey AS ck,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) * 10000
+        |      AS BIGINT) AS rev_i, count(*) AS n
+        |  FROM orders WHERE o_orderstatus = 'O' GROUP BY ck),
+        |f AS (
+        |  SELECT o_custkey AS ck,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) * 10000
+        |      AS BIGINT) AS rev_i, count(*) AS n
+        |  FROM orders WHERE o_orderstatus = 'F' GROUP BY ck)
+        |SELECT coalesce(o.ck, f.ck) AS custkey,
+        |  CASE WHEN o.rev_i IS NULL THEN 'F-only' ELSE 'O-only' END
+        |    AS channel,
+        |  CAST(coalesce(o.rev_i, f.rev_i) AS DOUBLE) / 10000 AS revenue,
+        |  coalesce(o.n, f.n) AS n_orders
+        |FROM o FULL OUTER JOIN f ON o.ck = f.ck
+        |WHERE o.rev_i IS NULL OR f.rev_i IS NULL
+        |ORDER BY custkey""".stripMargin
   )
 }

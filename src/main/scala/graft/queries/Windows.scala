@@ -76,6 +76,28 @@ object Windows extends QueryModule {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     },
 
+    // Time-interval RANGE frame: each event against the trailing
+    // 10-minute window of its user's stream — the sessionized-metrics
+    // shape (rolling event rate, rolling spend) the reference cannot
+    // express at all (NativeWindowBase.scala:135-208 supports only each
+    // function's default frame). The frame bound is an INTERVAL over
+    // the ORDER BY timestamp, so peers and boundary rows are
+    // time-determined, independent of tie order. Scale: partitioned by
+    // user_id — per-group window state is one 10-minute buffer, never
+    // a global sort.
+    "q192_window_time_range" -> { (s, dir) =>
+      val overW =
+        "OVER (PARTITION BY user_id ORDER BY ts " +
+          "RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING AND CURRENT ROW)"
+      Tables.df(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          expr(s"count(*) $overW").as("n_10m"),
+          expr(s"CAST(sum(CAST(value AS DECIMAL(18,4))) $overW AS DOUBLE)")
+            .as("sum_10m"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+
     // Distribution functions + ntile over a unique total order.
     "q33_window_dist" -> { (s, dir) =>
       val w = Window.partitionBy(col("c_mktsegment"))
@@ -344,6 +366,16 @@ object Windows extends QueryModule {
       |ORDER BY purchase_id""".stripMargin
 
   override def oracle: Map[String, String] = Map(
+    "q192_window_time_range" ->
+      """SELECT user_id, event_id,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |  count(*) OVER w AS n_10m,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+        |    AS sum_10m
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+        |  RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
     "q30_window_rank" ->
       """SELECT * FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

@@ -207,4 +207,39 @@ class PlanSpec extends AnyFunSuite {
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(2000))
     assert(!p.contains("SortMergeJoin"), "dims must broadcast, not SMJ")
   }
+
+  test("q192 rolling metrics run as a time-interval RANGE frame, not " +
+    "a rows frame") {
+    val p = finalPlan("q192_window_time_range")
+    assert(p.contains("RangeFrame"), p.take(2000))
+    assert(p.contains("INTERVAL '-10' MINUTE"), p.take(2000))
+  }
+
+  test("q193 dims broadcast and the moving average is a centered " +
+    "3-row frame over the grouped series") {
+    val p = finalPlan("q193_moving_avg")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(2000))
+    assert(!p.contains("SortMergeJoin"), "dims must broadcast, not SMJ")
+    assert(p.contains("specifiedwindowframe(RowFrame, -1, 1)"),
+      p.take(3000))
+  }
+
+  test("q194 the yearly-spend aggregate materializes once: the " +
+    "self-join's second side reads through exchange reuse") {
+    val p = finalPlan("q194_yoy_growth")
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+      p.take(3000))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1,
+      "customer dim must broadcast\n" + p.take(3000))
+  }
+
+  test("q195 channels full-outer join at customer grain (aggregates " +
+    "join, not facts)") {
+    val p = finalPlan("q195_channel_fullouter")
+    assert(p.contains("FullOuter"), p.take(3000))
+    // both sides aggregate before the join: partial aggregation must
+    // appear below the join in the plan
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      p.take(3000))
+  }
 }
