@@ -87,7 +87,48 @@ object CastMatrix extends QueryModule {
     (31, "array_to_utf8", array(lit(1), lit(2)).cast(StringType)),
     (32, "map_to_utf8", map(lit("k"), lit(7)).cast(StringType)),
     (33, "utf8_binary_roundtrip",
-      lit("héllo").cast(BinaryType).cast(StringType)))
+      lit("héllo").cast(BinaryType).cast(StringType)),
+    // nested-complex casts (cast.rs:26-341 recurses through the child
+    // kernels — the per-ELEMENT semantics must match the scalar cells):
+    // widening is lossless, per-element utf8 garbage nulls only that
+    // element, doubles truncate inside arrays exactly as at top level
+    (34, "array_int_to_array_long",
+      array(lit(1), lit(2)).cast(ArrayType(LongType))),
+    (35, "array_utf8_to_array_int_mixed",
+      array(lit("1"), lit("x"), lit("3")).cast(ArrayType(IntegerType))),
+    (36, "array_double_to_array_int_truncate",
+      array(lit(1.9), lit(-2.9)).cast(ArrayType(IntegerType))),
+    (37, "nested_array_utf8_fractional",
+      array(array(lit("3.7"))).cast(ArrayType(ArrayType(IntegerType)))),
+    // struct casts are POSITIONAL: the target's field names relabel,
+    // they do NOT reorder — a by-name engine would swap these values
+    (38, "struct_cast_positional_not_by_name",
+      struct(lit(1).as("a"), lit(2).as("b"))
+        .cast(StructType(Seq(StructField("b", IntegerType),
+          StructField("a", IntegerType))))),
+    (39, "struct_field_utf8_to_int",
+      struct(lit("7").as("a"), lit(3.99).as("b"))
+        .cast(StructType(Seq(StructField("a", IntegerType),
+          StructField("b", IntegerType))))),
+    // map casts recurse into keys AND values: keys may only take
+    // casts that cannot produce null (utf8→int on a key is REJECTED at
+    // analysis — keys must stay non-null — so the key cell is the
+    // legal lossless widening), while a garbage VALUE nulls just that
+    // entry's value
+    (40, "map_key_int_to_long",
+      map(lit(1), lit("v")).cast(MapType(LongType, StringType))),
+    (41, "map_value_utf8_to_int_garbage",
+      map(lit("k"), lit("x")).cast(MapType(StringType, IntegerType))),
+    // utf8 -> timestamp: fractional seconds, zone offsets (normalized
+    // to the UTC session zone), T separator, date-only, and garbage
+    (42, "utf8_to_ts_fractional",
+      lit("2024-03-15 12:34:56.789").cast(TimestampType)),
+    (43, "utf8_to_ts_zoned",
+      lit("2024-03-15 12:34:56+02:00").cast(TimestampType)),
+    (44, "utf8_to_ts_t_separator",
+      lit("2024-03-15T07:08:09Z").cast(TimestampType)),
+    (45, "utf8_to_ts_date_only", lit("2024-03-15").cast(TimestampType)),
+    (46, "utf8_to_ts_garbage", lit("not a time").cast(TimestampType)))
 
   /** Pinned expecteds — regenerated by `runMain graft.queries.CastMatrix`
     * (prints fresh pin source if a Spark upgrade moves a cell). */
@@ -102,7 +143,13 @@ object CastMatrix extends QueryModule {
     23 -> "true", 24 -> "true", 25 -> "NULL", 26 -> "1",
     27 -> "1.0E10", 28 -> "1.5", 29 -> "1000.0",
     30 -> "{1, x}", 31 -> "[1, 2]", 32 -> "{k -> 7}",
-    33 -> "héllo")
+    33 -> "héllo",
+    34 -> "[1, 2]", 35 -> "[1, null, 3]", 36 -> "[1, -2]",
+    37 -> "[[3]]", 38 -> "{1, 2}", 39 -> "{7, 3}",
+    40 -> "{1 -> v}", 41 -> "{k -> null}",
+    42 -> "2024-03-15 12:34:56.789", 43 -> "2024-03-15 10:34:56",
+    44 -> "2024-03-15 07:08:09", 45 -> "2024-03-15 00:00:00",
+    46 -> "NULL")
 
   private[graft] def resultDf(s: SparkSession): DataFrame = {
     // child session: same catalog/conf defaults, ANSI off — the cast
@@ -175,13 +222,29 @@ object CastMatrix extends QueryModule {
     (13, "ansi_utf8_to_int_trimmed", lit(" 42 ").cast(IntegerType)),
     (14, "ansi_bool_to_int", lit(true).cast(IntegerType)),
     (15, "ansi_epoch_long_to_timestamp",
-      lit(1700000000L).cast(TimestampType)))
+      lit(1700000000L).cast(TimestampType)),
+    // nested-complex under ANSI: try_cast nulls at ELEMENT grain
+    // ([1, null], {k -> null}) — inner casts inherit the try semantics
+    // rather than failing the whole value — and legal nested widening
+    // and zoned timestamp parsing behave as in legacy
+    (16, "ansi_try_array_utf8_garbage_elem",
+      array(lit("1"), lit("x")).try_cast(ArrayType(IntegerType))),
+    (17, "ansi_array_int_to_array_long",
+      array(lit(1), lit(2)).cast(ArrayType(LongType))),
+    (18, "ansi_try_map_value_garbage",
+      map(lit("k"), lit("x")).try_cast(MapType(StringType, IntegerType))),
+    (19, "ansi_utf8_to_ts_zoned",
+      lit("2024-03-15 12:34:56+02:00").cast(TimestampType)),
+    (20, "ansi_try_utf8_to_ts_garbage",
+      lit("not a time").try_cast(TimestampType)))
 
   private val ansiExpected: Map[Int, String] = Map(
     1 -> "NULL", 2 -> "NULL", 3 -> "NULL", 4 -> "NULL", 5 -> "NULL",
     6 -> "NULL", 7 -> "NULL", 8 -> "NULL", 9 -> "NULL", 10 -> "NULL",
     11 -> "3", 12 -> "123.5", 13 -> "42", 14 -> "1",
-    15 -> "2023-11-14 22:13:20")
+    15 -> "2023-11-14 22:13:20",
+    16 -> "[1, null]", 17 -> "[1, 2]", 18 -> "{k -> null}",
+    19 -> "2024-03-15 10:34:56", 20 -> "NULL")
 
   private[graft] def ansiResultDf(s: SparkSession): DataFrame = {
     val ansi = s.newSession()
