@@ -198,7 +198,12 @@ object Pipeline4 extends QueryModule {
     "q186_temperature_mixture" -> { (s, dir) =>
       val docs = Tables.df(s, dir, "documents")
         .select(col("doc_id"), col("source"),
-          (((col("doc_id") * 2654435761L) % 4294967296L)
+          // doc_id is reduced mod 2^31 BEFORE the Knuth multiply so the
+          // product (< 2^31 × 2654435761 ≈ 5.7e18) stays inside Int64:
+          // unmasked, Spark would wrap silently past doc_id ≈ 3.47e9
+          // while DuckDB raises on BIGINT overflow — engine and oracle
+          // would diverge exactly at the scale this query targets
+          ((((col("doc_id") % 2147483648L) * 2654435761L) % 4294967296L)
             .cast(DoubleType) / 4294967296.0).as("u"))
       val counts = docs.groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"))
@@ -332,7 +337,8 @@ object Pipeline4 extends QueryModule {
          |ORDER BY doc_id""".stripMargin,
     "q186_temperature_mixture" ->
       """WITH d AS (SELECT doc_id, source,
-        |    CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE)
+        |    CAST(((doc_id % 2147483648) * 2654435761) % 4294967296
+        |      AS DOUBLE)
         |      / 4294967296.0 AS u
         |  FROM documents),
         |c AS (SELECT source, count(*) AS n_docs FROM d GROUP BY source),

@@ -422,8 +422,15 @@ object Streaming extends QueryModule {
     // ladder as batch.
     "q180_stream_asof_enrich" -> { (s, dir) =>
       graft.GraftExtensions.register(s)
+      // the sink path embeds the SANITIZED fixture path (hashCode
+      // collides across dirs) and is deleted up front: a run whose
+      // stream produced no batch 0 must fail loudly on read-back, not
+      // silently return a previous run's parquet
       val out = "/tmp/graft_stream_sink/q180_" +
-        Integer.toHexString(dir.hashCode)
+        dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val outPath = new org.apache.hadoop.fs.Path(out)
+      outPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(outPath, true)
       val clicks = graft.Tables.df(s, dir, "events")
         .filter(col("event_type") === "click")
         .select(col("event_id").as("click_id"),

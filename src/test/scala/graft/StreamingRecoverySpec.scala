@@ -76,4 +76,58 @@ class StreamingRecoverySpec extends AnyFunSuite {
     assert(run2.values.sum - run1.values.sum == lateN,
       "restart must process exactly the new file's rows")
   }
+
+  test("q188 boundary-exclusion contract: every purchase older than " +
+    "delay+margin finalizes exactly; boundary rows may be absent but " +
+    "never spurious") {
+    // Run the streaming left-outer join; its memory sink stays
+    // registered, so the RAW (pre-exclusion) output is inspectable.
+    SparkEntry.queries("q188_stream_stream_outer")(spark, sf).collect()
+    val sink = spark.table("q188_sink")
+      .select(col("p_id"), unix_micros(col("p_ts")).as("p_us"),
+        col("c_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long])))
+
+    // batch ground truth for the same join
+    val ev = Tables.df(spark, sf, "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"),
+        unix_micros(col("ts")).as("p_us"), col("event_id").as("p_id"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"),
+        unix_micros(col("ts")).as("c_us"), col("event_id").as("c_id"))
+    val batch = p.join(c,
+        col("p_user") === col("c_user") &&
+          col("c_us") >= col("p_us") - 1800000000L &&
+          col("c_us") <= col("p_us"), "left_outer")
+      .select(col("p_id"), col("p_us"), col("c_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long])))
+    val mx = ev.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+    val cut = mx - 7200000000L // watermark delay (1h) + margin (1h)
+
+    // (a) the finalized region is EXACT: watermark passage must have
+    // emitted every old purchase, matched rows and null-padded alike
+    val oldSink = sink.filter(_._2 <= cut).toSet
+    val oldBatch = batch.filter(_._2 <= cut).toSet
+    assert(oldBatch.nonEmpty, "fixture must populate the old region")
+    assert(oldSink == oldBatch,
+      s"rows older than delay+margin must finalize: missing=" +
+        s"${(oldBatch -- oldSink).take(5)} spurious=" +
+        s"${(oldSink -- oldBatch).take(5)}")
+
+    // (b) the boundary region is one-sided: a young row may still sit
+    // in state when the stream ends (its absence is legal — that is
+    // WHY q188 excludes the region), but anything emitted must agree
+    // with the batch join — never a spurious or wrong pair
+    val youngSink = sink.filterNot(_._2 <= cut).toSet
+    val youngBatch = batch.filterNot(_._2 <= cut).toSet
+    assert(youngBatch.nonEmpty,
+      "fixture must populate the boundary region (else the exclusion " +
+        "window proves nothing)")
+    assert((youngSink -- youngBatch).isEmpty,
+      s"boundary rows must be a subset of the batch join, spurious=" +
+        s"${(youngSink -- youngBatch).take(5)}")
+  }
 }
