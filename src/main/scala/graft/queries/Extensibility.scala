@@ -29,6 +29,37 @@ object Extensibility extends QueryModule {
           |FROM documents ORDER BY doc_id""".stripMargin)
     },
 
+    // Hive UDF bridge (the day-one surface for a Hive-workload
+    // migration — reference analog: HiveUDFUtil's detect-and-wrap):
+    // four REAL Hive UDF classes from hive-exec, spanning BOTH Hive
+    // protocols — old-style `UDF` (UDFAscii, UDFBin: reflective
+    // evaluate) and `GenericUDF` (GenericUDFConcatWS, GenericUDFLpad:
+    // ObjectInspector negotiation) — registered by class name and run
+    // distributed through Spark's adapter expressions. The oracle
+    // recomputes each with DuckDB's native equivalents, so the bridged
+    // evaluation path itself is hash-checked.
+    "q196_hive_udf" -> { (s, dir) =>
+      import graft.functions.HiveUdfBridge
+      HiveUdfBridge.register(s, "hive_ascii",
+        "org.apache.hadoop.hive.ql.udf.UDFAscii")
+      HiveUdfBridge.register(s, "hive_bin",
+        "org.apache.hadoop.hive.ql.udf.UDFBin")
+      HiveUdfBridge.register(s, "hive_concat_ws",
+        "org.apache.hadoop.hive.ql.udf.generic.GenericUDFConcatWS")
+      HiveUdfBridge.register(s, "hive_lpad",
+        "org.apache.hadoop.hive.ql.udf.generic.GenericUDFLpad")
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT doc_id,
+          |  CAST(hive_ascii(substring(text, 1, 1)) AS BIGINT)
+          |    AS first_ascii,
+          |  hive_bin(doc_id) AS id_bin,
+          |  hive_concat_ws('-', lang, source) AS lang_source,
+          |  hive_lpad(CAST(doc_id AS STRING), 8, '0') AS id_pad
+          |FROM documents WHERE doc_id < 500
+          |ORDER BY doc_id""".stripMargin)
+    },
+
     // Custom Generator UDTF via SQL LATERAL VIEW: bigram shingles,
     // counted — the n-gram dedup primitive.
     "q55_bigrams_udtf" -> { (s, dir) =>
@@ -117,6 +148,14 @@ object Extensibility extends QueryModule {
   )
 
   override def oracle: Map[String, String] = Map(
+    "q196_hive_udf" ->
+      """SELECT doc_id,
+        |  CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS first_ascii,
+        |  bin(doc_id) AS id_bin,
+        |  concat_ws('-', lang, source) AS lang_source,
+        |  lpad(CAST(doc_id AS VARCHAR), 8, '0') AS id_pad
+        |FROM documents WHERE doc_id < 500
+        |ORDER BY doc_id""".stripMargin,
     "q49_scalar_udf" ->
       """SELECT doc_id,
         | CAST(length(text) - length(translate(text, 'aeiou', ''))

@@ -151,4 +151,25 @@ class SparkHashPinSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(r.getAs[Long]("xx") == 1423657621850124518L)
     assert(r.getAs[Long]("crc") == 891568578L)
   }
+
+  test("Hive UDF bridge: detects both protocols, evaluates with null " +
+    "semantics, rejects non-UDF classes") {
+    import graft.functions.HiveUdfBridge
+    // old-style UDF protocol (reflective evaluate)
+    HiveUdfBridge.register(spark, "h_bin",
+      "org.apache.hadoop.hive.ql.udf.UDFBin")
+    // GenericUDF protocol (ObjectInspector negotiation)
+    HiveUdfBridge.register(spark, "h_lpad",
+      "org.apache.hadoop.hive.ql.udf.generic.GenericUDFLpad")
+    val r = spark.sql(
+      "SELECT h_bin(10L) AS b, h_lpad('7', 4, '0') AS p, " +
+        "h_bin(CAST(NULL AS BIGINT)) AS bn").collect().head
+    assert(r.getString(0) == "1010")
+    assert(r.getString(1) == "0007")
+    assert(r.isNullAt(2), "Hive null-in null-out must survive the bridge")
+    // a random class must be rejected at registration, not at runtime
+    intercept[IllegalArgumentException] {
+      HiveUdfBridge.register(spark, "h_bad", "java.lang.String")
+    }
+  }
 }
