@@ -215,6 +215,33 @@ object Connectors extends QueryModule {
         "GROUP BY prio ORDER BY prio")
     },
 
+    // SQL UPDATE + DELETE with NON-equality predicates through the same
+    // row-level-operation seam as q191 (canDeleteWhere declines `ok >=
+    // 900`, so Spark rewrites both through the group-based replace),
+    // then a read-back that also projects the `_partition` METADATA
+    // column (SupportsMetadataColumns — the per-row partition
+    // provenance Iceberg exposes; prefixed-key rendering per partKey).
+    "q197_rlo_update_delete" -> { (s, dir) =>
+      s.conf.set("spark.sql.catalog.graft_cat",
+        "graft.sources.GraftCatalog")
+      s.sql("DROP TABLE IF EXISTS graft_cat.default.po_q197")
+      s.sql("CREATE TABLE graft_cat.default.po_q197 " +
+        "(prio STRING, ok BIGINT, price DOUBLE) PARTITIONED BY (prio)")
+      Tables.df(s, dir, "orders")
+        .filter(col("o_orderkey") < 1200)
+        .select(col("o_orderpriority").as("prio"),
+          col("o_orderkey").as("ok"), col("o_totalprice").as("price"))
+        .writeTo("graft_cat.default.po_q197").append()
+      s.sql("UPDATE graft_cat.default.po_q197 " +
+        "SET price = price + 500.0 WHERE ok >= 600 AND ok < 900")
+      s.sql("DELETE FROM graft_cat.default.po_q197 WHERE ok >= 900")
+      s.sql("SELECT _partition, prio, count(*) AS n_orders, " +
+        "min(ok) AS min_ok, max(ok) AS max_ok, " +
+        "CAST(sum(CAST(price AS DECIMAL(18,4))) AS DOUBLE) " +
+        "AS total_price FROM graft_cat.default.po_q197 " +
+        "GROUP BY _partition, prio ORDER BY prio")
+    },
+
     // COMPLETE aggregate pushdown: an ungrouped count/min/max over a
     // BILLION-row table answered source-side in O(1) — the engine plans
     // no aggregation and the scan emits one row (SourcesSpec asserts
@@ -263,6 +290,17 @@ object Connectors extends QueryModule {
         |FROM orders
         |WHERE o_orderkey < 1000 AND o_orderpriority = '1-URGENT'
         |GROUP BY o_orderpriority""".stripMargin,
+    "q197_rlo_update_delete" ->
+      """WITH t AS (
+        |  SELECT o_orderpriority AS prio, o_orderkey AS ok,
+        |    CASE WHEN o_orderkey >= 600 AND o_orderkey < 900
+        |      THEN o_totalprice + 500.0 ELSE o_totalprice END AS price
+        |  FROM orders WHERE o_orderkey < 900)
+        |SELECT '=' || prio AS _partition, prio, count(*) AS n_orders,
+        |  min(ok) AS min_ok, max(ok) AS max_ok,
+        |  CAST(sum(CAST(price AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS total_price
+        |FROM t GROUP BY prio ORDER BY prio""".stripMargin,
     "q191_merge_into" ->
       """WITH merged AS (
         |  SELECT o_orderpriority AS prio, o_orderkey AS ok,
