@@ -74,6 +74,23 @@ object Streaming extends QueryModule {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** End-of-stream finalization base for the purchase/click outer
+    * stream-stream joins. Each side's watermark tracks the max event
+    * time of ITS OWN type-filtered stream (EventTimeWatermarkExec sits
+    * above the filter), and the join advances on the MIN of the two —
+    * so the "must have finalized" cut has to be measured from
+    * least(max purchase ts, max click ts), NOT the global max over all
+    * events. At sf0.001 the last click lands 4 h before the last
+    * purchase; a cut from the global max demands rows the engine
+    * provably cannot have evicted yet (final watermark = last click −
+    * 1 h, click-state eviction a further 30 min behind it). */
+  private def outerJoinWatermarkBase(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.df(s, dir, "events")
+      .agg(least(
+        max(when(col("event_type") === "purchase", unix_micros(col("ts")))),
+        max(when(col("event_type") === "click", unix_micros(col("ts"))))
+      ).as("mx"))
+
   /** Run `body` with bounded-drain confs applied and restored after:
     * shuffle partitions capped (each stateful partition carries a state
     * store — 32 stores for one bounded file is pure overhead) and
@@ -243,7 +260,9 @@ object Streaming extends QueryModule {
     // stream's end are excluded from the comparison ON BOTH SIDES —
     // their emission depends on Spark's exact eviction boundary, which
     // is not a contract worth pinning. Everything older MUST have
-    // finalized, and the oracle checks exactly that region.
+    // finalized, and the oracle checks exactly that region. The cut is
+    // measured from outerJoinWatermarkBase (least per-side max), which
+    // is what actually bounds the final watermark — see its doc.
     "q188_stream_stream_outer" -> { (s, dir) =>
       val p = eventStream(s, dir)
         .filter(col("event_type") === "purchase")
@@ -270,13 +289,56 @@ object Streaming extends QueryModule {
           .format("memory").queryName("q188_sink").start()
         try q.processAllAvailable() finally q.stop()
       } finally s.conf.set(partKey, savedParts)
-      val mx = graft.Tables.df(s, dir, "events")
-        .agg(max(unix_micros(col("ts"))).as("mx"))
       s.table("q188_sink")
-        .crossJoin(broadcast(mx))
+        .crossJoin(broadcast(outerJoinWatermarkBase(s, dir)))
         .filter(unix_micros(col("p_ts")) <= col("mx") - 7200000000L)
         .select(col("p_id"), col("c_id"))
         .orderBy(col("p_id"), col("c_id"))
+    },
+
+    // Stream-stream FULL OUTER join — completes the outer family
+    // (q104 inner, q188 left): BOTH sides hold state and BOTH emit
+    // null-padded rows on watermark eviction — unmatched purchases
+    // (no click in the preceding 30 min) AND unmatched clicks (no
+    // purchase in the following 30 min). Same end-of-stream contract
+    // as q188, applied per SIDE: a row is compared only if every
+    // non-null timestamp in it is older than delay+margin; for matched
+    // rows c_ts <= p_ts, so the p-side cut subsumes the c-side one.
+    "q198_stream_stream_fullouter" -> { (s, dir) =>
+      val p = eventStream(s, dir)
+        .filter(col("event_type") === "purchase")
+        .withWatermark("ts", "1 hour")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("p_id"))
+      val c = eventStream(s, dir)
+        .filter(col("event_type") === "click")
+        .withWatermark("ts", "1 hour")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+          col("event_id").as("c_id"))
+      val joined = p.join(c,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+          col("c_ts") <= col("p_ts"),
+        "full_outer")
+        .select(col("p_id"), col("p_ts"), col("c_id"), col("c_ts"))
+      val partKey = "spark.sql.shuffle.partitions"
+      val savedParts = s.conf.get(partKey)
+      if (savedParts.toInt > 2) s.conf.set(partKey, "2")
+      try {
+        val q = joined.writeStream
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+          .format("memory").queryName("q198_sink").start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set(partKey, savedParts)
+      s.table("q198_sink")
+        .crossJoin(broadcast(outerJoinWatermarkBase(s, dir)))
+        .filter(
+          (col("p_ts").isNull ||
+            unix_micros(col("p_ts")) <= col("mx") - 7200000000L) &&
+          (col("c_ts").isNull ||
+            unix_micros(col("c_ts")) <= col("mx") - 7200000000L))
+        .select(col("p_id"), col("c_id"))
+        .orderBy(col("p_id").asc_nulls_first, col("c_id").asc_nulls_first)
     },
 
     // Sessionization via the BUILT-IN session_window construct on the
@@ -485,8 +547,12 @@ object Streaming extends QueryModule {
         |  FROM events, unnest([0, 1]) AS t(h)
         |) GROUP BY w_start ORDER BY w_start""".stripMargin,
     "q188_stream_stream_outer" ->
-      """WITH m AS (SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) AS mx
-        |           FROM events)
+      """WITH m AS (SELECT least(
+        |    max(epoch_us(CAST(ts AS TIMESTAMP)))
+        |      FILTER (WHERE event_type = 'purchase'),
+        |    max(epoch_us(CAST(ts AS TIMESTAMP)))
+        |      FILTER (WHERE event_type = 'click')) AS mx
+        |  FROM events)
         |SELECT p.event_id AS p_id, c.event_id AS c_id
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
@@ -497,6 +563,26 @@ object Streaming extends QueryModule {
         |CROSS JOIN m
         |WHERE epoch_us(CAST(p.ts AS TIMESTAMP)) <= m.mx - 7200000000
         |ORDER BY p_id, c_id""".stripMargin,
+    "q198_stream_stream_fullouter" ->
+      """WITH m AS (SELECT least(
+        |    max(epoch_us(CAST(ts AS TIMESTAMP)))
+        |      FILTER (WHERE event_type = 'purchase'),
+        |    max(epoch_us(CAST(ts AS TIMESTAMP)))
+        |      FILTER (WHERE event_type = 'click')) AS mx
+        |  FROM events)
+        |SELECT p.event_id AS p_id, c.event_id AS c_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        | AND CAST(c.ts AS TIMESTAMP)
+        |     >= CAST(p.ts AS TIMESTAMP) - INTERVAL 30 MINUTE
+        | AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+        |CROSS JOIN m
+        |WHERE (p.event_id IS NULL
+        |       OR epoch_us(CAST(p.ts AS TIMESTAMP)) <= m.mx - 7200000000)
+        |  AND (c.event_id IS NULL
+        |       OR epoch_us(CAST(c.ts AS TIMESTAMP)) <= m.mx - 7200000000)
+        |ORDER BY p_id NULLS FIRST, c_id NULLS FIRST""".stripMargin,
     "q104_stream_stream_join" ->
       """SELECT p.event_id AS p_id, c.event_id AS c_id
         |FROM events p JOIN events c ON p.user_id = c.user_id
