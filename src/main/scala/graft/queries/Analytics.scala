@@ -676,6 +676,99 @@ object Analytics extends QueryModule {
             / 10000).as("revenue"),
           coalesce(col("n_o"), col("n_f")).as("n_orders"))
         .orderBy(col("custkey"))
+    },
+
+    // Correlated LATERAL subquery with ORDER BY + LIMIT — the SQL
+    // surface BI tools and migrated Postgres workloads emit for
+    // "top-3 line items per order". The danger shape is per-outer-row
+    // re-execution (a nested loop running the inner query once per
+    // order); Spark must DECORRELATE it into a rank-filter window over
+    // one pass of the fact + one equi-join, which PlanSpec asserts
+    // (Window present, no nested-loop/cartesian). Known residual:
+    // Spark preserves the lateral's inner ORDER BY as a global range
+    // exchange it does not actually need for the top-3 semantics —
+    // the engine's native scale formulation of the same report is
+    // q30/q177's WindowGroupLimit path; this row pins the SQL surface
+    // against the same oracle.
+    "q199_lateral_topk" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT o_orderkey, l.pk, l.price
+        FROM orders JOIN LATERAL (
+          SELECT l_partkey AS pk, l_extendedprice AS price
+          FROM lineitem WHERE l_orderkey = o_orderkey
+          ORDER BY l_extendedprice DESC, l_partkey LIMIT 3) l
+        WHERE o_orderstatus = 'F'
+        ORDER BY o_orderkey, price DESC, pk""")
+    },
+
+    // TPC-H Q21 shape: suppliers who kept multi-supplier orders
+    // waiting — the supplier's line shipped late (>60 days after the
+    // order date) while EVERY other supplier on the same order shipped
+    // on time. The textbook plan is a fact self-join PAIR (EXISTS
+    // other-supplier line, NOT EXISTS other-supplier late line); here
+    // both existence probes collapse into one grouped pass: per
+    // (orderkey, suppkey) a was-late flag, per orderkey the supplier
+    // and late-supplier counts, then waiting = late ∧ n_supp ≥ 2 ∧
+    // n_late = 1 (the sole late supplier on a shared order). The fact
+    // shuffles once on the orderkey grain it is already keyed by and
+    // the per-order frame joins back on that same key family; the
+    // supplier dim broadcasts for names. The oracle runs the literal
+    // EXISTS / NOT EXISTS formulation, so the rewrite is checked
+    // against the spec, not against itself.
+    "q200_waiting_suppliers" -> { (s, dir) =>
+      val lines = Tables.df(s, dir, "lineitem")
+        .join(Tables.df(s, dir, "orders")
+            .filter(col("o_orderstatus") === "F")
+            .select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(when(
+          datediff(col("l_shipdate"), col("o_orderdate")) > 60,
+          lit(1)).otherwise(lit(0))).as("late"))
+      val perOrder = lines.groupBy(col("l_orderkey").as("ok"))
+        .agg(count(lit(1)).as("n_supp"), sum(col("late")).as("n_late"))
+      lines.filter(col("late") === 1)
+        .join(perOrder, col("l_orderkey") === col("ok"))
+        .filter(col("n_supp") >= 2 && col("n_late") === 1)
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("numwait"))
+        .join(broadcast(Tables.df(s, dir, "supplier")
+            .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("numwait"))
+        .orderBy(col("numwait").desc, col("s_suppkey"))
+    },
+
+    // TPC-DS Q35/Q69 shape: census over EXISTENCE flags — customers
+    // bucketed by which behaviors they exhibit (any open order, any
+    // finished order, any big-ticket order) counted per nation. Each
+    // correlated EXISTS probe of the literal query collapses into a
+    // conditional max inside one grouped pass over the fact, so there
+    // are no per-row subquery executions and no self-joins: fact →
+    // customer-grain flag frame (one shuffle), dims broadcast, final
+    // census is a tiny (nation × flag-combo) aggregate.
+    "q201_customer_segments" -> { (s, dir) =>
+      val flags = Tables.df(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(
+          max(when(col("o_orderstatus") === "O", lit(1))
+            .otherwise(lit(0))).as("has_open"),
+          max(when(col("o_orderstatus") === "F", lit(1))
+            .otherwise(lit(0))).as("has_finished"),
+          max(when(col("o_totalprice") > 200000, lit(1))
+            .otherwise(lit(0))).as("has_big"))
+      flags
+        .join(broadcast(Tables.df(s, dir, "customer")
+            .select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.df(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), col("has_open"),
+          col("has_finished"), col("has_big"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("n_name"), col("has_open"),
+          col("has_finished"), col("has_big"))
     }
   )
 
@@ -1044,6 +1137,47 @@ object Analytics extends QueryModule {
         |  coalesce(o.n, f.n) AS n_orders
         |FROM o FULL OUTER JOIN f ON o.ck = f.ck
         |WHERE o.rev_i IS NULL OR f.rev_i IS NULL
-        |ORDER BY custkey""".stripMargin
+        |ORDER BY custkey""".stripMargin,
+    "q199_lateral_topk" ->
+      """SELECT o_orderkey, l.pk, l.price
+        |FROM orders JOIN LATERAL (
+        |  SELECT l_partkey AS pk, l_extendedprice AS price
+        |  FROM lineitem WHERE l_orderkey = o_orderkey
+        |  ORDER BY l_extendedprice DESC, l_partkey LIMIT 3) l ON true
+        |WHERE o_orderstatus = 'F'
+        |ORDER BY o_orderkey, price DESC, pk""".stripMargin,
+    "q200_waiting_suppliers" ->
+      """WITH l AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    (CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE)) > 60
+        |      AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'),
+        |l1 AS (SELECT DISTINCT l_orderkey, l_suppkey FROM l WHERE late)
+        |SELECT s_suppkey, s_name, count(*) AS numwait
+        |FROM l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE EXISTS (SELECT 1 FROM l l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM l l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+        |GROUP BY s_suppkey, s_name
+        |ORDER BY numwait DESC, s_suppkey""".stripMargin,
+    "q201_customer_segments" ->
+      """WITH f AS (
+        |  SELECT o_custkey,
+        |    max(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+        |      AS has_open,
+        |    max(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+        |      AS has_finished,
+        |    max(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END)
+        |      AS has_big
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT n_name, has_open, has_finished, has_big,
+        |  count(*) AS n_customers
+        |FROM f JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""".stripMargin
   )
 }

@@ -242,4 +242,41 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_sum") || p.contains("partial_count"),
       p.take(3000))
   }
+
+  test("q199 correlated LATERAL top-k decorrelates to a window rank " +
+    "(one fact pass), never a per-outer-row nested loop") {
+    val p = finalPlan("q199_lateral_topk")
+    assert(p.contains("Window"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "lateral must decorrelate, not re-execute per order\n" + p.take(3000))
+    // AQE repeats the tree under "== Initial Plan ==" — count scans in
+    // the executed section only: one orders scan + one lineitem scan
+    val fin = p.split("== Initial Plan ==").head
+    assert("FileScan".r.findAllIn(fin).size == 2, fin.take(3000))
+  }
+
+  test("q200 waiting-suppliers collapses the EXISTS/NOT-EXISTS self-" +
+    "join pair into one grouped pass (shared subtree reused, supplier " +
+    "broadcast, no nested-loop)") {
+    val p = finalPlan("q200_waiting_suppliers")
+    // the (orderkey, suppkey) late-flag aggregate feeds both the
+    // waiting-line filter and the per-order census; its exchange must
+    // materialize once
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+      p.take(3000))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1,
+      "supplier dim must broadcast\n" + p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("q201 existence-flag census: EXISTS probes fold into one " +
+    "grouped pass, dims broadcast") {
+    val p = finalPlan("q201_customer_segments")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(3000))
+    assert(!p.contains("SortMergeJoin"), "dims must broadcast, not SMJ")
+    assert(p.contains("partial_count") || p.contains("partial_max"),
+      p.take(3000))
+  }
 }
