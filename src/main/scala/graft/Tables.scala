@@ -19,16 +19,25 @@ object Tables {
 
   def df(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-      // reader rejects (PARQUET_TYPE_ILLEGAL). Read it as a raw ns long and
-      // rebuild a microsecond TimestampType column (floor division matches
-      // DuckDB's TIMESTAMP_NS -> TIMESTAMP truncation, so oracle SQL can
-      // compare on CAST(ts AS TIMESTAMP)).
+      // events.ts has shipped as both parquet TIMESTAMP(NANOS) (which
+      // Spark's vectorized reader rejects — PARQUET_TYPE_ILLEGAL — so we
+      // read it as a raw ns long and floor-divide, matching DuckDB's
+      // TIMESTAMP_NS -> TIMESTAMP truncation) and as TIMESTAMP(MICROS)
+      // without the UTC flag (which Spark reads as TIMESTAMP_NTZ).
+      // Normalize either encoding to session-zoned TimestampType so every
+      // downstream query sees one type; session tz is pinned UTC, so the
+      // NTZ->LTZ cast is value-preserving and agrees with the oracle.
+      import org.apache.spark.sql.functions.{col, timestamp_micros, expr}
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(path(dir, name))
-        .withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts div 1000")))
+      val raw = spark.read.parquet(path(dir, name))
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          raw.withColumn("ts",
+            col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        case _ => raw
+      }
     } else spark.read.parquet(path(dir, name))
 
   /** Register every test table as a temp view for SQL-path queries.

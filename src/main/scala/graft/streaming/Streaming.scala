@@ -53,10 +53,11 @@ object Streaming extends QueryModule {
 
   /** events schema for readStream (ts arrives as raw ns long because
     * Spark rejects parquet TIMESTAMP(NANOS) — see Tables.df). */
-  private val eventsSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  private def eventsSchema(tsType: org.apache.spark.sql.types.DataType) =
+    StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", tsType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
 
   private def eventStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -69,9 +70,20 @@ object Streaming extends QueryModule {
     if (!java.nio.file.Files.exists(link))
       java.nio.file.Files.createSymbolicLink(
         link, java.nio.file.Paths.get(dir, "events.parquet"))
-    s.readStream.schema(eventsSchema)
-      .parquet(stage.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // Match the fixture's ts encoding (see Tables.df): NANOS reads as a
+    // raw ns long, MICROS-without-UTC reads as TIMESTAMP_NTZ. Sniff the
+    // footer with a one-off batch read so the stream schema agrees.
+    val tsType = s.read.parquet(
+      graft.Tables.path(dir, "events")).schema("ts").dataType
+    val src = s.readStream.schema(eventsSchema(tsType)).parquet(stage.toString)
+    tsType match {
+      case LongType =>
+        src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        src.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => src
+    }
   }
 
   /** End-of-stream finalization base for the purchase/click outer
