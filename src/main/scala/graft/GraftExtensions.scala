@@ -39,6 +39,12 @@ object GraftExtensions {
       new ExpressionInfo(classOf[KmvDistinctSketch].getName, "kmv_distinct"),
       (es: Seq[Expression]) =>
         KmvDistinctSketch(es.head).toAggregateExpression()),
+    ("misra_gries",
+      new ExpressionInfo(
+        classOf[graft.functions.MisraGriesSketch].getName, "misra_gries"),
+      (es: Seq[Expression]) =>
+        graft.functions.MisraGriesSketch(es.head,
+          litInt(es, 1, "misra_gries")).toAggregateExpression()),
     ("bigrams",
       new ExpressionInfo(classOf[BigramsGenerator].getName, "bigrams"),
       (es: Seq[Expression]) => BigramsGenerator(es.head)),

@@ -13,7 +13,8 @@ object SparkEntry {
     Relational, Joins, Aggregates, Windows, Functions, Functions2,
     Generate, Sinks, Storage, Collections, Pipeline, Pipeline2, Pipeline3,
     Pipeline4, Similarity, Connectors, Warehouse, CastMatrix,
-    Multimodal, Extensibility, Analytics, graft.streaming.Streaming
+    Multimodal, Extensibility, Analytics, Analytics2,
+    graft.streaming.Streaming
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

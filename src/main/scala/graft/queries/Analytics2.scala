@@ -1,0 +1,271 @@
+package graft.queries
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Second analytics module: interval-overlap joins, two-fact cumulative
+  * comparison (TPC-DS Q51 topology), multi-band census (TPC-DS Q88
+  * topology), and batch sessionization — the event-analytics shapes the
+  * reference's TPC-DS corpus exercises beyond plain star joins.
+  *
+  * Scale conventions shared with Analytics.scala: exact-decimal money
+  * math (×10000 longs, divided once at the end), broadcast dims, and
+  * every self-/theta-join re-expressed so the fact never feeds a
+  * nested-loop pair.
+  */
+object Analytics2 extends QueryModule {
+
+  private val D4 = DecimalType(18, 4)
+
+  /** 2h in microseconds — q202's bin width (= the longer interval). */
+  private val BinUs = 7200000000L
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // INTERVAL-OVERLAP join — both sides are intervals, the harder
+    // cousin of q108's point-in-interval bin join. Purchases open a 2h
+    // exposure window, errors a 1h incident window; report how many
+    // error windows overlap each purchase window (no equi key at all,
+    // so the naive plan is an O(n·m) nested loop). Scale technique:
+    // quantize time into bins of the longer interval width; each
+    // interval explodes to the ≤2 bins it touches, pairs equi-join on
+    // the bin, and the canonical-bin predicate (bin == the LATER of the
+    // two start bins) keeps exactly one copy of each overlapping pair
+    // without a distinct — the dedup is free, inside the join. The
+    // shuffle carries (id, start, bin) only and the join is a plain
+    // hash join, so the plan survives 100× data where a BNLJ would
+    // not. Zero-overlap purchases are restored by a left join at the
+    // end (cheap: purchase-id grain).
+    "q202_interval_overlap" -> { (s, dir) =>
+      val ev = Tables.df(s, dir, "events")
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), unix_micros(col("ts")).as("pa"))
+        .withColumn("pe", col("pa") + lit(7200000000L))
+      val errs = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("e_id"), unix_micros(col("ts")).as("eb"))
+        .withColumn("ee", col("eb") + lit(3600000000L))
+      val pBins = purch.withColumn("bin",
+        explode(sequence(expr(s"pa div $BinUs"), expr(s"(pe - 1) div $BinUs"))))
+      val eBins = errs.withColumn("bin",
+        explode(sequence(expr(s"eb div $BinUs"), expr(s"(ee - 1) div $BinUs"))))
+      val pairs = pBins.join(eBins,
+        pBins("bin") === eBins("bin") &&
+          col("pa") < col("ee") && col("eb") < col("pe") &&
+          eBins("bin") === greatest(
+            expr(s"pa div $BinUs"), expr(s"eb div $BinUs")))
+      val counts = pairs.groupBy(col("p_id")).agg(count(lit(1)).as("n_err"))
+      purch.select(col("p_id")).join(counts, Seq("p_id"), "left")
+        .select(col("p_id").as("event_id"),
+          coalesce(col("n_err"), lit(0L)).as("n_err"))
+        .orderBy(col("event_id"))
+    },
+
+    // TPC-DS Q51 topology: cumulative comparison of TWO DIFFERENT
+    // facts. Channel 1 = order intake per customer nation per month
+    // (orders → customer → nation); channel 2 = shipped supply per
+    // supplier nation per month (lineitem → supplier → nation). The
+    // channels FULL OUTER join at (nation, month) grain — genuinely
+    // needed here because a nation can have intake months with no
+    // shipments and vice versa — then one window pass computes both
+    // running totals and keeps the months where cumulative intake has
+    // pulled ahead of cumulative supply. Both facts shuffle once at
+    // their natural aggregate grain; the join and window run on
+    // (nation × month) rows, thousands at any scale.
+    "q203_cumulative_fullouter" -> { (s, dir) =>
+      val intake = Tables.df(s, dir, "orders")
+        .join(broadcast(Tables.df(s, dir, "customer")
+            .select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.df(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("i_n"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("i_mo"))
+        .agg((sum(col("o_totalprice").cast(D4)) * 10000)
+          .cast(LongType).as("intake_i"))
+      val supply = Tables.df(s, dir, "lineitem")
+        .join(broadcast(Tables.df(s, dir, "supplier")
+            .select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.df(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("s_n"),
+          date_format(col("l_shipdate"), "yyyy-MM").as("s_mo"))
+        .agg((sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(D4)) * 10000).cast(LongType).as("supply_i"))
+      val w = Window.partitionBy(col("n_name")).orderBy(col("mo"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      intake.join(supply,
+          col("i_n") === col("s_n") && col("i_mo") === col("s_mo"),
+          "full_outer")
+        .select(coalesce(col("i_n"), col("s_n")).as("n_name"),
+          coalesce(col("i_mo"), col("s_mo")).as("mo"),
+          coalesce(col("intake_i"), lit(0L)).as("intake_i"),
+          coalesce(col("supply_i"), lit(0L)).as("supply_i"))
+        .withColumn("cum_intake_i", sum(col("intake_i")).over(w))
+        .withColumn("cum_supply_i", sum(col("supply_i")).over(w))
+        .filter(col("cum_intake_i") > col("cum_supply_i"))
+        .select(col("n_name"), col("mo"),
+          (col("cum_intake_i").cast(DoubleType) / 10000).as("cum_intake"),
+          (col("cum_supply_i").cast(DoubleType) / 10000).as("cum_supply"))
+        .orderBy(col("n_name"), col("mo"))
+    },
+
+    // TPC-DS Q88 topology: a census of N independent COUNT(*) scalar
+    // subqueries over the same fact with different band predicates
+    // (Q88 does 8 half-hour store-traffic bands), cross-joined into one
+    // row. The literal formulation scans the fact 8 times; the engine
+    // collapses all 8 into ONE pass of conditional aggregation — one
+    // scan, one map-side-combined agg, a single-row result. The oracle
+    // runs the literal 8-subquery SQL, so the rewrite is checked
+    // against the un-rewritten semantics.
+    "q204_band_census" -> { (s, dir) =>
+      def band(lo: Int, hi: Int): Column =
+        sum(when(col("l_quantity").between(lo, hi), lit(1L))
+          .otherwise(lit(0L)))
+      Tables.df(s, dir, "lineitem")
+        .filter((col("l_returnflag") === "R" && col("l_discount") <= 0.06) ||
+          (col("l_returnflag") =!= "R" && col("l_tax") > 0.02))
+        .agg(
+          band(1, 6).as("b1"), band(7, 12).as("b2"),
+          band(13, 18).as("b3"), band(19, 24).as("b4"),
+          band(25, 30).as("b5"), band(31, 36).as("b6"),
+          band(37, 42).as("b7"), band(43, 48).as("b8"))
+    },
+
+    // Batch sessionization — the funnel-analytics primitive (and the
+    // batch twin of q130's streaming session_window): per-user event
+    // streams split into sessions wherever the inter-event gap exceeds
+    // 8h, then per-session shape stats. One hash shuffle on user_id
+    // feeds BOTH window passes and the final aggregate (all three are
+    // user_id-keyed, so Catalyst reuses the single exchange), and
+    // state per key is one row — at 100 TB this is the one-shuffle
+    // layout a sessionizer needs. Ordering inside a user is (ts,
+    // event_id) — a total order, so lag/cumsum are deterministic; the
+    // gap itself compares ts only, so equal-ts ties cannot flip
+    // session boundaries.
+    "q205_sessionize" -> { (s, dir) =>
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val gapUs = 8L * 3600L * 1000000L
+      Tables.df(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("new_sess",
+          when(col("us") - lag(col("us"), 1).over(byUser) <= gapUs, lit(0L))
+            .otherwise(lit(1L)))
+        .withColumn("sess_seq", sum(col("new_sess")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sess_seq"))
+        .agg(count(lit(1)).as("n_events"),
+          expr("(max(us) - min(us)) div 1000000").as("dur_sec"),
+          sum(when(col("event_type") === "purchase", lit(1L))
+            .otherwise(lit(0L))).as("n_purchases"))
+        .orderBy(col("user_id"), col("sess_seq"))
+    }
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "q202_interval_overlap" ->
+      """SELECT p.event_id, count(er.event_id) AS n_err
+        |FROM events p LEFT JOIN events er
+        |  ON er.event_type = 'error'
+        | AND p.ts < er.ts + INTERVAL 1 HOUR
+        | AND er.ts < p.ts + INTERVAL 2 HOUR
+        |WHERE p.event_type = 'purchase'
+        |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin,
+    "q203_cumulative_fullouter" ->
+      """WITH intake AS (
+        |  SELECT n_name AS i_n, strftime(o_orderdate, '%Y-%m') AS i_mo,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) * 10000
+        |      AS BIGINT) AS intake_i
+        |  FROM orders
+        |   JOIN customer ON o_custkey = c_custkey
+        |   JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |supply AS (
+        |  SELECT n_name AS s_n, strftime(l_shipdate, '%Y-%m') AS s_mo,
+        |    CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |      AS DECIMAL(18,4))) * 10000 AS BIGINT) AS supply_i
+        |  FROM lineitem
+        |   JOIN supplier ON l_suppkey = s_suppkey
+        |   JOIN nation ON s_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT coalesce(i_n, s_n) AS n_name, coalesce(i_mo, s_mo) AS mo,
+        |    coalesce(intake_i, 0) AS intake_i,
+        |    coalesce(supply_i, 0) AS supply_i
+        |  FROM intake FULL OUTER JOIN supply
+        |    ON i_n = s_n AND i_mo = s_mo),
+        |c AS (
+        |  SELECT n_name, mo,
+        |    sum(intake_i) OVER w AS cum_intake_i,
+        |    sum(supply_i) OVER w AS cum_supply_i
+        |  FROM j
+        |  WINDOW w AS (PARTITION BY n_name ORDER BY mo
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT n_name, mo,
+        |  CAST(cum_intake_i AS DOUBLE) / 10000 AS cum_intake,
+        |  CAST(cum_supply_i AS DOUBLE) / 10000 AS cum_supply
+        |FROM c WHERE cum_intake_i > cum_supply_i
+        |ORDER BY n_name, mo""".stripMargin,
+    "q204_band_census" ->
+      """SELECT * FROM
+        |(SELECT count(*) AS b1 FROM lineitem
+        |  WHERE ((l_returnflag = 'R' AND l_discount <= 0.06)
+        |     OR (l_returnflag <> 'R' AND l_tax > 0.02))
+        |    AND l_quantity BETWEEN 1 AND 6) t1,
+        |(SELECT count(*) AS b2 FROM lineitem
+        |  WHERE ((l_returnflag = 'R' AND l_discount <= 0.06)
+        |     OR (l_returnflag <> 'R' AND l_tax > 0.02))
+        |    AND l_quantity BETWEEN 7 AND 12) t2,
+        |(SELECT count(*) AS b3 FROM lineitem
+        |  WHERE ((l_returnflag = 'R' AND l_discount <= 0.06)
+        |     OR (l_returnflag <> 'R' AND l_tax > 0.02))
+        |    AND l_quantity BETWEEN 13 AND 18) t3,
+        |(SELECT count(*) AS b4 FROM lineitem
+        |  WHERE ((l_returnflag = 'R' AND l_discount <= 0.06)
+        |     OR (l_returnflag <> 'R' AND l_tax > 0.02))
+        |    AND l_quantity BETWEEN 19 AND 24) t4,
+        |(SELECT count(*) AS b5 FROM lineitem
+        |  WHERE ((l_returnflag = 'R' AND l_discount <= 0.06)
+        |     OR (l_returnflag <> 'R' AND l_tax > 0.02))
+        |    AND l_quantity BETWEEN 25 AND 30) t5,
+        |(SELECT count(*) AS b6 FROM lineitem
+        |  WHERE ((l_returnflag = 'R' AND l_discount <= 0.06)
+        |     OR (l_returnflag <> 'R' AND l_tax > 0.02))
+        |    AND l_quantity BETWEEN 31 AND 36) t6,
+        |(SELECT count(*) AS b7 FROM lineitem
+        |  WHERE ((l_returnflag = 'R' AND l_discount <= 0.06)
+        |     OR (l_returnflag <> 'R' AND l_tax > 0.02))
+        |    AND l_quantity BETWEEN 37 AND 42) t7,
+        |(SELECT count(*) AS b8 FROM lineitem
+        |  WHERE ((l_returnflag = 'R' AND l_discount <= 0.06)
+        |     OR (l_returnflag <> 'R' AND l_tax > 0.02))
+        |    AND l_quantity BETWEEN 43 AND 48) t8""".stripMargin,
+    "q205_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, event_type, us,
+        |    CASE WHEN us - lag(us) OVER
+        |        (PARTITION BY user_id ORDER BY us, event_id)
+        |      <= 28800000000 THEN 0 ELSE 1 END AS new_sess
+        |  FROM e),
+        |sess AS (
+        |  SELECT user_id, event_type, us,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_seq
+        |  FROM flagged)
+        |SELECT user_id, sess_seq, count(*) AS n_events,
+        |  (max(us) - min(us)) // 1000000 AS dur_sec,
+        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    AS n_purchases
+        |FROM sess GROUP BY user_id, sess_seq
+        |ORDER BY user_id, sess_seq""".stripMargin
+  )
+}

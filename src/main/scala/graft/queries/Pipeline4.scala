@@ -237,12 +237,51 @@ object Pipeline4 extends QueryModule {
             .when(u < "e6666666", "val")
             .otherwise("test").as("split"))
         .orderBy(col("doc_id"))
+    },
+
+    // Corpus heavy hitters — exact frequent-token census via a
+    // Misra-Gries sketch (functions/HeavyHitters.scala) in the classic
+    // 2-pass sketch-then-verify layout. Pass 1 reduces the whole token
+    // stream to ONE 256-counter sketch (constant memory per partition,
+    // mergeable partial -> final, so no shuffle carries per-token
+    // rows); its candidate list is guaranteed to contain every token
+    // with true frequency > n/257. Pass 2 broadcast-joins the tiny
+    // candidate set back onto the token stream and counts EXACTLY, so
+    // only candidate tokens reach the second aggregation and the
+    // published counts have zero sketch error. At 100 TB the
+    // alternative — a full groupBy over every distinct token just to
+    // keep the top handful — shuffles the whole vocabulary; this plan
+    // shuffles 256 strings plus the exact counts of ~30 survivors.
+    // Threshold n/200 (inside the n/257 guarantee, so the sketch
+    // provably loses nothing; HeavyHittersSpec proves the bound).
+    "q206_heavy_hitters" -> { (s, dir) =>
+      val toks = Tables.df(s, dir, "documents")
+        .select(explode(tokens(col("text"))).as("tok"))
+      val cands = toks
+        .agg(graft.functions.MisraGriesSketch.misraGries(col("tok"), 256)
+          .as("sketch"))
+        .select(explode(col("sketch")).as("c"))
+        .select(col("c.token").as("cand"))
+      val total = toks.agg(count(lit(1)).as("n"))
+      toks.join(broadcast(cands), col("tok") === col("cand"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+        .crossJoin(broadcast(total))
+        .filter(col("freq") * 200 > col("n"))
+        .select(col("tok"), col("freq"))
+        .orderBy(col("freq").desc, col("tok"))
     }
   )
 
   private val tokSql = "string_split(text, ' ')"
 
   override def oracle: Map[String, String] = Map(
+    "q206_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tot AS (SELECT count(*) AS n FROM toks)
+        |SELECT tok, count(*) AS freq FROM toks, tot
+        |GROUP BY tok, n HAVING count(*) * 200 > n
+        |ORDER BY freq DESC, tok""".stripMargin,
     "q163_sequence_packing" ->
       """WITH d AS (
         |  SELECT doc_id,

@@ -28,6 +28,25 @@ class ExtensibilitySpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Double]("est") > 0))
   }
 
+  test("misra_gries works from plain SQL and rejects a non-literal k") {
+    GraftExtensions.register(spark)
+    Tables.registerAll(spark, sf)
+    val rows = spark.sql(
+      """SELECT e.token, e.weight
+        |FROM (SELECT misra_gries(lang, 8) AS s FROM documents)
+        |  LATERAL VIEW explode(s) t AS e
+        |ORDER BY e.weight DESC, e.token""".stripMargin).collect()
+    // 5 languages, k=8 >= distinct: the sketch is the exact census
+    assert(rows.length == 5)
+    assert(rows.map(_.getAs[Long]("weight")).sum ==
+      spark.table("documents").count())
+    val err = intercept[Exception](spark.sql(
+      "SELECT misra_gries(lang, CAST(n_chars AS INT)) FROM documents")
+      .collect())
+    assert(err.getMessage.toLowerCase.contains("literal"),
+      err.getMessage)
+  }
+
   test("dedup/ANN primitive kernels compose the q75 shape from plain " +
     "SQL (and knob arguments must be literals)") {
     GraftExtensions.register(spark)

@@ -279,4 +279,63 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count") || p.contains("partial_max"),
       p.take(3000))
   }
+
+  test("q202 interval-overlap join runs as an equi-join on the bin " +
+    "(canonical-bin dedup), never a nested loop over interval pairs") {
+    val p = finalPlan("q202_interval_overlap")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "keyless interval overlap must bin-join, not BNLJ\n" + p.take(3000))
+    // the bin equi-join is a hash/merge join; the left-restore join on
+    // p_id is a second equi-join — at least two, all equi
+    assert("HashJoin|SortMergeJoin".r.findAllIn(p).size >= 2, p.take(3000))
+  }
+
+  test("q203 two-fact cumulative comparison: channels aggregate " +
+    "before the FULL OUTER join, dims broadcast") {
+    val p = finalPlan("q203_cumulative_fullouter")
+    assert(p.contains("FullOuter"), p.take(3000))
+    assert(p.contains("partial_sum"),
+      "facts must aggregate below the join\n" + p.take(3000))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4,
+      "customer/nation and supplier/nation dims must broadcast\n" +
+        p.take(3000))
+  }
+
+  test("q204 band census collapses 8 scalar-subquery counts into ONE " +
+    "fact scan with conditional aggregation") {
+    val p = finalPlan("q204_band_census")
+    val fin = p.split("== Initial Plan ==").head
+    assert("FileScan".r.findAllIn(fin).size == 1,
+      "one pass over lineitem, not 8\n" + fin.take(3000))
+    assert(p.contains("partial_sum"), p.take(3000))
+    assert(!p.contains("Join"), "no joins — a single-pass census\n" +
+      p.take(3000))
+  }
+
+  test("q205 sessionization reuses ONE user_id shuffle for both " +
+    "window passes and the session aggregate") {
+    val p = finalPlan("q205_sessionize")
+    val fin = p.split("== Initial Plan ==").head
+    // lag + cumsum + final groupBy are all user_id-keyed: exactly one
+    // hashpartitioning exchange in the executed plan
+    assert("Exchange hashpartitioning".r.findAllIn(fin).size == 1,
+      "all three passes must share the user_id exchange\n" +
+        fin.take(3000))
+    assert(p.contains("Window"), p.take(3000))
+  }
+
+  test("q206 heavy hitters: sketch pass reduces map-side (partial " +
+    "agg), candidates broadcast back, no full-vocabulary shuffle " +
+    "before candidate pruning") {
+    val p = finalPlan("q206_heavy_hitters")
+    assert(p.contains("ObjectHashAggregate"),
+      "MG sketch is a TypedImperativeAggregate\n" + p.take(3000))
+    assert(p.contains("partial_misra_gries"),
+      "sketch must partial-aggregate before its single-row shuffle\n" +
+        p.take(3000))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1,
+      "candidate set must broadcast onto the token stream\n" +
+        p.take(3000))
+  }
 }
