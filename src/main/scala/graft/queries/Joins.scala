@@ -249,6 +249,24 @@ object Joins extends QueryModule {
           sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType)
             .as("qty"))
         .orderBy(col("o_orderkey"))
+    },
+
+    // NOT IN — the null-aware anti join. Unlike NOT EXISTS (q16's plain
+    // LeftAnti), `x NOT IN (subquery)` is three-valued: one NULL in the
+    // subquery output annihilates EVERY row, and a NULL probe never
+    // qualifies. Spark plans the single-column no-correlation case as
+    // BroadcastHashJoin(LeftAnti, NullAwareAntiJoin) — the hashed-relation
+    // fast path that keeps full SQL semantics without a nested loop
+    // (asserted in PlanSpec; the null-annihilation semantics themselves
+    // are pinned in QueriesSpec against an IN-list with a NULL).
+    "q207_not_in_nullaware" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT n_name, count(*) AS n_inactive
+          |FROM customer JOIN nation ON c_nationkey = n_nationkey
+          |WHERE c_custkey NOT IN
+          |  (SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0)
+          |GROUP BY n_name ORDER BY n_name""".stripMargin)
     }
   )
 
@@ -348,6 +366,12 @@ object Joins extends QueryModule {
         | ON l_shipdate >= o_orderdate
         | AND l_shipdate < o_orderdate + INTERVAL 3 DAY
         |WHERE o_orderpriority = '1-URGENT'
-        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
+    "q207_not_in_nullaware" ->
+      """SELECT n_name, count(*) AS n_inactive
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_custkey NOT IN
+        |  (SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0)
+        |GROUP BY n_name ORDER BY n_name""".stripMargin
   )
 }

@@ -325,6 +325,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window"), p.take(3000))
   }
 
+  test("q207 NOT IN plans the null-aware anti join fast path, not a " +
+    "nested loop") {
+    val p = finalPlan("q207_not_in_nullaware")
+    // the isNullAwareAntiJoin flag prints as the trailing boolean on the
+    // BHJ line: "BroadcastHashJoin [...], [...], LeftAnti, BuildRight, true"
+    assert("LeftAnti, Build(Right|Left), true".r.findFirstIn(p).isDefined,
+      "single-column NOT IN must take the hashed null-aware path\n" +
+        p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
   test("q206 heavy hitters: sketch pass reduces map-side (partial " +
     "agg), candidates broadcast back, no full-vocabulary shuffle " +
     "before candidate pruning") {

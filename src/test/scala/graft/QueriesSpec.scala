@@ -63,4 +63,24 @@ class QueriesSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("NOT IN three-valued semantics (q207's contract): one NULL in " +
+    "the subquery annihilates every probe row") {
+    Tables.registerAll(spark, sf)
+    // same shape as q207 but the subquery projects a NULL-poisoned key:
+    // x NOT IN (S ∪ {NULL}) is never TRUE, so the count must be zero
+    val n = spark.sql(
+      """SELECT count(*) AS n FROM customer
+        |WHERE c_custkey NOT IN (
+        |  SELECT CASE WHEN o_totalprice > 400000.0 THEN NULL
+        |              ELSE o_custkey END
+        |  FROM orders WHERE o_totalprice > 150000.0)""".stripMargin)
+      .collect().head.getLong(0)
+    assert(n == 0L, s"NULL in the NOT IN set must annihilate all rows, got $n")
+    // sanity: the un-poisoned set is non-empty (q207's oracle row)
+    val m = SparkEntry.queries("q207_not_in_nullaware")(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum("n_inactive")).collect()
+      .head.getLong(0)
+    assert(m > 0L)
+  }
 }
