@@ -39,7 +39,11 @@ object Bench {
     "q178_yoy_share",
     // round 9: time-interval range frame + the Q47/Q4/Q78 topologies
     "q192_window_time_range", "q193_moving_avg", "q194_yoy_growth",
-    "q195_channel_fullouter")
+    "q195_channel_fullouter",
+    // round 9b: keyless interval-overlap bin join, Q51 two-fact
+    // cumulative full-outer, batch sessionization, MG heavy hitters
+    "q202_interval_overlap", "q203_cumulative_fullouter",
+    "q205_sessionize", "q206_heavy_hitters")
 
   /** Drain the ContextCleaner so no prior query's cleanup I/O bills the
     * next timed region. A GC enqueues the dead weak refs; the cleaner

@@ -261,6 +261,38 @@ object Streaming extends QueryModule {
         .orderBy(col("p_id"), col("c_id"))
     },
 
+    // Stream-stream LEFT SEMI join — completes the stream-stream join
+    // matrix (q104 inner, q188 left outer, q198 full outer): "purchases
+    // with at least one click in the preceding 30 min", emitted ONCE
+    // per purchase. Semi rows emit when their first match ARRIVES (not
+    // on watermark eviction — the watermark only bounds right-side
+    // state), so over a fully-drained bounded input the result equals
+    // the batch EXISTS exactly and the oracle needs no end-of-stream
+    // boundary cut, unlike the outer variants. State at scale: right
+    // side keeps clicks only within the 30-min constraint window,
+    // left side drops a purchase the moment it matches.
+    "q208_stream_stream_semi" -> { (s, dir) =>
+      val p = eventStream(s, dir)
+        .filter(col("event_type") === "purchase")
+        .withWatermark("ts", "1 hour")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("p_id"))
+      val c = eventStream(s, dir)
+        .filter(col("event_type") === "click")
+        .withWatermark("ts", "1 hour")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+          col("event_id").as("c_id"))
+      val joined = p.join(c,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+          col("c_ts") <= col("p_ts"),
+        "left_semi")
+        .select(col("p_id"), col("p_user"))
+      drain(joined, s, "q208_sink",
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .orderBy(col("p_id"))
+    },
+
     // Stream-stream LEFT OUTER join — q104's inner join plus the
     // null-padded unmatched purchases, which the engine can emit only
     // after the WATERMARK closes a row's match window (the state
@@ -603,6 +635,16 @@ object Streaming extends QueryModule {
         |     >= CAST(p.ts AS TIMESTAMP) - INTERVAL 30 MINUTE
         | AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
         |ORDER BY p_id, c_id""".stripMargin,
+    "q208_stream_stream_semi" ->
+      """SELECT p.event_id AS p_id, p.user_id AS p_user
+        |FROM events p
+        |WHERE p.event_type = 'purchase' AND EXISTS (
+        |  SELECT 1 FROM events c
+        |  WHERE c.event_type = 'click' AND c.user_id = p.user_id
+        |    AND CAST(c.ts AS TIMESTAMP)
+        |        >= CAST(p.ts AS TIMESTAMP) - INTERVAL 30 MINUTE
+        |    AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP))
+        |ORDER BY p_id""".stripMargin,
     "q89_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
