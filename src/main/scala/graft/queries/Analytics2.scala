@@ -164,6 +164,78 @@ object Analytics2 extends QueryModule {
           sum(when(col("event_type") === "purchase", lit(1L))
             .otherwise(lit(0L))).as("n_purchases"))
         .orderBy(col("user_id"), col("sess_seq"))
+    },
+
+    // Time-series gap filling — the dashboard/forecasting prerequisite:
+    // a dense (nation × month) spine with missing months carried
+    // forward from the last observed value. The spine is built IN-PLAN
+    // (single-row min/max aggregate → sequence() explode → cross join
+    // with the 25-row nation dim), so no driver collect and no
+    // hand-materialized calendar table; the carry-forward is
+    // last-non-null over one nation-keyed window pass. At scale the
+    // spine is dims × months (thousands of rows) regardless of fact
+    // size — the fact collapses to its monthly aggregate first.
+    "q209_gap_fill" -> { (s, dir) =>
+      val actual = Tables.df(s, dir, "orders")
+        .join(broadcast(Tables.df(s, dir, "customer")
+            .select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.df(s, dir, "nation")
+            .select(col("n_nationkey"), col("n_name").as("a_n"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("a_n"), date_format(col("o_orderdate"), "yyyy-MM")
+          .as("a_mo"))
+        .agg((sum(col("o_totalprice").cast(D4)) * 10000)
+          .cast(LongType).as("rev_i"))
+      val months = Tables.df(s, dir, "orders")
+        .agg(date_trunc("month", min(col("o_orderdate")))
+            .cast(DateType).as("lo"),
+          date_trunc("month", max(col("o_orderdate")))
+            .cast(DateType).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"),
+          expr("interval 1 month"))).as("m"))
+        .select(date_format(col("m"), "yyyy-MM").as("mo"))
+      val spine = Tables.df(s, dir, "nation").select(col("n_name"))
+        .crossJoin(broadcast(months))
+      val w = Window.partitionBy(col("n_name")).orderBy(col("mo"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(actual,
+          col("n_name") === col("a_n") && col("mo") === col("a_mo"),
+          "left")
+        .select(col("n_name"), col("mo"), col("rev_i"))
+        .withColumn("fill_i", last(col("rev_i"), ignoreNulls = true).over(w))
+        .select(col("n_name"), col("mo"),
+          (col("fill_i").cast(DoubleType) / 10000).as("rev"),
+          col("rev_i").isNull.as("is_filled"))
+        .orderBy(col("n_name"), col("mo"))
+    },
+
+    // Weekly cohort retention — the product-analytics matrix: users
+    // grouped by their first-activity week, then for each (cohort,
+    // weeks-since) cell the count of cohort members still active. Two
+    // grouped passes over events (first-touch per user, then distinct
+    // user-week activity) joined at user grain; the output is
+    // O(weeks²) cells regardless of event volume. Week arithmetic is
+    // exact integer days/7, so both engines agree bit-for-bit.
+    "q210_cohort_retention" -> { (s, dir) =>
+      val ev = Tables.df(s, dir, "events")
+        .select(col("user_id"),
+          date_trunc("week", col("ts")).cast(DateType).as("wk"))
+      val cohort = ev.groupBy(col("user_id"))
+        .agg(min(col("wk")).as("cohort_wk"))
+      val active = ev.distinct()
+      val cells = active.join(cohort, Seq("user_id"))
+        .select(col("user_id"), col("cohort_wk"),
+          (datediff(col("wk"), col("cohort_wk")) / 7).cast(LongType)
+            .as("k"))
+        .groupBy(col("cohort_wk"), col("k"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+      val sizes = cohort.groupBy(col("cohort_wk"))
+        .agg(count(lit(1)).as("cohort_size"))
+      cells.join(broadcast(sizes), Seq("cohort_wk"))
+        .select(col("cohort_wk"), col("k"), col("n_active"),
+          col("cohort_size"))
+        .orderBy(col("cohort_wk"), col("k"))
     }
   )
 
@@ -245,6 +317,56 @@ object Analytics2 extends QueryModule {
         |  WHERE ((l_returnflag = 'R' AND l_discount <= 0.06)
         |     OR (l_returnflag <> 'R' AND l_tax > 0.02))
         |    AND l_quantity BETWEEN 43 AND 48) t8""".stripMargin,
+    "q209_gap_fill" ->
+      """WITH actual AS (
+        |  SELECT n_name AS a_n, strftime(o_orderdate, '%Y-%m') AS a_mo,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) * 10000
+        |      AS BIGINT) AS rev_i
+        |  FROM orders
+        |   JOIN customer ON o_custkey = c_custkey
+        |   JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |span AS (
+        |  SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS lo,
+        |         CAST(date_trunc('month', max(o_orderdate)) AS DATE) AS hi
+        |  FROM orders),
+        |months AS (
+        |  SELECT strftime(unnest(generate_series(lo, hi,
+        |    INTERVAL 1 MONTH)), '%Y-%m') AS mo FROM span),
+        |spine AS (SELECT n_name, mo FROM nation, months),
+        |j AS (
+        |  SELECT s.n_name, s.mo, a.rev_i
+        |  FROM spine s LEFT JOIN actual a
+        |    ON s.n_name = a.a_n AND s.mo = a.a_mo),
+        |f AS (
+        |  SELECT n_name, mo, rev_i,
+        |    last_value(rev_i IGNORE NULLS) OVER (
+        |      PARTITION BY n_name ORDER BY mo
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fill_i
+        |  FROM j)
+        |SELECT n_name, mo, CAST(fill_i AS DOUBLE) / 10000 AS rev,
+        |  rev_i IS NULL AS is_filled
+        |FROM f ORDER BY n_name, mo""".stripMargin,
+    "q210_cohort_retention" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |    CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS wk
+        |  FROM events),
+        |cohort AS (
+        |  SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY user_id),
+        |active AS (SELECT DISTINCT user_id, wk FROM e),
+        |cells AS (
+        |  SELECT cohort_wk,
+        |    CAST(date_diff('day', cohort_wk, wk) / 7 AS BIGINT) AS k,
+        |    count(DISTINCT a.user_id) AS n_active
+        |  FROM active a JOIN cohort c ON a.user_id = c.user_id
+        |  GROUP BY 1, 2),
+        |sizes AS (
+        |  SELECT cohort_wk, count(*) AS cohort_size
+        |  FROM cohort GROUP BY 1)
+        |SELECT c.cohort_wk, c.k, c.n_active, s.cohort_size
+        |FROM cells c JOIN sizes s ON c.cohort_wk = s.cohort_wk
+        |ORDER BY c.cohort_wk, c.k""".stripMargin,
     "q205_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type,
