@@ -242,6 +242,40 @@ object Connectors extends QueryModule {
         "GROUP BY _partition, prio ORDER BY prio")
     },
 
+    // TIME TRAVEL through the DSv2 catalog seam (`VERSION AS OF` —
+    // TableCatalog.loadTable(ident, version), the exact surface Iceberg
+    // snapshot reads ride): every commit records an immutable version,
+    // and historical reads get the same scan stack as the live table.
+    // The script commits v1 (append keys < 800), v2 (DELETE >= 400),
+    // v3 (append 800..999); reading v1, v3, and the live table side by
+    // side proves v1 still serves rows the live table deleted, and
+    // current == latest version. The oracle recomputes each version's
+    // contents from `orders` by replaying the commit algebra.
+    "q211_time_travel" -> { (s, dir) =>
+      s.conf.set("spark.sql.catalog.graft_cat",
+        "graft.sources.GraftCatalog")
+      s.sql("DROP TABLE IF EXISTS graft_cat.default.tt_q211")
+      s.sql("CREATE TABLE graft_cat.default.tt_q211 " +
+        "(prio STRING, ok BIGINT, price DOUBLE) PARTITIONED BY (prio)")
+      val src = Tables.df(s, dir, "orders")
+        .select(col("o_orderpriority").as("prio"),
+          col("o_orderkey").as("ok"), col("o_totalprice").as("price"))
+      src.filter(col("ok") < 800)
+        .writeTo("graft_cat.default.tt_q211").append() // v1
+      s.sql("DELETE FROM graft_cat.default.tt_q211 WHERE ok >= 400") // v2
+      src.filter(col("ok") >= 800 && col("ok") < 1000)
+        .writeTo("graft_cat.default.tt_q211").append() // v3
+      def summarize(ver: String, from: String) =
+        s"""SELECT '$ver' AS ver, prio, count(*) AS n,
+           |  min(ok) AS min_ok, max(ok) AS max_ok
+           |FROM $from GROUP BY prio""".stripMargin
+      s.sql(Seq(
+        summarize("v1", "graft_cat.default.tt_q211 VERSION AS OF 1"),
+        summarize("v3", "graft_cat.default.tt_q211 VERSION AS OF 3"),
+        summarize("cur", "graft_cat.default.tt_q211"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY ver, prio"))
+    },
+
     // COMPLETE aggregate pushdown: an ungrouped count/min/max over a
     // BILLION-row table answered source-side in O(1) — the engine plans
     // no aggregation and the scan emits one row (SourcesSpec asserts
@@ -290,6 +324,23 @@ object Connectors extends QueryModule {
         |FROM orders
         |WHERE o_orderkey < 1000 AND o_orderpriority = '1-URGENT'
         |GROUP BY o_orderpriority""".stripMargin,
+    "q211_time_travel" ->
+      """WITH base AS (
+        |  SELECT o_orderpriority AS prio, o_orderkey AS ok FROM orders),
+        |v1 AS (SELECT 'v1' AS ver, prio, count(*) AS n,
+        |         min(ok) AS min_ok, max(ok) AS max_ok
+        |       FROM base WHERE ok < 800 GROUP BY prio),
+        |v3 AS (SELECT 'v3' AS ver, prio, count(*) AS n,
+        |         min(ok) AS min_ok, max(ok) AS max_ok
+        |       FROM base WHERE ok < 400 OR (ok >= 800 AND ok < 1000)
+        |       GROUP BY prio),
+        |cur AS (SELECT 'cur' AS ver, prio, count(*) AS n,
+        |         min(ok) AS min_ok, max(ok) AS max_ok
+        |       FROM base WHERE ok < 400 OR (ok >= 800 AND ok < 1000)
+        |       GROUP BY prio)
+        |SELECT * FROM v1 UNION ALL SELECT * FROM v3
+        |UNION ALL SELECT * FROM cur
+        |ORDER BY ver, prio""".stripMargin,
     "q197_rlo_update_delete" ->
       """WITH t AS (
         |  SELECT o_orderpriority AS prio, o_orderkey AS ok,

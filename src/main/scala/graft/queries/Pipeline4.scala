@@ -257,15 +257,17 @@ object Pipeline4 extends QueryModule {
     "q206_heavy_hitters" -> { (s, dir) =>
       val toks = Tables.df(s, dir, "documents")
         .select(explode(tokens(col("text"))).as("tok"))
+      // total token count rides the SAME pass as the sketch, so the
+      // corpus is scanned exactly twice (sketch+count, then the
+      // candidate-restricted exact recount) — n reaches the final
+      // filter on the candidate rows themselves, no third scan
       val cands = toks
         .agg(graft.functions.MisraGriesSketch.misraGries(col("tok"), 256)
-          .as("sketch"))
-        .select(explode(col("sketch")).as("c"))
-        .select(col("c.token").as("cand"))
-      val total = toks.agg(count(lit(1)).as("n"))
+          .as("sketch"), count(lit(1)).as("n"))
+        .select(col("n"), explode(col("sketch")).as("c"))
+        .select(col("c.token").as("cand"), col("n"))
       toks.join(broadcast(cands), col("tok") === col("cand"))
-        .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
-        .crossJoin(broadcast(total))
+        .groupBy(col("tok"), col("n")).agg(count(lit(1)).as("freq"))
         .filter(col("freq") * 200 > col("n"))
         .select(col("tok"), col("freq"))
         .orderBy(col("freq").desc, col("tok"))

@@ -59,6 +59,37 @@ class GraftCatalog extends CatalogPlugin with TableCatalog
       Option(props.get("slices")).map(_.toInt).getOrElse(4))
   }
 
+  /** Time travel (`SELECT ... VERSION AS OF n`): serve version n of a
+    * partitioned table through a frozen read-through state, so the
+    * historical read gets the identical scan stack (partition pruning,
+    * pushdown, runtime filtering) as the live table — the Iceberg
+    * snapshot-read contract on the same TableCatalog seam. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (tables.get(ident) == null) throw new NoSuchTableException(ident)
+    val v = try version.toLong catch {
+      case _: NumberFormatException => throw new UnsupportedOperationException(
+        s"version must be a numeric snapshot id, got '$version'")
+    }
+    new GraftPartitionedTable(
+      GraftPartitionedStore.snapshotKey(storeKey(ident), v))
+  }
+
+  /** `TIMESTAMP AS OF`: Spark hands micros-since-epoch; serve the last
+    * version committed at or before it. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    if (tables.get(ident) == null) throw new NoSuchTableException(ident)
+    val state = GraftPartitionedStore.tables.get(storeKey(ident))
+    require(state != null, s"time travel: ${ident.name()} is not a " +
+      "partitioned (versioned) table")
+    import scala.jdk.CollectionConverters._
+    val v = state.versions.asScala.takeWhile(_.commitTimeUs <= timestamp)
+      .lastOption.getOrElse(throw new UnsupportedOperationException(
+        s"no snapshot of ${ident.name()} at or before timestamp " +
+          s"$timestamp")).version
+    new GraftPartitionedTable(
+      GraftPartitionedStore.snapshotKey(storeKey(ident), v))
+  }
+
   override def createTable(ident: Identifier, columns: Array[Column],
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
@@ -75,8 +106,13 @@ class GraftCatalog extends CatalogPlugin with TableCatalog
         StructField(c.name(), c.dataType(), c.nullable())))
       require(schema.fieldNames.contains(partCol),
         s"partition column $partCol not in ${schema.fieldNames.mkString(",")}")
-      GraftPartitionedStore.tables.put(storeKey(ident),
-        new GraftPartitionedStore.TableState(schema, partCol))
+      val st = new GraftPartitionedStore.TableState(schema, partCol)
+      GraftPartitionedStore.tables.put(storeKey(ident), st)
+      // defensive: no stale materialized snapshots may shadow this
+      // fresh table's history (dropTable purges, but belt-and-braces)
+      GraftPartitionedStore.tables.keySet()
+        .removeIf(_.startsWith(storeKey(ident) + "@v"))
+      GraftPartitionedStore.snapshot(st) // version 0: empty table
     }
     tables.put(ident, new util.HashMap[String, String](properties))
     loadTable(ident)
@@ -105,6 +141,10 @@ class GraftCatalog extends CatalogPlugin with TableCatalog
 
   override def dropTable(ident: Identifier): Boolean = {
     GraftPartitionedStore.tables.remove(storeKey(ident))
+    // drop materialized snapshot reads too, or a re-created table of
+    // the same name would time-travel into the OLD table's history
+    GraftPartitionedStore.tables.keySet()
+      .removeIf(_.startsWith(storeKey(ident) + "@v"))
     tables.remove(ident) != null
   }
 
@@ -119,6 +159,10 @@ class GraftCatalog extends CatalogPlugin with TableCatalog
     val state = GraftPartitionedStore.tables.remove(storeKey(oldIdent))
     if (state != null)
       GraftPartitionedStore.tables.put(storeKey(newIdent), state)
+    // materialized snapshot reads are keyed by name — drop them so a
+    // future table under the OLD name cannot serve this history
+    GraftPartitionedStore.tables.keySet()
+      .removeIf(_.startsWith(storeKey(oldIdent) + "@v"))
   }
 
   // SupportsNamespaces: single implicit "default" namespace

@@ -40,8 +40,48 @@ object GraftPartitionedStore {
   final class TableState(@volatile var schema: StructType,
                          val partCol: String) {
     val data = new ConcurrentHashMap[String, Vector[Map[String, Any]]]()
+    /** Time-travel history: one immutable snapshot per committed
+      * version (a real format persists these as manifest lists; the
+      * CONTRACT — version ids, commit timestamps, frozen data+schema —
+      * is Iceberg's). Index == version id. */
+    val versions =
+      new java.util.concurrent.CopyOnWriteArrayList[Snapshot]()
   }
+  final case class Snapshot(version: Long, commitTimeUs: Long,
+                            schema: StructType,
+                            data: Map[String, Vector[Map[String, Any]]])
   val tables = new ConcurrentHashMap[String, TableState]()
+
+  /** Record a new version AFTER a commit mutates `state.data`. Every
+    * commit path (batch append/overwrite, row-level replace, DELETE/
+    * TRUNCATE) and CREATE TABLE (version 0, empty) calls this — the
+    * same points a table format swaps its manifest. */
+  def snapshot(state: TableState): Unit = state.synchronized {
+    import scala.jdk.CollectionConverters._
+    val frozen = state.data.asScala.toMap
+    state.versions.add(Snapshot(state.versions.size().toLong,
+      System.currentTimeMillis() * 1000L, state.schema, frozen))
+  }
+
+  /** Materialize snapshot `version` of `key` as a read-through table
+    * state under a reserved "@v" key (idempotent), so the whole scan
+    * stack — partition pruning, filter/column pushdown, runtime DPP —
+    * works against historical versions unchanged. */
+  def snapshotKey(key: String, version: Long): String = {
+    val state = tables.get(key)
+    require(state != null, s"no such table $key")
+    require(version >= 0 && version < state.versions.size(),
+      s"no version $version of $key " +
+        s"(have 0..${state.versions.size() - 1})")
+    val snap = state.versions.get(version.toInt)
+    val sk = s"$key@v$version"
+    tables.computeIfAbsent(sk, _ => {
+      val st = new TableState(snap.schema, state.partCol)
+      snap.data.foreach { case (pv, rows) => st.data.put(pv, rows) }
+      st
+    })
+    sk
+  }
 
   /** Render a partition VALUE as a storage key. NULL gets a reserved
     * sentinel and real values are prefixed, so a row whose partition
@@ -109,8 +149,10 @@ class GraftPartitionedTable(key: String) extends Table
   // truncateTable() routes TRUNCATE TABLE through the same path
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     filters.forall(GraftPartitionedStore.rowPredicate(_).isDefined)
-  override def deleteWhere(filters: Array[Filter]): Unit =
+  override def deleteWhere(filters: Array[Filter]): Unit = {
     GraftPartitionedStore.deleteMatching(state, filters)
+    GraftPartitionedStore.snapshot(state)
+  }
 
   override def name(): String = key
   override def schema(): StructType = state.schema
@@ -273,6 +315,7 @@ class GraftReplaceGroupsWrite(op: GraftRowLevelOperation, key: String,
     incoming.foreach { case (pv, rs) =>
       data.merge(pv, rs.toVector, (a, b) => a ++ b)
     }
+    GraftPartitionedStore.snapshot(GraftPartitionedStore.tables.get(key))
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
@@ -478,6 +521,7 @@ class GraftPartitionedBatchWrite(key: String, writeSchema: StructType,
     incoming.foreach { case (pv, rs) =>
       data.merge(pv, rs.toVector, (a, b) => a ++ b)
     }
+    GraftPartitionedStore.snapshot(tableState)
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }

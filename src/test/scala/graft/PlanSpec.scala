@@ -325,6 +325,26 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window"), p.take(3000))
   }
 
+  test("q209 gap-fill builds its calendar spine in-plan and " +
+    "carry-forwards in one window pass (fact collapses before the " +
+    "spine join)") {
+    val p = finalPlan("q209_gap_fill")
+    assert(p.contains("Window"), p.take(3000))
+    // the monthly aggregate must form below the spine's left join
+    assert(p.contains("partial_sum"), p.take(3000))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "customer/nation dims must broadcast\n" + p.take(3000))
+  }
+
+  test("q210 cohort retention joins at user grain and broadcasts " +
+    "cohort sizes — no fact-sized shuffle after the grouped passes") {
+    val p = finalPlan("q210_cohort_retention")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1,
+      "sizes must broadcast onto cells\n" + p.take(3000))
+    assert(p.contains("partial_min") || p.contains("partial_count"),
+      "first-touch pass must partial-aggregate\n" + p.take(3000))
+  }
+
   test("q207 NOT IN plans the null-aware anti join fast path, not a " +
     "nested loop") {
     val p = finalPlan("q207_not_in_nullaware")

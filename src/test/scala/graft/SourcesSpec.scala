@@ -341,4 +341,44 @@ class SourcesSpec extends AnyFunSuite {
       .contains("partitions=5/5"))
     spark.sql("DROP TABLE graft_cat.default.po_q172")
   }
+
+  test("time travel: VERSION/TIMESTAMP AS OF serve frozen snapshots, " +
+    "history does not leak across drop-and-recreate") {
+    spark.conf.set("spark.sql.catalog.graft_cat",
+      "graft.sources.GraftCatalog")
+    val t = "graft_cat.default.tt_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (p STRING, v BIGINT) PARTITIONED BY (p)")
+    spark.sql(s"INSERT INTO $t VALUES ('a', 1), ('a', 2), ('b', 10)")
+    val tsAfterV1 = System.currentTimeMillis()
+    Thread.sleep(5)
+    spark.sql(s"DELETE FROM $t WHERE p = 'a'")
+    // v0 empty, v1 three rows, v2 after delete
+    assert(spark.sql(s"SELECT * FROM $t VERSION AS OF 0").count() == 0)
+    assert(spark.sql(s"SELECT * FROM $t VERSION AS OF 1").count() == 3)
+    assert(spark.sql(s"SELECT * FROM $t VERSION AS OF 2").count() == 1)
+    assert(spark.table(t).count() == 1)
+    // snapshot reads keep the scan stack: partition pruning on v1
+    val pruned = spark.sql(
+      s"SELECT * FROM $t VERSION AS OF 1 WHERE p = 'b'")
+    assert(pruned.count() == 1)
+    assert(pruned.queryExecution.executedPlan.toString
+      .contains("partitions=1/2"))
+    // TIMESTAMP AS OF: a wall time between v1 and v2 reads v1
+    assert(spark.sql(
+      s"SELECT * FROM $t TIMESTAMP AS OF ${tsAfterV1 / 1000.0}")
+      .count() == 3)
+    // beyond-history version errors loudly
+    val e = intercept[Exception](
+      spark.sql(s"SELECT * FROM $t VERSION AS OF 9").collect())
+    assert(e.getMessage.contains("no version"), e.getMessage)
+    // drop + recreate: old history must be unreachable
+    spark.sql(s"DROP TABLE $t")
+    spark.sql(s"CREATE TABLE $t (p STRING, v BIGINT) PARTITIONED BY (p)")
+    spark.sql(s"INSERT INTO $t VALUES ('z', 99)")
+    assert(spark.sql(s"SELECT * FROM $t VERSION AS OF 1").collect()
+      .map(_.getString(0)).toSeq == Seq("z"),
+      "recreated table must not serve the old table's v1")
+    spark.sql(s"DROP TABLE $t")
+  }
 }
