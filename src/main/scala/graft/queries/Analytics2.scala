@@ -236,6 +236,47 @@ object Analytics2 extends QueryModule {
         .select(col("cohort_wk"), col("k"), col("n_active"),
           col("cohort_size"))
         .orderBy(col("cohort_wk"), col("k"))
+    },
+
+    // TPC-DS Q39 topology: statistical anomaly detection — per
+    // (supplier, month) quantity dispersion, keep high-variance cells
+    // (coefficient of variation >= 0.5), pair CONSECUTIVE months that
+    // both qualify. The repo's exact-arithmetic convention extended to
+    // second moments: variance never goes through float aggregation
+    // (stddev_samp's merge-order-dependent low bits); instead n, Σx,
+    // Σx² accumulate as exact longs and the cov test cross-multiplies
+    // to integers — cov >= 1/2  ⟺  4n(nΣx² − (Σx)²) >= (n−1)(Σx)².
+    // The reported cov is one IEEE division + sqrt of those exact
+    // integers, bit-identical on both engines. The qualifying frame
+    // builds ONCE and self-joins through exchange reuse
+    // (plan-asserted), so the fact is scanned and aggregated a single
+    // time.
+    "q212_cov_anomaly" -> { (s, dir) =>
+      val st = Tables.df(s, dir, "lineitem")
+        .select(col("l_suppkey").as("sk"),
+          (year(col("l_shipdate")) * 12 + month(col("l_shipdate")))
+            .cast(LongType).as("mi"),
+          col("l_quantity").cast(LongType).as("q"))
+        .groupBy(col("sk"), col("mi"))
+        .agg(count(lit(1)).as("n"), sum(col("q")).as("sx"),
+          sum(col("q") * col("q")).as("sxx"))
+        .filter(col("n") >= 2 &&
+          lit(4L) * col("n") *
+            (col("n") * col("sxx") - col("sx") * col("sx")) >=
+            (col("n") - 1) * col("sx") * col("sx"))
+        .withColumn("cov", round(sqrt(
+          (col("n") * (col("n") * col("sxx") - col("sx") * col("sx")))
+            .cast(DoubleType) /
+            ((col("n") - 1) * col("sx") * col("sx")).cast(DoubleType)), 6))
+      val a = st.select(col("sk").as("a_sk"), col("mi").as("a_mi"),
+        col("cov").as("cov1"))
+      val b = st.select(col("sk").as("b_sk"), col("mi").as("b_mi"),
+        col("cov").as("cov2"))
+      a.join(b, col("a_sk") === col("b_sk") &&
+          col("b_mi") === col("a_mi") + 1)
+        .select(col("a_sk").as("suppkey"), col("a_mi").as("mi"),
+          col("cov1"), col("cov2"))
+        .orderBy(col("suppkey"), col("mi"))
     }
   )
 
@@ -317,6 +358,24 @@ object Analytics2 extends QueryModule {
         |  WHERE ((l_returnflag = 'R' AND l_discount <= 0.06)
         |     OR (l_returnflag <> 'R' AND l_tax > 0.02))
         |    AND l_quantity BETWEEN 43 AND 48) t8""".stripMargin,
+    "q212_cov_anomaly" ->
+      """WITH s AS (
+        |  SELECT l_suppkey AS sk,
+        |    CAST(year(l_shipdate)*12 + month(l_shipdate) AS BIGINT) AS mi,
+        |    count(*) AS n,
+        |    sum(CAST(l_quantity AS BIGINT)) AS sx,
+        |    sum(CAST(l_quantity AS BIGINT)*CAST(l_quantity AS BIGINT))
+        |      AS sxx
+        |  FROM lineitem GROUP BY 1, 2),
+        |q AS (
+        |  SELECT sk, mi,
+        |    round(sqrt(CAST(n*(n*sxx - sx*sx) AS DOUBLE)
+        |      / CAST((n-1)*sx*sx AS DOUBLE)), 6) AS cov
+        |  FROM s
+        |  WHERE n >= 2 AND 4*n*(n*sxx - sx*sx) >= (n-1)*sx*sx)
+        |SELECT a.sk AS suppkey, a.mi AS mi, a.cov AS cov1, b.cov AS cov2
+        |FROM q a JOIN q b ON a.sk = b.sk AND b.mi = a.mi + 1
+        |ORDER BY suppkey, mi""".stripMargin,
     "q209_gap_fill" ->
       """WITH actual AS (
         |  SELECT n_name AS a_n, strftime(o_orderdate, '%Y-%m') AS a_mo,

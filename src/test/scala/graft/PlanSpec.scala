@@ -325,6 +325,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window"), p.take(3000))
   }
 
+  test("q212 cov-anomaly: the qualifying frame aggregates once and " +
+    "self-joins through exchange reuse — one fact scan") {
+    val p = finalPlan("q212_cov_anomaly")
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+      p.take(3000))
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      p.take(3000))
+    val fin = p.split("== Initial Plan ==").head
+    assert("FileScan".r.findAllIn(fin).size == 1,
+      "lineitem must scan once\n" + fin.take(3000))
+  }
+
   test("q209 gap-fill builds its calendar spine in-plan and " +
     "carry-forwards in one window pass (fact collapses before the " +
     "spine join)") {
