@@ -277,6 +277,25 @@ object Analytics2 extends QueryModule {
         .select(col("a_sk").as("suppkey"), col("a_mi").as("mi"),
           col("cov1"), col("cov2"))
         .orderBy(col("suppkey"), col("mi"))
+    },
+
+    // INTERSECT ALL / EXCEPT ALL — the BAG set operations (q8 covers
+    // distinct EXCEPT): multiplicities matter, so the engine must keep
+    // min(count_l, count_r) copies per value for INTERSECT ALL and
+    // count_l − count_r copies for EXCEPT ALL. Spark plans both as a
+    // grouped count + generate replicate (no row-by-row matching);
+    // the census output keeps the result small and totally ordered.
+    "q213_setops_all" -> { (s, dir) =>
+      val li = Tables.df(s, dir, "lineitem")
+      def side(flag: String) = li.filter(col("l_returnflag") === flag)
+        .select(col("l_quantity").cast(LongType).as("q"))
+      val ia = side("R").intersectAll(side("A"))
+        .groupBy(col("q")).agg(count(lit(1)).as("n"))
+        .select(lit("intersect_all").as("op"), col("q"), col("n"))
+      val ea = side("R").exceptAll(side("A"))
+        .groupBy(col("q")).agg(count(lit(1)).as("n"))
+        .select(lit("except_all").as("op"), col("q"), col("n"))
+      ia.unionAll(ea).orderBy(col("op"), col("q"))
     }
   )
 
@@ -358,6 +377,23 @@ object Analytics2 extends QueryModule {
         |  WHERE ((l_returnflag = 'R' AND l_discount <= 0.06)
         |     OR (l_returnflag <> 'R' AND l_tax > 0.02))
         |    AND l_quantity BETWEEN 43 AND 48) t8""".stripMargin,
+    "q213_setops_all" ->
+      """WITH ia AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS q FROM lineitem
+        |    WHERE l_returnflag = 'R'
+        |  INTERSECT ALL
+        |  SELECT CAST(l_quantity AS BIGINT) FROM lineitem
+        |    WHERE l_returnflag = 'A'),
+        |ea AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS q FROM lineitem
+        |    WHERE l_returnflag = 'R'
+        |  EXCEPT ALL
+        |  SELECT CAST(l_quantity AS BIGINT) FROM lineitem
+        |    WHERE l_returnflag = 'A')
+        |SELECT 'intersect_all' AS op, q, count(*) AS n FROM ia GROUP BY q
+        |UNION ALL
+        |SELECT 'except_all' AS op, q, count(*) AS n FROM ea GROUP BY q
+        |ORDER BY op, q""".stripMargin,
     "q212_cov_anomaly" ->
       """WITH s AS (
         |  SELECT l_suppkey AS sk,

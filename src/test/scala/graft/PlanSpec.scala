@@ -158,6 +158,47 @@ class PlanSpec extends AnyFunSuite {
         plan.take(3000))
   }
 
+  test("AQE splits a skewed join partition at runtime " +
+    "(OptimizeSkewedJoin, skew=true)") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" ->
+        "65536",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32768",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) =>
+      k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // 99% of left rows share key 7: one shuffle partition dwarfs the
+      // others, the exact hot-key layout q38 salts by hand — here AQE
+      // must detect it from runtime stats and split the skewed
+      // partition into parallel sub-reads
+      val left = spark.range(0, 300000).select(
+        when(col("id") % 100 =!= 0, lit(7L)).otherwise(col("id"))
+          .as("k"), col("id").as("v"))
+      val right = spark.range(0, 1000).select(col("id").as("rk"))
+      // no aggregate downstream: a consumer that requires the join's
+      // output partitioning (e.g. groupBy(k)) would veto the split,
+      // since splitting a partition breaks hash-partitioning — the
+      // same reason production plans sink skewed joins straight to
+      // output or re-shuffle explicitly
+      val j = left.hint("merge")
+        .join(right.hint("merge"), col("k") === col("rk"))
+      j.collect() // a plain result stage imposes no distribution
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        "AQE must mark the skewed SMJ side for runtime splitting\n" +
+          plan.take(3000))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("q97 LSH band join carries narrow keys only — no token arrays " +
     "in the band shuffle or candidate distinct") {
     import org.apache.spark.sql.catalyst.plans.logical
