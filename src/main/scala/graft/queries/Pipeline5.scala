@@ -1,0 +1,88 @@
+package graft.queries
+
+import graft.{QueryModule, Tables}
+import graft.functions.TextOps._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Fifth wave of LLM-training-data pipeline operators: the duplicate-MASS
+  * repetition signals — Gopher §A1.1's "fraction of positions inside
+  * repeated n-grams", complementing q131, which measures the
+  * distinct/total ratio and top-token share. The two families disagree
+  * exactly on docs with one heavy loop, which is what the filter exists
+  * to catch, so production pipelines run both.
+  *
+  * Scale design (100 TB): q215 is two independent two-level aggregations
+  * on (doc_id, gram) then doc_id — the high-cardinality first level
+  * partial-aggregates map-side; grams are near-unique within a doc so no
+  * key skews.
+  */
+object Pipeline5 extends QueryModule {
+
+  /** Token n-grams over a column named `t`: space-joined strings at
+    * positions 1..size-n+1. */
+  private def grams(n: Int) =
+    expr(s"transform(sequence(1, size(t) - ${n - 1}), " +
+      s"i -> concat_ws(' ', slice(t, i, $n)))")
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Gopher-style duplicate-MASS signals: top-bigram coverage (most
+    // frequent bigram's share of bigram positions) and duplicate-trigram
+    // position share (how much of the doc sits inside a trigram that
+    // occurs >= 2 times). q131 measures how VARIED a doc is
+    // (distinct/total); this measures how much mass the repeats carry —
+    // the two disagree exactly on docs with one heavy loop, which is
+    // what the filter is for. Exact-integer thresholds (top bigram >=
+    // 10% of positions, or >= 20% of trigram positions repeated) so the
+    // flag boundary is bit-identical in both engines.
+    "q215_repetition_quality" -> { (s, dir) =>
+      val toks = Tables.df(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+      def gramCounts(n: Int) = toks.filter(size(col("t")) > n - 1)
+        .select(col("doc_id"), explode(grams(n)).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      val bi = gramCounts(2).groupBy(col("doc_id"))
+        .agg(max(col("c")).as("top_bigram_n"), sum(col("c")).as("n_bi"))
+      val tri = gramCounts(3).groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_tri"),
+          sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("dup_tri"))
+      bi.join(tri, Seq("doc_id"))
+        .withColumn("repetitive",
+          col("top_bigram_n") * 10 >= col("n_bi") ||
+            col("dup_tri") * 5 >= col("n_tri"))
+        .select(col("doc_id"), col("n_bi"), col("top_bigram_n"),
+          col("n_tri"), col("dup_tri"), col("repetitive"))
+        .orderBy(col("doc_id"))
+    }
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "q215_repetition_quality" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bi AS (
+        |  SELECT doc_id, array_to_string(list_slice(t, i, i+1), ' ') AS g,
+        |    count(*) AS c
+        |  FROM toks, UNNEST(generate_series(1, len(t)-1)) AS u(i)
+        |  WHERE len(t) >= 2 GROUP BY 1, 2),
+        |tri AS (
+        |  SELECT doc_id, array_to_string(list_slice(t, i, i+2), ' ') AS g,
+        |    count(*) AS c
+        |  FROM toks, UNNEST(generate_series(1, len(t)-2)) AS u(i)
+        |  WHERE len(t) >= 3 GROUP BY 1, 2),
+        |bi_doc AS (
+        |  SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram_n,
+        |    CAST(sum(c) AS BIGINT) AS n_bi FROM bi GROUP BY 1),
+        |tri_doc AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tri,
+        |    CAST(coalesce(sum(c) FILTER (c >= 2), 0) AS BIGINT) AS dup_tri
+        |  FROM tri GROUP BY 1)
+        |SELECT b.doc_id, b.n_bi, b.top_bigram_n, t.n_tri, t.dup_tri,
+        |  (b.top_bigram_n * 10 >= b.n_bi OR t.dup_tri * 5 >= t.n_tri)
+        |    AS repetitive
+        |FROM bi_doc b JOIN tri_doc t USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin
+  )
+}

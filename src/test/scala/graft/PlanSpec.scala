@@ -422,4 +422,28 @@ class PlanSpec extends AnyFunSuite {
       "candidate set must broadcast onto the token stream\n" +
         p.take(3000))
   }
+
+  test("q216 late shipments: date-offset theta rides the orderkey equi " +
+    "hash join; dims broadcast; never a nested loop") {
+    val p = finalPlan("q216_late_shipments")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "theta must stay inside the equi join\n" + p.take(3000))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "supplier and nation must broadcast\n" + p.take(3000))
+  }
+
+  test("q217 cross-channel INTERSECT restricts the fact via a semi " +
+    "join (no row duplication)") {
+    val p = finalPlan("q217_cross_channel_items")
+    assert(p.contains("LeftSemi"), p.take(3000))
+  }
+
+  test("q215 duplicate-mass signals partial-aggregate the " +
+    "high-cardinality (doc, gram) level map-side") {
+    val p = finalPlan("q215_repetition_quality")
+    assert(p.contains("partial_count"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p.take(3000))
+  }
 }
