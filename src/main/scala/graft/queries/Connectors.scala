@@ -242,6 +242,43 @@ object Connectors extends QueryModule {
         "GROUP BY _partition, prio ORDER BY prio")
     },
 
+    // The COMPLETE MERGE clause matrix through the same row-level seam
+    // as q191 — including the third leg q191 doesn't exercise:
+    // WHEN NOT MATCHED BY SOURCE (conditional DELETE + UPDATE), plus a
+    // CONDITIONAL MATCHED DELETE ahead of the matched update (clause
+    // order matters: the s.price > 100000 delete must win over the
+    // update for those rows). Spark rewrites this as a FULL OUTER
+    // group-replace over the scanned partitions; the oracle composes
+    // the same four-way case split relationally.
+    "q221_merge_full_matrix" -> { (s, dir) =>
+      s.conf.set("spark.sql.catalog.graft_cat",
+        "graft.sources.GraftCatalog")
+      s.sql("DROP TABLE IF EXISTS graft_cat.default.po_q221")
+      s.sql("CREATE TABLE graft_cat.default.po_q221 " +
+        "(prio STRING, ok BIGINT, price DOUBLE) PARTITIONED BY (prio)")
+      val src = Tables.df(s, dir, "orders")
+        .select(col("o_orderpriority").as("prio"),
+          col("o_orderkey").as("ok"), col("o_totalprice").as("price"))
+      src.filter(col("ok") < 1000)
+        .writeTo("graft_cat.default.po_q221").append()
+      src.filter(col("ok") >= 500 && col("ok") < 1500)
+        .createOrReplaceTempView("merge_src_q221")
+      s.sql("""MERGE INTO graft_cat.default.po_q221 t
+        |USING merge_src_q221 s
+        |ON t.ok = s.ok
+        |WHEN MATCHED AND s.price > 100000.0 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET price = s.price + 1000.0
+        |WHEN NOT MATCHED THEN INSERT (prio, ok, price)
+        |  VALUES (s.prio, s.ok, s.price)
+        |WHEN NOT MATCHED BY SOURCE AND t.ok < 250 THEN DELETE
+        |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET price = price * 2.0
+        |""".stripMargin)
+      s.sql("SELECT prio, count(*) AS n_orders, min(ok) AS min_ok, " +
+        "max(ok) AS max_ok, CAST(sum(CAST(price AS DECIMAL(18,4))) " +
+        "AS DOUBLE) AS total_price FROM graft_cat.default.po_q221 " +
+        "GROUP BY prio ORDER BY prio")
+    },
+
     // TIME TRAVEL through the DSv2 catalog seam (`VERSION AS OF` —
     // TableCatalog.loadTable(ident, version), the exact surface Iceberg
     // snapshot reads ride): every commit records an immutable version,
@@ -360,6 +397,23 @@ object Connectors extends QueryModule {
         |  UNION ALL
         |  SELECT o_orderpriority, o_orderkey, o_totalprice + 1000.0
         |  FROM orders WHERE o_orderkey >= 500 AND o_orderkey < 1000
+        |  UNION ALL
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice
+        |  FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 1500)
+        |SELECT prio, count(*) AS n_orders, min(ok) AS min_ok,
+        |  max(ok) AS max_ok,
+        |  CAST(sum(CAST(price AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS total_price
+        |FROM merged GROUP BY prio ORDER BY prio""".stripMargin,
+    "q221_merge_full_matrix" ->
+      """WITH merged AS (
+        |  SELECT o_orderpriority AS prio, o_orderkey AS ok,
+        |    o_totalprice * 2.0 AS price
+        |  FROM orders WHERE o_orderkey >= 250 AND o_orderkey < 500
+        |  UNION ALL
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice + 1000.0
+        |  FROM orders WHERE o_orderkey >= 500 AND o_orderkey < 1000
+        |    AND o_totalprice <= 100000.0
         |  UNION ALL
         |  SELECT o_orderpriority, o_orderkey, o_totalprice
         |  FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 1500)
