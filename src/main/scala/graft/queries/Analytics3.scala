@@ -138,6 +138,43 @@ object Analytics3 extends QueryModule {
         |SELECT node, cur AS root, n_ancestors,
         |  CAST(path_bal AS DOUBLE) AS path_bal
         |FROM climb WHERE cur < 2 ORDER BY node""".stripMargin)
+    },
+
+    // PageRank power iteration — the weighted-mass propagation twin of
+    // the q118/q150 connected-components loop (labels propagate there;
+    // rank mass propagates here). Graph: two deterministic out-edges
+    // per supplier (a quadratic map + an integer-division map over the
+    // key space — non-bijective, so in-degrees skew and ranks spread).
+    // Three unrolled rounds of r' = 0.15 + 0.85·Σ in-contributions in
+    // EXACT e12 fixed point: every contribution is r div 2 (out-degree
+    // 2) and the damping is (85·Σ) div 100 — pure integer arithmetic,
+    // so any partitioning and both engines agree bit-for-bit (float
+    // PageRank would diverge by summation order). Each round is ONE
+    // shuffle on dst (partial-aggregated map-side); the rank frontier
+    // is node-sized, never edge-sized. At 100 TB the loop adds
+    // per-round checkpoint freeing exactly as Pipeline3.freeCheckpoint
+    // does for CC; 3 rounds keeps the verify bounded here.
+    "q224_pagerank" -> { (s, dir) =>
+      val sup = Tables.df(s, dir, "supplier").select(col("s_suppkey"))
+      val nn = sup.agg(count(lit(1)).as("nn"))
+      val withN = sup.crossJoin(broadcast(nn))
+      val edges = withN.select(col("s_suppkey").as("src"),
+          ((col("s_suppkey") * col("s_suppkey") + 7) % col("nn")).as("dst"))
+        .union(withN.select(col("s_suppkey").as("src"),
+          (expr("s_suppkey div 3") % col("nn")).as("dst")))
+      var ranks = sup.select(col("s_suppkey").as("node"),
+        lit(1000000000000L).as("r"))
+      for (_ <- 1 to 3) {
+        val contrib = edges
+          .join(ranks, col("src") === col("node"))
+          .groupBy(col("dst")).agg(sum(expr("r div 2")).as("mass_in"))
+        ranks = sup.select(col("s_suppkey").as("node"))
+          .join(contrib, col("node") === col("dst"), "left")
+          .select(col("node"), (lit(150000000000L) +
+            expr("85 * coalesce(mass_in, 0L) div 100")).as("r"))
+      }
+      ranks.select(col("node"), col("r").as("rank_e12"))
+        .orderBy(col("node"))
     }
   )
 
@@ -206,6 +243,40 @@ object Analytics3 extends QueryModule {
         |)
         |SELECT node, cur AS root, n_ancestors,
         |  CAST(path_bal AS DOUBLE) AS path_bal
-        |FROM climb WHERE cur < 2 ORDER BY node""".stripMargin
+        |FROM climb WHERE cur < 2 ORDER BY node""".stripMargin,
+    "q224_pagerank" ->
+      """WITH n AS (SELECT count(*) AS nn FROM supplier),
+        |edges AS (
+        |  SELECT s_suppkey AS src,
+        |    (s_suppkey * s_suppkey + 7) % nn AS dst FROM supplier, n
+        |  UNION ALL
+        |  SELECT s_suppkey, (s_suppkey // 3) % nn FROM supplier, n),
+        |r0 AS (SELECT s_suppkey AS node,
+        |  CAST(1000000000000 AS BIGINT) AS r FROM supplier),
+        |it1 AS (
+        |  SELECT a.node,
+        |    CAST(150000000000 + (85 * coalesce(m.s, 0)) // 100
+        |      AS BIGINT) AS r
+        |  FROM r0 a LEFT JOIN (
+        |    SELECT e.dst AS node, sum(r.r // 2) AS s FROM edges e
+        |    JOIN r0 r ON e.src = r.node GROUP BY 1) m
+        |  ON a.node = m.node),
+        |it2 AS (
+        |  SELECT a.node,
+        |    CAST(150000000000 + (85 * coalesce(m.s, 0)) // 100
+        |      AS BIGINT) AS r
+        |  FROM it1 a LEFT JOIN (
+        |    SELECT e.dst AS node, sum(r.r // 2) AS s FROM edges e
+        |    JOIN it1 r ON e.src = r.node GROUP BY 1) m
+        |  ON a.node = m.node),
+        |it3 AS (
+        |  SELECT a.node,
+        |    CAST(150000000000 + (85 * coalesce(m.s, 0)) // 100
+        |      AS BIGINT) AS r
+        |  FROM it2 a LEFT JOIN (
+        |    SELECT e.dst AS node, sum(r.r // 2) AS s FROM edges e
+        |    JOIN it2 r ON e.src = r.node GROUP BY 1) m
+        |  ON a.node = m.node)
+        |SELECT node, r AS rank_e12 FROM it3 ORDER BY node""".stripMargin
   )
 }

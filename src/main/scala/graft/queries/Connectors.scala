@@ -313,6 +313,50 @@ object Connectors extends QueryModule {
         .mkString("", "\nUNION ALL\n", "\nORDER BY ver, prio"))
     },
 
+    // SNAPSHOT CDC DIFF — the "what changed between snapshot v1 and
+    // now" census every incremental consumer of an Iceberg/Delta table
+    // computes: read VERSION AS OF 1 and the live table through the
+    // same q211 time-travel seam, FULL OUTER join on the key, classify
+    // each key as added / removed / changed / unchanged, and census per
+    // class. History: v1 = append ok<800; then UPDATE [200,400) price
+    // +500 (changed), DELETE >= 600 (removed), append [800,1000)
+    // (added). At scale both snapshot reads share the scan stack, the
+    // diff is one key-shuffle join, and the census is class-sized.
+    "q225_snapshot_diff" -> { (s, dir) =>
+      s.conf.set("spark.sql.catalog.graft_cat",
+        "graft.sources.GraftCatalog")
+      s.sql("DROP TABLE IF EXISTS graft_cat.default.cdc_q225")
+      s.sql("CREATE TABLE graft_cat.default.cdc_q225 " +
+        "(prio STRING, ok BIGINT, price DOUBLE) PARTITIONED BY (prio)")
+      val src = Tables.df(s, dir, "orders")
+        .select(col("o_orderpriority").as("prio"),
+          col("o_orderkey").as("ok"), col("o_totalprice").as("price"))
+      src.filter(col("ok") < 800)
+        .writeTo("graft_cat.default.cdc_q225").append() // v1
+      s.sql("UPDATE graft_cat.default.cdc_q225 " +
+        "SET price = price + 500.0 WHERE ok >= 200 AND ok < 400") // v2
+      s.sql("DELETE FROM graft_cat.default.cdc_q225 WHERE ok >= 600") // v3
+      src.filter(col("ok") >= 800 && col("ok") < 1000)
+        .writeTo("graft_cat.default.cdc_q225").append() // v4
+      val old = s.sql(
+        "SELECT ok, price FROM graft_cat.default.cdc_q225 VERSION AS OF 1")
+        .select(col("ok").as("o_ok"), col("price").as("o_price"))
+      val cur = s.sql(
+        "SELECT ok, price FROM graft_cat.default.cdc_q225")
+        .select(col("ok").as("c_ok"), col("price").as("c_price"))
+      old.join(cur, col("o_ok") === col("c_ok"), "full_outer")
+        .select(
+          when(col("o_ok").isNull, "added")
+            .when(col("c_ok").isNull, "removed")
+            .when(col("o_price") =!= col("c_price"), "changed")
+            .otherwise("unchanged").as("change_type"),
+          coalesce(col("o_ok"), col("c_ok")).as("ok"))
+        .groupBy(col("change_type"))
+        .agg(count(lit(1)).as("n"), min(col("ok")).as("min_ok"),
+          max(col("ok")).as("max_ok"))
+        .orderBy(col("change_type"))
+    },
+
     // COMPLETE aggregate pushdown: an ungrouped count/min/max over a
     // BILLION-row table answered source-side in O(1) — the engine plans
     // no aggregation and the scan emits one row (SourcesSpec asserts
@@ -422,6 +466,27 @@ object Connectors extends QueryModule {
         |  CAST(sum(CAST(price AS DECIMAL(18,4))) AS DOUBLE)
         |    AS total_price
         |FROM merged GROUP BY prio ORDER BY prio""".stripMargin,
+    "q225_snapshot_diff" ->
+      """WITH old AS (
+        |  SELECT o_orderkey AS ok FROM orders WHERE o_orderkey < 800),
+        |cur AS (
+        |  SELECT o_orderkey AS ok,
+        |    CASE WHEN o_orderkey >= 200 AND o_orderkey < 400
+        |      THEN 1 ELSE 0 END AS upd
+        |  FROM orders WHERE o_orderkey < 600
+        |  UNION ALL
+        |  SELECT o_orderkey, 0 FROM orders
+        |  WHERE o_orderkey >= 800 AND o_orderkey < 1000),
+        |classified AS (
+        |  SELECT coalesce(o.ok, c.ok) AS ok,
+        |    CASE WHEN o.ok IS NULL THEN 'added'
+        |         WHEN c.ok IS NULL THEN 'removed'
+        |         WHEN c.upd = 1 THEN 'changed'
+        |         ELSE 'unchanged' END AS change_type
+        |  FROM old o FULL OUTER JOIN cur c ON o.ok = c.ok)
+        |SELECT change_type, count(*) AS n, min(ok) AS min_ok,
+        |  max(ok) AS max_ok
+        |FROM classified GROUP BY 1 ORDER BY 1""".stripMargin,
     "q187_partition_backfill" ->
       """WITH spliced AS (
         |  SELECT o_orderpriority AS prio, o_orderkey AS ok,

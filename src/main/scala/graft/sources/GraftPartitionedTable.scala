@@ -251,8 +251,15 @@ class GraftGroupReplaceScan(op: GraftRowLevelOperation, key: String,
     s"GraftGroupReplaceScan table=$key groups=${runtimeKept.length}"
   override def toBatch: Batch = this
 
+  // Runtime-filterable only when the partition column survives column
+  // pruning: Spark's PartitionPruning resolves these refs against the
+  // scan OUTPUT and throws (not skips) on a pruned-away column, so a
+  // projection without the partition column must report no filter
+  // attributes rather than an unresolvable one.
   override def filterAttributes(): Array[NamedReference] =
-    Array(Expressions.column(partCol))
+    if (required.fieldNames.contains(partCol))
+      Array(Expressions.column(partCol))
+    else Array.empty
 
   override def filter(predicates: Array[Predicate]): Unit = {
     def refIsPartCol(e: org.apache.spark.sql.connector.expressions.Expression) =
@@ -387,8 +394,15 @@ class GraftPartitionedScan(key: String, partCol: String,
       s" ReadColumns: ${required.fieldNames.mkString(",")}"
   override def toBatch: Batch = this
 
+  // Runtime-filterable only when the partition column survives column
+  // pruning: Spark's PartitionPruning resolves these refs against the
+  // scan OUTPUT and throws (not skips) on a pruned-away column, so a
+  // projection without the partition column must report no filter
+  // attributes rather than an unresolvable one.
   override def filterAttributes(): Array[NamedReference] =
-    Array(Expressions.column(partCol))
+    if (required.fieldNames.contains(partCol))
+      Array(Expressions.column(partCol))
+    else Array.empty
 
   override def filter(predicates: Array[Predicate]): Unit = {
     def refIsPartCol(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =

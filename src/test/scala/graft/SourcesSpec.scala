@@ -381,4 +381,25 @@ class SourcesSpec extends AnyFunSuite {
       "recreated table must not serve the old table's v1")
     spark.sql(s"DROP TABLE $t")
   }
+
+  test("projection without the partition column stays joinable: " +
+    "filterAttributes must not reference pruned-away columns") {
+    // Spark's PartitionPruning resolves SupportsRuntimeV2Filtering's
+    // filterAttributes against the scan OUTPUT and throws on a column
+    // the projection pruned — a scan that always advertises the
+    // partition column breaks every `SELECT <non-partition cols> ...
+    // JOIN` (this is how q225's snapshot diff first failed).
+    spark.conf.set("spark.sql.catalog.graft_cat",
+      "graft.sources.GraftCatalog")
+    val t = "graft_cat.default.prune_join_t"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (p STRING, v BIGINT) PARTITIONED BY (p)")
+    spark.sql(s"INSERT INTO $t VALUES ('a', 1), ('b', 2), ('b', 3)")
+    val left = spark.sql(s"SELECT v FROM $t")
+    val right = spark.sql(s"SELECT v AS w FROM $t")
+    // full_outer exercises the same DPP probe path as q225's diff
+    assert(left.join(right, left("v") === right("w"), "full_outer")
+      .count() == 3)
+    spark.sql(s"DROP TABLE $t")
+  }
 }
