@@ -1,0 +1,174 @@
+package graft.queries
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Fourth analytics module: a distributed graph kernel (triangle
+  * counting via degree-ordered orientation) plus two more TPC-DS
+  * topologies — Q34/Q73's agg-then-join-back "frequent trips" census
+  * and Q90's filtered-count ratio.
+  *
+  * Scale conventions as Analytics/2/3: equi-joins only (the triangle
+  * closing edge is an equi lookup, never a θ-join), dims broadcast,
+  * exact integer counts so both engines agree bit-for-bit, doubles
+  * only at the final rounded ratio.
+  */
+object Analytics4 extends QueryModule {
+
+  /** Triangle statistics over a canonical undirected edge list
+    * (columns u, v with u < v, distinct). Degree-ordered orientation:
+    * every edge points from its (degree, id)-smaller endpoint, wedges
+    * are out-neighbor pairs of one apex, and a wedge is a triangle iff
+    * its (x < y) endpoints are themselves a canonical edge — an equi
+    * semi-join, never a θ-join. Factored out so GraphSpec can drive it
+    * with known-count graphs (K4, paths, cycles) independent of the
+    * fixture. */
+  private[graft] def triangleStats(e: DataFrame): DataFrame = {
+    val deg = e.select(col("u").as("x"))
+      .union(e.select(col("v").as("x")))
+      .groupBy(col("x")).agg(count(lit(1)).as("d"))
+    // u < v by construction, so on a degree tie the id order already
+    // points u -> v: orient u -> v iff deg(u) <= deg(v).
+    val o = e
+      .join(broadcast(deg.toDF("xu", "du")), col("u") === col("xu"))
+      .join(broadcast(deg.toDF("xv", "dv")), col("v") === col("xv"))
+      .select(
+        when(col("du") <= col("dv"), col("u")).otherwise(col("v"))
+          .as("src"),
+        when(col("du") <= col("dv"), col("v")).otherwise(col("u"))
+          .as("dst"))
+    val wedges = o.toDF("s1", "x")
+      .join(o.toDF("s2", "y"),
+        col("s1") === col("s2") && col("x") < col("y"))
+      .select(col("x"), col("y"))
+    val nTri = wedges
+      .join(e, col("x") === col("u") && col("y") === col("v"), "leftsemi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val nEdges = e.agg(count(lit(1)).as("n_edges"))
+    val nWedges = deg.agg(
+      expr("sum(d * (d - 1)) div 2").as("n_open_wedges"))
+    nEdges.crossJoin(nWedges).crossJoin(nTri)
+      .select(col("n_edges"), col("n_open_wedges"), col("n_triangles"),
+        round(col("n_triangles") * lit(3.0) / col("n_open_wedges"), 6)
+          .as("global_cc"))
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Triangle counting over the co-purchase graph (parts sharing an
+    // order). The classic distributed kernel: orient every undirected
+    // edge from the (degree, id)-smaller endpoint to the larger, build
+    // wedges by self-joining out-edges on the apex, close each wedge
+    // with an equi semi-lookup into the canonical edge set. Orientation
+    // caps per-node out-degree at O(sqrt(m)), so the wedge shuffle is
+    // O(m^1.5) worst-case instead of sum(deg^2) — the difference
+    // between feasible and not on a 100 TB power-law graph. Every join
+    // is an equi hash join; the degree table is node-count-sized and
+    // broadcasts.
+    "q227_triangle_count" -> { (s, dir) =>
+      val li = Tables.df(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      val e = li.toDF("ok", "pa")
+        .join(li.toDF("ok2", "pb"),
+          col("ok") === col("ok2") && col("pa") < col("pb"))
+        .select(col("pa").as("u"), col("pb").as("v")).distinct()
+      triangleStats(e)
+    },
+
+    // TPC-DS Q34/Q73 topology — aggregate a fact, band-filter the
+    // aggregate, then join the surviving groups BACK to the dimension
+    // for attributes. The join-back input is already one row per
+    // customer (post-agg), so at 100 TB the second join shuffles the
+    // small census, not the fact, and the dim side broadcasts.
+    "q230_frequent_trips" -> { (s, dir) =>
+      val o = Tables.df(s, dir, "orders")
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH") &&
+          year(col("o_orderdate")).between(1996, 1998))
+      val census = o.groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_trips"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("spend"))
+        .filter(col("n_trips").between(4, 7))
+      val c = Tables.df(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+          col("c_nationkey"))
+      val n = Tables.df(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))
+      census.join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+          col("n_name"), col("n_trips"), col("spend"))
+        .orderBy(col("n_trips").desc, col("c_custkey"))
+    },
+
+    // TPC-DS Q90 topology — ratio of two filtered counts of the same
+    // fact in one pass (no self-join): am/pm event traffic per type.
+    // One scan, one shuffle; the reference would run this as two
+    // FILTERed partial aggs exactly like Spark's plan.
+    "q231_ampm_ratio" -> { (s, dir) =>
+      Tables.df(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          count(when(hour(col("ts")) < 12, 1)).as("n_am"),
+          count(when(hour(col("ts")) >= 12, 1)).as("n_pm"),
+          sum(when(hour(col("ts")) < 12, col("value"))).as("am_value"))
+        .select(col("event_type"), col("n_am"), col("n_pm"),
+          round(col("n_am").cast(DoubleType) /
+            col("n_pm").cast(DoubleType), 6).as("ampm_ratio"),
+          round(col("am_value"), 4).as("am_value"))
+        .orderBy(col("event_type"))
+    }
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "q227_triangle_count" ->
+      """WITH e AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |deg AS (
+        |  SELECT x, count(*) AS d FROM (
+        |    SELECT u AS x FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+        |o AS (
+        |  SELECT CASE WHEN du.d <= dv.d THEN u ELSE v END AS src,
+        |         CASE WHEN du.d <= dv.d THEN v ELSE u END AS dst
+        |  FROM e JOIN deg du ON du.x = e.u JOIN deg dv ON dv.x = e.v),
+        |w AS (
+        |  SELECT a.dst AS x, b.dst AS y
+        |  FROM o a JOIN o b ON a.src = b.src AND a.dst < b.dst),
+        |tri AS (
+        |  SELECT count(*) AS n_triangles FROM w
+        |  WHERE EXISTS (SELECT 1 FROM e WHERE e.u = w.x AND e.v = w.y)),
+        |ne AS (SELECT count(*) AS n_edges FROM e),
+        |nw AS (SELECT CAST(sum(d * (d - 1)) // 2 AS BIGINT)
+        |         AS n_open_wedges FROM deg)
+        |SELECT n_edges, n_open_wedges, n_triangles,
+        |  round(n_triangles * 3.0 / n_open_wedges, 6) AS global_cc
+        |FROM ne, nw, tri""".stripMargin,
+    "q230_frequent_trips" ->
+      """WITH census AS (
+        |  SELECT o_custkey, count(*) AS n_trips,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS spend
+        |  FROM orders
+        |  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    AND year(o_orderdate) BETWEEN 1996 AND 1998
+        |  GROUP BY 1 HAVING count(*) BETWEEN 4 AND 7)
+        |SELECT c_custkey, c_name, c_mktsegment, n_name, n_trips, spend
+        |FROM census
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY n_trips DESC, c_custkey""".stripMargin,
+    "q231_ampm_ratio" ->
+      """SELECT event_type,
+        |  count(*) FILTER (hour(ts) < 12) AS n_am,
+        |  count(*) FILTER (hour(ts) >= 12) AS n_pm,
+        |  round((count(*) FILTER (hour(ts) < 12))::DOUBLE /
+        |        (count(*) FILTER (hour(ts) >= 12))::DOUBLE, 6)
+        |    AS ampm_ratio,
+        |  round(sum(value) FILTER (hour(ts) < 12), 4) AS am_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
+}

@@ -55,6 +55,35 @@ object Pipeline5 extends QueryModule {
         .select(col("doc_id"), col("n_bi"), col("top_bigram_n"),
           col("n_tri"), col("dup_tri"), col("repetitive"))
         .orderBy(col("doc_id"))
+    },
+
+    // Corpus-snapshot overlap — the crawl-merge decision report: before
+    // ingesting a new snapshot (side B), measure how much of it the
+    // standing corpus (side A) already contains, as exact Jaccard +
+    // containment over word-trigram shingle SETS. One shuffle on the
+    // shingle string; the per-shingle presence flags collapse to four
+    // integers, so the answer is O(1) no matter the corpus size —
+    // the same shape production runs at snapshot scale (the
+    // MinHash-sketch approximation of this number is q75/q97's
+    // signature machinery; this is the exact version both are
+    // validated against).
+    "q229_corpus_overlap" -> { (s, dir) =>
+      val sh = Tables.df(s, dir, "documents")
+        .select((col("doc_id") % 2 === 0).as("in_a"),
+          tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 3)
+        .select(col("in_a"), explode(grams(3)).as("g"))
+      sh.groupBy(col("g")).agg(
+          max(when(col("in_a"), 1).otherwise(0)).as("a"),
+          max(when(!col("in_a"), 1).otherwise(0)).as("b"))
+        .agg(sum(col("a")).as("n_a"), sum(col("b")).as("n_b"),
+          sum(col("a") * col("b")).as("n_inter"),
+          count(lit(1)).as("n_union"))
+        .select(col("n_a"), col("n_b"), col("n_inter"), col("n_union"),
+          round(col("n_inter").cast(DoubleType) / col("n_union"), 6)
+            .as("jaccard"),
+          round(col("n_inter").cast(DoubleType) / col("n_b"), 6)
+            .as("containment_b_in_a"))
     }
   )
 
@@ -83,6 +112,25 @@ object Pipeline5 extends QueryModule {
         |  (b.top_bigram_n * 10 >= b.n_bi OR t.dup_tri * 5 >= t.n_tri)
         |    AS repetitive
         |FROM bi_doc b JOIN tri_doc t USING (doc_id)
-        |ORDER BY b.doc_id""".stripMargin
+        |ORDER BY b.doc_id""".stripMargin,
+    "q229_corpus_overlap" ->
+      """WITH toks AS (
+        |  SELECT doc_id % 2 = 0 AS in_a, string_split(text, ' ') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT in_a, array_to_string(list_slice(t, i, i+2), ' ') AS g
+        |  FROM toks, UNNEST(generate_series(1, len(t)-2)) AS u(i)
+        |  WHERE len(t) >= 3),
+        |flags AS (
+        |  SELECT g, max(CASE WHEN in_a THEN 1 ELSE 0 END) AS a,
+        |         max(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS b
+        |  FROM sh GROUP BY g)
+        |SELECT CAST(sum(a) AS BIGINT) AS n_a,
+        |  CAST(sum(b) AS BIGINT) AS n_b,
+        |  CAST(sum(a*b) AS BIGINT) AS n_inter,
+        |  count(*) AS n_union,
+        |  round(sum(a*b)::DOUBLE / count(*), 6) AS jaccard,
+        |  round(sum(a*b)::DOUBLE / sum(b), 6) AS containment_b_in_a
+        |FROM flags""".stripMargin
   )
 }

@@ -433,6 +433,37 @@ object Similarity extends QueryModule {
           round(cosine(col("va"), col("vb")), 6).as("sim"))
         .filter(col("sim") >= 0.3)
         .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // Symmetric int8 embedding quantization + fidelity report — the
+    // compression step every billion-vector ANN index runs before
+    // sharding (4x smaller than float32, SIMD-friendly dot products).
+    // Per vector: scale = max|x| / 127, q_i = floor(x_i/scale + 0.5),
+    // dequant check emits max abs error, saturation count, and
+    // cosine(orig, dequant). Everything is per-row map work inside one
+    // codegen stage (transform/zip_with/aggregate higher-order funcs —
+    // no UDF, no shuffle at all until the final ORDER BY), so at 100 TB
+    // this is a pure scan-speed pass. The error bound |err| <= scale/2
+    // is proved as a property in PipelineSpec.
+    "q228_int8_quant" -> { (s, dir) =>
+      val e = Tables.df(s, dir, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .withColumn("amax",
+          aggregate(col("v"), lit(0.0), (a, x) => greatest(a, abs(x))))
+        .filter(col("amax") > 0)
+        .withColumn("q", transform(col("v"),
+          x => floor(x * lit(127.0) / col("amax") + lit(0.5))))
+        .withColumn("dq", transform(col("q"),
+          qi => qi * col("amax") / lit(127.0)))
+      e.select(col("vec_id"),
+        round(col("amax") / 127.0, 6).as("scale"),
+        round(aggregate(
+          zip_with(col("v"), col("dq"), (x, y) => abs(x - y)),
+          lit(0.0), (a, x) => greatest(a, x)), 6).as("max_abs_err"),
+        size(filter(col("q"), qi => abs(qi) === 127.0)).cast(LongType)
+          .as("n_sat"),
+        round(cosine(col("v"), col("dq")), 6).as("cos_fidelity"))
+        .orderBy(col("vec_id"))
     }
   )
 
@@ -472,6 +503,31 @@ object Similarity extends QueryModule {
     "(325,331),(334,382),(335,439),(350,395),(355,417),(387,388)"
 
   override def oracle: Map[String, String] = Map(
+    "q228_int8_quant" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |sc AS (
+        |  SELECT vec_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) AS amax FROM v),
+        |qd AS (
+        |  SELECT vec_id, v, amax,
+        |    list_transform(v, x -> floor(x * 127.0 / amax + 0.5)) AS q
+        |  FROM sc WHERE amax > 0),
+        |dq AS (
+        |  SELECT *, list_transform(q, qi -> qi * amax / 127.0) AS d
+        |  FROM qd),
+        |err AS (
+        |  SELECT vec_id, max(abs(x - qq * amax / 127.0)) AS max_abs_err,
+        |    count(*) FILTER (abs(qq) = 127) AS n_sat
+        |  FROM (SELECT vec_id, amax, UNNEST(v) AS x, UNNEST(q) AS qq
+        |        FROM qd)
+        |  GROUP BY vec_id)
+        |SELECT dq.vec_id, round(amax / 127.0, 6) AS scale,
+        |  round(err.max_abs_err, 6) AS max_abs_err,
+        |  CAST(err.n_sat AS BIGINT) AS n_sat,
+        |  round(list_cosine_similarity(v, d), 6) AS cos_fidelity
+        |FROM dq JOIN err ON dq.vec_id = err.vec_id
+        |ORDER BY dq.vec_id""".stripMargin,
     "q164_fuzzy_title_match" ->
       """WITH t AS (SELECT doc_id,
         |  array_to_string((string_split(text, ' '))[1:4], ' ') AS title

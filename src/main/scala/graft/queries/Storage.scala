@@ -71,6 +71,50 @@ object Storage extends QueryModule {
           .cast(DoubleType).as("sum_qty"),
           count(lit(1)).as("n"))
         .orderBy(col("o_orderpriority"))
+    },
+
+    // Z-order clustered layout + 2-D box query: Morton-interleave
+    // (l_partkey, l_suppkey), range-partition + sort the write on the
+    // curve value, then answer a box predicate from the clustered copy.
+    // A single-column sort clusters only its leading dimension; the
+    // Z-curve gives BOTH dimensions tight per-file min/max footers, so
+    // at 100 TB the box predicate prunes to O(box area) files instead
+    // of scanning every file for the second dimension (ZOrderSpec
+    // measures the locality: matched rows concentrate in a fraction of
+    // the files a hash layout spreads them over). The oracle computes
+    // the identical magic-bits interleave arithmetically — the
+    // clustered round-trip must be value-lossless.
+    "q226_zorder_box" -> { (s, dir) =>
+      import graft.functions.ZOrder
+      val z = Tables.df(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"),
+          ZOrder.interleave16(col("l_partkey"), col("l_suppkey"))
+            .as("zval"))
+      val path = "/tmp/graft_warehouse/li_zorder"
+      z.repartitionByRange(8, col("zval"))
+        .sortWithinPartitions(col("zval"))
+        .write.mode("overwrite").parquet(path)
+      // Box = first 1/8 of the partkey domain x first 1/4 of the
+      // suppkey domain, from table min/max statistics (a parquet-footer
+      // read; production takes these from catalog stats). Resolving the
+      // bounds at plan-build time keeps the box predicate LITERAL, so
+      // it pushes into the parquet scan and the z-layout's tight
+      // per-file min/max footers actually skip files — a
+      // runtime-computed bound would defeat the layout's purpose.
+      val b = Tables.df(s, dir, "lineitem")
+        .agg(min("l_partkey"), max("l_partkey"),
+          min("l_suppkey"), max("l_suppkey")).head()
+      val (pLo, pHi) = (b.getLong(0), b.getLong(0) +
+        (b.getLong(1) - b.getLong(0)) / 8)
+      val (sLo, sHi) = (b.getLong(2), b.getLong(2) +
+        (b.getLong(3) - b.getLong(2)) / 4)
+      s.read.parquet(path)
+        .filter(col("l_partkey").between(pLo, pHi) &&
+          col("l_suppkey").between(sLo, sHi))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"), col("zval"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
     }
   )
 
@@ -99,6 +143,36 @@ object Storage extends QueryModule {
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         | count(*) AS n
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // Magic-bits Morton spread, spelled arithmetically: step k ORs in a
+    // copy shifted left by 8/4/2/1 and masks with the alternating-bit
+    // constants; y is offset one bit. Matches ZOrder.interleave16.
+    "q226_zorder_box" ->
+      """WITH bounds AS (
+        |  SELECT min(l_partkey) AS pmin,
+        |    min(l_partkey) + (max(l_partkey) - min(l_partkey)) // 8
+        |      AS pmax,
+        |    min(l_suppkey) AS smin,
+        |    min(l_suppkey) + (max(l_suppkey) - min(l_suppkey)) // 4
+        |      AS smax
+        |  FROM lineitem),
+        |s0 AS (
+        |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |    (l_partkey & 65535)::BIGINT AS px,
+        |    (l_suppkey & 65535)::BIGINT AS sy
+        |  FROM lineitem, bounds
+        |  WHERE l_partkey BETWEEN pmin AND pmax
+        |    AND l_suppkey BETWEEN smin AND smax),
+        |s1 AS (SELECT *, (px | (px << 8)) & 16711935 AS px1,
+        |               (sy | (sy << 8)) & 16711935 AS sy1 FROM s0),
+        |s2 AS (SELECT *, (px1 | (px1 << 4)) & 252645135 AS px2,
+        |               (sy1 | (sy1 << 4)) & 252645135 AS sy2 FROM s1),
+        |s3 AS (SELECT *, (px2 | (px2 << 2)) & 858993459 AS px3,
+        |               (sy2 | (sy2 << 2)) & 858993459 AS sy3 FROM s2),
+        |s4 AS (SELECT *, (px3 | (px3 << 1)) & 1431655765 AS px4,
+        |               (sy3 | (sy3 << 1)) & 1431655765 AS sy4 FROM s3)
+        |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |  (px4 | (sy4 << 1)) AS zval
+        |FROM s4 ORDER BY l_orderkey, l_linenumber""".stripMargin
   )
 }

@@ -215,4 +215,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(missed.isEmpty,
       s"pigeonhole violated — hamming<=3 pairs not in candidates: $missed")
   }
+
+  test("q228 int8 quantization: round-to-nearest error bound " +
+    "|err| <= scale/2 and near-unit cosine fidelity hold for every vector") {
+    val rows = SparkEntry.queries("q228_int8_quant")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (scale, maxErr, cos) =
+        (r.getDouble(1), r.getDouble(2), r.getDouble(4))
+      // both sides are 6dp-rounded, so allow one ulp of that rounding
+      assert(maxErr <= scale / 2 + 1e-6,
+        s"vec ${r.getLong(0)}: err $maxErr > scale/2 ${scale / 2}")
+      assert(cos >= 0.99,
+        s"vec ${r.getLong(0)}: int8 cosine fidelity $cos")
+    }
+  }
+
+  test("q229 corpus overlap: counts are consistent " +
+    "(inclusion-exclusion, containment in [0,1])") {
+    val r = SparkEntry.queries("q229_corpus_overlap")(spark, sf)
+      .collect().head
+    val (na, nb, ni, nu) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(na + nb - ni === nu, "inclusion-exclusion")
+    assert(ni <= math.min(na, nb) && ni >= 0)
+    assert(r.getDouble(4) >= 0 && r.getDouble(4) <= 1)
+  }
 }
