@@ -103,6 +103,95 @@ object Analytics4 extends QueryModule {
         .orderBy(col("n_trips").desc, col("c_custkey"))
     },
 
+    // TPC-DS Q41/Q48 topology — an OR of attribute conjunctions over
+    // the dimension. The disjunction must still reach the parquet scan
+    // as a pushed Or() filter (plan-asserted in PlanSpec): at 100 TB a
+    // non-pushed disjunctive filter reads the whole dimension — the
+    // classic CNF blind spot this shape exists to catch. The filtered
+    // dim then broadcasts into the fact join.
+    "q232_disjunctive_dim" -> { (s, dir) =>
+      val p = Tables.df(s, dir, "part")
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size") <= 25) ||
+          (col("p_brand") === "Brand#21" &&
+            col("p_size").between(15, 40)) ||
+          (col("p_brand") === "Brand#5" && col("p_size") >= 30))
+        .select(col("p_partkey"), col("p_brand"))
+      Tables.df(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_extendedprice"),
+          col("l_quantity"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("revenue"),
+          sum(col("l_quantity").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("qty"))
+        .orderBy(col("p_brand"))
+    },
+
+    // TPC-DS Q93 topology — fact LEFT JOIN a pre-aggregated subset of
+    // itself, rows WITHOUT a match surviving at full value: per-order
+    // returned value (returnflag R lines) nets against the order
+    // total, and orders with no returns keep o_totalprice untouched
+    // (the coalesce-to-zero leg is the point of the shape). The
+    // returns side partial-aggregates to order grain BEFORE the join,
+    // so the shuffle carries one row per returned order, not every
+    // returned line.
+    "q233_returns_netting" -> { (s, dir) =>
+      // discounted value in EXACT decimal (a double product rounded to
+      // decimal afterwards diverges between engines at half-ulp cells)
+      val ret = Tables.df(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_extendedprice").cast(DecimalType(12, 2)) *
+          (lit(1).cast(DecimalType(4, 2)) -
+            col("l_discount").cast(DecimalType(4, 2))))
+          .as("ret_value"))
+      Tables.df(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice"))
+        .join(ret, col("o_orderkey") === col("l_orderkey"), "left")
+        .select(col("o_orderpriority"),
+          (col("o_totalprice").cast(DecimalType(18, 2)) -
+            coalesce(col("ret_value"), lit(0).cast(DecimalType(18, 2))))
+            .as("net"),
+          when(col("ret_value").isNull, 0).otherwise(1).as("has_ret"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("has_ret")).as("n_with_returns"),
+          sum(col("net")).cast(DoubleType).as("net_value"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // TPC-DS Q54 topology — anchor each customer at their FIRST
+    // purchase, then measure revenue in the following 90 days: an
+    // aggregate of the fact joins back to the SAME fact with a
+    // temporal band predicate riding the custkey equi-join. Census by
+    // first-purchase month. Both passes share one custkey shuffle
+    // shape; the band predicate stays inside the hash join.
+    "q234_first_purchase_window" -> { (s, dir) =>
+      val o = Tables.df(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"))
+      val first = o.groupBy(col("o_custkey").as("f_custkey"))
+        .agg(min(col("o_orderdate")).as("first_dt"))
+      val follow = o.join(first,
+          col("o_custkey") === col("f_custkey") &&
+          col("o_orderdate") > col("first_dt") &&
+          col("o_orderdate") <=
+            col("first_dt") + expr("INTERVAL 90 DAYS"))
+        .groupBy(col("f_custkey"), col("first_dt"))
+        .agg(count(lit(1)).as("n_follow"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .as("follow_rev"))
+      follow.groupBy(date_trunc("month", col("first_dt")).as("cohort"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("n_follow")).as("n_follow_orders"),
+          sum(col("follow_rev")).cast(DoubleType).as("follow_revenue"))
+        .orderBy(col("cohort"))
+    },
+
     // TPC-DS Q90 topology — ratio of two filtered counts of the same
     // fact in one pass (no self-join): am/pm event traffic per type.
     // One scan, one shuffle; the reference would run this as two
@@ -147,6 +236,45 @@ object Analytics4 extends QueryModule {
         |SELECT n_edges, n_open_wedges, n_triangles,
         |  round(n_triangles * 3.0 / n_open_wedges, 6) AS global_cc
         |FROM ne, nw, tri""".stripMargin,
+    "q232_disjunctive_dim" ->
+      """SELECT p_brand, count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size <= 25)
+        |   OR (p_brand = 'Brand#21' AND p_size BETWEEN 15 AND 40)
+        |   OR (p_brand = 'Brand#5' AND p_size >= 30)
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q233_returns_netting" ->
+      """WITH ret AS (
+        |  SELECT l_orderkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |      (1 - CAST(l_discount AS DECIMAL(4,2)))) AS ret_value
+        |  FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1)
+        |SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CASE WHEN ret_value IS NULL THEN 0 ELSE 1 END)
+        |    AS BIGINT) AS n_with_returns,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) -
+        |    coalesce(ret_value, 0)) AS DOUBLE) AS net_value
+        |FROM orders LEFT JOIN ret ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q234_first_purchase_window" ->
+      """WITH first AS (
+        |  SELECT o_custkey AS f_custkey, min(o_orderdate) AS first_dt
+        |  FROM orders GROUP BY 1),
+        |follow AS (
+        |  SELECT f_custkey, first_dt, count(*) AS n_follow,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS follow_rev
+        |  FROM orders JOIN first ON o_custkey = f_custkey
+        |    AND o_orderdate > first_dt
+        |    AND o_orderdate <= first_dt + INTERVAL 90 DAY
+        |  GROUP BY 1, 2)
+        |SELECT date_trunc('month', first_dt) AS cohort,
+        |  count(*) AS n_customers,
+        |  CAST(sum(n_follow) AS BIGINT) AS n_follow_orders,
+        |  CAST(sum(follow_rev) AS DOUBLE) AS follow_revenue
+        |FROM follow GROUP BY 1 ORDER BY cohort""".stripMargin,
     "q230_frequent_trips" ->
       """WITH census AS (
         |  SELECT o_custkey, count(*) AS n_trips,

@@ -236,6 +236,31 @@ object Pipeline3 extends QueryModule {
       dedupPipeline(Tables.df(s, dir, "documents"))
     },
 
+    // Canonical-selection dedup — production keeps the BEST duplicate,
+    // not the min-id one: within each near-dup cluster (q118's CC
+    // labels) the canonical doc is the longest (n_chars), doc_id
+    // tiebreak. One max_by per cluster (map-side partial) + a
+    // cluster-grain join back; singletons keep themselves. The policy
+    // is a pluggable ordering — swap n_chars for any quality score and
+    // the plan shape is unchanged.
+    "q235_dedup_keep_best" -> { (s, dir) =>
+      val labels = connectedComponents(dupEdges(s, dir))
+        .select(col("node").as("doc_id"), col("root").as("cluster_id"))
+      val docs = Tables.df(s, dir, "documents")
+        .filter(col("doc_id") <= 200)
+        .select(col("doc_id"), col("n_chars"))
+      val clustered = docs.join(labels, Seq("doc_id"), "left")
+        .withColumn("cluster_id",
+          coalesce(col("cluster_id"), col("doc_id")))
+      val canon = clustered.groupBy(col("cluster_id"))
+        .agg(max_by(col("doc_id"),
+          struct(col("n_chars"), -col("doc_id"))).as("canonical_id"))
+      clustered.join(canon, Seq("cluster_id"))
+        .select(col("doc_id"), col("cluster_id"), col("canonical_id"),
+          (col("doc_id") === col("canonical_id")).as("keep"))
+        .orderBy(col("doc_id"))
+    },
+
     // Mixture construction: per-domain (source) quality quota — keep the
     // top 25 docs per source by length (quality stand-in), deterministic
     // tiebreak on doc_id. The rank filter plans as WindowGroupLimit:
@@ -386,6 +411,36 @@ object Pipeline3 extends QueryModule {
          |SELECT node AS doc_id, min(root) AS cluster_id,
          |  node = min(root) AS is_canonical
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+    "q235_dedup_keep_best" ->
+      s"""WITH RECURSIVE t AS (
+         |  SELECT doc_id, $utokSql AS tok FROM documents
+         |  WHERE doc_id <= 200),
+         |pairs AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+         |      / CAST(len(list_distinct(a.tok || b.tok)) AS DOUBLE) >= 0.9),
+         |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+         |          UNION ALL SELECT b_id, a_id FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(node, root) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node),
+         |labels AS (
+         |  SELECT node, min(root) AS cluster_id FROM reach GROUP BY node),
+         |clustered AS (
+         |  SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id)
+         |    AS cluster_id, d.n_chars
+         |  FROM documents d LEFT JOIN labels l ON d.doc_id = l.node
+         |  WHERE d.doc_id <= 200),
+         |sel AS (
+         |  SELECT *, first_value(doc_id) OVER (PARTITION BY cluster_id
+         |    ORDER BY n_chars DESC, doc_id) AS canonical_id
+         |  FROM clustered)
+         |SELECT doc_id, cluster_id, canonical_id,
+         |  doc_id = canonical_id AS keep
+         |FROM sel ORDER BY doc_id""".stripMargin,
     "q150_cc_chain" ->
       """SELECT doc_id, CAST(doc_id - doc_id % 100 AS BIGINT) AS cluster_id
         |FROM documents ORDER BY doc_id""".stripMargin,

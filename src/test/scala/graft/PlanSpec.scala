@@ -446,4 +446,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") &&
       !p.contains("CartesianProduct"), p.take(3000))
   }
+
+  test("q232 disjunctive dim filter is PUSHED to the parquet scan as " +
+    "an Or() and the filtered dim broadcasts") {
+    val p = finalPlan("q232_disjunctive_dim")
+    assert(p.contains("PushedFilters: [Or(") ||
+      """PushedFilters: \[.*Or\(""".r.findFirstIn(p).isDefined,
+      "disjunction must reach the scan\n" + p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  test("q233 returns netting aggregates the returns side to order " +
+    "grain BEFORE the left join (partial agg below the join)") {
+    val p = finalPlan("q233_returns_netting")
+    assert(p.contains("LeftOuter"), p.take(3000))
+    assert(p.contains("partial_sum"), p.take(3000))
+  }
+
+  test("q226 z-order box predicate pushes into the clustered scan") {
+    val p = finalPlan("q226_zorder_box")
+    assert(
+      """PushedFilters: \[[^\]]*GreaterThanOrEqual\(l_partkey""".r
+        .findFirstIn(p).isDefined, p.take(3000))
+  }
 }
