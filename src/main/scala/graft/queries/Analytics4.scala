@@ -55,6 +55,19 @@ object Analytics4 extends QueryModule {
           .as("global_cc"))
   }
 
+  /** Canonical co-purchase edge list: distinct part pairs sharing an
+    * order, u < v. Pair expansion is bounded by order size (~7 lines),
+    * so the self-join fans out O(lines x avg order size) — never
+    * quadratic in the table. */
+  private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.df(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+    li.toDF("ok", "pa")
+      .join(li.toDF("ok2", "pb"),
+        col("ok") === col("ok2") && col("pa") < col("pb"))
+      .select(col("pa").as("u"), col("pb").as("v")).distinct()
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Triangle counting over the co-purchase graph (parts sharing an
@@ -68,13 +81,42 @@ object Analytics4 extends QueryModule {
     // is an equi hash join; the degree table is node-count-sized and
     // broadcasts.
     "q227_triangle_count" -> { (s, dir) =>
-      val li = Tables.df(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-      val e = li.toDF("ok", "pa")
-        .join(li.toDF("ok2", "pb"),
-          col("ok") === col("ok2") && col("pa") < col("pb"))
-        .select(col("pa").as("u"), col("pb").as("v")).distinct()
-      triangleStats(e)
+      triangleStats(coPurchaseEdges(s, dir))
+    },
+
+    // Degree assortativity of the co-purchase graph — the Newman mixing
+    // coefficient (do hubs connect to hubs?): Pearson r over the
+    // (deg(src), deg(dst)) pairs of every directed edge. Moments are
+    // EXACT integers carried in decimal(38,0) (the cross-moment n·Σxy
+    // overflows int64 by ~sf0.1 scale already — the q212 lesson), so
+    // both engines agree bit-for-bit and only the final r is a rounded
+    // double. Two shuffles total: degree count + the edge-degree join.
+    "q238_assortativity" -> { (s, dir) =>
+      val e = coPurchaseEdges(s, dir)
+      val deg = e.select(col("u").as("x"))
+        .union(e.select(col("v").as("x")))
+        .groupBy(col("x")).agg(count(lit(1)).as("d"))
+      val directed = e.select(col("u").as("src"), col("v").as("dst"))
+        .union(e.select(col("v").as("src"), col("u").as("dst")))
+      val D0 = DecimalType(38, 0)
+      val pairs = directed
+        .join(broadcast(deg.toDF("xs", "dx")), col("src") === col("xs"))
+        .join(broadcast(deg.toDF("xt", "dy")), col("dst") === col("xt"))
+        .select(col("dx").cast(D0).as("x"), col("dy").cast(D0).as("y"))
+      pairs.agg(
+          count(lit(1)).cast(D0).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sx2"),
+          sum(col("y") * col("y")).as("sy2"))
+        .select((col("n") / 2).cast(LongType).as("n_edges"),
+          round(
+            ((col("n") * col("sxy") - col("sx") * col("sy"))
+              .cast(DoubleType)) /
+            sqrt((col("n") * col("sx2") - col("sx") * col("sx"))
+              .cast(DoubleType) *
+              (col("n") * col("sy2") - col("sy") * col("sy"))
+                .cast(DoubleType)), 6).as("assortativity"))
     },
 
     // TPC-DS Q34/Q73 topology — aggregate a fact, band-filter the
@@ -101,6 +143,56 @@ object Analytics4 extends QueryModule {
         .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
           col("n_name"), col("n_trips"), col("spend"))
         .orderBy(col("n_trips").desc, col("c_custkey"))
+    },
+
+    // Data-quality audit — the expectations pass a 100 TB pipeline runs
+    // before training ingestion: null/range/sign checks FUSED into one
+    // conditional-aggregation scan per table (never one scan per
+    // check), plus the two checks that need their own shape — duplicate
+    // primary keys (grouped count) and orphaned foreign keys (LEFT ANTI
+    // join). Output is one row per constraint, O(constraints) total.
+    "q236_quality_audit" -> { (s, dir) =>
+      val li = Tables.df(s, dir, "lineitem")
+      val o = Tables.df(s, dir, "orders")
+      val liStats = li.agg(
+        count(lit(1)).as("n_li"),
+        count(when(col("l_shipdate").isNull, 1)).as("v_null_ship"),
+        count(when(col("l_quantity") <= 0, 1)).as("v_qty"),
+        count(when(!col("l_discount").between(0, 1), 1)).as("v_disc"))
+      val dup = li.groupBy(col("l_orderkey"), col("l_linenumber"))
+        .agg(count(lit(1)).as("c"))
+        .agg(coalesce(sum(when(col("c") > 1, col("c") - 1)), lit(0L))
+          .as("v_dup"))
+      val orphan = li.join(o.select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("v_orphan"))
+      val ordStats = o.agg(count(lit(1)).as("n_ord"),
+        count(when(col("o_totalprice") <= 0, 1)).as("v_price"))
+      liStats.crossJoin(dup).crossJoin(orphan).crossJoin(ordStats)
+        .select(explode(array(
+          struct(lit("lineitem.discount_range").as("check_name"),
+            col("v_disc").as("n_violations"),
+            col("n_li").as("n_checked")),
+          struct(lit("lineitem.duplicate_pk").as("check_name"),
+            col("v_dup").as("n_violations"),
+            col("n_li").as("n_checked")),
+          struct(lit("lineitem.fk_orders").as("check_name"),
+            col("v_orphan").as("n_violations"),
+            col("n_li").as("n_checked")),
+          struct(lit("lineitem.positive_qty").as("check_name"),
+            col("v_qty").as("n_violations"),
+            col("n_li").as("n_checked")),
+          struct(lit("lineitem.shipdate_not_null").as("check_name"),
+            col("v_null_ship").as("n_violations"),
+            col("n_li").as("n_checked")),
+          struct(lit("orders.positive_total").as("check_name"),
+            col("v_price").as("n_violations"),
+            col("n_ord").as("n_checked")))).as("r"))
+        .select(col("r.check_name").as("check_name"),
+          col("r.n_violations").as("n_violations"),
+          col("r.n_checked").as("n_checked"))
+        .withColumn("pass", col("n_violations") === 0)
+        .orderBy(col("check_name"))
     },
 
     // TPC-DS Q41/Q48 topology — an OR of attribute conjunctions over
@@ -212,6 +304,64 @@ object Analytics4 extends QueryModule {
   )
 
   override def oracle: Map[String, String] = Map(
+    "q236_quality_audit" ->
+      """WITH li AS (
+        |  SELECT count(*) AS n_li,
+        |    count(*) FILTER (l_shipdate IS NULL) AS v_null_ship,
+        |    count(*) FILTER (l_quantity <= 0) AS v_qty,
+        |    count(*) FILTER (l_discount NOT BETWEEN 0 AND 1) AS v_disc
+        |  FROM lineitem),
+        |dup AS (
+        |  SELECT CAST(coalesce(sum(c - 1), 0) AS BIGINT) AS v_dup
+        |  FROM (SELECT count(*) AS c FROM lineitem
+        |        GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1)),
+        |orphan AS (
+        |  SELECT count(*) AS v_orphan FROM lineitem
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                    WHERE o_orderkey = l_orderkey)),
+        |ord AS (
+        |  SELECT count(*) AS n_ord,
+        |    count(*) FILTER (o_totalprice <= 0) AS v_price FROM orders)
+        |SELECT * FROM (
+        |  SELECT 'lineitem.discount_range' AS check_name,
+        |    v_disc AS n_violations, n_li AS n_checked,
+        |    v_disc = 0 AS pass FROM li
+        |  UNION ALL SELECT 'lineitem.duplicate_pk', v_dup, n_li,
+        |    v_dup = 0 FROM li, dup
+        |  UNION ALL SELECT 'lineitem.fk_orders', v_orphan, n_li,
+        |    v_orphan = 0 FROM li, orphan
+        |  UNION ALL SELECT 'lineitem.positive_qty', v_qty, n_li,
+        |    v_qty = 0 FROM li
+        |  UNION ALL SELECT 'lineitem.shipdate_not_null', v_null_ship,
+        |    n_li, v_null_ship = 0 FROM li
+        |  UNION ALL SELECT 'orders.positive_total', v_price, n_ord,
+        |    v_price = 0 FROM ord
+        |) ORDER BY check_name""".stripMargin,
+    "q238_assortativity" ->
+      """WITH e AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |deg AS (
+        |  SELECT node, count(*) AS d FROM (
+        |    SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+        |  GROUP BY 1),
+        |directed AS (
+        |  SELECT u AS src, v AS dst FROM e
+        |  UNION ALL SELECT v, u FROM e),
+        |p AS (
+        |  SELECT CAST(ds.d AS HUGEINT) AS x, CAST(dt.d AS HUGEINT) AS y
+        |  FROM directed
+        |  JOIN deg ds ON ds.node = src JOIN deg dt ON dt.node = dst),
+        |m AS (
+        |  SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx,
+        |    sum(y) AS sy, sum(x*y) AS sxy, sum(x*x) AS sx2,
+        |    sum(y*y) AS sy2 FROM p)
+        |SELECT CAST(n // 2 AS BIGINT) AS n_edges,
+        |  round(CAST(n*sxy - sx*sy AS DOUBLE) /
+        |    sqrt(CAST(n*sx2 - sx*sx AS DOUBLE) *
+        |         CAST(n*sy2 - sy*sy AS DOUBLE)), 6) AS assortativity
+        |FROM m""".stripMargin,
     "q227_triangle_count" ->
       """WITH e AS (
         |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v

@@ -464,6 +464,30 @@ object Similarity extends QueryModule {
           .as("n_sat"),
         round(cosine(col("v"), col("dq")), 6).as("cos_fidelity"))
         .orderBy(col("vec_id"))
+    },
+
+    // ANN quality evaluation — recall@5 of the LSH index (q78) against
+    // the exact brute-force ranking (q77), per probe. This closes the
+    // eval loop the dedup side already has (q170): an index-parameter
+    // change shows up as a recall number, not a silent result drift.
+    // Runs BOTH pipelines live (the LSH side is not pinned here), so
+    // the overlap join is the only extra work — two top-5 sets joined
+    // on the narrow (probe, vec) key.
+    "q237_ann_recall" -> { (s, dir) =>
+      val bf = queries("q77_ann_bruteforce")(s, dir)
+        .select(col("probe_id"), col("vec_id"))
+      val lsh = queries("q78_ann_lsh")(s, dir)
+        .select(col("probe_id").as("lp"), col("vec_id").as("lv"))
+      val hits = bf.join(lsh,
+          col("probe_id") === col("lp") && col("vec_id") === col("lv"),
+          "leftsemi")
+        .groupBy(col("probe_id")).agg(count(lit(1)).as("n_hit"))
+      bf.select(col("probe_id")).distinct()
+        .join(hits, Seq("probe_id"), "left")
+        .select(col("probe_id"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+        .withColumn("recall_at_5", round(col("n_hit") / 5.0, 6))
+        .orderBy(col("probe_id"))
     }
   )
 
@@ -503,6 +527,30 @@ object Similarity extends QueryModule {
     "(325,331),(334,382),(335,439),(350,395),(355,417),(387,388)"
 
   override def oracle: Map[String, String] = Map(
+    "q237_ann_recall" ->
+      s"""WITH ids(probe_id, vec_id) AS (VALUES $q78PinnedTop5),
+         |bf AS (
+         |  SELECT probe_id, vec_id FROM (
+         |    SELECT p.vec_id AS probe_id, c.vec_id,
+         |      row_number() OVER (PARTITION BY p.vec_id
+         |        ORDER BY round(list_cosine_similarity(
+         |          p.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6)
+         |          DESC, c.vec_id) AS rk
+         |    FROM embeddings p JOIN embeddings c
+         |      ON c.vec_id != p.vec_id
+         |    WHERE p.vec_id < 20
+         |  ) WHERE rk <= 5),
+         |hits AS (
+         |  SELECT bf.probe_id, count(*) AS n_hit FROM bf
+         |  JOIN ids ON ids.probe_id = bf.probe_id
+         |    AND ids.vec_id = bf.vec_id
+         |  GROUP BY 1)
+         |SELECT p.probe_id, CAST(coalesce(h.n_hit, 0) AS BIGINT)
+         |    AS n_hit,
+         |  round(coalesce(h.n_hit, 0) / 5.0, 6) AS recall_at_5
+         |FROM (SELECT DISTINCT probe_id FROM bf) p
+         |LEFT JOIN hits h ON h.probe_id = p.probe_id
+         |ORDER BY p.probe_id""".stripMargin,
     "q228_int8_quant" ->
       """WITH v AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
