@@ -284,6 +284,46 @@ object Analytics4 extends QueryModule {
         .orderBy(col("cohort"))
     },
 
+    // TPC-DS Q64 topology — the same deep join tree instantiated TWICE
+    // (consecutive years) and self-paired on (customer, part): repeat
+    // buyers with year-over-year spend. Each side aggregates to
+    // (cust, part) grain BEFORE the pairing, so the self-join shuffles
+    // two census-sized sides on the composite key — never fact x fact —
+    // and the dims (part/customer/nation) broadcast onto the paired
+    // result, not into each leg.
+    "q239_repeat_buyers" -> { (s, dir) =>
+      def side(y: Int, tag: String): DataFrame =
+        Tables.df(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"),
+            (col("l_extendedprice").cast(DecimalType(12, 2)) *
+              (lit(1).cast(DecimalType(4, 2)) -
+                col("l_discount").cast(DecimalType(4, 2))))
+              .as("val"))
+          .join(Tables.df(s, dir, "orders")
+              .filter(year(col("o_orderdate")) === y)
+              .select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_custkey").as(s"ck_$tag"),
+            col("l_partkey").as(s"pk_$tag"))
+          .agg(sum(col("val")).as(s"spend_$tag"))
+      val a = side(1996, "a")
+      val b = side(1997, "b")
+      a.join(b, col("ck_a") === col("ck_b") && col("pk_a") === col("pk_b"))
+        .join(broadcast(Tables.df(s, dir, "part")
+            .select(col("p_partkey"), col("p_brand"))),
+          col("pk_a") === col("p_partkey"))
+        .join(broadcast(Tables.df(s, dir, "customer")
+            .select(col("c_custkey"), col("c_nationkey"))),
+          col("ck_a") === col("c_custkey"))
+        .join(broadcast(Tables.df(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), col("p_brand"))
+        .agg(count(lit(1)).as("n_repeat"),
+          sum(col("spend_a")).cast(DoubleType).as("spend_y1"),
+          sum(col("spend_b")).cast(DoubleType).as("spend_y2"))
+        .orderBy(col("n_name"), col("p_brand"))
+    },
+
     // TPC-DS Q90 topology — ratio of two filtered counts of the same
     // fact in one pass (no self-join): am/pm event traffic per type.
     // One scan, one shuffle; the reference would run this as two
@@ -425,6 +465,28 @@ object Analytics4 extends QueryModule {
         |  CAST(sum(n_follow) AS BIGINT) AS n_follow_orders,
         |  CAST(sum(follow_rev) AS DOUBLE) AS follow_revenue
         |FROM follow GROUP BY 1 ORDER BY cohort""".stripMargin,
+    "q239_repeat_buyers" ->
+      """WITH sa AS (
+        |  SELECT o_custkey AS ck, l_partkey AS pk,
+        |    sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |      (1 - CAST(l_discount AS DECIMAL(4,2)))) AS spend_a
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE year(o_orderdate) = 1996 GROUP BY 1, 2),
+        |sb AS (
+        |  SELECT o_custkey AS ck, l_partkey AS pk,
+        |    sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |      (1 - CAST(l_discount AS DECIMAL(4,2)))) AS spend_b
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE year(o_orderdate) = 1997 GROUP BY 1, 2)
+        |SELECT n_name, p_brand, count(*) AS n_repeat,
+        |  CAST(sum(spend_a) AS DOUBLE) AS spend_y1,
+        |  CAST(sum(spend_b) AS DOUBLE) AS spend_y2
+        |FROM sa JOIN sb ON sa.ck = sb.ck AND sa.pk = sb.pk
+        |JOIN part ON sa.pk = p_partkey
+        |JOIN customer ON sa.ck = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name, p_brand
+        |ORDER BY n_name, p_brand""".stripMargin,
     "q230_frequent_trips" ->
       """WITH census AS (
         |  SELECT o_custkey, count(*) AS n_trips,

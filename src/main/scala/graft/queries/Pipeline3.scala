@@ -261,6 +261,35 @@ object Pipeline3 extends QueryModule {
         .orderBy(col("doc_id"))
     },
 
+    // Train/val/test split leakage audit — the eval-contamination check
+    // every training pipeline needs: assign a deterministic salted-hash
+    // split (~80/10/10 via the first md5 byte), then census the
+    // near-dup pairs by split pair. A pair with split_lo != split_hi is
+    // LEAKAGE (a val/test doc has a near-duplicate in train — the
+    // benchmark number is contaminated). Split assignment is pure map
+    // work; the pair census joins the edge list (already narrow) to the
+    // split table twice — at 100 TB the splits table is a projection of
+    // the corpus key column, the census output is O(9) rows.
+    "q240_split_leakage" -> { (s, dir) =>
+      val split = Tables.df(s, dir, "documents")
+        .filter(col("doc_id") <= 200)
+        .select(col("doc_id"),
+          conv(substring(md5(concat(lit("cv"),
+            col("doc_id").cast(StringType))), 1, 2), 16, 10)
+            .cast(LongType).as("b"))
+        .select(col("doc_id"), when(col("b") < 204, "train")
+          .when(col("b") < 230, "val").otherwise("test").as("split"))
+      dupEdges(s, dir).filter(col("src") < col("dst"))
+        .join(split.toDF("da", "sa"), col("src") === col("da"))
+        .join(split.toDF("db", "sb"), col("dst") === col("db"))
+        .select(least(col("sa"), col("sb")).as("split_lo"),
+          greatest(col("sa"), col("sb")).as("split_hi"))
+        .groupBy(col("split_lo"), col("split_hi"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .withColumn("leaky", col("split_lo") =!= col("split_hi"))
+        .orderBy(col("split_lo"), col("split_hi"))
+    },
+
     // Mixture construction: per-domain (source) quality quota — keep the
     // top 25 docs per source by length (quality stand-in), deterministic
     // tiebreak on doc_id. The rank filter plans as WindowGroupLimit:
@@ -441,6 +470,34 @@ object Pipeline3 extends QueryModule {
          |SELECT doc_id, cluster_id, canonical_id,
          |  doc_id = canonical_id AS keep
          |FROM sel ORDER BY doc_id""".stripMargin,
+    "q240_split_leakage" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $utokSql AS tok FROM documents
+         |  WHERE doc_id <= 200),
+         |pairs AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+         |      / CAST(len(list_distinct(a.tok || b.tok)) AS DOUBLE) >= 0.9),
+         |sp AS (
+         |  SELECT doc_id, CASE WHEN b < 204 THEN 'train'
+         |    WHEN b < 230 THEN 'val' ELSE 'test' END AS split
+         |  FROM (
+         |    SELECT doc_id,
+         |      (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 +
+         |      (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS b
+         |    FROM (SELECT doc_id, md5('cv' || CAST(doc_id AS VARCHAR))
+         |            AS h
+         |          FROM documents WHERE doc_id <= 200))),
+         |lab AS (
+         |  SELECT least(sa.split, sb.split) AS split_lo,
+         |         greatest(sa.split, sb.split) AS split_hi
+         |  FROM pairs
+         |  JOIN sp sa ON sa.doc_id = a_id
+         |  JOIN sp sb ON sb.doc_id = b_id)
+         |SELECT split_lo, split_hi, count(*) AS n_pairs,
+         |  split_lo != split_hi AS leaky
+         |FROM lab GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q150_cc_chain" ->
       """SELECT doc_id, CAST(doc_id - doc_id % 100 AS BIGINT) AS cluster_id
         |FROM documents ORDER BY doc_id""".stripMargin,
