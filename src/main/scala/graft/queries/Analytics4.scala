@@ -324,6 +324,78 @@ object Analytics4 extends QueryModule {
         .orderBy(col("n_name"), col("p_brand"))
     },
 
+    // TPC-DS Q35/Q69 topology — a census gated by BOTH an EXISTS and a
+    // NOT EXISTS against different fact slices, kept as literal
+    // semi/anti joins (the Q35 plan shape; q201 covers the fused
+    // flag-aggregation variant). At scale both probes are narrow
+    // key-only legs: the semi/anti sides project just the join key
+    // before the exchange.
+    "q241_existence_census" -> { (s, dir) =>
+      val c = Tables.df(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))
+      val o = Tables.df(s, dir, "orders")
+      val active96 = o.filter(year(col("o_orderdate")) === 1996)
+        .select(col("o_custkey").as("a_ck"))
+      val lowPrio = o.filter(col("o_orderpriority") === "5-LOW")
+        .select(col("o_custkey").as("l_ck"))
+      c.join(active96, col("c_custkey") === col("a_ck"), "leftsemi")
+        .join(lowPrio, col("c_custkey") === col("l_ck"), "leftanti")
+        .join(broadcast(Tables.df(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("n_name"), col("c_mktsegment"))
+    },
+
+    // TPC-DS Q66 topology — the wide manual pivot: per nation x year,
+    // TWELVE conditional-sum month columns from ONE fact scan (q91
+    // covers the PIVOT clause; warehouses write Q66's CASE matrix by
+    // hand when the column set is fixed). Exact decimal cells.
+    "q242_ship_month_matrix" -> { (s, dir) =>
+      val D = DecimalType(18, 2)
+      val mcols = (1 to 12).map(m =>
+        sum(when(month(col("l_shipdate")) === m,
+          col("l_quantity").cast(D)).otherwise(lit(0).cast(D)))
+          .cast(DoubleType).as(f"m$m%02d"))
+      Tables.df(s, dir, "lineitem")
+        .join(broadcast(Tables.df(s, dir, "supplier")
+            .select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.df(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), year(col("l_shipdate")).as("yr"))
+        .agg(mcols.head, mcols.tail: _*)
+        .orderBy(col("n_name"), col("yr"))
+    },
+
+    // TPC-DS Q76 topology — heterogeneous channel slices unioned with
+    // MISSING columns null-extended (unionByName allowMissingColumns —
+    // q9 covers same-schema unionByName), then a channel x year census.
+    // Each slice carries a column the others lack; the union aligns by
+    // NAME and fills nulls, exactly how multi-channel facts with
+    // divergent schemas consolidate.
+    "q243_channel_union_census" -> { (s, dir) =>
+      val li = Tables.df(s, dir, "lineitem")
+      val a = li.filter(col("l_returnflag") === "A")
+        .select(lit("air").as("channel"), col("l_shipdate"),
+          col("l_extendedprice"), col("l_tax"))
+      val n = li.filter(col("l_returnflag") === "N")
+        .select(lit("net").as("channel"), col("l_shipdate"),
+          col("l_extendedprice"), col("l_discount"))
+      val r = li.filter(col("l_returnflag") === "R")
+        .select(lit("retail").as("channel"), col("l_shipdate"),
+          col("l_extendedprice"))
+      a.unionByName(n, allowMissingColumns = true)
+        .unionByName(r, allowMissingColumns = true)
+        .groupBy(col("channel"), year(col("l_shipdate")).as("yr"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("revenue"),
+          count(col("l_tax")).as("n_tax"),
+          count(col("l_discount")).as("n_disc"))
+        .orderBy(col("channel"), col("yr"))
+    },
+
     // TPC-DS Q90 topology — ratio of two filtered counts of the same
     // fact in one pass (no self-join): am/pm event traffic per type.
     // One scan, one shuffle; the reference would run this as two
@@ -465,6 +537,46 @@ object Analytics4 extends QueryModule {
         |  CAST(sum(n_follow) AS BIGINT) AS n_follow_orders,
         |  CAST(sum(follow_rev) AS DOUBLE) AS follow_revenue
         |FROM follow GROUP BY 1 ORDER BY cohort""".stripMargin,
+    "q241_existence_census" ->
+      """SELECT n_name, c_mktsegment, count(*) AS n_customers
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |              AND year(o_orderdate) = 1996)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                  AND o_orderpriority = '5-LOW')
+        |GROUP BY n_name, c_mktsegment
+        |ORDER BY n_name, c_mktsegment""".stripMargin,
+    "q242_ship_month_matrix" ->
+      ("""SELECT n_name, year(l_shipdate) AS yr,""" +
+        (1 to 12).map(m =>
+          s"""
+             |  CAST(sum(CASE WHEN month(l_shipdate) = $m
+             |    THEN CAST(l_quantity AS DECIMAL(18,2))
+             |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             |    AS m${"%02d".format(m)}""".stripMargin)
+          .mkString(",") +
+        """
+          |FROM lineitem
+          |JOIN supplier ON l_suppkey = s_suppkey
+          |JOIN nation ON s_nationkey = n_nationkey
+          |GROUP BY n_name, yr ORDER BY n_name, yr""".stripMargin),
+    "q243_channel_union_census" ->
+      """WITH u AS (
+        |  SELECT 'air' AS channel, l_shipdate, l_extendedprice,
+        |    l_tax, NULL::DOUBLE AS l_discount
+        |  FROM lineitem WHERE l_returnflag = 'A'
+        |  UNION ALL
+        |  SELECT 'net', l_shipdate, l_extendedprice, NULL, l_discount
+        |  FROM lineitem WHERE l_returnflag = 'N'
+        |  UNION ALL
+        |  SELECT 'retail', l_shipdate, l_extendedprice, NULL, NULL
+        |  FROM lineitem WHERE l_returnflag = 'R')
+        |SELECT channel, year(l_shipdate) AS yr, count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue,
+        |  count(l_tax) AS n_tax, count(l_discount) AS n_disc
+        |FROM u GROUP BY channel, yr ORDER BY channel, yr""".stripMargin,
     "q239_repeat_buyers" ->
       """WITH sa AS (
         |  SELECT o_custkey AS ck, l_partkey AS pk,

@@ -463,6 +463,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_sum"), p.take(3000))
   }
 
+  test("q241 existence census keeps literal semi AND anti joins with " +
+    "key-only probe sides") {
+    val p = finalPlan("q241_existence_census")
+    assert(p.contains("LeftSemi"), p.take(3000))
+    assert(p.contains("LeftAnti"), p.take(3000))
+  }
+
   test("q226 z-order box predicate pushes into the clustered scan") {
     val p = finalPlan("q226_zorder_box")
     assert(
