@@ -43,7 +43,13 @@ object Bench {
     // round 9b: keyless interval-overlap bin join, Q51 two-fact
     // cumulative full-outer, batch sessionization, MG heavy hitters
     "q202_interval_overlap", "q203_cumulative_fullouter",
-    "q205_sessionize", "q206_heavy_hitters")
+    "q205_sessionize", "q206_heavy_hitters",
+    // round 9c: duplicate-mass gram signals, z-order clustered write +
+    // box read, triangle counting, corpus-overlap shingle census,
+    // fused data-quality audit, Q64 self-paired deep join — the
+    // heavy new shapes of this round, benched so regressions show
+    "q215_repetition_quality", "q226_zorder_box", "q227_triangle_count",
+    "q229_corpus_overlap", "q236_quality_audit", "q239_repeat_buyers")
 
   /** Drain the ContextCleaner so no prior query's cleanup I/O bills the
     * next timed region. A GC enqueues the dead weak refs; the cleaner

@@ -139,4 +139,75 @@ object MediaCodec {
       else Unknown
     } else Unknown
   }
+
+  // ---- WAV / RIFF (audio leg of the multimodal family) ----
+
+  /** Parsed audio-container metadata; `None` = unparseable/corrupt. */
+  final case class DecodedAudio(mime: Option[String],
+                                sampleRate: Option[Int],
+                                channels: Option[Int],
+                                bitDepth: Option[Int],
+                                nFrames: Option[Long])
+  val UnknownAudio: DecodedAudio =
+    DecodedAudio(None, None, None, None, None)
+
+  private def put4cc(b: Array[Byte], i: Int, s: String): Unit =
+    (0 until 4).foreach(k => b(i + k) = s.charAt(k).toByte)
+
+  /** Encode a canonical 44-byte-header PCM WAV (RIFF + fmt + data).
+    * Payload is a deterministic sawtooth so files differ by content. */
+  def encodeWav(sampleRate: Int, channels: Int, bitsPerSample: Int,
+                nFrames: Int): Array[Byte] = {
+    val blockAlign = channels * bitsPerSample / 8
+    val dataLen = nFrames * blockAlign
+    val b = new Array[Byte](44 + dataLen)
+    put4cc(b, 0, "RIFF"); putLe(b, 4, 36 + dataLen, 4)
+    put4cc(b, 8, "WAVE")
+    put4cc(b, 12, "fmt "); putLe(b, 16, 16, 4)
+    putLe(b, 20, 1, 2)                       // PCM
+    putLe(b, 22, channels, 2)
+    putLe(b, 24, sampleRate, 4)
+    putLe(b, 28, sampleRate * blockAlign, 4) // byte rate
+    putLe(b, 32, blockAlign, 2)
+    putLe(b, 34, bitsPerSample, 2)
+    put4cc(b, 36, "data"); putLe(b, 40, dataLen, 4)
+    (0 until dataLen).foreach(i => b(44 + i) = (i & 0xff).toByte)
+    b
+  }
+
+  /** Chunk-walking WAV sniffer: verifies RIFF/WAVE magic then scans the
+    * chunk list for `fmt ` and `data` in ANY order (real files carry
+    * LIST/INFO/fact chunks between them; a fixed-offset parse breaks on
+    * those). Odd-length chunks pad one byte per the RIFF spec. Anything
+    * malformed returns UnknownAudio — one corrupt file must never fail
+    * a 100 TB scan stage. */
+  def sniffWav(bytes: Array[Byte]): DecodedAudio = {
+    if (bytes == null || bytes.length < 44) return UnknownAudio
+    def cc(i: Int) = new String(bytes.slice(i, i + 4), "US-ASCII")
+    if (cc(0) != "RIFF" || cc(8) != "WAVE") return UnknownAudio
+    var i = 12
+    var sr, ch, bits = -1
+    var dataLen = -1L
+    while (i + 8 <= bytes.length && (sr < 0 || dataLen < 0)) {
+      val id = cc(i)
+      val len = i32le(bytes, i + 4).toLong & 0xffffffffL
+      if (id == "fmt " && len >= 16 && i + 8 + 16 <= bytes.length) {
+        val audioFormat = u16le(bytes, i + 8)
+        if (audioFormat != 1) return UnknownAudio // PCM only
+        ch = u16le(bytes, i + 10)
+        sr = i32le(bytes, i + 12)
+        bits = u16le(bytes, i + 22)
+      } else if (id == "data") {
+        dataLen = len
+      }
+      i += 8 + len.toInt + (len % 2).toInt   // odd chunks pad 1 byte
+      if (len > Int.MaxValue - 16) return UnknownAudio
+    }
+    val blockAlign = if (ch > 0 && bits > 0) ch * bits / 8 else 0
+    if (sr > 0 && ch > 0 && Set(8, 16, 24, 32)(bits) && dataLen >= 0 &&
+        blockAlign > 0 && dataLen % blockAlign == 0)
+      DecodedAudio(Some("audio/wav"), Some(sr), Some(ch), Some(bits),
+        Some(dataLen / blockAlign))
+    else UnknownAudio
+  }
 }

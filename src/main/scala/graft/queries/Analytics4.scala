@@ -25,7 +25,14 @@ object Analytics4 extends QueryModule {
     * semi-join, never a θ-join. Factored out so GraphSpec can drive it
     * with known-count graphs (K4, paths, cycles) independent of the
     * fixture. */
-  private[graft] def triangleStats(e: DataFrame): DataFrame = {
+  private[graft] def triangleStats(eIn: DataFrame): DataFrame = {
+    // The edge list feeds FOUR consumers (degree count, orientation,
+    // the closing-edge probe, the edge census); without materialization
+    // Spark recomputes the distinct pair self-join once per consumer —
+    // at sf0.1 that alone is most of the runtime. localCheckpoint (the
+    // CC-loop pattern, Pipeline3) computes it once; the bench's
+    // between-query quiesce frees the blocks.
+    val e = eIn.localCheckpoint()
     val deg = e.select(col("u").as("x"))
       .union(e.select(col("v").as("x")))
       .groupBy(col("x")).agg(count(lit(1)).as("d"))
@@ -92,7 +99,9 @@ object Analytics4 extends QueryModule {
     // both engines agree bit-for-bit and only the final r is a rounded
     // double. Two shuffles total: degree count + the edge-degree join.
     "q238_assortativity" -> { (s, dir) =>
-      val e = coPurchaseEdges(s, dir)
+      // materialize once — consumed by the degree census and both
+      // edge directions (the triangleStats rationale)
+      val e = coPurchaseEdges(s, dir).localCheckpoint()
       val deg = e.select(col("u").as("x"))
         .union(e.select(col("v").as("x")))
         .groupBy(col("x")).agg(count(lit(1)).as("d"))
@@ -396,6 +405,50 @@ object Analytics4 extends QueryModule {
         .orderBy(col("channel"), col("yr"))
     },
 
+    // Sliding-window DISTINCT users — trailing 3-hour unique-visitor
+    // counts per hour. COUNT(DISTINCT) cannot ride a window frame, and
+    // a per-hour self-join over the raw stream is O(window x events);
+    // the scalable rewrite FANS each event into the <=3 hour-buckets it
+    // influences (bounded x3 blowup of a narrow projection), semi-joins
+    // to observed hours, and runs one exact distinct-agg per bucket.
+    // At 100 TB: one shuffle on (bucket, user), fan-out constant.
+    "q245_sliding_distinct" -> { (s, dir) =>
+      val ev = Tables.df(s, dir, "events")
+        .select(date_trunc("hour", col("ts")).as("h"), col("user_id"))
+      val fan = ev.select(explode(array((0 to 2).map(k =>
+          col("h") + expr(s"INTERVAL $k HOURS")): _*)).as("bucket"),
+        col("user_id"))
+      val hours = ev.select(col("h").as("bucket")).distinct()
+      fan.join(hours, Seq("bucket"), "leftsemi")
+        .groupBy(col("bucket"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("bucket"))
+    },
+
+    // Event-transition matrix — the product-analytics Markov census:
+    // per user, consecutive event pairs via LEAD over (ts, event_id),
+    // then a (from, to) count with per-source transition probability
+    // from a window-partitioned total. One user-keyed exchange for the
+    // sequencing, one tiny census shuffle.
+    "q246_event_transitions" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.df(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"),
+          col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p", round(col("n").cast(DoubleType) /
+          sum(col("n")).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("from_type"))), 6))
+        .orderBy(col("from_type"), col("to_type"))
+    },
+
     // TPC-DS Q90 topology — ratio of two filtered counts of the same
     // fact in one pass (no self-join): am/pm event traffic per type.
     // One scan, one shuffle; the reference would run this as two
@@ -537,6 +590,28 @@ object Analytics4 extends QueryModule {
         |  CAST(sum(n_follow) AS BIGINT) AS n_follow_orders,
         |  CAST(sum(follow_rev) AS DOUBLE) AS follow_revenue
         |FROM follow GROUP BY 1 ORDER BY cohort""".stripMargin,
+    "q245_sliding_distinct" ->
+      """WITH ev AS (
+        |  SELECT date_trunc('hour', ts) AS h, user_id FROM events),
+        |hours AS (SELECT DISTINCT h FROM ev)
+        |SELECT hours.h AS bucket, count(DISTINCT e.user_id) AS n_users
+        |FROM hours JOIN ev e
+        |  ON e.h <= hours.h AND e.h >= hours.h - INTERVAL 2 HOUR
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q246_event_transitions" ->
+      """WITH seq AS (
+        |  SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |census AS (
+        |  SELECT event_type AS from_type, next_type AS to_type,
+        |    count(*) AS n
+        |  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  round(n::DOUBLE / sum(n) OVER (PARTITION BY from_type), 6)
+        |    AS p
+        |FROM census ORDER BY from_type, to_type""".stripMargin,
     "q241_existence_census" ->
       """SELECT n_name, c_mktsegment, count(*) AS n_customers
         |FROM customer JOIN nation ON c_nationkey = n_nationkey

@@ -26,6 +26,12 @@ object Multimodal extends QueryModule {
                        width: Option[Long], height: Option[Long],
                        channels: Option[Long], bit_depth: Option[Long])
 
+  /** Typed decode output for the audio leg. */
+  case class AudioMeta(event_id: Long, n_bytes: Long, mime: Option[String],
+                       sample_rate: Option[Long], channels: Option[Long],
+                       bit_depth: Option[Long], n_frames: Option[Long],
+                       duration_ms: Option[Long])
+
   /** Deterministic per-document media file: even doc_id → 24-bit BMP,
     * odd → PNG (truecolor, +alpha when doc_id%4==1), dims derived from
     * the id, payload from the text bytes. Every 13th document gets its
@@ -66,6 +72,37 @@ object Multimodal extends QueryModule {
         })
         .toDF()
         .orderBy(col("doc_id"))
+    },
+
+    // Audio leg of the multimodal family: real PCM WAV containers
+    // (RIFF + fmt + data, chunk-walking sniffer that tolerates extra
+    // chunks in any order) built per event, then header metadata —
+    // sample rate / channels / bit depth / frame count / duration —
+    // decoded back from the BYTES. Every 13th file gets its RIFF magic
+    // zeroed and must degrade to nulls. Same two map-only typed stages
+    // as q80; swapping the sniffer for ffprobe changes one function.
+    "q244_multimodal_audio" -> { (s, dir) =>
+      import s.implicits._
+      val rates = Array(8000, 16000, 44100, 48000)
+      Tables.df(s, dir, "events")
+        .select(col("event_id")).filter(col("event_id") < 500)
+        .as[Long]
+        .mapPartitions(_.map { id =>
+          val bytes = MediaCodec.encodeWav(rates((id % 4).toInt),
+            1 + (id % 2).toInt, 16, (id % 500 + 1).toInt)
+          if (id % 13 == 0) { bytes(0) = 0; bytes(1) = 0 }
+          (id, bytes)
+        })
+        .mapPartitions(_.map { case (id, bytes) =>
+          val d = MediaCodec.sniffWav(bytes)
+          AudioMeta(id, bytes.length.toLong, d.mime,
+            d.sampleRate.map(_.toLong), d.channels.map(_.toLong),
+            d.bitDepth.map(_.toLong), d.nFrames,
+            for (nf <- d.nFrames; sr <- d.sampleRate)
+              yield nf * 1000L / sr)
+        })
+        .toDF()
+        .orderBy(col("event_id"))
     },
 
     // Frame-sampling / chunking stub over the binary payload: fixed-size
@@ -122,6 +159,33 @@ object Multimodal extends QueryModule {
   )
 
   override def oracle: Map[String, String] = Map(
+    // WAV leg: the oracle recomputes the header fields from the same
+    // generation rule (44-byte canonical header + frames x blockAlign
+    // data; blockAlign = channels x 2 at 16-bit); corrupt-magic rows
+    // (event_id % 13 = 0) keep their byte length but decode to nulls.
+    "q244_multimodal_audio" ->
+      """WITH p AS (
+        |  SELECT event_id,
+        |    CASE event_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |      WHEN 2 THEN 44100 ELSE 48000 END AS sr,
+        |    1 + event_id % 2 AS ch,
+        |    event_id % 500 + 1 AS nf
+        |  FROM events WHERE event_id < 500)
+        |SELECT event_id,
+        |  CAST(44 + nf * ch * 2 AS BIGINT) AS n_bytes,
+        |  CASE WHEN event_id % 13 = 0 THEN NULL
+        |       ELSE 'audio/wav' END AS mime,
+        |  CAST(CASE WHEN event_id % 13 = 0 THEN NULL ELSE sr END
+        |    AS BIGINT) AS sample_rate,
+        |  CAST(CASE WHEN event_id % 13 = 0 THEN NULL ELSE ch END
+        |    AS BIGINT) AS channels,
+        |  CAST(CASE WHEN event_id % 13 = 0 THEN NULL ELSE 16 END
+        |    AS BIGINT) AS bit_depth,
+        |  CAST(CASE WHEN event_id % 13 = 0 THEN NULL ELSE nf END
+        |    AS BIGINT) AS n_frames,
+        |  CAST(CASE WHEN event_id % 13 = 0 THEN NULL
+        |       ELSE (nf * 1000) // sr END AS BIGINT) AS duration_ms
+        |FROM p ORDER BY event_id""".stripMargin,
     // The oracle recomputes the header fields from the same generation
     // rule (DuckDB cannot parse BMP/PNG; MediaCodecSpec proves the
     // byte-level encode→decode round trip and corrupt degradation):

@@ -89,4 +89,42 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(MediaCodec.sniffDecode(
       graft.queries.Multimodal.buildMedia(26, "xyz")) == MediaCodec.Unknown)
   }
+
+  test("WAV round trip: fmt fields and frame count parse back") {
+    val b = MediaCodec.encodeWav(44100, 2, 16, 100)
+    val d = MediaCodec.sniffWav(b)
+    assert(d.mime.contains("audio/wav"))
+    assert(d.sampleRate.contains(44100) && d.channels.contains(2))
+    assert(d.bitDepth.contains(16) && d.nFrames.contains(100L))
+    assert(b.length == 44 + 100 * 2 * 2)
+    // RIFF size field = file length - 8
+    val size = (b(4) & 0xff) | ((b(5) & 0xff) << 8) |
+      ((b(6) & 0xff) << 16) | ((b(7) & 0xff) << 24)
+    assert(size == b.length - 8)
+  }
+
+  test("WAV sniffer walks chunks: an extra chunk before fmt still " +
+    "parses, including odd-length padding") {
+    val base = MediaCodec.encodeWav(8000, 1, 16, 10)
+    // splice a 5-byte JUNK chunk (odd length -> 1 pad byte) at offset 12
+    val junk = "JUNK".getBytes("US-ASCII") ++
+      Array[Byte](5, 0, 0, 0) ++ Array[Byte](1, 2, 3, 4, 5, 0)
+    val spliced = base.take(12) ++ junk ++ base.drop(12)
+    // fix the RIFF size field
+    val total = spliced.length - 8
+    (0 until 4).foreach(k =>
+      spliced(4 + k) = ((total >>> (8 * k)) & 0xff).toByte)
+    val d = MediaCodec.sniffWav(spliced)
+    assert(d.sampleRate.contains(8000) && d.nFrames.contains(10L), d)
+  }
+
+  test("WAV corrupt/truncated/non-PCM inputs degrade to UnknownAudio") {
+    val b = MediaCodec.encodeWav(16000, 1, 16, 4)
+    val corrupt = b.clone(); corrupt(0) = 0
+    assert(MediaCodec.sniffWav(corrupt) == MediaCodec.UnknownAudio)
+    assert(MediaCodec.sniffWav(b.take(20)) == MediaCodec.UnknownAudio)
+    val nonPcm = b.clone(); nonPcm(20) = 3 // IEEE-float format tag
+    assert(MediaCodec.sniffWav(nonPcm) == MediaCodec.UnknownAudio)
+    assert(MediaCodec.sniffWav(null) == MediaCodec.UnknownAudio)
+  }
 }
