@@ -84,6 +84,27 @@ object Pipeline5 extends QueryModule {
             .as("jaccard"),
           round(col("n_inter").cast(DoubleType) / col("n_b"), 6)
             .as("containment_b_in_a"))
+    },
+
+    // Tokenizer-induction census — one BPE merge round: count adjacent
+    // CHARACTER pairs across every word occurrence in the corpus and
+    // rank the merge candidates (the argmax pair is exactly what a BPE
+    // trainer would merge next). Two explodes (word, then position) of
+    // narrow projections; the (pair) census partial-aggregates
+    // map-side; output is top-20, O(1). The full BPE loop re-runs this
+    // census per merge on re-tokenized text — each round is this exact
+    // plan shape.
+    "q248_bpe_pair_census" -> { (s, dir) =>
+      val words = Tables.df(s, dir, "documents")
+        .select(explode(tokens(col("text"))).as("w"))
+        .filter(length(col("w")) >= 2)
+      words
+        .select(explode(expr(
+          "transform(sequence(1, length(w) - 1), " +
+            "i -> substring(w, i, 2))")).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(20)
     }
   )
 
@@ -131,6 +152,16 @@ object Pipeline5 extends QueryModule {
         |  count(*) AS n_union,
         |  round(sum(a*b)::DOUBLE / count(*), 6) AS jaccard,
         |  round(sum(a*b)::DOUBLE / sum(b), 6) AS containment_b_in_a
-        |FROM flags""".stripMargin
+        |FROM flags""".stripMargin,
+    "q248_bpe_pair_census" ->
+      """WITH words AS (
+        |  SELECT w FROM documents,
+        |    UNNEST(string_split(text, ' ')) AS u(w)
+        |  WHERE length(w) >= 2),
+        |pairs AS (
+        |  SELECT substr(w, i, 2) AS pair
+        |  FROM words, UNNEST(generate_series(1, length(w) - 1)) AS g(i))
+        |SELECT pair, count(*) AS n FROM pairs
+        |GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin
   )
 }

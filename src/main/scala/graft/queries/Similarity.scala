@@ -488,6 +488,47 @@ object Similarity extends QueryModule {
           coalesce(col("n_hit"), lit(0L)).as("n_hit"))
         .withColumn("recall_at_5", round(col("n_hit") / 5.0, 6))
         .orderBy(col("probe_id"))
+    },
+
+    // ANN index-as-TABLE: the build/probe split production serving
+    // actually runs. The IVF assignment is written out PHYSICALLY
+    // partitioned by cell; the probe side resolves its nprobe cells at
+    // plan time (a centroid-table lookup — the q226 statistics
+    // precedent) so the read prunes to those partition DIRECTORIES via
+    // literal partition filters (plan-asserted): at 100 TB the probe
+    // touches nprobe/k of the index files, not the corpus. Same
+    // logical answer as q111 (the layout cannot change results — the
+    // same relation q64's bucketed join has to q10's).
+    "q249_ann_partitioned_index" -> { (s, dir) =>
+      val path = "/tmp/graft_warehouse/ann_ivf_index"
+      ivfAssigned(s, dir).write.mode("overwrite")
+        .partitionBy("cell").parquet(path)
+      val wProbe = Window.partitionBy(col("probe_id"))
+        .orderBy(col("csim").desc, col("cent_id"))
+      val probeCells = corpus(s, dir).filter(col("vec_id") < annProbeCount)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+        .crossJoin(broadcast(ivfCentroids(s, dir)))
+        .select(col("probe_id"), col("pv"), col("cent_id"),
+          round(cosine(col("cv"), col("pv")), 6).as("csim"))
+        .withColumn("rk", row_number().over(wProbe))
+        .filter(col("rk") <= 2)
+        .select(col("probe_id"), col("pv"), col("cent_id").as("cell"))
+      val cells = probeCells.select(col("cell")).distinct()
+        .collect().map(_.getLong(0))
+      val idx = s.read.parquet(path)
+        .withColumn("cell", col("cell").cast(LongType))
+        .filter(col("cell").isin(cells: _*))
+      val wTop = Window.partitionBy(col("probe_id"))
+        .orderBy(col("sim").desc, col("vec_id"))
+      idx.join(broadcast(probeCells), Seq("cell"))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          round(cosine(col("pv"), col("v")), 6).as("sim"))
+        .withColumn("rk", row_number().over(wTop))
+        .filter(col("rk") <= 5)
+        .select(col("probe_id"), col("vec_id"), col("sim"),
+          col("rk").cast(LongType).as("rk"))
+        .orderBy(col("probe_id"), col("rk"))
     }
   )
 
@@ -525,6 +566,39 @@ object Similarity extends QueryModule {
     "(195,317),(197,318),(200,204),(202,245),(203,414),(205,485)," +
     "(207,326),(238,287),(253,385),(262,291),(290,325),(290,331)," +
     "(325,331),(334,382),(335,439),(350,395),(355,417),(387,388)"
+
+  /** q111's relational semantics — shared verbatim by q249, whose
+    * partitioned physical layout cannot change the answer. */
+  private val ivfOracleSql: String =
+    """WITH cents AS (
+      |  SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cv
+      |  FROM embeddings WHERE vec_id >= 100 AND vec_id < 116),
+      |assigned AS (
+      |  SELECT vec_id, embedding, cell FROM (
+      |    SELECT e.vec_id, e.embedding, c.cent_id AS cell,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY round(list_cosine_similarity(c.cv, e.embedding::DOUBLE[]), 6) DESC,
+      |                 c.cent_id) AS rk
+      |    FROM embeddings e CROSS JOIN cents c
+      |  ) WHERE rk = 1),
+      |probe_cells AS (
+      |  SELECT probe_id, pv, cell FROM (
+      |    SELECT p.vec_id AS probe_id, p.embedding::DOUBLE[] AS pv,
+      |      c.cent_id AS cell,
+      |      row_number() OVER (PARTITION BY p.vec_id
+      |        ORDER BY round(list_cosine_similarity(c.cv, p.embedding::DOUBLE[]), 6) DESC,
+      |                 c.cent_id) AS rk
+      |    FROM embeddings p CROSS JOIN cents c WHERE p.vec_id < 20
+      |  ) WHERE rk <= 2)
+      |SELECT probe_id, vec_id, sim, CAST(rk AS BIGINT) AS rk FROM (
+      |  SELECT pc.probe_id, a.vec_id,
+      |    round(list_cosine_similarity(pc.pv, a.embedding::DOUBLE[]), 6) AS sim,
+      |    row_number() OVER (PARTITION BY pc.probe_id
+      |      ORDER BY round(list_cosine_similarity(pc.pv, a.embedding::DOUBLE[]), 6) DESC,
+      |               a.vec_id) AS rk
+      |  FROM assigned a JOIN probe_cells pc ON a.cell = pc.cell
+      |  WHERE a.vec_id != pc.probe_id
+      |) WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin
 
   override def oracle: Map[String, String] = Map(
     "q237_ann_recall" ->
@@ -625,36 +699,8 @@ object Similarity extends QueryModule {
         |  FROM embeddings p JOIN embeddings c ON c.vec_id != p.vec_id
         |  WHERE p.vec_id < 20
         |) WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin,
-    "q111_ann_ivf" ->
-      """WITH cents AS (
-        |  SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cv
-        |  FROM embeddings WHERE vec_id >= 100 AND vec_id < 116),
-        |assigned AS (
-        |  SELECT vec_id, embedding, cell FROM (
-        |    SELECT e.vec_id, e.embedding, c.cent_id AS cell,
-        |      row_number() OVER (PARTITION BY e.vec_id
-        |        ORDER BY round(list_cosine_similarity(c.cv, e.embedding::DOUBLE[]), 6) DESC,
-        |                 c.cent_id) AS rk
-        |    FROM embeddings e CROSS JOIN cents c
-        |  ) WHERE rk = 1),
-        |probe_cells AS (
-        |  SELECT probe_id, pv, cell FROM (
-        |    SELECT p.vec_id AS probe_id, p.embedding::DOUBLE[] AS pv,
-        |      c.cent_id AS cell,
-        |      row_number() OVER (PARTITION BY p.vec_id
-        |        ORDER BY round(list_cosine_similarity(c.cv, p.embedding::DOUBLE[]), 6) DESC,
-        |                 c.cent_id) AS rk
-        |    FROM embeddings p CROSS JOIN cents c WHERE p.vec_id < 20
-        |  ) WHERE rk <= 2)
-        |SELECT probe_id, vec_id, sim, CAST(rk AS BIGINT) AS rk FROM (
-        |  SELECT pc.probe_id, a.vec_id,
-        |    round(list_cosine_similarity(pc.pv, a.embedding::DOUBLE[]), 6) AS sim,
-        |    row_number() OVER (PARTITION BY pc.probe_id
-        |      ORDER BY round(list_cosine_similarity(pc.pv, a.embedding::DOUBLE[]), 6) DESC,
-        |               a.vec_id) AS rk
-        |  FROM assigned a JOIN probe_cells pc ON a.cell = pc.cell
-        |  WHERE a.vec_id != pc.probe_id
-        |) WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin,
+    "q111_ann_ivf" -> ivfOracleSql,
+    "q249_ann_partitioned_index" -> ivfOracleSql,
     "q121_kmeans" ->
       """WITH cents AS (
         |  SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cv

@@ -115,6 +115,35 @@ object Storage extends QueryModule {
         .select(col("l_orderkey"), col("l_linenumber"),
           col("l_partkey"), col("l_suppkey"), col("zval"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
+    // Small-file compaction — the table-maintenance op (OPTIMIZE /
+    // rewrite_data_files) every streaming-ingested 100 TB table needs
+    // nightly: a fragmented landing zone (64 shards here; micro-batch
+    // commits in production) is rewritten into a few large range-
+    // clustered files. The oracle checks the rewrite is content-
+    // LOSSLESS (per-flag census over the compacted copy equals the
+    // census over the source); ZOrderSpec's sibling test pins the
+    // mechanical point — the file count actually drops.
+    "q247_compaction" -> { (s, dir) =>
+      val frag = "/tmp/graft_warehouse/li_fragmented"
+      val compact = "/tmp/graft_warehouse/li_compacted"
+      val src = Tables.df(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_returnflag"))
+      src.repartition(64).write.mode("overwrite").parquet(frag)
+      s.read.parquet(frag)
+        .repartitionByRange(4, col("l_orderkey"))
+        .sortWithinPartitions(col("l_orderkey"))
+        .write.mode("overwrite").parquet(compact)
+      s.read.parquet(compact)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_qty"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_price"))
+        .orderBy(col("l_returnflag"))
     }
   )
 
@@ -173,6 +202,14 @@ object Storage extends QueryModule {
         |               (sy3 | (sy3 << 1)) & 1431655765 AS sy4 FROM s3)
         |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
         |  (px4 | (sy4 << 1)) AS zval
-        |FROM s4 ORDER BY l_orderkey, l_linenumber""".stripMargin
+        |FROM s4 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q247_compaction" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_price
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin
   )
 }

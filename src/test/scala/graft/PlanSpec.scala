@@ -476,4 +476,16 @@ class PlanSpec extends AnyFunSuite {
       """PushedFilters: \[[^\]]*GreaterThanOrEqual\(l_partkey""".r
         .findFirstIn(p).isDefined, p.take(3000))
   }
+
+  test("q249 probe read prunes index PARTITIONS (literal cell filter) " +
+    "and returns exactly q111's answer") {
+    val df = SparkEntry.queries("q249_ann_partitioned_index")(spark, sf)
+    val rows = df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert("""PartitionFilters: \[[^\]]*cell""".r.findFirstIn(p).isDefined,
+      "cell IN (...) must prune index directories\n" + p.take(3000))
+    val q111 = SparkEntry.queries("q111_ann_ivf")(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq == q111.map(_.toString).toSeq,
+      "physical layout must not change the ANN answer")
+  }
 }

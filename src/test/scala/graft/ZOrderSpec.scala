@@ -81,4 +81,16 @@ class ZOrderSpec extends AnyFunSuite {
     assert(zHit * 2 <= oHit,
       s"z-order box locality: hit $zHit of $nFiles files vs $oHit scattered")
   }
+
+  test("q247 compaction actually reduces the file count (64-shard " +
+    "landing zone -> <= 4 range-clustered files)") {
+    def parquetFiles(p: String): Int =
+      new java.io.File(p).listFiles()
+        .count(f => f.getName.endsWith(".parquet"))
+    SparkEntry.queries("q247_compaction")(spark, sf).collect()
+    val before = parquetFiles("/tmp/graft_warehouse/li_fragmented")
+    val after = parquetFiles("/tmp/graft_warehouse/li_compacted")
+    assert(before >= 32, s"landing zone should be fragmented: $before")
+    assert(after <= 4, s"compacted file count: $after")
+  }
 }
