@@ -46,12 +46,17 @@ object Analytics4 extends QueryModule {
           .as("src"),
         when(col("du") <= col("dv"), col("v")).otherwise(col("u"))
           .as("dst"))
+    // shuffle_hash on both heavy joins: the apex self-join builds one
+    // out-edge partition per apex hash, and the close builds the
+    // edge-list side (m rows, far smaller than the m^1.5 wedge stream)
+    // — SMJ would SORT the wedge stream, the dominant cost at sf0.1
     val wedges = o.toDF("s1", "x")
-      .join(o.toDF("s2", "y"),
+      .join(o.toDF("s2", "y").hint("shuffle_hash"),
         col("s1") === col("s2") && col("x") < col("y"))
       .select(col("x"), col("y"))
     val nTri = wedges
-      .join(e, col("x") === col("u") && col("y") === col("v"), "leftsemi")
+      .join(e.hint("shuffle_hash"),
+        col("x") === col("u") && col("y") === col("v"), "leftsemi")
       .agg(count(lit(1)).as("n_triangles"))
     val nEdges = e.agg(count(lit(1)).as("n_edges"))
     val nWedges = deg.agg(
