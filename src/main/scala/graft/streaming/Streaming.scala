@@ -187,6 +187,27 @@ object Streaming extends QueryModule {
         .orderBy(col("w_start"))
     },
 
+    // Sliding-window DISTINCT users, streaming twin of batch q245:
+    // CHAINED stateful operators (Spark 3.5+/4) — dropDuplicates on
+    // (user, window) dedups each user once per sliding window, then the
+    // windowed count aggregates the survivors. The window struct
+    // carries event time, so dedup state evicts with the watermark
+    // instead of growing forever; the sliding window() projection
+    // expands each event into its <=3 covering windows (the same
+    // bounded fan-out as q245's batch rewrite).
+    "q250_stream_sliding_distinct" -> { (s, dir) =>
+      val agg = eventStream(s, dir)
+        .withWatermark("ts", "1 hour")
+        .select(col("ts"), col("user_id"),
+          window(col("ts"), "3 hours", "1 hour").as("w"))
+        .dropDuplicates("user_id", "w")
+        .groupBy(col("w"))
+        .agg(count(lit(1)).as("n_users"))
+        .select(unix_micros(col("w.start")).as("w_start"), col("n_users"))
+      drain(agg, s, "q250_sink", OutputMode.Complete())
+        .orderBy(col("w_start"))
+    },
+
     // Streaming -> file sink via foreachBatch (the production path for
     // stream-to-lake writes): each micro-batch lands as parquet, result
     // read back from the files. Oracle = the equivalent batch aggregate.
@@ -582,6 +603,13 @@ object Streaming extends QueryModule {
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |WHERE e.event_type = 'purchase'
         |GROUP BY 1, 2 ORDER BY w_start, segment""".stripMargin,
+    "q250_stream_sliding_distinct" ->
+      """SELECT w_start, count(DISTINCT user_id) AS n_users
+        |FROM (
+        |  SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))
+        |           - h * INTERVAL 1 HOUR) AS w_start, user_id
+        |  FROM events, unnest([0, 1, 2]) AS t(h)
+        |) GROUP BY w_start ORDER BY w_start""".stripMargin,
     "q86_stream_sliding" ->
       """SELECT w_start, count(*) AS n,
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
