@@ -410,6 +410,40 @@ object Analytics4 extends QueryModule {
         .orderBy(col("channel"), col("yr"))
     },
 
+    // Robust anomaly detection — MAD (median absolute deviation)
+    // flagging of nation x month revenue: |x - median| > 3 * MAD. The
+    // robust twin of q212's mean/variance test (one outlier month
+    // cannot drag the threshold the way it drags a stddev). Exactness:
+    // revenue is integer CENTS, so every median/MAD is a multiple of
+    // 0.5 — exactly representable in double — and the strict-inequality
+    // flag is bit-identical on both engines. Two grouped medians + a
+    // nation-grain broadcast join back; the fact shuffles once.
+    "q252_mad_anomaly" -> { (s, dir) =>
+      val m = Tables.df(s, dir, "orders")
+        .join(broadcast(Tables.df(s, dir, "customer")
+            .select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.df(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"),
+          date_trunc("month", col("o_orderdate")).as("mo"))
+        .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
+          .cast(LongType).as("cents"))
+      val med = m.groupBy(col("n_name").as("m_n"))
+        .agg(median(col("cents")).cast(DoubleType).as("med"))
+      val mad = m.join(broadcast(med), col("n_name") === col("m_n"))
+        .groupBy(col("n_name").as("d_n"))
+        .agg(median(abs(col("cents").cast(DoubleType) - col("med")))
+          .cast(DoubleType).as("mad"),
+          first(col("med")).as("med2"))
+      m.join(broadcast(mad), col("n_name") === col("d_n"))
+        .select(col("n_name"), col("mo"),
+          (col("cents").cast(DoubleType) / 100).as("revenue"),
+          (abs(col("cents").cast(DoubleType) - col("med2")) >
+            col("mad") * 3).as("anomalous"))
+        .orderBy(col("n_name"), col("mo"))
+    },
+
     // Sliding-window DISTINCT users — trailing 3-hour unique-visitor
     // counts per hour. COUNT(DISTINCT) cannot ride a window frame, and
     // a per-hour self-join over the raw stream is O(window x events);
@@ -595,6 +629,28 @@ object Analytics4 extends QueryModule {
         |  CAST(sum(n_follow) AS BIGINT) AS n_follow_orders,
         |  CAST(sum(follow_rev) AS DOUBLE) AS follow_revenue
         |FROM follow GROUP BY 1 ORDER BY cohort""".stripMargin,
+    "q252_mad_anomaly" ->
+      """WITH m AS (
+        |  SELECT n_name, date_trunc('month', o_orderdate) AS mo,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+        |      AS BIGINT) AS cents
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |med AS (
+        |  SELECT n_name AS m_n, CAST(median(cents) AS DOUBLE) AS med
+        |  FROM m GROUP BY 1),
+        |mad AS (
+        |  SELECT n_name AS d_n,
+        |    CAST(median(abs(CAST(cents AS DOUBLE) - med)) AS DOUBLE)
+        |      AS mad,
+        |    any_value(med) AS med2
+        |  FROM m JOIN med ON n_name = m_n GROUP BY 1)
+        |SELECT n_name, mo, CAST(cents AS DOUBLE) / 100 AS revenue,
+        |  abs(CAST(cents AS DOUBLE) - med2) > mad * 3 AS anomalous
+        |FROM m JOIN mad ON n_name = d_n
+        |ORDER BY n_name, mo""".stripMargin,
     "q245_sliding_distinct" ->
       """WITH ev AS (
         |  SELECT date_trunc('hour', ts) AS h, user_id FROM events),

@@ -77,6 +77,43 @@ object Warehouse extends QueryModule {
         .orderBy(col("user_id"), col("version"))
     },
 
+    // SCD2 invariant validator — the dimension-health check a warehouse
+    // runs after every q147-style rebuild: exactly ONE current row per
+    // key, and validity intervals CONTIGUOUS (next valid_from == this
+    // valid_to; no gaps, no overlaps). One summary row; the per-key
+    // censuses partial-aggregate map-side so the validator costs one
+    // pass over the history at any scale.
+    "q251_scd2_validator" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val hist = Tables.df(s, dir, "events")
+        .filter(col("event_type").isin("signup", "purchase"))
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"))
+        .withColumn("version", row_number().over(w).cast(LongType))
+        .withColumn("valid_from", col("ts_us"))
+        .withColumn("valid_to", lead(col("ts_us"), 1).over(w))
+        .withColumn("is_current", col("valid_to").isNull)
+      val perKey = hist.groupBy(col("user_id"))
+        .agg(sum(when(col("is_current"), 1).otherwise(0)).as("n_cur"),
+          count(lit(1)).as("nr"))
+        .agg(count(lit(1)).as("n_keys"), sum(col("nr")).as("n_rows"),
+          sum(when(col("n_cur") =!= 1, 1).otherwise(0))
+            .as("n_bad_current"))
+      val contig = hist
+        .withColumn("prev_to",
+          lag(col("valid_to"), 1).over(
+            Window.partitionBy(col("user_id")).orderBy(col("version"))))
+        .filter(col("prev_to").isNotNull)
+        .agg(coalesce(sum(when(col("prev_to") =!= col("valid_from"), 1)
+          .otherwise(0)), lit(0L)).as("n_contig_viol"))
+      perKey.crossJoin(contig)
+        .select(col("n_keys"), col("n_rows"), col("n_bad_current"),
+          col("n_contig_viol"),
+          (col("n_bad_current") === 0 && col("n_contig_viol") === 0)
+            .as("all_pass"))
+    },
+
     // Funnel analysis: per user, the first time each stage of
     // view → click → purchase was reached IN ORDER (a later stage
     // counts only after the previous one), then the corpus-level funnel
@@ -133,6 +170,37 @@ object Warehouse extends QueryModule {
         |       ELSE 'update' END AS action
         |FROM cur FULL OUTER JOIN upd ON c_user = u_user
         |ORDER BY user_id""".stripMargin,
+    "q251_scd2_validator" ->
+      """WITH hist AS (
+        |  SELECT user_id, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS valid_from,
+        |    lead(epoch_us(CAST(ts AS TIMESTAMP))) OVER w AS valid_to,
+        |    lead(epoch_us(CAST(ts AS TIMESTAMP))) OVER w IS NULL
+        |      AS is_current,
+        |    row_number() OVER w AS version
+        |  FROM events WHERE event_type IN ('signup', 'purchase')
+        |  WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)),
+        |per_key AS (
+        |  SELECT count(*) AS n_keys,
+        |    CAST(sum(nr) AS BIGINT) AS n_rows,
+        |    CAST(sum(CASE WHEN n_cur != 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_bad_current
+        |  FROM (SELECT user_id,
+        |          sum(CASE WHEN is_current THEN 1 ELSE 0 END) AS n_cur,
+        |          count(*) AS nr
+        |        FROM hist GROUP BY user_id)),
+        |contig AS (
+        |  SELECT CAST(coalesce(sum(CASE WHEN prev_to != valid_from
+        |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_contig_viol
+        |  FROM (SELECT valid_from,
+        |          lag(valid_to) OVER (PARTITION BY user_id
+        |            ORDER BY version) AS prev_to
+        |        FROM hist)
+        |  WHERE prev_to IS NOT NULL)
+        |SELECT n_keys, n_rows, n_bad_current, n_contig_viol,
+        |  n_bad_current = 0 AND n_contig_viol = 0 AS all_pass
+        |FROM per_key, contig""".stripMargin,
     "q147_scd2_history" ->
       """SELECT user_id,
         |  CAST(row_number() OVER w AS BIGINT) AS version,
