@@ -16,6 +16,36 @@ import org.apache.spark.sql.types._
 object Collections extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Nested-data reshaping — the denormalize/renormalize round trip
+    // every event-sourced pipeline runs: per-user event TIMELINE built
+    // as a deterministically-ordered array<struct> (sort_array over
+    // collect_list — collect order is partition-dependent, the sort
+    // makes it canonical), then per-user metrics derived FROM the
+    // nested structure with higher-order functions (element access,
+    // filter, ordered fold). The oracle computes the same metrics
+    // relationally — proving the nested round trip loses nothing. One
+    // user-grain shuffle; the array stays executor-side.
+    "q253_nested_timeline" -> { (s, dir) =>
+      val tl = Tables.df(s, dir, "events")
+        .select(col("user_id"),
+          struct(unix_micros(col("ts")).as("t"),
+            col("event_id").as("eid"),
+            col("event_type").as("et"),
+            col("value").as("v")).as("e"))
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_list(col("e"))).as("timeline"))
+      tl.select(col("user_id"),
+          size(col("timeline")).cast(LongType).as("n_events"),
+          col("timeline").getItem(0).getField("et").as("first_type"),
+          element_at(col("timeline"), -1).getField("et").as("last_type"),
+          size(filter(col("timeline"),
+            e => e.getField("et") === "purchase")).cast(LongType)
+            .as("n_purchases"),
+          round(aggregate(col("timeline"), lit(0.0),
+            (acc, e) => acc + e.getField("v")), 4).as("total_value"))
+        .orderBy(col("user_id"))
+    },
+
     "q68_map_funcs" -> { (s, dir) =>
       val m1 = expr("str_to_map('a:1,b:2', ',', ':')")
       val m2 = map(lit("c"), col("lang"))
@@ -80,6 +110,21 @@ object Collections extends QueryModule {
   )
 
   override def oracle: Map[String, String] = Map(
+    "q253_nested_timeline" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
+        |      AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM events)
+        |SELECT user_id, CAST(any_value(n) AS BIGINT) AS n_events,
+        |  min(CASE WHEN rn = 1 THEN event_type END) AS first_type,
+        |  min(CASE WHEN rn = n THEN event_type END) AS last_type,
+        |  CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT)
+        |    AS n_purchases,
+        |  round(sum(value), 4) AS total_value
+        |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q68_map_funcs" ->
       """SELECT doc_id, '1' AS va, '2' AS vb, lang AS vc,
         | CAST(3 AS BIGINT) AS msize, 'a,b,c' AS mkeys,

@@ -13,6 +13,25 @@ import org.apache.spark.sql.types._
 object Functions2 extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // URL parsing — the crawl-pipeline normalization step: parse_url
+    // extracts protocol/host/path and a named query parameter from a
+    // synthesized per-document URL. The oracle derives the expected
+    // fields from the same generation rule, so a parse_url behavior
+    // change (it is java.net.URI-backed) goes red.
+    "q254_url_parse" -> { (s, dir) =>
+      val url = concat(lit("https://"), col("source"),
+        lit(".example.com/docs/"), col("doc_id"),
+        lit("?lang="), col("lang"), lit("&rank=7"))
+      Tables.df(s, dir, "documents")
+        .select(col("doc_id"), url.as("url"))
+        .select(col("doc_id"),
+          parse_url(col("url"), lit("PROTOCOL")).as("proto"),
+          parse_url(col("url"), lit("HOST")).as("host"),
+          parse_url(col("url"), lit("PATH")).as("path"),
+          parse_url(col("url"), lit("QUERY"), lit("lang")).as("q_lang"),
+          parse_url(col("url"), lit("QUERY"), lit("rank")).as("q_rank"))
+        .orderBy(col("doc_id"))
+    },
     "q56_string_funcs2" -> { (s, dir) =>
       Tables.df(s, dir, "documents")
         .select(col("doc_id"),
@@ -97,6 +116,12 @@ object Functions2 extends QueryModule {
   )
 
   override def oracle: Map[String, String] = Map(
+    "q254_url_parse" ->
+      """SELECT doc_id, 'https' AS proto,
+        |  source || '.example.com' AS host,
+        |  '/docs/' || doc_id AS path,
+        |  lang AS q_lang, '7' AS q_rank
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q56_string_funcs2" ->
       """SELECT doc_id,
         | CAST(bit_length(lang) AS BIGINT) AS bl,
