@@ -290,6 +290,28 @@ object Pipeline3 extends QueryModule {
         .orderBy(col("split_lo"), col("split_hi"))
     },
 
+    // Per-domain duplication-rate report — dedup attribution by source
+    // (which crawl domains bring the duplicate mass): per source,
+    // 1 − distinct-clusters/docs over the q118 CC labels. The report a
+    // corpus owner uses to decide WHERE to fix the crawler, not just
+    // how much is duplicated (q190's size histogram answers that).
+    "q256_domain_dup_rate" -> { (s, dir) =>
+      val labels = connectedComponents(dupEdges(s, dir))
+        .select(col("node").as("doc_id"), col("root").as("cluster_id"))
+      Tables.df(s, dir, "documents")
+        .filter(col("doc_id") <= 200)
+        .select(col("doc_id"), col("source"))
+        .join(labels, Seq("doc_id"), "left")
+        .withColumn("cluster_id",
+          coalesce(col("cluster_id"), col("doc_id")))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster_id")).as("n_clusters"))
+        .withColumn("dup_rate", round(lit(1.0) -
+          col("n_clusters").cast(DoubleType) / col("n_docs"), 6))
+        .orderBy(col("source"))
+    },
+
     // Mixture construction: per-domain (source) quality quota — keep the
     // top 25 docs per source by length (quality stand-in), deterministic
     // tiebreak on doc_id. The rank filter plans as WindowGroupLimit:
@@ -470,6 +492,32 @@ object Pipeline3 extends QueryModule {
          |SELECT doc_id, cluster_id, canonical_id,
          |  doc_id = canonical_id AS keep
          |FROM sel ORDER BY doc_id""".stripMargin,
+    "q256_domain_dup_rate" ->
+      s"""WITH RECURSIVE t AS (
+         |  SELECT doc_id, $utokSql AS tok FROM documents
+         |  WHERE doc_id <= 200),
+         |pairs AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+         |      / CAST(len(list_distinct(a.tok || b.tok)) AS DOUBLE) >= 0.9),
+         |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+         |          UNION ALL SELECT b_id, a_id FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(node, root) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node),
+         |labels AS (
+         |  SELECT node, min(root) AS cluster_id FROM reach GROUP BY node)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(count(DISTINCT coalesce(l.cluster_id, d.doc_id))
+         |    AS BIGINT) AS n_clusters,
+         |  round(1.0 - count(DISTINCT coalesce(l.cluster_id, d.doc_id))
+         |    ::DOUBLE / count(*), 6) AS dup_rate
+         |FROM documents d LEFT JOIN labels l ON d.doc_id = l.node
+         |WHERE d.doc_id <= 200
+         |GROUP BY source ORDER BY source""".stripMargin,
     "q240_split_leakage" ->
       s"""WITH t AS (
          |  SELECT doc_id, $utokSql AS tok FROM documents

@@ -105,6 +105,63 @@ object Pipeline5 extends QueryModule {
         .groupBy(col("pair")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("pair"))
         .limit(20)
+    },
+
+    // N-gram novelty scoring — how much of each incoming doc is UNSEEN
+    // relative to the standing corpus (q229's per-document refinement;
+    // the memorization-risk signal pipelines gate on): per new-side doc,
+    // the fraction of its distinct trigrams absent from the corpus-side
+    // trigram set, via a LEFT ANTI join on the gram string. Narrow keys
+    // end to end; the corpus set is distinct-deduped once.
+    "q255_ngram_novelty" -> { (s, dir) =>
+      val toks = Tables.df(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 3)
+      def grams3(df: DataFrame) = df
+        .select(col("doc_id"), explode(grams(3)).as("g")).distinct()
+      val corpus = grams3(toks.filter(col("doc_id") % 2 === 0))
+        .select(col("g")).distinct()
+      val incoming = grams3(toks.filter(col("doc_id") % 2 === 1))
+      val totals = incoming.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"))
+      val unseen = incoming.join(corpus, Seq("g"), "leftanti")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_unseen"))
+      totals.join(unseen, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("n_unseen"), lit(0L)).as("n_unseen"))
+        .withColumn("novelty", round(
+          col("n_unseen").cast(DoubleType) / col("n_grams"), 6))
+        .orderBy(col("doc_id"))
+    },
+
+    // Quality-distribution drift (PSI, population stability index) —
+    // the monitoring number that says whether a new snapshot's quality
+    // profile shifted: doc length bucketed into 10 equal-width bins
+    // over the GLOBAL range (bounds from a 1-row broadcast aggregate,
+    // integer bin arithmetic so assignment is exact), smoothed
+    // (+0.5/bin) shares per half, PSI = sum (pa-pb)·ln(pa/pb). Only
+    // the final PSI is a rounded double; everything upstream is exact
+    // integer counts.
+    "q257_quality_psi" -> { (s, dir) =>
+      val d = Tables.df(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"))
+      val bounds = d.agg(min(col("n_chars")).as("lo"),
+        max(col("n_chars")).as("hi"))
+      val binned = d.crossJoin(broadcast(bounds))
+        .select((col("doc_id") % 2 === 0).as("in_a"),
+          least(lit(9L), floor((col("n_chars") - col("lo")) * lit(10.0) /
+            (col("hi") - col("lo") + 1)).cast(LongType)).as("bin"))
+      val census = binned.groupBy(col("bin")).agg(
+        sum(when(col("in_a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("in_a"), 1L).otherwise(0L)).as("cb"))
+      val tot = census.agg(sum(col("ca")).as("ta"),
+        sum(col("cb")).as("tb"))
+      census.crossJoin(broadcast(tot))
+        .select(((col("ca") + 0.5) / (col("ta") + 5.0)).as("pa"),
+          ((col("cb") + 0.5) / (col("tb") + 5.0)).as("pb"))
+        .agg(round(sum((col("pa") - col("pb")) *
+          log(col("pa") / col("pb"))), 6).as("psi"),
+          count(lit(1)).as("n_bins"))
     }
   )
 
@@ -153,6 +210,46 @@ object Pipeline5 extends QueryModule {
         |  round(sum(a*b)::DOUBLE / count(*), 6) AS jaccard,
         |  round(sum(a*b)::DOUBLE / sum(b), 6) AS containment_b_in_a
         |FROM flags""".stripMargin,
+    "q255_ngram_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    array_to_string(list_slice(t, i, i+2), ' ') AS g
+        |  FROM toks, UNNEST(generate_series(1, len(t)-2)) AS u(i)
+        |  WHERE len(t) >= 3),
+        |corpus AS (SELECT DISTINCT g FROM sh WHERE doc_id % 2 = 0),
+        |inc AS (SELECT doc_id, g FROM sh WHERE doc_id % 2 = 1),
+        |tot AS (SELECT doc_id, count(*) AS n_grams FROM inc GROUP BY 1),
+        |uns AS (
+        |  SELECT doc_id, count(*) AS n_unseen FROM inc
+        |  WHERE g NOT IN (SELECT g FROM corpus) GROUP BY 1)
+        |SELECT t.doc_id, t.n_grams,
+        |  CAST(coalesce(u.n_unseen, 0) AS BIGINT) AS n_unseen,
+        |  round(coalesce(u.n_unseen, 0)::DOUBLE / t.n_grams, 6)
+        |    AS novelty
+        |FROM tot t LEFT JOIN uns u ON t.doc_id = u.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+    "q257_quality_psi" ->
+      """WITH b AS (
+        |  SELECT min(n_chars) AS lo, max(n_chars) AS hi FROM documents),
+        |binned AS (
+        |  SELECT doc_id % 2 = 0 AS in_a,
+        |    least(9, CAST(floor((n_chars - lo) * 10.0 /
+        |      (hi - lo + 1)) AS BIGINT)) AS bin
+        |  FROM documents, b),
+        |census AS (
+        |  SELECT bin,
+        |    sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS cb
+        |  FROM binned GROUP BY 1),
+        |tot AS (SELECT sum(ca) AS ta, sum(cb) AS tb FROM census)
+        |SELECT round(sum((pa - pb) * ln(pa / pb)), 6) AS psi,
+        |  count(*) AS n_bins
+        |FROM (
+        |  SELECT (ca + 0.5) / (ta + 5.0) AS pa,
+        |         (cb + 0.5) / (tb + 5.0) AS pb
+        |  FROM census, tot)""".stripMargin,
     "q248_bpe_pair_census" ->
       """WITH words AS (
         |  SELECT w FROM documents,
