@@ -410,6 +410,37 @@ object Analytics4 extends QueryModule {
         .orderBy(col("channel"), col("yr"))
     },
 
+    // Label propagation (community detection) — the FIFTH graph kernel
+    // (CC q118 min-combines, PageRank q224 mass-combines; LPA
+    // MODE-combines): three synchronous rounds of label(v) := the most
+    // frequent neighbor label, ties to the smallest label so every
+    // round is deterministic and both engines agree exactly (async LPA
+    // is order-dependent — useless for a correctness gate). Each round
+    // is one edge-labels hash join + a (node, label) count + a rank-1
+    // window; at 100 TB the shuffles carry (node, label, count), never
+    // the adjacency payload.
+    "q258_label_propagation" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = coPurchaseEdges(s, dir).localCheckpoint()
+      val directed = e.select(col("u").as("src"), col("v").as("dst"))
+        .union(e.select(col("v").as("src"), col("u").as("dst")))
+      var labels = directed.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("lab"))
+      val w = Window.partitionBy(col("v"))
+        .orderBy(col("c").desc, col("lab"))
+      for (_ <- 1 to 3) {
+        labels = directed.join(labels, col("dst") === col("node"))
+          .select(col("src").as("v"), col("lab"))
+          .groupBy(col("v"), col("lab")).agg(count(lit(1)).as("c"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("v").as("node"), col("lab"))
+      }
+      labels.select(col("node").as("part_id"),
+          col("lab").as("community"))
+        .orderBy(col("part_id"))
+    },
+
     // Robust anomaly detection — MAD (median absolute deviation)
     // flagging of nation x month revenue: |x - median| > 3 * MAD. The
     // robust twin of q212's mean/variance test (one outlier month
@@ -629,6 +660,37 @@ object Analytics4 extends QueryModule {
         |  CAST(sum(n_follow) AS BIGINT) AS n_follow_orders,
         |  CAST(sum(follow_rev) AS DOUBLE) AS follow_revenue
         |FROM follow GROUP BY 1 ORDER BY cohort""".stripMargin,
+    "q258_label_propagation" ->
+      """WITH e AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |d AS (SELECT u AS src, v AS dst FROM e
+        |      UNION ALL SELECT v, u FROM e),
+        |l0 AS (SELECT DISTINCT src AS node, src AS lab FROM d),
+        |r1 AS (
+        |  SELECT v AS node, lab FROM (
+        |    SELECT d.src AS v, l.lab, count(*) AS c,
+        |      row_number() OVER (PARTITION BY d.src
+        |        ORDER BY count(*) DESC, l.lab) AS rk
+        |    FROM d JOIN l0 l ON l.node = d.dst GROUP BY d.src, l.lab)
+        |  WHERE rk = 1),
+        |r2 AS (
+        |  SELECT v AS node, lab FROM (
+        |    SELECT d.src AS v, l.lab, count(*) AS c,
+        |      row_number() OVER (PARTITION BY d.src
+        |        ORDER BY count(*) DESC, l.lab) AS rk
+        |    FROM d JOIN r1 l ON l.node = d.dst GROUP BY d.src, l.lab)
+        |  WHERE rk = 1),
+        |r3 AS (
+        |  SELECT v AS node, lab FROM (
+        |    SELECT d.src AS v, l.lab, count(*) AS c,
+        |      row_number() OVER (PARTITION BY d.src
+        |        ORDER BY count(*) DESC, l.lab) AS rk
+        |    FROM d JOIN r2 l ON l.node = d.dst GROUP BY d.src, l.lab)
+        |  WHERE rk = 1)
+        |SELECT node AS part_id, CAST(lab AS BIGINT) AS community
+        |FROM r3 ORDER BY part_id""".stripMargin,
     "q252_mad_anomaly" ->
       """WITH m AS (
         |  SELECT n_name, date_trunc('month', o_orderdate) AS mo,
