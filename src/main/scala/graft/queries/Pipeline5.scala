@@ -134,6 +134,57 @@ object Pipeline5 extends QueryModule {
         .orderBy(col("doc_id"))
     },
 
+    // Weighted sampling WITHOUT replacement (Efraimidis–Spirakis):
+    // top-k by ln(u)/w where u is a deterministic salted-hash uniform
+    // and w the quality weight — the corpus-subsampling primitive that
+    // upweights quality without a quota table. One pass + a top-k; the
+    // ranking key is computed identically on both engines (md5-derived
+    // u, same double arithmetic), so the SAMPLE ITSELF is verified,
+    // not just its size.
+    "q259_weighted_sample" -> { (s, dir) =>
+      val u = (conv(substring(md5(concat(lit("ws"),
+        col("doc_id").cast(StringType))), 1, 8), 16, 10)
+        .cast(LongType) + 1).cast(DoubleType) / lit(4294967296.0)
+      val keyed = Tables.df(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          (log(u) / col("n_chars")).as("key"))
+      keyed
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("key").desc, col("doc_id"))).cast(LongType))
+        .filter(col("rk") <= 50)
+        .select(col("doc_id"), col("n_chars"), round(col("key"), 6)
+          .as("skey"), col("rk"))
+        .orderBy(col("rk"))
+    },
+
+    // Source-pair similarity matrix — corpus-structure report: exact
+    // Jaccard between every pair of domains over their trigram SETS
+    // (which crawl sources substantially mirror each other — the
+    // domain-level view of q229's two-corpus number). The gram
+    // self-join fans out C(k,2) per gram with k <= #sources, bounded;
+    // output is O(sources²).
+    "q260_source_similarity" -> { (s, dir) =>
+      val sg = Tables.df(s, dir, "documents")
+        .select(col("source"), tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 3)
+        .select(col("source"), explode(grams(3)).as("g"))
+        .distinct()
+      val sizes = sg.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val inter = sg.toDF("sa", "g")
+        .join(sg.toDF("sb", "g2"),
+          col("g") === col("g2") && col("sa") < col("sb"))
+        .groupBy(col("sa"), col("sb"))
+        .agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(broadcast(sizes.toDF("s1", "na")), col("sa") === col("s1"))
+        .join(broadcast(sizes.toDF("s2", "nb")), col("sb") === col("s2"))
+        .select(col("sa"), col("sb"), col("n_inter"),
+          round(col("n_inter").cast(DoubleType) /
+            (col("na") + col("nb") - col("n_inter")), 6).as("jaccard"))
+        .orderBy(col("sa"), col("sb"))
+    },
+
     // Quality-distribution drift (PSI, population stability index) —
     // the monitoring number that says whether a new snapshot's quality
     // profile shifted: doc length bucketed into 10 equal-width bins
@@ -230,6 +281,35 @@ object Pipeline5 extends QueryModule {
         |    AS novelty
         |FROM tot t LEFT JOIN uns u ON t.doc_id = u.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+    "q259_weighted_sample" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, n_chars,
+        |    ln((('0x' || substr(md5('ws' || CAST(doc_id AS VARCHAR)),
+        |        1, 8))::UBIGINT + 1) / 4294967296.0) / n_chars AS key
+        |  FROM documents)
+        |SELECT doc_id, n_chars, round(key, 6) AS skey,
+        |  CAST(rk AS BIGINT) AS rk
+        |FROM (SELECT *, row_number() OVER
+        |        (ORDER BY key DESC, doc_id) AS rk FROM keyed)
+        |WHERE rk <= 50 ORDER BY rk""".stripMargin,
+    "q260_source_similarity" ->
+      """WITH sg AS (
+        |  SELECT DISTINCT source,
+        |    array_to_string(list_slice(t, i, i+2), ' ') AS g
+        |  FROM (SELECT source, string_split(text, ' ') AS t
+        |        FROM documents) toks,
+        |    UNNEST(generate_series(1, len(t)-2)) AS u(i)
+        |  WHERE len(t) >= 3),
+        |sizes AS (SELECT source, count(*) AS n FROM sg GROUP BY 1),
+        |inter AS (
+        |  SELECT a.source AS sa, b.source AS sb, count(*) AS n_inter
+        |  FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT sa, sb, n_inter,
+        |  round(n_inter::DOUBLE / (x.n + y.n - n_inter), 6) AS jaccard
+        |FROM inter
+        |JOIN sizes x ON sa = x.source JOIN sizes y ON sb = y.source
+        |ORDER BY sa, sb""".stripMargin,
     "q257_quality_psi" ->
       """WITH b AS (
         |  SELECT min(n_chars) AS lo, max(n_chars) AS hi FROM documents),
