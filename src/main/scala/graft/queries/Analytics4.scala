@@ -410,6 +410,58 @@ object Analytics4 extends QueryModule {
         .orderBy(col("channel"), col("yr"))
     },
 
+    // Association rules (market-basket) — support / confidence / lift
+    // over co-purchased part pairs: the retail-analytics view of the
+    // same co-occurrence structure the graph kernels consume. Exact
+    // integer supports; confidences and lift are 6dp-rounded ratios,
+    // and the top-50 ordering sorts on the ROUNDED lift with (pa, pb)
+    // tie-break so the cutoff is deterministic on both engines.
+    "q261_association_rules" -> { (s, dir) =>
+      val b = Tables.df(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+        .distinct()
+      val nOrders = b.select(col("ok")).distinct().count()
+      val supp = b.groupBy(col("p")).agg(count(lit(1)).as("sp"))
+      val pair = b.toDF("ok", "pa")
+        .join(b.toDF("ok2", "pb"),
+          col("ok") === col("ok2") && col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("spair"))
+        .filter(col("spair") >= 5)
+      pair
+        .join(broadcast(supp.toDF("xa", "sa")), col("pa") === col("xa"))
+        .join(broadcast(supp.toDF("xb", "sb")), col("pb") === col("xb"))
+        .select(col("pa"), col("pb"), col("spair"), col("sa"), col("sb"),
+          round(col("spair").cast(DoubleType) / col("sa"), 6)
+            .as("conf_ab"),
+          round(col("spair").cast(DoubleType) / col("sb"), 6)
+            .as("conf_ba"),
+          round(col("spair").cast(DoubleType) * nOrders /
+            (col("sa") * col("sb")), 6).as("lift"))
+        .orderBy(col("lift").desc, col("pa"), col("pb"))
+        .limit(50)
+    },
+
+    // Cross-modal quality correlation — do longer documents carry
+    // larger embeddings? A text-table x embedding-table equi-join
+    // (the id spaces align by construction) feeding Pearson r and an
+    // OLS fit (regr_slope/regr_intercept) — one joined scan, one
+    // scalar output row; 4dp rounding absorbs the engines' different
+    // co-moment accumulation orders.
+    "q262_crossmodal_corr" -> { (s, dir) =>
+      val d = Tables.df(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars").cast(DoubleType).as("x"))
+      val e = Tables.df(s, dir, "embeddings")
+        .select(col("vec_id"),
+          sqrt(aggregate(transform(col("embedding"),
+            v => v.cast(DoubleType) * v.cast(DoubleType)),
+            lit(0.0), (a, v) => a + v)).as("y"))
+      d.join(e, col("doc_id") === col("vec_id"))
+        .agg(count(lit(1)).as("n"),
+          round(corr(col("x"), col("y")), 4).as("pearson_r"),
+          round(regr_slope(col("y"), col("x")), 6).as("slope"),
+          round(regr_intercept(col("y"), col("x")), 4).as("intercept"))
+    },
+
     // Label propagation (community detection) — the FIFTH graph kernel
     // (CC q118 min-combines, PageRank q224 mass-combines; LPA
     // MODE-combines): three synchronous rounds of label(v) := the most
@@ -660,6 +712,32 @@ object Analytics4 extends QueryModule {
         |  CAST(sum(n_follow) AS BIGINT) AS n_follow_orders,
         |  CAST(sum(follow_rev) AS DOUBLE) AS follow_revenue
         |FROM follow GROUP BY 1 ORDER BY cohort""".stripMargin,
+    "q261_association_rules" ->
+      """WITH b AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+        |  FROM lineitem),
+        |n AS (SELECT count(DISTINCT ok) AS total FROM b),
+        |supp AS (SELECT p, count(*) AS sp FROM b GROUP BY 1),
+        |pair AS (
+        |  SELECT a.p AS pa, c.p AS pb, count(*) AS spair
+        |  FROM b a JOIN b c ON a.ok = c.ok AND a.p < c.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT pa, pb, spair, x.sp AS sa, y.sp AS sb,
+        |  round(spair::DOUBLE / x.sp, 6) AS conf_ab,
+        |  round(spair::DOUBLE / y.sp, 6) AS conf_ba,
+        |  round(spair::DOUBLE * total / (x.sp * y.sp), 6) AS lift
+        |FROM pair JOIN supp x ON pa = x.p JOIN supp y ON pb = y.p, n
+        |ORDER BY lift DESC, pa, pb LIMIT 50""".stripMargin,
+    "q262_crossmodal_corr" ->
+      """SELECT count(*) AS n,
+        |  round(corr(x, y), 4) AS pearson_r,
+        |  round(regr_slope(y, x), 6) AS slope,
+        |  round(regr_intercept(y, x), 4) AS intercept
+        |FROM (
+        |  SELECT CAST(n_chars AS DOUBLE) AS x,
+        |    sqrt(list_sum(list_transform(embedding::DOUBLE[],
+        |      v -> v * v))) AS y
+        |  FROM documents JOIN embeddings ON doc_id = vec_id)""".stripMargin,
     "q258_label_propagation" ->
       """WITH e AS (
         |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
