@@ -13,6 +13,49 @@ import org.apache.spark.sql.types._
 object Functions2 extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // XPath extraction over an XML payload (the Hive-workload xpath_*
+    // family; the XML SOURCE roundtrip is q107): documents rendered as
+    // XML, fields extracted back by path — string, numeric, and a
+    // node-list count. Generation-rule oracle (DuckDB has no XPath).
+    "q263_xpath" -> { (s, dir) =>
+      val xml = concat(lit("<doc id=\""), col("doc_id"),
+        lit("\"><lang>"), col("lang"), lit("</lang><src>"),
+        col("source"), lit("</src><m><n>"), col("n_chars"),
+        lit("</n><n>7</n></m></doc>"))
+      Tables.df(s, dir, "documents")
+        .select(col("doc_id"), xml.as("x"))
+        .select(col("doc_id"),
+          expr("xpath_string(x, '/doc/lang')").as("xlang"),
+          expr("xpath_string(x, '/doc/src')").as("xsrc"),
+          expr("xpath_long(x, '/doc/m/n[1]')").as("xn"),
+          expr("size(xpath(x, '/doc/m/n/text()'))").cast(LongType)
+            .as("n_nodes"))
+        .orderBy(col("doc_id"))
+    },
+
+    // AES encrypt/decrypt round trip — exceeds the reference's crypto
+    // surface (md5/sha2/crc32 only): ECB ciphertext length follows the
+    // PKCS#7 block rule (oracle-derivable), GCM uses a random IV so
+    // only its ROUND TRIP is checked, with the equality computed
+    // in-engine (the q171 matches-pinned pattern — DuckDB has no AES).
+    "q264_aes_roundtrip" -> { (s, dir) =>
+      val key = lit("0123456789abcdef") // AES-128
+      val d = Tables.df(s, dir, "documents")
+        .filter(col("doc_id") <= 100)
+        .select(col("doc_id"), col("lang"))
+      d.select(col("doc_id"),
+          octet_length(expr(
+            "aes_encrypt(lang, '0123456789abcdef', 'ECB')"))
+            .cast(LongType).as("ecb_len"),
+          expr("cast(aes_decrypt(aes_encrypt(lang, " +
+            "'0123456789abcdef', 'ECB'), '0123456789abcdef', 'ECB') " +
+            "AS STRING)").as("ecb_rt"),
+          expr("cast(aes_decrypt(aes_encrypt(lang, " +
+            "'0123456789abcdef'), '0123456789abcdef') AS STRING) " +
+            "= lang").as("gcm_roundtrip_ok"))
+        .orderBy(col("doc_id"))
+    },
+
     // URL parsing — the crawl-pipeline normalization step: parse_url
     // extracts protocol/host/path and a named query parameter from a
     // synthesized per-document URL. The oracle derives the expected
@@ -116,6 +159,15 @@ object Functions2 extends QueryModule {
   )
 
   override def oracle: Map[String, String] = Map(
+    "q263_xpath" ->
+      """SELECT doc_id, lang AS xlang, source AS xsrc,
+        |  CAST(n_chars AS BIGINT) AS xn, CAST(2 AS BIGINT) AS n_nodes
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q264_aes_roundtrip" ->
+      """SELECT doc_id,
+        |  CAST((length(lang) // 16 + 1) * 16 AS BIGINT) AS ecb_len,
+        |  lang AS ecb_rt, TRUE AS gcm_roundtrip_ok
+        |FROM documents WHERE doc_id <= 100 ORDER BY doc_id""".stripMargin,
     "q254_url_parse" ->
       """SELECT doc_id, 'https' AS proto,
         |  source || '.example.com' AS host,
