@@ -410,6 +410,38 @@ object Analytics4 extends QueryModule {
         .orderBy(col("channel"), col("yr"))
     },
 
+    // Session bounce-rate report — the product-analytics composition
+    // on top of q205's gap-sessionization: per session, depth + FIRST
+    // event type (min over a (time, id, type) struct — order-exact),
+    // then per-entry-point bounce rate and mean depth. All three
+    // window/group passes share the user_id exchange.
+    "q267_session_bounce" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("tsu"), col("event_id"))
+      val sess = Tables.df(s, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
+          col("event_id"), col("event_type"))
+        .withColumn("brk", when(lag(col("tsu"), 1).over(w).isNull ||
+          col("tsu") - lag(col("tsu"), 1).over(w) > 28800000000L, 1)
+          .otherwise(0))
+        .withColumn("sess", sum(col("brk")).over(w))
+      sess.groupBy(col("user_id"), col("sess"))
+        .agg(count(lit(1)).as("depth"),
+          min(struct(col("tsu"), col("event_id"),
+            col("event_type").as("et"))).as("fe"))
+        .select(col("depth"), col("fe.et").as("first_type"))
+        .groupBy(col("first_type"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(when(col("depth") === 1, 1L).otherwise(0L)).as("n_bounce"),
+          round(avg(col("depth").cast(DoubleType)), 4).as("avg_depth"))
+        .withColumn("bounce_rate", round(
+          col("n_bounce").cast(DoubleType) / col("n_sessions"), 6))
+        .select(col("first_type"), col("n_sessions"), col("n_bounce"),
+          col("bounce_rate"), col("avg_depth"))
+        .orderBy(col("first_type"))
+    },
+
     // Association rules (market-basket) — support / confidence / lift
     // over co-purchased part pairs: the retail-analytics view of the
     // same co-occurrence structure the graph kernels consume. Exact
@@ -712,6 +744,33 @@ object Analytics4 extends QueryModule {
         |  CAST(sum(n_follow) AS BIGINT) AS n_follow_orders,
         |  CAST(sum(follow_rev) AS DOUBLE) AS follow_revenue
         |FROM follow GROUP BY 1 ORDER BY cohort""".stripMargin,
+    "q267_session_bounce" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu,
+        |    event_id, event_type
+        |  FROM events),
+        |g AS (
+        |  SELECT *, CASE WHEN lag(tsu) OVER w IS NULL
+        |      OR tsu - lag(tsu) OVER w > 28800000000 THEN 1 ELSE 0 END
+        |      AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY tsu, event_id)),
+        |s AS (
+        |  SELECT *, sum(brk) OVER (PARTITION BY user_id
+        |    ORDER BY tsu, event_id ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM g),
+        |per AS (
+        |  SELECT user_id, sess, count(*) AS depth,
+        |    min(CASE WHEN rn = 1 THEN event_type END) AS first_type
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id, sess
+        |          ORDER BY tsu, event_id) AS rn FROM s)
+        |  GROUP BY 1, 2)
+        |SELECT first_type, count(*) AS n_sessions,
+        |  CAST(count(*) FILTER (depth = 1) AS BIGINT) AS n_bounce,
+        |  round(count(*) FILTER (depth = 1)::DOUBLE / count(*), 6)
+        |    AS bounce_rate,
+        |  round(avg(depth), 4) AS avg_depth
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
     "q261_association_rules" ->
       """WITH b AS (
         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p

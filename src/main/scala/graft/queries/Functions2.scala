@@ -13,6 +13,37 @@ import org.apache.spark.sql.types._
 object Functions2 extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // JSON schema inference + typed parse — schema_of_json pins the
+    // inferred DDL (a Spark-version contract) and from_json applies an
+    // explicit schema to the event payload; q45's path-extraction
+    // family gets its typed-parse sibling.
+    "q265_json_schema" -> { (s, dir) =>
+      Tables.df(s, dir, "events")
+        .filter(col("event_id") < 1000)
+        .select(col("event_id"),
+          expr("from_json(props, 'k INT').k").cast(LongType).as("k"),
+          expr("schema_of_json('{\"k\": 42}')").as("inferred"))
+        .orderBy(col("event_id"))
+    },
+
+    // One-pass numeric profile — the pairwise correlation matrix of
+    // the fact's numeric columns (the ANALYZE-style profiling report):
+    // six corr aggregates in a single scan, no self-joins.
+    "q266_numeric_profile" -> { (s, dir) =>
+      val li = Tables.df(s, dir, "lineitem")
+      li.agg(count(lit(1)).as("n"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4)
+          .as("c_qty_price"),
+        round(corr(col("l_quantity"), col("l_discount")), 4)
+          .as("c_qty_disc"),
+        round(corr(col("l_quantity"), col("l_tax")), 4).as("c_qty_tax"),
+        round(corr(col("l_extendedprice"), col("l_discount")), 4)
+          .as("c_price_disc"),
+        round(corr(col("l_extendedprice"), col("l_tax")), 4)
+          .as("c_price_tax"),
+        round(corr(col("l_discount"), col("l_tax")), 4).as("c_disc_tax"))
+    },
+
     // XPath extraction over an XML payload (the Hive-workload xpath_*
     // family; the XML SOURCE roundtrip is q107): documents rendered as
     // XML, fields extracted back by path — string, numeric, and a
@@ -159,6 +190,20 @@ object Functions2 extends QueryModule {
   )
 
   override def oracle: Map[String, String] = Map(
+    "q265_json_schema" ->
+      """SELECT event_id,
+        |  CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+        |  'STRUCT<k: BIGINT>' AS inferred
+        |FROM events WHERE event_id < 1000 ORDER BY event_id""".stripMargin,
+    "q266_numeric_profile" ->
+      """SELECT count(*) AS n,
+        |  round(corr(l_quantity, l_extendedprice), 4) AS c_qty_price,
+        |  round(corr(l_quantity, l_discount), 4) AS c_qty_disc,
+        |  round(corr(l_quantity, l_tax), 4) AS c_qty_tax,
+        |  round(corr(l_extendedprice, l_discount), 4) AS c_price_disc,
+        |  round(corr(l_extendedprice, l_tax), 4) AS c_price_tax,
+        |  round(corr(l_discount, l_tax), 4) AS c_disc_tax
+        |FROM lineitem""".stripMargin,
     "q263_xpath" ->
       """SELECT doc_id, lang AS xlang, source AS xsrc,
         |  CAST(n_chars AS BIGINT) AS xn, CAST(2 AS BIGINT) AS n_nodes
