@@ -26,6 +26,36 @@ object Relational extends QueryModule {
     sum(c.cast(t)).cast(DoubleType)
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // GROUP BY ALL / ORDER BY ALL (Spark 4 SQL surface — DuckDB's own
+    // dialect convenience, now portable): every non-aggregate select
+    // item groups implicitly and the full select list orders the
+    // result. Same physical plan as writing the lists out; the row is
+    // SQL-surface parity.
+    "q268_group_by_all" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+              |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+              |    AS sum_qty
+              |FROM lineitem
+              |GROUP BY ALL ORDER BY ALL""".stripMargin)
+    },
+
+    // IDENTIFIER() + named parameter markers (Spark 4): templated
+    // table/column references and :param binding — the SAFE dynamic-SQL
+    // surface (string-splicing table names is the injection bug this
+    // exists to kill). The oracle runs the resolved query literally.
+    "q269_identifier_params" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT o_orderpriority, count(*) AS n,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS total
+          |FROM IDENTIFIER(:tbl)
+          |WHERE o_orderstatus = :status
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+        Map("tbl" -> "orders", "status" -> "F"))
+    },
+
     // TPC-H Q1: scan → filter (parquet-pushed) → partial+final hash agg →
     // sort. The flagship: exercises pushdown, whole-stage codegen, and
     // map-side partial aggregation — the shape that scales to 100 TB.
@@ -130,6 +160,17 @@ object Relational extends QueryModule {
   )
 
   override def oracle: Map[String, String] = Map(
+    "q268_group_by_all" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_qty
+        |FROM lineitem GROUP BY ALL ORDER BY ALL""".stripMargin,
+    "q269_identifier_params" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
