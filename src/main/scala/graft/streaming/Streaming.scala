@@ -137,6 +137,28 @@ object Streaming extends QueryModule {
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Trigger.AvailableNow — the production batch-catchup trigger:
+    // process everything currently available across (possibly several
+    // rate-limited) micro-batches, then STOP on its own, unlike
+    // processAllAvailable's test-only blocking drain. awaitTermination
+    // returning (not q.stop()) is the proof the trigger self-terminated.
+    // maxFilesPerTrigger=1 would still drain fully — AvailableNow
+    // snapshots the target offset up front.
+    "q270_stream_available_now" -> { (s, dir) =>
+      val agg = eventStream(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(D2)).cast(DoubleType).as("sum_v"))
+      withDrainConfs(s, parts = 2) {
+        val q = agg.writeStream
+          .outputMode(OutputMode.Complete())
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .format("memory").queryName("q270_sink").start()
+        q.awaitTermination(120000)
+      }
+      s.table("q270_sink").orderBy(col("event_type"))
+    },
+
     // Tumbling 1h event-time window + watermark per event_type.
     "q85_stream_tumbling" -> { (s, dir) =>
       val agg = eventStream(s, dir)
@@ -603,6 +625,10 @@ object Streaming extends QueryModule {
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |WHERE e.event_type = 'purchase'
         |GROUP BY 1, 2 ORDER BY w_start, segment""".stripMargin,
+    "q270_stream_available_now" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q250_stream_sliding_distinct" ->
       """SELECT w_start, count(DISTINCT user_id) AS n_users
         |FROM (
