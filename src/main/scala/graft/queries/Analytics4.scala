@@ -410,6 +410,55 @@ object Analytics4 extends QueryModule {
         .orderBy(col("channel"), col("yr"))
     },
 
+    // Linear interpolation over a time series with outages — the
+    // harder sibling of q209's carry-forward gap fill: months hit by a
+    // simulated sensor outage (month % 3 == 0) are reconstructed from
+    // the nearest observed neighbors on BOTH sides,
+    // prev + (next − prev)·Δt/ΔT, falling back to one-sided carry at
+    // the series edges. Two window passes (backward carry, forward
+    // carry) over one nation-keyed exchange; values ride as integer
+    // cents and integer month indexes so the only double is the final
+    // interpolation ratio, computed identically on both engines.
+    "q271_linear_interp" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables.df(s, dir, "orders")
+        .join(broadcast(Tables.df(s, dir, "customer")
+            .select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.df(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"),
+          date_trunc("month", col("o_orderdate")).as("mo"))
+        .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
+          .cast(LongType).as("cents"))
+        .withColumn("mi",
+          (year(col("mo")) * 12 + month(col("mo"))).cast(LongType))
+        .withColumn("outage", month(col("mo")) % 3 === 0)
+      val wB = Window.partitionBy(col("n_name")).orderBy(col("mi"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wF = Window.partitionBy(col("n_name")).orderBy(col("mi"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val obs = when(!col("outage"), col("cents"))
+      val obsMi = when(!col("outage"), col("mi"))
+      val filled = base
+        .withColumn("pv", last(obs, ignoreNulls = true).over(wB))
+        .withColumn("pt", last(obsMi, ignoreNulls = true).over(wB))
+        .withColumn("nv", first(obs, ignoreNulls = true).over(wF))
+        .withColumn("nt", first(obsMi, ignoreNulls = true).over(wF))
+        .withColumn("est",
+          when(!col("outage"), col("cents").cast(DoubleType))
+            .when(col("pv").isNotNull && col("nv").isNotNull,
+              col("pv") + (col("nv") - col("pv")).cast(DoubleType) *
+                (col("mi") - col("pt")).cast(DoubleType) /
+                (col("nt") - col("pt")).cast(DoubleType))
+            .otherwise(coalesce(col("pv"), col("nv"))
+              .cast(DoubleType)))
+      filled.select(col("n_name"), col("mo"),
+          round(col("est") / 100, 4).as("revenue"),
+          col("outage").as("interpolated"))
+        .orderBy(col("n_name"), col("mo"))
+    },
+
     // Session bounce-rate report — the product-analytics composition
     // on top of q205's gap-sessionization: per session, depth + FIRST
     // event type (min over a (time, id, type) struct — order-exact),
@@ -744,6 +793,42 @@ object Analytics4 extends QueryModule {
         |  CAST(sum(n_follow) AS BIGINT) AS n_follow_orders,
         |  CAST(sum(follow_rev) AS DOUBLE) AS follow_revenue
         |FROM follow GROUP BY 1 ORDER BY cohort""".stripMargin,
+    "q271_linear_interp" ->
+      """WITH base AS (
+        |  SELECT n_name, date_trunc('month', o_orderdate) AS mo,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+        |      AS BIGINT) AS cents,
+        |    year(date_trunc('month', o_orderdate)) * 12 +
+        |      month(date_trunc('month', o_orderdate)) AS mi,
+        |    month(date_trunc('month', o_orderdate)) % 3 = 0 AS outage
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |f AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN NOT outage THEN cents END IGNORE NULLS)
+        |      OVER wb AS pv,
+        |    last_value(CASE WHEN NOT outage THEN mi END IGNORE NULLS)
+        |      OVER wb AS pt,
+        |    first_value(CASE WHEN NOT outage THEN cents END IGNORE NULLS)
+        |      OVER wf AS nv,
+        |    first_value(CASE WHEN NOT outage THEN mi END IGNORE NULLS)
+        |      OVER wf AS nt
+        |  FROM base
+        |  WINDOW wb AS (PARTITION BY n_name ORDER BY mi
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  wf AS (PARTITION BY n_name ORDER BY mi
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT n_name, mo,
+        |  round(CASE WHEN NOT outage THEN CAST(cents AS DOUBLE)
+        |    WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+        |      pv + CAST(nv - pv AS DOUBLE) * CAST(mi - pt AS DOUBLE)
+        |        / CAST(nt - pt AS DOUBLE)
+        |    ELSE CAST(coalesce(pv, nv) AS DOUBLE) END / 100, 4)
+        |    AS revenue,
+        |  outage AS interpolated
+        |FROM f ORDER BY n_name, mo""".stripMargin,
     "q267_session_bounce" ->
       """WITH e AS (
         |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu,
