@@ -37,4 +37,21 @@ object ZOrder {
     * (65k cells per dimension is plenty for file-level clustering). */
   def interleave16(x: Column, y: Column): Column =
     spread16(x).bitwiseOR(shiftleft(spread16(y), 1))
+
+  /** Spread the low 10 bits of `c` so bit i lands at position 3*i
+    * (the 3-D magic-bits ladder). */
+  private def spread10x3(c: Column): Column = {
+    val a = c.cast("long").bitwiseAND(lit(0x3FFL))
+    val b1 = a.bitwiseOR(shiftleft(a, 16)).bitwiseAND(lit(0x030000FFL))
+    val b2 = b1.bitwiseOR(shiftleft(b1, 8)).bitwiseAND(lit(0x0300F00FL))
+    val b3 = b2.bitwiseOR(shiftleft(b2, 4)).bitwiseAND(lit(0x030C30C3L))
+    b3.bitwiseOR(shiftleft(b3, 2)).bitwiseAND(lit(0x09249249L))
+  }
+
+  /** 30-bit Morton code of three 10-bit coordinates (1024 cells per
+    * dimension — file-level clustering never needs more). */
+  def interleave3(x: Column, y: Column, z: Column): Column =
+    spread10x3(x)
+      .bitwiseOR(shiftleft(spread10x3(y), 1))
+      .bitwiseOR(shiftleft(spread10x3(z), 2))
 }

@@ -117,6 +117,93 @@ object Storage extends QueryModule {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     },
 
+    // 3-D Z-order — the multi-dimensional generalization of q226:
+    // scale three columns onto the 10-bit Morton grid (stats-derived
+    // monotone scaling, so raw-column box predicates still correspond
+    // to curve regions), cluster the write on the 30-bit code, answer
+    // a 3-D box from the clustered copy. The per-bit interleave math
+    // is pinned in ZOrderSpec; the oracle checks the round trip is
+    // value-lossless via the same literal box on the source table.
+    "q272_zorder3d_box" -> { (s, dir) =>
+      import graft.functions.ZOrder
+      val li = Tables.df(s, dir, "lineitem")
+      val b = li.agg(
+        min("l_partkey"), max("l_partkey"),
+        min("l_suppkey"), max("l_suppkey"),
+        min("l_orderkey"), max("l_orderkey")).head()
+      def scale(c: org.apache.spark.sql.Column, lo: Long, hi: Long) =
+        ((c - lo) * 1023L / (math.max(1L, hi - lo))).cast(LongType)
+      val z = li.select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"))
+        .withColumn("zval", ZOrder.interleave3(
+          scale(col("l_partkey"), b.getLong(0), b.getLong(1)),
+          scale(col("l_suppkey"), b.getLong(2), b.getLong(3)),
+          scale(col("l_orderkey"), b.getLong(4), b.getLong(5))))
+      val path = "/tmp/graft_warehouse/li_zorder3d"
+      z.repartitionByRange(8, col("zval"))
+        .sortWithinPartitions(col("zval"))
+        .write.mode("overwrite").parquet(path)
+      val (pHi, sHi, oHi) = (
+        b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 4,
+        b.getLong(2) + (b.getLong(3) - b.getLong(2)) / 4,
+        b.getLong(4) + (b.getLong(5) - b.getLong(4)) / 2)
+      s.read.parquet(path)
+        .filter(col("l_partkey").between(b.getLong(0), pHi) &&
+          col("l_suppkey").between(b.getLong(2), sHi) &&
+          col("l_orderkey").between(b.getLong(4), oHi))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
+    // Table content fingerprint — the migration-validation op: an
+    // order-insensitive checksum (sum + xor of a per-row md5-derived
+    // 32-bit word over the stable key columns) that two engines — or
+    // two copies of a 100 TB table — can compare without moving rows.
+    // One scan, one scalar row; any dropped/duplicated/mutated row
+    // flips it.
+    "q273_table_fingerprint" -> { (s, dir) =>
+      val h = conv(substring(md5(concat_ws("|",
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_returnflag"))), 1, 8), 16, 10)
+        .cast(LongType)
+      Tables.df(s, dir, "lineitem")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(h).as("sum_fp"),
+          expr("bit_xor(" +
+            "cast(conv(substring(md5(concat_ws('|', l_orderkey, " +
+            "l_linenumber, l_partkey, l_suppkey, l_returnflag)), " +
+            "1, 8), 16, 10) as bigint))").as("xor_fp"))
+    },
+
+    // Dynamic partition pruning on a FILE-SOURCE partitioned table —
+    // the other half of the catalog-side runtime filtering q172/q225
+    // pin: the fact lands partitioned by a bucket column, the dim-side
+    // predicate (suppkey < 8) is opaque to static analysis through the
+    // modulo, so only RUNTIME pruning (dynamicpruningexpression from
+    // the broadcast, plan-asserted in PlanSpec) keeps the scan to the
+    // qualifying partition directories. At 100 TB DPP is the single
+    // biggest fact-scan saver on star joins.
+    "q274_dpp" -> { (s, dir) =>
+      val path = "/tmp/graft_warehouse/li_bucketed_dirs"
+      Tables.df(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity"),
+          (col("l_suppkey") % 16).cast(IntegerType).as("sbucket"))
+        .write.mode("overwrite").partitionBy("sbucket").parquet(path)
+      val dim = Tables.df(s, dir, "supplier")
+        .filter(col("s_suppkey") < 8)
+        .select(col("s_suppkey"), col("s_name"),
+          (col("s_suppkey") % 16).cast(IntegerType).as("db"))
+      s.read.parquet(path)
+        .join(dim, col("sbucket") === col("db") &&
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("qty"))
+        .orderBy(col("s_name"))
+    },
+
     // Small-file compaction — the table-maintenance op (OPTIMIZE /
     // rewrite_data_files) every streaming-ingested 100 TB table needs
     // nightly: a fragmented landing zone (64 shards here; micro-batch
@@ -203,6 +290,41 @@ object Storage extends QueryModule {
         |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
         |  (px4 | (sy4 << 1)) AS zval
         |FROM s4 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q273_table_fingerprint" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(h) AS BIGINT) AS sum_fp,
+        |  CAST(bit_xor(h) AS BIGINT) AS xor_fp
+        |FROM (
+        |  SELECT ('0x' || substr(md5(
+        |    l_orderkey || '|' || l_linenumber || '|' || l_partkey ||
+        |    '|' || l_suppkey || '|' || l_returnflag), 1, 8))::UBIGINT
+        |    AS h
+        |  FROM lineitem)""".stripMargin,
+    "q274_dpp" ->
+      """SELECT s_name, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE s_suppkey < 8
+        |GROUP BY s_name ORDER BY s_name""".stripMargin,
+    "q272_zorder3d_box" ->
+      """WITH b AS (
+        |  SELECT min(l_partkey) AS plo,
+        |    min(l_partkey) + (max(l_partkey) - min(l_partkey)) // 4
+        |      AS phi,
+        |    min(l_suppkey) AS slo,
+        |    min(l_suppkey) + (max(l_suppkey) - min(l_suppkey)) // 4
+        |      AS shi,
+        |    min(l_orderkey) AS olo,
+        |    min(l_orderkey) + (max(l_orderkey) - min(l_orderkey)) // 2
+        |      AS ohi
+        |  FROM lineitem)
+        |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey
+        |FROM lineitem, b
+        |WHERE l_partkey BETWEEN plo AND phi
+        |  AND l_suppkey BETWEEN slo AND shi
+        |  AND l_orderkey BETWEEN olo AND ohi
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q247_compaction" ->
       """SELECT l_returnflag, count(*) AS n,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)

@@ -477,6 +477,13 @@ class PlanSpec extends AnyFunSuite {
         .findFirstIn(p).isDefined, p.take(3000))
   }
 
+  test("q274 joins a partitioned file source with RUNTIME partition " +
+    "pruning (dynamicpruningexpression in the scan)") {
+    val p = finalPlan("q274_dpp")
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      "DPP must reach the partitioned scan\n" + p.take(3000))
+  }
+
   test("q249 probe read prunes index PARTITIONS (literal cell filter) " +
     "and returns exactly q111's answer") {
     val df = SparkEntry.queries("q249_ann_partitioned_index")(spark, sf)

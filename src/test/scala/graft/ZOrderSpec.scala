@@ -82,6 +82,29 @@ class ZOrderSpec extends AnyFunSuite {
       s"z-order box locality: hit $zHit of $nFiles files vs $oHit scattered")
   }
 
+  test("interleave3 matches the per-bit 3-D Morton definition") {
+    import spark.implicits._
+    def naive(x: Long, y: Long, z: Long): Long =
+      (0 until 10).foldLeft(0L) { (acc, i) =>
+        acc | (((x >> i) & 1L) << (3 * i)) |
+          (((y >> i) & 1L) << (3 * i + 1)) |
+          (((z >> i) & 1L) << (3 * i + 2))
+      }
+    val rnd = new scala.util.Random(7)
+    val triples = Seq.tabulate(150)(_ => (rnd.nextInt(1024).toLong,
+      rnd.nextInt(1024).toLong, rnd.nextInt(1024).toLong)) ++
+      Seq((0L, 0L, 0L), (1023L, 1023L, 1023L), (1023L, 0L, 0L))
+    val got = triples.toDF("x", "y", "z")
+      .select(col("x"), col("y"), col("z"),
+        ZOrder.interleave3(col("x"), col("y"), col("z")).as("m"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(3) ===
+        naive(r.getLong(0), r.getLong(1), r.getLong(2)),
+        s"(${r.getLong(0)}, ${r.getLong(1)}, ${r.getLong(2)})")
+    }
+  }
+
   test("q247 compaction actually reduces the file count (64-shard " +
     "landing zone -> <= 4 range-clustered files)") {
     def parquetFiles(p: String): Int =
