@@ -628,6 +628,31 @@ object Analytics4 extends QueryModule {
         .orderBy(col("bucket"))
     },
 
+    // Approximate sliding distinct — the production form of q245 at
+    // 100 TB: per trailing-3h bucket, HLL++ (approx_count_distinct at
+    // 2% rsd) next to the exact count, emitting the error-bound
+    // boolean (q67's oracle pattern — DuckDB verifies the exact count
+    // and that the sketch landed inside the bound; the sketch value
+    // itself is engine-specific). Sketches make the distinct
+    // mergeable, so the bucket agg partial-aggregates map-side where
+    // exact distinct cannot.
+    "q275_sliding_hll" -> { (s, dir) =>
+      val ev = Tables.df(s, dir, "events")
+        .select(date_trunc("hour", col("ts")).as("h"), col("user_id"))
+      val fan = ev.select(explode(array((0 to 2).map(k =>
+          col("h") + expr(s"INTERVAL $k HOURS")): _*)).as("bucket"),
+        col("user_id"))
+      val hours = ev.select(col("h").as("bucket")).distinct()
+      fan.join(hours, Seq("bucket"), "leftsemi")
+        .groupBy(col("bucket"))
+        .agg(countDistinct(col("user_id")).as("n_exact"),
+          approx_count_distinct(col("user_id"), 0.02).as("n_approx"))
+        .select(col("bucket"), col("n_exact"),
+          (abs(col("n_approx") - col("n_exact")) <=
+            greatest(col("n_exact") / 10, lit(3L))).as("within_bound"))
+        .orderBy(col("bucket"))
+    },
+
     // Event-transition matrix — the product-analytics Markov census:
     // per user, consecutive event pairs via LEAD over (ts, event_id),
     // then a (from, to) count with per-source transition probability
@@ -793,6 +818,15 @@ object Analytics4 extends QueryModule {
         |  CAST(sum(n_follow) AS BIGINT) AS n_follow_orders,
         |  CAST(sum(follow_rev) AS DOUBLE) AS follow_revenue
         |FROM follow GROUP BY 1 ORDER BY cohort""".stripMargin,
+    "q275_sliding_hll" ->
+      """WITH ev AS (
+        |  SELECT date_trunc('hour', ts) AS h, user_id FROM events),
+        |hours AS (SELECT DISTINCT h FROM ev)
+        |SELECT hours.h AS bucket, count(DISTINCT e.user_id) AS n_exact,
+        |  TRUE AS within_bound
+        |FROM hours JOIN ev e
+        |  ON e.h <= hours.h AND e.h >= hours.h - INTERVAL 2 HOUR
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q271_linear_interp" ->
       """WITH base AS (
         |  SELECT n_name, date_trunc('month', o_orderdate) AS mo,
