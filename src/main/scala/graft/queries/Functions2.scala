@@ -13,6 +13,54 @@ import org.apache.spark.sql.types._
 object Functions2 extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Null-semantics battery — the fixtures carry no NULLs, so inject
+    // them (nullif on value patterns) and pin the null-sensitive
+    // aggregate contract in one grouped pass: count(*) vs count(col),
+    // null-skipping sum/avg/min, a NULL GROUP KEY row (grouping treats
+    // null as a real group), coalesce fallback, and count_if over a
+    // null predicate. Oracle applies the identical injection.
+    "q276_null_matrix" -> { (s, dir) =>
+      val li = Tables.df(s, dir, "lineitem")
+        .select(nullif(col("l_returnflag"), lit("R")).as("flag"),
+          nullif(col("l_quantity"), lit(25.0)).as("qty"),
+          when(col("l_linenumber") === 1, col("l_discount")).as("disc"))
+      li.groupBy(col("flag"))
+        .agg(count(lit(1)).as("n_star"),
+          count(col("qty")).as("n_qty"),
+          sum(col("qty").cast(DecimalType(18, 2))).cast(DoubleType)
+            .as("sum_qty"),
+          round(avg(col("qty")), 4).as("avg_qty"),
+          count(col("disc")).as("n_disc"),
+          coalesce(min(col("disc")), lit(-1.0)).as("min_disc_or"))
+        .orderBy(col("flag").asc_nulls_first)
+    },
+
+    // Unicode string semantics — ASCII fixtures never test these:
+    // accented/CJK/emoji/combining-mark literals through
+    // length (CODE POINTS, incl. a surrogate-pair emoji = 1),
+    // upper (incl. the German ß -> SS expansion), substring (code-point
+    // addressed), instr and concat. Engines that count UTF-16 units or
+    // bytes go red here.
+    "q277_unicode" -> { (s, dir) =>
+      val rows = Seq(
+        (1L, "hello"), (2L, "caf\u00e9"), (3L, "stra\u00dfe"),
+        (4L, "\u65e5\u672c\u8a9e\u30c6\u30b9\u30c8"), // CJK, 6 cps
+        (5L, "a\u0301b\u0301"), // decomposed combining acutes: 4 cps
+        (6L, "\ud83d\ude00x\ud83d\ude01") // emoji x emoji: 3 cps
+      )
+      val df = s.createDataFrame(rows).toDF("id", "t")
+      df.select(col("id"), col("t"),
+          length(col("t")).cast(LongType).as("n_cp"),
+          // ss-sharp uppercase is a GENUINE engine divergence (Java
+          // expands to SS, ICU-backed engines emit capital sharp S) --
+          // excluded by id on both sides, documented not papered over
+          when(col("id") =!= 3, upper(col("t"))).as("up"),
+          substring(col("t"), 2, 2).as("sub23"),
+          instr(col("t"), "x").cast(LongType).as("pos_x"),
+          concat(col("t"), lit("!")).as("bang"))
+        .orderBy(col("id"))
+    },
+
     // JSON schema inference + typed parse — schema_of_json pins the
     // inferred DDL (a Spark-version contract) and from_json applies an
     // explicit schema to the event payload; q45's path-extraction
@@ -190,6 +238,33 @@ object Functions2 extends QueryModule {
   )
 
   override def oracle: Map[String, String] = Map(
+    "q276_null_matrix" ->
+      """SELECT nullif(l_returnflag, 'R') AS flag,
+        |  count(*) AS n_star,
+        |  count(nullif(l_quantity, 25.0)) AS n_qty,
+        |  CAST(sum(CAST(nullif(l_quantity, 25.0) AS DECIMAL(18,2)))
+        |    AS DOUBLE) AS sum_qty,
+        |  round(avg(nullif(l_quantity, 25.0)), 4) AS avg_qty,
+        |  count(CASE WHEN l_linenumber = 1 THEN l_discount END)
+        |    AS n_disc,
+        |  coalesce(min(CASE WHEN l_linenumber = 1 THEN l_discount END),
+        |    -1.0) AS min_disc_or
+        |FROM lineitem GROUP BY 1 ORDER BY flag NULLS FIRST""".stripMargin,
+    "q277_unicode" ->
+      """WITH t(id, t) AS (VALUES
+        |  (1, 'hello'), (2, 'caf' || chr(233)),
+        |  (3, 'stra' || chr(223) || 'e'),
+        |  (4, chr(26085) || chr(26412) || chr(35486) || chr(12486) ||
+        |      chr(12473) || chr(12488)),
+        |  (5, 'a' || chr(769) || 'b' || chr(769)),
+        |  (6, chr(128512) || 'x' || chr(128513)))
+        |SELECT CAST(id AS BIGINT) AS id, t,
+        |  CAST(length(t) AS BIGINT) AS n_cp,
+        |  CASE WHEN id != 3 THEN upper(t) END AS up,
+        |  substr(t, 2, 2) AS sub23,
+        |  CAST(coalesce(strpos(t, 'x'), 0) AS BIGINT) AS pos_x,
+        |  t || '!' AS bang
+        |FROM t ORDER BY id""".stripMargin,
     "q265_json_schema" ->
       """SELECT event_id,
         |  CAST(json_extract(props, '$.k') AS BIGINT) AS k,
