@@ -13,6 +13,45 @@ import org.apache.spark.sql.types._
 object Functions2 extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Null-KEY join battery — q276's join sibling: null keys injected
+    // on BOTH sides, counted through inner (null never matches), left
+    // (null-keyed probe rows survive unmatched), and null-safe <=>
+    // (null matches null, cross of the two null sets). One row of
+    // counts; q18 pins <=> on clean keys, this pins the dirty-key
+    // contract.
+    "q278_null_key_joins" -> { (s, dir) =>
+      val li = Tables.df(s, dir, "lineitem")
+        .select(nullif(col("l_suppkey"), lit(42)).as("sk"))
+      val sup = Tables.df(s, dir, "supplier")
+        .select(nullif(col("s_suppkey"), lit(57)).as("pk"))
+      val inner = li.join(sup, col("sk") === col("pk"))
+        .agg(count(lit(1)).as("n_inner"))
+      val leftUn = li.join(sup, col("sk") === col("pk"), "left")
+        .filter(col("pk").isNull)
+        .agg(count(lit(1)).as("n_left_unmatched"))
+      val nsafe = li.join(sup, col("sk") <=> col("pk"))
+        .agg(count(lit(1)).as("n_nullsafe"))
+      inner.crossJoin(leftUn).crossJoin(nsafe)
+    },
+
+    // Signed modulo / integral-division semantics — the cells that
+    // silently differ across engines: % keeps the DIVIDEND sign (both
+    // engines C-style), pmod is always non-negative (DuckDB mirrors it
+    // as ((x%7)+7)%7), and Spark's `div` TRUNCATES toward zero where
+    // DuckDB's // floors — the oracle reconstructs truncation as
+    // (x - x%5)/5, pinning Spark's semantics rather than assuming the
+    // operators agree.
+    "q279_signed_mod_div" -> { (s, dir) =>
+      Tables.df(s, dir, "lineitem")
+        .select((col("l_quantity").cast(LongType) - 26).as("x"))
+        .distinct()
+        .select(col("x"),
+          (col("x") % 7).as("mod7"),
+          pmod(col("x"), lit(7L)).as("pmod7"),
+          expr("x div 5").as("tdiv5"))
+        .orderBy(col("x"))
+    },
+
     // Null-semantics battery — the fixtures carry no NULLs, so inject
     // them (nullif on value patterns) and pin the null-sensitive
     // aggregate contract in one grouped pass: count(*) vs count(col),
@@ -238,6 +277,22 @@ object Functions2 extends QueryModule {
   )
 
   override def oracle: Map[String, String] = Map(
+    "q278_null_key_joins" ->
+      """WITH li AS (SELECT nullif(l_suppkey, 42) AS sk FROM lineitem),
+        |sup AS (SELECT nullif(s_suppkey, 57) AS pk FROM supplier)
+        |SELECT
+        |  (SELECT count(*) FROM li JOIN sup ON sk = pk) AS n_inner,
+        |  (SELECT count(*) FROM li LEFT JOIN sup ON sk = pk
+        |   WHERE pk IS NULL) AS n_left_unmatched,
+        |  (SELECT count(*) FROM li JOIN sup
+        |   ON sk IS NOT DISTINCT FROM pk) AS n_nullsafe""".stripMargin,
+    "q279_signed_mod_div" ->
+      """SELECT x, x % 7 AS mod7,
+        |  ((x % 7) + 7) % 7 AS pmod7,
+        |  (x - (x % 5)) // 5 AS tdiv5
+        |FROM (SELECT DISTINCT CAST(l_quantity AS BIGINT) - 26 AS x
+        |      FROM lineitem)
+        |ORDER BY x""".stripMargin,
     "q276_null_matrix" ->
       """SELECT nullif(l_returnflag, 'R') AS flag,
         |  count(*) AS n_star,
