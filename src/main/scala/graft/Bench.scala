@@ -49,7 +49,9 @@ object Bench {
     // fused data-quality audit, Q64 self-paired deep join — the
     // heavy new shapes of this round, benched so regressions show
     "q215_repetition_quality", "q226_zorder_box", "q227_triangle_count",
-    "q229_corpus_overlap", "q236_quality_audit", "q239_repeat_buyers")
+    "q229_corpus_overlap", "q236_quality_audit", "q239_repeat_buyers",
+    // round 9d: the iterative mode-combining graph kernel
+    "q258_label_propagation")
 
   /** Drain the ContextCleaner so no prior query's cleanup I/O bills the
     * next timed region. A GC enqueues the dead weak refs; the cleaner

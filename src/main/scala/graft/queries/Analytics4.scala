@@ -559,14 +559,16 @@ object Analytics4 extends QueryModule {
         .union(e.select(col("v").as("src"), col("u").as("dst")))
       var labels = directed.select(col("src").as("node")).distinct()
         .select(col("node"), col("node").as("lab"))
-      val w = Window.partitionBy(col("v"))
-        .orderBy(col("c").desc, col("lab"))
       for (_ <- 1 to 3) {
+        // mode with smallest-label tie = argmax over (count, -label) —
+        // a second partial-combinable aggregate instead of a per-round
+        // window SORT of the (node, label) table
         labels = directed.join(labels, col("dst") === col("node"))
           .select(col("src").as("v"), col("lab"))
           .groupBy(col("v"), col("lab")).agg(count(lit(1)).as("c"))
-          .withColumn("rk", row_number().over(w))
-          .filter(col("rk") === 1)
+          .groupBy(col("v"))
+          .agg(max_by(col("lab"), struct(col("c"), (-col("lab")).as("t")))
+            .as("lab"))
           .select(col("v").as("node"), col("lab"))
       }
       labels.select(col("node").as("part_id"),
