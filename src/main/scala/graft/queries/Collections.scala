@@ -46,6 +46,29 @@ object Collections extends QueryModule {
         .orderBy(col("user_id"))
     },
 
+    // Map higher-order functions — transform_values / transform_keys /
+    // map_filter / map_zip_with (the map side of q65's array HOFs),
+    // canonicalized through fixed-key element_at + size since map
+    // iteration order is undefined cross-engine; the oracle derives
+    // the same scalars arithmetically.
+    "q280_map_hof" -> { (s, dir) =>
+      val m = map(lit("q"), col("l_quantity"),
+        lit("p"), col("l_extendedprice"))
+      val doubled = transform_values(m, (_, v) => v * 2)
+      val kept = map_filter(m, (_, v) => v >= 30)
+      val zipped = map_zip_with(m, doubled, (_, a, b) => b - a)
+      val renamed = transform_keys(m, (k, _) => upper(k))
+      Tables.df(s, dir, "lineitem")
+        .filter(col("l_orderkey") <= 100)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          element_at(doubled, "q").as("q2"),
+          element_at(doubled, "p").as("p2"),
+          size(kept).cast(LongType).as("n_kept"),
+          element_at(zipped, "q").as("zq"),
+          element_at(renamed, "Q").as("uq"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
     "q68_map_funcs" -> { (s, dir) =>
       val m1 = expr("str_to_map('a:1,b:2', ',', ':')")
       val m2 = map(lit("c"), col("lang"))
@@ -110,6 +133,17 @@ object Collections extends QueryModule {
   )
 
   override def oracle: Map[String, String] = Map(
+    "q280_map_hof" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_quantity * 2 AS q2,
+        |  l_extendedprice * 2 AS p2,
+        |  CAST(CASE WHEN l_quantity >= 30 THEN 1 ELSE 0 END +
+        |       CASE WHEN l_extendedprice >= 30 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS n_kept,
+        |  l_quantity AS zq,
+        |  l_quantity AS uq
+        |FROM lineitem WHERE l_orderkey <= 100
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q253_nested_timeline" ->
       """WITH r AS (
         |  SELECT user_id, event_type, value,
