@@ -38,8 +38,17 @@ class PlanGoldenSpec extends AnyFunSuite {
   // ReusedExchange) is stage-completion-order dependent under AQE — a
   // position-sensitive fingerprint of it flakes with no code change
   // (this repo's known golden-race mode). The reuse CONTRACT is
-  // asserted position-independently in PlanSpec instead.
-  private val racePrune = Set("q176_cte_reuse")
+  // asserted position-independently in PlanSpec instead. q215 has the
+  // same structure: its bigram and trigram branches share the token
+  // subtree, and which branch materializes the shared exchange first
+  // is stage-completion-order dependent (flaked once in a full-suite
+  // run, stable in isolation) — its partial-agg contract lives in
+  // PlanSpec.
+  // q239's two year-legs are NEAR-EQUAL census subtrees; AQE picks the
+  // build side of their self-pairing from runtime sizes that differ by
+  // noise, flipping the printed tree. Contract pinned in PlanSpec.
+  private val racePrune = Set("q176_cte_reuse", "q215_repetition_quality",
+    "q239_repeat_buyers")
 
   private val pinned =
     (Bench.headline.filterNot(_.contains("stream")) ++ extraPinned)

@@ -477,6 +477,16 @@ class PlanSpec extends AnyFunSuite {
         .findFirstIn(p).isDefined, p.take(3000))
   }
 
+  test("q239 repeat buyers: each leg aggregates BEFORE the self-pair " +
+    "and no fact-x-fact join survives (position-independent — the " +
+    "build side of the near-equal legs is an AQE coin flip)") {
+    val p = finalPlan("q239_repeat_buyers")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    // both census legs partial-aggregate below the pairing join
+    assert("partial_sum".r.findAllIn(p).size >= 2, p.take(3000))
+  }
+
   test("q274 joins a partitioned file source with RUNTIME partition " +
     "pruning (dynamicpruningexpression in the scan)") {
     val p = finalPlan("q274_dpp")
