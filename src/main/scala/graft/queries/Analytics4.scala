@@ -543,6 +543,29 @@ object Analytics4 extends QueryModule {
           round(regr_intercept(col("y"), col("x")), 4).as("intercept"))
     },
 
+    // BFS distance census via RECURSIVE CTE on a CYCLIC graph — q219's
+    // recursion walks an acyclic tree; cyclic graphs need the
+    // level-capped UNION ALL + min-distance collapse (node, min(lvl))
+    // or the path set explodes unboundedly. Census: how many parts sit
+    // at distance 0/1/2 from the seed (Spark caps recursion at 1M rows; the 3-hop path set of this dense graph exceeds it) in the co-purchase graph.
+    "q281_bfs_census" -> { (s, dir) =>
+      val e = coPurchaseEdges(s, dir)
+      e.select(col("u").as("src"), col("v").as("dst"))
+        .union(e.select(col("v").as("src"), col("u").as("dst")))
+        .createOrReplaceTempView("copurchase_q281")
+      val seed = e.agg(min(col("u"))).head().getLong(0)
+      s.sql(
+        s"""WITH RECURSIVE reach AS (
+           |  SELECT CAST($seed AS BIGINT) AS node, 0 AS lvl
+           |  UNION ALL
+           |  SELECT d.dst, r.lvl + 1 FROM reach r
+           |  JOIN copurchase_q281 d ON d.src = r.node
+           |  WHERE r.lvl < 2)
+           |SELECT dist, count(*) AS n_nodes FROM (
+           |  SELECT node, min(lvl) AS dist FROM reach GROUP BY node)
+           |GROUP BY dist ORDER BY dist""".stripMargin)
+    },
+
     // Label propagation (community detection) — the FIFTH graph kernel
     // (CC q118 min-combines, PageRank q224 mass-combines; LPA
     // MODE-combines): three synchronous rounds of label(v) := the most
@@ -918,6 +941,21 @@ object Analytics4 extends QueryModule {
         |    sqrt(list_sum(list_transform(embedding::DOUBLE[],
         |      v -> v * v))) AS y
         |  FROM documents JOIN embeddings ON doc_id = vec_id)""".stripMargin,
+    "q281_bfs_census" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |d AS (SELECT u AS src, v AS dst FROM e
+        |      UNION ALL SELECT v, u FROM e),
+        |reach(node, lvl) AS (
+        |  SELECT (SELECT min(u) FROM e), 0
+        |  UNION ALL
+        |  SELECT d.dst, r.lvl + 1 FROM reach r
+        |  JOIN d ON d.src = r.node WHERE r.lvl < 2)
+        |SELECT dist, count(*) AS n_nodes FROM (
+        |  SELECT node, min(lvl) AS dist FROM reach GROUP BY node)
+        |GROUP BY dist ORDER BY dist""".stripMargin,
     "q258_label_propagation" ->
       """WITH e AS (
         |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v

@@ -77,6 +77,38 @@ object Warehouse extends QueryModule {
         .orderBy(col("user_id"), col("version"))
     },
 
+    // SCD2 point-in-time lookup — THE temporal-warehouse join: every
+    // event resolves the dimension state that was valid AT ITS
+    // TIMESTAMP (valid_from <= ts < valid_to, open-ended current row),
+    // events before the first state land in 'none'. The interval
+    // predicate rides INSIDE the user_id equi hash join (per-user
+    // history is small, so the containment check is a bounded local
+    // scan — never a BNLJ). Census by resolved state.
+    "q282_scd2_lookup" -> { (s, dir) =>
+      val w = Window.partitionBy(col("h_user"))
+        .orderBy(col("valid_from"), col("h_eid"))
+      val hist = Tables.df(s, dir, "events")
+        .filter(col("event_type").isin("signup", "purchase"))
+        .select(col("user_id").as("h_user"),
+          col("event_id").as("h_eid"),
+          col("event_type").as("state"),
+          unix_micros(col("ts")).as("valid_from"))
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+      val ev = Tables.df(s, dir, "events")
+        .select(col("user_id").as("e_user"), col("event_id"),
+          unix_micros(col("ts")).as("e_ts"))
+      ev.join(hist,
+          col("e_user") === col("h_user") &&
+            col("e_ts") >= col("valid_from") &&
+            (col("valid_to").isNull || col("e_ts") < col("valid_to")),
+          "left")
+        .groupBy(coalesce(col("state"), lit("none"))
+          .as("state_at_event"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("e_user")).as("n_users"))
+        .orderBy(col("state_at_event"))
+    },
+
     // SCD2 invariant validator — the dimension-health check a warehouse
     // runs after every q147-style rebuild: exactly ONE current row per
     // key, and validity intervals CONTIGUOUS (next valid_from == this
@@ -170,6 +202,25 @@ object Warehouse extends QueryModule {
         |       ELSE 'update' END AS action
         |FROM cur FULL OUTER JOIN upd ON c_user = u_user
         |ORDER BY user_id""".stripMargin,
+    "q282_scd2_lookup" ->
+      """WITH hist AS (
+        |  SELECT user_id AS h_user, event_type AS state,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS valid_from,
+        |    lead(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+        |      (PARTITION BY user_id
+        |       ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
+        |      AS valid_to
+        |  FROM events WHERE event_type IN ('signup', 'purchase')),
+        |ev AS (
+        |  SELECT user_id AS e_user, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS e_ts FROM events)
+        |SELECT coalesce(state, 'none') AS state_at_event,
+        |  count(*) AS n_events,
+        |  CAST(count(DISTINCT e_user) AS BIGINT) AS n_users
+        |FROM ev LEFT JOIN hist ON e_user = h_user
+        |  AND e_ts >= valid_from
+        |  AND (valid_to IS NULL OR e_ts < valid_to)
+        |GROUP BY 1 ORDER BY state_at_event""".stripMargin,
     "q251_scd2_validator" ->
       """WITH hist AS (
         |  SELECT user_id, event_id,
