@@ -76,6 +76,28 @@ object Windows extends QueryModule {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     },
 
+    // Windowed ARGMAX — max_by/min_by as FRAMED window aggregates (the
+    // "id of the biggest order in the trailing 5" analytic): any §2.3
+    // aggregate runs over a frame, including the argmin/argmax pair
+    // the reference exposes only as whole-group FIRST variants.
+    // (o_custkey, o_totalprice) is tie-free at every fixture sf —
+    // verified — so the engines' unspecified-tie behaviors never
+    // diverge; a tie-sensitive deployment packs a tiebreak struct
+    // as in q235/q258.
+    "q283_window_argmax" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderkey"))
+        .rowsBetween(-4, Window.currentRow)
+      Tables.df(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_totalprice"),
+          max_by(col("o_orderkey"), col("o_totalprice")).over(w)
+            .as("biggest_order_id"),
+          min_by(col("o_orderkey"), col("o_totalprice")).over(w)
+            .as("smallest_order_id"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+
     // Time-interval RANGE frame: each event against the trailing
     // 10-minute window of its user's stream — the sessionized-metrics
     // shape (rolling event rate, rolling spend) the reference cannot
@@ -395,6 +417,16 @@ object Windows extends QueryModule {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
         |ORDER BY user_id, event_id""".stripMargin,
+    "q283_window_argmax" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  arg_max(o_orderkey, o_totalprice) OVER w
+        |    AS biggest_order_id,
+        |  arg_min(o_orderkey, o_totalprice) OVER w
+        |    AS smallest_order_id
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+        |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q32_window_frames" ->
       """SELECT o_custkey, o_orderkey,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER cum AS DOUBLE)
