@@ -490,6 +490,44 @@ object Similarity extends QueryModule {
         .orderBy(col("probe_id"))
     },
 
+    // Batch model scoring + evaluation — the SQL-pushdown inference
+    // pattern: a fixed linear model (weights derived arithmetically so
+    // both engines build the identical vector) scores every embedding
+    // through dot + sigmoid IN-PLAN (no UDF), predictions meet the
+    // labels in a confusion matrix with precision/recall/F1. At 100 TB
+    // this is a pure map pass + a 4-cell aggregate — the shape model
+    // backfills actually run.
+    "q284_model_eval" -> { (s, dir) =>
+      val weights = expr(
+        "transform(sequence(0, 63), i -> ((i * 37) % 101 - 50) / 100.0)")
+      val z = aggregate(
+        zip_with(asDouble(col("embedding")), weights, (x, w) => x * w),
+        lit(0.0), (a, x) => a + x)
+      val scored = Tables.df(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          (lit(1.0) / (lit(1.0) + exp(-z))).as("score"))
+        .select(
+          (col("score") >= 0.5).as("pred"),
+          (col("label") % 2 === 0).as("truth"))
+      scored.agg(
+          count(lit(1)).as("n"),
+          sum(when(col("pred") && col("truth"), 1L).otherwise(0L))
+            .as("tp"),
+          sum(when(col("pred") && !col("truth"), 1L).otherwise(0L))
+            .as("fp"),
+          sum(when(!col("pred") && col("truth"), 1L).otherwise(0L))
+            .as("fn"),
+          sum(when(!col("pred") && !col("truth"), 1L).otherwise(0L))
+            .as("tn"))
+        .select(col("n"), col("tp"), col("fp"), col("fn"), col("tn"),
+          round((col("tp") + col("tn")).cast(DoubleType) / col("n"), 6)
+            .as("accuracy"),
+          round(col("tp").cast(DoubleType) / (col("tp") + col("fp")), 6)
+            .as("precision"),
+          round(col("tp").cast(DoubleType) / (col("tp") + col("fn")), 6)
+            .as("recall"))
+    },
+
     // ANN index-as-TABLE: the build/probe split production serving
     // actually runs. The IVF assignment is written out PHYSICALLY
     // partitioned by cell; the probe side resolves its nprobe cells at
@@ -601,6 +639,31 @@ object Similarity extends QueryModule {
       |) WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin
 
   override def oracle: Map[String, String] = Map(
+    "q284_model_eval" ->
+      """WITH scored AS (
+        |  SELECT
+        |    1.0 / (1.0 + exp(-list_sum(list_transform(
+        |      generate_series(0, 63),
+        |      i -> embedding[i + 1] * (((i * 37) % 101 - 50) / 100.0)))))
+        |      >= 0.5 AS pred,
+        |    label % 2 = 0 AS truth
+        |  FROM embeddings),
+        |m AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(CASE WHEN pred AND truth THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS tp,
+        |    CAST(sum(CASE WHEN pred AND NOT truth THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS fp,
+        |    CAST(sum(CASE WHEN NOT pred AND truth THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS fn,
+        |    CAST(sum(CASE WHEN NOT pred AND NOT truth THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS tn
+        |  FROM scored)
+        |SELECT n, tp, fp, fn, tn,
+        |  round((tp + tn)::DOUBLE / n, 6) AS accuracy,
+        |  round(tp::DOUBLE / (tp + fp), 6) AS precision,
+        |  round(tp::DOUBLE / (tp + fn), 6) AS recall
+        |FROM m""".stripMargin,
     "q237_ann_recall" ->
       s"""WITH ids(probe_id, vec_id) AS (VALUES $q78PinnedTop5),
          |bf AS (
