@@ -1,0 +1,194 @@
+package graft.queries
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Third SQL-surface sweep — the remaining user-facing corners:
+  * width_bucket histogramming, stack() unpivot generation, EXECUTE
+  * IMMEDIATE + session variables (dynamic SQL), collation-aware
+  * grouping (Spark 4 UTF8_LCASE), a pinned misc-function battery
+  * (soundex/luhn/to_varchar/conv/getbit/...), and correlated LATERAL
+  * subquery join (per-row top-k without a window over the whole
+  * fact table).
+  */
+object Functions3 extends QueryModule {
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // width_bucket: fixed-width histogram in ONE codegen'd expression —
+    // no join against a bucket dimension, no crossJoin with min/max
+    // (the bounds are part of the report spec, so they're literals).
+    // Out-of-range rows land in the documented 0 / n+1 overflow
+    // buckets. The oracle reconstructs the bucket arithmetic from the
+    // definition, pinning edge semantics (x < lo -> 0, x >= hi -> n+1).
+    "q289_width_bucket" -> { (s, dir) =>
+      Tables.df(s, dir, "lineitem")
+        .select(width_bucket(col("l_extendedprice"), lit(900.0),
+          lit(105000.0), lit(10)).as("bkt"),
+          col("l_extendedprice").as("p"))
+        .groupBy(col("bkt"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("p")), 2).as("p_min"),
+          round(max(col("p")), 2).as("p_max"))
+        .orderBy(col("bkt"))
+    },
+
+    // stack() generator: wide metrics row → long (metric, value) rows
+    // inside the SAME stage as the aggregation — the unpivot runs on
+    // the 3-row agg output, not the fact table, so it is free at any
+    // scale. Decimal-cast sums keep both engines bit-identical.
+    "q290_stack_metrics" -> { (s, dir) =>
+      Tables.df(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("flag"))
+        .agg(
+          sum(col("l_quantity").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sq"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sp"),
+          round(avg(col("l_discount")), 6).as("ad"))
+        .selectExpr("flag",
+          "stack(3, 'sum_qty', sq, 'sum_price', sp, 'avg_disc', ad)" +
+            " AS (metric, value)")
+        .orderBy(col("flag"), col("metric"))
+    },
+
+    // Dynamic SQL: session variable (DECLARE / SET VAR) referenced
+    // inside an EXECUTE IMMEDIATE template plus a positional ?
+    // parameter — the safe parameterized-SQL surface (no string
+    // splicing). The oracle runs the fully-resolved query literally.
+    "q291_exec_immediate" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql("DECLARE OR REPLACE VARIABLE qty_floor DOUBLE DEFAULT 0.0")
+      s.sql("SET VAR qty_floor = 45.0")
+      s.sql(
+        """EXECUTE IMMEDIATE
+          |  "SELECT l_returnflag AS flag, count(*) AS n
+          |   FROM lineitem
+          |   WHERE l_quantity >= qty_floor AND l_linestatus = ?
+          |   GROUP BY 1 ORDER BY 1"
+          |  USING 'F'""".stripMargin)
+    },
+
+    // Collation-aware grouping (Spark 4): group case-variant strings
+    // under UTF8_LCASE so 'NATION_0' and 'nation_0' are ONE group.
+    // The emitted key is lower()ed (the raw collated grouping value is
+    // an arbitrary group representative — never emit it), the
+    // representative is the binary min, and the result is re-collated
+    // to UTF8_BINARY so downstream sort/compare semantics are the
+    // default ones. Oracle: GROUP BY lower(s).
+    "q292_collation_group" -> { (s, dir) =>
+      val n = Tables.df(s, dir, "nation")
+      val u = n.select(col("n_name").as("s"))
+        .unionAll(n.filter(col("n_nationkey") % 2 === 0)
+          .select(lower(col("n_name")).as("s")))
+      u.groupBy(collate(col("s"), "UTF8_LCASE").as("sk"))
+        .agg(count(lit(1)).as("n"), min(col("s")).as("rep"))
+        .select(collate(lower(col("sk")), "UTF8_BINARY").as("k"),
+          col("n"), col("rep"))
+        .orderBy(col("k"))
+    },
+
+    // Misc scalar battery, PINNED-literal contract (CastMatrix
+    // pattern): soundex, luhn_check, to_varchar/to_number format
+    // engines, conv radix, bin, char, elt, factorial, hypot,
+    // code-point vs byte length, bit_count/getbit, try_element_at
+    // out-of-bounds -> NULL. One row; oracle SELECTs the expected
+    // literals, so any kernel drift goes red.
+    "q293_misc_funcs" -> { (s, dir) =>
+      Tables.df(s, dir, "region").limit(1)
+        .select(
+          soundex(lit("Robert")).as("sx"),
+          expr("luhn_check('79927398713')").as("luhn_ok"),
+          expr("luhn_check('79927398714')").as("luhn_bad"),
+          expr("to_varchar(78.12, '$99.99')").as("fmt_money"),
+          expr("CAST(to_number('12,345.67', '99,999.99') AS DOUBLE)")
+            .as("parsed_num"),
+          conv(lit("100"), 2, 10).as("conv_b2"),
+          bin(lit(13L)).as("bin13"),
+          expr("char(65)").as("chr65"),
+          expr("elt(2, 'scala', 'java')").as("elt2"),
+          factorial(lit(5)).as("fact5"),
+          round(hypot(lit(3.0), lit(4.0)), 6).as("hyp34"),
+          length(lit("héllo")).as("cp_len"),
+          octet_length(lit("héllo")).as("byte_len"),
+          bit_count(lit(7L)).as("bits7"),
+          getbit(lit(11L), lit(2)).as("bit2_of_11"),
+          expr("try_element_at(array(1, 2, 3), 5)").as("elem5"))
+    },
+
+    // Correlated LATERAL subquery: per-customer top-2 orders by price.
+    // The lateral form states "top-k per row" directly; Spark plans it
+    // as a decorrelated join + per-key limit rather than a global
+    // window over the whole fact side. Inner lateral drops
+    // order-less customers, keeping the result total-ordered and
+    // engine-agnostic (ties broken by o_orderkey).
+    "q294_lateral_topk" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT c_custkey, o_orderkey,
+          |  CAST(o_totalprice AS DOUBLE) AS price
+          |FROM customer,
+          |  LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+          |           WHERE o_custkey = c_custkey
+          |           ORDER BY o_totalprice DESC, o_orderkey LIMIT 2)
+          |WHERE c_custkey < 50
+          |ORDER BY c_custkey, o_orderkey""".stripMargin)
+    }
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "q289_width_bucket" ->
+      """SELECT CASE WHEN p < 900.0 THEN 0
+        |  WHEN p >= 105000.0 THEN 11
+        |  ELSE 1 + CAST(floor((p - 900.0) * 10 /
+        |    (105000.0 - 900.0)) AS BIGINT) END AS bkt,
+        |  count(*) AS n,
+        |  round(min(p), 2) AS p_min, round(max(p), 2) AS p_max
+        |FROM (SELECT l_extendedprice AS p FROM lineitem)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q290_stack_metrics" ->
+      """WITH a AS (
+        |  SELECT l_returnflag AS flag,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS sq,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS sp,
+        |    round(avg(l_discount), 6) AS ad
+        |  FROM lineitem GROUP BY 1)
+        |SELECT flag, metric, value FROM (
+        |  SELECT flag, 'sum_qty' AS metric, sq AS value FROM a
+        |  UNION ALL SELECT flag, 'sum_price', sp FROM a
+        |  UNION ALL SELECT flag, 'avg_disc', ad FROM a)
+        |ORDER BY flag, metric""".stripMargin,
+    "q291_exec_immediate" ->
+      """SELECT l_returnflag AS flag, count(*) AS n
+        |FROM lineitem
+        |WHERE l_quantity >= 45.0 AND l_linestatus = 'F'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q292_collation_group" ->
+      """WITH u AS (
+        |  SELECT n_name AS s FROM nation
+        |  UNION ALL
+        |  SELECT lower(n_name) FROM nation WHERE n_nationkey % 2 = 0)
+        |SELECT lower(s) AS k, count(*) AS n, min(s) AS rep
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q293_misc_funcs" ->
+      """SELECT 'R163' AS sx, true AS luhn_ok, false AS luhn_bad,
+        |  '$78.12' AS fmt_money, 12345.67 AS parsed_num,
+        |  '4' AS conv_b2, '1101' AS bin13, 'A' AS chr65,
+        |  'java' AS elt2, CAST(120 AS BIGINT) AS fact5,
+        |  5.0 AS hyp34, 5 AS cp_len, 6 AS byte_len,
+        |  CAST(3 AS BIGINT) AS bits7, CAST(0 AS BIGINT) AS bit2_of_11,
+        |  CAST(NULL AS INTEGER) AS elem5""".stripMargin,
+    "q294_lateral_topk" ->
+      """SELECT c_custkey, o_orderkey,
+        |  CAST(o_totalprice AS DOUBLE) AS price
+        |FROM customer,
+        |  LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+        |           WHERE o_custkey = c_custkey
+        |           ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |WHERE c_custkey < 50
+        |ORDER BY c_custkey, o_orderkey""".stripMargin
+  )
+}
