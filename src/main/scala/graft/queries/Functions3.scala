@@ -117,6 +117,73 @@ object Functions3 extends QueryModule {
           expr("try_element_at(array(1, 2, 3), 5)").as("elem5"))
     },
 
+    // Time-zone & interval battery, PINNED-literal contract: the
+    // UTC↔zone conversion family (from/to_utc_timestamp, 3-arg
+    // convert_timezone over NTZ), timestampdiff/timestampadd (incl. a
+    // leap-day carry), next_day, ISO week, and the make_interval /
+    // make_dt_interval constructors. Cells sit on edges (a US DST
+    // transition instant, Jan-31 + 1 month clamping to Feb-29) so a tz
+    // or calendar kernel drift goes red. Timestamps are CAST to STRING
+    // so the comparison is rendering-exact and tz-agnostic.
+    "q295_timezone_battery" -> { (s, dir) =>
+      Tables.df(s, dir, "region").limit(1)
+        .select(
+          expr("CAST(from_utc_timestamp(" +
+            "timestamp'2024-03-10 06:30:00', 'America/New_York') " +
+            "AS STRING)").as("nyc_dst_edge"),
+          expr("CAST(to_utc_timestamp(" +
+            "timestamp'2024-07-01 12:00:00', 'Asia/Tokyo') AS STRING)")
+            .as("tokyo_to_utc"),
+          expr("CAST(convert_timezone('UTC', 'Asia/Kolkata', " +
+            "timestamp_ntz'2024-01-01 00:00:00') AS STRING)")
+            .as("kolkata"),
+          expr("timestampdiff(MONTH, timestamp'2024-01-15 00:00:00', " +
+            "timestamp'2024-03-14 00:00:00')").as("tdiff_month"),
+          expr("CAST(timestampadd(HOUR, 25, " +
+            "timestamp'2024-02-28 00:00:00') AS STRING)")
+            .as("leap_plus25h"),
+          expr("CAST(next_day(date'2024-01-01', 'FR') AS STRING)")
+            .as("next_fri"),
+          expr("date_part('week', date'2024-01-04')").as("iso_week"),
+          expr("CAST(timestamp'2024-01-01 00:00:00' + " +
+            "make_dt_interval(1, 2, 3, 4.5) AS STRING)").as("plus_dti"),
+          expr("CAST(date'2024-01-31' + make_interval(0, 1) AS STRING)")
+            .as("plus_1mo"))
+    },
+
+    // Array-edit battery, PINNED-literal contract: the mutation/slice
+    // family (array_insert 1-based, prepend/append, NULL-dropping
+    // compact, slice, position, descending sort, negative-step
+    // sequence, flatten), locale-stable format_number, and sentences()
+    // tokenization (array<array<string>>). Array results are rendered
+    // through array_join (the repo's canonical-string convention — the
+    // gate comparator treats nested arrays poorly on both sides), so
+    // the ARRAY kernels still run in-engine and any drift re-renders.
+    "q296_array_edit" -> { (s, dir) =>
+      Tables.df(s, dir, "region").limit(1)
+        .select(
+          expr("array_join(array_insert(array(1, 2, 4), 3, 3), ',')")
+            .as("ins"),
+          expr("array_join(array_prepend(array(2, 3), 1), ',')")
+            .as("prep"),
+          expr("array_join(array_append(array(1, 2), 3), ',')")
+            .as("app"),
+          expr("array_join(array_compact(array(1, NULL, 2, NULL)), ',')")
+            .as("compact"),
+          expr("array_join(slice(array(1, 2, 3, 4, 5), 2, 3), ',')")
+            .as("sl"),
+          expr("array_position(array('a', 'b', 'c'), 'b')").as("pos"),
+          expr("array_join(sort_array(array(3, 1, 2), false), ',')")
+            .as("desc_sorted"),
+          expr("array_join(sequence(10, 2, -4), ',')").as("seq_desc"),
+          expr("array_join(flatten(array(array(1, 2), array(3))), ',')")
+            .as("flat"),
+          expr("format_number(1234567.891, 2)").as("fmt"),
+          expr("array_join(transform(" +
+            "sentences('Hello world. How are you?')," +
+            " ws -> array_join(ws, ' ')), '|')").as("sents"))
+    },
+
     // Correlated LATERAL subquery: per-customer top-2 orders by price.
     // The lateral form states "top-k per row" directly; Spark plans it
     // as a decorrelated join + per-key limit rather than a global
@@ -181,6 +248,23 @@ object Functions3 extends QueryModule {
         |  5.0 AS hyp34, 5 AS cp_len, 6 AS byte_len,
         |  CAST(3 AS BIGINT) AS bits7, CAST(0 AS BIGINT) AS bit2_of_11,
         |  CAST(NULL AS INTEGER) AS elem5""".stripMargin,
+    "q295_timezone_battery" ->
+      """SELECT '2024-03-10 01:30:00' AS nyc_dst_edge,
+        |  '2024-07-01 03:00:00' AS tokyo_to_utc,
+        |  '2024-01-01 05:30:00' AS kolkata,
+        |  CAST(1 AS BIGINT) AS tdiff_month,
+        |  '2024-02-29 01:00:00' AS leap_plus25h,
+        |  '2024-01-05' AS next_fri,
+        |  1 AS iso_week,
+        |  '2024-01-02 02:03:04.5' AS plus_dti,
+        |  '2024-02-29' AS plus_1mo""".stripMargin,
+    "q296_array_edit" ->
+      """SELECT '1,2,3,4' AS ins, '1,2,3' AS prep,
+        |  '1,2,3' AS app, '1,2' AS compact, '2,3,4' AS sl,
+        |  CAST(2 AS BIGINT) AS pos, '3,2,1' AS desc_sorted,
+        |  '10,6,2' AS seq_desc, '1,2,3' AS flat,
+        |  '1,234,567.89' AS fmt,
+        |  'Hello world|How are you' AS sents""".stripMargin,
     "q294_lateral_topk" ->
       """SELECT c_custkey, o_orderkey,
         |  CAST(o_totalprice AS DOUBLE) AS price

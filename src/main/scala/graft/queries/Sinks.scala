@@ -165,6 +165,26 @@ object Sinks extends QueryModule {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     },
 
+    // Avro WIRE codec (vs q106's file format): each row's struct is
+    // serialized to ONE Avro binary datum and decoded downstream — the
+    // Kafka-payload pattern. This distro omits the from_avro/to_avro
+    // wire expressions (AVRO_NOT_LOADED), so the codec runs on the
+    // public avro-java API (functions/AvroWire.scala). The result
+    // groups on the DECODED record's fields, so a codec fault (dropped
+    // field, wrong zig-zag varint, truncated datum) changes the
+    // histogram and goes red.
+    "q297_avro_wire" -> { (s, dir) =>
+      val enc = udf(graft.functions.AvroWire.encode _)
+      val dec = udf(graft.functions.AvroWire.decode _)
+      Tables.df(s, dir, "events")
+        .select(enc(col("event_type"), col("user_id")).as("wire"))
+        .select(dec(col("wire")).as("back"))
+        .groupBy(col("back.event_type").as("g"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("back.user_id")).as("n_users"))
+        .orderBy(col("g"))
+    },
+
     // XML sink + scan (Spark 4 ships the spark-xml donation in-core).
     // Schema-ful read back: XML has no native long/double, so types are
     // declared on the scan exactly like the CSV/JSON sources above.
@@ -212,6 +232,10 @@ object Sinks extends QueryModule {
     "q62_csv_roundtrip" -> payloadOracle,
     "q63_json_roundtrip" -> payloadOracle,
     "q106_avro_roundtrip" -> payloadOracle,
+    "q297_avro_wire" ->
+      """SELECT event_type AS g, count(*) AS n,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q107_xml_roundtrip" -> payloadOracle,
     "q122_text_roundtrip" -> payloadOracle,
     "q184_schema_drift" ->
