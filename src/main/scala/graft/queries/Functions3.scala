@@ -201,6 +201,78 @@ object Functions3 extends QueryModule {
           |           ORDER BY o_totalprice DESC, o_orderkey LIMIT 2)
           |WHERE c_custkey < 50
           |ORDER BY c_custkey, o_orderkey""".stripMargin)
+    },
+
+    // SQL scripting (Spark 4): BEGIN/DECLARE/WHILE/END procedural
+    // block — the migration surface for stored-procedure warehouse
+    // jobs. The loop computes 2^10 in script-local variables; the
+    // block's final SELECT (its result) scales a grouped count by it,
+    // so both the control flow and the variable scoping are pinned.
+    // The oracle runs the closed form.
+    "q298_sql_scripting" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """BEGIN
+          |  DECLARE i INT DEFAULT 0;
+          |  DECLARE acc BIGINT DEFAULT 1;
+          |  WHILE i < 10 DO
+          |    SET acc = acc * 2;
+          |    SET i = i + 1;
+          |  END WHILE;
+          |  SELECT l_returnflag AS flag, count(*) * acc AS scaled_n
+          |  FROM lineitem GROUP BY 1 ORDER BY 1;
+          |END""".stripMargin)
+    },
+
+    // Typed Dataset cogroup: per-key (customers, orders) iterator pair
+    // — the arbitrary per-key merge the relational API can't express
+    // directly (here it CAN be checked relationally, which is the
+    // point: the oracle is the LEFT JOIN census). Keys with no orders
+    // flow through with an EMPTY right iterator, pinning cogroup's
+    // outer semantics. Scale: cogroup is one co-shuffle on the key —
+    // same cost envelope as the equivalent join.
+    "q299_typed_cogroup" -> { (s, dir) =>
+      import s.implicits._
+      val cs = Tables.df(s, dir, "customer")
+        .select(col("c_custkey").as("_1"), col("c_mktsegment").as("_2"))
+        .as[(Long, String)]
+      val os = Tables.df(s, dir, "orders")
+        .select(col("o_custkey").as("_1"),
+          col("o_orderkey").as("_2")).as[(Long, Long)]
+      cs.groupByKey(_._1).cogroup(os.groupByKey(_._1)) { (_, cit, oit) =>
+        val c = cit.toSeq
+        if (c.isEmpty) Iterator.empty
+        else Iterator((c.head._2, oit.size.toLong))
+      }.toDF("segment", "n_orders")
+        .groupBy(col("segment"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(col("n_orders")).as("n_orders"),
+          sum(when(col("n_orders") === 0, 1).otherwise(0))
+            .as("n_orderless"))
+        .orderBy(col("segment"))
+    },
+
+    // DISTRIBUTE BY / SORT BY / CLUSTER BY: the physical-layout SQL
+    // clauses (hash repartition + per-partition sort, no global order)
+    // — what ETL writers use to shape files before a partitioned
+    // write. The outer aggregate re-groups on the SAME expression, so
+    // the result is layout-invariant and oracle-checkable while the
+    // clauses still execute underneath (plan shape pinned in
+    // PlanSpec-style assertions by the bucket count).
+    "q300_distribute_sort_by" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT b, count(*) AS n,
+          |  CAST(sum(CAST(q AS DECIMAL(18,2))) AS DOUBLE) AS sum_q
+          |FROM (
+          |  (SELECT l_suppkey % 16 AS b, l_quantity AS q
+          |   FROM lineitem WHERE l_linenumber = 1
+          |   DISTRIBUTE BY l_suppkey % 16 SORT BY l_suppkey)
+          |  UNION ALL
+          |  (SELECT l_suppkey % 16 AS b, l_quantity AS q
+          |   FROM lineitem WHERE l_linenumber = 2
+          |   CLUSTER BY b))
+          |GROUP BY b ORDER BY b""".stripMargin)
     }
   )
 
@@ -265,6 +337,25 @@ object Functions3 extends QueryModule {
         |  '10,6,2' AS seq_desc, '1,2,3' AS flat,
         |  '1,234,567.89' AS fmt,
         |  'Hello world|How are you' AS sents""".stripMargin,
+    "q298_sql_scripting" ->
+      """SELECT l_returnflag AS flag, count(*) * 1024 AS scaled_n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q299_typed_cogroup" ->
+      """WITH per AS (
+        |  SELECT c_custkey, c_mktsegment AS segment,
+        |    count(o_orderkey) AS n_orders
+        |  FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        |  GROUP BY 1, 2)
+        |SELECT segment, count(*) AS n_cust,
+        |  sum(n_orders) AS n_orders,
+        |  sum(CASE WHEN n_orders = 0 THEN 1 ELSE 0 END) AS n_orderless
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q300_distribute_sort_by" ->
+      """SELECT l_suppkey % 16 AS b, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_q
+        |FROM lineitem WHERE l_linenumber IN (1, 2)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q294_lateral_topk" ->
       """SELECT c_custkey, o_orderkey,
         |  CAST(o_totalprice AS DOUBLE) AS price
