@@ -252,6 +252,48 @@ object Functions3 extends QueryModule {
         .orderBy(col("segment"))
     },
 
+    // Exact percentiles, SQL:2016 WITHIN GROUP surface:
+    // percentile_cont (linear interpolation) vs percentile_disc
+    // (smallest value with cume_dist >= p) per group — the two
+    // semantics analysts conflate until a report disagrees. DuckDB's
+    // quantile_cont/quantile_disc implement the same definitions, so
+    // the oracle is independent. (q66 covers the APPROX sketch path;
+    // this is the exact sort-based one.)
+    "q302_percentile_exact" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT l_returnflag AS flag,
+          |  round(percentile_cont(0.5) WITHIN GROUP
+          |    (ORDER BY l_extendedprice), 6) AS p50_cont,
+          |  round(percentile_disc(0.5) WITHIN GROUP
+          |    (ORDER BY l_extendedprice), 6) AS p50_disc,
+          |  round(percentile_cont(0.9) WITHIN GROUP
+          |    (ORDER BY l_extendedprice), 6) AS p90_cont
+          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)
+    },
+
+    // Regex position/extraction + row-codec battery, PINNED-literal
+    // contract: regexp_instr (1-based match position), regexp_substr
+    // (first match or NULL), regexp_extract_all index capture, and the
+    // from_csv -> to_json single-row codec chain (schema-ful CSV line
+    // parse re-rendered as canonical JSON).
+    "q303_regex_codec" -> { (s, dir) =>
+      Tables.df(s, dir, "region").limit(1)
+        .select(
+          expr("regexp_instr('user=bob id=42', 'id=[0-9]+')")
+            .as("instr_pos"),
+          expr("regexp_substr('user=bob id=42', 'id=[0-9]+')")
+            .as("substr_hit"),
+          expr("regexp_substr('no digits here', '[0-9]+')")
+            .as("substr_miss"),
+          expr("array_join(regexp_extract_all(" +
+            "'a1b22c333', '([0-9]+)', 1), ',')").as("all_nums"),
+          expr("to_json(from_csv('7,wide', 'k INT, v STRING'))")
+            .as("csv_json"),
+          expr("to_json(named_struct('a', array(1, 2), 'm', " +
+            "map('x', 1)))").as("nested_json"))
+    },
+
     // DISTRIBUTE BY / SORT BY / CLUSTER BY: the physical-layout SQL
     // clauses (hash repartition + per-partition sort, no global order)
     // — what ETL writers use to shape files before a partitioned
@@ -337,6 +379,18 @@ object Functions3 extends QueryModule {
         |  '10,6,2' AS seq_desc, '1,2,3' AS flat,
         |  '1,234,567.89' AS fmt,
         |  'Hello world|How are you' AS sents""".stripMargin,
+    "q302_percentile_exact" ->
+      """SELECT l_returnflag AS flag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_cont,
+        |  round(quantile_disc(l_extendedprice, 0.5), 6) AS p50_disc,
+        |  round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_cont
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q303_regex_codec" ->
+      """SELECT 10 AS instr_pos, 'id=42' AS substr_hit,
+        |  CAST(NULL AS VARCHAR) AS substr_miss,
+        |  '1,22,333' AS all_nums,
+        |  '{"k":7,"v":"wide"}' AS csv_json,
+        |  '{"a":[1,2],"m":{"x":1}}' AS nested_json""".stripMargin,
     "q298_sql_scripting" ->
       """SELECT l_returnflag AS flag, count(*) * 1024 AS scaled_n
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,

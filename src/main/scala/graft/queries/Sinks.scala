@@ -185,6 +185,44 @@ object Sinks extends QueryModule {
         .orderBy(col("g"))
     },
 
+    // Malformed-record ingestion modes: the PERMISSIVE /
+    // DROPMALFORMED contract every raw-corpus crawl hits. A mixed
+    // good/corrupt JSONL file is materialized, then read (a) PERMISSIVE
+    // with columnNameOfCorruptRecord — corrupt lines surface as rows
+    // whose data columns are NULL and whose _bad column carries the
+    // raw line; (b) DROPMALFORMED — corrupt lines vanish. Counts are
+    // deterministic because the file content is authored here. At
+    // scale this is per-line parser behavior — splittable, no shuffle.
+    "q301_malformed_ingest" -> { (s, dir) =>
+      import org.apache.spark.sql.types._
+      val out = scratch("badjson")
+      val lines = Seq(
+        """{"k": 1, "v": "alpha"}""",
+        """{"k": 2, "v": "beta"}""",
+        """{"k": OOPS not json""",
+        """{"k": 3, "v": "gamma"}""",
+        """also not json""",
+        """{"k": "four", "v": "delta"}""")
+      import s.implicits._
+      s.createDataset(lines).coalesce(1)
+        .write.mode("overwrite").text(out)
+      val schema = StructType(Seq(
+        StructField("k", LongType), StructField("v", StringType),
+        StructField("_bad", StringType)))
+      val permissive = s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .json(out)
+      val dropped = s.read
+        .schema(StructType(schema.fields.filter(_.name != "_bad")))
+        .option("mode", "DROPMALFORMED").json(out)
+      permissive.agg(
+          count(lit(1)).as("n_total"),
+          sum(when(col("_bad").isNotNull, 1).otherwise(0)).as("n_bad"),
+          sum(col("k")).as("sum_good_k"))
+        .crossJoin(dropped.agg(count(lit(1)).as("n_dropmalformed")))
+    },
+
     // XML sink + scan (Spark 4 ships the spark-xml donation in-core).
     // Schema-ful read back: XML has no native long/double, so types are
     // declared on the scan exactly like the CSV/JSON sources above.
@@ -236,6 +274,11 @@ object Sinks extends QueryModule {
       """SELECT event_type AS g, count(*) AS n,
         |  count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q301_malformed_ingest" ->
+      """SELECT CAST(6 AS BIGINT) AS n_total,
+        |  CAST(3 AS BIGINT) AS n_bad,
+        |  CAST(6 AS BIGINT) AS sum_good_k,
+        |  CAST(3 AS BIGINT) AS n_dropmalformed""".stripMargin,
     "q107_xml_roundtrip" -> payloadOracle,
     "q122_text_roundtrip" -> payloadOracle,
     "q184_schema_drift" ->
