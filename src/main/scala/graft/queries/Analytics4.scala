@@ -81,6 +81,33 @@ object Analytics4 extends QueryModule {
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // 2-D skyline (Pareto frontier): parts that are not dominated on
+    // (price low, size low) — the multi-objective "best tradeoffs"
+    // query. Naive skyline is a quadratic self-anti-join; the 2-D case
+    // collapses to a STAIRCASE scan: distinct pairs → min size per
+    // price (same-price larger sizes are dominated) → one ordered pass
+    // keeping rows whose size beats the running min over all strictly
+    // cheaper prices. Both reductions run on the DOMAIN of (price,
+    // size) — bounded, not row-count-sized — so the single-partition
+    // ordered window is over a dimension-table-sized input at any
+    // corpus scale; the fact-sized work is one distinct shuffle. The
+    // oracle runs the literal NOT EXISTS dominance definition, pinning
+    // staircase ≡ definition.
+    "q307_skyline" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.df(s, dir, "part")
+        .select(round(col("p_retailprice"), 2).as("price"),
+          col("p_size").as("sz"))
+        .distinct()
+      val perPrice = d.groupBy(col("price")).agg(min(col("sz")).as("sz"))
+      val w = Window.orderBy(col("price"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      perPrice.withColumn("runmin", min(col("sz")).over(w))
+        .filter(col("runmin").isNull || col("sz") < col("runmin"))
+        .select(col("price"), col("sz"))
+        .orderBy(col("price"))
+    },
+
 
     // Triangle counting over the co-purchase graph (parts sharing an
     // order). The classic distributed kernel: orient every undirected
@@ -722,6 +749,15 @@ object Analytics4 extends QueryModule {
   )
 
   override def oracle: Map[String, String] = Map(
+    "q307_skyline" ->
+      """WITH d AS (SELECT DISTINCT round(p_retailprice, 2) AS price,
+        |                           p_size AS sz FROM part)
+        |SELECT price, sz FROM d a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM d b
+        |  WHERE b.price <= a.price AND b.sz <= a.sz
+        |    AND (b.price < a.price OR b.sz < a.sz))
+        |ORDER BY price""".stripMargin,
     "q236_quality_audit" ->
       """WITH li AS (
         |  SELECT count(*) AS n_li,

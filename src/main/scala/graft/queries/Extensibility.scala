@@ -127,6 +127,34 @@ object Extensibility extends QueryModule {
             <= col("exact_u") * 0.3).as("i_ok"))
     },
 
+    // SQL-body functions (Spark 4): CREATE FUNCTION with a scalar
+    // RETURN expression AND a table function (RETURNS TABLE) — the
+    // catalog-native UDF surface warehouse users migrate PL/SQL-ish
+    // logic onto. Unlike q49's JVM-closure UDF, both bodies are pure
+    // SQL, so Catalyst inlines them into the calling plan (the scalar
+    // one stays inside whole-stage codegen; the table function is
+    // just a parameterized view — full pushdown through it). The
+    // per-row product is cast to DECIMAL before the sum so both
+    // engines agree bit-for-bit.
+    "q304_sql_udf" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION disc_price(
+          |  p DOUBLE, d DOUBLE) RETURNS DOUBLE
+          |RETURN p * (1.0 - d)""".stripMargin)
+      s.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION status_orders(
+          |  st STRING) RETURNS TABLE(okey BIGINT, price DOUBLE)
+          |RETURN SELECT o_orderkey, o_totalprice FROM orders
+          |       WHERE o_orderstatus = st""".stripMargin)
+      s.sql(
+        """SELECT l_returnflag AS flag,
+          |  CAST(sum(CAST(disc_price(l_extendedprice, l_discount)
+          |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+          |  (SELECT count(*) FROM status_orders('F')) AS n_f_orders
+          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)
+    },
+
     // Brickhouse collect / combine_unique UDAFs (SURVEY §2.3 row 7;
     // reference lowers both onto a collect-set kernel — see
     // functions/Brickhouse.scala). Registered as SQL UDAFs via
@@ -148,6 +176,13 @@ object Extensibility extends QueryModule {
   )
 
   override def oracle: Map[String, String] = Map(
+    "q304_sql_udf" ->
+      """SELECT l_returnflag AS flag,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  (SELECT count(*) FROM orders WHERE o_orderstatus = 'F')
+        |    AS n_f_orders
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q196_hive_udf" ->
       """SELECT doc_id,
         |  CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS first_ascii,

@@ -27,6 +27,45 @@ object Pipeline5 extends QueryModule {
       s"i -> concat_ws(' ', slice(t, i, $n)))")
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // BM25 ranked retrieval (Robertson k1=1.2, b=0.75) for a fixed
+    // 3-term query over `documents` — the relevance scorer behind
+    // query-targeted training-data selection. The isin filter prunes
+    // the token explode to query-term hits BEFORE any shuffle, so the
+    // corpus contributes ≤|Q| rows per doc to the (doc_id, term)
+    // aggregation; document frequency and the (N, avgdl) corpus stats
+    // are two tiny broadcast sides. Per-term weights are computed as
+    // the IDENTICAL double expression on both engines, then cast to
+    // DECIMAL(18,8) before the cross-term sum — exact decimal addition
+    // makes the score independent of partial-agg merge order, so the
+    // top-10 is stable at any parallelism.
+    "q305_bm25_search" -> { (s, dir) =>
+      val docs = Tables.df(s, dir, "documents")
+      val qTerms = Seq("vector", "stream", "window")
+      val stats = docs.agg(
+        count(lit(1)).cast(DoubleType).as("n_docs"),
+        avg(size(tokens(col("text")))).as("avgdl"))
+      val hits = docs
+        .select(col("doc_id"), size(tokens(col("text"))).as("dl0"),
+          explode(tokens(col("text"))).as("term"))
+        .filter(col("term").isin(qTerms: _*))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).cast(DoubleType).as("tf"),
+          min(col("dl0")).cast(DoubleType).as("dl"))
+      val dfreq = hits.groupBy(col("term"))
+        .agg(count(lit(1)).cast(DoubleType).as("dfreq"))
+      val idf = log((col("n_docs") - col("dfreq") + 0.5) /
+        (col("dfreq") + 0.5) + 1.0)
+      val w = idf * (col("tf") * 2.2) /
+        (col("tf") + lit(1.2) *
+          (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl")))
+      hits.join(broadcast(dfreq), "term").crossJoin(broadcast(stats))
+        .select(col("doc_id"), w.cast(DecimalType(18, 8)).as("wd"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("wd")).cast(DoubleType).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(10)
+    },
+
 
     // Gopher-style duplicate-MASS signals: top-bigram coverage (most
     // frequent bigram's share of bigram positions) and duplicate-trigram
@@ -217,6 +256,29 @@ object Pipeline5 extends QueryModule {
   )
 
   override def oracle: Map[String, String] = Map(
+    "q305_bm25_search" ->
+      """WITH stats AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |    avg(len(string_split(text, ' '))) AS avgdl FROM documents),
+        |hits AS (
+        |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf,
+        |    CAST(min(dl0) AS DOUBLE) AS dl
+        |  FROM (SELECT doc_id, len(string_split(text, ' ')) AS dl0,
+        |          unnest(string_split(text, ' ')) AS term
+        |        FROM documents)
+        |  WHERE term IN ('vector', 'stream', 'window')
+        |  GROUP BY doc_id, term),
+        |dfreq AS (
+        |  SELECT term, CAST(count(*) AS DOUBLE) AS dfreq
+        |  FROM hits GROUP BY term)
+        |SELECT doc_id, CAST(sum(wd) AS DOUBLE) AS bm25 FROM (
+        |  SELECT h.doc_id,
+        |    CAST(ln((n_docs - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+        |      * (tf * 2.2)
+        |      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+        |      AS DECIMAL(18,8)) AS wd
+        |  FROM hits h JOIN dfreq USING (term), stats)
+        |GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
     "q215_repetition_quality" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),

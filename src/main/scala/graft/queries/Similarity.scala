@@ -141,6 +141,31 @@ object Similarity extends QueryModule {
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Single-pass covariance (Gram) matrix over the first 6 embedding
+    // dimensions — the PCA/whitening precursor every embedding
+    // pipeline runs before dimensionality reduction. The d(d+1)/2
+    // upper-triangle cells are 21 independent covar_pop accumulators
+    // in ONE corpus scan (no self-join, no explode-then-rejoin): at
+    // 100 TB this is the only shape that works — the data pass is
+    // O(rows·d²) map-side work merging into a d²-sized state, and the
+    // matrix itself (what an eigensolver consumes) is driver-sized by
+    // construction. The wide agg row is stack()ed to long (i, j, cov)
+    // form AFTER aggregation, so the reshape costs nothing.
+    "q306_embedding_covariance" -> { (s, dir) =>
+      val dims = 1 to 6
+      val e = Tables.df(s, dir, "embeddings").select(
+        dims.map(i => element_at(col("embedding"), i)
+          .cast(DoubleType).as(s"x$i")): _*)
+      val pairs = for { i <- dims; j <- dims if j >= i } yield (i, j)
+      val aggs = pairs.map { case (i, j) =>
+        round(covar_pop(col(s"x$i"), col(s"x$j")), 8).as(s"c_${i}_$j") }
+      val stacked = pairs
+        .map { case (i, j) => s"$i, $j, c_${i}_$j" }.mkString(", ")
+      e.agg(aggs.head, aggs.tail: _*)
+        .selectExpr(s"stack(${pairs.length}, $stacked) AS (i, j, cov)")
+        .orderBy(col("i"), col("j"))
+    },
+
     // Exact brute-force cosine top-5 per probe (fixed 20-probe set).
     "q77_ann_bruteforce" -> { (s, dir) =>
       val c = corpus(s, dir)
@@ -638,7 +663,17 @@ object Similarity extends QueryModule {
       |  WHERE a.vec_id != pc.probe_id
       |) WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin
 
+  /** DuckDB side of q306: one covar_pop cell per upper-triangle pair
+    * (DuckDB lists are 1-based, matching element_at). */
+  private val covCellsSql: String =
+    (for { i <- 1 to 6; j <- i to 6 } yield
+      s"SELECT $i AS i, $j AS j, round(covar_pop(embedding[$i], " +
+        s"embedding[$j]), 8) AS cov FROM embeddings")
+      .mkString("\nUNION ALL\n")
+
   override def oracle: Map[String, String] = Map(
+    "q306_embedding_covariance" ->
+      s"SELECT i, j, cov FROM (\n$covCellsSql\n) ORDER BY i, j",
     "q284_model_eval" ->
       """WITH scored AS (
         |  SELECT

@@ -505,4 +505,34 @@ class PlanSpec extends AnyFunSuite {
     assert(rows.map(_.toString).toSeq == q111.map(_.toString).toSeq,
       "physical layout must not change the ANN answer")
   }
+
+  test("q305 BM25 broadcasts df + corpus stats; the corpus never joins " +
+    "a fact-sized side") {
+    val p = finalPlan("q305_bm25_search")
+    assert(p.contains("BroadcastHashJoin"),
+      "term-df join must broadcast\n" + p.take(2000))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "1-row corpus stats must broadcast-cross\n" + p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("q306 covariance matrix is ONE corpus scan with map-side partial " +
+    "covar accumulators, no joins") {
+    val p = finalPlan("q306_embedding_covariance")
+    assert(!p.contains("Join"), "no self-join/explode-rejoin\n" + p.take(2000))
+    val finalSection = p.split("== Initial Plan ==")(0)
+    assert("FileScan".r.findAllIn(finalSection).size == 1,
+      "exactly one corpus scan\n" + p.take(2000))
+    assert(p.contains("partial_covar_pop"),
+      "covar must partial-aggregate map-side\n" + p.take(2000))
+  }
+
+  test("q307 skyline runs the staircase on domain-sized aggregates — " +
+    "no dominance self-join") {
+    val p = finalPlan("q307_skyline")
+    assert(!p.contains("Join"),
+      "staircase rewrite must eliminate the NOT EXISTS join\n" + p.take(2000))
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"),
+      p.take(2000))
+  }
 }
