@@ -81,6 +81,103 @@ object Analytics4 extends QueryModule {
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-DS Q1 topology: entities compared against 1.2× THEIR GROUP'S
+    // average — customers whose returned value exceeds 1.2× the mean
+    // returned value of their nation. The correlated scalar subquery
+    // decorrelates into: fact aggregates to customer grain FIRST (the
+    // only fact-sized shuffle), dims attach to the census, the group
+    // average is a second nation-sized aggregate broadcast back. The
+    // 1.2× comparison runs as 10·n·total > 12·nat_sum in exact decimal
+    // integers — no decimal/double avg() divergence between engines.
+    "q308_above_avg_returns" -> { (s, dir) =>
+      val per = Tables.df(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .join(Tables.df(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(18, 4))).as("total_ret"))
+      val wn = per
+        .join(Tables.df(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey")),
+          col("custkey") === col("c_custkey"))
+        .join(broadcast(Tables.df(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("custkey"), col("n_nationkey"), col("n_name"),
+          col("total_ret"))
+      val nat = wn.groupBy(col("n_nationkey").as("nk"))
+        .agg(sum(col("total_ret")).as("nat_sum"),
+          count(lit(1)).as("n_cust"))
+      wn.join(broadcast(nat), col("n_nationkey") === col("nk"))
+        .filter(col("total_ret") * 10 * col("n_cust") >
+          col("nat_sum") * 12)
+        .select(col("custkey"), col("n_name").as("nation"),
+          col("total_ret").cast(DoubleType).as("total_ret"))
+        .orderBy(col("custkey"))
+    },
+
+    // Weight-of-Evidence / Information-Value feature binning — the
+    // credit-scoring (and LLM quality-classifier) feature report. The
+    // SCALABLE decile shape: exact percentile_disc boundaries come
+    // from ONE sort-based aggregate, broadcast as a 9-element array,
+    // and bin assignment is a map-side size(filter(...)) — no global
+    // ntile window (which would single-partition the fact at 100 TB).
+    // Counts are exact integers; WOE/IV go double only at the final
+    // rounded report. Label: order fully fulfilled (status 'F').
+    "q310_woe_binning" -> { (s, dir) =>
+      val o = Tables.df(s, dir, "orders")
+      val bnds = o.agg(array((1 to 9).map(i =>
+        expr(s"percentile_disc(0.${i}) WITHIN GROUP " +
+          "(ORDER BY o_totalprice)")): _*).as("bnds"))
+      val binned = o.crossJoin(broadcast(bnds))
+        .select(
+          (size(filter(col("bnds"),
+            b => col("o_totalprice") > b)) + 1).as("bin"),
+          when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("good"))
+      val per = binned.groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("good")).as("n_good"),
+          (count(lit(1)) - sum(col("good"))).as("n_bad"))
+      val tot = per.agg(sum(col("n_good")).as("tot_good"),
+        sum(col("n_bad")).as("tot_bad"))
+      per.crossJoin(broadcast(tot))
+        .select(col("bin"), col("n"), col("n_good"), col("n_bad"),
+          round(log((col("n_good") / col("tot_good")) /
+            (col("n_bad") / col("tot_bad"))), 4).as("woe"),
+          round(((col("n_good") / col("tot_good")) -
+            (col("n_bad") / col("tot_bad"))) *
+            log((col("n_good") / col("tot_good")) /
+              (col("n_bad") / col("tot_bad"))), 6).as("iv_part"))
+        .orderBy(col("bin"))
+    },
+
+    // Funnel conversion-latency percentiles: among users whose first
+    // click precedes a later purchase, the distribution of
+    // click→purchase latency. Two conditional min-aggregates per user
+    // in ONE event scan (no self-join of the event log), then exact
+    // percentiles over the user-sized census — the funnel twin of
+    // q148's step-count census, answering "how fast", not "how many".
+    "q311_funnel_latency" -> { (s, dir) =>
+      val ev = Tables.df(s, dir, "events")
+      val per = ev.filter(col("event_type").isin("click", "purchase"))
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "click", col("ts")))
+            .as("first_click"),
+          min(when(col("event_type") === "purchase", col("ts")))
+            .as("first_purchase"))
+        .filter(col("first_click").isNotNull &&
+          col("first_purchase").isNotNull &&
+          col("first_purchase") > col("first_click"))
+        .select((unix_timestamp(col("first_purchase")) -
+          unix_timestamp(col("first_click"))).as("lat_s"))
+      per.agg(count(lit(1)).as("n_converters"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY lat_s)")
+          .as("p50_s"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY lat_s)")
+          .as("p90_s"),
+        min(col("lat_s")).as("min_s"), max(col("lat_s")).as("max_s"))
+    },
+
     // 2-D skyline (Pareto frontier): parts that are not dominated on
     // (price low, size low) — the multi-objective "best tradeoffs"
     // query. Naive skyline is a quadratic self-anti-join; the 2-D case
@@ -749,6 +846,73 @@ object Analytics4 extends QueryModule {
   )
 
   override def oracle: Map[String, String] = Map(
+    "q308_above_avg_returns" ->
+      """WITH per AS (
+        |  SELECT o_custkey AS custkey,
+        |    sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |        AS DECIMAL(18,4))) AS total_ret
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_returnflag = 'R' GROUP BY 1),
+        |wn AS (
+        |  SELECT custkey, n_nationkey, n_name, total_ret
+        |  FROM per JOIN customer ON custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey),
+        |nat AS (
+        |  SELECT n_nationkey, sum(total_ret) AS nat_sum,
+        |    count(*) AS n_cust
+        |  FROM wn GROUP BY 1)
+        |SELECT custkey, n_name AS nation,
+        |  CAST(total_ret AS DOUBLE) AS total_ret
+        |FROM wn JOIN nat USING (n_nationkey)
+        |WHERE total_ret * 10 * n_cust > nat_sum * 12
+        |ORDER BY custkey""".stripMargin,
+    "q310_woe_binning" ->
+      """WITH bnds AS (
+        |  SELECT [quantile_disc(o_totalprice, 0.1),
+        |    quantile_disc(o_totalprice, 0.2),
+        |    quantile_disc(o_totalprice, 0.3),
+        |    quantile_disc(o_totalprice, 0.4),
+        |    quantile_disc(o_totalprice, 0.5),
+        |    quantile_disc(o_totalprice, 0.6),
+        |    quantile_disc(o_totalprice, 0.7),
+        |    quantile_disc(o_totalprice, 0.8),
+        |    quantile_disc(o_totalprice, 0.9)] AS b FROM orders),
+        |binned AS (
+        |  SELECT len(list_filter(b, x -> o_totalprice > x)) + 1 AS bin,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS good
+        |  FROM orders, bnds),
+        |per AS (
+        |  SELECT bin, count(*) AS n, sum(good) AS n_good,
+        |    count(*) - sum(good) AS n_bad
+        |  FROM binned GROUP BY bin),
+        |tot AS (
+        |  SELECT sum(n_good) AS tot_good, sum(n_bad) AS tot_bad
+        |  FROM per)
+        |SELECT bin, n, n_good, n_bad,
+        |  round(ln((n_good / tot_good) / (n_bad / tot_bad)), 4) AS woe,
+        |  round(((n_good / tot_good) - (n_bad / tot_bad)) *
+        |    ln((n_good / tot_good) / (n_bad / tot_bad)), 6) AS iv_part
+        |FROM per, tot ORDER BY bin""".stripMargin,
+    "q311_funnel_latency" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'click' THEN ts END)
+        |      AS first_click,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts END)
+        |      AS first_purchase
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY 1),
+        |lat AS (
+        |  SELECT date_diff('second', first_click, first_purchase)
+        |    AS lat_s
+        |  FROM per
+        |  WHERE first_click IS NOT NULL AND first_purchase IS NOT NULL
+        |    AND first_purchase > first_click)
+        |SELECT count(*) AS n_converters,
+        |  quantile_disc(lat_s, 0.5) AS p50_s,
+        |  quantile_disc(lat_s, 0.9) AS p90_s,
+        |  min(lat_s) AS min_s, max(lat_s) AS max_s
+        |FROM lat""".stripMargin,
     "q307_skyline" ->
       """WITH d AS (SELECT DISTINCT round(p_retailprice, 2) AS price,
         |                           p_size AS sz FROM part)

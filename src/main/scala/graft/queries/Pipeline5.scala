@@ -27,6 +27,38 @@ object Pipeline5 extends QueryModule {
       s"i -> concat_ws(' ', slice(t, i, $n)))")
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Contrastive-pair mining for embedding/classifier training:
+    // positives = consecutive docs within a source (lead over the
+    // source-partitioned window); negatives = a DETERMINISTIC hash
+    // ring over the dense doc_id space — neg_id = (id·7919 + 13) mod N
+    // — one equi-join against the corpus, no randomness, no global
+    // window (ids are dense here; at ingest scale the same ring runs
+    // on a zipWithIndex'd surrogate). Self-hits are excluded in the
+    // join condition; negatives that land in the anchor's own source
+    // are counted as collisions (what a curator monitors to decide if
+    // the ring needs re-salting). O(sources) census output.
+    "q309_contrastive_pairs" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.df(s, dir, "documents")
+        .select(col("doc_id"), col("source"))
+      val n = d.agg(count(lit(1)).as("n_docs"))
+      val wSrc = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      val pos = d.withColumn("pos_id", lead(col("doc_id"), 1).over(wSrc))
+      pos.crossJoin(broadcast(n))
+        .withColumn("neg_id", (col("doc_id") * 7919L + 13L) % col("n_docs"))
+        .join(d.select(col("doc_id").as("nid"),
+          col("source").as("neg_source")),
+          col("neg_id") === col("nid") && col("neg_id") =!= col("doc_id"),
+          "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_anchors"),
+          count(col("pos_id")).as("n_pos_pairs"),
+          count(col("nid")).as("n_neg_pairs"),
+          sum(when(col("neg_source") === col("source"), 1L)
+            .otherwise(0L)).as("n_neg_collisions"))
+        .orderBy(col("source"))
+    },
+
     // BM25 ranked retrieval (Robertson k1=1.2, b=0.75) for a fixed
     // 3-term query over `documents` — the relevance scorer behind
     // query-targeted training-data selection. The isin filter prunes
@@ -256,6 +288,26 @@ object Pipeline5 extends QueryModule {
   )
 
   override def oracle: Map[String, String] = Map(
+    "q309_contrastive_pairs" ->
+      """WITH n AS (SELECT count(*) AS n_docs FROM documents),
+        |d AS (SELECT doc_id, source FROM documents),
+        |pos AS (
+        |  SELECT doc_id, source,
+        |    lead(doc_id) OVER (PARTITION BY source ORDER BY doc_id)
+        |      AS pos_id
+        |  FROM d),
+        |j AS (
+        |  SELECT p.source, p.pos_id, nd.doc_id AS nid,
+        |    nd.source AS neg_source
+        |  FROM pos p CROSS JOIN n LEFT JOIN d nd
+        |    ON nd.doc_id = (p.doc_id * 7919 + 13) % n.n_docs
+        |      AND nd.doc_id <> p.doc_id)
+        |SELECT source, count(*) AS n_anchors,
+        |  count(pos_id) AS n_pos_pairs,
+        |  count(nid) AS n_neg_pairs,
+        |  sum(CASE WHEN neg_source = source THEN 1 ELSE 0 END)
+        |    AS n_neg_collisions
+        |FROM j GROUP BY source ORDER BY source""".stripMargin,
     "q305_bm25_search" ->
       """WITH stats AS (
         |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,

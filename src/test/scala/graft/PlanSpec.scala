@@ -527,6 +527,24 @@ class PlanSpec extends AnyFunSuite {
       "covar must partial-aggregate map-side\n" + p.take(2000))
   }
 
+  test("q308 above-group-average decorrelates: fact aggregates to " +
+    "customer grain first, nation average broadcasts back") {
+    val p = finalPlan("q308_above_avg_returns")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "nation dim + nation-average census must broadcast\n" + p.take(2000))
+    assert(p.contains("partial_sum"),
+      "returns must partial-aggregate map-side\n" + p.take(2000))
+  }
+
+  test("q310 WOE binning assigns bins map-side from broadcast " +
+    "boundaries — no global ntile window") {
+    val p = finalPlan("q310_woe_binning")
+    assert(!p.contains("WindowExec") && !p.contains("RunningWindow"),
+      "no fact-wide window allowed\n" + p.take(2000))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "decile boundaries must broadcast\n" + p.take(2000))
+  }
+
   test("q307 skyline runs the staircase on domain-sized aggregates — " +
     "no dominance self-join") {
     val p = finalPlan("q307_skyline")
