@@ -27,6 +27,52 @@ object Pipeline5 extends QueryModule {
       s"i -> concat_ws(' ', slice(t, i, $n)))")
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact set-similarity self-join via PREFIX FILTERING (the PPJoin
+    // family) at Jaccard τ = 0.9 — the EXACT counterpart to q75's
+    // MinHash-LSH: same all-pairs problem, but candidates come from a
+    // provably complete filter instead of a probabilistic one. Tokens
+    // get a global rarity order (df asc, token asc); each doc emits
+    // only its |x| − ⌈τ·|x|⌉ + 1 RAREST tokens, and any pair with
+    // J ≥ τ must share one of those prefix tokens (float ceil can only
+    // lengthen the prefix — the safe direction). Prefix tokens are
+    // rare by construction, so the token self-join fan-out stays
+    // bounded at corpus scale where a raw token join explodes on
+    // stopwords; payload token arrays re-attach only to the distinct
+    // candidate pairs (the q78 narrow-key pattern). The DuckDB oracle
+    // brute-forces ALL pairs — a missed candidate goes red, so
+    // completeness is oracle-gated, not assumed.
+    "q312_ppjoin_exact" -> { (s, dir) =>
+      val tau = 0.9
+      val docs = Tables.df(s, dir, "documents")
+        .filter(col("doc_id") <= 200)
+        .select(col("doc_id"), uniqueTokens(col("text")).as("tok"))
+      val toks = docs.select(col("doc_id"), size(col("tok")).as("len"),
+        explode(col("tok")).as("t"))
+      val dfreq = toks.groupBy(col("t")).agg(count(lit(1)).as("dfreq"))
+      val ordered = toks.join(dfreq, "t")
+        .groupBy(col("doc_id"), col("len"))
+        .agg(sort_array(collect_list(struct(col("dfreq"), col("t"))))
+          .as("ord"))
+      val prefLen = (col("len") - ceil(lit(tau) * col("len")) + 1)
+        .cast(IntegerType)
+      val prefix = ordered.select(col("doc_id"),
+        explode(slice(expr("transform(ord, x -> x.t)"), lit(1), prefLen))
+          .as("pt"))
+      val cand = prefix.as("a").join(prefix.as("b"),
+          col("a.pt") === col("b.pt") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .distinct()
+      cand
+        .join(docs.select(col("doc_id").as("a_id"), col("tok").as("tok_a")),
+          "a_id")
+        .join(docs.select(col("doc_id").as("b_id"), col("tok").as("tok_b")),
+          "b_id")
+        .select(col("a_id"), col("b_id"),
+          jaccard(col("tok_a"), col("tok_b")).as("jac"))
+        .filter(col("jac") >= tau)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
     // Contrastive-pair mining for embedding/classifier training:
     // positives = consecutive docs within a source (lead over the
     // source-partitioned window); negatives = a DETERMINISTIC hash
@@ -288,6 +334,17 @@ object Pipeline5 extends QueryModule {
   )
 
   override def oracle: Map[String, String] = Map(
+    "q312_ppjoin_exact" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS tok
+        |  FROM documents WHERE doc_id <= 200)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+        |    / CAST(len(list_distinct(a.tok || b.tok)) AS DOUBLE) AS jac
+        |FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+        |    / CAST(len(list_distinct(a.tok || b.tok)) AS DOUBLE) >= 0.9
+        |ORDER BY a_id, b_id""".stripMargin,
     "q309_contrastive_pairs" ->
       """WITH n AS (SELECT count(*) AS n_docs FROM documents),
         |d AS (SELECT doc_id, source FROM documents),

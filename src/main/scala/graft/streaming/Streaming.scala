@@ -251,6 +251,61 @@ object Streaming extends QueryModule {
       s.read.parquet(out).orderBy(col("event_type"))
     },
 
+    // Streaming CDC apply: each micro-batch pre-aggregates its slice
+    // and MERGEs it into a DSv2 catalog table through the
+    // SupportsRowLevelOperations seam (q191's engine) — the streaming
+    // lakehouse-upsert pattern Iceberg/Hudi users run for change
+    // feeds. The MERGE is ADDITIVE (matched rows accumulate n/sum_v),
+    // so the final table state is independent of how the stream was
+    // batched — correctness by algebra, not by trigger luck. Oracle =
+    // the equivalent batch census; output rounds the accumulated
+    // double through DECIMAL(18,2) to absorb cross-batch add order.
+    "q313_stream_cdc_merge" -> { (s, dir) =>
+      s.conf.set("spark.sql.catalog.graft_cat",
+        "graft.sources.GraftCatalog")
+      s.sql("DROP TABLE IF EXISTS graft_cat.default.cdc_q313")
+      s.sql("CREATE TABLE graft_cat.default.cdc_q313 " +
+        "(et STRING, user_id BIGINT, n BIGINT, sum_v DOUBLE) " +
+        "PARTITIONED BY (et)")
+      val src = eventStream(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_type"), col("user_id"), col("value"))
+      withDrainConfs(s, parts = 8) {
+        val q = src.writeStream
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             _: Long) =>
+              // The micro-batch runs in a CLONED session whose catalog
+              // plugin is a fresh instance (per-session ident registry)
+              // — so stage the batch as a GLOBAL temp view and run the
+              // MERGE on the OUTER session, where graft_cat holds the
+              // table. This is also the production-correct direction:
+              // the lakehouse catalog belongs to the driver session,
+              // not to a per-trigger clone.
+              batch.groupBy(col("event_type").as("et"), col("user_id"))
+                .agg(count(lit(1)).as("bn"),
+                  sum(col("value").cast(D2)).cast(DoubleType).as("bv"))
+                .createOrReplaceGlobalTempView("cdc_src_q313")
+              s.sql(
+                """MERGE INTO graft_cat.default.cdc_q313 t
+                  |USING global_temp.cdc_src_q313 s
+                  |ON t.et = s.et AND t.user_id = s.user_id
+                  |WHEN MATCHED THEN UPDATE SET
+                  |  n = t.n + s.bn, sum_v = t.sum_v + s.bv
+                  |WHEN NOT MATCHED THEN INSERT (et, user_id, n, sum_v)
+                  |  VALUES (s.et, s.user_id, s.bn, s.bv)""".stripMargin)
+              ()
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.sql("""SELECT et, user_id, n,
+        |  CAST(CAST(sum_v AS DECIMAL(18,2)) AS DOUBLE) AS sum_v
+        |FROM graft_cat.default.cdc_q313
+        |ORDER BY et, user_id""".stripMargin)
+    },
+
     // Streaming deduplication: dropDuplicates over a key set keeps the
     // first arrival per key in state — the streaming half of the dedup
     // pipeline (batch half: q72/q75). Output = the distinct key set.
@@ -612,6 +667,12 @@ object Streaming extends QueryModule {
   )
 
   override def oracle: Map[String, String] = Map(
+    "q313_stream_cdc_merge" ->
+      """SELECT event_type AS et, user_id, count(*) AS n,
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2)))
+        |    AS DECIMAL(18,2)) AS DOUBLE) AS sum_v
+        |FROM events WHERE event_type IN ('click', 'purchase')
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q85_stream_tumbling" ->
       """SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS w_start,
         | event_type, count(*) AS n,

@@ -527,6 +527,14 @@ class PlanSpec extends AnyFunSuite {
       "covar must partial-aggregate map-side\n" + p.take(2000))
   }
 
+  test("q312 ppjoin candidates come from an equi self-join on prefix " +
+    "tokens — never a cartesian all-pairs") {
+    val p = finalPlan("q312_ppjoin_exact")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "the all-pairs comparison must not materialize\n" + p.take(2000))
+  }
+
   test("q308 above-group-average decorrelates: fact aggregates to " +
     "customer grain first, nation average broadcasts back") {
     val p = finalPlan("q308_above_avg_returns")
