@@ -81,6 +81,73 @@ object Analytics4 extends QueryModule {
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // k-core peeling — the sixth graph kernel (CC=min, PageRank=mass,
+    // LP=mode, triangles=closure, BFS=distance; k-core=density):
+    // 4 SYNCHRONOUS peel rounds at k=3 over the co-purchase graph,
+    // each round dropping nodes of degree < k and the edges touching
+    // them. Fixed round count makes the contract deterministic and
+    // SQL-unrollable (the q258 label-propagation convention); each
+    // round is one degree census + two key-only semi joins, with the
+    // superseded round's checkpoint blocks freed immediately (the CC
+    // loop's 100 TB executor-memory discipline).
+    "q315_kcore_peel" -> { (s, dir) =>
+      val k = 3
+      def free(df: DataFrame): Unit =
+        df.queryExecution.analyzed.collectFirst {
+          case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+        }.foreach(_.unpersist(blocking = false))
+      var e = coPurchaseEdges(s, dir).localCheckpoint()
+      for (_ <- 1 to 4) {
+        val deg = e.select(col("u").as("x"))
+          .unionAll(e.select(col("v").as("x")))
+          .groupBy(col("x")).agg(count(lit(1)).as("d"))
+        val keep = deg.filter(col("d") >= k)
+        val e2 = e
+          .join(keep.select(col("x").as("ku")),
+            col("u") === col("ku"), "leftsemi")
+          .join(keep.select(col("x").as("kv")),
+            col("v") === col("kv"), "leftsemi")
+          .localCheckpoint()
+        free(e); e = e2
+      }
+      e.select(col("u").as("node")).unionAll(e.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+        .orderBy(col("node"))
+    },
+
+    // The OR-equi-join trap, solved: ON a=c OR b=d cannot use a hash
+    // join (no single equi key), so Spark plans a nested-loop — at
+    // 100 TB that is rows(L)×rows(R). The scalable rewrite runs each
+    // OR branch as its OWN equi-join, unions the branches with
+    // predicate flags, and dedups on the pair key (max-combining the
+    // flags, which also yields the per-branch attribution census for
+    // free). The oracle runs the literal OR join, pinning
+    // rewrite ≡ literal; the plan is asserted nested-loop-free.
+    "q316_or_join_union" -> { (s, dir) =>
+      val c = Tables.df(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"),
+          (col("c_custkey") % 50).as("cb"))
+      val sup = Tables.df(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"),
+          (col("s_suppkey") % 50).as("sb"))
+      val byNation = c.join(sup, col("c_nationkey") === col("s_nationkey"))
+        .select(col("c_custkey"), col("s_suppkey"),
+          lit(1).as("f_nat"), lit(0).as("f_mod"))
+      val byMod = c.join(sup, col("cb") === col("sb"))
+        .select(col("c_custkey"), col("s_suppkey"),
+          lit(0).as("f_nat"), lit(1).as("f_mod"))
+      byNation.unionAll(byMod)
+        .groupBy(col("c_custkey"), col("s_suppkey"))
+        .agg(max(col("f_nat")).as("fn"), max(col("f_mod")).as("fm"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("fn") === 1 && col("fm") === 1, 1L)
+            .otherwise(0L)).as("n_both"),
+          sum(when(col("fn") === 1 && col("fm") === 0, 1L)
+            .otherwise(0L)).as("n_nation_only"),
+          sum(when(col("fn") === 0 && col("fm") === 1, 1L)
+            .otherwise(0L)).as("n_mod_only"))
+    },
+
     // TPC-DS Q1 topology: entities compared against 1.2× THEIR GROUP'S
     // average — customers whose returned value exceeds 1.2× the mean
     // returned value of their nation. The correlated scalar subquery
@@ -845,7 +912,47 @@ object Analytics4 extends QueryModule {
     }
   )
 
+  /** DuckDB side of q315: the 4 peel rounds unrolled as CTE chains
+    * over the same co-purchase edge base as q227's oracle. */
+  private val q315OracleSql: String = {
+    val roundsSql = (1 to 4).map { r =>
+      s"""d$r AS (SELECT x, count(*) AS d FROM (
+         |  SELECT u AS x FROM e${r - 1}
+         |  UNION ALL SELECT v FROM e${r - 1}) GROUP BY 1),
+         |k$r AS (SELECT x FROM d$r WHERE d >= 3),
+         |e$r AS (SELECT u, v FROM e${r - 1}
+         |  WHERE u IN (SELECT x FROM k$r)
+         |    AND v IN (SELECT x FROM k$r))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey
+       |      AND a.l_partkey < b.l_partkey),
+       |$roundsSql
+       |SELECT x AS node, count(*) AS deg FROM (
+       |  SELECT u AS x FROM e4 UNION ALL SELECT v FROM e4)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   override def oracle: Map[String, String] = Map(
+    "q315_kcore_peel" -> q315OracleSql,
+    "q316_or_join_union" ->
+      """WITH p AS (
+        |  SELECT c_custkey, s_suppkey,
+        |    CASE WHEN c_nationkey = s_nationkey THEN 1 ELSE 0 END AS fn,
+        |    CASE WHEN c_custkey % 50 = s_suppkey % 50 THEN 1 ELSE 0 END
+        |      AS fm
+        |  FROM customer JOIN supplier
+        |    ON c_nationkey = s_nationkey
+        |      OR c_custkey % 50 = s_suppkey % 50)
+        |SELECT count(*) AS n_pairs,
+        |  sum(CASE WHEN fn = 1 AND fm = 1 THEN 1 ELSE 0 END) AS n_both,
+        |  sum(CASE WHEN fn = 1 AND fm = 0 THEN 1 ELSE 0 END)
+        |    AS n_nation_only,
+        |  sum(CASE WHEN fn = 0 AND fm = 1 THEN 1 ELSE 0 END)
+        |    AS n_mod_only
+        |FROM p""".stripMargin,
     "q308_above_avg_returns" ->
       """WITH per AS (
         |  SELECT o_custkey AS custkey,

@@ -23,6 +23,31 @@ import org.apache.spark.sql.types._
 object Sketches extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Mergeable sketches × grouping sets: distinct users at EVERY
+    // granularity of CUBE(event_type, day) in one pass — Expand
+    // replicates each row into its 4 grouping sets and the HLL partial
+    // states merge map-side, so the "all granularities" report costs
+    // one shuffle of sketch states, not one job per granularity (and
+    // at 100 TB the exact-distinct side of each coarse cell is the
+    // expensive part a production report would drop). Exact counts +
+    // error-bound booleans keep the sketch oracle-checkable (q67
+    // pattern); grouping_id disambiguates real vs cube nulls.
+    "q314_hll_groupsets" -> { (s, dir) =>
+      val ev = Tables.df(s, dir, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_type").as("et"),
+          to_date(col("ts")).as("day"), col("user_id"))
+      ev.cube(col("et"), col("day"))
+        .agg(grouping_id().cast(LongType).as("gid"),
+          countDistinct(col("user_id")).as("n_exact"),
+          expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("est"))
+        .select(col("et"), col("day").cast(StringType).as("day"),
+          col("gid"), col("n_exact"),
+          (abs(col("est") - col("n_exact")) <= col("n_exact") * 0.1)
+            .as("approx_ok"))
+        .orderBy(col("gid"), col("et"), col("day"))
+    },
+
     // Higher central moments per group: Spark's skewness/kurtosis are
     // POPULATION g1 / excess-g2 (m3/m2^1.5, m4/m2^2 - 3 over mean
     // central moments) computed in one streaming pass with partial
@@ -107,6 +132,15 @@ object Sketches extends QueryModule {
   )
 
   override def oracle: Map[String, String] = Map(
+    "q314_hll_groupsets" ->
+      """SELECT event_type AS et, CAST(day AS VARCHAR) AS day,
+        |  CAST(2 * GROUPING(event_type) + GROUPING(day) AS BIGINT)
+        |    AS gid,
+        |  count(DISTINCT user_id) AS n_exact, TRUE AS approx_ok
+        |FROM (SELECT event_type, CAST(ts AS DATE) AS day, user_id
+        |      FROM events WHERE event_type IN ('click', 'purchase'))
+        |GROUP BY CUBE(event_type, day)
+        |ORDER BY gid, et, day""".stripMargin,
     "q285_stats_moments" ->
       """WITH mu AS (
         |  SELECT l_returnflag AS flag, avg(l_quantity) AS m,

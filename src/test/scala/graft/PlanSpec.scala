@@ -527,6 +527,14 @@ class PlanSpec extends AnyFunSuite {
       "covar must partial-aggregate map-side\n" + p.take(2000))
   }
 
+  test("q316 OR-join rewrite plans two hash joins — never the " +
+    "nested-loop the literal OR predicate forces") {
+    val p = finalPlan("q316_or_join_union")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "each OR branch must run as its own equi-join\n" + p.take(2000))
+  }
+
   test("q312 ppjoin candidates come from an equi self-join on prefix " +
     "tokens — never a cartesian all-pairs") {
     val p = finalPlan("q312_ppjoin_exact")
