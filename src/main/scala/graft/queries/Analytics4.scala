@@ -916,15 +916,15 @@ object Analytics4 extends QueryModule {
     * over the same co-purchase edge base as q227's oracle. */
   private val q315OracleSql: String = {
     val roundsSql = (1 to 4).map { r =>
-      s"""d$r AS (SELECT x, count(*) AS d FROM (
+      s"""d$r AS MATERIALIZED (SELECT x, count(*) AS d FROM (
          |  SELECT u AS x FROM e${r - 1}
          |  UNION ALL SELECT v FROM e${r - 1}) GROUP BY 1),
-         |k$r AS (SELECT x FROM d$r WHERE d >= 3),
-         |e$r AS (SELECT u, v FROM e${r - 1}
+         |k$r AS MATERIALIZED (SELECT x FROM d$r WHERE d >= 3),
+         |e$r AS MATERIALIZED (SELECT u, v FROM e${r - 1}
          |  WHERE u IN (SELECT x FROM k$r)
          |    AND v IN (SELECT x FROM k$r))""".stripMargin
     }.mkString(",\n")
-    s"""WITH e0 AS (
+    s"""WITH e0 AS MATERIALIZED (
        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
        |  FROM lineitem a JOIN lineitem b
        |    ON a.l_orderkey = b.l_orderkey

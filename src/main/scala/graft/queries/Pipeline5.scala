@@ -73,6 +73,30 @@ object Pipeline5 extends QueryModule {
         .orderBy(col("a_id"), col("b_id"))
     },
 
+    // Exact-QUOTA stratified sample: exactly ⌈n/5⌉ docs per lang
+    // stratum, chosen by deterministic salted-md5 rank. Hash-threshold
+    // sampling (q119) hits its rate only in EXPECTATION — a benchmark
+    // slice or eval split needs exact per-stratum counts. One window
+    // per stratum (partitioned — parallel across strata, no global
+    // sort), quota via an integer ⌈n/5⌉ from a broadcast stratum
+    // census; salted md5 makes the draw reproducible and
+    // partition-count-independent.
+    "q317_stratified_quota" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.df(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          md5(concat(lit("strat"), col("doc_id").cast(StringType)))
+            .as("h"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("h"),
+        col("doc_id"))
+      val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+      d.withColumn("rk", row_number().over(w))
+        .join(broadcast(counts), "lang")
+        .filter(col("rk") <= expr("(n_lang + 4) div 5"))
+        .select(col("lang"), col("doc_id"))
+        .orderBy(col("lang"), col("doc_id"))
+    },
+
     // Contrastive-pair mining for embedding/classifier training:
     // positives = consecutive docs within a source (lead over the
     // source-partitioned window); negatives = a DETERMINISTIC hash
@@ -334,6 +358,19 @@ object Pipeline5 extends QueryModule {
   )
 
   override def oracle: Map[String, String] = Map(
+    "q317_stratified_quota" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    md5('strat' || CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang ORDER BY h, doc_id)
+        |      AS rk,
+        |    count(*) OVER (PARTITION BY lang) AS n_lang
+        |  FROM d)
+        |SELECT lang, doc_id FROM r WHERE rk <= (n_lang + 4) // 5
+        |ORDER BY lang, doc_id""".stripMargin,
     "q312_ppjoin_exact" ->
       """WITH t AS (
         |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS tok
