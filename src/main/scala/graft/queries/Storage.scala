@@ -15,6 +15,43 @@ import org.apache.spark.sql.types._
 object Storage extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Hilbert-curve clustered layout + 2-D box read — q226's Morton
+    // sibling with the STRONGER locality guarantee (consecutive curve
+    // positions are always grid-adjacent; HilbertSpec proves
+    // bijectivity + unit-step adjacency and shows Morton teleporting
+    // on the same grid). Both key columns scale onto the 8-bit grid by
+    // table stats (monotone integer div, so raw-column box predicates
+    // still map to curve regions), the write range-partitions + sorts
+    // on the index, and the box read prunes by the resulting tight
+    // per-file min/max footers. The oracle re-derives every Hilbert
+    // index through the 8 unrolled quadrant/rotation rounds in SQL —
+    // the curve math itself is cross-checked, not just the row set.
+    "q318_hilbert_box" -> { (s, dir) =>
+      import graft.functions.Hilbert
+      val li = Tables.df(s, dir, "lineitem")
+      val b = li.agg(min("l_partkey"), max("l_partkey"),
+        min("l_suppkey"), max("l_suppkey")).head()
+      val (pMin, pMax) = (b.getLong(0), b.getLong(1))
+      val (sMin, sMax) = (b.getLong(2), b.getLong(3))
+      val scaled = li
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"))
+        .withColumn("cx",
+          expr(s"(l_partkey - $pMin) * 256 div ${pMax - pMin + 1}"))
+        .withColumn("cy",
+          expr(s"(l_suppkey - $sMin) * 256 div ${sMax - sMin + 1}"))
+      val h = Hilbert.withIndex(scaled, col("cx"), col("cy"), 8, "hval")
+        .drop("cx", "cy")
+      val path = "/tmp/graft_warehouse/li_hilbert"
+      h.repartitionByRange(8, col("hval"))
+        .sortWithinPartitions(col("hval"))
+        .write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
+        .filter(col("l_partkey").between(pMin, pMin + (pMax - pMin) / 8)
+          && col("l_suppkey").between(sMin, sMin + (sMax - sMin) / 4))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
     // Exact decimal arithmetic: +, -, * on DECIMAL stay exact; emitted as
     // doubles. (Division/overflow semantics differ between engines'
     // decimal rules, so division happens in double on both sides.)
@@ -234,7 +271,46 @@ object Storage extends QueryModule {
     }
   )
 
+  /** DuckDB side of q318: the 8 Hilbert rounds unrolled. Each round
+    * reads the PREVIOUS round's (hx, hy, hd) — SQL's no-sequencing
+    * SELECT semantics give the reflect+transpose swap for free. */
+  private val q318OracleSql: String = {
+    val keep = "l_orderkey, l_linenumber, l_partkey, l_suppkey"
+    val rounds = (7 to 0 by -1).zipWithIndex.map { case (i, k) =>
+      val s = 1L << i
+      s"""h${k + 1} AS MATERIALIZED (
+         |  SELECT $keep,
+         |    CASE WHEN ry = 0 THEN
+         |        CASE WHEN rx = 1 THEN 255 - hy ELSE hy END
+         |      ELSE hx END AS hx,
+         |    CASE WHEN ry = 0 THEN
+         |        CASE WHEN rx = 1 THEN 255 - hx ELSE hx END
+         |      ELSE hy END AS hy,
+         |    hd + ${s * s} * xor(3 * rx, ry) AS hd
+         |  FROM (SELECT *,
+         |      CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END AS rx,
+         |      CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END AS ry
+         |    FROM h$k))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH bounds AS (
+       |  SELECT min(l_partkey) AS pmin, max(l_partkey) AS pmax,
+       |    min(l_suppkey) AS smin, max(l_suppkey) AS smax
+       |  FROM lineitem),
+       |h0 AS MATERIALIZED (
+       |  SELECT $keep,
+       |    (l_partkey - pmin) * 256 // (pmax - pmin + 1) AS hx,
+       |    (l_suppkey - smin) * 256 // (smax - smin + 1) AS hy,
+       |    CAST(0 AS BIGINT) AS hd
+       |  FROM lineitem, bounds
+       |  WHERE l_partkey BETWEEN pmin AND pmin + (pmax - pmin) // 8
+       |    AND l_suppkey BETWEEN smin AND smin + (smax - smin) // 4),
+       |$rounds
+       |SELECT $keep, hd AS hval FROM h8
+       |ORDER BY l_orderkey, l_linenumber""".stripMargin
+  }
+
   override def oracle: Map[String, String] = Map(
+    "q318_hilbert_box" -> q318OracleSql,
     "q58_decimal" ->
       """SELECT l_orderkey, l_linenumber,
         | CAST(CAST(l_extendedprice AS DECIMAL(12,2))

@@ -105,6 +105,44 @@ class ZOrderSpec extends AnyFunSuite {
     }
   }
 
+  test("hilbert index is bijective onto [0, n²) with unit-step " +
+    "adjacency — the locality property Morton lacks — and the Column " +
+    "chain matches the JVM reference cell-for-cell") {
+    import graft.functions.Hilbert
+    for (bits <- Seq(3, 5)) {
+      val n = 1 << bits
+      val grid = spark.range(n.toLong * n)
+        .selectExpr(s"id div $n AS x", s"id % $n AS y")
+      val cells = Hilbert.withIndex(grid, col("x"), col("y"), bits, "d")
+        .collect()
+        .map(r => r.getAs[Long]("d") ->
+          (r.getAs[Long]("x"), r.getAs[Long]("y"))).toMap
+      assert(cells.size == n * n, "bijective")
+      assert(cells.keys.min == 0L && cells.keys.max == n.toLong * n - 1)
+      (0 until n * n - 1).foreach { d =>
+        val (x1, y1) = cells(d.toLong)
+        val (x2, y2) = cells(d + 1L)
+        assert((x1 - x2).abs + (y1 - y2).abs == 1,
+          s"curve teleports at d=$d (bits=$bits)")
+      }
+      cells.foreach { case (d, (x, y)) =>
+        assert(d == Hilbert.index(bits, x, y),
+          s"column chain != reference at ($x, $y)")
+      }
+    }
+    // Morton, for contrast: the 4x4 grid already teleports (d=3: (1,1)
+    // -> d=4: (2,0) is manhattan distance 3) — documents WHY a second
+    // curve exists next to q226's interleave.
+    val mortonCells = (0 until 16).map { d =>
+      ((d & 1) | ((d >> 1) & 2), ((d >> 1) & 1) | ((d >> 2) & 2))
+    }
+    val teleports = (0 until 15).count { d =>
+      val (x1, y1) = mortonCells(d); val (x2, y2) = mortonCells(d + 1)
+      (x1 - x2).abs + (y1 - y2).abs > 1
+    }
+    assert(teleports > 0, "Morton should teleport where Hilbert cannot")
+  }
+
   test("q247 compaction actually reduces the file count (64-shard " +
     "landing zone -> <= 4 range-clustered files)") {
     def parquetFiles(p: String): Int =
