@@ -306,6 +306,57 @@ object Streaming extends QueryModule {
         |ORDER BY et, user_id""".stripMargin)
     },
 
+    // MULTI-batch CDC apply — q313 exercised the streaming-MERGE seam
+    // in one trigger; this stages the event log as THREE user-hashed
+    // parquet slices and drains with maxFilesPerTrigger=1, so the
+    // additive MERGE provably accumulates across 3 separate triggers
+    // (matched keys take the UPDATE arm on later batches). Same final
+    // census as the batch oracle — batching-independence exercised,
+    // not just argued. Covers ALL event types (q313: two).
+    "q319_stream_cdc_multibatch" -> { (s, dir) =>
+      s.conf.set("spark.sql.catalog.graft_cat",
+        "graft.sources.GraftCatalog")
+      s.sql("DROP TABLE IF EXISTS graft_cat.default.cdc_q319")
+      s.sql("CREATE TABLE graft_cat.default.cdc_q319 " +
+        "(et STRING, user_id BIGINT, n BIGINT, sum_v DOUBLE) " +
+        "PARTITIONED BY (et)")
+      val stage = "/tmp/graft_stream/q319_" +
+        Integer.toHexString(dir.hashCode)
+      val batchEv = graft.Tables.df(s, dir, "events")
+        .select(col("event_type"), col("user_id"), col("value"))
+      batchEv.repartition(3, col("user_id"))
+        .write.mode("overwrite").parquet(stage)
+      val src = s.readStream.schema(batchEv.schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+      withDrainConfs(s, parts = 8) {
+        val q = src.writeStream
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             _: Long) =>
+              batch.groupBy(col("event_type").as("et"), col("user_id"))
+                .agg(count(lit(1)).as("bn"),
+                  sum(col("value").cast(D2)).cast(DoubleType).as("bv"))
+                .createOrReplaceGlobalTempView("cdc_src_q319")
+              s.sql(
+                """MERGE INTO graft_cat.default.cdc_q319 t
+                  |USING global_temp.cdc_src_q319 s
+                  |ON t.et = s.et AND t.user_id = s.user_id
+                  |WHEN MATCHED THEN UPDATE SET
+                  |  n = t.n + s.bn, sum_v = t.sum_v + s.bv
+                  |WHEN NOT MATCHED THEN INSERT (et, user_id, n, sum_v)
+                  |  VALUES (s.et, s.user_id, s.bn, s.bv)""".stripMargin)
+              ()
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.sql("""SELECT et, user_id, n,
+        |  CAST(CAST(sum_v AS DECIMAL(18,2)) AS DOUBLE) AS sum_v
+        |FROM graft_cat.default.cdc_q319
+        |ORDER BY et, user_id""".stripMargin)
+    },
+
     // Streaming deduplication: dropDuplicates over a key set keeps the
     // first arrival per key in state — the streaming half of the dedup
     // pipeline (batch half: q72/q75). Output = the distinct key set.
@@ -667,6 +718,12 @@ object Streaming extends QueryModule {
   )
 
   override def oracle: Map[String, String] = Map(
+    "q319_stream_cdc_multibatch" ->
+      """SELECT event_type AS et, user_id, count(*) AS n,
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2)))
+        |    AS DECIMAL(18,2)) AS DOUBLE) AS sum_v
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q313_stream_cdc_merge" ->
       """SELECT event_type AS et, user_id, count(*) AS n,
         |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2)))
