@@ -81,6 +81,87 @@ object Analytics4 extends QueryModule {
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Classical seasonal decomposition (trend + seasonal + residual)
+    // of the monthly revenue series — the time-series hygiene report
+    // behind anomaly review: trend = centered 3-month moving average
+    // (exact DECIMAL window sum, divided once in double), seasonal =
+    // the month-of-year mean of the detrended series (per-row detrend
+    // cast to DECIMAL(18,6) so the cross-year mean is add-order-
+    // exact), residual = what's left. Edge months without a full
+    // window are excluded BEFORE the seasonal means so every month
+    // contributes the same number of years. Fact collapses to the
+    // month grain first — all decomposition math runs on the
+    // O(months) series, at any corpus scale.
+    "q320_seasonal_decompose" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val monthly = Tables.df(s, dir, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).cast(DateType)
+          .as("m"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast(DecimalType(18, 2)).as("vd"))
+      val w = Window.orderBy(col("m")).rowsBetween(-1, 1)
+      val trended = monthly
+        .withColumn("n_win", count(lit(1)).over(w))
+        .withColumn("trend",
+          (sum(col("vd")).over(w).cast(DoubleType) / 3.0))
+        .filter(col("n_win") === 3)
+        .withColumn("detr",
+          (col("vd").cast(DoubleType) - col("trend"))
+            .cast(DecimalType(18, 6)))
+      val seasonal = trended
+        .groupBy(month(col("m")).as("moy"))
+        .agg((sum(col("detr")).cast(DoubleType) / count(lit(1)))
+          .as("seasonal"))
+      trended.join(broadcast(seasonal),
+          month(col("m")) === col("moy"))
+        .select(col("m").cast(StringType).as("m"),
+          col("vd").cast(DoubleType).as("revenue"),
+          round(col("trend"), 4).as("trend"),
+          round(col("seasonal"), 4).as("seasonal"),
+          round(col("detr").cast(DoubleType) - col("seasonal"), 4)
+            .as("residual"))
+        .orderBy(col("m"))
+    },
+
+    // Link prediction by common neighbors — the SEVENTH graph
+    // operator: for part pairs NOT yet co-purchased, count shared
+    // co-purchase neighbors and score neighbor-set Jaccard
+    // cn/(dx+dy−cn). Wedge enumeration reuses q227's degree-ordered
+    // orientation (each unordered wedge appears exactly once as an
+    // out-neighbor pair of its apex — O(m^1.5) total on a power-law
+    // graph, not Σdeg²), existing edges drop via one LEFT ANTI on the
+    // canonical edge set, and every score term is an exact integer or
+    // a single correctly-rounded division, so the top-20 cutoff is
+    // bit-deterministic on both engines (ties broken by the pair id).
+    "q321_link_prediction" -> { (s, dir) =>
+      val e = coPurchaseEdges(s, dir).localCheckpoint()
+      val deg = e.select(col("u").as("x"))
+        .unionAll(e.select(col("v").as("x")))
+        .groupBy(col("x")).agg(count(lit(1)).as("d"))
+      val o = e
+        .join(broadcast(deg.toDF("xu", "du")), col("u") === col("xu"))
+        .join(broadcast(deg.toDF("xv", "dv")), col("v") === col("xv"))
+        .select(
+          when(col("du") <= col("dv"), col("u")).otherwise(col("v"))
+            .as("src"),
+          when(col("du") <= col("dv"), col("v")).otherwise(col("u"))
+            .as("dst"))
+      val cn = o.toDF("s1", "x")
+        .join(o.toDF("s2", "y").hint("shuffle_hash"),
+          col("s1") === col("s2") && col("x") < col("y"))
+        .groupBy(col("x"), col("y")).agg(count(lit(1)).as("cn"))
+      cn
+        .join(e, col("x") === col("u") && col("y") === col("v"),
+          "leftanti")
+        .join(broadcast(deg.toDF("dxk", "dx")), col("x") === col("dxk"))
+        .join(broadcast(deg.toDF("dyk", "dy")), col("y") === col("dyk"))
+        .select(col("x"), col("y"), col("cn"),
+          (col("cn").cast(DoubleType) /
+            (col("dx") + col("dy") - col("cn"))).as("jac"))
+        .orderBy(col("cn").desc, col("jac").desc, col("x"), col("y"))
+        .limit(20)
+    },
+
     // k-core peeling — the sixth graph kernel (CC=min, PageRank=mass,
     // LP=mode, triangles=closure, BFS=distance; k-core=density):
     // 4 SYNCHRONOUS peel rounds at k=3 over the co-purchase graph,
@@ -936,6 +1017,59 @@ object Analytics4 extends QueryModule {
   }
 
   override def oracle: Map[String, String] = Map(
+    "q321_link_prediction" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey
+        |      AND a.l_partkey < b.l_partkey),
+        |deg AS MATERIALIZED (
+        |  SELECT x, count(*) AS d FROM (
+        |    SELECT u AS x FROM e UNION ALL SELECT v FROM e)
+        |  GROUP BY 1),
+        |o AS MATERIALIZED (
+        |  SELECT CASE WHEN du.d <= dv.d THEN u ELSE v END AS src,
+        |    CASE WHEN du.d <= dv.d THEN v ELSE u END AS dst
+        |  FROM e JOIN deg du ON u = du.x JOIN deg dv ON v = dv.x),
+        |cn AS MATERIALIZED (
+        |  SELECT a.dst AS x, b.dst AS y, count(*) AS cn
+        |  FROM o a JOIN o b ON a.src = b.src AND a.dst < b.dst
+        |  GROUP BY 1, 2)
+        |SELECT cn.x AS x, cn.y AS y, cn.cn AS cn,
+        |  CAST(cn.cn AS DOUBLE) / (dx.d + dy.d - cn.cn) AS jac
+        |FROM cn
+        |JOIN deg dx ON cn.x = dx.x JOIN deg dy ON cn.y = dy.x
+        |WHERE NOT EXISTS (SELECT 1 FROM e
+        |  WHERE u = cn.x AND v = cn.y)
+        |ORDER BY cn DESC, jac DESC, x, y LIMIT 20""".stripMargin,
+    "q320_seasonal_decompose" ->
+      """WITH monthly AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |      AS DECIMAL(18,2)) AS vd
+        |  FROM orders GROUP BY 1),
+        |trended AS (
+        |  SELECT m, vd,
+        |    CAST(sum(vd) OVER w AS DOUBLE) / 3.0 AS trend,
+        |    count(*) OVER w AS n_win
+        |  FROM monthly
+        |  WINDOW w AS (ORDER BY m ROWS BETWEEN 1 PRECEDING
+        |    AND 1 FOLLOWING)),
+        |detrended AS (
+        |  SELECT m, vd, trend,
+        |    CAST(CAST(vd AS DOUBLE) - trend AS DECIMAL(18,6)) AS detr
+        |  FROM trended WHERE n_win = 3),
+        |seasonal AS (
+        |  SELECT month(m) AS moy,
+        |    CAST(sum(detr) AS DOUBLE) / count(*) AS seasonal
+        |  FROM detrended GROUP BY 1)
+        |SELECT CAST(d.m AS VARCHAR) AS m,
+        |  CAST(vd AS DOUBLE) AS revenue,
+        |  round(trend, 4) AS trend,
+        |  round(seasonal, 4) AS seasonal,
+        |  round(CAST(detr AS DOUBLE) - seasonal, 4) AS residual
+        |FROM detrended d JOIN seasonal ON month(d.m) = moy
+        |ORDER BY m""".stripMargin,
     "q315_kcore_peel" -> q315OracleSql,
     "q316_or_join_union" ->
       """WITH p AS (
