@@ -123,6 +123,50 @@ object Analytics4 extends QueryModule {
         .orderBy(col("m"))
     },
 
+    // Frequent 3-itemsets with the APRIORI candidate prune — one level
+    // beyond q261's pair rules: baskets prune to minsup-frequent items
+    // first, pairs aggregate and prune at minsup, and the triple
+    // enumeration joins through the FREQUENT-PAIR set at every step —
+    // the downward-closure property makes the prune lossless (any
+    // support-2 triple has only support-≥2 sub-patterns), so engine
+    // and oracle compute the identical full result and the same
+    // deterministic top-15. The shape is the real Apriori level-k
+    // plan: candidate generation never touches infrequent mass.
+    "q322_apriori_triples" -> { (s, dir) =>
+      val minsup = 2
+      // items = part FAMILIES (partkey mod 500): triples of raw part
+      // keys stop repeating as the catalog outgrows the basket count,
+      // so the mining grain is the family — the usual category-level
+      // basket analysis.
+      val items = Tables.df(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"),
+          (col("l_partkey") % 500).as("p"))
+        .distinct()
+      val f1 = items.groupBy(col("p")).agg(count(lit(1)).as("s1"))
+        .filter(col("s1") >= minsup).select(col("p"))
+      val fi = items.join(f1, Seq("p"), "leftsemi")
+      val p2 = fi.toDF("pa", "ok").join(fi.toDF("pb", "ok2"),
+          col("ok") === col("ok2") && col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("s2"))
+        .filter(col("s2") >= minsup)
+        .select(col("pa"), col("pb"))
+      fi.toDF("a", "ok").join(fi.toDF("b", "okb"),
+          col("ok") === col("okb") && col("a") < col("b"))
+        .join(p2.toDF("xa", "xb"),
+          col("a") === col("xa") && col("b") === col("xb"), "leftsemi")
+        .join(fi.toDF("c", "okc"),
+          col("ok") === col("okc") && col("b") < col("c"))
+        .join(p2.toDF("ya", "yc"),
+          col("a") === col("ya") && col("c") === col("yc"), "leftsemi")
+        .join(p2.toDF("zb", "zc"),
+          col("b") === col("zb") && col("c") === col("zc"), "leftsemi")
+        .groupBy(col("a"), col("b"), col("c"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= minsup)
+        .orderBy(col("support").desc, col("a"), col("b"), col("c"))
+        .limit(15)
+    },
+
     // Link prediction by common neighbors — the SEVENTH graph
     // operator: for part pairs NOT yet co-purchased, count shared
     // co-purchase neighbors and score neighbor-set Jaccard
@@ -1017,6 +1061,27 @@ object Analytics4 extends QueryModule {
   }
 
   override def oracle: Map[String, String] = Map(
+    "q322_apriori_triples" ->
+      """WITH items AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey % 500 AS p
+        |  FROM lineitem),
+        |f1 AS MATERIALIZED (
+        |  SELECT p FROM items GROUP BY p HAVING count(*) >= 2),
+        |fi AS MATERIALIZED (
+        |  SELECT ok, p FROM items WHERE p IN (SELECT p FROM f1)),
+        |p2 AS MATERIALIZED (
+        |  SELECT a.p AS pa, b.p AS pb
+        |  FROM fi a JOIN fi b ON a.ok = b.ok AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT a.p AS a, b.p AS b, c.p AS c, count(*) AS support
+        |FROM fi a
+        |JOIN fi b ON a.ok = b.ok AND a.p < b.p
+        |JOIN p2 x ON x.pa = a.p AND x.pb = b.p
+        |JOIN fi c ON a.ok = c.ok AND b.p < c.p
+        |JOIN p2 y ON y.pa = a.p AND y.pb = c.p
+        |JOIN p2 z ON z.pa = b.p AND z.pb = c.p
+        |GROUP BY 1, 2, 3 HAVING count(*) >= 2
+        |ORDER BY support DESC, a, b, c LIMIT 15""".stripMargin,
     "q321_link_prediction" ->
       """WITH e AS MATERIALIZED (
         |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
@@ -1358,7 +1423,7 @@ object Analytics4 extends QueryModule {
         |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
     "q261_association_rules" ->
       """WITH b AS (
-        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey % 500 AS p
         |  FROM lineitem),
         |n AS (SELECT count(DISTINCT ok) AS total FROM b),
         |supp AS (SELECT p, count(*) AS sp FROM b GROUP BY 1),

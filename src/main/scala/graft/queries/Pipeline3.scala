@@ -261,6 +261,46 @@ object Pipeline3 extends QueryModule {
         .orderBy(col("doc_id"))
     },
 
+    // Golden-record survivorship merge — the MDM step AFTER dedup
+    // clustering: q235 keeps the best ROW; production master-data
+    // merges FIELDS, each under its own survivorship rule. Per q118
+    // cluster: canonical id = min, best_doc = longest (id tiebreak),
+    // max_chars = field max, lang/source = cluster MODE with
+    // smallest-value tiebreak (a per-cluster count + row_number —
+    // cluster-sized partitions, never corpus-wide). Singletons are
+    // their own golden record, so the output IS the deduped corpus
+    // master table.
+    "q323_golden_record" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val labels = connectedComponents(dupEdges(s, dir))
+        .select(col("node").as("doc_id"), col("root").as("cluster_id"))
+      val docs = Tables.df(s, dir, "documents")
+        .filter(col("doc_id") <= 200)
+        .select(col("doc_id"), col("n_chars"), col("lang"),
+          col("source"))
+      val clustered = docs.join(labels, Seq("doc_id"), "left")
+        .withColumn("cluster_id",
+          coalesce(col("cluster_id"), col("doc_id")))
+      def modeOf(c: String): DataFrame = {
+        val w = Window.partitionBy(col("cluster_id"))
+          .orderBy(col("n").desc, col(c))
+        clustered.groupBy(col("cluster_id"), col(c))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("cluster_id"), col(c).as(s"${c}_golden"))
+      }
+      clustered.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_members"),
+          min(col("doc_id")).as("canonical_id"),
+          max_by(col("doc_id"), struct(col("n_chars"), -col("doc_id")))
+            .as("best_doc"),
+          max(col("n_chars")).as("max_chars"))
+        .join(modeOf("lang"), "cluster_id")
+        .join(modeOf("source"), "cluster_id")
+        .orderBy(col("cluster_id"))
+    },
+
     // Train/val/test split leakage audit — the eval-contamination check
     // every training pipeline needs: assign a deterministic salted-hash
     // split (~80/10/10 via the first md5 byte), then census the
@@ -462,6 +502,57 @@ object Pipeline3 extends QueryModule {
          |SELECT node AS doc_id, min(root) AS cluster_id,
          |  node = min(root) AS is_canonical
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+    "q323_golden_record" ->
+      s"""WITH RECURSIVE t AS (
+         |  SELECT doc_id, $utokSql AS tok FROM documents
+         |  WHERE doc_id <= 200),
+         |pairs AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+         |      / CAST(len(list_distinct(a.tok || b.tok)) AS DOUBLE) >= 0.9),
+         |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+         |          UNION ALL SELECT b_id, a_id FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(node, root) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node),
+         |labels AS (
+         |  SELECT node, min(root) AS cluster_id FROM reach GROUP BY node),
+         |clustered AS (
+         |  SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id)
+         |    AS cluster_id, d.n_chars, d.lang, d.source
+         |  FROM documents d LEFT JOIN labels l ON d.doc_id = l.node
+         |  WHERE d.doc_id <= 200),
+         |base AS (
+         |  SELECT cluster_id, count(*) AS n_members,
+         |    min(doc_id) AS canonical_id, max(n_chars) AS max_chars
+         |  FROM clustered GROUP BY 1),
+         |best AS (
+         |  SELECT DISTINCT cluster_id,
+         |    first_value(doc_id) OVER (PARTITION BY cluster_id
+         |      ORDER BY n_chars DESC, doc_id) AS best_doc
+         |  FROM clustered),
+         |lmode AS (
+         |  SELECT cluster_id, lang AS lang_golden FROM (
+         |    SELECT cluster_id, lang, row_number() OVER (
+         |      PARTITION BY cluster_id
+         |      ORDER BY count(*) DESC, lang) AS rk
+         |    FROM clustered GROUP BY cluster_id, lang) WHERE rk = 1),
+         |smode AS (
+         |  SELECT cluster_id, source AS source_golden FROM (
+         |    SELECT cluster_id, source, row_number() OVER (
+         |      PARTITION BY cluster_id
+         |      ORDER BY count(*) DESC, source) AS rk
+         |    FROM clustered GROUP BY cluster_id, source) WHERE rk = 1)
+         |SELECT b.cluster_id, n_members, canonical_id, best_doc,
+         |  max_chars, lang_golden, source_golden
+         |FROM base b
+         |JOIN best USING (cluster_id)
+         |JOIN lmode USING (cluster_id)
+         |JOIN smode USING (cluster_id)
+         |ORDER BY cluster_id""".stripMargin,
     "q235_dedup_keep_best" ->
       s"""WITH RECURSIVE t AS (
          |  SELECT doc_id, $utokSql AS tok FROM documents
