@@ -123,6 +123,71 @@ object Analytics4 extends QueryModule {
         .orderBy(col("m"))
     },
 
+    // A/B experiment report — the experimentation-analytics readout:
+    // deterministic 50/50 variant assignment (first md5 byte of the
+    // salted user id — the same reproducible-split discipline as
+    // q240), exposure = the user's first 'view', conversion = any
+    // purchase strictly after exposure. Assignment is pure map work;
+    // the exposure and outcome sides are two conditional aggregates of
+    // ONE event scan joined at user grain, and the report is
+    // O(variants). Counts exact; only the final rate is a rounded
+    // double.
+    "q324_ab_test" -> { (s, dir) =>
+      val ev = Tables.df(s, dir, "events")
+      val expo = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("exposure"))
+      val fp = ev.filter(col("event_type") === "purchase")
+        .join(expo, "user_id")
+        .filter(col("ts") > col("exposure"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("fp"))
+      val per = expo.join(fp, Seq("user_id"), "left")
+        .withColumn("variant",
+          when(substring(md5(concat(lit("ab"),
+            col("user_id").cast(StringType))), 1, 2) < "80", "A")
+            .otherwise("B"))
+        .withColumn("converted",
+          col("fp").isNotNull &&
+            col("fp") <= col("exposure") + expr("INTERVAL 6 HOURS"))
+      per.groupBy(col("variant"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(when(col("converted"), 1L).otherwise(0L))
+            .as("n_converters"))
+        .withColumn("conv_rate",
+          round(col("n_converters").cast(DoubleType) / col("n_users"), 6))
+        .orderBy(col("variant"))
+    },
+
+    // Strict ORDERED funnel (view → click → purchase, each step
+    // strictly after the previous) — q311 times a 2-step funnel; this
+    // pins the 3-step ORDER semantics that separate a funnel from
+    // mere set intersection (a user who purchases before clicking
+    // does NOT convert). Stage timestamps resolve as chained
+    // conditional minimums: one user-grain aggregate per stage, each
+    // joined back at user grain — user-keyed narrow joins, never an
+    // event-log self-join.
+    "q325_ordered_funnel" -> { (s, dir) =>
+      val ev = Tables.df(s, dir, "events")
+        .filter(col("event_type").isin("view", "click", "purchase"))
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val t1 = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val t2 = ev.filter(col("event_type") === "click")
+        .join(t1, "user_id")
+        .filter(col("ts") > col("t1") &&
+          col("ts") <= col("t1") + expr("INTERVAL 6 HOURS"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val t3 = ev.filter(col("event_type") === "purchase")
+        .join(t2, "user_id")
+        .filter(col("ts") > col("t2") &&
+          col("ts") <= col("t2") + expr("INTERVAL 6 HOURS"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      t1.join(t2, Seq("user_id"), "left")
+        .join(t3, Seq("user_id"), "left")
+        .agg(count(lit(1)).as("n_viewed"),
+          count(col("t2")).as("n_clicked_after"),
+          count(col("t3")).as("n_purchased_after"))
+    },
+
     // Frequent 3-itemsets with the APRIORI candidate prune — one level
     // beyond q261's pair rules: baskets prune to minsup-frequent items
     // first, pairs aggregate and prune at minsup, and the triple
@@ -1061,6 +1126,47 @@ object Analytics4 extends QueryModule {
   }
 
   override def oracle: Map[String, String] = Map(
+    "q324_ab_test" ->
+      """WITH expo AS (
+        |  SELECT user_id, min(ts) AS exposure FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |fp AS (
+        |  SELECT e.user_id, min(ts) AS fp FROM events e
+        |  JOIN expo ON e.user_id = expo.user_id
+        |  WHERE event_type = 'purchase' AND ts > exposure
+        |  GROUP BY 1),
+        |flagged AS (
+        |  SELECT CASE WHEN substr(md5(
+        |      'ab' || CAST(expo.user_id AS VARCHAR)), 1, 2) < '80'
+        |      THEN 'A' ELSE 'B' END AS variant,
+        |    (fp.fp IS NOT NULL
+        |      AND fp.fp <= exposure + INTERVAL 6 HOUR) AS converted
+        |  FROM expo LEFT JOIN fp ON expo.user_id = fp.user_id)
+        |SELECT variant, count(*) AS n_users,
+        |  sum(CASE WHEN converted THEN 1 ELSE 0 END) AS n_converters,
+        |  round(sum(CASE WHEN converted THEN 1 ELSE 0 END)::DOUBLE
+        |    / count(*), 6) AS conv_rate
+        |FROM flagged GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q325_ordered_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, ts FROM events
+        |  WHERE event_type IN ('view', 'click', 'purchase')),
+        |t1 AS (SELECT user_id, min(ts) AS t1 FROM ev
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |t2 AS (SELECT e.user_id, min(ts) AS t2 FROM ev e
+        |       JOIN t1 ON e.user_id = t1.user_id
+        |       WHERE event_type = 'click' AND ts > t1.t1
+        |         AND ts <= t1.t1 + INTERVAL 6 HOUR GROUP BY 1),
+        |t3 AS (SELECT e.user_id, min(ts) AS t3 FROM ev e
+        |       JOIN t2 ON e.user_id = t2.user_id
+        |       WHERE event_type = 'purchase' AND ts > t2.t2
+        |         AND ts <= t2.t2 + INTERVAL 6 HOUR
+        |       GROUP BY 1)
+        |SELECT count(*) AS n_viewed,
+        |  count(t2.t2) AS n_clicked_after,
+        |  count(t3.t3) AS n_purchased_after
+        |FROM t1 LEFT JOIN t2 ON t1.user_id = t2.user_id
+        |LEFT JOIN t3 ON t1.user_id = t3.user_id""".stripMargin,
     "q322_apriori_triples" ->
       """WITH items AS MATERIALIZED (
         |  SELECT DISTINCT l_orderkey AS ok, l_partkey % 500 AS p
