@@ -123,6 +123,90 @@ object Analytics4 extends QueryModule {
         .orderBy(col("m"))
     },
 
+    // Feature-scaling outlier report — the ML-preprocessing QA pass:
+    // per order-priority group, outlier counts under the three
+    // standard scalings (z-score, robust IQR fences, min-max top-5%).
+    // Every threshold is derived from EXACT arithmetic: mean and
+    // variance come from decimal sums (sum x, sum x² in DECIMAL — no
+    // float add-order wobble, so boundary rows can't flip between
+    // engines), quartiles are percentile_disc DATA VALUES, min/max
+    // exact. One stats aggregate per group broadcasts back over one
+    // counting pass — two scans, no window, any scale.
+    "q326_feature_scaling" -> { (s, dir) =>
+      val o = Tables.df(s, dir, "orders")
+        .select(col("o_orderpriority").as("prio"),
+          col("o_totalprice").as("x"))
+      val stats = o.groupBy(col("prio")).agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast(DecimalType(18, 2))).as("sx"),
+        sum((col("x") * col("x")).cast(DecimalType(28, 4))).as("sxx"),
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY x)")
+          .as("p25"),
+        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY x)")
+          .as("p75"),
+        min(col("x")).as("mn"), max(col("x")).as("mx"))
+        .withColumn("mean", col("sx").cast(DoubleType) / col("n"))
+        .withColumn("sd", sqrt(col("sxx").cast(DoubleType) / col("n") -
+          col("mean") * col("mean")))
+      o.join(broadcast(stats), "prio")
+        .groupBy(col("prio"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(abs(col("x") - col("mean")) > lit(2.0) * col("sd"),
+            1L).otherwise(0L)).as("n_z2"),
+          sum(when(col("x") > col("p75") +
+              lit(1.5) * (col("p75") - col("p25")), 1L)
+            .otherwise(0L)).as("n_iqr_high"),
+          sum(when(col("x") > col("mn") +
+              lit(0.95) * (col("mx") - col("mn")), 1L)
+            .otherwise(0L)).as("n_top5"))
+        .orderBy(col("prio"))
+    },
+
+    // CUSUM change-point detection over the monthly revenue series —
+    // the sequential shift detector next to q320's decomposition:
+    // cumulative sum of deviations from the series mean, flagged when
+    // |CUSUM| exceeds 2σ of the monthly values. Mean and deviations
+    // stay in EXACT decimal (the running sum is a decimal window sum
+    // — no float accumulation), σ comes from decimal moments, so the
+    // flag is bit-deterministic; all math on the O(months) series.
+    "q327_cusum_changepoint" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val monthly = Tables.df(s, dir, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).cast(DateType)
+          .as("m"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast(DecimalType(18, 2)).as("vd"))
+      // Everything runs in EXACT integer CENTS (the q212/q238 lesson:
+      // monthly² overflows int64 AND DuckDB's in-place decimal
+      // multiply, so the square lives in decimal(38,0) here and
+      // HUGEINT there); dev is vc·n − Σvc (n× the true deviation) so
+      // no decimal DIVISION — whose scale rules differ per engine —
+      // ever happens; the single ÷(100n) is one double op on the way
+      // out, and the 2σ flag compares against 2·σ·n in cents.
+      val cents = monthly
+        .withColumn("vc", (col("vd") * 100).cast(DecimalType(20, 0)))
+      val st = cents.agg(count(lit(1)).as("n"),
+        sum(col("vc")).as("svc"),
+        sum((col("vc") * col("vc")).cast(DecimalType(38, 0))).as("svv"))
+        .withColumn("meanc", col("svc").cast(DoubleType) / col("n"))
+        .withColumn("sdc", sqrt(col("svv").cast(DoubleType) / col("n") -
+          col("meanc") * col("meanc")))
+        .select(col("n"), col("svc"), col("sdc"))
+      val w = Window.orderBy(col("m"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      cents.crossJoin(broadcast(st))
+        .withColumn("dev",
+          (col("vc") * col("n") - col("svc")).cast(DecimalType(38, 0)))
+        .withColumn("cusum_n", sum(col("dev")).over(w))
+        .select(col("m").cast(StringType).as("m"),
+          col("vd").cast(DoubleType).as("revenue"),
+          round(col("cusum_n").cast(DoubleType) / (col("n") * 100.0), 2)
+            .as("cusum"),
+          (abs(col("cusum_n").cast(DoubleType)) >
+            lit(2.0) * col("sdc") * col("n")).as("shifted"))
+        .orderBy(col("m"))
+    },
+
     // A/B experiment report — the experimentation-analytics readout:
     // deterministic 50/50 variant assignment (first md5 byte of the
     // salted user id — the same reproducible-split discipline as
@@ -1126,6 +1210,64 @@ object Analytics4 extends QueryModule {
   }
 
   override def oracle: Map[String, String] = Map(
+    "q326_feature_scaling" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority AS prio, o_totalprice AS x
+        |  FROM orders),
+        |stats AS (
+        |  SELECT prio, count(*) AS n,
+        |    sum(CAST(x AS DECIMAL(18,2))) AS sx,
+        |    sum(CAST(x * x AS DECIMAL(28,4))) AS sxx,
+        |    quantile_disc(x, 0.25) AS p25,
+        |    quantile_disc(x, 0.75) AS p75,
+        |    min(x) AS mn, max(x) AS mx
+        |  FROM o GROUP BY 1),
+        |enriched AS (
+        |  SELECT prio, n, sx, sxx, p25, p75, mn, mx,
+        |    CAST(sx AS DOUBLE) / n AS mean,
+        |    sqrt(CAST(sxx AS DOUBLE) / n -
+        |      (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+        |      AS sd
+        |  FROM stats)
+        |SELECT o.prio, count(*) AS n,
+        |  sum(CASE WHEN abs(x - mean) > 2.0 * sd THEN 1 ELSE 0 END)
+        |    AS n_z2,
+        |  sum(CASE WHEN x > p75 + 1.5 * (p75 - p25) THEN 1 ELSE 0 END)
+        |    AS n_iqr_high,
+        |  sum(CASE WHEN x > mn + 0.95 * (mx - mn) THEN 1 ELSE 0 END)
+        |    AS n_top5
+        |FROM o JOIN enriched ON o.prio = enriched.prio
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q327_cusum_changepoint" ->
+      """WITH monthly AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |      AS DECIMAL(18,2)) AS vd
+        |  FROM orders GROUP BY 1),
+        |cents AS (
+        |  SELECT m, vd, CAST(vd * 100 AS HUGEINT) AS vc FROM monthly),
+        |st AS (
+        |  SELECT count(*) AS n, sum(vc) AS svc, sum(vc * vc) AS svv
+        |  FROM cents),
+        |en AS (
+        |  SELECT n, svc,
+        |    sqrt(CAST(svv AS DOUBLE) / n -
+        |      (CAST(svc AS DOUBLE) / n) * (CAST(svc AS DOUBLE) / n))
+        |      AS sdc
+        |  FROM st),
+        |dev AS (
+        |  SELECT m, vd, vc * n - svc AS dev, n, sdc
+        |  FROM cents, en),
+        |cus AS (
+        |  SELECT m, vd, n, sdc,
+        |    sum(dev) OVER (ORDER BY m ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS cusum_n
+        |  FROM dev)
+        |SELECT CAST(m AS VARCHAR) AS m,
+        |  CAST(vd AS DOUBLE) AS revenue,
+        |  round(CAST(cusum_n AS DOUBLE) / (n * 100.0), 2) AS cusum,
+        |  abs(CAST(cusum_n AS DOUBLE)) > 2.0 * sdc * n AS shifted
+        |FROM cus ORDER BY m""".stripMargin,
     "q324_ab_test" ->
       """WITH expo AS (
         |  SELECT user_id, min(ts) AS exposure FROM events
