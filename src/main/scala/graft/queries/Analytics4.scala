@@ -123,6 +123,74 @@ object Analytics4 extends QueryModule {
         .orderBy(col("m"))
     },
 
+    // Hierarchical share report (ratio-to-parent at every level):
+    // nation revenue as a share of its region AND of the total, plus
+    // rank within region — the drill-down table every BI layer
+    // renders. The fact collapses to nation grain FIRST (one decimal-
+    // exact shuffle); all three window passes then run on the
+    // O(nations) census, so the hierarchy math is free at any corpus
+    // scale. Shares divide once in double from exact decimal sums.
+    "q328_hierarchy_shares" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val perNation = Tables.df(s, dir, "orders")
+        .join(Tables.df(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.df(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.df(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .as("revd"))
+      val wReg = Window.partitionBy(col("region"))
+      val wAll = Window.partitionBy()
+      val wRk = Window.partitionBy(col("region"))
+        .orderBy(col("revd").desc, col("nation"))
+      perNation
+        .withColumn("reg_rev", sum(col("revd")).over(wReg))
+        .withColumn("tot_rev", sum(col("revd")).over(wAll))
+        .select(col("region"), col("nation"),
+          col("revd").cast(DoubleType).as("revenue"),
+          round(col("revd").cast(DoubleType) /
+            col("reg_rev").cast(DoubleType), 6).as("share_in_region"),
+          round(col("revd").cast(DoubleType) /
+            col("tot_rev").cast(DoubleType), 6).as("share_of_total"),
+          row_number().over(wRk).cast(LongType).as("rk_in_region"))
+        .orderBy(col("region"), col("rk_in_region"))
+    },
+
+    // Exact WEIGHTED median — the quantity-weighted "typical price"
+    // (each line votes with its units, not once): sort by value
+    // inside each group, cumulative-sum the integer weights, and take
+    // the first value whose doubled cumulative weight reaches the
+    // total. All weights are exact integers (quantity cast to long),
+    // so the pick is bit-deterministic; ties in price break on the
+    // (orderkey, linenumber) id so the cumsum order is total. At
+    // 100 TB the exact form is one sort per group — the sketch-based
+    // approximation (q66) is the alternative when that sort is too
+    // expensive; this pins the exact semantics.
+    "q329_weighted_median" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables.df(s, dir, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+          col("l_extendedprice").as("v"),
+          col("l_quantity").cast(LongType).as("w"),
+          col("l_orderkey"), col("l_linenumber"))
+      val wCum = Window.partitionBy(col("flag"))
+        .orderBy(col("v"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val tot = li.groupBy(col("flag"))
+        .agg(sum(col("w")).as("totw"), count(lit(1)).as("n_lines"))
+      li.withColumn("cumw", sum(col("w")).over(wCum))
+        .join(broadcast(tot), "flag")
+        .filter(col("cumw") * 2 >= col("totw"))
+        .groupBy(col("flag"))
+        .agg(min(col("v")).as("wmedian"),
+          min(col("n_lines")).as("n_lines"),
+          min(col("totw")).as("total_weight"))
+        .orderBy(col("flag"))
+    },
+
     // Feature-scaling outlier report — the ML-preprocessing QA pass:
     // per order-priority group, outlier counts under the three
     // standard scalings (z-score, robust IQR fences, min-max top-5%).
@@ -1210,6 +1278,48 @@ object Analytics4 extends QueryModule {
   }
 
   override def oracle: Map[String, String] = Map(
+    "q328_hierarchy_shares" ->
+      """WITH pn AS (
+        |  SELECT r_name AS region, n_name AS nation,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revd
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2),
+        |w AS (
+        |  SELECT region, nation, revd,
+        |    sum(revd) OVER (PARTITION BY region) AS reg_rev,
+        |    sum(revd) OVER () AS tot_rev,
+        |    row_number() OVER (PARTITION BY region
+        |      ORDER BY revd DESC, nation) AS rk
+        |  FROM pn)
+        |SELECT region, nation, CAST(revd AS DOUBLE) AS revenue,
+        |  round(CAST(revd AS DOUBLE) / CAST(reg_rev AS DOUBLE), 6)
+        |    AS share_in_region,
+        |  round(CAST(revd AS DOUBLE) / CAST(tot_rev AS DOUBLE), 6)
+        |    AS share_of_total,
+        |  rk AS rk_in_region
+        |FROM w ORDER BY region, rk_in_region""".stripMargin,
+    "q329_weighted_median" ->
+      """WITH li AS (
+        |  SELECT l_returnflag AS flag, l_extendedprice AS v,
+        |    CAST(l_quantity AS BIGINT) AS w, l_orderkey, l_linenumber
+        |  FROM lineitem),
+        |c AS (
+        |  SELECT flag, v, w,
+        |    sum(w) OVER (PARTITION BY flag
+        |      ORDER BY v, l_orderkey, l_linenumber
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS cumw
+        |  FROM li),
+        |tot AS (
+        |  SELECT flag, sum(w) AS totw, count(*) AS n_lines
+        |  FROM li GROUP BY 1)
+        |SELECT c.flag, min(v) AS wmedian, min(n_lines) AS n_lines,
+        |  min(totw) AS total_weight
+        |FROM c JOIN tot ON c.flag = tot.flag
+        |WHERE cumw * 2 >= totw
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q326_feature_scaling" ->
       """WITH o AS (
         |  SELECT o_orderpriority AS prio, o_totalprice AS x
