@@ -166,6 +166,50 @@ object Similarity extends QueryModule {
         .orderBy(col("i"), col("j"))
     },
 
+    // Matryoshka / dimension-truncation fidelity report — the design
+    // study behind every "truncate the embedding to save 4× memory"
+    // decision: for the q77 probe set, the exact top-5 under FULL
+    // 64-dim cosine vs the top-5 under the FIRST-16-dim prefix, with
+    // per-probe overlap@5 and both top-1 ids. Both rankings ride the
+    // same single corpus×probe pass (two cosine columns, two window
+    // ranks — no second scan); the q77 rounding discipline (6dp +
+    // vec_id tiebreak) keeps both engines' rankings identical. The
+    // report tells the ANN owner whether the 16-dim index (4× cheaper
+    // at 100 TB) preserves neighborhoods — measured, not assumed.
+    "q330_matryoshka_fidelity" -> { (s, dir) =>
+      val c = corpus(s, dir)
+      val probes = c.filter(col("vec_id") < annProbeCount)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+      val wF = Window.partitionBy(col("probe_id"))
+        .orderBy(col("sim_full").desc, col("vec_id"))
+      val wT = Window.partitionBy(col("probe_id"))
+        .orderBy(col("sim_trunc").desc, col("vec_id"))
+      val ranked = c.join(broadcast(probes),
+          col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          round(cosine(col("pv"), col("v")), 6).as("sim_full"),
+          round(cosine(slice(col("pv"), 1, 16),
+            slice(col("v"), 1, 16)), 6).as("sim_trunc"))
+        .withColumn("rkf", row_number().over(wF))
+        .withColumn("rkt", row_number().over(wT))
+      val overlap = ranked.filter(col("rkf") <= 5)
+        .select(col("probe_id"), col("vec_id"))
+        .join(ranked.filter(col("rkt") <= 5)
+          .select(col("probe_id"), col("vec_id")),
+          Seq("probe_id", "vec_id"))
+        .groupBy(col("probe_id")).agg(count(lit(1)).as("overlap5"))
+      probes.select(col("probe_id"))
+        .join(overlap, Seq("probe_id"), "left")
+        .withColumn("overlap5", coalesce(col("overlap5"), lit(0L)))
+        .join(ranked.filter(col("rkf") === 1)
+          .select(col("probe_id"), col("vec_id").as("top1_full")),
+          "probe_id")
+        .join(ranked.filter(col("rkt") === 1)
+          .select(col("probe_id"), col("vec_id").as("top1_trunc")),
+          "probe_id")
+        .orderBy(col("probe_id"))
+    },
+
     // Exact brute-force cosine top-5 per probe (fixed 20-probe set).
     "q77_ann_bruteforce" -> { (s, dir) =>
       val c = corpus(s, dir)
@@ -672,6 +716,31 @@ object Similarity extends QueryModule {
       .mkString("\nUNION ALL\n")
 
   override def oracle: Map[String, String] = Map(
+    "q330_matryoshka_fidelity" ->
+      """WITH ranked AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id,
+        |    row_number() OVER (PARTITION BY p.vec_id ORDER BY
+        |      round(list_cosine_similarity(p.embedding::DOUBLE[],
+        |        c.embedding::DOUBLE[]), 6) DESC, c.vec_id) AS rkf,
+        |    row_number() OVER (PARTITION BY p.vec_id ORDER BY
+        |      round(list_cosine_similarity(p.embedding[1:16]::DOUBLE[],
+        |        c.embedding[1:16]::DOUBLE[]), 6) DESC, c.vec_id)
+        |      AS rkt
+        |  FROM embeddings p JOIN embeddings c ON c.vec_id != p.vec_id
+        |  WHERE p.vec_id < 20),
+        |ov AS (
+        |  SELECT f.probe_id, count(*) AS overlap5
+        |  FROM (SELECT probe_id, vec_id FROM ranked WHERE rkf <= 5) f
+        |  JOIN (SELECT probe_id, vec_id FROM ranked WHERE rkt <= 5) t
+        |    ON f.probe_id = t.probe_id AND f.vec_id = t.vec_id
+        |  GROUP BY 1)
+        |SELECT r1.probe_id, coalesce(ov.overlap5, 0) AS overlap5,
+        |  r1.vec_id AS top1_full, r2.vec_id AS top1_trunc
+        |FROM (SELECT probe_id, vec_id FROM ranked WHERE rkf = 1) r1
+        |JOIN (SELECT probe_id, vec_id FROM ranked WHERE rkt = 1) r2
+        |  ON r1.probe_id = r2.probe_id
+        |LEFT JOIN ov ON r1.probe_id = ov.probe_id
+        |ORDER BY r1.probe_id""".stripMargin,
     "q306_embedding_covariance" ->
       s"SELECT i, j, cov FROM (\n$covCellsSql\n) ORDER BY i, j",
     "q284_model_eval" ->
