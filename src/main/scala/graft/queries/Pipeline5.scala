@@ -73,6 +73,33 @@ object Pipeline5 extends QueryModule {
         .orderBy(col("a_id"), col("b_id"))
     },
 
+    // Near-dup DIFF explanation — curator tooling for q73's pairs:
+    // not just "these two are 95% similar" but WHAT differs — the
+    // sorted token sets unique to each side and their counts. The
+    // report a human reviews before approving a dedup policy change;
+    // array_except runs only on the already-verified pair set, so the
+    // explanation costs nothing at corpus scale.
+    "q331_dup_diff_report" -> { (s, dir) =>
+      val t = Tables.df(s, dir, "documents")
+        .filter(col("doc_id") <= 200)
+        .select(col("doc_id"), uniqueTokens(col("text")).as("tok"))
+      val a = t.select(col("doc_id").as("a_id"), col("tok").as("tok_a"))
+      val b = t.select(col("doc_id").as("b_id"), col("tok").as("tok_b"))
+      a.join(b, col("a_id") < col("b_id"))
+        .withColumn("jac", jaccard(col("tok_a"), col("tok_b")))
+        .filter(col("jac") >= 0.95)
+        .select(col("a_id"), col("b_id"), round(col("jac"), 6).as("jac"),
+          size(array_except(col("tok_a"), col("tok_b")))
+            .cast(LongType).as("n_only_a"),
+          size(array_except(col("tok_b"), col("tok_a")))
+            .cast(LongType).as("n_only_b"),
+          array_join(array_sort(array_except(col("tok_a"),
+            col("tok_b"))), " ").as("only_a"),
+          array_join(array_sort(array_except(col("tok_b"),
+            col("tok_a"))), " ").as("only_b"))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
     // Exact-QUOTA stratified sample: exactly ⌈n/5⌉ docs per lang
     // stratum, chosen by deterministic salted-md5 rank. Hash-threshold
     // sampling (q119) hits its rate only in EXPECTATION — a benchmark
@@ -358,6 +385,27 @@ object Pipeline5 extends QueryModule {
   )
 
   override def oracle: Map[String, String] = Map(
+    "q331_dup_diff_report" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS tok
+        |  FROM documents WHERE doc_id <= 200)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  round(CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+        |    / CAST(len(list_distinct(a.tok || b.tok)) AS DOUBLE), 6)
+        |    AS jac,
+        |  len(list_filter(a.tok, x -> NOT list_contains(b.tok, x)))
+        |    AS n_only_a,
+        |  len(list_filter(b.tok, x -> NOT list_contains(a.tok, x)))
+        |    AS n_only_b,
+        |  coalesce(array_to_string(list_sort(list_filter(a.tok,
+        |    x -> NOT list_contains(b.tok, x))), ' '), '') AS only_a,
+        |  coalesce(array_to_string(list_sort(list_filter(b.tok,
+        |    x -> NOT list_contains(a.tok, x))), ' '), '') AS only_b
+        |FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+        |    / CAST(len(list_distinct(a.tok || b.tok)) AS DOUBLE)
+        |    >= 0.95
+        |ORDER BY a_id, b_id""".stripMargin,
     "q317_stratified_quota" ->
       """WITH d AS (
         |  SELECT doc_id, lang,

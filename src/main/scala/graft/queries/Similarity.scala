@@ -166,6 +166,32 @@ object Similarity extends QueryModule {
         .orderBy(col("i"), col("j"))
     },
 
+    // Corpus-centroid geometry — the embedding-space health check run
+    // before any ANN/cluster design: the mean vector (one posexplode
+    // aggregate — d accumulators, no driver math) broadcasts back and
+    // every vector's cosine-to-centroid lands in a 40-bucket
+    // histogram. A healthy corpus shows a spread distribution; a
+    // collapsed one (all mass in 2-3 buckets) means the embedding
+    // model has degenerated and no index will help. Cosines round to
+    // 6dp BEFORE bucketing so the bucket edges are engine-stable.
+    "q332_centroid_geometry" -> { (s, dir) =>
+      val c = corpus(s, dir)
+      val cent = c.select(posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("pos")).agg(avg(col("x")).as("cx"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("cx"))))
+          .as("pc"))
+        .select(expr("transform(pc, e -> e.cx)").as("centroid"))
+      c.crossJoin(broadcast(cent))
+        .select(round(cosine(col("v"), col("centroid")), 6).as("cos"))
+        .select(width_bucket(col("cos"), lit(-1.0), lit(1.0), lit(40))
+          .as("bkt"), col("cos"))
+        .groupBy(col("bkt"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("cos")), 6).as("cmin"),
+          round(max(col("cos")), 6).as("cmax"))
+        .orderBy(col("bkt"))
+    },
+
     // Matryoshka / dimension-truncation fidelity report — the design
     // study behind every "truncate the embedding to save 4× memory"
     // decision: for the q77 probe set, the exact top-5 under FULL
@@ -716,6 +742,25 @@ object Similarity extends QueryModule {
       .mkString("\nUNION ALL\n")
 
   override def oracle: Map[String, String] = Map(
+    "q332_centroid_geometry" ->
+      """WITH px AS (
+        |  SELECT generate_subscripts(embedding, 1) AS pos,
+        |    unnest(embedding::DOUBLE[]) AS x
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT list(cx ORDER BY pos) AS centroid FROM (
+        |    SELECT pos, avg(x) AS cx FROM px GROUP BY pos)),
+        |scored AS (
+        |  SELECT round(list_cosine_similarity(embedding::DOUBLE[],
+        |    centroid), 6) AS cos
+        |  FROM embeddings, cent)
+        |SELECT CASE WHEN cos < -1.0 THEN 0
+        |    WHEN cos >= 1.0 THEN 41
+        |    ELSE 1 + CAST(floor((cos + 1.0) * 40 / 2.0) AS BIGINT)
+        |  END AS bkt,
+        |  count(*) AS n,
+        |  round(min(cos), 6) AS cmin, round(max(cos), 6) AS cmax
+        |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin,
     "q330_matryoshka_fidelity" ->
       """WITH ranked AS (
         |  SELECT p.vec_id AS probe_id, c.vec_id,
