@@ -123,6 +123,65 @@ object Analytics4 extends QueryModule {
         .orderBy(col("m"))
     },
 
+    // Inter-annotator agreement (Cohen's kappa) — the annotation-QA
+    // statistic every labeling pipeline reports: two deterministic
+    // labeler RULES (char-length vs token-count "long doc" criteria)
+    // play the two annotators, the confusion census is one
+    // conditional-agg scan, and kappa corrects raw agreement for
+    // chance: κ = (pₒ − pₑ)/(1 − pₑ). All four cells are exact
+    // integers; only the three final statistics are rounded doubles.
+    "q334_cohens_kappa" -> { (s, dir) =>
+      val d = Tables.df(s, dir, "documents")
+        .select(
+          (col("n_chars") >= 500).as("a"),
+          (size(split(col("text"), " ")) >= 90).as("b"))
+      d.agg(count(lit(1)).as("n"),
+          sum(when(col("a") && col("b"), 1L).otherwise(0L)).as("n11"),
+          sum(when(!col("a") && !col("b"), 1L).otherwise(0L)).as("n00"),
+          sum(when(col("a") && !col("b"), 1L).otherwise(0L)).as("n10"),
+          sum(when(!col("a") && col("b"), 1L).otherwise(0L)).as("n01"))
+        .withColumn("po",
+          (col("n11") + col("n00")).cast(DoubleType) / col("n"))
+        .withColumn("pe",
+          ((col("n11") + col("n10")).cast(DoubleType) / col("n")) *
+            ((col("n11") + col("n01")).cast(DoubleType) / col("n")) +
+          ((col("n00") + col("n01")).cast(DoubleType) / col("n")) *
+            ((col("n00") + col("n10")).cast(DoubleType) / col("n")))
+        .select(col("n"), col("n11"), col("n00"), col("n10"),
+          col("n01"), round(col("po"), 6).as("po"),
+          round(col("pe"), 6).as("pe"),
+          round((col("po") - col("pe")) / (lit(1.0) - col("pe")), 6)
+            .as("kappa"))
+    },
+
+    // Seasonal-naive forecast BACKTEST — the honesty report behind
+    // any forecasting claim: predict month m with the value at m−12,
+    // then score per-year MAPE and bias against actuals. Errors stay
+    // in exact decimal; each month's absolute-percentage error is one
+    // double division cast to DECIMAL(18,8) before the yearly mean,
+    // so the scores are add-order-independent. The self-join is on
+    // (year−1, month) over the O(months) series.
+    "q335_forecast_backtest" -> { (s, dir) =>
+      val monthly = Tables.df(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("mo"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast(DecimalType(18, 2)).as("vd"))
+      val f = monthly.select((col("y") + 1).as("fy"),
+        col("mo").as("fmo"), col("vd").as("fc"))
+      monthly.join(f, col("y") === col("fy") && col("mo") === col("fmo"))
+        .withColumn("ape",
+          (abs((col("vd") - col("fc")).cast(DoubleType)) /
+            col("vd").cast(DoubleType)).cast(DecimalType(18, 8)))
+        .groupBy(col("y"))
+        .agg(count(lit(1)).as("n_months"),
+          round(sum(col("ape")).cast(DoubleType) / count(lit(1)), 6)
+            .as("mape"),
+          round(sum(col("vd") - col("fc")).cast(DoubleType) /
+            sum(col("vd")).cast(DoubleType), 6).as("bias"))
+        .orderBy(col("y"))
+    },
+
     // Hierarchical share report (ratio-to-parent at every level):
     // nation revenue as a share of its region AND of the total, plus
     // rank within region — the drill-down table every BI layer
@@ -1278,6 +1337,46 @@ object Analytics4 extends QueryModule {
   }
 
   override def oracle: Map[String, String] = Map(
+    "q334_cohens_kappa" ->
+      """WITH d AS (
+        |  SELECT (n_chars >= 500) AS a,
+        |    (len(string_split(text, ' ')) >= 90) AS b
+        |  FROM documents),
+        |c AS (
+        |  SELECT count(*) AS n,
+        |    sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS n11,
+        |    sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS n00,
+        |    sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS n10,
+        |    sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS n01
+        |  FROM d),
+        |p AS (
+        |  SELECT n, n11, n00, n10, n01,
+        |    (n11 + n00)::DOUBLE / n AS po,
+        |    ((n11 + n10)::DOUBLE / n) * ((n11 + n01)::DOUBLE / n) +
+        |    ((n00 + n01)::DOUBLE / n) * ((n00 + n10)::DOUBLE / n)
+        |      AS pe
+        |  FROM c)
+        |SELECT n, n11, n00, n10, n01, round(po, 6) AS po,
+        |  round(pe, 6) AS pe,
+        |  round((po - pe) / (1.0 - pe), 6) AS kappa
+        |FROM p""".stripMargin,
+    "q335_forecast_backtest" ->
+      """WITH monthly AS (
+        |  SELECT year(o_orderdate) AS y, month(o_orderdate) AS mo,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |      AS DECIMAL(18,2)) AS vd
+        |  FROM orders GROUP BY 1, 2),
+        |j AS (
+        |  SELECT m.y, m.vd, f.vd AS fc,
+        |    CAST(abs(CAST(m.vd - f.vd AS DOUBLE))
+        |      / CAST(m.vd AS DOUBLE) AS DECIMAL(18,8)) AS ape
+        |  FROM monthly m JOIN monthly f
+        |    ON m.y = f.y + 1 AND m.mo = f.mo)
+        |SELECT y, count(*) AS n_months,
+        |  round(CAST(sum(ape) AS DOUBLE) / count(*), 6) AS mape,
+        |  round(CAST(sum(vd - fc) AS DOUBLE)
+        |    / CAST(sum(vd) AS DOUBLE), 6) AS bias
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "q328_hierarchy_shares" ->
       """WITH pn AS (
         |  SELECT r_name AS region, n_name AS nation,

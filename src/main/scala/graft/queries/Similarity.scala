@@ -166,6 +166,35 @@ object Similarity extends QueryModule {
         .orderBy(col("i"), col("j"))
     },
 
+    // Class-separability matrix — the label-quality check before
+    // training a classifier on the embeddings: per-label centroids
+    // (one grouped posexplode aggregate) and the pairwise cosine
+    // between centroids. Well-separated classes show low off-diagonal
+    // cosines; two classes whose centroids cosine ≈ 1 are label
+    // aliases the curator should merge. The pairwise stage runs on
+    // the O(labels²) centroid table — nothing corpus-sized crosses.
+    "q333_class_separability" -> { (s, dir) =>
+      val c = Tables.df(s, dir, "embeddings")
+        .select(col("label"), asDouble(col("embedding")).as("v"))
+      val cents = c.select(col("label"), posexplode(col("v"))
+          .as(Seq("pos", "x")))
+        .groupBy(col("label"), col("pos")).agg(avg(col("x")).as("cx"))
+        .groupBy(col("label"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("cx"))))
+          .as("pc"))
+        .select(col("label"), expr("transform(pc, e -> e.cx)").as("cv"))
+      val n = c.groupBy(col("label")).agg(count(lit(1)).as("n"))
+      cents.toDF("la", "cva")
+        .join(cents.toDF("lb", "cvb"), col("la") < col("lb"))
+        .select(col("la"), col("lb"),
+          round(cosine(col("cva"), col("cvb")), 6).as("centroid_cos"))
+        .join(broadcast(n.toDF("la", "n_a")), "la")
+        .join(broadcast(n.toDF("lb", "n_b")), "lb")
+        .select(col("la"), col("lb"), col("centroid_cos"),
+          col("n_a"), col("n_b"))
+        .orderBy(col("la"), col("lb"))
+    },
+
     // Corpus-centroid geometry — the embedding-space health check run
     // before any ANN/cluster design: the mean vector (one posexplode
     // aggregate — d accumulators, no driver math) broadcasts back and
@@ -742,6 +771,24 @@ object Similarity extends QueryModule {
       .mkString("\nUNION ALL\n")
 
   override def oracle: Map[String, String] = Map(
+    "q333_class_separability" ->
+      """WITH px AS (
+        |  SELECT label, generate_subscripts(embedding, 1) AS pos,
+        |    unnest(embedding::DOUBLE[]) AS x
+        |  FROM embeddings),
+        |cents AS (
+        |  SELECT label, list(cx ORDER BY pos) AS cv FROM (
+        |    SELECT label, pos, avg(x) AS cx FROM px GROUP BY 1, 2)
+        |  GROUP BY label),
+        |n AS (SELECT label, count(*) AS n FROM embeddings GROUP BY 1)
+        |SELECT a.label AS la, b.label AS lb,
+        |  round(list_cosine_similarity(a.cv, b.cv), 6)
+        |    AS centroid_cos,
+        |  na.n AS n_a, nb.n AS n_b
+        |FROM cents a JOIN cents b ON a.label < b.label
+        |JOIN n na ON na.label = a.label
+        |JOIN n nb ON nb.label = b.label
+        |ORDER BY la, lb""".stripMargin,
     "q332_centroid_geometry" ->
       """WITH px AS (
         |  SELECT generate_subscripts(embedding, 1) AS pos,
