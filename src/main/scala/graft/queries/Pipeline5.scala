@@ -73,6 +73,61 @@ object Pipeline5 extends QueryModule {
         .orderBy(col("a_id"), col("b_id"))
     },
 
+    // Dedup-transitivity audit — the diagnostic that decides whether
+    // connected-components clustering over-merges: near-dup (j ≥ 0.9)
+    // is not transitive in theory, so count the wedges A~B~C whose
+    // closing pair A~C is absent. A high closure rate justifies CC
+    // (chains are real clusters); a low one means CC glues unrelated
+    // docs through bridge docs and the pipeline should verify-per-pair
+    // instead. Wedge enumeration is the q227 shape on the (tiny)
+    // verified edge set; the closing probe is one LEFT join.
+    "q336_dedup_transitivity" -> { (s, dir) =>
+      val t = Tables.df(s, dir, "documents")
+        .filter(col("doc_id") <= 200)
+        .select(col("doc_id"), uniqueTokens(col("text")).as("tok"))
+      val e = t.toDF("a_id", "tok_a")
+        .join(t.toDF("b_id", "tok_b"), col("a_id") < col("b_id"))
+        .filter(jaccard(col("tok_a"), col("tok_b")) >= 0.9)
+        .select(col("a_id").as("u"), col("b_id").as("v"))
+      val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val wedges = sym.toDF("z", "x")
+        .join(sym.toDF("z2", "y"),
+          col("z") === col("z2") && col("x") < col("y"))
+        .select(col("x"), col("y"))
+      val closed = wedges.join(e,
+        col("x") === col("u") && col("y") === col("v"), "leftsemi")
+      wedges.agg(count(lit(1)).as("n_wedges"))
+        .crossJoin(closed.agg(count(lit(1)).as("n_closed")))
+        .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+        .select(col("n_edges"), col("n_wedges"), col("n_closed"),
+          round(col("n_closed").cast(DoubleType) / col("n_wedges"), 6)
+            .as("closure_rate"))
+    },
+
+    // Vocabulary growth curve (Heaps' law) — the corpus-stats report
+    // behind tokenizer sizing: distinct vocabulary after the first
+    // 40/80/.../200 docs. One explode + min-doc-per-token aggregate
+    // (each token contributes ONE row: the first doc it appears in),
+    // then the growth curve is a cumulative count over the
+    // checkpoint-bucketed firsts — the corpus is scanned once no
+    // matter how many checkpoints.
+    "q337_vocab_growth" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val firsts = Tables.df(s, dir, "documents")
+        .filter(col("doc_id") <= 200)
+        .select(col("doc_id"), explode(uniqueTokens(col("text")))
+          .as("tok"))
+        .groupBy(col("tok")).agg(min(col("doc_id")).as("first_doc"))
+      val perCp = firsts
+        .select((ceil((col("first_doc") + 1) / 40.0) * 40)
+          .cast(LongType).as("checkpoint"))
+        .groupBy(col("checkpoint")).agg(count(lit(1)).as("new_tokens"))
+      val w = Window.orderBy(col("checkpoint"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      perCp.withColumn("vocab_size", sum(col("new_tokens")).over(w))
+        .orderBy(col("checkpoint"))
+    },
+
     // Near-dup DIFF explanation — curator tooling for q73's pairs:
     // not just "these two are 95% similar" but WHAT differs — the
     // sorted token sets unique to each side and their counts. The
@@ -385,6 +440,46 @@ object Pipeline5 extends QueryModule {
   )
 
   override def oracle: Map[String, String] = Map(
+    "q336_dedup_transitivity" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS tok
+        |  FROM documents WHERE doc_id <= 200),
+        |e AS (
+        |  SELECT a.doc_id AS u, b.doc_id AS v
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+        |      / CAST(len(list_distinct(a.tok || b.tok)) AS DOUBLE)
+        |      >= 0.9),
+        |sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+        |wedges AS (
+        |  SELECT a.v AS x, b.v AS y
+        |  FROM sym a JOIN sym b ON a.u = b.u AND a.v < b.v),
+        |closed AS (
+        |  SELECT count(*) AS n_closed FROM wedges w
+        |  WHERE EXISTS (SELECT 1 FROM e
+        |    WHERE e.u = w.x AND e.v = w.y))
+        |SELECT (SELECT count(*) FROM e) AS n_edges,
+        |  (SELECT count(*) FROM wedges) AS n_wedges,
+        |  n_closed,
+        |  round(n_closed::DOUBLE
+        |    / (SELECT count(*) FROM wedges), 6) AS closure_rate
+        |FROM closed""".stripMargin,
+    "q337_vocab_growth" ->
+      """WITH firsts AS (
+        |  SELECT tok, min(doc_id) AS first_doc FROM (
+        |    SELECT doc_id,
+        |      unnest(list_distinct(string_split(text, ' '))) AS tok
+        |    FROM documents WHERE doc_id <= 200)
+        |  GROUP BY tok),
+        |per AS (
+        |  SELECT CAST(ceil((first_doc + 1) / 40.0) * 40 AS BIGINT)
+        |    AS checkpoint, count(*) AS new_tokens
+        |  FROM firsts GROUP BY 1)
+        |SELECT checkpoint, new_tokens,
+        |  sum(new_tokens) OVER (ORDER BY checkpoint
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS vocab_size
+        |FROM per ORDER BY checkpoint""".stripMargin,
     "q331_dup_diff_report" ->
       """WITH t AS (
         |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS tok
