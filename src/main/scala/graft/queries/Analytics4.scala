@@ -123,6 +123,45 @@ object Analytics4 extends QueryModule {
         .orderBy(col("m"))
     },
 
+    // Theil–Sen robust trend — the median of all pairwise slopes of
+    // the monthly series, next to the OLS slope for contrast (one
+    // gross outlier month drags OLS but not Sen). The pairwise stage
+    // is O(months²) on the DOMAIN-sized series; each slope is one
+    // exact-decimal subtraction and one double division, the median
+    // is percentile_disc (a data value), and OLS comes from exact
+    // integer-cents moments (HUGEINT/decimal(38,0) — Σx·Σy overflows
+    // int64) with a single double division — everything
+    // bit-deterministic.
+    "q339_theil_sen" -> { (s, dir) =>
+      val monthly = Tables.df(s, dir, "orders")
+        .groupBy((year(col("o_orderdate")) * 12 +
+          month(col("o_orderdate"))).as("x"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast(DecimalType(18, 2)).as("vd"))
+      val slopes = monthly.toDF("xi", "vi")
+        .join(monthly.toDF("xj", "vj"), col("xi") < col("xj"))
+        .select(((col("vj") - col("vi")).cast(DoubleType) /
+          (col("xj") - col("xi"))).as("slope"))
+      val sen = slopes.agg(
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY slope)")
+          .as("sen_slope"),
+        count(lit(1)).as("n_pairs"))
+      val m = monthly
+        .withColumn("vc", (col("vd") * 100).cast(DecimalType(20, 0)))
+        .agg(count(lit(1)).as("n_months"), sum(col("x")).as("sx"),
+          sum(col("vc")).as("sy"),
+          sum((col("x") * col("vc")).cast(DecimalType(38, 0)))
+            .as("sxy"),
+          sum((col("x") * col("x")).cast(LongType)).as("sxx"))
+      sen.crossJoin(broadcast(m))
+        .select(col("n_months"), col("n_pairs"),
+          round(col("sen_slope"), 2).as("sen_slope"),
+          round((col("n_months") * col("sxy") - col("sx") * col("sy"))
+            .cast(DoubleType) /
+            (col("n_months") * col("sxx") - col("sx") * col("sx"))
+              .cast(DoubleType) / 100.0, 2).as("ols_slope"))
+    },
+
     // Inter-annotator agreement (Cohen's kappa) — the annotation-QA
     // statistic every labeling pipeline reports: two deterministic
     // labeler RULES (char-length vs token-count "long doc" criteria)
@@ -1337,6 +1376,29 @@ object Analytics4 extends QueryModule {
   }
 
   override def oracle: Map[String, String] = Map(
+    "q339_theil_sen" ->
+      """WITH monthly AS (
+        |  SELECT year(o_orderdate) * 12 + month(o_orderdate) AS x,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |      AS DECIMAL(18,2)) AS vd
+        |  FROM orders GROUP BY 1),
+        |pairs AS (
+        |  SELECT CAST(b.vd - a.vd AS DOUBLE) / (b.x - a.x) AS slope
+        |  FROM monthly a JOIN monthly b ON a.x < b.x),
+        |sen AS (
+        |  SELECT quantile_disc(slope, 0.5) AS sen_slope,
+        |    count(*) AS n_pairs FROM pairs),
+        |c AS (
+        |  SELECT x, CAST(vd * 100 AS HUGEINT) AS vc FROM monthly),
+        |m AS (
+        |  SELECT count(*) AS n_months, sum(x) AS sx, sum(vc) AS sy,
+        |    sum(x * vc) AS sxy, sum(x * x) AS sxx
+        |  FROM c)
+        |SELECT n_months, n_pairs, round(sen_slope, 2) AS sen_slope,
+        |  round(CAST(n_months * sxy - sx * sy AS DOUBLE)
+        |    / CAST(n_months * sxx - sx * sx AS DOUBLE) / 100.0, 2)
+        |    AS ols_slope
+        |FROM sen, m""".stripMargin,
     "q334_cohens_kappa" ->
       """WITH d AS (
         |  SELECT (n_chars >= 500) AS a,

@@ -166,6 +166,44 @@ object Similarity extends QueryModule {
         .orderBy(col("i"), col("j"))
     },
 
+    // Gains/lift table for the q284 linear scorer — the deployment
+    // readout a ranking model ships with: sort by score, cut into
+    // deciles, report per-decile positives, cumulative capture and
+    // lift. The ntile rides a global (score, id) order — fine at this
+    // probe scale; the 100 TB form derives decile BOUNDARIES from one
+    // percentile aggregate and buckets map-side (the q310 pattern).
+    // Scores are the identical IEEE expression on both engines, ties
+    // break on vec_id, so the decile assignment is bit-deterministic.
+    "q338_gains_table" -> { (s, dir) =>
+      val weights = expr(
+        "transform(sequence(0, 63), i -> ((i * 37) % 101 - 50) / 100.0)")
+      val z = aggregate(
+        zip_with(asDouble(col("embedding")), weights, (x, w) => x * w),
+        lit(0.0), (a, x) => a + x)
+      val scored = Tables.df(s, dir, "embeddings")
+        .select(col("vec_id"),
+          (lit(1.0) / (lit(1.0) + exp(-z))).as("score"),
+          (col("label") % 2 === 0).as("truth"))
+      val wN = Window.orderBy(col("score").desc, col("vec_id"))
+      val per = scored.withColumn("decile", ntile(10).over(wN))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("truth"), 1L).otherwise(0L)).as("n_pos"))
+      val tot = per.agg(sum(col("n")).as("tot"),
+        sum(col("n_pos")).as("tot_pos"))
+      val wCum = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      per.crossJoin(broadcast(tot))
+        .withColumn("cum_pos", sum(col("n_pos")).over(wCum))
+        .select(col("decile"), col("n"), col("n_pos"),
+          round(col("cum_pos").cast(DoubleType) / col("tot_pos"), 6)
+            .as("cum_capture"),
+          round((col("n_pos").cast(DoubleType) / col("n")) /
+            (col("tot_pos").cast(DoubleType) / col("tot")), 4)
+            .as("lift"))
+        .orderBy(col("decile"))
+    },
+
     // Class-separability matrix — the label-quality check before
     // training a classifier on the embeddings: per-label centroids
     // (one grouped posexplode aggregate) and the pairwise cosine
@@ -771,6 +809,31 @@ object Similarity extends QueryModule {
       .mkString("\nUNION ALL\n")
 
   override def oracle: Map[String, String] = Map(
+    "q338_gains_table" ->
+      """WITH scored AS (
+        |  SELECT vec_id,
+        |    1.0 / (1.0 + exp(-list_sum(list_transform(
+        |      generate_series(0, 63),
+        |      i -> embedding[i + 1] * (((i * 37) % 101 - 50) / 100.0)))))
+        |      AS score,
+        |    (label % 2 = 0) AS truth
+        |  FROM embeddings),
+        |d AS (
+        |  SELECT truth,
+        |    ntile(10) OVER (ORDER BY score DESC, vec_id) AS decile
+        |  FROM scored),
+        |per AS (
+        |  SELECT decile, count(*) AS n,
+        |    sum(CASE WHEN truth THEN 1 ELSE 0 END) AS n_pos
+        |  FROM d GROUP BY 1),
+        |tot AS (SELECT sum(n) AS tot, sum(n_pos) AS tot_pos FROM per)
+        |SELECT decile, n, n_pos,
+        |  round(sum(n_pos) OVER (ORDER BY decile
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    ::DOUBLE / tot_pos, 6) AS cum_capture,
+        |  round((n_pos::DOUBLE / n) / (tot_pos::DOUBLE / tot), 4)
+        |    AS lift
+        |FROM per, tot ORDER BY decile""".stripMargin,
     "q333_class_separability" ->
       """WITH px AS (
         |  SELECT label, generate_subscripts(embedding, 1) AS pos,
