@@ -123,6 +123,29 @@ object Analytics4 extends QueryModule {
         .orderBy(col("m"))
     },
 
+    // Partition-layout advisor — the table-maintenance report behind
+    // every "how many files should this partition have" decision:
+    // per ship-month, exact row counts and a byte estimate from an
+    // explicit per-row width formula (fixed numeric widths + actual
+    // string byte lengths), yielding a recommended file count at the
+    // 128 MB target. All integers exact; the advisor output is
+    // O(partitions) and the scan is one pass — the query a compaction
+    // scheduler (q247's trigger) runs nightly.
+    "q340_partition_advisor" -> { (s, dir) =>
+      val bytesPerRow = lit(68) +
+        octet_length(col("l_returnflag")) +
+        octet_length(col("l_linestatus"))
+      Tables.df(s, dir, "lineitem")
+        .groupBy(date_trunc("month", col("l_shipdate")).cast(DateType)
+          .cast(StringType).as("m"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(bytesPerRow.cast(LongType)).as("est_bytes"))
+        .withColumn("rec_files",
+          greatest(lit(1L), ceil(col("est_bytes") /
+            (128.0 * 1024 * 1024)).cast(LongType)))
+        .orderBy(col("m"))
+    },
+
     // Theil–Sen robust trend — the median of all pairwise slopes of
     // the monthly series, next to the OLS slope for contrast (one
     // gross outlier month drags OLS but not Sen). The pairwise stage
@@ -1376,6 +1399,16 @@ object Analytics4 extends QueryModule {
   }
 
   override def oracle: Map[String, String] = Map(
+    "q340_partition_advisor" ->
+      """SELECT CAST(CAST(date_trunc('month', l_shipdate) AS DATE)
+        |    AS VARCHAR) AS m,
+        |  count(*) AS n_rows,
+        |  sum(68 + strlen(l_returnflag) + strlen(l_linestatus))
+        |    AS est_bytes,
+        |  greatest(1, CAST(ceil(
+        |    sum(68 + strlen(l_returnflag) + strlen(l_linestatus))
+        |      / (128.0 * 1024 * 1024)) AS BIGINT)) AS rec_files
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q339_theil_sen" ->
       """WITH monthly AS (
         |  SELECT year(o_orderdate) * 12 + month(o_orderdate) AS x,

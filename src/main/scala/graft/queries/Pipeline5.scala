@@ -104,6 +104,31 @@ object Pipeline5 extends QueryModule {
             .as("closure_rate"))
     },
 
+    // Tokenizer fertility report — the bytes-per-token ratio by
+    // language, THE metric behind multilingual tokenizer budgeting
+    // (a lang at 2× fertility pays 2× the context window for the
+    // same text). All sums are exact integers (byte lengths, char
+    // lengths, token counts); the three ratios divide once in double.
+    "q341_tokenizer_fertility" -> { (s, dir) =>
+      Tables.df(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(octet_length(col("text")).cast(LongType))
+            .as("total_bytes"),
+          sum(length(col("text")).cast(LongType)).as("total_chars"),
+          sum(size(split(col("text"), " ")).cast(LongType))
+            .as("total_toks"))
+        .select(col("lang"), col("n_docs"), col("total_bytes"),
+          col("total_chars"), col("total_toks"),
+          round(col("total_bytes").cast(DoubleType) /
+            col("total_toks"), 4).as("bytes_per_tok"),
+          round(col("total_chars").cast(DoubleType) /
+            col("total_toks"), 4).as("chars_per_tok"),
+          round(col("total_bytes").cast(DoubleType) /
+            col("total_chars"), 4).as("bytes_per_char"))
+        .orderBy(col("lang"))
+    },
+
     // Vocabulary growth curve (Heaps' law) — the corpus-stats report
     // behind tokenizer sizing: distinct vocabulary after the first
     // 40/80/.../200 docs. One explode + min-doc-per-token aggregate
@@ -440,6 +465,18 @@ object Pipeline5 extends QueryModule {
   )
 
   override def oracle: Map[String, String] = Map(
+    "q341_tokenizer_fertility" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  sum(strlen(text)) AS total_bytes,
+        |  sum(length(text)) AS total_chars,
+        |  sum(len(string_split(text, ' '))) AS total_toks,
+        |  round(sum(strlen(text))::DOUBLE
+        |    / sum(len(string_split(text, ' '))), 4) AS bytes_per_tok,
+        |  round(sum(length(text))::DOUBLE
+        |    / sum(len(string_split(text, ' '))), 4) AS chars_per_tok,
+        |  round(sum(strlen(text))::DOUBLE / sum(length(text)), 4)
+        |    AS bytes_per_char
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "q336_dedup_transitivity" ->
       """WITH t AS (
         |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS tok
