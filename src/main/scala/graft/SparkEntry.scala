@@ -14,7 +14,8 @@ object SparkEntry {
     Generate, Sinks, Storage, Collections, Pipeline, Pipeline2, Pipeline3,
     Pipeline4, Pipeline5, Similarity, Connectors, Warehouse, CastMatrix,
     Multimodal, Extensibility, Analytics, Analytics2, Analytics3,
-    Analytics4, Sketches, Functions3, graft.streaming.Streaming
+    Analytics4, Analytics5, Sketches, Functions3,
+    graft.streaming.Streaming
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
