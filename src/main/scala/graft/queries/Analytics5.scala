@@ -82,6 +82,70 @@ object Analytics5 extends QueryModule {
         .orderBy(col("d"))
     },
 
+    // RFM segmentation — the CRM workhorse: recency / frequency /
+    // monetary quintile codes per customer, then the segment census.
+    // Quintile boundaries are percentile_disc DATA VALUES from one
+    // aggregate (the q310 broadcast-boundaries pattern — no global
+    // ntile), scores count boundaries strictly below the metric, so
+    // with integer days/counts and decimal spend the coding is
+    // bit-deterministic. Output is O(5³) segments with exact counts.
+    "q345_rfm_segmentation" -> { (s, dir) =>
+      val o = Tables.df(s, dir, "orders")
+      val horizon = o.agg(max(col("o_orderdate")).as("maxd"))
+      val per = o.groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate")).as("lastd"),
+          count(lit(1)).as("f"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).as("m"))
+        .crossJoin(broadcast(horizon))
+        .select(col("o_custkey"),
+          datediff(col("maxd").cast(DateType),
+            col("lastd").cast(DateType)).cast(LongType).as("r"),
+          col("f"), col("m"))
+      def bnds(c: String) = array((1 to 4).map(i =>
+        expr(s"percentile_disc(0.${i * 2}) WITHIN GROUP " +
+          s"(ORDER BY $c)")): _*).as(s"b_$c")
+      val b = per.agg(bnds("r"), bnds("f"), bnds("m"))
+      def score(c: String) =
+        (size(filter(col(s"b_$c"), x => col(c) > x)) + 1)
+      per.crossJoin(broadcast(b))
+        .select(
+          // recent customers have SMALL r → invert so 5 = best
+          (lit(6) - score("r")).as("r_s"),
+          score("f").as("f_s"), score("m").as("m_s"), col("m"))
+        .groupBy(col("r_s"), col("f_s"), col("m_s"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum((col("m") * 100).cast(LongType)).as("sc"))
+        // avg in CENTS with half-up integer division — a double
+        // divide-then-round flips at .xx5 boundaries between engines
+        .select(col("r_s"), col("f_s"), col("m_s"), col("n_cust"),
+          (expr("(2 * sc + n_cust) div (2 * n_cust)") / 100.0)
+            .as("avg_spend"))
+        .orderBy(col("r_s"), col("f_s"), col("m_s"))
+    },
+
+    // Burst detection over the event stream — ops-analytics alarms:
+    // a minute whose event count exceeds 1.5× its trailing-60-
+    // observed-minutes average (with ≥10 minutes of baseline). The comparison
+    // is CROSS-MULTIPLIED integers (2·cnt·n_prev > 3·sum_prev) so no
+    // float enters the flag at all. The ordered window runs on the
+    // O(distinct minutes) series; at 100 TB the same shape partitions
+    // by day with a carried-in baseline.
+    "q346_burst_detection" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val perMin = Tables.df(s, dir, "events")
+        .groupBy(date_trunc("minute", col("ts")).as("minute"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy(col("minute")).rowsBetween(-60, -1)
+      perMin
+        .withColumn("n_prev", count(lit(1)).over(w))
+        .withColumn("sum_prev", sum(col("cnt")).over(w))
+        .filter(col("n_prev") >= 10 &&
+          lit(2) * col("cnt") * col("n_prev") > lit(3) * col("sum_prev"))
+        .select(col("minute").cast(StringType).as("minute"),
+          col("cnt"), col("n_prev"), col("sum_prev"))
+        .orderBy(col("minute"))
+    },
+
     // Kaplan–Meier survival with RIGHT-CENSORING — time-to-event
     // analytics (here: days from first signup to first purchase;
     // users who never purchase are censored at end-of-data, NOT
@@ -138,6 +202,56 @@ object Analytics5 extends QueryModule {
   )
 
   override def oracle: Map[String, String] = Map(
+    "q345_rfm_segmentation" ->
+      """WITH horizon AS (SELECT max(o_orderdate) AS maxd FROM orders),
+        |per AS (
+        |  SELECT o_custkey,
+        |    date_diff('day', CAST(lastd AS DATE), CAST(maxd AS DATE))
+        |      AS r,
+        |    f, m
+        |  FROM (SELECT o_custkey, max(o_orderdate) AS lastd,
+        |          count(*) AS f,
+        |          sum(CAST(o_totalprice AS DECIMAL(18,2))) AS m
+        |        FROM orders GROUP BY 1), horizon),
+        |b AS (
+        |  SELECT [quantile_disc(r, 0.2), quantile_disc(r, 0.4),
+        |          quantile_disc(r, 0.6), quantile_disc(r, 0.8)] AS br,
+        |    [quantile_disc(f, 0.2), quantile_disc(f, 0.4),
+        |     quantile_disc(f, 0.6), quantile_disc(f, 0.8)] AS bf,
+        |    [quantile_disc(m, 0.2), quantile_disc(m, 0.4),
+        |     quantile_disc(m, 0.6), quantile_disc(m, 0.8)] AS bm
+        |  FROM per),
+        |coded AS (
+        |  SELECT
+        |    6 - (len(list_filter(br, x -> r > x)) + 1) AS r_s,
+        |    len(list_filter(bf, x -> f > x)) + 1 AS f_s,
+        |    len(list_filter(bm, x -> m > x)) + 1 AS m_s,
+        |    m
+        |  FROM per, b)
+        |SELECT r_s, f_s, m_s, n_cust,
+        |  ((2 * sc + n_cust) // (2 * n_cust)) / 100.0 AS avg_spend
+        |FROM (
+        |  SELECT r_s, f_s, m_s, count(*) AS n_cust,
+        |    sum(CAST(m * 100 AS BIGINT)) AS sc
+        |  FROM coded GROUP BY 1, 2, 3)
+        |ORDER BY 1, 2, 3""".stripMargin,
+    "q346_burst_detection" ->
+      """WITH perMin AS (
+        |  SELECT date_trunc('minute', ts) AS minute,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1),
+        |w AS (
+        |  SELECT minute, cnt,
+        |    count(*) OVER (ORDER BY minute
+        |      ROWS BETWEEN 60 PRECEDING AND 1 PRECEDING) AS n_prev,
+        |    sum(cnt) OVER (ORDER BY minute
+        |      ROWS BETWEEN 60 PRECEDING AND 1 PRECEDING) AS sum_prev
+        |  FROM perMin)
+        |SELECT CAST(minute AS VARCHAR) AS minute, cnt, n_prev,
+        |  sum_prev
+        |FROM w
+        |WHERE n_prev >= 10 AND 2 * cnt * n_prev > 3 * sum_prev
+        |ORDER BY minute""".stripMargin,
     "q342_bootstrap_ci" ->
       """WITH o AS (
         |  SELECT o_orderkey AS k,
