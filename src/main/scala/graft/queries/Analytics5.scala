@@ -82,6 +82,66 @@ object Analytics5 extends QueryModule {
         .orderBy(col("d"))
     },
 
+    // What-if scenario grid — k pricing scenarios evaluated in ONE
+    // fact pass: explode a 5-row scenario table (discount caps) onto
+    // the scan and aggregate per scenario, instead of running k
+    // full-table jobs. Per-row recomputed revenue casts to DECIMAL
+    // before the sum (the repo's revenue convention), so every
+    // scenario total is exact; the ×k blowup carries two narrow
+    // columns.
+    "q347_scenario_grid" -> { (s, dir) =>
+      val li = Tables.df(s, dir, "lineitem")
+      val actual = li.agg(
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(18, 4))).as("actual"))
+      li.select(col("l_extendedprice").as("p"),
+          col("l_discount").as("d"),
+          explode(array(lit(0.0), lit(0.02), lit(0.04), lit(0.06),
+            lit(0.08))).as("cap"))
+        .groupBy(col("cap"))
+        .agg(sum((col("p") * (lit(1.0) - least(col("d"), col("cap"))))
+          .cast(DecimalType(18, 4))).as("rev"))
+        .crossJoin(broadcast(actual))
+        .select(col("cap"),
+          col("rev").cast(DoubleType).as("revenue"),
+          (col("rev") - col("actual")).cast(DoubleType).as("uplift"))
+        .orderBy(col("cap"))
+    },
+
+    // Bayesian-damped popularity ranking — the cold-start recommender
+    // baseline: per (segment, part), quantity-score damped toward the
+    // global prior — (Σq + k·prior)/(n + k) with k=10 — so a part
+    // with 2 big orders can't outrank a steady seller. Sums are exact
+    // integers, the prior is one global division, the damped score
+    // divides once per part; top-5 per segment via WindowGroupLimit
+    // with partkey tiebreaks.
+    "q348_damped_popularity" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables.df(s, dir, "lineitem")
+        .join(Tables.df(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.df(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("segment"),
+          col("l_partkey").as("part"),
+          col("l_quantity").cast(LongType).as("q"))
+      val prior = base.agg(
+        (sum(col("q")).cast(DoubleType) / count(lit(1))).as("prior"))
+      val w = Window.partitionBy(col("segment"))
+        .orderBy(col("damped").desc, col("part"))
+      base.groupBy(col("segment"), col("part"))
+        .agg(count(lit(1)).as("n"), sum(col("q")).as("sq"))
+        .crossJoin(broadcast(prior))
+        .withColumn("damped",
+          round((col("sq") + lit(10.0) * col("prior")) /
+            (col("n") + 10), 6))
+        .withColumn("rk", row_number().over(w).cast(LongType))
+        .filter(col("rk") <= 5)
+        .select(col("segment"), col("rk"), col("part"), col("n"),
+          col("sq"), col("damped"))
+        .orderBy(col("segment"), col("rk"))
+    },
+
     // RFM segmentation — the CRM workhorse: recency / frequency /
     // monetary quintile codes per customer, then the segment census.
     // Quintile boundaries are percentile_disc DATA VALUES from one
@@ -202,6 +262,42 @@ object Analytics5 extends QueryModule {
   )
 
   override def oracle: Map[String, String] = Map(
+    "q347_scenario_grid" ->
+      """WITH actual AS (
+        |  SELECT sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(18,4))) AS actual
+        |  FROM lineitem),
+        |grid AS (
+        |  SELECT cap,
+        |    sum(CAST(l_extendedprice *
+        |      (1.0 - least(l_discount, cap)) AS DECIMAL(18,4))) AS rev
+        |  FROM lineitem,
+        |    unnest([0.0, 0.02, 0.04, 0.06, 0.08]) AS t(cap)
+        |  GROUP BY 1)
+        |SELECT cap, CAST(rev AS DOUBLE) AS revenue,
+        |  CAST(rev - actual AS DOUBLE) AS uplift
+        |FROM grid, actual ORDER BY cap""".stripMargin,
+    "q348_damped_popularity" ->
+      """WITH base AS (
+        |  SELECT c_mktsegment AS segment, l_partkey AS part,
+        |    CAST(l_quantity AS BIGINT) AS q
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey),
+        |prior AS (
+        |  SELECT sum(q)::DOUBLE / count(*) AS prior FROM base),
+        |scored AS (
+        |  SELECT segment, part, n, sq,
+        |    round((sq + 10.0 * prior) / (n + 10), 6) AS damped
+        |  FROM (SELECT segment, part, count(*) AS n, sum(q) AS sq
+        |        FROM base GROUP BY 1, 2), prior),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY segment
+        |    ORDER BY damped DESC, part) AS rk
+        |  FROM scored)
+        |SELECT segment, CAST(rk AS BIGINT) AS rk, part, n, sq, damped
+        |FROM ranked WHERE rk <= 5
+        |ORDER BY segment, rk""".stripMargin,
     "q345_rfm_segmentation" ->
       """WITH horizon AS (SELECT max(o_orderdate) AS maxd FROM orders),
         |per AS (
