@@ -82,6 +82,65 @@ object Analytics5 extends QueryModule {
         .orderBy(col("d"))
     },
 
+    // Incremental-refresh equivalence — the correctness contract of
+    // every materialized-view delta pipeline: the census computed as
+    // BASE (even event ids) plus an additively-applied DELTA (odd
+    // ids) through a full-outer merge, which must equal the direct
+    // full recompute — and the oracle IS the direct recompute, so the
+    // equivalence is cross-engine-gated, not asserted. Counts and
+    // decimal sums are the additively-mergeable state (the same
+    // algebra that makes q313's streaming MERGE batching-independent).
+    "q349_incremental_refresh" -> { (s, dir) =>
+      val ev = Tables.df(s, dir, "events")
+        .select(col("event_type").as("et"), col("event_id"),
+          col("value").cast(DecimalType(18, 2)).as("v"))
+      def census(mod: Int) = ev.filter(col("event_id") % 2 === mod)
+        .groupBy(col("et"))
+        .agg(count(lit(1)).as(s"n_$mod"), sum(col("v")).as(s"sv_$mod"))
+      census(0).join(census(1), Seq("et"), "fullouter")
+        .select(col("et"),
+          (coalesce(col("n_0"), lit(0L)) + coalesce(col("n_1"), lit(0L)))
+            .as("n"),
+          (coalesce(col("sv_0"), lit(0).cast(DecimalType(18, 2))) +
+            coalesce(col("sv_1"), lit(0).cast(DecimalType(18, 2))))
+            .cast(DoubleType).as("sum_v"))
+        .orderBy(col("et"))
+    },
+
+    // Lambda serving view — the batch+speed union every near-realtime
+    // dashboard runs: a pre-aggregated "nightly" part (events older
+    // than the 7-day cutoff, already collapsed to census grain) UNIONs
+    // with a raw "speed" tail aggregated on read, and the merge
+    // re-groups on the same key. The oracle computes the census
+    // directly, pinning lambda ≡ direct; n_batch/n_speed expose the
+    // split so a cutoff bug is visible, not averaged away.
+    "q350_lambda_serving" -> { (s, dir) =>
+      val ev = Tables.df(s, dir, "events")
+        .select(col("event_type").as("et"), col("ts"),
+          col("value").cast(DecimalType(18, 2)).as("v"))
+      val cutoff = ev.agg(
+        (max(col("ts")).cast(DateType) - expr("INTERVAL 7 DAYS"))
+          .as("cut"))
+      val tagged = ev.crossJoin(broadcast(cutoff))
+        .withColumn("is_batch", col("ts").cast(DateType) < col("cut"))
+      val batch = tagged.filter(col("is_batch"))
+        .groupBy(col("et"))
+        .agg(count(lit(1)).as("pn"), sum(col("v")).as("pv"))
+      val speed = tagged.filter(!col("is_batch"))
+        .groupBy(col("et"))
+        .agg(count(lit(1)).as("pn"), sum(col("v")).as("pv"))
+      batch.withColumn("src", lit("batch"))
+        .unionAll(speed.withColumn("src", lit("speed")))
+        .groupBy(col("et"))
+        .agg(sum(col("pn")).as("n"),
+          sum(col("pv")).cast(DoubleType).as("sum_v"),
+          sum(when(col("src") === "batch", col("pn")).otherwise(0L))
+            .as("n_batch"),
+          sum(when(col("src") === "speed", col("pn")).otherwise(0L))
+            .as("n_speed"))
+        .orderBy(col("et"))
+    },
+
     // What-if scenario grid — k pricing scenarios evaluated in ONE
     // fact pass: explode a 5-row scenario table (discount caps) onto
     // the scan and aggregate per scenario, instead of running k
@@ -262,6 +321,21 @@ object Analytics5 extends QueryModule {
   )
 
   override def oracle: Map[String, String] = Map(
+    "q349_incremental_refresh" ->
+      """SELECT event_type AS et, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q350_lambda_serving" ->
+      """WITH cutoff AS (
+        |  SELECT CAST(max(ts) AS DATE) - INTERVAL 7 DAY AS cut
+        |  FROM events)
+        |SELECT event_type AS et, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+        |  sum(CASE WHEN CAST(ts AS DATE) < cut THEN 1 ELSE 0 END)
+        |    AS n_batch,
+        |  sum(CASE WHEN CAST(ts AS DATE) >= cut THEN 1 ELSE 0 END)
+        |    AS n_speed
+        |FROM events, cutoff GROUP BY 1 ORDER BY 1""".stripMargin,
     "q347_scenario_grid" ->
       """WITH actual AS (
         |  SELECT sum(CAST(l_extendedprice * (1.0 - l_discount)
