@@ -82,6 +82,78 @@ object Analytics5 extends QueryModule {
         .orderBy(col("d"))
     },
 
+    // Split-conformal prediction coverage — the distribution-free
+    // error-bar check a deployed regressor ships with: residuals of a
+    // FIXED model (ŷ = 0.8 + 0.0001·n_chars predicting the embedding
+    // norm — conformal is agnostic to where the model came from) on a
+    // deterministic md5 calibration half give the 90% residual
+    // quantile q̂ (percentile_disc — a data value), and the eval half
+    // reports the share of residuals ≤ q̂. Every residual is one
+    // deterministic double expression; the quantile is exact; the
+    // coverage census is integer counting.
+    "q351_conformal_coverage" -> { (s, dir) =>
+      val d = Tables.df(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars").cast(DoubleType).as("x"))
+      val e = Tables.df(s, dir, "embeddings")
+        .select(col("vec_id"),
+          sqrt(aggregate(transform(col("embedding"),
+            v => v.cast(DoubleType) * v.cast(DoubleType)),
+            lit(0.0), (a, v) => a + v)).as("y"))
+      val scored = d.join(e, col("doc_id") === col("vec_id"))
+        .select(col("doc_id"),
+          abs(col("y") - (lit(0.8) + lit(0.0001) * col("x")))
+            .as("resid"),
+          (substring(md5(concat(lit("conf"),
+            col("doc_id").cast(StringType))), 1, 2) < "80").as("cal"))
+      val qhat = scored.filter(col("cal"))
+        .agg(expr("percentile_disc(0.9) WITHIN GROUP " +
+          "(ORDER BY resid)").as("qhat"),
+          count(lit(1)).as("n_cal"))
+      scored.filter(!col("cal"))
+        .crossJoin(broadcast(qhat))
+        .agg(min(col("n_cal")).as("n_cal"),
+          count(lit(1)).as("n_eval"),
+          round(min(col("qhat")), 6).as("q90"),
+          round(sum(when(col("resid") <= col("qhat"), 1L)
+            .otherwise(0L)).cast(DoubleType) / count(lit(1)), 6)
+            .as("coverage"))
+    },
+
+    // Binned Kolmogorov–Smirnov drift statistic between two order
+    // slices — the distribution-drift test at warehouse scale: exact
+    // per-bucket counts for both slices (50 stats-derived buckets),
+    // cumulative shares, and the max CDF gap with its location. The
+    // binned form is the one that scales (exact KS needs a global
+    // sort; the 40-bucket census partial-aggregates map-side) and its
+    // statistic is a documented lower bound on exact KS. All counts
+    // exact; the gap is a difference of exact-ratio doubles.
+    "q352_binned_ks" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val o = Tables.df(s, dir, "orders")
+        .filter(col("o_orderstatus").isin("F", "O"))
+      val b = o.agg(min(col("o_totalprice")), max(col("o_totalprice")))
+        .head()
+      val (lo, hi) = (b.getDouble(0), b.getDouble(1))
+      val per = o.select(
+          width_bucket(col("o_totalprice"), lit(lo),
+            lit(hi + 1.0), lit(50)).as("bkt"),
+          col("o_orderstatus").as("st"))
+        .groupBy(col("bkt"))
+        .agg(sum(when(col("st") === "F", 1L).otherwise(0L)).as("nf"),
+          sum(when(col("st") === "O", 1L).otherwise(0L)).as("no"))
+      val w = Window.orderBy(col("bkt"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val tot = per.agg(sum(col("nf")).as("tf"), sum(col("no")).as("to"))
+      per.crossJoin(broadcast(tot))
+        .withColumn("gap",
+          abs(sum(col("nf")).over(w).cast(DoubleType) / col("tf") -
+            sum(col("no")).over(w).cast(DoubleType) / col("to")))
+        .agg(min(col("tf")).as("n_f"), min(col("to")).as("n_o"),
+          round(max(col("gap")), 6).as("ks"),
+          max_by(col("bkt"), struct(col("gap"), -col("bkt")))
+            .as("ks_bucket"))
+    },
+
     // Incremental-refresh equivalence — the correctness contract of
     // every materialized-view delta pipeline: the census computed as
     // BASE (even event ids) plus an additively-applied DELTA (odd
@@ -321,6 +393,52 @@ object Analytics5 extends QueryModule {
   )
 
   override def oracle: Map[String, String] = Map(
+    "q351_conformal_coverage" ->
+      """WITH scored AS (
+        |  SELECT doc_id,
+        |    abs(sqrt(list_sum(list_transform(embedding::DOUBLE[],
+        |      v -> v * v))) - (0.8 + 0.0001 * CAST(n_chars AS DOUBLE)))
+        |      AS resid,
+        |    substr(md5('conf' || CAST(doc_id AS VARCHAR)), 1, 2) < '80'
+        |      AS cal
+        |  FROM documents JOIN embeddings ON doc_id = vec_id),
+        |q AS (
+        |  SELECT quantile_disc(resid, 0.9) AS qhat,
+        |    count(*) AS n_cal
+        |  FROM scored WHERE cal)
+        |SELECT n_cal, count(*) AS n_eval,
+        |  round(qhat, 6) AS q90,
+        |  round(sum(CASE WHEN resid <= qhat THEN 1 ELSE 0 END)::DOUBLE
+        |    / count(*), 6) AS coverage
+        |FROM scored, q WHERE NOT cal
+        |GROUP BY n_cal, qhat""".stripMargin,
+    "q352_binned_ks" ->
+      """WITH o AS (
+        |  SELECT o_totalprice AS p, o_orderstatus AS st FROM orders
+        |  WHERE o_orderstatus IN ('F', 'O')),
+        |bounds AS (SELECT min(p) AS lo, max(p) AS hi FROM o),
+        |per AS (
+        |  SELECT CASE WHEN p < lo THEN 0
+        |      WHEN p >= hi + 1.0 THEN 51
+        |      ELSE 1 + CAST(floor((p - lo) * 50
+        |        / (hi + 1.0 - lo)) AS BIGINT) END AS bkt,
+        |    sum(CASE WHEN st = 'F' THEN 1 ELSE 0 END) AS nf,
+        |    sum(CASE WHEN st = 'O' THEN 1 ELSE 0 END) AS no
+        |  FROM o, bounds GROUP BY 1),
+        |tot AS (SELECT sum(nf) AS tf, sum(no) AS t_o FROM per),
+        |cum AS (
+        |  SELECT bkt,
+        |    abs(sum(nf) OVER (ORDER BY bkt ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW)::DOUBLE / tf -
+        |      sum(no) OVER (ORDER BY bkt ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW)::DOUBLE / t_o) AS gap,
+        |    tf, t_o
+        |  FROM per, tot)
+        |SELECT min(tf) AS n_f, min(t_o) AS n_o,
+        |  round(max(gap), 6) AS ks,
+        |  min(CASE WHEN gap = (SELECT max(gap) FROM cum)
+        |    THEN bkt END) AS ks_bucket
+        |FROM cum""".stripMargin,
     "q349_incremental_refresh" ->
       """SELECT event_type AS et, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
