@@ -82,6 +82,85 @@ object Analytics5 extends QueryModule {
         .orderBy(col("d"))
     },
 
+    // Revenue concentration: Gini coefficient + top-decile share —
+    // the inequality readout behind "do 10% of customers carry the
+    // business". Spend rides integer CENTS; the Gini rank-weighted
+    // sum Σ(rᵢ·xᵢ) is exact decimal (ranks are row_numbers with
+    // custkey tiebreaks, so ties are deterministic), and the two
+    // ratios divide once in double. Windows run on the customer-grain
+    // census, one global order — at 100 TB the same formula runs on
+    // range-partitioned rank offsets.
+    "q353_gini_concentration" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val per = Tables.df(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+          .cast(LongType)).as("xc"))
+      val wAsc = Window.orderBy(col("xc"), col("o_custkey"))
+      val wDesc = Window.orderBy(col("xc").desc, col("o_custkey"))
+      val ranked = per
+        .withColumn("r", row_number().over(wAsc).cast(LongType))
+        .withColumn("rd", row_number().over(wDesc).cast(LongType))
+      val nAll = per.agg(count(lit(1)).as("n"))
+      ranked.crossJoin(broadcast(nAll))
+        .withColumn("topflag", col("rd") <= expr("greatest(1, n div 10)"))
+        .agg(min(col("n")).as("n"),
+          sum(col("xc").cast(DecimalType(38, 0))).as("tot"),
+          sum((col("r") * col("xc")).cast(DecimalType(38, 0)))
+            .as("rw"),
+          sum(when(col("topflag"), col("xc")).otherwise(0L))
+            .cast(DecimalType(38, 0)).as("topsum"))
+        .select(col("n"),
+          (col("tot").cast(DoubleType) / 100.0).as("total_spend"),
+          round(lit(2.0) * col("rw").cast(DoubleType) /
+            (col("n") * col("tot").cast(DoubleType)) -
+            (col("n") + lit(1.0)) / col("n"), 6).as("gini"),
+          round(col("topsum").cast(DoubleType) /
+            col("tot").cast(DoubleType), 6).as("top10_share"))
+    },
+
+    // Price-index pair (Laspeyres / Paasche / Fisher) between two
+    // years — the econometrics shape nothing else covers: per-part
+    // unit prices (value/quantity) in each year over the common
+    // basket, then base-weighted vs current-weighted index ratios.
+    // Each per-part cross term p·q is ONE double product cast to
+    // DECIMAL(18,4) before the basket sum (the revenue convention),
+    // so the four sums are add-order-exact and the indices divide
+    // once.
+    "q354_price_index" -> { (s, dir) =>
+      val li = Tables.df(s, dir, "lineitem")
+        .filter(year(col("l_shipdate")).isin(1996, 1997))
+        .groupBy(col("l_partkey").as("part"),
+          year(col("l_shipdate")).as("y"))
+        .agg(sum(col("l_quantity")).as("q"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("v"))
+      val basket = li.filter(col("y") === 1996)
+        .select(col("part"), col("q").as("q0"),
+          (col("v").cast(DoubleType) / col("q")).as("p0"))
+        .join(li.filter(col("y") === 1997)
+          .select(col("part"), col("q").as("q1"),
+            (col("v").cast(DoubleType) / col("q")).as("p1")),
+          "part")
+      basket.agg(count(lit(1)).as("n_parts"),
+          sum((col("p1") * col("q0")).cast(DecimalType(18, 4)))
+            .as("l_num"),
+          sum((col("p0") * col("q0")).cast(DecimalType(18, 4)))
+            .as("l_den"),
+          sum((col("p1") * col("q1")).cast(DecimalType(18, 4)))
+            .as("p_num"),
+          sum((col("p0") * col("q1")).cast(DecimalType(18, 4)))
+            .as("p_den"))
+        .select(col("n_parts"),
+          round(col("l_num").cast(DoubleType) /
+            col("l_den").cast(DoubleType), 6).as("laspeyres"),
+          round(col("p_num").cast(DoubleType) /
+            col("p_den").cast(DoubleType), 6).as("paasche"),
+          round(sqrt((col("l_num").cast(DoubleType) /
+            col("l_den").cast(DoubleType)) *
+            (col("p_num").cast(DoubleType) /
+              col("p_den").cast(DoubleType))), 6).as("fisher"))
+    },
+
     // Split-conformal prediction coverage — the distribution-free
     // error-bar check a deployed regressor ships with: residuals of a
     // FIXED model (ŷ = 0.8 + 0.0001·n_chars predicting the embedding
@@ -393,6 +472,58 @@ object Analytics5 extends QueryModule {
   )
 
   override def oracle: Map[String, String] = Map(
+    "q353_gini_concentration" ->
+      """WITH per AS (
+        |  SELECT o_custkey,
+        |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS xc
+        |  FROM orders GROUP BY 1),
+        |ranked AS (
+        |  SELECT xc,
+        |    row_number() OVER (ORDER BY xc, o_custkey) AS r,
+        |    row_number() OVER (ORDER BY xc DESC, o_custkey) AS rd
+        |  FROM per),
+        |n AS (SELECT count(*) AS n FROM per)
+        |SELECT n,
+        |  CAST(sum(CAST(xc AS HUGEINT)) AS DOUBLE) / 100.0
+        |    AS total_spend,
+        |  round(2.0 * CAST(sum(CAST(r AS HUGEINT) * xc) AS DOUBLE)
+        |    / (n * CAST(sum(CAST(xc AS HUGEINT)) AS DOUBLE))
+        |    - (n + 1.0) / n, 6) AS gini,
+        |  round(CAST(sum(CASE WHEN rd <= greatest(1, n // 10)
+        |      THEN CAST(xc AS HUGEINT) ELSE 0 END) AS DOUBLE)
+        |    / CAST(sum(CAST(xc AS HUGEINT)) AS DOUBLE), 6)
+        |    AS top10_share
+        |FROM ranked, n GROUP BY n""".stripMargin,
+    "q354_price_index" ->
+      """WITH li AS (
+        |  SELECT l_partkey AS part, year(l_shipdate) AS y,
+        |    sum(l_quantity) AS q,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS v
+        |  FROM lineitem WHERE year(l_shipdate) IN (1996, 1997)
+        |  GROUP BY 1, 2),
+        |basket AS (
+        |  SELECT a.part, a.q AS q0, CAST(a.v AS DOUBLE) / a.q AS p0,
+        |    b.q AS q1, CAST(b.v AS DOUBLE) / b.q AS p1
+        |  FROM (SELECT * FROM li WHERE y = 1996) a
+        |  JOIN (SELECT * FROM li WHERE y = 1997) b
+        |    ON a.part = b.part),
+        |sums AS (
+        |  SELECT count(*) AS n_parts,
+        |    sum(CAST(p1 * q0 AS DECIMAL(18,4))) AS l_num,
+        |    sum(CAST(p0 * q0 AS DECIMAL(18,4))) AS l_den,
+        |    sum(CAST(p1 * q1 AS DECIMAL(18,4))) AS p_num,
+        |    sum(CAST(p0 * q1 AS DECIMAL(18,4))) AS p_den
+        |  FROM basket)
+        |SELECT n_parts,
+        |  round(CAST(l_num AS DOUBLE) / CAST(l_den AS DOUBLE), 6)
+        |    AS laspeyres,
+        |  round(CAST(p_num AS DOUBLE) / CAST(p_den AS DOUBLE), 6)
+        |    AS paasche,
+        |  round(sqrt((CAST(l_num AS DOUBLE) / CAST(l_den AS DOUBLE))
+        |    * (CAST(p_num AS DOUBLE) / CAST(p_den AS DOUBLE))), 6)
+        |    AS fisher
+        |FROM sums""".stripMargin,
     "q351_conformal_coverage" ->
       """WITH scored AS (
         |  SELECT doc_id,
