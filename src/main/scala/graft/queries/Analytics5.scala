@@ -82,6 +82,92 @@ object Analytics5 extends QueryModule {
         .orderBy(col("d"))
     },
 
+    // Two-proportion z-test + sample-size calculator — the inference
+    // layer on top of q324's A/B census: pooled-variance z statistic,
+    // the |z| > 1.96 significance call, and the required per-arm n to
+    // detect a 2-point lift at 80% power — the three numbers every
+    // experiment review asks for. Counts exact; every statistic
+    // derives from the same integers on both engines, so even the
+    // ceil() in the power formula lands identically.
+    "q355_ab_ztest" -> { (s, dir) =>
+      val ev = Tables.df(s, dir, "events")
+      val expo = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("exposure"))
+      val fp = ev.filter(col("event_type") === "purchase")
+        .join(expo, "user_id").filter(col("ts") > col("exposure"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("fp"))
+      val per = expo.join(fp, Seq("user_id"), "left")
+        .select(
+          when(substring(md5(concat(lit("ab"),
+            col("user_id").cast(StringType))), 1, 2) < "80", "A")
+            .otherwise("B").as("variant"),
+          (col("fp").isNotNull &&
+            col("fp") <= col("exposure") + expr("INTERVAL 6 HOURS"))
+            .as("conv"))
+      val cells = per.groupBy(col("variant"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("conv"), 1L).otherwise(0L)).as("c"))
+      val a = cells.filter(col("variant") === "A")
+        .select(col("n").as("na"), col("c").as("ca"))
+      val b = cells.filter(col("variant") === "B")
+        .select(col("n").as("nb"), col("c").as("cb"))
+      a.crossJoin(b)
+        .withColumn("pa", col("ca").cast(DoubleType) / col("na"))
+        .withColumn("pb", col("cb").cast(DoubleType) / col("nb"))
+        .withColumn("pp",
+          (col("ca") + col("cb")).cast(DoubleType) /
+            (col("na") + col("nb")))
+        .withColumn("z",
+          (col("pa") - col("pb")) /
+            sqrt(col("pp") * (lit(1.0) - col("pp")) *
+              (lit(1.0) / col("na") + lit(1.0) / col("nb"))))
+        .select(col("na"), col("nb"),
+          round(col("pa"), 6).as("conv_a"),
+          round(col("pb"), 6).as("conv_b"),
+          round(col("z"), 4).as("z"),
+          (abs(col("z")) > 1.96).as("significant"),
+          ceil(lit(2.0) * col("pp") * (lit(1.0) - col("pp")) *
+            lit((1.96 + 0.8416) * (1.96 + 0.8416)) / lit(0.0004))
+            .cast(LongType).as("n_required"))
+    },
+
+    // Difference-in-differences — the causal-analytics workhorse for
+    // "did the change move the metric beyond its trend": per-event
+    // value means in the four (variant × pre/post) cells — post = the
+    // final 90 days — with DiD = (B_post−B_pre) − (A_post−A_pre).
+    // Cell sums ride DECIMAL, each mean divides once, and the
+    // estimate is three subtractions of deterministic doubles.
+    "q356_diff_in_diff" -> { (s, dir) =>
+      val ev = Tables.df(s, dir, "events")
+      val cutoff = ev.agg(
+        (max(col("ts")).cast(DateType) - expr("INTERVAL 90 DAYS"))
+          .as("cut"))
+      val cells = ev.crossJoin(broadcast(cutoff))
+        .select(
+          when(substring(md5(concat(lit("ab"),
+            col("user_id").cast(StringType))), 1, 2) < "80", "A")
+            .otherwise("B").as("variant"),
+          when(col("ts").cast(DateType) >= col("cut"), "post")
+            .otherwise("pre").as("period"),
+          col("value").cast(DecimalType(18, 2)).as("v"))
+        .groupBy(col("variant"), col("period"))
+        .agg(count(lit(1)).as("n"),
+          (sum(col("v")).cast(DoubleType) / count(lit(1))).as("m"))
+      def cell(v: String, p: String, nm: String) =
+        cells.filter(col("variant") === v && col("period") === p)
+          .select(col("n").as(s"n_$nm"), col("m").as(s"m_$nm"))
+      cell("A", "pre", "a0").crossJoin(cell("A", "post", "a1"))
+        .crossJoin(cell("B", "pre", "b0"))
+        .crossJoin(cell("B", "post", "b1"))
+        .select(col("n_a0"), col("n_a1"), col("n_b0"), col("n_b1"),
+          round(col("m_a0"), 4).as("m_a_pre"),
+          round(col("m_a1"), 4).as("m_a_post"),
+          round(col("m_b0"), 4).as("m_b_pre"),
+          round(col("m_b1"), 4).as("m_b_post"),
+          round((col("m_b1") - col("m_b0")) -
+            (col("m_a1") - col("m_a0")), 4).as("did"))
+    },
+
     // Revenue concentration: Gini coefficient + top-decile share —
     // the inequality readout behind "do 10% of customers carry the
     // business". Spend rides integer CENTS; the Gini rank-weighted
@@ -472,6 +558,67 @@ object Analytics5 extends QueryModule {
   )
 
   override def oracle: Map[String, String] = Map(
+    "q355_ab_ztest" ->
+      """WITH expo AS (
+        |  SELECT user_id, min(ts) AS exposure FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |fp AS (
+        |  SELECT e.user_id, min(ts) AS fp FROM events e
+        |  JOIN expo ON e.user_id = expo.user_id
+        |  WHERE event_type = 'purchase' AND ts > exposure GROUP BY 1),
+        |per AS (
+        |  SELECT CASE WHEN substr(md5(
+        |      'ab' || CAST(expo.user_id AS VARCHAR)), 1, 2) < '80'
+        |      THEN 'A' ELSE 'B' END AS variant,
+        |    (fp.fp IS NOT NULL
+        |      AND fp.fp <= exposure + INTERVAL 6 HOUR) AS conv
+        |  FROM expo LEFT JOIN fp ON expo.user_id = fp.user_id),
+        |cells AS (
+        |  SELECT variant, count(*) AS n,
+        |    sum(CASE WHEN conv THEN 1 ELSE 0 END) AS c
+        |  FROM per GROUP BY 1),
+        |j AS (
+        |  SELECT a.n AS na, a.c AS ca, b.n AS nb, b.c AS cb,
+        |    a.c::DOUBLE / a.n AS pa, b.c::DOUBLE / b.n AS pb,
+        |    (a.c + b.c)::DOUBLE / (a.n + b.n) AS pp
+        |  FROM (SELECT * FROM cells WHERE variant = 'A') a,
+        |       (SELECT * FROM cells WHERE variant = 'B') b)
+        |SELECT na, nb, round(pa, 6) AS conv_a, round(pb, 6) AS conv_b,
+        |  round((pa - pb) / sqrt(pp * (1.0 - pp)
+        |    * (1.0 / na + 1.0 / nb)), 4) AS z,
+        |  abs((pa - pb) / sqrt(pp * (1.0 - pp)
+        |    * (1.0 / na + 1.0 / nb))) > 1.96 AS significant,
+        |  CAST(ceil(2.0 * pp * (1.0 - pp)
+        |    * ((1.96 + 0.8416) * (1.96 + 0.8416)) / 0.0004)
+        |    AS BIGINT) AS n_required
+        |FROM j""".stripMargin,
+    "q356_diff_in_diff" ->
+      """WITH cutoff AS (
+        |  SELECT CAST(max(ts) AS DATE) - INTERVAL 90 DAY AS cut
+        |  FROM events),
+        |cells AS (
+        |  SELECT
+        |    CASE WHEN substr(md5('ab' || CAST(user_id AS VARCHAR)),
+        |      1, 2) < '80' THEN 'A' ELSE 'B' END AS variant,
+        |    CASE WHEN CAST(ts AS DATE) >= cut THEN 'post'
+        |      ELSE 'pre' END AS period,
+        |    count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |      / count(*) AS m
+        |  FROM events, cutoff GROUP BY 1, 2)
+        |SELECT a0.n AS n_a0, a1.n AS n_a1, b0.n AS n_b0,
+        |  b1.n AS n_b1,
+        |  round(a0.m, 4) AS m_a_pre, round(a1.m, 4) AS m_a_post,
+        |  round(b0.m, 4) AS m_b_pre, round(b1.m, 4) AS m_b_post,
+        |  round((b1.m - b0.m) - (a1.m - a0.m), 4) AS did
+        |FROM (SELECT * FROM cells WHERE variant = 'A'
+        |      AND period = 'pre') a0,
+        |  (SELECT * FROM cells WHERE variant = 'A'
+        |   AND period = 'post') a1,
+        |  (SELECT * FROM cells WHERE variant = 'B'
+        |   AND period = 'pre') b0,
+        |  (SELECT * FROM cells WHERE variant = 'B'
+        |   AND period = 'post') b1""".stripMargin,
     "q353_gini_concentration" ->
       """WITH per AS (
         |  SELECT o_custkey,
