@@ -133,21 +133,27 @@ object Analytics5 extends QueryModule {
 
     // Difference-in-differences — the causal-analytics workhorse for
     // "did the change move the metric beyond its trend": per-event
-    // value means in the four (variant × pre/post) cells — post = the
-    // final 90 days — with DiD = (B_post−B_pre) − (A_post−A_pre).
+    // value means in the four (variant × pre/post) cells — post = at
+    // or after the MEDIAN event date — with
+    // DiD = (B_post−B_pre) − (A_post−A_pre).
     // Cell sums ride DECIMAL, each mean divides once, and the
     // estimate is three subtractions of deterministic doubles.
     "q356_diff_in_diff" -> { (s, dir) =>
       val ev = Tables.df(s, dir, "events")
-      val cutoff = ev.agg(
-        (max(col("ts")).cast(DateType) - expr("INTERVAL 90 DAYS"))
+      // cutoff = MEDIAN event date, so both periods are non-empty at
+      // any fixture span (a fixed-interval cutoff empties 'pre' when
+      // the data covers less than the interval)
+      val withDays = ev.withColumn("days",
+        datediff(col("ts").cast(DateType), to_date(lit("1970-01-01"))))
+      val cutoff = withDays.agg(
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY days)")
           .as("cut"))
-      val cells = ev.crossJoin(broadcast(cutoff))
+      val cells = withDays.crossJoin(broadcast(cutoff))
         .select(
           when(substring(md5(concat(lit("ab"),
             col("user_id").cast(StringType))), 1, 2) < "80", "A")
             .otherwise("B").as("variant"),
-          when(col("ts").cast(DateType) >= col("cut"), "post")
+          when(col("days") >= col("cut"), "post")
             .otherwise("pre").as("period"),
           col("value").cast(DecimalType(18, 2)).as("v"))
         .groupBy(col("variant"), col("period"))
@@ -593,19 +599,22 @@ object Analytics5 extends QueryModule {
         |    AS BIGINT) AS n_required
         |FROM j""".stripMargin,
     "q356_diff_in_diff" ->
-      """WITH cutoff AS (
-        |  SELECT CAST(max(ts) AS DATE) - INTERVAL 90 DAY AS cut
+      """WITH d AS (
+        |  SELECT user_id, value,
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      AS days
         |  FROM events),
+        |cutoff AS (SELECT quantile_disc(days, 0.5) AS cut FROM d),
         |cells AS (
         |  SELECT
         |    CASE WHEN substr(md5('ab' || CAST(user_id AS VARCHAR)),
         |      1, 2) < '80' THEN 'A' ELSE 'B' END AS variant,
-        |    CASE WHEN CAST(ts AS DATE) >= cut THEN 'post'
+        |    CASE WHEN days >= cut THEN 'post'
         |      ELSE 'pre' END AS period,
         |    count(*) AS n,
         |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
         |      / count(*) AS m
-        |  FROM events, cutoff GROUP BY 1, 2)
+        |  FROM d, cutoff GROUP BY 1, 2)
         |SELECT a0.n AS n_a0, a1.n AS n_a1, b0.n AS n_b0,
         |  b1.n AS n_b1,
         |  round(a0.m, 4) AS m_a_pre, round(a1.m, 4) AS m_a_post,
