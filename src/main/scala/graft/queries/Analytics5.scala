@@ -174,6 +174,76 @@ object Analytics5 extends QueryModule {
             (col("m_a1") - col("m_a0")), 4).as("did"))
     },
 
+    // Journey-predictability report: per-user transition ENTROPY over
+    // consecutive event-type pairs, averaged into a small census.
+    // Entropy −Σp·ln p is float-order-sensitive, so each user's term
+    // list is summed after casting to DECIMAL(18,10) (the repo's
+    // add-order-exactness convention); transitions per user are ≤25
+    // distinct types. High-entropy users browse unpredictably —
+    // the signal feeding personalization eligibility.
+    "q357_path_entropy" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"),
+        col("event_id"))
+      val trans = Tables.df(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"),
+          col("event_id"))
+        .withColumn("nxt", lead(col("event_type"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("user_id"), col("event_type"), col("nxt"))
+        .agg(count(lit(1)).as("c"))
+      val perUser = trans.groupBy(col("user_id"))
+        .agg(sum(col("c")).as("n"))
+      val ent = trans.join(perUser, "user_id")
+        .select(col("user_id"),
+          (-(col("c").cast(DoubleType) / col("n")) *
+            log(col("c").cast(DoubleType) / col("n")))
+            .cast(DecimalType(18, 10)).as("term"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("term")).cast(DoubleType).as("h"))
+      ent.agg(count(lit(1)).as("n_users"),
+          round(min(col("h")), 6).as("h_min"),
+          round(max(col("h")), 6).as("h_max"),
+          expr("round(percentile_disc(0.5) WITHIN GROUP " +
+            "(ORDER BY h), 6)").as("h_median"))
+    },
+
+    // Peak concurrency via the SWEEP LINE — the interval-analytics
+    // kernel nothing else covers: sessions (q205's 8h-gap definition)
+    // become +1/−1 boundary events, the ordered running sum is the
+    // live-session count at every boundary, and its max is the
+    // capacity answer "how many sessions were ever open at once".
+    // Ends sort BEFORE starts at the same instant (a session ending
+    // as another starts does not overlap it) via the (t, delta)
+    // order. O(2·sessions) boundary rows, exact integers throughout.
+    "q358_peak_concurrency" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val wSess = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      val marked = Tables.df(s, dir, "events")
+        .select(col("user_id"), col("ts"))
+        .withColumn("prev", lag(col("ts"), 1).over(wSess))
+        .withColumn("new_s",
+          when(col("prev").isNull ||
+            col("ts").cast(LongType) - col("prev").cast(LongType)
+              > 8 * 3600, 1L).otherwise(0L))
+        .withColumn("sid", sum(col("new_s")).over(
+          wSess.rowsBetween(Window.unboundedPreceding, 0)))
+      val sessions = marked.groupBy(col("user_id"), col("sid"))
+        .agg(min(col("ts")).as("t0"), max(col("ts")).as("t1"))
+      val bounds = sessions
+        .select(col("t0").as("t"), lit(1L).as("delta"))
+        .unionAll(sessions.select(col("t1").as("t"),
+          lit(-1L).as("delta")))
+      val wSweep = Window.orderBy(col("t"), col("delta"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      bounds.withColumn("live", sum(col("delta")).over(wSweep))
+        .agg(count(lit(1)).as("n_boundaries"),
+          (count(lit(1)) / 2).cast(LongType).as("n_sessions"),
+          max(col("live")).as("peak_concurrency"),
+          min_by(col("t"), struct(-col("live"), col("t")))
+            .cast(StringType).as("peak_at"))
+    },
+
     // Revenue concentration: Gini coefficient + top-decile share —
     // the inequality readout behind "do 10% of customers carry the
     // business". Spend rides integer CENTS; the Gini rank-weighted
@@ -564,6 +634,57 @@ object Analytics5 extends QueryModule {
   )
 
   override def oracle: Map[String, String] = Map(
+    "q357_path_entropy" ->
+      """WITH tr AS (
+        |  SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS nxt
+        |  FROM events),
+        |cnts AS (
+        |  SELECT user_id, event_type, nxt, count(*) AS c
+        |  FROM tr WHERE nxt IS NOT NULL GROUP BY 1, 2, 3),
+        |pu AS (SELECT user_id, sum(c) AS n FROM cnts GROUP BY 1),
+        |ent AS (
+        |  SELECT c.user_id,
+        |    CAST(sum(CAST(-(c.c::DOUBLE / n) * ln(c.c::DOUBLE / n)
+        |      AS DECIMAL(18,10))) AS DOUBLE) AS h
+        |  FROM cnts c JOIN pu ON c.user_id = pu.user_id
+        |  GROUP BY 1)
+        |SELECT count(*) AS n_users, round(min(h), 6) AS h_min,
+        |  round(max(h), 6) AS h_max,
+        |  round(quantile_disc(h, 0.5), 6) AS h_median
+        |FROM ent""".stripMargin,
+    "q358_peak_concurrency" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR date_diff('second', lag(ts) OVER w, ts) > 28800
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sids AS (
+        |  SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS sid
+        |  FROM marked),
+        |sessions AS (
+        |  SELECT user_id, sid, min(ts) AS t0, max(ts) AS t1
+        |  FROM sids GROUP BY 1, 2),
+        |bounds AS (
+        |  SELECT t0 AS t, 1 AS delta FROM sessions
+        |  UNION ALL SELECT t1, -1 FROM sessions),
+        |sweep AS (
+        |  SELECT t, delta,
+        |    sum(delta) OVER (ORDER BY t, delta ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND CURRENT ROW) AS live
+        |  FROM bounds)
+        |SELECT count(*) AS n_boundaries,
+        |  CAST(count(*) / 2 AS BIGINT) AS n_sessions,
+        |  max(live) AS peak_concurrency,
+        |  CAST(min(CASE WHEN live = (SELECT max(live) FROM sweep)
+        |    THEN t END) AS VARCHAR) AS peak_at
+        |FROM sweep""".stripMargin,
     "q355_ab_ztest" ->
       """WITH expo AS (
         |  SELECT user_id, min(ts) AS exposure FROM events
