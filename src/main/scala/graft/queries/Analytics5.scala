@@ -244,6 +244,51 @@ object Analytics5 extends QueryModule {
             .cast(StringType).as("peak_at"))
     },
 
+    // Interval coverage + time-weighted concurrency — the second
+    // sweep-line report (q358 finds the peak; this integrates):
+    // between consecutive boundaries the live count is constant, so
+    // union-coverage seconds (live ≥ 1) and the occupancy integral
+    // Σ live·dt are exact integer sums over boundary gaps — the
+    // numbers behind "how many license-seconds did we consume" and
+    // "what share of the clock had any activity".
+    "q359_interval_coverage" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val wSess = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      val marked = Tables.df(s, dir, "events")
+        .select(col("user_id"), col("ts"))
+        .withColumn("prev", lag(col("ts"), 1).over(wSess))
+        .withColumn("new_s",
+          when(col("prev").isNull ||
+            col("ts").cast(LongType) - col("prev").cast(LongType)
+              > 8 * 3600, 1L).otherwise(0L))
+        .withColumn("sid", sum(col("new_s")).over(
+          wSess.rowsBetween(Window.unboundedPreceding, 0)))
+      val sessions = marked.groupBy(col("user_id"), col("sid"))
+        .agg(min(col("ts")).cast(LongType).as("t0"),
+          max(col("ts")).cast(LongType).as("t1"))
+      val bounds = sessions.select(col("t0").as("t"), lit(1L).as("delta"))
+        .unionAll(sessions.select(col("t1").as("t"),
+          lit(-1L).as("delta")))
+      val wSweep = Window.orderBy(col("t"), col("delta"))
+      val seg = bounds
+        .withColumn("live", sum(col("delta")).over(
+          wSweep.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("t_next", lead(col("t"), 1).over(wSweep))
+        .filter(col("t_next").isNotNull)
+        .withColumn("dt", col("t_next") - col("t"))
+      seg.agg(
+          sum(when(col("live") >= 1, col("dt")).otherwise(0L))
+            .as("union_seconds"),
+          sum(col("live") * col("dt")).as("occupancy_seconds"),
+          (max(col("t")) - min(col("t"))).as("span_seconds"))
+        .select(col("union_seconds"), col("occupancy_seconds"),
+          col("span_seconds"),
+          round(col("occupancy_seconds").cast(DoubleType) /
+            col("span_seconds"), 4).as("avg_concurrency"),
+          round(col("union_seconds").cast(DoubleType) /
+            col("span_seconds"), 4).as("busy_share"))
+    },
+
     // Revenue concentration: Gini coefficient + top-decile share —
     // the inequality readout behind "do 10% of customers carry the
     // business". Spend rides integer CENTS; the Gini rank-weighted
@@ -634,6 +679,47 @@ object Analytics5 extends QueryModule {
   )
 
   override def oracle: Map[String, String] = Map(
+    "q359_interval_coverage" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts,
+        |    date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts)
+        |      AS te,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR date_diff('second', lag(ts) OVER w, ts) > 28800
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sids AS (
+        |  SELECT user_id, te,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS sid
+        |  FROM marked),
+        |sessions AS (
+        |  SELECT user_id, sid, min(te) AS t0, max(te) AS t1
+        |  FROM sids GROUP BY 1, 2),
+        |bounds AS (
+        |  SELECT t0 AS t, 1 AS delta FROM sessions
+        |  UNION ALL SELECT t1, -1 FROM sessions),
+        |sweep AS (
+        |  SELECT t, delta,
+        |    sum(delta) OVER (ORDER BY t, delta ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND CURRENT ROW) AS live,
+        |    lead(t) OVER (ORDER BY t, delta) AS t_next
+        |  FROM bounds),
+        |seg AS (
+        |  SELECT live, t, t_next - t AS dt FROM sweep
+        |  WHERE t_next IS NOT NULL)
+        |SELECT
+        |  sum(CASE WHEN live >= 1 THEN dt ELSE 0 END)
+        |    AS union_seconds,
+        |  sum(live * dt) AS occupancy_seconds,
+        |  max(t) - min(t) AS span_seconds,
+        |  round(sum(live * dt)::DOUBLE / (max(t) - min(t)), 4)
+        |    AS avg_concurrency,
+        |  round(sum(CASE WHEN live >= 1 THEN dt ELSE 0 END)::DOUBLE
+        |    / (max(t) - min(t)), 4) AS busy_share
+        |FROM seg""".stripMargin,
     "q357_path_entropy" ->
       """WITH tr AS (
         |  SELECT user_id, event_type,

@@ -73,6 +73,43 @@ object Pipeline5 extends QueryModule {
         .orderBy(col("a_id"), col("b_id"))
     },
 
+    // Boilerplate STRIP — the transform that q169's census only
+    // reports: docs are rebuilt with their boilerplate chunks
+    // (32-token fingerprints appearing in ≥3 docs) removed, keeping
+    // the surviving chunks in original order. Output = the changed
+    // docs with their cleaned-text md5 and token count — the oracle
+    // reconstructs every cleaned text independently, so the rebuild
+    // (not just the flag census) is hash-checked. collect_list skips
+    // the nulled boiler chunks; sort_array restores chunk order.
+    "q360_boilerplate_strip" -> { (s, dir) =>
+      val tok = tokens(col("text"))
+      val chunks = Tables.df(s, dir, "documents")
+        .select(col("doc_id"), tok.as("tok"))
+        .select(col("doc_id"),
+          explode(sequence(lit(0), size(col("tok")) - 1, lit(32)))
+            .as("start"), col("tok"))
+        .select(col("doc_id"), col("start"),
+          array_join(slice(col("tok"), col("start") + 1, lit(32)), " ")
+            .as("ct"))
+        .withColumn("h", md5(col("ct").cast(BinaryType)))
+      val boiler = chunks.groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 3).select(col("h").as("bh"))
+      chunks.join(broadcast(boiler), col("h") === col("bh"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("bh").isNull, 1L).otherwise(0L)).as("n_kept"),
+          concat_ws(" ", expr("transform(" +
+            "array_sort(collect_list(CASE WHEN bh IS NULL THEN " +
+            "struct(start, ct) END)), e -> e.ct)")).as("cleaned"))
+        .filter(col("n_kept") < col("n_chunks"))
+        .select(col("doc_id"), col("n_chunks"), col("n_kept"),
+          md5(col("cleaned").cast(BinaryType)).as("cleaned_md5"),
+          size(split(col("cleaned"), " ")).cast(LongType)
+            .as("n_tokens_clean"))
+        .orderBy(col("doc_id"))
+    },
+
     // Dedup-transitivity audit — the diagnostic that decides whether
     // connected-components clustering over-merges: near-dup (j ≥ 0.9)
     // is not transitive in theory, so count the wedges A~B~C whose
@@ -465,6 +502,38 @@ object Pipeline5 extends QueryModule {
   )
 
   override def oracle: Map[String, String] = Map(
+    "q360_boilerplate_strip" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tok
+        |  FROM documents),
+        |starts AS (
+        |  SELECT doc_id, tok,
+        |    unnest(range(0, len(tok), 32)) AS start FROM d),
+        |chunks AS (
+        |  SELECT doc_id, start,
+        |    array_to_string(tok[start+1:start+32], ' ') AS ct,
+        |    md5(array_to_string(tok[start+1:start+32], ' ')) AS h
+        |  FROM starts),
+        |boiler AS (
+        |  SELECT h FROM chunks
+        |  GROUP BY h HAVING count(DISTINCT doc_id) >= 3),
+        |flagged AS (
+        |  SELECT c.doc_id, c.start, c.ct,
+        |    (b.h IS NOT NULL) AS ib
+        |  FROM chunks c LEFT JOIN boiler b ON c.h = b.h),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_chunks,
+        |    sum(CASE WHEN NOT ib THEN 1 ELSE 0 END) AS n_kept,
+        |    coalesce(array_to_string(
+        |      list(ct ORDER BY start) FILTER (NOT ib), ' '), '')
+        |      AS cleaned
+        |  FROM flagged GROUP BY 1)
+        |SELECT doc_id, n_chunks, CAST(n_kept AS BIGINT) AS n_kept,
+        |  md5(cleaned) AS cleaned_md5,
+        |  CAST(len(string_split(cleaned, ' ')) AS BIGINT)
+        |    AS n_tokens_clean
+        |FROM agg WHERE n_kept < n_chunks
+        |ORDER BY doc_id""".stripMargin,
     "q341_tokenizer_fertility" ->
       """SELECT lang, count(*) AS n_docs,
         |  sum(strlen(text)) AS total_bytes,
