@@ -244,6 +244,39 @@ object Analytics5 extends QueryModule {
             .cast(StringType).as("peak_at"))
     },
 
+    // Largest-remainder apportionment — the exact-integer allocation
+    // algorithm behind sampling quotas, budget splits and seat
+    // assignment: distribute S=10000 slots across nations in
+    // proportion to order counts such that the allocations SUM TO
+    // EXACTLY S. Base shares are integer div, the leftover goes to
+    // the largest remainders (exact integer n·S mod T — no float
+    // share ever computed), ties on nation name. The window runs on
+    // the O(nations) census.
+    "q361_largest_remainder" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val cnt = Tables.df(s, dir, "orders")
+        .join(Tables.df(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.df(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"))
+        .agg(count(lit(1)).as("n_orders"))
+      val tot = cnt.agg(sum(col("n_orders")).as("t"),
+        count(lit(1)).as("n_groups"))
+      val w = Window.orderBy(col("rem").desc, col("nation"))
+      val based = cnt.crossJoin(broadcast(tot))
+        .withColumn("base", expr("(n_orders * 10000) div t"))
+        .withColumn("rem", expr("(n_orders * 10000) % t"))
+      val leftover = based.agg(
+        (lit(10000L) - sum(col("base"))).as("lo"))
+      based.crossJoin(broadcast(leftover))
+        .withColumn("rk", row_number().over(w))
+        .select(col("nation"), col("n_orders"),
+          (col("base") + when(col("rk") <= col("lo"), 1L)
+            .otherwise(0L)).as("alloc"))
+        .orderBy(col("nation"))
+    },
+
     // Interval coverage + time-weighted concurrency — the second
     // sweep-line report (q358 finds the peak; this integrates):
     // between consecutive boundaries the live count is constant, so
@@ -679,6 +712,27 @@ object Analytics5 extends QueryModule {
   )
 
   override def oracle: Map[String, String] = Map(
+    "q361_largest_remainder" ->
+      """WITH cnt AS (
+        |  SELECT n_name AS nation, count(*) AS n_orders
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1),
+        |tot AS (SELECT sum(n_orders) AS t FROM cnt),
+        |based AS (
+        |  SELECT nation, n_orders,
+        |    (n_orders * 10000) // t AS base,
+        |    (n_orders * 10000) % t AS rem
+        |  FROM cnt, tot),
+        |lo AS (SELECT 10000 - sum(base) AS lo FROM based),
+        |ranked AS (
+        |  SELECT nation, n_orders, base,
+        |    row_number() OVER (ORDER BY rem DESC, nation) AS rk
+        |  FROM based)
+        |SELECT nation, n_orders,
+        |  base + CASE WHEN rk <= lo THEN 1 ELSE 0 END AS alloc
+        |FROM ranked, lo ORDER BY nation""".stripMargin,
     "q359_interval_coverage" ->
       """WITH marked AS (
         |  SELECT user_id, ts,

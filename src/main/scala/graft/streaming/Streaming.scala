@@ -357,6 +357,55 @@ object Streaming extends QueryModule {
         |ORDER BY et, user_id""".stripMargin)
     },
 
+    // OutputMode.UPDATE + changelog capture — the third output mode
+    // (q85 Append, q88 Complete): each trigger emits only the keys
+    // whose aggregate CHANGED, and foreachBatch lands those deltas
+    // with their batch id as an append-only changelog — the
+    // stream-to-CDC-topic pattern. Reading the table back as
+    // latest-per-key (max batch id wins) must equal the batch census
+    // no matter how the 3 staged slices batched — the changelog
+    // replay contract, oracle-gated.
+    "q362_stream_update_changelog" -> { (s, dir) =>
+      val out = "/tmp/graft_stream_sink/q362_" +
+        Integer.toHexString(dir.hashCode)
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(out))
+      val stage = "/tmp/graft_stream/q362_" +
+        Integer.toHexString(dir.hashCode)
+      val batchEv = graft.Tables.df(s, dir, "events")
+        .select(col("event_type"), col("user_id"), col("value"))
+      batchEv.repartition(3, col("user_id"))
+        .write.mode("overwrite").parquet(stage)
+      val agg = s.readStream.schema(batchEv.schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(D2)).cast(DoubleType).as("sum_v"))
+      withDrainConfs(s, parts = 8) {
+        val q = agg.writeStream
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             bid: Long) =>
+              batch.withColumn("batch_id", lit(bid))
+                .write.mode("append").parquet(out)
+              ()
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("batch_id").desc)
+      s.read.parquet(out)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("event_type").as("et"), col("n"),
+          (col("sum_v").cast(DecimalType(18, 2))).cast(DoubleType)
+            .as("sum_v"))
+        .orderBy(col("et"))
+    },
+
     // Streaming deduplication: dropDuplicates over a key set keeps the
     // first arrival per key in state — the streaming half of the dedup
     // pipeline (batch half: q72/q75). Output = the distinct key set.
@@ -718,6 +767,11 @@ object Streaming extends QueryModule {
   )
 
   override def oracle: Map[String, String] = Map(
+    "q362_stream_update_changelog" ->
+      """SELECT event_type AS et, count(*) AS n,
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2)))
+        |    AS DECIMAL(18,2)) AS DOUBLE) AS sum_v
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q319_stream_cdc_multibatch" ->
       """SELECT event_type AS et, user_id, count(*) AS n,
         |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2)))
