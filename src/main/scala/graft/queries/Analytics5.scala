@@ -244,6 +244,77 @@ object Analytics5 extends QueryModule {
             .cast(StringType).as("peak_at"))
     },
 
+    // Leave-one-out smoothed target encoding — the categorical
+    // feature-engineering op with LEAKAGE PROTECTION built in: each
+    // row's encoding uses its group's target sum MINUS ITS OWN target
+    // ((S−yᵢ+k·prior)/(n−1+k), k=10), so the feature never sees its
+    // own label — the bug that silently inflates every offline metric
+    // when plain target encoding leaks. Group sums ride DECIMAL, each
+    // row's encoding divides once, and the report is the per-group
+    // encoding envelope (min/avg/max).
+    "q363_target_encoding" -> { (s, dir) =>
+      val o = Tables.df(s, dir, "orders")
+        .join(Tables.df(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("seg"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("y"))
+      val g = o.groupBy(col("seg"))
+        .agg(sum(col("y")).as("sy"), count(lit(1)).as("n"))
+      val prior = o.agg(
+        (sum(col("y")).cast(DoubleType) / count(lit(1))).as("prior"))
+      o.join(broadcast(g), "seg").crossJoin(broadcast(prior))
+        .withColumn("enc",
+          ((col("sy") - col("y")).cast(DoubleType) +
+            lit(10.0) * col("prior")) /
+            (col("n") - 1 + 10))
+        .select(col("seg"), col("enc").cast(DecimalType(18, 6))
+          .as("encd"))
+        .groupBy(col("seg"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("encd")).cast(DoubleType), 4).as("enc_min"),
+          round((sum(col("encd")).cast(DoubleType) / count(lit(1))), 4)
+            .as("enc_avg"),
+          round(max(col("encd")).cast(DoubleType), 4).as("enc_max"))
+        .orderBy(col("seg"))
+    },
+
+    // Calibration curve + ECE for the linear scorer — the reliability
+    // check that separates a USEFUL probability from a mere ranking
+    // score: scores bin into 10 fixed-width probability buckets,
+    // each reports predicted-vs-observed positive rate, and ECE is
+    // the count-weighted mean gap. Counts exact; per-bin means are
+    // decimal-cast sums of deterministic doubles, so the gaps — and
+    // their weighted aggregate — are add-order-independent.
+    "q364_calibration_ece" -> { (s, dir) =>
+      val weights = expr(
+        "transform(sequence(0, 63), i -> ((i * 37) % 101 - 50) / 100.0)")
+      val z = aggregate(
+        zip_with(transform(col("embedding"),
+          v => v.cast(DoubleType)), weights, (x, w) => x * w),
+        lit(0.0), (a, x) => a + x)
+      val scored = Tables.df(s, dir, "embeddings")
+        .select((lit(1.0) / (lit(1.0) + exp(-z))).as("score"),
+          (col("label") % 2 === 0).as("truth"))
+        .withColumn("bin",
+          least(lit(10L), (floor(col("score") * 10) + 1)
+            .cast(LongType)))
+      val per = scored.groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("truth"), 1L).otherwise(0L)).as("n_pos"),
+          sum(col("score").cast(DecimalType(18, 8))).as("ssum"))
+      val tot = per.agg(sum(col("n")).as("nt"))
+      per.crossJoin(broadcast(tot))
+        .select(col("bin"), col("n"),
+          round(col("ssum").cast(DoubleType) / col("n"), 6)
+            .as("pred_rate"),
+          round(col("n_pos").cast(DoubleType) / col("n"), 6)
+            .as("obs_rate"),
+          round(abs(col("ssum").cast(DoubleType) / col("n") -
+            col("n_pos").cast(DoubleType) / col("n")) *
+            col("n") / col("nt"), 6).as("ece_part"))
+        .orderBy(col("bin"))
+    },
+
     // Largest-remainder apportionment — the exact-integer allocation
     // algorithm behind sampling quotas, budget splits and seat
     // assignment: distribute S=10000 slots across nations in
@@ -712,6 +783,51 @@ object Analytics5 extends QueryModule {
   )
 
   override def oracle: Map[String, String] = Map(
+    "q363_target_encoding" ->
+      """WITH o AS (
+        |  SELECT c_mktsegment AS seg,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS y
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |g AS (SELECT seg, sum(y) AS sy, count(*) AS n
+        |      FROM o GROUP BY 1),
+        |prior AS (
+        |  SELECT CAST(sum(y) AS DOUBLE) / count(*) AS prior FROM o),
+        |enc AS (
+        |  SELECT o.seg,
+        |    CAST((CAST(sy - y AS DOUBLE) + 10.0 * prior)
+        |      / (n - 1 + 10) AS DECIMAL(18,6)) AS encd
+        |  FROM o JOIN g ON o.seg = g.seg, prior)
+        |SELECT seg, count(*) AS n,
+        |  round(CAST(min(encd) AS DOUBLE), 4) AS enc_min,
+        |  round(CAST(sum(encd) AS DOUBLE) / count(*), 4) AS enc_avg,
+        |  round(CAST(max(encd) AS DOUBLE), 4) AS enc_max
+        |FROM enc GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q364_calibration_ece" ->
+      """WITH scored AS (
+        |  SELECT
+        |    1.0 / (1.0 + exp(-list_sum(list_transform(
+        |      generate_series(0, 63),
+        |      i -> embedding[i + 1] * (((i * 37) % 101 - 50) / 100.0)))))
+        |      AS score,
+        |    (label % 2 = 0) AS truth
+        |  FROM embeddings),
+        |binned AS (
+        |  SELECT least(10, CAST(floor(score * 10) AS BIGINT) + 1)
+        |      AS bin,
+        |    score, truth
+        |  FROM scored),
+        |per AS (
+        |  SELECT bin, count(*) AS n,
+        |    sum(CASE WHEN truth THEN 1 ELSE 0 END) AS n_pos,
+        |    sum(CAST(score AS DECIMAL(18,8))) AS ssum
+        |  FROM binned GROUP BY 1),
+        |tot AS (SELECT sum(n) AS nt FROM per)
+        |SELECT bin, n,
+        |  round(CAST(ssum AS DOUBLE) / n, 6) AS pred_rate,
+        |  round(n_pos::DOUBLE / n, 6) AS obs_rate,
+        |  round(abs(CAST(ssum AS DOUBLE) / n - n_pos::DOUBLE / n)
+        |    * n / nt, 6) AS ece_part
+        |FROM per, tot ORDER BY bin""".stripMargin,
     "q361_largest_remainder" ->
       """WITH cnt AS (
         |  SELECT n_name AS nation, count(*) AS n_orders
