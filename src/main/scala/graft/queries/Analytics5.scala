@@ -244,6 +244,64 @@ object Analytics5 extends QueryModule {
             .cast(StringType).as("peak_at"))
     },
 
+    // Catalog profiling sweep — the ANALYZE-style per-column report a
+    // data catalog materializes: null count, exact distinct count and
+    // row count for the key columns of every fixture table, in ONE
+    // result. Each per-column probe is an independent aggregate
+    // (partial map-side); the union is report-sized. The profiling
+    // loop is DRIVEN BY A COLUMN LIST, not hand-unrolled — the same
+    // code profiles a 500-table warehouse.
+    "q365_profile_sweep" -> { (s, dir) =>
+      val targets = Seq(
+        ("orders", "o_custkey"), ("orders", "o_orderstatus"),
+        ("lineitem", "l_partkey"), ("lineitem", "l_returnflag"),
+        ("customer", "c_nationkey"), ("customer", "c_mktsegment"),
+        ("supplier", "s_nationkey"), ("part", "p_type"),
+        ("events", "event_type"), ("documents", "lang"))
+      targets.map { case (t, c) =>
+        Tables.df(s, dir, t).agg(
+          lit(t).as("tbl"), lit(c).as("col"),
+          count(lit(1)).as("n_rows"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+          countDistinct(col(c)).as("n_distinct"))
+          .select(col("tbl"), col("col"), col("n_rows"),
+            col("n_null"), col("n_distinct"))
+      }.reduce(_ unionAll _)
+        .orderBy(col("tbl"), col("col"))
+    },
+
+    // Candidate-key discovery — the profiling twin: for each proposed
+    // key combo, how many rows share a duplicate key value. A combo
+    // with zero duplicates is a verified candidate key; the report is
+    // what schema-inference and CDC-merge tooling consult before
+    // picking merge keys. Each probe is one grouped census counting
+    // keys with multiplicity > 1 — map-side partial, O(combos) rows.
+    "q366_key_discovery" -> { (s, dir) =>
+      def probe(t: String, cols: Seq[String]): DataFrame = {
+        val df = Tables.df(s, dir, t)
+        df.groupBy(cols.map(col): _*).agg(count(lit(1)).as("c"))
+          .agg(lit(t).as("tbl"),
+            lit(cols.mkString("+")).as("key_cols"),
+            count(lit(1)).as("n_keys"),
+            sum(when(col("c") > 1, col("c")).otherwise(0L))
+              .as("n_dup_rows"))
+          .select(col("tbl"), col("key_cols"), col("n_keys"),
+            col("n_dup_rows"),
+            (col("n_dup_rows") === 0).as("is_candidate_key"))
+      }
+      Seq(
+        probe("orders", Seq("o_orderkey")),
+        probe("orders", Seq("o_custkey")),
+        probe("lineitem", Seq("l_orderkey", "l_linenumber")),
+        probe("lineitem", Seq("l_orderkey")),
+        probe("customer", Seq("c_custkey")),
+        probe("events", Seq("event_id")),
+        probe("events", Seq("user_id", "ts")),
+        probe("documents", Seq("doc_id")))
+        .reduce(_ unionAll _)
+        .orderBy(col("tbl"), col("key_cols"))
+    },
+
     // Leave-one-out smoothed target encoding — the categorical
     // feature-engineering op with LEAKAGE PROTECTION built in: each
     // row's encoding uses its group's target sum MINUS ITS OWN target
@@ -782,7 +840,42 @@ object Analytics5 extends QueryModule {
     }
   )
 
+  /** DuckDB side of q365/q366: generated per-probe UNION ALLs from
+    * the same target lists the engine iterates. */
+  private val q365OracleSql: String =
+    Seq(
+      ("orders", "o_custkey"), ("orders", "o_orderstatus"),
+      ("lineitem", "l_partkey"), ("lineitem", "l_returnflag"),
+      ("customer", "c_nationkey"), ("customer", "c_mktsegment"),
+      ("supplier", "s_nationkey"), ("part", "p_type"),
+      ("events", "event_type"), ("documents", "lang"))
+      .map { case (t, c) =>
+        s"""SELECT '$t' AS tbl, '$c' AS col, count(*) AS n_rows,
+           |  sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS n_null,
+           |  count(DISTINCT $c) AS n_distinct FROM $t""".stripMargin
+      }.mkString("\nUNION ALL\n") + "\nORDER BY tbl, col"
+
+  private val q366OracleSql: String =
+    Seq(
+      ("orders", Seq("o_orderkey")), ("orders", Seq("o_custkey")),
+      ("lineitem", Seq("l_orderkey", "l_linenumber")),
+      ("lineitem", Seq("l_orderkey")),
+      ("customer", Seq("c_custkey")), ("events", Seq("event_id")),
+      ("events", Seq("user_id", "ts")),
+      ("documents", Seq("doc_id")))
+      .map { case (t, cols) =>
+        s"""SELECT '$t' AS tbl, '${cols.mkString("+")}' AS key_cols,
+           |  count(*) AS n_keys,
+           |  sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS n_dup_rows,
+           |  sum(CASE WHEN c > 1 THEN c ELSE 0 END) = 0
+           |    AS is_candidate_key
+           |FROM (SELECT count(*) AS c FROM $t
+           |      GROUP BY ${cols.mkString(", ")})""".stripMargin
+      }.mkString("\nUNION ALL\n") + "\nORDER BY tbl, key_cols"
+
   override def oracle: Map[String, String] = Map(
+    "q365_profile_sweep" -> q365OracleSql,
+    "q366_key_discovery" -> q366OracleSql,
     "q363_target_encoding" ->
       """WITH o AS (
         |  SELECT c_mktsegment AS seg,
