@@ -505,6 +505,38 @@ object Analytics4 extends QueryModule {
         .limit(15)
     },
 
+    // Rich-club coefficient — the core-periphery diagnostic (do hubs
+    // preferentially connect to hubs?): density of the subgraph
+    // induced by the top-k-degree nodes, φ(k) = edges-among-top /
+    // C(k,2), next to the whole-graph density for contrast. Two
+    // semi-joins restrict the edge list to the club (never a node
+    // cross join); k=100 with (degree, id) tiebreaks so the club is
+    // deterministic. Assortativity (q238) asks the question per-edge;
+    // this asks it about the induced SUBGRAPH.
+    "q367_rich_club" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = coPurchaseEdges(s, dir).localCheckpoint()
+      val deg = e.select(col("u").as("x"))
+        .unionAll(e.select(col("v").as("x")))
+        .groupBy(col("x")).agg(count(lit(1)).as("d"))
+      val w = Window.orderBy(col("d").desc, col("x"))
+      val club = deg.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 100).select(col("x"))
+      val clubEdges = e
+        .join(club.toDF("cu"), col("u") === col("cu"), "leftsemi")
+        .join(club.toDF("cv"), col("v") === col("cv"), "leftsemi")
+      val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+      e.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(clubEdges.agg(count(lit(1)).as("n_club_edges")))
+        .crossJoin(broadcast(nNodes))
+        .select(col("n_nodes"), col("n_edges"), col("n_club_edges"),
+          round(col("n_club_edges").cast(DoubleType) /
+            (lit(100.0) * 99.0 / 2.0), 6).as("phi_club"),
+          round(col("n_edges").cast(DoubleType) /
+            (col("n_nodes").cast(DoubleType) *
+              (col("n_nodes") - 1) / 2.0), 6).as("density_all"))
+    },
+
     // Link prediction by common neighbors — the SEVENTH graph
     // operator: for part pairs NOT yet co-purchased, count shared
     // co-purchase neighbors and score neighbor-set Jaccard
@@ -1399,6 +1431,35 @@ object Analytics4 extends QueryModule {
   }
 
   override def oracle: Map[String, String] = Map(
+    "q367_rich_club" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey
+        |      AND a.l_partkey < b.l_partkey),
+        |deg AS MATERIALIZED (
+        |  SELECT x, count(*) AS d FROM (
+        |    SELECT u AS x FROM e UNION ALL SELECT v FROM e)
+        |  GROUP BY 1),
+        |club AS (
+        |  SELECT x FROM (
+        |    SELECT x, row_number() OVER (ORDER BY d DESC, x) AS rk
+        |    FROM deg) WHERE rk <= 100),
+        |ce AS (
+        |  SELECT count(*) AS n_club_edges FROM e
+        |  WHERE u IN (SELECT x FROM club)
+        |    AND v IN (SELECT x FROM club))
+        |SELECT
+        |  (SELECT count(*) FROM deg) AS n_nodes,
+        |  (SELECT count(*) FROM e) AS n_edges,
+        |  n_club_edges,
+        |  round(n_club_edges::DOUBLE / (100.0 * 99.0 / 2.0), 6)
+        |    AS phi_club,
+        |  round((SELECT count(*) FROM e)::DOUBLE /
+        |    ((SELECT count(*) FROM deg)::DOUBLE *
+        |     ((SELECT count(*) FROM deg) - 1) / 2.0), 6)
+        |    AS density_all
+        |FROM ce""".stripMargin,
     "q340_partition_advisor" ->
       """SELECT CAST(CAST(date_trunc('month', l_shipdate) AS DATE)
         |    AS VARCHAR) AS m,

@@ -204,6 +204,42 @@ object Similarity extends QueryModule {
         .orderBy(col("decile"))
     },
 
+    // Within-class embedding OUTLIERS — the mislabel screen run after
+    // q333's separability check: every vector's cosine to its OWN
+    // label centroid, flagged when it falls below the class's 5th
+    // percentile (a percentile_disc DATA value of the 6dp-rounded
+    // cosines, so the threshold is engine-stable). The per-label
+    // report counts suspects and shows the worst member — the review
+    // queue a labeling team actually works through.
+    "q368_embedding_outliers" -> { (s, dir) =>
+      val c = Tables.df(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          asDouble(col("embedding")).as("v"))
+      val cents = c.select(col("label"), posexplode(col("v"))
+          .as(Seq("pos", "x")))
+        .groupBy(col("label"), col("pos")).agg(avg(col("x")).as("cx"))
+        .groupBy(col("label"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("cx"))))
+          .as("pc"))
+        .select(col("label"), expr("transform(pc, e -> e.cx)").as("cv"))
+      val scored = c.join(broadcast(cents), "label")
+        .select(col("label"), col("vec_id"),
+          round(cosine(col("v"), col("cv")), 6).as("cos"))
+      val thr = scored.groupBy(col("label"))
+        .agg(expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY cos)")
+          .as("p05"))
+      scored.join(broadcast(thr), "label")
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("cos") < col("p05"), 1L).otherwise(0L))
+            .as("n_outliers"),
+          min(col("p05")).as("p05"),
+          min_by(col("vec_id"), struct(col("cos"), col("vec_id")))
+            .as("worst_member"),
+          round(min(col("cos")), 6).as("worst_cos"))
+        .orderBy(col("label"))
+    },
+
     // Class-separability matrix — the label-quality check before
     // training a classifier on the embeddings: per-label centroids
     // (one grouped posexplode aggregate) and the pairwise cosine
@@ -809,6 +845,31 @@ object Similarity extends QueryModule {
       .mkString("\nUNION ALL\n")
 
   override def oracle: Map[String, String] = Map(
+    "q368_embedding_outliers" ->
+      """WITH px AS (
+        |  SELECT label, generate_subscripts(embedding, 1) AS pos,
+        |    unnest(embedding::DOUBLE[]) AS x
+        |  FROM embeddings),
+        |cents AS (
+        |  SELECT label, list(cx ORDER BY pos) AS cv FROM (
+        |    SELECT label, pos, avg(x) AS cx FROM px GROUP BY 1, 2)
+        |  GROUP BY label),
+        |scored AS (
+        |  SELECT e.label, e.vec_id,
+        |    round(list_cosine_similarity(e.embedding::DOUBLE[],
+        |      c.cv), 6) AS cos
+        |  FROM embeddings e JOIN cents c ON e.label = c.label),
+        |thr AS (
+        |  SELECT label, quantile_disc(cos, 0.05) AS p05,
+        |    min(cos) AS mc
+        |  FROM scored GROUP BY 1)
+        |SELECT s.label, count(*) AS n,
+        |  sum(CASE WHEN cos < p05 THEN 1 ELSE 0 END) AS n_outliers,
+        |  min(p05) AS p05,
+        |  min(CASE WHEN cos = mc THEN vec_id END) AS worst_member,
+        |  round(min(cos), 6) AS worst_cos
+        |FROM scored s JOIN thr ON s.label = thr.label
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q338_gains_table" ->
       """WITH scored AS (
         |  SELECT vec_id,
