@@ -244,6 +244,85 @@ object Analytics5 extends QueryModule {
             .cast(StringType).as("peak_at"))
     },
 
+    // Time-DECAYED popularity — recency-weighted ranking (what
+    // trending lists actually use): each order contributes weight
+    // 100/(100+age_days), a hyperbolic decay chosen deliberately over
+    // exponential because the ratio of exact integers is one
+    // correctly-rounded division — bit-identical on both engines
+    // where exp() differs at ulp level (libm divergence, the decimal
+    // cast would then flip). Weights cast to DECIMAL(18,10) before
+    // the per-part sum; the report contrasts decayed rank vs plain
+    // count rank to show what recency moved.
+    "q370_decayed_popularity" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val horizon = Tables.df(s, dir, "orders")
+        .agg(max(col("o_orderdate")).as("maxd"))
+      val base = Tables.df(s, dir, "lineitem")
+        .join(Tables.df(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .crossJoin(broadcast(horizon))
+        .select(col("l_partkey").as("part"),
+          datediff(col("maxd").cast(DateType),
+            col("o_orderdate").cast(DateType)).as("age"))
+        .withColumn("w",
+          (lit(100.0) / (lit(100) + col("age")))
+            .cast(DecimalType(18, 10)))
+      val per = base.groupBy(col("part"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("w")).as("dsum"))
+      val wDec = Window.orderBy(col("dsum").desc, col("part"))
+      val wPlain = Window.orderBy(col("n").desc, col("part"))
+      per
+        .withColumn("rk_decayed", row_number().over(wDec)
+          .cast(LongType))
+        .withColumn("rk_plain", row_number().over(wPlain)
+          .cast(LongType))
+        .filter(col("rk_decayed") <= 10)
+        .select(col("rk_decayed"), col("part"), col("n"),
+          round(col("dsum").cast(DoubleType), 4).as("decayed"),
+          col("rk_plain"))
+        .orderBy(col("rk_decayed"))
+    },
+
+    // Autocorrelation function (lags 1..12) of the monthly revenue
+    // series — the periodicity diagnostic read before any seasonal
+    // model: per lag, the Pearson correlation of the series with its
+    // shifted self over the aligned pairs. Every moment (Σx, Σy, Σxy,
+    // Σx², Σy²) is an exact integer-cents sum (decimal(38,0) — the
+    // q327 overflow discipline), so each r_k is a pure function of
+    // exact integers; the lag explode is a ×12 blowup of the
+    // O(months) series.
+    "q369_autocorrelation" -> { (s, dir) =>
+      val monthly = Tables.df(s, dir, "orders")
+        .groupBy((year(col("o_orderdate")) * 12 +
+          month(col("o_orderdate"))).as("mi"))
+        .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
+          .cast(DecimalType(20, 0)).as("vc"))
+      monthly.toDF("mi", "x")
+        .join(broadcast(monthly.toDF("mj", "y")),
+          col("mj") - col("mi") >= 1 && col("mj") - col("mi") <= 12)
+        .withColumn("lag", col("mj") - col("mi"))
+        .groupBy(col("lag"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("x").cast(DecimalType(38, 0))).as("sx"),
+          sum(col("y").cast(DecimalType(38, 0))).as("sy"),
+          sum((col("x") * col("y")).cast(DecimalType(38, 0)))
+            .as("sxy"),
+          sum((col("x") * col("x")).cast(DecimalType(38, 0)))
+            .as("sxx"),
+          sum((col("y") * col("y")).cast(DecimalType(38, 0)))
+            .as("syy"))
+        .select(col("lag"), col("n_pairs"),
+          round((col("n_pairs") * col("sxy") - col("sx") * col("sy"))
+            .cast(DoubleType) /
+            (sqrt((col("n_pairs") * col("sxx") -
+              col("sx") * col("sx")).cast(DoubleType)) *
+             sqrt((col("n_pairs") * col("syy") -
+               col("sy") * col("sy")).cast(DoubleType))), 4)
+            .as("acf"))
+        .orderBy(col("lag"))
+    },
+
     // Catalog profiling sweep — the ANALYZE-style per-column report a
     // data catalog materializes: null count, exact distinct count and
     // row count for the key columns of every fixture table, in ONE
@@ -876,6 +955,50 @@ object Analytics5 extends QueryModule {
   override def oracle: Map[String, String] = Map(
     "q365_profile_sweep" -> q365OracleSql,
     "q366_key_discovery" -> q366OracleSql,
+    "q370_decayed_popularity" ->
+      """WITH horizon AS (SELECT max(o_orderdate) AS maxd FROM orders),
+        |base AS (
+        |  SELECT l_partkey AS part,
+        |    CAST(100.0 / (100 + date_diff('day',
+        |      CAST(o_orderdate AS DATE), CAST(maxd AS DATE)))
+        |      AS DECIMAL(18,10)) AS w
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey, horizon),
+        |per AS (
+        |  SELECT part, count(*) AS n, sum(w) AS dsum
+        |  FROM base GROUP BY 1),
+        |ranked AS (
+        |  SELECT part, n, dsum,
+        |    row_number() OVER (ORDER BY dsum DESC, part)
+        |      AS rk_decayed,
+        |    row_number() OVER (ORDER BY n DESC, part) AS rk_plain
+        |  FROM per)
+        |SELECT CAST(rk_decayed AS BIGINT) AS rk_decayed, part, n,
+        |  round(CAST(dsum AS DOUBLE), 4) AS decayed,
+        |  CAST(rk_plain AS BIGINT) AS rk_plain
+        |FROM ranked WHERE rk_decayed <= 10
+        |ORDER BY rk_decayed""".stripMargin,
+    "q369_autocorrelation" ->
+      """WITH monthly AS (
+        |  SELECT year(o_orderdate) * 12 + month(o_orderdate) AS mi,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+        |      AS HUGEINT) AS vc
+        |  FROM orders GROUP BY 1),
+        |pairs AS (
+        |  SELECT b.mi - a.mi AS lag, a.vc AS x, b.vc AS y
+        |  FROM monthly a JOIN monthly b
+        |    ON b.mi - a.mi BETWEEN 1 AND 12),
+        |m AS (
+        |  SELECT lag, count(*) AS n_pairs,
+        |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+        |    sum(x * x) AS sxx, sum(y * y) AS syy
+        |  FROM pairs GROUP BY 1)
+        |SELECT lag, n_pairs,
+        |  round(CAST(n_pairs * sxy - sx * sy AS DOUBLE) /
+        |    (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)) *
+        |     sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))), 4)
+        |    AS acf
+        |FROM m ORDER BY lag""".stripMargin,
     "q363_target_encoding" ->
       """WITH o AS (
         |  SELECT c_mktsegment AS seg,
