@@ -244,6 +244,75 @@ object Analytics5 extends QueryModule {
             .cast(StringType).as("peak_at"))
     },
 
+    // Join-key skew pre-flight — the report a 100 TB job reads BEFORE
+    // choosing between plain shuffle, broadcast, and q38-style
+    // salting: for each candidate join key, the share of rows carried
+    // by the heaviest key and by the top-10 (a top-1 share near 1/p
+    // partitions means one straggler task owns the stage). Each probe
+    // is a grouped census + a top-k window on the key-grain table;
+    // output is O(keys probed).
+    "q371_skew_preflight" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      def probe(keyCol: String): DataFrame = {
+        val cnt = Tables.df(s, dir, "lineitem")
+          .groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("c"))
+        val w = Window.orderBy(col("c").desc, col("k"))
+        val ranked = cnt.withColumn("rk", row_number().over(w))
+        val tot = cnt.agg(sum(col("c")).as("n"),
+          count(lit(1)).as("n_keys"))
+        ranked.filter(col("rk") <= 10)
+          .agg(max(when(col("rk") === 1, col("c"))).as("top1"),
+            sum(col("c")).as("top10"))
+          .crossJoin(broadcast(tot))
+          .select(lit(keyCol).as("key"), col("n_keys"),
+            round(col("top1").cast(DoubleType) / col("n"), 6)
+              .as("top1_share"),
+            round(col("top10").cast(DoubleType) / col("n"), 6)
+              .as("top10_share"))
+      }
+      Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag")
+        .map(probe).reduce(_ unionAll _)
+        .orderBy(col("key"))
+    },
+
+    // Neyman allocation — optimal stratified sampling: slots go to
+    // strata in proportion to n_h·σ_h (big AND variable strata need
+    // more samples), with the largest-remainder integer finish (q361)
+    // so the quotas sum to exactly 1000. σ comes from exact decimal
+    // moments; the weight products are then identical doubles on both
+    // engines, so remainder ranking cannot diverge.
+    "q372_neyman_allocation" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val st = Tables.df(s, dir, "orders")
+        .select(col("o_orderpriority").as("stratum"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("x"))
+        .groupBy(col("stratum"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"),
+          sum((col("x") * col("x")).cast(DecimalType(38, 4)))
+            .as("sxx"))
+        .withColumn("sigma",
+          sqrt(col("sxx").cast(DoubleType) / col("n") -
+            (col("sx").cast(DoubleType) / col("n")) *
+            (col("sx").cast(DoubleType) / col("n"))))
+        .withColumn("wgt", col("n") * col("sigma"))
+      val tot = st.agg(sum(col("wgt")).as("tw"))
+      val based = st.crossJoin(broadcast(tot))
+        .withColumn("exact_q", col("wgt") * 1000.0 / col("tw"))
+        .withColumn("base", floor(col("exact_q")).cast(LongType))
+        .withColumn("rem", col("exact_q") - col("base"))
+      val leftover = based.agg((lit(1000L) - sum(col("base")))
+        .as("lo"))
+      val w = Window.orderBy(col("rem").desc, col("stratum"))
+      based.crossJoin(broadcast(leftover))
+        .withColumn("rk", row_number().over(w))
+        .select(col("stratum"), col("n"),
+          round(col("sigma"), 2).as("sigma"),
+          (col("base") + when(col("rk") <= col("lo"), 1L)
+            .otherwise(0L)).as("quota"))
+        .orderBy(col("stratum"))
+    },
+
     // Time-DECAYED popularity — recency-weighted ranking (what
     // trending lists actually use): each order contributes weight
     // 100/(100+age_days), a hyperbolic decay chosen deliberately over
@@ -955,6 +1024,53 @@ object Analytics5 extends QueryModule {
   override def oracle: Map[String, String] = Map(
     "q365_profile_sweep" -> q365OracleSql,
     "q366_key_discovery" -> q366OracleSql,
+    "q371_skew_preflight" ->
+      (Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag")
+        .map { k =>
+          s"""SELECT '$k' AS key,
+             |  (SELECT count(DISTINCT $k) FROM lineitem) AS n_keys,
+             |  round(max(c)::DOUBLE
+             |    / (SELECT count(*) FROM lineitem), 6) AS top1_share,
+             |  round(sum(c)::DOUBLE
+             |    / (SELECT count(*) FROM lineitem), 6) AS top10_share
+             |FROM (
+             |  SELECT c FROM (
+             |    SELECT $k AS kk, count(*) AS c,
+             |      row_number() OVER (ORDER BY count(*) DESC, $k)
+             |        AS rk
+             |    FROM lineitem GROUP BY $k)
+             |  WHERE rk <= 10)""".stripMargin
+        }.mkString("\nUNION ALL\n") + "\nORDER BY key"),
+    "q372_neyman_allocation" ->
+      """WITH st AS (
+        |  SELECT o_orderpriority AS stratum, count(*) AS n,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sx,
+        |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) *
+        |      CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+        |      AS sxx
+        |  FROM orders GROUP BY 1),
+        |en AS (
+        |  SELECT stratum, n,
+        |    sqrt(CAST(sxx AS DOUBLE) / n -
+        |      (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+        |      AS sigma
+        |  FROM st),
+        |wgt AS (SELECT stratum, n, sigma, n * sigma AS wgt FROM en),
+        |tot AS (SELECT sum(wgt) AS tw FROM wgt),
+        |based AS (
+        |  SELECT stratum, n, sigma,
+        |    wgt * 1000.0 / tw AS exact_q,
+        |    CAST(floor(wgt * 1000.0 / tw) AS BIGINT) AS base,
+        |    wgt * 1000.0 / tw - floor(wgt * 1000.0 / tw) AS rem
+        |  FROM wgt, tot),
+        |lo AS (SELECT 1000 - sum(base) AS lo FROM based),
+        |ranked AS (
+        |  SELECT stratum, n, sigma, base,
+        |    row_number() OVER (ORDER BY rem DESC, stratum) AS rk
+        |  FROM based)
+        |SELECT stratum, n, round(sigma, 2) AS sigma,
+        |  base + CASE WHEN rk <= lo THEN 1 ELSE 0 END AS quota
+        |FROM ranked, lo ORDER BY stratum""".stripMargin,
     "q370_decayed_popularity" ->
       """WITH horizon AS (SELECT max(o_orderdate) AS maxd FROM orders),
         |base AS (
