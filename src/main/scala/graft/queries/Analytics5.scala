@@ -244,6 +244,58 @@ object Analytics5 extends QueryModule {
             .cast(StringType).as("peak_at"))
     },
 
+    // χ² independence test on the journey transition matrix — the
+    // statistical verdict on q246's descriptive report: are next
+    // events INDEPENDENT of the current one? Expected cell counts are
+    // row-total·col-total/n from exact integers, and each cell
+    // contributes (obs−exp)²/exp. Cells with the largest
+    // contributions are the "sticky" transitions a product team
+    // investigates. One event scan → O(types²) census.
+    "q373_transition_chi2" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"),
+        col("event_id"))
+      val obs = Tables.df(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"),
+          col("event_id"))
+        .withColumn("nxt", lead(col("event_type"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("event_type").as("src"), col("nxt").as("dst"))
+        .agg(count(lit(1)).as("obs"))
+      val rowT = obs.groupBy(col("src")).agg(sum(col("obs")).as("rt"))
+      val colT = obs.groupBy(col("dst")).agg(sum(col("obs")).as("ct"))
+      val tot = obs.agg(sum(col("obs")).as("n"))
+      obs.join(broadcast(rowT), "src").join(broadcast(colT), "dst")
+        .crossJoin(broadcast(tot))
+        .withColumn("exp_n",
+          col("rt").cast(DoubleType) * col("ct") / col("n"))
+        .select(col("src"), col("dst"), col("obs"),
+          round(col("exp_n"), 2).as("exp_n"),
+          round(pow(col("obs") - col("exp_n"), 2) / col("exp_n"), 4)
+            .as("chi2_part"))
+        .orderBy(col("src"), col("dst"))
+    },
+
+    // 2-D histogram (length × token-count grid over documents) — the
+    // joint-distribution heatmap behind every "are these two quality
+    // signals redundant" review; 1-D histograms (q289) can't show the
+    // ridge. Fixed-width integer bucket arithmetic on both axes,
+    // exact cell counts plus both marginals in one census.
+    "q374_hist2d" -> { (s, dir) =>
+      val d = Tables.df(s, dir, "documents")
+        .select((col("n_chars") / lit(200)).cast(LongType).as("bx"),
+          (size(split(col("text"), " ")) / lit(30)).cast(LongType)
+            .as("by"))
+      val cells = d.groupBy(col("bx"), col("by"))
+        .agg(count(lit(1)).as("n"))
+      val mx = d.groupBy(col("bx")).agg(count(lit(1)).as("row_total"))
+      val my = d.groupBy(col("by")).agg(count(lit(1)).as("col_total"))
+      cells.join(broadcast(mx), "bx").join(broadcast(my), "by")
+        .select(col("bx"), col("by"), col("n"), col("row_total"),
+          col("col_total"))
+        .orderBy(col("bx"), col("by"))
+    },
+
     // Join-key skew pre-flight — the report a 100 TB job reads BEFORE
     // choosing between plain shuffle, broadcast, and q38-style
     // salting: for each candidate join key, the share of rows carried
@@ -1024,6 +1076,40 @@ object Analytics5 extends QueryModule {
   override def oracle: Map[String, String] = Map(
     "q365_profile_sweep" -> q365OracleSql,
     "q366_key_discovery" -> q366OracleSql,
+    "q373_transition_chi2" ->
+      """WITH tr AS (
+        |  SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS nxt
+        |  FROM events),
+        |obs AS (
+        |  SELECT event_type AS src, nxt AS dst, count(*) AS obs
+        |  FROM tr WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        |rt AS (SELECT src, sum(obs) AS rt FROM obs GROUP BY 1),
+        |ct AS (SELECT dst, sum(obs) AS ct FROM obs GROUP BY 1),
+        |n AS (SELECT sum(obs) AS n FROM obs)
+        |SELECT obs.src, obs.dst, obs,
+        |  round(rt::DOUBLE * ct / n, 2) AS exp_n,
+        |  round(pow(obs - rt::DOUBLE * ct / n, 2)
+        |    / (rt::DOUBLE * ct / n), 4) AS chi2_part
+        |FROM obs
+        |JOIN rt ON obs.src = rt.src
+        |JOIN ct ON obs.dst = ct.dst, n
+        |ORDER BY obs.src, obs.dst""".stripMargin,
+    "q374_hist2d" ->
+      """WITH d AS (
+        |  SELECT n_chars // 200 AS bx,
+        |    len(string_split(text, ' ')) // 30 AS by
+        |  FROM documents),
+        |cells AS (
+        |  SELECT bx, by, count(*) AS n FROM d GROUP BY 1, 2),
+        |mx AS (SELECT bx, count(*) AS row_total FROM d GROUP BY 1),
+        |my AS (SELECT by, count(*) AS col_total FROM d GROUP BY 1)
+        |SELECT cells.bx, cells.by, n, row_total, col_total
+        |FROM cells
+        |JOIN mx ON cells.bx = mx.bx
+        |JOIN my ON cells.by = my.by
+        |ORDER BY cells.bx, cells.by""".stripMargin,
     "q371_skew_preflight" ->
       (Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag")
         .map { k =>
