@@ -2036,7 +2036,7 @@ object Analytics4 extends QueryModule {
         |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
     "q261_association_rules" ->
       """WITH b AS (
-        |  SELECT DISTINCT l_orderkey AS ok, l_partkey % 500 AS p
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
         |  FROM lineitem),
         |n AS (SELECT count(DISTINCT ok) AS total FROM b),
         |supp AS (SELECT p, count(*) AS sp FROM b GROUP BY 1),
