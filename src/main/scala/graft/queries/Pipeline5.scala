@@ -73,6 +73,42 @@ object Pipeline5 extends QueryModule {
         .orderBy(col("a_id"), col("b_id"))
     },
 
+    // Collocation mining (PMI) — the NLP lexicon extractor: adjacent
+    // token pairs scored by pointwise mutual information, PMI =
+    // ln(c_ab·N²/(B·c_a·c_b)) — deliberately ONE ratio of exact
+    // integer products so the only float ops are a single
+    // correctly-rounded division and one ln; min count 5 kills the
+    // hapax noise, ranking uses the 6dp-rounded PMI with pair
+    // tiebreaks. (q158's LM scores coverage; PMI finds the pairs
+    // MORE bound than chance — different lexicography.)
+    "q376_collocations" -> { (s, dir) =>
+      val toks = Tables.df(s, dir, "documents")
+        .select(tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 2)
+      val bg = toks.select(explode(expr(
+        "transform(sequence(1, size(t) - 1), " +
+          "i -> struct(element_at(t, i) AS a, " +
+          "element_at(t, i + 1) AS b))")).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+      val cab = bg.groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("cab")).filter(col("cab") >= 5)
+      val uni = Tables.df(s, dir, "documents")
+        .select(explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val totals = uni.agg(sum(col("c")).as("nt"))
+        .crossJoin(bg.agg(count(lit(1)).as("bt")))
+      cab
+        .join(broadcast(uni.toDF("ka", "ca")), col("a") === col("ka"))
+        .join(broadcast(uni.toDF("kb", "cb")), col("b") === col("kb"))
+        .crossJoin(broadcast(totals))
+        .select(col("a"), col("b"), col("cab"),
+          round(log((col("cab") * col("nt") * col("nt"))
+            .cast(DoubleType) /
+            (col("bt") * col("ca") * col("cb"))), 6).as("pmi"))
+        .orderBy(col("pmi").desc, col("a"), col("b"))
+        .limit(20)
+    },
+
     // Boilerplate STRIP — the transform that q169's census only
     // reports: docs are rebuilt with their boilerplate chunks
     // (32-token fingerprints appearing in ≥3 docs) removed, keeping
@@ -502,6 +538,30 @@ object Pipeline5 extends QueryModule {
   )
 
   override def oracle: Map[String, String] = Map(
+    "q376_collocations" ->
+      """WITH toks AS (
+        |  SELECT string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |bg AS (
+        |  SELECT t[i] AS a, t[i + 1] AS b
+        |  FROM toks, unnest(range(1, len(t))) AS x(i)),
+        |cab AS (
+        |  SELECT a, b, count(*) AS cab FROM bg GROUP BY 1, 2
+        |  HAVING count(*) >= 5),
+        |uni AS (
+        |  SELECT tok, count(*) AS c FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS tok
+        |    FROM documents) GROUP BY 1),
+        |totals AS (
+        |  SELECT (SELECT sum(c) FROM uni) AS nt,
+        |    (SELECT count(*) FROM bg) AS bt)
+        |SELECT a, b, cab,
+        |  round(ln((cab * nt * nt)::DOUBLE
+        |    / (bt * ua.c * ub.c)), 6) AS pmi
+        |FROM cab
+        |JOIN uni ua ON a = ua.tok
+        |JOIN uni ub ON b = ub.tok, totals
+        |ORDER BY pmi DESC, a, b LIMIT 20""".stripMargin,
     "q360_boilerplate_strip" ->
       """WITH d AS (
         |  SELECT doc_id, string_split(text, ' ') AS tok

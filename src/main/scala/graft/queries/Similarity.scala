@@ -166,6 +166,37 @@ object Similarity extends QueryModule {
         .orderBy(col("i"), col("j"))
     },
 
+    // Rank-sum AUC (Mann–Whitney) for the q284 scorer — the
+    // threshold-free ranking metric that completes the eval suite
+    // (q284 confusion, q338 gains, q364 calibration): AUC =
+    // (Σranks₊ − n₊(n₊+1)/2)/(n₊·n₋) over the deterministic
+    // (score, id) rank order. With id tiebreaks the rank sum is an
+    // exact integer, so AUC is one division — no trapezoid float
+    // accumulation. (Ties take id-order ranks, not midranks —
+    // documented contract, identical on both engines.)
+    "q375_auc_ranksum" -> { (s, dir) =>
+      val weights = expr(
+        "transform(sequence(0, 63), i -> ((i * 37) % 101 - 50) / 100.0)")
+      val z = aggregate(
+        zip_with(asDouble(col("embedding")), weights, (x, w) => x * w),
+        lit(0.0), (a, x) => a + x)
+      val scored = Tables.df(s, dir, "embeddings")
+        .select(col("vec_id"),
+          (lit(1.0) / (lit(1.0) + exp(-z))).as("score"),
+          (col("label") % 2 === 0).as("truth"))
+      val w = Window.orderBy(col("score"), col("vec_id"))
+      scored.withColumn("rk", row_number().over(w).cast(LongType))
+        .agg(
+          sum(when(col("truth"), 1L).otherwise(0L)).as("n_pos"),
+          sum(when(!col("truth"), 1L).otherwise(0L)).as("n_neg"),
+          sum(when(col("truth"), col("rk")).otherwise(0L))
+            .as("rank_sum"))
+        .select(col("n_pos"), col("n_neg"),
+          round((col("rank_sum") -
+            col("n_pos") * (col("n_pos") + 1) / 2).cast(DoubleType) /
+            (col("n_pos") * col("n_neg")), 6).as("auc"))
+    },
+
     // Gains/lift table for the q284 linear scorer — the deployment
     // readout a ranking model ships with: sort by score, cut into
     // deciles, report per-decile positives, cumulative capture and
@@ -845,6 +876,29 @@ object Similarity extends QueryModule {
       .mkString("\nUNION ALL\n")
 
   override def oracle: Map[String, String] = Map(
+    "q375_auc_ranksum" ->
+      """WITH scored AS (
+        |  SELECT vec_id,
+        |    1.0 / (1.0 + exp(-list_sum(list_transform(
+        |      generate_series(0, 63),
+        |      i -> embedding[i + 1] * (((i * 37) % 101 - 50) / 100.0)))))
+        |      AS score,
+        |    (label % 2 = 0) AS truth
+        |  FROM embeddings),
+        |ranked AS (
+        |  SELECT truth,
+        |    row_number() OVER (ORDER BY score, vec_id) AS rk
+        |  FROM scored),
+        |m AS (
+        |  SELECT
+        |    sum(CASE WHEN truth THEN 1 ELSE 0 END) AS n_pos,
+        |    sum(CASE WHEN NOT truth THEN 1 ELSE 0 END) AS n_neg,
+        |    sum(CASE WHEN truth THEN rk ELSE 0 END) AS rank_sum
+        |  FROM ranked)
+        |SELECT n_pos, n_neg,
+        |  round((rank_sum - n_pos * (n_pos + 1) / 2)::DOUBLE
+        |    / (n_pos * n_neg), 6) AS auc
+        |FROM m""".stripMargin,
     "q368_embedding_outliers" ->
       """WITH px AS (
         |  SELECT label, generate_subscripts(embedding, 1) AS pos,
