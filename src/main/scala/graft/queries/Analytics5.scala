@@ -244,6 +244,32 @@ object Analytics5 extends QueryModule {
             .cast(StringType).as("peak_at"))
     },
 
+    // Churn-definition sensitivity — how much the "churned users"
+    // number moves with the inactivity threshold (the 30/60/90-day
+    // argument every retention review has): last-activity age per
+    // user from ONE event scan, then all three thresholds as
+    // conditional sums over the user-grain census — one pass, three
+    // answers, exact integers throughout.
+    "q378_churn_sensitivity" -> { (s, dir) =>
+      val ev = Tables.df(s, dir, "events")
+      val horizon = ev.agg(max(col("ts")).as("maxts"))
+      val per = ev.groupBy(col("user_id"))
+        .agg(max(col("ts")).as("last_ts"))
+        .crossJoin(broadcast(horizon))
+        .select(datediff(col("maxts").cast(DateType),
+          col("last_ts").cast(DateType)).as("age"))
+      per.agg(count(lit(1)).as("n_users"),
+          sum(when(col("age") > 30, 1L).otherwise(0L)).as("churn30"),
+          sum(when(col("age") > 60, 1L).otherwise(0L)).as("churn60"),
+          sum(when(col("age") > 90, 1L).otherwise(0L)).as("churn90"))
+        .select(col("n_users"), col("churn30"), col("churn60"),
+          col("churn90"),
+          round(col("churn30").cast(DoubleType) / col("n_users"), 6)
+            .as("rate30"),
+          round(col("churn90").cast(DoubleType) / col("n_users"), 6)
+            .as("rate90"))
+    },
+
     // χ² independence test on the journey transition matrix — the
     // statistical verdict on q246's descriptive report: are next
     // events INDEPENDENT of the current one? Expected cell counts are
@@ -1076,6 +1102,21 @@ object Analytics5 extends QueryModule {
   override def oracle: Map[String, String] = Map(
     "q365_profile_sweep" -> q365OracleSql,
     "q366_key_discovery" -> q366OracleSql,
+    "q378_churn_sensitivity" ->
+      """WITH horizon AS (SELECT max(ts) AS maxts FROM events),
+        |per AS (
+        |  SELECT date_diff('day', CAST(max(ts) AS DATE),
+        |    CAST((SELECT maxts FROM horizon) AS DATE)) AS age
+        |  FROM events GROUP BY user_id)
+        |SELECT count(*) AS n_users,
+        |  sum(CASE WHEN age > 30 THEN 1 ELSE 0 END) AS churn30,
+        |  sum(CASE WHEN age > 60 THEN 1 ELSE 0 END) AS churn60,
+        |  sum(CASE WHEN age > 90 THEN 1 ELSE 0 END) AS churn90,
+        |  round(sum(CASE WHEN age > 30 THEN 1 ELSE 0 END)::DOUBLE
+        |    / count(*), 6) AS rate30,
+        |  round(sum(CASE WHEN age > 90 THEN 1 ELSE 0 END)::DOUBLE
+        |    / count(*), 6) AS rate90
+        |FROM per""".stripMargin,
     "q373_transition_chi2" ->
       """WITH tr AS (
         |  SELECT user_id, event_type,

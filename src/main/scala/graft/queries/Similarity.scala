@@ -166,6 +166,37 @@ object Similarity extends QueryModule {
         .orderBy(col("i"), col("j"))
     },
 
+    // K-fold metric stability — the last eval-suite piece: the q284
+    // accuracy recomputed in 5 deterministic md5 folds. A metric
+    // whose per-fold spread rivals its headline value is noise, not
+    // signal — the review gate before anyone ships "accuracy
+    // improved". Fold cells are exact integers; per-fold accuracy is
+    // one division; the deterministic split makes the fold table
+    // reproducible run-over-run and engine-over-engine.
+    "q377_cv_folds" -> { (s, dir) =>
+      val weights = expr(
+        "transform(sequence(0, 63), i -> ((i * 37) % 101 - 50) / 100.0)")
+      val z = aggregate(
+        zip_with(asDouble(col("embedding")), weights, (x, w) => x * w),
+        lit(0.0), (a, x) => a + x)
+      Tables.df(s, dir, "embeddings")
+        .select(col("vec_id"),
+          ((lit(1.0) / (lit(1.0) + exp(-z))) >= 0.5).as("pred"),
+          (col("label") % 2 === 0).as("truth"))
+        .withColumn("fold",
+          (conv(substring(md5(concat(lit("cv5"),
+            col("vec_id").cast(StringType))), 1, 2), 16, 10)
+            .cast(LongType) % 5).cast(IntegerType))
+        .groupBy(col("fold"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("pred") === col("truth"), 1L).otherwise(0L))
+            .as("n_correct"))
+        .select(col("fold"), col("n"),
+          round(col("n_correct").cast(DoubleType) / col("n"), 6)
+            .as("accuracy"))
+        .orderBy(col("fold"))
+    },
+
     // Rank-sum AUC (Mann–Whitney) for the q284 scorer — the
     // threshold-free ranking metric that completes the eval suite
     // (q284 confusion, q338 gains, q364 calibration): AUC =
@@ -876,6 +907,28 @@ object Similarity extends QueryModule {
       .mkString("\nUNION ALL\n")
 
   override def oracle: Map[String, String] = Map(
+    "q377_cv_folds" ->
+      """WITH scored AS (
+        |  SELECT vec_id,
+        |    1.0 / (1.0 + exp(-list_sum(list_transform(
+        |      generate_series(0, 63),
+        |      i -> embedding[i + 1] * (((i * 37) % 101 - 50) / 100.0)))))
+        |      >= 0.5 AS pred,
+        |    (label % 2 = 0) AS truth
+        |  FROM embeddings),
+        |folded AS (
+        |  SELECT pred, truth,
+        |    CAST(((strpos('0123456789abcdef', substr(h, 1, 1)) - 1)
+        |      * 16 +
+        |      (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)) % 5
+        |      AS INTEGER) AS fold
+        |  FROM (SELECT pred, truth,
+        |          md5('cv5' || CAST(vec_id AS VARCHAR)) AS h
+        |        FROM scored))
+        |SELECT fold, count(*) AS n,
+        |  round(sum(CASE WHEN pred = truth THEN 1 ELSE 0 END)::DOUBLE
+        |    / count(*), 6) AS accuracy
+        |FROM folded GROUP BY 1 ORDER BY 1""".stripMargin,
     "q375_auc_ranksum" ->
       """WITH scored AS (
         |  SELECT vec_id,
