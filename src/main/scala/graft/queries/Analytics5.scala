@@ -244,6 +244,74 @@ object Analytics5 extends QueryModule {
             .cast(StringType).as("peak_at"))
     },
 
+    // Price–volume decomposition of the YoY revenue change — the
+    // FP&A bridge ("how much of the Δ was price, how much volume"):
+    // over the common part basket of 1996/1997, volume effect =
+    // Δq·p₀ and price effect = q₁·Δp, summing EXACTLY to ΔRev. The
+    // official per-part unit price is computed in HUNDREDTH-CENTS by
+    // half-up integer division, so every later product is a pure
+    // integer product and the bridge closes bit-exactly — double
+    // round() disagrees across engines at .00005 ties, and an FP&A
+    // bridge that doesn't reconcile is worse than none.
+    "q379_price_volume_decomp" -> { (s, dir) =>
+      val li = Tables.df(s, dir, "lineitem")
+        .filter(year(col("l_shipdate")).isin(1996, 1997))
+        .groupBy(col("l_partkey").as("part"),
+          year(col("l_shipdate")).as("y"))
+        .agg(sum(col("l_quantity")).cast(LongType).as("q"),
+          (sum(col("l_extendedprice").cast(DecimalType(18, 2))) *
+            10000).cast(LongType).as("vc"))
+        .withColumn("p4", expr("(2 * vc + q) div (2 * q)"))
+      val basket = li.filter(col("y") === 1996)
+        .select(col("part"), col("q").as("q0"), col("p4").as("p0"))
+        .join(li.filter(col("y") === 1997)
+          .select(col("part"), col("q").as("q1"), col("p4").as("p1")),
+          "part")
+      basket.agg(count(lit(1)).as("n_parts"),
+          sum(((col("q1") - col("q0")) * col("p0"))
+            .cast(DecimalType(38, 0))).as("vol_eff"),
+          sum((col("q1") * (col("p1") - col("p0")))
+            .cast(DecimalType(38, 0))).as("price_eff"),
+          sum((col("q1") * col("p1") - col("q0") * col("p0"))
+            .cast(DecimalType(38, 0))).as("total_delta"))
+        .select(col("n_parts"),
+          (col("vol_eff").cast(DoubleType) / 10000.0)
+            .as("volume_effect"),
+          (col("price_eff").cast(DoubleType) / 10000.0)
+            .as("price_effect"),
+          (col("total_delta").cast(DoubleType) / 10000.0)
+            .as("total_delta"))
+    },
+
+    // Acquisition-cohort quality drift — "are newer customers worse":
+    // per first-order month, cohort size, first-order value (integer
+    // cents, half-up mean — the q345 discipline) and the share who
+    // ever ordered again. First order resolves as a min-struct per
+    // customer (one order-grain pass); the census is O(months).
+    "q380_cohort_quality" -> { (s, dir) =>
+      val per = Tables.df(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(min(struct(col("o_orderdate"), col("o_orderkey"),
+          col("o_totalprice"))).as("f"),
+          count(lit(1)).as("n_orders"))
+        .select(
+          date_trunc("month", col("f.o_orderdate")).cast(DateType)
+            .cast(StringType).as("cohort"),
+          (col("f.o_totalprice").cast(DecimalType(18, 2)) * 100)
+            .cast(LongType).as("first_cents"),
+          (col("n_orders") > 1).as("repeater"))
+      per.groupBy(col("cohort"))
+        .agg(count(lit(1)).as("n_new"),
+          sum(col("first_cents")).as("sc"),
+          sum(when(col("repeater"), 1L).otherwise(0L)).as("n_repeat"))
+        .select(col("cohort"), col("n_new"),
+          (expr("(2 * sc + n_new) div (2 * n_new)") / 100.0)
+            .as("avg_first_value"),
+          round(col("n_repeat").cast(DoubleType) / col("n_new"), 6)
+            .as("repeat_share"))
+        .orderBy(col("cohort"))
+    },
+
     // Churn-definition sensitivity — how much the "churned users"
     // number moves with the inactivity threshold (the 30/60/90-day
     // argument every retention review has): last-activity age per
@@ -1102,6 +1170,51 @@ object Analytics5 extends QueryModule {
   override def oracle: Map[String, String] = Map(
     "q365_profile_sweep" -> q365OracleSql,
     "q366_key_discovery" -> q366OracleSql,
+    "q379_price_volume_decomp" ->
+      """WITH li AS (
+        |  SELECT l_partkey AS part, year(l_shipdate) AS y,
+        |    CAST(sum(l_quantity) AS BIGINT) AS q,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 10000
+        |      AS BIGINT) AS vc
+        |  FROM lineitem WHERE year(l_shipdate) IN (1996, 1997)
+        |  GROUP BY 1, 2),
+        |priced AS (
+        |  SELECT part, y, q, (2 * vc + q) // (2 * q) AS p4 FROM li),
+        |basket AS (
+        |  SELECT a.part, a.q AS q0, a.p4 AS p0,
+        |    b.q AS q1, b.p4 AS p1
+        |  FROM (SELECT * FROM priced WHERE y = 1996) a
+        |  JOIN (SELECT * FROM priced WHERE y = 1997) b
+        |    ON a.part = b.part)
+        |SELECT count(*) AS n_parts,
+        |  CAST(sum(CAST((q1 - q0) * p0 AS HUGEINT)) AS DOUBLE)
+        |    / 10000.0 AS volume_effect,
+        |  CAST(sum(CAST(q1 * (p1 - p0) AS HUGEINT)) AS DOUBLE)
+        |    / 10000.0 AS price_effect,
+        |  CAST(sum(CAST(q1 * p1 - q0 * p0 AS HUGEINT)) AS DOUBLE)
+        |    / 10000.0 AS total_delta
+        |FROM basket""".stripMargin,
+    "q380_cohort_quality" ->
+      """WITH r AS (
+        |  SELECT o_custkey, o_orderdate, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS rk,
+        |    count(*) OVER (PARTITION BY o_custkey) AS n_orders
+        |  FROM orders),
+        |flat AS (
+        |  SELECT
+        |    CAST(CAST(date_trunc('month', o_orderdate) AS DATE)
+        |      AS VARCHAR) AS cohort,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT) AS first_cents,
+        |    (n_orders > 1) AS repeater
+        |  FROM r WHERE rk = 1)
+        |SELECT cohort, count(*) AS n_new,
+        |  ((2 * sum(first_cents) + count(*)) // (2 * count(*)))
+        |    / 100.0 AS avg_first_value,
+        |  round(sum(CASE WHEN repeater THEN 1 ELSE 0 END)::DOUBLE
+        |    / count(*), 6) AS repeat_share
+        |FROM flat GROUP BY 1 ORDER BY 1""".stripMargin,
     "q378_churn_sensitivity" ->
       """WITH horizon AS (SELECT max(ts) AS maxts FROM events),
         |per AS (
