@@ -244,6 +244,73 @@ object Analytics5 extends QueryModule {
             .cast(StringType).as("peak_at"))
     },
 
+    // Dwell time per transition — the "how long do users hesitate
+    // between steps" report that q246's counts and q373's χ² don't
+    // answer: per (from, to) event pair, the median and p90 of the
+    // inter-event gap in integer seconds (percentile_disc data
+    // values — engine-stable). One LEAD pass, one census.
+    "q381_transition_dwell" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"),
+        col("event_id"))
+      Tables.df(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"),
+          col("event_id"))
+        .withColumn("nxt", lead(col("event_type"), 1).over(w))
+        .withColumn("gap",
+          lead(col("ts").cast(LongType), 1).over(w) -
+            col("ts").cast(LongType))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("event_type").as("src"), col("nxt").as("dst"))
+        .agg(count(lit(1)).as("n"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY gap)")
+            .as("p50_gap_s"),
+          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY gap)")
+            .as("p90_gap_s"))
+        .orderBy(col("src"), col("dst"))
+    },
+
+    // Markov steady-state of the journey chain — the long-run share
+    // of attention each event type commands, read from 10 unrolled
+    // power-iteration steps over the 5×5 transition matrix (fixed
+    // steps = deterministic and SQL-unrollable, the q258/q315
+    // convention). Transition probabilities are exact integer ratios;
+    // each step's matrix–vector products cast their 5 addends to
+    // DECIMAL(28,18) so the accumulation is add-order-exact — after
+    // 10 steps the vector is stationary to ~1e-6 and both engines
+    // carry the IDENTICAL decimals all the way.
+    "q382_markov_steady" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"),
+        col("event_id"))
+      val trans = Tables.df(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"),
+          col("event_id"))
+        .withColumn("nxt", lead(col("event_type"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("event_type").as("src"), col("nxt").as("dst"))
+        .agg(count(lit(1)).as("c"))
+      val rowT = trans.groupBy(col("src")).agg(sum(col("c")).as("rt"))
+      val p = trans.join(rowT, "src")
+        .select(col("src"), col("dst"),
+          (col("c").cast(DoubleType) / col("rt")).as("p"))
+        .localCheckpoint()
+      val n0 = p.select(col("src").as("state")).distinct()
+        .crossJoin(broadcast(
+          p.select(col("src")).distinct().agg(count(lit(1)).as("k"))))
+        .select(col("state"), (lit(1.0) / col("k")).as("pi"))
+      val steady = (1 to 10).foldLeft(n0) { (cur, _) =>
+        cur.join(p, col("state") === col("src"))
+          .select(col("dst"),
+            (col("pi") * col("p")).cast(DecimalType(28, 18)).as("m"))
+          .groupBy(col("dst")).agg(sum(col("m")).cast(DoubleType)
+            .as("pi"))
+          .select(col("dst").as("state"), col("pi"))
+      }
+      steady.select(col("state"), round(col("pi"), 6).as("pi"))
+        .orderBy(col("state"))
+    },
+
     // Price–volume decomposition of the YoY revenue change — the
     // FP&A bridge ("how much of the Δ was price, how much volume"):
     // over the common part basket of 1996/1997, volume effect =
@@ -1167,7 +1234,54 @@ object Analytics5 extends QueryModule {
            |      GROUP BY ${cols.mkString(", ")})""".stripMargin
       }.mkString("\nUNION ALL\n") + "\nORDER BY tbl, key_cols"
 
+  /** DuckDB side of q382: the 10 power-iteration steps unrolled. */
+  private val q382OracleSql: String = {
+    val steps = (1 to 10).map { i =>
+      s"""v$i AS (
+         |  SELECT p.dst AS state,
+         |    CAST(sum(CAST(v${i - 1}.pi * p.p AS DECIMAL(28,18)))
+         |      AS DOUBLE) AS pi
+         |  FROM v${i - 1} JOIN p ON v${i - 1}.state = p.src
+         |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tr AS (
+       |  SELECT user_id, event_type,
+       |    lead(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS nxt
+       |  FROM events),
+       |trans AS (
+       |  SELECT event_type AS src, nxt AS dst, count(*) AS c
+       |  FROM tr WHERE nxt IS NOT NULL GROUP BY 1, 2),
+       |rt AS (SELECT src, sum(c) AS rt FROM trans GROUP BY 1),
+       |p AS MATERIALIZED (
+       |  SELECT trans.src, dst, c::DOUBLE / rt AS p
+       |  FROM trans JOIN rt ON trans.src = rt.src),
+       |v0 AS (
+       |  SELECT src AS state,
+       |    1.0 / (SELECT count(DISTINCT src) FROM p) AS pi
+       |  FROM (SELECT DISTINCT src FROM p)),
+       |$steps
+       |SELECT state, round(pi, 6) AS pi FROM v10
+       |ORDER BY state""".stripMargin
+  }
+
   override def oracle: Map[String, String] = Map(
+    "q381_transition_dwell" ->
+      """WITH tr AS (
+        |  SELECT user_id, event_type,
+        |    lead(event_type) OVER w AS nxt,
+        |    lead(date_diff('second',
+        |      TIMESTAMP '1970-01-01 00:00:00', ts)) OVER w -
+        |      date_diff('second',
+        |        TIMESTAMP '1970-01-01 00:00:00', ts) AS gap
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT event_type AS src, nxt AS dst, count(*) AS n,
+        |  quantile_disc(gap, 0.5) AS p50_gap_s,
+        |  quantile_disc(gap, 0.9) AS p90_gap_s
+        |FROM tr WHERE nxt IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q382_markov_steady" -> q382OracleSql,
     "q365_profile_sweep" -> q365OracleSql,
     "q366_key_discovery" -> q366OracleSql,
     "q379_price_volume_decomp" ->
