@@ -244,6 +244,69 @@ object Analytics5 extends QueryModule {
             .cast(StringType).as("peak_at"))
     },
 
+    // Metrics-layer grain fan-out — the metrics-store pattern: ONE
+    // pass emits the same revenue metric at month, quarter and year
+    // grain via grouping sets (Expand replicates each row into its 3
+    // grains — the q314 all-granularities trick pointed at a metric
+    // catalog instead of sketches). The grain label makes the result
+    // a well-typed metrics table, not a cube with nulls; exact
+    // decimal sums per cell.
+    "q383_metrics_grains" -> { (s, dir) =>
+      val o = Tables.df(s, dir, "orders")
+        .select(
+          date_trunc("month", col("o_orderdate")).cast(DateType)
+            .cast(StringType).as("m"),
+          concat(year(col("o_orderdate")), lit("-Q"),
+            quarter(col("o_orderdate"))).as("q"),
+          year(col("o_orderdate")).cast(StringType).as("y"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("v"))
+      o.groupBy(col("m"), col("q"), col("y"))
+        .agg(count(lit(1)).as("pn"), sum(col("v")).as("pv"))
+        .select(explode(array(
+          struct(lit("month").as("grain"), col("m").as("period"),
+            col("pn"), col("pv")),
+          struct(lit("quarter").as("grain"), col("q").as("period"),
+            col("pn"), col("pv")),
+          struct(lit("year").as("grain"), col("y").as("period"),
+            col("pn"), col("pv")))).as("e"))
+        .select(col("e.grain").as("grain"), col("e.period").as("period"),
+          col("e.pn").as("pn"), col("e.pv").as("pv"))
+        .groupBy(col("grain"), col("period"))
+        .agg(sum(col("pn")).as("n_orders"),
+          sum(col("pv")).cast(DoubleType).as("revenue"))
+        .orderBy(col("grain"), col("period"))
+    },
+
+    // Storage-tier simulation — the lifecycle-policy costing every
+    // lakehouse team runs before enabling tiering: partitions older
+    // than 90/365 days (from the data's own horizon) map to
+    // warm/cold, and the report totals rows and estimated bytes
+    // (q340's explicit width formula) per tier — the input to "what
+    // does S3-IA actually save us". Exact integers end to end.
+    "q384_storage_tiering" -> { (s, dir) =>
+      val li = Tables.df(s, dir, "lineitem")
+      val horizon = li.agg(max(col("l_shipdate")).as("maxd"))
+      val bytesPerRow = lit(68) +
+        octet_length(col("l_returnflag")) +
+        octet_length(col("l_linestatus"))
+      li.crossJoin(broadcast(horizon))
+        .select(
+          when(datediff(col("maxd").cast(DateType),
+            col("l_shipdate").cast(DateType)) <= 90, "1_hot")
+            .when(datediff(col("maxd").cast(DateType),
+              col("l_shipdate").cast(DateType)) <= 365, "2_warm")
+            .otherwise("3_cold").as("tier"),
+          bytesPerRow.cast(LongType).as("b"))
+        .groupBy(col("tier"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("b")).as("est_bytes"))
+        .withColumn("share",
+          round(col("est_bytes").cast(DoubleType) /
+            sum(col("est_bytes")).over(
+              org.apache.spark.sql.expressions.Window.partitionBy()),
+            6))
+        .orderBy(col("tier"))
+    },
+
     // Dwell time per transition — the "how long do users hesitate
     // between steps" report that q246's counts and q373's χ² don't
     // answer: per (from, to) event pair, the median and p90 of the
@@ -1266,6 +1329,42 @@ object Analytics5 extends QueryModule {
   }
 
   override def oracle: Map[String, String] = Map(
+    "q383_metrics_grains" ->
+      """WITH base AS (
+        |  SELECT
+        |    CAST(CAST(date_trunc('month', o_orderdate) AS DATE)
+        |      AS VARCHAR) AS m,
+        |    CAST(year(o_orderdate) AS VARCHAR) || '-Q' ||
+        |      CAST(quarter(o_orderdate) AS VARCHAR) AS q,
+        |    CAST(year(o_orderdate) AS VARCHAR) AS y,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS v
+        |  FROM orders)
+        |SELECT grain, period, count(*) AS n_orders,
+        |  CAST(sum(v) AS DOUBLE) AS revenue
+        |FROM (
+        |  SELECT 'month' AS grain, m AS period, v FROM base
+        |  UNION ALL SELECT 'quarter', q, v FROM base
+        |  UNION ALL SELECT 'year', y, v FROM base)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q384_storage_tiering" ->
+      """WITH horizon AS (SELECT max(l_shipdate) AS maxd
+        |  FROM lineitem),
+        |tiers AS (
+        |  SELECT CASE
+        |      WHEN date_diff('day', CAST(l_shipdate AS DATE),
+        |        CAST(maxd AS DATE)) <= 90 THEN '1_hot'
+        |      WHEN date_diff('day', CAST(l_shipdate AS DATE),
+        |        CAST(maxd AS DATE)) <= 365 THEN '2_warm'
+        |      ELSE '3_cold' END AS tier,
+        |    68 + strlen(l_returnflag) + strlen(l_linestatus) AS b
+        |  FROM lineitem, horizon),
+        |per AS (
+        |  SELECT tier, count(*) AS n_rows, sum(b) AS est_bytes
+        |  FROM tiers GROUP BY 1)
+        |SELECT tier, n_rows, est_bytes,
+        |  round(est_bytes::DOUBLE
+        |    / (SELECT sum(est_bytes) FROM per), 6) AS share
+        |FROM per ORDER BY tier""".stripMargin,
     "q381_transition_dwell" ->
       """WITH tr AS (
         |  SELECT user_id, event_type,
