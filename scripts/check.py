@@ -27,6 +27,42 @@ def canon(df):
     return df
 
 
+def type_class(t):
+    """Collapse a DuckDB type to the class the driver's type-sensitive
+    hash distinguishes. HUGEINT is its own class: DuckDB sum(BIGINT)
+    returns HUGEINT, which the driver renders differently from Spark's
+    int64 even when every value is equal (round-9 lesson: 27 red rows)."""
+    s = str(t).upper()
+    if s in ("HUGEINT", "UHUGEINT"):
+        return "hugeint"
+    if s in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if s in ("FLOAT", "DOUBLE") or s.startswith("DECIMAL"):
+        return "float"  # driver canonicalization coerces DECIMAL→float
+    if s == "DATE" or s.startswith("TIMESTAMP"):
+        return "datetime"  # driver coerces DATE→datetime64 (r9: q216 et al green)
+    return s
+
+
+def type_mismatches(con, files, sql):
+    """Compare result-parquet column types vs oracle relation types by
+    class, WITHOUT fetching data (pandas coercion hides exactly the
+    mismatches the driver flags)."""
+    got_rel = con.sql(f"SELECT * FROM read_parquet({files!r})")
+    exp_rel = con.sql(sql)
+    got_t = dict(zip(got_rel.columns, [str(t) for t in got_rel.types]))
+    exp_t = dict(zip(exp_rel.columns, [str(t) for t in exp_rel.types]))
+    bad = []
+    for c in got_t:
+        if c not in exp_t:
+            continue  # schema compare happens later on the fetched frames
+        gc, ec = type_class(got_t[c]), type_class(exp_t[c])
+        if gc != ec or gc == "hugeint" or ec == "hugeint":
+            bad.append(f"{c}: spark={got_t[c]} oracle={exp_t[c]}")
+    return bad
+
+
 def cmp_cell(a, b):
     if a is None and b is None:
         return True
@@ -46,7 +82,9 @@ def cmp_cell(a, b):
         if a is None or b is None or len(a) != len(b):
             return False
         return all(cmp_cell(x, y) for x, y in zip(a, b))
-    return a == b
+    # bool(): numpy scalars compare to numpy.bool_, which is NOT the
+    # Python False singleton — `r is False` would silently pass mismatches
+    return bool(a == b)
 
 
 def main():
@@ -72,6 +110,10 @@ def main():
         except Exception as e:  # noqa: BLE001
             results[name] = f"ORACLE-ERROR {e}"
             continue
+        tbad = type_mismatches(con, files, oracles[name])
+        if tbad:
+            results[name] = f"TYPE-MISMATCH {'; '.join(tbad)}"
+            continue
         got, exp = canon(got), canon(exp)
         if list(got.columns) != list(exp.columns):
             results[name] = f"SCHEMA-MISMATCH got={list(got.columns)} exp={list(exp.columns)}"
@@ -85,7 +127,7 @@ def main():
                 r = cmp_cell(got[c].iloc[i], exp[c].iloc[i])
                 if r == "approx":
                     approx += 1
-                elif r is False:
+                elif not r:
                     bad.append((i, c, got[c].iloc[i], exp[c].iloc[i]))
         if bad:
             results[name] = f"VALUE-MISMATCH {len(bad)} cells, first={bad[0]}"
