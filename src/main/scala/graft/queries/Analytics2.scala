@@ -475,13 +475,13 @@ object Analytics2 extends QueryModule {
         |  FROM e),
         |sess AS (
         |  SELECT user_id, event_type, us,
-        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_seq
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_seq
         |  FROM flagged)
         |SELECT user_id, sess_seq, count(*) AS n_events,
         |  (max(us) - min(us)) // 1000000 AS dur_sec,
-        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-        |    AS n_purchases
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_purchases
         |FROM sess GROUP BY user_id, sess_seq
         |ORDER BY user_id, sess_seq""".stripMargin
   )

@@ -1464,8 +1464,8 @@ object Analytics4 extends QueryModule {
       """SELECT CAST(CAST(date_trunc('month', l_shipdate) AS DATE)
         |    AS VARCHAR) AS m,
         |  count(*) AS n_rows,
-        |  sum(68 + strlen(l_returnflag) + strlen(l_linestatus))
-        |    AS est_bytes,
+        |  CAST(sum(68 + strlen(l_returnflag) + strlen(l_linestatus))
+        |    AS BIGINT) AS est_bytes,
         |  greatest(1, CAST(ceil(
         |    sum(68 + strlen(l_returnflag) + strlen(l_linestatus))
         |      / (128.0 * 1024 * 1024)) AS BIGINT)) AS rec_files
@@ -1500,10 +1500,14 @@ object Analytics4 extends QueryModule {
         |  FROM documents),
         |c AS (
         |  SELECT count(*) AS n,
-        |    sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS n11,
-        |    sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS n00,
-        |    sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS n10,
-        |    sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS n01
+        |    CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n11,
+        |    CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n00,
+        |    CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n10,
+        |    CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n01
         |  FROM d),
         |p AS (
         |  SELECT n, n11, n00, n10, n01,
@@ -1571,7 +1575,7 @@ object Analytics4 extends QueryModule {
         |  SELECT flag, sum(w) AS totw, count(*) AS n_lines
         |  FROM li GROUP BY 1)
         |SELECT c.flag, min(v) AS wmedian, min(n_lines) AS n_lines,
-        |  min(totw) AS total_weight
+        |  CAST(min(totw) AS BIGINT) AS total_weight
         |FROM c JOIN tot ON c.flag = tot.flag
         |WHERE cumw * 2 >= totw
         |GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -1595,12 +1599,12 @@ object Analytics4 extends QueryModule {
         |      AS sd
         |  FROM stats)
         |SELECT o.prio, count(*) AS n,
-        |  sum(CASE WHEN abs(x - mean) > 2.0 * sd THEN 1 ELSE 0 END)
-        |    AS n_z2,
-        |  sum(CASE WHEN x > p75 + 1.5 * (p75 - p25) THEN 1 ELSE 0 END)
-        |    AS n_iqr_high,
-        |  sum(CASE WHEN x > mn + 0.95 * (mx - mn) THEN 1 ELSE 0 END)
-        |    AS n_top5
+        |  CAST(sum(CASE WHEN abs(x - mean) > 2.0 * sd THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_z2,
+        |  CAST(sum(CASE WHEN x > p75 + 1.5 * (p75 - p25) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_iqr_high,
+        |  CAST(sum(CASE WHEN x > mn + 0.95 * (mx - mn) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_top5
         |FROM o JOIN enriched ON o.prio = enriched.prio
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q327_cusum_changepoint" ->
@@ -1650,7 +1654,8 @@ object Analytics4 extends QueryModule {
         |      AND fp.fp <= exposure + INTERVAL 6 HOUR) AS converted
         |  FROM expo LEFT JOIN fp ON expo.user_id = fp.user_id)
         |SELECT variant, count(*) AS n_users,
-        |  sum(CASE WHEN converted THEN 1 ELSE 0 END) AS n_converters,
+        |  CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_converters,
         |  round(sum(CASE WHEN converted THEN 1 ELSE 0 END)::DOUBLE
         |    / count(*), 6) AS conv_rate
         |FROM flagged GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -1759,11 +1764,12 @@ object Analytics4 extends QueryModule {
         |    ON c_nationkey = s_nationkey
         |      OR c_custkey % 50 = s_suppkey % 50)
         |SELECT count(*) AS n_pairs,
-        |  sum(CASE WHEN fn = 1 AND fm = 1 THEN 1 ELSE 0 END) AS n_both,
-        |  sum(CASE WHEN fn = 1 AND fm = 0 THEN 1 ELSE 0 END)
-        |    AS n_nation_only,
-        |  sum(CASE WHEN fn = 0 AND fm = 1 THEN 1 ELSE 0 END)
-        |    AS n_mod_only
+        |  CAST(sum(CASE WHEN fn = 1 AND fm = 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_both,
+        |  CAST(sum(CASE WHEN fn = 1 AND fm = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_nation_only,
+        |  CAST(sum(CASE WHEN fn = 0 AND fm = 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_mod_only
         |FROM p""".stripMargin,
     "q308_above_avg_returns" ->
       """WITH per AS (
@@ -1801,8 +1807,9 @@ object Analytics4 extends QueryModule {
         |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS good
         |  FROM orders, bnds),
         |per AS (
-        |  SELECT bin, count(*) AS n, sum(good) AS n_good,
-        |    count(*) - sum(good) AS n_bad
+        |  SELECT bin, count(*) AS n,
+        |    CAST(sum(good) AS BIGINT) AS n_good,
+        |    CAST(count(*) - sum(good) AS BIGINT) AS n_bad
         |  FROM binned GROUP BY bin),
         |tot AS (
         |  SELECT sum(n_good) AS tot_good, sum(n_bad) AS tot_bad
@@ -1828,8 +1835,8 @@ object Analytics4 extends QueryModule {
         |  WHERE first_click IS NOT NULL AND first_purchase IS NOT NULL
         |    AND first_purchase > first_click)
         |SELECT count(*) AS n_converters,
-        |  quantile_disc(lat_s, 0.5) AS p50_s,
-        |  quantile_disc(lat_s, 0.9) AS p90_s,
+        |  CAST(quantile_disc(lat_s, 0.5) AS DOUBLE) AS p50_s,
+        |  CAST(quantile_disc(lat_s, 0.9) AS DOUBLE) AS p90_s,
         |  min(lat_s) AS min_s, max(lat_s) AS max_s
         |FROM lat""".stripMargin,
     "q307_skyline" ->

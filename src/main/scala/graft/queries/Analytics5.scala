@@ -1275,7 +1275,8 @@ object Analytics5 extends QueryModule {
       ("events", "event_type"), ("documents", "lang"))
       .map { case (t, c) =>
         s"""SELECT '$t' AS tbl, '$c' AS col, count(*) AS n_rows,
-           |  sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS n_null,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_null,
            |  count(DISTINCT $c) AS n_distinct FROM $t""".stripMargin
       }.mkString("\nUNION ALL\n") + "\nORDER BY tbl, col"
 
@@ -1290,7 +1291,8 @@ object Analytics5 extends QueryModule {
       .map { case (t, cols) =>
         s"""SELECT '$t' AS tbl, '${cols.mkString("+")}' AS key_cols,
            |  count(*) AS n_keys,
-           |  sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS n_dup_rows,
+           |  CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END)
+           |    AS BIGINT) AS n_dup_rows,
            |  sum(CASE WHEN c > 1 THEN c ELSE 0 END) = 0
            |    AS is_candidate_key
            |FROM (SELECT count(*) AS c FROM $t
@@ -1359,7 +1361,8 @@ object Analytics5 extends QueryModule {
         |    68 + strlen(l_returnflag) + strlen(l_linestatus) AS b
         |  FROM lineitem, horizon),
         |per AS (
-        |  SELECT tier, count(*) AS n_rows, sum(b) AS est_bytes
+        |  SELECT tier, count(*) AS n_rows,
+        |    CAST(sum(b) AS BIGINT) AS est_bytes
         |  FROM tiers GROUP BY 1)
         |SELECT tier, n_rows, est_bytes,
         |  round(est_bytes::DOUBLE
@@ -1376,8 +1379,8 @@ object Analytics5 extends QueryModule {
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
         |SELECT event_type AS src, nxt AS dst, count(*) AS n,
-        |  quantile_disc(gap, 0.5) AS p50_gap_s,
-        |  quantile_disc(gap, 0.9) AS p90_gap_s
+        |  CAST(quantile_disc(gap, 0.5) AS DOUBLE) AS p50_gap_s,
+        |  CAST(quantile_disc(gap, 0.9) AS DOUBLE) AS p90_gap_s
         |FROM tr WHERE nxt IS NOT NULL
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q382_markov_steady" -> q382OracleSql,
@@ -1435,9 +1438,12 @@ object Analytics5 extends QueryModule {
         |    CAST((SELECT maxts FROM horizon) AS DATE)) AS age
         |  FROM events GROUP BY user_id)
         |SELECT count(*) AS n_users,
-        |  sum(CASE WHEN age > 30 THEN 1 ELSE 0 END) AS churn30,
-        |  sum(CASE WHEN age > 60 THEN 1 ELSE 0 END) AS churn60,
-        |  sum(CASE WHEN age > 90 THEN 1 ELSE 0 END) AS churn90,
+        |  CAST(sum(CASE WHEN age > 30 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS churn30,
+        |  CAST(sum(CASE WHEN age > 60 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS churn60,
+        |  CAST(sum(CASE WHEN age > 90 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS churn90,
         |  round(sum(CASE WHEN age > 30 THEN 1 ELSE 0 END)::DOUBLE
         |    / count(*), 6) AS rate30,
         |  round(sum(CASE WHEN age > 90 THEN 1 ELSE 0 END)::DOUBLE
@@ -1632,7 +1638,8 @@ object Analytics5 extends QueryModule {
         |    row_number() OVER (ORDER BY rem DESC, nation) AS rk
         |  FROM based)
         |SELECT nation, n_orders,
-        |  base + CASE WHEN rk <= lo THEN 1 ELSE 0 END AS alloc
+        |  CAST(base + CASE WHEN rk <= lo THEN 1 ELSE 0 END
+        |    AS BIGINT) AS alloc
         |FROM ranked, lo ORDER BY nation""".stripMargin,
     "q359_interval_coverage" ->
       """WITH marked AS (
@@ -1666,9 +1673,9 @@ object Analytics5 extends QueryModule {
         |  SELECT live, t, t_next - t AS dt FROM sweep
         |  WHERE t_next IS NOT NULL)
         |SELECT
-        |  sum(CASE WHEN live >= 1 THEN dt ELSE 0 END)
-        |    AS union_seconds,
-        |  sum(live * dt) AS occupancy_seconds,
+        |  CAST(sum(CASE WHEN live >= 1 THEN dt ELSE 0 END)
+        |    AS BIGINT) AS union_seconds,
+        |  CAST(sum(live * dt) AS BIGINT) AS occupancy_seconds,
         |  max(t) - min(t) AS span_seconds,
         |  round(sum(live * dt)::DOUBLE / (max(t) - min(t)), 4)
         |    AS avg_concurrency,
@@ -1722,7 +1729,7 @@ object Analytics5 extends QueryModule {
         |  FROM bounds)
         |SELECT count(*) AS n_boundaries,
         |  CAST(count(*) / 2 AS BIGINT) AS n_sessions,
-        |  max(live) AS peak_concurrency,
+        |  CAST(max(live) AS BIGINT) AS peak_concurrency,
         |  CAST(min(CASE WHEN live = (SELECT max(live) FROM sweep)
         |    THEN t END) AS VARCHAR) AS peak_at
         |FROM sweep""".stripMargin,
@@ -1883,7 +1890,8 @@ object Analytics5 extends QueryModule {
         |      PRECEDING AND CURRENT ROW)::DOUBLE / t_o) AS gap,
         |    tf, t_o
         |  FROM per, tot)
-        |SELECT min(tf) AS n_f, min(t_o) AS n_o,
+        |SELECT CAST(min(tf) AS BIGINT) AS n_f,
+        |  CAST(min(t_o) AS BIGINT) AS n_o,
         |  round(max(gap), 6) AS ks,
         |  min(CASE WHEN gap = (SELECT max(gap) FROM cum)
         |    THEN bkt END) AS ks_bucket
@@ -1898,10 +1906,10 @@ object Analytics5 extends QueryModule {
         |  FROM events)
         |SELECT event_type AS et, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
-        |  sum(CASE WHEN CAST(ts AS DATE) < cut THEN 1 ELSE 0 END)
-        |    AS n_batch,
-        |  sum(CASE WHEN CAST(ts AS DATE) >= cut THEN 1 ELSE 0 END)
-        |    AS n_speed
+        |  CAST(sum(CASE WHEN CAST(ts AS DATE) < cut THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_batch,
+        |  CAST(sum(CASE WHEN CAST(ts AS DATE) >= cut THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_speed
         |FROM events, cutoff GROUP BY 1 ORDER BY 1""".stripMargin,
     "q347_scenario_grid" ->
       """WITH actual AS (
@@ -1930,7 +1938,8 @@ object Analytics5 extends QueryModule {
         |scored AS (
         |  SELECT segment, part, n, sq,
         |    round((sq + 10.0 * prior) / (n + 10), 6) AS damped
-        |  FROM (SELECT segment, part, count(*) AS n, sum(q) AS sq
+        |  FROM (SELECT segment, part, count(*) AS n,
+        |          CAST(sum(q) AS BIGINT) AS sq
         |        FROM base GROUP BY 1, 2), prior),
         |ranked AS (
         |  SELECT *, row_number() OVER (PARTITION BY segment
@@ -1981,8 +1990,9 @@ object Analytics5 extends QueryModule {
         |  SELECT minute, cnt,
         |    count(*) OVER (ORDER BY minute
         |      ROWS BETWEEN 60 PRECEDING AND 1 PRECEDING) AS n_prev,
-        |    sum(cnt) OVER (ORDER BY minute
-        |      ROWS BETWEEN 60 PRECEDING AND 1 PRECEDING) AS sum_prev
+        |    CAST(sum(cnt) OVER (ORDER BY minute
+        |      ROWS BETWEEN 60 PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT) AS sum_prev
         |  FROM perMin)
         |SELECT CAST(minute AS VARCHAR) AS minute, cnt, n_prev,
         |  sum_prev
@@ -2046,15 +2056,16 @@ object Analytics5 extends QueryModule {
         |    (tp IS NOT NULL) AS event
         |  FROM su LEFT JOIN pu ON su.user_id = pu.user_id, horizon),
         |days AS (
-        |  SELECT t, sum(CASE WHEN event THEN 1 ELSE 0 END) AS d,
+        |  SELECT t,
+        |    CAST(sum(CASE WHEN event THEN 1 ELSE 0 END) AS BIGINT) AS d,
         |    count(*) AS leaving
         |  FROM per GROUP BY 1),
         |n AS (SELECT count(*) AS n_users FROM per),
         |risk AS (
         |  SELECT t, d,
-        |    n_users - coalesce(sum(leaving) OVER (ORDER BY t
+        |    CAST(n_users - coalesce(sum(leaving) OVER (ORDER BY t
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |      AS n_risk
+        |      AS BIGINT) AS n_risk
         |  FROM days, n),
         |curve AS (
         |  SELECT t, d, n_risk,

@@ -401,8 +401,9 @@ object Functions3 extends QueryModule {
         |  FROM customer LEFT JOIN orders ON o_custkey = c_custkey
         |  GROUP BY 1, 2)
         |SELECT segment, count(*) AS n_cust,
-        |  sum(n_orders) AS n_orders,
-        |  sum(CASE WHEN n_orders = 0 THEN 1 ELSE 0 END) AS n_orderless
+        |  CAST(sum(n_orders) AS BIGINT) AS n_orders,
+        |  CAST(sum(CASE WHEN n_orders = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_orderless
         |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
     "q300_distribute_sort_by" ->
       """SELECT l_suppkey % 16 AS b, count(*) AS n,

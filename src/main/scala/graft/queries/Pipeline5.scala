@@ -596,9 +596,9 @@ object Pipeline5 extends QueryModule {
         |ORDER BY doc_id""".stripMargin,
     "q341_tokenizer_fertility" ->
       """SELECT lang, count(*) AS n_docs,
-        |  sum(strlen(text)) AS total_bytes,
-        |  sum(length(text)) AS total_chars,
-        |  sum(len(string_split(text, ' '))) AS total_toks,
+        |  CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_toks,
         |  round(sum(strlen(text))::DOUBLE
         |    / sum(len(string_split(text, ' '))), 4) AS bytes_per_tok,
         |  round(sum(length(text))::DOUBLE
@@ -642,9 +642,9 @@ object Pipeline5 extends QueryModule {
         |    AS checkpoint, count(*) AS new_tokens
         |  FROM firsts GROUP BY 1)
         |SELECT checkpoint, new_tokens,
-        |  sum(new_tokens) OVER (ORDER BY checkpoint
+        |  CAST(sum(new_tokens) OVER (ORDER BY checkpoint
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |    AS vocab_size
+        |    AS BIGINT) AS vocab_size
         |FROM per ORDER BY checkpoint""".stripMargin,
     "q331_dup_diff_report" ->
       """WITH t AS (
@@ -708,8 +708,8 @@ object Pipeline5 extends QueryModule {
         |SELECT source, count(*) AS n_anchors,
         |  count(pos_id) AS n_pos_pairs,
         |  count(nid) AS n_neg_pairs,
-        |  sum(CASE WHEN neg_source = source THEN 1 ELSE 0 END)
-        |    AS n_neg_collisions
+        |  CAST(sum(CASE WHEN neg_source = source THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_neg_collisions
         |FROM j GROUP BY source ORDER BY source""".stripMargin,
     "q305_bm25_search" ->
       """WITH stats AS (

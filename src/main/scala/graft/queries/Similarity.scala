@@ -944,8 +944,10 @@ object Similarity extends QueryModule {
         |  FROM scored),
         |m AS (
         |  SELECT
-        |    sum(CASE WHEN truth THEN 1 ELSE 0 END) AS n_pos,
-        |    sum(CASE WHEN NOT truth THEN 1 ELSE 0 END) AS n_neg,
+        |    CAST(sum(CASE WHEN truth THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_pos,
+        |    CAST(sum(CASE WHEN NOT truth THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_neg,
         |    sum(CASE WHEN truth THEN rk ELSE 0 END) AS rank_sum
         |  FROM ranked)
         |SELECT n_pos, n_neg,
@@ -971,7 +973,8 @@ object Similarity extends QueryModule {
         |    min(cos) AS mc
         |  FROM scored GROUP BY 1)
         |SELECT s.label, count(*) AS n,
-        |  sum(CASE WHEN cos < p05 THEN 1 ELSE 0 END) AS n_outliers,
+        |  CAST(sum(CASE WHEN cos < p05 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers,
         |  min(p05) AS p05,
         |  min(CASE WHEN cos = mc THEN vec_id END) AS worst_member,
         |  round(min(cos), 6) AS worst_cos
@@ -992,7 +995,8 @@ object Similarity extends QueryModule {
         |  FROM scored),
         |per AS (
         |  SELECT decile, count(*) AS n,
-        |    sum(CASE WHEN truth THEN 1 ELSE 0 END) AS n_pos
+        |    CAST(sum(CASE WHEN truth THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_pos
         |  FROM d GROUP BY 1),
         |tot AS (SELECT sum(n) AS tot, sum(n_pos) AS tot_pos FROM per)
         |SELECT decile, n, n_pos,
