@@ -540,10 +540,16 @@ object Analytics4 extends QueryModule {
     // Link prediction by common neighbors — the SEVENTH graph
     // operator: for part pairs NOT yet co-purchased, count shared
     // co-purchase neighbors and score neighbor-set Jaccard
-    // cn/(dx+dy−cn). Wedge enumeration reuses q227's degree-ordered
-    // orientation (each unordered wedge appears exactly once as an
-    // out-neighbor pair of its apex — O(m^1.5) total on a power-law
-    // graph, not Σdeg²), existing edges drop via one LEFT ANTI on the
+    // cn/(dx+dy−cn). Wedges enumerate from the SYMMETRIZED edge list
+    // (e ∪ reversed(e)) joined on a shared apex with x < y, so every
+    // open wedge x–z–y is found exactly once regardless of how z's
+    // degree compares to x's and y's. (q227's degree-ordered
+    // orientation is NOT reused here: orientation only surfaces a
+    // wedge when the apex has the smallest degree — exhaustive for
+    // CLOSED wedges, i.e. triangles, but it undercounts open wedges,
+    // which is precisely what common-neighbor counting needs. Cost is
+    // the honest Σdeg² wedge stream; the shuffle_hash hint keeps it
+    // unsorted.) Existing edges drop via one LEFT ANTI on the
     // canonical edge set, and every score term is an exact integer or
     // a single correctly-rounded division, so the top-20 cutoff is
     // bit-deterministic on both engines (ties broken by the pair id).
@@ -552,16 +558,10 @@ object Analytics4 extends QueryModule {
       val deg = e.select(col("u").as("x"))
         .unionAll(e.select(col("v").as("x")))
         .groupBy(col("x")).agg(count(lit(1)).as("d"))
-      val o = e
-        .join(broadcast(deg.toDF("xu", "du")), col("u") === col("xu"))
-        .join(broadcast(deg.toDF("xv", "dv")), col("v") === col("xv"))
-        .select(
-          when(col("du") <= col("dv"), col("u")).otherwise(col("v"))
-            .as("src"),
-          when(col("du") <= col("dv"), col("v")).otherwise(col("u"))
-            .as("dst"))
-      val cn = o.toDF("s1", "x")
-        .join(o.toDF("s2", "y").hint("shuffle_hash"),
+      val sym = e.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
+      val cn = sym.toDF("s1", "x")
+        .join(sym.toDF("s2", "y").hint("shuffle_hash"),
           col("s1") === col("s2") && col("x") < col("y"))
         .groupBy(col("x"), col("y")).agg(count(lit(1)).as("cn"))
       cn
@@ -1710,13 +1710,12 @@ object Analytics4 extends QueryModule {
         |  SELECT x, count(*) AS d FROM (
         |    SELECT u AS x FROM e UNION ALL SELECT v FROM e)
         |  GROUP BY 1),
-        |o AS MATERIALIZED (
-        |  SELECT CASE WHEN du.d <= dv.d THEN u ELSE v END AS src,
-        |    CASE WHEN du.d <= dv.d THEN v ELSE u END AS dst
-        |  FROM e JOIN deg du ON u = du.x JOIN deg dv ON v = dv.x),
+        |sym AS MATERIALIZED (
+        |  SELECT u AS src, v AS dst FROM e
+        |  UNION ALL SELECT v, u FROM e),
         |cn AS MATERIALIZED (
         |  SELECT a.dst AS x, b.dst AS y, count(*) AS cn
-        |  FROM o a JOIN o b ON a.src = b.src AND a.dst < b.dst
+        |  FROM sym a JOIN sym b ON a.src = b.src AND a.dst < b.dst
         |  GROUP BY 1, 2)
         |SELECT cn.x AS x, cn.y AS y, cn.cn AS cn,
         |  CAST(cn.cn AS DOUBLE) / (dx.d + dy.d - cn.cn) AS jac

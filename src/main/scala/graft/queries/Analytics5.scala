@@ -530,7 +530,13 @@ object Analytics5 extends QueryModule {
     "q371_skew_preflight" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       def probe(keyCol: String): DataFrame = {
+        // NULL keys are excluded on BOTH engines: the oracle's
+        // count(DISTINCT k) never counts NULL, so the engine must not
+        // count a NULL-key group either (and a NULL join key hashes to
+        // one partition anyway — it is not a "skewed key", it is rows
+        // the join drops).
         val cnt = Tables.df(s, dir, "lineitem")
+          .filter(col(keyCol).isNotNull)
           .groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("c"))
         val w = Window.orderBy(col("c").desc, col("k"))
         val ranked = cnt.withColumn("rk", row_number().over(w))
@@ -555,8 +561,12 @@ object Analytics5 extends QueryModule {
     // strata in proportion to n_h·σ_h (big AND variable strata need
     // more samples), with the largest-remainder integer finish (q361)
     // so the quotas sum to exactly 1000. σ comes from exact decimal
-    // moments; the weight products are then identical doubles on both
-    // engines, so remainder ranking cannot diverge.
+    // moments, so the per-stratum weight PRODUCTS are identical
+    // doubles on both engines; the weight TOTAL is summed as a
+    // decimal (not a double) because Spark's partial-aggregation
+    // order is not fixed — a double tw could differ from DuckDB's
+    // summation order at ulp level and flip floor(base) or the
+    // largest-remainder ranking at a near-tie.
     "q372_neyman_allocation" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val st = Tables.df(s, dir, "orders")
@@ -572,9 +582,11 @@ object Analytics5 extends QueryModule {
             (col("sx").cast(DoubleType) / col("n")) *
             (col("sx").cast(DoubleType) / col("n"))))
         .withColumn("wgt", col("n") * col("sigma"))
-      val tot = st.agg(sum(col("wgt")).as("tw"))
+      val tot = st.agg(
+        sum(col("wgt").cast(DecimalType(28, 10))).as("tw"))
       val based = st.crossJoin(broadcast(tot))
-        .withColumn("exact_q", col("wgt") * 1000.0 / col("tw"))
+        .withColumn("exact_q",
+          col("wgt") * 1000.0 / col("tw").cast(DoubleType))
         .withColumn("base", floor(col("exact_q")).cast(LongType))
         .withColumn("rem", col("exact_q") - col("base"))
       val leftover = based.agg((lit(1000L) - sum(col("base")))
@@ -1006,9 +1018,15 @@ object Analytics5 extends QueryModule {
       val b = o.agg(min(col("o_totalprice")), max(col("o_totalprice")))
         .head()
       val (lo, hi) = (b.getDouble(0), b.getDouble(1))
+      // Bucket via the SAME explicit floor expression the oracle uses
+      // (not the width_bucket builtin): two independently-derived
+      // float expression trees can disagree by 1 ulp for a value
+      // landing exactly on a bucket edge and flip the row's bin.
       val per = o.select(
-          width_bucket(col("o_totalprice"), lit(lo),
-            lit(hi + 1.0), lit(50)).as("bkt"),
+          when(col("o_totalprice") < lo, lit(0L))
+            .when(col("o_totalprice") >= hi + 1.0, lit(51L))
+            .otherwise(lit(1L) + floor((col("o_totalprice") - lit(lo))
+              * 50.0 / lit(hi + 1.0 - lo)).cast(LongType)).as("bkt"),
           col("o_orderstatus").as("st"))
         .groupBy(col("bkt"))
         .agg(sum(when(col("st") === "F", 1L).otherwise(0L)).as("nf"),
@@ -1489,15 +1507,15 @@ object Analytics5 extends QueryModule {
           s"""SELECT '$k' AS key,
              |  (SELECT count(DISTINCT $k) FROM lineitem) AS n_keys,
              |  round(max(c)::DOUBLE
-             |    / (SELECT count(*) FROM lineitem), 6) AS top1_share,
+             |    / (SELECT count($k) FROM lineitem), 6) AS top1_share,
              |  round(sum(c)::DOUBLE
-             |    / (SELECT count(*) FROM lineitem), 6) AS top10_share
+             |    / (SELECT count($k) FROM lineitem), 6) AS top10_share
              |FROM (
              |  SELECT c FROM (
              |    SELECT $k AS kk, count(*) AS c,
              |      row_number() OVER (ORDER BY count(*) DESC, $k)
              |        AS rk
-             |    FROM lineitem GROUP BY $k)
+             |    FROM lineitem WHERE $k IS NOT NULL GROUP BY $k)
              |  WHERE rk <= 10)""".stripMargin
         }.mkString("\nUNION ALL\n") + "\nORDER BY key"),
     "q372_neyman_allocation" ->
@@ -1515,12 +1533,15 @@ object Analytics5 extends QueryModule {
         |      AS sigma
         |  FROM st),
         |wgt AS (SELECT stratum, n, sigma, n * sigma AS wgt FROM en),
-        |tot AS (SELECT sum(wgt) AS tw FROM wgt),
+        |tot AS (SELECT sum(CAST(wgt AS DECIMAL(28,10))) AS tw
+        |        FROM wgt),
         |based AS (
         |  SELECT stratum, n, sigma,
-        |    wgt * 1000.0 / tw AS exact_q,
-        |    CAST(floor(wgt * 1000.0 / tw) AS BIGINT) AS base,
-        |    wgt * 1000.0 / tw - floor(wgt * 1000.0 / tw) AS rem
+        |    wgt * 1000.0 / CAST(tw AS DOUBLE) AS exact_q,
+        |    CAST(floor(wgt * 1000.0 / CAST(tw AS DOUBLE)) AS BIGINT)
+        |      AS base,
+        |    wgt * 1000.0 / CAST(tw AS DOUBLE) -
+        |      floor(wgt * 1000.0 / CAST(tw AS DOUBLE)) AS rem
         |  FROM wgt, tot),
         |lo AS (SELECT 1000 - sum(base) AS lo FROM based),
         |ranked AS (

@@ -348,8 +348,13 @@ object Similarity extends QueryModule {
         .select(expr("transform(pc, e -> e.cx)").as("centroid"))
       c.crossJoin(broadcast(cent))
         .select(round(cosine(col("v"), col("centroid")), 6).as("cos"))
-        .select(width_bucket(col("cos"), lit(-1.0), lit(1.0), lit(40))
-          .as("bkt"), col("cos"))
+        // same explicit floor as the oracle, not width_bucket: the
+        // builtin's internal arithmetic can differ by 1 ulp at a
+        // bucket edge and flip the bin (round-9 ADVICE)
+        .select(when(col("cos") < -1.0, lit(0L))
+          .when(col("cos") >= 1.0, lit(41L))
+          .otherwise(lit(1L) + floor((col("cos") + 1.0) * 40.0 / 2.0)
+            .cast(LongType)).as("bkt"), col("cos"))
         .groupBy(col("bkt"))
         .agg(count(lit(1)).as("n"),
           round(min(col("cos")), 6).as("cmin"),
