@@ -234,9 +234,12 @@ object Analytics5 extends QueryModule {
         .select(col("t0").as("t"), lit(1L).as("delta"))
         .unionAll(sessions.select(col("t1").as("t"),
           lit(-1L).as("delta")))
-      val wSweep = Window.orderBy(col("t"), col("delta"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-      bounds.withColumn("live", sum(col("delta")).over(wSweep))
+      // distributed prefix sum, NOT Window.orderBy(t): the boundary
+      // stream is session-grain (fact-sized) — a single-partition
+      // window is a one-task straggler at 100×
+      graft.operators.DistributedPrefix
+        .prefixSum(bounds, Seq(col("t"), col("delta")), col("delta"),
+          "live")
         .agg(count(lit(1)).as("n_boundaries"),
           (count(lit(1)) / 2).cast(LongType).as("n_sessions"),
           max(col("live")).as("peak_concurrency"),
@@ -867,11 +870,10 @@ object Analytics5 extends QueryModule {
       val bounds = sessions.select(col("t0").as("t"), lit(1L).as("delta"))
         .unionAll(sessions.select(col("t1").as("t"),
           lit(-1L).as("delta")))
-      val wSweep = Window.orderBy(col("t"), col("delta"))
-      val seg = bounds
-        .withColumn("live", sum(col("delta")).over(
-          wSweep.rowsBetween(Window.unboundedPreceding, 0)))
-        .withColumn("t_next", lead(col("t"), 1).over(wSweep))
+      // sweepLine = distributed prefix sum + cross-partition lead;
+      // replaces the single-partition Window.orderBy(t) straggler
+      val seg = graft.operators.DistributedPrefix
+        .sweepLine(bounds, col("t"), col("delta"))
         .filter(col("t_next").isNotNull)
         .withColumn("dt", col("t_next") - col("t"))
       seg.agg(
@@ -892,20 +894,19 @@ object Analytics5 extends QueryModule {
     // business". Spend rides integer CENTS; the Gini rank-weighted
     // sum Σ(rᵢ·xᵢ) is exact decimal (ranks are row_numbers with
     // custkey tiebreaks, so ties are deterministic), and the two
-    // ratios divide once in double. Windows run on the customer-grain
-    // census, one global order — at 100 TB the same formula runs on
-    // range-partitioned rank offsets.
+    // ratios divide once in double. Both global ranks run as
+    // DistributedPrefix.globalRank — range-partitioned rank offsets,
+    // never a single-partition row_number over the customer census.
     "q353_gini_concentration" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
       val per = Tables.df(s, dir, "orders")
         .groupBy(col("o_custkey"))
         .agg(sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
           .cast(LongType)).as("xc"))
-      val wAsc = Window.orderBy(col("xc"), col("o_custkey"))
-      val wDesc = Window.orderBy(col("xc").desc, col("o_custkey"))
-      val ranked = per
-        .withColumn("r", row_number().over(wAsc).cast(LongType))
-        .withColumn("rd", row_number().over(wDesc).cast(LongType))
+      val ranked0 = graft.operators.DistributedPrefix
+        .globalRank(per, Seq(col("xc"), col("o_custkey")), "r")
+      val ranked = graft.operators.DistributedPrefix
+        .globalRank(ranked0, Seq(col("xc").desc, col("o_custkey")),
+          "rd")
       val nAll = per.agg(count(lit(1)).as("n"))
       ranked.crossJoin(broadcast(nAll))
         .withColumn("topflag", col("rd") <= expr("greatest(1, n div 10)"))
