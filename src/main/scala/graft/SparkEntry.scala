@@ -14,7 +14,7 @@ object SparkEntry {
     Generate, Sinks, Storage, Collections, Pipeline, Pipeline2, Pipeline3,
     Pipeline4, Pipeline5, Similarity, Connectors, Warehouse, CastMatrix,
     Multimodal, Extensibility, Analytics, Analytics2, Analytics3,
-    Analytics4, Analytics5, Sketches, Functions3,
+    Analytics4, Analytics5, Sketches, Functions3, TpcdsShapes,
     graft.streaming.Streaming
   )
 
