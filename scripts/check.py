@@ -51,15 +51,19 @@ def type_mismatches(con, files, sql):
     mismatches the driver flags)."""
     got_rel = con.sql(f"SELECT * FROM read_parquet({files!r})")
     exp_rel = con.sql(sql)
-    got_t = dict(zip(got_rel.columns, [str(t) for t in got_rel.types]))
-    exp_t = dict(zip(exp_rel.columns, [str(t) for t in exp_rel.types]))
+    # positional compare over NAME-SORTED (col, type) lists — duplicate
+    # column names don't collapse (dict(zip(...)) masked a repeated
+    # column's type mismatch) and oracle-only columns still get their
+    # types checked rather than only their names later
+    got_t = sorted(zip(got_rel.columns, [str(t) for t in got_rel.types]))
+    exp_t = sorted(zip(exp_rel.columns, [str(t) for t in exp_rel.types]))
     bad = []
-    for c in got_t:
-        if c not in exp_t:
+    for (gn, gt), (en, et) in zip(got_t, exp_t):
+        if gn != en:
             continue  # schema compare happens later on the fetched frames
-        gc, ec = type_class(got_t[c]), type_class(exp_t[c])
+        gc, ec = type_class(gt), type_class(et)
         if gc != ec or gc == "hugeint" or ec == "hugeint":
-            bad.append(f"{c}: spark={got_t[c]} oracle={exp_t[c]}")
+            bad.append(f"{gn}: spark={gt} oracle={et}")
     return bad
 
 

@@ -24,16 +24,33 @@ import org.apache.spark.sql.functions._
   */
 object DistributedPrefix {
 
+  /** numParts <= 0 (the default) resolves to the session's
+    * `spark.sql.shuffle.partitions`, so the range shuffle scales with
+    * the cluster instead of pinning 100 TB onto 32 tasks. */
+  private def resolveParts(df: DataFrame, numParts: Int): Int =
+    if (numParts > 0) numParts
+    else df.sparkSession.sessionState.conf.numShufflePartitions
+
   /** Running `sum(value)` over rows globally ordered by `sortKeys`
     * (ROWS UNBOUNDED PRECEDING..CURRENT ROW), without a
     * single-partition window. `sortKeys` should form a deterministic
     * order for the rows whose prefix values are consumed downstream
     * (ties receive arbitrary relative order, exactly like the
     * single-window plan). Appends `out`; drops nothing else.
+    *
+    * Durability note: `localCheckpoint()` materializes the
+    * range-partitioned input in executor storage and CUTS LINEAGE —
+    * one pass feeds both the offset census and the main window, but
+    * an executor loss after the checkpoint fails the job instead of
+    * recomputing (Spark's documented localCheckpoint trade-off). On a
+    * long multi-stage 100 TB job, prefer a reliable
+    * `df.checkpoint()` (HDFS-backed) upstream of this helper if
+    * executor churn is expected; the helper itself stays agnostic.
     */
   def prefixSum(df: DataFrame, sortKeys: Seq[Column], value: Column,
-                out: String, numParts: Int = 32): DataFrame = {
-    val parted = df.repartitionByRange(numParts, sortKeys: _*)
+                out: String, numParts: Int = 0): DataFrame = {
+    val parted = df
+      .repartitionByRange(resolveParts(df, numParts), sortKeys: _*)
       .withColumn("_pp_id", spark_partition_id())
       .localCheckpoint() // one pass feeds both the offset census and the main window
     val wPid = Window.orderBy(col("_pp_id"))
@@ -56,7 +73,7 @@ object DistributedPrefix {
     * Requires `sortKeys` to be a TOTAL order (unique tiebreak), else
     * tied rows get arbitrary ranks, same as row_number itself. */
   def globalRank(df: DataFrame, sortKeys: Seq[Column],
-                 out: String, numParts: Int = 32): DataFrame =
+                 out: String, numParts: Int = 0): DataFrame =
     prefixSum(df, sortKeys, lit(1L), out, numParts)
 
   /** Sweep line over boundary events `(t, delta)`: appends `live`
@@ -68,8 +85,9 @@ object DistributedPrefix {
     * offset table (each partition's first t, shifted by one).
     */
   def sweepLine(bounds: DataFrame, t: Column, delta: Column,
-                numParts: Int = 32): DataFrame = {
-    val parted = bounds.repartitionByRange(numParts, t, delta)
+                numParts: Int = 0): DataFrame = {
+    val parted = bounds
+      .repartitionByRange(resolveParts(bounds, numParts), t, delta)
       .withColumn("_pp_id", spark_partition_id())
       .localCheckpoint()
     val wPid = Window.orderBy(col("_pp_id"))

@@ -514,14 +514,15 @@ object Analytics4 extends QueryModule {
     // deterministic. Assortativity (q238) asks the question per-edge;
     // this asks it about the induced SUBGRAPH.
     "q367_rich_club" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
       val e = coPurchaseEdges(s, dir).localCheckpoint()
       val deg = e.select(col("u").as("x"))
         .unionAll(e.select(col("v").as("x")))
         .groupBy(col("x")).agg(count(lit(1)).as("d"))
-      val w = Window.orderBy(col("d").desc, col("x"))
-      val club = deg.withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 100).select(col("x"))
+      // top-100 degrees via orderBy().limit() — plans a distributed
+      // TakeOrderedAndProject (per-partition partial top-k, merged on
+      // the driver), not a single-partition global window
+      val club = deg.orderBy(col("d").desc, col("x")).limit(100)
+        .select(col("x"))
       val clubEdges = e
         .join(club.toDF("cu"), col("u") === col("cu"), "leftsemi")
         .join(club.toDF("cv"), col("v") === col("cv"), "leftsemi")

@@ -541,12 +541,15 @@ object Analytics5 extends QueryModule {
         val cnt = Tables.df(s, dir, "lineitem")
           .filter(col(keyCol).isNotNull)
           .groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("c"))
-        val w = Window.orderBy(col("c").desc, col("k"))
-        val ranked = cnt.withColumn("rk", row_number().over(w))
+        // top-10 keys via orderBy().limit() → TakeOrderedAndProject
+        // (distributed partial top-k) instead of the global-window
+        // row_number this pre-flight exists to warn against; the
+        // heaviest key's count is max(c) within the limited set
+        // because c is the leading sort key
         val tot = cnt.agg(sum(col("c")).as("n"),
           count(lit(1)).as("n_keys"))
-        ranked.filter(col("rk") <= 10)
-          .agg(max(when(col("rk") === 1, col("c"))).as("top1"),
+        cnt.orderBy(col("c").desc, col("k")).limit(10)
+          .agg(max(col("c")).as("top1"),
             sum(col("c")).as("top10"))
           .crossJoin(broadcast(tot))
           .select(lit(keyCol).as("key"), col("n_keys"),
@@ -630,13 +633,15 @@ object Analytics5 extends QueryModule {
       val per = base.groupBy(col("part"))
         .agg(count(lit(1)).as("n"),
           sum(col("w")).as("dsum"))
-      val wDec = Window.orderBy(col("dsum").desc, col("part"))
-      val wPlain = Window.orderBy(col("n").desc, col("part"))
-      per
-        .withColumn("rk_decayed", row_number().over(wDec)
-          .cast(LongType))
-        .withColumn("rk_plain", row_number().over(wPlain)
-          .cast(LongType))
+      // both ranks are GLOBAL over the part-grain table (unbounded at
+      // corpus scale) and rk_plain is needed for the top-10 decayed
+      // parts' position in the FULL plain ranking, so a post-limit
+      // window can't express it — both ride DistributedPrefix
+      val withPlain = graft.operators.DistributedPrefix
+        .globalRank(per, Seq(col("n").desc, col("part")), "rk_plain")
+      graft.operators.DistributedPrefix
+        .globalRank(withPlain,
+          Seq(col("dsum").desc, col("part")), "rk_decayed")
         .filter(col("rk_decayed") <= 10)
         .select(col("rk_decayed"), col("part"), col("n"),
           round(col("dsum").cast(DoubleType), 4).as("decayed"),

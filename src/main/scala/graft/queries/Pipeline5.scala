@@ -469,11 +469,13 @@ object Pipeline5 extends QueryModule {
       val keyed = Tables.df(s, dir, "documents")
         .select(col("doc_id"), col("n_chars"),
           (log(u) / col("n_chars")).as("key"))
-      keyed
+      // top-50 via orderBy().limit() → distributed
+      // TakeOrderedAndProject; rk is then a window over the already-
+      // bounded 50-row sample, never over the corpus
+      keyed.orderBy(col("key").desc, col("doc_id")).limit(50)
         .withColumn("rk", row_number().over(
           org.apache.spark.sql.expressions.Window
             .orderBy(col("key").desc, col("doc_id"))).cast(LongType))
-        .filter(col("rk") <= 50)
         .select(col("doc_id"), col("n_chars"), round(col("key"), 6)
           .as("skey"), col("rk"))
         .orderBy(col("rk"))

@@ -215,8 +215,12 @@ object Similarity extends QueryModule {
         .select(col("vec_id"),
           (lit(1.0) / (lit(1.0) + exp(-z))).as("score"),
           (col("label") % 2 === 0).as("truth"))
-      val w = Window.orderBy(col("score"), col("vec_id"))
-      scored.withColumn("rk", row_number().over(w).cast(LongType))
+      // global rank rides the distributed prefix helper (range
+      // partition + per-partition window + broadcast offsets) — a
+      // single-partition Window.orderBy over the whole embeddings
+      // table is the 100 TB straggler this avoids
+      graft.operators.DistributedPrefix
+        .globalRank(scored, Seq(col("score"), col("vec_id")), "rk")
         .agg(
           sum(when(col("truth"), 1L).otherwise(0L)).as("n_pos"),
           sum(when(!col("truth"), 1L).otherwise(0L)).as("n_neg"),
@@ -231,9 +235,11 @@ object Similarity extends QueryModule {
     // Gains/lift table for the q284 linear scorer — the deployment
     // readout a ranking model ships with: sort by score, cut into
     // deciles, report per-decile positives, cumulative capture and
-    // lift. The ntile rides a global (score, id) order — fine at this
-    // probe scale; the 100 TB form derives decile BOUNDARIES from one
-    // percentile aggregate and buckets map-side (the q310 pattern).
+    // lift. The decile is ntile(10) SEMANTICS computed without a
+    // single-partition window: a DistributedPrefix global rank over
+    // (score desc, vec_id) plus closed-form ntile arithmetic (the
+    // first n%10 deciles hold ceil(n/10) rows, the rest floor(n/10)),
+    // with n taken from the already-checkpointed ranked relation.
     // Scores are the identical IEEE expression on both engines, ties
     // break on vec_id, so the decile assignment is bit-deterministic.
     "q338_gains_table" -> { (s, dir) =>
@@ -246,8 +252,17 @@ object Similarity extends QueryModule {
         .select(col("vec_id"),
           (lit(1.0) / (lit(1.0) + exp(-z))).as("score"),
           (col("label") % 2 === 0).as("truth"))
-      val wN = Window.orderBy(col("score").desc, col("vec_id"))
-      val per = scored.withColumn("decile", ntile(10).over(wN))
+      val ranked = graft.operators.DistributedPrefix
+        .globalRank(scored, Seq(col("score").desc, col("vec_id")), "rk")
+      val nTot = ranked.agg(count(lit(1)).as("n_tot"))
+      val per = ranked.crossJoin(broadcast(nTot))
+        .withColumn("_sm", expr("n_tot div 10"))
+        .withColumn("decile", expr(
+          """CAST(CASE WHEN rk <= (n_tot % 10) * (_sm + 1)
+            |  THEN (rk - 1) div (_sm + 1)
+            |  ELSE (n_tot % 10) +
+            |    (rk - 1 - (n_tot % 10) * (_sm + 1)) div greatest(_sm, 1)
+            |  END + 1 AS INT)""".stripMargin))
         .groupBy(col("decile"))
         .agg(count(lit(1)).as("n"),
           sum(when(col("truth"), 1L).otherwise(0L)).as("n_pos"))

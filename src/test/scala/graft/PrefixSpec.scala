@@ -83,6 +83,65 @@ class PrefixSpec extends AnyFunSuite {
     assert(segs(single) == segs(dist))
   }
 
+  test("roster-wide lint: no unpartitioned window over unbounded input") {
+    // The scale contract, enforced over EVERY declared query's
+    // optimized plan: a windowspecdefinition whose FIRST argument is a
+    // sort item (prints with ASC/DESC) has no partition keys, i.e. it
+    // is a single-partition global window. That is only allowed when
+    // its input grain is provably bounded: the DistributedPrefix
+    // offset census (_pp_id — one row per shuffle partition) or a
+    // declared bounded-grain ordering column listed below. Everything
+    // else must ride DistributedPrefix / orderBy().limit() /
+    // percentile bucketing. (q375/q338/q371/q367 were the round-10
+    // escapees this lint now makes structurally impossible.)
+    // Every entry names the ordering attribute(s) a query's global
+    // window may legitimately ride, with WHY the input grain is
+    // bounded (does not grow with corpus row count):
+    val boundedGrain: Map[String, Set[String]] = Map(
+      // calendar-date grain — rows bounded by the date span, not data
+      "q152_cumulative_compare" -> Set("d"),
+      // input is the post-orderBy().limit(50) sample — 50 rows
+      "q259_weighted_sample" -> Set("key"),
+      // staircase runs on the distinct (price) domain, dimension-sized
+      "q307_skyline" -> Set("price"),
+      // month grain
+      "q320_seasonal_decompose" -> Set("m"),
+      "q327_cusum_changepoint" -> Set("m"),
+      // fixed vocab-growth checkpoints
+      "q337_vocab_growth" -> Set("checkpoint"),
+      // exactly 10 deciles
+      "q338_gains_table" -> Set("decile"),
+      // distinct event-time (date) grain of the survival table
+      "q344_kaplan_meier" -> Set("t"),
+      // minute-of-span time buckets
+      "q346_burst_detection" -> Set("minute"),
+      // fixed histogram bins
+      "q352_binned_ks" -> Set("bkt"),
+      // nation grain (25 rows)
+      "q361_largest_remainder" -> Set("rem"),
+      // stratum grain
+      "q372_neyman_allocation" -> Set("rem"))
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val planTry = scala.util.Try(
+          fn(spark, sf).queryExecution.optimizedPlan.toString)
+        planTry.toOption.toSeq.flatMap { plan =>
+          "windowspecdefinition\\(([^)]*)".r
+            .findAllMatchIn(plan).map(_.group(1)).flatMap { sp =>
+              val first = sp.split(",").head.trim
+              val orderFirst =
+                first.contains(" ASC") || first.contains(" DESC")
+              val attr = first.takeWhile(c => c != ' ' && c != '#')
+              val ok = !orderFirst || attr.startsWith("_pp_id") ||
+                boundedGrain.getOrElse(name, Set.empty).contains(attr)
+              if (ok) None else Some(s"$name: $sp")
+            }
+        }
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned windows over undeclared input:\n${offenders.mkString("\n")}")
+  }
+
   test("q353/q358/q359 plans contain no unpartitioned fact window") {
     // the scale contract: every Window in these plans must either be
     // keyed (PARTITION BY) or run over the bounded per-partition
