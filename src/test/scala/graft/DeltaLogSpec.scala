@@ -1,0 +1,145 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.DeltaLogLite
+
+/** DeltaLogLite contract: snapshot replay over public-protocol JSON
+  * commits (metaData/add/remove, partition values in the log,
+  * percent-encoded paths), versionAsOf, and the LOUD-failure paths —
+  * checkpoint refusal, version gap, malformed action, missing
+  * metaData, absolute add.path. The happy path against real data is
+  * q389/q390's DuckDB oracle; these fixtures pin the edges.
+  */
+class DeltaLogSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def jstr(s: String): String = "\"" + s.flatMap {
+    case '"'          => "\\\""
+    case '\\'         => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c            => c.toString
+  } + "\""
+
+  /** Fresh table dir with data files f0.parquet (ids 0..4, part=a) and
+    * `f one.parquet` (ids 5..9, part=b; name contains a SPACE so its
+    * add.path must be percent-encoded). Returns (root, schemaString). */
+  private def fixture(name: String): (String, String) = {
+    val root = s"/tmp/graft_deltaspec/$name"
+    def rm(p: java.io.File): Unit = {
+      if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+      p.delete(): Unit
+    }
+    rm(new java.io.File(root))
+    Files.createDirectories(Paths.get(root, "_delta_log"))
+    val df = spark.range(0, 10).select(col("id"),
+      (col("id") * 2).as("v"), lit("x").as("part"))
+    def one(filter: org.apache.spark.sql.Column, out: String): Unit = {
+      val tmp = s"$root/_tmp"
+      df.filter(filter).drop("part").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith(".")).get
+      assert(part.renameTo(new java.io.File(s"$root/$out")))
+      rm(new java.io.File(tmp))
+    }
+    one(col("id") < 5, "f0.parquet")
+    one(col("id") >= 5, "f one.parquet")
+    val schema = df.schema.json
+    (root, schema)
+  }
+
+  private def meta(schema: String): String =
+    s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":${jstr(schema)},"partitionColumns":["part"],"configuration":{},"createdTime":0}}"""
+
+  private def add(path: String, part: String): String =
+    s"""{"add":{"path":${jstr(path)},"partitionValues":{"part":${jstr(part)}},"size":1,"modificationTime":0,"dataChange":true}}"""
+
+  private def commit(root: String, v: Long, lines: String*): Unit =
+    Files.writeString(
+      Paths.get(root, "_delta_log", f"$v%020d.json"),
+      lines.mkString("", "\n", "\n"))
+
+  test("replay: adds + percent-encoded path + typed log-borne " +
+    "partition values") {
+    val (root, schema) = fixture("happy")
+    commit(root, 0, meta(schema), add("f0.parquet", "a"),
+      add("f%20one.parquet", "b"))
+    val got = DeltaLogLite.read(spark, root)
+    assert(got.schema.fieldNames.toSeq == Seq("id", "v", "part"))
+    assert(got.count() == 10)
+    // partition values come from the LOG: f0 rows are a, "f one" rows b
+    assert(got.filter(col("part") === "a").agg(max(col("id")))
+      .head().getLong(0) == 4L)
+    assert(got.filter(col("part") === "b").count() == 5)
+  }
+
+  test("remove tombstones a prior add; versionAsOf resurrects it") {
+    val (root, schema) = fixture("remove")
+    commit(root, 0, meta(schema), add("f0.parquet", "a"),
+      add("f%20one.parquet", "b"))
+    commit(root, 1,
+      """{"remove":{"path":"f0.parquet","deletionTimestamp":0,"dataChange":true}}""")
+    assert(DeltaLogLite.read(spark, root).count() == 5)
+    assert(DeltaLogLite.read(spark, root, Some(0L)).count() == 10)
+    assert(DeltaLogLite.snapshot(spark, root).version == 1L)
+    intercept[IllegalArgumentException] {
+      DeltaLogLite.snapshot(spark, root, Some(7L))
+    }
+  }
+
+  test("checkpoint marker refuses loudly") {
+    val (root, schema) = fixture("ckpt")
+    commit(root, 0, meta(schema), add("f0.parquet", "a"))
+    Files.writeString(
+      Paths.get(root, "_delta_log", "_last_checkpoint"), "{}")
+    val e = intercept[IllegalStateException] {
+      DeltaLogLite.snapshot(spark, root)
+    }
+    assert(e.getMessage.contains("checkpoint"))
+  }
+
+  test("version gap refuses loudly") {
+    val (root, schema) = fixture("gap")
+    commit(root, 0, meta(schema), add("f0.parquet", "a"))
+    commit(root, 2, add("f%20one.parquet", "b"))
+    val e = intercept[IllegalStateException] {
+      DeltaLogLite.snapshot(spark, root)
+    }
+    assert(e.getMessage.contains("version gap"))
+  }
+
+  test("malformed action JSON and missing metaData refuse loudly") {
+    val (root, schema) = fixture("bad")
+    commit(root, 0, meta(schema), "{not json")
+    val e = intercept[IllegalStateException] {
+      DeltaLogLite.snapshot(spark, root)
+    }
+    assert(e.getMessage.contains("malformed action"))
+    commit(root, 0, add("f0.parquet", "a")) // overwrite: no metaData
+    val e2 = intercept[IllegalStateException] {
+      DeltaLogLite.snapshot(spark, root)
+    }
+    assert(e2.getMessage.contains("metaData"))
+  }
+
+  test("absolute add.path refuses loudly; missing log refuses") {
+    val (root, schema) = fixture("abs")
+    commit(root, 0, meta(schema), add("/etc/owned.parquet", "a"))
+    val e = intercept[IllegalStateException] {
+      DeltaLogLite.read(spark, root)
+    }
+    assert(e.getMessage.contains("absolute add.path"))
+    assert(DeltaLogLite.decodeRelPath("a%2Fb%20c.parquet") == "a/b c.parquet")
+    intercept[IllegalStateException] {
+      DeltaLogLite.decodeRelPath("s3://bucket/f.parquet")
+    }
+    intercept[IllegalStateException] {
+      DeltaLogLite.snapshot(spark, "/tmp/graft_deltaspec/nope")
+    }
+  }
+}

@@ -1,0 +1,164 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.IcebergLite
+
+/** IcebergLite contract: metadata-version resolution (version-hint +
+  * highest-vN fallback), snapshot selection, tombstone-manifest
+  * replay, and every LOUD-failure path — unsupported format-version,
+  * nested types, delete manifests/files, unknown snapshot. The happy
+  * path against real data is q391/q392's DuckDB oracle. */
+class IcebergSpec extends AnyFunSuite {
+  import TestSession._
+
+  private val avroFmt = "org.apache.spark.sql.avro.AvroFileFormat"
+
+  private def jstr(s: String): String = "\"" + s.replace("\\", "\\\\")
+    .replace("\"", "\\\"") + "\""
+
+  private def rm(p: java.io.File): Unit = {
+    if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+    p.delete(): Unit
+  }
+
+  /** Table with files f0.parquet (ids 0..4) and f1.parquet (ids 5..9),
+    * snap 1 = f0+f1 added, snap 2 = f0 tombstoned + f1 existing,
+    * current = 2, metadata at v3 named by version-hint. */
+  private def fixture(name: String,
+                      formatVersion: Int = 2,
+                      fieldType: String = "\"long\"",
+                      mlContent: Int = 0,
+                      dfContent: Int = 0,
+                      hint: Boolean = true): String = {
+    val root = s"/tmp/graft_icespec/$name"
+    rm(new java.io.File(root))
+    Files.createDirectories(Paths.get(root, "metadata"))
+    Files.createDirectories(Paths.get(root, "data"))
+    val df = spark.range(0, 10).select(col("id"), (col("id") * 3).as("v"))
+    def one(filter: org.apache.spark.sql.Column, out: String): Unit = {
+      val tmp = s"$root/_tmp"
+      df.filter(filter).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith(".")).get
+      assert(part.renameTo(new java.io.File(s"$root/$out")))
+      rm(new java.io.File(tmp))
+    }
+    one(col("id") < 5, "data/f0.parquet")
+    one(col("id") >= 5, "data/f1.parquet")
+    def writeAvro(d: org.apache.spark.sql.DataFrame, rel: String): Unit = {
+      val tmp = s"$root/_tmpavro"
+      d.coalesce(1).write.mode("overwrite").format(avroFmt).save(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.startsWith("part-")).get
+      assert(part.renameTo(new java.io.File(s"$root/$rel")))
+      rm(new java.io.File(tmp))
+    }
+    import spark.implicits._
+    def manifest(rel: String, entries: (Int, String)*): Unit =
+      writeAvro(entries.toSeq.toDF("status", "file_path")
+        .select(col("status"),
+          struct(col("file_path"), lit(dfContent).as("content"))
+            .as("data_file")), rel)
+    manifest("metadata/m1.avro", (1, "data/f0.parquet"),
+      (1, "data/f1.parquet"))
+    manifest("metadata/m2del.avro", (2, "data/f0.parquet"))
+    manifest("metadata/m2b.avro", (0, "data/f1.parquet"))
+    def mlist(rel: String, paths: String*): Unit =
+      writeAvro(paths.toSeq.toDF("manifest_path")
+        .select(col("manifest_path"), lit(mlContent).as("content")), rel)
+    mlist("metadata/snap-1.avro", "metadata/m1.avro")
+    mlist("metadata/snap-2.avro", "metadata/m2del.avro",
+      "metadata/m2b.avro")
+    val meta =
+      s"""{"format-version":$formatVersion,"location":${jstr(root)},
+         |"current-schema-id":0,
+         |"schemas":[{"schema-id":0,"type":"struct","fields":[
+         |  {"id":1,"name":"id","required":false,"type":$fieldType},
+         |  {"id":2,"name":"v","required":false,"type":"long"}]}],
+         |"current-snapshot-id":2,
+         |"snapshots":[
+         | {"snapshot-id":1,"manifest-list":"metadata/snap-1.avro"},
+         | {"snapshot-id":2,"manifest-list":"metadata/snap-2.avro"}]}"""
+        .stripMargin
+    Files.writeString(Paths.get(root, "metadata", "v3.metadata.json"), meta)
+    if (hint)
+      Files.writeString(
+        Paths.get(root, "metadata", "version-hint.text"), "3")
+    root
+  }
+
+  test("current snapshot replays tombstone manifest: f0 dropped") {
+    val root = fixture("happy")
+    val snap = IcebergLite.snapshot(spark, root)
+    assert(snap.snapshotId == 2L)
+    assert(snap.files == Seq(s"$root/data/f1.parquet"))
+    val got = IcebergLite.read(spark, root)
+    assert(got.schema.fieldNames.toSeq == Seq("id", "v"))
+    assert(got.agg(min(col("id")), count(lit(1))).head().toSeq ==
+      Seq(5L, 5L))
+  }
+
+  test("snapshot-id selection serves the pre-delete file set") {
+    val root = fixture("snapsel")
+    assert(IcebergLite.read(spark, root, Some(1L)).count() == 10)
+    val e = intercept[IllegalArgumentException] {
+      IcebergLite.snapshot(spark, root, Some(42L))
+    }
+    assert(e.getMessage.contains("snapshot 42"))
+  }
+
+  test("highest-vN fallback resolves without version-hint") {
+    val root = fixture("nohint", hint = false)
+    // decoy earlier version that points nowhere valid
+    Files.writeString(
+      Paths.get(root, "metadata", "v1.metadata.json"),
+      """{"format-version":9}""")
+    assert(IcebergLite.snapshot(spark, root).snapshotId == 2L)
+  }
+
+  test("format-version 3 refuses loudly") {
+    val root = fixture("fv3", formatVersion = 3)
+    val e = intercept[IllegalStateException] {
+      IcebergLite.snapshot(spark, root)
+    }
+    assert(e.getMessage.contains("format-version 3"))
+  }
+
+  test("nested column type refuses loudly") {
+    val root = fixture("nested",
+      fieldType = """{"type":"list","element":"long"}""")
+    val e = intercept[IllegalStateException] {
+      IcebergLite.snapshot(spark, root)
+    }
+    assert(e.getMessage.contains("non-primitive"))
+  }
+
+  test("delete manifest and delete data_file refuse loudly") {
+    val e1 = intercept[IllegalStateException] {
+      IcebergLite.snapshot(spark, fixture("delml", mlContent = 1))
+    }
+    assert(e1.getMessage.contains("delete manifest"))
+    val e2 = intercept[IllegalStateException] {
+      IcebergLite.snapshot(spark, fixture("deldf", dfContent = 1))
+    }
+    assert(e2.getMessage.contains("delete file"))
+  }
+
+  test("missing metadata refuses loudly") {
+    intercept[IllegalStateException] {
+      IcebergLite.snapshot(spark, "/tmp/graft_icespec/nope")
+    }
+    val root = "/tmp/graft_icespec/emptymeta"
+    rm(new java.io.File(root))
+    Files.createDirectories(Paths.get(root, "metadata"))
+    val e = intercept[IllegalStateException] {
+      IcebergLite.snapshot(spark, root)
+    }
+    assert(e.getMessage.contains("metadata.json"))
+  }
+}
