@@ -1272,8 +1272,11 @@ object Analytics4 extends QueryModule {
       for (_ <- 1 to 3) {
         // mode with smallest-label tie = argmax over (count, -label) —
         // a second partial-combinable aggregate instead of a per-round
-        // window SORT of the (node, label) table
-        labels = directed.join(labels, col("dst") === col("node"))
+        // window SORT of the (node, label) table. shuffle_hash on the
+        // node-grain labels side: builds the hash map on the SMALL
+        // relation and spares the edge-grain side a per-round sort
+        labels = directed
+          .join(labels.hint("shuffle_hash"), col("dst") === col("node"))
           .select(col("src").as("v"), col("lab"))
           .groupBy(col("v"), col("lab")).agg(count(lit(1)).as("c"))
           .groupBy(col("v"))

@@ -536,10 +536,65 @@ object Pipeline5 extends QueryModule {
         .agg(round(sum((col("pa") - col("pb")) *
           log(col("pa") / col("pb"))), 6).as("psi"),
           count(lit(1)).as("n_bins"))
+    },
+
+    // Sequence packing — the concat-then-chunk layout LLM pretraining
+    // actually feeds the model: the corpus is concatenated in doc_id
+    // order and cut into fixed 2048-token context windows, documents
+    // straddling a boundary spanning both bins. Tokens are the
+    // chars/4 heuristic (ceil — exact in double: division by a power
+    // of two). The global running token offset is the textbook
+    // DistributedPrefix.prefixSum consumer (range partition +
+    // per-partition window + broadcast offsets — NO single-partition
+    // stage at corpus scale); each doc then explodes into the ~1.1
+    // bins its span intersects, and the per-bin census (docs touching,
+    // token fill, first doc) partial-aggregates map-side. The oracle
+    // recomputes the identical spans with a SQL window + generate_
+    // series, so a one-token drift in any prefix goes red.
+    "q393_sequence_packing" -> { (s, dir) =>
+      val W = 2048L
+      val docs = Tables.df(s, dir, "documents")
+        .select(col("doc_id"),
+          ceil(col("n_chars") / lit(4.0)).cast(LongType).as("tok"))
+        .filter(col("tok") > 0)
+      val cum = graft.operators.DistributedPrefix
+        .prefixSum(docs, Seq(col("doc_id")), col("tok"), "cum")
+      val spans = cum.select(col("doc_id"), col("tok"),
+        (col("cum") - col("tok")).as("st"), (col("cum") - 1).as("en"))
+      spans
+        .select(col("doc_id"), col("tok"), col("st"), col("en"),
+          explode(sequence((col("st") / W).cast(LongType),
+            (col("en") / W).cast(LongType))).as("bin"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(least(col("en"), (col("bin") + 1) * W - 1) -
+            greatest(col("st"), col("bin") * W) + 1).as("fill"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy(col("bin"))
     }
   )
 
   override def oracle: Map[String, String] = Map(
+    "q393_sequence_packing" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(ceil(n_chars / 4.0) AS BIGINT) AS tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, tok,
+        |    CAST(sum(tok) OVER (ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM d WHERE tok > 0),
+        |s AS (
+        |  SELECT doc_id, tok, cum - tok AS st, cum - 1 AS en FROM c),
+        |e AS (
+        |  SELECT doc_id, tok, st, en,
+        |    unnest(generate_series(st // 2048, en // 2048)) AS bin
+        |  FROM s)
+        |SELECT bin, count(*) AS n_docs,
+        |  CAST(sum(least(en, (bin + 1) * 2048 - 1)
+        |    - greatest(st, bin * 2048) + 1) AS BIGINT) AS fill,
+        |  min(doc_id) AS first_doc
+        |FROM e GROUP BY bin ORDER BY bin""".stripMargin,
     "q376_collocations" ->
       """WITH toks AS (
         |  SELECT string_split(text, ' ') AS t FROM documents

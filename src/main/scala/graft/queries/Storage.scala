@@ -322,6 +322,28 @@ object Storage extends QueryModule {
     "q392_iceberg_snapshot" -> { (s, dir) =>
       deltaCensus(graft.sources.IcebergLite
         .read(s, authorIcebergTable(s, dir), snapshotId = Some(1L)))
+    },
+
+    // Hudi COPY-ON-WRITE table read — the third lakehouse leg
+    // (reference thirdparty/auron-hudi). The query authors a
+    // Hudi-layout table: .hoodie/hoodie.properties + a two-instant
+    // commit timeline whose partitionToWriteStats name one base file
+    // per (partition, file group). Instant 001 writes batches A∪B per
+    // group; instant 002 REWRITES every group's base file with B∪C —
+    // the copy-on-write contract — so the latest snapshot is B∪C and
+    // replay must pick exactly the newest base file per group, never
+    // both. Timeline replay is bounded plan-time JSON; data reads stay
+    // native parquet scans.
+    "q394_hudi_cow_read" -> { (s, dir) =>
+      deltaCensus(
+        graft.sources.HudiCowLite.read(s, authorHudiTable(s, dir)))
+    },
+
+    // Same table at instant 001 (pre-rewrite): A∪B — proving timeline
+    // replay stops at the asked instant.
+    "q395_hudi_time_travel" -> { (s, dir) =>
+      deltaCensus(graft.sources.HudiCowLite
+        .read(s, authorHudiTable(s, dir), asOfInstant = Some("001")))
     }
   )
 
@@ -413,6 +435,55 @@ object Storage extends QueryModule {
         Files.createDirectories(logDir)
         Files.writeString(logDir.resolve(f"${0L}%020d.json"), commit0)
         Files.writeString(logDir.resolve(f"${1L}%020d.json"), commit1)
+        root
+      })
+    }
+
+  private val hudiMemo = scala.collection.mutable.Map.empty[String, String]
+
+  /** Authors the two-instant Hudi COW lineitem table used by
+    * q394/q395 (see q394's comment for the timeline layout). One file
+    * group per l_returnflag partition; instant 002 rewrites every
+    * group's base file. The distinct-returnflag collect is a bounded
+    * dimension lookup (|returnflag| = 3). Memoized per sf-dir. */
+  private def authorHudiTable(s: SparkSession, dir: String): String =
+    hudiMemo.synchronized {
+      hudiMemo.getOrElseUpdate(dir, {
+        import java.nio.file.{Files, Paths}
+        val root = s"/tmp/graft_hudi/li_${Integer.toHexString(dir.hashCode)}"
+        def rm(p: java.io.File): Unit = {
+          if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+          p.delete(): Unit
+        }
+        rm(new java.io.File(root))
+        Files.createDirectories(Paths.get(root, ".hoodie"))
+        Files.writeString(Paths.get(root, ".hoodie", "hoodie.properties"),
+          "hoodie.table.name=lineitem\nhoodie.table.type=COPY_ON_WRITE\n")
+        val src = Tables.df(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity"),
+            col("l_extendedprice"), col("l_returnflag"))
+        val flags = src.select(col("l_returnflag")).distinct()
+          .collect().map(_.getString(0)).sorted
+        for ((instant, mods) <- Seq("001" -> Seq(0, 1), "002" -> Seq(1, 2))) {
+          val stats = flags.map { rf =>
+            val part = s"l_returnflag=$rf"
+            val rel = s"$part/g-${rf}_0-0_$instant.parquet"
+            val tmp = s"$root/_tmp"
+            src.filter(col("l_returnflag") === rf &&
+                (col("l_orderkey") % 10).isin(mods.map(Int.box): _*))
+              .coalesce(1).write.mode("overwrite").parquet(tmp)
+            val partFile = new java.io.File(tmp).listFiles()
+              .find(f => f.getName.endsWith(".parquet") &&
+                !f.getName.startsWith(".")).get
+            Files.createDirectories(Paths.get(root, part))
+            assert(partFile.renameTo(new java.io.File(s"$root/$rel")))
+            rm(new java.io.File(tmp))
+            s"""${jstr(part)}:[{"fileId":${jstr(s"g-$rf")},"path":${jstr(rel)},"numWrites":1}]"""
+          }.mkString(",")
+          Files.writeString(
+            Paths.get(root, ".hoodie", s"$instant.commit"),
+            s"""{"partitionToWriteStats":{$stats}}""")
+        }
         root
       })
     }
@@ -674,6 +745,27 @@ object Storage extends QueryModule {
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
         |   AS sum_price
         |FROM lineitem WHERE l_orderkey % 10 IN (1, 2)
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    // latest Hudi COW snapshot = batches B∪C (instant 002 rewrote
+    // every file group's base file)
+    "q394_hudi_cow_read" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_price
+        |FROM lineitem WHERE l_orderkey % 10 IN (1, 2)
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    // instant 001 = batches A∪B (pre-rewrite)
+    "q395_hudi_time_travel" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_price
+        |FROM lineitem WHERE l_orderkey % 10 IN (0, 1)
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
     // snapshot-id 1 = batches A∪B (pre-delete)

@@ -33,13 +33,19 @@ import org.json4s.jackson.JsonMethods
   *    codegen are untouched — a hand-rolled DSv2 FileTable would have
   *    to re-earn all three.
   *
+  * Checkpoints (PROTOCOL.md "Checkpoints"): when `_last_checkpoint`
+  * names version N, the snapshot state is loaded from the checkpoint
+  * parquet (single-file `N.checkpoint.parquet` or the multi-part
+  * `N.checkpoint.<i>.<parts>.parquet` series) and only JSON commits
+  * AFTER N are replayed — this is what makes log replay bounded on a
+  * long-lived table whose early JSON commits have been vacuumed. A
+  * `versionAsOf` BEFORE the checkpoint falls back to replay-from-zero
+  * and loudly fails if those early commits are gone.
+  *
   * Lite scope, loud failures (never silent wrong answers):
-  *  - checkpoint parquet files are NOT consumed; if `_last_checkpoint`
-  *    exists the reader throws (a checkpointed table may have dropped
-  *    early JSON commits, so replay-from-zero would be wrong);
-  *  - a GAP in the version sequence throws;
-  *  - malformed action JSON or a missing `metaData` throws with the
-  *    offending file named.
+  *  - a GAP in the version sequence (from the replay base) throws;
+  *  - malformed `_last_checkpoint`/action JSON, a missing checkpoint
+  *    part, or a missing `metaData` throws with the file named.
   */
 object DeltaLogLite {
 
@@ -49,15 +55,77 @@ object DeltaLogLite {
 
   private implicit val fmts: Formats = DefaultFormats
 
+  /** `_last_checkpoint` content: checkpoint version + part count. */
+  private def lastCheckpoint(fs: org.apache.hadoop.fs.FileSystem,
+                             logDir: Path,
+                             tableDir: String): Option[(Long, Option[Int])] = {
+    val p = new Path(logDir, "_last_checkpoint")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val json = try JsonMethods.parse(text)
+        catch { case e: Exception => throw new IllegalStateException(
+          s"$tableDir: malformed _last_checkpoint: ${e.getMessage}")
+        }
+      val v = (json \ "version").extractOpt[Long].getOrElse(
+        throw new IllegalStateException(
+          s"$tableDir: _last_checkpoint without a version"))
+      Some(v -> (json \ "parts").extractOpt[Int])
+    }
+  }
+
+  /** Load net snapshot state (metaData + live adds) from the version-N
+    * checkpoint parquet. `remove` rows in a checkpoint are expired
+    * tombstones kept for vacuum only — not live state. Driver-side
+    * collect is bounded by the table's FILE count (log grain), same as
+    * the JSON replay; a full-scale implementation would keep the file
+    * census distributed behind a FileIndex. */
+  private def loadCheckpoint(spark: SparkSession, tableDir: String,
+                             version: Long, parts: Option[Int],
+                             live: mutable.LinkedHashMap[String, AddFile])
+  : (Option[StructType], Seq[String]) = {
+    val names = parts match {
+      case Some(n) => (1 to n).map(i =>
+        f"$version%020d.checkpoint.$i%010d.$n%010d.parquet")
+      case None => Seq(f"$version%020d.checkpoint.parquet")
+    }
+    val paths = names.map(n => s"$tableDir/_delta_log/$n")
+    val df = try spark.read.parquet(paths: _*)
+      catch { case e: Exception => throw new IllegalStateException(
+        s"$tableDir: checkpoint $version unreadable " +
+          s"(${names.mkString(", ")}): ${e.getMessage}")
+      }
+    val cols = df.columns.toSet
+    var schema: Option[StructType] = None
+    var partCols: Seq[String] = Nil
+    if (cols.contains("metaData")) {
+      val metas = df.select(col("metaData.schemaString"),
+          col("metaData.partitionColumns"))
+        .where(col("metaData.schemaString").isNotNull).collect()
+      metas.lastOption.foreach { r =>
+        schema = Some(DataType.fromJson(r.getString(0))
+          .asInstanceOf[StructType])
+        partCols = Option(r.getSeq[String](1)).getOrElse(Nil)
+      }
+    }
+    if (cols.contains("add"))
+      df.select(col("add.path"), col("add.partitionValues"))
+        .where(col("add.path").isNotNull).collect()
+        .foreach { r =>
+          val pv = Option(r.getMap[String, String](1))
+            .map(_.toMap).getOrElse(Map.empty[String, String])
+          live(r.getString(0)) = AddFile(r.getString(0), pv)
+        }
+    (schema, partCols)
+  }
+
   /** Replay the log up to (and including) `versionAsOf`, or fully. */
   def snapshot(spark: SparkSession, tableDir: String,
                versionAsOf: Option[Long] = None): Snapshot = {
     val logDir = new Path(tableDir, "_delta_log")
     val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new Path(logDir, "_last_checkpoint")))
-      throw new IllegalStateException(
-        s"$tableDir has a checkpoint; DeltaLogLite replays JSON commits " +
-          "from version 0 and would miss checkpoint-compacted state")
     val commits =
       try fs.listStatus(logDir).toSeq.map(_.getPath)
         .filter(_.getName.matches("\\d{20}\\.json"))
@@ -66,23 +134,41 @@ object DeltaLogLite {
       catch { case _: FileNotFoundException =>
         throw new IllegalStateException(s"$tableDir has no _delta_log")
       }
-    if (commits.isEmpty)
-      throw new IllegalStateException(s"$tableDir: empty _delta_log")
-    val wanted = versionAsOf match {
-      case Some(v) =>
-        if (!commits.exists(_._1 == v)) throw new IllegalArgumentException(
-          s"$tableDir: no commit for versionAsOf=$v")
-        commits.takeWhile(_._1 <= v)
-      case None => commits
-    }
-    wanted.map(_._1).zipWithIndex.foreach { case (v, i) =>
-      if (v != i) throw new IllegalStateException(
-        s"$tableDir: version gap — expected commit $i, found $v")
-    }
+    val ckpt = lastCheckpoint(fs, logDir, tableDir)
 
     var schema: Option[StructType] = None
     var partCols: Seq[String] = Nil
     val live = mutable.LinkedHashMap.empty[String, AddFile]
+
+    // replay base: the checkpoint when it serves the asked version,
+    // else version -1 (full JSON replay, e.g. versionAsOf < checkpoint)
+    val base: Long = ckpt match {
+      case Some((cv, parts)) if versionAsOf.forall(_ >= cv) =>
+        val (s0, p0) = loadCheckpoint(spark, tableDir, cv, parts, live)
+        schema = s0; partCols = p0
+        cv
+      case _ => -1L
+    }
+
+    val after = commits.filter(_._1 > base)
+    val wanted = versionAsOf match {
+      case Some(v) =>
+        if (v != base && !after.exists(_._1 == v))
+          throw new IllegalArgumentException(
+            s"$tableDir: no commit for versionAsOf=$v" +
+              (if (ckpt.isDefined && base < 0)
+                " (predates the checkpoint and its JSON commit is gone)"
+              else ""))
+        after.takeWhile(_._1 <= v)
+      case None => after
+    }
+    if (base < 0 && wanted.isEmpty)
+      throw new IllegalStateException(s"$tableDir: empty _delta_log")
+    wanted.map(_._1).zipWithIndex.foreach { case (v, i) =>
+      if (v != base + 1 + i) throw new IllegalStateException(
+        s"$tableDir: version gap — expected commit ${base + 1 + i}, found $v")
+    }
+
     for ((v, p) <- wanted) {
       val in = fs.open(p)
       val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
@@ -119,7 +205,8 @@ object DeltaLogLite {
     }
     val sch = schema.getOrElse(throw new IllegalStateException(
       s"$tableDir: log replay finished without a metaData action"))
-    Snapshot(wanted.last._1, sch, partCols, live.values.toSeq)
+    Snapshot(wanted.lastOption.map(_._1).getOrElse(base), sch, partCols,
+      live.values.toSeq)
   }
 
   /** `add.path` is RELATIVE to the table root and percent-encoded as

@@ -92,15 +92,98 @@ class DeltaLogSpec extends AnyFunSuite {
     }
   }
 
-  test("checkpoint marker refuses loudly") {
+  /** Write a checkpoint parquet holding metaData + the given adds. */
+  private def writeCheckpoint(root: String, schema: String,
+                              file: String,
+                              adds: Seq[(String, String)],
+                              withMeta: Boolean = true): Unit = {
+    import spark.implicits._
+    val addT = "struct<path:string,partitionValues:map<string,string>>"
+    val metaT = "struct<schemaString:string,partitionColumns:array<string>>"
+    val metaRow = spark.range(1).select(
+      lit(null).cast(addT).as("add"),
+      struct(lit(schema).as("schemaString"),
+        array(lit("part")).as("partitionColumns")).as("metaData"))
+    val addRows = adds.toDF("p", "v").select(
+      struct(col("p").as("path"),
+        map(lit("part"), col("v")).as("partitionValues")).as("add"),
+      lit(null).cast(metaT).as("metaData"))
+    val all = if (withMeta) metaRow.unionByName(addRows) else addRows
+    val tmp = s"$root/_tmpckpt"
+    all.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith(".")).get
+    assert(part.renameTo(
+      new java.io.File(s"$root/_delta_log/$file")))
+    def rmr(p: java.io.File): Unit = {
+      if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rmr))
+      p.delete(): Unit
+    }
+    rmr(new java.io.File(tmp))
+  }
+
+  test("checkpoint replay: state loads from parquet, later JSON " +
+    "commits apply, pre-checkpoint history is gone loudly") {
     val (root, schema) = fixture("ckpt")
+    // commits 0 and 1 were vacuumed; checkpoint at 1 carries the state
+    writeCheckpoint(root, schema, f"${1L}%020d.checkpoint.parquet",
+      Seq(("f0.parquet", "a"), ("f%20one.parquet", "b")))
+    Files.writeString(Paths.get(root, "_delta_log", "_last_checkpoint"),
+      """{"version":1}""")
+    commit(root, 2,
+      """{"remove":{"path":"f0.parquet","deletionTimestamp":0,"dataChange":true}}""")
+    assert(DeltaLogLite.read(spark, root).count() == 5)
+    assert(DeltaLogLite.snapshot(spark, root).version == 2L)
+    // versionAsOf == checkpoint version: pure checkpoint state
+    assert(DeltaLogLite.read(spark, root, Some(1L)).count() == 10)
+    // versionAsOf BEFORE the checkpoint: its JSON commit is gone
+    val e = intercept[IllegalArgumentException] {
+      DeltaLogLite.snapshot(spark, root, Some(0L))
+    }
+    assert(e.getMessage.contains("predates the checkpoint"))
+  }
+
+  test("multi-part checkpoint loads every part") {
+    val (root, schema) = fixture("ckptparts")
+    writeCheckpoint(root, schema,
+      f"${0L}%020d.checkpoint.${1}%010d.${2}%010d.parquet",
+      Seq(("f0.parquet", "a")))
+    writeCheckpoint(root, schema,
+      f"${0L}%020d.checkpoint.${2}%010d.${2}%010d.parquet",
+      Seq(("f%20one.parquet", "b")), withMeta = false)
+    Files.writeString(Paths.get(root, "_delta_log", "_last_checkpoint"),
+      """{"version":0,"parts":2}""")
+    assert(DeltaLogLite.read(spark, root).count() == 10)
+  }
+
+  test("versionAsOf before a checkpoint replays surviving JSON history") {
+    val (root, schema) = fixture("ckptfull")
     commit(root, 0, meta(schema), add("f0.parquet", "a"))
-    Files.writeString(
-      Paths.get(root, "_delta_log", "_last_checkpoint"), "{}")
+    commit(root, 1, add("f%20one.parquet", "b"))
+    writeCheckpoint(root, schema, f"${1L}%020d.checkpoint.parquet",
+      Seq(("f0.parquet", "a"), ("f%20one.parquet", "b")))
+    Files.writeString(Paths.get(root, "_delta_log", "_last_checkpoint"),
+      """{"version":1}""")
+    assert(DeltaLogLite.read(spark, root, Some(0L)).count() == 5)
+    assert(DeltaLogLite.read(spark, root).count() == 10)
+  }
+
+  test("malformed or incomplete _last_checkpoint refuses loudly") {
+    val (root, schema) = fixture("ckptbad")
+    commit(root, 0, meta(schema), add("f0.parquet", "a"))
+    Files.writeString(Paths.get(root, "_delta_log", "_last_checkpoint"),
+      "{not json")
     val e = intercept[IllegalStateException] {
       DeltaLogLite.snapshot(spark, root)
     }
-    assert(e.getMessage.contains("checkpoint"))
+    assert(e.getMessage.contains("_last_checkpoint"))
+    Files.writeString(Paths.get(root, "_delta_log", "_last_checkpoint"),
+      """{"version":0}""") // names a checkpoint parquet that is absent
+    val e2 = intercept[IllegalStateException] {
+      DeltaLogLite.snapshot(spark, root)
+    }
+    assert(e2.getMessage.contains("unreadable"))
   }
 
   test("version gap refuses loudly") {

@@ -1,0 +1,113 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.HudiCowLite
+
+/** HudiCowLite contract: copy-on-write timeline replay (latest base
+  * file per file group wins), asOfInstant, inflight-commit exclusion,
+  * and the LOUD-failure paths — MERGE_ON_READ, replacecommit,
+  * deltacommit, malformed commit JSON, unknown instant, missing
+  * .hoodie. The happy path against real data is q394/q395's DuckDB
+  * oracle. */
+class HudiSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def rm(p: java.io.File): Unit = {
+    if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+    p.delete(): Unit
+  }
+
+  /** Table with one file group "g" in partition "p=x": instant 001
+    * writes ids 0..4, instant 002 rewrites the group with ids 5..9. */
+  private def fixture(name: String,
+                      tableType: String = "COPY_ON_WRITE"): String = {
+    val root = s"/tmp/graft_hudispec/$name"
+    rm(new java.io.File(root))
+    Files.createDirectories(Paths.get(root, ".hoodie"))
+    Files.createDirectories(Paths.get(root, "p=x"))
+    Files.writeString(Paths.get(root, ".hoodie", "hoodie.properties"),
+      s"hoodie.table.name=t\nhoodie.table.type=$tableType\n")
+    val df = spark.range(0, 10).select(col("id"), (col("id") * 2).as("v"))
+    def one(filter: org.apache.spark.sql.Column, out: String): Unit = {
+      val tmp = s"$root/_tmp"
+      df.filter(filter).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith(".")).get
+      assert(part.renameTo(new java.io.File(s"$root/$out")))
+      rm(new java.io.File(tmp))
+    }
+    one(col("id") < 5, "p=x/g_0-0_001.parquet")
+    one(col("id") >= 5, "p=x/g_0-0_002.parquet")
+    def commit(instant: String, path: String): Unit =
+      Files.writeString(Paths.get(root, ".hoodie", s"$instant.commit"),
+        s"""{"partitionToWriteStats":{"p=x":[{"fileId":"g","path":"$path","numWrites":5}]}}""")
+    commit("001", "p=x/g_0-0_001.parquet")
+    commit("002", "p=x/g_0-0_002.parquet")
+    root
+  }
+
+  test("latest base file per file group wins; older one is never read") {
+    val root = fixture("happy")
+    val snap = HudiCowLite.snapshot(spark, root)
+    assert(snap.instant == "002")
+    assert(snap.files == Seq(s"$root/p=x/g_0-0_002.parquet"))
+    assert(HudiCowLite.read(spark, root)
+      .agg(min(col("id")), count(lit(1))).head().toSeq == Seq(5L, 5L))
+  }
+
+  test("asOfInstant replays to the older base file; unknown instant " +
+    "refuses") {
+    val root = fixture("asof")
+    assert(HudiCowLite.read(spark, root, Some("001"))
+      .agg(max(col("id"))).head().getLong(0) == 4L)
+    val e = intercept[IllegalArgumentException] {
+      HudiCowLite.snapshot(spark, root, Some("000"))
+    }
+    assert(e.getMessage.contains("instant 000"))
+  }
+
+  test("inflight and requested instants are never read") {
+    val root = fixture("inflight")
+    Files.writeString(
+      Paths.get(root, ".hoodie", "003.commit.inflight"), "")
+    Files.writeString(
+      Paths.get(root, ".hoodie", "003.commit.requested"), "")
+    assert(HudiCowLite.snapshot(spark, root).instant == "002")
+  }
+
+  test("MERGE_ON_READ, replacecommit and deltacommit refuse loudly") {
+    val e1 = intercept[IllegalStateException] {
+      HudiCowLite.snapshot(spark, fixture("mor", "MERGE_ON_READ"))
+    }
+    assert(e1.getMessage.contains("MERGE_ON_READ"))
+    val r2 = fixture("repl")
+    Files.writeString(Paths.get(r2, ".hoodie", "004.replacecommit"), "{}")
+    val e2 = intercept[IllegalStateException] {
+      HudiCowLite.snapshot(spark, r2)
+    }
+    assert(e2.getMessage.contains("replacecommit"))
+    val r3 = fixture("delta")
+    Files.writeString(Paths.get(r3, ".hoodie", "004.deltacommit"), "{}")
+    val e3 = intercept[IllegalStateException] {
+      HudiCowLite.snapshot(spark, r3)
+    }
+    assert(e3.getMessage.contains("deltacommit"))
+  }
+
+  test("malformed commit JSON and missing .hoodie refuse loudly") {
+    val root = fixture("bad")
+    Files.writeString(Paths.get(root, ".hoodie", "003.commit"), "{nope")
+    val e = intercept[IllegalStateException] {
+      HudiCowLite.snapshot(spark, root)
+    }
+    assert(e.getMessage.contains("malformed commit 003"))
+    intercept[IllegalStateException] {
+      HudiCowLite.snapshot(spark, "/tmp/graft_hudispec/nope")
+    }
+  }
+}

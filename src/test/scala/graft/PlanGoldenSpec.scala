@@ -32,7 +32,13 @@ class PlanGoldenSpec extends AnyFunSuite {
     "q151_rollup_window_topk", "q152_cumulative_compare",
     "q153_channel_rollup", "q154_channel_intersect",
     "q155_hour_band_counts", "q156_crossborder_flows",
-    "q158_lm_quality")
+    "q158_lm_quality",
+    // the four TPC-DS-topology gap closers: q385's two global ranks
+    // must ride range partitioning (DistributedPrefix), q386's
+    // residual date predicate must stay inside the equi-join (no
+    // BNLJ), q387/q388 pin their rollup/window shapes
+    "q385_rank_align", "q386_return_repurchase",
+    "q387_frequent_best", "q388_channel_balance")
   // q176's two union branches consume IDENTICAL set-building subtrees;
   // WHICH branch materializes its exchange first (and which prints as
   // ReusedExchange) is stage-completion-order dependent under AQE — a
