@@ -1,0 +1,204 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, BindReferences, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.Partitioning
+import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+import org.apache.spark.sql.execution.metric.SQLMetrics
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+
+/** Partition-local prefix sweep — the physical half of
+  * [[graft.operators.DistributedPrefix]] (SURVEY §7.3 preference (c),
+  * same extension path as [[AsOfJoinPlan]]).
+  *
+  * The helper range-partitions + locally sorts its input; this operator
+  * then finishes the global prefix IN PLACE over the already-shuffled,
+  * already-sorted child:
+  *  1. a bounded census job — ONE tiny tuple per partition (running-sum
+  *     total, first boundary instant) collected to the driver, exactly
+  *     the grain of Spark's own RangePartitioner sample job;
+  *  2. the main pass — per-partition running sum seeded with the
+  *     exclusive prefix of earlier partitions' totals (and, for the
+  *     sweep-line shape, each row's next boundary instant, patched
+  *     across partition edges from the census).
+  *
+  * Because the operator declares NO required distribution and reports
+  * its child's `outputPartitioning`/`outputOrdering`, EnsureRequirements
+  * inserts nothing: the whole prefix costs exactly ONE full-data
+  * exchange (the helper's range shuffle). The previous formulation paid
+  * a second full `hashpartitioning(_pp_id)` exchange because the
+  * checkpoint scan had lost its partitioning info — round-11 verdict
+  * defect #2 — and needed a `localCheckpoint()` lineage cut to share
+  * the shuffle between census and main pass. Here both passes are jobs
+  * over the SAME child RDD, so the shuffle map output is written once
+  * and re-read (the census pays a second partition-local sort; at scale
+  * that is in-memory/spill-local work, not network), and lineage stays
+  * intact — an executor loss recomputes instead of failing the job.
+  *
+  * Null semantics match `sum(...) OVER (ROWS UNBOUNDED PRECEDING..
+  * CURRENT ROW)`: null values are skipped, and the running sum stays
+  * null until the first non-null value (tracked across partitions
+  * through the census `saw` flag).
+  */
+case class PartitionSweepPlan(
+    value: Attribute,                     // LongType/DoubleType (helper casts)
+    t: Option[Attribute],                 // sweep line: boundary instant
+    liveAttr: AttributeReference,         // appended running sum
+    tNextAttr: Option[AttributeReference], // appended next-instant (sweep)
+    child: LogicalPlan) extends UnaryNode {
+
+  override def output: Seq[Attribute] =
+    child.output ++ (liveAttr +: tNextAttr.toSeq)
+
+  override def producedAttributes: AttributeSet =
+    AttributeSet(liveAttr +: tNextAttr.toSeq)
+
+  override protected def withNewChildInternal(
+      newChild: LogicalPlan): PartitionSweepPlan = copy(child = newChild)
+}
+
+case class PartitionSweepExec(
+    value: Attribute,
+    t: Option[Attribute],
+    liveAttr: Attribute,
+    tNextAttr: Option[Attribute],
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] =
+    child.output ++ (liveAttr +: tNextAttr.toSeq)
+
+  // the whole point: pass the child's partitioning/ordering through so
+  // EnsureRequirements inserts no second exchange above the range shuffle
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = child.outputOrdering
+
+  override lazy val metrics = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext,
+      "number of output rows"))
+
+  private def toL(v: Any): Long = v match {
+    case l: Long => l
+    case i: Int  => i.toLong
+    case other => throw new IllegalStateException(
+      s"PartitionSweepExec: non-long-backed instant value $other " +
+        s"(${if (other == null) "null" else other.getClass.getName})")
+  }
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val childRdd = child.execute()
+    val boundV = BindReferences.bindReference(value, child.output)
+    val boundT = t.map(a => BindReferences.bindReference(a, child.output))
+    val isLong = value.dataType == LongType
+    val needT = boundT.isDefined
+
+    // ---- census job: (sumLong, sumDouble, sawNonNull, firstT, hasFirstT)
+    // per partition — one tuple per shuffle partition, driver-bounded at
+    // O(shuffle partitions), the same grain as Spark's range sampling
+    val census: Array[(Long, Double, Boolean, Long, Boolean)] =
+      childRdd.mapPartitions { it =>
+        var sl = 0L; var sd = 0.0; var saw = false
+        var ft = 0L; var hasF = false; var first = true
+        while (it.hasNext) {
+          val row = it.next()
+          if (first) {
+            first = false
+            boundT.foreach { bt =>
+              val tv = bt.eval(row)
+              if (tv != null) { ft = toL(tv); hasF = true }
+            }
+          }
+          val v = boundV.eval(row)
+          if (v != null) {
+            saw = true
+            if (isLong) sl += v.asInstanceOf[Long]
+            else sd += v.asInstanceOf[Double]
+          }
+        }
+        Iterator.single((sl, sd, saw, ft, hasF))
+      }.collect()
+
+    val n = census.length
+    val offL = new Array[Long](n)
+    val offD = new Array[Double](n)
+    val offSaw = new Array[Boolean](n)
+    var rl = 0L; var rd = 0.0; var rs = false
+    var i = 0
+    while (i < n) {
+      offL(i) = rl; offD(i) = rd; offSaw(i) = rs
+      rl += census(i)._1; rd += census(i)._2; rs ||= census(i)._3
+      i += 1
+    }
+    // next NON-EMPTY partition's first instant (sweep-line patch)
+    val nxtT = new Array[Long](n)
+    val nxtTDef = new Array[Boolean](n)
+    var nt = 0L; var ntDef = false
+    i = n - 1
+    while (i >= 0) {
+      nxtT(i) = nt; nxtTDef(i) = ntDef
+      if (census(i)._5) { nt = census(i)._4; ntDef = true }
+      i -= 1
+    }
+
+    val out = output
+    val tIsInt = t.exists(_.dataType == IntegerType)
+    val numOutputRows = longMetric("numOutputRows")
+
+    childRdd.mapPartitionsWithIndex { (pid, it) =>
+      val proj = UnsafeProjection.create(out, out)
+      val joined = new JoinedRow
+      var runL = offL(pid); var runD = offD(pid); var saw = offSaw(pid)
+      def stepLive(extra: GenericInternalRow, row: InternalRow): Unit = {
+        val v = boundV.eval(row)
+        if (v != null) {
+          saw = true
+          if (isLong) runL += v.asInstanceOf[Long]
+          else runD += v.asInstanceOf[Double]
+        }
+        if (!saw) extra.setNullAt(0)
+        else if (isLong) extra.setLong(0, runL)
+        else extra.setDouble(0, runD)
+      }
+      if (!needT) {
+        val extra = new GenericInternalRow(1)
+        it.map { row =>
+          stepLive(extra, row)
+          numOutputRows += 1
+          proj(joined(row, extra))
+        }
+      } else {
+        val bt = boundT.get
+        val extra = new GenericInternalRow(2)
+        // sorted iterators reuse their row buffer — the one-row
+        // lookahead must copy() before advancing
+        new Iterator[InternalRow] {
+          private var cur: InternalRow =
+            if (it.hasNext) it.next().copy() else null
+          override def hasNext: Boolean = cur != null
+          override def next(): InternalRow = {
+            val row = cur
+            var tnDef = false; var tn = 0L
+            if (it.hasNext) {
+              cur = it.next().copy()
+              val tv = bt.eval(cur)
+              if (tv != null) { tn = toL(tv); tnDef = true }
+            } else {
+              cur = null
+              tn = nxtT(pid); tnDef = nxtTDef(pid)
+            }
+            stepLive(extra, row)
+            if (!tnDef) extra.setNullAt(1)
+            else if (tIsInt) extra.setInt(1, tn.toInt)
+            else extra.setLong(1, tn)
+            numOutputRows += 1
+            proj(joined(row, extra))
+          }
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(
+      newChild: SparkPlan): PartitionSweepExec = copy(child = newChild)
+}

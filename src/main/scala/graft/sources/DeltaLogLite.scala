@@ -46,12 +46,65 @@ import org.json4s.jackson.JsonMethods
   *  - a GAP in the version sequence (from the replay base) throws;
   *  - malformed `_last_checkpoint`/action JSON, a missing checkpoint
   *    part, or a missing `metaData` throws with the file named.
+  *
+  * PROTOCOL GATING (PROTOCOL.md "Protocol Evolution"): the snapshot's
+  * latest `protocol` action is tracked through both the checkpoint and
+  * the JSON replay, and the table is REFUSED when reading it correctly
+  * would require a capability this reader lacks:
+  *  - `minReaderVersion` 2 (column mapping) is refused;
+  *  - `minReaderVersion` 3 (table features) is allowed only when every
+  *    listed `readerFeatures` entry is in [[supportedReaderFeatures]] —
+  *    `timestampNtz` (Spark's parquet reader handles TIMESTAMP_NTZ
+  *    natively) and `vacuumProtocolCheck` (a vacuum-time writer
+  *    obligation; PROTOCOL.md says readers need no special handling);
+  *  - any `add` carrying a non-null `deletionVector` is refused (its
+  *    rows would otherwise be resurrected);
+  *  - `metaData.configuration["delta.columnMapping.mode"]` other than
+  *    `none` is refused (physical parquet columns are `col-<uuid>`
+  *    renamed — a by-name read would return all nulls).
+  * A table with NO protocol action (pre-protocol fixtures) is treated
+  * as reader version 1, which is exactly what such a log means.
   */
 object DeltaLogLite {
 
   final case class AddFile(path: String, partitionValues: Map[String, String])
   final case class Snapshot(version: Long, schema: StructType,
                             partitionColumns: Seq[String], files: Seq[AddFile])
+
+  private final case class Protocol(minReaderVersion: Int,
+                                    readerFeatures: Set[String])
+
+  /** Reader features this lite reader genuinely satisfies; anything
+    * else (deletionVectors, columnMapping, v2Checkpoint, …) is a loud
+    * refusal, never a silent wrong answer. */
+  private val supportedReaderFeatures = Set("timestampNtz",
+    "vacuumProtocolCheck")
+
+  private def gateProtocol(tableDir: String, p: Protocol): Unit = {
+    val ok = p.minReaderVersion <= 1 ||
+      (p.minReaderVersion == 3 &&
+        (p.readerFeatures -- supportedReaderFeatures).isEmpty)
+    if (!ok) throw new IllegalStateException(
+      s"$tableDir: unsupported Delta reader protocol " +
+        s"(minReaderVersion=${p.minReaderVersion}" +
+        (if (p.readerFeatures.nonEmpty)
+          s", readerFeatures=${p.readerFeatures.toSeq.sorted.mkString(",")}"
+        else "") +
+        ") — DeltaLogLite reads reader-version-1 tables, plus " +
+        "version-3 tables whose readerFeatures all fall in " +
+        supportedReaderFeatures.toSeq.sorted.mkString("{", ",", "}"))
+  }
+
+  private def gateColumnMapping(tableDir: String,
+                                configuration: Map[String, String]): Unit =
+    configuration.get("delta.columnMapping.mode")
+      .filter(m => m != "none")
+      .foreach { m =>
+        throw new IllegalStateException(
+          s"$tableDir: delta.columnMapping.mode=$m is not supported — " +
+            "physical parquet column names differ from the logical " +
+            "schema; a by-name read would return nulls")
+      }
 
   private implicit val fmts: Formats = DefaultFormats
 
@@ -85,7 +138,8 @@ object DeltaLogLite {
   private def loadCheckpoint(spark: SparkSession, tableDir: String,
                              version: Long, parts: Option[Int],
                              live: mutable.LinkedHashMap[String, AddFile])
-  : (Option[StructType], Seq[String]) = {
+  : (Option[StructType], Seq[String], Map[String, String],
+     Option[Protocol]) = {
     val names = parts match {
       case Some(n) => (1 to n).map(i =>
         f"$version%020d.checkpoint.$i%010d.$n%010d.parquet")
@@ -97,28 +151,61 @@ object DeltaLogLite {
         s"$tableDir: checkpoint $version unreadable " +
           s"(${names.mkString(", ")}): ${e.getMessage}")
       }
+    def nested(top: String, field: String): Boolean =
+      df.schema.find(_.name == top).map(_.dataType).exists {
+        case s: StructType => s.fieldNames.contains(field)
+        case _             => false
+      }
     val cols = df.columns.toSet
     var schema: Option[StructType] = None
     var partCols: Seq[String] = Nil
+    var conf: Map[String, String] = Map.empty
+    var protocol: Option[Protocol] = None
     if (cols.contains("metaData")) {
+      val confCol =
+        if (nested("metaData", "configuration")) col("metaData.configuration")
+        else lit(null).cast("map<string,string>")
       val metas = df.select(col("metaData.schemaString"),
-          col("metaData.partitionColumns"))
+          col("metaData.partitionColumns"), confCol)
         .where(col("metaData.schemaString").isNotNull).collect()
       metas.lastOption.foreach { r =>
         schema = Some(DataType.fromJson(r.getString(0))
           .asInstanceOf[StructType])
         partCols = Option(r.getSeq[String](1)).getOrElse(Nil)
+        conf = Option(r.getMap[String, String](2))
+          .map(_.toMap).getOrElse(Map.empty)
       }
     }
-    if (cols.contains("add"))
-      df.select(col("add.path"), col("add.partitionValues"))
+    if (cols.contains("protocol") && nested("protocol", "minReaderVersion")) {
+      val featCol =
+        if (nested("protocol", "readerFeatures"))
+          col("protocol.readerFeatures")
+        else lit(null).cast("array<string>")
+      val ps = df.select(col("protocol.minReaderVersion"), featCol)
+        .where(col("protocol.minReaderVersion").isNotNull).collect()
+      ps.lastOption.foreach { r =>
+        protocol = Some(Protocol(r.getInt(0),
+          Option(r.getSeq[String](1)).getOrElse(Nil).toSet))
+      }
+    }
+    if (cols.contains("add")) {
+      val dvCol =
+        if (nested("add", "deletionVector"))
+          col("add.deletionVector").isNotNull
+        else lit(false)
+      df.select(col("add.path"), col("add.partitionValues"), dvCol)
         .where(col("add.path").isNotNull).collect()
         .foreach { r =>
+          if (r.getBoolean(2)) throw new IllegalStateException(
+            s"$tableDir: checkpoint $version add ${r.getString(0)} " +
+              "carries a deletionVector — reading it would resurrect " +
+              "deleted rows; DeltaLogLite refuses deletion vectors")
           val pv = Option(r.getMap[String, String](1))
             .map(_.toMap).getOrElse(Map.empty[String, String])
           live(r.getString(0)) = AddFile(r.getString(0), pv)
         }
-    (schema, partCols)
+    }
+    (schema, partCols, conf, protocol)
   }
 
   /** Replay the log up to (and including) `versionAsOf`, or fully. */
@@ -138,14 +225,16 @@ object DeltaLogLite {
 
     var schema: Option[StructType] = None
     var partCols: Seq[String] = Nil
+    var conf: Map[String, String] = Map.empty
+    var protocol: Option[Protocol] = None
     val live = mutable.LinkedHashMap.empty[String, AddFile]
 
     // replay base: the checkpoint when it serves the asked version,
     // else version -1 (full JSON replay, e.g. versionAsOf < checkpoint)
     val base: Long = ckpt match {
       case Some((cv, parts)) if versionAsOf.forall(_ >= cv) =>
-        val (s0, p0) = loadCheckpoint(spark, tableDir, cv, parts, live)
-        schema = s0; partCols = p0
+        val (s0, p0, c0, pr0) = loadCheckpoint(spark, tableDir, cv, parts, live)
+        schema = s0; partCols = p0; conf = c0; protocol = pr0
         cv
       case _ => -1L
     }
@@ -188,11 +277,30 @@ object DeltaLogLite {
             schema = Some(DataType.fromJson(ss).asInstanceOf[StructType])
             partCols = (md \ "partitionColumns")
               .extractOpt[Seq[String]].getOrElse(Nil)
+            conf = (md \ "configuration")
+              .extractOpt[Map[String, String]].getOrElse(Map.empty)
+        }
+        (action \ "protocol") match {
+          case JNothing =>
+          case pr =>
+            val mrv = (pr \ "minReaderVersion").extractOpt[Int].getOrElse(
+              throw new IllegalStateException(
+                s"$tableDir commit $v: protocol without minReaderVersion"))
+            val feats = (pr \ "readerFeatures")
+              .extractOpt[Seq[String]].getOrElse(Nil).toSet
+            protocol = Some(Protocol(mrv, feats))
         }
         (action \ "add") match {
           case JNothing =>
           case add =>
             val path = (add \ "path").extract[String]
+            (add \ "deletionVector") match {
+              case JNothing | JNull =>
+              case _ => throw new IllegalStateException(
+                s"$tableDir commit $v: add $path carries a " +
+                  "deletionVector — reading it would resurrect deleted " +
+                  "rows; DeltaLogLite refuses deletion vectors")
+            }
             val pv = (add \ "partitionValues")
               .extractOpt[Map[String, String]].getOrElse(Map.empty)
             live(path) = AddFile(path, pv)
@@ -205,6 +313,8 @@ object DeltaLogLite {
     }
     val sch = schema.getOrElse(throw new IllegalStateException(
       s"$tableDir: log replay finished without a metaData action"))
+    protocol.foreach(gateProtocol(tableDir, _))
+    gateColumnMapping(tableDir, conf)
     Snapshot(wanted.lastOption.map(_._1).getOrElse(base), sch, partCols,
       live.values.toSeq)
   }

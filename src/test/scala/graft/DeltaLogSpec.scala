@@ -210,6 +210,108 @@ class DeltaLogSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("metaData"))
   }
 
+  private def protocol(mrv: Int, feats: String*): String =
+    s"""{"protocol":{"minReaderVersion":$mrv,"minWriterVersion":7""" +
+      (if (feats.nonEmpty)
+        s""","readerFeatures":[${feats.map(jstr).mkString(",")}]"""
+      else "") + "}}"
+
+  test("protocol gate: minReaderVersion=1 reads green; 2 (column " +
+    "mapping) and 3 with unsupported readerFeatures refuse loudly") {
+    val (root, schema) = fixture("proto")
+    commit(root, 0, protocol(1), meta(schema), add("f0.parquet", "a"),
+      add("f%20one.parquet", "b"))
+    assert(DeltaLogLite.read(spark, root).count() == 10)
+
+    commit(root, 1, protocol(2))
+    val e2 = intercept[IllegalStateException] {
+      DeltaLogLite.snapshot(spark, root)
+    }
+    assert(e2.getMessage.contains("minReaderVersion=2"))
+    // versionAsOf BEFORE the upgrade still reads — the snapshot's own
+    // protocol is what gates, not the log head's
+    assert(DeltaLogLite.read(spark, root, Some(0L)).count() == 10)
+
+    commit(root, 2, protocol(3, "deletionVectors"))
+    val e3 = intercept[IllegalStateException] {
+      DeltaLogLite.snapshot(spark, root)
+    }
+    assert(e3.getMessage.contains("deletionVectors"))
+  }
+
+  test("protocol gate: minReaderVersion=3 with only supported " +
+    "readerFeatures reads green") {
+    val (root, schema) = fixture("protook")
+    commit(root, 0, protocol(3, "timestampNtz", "vacuumProtocolCheck"),
+      meta(schema), add("f0.parquet", "a"))
+    assert(DeltaLogLite.read(spark, root).count() == 5)
+  }
+
+  test("add.deletionVector refuses loudly") {
+    val (root, schema) = fixture("dv")
+    commit(root, 0, meta(schema),
+      s"""{"add":{"path":"f0.parquet","partitionValues":{"part":"a"},"size":1,"modificationTime":0,"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":"x","offset":1,"sizeInBytes":36,"cardinality":2}}}""")
+    val e = intercept[IllegalStateException] {
+      DeltaLogLite.snapshot(spark, root)
+    }
+    assert(e.getMessage.contains("deletionVector"))
+  }
+
+  test("delta.columnMapping.mode != none refuses loudly") {
+    val (root, schema) = fixture("cmap")
+    val md =
+      s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":${jstr(schema)},"partitionColumns":["part"],"configuration":{"delta.columnMapping.mode":"name"},"createdTime":0}}"""
+    commit(root, 0, md, add("f0.parquet", "a"))
+    val e = intercept[IllegalStateException] {
+      DeltaLogLite.snapshot(spark, root)
+    }
+    assert(e.getMessage.contains("columnMapping"))
+    // mode=none is explicitly fine
+    val mdNone = md.replace("\"name\"", "\"none\"")
+    commit(root, 0, mdNone, add("f0.parquet", "a"))
+    assert(DeltaLogLite.read(spark, root).count() == 5)
+  }
+
+  test("checkpoint-borne protocol gates the snapshot") {
+    val (root, schema) = fixture("ckptproto")
+    writeCheckpoint(root, schema, f"${0L}%020d.checkpoint.parquet",
+      Seq(("f0.parquet", "a")))
+    // splice a protocol column into a sibling single-part checkpoint
+    // via a second parquet: simpler — author the checkpoint with an
+    // explicit protocol row instead
+    import spark.implicits._
+    val addT = "struct<path:string,partitionValues:map<string,string>>"
+    val metaT = "struct<schemaString:string,partitionColumns:array<string>>"
+    val protoRow = spark.range(1).select(
+      lit(null).cast(addT).as("add"),
+      lit(null).cast(metaT).as("metaData"),
+      struct(lit(2).as("minReaderVersion")).as("protocol"))
+    val metaRow = spark.range(1).select(
+      lit(null).cast(addT).as("add"),
+      struct(lit(schema).as("schemaString"),
+        array(lit("part")).as("partitionColumns")).as("metaData"),
+      lit(null).cast("struct<minReaderVersion:int>").as("protocol"))
+    val addRow = Seq(("f0.parquet", "a")).toDF("p", "v").select(
+      struct(col("p").as("path"),
+        map(lit("part"), col("v")).as("partitionValues")).as("add"),
+      lit(null).cast(metaT).as("metaData"),
+      lit(null).cast("struct<minReaderVersion:int>").as("protocol"))
+    val tmp = s"$root/_tmpp"
+    metaRow.unionByName(protoRow).unionByName(addRow)
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith(".")).get
+    assert(part.renameTo(new java.io.File(
+      s"$root/_delta_log/${f"${0L}%020d"}.checkpoint.parquet")))
+    Files.writeString(Paths.get(root, "_delta_log", "_last_checkpoint"),
+      """{"version":0}""")
+    val e = intercept[IllegalStateException] {
+      DeltaLogLite.snapshot(spark, root)
+    }
+    assert(e.getMessage.contains("minReaderVersion=2"))
+  }
+
   test("absolute add.path refuses loudly; missing log refuses") {
     val (root, schema) = fixture("abs")
     commit(root, 0, meta(schema), add("/etc/owned.parquet", "a"))
