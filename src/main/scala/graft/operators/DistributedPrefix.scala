@@ -1,21 +1,33 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, GraftPlanBridge}
+import org.apache.spark.sql.catalyst.expressions.AttributeReference
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.plans.PartitionSweepPlan
 
 /** Distributed prefix aggregates over a GLOBAL ordering — the
   * scale-safe replacement for `Window.orderBy(...)` with no partition
   * keys, which Spark executes as a single-partition window (one
   * straggler task owns the whole fact table at 100 TB).
   *
-  * The standard two-phase prefix sum: range-partition on the sort
-  * keys (equal keys co-locate, partitions are globally ordered), run
-  * the window WITHIN each partition, then add each partition's
-  * broadcast prefix offset — the sum of all earlier partitions'
-  * totals. The offset table is one row per partition (tiny), so its
-  * own ordered window is bounded, and the result is bit-identical to
-  * the single-partition plan for any deterministic ordering.
+  * The standard two-phase prefix sum, executed by the native
+  * [[graft.plans.PartitionSweepExec]] operator: range-partition on the
+  * sort keys (equal keys co-locate, partitions are globally ordered),
+  * sort within partitions, then the operator finishes the prefix
+  * in-place — a bounded census job (one tuple per partition, the grain
+  * of Spark's own range-sampling job) seeds each partition's running
+  * sum with the exclusive prefix of earlier partitions' totals. The
+  * result is bit-identical to the single-partition plan for any
+  * deterministic ordering.
+  *
+  * Exactly ONE full-data exchange: the operator reports its child's
+  * partitioning and ordering, so EnsureRequirements inserts nothing
+  * above the range shuffle (the earlier window-based formulation paid
+  * a second full `hashpartitioning` exchange over a lineage-cutting
+  * `localCheckpoint()` — both are gone; lineage stays intact, so an
+  * executor loss recomputes instead of failing the job).
   *
   * Reference behaviour: the reference engine executes unpartitioned
   * windows the same single-stream way (NativeWindowBase has no
@@ -31,42 +43,40 @@ object DistributedPrefix {
     if (numParts > 0) numParts
     else df.sparkSession.sessionState.conf.numShufflePartitions
 
+  /** `sum(...)` result type for the value column — integrals widen to
+    * long, fractionals to double, matching the window-sum the helper
+    * replaces. Decimals are refused loudly (the running sum is
+    * accumulated natively in the operator; pre-cast to DOUBLE or
+    * BIGINT to opt in to that arithmetic explicitly). */
+  private def sumType(dt: DataType): DataType = dt match {
+    case ByteType | ShortType | IntegerType | LongType => LongType
+    case FloatType | DoubleType                        => DoubleType
+    case other => throw new IllegalArgumentException(
+      s"DistributedPrefix: unsupported value type ${other.simpleString} — " +
+        "cast the value to BIGINT or DOUBLE first")
+  }
+
   /** Running `sum(value)` over rows globally ordered by `sortKeys`
     * (ROWS UNBOUNDED PRECEDING..CURRENT ROW), without a
     * single-partition window. `sortKeys` should form a deterministic
     * order for the rows whose prefix values are consumed downstream
     * (ties receive arbitrary relative order, exactly like the
-    * single-window plan). Appends `out`; drops nothing else.
-    *
-    * Durability note: `localCheckpoint()` materializes the
-    * range-partitioned input in executor storage and CUTS LINEAGE —
-    * one pass feeds both the offset census and the main window, but
-    * an executor loss after the checkpoint fails the job instead of
-    * recomputing (Spark's documented localCheckpoint trade-off). On a
-    * long multi-stage 100 TB job, prefer a reliable
-    * `df.checkpoint()` (HDFS-backed) upstream of this helper if
-    * executor churn is expected; the helper itself stays agnostic.
-    */
+    * single-window plan). Appends `out`; drops nothing else. */
   def prefixSum(df: DataFrame, sortKeys: Seq[Column], value: Column,
                 out: String, numParts: Int = 0): DataFrame = {
-    val parted = df
+    graft.GraftExtensions.register(df.sparkSession)
+    val vT = sumType(df.select(value).schema.head.dataType)
+    val sorted = df
+      .withColumn("_pp_v", value.cast(vT))
       .repartitionByRange(resolveParts(df, numParts), sortKeys: _*)
-      .withColumn("_pp_id", spark_partition_id())
-      .localCheckpoint() // one pass feeds both the offset census and the main window
-    val wPid = Window.orderBy(col("_pp_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offs = parted.groupBy(col("_pp_id"))
-      .agg(sum(value).as("_pp_sum"))
-      .withColumn("_pp_off",
-        coalesce(sum(col("_pp_sum")).over(wPid), lit(0L)))
-      .select(col("_pp_id").as("_pp_oid"), col("_pp_off"))
-    val wLocal = Window.partitionBy(col("_pp_id"))
-      .orderBy(sortKeys: _*)
-      .rowsBetween(Window.unboundedPreceding, 0)
-    parted.withColumn("_pp_local", sum(value).over(wLocal))
-      .join(broadcast(offs), col("_pp_id") === col("_pp_oid"))
-      .withColumn(out, col("_pp_local") + col("_pp_off"))
-      .drop("_pp_id", "_pp_oid", "_pp_local", "_pp_off")
+      .sortWithinPartitions(sortKeys: _*)
+    val lp = sorted.queryExecution.analyzed
+    val vAttr = lp.output.find(_.name == "_pp_v").get
+      .asInstanceOf[AttributeReference]
+    val liveAttr = AttributeReference(out, vT, nullable = true)()
+    GraftPlanBridge.ofRows(df.sparkSession,
+        PartitionSweepPlan(vAttr, None, liveAttr, None, lp))
+      .drop("_pp_v")
   }
 
   /** Global `row_number()` under `sortKeys` — a prefix count of 1s.
@@ -80,35 +90,33 @@ object DistributedPrefix {
     * (the running sum of delta in (t, delta) order — ends sort before
     * starts at the same instant for delta -1/+1) and `t_next` (the
     * next boundary's t, crossing partition edges; null on the global
-    * last row). One range shuffle of the boundary rows; the
-    * cross-partition lead patches through the same per-partition
-    * offset table (each partition's first t, shifted by one).
-    */
+    * last row). One range shuffle of the boundary rows; the operator's
+    * census carries each partition's first instant, so the
+    * cross-partition lead patches through the same bounded metadata.
+    * `t` must be long-backed (BIGINT/INT — cast timestamps first). */
   def sweepLine(bounds: DataFrame, t: Column, delta: Column,
                 numParts: Int = 0): DataFrame = {
-    val parted = bounds
+    graft.GraftExtensions.register(bounds.sparkSession)
+    val dT = sumType(bounds.select(delta).schema.head.dataType)
+    require(dT == LongType,
+      "DistributedPrefix.sweepLine: delta must be integral")
+    val tT = bounds.select(t).schema.head.dataType
+    require(tT == LongType || tT == IntegerType,
+      s"DistributedPrefix.sweepLine: t must be BIGINT or INT, got " +
+        tT.simpleString)
+    val sorted = bounds
+      .withColumn("_pp_v", delta.cast(LongType))
+      .withColumn("_pp_t", t)
       .repartitionByRange(resolveParts(bounds, numParts), t, delta)
-      .withColumn("_pp_id", spark_partition_id())
-      .localCheckpoint()
-    val wPid = Window.orderBy(col("_pp_id"))
-    val offs = parted.groupBy(col("_pp_id"))
-      .agg(sum(delta).as("_pp_sum"), min(t).as("_pp_first"))
-      .withColumn("_pp_off", coalesce(sum(col("_pp_sum")).over(
-        wPid.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      // next NON-EMPTY partition's first t (empty pids never appear
-      // in the census, so lead skips them for free)
-      .withColumn("_pp_nxt", lead(col("_pp_first"), 1).over(wPid))
-      .select(col("_pp_id").as("_pp_oid"), col("_pp_off"),
-        col("_pp_nxt"))
-    val wLocal = Window.partitionBy(col("_pp_id")).orderBy(t, delta)
-    parted
-      .withColumn("_pp_live", sum(delta).over(
-        wLocal.rowsBetween(Window.unboundedPreceding, 0)))
-      .withColumn("_pp_lead", lead(t, 1).over(wLocal))
-      .join(broadcast(offs), col("_pp_id") === col("_pp_oid"))
-      .withColumn("live", col("_pp_live") + col("_pp_off"))
-      .withColumn("t_next", coalesce(col("_pp_lead"), col("_pp_nxt")))
-      .drop("_pp_id", "_pp_oid", "_pp_live", "_pp_off", "_pp_lead",
-        "_pp_nxt")
+      .sortWithinPartitions(t, delta)
+    val lp = sorted.queryExecution.analyzed
+    def attr(n: String) = lp.output.find(_.name == n).get
+      .asInstanceOf[AttributeReference]
+    val liveAttr = AttributeReference("live", LongType, nullable = true)()
+    val tNextAttr = AttributeReference("t_next", tT, nullable = true)()
+    GraftPlanBridge.ofRows(bounds.sparkSession,
+        PartitionSweepPlan(attr("_pp_v"), Some(attr("_pp_t")),
+          liveAttr, Some(tNextAttr), lp))
+      .drop("_pp_v", "_pp_t")
   }
 }

@@ -607,6 +607,8 @@ object GraftStrategies extends SparkStrategy {
           else sortMerge
       }
       exec :: Nil
+    case PartitionSweepPlan(v, t, live, tn, child) =>
+      PartitionSweepExec(v, t, live, tn, planLater(child)) :: Nil
     case _ => Nil
   }
 }

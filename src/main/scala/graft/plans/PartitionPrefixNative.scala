@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, BindReferences, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.Partitioning
 import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
@@ -69,6 +69,9 @@ case class PartitionSweepExec(
   override def output: Seq[Attribute] =
     child.output ++ (liveAttr +: tNextAttr.toSeq)
 
+  override def producedAttributes: AttributeSet =
+    AttributeSet(liveAttr +: tNextAttr.toSeq)
+
   // the whole point: pass the child's partitioning/ordering through so
   // EnsureRequirements inserts no second exchange above the range shuffle
   override def outputPartitioning: Partitioning = child.outputPartitioning
@@ -88,8 +91,9 @@ case class PartitionSweepExec(
 
   protected override def doExecute(): RDD[InternalRow] = {
     val childRdd = child.execute()
-    val boundV = BindReferences.bindReference(value, child.output)
-    val boundT = t.map(a => BindReferences.bindReference(a, child.output))
+    val boundV = BindReferences.bindReference(value: Expression, child.output)
+    val boundT =
+      t.map(a => BindReferences.bindReference(a: Expression, child.output))
     val isLong = value.dataType == LongType
     val needT = boundT.isDefined
 

@@ -83,21 +83,50 @@ class PrefixSpec extends AnyFunSuite {
     assert(segs(single) == segs(dist))
   }
 
+  test("prefixSum plans exactly one full-data exchange (native operator)") {
+    val df = (1 to 2000).map(i => ((i * 37) % 101, (i % 5) - 2L))
+      .toDF("k", "v")
+    val dist = DistributedPrefix.prefixSum(
+      df, Seq(col("k")), col("v"), "ps", numParts = 8)
+    dist.collect()
+    // the AQE string repeats the plan under "== Initial Plan ==" —
+    // count exchanges in the FINAL section only
+    val plan = dist.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("PartitionSweep"), s"no native operator:\n$plan")
+    val exchanges = "Exchange (\\w+)".r.findAllMatchIn(plan)
+      .map(_.group(1)).toList
+    assert(exchanges == List("rangepartitioning"),
+      s"expected exactly one range exchange, got $exchanges:\n$plan")
+    assert(!plan.contains("windowspecdefinition"),
+      s"prefix path still rides a window:\n$plan")
+  }
+
   test("roster-wide lint: no unpartitioned window over unbounded input") {
     // The scale contract, enforced over EVERY declared query's
-    // optimized plan: a windowspecdefinition whose FIRST argument is a
-    // sort item (prints with ASC/DESC) has no partition keys, i.e. it
-    // is a single-partition global window. That is only allowed when
-    // its input grain is provably bounded: the DistributedPrefix
-    // offset census (_pp_id — one row per shuffle partition) or a
-    // declared bounded-grain ordering column listed below. Everything
-    // else must ride DistributedPrefix / orderBy().limit() /
+    // optimized plan, walked as a TREE (a Window node with an empty
+    // partitionSpec is a single-partition global window — no string
+    // matching, so oddly-printed attribute names can't slip through).
+    // Such a window is only allowed when its input grain is provably
+    // bounded: a declared bounded-grain ordering column listed below.
+    // Everything else must ride DistributedPrefix (now the native
+    // PartitionSweepExec — zero windows) / orderBy().limit() /
     // percentile bucketing. (q375/q338/q371/q367 were the round-10
-    // escapees this lint now makes structurally impossible.)
+    // escapees this lint makes structurally impossible.)
     // Every entry names the ordering attribute(s) a query's global
     // window may legitimately ride, with WHY the input grain is
     // bounded (does not grow with corpus row count):
+    // "<no-order>" marks an ORDER-less global window (sum(x) OVER ()
+    // share-of-total) — still single-partition, allowed only on the
+    // same bounded-grain proof. The old regex lint never saw these;
+    // the tree walk does.
     val boundedGrain: Map[String, Set[String]] = Map(
+      // ~30 log2 length buckets post-aggregation
+      "q183_length_histogram" -> Set("<no-order>"),
+      // nation grain (25 rows) post-aggregation
+      "q328_hierarchy_shares" -> Set("<no-order>"),
+      // exactly 3 storage tiers post-aggregation
+      "q384_storage_tiering" -> Set("<no-order>"),
       // calendar-date grain — rows bounded by the date span, not data
       "q152_cumulative_compare" -> Set("d"),
       // input is the post-orderBy().limit(50) sample — 50 rows
@@ -121,50 +150,60 @@ class PrefixSpec extends AnyFunSuite {
       "q361_largest_remainder" -> Set("rem"),
       // stratum grain
       "q372_neyman_allocation" -> Set("rem"))
+    val broken = scala.collection.mutable.ListBuffer.empty[String]
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
-        val planTry = scala.util.Try(
-          fn(spark, sf).queryExecution.optimizedPlan.toString)
-        planTry.toOption.toSeq.flatMap { plan =>
-          "windowspecdefinition\\(([^)]*)".r
-            .findAllMatchIn(plan).map(_.group(1)).flatMap { sp =>
-              val first = sp.split(",").head.trim
-              val orderFirst =
-                first.contains(" ASC") || first.contains(" DESC")
-              val attr = first.takeWhile(c => c != ' ' && c != '#')
-              val ok = !orderFirst || attr.startsWith("_pp_id") ||
-                boundedGrain.getOrElse(name, Set.empty).contains(attr)
-              if (ok) None else Some(s"$name: $sp")
-            }
+        scala.util.Try(fn(spark, sf).queryExecution.optimizedPlan) match {
+          case scala.util.Failure(e) =>
+            // a query that cannot even build its plan must FAIL the
+            // lint, not silently dodge it
+            broken += s"$name: ${e.getMessage}"
+            Nil
+          case scala.util.Success(plan) =>
+            plan.collect {
+              case w: org.apache.spark.sql.catalyst.plans.logical.Window
+                  if w.partitionSpec.isEmpty =>
+                val first = w.orderSpec.headOption
+                  .flatMap(_.references.headOption).map(_.name)
+                  .getOrElse("<no-order>")
+                if (boundedGrain.getOrElse(name, Set.empty)
+                    .contains(first)) None
+                else Some(s"$name: global window ordered by $first")
+              case w: org.apache.spark.sql.catalyst.plans.logical
+                  .WindowGroupLimit if w.partitionSpec.isEmpty =>
+                val first = w.orderSpec.headOption
+                  .flatMap(_.references.headOption).map(_.name)
+                  .getOrElse("<no-order>")
+                if (boundedGrain.getOrElse(name, Set.empty)
+                    .contains(first)) None
+                else Some(s"$name: global window-group-limit by $first")
+            }.flatten
         }
     }
+    assert(broken.isEmpty,
+      s"queries whose plans failed to build:\n${broken.mkString("\n")}")
     assert(offenders.isEmpty,
       s"unpartitioned windows over undeclared input:\n${offenders.mkString("\n")}")
   }
 
-  test("q353/q358/q359 plans contain no unpartitioned fact window") {
-    // the scale contract: every Window in these plans must either be
-    // keyed (PARTITION BY) or run over the bounded per-partition
-    // offset table (one row per shuffle partition)
+  test("q353/q358/q359 plans ride the native sweep, no global window") {
+    // the scale contract: every Window in these plans must be keyed
+    // (PARTITION BY); the global-order prefix work rides
+    // PartitionSweepExec over the one range exchange
     for (q <- Seq("q353_gini_concentration", "q358_peak_concurrency",
         "q359_interval_coverage")) {
       val df = SparkEntry.queries(q)(spark, sf)
       df.collect()
       val plan = df.queryExecution.executedPlan.toString
-      // in a windowspecdefinition the partition columns print as bare
-      // attributes while ordering items carry ASC/DESC — so a spec
-      // whose FIRST argument is a sort item has no partition keys.
-      // The only such window these plans may contain is the helper's
-      // offset window over _pp_id (one row per shuffle partition).
-      val specs = "windowspecdefinition\\(([^)]*)".r
-        .findAllMatchIn(plan).map(_.group(1)).toList
-      assert(specs.nonEmpty, s"$q plan shows no window specs:\n$plan")
-      specs.foreach { sp =>
-        val first = sp.split(",").head.trim
-        val orderFirst = first.contains(" ASC") || first.contains(" DESC")
-        assert(!orderFirst || first.startsWith("_pp_id"),
-          s"$q has an unpartitioned non-offset window: $sp")
-      }
+      assert(plan.contains("PartitionSweep"),
+        s"$q does not ride the native prefix operator:\n$plan")
+      "windowspecdefinition\\(([^)]*)".r
+        .findAllMatchIn(plan).map(_.group(1)).foreach { sp =>
+          val first = sp.split(",").head.trim
+          val orderFirst = first.contains(" ASC") || first.contains(" DESC")
+          assert(!orderFirst,
+            s"$q has an unpartitioned window: $sp")
+        }
     }
   }
 }
