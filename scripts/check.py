@@ -51,19 +51,29 @@ def type_mismatches(con, files, sql):
     mismatches the driver flags)."""
     got_rel = con.sql(f"SELECT * FROM read_parquet({files!r})")
     exp_rel = con.sql(sql)
-    # positional compare over NAME-SORTED (col, type) lists — duplicate
-    # column names don't collapse (dict(zip(...)) masked a repeated
-    # column's type mismatch) and oracle-only columns still get their
-    # types checked rather than only their names later
-    got_t = sorted(zip(got_rel.columns, [str(t) for t in got_rel.types]))
-    exp_t = sorted(zip(exp_rel.columns, [str(t) for t in exp_rel.types]))
+    # group by NAME (name -> sorted list of types) and compare per-name
+    # type multisets — duplicate column names don't collapse, and a
+    # positional zip can't misalign/truncate when the column SETS differ
+    # (the old zip silently skipped every same-named column after a
+    # set divergence)
+    def by_name(rel):
+        m = {}
+        for n, t in zip(rel.columns, [str(t) for t in rel.types]):
+            m.setdefault(n, []).append(t)
+        return {n: sorted(ts) for n, ts in m.items()}
+    got_t, exp_t = by_name(got_rel), by_name(exp_rel)
     bad = []
-    for (gn, gt), (en, et) in zip(got_t, exp_t):
-        if gn != en:
-            continue  # schema compare happens later on the fetched frames
-        gc, ec = type_class(gt), type_class(et)
-        if gc != ec or gc == "hugeint" or ec == "hugeint":
-            bad.append(f"{gn}: spark={gt} oracle={et}")
+    for n in sorted(set(got_t) | set(exp_t)):
+        gts, ets = got_t.get(n), exp_t.get(n)
+        if gts is None:
+            bad.append(f"{n}: oracle-only column (types {ets})")
+            continue
+        if ets is None:
+            bad.append(f"{n}: spark-only column (types {gts})")
+            continue
+        gcs, ecs = [type_class(t) for t in gts], [type_class(t) for t in ets]
+        if gcs != ecs or "hugeint" in gcs or "hugeint" in ecs:
+            bad.append(f"{n}: spark={gts} oracle={ets}")
     return bad
 
 

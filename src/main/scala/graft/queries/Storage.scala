@@ -324,6 +324,22 @@ object Storage extends QueryModule {
         .read(s, authorIcebergTable(s, dir), snapshotId = Some(1L)))
     },
 
+    // Iceberg v2 POSITIONAL deletes — snapshot 2 of a second authored
+    // table keeps data files A∪B and adds a delete manifest whose
+    // positional-delete parquet names (file_path, pos) for every
+    // batch-A row with l_quantity > 25 (ordinals derived from the real
+    // file via _metadata.row_index at authoring time). The reader
+    // LEFT ANTI-joins the delete set against the data scan's
+    // (_metadata.file_path, _metadata.row_index) — delete side is
+    // auto-broadcast from parquet stats when small, shuffled when not
+    // — so live = B ∪ (A where quantity ≤ 25) and the oracle
+    // recomputes that subset from the source. (Equality deletes stay
+    // loudly refused.)
+    "q396_iceberg_pos_delete" -> { (s, dir) =>
+      deltaCensus(graft.sources.IcebergLite
+        .read(s, authorIcebergDeleteTable(s, dir)))
+    },
+
     // Hudi COPY-ON-WRITE table read — the third lakehouse leg
     // (reference thirdparty/auron-hudi). The query authors a
     // Hudi-layout table: .hoodie/hoodie.properties + a two-instant
@@ -344,6 +360,26 @@ object Storage extends QueryModule {
     "q395_hudi_time_travel" -> { (s, dir) =>
       deltaCensus(graft.sources.HudiCowLite
         .read(s, authorHudiTable(s, dir), asOfInstant = Some("001")))
+    },
+
+    // Apache Paimon table read — the FOURTH lakehouse leg (reference
+    // thirdparty/auron-paimon). The query authors a Paimon-layout
+    // append-only table: snapshot/snapshot-<id> JSON + LATEST hint,
+    // schema/schema-0, Avro manifest lists and manifests under
+    // manifest/, data under bucket-0/. Snapshot 1's delta adds batches
+    // A∪B; snapshot 2's base re-lists A∪B while its delta DELETEs A
+    // and ADDs C — replay must net the two lists to B∪C. Replay is
+    // bounded plan-time Avro; data reads stay native parquet scans.
+    "q397_paimon_read" -> { (s, dir) =>
+      deltaCensus(
+        graft.sources.PaimonLite.read(s, authorPaimonTable(s, dir)))
+    },
+
+    // Same table pinned to snapshot 1 (pre-delete): A∪B — proving
+    // snapshot selection beats the LATEST hint.
+    "q398_paimon_snapshot" -> { (s, dir) =>
+      deltaCensus(graft.sources.PaimonLite
+        .read(s, authorPaimonTable(s, dir), snapshotId = Some(1L)))
     }
   )
 
@@ -579,6 +615,198 @@ object Storage extends QueryModule {
       })
     }
 
+  private val icebergDelMemo =
+    scala.collection.mutable.Map.empty[String, String]
+
+  /** Authors the two-snapshot Iceberg table with a POSITIONAL delete
+    * file used by q396. Snapshot 1 = batches A (l_orderkey%10=0) and
+    * B (=1); snapshot 2 re-lists both data files and adds a delete
+    * manifest (manifest-list content=1) whose delete parquet names
+    * (file_path, pos) for every batch-A row with l_quantity > 25 —
+    * ordinals read back from the data file itself via
+    * `_metadata.row_index`, and file_path spelled file://-absolute to
+    * exercise path canonicalization against `_metadata.file_path`.
+    * Bounded driver-side scaffolding, memoized per sf-dir. */
+  private def authorIcebergDeleteTable(s: SparkSession,
+                                       dir: String): String =
+    icebergDelMemo.synchronized {
+      icebergDelMemo.getOrElseUpdate(dir, {
+        import java.nio.file.{Files, Paths}
+        val avroFmt = "org.apache.spark.sql.avro.AvroFileFormat"
+        val root =
+          s"/tmp/graft_iceberg/posdel_${Integer.toHexString(dir.hashCode)}"
+        def rm(p: java.io.File): Unit = {
+          if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+          p.delete(): Unit
+        }
+        rm(new java.io.File(root))
+        Files.createDirectories(Paths.get(root, "metadata"))
+        Files.createDirectories(Paths.get(root, "data"))
+        val src = Tables.df(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity"),
+            col("l_extendedprice"), col("l_returnflag"))
+        def dataFile(b: Int): String = {
+          val tmp = s"$root/_tmp"
+          src.filter(col("l_orderkey") % 10 === b).coalesce(1)
+            .write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(f => f.getName.endsWith(".parquet") &&
+              !f.getName.startsWith(".")).get
+          val out = s"data/b$b.parquet"
+          assert(part.renameTo(new java.io.File(s"$root/$out")))
+          rm(new java.io.File(tmp))
+          out
+        }
+        val (fa, fb) = (dataFile(0), dataFile(1))
+        def writeAvro(df: DataFrame, rel: String): Unit = {
+          val tmp = s"$root/_tmpavro"
+          df.coalesce(1).write.mode("overwrite").format(avroFmt).save(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(f => f.getName.startsWith("part-")).get
+          assert(part.renameTo(new java.io.File(s"$root/$rel")))
+          rm(new java.io.File(tmp))
+        }
+        import s.implicits._
+        // positional delete parquet: dead ordinals of batch A, derived
+        // from the REAL file so authoring can't drift from the data
+        val delTmp = s"$root/_tmpdel"
+        s.read.parquet(s"$root/$fa")
+          .select(lit(s"file://$root/$fa").as("file_path"),
+            col("_metadata.row_index").as("pos"),
+            col("l_quantity"))
+          .filter(col("l_quantity") > 25).drop("l_quantity")
+          .coalesce(1).write.mode("overwrite").parquet(delTmp)
+        val delPart = new java.io.File(delTmp).listFiles()
+          .find(f => f.getName.endsWith(".parquet") &&
+            !f.getName.startsWith(".")).get
+        val fdel = "data/del-a.parquet"
+        assert(delPart.renameTo(new java.io.File(s"$root/$fdel")))
+        rm(new java.io.File(delTmp))
+
+        def manifest(rel: String, content: Int,
+                     entries: (Int, String)*): Unit =
+          writeAvro(entries.toSeq.toDF("status", "file_path")
+            .select(col("status"),
+              struct(col("file_path"), lit(content).as("content"))
+                .as("data_file")), rel)
+        manifest("metadata/m-ab.avro", 0, (1, fa), (1, fb))
+        manifest("metadata/m-ab2.avro", 0, (0, fa), (0, fb))
+        manifest("metadata/m-del.avro", 1, (1, fdel))
+        def manifestList(rel: String,
+                         paths: (String, Int)*): Unit =
+          writeAvro(paths.toSeq.toDF("manifest_path", "content"), rel)
+        manifestList("metadata/snap-1.avro", "metadata/m-ab.avro" -> 0)
+        manifestList("metadata/snap-2.avro", "metadata/m-ab2.avro" -> 0,
+          "metadata/m-del.avro" -> 1)
+        val fields = Seq(
+          (1, "l_orderkey", "long"), (2, "l_quantity", "double"),
+          (3, "l_extendedprice", "double"), (4, "l_returnflag", "string"))
+          .map { case (i, n, t) =>
+            s"""{"id":$i,"name":${jstr(n)},"required":false,"type":${jstr(t)}}"""
+          }.mkString("[", ",", "]")
+        val metaJson =
+          s"""{"format-version":2,"table-uuid":"graft-q396","location":${jstr(root)},
+             |"current-schema-id":0,
+             |"schemas":[{"schema-id":0,"type":"struct","fields":$fields}],
+             |"current-snapshot-id":2,
+             |"snapshots":[
+             | {"snapshot-id":1,"manifest-list":"metadata/snap-1.avro"},
+             | {"snapshot-id":2,"manifest-list":"metadata/snap-2.avro"}
+             |]}""".stripMargin
+        Files.writeString(Paths.get(root, "metadata", "v1.metadata.json"),
+          metaJson)
+        Files.writeString(Paths.get(root, "metadata", "version-hint.text"),
+          "1")
+        root
+      })
+    }
+
+  private val paimonMemo = scala.collection.mutable.Map.empty[String, String]
+
+  /** Authors the two-snapshot Paimon-layout append-only lineitem table
+    * used by q397/q398 (see q397's comment for the snapshot layout).
+    * Manifest lists/manifests are genuine Avro with the layout's
+    * `_FILE_NAME`/`_KIND`/`_BUCKET`/`_FILE` field names; snapshot 2
+    * nets base(A∪B) + delta(DELETE A, ADD C) to B∪C. Bounded
+    * driver-side scaffolding, memoized per sf-dir. */
+  private def authorPaimonTable(s: SparkSession, dir: String): String =
+    paimonMemo.synchronized {
+      paimonMemo.getOrElseUpdate(dir, {
+        import java.nio.file.{Files, Paths}
+        val avroFmt = "org.apache.spark.sql.avro.AvroFileFormat"
+        val root =
+          s"/tmp/graft_paimon/li_${Integer.toHexString(dir.hashCode)}"
+        def rm(p: java.io.File): Unit = {
+          if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+          p.delete(): Unit
+        }
+        rm(new java.io.File(root))
+        for (d <- Seq("snapshot", "schema", "manifest", "bucket-0"))
+          Files.createDirectories(Paths.get(root, d))
+        val src = Tables.df(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity"),
+            col("l_extendedprice"), col("l_returnflag"))
+        def dataFile(b: Int): String = {
+          val tmp = s"$root/_tmp"
+          src.filter(col("l_orderkey") % 10 === b).coalesce(1)
+            .write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(f => f.getName.endsWith(".parquet") &&
+              !f.getName.startsWith(".")).get
+          val name = s"data-b$b.parquet"
+          assert(part.renameTo(new java.io.File(s"$root/bucket-0/$name")))
+          rm(new java.io.File(tmp))
+          name
+        }
+        val (fa, fb, fc) = (dataFile(0), dataFile(1), dataFile(2))
+        def writeAvro(df: DataFrame, rel: String): Unit = {
+          val tmp = s"$root/_tmpavro"
+          df.coalesce(1).write.mode("overwrite").format(avroFmt).save(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(f => f.getName.startsWith("part-")).get
+          assert(part.renameTo(new java.io.File(s"$root/$rel")))
+          rm(new java.io.File(tmp))
+        }
+        import s.implicits._
+        // manifest rows: _KIND (0 ADD / 1 DELETE), _BUCKET, _FILE struct
+        def manifest(rel: String, entries: (Int, String)*): Unit =
+          writeAvro(entries.toSeq.toDF("_KIND", "_fn")
+            .select(col("_KIND"), lit(0).as("_BUCKET"),
+              struct(col("_fn").as("_FILE_NAME")).as("_FILE")), rel)
+        manifest("manifest/m-ab.avro", (0, fa), (0, fb))
+        manifest("manifest/m-delac.avro", (1, fa), (0, fc))
+        def manifestList(rel: String, names: String*): Unit =
+          writeAvro(
+            if (names.isEmpty)
+              Seq.empty[String].toDF("_FILE_NAME")
+            else names.toSeq.toDF("_FILE_NAME"), rel)
+        manifestList("manifest/ml-empty.avro")
+        manifestList("manifest/ml-ab.avro", "m-ab.avro")
+        manifestList("manifest/ml-delac.avro", "m-delac.avro")
+        val schemaJson =
+          """{"id":0,"fields":[
+            | {"id":0,"name":"l_orderkey","type":"BIGINT"},
+            | {"id":1,"name":"l_quantity","type":"DOUBLE"},
+            | {"id":2,"name":"l_extendedprice","type":"DOUBLE"},
+            | {"id":3,"name":"l_returnflag","type":"STRING"}],
+            |"highestFieldId":3,"partitionKeys":[],"primaryKeys":[],
+            |"options":{"file.format":"parquet"}}""".stripMargin
+        Files.writeString(Paths.get(root, "schema", "schema-0"), schemaJson)
+        def snapJson(id: Long, base: String, delta: String): String =
+          s"""{"version":3,"id":$id,"schemaId":0,
+             |"baseManifestList":${jstr(base)},
+             |"deltaManifestList":${jstr(delta)},
+             |"commitKind":"APPEND","commitUser":"graft",
+             |"commitIdentifier":$id,"timeMillis":0}""".stripMargin
+        Files.writeString(Paths.get(root, "snapshot", "snapshot-1"),
+          snapJson(1, "ml-empty.avro", "ml-ab.avro"))
+        Files.writeString(Paths.get(root, "snapshot", "snapshot-2"),
+          snapJson(2, "ml-ab.avro", "ml-delac.avro"))
+        Files.writeString(Paths.get(root, "snapshot", "LATEST"), "2")
+        root
+      })
+    }
+
   /** DuckDB side of q318: the 8 Hilbert rounds unrolled. Each round
     * reads the PREVIOUS round's (hx, hy, hd) — SQL's no-sequencing
     * SELECT semantics give the reflect+transpose swap for free. */
@@ -760,6 +988,38 @@ object Storage extends QueryModule {
         |ORDER BY l_returnflag""".stripMargin,
     // instant 001 = batches A∪B (pre-rewrite)
     "q395_hudi_time_travel" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_price
+        |FROM lineitem WHERE l_orderkey % 10 IN (0, 1)
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    // positional deletes applied: B ∪ (A where quantity ≤ 25)
+    "q396_iceberg_pos_delete" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_price
+        |FROM lineitem
+        |WHERE l_orderkey % 10 = 1
+        |   OR (l_orderkey % 10 = 0 AND NOT (l_quantity > 25))
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    // Paimon latest snapshot = base(A∪B) + delta(DELETE A, ADD C) = B∪C
+    "q397_paimon_read" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_price
+        |FROM lineitem WHERE l_orderkey % 10 IN (1, 2)
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    // Paimon snapshot 1 = A∪B (pre-delete)
+    "q398_paimon_snapshot" ->
       """SELECT l_returnflag, count(*) AS n,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
         |   AS sum_qty,

@@ -79,9 +79,12 @@ object HudiCowLite {
     }
     // completed commits only: "<instant>.commit" exactly (inflight /
     // requested markers have further suffixes and are never read)
+    // instants are numeric timestamps — order NUMERICALLY, not
+    // lexicographically (lexicographic missorts "9" after "10" when
+    // widths vary)
     val commits = names.collect {
       case n if n.matches("\\d+\\.commit") => n.stripSuffix(".commit")
-    }.sorted
+    }.sortBy(BigInt(_))
     if (commits.isEmpty)
       throw new IllegalStateException(s"$tableDir: no completed commits")
     val wanted = asOfInstant match {
@@ -89,7 +92,7 @@ object HudiCowLite {
         if (!commits.contains(t)) throw new IllegalArgumentException(
           s"$tableDir: no completed commit at instant $t " +
             s"(have ${commits.mkString(", ")})")
-        commits.takeWhile(_ <= t)
+        commits.takeWhile(c => BigInt(c) <= BigInt(t))
       case None => commits
     }
 
@@ -131,6 +134,13 @@ object HudiCowLite {
   def read(spark: SparkSession, tableDir: String,
            asOfInstant: Option[String] = None): DataFrame = {
     val snap = snapshot(spark, tableDir, asOfInstant)
+    // a commit with empty partitionToWriteStats resolves to zero files;
+    // spark.read.parquet() with no paths dies with an opaque schema
+    // error — refuse loudly instead (COW carries no schema store to
+    // type an empty frame from)
+    if (snap.files.isEmpty) throw new IllegalStateException(
+      s"$tableDir: snapshot at ${snap.instant} resolves to zero base " +
+        "files (empty partitionToWriteStats) — nothing to read")
     spark.read.parquet(snap.files: _*)
   }
 }

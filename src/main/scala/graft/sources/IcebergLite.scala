@@ -26,18 +26,30 @@ import org.json4s.jackson.JsonMethods
   *    columns IN the file, unlike Delta, so one schema'd read serves),
   *    keeping pushdown, pruning and whole-stage codegen intact.
   *
+  * v2 POSITIONAL deletes (content=1) are READ: delete parquets carry
+  * (file_path, pos) rows naming dead ordinals in specific data files;
+  * the reader attaches `_metadata.file_path`/`_metadata.row_index` to
+  * the data scan and LEFT ANTI-joins the delete set — Spark
+  * auto-broadcasts a small delete side from parquet size statistics
+  * and falls back to a shuffled join for a huge one, so the plan holds
+  * at 100 TB. A positional delete row only ever names one immutable
+  * data file (Iceberg file names are unique), so applying every delete
+  * file in the snapshot is exact without sequence-number bookkeeping.
+  *
   * Lite scope, loud failures (never silent wrong answers):
-  *  - format-version must be 1 or 2; v2 row-level DELETES are refused
-  *    (a delete-content manifest or data_file.content != 0 throws);
+  *  - format-version must be 1 or 2; v2 EQUALITY deletes (content=2)
+  *    are refused;
   *  - only primitive column types (boolean/int/long/float/double/
   *    date/timestamp[tz]/string/uuid/decimal) — nested types throw;
+  *  - non-file:// filesystem schemes are refused in path resolution;
   *  - missing metadata, an unknown snapshot id, or a manifest row
   *    without the expected fields throw with the path named.
   */
 object IcebergLite {
 
   final case class Snapshot(snapshotId: Long, schema: StructType,
-                            files: Seq[String])
+                            files: Seq[String],
+                            deleteFiles: Seq[String] = Nil)
 
   private implicit val fmts: Formats = DefaultFormats
 
@@ -45,8 +57,17 @@ object IcebergLite {
 
   /** `file:`-scheme URIs and absolute paths pass through; a relative
     * path (some writers store table-relative locations) resolves
-    * against the table root. */
+    * against the table root. Any OTHER scheme (s3://, hdfs://, …) is
+    * refused loudly — concatenating it under tableDir would produce a
+    * nonsense path and an unrelated error downstream. */
   private def resolve(tableDir: String, p: String): String = {
+    val scheme = "^([A-Za-z][A-Za-z0-9+.-]*)://".r.findFirstMatchIn(p)
+      .map(_.group(1))
+    scheme.filter(_ != "file").foreach { s =>
+      throw new IllegalStateException(
+        s"IcebergLite: unsupported filesystem scheme '$s://' in '$p' — " +
+          "only file:// and table-relative paths are in scope")
+    }
     val noScheme = p.stripPrefix("file://").stripPrefix("file:")
     if (noScheme.startsWith("/")) noScheme else s"$tableDir/$noScheme"
   }
@@ -153,47 +174,102 @@ object IcebergLite {
       throw new IllegalStateException(
         s"$mlPath: manifest list lacks manifest_path")
     val mlRows = ml.collect()
-    mlRows.foreach { r =>
-      if (ml.columns.contains("content") &&
-        r.getAs[Any]("content") != null &&
-        r.getAs[Number]("content").intValue() != 0)
-        throw new IllegalStateException(
-          s"$mlPath: delete manifest present — v2 row-level deletes are " +
-            "outside IcebergLite scope")
+    // manifest-list content: 0 = data manifest, 1 = delete manifest
+    val (dataManifests, deleteManifests) = mlRows.partition { r =>
+      !ml.columns.contains("content") || r.getAs[Any]("content") == null ||
+        r.getAs[Number]("content").intValue() == 0
     }
-    val manifests = mlRows.map(_.getAs[String]("manifest_path")).toSeq
 
-    val files = manifests.flatMap { mp =>
-      val p = resolve(tableDir, mp)
-      val m = spark.read.format(AvroFmt).load(p)
-      if (!m.columns.contains("data_file") || !m.columns.contains("status"))
-        throw new IllegalStateException(
-          s"$p: manifest lacks status/data_file fields")
-      m.collect().flatMap { r =>
-        val status = r.getAs[Number]("status").intValue()
-        val df = r.getAs[org.apache.spark.sql.Row]("data_file")
-        if (df.schema.fieldNames.contains("content") &&
-          df.getAs[Any]("content") != null &&
-          df.getAs[Number]("content").intValue() != 0)
+    def replay(manifestPaths: Seq[String],
+               wantContent: Int, what: String): Seq[String] =
+      manifestPaths.flatMap { mp =>
+        val p = resolve(tableDir, mp)
+        val m = spark.read.format(AvroFmt).load(p)
+        if (!m.columns.contains("data_file") || !m.columns.contains("status"))
           throw new IllegalStateException(
-            s"$p: delete file entry — v2 row-level deletes are outside " +
-              "IcebergLite scope")
-        // status 2 = DELETED (tombstone retained for one snapshot)
-        if (status == 2) None
-        else Some(resolve(tableDir, df.getAs[String]("file_path")))
+            s"$p: manifest lacks status/data_file fields")
+        m.collect().flatMap { r =>
+          val status = r.getAs[Number]("status").intValue()
+          val df = r.getAs[org.apache.spark.sql.Row]("data_file")
+          val content =
+            if (df.schema.fieldNames.contains("content") &&
+              df.getAs[Any]("content") != null)
+              df.getAs[Number]("content").intValue()
+            else 0
+          if (content == 2) throw new IllegalStateException(
+            s"$p: equality delete file (content=2) — outside IcebergLite " +
+              "scope (positional deletes are supported)")
+          if (content != wantContent) throw new IllegalStateException(
+            s"$p: $what manifest entry has content=$content " +
+              s"(expected $wantContent)")
+          // status 2 = DELETED (tombstone retained for one snapshot)
+          if (status == 2) None
+          else Some(resolve(tableDir, df.getAs[String]("file_path")))
+        }
       }
-    }
-    Snapshot(wantedId, schema, files)
+
+    val files = replay(
+      dataManifests.map(_.getAs[String]("manifest_path")).toSeq, 0, "data")
+    val deletes = replay(
+      deleteManifests.map(_.getAs[String]("manifest_path")).toSeq,
+      1, "delete")
+    Snapshot(wantedId, schema, files, deletes)
+  }
+
+  /** Canonicalize a path for the positional-delete anti-join: both the
+    * delete rows' `file_path` column and Spark's `_metadata.file_path`
+    * must land on the same spelling regardless of file:-scheme form. */
+  private def normPathCol(tableDir: String,
+                          c: org.apache.spark.sql.Column) = {
+    import org.apache.spark.sql.functions._
+    val abs = regexp_replace(c, "^file:/+", "/")
+    when(abs.startsWith("/"), abs)
+      .otherwise(concat(lit(s"$tableDir/"), abs))
   }
 
   /** DataFrame over the snapshot's live files — one native parquet
-    * scan (Iceberg data files carry identity-partition columns). */
+    * scan (Iceberg data files carry identity-partition columns), with
+    * positional deletes applied as a LEFT ANTI join on
+    * (file_path, row ordinal). */
   def read(spark: SparkSession, tableDir: String,
            snapshotId: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions._
     val snap = snapshot(spark, tableDir, snapshotId)
     if (snap.files.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
-    else spark.read.schema(snap.schema).parquet(snap.files: _*)
+    else {
+      // Columns resolve BY NAME here; the Iceberg spec resolves by
+      // field-id, so a renamed column's physical parquet name would
+      // silently read as null. Spot-check one footer (bounded: one
+      // file) and refuse when the logical names are absent.
+      val footer = spark.read.parquet(snap.files.head).schema.fieldNames.toSet
+      val missing = snap.schema.fieldNames.filterNot(footer.contains)
+      if (missing.nonEmpty) throw new IllegalStateException(
+        s"IcebergLite: ${snap.files.head} lacks columns " +
+          s"${missing.mkString(", ")} — the table likely renamed columns " +
+          "(field-id resolution is outside IcebergLite scope)")
+      val data = spark.read.schema(snap.schema).parquet(snap.files: _*)
+      if (snap.deleteFiles.isEmpty) data
+      else {
+        val dels = spark.read.parquet(snap.deleteFiles: _*)
+        if (!dels.columns.contains("file_path") ||
+          !dels.columns.contains("pos"))
+          throw new IllegalStateException(
+            s"IcebergLite: positional delete files " +
+              s"${snap.deleteFiles.mkString(", ")} lack the spec's " +
+              "file_path/pos columns")
+        val delSet = dels.select(
+          normPathCol(tableDir, col("file_path")).as("_del_path"),
+          col("pos").cast("long").as("_del_pos"))
+        data
+          .withColumn("_ice_path",
+            normPathCol(tableDir, col("_metadata.file_path")))
+          .withColumn("_ice_pos", col("_metadata.row_index"))
+          .join(delSet, col("_ice_path") === col("_del_path") &&
+            col("_ice_pos") === col("_del_pos"), "left_anti")
+          .drop("_ice_path", "_ice_pos")
+      }
+    }
   }
 }

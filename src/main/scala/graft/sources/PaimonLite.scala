@@ -1,0 +1,235 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Read-only Apache Paimon table reader implemented from the PUBLIC
+  * Paimon layout (paimon.apache.org/docs — basic concepts + file
+  * layouts): a table directory holds
+  *  - `snapshot/snapshot-<id>` JSON files (+ a `LATEST` hint naming
+  *    the current id),
+  *  - `schema/schema-<id>` JSON (fields, partitionKeys, primaryKeys),
+  *  - `manifest/` Avro manifest lists and manifests,
+  *  - data files under `bucket-<b>/`.
+  * A snapshot's live file set is the replay of its BASE manifest list
+  * (compacted history) plus its DELTA manifest list (that commit's
+  * changes), applying each manifest entry's `_KIND` (0 = ADD,
+  * 1 = DELETE) per (bucket, file name).
+  *
+  * Fourth lakehouse-interop leg next to [[DeltaLogLite]],
+  * [[IcebergLite]] and [[HudiCowLite]] (reference surface:
+  * thirdparty/auron-paimon — the reference converts Paimon scans into
+  * its native engine via the same provider contract as
+  * auron-iceberg/.../IcebergConvertProvider.scala). Same Spark-first
+  * split: snapshot/manifest replay is bounded plan-time metadata
+  * (manifests count in the thousands, never fact-sized); data reads
+  * are Spark's native vectorized parquet scans, keeping pushdown,
+  * pruning and whole-stage codegen at 100 TB.
+  *
+  * Lite scope, loud failures (never silent wrong answers):
+  *  - APPEND-ONLY tables only: a schema with primaryKeys is refused
+  *    (primary-key tables are LSM trees whose read path must merge
+  *    row versions across levels);
+  *  - UNPARTITIONED tables only: partitionKeys are refused (partition
+  *    values travel as serialized BinaryRow bytes in manifests —
+  *    outside lite scope);
+  *  - parquet data files only (a non-.parquet file name is refused);
+  *  - non-file:// filesystem schemes, missing snapshots/schemas, and
+  *    manifest rows without the expected fields throw with the path
+  *    named.
+  */
+object PaimonLite {
+
+  final case class Snapshot(snapshotId: Long, schema: StructType,
+                            files: Seq[String])
+
+  private implicit val fmts: Formats = DefaultFormats
+
+  private val AvroFmt = "org.apache.spark.sql.avro.AvroFileFormat"
+
+  private def readText(fs: org.apache.hadoop.fs.FileSystem,
+                       p: Path): String = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  /** Paimon types are SQL-style strings (possibly "... NOT NULL"). */
+  private def paimonType(raw: String, where: String): (DataType, Boolean) = {
+    val notNull = raw.toUpperCase.endsWith(" NOT NULL")
+    val t = (if (notNull) raw.dropRight(" NOT NULL".length) else raw)
+      .trim.toUpperCase
+    val dt = t match {
+      case "BOOLEAN"            => BooleanType
+      case "TINYINT"            => ByteType
+      case "SMALLINT"           => ShortType
+      case "INT" | "INTEGER"    => IntegerType
+      case "BIGINT"             => LongType
+      case "FLOAT"              => FloatType
+      case "DOUBLE"             => DoubleType
+      case "DATE"               => DateType
+      case "STRING"             => StringType
+      case "BYTES"              => BinaryType
+      case v if v.startsWith("VARCHAR") || v.startsWith("CHAR") =>
+        StringType
+      case v if v.startsWith("VARBINARY") || v.startsWith("BINARY") =>
+        BinaryType
+      case v if v.startsWith("TIMESTAMP") =>
+        // TIMESTAMP(p) is local-zone-less in Paimon; WITH LOCAL TIME
+        // ZONE maps to Spark's TimestampType
+        if (v.contains("LOCAL TIME ZONE")) TimestampType
+        else TimestampNTZType
+      case v if v.startsWith("DECIMAL(") || v.startsWith("NUMERIC(") =>
+        val Array(p, s) = v.dropWhile(_ != '(').stripPrefix("(")
+          .stripSuffix(")").split(",").map(_.trim.toInt)
+        DecimalType(p, s)
+      case other => throw new IllegalStateException(
+        s"$where: unsupported Paimon type '$other' (nested/complex " +
+          "types are outside PaimonLite scope)")
+    }
+    (dt, !notNull)
+  }
+
+  /** file:-scheme URIs and absolute paths pass through; relative paths
+    * resolve against the table root; other schemes refuse loudly. */
+  private def resolve(tableDir: String, p: String): String = {
+    val scheme = "^([A-Za-z][A-Za-z0-9+.-]*)://".r.findFirstMatchIn(p)
+      .map(_.group(1))
+    scheme.filter(_ != "file").foreach { s =>
+      throw new IllegalStateException(
+        s"PaimonLite: unsupported filesystem scheme '$s://' in '$p' — " +
+          "only file:// and table-relative paths are in scope")
+    }
+    val noScheme = p.stripPrefix("file://").stripPrefix("file:")
+    if (noScheme.startsWith("/")) noScheme else s"$tableDir/$noScheme"
+  }
+
+  /** Resolve a snapshot: `snapshotId`, else the `snapshot/LATEST`
+    * hint, else the highest snapshot-<N> present. */
+  def snapshot(spark: SparkSession, tableDir: String,
+               snapshotId: Option[Long] = None): Snapshot = {
+    val snapDir = new Path(tableDir, "snapshot")
+    val fs = snapDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(snapDir))
+      throw new IllegalStateException(s"$tableDir has no snapshot directory")
+
+    val wantedId: Long = snapshotId.getOrElse {
+      val hint = new Path(snapDir, "LATEST")
+      if (fs.exists(hint)) readText(fs, hint).trim.toLong
+      else {
+        val ids = fs.listStatus(snapDir).toSeq.map(_.getPath.getName)
+          .collect { case n if n.matches("snapshot-\\d+") =>
+            n.stripPrefix("snapshot-").toLong }
+        if (ids.isEmpty) throw new IllegalStateException(
+          s"$tableDir: no snapshot-<N> files in snapshot/")
+        ids.max
+      }
+    }
+    val snapFile = new Path(snapDir, s"snapshot-$wantedId")
+    if (!fs.exists(snapFile)) throw new IllegalArgumentException(
+      s"$tableDir: snapshot $wantedId not found")
+    val snap = JsonMethods.parse(readText(fs, snapFile))
+
+    val schemaId = (snap \ "schemaId").extractOpt[Long].getOrElse(0L)
+    val schemaFile = new Path(tableDir, s"schema/schema-$schemaId")
+    if (!fs.exists(schemaFile)) throw new IllegalStateException(
+      s"$tableDir: schema/schema-$schemaId missing")
+    val schemaJson = JsonMethods.parse(readText(fs, schemaFile))
+    (schemaJson \ "primaryKeys") match {
+      case JArray(ks) if ks.nonEmpty => throw new IllegalStateException(
+        s"$schemaFile: primary-key table (keys ${ks.map(_.extract[String])
+          .mkString(", ")}) — PaimonLite reads APPEND-ONLY tables only " +
+          "(primary-key reads must merge LSM levels)")
+      case _ =>
+    }
+    (schemaJson \ "partitionKeys") match {
+      case JArray(ks) if ks.nonEmpty => throw new IllegalStateException(
+        s"$schemaFile: partitioned table (keys ${ks.map(_.extract[String])
+          .mkString(", ")}) — outside PaimonLite scope (partition values " +
+          "travel as serialized BinaryRow bytes)")
+      case _ =>
+    }
+    val schema = (schemaJson \ "fields") match {
+      case JArray(fls) => StructType(fls.map { f =>
+        val name = (f \ "name").extract[String]
+        (f \ "type") match {
+          case JString(t) =>
+            val (dt, nullable) = paimonType(t, schemaFile.toString)
+            StructField(name, dt, nullable)
+          case _ => throw new IllegalStateException(
+            s"$schemaFile: field $name has a non-primitive type")
+        }
+      })
+      case _ => throw new IllegalStateException(
+        s"$schemaFile: schema has no fields")
+    }
+
+    // bare names (the layout's convention) live under manifest/;
+    // absolute/URI spellings go through the scheme-checked resolver
+    def resolveManifest(name: String): String =
+      if (name.startsWith("/") || name.contains("://") ||
+        name.startsWith("file:")) resolve(tableDir, name)
+      else s"$tableDir/manifest/$name"
+
+    // base (compacted history) + delta (this commit) manifest lists
+    def manifestsOf(key: String): Seq[String] =
+      (snap \ key) match {
+        case JString(ml) =>
+          val p = resolveManifest(ml)
+          val df = spark.read.format(AvroFmt).load(p)
+          if (!df.columns.contains("_FILE_NAME"))
+            throw new IllegalStateException(
+              s"$p: manifest list lacks _FILE_NAME")
+          df.collect().map(_.getAs[String]("_FILE_NAME")).toSeq
+        case JNull | JNothing => Nil
+        case other => throw new IllegalStateException(
+          s"$snapFile: $key is not a string: $other")
+      }
+    val manifests =
+      manifestsOf("baseManifestList") ++ manifestsOf("deltaManifestList")
+
+    // replay ADD/DELETE per (bucket, file name); later entries win
+    val live = scala.collection.mutable.LinkedHashSet.empty[(Int, String)]
+    for (mf <- manifests) {
+      val p = resolveManifest(mf)
+      val m = spark.read.format(AvroFmt).load(p)
+      for (need <- Seq("_KIND", "_BUCKET", "_FILE"))
+        if (!m.columns.contains(need)) throw new IllegalStateException(
+          s"$p: manifest lacks $need")
+      m.collect().foreach { r =>
+        val kind = r.getAs[Number]("_KIND").intValue()
+        val bucket = r.getAs[Number]("_BUCKET").intValue()
+        val file = r.getAs[org.apache.spark.sql.Row]("_FILE")
+        val name = file.getAs[String]("_FILE_NAME")
+        kind match {
+          case 0 => live += ((bucket, name))
+          case 1 => live -= ((bucket, name))
+          case k => throw new IllegalStateException(
+            s"$p: unknown manifest entry kind $k for $name")
+        }
+      }
+    }
+    val files = live.toSeq.map { case (bucket, name) =>
+      if (!name.endsWith(".parquet")) throw new IllegalStateException(
+        s"$tableDir: data file $name is not parquet — PaimonLite reads " +
+          "parquet data files only (set file.format=parquet)")
+      s"$tableDir/bucket-$bucket/$name"
+    }
+    Snapshot(wantedId, schema, files)
+  }
+
+  /** DataFrame over the snapshot's live files — one native parquet
+    * scan. An empty snapshot returns a typed empty frame (the schema
+    * store makes that possible here, unlike Hudi COW). */
+  def read(spark: SparkSession, tableDir: String,
+           snapshotId: Option[Long] = None): DataFrame = {
+    val snap = snapshot(spark, tableDir, snapshotId)
+    if (snap.files.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
+    else spark.read.schema(snap.schema).parquet(snap.files: _*)
+  }
+}

@@ -99,6 +99,41 @@ class HudiSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("deltacommit"))
   }
 
+  test("instants order numerically, not lexicographically") {
+    // variable-width instants "9" < "10" numerically but "10" < "9"
+    // lexicographically — the missort this guards: a lexicographic
+    // replay would leave instant "9"'s (older) base file live
+    val root = fixture("numorder")
+    for (old <- Seq("001", "002"))
+      Files.delete(Paths.get(root, ".hoodie", s"$old.commit"))
+    def commit(instant: String, path: String): Unit =
+      Files.writeString(Paths.get(root, ".hoodie", s"$instant.commit"),
+        s"""{"partitionToWriteStats":{"p=x":[{"fileId":"g","path":"$path","numWrites":5}]}}""")
+    commit("9", "p=x/g_0-0_001.parquet")
+    commit("10", "p=x/g_0-0_002.parquet")
+    val snap = HudiCowLite.snapshot(spark, root)
+    assert(snap.instant == "10")
+    assert(snap.files == Seq(s"$root/p=x/g_0-0_002.parquet"))
+    // numeric takeWhile: asOf("9") replays ONLY instant 9 (a
+    // lexicographic replay would include "10" ≤ "9" and serve 002)
+    assert(HudiCowLite.snapshot(spark, root, Some("9"))
+      .files == Seq(s"$root/p=x/g_0-0_001.parquet"))
+  }
+
+  test("zero-base-file snapshot refuses loudly on read") {
+    val root = s"/tmp/graft_hudispec/emptysnap"
+    rm(new java.io.File(root))
+    Files.createDirectories(Paths.get(root, ".hoodie"))
+    Files.writeString(Paths.get(root, ".hoodie", "hoodie.properties"),
+      "hoodie.table.name=t\nhoodie.table.type=COPY_ON_WRITE\n")
+    Files.writeString(Paths.get(root, ".hoodie", "001.commit"),
+      """{"partitionToWriteStats":{}}""")
+    val e = intercept[IllegalStateException] {
+      HudiCowLite.read(spark, root)
+    }
+    assert(e.getMessage.contains("zero base"))
+  }
+
   test("malformed commit JSON and missing .hoodie refuse loudly") {
     val root = fixture("bad")
     Files.writeString(Paths.get(root, ".hoodie", "003.commit"), "{nope")

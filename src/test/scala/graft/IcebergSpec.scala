@@ -138,15 +138,103 @@ class IcebergSpec extends AnyFunSuite {
     assert(e.getMessage.contains("non-primitive"))
   }
 
-  test("delete manifest and delete data_file refuse loudly") {
+  test("content placement mismatches refuse loudly") {
+    // a manifest-list row claiming DELETE content over data entries
     val e1 = intercept[IllegalStateException] {
       IcebergLite.snapshot(spark, fixture("delml", mlContent = 1))
     }
-    assert(e1.getMessage.contains("delete manifest"))
+    assert(e1.getMessage.contains("content=0"))
+    // a DATA manifest whose entries carry delete content
     val e2 = intercept[IllegalStateException] {
       IcebergLite.snapshot(spark, fixture("deldf", dfContent = 1))
     }
-    assert(e2.getMessage.contains("delete file"))
+    assert(e2.getMessage.contains("content=1"))
+  }
+
+  test("equality deletes (content=2) refuse loudly") {
+    val e = intercept[IllegalStateException] {
+      IcebergLite.snapshot(spark,
+        fixture("eqdel", mlContent = 1, dfContent = 2))
+    }
+    assert(e.getMessage.contains("equality delete"))
+  }
+
+  test("positional deletes anti-join the named ordinals") {
+    val root = fixture("posdel")
+    // delete parquet: the two f0 rows with id < 2, ordinals read back
+    // from the real file; file_path spelled file://-absolute to
+    // exercise canonicalization against _metadata.file_path
+    val tmp = s"$root/_tmpdel"
+    spark.read.parquet(s"$root/data/f0.parquet")
+      .filter(col("id") < 2)
+      .select(lit(s"file://$root/data/f0.parquet").as("file_path"),
+        col("_metadata.row_index").as("pos"))
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith(".")).get
+    assert(part.renameTo(new java.io.File(s"$root/data/del0.parquet")))
+    rm(new java.io.File(tmp))
+    import spark.implicits._
+    def writeAvro(d: org.apache.spark.sql.DataFrame, rel: String): Unit = {
+      val t2 = s"$root/_tmpavro"
+      d.coalesce(1).write.mode("overwrite").format(avroFmt).save(t2)
+      val p = new java.io.File(t2).listFiles()
+        .find(_.getName.startsWith("part-")).get
+      assert(p.renameTo(new java.io.File(s"$root/$rel")))
+      rm(new java.io.File(t2))
+    }
+    writeAvro(Seq((1, "data/del0.parquet")).toDF("status", "file_path")
+      .select(col("status"),
+        struct(col("file_path"), lit(1).as("content")).as("data_file")),
+      "metadata/m-del.avro")
+    writeAvro(Seq(("metadata/m1.avro", 0), ("metadata/m-del.avro", 1))
+      .toDF("manifest_path", "content"), "metadata/snap-3.avro")
+    val meta = Files.readString(
+      Paths.get(root, "metadata", "v3.metadata.json"))
+      .replace(""""current-snapshot-id":2""",
+        """"current-snapshot-id":3""")
+      .replace(""" {"snapshot-id":1""",
+        """ {"snapshot-id":3,"manifest-list":"metadata/snap-3.avro"},
+          | {"snapshot-id":1""".stripMargin)
+    Files.writeString(Paths.get(root, "metadata", "v4.metadata.json"), meta)
+    Files.writeString(Paths.get(root, "metadata", "version-hint.text"), "4")
+    val snap = IcebergLite.snapshot(spark, root)
+    assert(snap.deleteFiles == Seq(s"$root/data/del0.parquet"))
+    val got = IcebergLite.read(spark, root)
+    assert(got.select("id").as[Long].collect().sorted.toSeq ==
+      (2L to 9L))
+    // output schema is unchanged by the anti-join plumbing
+    assert(got.schema.fieldNames.toSeq == Seq("id", "v"))
+  }
+
+  test("non-file scheme in a stored path refuses loudly") {
+    val root = fixture("scheme")
+    import spark.implicits._
+    val t2 = s"$root/_tmpavro"
+    Seq(("s3://bucket/metadata/m1.avro", 0))
+      .toDF("manifest_path", "content")
+      .coalesce(1).write.mode("overwrite").format(avroFmt).save(t2)
+    val p = new java.io.File(t2).listFiles()
+      .find(_.getName.startsWith("part-")).get
+    assert(p.renameTo(new java.io.File(s"$root/metadata/snap-2.avro")))
+    rm(new java.io.File(t2))
+    val e = intercept[IllegalStateException] {
+      IcebergLite.snapshot(spark, root)
+    }
+    assert(e.getMessage.contains("s3://"))
+  }
+
+  test("renamed physical columns refuse loudly (name resolution)") {
+    val root = fixture("renamed")
+    val meta = Files.readString(
+      Paths.get(root, "metadata", "v3.metadata.json"))
+      .replace(""""name":"v"""", """"name":"v_renamed"""")
+    Files.writeString(Paths.get(root, "metadata", "v3.metadata.json"), meta)
+    val e = intercept[IllegalStateException] {
+      IcebergLite.read(spark, root)
+    }
+    assert(e.getMessage.contains("v_renamed"))
   }
 
   test("missing metadata refuses loudly") {

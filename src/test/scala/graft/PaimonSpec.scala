@@ -1,0 +1,185 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.PaimonLite
+
+/** PaimonLite contract: snapshot resolution (explicit id / LATEST
+  * hint / highest-N fallback), base+delta manifest-list replay with
+  * ADD/DELETE netting, type mapping, and every LOUD-failure path —
+  * primary-key tables, partitioned tables, non-parquet files, foreign
+  * schemes, missing metadata. The happy path against real data is
+  * q397/q398's DuckDB oracle. */
+class PaimonSpec extends AnyFunSuite {
+  import TestSession._
+
+  private val avroFmt = "org.apache.spark.sql.avro.AvroFileFormat"
+
+  private def rm(p: java.io.File): Unit = {
+    if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+    p.delete(): Unit
+  }
+
+  /** Table with bucket-0/f0.parquet (ids 0..4) and f1.parquet (5..9):
+    * snapshot 1 delta-adds both; snapshot 2 base-lists both and
+    * delta-DELETEs f0 + adds f2 (ids 10..12). LATEST = 2. */
+  private def fixture(name: String,
+                      primaryKeys: String = "[]",
+                      partitionKeys: String = "[]",
+                      fileExt: String = "parquet",
+                      latest: Boolean = true): String = {
+    val root = s"/tmp/graft_paimonspec/$name"
+    rm(new java.io.File(root))
+    for (d <- Seq("snapshot", "schema", "manifest", "bucket-0"))
+      Files.createDirectories(Paths.get(root, d))
+    val df = spark.range(0, 13).select(col("id"), (col("id") * 3).as("v"))
+    def one(filter: org.apache.spark.sql.Column, out: String): Unit = {
+      val tmp = s"$root/_tmp"
+      df.filter(filter).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith(".")).get
+      assert(part.renameTo(new java.io.File(s"$root/bucket-0/$out")))
+      rm(new java.io.File(tmp))
+    }
+    one(col("id") < 5, s"f0.$fileExt")
+    one(col("id") >= 5 && col("id") < 10, s"f1.$fileExt")
+    one(col("id") >= 10, s"f2.$fileExt")
+    def writeAvro(d: org.apache.spark.sql.DataFrame, rel: String): Unit = {
+      val tmp = s"$root/_tmpavro"
+      d.coalesce(1).write.mode("overwrite").format(avroFmt).save(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.startsWith("part-")).get
+      assert(part.renameTo(new java.io.File(s"$root/$rel")))
+      rm(new java.io.File(tmp))
+    }
+    import spark.implicits._
+    def manifest(rel: String, entries: (Int, String)*): Unit =
+      writeAvro(entries.toSeq.toDF("_KIND", "_fn")
+        .select(col("_KIND"), lit(0).as("_BUCKET"),
+          struct(col("_fn").as("_FILE_NAME")).as("_FILE")), rel)
+    manifest("manifest/m-add01.avro",
+      (0, s"f0.$fileExt"), (0, s"f1.$fileExt"))
+    manifest("manifest/m-del0add2.avro",
+      (1, s"f0.$fileExt"), (0, s"f2.$fileExt"))
+    def mlist(rel: String, names: String*): Unit =
+      writeAvro(
+        if (names.isEmpty) Seq.empty[String].toDF("_FILE_NAME")
+        else names.toSeq.toDF("_FILE_NAME"), rel)
+    mlist("manifest/ml-empty.avro")
+    mlist("manifest/ml-01.avro", "m-add01.avro")
+    mlist("manifest/ml-2.avro", "m-del0add2.avro")
+    Files.writeString(Paths.get(root, "schema", "schema-0"),
+      s"""{"id":0,"fields":[
+         | {"id":0,"name":"id","type":"BIGINT"},
+         | {"id":1,"name":"v","type":"BIGINT"}],
+         |"highestFieldId":1,"partitionKeys":$partitionKeys,
+         |"primaryKeys":$primaryKeys,"options":{}}""".stripMargin)
+    def snapJson(id: Long, base: String, delta: String): String =
+      s"""{"version":3,"id":$id,"schemaId":0,
+         |"baseManifestList":"$base","deltaManifestList":"$delta",
+         |"commitKind":"APPEND","commitUser":"t","commitIdentifier":$id,
+         |"timeMillis":0}""".stripMargin
+    Files.writeString(Paths.get(root, "snapshot", "snapshot-1"),
+      snapJson(1, "ml-empty.avro", "ml-01.avro"))
+    Files.writeString(Paths.get(root, "snapshot", "snapshot-2"),
+      snapJson(2, "ml-01.avro", "ml-2.avro"))
+    if (latest)
+      Files.writeString(Paths.get(root, "snapshot", "LATEST"), "2")
+    root
+  }
+
+  test("base+delta replay nets ADD/DELETE: f0 dropped, f2 added") {
+    val root = fixture("happy")
+    val snap = PaimonLite.snapshot(spark, root)
+    assert(snap.snapshotId == 2L)
+    assert(snap.files.toSet == Set(s"$root/bucket-0/f1.parquet",
+      s"$root/bucket-0/f2.parquet"))
+    import spark.implicits._
+    val got = PaimonLite.read(spark, root)
+    assert(got.schema.fieldNames.toSeq == Seq("id", "v"))
+    assert(got.select("id").as[Long].collect().sorted.toSeq == (5L to 12L))
+  }
+
+  test("snapshot-id selection serves the pre-delete set") {
+    val root = fixture("snapsel")
+    import spark.implicits._
+    assert(PaimonLite.read(spark, root, Some(1L))
+      .select("id").as[Long].collect().sorted.toSeq == (0L to 9L))
+    val e = intercept[IllegalArgumentException] {
+      PaimonLite.snapshot(spark, root, Some(42L))
+    }
+    assert(e.getMessage.contains("snapshot 42"))
+  }
+
+  test("highest-N fallback resolves without LATEST hint") {
+    val root = fixture("nohint", latest = false)
+    assert(PaimonLite.snapshot(spark, root).snapshotId == 2L)
+  }
+
+  test("primary-key table refuses loudly") {
+    val e = intercept[IllegalStateException] {
+      PaimonLite.snapshot(spark,
+        fixture("pk", primaryKeys = """["id"]"""))
+    }
+    assert(e.getMessage.contains("APPEND-ONLY"))
+  }
+
+  test("partitioned table refuses loudly") {
+    val e = intercept[IllegalStateException] {
+      PaimonLite.snapshot(spark,
+        fixture("part", partitionKeys = """["v"]"""))
+    }
+    assert(e.getMessage.contains("partitioned table"))
+  }
+
+  test("non-parquet data file refuses loudly") {
+    val e = intercept[IllegalStateException] {
+      PaimonLite.snapshot(spark, fixture("orc", fileExt = "orc"))
+    }
+    assert(e.getMessage.contains("not parquet"))
+  }
+
+  test("foreign scheme in a manifest-list name refuses loudly") {
+    val root = fixture("scheme")
+    // snapshot 3 whose delta manifest list lives on s3://
+    Files.writeString(Paths.get(root, "snapshot", "snapshot-3"),
+      """{"version":3,"id":3,"schemaId":0,
+        |"baseManifestList":"ml-empty.avro",
+        |"deltaManifestList":"s3://bucket/ml.avro",
+        |"commitKind":"APPEND","commitUser":"t","commitIdentifier":3,
+        |"timeMillis":0}""".stripMargin)
+    val e = intercept[IllegalStateException] {
+      PaimonLite.snapshot(spark, root, Some(3L))
+    }
+    assert(e.getMessage.contains("s3://"))
+  }
+
+  test("missing table / snapshot / schema refuse loudly") {
+    intercept[IllegalStateException] {
+      PaimonLite.snapshot(spark, "/tmp/graft_paimonspec/nope")
+    }
+    val root = fixture("noschema")
+    rm(new java.io.File(s"$root/schema/schema-0"))
+    val e = intercept[IllegalStateException] {
+      PaimonLite.snapshot(spark, root)
+    }
+    assert(e.getMessage.contains("schema-0"))
+  }
+
+  test("empty snapshot reads as a typed empty frame") {
+    val root = fixture("empty")
+    Files.writeString(Paths.get(root, "snapshot", "snapshot-4"),
+      """{"version":3,"id":4,"schemaId":0,
+        |"baseManifestList":"ml-empty.avro",
+        |"deltaManifestList":"ml-empty.avro",
+        |"commitKind":"APPEND","commitUser":"t","commitIdentifier":4,
+        |"timeMillis":0}""".stripMargin)
+    val got = PaimonLite.read(spark, root, Some(4L))
+    assert(got.schema.fieldNames.toSeq == Seq("id", "v"))
+    assert(got.count() == 0)
+  }
+}
