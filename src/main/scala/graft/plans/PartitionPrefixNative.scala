@@ -89,6 +89,29 @@ case class PartitionSweepExec(
         s"(${if (other == null) "null" else other.getClass.getName})")
   }
 
+  /** The census can read BELOW the partition-local sort when ordering
+    * cannot affect its outputs: Long running sums are exact and
+    * commutative, and the sweep "first instant" is the MIN t (t leads
+    * the sort order, and the census takes the min over non-null ts).
+    * Double sums are order-sensitive — the partition offset must equal
+    * the sorted-order running total bit-for-bit — so they keep the
+    * sorted input. Skipping the sort saves the census job's second
+    * full partition-local sort (the main pass still sorts once). */
+  /** Visible for PrefixSpec: proves the Long-path census really rides
+    * below the sort instead of silently falling back. */
+  private[graft] def censusBypassesSort: Boolean =
+    value.dataType == LongType && preSortChild(child).isDefined
+
+  private def preSortChild(p: SparkPlan): Option[SparkPlan] = p match {
+    case w: org.apache.spark.sql.execution.WholeStageCodegenExec =>
+      preSortChild(w.child)
+    case s: org.apache.spark.sql.execution.SortExec
+        // sort is partition-local and schema-preserving, so partition
+        // indices and attribute bindings carry over unchanged
+        if s.output == child.output => Some(s.child)
+    case _ => None
+  }
+
   protected override def doExecute(): RDD[InternalRow] = {
     val childRdd = child.execute()
     val boundV = BindReferences.bindReference(value: Expression, child.output)
@@ -96,21 +119,24 @@ case class PartitionSweepExec(
       t.map(a => BindReferences.bindReference(a: Expression, child.output))
     val isLong = value.dataType == LongType
     val needT = boundT.isDefined
+    val censusRdd =
+      if (isLong) preSortChild(child).map(_.execute()).getOrElse(childRdd)
+      else childRdd
 
-    // ---- census job: (sumLong, sumDouble, sawNonNull, firstT, hasFirstT)
+    // ---- census job: (sumLong, sumDouble, sawNonNull, minT, hasT)
     // per partition — one tuple per shuffle partition, driver-bounded at
     // O(shuffle partitions), the same grain as Spark's range sampling
     val census: Array[(Long, Double, Boolean, Long, Boolean)] =
-      childRdd.mapPartitions { it =>
+      censusRdd.mapPartitions { it =>
         var sl = 0L; var sd = 0.0; var saw = false
-        var ft = 0L; var hasF = false; var first = true
+        var ft = 0L; var hasF = false
         while (it.hasNext) {
           val row = it.next()
-          if (first) {
-            first = false
-            boundT.foreach { bt =>
-              val tv = bt.eval(row)
-              if (tv != null) { ft = toL(tv); hasF = true }
+          boundT.foreach { bt =>
+            val tv = bt.eval(row)
+            if (tv != null) {
+              val l = toL(tv)
+              if (!hasF || l < ft) { ft = l; hasF = true }
             }
           }
           val v = boundV.eval(row)

@@ -100,6 +100,28 @@ class PrefixSpec extends AnyFunSuite {
       s"expected exactly one range exchange, got $exchanges:\n$plan")
     assert(!plan.contains("windowspecdefinition"),
       s"prefix path still rides a window:\n$plan")
+    // the Long-valued census must ride BELOW the partition-local sort
+    // (one sort total, not two) — prove the bypass engages rather than
+    // silently falling back to re-sorting
+    val aqe = dist.queryExecution.executedPlan
+      .asInstanceOf[org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec]
+    // query stages are leaf nodes to collect() — descend through them
+    def sweeps(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[graft.plans.PartitionSweepExec] = {
+      val here = p match {
+        case e: graft.plans.PartitionSweepExec => Seq(e)
+        case _ => Nil
+      }
+      val kids = p match {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          Seq(q.plan)
+        case other => other.children
+      }
+      here ++ kids.flatMap(sweeps)
+    }
+    val found = sweeps(aqe.executedPlan)
+    assert(found.nonEmpty && found.forall(_.censusBypassesSort),
+      s"census does not bypass the sort:\n${aqe.executedPlan}")
   }
 
   test("roster-wide lint: no unpartitioned window over unbounded input") {
