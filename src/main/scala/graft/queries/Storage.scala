@@ -342,15 +342,26 @@ object Storage extends QueryModule {
 
     // Hudi COPY-ON-WRITE table read — the third lakehouse leg
     // (reference thirdparty/auron-hudi). The query authors a
-    // Hudi-layout table: .hoodie/hoodie.properties + a two-instant
+    // Hudi-layout table: .hoodie/hoodie.properties + a three-instant
     // commit timeline whose partitionToWriteStats name one base file
     // per (partition, file group). Instant 001 writes batches A∪B per
     // group; instant 002 REWRITES every group's base file with B∪C —
-    // the copy-on-write contract — so the latest snapshot is B∪C and
+    // the copy-on-write contract — so the snapshot at 002 is B∪C and
     // replay must pick exactly the newest base file per group, never
-    // both. Timeline replay is bounded plan-time JSON; data reads stay
-    // native parquet scans.
+    // both (instant 003 is the q399 clustering replacecommit; this
+    // query pins asOf 002). Timeline replay is bounded plan-time JSON;
+    // data reads stay native parquet scans.
     "q394_hudi_cow_read" -> { (s, dir) =>
+      deltaCensus(graft.sources.HudiCowLite
+        .read(s, authorHudiTable(s, dir), asOfInstant = Some("002")))
+    },
+
+    // Latest snapshot crosses instant 003, a REPLACECOMMIT
+    // (clustering/insert-overwrite): every g-group is replaced by a
+    // c-group holding B∪C∪D. Replay must drop the replaced generation
+    // and read only the replacement — keeping both would double-count
+    // B∪C and hash-mismatch the oracle.
+    "q399_hudi_clustering" -> { (s, dir) =>
       deltaCensus(
         graft.sources.HudiCowLite.read(s, authorHudiTable(s, dir)))
     },
@@ -500,10 +511,11 @@ object Storage extends QueryModule {
             col("l_extendedprice"), col("l_returnflag"))
         val flags = src.select(col("l_returnflag")).distinct()
           .collect().map(_.getString(0)).sorted
-        for ((instant, mods) <- Seq("001" -> Seq(0, 1), "002" -> Seq(1, 2))) {
-          val stats = flags.map { rf =>
+        def writeFiles(instant: String, group: String,
+                       mods: Seq[Int]): String =
+          flags.map { rf =>
             val part = s"l_returnflag=$rf"
-            val rel = s"$part/g-${rf}_0-0_$instant.parquet"
+            val rel = s"$part/$group-${rf}_0-0_$instant.parquet"
             val tmp = s"$root/_tmp"
             src.filter(col("l_returnflag") === rf &&
                 (col("l_orderkey") % 10).isin(mods.map(Int.box): _*))
@@ -514,12 +526,26 @@ object Storage extends QueryModule {
             Files.createDirectories(Paths.get(root, part))
             assert(partFile.renameTo(new java.io.File(s"$root/$rel")))
             rm(new java.io.File(tmp))
-            s"""${jstr(part)}:[{"fileId":${jstr(s"g-$rf")},"path":${jstr(rel)},"numWrites":1}]"""
+            s"""${jstr(part)}:[{"fileId":${jstr(s"$group-$rf")},"path":${jstr(rel)},"numWrites":1}]"""
           }.mkString(",")
+        for ((instant, mods) <- Seq("001" -> Seq(0, 1), "002" -> Seq(1, 2))) {
+          val stats = writeFiles(instant, "g", mods)
           Files.writeString(
             Paths.get(root, ".hoodie", s"$instant.commit"),
             s"""{"partitionToWriteStats":{$stats}}""")
         }
+        // instant 003: a REPLACECOMMIT (insert-overwrite shape) that
+        // replaces every g-group with a c-group holding batches B∪C∪D
+        // — replay must drop the replaced generation entirely (keeping
+        // it would double-count B∪C and hash-mismatch q399's oracle)
+        val replaceStats = writeFiles("003", "c", Seq(1, 2, 3))
+        val replaceIds = flags.map { rf =>
+          s"""${jstr(s"l_returnflag=$rf")}:[${jstr(s"g-$rf")}]"""
+        }.mkString(",")
+        Files.writeString(
+          Paths.get(root, ".hoodie", "003.replacecommit"),
+          s"""{"partitionToReplaceFileIds":{$replaceIds},
+             |"partitionToWriteStats":{$replaceStats}}""".stripMargin)
         root
       })
     }
@@ -975,7 +1001,7 @@ object Storage extends QueryModule {
         |FROM lineitem WHERE l_orderkey % 10 IN (1, 2)
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
-    // latest Hudi COW snapshot = batches B∪C (instant 002 rewrote
+    // Hudi COW snapshot at instant 002 = batches B∪C (002 rewrote
     // every file group's base file)
     "q394_hudi_cow_read" ->
       """SELECT l_returnflag, count(*) AS n,
@@ -984,6 +1010,16 @@ object Storage extends QueryModule {
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
         |   AS sum_price
         |FROM lineitem WHERE l_orderkey % 10 IN (1, 2)
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    // replacecommit replayed: c-groups only = batches B∪C∪D
+    "q399_hudi_clustering" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_price
+        |FROM lineitem WHERE l_orderkey % 10 IN (1, 2, 3)
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
     // instant 001 = batches A∪B (pre-rewrite)

@@ -23,11 +23,15 @@ import org.json4s.jackson.JsonMethods
   * data reads are native vectorized parquet scans (COW base files
   * carry every column), keeping pushdown/pruning/codegen.
   *
+  * `.replacecommit` instants (clustering / insert-overwrite) are
+  * REPLAYED: the instant's `partitionToReplaceFileIds` first drops the
+  * named (partition, fileId) groups, then its `partitionToWriteStats`
+  * adds the replacement base files — so a clustered table reads its
+  * compacted output, never both generations of a group.
+  *
   * Lite scope, loud failures (never silent wrong answers):
   *  - `hoodie.table.type` must be COPY_ON_WRITE — MERGE_ON_READ needs
   *    log-file merging and is refused;
-  *  - `.replacecommit` instants (clustering/insert-overwrite) are
-  *    refused — ignoring them would double-read replaced file groups;
   *  - `.deltacommit` instants (a MOR artifact) are refused;
   *  - malformed commit JSON, a missing `.hoodie`, or an unknown
   *    `asOfInstant` throw with the file named.
@@ -67,43 +71,58 @@ object HudiCowLite {
     }
 
     val names = fs.listStatus(hoodieDir).toSeq.map(_.getPath.getName)
-    names.find(n => n.endsWith(".replacecommit")).foreach { n =>
-      throw new IllegalStateException(
-        s"$tableDir: $n — replacecommit (clustering/insert-overwrite) " +
-          "is outside HudiCowLite scope; ignoring it would double-read " +
-          "replaced file groups")
-    }
     names.find(_.endsWith(".deltacommit")).foreach { n =>
       throw new IllegalStateException(
         s"$tableDir: $n — deltacommit is a MERGE_ON_READ artifact")
     }
-    // completed commits only: "<instant>.commit" exactly (inflight /
-    // requested markers have further suffixes and are never read)
-    // instants are numeric timestamps — order NUMERICALLY, not
-    // lexicographically (lexicographic missorts "9" after "10" when
-    // widths vary)
-    val commits = names.collect {
-      case n if n.matches("\\d+\\.commit") => n.stripSuffix(".commit")
-    }.sortBy(BigInt(_))
+    // completed commits only: "<instant>.commit" / ".replacecommit"
+    // exactly (inflight / requested markers have further suffixes and
+    // are never read); instants are numeric timestamps — order
+    // NUMERICALLY, not lexicographically (lexicographic missorts "9"
+    // after "10" when widths vary)
+    val commits: Seq[(String, String)] = names.collect {
+      case n if n.matches("\\d+\\.commit") =>
+        (n.stripSuffix(".commit"), "commit")
+      case n if n.matches("\\d+\\.replacecommit") =>
+        (n.stripSuffix(".replacecommit"), "replacecommit")
+    }.sortBy(c => BigInt(c._1))
     if (commits.isEmpty)
       throw new IllegalStateException(s"$tableDir: no completed commits")
     val wanted = asOfInstant match {
       case Some(t) =>
-        if (!commits.contains(t)) throw new IllegalArgumentException(
+        if (!commits.exists(_._1 == t)) throw new IllegalArgumentException(
           s"$tableDir: no completed commit at instant $t " +
-            s"(have ${commits.mkString(", ")})")
-        commits.takeWhile(c => BigInt(c) <= BigInt(t))
+            s"(have ${commits.map(_._1).mkString(", ")})")
+        commits.takeWhile(c => BigInt(c._1) <= BigInt(t))
       case None => commits
     }
 
     // (partition, fileId) -> base file path; later commits win
     val groups = scala.collection.mutable.LinkedHashMap
       .empty[(String, String), String]
-    for (instant <- wanted) {
-      val p = new Path(hoodieDir, s"$instant.commit")
+    for ((instant, kind) <- wanted) {
+      val p = new Path(hoodieDir, s"$instant.$kind")
       val json = try JsonMethods.parse(readText(fs, p))
         catch { case e: Exception => throw new IllegalStateException(
           s"$tableDir: malformed commit $instant: ${e.getMessage}")
+        }
+      // replacecommit: drop the replaced file groups FIRST, then add
+      // the instant's replacement base files — never both generations
+      if (kind == "replacecommit")
+        (json \ "partitionToReplaceFileIds") match {
+          case JObject(parts) => parts.foreach { case (part, ids) =>
+            ids match {
+              case JArray(arr) => arr.foreach { id =>
+                groups.remove((part, id.extract[String])): Unit
+              }
+              case _ => throw new IllegalStateException(
+                s"$tableDir: replacecommit $instant " +
+                  s"partitionToReplaceFileIds[$part] is not an array")
+            }
+          }
+          case _ => throw new IllegalStateException(
+            s"$tableDir: replacecommit $instant has no " +
+              "partitionToReplaceFileIds")
         }
       (json \ "partitionToWriteStats") match {
         case JObject(parts) => parts.foreach { case (part, stats) =>
@@ -126,7 +145,7 @@ object HudiCowLite {
           s"$tableDir: commit $instant has no partitionToWriteStats")
       }
     }
-    Snapshot(wanted.last, groups.values.toSeq.map(p => s"$tableDir/$p"))
+    Snapshot(wanted.last._1, groups.values.toSeq.map(p => s"$tableDir/$p"))
   }
 
   /** DataFrame over the snapshot's base files — one native parquet

@@ -80,23 +80,44 @@ class HudiSpec extends AnyFunSuite {
     assert(HudiCowLite.snapshot(spark, root).instant == "002")
   }
 
-  test("MERGE_ON_READ, replacecommit and deltacommit refuse loudly") {
+  test("MERGE_ON_READ and deltacommit refuse loudly") {
     val e1 = intercept[IllegalStateException] {
       HudiCowLite.snapshot(spark, fixture("mor", "MERGE_ON_READ"))
     }
     assert(e1.getMessage.contains("MERGE_ON_READ"))
-    val r2 = fixture("repl")
-    Files.writeString(Paths.get(r2, ".hoodie", "004.replacecommit"), "{}")
-    val e2 = intercept[IllegalStateException] {
-      HudiCowLite.snapshot(spark, r2)
-    }
-    assert(e2.getMessage.contains("replacecommit"))
     val r3 = fixture("delta")
     Files.writeString(Paths.get(r3, ".hoodie", "004.deltacommit"), "{}")
     val e3 = intercept[IllegalStateException] {
       HudiCowLite.snapshot(spark, r3)
     }
     assert(e3.getMessage.contains("deltacommit"))
+  }
+
+  test("replacecommit replaces file groups; asOf before it still " +
+    "reads the replaced generation") {
+    val root = fixture("repl")
+    // instant 003 clusters group g away, writing group h whose base
+    // file is the 001 parquet (ids 0..4) — replay must read ONLY h
+    Files.writeString(Paths.get(root, ".hoodie", "003.replacecommit"),
+      """{"partitionToReplaceFileIds":{"p=x":["g"]},
+        |"partitionToWriteStats":{"p=x":[
+        | {"fileId":"h","path":"p=x/g_0-0_001.parquet","numWrites":5}]}}"""
+        .stripMargin)
+    val snap = HudiCowLite.snapshot(spark, root)
+    assert(snap.instant == "003")
+    assert(snap.files == Seq(s"$root/p=x/g_0-0_001.parquet"))
+    assert(HudiCowLite.read(spark, root)
+      .agg(max(col("id")), count(lit(1))).head().toSeq == Seq(4L, 5L))
+    // time travel to 002 still serves the pre-clustering generation
+    assert(HudiCowLite.read(spark, root, Some("002"))
+      .agg(min(col("id"))).head().getLong(0) == 5L)
+    // a replacecommit without partitionToReplaceFileIds is malformed
+    Files.writeString(Paths.get(root, ".hoodie", "004.replacecommit"),
+      """{"partitionToWriteStats":{}}""")
+    val e = intercept[IllegalStateException] {
+      HudiCowLite.snapshot(spark, root)
+    }
+    assert(e.getMessage.contains("partitionToReplaceFileIds"))
   }
 
   test("instants order numerically, not lexicographically") {
