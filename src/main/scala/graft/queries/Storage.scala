@@ -391,6 +391,43 @@ object Storage extends QueryModule {
     "q398_paimon_snapshot" -> { (s, dir) =>
       deltaCensus(graft.sources.PaimonLite
         .read(s, authorPaimonTable(s, dir), snapshotId = Some(1L)))
+    },
+
+    // STREAMING Delta-log read — DeltaStreamLite (v1 Source: offsets
+    // are log versions, each micro-batch the files added in a version
+    // range). The query authors an append-only Delta table commit by
+    // commit WHILE a stream with maxVersionsPerTrigger=1 is draining
+    // into a complete-mode census: batch 0 = the initial snapshot
+    // (batch A), then one micro-batch per appended commit (B, then C).
+    // The final state equals the batch census of A∪B∪C, which the
+    // oracle recomputes from the source — a source that dropped or
+    // double-read a commit hash-mismatches. Per-batch work is O(new
+    // files): bounded JSON replay + native parquet scan of exactly the
+    // new files.
+    "q400_delta_stream" -> { (s, dir) =>
+      val root = authorDeltaStreamTable(s, dir, upTo = 0)
+      s.catalog.dropTempView("q400_sink"): Unit
+      val stream = s.readStream
+        .format("org.apache.spark.sql.graftstream.DeltaStreamLite")
+        .option("path", root)
+        .option("maxVersionsPerTrigger", "1")
+        .load()
+      val agg = stream.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_qty"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_price"))
+      val q = agg.writeStream.outputMode("complete")
+        .format("memory").queryName("q400_sink").start()
+      try {
+        q.processAllAvailable()
+        appendDeltaStreamCommit(s, dir, root, 1)
+        q.processAllAvailable()
+        appendDeltaStreamCommit(s, dir, root, 2)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table("q400_sink").orderBy(col("l_returnflag"))
     }
   )
 
@@ -747,6 +784,61 @@ object Storage extends QueryModule {
       })
     }
 
+  /** Authors the APPEND-ONLY Delta table q400 streams from: fresh root
+    * with commits 0..upTo, one add per commit (batch = l_orderkey%10 ==
+    * commit). Unpartitioned — data files carry every column. NOT
+    * memoized: the stream test appends commits mid-run, so each
+    * invocation rebuilds from scratch for determinism. */
+  private def authorDeltaStreamTable(s: SparkSession, dir: String,
+                                     upTo: Int): String = {
+    import java.nio.file.{Files, Paths}
+    val root =
+      s"/tmp/graft_deltastream/li_${Integer.toHexString(dir.hashCode)}"
+    def rm(p: java.io.File): Unit = {
+      if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+      p.delete(): Unit
+    }
+    rm(new java.io.File(root))
+    Files.createDirectories(Paths.get(root, "_delta_log"))
+    Files.createDirectories(Paths.get(root, "data"))
+    for (v <- 0 to upTo) appendDeltaStreamCommit(s, dir, root, v)
+    root
+  }
+
+  /** Appends commit `v` to the q400 stream table: writes batch
+    * (l_orderkey%10 == v) as data/b<v>.parquet and logs the add
+    * (commit 0 also carries protocol + metaData). */
+  private def appendDeltaStreamCommit(s: SparkSession, dir: String,
+                                      root: String, v: Int): Unit = {
+    import java.nio.file.{Files, Paths}
+    def rm(p: java.io.File): Unit = {
+      if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+      p.delete(): Unit
+    }
+    val src = Tables.df(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"),
+        col("l_extendedprice"), col("l_returnflag"))
+    val tmp = s"$root/_tmp"
+    src.filter(col("l_orderkey") % 10 === v)
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith(".")).get
+    val rel = s"data/b$v.parquet"
+    assert(part.renameTo(new java.io.File(s"$root/$rel")))
+    rm(new java.io.File(tmp))
+    val head = if (v == 0)
+      s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}
+         |{"metaData":{"id":"graft-q400","format":{"provider":"parquet","options":{}},"schemaString":${jstr(src.schema.json)},"partitionColumns":[],"configuration":{},"createdTime":0}}
+         |""".stripMargin
+    else ""
+    Files.writeString(
+      Paths.get(root, "_delta_log", f"$v%020d.json"),
+      head +
+        s"""{"add":{"path":${jstr(rel)},"partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}
+           |""".stripMargin)
+  }
+
   private val paimonMemo = scala.collection.mutable.Map.empty[String, String]
 
   /** Authors the two-snapshot Paimon-layout append-only lineitem table
@@ -1062,6 +1154,16 @@ object Storage extends QueryModule {
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
         |   AS sum_price
         |FROM lineitem WHERE l_orderkey % 10 IN (0, 1)
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    // streamed census after commits 0,1,2 = batches A∪B∪C
+    "q400_delta_stream" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_price
+        |FROM lineitem WHERE l_orderkey % 10 IN (0, 1, 2)
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
     // snapshot-id 1 = batches A∪B (pre-delete)

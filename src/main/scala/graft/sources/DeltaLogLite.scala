@@ -319,6 +319,122 @@ object DeltaLogLite {
       live.values.toSeq)
   }
 
+  /** Highest commit version currently in the log (checkpoint-aware:
+    * a checkpoint with its JSON gone still names its version). Used by
+    * the streaming source's offset probe — one directory listing, no
+    * replay. */
+  def latestVersion(spark: SparkSession, tableDir: String): Long = {
+    val logDir = new Path(tableDir, "_delta_log")
+    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val jsons =
+      try fs.listStatus(logDir).toSeq.map(_.getPath.getName)
+        .collect { case n if n.matches("\\d{20}\\.json") =>
+          n.stripSuffix(".json").toLong }
+      catch { case _: FileNotFoundException =>
+        throw new IllegalStateException(s"$tableDir has no _delta_log")
+      }
+    val ckptV = lastCheckpoint(fs, logDir, tableDir).map(_._1)
+    (jsons ++ ckptV).maxOption.getOrElse(
+      throw new IllegalStateException(s"$tableDir: empty _delta_log"))
+  }
+
+  /** The files ADDED in commits (fromExclusive, toInclusive] — the
+    * incremental-batch surface for streaming reads. APPEND-ONLY scope,
+    * loud failures: a `remove` action in the range throws (emitting
+    * around it would stream wrong results — Delta's own source fails
+    * these without ignoreDeletes), as does a metaData action that
+    * CHANGES the schema mid-stream (schema evolution is outside lite
+    * scope), a version gap, or a range commit whose JSON was cleaned
+    * up. Protocol actions in the range are gated like snapshot(). */
+  def addsBetween(spark: SparkSession, tableDir: String,
+                  fromExclusive: Long, toInclusive: Long,
+                  expectedSchemaJson: String): Seq[AddFile] = {
+    val logDir = new Path(tableDir, "_delta_log")
+    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val adds = mutable.LinkedHashMap.empty[String, AddFile]
+    for (v <- (fromExclusive + 1) to toInclusive) {
+      val p = new Path(logDir, f"$v%020d.json")
+      if (!fs.exists(p)) throw new IllegalStateException(
+        s"$tableDir: streaming range needs commit $v but its JSON is " +
+          "gone (log cleanup passed the stream's offset)")
+      val in = fs.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      for (line <- text.linesIterator if line.trim.nonEmpty) {
+        val action = try JsonMethods.parse(line)
+          catch { case e: Exception => throw new IllegalStateException(
+            s"$tableDir commit $v: malformed action JSON: " +
+              s"${line.take(80)} (${e.getMessage})")
+          }
+        (action \ "remove") match {
+          case JNothing =>
+          case rm => throw new IllegalStateException(
+            s"$tableDir commit $v: remove ${(rm \ "path").extractOpt[String]
+              .getOrElse("?")} — streaming reads are append-only scope " +
+              "(a remove mid-stream would emit rows that no longer exist)")
+        }
+        (action \ "metaData") match {
+          case JNothing =>
+          case md =>
+            val ss = (md \ "schemaString").extractOpt[String].getOrElse("")
+            if (ss != expectedSchemaJson) throw new IllegalStateException(
+              s"$tableDir commit $v: schema changed mid-stream — " +
+                "evolution is outside DeltaLogLite streaming scope")
+        }
+        (action \ "protocol") match {
+          case JNothing =>
+          case pr =>
+            val mrv = (pr \ "minReaderVersion").extractOpt[Int].getOrElse(0)
+            val feats = (pr \ "readerFeatures")
+              .extractOpt[Seq[String]].getOrElse(Nil).toSet
+            gateProtocol(tableDir, Protocol(mrv, feats))
+        }
+        (action \ "add") match {
+          case JNothing =>
+          case add =>
+            val path = (add \ "path").extract[String]
+            (add \ "deletionVector") match {
+              case JNothing | JNull =>
+              case _ => throw new IllegalStateException(
+                s"$tableDir commit $v: add $path carries a deletionVector")
+            }
+            val pv = (add \ "partitionValues")
+              .extractOpt[Map[String, String]].getOrElse(Map.empty)
+            adds(path) = AddFile(path, pv)
+        }
+      }
+    }
+    adds.values.toSeq
+  }
+
+  /** Build the typed DataFrame for a set of AddFiles under `snap`'s
+    * schema/partition columns — the shared data-read path for both
+    * snapshot reads and streaming batches (partition values come from
+    * the log, CAST to declared types; data files carry the rest). */
+  def readFiles(spark: SparkSession, tableDir: String,
+                               schema: StructType, partColumns: Seq[String],
+                               files: Seq[AddFile]): DataFrame = {
+    val dataSchema = StructType(
+      schema.filterNot(f => partColumns.contains(f.name)))
+    val groups = files.groupBy(_.partitionValues).toSeq
+      .sortBy(_._1.toSeq.sortBy(_._1).mkString("\u0000"))
+    val parts = groups.map { case (pv, fl) =>
+      val base = spark.read.schema(dataSchema)
+        .parquet(fl.map(f => s"$tableDir/${decodeRelPath(f.path)}"): _*)
+      partColumns.foldLeft(base) { (df, c) =>
+        val f = schema(c)
+        val v = pv.get(c) match {
+          case Some(s) => lit(s).cast(f.dataType)
+          case None    => lit(null).cast(f.dataType)
+        }
+        df.withColumn(c, v)
+      }.select(schema.fieldNames.map(col).toSeq: _*)
+    }
+    parts.reduceOption(_ unionAll _).getOrElse(
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+  }
+
   /** `add.path` is RELATIVE to the table root and percent-encoded as
     * an RFC 2396 URI per the public protocol (PROTOCOL.md "Add File
     * and Remove File"); a file named `part a=b%25.parquet` arrives as
@@ -344,26 +460,7 @@ object DeltaLogLite {
   def read(spark: SparkSession, tableDir: String,
            versionAsOf: Option[Long] = None): DataFrame = {
     val snap = snapshot(spark, tableDir, versionAsOf)
-    val dataSchema = StructType(
-      snap.schema.filterNot(f => snap.partitionColumns.contains(f.name)))
-    val groups = snap.files.groupBy(_.partitionValues).toSeq
-      .sortBy(_._1.toSeq.sortBy(_._1).mkString("\u0000"))
-    val parts = groups.map { case (pv, files) =>
-      val base = spark.read.schema(dataSchema)
-        .parquet(files.map(f => s"$tableDir/${decodeRelPath(f.path)}"): _*)
-      snap.partitionColumns.foldLeft(base) { (df, c) =>
-        val f = snap.schema(c)
-        // Delta serializes partition values as strings; null encodes
-        // as an absent key. CAST back to the declared type.
-        val v = pv.get(c) match {
-          case Some(s) => lit(s).cast(f.dataType)
-          case None    => lit(null).cast(f.dataType)
-        }
-        df.withColumn(c, v)
-      }.select(snap.schema.fieldNames.map(col).toSeq: _*)
-    }
-    parts.reduceOption(_ unionAll _).getOrElse(
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema))
+    readFiles(spark, tableDir, snap.schema, snap.partitionColumns,
+      snap.files)
   }
 }

@@ -1,0 +1,154 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryException
+import org.scalatest.funsuite.AnyFunSuite
+
+/** DeltaStreamLite contract: version-grain offsets, per-commit
+  * micro-batches under maxVersionsPerTrigger=1, checkpoint restart
+  * resuming exactly after the committed version (SerializedOffset
+  * path), and the LOUD-failure scope — a remove or schema change
+  * mid-stream fails the query instead of streaming wrong rows. The
+  * happy path against real data is q400's DuckDB oracle. */
+class DeltaStreamSpec extends AnyFunSuite {
+  import TestSession._
+
+  private val fmt = "org.apache.spark.sql.graftstream.DeltaStreamLite"
+
+  private def jstr(s: String): String = "\"" + s.flatMap {
+    case '"'          => "\\\""
+    case '\\'         => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c            => c.toString
+  } + "\""
+
+  private def rm(p: java.io.File): Unit = {
+    if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+    p.delete(): Unit
+  }
+
+  /** Fresh unpartitioned table root; commits appended via append(). */
+  private def fixture(name: String): (String, String) = {
+    val root = s"/tmp/graft_deltastreamspec/$name"
+    rm(new java.io.File(root))
+    Files.createDirectories(Paths.get(root, "_delta_log"))
+    val schema = spark.range(0, 1)
+      .select(col("id"), (col("id") * 2).as("v")).schema.json
+    (root, schema)
+  }
+
+  /** Commit `v` adds ids [5v, 5v+5) as b<v>.parquet. */
+  private def append(root: String, schema: String, v: Long): Unit = {
+    val tmp = s"$root/_tmp"
+    spark.range(5 * v, 5 * v + 5).select(col("id"), (col("id") * 2).as("v"))
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith(".")).get
+    assert(part.renameTo(new java.io.File(s"$root/b$v.parquet")))
+    rm(new java.io.File(tmp))
+    val head = if (v == 0)
+      s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":${jstr(schema)},"partitionColumns":[],"configuration":{},"createdTime":0}}
+         |""".stripMargin
+    else ""
+    Files.writeString(Paths.get(root, "_delta_log", f"$v%020d.json"),
+      head + s"""{"add":{"path":"b$v.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}
+                |""".stripMargin)
+  }
+
+  private def stream(root: String) = spark.readStream.format(fmt)
+    .option("path", root).option("maxVersionsPerTrigger", "1").load()
+
+  test("initial snapshot, then one micro-batch per appended commit") {
+    val (root, schema) = fixture("batches")
+    append(root, schema, 0)
+    append(root, schema, 1)
+    val batches = mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val q = stream(root).writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], id: Long) =>
+        val ids = df.select(min(col("id")), max(col("id"))).head()
+        batches.synchronized {
+          batches += ((id, ids.getLong(0), ids.getLong(1))): Unit
+        }
+      }.start()
+    try {
+      q.processAllAvailable()
+      // first batch = the INITIAL SNAPSHOT: both existing commits
+      assert(batches.toList == List((0L, 0L, 9L)))
+      append(root, schema, 2)
+      append(root, schema, 3)
+      q.processAllAvailable()
+      // rate limit: one VERSION per micro-batch, in order
+      assert(batches.toList == List((0L, 0L, 9L), (1L, 10L, 14L),
+        (2L, 15L, 19L)))
+    } finally q.stop()
+  }
+
+  test("checkpoint restart resumes after the committed version " +
+    "(no replay, no gap)") {
+    val (root, schema) = fixture("restart")
+    val ckpt = s"$root/_ckpt"
+    append(root, schema, 0)
+    append(root, schema, 1)
+    val seen = mutable.ArrayBuffer.empty[Long]
+    def run(): Unit = {
+      val q = stream(root).writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], _: Long) =>
+          val ids = df.select(col("id")).collect().map(_.getLong(0))
+          seen.synchronized { seen ++= ids: Unit }
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    assert(seen.sorted.toList == (0L to 9L).toList)
+    append(root, schema, 2)
+    run() // restarts from the checkpointed version-1 offset
+    assert(seen.sorted.toList == (0L to 14L).toList,
+      "restart must consume exactly the new commit — no loss, no replay")
+  }
+
+  test("remove mid-stream fails loudly (append-only scope)") {
+    val (root, schema) = fixture("remove")
+    append(root, schema, 0)
+    val q = stream(root).writeStream
+      .format("memory").queryName("ds_remove_sink").start()
+    try {
+      q.processAllAvailable()
+      Files.writeString(Paths.get(root, "_delta_log", f"${1L}%020d.json"),
+        """{"remove":{"path":"b0.parquet","deletionTimestamp":0,"dataChange":true}}
+          |""".stripMargin)
+      val e = intercept[StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(e.getMessage.contains("append-only") ||
+        Option(e.getCause).exists(_.getMessage.contains("append-only")))
+    } finally q.stop()
+  }
+
+  test("schema change mid-stream fails loudly") {
+    val (root, schema) = fixture("schemachange")
+    append(root, schema, 0)
+    val q = stream(root).writeStream
+      .format("memory").queryName("ds_schema_sink").start()
+    try {
+      q.processAllAvailable()
+      val schema2 = spark.range(0, 1).select(col("id")).schema.json
+      Files.writeString(Paths.get(root, "_delta_log", f"${1L}%020d.json"),
+        s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":${jstr(schema2)},"partitionColumns":[],"configuration":{},"createdTime":0}}
+           |""".stripMargin)
+      val e = intercept[StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(e.getMessage.contains("schema changed mid-stream") ||
+        Option(e.getCause).exists(
+          _.getMessage.contains("schema changed mid-stream")))
+    } finally q.stop()
+  }
+}
