@@ -428,6 +428,40 @@ object Storage extends QueryModule {
         q.processAllAvailable()
       } finally q.stop()
       s.table("q400_sink").orderBy(col("l_returnflag"))
+    },
+
+    // STREAMING Iceberg read — IcebergStreamLite (v1 Source: offsets
+    // are POSITIONS in the metadata's snapshots list; each micro-batch
+    // is the file-set DIFFERENCE between consecutive snapshots, with
+    // loud failure if a snapshot drops files or carries deletes). The
+    // query appends snapshots while draining, one snapshot per batch:
+    // initial = batch A, then B, then C — final census = A∪B∪C,
+    // recomputed by the oracle. Per-batch work is bounded manifest
+    // replay + a native parquet scan of exactly the new files.
+    "q401_iceberg_stream" -> { (s, dir) =>
+      val root = authorIcebergStreamTable(s, dir, upTo = 1)
+      s.catalog.dropTempView("q401_sink"): Unit
+      val stream = s.readStream
+        .format("org.apache.spark.sql.graftstream.IcebergStreamLite")
+        .option("path", root)
+        .option("maxSnapshotsPerTrigger", "1")
+        .load()
+      val agg = stream.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_qty"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_price"))
+      val q = agg.writeStream.outputMode("complete")
+        .format("memory").queryName("q401_sink").start()
+      try {
+        q.processAllAvailable()
+        appendIcebergSnapshot(s, dir, root, 2)
+        q.processAllAvailable()
+        appendIcebergSnapshot(s, dir, root, 3)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table("q401_sink").orderBy(col("l_returnflag"))
     }
   )
 
@@ -839,6 +873,84 @@ object Storage extends QueryModule {
            |""".stripMargin)
   }
 
+  /** Authors the APPEND-ONLY Iceberg table q401 streams from: fresh
+    * root with snapshots 1..upTo (snapshot k adds batch l_orderkey%10
+    * == k-1; each snapshot's manifest list re-lists every prior
+    * manifest — cumulative, append-only). NOT memoized: the stream
+    * test appends snapshots mid-run. */
+  private def authorIcebergStreamTable(s: SparkSession, dir: String,
+                                       upTo: Int): String = {
+    import java.nio.file.{Files, Paths}
+    val root =
+      s"/tmp/graft_icestream/li_${Integer.toHexString(dir.hashCode)}"
+    def rm(p: java.io.File): Unit = {
+      if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+      p.delete(): Unit
+    }
+    rm(new java.io.File(root))
+    Files.createDirectories(Paths.get(root, "metadata"))
+    Files.createDirectories(Paths.get(root, "data"))
+    for (k <- 1 to upTo) appendIcebergSnapshot(s, dir, root, k)
+    root
+  }
+
+  /** Appends snapshot `k` to the q401 stream table: writes batch
+    * (l_orderkey%10 == k-1), a manifest for it, a manifest list
+    * covering manifests 1..k, metadata v<k> listing snapshots 1..k,
+    * and bumps version-hint. */
+  private def appendIcebergSnapshot(s: SparkSession, dir: String,
+                                    root: String, k: Int): Unit = {
+    import java.nio.file.{Files, Paths}
+    val avroFmt = "org.apache.spark.sql.avro.AvroFileFormat"
+    def rm(p: java.io.File): Unit = {
+      if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+      p.delete(): Unit
+    }
+    val src = Tables.df(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"),
+        col("l_extendedprice"), col("l_returnflag"))
+    val tmp = s"$root/_tmp"
+    src.filter(col("l_orderkey") % 10 === (k - 1))
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith(".")).get
+    assert(part.renameTo(new java.io.File(s"$root/data/b$k.parquet")))
+    rm(new java.io.File(tmp))
+    def writeAvro(df: DataFrame, rel: String): Unit = {
+      val t2 = s"$root/_tmpavro"
+      df.coalesce(1).write.mode("overwrite").format(avroFmt).save(t2)
+      val p = new java.io.File(t2).listFiles()
+        .find(_.getName.startsWith("part-")).get
+      assert(p.renameTo(new java.io.File(s"$root/$rel")))
+      rm(new java.io.File(t2))
+    }
+    import s.implicits._
+    writeAvro(Seq((1, s"data/b$k.parquet")).toDF("status", "file_path")
+      .select(col("status"),
+        struct(col("file_path"), lit(0).as("content")).as("data_file")),
+      s"metadata/m$k.avro")
+    writeAvro((1 to k).map(i => (s"metadata/m$i.avro", 0))
+      .toDF("manifest_path", "content"), s"metadata/snap-$k.avro")
+    val fields = Seq(
+      (1, "l_orderkey", "long"), (2, "l_quantity", "double"),
+      (3, "l_extendedprice", "double"), (4, "l_returnflag", "string"))
+      .map { case (i, n, t) =>
+        s"""{"id":$i,"name":${jstr(n)},"required":false,"type":${jstr(t)}}"""
+      }.mkString("[", ",", "]")
+    val snaps = (1 to k).map(i =>
+      s"""{"snapshot-id":$i,"manifest-list":${jstr(s"metadata/snap-$i.avro")}}""")
+      .mkString("[", ",\n", "]")
+    Files.writeString(Paths.get(root, "metadata", s"v$k.metadata.json"),
+      s"""{"format-version":2,"table-uuid":"graft-q401","location":${jstr(root)},
+         |"current-schema-id":0,
+         |"schemas":[{"schema-id":0,"type":"struct","fields":$fields}],
+         |"current-snapshot-id":$k,
+         |"snapshots":$snaps}""".stripMargin)
+    Files.writeString(Paths.get(root, "metadata", "version-hint.text"),
+      k.toString)
+  }
+
   private val paimonMemo = scala.collection.mutable.Map.empty[String, String]
 
   /** Authors the two-snapshot Paimon-layout append-only lineitem table
@@ -1158,6 +1270,16 @@ object Storage extends QueryModule {
         |ORDER BY l_returnflag""".stripMargin,
     // streamed census after commits 0,1,2 = batches A∪B∪C
     "q400_delta_stream" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_price
+        |FROM lineitem WHERE l_orderkey % 10 IN (0, 1, 2)
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    // streamed census after snapshots 1,2,3 = batches A∪B∪C
+    "q401_iceberg_stream" ->
       """SELECT l_returnflag, count(*) AS n,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
         |   AS sum_qty,

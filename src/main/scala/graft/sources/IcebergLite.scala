@@ -108,11 +108,10 @@ object IcebergLite {
         throw new IllegalStateException(s"$where: schema has no fields")
     }
 
-  /** Resolve the table's snapshot: latest metadata version (via
-    * version-hint.text, else the highest v<N>.metadata.json), then the
-    * current snapshot or `snapshotId`. */
-  def snapshot(spark: SparkSession, tableDir: String,
-               snapshotId: Option[Long] = None): Snapshot = {
+  /** Current metadata file: latest version via version-hint.text, else
+    * the highest v<N>.metadata.json. Returns (path, parsed JSON). */
+  private def loadMeta(spark: SparkSession,
+                       tableDir: String): (Path, JValue) = {
     val metaDir = new Path(tableDir, "metadata")
     val fs = metaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(metaDir))
@@ -138,6 +137,23 @@ object IcebergLite {
     val meta = try JsonMethods.parse(
       scala.io.Source.fromInputStream(in, "UTF-8").mkString)
       finally in.close()
+    (metaFile, meta)
+  }
+
+  /** Snapshot ids in METADATA-LIST ORDER (append-only history appends
+    * at the end) — the ordered offset surface for streaming reads. */
+  def snapshotIds(spark: SparkSession, tableDir: String): Seq[Long] =
+    (loadMeta(spark, tableDir)._2 \ "snapshots") match {
+      case JArray(ss) => ss.map(s => (s \ "snapshot-id").extract[Long])
+      case _ => Nil
+    }
+
+  /** Resolve the table's snapshot: latest metadata version (via
+    * version-hint.text, else the highest v<N>.metadata.json), then the
+    * current snapshot or `snapshotId`. */
+  def snapshot(spark: SparkSession, tableDir: String,
+               snapshotId: Option[Long] = None): Snapshot = {
+    val (metaFile, meta) = loadMeta(spark, tableDir)
 
     val fv = (meta \ "format-version").extract[Int]
     if (fv != 1 && fv != 2) throw new IllegalStateException(

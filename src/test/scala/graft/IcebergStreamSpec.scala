@@ -1,0 +1,150 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryException
+import org.scalatest.funsuite.AnyFunSuite
+
+/** IcebergStreamLite contract: snapshot-position offsets, one
+  * micro-batch per appended snapshot under maxSnapshotsPerTrigger=1,
+  * and the LOUD-failure scope — a snapshot that drops files
+  * (overwrite) or whose position fell out of the history fails the
+  * query. The happy path against real data is q401's DuckDB oracle. */
+class IcebergStreamSpec extends AnyFunSuite {
+  import TestSession._
+
+  private val fmt = "org.apache.spark.sql.graftstream.IcebergStreamLite"
+  private val avroFmt = "org.apache.spark.sql.avro.AvroFileFormat"
+
+  private def jstr(s: String): String = "\"" + s.replace("\\", "\\\\")
+    .replace("\"", "\\\"") + "\""
+
+  private def rm(p: java.io.File): Unit = {
+    if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+    p.delete(): Unit
+  }
+
+  private def fixture(name: String): String = {
+    val root = s"/tmp/graft_icestreamspec/$name"
+    rm(new java.io.File(root))
+    Files.createDirectories(Paths.get(root, "metadata"))
+    Files.createDirectories(Paths.get(root, "data"))
+    root
+  }
+
+  private def writeAvro(root: String,
+                        df: org.apache.spark.sql.DataFrame,
+                        rel: String): Unit = {
+    val t2 = s"$root/_tmpavro"
+    df.coalesce(1).write.mode("overwrite").format(avroFmt).save(t2)
+    val p = new java.io.File(t2).listFiles()
+      .find(_.getName.startsWith("part-")).get
+    assert(p.renameTo(new java.io.File(s"$root/$rel")))
+    rm(new java.io.File(t2))
+  }
+
+  /** Snapshot k adds data/bk.parquet (ids [5(k-1), 5(k-1)+5)); its
+    * manifest list covers manifests 1..k (cumulative, append-only). */
+  private def append(root: String, k: Int,
+                     manifests: Option[Seq[Int]] = None): Unit = {
+    import spark.implicits._
+    val tmp = s"$root/_tmp"
+    spark.range(5L * (k - 1), 5L * (k - 1) + 5)
+      .select(col("id"), (col("id") * 2).as("v"))
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith(".")).get
+    assert(part.renameTo(new java.io.File(s"$root/data/b$k.parquet")))
+    rm(new java.io.File(tmp))
+    writeAvro(root,
+      Seq((1, s"data/b$k.parquet")).toDF("status", "file_path")
+        .select(col("status"),
+          struct(col("file_path"), lit(0).as("content")).as("data_file")),
+      s"metadata/m$k.avro")
+    writeAvro(root,
+      manifests.getOrElse(1 to k).map(i => (s"metadata/m$i.avro", 0))
+        .toDF("manifest_path", "content"), s"metadata/snap-$k.avro")
+    val snaps = (1 to k).map(i =>
+      s"""{"snapshot-id":$i,"manifest-list":${jstr(s"metadata/snap-$i.avro")}}""")
+      .mkString("[", ",", "]")
+    Files.writeString(Paths.get(root, "metadata", s"v$k.metadata.json"),
+      s"""{"format-version":2,"location":${jstr(root)},
+         |"current-schema-id":0,
+         |"schemas":[{"schema-id":0,"type":"struct","fields":[
+         |  {"id":1,"name":"id","required":false,"type":"long"},
+         |  {"id":2,"name":"v","required":false,"type":"long"}]}],
+         |"current-snapshot-id":$k,
+         |"snapshots":$snaps}""".stripMargin)
+    Files.writeString(Paths.get(root, "metadata", "version-hint.text"),
+      k.toString)
+  }
+
+  private def stream(root: String) = spark.readStream.format(fmt)
+    .option("path", root).option("maxSnapshotsPerTrigger", "1").load()
+
+  test("initial snapshot, then one micro-batch per appended snapshot") {
+    val root = fixture("batches")
+    append(root, 1)
+    append(root, 2)
+    val batches = mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val q = stream(root).writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], id: Long) =>
+        val ids = df.select(min(col("id")), max(col("id"))).head()
+        batches.synchronized {
+          batches += ((id, ids.getLong(0), ids.getLong(1))): Unit
+        }
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(batches.toList == List((0L, 0L, 9L)))
+      append(root, 3)
+      q.processAllAvailable()
+      assert(batches.toList == List((0L, 0L, 9L), (1L, 10L, 14L)))
+    } finally q.stop()
+  }
+
+  test("a snapshot that DROPS files fails loudly (overwrite scope)") {
+    val root = fixture("drop")
+    append(root, 1)
+    val q = stream(root).writeStream
+      .format("memory").queryName("is_drop_sink").start()
+    try {
+      q.processAllAvailable()
+      // snapshot 2 lists ONLY its own manifest — b1.parquet vanishes
+      append(root, 2, manifests = Some(Seq(2)))
+      val e = intercept[StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(e.getMessage.contains("DROPS files") ||
+        Option(e.getCause).exists(_.getMessage.contains("DROPS files")))
+    } finally q.stop()
+  }
+
+  test("checkpoint restart resumes after the committed position") {
+    val root = fixture("restart")
+    val ckpt = s"$root/_ckpt"
+    append(root, 1)
+    val seen = mutable.ArrayBuffer.empty[Long]
+    def run(): Unit = {
+      val q = stream(root).writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], _: Long) =>
+          val ids = df.select(col("id")).collect().map(_.getLong(0))
+          seen.synchronized { seen ++= ids: Unit }
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    assert(seen.sorted.toList == (0L to 4L).toList)
+    append(root, 2)
+    run()
+    assert(seen.sorted.toList == (0L to 9L).toList,
+      "restart must consume exactly the new snapshot — no loss, no replay")
+  }
+}

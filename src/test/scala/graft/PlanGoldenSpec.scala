@@ -53,8 +53,12 @@ class PlanGoldenSpec extends AnyFunSuite {
   // q239's two year-legs are NEAR-EQUAL census subtrees; AQE picks the
   // build side of their self-pairing from runtime sizes that differ by
   // noise, flipping the printed tree. Contract pinned in PlanSpec.
+  // q385 has the same structure post-prefix-rework: its two global-rank
+  // legs are near-equal PartitionSweep subtrees whose broadcast build
+  // side is an AQE coin flip (flaked in a full-suite run after the
+  // regen run passed, same code). Contract pinned in PlanSpec.
   private val racePrune = Set("q176_cte_reuse", "q215_repetition_quality",
-    "q239_repeat_buyers")
+    "q239_repeat_buyers", "q385_rank_align")
 
   private val pinned =
     (Bench.headline.filterNot(_.contains("stream")) ++ extraPinned)

@@ -487,6 +487,23 @@ class PlanSpec extends AnyFunSuite {
     assert("partial_sum".r.findAllIn(p).size >= 2, p.take(3000))
   }
 
+  test("q385 rank alignment: both global ranks ride PartitionSweep " +
+    "over ONE range exchange each, and the rank-pair join broadcasts " +
+    "(position-independent — the near-equal legs' build side is an " +
+    "AQE coin flip)") {
+    // count in the FINAL section only (the AQE string repeats the
+    // plan under "== Initial Plan ==")
+    val p = finalPlan("q385_rank_align").split("== Initial Plan ==").head
+    assert("PartitionSweep".r.findAllIn(p).size == 2, p.take(3000))
+    assert("Exchange rangepartitioning".r.findAllIn(p).size >= 2,
+      p.take(3000))
+    assert(!p.contains("windowspecdefinition"),
+      "global rank must not ride a window\n" + p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("hashpartitioning(_pp_id"),
+      "prefix path must not re-shuffle on _pp_id\n" + p.take(3000))
+  }
+
   test("q274 joins a partitioned file source with RUNTIME partition " +
     "pruning (dynamicpruningexpression in the scan)") {
     val p = finalPlan("q274_dpp")
