@@ -462,6 +462,39 @@ object Storage extends QueryModule {
         q.processAllAvailable()
       } finally q.stop()
       s.table("q401_sink").orderBy(col("l_returnflag"))
+    },
+
+    // STREAMING Paimon read — PaimonStreamLite (v1 Source). Paimon is
+    // the natural streaming format of the three: snapshot ids are
+    // contiguous longs (the offsets) and each snapshot's DELTA
+    // manifest list IS the per-commit change set, so incremental
+    // batches replay just the consumed deltas — no snapshot diffing.
+    // Same drain shape as q400/q401: initial = batch A, then B, then
+    // C; final census = A∪B∪C vs the oracle.
+    "q402_paimon_stream" -> { (s, dir) =>
+      val root = authorPaimonStreamTable(s, dir, upTo = 1)
+      s.catalog.dropTempView("q402_sink"): Unit
+      val stream = s.readStream
+        .format("org.apache.spark.sql.graftstream.PaimonStreamLite")
+        .option("path", root)
+        .option("maxSnapshotsPerTrigger", "1")
+        .load()
+      val agg = stream.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_qty"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_price"))
+      val q = agg.writeStream.outputMode("complete")
+        .format("memory").queryName("q402_sink").start()
+      try {
+        q.processAllAvailable()
+        appendPaimonSnapshot(s, dir, root, 2)
+        q.processAllAvailable()
+        appendPaimonSnapshot(s, dir, root, 3)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table("q402_sink").orderBy(col("l_returnflag"))
     }
   )
 
@@ -951,6 +984,86 @@ object Storage extends QueryModule {
       k.toString)
   }
 
+  /** Authors the APPEND-ONLY Paimon table q402 streams from: fresh
+    * root with snapshots 1..upTo (snapshot k's BASE covers manifests
+    * 1..k-1, its DELTA adds batch l_orderkey%10 == k-1). NOT memoized:
+    * the stream test appends snapshots mid-run. */
+  private def authorPaimonStreamTable(s: SparkSession, dir: String,
+                                      upTo: Int): String = {
+    import java.nio.file.{Files, Paths}
+    val root =
+      s"/tmp/graft_paimonstream/li_${Integer.toHexString(dir.hashCode)}"
+    def rm(p: java.io.File): Unit = {
+      if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+      p.delete(): Unit
+    }
+    rm(new java.io.File(root))
+    for (d <- Seq("snapshot", "schema", "manifest", "bucket-0"))
+      Files.createDirectories(Paths.get(root, d))
+    Files.writeString(Paths.get(root, "schema", "schema-0"),
+      """{"id":0,"fields":[
+        | {"id":0,"name":"l_orderkey","type":"BIGINT"},
+        | {"id":1,"name":"l_quantity","type":"DOUBLE"},
+        | {"id":2,"name":"l_extendedprice","type":"DOUBLE"},
+        | {"id":3,"name":"l_returnflag","type":"STRING"}],
+        |"highestFieldId":3,"partitionKeys":[],"primaryKeys":[],
+        |"options":{"file.format":"parquet"}}""".stripMargin)
+    for (k <- 1 to upTo) appendPaimonSnapshot(s, dir, root, k)
+    root
+  }
+
+  /** Appends snapshot `k` to the q402 stream table: writes batch
+    * (l_orderkey%10 == k-1) as a bucket-0 data file, a manifest for
+    * it, base/delta manifest lists, the snapshot JSON, and bumps
+    * LATEST. */
+  private def appendPaimonSnapshot(s: SparkSession, dir: String,
+                                   root: String, k: Int): Unit = {
+    import java.nio.file.{Files, Paths}
+    val avroFmt = "org.apache.spark.sql.avro.AvroFileFormat"
+    def rm(p: java.io.File): Unit = {
+      if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+      p.delete(): Unit
+    }
+    val src = Tables.df(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"),
+        col("l_extendedprice"), col("l_returnflag"))
+    val tmp = s"$root/_tmp"
+    src.filter(col("l_orderkey") % 10 === (k - 1))
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith(".")).get
+    assert(part.renameTo(
+      new java.io.File(s"$root/bucket-0/data-b$k.parquet")))
+    rm(new java.io.File(tmp))
+    def writeAvro(df: DataFrame, rel: String): Unit = {
+      val t2 = s"$root/_tmpavro"
+      df.coalesce(1).write.mode("overwrite").format(avroFmt).save(t2)
+      val p = new java.io.File(t2).listFiles()
+        .find(_.getName.startsWith("part-")).get
+      assert(p.renameTo(new java.io.File(s"$root/$rel")))
+      rm(new java.io.File(t2))
+    }
+    import s.implicits._
+    writeAvro(Seq((0, s"data-b$k.parquet")).toDF("_KIND", "_fn")
+      .select(col("_KIND"), lit(0).as("_BUCKET"),
+        struct(col("_fn").as("_FILE_NAME")).as("_FILE")),
+      s"manifest/m$k.avro")
+    def mlist(rel: String, names: Seq[String]): Unit =
+      writeAvro(
+        if (names.isEmpty) Seq.empty[String].toDF("_FILE_NAME")
+        else names.toDF("_FILE_NAME"), rel)
+    mlist(s"manifest/ml-base-$k.avro", (1 until k).map(i => s"m$i.avro"))
+    mlist(s"manifest/ml-delta-$k.avro", Seq(s"m$k.avro"))
+    Files.writeString(Paths.get(root, "snapshot", s"snapshot-$k"),
+      s"""{"version":3,"id":$k,"schemaId":0,
+         |"baseManifestList":"ml-base-$k.avro",
+         |"deltaManifestList":"ml-delta-$k.avro",
+         |"commitKind":"APPEND","commitUser":"graft",
+         |"commitIdentifier":$k,"timeMillis":0}""".stripMargin)
+    Files.writeString(Paths.get(root, "snapshot", "LATEST"), k.toString)
+  }
+
   private val paimonMemo = scala.collection.mutable.Map.empty[String, String]
 
   /** Authors the two-snapshot Paimon-layout append-only lineitem table
@@ -1280,6 +1393,16 @@ object Storage extends QueryModule {
         |ORDER BY l_returnflag""".stripMargin,
     // streamed census after snapshots 1,2,3 = batches A∪B∪C
     "q401_iceberg_stream" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_price
+        |FROM lineitem WHERE l_orderkey % 10 IN (0, 1, 2)
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    // streamed census after snapshots 1,2,3 = batches A∪B∪C
+    "q402_paimon_stream" ->
       """SELECT l_returnflag, count(*) AS n,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
         |   AS sum_qty,

@@ -221,6 +221,77 @@ object PaimonLite {
     Snapshot(wantedId, schema, files)
   }
 
+  /** Latest snapshot id: LATEST hint, else the highest snapshot-<N>.
+    * Paimon snapshot ids are CONTIGUOUS longs — the natural streaming
+    * offset surface. */
+  def latestSnapshotId(spark: SparkSession, tableDir: String): Long = {
+    val snapDir = new Path(tableDir, "snapshot")
+    val fs = snapDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(snapDir))
+      throw new IllegalStateException(s"$tableDir has no snapshot directory")
+    val hint = new Path(snapDir, "LATEST")
+    if (fs.exists(hint)) readText(fs, hint).trim.toLong
+    else {
+      val ids = fs.listStatus(snapDir).toSeq.map(_.getPath.getName)
+        .collect { case n if n.matches("snapshot-\\d+") =>
+          n.stripPrefix("snapshot-").toLong }
+      if (ids.isEmpty) throw new IllegalStateException(
+        s"$tableDir: no snapshot-<N> files in snapshot/")
+      ids.max
+    }
+  }
+
+  /** The data files ADDED by snapshot `id`'s DELTA manifest list — the
+    * per-commit change surface for streaming reads. APPEND-ONLY scope:
+    * a DELETE entry in the delta (compaction/overwrite) throws loudly,
+    * as does a snapshot whose JSON is gone (expired history). */
+  def deltaAdds(spark: SparkSession, tableDir: String,
+                id: Long): Seq[String] = {
+    val snapDir = new Path(tableDir, "snapshot")
+    val fs = snapDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val snapFile = new Path(snapDir, s"snapshot-$id")
+    if (!fs.exists(snapFile)) throw new IllegalStateException(
+      s"$tableDir: streaming range needs snapshot $id but its JSON is " +
+        "gone (snapshot expiry passed the stream's offset)")
+    val snap = JsonMethods.parse(readText(fs, snapFile))
+    def resolveManifest(name: String): String =
+      if (name.startsWith("/") || name.contains("://") ||
+        name.startsWith("file:")) resolve(tableDir, name)
+      else s"$tableDir/manifest/$name"
+    val manifests = (snap \ "deltaManifestList") match {
+      case JString(ml) =>
+        val p = resolveManifest(ml)
+        val df = spark.read.format(AvroFmt).load(p)
+        if (!df.columns.contains("_FILE_NAME"))
+          throw new IllegalStateException(
+            s"$p: manifest list lacks _FILE_NAME")
+        df.collect().map(_.getAs[String]("_FILE_NAME")).toSeq
+      case JNull | JNothing => Nil
+      case other => throw new IllegalStateException(
+        s"$snapFile: deltaManifestList is not a string: $other")
+    }
+    manifests.flatMap { mf =>
+      val p = resolveManifest(mf)
+      val m = spark.read.format(AvroFmt).load(p)
+      for (need <- Seq("_KIND", "_BUCKET", "_FILE"))
+        if (!m.columns.contains(need)) throw new IllegalStateException(
+          s"$p: manifest lacks $need")
+      m.collect().map { r =>
+        val kind = r.getAs[Number]("_KIND").intValue()
+        val bucket = r.getAs[Number]("_BUCKET").intValue()
+        val name = r.getAs[org.apache.spark.sql.Row]("_FILE")
+          .getAs[String]("_FILE_NAME")
+        if (kind != 0) throw new IllegalStateException(
+          s"$tableDir snapshot $id: DELETE entry for $name in the delta " +
+            "manifest — streaming reads are append-only scope " +
+            "(compaction/overwrite mid-stream would drop streamed rows)")
+        if (!name.endsWith(".parquet")) throw new IllegalStateException(
+          s"$tableDir: data file $name is not parquet")
+        s"$tableDir/bucket-$bucket/$name"
+      }.toSeq
+    }
+  }
+
   /** DataFrame over the snapshot's live files — one native parquet
     * scan. An empty snapshot returns a typed empty frame (the schema
     * store makes that possible here, unlike Hudi COW). */

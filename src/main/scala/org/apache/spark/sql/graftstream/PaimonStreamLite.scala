@@ -1,0 +1,114 @@
+package org.apache.spark.sql.graftstream
+
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.classic
+import org.apache.spark.sql.execution.LogicalRDD
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+import graft.sources.PaimonLite
+
+/** Structured-Streaming SOURCE over an append-only Paimon table — the
+  * third streaming lakehouse leg next to [[DeltaStreamLite]] and
+  * [[IcebergStreamLite]]. Paimon is the EASIEST of the three to
+  * stream: snapshot ids are contiguous longs (natural offsets) and
+  * every snapshot carries its own DELTA manifest list — the exact
+  * per-commit change set — so an incremental batch needs no snapshot
+  * diffing at all, just the delta replay of each consumed id.
+  *
+  * Batch shape: first batch = full snapshot at the latest id at
+  * stream start; each later batch = the union of `deltaAdds` over its
+  * id range; `maxSnapshotsPerTrigger` caps ids per micro-batch.
+  *
+  * Scope, loud failures: APPEND-ONLY — a DELETE entry in a consumed
+  * delta (compaction/overwrite), a mid-stream schema change, or an
+  * expired range snapshot fails the query instead of streaming wrong
+  * rows.
+  */
+class PaimonStreamLite extends StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "paimon-stream-lite"
+
+  private def path(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "paimon-stream-lite: 'path' option is required"))
+
+  override def sourceSchema(sqlContext: SQLContext,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String])
+  : (String, StructType) =
+    (shortName(),
+      PaimonLite.snapshot(sqlContext.sparkSession, path(parameters)).schema)
+
+  override def createSource(sqlContext: SQLContext,
+                            metadataPath: String,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): Source =
+    new PaimonStreamSource(sqlContext.sparkSession, path(parameters),
+      parameters.get("maxSnapshotsPerTrigger").map(_.toLong))
+}
+
+class PaimonStreamSource(spark: SparkSession, tableDir: String,
+                         maxSnapshotsPerTrigger: Option[Long])
+    extends Source {
+
+  private val initial = PaimonLite.snapshot(spark, tableDir)
+
+  override def schema: StructType = initial.schema
+
+  private var lastPolled: Long = -1L
+
+  private def ver(o: Offset): Long = o match {
+    case l: LongOffset       => l.offset
+    case s: SerializedOffset => s.json.trim.toLong
+    case other => throw new IllegalStateException(
+      s"paimon-stream-lite: unexpected offset $other")
+  }
+
+  override def getOffset: Option[Offset] = {
+    val latest = PaimonLite.latestSnapshotId(spark, tableDir)
+    val capped = maxSnapshotsPerTrigger match {
+      case Some(k) if lastPolled >= 0 => math.min(latest, lastPolled + k)
+      case _ => if (lastPolled < 0) initial.snapshotId else latest
+    }
+    val next = math.max(capped, lastPolled)
+    lastPolled = math.max(lastPolled, next)
+    if (next < 0) None else Some(LongOffset(next))
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val endId = ver(end)
+    lastPolled = math.max(lastPolled, endId)
+    val files = start match {
+      case None =>
+        // initial batch: the full snapshot at endId — schema pinned
+        val snap = PaimonLite.snapshot(spark, tableDir, Some(endId))
+        if (snap.schema.json != initial.schema.json)
+          throw new IllegalStateException(
+            s"$tableDir: schema changed mid-stream")
+        snap.files
+      case Some(s) =>
+        ((ver(s) + 1) to endId).flatMap(
+          PaimonLite.deltaAdds(spark, tableDir, _))
+    }
+    val batch =
+      if (files.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[Row], initial.schema)
+      else spark.read.schema(initial.schema).parquet(files: _*)
+    val ds = batch.asInstanceOf[classic.Dataset[Row]]
+    classic.Dataset.ofRows(
+      spark.asInstanceOf[classic.SparkSession],
+      LogicalRDD.fromDataset(ds.queryExecution.toRdd, ds,
+        isStreaming = true))
+  }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def toString: String = s"PaimonStreamLite[$tableDir]"
+}

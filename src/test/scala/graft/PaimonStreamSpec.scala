@@ -1,0 +1,149 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryException
+import org.scalatest.funsuite.AnyFunSuite
+
+/** PaimonStreamLite contract: contiguous snapshot-id offsets, one
+  * micro-batch per snapshot's delta under maxSnapshotsPerTrigger=1,
+  * checkpoint restart, and the LOUD-failure scope — a DELETE entry in
+  * a consumed delta (compaction/overwrite) fails the query. The happy
+  * path against real data is q402's DuckDB oracle. */
+class PaimonStreamSpec extends AnyFunSuite {
+  import TestSession._
+
+  private val fmt = "org.apache.spark.sql.graftstream.PaimonStreamLite"
+  private val avroFmt = "org.apache.spark.sql.avro.AvroFileFormat"
+
+  private def rm(p: java.io.File): Unit = {
+    if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+    p.delete(): Unit
+  }
+
+  private def fixture(name: String): String = {
+    val root = s"/tmp/graft_paimonstreamspec/$name"
+    rm(new java.io.File(root))
+    for (d <- Seq("snapshot", "schema", "manifest", "bucket-0"))
+      Files.createDirectories(Paths.get(root, d))
+    Files.writeString(Paths.get(root, "schema", "schema-0"),
+      """{"id":0,"fields":[
+        | {"id":0,"name":"id","type":"BIGINT"},
+        | {"id":1,"name":"v","type":"BIGINT"}],
+        |"highestFieldId":1,"partitionKeys":[],"primaryKeys":[],
+        |"options":{}}""".stripMargin)
+    root
+  }
+
+  private def writeAvro(root: String,
+                        df: org.apache.spark.sql.DataFrame,
+                        rel: String): Unit = {
+    val t2 = s"$root/_tmpavro"
+    df.coalesce(1).write.mode("overwrite").format(avroFmt).save(t2)
+    val p = new java.io.File(t2).listFiles()
+      .find(_.getName.startsWith("part-")).get
+    assert(p.renameTo(new java.io.File(s"$root/$rel")))
+    rm(new java.io.File(t2))
+  }
+
+  /** Snapshot k: base = m1..m(k-1), delta adds fk.parquet
+    * (ids [5(k-1), 5(k-1)+5)); `deltaKind` lets a test author a
+    * DELETE entry instead. */
+  private def append(root: String, k: Int, deltaKind: Int = 0): Unit = {
+    import spark.implicits._
+    val tmp = s"$root/_tmp"
+    spark.range(5L * (k - 1), 5L * (k - 1) + 5)
+      .select(col("id"), (col("id") * 2).as("v"))
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith(".")).get
+    assert(part.renameTo(new java.io.File(s"$root/bucket-0/f$k.parquet")))
+    rm(new java.io.File(tmp))
+    writeAvro(root,
+      Seq((deltaKind, s"f$k.parquet")).toDF("_KIND", "_fn")
+        .select(col("_KIND"), lit(0).as("_BUCKET"),
+          struct(col("_fn").as("_FILE_NAME")).as("_FILE")),
+      s"manifest/m$k.avro")
+    def mlist(rel: String, names: Seq[String]): Unit =
+      writeAvro(root,
+        if (names.isEmpty) Seq.empty[String].toDF("_FILE_NAME")
+        else names.toDF("_FILE_NAME"), rel)
+    mlist(s"manifest/ml-base-$k.avro", (1 until k).map(i => s"m$i.avro"))
+    mlist(s"manifest/ml-delta-$k.avro", Seq(s"m$k.avro"))
+    Files.writeString(Paths.get(root, "snapshot", s"snapshot-$k"),
+      s"""{"version":3,"id":$k,"schemaId":0,
+         |"baseManifestList":"ml-base-$k.avro",
+         |"deltaManifestList":"ml-delta-$k.avro",
+         |"commitKind":"APPEND","commitUser":"t","commitIdentifier":$k,
+         |"timeMillis":0}""".stripMargin)
+    Files.writeString(Paths.get(root, "snapshot", "LATEST"), k.toString)
+  }
+
+  private def stream(root: String) = spark.readStream.format(fmt)
+    .option("path", root).option("maxSnapshotsPerTrigger", "1").load()
+
+  test("initial snapshot, then one micro-batch per appended snapshot") {
+    val root = fixture("batches")
+    append(root, 1)
+    append(root, 2)
+    val batches = mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val q = stream(root).writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], id: Long) =>
+        val ids = df.select(min(col("id")), max(col("id"))).head()
+        batches.synchronized {
+          batches += ((id, ids.getLong(0), ids.getLong(1))): Unit
+        }
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(batches.toList == List((0L, 0L, 9L)))
+      append(root, 3)
+      q.processAllAvailable()
+      assert(batches.toList == List((0L, 0L, 9L), (1L, 10L, 14L)))
+    } finally q.stop()
+  }
+
+  test("checkpoint restart resumes after the committed snapshot id") {
+    val root = fixture("restart")
+    val ckpt = s"$root/_ckpt"
+    append(root, 1)
+    val seen = mutable.ArrayBuffer.empty[Long]
+    def run(): Unit = {
+      val q = stream(root).writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], _: Long) =>
+          val ids = df.select(col("id")).collect().map(_.getLong(0))
+          seen.synchronized { seen ++= ids: Unit }
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    assert(seen.sorted.toList == (0L to 4L).toList)
+    append(root, 2)
+    run()
+    assert(seen.sorted.toList == (0L to 9L).toList,
+      "restart must consume exactly the new snapshot — no loss, no replay")
+  }
+
+  test("a DELETE entry in a consumed delta fails loudly") {
+    val root = fixture("delete")
+    append(root, 1)
+    val q = stream(root).writeStream
+      .format("memory").queryName("ps_del_sink").start()
+    try {
+      q.processAllAvailable()
+      append(root, 2, deltaKind = 1)
+      val e = intercept[StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(e.getMessage.contains("append-only") ||
+        Option(e.getCause).exists(_.getMessage.contains("append-only")))
+    } finally q.stop()
+  }
+}
