@@ -1,10 +1,7 @@
 package org.apache.spark.sql.graftstream
 
-import org.apache.spark.sql.{DataFrame, Row, SQLContext}
-import org.apache.spark.sql.classic
-import org.apache.spark.sql.execution.LogicalRDD
+import org.apache.spark.sql.{DataFrame, SQLContext}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
-import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
 
@@ -68,7 +65,8 @@ class DeltaStreamLite extends StreamSourceProvider with DataSourceRegister {
 
 class DeltaStreamSource(sqlContext: SQLContext, tableDir: String,
                         maxVersionsPerTrigger: Option[Long])
-    extends Source {
+    extends LiteVersionedStreamSource(
+      sqlContext.sparkSession, maxVersionsPerTrigger) {
 
   private val spark = sqlContext.sparkSession
   // pin schema/partition layout at stream start; addsBetween refuses
@@ -78,60 +76,26 @@ class DeltaStreamSource(sqlContext: SQLContext, tableDir: String,
 
   override def schema: StructType = initial.schema
 
-  /** Track the last offset handed to the engine so the rate limit
-    * advances monotonically even before commits land. */
-  private var lastPolled: Long = -1L
-
-  private def ver(o: Offset): Long = o match {
-    case l: LongOffset      => l.offset
-    case s: SerializedOffset => s.json.trim.toLong
-    case other => throw new IllegalStateException(
-      s"delta-stream-lite: unexpected offset $other")
-  }
-
-  override def getOffset: Option[Offset] = {
-    val latest = DeltaLogLite.latestVersion(spark, tableDir)
-    val capped = maxVersionsPerTrigger match {
-      case Some(k) if lastPolled >= 0 => math.min(latest, lastPolled + k)
-      // first poll: the initial snapshot is one indivisible batch
-      case _ => if (lastPolled < 0) initial.version
-        else latest
-    }
-    val next = math.max(capped, lastPolled)
-    lastPolled = math.max(lastPolled, next)
-    if (next < 0) None else Some(LongOffset(next))
-  }
+  override protected def latestOffset(): Long =
+    DeltaLogLite.latestVersion(spark, tableDir)
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val endV = ver(end)
-    lastPolled = math.max(lastPolled, endV)
+    observe(endV)
     val batch = start match {
       case None =>
         // initial batch: the full snapshot at endV (checkpoint-aware)
         DeltaLogLite.read(spark, tableDir, versionAsOf = Some(endV))
       case Some(s) =>
         val startV = ver(s)
-        if (startV == endV)
-          DeltaLogLite.readFiles(spark, tableDir, initial.schema,
-            initial.partitionColumns, Nil)
-        else {
-          val adds = DeltaLogLite.addsBetween(
+        val adds = if (startV == endV) Nil
+          else DeltaLogLite.addsBetween(
             spark, tableDir, startV, endV, schemaJson)
-          DeltaLogLite.readFiles(spark, tableDir, initial.schema,
-            initial.partitionColumns, adds)
-        }
+        DeltaLogLite.readFiles(spark, tableDir, initial.schema,
+          initial.partitionColumns, adds)
     }
-    // the engine asserts isStreaming on the returned frame; rebase the
-    // batch plan onto a streaming LogicalRDD (the v1-source convention)
-    val ds = batch.asInstanceOf[classic.Dataset[Row]]
-    classic.Dataset.ofRows(
-      spark.asInstanceOf[classic.SparkSession],
-      LogicalRDD.fromDataset(ds.queryExecution.toRdd, ds,
-        isStreaming = true))
+    asStreamingBatch(batch)
   }
-
-  override def commit(end: Offset): Unit = ()
-  override def stop(): Unit = ()
 
   override def toString: String = s"DeltaStreamLite[$tableDir]"
 }

@@ -1,10 +1,7 @@
 package org.apache.spark.sql.graftstream
 
 import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
-import org.apache.spark.sql.classic
-import org.apache.spark.sql.execution.LogicalRDD
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
-import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
 
@@ -58,25 +55,18 @@ class IcebergStreamLite extends StreamSourceProvider with DataSourceRegister {
 
 class IcebergStreamSource(spark: SparkSession, tableDir: String,
                           maxSnapshotsPerTrigger: Option[Long])
-    extends Source {
+    extends LiteVersionedStreamSource(spark, maxSnapshotsPerTrigger) {
 
   private val initialSchema: StructType =
     IcebergLite.snapshot(spark, tableDir).schema
 
   override def schema: StructType = initialSchema
 
-  private var lastPolled: Long = -1L
-
-  private def ver(o: Offset): Long = o match {
-    case l: LongOffset       => l.offset
-    case s: SerializedOffset => s.json.trim.toLong
-    case other => throw new IllegalStateException(
-      s"iceberg-stream-lite: unexpected offset $other")
-  }
-
   /** Ordered snapshot-id history from the CURRENT metadata file. */
   private def history(): Seq[Long] =
     IcebergLite.snapshotIds(spark, tableDir)
+
+  override protected def latestOffset(): Long = history().length - 1L
 
   /** Snapshot at history POSITION `pos`, with append-only gates. */
   private def filesAt(hist: Seq[Long], pos: Long): Set[String] = {
@@ -95,20 +85,9 @@ class IcebergStreamSource(spark: SparkSession, tableDir: String,
     snap.files.toSet
   }
 
-  override def getOffset: Option[Offset] = {
-    val latest = history().length - 1L
-    val capped = maxSnapshotsPerTrigger match {
-      case Some(k) if lastPolled >= 0 => math.min(latest, lastPolled + k)
-      case _ => latest
-    }
-    val next = math.max(capped, lastPolled)
-    lastPolled = math.max(lastPolled, next)
-    if (next < 0) None else Some(LongOffset(next))
-  }
-
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val endPos = ver(end)
-    lastPolled = math.max(lastPolled, endPos)
+    observe(endPos)
     val hist = history()
     val endFiles = filesAt(hist, endPos)
     val newFiles = start match {
@@ -128,15 +107,8 @@ class IcebergStreamSource(spark: SparkSession, tableDir: String,
           spark.sparkContext.emptyRDD[Row], initialSchema)
       else spark.read.schema(initialSchema)
         .parquet(newFiles.toSeq.sorted: _*)
-    val ds = batch.asInstanceOf[classic.Dataset[Row]]
-    classic.Dataset.ofRows(
-      spark.asInstanceOf[classic.SparkSession],
-      LogicalRDD.fromDataset(ds.queryExecution.toRdd, ds,
-        isStreaming = true))
+    asStreamingBatch(batch)
   }
-
-  override def commit(end: Offset): Unit = ()
-  override def stop(): Unit = ()
 
   override def toString: String = s"IcebergStreamLite[$tableDir]"
 }

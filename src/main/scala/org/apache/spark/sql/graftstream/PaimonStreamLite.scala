@@ -1,10 +1,7 @@
 package org.apache.spark.sql.graftstream
 
 import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
-import org.apache.spark.sql.classic
-import org.apache.spark.sql.execution.LogicalRDD
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
-import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
 
@@ -54,35 +51,18 @@ class PaimonStreamLite extends StreamSourceProvider with DataSourceRegister {
 
 class PaimonStreamSource(spark: SparkSession, tableDir: String,
                          maxSnapshotsPerTrigger: Option[Long])
-    extends Source {
+    extends LiteVersionedStreamSource(spark, maxSnapshotsPerTrigger) {
 
   private val initial = PaimonLite.snapshot(spark, tableDir)
 
   override def schema: StructType = initial.schema
 
-  private var lastPolled: Long = -1L
-
-  private def ver(o: Offset): Long = o match {
-    case l: LongOffset       => l.offset
-    case s: SerializedOffset => s.json.trim.toLong
-    case other => throw new IllegalStateException(
-      s"paimon-stream-lite: unexpected offset $other")
-  }
-
-  override def getOffset: Option[Offset] = {
-    val latest = PaimonLite.latestSnapshotId(spark, tableDir)
-    val capped = maxSnapshotsPerTrigger match {
-      case Some(k) if lastPolled >= 0 => math.min(latest, lastPolled + k)
-      case _ => if (lastPolled < 0) initial.snapshotId else latest
-    }
-    val next = math.max(capped, lastPolled)
-    lastPolled = math.max(lastPolled, next)
-    if (next < 0) None else Some(LongOffset(next))
-  }
+  override protected def latestOffset(): Long =
+    PaimonLite.latestSnapshotId(spark, tableDir)
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val endId = ver(end)
-    lastPolled = math.max(lastPolled, endId)
+    observe(endId)
     val files = start match {
       case None =>
         // initial batch: the full snapshot at endId — schema pinned
@@ -100,15 +80,8 @@ class PaimonStreamSource(spark: SparkSession, tableDir: String,
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[Row], initial.schema)
       else spark.read.schema(initial.schema).parquet(files: _*)
-    val ds = batch.asInstanceOf[classic.Dataset[Row]]
-    classic.Dataset.ofRows(
-      spark.asInstanceOf[classic.SparkSession],
-      LogicalRDD.fromDataset(ds.queryExecution.toRdd, ds,
-        isStreaming = true))
+    asStreamingBatch(batch)
   }
-
-  override def commit(end: Offset): Unit = ()
-  override def stop(): Unit = ()
 
   override def toString: String = s"PaimonStreamLite[$tableDir]"
 }
