@@ -495,6 +495,41 @@ object Storage extends QueryModule {
         q.processAllAvailable()
       } finally q.stop()
       s.table("q402_sink").orderBy(col("l_returnflag"))
+    },
+
+    // STREAMING lakehouse ETL LOOP — DeltaStreamLite source →
+    // DeltaStreamSinkLite sink → DeltaLogLite batch read. Each source
+    // commit becomes one sink micro-batch and ONE sink commit (add
+    // actions + a txn action carrying the query id and batch id — the
+    // exactly-once dedup surface). The destination table's census must
+    // equal the source batches A∪B∪C: a dropped, duplicated, or
+    // re-committed batch hash-mismatches the oracle.
+    "q403_delta_stream_sink" -> { (s, dir) =>
+      val src = authorDeltaStreamTable(s, dir, upTo = 0)
+      val dest = src + "_sinkdest"
+      def rm(p: java.io.File): Unit = {
+        if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+        p.delete(): Unit
+      }
+      rm(new java.io.File(dest))
+      val q = s.readStream
+        .format("org.apache.spark.sql.graftstream.DeltaStreamLite")
+        .option("path", src)
+        .option("maxVersionsPerTrigger", "1")
+        .load()
+        .writeStream
+        .format("org.apache.spark.sql.graftstream.DeltaStreamSinkLite")
+        .option("path", dest)
+        .option("checkpointLocation", s"$dest/_ckpt")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        appendDeltaStreamCommit(s, dir, src, 1)
+        q.processAllAvailable()
+        appendDeltaStreamCommit(s, dir, src, 2)
+        q.processAllAvailable()
+      } finally q.stop()
+      deltaCensus(graft.sources.DeltaLogLite.read(s, dest))
     }
   )
 
@@ -1403,6 +1438,16 @@ object Storage extends QueryModule {
         |ORDER BY l_returnflag""".stripMargin,
     // streamed census after snapshots 1,2,3 = batches A∪B∪C
     "q402_paimon_stream" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_price
+        |FROM lineitem WHERE l_orderkey % 10 IN (0, 1, 2)
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    // source commits 0,1,2 streamed through the sink = batches A∪B∪C
+    "q403_delta_stream_sink" ->
       """SELECT l_returnflag, count(*) AS n,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
         |   AS sum_qty,

@@ -338,6 +338,38 @@ object DeltaLogLite {
       throw new IllegalStateException(s"$tableDir: empty _delta_log"))
   }
 
+  /** Highest `txn` version recorded for `appId` across the available
+    * JSON commits — the exactly-once dedup surface for the streaming
+    * SINK (PROTOCOL.md "Transaction Identifiers"): a re-delivered
+    * micro-batch whose id is ≤ this version is a duplicate and must
+    * not commit again. Lite contract: requires the txn-bearing JSON
+    * commits to still be present (no checkpoint compaction of the
+    * writer's own recent history). */
+  def latestTxnVersion(spark: SparkSession, tableDir: String,
+                       appId: String): Option[Long] = {
+    val logDir = new Path(tableDir, "_delta_log")
+    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(logDir)) return None
+    val commits = fs.listStatus(logDir).toSeq.map(_.getPath)
+      .filter(_.getName.matches("\\d{20}\\.json"))
+    val versions = commits.flatMap { p =>
+      val in = fs.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      text.linesIterator.filter(_.trim.nonEmpty).flatMap { line =>
+        val action = try JsonMethods.parse(line)
+          catch { case _: Exception => JNothing }
+        (action \ "txn") match {
+          case JNothing => None
+          case txn if (txn \ "appId").extractOpt[String].contains(appId) =>
+            (txn \ "version").extractOpt[Long]
+          case _ => None
+        }
+      }.toSeq
+    }
+    versions.maxOption
+  }
+
   /** The files ADDED in commits (fromExclusive, toInclusive] — the
     * incremental-batch surface for streaming reads. APPEND-ONLY scope,
     * loud failures: a `remove` action in the range throws (emitting
