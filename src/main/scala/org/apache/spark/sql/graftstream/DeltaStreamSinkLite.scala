@@ -127,8 +127,17 @@ class DeltaStreamSink(sqlContext: SQLContext, tableDir: String)
     val adds = rels.map(rel =>
       s"""{"add":{"path":${jstr(rel)},"partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""")
       .mkString("", "\n", "\n")
-    Files.writeString(logDir.resolve(f"$version%020d.json"),
-      head + txn + adds)
+    // CREATE_NEW: a concurrent writer landing the same version is a
+    // loud single-writer violation, never a silent overwrite
+    try Files.write(logDir.resolve(f"$version%020d.json"),
+      (head + txn + adds).getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalStateException(
+          s"delta-sink-lite: commit $version already exists in $tableDir " +
+            "— another writer is active (lite scope is single-writer)")
+    }
   }
 
   override def name(): String = s"DeltaStreamSinkLite[$tableDir]"

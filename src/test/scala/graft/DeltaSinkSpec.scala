@@ -146,4 +146,5 @@ class DeltaSinkSpec extends AnyFunSuite {
     }
     assert(e3.getMessage.contains("drifts"))
   }
+
 }
