@@ -530,6 +530,39 @@ object Storage extends QueryModule {
         q.processAllAvailable()
       } finally q.stop()
       deltaCensus(graft.sources.DeltaLogLite.read(s, dest))
+    },
+
+    // The same ETL loop on Paimon — PaimonStreamLite source →
+    // PaimonStreamSinkLite sink → PaimonLite batch read. Each source
+    // snapshot becomes one sink snapshot carrying Paimon's OWN
+    // exactly-once surface (commitUser = query id, commitIdentifier =
+    // batch id); the destination census must equal batches A∪B∪C.
+    "q404_paimon_stream_sink" -> { (s, dir) =>
+      val src = authorPaimonStreamTable(s, dir, upTo = 1)
+      val dest = src + "_sinkdest"
+      def rm(p: java.io.File): Unit = {
+        if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+        p.delete(): Unit
+      }
+      rm(new java.io.File(dest))
+      val q = s.readStream
+        .format("org.apache.spark.sql.graftstream.PaimonStreamLite")
+        .option("path", src)
+        .option("maxSnapshotsPerTrigger", "1")
+        .load()
+        .writeStream
+        .format("org.apache.spark.sql.graftstream.PaimonStreamSinkLite")
+        .option("path", dest)
+        .option("checkpointLocation", s"$dest/_ckpt")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        appendPaimonSnapshot(s, dir, src, 2)
+        q.processAllAvailable()
+        appendPaimonSnapshot(s, dir, src, 3)
+        q.processAllAvailable()
+      } finally q.stop()
+      deltaCensus(graft.sources.PaimonLite.read(s, dest))
     }
   )
 
@@ -1448,6 +1481,16 @@ object Storage extends QueryModule {
         |ORDER BY l_returnflag""".stripMargin,
     // source commits 0,1,2 streamed through the sink = batches A∪B∪C
     "q403_delta_stream_sink" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_price
+        |FROM lineitem WHERE l_orderkey % 10 IN (0, 1, 2)
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    // Paimon source snapshots 1,2,3 streamed through the sink = A∪B∪C
+    "q404_paimon_stream_sink" ->
       """SELECT l_returnflag, count(*) AS n,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
         |   AS sum_qty,

@@ -241,6 +241,47 @@ object PaimonLite {
     }
   }
 
+  /** Snapshot `id`'s (commitUser, commitIdentifier) — Paimon's OWN
+    * exactly-once surface: a committer dedups re-delivered work by
+    * checking the identifiers it already committed under its user. */
+  def commitInfo(spark: SparkSession, tableDir: String,
+                 id: Long): (String, Long) = {
+    val snapDir = new Path(tableDir, "snapshot")
+    val fs = snapDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val snapFile = new Path(snapDir, s"snapshot-$id")
+    if (!fs.exists(snapFile)) throw new IllegalStateException(
+      s"$tableDir: snapshot $id not found")
+    val snap = JsonMethods.parse(readText(fs, snapFile))
+    ((snap \ "commitUser").extractOpt[String].getOrElse(""),
+      (snap \ "commitIdentifier").extractOpt[Long].getOrElse(-1L))
+  }
+
+  /** The manifest FILE NAMES snapshot `id` covers (base ++ delta) —
+    * what the next snapshot's base manifest list must re-list for an
+    * append-only commit. Bounded metadata reads. */
+  def manifestNames(spark: SparkSession, tableDir: String,
+                    id: Long): Seq[String] = {
+    val snapDir = new Path(tableDir, "snapshot")
+    val fs = snapDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val snapFile = new Path(snapDir, s"snapshot-$id")
+    if (!fs.exists(snapFile)) throw new IllegalStateException(
+      s"$tableDir: snapshot $id not found")
+    val snap = JsonMethods.parse(readText(fs, snapFile))
+    def namesOf(key: String): Seq[String] = (snap \ key) match {
+      case JString(ml) =>
+        val p = s"$tableDir/manifest/$ml"
+        val df = spark.read.format(AvroFmt).load(p)
+        if (!df.columns.contains("_FILE_NAME"))
+          throw new IllegalStateException(
+            s"$p: manifest list lacks _FILE_NAME")
+        df.collect().map(_.getAs[String]("_FILE_NAME")).toSeq
+      case JNull | JNothing => Nil
+      case other => throw new IllegalStateException(
+        s"$snapFile: $key is not a string: $other")
+    }
+    namesOf("baseManifestList") ++ namesOf("deltaManifestList")
+  }
+
   /** The data files ADDED by snapshot `id`'s DELTA manifest list — the
     * per-commit change surface for streaming reads. APPEND-ONLY scope:
     * a DELETE entry in the delta (compaction/overwrite) throws loudly,

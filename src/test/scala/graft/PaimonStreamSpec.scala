@@ -13,20 +13,20 @@ import org.scalatest.funsuite.AnyFunSuite
   * checkpoint restart, and the LOUD-failure scope — a DELETE entry in
   * a consumed delta (compaction/overwrite) fails the query. The happy
   * path against real data is q402's DuckDB oracle. */
-class PaimonStreamSpec extends AnyFunSuite {
-  import TestSession._
+/** Shared append-only Paimon test-table authoring, used by
+  * [[PaimonStreamSpec]] (source) and [[PaimonSinkSpec]] (loop). */
+private[graft] object PaimonStreamFixture {
+  import TestSession.spark
 
-  private val fmt = "org.apache.spark.sql.graftstream.PaimonStreamLite"
   private val avroFmt = "org.apache.spark.sql.avro.AvroFileFormat"
 
-  private def rm(p: java.io.File): Unit = {
+  private[graft] def rm(p: java.io.File): Unit = {
     if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
     p.delete(): Unit
   }
 
-  private def fixture(name: String): String = {
-    val root = s"/tmp/graft_paimonstreamspec/$name"
-    rm(new java.io.File(root))
+  /** Lay out an empty table (dirs + schema-0) at `root`. */
+  def init(root: String): Unit = {
     for (d <- Seq("snapshot", "schema", "manifest", "bucket-0"))
       Files.createDirectories(Paths.get(root, d))
     Files.writeString(Paths.get(root, "schema", "schema-0"),
@@ -35,7 +35,6 @@ class PaimonStreamSpec extends AnyFunSuite {
         | {"id":1,"name":"v","type":"BIGINT"}],
         |"highestFieldId":1,"partitionKeys":[],"primaryKeys":[],
         |"options":{}}""".stripMargin)
-    root
   }
 
   private def writeAvro(root: String,
@@ -51,8 +50,8 @@ class PaimonStreamSpec extends AnyFunSuite {
 
   /** Snapshot k: base = m1..m(k-1), delta adds fk.parquet
     * (ids [5(k-1), 5(k-1)+5)); `deltaKind` lets a test author a
-    * DELETE entry instead. */
-  private def append(root: String, k: Int, deltaKind: Int = 0): Unit = {
+    * DELETE entry instead. Call init() first for k == 1. */
+  def append(root: String, k: Int, deltaKind: Int = 0): Unit = {
     import spark.implicits._
     val tmp = s"$root/_tmp"
     spark.range(5L * (k - 1), 5L * (k - 1) + 5)
@@ -81,6 +80,20 @@ class PaimonStreamSpec extends AnyFunSuite {
          |"commitKind":"APPEND","commitUser":"t","commitIdentifier":$k,
          |"timeMillis":0}""".stripMargin)
     Files.writeString(Paths.get(root, "snapshot", "LATEST"), k.toString)
+  }
+}
+
+class PaimonStreamSpec extends AnyFunSuite {
+  import TestSession._
+  import PaimonStreamFixture.{append, rm}
+
+  private val fmt = "org.apache.spark.sql.graftstream.PaimonStreamLite"
+
+  private def fixture(name: String): String = {
+    val root = s"/tmp/graft_paimonstreamspec/$name"
+    rm(new java.io.File(root))
+    PaimonStreamFixture.init(root)
+    root
   }
 
   private def stream(root: String) = spark.readStream.format(fmt)
