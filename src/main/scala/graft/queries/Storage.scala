@@ -563,6 +563,40 @@ object Storage extends QueryModule {
         q.processAllAvailable()
       } finally q.stop()
       deltaCensus(graft.sources.PaimonLite.read(s, dest))
+    },
+
+    // The same ETL loop on Iceberg — IcebergStreamLite source →
+    // IcebergStreamSinkLite sink → IcebergLite batch read. Each
+    // consumed snapshot becomes one sink snapshot whose SUMMARY
+    // carries the query id and batch id (the Flink-committer-style
+    // exactly-once surface); the destination census must equal
+    // batches A∪B∪C.
+    "q405_iceberg_stream_sink" -> { (s, dir) =>
+      val src = authorIcebergStreamTable(s, dir, upTo = 1)
+      val dest = src + "_sinkdest"
+      def rm(p: java.io.File): Unit = {
+        if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+        p.delete(): Unit
+      }
+      rm(new java.io.File(dest))
+      val q = s.readStream
+        .format("org.apache.spark.sql.graftstream.IcebergStreamLite")
+        .option("path", src)
+        .option("maxSnapshotsPerTrigger", "1")
+        .load()
+        .writeStream
+        .format("org.apache.spark.sql.graftstream.IcebergStreamSinkLite")
+        .option("path", dest)
+        .option("checkpointLocation", s"$dest/_ckpt")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        appendIcebergSnapshot(s, dir, src, 2)
+        q.processAllAvailable()
+        appendIcebergSnapshot(s, dir, src, 3)
+        q.processAllAvailable()
+      } finally q.stop()
+      deltaCensus(graft.sources.IcebergLite.read(s, dest))
     }
   )
 
@@ -967,7 +1001,7 @@ object Storage extends QueryModule {
          |{"metaData":{"id":"graft-q400","format":{"provider":"parquet","options":{}},"schemaString":${jstr(src.schema.json)},"partitionColumns":[],"configuration":{},"createdTime":0}}
          |""".stripMargin
     else ""
-    Files.writeString(
+    graft.sources.AtomicFiles.write(
       Paths.get(root, "_delta_log", f"$v%020d.json"),
       head +
         s"""{"add":{"path":${jstr(rel)},"partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}
@@ -1042,14 +1076,15 @@ object Storage extends QueryModule {
     val snaps = (1 to k).map(i =>
       s"""{"snapshot-id":$i,"manifest-list":${jstr(s"metadata/snap-$i.avro")}}""")
       .mkString("[", ",\n", "]")
-    Files.writeString(Paths.get(root, "metadata", s"v$k.metadata.json"),
+    graft.sources.AtomicFiles.write(
+      Paths.get(root, "metadata", s"v$k.metadata.json"),
       s"""{"format-version":2,"table-uuid":"graft-q401","location":${jstr(root)},
          |"current-schema-id":0,
          |"schemas":[{"schema-id":0,"type":"struct","fields":$fields}],
          |"current-snapshot-id":$k,
          |"snapshots":$snaps}""".stripMargin)
-    Files.writeString(Paths.get(root, "metadata", "version-hint.text"),
-      k.toString)
+    graft.sources.AtomicFiles.write(
+      Paths.get(root, "metadata", "version-hint.text"), k.toString)
   }
 
   /** Authors the APPEND-ONLY Paimon table q402 streams from: fresh
@@ -1123,13 +1158,15 @@ object Storage extends QueryModule {
         else names.toDF("_FILE_NAME"), rel)
     mlist(s"manifest/ml-base-$k.avro", (1 until k).map(i => s"m$i.avro"))
     mlist(s"manifest/ml-delta-$k.avro", Seq(s"m$k.avro"))
-    Files.writeString(Paths.get(root, "snapshot", s"snapshot-$k"),
+    graft.sources.AtomicFiles.write(
+      Paths.get(root, "snapshot", s"snapshot-$k"),
       s"""{"version":3,"id":$k,"schemaId":0,
          |"baseManifestList":"ml-base-$k.avro",
          |"deltaManifestList":"ml-delta-$k.avro",
          |"commitKind":"APPEND","commitUser":"graft",
          |"commitIdentifier":$k,"timeMillis":0}""".stripMargin)
-    Files.writeString(Paths.get(root, "snapshot", "LATEST"), k.toString)
+    graft.sources.AtomicFiles.write(
+      Paths.get(root, "snapshot", "LATEST"), k.toString)
   }
 
   private val paimonMemo = scala.collection.mutable.Map.empty[String, String]
@@ -1491,6 +1528,16 @@ object Storage extends QueryModule {
         |ORDER BY l_returnflag""".stripMargin,
     // Paimon source snapshots 1,2,3 streamed through the sink = A∪B∪C
     "q404_paimon_stream_sink" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_price
+        |FROM lineitem WHERE l_orderkey % 10 IN (0, 1, 2)
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    // Iceberg source snapshots 1,2,3 streamed through the sink = A∪B∪C
+    "q405_iceberg_stream_sink" ->
       """SELECT l_returnflag, count(*) AS n,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
         |   AS sum_qty,

@@ -127,11 +127,12 @@ class DeltaStreamSink(sqlContext: SQLContext, tableDir: String)
     val adds = rels.map(rel =>
       s"""{"add":{"path":${jstr(rel)},"partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""")
       .mkString("", "\n", "\n")
-    // CREATE_NEW: a concurrent writer landing the same version is a
-    // loud single-writer violation, never a silent overwrite
-    try Files.write(logDir.resolve(f"$version%020d.json"),
-      (head + txn + adds).getBytes("UTF-8"),
-      java.nio.file.StandardOpenOption.CREATE_NEW)
+    // atomic publication (a concurrent offset poll must never read a
+    // half-written commit); replace=false turns a concurrent writer
+    // landing the same version into a loud single-writer violation
+    try graft.sources.AtomicFiles.write(
+      logDir.resolve(f"$version%020d.json"), head + txn + adds,
+      replace = false)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw new IllegalStateException(

@@ -183,19 +183,20 @@ class PaimonStreamSink(sqlContext: SQLContext, tableDir: String)
          |"deltaManifestList":"ml-delta-$newId.avro",
          |"commitKind":"APPEND","commitUser":"$appId",
          |"commitIdentifier":$batchId,"timeMillis":0}""".stripMargin
-    // CREATE_NEW: a concurrent writer landing the same snapshot id is
-    // a loud single-writer violation, never a silent overwrite
-    try Files.write(Paths.get(tableDir, "snapshot", s"snapshot-$newId"),
-      snapJson.getBytes("UTF-8"),
-      java.nio.file.StandardOpenOption.CREATE_NEW)
+    // atomic publication (concurrent offset polls read these files);
+    // replace=false turns a concurrent writer landing the same id into
+    // a loud single-writer violation
+    try graft.sources.AtomicFiles.write(
+      Paths.get(tableDir, "snapshot", s"snapshot-$newId"), snapJson,
+      replace = false)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw new IllegalStateException(
           s"paimon-sink-lite: snapshot $newId already exists in " +
             s"$tableDir — another writer is active (single-writer scope)")
     }
-    Files.writeString(Paths.get(tableDir, "snapshot", "LATEST"),
-      newId.toString)
+    graft.sources.AtomicFiles.write(
+      Paths.get(tableDir, "snapshot", "LATEST"), newId.toString)
   }
 
   override def name(): String = s"PaimonStreamSinkLite[$tableDir]"

@@ -95,7 +95,8 @@ class DeltaSinkSpec extends AnyFunSuite {
         s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":${jstr(schema)},"partitionColumns":[],"configuration":{},"createdTime":0}}
            |""".stripMargin
       else ""
-      Files.writeString(Paths.get(src, "_delta_log", f"$v%020d.json"),
+      graft.sources.AtomicFiles.write(
+        Paths.get(src, "_delta_log", f"$v%020d.json"),
         head + s"""{"add":{"path":"b$v.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}
                   |""".stripMargin)
     }

@@ -55,7 +55,8 @@ class DeltaStreamSpec extends AnyFunSuite {
       s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":${jstr(schema)},"partitionColumns":[],"configuration":{},"createdTime":0}}
          |""".stripMargin
     else ""
-    Files.writeString(Paths.get(root, "_delta_log", f"$v%020d.json"),
+    graft.sources.AtomicFiles.write(
+      Paths.get(root, "_delta_log", f"$v%020d.json"),
       head + s"""{"add":{"path":"b$v.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}
                 |""".stripMargin)
   }

@@ -8,31 +8,24 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQueryException
 import org.scalatest.funsuite.AnyFunSuite
 
-/** IcebergStreamLite contract: snapshot-position offsets, one
-  * micro-batch per appended snapshot under maxSnapshotsPerTrigger=1,
-  * and the LOUD-failure scope — a snapshot that drops files
-  * (overwrite) or whose position fell out of the history fails the
-  * query. The happy path against real data is q401's DuckDB oracle. */
-class IcebergStreamSpec extends AnyFunSuite {
-  import TestSession._
+/** Shared append-only Iceberg test-table authoring, used by
+  * [[IcebergStreamSpec]] (source) and [[IcebergSinkSpec]] (loop). */
+private[graft] object IcebergStreamFixture {
+  import TestSession.spark
 
-  private val fmt = "org.apache.spark.sql.graftstream.IcebergStreamLite"
   private val avroFmt = "org.apache.spark.sql.avro.AvroFileFormat"
 
   private def jstr(s: String): String = "\"" + s.replace("\\", "\\\\")
     .replace("\"", "\\\"") + "\""
 
-  private def rm(p: java.io.File): Unit = {
+  private[graft] def rm(p: java.io.File): Unit = {
     if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
     p.delete(): Unit
   }
 
-  private def fixture(name: String): String = {
-    val root = s"/tmp/graft_icestreamspec/$name"
-    rm(new java.io.File(root))
+  def init(root: String): Unit = {
     Files.createDirectories(Paths.get(root, "metadata"))
     Files.createDirectories(Paths.get(root, "data"))
-    root
   }
 
   private def writeAvro(root: String,
@@ -47,9 +40,10 @@ class IcebergStreamSpec extends AnyFunSuite {
   }
 
   /** Snapshot k adds data/bk.parquet (ids [5(k-1), 5(k-1)+5)); its
-    * manifest list covers manifests 1..k (cumulative, append-only). */
-  private def append(root: String, k: Int,
-                     manifests: Option[Seq[Int]] = None): Unit = {
+    * manifest list covers manifests 1..k (cumulative, append-only).
+    * Call init() first for k == 1. */
+  def append(root: String, k: Int,
+             manifests: Option[Seq[Int]] = None): Unit = {
     import spark.implicits._
     val tmp = s"$root/_tmp"
     spark.range(5L * (k - 1), 5L * (k - 1) + 5)
@@ -71,7 +65,8 @@ class IcebergStreamSpec extends AnyFunSuite {
     val snaps = (1 to k).map(i =>
       s"""{"snapshot-id":$i,"manifest-list":${jstr(s"metadata/snap-$i.avro")}}""")
       .mkString("[", ",", "]")
-    Files.writeString(Paths.get(root, "metadata", s"v$k.metadata.json"),
+    graft.sources.AtomicFiles.write(
+      Paths.get(root, "metadata", s"v$k.metadata.json"),
       s"""{"format-version":2,"location":${jstr(root)},
          |"current-schema-id":0,
          |"schemas":[{"schema-id":0,"type":"struct","fields":[
@@ -79,8 +74,27 @@ class IcebergStreamSpec extends AnyFunSuite {
          |  {"id":2,"name":"v","required":false,"type":"long"}]}],
          |"current-snapshot-id":$k,
          |"snapshots":$snaps}""".stripMargin)
-    Files.writeString(Paths.get(root, "metadata", "version-hint.text"),
-      k.toString)
+    graft.sources.AtomicFiles.write(
+      Paths.get(root, "metadata", "version-hint.text"), k.toString)
+  }
+}
+
+/** IcebergStreamLite contract: snapshot-position offsets, one
+  * micro-batch per appended snapshot under maxSnapshotsPerTrigger=1,
+  * and the LOUD-failure scope — a snapshot that drops files
+  * (overwrite) or whose position fell out of the history fails the
+  * query. The happy path against real data is q401's DuckDB oracle. */
+class IcebergStreamSpec extends AnyFunSuite {
+  import TestSession._
+  import IcebergStreamFixture.{append, rm}
+
+  private val fmt = "org.apache.spark.sql.graftstream.IcebergStreamLite"
+
+  private def fixture(name: String): String = {
+    val root = s"/tmp/graft_icestreamspec/$name"
+    rm(new java.io.File(root))
+    IcebergStreamFixture.init(root)
+    root
   }
 
   private def stream(root: String) = spark.readStream.format(fmt)

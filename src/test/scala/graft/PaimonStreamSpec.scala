@@ -8,11 +8,6 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQueryException
 import org.scalatest.funsuite.AnyFunSuite
 
-/** PaimonStreamLite contract: contiguous snapshot-id offsets, one
-  * micro-batch per snapshot's delta under maxSnapshotsPerTrigger=1,
-  * checkpoint restart, and the LOUD-failure scope — a DELETE entry in
-  * a consumed delta (compaction/overwrite) fails the query. The happy
-  * path against real data is q402's DuckDB oracle. */
 /** Shared append-only Paimon test-table authoring, used by
   * [[PaimonStreamSpec]] (source) and [[PaimonSinkSpec]] (loop). */
 private[graft] object PaimonStreamFixture {
@@ -73,16 +68,23 @@ private[graft] object PaimonStreamFixture {
         else names.toDF("_FILE_NAME"), rel)
     mlist(s"manifest/ml-base-$k.avro", (1 until k).map(i => s"m$i.avro"))
     mlist(s"manifest/ml-delta-$k.avro", Seq(s"m$k.avro"))
-    Files.writeString(Paths.get(root, "snapshot", s"snapshot-$k"),
+    graft.sources.AtomicFiles.write(
+      Paths.get(root, "snapshot", s"snapshot-$k"),
       s"""{"version":3,"id":$k,"schemaId":0,
          |"baseManifestList":"ml-base-$k.avro",
          |"deltaManifestList":"ml-delta-$k.avro",
          |"commitKind":"APPEND","commitUser":"t","commitIdentifier":$k,
          |"timeMillis":0}""".stripMargin)
-    Files.writeString(Paths.get(root, "snapshot", "LATEST"), k.toString)
+    graft.sources.AtomicFiles.write(
+      Paths.get(root, "snapshot", "LATEST"), k.toString)
   }
 }
 
+/** PaimonStreamLite contract: contiguous snapshot-id offsets, one
+  * micro-batch per snapshot's delta under maxSnapshotsPerTrigger=1,
+  * checkpoint restart, and the LOUD-failure scope — a DELETE entry in
+  * a consumed delta (compaction/overwrite) fails the query. The happy
+  * path against real data is q402's DuckDB oracle. */
 class PaimonStreamSpec extends AnyFunSuite {
   import TestSession._
   import PaimonStreamFixture.{append, rm}
