@@ -346,13 +346,23 @@ object DeltaLogLite {
     * commits to still be present (no checkpoint compaction of the
     * writer's own recent history). */
   def latestTxnVersion(spark: SparkSession, tableDir: String,
-                       appId: String): Option[Long] = {
+                       appId: String): Option[Long] =
+    allTxnVersions(spark, tableDir).get(appId)
+
+  /** Latest `txn` version per appId across the available JSON commits
+    * AND the checkpoint's txn column — a checkpointed table's
+    * pre-checkpoint txn history lives ONLY in the checkpoint (the
+    * JSONs may be vacuumed); without it a restarted stream would
+    * re-commit old batches. Also what a checkpoint WRITER must carry
+    * forward. */
+  def allTxnVersions(spark: SparkSession,
+                     tableDir: String): Map[String, Long] = {
     val logDir = new Path(tableDir, "_delta_log")
     val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(logDir)) return None
+    if (!fs.exists(logDir)) return Map.empty
     val commits = fs.listStatus(logDir).toSeq.map(_.getPath)
       .filter(_.getName.matches("\\d{20}\\.json"))
-    val versions = commits.flatMap { p =>
+    val fromJson: Seq[(String, Long)] = commits.flatMap { p =>
       val in = fs.open(p)
       val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
@@ -361,13 +371,30 @@ object DeltaLogLite {
           catch { case _: Exception => JNothing }
         (action \ "txn") match {
           case JNothing => None
-          case txn if (txn \ "appId").extractOpt[String].contains(appId) =>
-            (txn \ "version").extractOpt[Long]
-          case _ => None
+          case txn => for {
+            a <- (txn \ "appId").extractOpt[String]
+            v <- (txn \ "version").extractOpt[Long]
+          } yield (a, v)
         }
       }.toSeq
     }
-    versions.maxOption
+    val fromCkpt: Seq[(String, Long)] =
+      lastCheckpoint(fs, logDir, tableDir).toSeq
+        .flatMap { case (cv, parts) =>
+          val names = parts match {
+            case Some(n) => (1 to n).map(i =>
+              f"$cv%020d.checkpoint.$i%010d.$n%010d.parquet")
+            case None => Seq(f"$cv%020d.checkpoint.parquet")
+          }
+          val df = spark.read.parquet(
+            names.map(n => s"$tableDir/_delta_log/$n"): _*)
+          if (!df.columns.contains("txn")) Nil
+          else df.select(col("txn.appId"), col("txn.version"))
+            .where(col("txn.appId").isNotNull).collect()
+            .map(r => (r.getString(0), r.getLong(1))).toSeq
+        }
+    (fromJson ++ fromCkpt).groupBy(_._1)
+      .map { case (a, vs) => a -> vs.map(_._2).max }
   }
 
   /** The files ADDED in commits (fromExclusive, toInclusive] — the

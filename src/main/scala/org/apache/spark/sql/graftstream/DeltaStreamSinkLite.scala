@@ -44,11 +44,13 @@ class DeltaStreamSinkLite extends StreamSinkProvider with DataSourceRegister {
       "delta-sink-lite: partitioned writes are outside lite scope")
     new DeltaStreamSink(sqlContext,
       parameters.getOrElse("path", throw new IllegalArgumentException(
-        "delta-sink-lite: 'path' option is required")))
+        "delta-sink-lite: 'path' option is required")),
+      parameters.get("checkpointInterval").map(_.toInt).getOrElse(0))
   }
 }
 
-class DeltaStreamSink(sqlContext: SQLContext, tableDir: String)
+class DeltaStreamSink(sqlContext: SQLContext, tableDir: String,
+                      checkpointInterval: Int = 0)
     extends Sink {
 
   private val spark = sqlContext.sparkSession
@@ -139,6 +141,57 @@ class DeltaStreamSink(sqlContext: SQLContext, tableDir: String)
           s"delta-sink-lite: commit $version already exists in $tableDir " +
             "— another writer is active (lite scope is single-writer)")
     }
+    if (checkpointInterval > 0 && version > 0 &&
+      version % checkpointInterval == 0) writeCheckpoint(version)
+  }
+
+  /** LOG COMPACTION (PROTOCOL.md "Checkpoints"): materialize the
+    * version-`v` snapshot — metaData, protocol, every live add, and
+    * EVERY appId's latest txn (dropping txns would silently break
+    * exactly-once after a vacuum) — as `v.checkpoint.parquet` in the
+    * struct-column layout DeltaLogLite.loadCheckpoint reads, then
+    * point `_last_checkpoint` at it. Pre-checkpoint JSON commits can
+    * then be vacuumed without breaking batch reads, streaming restart
+    * dedup, or latestVersion resolution. */
+  private def writeCheckpoint(v: Long): Unit = {
+    import org.apache.spark.sql.functions.{array, col, lit, map, struct, typedLit}
+    import spark.implicits._
+    val snap = DeltaLogLite.snapshot(spark, tableDir)
+    require(snap.version == v,
+      s"delta-sink-lite: checkpoint of $v but snapshot is ${snap.version}")
+    val addDf = snap.files.map(f => (f.path, f.partitionValues))
+      .toDF("path", "partitionValues")
+      .select(struct(col("path"), col("partitionValues")).as("add"))
+    val metaDf = spark.range(1).select(struct(
+      lit(snap.schema.json).as("schemaString"),
+      typedLit(snap.partitionColumns).as("partitionColumns"),
+      map().cast("map<string,string>").as("configuration"))
+      .as("metaData"))
+    val protoDf = spark.range(1).select(struct(
+      lit(1).as("minReaderVersion"),
+      array().cast("array<string>").as("readerFeatures")).as("protocol"))
+    val txns = DeltaLogLite.allTxnVersions(spark, tableDir).toSeq
+    val txnDf = txns.toDF("appId", "version")
+      .select(struct(col("appId"), col("version")).as("txn"))
+    val all = Seq(addDf, metaDf, protoDf, txnDf)
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+    val tmp = s"$tableDir/_tmp_ckpt"
+    all.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith(".")).get
+    val dest = new java.io.File(
+      s"$tableDir/_delta_log/" + f"$v%020d.checkpoint.parquet")
+    if (!part.renameTo(dest)) throw new IllegalStateException(
+      s"delta-sink-lite: could not place checkpoint $dest")
+    def rm(p: java.io.File): Unit = {
+      if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+      p.delete(): Unit
+    }
+    rm(new java.io.File(tmp))
+    graft.sources.AtomicFiles.write(
+      Paths.get(tableDir, "_delta_log", "_last_checkpoint"),
+      s"""{"version":$v,"size":${snap.files.length + 2 + txns.length}}""")
   }
 
   override def name(): String = s"DeltaStreamSinkLite[$tableDir]"

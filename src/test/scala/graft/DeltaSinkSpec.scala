@@ -118,6 +118,56 @@ class DeltaSinkSpec extends AnyFunSuite {
     assert(DeltaLogLite.latestVersion(spark, dest) == 1L)
   }
 
+  test("checkpointInterval compacts the log: batch reads, restart " +
+    "dedup and appends all survive a vacuum of pre-checkpoint JSON") {
+    val dest = fresh("ckpt")
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Long]
+    val q = mem.toDS().select(col("value").as("id"))
+      .writeStream.format(sinkFmt)
+      .option("path", dest)
+      .option("checkpointInterval", "2")
+      .option("checkpointLocation", s"$dest/_ckpt")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(0L); q.processAllAvailable()       // version 0
+      mem.addData(1L); q.processAllAvailable()       // version 1
+      mem.addData(2L); q.processAllAvailable()       // version 2 + ckpt
+    } finally q.stop()
+    val logDir = new java.io.File(s"$dest/_delta_log")
+    assert(new java.io.File(logDir,
+      f"${2L}%020d.checkpoint.parquet").exists())
+    assert(new java.io.File(logDir, "_last_checkpoint").exists())
+    // vacuum: delete every pre-checkpoint JSON commit
+    for (v <- 0L to 2L)
+      assert(new java.io.File(logDir, f"$v%020d.json").delete())
+    // batch read rides the checkpoint
+    assert(DeltaLogLite.read(spark, dest)
+      .select("id").as[Long].collect().sorted.toSeq == (0L to 2L))
+    // exactly-once survives: the txn history lives in the checkpoint
+    val appId = {
+      val ckpt = spark.read.parquet(
+        s"$dest/_delta_log/" + f"${2L}%020d.checkpoint.parquet")
+      ckpt.select(col("txn.appId")).where(col("txn.appId").isNotNull)
+        .head().getString(0)
+    }
+    val sink = new org.apache.spark.sql.graftstream.DeltaStreamSink(
+      spark.sqlContext, dest)
+    spark.sparkContext.setLocalProperty("sql.streaming.queryId", appId)
+    try {
+      sink.addBatch(2L, spark.range(100, 105).select(col("id")))
+      assert(DeltaLogLite.read(spark, dest).count() == 3,
+        "re-delivered batch must not commit after vacuum")
+      // and NEW batches append on top of the checkpointed history
+      sink.addBatch(3L, spark.range(3, 5).select(col("id")))
+    } finally spark.sparkContext.setLocalProperty(
+      "sql.streaming.queryId", null)
+    assert(DeltaLogLite.read(spark, dest)
+      .select("id").as[Long].collect().sorted.toSeq == (0L to 4L))
+    assert(DeltaLogLite.latestVersion(spark, dest) == 3L)
+  }
+
   test("non-Append mode, partitioned writes and schema drift refuse " +
     "loudly") {
     val dest = fresh("refusals")
