@@ -257,14 +257,19 @@ object IcebergLite {
     else {
       // Columns resolve BY NAME here; the Iceberg spec resolves by
       // field-id, so a renamed column's physical parquet name would
-      // silently read as null. Spot-check one footer (bounded: one
-      // file) and refuse when the logical names are absent.
-      val footer = spark.read.parquet(snap.files.head).schema.fieldNames.toSet
-      val missing = snap.schema.fieldNames.filterNot(footer.contains)
-      if (missing.nonEmpty) throw new IllegalStateException(
-        s"IcebergLite: ${snap.files.head} lacks columns " +
-          s"${missing.mkString(", ")} — the table likely renamed columns " +
-          "(field-id resolution is outside IcebergLite scope)")
+      // silently read as null. Check EVERY file's footer (a rename
+      // mid-history leaves a mix of old- and new-named files, and
+      // which file a single spot-check lands on is listing-order
+      // luck) — one bounded footer read per file, the same O(files)
+      // plan-time grain as the manifest replay above.
+      for (f <- snap.files) {
+        val footer = spark.read.parquet(f).schema.fieldNames.toSet
+        val missing = snap.schema.fieldNames.filterNot(footer.contains)
+        if (missing.nonEmpty) throw new IllegalStateException(
+          s"IcebergLite: $f lacks columns ${missing.mkString(", ")} — " +
+            "the table likely renamed columns (field-id resolution is " +
+            "outside IcebergLite scope)")
+      }
       val data = spark.read.schema(snap.schema).parquet(snap.files: _*)
       if (snap.deleteFiles.isEmpty) data
       else {

@@ -55,6 +55,11 @@ class DeltaStreamSink(sqlContext: SQLContext, tableDir: String,
 
   private val spark = sqlContext.sparkSession
 
+  /** Our appId's max committed batch id — looked up from the log once,
+    * then tracked in-instance (single-writer scope): without the cache
+    * every addBatch re-parses all commit JSONs plus the checkpoint. */
+  private var cachedTxn: Option[Long] = None
+
   private def jstr(s: String): String = "\"" + s.flatMap {
     case '"'          => "\\\""
     case '\\'         => "\\\\"
@@ -66,19 +71,26 @@ class DeltaStreamSink(sqlContext: SQLContext, tableDir: String,
     // the engine sets the query id as a local property on the driver
     val appId = Option(spark.sparkContext
       .getLocalProperty("sql.streaming.queryId")).getOrElse("graft-stream")
-    val dup = DeltaLogLite.latestTxnVersion(spark, tableDir, appId)
-      .exists(batchId <= _)
-    if (dup) return // re-delivered batch after restart: already committed
+    if (cachedTxn.isEmpty)
+      cachedTxn = DeltaLogLite.latestTxnVersion(spark, tableDir, appId)
+    if (cachedTxn.exists(batchId <= _))
+      return // re-delivered batch after restart: already committed
 
     val logDir = Paths.get(tableDir, "_delta_log")
     Files.createDirectories(logDir)
     Files.createDirectories(Paths.get(tableDir, "data"))
 
     // first commit ⇔ the log has no commits at all; a MALFORMED log
-    // must fail loudly, never be overwritten as if empty
+    // must fail loudly, never be overwritten as if empty — so only the
+    // two specific empty-log failures mean "fresh table"; anything
+    // else (e.g. a corrupt _last_checkpoint) propagates
     val hasCommits =
       try { DeltaLogLite.latestVersion(spark, tableDir); true }
-      catch { case _: IllegalStateException => false }
+      catch {
+        case e: IllegalStateException
+            if e.getMessage.contains("has no _delta_log") ||
+              e.getMessage.contains("empty _delta_log") => false
+      }
     val existing =
       if (hasCommits) Some(DeltaLogLite.snapshot(spark, tableDir)) else None
     existing.foreach { snap =>
@@ -141,6 +153,7 @@ class DeltaStreamSink(sqlContext: SQLContext, tableDir: String,
           s"delta-sink-lite: commit $version already exists in $tableDir " +
             "— another writer is active (lite scope is single-writer)")
     }
+    cachedTxn = Some(batchId)
     if (checkpointInterval > 0 && version > 0 &&
       version % checkpointInterval == 0) writeCheckpoint(version)
   }
@@ -159,16 +172,21 @@ class DeltaStreamSink(sqlContext: SQLContext, tableDir: String,
     val snap = DeltaLogLite.snapshot(spark, tableDir)
     require(snap.version == v,
       s"delta-sink-lite: checkpoint of $v but snapshot is ${snap.version}")
+    // carry the full add-entry field set PROTOCOL.md requires of
+    // checkpoints (size/modificationTime/dataChange) so an external
+    // Delta reader can consume the compacted log too
     val addDf = snap.files.map(f => (f.path, f.partitionValues))
       .toDF("path", "partitionValues")
-      .select(struct(col("path"), col("partitionValues")).as("add"))
+      .select(struct(col("path"), col("partitionValues"),
+        lit(1L).as("size"), lit(0L).as("modificationTime"),
+        lit(true).as("dataChange")).as("add"))
     val metaDf = spark.range(1).select(struct(
       lit(snap.schema.json).as("schemaString"),
       typedLit(snap.partitionColumns).as("partitionColumns"),
       map().cast("map<string,string>").as("configuration"))
       .as("metaData"))
     val protoDf = spark.range(1).select(struct(
-      lit(1).as("minReaderVersion"),
+      lit(1).as("minReaderVersion"), lit(2).as("minWriterVersion"),
       array().cast("array<string>").as("readerFeatures")).as("protocol"))
     val txns = DeltaLogLite.allTxnVersions(spark, tableDir).toSeq
     val txnDf = txns.toDF("appId", "version")

@@ -9,24 +9,26 @@ import graft.sources.IcebergLite
 
 /** Structured-Streaming SOURCE over an Iceberg table — the streaming
   * face of [[graft.sources.IcebergLite]], same v1 `Source` contract as
-  * [[DeltaStreamLite]]. Offsets are POSITIONS in the table metadata's
-  * `snapshots` list (append-only history: new snapshots append at the
-  * end, so the position is monotonic where snapshot IDs are not).
+  * [[DeltaStreamLite]]. Offsets are SNAPSHOT IDS, located in the
+  * metadata's `snapshots` list BY VALUE: a position-based offset
+  * would silently shift when snapshot expiration trims the history's
+  * front (skipping committed data); an id that has left the history
+  * is a loud failure instead — including after a checkpoint restart.
   *
   * Batch shape:
   *  - the FIRST batch is the full file set of the latest snapshot at
   *    stream start;
   *  - each later batch is the SET DIFFERENCE
-  *    `files(snapshot[i]) \ files(snapshot[i-1])` — bounded
-  *    manifest-replay metadata work, then one native parquet scan of
-  *    exactly the new files;
+  *    `files(end snapshot) \ files(start snapshot)` — the start set
+  *    comes from an in-instance cache in steady state, so each batch
+  *    replays ONE snapshot's manifests, then runs one native parquet
+  *    scan of exactly the new files;
   *  - `maxSnapshotsPerTrigger` caps snapshots per micro-batch.
   *
   * Scope, loud failures (never silent wrong answers): APPEND-ONLY
   * streams. A snapshot that DROPS a file visible in its predecessor
-  * (overwrite/rewrite/delete), carries positional-delete files, or
-  * rewrites the already-streamed history (a consumed position's
-  * snapshot id changed — expired/compacted history) fails the query.
+  * (overwrite/rewrite/delete), carries positional-delete files, or an
+  * offset id expired out of the history fails the query.
   */
 class IcebergStreamLite extends StreamSourceProvider with DataSourceRegister {
 
@@ -66,41 +68,70 @@ class IcebergStreamSource(spark: SparkSession, tableDir: String,
   private def history(): Seq[Long] =
     IcebergLite.snapshotIds(spark, tableDir)
 
-  override protected def latestOffset(): Long = history().length - 1L
+  override protected def latestOffset(): Long =
+    history().lastOption.getOrElse(-1L)
 
-  /** Snapshot at history POSITION `pos`, with append-only gates. */
-  private def filesAt(hist: Seq[Long], pos: Long): Set[String] = {
-    if (pos < 0 || pos >= hist.length) throw new IllegalStateException(
-      s"$tableDir: streamed snapshot position $pos is outside the " +
-        s"current history (${hist.length} snapshots) — expired or " +
-        "rewritten table history breaks the stream")
-    val snap = IcebergLite.snapshot(spark, tableDir, Some(hist(pos.toInt)))
-    if (snap.deleteFiles.nonEmpty) throw new IllegalStateException(
-      s"$tableDir: snapshot ${hist(pos.toInt)} carries positional " +
-        "delete files — streaming reads are append-only scope")
-    if (snap.schema.json != initialSchema.json)
-      throw new IllegalStateException(
-        s"$tableDir: schema changed mid-stream — evolution is outside " +
-          "IcebergStreamLite scope")
-    snap.files.toSet
+  /** OFFSETS ARE SNAPSHOT IDS, located in the history BY VALUE — a
+    * position-based offset silently shifts when snapshot expiration
+    * trims the history's front (committed data would be skipped); an
+    * id that has left the history is a LOUD failure instead. */
+  private var lastId: Long = -1L
+
+  override def getOffset: Option[Offset] = {
+    val hist = history()
+    if (hist.isEmpty) return None
+    val next: Long =
+      if (lastId < 0) hist.last // initial snapshot: one indivisible batch
+      else {
+        val pos = hist.indexOf(lastId)
+        if (pos < 0) throw new IllegalStateException(
+          s"$tableDir: the stream's snapshot $lastId left the table " +
+            "history (expired/rewritten) — cannot locate the next batch")
+        maxSnapshotsPerTrigger match {
+          case Some(k) =>
+            hist(math.min(hist.length - 1, pos + k.toInt))
+          case None => hist.last
+        }
+      }
+    lastId = next
+    Some(org.apache.spark.sql.execution.streaming.runtime.LongOffset(next))
+  }
+
+  /** Cache of the last computed snapshot file set — steady state does
+    * ONE snapshot replay per batch instead of replaying both ends. */
+  private var cachedFiles: Option[(Long, Set[String])] = None
+
+  /** Snapshot `id`'s file set, with the append-only gates. */
+  private def filesOf(id: Long): Set[String] = {
+    cachedFiles.filter(_._1 == id).map(_._2).getOrElse {
+      val snap = IcebergLite.snapshot(spark, tableDir, Some(id))
+      if (snap.deleteFiles.nonEmpty) throw new IllegalStateException(
+        s"$tableDir: snapshot $id carries positional delete files — " +
+          "streaming reads are append-only scope")
+      if (snap.schema.json != initialSchema.json)
+        throw new IllegalStateException(
+          s"$tableDir: schema changed mid-stream — evolution is outside " +
+            "IcebergStreamLite scope")
+      snap.files.toSet
+    }
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val endPos = ver(end)
-    observe(endPos)
-    val hist = history()
-    val endFiles = filesAt(hist, endPos)
+    val endId = ver(end)
+    lastId = endId
+    val endFiles = filesOf(endId)
     val newFiles = start match {
       case None => endFiles // initial batch: full snapshot
       case Some(s) =>
-        val startFiles = filesAt(hist, ver(s))
+        val startFiles = filesOf(ver(s))
         val dropped = startFiles -- endFiles
         if (dropped.nonEmpty) throw new IllegalStateException(
-          s"$tableDir: snapshot range (${ver(s)}, $endPos] DROPS files " +
+          s"$tableDir: snapshot range (${ver(s)}, $endId] DROPS files " +
             s"(${dropped.take(3).mkString(", ")}…) — overwrite/delete " +
             "mid-stream is outside append-only streaming scope")
         endFiles -- startFiles
     }
+    cachedFiles = Some(endId -> endFiles)
     val batch =
       if (newFiles.isEmpty)
         spark.createDataFrame(

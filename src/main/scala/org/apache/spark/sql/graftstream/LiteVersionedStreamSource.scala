@@ -35,7 +35,7 @@ abstract class LiteVersionedStreamSource(
     * last polled offset; the FIRST poll is never capped — the initial
     * snapshot is one indivisible batch regardless of how many commits
     * it spans. Monotonic even if the table's latest regresses. */
-  override final def getOffset: Option[Offset] = {
+  override def getOffset: Option[Offset] = {
     val latest = latestOffset()
     val capped = maxPerTrigger match {
       case Some(k) if lastPolled >= 0 => math.min(latest, lastPolled + k)

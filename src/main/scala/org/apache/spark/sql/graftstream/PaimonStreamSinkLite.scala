@@ -55,6 +55,21 @@ class PaimonStreamSink(sqlContext: SQLContext, tableDir: String)
   private val spark = sqlContext.sparkSession
   private val avroFmt = "org.apache.spark.sql.avro.AvroFileFormat"
 
+  /** Our user's max committed identifier — found once by scanning the
+    * history BACKWARD from latest (identifiers are monotonic per user,
+    * and in single-writer scope our newest commit is the table's
+    * newest, so the scan stops immediately in steady state; an expired
+    * older snapshot ends the scan instead of wedging the stream), then
+    * tracked in-instance. */
+  private var cachedIdent: Option[Long] = None
+
+  private def jstr(s: String): String = "\"" + s.flatMap {
+    case '"'          => "\\\""
+    case '\\'         => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c            => c.toString
+  } + "\""
+
   private def paimonTypeOf(dt: DataType, name: String): String = dt match {
     case BooleanType      => "BOOLEAN"
     case ByteType         => "TINYINT"
@@ -88,16 +103,24 @@ class PaimonStreamSink(sqlContext: SQLContext, tableDir: String)
       Option(snapDir.listFiles()).exists(
         _.exists(_.getName.matches("snapshot-\\d+")))
 
-    if (hasSnapshots) {
+    if (hasSnapshots && cachedIdent.isEmpty) {
       val latest = PaimonLite.latestSnapshotId(spark, tableDir)
-      // Paimon's dedup: max identifier already committed by this user
-      val committed = (1L to latest).flatMap { id =>
-        val (user, ident) = PaimonLite.commitInfo(spark, tableDir, id)
-        if (user == appId) Some(ident) else None
+      // Paimon's dedup: newest identifier committed by this user,
+      // scanning backward and stopping at the first hit or at expired
+      // history
+      var id = latest
+      while (cachedIdent.isEmpty && id >= 1) {
+        try {
+          val (user, ident) = PaimonLite.commitInfo(spark, tableDir, id)
+          if (user == appId) cachedIdent = Some(ident)
+        } catch {
+          case _: IllegalStateException => id = 0 // expired: stop
+        }
+        id -= 1
       }
-      if (committed.nonEmpty && batchId <= committed.max)
-        return // re-delivered batch: already committed
     }
+    if (cachedIdent.exists(batchId <= _))
+      return // re-delivered batch: already committed
 
     for (d <- Seq("snapshot", "schema", "manifest", "bucket-0"))
       Files.createDirectories(Paths.get(tableDir, d))
@@ -106,10 +129,10 @@ class PaimonStreamSink(sqlContext: SQLContext, tableDir: String)
     val schemaFile = Paths.get(tableDir, "schema", "schema-0")
     if (!Files.exists(schemaFile)) {
       val fields = data.schema.fields.zipWithIndex.map { case (f, i) =>
-        s"""{"id":$i,"name":"${f.name}","type":"${paimonTypeOf(
-          f.dataType, f.name)}"}"""
+        s"""{"id":$i,"name":${jstr(f.name)},"type":${jstr(paimonTypeOf(
+          f.dataType, f.name))}}"""
       }.mkString("[", ",", "]")
-      Files.writeString(schemaFile,
+      graft.sources.AtomicFiles.write(schemaFile,
         s"""{"id":0,"fields":$fields,
            |"highestFieldId":${data.schema.length - 1},
            |"partitionKeys":[],"primaryKeys":[],
@@ -197,6 +220,7 @@ class PaimonStreamSink(sqlContext: SQLContext, tableDir: String)
     }
     graft.sources.AtomicFiles.write(
       Paths.get(tableDir, "snapshot", "LATEST"), newId.toString)
+    cachedIdent = Some(batchId)
   }
 
   override def name(): String = s"PaimonStreamSinkLite[$tableDir]"
