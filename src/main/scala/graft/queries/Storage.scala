@@ -340,6 +340,23 @@ object Storage extends QueryModule {
         .read(s, authorIcebergDeleteTable(s, dir)))
     },
 
+    // Iceberg v2 EQUALITY deletes — snapshot 2 of a third authored
+    // table adds an equality-delete parquet on field id 1
+    // (l_orderkey): every batch-A key with l_quantity > 30 dies, BUT
+    // the same snapshot re-inserts A's l_quantity > 45 subset as data
+    // file B at the delete's own sequence — the spec's STRICT
+    // data_seq < delete_seq ordering keeps B alive (an unordered or
+    // <=-ordered implementation would hash-mismatch here). The reader
+    // turns each (sequence, column-set) delete group into one
+    // null-safe LEFT ANTI join against the distinct delete keys, with
+    // per-file sequences attached via a bounded broadcast lookup —
+    // delete sides auto-broadcast when small, shuffle when not, so
+    // the plan holds at 100 TB.
+    "q406_iceberg_eq_delete" -> { (s, dir) =>
+      deltaCensus(graft.sources.IcebergLite
+        .read(s, authorIcebergEqDeleteTable(s, dir)))
+    },
+
     // Hudi COPY-ON-WRITE table read — the third lakehouse leg
     // (reference thirdparty/auron-hudi). The query authors a
     // Hudi-layout table: .hoodie/hoodie.properties + a three-instant
@@ -953,6 +970,113 @@ object Storage extends QueryModule {
       })
     }
 
+  private val icebergEqMemo =
+    scala.collection.mutable.Map.empty[String, String]
+
+  /** Authors the two-snapshot Iceberg table with an EQUALITY delete
+    * file used by q406. Snapshot 1 (sequence 1) = batch A
+    * (l_orderkey%10=0); snapshot 2 (sequence 2) adds an equality
+    * delete on field id 1 (l_orderkey) naming every A key with
+    * l_quantity > 30 AND re-inserts the l_quantity > 45 subset of A as
+    * data file B at sequence 2 — B's keys are all IN the delete set,
+    * so B surviving proves the spec's STRICT sequence ordering
+    * (data_seq < delete_seq). Sequence numbers exercise both spec
+    * mechanisms: A's manifest entry carries an explicit
+    * sequence_number; B's and the delete's are null and inherit the
+    * manifest-list row's. Bounded driver-side scaffolding, memoized
+    * per sf-dir. */
+  private def authorIcebergEqDeleteTable(s: SparkSession,
+                                         dir: String): String =
+    icebergEqMemo.synchronized {
+      icebergEqMemo.getOrElseUpdate(dir, {
+        import java.nio.file.{Files, Paths}
+        val avroFmt = "org.apache.spark.sql.avro.AvroFileFormat"
+        val root =
+          s"/tmp/graft_iceberg/eqdel_${Integer.toHexString(dir.hashCode)}"
+        def rm(p: java.io.File): Unit = {
+          if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+          p.delete(): Unit
+        }
+        rm(new java.io.File(root))
+        Files.createDirectories(Paths.get(root, "metadata"))
+        Files.createDirectories(Paths.get(root, "data"))
+        val src = Tables.df(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity"),
+            col("l_extendedprice"), col("l_returnflag"))
+          .filter(col("l_orderkey") % 10 === 0)
+        def writeOne(df: DataFrame, out: String): Unit = {
+          val tmp = s"$root/_tmp"
+          df.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(f => f.getName.endsWith(".parquet") &&
+              !f.getName.startsWith(".")).get
+          assert(part.renameTo(new java.io.File(s"$root/$out")))
+          rm(new java.io.File(tmp))
+        }
+        val (fa, fb, feq) =
+          ("data/a.parquet", "data/b.parquet", "data/eq-del.parquet")
+        writeOne(src, fa)
+        writeOne(src.filter(col("l_quantity") > 45), fb)
+        // equality-delete parquet: ONLY the equality column(s)
+        writeOne(src.filter(col("l_quantity") > 30)
+          .select(col("l_orderkey")).distinct(), feq)
+        def writeAvro(df: DataFrame, rel: String): Unit = {
+          val tmp = s"$root/_tmpavro"
+          df.coalesce(1).write.mode("overwrite").format(avroFmt).save(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(f => f.getName.startsWith("part-")).get
+          assert(part.renameTo(new java.io.File(s"$root/$rel")))
+          rm(new java.io.File(tmp))
+        }
+        import s.implicits._
+        // manifest: entry-level sequence_number (nullable) + data_file
+        // struct carrying content and equality_ids (null for data)
+        def manifest(rel: String, status: Int, path: String,
+                     content: Int, seq: Option[Long],
+                     eqIds: Seq[Int]): Unit =
+          writeAvro(Seq((status, path)).toDF("status", "file_path")
+            .select(col("status"),
+              seq.map(v => lit(v)).getOrElse(lit(null))
+                .cast("long").as("sequence_number"),
+              struct(col("file_path"), lit(content).as("content"),
+                (if (eqIds.isEmpty) lit(null).cast("array<int>")
+                 else array(eqIds.map(lit(_)): _*)).as("equality_ids"))
+                .as("data_file")), rel)
+        manifest("metadata/m-a.avro", 1, fa, 0, Some(1L), Nil)
+        manifest("metadata/m-b.avro", 1, fb, 0, None, Nil)
+        manifest("metadata/m-eq.avro", 1, feq, 2, None, Seq(1))
+        def manifestList(rel: String,
+                         rows: (String, Int, Long)*): Unit =
+          writeAvro(rows.toSeq
+            .toDF("manifest_path", "content", "sequence_number"), rel)
+        manifestList("metadata/snap-1.avro",
+          ("metadata/m-a.avro", 0, 1L))
+        manifestList("metadata/snap-2.avro",
+          ("metadata/m-a.avro", 0, 1L), ("metadata/m-b.avro", 0, 2L),
+          ("metadata/m-eq.avro", 1, 2L))
+        val fields = Seq(
+          (1, "l_orderkey", "long"), (2, "l_quantity", "double"),
+          (3, "l_extendedprice", "double"), (4, "l_returnflag", "string"))
+          .map { case (i, n, t) =>
+            s"""{"id":$i,"name":${jstr(n)},"required":false,"type":${jstr(t)}}"""
+          }.mkString("[", ",", "]")
+        val metaJson =
+          s"""{"format-version":2,"table-uuid":"graft-q406","location":${jstr(root)},
+             |"current-schema-id":0,
+             |"schemas":[{"schema-id":0,"type":"struct","fields":$fields}],
+             |"current-snapshot-id":2,
+             |"snapshots":[
+             | {"snapshot-id":1,"manifest-list":"metadata/snap-1.avro"},
+             | {"snapshot-id":2,"manifest-list":"metadata/snap-2.avro"}
+             |]}""".stripMargin
+        Files.writeString(Paths.get(root, "metadata", "v1.metadata.json"),
+          metaJson)
+        Files.writeString(Paths.get(root, "metadata", "version-hint.text"),
+          "1")
+        root
+      })
+    }
+
   /** Authors the APPEND-ONLY Delta table q400 streams from: fresh root
     * with commits 0..upTo, one add per commit (batch = l_orderkey%10 ==
     * commit). Unpartitioned — data files carry every column. NOT
@@ -1464,6 +1588,24 @@ object Storage extends QueryModule {
         |FROM lineitem
         |WHERE l_orderkey % 10 = 1
         |   OR (l_orderkey % 10 = 0 AND NOT (l_quantity > 25))
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    // Iceberg equality delete: A loses keys with quantity > 30; the
+    // quantity > 45 re-insert (B) survives on strict sequence ordering
+    "q406_iceberg_eq_delete" ->
+      """WITH a AS (
+        |  SELECT l_orderkey, l_quantity, l_extendedprice, l_returnflag
+        |  FROM lineitem WHERE l_orderkey % 10 = 0)
+        |SELECT l_returnflag, count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_price
+        |FROM (
+        |  SELECT * FROM a WHERE l_orderkey NOT IN
+        |    (SELECT l_orderkey FROM a WHERE l_quantity > 30)
+        |  UNION ALL
+        |  SELECT * FROM a WHERE l_quantity > 45)
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
     // Paimon latest snapshot = base(A∪B) + delta(DELETE A, ADD C) = B∪C

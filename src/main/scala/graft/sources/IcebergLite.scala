@@ -36,9 +36,25 @@ import org.json4s.jackson.JsonMethods
   * data file (Iceberg file names are unique), so applying every delete
   * file in the snapshot is exact without sequence-number bookkeeping.
   *
+  * v2 EQUALITY deletes (content=2) are READ: a delete parquet carries
+  * values for the columns named by the manifest entry's `equality_ids`
+  * (schema field ids); a data row is dead when it matches some delete
+  * row null-safely on those columns AND its data file's sequence
+  * number is STRICTLY LOWER than the delete file's (the spec's
+  * ordering — a key re-inserted in the same-or-later commit survives).
+  * Each (sequence, column-set) delete group becomes one LEFT ANTI join
+  * against the distinct delete keys; data rows learn their file's
+  * sequence via a bounded (path → seq) broadcast lookup. Sequence
+  * numbers are taken from the manifest entry's `sequence_number`
+  * (inheriting the manifest-list row's when null, per the spec);
+  * a table carrying equality deletes WITHOUT resolvable sequence
+  * numbers is refused — applying them unordered could silently delete
+  * re-inserted rows.
+  *
   * Lite scope, loud failures (never silent wrong answers):
-  *  - format-version must be 1 or 2; v2 EQUALITY deletes (content=2)
-  *    are refused;
+  *  - format-version must be 1 or 2; equality deletes missing
+  *    `equality_ids`, naming unknown field ids, or lacking sequence
+  *    numbers are refused;
   *  - only primitive column types (boolean/int/long/float/double/
   *    date/timestamp[tz]/string/uuid/decimal) — nested types throw;
   *  - non-file:// filesystem schemes are refused in path resolution;
@@ -47,9 +63,16 @@ import org.json4s.jackson.JsonMethods
   */
 object IcebergLite {
 
+  /** One equality-delete file: resolved path, the delete file's
+    * sequence number, and the EQUALITY COLUMN NAMES its rows match on
+    * (resolved from `equality_ids` via the schema's field ids). */
+  final case class EqDelete(path: String, seq: Long, cols: Seq[String])
+
   final case class Snapshot(snapshotId: Long, schema: StructType,
                             files: Seq[String],
-                            deleteFiles: Seq[String] = Nil)
+                            deleteFiles: Seq[String] = Nil,
+                            fileSeqs: Map[String, Long] = Map.empty,
+                            eqDeletes: Seq[EqDelete] = Nil)
 
   private implicit val fmts: Formats = DefaultFormats
 
@@ -108,6 +131,15 @@ object IcebergLite {
         throw new IllegalStateException(s"$where: schema has no fields")
     }
 
+  /** Schema field ids → names (the spec's stable column identity;
+    * equality_ids name columns through these). */
+  private def fieldIdMap(fields: JValue): Map[Int, String] = fields match {
+    case JArray(fs) => fs.flatMap { f =>
+      (f \ "id").extractOpt[Int].map(_ -> (f \ "name").extract[String])
+    }.toMap
+    case _ => Map.empty
+  }
+
   /** Current metadata file: latest version via version-hint.text, else
     * the highest v<N>.metadata.json. Returns (path, parsed JSON). */
   private def loadMeta(spark: SparkSession,
@@ -158,15 +190,17 @@ object IcebergLite {
     val fv = (meta \ "format-version").extract[Int]
     if (fv != 1 && fv != 2) throw new IllegalStateException(
       s"$metaFile: format-version $fv unsupported (IcebergLite reads v1/v2)")
-    val schema = (meta \ "schemas") match {
+    val schemaFields = (meta \ "schemas") match {
       case JArray(ss) => // v2: pick current-schema-id
         val cur = (meta \ "current-schema-id").extractOpt[Int].getOrElse(0)
         val s = ss.find(s => (s \ "schema-id").extractOpt[Int].contains(cur))
           .getOrElse(throw new IllegalStateException(
             s"$metaFile: current-schema-id $cur not in schemas"))
-        parseSchema(s \ "fields", metaFile.toString)
-      case _ => parseSchema(meta \ "schema" \ "fields", metaFile.toString)
+        s \ "fields"
+      case _ => meta \ "schema" \ "fields"
     }
+    val schema = parseSchema(schemaFields, metaFile.toString)
+    val fieldNames = fieldIdMap(schemaFields)
     val snaps = (meta \ "snapshots") match {
       case JArray(ss) => ss.map { s =>
         (s \ "snapshot-id").extract[Long] ->
@@ -195,10 +229,22 @@ object IcebergLite {
       !ml.columns.contains("content") || r.getAs[Any]("content") == null ||
         r.getAs[Number]("content").intValue() == 0
     }
+    // the manifest-list row's sequence_number — inherited by entries
+    // whose own sequence_number is null (the spec's ADDED-entry rule)
+    def mlSeq(r: org.apache.spark.sql.Row): Option[Long] =
+      if (ml.columns.contains("sequence_number") &&
+        r.getAs[Any]("sequence_number") != null)
+        Some(r.getAs[Number]("sequence_number").longValue())
+      else None
 
-    def replay(manifestPaths: Seq[String],
-               wantContent: Int, what: String): Seq[String] =
-      manifestPaths.flatMap { mp =>
+    /** Live (path, content, seq, equality_ids) entries of one
+      * manifest; `allowed` guards content placement (a data manifest
+      * may only hold content=0 entries; a delete manifest 1 or 2). */
+    final case class Entry(path: String, content: Int, seq: Option[Long],
+                           equalityIds: Seq[Int])
+    def replay(manifests: Seq[(String, Option[Long])],
+               allowed: Set[Int], what: String): Seq[Entry] =
+      manifests.flatMap { case (mp, inherited) =>
         val p = resolve(tableDir, mp)
         val m = spark.read.format(AvroFmt).load(p)
         if (!m.columns.contains("data_file") || !m.columns.contains("status"))
@@ -207,29 +253,61 @@ object IcebergLite {
         m.collect().flatMap { r =>
           val status = r.getAs[Number]("status").intValue()
           val df = r.getAs[org.apache.spark.sql.Row]("data_file")
+          def fld[T](row: org.apache.spark.sql.Row, n: String)
+              (get: => T): Option[T] =
+            if (row.schema.fieldNames.contains(n) &&
+              row.getAs[Any](n) != null) Some(get) else None
           val content =
-            if (df.schema.fieldNames.contains("content") &&
-              df.getAs[Any]("content") != null)
-              df.getAs[Number]("content").intValue()
-            else 0
-          if (content == 2) throw new IllegalStateException(
-            s"$p: equality delete file (content=2) — outside IcebergLite " +
-              "scope (positional deletes are supported)")
-          if (content != wantContent) throw new IllegalStateException(
+            fld(df, "content")(df.getAs[Number]("content").intValue())
+              .getOrElse(0)
+          if (!allowed.contains(content)) throw new IllegalStateException(
             s"$p: $what manifest entry has content=$content " +
-              s"(expected $wantContent)")
+              s"(expected ${allowed.mkString("/")})")
+          val seq = fld(r, "sequence_number")(
+            r.getAs[Number]("sequence_number").longValue())
+            .orElse(inherited)
+          val eqIds = fld(df, "equality_ids")(
+            df.getAs[scala.collection.Seq[Any]]("equality_ids")
+              .map(_.asInstanceOf[Number].intValue()).toSeq)
+            .getOrElse(Nil)
           // status 2 = DELETED (tombstone retained for one snapshot)
           if (status == 2) None
-          else Some(resolve(tableDir, df.getAs[String]("file_path")))
+          else Some(Entry(resolve(tableDir, df.getAs[String]("file_path")),
+            content, seq, eqIds))
         }
       }
 
-    val files = replay(
-      dataManifests.map(_.getAs[String]("manifest_path")).toSeq, 0, "data")
-    val deletes = replay(
-      deleteManifests.map(_.getAs[String]("manifest_path")).toSeq,
-      1, "delete")
-    Snapshot(wantedId, schema, files, deletes)
+    def withSeqs(ms: Array[org.apache.spark.sql.Row]) =
+      ms.map(r => r.getAs[String]("manifest_path") -> mlSeq(r)).toSeq
+    val dataEntries = replay(withSeqs(dataManifests), Set(0), "data")
+    val delEntries = replay(withSeqs(deleteManifests), Set(1, 2), "delete")
+
+    val files = dataEntries.map(_.path)
+    val posDeletes = delEntries.filter(_.content == 1).map(_.path)
+    val eqDeletes = delEntries.filter(_.content == 2).map { e =>
+      if (e.equalityIds.isEmpty) throw new IllegalStateException(
+        s"${e.path}: equality delete file (content=2) without " +
+          "equality_ids — cannot know which columns its rows match on")
+      val cols = e.equalityIds.map(id => fieldNames.getOrElse(id,
+        throw new IllegalStateException(
+          s"${e.path}: equality_ids field id $id is not in the current " +
+            "schema (dropped-column deletes are outside IcebergLite scope)")))
+      EqDelete(e.path, e.seq.getOrElse(throw new IllegalStateException(
+        s"${e.path}: equality delete file without a sequence number — " +
+          "applying it unordered could silently delete re-inserted rows")),
+        cols)
+    }
+    // equality deletes only order against data files that know their
+    // own sequence; a seq-less data file next to an equality delete
+    // would be silently mis-ordered — refuse instead
+    val fileSeqs: Map[String, Long] =
+      if (eqDeletes.isEmpty) Map.empty
+      else dataEntries.map { e =>
+        e.path -> e.seq.getOrElse(throw new IllegalStateException(
+          s"${e.path}: data file without a sequence number in a table " +
+            "carrying equality deletes — cannot order the delete"))
+      }.toMap
+    Snapshot(wantedId, schema, files, posDeletes, fileSeqs, eqDeletes)
   }
 
   /** Canonicalize a path for the positional-delete anti-join: both the
@@ -271,26 +349,72 @@ object IcebergLite {
             "outside IcebergLite scope)")
       }
       val data = spark.read.schema(snap.schema).parquet(snap.files: _*)
-      if (snap.deleteFiles.isEmpty) data
-      else {
-        val dels = spark.read.parquet(snap.deleteFiles: _*)
-        if (!dels.columns.contains("file_path") ||
-          !dels.columns.contains("pos"))
-          throw new IllegalStateException(
-            s"IcebergLite: positional delete files " +
-              s"${snap.deleteFiles.mkString(", ")} lack the spec's " +
-              "file_path/pos columns")
-        val delSet = dels.select(
-          normPathCol(tableDir, col("file_path")).as("_del_path"),
-          col("pos").cast("long").as("_del_pos"))
-        data
-          .withColumn("_ice_path",
-            normPathCol(tableDir, col("_metadata.file_path")))
-          .withColumn("_ice_pos", col("_metadata.row_index"))
-          .join(delSet, col("_ice_path") === col("_del_path") &&
-            col("_ice_pos") === col("_del_pos"), "left_anti")
-          .drop("_ice_path", "_ice_pos")
-      }
+      val afterPos =
+        if (snap.deleteFiles.isEmpty) data
+        else {
+          val dels = spark.read.parquet(snap.deleteFiles: _*)
+          if (!dels.columns.contains("file_path") ||
+            !dels.columns.contains("pos"))
+            throw new IllegalStateException(
+              s"IcebergLite: positional delete files " +
+                s"${snap.deleteFiles.mkString(", ")} lack the spec's " +
+                "file_path/pos columns")
+          val delSet = dels.select(
+            normPathCol(tableDir, col("file_path")).as("_del_path"),
+            col("pos").cast("long").as("_del_pos"))
+          data
+            .withColumn("_ice_path",
+              normPathCol(tableDir, col("_metadata.file_path")))
+            .withColumn("_ice_pos", col("_metadata.row_index"))
+            .join(delSet, col("_ice_path") === col("_del_path") &&
+              col("_ice_pos") === col("_del_pos"), "left_anti")
+            .drop("_ice_path", "_ice_pos")
+        }
+      if (snap.eqDeletes.isEmpty) afterPos
+      else applyEqualityDeletes(spark, tableDir, snap, afterPos)
     }
+  }
+
+  /** Chain one LEFT ANTI join per (sequence, column-set) equality
+    * group: data rows dead when null-safe-equal to a distinct delete
+    * key AND their file's sequence is STRICTLY below the delete's.
+    * Data rows learn their sequence from a bounded (path → seq)
+    * lookup frame (one row per data file — plan-time-sized, so Spark
+    * broadcasts it); the delete-key sides are delete-file-sized and
+    * likewise auto-broadcast from parquet statistics, falling back to
+    * shuffled joins at 100 TB. */
+  private def applyEqualityDeletes(spark: SparkSession, tableDir: String,
+                                   snap: Snapshot,
+                                   data: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    for (d <- snap.eqDeletes; c <- d.cols)
+      if (!snap.schema.fieldNames.contains(c))
+        throw new IllegalStateException(
+          s"IcebergLite: equality delete ${d.path} names column $c " +
+            "absent from the table schema")
+    val seqLookup = broadcast(
+      snap.fileSeqs.toSeq.toDF("_seq_path", "_ice_seq"))
+    val withSeq = data
+      .withColumn("_ice_path",
+        normPathCol(tableDir, col("_metadata.file_path")))
+      .join(seqLookup, col("_ice_path") === col("_seq_path"), "left")
+      .drop("_ice_path", "_seq_path")
+    val applied = snap.eqDeletes
+      .groupBy(d => (d.seq, d.cols)).toSeq
+      .sortBy { case ((seq, cols), _) => (seq, cols.mkString(",")) }
+      .foldLeft(withSeq) { case (acc, ((seq, cols), group)) =>
+        val keys = spark.read.parquet(group.map(_.path): _*)
+        val missing = cols.filterNot(keys.columns.contains)
+        if (missing.nonEmpty) throw new IllegalStateException(
+          s"IcebergLite: equality delete files ${group.map(_.path)
+            .mkString(", ")} lack columns ${missing.mkString(", ")}")
+        val delKeys = keys
+          .select(cols.map(c => col(c).as(s"_del_$c")): _*).distinct()
+        val cond = cols.map(c => acc(c) <=> delKeys(s"_del_$c"))
+          .reduce(_ && _) && acc("_ice_seq") < lit(seq)
+        acc.join(delKeys, cond, "left_anti")
+      }
+    applied.drop("_ice_seq")
   }
 }

@@ -151,12 +151,144 @@ class IcebergSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("content=1"))
   }
 
-  test("equality deletes (content=2) refuse loudly") {
+  test("equality delete without equality_ids refuses loudly") {
+    // content=2 entries whose manifest rows carry no equality_ids
+    // column — the reader cannot know which columns the rows match on
     val e = intercept[IllegalStateException] {
       IcebergLite.snapshot(spark,
         fixture("eqdel", mlContent = 1, dfContent = 2))
     }
-    assert(e.getMessage.contains("equality delete"))
+    assert(e.getMessage.contains("equality_ids"))
+  }
+
+  /** Extends `fixture(name)` with snapshot 3: an equality-delete file
+    * (content=2 on field `fieldId`) over `delDf`'s rows, plus an
+    * optional re-insert data file, with explicit per-row sequence
+    * numbers in the manifest list (data seq, delete seq). */
+  private def addEqDelete(root: String, delDf: org.apache.spark.sql.DataFrame,
+                          fieldId: Int, dataSeq: Long, delSeq: Long,
+                          reinsert: Option[org.apache.spark.sql.DataFrame] =
+                            None, reinsertSeq: Long = 0L): Unit = {
+    import spark.implicits._
+    def writeParquet(d: org.apache.spark.sql.DataFrame, rel: String): Unit = {
+      val tmp = s"$root/_tmpp"
+      d.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val p = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith(".")).get
+      assert(p.renameTo(new java.io.File(s"$root/$rel")))
+      rm(new java.io.File(tmp))
+    }
+    def writeAvro(d: org.apache.spark.sql.DataFrame, rel: String): Unit = {
+      val t2 = s"$root/_tmpavro"
+      d.coalesce(1).write.mode("overwrite").format(avroFmt).save(t2)
+      val p = new java.io.File(t2).listFiles()
+        .find(_.getName.startsWith("part-")).get
+      assert(p.renameTo(new java.io.File(s"$root/$rel")))
+      rm(new java.io.File(t2))
+    }
+    writeParquet(delDf, "data/eqdel.parquet")
+    def manifest(rel: String, path: String, content: Int,
+                 eqIds: Seq[Int]): Unit =
+      writeAvro(Seq((1, path)).toDF("status", "file_path")
+        .select(col("status"),
+          struct(col("file_path"), lit(content).as("content"),
+            (if (eqIds.isEmpty) lit(null).cast("array<int>")
+             else array(eqIds.map(lit(_)): _*)).as("equality_ids"))
+            .as("data_file")), rel)
+    manifest("metadata/m-eq.avro", "data/eqdel.parquet", 2, Seq(fieldId))
+    var mlRows = Seq(
+      ("metadata/m1.avro", 0, dataSeq),
+      ("metadata/m-eq.avro", 1, delSeq))
+    reinsert.foreach { r =>
+      writeParquet(r, "data/reins.parquet")
+      manifest("metadata/m-reins.avro", "data/reins.parquet", 0, Nil)
+      mlRows = mlRows :+ (("metadata/m-reins.avro", 0, reinsertSeq))
+    }
+    writeAvro(mlRows.toDF("manifest_path", "content", "sequence_number"),
+      "metadata/snap-3.avro")
+    val meta = Files.readString(
+      Paths.get(root, "metadata", "v3.metadata.json"))
+      .replace(""""current-snapshot-id":2""", """"current-snapshot-id":3""")
+      .replace(""" {"snapshot-id":1""",
+        """ {"snapshot-id":3,"manifest-list":"metadata/snap-3.avro"},
+          | {"snapshot-id":1""".stripMargin)
+    Files.writeString(Paths.get(root, "metadata", "v4.metadata.json"), meta)
+    Files.writeString(Paths.get(root, "metadata", "version-hint.text"), "4")
+  }
+
+  test("equality deletes kill matching keys, strict-seq spares re-inserts") {
+    import spark.implicits._
+    val root = fixture("eqbehave")
+    // delete ids 0,1,2,7 at seq 5; data at seq 1; re-insert ids 1,7
+    // (v flipped to 99) at THE DELETE'S OWN seq 5 — strictly-lower
+    // ordering must keep them
+    addEqDelete(root, Seq(0L, 1L, 2L, 7L).toDF("id"), fieldId = 1,
+      dataSeq = 1L, delSeq = 5L,
+      reinsert = Some(Seq((1L, 99L), (7L, 99L)).toDF("id", "v")),
+      reinsertSeq = 5L)
+    val got = IcebergLite.read(spark, root)
+      .select("id", "v").as[(Long, Long)].collect().sorted.toSeq
+    val survivors = (3L to 9L).filter(i => i != 7L).map(i => (i, i * 3))
+    assert(got == (survivors ++ Seq((1L, 99L), (7L, 99L))).sorted)
+    // output schema is unchanged by the seq/anti-join plumbing
+    assert(IcebergLite.read(spark, root).schema.fieldNames.toSeq ==
+      Seq("id", "v"))
+  }
+
+  test("equality delete matches null keys null-safely") {
+    import spark.implicits._
+    val root = fixture("eqnull")
+    // rewrite f1 to carry a NULL id row, re-listing it as snap 3 data
+    val tmp = s"$root/_tmpn"
+    spark.range(0, 1).select(lit(null).cast("long").as("id"),
+      lit(777L).as("v"))
+      .union(spark.read.parquet(s"$root/data/f1.parquet"))
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val p = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith(".")).get
+    assert(p.renameTo(new java.io.File(s"$root/data/f1.parquet")))
+    rm(new java.io.File(tmp))
+    // delete (null) at seq 5 over data at seq 1: the null-id row dies
+    addEqDelete(root,
+      Seq(Option.empty[Long]).toDF("id"), fieldId = 1,
+      dataSeq = 1L, delSeq = 5L)
+    val got = IcebergLite.read(spark, root)
+    assert(got.filter(col("id").isNull).count() == 0)
+    assert(got.count() == 10)
+  }
+
+  test("equality delete without sequence numbers refuses loudly") {
+    import spark.implicits._
+    val root = fixture("eqnoseq")
+    addEqDelete(root, Seq(1L).toDF("id"), fieldId = 1,
+      dataSeq = 1L, delSeq = 5L)
+    // strip sequence_number from the manifest list
+    val ml = spark.read.format(avroFmt)
+      .load(s"$root/metadata/snap-3.avro")
+      .select("manifest_path", "content")
+    val t2 = s"$root/_tmpavro"
+    ml.coalesce(1).write.mode("overwrite").format(avroFmt).save(t2)
+    val part = new java.io.File(t2).listFiles()
+      .find(_.getName.startsWith("part-")).get
+    assert(part.renameTo(new java.io.File(s"$root/metadata/snap-3.avro")))
+    rm(new java.io.File(t2))
+    val e = intercept[IllegalStateException] {
+      IcebergLite.snapshot(spark, root)
+    }
+    assert(e.getMessage.contains("sequence number"))
+  }
+
+  test("equality delete naming an unknown field id refuses loudly") {
+    import spark.implicits._
+    val root = fixture("eqbadid")
+    addEqDelete(root, Seq(1L).toDF("id"), fieldId = 42,
+      dataSeq = 1L, delSeq = 5L)
+    val e = intercept[IllegalStateException] {
+      IcebergLite.snapshot(spark, root)
+    }
+    assert(e.getMessage.contains("field id 42"))
   }
 
   test("positional deletes anti-join the named ordinals") {
