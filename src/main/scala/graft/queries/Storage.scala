@@ -410,6 +410,29 @@ object Storage extends QueryModule {
         .read(s, authorPaimonTable(s, dir), snapshotId = Some(1L)))
     },
 
+    // Paimon PRIMARY-KEY table (deduplicate merge engine) — the LSM
+    // side of the format. The authored table stores KeyValue rows
+    // (_KEY_o_orderkey, _SEQUENCE_NUMBER, _VALUE_KIND, value columns):
+    // snapshot 1 inserts every orders row with o_orderkey%10 < 5 at
+    // sequence 1; snapshot 2 adds a second file at sequence 2 that
+    // UPDATEs (+U) the %10∈{3,4} keys to doubled o_totalprice and
+    // DELETEs (-D) the %10=0 keys. The merged read — latest sequence
+    // per key wins, a winning delete drops the key — is expressed as
+    // ONE key-partitioned window (row_number over sequence desc), so
+    // the LSM merge is a single keyed shuffle at any scale. Oracle
+    // recomputes the upsert algebra from the source table.
+    "q407_paimon_pk_read" -> { (s, dir) =>
+      ordersCensus(graft.sources.PaimonLite
+        .read(s, authorPaimonPkTable(s, dir)))
+    },
+
+    // Same PK table pinned to snapshot 1: the pre-upsert state — all
+    // inserts at their original o_totalprice, %10=0 keys still alive.
+    "q408_paimon_pk_snapshot" -> { (s, dir) =>
+      ordersCensus(graft.sources.PaimonLite
+        .read(s, authorPaimonPkTable(s, dir), snapshotId = Some(1L)))
+    },
+
     // STREAMING Delta-log read — DeltaStreamLite (v1 Source: offsets
     // are log versions, each micro-batch the files added in a version
     // range). The query authors an append-only Delta table commit by
@@ -625,6 +648,15 @@ object Storage extends QueryModule {
         sum(col("l_extendedprice").cast(DecimalType(18, 2)))
           .cast(DoubleType).as("sum_price"))
       .orderBy(col("l_returnflag"))
+
+  /** Orders-keyed census for the primary-key lakehouse rows (PK
+    * tables need a unique key, which lineitem lacks). */
+  private def ordersCensus(df: DataFrame): DataFrame =
+    df.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
 
   /** JSON string literal with full control-char escaping (the
     * schemaString payload embeds Spark's schema JSON, quotes and all). */
@@ -1379,6 +1411,102 @@ object Storage extends QueryModule {
       })
     }
 
+  private val paimonPkMemo =
+    scala.collection.mutable.Map.empty[String, String]
+
+  /** Authors the two-snapshot Paimon PRIMARY-KEY table used by
+    * q407/q408 (see q407's comment for the upsert algebra). Data
+    * files hold KeyValue rows — `_KEY_o_orderkey`, `_SEQUENCE_NUMBER`,
+    * `_VALUE_KIND` (0 +I / 2 +U / 3 -D), then the value columns — the
+    * deduplicate-engine parquet layout. Delete rows retain their last
+    * values (as real compactions may); the merge must drop them by
+    * KIND, not by null-ness. Memoized per sf-dir. */
+  private def authorPaimonPkTable(s: SparkSession, dir: String): String =
+    paimonPkMemo.synchronized {
+      paimonPkMemo.getOrElseUpdate(dir, {
+        import java.nio.file.{Files, Paths}
+        val avroFmt = "org.apache.spark.sql.avro.AvroFileFormat"
+        val root =
+          s"/tmp/graft_paimon/pk_${Integer.toHexString(dir.hashCode)}"
+        def rm(p: java.io.File): Unit = {
+          if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+          p.delete(): Unit
+        }
+        rm(new java.io.File(root))
+        for (d <- Seq("snapshot", "schema", "manifest", "bucket-0"))
+          Files.createDirectories(Paths.get(root, d))
+        val base = Tables.df(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderstatus"))
+          .filter(col("o_orderkey") % 10 < 5)
+        def kv(df: DataFrame, seq: Long, kind: Int): DataFrame =
+          df.select(col("o_orderkey").as("_KEY_o_orderkey"),
+            lit(seq).as("_SEQUENCE_NUMBER"),
+            lit(kind).cast("tinyint").as("_VALUE_KIND"),
+            col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        def writeKv(df: DataFrame, name: String): String = {
+          val tmp = s"$root/_tmp"
+          df.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(f => f.getName.endsWith(".parquet") &&
+              !f.getName.startsWith(".")).get
+          assert(part.renameTo(new java.io.File(s"$root/bucket-0/$name")))
+          rm(new java.io.File(tmp))
+          name
+        }
+        val fa = writeKv(kv(base, 1L, 0), "kv-inserts.parquet")
+        val fb = writeKv(
+          kv(base.filter((col("o_orderkey") % 10).isin(3, 4))
+            .withColumn("o_totalprice", col("o_totalprice") * 2), 2L, 2)
+            .unionByName(
+              kv(base.filter(col("o_orderkey") % 10 === 0), 2L, 3)),
+          "kv-upserts.parquet")
+        def writeAvro(df: DataFrame, rel: String): Unit = {
+          val tmp = s"$root/_tmpavro"
+          df.coalesce(1).write.mode("overwrite").format(avroFmt).save(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(f => f.getName.startsWith("part-")).get
+          assert(part.renameTo(new java.io.File(s"$root/$rel")))
+          rm(new java.io.File(tmp))
+        }
+        import s.implicits._
+        def manifest(rel: String, entries: (Int, String)*): Unit =
+          writeAvro(entries.toSeq.toDF("_KIND", "_fn")
+            .select(col("_KIND"), lit(0).as("_BUCKET"),
+              struct(col("_fn").as("_FILE_NAME")).as("_FILE")), rel)
+        manifest("manifest/m-ins.avro", (0, fa))
+        manifest("manifest/m-ups.avro", (0, fb))
+        def manifestList(rel: String, names: String*): Unit =
+          writeAvro(
+            if (names.isEmpty) Seq.empty[String].toDF("_FILE_NAME")
+            else names.toSeq.toDF("_FILE_NAME"), rel)
+        manifestList("manifest/ml-empty.avro")
+        manifestList("manifest/ml-ins.avro", "m-ins.avro")
+        manifestList("manifest/ml-ups.avro", "m-ups.avro")
+        val schemaJson =
+          """{"id":0,"fields":[
+            | {"id":0,"name":"o_orderkey","type":"BIGINT"},
+            | {"id":1,"name":"o_totalprice","type":"DOUBLE"},
+            | {"id":2,"name":"o_orderstatus","type":"STRING"}],
+            |"highestFieldId":2,"partitionKeys":[],
+            |"primaryKeys":["o_orderkey"],
+            |"options":{"file.format":"parquet"}}""".stripMargin
+        Files.writeString(Paths.get(root, "schema", "schema-0"), schemaJson)
+        def snapJson(id: Long, bs: String, dl: String): String =
+          s"""{"version":3,"id":$id,"schemaId":0,
+             |"baseManifestList":${jstr(bs)},
+             |"deltaManifestList":${jstr(dl)},
+             |"commitKind":"APPEND","commitUser":"graft",
+             |"commitIdentifier":$id,"timeMillis":0}""".stripMargin
+        Files.writeString(Paths.get(root, "snapshot", "snapshot-1"),
+          snapJson(1, "ml-empty.avro", "ml-ins.avro"))
+        Files.writeString(Paths.get(root, "snapshot", "snapshot-2"),
+          snapJson(2, "ml-ins.avro", "ml-ups.avro"))
+        Files.writeString(Paths.get(root, "snapshot", "LATEST"), "2")
+        root
+      })
+    }
+
   /** DuckDB side of q318: the 8 Hilbert rounds unrolled. Each round
     * reads the PREVIOUS round's (hx, hy, hd) — SQL's no-sequencing
     * SELECT semantics give the reflect+transpose swap for free. */
@@ -1618,6 +1746,23 @@ object Storage extends QueryModule {
         |FROM lineitem WHERE l_orderkey % 10 IN (1, 2)
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    // Paimon PK merged state: %10∈{1,2} original, {3,4} doubled, 0 dead
+    "q407_paimon_pk_read" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        | CAST(sum(CAST(CASE WHEN o_orderkey % 10 IN (3, 4)
+        |   THEN o_totalprice * 2 ELSE o_totalprice END
+        |   AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderkey % 10 BETWEEN 1 AND 4
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+    // Paimon PK snapshot 1 = pre-upsert inserts (%10 < 5, original price)
+    "q408_paimon_pk_snapshot" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_price
+        |FROM orders WHERE o_orderkey % 10 < 5
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     // Paimon snapshot 1 = A∪B (pre-delete)
     "q398_paimon_snapshot" ->
       """SELECT l_returnflag, count(*) AS n,

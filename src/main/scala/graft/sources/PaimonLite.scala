@@ -29,14 +29,26 @@ import org.json4s.jackson.JsonMethods
   * are Spark's native vectorized parquet scans, keeping pushdown,
   * pruning and whole-stage codegen at 100 TB.
   *
+  * PRIMARY-KEY tables (the LSM side of Paimon) are READ for the
+  * DEFAULT `deduplicate` merge engine: PK data files store KeyValue
+  * rows — `_KEY_<pk>` columns, `_SEQUENCE_NUMBER` (bigint),
+  * `_VALUE_KIND` (RowKind byte: 0 = +I insert, 1 = -U update-before,
+  * 2 = +U update-after, 3 = -D delete) and the value columns — and
+  * the batch-read contract is "latest sequence per key wins; a
+  * winning delete drops the key". That merge is expressed Spark-first
+  * as a key-partitioned window (row_number over _SEQUENCE_NUMBER
+  * desc) — ONE shuffle on the primary key, no level-aware driver
+  * logic, scale-safe at 100 TB because the window is keyed, never
+  * global. Ties break deterministically by kind then file path.
+  *
   * Lite scope, loud failures (never silent wrong answers):
-  *  - APPEND-ONLY tables only: a schema with primaryKeys is refused
-  *    (primary-key tables are LSM trees whose read path must merge
-  *    row versions across levels);
+  *  - primary-key tables with a NON-default merge engine
+  *    (partial-update / aggregation / first-row) are refused;
   *  - UNPARTITIONED tables only: partitionKeys are refused (partition
   *    values travel as serialized BinaryRow bytes in manifests —
   *    outside lite scope);
   *  - parquet data files only (a non-.parquet file name is refused);
+  *  - a PK data file missing the KeyValue system columns is refused;
   *  - non-file:// filesystem schemes, missing snapshots/schemas, and
   *    manifest rows without the expected fields throw with the path
   *    named.
@@ -44,7 +56,8 @@ import org.json4s.jackson.JsonMethods
 object PaimonLite {
 
   final case class Snapshot(snapshotId: Long, schema: StructType,
-                            files: Seq[String])
+                            files: Seq[String],
+                            primaryKeys: Seq[String] = Nil)
 
   private implicit val fmts: Formats = DefaultFormats
 
@@ -138,12 +151,18 @@ object PaimonLite {
     if (!fs.exists(schemaFile)) throw new IllegalStateException(
       s"$tableDir: schema/schema-$schemaId missing")
     val schemaJson = JsonMethods.parse(readText(fs, schemaFile))
-    (schemaJson \ "primaryKeys") match {
-      case JArray(ks) if ks.nonEmpty => throw new IllegalStateException(
-        s"$schemaFile: primary-key table (keys ${ks.map(_.extract[String])
-          .mkString(", ")}) — PaimonLite reads APPEND-ONLY tables only " +
-          "(primary-key reads must merge LSM levels)")
-      case _ =>
+    val primaryKeys: Seq[String] = (schemaJson \ "primaryKeys") match {
+      case JArray(ks) if ks.nonEmpty =>
+        // deduplicate (the default) is the only merge engine whose
+        // read contract is "latest sequence per key wins" — the others
+        // fold values across versions and need their own kernels
+        val engine = (schemaJson \ "options" \ "merge-engine")
+          .extractOpt[String].getOrElse("deduplicate")
+        if (engine != "deduplicate") throw new IllegalStateException(
+          s"$schemaFile: merge-engine=$engine — PaimonLite reads " +
+            "primary-key tables with the default deduplicate engine only")
+        ks.map(_.extract[String])
+      case _ => Nil
     }
     (schemaJson \ "partitionKeys") match {
       case JArray(ks) if ks.nonEmpty => throw new IllegalStateException(
@@ -218,7 +237,7 @@ object PaimonLite {
           "parquet data files only (set file.format=parquet)")
       s"$tableDir/bucket-$bucket/$name"
     }
-    Snapshot(wantedId, schema, files)
+    Snapshot(wantedId, schema, files, primaryKeys)
   }
 
   /** Latest snapshot id: LATEST hint, else the highest snapshot-<N>.
@@ -333,15 +352,48 @@ object PaimonLite {
     }
   }
 
-  /** DataFrame over the snapshot's live files — one native parquet
-    * scan. An empty snapshot returns a typed empty frame (the schema
-    * store makes that possible here, unlike Hudi COW). */
+  /** DataFrame over the snapshot's live files. Append-only tables are
+    * one native parquet scan; primary-key tables additionally run the
+    * deduplicate merge (latest `_SEQUENCE_NUMBER` per key wins, a
+    * winning DELETE drops the key) as a key-partitioned window — one
+    * shuffle on the primary key. An empty snapshot returns a typed
+    * empty frame (the schema store makes that possible here, unlike
+    * Hudi COW). */
   def read(spark: SparkSession, tableDir: String,
            snapshotId: Option[Long] = None): DataFrame = {
     val snap = snapshot(spark, tableDir, snapshotId)
     if (snap.files.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
-    else spark.read.schema(snap.schema).parquet(snap.files: _*)
+    else if (snap.primaryKeys.isEmpty)
+      spark.read.schema(snap.schema).parquet(snap.files: _*)
+    else {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val raw = spark.read.parquet(snap.files: _*)
+      val keyCols = snap.primaryKeys.map(k => s"_KEY_$k")
+      val needed = keyCols ++ Seq("_SEQUENCE_NUMBER", "_VALUE_KIND") ++
+        snap.schema.fieldNames
+      val missing = needed.filterNot(raw.columns.contains)
+      if (missing.nonEmpty) throw new IllegalStateException(
+        s"$tableDir: primary-key data files lack KeyValue columns " +
+          s"${missing.mkString(", ")} — not a deduplicate-engine " +
+          "parquet layout PaimonLite can merge")
+      // latest sequence per key wins; ties break by kind (an update
+      // outranks the insert it replaces) then file path — both
+      // deterministic. A winning -D (3) deletes the key; a winning
+      // -U (1) cannot occur in stored KeyValues (retractions always
+      // precede their +U), so filtering to +I/+U is exact.
+      val w = Window.partitionBy(keyCols.map(col): _*)
+        .orderBy(col("_SEQUENCE_NUMBER").desc, col("_VALUE_KIND").desc,
+          col("_pm_file").desc)
+      raw
+        .withColumn("_pm_file", col("_metadata.file_path"))
+        .withColumn("_pm_rn", row_number().over(w))
+        .filter(col("_pm_rn") === 1 &&
+          col("_VALUE_KIND").cast("int").isin(0, 2))
+        .select(snap.schema.fields.toSeq.map(f =>
+          col(f.name).cast(f.dataType).as(f.name)): _*)
+    }
   }
 }

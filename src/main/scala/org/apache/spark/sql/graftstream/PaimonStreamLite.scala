@@ -54,6 +54,13 @@ class PaimonStreamSource(spark: SparkSession, tableDir: String,
     extends LiteVersionedStreamSource(spark, maxSnapshotsPerTrigger) {
 
   private val initial = PaimonLite.snapshot(spark, tableDir)
+  // batch reads merge PK tables (PaimonLite.read); a STREAM over one
+  // would replay delta adds as appends — updates double-counted,
+  // deletes resurrected — so refuse loudly here
+  if (initial.primaryKeys.nonEmpty) throw new IllegalStateException(
+    s"$tableDir: primary-key table (keys ${initial.primaryKeys
+      .mkString(", ")}) — PaimonStreamLite streams APPEND-ONLY tables " +
+      "only (upsert changelogs are outside lite streaming scope)")
 
   override def schema: StructType = initial.schema
 

@@ -120,10 +120,139 @@ class PaimonSpec extends AnyFunSuite {
     assert(PaimonLite.snapshot(spark, root).snapshotId == 2L)
   }
 
-  test("primary-key table refuses loudly") {
+  /** PRIMARY-KEY fixture: KeyValue parquet files (_KEY_id,
+    * _SEQUENCE_NUMBER, _VALUE_KIND, id, v) under bucket-0. kv0 inserts
+    * ids 0..4 (v = id*3) at sequence 1; kv1 at sequence 2 updates
+    * ids 1,2 to v=100 (+U) and deletes id 0 (-D, values retained).
+    * Snapshot 1 = kv0; snapshot 2 = kv0 + kv1. */
+  private def pkFixture(name: String, options: String = "{}"): String = {
+    val root = s"/tmp/graft_paimonspec/$name"
+    rm(new java.io.File(root))
+    for (d <- Seq("snapshot", "schema", "manifest", "bucket-0"))
+      Files.createDirectories(Paths.get(root, d))
+    def kv(df: org.apache.spark.sql.DataFrame, seq: Long,
+           kind: Int): org.apache.spark.sql.DataFrame =
+      df.select(col("id").as("_KEY_id"), lit(seq).as("_SEQUENCE_NUMBER"),
+        lit(kind).cast("tinyint").as("_VALUE_KIND"), col("id"), col("v"))
+    def writeKv(df: org.apache.spark.sql.DataFrame, out: String): Unit = {
+      val tmp = s"$root/_tmp"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith(".")).get
+      assert(part.renameTo(new java.io.File(s"$root/bucket-0/$out")))
+      rm(new java.io.File(tmp))
+    }
+    val base = spark.range(0, 5).select(col("id"), (col("id") * 3).as("v"))
+    writeKv(kv(base, 1L, 0), "kv0.parquet")
+    writeKv(
+      kv(base.filter(col("id").isin(1, 2))
+        .withColumn("v", lit(100L)), 2L, 2)
+        .unionByName(kv(base.filter(col("id") === 0), 2L, 3)),
+      "kv1.parquet")
+    def writeAvro(d: org.apache.spark.sql.DataFrame, rel: String): Unit = {
+      val tmp = s"$root/_tmpavro"
+      d.coalesce(1).write.mode("overwrite").format(avroFmt).save(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.startsWith("part-")).get
+      assert(part.renameTo(new java.io.File(s"$root/$rel")))
+      rm(new java.io.File(tmp))
+    }
+    import spark.implicits._
+    def manifest(rel: String, entries: (Int, String)*): Unit =
+      writeAvro(entries.toSeq.toDF("_KIND", "_fn")
+        .select(col("_KIND"), lit(0).as("_BUCKET"),
+          struct(col("_fn").as("_FILE_NAME")).as("_FILE")), rel)
+    manifest("manifest/m-kv0.avro", (0, "kv0.parquet"))
+    manifest("manifest/m-kv1.avro", (0, "kv1.parquet"))
+    def mlist(rel: String, names: String*): Unit =
+      writeAvro(
+        if (names.isEmpty) Seq.empty[String].toDF("_FILE_NAME")
+        else names.toSeq.toDF("_FILE_NAME"), rel)
+    mlist("manifest/ml-empty.avro")
+    mlist("manifest/ml-kv0.avro", "m-kv0.avro")
+    mlist("manifest/ml-kv1.avro", "m-kv1.avro")
+    Files.writeString(Paths.get(root, "schema", "schema-0"),
+      s"""{"id":0,"fields":[
+         | {"id":0,"name":"id","type":"BIGINT"},
+         | {"id":1,"name":"v","type":"BIGINT"}],
+         |"highestFieldId":1,"partitionKeys":[],
+         |"primaryKeys":["id"],"options":$options}""".stripMargin)
+    def snapJson(id: Long, base: String, delta: String): String =
+      s"""{"version":3,"id":$id,"schemaId":0,
+         |"baseManifestList":"$base","deltaManifestList":"$delta",
+         |"commitKind":"APPEND","commitUser":"t","commitIdentifier":$id,
+         |"timeMillis":0}""".stripMargin
+    Files.writeString(Paths.get(root, "snapshot", "snapshot-1"),
+      snapJson(1, "ml-empty.avro", "ml-kv0.avro"))
+    Files.writeString(Paths.get(root, "snapshot", "snapshot-2"),
+      snapJson(2, "ml-kv0.avro", "ml-kv1.avro"))
+    Files.writeString(Paths.get(root, "snapshot", "LATEST"), "2")
+    root
+  }
+
+  test("primary-key merge: latest sequence wins, winning delete drops key") {
+    import spark.implicits._
+    val root = pkFixture("pkmerge")
+    val got = PaimonLite.read(spark, root)
+    assert(got.schema.fieldNames.toSeq == Seq("id", "v"))
+    assert(got.as[(Long, Long)].collect().sorted.toSeq ==
+      Seq((1L, 100L), (2L, 100L), (3L, 9L), (4L, 12L)))
+    // snapshot 1 = the raw inserts
+    assert(PaimonLite.read(spark, root, Some(1L))
+      .as[(Long, Long)].collect().sorted.toSeq ==
+      (0L to 4L).map(i => (i, i * 3)))
+  }
+
+  test("primary-key merge ties break by kind: +U outranks +I") {
+    import spark.implicits._
+    val root = pkFixture("pktie")
+    // rewrite kv1 at sequence 1 — SAME sequence as the inserts
+    val tmp = s"$root/_tmpt"
+    spark.read.parquet(s"$root/bucket-0/kv1.parquet")
+      .withColumn("_SEQUENCE_NUMBER", lit(1L))
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith(".")).get
+    assert(part.renameTo(new java.io.File(s"$root/bucket-0/kv1.parquet")))
+    rm(new java.io.File(tmp))
+    val got = PaimonLite.read(spark, root)
+      .as[(Long, Long)].collect().sorted.toSeq
+    // -D(3) > +U(2) > +I(0): id 0 still dies, ids 1,2 still update
+    assert(got == Seq((1L, 100L), (2L, 100L), (3L, 9L), (4L, 12L)))
+  }
+
+  test("non-deduplicate merge engine refuses loudly") {
     val e = intercept[IllegalStateException] {
-      PaimonLite.snapshot(spark,
-        fixture("pk", primaryKeys = """["id"]"""))
+      PaimonLite.snapshot(spark, pkFixture("pkeng",
+        options = """{"merge-engine":"partial-update"}"""))
+    }
+    assert(e.getMessage.contains("partial-update"))
+  }
+
+  test("PK data file without KeyValue columns refuses loudly") {
+    val root = pkFixture("pkbad")
+    // overwrite kv0 with a PLAIN (id, v) parquet — no system columns
+    val tmp = s"$root/_tmpb"
+    spark.range(0, 5).select(col("id"), (col("id") * 3).as("v"))
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith(".")).get
+    assert(part.renameTo(new java.io.File(s"$root/bucket-0/kv0.parquet")))
+    rm(new java.io.File(tmp))
+    val e = intercept[IllegalStateException] {
+      PaimonLite.read(spark, root, Some(1L))
+    }
+    assert(e.getMessage.contains("_KEY_id"))
+  }
+
+  test("streaming a primary-key table refuses loudly") {
+    val root = pkFixture("pkstream")
+    val e = intercept[IllegalStateException] {
+      new org.apache.spark.sql.graftstream.PaimonStreamSource(
+        spark, root, None)
     }
     assert(e.getMessage.contains("APPEND-ONLY"))
   }
