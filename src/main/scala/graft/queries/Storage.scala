@@ -390,6 +390,21 @@ object Storage extends QueryModule {
         .read(s, authorHudiTable(s, dir), asOfInstant = Some("001")))
     },
 
+    // Hudi MERGE_ON_READ in the READ-OPTIMIZED query mode (base files
+    // only — Hudi's documented freshness contract for RO queries; the
+    // reference's provider likewise converts only RO/COW scans,
+    // thirdparty/auron-hudi/HudiScanSupport.scala). The authored MOR
+    // timeline: deltacommit 001 inserts base parquet per returnflag
+    // group (batches A∪B); deltacommit 002 writes LOG files for every
+    // group (batch C sits in logs — invisible to RO); commit 003 is a
+    // compaction that rewrites ONLY flag N's group merging its log.
+    // RO view = A∪B for flags A/R, A∪B∪C for flag N; a reader that
+    // peeked at logs (or missed the compaction) hash-mismatches.
+    "q409_hudi_mor_ro" -> { (s, dir) =>
+      deltaCensus(graft.sources.HudiCowLite
+        .read(s, authorHudiMorTable(s, dir), readOptimized = true))
+    },
+
     // Apache Paimon table read — the FOURTH lakehouse leg (reference
     // thirdparty/auron-paimon). The query authors a Paimon-layout
     // append-only table: snapshot/snapshot-<id> JSON + LATEST hint,
@@ -801,6 +816,74 @@ object Storage extends QueryModule {
           Paths.get(root, ".hoodie", "003.replacecommit"),
           s"""{"partitionToReplaceFileIds":{$replaceIds},
              |"partitionToWriteStats":{$replaceStats}}""".stripMargin)
+        root
+      })
+    }
+
+  private val hudiMorMemo = scala.collection.mutable.Map.empty[String, String]
+
+  /** Authors the MERGE_ON_READ Hudi table used by q409 (see q409's
+    * comment for the timeline). Log files are REAL junk-byte files on
+    * disk so the read-optimized path provably never opens them.
+    * Memoized per sf-dir. */
+  private def authorHudiMorTable(s: SparkSession, dir: String): String =
+    hudiMorMemo.synchronized {
+      hudiMorMemo.getOrElseUpdate(dir, {
+        import java.nio.file.{Files, Paths}
+        val root =
+          s"/tmp/graft_hudi/mor_${Integer.toHexString(dir.hashCode)}"
+        def rm(p: java.io.File): Unit = {
+          if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+          p.delete(): Unit
+        }
+        rm(new java.io.File(root))
+        Files.createDirectories(Paths.get(root, ".hoodie"))
+        Files.writeString(Paths.get(root, ".hoodie", "hoodie.properties"),
+          "hoodie.table.name=lineitem_mor\n" +
+            "hoodie.table.type=MERGE_ON_READ\n")
+        val src = Tables.df(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity"),
+            col("l_extendedprice"), col("l_returnflag"))
+        val flags = src.select(col("l_returnflag")).distinct()
+          .collect().map(_.getString(0)).sorted
+        def writeBase(instant: String, rf: String,
+                      mods: Seq[Int]): String = {
+          val part = s"l_returnflag=$rf"
+          val rel = s"$part/g-${rf}_0-0_$instant.parquet"
+          val tmp = s"$root/_tmp"
+          src.filter(col("l_returnflag") === rf &&
+              (col("l_orderkey") % 10).isin(mods.map(Int.box): _*))
+            .coalesce(1).write.mode("overwrite").parquet(tmp)
+          val pf = new java.io.File(tmp).listFiles()
+            .find(f => f.getName.endsWith(".parquet") &&
+              !f.getName.startsWith(".")).get
+          Files.createDirectories(Paths.get(root, part))
+          assert(pf.renameTo(new java.io.File(s"$root/$rel")))
+          rm(new java.io.File(tmp))
+          rel
+        }
+        def stat(rf: String, rel: String): String =
+          s"""${jstr(s"l_returnflag=$rf")}:[{"fileId":${jstr(s"g-$rf")},"path":${jstr(rel)},"numWrites":1}]"""
+        // deltacommit 001: base-parquet inserts (batches A∪B per group)
+        val s001 = flags.map(rf =>
+          stat(rf, writeBase("001", rf, Seq(0, 1)))).mkString(",")
+        Files.writeString(Paths.get(root, ".hoodie", "001.deltacommit"),
+          s"""{"partitionToWriteStats":{$s001}}""")
+        // deltacommit 002: LOG writes for every group — junk bytes on
+        // disk; the read-optimized path must never open them
+        val s002 = flags.map { rf =>
+          val rel = s"l_returnflag=$rf/.g-${rf}_001.log.1"
+          Files.write(Paths.get(root, rel),
+            "NOT-A-PARQUET-LOG-BLOCK".getBytes("UTF-8"))
+          stat(rf, rel)
+        }.mkString(",")
+        Files.writeString(Paths.get(root, ".hoodie", "002.deltacommit"),
+          s"""{"partitionToWriteStats":{$s002}}""")
+        // commit 003: compaction of ONLY flag N's group — its new base
+        // merges the logged batch C
+        val s003 = stat("N", writeBase("003", "N", Seq(0, 1, 2)))
+        Files.writeString(Paths.get(root, ".hoodie", "003.commit"),
+          s"""{"partitionToWriteStats":{$s003}}""")
         root
       })
     }
@@ -1704,6 +1787,18 @@ object Storage extends QueryModule {
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
         |   AS sum_price
         |FROM lineitem WHERE l_orderkey % 10 IN (0, 1)
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    // MOR read-optimized: A∪B everywhere, plus compacted C for flag N
+    "q409_hudi_mor_ro" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_price
+        |FROM lineitem
+        |WHERE l_orderkey % 10 IN (0, 1)
+        |   OR (l_returnflag = 'N' AND l_orderkey % 10 = 2)
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
     // positional deletes applied: B ∪ (A where quantity ≤ 25)

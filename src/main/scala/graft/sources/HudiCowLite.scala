@@ -29,10 +29,25 @@ import org.json4s.jackson.JsonMethods
   * adds the replacement base files — so a clustered table reads its
   * compacted output, never both generations of a group.
   *
+  * MERGE_ON_READ tables are served in Hudi's documented
+  * READ-OPTIMIZED query mode (`readOptimized = true`): only base
+  * (columnar) files are read — a `.deltacommit`'s parquet writeStats
+  * (new-file-group inserts) join the file set, its `.log.` writeStats
+  * are skipped, and a compaction (completing as `<t>.commit`) or
+  * clustering advances the groups it rewrote. That is exactly the
+  * freshness contract Hudi gives read_optimized queries; rows still
+  * sitting in logs appear after their compaction. The SNAPSHOT query
+  * mode on MOR (merge logs at read time) stays refused — mirroring
+  * the reference, whose Hudi provider also only converts
+  * read-optimized/COW scans (thirdparty/auron-hudi/
+  * HudiScanSupport.scala:42-49 falls back on MOR snapshot reads).
+  *
   * Lite scope, loud failures (never silent wrong answers):
-  *  - `hoodie.table.type` must be COPY_ON_WRITE — MERGE_ON_READ needs
-  *    log-file merging and is refused;
-  *  - `.deltacommit` instants (a MOR artifact) are refused;
+  *  - `hoodie.table.type` must be COPY_ON_WRITE, or MERGE_ON_READ
+  *    with `readOptimized = true` (a MOR snapshot read would need
+  *    log-file merging);
+  *  - `.deltacommit` instants in a COPY_ON_WRITE timeline are refused
+  *    (malformed table);
   *  - malformed commit JSON, a missing `.hoodie`, or an unknown
   *    `asOfInstant` throw with the file named.
   */
@@ -50,41 +65,54 @@ object HudiCowLite {
   }
 
   /** Replay the commit timeline up to (and including) `asOfInstant`,
-    * or fully. Returns the live base-file set. */
+    * or fully. Returns the live base-file set. `readOptimized` opts a
+    * MERGE_ON_READ table into the read-optimized query mode (base
+    * files only); it is a no-op on COPY_ON_WRITE, whose base files
+    * ARE the data. */
   def snapshot(spark: SparkSession, tableDir: String,
-               asOfInstant: Option[String] = None): Snapshot = {
+               asOfInstant: Option[String] = None,
+               readOptimized: Boolean = false): Snapshot = {
     val hoodieDir = new Path(tableDir, ".hoodie")
     val fs = hoodieDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(hoodieDir))
       throw new IllegalStateException(s"$tableDir has no .hoodie directory")
 
     val props = new Path(hoodieDir, "hoodie.properties")
-    if (fs.exists(props)) {
-      val tableType = readText(fs, props).linesIterator
+    val tableType: Option[String] =
+      if (!fs.exists(props)) None
+      else readText(fs, props).linesIterator
         .map(_.trim).find(_.startsWith("hoodie.table.type="))
         .map(_.split("=", 2)(1).trim)
-      tableType.foreach { t =>
-        if (t != "COPY_ON_WRITE") throw new IllegalStateException(
-          s"$tableDir: hoodie.table.type=$t unsupported (HudiCowLite " +
-            "reads COPY_ON_WRITE only; MERGE_ON_READ needs log merging)")
-      }
+    tableType.foreach {
+      case "COPY_ON_WRITE" =>
+      case "MERGE_ON_READ" if readOptimized =>
+      case "MERGE_ON_READ" => throw new IllegalStateException(
+        s"$tableDir: hoodie.table.type=MERGE_ON_READ — the SNAPSHOT " +
+          "query needs log-file merging (outside HudiCowLite scope); " +
+          "pass readOptimized=true for the base-files-only view")
+      case t => throw new IllegalStateException(
+        s"$tableDir: hoodie.table.type=$t unsupported")
     }
+    val isMor = tableType.contains("MERGE_ON_READ")
 
     val names = fs.listStatus(hoodieDir).toSeq.map(_.getPath.getName)
-    names.find(_.endsWith(".deltacommit")).foreach { n =>
+    if (!isMor) names.find(_.endsWith(".deltacommit")).foreach { n =>
       throw new IllegalStateException(
-        s"$tableDir: $n — deltacommit is a MERGE_ON_READ artifact")
+        s"$tableDir: $n — deltacommit is a MERGE_ON_READ artifact " +
+          "(malformed in a COPY_ON_WRITE timeline)")
     }
     // completed commits only: "<instant>.commit" / ".replacecommit"
-    // exactly (inflight / requested markers have further suffixes and
-    // are never read); instants are numeric timestamps — order
-    // NUMERICALLY, not lexicographically (lexicographic missorts "9"
-    // after "10" when widths vary)
+    // (+ ".deltacommit" on MOR) exactly (inflight / requested markers
+    // have further suffixes and are never read); instants are numeric
+    // timestamps — order NUMERICALLY, not lexicographically
+    // (lexicographic missorts "9" after "10" when widths vary)
     val commits: Seq[(String, String)] = names.collect {
       case n if n.matches("\\d+\\.commit") =>
         (n.stripSuffix(".commit"), "commit")
       case n if n.matches("\\d+\\.replacecommit") =>
         (n.stripSuffix(".replacecommit"), "replacecommit")
+      case n if isMor && n.matches("\\d+\\.deltacommit") =>
+        (n.stripSuffix(".deltacommit"), "deltacommit")
     }.sortBy(c => BigInt(c._1))
     if (commits.isEmpty)
       throw new IllegalStateException(s"$tableDir: no completed commits")
@@ -134,7 +162,11 @@ object HudiCowLite {
               val path = (w \ "path").extractOpt[String].getOrElse(
                 throw new IllegalStateException(
                   s"$tableDir: commit $instant writeStat without path"))
-              groups((part, fileId)) = path
+              // read-optimized contract: a deltacommit's LOG writes
+              // are invisible (their rows surface at compaction); its
+              // base-parquet writes (new-file-group inserts) count
+              if (kind == "deltacommit" && !path.endsWith(".parquet")) ()
+              else groups((part, fileId)) = path
             }
             case _ => throw new IllegalStateException(
               s"$tableDir: commit $instant partitionToWriteStats[$part] " +
@@ -149,10 +181,12 @@ object HudiCowLite {
   }
 
   /** DataFrame over the snapshot's base files — one native parquet
-    * scan (COW base files carry every column). */
+    * scan (COW base files carry every column; on MOR the same holds
+    * for the read-optimized view). */
   def read(spark: SparkSession, tableDir: String,
-           asOfInstant: Option[String] = None): DataFrame = {
-    val snap = snapshot(spark, tableDir, asOfInstant)
+           asOfInstant: Option[String] = None,
+           readOptimized: Boolean = false): DataFrame = {
+    val snap = snapshot(spark, tableDir, asOfInstant, readOptimized)
     // a commit with empty partitionToWriteStats resolves to zero files;
     // spark.read.parquet() with no paths dies with an opaque schema
     // error — refuse loudly instead (COW carries no schema store to

@@ -80,17 +80,82 @@ class HudiSpec extends AnyFunSuite {
     assert(HudiCowLite.snapshot(spark, root).instant == "002")
   }
 
-  test("MERGE_ON_READ and deltacommit refuse loudly") {
+  test("MOR snapshot query and COW deltacommit refuse loudly") {
+    // MOR WITHOUT readOptimized: the snapshot query needs log merging
     val e1 = intercept[IllegalStateException] {
       HudiCowLite.snapshot(spark, fixture("mor", "MERGE_ON_READ"))
     }
-    assert(e1.getMessage.contains("MERGE_ON_READ"))
+    assert(e1.getMessage.contains("readOptimized"))
+    // a deltacommit inside a COPY_ON_WRITE timeline is malformed
     val r3 = fixture("delta")
     Files.writeString(Paths.get(r3, ".hoodie", "004.deltacommit"), "{}")
     val e3 = intercept[IllegalStateException] {
       HudiCowLite.snapshot(spark, r3)
     }
     assert(e3.getMessage.contains("deltacommit"))
+  }
+
+  /** MOR fixture: deltacommit 001 inserts base ids 0..4; deltacommit
+    * 002 logs a junk `.log` write for the same group; commit 003
+    * (compaction) rewrites the base to ids 0..9. */
+  private def morFixture(name: String, compact: Boolean): String = {
+    val root = s"/tmp/graft_hudispec/$name"
+    rm(new java.io.File(root))
+    Files.createDirectories(Paths.get(root, ".hoodie"))
+    Files.createDirectories(Paths.get(root, "p=x"))
+    Files.writeString(Paths.get(root, ".hoodie", "hoodie.properties"),
+      "hoodie.table.name=t\nhoodie.table.type=MERGE_ON_READ\n")
+    val df = spark.range(0, 10).select(col("id"), (col("id") * 2).as("v"))
+    def one(filter: org.apache.spark.sql.Column, out: String): Unit = {
+      val tmp = s"$root/_tmp"
+      df.filter(filter).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith(".")).get
+      assert(part.renameTo(new java.io.File(s"$root/$out")))
+      rm(new java.io.File(tmp))
+    }
+    one(col("id") < 5, "p=x/g_0-0_001.parquet")
+    def instant(name: String, path: String): Unit =
+      Files.writeString(Paths.get(root, ".hoodie", name),
+        s"""{"partitionToWriteStats":{"p=x":[{"fileId":"g","path":"$path","numWrites":5}]}}""")
+    instant("001.deltacommit", "p=x/g_0-0_001.parquet")
+    Files.writeString(Paths.get(root, "p=x", ".g_001.log.1"),
+      "NOT-A-PARQUET-LOG-BLOCK")
+    instant("002.deltacommit", "p=x/.g_001.log.1")
+    if (compact) {
+      one(col("id") >= 0, "p=x/g_0-0_003.parquet")
+      instant("003.commit", "p=x/g_0-0_003.parquet")
+    }
+    root
+  }
+
+  test("MOR read-optimized serves deltacommit base inserts, never logs") {
+    val root = morFixture("morro", compact = false)
+    val snap = HudiCowLite.snapshot(spark, root, readOptimized = true)
+    assert(snap.instant == "002")
+    // the 002 log write did NOT clobber the group's base file
+    assert(snap.files == Seq(s"$root/p=x/g_0-0_001.parquet"))
+    assert(HudiCowLite.read(spark, root, readOptimized = true)
+      .agg(max(col("id")), count(lit(1))).head().toSeq == Seq(4L, 5L))
+  }
+
+  test("MOR read-optimized advances at compaction") {
+    val root = morFixture("morcompact", compact = true)
+    val snap = HudiCowLite.snapshot(spark, root, readOptimized = true)
+    assert(snap.instant == "003")
+    assert(snap.files == Seq(s"$root/p=x/g_0-0_003.parquet"))
+    assert(HudiCowLite.read(spark, root, readOptimized = true)
+      .agg(max(col("id")), count(lit(1))).head().toSeq == Seq(9L, 10L))
+    // time travel to the pre-compaction instant: base-only view again
+    assert(HudiCowLite.read(spark, root, Some("002"),
+      readOptimized = true).agg(max(col("id"))).head().getLong(0) == 4L)
+  }
+
+  test("readOptimized is a no-op on COPY_ON_WRITE") {
+    val root = fixture("cowro")
+    assert(HudiCowLite.snapshot(spark, root, readOptimized = true).files ==
+      HudiCowLite.snapshot(spark, root).files)
   }
 
   test("replacecommit replaces file groups; asOf before it still " +
