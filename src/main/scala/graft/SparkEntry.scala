@@ -12,7 +12,8 @@ object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
     Relational, Joins, Aggregates, Windows, Functions, Functions2,
     Generate, Sinks, Storage, Collections, Pipeline, Pipeline2, Pipeline3,
-    Pipeline4, Pipeline5, Similarity, Connectors, Warehouse, CastMatrix,
+    Pipeline4, Pipeline5, Pipeline6, Similarity, Connectors, Warehouse,
+    CastMatrix,
     Multimodal, Extensibility, Analytics, Analytics2, Analytics3,
     Analytics4, Analytics5, Sketches, Functions3, TpcdsShapes,
     graft.streaming.Streaming
