@@ -652,6 +652,74 @@ object Storage extends QueryModule {
         q.processAllAvailable()
       } finally q.stop()
       deltaCensus(graft.sources.IcebergLite.read(s, dest))
+    },
+
+    // STREAMING Hudi read — HudiStreamLite (v1 Source: offsets are
+    // COMMIT INSTANTS located by value; each micro-batch the base-file
+    // SET DIFFERENCE between consecutive instants, with loud failure
+    // if a commit drops files — an update/clustering/clean mid-stream).
+    // The query appends commits while draining, one per batch:
+    // initial = batch A, then B, then C — final census = A∪B∪C,
+    // recomputed by the oracle. This closes the FOUR-format streaming
+    // source matrix (Delta q400, Iceberg q401, Paimon q402).
+    "q412_hudi_stream" -> { (s, dir) =>
+      val root = authorHudiStreamTable(s, dir, upTo = 0)
+      s.catalog.dropTempView("q412_sink"): Unit
+      val stream = s.readStream
+        .format("org.apache.spark.sql.graftstream.HudiStreamLite")
+        .option("path", root)
+        .option("maxCommitsPerTrigger", "1")
+        .load()
+      val agg = stream.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_qty"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_price"))
+      val q = agg.writeStream.outputMode("complete")
+        .format("memory").queryName("q412_sink").start()
+      try {
+        q.processAllAvailable()
+        appendHudiStreamCommit(s, dir, root, 1)
+        q.processAllAvailable()
+        appendHudiStreamCommit(s, dir, root, 2)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table("q412_sink").orderBy(col("l_returnflag"))
+    },
+
+    // The same ETL loop on Hudi — HudiStreamLite source →
+    // HudiStreamSinkLite sink → HudiCowLite batch read, closing the
+    // FOUR-format sink matrix. Each source commit becomes one sink
+    // commit whose extraMetadata carries the exactly-once record
+    // (query id + batch id — the surface Hudi Streamer keeps its own
+    // checkpoint on); the destination census must equal A∪B∪C.
+    "q413_hudi_stream_sink" -> { (s, dir) =>
+      val src = authorHudiStreamTable(s, dir, upTo = 0)
+      val dest = src + "_sinkdest"
+      def rm(p: java.io.File): Unit = {
+        if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+        p.delete(): Unit
+      }
+      rm(new java.io.File(dest))
+      val q = s.readStream
+        .format("org.apache.spark.sql.graftstream.HudiStreamLite")
+        .option("path", src)
+        .option("maxCommitsPerTrigger", "1")
+        .load()
+        .writeStream
+        .format("org.apache.spark.sql.graftstream.HudiStreamSinkLite")
+        .option("path", dest)
+        .option("checkpointLocation", s"$dest/_ckpt")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        appendHudiStreamCommit(s, dir, src, 1)
+        q.processAllAvailable()
+        appendHudiStreamCommit(s, dir, src, 2)
+        q.processAllAvailable()
+      } finally q.stop()
+      deltaCensus(graft.sources.HudiCowLite.read(s, dest))
     }
   )
 
@@ -1245,6 +1313,57 @@ object Storage extends QueryModule {
       head +
         s"""{"add":{"path":${jstr(rel)},"partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}
            |""".stripMargin)
+  }
+
+  /** Authors the APPEND-ONLY Hudi COW table q412/q413 stream from:
+    * fresh root with instants 1..upTo+1 (instant v+1 commits batch
+    * l_orderkey%10 == v as a NEW file group under the empty partition
+    * path). NOT memoized: the stream test appends commits mid-run. */
+  private def authorHudiStreamTable(s: SparkSession, dir: String,
+                                    upTo: Int): String = {
+    import java.nio.file.{Files, Paths}
+    val root =
+      s"/tmp/graft_hudistream/li_${Integer.toHexString(dir.hashCode)}"
+    def rm(p: java.io.File): Unit = {
+      if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+      p.delete(): Unit
+    }
+    rm(new java.io.File(root))
+    Files.createDirectories(Paths.get(root, ".hoodie"))
+    Files.writeString(Paths.get(root, ".hoodie", "hoodie.properties"),
+      "hoodie.table.name=lineitem_stream\n" +
+        "hoodie.table.type=COPY_ON_WRITE\n")
+    for (v <- 0 to upTo) appendHudiStreamCommit(s, dir, root, v)
+    root
+  }
+
+  /** Appends instant `v+1` to the q412 stream table: batch
+    * (l_orderkey%10 == v) lands as new file group b<v> and the commit
+    * JSON publishes atomically (a concurrent timeline poll must never
+    * read half a commit). */
+  private def appendHudiStreamCommit(s: SparkSession, dir: String,
+                                     root: String, v: Int): Unit = {
+    import java.nio.file.Paths
+    def rm(p: java.io.File): Unit = {
+      if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+      p.delete(): Unit
+    }
+    val src = Tables.df(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"),
+        col("l_extendedprice"), col("l_returnflag"))
+    val tmp = s"$root/_tmp"
+    src.filter(col("l_orderkey") % 10 === v)
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith(".")).get
+    val instant = (v + 1).toString
+    val rel = s"b${v}_0-0_$instant.parquet"
+    assert(part.renameTo(new java.io.File(s"$root/$rel")))
+    rm(new java.io.File(tmp))
+    graft.sources.AtomicFiles.write(
+      Paths.get(root, ".hoodie", s"$instant.commit"),
+      s"""{"partitionToWriteStats":{"":[{"fileId":${jstr(s"b$v")},"path":${jstr(rel)},"numWrites":1}]}}""")
   }
 
   /** Authors the APPEND-ONLY Iceberg table q401 streams from: fresh
@@ -1920,6 +2039,26 @@ object Storage extends QueryModule {
         |ORDER BY l_returnflag""".stripMargin,
     // Iceberg source snapshots 1,2,3 streamed through the sink = A∪B∪C
     "q405_iceberg_stream_sink" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_price
+        |FROM lineitem WHERE l_orderkey % 10 IN (0, 1, 2)
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    // streamed census after instants 1,2,3 = batches A∪B∪C
+    "q412_hudi_stream" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_price
+        |FROM lineitem WHERE l_orderkey % 10 IN (0, 1, 2)
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    // source→sink→batch-read loop lands the same A∪B∪C
+    "q413_hudi_stream_sink" ->
       """SELECT l_returnflag, count(*) AS n,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
         |   AS sum_qty,

@@ -180,6 +180,37 @@ object HudiCowLite {
     Snapshot(wanted.last._1, groups.values.toSeq.map(p => s"$tableDir/$p"))
   }
 
+  /** Completed COMMIT instants in numeric order — the offset surface
+    * for streaming reads. COW-only scope (the table-type gate runs via
+    * `snapshot`'s own checks when batches resolve); bounded listing. */
+  def completedCommits(spark: SparkSession, tableDir: String): Seq[String] = {
+    val hoodieDir = new Path(tableDir, ".hoodie")
+    val fs = hoodieDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hoodieDir))
+      throw new IllegalStateException(s"$tableDir has no .hoodie directory")
+    fs.listStatus(hoodieDir).toSeq.map(_.getPath.getName)
+      .collect { case n if n.matches("\\d+\\.commit") =>
+        n.stripSuffix(".commit") }
+      .sortBy(BigInt(_))
+  }
+
+  /** A completed commit's `extraMetadata` map (empty when absent) —
+    * the surface Hudi's own streaming ingest (Hudi Streamer) uses for
+    * its checkpoint keys, and [[HudiStreamSinkLite]]'s exactly-once
+    * dedup record. */
+  def extraMetadata(spark: SparkSession, tableDir: String,
+                    instant: String): Map[String, String] = {
+    val p = new Path(tableDir, s".hoodie/$instant.commit")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) throw new IllegalStateException(
+      s"$tableDir: no completed commit at instant $instant")
+    (JsonMethods.parse(readText(fs, p)) \ "extraMetadata") match {
+      case JObject(kvs) => kvs.collect {
+        case (k, JString(v)) => k -> v }.toMap
+      case _ => Map.empty
+    }
+  }
+
   /** DataFrame over the snapshot's base files — one native parquet
     * scan (COW base files carry every column; on MOR the same holds
     * for the read-optimized view). */
