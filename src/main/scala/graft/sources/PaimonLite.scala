@@ -368,7 +368,6 @@ object PaimonLite {
     else if (snap.primaryKeys.isEmpty)
       spark.read.schema(snap.schema).parquet(snap.files: _*)
     else {
-      import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.functions._
       val raw = spark.read.parquet(snap.files: _*)
       val keyCols = snap.primaryKeys.map(k => s"_KEY_$k")
@@ -380,20 +379,26 @@ object PaimonLite {
           s"${missing.mkString(", ")} — not a deduplicate-engine " +
           "parquet layout PaimonLite can merge")
       // latest sequence per key wins; ties break by kind (an update
-      // outranks the insert it replaces) then file path — both
-      // deterministic. A winning -D (3) deletes the key; a winning
-      // -U (1) cannot occur in stored KeyValues (retractions always
-      // precede their +U), so filtering to +I/+U is exact.
-      val w = Window.partitionBy(keyCols.map(col): _*)
-        .orderBy(col("_SEQUENCE_NUMBER").desc, col("_VALUE_KIND").desc,
-          col("_pm_file").desc)
+      // outranks the insert it replaces) then file path — all three
+      // deterministic, folded into one orderable struct so the merge
+      // is max_by under a plain AGGREGATE: it PARTIAL-COMBINES
+      // map-side (each input partition keeps one candidate per key
+      // before the shuffle), where a window formulation would ship
+      // every version and sort whole partitions. A winning -D (3)
+      // deletes the key; a winning -U (1) cannot occur in stored
+      // KeyValues (retractions always precede their +U), so filtering
+      // to +I/+U is exact.
+      val ord = struct(col("_SEQUENCE_NUMBER"), col("_VALUE_KIND"),
+        col("_pm_file"))
+      val payload = struct(
+        (col("_VALUE_KIND") +: snap.schema.fieldNames.toSeq.map(col)): _*)
       raw
         .withColumn("_pm_file", col("_metadata.file_path"))
-        .withColumn("_pm_rn", row_number().over(w))
-        .filter(col("_pm_rn") === 1 &&
-          col("_VALUE_KIND").cast("int").isin(0, 2))
+        .groupBy(keyCols.map(col): _*)
+        .agg(max_by(payload, ord).as("_pm_top"))
+        .filter(col("_pm_top._VALUE_KIND").cast("int").isin(0, 2))
         .select(snap.schema.fields.toSeq.map(f =>
-          col(f.name).cast(f.dataType).as(f.name)): _*)
+          col(s"_pm_top.${f.name}").cast(f.dataType).as(f.name)): _*)
     }
   }
 }

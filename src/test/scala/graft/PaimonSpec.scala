@@ -198,6 +198,14 @@ class PaimonSpec extends AnyFunSuite {
     assert(got.schema.fieldNames.toSeq == Seq("id", "v"))
     assert(got.as[(Long, Long)].collect().sorted.toSeq ==
       Seq((1L, 100L), (2L, 100L), (3L, 9L), (4L, 12L)))
+    // the LSM merge must be an AGGREGATE (partial max_by combines
+    // map-side before the one keyed shuffle), never a window (which
+    // ships every version and sorts whole partitions)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_max_by") || plan.contains("max_by"),
+      s"PK merge does not ride max_by:\n$plan")
+    assert(!plan.contains("Window"),
+      s"PK merge rides a window — no map-side combine:\n$plan")
     // snapshot 1 = the raw inserts
     assert(PaimonLite.read(spark, root, Some(1L))
       .as[(Long, Long)].collect().sorted.toSeq ==
