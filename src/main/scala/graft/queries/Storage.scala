@@ -340,6 +340,19 @@ object Storage extends QueryModule {
         .read(s, authorIcebergDeleteTable(s, dir)))
     },
 
+    // Delta COLUMN MAPPING (mode=name) — the authored table's data
+    // files carry PHYSICAL col-<n> column names; the logical schema's
+    // field metadata (delta.columnMapping.physicalName) maps them
+    // back, the partition column travels in the log keyed by its
+    // physical name, and protocol minReaderVersion=2 declares the
+    // capability. This is what every real Delta table looks like
+    // after a column rename — the reader projects physical → logical
+    // and the census hash-matches the source.
+    "q414_delta_column_mapping" -> { (s, dir) =>
+      deltaCensus(graft.sources.DeltaLogLite
+        .read(s, authorDeltaMappedTable(s, dir)))
+    },
+
     // Iceberg v2 EQUALITY deletes — snapshot 2 of a third authored
     // table adds an equality-delete parquet on field id 1
     // (l_orderkey): every batch-A key with l_quantity > 30 dies, BUT
@@ -1153,6 +1166,66 @@ object Storage extends QueryModule {
       })
     }
 
+  private val deltaMappedMemo =
+    scala.collection.mutable.Map.empty[String, String]
+
+  /** Authors the COLUMN-MAPPED (mode=name) Delta table used by q414:
+    * partitioned by l_returnflag (log-borne, physically keyed
+    * `col-4`), data files holding batches l_orderkey%10 ∈ {0,1} under
+    * physical names col-1..col-3, logical schema mapping them back via
+    * field metadata, protocol minReaderVersion=2. Memoized per
+    * sf-dir. */
+  private def authorDeltaMappedTable(s: SparkSession, dir: String): String =
+    deltaMappedMemo.synchronized {
+      deltaMappedMemo.getOrElseUpdate(dir, {
+        import java.nio.file.{Files, Paths}
+        val root =
+          s"/tmp/graft_delta/cmap_${Integer.toHexString(dir.hashCode)}"
+        def rm(p: java.io.File): Unit = {
+          if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+          p.delete(): Unit
+        }
+        rm(new java.io.File(root))
+        Files.createDirectories(Paths.get(root, "_delta_log"))
+        Files.createDirectories(Paths.get(root, "data"))
+        val src = Tables.df(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity"),
+            col("l_extendedprice"), col("l_returnflag"))
+          .filter((col("l_orderkey") % 10).isin(0, 1))
+        val flags = src.select(col("l_returnflag")).distinct()
+          .collect().map(_.getString(0)).sorted
+        // one data file per partition value, PHYSICAL column names,
+        // partition column dropped from the file (Delta convention)
+        val adds = flags.map { rf =>
+          val tmp = s"$root/_tmp"
+          src.filter(col("l_returnflag") === rf)
+            .select(col("l_orderkey").as("col-1"),
+              col("l_quantity").as("col-2"),
+              col("l_extendedprice").as("col-3"))
+            .coalesce(1).write.mode("overwrite").parquet(tmp)
+          val pf = new java.io.File(tmp).listFiles()
+            .find(f => f.getName.endsWith(".parquet") &&
+              !f.getName.startsWith(".")).get
+          val rel = s"data/p-$rf.parquet"
+          assert(pf.renameTo(new java.io.File(s"$root/$rel")))
+          rm(new java.io.File(tmp))
+          // partitionValues keyed by the PHYSICAL name, per protocol
+          s"""{"add":{"path":${jstr(rel)},"partitionValues":{"col-4":${jstr(rf)}},"size":1,"modificationTime":0,"dataChange":true}}"""
+        }
+        def fld(name: String, tpe: String, id: Int): String =
+          s"""{"name":${jstr(name)},"type":${jstr(tpe)},"nullable":true,"metadata":{"delta.columnMapping.id":$id,"delta.columnMapping.physicalName":${jstr(s"col-$id")}}}"""
+        val schema =
+          s"""{"type":"struct","fields":[${fld("l_orderkey", "long", 1)},${fld("l_quantity", "double", 2)},${fld("l_extendedprice", "double", 3)},${fld("l_returnflag", "string", 4)}]}"""
+        val lines = Seq(
+          """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+          s"""{"metaData":{"id":"graft-q414","format":{"provider":"parquet","options":{}},"schemaString":${jstr(schema)},"partitionColumns":["l_returnflag"],"configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"4"},"createdTime":0}}""") ++
+          adds
+        Files.writeString(Paths.get(root, "_delta_log", f"${0L}%020d.json"),
+          lines.mkString("", "\n", "\n"))
+        root
+      })
+    }
+
   private val icebergEqMemo =
     scala.collection.mutable.Map.empty[String, String]
 
@@ -1930,6 +2003,16 @@ object Storage extends QueryModule {
         |FROM lineitem
         |WHERE l_orderkey % 10 = 1
         |   OR (l_orderkey % 10 = 0 AND NOT (l_quantity > 25))
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    // column-mapped table holds batches %10 ∈ {0,1} of every flag
+    "q414_delta_column_mapping" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_price
+        |FROM lineitem WHERE l_orderkey % 10 IN (0, 1)
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
     // Iceberg equality delete: A loses keys with quantity > 30; the

@@ -47,21 +47,30 @@ import org.json4s.jackson.JsonMethods
   *  - malformed `_last_checkpoint`/action JSON, a missing checkpoint
   *    part, or a missing `metaData` throws with the file named.
   *
+  * COLUMN MAPPING (PROTOCOL.md "Column Mapping"): mode `name` is READ
+  * — each schema field's metadata names its physical parquet column
+  * (`delta.columnMapping.physicalName`, typically `col-<uuid>`), so
+  * data files are read under the PHYSICAL schema and projected back to
+  * logical names, and `add.partitionValues` keys (physical, per the
+  * protocol) resolve through the same map. Mode `id` (parquet
+  * field-id resolution) and nested columns under mapping stay refused.
+  *
   * PROTOCOL GATING (PROTOCOL.md "Protocol Evolution"): the snapshot's
   * latest `protocol` action is tracked through both the checkpoint and
   * the JSON replay, and the table is REFUSED when reading it correctly
   * would require a capability this reader lacks:
-  *  - `minReaderVersion` 2 (column mapping) is refused;
+  *  - `minReaderVersion` 2 (column mapping) is allowed — see above;
   *  - `minReaderVersion` 3 (table features) is allowed only when every
   *    listed `readerFeatures` entry is in [[supportedReaderFeatures]] —
   *    `timestampNtz` (Spark's parquet reader handles TIMESTAMP_NTZ
-  *    natively) and `vacuumProtocolCheck` (a vacuum-time writer
-  *    obligation; PROTOCOL.md says readers need no special handling);
+  *    natively), `vacuumProtocolCheck` (a vacuum-time writer
+  *    obligation; PROTOCOL.md says readers need no special handling)
+  *    and `columnMapping` (read via the physical-name projection);
   *  - any `add` carrying a non-null `deletionVector` is refused (its
   *    rows would otherwise be resurrected);
   *  - `metaData.configuration["delta.columnMapping.mode"]` other than
-  *    `none` is refused (physical parquet columns are `col-<uuid>`
-  *    renamed — a by-name read would return all nulls).
+  *    `none`/`name` is refused (mode `id` resolves by parquet field
+  *    id — outside lite scope; a by-name read would return all nulls).
   * A table with NO protocol action (pre-protocol fixtures) is treated
   * as reader version 1, which is exactly what such a log means.
   */
@@ -69,19 +78,20 @@ object DeltaLogLite {
 
   final case class AddFile(path: String, partitionValues: Map[String, String])
   final case class Snapshot(version: Long, schema: StructType,
-                            partitionColumns: Seq[String], files: Seq[AddFile])
+                            partitionColumns: Seq[String], files: Seq[AddFile],
+                            physicalNames: Map[String, String] = Map.empty)
 
   private final case class Protocol(minReaderVersion: Int,
                                     readerFeatures: Set[String])
 
   /** Reader features this lite reader genuinely satisfies; anything
-    * else (deletionVectors, columnMapping, v2Checkpoint, …) is a loud
-    * refusal, never a silent wrong answer. */
+    * else (deletionVectors, v2Checkpoint, …) is a loud refusal, never
+    * a silent wrong answer. */
   private val supportedReaderFeatures = Set("timestampNtz",
-    "vacuumProtocolCheck")
+    "vacuumProtocolCheck", "columnMapping")
 
   private def gateProtocol(tableDir: String, p: Protocol): Unit = {
-    val ok = p.minReaderVersion <= 1 ||
+    val ok = p.minReaderVersion <= 2 ||
       (p.minReaderVersion == 3 &&
         (p.readerFeatures -- supportedReaderFeatures).isEmpty)
     if (!ok) throw new IllegalStateException(
@@ -90,21 +100,48 @@ object DeltaLogLite {
         (if (p.readerFeatures.nonEmpty)
           s", readerFeatures=${p.readerFeatures.toSeq.sorted.mkString(",")}"
         else "") +
-        ") — DeltaLogLite reads reader-version-1 tables, plus " +
+        ") — DeltaLogLite reads reader-version-1/2 tables, plus " +
         "version-3 tables whose readerFeatures all fall in " +
         supportedReaderFeatures.toSeq.sorted.mkString("{", ",", "}"))
   }
 
-  private def gateColumnMapping(tableDir: String,
-                                configuration: Map[String, String]): Unit =
-    configuration.get("delta.columnMapping.mode")
-      .filter(m => m != "none")
-      .foreach { m =>
+  /** Resolve the logical→physical column map for the table's column-
+    * mapping mode: empty for none, the per-field
+    * `delta.columnMapping.physicalName` metadata for `name` (a field
+    * missing it, or a nested column — whose inner names would also be
+    * mapped — refuses), anything else (`id` resolves by parquet field
+    * id) refuses. */
+  private def columnMapping(tableDir: String, schema: StructType,
+                            configuration: Map[String, String])
+  : Map[String, String] =
+    configuration.get("delta.columnMapping.mode") match {
+      case None | Some("none") => Map.empty
+      case Some("name") =>
+        val key = "delta.columnMapping.physicalName"
+        schema.fields.map { f =>
+          def hasStruct(dt: DataType): Boolean = dt match {
+            case _: StructType => true
+            case a: org.apache.spark.sql.types.ArrayType =>
+              hasStruct(a.elementType)
+            case m: org.apache.spark.sql.types.MapType =>
+              hasStruct(m.keyType) || hasStruct(m.valueType)
+            case _ => false
+          }
+          if (hasStruct(f.dataType)) throw new IllegalStateException(
+            s"$tableDir: column ${f.name} is nested under " +
+              "columnMapping.mode=name — inner physical names are " +
+              "outside DeltaLogLite scope")
+          if (!f.metadata.contains(key)) throw new IllegalStateException(
+            s"$tableDir: columnMapping.mode=name but field ${f.name} " +
+              "carries no physicalName metadata — malformed table")
+          f.name -> f.metadata.getString(key)
+        }.toMap
+      case Some(m) =>
         throw new IllegalStateException(
           s"$tableDir: delta.columnMapping.mode=$m is not supported — " +
-            "physical parquet column names differ from the logical " +
-            "schema; a by-name read would return nulls")
-      }
+            "only none/name are in DeltaLogLite scope (id resolves by " +
+            "parquet field id)")
+    }
 
   private implicit val fmts: Formats = DefaultFormats
 
@@ -314,9 +351,9 @@ object DeltaLogLite {
     val sch = schema.getOrElse(throw new IllegalStateException(
       s"$tableDir: log replay finished without a metaData action"))
     protocol.foreach(gateProtocol(tableDir, _))
-    gateColumnMapping(tableDir, conf)
+    val phys = columnMapping(tableDir, sch, conf)
     Snapshot(wanted.lastOption.map(_._1).getOrElse(base), sch, partCols,
-      live.values.toSeq)
+      live.values.toSeq, phys)
   }
 
   /** Highest commit version currently in the log (checkpoint-aware:
@@ -469,20 +506,29 @@ object DeltaLogLite {
   /** Build the typed DataFrame for a set of AddFiles under `snap`'s
     * schema/partition columns — the shared data-read path for both
     * snapshot reads and streaming batches (partition values come from
-    * the log, CAST to declared types; data files carry the rest). */
+    * the log, CAST to declared types; data files carry the rest).
+    * Under column mapping, data files are read by their PHYSICAL
+    * column names and projected back to logical ones, and
+    * `partitionValues` keys (physical per the protocol) resolve
+    * through the same map. */
   def readFiles(spark: SparkSession, tableDir: String,
-                               schema: StructType, partColumns: Seq[String],
-                               files: Seq[AddFile]): DataFrame = {
+                schema: StructType, partColumns: Seq[String],
+                files: Seq[AddFile],
+                physicalNames: Map[String, String] = Map.empty): DataFrame = {
+    def phys(c: String): String = physicalNames.getOrElse(c, c)
     val dataSchema = StructType(
-      schema.filterNot(f => partColumns.contains(f.name)))
+      schema.filterNot(f => partColumns.contains(f.name))
+        .map(f => f.copy(name = phys(f.name))))
+    val dataCols = schema.fieldNames.filterNot(partColumns.contains)
     val groups = files.groupBy(_.partitionValues).toSeq
       .sortBy(_._1.toSeq.sortBy(_._1).mkString("\u0000"))
     val parts = groups.map { case (pv, fl) =>
       val base = spark.read.schema(dataSchema)
         .parquet(fl.map(f => s"$tableDir/${decodeRelPath(f.path)}"): _*)
+        .select(dataCols.map(c => col(phys(c)).as(c)).toSeq: _*)
       partColumns.foldLeft(base) { (df, c) =>
         val f = schema(c)
-        val v = pv.get(c) match {
+        val v = pv.get(phys(c)) match {
           case Some(s) => lit(s).cast(f.dataType)
           case None    => lit(null).cast(f.dataType)
         }
@@ -520,6 +566,6 @@ object DeltaLogLite {
            versionAsOf: Option[Long] = None): DataFrame = {
     val snap = snapshot(spark, tableDir, versionAsOf)
     readFiles(spark, tableDir, snap.schema, snap.partitionColumns,
-      snap.files)
+      snap.files, snap.physicalNames)
   }
 }

@@ -92,7 +92,7 @@ class DeltaStreamSource(sqlContext: SQLContext, tableDir: String,
           else DeltaLogLite.addsBetween(
             spark, tableDir, startV, endV, schemaJson)
         DeltaLogLite.readFiles(spark, tableDir, initial.schema,
-          initial.partitionColumns, adds)
+          initial.partitionColumns, adds, initial.physicalNames)
     }
     asStreamingBatch(batch)
   }

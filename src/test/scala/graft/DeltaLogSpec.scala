@@ -216,27 +216,32 @@ class DeltaLogSpec extends AnyFunSuite {
         s""","readerFeatures":[${feats.map(jstr).mkString(",")}]"""
       else "") + "}}"
 
-  test("protocol gate: minReaderVersion=1 reads green; 2 (column " +
-    "mapping) and 3 with unsupported readerFeatures refuse loudly") {
+  test("protocol gate: minReaderVersion=1/2 read green; 3 with " +
+    "unsupported readerFeatures and unknown versions refuse loudly") {
     val (root, schema) = fixture("proto")
     commit(root, 0, protocol(1), meta(schema), add("f0.parquet", "a"),
       add("f%20one.parquet", "b"))
     assert(DeltaLogLite.read(spark, root).count() == 10)
 
+    // reader version 2 = column mapping, which the reader now honors
+    // (this table stays mode=none, so the map is empty)
     commit(root, 1, protocol(2))
-    val e2 = intercept[IllegalStateException] {
-      DeltaLogLite.snapshot(spark, root)
-    }
-    assert(e2.getMessage.contains("minReaderVersion=2"))
-    // versionAsOf BEFORE the upgrade still reads — the snapshot's own
-    // protocol is what gates, not the log head's
-    assert(DeltaLogLite.read(spark, root, Some(0L)).count() == 10)
+    assert(DeltaLogLite.read(spark, root).count() == 10)
 
     commit(root, 2, protocol(3, "deletionVectors"))
     val e3 = intercept[IllegalStateException] {
       DeltaLogLite.snapshot(spark, root)
     }
     assert(e3.getMessage.contains("deletionVectors"))
+    // versionAsOf BEFORE the upgrade still reads — the snapshot's own
+    // protocol is what gates, not the log head's
+    assert(DeltaLogLite.read(spark, root, Some(1L)).count() == 10)
+
+    commit(root, 3, protocol(4))
+    val e4 = intercept[IllegalStateException] {
+      DeltaLogLite.snapshot(spark, root)
+    }
+    assert(e4.getMessage.contains("minReaderVersion=4"))
   }
 
   test("protocol gate: minReaderVersion=3 with only supported " +
@@ -257,17 +262,68 @@ class DeltaLogSpec extends AnyFunSuite {
     assert(e.getMessage.contains("deletionVector"))
   }
 
-  test("delta.columnMapping.mode != none refuses loudly") {
-    val (root, schema) = fixture("cmap")
+  test("columnMapping mode=name reads: physical columns project back " +
+    "to logical names, partitionValues resolve by physical key") {
+    val root = "/tmp/graft_deltaspec/cmapread"
+    def rm(p: java.io.File): Unit = {
+      if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+      p.delete(): Unit
+    }
+    rm(new java.io.File(root))
+    Files.createDirectories(Paths.get(root, "_delta_log"))
+    // data file carries PHYSICAL column names col-aa / col-bb
+    val tmp = s"$root/_tmp"
+    spark.range(0, 5).select(col("id").as("col-aa"),
+      (col("id") * 2).as("col-bb"))
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val pf = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith(".")).get
+    assert(pf.renameTo(new java.io.File(s"$root/f0.parquet")))
+    rm(new java.io.File(tmp))
+    // logical schema (id, v, part) whose field metadata names the
+    // physical columns; `part` is log-borne and keyed physically
+    def fld(name: String, tpe: String, phys: String): String =
+      s"""{"name":${jstr(name)},"type":${jstr(tpe)},"nullable":true,
+         |"metadata":{"delta.columnMapping.id":1,
+         |"delta.columnMapping.physicalName":${jstr(phys)}}}"""
+        .stripMargin.replace("\n", "")
+    val schema = s"""{"type":"struct","fields":[${fld("id", "long",
+      "col-aa")},${fld("v", "long", "col-bb")},${fld("part", "string",
+      "col-pp")}]}"""
     val md =
       s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":${jstr(schema)},"partitionColumns":["part"],"configuration":{"delta.columnMapping.mode":"name"},"createdTime":0}}"""
-    commit(root, 0, md, add("f0.parquet", "a"))
+    commit(root, 0, protocol(2), md,
+      s"""{"add":{"path":"f0.parquet","partitionValues":{"col-pp":"a"},"size":1,"modificationTime":0,"dataChange":true}}""")
+    val got = DeltaLogLite.read(spark, root)
+    assert(got.schema.fieldNames.toSeq == Seq("id", "v", "part"))
+    import spark.implicits._
+    assert(got.select("id", "v", "part").as[(Long, Long, String)]
+      .collect().sorted.toSeq ==
+      (0L to 4L).map(i => (i, i * 2, "a")))
+  }
+
+  test("columnMapping mode=id and missing physicalName refuse loudly") {
+    val (root, schema) = fixture("cmap")
+    // mode=id resolves by parquet field id — outside lite scope
+    val mdId =
+      s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":${jstr(schema)},"partitionColumns":["part"],"configuration":{"delta.columnMapping.mode":"id"},"createdTime":0}}"""
+    commit(root, 0, mdId, add("f0.parquet", "a"))
     val e = intercept[IllegalStateException] {
       DeltaLogLite.snapshot(spark, root)
     }
-    assert(e.getMessage.contains("columnMapping"))
+    assert(e.getMessage.contains("mode=id"))
+    // mode=name whose fields carry NO physicalName metadata: malformed
+    val mdName = mdId.replace(""""delta.columnMapping.mode":"id"""",
+      """"delta.columnMapping.mode":"name"""")
+    commit(root, 0, mdName, add("f0.parquet", "a"))
+    val e2 = intercept[IllegalStateException] {
+      DeltaLogLite.snapshot(spark, root)
+    }
+    assert(e2.getMessage.contains("physicalName"))
     // mode=none is explicitly fine
-    val mdNone = md.replace("\"name\"", "\"none\"")
+    val mdNone =
+      s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":${jstr(schema)},"partitionColumns":["part"],"configuration":{"delta.columnMapping.mode":"none"},"createdTime":0}}"""
     commit(root, 0, mdNone, add("f0.parquet", "a"))
     assert(DeltaLogLite.read(spark, root).count() == 5)
   }
@@ -285,7 +341,7 @@ class DeltaLogSpec extends AnyFunSuite {
     val protoRow = spark.range(1).select(
       lit(null).cast(addT).as("add"),
       lit(null).cast(metaT).as("metaData"),
-      struct(lit(2).as("minReaderVersion")).as("protocol"))
+      struct(lit(4).as("minReaderVersion")).as("protocol"))
     val metaRow = spark.range(1).select(
       lit(null).cast(addT).as("add"),
       struct(lit(schema).as("schemaString"),
@@ -309,7 +365,7 @@ class DeltaLogSpec extends AnyFunSuite {
     val e = intercept[IllegalStateException] {
       DeltaLogLite.snapshot(spark, root)
     }
-    assert(e.getMessage.contains("minReaderVersion=2"))
+    assert(e.getMessage.contains("minReaderVersion=4"))
   }
 
   test("absolute add.path refuses loudly; missing log refuses") {
