@@ -300,6 +300,17 @@ object Storage extends QueryModule {
         graft.sources.DeltaLogLite.read(s, root, versionAsOf = Some(0L)))
     },
 
+    // Same table, timestampAsOf=1500ms: between commit 0 (stamped
+    // 1000 via commitInfo.timestamp — the deterministic
+    // inCommitTimestamps surface) and commit 1 (2000), so the
+    // timestamp resolves to version 0 — the OTHER public time-travel
+    // axis next to q390's versionAsOf.
+    "q416_delta_ts_travel" -> { (s, dir) =>
+      val root = authorDeltaTable(s, dir)
+      deltaCensus(graft.sources.DeltaLogLite
+        .read(s, root, timestampAsOf = Some(1500L)))
+    },
+
     // Iceberg-metadata table read — the second lakehouse leg
     // (reference thirdparty/auron-iceberg/.../
     // IcebergConvertProvider.scala). The query authors an Iceberg-spec
@@ -429,6 +440,15 @@ object Storage extends QueryModule {
     "q397_paimon_read" -> { (s, dir) =>
       deltaCensus(
         graft.sources.PaimonLite.read(s, authorPaimonTable(s, dir)))
+    },
+
+    // Iceberg timestamp travel: 1500ms lands between snapshot 1
+    // (timestamp-ms 1000) and snapshot 2 (2000) — resolves to the
+    // pre-delete snapshot 1, same result as q392's id-based travel
+    // but through the format's OTHER public time-travel axis.
+    "q415_iceberg_ts_travel" -> { (s, dir) =>
+      deltaCensus(graft.sources.IcebergLite
+        .read(s, authorIcebergTable(s, dir), asOfTimestampMs = Some(1500L)))
     },
 
     // Same table pinned to snapshot 1 (pre-delete): A∪B — proving
@@ -821,14 +841,18 @@ object Storage extends QueryModule {
         }
         val metaData =
           s"""{"metaData":{"id":"graft-q389","format":{"provider":"parquet","options":{}},"schemaString":${jstr(src.schema.json)},"partitionColumns":["l_returnflag"],"configuration":{},"createdTime":0}}"""
-        val commit0 = (metaData +:
+        // commitInfo timestamps make the log timestamp-travelable
+        // (the deterministic inCommitTimestamps surface q416 rides)
+        val commit0 = (s"""{"commitInfo":{"timestamp":1000}}""" +:
+          metaData +:
           (files(0) ++ batch1).map { case (r, rf) => addLine(r, rf) })
           .mkString("", "\n", "\n")
-        val commit1 = (files(2).map { case (r, rf) => addLine(r, rf) } ++
+        val commit1 = (s"""{"commitInfo":{"timestamp":2000}}""" +:
+          (files(2).map { case (r, rf) => addLine(r, rf) } ++
           files(0).map { case (r, _) =>
             val enc = r.replace("%", "%25").replace(" ", "%20")
             s"""{"remove":{"path":${jstr(enc)},"deletionTimestamp":0,"dataChange":true}}"""
-          }).mkString("", "\n", "\n")
+          })).mkString("", "\n", "\n")
         val logDir = Paths.get(root, "_delta_log")
         Files.createDirectories(logDir)
         Files.writeString(logDir.resolve(f"${0L}%020d.json"), commit0)
@@ -1049,8 +1073,8 @@ object Storage extends QueryModule {
              |"schemas":[{"schema-id":0,"type":"struct","fields":$fields}],
              |"current-snapshot-id":2,
              |"snapshots":[
-             | {"snapshot-id":1,"manifest-list":"metadata/snap-1.avro"},
-             | {"snapshot-id":2,"manifest-list":${jstr(s"file://$root/metadata/snap-2.avro")}}
+             | {"snapshot-id":1,"timestamp-ms":1000,"manifest-list":"metadata/snap-1.avro"},
+             | {"snapshot-id":2,"timestamp-ms":2000,"manifest-list":${jstr(s"file://$root/metadata/snap-2.avro")}}
              |]}""".stripMargin
         Files.writeString(Paths.get(root, "metadata", "v1.metadata.json"),
           metaJson)
@@ -2148,6 +2172,26 @@ object Storage extends QueryModule {
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
         |   AS sum_price
         |FROM lineitem WHERE l_orderkey % 10 IN (0, 1, 2)
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    // timestamp 1500ms resolves to snapshot 1 = batches A∪B
+    "q415_iceberg_ts_travel" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_price
+        |FROM lineitem WHERE l_orderkey % 10 IN (0, 1)
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    // timestamp 1500ms resolves to commit 0 = batches A∪B
+    "q416_delta_ts_travel" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_price
+        |FROM lineitem WHERE l_orderkey % 10 IN (0, 1)
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
     // snapshot-id 1 = batches A∪B (pre-delete)

@@ -356,6 +356,48 @@ object DeltaLogLite {
       live.values.toSeq, phys)
   }
 
+  /** Resolve `timestampAsOf` to a version: the LATEST commit whose
+    * `commitInfo.timestamp` is ≤ the asked instant. Deterministic
+    * time travel rides the commits' OWN recorded timestamps (the
+    * surface Delta's inCommitTimestamps feature makes authoritative)
+    * — file modification times are deployment trivia and are never
+    * consulted. A commit without a stamped commitInfo, or an instant
+    * before the first commit, refuses loudly. Bounded: one JSON read
+    * per available commit. */
+  def versionAtTimestamp(spark: SparkSession, tableDir: String,
+                         timestampMs: Long): Long = {
+    val logDir = new Path(tableDir, "_delta_log")
+    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val commits =
+      try fs.listStatus(logDir).toSeq.map(_.getPath)
+        .filter(_.getName.matches("\\d{20}\\.json"))
+        .map(p => p.getName.stripSuffix(".json").toLong -> p)
+        .sortBy(_._1)
+      catch { case _: FileNotFoundException =>
+        throw new IllegalStateException(s"$tableDir has no _delta_log")
+      }
+    if (commits.isEmpty) throw new IllegalStateException(
+      s"$tableDir: empty _delta_log (timestamp travel needs JSON commits)")
+    val stamped = commits.map { case (v, p) =>
+      val in = fs.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val ts = text.linesIterator.filter(_.trim.nonEmpty).flatMap { line =>
+        val action = try JsonMethods.parse(line)
+          catch { case _: Exception => JNothing }
+        (action \ "commitInfo" \ "timestamp").extractOpt[Long]
+      }.nextOption().getOrElse(throw new IllegalStateException(
+        s"$tableDir commit $v has no commitInfo.timestamp — timestamp " +
+          "travel needs stamped commits (inCommitTimestamps)"))
+      v -> ts
+    }
+    val eligible = stamped.filter(_._2 <= timestampMs)
+    if (eligible.isEmpty) throw new IllegalArgumentException(
+      s"$tableDir: no commit at or before timestamp $timestampMs " +
+        s"(earliest is ${stamped.head._2})")
+    eligible.maxBy(_._2)._1
+  }
+
   /** Highest commit version currently in the log (checkpoint-aware:
     * a checkpoint with its JSON gone still names its version). Used by
     * the streaming source's offset probe — one directory listing, no
@@ -563,8 +605,13 @@ object DeltaLogLite {
     * partition values attached as typed literal columns (Delta stores
     * partition columns only in the log, never in the data files). */
   def read(spark: SparkSession, tableDir: String,
-           versionAsOf: Option[Long] = None): DataFrame = {
-    val snap = snapshot(spark, tableDir, versionAsOf)
+           versionAsOf: Option[Long] = None,
+           timestampAsOf: Option[Long] = None): DataFrame = {
+    require(versionAsOf.isEmpty || timestampAsOf.isEmpty,
+      "versionAsOf and timestampAsOf are mutually exclusive")
+    val v = versionAsOf.orElse(
+      timestampAsOf.map(versionAtTimestamp(spark, tableDir, _)))
+    val snap = snapshot(spark, tableDir, v)
     readFiles(spark, tableDir, snap.schema, snap.partitionColumns,
       snap.files, snap.physicalNames)
   }

@@ -182,10 +182,17 @@ object IcebergLite {
 
   /** Resolve the table's snapshot: latest metadata version (via
     * version-hint.text, else the highest v<N>.metadata.json), then the
-    * current snapshot or `snapshotId`. */
+    * current snapshot, `snapshotId`, or — the other public time-travel
+    * axis — `asOfTimestampMs` (the LATEST snapshot whose
+    * `timestamp-ms` is ≤ the asked instant; a table whose snapshots
+    * lack timestamps, or an instant before the first snapshot, refuse
+    * loudly). */
   def snapshot(spark: SparkSession, tableDir: String,
-               snapshotId: Option[Long] = None): Snapshot = {
+               snapshotId: Option[Long] = None,
+               asOfTimestampMs: Option[Long] = None): Snapshot = {
     val (metaFile, meta) = loadMeta(spark, tableDir)
+    require(snapshotId.isEmpty || asOfTimestampMs.isEmpty,
+      "snapshotId and asOfTimestampMs are mutually exclusive")
 
     val fv = (meta \ "format-version").extract[Int]
     if (fv != 1 && fv != 2) throw new IllegalStateException(
@@ -208,7 +215,25 @@ object IcebergLite {
       }
       case _ => Nil
     }
-    val wantedId = snapshotId.orElse(
+    val byTimestamp: Option[Long] = asOfTimestampMs.map { ts =>
+      val stamped = (meta \ "snapshots") match {
+        case JArray(ss) => ss.map { s =>
+          (s \ "snapshot-id").extract[Long] ->
+            (s \ "timestamp-ms").extractOpt[Long].getOrElse(
+              throw new IllegalStateException(
+                s"$metaFile: snapshot ${(s \ "snapshot-id").extract[Long]} " +
+                  "has no timestamp-ms — timestamp travel needs stamped " +
+                  "snapshots"))
+        }
+        case _ => Nil
+      }
+      val eligible = stamped.filter(_._2 <= ts)
+      if (eligible.isEmpty) throw new IllegalArgumentException(
+        s"$metaFile: no snapshot at or before timestamp $ts " +
+          s"(earliest is ${stamped.map(_._2).minOption.getOrElse(-1L)})")
+      eligible.maxBy(_._2)._1
+    }
+    val wantedId = snapshotId.orElse(byTimestamp).orElse(
       (meta \ "current-snapshot-id").extractOpt[Long].filter(_ != -1L))
       .getOrElse(throw new IllegalStateException(
         s"$metaFile: table has no current snapshot"))
@@ -326,9 +351,10 @@ object IcebergLite {
     * positional deletes applied as a LEFT ANTI join on
     * (file_path, row ordinal). */
   def read(spark: SparkSession, tableDir: String,
-           snapshotId: Option[Long] = None): DataFrame = {
+           snapshotId: Option[Long] = None,
+           asOfTimestampMs: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions._
-    val snap = snapshot(spark, tableDir, snapshotId)
+    val snap = snapshot(spark, tableDir, snapshotId, asOfTimestampMs)
     if (snap.files.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)

@@ -368,6 +368,30 @@ class DeltaLogSpec extends AnyFunSuite {
     assert(e.getMessage.contains("minReaderVersion=4"))
   }
 
+  test("timestamp travel rides commitInfo timestamps; unstamped/" +
+    "too-early refuse loudly") {
+    val (root, schema) = fixture("tstravel")
+    commit(root, 0, """{"commitInfo":{"timestamp":1000}}""",
+      meta(schema), add("f0.parquet", "a"))
+    commit(root, 1, """{"commitInfo":{"timestamp":2000}}""",
+      add("f%20one.parquet", "b"))
+    assert(DeltaLogLite.versionAtTimestamp(spark, root, 1500L) == 0L)
+    assert(DeltaLogLite.versionAtTimestamp(spark, root, 2000L) == 1L)
+    assert(DeltaLogLite.read(spark, root,
+      timestampAsOf = Some(1500L)).count() == 5)
+    val e = intercept[IllegalArgumentException] {
+      DeltaLogLite.versionAtTimestamp(spark, root, 999L)
+    }
+    assert(e.getMessage.contains("no commit at or before"))
+    // a commit without commitInfo.timestamp refuses (determinism: file
+    // mtimes are never consulted)
+    commit(root, 2, add("f0.parquet", "c"))
+    val e2 = intercept[IllegalStateException] {
+      DeltaLogLite.versionAtTimestamp(spark, root, 1500L)
+    }
+    assert(e2.getMessage.contains("commitInfo.timestamp"))
+  }
+
   test("absolute add.path refuses loudly; missing log refuses") {
     val (root, schema) = fixture("abs")
     commit(root, 0, meta(schema), add("/etc/owned.parquet", "a"))

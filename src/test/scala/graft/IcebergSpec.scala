@@ -340,6 +340,32 @@ class IcebergSpec extends AnyFunSuite {
     assert(got.schema.fieldNames.toSeq == Seq("id", "v"))
   }
 
+  test("timestamp travel selects by timestamp-ms; unstamped/too-early " +
+    "refuse loudly") {
+    val root = fixture("tstravel")
+    // fixture snapshots carry no timestamp-ms: refusal names the field
+    val e = intercept[IllegalStateException] {
+      IcebergLite.snapshot(spark, root, asOfTimestampMs = Some(1500L))
+    }
+    assert(e.getMessage.contains("timestamp-ms"))
+    // stamp them: snap 1 @1000, snap 2 @2000
+    val meta = Files.readString(
+      Paths.get(root, "metadata", "v3.metadata.json"))
+      .replace(""" {"snapshot-id":1,""",
+        """ {"snapshot-id":1,"timestamp-ms":1000,""")
+      .replace(""" {"snapshot-id":2,""",
+        """ {"snapshot-id":2,"timestamp-ms":2000,""")
+    Files.writeString(Paths.get(root, "metadata", "v3.metadata.json"), meta)
+    assert(IcebergLite.snapshot(spark, root,
+      asOfTimestampMs = Some(1500L)).snapshotId == 1L)
+    assert(IcebergLite.snapshot(spark, root,
+      asOfTimestampMs = Some(2000L)).snapshotId == 2L)
+    val e2 = intercept[IllegalArgumentException] {
+      IcebergLite.snapshot(spark, root, asOfTimestampMs = Some(999L))
+    }
+    assert(e2.getMessage.contains("no snapshot at or before"))
+  }
+
   test("non-file scheme in a stored path refuses loudly") {
     val root = fixture("scheme")
     import spark.implicits._
