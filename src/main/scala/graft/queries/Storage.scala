@@ -351,6 +351,26 @@ object Storage extends QueryModule {
         .read(s, authorIcebergDeleteTable(s, dir)))
     },
 
+    // One entry point over all four formats: GraftLake DETECTS each
+    // authored table's layout from its own marker (_delta_log /
+    // metadata JSON / .hoodie / snapshot+schema) and dispatches to the
+    // right reader — the UX face of the reference's side-by-side
+    // convert providers (thirdparty/auron-*). The censuses of all four
+    // latest snapshots, tagged by detected format, must match the
+    // oracle's recomputation of each table's upsert algebra.
+    "q417_lakehouse_autodetect" -> { (s, dir) =>
+      val tables = Seq(
+        "delta" -> authorDeltaTable(s, dir),
+        "hudi" -> authorHudiTable(s, dir),
+        "iceberg" -> authorIcebergTable(s, dir),
+        "paimon" -> authorPaimonTable(s, dir))
+      tables.map { case (fmt, root) =>
+        deltaCensus(graft.sources.GraftLake.read(s, root))
+          .withColumn("fmt", lit(fmt))
+      }.reduce(_ unionByName _)
+        .orderBy(col("fmt"), col("l_returnflag"))
+    },
+
     // Delta COLUMN MAPPING (mode=name) — the authored table's data
     // files carry PHYSICAL col-<n> column names; the logical schema's
     // field metadata (delta.columnMapping.physicalName) maps them
@@ -2029,6 +2049,37 @@ object Storage extends QueryModule {
         |   OR (l_orderkey % 10 = 0 AND NOT (l_quantity > 25))
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    // four latest censuses tagged by detected format: delta/iceberg/
+    // paimon = batches {1,2}; hudi (post-clustering) = {1,2,3}
+    "q417_lakehouse_autodetect" ->
+      """WITH li AS (
+        |  SELECT l_returnflag, l_quantity, l_extendedprice,
+        |    l_orderkey % 10 AS m
+        |  FROM lineitem),
+        |cen AS (
+        |  SELECT 'delta' AS fmt, l_returnflag, count(*) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS sum_qty,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS sum_price
+        |  FROM li WHERE m IN (1, 2) GROUP BY l_returnflag
+        |  UNION ALL
+        |  SELECT 'hudi', l_returnflag, count(*),
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE),
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |  FROM li WHERE m IN (1, 2, 3) GROUP BY l_returnflag
+        |  UNION ALL
+        |  SELECT 'iceberg', l_returnflag, count(*),
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE),
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |  FROM li WHERE m IN (1, 2) GROUP BY l_returnflag
+        |  UNION ALL
+        |  SELECT 'paimon', l_returnflag, count(*),
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE),
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |  FROM li WHERE m IN (1, 2) GROUP BY l_returnflag)
+        |SELECT fmt, l_returnflag, n, sum_qty, sum_price FROM cen
+        |ORDER BY fmt, l_returnflag""".stripMargin,
     // column-mapped table holds batches %10 ∈ {0,1} of every flag
     "q414_delta_column_mapping" ->
       """SELECT l_returnflag, count(*) AS n,

@@ -1,0 +1,99 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One entry point over all four lakehouse readers: point it at a
+  * table directory and it DETECTS the format from the layout's own
+  * unambiguous marker — `_delta_log/` (Delta), `metadata/` with
+  * `v<N>.metadata.json` or `version-hint.text` (Iceberg), `.hoodie/`
+  * (Hudi), `snapshot/` + `schema/` (Paimon) — then dispatches to
+  * [[DeltaLogLite]] / [[IcebergLite]] / [[HudiCowLite]] /
+  * [[PaimonLite]] with the shared time-travel surface. This is the
+  * UX face of the reference's multi-provider layer (it registers
+  * Iceberg/Hudi/Paimon convert providers side by side,
+  * thirdparty/auron-*): a user migrating between formats keeps one
+  * call.
+  *
+  * Loud failures: a directory matching NO marker names everything it
+  * looked for; a directory matching MORE THAN ONE (a corrupted or
+  * nested layout) is ambiguous and refuses rather than guessing;
+  * time-travel arguments a format cannot express (e.g. a version on
+  * Hudi, whose instants are strings) refuse with the native reader
+  * named.
+  */
+object GraftLake {
+
+  sealed trait Format { def name: String }
+  case object Delta extends Format { val name = "delta" }
+  case object Iceberg extends Format { val name = "iceberg" }
+  case object Hudi extends Format { val name = "hudi" }
+  case object Paimon extends Format { val name = "paimon" }
+
+  /** Detect the table's format from its layout marker. */
+  def detect(spark: SparkSession, tableDir: String): Format = {
+    val base = new Path(tableDir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) throw new IllegalStateException(
+      s"GraftLake: $tableDir does not exist")
+    def dir(n: String) = {
+      val p = new Path(base, n)
+      fs.exists(p) && fs.getFileStatus(p).isDirectory
+    }
+    val iceberg = dir("metadata") && {
+      val md = new Path(base, "metadata")
+      fs.listStatus(md).exists { st =>
+        val n = st.getPath.getName
+        n == "version-hint.text" || n.matches("v\\d+\\.metadata\\.json")
+      }
+    }
+    val hits = Seq(
+      Delta -> dir("_delta_log"),
+      Iceberg -> iceberg,
+      Hudi -> dir(".hoodie"),
+      Paimon -> (dir("snapshot") && dir("schema"))).filter(_._2).map(_._1)
+    hits match {
+      case Seq(one) => one
+      case Seq() => throw new IllegalStateException(
+        s"GraftLake: $tableDir matches no lakehouse layout — looked for " +
+          "_delta_log/ (Delta), metadata/v<N>.metadata.json or " +
+          "version-hint.text (Iceberg), .hoodie/ (Hudi), " +
+          "snapshot/+schema/ (Paimon)")
+      case many => throw new IllegalStateException(
+        s"GraftLake: $tableDir matches MULTIPLE layouts " +
+          s"(${many.map(_.name).mkString(", ")}) — ambiguous; read it " +
+          "through the specific reader instead")
+    }
+  }
+
+  /** Detect + dispatch. `version` is a Delta version / Iceberg
+    * snapshot id / Paimon snapshot id (refused on Hudi — its instants
+    * are strings; use [[HudiCowLite.read]]); `timestampMs` is Delta
+    * commitInfo / Iceberg timestamp-ms travel (refused on Hudi/Paimon,
+    * whose lite readers carry no stamped history). */
+  def read(spark: SparkSession, tableDir: String,
+           version: Option[Long] = None,
+           timestampMs: Option[Long] = None): DataFrame = {
+    require(version.isEmpty || timestampMs.isEmpty,
+      "version and timestampMs are mutually exclusive")
+    detect(spark, tableDir) match {
+      case Delta =>
+        DeltaLogLite.read(spark, tableDir, versionAsOf = version,
+          timestampAsOf = timestampMs)
+      case Iceberg =>
+        IcebergLite.read(spark, tableDir, snapshotId = version,
+          asOfTimestampMs = timestampMs)
+      case Hudi =>
+        if (version.nonEmpty || timestampMs.nonEmpty)
+          throw new IllegalArgumentException(
+            "GraftLake: Hudi time travel takes STRING instants — use " +
+              "HudiCowLite.read(asOfInstant=...) directly")
+        HudiCowLite.read(spark, tableDir)
+      case Paimon =>
+        if (timestampMs.nonEmpty) throw new IllegalArgumentException(
+          "GraftLake: PaimonLite carries no stamped snapshot history — " +
+            "use a snapshot id")
+        PaimonLite.read(spark, tableDir, snapshotId = version)
+    }
+  }
+}
