@@ -351,6 +351,26 @@ object Storage extends QueryModule {
         .read(s, authorIcebergDeleteTable(s, dir)))
     },
 
+    // Paimon with ORC data files — the format's DEFAULT file.format,
+    // so this is the layout most real Paimon tables actually have.
+    // Same snapshot/manifest replay; the data scan dispatches to
+    // Spark's native vectorized ORC reader (pushdown/pruning/codegen
+    // hold the same way parquet's do). Mixed parquet+orc snapshots
+    // refuse.
+    "q418_paimon_orc" -> { (s, dir) =>
+      deltaCensus(graft.sources.PaimonLite
+        .read(s, authorPaimonOrcTable(s, dir)))
+    },
+
+    // Hudi COW with ORC base files (hoodie.table.base.file.format=ORC
+    // — a real deployment shape the reference's provider also handles,
+    // thirdparty/auron-hudi HudiScanSupport OrcFormat). Timeline
+    // replay unchanged; the scan dispatches to native ORC.
+    "q419_hudi_orc" -> { (s, dir) =>
+      deltaCensus(graft.sources.HudiCowLite
+        .read(s, authorHudiOrcTable(s, dir)))
+    },
+
     // One entry point over all four formats: GraftLake DETECTS each
     // authored table's layout from its own marker (_delta_log /
     // metadata JSON / .hoodie / snapshot+schema) and dispatches to the
@@ -1210,6 +1230,122 @@ object Storage extends QueryModule {
       })
     }
 
+  private val paimonOrcMemo =
+    scala.collection.mutable.Map.empty[String, String]
+
+  /** Authors the one-snapshot ORC Paimon table used by q418 (batches
+    * l_orderkey%10 ∈ {0,1} as a single genuine ORC data file —
+    * Paimon's default file.format). Memoized per sf-dir. */
+  private def authorPaimonOrcTable(s: SparkSession, dir: String): String =
+    paimonOrcMemo.synchronized {
+      paimonOrcMemo.getOrElseUpdate(dir, {
+        import java.nio.file.{Files, Paths}
+        val avroFmt = "org.apache.spark.sql.avro.AvroFileFormat"
+        val root =
+          s"/tmp/graft_paimon/orc_${Integer.toHexString(dir.hashCode)}"
+        def rm(p: java.io.File): Unit = {
+          if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+          p.delete(): Unit
+        }
+        rm(new java.io.File(root))
+        for (d <- Seq("snapshot", "schema", "manifest", "bucket-0"))
+          Files.createDirectories(Paths.get(root, d))
+        val tmp = s"$root/_tmp"
+        Tables.df(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity"),
+            col("l_extendedprice"), col("l_returnflag"))
+          .filter((col("l_orderkey") % 10).isin(0, 1))
+          .coalesce(1).write.mode("overwrite").orc(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.endsWith(".orc") &&
+            !f.getName.startsWith(".")).get
+        assert(part.renameTo(new java.io.File(s"$root/bucket-0/data.orc")))
+        rm(new java.io.File(tmp))
+        def writeAvro(df: DataFrame, rel: String): Unit = {
+          val t2 = s"$root/_tmpavro"
+          df.coalesce(1).write.mode("overwrite").format(avroFmt).save(t2)
+          val p = new java.io.File(t2).listFiles()
+            .find(_.getName.startsWith("part-")).get
+          assert(p.renameTo(new java.io.File(s"$root/$rel")))
+          rm(new java.io.File(t2))
+        }
+        import s.implicits._
+        writeAvro(Seq((0, "data.orc")).toDF("_KIND", "_fn")
+          .select(col("_KIND"), lit(0).as("_BUCKET"),
+            struct(col("_fn").as("_FILE_NAME")).as("_FILE")),
+          "manifest/m-orc.avro")
+        writeAvro(Seq.empty[String].toDF("_FILE_NAME"),
+          "manifest/ml-empty.avro")
+        writeAvro(Seq("m-orc.avro").toDF("_FILE_NAME"),
+          "manifest/ml-orc.avro")
+        Files.writeString(Paths.get(root, "schema", "schema-0"),
+          """{"id":0,"fields":[
+            | {"id":0,"name":"l_orderkey","type":"BIGINT"},
+            | {"id":1,"name":"l_quantity","type":"DOUBLE"},
+            | {"id":2,"name":"l_extendedprice","type":"DOUBLE"},
+            | {"id":3,"name":"l_returnflag","type":"STRING"}],
+            |"highestFieldId":3,"partitionKeys":[],"primaryKeys":[],
+            |"options":{"file.format":"orc"}}""".stripMargin)
+        Files.writeString(Paths.get(root, "snapshot", "snapshot-1"),
+          """{"version":3,"id":1,"schemaId":0,
+            |"baseManifestList":"ml-empty.avro",
+            |"deltaManifestList":"ml-orc.avro",
+            |"commitKind":"APPEND","commitUser":"graft",
+            |"commitIdentifier":1,"timeMillis":0}""".stripMargin)
+        Files.writeString(Paths.get(root, "snapshot", "LATEST"), "1")
+        root
+      })
+    }
+
+  private val hudiOrcMemo =
+    scala.collection.mutable.Map.empty[String, String]
+
+  /** Authors the one-instant ORC-base Hudi COW table used by q419
+    * (hoodie.table.base.file.format=ORC; one genuine ORC base file
+    * per l_returnflag group holding batches %10 ∈ {0,1}). Memoized
+    * per sf-dir. */
+  private def authorHudiOrcTable(s: SparkSession, dir: String): String =
+    hudiOrcMemo.synchronized {
+      hudiOrcMemo.getOrElseUpdate(dir, {
+        import java.nio.file.{Files, Paths}
+        val root =
+          s"/tmp/graft_hudi/orc_${Integer.toHexString(dir.hashCode)}"
+        def rm(p: java.io.File): Unit = {
+          if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+          p.delete(): Unit
+        }
+        rm(new java.io.File(root))
+        Files.createDirectories(Paths.get(root, ".hoodie"))
+        Files.writeString(Paths.get(root, ".hoodie", "hoodie.properties"),
+          "hoodie.table.name=lineitem_orc\n" +
+            "hoodie.table.type=COPY_ON_WRITE\n" +
+            "hoodie.table.base.file.format=ORC\n")
+        val src = Tables.df(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity"),
+            col("l_extendedprice"), col("l_returnflag"))
+          .filter((col("l_orderkey") % 10).isin(0, 1))
+        val flags = src.select(col("l_returnflag")).distinct()
+          .collect().map(_.getString(0)).sorted
+        val stats = flags.map { rf =>
+          val part = s"l_returnflag=$rf"
+          val rel = s"$part/g-${rf}_0-0_001.orc"
+          val tmp = s"$root/_tmp"
+          src.filter(col("l_returnflag") === rf)
+            .coalesce(1).write.mode("overwrite").orc(tmp)
+          val pf = new java.io.File(tmp).listFiles()
+            .find(f => f.getName.endsWith(".orc") &&
+              !f.getName.startsWith(".")).get
+          Files.createDirectories(Paths.get(root, part))
+          assert(pf.renameTo(new java.io.File(s"$root/$rel")))
+          rm(new java.io.File(tmp))
+          s"""${jstr(part)}:[{"fileId":${jstr(s"g-$rf")},"path":${jstr(rel)},"numWrites":1}]"""
+        }.mkString(",")
+        Files.writeString(Paths.get(root, ".hoodie", "001.commit"),
+          s"""{"partitionToWriteStats":{$stats}}""")
+        root
+      })
+    }
+
   private val deltaMappedMemo =
     scala.collection.mutable.Map.empty[String, String]
 
@@ -2047,6 +2183,26 @@ object Storage extends QueryModule {
         |FROM lineitem
         |WHERE l_orderkey % 10 = 1
         |   OR (l_orderkey % 10 = 0 AND NOT (l_quantity > 25))
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    // ORC Paimon table holds batches %10 ∈ {0,1}
+    "q418_paimon_orc" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_price
+        |FROM lineitem WHERE l_orderkey % 10 IN (0, 1)
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    // ORC-base Hudi table holds batches %10 ∈ {0,1}
+    "q419_hudi_orc" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_price
+        |FROM lineitem WHERE l_orderkey % 10 IN (0, 1)
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
     // four latest censuses tagged by detected format: delta/iceberg/

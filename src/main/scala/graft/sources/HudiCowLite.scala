@@ -164,8 +164,9 @@ object HudiCowLite {
                   s"$tableDir: commit $instant writeStat without path"))
               // read-optimized contract: a deltacommit's LOG writes
               // are invisible (their rows surface at compaction); its
-              // base-parquet writes (new-file-group inserts) count
-              if (kind == "deltacommit" && !path.endsWith(".parquet")) ()
+              // base-file writes (new-file-group inserts) count
+              if (kind == "deltacommit" && !path.endsWith(".parquet") &&
+                !path.endsWith(".orc")) ()
               else groups((part, fileId)) = path
             }
             case _ => throw new IllegalStateException(
@@ -225,6 +226,9 @@ object HudiCowLite {
     if (snap.files.isEmpty) throw new IllegalStateException(
       s"$tableDir: snapshot at ${snap.instant} resolves to zero base " +
         "files (empty partitionToWriteStats) — nothing to read")
-    spark.read.parquet(snap.files: _*)
+    // Hudi base files are parquet or ORC
+    // (hoodie.table.base.file.format=ORC is a real deployment); one
+    // homogeneous vectorized scan either way, mixed sets refused
+    ColumnarScan(spark, tableDir, None, snap.files)
   }
 }

@@ -367,14 +367,27 @@ object IcebergLite {
       // luck) — one bounded footer read per file, the same O(files)
       // plan-time grain as the manifest replay above.
       for (f <- snap.files) {
-        val footer = spark.read.parquet(f).schema.fieldNames.toSet
+        val footer = (if (f.endsWith(".orc")) spark.read.orc(f)
+          else spark.read.parquet(f)).schema.fieldNames.toSet
         val missing = snap.schema.fieldNames.filterNot(footer.contains)
         if (missing.nonEmpty) throw new IllegalStateException(
           s"IcebergLite: $f lacks columns ${missing.mkString(", ")} — " +
             "the table likely renamed columns (field-id resolution is " +
             "outside IcebergLite scope)")
       }
-      val data = spark.read.schema(snap.schema).parquet(snap.files: _*)
+      // ORC data files (file_format=ORC tables) ride the same
+      // homogeneous vectorized scan; positional deletes are pinned to
+      // parquet row ordinals (_metadata.row_index), so an ORC table
+      // carrying them refuses rather than mis-addressing rows
+      if (snap.deleteFiles.nonEmpty && snap.files.exists(_.endsWith(".orc")))
+        throw new IllegalStateException(
+          s"IcebergLite: positional deletes over ORC data files — " +
+            "row-ordinal addressing is parquet-only in lite scope")
+      for (d <- snap.deleteFiles ++ snap.eqDeletes.map(_.path))
+        if (!d.endsWith(".parquet")) throw new IllegalStateException(
+          s"IcebergLite: delete file $d is not parquet — non-parquet " +
+            "delete files are outside lite scope")
+      val data = ColumnarScan(spark, tableDir, Some(snap.schema), snap.files)
       val afterPos =
         if (snap.deleteFiles.isEmpty) data
         else {

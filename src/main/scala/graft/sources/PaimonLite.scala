@@ -47,7 +47,9 @@ import org.json4s.jackson.JsonMethods
   *  - UNPARTITIONED tables only: partitionKeys are refused (partition
   *    values travel as serialized BinaryRow bytes in manifests —
   *    outside lite scope);
-  *  - parquet data files only (a non-.parquet file name is refused);
+  *  - parquet and ORC data files (Paimon's default file.format is
+  *    orc); any other extension, or a snapshot mixing the two
+  *    formats, is refused;
   *  - a PK data file missing the KeyValue system columns is refused;
   *  - non-file:// filesystem schemes, missing snapshots/schemas, and
   *    manifest rows without the expected fields throw with the path
@@ -232,13 +234,16 @@ object PaimonLite {
       }
     }
     val files = live.toSeq.map { case (bucket, name) =>
-      if (!name.endsWith(".parquet")) throw new IllegalStateException(
-        s"$tableDir: data file $name is not parquet — PaimonLite reads " +
-          "parquet data files only (set file.format=parquet)")
+      if (!name.endsWith(".parquet") && !name.endsWith(".orc"))
+        throw new IllegalStateException(
+          s"$tableDir: data file $name is neither parquet nor orc — " +
+            "outside PaimonLite scope (set file.format=parquet|orc)")
       s"$tableDir/bucket-$bucket/$name"
     }
     Snapshot(wantedId, schema, files, primaryKeys)
   }
+
+
 
   /** Latest snapshot id: LATEST hint, else the highest snapshot-<N>.
     * Paimon snapshot ids are CONTIGUOUS longs — the natural streaming
@@ -345,8 +350,9 @@ object PaimonLite {
           s"$tableDir snapshot $id: DELETE entry for $name in the delta " +
             "manifest — streaming reads are append-only scope " +
             "(compaction/overwrite mid-stream would drop streamed rows)")
-        if (!name.endsWith(".parquet")) throw new IllegalStateException(
-          s"$tableDir: data file $name is not parquet")
+        if (!name.endsWith(".parquet") && !name.endsWith(".orc"))
+          throw new IllegalStateException(
+            s"$tableDir: data file $name is neither parquet nor orc")
         s"$tableDir/bucket-$bucket/$name"
       }.toSeq
     }
@@ -366,10 +372,10 @@ object PaimonLite {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
     else if (snap.primaryKeys.isEmpty)
-      spark.read.schema(snap.schema).parquet(snap.files: _*)
+      ColumnarScan(spark, tableDir, Some(snap.schema), snap.files)
     else {
       import org.apache.spark.sql.functions._
-      val raw = spark.read.parquet(snap.files: _*)
+      val raw = ColumnarScan(spark, tableDir, None, snap.files)
       val keyCols = snap.primaryKeys.map(k => s"_KEY_$k")
       val needed = keyCols ++ Seq("_SEQUENCE_NUMBER", "_VALUE_KIND") ++
         snap.schema.fieldNames

@@ -50,7 +50,8 @@ class HudiStreamLite extends StreamSourceProvider with DataSourceRegister {
   : (String, StructType) = {
     val spark = sqlContext.sparkSession
     val snap = HudiCowLite.snapshot(spark, path(parameters))
-    (shortName(), spark.read.parquet(snap.files: _*).schema)
+    (shortName(), graft.sources.ColumnarScan(
+      spark, path(parameters), None, snap.files).schema)
   }
 
   override def createSource(sqlContext: SQLContext,
@@ -70,7 +71,7 @@ class HudiStreamSource(spark: SparkSession, tableDir: String,
   // footer read per base file); every batch checks against it
   private val initialSchema: StructType = {
     val snap = HudiCowLite.snapshot(spark, tableDir)
-    spark.read.parquet(snap.files: _*).schema
+    graft.sources.ColumnarScan(spark, tableDir, None, snap.files).schema
   }
 
   override def schema: StructType = initialSchema
@@ -148,7 +149,8 @@ class HudiStreamSource(spark: SparkSession, tableDir: String,
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[Row], initialSchema)
       else {
-        val got = spark.read.parquet(newFiles.toSeq.sorted: _*)
+        val got = graft.sources.ColumnarScan(
+          spark, tableDir, None, newFiles.toSeq.sorted)
         if (got.schema.map(f => (f.name, f.dataType)) !=
           initialSchema.map(f => (f.name, f.dataType)))
           throw new IllegalStateException(

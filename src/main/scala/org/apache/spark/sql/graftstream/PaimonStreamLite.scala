@@ -86,7 +86,8 @@ class PaimonStreamSource(spark: SparkSession, tableDir: String,
       if (files.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[Row], initial.schema)
-      else spark.read.schema(initial.schema).parquet(files: _*)
+      else graft.sources.ColumnarScan(spark, tableDir,
+        Some(initial.schema), files)
     asStreamingBatch(batch)
   }
 

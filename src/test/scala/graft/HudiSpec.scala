@@ -152,6 +152,28 @@ class HudiSpec extends AnyFunSuite {
       readOptimized = true).agg(max(col("id"))).head().getLong(0) == 4L)
   }
 
+  test("ORC base files read natively (hoodie base.file.format=ORC)") {
+    val root = s"/tmp/graft_hudispec/orc"
+    rm(new java.io.File(root))
+    Files.createDirectories(Paths.get(root, ".hoodie"))
+    Files.createDirectories(Paths.get(root, "p=x"))
+    Files.writeString(Paths.get(root, ".hoodie", "hoodie.properties"),
+      "hoodie.table.name=t\nhoodie.table.type=COPY_ON_WRITE\n" +
+        "hoodie.table.base.file.format=ORC\n")
+    val tmp = s"$root/_tmp"
+    spark.range(0, 7).select(col("id"), (col("id") * 2).as("v"))
+      .coalesce(1).write.mode("overwrite").orc(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.endsWith(".orc") &&
+        !f.getName.startsWith(".")).get
+    assert(part.renameTo(new java.io.File(s"$root/p=x/g_0-0_001.orc")))
+    rm(new java.io.File(tmp))
+    Files.writeString(Paths.get(root, ".hoodie", "001.commit"),
+      """{"partitionToWriteStats":{"p=x":[{"fileId":"g","path":"p=x/g_0-0_001.orc","numWrites":7}]}}""")
+    assert(HudiCowLite.read(spark, root)
+      .agg(max(col("id")), count(lit(1))).head().toSeq == Seq(6L, 7L))
+  }
+
   test("readOptimized is a no-op on COPY_ON_WRITE") {
     val root = fixture("cowro")
     assert(HudiCowLite.snapshot(spark, root, readOptimized = true).files ==

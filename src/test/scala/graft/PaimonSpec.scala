@@ -38,10 +38,13 @@ class PaimonSpec extends AnyFunSuite {
     val df = spark.range(0, 13).select(col("id"), (col("id") * 3).as("v"))
     def one(filter: org.apache.spark.sql.Column, out: String): Unit = {
       val tmp = s"$root/_tmp"
-      df.filter(filter).coalesce(1).write.mode("overwrite").parquet(tmp)
+      // write REAL bytes for the named extension (orc fixtures must be
+      // genuine ORC; other extensions only exercise refusals)
+      val w = df.filter(filter).coalesce(1).write.mode("overwrite")
+      if (out.endsWith(".orc")) w.orc(tmp) else w.parquet(tmp)
       val part = new java.io.File(tmp).listFiles()
-        .find(f => f.getName.endsWith(".parquet") &&
-          !f.getName.startsWith(".")).get
+        .find(f => (f.getName.endsWith(".parquet") ||
+          f.getName.endsWith(".orc")) && !f.getName.startsWith(".")).get
       assert(part.renameTo(new java.io.File(s"$root/bucket-0/$out")))
       rm(new java.io.File(tmp))
     }
@@ -273,11 +276,57 @@ class PaimonSpec extends AnyFunSuite {
     assert(e.getMessage.contains("partitioned table"))
   }
 
-  test("non-parquet data file refuses loudly") {
+  test("ORC data files (Paimon's default format) read natively") {
+    import spark.implicits._
+    val root = fixture("orc", fileExt = "orc")
+    val got = PaimonLite.read(spark, root)
+    assert(got.schema.fieldNames.toSeq == Seq("id", "v"))
+    assert(got.select("id").as[Long].collect().sorted.toSeq == (5L to 12L))
+  }
+
+  test("unknown data-file extension refuses loudly") {
     val e = intercept[IllegalStateException] {
-      PaimonLite.snapshot(spark, fixture("orc", fileExt = "orc"))
+      PaimonLite.snapshot(spark, fixture("avro", fileExt = "avro"))
     }
-    assert(e.getMessage.contains("not parquet"))
+    assert(e.getMessage.contains("neither parquet nor orc"))
+  }
+
+  test("a snapshot mixing parquet and orc refuses loudly") {
+    val root = fixture("mixed")
+    // rewrite f2 as real ORC under an .orc name and re-list it
+    val tmp = s"$root/_tmpm"
+    spark.range(10, 13).select(col("id"), (col("id") * 3).as("v"))
+      .coalesce(1).write.mode("overwrite").orc(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.endsWith(".orc") &&
+        !f.getName.startsWith(".")).get
+    assert(part.renameTo(new java.io.File(s"$root/bucket-0/f2.orc")))
+    rm(new java.io.File(tmp))
+    import spark.implicits._
+    def writeAvro(d: org.apache.spark.sql.DataFrame, rel: String): Unit = {
+      val t2 = s"$root/_tmpavro"
+      d.coalesce(1).write.mode("overwrite").format(avroFmt).save(t2)
+      val p2 = new java.io.File(t2).listFiles()
+        .find(_.getName.startsWith("part-")).get
+      assert(p2.renameTo(new java.io.File(s"$root/$rel")))
+      rm(new java.io.File(t2))
+    }
+    writeAvro(Seq((0, "f2.orc")).toDF("_KIND", "_fn")
+      .select(col("_KIND"), lit(0).as("_BUCKET"),
+        struct(col("_fn").as("_FILE_NAME")).as("_FILE")),
+      "manifest/m-orc.avro")
+    writeAvro(Seq("m-add01.avro", "m-orc.avro").toDF("_FILE_NAME"),
+      "manifest/ml-mixed.avro")
+    Files.writeString(Paths.get(root, "snapshot", "snapshot-3"),
+      """{"version":3,"id":3,"schemaId":0,
+        |"baseManifestList":"ml-empty.avro",
+        |"deltaManifestList":"ml-mixed.avro",
+        |"commitKind":"APPEND","commitUser":"t","commitIdentifier":3,
+        |"timeMillis":0}""".stripMargin)
+    val e = intercept[IllegalStateException] {
+      PaimonLite.read(spark, root, Some(3L)).collect()
+    }
+    assert(e.getMessage.contains("mixed parquet+orc"))
   }
 
   test("foreign scheme in a manifest-list name refuses loudly") {
