@@ -351,6 +351,26 @@ object Storage extends QueryModule {
         .read(s, authorIcebergDeleteTable(s, dir)))
     },
 
+    // Delta CHANGE DATA FEED — the incremental-ETL surface. Commit 0
+    // blind-appends batch A (CDF inserts synthesized from the adds,
+    // per the protocol); commit 1 is an UPDATE that wrote cdc files:
+    // preimage/postimage rows for every A row with l_quantity > 40
+    // (postimage doubles l_extendedprice), with the rewrite's
+    // add/remove actions correctly IGNORED by the CDF reader. The
+    // census groups by (_change_type, _commit_version) and the oracle
+    // recomputes all three change classes from the source.
+    "q420_delta_cdf" -> { (s, dir) =>
+      val root = authorDeltaCdfTable(s, dir)
+      graft.sources.DeltaLogLite.readChanges(s, root, 0L, 1L)
+        .groupBy(col("_change_type"), col("_commit_version"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_qty"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_price"))
+        .orderBy(col("_change_type"), col("_commit_version"))
+    },
+
     // Paimon with ORC data files — the format's DEFAULT file.format,
     // so this is the layout most real Paimon tables actually have.
     // Same snapshot/manifest replay; the data scan dispatches to
@@ -1226,6 +1246,73 @@ object Storage extends QueryModule {
           metaJson)
         Files.writeString(Paths.get(root, "metadata", "version-hint.text"),
           "1")
+        root
+      })
+    }
+
+  private val deltaCdfMemo =
+    scala.collection.mutable.Map.empty[String, String]
+
+  /** Authors the CDF-enabled Delta table used by q420: commit 0
+    * blind-appends batch A (l_orderkey%10 ∈ {0,1}); commit 1 updates
+    * the l_quantity > 40 rows (doubling l_extendedprice), writing the
+    * protocol's cdc file (preimage+postimage rows with _change_type
+    * in-file) alongside the rewrite's add/remove. Memoized per
+    * sf-dir. */
+  private def authorDeltaCdfTable(s: SparkSession, dir: String): String =
+    deltaCdfMemo.synchronized {
+      deltaCdfMemo.getOrElseUpdate(dir, {
+        import java.nio.file.{Files, Paths}
+        val root =
+          s"/tmp/graft_delta/cdf_${Integer.toHexString(dir.hashCode)}"
+        def rm(p: java.io.File): Unit = {
+          if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+          p.delete(): Unit
+        }
+        rm(new java.io.File(root))
+        Files.createDirectories(Paths.get(root, "_delta_log"))
+        Files.createDirectories(Paths.get(root, "data"))
+        Files.createDirectories(Paths.get(root, "_change_data"))
+        val a = Tables.df(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity"),
+            col("l_extendedprice"), col("l_returnflag"))
+          .filter((col("l_orderkey") % 10).isin(0, 1))
+        def writeOne(df: DataFrame, rel: String): Unit = {
+          val tmp = s"$root/_tmp"
+          df.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(f => f.getName.endsWith(".parquet") &&
+              !f.getName.startsWith(".")).get
+          assert(part.renameTo(new java.io.File(s"$root/$rel")))
+          rm(new java.io.File(tmp))
+        }
+        writeOne(a, "data/a.parquet")
+        val pre = a.filter(col("l_quantity") > 40)
+        val post = pre.withColumn("l_extendedprice",
+          col("l_extendedprice") * 2)
+        // the post-update table state (for snapshot consistency)
+        writeOne(a.filter(col("l_quantity") <= 40).unionByName(post),
+          "data/a2.parquet")
+        // the protocol's cdc file: preimage + postimage rows with
+        // _change_type carried IN the file
+        writeOne(
+          pre.withColumn("_change_type", lit("update_preimage"))
+            .unionByName(post.withColumn("_change_type",
+              lit("update_postimage"))),
+          "_change_data/cdc-1.parquet")
+        val metaData =
+          s"""{"metaData":{"id":"graft-q420","format":{"provider":"parquet","options":{}},"schemaString":${jstr(a.schema.json)},"partitionColumns":[],"configuration":{"delta.enableChangeDataFeed":"true"},"createdTime":0}}"""
+        Files.writeString(Paths.get(root, "_delta_log", f"${0L}%020d.json"),
+          Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""",
+            metaData,
+            s"""{"add":{"path":"data/a.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""")
+            .mkString("", "\n", "\n"))
+        Files.writeString(Paths.get(root, "_delta_log", f"${1L}%020d.json"),
+          Seq(
+            s"""{"cdc":{"path":"_change_data/cdc-1.parquet","partitionValues":{},"size":1,"dataChange":false}}""",
+            s"""{"remove":{"path":"data/a.parquet","deletionTimestamp":0,"dataChange":true}}""",
+            s"""{"add":{"path":"data/a2.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""")
+            .mkString("", "\n", "\n"))
         root
       })
     }
@@ -2185,6 +2272,30 @@ object Storage extends QueryModule {
         |   OR (l_orderkey % 10 = 0 AND NOT (l_quantity > 25))
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    // CDF census: inserts @v0 = batch A; pre/postimage @v1 = the
+    // l_quantity > 40 slice (postimage doubles l_extendedprice)
+    "q420_delta_cdf" ->
+      """WITH a AS (
+        |  SELECT l_quantity, l_extendedprice
+        |  FROM lineitem WHERE l_orderkey % 10 IN (0, 1)),
+        |ch AS (
+        |  SELECT 'insert' AS _change_type, 0 AS _commit_version,
+        |    l_quantity, l_extendedprice FROM a
+        |  UNION ALL
+        |  SELECT 'update_preimage', 1, l_quantity, l_extendedprice
+        |  FROM a WHERE l_quantity > 40
+        |  UNION ALL
+        |  SELECT 'update_postimage', 1, l_quantity,
+        |    l_extendedprice * 2
+        |  FROM a WHERE l_quantity > 40)
+        |SELECT _change_type, _commit_version, count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_price
+        |FROM ch
+        |GROUP BY _change_type, _commit_version
+        |ORDER BY _change_type, _commit_version""".stripMargin,
     // ORC Paimon table holds batches %10 ∈ {0,1}
     "q418_paimon_orc" ->
       """SELECT l_returnflag, count(*) AS n,

@@ -476,6 +476,124 @@ object DeltaLogLite {
       .map { case (a, vs) => a -> vs.map(_._2).max }
   }
 
+  /** CHANGE DATA FEED read over commits [fromVersion, toVersion] —
+    * the incremental-ETL surface (PROTOCOL.md "Add CDC File"). Per
+    * the protocol, a commit that wrote `cdc` actions describes its
+    * changes COMPLETELY through those files (`_change_type` column:
+    * insert / delete / update_preimage / update_postimage) and its
+    * add/remove actions are ignored by CDF readers; a commit WITHOUT
+    * cdc actions is a blind append whose dataChange adds ARE its
+    * inserts. Output = data columns + `_change_type` +
+    * `_commit_version`.
+    *
+    * Lite scope, loud failures: the table must carry
+    * `delta.enableChangeDataFeed=true` at `toVersion`; a cdc-less
+    * commit with dataChange REMOVES is refused (its delete rows were
+    * never materialized — serving the range would silently drop
+    * changes); column-mapped tables are refused (cdc files under
+    * mapping need the physical projection of a column the logical
+    * schema does not carry). Each version's files are one native
+    * vectorized scan; the union is O(changed files), never a table
+    * re-list. */
+  def readChanges(spark: SparkSession, tableDir: String,
+                  fromVersion: Long, toVersion: Long): DataFrame = {
+    val logDir = new Path(tableDir, "_delta_log")
+    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val snap = snapshot(spark, tableDir, Some(toVersion))
+    if (snap.physicalNames.nonEmpty) throw new IllegalStateException(
+      s"$tableDir: change-feed reads on column-mapped tables are " +
+        "outside DeltaLogLite scope")
+    // CDF must be ON for the range to have been recorded
+    val conf = confAt(spark, tableDir, toVersion)
+    if (!conf.get("delta.enableChangeDataFeed").contains("true"))
+      throw new IllegalStateException(
+        s"$tableDir: delta.enableChangeDataFeed is not true at version " +
+          s"$toVersion — the log carries no change data for the range")
+    val ctField = org.apache.spark.sql.types.StructField("_change_type",
+      org.apache.spark.sql.types.StringType, nullable = true)
+    val perVersion = (fromVersion to toVersion).map { v =>
+      val p = new Path(logDir, f"$v%020d.json")
+      if (!fs.exists(p)) throw new IllegalStateException(
+        s"$tableDir: change range needs commit $v but its JSON is gone")
+      val in = fs.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      var cdcFiles = Vector.empty[AddFile]
+      var adds = Vector.empty[AddFile]
+      var removes = 0
+      for (line <- text.linesIterator if line.trim.nonEmpty) {
+        val action = try JsonMethods.parse(line)
+          catch { case e: Exception => throw new IllegalStateException(
+            s"$tableDir commit $v: malformed action JSON (${e.getMessage})")
+          }
+        (action \ "cdc") match {
+          case JNothing =>
+          case c => cdcFiles :+= AddFile((c \ "path").extract[String],
+            (c \ "partitionValues").extractOpt[Map[String, String]]
+              .getOrElse(Map.empty))
+        }
+        (action \ "add") match {
+          case JNothing =>
+          case a if (a \ "dataChange").extractOpt[Boolean].getOrElse(true) =>
+            adds :+= AddFile((a \ "path").extract[String],
+              (a \ "partitionValues").extractOpt[Map[String, String]]
+                .getOrElse(Map.empty))
+          case _ =>
+        }
+        (action \ "remove") match {
+          case JNothing =>
+          case r if (r \ "dataChange").extractOpt[Boolean].getOrElse(true) =>
+            removes += 1
+          case _ =>
+        }
+      }
+      val changed: DataFrame =
+        if (cdcFiles.nonEmpty) {
+          // cdc files carry the data columns + _change_type in-file
+          val withCt = StructType(snap.schema.fields :+ ctField)
+          readFiles(spark, tableDir, withCt, snap.partitionColumns,
+            cdcFiles)
+        } else if (removes > 0) throw new IllegalStateException(
+          s"$tableDir commit $v: dataChange remove without cdc files — " +
+            "its delete rows were never materialized; serving the range " +
+            "would silently drop changes")
+        else {
+          // blind append: the adds ARE the inserts
+          readFiles(spark, tableDir, snap.schema, snap.partitionColumns,
+            adds).withColumn("_change_type", lit("insert"))
+        }
+      changed.withColumn("_commit_version", lit(v))
+    }
+    perVersion.reduce(_ unionAll _)
+  }
+
+  /** The metaData `configuration` in force at `versionAsOf` (replayed
+    * the same way snapshot() replays schema). Bounded JSON reads. */
+  private def confAt(spark: SparkSession, tableDir: String,
+                     versionAsOf: Long): Map[String, String] = {
+    val logDir = new Path(tableDir, "_delta_log")
+    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var conf = Map.empty[String, String]
+    for (v <- 0L to versionAsOf) {
+      val p = new Path(logDir, f"$v%020d.json")
+      if (fs.exists(p)) {
+        val in = fs.open(p)
+        val text = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .mkString finally in.close()
+        for (line <- text.linesIterator if line.trim.nonEmpty) {
+          val action = try JsonMethods.parse(line)
+            catch { case _: Exception => JNothing }
+          (action \ "metaData") match {
+            case JNothing =>
+            case md => conf = (md \ "configuration")
+              .extractOpt[Map[String, String]].getOrElse(Map.empty)
+          }
+        }
+      }
+    }
+    conf
+  }
+
   /** The files ADDED in commits (fromExclusive, toInclusive] — the
     * incremental-batch surface for streaming reads. APPEND-ONLY scope,
     * loud failures: a `remove` action in the range throws (emitting

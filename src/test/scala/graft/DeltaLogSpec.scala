@@ -368,6 +368,67 @@ class DeltaLogSpec extends AnyFunSuite {
     assert(e.getMessage.contains("minReaderVersion=4"))
   }
 
+  test("change feed: blind appends synthesize inserts, cdc commits " +
+    "serve their files verbatim, refusals are loud") {
+    import spark.implicits._
+    val root = "/tmp/graft_deltaspec/cdf"
+    def rm(p: java.io.File): Unit = {
+      if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+      p.delete(): Unit
+    }
+    rm(new java.io.File(root))
+    Files.createDirectories(Paths.get(root, "_delta_log"))
+    def writeOne(d: org.apache.spark.sql.DataFrame, rel: String): Unit = {
+      val tmp = s"$root/_tmp"
+      d.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith(".")).get
+      assert(part.renameTo(new java.io.File(s"$root/$rel")))
+      rm(new java.io.File(tmp))
+    }
+    val base = spark.range(0, 5).select(col("id"), (col("id") * 2).as("v"))
+    writeOne(base, "f0.parquet")
+    writeOne(base.filter(col("id") === 0)
+      .select(col("id"), col("v"), lit("delete").as("_change_type")),
+      "cdc1.parquet")
+    val schema = base.schema.json
+    val md =
+      s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":${jstr(schema)},"partitionColumns":[],"configuration":{"delta.enableChangeDataFeed":"true"},"createdTime":0}}"""
+    commit(root, 0, md,
+      """{"add":{"path":"f0.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""")
+    // commit 1: a delete materialized as a cdc file; the remove MUST
+    // be ignored because the cdc file is authoritative
+    commit(root, 1,
+      """{"cdc":{"path":"cdc1.parquet","partitionValues":{},"size":1,"dataChange":false}}""",
+      """{"remove":{"path":"f0.parquet","deletionTimestamp":0,"dataChange":true}}""",
+      """{"add":{"path":"f0.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""")
+    val got = DeltaLogLite.readChanges(spark, root, 0L, 1L)
+      .select("id", "_change_type", "_commit_version")
+      .as[(Long, String, Long)].collect().sorted.toSeq
+    assert(got ==
+      ((0L to 4L).map(i => (i, "insert", 0L)) :+ ((0L, "delete", 1L))).sorted)
+
+    // cdc-less dataChange remove: the range cannot be served
+    commit(root, 2,
+      """{"remove":{"path":"f0.parquet","deletionTimestamp":0,"dataChange":true}}""")
+    val e = intercept[IllegalStateException] {
+      DeltaLogLite.readChanges(spark, root, 0L, 2L)
+    }
+    assert(e.getMessage.contains("without cdc files"))
+
+    // CDF off: refuse
+    val mdOff = md.replace(
+      """"delta.enableChangeDataFeed":"true"""",
+      """"delta.enableChangeDataFeed":"false"""")
+    commit(root, 0, mdOff,
+      """{"add":{"path":"f0.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""")
+    val e2 = intercept[IllegalStateException] {
+      DeltaLogLite.readChanges(spark, root, 0L, 1L)
+    }
+    assert(e2.getMessage.contains("enableChangeDataFeed"))
+  }
+
   test("timestamp travel rides commitInfo timestamps; unstamped/" +
     "too-early refuse loudly") {
     val (root, schema) = fixture("tstravel")
