@@ -541,6 +541,20 @@ object Storage extends QueryModule {
         .read(s, authorPaimonPkTable(s, dir), snapshotId = Some(1L)))
     },
 
+    // Paimon CHANGELOG read — the Delta-CDF analog for this leg.
+    // Snapshot 2's changelog (changelog-producer=input) materializes
+    // the upsert commit's raw input rows; the census groups them by
+    // _row_kind: +U = the doubled-price updates, -D = the deletes.
+    "q421_paimon_changelog" -> { (s, dir) =>
+      graft.sources.PaimonLite
+        .readChangelog(s, authorPaimonPkTable(s, dir), 2L)
+        .groupBy(col("_row_kind"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_price"))
+        .orderBy(col("_row_kind"))
+    },
+
     // STREAMING Delta-log read — DeltaStreamLite (v1 Source: offsets
     // are log versions, each micro-batch the files added in a version
     // range). The query authors an append-only Delta table commit by
@@ -1997,12 +2011,16 @@ object Storage extends QueryModule {
           name
         }
         val fa = writeKv(kv(base, 1L, 0), "kv-inserts.parquet")
-        val fb = writeKv(
+        val upserts =
           kv(base.filter((col("o_orderkey") % 10).isin(3, 4))
             .withColumn("o_totalprice", col("o_totalprice") * 2), 2L, 2)
             .unionByName(
-              kv(base.filter(col("o_orderkey") % 10 === 0), 2L, 3)),
-          "kv-upserts.parquet")
+              kv(base.filter(col("o_orderkey") % 10 === 0), 2L, 3))
+        val fb = writeKv(upserts, "kv-upserts.parquet")
+        // changelog-producer=input materialization: snapshot 2's raw
+        // input rows, named by its changelogManifestList (q421 reads
+        // them back as the change feed)
+        writeKv(upserts, "changelog-2.parquet"): Unit
         def writeAvro(df: DataFrame, rel: String): Unit = {
           val tmp = s"$root/_tmpavro"
           df.coalesce(1).write.mode("overwrite").format(avroFmt).save(tmp)
@@ -2018,6 +2036,7 @@ object Storage extends QueryModule {
               struct(col("_fn").as("_FILE_NAME")).as("_FILE")), rel)
         manifest("manifest/m-ins.avro", (0, fa))
         manifest("manifest/m-ups.avro", (0, fb))
+        manifest("manifest/m-cl.avro", (0, "changelog-2.parquet"))
         def manifestList(rel: String, names: String*): Unit =
           writeAvro(
             if (names.isEmpty) Seq.empty[String].toDF("_FILE_NAME")
@@ -2025,6 +2044,7 @@ object Storage extends QueryModule {
         manifestList("manifest/ml-empty.avro")
         manifestList("manifest/ml-ins.avro", "m-ins.avro")
         manifestList("manifest/ml-ups.avro", "m-ups.avro")
+        manifestList("manifest/ml-cl.avro", "m-cl.avro")
         val schemaJson =
           """{"id":0,"fields":[
             | {"id":0,"name":"o_orderkey","type":"BIGINT"},
@@ -2034,16 +2054,19 @@ object Storage extends QueryModule {
             |"primaryKeys":["o_orderkey"],
             |"options":{"file.format":"parquet"}}""".stripMargin
         Files.writeString(Paths.get(root, "schema", "schema-0"), schemaJson)
-        def snapJson(id: Long, bs: String, dl: String): String =
+        def snapJson(id: Long, bs: String, dl: String,
+                     cl: Option[String] = None): String =
           s"""{"version":3,"id":$id,"schemaId":0,
              |"baseManifestList":${jstr(bs)},
-             |"deltaManifestList":${jstr(dl)},
-             |"commitKind":"APPEND","commitUser":"graft",
-             |"commitIdentifier":$id,"timeMillis":0}""".stripMargin
+             |"deltaManifestList":${jstr(dl)},""".stripMargin +
+            cl.map(c => s"""\n"changelogManifestList":${jstr(c)},""")
+              .getOrElse("") +
+            s"""\n"commitKind":"APPEND","commitUser":"graft",
+               |"commitIdentifier":$id,"timeMillis":0}""".stripMargin
         Files.writeString(Paths.get(root, "snapshot", "snapshot-1"),
           snapJson(1, "ml-empty.avro", "ml-ins.avro"))
         Files.writeString(Paths.get(root, "snapshot", "snapshot-2"),
-          snapJson(2, "ml-ins.avro", "ml-ups.avro"))
+          snapJson(2, "ml-ins.avro", "ml-ups.avro", Some("ml-cl.avro")))
         Files.writeString(Paths.get(root, "snapshot", "LATEST"), "2")
         root
       })
@@ -2394,6 +2417,19 @@ object Storage extends QueryModule {
         |FROM orders WHERE o_orderkey % 10 BETWEEN 1 AND 4
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+    // changelog of the upsert commit: +U doubled updates, -D deletes
+    "q421_paimon_changelog" ->
+      """WITH b AS (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_orderkey % 10 < 5),
+        |ch AS (
+        |  SELECT '+U' AS _row_kind, o_totalprice * 2 AS p
+        |  FROM b WHERE o_orderkey % 10 IN (3, 4)
+        |  UNION ALL
+        |  SELECT '-D', o_totalprice FROM b WHERE o_orderkey % 10 = 0)
+        |SELECT _row_kind, count(*) AS n,
+        | CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM ch GROUP BY _row_kind ORDER BY _row_kind""".stripMargin,
     // Paimon PK snapshot 1 = pre-upsert inserts (%10 < 5, original price)
     "q408_paimon_pk_snapshot" ->
       """SELECT o_orderstatus, count(*) AS n,

@@ -245,6 +245,79 @@ object PaimonLite {
 
 
 
+  /** CHANGELOG read of one snapshot — Paimon's change-data surface
+    * (the Delta-CDF analog of this leg). A primary-key table with
+    * `changelog-producer=input` materializes each commit's raw input
+    * rows as changelog files named by the snapshot's
+    * `changelogManifestList`; this returns those rows as value
+    * columns + `_row_kind` ('+I' / '-U' / '+U' / '-D') — each file one
+    * native vectorized scan, O(changed rows) total. A snapshot
+    * without a changelog (append-only tables, or producer=none)
+    * refuses loudly: synthesizing changes from LSM diffs would need
+    * the full merge of both snapshots. */
+  def readChangelog(spark: SparkSession, tableDir: String,
+                    snapshotId: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val snapDir = new Path(tableDir, "snapshot")
+    val fs = snapDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val snapFile = new Path(snapDir, s"snapshot-$snapshotId")
+    if (!fs.exists(snapFile)) throw new IllegalArgumentException(
+      s"$tableDir: snapshot $snapshotId not found")
+    val snapJson = JsonMethods.parse(readText(fs, snapFile))
+    // value schema + KeyValue check ride the snapshot resolver
+    val snap = snapshot(spark, tableDir, Some(snapshotId))
+    def resolveManifest(name: String): String =
+      if (name.startsWith("/") || name.contains("://") ||
+        name.startsWith("file:")) resolve(tableDir, name)
+      else s"$tableDir/manifest/$name"
+    val manifests = (snapJson \ "changelogManifestList") match {
+      case JString(ml) =>
+        val p = resolveManifest(ml)
+        val df = spark.read.format(AvroFmt).load(p)
+        if (!df.columns.contains("_FILE_NAME"))
+          throw new IllegalStateException(
+            s"$p: manifest list lacks _FILE_NAME")
+        df.collect().map(_.getAs[String]("_FILE_NAME")).toSeq
+      case _ => throw new IllegalStateException(
+        s"$tableDir: snapshot $snapshotId has no changelogManifestList — " +
+          "changelog reads need changelog-producer=input (or another " +
+          "materializing producer)")
+    }
+    val files = manifests.flatMap { mf =>
+      val p = resolveManifest(mf)
+      val m = spark.read.format(AvroFmt).load(p)
+      for (need <- Seq("_KIND", "_BUCKET", "_FILE"))
+        if (!m.columns.contains(need)) throw new IllegalStateException(
+          s"$p: manifest lacks $need")
+      m.collect().map { r =>
+        if (r.getAs[Number]("_KIND").intValue() != 0)
+          throw new IllegalStateException(
+            s"$p: DELETE entry in a changelog manifest — malformed")
+        val bucket = r.getAs[Number]("_BUCKET").intValue()
+        val name = r.getAs[org.apache.spark.sql.Row]("_FILE")
+          .getAs[String]("_FILE_NAME")
+        s"$tableDir/bucket-$bucket/$name"
+      }.toSeq
+    }
+    if (files.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(snap.schema.fields :+
+          StructField("_row_kind", StringType, nullable = true)))
+    val raw = ColumnarScan(spark, tableDir, None, files)
+    val needed = Seq("_VALUE_KIND") ++ snap.schema.fieldNames
+    val missing = needed.filterNot(raw.columns.contains)
+    if (missing.nonEmpty) throw new IllegalStateException(
+      s"$tableDir: changelog files lack KeyValue columns " +
+        s"${missing.mkString(", ")}")
+    raw.select(snap.schema.fieldNames.map(col).toSeq :+
+      when(col("_VALUE_KIND").cast("int") === 0, "+I")
+        .when(col("_VALUE_KIND").cast("int") === 1, "-U")
+        .when(col("_VALUE_KIND").cast("int") === 2, "+U")
+        .when(col("_VALUE_KIND").cast("int") === 3, "-D")
+        .otherwise(null).as("_row_kind"): _*)
+  }
+
   /** Latest snapshot id: LATEST hint, else the highest snapshot-<N>.
     * Paimon snapshot ids are CONTIGUOUS longs — the natural streaming
     * offset surface. */

@@ -234,6 +234,17 @@ class PaimonSpec extends AnyFunSuite {
     assert(got == Seq((1L, 100L), (2L, 100L), (3L, 9L), (4L, 12L)))
   }
 
+  test("changelog read refuses a snapshot without a changelog") {
+    val root = pkFixture("pkcl")
+    val e = intercept[IllegalStateException] {
+      PaimonLite.readChangelog(spark, root, 2L)
+    }
+    assert(e.getMessage.contains("changelogManifestList"))
+    intercept[IllegalArgumentException] {
+      PaimonLite.readChangelog(spark, root, 42L)
+    }
+  }
+
   test("non-deduplicate merge engine refuses loudly") {
     val e = intercept[IllegalStateException] {
       PaimonLite.snapshot(spark, pkFixture("pkeng",
