@@ -502,6 +502,17 @@ object Storage extends QueryModule {
         graft.sources.PaimonLite.read(s, authorPaimonTable(s, dir)))
     },
 
+    // Iceberg INCREMENTAL APPEND read (the format's documented
+    // start-snapshot-id/end-snapshot-id surface): snapshots 1..3 each
+    // append one batch; the (1, 3] range serves exactly batches B∪C —
+    // one native scan of the file-set difference, with loud failure
+    // if the range dropped files or carries deletes.
+    "q422_iceberg_incremental" -> { (s, dir) =>
+      val root = authorIcebergStreamTable(s, dir, upTo = 3)
+      deltaCensus(graft.sources.IcebergLite
+        .readIncremental(s, root, fromSnapshotId = 1L, toSnapshotId = 3L))
+    },
+
     // Iceberg timestamp travel: 1500ms lands between snapshot 1
     // (timestamp-ms 1000) and snapshot 2 (2000) — resolves to the
     // pre-delete snapshot 1, same result as q392's id-based travel
@@ -2526,6 +2537,16 @@ object Storage extends QueryModule {
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
         |   AS sum_price
         |FROM lineitem WHERE l_orderkey % 10 IN (0, 1, 2)
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    // incremental (1, 3] = the batches snapshots 2 and 3 appended
+    "q422_iceberg_incremental" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_price
+        |FROM lineitem WHERE l_orderkey % 10 IN (1, 2)
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
     // timestamp 1500ms resolves to snapshot 1 = batches A∪B

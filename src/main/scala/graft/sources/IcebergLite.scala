@@ -335,6 +335,38 @@ object IcebergLite {
     Snapshot(wantedId, schema, files, posDeletes, fileSeqs, eqDeletes)
   }
 
+  /** INCREMENTAL APPEND read (Iceberg's documented
+    * start-snapshot-id/end-snapshot-id surface): the rows added
+    * between two snapshots = one native scan of the END snapshot's
+    * file-set difference. APPEND-ONLY scope with loud failures — a
+    * snapshot range that DROPS files (overwrite/rewrite/delete
+    * between the two) or carries delete files cannot be served as
+    * appends; the same gates the streaming source enforces per
+    * micro-batch, here across one arbitrary range. */
+  def readIncremental(spark: SparkSession, tableDir: String,
+                      fromSnapshotId: Long, toSnapshotId: Long): DataFrame = {
+    val from = snapshot(spark, tableDir, Some(fromSnapshotId))
+    val to = snapshot(spark, tableDir, Some(toSnapshotId))
+    for (s <- Seq(from, to))
+      if (s.deleteFiles.nonEmpty || s.eqDeletes.nonEmpty)
+        throw new IllegalStateException(
+          s"$tableDir: snapshot ${s.snapshotId} carries delete files — " +
+            "incremental reads are append-only scope")
+    if (to.schema.json != from.schema.json) throw new IllegalStateException(
+      s"$tableDir: schema changed between snapshots $fromSnapshotId and " +
+        s"$toSnapshotId — evolution is outside incremental scope")
+    val dropped = from.files.toSet -- to.files.toSet
+    if (dropped.nonEmpty) throw new IllegalStateException(
+      s"$tableDir: snapshot range ($fromSnapshotId, $toSnapshotId] DROPS " +
+        s"files (${dropped.take(3).mkString(", ")}…) — overwrite/delete " +
+        "in the range is outside append-only incremental scope")
+    val newFiles = (to.files.toSet -- from.files.toSet).toSeq.sorted
+    if (newFiles.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], to.schema)
+    else ColumnarScan(spark, tableDir, Some(to.schema), newFiles)
+  }
+
   /** Canonicalize a path for the positional-delete anti-join: both the
     * delete rows' `file_path` column and Spark's `_metadata.file_path`
     * must land on the same spelling regardless of file:-scheme form. */

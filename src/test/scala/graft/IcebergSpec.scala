@@ -366,6 +366,16 @@ class IcebergSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("no snapshot at or before"))
   }
 
+  test("incremental read refuses a range that drops files") {
+    val root = fixture("incdrop")
+    // fixture snapshot 2 tombstones f0: the (1, 2] range is not
+    // append-only and must refuse
+    val e = intercept[IllegalStateException] {
+      IcebergLite.readIncremental(spark, root, 1L, 2L)
+    }
+    assert(e.getMessage.contains("DROPS"))
+  }
+
   test("non-file scheme in a stored path refuses loudly") {
     val root = fixture("scheme")
     import spark.implicits._
