@@ -70,10 +70,14 @@ object GraftLake {
     * snapshot id / Paimon snapshot id (refused on Hudi — its instants
     * are strings; use [[HudiCowLite.read]]); `timestampMs` is Delta
     * commitInfo / Iceberg timestamp-ms travel (refused on Hudi/Paimon,
-    * whose lite readers carry no stamped history). */
+    * whose lite readers carry no stamped history); `readOptimized`
+    * opts a Hudi MERGE_ON_READ table into its read-optimized view
+    * (a no-op everywhere else — the other formats' reads are already
+    * their freshest consistent view). */
   def read(spark: SparkSession, tableDir: String,
            version: Option[Long] = None,
-           timestampMs: Option[Long] = None): DataFrame = {
+           timestampMs: Option[Long] = None,
+           readOptimized: Boolean = false): DataFrame = {
     require(version.isEmpty || timestampMs.isEmpty,
       "version and timestampMs are mutually exclusive")
     detect(spark, tableDir) match {
@@ -88,7 +92,7 @@ object GraftLake {
           throw new IllegalArgumentException(
             "GraftLake: Hudi time travel takes STRING instants — use " +
               "HudiCowLite.read(asOfInstant=...) directly")
-        HudiCowLite.read(spark, tableDir)
+        HudiCowLite.read(spark, tableDir, readOptimized = readOptimized)
       case Paimon =>
         if (timestampMs.nonEmpty) throw new IllegalArgumentException(
           "GraftLake: PaimonLite carries no stamped snapshot history — " +

@@ -25,7 +25,12 @@ import graft.sources.DeltaLogLite
   *    re-list of the table;
   *  - `maxVersionsPerTrigger` (option, default unbounded) caps how
   *    many commits one micro-batch absorbs — the Delta streaming
-  *    rate-limit knob re-expressed at version grain.
+  *    rate-limit knob re-expressed at version grain;
+  *  - `startingVersion` (option) starts the stream at a LOG VERSION
+  *    instead of the current snapshot: the first batch is the adds of
+  *    [startingVersion, latest] — the Delta source's own knob for
+  *    resuming a pipeline from a known point without replaying the
+  *    whole table.
   *
   * Scope, loud failures (never silent wrong answers): APPEND-ONLY
   * streams — a `remove` action, a mid-stream schema change, a
@@ -60,11 +65,13 @@ class DeltaStreamLite extends StreamSourceProvider with DataSourceRegister {
                             providerName: String,
                             parameters: Map[String, String]): Source =
     new DeltaStreamSource(sqlContext, path(parameters),
-      parameters.get("maxVersionsPerTrigger").map(_.toLong))
+      parameters.get("maxVersionsPerTrigger").map(_.toLong),
+      parameters.get("startingVersion").map(_.toLong))
 }
 
 class DeltaStreamSource(sqlContext: SQLContext, tableDir: String,
-                        maxVersionsPerTrigger: Option[Long])
+                        maxVersionsPerTrigger: Option[Long],
+                        startingVersion: Option[Long] = None)
     extends LiteVersionedStreamSource(
       sqlContext.sparkSession, maxVersionsPerTrigger) {
 
@@ -83,6 +90,13 @@ class DeltaStreamSource(sqlContext: SQLContext, tableDir: String,
     val endV = ver(end)
     observe(endV)
     val batch = start match {
+      case None if startingVersion.isDefined =>
+        // resume-from-version: the adds of [startingVersion, endV] —
+        // never a full-table replay
+        val adds = DeltaLogLite.addsBetween(spark, tableDir,
+          startingVersion.get - 1, endV, schemaJson)
+        DeltaLogLite.readFiles(spark, tableDir, initial.schema,
+          initial.partitionColumns, adds, initial.physicalNames)
       case None =>
         // initial batch: the full snapshot at endV (checkpoint-aware)
         DeltaLogLite.read(spark, tableDir, versionAsOf = Some(endV))

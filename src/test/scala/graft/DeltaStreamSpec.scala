@@ -115,6 +115,31 @@ class DeltaStreamSpec extends AnyFunSuite {
       "restart must consume exactly the new commit — no loss, no replay")
   }
 
+  test("startingVersion begins at the named version, not the snapshot") {
+    val (root, schema) = fixture("startver")
+    append(root, schema, 0)
+    append(root, schema, 1)
+    append(root, schema, 2)
+    val seen = mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format(fmt)
+      .option("path", root)
+      .option("startingVersion", "1").load()
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        val ids = df.select(col("id")).collect().map(_.getLong(0))
+        seen.synchronized { seen ++= ids: Unit }
+      }.start()
+    try {
+      q.processAllAvailable()
+      // versions 1..2 only — commit 0's rows are never replayed
+      assert(seen.sorted.toList == (5L to 14L).toList)
+      append(root, schema, 3)
+      q.processAllAvailable()
+      assert(seen.sorted.toList == (5L to 19L).toList)
+    } finally q.stop()
+  }
+
   test("remove mid-stream fails loudly (append-only scope)") {
     val (root, schema) = fixture("remove")
     append(root, schema, 0)
