@@ -529,6 +529,15 @@ object Storage extends QueryModule {
         .read(s, authorPaimonTable(s, dir), snapshotId = Some(1L)))
     },
 
+    // Paimon timestamp travel: 1500ms lands between snapshot 1
+    // (timeMillis 1000) and snapshot 2 (2000) — Paimon's own commit
+    // stamp resolves to the pre-delete snapshot, the same A∪B census
+    // as q398's id-based travel.
+    "q423_paimon_ts_travel" -> { (s, dir) =>
+      deltaCensus(graft.sources.PaimonLite.read(
+        s, authorPaimonTable(s, dir), asOfTimestampMs = Some(1500L)))
+    },
+
     // Paimon PRIMARY-KEY table (deduplicate merge engine) — the LSM
     // side of the format. The authored table stores KeyValue rows
     // (_KEY_o_orderkey, _SEQUENCE_NUMBER, _VALUE_KIND, value columns):
@@ -1968,7 +1977,8 @@ object Storage extends QueryModule {
              |"baseManifestList":${jstr(base)},
              |"deltaManifestList":${jstr(delta)},
              |"commitKind":"APPEND","commitUser":"graft",
-             |"commitIdentifier":$id,"timeMillis":0}""".stripMargin
+             |"commitIdentifier":$id,"timeMillis":${id * 1000}}"""
+            .stripMargin
         Files.writeString(Paths.get(root, "snapshot", "snapshot-1"),
           snapJson(1, "ml-empty.avro", "ml-ab.avro"))
         Files.writeString(Paths.get(root, "snapshot", "snapshot-2"),
@@ -2417,6 +2427,16 @@ object Storage extends QueryModule {
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
         |   AS sum_price
         |FROM lineitem WHERE l_orderkey % 10 IN (1, 2)
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    // timestamp 1500ms resolves to Paimon snapshot 1 = A∪B
+    "q423_paimon_ts_travel" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_price
+        |FROM lineitem WHERE l_orderkey % 10 IN (0, 1)
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
     // Paimon PK merged state: %10∈{1,2} original, {3,4} doubled, 0 dead

@@ -69,8 +69,8 @@ object GraftLake {
   /** Detect + dispatch. `version` is a Delta version / Iceberg
     * snapshot id / Paimon snapshot id (refused on Hudi — its instants
     * are strings; use [[HudiCowLite.read]]); `timestampMs` is Delta
-    * commitInfo / Iceberg timestamp-ms travel (refused on Hudi/Paimon,
-    * whose lite readers carry no stamped history); `readOptimized`
+    * commitInfo / Iceberg timestamp-ms / Paimon timeMillis travel
+    * (refused on Hudi, whose instants are strings); `readOptimized`
     * opts a Hudi MERGE_ON_READ table into its read-optimized view
     * (a no-op everywhere else — the other formats' reads are already
     * their freshest consistent view). */
@@ -94,10 +94,8 @@ object GraftLake {
               "HudiCowLite.read(asOfInstant=...) directly")
         HudiCowLite.read(spark, tableDir, readOptimized = readOptimized)
       case Paimon =>
-        if (timestampMs.nonEmpty) throw new IllegalArgumentException(
-          "GraftLake: PaimonLite carries no stamped snapshot history — " +
-            "use a snapshot id")
-        PaimonLite.read(spark, tableDir, snapshotId = version)
+        PaimonLite.read(spark, tableDir, snapshotId = version,
+          asOfTimestampMs = timestampMs)
     }
   }
 }

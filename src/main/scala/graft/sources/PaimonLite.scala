@@ -122,16 +122,42 @@ object PaimonLite {
     if (noScheme.startsWith("/")) noScheme else s"$tableDir/$noScheme"
   }
 
-  /** Resolve a snapshot: `snapshotId`, else the `snapshot/LATEST`
-    * hint, else the highest snapshot-<N> present. */
+  /** Resolve a snapshot: `snapshotId`, else `asOfTimestampMs` (the
+    * LATEST snapshot whose `timeMillis` is ≤ the instant — Paimon's
+    * own commit stamp), else the `snapshot/LATEST` hint, else the
+    * highest snapshot-<N> present. */
   def snapshot(spark: SparkSession, tableDir: String,
-               snapshotId: Option[Long] = None): Snapshot = {
+               snapshotId: Option[Long] = None,
+               asOfTimestampMs: Option[Long] = None): Snapshot = {
+    require(snapshotId.isEmpty || asOfTimestampMs.isEmpty,
+      "snapshotId and asOfTimestampMs are mutually exclusive")
     val snapDir = new Path(tableDir, "snapshot")
     val fs = snapDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(snapDir))
       throw new IllegalStateException(s"$tableDir has no snapshot directory")
 
-    val wantedId: Long = snapshotId.getOrElse {
+    val byTimestamp: Option[Long] = asOfTimestampMs.map { ts =>
+      val ids = fs.listStatus(snapDir).toSeq.map(_.getPath.getName)
+        .collect { case n if n.matches("snapshot-\\d+") =>
+          n.stripPrefix("snapshot-").toLong }
+      if (ids.isEmpty) throw new IllegalStateException(
+        s"$tableDir: no snapshot-<N> files in snapshot/")
+      val stamped = ids.sorted.map { id =>
+        val j = JsonMethods.parse(
+          readText(fs, new Path(snapDir, s"snapshot-$id")))
+        id -> (j \ "timeMillis").extractOpt[Long].getOrElse(
+          throw new IllegalStateException(
+            s"$tableDir: snapshot $id has no timeMillis — timestamp " +
+              "travel needs stamped snapshots"))
+      }
+      val eligible = stamped.filter(_._2 <= ts)
+      if (eligible.isEmpty) throw new IllegalArgumentException(
+        s"$tableDir: no snapshot at or before timestamp $ts " +
+          s"(earliest is ${stamped.map(_._2).min})")
+      eligible.maxBy(e => (e._2, e._1))._1
+    }
+
+    val wantedId: Long = snapshotId.orElse(byTimestamp).getOrElse {
       val hint = new Path(snapDir, "LATEST")
       if (fs.exists(hint)) readText(fs, hint).trim.toLong
       else {
@@ -439,8 +465,9 @@ object PaimonLite {
     * empty frame (the schema store makes that possible here, unlike
     * Hudi COW). */
   def read(spark: SparkSession, tableDir: String,
-           snapshotId: Option[Long] = None): DataFrame = {
-    val snap = snapshot(spark, tableDir, snapshotId)
+           snapshotId: Option[Long] = None,
+           asOfTimestampMs: Option[Long] = None): DataFrame = {
+    val snap = snapshot(spark, tableDir, snapshotId, asOfTimestampMs)
     if (snap.files.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)

@@ -70,10 +70,12 @@ class GraftLakeSpec extends AnyFunSuite {
       GraftLake.read(spark, hudi, version = Some(1L))
     }
     assert(e.getMessage.contains("HudiCowLite"))
+    // Paimon timestamp travel DISPATCHES (timeMillis-based) — the
+    // empty fixture fails inside PaimonLite, proving the routing
     val paimon = fresh("pts", "snapshot", "schema")
-    val e2 = intercept[IllegalArgumentException] {
+    val e2 = intercept[IllegalStateException] {
       GraftLake.read(spark, paimon, timestampMs = Some(1L))
     }
-    assert(e2.getMessage.contains("snapshot id"))
+    assert(e2.getMessage.contains("no snapshot"))
   }
 }

@@ -123,6 +123,24 @@ class PaimonSpec extends AnyFunSuite {
     assert(PaimonLite.snapshot(spark, root).snapshotId == 2L)
   }
 
+  test("timestamp travel selects by timeMillis; too-early refuses") {
+    val root = fixture("tstravel")
+    // stamp the snapshots: 1 @1000, 2 @2000
+    for ((id, ts) <- Seq(1 -> 1000, 2 -> 2000)) {
+      val p = Paths.get(root, "snapshot", s"snapshot-$id")
+      Files.writeString(p, Files.readString(p)
+        .replace("\"timeMillis\":0", s""""timeMillis":$ts"""))
+    }
+    assert(PaimonLite.snapshot(spark, root,
+      asOfTimestampMs = Some(1500L)).snapshotId == 1L)
+    assert(PaimonLite.snapshot(spark, root,
+      asOfTimestampMs = Some(2000L)).snapshotId == 2L)
+    val e = intercept[IllegalArgumentException] {
+      PaimonLite.snapshot(spark, root, asOfTimestampMs = Some(999L))
+    }
+    assert(e.getMessage.contains("no snapshot at or before"))
+  }
+
   /** PRIMARY-KEY fixture: KeyValue parquet files (_KEY_id,
     * _SEQUENCE_NUMBER, _VALUE_KIND, id, v) under bucket-0. kv0 inserts
     * ids 0..4 (v = id*3) at sequence 1; kv1 at sequence 2 updates
