@@ -79,7 +79,8 @@ object DeltaLogLite {
   final case class AddFile(path: String, partitionValues: Map[String, String])
   final case class Snapshot(version: Long, schema: StructType,
                             partitionColumns: Seq[String], files: Seq[AddFile],
-                            physicalNames: Map[String, String] = Map.empty)
+                            physicalNames: Map[String, String] = Map.empty,
+                            configuration: Map[String, String] = Map.empty)
 
   private final case class Protocol(minReaderVersion: Int,
                                     readerFeatures: Set[String])
@@ -353,7 +354,7 @@ object DeltaLogLite {
     protocol.foreach(gateProtocol(tableDir, _))
     val phys = columnMapping(tableDir, sch, conf)
     Snapshot(wanted.lastOption.map(_._1).getOrElse(base), sch, partCols,
-      live.values.toSeq, phys)
+      live.values.toSeq, phys, conf)
   }
 
   /** Resolve `timestampAsOf` to a version: the LATEST commit whose
@@ -503,9 +504,10 @@ object DeltaLogLite {
     if (snap.physicalNames.nonEmpty) throw new IllegalStateException(
       s"$tableDir: change-feed reads on column-mapped tables are " +
         "outside DeltaLogLite scope")
-    // CDF must be ON for the range to have been recorded
-    val conf = confAt(spark, tableDir, toVersion)
-    if (!conf.get("delta.enableChangeDataFeed").contains("true"))
+    // CDF must be ON for the range to have been recorded (the
+    // snapshot replay above already tracked the configuration)
+    if (!snap.configuration.get("delta.enableChangeDataFeed")
+        .contains("true"))
       throw new IllegalStateException(
         s"$tableDir: delta.enableChangeDataFeed is not true at version " +
           s"$toVersion — the log carries no change data for the range")
@@ -565,33 +567,6 @@ object DeltaLogLite {
       changed.withColumn("_commit_version", lit(v))
     }
     perVersion.reduce(_ unionAll _)
-  }
-
-  /** The metaData `configuration` in force at `versionAsOf` (replayed
-    * the same way snapshot() replays schema). Bounded JSON reads. */
-  private def confAt(spark: SparkSession, tableDir: String,
-                     versionAsOf: Long): Map[String, String] = {
-    val logDir = new Path(tableDir, "_delta_log")
-    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    var conf = Map.empty[String, String]
-    for (v <- 0L to versionAsOf) {
-      val p = new Path(logDir, f"$v%020d.json")
-      if (fs.exists(p)) {
-        val in = fs.open(p)
-        val text = try scala.io.Source.fromInputStream(in, "UTF-8")
-          .mkString finally in.close()
-        for (line <- text.linesIterator if line.trim.nonEmpty) {
-          val action = try JsonMethods.parse(line)
-            catch { case _: Exception => JNothing }
-          (action \ "metaData") match {
-            case JNothing =>
-            case md => conf = (md \ "configuration")
-              .extractOpt[Map[String, String]].getOrElse(Map.empty)
-          }
-        }
-      }
-    }
-    conf
   }
 
   /** The files ADDED in commits (fromExclusive, toInclusive] — the
