@@ -446,14 +446,20 @@ object IcebergLite {
     }
   }
 
-  /** Chain one LEFT ANTI join per (sequence, column-set) equality
-    * group: data rows dead when null-safe-equal to a distinct delete
-    * key AND their file's sequence is STRICTLY below the delete's.
-    * Data rows learn their sequence from a bounded (path → seq)
-    * lookup frame (one row per data file — plan-time-sized, so Spark
-    * broadcasts it); the delete-key sides are delete-file-sized and
-    * likewise auto-broadcast from parquet statistics, falling back to
-    * shuffled joins at 100 TB. */
+  /** Apply equality deletes as ONE LEFT ANTI join per COLUMN SET: a
+    * data row is dead when it null-safe-matches a delete row on the
+    * set's columns AND its file's sequence is STRICTLY below that
+    * delete row's. Each delete file contributes its rows tagged with
+    * its own sequence, so a thousand-commit history still plans a
+    * handful of joins (column sets are schema-bounded), never a
+    * thousand — the shape that survives 100 TB. Data rows learn their
+    * sequence from a bounded (path → seq) lookup frame (one row per
+    * data file — plan-time-sized, so Spark broadcasts it); delete
+    * sides are delete-file-sized and auto-broadcast from parquet
+    * statistics, falling back to shuffled joins when huge. A data row
+    * matched by delete rows at several sequences survives only if its
+    * own sequence is ≥ the delete MAX — exactly the per-row `<`
+    * condition the single join expresses. */
   private def applyEqualityDeletes(spark: SparkSession, tableDir: String,
                                    snap: Snapshot,
                                    data: DataFrame): DataFrame = {
@@ -472,18 +478,22 @@ object IcebergLite {
       .join(seqLookup, col("_ice_path") === col("_seq_path"), "left")
       .drop("_ice_path", "_seq_path")
     val applied = snap.eqDeletes
-      .groupBy(d => (d.seq, d.cols)).toSeq
-      .sortBy { case ((seq, cols), _) => (seq, cols.mkString(",")) }
-      .foldLeft(withSeq) { case (acc, ((seq, cols), group)) =>
-        val keys = spark.read.parquet(group.map(_.path): _*)
-        val missing = cols.filterNot(keys.columns.contains)
-        if (missing.nonEmpty) throw new IllegalStateException(
-          s"IcebergLite: equality delete files ${group.map(_.path)
-            .mkString(", ")} lack columns ${missing.mkString(", ")}")
-        val delKeys = keys
-          .select(cols.map(c => col(c).as(s"_del_$c")): _*).distinct()
+      .groupBy(_.cols).toSeq.sortBy(_._1.mkString(","))
+      .foldLeft(withSeq) { case (acc, (cols, group)) =>
+        val delKeys = group.map { d =>
+          val keys = spark.read.parquet(d.path)
+          val missing = cols.filterNot(keys.columns.contains)
+          if (missing.nonEmpty) throw new IllegalStateException(
+            s"IcebergLite: equality delete file ${d.path} lacks " +
+              s"columns ${missing.mkString(", ")}")
+          keys.select(cols.map(c => col(c).as(s"_del_$c")) :+
+            lit(d.seq).as("_del_seq"): _*)
+        }.reduce(_ unionAll _)
+          // one key at its highest delete sequence decides the row
+          .groupBy(cols.map(c => col(s"_del_$c")): _*)
+          .agg(max(col("_del_seq")).as("_del_seq"))
         val cond = cols.map(c => acc(c) <=> delKeys(s"_del_$c"))
-          .reduce(_ && _) && acc("_ice_seq") < lit(seq)
+          .reduce(_ && _) && acc("_ice_seq") < delKeys("_del_seq")
         acc.join(delKeys, cond, "left_anti")
       }
     applied.drop("_ice_seq")

@@ -36,10 +36,10 @@ import org.json4s.jackson.JsonMethods
   * 2 = +U update-after, 3 = -D delete) and the value columns — and
   * the batch-read contract is "latest sequence per key wins; a
   * winning delete drops the key". That merge is expressed Spark-first
-  * as a key-partitioned window (row_number over _SEQUENCE_NUMBER
-  * desc) — ONE shuffle on the primary key, no level-aware driver
-  * logic, scale-safe at 100 TB because the window is keyed, never
-  * global. Ties break deterministically by kind then file path.
+  * as groupBy + max_by over one orderable (sequence, kind, file)
+  * struct — a plain AGGREGATE that PARTIAL-COMBINES map-side, then
+  * ONE shuffle on the primary key; no level-aware driver logic, no
+  * window. Ties break deterministically by kind then file path.
   *
   * Lite scope, loud failures (never silent wrong answers):
   *  - primary-key tables with a NON-default merge engine
