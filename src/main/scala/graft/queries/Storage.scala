@@ -351,6 +351,19 @@ object Storage extends QueryModule {
         .read(s, authorIcebergDeleteTable(s, dir)))
     },
 
+    // Delta DELETION VECTORS — the modern row-level-delete layout
+    // (reader version 3 + the deletionVectors feature). Commit 1
+    // re-adds batch A with a real roaring-bitmap .bin marking every
+    // l_quantity > 25 ordinal dead; the reader resolves the
+    // u-storage id (base85 UUID), verifies version/size/magic/CRC,
+    // decodes bitmaps EXECUTOR-SIDE, and LEFT ANTI-joins the dead set
+    // on (_metadata.file_path, row_index). A reader that ignored the
+    // DV would resurrect the deleted rows and hash-mismatch here.
+    "q424_delta_deletion_vectors" -> { (s, dir) =>
+      deltaCensus(graft.sources.DeltaLogLite
+        .read(s, authorDeltaDvTable(s, dir)))
+    },
+
     // Delta CHANGE DATA FEED — the incremental-ETL surface. Commit 0
     // blind-appends batch A (CDF inserts synthesized from the adds,
     // per the protocol); commit 1 is an UPDATE that wrote cdc files:
@@ -1280,6 +1293,110 @@ object Storage extends QueryModule {
           metaJson)
         Files.writeString(Paths.get(root, "metadata", "version-hint.text"),
           "1")
+        root
+      })
+    }
+
+  private val deltaDvMemo =
+    scala.collection.mutable.Map.empty[String, String]
+
+  /** RFC-1924 base85 ENCODE (inverse of DeltaLogLite.base85Decode) —
+    * used to author q424's `u`-storage deletion-vector id. */
+  private def base85Encode(bytes: Array[Byte]): String = {
+    val alphabet = "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ" +
+      "abcdefghijklmnopqrstuvwxyz!#$%&()*+-;<=>?@^_`{|}~"
+    require(bytes.length % 4 == 0)
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val sb = new StringBuilder
+    while (bb.hasRemaining) {
+      var acc = bb.getInt.toLong & 0xffffffffL
+      val grp = new Array[Char](5)
+      for (i <- 4 to 0 by -1) {
+        grp(i) = alphabet((acc % 85).toInt); acc /= 85
+      }
+      sb.appendAll(grp)
+    }
+    sb.toString
+  }
+
+  /** Authors the deletion-vector Delta table used by q424: commit 0
+    * adds batch A (l_orderkey%10 ∈ {0,1}); commit 1 re-adds it with a
+    * `u`-storage deletion vector — a REAL roaring-bitmap `.bin` file
+    * (version byte, big-endian size frame, little-endian magic,
+    * RoaringBitmapArray portable payload, CRC32) marking every
+    * l_quantity > 25 ordinal dead, ordinals read back from the file
+    * itself via _metadata.row_index. Protocol: reader version 3 +
+    * the deletionVectors feature. Memoized per sf-dir. */
+  private def authorDeltaDvTable(s: SparkSession, dir: String): String =
+    deltaDvMemo.synchronized {
+      deltaDvMemo.getOrElseUpdate(dir, {
+        import java.nio.file.{Files, Paths}
+        val root =
+          s"/tmp/graft_delta/dv_${Integer.toHexString(dir.hashCode)}"
+        def rm(p: java.io.File): Unit = {
+          if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+          p.delete(): Unit
+        }
+        rm(new java.io.File(root))
+        Files.createDirectories(Paths.get(root, "_delta_log"))
+        Files.createDirectories(Paths.get(root, "data"))
+        val a = Tables.df(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity"),
+            col("l_extendedprice"), col("l_returnflag"))
+          .filter((col("l_orderkey") % 10).isin(0, 1))
+        val tmp = s"$root/_tmp"
+        a.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.endsWith(".parquet") &&
+            !f.getName.startsWith(".")).get
+        assert(part.renameTo(new java.io.File(s"$root/data/a.parquet")))
+        rm(new java.io.File(tmp))
+        // dead ordinals from the REAL file (authoring cannot drift)
+        val dead = s.read.parquet(s"$root/data/a.parquet")
+          .filter(col("l_quantity") > 25)
+          .select(col("_metadata.row_index")).collect()
+          .map(_.getLong(0)).sorted
+        // RoaringBitmapArray portable payload: [n=1 LE][key=0 LE][bitmap]
+        val bmp = new org.roaringbitmap.RoaringBitmap()
+        dead.foreach(p => bmp.add(p.toInt))
+        val bos = new java.io.ByteArrayOutputStream()
+        val header = java.nio.ByteBuffer.allocate(16)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        header.putInt(1681511377) // magic
+        header.putLong(1L)        // one 32-bit bitmap
+        header.putInt(0)          // key (high 32 bits)
+        bos.write(header.array())
+        val dos = new java.io.DataOutputStream(bos)
+        bmp.serialize(dos)
+        dos.flush()
+        val data = bos.toByteArray
+        val crc = new java.util.zip.CRC32
+        crc.update(data)
+        val framed = java.nio.ByteBuffer.allocate(1 + 4 + data.length + 4)
+        framed.put(1.toByte)          // file version
+        framed.putInt(data.length)    // big-endian size
+        framed.put(data)
+        framed.putInt(crc.getValue.toInt)
+        val uuid = java.util.UUID.nameUUIDFromBytes(
+          "graft-q424".getBytes("UTF-8"))
+        Files.write(Paths.get(root, s"deletion_vector_$uuid.bin"),
+          framed.array())
+        val uuidBytes = java.nio.ByteBuffer.allocate(16)
+        uuidBytes.putLong(uuid.getMostSignificantBits)
+        uuidBytes.putLong(uuid.getLeastSignificantBits)
+        val dvId = base85Encode(uuidBytes.array())
+        val dvJson =
+          s"""{"storageType":"u","pathOrInlineDv":${jstr(dvId)},"offset":1,"sizeInBytes":${data.length},"cardinality":${dead.length}}"""
+        val metaData =
+          s"""{"metaData":{"id":"graft-q424","format":{"provider":"parquet","options":{}},"schemaString":${jstr(a.schema.json)},"partitionColumns":[],"configuration":{},"createdTime":0}}"""
+        Files.writeString(Paths.get(root, "_delta_log", f"${0L}%020d.json"),
+          Seq(
+            """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+            metaData,
+            """{"add":{"path":"data/a.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""")
+            .mkString("", "\n", "\n"))
+        Files.writeString(Paths.get(root, "_delta_log", f"${1L}%020d.json"),
+          s"""{"add":{"path":"data/a.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true,"deletionVector":$dvJson}}""" + "\n")
         root
       })
     }
@@ -2314,6 +2431,17 @@ object Storage extends QueryModule {
         |FROM lineitem
         |WHERE l_orderkey % 10 = 1
         |   OR (l_orderkey % 10 = 0 AND NOT (l_quantity > 25))
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    // deletion vector applied: batch A minus its quantity > 25 rows
+    "q424_delta_deletion_vectors" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_price
+        |FROM lineitem
+        |WHERE l_orderkey % 10 IN (0, 1) AND NOT (l_quantity > 25)
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
     // CDF census: inserts @v0 = batch A; pre/postimage @v1 = the

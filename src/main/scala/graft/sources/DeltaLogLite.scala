@@ -66,17 +66,44 @@ import org.json4s.jackson.JsonMethods
   *    natively), `vacuumProtocolCheck` (a vacuum-time writer
   *    obligation; PROTOCOL.md says readers need no special handling)
   *    and `columnMapping` (read via the physical-name projection);
-  *  - any `add` carrying a non-null `deletionVector` is refused (its
-  *    rows would otherwise be resurrected);
+  *  - DELETION VECTORS are READ (see below) — an `add` whose
+  *    descriptor this reader cannot decode fails loudly (magic/CRC
+  *    checked), never silently resurrects rows;
   *  - `metaData.configuration["delta.columnMapping.mode"]` other than
   *    `none`/`name` is refused (mode `id` resolves by parquet field
   *    id — outside lite scope; a by-name read would return all nulls).
   * A table with NO protocol action (pre-protocol fixtures) is treated
   * as reader version 1, which is exactly what such a log means.
+  *
+  * DELETION VECTORS (PROTOCOL.md "Deletion Vectors"): an `add` may
+  * carry a descriptor naming a roaring-bitmap file of dead row
+  * ordinals. Storage types `u` (table-relative
+  * `deletion_vector_<uuid>.bin`, uuid base85/RFC-1924-encoded in the
+  * descriptor) and `p` (absolute path) are read; `i` (inline) is
+  * refused. The DV file framing follows the published layout —
+  * [1-byte version][4-byte big-endian size][4-byte little-endian
+  * magic 1681511377][RoaringBitmapArray portable: 8-byte LE bitmap
+  * count, then per bitmap a 4-byte LE key + a standard 32-bit
+  * roaring bitmap][4-byte CRC32] — with the version, magic, size and
+  * checksum ALL verified, so a layout this reader mis-guessed fails
+  * loudly instead of returning wrong rows. Bitmap decode runs
+  * EXECUTOR-SIDE (a flatMap over the bounded descriptor list emits
+  * (file, ordinal) rows lazily through the library's iterator), so a
+  * billion dead rows never materialize on the driver; the dead set
+  * then LEFT ANTI-joins the scan on
+  * (`_metadata.file_path`, `_metadata.row_index`) exactly like the
+  * Iceberg positional-delete path.
   */
 object DeltaLogLite {
 
-  final case class AddFile(path: String, partitionValues: Map[String, String])
+  /** A live file's deletion-vector descriptor (PROTOCOL.md "Deletion
+    * Vector Descriptor Schema"). */
+  final case class DvDescriptor(storageType: String, pathOrInlineDv: String,
+                                offset: Long, sizeInBytes: Int,
+                                cardinality: Long)
+
+  final case class AddFile(path: String, partitionValues: Map[String, String],
+                           deletionVector: Option[DvDescriptor] = None)
   final case class Snapshot(version: Long, schema: StructType,
                             partitionColumns: Seq[String], files: Seq[AddFile],
                             physicalNames: Map[String, String] = Map.empty,
@@ -86,10 +113,10 @@ object DeltaLogLite {
                                     readerFeatures: Set[String])
 
   /** Reader features this lite reader genuinely satisfies; anything
-    * else (deletionVectors, v2Checkpoint, …) is a loud refusal, never
-    * a silent wrong answer. */
+    * else (v2Checkpoint, …) is a loud refusal, never a silent wrong
+    * answer. */
   private val supportedReaderFeatures = Set("timestampNtz",
-    "vacuumProtocolCheck", "columnMapping")
+    "vacuumProtocolCheck", "columnMapping", "deletionVectors")
 
   private def gateProtocol(tableDir: String, p: Protocol): Unit = {
     val ok = p.minReaderVersion <= 2 ||
@@ -227,20 +254,23 @@ object DeltaLogLite {
       }
     }
     if (cols.contains("add")) {
+      val dvT = "struct<storageType:string,pathOrInlineDv:string," +
+        "offset:bigint,sizeInBytes:int,cardinality:bigint>"
       val dvCol =
         if (nested("add", "deletionVector"))
-          col("add.deletionVector").isNotNull
-        else lit(false)
+          col("add.deletionVector").cast(dvT)
+        else lit(null).cast(dvT)
       df.select(col("add.path"), col("add.partitionValues"), dvCol)
         .where(col("add.path").isNotNull).collect()
         .foreach { r =>
-          if (r.getBoolean(2)) throw new IllegalStateException(
-            s"$tableDir: checkpoint $version add ${r.getString(0)} " +
-              "carries a deletionVector — reading it would resurrect " +
-              "deleted rows; DeltaLogLite refuses deletion vectors")
+          val dv = Option(r.getStruct(2)).map { d =>
+            DvDescriptor(d.getString(0), d.getString(1),
+              Option(d.get(2)).map(_.asInstanceOf[Long]).getOrElse(0L),
+              d.getInt(3), d.getLong(4))
+          }
           val pv = Option(r.getMap[String, String](1))
             .map(_.toMap).getOrElse(Map.empty[String, String])
-          live(r.getString(0)) = AddFile(r.getString(0), pv)
+          live(r.getString(0)) = AddFile(r.getString(0), pv, dv)
         }
     }
     (schema, partCols, conf, protocol)
@@ -332,16 +362,18 @@ object DeltaLogLite {
           case JNothing =>
           case add =>
             val path = (add \ "path").extract[String]
-            (add \ "deletionVector") match {
-              case JNothing | JNull =>
-              case _ => throw new IllegalStateException(
-                s"$tableDir commit $v: add $path carries a " +
-                  "deletionVector — reading it would resurrect deleted " +
-                  "rows; DeltaLogLite refuses deletion vectors")
+            val dv = (add \ "deletionVector") match {
+              case JNothing | JNull => None
+              case d => Some(DvDescriptor(
+                (d \ "storageType").extract[String],
+                (d \ "pathOrInlineDv").extract[String],
+                (d \ "offset").extractOpt[Long].getOrElse(0L),
+                (d \ "sizeInBytes").extract[Int],
+                (d \ "cardinality").extract[Long]))
             }
             val pv = (add \ "partitionValues")
               .extractOpt[Map[String, String]].getOrElse(Map.empty)
-            live(path) = AddFile(path, pv)
+            live(path) = AddFile(path, pv, dv)
         }
         (action \ "remove") match {
           case JNothing =>
@@ -638,6 +670,146 @@ object DeltaLogLite {
     adds.values.toSeq
   }
 
+  /** RFC 1924 base85 alphabet (the variant Delta uses for
+    * deletion-vector UUIDs/inline payloads). */
+  private val base85Alphabet =
+    "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ" +
+      "abcdefghijklmnopqrstuvwxyz!#$%&()*+-;<=>?@^_`{|}~"
+  private val base85Index: Array[Int] = {
+    val idx = Array.fill(128)(-1)
+    base85Alphabet.zipWithIndex.foreach { case (c, i) => idx(c.toInt) = i }
+    idx
+  }
+
+  /** Decode RFC-1924 base85: every 5 chars are one big-endian 32-bit
+    * group. Length must be a multiple of 5 (Delta encodes whole
+    * 16-byte UUIDs → 20 chars). */
+  private[graft] def base85Decode(text: String): Array[Byte] = {
+    if (text.length % 5 != 0) throw new IllegalStateException(
+      s"DeltaLogLite: base85 payload length ${text.length} is not a " +
+        "multiple of 5")
+    val out = java.nio.ByteBuffer.allocate(text.length / 5 * 4)
+    for (g <- text.grouped(5)) {
+      var acc = 0L
+      for (c <- g) {
+        val d = if (c < 128) base85Index(c.toInt) else -1
+        if (d < 0) throw new IllegalStateException(
+          s"DeltaLogLite: invalid base85 character '$c'")
+        acc = acc * 85 + d
+      }
+      if (acc > 0xffffffffL) throw new IllegalStateException(
+        s"DeltaLogLite: base85 group '$g' exceeds 32 bits — malformed")
+      out.putInt(acc.toInt)
+    }
+    out.array()
+  }
+
+  /** Resolve a DV descriptor to the absolute path of its `.bin` file.
+    * `u`: the LAST 20 chars of pathOrInlineDv are the base85 UUID, any
+    * leading chars are the random directory prefix; `p`: absolute
+    * path; `i` (inline) is refused. */
+  private def dvFilePath(tableDir: String, dv: DvDescriptor): String =
+    dv.storageType match {
+      case "u" =>
+        val enc = dv.pathOrInlineDv
+        if (enc.length < 20) throw new IllegalStateException(
+          s"DeltaLogLite: deletion-vector id '$enc' is shorter than a " +
+            "base85 UUID")
+        val (prefix, b85) = enc.splitAt(enc.length - 20)
+        val bytes = base85Decode(b85)
+        val bb = java.nio.ByteBuffer.wrap(bytes)
+        val uuid = new java.util.UUID(bb.getLong, bb.getLong)
+        val dir = if (prefix.isEmpty) tableDir else s"$tableDir/$prefix"
+        s"$dir/deletion_vector_$uuid.bin"
+      case "p" =>
+        if (!dv.pathOrInlineDv.startsWith("/") &&
+          !dv.pathOrInlineDv.startsWith("file:"))
+          throw new IllegalStateException(
+            s"DeltaLogLite: deletion-vector path ${dv.pathOrInlineDv} " +
+              "is not a local absolute path — outside lite scope")
+        dv.pathOrInlineDv.stripPrefix("file://").stripPrefix("file:")
+      case other => throw new IllegalStateException(
+        s"DeltaLogLite: deletion-vector storageType '$other' is outside " +
+          "lite scope (u and p are read; inline is refused)")
+    }
+
+  /** Decode ONE deletion vector from its `.bin` file into dead row
+    * ordinals, verifying version, size, magic and CRC32 — a framing
+    * this reader mis-guessed fails loudly, never silently. Runs
+    * executor-side. */
+  private[graft] def decodeDvFile(path: String, offset: Long,
+                                  sizeInBytes: Int,
+                                  cardinality: Long): Iterator[Long] = {
+    val raf = new java.io.RandomAccessFile(path, "r")
+    try {
+      raf.seek(0)
+      val version = raf.readByte()
+      if (version != 1) throw new IllegalStateException(
+        s"$path: deletion-vector file version $version (expected 1)")
+      raf.seek(offset)
+      val storedSize = raf.readInt() // big-endian per the layout
+      if (storedSize != sizeInBytes) throw new IllegalStateException(
+        s"$path: deletion vector at offset $offset has stored size " +
+          s"$storedSize but the descriptor says $sizeInBytes")
+      val data = new Array[Byte](sizeInBytes)
+      raf.readFully(data)
+      val storedCrc = raf.readInt()
+      val crc = new java.util.zip.CRC32
+      crc.update(data)
+      if (storedCrc != crc.getValue.toInt) throw new IllegalStateException(
+        s"$path: deletion-vector checksum mismatch at offset $offset")
+      val bb = java.nio.ByteBuffer.wrap(data)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val magic = bb.getInt
+      if (magic != 1681511377) throw new IllegalStateException(
+        s"$path: deletion-vector magic $magic (expected 1681511377) — " +
+          "unknown serialization; refusing rather than mis-reading")
+      val nBitmaps = bb.getLong
+      val out = Seq.newBuilder[Long]
+      var i = 0L
+      while (i < nBitmaps) {
+        val key = bb.getInt.toLong
+        val bmp = new org.roaringbitmap.RoaringBitmap()
+        // the library reads the standard portable format and leaves
+        // the buffer positioned after the bitmap
+        bmp.deserialize(bb)
+        bb.position(bb.position() + bmp.serializedSizeInBytes())
+        val it = bmp.getIntIterator
+        while (it.hasNext) {
+          out += (key << 32) | (it.next().toLong & 0xffffffffL)
+        }
+        i += 1
+      }
+      val positions = out.result()
+      if (positions.length.toLong != cardinality)
+        throw new IllegalStateException(
+          s"$path: deletion vector decoded ${positions.length} ordinals " +
+            s"but the descriptor says cardinality=$cardinality")
+      positions.iterator
+    } finally raf.close()
+  }
+
+  /** The (data file path, dead ordinal) set for every DV-bearing add —
+    * decode runs EXECUTOR-SIDE over the bounded descriptor list, so
+    * dead-row volume never lands on the driver. */
+  private def dvDeleteSet(spark: SparkSession, tableDir: String,
+                          files: Seq[AddFile]): DataFrame = {
+    import spark.implicits._
+    val descriptors: Seq[(String, String, Long, Int, Long)] =
+      files.flatMap { f =>
+        f.deletionVector.map { dv =>
+          (s"$tableDir/${decodeRelPath(f.path)}",
+            dvFilePath(tableDir, dv), dv.offset, dv.sizeInBytes,
+            dv.cardinality)
+        }
+      }
+    descriptors.toDS().repartition(
+      math.min(descriptors.size, 32).max(1))
+      .flatMap { case (dataPath, dvPath, offset, size, card) =>
+        decodeDvFile(dvPath, offset, size, card).map(pos => (dataPath, pos))
+      }.toDF("_dv_path", "_dv_pos")
+  }
+
   /** Build the typed DataFrame for a set of AddFiles under `snap`'s
     * schema/partition columns — the shared data-read path for both
     * snapshot reads and streaming batches (partition values come from
@@ -651,6 +823,7 @@ object DeltaLogLite {
                 files: Seq[AddFile],
                 physicalNames: Map[String, String] = Map.empty): DataFrame = {
     def phys(c: String): String = physicalNames.getOrElse(c, c)
+    val withDv = files.exists(_.deletionVector.nonEmpty)
     val dataSchema = StructType(
       schema.filterNot(f => partColumns.contains(f.name))
         .map(f => f.copy(name = phys(f.name))))
@@ -658,9 +831,16 @@ object DeltaLogLite {
     val groups = files.groupBy(_.partitionValues).toSeq
       .sortBy(_._1.toSeq.sortBy(_._1).mkString("\u0000"))
     val parts = groups.map { case (pv, fl) =>
-      val base = spark.read.schema(dataSchema)
+      val scan = spark.read.schema(dataSchema)
         .parquet(fl.map(f => s"$tableDir/${decodeRelPath(f.path)}"): _*)
-        .select(dataCols.map(c => col(phys(c)).as(c)).toSeq: _*)
+      // under deletion vectors the scan keeps its file identity and
+      // row ordinal through the projection for the dead-row anti-join
+      val metaCols = if (withDv) Seq(
+        regexp_replace(col("_metadata.file_path"), "^file:/+", "/")
+          .as("_dl_path"),
+        col("_metadata.row_index").as("_dl_pos")) else Nil
+      val base = scan.select(
+        dataCols.map(c => col(phys(c)).as(c)).toSeq ++ metaCols: _*)
       partColumns.foldLeft(base) { (df, c) =>
         val f = schema(c)
         val v = pv.get(phys(c)) match {
@@ -668,11 +848,20 @@ object DeltaLogLite {
           case None    => lit(null).cast(f.dataType)
         }
         df.withColumn(c, v)
-      }.select(schema.fieldNames.map(col).toSeq: _*)
+      }.select(schema.fieldNames.map(col).toSeq ++
+        (if (withDv) Seq(col("_dl_path"), col("_dl_pos")) else Nil): _*)
     }
-    parts.reduceOption(_ unionAll _).getOrElse(
+    val unioned = parts.reduceOption(_ unionAll _).getOrElse(
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+    if (!withDv) unioned
+    else {
+      val dead = dvDeleteSet(spark, tableDir, files)
+      unioned
+        .join(dead, col("_dl_path") === col("_dv_path") &&
+          col("_dl_pos") === col("_dv_pos"), "left_anti")
+        .drop("_dl_path", "_dl_pos")
+    }
   }
 
   /** `add.path` is RELATIVE to the table root and percent-encoded as

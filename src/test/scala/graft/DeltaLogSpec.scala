@@ -228,11 +228,11 @@ class DeltaLogSpec extends AnyFunSuite {
     commit(root, 1, protocol(2))
     assert(DeltaLogLite.read(spark, root).count() == 10)
 
-    commit(root, 2, protocol(3, "deletionVectors"))
+    commit(root, 2, protocol(3, "v2Checkpoint"))
     val e3 = intercept[IllegalStateException] {
       DeltaLogLite.snapshot(spark, root)
     }
-    assert(e3.getMessage.contains("deletionVectors"))
+    assert(e3.getMessage.contains("v2Checkpoint"))
     // versionAsOf BEFORE the upgrade still reads — the snapshot's own
     // protocol is what gates, not the log head's
     assert(DeltaLogLite.read(spark, root, Some(1L)).count() == 10)
@@ -252,14 +252,17 @@ class DeltaLogSpec extends AnyFunSuite {
     assert(DeltaLogLite.read(spark, root).count() == 5)
   }
 
-  test("add.deletionVector refuses loudly") {
+  test("deletion vectors: snapshot carries the descriptor; a " +
+    "malformed id refuses at read") {
     val (root, schema) = fixture("dv")
     commit(root, 0, meta(schema),
       s"""{"add":{"path":"f0.parquet","partitionValues":{"part":"a"},"size":1,"modificationTime":0,"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":"x","offset":1,"sizeInBytes":36,"cardinality":2}}}""")
+    val snap = DeltaLogLite.snapshot(spark, root)
+    assert(snap.files.head.deletionVector.exists(_.storageType == "u"))
     val e = intercept[IllegalStateException] {
-      DeltaLogLite.snapshot(spark, root)
+      DeltaLogLite.read(spark, root).collect()
     }
-    assert(e.getMessage.contains("deletionVector"))
+    assert(e.getMessage.contains("base85 UUID"))
   }
 
   test("columnMapping mode=name reads: physical columns project back " +
@@ -366,6 +369,116 @@ class DeltaLogSpec extends AnyFunSuite {
       DeltaLogLite.snapshot(spark, root)
     }
     assert(e.getMessage.contains("minReaderVersion=4"))
+  }
+
+  test("base85 (RFC 1924 alphabet, 4-byte groups) decodes known " +
+    "vectors and refuses malformed input") {
+    // Delta's codec is GROUP-WISE: each 5 chars are one big-endian
+    // 32-bit value in the RFC 1924 alphabet (0-9 A-Z a-z then
+    // !#$%&()*+-;<=>?@^_`{|}~). Hand-checked vectors:
+    assert(DeltaLogLite.base85Decode("00000").toSeq ==
+      Seq[Byte](0, 0, 0, 0))
+    assert(DeltaLogLite.base85Decode("00001").toSeq ==
+      Seq[Byte](0, 0, 0, 1))
+    assert(DeltaLogLite.base85Decode("0000A").toSeq ==
+      Seq[Byte](0, 0, 0, 10)) // 'A' is digit 10
+    assert(DeltaLogLite.base85Decode("0000~").toSeq ==
+      Seq[Byte](0, 0, 0, 84)) // '~' is the last digit, 84
+    // 85^4 = 52200625 = 0x031C84B1
+    assert(DeltaLogLite.base85Decode("10000").toSeq ==
+      Seq(0x03, 0x1C, 0x84, 0xB1).map(_.toByte))
+    intercept[IllegalStateException] {
+      DeltaLogLite.base85Decode("abc") // not a multiple of 5
+    }
+    intercept[IllegalStateException] {
+      DeltaLogLite.base85Decode("ab\"de") // outside the alphabet
+    }
+    intercept[IllegalStateException] {
+      DeltaLogLite.base85Decode("~~~~~") // 85^5-1 exceeds 32 bits
+    }
+  }
+
+  /** Frame a DV file: [version 1][BE size][data][CRC32(data)] where
+    * data = LE magic + RoaringBitmapArray portable payload. */
+  private def writeDvFile(path: String,
+                          bitmaps: Seq[(Int, Seq[Int])]): Int = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val head = java.nio.ByteBuffer.allocate(12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    head.putInt(1681511377)
+    head.putLong(bitmaps.length.toLong)
+    bos.write(head.array())
+    val dos = new java.io.DataOutputStream(bos)
+    for ((key, positions) <- bitmaps) {
+      val k = java.nio.ByteBuffer.allocate(4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      k.putInt(key)
+      bos.write(k.array())
+      val bmp = new org.roaringbitmap.RoaringBitmap()
+      positions.foreach(bmp.add)
+      bmp.serialize(dos)
+      dos.flush()
+    }
+    val data = bos.toByteArray
+    val crc = new java.util.zip.CRC32
+    crc.update(data)
+    val framed = java.nio.ByteBuffer.allocate(1 + 4 + data.length + 4)
+    framed.put(1.toByte)
+    framed.putInt(data.length)
+    framed.put(data)
+    framed.putInt(crc.getValue.toInt)
+    Files.write(Paths.get(path), framed.array())
+    data.length
+  }
+
+  test("deletion-vector decode: multi-bitmap keys, frame checks loud") {
+    val root = "/tmp/graft_deltaspec/dvdecode"
+    def rm(p: java.io.File): Unit = {
+      if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+      p.delete(): Unit
+    }
+    rm(new java.io.File(root))
+    Files.createDirectories(Paths.get(root))
+    // two 32-bit bitmaps: key 0 holds {1, 2}, key 1 holds {5} — the
+    // decoded 64-bit ordinals must cross the key boundary correctly
+    // (this also pins the buffer-advance behavior between bitmaps)
+    val size = writeDvFile(s"$root/dv.bin",
+      Seq(0 -> Seq(1, 2), 1 -> Seq(5)))
+    val got = DeltaLogLite.decodeDvFile(s"$root/dv.bin", 1L, size, 3L)
+      .toSeq.sorted
+    assert(got == Seq(1L, 2L, (1L << 32) + 5L))
+    // descriptor cardinality mismatch is loud
+    intercept[IllegalStateException] {
+      DeltaLogLite.decodeDvFile(s"$root/dv.bin", 1L, size, 7L).toSeq
+    }
+    // corrupt one data byte: CRC refuses
+    val bytes = Files.readAllBytes(Paths.get(s"$root/dv.bin"))
+    bytes(9) = (bytes(9) ^ 0x7f).toByte
+    Files.write(Paths.get(s"$root/dv2.bin"), bytes)
+    val e = intercept[IllegalStateException] {
+      DeltaLogLite.decodeDvFile(s"$root/dv2.bin", 1L, size, 3L).toSeq
+    }
+    assert(e.getMessage.contains("checksum"))
+    // wrong version byte refuses
+    val b3 = Files.readAllBytes(Paths.get(s"$root/dv.bin"))
+    b3(0) = 9
+    Files.write(Paths.get(s"$root/dv3.bin"), b3)
+    val e3 = intercept[IllegalStateException] {
+      DeltaLogLite.decodeDvFile(s"$root/dv3.bin", 1L, size, 3L).toSeq
+    }
+    assert(e3.getMessage.contains("version 9"))
+  }
+
+  test("inline deletion vectors refuse loudly") {
+    val (root, schema) = fixture("dvinline")
+    commit(root, 0,
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"]}}""",
+      meta(schema),
+      s"""{"add":{"path":"f0.parquet","partitionValues":{"part":"a"},"size":1,"modificationTime":0,"dataChange":true,"deletionVector":{"storageType":"i","pathOrInlineDv":"xyzzy","offset":0,"sizeInBytes":5,"cardinality":1}}}""")
+    val e = intercept[IllegalStateException] {
+      DeltaLogLite.read(spark, root).collect()
+    }
+    assert(e.getMessage.contains("storageType 'i'"))
   }
 
   test("change feed: blind appends synthesize inserts, cdc commits " +
