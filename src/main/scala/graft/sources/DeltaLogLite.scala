@@ -569,6 +569,10 @@ object DeltaLogLite {
         (action \ "add") match {
           case JNothing =>
           case a if (a \ "dataChange").extractOpt[Boolean].getOrElse(true) =>
+            // a DV on a cdc-less add is a row-level delete whose change
+            // rows were never materialized — treated like a bare remove
+            if ((a \ "deletionVector") != JNothing &&
+              (a \ "deletionVector") != JNull) removes += 1
             adds :+= AddFile((a \ "path").extract[String],
               (a \ "partitionValues").extractOpt[Map[String, String]]
                 .getOrElse(Map.empty))
@@ -588,9 +592,9 @@ object DeltaLogLite {
           readFiles(spark, tableDir, withCt, snap.partitionColumns,
             cdcFiles)
         } else if (removes > 0) throw new IllegalStateException(
-          s"$tableDir commit $v: dataChange remove without cdc files — " +
-            "its delete rows were never materialized; serving the range " +
-            "would silently drop changes")
+          s"$tableDir commit $v: dataChange remove/deletion-vector " +
+            "without cdc files — its delete rows were never " +
+            "materialized; serving the range would silently drop changes")
         else {
           // blind append: the adds ARE the inserts
           readFiles(spark, tableDir, snap.schema, snap.partitionColumns,
