@@ -10,8 +10,8 @@ import org.json4s.jackson.JsonMethods
   * layout): `.hoodie/` holds `hoodie.properties` and a timeline of
   * `<instant>.commit` JSON files (completed commits only — `.inflight`
   * and `.requested` markers are in-progress and never read); each
-  * commit's `partitionToWriteStats` names the base parquet file
-  * written per FILE GROUP (fileId). Under copy-on-write a later commit
+  * commit's `partitionToWriteStats` names the base file (parquet or
+  * ORC) written per FILE GROUP (fileId). Under copy-on-write a later commit
   * REWRITES a group's whole base file, so the snapshot at instant T is
   * simply: for every (partition, fileId), the path from the latest
   * commit ≤ T that touched it.
@@ -20,8 +20,8 @@ import org.json4s.jackson.JsonMethods
   * [[IcebergLite]] (reference surface: thirdparty/auron-hudi — the
   * reference converts Hudi scans into its native engine). Same
   * Spark-first split: timeline replay is bounded plan-time metadata;
-  * data reads are native vectorized parquet scans (COW base files
-  * carry every column), keeping pushdown/pruning/codegen.
+  * data reads are native vectorized parquet/ORC scans (COW base
+  * files carry every column), keeping pushdown/pruning/codegen.
   *
   * `.replacecommit` instants (clustering / insert-overwrite) are
   * REPLAYED: the instant's `partitionToReplaceFileIds` first drops the

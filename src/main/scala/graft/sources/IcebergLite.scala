@@ -12,7 +12,8 @@ import org.json4s.jackson.JsonMethods
   * `metadata/version-hint.text` for Hadoop-catalog tables), each
   * snapshot points at an Avro MANIFEST LIST, each manifest-list row
   * names an Avro MANIFEST, and each manifest row carries a `data_file`
-  * struct whose `file_path`/`status` determine the live parquet set.
+  * struct whose `file_path`/`status` determine the live file set
+  * (parquet or ORC).
   *
   * This is the second lakehouse-interop leg next to [[DeltaLogLite]]
   * (reference surface: thirdparty/auron-iceberg/.../
@@ -21,7 +22,7 @@ import org.json4s.jackson.JsonMethods
   *  - SNAPSHOT RESOLUTION (metadata JSON + manifest Avro replay) is
   *    bounded plan-time work — manifests count in the thousands, never
   *    fact-sized, and are read through Spark's bundled Avro source;
-  *  - DATA READING is Spark's native vectorized parquet scan over the
+  *  - DATA READING is Spark's native vectorized parquet/ORC scan over the
   *    resolved file set (Iceberg data files store identity-partition
   *    columns IN the file, unlike Delta, so one schema'd read serves),
   *    keeping pushdown, pruning and whole-stage codegen intact.
@@ -42,9 +43,11 @@ import org.json4s.jackson.JsonMethods
   * row null-safely on those columns AND its data file's sequence
   * number is STRICTLY LOWER than the delete file's (the spec's
   * ordering — a key re-inserted in the same-or-later commit survives).
-  * Each (sequence, column-set) delete group becomes one LEFT ANTI join
-  * against the distinct delete keys; data rows learn their file's
-  * sequence via a bounded (path → seq) broadcast lookup. Sequence
+  * Each COLUMN SET becomes one LEFT ANTI join against its delete keys
+  * (each key carried at its highest delete sequence), so a
+  * thousand-commit delete history still plans a handful of joins;
+  * data rows learn their file's sequence via a bounded (path → seq)
+  * broadcast lookup. Sequence
   * numbers are taken from the manifest entry's `sequence_number`
   * (inheriting the manifest-list row's when null, per the spec);
   * a table carrying equality deletes WITHOUT resolvable sequence
