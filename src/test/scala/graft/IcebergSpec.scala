@@ -366,6 +366,56 @@ class IcebergSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("no snapshot at or before"))
   }
 
+  test("ORC data files read natively; positional deletes over ORC " +
+    "refuse loudly") {
+    val root = fixture("orcdata")
+    // rewrite f1 as genuine ORC and re-point snapshot 2's manifest
+    val tmp = s"$root/_tmpo"
+    spark.read.parquet(s"$root/data/f1.parquet")
+      .coalesce(1).write.mode("overwrite").orc(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.endsWith(".orc") &&
+        !f.getName.startsWith(".")).get
+    assert(part.renameTo(new java.io.File(s"$root/data/f1.orc")))
+    rm(new java.io.File(tmp))
+    import spark.implicits._
+    def writeAvro(d: org.apache.spark.sql.DataFrame, rel: String): Unit = {
+      val t2 = s"$root/_tmpavro"
+      d.coalesce(1).write.mode("overwrite").format(avroFmt).save(t2)
+      val p = new java.io.File(t2).listFiles()
+        .find(_.getName.startsWith("part-")).get
+      assert(p.renameTo(new java.io.File(s"$root/$rel")))
+      rm(new java.io.File(t2))
+    }
+    writeAvro(Seq((0, "data/f1.orc")).toDF("status", "file_path")
+      .select(col("status"),
+        struct(col("file_path"), lit(0).as("content")).as("data_file")),
+      "metadata/m2b.avro")
+    val got = IcebergLite.read(spark, root)
+    assert(got.select("id").as[Long].collect().sorted.toSeq == (5L to 9L))
+    // add a positional delete over the ORC snapshot: must refuse
+    // (row-ordinal addressing is parquet-only in lite scope)
+    val tmpd = s"$root/_tmpd"
+    spark.range(0, 1).select(lit(s"$root/data/f1.orc").as("file_path"),
+      lit(0L).as("pos"))
+      .coalesce(1).write.mode("overwrite").parquet(tmpd)
+    val dp = new java.io.File(tmpd).listFiles()
+      .find(f => f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith(".")).get
+    assert(dp.renameTo(new java.io.File(s"$root/data/del.parquet")))
+    rm(new java.io.File(tmpd))
+    writeAvro(Seq((1, "data/del.parquet")).toDF("status", "file_path")
+      .select(col("status"),
+        struct(col("file_path"), lit(1).as("content")).as("data_file")),
+      "metadata/m-del.avro")
+    writeAvro(Seq(("metadata/m2b.avro", 0), ("metadata/m-del.avro", 1))
+      .toDF("manifest_path", "content"), "metadata/snap-2.avro")
+    val e = intercept[IllegalStateException] {
+      IcebergLite.read(spark, root).collect()
+    }
+    assert(e.getMessage.contains("parquet-only"))
+  }
+
   test("incremental read refuses a range that drops files") {
     val root = fixture("incdrop")
     // fixture snapshot 2 tombstones f0: the (1, 2] range is not
