@@ -264,8 +264,10 @@ object DeltaLogLite {
         .where(col("add.path").isNotNull).collect()
         .foreach { r =>
           val dv = Option(r.getStruct(2)).map { d =>
+            // null offset = single-DV file, data at offset 1 (after
+            // the version byte) — same rule as the JSON replay
             DvDescriptor(d.getString(0), d.getString(1),
-              Option(d.get(2)).map(_.asInstanceOf[Long]).getOrElse(0L),
+              Option(d.get(2)).map(_.asInstanceOf[Long]).getOrElse(1L),
               d.getInt(3), d.getLong(4))
           }
           val pv = Option(r.getMap[String, String](1))
@@ -367,7 +369,10 @@ object DeltaLogLite {
               case d => Some(DvDescriptor(
                 (d \ "storageType").extract[String],
                 (d \ "pathOrInlineDv").extract[String],
-                (d \ "offset").extractOpt[Long].getOrElse(0L),
+                // an ABSENT offset means the file holds a single DV
+                // whose data starts right after the 1-byte version —
+                // i.e. offset 1 per the protocol's on-disk layout
+                (d \ "offset").extractOpt[Long].getOrElse(1L),
                 (d \ "sizeInBytes").extract[Int],
                 (d \ "cardinality").extract[Long]))
             }
@@ -428,7 +433,9 @@ object DeltaLogLite {
     if (eligible.isEmpty) throw new IllegalArgumentException(
       s"$tableDir: no commit at or before timestamp $timestampMs " +
         s"(earliest is ${stamped.head._2})")
-    eligible.maxBy(_._2)._1
+    // ties on the stamp resolve to the LATEST version (timestampAsOf
+    // semantics: the last table state at or before the instant)
+    eligible.maxBy(e => (e._2, e._1))._1
   }
 
   /** Highest commit version currently in the log (checkpoint-aware:
@@ -530,6 +537,9 @@ object DeltaLogLite {
     * re-list. */
   def readChanges(spark: SparkSession, tableDir: String,
                   fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"$tableDir: change-feed range is reversed " +
+        s"(fromVersion=$fromVersion > toVersion=$toVersion)")
     val logDir = new Path(tableDir, "_delta_log")
     val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val snap = snapshot(spark, tableDir, Some(toVersion))
@@ -838,10 +848,12 @@ object DeltaLogLite {
       val scan = spark.read.schema(dataSchema)
         .parquet(fl.map(f => s"$tableDir/${decodeRelPath(f.path)}"): _*)
       // under deletion vectors the scan keeps its file identity and
-      // row ordinal through the projection for the dead-row anti-join
+      // row ordinal through the projection for the dead-row anti-join;
+      // the metadata path is percent-DECODED (MetaPaths) so it compares
+      // equal to the decoded add.path the descriptor side is keyed on —
+      // an encoded-vs-decoded mismatch would silently resurrect rows
       val metaCols = if (withDv) Seq(
-        regexp_replace(col("_metadata.file_path"), "^file:/+", "/")
-          .as("_dl_path"),
+        MetaPaths.decoded(col("_metadata.file_path")).as("_dl_path"),
         col("_metadata.row_index").as("_dl_pos")) else Nil
       val base = scan.select(
         dataCols.map(c => col(phys(c)).as(c)).toSeq ++ metaCols: _*)

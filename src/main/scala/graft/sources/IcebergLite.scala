@@ -234,7 +234,11 @@ object IcebergLite {
       if (eligible.isEmpty) throw new IllegalArgumentException(
         s"$metaFile: no snapshot at or before timestamp $ts " +
           s"(earliest is ${stamped.map(_._2).minOption.getOrElse(-1L)})")
-      eligible.maxBy(_._2)._1
+      // ties on timestamp-ms resolve to the LATEST snapshot — real
+      // Iceberg snapshot ids are random longs, so "latest" is the one
+      // appended LAST in the metadata's snapshots list, not the max id
+      val maxTs = eligible.map(_._2).max
+      eligible.filter(_._2 == maxTs).last._1
     }
     val wantedId = snapshotId.orElse(byTimestamp).orElse(
       (meta \ "current-snapshot-id").extractOpt[Long].filter(_ != -1L))
@@ -370,9 +374,12 @@ object IcebergLite {
     else ColumnarScan(spark, tableDir, Some(to.schema), newFiles)
   }
 
-  /** Canonicalize a path for the positional-delete anti-join: both the
-    * delete rows' `file_path` column and Spark's `_metadata.file_path`
-    * must land on the same spelling regardless of file:-scheme form. */
+  /** Canonicalize a STORED path column (delete rows' `file_path`
+    * values — plain filesystem spellings, possibly file:-scheme or
+    * table-relative) for the anti-joins. The OTHER join side —
+    * Spark's `_metadata.file_path`, which is percent-ENCODED — goes
+    * through [[MetaPaths.decoded]] instead, so both sides land on the
+    * same decoded absolute spelling even for names with spaces. */
   private def normPathCol(tableDir: String,
                           c: org.apache.spark.sql.Column) = {
     import org.apache.spark.sql.functions._
@@ -438,7 +445,7 @@ object IcebergLite {
             col("pos").cast("long").as("_del_pos"))
           data
             .withColumn("_ice_path",
-              normPathCol(tableDir, col("_metadata.file_path")))
+              MetaPaths.decoded(col("_metadata.file_path")))
             .withColumn("_ice_pos", col("_metadata.row_index"))
             .join(delSet, col("_ice_path") === col("_del_path") &&
               col("_ice_pos") === col("_del_pos"), "left_anti")
@@ -463,9 +470,9 @@ object IcebergLite {
     * matched by delete rows at several sequences survives only if its
     * own sequence is ≥ the delete MAX — exactly the per-row `<`
     * condition the single join expresses. */
-  private def applyEqualityDeletes(spark: SparkSession, tableDir: String,
-                                   snap: Snapshot,
-                                   data: DataFrame): DataFrame = {
+  private[graft] def applyEqualityDeletes(spark: SparkSession,
+                                          tableDir: String, snap: Snapshot,
+                                          data: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     for (d <- snap.eqDeletes; c <- d.cols)
@@ -477,8 +484,20 @@ object IcebergLite {
       snap.fileSeqs.toSeq.toDF("_seq_path", "_ice_seq"))
     val withSeq = data
       .withColumn("_ice_path",
-        normPathCol(tableDir, col("_metadata.file_path")))
+        MetaPaths.decoded(col("_metadata.file_path")))
       .join(seqLookup, col("_ice_path") === col("_seq_path"), "left")
+      // a data row whose seq lookup MISSED would carry a null
+      // _ice_seq, null out the anti-join condition and silently
+      // survive every equality delete — refuse loudly instead. The
+      // guard rides the _ice_seq expression itself (no extra action):
+      // any row whose sequence the join condition consults either has
+      // one or throws.
+      .withColumn("_ice_seq",
+        when(col("_seq_path").isNotNull, col("_ice_seq"))
+          .otherwise(raise_error(concat(
+            lit("IcebergLite: data file "), col("_ice_path"),
+            lit(" has no sequence-number entry — refusing to apply " +
+              "equality deletes unordered")))))
       .drop("_ice_path", "_seq_path")
     val applied = snap.eqDeletes
       .groupBy(_.cols).toSeq.sortBy(_._1.mkString(","))

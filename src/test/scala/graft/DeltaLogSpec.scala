@@ -469,6 +469,62 @@ class DeltaLogSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("version 9"))
   }
 
+  test("deletion vector over a space-named data file still deletes " +
+    "(encoded metadata path decodes for the anti-join)") {
+    val (root, schema) = fixture("dvenc")
+    // `f one.parquet` holds ids 5..9; kill its ordinals 0 and 1
+    // (ids 5, 6). Spark reports the scan's file path percent-ENCODED
+    // (.../f%20one.parquet) while the descriptor side keys on the
+    // decoded add.path — an undecoded join key would match nothing
+    // and silently resurrect both rows.
+    val size = writeDvFile(s"$root/dv-enc.bin", Seq(0 -> Seq(0, 1)))
+    commit(root, 0, protocol(3, "deletionVectors"), meta(schema),
+      add("f0.parquet", "a"),
+      s"""{"add":{"path":"f%20one.parquet","partitionValues":{"part":"b"},"size":1,"modificationTime":0,"dataChange":true,"deletionVector":{"storageType":"p","pathOrInlineDv":${jstr(s"$root/dv-enc.bin")},"offset":1,"sizeInBytes":$size,"cardinality":2}}}""")
+    import spark.implicits._
+    val got = DeltaLogLite.read(spark, root).select("id").as[Long]
+      .collect().sorted.toSeq
+    assert(got == Seq(0L, 1L, 2L, 3L, 4L, 7L, 8L, 9L))
+  }
+
+  test("offset-less DV descriptor reads the single-DV-file layout " +
+    "(data at offset 1, after the version byte)") {
+    val (root, schema) = fixture("dvnooff")
+    // kill f0.parquet's ordinal 0 (id 0); the descriptor carries NO
+    // offset field — per the protocol that means the file holds one
+    // DV whose data starts right after the 1-byte version
+    val size = writeDvFile(s"$root/dv-sole.bin", Seq(0 -> Seq(0)))
+    commit(root, 0, protocol(3, "deletionVectors"), meta(schema),
+      s"""{"add":{"path":"f0.parquet","partitionValues":{"part":"a"},"size":1,"modificationTime":0,"dataChange":true,"deletionVector":{"storageType":"p","pathOrInlineDv":${jstr(s"$root/dv-sole.bin")},"sizeInBytes":$size,"cardinality":1}}}""")
+    val snap = DeltaLogLite.snapshot(spark, root)
+    assert(snap.files.head.deletionVector.exists(_.offset == 1L))
+    import spark.implicits._
+    val got = DeltaLogLite.read(spark, root).select("id").as[Long]
+      .collect().sorted.toSeq
+    assert(got == (1L to 4L))
+  }
+
+  test("timestamp-travel ties resolve to the latest version") {
+    val (root, schema) = fixture("tstie")
+    commit(root, 0, """{"commitInfo":{"timestamp":5000}}""",
+      meta(schema), add("f0.parquet", "a"))
+    commit(root, 1, """{"commitInfo":{"timestamp":5000}}""",
+      add("f%20one.parquet", "b"))
+    // both commits share the stamp: timestampAsOf picks the LATEST
+    // version at-or-before the instant, so version 1 (10 rows)
+    assert(DeltaLogLite.versionAtTimestamp(spark, root, 5000L) == 1L)
+    assert(DeltaLogLite.read(spark, root,
+      timestampAsOf = Some(5000L)).count() == 10)
+  }
+
+  test("reversed change-feed range refuses loudly") {
+    val e = intercept[IllegalArgumentException] {
+      DeltaLogLite.readChanges(spark, "/tmp/graft_deltaspec/revrange",
+        2L, 1L)
+    }
+    assert(e.getMessage.contains("reversed"))
+  }
+
   test("inline deletion vectors refuse loudly") {
     val (root, schema) = fixture("dvinline")
     commit(root, 0,

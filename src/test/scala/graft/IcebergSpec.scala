@@ -366,6 +366,125 @@ class IcebergSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("no snapshot at or before"))
   }
 
+  test("space-named data file: positional and equality deletes still " +
+    "match through the encoded metadata path") {
+    // Spark reports `_metadata.file_path` percent-ENCODED
+    // (.../f%200.parquet) while manifests and delete files store the
+    // raw spelling — an undecoded join key would match nothing and
+    // silently resurrect every deleted row.
+    val root = "/tmp/graft_icespec/spacename"
+    rm(new java.io.File(root))
+    Files.createDirectories(Paths.get(root, "metadata"))
+    Files.createDirectories(Paths.get(root, "data"))
+    def writeParquet(d: org.apache.spark.sql.DataFrame, rel: String): Unit = {
+      val tmp = s"$root/_tmpp"
+      d.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val p = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith(".")).get
+      assert(p.renameTo(new java.io.File(s"$root/$rel")))
+      rm(new java.io.File(tmp))
+    }
+    def writeAvro(d: org.apache.spark.sql.DataFrame, rel: String): Unit = {
+      val t2 = s"$root/_tmpavro"
+      d.coalesce(1).write.mode("overwrite").format(avroFmt).save(t2)
+      val p = new java.io.File(t2).listFiles()
+        .find(_.getName.startsWith("part-")).get
+      assert(p.renameTo(new java.io.File(s"$root/$rel")))
+      rm(new java.io.File(t2))
+    }
+    import spark.implicits._
+    writeParquet(spark.range(0, 5).select(col("id"),
+      (col("id") * 3).as("v")), "data/f 0.parquet")
+    // positional delete: ordinal 0 of the space-named file (id 0),
+    // file_path stored RAW (unencoded), as real writers spell it
+    writeParquet(Seq((s"$root/data/f 0.parquet", 0L))
+      .toDF("file_path", "pos"), "data/pos.parquet")
+    // equality delete on field id 1 (id): kills id 3
+    writeParquet(Seq(3L).toDF("id"), "data/eq.parquet")
+    def manifest(rel: String, path: String, content: Int,
+                 eqIds: Seq[Int]): Unit =
+      writeAvro(Seq((1, path)).toDF("status", "file_path")
+        .select(col("status"),
+          struct(col("file_path"), lit(content).as("content"),
+            (if (eqIds.isEmpty) lit(null).cast("array<int>")
+             else array(eqIds.map(lit(_)): _*)).as("equality_ids"))
+            .as("data_file")), rel)
+    manifest("metadata/m-data.avro", "data/f 0.parquet", 0, Nil)
+    manifest("metadata/m-pos.avro", "data/pos.parquet", 1, Nil)
+    manifest("metadata/m-eq.avro", "data/eq.parquet", 2, Seq(1))
+    writeAvro(Seq(("metadata/m-data.avro", 0, 1L),
+      ("metadata/m-pos.avro", 1, 5L), ("metadata/m-eq.avro", 1, 5L))
+      .toDF("manifest_path", "content", "sequence_number"),
+      "metadata/snap-1.avro")
+    val meta =
+      s"""{"format-version":2,"location":${jstr(root)},
+         |"current-schema-id":0,
+         |"schemas":[{"schema-id":0,"type":"struct","fields":[
+         |  {"id":1,"name":"id","required":false,"type":"long"},
+         |  {"id":2,"name":"v","required":false,"type":"long"}]}],
+         |"current-snapshot-id":1,
+         |"snapshots":[
+         | {"snapshot-id":1,"manifest-list":"metadata/snap-1.avro"}]}"""
+        .stripMargin
+    Files.writeString(Paths.get(root, "metadata", "v1.metadata.json"), meta)
+    Files.writeString(Paths.get(root, "metadata", "version-hint.text"), "1")
+    val got = IcebergLite.read(spark, root)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(1L, 2L, 4L))
+  }
+
+  test("equality-delete application refuses a data file with no " +
+    "sequence entry instead of silently sparing it") {
+    import spark.implicits._
+    val root = "/tmp/graft_icespec/noseqguard"
+    rm(new java.io.File(root))
+    Files.createDirectories(Paths.get(root, "data"))
+    def writeParquet(d: org.apache.spark.sql.DataFrame, rel: String): Unit = {
+      val tmp = s"$root/_tmpp"
+      d.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val p = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith(".")).get
+      assert(p.renameTo(new java.io.File(s"$root/$rel")))
+      rm(new java.io.File(tmp))
+    }
+    writeParquet(spark.range(0, 5).select(col("id"),
+      (col("id") * 3).as("v")), "data/d.parquet")
+    writeParquet(spark.range(0, 5).select(col("id")), "data/eq.parquet")
+    val data = spark.read.parquet(s"$root/data/d.parquet")
+    // a snapshot whose fileSeqs MISSES the data file (e.g. a path
+    // canonicalization bug): the seq-lookup join returns null and the
+    // guard must throw rather than let the rows survive every delete
+    val snap = IcebergLite.Snapshot(1L, data.schema,
+      files = Seq(s"$root/data/d.parquet"),
+      fileSeqs = Map(s"$root/data/OTHER.parquet" -> 1L),
+      eqDeletes = Seq(IcebergLite.EqDelete(s"$root/data/eq.parquet", 5L,
+        Seq("id"))))
+    val e = intercept[Exception] {
+      IcebergLite.applyEqualityDeletes(spark, root, snap, data).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ chain(x.getCause))
+    assert(chain(e).exists(_.contains("no sequence-number entry")))
+  }
+
+  test("timestamp-travel ties pick the last-listed snapshot") {
+    val root = fixture("tstie")
+    // both snapshots share the stamp; snapshot 2 is listed later and
+    // is the table state at that instant
+    val meta = Files.readString(
+      Paths.get(root, "metadata", "v3.metadata.json"))
+      .replace(""" {"snapshot-id":1,""",
+        """ {"snapshot-id":1,"timestamp-ms":1000,""")
+      .replace(""" {"snapshot-id":2,""",
+        """ {"snapshot-id":2,"timestamp-ms":1000,""")
+    Files.writeString(Paths.get(root, "metadata", "v3.metadata.json"), meta)
+    assert(IcebergLite.snapshot(spark, root,
+      asOfTimestampMs = Some(1000L)).snapshotId == 2L)
+  }
+
   test("ORC data files read natively; positional deletes over ORC " +
     "refuse loudly") {
     val root = fixture("orcdata")
