@@ -351,6 +351,24 @@ object Storage extends QueryModule {
         .read(s, authorIcebergDeleteTable(s, dir)))
     },
 
+    // Iceberg FIELD-ID column resolution — the spec's column identity.
+    // The table renamed l_returnflag → l_flag (same field id 4)
+    // mid-history, so the current snapshot mixes old- and new-named
+    // parquet files; the reader stamps the schema with parquet.field.id
+    // metadata and Spark's field-id matching reads BOTH correctly in
+    // one native scan, no per-file footer sweep. A name-resolving
+    // reader would silently null every batch-A flag and hash-mismatch.
+    "q425_iceberg_rename" -> { (s, dir) =>
+      graft.sources.IcebergLite.read(s, authorIcebergRenameTable(s, dir))
+        .groupBy(col("l_flag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_qty"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_price"))
+        .orderBy(col("l_flag"))
+    },
+
     // Delta DELETION VECTORS — the modern row-level-delete layout
     // (reader version 3 + the deletionVectors feature). Commit 1
     // re-adds batch A with a real roaring-bitmap .bin marking every
@@ -1100,6 +1118,13 @@ object Storage extends QueryModule {
       })
     }
 
+  /** The lineitem-slice field ids every Iceberg fixture's metadata
+    * declares — stamped into written parquet footers so the reader's
+    * field-id resolution (the spec's column identity) has real ids to
+    * match, exactly as genuine Iceberg writers do. */
+  private val liFieldIds = Map("l_orderkey" -> 1, "l_quantity" -> 2,
+    "l_extendedprice" -> 3, "l_returnflag" -> 4)
+
   private val icebergMemo = scala.collection.mutable.Map.empty[String, String]
 
   /** Authors the two-snapshot Iceberg-spec lineitem table used by
@@ -1126,11 +1151,13 @@ object Storage extends QueryModule {
         val src = Tables.df(s, dir, "lineitem")
           .select(col("l_orderkey"), col("l_quantity"),
             col("l_extendedprice"), col("l_returnflag"))
-        // one parquet data file per batch, all columns in-file
+        // one parquet data file per batch, all columns in-file,
+        // footers stamped with the metadata's field ids
         def dataFile(b: Int): String = {
           val tmp = s"$root/_tmp"
-          src.filter(col("l_orderkey") % 10 === b).coalesce(1)
-            .write.mode("overwrite").parquet(tmp)
+          graft.sources.IcebergLite.stampFieldIds(
+            src.filter(col("l_orderkey") % 10 === b), liFieldIds)
+            .coalesce(1).write.mode("overwrite").parquet(tmp)
           val part = new java.io.File(tmp).listFiles()
             .find(f => f.getName.endsWith(".parquet") &&
               !f.getName.startsWith(".")).get
@@ -1223,8 +1250,9 @@ object Storage extends QueryModule {
             col("l_extendedprice"), col("l_returnflag"))
         def dataFile(b: Int): String = {
           val tmp = s"$root/_tmp"
-          src.filter(col("l_orderkey") % 10 === b).coalesce(1)
-            .write.mode("overwrite").parquet(tmp)
+          graft.sources.IcebergLite.stampFieldIds(
+            src.filter(col("l_orderkey") % 10 === b), liFieldIds)
+            .coalesce(1).write.mode("overwrite").parquet(tmp)
           val part = new java.io.File(tmp).listFiles()
             .find(f => f.getName.endsWith(".parquet") &&
               !f.getName.startsWith(".")).get
@@ -1293,6 +1321,101 @@ object Storage extends QueryModule {
           metaJson)
         Files.writeString(Paths.get(root, "metadata", "version-hint.text"),
           "1")
+        root
+      })
+    }
+
+  private val icebergRenameMemo =
+    scala.collection.mutable.Map.empty[String, String]
+
+  /** Authors the MID-HISTORY-RENAMED Iceberg table used by q425:
+    * snapshot 1 adds batch A (l_orderkey%10=0) written under the
+    * ORIGINAL column name `l_returnflag`; the metadata then evolves to
+    * schema-id 1 renaming field 4 to `l_flag` (same field id — the
+    * spec's rename is a name change over a stable id), and snapshot 2
+    * adds batch B (=1) written under the NEW name. The current
+    * snapshot thus mixes old- and new-named parquet files, and only
+    * field-id resolution reads both correctly — name resolution would
+    * silently null batch A's flag column. Memoized per sf-dir. */
+  private def authorIcebergRenameTable(s: SparkSession,
+                                       dir: String): String =
+    icebergRenameMemo.synchronized {
+      icebergRenameMemo.getOrElseUpdate(dir, {
+        import java.nio.file.{Files, Paths}
+        val avroFmt = "org.apache.spark.sql.avro.AvroFileFormat"
+        val root =
+          s"/tmp/graft_iceberg/ren_${Integer.toHexString(dir.hashCode)}"
+        def rm(p: java.io.File): Unit = {
+          if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+          p.delete(): Unit
+        }
+        rm(new java.io.File(root))
+        Files.createDirectories(Paths.get(root, "metadata"))
+        Files.createDirectories(Paths.get(root, "data"))
+        val src = Tables.df(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity"),
+            col("l_extendedprice"), col("l_returnflag"))
+        def writeOne(df: DataFrame, out: String): Unit = {
+          val tmp = s"$root/_tmp"
+          df.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(f => f.getName.endsWith(".parquet") &&
+              !f.getName.startsWith(".")).get
+          assert(part.renameTo(new java.io.File(s"$root/$out")))
+          rm(new java.io.File(tmp))
+        }
+        val stamp = graft.sources.IcebergLite.stampFieldIds _
+        // batch A under the ORIGINAL name, batch B under the NEW one —
+        // both carrying the SAME field ids in their footers
+        writeOne(stamp(src.filter(col("l_orderkey") % 10 === 0),
+          liFieldIds), "data/a.parquet")
+        writeOne(stamp(src.filter(col("l_orderkey") % 10 === 1)
+          .withColumnRenamed("l_returnflag", "l_flag"),
+          liFieldIds - "l_returnflag" + ("l_flag" -> 4)),
+          "data/b.parquet")
+        def writeAvro(df: DataFrame, rel: String): Unit = {
+          val tmp = s"$root/_tmpavro"
+          df.coalesce(1).write.mode("overwrite").format(avroFmt).save(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(f => f.getName.startsWith("part-")).get
+          assert(part.renameTo(new java.io.File(s"$root/$rel")))
+          rm(new java.io.File(tmp))
+        }
+        import s.implicits._
+        def manifest(rel: String, entries: (Int, String)*): Unit =
+          writeAvro(entries.toSeq.toDF("status", "file_path")
+            .select(col("status"),
+              struct(col("file_path"), lit(0).as("content"))
+                .as("data_file")), rel)
+        manifest("metadata/m-a.avro", (1, "data/a.parquet"))
+        manifest("metadata/m-b.avro", (1, "data/b.parquet"))
+        def manifestList(rel: String, paths: String*): Unit =
+          writeAvro(paths.toSeq.toDF("manifest_path")
+            .select(col("manifest_path"), lit(0).as("content")), rel)
+        manifestList("metadata/snap-1.avro", "metadata/m-a.avro")
+        manifestList("metadata/snap-2.avro", "metadata/m-a.avro",
+          "metadata/m-b.avro")
+        def fields(flagName: String): String = Seq(
+          (1, "l_orderkey", "long"), (2, "l_quantity", "double"),
+          (3, "l_extendedprice", "double"), (4, flagName, "string"))
+          .map { case (i, n, t) =>
+            s"""{"id":$i,"name":${jstr(n)},"required":false,"type":${jstr(t)}}"""
+          }.mkString("[", ",", "]")
+        val metaJson =
+          s"""{"format-version":2,"table-uuid":"graft-q425","location":${jstr(root)},
+             |"current-schema-id":1,
+             |"schemas":[
+             | {"schema-id":0,"type":"struct","fields":${fields("l_returnflag")}},
+             | {"schema-id":1,"type":"struct","fields":${fields("l_flag")}}],
+             |"current-snapshot-id":2,
+             |"snapshots":[
+             | {"snapshot-id":1,"manifest-list":"metadata/snap-1.avro"},
+             | {"snapshot-id":2,"manifest-list":"metadata/snap-2.avro"}
+             |]}""".stripMargin
+        Files.writeString(Paths.get(root, "metadata", "v2.metadata.json"),
+          metaJson)
+        Files.writeString(Paths.get(root, "metadata", "version-hint.text"),
+          "2")
         root
       })
     }
@@ -1689,11 +1812,14 @@ object Storage extends QueryModule {
         }
         val (fa, fb, feq) =
           ("data/a.parquet", "data/b.parquet", "data/eq-del.parquet")
-        writeOne(src, fa)
-        writeOne(src.filter(col("l_quantity") > 45), fb)
-        // equality-delete parquet: ONLY the equality column(s)
-        writeOne(src.filter(col("l_quantity") > 30)
-          .select(col("l_orderkey")).distinct(), feq)
+        val stamp = graft.sources.IcebergLite.stampFieldIds _
+        writeOne(stamp(src, liFieldIds), fa)
+        writeOne(stamp(src.filter(col("l_quantity") > 45), liFieldIds), fb)
+        // equality-delete parquet: ONLY the equality column(s), footer
+        // carrying its field id (the reader matches delete columns by id)
+        writeOne(stamp(src.filter(col("l_quantity") > 30)
+          .select(col("l_orderkey")).distinct(),
+          Map("l_orderkey" -> 1)), feq)
         def writeAvro(df: DataFrame, rel: String): Unit = {
           val tmp = s"$root/_tmpavro"
           df.coalesce(1).write.mode("overwrite").format(avroFmt).save(tmp)
@@ -1894,7 +2020,8 @@ object Storage extends QueryModule {
       .select(col("l_orderkey"), col("l_quantity"),
         col("l_extendedprice"), col("l_returnflag"))
     val tmp = s"$root/_tmp"
-    src.filter(col("l_orderkey") % 10 === (k - 1))
+    graft.sources.IcebergLite.stampFieldIds(
+      src.filter(col("l_orderkey") % 10 === (k - 1)), liFieldIds)
       .coalesce(1).write.mode("overwrite").parquet(tmp)
     val part = new java.io.File(tmp).listFiles()
       .find(f => f.getName.endsWith(".parquet") &&
@@ -2378,6 +2505,17 @@ object Storage extends QueryModule {
         |FROM lineitem WHERE l_orderkey % 10 IN (1, 2)
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    // renamed table reads both old- and new-named files: batches A∪B,
+    // flag column served under its CURRENT name l_flag
+    "q425_iceberg_rename" ->
+      """SELECT l_returnflag AS l_flag, count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_price
+        |FROM lineitem WHERE l_orderkey % 10 IN (0, 1)
+        |GROUP BY l_returnflag
+        |ORDER BY l_flag""".stripMargin,
     // Hudi COW snapshot at instant 002 = batches B∪C (002 rewrote
     // every file group's base file)
     "q394_hudi_cow_read" ->

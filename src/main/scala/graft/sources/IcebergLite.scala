@@ -27,6 +27,18 @@ import org.json4s.jackson.JsonMethods
   *    columns IN the file, unlike Delta, so one schema'd read serves),
   *    keeping pushdown, pruning and whole-stage codegen intact.
   *
+  * COLUMNS RESOLVE BY FIELD ID (the spec's stable column identity):
+  * the snapshot schema carries each field's id as Spark's
+  * `parquet.field.id` metadata and the scan runs under
+  * `spark.sql.parquet.fieldId.read.enabled`, so a table that RENAMED
+  * columns mid-history — old- and new-named parquet files in one
+  * snapshot — reads correctly in one native scan with no per-file
+  * footer sweep (plan time stays O(manifests), never O(data files)).
+  * A parquet file with NO stored ids fails loudly (name-mapping
+  * fallback for migrated files is outside lite scope); ORC files keep
+  * name resolution (Spark's ORC reader has no field-id surface)
+  * guarded by a bounded per-file footer check.
+  *
   * v2 POSITIONAL deletes (content=1) are READ: delete parquets carry
   * (file_path, pos) rows naming dead ordinals in specific data files;
   * the reader attaches `_metadata.file_path`/`_metadata.row_index` to
@@ -39,7 +51,9 @@ import org.json4s.jackson.JsonMethods
   *
   * v2 EQUALITY deletes (content=2) are READ: a delete parquet carries
   * values for the columns named by the manifest entry's `equality_ids`
-  * (schema field ids); a data row is dead when it matches some delete
+  * (schema field ids — the delete file's own columns also resolve by
+  * id, so deletes written before a rename still apply); a data row is
+  * dead when it matches some delete
   * row null-safely on those columns AND its data file's sequence
   * number is STRICTLY LOWER than the delete file's (the spec's
   * ordering — a key re-inserted in the same-or-later commit survives).
@@ -67,9 +81,12 @@ import org.json4s.jackson.JsonMethods
 object IcebergLite {
 
   /** One equality-delete file: resolved path, the delete file's
-    * sequence number, and the EQUALITY COLUMN NAMES its rows match on
-    * (resolved from `equality_ids` via the schema's field ids). */
-  final case class EqDelete(path: String, seq: Long, cols: Seq[String])
+    * sequence number, and the EQUALITY COLUMNS its rows match on as
+    * (field id, current name) pairs — the id is the spec's stable
+    * column identity (the delete file's stored column names may be
+    * older spellings), the name is the current schema's. */
+  final case class EqDelete(path: String, seq: Long,
+                            cols: Seq[(Int, String)])
 
   final case class Snapshot(snapshotId: Long, schema: StructType,
                             files: Seq[String],
@@ -118,6 +135,40 @@ object IcebergLite {
         "are outside IcebergLite scope)")
   }
 
+  /** Spark's parquet field-id metadata key: a StructField carrying it
+    * is matched to parquet columns BY ID (not name) when
+    * `spark.sql.parquet.fieldId.read.enabled` is on — exactly the
+    * spec's column-identity rule, and what makes renamed columns read
+    * correctly without any per-file footer sweep. */
+  val FieldIdKey = "parquet.field.id"
+
+  /** Enable parquet field-id READ resolution on the session. The flag
+    * only changes behavior for read schemas that carry [[FieldIdKey]]
+    * metadata (everything else keeps name resolution), so leaving it
+    * on session-wide is inert outside the Iceberg scans that need it.
+    * A parquet file with NO stored field ids under an id-carrying
+    * read schema fails LOUDLY in Spark ("read schema expects field
+    * Ids") — name-mapping fallback for id-less migrated files is
+    * outside lite scope. */
+  def enableFieldIdRead(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+
+  /** Stamp field ids onto a frame's columns as [[FieldIdKey]] metadata
+    * so Spark's parquet WRITER records them in the footer
+    * (`spark.sql.parquet.fieldId.write.enabled`, on by default) — the
+    * writer-side half of the spec's column identity, used by the
+    * streaming sink (real Iceberg writers always stamp ids). */
+  def stampFieldIds(df: DataFrame, ids: Map[String, Int]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    df.select(df.schema.fields.toSeq.map { f =>
+      val id = ids.getOrElse(f.name, throw new IllegalArgumentException(
+        s"stampFieldIds: no field id for column ${f.name}"))
+      val mb = new MetadataBuilder().withMetadata(f.metadata)
+        .putLong(FieldIdKey, id.toLong).build()
+      col(f.name).as(f.name, mb)
+    }: _*)
+  }
+
   private def parseSchema(fields: JValue, where: String): StructType =
     fields match {
       case JArray(fs) => StructType(fs.map { f =>
@@ -128,7 +179,16 @@ object IcebergLite {
           case _ => throw new IllegalStateException(
             s"$where: field $name has a non-primitive type")
         }
-        StructField(name, tpe, nullable = !required)
+        // the field id IS the column's identity (renames keep it);
+        // carried as parquet.field.id metadata so the parquet scan
+        // resolves by id. A field without one is malformed (the spec
+        // requires ids in v1 and v2) — refuse rather than fall back
+        // to name resolution that would silently null after a rename.
+        val id = (f \ "id").extractOpt[Int].getOrElse(
+          throw new IllegalStateException(
+            s"$where: field $name has no id — malformed Iceberg schema"))
+        StructField(name, tpe, nullable = !required,
+          new MetadataBuilder().putLong(FieldIdKey, id.toLong).build())
       })
       case _ =>
         throw new IllegalStateException(s"$where: schema has no fields")
@@ -320,7 +380,7 @@ object IcebergLite {
       if (e.equalityIds.isEmpty) throw new IllegalStateException(
         s"${e.path}: equality delete file (content=2) without " +
           "equality_ids — cannot know which columns its rows match on")
-      val cols = e.equalityIds.map(id => fieldNames.getOrElse(id,
+      val cols = e.equalityIds.map(id => id -> fieldNames.getOrElse(id,
         throw new IllegalStateException(
           s"${e.path}: equality_ids field id $id is not in the current " +
             "schema (dropped-column deletes are outside IcebergLite scope)")))
@@ -371,7 +431,10 @@ object IcebergLite {
     if (newFiles.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], to.schema)
-    else ColumnarScan(spark, tableDir, Some(to.schema), newFiles)
+    else {
+      enableFieldIdRead(spark) // schema carries ids; parquet matches by id
+      ColumnarScan(spark, tableDir, Some(to.schema), newFiles)
+    }
   }
 
   /** Canonicalize a STORED path column (delete rows' `file_path`
@@ -401,21 +464,21 @@ object IcebergLite {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
     else {
-      // Columns resolve BY NAME here; the Iceberg spec resolves by
-      // field-id, so a renamed column's physical parquet name would
-      // silently read as null. Check EVERY file's footer (a rename
-      // mid-history leaves a mix of old- and new-named files, and
-      // which file a single spot-check lands on is listing-order
-      // luck) — one bounded footer read per file, the same O(files)
-      // plan-time grain as the manifest replay above.
-      for (f <- snap.files) {
-        val footer = (if (f.endsWith(".orc")) spark.read.orc(f)
-          else spark.read.parquet(f)).schema.fieldNames.toSet
+      // PARQUET columns resolve BY FIELD ID (the spec's identity):
+      // the snapshot schema carries parquet.field.id metadata and the
+      // session flag routes the scan through id matching, so renamed
+      // columns read correctly with NO per-file footer sweep. ORC has
+      // no field-id surface in Spark, so ORC files keep name
+      // resolution guarded by a bounded footer check per file (a
+      // rename mid-history leaves a mix of old- and new-named files).
+      enableFieldIdRead(spark)
+      for (f <- snap.files if f.endsWith(".orc")) {
+        val footer = spark.read.orc(f).schema.fieldNames.toSet
         val missing = snap.schema.fieldNames.filterNot(footer.contains)
         if (missing.nonEmpty) throw new IllegalStateException(
           s"IcebergLite: $f lacks columns ${missing.mkString(", ")} — " +
-            "the table likely renamed columns (field-id resolution is " +
-            "outside IcebergLite scope)")
+            "the table likely renamed columns (ORC reads resolve by " +
+            "name; field-id resolution is parquet-only)")
       }
       // ORC data files (file_format=ORC tables) ride the same
       // homogeneous vectorized scan; positional deletes are pinned to
@@ -475,11 +538,12 @@ object IcebergLite {
                                           data: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
     import spark.implicits._
-    for (d <- snap.eqDeletes; c <- d.cols)
+    for (d <- snap.eqDeletes; (_, c) <- d.cols)
       if (!snap.schema.fieldNames.contains(c))
         throw new IllegalStateException(
           s"IcebergLite: equality delete ${d.path} names column $c " +
             "absent from the table schema")
+    enableFieldIdRead(spark)
     val seqLookup = broadcast(
       snap.fileSeqs.toSeq.toDF("_seq_path", "_ice_seq"))
     val withSeq = data
@@ -500,21 +564,36 @@ object IcebergLite {
               "equality deletes unordered")))))
       .drop("_ice_path", "_seq_path")
     val applied = snap.eqDeletes
-      .groupBy(_.cols).toSeq.sortBy(_._1.mkString(","))
+      .groupBy(_.cols).toSeq.sortBy(_._1.map(_._2).mkString(","))
       .foldLeft(withSeq) { case (acc, (cols, group)) =>
+        // delete-file columns resolve BY FIELD ID (a file written
+        // before a rename stores the old spelling): the read schema
+        // carries the ids under the CURRENT names. A requested id
+        // absent from the file would read silently null — and
+        // null-safe-match null keys — so each delete file's stored
+        // ids are checked first (bounded: one footer per delete file,
+        // the plan-time grain this module already works at).
+        val delSchema = StructType(cols.map { case (id, c) =>
+          StructField(c, snap.schema(c).dataType, nullable = true,
+            new MetadataBuilder().putLong(FieldIdKey, id.toLong).build())
+        })
         val delKeys = group.map { d =>
-          val keys = spark.read.parquet(d.path)
-          val missing = cols.filterNot(keys.columns.contains)
+          val stored = spark.read.parquet(d.path).schema.fields
+            .flatMap(f => if (f.metadata.contains(FieldIdKey))
+              Some(f.metadata.getLong(FieldIdKey).toInt) else None).toSet
+          val missing = cols.filterNot(c => stored.contains(c._1))
           if (missing.nonEmpty) throw new IllegalStateException(
-            s"IcebergLite: equality delete file ${d.path} lacks " +
-              s"columns ${missing.mkString(", ")}")
-          keys.select(cols.map(c => col(c).as(s"_del_$c")) :+
-            lit(d.seq).as("_del_seq"): _*)
+            s"IcebergLite: equality delete file ${d.path} lacks field " +
+              s"ids ${missing.map(_._1).mkString(", ")} " +
+              s"(columns ${missing.map(_._2).mkString(", ")})")
+          spark.read.schema(delSchema).parquet(d.path)
+            .select(cols.map { case (_, c) => col(c).as(s"_del_$c") } :+
+              lit(d.seq).as("_del_seq"): _*)
         }.reduce(_ unionAll _)
           // one key at its highest delete sequence decides the row
-          .groupBy(cols.map(c => col(s"_del_$c")): _*)
+          .groupBy(cols.map { case (_, c) => col(s"_del_$c") }: _*)
           .agg(max(col("_del_seq")).as("_del_seq"))
-        val cond = cols.map(c => acc(c) <=> delKeys(s"_del_$c"))
+        val cond = cols.map { case (_, c) => acc(c) <=> delKeys(s"_del_$c") }
           .reduce(_ && _) && acc("_ice_seq") < delKeys("_del_seq")
         acc.join(delKeys, cond, "left_anti")
       }

@@ -136,8 +136,12 @@ class IcebergStreamSource(spark: SparkSession, tableDir: String,
       if (newFiles.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[Row], initialSchema)
-      else spark.read.schema(initialSchema)
-        .parquet(newFiles.toSeq.sorted: _*)
+      else {
+        // schema carries parquet.field.id metadata: match by field id
+        IcebergLite.enableFieldIdRead(spark)
+        spark.read.schema(initialSchema)
+          .parquet(newFiles.toSeq.sorted: _*)
+      }
     asStreamingBatch(batch)
   }
 

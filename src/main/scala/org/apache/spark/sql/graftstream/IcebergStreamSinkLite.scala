@@ -140,7 +140,13 @@ class IcebergStreamSink(sqlContext: SQLContext, tableDir: String)
       org.apache.spark.sql.execution.LogicalRDD.fromDataset(
         ds.queryExecution.toRdd, ds, isStreaming = false))
     val tmp = s"$tableDir/_tmp_batch"
-    batchDf.write.mode("overwrite").parquet(tmp)
+    // stamp the schema's field ids (i+1, matching the metadata JSON
+    // below) so the written parquet carries the spec's column
+    // identity — IcebergLite resolves columns by field id
+    val idMap = data.schema.fieldNames.zipWithIndex
+      .map { case (n, i) => n -> (i + 1) }.toMap
+    graft.sources.IcebergLite.stampFieldIds(batchDf, idMap)
+      .write.mode("overwrite").parquet(tmp)
     val parts = new java.io.File(tmp).listFiles().toSeq
       .filter(f => f.getName.endsWith(".parquet") &&
         !f.getName.startsWith("."))

@@ -41,7 +41,9 @@ class IcebergSpec extends AnyFunSuite {
     val df = spark.range(0, 10).select(col("id"), (col("id") * 3).as("v"))
     def one(filter: org.apache.spark.sql.Column, out: String): Unit = {
       val tmp = s"$root/_tmp"
-      df.filter(filter).coalesce(1).write.mode("overwrite").parquet(tmp)
+      IcebergLite.stampFieldIds(df.filter(filter),
+        Map("id" -> 1, "v" -> 2))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
       val part = new java.io.File(tmp).listFiles()
         .find(f => f.getName.endsWith(".parquet") &&
           !f.getName.startsWith(".")).get
@@ -187,7 +189,8 @@ class IcebergSpec extends AnyFunSuite {
       assert(p.renameTo(new java.io.File(s"$root/$rel")))
       rm(new java.io.File(t2))
     }
-    writeParquet(delDf, "data/eqdel.parquet")
+    writeParquet(IcebergLite.stampFieldIds(delDf,
+      delDf.columns.map(_ -> fieldId).toMap), "data/eqdel.parquet")
     def manifest(rel: String, path: String, content: Int,
                  eqIds: Seq[Int]): Unit =
       writeAvro(Seq((1, path)).toDF("status", "file_path")
@@ -201,7 +204,8 @@ class IcebergSpec extends AnyFunSuite {
       ("metadata/m1.avro", 0, dataSeq),
       ("metadata/m-eq.avro", 1, delSeq))
     reinsert.foreach { r =>
-      writeParquet(r, "data/reins.parquet")
+      writeParquet(IcebergLite.stampFieldIds(r,
+        Map("id" -> 1, "v" -> 2)), "data/reins.parquet")
       manifest("metadata/m-reins.avro", "data/reins.parquet", 0, Nil)
       mlRows = mlRows :+ (("metadata/m-reins.avro", 0, reinsertSeq))
     }
@@ -241,9 +245,11 @@ class IcebergSpec extends AnyFunSuite {
     val root = fixture("eqnull")
     // rewrite f1 to carry a NULL id row, re-listing it as snap 3 data
     val tmp = s"$root/_tmpn"
-    spark.range(0, 1).select(lit(null).cast("long").as("id"),
-      lit(777L).as("v"))
-      .union(spark.read.parquet(s"$root/data/f1.parquet"))
+    IcebergLite.stampFieldIds(
+      spark.range(0, 1).select(lit(null).cast("long").as("id"),
+        lit(777L).as("v"))
+        .union(spark.read.parquet(s"$root/data/f1.parquet")),
+      Map("id" -> 1, "v" -> 2))
       .coalesce(1).write.mode("overwrite").parquet(tmp)
     val p = new java.io.File(tmp).listFiles()
       .find(f => f.getName.endsWith(".parquet") &&
@@ -394,14 +400,16 @@ class IcebergSpec extends AnyFunSuite {
       rm(new java.io.File(t2))
     }
     import spark.implicits._
-    writeParquet(spark.range(0, 5).select(col("id"),
-      (col("id") * 3).as("v")), "data/f 0.parquet")
+    writeParquet(IcebergLite.stampFieldIds(
+      spark.range(0, 5).select(col("id"), (col("id") * 3).as("v")),
+      Map("id" -> 1, "v" -> 2)), "data/f 0.parquet")
     // positional delete: ordinal 0 of the space-named file (id 0),
     // file_path stored RAW (unencoded), as real writers spell it
     writeParquet(Seq((s"$root/data/f 0.parquet", 0L))
       .toDF("file_path", "pos"), "data/pos.parquet")
     // equality delete on field id 1 (id): kills id 3
-    writeParquet(Seq(3L).toDF("id"), "data/eq.parquet")
+    writeParquet(IcebergLite.stampFieldIds(Seq(3L).toDF("id"),
+      Map("id" -> 1)), "data/eq.parquet")
     def manifest(rel: String, path: String, content: Int,
                  eqIds: Seq[Int]): Unit =
       writeAvro(Seq((1, path)).toDF("status", "file_path")
@@ -451,7 +459,9 @@ class IcebergSpec extends AnyFunSuite {
     }
     writeParquet(spark.range(0, 5).select(col("id"),
       (col("id") * 3).as("v")), "data/d.parquet")
-    writeParquet(spark.range(0, 5).select(col("id")), "data/eq.parquet")
+    writeParquet(IcebergLite.stampFieldIds(
+      spark.range(0, 5).select(col("id")), Map("id" -> 1)),
+      "data/eq.parquet")
     val data = spark.read.parquet(s"$root/data/d.parquet")
     // a snapshot whose fileSeqs MISSES the data file (e.g. a path
     // canonicalization bug): the seq-lookup join returns null and the
@@ -460,7 +470,7 @@ class IcebergSpec extends AnyFunSuite {
       files = Seq(s"$root/data/d.parquet"),
       fileSeqs = Map(s"$root/data/OTHER.parquet" -> 1L),
       eqDeletes = Seq(IcebergLite.EqDelete(s"$root/data/eq.parquet", 5L,
-        Seq("id"))))
+        Seq(1 -> "id"))))
     val e = intercept[Exception] {
       IcebergLite.applyEqualityDeletes(spark, root, snap, data).collect()
     }
@@ -562,16 +572,42 @@ class IcebergSpec extends AnyFunSuite {
     assert(e.getMessage.contains("s3://"))
   }
 
-  test("renamed physical columns refuse loudly (name resolution)") {
+  test("renamed columns read correctly by field id (old-named files)") {
+    import spark.implicits._
     val root = fixture("renamed")
+    // the data files store the column as `v` (field id 2); renaming it
+    // in the metadata keeps the id, and the scan must resolve BY ID —
+    // name resolution would silently read the new name as null
     val meta = Files.readString(
       Paths.get(root, "metadata", "v3.metadata.json"))
       .replace(""""name":"v"""", """"name":"v_renamed"""")
     Files.writeString(Paths.get(root, "metadata", "v3.metadata.json"), meta)
-    val e = intercept[IllegalStateException] {
-      IcebergLite.read(spark, root)
+    val got = IcebergLite.read(spark, root)
+    assert(got.schema.fieldNames.toSeq == Seq("id", "v_renamed"))
+    assert(got.select("id", "v_renamed").as[(Long, Long)]
+      .collect().sorted.toSeq == (5L to 9L).map(i => (i, i * 3)))
+  }
+
+  test("data files without stored field ids refuse loudly") {
+    val root = fixture("noids")
+    // overwrite f1 with an UNSTAMPED parquet: a footer with no field
+    // ids under an id-resolving read schema must fail, not silently
+    // fall back to names (a renamed table would then read nulls)
+    val tmp = s"$root/_tmpu"
+    spark.range(5, 10).select(col("id"), (col("id") * 3).as("v"))
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val p = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith(".")).get
+    assert(p.renameTo(new java.io.File(s"$root/data/f1.parquet")))
+    rm(new java.io.File(tmp))
+    val e = intercept[Exception] {
+      IcebergLite.read(spark, root).collect()
     }
-    assert(e.getMessage.contains("v_renamed"))
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ chain(x.getCause))
+    assert(chain(e).exists(_.toLowerCase.contains("field id")))
   }
 
   test("missing metadata refuses loudly") {

@@ -46,8 +46,10 @@ private[graft] object IcebergStreamFixture {
              manifests: Option[Seq[Int]] = None): Unit = {
     import spark.implicits._
     val tmp = s"$root/_tmp"
-    spark.range(5L * (k - 1), 5L * (k - 1) + 5)
-      .select(col("id"), (col("id") * 2).as("v"))
+    graft.sources.IcebergLite.stampFieldIds(
+      spark.range(5L * (k - 1), 5L * (k - 1) + 5)
+        .select(col("id"), (col("id") * 2).as("v")),
+      Map("id" -> 1, "v" -> 2))
       .coalesce(1).write.mode("overwrite").parquet(tmp)
     val part = new java.io.File(tmp).listFiles()
       .find(f => f.getName.endsWith(".parquet") &&
