@@ -592,6 +592,27 @@ object Storage extends QueryModule {
         .read(s, authorPaimonPkTable(s, dir), snapshotId = Some(1L)))
     },
 
+    // PARTITIONED Paimon append-only table — partition values decode
+    // from each manifest entry's _PARTITION BinaryRow (null bits +
+    // 8-byte slots + var part, the published layout) and attach as
+    // typed literal columns per partition group; data files carry only
+    // the non-partition columns. The census groups BY the partition
+    // column, so wrong decode or wrong attachment hash-mismatches.
+    "q426_paimon_partitioned" -> { (s, dir) =>
+      deltaCensus(graft.sources.PaimonLite
+        .read(s, authorPaimonPartTable(s, dir)))
+    },
+
+    // PARTITIONED Paimon PRIMARY-KEY table — the stored KeyValue key
+    // is the TRIMMED key (pk minus partition keys), so the merge
+    // groups on (_KEY_o_orderkey, o_orderstatus): per-partition
+    // dedup, still one partial-combining max_by aggregate with one
+    // keyed shuffle. Same upsert algebra as q407, per partition.
+    "q427_paimon_partitioned_pk" -> { (s, dir) =>
+      ordersCensus(graft.sources.PaimonLite
+        .read(s, authorPaimonPartPkTable(s, dir)))
+    },
+
     // Paimon CHANGELOG read — the Delta-CDF analog for this leg.
     // Snapshot 2's changelog (changelog-producer=input) materializes
     // the upsert commit's raw input rows; the census groups them by
@@ -2337,6 +2358,197 @@ object Storage extends QueryModule {
       })
     }
 
+  private val paimonPartMemo =
+    scala.collection.mutable.Map.empty[String, String]
+
+  /** Authors the PARTITIONED append-only Paimon table used by q426:
+    * one `l_returnflag=<v>/bucket-0/` directory per flag value, data
+    * files carrying only the NON-partition columns (Paimon's layout),
+    * and each manifest entry's `_PARTITION` holding the flag as a
+    * serialized BinaryRow (layout: BinaryRowCodec). Memoized per
+    * sf-dir. */
+  private def authorPaimonPartTable(s: SparkSession, dir: String): String =
+    paimonPartMemo.synchronized {
+      paimonPartMemo.getOrElseUpdate(dir, {
+        import java.nio.file.{Files, Paths}
+        val avroFmt = "org.apache.spark.sql.avro.AvroFileFormat"
+        val root =
+          s"/tmp/graft_paimon/part_${Integer.toHexString(dir.hashCode)}"
+        def rm(p: java.io.File): Unit = {
+          if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+          p.delete(): Unit
+        }
+        rm(new java.io.File(root))
+        for (d <- Seq("snapshot", "schema", "manifest"))
+          Files.createDirectories(Paths.get(root, d))
+        val src = Tables.df(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity"),
+            col("l_extendedprice"), col("l_returnflag"))
+        val flags = src.select(col("l_returnflag")).distinct()
+          .collect().map(_.getString(0)).sorted.toSeq
+        for (f <- flags) {
+          Files.createDirectories(
+            Paths.get(root, s"l_returnflag=$f", "bucket-0"))
+          val tmp = s"$root/_tmp"
+          src.filter(col("l_returnflag") === f).drop("l_returnflag")
+            .coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(p => p.getName.endsWith(".parquet") &&
+              !p.getName.startsWith(".")).get
+          assert(part.renameTo(new java.io.File(
+            s"$root/l_returnflag=$f/bucket-0/data.parquet")))
+          rm(new java.io.File(tmp))
+        }
+        def writeAvro(df: DataFrame, rel: String): Unit = {
+          val tmp = s"$root/_tmpavro"
+          df.coalesce(1).write.mode("overwrite").format(avroFmt).save(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(_.getName.startsWith("part-")).get
+          assert(part.renameTo(new java.io.File(s"$root/$rel")))
+          rm(new java.io.File(tmp))
+        }
+        import s.implicits._
+        writeAvro(flags.map(f => (0, "data.parquet",
+          graft.sources.BinaryRowCodec.encode(Seq(f),
+            Seq(org.apache.spark.sql.types.StringType))))
+          .toDF("_KIND", "_fn", "_PARTITION")
+          .select(col("_KIND"), col("_PARTITION"), lit(0).as("_BUCKET"),
+            struct(col("_fn").as("_FILE_NAME")).as("_FILE")),
+          "manifest/m-part.avro")
+        writeAvro(Seq.empty[String].toDF("_FILE_NAME"),
+          "manifest/ml-empty.avro")
+        writeAvro(Seq("m-part.avro").toDF("_FILE_NAME"),
+          "manifest/ml-part.avro")
+        Files.writeString(Paths.get(root, "schema", "schema-0"),
+          """{"id":0,"fields":[
+            | {"id":0,"name":"l_orderkey","type":"BIGINT"},
+            | {"id":1,"name":"l_quantity","type":"DOUBLE"},
+            | {"id":2,"name":"l_extendedprice","type":"DOUBLE"},
+            | {"id":3,"name":"l_returnflag","type":"STRING"}],
+            |"highestFieldId":3,"partitionKeys":["l_returnflag"],
+            |"primaryKeys":[],"options":{"file.format":"parquet"}}"""
+            .stripMargin)
+        Files.writeString(Paths.get(root, "snapshot", "snapshot-1"),
+          """{"version":3,"id":1,"schemaId":0,
+            |"baseManifestList":"ml-empty.avro",
+            |"deltaManifestList":"ml-part.avro",
+            |"commitKind":"APPEND","commitUser":"graft",
+            |"commitIdentifier":1,"timeMillis":1000}""".stripMargin)
+        Files.writeString(Paths.get(root, "snapshot", "LATEST"), "1")
+        root
+      })
+    }
+
+  private val paimonPartPkMemo =
+    scala.collection.mutable.Map.empty[String, String]
+
+  /** Authors the PARTITIONED primary-key Paimon table used by q427:
+    * partitioned by o_orderstatus, primary key (o_orderstatus,
+    * o_orderkey) — so the STORED KeyValue key is the TRIMMED
+    * `_KEY_o_orderkey` (Paimon strips partition columns from keys) and
+    * the merge must run per partition. Each partition holds the same
+    * upsert algebra as q407: inserts at sequence 1, then doubled
+    * updates for o_orderkey%10 in (3,4) and deletes for %10=0 at
+    * sequence 2. Memoized per sf-dir. */
+  private def authorPaimonPartPkTable(s: SparkSession,
+                                      dir: String): String =
+    paimonPartPkMemo.synchronized {
+      paimonPartPkMemo.getOrElseUpdate(dir, {
+        import java.nio.file.{Files, Paths}
+        val avroFmt = "org.apache.spark.sql.avro.AvroFileFormat"
+        val root =
+          s"/tmp/graft_paimon/ppk_${Integer.toHexString(dir.hashCode)}"
+        def rm(p: java.io.File): Unit = {
+          if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+          p.delete(): Unit
+        }
+        rm(new java.io.File(root))
+        for (d <- Seq("snapshot", "schema", "manifest"))
+          Files.createDirectories(Paths.get(root, d))
+        val base = Tables.df(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderstatus"))
+          .filter(col("o_orderkey") % 10 < 5)
+        val statuses = base.select(col("o_orderstatus")).distinct()
+          .collect().map(_.getString(0)).sorted.toSeq
+        // KeyValue rows WITHOUT the partition column (trimmed key +
+        // sequence + kind + non-partition value columns)
+        def kv(df: DataFrame, seq: Long, kind: Int): DataFrame =
+          df.select(col("o_orderkey").as("_KEY_o_orderkey"),
+            lit(seq).as("_SEQUENCE_NUMBER"),
+            lit(kind).cast("tinyint").as("_VALUE_KIND"),
+            col("o_orderkey"), col("o_totalprice"))
+        def writeKv(df: DataFrame, st: String, name: String): Unit = {
+          Files.createDirectories(
+            Paths.get(root, s"o_orderstatus=$st", "bucket-0"))
+          val tmp = s"$root/_tmp"
+          df.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(p => p.getName.endsWith(".parquet") &&
+              !p.getName.startsWith(".")).get
+          assert(part.renameTo(new java.io.File(
+            s"$root/o_orderstatus=$st/bucket-0/$name")))
+          rm(new java.io.File(tmp))
+        }
+        for (st <- statuses) {
+          val slice = base.filter(col("o_orderstatus") === st)
+          writeKv(kv(slice, 1L, 0), st, "kv-ins.parquet")
+          writeKv(
+            kv(slice.filter((col("o_orderkey") % 10).isin(3, 4))
+              .withColumn("o_totalprice", col("o_totalprice") * 2), 2L, 2)
+              .unionByName(
+                kv(slice.filter(col("o_orderkey") % 10 === 0), 2L, 3)),
+            st, "kv-ups.parquet")
+        }
+        def writeAvro(df: DataFrame, rel: String): Unit = {
+          val tmp = s"$root/_tmpavro"
+          df.coalesce(1).write.mode("overwrite").format(avroFmt).save(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(_.getName.startsWith("part-")).get
+          assert(part.renameTo(new java.io.File(s"$root/$rel")))
+          rm(new java.io.File(tmp))
+        }
+        import s.implicits._
+        def manifest(rel: String, name: String): Unit =
+          writeAvro(statuses.map(st => (0, name,
+            graft.sources.BinaryRowCodec.encode(Seq(st),
+              Seq(org.apache.spark.sql.types.StringType))))
+            .toDF("_KIND", "_fn", "_PARTITION")
+            .select(col("_KIND"), col("_PARTITION"), lit(0).as("_BUCKET"),
+              struct(col("_fn").as("_FILE_NAME")).as("_FILE")), rel)
+        manifest("manifest/m-ins.avro", "kv-ins.parquet")
+        manifest("manifest/m-ups.avro", "kv-ups.parquet")
+        def mlist(rel: String, names: String*): Unit =
+          writeAvro(
+            if (names.isEmpty) Seq.empty[String].toDF("_FILE_NAME")
+            else names.toSeq.toDF("_FILE_NAME"), rel)
+        mlist("manifest/ml-empty.avro")
+        mlist("manifest/ml-ins.avro", "m-ins.avro")
+        mlist("manifest/ml-ups.avro", "m-ups.avro")
+        Files.writeString(Paths.get(root, "schema", "schema-0"),
+          """{"id":0,"fields":[
+            | {"id":0,"name":"o_orderkey","type":"BIGINT"},
+            | {"id":1,"name":"o_totalprice","type":"DOUBLE"},
+            | {"id":2,"name":"o_orderstatus","type":"STRING"}],
+            |"highestFieldId":2,
+            |"partitionKeys":["o_orderstatus"],
+            |"primaryKeys":["o_orderstatus","o_orderkey"],
+            |"options":{"file.format":"parquet"}}""".stripMargin)
+        def snapJson(id: Long, bs: String, dl: String): String =
+          s"""{"version":3,"id":$id,"schemaId":0,
+             |"baseManifestList":${jstr(bs)},
+             |"deltaManifestList":${jstr(dl)},
+             |"commitKind":"APPEND","commitUser":"graft",
+             |"commitIdentifier":$id,"timeMillis":0}""".stripMargin
+        Files.writeString(Paths.get(root, "snapshot", "snapshot-1"),
+          snapJson(1, "ml-empty.avro", "ml-ins.avro"))
+        Files.writeString(Paths.get(root, "snapshot", "snapshot-2"),
+          snapJson(2, "ml-ins.avro", "ml-ups.avro"))
+        Files.writeString(Paths.get(root, "snapshot", "LATEST"), "2")
+        root
+      })
+    }
+
   /** DuckDB side of q318: the 8 Hilbert rounds unrolled. Each round
     * reads the PREVIOUS round's (hx, hy, hd) — SQL's no-sequencing
     * SELECT semantics give the reflect+transpose swap for free. */
@@ -2707,6 +2919,26 @@ object Storage extends QueryModule {
         |ORDER BY l_returnflag""".stripMargin,
     // Paimon PK merged state: %10∈{1,2} original, {3,4} doubled, 0 dead
     "q407_paimon_pk_read" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        | CAST(sum(CAST(CASE WHEN o_orderkey % 10 IN (3, 4)
+        |   THEN o_totalprice * 2 ELSE o_totalprice END
+        |   AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderkey % 10 BETWEEN 1 AND 4
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+    // partitioned append-only table covers every flag, so the census
+    // is the whole source; flag values come from the BinaryRow decode
+    "q426_paimon_partitioned" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_price
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    // per-partition PK merge, q407's upsert algebra in every partition
+    "q427_paimon_partitioned_pk" ->
       """SELECT o_orderstatus, count(*) AS n,
         | CAST(sum(CAST(CASE WHEN o_orderkey % 10 IN (3, 4)
         |   THEN o_totalprice * 2 ELSE o_totalprice END

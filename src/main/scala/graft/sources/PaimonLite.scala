@@ -41,12 +41,22 @@ import org.json4s.jackson.JsonMethods
   * ONE shuffle on the primary key; no level-aware driver logic, no
   * window. Ties break deterministically by kind then file path.
   *
+  * PARTITIONED tables are READ: each manifest entry's `_PARTITION`
+  * BinaryRow (layout: [[BinaryRowCodec]]) decodes to the partition
+  * values, which place the file under its `k=v/.../bucket-N/`
+  * directory AND attach as typed literal columns per partition group
+  * — Paimon data files exclude partition columns, exactly the
+  * fileSchema++partitionSchema split Spark's own scans use. Partition
+  * key types are bounded to string/integral/boolean (the types whose
+  * path spelling is canonical); null values take the table's
+  * `partition.default-name`.
+  *
   * Lite scope, loud failures (never silent wrong answers):
   *  - primary-key tables with a NON-default merge engine
   *    (partial-update / aggregation / first-row) are refused;
-  *  - UNPARTITIONED tables only: partitionKeys are refused (partition
-  *    values travel as serialized BinaryRow bytes in manifests —
-  *    outside lite scope);
+  *  - partition keys of date/timestamp/float types are refused (path
+  *    spelling is writer-configurable); changelog and STREAMING reads
+  *    of partitioned tables are refused — batch reads support them;
   *  - parquet and ORC data files (Paimon's default file.format is
   *    orc); any other extension, or a snapshot mixing the two
   *    formats, is refused;
@@ -57,9 +67,17 @@ import org.json4s.jackson.JsonMethods
   */
 object PaimonLite {
 
+  /** One live data file: its absolute path and the partition values
+    * (schema-typed, null allowed) decoded from the manifest entry's
+    * `_PARTITION` BinaryRow — empty for unpartitioned tables. */
+  final case class DataFile(path: String, partition: Seq[Any] = Nil)
+
   final case class Snapshot(snapshotId: Long, schema: StructType,
-                            files: Seq[String],
-                            primaryKeys: Seq[String] = Nil)
+                            files: Seq[DataFile],
+                            primaryKeys: Seq[String] = Nil,
+                            partitionKeys: Seq[String] = Nil,
+                            defaultPartName: String =
+                              "__DEFAULT_PARTITION__")
 
   private implicit val fmts: Formats = DefaultFormats
 
@@ -192,13 +210,12 @@ object PaimonLite {
         ks.map(_.extract[String])
       case _ => Nil
     }
-    (schemaJson \ "partitionKeys") match {
-      case JArray(ks) if ks.nonEmpty => throw new IllegalStateException(
-        s"$schemaFile: partitioned table (keys ${ks.map(_.extract[String])
-          .mkString(", ")}) — outside PaimonLite scope (partition values " +
-          "travel as serialized BinaryRow bytes)")
-      case _ =>
+    val partitionKeys: Seq[String] = (schemaJson \ "partitionKeys") match {
+      case JArray(ks) => ks.map(_.extract[String])
+      case _          => Nil
     }
+    val defaultPartName = (schemaJson \ "options" \ "partition.default-name")
+      .extractOpt[String].getOrElse("__DEFAULT_PARTITION__")
     val schema = (schemaJson \ "fields") match {
       case JArray(fls) => StructType(fls.map { f =>
         val name = (f \ "name").extract[String]
@@ -238,35 +255,84 @@ object PaimonLite {
     val manifests =
       manifestsOf("baseManifestList") ++ manifestsOf("deltaManifestList")
 
-    // replay ADD/DELETE per (bucket, file name); later entries win
-    val live = scala.collection.mutable.LinkedHashSet.empty[(Int, String)]
+    // validate partition-key types up front (path formatting and
+    // BinaryRow decode both need the bounded primitive set)
+    val partTypes: Seq[DataType] = partitionKeys.map { k =>
+      val f = schema.find(_.name == k).getOrElse(
+        throw new IllegalStateException(
+          s"$schemaFile: partition key $k is not a schema field"))
+      f.dataType match {
+        case t @ (BooleanType | ByteType | ShortType | IntegerType |
+                  LongType | StringType) => t
+        case other => throw new IllegalStateException(
+          s"$schemaFile: partition key $k has type ${other.simpleString}" +
+            " — PaimonLite reads string/integral/boolean partition keys " +
+            "only (date/timestamp partition paths are outside lite scope)")
+      }
+    }
+
+    // replay ADD/DELETE per (partition, bucket, file name); later
+    // entries win. Partition values ride each entry's _PARTITION
+    // BinaryRow (decoded with the schema's partition types).
+    val live =
+      scala.collection.mutable.LinkedHashSet.empty[(Seq[Any], Int, String)]
     for (mf <- manifests) {
       val p = resolveManifest(mf)
       val m = spark.read.format(AvroFmt).load(p)
       for (need <- Seq("_KIND", "_BUCKET", "_FILE"))
         if (!m.columns.contains(need)) throw new IllegalStateException(
           s"$p: manifest lacks $need")
+      if (partitionKeys.nonEmpty && !m.columns.contains("_PARTITION"))
+        throw new IllegalStateException(
+          s"$p: partitioned table but the manifest lacks _PARTITION — " +
+            "cannot place its files")
       m.collect().foreach { r =>
         val kind = r.getAs[Number]("_KIND").intValue()
         val bucket = r.getAs[Number]("_BUCKET").intValue()
         val file = r.getAs[org.apache.spark.sql.Row]("_FILE")
         val name = file.getAs[String]("_FILE_NAME")
+        val part: Seq[Any] =
+          if (partitionKeys.isEmpty) Nil
+          else BinaryRowCodec.decode(r.getAs[Array[Byte]]("_PARTITION"),
+            partTypes, s"$p ($name)")
         kind match {
-          case 0 => live += ((bucket, name))
-          case 1 => live -= ((bucket, name))
+          case 0 => live += ((part, bucket, name))
+          case 1 => live -= ((part, bucket, name))
           case k => throw new IllegalStateException(
             s"$p: unknown manifest entry kind $k for $name")
         }
       }
     }
-    val files = live.toSeq.map { case (bucket, name) =>
+    val files = live.toSeq.map { case (part, bucket, name) =>
       if (!name.endsWith(".parquet") && !name.endsWith(".orc"))
         throw new IllegalStateException(
           s"$tableDir: data file $name is neither parquet nor orc — " +
             "outside PaimonLite scope (set file.format=parquet|orc)")
-      s"$tableDir/bucket-$bucket/$name"
+      val partDirs = partitionKeys.zip(part).map { case (k, v) =>
+        s"$k=${partPathValue(v, defaultPartName)}/"
+      }.mkString
+      DataFile(s"$tableDir/$partDirs" + s"bucket-$bucket/$name", part)
     }
-    Snapshot(wantedId, schema, files, primaryKeys)
+    Snapshot(wantedId, schema, files, primaryKeys, partitionKeys,
+      defaultPartName)
+  }
+
+  /** Hive-style escape set Paimon's partition paths use (published in
+    * PartitionPathUtils, itself Hive's FileUtils.makePartName). */
+  private val pathEscapeChars = ("\"#%'*/:=?\\{[]^" + "\u007f").toSet
+
+  /** One partition VALUE's spelling in the directory layout: null →
+    * the table's default partition name; strings %-escape the Hive
+    * special set; integrals/booleans print canonically. A wrong
+    * spelling can only fail LOUDLY downstream (the file path simply
+    * would not exist), never produce a silent wrong answer. */
+  private def partPathValue(v: Any, defaultName: String): String = v match {
+    case null      => defaultName
+    case s: String => s.flatMap { c =>
+      if (c < ' ' || pathEscapeChars(c)) f"%%${c.toInt}%02X"
+      else c.toString
+    }
+    case other     => other.toString
   }
 
 
@@ -292,6 +358,9 @@ object PaimonLite {
     val snapJson = JsonMethods.parse(readText(fs, snapFile))
     // value schema + KeyValue check ride the snapshot resolver
     val snap = snapshot(spark, tableDir, Some(snapshotId))
+    if (snap.partitionKeys.nonEmpty) throw new IllegalStateException(
+      s"$tableDir: changelog reads on PARTITIONED tables are outside " +
+        "PaimonLite scope (batch reads support partitions)")
     def resolveManifest(name: String): String =
       if (name.startsWith("/") || name.contains("://") ||
         name.startsWith("file:")) resolve(tableDir, name)
@@ -457,33 +526,66 @@ object PaimonLite {
     }
   }
 
-  /** DataFrame over the snapshot's live files. Append-only tables are
-    * one native parquet scan; primary-key tables additionally run the
-    * deduplicate merge (latest `_SEQUENCE_NUMBER` per key wins, a
-    * winning DELETE drops the key) as a key-partitioned window — one
-    * shuffle on the primary key. An empty snapshot returns a typed
-    * empty frame (the schema store makes that possible here, unlike
-    * Hudi COW). */
+  /** DataFrame over the snapshot's live files. One native columnar
+    * scan per PARTITION TUPLE (Paimon data files exclude partition
+    * columns — values come from the manifests' BinaryRows, attached
+    * as typed literal columns exactly like [[DeltaLogLite.readFiles]];
+    * unpartitioned tables are a single scan). Primary-key tables
+    * additionally run the deduplicate merge (latest
+    * `_SEQUENCE_NUMBER` per key wins, a winning DELETE drops the key)
+    * as ONE partial-combining aggregate shuffled on the key. An empty
+    * snapshot returns a typed empty frame (the schema store makes
+    * that possible here, unlike Hudi COW). */
   def read(spark: SparkSession, tableDir: String,
            snapshotId: Option[Long] = None,
            asOfTimestampMs: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions._
     val snap = snapshot(spark, tableDir, snapshotId, asOfTimestampMs)
     if (snap.files.isEmpty)
-      spark.createDataFrame(
+      return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
-    else if (snap.primaryKeys.isEmpty)
-      ColumnarScan(spark, tableDir, Some(snap.schema), snap.files)
-    else {
-      import org.apache.spark.sql.functions._
-      val raw = ColumnarScan(spark, tableDir, None, snap.files)
-      val keyCols = snap.primaryKeys.map(k => s"_KEY_$k")
+    val partCols = snap.partitionKeys
+    def withPartitionCols(df: DataFrame, part: Seq[Any]): DataFrame =
+      partCols.zip(part).foldLeft(df) { case (d, (k, v)) =>
+        d.withColumn(k, lit(v).cast(snap.schema(k).dataType))
+      }
+    val groups = snap.files.groupBy(_.partition).toSeq
+      .sortBy(_._1.map(v => partPathValue(v, snap.defaultPartName))
+        .mkString(" "))
+    if (snap.primaryKeys.isEmpty) {
+      val valueSchema = StructType(
+        snap.schema.filterNot(f => partCols.contains(f.name)))
+      groups.map { case (part, fl) =>
+        withPartitionCols(
+          ColumnarScan(spark, tableDir, Some(valueSchema), fl.map(_.path)),
+          part)
+          .select(snap.schema.fieldNames.map(col).toSeq: _*)
+      }.reduce(_ unionAll _)
+    } else {
+      // stored keys are the TRIMMED primary key (pk minus partition
+      // keys — Paimon strips partition columns from the KeyValue key);
+      // the merge groups on trimmed keys + the attached partition
+      // columns, so each partition merges independently
+      val trimmedKeys = snap.primaryKeys.filterNot(partCols.contains)
+      if (trimmedKeys.isEmpty) throw new IllegalStateException(
+        s"$tableDir: primary key (${snap.primaryKeys.mkString(", ")}) " +
+          "has no column outside the partition key — not a mergeable " +
+          "KeyValue layout")
+      val keyCols = trimmedKeys.map(k => s"_KEY_$k")
+      val valueNames = snap.schema.fieldNames.filterNot(partCols.contains)
       val needed = keyCols ++ Seq("_SEQUENCE_NUMBER", "_VALUE_KIND") ++
-        snap.schema.fieldNames
-      val missing = needed.filterNot(raw.columns.contains)
-      if (missing.nonEmpty) throw new IllegalStateException(
-        s"$tableDir: primary-key data files lack KeyValue columns " +
-          s"${missing.mkString(", ")} — not a deduplicate-engine " +
-          "parquet layout PaimonLite can merge")
+        valueNames
+      val raw = groups.map { case (part, fl) =>
+        val scan = ColumnarScan(spark, tableDir, None, fl.map(_.path))
+        val missing = needed.filterNot(scan.columns.contains)
+        if (missing.nonEmpty) throw new IllegalStateException(
+          s"$tableDir: primary-key data files lack KeyValue columns " +
+            s"${missing.mkString(", ")} — not a deduplicate-engine " +
+            "parquet layout PaimonLite can merge")
+        withPartitionCols(
+          scan.withColumn("_pm_file", col("_metadata.file_path"))
+            .select((needed :+ "_pm_file").map(col).toSeq: _*), part)
+      }.reduce(_ unionAll _)
       // latest sequence per key wins; ties break by kind (an update
       // outranks the insert it replaces) then file path — all three
       // deterministic, folded into one orderable struct so the merge
@@ -499,8 +601,7 @@ object PaimonLite {
       val payload = struct(
         (col("_VALUE_KIND") +: snap.schema.fieldNames.toSeq.map(col)): _*)
       raw
-        .withColumn("_pm_file", col("_metadata.file_path"))
-        .groupBy(keyCols.map(col): _*)
+        .groupBy((keyCols ++ partCols).map(col): _*)
         .agg(max_by(payload, ord).as("_pm_top"))
         .filter(col("_pm_top._VALUE_KIND").cast("int").isin(0, 2))
         .select(snap.schema.fields.toSeq.map(f =>

@@ -61,6 +61,13 @@ class PaimonStreamSource(spark: SparkSession, tableDir: String,
     s"$tableDir: primary-key table (keys ${initial.primaryKeys
       .mkString(", ")}) — PaimonStreamLite streams APPEND-ONLY tables " +
       "only (upsert changelogs are outside lite streaming scope)")
+  // partitioned streaming would need deltaAdds to decode _PARTITION
+  // and attach partition columns per batch — batch reads support
+  // partitions; streaming keeps the unpartitioned scope
+  if (initial.partitionKeys.nonEmpty) throw new IllegalStateException(
+    s"$tableDir: PARTITIONED table (keys ${initial.partitionKeys
+      .mkString(", ")}) — PaimonStreamLite streams unpartitioned " +
+      "tables only (batch reads support partitions)")
 
   override def schema: StructType = initial.schema
 
@@ -77,7 +84,7 @@ class PaimonStreamSource(spark: SparkSession, tableDir: String,
         if (snap.schema.json != initial.schema.json)
           throw new IllegalStateException(
             s"$tableDir: schema changed mid-stream")
-        snap.files
+        snap.files.map(_.path)
       case Some(s) =>
         ((ver(s) + 1) to endId).flatMap(
           PaimonLite.deltaAdds(spark, tableDir, _))

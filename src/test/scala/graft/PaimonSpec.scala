@@ -9,10 +9,12 @@ import graft.sources.PaimonLite
 
 /** PaimonLite contract: snapshot resolution (explicit id / LATEST
   * hint / highest-N fallback), base+delta manifest-list replay with
-  * ADD/DELETE netting, type mapping, and every LOUD-failure path —
-  * primary-key tables, partitioned tables, non-parquet files, foreign
-  * schemes, missing metadata. The happy path against real data is
-  * q397/q398's DuckDB oracle. */
+  * ADD/DELETE netting, type mapping, PARTITIONED reads (BinaryRow
+  * partition decode, null/default partitions, per-partition PK
+  * merge), and every LOUD-failure path — non-parquet files, foreign
+  * schemes, missing metadata, _PARTITION-less partitioned manifests.
+  * The happy path against real data is q397/q398 (and q426/q427
+  * partitioned)'s DuckDB oracle. */
 class PaimonSpec extends AnyFunSuite {
   import TestSession._
 
@@ -99,8 +101,8 @@ class PaimonSpec extends AnyFunSuite {
     val root = fixture("happy")
     val snap = PaimonLite.snapshot(spark, root)
     assert(snap.snapshotId == 2L)
-    assert(snap.files.toSet == Set(s"$root/bucket-0/f1.parquet",
-      s"$root/bucket-0/f2.parquet"))
+    assert(snap.files.map(_.path).toSet ==
+      Set(s"$root/bucket-0/f1.parquet", s"$root/bucket-0/f2.parquet"))
     import spark.implicits._
     val got = PaimonLite.read(spark, root)
     assert(got.schema.fieldNames.toSeq == Seq("id", "v"))
@@ -297,12 +299,210 @@ class PaimonSpec extends AnyFunSuite {
     assert(e.getMessage.contains("APPEND-ONLY"))
   }
 
-  test("partitioned table refuses loudly") {
+  test("BinaryRowCodec round-trips nulls, compact and long strings, " +
+    "integrals; truncated rows refuse") {
+    import org.apache.spark.sql.types._
+    import graft.sources.BinaryRowCodec
+    val types = Seq(LongType, IntegerType, StringType, StringType,
+      BooleanType, ShortType, ByteType)
+    val vals: Seq[Any] = Seq(42L, null, "abc",
+      "a-string-longer-than-7-bytes", true, 7.toShort, 3.toByte)
+    val bytes = BinaryRowCodec.encode(vals, types)
+    assert(BinaryRowCodec.decode(bytes, types, "t") == vals)
+    // exactly-7-byte string stays compact; 8 bytes goes to the var part
+    for (s <- Seq("1234567", "12345678", "")) {
+      val t = Seq(StringType)
+      assert(BinaryRowCodec.decode(
+        BinaryRowCodec.encode(Seq(s), t), t, "t") == Seq(s))
+    }
+    val nulls = Seq[Any](null, null, null, null, null, null, null)
+    assert(BinaryRowCodec.decode(
+      BinaryRowCodec.encode(nulls, types), types, "t") == nulls)
+    intercept[IllegalStateException] {
+      BinaryRowCodec.decode(bytes.take(10), types, "t")
+    }
+    // unsupported type refuses both ways
+    intercept[IllegalArgumentException] {
+      BinaryRowCodec.encode(Seq(BigDecimal(1)), Seq(DecimalType(20, 2)))
+    }
+    intercept[IllegalStateException] {
+      BinaryRowCodec.decode(bytes, Seq(DecimalType(20, 2)), "t")
+    }
+  }
+
+  /** Partitioned append-only table (p STRING): p=a holds ids 0..4,
+    * the DEFAULT (null) partition ids 5..7, and p=`a:b` (needs path
+    * escaping → `p=a%3Ab/`) ids 8..9. Data files carry only (id, v);
+    * partition values ride the manifest's _PARTITION BinaryRows. */
+  private def partFixture(name: String): String = {
+    import graft.sources.BinaryRowCodec
+    import org.apache.spark.sql.types.StringType
+    val root = s"/tmp/graft_paimonspec/$name"
+    rm(new java.io.File(root))
+    for (d <- Seq("snapshot", "schema", "manifest"))
+      Files.createDirectories(Paths.get(root, d))
+    val df = spark.range(0, 10).select(col("id"), (col("id") * 3).as("v"))
+    def one(filter: org.apache.spark.sql.Column, dirName: String): Unit = {
+      Files.createDirectories(Paths.get(root, s"p=$dirName", "bucket-0"))
+      val tmp = s"$root/_tmp"
+      df.filter(filter).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith(".")).get
+      assert(part.renameTo(new java.io.File(
+        s"$root/p=$dirName/bucket-0/data.parquet")))
+      rm(new java.io.File(tmp))
+    }
+    one(col("id") < 5, "a")
+    one(col("id") >= 5 && col("id") < 8, "__DEFAULT_PARTITION__")
+    one(col("id") >= 8, "a%3Ab")
+    def writeAvro(d: org.apache.spark.sql.DataFrame, rel: String): Unit = {
+      val tmp = s"$root/_tmpavro"
+      d.coalesce(1).write.mode("overwrite").format(avroFmt).save(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.startsWith("part-")).get
+      assert(part.renameTo(new java.io.File(s"$root/$rel")))
+      rm(new java.io.File(tmp))
+    }
+    import spark.implicits._
+    writeAvro(Seq[Any]("a", null, "a:b").map(v => (0, "data.parquet",
+      BinaryRowCodec.encode(Seq(v), Seq(StringType))))
+      .toDF("_KIND", "_fn", "_PARTITION")
+      .select(col("_KIND"), col("_PARTITION"), lit(0).as("_BUCKET"),
+        struct(col("_fn").as("_FILE_NAME")).as("_FILE")),
+      "manifest/m-part.avro")
+    writeAvro(Seq.empty[String].toDF("_FILE_NAME"), "manifest/ml-e.avro")
+    writeAvro(Seq("m-part.avro").toDF("_FILE_NAME"), "manifest/ml-p.avro")
+    Files.writeString(Paths.get(root, "schema", "schema-0"),
+      """{"id":0,"fields":[
+        | {"id":0,"name":"id","type":"BIGINT"},
+        | {"id":1,"name":"v","type":"BIGINT"},
+        | {"id":2,"name":"p","type":"STRING"}],
+        |"highestFieldId":2,"partitionKeys":["p"],
+        |"primaryKeys":[],"options":{}}""".stripMargin)
+    Files.writeString(Paths.get(root, "snapshot", "snapshot-1"),
+      """{"version":3,"id":1,"schemaId":0,
+        |"baseManifestList":"ml-e.avro","deltaManifestList":"ml-p.avro",
+        |"commitKind":"APPEND","commitUser":"t","commitIdentifier":1,
+        |"timeMillis":0}""".stripMargin)
+    Files.writeString(Paths.get(root, "snapshot", "LATEST"), "1")
+    root
+  }
+
+  test("partitioned append-only read: BinaryRow values attach as " +
+    "typed columns; null takes the default dir; specials escape") {
+    import spark.implicits._
+    val root = partFixture("partread")
+    val got = PaimonLite.read(spark, root)
+    assert(got.schema.fieldNames.toSeq == Seq("id", "v", "p"))
+    val rows = got.select("id", "p").as[(Long, Option[String])]
+      .collect().sortBy(_._1).toSeq
+    assert(rows == ((0L to 4L).map(i => (i, Some("a"))) ++
+      (5L to 7L).map(i => (i, None)) ++
+      (8L to 9L).map(i => (i, Some("a:b")))))
+    // value columns still read from the files
+    assert(got.agg(sum(col("v"))).head().getLong(0) ==
+      (0L to 9L).map(_ * 3).sum)
+  }
+
+  test("partitioned PK merge runs per partition on the trimmed key") {
+    import graft.sources.BinaryRowCodec
+    import org.apache.spark.sql.types.StringType
+    import spark.implicits._
+    val root = "/tmp/graft_paimonspec/partpk"
+    rm(new java.io.File(root))
+    for (d <- Seq("snapshot", "schema", "manifest"))
+      Files.createDirectories(Paths.get(root, d))
+    // both partitions hold trimmed keys 0 and 1; only p=a updates id 1
+    def kv(rows: Seq[(Long, Long)], seq: Long, kind: Int) =
+      rows.toDF("k", "vv").select(col("k").as("_KEY_id"),
+        lit(seq).as("_SEQUENCE_NUMBER"),
+        lit(kind).cast("tinyint").as("_VALUE_KIND"),
+        col("k").as("id"), col("vv").as("v"))
+    def writeKv(df: org.apache.spark.sql.DataFrame, st: String,
+                name: String): Unit = {
+      Files.createDirectories(Paths.get(root, s"p=$st", "bucket-0"))
+      val tmp = s"$root/_tmp"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith(".")).get
+      assert(part.renameTo(new java.io.File(s"$root/p=$st/bucket-0/$name")))
+      rm(new java.io.File(tmp))
+    }
+    writeKv(kv(Seq((0L, 1L), (1L, 2L)), 1L, 0), "a", "kv0.parquet")
+    writeKv(kv(Seq((1L, 100L)), 2L, 2), "a", "kv1.parquet")
+    writeKv(kv(Seq((0L, 10L), (1L, 20L)), 1L, 0), "b", "kv0.parquet")
+    def writeAvro(d: org.apache.spark.sql.DataFrame, rel: String): Unit = {
+      val tmp = s"$root/_tmpavro"
+      d.coalesce(1).write.mode("overwrite").format(avroFmt).save(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.startsWith("part-")).get
+      assert(part.renameTo(new java.io.File(s"$root/$rel")))
+      rm(new java.io.File(tmp))
+    }
+    def enc(v: String) = BinaryRowCodec.encode(Seq(v), Seq(StringType))
+    writeAvro(Seq((0, "kv0.parquet", enc("a")), (0, "kv1.parquet", enc("a")),
+      (0, "kv0.parquet", enc("b")))
+      .toDF("_KIND", "_fn", "_PARTITION")
+      .select(col("_KIND"), col("_PARTITION"), lit(0).as("_BUCKET"),
+        struct(col("_fn").as("_FILE_NAME")).as("_FILE")),
+      "manifest/m-kv.avro")
+    writeAvro(Seq.empty[String].toDF("_FILE_NAME"), "manifest/ml-e.avro")
+    writeAvro(Seq("m-kv.avro").toDF("_FILE_NAME"), "manifest/ml-kv.avro")
+    Files.writeString(Paths.get(root, "schema", "schema-0"),
+      """{"id":0,"fields":[
+        | {"id":0,"name":"id","type":"BIGINT"},
+        | {"id":1,"name":"v","type":"BIGINT"},
+        | {"id":2,"name":"p","type":"STRING"}],
+        |"highestFieldId":2,"partitionKeys":["p"],
+        |"primaryKeys":["p","id"],"options":{}}""".stripMargin)
+    Files.writeString(Paths.get(root, "snapshot", "snapshot-1"),
+      """{"version":3,"id":1,"schemaId":0,
+        |"baseManifestList":"ml-e.avro","deltaManifestList":"ml-kv.avro",
+        |"commitKind":"APPEND","commitUser":"t","commitIdentifier":1,
+        |"timeMillis":0}""".stripMargin)
+    Files.writeString(Paths.get(root, "snapshot", "LATEST"), "1")
+    val got = PaimonLite.read(spark, root)
+      .select("id", "v", "p").as[(Long, Long, String)]
+      .collect().sortBy(r => (r._3, r._1)).toSeq
+    // id 1 updates ONLY in p=a — a cross-partition merge would
+    // collapse the two partitions' rows onto one key
+    assert(got == Seq((0L, 1L, "a"), (1L, 100L, "a"),
+      (0L, 10L, "b"), (1L, 20L, "b")))
+  }
+
+  test("partitioned manifests without _PARTITION refuse loudly") {
     val e = intercept[IllegalStateException] {
       PaimonLite.snapshot(spark,
         fixture("part", partitionKeys = """["v"]"""))
     }
-    assert(e.getMessage.contains("partitioned table"))
+    assert(e.getMessage.contains("_PARTITION"))
+  }
+
+  test("unsupported partition key type refuses loudly") {
+    val root = fixture("parttype", partitionKeys = """["v"]""")
+    val schemaFile = Paths.get(root, "schema", "schema-0")
+    Files.writeString(schemaFile, Files.readString(schemaFile)
+      .replace(""""name":"v","type":"BIGINT"""",
+        """"name":"v","type":"DOUBLE""""))
+    val e = intercept[IllegalStateException] {
+      PaimonLite.snapshot(spark, root)
+    }
+    assert(e.getMessage.contains("partition key v"))
+  }
+
+  test("partitioned changelog and streaming reads refuse loudly") {
+    val root = partFixture("partrefuse")
+    val e = intercept[IllegalStateException] {
+      PaimonLite.readChangelog(spark, root, 1L)
+    }
+    assert(e.getMessage.contains("PARTITIONED"))
+    val e2 = intercept[IllegalStateException] {
+      new org.apache.spark.sql.graftstream.PaimonStreamSource(
+        spark, root, None)
+    }
+    assert(e2.getMessage.contains("PARTITIONED"))
   }
 
   test("ORC data files (Paimon's default format) read natively") {
