@@ -382,6 +382,17 @@ object Storage extends QueryModule {
         .read(s, authorDeltaDvTable(s, dir)))
     },
 
+    // Delta V2 CHECKPOINTS — the layout modern writers default to.
+    // Versions 0/1 were checkpointed as a UUID-named manifest whose
+    // sidecar actions carry the adds (two parquet files under
+    // _delta_log/_sidecars/), and their JSON commits are GONE — only
+    // the v2 path can reconstruct the state; commit 2 then appends
+    // batch C through the normal JSON replay on top.
+    "q428_delta_v2_checkpoint" -> { (s, dir) =>
+      deltaCensus(graft.sources.DeltaLogLite
+        .read(s, authorDeltaV2CkptTable(s, dir)))
+    },
+
     // Delta CHANGE DATA FEED — the incremental-ETL surface. Commit 0
     // blind-appends batch A (CDF inserts synthesized from the adds,
     // per the protocol); commit 1 is an UPDATE that wrote cdc files:
@@ -1541,6 +1552,100 @@ object Storage extends QueryModule {
             .mkString("", "\n", "\n"))
         Files.writeString(Paths.get(root, "_delta_log", f"${1L}%020d.json"),
           s"""{"add":{"path":"data/a.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true,"deletionVector":$dvJson}}""" + "\n")
+        root
+      })
+    }
+
+  private val deltaV2CkptMemo =
+    scala.collection.mutable.Map.empty[String, String]
+
+  /** Authors the V2-CHECKPOINTED Delta table used by q428: versions
+    * 0/1 added batches A (l_orderkey%10=0) and B (=1), were
+    * checkpointed at version 1 as a UUID-named MANIFEST (protocol +
+    * metaData + checkpointMetadata + two sidecar actions) with the
+    * add actions split across two parquet SIDECARS under
+    * _delta_log/_sidecars/, and their JSON commits were then vacuumed
+    * — so the snapshot state is reconstructible ONLY through the v2
+    * path. Commit 2 JSON-appends batch C (=2). Protocol: reader
+    * version 3 + the v2Checkpoint feature. Memoized per sf-dir. */
+  private def authorDeltaV2CkptTable(s: SparkSession, dir: String): String =
+    deltaV2CkptMemo.synchronized {
+      deltaV2CkptMemo.getOrElseUpdate(dir, {
+        import java.nio.file.{Files, Paths}
+        val root =
+          s"/tmp/graft_delta/v2ck_${Integer.toHexString(dir.hashCode)}"
+        def rm(p: java.io.File): Unit = {
+          if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+          p.delete(): Unit
+        }
+        rm(new java.io.File(root))
+        Files.createDirectories(Paths.get(root, "_delta_log", "_sidecars"))
+        Files.createDirectories(Paths.get(root, "data"))
+        val src = Tables.df(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity"),
+            col("l_extendedprice"), col("l_returnflag"))
+        def writeOne(df: DataFrame, rel: String): Unit = {
+          val tmp = s"$root/_tmp"
+          df.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(f => f.getName.endsWith(".parquet") &&
+              !f.getName.startsWith(".")).get
+          assert(part.renameTo(new java.io.File(s"$root/$rel")))
+          rm(new java.io.File(tmp))
+        }
+        for (b <- 0 to 2)
+          writeOne(src.filter(col("l_orderkey") % 10 === b),
+            s"data/b$b.parquet")
+        // two sidecars: one add action each (the file actions live
+        // ONLY here — the manifest carries none)
+        val addT = "struct<path:string,partitionValues:map<string,string>>"
+        def sidecar(rel: String, path: String): Unit =
+          writeOne(s.range(1).select(
+            struct(lit(path).as("path"),
+              map().cast("map<string,string>").as("partitionValues"))
+              .as("add")), rel)
+        sidecar("_delta_log/_sidecars/sc-a.parquet", "data/b0.parquet")
+        sidecar("_delta_log/_sidecars/sc-b.parquet", "data/b1.parquet")
+        // the manifest: protocol + metaData + checkpointMetadata +
+        // 2 sidecar rows, column-per-action-type like real writers
+        val metaT = "struct<schemaString:string," +
+          "partitionColumns:array<string>>"
+        val protoT = "struct<minReaderVersion:int," +
+          "readerFeatures:array<string>>"
+        val ckT = "struct<version:bigint>"
+        val scT = "struct<path:string>"
+        def row(meta: org.apache.spark.sql.Column,
+                proto: org.apache.spark.sql.Column,
+                ck: org.apache.spark.sql.Column,
+                sc: org.apache.spark.sql.Column,
+                add: org.apache.spark.sql.Column) =
+          s.range(1).select(meta.cast(metaT).as("metaData"),
+            proto.cast(protoT).as("protocol"), ck.cast(ckT)
+              .as("checkpointMetadata"), sc.cast(scT).as("sidecar"),
+            add.cast(addT).as("add"))
+        val nul = lit(null)
+        val manifestDf =
+          row(struct(lit(src.schema.json).as("schemaString"),
+            array().cast("array<string>").as("partitionColumns")),
+            nul, nul, nul, nul)
+          .unionAll(row(nul, struct(lit(3).as("minReaderVersion"),
+            array(lit("v2Checkpoint")).as("readerFeatures")),
+            nul, nul, nul))
+          .unionAll(row(nul, nul, struct(lit(1L).as("version")),
+            nul, nul))
+          .unionAll(row(nul, nul, nul,
+            struct(lit("sc-a.parquet").as("path")), nul))
+          .unionAll(row(nul, nul, nul,
+            struct(lit("sc-b.parquet").as("path")), nul))
+        writeOne(manifestDf,
+          s"_delta_log/${f"${1L}%020d"}.checkpoint." +
+            "80a083e8-7026-4e79-81be-64bd76c43a11.parquet")
+        Files.writeString(
+          Paths.get(root, "_delta_log", "_last_checkpoint"),
+          """{"version":1}""")
+        // commit 2: plain JSON append of batch C (post-checkpoint)
+        Files.writeString(Paths.get(root, "_delta_log", f"${2L}%020d.json"),
+          s"""{"add":{"path":"data/b2.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""" + "\n")
         root
       })
     }
@@ -2715,6 +2820,16 @@ object Storage extends QueryModule {
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
         |   AS sum_price
         |FROM lineitem WHERE l_orderkey % 10 IN (1, 2)
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    // v2-checkpointed state (A∪B from the sidecars) + JSON append (C)
+    "q428_delta_v2_checkpoint" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_price
+        |FROM lineitem WHERE l_orderkey % 10 IN (0, 1, 2)
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
     // renamed table reads both old- and new-named files: batches A∪B,

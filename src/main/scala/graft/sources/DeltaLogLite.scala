@@ -42,6 +42,17 @@ import org.json4s.jackson.JsonMethods
   * `versionAsOf` BEFORE the checkpoint falls back to replay-from-zero
   * and loudly fails if those early commits are gone.
   *
+  * V2 CHECKPOINTS (PROTOCOL.md "V2 Spec Checkpoints" — what modern
+  * writers increasingly default to) are READ: when the classic names
+  * are absent, the UUID-named `N.checkpoint.<u>.{json,parquet}`
+  * MANIFEST supplies the non-file actions plus `sidecar` actions
+  * naming parquet files under `_delta_log/_sidecars/` that carry the
+  * add/remove state; the manifest's required
+  * `checkpointMetadata.version` is verified against N and a missing
+  * sidecar refuses loudly (reading without it would silently drop
+  * live files). Checkpoint-carried `txn` history (exactly-once dedup)
+  * is read from the manifest on this path too.
+  *
   * Lite scope, loud failures (never silent wrong answers):
   *  - a GAP in the version sequence (from the replay base) throws;
   *  - malformed `_last_checkpoint`/action JSON, a missing checkpoint
@@ -113,10 +124,12 @@ object DeltaLogLite {
                                     readerFeatures: Set[String])
 
   /** Reader features this lite reader genuinely satisfies; anything
-    * else (v2Checkpoint, …) is a loud refusal, never a silent wrong
-    * answer. */
+    * else is a loud refusal, never a silent wrong answer.
+    * `v2Checkpoint` is READ — see [[loadCheckpoint]]'s manifest +
+    * sidecar path. */
   private val supportedReaderFeatures = Set("timestampNtz",
-    "vacuumProtocolCheck", "columnMapping", "deletionVectors")
+    "vacuumProtocolCheck", "columnMapping", "deletionVectors",
+    "v2Checkpoint")
 
   private def gateProtocol(tableDir: String, p: Protocol): Unit = {
     val ok = p.minReaderVersion <= 2 ||
@@ -194,28 +207,17 @@ object DeltaLogLite {
     }
   }
 
-  /** Load net snapshot state (metaData + live adds) from the version-N
-    * checkpoint parquet. `remove` rows in a checkpoint are expired
-    * tombstones kept for vacuum only — not live state. Driver-side
-    * collect is bounded by the table's FILE count (log grain), same as
-    * the JSON replay; a full-scale implementation would keep the file
-    * census distributed behind a FileIndex. */
-  private def loadCheckpoint(spark: SparkSession, tableDir: String,
-                             version: Long, parts: Option[Int],
-                             live: mutable.LinkedHashMap[String, AddFile])
+  /** Absorb metaData / protocol / add actions from one
+    * checkpoint-shaped parquet DataFrame (a classic checkpoint, a v2
+    * manifest, or v2 sidecars — all share the column-per-action-type
+    * layout). `remove` rows are expired tombstones kept for vacuum
+    * only — not live state. Driver-side collect is bounded by the
+    * table's FILE count (log grain), same as the JSON replay. */
+  private def absorbCheckpointFrame(df: DataFrame,
+                                    live: mutable.LinkedHashMap[String,
+                                      AddFile])
   : (Option[StructType], Seq[String], Map[String, String],
      Option[Protocol]) = {
-    val names = parts match {
-      case Some(n) => (1 to n).map(i =>
-        f"$version%020d.checkpoint.$i%010d.$n%010d.parquet")
-      case None => Seq(f"$version%020d.checkpoint.parquet")
-    }
-    val paths = names.map(n => s"$tableDir/_delta_log/$n")
-    val df = try spark.read.parquet(paths: _*)
-      catch { case e: Exception => throw new IllegalStateException(
-        s"$tableDir: checkpoint $version unreadable " +
-          s"(${names.mkString(", ")}): ${e.getMessage}")
-      }
     def nested(top: String, field: String): Boolean =
       df.schema.find(_.name == top).map(_.dataType).exists {
         case s: StructType => s.fieldNames.contains(field)
@@ -276,6 +278,166 @@ object DeltaLogLite {
         }
     }
     (schema, partCols, conf, protocol)
+  }
+
+  /** The version-N checkpoint's V2 manifest file, if the classic
+    * parquet names are absent (PROTOCOL.md "V2 Spec Checkpoints": a
+    * UUID-named `N.checkpoint.<u>.{json,parquet}` manifest whose
+    * `sidecar` actions name parquet files under `_delta_log/_sidecars/`
+    * carrying the file actions). Several manifests for one version are
+    * equivalent per the spec; the lexicographically last is picked for
+    * determinism. */
+  private def v2Manifest(fs: org.apache.hadoop.fs.FileSystem,
+                         tableDir: String, version: Long): Option[Path] = {
+    val logDir = new Path(tableDir, "_delta_log")
+    val re = (f"$version%020d\\.checkpoint\\.[A-Za-z0-9-]+" +
+      "\\.(parquet|json)").r
+    fs.listStatus(logDir).toSeq.map(_.getPath)
+      .filter(p => re.pattern.matcher(p.getName).matches())
+      .sortBy(_.getName).lastOption
+  }
+
+  /** Load net snapshot state (metaData + live adds) from the version-N
+    * checkpoint: the classic single-file / multi-part parquet names,
+    * or — when those are absent — the V2 UUID-named manifest + its
+    * sidecars, with the manifest's `checkpointMetadata.version`
+    * verified and every named sidecar required to exist (a missing
+    * sidecar would silently drop live files). */
+  private def loadCheckpoint(spark: SparkSession, tableDir: String,
+                             version: Long, parts: Option[Int],
+                             live: mutable.LinkedHashMap[String, AddFile])
+  : (Option[StructType], Seq[String], Map[String, String],
+     Option[Protocol]) = {
+    val fs = new Path(tableDir, "_delta_log")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names = parts match {
+      case Some(n) => (1 to n).map(i =>
+        f"$version%020d.checkpoint.$i%010d.$n%010d.parquet")
+      case None => Seq(f"$version%020d.checkpoint.parquet")
+    }
+    val paths = names.map(n => s"$tableDir/_delta_log/$n")
+    if (paths.forall(p => fs.exists(new Path(p)))) {
+      val df = try spark.read.parquet(paths: _*)
+        catch { case e: Exception => throw new IllegalStateException(
+          s"$tableDir: checkpoint $version unreadable " +
+            s"(${names.mkString(", ")}): ${e.getMessage}")
+        }
+      return absorbCheckpointFrame(df, live)
+    }
+    // classic names absent: a multi-part checkpoint with SOME parts
+    // missing is corrupt, not v2 — refuse by name
+    if (parts.exists(n => paths.exists(p => fs.exists(new Path(p)))))
+      throw new IllegalStateException(
+        s"$tableDir: multi-part checkpoint $version is missing parts " +
+          s"(expected ${names.mkString(", ")})")
+    val manifest = v2Manifest(fs, tableDir, version).getOrElse(
+      throw new IllegalStateException(
+        s"$tableDir: checkpoint $version unreadable — neither the " +
+          s"classic names (${names.mkString(", ")}) nor a v2 " +
+          "UUID-named manifest exist"))
+    loadV2Checkpoint(spark, tableDir, version, manifest, live)
+  }
+
+  /** Read a V2 checkpoint: manifest (parquet or json) → non-file
+    * actions + sidecar names; sidecar parquets → file actions. */
+  private def loadV2Checkpoint(spark: SparkSession, tableDir: String,
+                               version: Long, manifest: Path,
+                               live: mutable.LinkedHashMap[String, AddFile])
+  : (Option[StructType], Seq[String], Map[String, String],
+     Option[Protocol]) = {
+    val fs = manifest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var state: (Option[StructType], Seq[String], Map[String, String],
+      Option[Protocol]) = (None, Nil, Map.empty, None)
+    var sidecars = Vector.empty[String]
+    var ckptVersion: Option[Long] = None
+    if (manifest.getName.endsWith(".json")) {
+      val in = fs.open(manifest)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      var schema: Option[StructType] = None
+      var partCols: Seq[String] = Nil
+      var conf: Map[String, String] = Map.empty
+      var protocol: Option[Protocol] = None
+      for (line <- text.linesIterator if line.trim.nonEmpty) {
+        val action = try JsonMethods.parse(line)
+          catch { case e: Exception => throw new IllegalStateException(
+            s"$manifest: malformed action JSON (${e.getMessage})")
+          }
+        (action \ "checkpointMetadata" \ "version").extractOpt[Long]
+          .foreach(v => ckptVersion = Some(v))
+        (action \ "sidecar" \ "path").extractOpt[String]
+          .foreach(p => sidecars :+= p)
+        (action \ "metaData") match {
+          case JNothing =>
+          case md =>
+            schema = (md \ "schemaString").extractOpt[String]
+              .map(s => DataType.fromJson(s).asInstanceOf[StructType])
+            partCols = (md \ "partitionColumns")
+              .extractOpt[Seq[String]].getOrElse(Nil)
+            conf = (md \ "configuration")
+              .extractOpt[Map[String, String]].getOrElse(Map.empty)
+        }
+        (action \ "protocol") match {
+          case JNothing =>
+          case pr => protocol = Some(Protocol(
+            (pr \ "minReaderVersion").extractOpt[Int].getOrElse(1),
+            (pr \ "readerFeatures").extractOpt[Seq[String]]
+              .getOrElse(Nil).toSet))
+        }
+        (action \ "add") match {
+          case JNothing =>
+          case add =>
+            val path = (add \ "path").extract[String]
+            val dv = (add \ "deletionVector") match {
+              case JNothing | JNull => None
+              case d => Some(DvDescriptor(
+                (d \ "storageType").extract[String],
+                (d \ "pathOrInlineDv").extract[String],
+                (d \ "offset").extractOpt[Long].getOrElse(1L),
+                (d \ "sizeInBytes").extract[Int],
+                (d \ "cardinality").extract[Long]))
+            }
+            live(path) = AddFile(path, (add \ "partitionValues")
+              .extractOpt[Map[String, String]].getOrElse(Map.empty), dv)
+        }
+      }
+      state = (schema, partCols, conf, protocol)
+    } else {
+      val df = spark.read.parquet(manifest.toString)
+      if (df.columns.contains("checkpointMetadata")) {
+        ckptVersion = df.select(col("checkpointMetadata.version"))
+          .where(col("checkpointMetadata.version").isNotNull)
+          .collect().headOption.map(_.getLong(0))
+      }
+      if (df.columns.contains("sidecar")) {
+        sidecars = df.select(col("sidecar.path"))
+          .where(col("sidecar.path").isNotNull)
+          .collect().map(_.getString(0)).toVector
+      }
+      state = absorbCheckpointFrame(df, live)
+    }
+    // the manifest must declare itself (checkpointMetadata is REQUIRED
+    // in v2) and agree with the version its name claims
+    if (!ckptVersion.contains(version)) throw new IllegalStateException(
+      s"$manifest: v2 checkpoint manifest " +
+        ckptVersion.map(v => s"declares version $v")
+          .getOrElse("lacks the required checkpointMetadata action") +
+        s" — expected version $version")
+    if (sidecars.nonEmpty) {
+      val sidecarPaths = sidecars.map { p =>
+        val abs = s"$tableDir/_delta_log/_sidecars/$p"
+        if (!fs.exists(new Path(abs))) throw new IllegalStateException(
+          s"$tableDir: v2 checkpoint $version names sidecar $p but " +
+            "_delta_log/_sidecars does not hold it — reading without " +
+            "it would silently drop live files")
+        abs
+      }
+      // sidecars carry only file actions; metaData/protocol stay the
+      // manifest's
+      absorbCheckpointFrame(
+        spark.read.parquet(sidecarPaths: _*), live): Unit
+    }
+    state
   }
 
   /** Replay the log up to (and including) `versionAsOf`, or fully. */
@@ -505,12 +667,31 @@ object DeltaLogLite {
               f"$cv%020d.checkpoint.$i%010d.$n%010d.parquet")
             case None => Seq(f"$cv%020d.checkpoint.parquet")
           }
-          val df = spark.read.parquet(
-            names.map(n => s"$tableDir/_delta_log/$n"): _*)
-          if (!df.columns.contains("txn")) Nil
-          else df.select(col("txn.appId"), col("txn.version"))
-            .where(col("txn.appId").isNotNull).collect()
-            .map(r => (r.getString(0), r.getLong(1))).toSeq
+          val paths = names.map(n => s"$tableDir/_delta_log/$n")
+          def txnsOfFrame(df: DataFrame): Seq[(String, Long)] =
+            if (!df.columns.contains("txn")) Nil
+            else df.select(col("txn.appId"), col("txn.version"))
+              .where(col("txn.appId").isNotNull).collect()
+              .map(r => (r.getString(0), r.getLong(1))).toSeq
+          if (paths.forall(p => fs.exists(new Path(p))))
+            txnsOfFrame(spark.read.parquet(paths: _*))
+          else v2Manifest(fs, tableDir, cv).toSeq.flatMap { m =>
+            // v2: txn actions live in the MANIFEST (sidecars carry
+            // only file actions per the spec)
+            if (m.getName.endsWith(".json")) {
+              val in = fs.open(m)
+              val text = try scala.io.Source
+                .fromInputStream(in, "UTF-8").mkString finally in.close()
+              text.linesIterator.filter(_.trim.nonEmpty).flatMap { line =>
+                val a = try JsonMethods.parse(line)
+                  catch { case _: Exception => JNothing }
+                for {
+                  id <- (a \ "txn" \ "appId").extractOpt[String]
+                  v <- (a \ "txn" \ "version").extractOpt[Long]
+                } yield (id, v)
+              }.toSeq
+            } else txnsOfFrame(spark.read.parquet(m.toString))
+          }
         }
     (fromJson ++ fromCkpt).groupBy(_._1)
       .map { case (a, vs) => a -> vs.map(_._2).max }

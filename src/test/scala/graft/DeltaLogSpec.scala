@@ -228,11 +228,13 @@ class DeltaLogSpec extends AnyFunSuite {
     commit(root, 1, protocol(2))
     assert(DeltaLogLite.read(spark, root).count() == 10)
 
-    commit(root, 2, protocol(3, "v2Checkpoint"))
+    // variantType is a real reader feature this reader does NOT
+    // satisfy (v2Checkpoint moved to the supported set in round 14)
+    commit(root, 2, protocol(3, "variantType"))
     val e3 = intercept[IllegalStateException] {
       DeltaLogLite.snapshot(spark, root)
     }
-    assert(e3.getMessage.contains("v2Checkpoint"))
+    assert(e3.getMessage.contains("variantType"))
     // versionAsOf BEFORE the upgrade still reads — the snapshot's own
     // protocol is what gates, not the log head's
     assert(DeltaLogLite.read(spark, root, Some(1L)).count() == 10)
@@ -369,6 +371,135 @@ class DeltaLogSpec extends AnyFunSuite {
       DeltaLogLite.snapshot(spark, root)
     }
     assert(e.getMessage.contains("minReaderVersion=4"))
+  }
+
+  /** Write a v2 checkpoint for `version`: a UUID-named parquet
+    * MANIFEST (metaData + protocol[v2Checkpoint] + checkpointMetadata
+    * declaring `declared` + one sidecar row per name) and one sidecar
+    * parquet per (name, add-path) under _delta_log/_sidecars/. */
+  private def writeV2Checkpoint(root: String, version: Long,
+                                schema: String,
+                                sidecars: Seq[(String, String)],
+                                declared: Option[Long]): Unit = {
+    Files.createDirectories(Paths.get(root, "_delta_log", "_sidecars"))
+    def writeOne(df: org.apache.spark.sql.DataFrame, rel: String): Unit = {
+      val tmp = s"$root/_tmpv2"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith(".")).get
+      assert(part.renameTo(new java.io.File(s"$root/$rel")))
+      def rm(p: java.io.File): Unit = {
+        if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+        p.delete(): Unit
+      }
+      rm(new java.io.File(tmp))
+    }
+    val addT = "struct<path:string,partitionValues:map<string,string>>"
+    for ((name, addPath) <- sidecars)
+      writeOne(spark.range(1).select(
+        struct(lit(addPath).as("path"),
+          map(lit("part"), lit("a")).as("partitionValues")).as("add")),
+        s"_delta_log/_sidecars/$name")
+    val metaT = "struct<schemaString:string,partitionColumns:array<string>>"
+    val protoT = "struct<minReaderVersion:int,readerFeatures:array<string>>"
+    val ckT = "struct<version:bigint>"
+    val scT = "struct<path:string>"
+    def row(meta: org.apache.spark.sql.Column,
+            proto: org.apache.spark.sql.Column,
+            ck: org.apache.spark.sql.Column,
+            sc: org.apache.spark.sql.Column) =
+      spark.range(1).select(meta.cast(metaT).as("metaData"),
+        proto.cast(protoT).as("protocol"),
+        ck.cast(ckT).as("checkpointMetadata"), sc.cast(scT).as("sidecar"),
+        lit(null).cast(addT).as("add"))
+    val nul = lit(null)
+    var df = row(struct(lit(schema).as("schemaString"),
+      array(lit("part")).as("partitionColumns")), nul, nul, nul)
+      .unionAll(row(nul, struct(lit(3).as("minReaderVersion"),
+        array(lit("v2Checkpoint")).as("readerFeatures")), nul, nul))
+    declared.foreach(v => df = df.unionAll(
+      row(nul, nul, struct(lit(v).as("version")), nul)))
+    for ((name, _) <- sidecars)
+      df = df.unionAll(row(nul, nul, nul,
+        struct(lit(name).as("path"))))
+    writeOne(df, s"_delta_log/${f"$version%020d"}.checkpoint." +
+      "11112222-3333-4444-5555-666677778888.parquet")
+    Files.writeString(Paths.get(root, "_delta_log", "_last_checkpoint"),
+      s"""{"version":$version}""")
+  }
+
+  test("v2 checkpoint: manifest + sidecars reconstruct the state " +
+    "with the classic JSONs gone; v2Checkpoint feature gates green") {
+    val (root, schema) = fixture("v2happy")
+    // no JSON commits at all for versions 0..1 — only the v2
+    // checkpoint can serve the snapshot
+    writeV2Checkpoint(root, 1L, schema,
+      Seq("sc-0.parquet" -> "f0.parquet",
+        "sc-1.parquet" -> "f%20one.parquet"), declared = Some(1L))
+    commit(root, 2, add("f0.parquet", "c"))
+    val snap = DeltaLogLite.snapshot(spark, root)
+    assert(snap.version == 2L)
+    val got = DeltaLogLite.read(spark, root)
+    assert(got.count() == 10)
+    // f0 was re-added by commit 2 under part=c (replay wins over the
+    // checkpoint's sidecar state); "f one" keeps the sidecar's part=a
+    assert(got.filter(col("part") === "c").count() == 5)
+    assert(got.filter(col("part") === "a").count() == 5)
+  }
+
+  test("v2 checkpoint: JSON manifest variant, txn history carried") {
+    val (root, schema) = fixture("v2json")
+    Files.createDirectories(Paths.get(root, "_delta_log", "_sidecars"))
+    // sidecar via the parquet helper, manifest as NDJSON actions
+    writeV2Checkpoint(root, 1L, schema,
+      Seq("sc-x.parquet" -> "f0.parquet"), declared = Some(1L))
+    // replace the parquet manifest with a JSON one (same version):
+    // delete the parquet so the JSON manifest is the only candidate
+    Files.delete(Paths.get(root, "_delta_log",
+      f"${1L}%020d.checkpoint." +
+        "11112222-3333-4444-5555-666677778888.parquet"))
+    Files.writeString(Paths.get(root, "_delta_log",
+      f"${1L}%020d.checkpoint.11112222-3333-4444-5555-666677778888.json"),
+      Seq(
+        s"""{"checkpointMetadata":{"version":1}}""",
+        s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":${jstr(schema)},"partitionColumns":["part"],"configuration":{},"createdTime":0}}""",
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"]}}""",
+        """{"txn":{"appId":"streamA","version":7}}""",
+        """{"sidecar":{"path":"sc-x.parquet","sizeInBytes":1}}""")
+        .mkString("", "\n", "\n"))
+    val got = DeltaLogLite.read(spark, root)
+    assert(got.count() == 5)
+    // exactly-once surface: the checkpoint-carried txn is visible
+    assert(DeltaLogLite.latestTxnVersion(spark, root, "streamA")
+      .contains(7L))
+  }
+
+  test("v2 checkpoint: missing sidecar and version mismatch refuse " +
+    "loudly") {
+    val (root, schema) = fixture("v2bad")
+    writeV2Checkpoint(root, 1L, schema,
+      Seq("sc-gone.parquet" -> "f0.parquet"), declared = Some(1L))
+    Files.delete(Paths.get(root, "_delta_log", "_sidecars",
+      "sc-gone.parquet"))
+    val e = intercept[IllegalStateException] {
+      DeltaLogLite.snapshot(spark, root)
+    }
+    assert(e.getMessage.contains("sc-gone.parquet"))
+    val (root2, schema2) = fixture("v2mismatch")
+    writeV2Checkpoint(root2, 1L, schema2,
+      Seq("sc-0.parquet" -> "f0.parquet"), declared = Some(5L))
+    val e2 = intercept[IllegalStateException] {
+      DeltaLogLite.snapshot(spark, root2)
+    }
+    assert(e2.getMessage.contains("declares version 5"))
+    val (root3, schema3) = fixture("v2nometa")
+    writeV2Checkpoint(root3, 1L, schema3,
+      Seq("sc-0.parquet" -> "f0.parquet"), declared = None)
+    val e3 = intercept[IllegalStateException] {
+      DeltaLogLite.snapshot(spark, root3)
+    }
+    assert(e3.getMessage.contains("checkpointMetadata"))
   }
 
   test("base85 (RFC 1924 alphabet, 4-byte groups) decodes known " +
