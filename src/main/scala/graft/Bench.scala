@@ -51,7 +51,15 @@ object Bench {
     "q215_repetition_quality", "q226_zorder_box", "q227_triangle_count",
     "q229_corpus_overlap", "q236_quality_audit", "q239_repeat_buyers",
     // round 9d: the iterative mode-combining graph kernel
-    "q258_label_propagation")
+    "q258_label_propagation",
+    // round 14: the lakehouse subsystem joins the roster — previously
+    // plan-shape-proven only. q406 = the most join-heavy reader path
+    // (Iceberg equality deletes: seq-lookup + per-column-set anti
+    // joins); q407 = the Paimon PK LSM merge (partial-combining
+    // max_by + one key shuffle). Fixture authoring is memoized per
+    // sf-dir, so the min-of-two passes times the READ, not the
+    // authoring. Total re-baselines accordingly.
+    "q406_iceberg_eq_delete", "q407_paimon_pk_read")
 
   /** Drain the ContextCleaner so no prior query's cleanup I/O bills the
     * next timed region. A GC enqueues the dead weak refs; the cleaner
