@@ -466,6 +466,23 @@ object Storage extends QueryModule {
         .read(s, authorDeltaMappedTable(s, dir)))
     },
 
+    // columnMapping mode=id — the data files' STORED names are rotated
+    // against the mapping and only the stamped parquet field ids carry
+    // the true identity; a name-resolving read returns the wrong
+    // columns and hash-mismatches here.
+    "q429_delta_cmap_id" -> { (s, dir) =>
+      deltaCensus(graft.sources.DeltaLogLite
+        .read(s, authorDeltaIdMappedTable(s, dir)))
+    },
+
+    // INLINE deletion vectors (storageType=i): the roaring-bitmap
+    // payload travels base85-encoded inside the log line itself — the
+    // third and last DV storage type, same dead-row anti-join.
+    "q430_delta_inline_dv" -> { (s, dir) =>
+      deltaCensus(graft.sources.DeltaLogLite
+        .read(s, authorDeltaInlineDvTable(s, dir)))
+    },
+
     // Iceberg v2 EQUALITY deletes — snapshot 2 of a third authored
     // table adds an equality-delete parquet on field id 1
     // (l_orderkey): every batch-A key with l_quantity > 30 dies, BUT
@@ -1893,6 +1910,136 @@ object Storage extends QueryModule {
       })
     }
 
+  private val deltaIdMappedMemo =
+    scala.collection.mutable.Map.empty[String, String]
+
+  /** Authors the mode=id COLUMN-MAPPED Delta table used by q429: same
+    * shape as q414's mode=name table, but data columns carry PARQUET
+    * FIELD IDS in their footers (physical names col-1..col-3 AND ids
+    * 1..3, as id-mode writers stamp both) and the reader must resolve
+    * by ID — the physical names are deliberately SHUFFLED relative to
+    * the mapping (col-1 holds what physicalName col-2 would claim), so
+    * a name-resolving read returns wrong columns and hash-mismatches.
+    * Memoized per sf-dir. */
+  private def authorDeltaIdMappedTable(s: SparkSession,
+                                       dir: String): String =
+    deltaIdMappedMemo.synchronized {
+      deltaIdMappedMemo.getOrElseUpdate(dir, {
+        import java.nio.file.{Files, Paths}
+        val root =
+          s"/tmp/graft_delta/cmapid_${Integer.toHexString(dir.hashCode)}"
+        def rm(p: java.io.File): Unit = {
+          if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+          p.delete(): Unit
+        }
+        rm(new java.io.File(root))
+        Files.createDirectories(Paths.get(root, "_delta_log"))
+        Files.createDirectories(Paths.get(root, "data"))
+        val src = Tables.df(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity"),
+            col("l_extendedprice"), col("l_returnflag"))
+          .filter((col("l_orderkey") % 10).isin(0, 1))
+        val flags = src.select(col("l_returnflag")).distinct()
+          .collect().map(_.getString(0)).sorted
+        val adds = flags.map { rf =>
+          val tmp = s"$root/_tmp"
+          // stored names rotated vs the mapping; the stamped FIELD IDS
+          // carry the true identity
+          graft.sources.IcebergLite.stampFieldIds(
+            src.filter(col("l_returnflag") === rf)
+              .select(col("l_orderkey").as("col-2"),
+                col("l_quantity").as("col-3"),
+                col("l_extendedprice").as("col-1")),
+            Map("col-2" -> 1, "col-3" -> 2, "col-1" -> 3))
+            .coalesce(1).write.mode("overwrite").parquet(tmp)
+          val pf = new java.io.File(tmp).listFiles()
+            .find(f => f.getName.endsWith(".parquet") &&
+              !f.getName.startsWith(".")).get
+          val rel = s"data/p-$rf.parquet"
+          assert(pf.renameTo(new java.io.File(s"$root/$rel")))
+          rm(new java.io.File(tmp))
+          s"""{"add":{"path":${jstr(rel)},"partitionValues":{"col-4":${jstr(rf)}},"size":1,"modificationTime":0,"dataChange":true}}"""
+        }
+        def fld(name: String, tpe: String, id: Int): String =
+          s"""{"name":${jstr(name)},"type":${jstr(tpe)},"nullable":true,"metadata":{"delta.columnMapping.id":$id,"delta.columnMapping.physicalName":${jstr(s"col-$id")}}}"""
+        val schema =
+          s"""{"type":"struct","fields":[${fld("l_orderkey", "long", 1)},${fld("l_quantity", "double", 2)},${fld("l_extendedprice", "double", 3)},${fld("l_returnflag", "string", 4)}]}"""
+        val lines = Seq(
+          """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+          s"""{"metaData":{"id":"graft-q429","format":{"provider":"parquet","options":{}},"schemaString":${jstr(schema)},"partitionColumns":["l_returnflag"],"configuration":{"delta.columnMapping.mode":"id","delta.columnMapping.maxColumnId":"4"},"createdTime":0}}""") ++
+          adds
+        Files.writeString(Paths.get(root, "_delta_log", f"${0L}%020d.json"),
+          lines.mkString("", "\n", "\n"))
+        root
+      })
+    }
+
+  private val deltaInlineDvMemo =
+    scala.collection.mutable.Map.empty[String, String]
+
+  /** Authors the INLINE-deletion-vector Delta table used by q430:
+    * commit 0 adds batch A (l_orderkey%10 ∈ {0,1}); commit 1 re-adds
+    * it with a storageType=i descriptor whose roaring-bitmap payload
+    * (every l_quantity > 25 ordinal, read back from the real file)
+    * travels base85-encoded INSIDE the log line. Memoized per
+    * sf-dir. */
+  private def authorDeltaInlineDvTable(s: SparkSession,
+                                       dir: String): String =
+    deltaInlineDvMemo.synchronized {
+      deltaInlineDvMemo.getOrElseUpdate(dir, {
+        import java.nio.file.{Files, Paths}
+        val root =
+          s"/tmp/graft_delta/idv_${Integer.toHexString(dir.hashCode)}"
+        def rm(p: java.io.File): Unit = {
+          if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+          p.delete(): Unit
+        }
+        rm(new java.io.File(root))
+        Files.createDirectories(Paths.get(root, "_delta_log"))
+        Files.createDirectories(Paths.get(root, "data"))
+        val a = Tables.df(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity"),
+            col("l_extendedprice"), col("l_returnflag"))
+          .filter((col("l_orderkey") % 10).isin(0, 1))
+        val tmp = s"$root/_tmp"
+        a.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.endsWith(".parquet") &&
+            !f.getName.startsWith(".")).get
+        assert(part.renameTo(new java.io.File(s"$root/data/a.parquet")))
+        rm(new java.io.File(tmp))
+        val dead = s.read.parquet(s"$root/data/a.parquet")
+          .filter(col("l_quantity") > 25)
+          .select(col("_metadata.row_index")).collect()
+          .map(_.getLong(0)).sorted
+        val bmp = new org.roaringbitmap.RoaringBitmap()
+        dead.foreach(p => bmp.add(p.toInt))
+        val bos = new java.io.ByteArrayOutputStream()
+        val header = java.nio.ByteBuffer.allocate(16)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        header.putInt(1681511377); header.putLong(1L); header.putInt(0)
+        bos.write(header.array())
+        val dos = new java.io.DataOutputStream(bos)
+        bmp.serialize(dos); dos.flush()
+        val payload = bos.toByteArray
+        val dvJson =
+          s"""{"storageType":"i","pathOrInlineDv":${jstr(base85Encode(
+            payload ++ Array.fill((4 - payload.length % 4) % 4)(
+              0.toByte)))},"sizeInBytes":${payload.length},"cardinality":${dead.length}}"""
+        val metaData =
+          s"""{"metaData":{"id":"graft-q430","format":{"provider":"parquet","options":{}},"schemaString":${jstr(a.schema.json)},"partitionColumns":[],"configuration":{},"createdTime":0}}"""
+        Files.writeString(Paths.get(root, "_delta_log", f"${0L}%020d.json"),
+          Seq(
+            """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+            metaData,
+            """{"add":{"path":"data/a.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""")
+            .mkString("", "\n", "\n"))
+        Files.writeString(Paths.get(root, "_delta_log", f"${1L}%020d.json"),
+          s"""{"add":{"path":"data/a.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true,"deletionVector":$dvJson}}""" + "\n")
+        root
+      })
+    }
+
   private val icebergEqMemo =
     scala.collection.mutable.Map.empty[String, String]
 
@@ -2992,6 +3139,28 @@ object Storage extends QueryModule {
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
         |   AS sum_price
         |FROM lineitem WHERE l_orderkey % 10 IN (0, 1)
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    // mode=id mapping: ids pick the right columns out of files whose
+    // stored names are rotated — values match the plain-name census
+    "q429_delta_cmap_id" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_price
+        |FROM lineitem WHERE l_orderkey % 10 IN (0, 1)
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    // inline DV: same dead set as q424, payload carried in-log
+    "q430_delta_inline_dv" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_price
+        |FROM lineitem
+        |WHERE l_orderkey % 10 IN (0, 1) AND NOT (l_quantity > 25)
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
     // Iceberg equality delete: A loses keys with quantity > 30; the

@@ -58,13 +58,18 @@ import org.json4s.jackson.JsonMethods
   *  - malformed `_last_checkpoint`/action JSON, a missing checkpoint
   *    part, or a missing `metaData` throws with the file named.
   *
-  * COLUMN MAPPING (PROTOCOL.md "Column Mapping"): mode `name` is READ
-  * — each schema field's metadata names its physical parquet column
-  * (`delta.columnMapping.physicalName`, typically `col-<uuid>`), so
-  * data files are read under the PHYSICAL schema and projected back to
-  * logical names, and `add.partitionValues` keys (physical, per the
-  * protocol) resolve through the same map. Mode `id` (parquet
-  * field-id resolution) and nested columns under mapping stay refused.
+  * COLUMN MAPPING (PROTOCOL.md "Column Mapping"): BOTH modes are READ.
+  * Mode `name` — each schema field's metadata names its physical
+  * parquet column (`delta.columnMapping.physicalName`, typically
+  * `col-<uuid>`), so data files are read under the PHYSICAL schema and
+  * projected back to logical names. Mode `id` — data columns resolve
+  * by PARQUET FIELD ID (`delta.columnMapping.id` stamped as
+  * `parquet.field.id` on the read schema, the same Spark machinery
+  * IcebergLite rides; id-mode writers stamp the ids into their
+  * footers, and an id-less file fails loudly). In both modes
+  * `add.partitionValues` keys (physical, per the protocol) resolve
+  * through the physicalName map. Nested columns under mapping stay
+  * refused.
   *
   * PROTOCOL GATING (PROTOCOL.md "Protocol Evolution"): the snapshot's
   * latest `protocol` action is tracked through both the checkpoint and
@@ -81,17 +86,18 @@ import org.json4s.jackson.JsonMethods
   *    descriptor this reader cannot decode fails loudly (magic/CRC
   *    checked), never silently resurrects rows;
   *  - `metaData.configuration["delta.columnMapping.mode"]` other than
-  *    `none`/`name` is refused (mode `id` resolves by parquet field
-  *    id — outside lite scope; a by-name read would return all nulls).
+  *    `none`/`name`/`id` is refused.
   * A table with NO protocol action (pre-protocol fixtures) is treated
   * as reader version 1, which is exactly what such a log means.
   *
   * DELETION VECTORS (PROTOCOL.md "Deletion Vectors"): an `add` may
   * carry a descriptor naming a roaring-bitmap file of dead row
-  * ordinals. Storage types `u` (table-relative
+  * ordinals. ALL THREE storage types are read: `u` (table-relative
   * `deletion_vector_<uuid>.bin`, uuid base85/RFC-1924-encoded in the
-  * descriptor) and `p` (absolute path) are read; `i` (inline) is
-  * refused. The DV file framing follows the published layout —
+  * descriptor), `p` (absolute path), and `i` (INLINE — the payload
+  * itself travels base85-encoded in pathOrInlineDv, no file framing,
+  * length pinned by sizeInBytes). The DV file framing follows the
+  * published layout —
   * [1-byte version][4-byte big-endian size][4-byte little-endian
   * magic 1681511377][RoaringBitmapArray portable: 8-byte LE bitmap
   * count, then per bitmap a 4-byte LE key + a standard 32-bit
@@ -118,7 +124,8 @@ object DeltaLogLite {
   final case class Snapshot(version: Long, schema: StructType,
                             partitionColumns: Seq[String], files: Seq[AddFile],
                             physicalNames: Map[String, String] = Map.empty,
-                            configuration: Map[String, String] = Map.empty)
+                            configuration: Map[String, String] = Map.empty,
+                            fieldIds: Map[String, Long] = Map.empty)
 
   private final case class Protocol(minReaderVersion: Int,
                                     readerFeatures: Set[String])
@@ -146,43 +153,60 @@ object DeltaLogLite {
         supportedReaderFeatures.toSeq.sorted.mkString("{", ",", "}"))
   }
 
-  /** Resolve the logical→physical column map for the table's column-
-    * mapping mode: empty for none, the per-field
-    * `delta.columnMapping.physicalName` metadata for `name` (a field
-    * missing it, or a nested column — whose inner names would also be
-    * mapped — refuses), anything else (`id` resolves by parquet field
-    * id) refuses. */
+  /** Resolve the column-mapping surfaces for the table's mode:
+    * (logical→physical names, logical→field ids). `none` → both
+    * empty; `name` → physical names only (data columns rename);
+    * `id` → BOTH: partitionValues stay keyed by physical name per the
+    * protocol, while data columns resolve by PARQUET FIELD ID (the
+    * same Spark field-id machinery IcebergLite rides — id-mode
+    * writers stamp `parquet.field.id` into their footers). Nested
+    * columns (whose inner names/ids would also be mapped) and fields
+    * missing the metadata refuse. */
   private def columnMapping(tableDir: String, schema: StructType,
                             configuration: Map[String, String])
-  : Map[String, String] =
-    configuration.get("delta.columnMapping.mode") match {
-      case None | Some("none") => Map.empty
-      case Some("name") =>
-        val key = "delta.columnMapping.physicalName"
-        schema.fields.map { f =>
-          def hasStruct(dt: DataType): Boolean = dt match {
-            case _: StructType => true
-            case a: org.apache.spark.sql.types.ArrayType =>
-              hasStruct(a.elementType)
-            case m: org.apache.spark.sql.types.MapType =>
-              hasStruct(m.keyType) || hasStruct(m.valueType)
-            case _ => false
-          }
-          if (hasStruct(f.dataType)) throw new IllegalStateException(
-            s"$tableDir: column ${f.name} is nested under " +
-              "columnMapping.mode=name — inner physical names are " +
-              "outside DeltaLogLite scope")
+  : (Map[String, String], Map[String, Long]) = {
+    def hasStruct(dt: DataType): Boolean = dt match {
+      case _: StructType => true
+      case a: org.apache.spark.sql.types.ArrayType =>
+        hasStruct(a.elementType)
+      case m: org.apache.spark.sql.types.MapType =>
+        hasStruct(m.keyType) || hasStruct(m.valueType)
+      case _ => false
+    }
+    val mode = configuration.get("delta.columnMapping.mode")
+    def physNames(): Map[String, String] = {
+      val key = "delta.columnMapping.physicalName"
+      schema.fields.map { f =>
+        if (hasStruct(f.dataType)) throw new IllegalStateException(
+          s"$tableDir: column ${f.name} is nested under " +
+            s"columnMapping.mode=${mode.get} — inner physical names " +
+            "are outside DeltaLogLite scope")
+        if (!f.metadata.contains(key)) throw new IllegalStateException(
+          s"$tableDir: columnMapping.mode=${mode.get} but field " +
+            s"${f.name} carries no physicalName metadata — malformed " +
+            "table")
+        f.name -> f.metadata.getString(key)
+      }.toMap
+    }
+    mode match {
+      case None | Some("none") => (Map.empty, Map.empty)
+      case Some("name") => (physNames(), Map.empty)
+      case Some("id") =>
+        val key = "delta.columnMapping.id"
+        val ids = schema.fields.map { f =>
           if (!f.metadata.contains(key)) throw new IllegalStateException(
-            s"$tableDir: columnMapping.mode=name but field ${f.name} " +
-              "carries no physicalName metadata — malformed table")
-          f.name -> f.metadata.getString(key)
+            s"$tableDir: columnMapping.mode=id but field ${f.name} " +
+              "carries no delta.columnMapping.id metadata — malformed " +
+              "table")
+          f.name -> f.metadata.getLong(key)
         }.toMap
+        (physNames(), ids)
       case Some(m) =>
         throw new IllegalStateException(
           s"$tableDir: delta.columnMapping.mode=$m is not supported — " +
-            "only none/name are in DeltaLogLite scope (id resolves by " +
-            "parquet field id)")
+            "none/name/id are in DeltaLogLite scope")
     }
+  }
 
   private implicit val fmts: Formats = DefaultFormats
 
@@ -551,9 +575,9 @@ object DeltaLogLite {
     val sch = schema.getOrElse(throw new IllegalStateException(
       s"$tableDir: log replay finished without a metaData action"))
     protocol.foreach(gateProtocol(tableDir, _))
-    val phys = columnMapping(tableDir, sch, conf)
+    val (phys, ids) = columnMapping(tableDir, sch, conf)
     Snapshot(wanted.lastOption.map(_._1).getOrElse(base), sch, partCols,
-      live.values.toSeq, phys, conf)
+      live.values.toSeq, phys, conf, ids)
   }
 
   /** Resolve `timestampAsOf` to a version: the LATEST commit whose
@@ -899,10 +923,11 @@ object DeltaLogLite {
     out.array()
   }
 
-  /** Resolve a DV descriptor to the absolute path of its `.bin` file.
-    * `u`: the LAST 20 chars of pathOrInlineDv are the base85 UUID, any
-    * leading chars are the random directory prefix; `p`: absolute
-    * path; `i` (inline) is refused. */
+  /** Resolve a FILE-BACKED DV descriptor to the absolute path of its
+    * `.bin` file. `u`: the LAST 20 chars of pathOrInlineDv are the
+    * base85 UUID, any leading chars are the random directory prefix;
+    * `p`: absolute path. (`i` never reaches here — inline payloads
+    * decode from the descriptor itself in [[dvDeleteSet]].) */
   private def dvFilePath(tableDir: String, dv: DvDescriptor): String =
     dv.storageType match {
       case "u" =>
@@ -925,7 +950,7 @@ object DeltaLogLite {
         dv.pathOrInlineDv.stripPrefix("file://").stripPrefix("file:")
       case other => throw new IllegalStateException(
         s"DeltaLogLite: deletion-vector storageType '$other' is outside " +
-          "lite scope (u and p are read; inline is refused)")
+          "lite scope (u and p are file-backed, i is inline)")
     }
 
   /** Decode ONE deletion vector from its `.bin` file into dead row
@@ -953,35 +978,46 @@ object DeltaLogLite {
       crc.update(data)
       if (storedCrc != crc.getValue.toInt) throw new IllegalStateException(
         s"$path: deletion-vector checksum mismatch at offset $offset")
-      val bb = java.nio.ByteBuffer.wrap(data)
-        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      val magic = bb.getInt
-      if (magic != 1681511377) throw new IllegalStateException(
-        s"$path: deletion-vector magic $magic (expected 1681511377) — " +
-          "unknown serialization; refusing rather than mis-reading")
-      val nBitmaps = bb.getLong
-      val out = Seq.newBuilder[Long]
-      var i = 0L
-      while (i < nBitmaps) {
-        val key = bb.getInt.toLong
-        val bmp = new org.roaringbitmap.RoaringBitmap()
-        // the library reads the standard portable format and leaves
-        // the buffer positioned after the bitmap
-        bmp.deserialize(bb)
-        bb.position(bb.position() + bmp.serializedSizeInBytes())
-        val it = bmp.getIntIterator
-        while (it.hasNext) {
-          out += (key << 32) | (it.next().toLong & 0xffffffffL)
-        }
-        i += 1
-      }
-      val positions = out.result()
-      if (positions.length.toLong != cardinality)
-        throw new IllegalStateException(
-          s"$path: deletion vector decoded ${positions.length} ordinals " +
-            s"but the descriptor says cardinality=$cardinality")
-      positions.iterator
+      decodeDvPayload(data, cardinality, path)
     } finally raf.close()
+  }
+
+  /** Decode a serialized deletion-vector PAYLOAD — [4-byte LE magic
+    * 1681511377][RoaringBitmapArray portable bitmaps] — into dead row
+    * ordinals, verifying magic and cardinality. Shared by the
+    * file-backed path (which also checks version/size/CRC framing)
+    * and INLINE descriptors (whose payload travels base85-encoded in
+    * the log and has no file framing). */
+  private[graft] def decodeDvPayload(data: Array[Byte], cardinality: Long,
+                                     where: String): Iterator[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(data)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val magic = bb.getInt
+    if (magic != 1681511377) throw new IllegalStateException(
+      s"$where: deletion-vector magic $magic (expected 1681511377) — " +
+        "unknown serialization; refusing rather than mis-reading")
+    val nBitmaps = bb.getLong
+    val out = Seq.newBuilder[Long]
+    var i = 0L
+    while (i < nBitmaps) {
+      val key = bb.getInt.toLong
+      val bmp = new org.roaringbitmap.RoaringBitmap()
+      // the library reads the standard portable format and leaves
+      // the buffer positioned after the bitmap
+      bmp.deserialize(bb)
+      bb.position(bb.position() + bmp.serializedSizeInBytes())
+      val it = bmp.getIntIterator
+      while (it.hasNext) {
+        out += (key << 32) | (it.next().toLong & 0xffffffffL)
+      }
+      i += 1
+    }
+    val positions = out.result()
+    if (positions.length.toLong != cardinality)
+      throw new IllegalStateException(
+        s"$where: deletion vector decoded ${positions.length} ordinals " +
+          s"but the descriptor says cardinality=$cardinality")
+    positions.iterator
   }
 
   /** The (data file path, dead ordinal) set for every DV-bearing add —
@@ -990,18 +1026,39 @@ object DeltaLogLite {
   private def dvDeleteSet(spark: SparkSession, tableDir: String,
                           files: Seq[AddFile]): DataFrame = {
     import spark.implicits._
-    val descriptors: Seq[(String, String, Long, Int, Long)] =
+    // file-backed DVs ship (path, offset, size); INLINE DVs ('i')
+    // carry their payload base85-encoded in the descriptor — decoded
+    // to bytes here (bounded: the strings already sit in the log) and
+    // shipped to the executors like any other literal
+    val descriptors: Seq[(String, String, Long, Int, Long, Array[Byte])] =
       files.flatMap { f =>
         f.deletionVector.map { dv =>
-          (s"$tableDir/${decodeRelPath(f.path)}",
-            dvFilePath(tableDir, dv), dv.offset, dv.sizeInBytes,
-            dv.cardinality)
+          val dataPath = s"$tableDir/${decodeRelPath(f.path)}"
+          if (dv.storageType == "i") {
+            val decoded = base85Decode(dv.pathOrInlineDv)
+            // base85 pads to 4-byte groups; sizeInBytes names the
+            // real payload length
+            if (decoded.length < dv.sizeInBytes ||
+              decoded.length - dv.sizeInBytes >= 4)
+              throw new IllegalStateException(
+                s"DeltaLogLite: inline deletion vector for $dataPath " +
+                  s"decodes to ${decoded.length} bytes but the " +
+                  s"descriptor says sizeInBytes=${dv.sizeInBytes}")
+            (dataPath, null, 0L, dv.sizeInBytes, dv.cardinality,
+              decoded.take(dv.sizeInBytes))
+          } else
+            (dataPath, dvFilePath(tableDir, dv), dv.offset,
+              dv.sizeInBytes, dv.cardinality, null)
         }
       }
     descriptors.toDS().repartition(
       math.min(descriptors.size, 32).max(1))
-      .flatMap { case (dataPath, dvPath, offset, size, card) =>
-        decodeDvFile(dvPath, offset, size, card).map(pos => (dataPath, pos))
+      .flatMap { case (dataPath, dvPath, offset, size, card, inline) =>
+        val dead =
+          if (inline != null)
+            decodeDvPayload(inline, card, s"inline DV of $dataPath")
+          else decodeDvFile(dvPath, offset, size, card)
+        dead.map(pos => (dataPath, pos))
       }.toDF("_dv_path", "_dv_pos")
   }
 
@@ -1016,12 +1073,26 @@ object DeltaLogLite {
   def readFiles(spark: SparkSession, tableDir: String,
                 schema: StructType, partColumns: Seq[String],
                 files: Seq[AddFile],
-                physicalNames: Map[String, String] = Map.empty): DataFrame = {
+                physicalNames: Map[String, String] = Map.empty,
+                fieldIds: Map[String, Long] = Map.empty): DataFrame = {
     def phys(c: String): String = physicalNames.getOrElse(c, c)
     val withDv = files.exists(_.deletionVector.nonEmpty)
+    // mode=id: keep LOGICAL names in the read schema and resolve the
+    // parquet columns by their stamped field ids (the physical names
+    // in the file are ignored by id matching); mode=name: read under
+    // physical names and project back
+    val byId = fieldIds.nonEmpty
+    if (byId)
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     val dataSchema = StructType(
       schema.filterNot(f => partColumns.contains(f.name))
-        .map(f => f.copy(name = phys(f.name))))
+        .map { f =>
+          if (byId) f.copy(metadata =
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata)
+              .putLong("parquet.field.id", fieldIds(f.name)).build())
+          else f.copy(name = phys(f.name))
+        })
     val dataCols = schema.fieldNames.filterNot(partColumns.contains)
     val groups = files.groupBy(_.partitionValues).toSeq
       .sortBy(_._1.toSeq.sortBy(_._1).mkString("\u0000"))
@@ -1037,7 +1108,8 @@ object DeltaLogLite {
         MetaPaths.decoded(col("_metadata.file_path")).as("_dl_path"),
         col("_metadata.row_index").as("_dl_pos")) else Nil
       val base = scan.select(
-        dataCols.map(c => col(phys(c)).as(c)).toSeq ++ metaCols: _*)
+        dataCols.map(c => col(if (byId) c else phys(c)).as(c)).toSeq ++
+          metaCols: _*)
       partColumns.foldLeft(base) { (df, c) =>
         val f = schema(c)
         val v = pv.get(phys(c)) match {
@@ -1092,6 +1164,6 @@ object DeltaLogLite {
       timestampAsOf.map(versionAtTimestamp(spark, tableDir, _)))
     val snap = snapshot(spark, tableDir, v)
     readFiles(spark, tableDir, snap.schema, snap.partitionColumns,
-      snap.files, snap.physicalNames)
+      snap.files, snap.physicalNames, snap.fieldIds)
   }
 }

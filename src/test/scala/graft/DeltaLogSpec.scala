@@ -308,16 +308,18 @@ class DeltaLogSpec extends AnyFunSuite {
       (0L to 4L).map(i => (i, i * 2, "a")))
   }
 
-  test("columnMapping mode=id and missing physicalName refuse loudly") {
+  test("columnMapping metadata-less fields refuse loudly under both " +
+    "modes") {
     val (root, schema) = fixture("cmap")
-    // mode=id resolves by parquet field id — outside lite scope
+    // mode=id over a schema with NO delta.columnMapping.id metadata:
+    // malformed table
     val mdId =
       s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":${jstr(schema)},"partitionColumns":["part"],"configuration":{"delta.columnMapping.mode":"id"},"createdTime":0}}"""
     commit(root, 0, mdId, add("f0.parquet", "a"))
     val e = intercept[IllegalStateException] {
       DeltaLogLite.snapshot(spark, root)
     }
-    assert(e.getMessage.contains("mode=id"))
+    assert(e.getMessage.contains("delta.columnMapping.id"))
     // mode=name whose fields carry NO physicalName metadata: malformed
     val mdName = mdId.replace(""""delta.columnMapping.mode":"id"""",
       """"delta.columnMapping.mode":"name"""")
@@ -656,16 +658,95 @@ class DeltaLogSpec extends AnyFunSuite {
     assert(e.getMessage.contains("reversed"))
   }
 
-  test("inline deletion vectors refuse loudly") {
+  /** RFC-1924 base85 ENCODE with zero-padding to 4-byte groups (how
+    * Delta's codec handles arbitrary-length inline payloads); the
+    * descriptor's sizeInBytes pins the real length for the decoder. */
+  private def base85Encode(bytes: Array[Byte]): String = {
+    val alphabet = "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ" +
+      "abcdefghijklmnopqrstuvwxyz!#$%&()*+-;<=>?@^_`{|}~"
+    val padded = bytes ++ Array.fill((4 - bytes.length % 4) % 4)(0.toByte)
+    val bb = java.nio.ByteBuffer.wrap(padded)
+    val sb = new StringBuilder
+    while (bb.hasRemaining) {
+      var acc = bb.getInt.toLong & 0xffffffffL
+      val grp = new Array[Char](5)
+      for (i <- 4 to 0 by -1) { grp(i) = alphabet((acc % 85).toInt); acc /= 85 }
+      sb.appendAll(grp)
+    }
+    sb.toString
+  }
+
+  test("inline deletion vectors (storageType i) delete their rows") {
     val (root, schema) = fixture("dvinline")
+    // payload = LE magic + one roaring bitmap holding ordinals {0, 2}
+    // of f0 (ids 0 and 2 die) — base85-encoded INTO the descriptor
+    val bos = new java.io.ByteArrayOutputStream()
+    val head = java.nio.ByteBuffer.allocate(16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    head.putInt(1681511377); head.putLong(1L); head.putInt(0)
+    bos.write(head.array())
+    val bmp = new org.roaringbitmap.RoaringBitmap()
+    bmp.add(0); bmp.add(2)
+    val dos = new java.io.DataOutputStream(bos)
+    bmp.serialize(dos); dos.flush()
+    val payload = bos.toByteArray
+    val enc = base85Encode(payload)
     commit(root, 0,
       """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"]}}""",
       meta(schema),
-      s"""{"add":{"path":"f0.parquet","partitionValues":{"part":"a"},"size":1,"modificationTime":0,"dataChange":true,"deletionVector":{"storageType":"i","pathOrInlineDv":"xyzzy","offset":0,"sizeInBytes":5,"cardinality":1}}}""")
+      s"""{"add":{"path":"f0.parquet","partitionValues":{"part":"a"},"size":1,"modificationTime":0,"dataChange":true,"deletionVector":{"storageType":"i","pathOrInlineDv":${jstr(enc)},"sizeInBytes":${payload.length},"cardinality":2}}}""")
+    import spark.implicits._
+    assert(DeltaLogLite.read(spark, root).select("id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 3L, 4L))
+    // a corrupted inline payload (wrong size claim) refuses loudly
+    commit(root, 1,
+      s"""{"add":{"path":"f0.parquet","partitionValues":{"part":"a"},"size":1,"modificationTime":0,"dataChange":true,"deletionVector":{"storageType":"i","pathOrInlineDv":${jstr(enc)},"sizeInBytes":${payload.length - 9},"cardinality":2}}}""")
     val e = intercept[IllegalStateException] {
       DeltaLogLite.read(spark, root).collect()
     }
-    assert(e.getMessage.contains("storageType 'i'"))
+    assert(e.getMessage.contains("sizeInBytes"))
+  }
+
+  test("columnMapping mode=id reads: data columns resolve by parquet " +
+    "field id under logical names") {
+    val root = "/tmp/graft_deltaspec/cmapid"
+    def rm(p: java.io.File): Unit = {
+      if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+      p.delete(): Unit
+    }
+    rm(new java.io.File(root))
+    Files.createDirectories(Paths.get(root, "_delta_log"))
+    // data file carries PHYSICAL names col-aa/col-bb AND field ids
+    // 42/43 — id-mode writers stamp both
+    val tmp = s"$root/_tmp"
+    graft.sources.IcebergLite.stampFieldIds(
+      spark.range(0, 5).select(col("id").as("col-aa"),
+        (col("id") * 2).as("col-bb")),
+      Map("col-aa" -> 42, "col-bb" -> 43))
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val pf = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith(".")).get
+    assert(pf.renameTo(new java.io.File(s"$root/f0.parquet")))
+    rm(new java.io.File(tmp))
+    def fld(name: String, tpe: String, id: Int, phys: String): String =
+      s"""{"name":${jstr(name)},"type":${jstr(tpe)},"nullable":true,
+         |"metadata":{"delta.columnMapping.id":$id,
+         |"delta.columnMapping.physicalName":${jstr(phys)}}}"""
+        .stripMargin.replace("\n", "")
+    val schema = s"""{"type":"struct","fields":[${fld("id", "long", 42,
+      "col-aa")},${fld("v", "long", 43, "col-bb")},${fld("part",
+      "string", 44, "col-pp")}]}"""
+    val md =
+      s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":${jstr(schema)},"partitionColumns":["part"],"configuration":{"delta.columnMapping.mode":"id"},"createdTime":0}}"""
+    commit(root, 0, protocol(2), md,
+      s"""{"add":{"path":"f0.parquet","partitionValues":{"col-pp":"a"},"size":1,"modificationTime":0,"dataChange":true}}""")
+    val got = DeltaLogLite.read(spark, root)
+    assert(got.schema.fieldNames.toSeq == Seq("id", "v", "part"))
+    import spark.implicits._
+    assert(got.select("id", "v", "part").as[(Long, Long, String)]
+      .collect().sorted.toSeq ==
+      (0L to 4L).map(i => (i, i * 2, "a")))
   }
 
   test("change feed: blind appends synthesize inserts, cdc commits " +
