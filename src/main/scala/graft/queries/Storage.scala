@@ -548,6 +548,19 @@ object Storage extends QueryModule {
         .read(s, authorHudiMorTable(s, dir), readOptimized = true))
     },
 
+    // Hudi MOR SNAPSHOT read — the query mode the reference's own
+    // provider skips (reference-EXCEEDING): a REAL HoodieLogFormat
+    // log file (magic/length/version/type/header framing, binary-Avro
+    // records) merges over the base file at read time. Upserts double
+    // o_totalprice for %10∈(3,4); soft deletes (_hoodie_is_deleted)
+    // drop %10=0. The merge is one partial-combining max_by on
+    // _hoodie_record_key + anti-join — no window; log decode runs
+    // executor-side.
+    "q431_hudi_mor_snapshot" -> { (s, dir) =>
+      ordersCensus(graft.sources.HudiMorLite
+        .read(s, authorHudiMorSnapTable(s, dir)))
+    },
+
     // Apache Paimon table read — the FOURTH lakehouse leg (reference
     // thirdparty/auron-paimon). The query authors a Paimon-layout
     // append-only table: snapshot/snapshot-<id> JSON + LATEST hint,
@@ -1163,6 +1176,84 @@ object Storage extends QueryModule {
         val s003 = stat("N", writeBase("003", "N", Seq(0, 1, 2)))
         Files.writeString(Paths.get(root, ".hoodie", "003.commit"),
           s"""{"partitionToWriteStats":{$s003}}""")
+        root
+      })
+    }
+
+  private val hudiMorSnapMemo =
+    scala.collection.mutable.Map.empty[String, String]
+
+  /** Authors the MERGE_ON_READ Hudi table q431 SNAPSHOT-reads: one
+    * unpartitioned file group g1. Deltacommit 001 base-inserts orders
+    * %10<5 (with `_hoodie_record_key` = the order key, as Hudi
+    * populates); deltacommit 002 appends a REAL HoodieLogFormat log
+    * (.g1_001.log.1) whose single AVRO_DATA_BLOCK upserts %10∈(3,4)
+    * at doubled o_totalprice and soft-deletes %10=0 via
+    * `_hoodie_is_deleted` — the same upsert algebra as the Paimon PK
+    * legs, so the oracle recomputes it from orders. Memoized per
+    * sf-dir. */
+  private def authorHudiMorSnapTable(s: SparkSession,
+                                     dir: String): String =
+    hudiMorSnapMemo.synchronized {
+      hudiMorSnapMemo.getOrElseUpdate(dir, {
+        import java.nio.file.{Files, Paths}
+        val root =
+          s"/tmp/graft_hudi/morsnap_${Integer.toHexString(dir.hashCode)}"
+        def rm(p: java.io.File): Unit = {
+          if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+          p.delete(): Unit
+        }
+        rm(new java.io.File(root))
+        Files.createDirectories(Paths.get(root, ".hoodie"))
+        Files.writeString(Paths.get(root, ".hoodie", "hoodie.properties"),
+          "hoodie.table.name=orders_mor\n" +
+            "hoodie.table.type=MERGE_ON_READ\n")
+        val base = Tables.df(s, dir, "orders")
+          .select(col("o_orderkey").cast("string")
+            .as("_hoodie_record_key"),
+            col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+          .filter(col("o_orderkey") % 10 < 5)
+        val tmp = s"$root/_tmp"
+        base.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val pf = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.endsWith(".parquet") &&
+            !f.getName.startsWith(".")).get
+        assert(pf.renameTo(new java.io.File(s"$root/g1_0-0_001.parquet")))
+        rm(new java.io.File(tmp))
+        def stat(path: String): String =
+          s""""":[{"fileId":"g1","path":${jstr(path)},"numWrites":1}]"""
+        Files.writeString(Paths.get(root, ".hoodie", "001.deltacommit"),
+          s"""{"partitionToWriteStats":{${stat("g1_0-0_001.parquet")}}}""")
+        // log records: driver-side authoring collect is bounded fixture
+        // scaffolding (same grain as the DV fixtures' ordinal reads)
+        val avroSchema =
+          """{"type":"record","name":"r","fields":[
+            | {"name":"_hoodie_record_key","type":"string"},
+            | {"name":"o_orderkey","type":"long"},
+            | {"name":"o_totalprice","type":"double"},
+            | {"name":"o_orderstatus","type":"string"},
+            | {"name":"_hoodie_is_deleted","type":"boolean"}]}"""
+            .stripMargin
+        def recs(df: DataFrame, deleted: Boolean): Seq[Map[String, Any]] =
+          df.select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderstatus")).collect().toSeq.map { r =>
+            Map[String, Any](
+              "_hoodie_record_key" -> r.getLong(0).toString,
+              "o_orderkey" -> r.getLong(0),
+              "o_totalprice" -> r.getDouble(1),
+              "o_orderstatus" -> r.getString(2),
+              "_hoodie_is_deleted" -> deleted)
+          }
+        val upserts = recs(base.filter((col("o_orderkey") % 10)
+          .isin(3, 4))
+          .withColumn("o_totalprice", col("o_totalprice") * 2),
+          deleted = false)
+        val deletes = recs(base.filter(col("o_orderkey") % 10 === 0),
+          deleted = true)
+        graft.sources.HudiMorLite.writeLogFile(s"$root/.g1_001.log.1",
+          Seq(avroSchema -> (upserts ++ deletes)))
+        Files.writeString(Paths.get(root, ".hoodie", "002.deltacommit"),
+          s"""{"partitionToWriteStats":{${stat(".g1_001.log.1")}}}""")
         root
       })
     }
@@ -3221,6 +3312,16 @@ object Storage extends QueryModule {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    // MOR snapshot: base %10<5, log upserts double (3,4), log soft
+    // deletes drop 0 — q407's algebra, merged from a real log file
+    "q431_hudi_mor_snapshot" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        | CAST(sum(CAST(CASE WHEN o_orderkey % 10 IN (3, 4)
+        |   THEN o_totalprice * 2 ELSE o_totalprice END
+        |   AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderkey % 10 BETWEEN 1 AND 4
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     // per-partition PK merge, q407's upsert algebra in every partition
     "q427_paimon_partitioned_pk" ->
       """SELECT o_orderstatus, count(*) AS n,

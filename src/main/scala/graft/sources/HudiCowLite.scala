@@ -37,10 +37,12 @@ import org.json4s.jackson.JsonMethods
   * clustering advances the groups it rewrote. That is exactly the
   * freshness contract Hudi gives read_optimized queries; rows still
   * sitting in logs appear after their compaction. The SNAPSHOT query
-  * mode on MOR (merge logs at read time) stays refused — mirroring
-  * the reference, whose Hudi provider also only converts
+  * mode on MOR (merge logs at read time) lives in [[HudiMorLite]] —
+  * EXCEEDING the reference, whose Hudi provider only converts
   * read-optimized/COW scans (thirdparty/auron-hudi/
-  * HudiScanSupport.scala:42-49 falls back on MOR snapshot reads).
+  * HudiScanSupport.scala:42-49 falls back on MOR snapshot reads);
+  * this object refuses it so a COW-path caller never silently gets
+  * the stale view.
   *
   * Lite scope, loud failures (never silent wrong answers):
   *  - `hoodie.table.type` must be COPY_ON_WRITE, or MERGE_ON_READ
@@ -88,7 +90,7 @@ object HudiCowLite {
       case "MERGE_ON_READ" if readOptimized =>
       case "MERGE_ON_READ" => throw new IllegalStateException(
         s"$tableDir: hoodie.table.type=MERGE_ON_READ — the SNAPSHOT " +
-          "query needs log-file merging (outside HudiCowLite scope); " +
+          "query needs log-file merging: read through HudiMorLite, or " +
           "pass readOptimized=true for the base-files-only view")
       case t => throw new IllegalStateException(
         s"$tableDir: hoodie.table.type=$t unsupported")

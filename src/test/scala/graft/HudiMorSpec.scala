@@ -1,0 +1,194 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.HudiMorLite
+
+/** HudiMorLite contract: timeline → file slices (base + ordered
+  * logs, compaction starts a new slice), HoodieLogFormat block
+  * parsing, the upsert/soft-delete merge, and every LOUD-failure
+  * path — foreign block types, corrupt magic, wrong format version,
+  * logs without a base, COW tables. The happy path against real data
+  * is q431's DuckDB oracle. */
+class HudiMorSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def rm(p: java.io.File): Unit = {
+    if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+    p.delete(): Unit
+  }
+
+  private val avroSchema =
+    """{"type":"record","name":"r","fields":[
+      | {"name":"_hoodie_record_key","type":"string"},
+      | {"name":"id","type":"long"},
+      | {"name":"v","type":"long"},
+      | {"name":"_hoodie_is_deleted","type":"boolean"}]}""".stripMargin
+
+  private def rec(id: Long, v: Long,
+                  deleted: Boolean = false): Map[String, Any] =
+    Map("_hoodie_record_key" -> id.toString, "id" -> id, "v" -> v,
+      "_hoodie_is_deleted" -> deleted)
+
+  /** MOR table: deltacommit 001 base-inserts ids 0..4 (v = id*3) into
+    * group g1; returns the root for log appends. */
+  private def fixture(name: String): String = {
+    val root = s"/tmp/graft_hudimorspec/$name"
+    rm(new java.io.File(root))
+    Files.createDirectories(Paths.get(root, ".hoodie"))
+    Files.writeString(Paths.get(root, ".hoodie", "hoodie.properties"),
+      "hoodie.table.type=MERGE_ON_READ\n")
+    val tmp = s"$root/_tmp"
+    spark.range(0, 5).select(col("id").cast("string")
+      .as("_hoodie_record_key"), col("id"), (col("id") * 3).as("v"))
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val pf = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith(".")).get
+    assert(pf.renameTo(new java.io.File(s"$root/g1_0-0_001.parquet")))
+    rm(new java.io.File(tmp))
+    commit(root, "001", "deltacommit", "g1_0-0_001.parquet")
+    root
+  }
+
+  private def commit(root: String, instant: String, kind: String,
+                     path: String, fileId: String = "g1"): Unit =
+    Files.writeString(Paths.get(root, ".hoodie", s"$instant.$kind"),
+      s"""{"partitionToWriteStats":{"":[{"fileId":"$fileId","path":"$path","numWrites":1}]}}""")
+
+  test("log upserts replace, soft deletes drop, unchanged rows " +
+    "survive") {
+    import spark.implicits._
+    val root = fixture("happy")
+    HudiMorLite.writeLogFile(s"$root/.g1_001.log.1",
+      Seq(avroSchema -> Seq(rec(1, 100), rec(0, 0, deleted = true))))
+    commit(root, "002", "deltacommit", ".g1_001.log.1")
+    val got = HudiMorLite.read(spark, root)
+      .select("id", "v").as[(Long, Long)].collect().sorted.toSeq
+    assert(got == Seq((1L, 100L), (2L, 6L), (3L, 9L), (4L, 12L)))
+    // asOfInstant 001 = the unpatched base
+    assert(HudiMorLite.read(spark, root, Some("001")).count() == 5)
+    // the merge is an AGGREGATE + anti-join — no window
+    val plan = HudiMorLite.read(spark, root)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("max_by"), s"merge does not ride max_by:\n$plan")
+    assert(!plan.contains("Window"), s"merge rides a window:\n$plan")
+  }
+
+  test("later blocks and later log files win; delete then re-insert " +
+    "resurrects") {
+    import spark.implicits._
+    val root = fixture("order")
+    // log.1: two blocks — block 0 sets id 1 to 50, block 1 deletes it
+    HudiMorLite.writeLogFile(s"$root/.g1_001.log.1",
+      Seq(avroSchema -> Seq(rec(1, 50)),
+        avroSchema -> Seq(rec(1, 0, deleted = true))))
+    commit(root, "002", "deltacommit", ".g1_001.log.1")
+    assert(!HudiMorLite.read(spark, root).select("id").as[Long]
+      .collect().contains(1L))
+    // log.2 (same slice, later version): re-insert id 1 at 77
+    HudiMorLite.writeLogFile(s"$root/.g1_001.log.2",
+      Seq(avroSchema -> Seq(rec(1, 77))))
+    commit(root, "003", "deltacommit", ".g1_001.log.2")
+    val got = HudiMorLite.read(spark, root)
+      .select("id", "v").as[(Long, Long)].collect().sorted.toSeq
+    assert(got.contains((1L, 77L)))
+    assert(got.size == 5)
+  }
+
+  test("a compaction's base rewrite starts a new slice: old logs are " +
+    "absorbed") {
+    import spark.implicits._
+    val root = fixture("compact")
+    HudiMorLite.writeLogFile(s"$root/.g1_001.log.1",
+      Seq(avroSchema -> Seq(rec(1, 100))))
+    commit(root, "002", "deltacommit", ".g1_001.log.1")
+    // compaction at 003 rewrites the base (merged state: id1 -> 100)
+    val tmp = s"$root/_tmp2"
+    spark.range(0, 5).select(col("id").cast("string")
+      .as("_hoodie_record_key"), col("id"),
+      when(col("id") === 1, 100L).otherwise(col("id") * 3).as("v"))
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val pf = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith(".")).get
+    assert(pf.renameTo(new java.io.File(s"$root/g1_0-0_003.parquet")))
+    rm(new java.io.File(tmp))
+    commit(root, "003", "commit", "g1_0-0_003.parquet")
+    val snap = HudiMorLite.snapshot(spark, root)
+    assert(snap.slices.head.logs.isEmpty)
+    assert(snap.slices.head.baseInstant == "003")
+    assert(HudiMorLite.read(spark, root)
+      .filter(col("id") === 1).select("v").as[Long].head() == 100L)
+    // a stale log naming the OLD base instant refuses
+    HudiMorLite.writeLogFile(s"$root/.g1_001.log.3",
+      Seq(avroSchema -> Seq(rec(2, 0, deleted = true))))
+    commit(root, "004", "deltacommit", ".g1_001.log.3")
+    val e = intercept[IllegalStateException] {
+      HudiMorLite.snapshot(spark, root)
+    }
+    assert(e.getMessage.contains("stale/foreign log"))
+  }
+
+  test("foreign block types, corrupt magic, and wrong format version " +
+    "refuse loudly") {
+    val root = fixture("badblocks")
+    // DELETE_BLOCK (ordinal 1): serialization varies across releases
+    HudiMorLite.writeLogFile(s"$root/.g1_001.log.1",
+      Seq(avroSchema -> Seq(rec(1, 1))), blockType = 1)
+    commit(root, "002", "deltacommit", ".g1_001.log.1")
+    val e = intercept[Exception] {
+      HudiMorLite.read(spark, root).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ chain(x.getCause))
+    assert(chain(e).exists(_.contains("DELETE_BLOCK")))
+    // corrupt magic
+    val bytes = Files.readAllBytes(Paths.get(s"$root/.g1_001.log.1"))
+    bytes(0) = '!'.toByte
+    Files.write(Paths.get(s"$root/.g1_001.log.1"), bytes)
+    val e2 = intercept[Exception] {
+      HudiMorLite.read(spark, root).collect()
+    }
+    assert(chain(e2).exists(_.contains("#HUDI#")))
+    // wrong log-format version (patch the int after magic+length)
+    HudiMorLite.writeLogFile(s"$root/.g1_001.log.1",
+      Seq(avroSchema -> Seq(rec(1, 1))))
+    val b3 = Files.readAllBytes(Paths.get(s"$root/.g1_001.log.1"))
+    b3(6 + 8 + 3) = 9 // low byte of the big-endian version int
+    Files.write(Paths.get(s"$root/.g1_001.log.1"), b3)
+    val e3 = intercept[Exception] {
+      HudiMorLite.read(spark, root).collect()
+    }
+    assert(chain(e3).exists(_.contains("log-format version")))
+  }
+
+  test("logs without a base file and COW tables refuse loudly") {
+    val root = fixture("nolog")
+    HudiMorLite.writeLogFile(s"$root/.g9_001.log.1",
+      Seq(avroSchema -> Seq(rec(1, 1))))
+    commit(root, "002", "deltacommit", ".g9_001.log.1", fileId = "g9")
+    val e = intercept[IllegalStateException] {
+      HudiMorLite.snapshot(spark, root)
+    }
+    assert(e.getMessage.contains("NO base file"))
+    // COW tables route through HudiCowLite
+    val root2 = fixture("cow")
+    Files.writeString(Paths.get(root2, ".hoodie", "hoodie.properties"),
+      "hoodie.table.type=COPY_ON_WRITE\n")
+    val e2 = intercept[IllegalStateException] {
+      HudiMorLite.snapshot(spark, root2)
+    }
+    assert(e2.getMessage.contains("COPY_ON_WRITE"))
+    // malformed log names refuse
+    intercept[IllegalStateException] {
+      HudiMorLite.parseLogName("not-a-log-name")
+    }
+    assert(HudiMorLite.parseLogName(".g1_001.log.2_0-1-2") ==
+      ("g1", "001", 2))
+  }
+}
