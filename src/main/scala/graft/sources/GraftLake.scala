@@ -71,9 +71,11 @@ object GraftLake {
     * are strings; use [[HudiCowLite.read]]); `timestampMs` is Delta
     * commitInfo / Iceberg timestamp-ms / Paimon timeMillis travel
     * (refused on Hudi, whose instants are strings); `readOptimized`
-    * opts a Hudi MERGE_ON_READ table into its read-optimized view
-    * (a no-op everywhere else — the other formats' reads are already
-    * their freshest consistent view). */
+    * opts a Hudi MERGE_ON_READ table into its read-optimized view —
+    * without it a MOR table serves Hudi's DEFAULT query mode, the
+    * SNAPSHOT view with log merging ([[HudiMorLite]]); a no-op
+    * everywhere else (the other formats' reads are already their
+    * freshest consistent view). */
   def read(spark: SparkSession, tableDir: String,
            version: Option[Long] = None,
            timestampMs: Option[Long] = None,
@@ -92,7 +94,19 @@ object GraftLake {
           throw new IllegalArgumentException(
             "GraftLake: Hudi time travel takes STRING instants — use " +
               "HudiCowLite.read(asOfInstant=...) directly")
-        HudiCowLite.read(spark, tableDir, readOptimized = readOptimized)
+        val props = new Path(tableDir, ".hoodie/hoodie.properties")
+        val fs = props.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val isMor = fs.exists(props) && {
+          val in = fs.open(props)
+          val text = try scala.io.Source.fromInputStream(in, "UTF-8")
+            .mkString finally in.close()
+          text.linesIterator.map(_.trim)
+            .exists(_ == "hoodie.table.type=MERGE_ON_READ")
+        }
+        if (isMor && !readOptimized) HudiMorLite.read(spark, tableDir)
+        else HudiCowLite.read(spark, tableDir,
+          readOptimized = readOptimized)
       case Paimon =>
         PaimonLite.read(spark, tableDir, snapshotId = version,
           asOfTimestampMs = timestampMs)

@@ -64,6 +64,44 @@ class GraftLakeSpec extends AnyFunSuite {
     }
   }
 
+  test("MOR tables dispatch to the SNAPSHOT view by default; " +
+    "readOptimized keeps the base-only view") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = fresh("morsnap", ".hoodie")
+    Files.writeString(Paths.get(root, ".hoodie", "hoodie.properties"),
+      "hoodie.table.type=MERGE_ON_READ\n")
+    val tmp = s"$root/_tmp"
+    spark.range(0, 3).select(col("id").cast("string")
+      .as("_hoodie_record_key"), col("id"), (col("id") * 3).as("v"))
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val pf = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith(".")).get
+    assert(pf.renameTo(new java.io.File(s"$root/g1_0-0_001.parquet")))
+    rm(new java.io.File(tmp))
+    def commit(instant: String, path: String): Unit =
+      Files.writeString(Paths.get(root, ".hoodie",
+        s"$instant.deltacommit"),
+        s"""{"partitionToWriteStats":{"":[{"fileId":"g1","path":"$path","numWrites":1}]}}""")
+    commit("001", "g1_0-0_001.parquet")
+    val schema =
+      """{"type":"record","name":"r","fields":[
+        | {"name":"_hoodie_record_key","type":"string"},
+        | {"name":"id","type":"long"},{"name":"v","type":"long"},
+        | {"name":"_hoodie_is_deleted","type":"boolean"}]}""".stripMargin
+    graft.sources.HudiMorLite.writeLogFile(s"$root/.g1_001.log.1",
+      Seq(schema -> Seq(Map[String, Any]("_hoodie_record_key" -> "1",
+        "id" -> 1L, "v" -> 99L, "_hoodie_is_deleted" -> false))))
+    commit("002", ".g1_001.log.1")
+    // default = snapshot view: the log's upsert is visible
+    assert(GraftLake.read(spark, root).filter(col("id") === 1)
+      .select("v").as[Long].head() == 99L)
+    // readOptimized = base only: the original value
+    assert(GraftLake.read(spark, root, readOptimized = true)
+      .filter(col("id") === 1).select("v").as[Long].head() == 3L)
+  }
+
   test("time-travel arguments a format cannot express refuse loudly") {
     val hudi = fresh("hver", ".hoodie")
     val e = intercept[IllegalArgumentException] {
