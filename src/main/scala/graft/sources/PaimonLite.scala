@@ -551,7 +551,7 @@ object PaimonLite {
       }
     val groups = snap.files.groupBy(_.partition).toSeq
       .sortBy(_._1.map(v => partPathValue(v, snap.defaultPartName))
-        .mkString(" "))
+        .mkString("/"))
     if (snap.primaryKeys.isEmpty) {
       val valueSchema = StructType(
         snap.schema.filterNot(f => partCols.contains(f.name)))
