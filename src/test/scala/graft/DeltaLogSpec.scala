@@ -78,6 +78,29 @@ class DeltaLogSpec extends AnyFunSuite {
     assert(got.filter(col("part") === "b").count() == 5)
   }
 
+  test("partition filters prune non-matching groups at plan time; " +
+    "data filters push into the parquet scan") {
+    val (root, schema) = fixture("prune")
+    commit(root, 0, meta(schema), add("f0.parquet", "a"),
+      add("f%20one.parquet", "b"))
+    val df = DeltaLogLite.read(spark, root)
+    // the per-partition-group design attaches partition values as
+    // LITERAL columns, so a partition predicate constant-folds inside
+    // each union branch and Catalyst drops the non-matching group's
+    // scan entirely — log-borne partition pruning for free, the thing
+    // that keeps a 10k-partition table from scanning 10k groups
+    val pruned = df.filter(col("part") === "a")
+      .queryExecution.executedPlan.toString
+    assert("FileScan".r.findAllIn(pruned).length == 1,
+      s"expected exactly one surviving scan:\n$pruned")
+    assert(df.filter(col("part") === "a").count() == 5)
+    // data-column predicates reach the scan as pushed filters
+    val pushed = df.filter(col("id") > 3)
+      .queryExecution.executedPlan.toString
+    assert(pushed.contains("GreaterThan(id,3)"),
+      s"data filter did not push into the scan:\n$pushed")
+  }
+
   test("remove tombstones a prior add; versionAsOf resurrects it") {
     val (root, schema) = fixture("remove")
     commit(root, 0, meta(schema), add("f0.parquet", "a"),

@@ -472,6 +472,20 @@ class PaimonSpec extends AnyFunSuite {
       (0L, 10L, "b"), (1L, 20L, "b")))
   }
 
+  test("partition filters prune non-matching partition groups at " +
+    "plan time") {
+    val root = partFixture("partprune")
+    val df = PaimonLite.read(spark, root)
+    // partition values attach as literal columns per group, so the
+    // predicate constant-folds each union branch and only the
+    // matching group's scan survives optimization
+    val plan = df.filter(col("p") === "a")
+      .queryExecution.executedPlan.toString
+    assert("FileScan".r.findAllIn(plan).length == 1,
+      s"expected exactly one surviving scan:\n$plan")
+    assert(df.filter(col("p") === "a").count() == 5)
+  }
+
   test("partitioned manifests without _PARTITION refuse loudly") {
     val e = intercept[IllegalStateException] {
       PaimonLite.snapshot(spark,
