@@ -335,6 +335,15 @@ object Storage extends QueryModule {
         .read(s, authorIcebergTable(s, dir), snapshotId = Some(1L)))
     },
 
+    // Iceberg NAMED REFS — the metadata's refs map (branches/tags,
+    // the VERSION AS OF 'tag' axis): the 'v1' tag pins snapshot 1, so
+    // the census equals q392's explicit-id read; an unknown ref name
+    // refuses listing what exists (IcebergSpec).
+    "q432_iceberg_ref" -> { (s, dir) =>
+      deltaCensus(graft.sources.IcebergLite
+        .read(s, authorIcebergTable(s, dir), ref = Some("v1")))
+    },
+
     // Iceberg v2 POSITIONAL deletes — snapshot 2 of a second authored
     // table keeps data files A∪B and adds a delete manifest whose
     // positional-delete parquet names (file_path, pos) for every
@@ -1346,6 +1355,8 @@ object Storage extends QueryModule {
              |"current-schema-id":0,
              |"schemas":[{"schema-id":0,"type":"struct","fields":$fields}],
              |"current-snapshot-id":2,
+             |"refs":{"main":{"snapshot-id":2,"type":"branch"},
+             |        "v1":{"snapshot-id":1,"type":"tag"}},
              |"snapshots":[
              | {"snapshot-id":1,"timestamp-ms":1000,"manifest-list":"metadata/snap-1.avro"},
              | {"snapshot-id":2,"timestamp-ms":2000,"manifest-list":${jstr(s"file://$root/metadata/snap-2.avro")}}
@@ -3474,6 +3485,17 @@ object Storage extends QueryModule {
         |ORDER BY l_returnflag""".stripMargin,
     // snapshot-id 1 = batches A∪B (pre-delete)
     "q392_iceberg_snapshot" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_price
+        |FROM lineitem WHERE l_orderkey % 10 IN (0, 1)
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    // the 'v1' tag pins snapshot 1 = batches A∪B (same state q392
+    // reaches by explicit id)
+    "q432_iceberg_ref" ->
       """SELECT l_returnflag, count(*) AS n,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
         |   AS sum_qty,

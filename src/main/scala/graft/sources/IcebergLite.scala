@@ -245,17 +245,32 @@ object IcebergLite {
 
   /** Resolve the table's snapshot: latest metadata version (via
     * version-hint.text, else the highest v<N>.metadata.json), then the
-    * current snapshot, `snapshotId`, or — the other public time-travel
-    * axis — `asOfTimestampMs` (the LATEST snapshot whose
+    * current snapshot, `snapshotId`, a named `ref` (the metadata's
+    * `refs` branch/tag map — Iceberg's VERSION AS OF 'tag' axis;
+    * unknown names refuse listing what exists), or — the other public
+    * time-travel axis — `asOfTimestampMs` (the LATEST snapshot whose
     * `timestamp-ms` is ≤ the asked instant; a table whose snapshots
     * lack timestamps, or an instant before the first snapshot, refuse
     * loudly). */
   def snapshot(spark: SparkSession, tableDir: String,
                snapshotId: Option[Long] = None,
-               asOfTimestampMs: Option[Long] = None): Snapshot = {
+               asOfTimestampMs: Option[Long] = None,
+               ref: Option[String] = None): Snapshot = {
     val (metaFile, meta) = loadMeta(spark, tableDir)
-    require(snapshotId.isEmpty || asOfTimestampMs.isEmpty,
-      "snapshotId and asOfTimestampMs are mutually exclusive")
+    require(Seq(snapshotId, asOfTimestampMs, ref).count(_.nonEmpty) <= 1,
+      "snapshotId, asOfTimestampMs and ref are mutually exclusive")
+    // named REF (branch/tag) resolution — the metadata's `refs` map is
+    // the spec's name → snapshot-id surface (VERSION AS OF 'tag')
+    val byRef: Option[Long] = ref.map { name =>
+      (meta \ "refs" \ name \ "snapshot-id").extractOpt[Long].getOrElse(
+        throw new IllegalArgumentException(
+          s"$metaFile: no ref named '$name'" +
+            ((meta \ "refs") match {
+              case JObject(rs) if rs.nonEmpty =>
+                s" (have ${rs.map(_._1).sorted.mkString(", ")})"
+              case _ => " (table has no refs)"
+            })))
+    }
 
     val fv = (meta \ "format-version").extract[Int]
     if (fv != 1 && fv != 2) throw new IllegalStateException(
@@ -300,7 +315,7 @@ object IcebergLite {
       val maxTs = eligible.map(_._2).max
       eligible.filter(_._2 == maxTs).last._1
     }
-    val wantedId = snapshotId.orElse(byTimestamp).orElse(
+    val wantedId = snapshotId.orElse(byRef).orElse(byTimestamp).orElse(
       (meta \ "current-snapshot-id").extractOpt[Long].filter(_ != -1L))
       .getOrElse(throw new IllegalStateException(
         s"$metaFile: table has no current snapshot"))
@@ -457,9 +472,10 @@ object IcebergLite {
     * (file_path, row ordinal). */
   def read(spark: SparkSession, tableDir: String,
            snapshotId: Option[Long] = None,
-           asOfTimestampMs: Option[Long] = None): DataFrame = {
+           asOfTimestampMs: Option[Long] = None,
+           ref: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.functions._
-    val snap = snapshot(spark, tableDir, snapshotId, asOfTimestampMs)
+    val snap = snapshot(spark, tableDir, snapshotId, asOfTimestampMs, ref)
     if (snap.files.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)

@@ -480,6 +480,38 @@ class IcebergSpec extends AnyFunSuite {
     assert(chain(e).exists(_.contains("no sequence-number entry")))
   }
 
+  test("named refs (branch/tag) resolve through the metadata's refs " +
+    "map; unknown names refuse listing what exists") {
+    val root = fixture("refs")
+    val meta = Files.readString(
+      Paths.get(root, "metadata", "v3.metadata.json"))
+      .replace(""""current-snapshot-id":2""",
+        """"current-snapshot-id":2,
+          |"refs":{"main":{"snapshot-id":2,"type":"branch"},
+          |        "pre-delete":{"snapshot-id":1,"type":"tag"}}"""
+          .stripMargin)
+    Files.writeString(Paths.get(root, "metadata", "v3.metadata.json"), meta)
+    assert(IcebergLite.read(spark, root,
+      ref = Some("pre-delete")).count() == 10)
+    assert(IcebergLite.snapshot(spark, root,
+      ref = Some("main")).snapshotId == 2L)
+    val e = intercept[IllegalArgumentException] {
+      IcebergLite.snapshot(spark, root, ref = Some("nope"))
+    }
+    assert(e.getMessage.contains("no ref named 'nope'") &&
+      e.getMessage.contains("pre-delete"))
+    // a table with no refs at all names that condition
+    val e2 = intercept[IllegalArgumentException] {
+      IcebergLite.snapshot(spark, fixture("norefs"), ref = Some("x"))
+    }
+    assert(e2.getMessage.contains("no refs"))
+    // mutually exclusive with the other travel axes
+    intercept[IllegalArgumentException] {
+      IcebergLite.snapshot(spark, root, snapshotId = Some(1L),
+        ref = Some("main"))
+    }
+  }
+
   test("timestamp-travel ties pick the last-listed snapshot") {
     val root = fixture("tstie")
     // both snapshots share the stamp; snapshot 2 is listed later and
