@@ -642,6 +642,15 @@ object Storage extends QueryModule {
         .read(s, authorPaimonPkTable(s, dir), snapshotId = Some(1L)))
     },
 
+    // Paimon TAG time travel — tag/tag-<name> files hold a full copy
+    // of the pinned snapshot JSON (the expiry-proof travel axis; the
+    // Iceberg analog is q432's refs). 'prewipe' pins snapshot 1, so
+    // the census equals q398's explicit-id read.
+    "q433_paimon_tag" -> { (s, dir) =>
+      deltaCensus(graft.sources.PaimonLite
+        .read(s, authorPaimonTable(s, dir), tag = Some("prewipe")))
+    },
+
     // PARTITIONED Paimon append-only table — partition values decode
     // from each manifest entry's _PARTITION BinaryRow (null bits +
     // 8-byte slots + var part, the published layout) and attach as
@@ -2603,6 +2612,11 @@ object Storage extends QueryModule {
         Files.writeString(Paths.get(root, "snapshot", "snapshot-2"),
           snapJson(2, "ml-ab.avro", "ml-delac.avro"))
         Files.writeString(Paths.get(root, "snapshot", "LATEST"), "2")
+        // a TAG pinning snapshot 1 — Paimon tag files hold a full
+        // copy of the snapshot JSON (readable even after expiry)
+        Files.createDirectories(Paths.get(root, "tag"))
+        Files.writeString(Paths.get(root, "tag", "tag-prewipe"),
+          snapJson(1, "ml-empty.avro", "ml-ab.avro"))
         root
       })
     }
@@ -3312,6 +3326,16 @@ object Storage extends QueryModule {
         |FROM orders WHERE o_orderkey % 10 BETWEEN 1 AND 4
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+    // the 'prewipe' tag pins snapshot 1 = batches A∪B
+    "q433_paimon_tag" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_price
+        |FROM lineitem WHERE l_orderkey % 10 IN (0, 1)
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     // partitioned append-only table covers every flag, so the census
     // is the whole source; flag values come from the BinaryRow decode
     "q426_paimon_partitioned" ->

@@ -140,19 +140,45 @@ object PaimonLite {
     if (noScheme.startsWith("/")) noScheme else s"$tableDir/$noScheme"
   }
 
-  /** Resolve a snapshot: `snapshotId`, else `asOfTimestampMs` (the
-    * LATEST snapshot whose `timeMillis` is ≤ the instant — Paimon's
-    * own commit stamp), else the `snapshot/LATEST` hint, else the
-    * highest snapshot-<N> present. */
+  /** Resolve a snapshot: `snapshotId`, else a named `tag` (Paimon's
+    * `tag/tag-<name>` files each hold a full copy of the snapshot
+    * JSON they pin — readable even after the numbered snapshot
+    * expired, which is the point of tags; unknown names refuse
+    * listing what exists), else `asOfTimestampMs` (the LATEST
+    * snapshot whose `timeMillis` is ≤ the instant — Paimon's own
+    * commit stamp), else the `snapshot/LATEST` hint, else the highest
+    * snapshot-<N> present. */
   def snapshot(spark: SparkSession, tableDir: String,
                snapshotId: Option[Long] = None,
-               asOfTimestampMs: Option[Long] = None): Snapshot = {
-    require(snapshotId.isEmpty || asOfTimestampMs.isEmpty,
-      "snapshotId and asOfTimestampMs are mutually exclusive")
+               asOfTimestampMs: Option[Long] = None,
+               tag: Option[String] = None): Snapshot = {
+    require(Seq(snapshotId, asOfTimestampMs, tag).count(_.nonEmpty) <= 1,
+      "snapshotId, asOfTimestampMs and tag are mutually exclusive")
     val snapDir = new Path(tableDir, "snapshot")
     val fs = snapDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(snapDir))
       throw new IllegalStateException(s"$tableDir has no snapshot directory")
+
+    // a TAG is its own snapshot document — resolve it first and skip
+    // the numbered-snapshot lookup entirely (the number may be expired)
+    val tagJson: Option[JValue] = tag.map { name =>
+      val tagFile = new Path(tableDir, s"tag/tag-$name")
+      if (!fs.exists(tagFile)) {
+        val tagDir = new Path(tableDir, "tag")
+        val have =
+          if (!fs.exists(tagDir)) "table has no tag directory"
+          else {
+            val names = fs.listStatus(tagDir).toSeq.map(_.getPath.getName)
+              .collect { case n if n.startsWith("tag-") =>
+                n.stripPrefix("tag-") }.sorted
+            if (names.isEmpty) "table has no tags"
+            else s"have ${names.mkString(", ")}"
+          }
+        throw new IllegalArgumentException(
+          s"$tableDir: no tag named '$name' ($have)")
+      }
+      JsonMethods.parse(readText(fs, tagFile))
+    }
 
     val byTimestamp: Option[Long] = asOfTimestampMs.map { ts =>
       val ids = fs.listStatus(snapDir).toSeq.map(_.getPath.getName)
@@ -175,22 +201,30 @@ object PaimonLite {
       eligible.maxBy(e => (e._2, e._1))._1
     }
 
-    val wantedId: Long = snapshotId.orElse(byTimestamp).getOrElse {
-      val hint = new Path(snapDir, "LATEST")
-      if (fs.exists(hint)) readText(fs, hint).trim.toLong
-      else {
-        val ids = fs.listStatus(snapDir).toSeq.map(_.getPath.getName)
-          .collect { case n if n.matches("snapshot-\\d+") =>
-            n.stripPrefix("snapshot-").toLong }
-        if (ids.isEmpty) throw new IllegalStateException(
-          s"$tableDir: no snapshot-<N> files in snapshot/")
-        ids.max
-      }
+    val (wantedId: Long, snap: JValue) = tagJson match {
+      case Some(j) =>
+        ((j \ "id").extractOpt[Long].getOrElse(
+          throw new IllegalStateException(
+            s"$tableDir: tag ${tag.get} holds no snapshot id — " +
+              "malformed tag file")), j)
+      case None =>
+        val id = snapshotId.orElse(byTimestamp).getOrElse {
+          val hint = new Path(snapDir, "LATEST")
+          if (fs.exists(hint)) readText(fs, hint).trim.toLong
+          else {
+            val ids = fs.listStatus(snapDir).toSeq.map(_.getPath.getName)
+              .collect { case n if n.matches("snapshot-\\d+") =>
+                n.stripPrefix("snapshot-").toLong }
+            if (ids.isEmpty) throw new IllegalStateException(
+              s"$tableDir: no snapshot-<N> files in snapshot/")
+            ids.max
+          }
+        }
+        val snapFile = new Path(snapDir, s"snapshot-$id")
+        if (!fs.exists(snapFile)) throw new IllegalArgumentException(
+          s"$tableDir: snapshot $id not found")
+        (id, JsonMethods.parse(readText(fs, snapFile)))
     }
-    val snapFile = new Path(snapDir, s"snapshot-$wantedId")
-    if (!fs.exists(snapFile)) throw new IllegalArgumentException(
-      s"$tableDir: snapshot $wantedId not found")
-    val snap = JsonMethods.parse(readText(fs, snapFile))
 
     val schemaId = (snap \ "schemaId").extractOpt[Long].getOrElse(0L)
     val schemaFile = new Path(tableDir, s"schema/schema-$schemaId")
@@ -250,7 +284,7 @@ object PaimonLite {
           df.collect().map(_.getAs[String]("_FILE_NAME")).toSeq
         case JNull | JNothing => Nil
         case other => throw new IllegalStateException(
-          s"$snapFile: $key is not a string: $other")
+          s"$tableDir snapshot $wantedId: $key is not a string: $other")
       }
     val manifests =
       manifestsOf("baseManifestList") ++ manifestsOf("deltaManifestList")
@@ -538,9 +572,10 @@ object PaimonLite {
     * that possible here, unlike Hudi COW). */
   def read(spark: SparkSession, tableDir: String,
            snapshotId: Option[Long] = None,
-           asOfTimestampMs: Option[Long] = None): DataFrame = {
+           asOfTimestampMs: Option[Long] = None,
+           tag: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.functions._
-    val snap = snapshot(spark, tableDir, snapshotId, asOfTimestampMs)
+    val snap = snapshot(spark, tableDir, snapshotId, asOfTimestampMs, tag)
     if (snap.files.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)

@@ -125,6 +125,33 @@ class PaimonSpec extends AnyFunSuite {
     assert(PaimonLite.snapshot(spark, root).snapshotId == 2L)
   }
 
+  test("tag time travel reads the tag's own snapshot copy — even " +
+    "after the numbered snapshot expired") {
+    val root = fixture("tags")
+    // tag the pre-delete state: a COPY of snapshot-1's JSON
+    Files.createDirectories(Paths.get(root, "tag"))
+    Files.copy(Paths.get(root, "snapshot", "snapshot-1"),
+      Paths.get(root, "tag", "tag-keep"))
+    assert(PaimonLite.read(spark, root, tag = Some("keep")).count() == 10)
+    // expire snapshot 1 — the tag still reads (that is the point)
+    Files.delete(Paths.get(root, "snapshot", "snapshot-1"))
+    assert(PaimonLite.read(spark, root, tag = Some("keep")).count() == 10)
+    // ...while the numbered lookup now refuses
+    intercept[IllegalArgumentException] {
+      PaimonLite.snapshot(spark, root, Some(1L))
+    }
+    // unknown tags refuse listing what exists
+    val e = intercept[IllegalArgumentException] {
+      PaimonLite.snapshot(spark, root, tag = Some("nope"))
+    }
+    assert(e.getMessage.contains("no tag named 'nope'") &&
+      e.getMessage.contains("keep"))
+    // axes are mutually exclusive
+    intercept[IllegalArgumentException] {
+      PaimonLite.snapshot(spark, root, Some(2L), tag = Some("keep"))
+    }
+  }
+
   test("timestamp travel selects by timeMillis; too-early refuses") {
     val root = fixture("tstravel")
     // stamp the snapshots: 1 @1000, 2 @2000
