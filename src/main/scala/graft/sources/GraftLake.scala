@@ -75,25 +75,31 @@ object GraftLake {
     * without it a MOR table serves Hudi's DEFAULT query mode, the
     * SNAPSHOT view with log merging ([[HudiMorLite]]); a no-op
     * everywhere else (the other formats' reads are already their
-    * freshest consistent view). */
+    * freshest consistent view). `ref` is the NAMED travel axis —
+    * Iceberg refs (branches/tags) and Paimon tags; Delta and Hudi
+    * have no such surface and refuse it. */
   def read(spark: SparkSession, tableDir: String,
            version: Option[Long] = None,
            timestampMs: Option[Long] = None,
-           readOptimized: Boolean = false): DataFrame = {
-    require(version.isEmpty || timestampMs.isEmpty,
-      "version and timestampMs are mutually exclusive")
+           readOptimized: Boolean = false,
+           ref: Option[String] = None): DataFrame = {
+    require(Seq(version, timestampMs, ref).count(_.nonEmpty) <= 1,
+      "version, timestampMs and ref are mutually exclusive")
     detect(spark, tableDir) match {
       case Delta =>
-        DeltaLogLite.read(spark, tableDir, versionAsOf = version,
+        if (ref.nonEmpty) throw new IllegalArgumentException(
+          "GraftLake: Delta has no named-ref surface (branches/tags " +
+            "are Iceberg refs / Paimon tags) — use version/timestampMs")
+      DeltaLogLite.read(spark, tableDir, versionAsOf = version,
           timestampAsOf = timestampMs)
       case Iceberg =>
         IcebergLite.read(spark, tableDir, snapshotId = version,
-          asOfTimestampMs = timestampMs)
+          asOfTimestampMs = timestampMs, ref = ref)
       case Hudi =>
-        if (version.nonEmpty || timestampMs.nonEmpty)
+        if (version.nonEmpty || timestampMs.nonEmpty || ref.nonEmpty)
           throw new IllegalArgumentException(
             "GraftLake: Hudi time travel takes STRING instants — use " +
-              "HudiCowLite.read(asOfInstant=...) directly")
+              "HudiCowLite/HudiMorLite.read(asOfInstant=...) directly")
         val props = new Path(tableDir, ".hoodie/hoodie.properties")
         val fs = props.getFileSystem(
           spark.sparkContext.hadoopConfiguration)
@@ -109,7 +115,7 @@ object GraftLake {
           readOptimized = readOptimized)
       case Paimon =>
         PaimonLite.read(spark, tableDir, snapshotId = version,
-          asOfTimestampMs = timestampMs)
+          asOfTimestampMs = timestampMs, tag = ref)
     }
   }
 }

@@ -108,6 +108,15 @@ class GraftLakeSpec extends AnyFunSuite {
       GraftLake.read(spark, hudi, version = Some(1L))
     }
     assert(e.getMessage.contains("HudiCowLite"))
+    // the NAMED axis exists on Iceberg (refs) and Paimon (tags) only
+    val eRef = intercept[IllegalArgumentException] {
+      GraftLake.read(spark, fresh("dref", "_delta_log"),
+        ref = Some("tag1"))
+    }
+    assert(eRef.getMessage.contains("no named-ref surface"))
+    intercept[IllegalArgumentException] {
+      GraftLake.read(spark, hudi, ref = Some("tag1"))
+    }
     // Paimon timestamp travel DISPATCHES (timeMillis-based) — the
     // empty fixture fails inside PaimonLite, proving the routing
     val paimon = fresh("pts", "snapshot", "schema")
