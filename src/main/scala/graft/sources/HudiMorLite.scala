@@ -260,13 +260,22 @@ object HudiMorLite {
                   .getOrElse(s"unknown type $blockType") +
                 " — only AVRO_DATA_BLOCK is in HudiMorLite scope " +
                 "(deletes ride _hoodie_is_deleted records)")
-          // header map: count, then (key ordinal, length, utf8 value)
-          val headers = (0 until in.readInt()).map { _ =>
-            val k = in.readInt()
-            val bytes = new Array[Byte](in.readInt())
-            in.readFully(bytes)
-            k -> new String(bytes, "UTF-8")
-          }.toMap
+          // header map: count, then (key ordinal, length, utf8 value).
+          // Sizes are UNTRUSTED input — a garbage count/length must
+          // refuse by name, not allocate gigabytes
+          def sane(n: Int, what: String): Int = {
+            if (n < 0 || n > (1 << 26)) throw new IllegalStateException(
+              s"$path: block $blockIdx claims $what of $n — corrupt")
+            n
+          }
+          val headers = (0 until sane(in.readInt(), "header count"))
+            .map { _ =>
+              val k = in.readInt()
+              val bytes =
+                new Array[Byte](sane(in.readInt(), "header length"))
+              in.readFully(bytes)
+              k -> new String(bytes, "UTF-8")
+            }.toMap
           val schemaJson = headers.getOrElse(SchemaHeaderOrdinal,
             throw new IllegalStateException(
               s"$path: block $blockIdx carries no SCHEMA header — " +
@@ -278,9 +287,10 @@ object HudiMorLite {
           val content = new Array[Byte](contentLen.toInt)
           in.readFully(content)
           // footer map (usually empty) + trailing total size
-          (0 until in.readInt()).foreach { _ =>
+          (0 until sane(in.readInt(), "footer count")).foreach { _ =>
             in.readInt()
-            val bytes = new Array[Byte](in.readInt())
+            val bytes =
+              new Array[Byte](sane(in.readInt(), "footer length"))
             in.readFully(bytes)
           }
           in.readLong()
@@ -314,10 +324,16 @@ object HudiMorLite {
     val reader = new GenericDatumReader[GenericRecord](schema)
     val in = new DataInputStream(
       new java.io.ByteArrayInputStream(content))
+    def sane(v: Int, what: String): Int = {
+      if (v < 0 || v > content.length) throw new IllegalStateException(
+        s"$path: block $blockIdx claims $what of $v over " +
+          s"${content.length} content bytes — corrupt")
+      v
+    }
     in.readInt() // content format version
-    val n = in.readInt()
+    val n = sane(in.readInt(), "record count")
     (0 until n).map { recIdx =>
-      val bytes = new Array[Byte](in.readInt())
+      val bytes = new Array[Byte](sane(in.readInt(), "record length"))
       in.readFully(bytes)
       val rec = reader.read(null,
         DecoderFactory.get().binaryDecoder(bytes, null))
