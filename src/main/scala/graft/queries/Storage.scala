@@ -570,6 +570,34 @@ object Storage extends QueryModule {
         .read(s, authorHudiMorSnapTable(s, dir)))
     },
 
+    // Hudi MOR HARD DELETES — what a Spark-SQL `DELETE FROM` writes:
+    // a version-3 DELETE_BLOCK (binary-Avro HoodieDeleteRecordList)
+    // rides the SAME (instant|version|block|record) order stream as
+    // the Avro upserts, so the %10=3 keys deleted in log.1 and
+    // RE-INSERTED in log.2 survive at ×3 while the %10=0 keys stay
+    // dead. Versions 1/2 (Kryo) refuse by version (HudiMorSpec).
+    "q434_hudi_mor_hard_delete" -> { (s, dir) =>
+      ordersCensus(graft.sources.HudiMorLite
+        .read(s, authorHudiMorDeleteTable(s, dir)))
+    },
+
+    // PARTITIONED Hudi MOR — the merge keys on (partition path,
+    // record key), never the key alone: partitions A and B carry the
+    // SAME record keys (Hudi's default non-global index is only
+    // per-partition unique), and partition A's log (upsert %10=1 ×2,
+    // DELETE_BLOCK %10=2) must leave B's rows untouched. A key-only
+    // merge would silently patch/drop B's rows — this census
+    // hash-catches exactly that.
+    "q435_hudi_mor_partitioned" -> { (s, dir) =>
+      val df = graft.sources.HudiMorLite
+        .read(s, authorHudiMorPartTable(s, dir))
+      df.groupBy(col("_hoodie_partition_path").as("part"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_price"))
+        .orderBy(col("part"))
+    },
+
     // Apache Paimon table read — the FOURTH lakehouse leg (reference
     // thirdparty/auron-paimon). The query authors a Paimon-layout
     // append-only table: snapshot/snapshot-<id> JSON + LATEST hint,
@@ -1272,6 +1300,165 @@ object Storage extends QueryModule {
           Seq(avroSchema -> (upserts ++ deletes)))
         Files.writeString(Paths.get(root, ".hoodie", "002.deltacommit"),
           s"""{"partitionToWriteStats":{${stat(".g1_001.log.1")}}}""")
+        root
+      })
+    }
+
+  private val hudiMorDelMemo =
+    scala.collection.mutable.Map.empty[String, String]
+
+  /** Authors the MOR table q434 reads — q431's layout plus the HARD
+    * deletes a Spark-SQL `DELETE FROM` writes: log.1's block 0 (Avro)
+    * upserts %10∈(3,4) at doubled o_totalprice, block 1 is a REAL
+    * version-3 DELETE_BLOCK (binary-Avro HoodieDeleteRecordList) for
+    * the %10∈(0,3) keys, and log.2 RE-INSERTS the %10=3 keys at
+    * tripled price — the delete-then-re-insert race the shared order
+    * stream must resolve (3 survives at ×3; 0 stays dead). Memoized
+    * per sf-dir. */
+  private def authorHudiMorDeleteTable(s: SparkSession,
+                                       dir: String): String =
+    hudiMorDelMemo.synchronized {
+      hudiMorDelMemo.getOrElseUpdate(dir, {
+        import java.nio.file.{Files, Paths}
+        val root =
+          s"/tmp/graft_hudi/mordel_${Integer.toHexString(dir.hashCode)}"
+        def rm(p: java.io.File): Unit = {
+          if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+          p.delete(): Unit
+        }
+        rm(new java.io.File(root))
+        Files.createDirectories(Paths.get(root, ".hoodie"))
+        Files.writeString(Paths.get(root, ".hoodie", "hoodie.properties"),
+          "hoodie.table.name=orders_mor_del\n" +
+            "hoodie.table.type=MERGE_ON_READ\n")
+        val base = Tables.df(s, dir, "orders")
+          .select(col("o_orderkey").cast("string")
+            .as("_hoodie_record_key"),
+            col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+          .filter(col("o_orderkey") % 10 < 5)
+        val tmp = s"$root/_tmp"
+        base.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val pf = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.endsWith(".parquet") &&
+            !f.getName.startsWith(".")).get
+        assert(pf.renameTo(new java.io.File(s"$root/g1_0-0_001.parquet")))
+        rm(new java.io.File(tmp))
+        def stat(path: String): String =
+          s""""":[{"fileId":"g1","path":${jstr(path)},"numWrites":1}]"""
+        Files.writeString(Paths.get(root, ".hoodie", "001.deltacommit"),
+          s"""{"partitionToWriteStats":{${stat("g1_0-0_001.parquet")}}}""")
+        val avroSchema =
+          """{"type":"record","name":"r","fields":[
+            | {"name":"_hoodie_record_key","type":"string"},
+            | {"name":"o_orderkey","type":"long"},
+            | {"name":"o_totalprice","type":"double"},
+            | {"name":"o_orderstatus","type":"string"},
+            | {"name":"_hoodie_is_deleted","type":"boolean"}]}"""
+            .stripMargin
+        // bounded fixture-authoring collects (same grain as q431's)
+        def recs(df: DataFrame, mult: Double): Seq[Map[String, Any]] =
+          df.select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderstatus")).collect().toSeq.map { r =>
+            Map[String, Any](
+              "_hoodie_record_key" -> r.getLong(0).toString,
+              "o_orderkey" -> r.getLong(0),
+              "o_totalprice" -> (r.getDouble(1) * mult),
+              "o_orderstatus" -> r.getString(2),
+              "_hoodie_is_deleted" -> false)
+          }
+        val delKeys = base.filter((col("o_orderkey") % 10).isin(0, 3))
+          .select(col("o_orderkey")).collect().toSeq
+          .map(r => r.getLong(0).toString -> Option(""))
+        graft.sources.HudiMorLite.writeLogBlocks(s"$root/.g1_001.log.1",
+          Seq(
+            graft.sources.HudiMorLite.AvroBlockSpec(avroSchema,
+              recs(base.filter((col("o_orderkey") % 10).isin(3, 4)), 2.0)),
+            graft.sources.HudiMorLite.DeleteBlockSpec(delKeys)))
+        Files.writeString(Paths.get(root, ".hoodie", "002.deltacommit"),
+          s"""{"partitionToWriteStats":{${stat(".g1_001.log.1")}}}""")
+        graft.sources.HudiMorLite.writeLogBlocks(s"$root/.g1_001.log.2",
+          Seq(graft.sources.HudiMorLite.AvroBlockSpec(avroSchema,
+            recs(base.filter(col("o_orderkey") % 10 === 3), 3.0))))
+        Files.writeString(Paths.get(root, ".hoodie", "003.deltacommit"),
+          s"""{"partitionToWriteStats":{${stat(".g1_001.log.2")}}}""")
+        root
+      })
+    }
+
+  private val hudiMorPartMemo =
+    scala.collection.mutable.Map.empty[String, String]
+
+  /** Authors the PARTITIONED MOR table q435 reads: partitions A and B
+    * carry the SAME `_hoodie_record_key`s (Hudi's default non-global
+    * index only guarantees per-partition uniqueness) — orders %10<3,
+    * A at o_totalprice and B at ×10. Partition A's log upserts the
+    * %10=1 keys at ×2 and HARD-deletes the %10=2 keys; partition B
+    * must come through untouched, which only a merge keyed on
+    * (partition, key) serves. Memoized per sf-dir. */
+  private def authorHudiMorPartTable(s: SparkSession,
+                                     dir: String): String =
+    hudiMorPartMemo.synchronized {
+      hudiMorPartMemo.getOrElseUpdate(dir, {
+        import java.nio.file.{Files, Paths}
+        val root =
+          s"/tmp/graft_hudi/morpart_${Integer.toHexString(dir.hashCode)}"
+        def rm(p: java.io.File): Unit = {
+          if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+          p.delete(): Unit
+        }
+        rm(new java.io.File(root))
+        Files.createDirectories(Paths.get(root, ".hoodie"))
+        Files.writeString(Paths.get(root, ".hoodie", "hoodie.properties"),
+          "hoodie.table.name=orders_mor_part\n" +
+            "hoodie.table.type=MERGE_ON_READ\n")
+        val src = Tables.df(s, dir, "orders")
+          .filter(col("o_orderkey") % 10 < 3)
+          .select(col("o_orderkey"), col("o_totalprice"))
+        val stats = Seq(("A", 1.0), ("B", 10.0)).map { case (p, mult) =>
+          val tmp = s"$root/_tmp"
+          src.select(col("o_orderkey").cast("string")
+            .as("_hoodie_record_key"),
+            lit(p).as("_hoodie_partition_path"), col("o_orderkey"),
+            (col("o_totalprice") * mult).as("o_totalprice"))
+            .coalesce(1).write.mode("overwrite").parquet(tmp)
+          val pf = new java.io.File(tmp).listFiles()
+            .find(f => f.getName.endsWith(".parquet") &&
+              !f.getName.startsWith(".")).get
+          Files.createDirectories(Paths.get(root, p))
+          assert(pf.renameTo(
+            new java.io.File(s"$root/$p/g$p-0-0_001.parquet")))
+          rm(new java.io.File(tmp))
+          s"${jstr(p)}:[{\"fileId\":${jstr(s"g$p")},\"path\":${
+            jstr(s"$p/g$p-0-0_001.parquet")},\"numWrites\":1}]"
+        }
+        Files.writeString(Paths.get(root, ".hoodie", "001.deltacommit"),
+          s"""{"partitionToWriteStats":{${stats.mkString(",")}}}""")
+        val avroSchema =
+          """{"type":"record","name":"r","fields":[
+            | {"name":"_hoodie_record_key","type":"string"},
+            | {"name":"_hoodie_partition_path","type":"string"},
+            | {"name":"o_orderkey","type":"long"},
+            | {"name":"o_totalprice","type":"double"},
+            | {"name":"_hoodie_is_deleted","type":"boolean"}]}"""
+            .stripMargin
+        val upserts = src.filter(col("o_orderkey") % 10 === 1)
+          .collect().toSeq.map { r =>
+            Map[String, Any](
+              "_hoodie_record_key" -> r.getLong(0).toString,
+              "_hoodie_partition_path" -> "A",
+              "o_orderkey" -> r.getLong(0),
+              "o_totalprice" -> (r.getDouble(1) * 2),
+              "_hoodie_is_deleted" -> false)
+          }
+        val delKeys = src.filter(col("o_orderkey") % 10 === 2)
+          .select(col("o_orderkey")).collect().toSeq
+          .map(r => r.getLong(0).toString -> Option("A"))
+        graft.sources.HudiMorLite.writeLogBlocks(
+          s"$root/A/.gA_001.log.1", Seq(
+            graft.sources.HudiMorLite.AvroBlockSpec(avroSchema, upserts),
+            graft.sources.HudiMorLite.DeleteBlockSpec(delKeys)))
+        Files.writeString(Paths.get(root, ".hoodie", "002.deltacommit"),
+          s"""{"partitionToWriteStats":{"A":[{"fileId":"gA","path":"A/.gA_001.log.1","numWrites":1}]}}""")
         root
       })
     }
@@ -3357,6 +3544,32 @@ object Storage extends QueryModule {
         |FROM orders WHERE o_orderkey % 10 BETWEEN 1 AND 4
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+    // hard deletes: %10=0 dead via DELETE_BLOCK; %10=3 deleted then
+    // re-inserted at ×3; %10=4 upserted at ×2; %10∈(1,2) untouched
+    "q434_hudi_mor_hard_delete" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        | CAST(sum(CAST(CASE WHEN o_orderkey % 10 = 3
+        |   THEN o_totalprice * 3
+        |   WHEN o_orderkey % 10 = 4 THEN o_totalprice * 2
+        |   ELSE o_totalprice END
+        |   AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderkey % 10 BETWEEN 1 AND 4
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+    // partition A patched (×2 upserts, %10=2 deleted), B untouched ×10
+    "q435_hudi_mor_partitioned" ->
+      """WITH b AS (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_orderkey % 10 < 3),
+        |r AS (
+        |  SELECT 'A' AS part, CASE WHEN o_orderkey % 10 = 1
+        |    THEN o_totalprice * 2 ELSE o_totalprice END AS p
+        |  FROM b WHERE o_orderkey % 10 < 2
+        |  UNION ALL
+        |  SELECT 'B', o_totalprice * 10 FROM b)
+        |SELECT part, count(*) AS n,
+        | CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM r GROUP BY part ORDER BY part""".stripMargin,
     // per-partition PK merge, q407's upsert algebra in every partition
     "q427_paimon_partitioned_pk" ->
       """SELECT o_orderstatus, count(*) AS n,

@@ -34,25 +34,44 @@ import org.json4s.jackson.JsonMethods
   * AVRO_DATA_BLOCK content: [4-byte format version] [4-byte record
   * count] then per record [4-byte length][binary-Avro record]. Upserts
   * AND deletes ride these blocks — a record whose
-  * `_hoodie_is_deleted` field is true is Hudi's soft delete. The
-  * DELETE_BLOCK type (whose key-list serialization has changed across
-  * releases) and COMMAND/HFILE/PARQUET/CDC blocks refuse loudly.
+  * `_hoodie_is_deleted` field is true is Hudi's soft delete.
+  *
+  * DELETE_BLOCK content (what a Spark-SQL `DELETE FROM` on a MOR
+  * table writes — HoodieDeleteBlock): [4-byte content version]
+  * [4-byte payload length] [payload]. Version 3 — the CURRENT
+  * serialization — is the binary-Avro `HoodieDeleteRecordList`
+  * record (hudi-common/src/main/avro/HoodieDeleteRecordList.avsc:
+  * an array of (recordKey, partitionPath, orderingVal) records);
+  * versions 1/2 (Kryo-serialized HoodieKey[]/DeleteRecord[]) refuse
+  * BY VERSION, as do deletes carrying a non-trivial orderingVal
+  * (event-time-ordered merge is outside lite scope — merge order
+  * here is commit/arrival order). COMMAND/HFILE/PARQUET/CDC blocks
+  * refuse loudly.
   *
   * MERGE, Spark-first: base files are ONE native vectorized scan; log
   * files decode EXECUTOR-SIDE (a flatMap over the slice list — log
   * volume never lands on the driver); the winning log record per
-  * `_hoodie_record_key` is a partial-combining max_by over the
-  * (instant, log version, block index, record index) order, exactly
-  * one shuffle on the key; winners with `_hoodie_is_deleted` drop the
-  * key, the rest REPLACE base rows through a LEFT ANTI join (log side
-  * broadcast when small) + union. No window, no driver loops.
+  * (partition, `_hoodie_record_key`) is a partial-combining max_by
+  * over the (instant, log version, block index, record index) order,
+  * exactly one shuffle on the key; winners that are deletes (hard
+  * DELETE_BLOCK keys or `_hoodie_is_deleted` soft deletes — the SAME
+  * ordered stream, so a key re-inserted after its delete survives)
+  * drop the key, the rest REPLACE base rows through a LEFT ANTI join
+  * (log side broadcast when small) + union. No window, no driver
+  * loops. Hudi's DEFAULT index is non-global — record keys are only
+  * unique PER PARTITION — so the merge keys on (partition path,
+  * record key): each log record joins the slice's partition, and
+  * base rows bring `_hoodie_partition_path`; a MULTI-partition table
+  * whose base files lack that meta column refuses rather than risk
+  * cross-partition key collisions silently mis-patching rows.
   *
   * Lite scope, loud failures (never silent wrong answers): table type
   * must be MERGE_ON_READ; magic / log-format version / block-type /
   * length mismatches, a log without its base file, a base file
   * without `_hoodie_record_key`, non-record or nested Avro schemas,
-  * and Avro fields absent from the base schema all refuse with the
-  * path named.
+  * Avro fields absent from the base schema, and a log record claiming
+  * a DIFFERENT partition than its slice all refuse with the path
+  * named.
   */
 object HudiMorLite {
 
@@ -63,7 +82,25 @@ object HudiMorLite {
   private val BlockTypeNames = Seq("COMMAND_BLOCK", "DELETE_BLOCK",
     "CORRUPT_BLOCK", "AVRO_DATA_BLOCK", "HFILE_DATA_BLOCK",
     "PARQUET_DATA_BLOCK", "CDC_DATA_BLOCK")
+  private val DeleteBlockOrdinal = 1
   private val AvroDataBlockOrdinal = 3
+
+  /** The published `HoodieDeleteRecordList` Avro schema (hudi-common/
+    * src/main/avro/HoodieDeleteRecordList.avsc) — the version-3
+    * HoodieDeleteBlock payload a Spark-SQL DELETE on a MOR table
+    * writes. */
+  private[graft] val DeleteRecordListSchema: String =
+    """{"type":"record","name":"HoodieDeleteRecordList",
+      |"namespace":"org.apache.hudi.avro.model","fields":[
+      | {"name":"deleteRecordList","type":{"type":"array","items":
+      |  {"type":"record","name":"HoodieDeleteRecord","fields":[
+      |   {"name":"recordKey","type":["null","string"],"default":null},
+      |   {"name":"partitionPath","type":["null","string"],
+      |    "default":null},
+      |   {"name":"orderingVal","type":["null","boolean","int","long",
+      |    "float","double","bytes","string"],"default":null}
+      |]}}}]}""".stripMargin
+  private val CurrentDeleteBlockVersion = 3
 
   /** One log file of a slice: path + the (instant, version) order key
     * — instants zero-padded so string ordering is numeric ordering. */
@@ -223,8 +260,11 @@ object HudiMorLite {
   /** Parse one log FILE's blocks (executor-side; byte layout in the
     * object doc) and emit its records aligned to `fieldNames`/
     * `fieldTypes`. `ordPrefix` is the (instant, version) order key;
-    * block/record indexes extend it to a total order. */
-  private[graft] def decodeLogFile(path: String, ordPrefix: String,
+    * block/record indexes extend it to a total order. `partition` is
+    * the owning slice's partition path — a record claiming a
+    * different one refuses (the merge keys on it). */
+  private[graft] def decodeLogFile(path: String, partition: String,
+                                   ordPrefix: String,
                                    fieldNames: Seq[String],
                                    fieldTypes: Seq[DataType])
   : Iterator[LogRecord] = {
@@ -253,13 +293,14 @@ object HudiMorLite {
             s"$path: log-format version $fmtVersion (HudiMorLite reads " +
               "version 1)")
           val blockType = in.readInt()
-          if (blockType != AvroDataBlockOrdinal)
+          if (blockType != AvroDataBlockOrdinal &&
+            blockType != DeleteBlockOrdinal)
             throw new IllegalStateException(
               s"$path: block $blockIdx is " +
                 BlockTypeNames.lift(blockType)
                   .getOrElse(s"unknown type $blockType") +
-                " — only AVRO_DATA_BLOCK is in HudiMorLite scope " +
-                "(deletes ride _hoodie_is_deleted records)")
+                " — AVRO_DATA_BLOCK and DELETE_BLOCK are HudiMorLite " +
+                "scope")
           // header map: count, then (key ordinal, length, utf8 value).
           // Sizes are UNTRUSTED input — a garbage count/length must
           // refuse by name, not allocate gigabytes
@@ -276,10 +317,6 @@ object HudiMorLite {
               in.readFully(bytes)
               k -> new String(bytes, "UTF-8")
             }.toMap
-          val schemaJson = headers.getOrElse(SchemaHeaderOrdinal,
-            throw new IllegalStateException(
-              s"$path: block $blockIdx carries no SCHEMA header — " +
-                "cannot decode its Avro records"))
           val contentLen = in.readLong()
           if (contentLen < 8 || contentLen > Int.MaxValue)
             throw new IllegalStateException(
@@ -294,13 +331,93 @@ object HudiMorLite {
             in.readFully(bytes)
           }
           in.readLong()
-          out ++= decodeAvroBlock(path, blockIdx, schemaJson, content,
-            f"$ordPrefix%s|$blockIdx%010d", fieldNames, fieldTypes)
+          val ord = f"$ordPrefix%s|$blockIdx%010d"
+          out ++= (if (blockType == DeleteBlockOrdinal)
+            decodeDeleteBlock(path, blockIdx, content, ord, partition,
+              fieldNames.size)
+          else {
+            // data blocks carry their Avro schema in the SCHEMA header
+            val schemaJson = headers.getOrElse(SchemaHeaderOrdinal,
+              throw new IllegalStateException(
+                s"$path: block $blockIdx carries no SCHEMA header — " +
+                  "cannot decode its Avro records"))
+            decodeAvroBlock(path, blockIdx, schemaJson, content, ord,
+              partition, fieldNames, fieldTypes)
+          })
           blockIdx += 1
         }
       }
       out.result().iterator
     } finally in.close()
+  }
+
+  /** Decode a DELETE_BLOCK's content ([content version][payload
+    * length][payload] — HoodieDeleteBlock): version 3 = binary-Avro
+    * [[DeleteRecordListSchema]]; versions 1/2 (Kryo) refuse BY
+    * VERSION. Emitted records are hard deletes riding the SAME total
+    * order as data-block records, so max_by decides delete-vs-
+    * re-insert races. A non-trivial orderingVal (event-time merge
+    * order) refuses — merge order here is commit/arrival order. */
+  private def decodeDeleteBlock(path: String, blockIdx: Int,
+                                content: Array[Byte], ordPrefix: String,
+                                partition: String, nFields: Int)
+  : Seq[LogRecord] = {
+    import org.apache.avro.Schema
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    import org.apache.avro.io.DecoderFactory
+    val in = new DataInputStream(
+      new java.io.ByteArrayInputStream(content))
+    val version = in.readInt()
+    if (version != CurrentDeleteBlockVersion)
+      throw new IllegalStateException(
+        s"$path: block $blockIdx is a DELETE_BLOCK with content " +
+          s"version $version — HudiMorLite reads version " +
+          s"$CurrentDeleteBlockVersion (Avro HoodieDeleteRecordList); " +
+          "versions 1/2 are Kryo-serialized HoodieKey[]/DeleteRecord[]")
+    val len = in.readInt()
+    if (len < 0 || len > content.length) throw new IllegalStateException(
+      s"$path: block $blockIdx claims delete payload of $len over " +
+        s"${content.length} content bytes — corrupt")
+    val bytes = new Array[Byte](len)
+    in.readFully(bytes)
+    val schema = new Schema.Parser().parse(DeleteRecordListSchema)
+    val rec = new GenericDatumReader[GenericRecord](schema)
+      .read(null, DecoderFactory.get().binaryDecoder(bytes, null))
+    val list = rec.get("deleteRecordList") match {
+      case l: java.util.List[_] => l
+      case other => throw new IllegalStateException(
+        s"$path: block $blockIdx deleteRecordList is " +
+          s"${Option(other).map(_.getClass.getName).getOrElse("null")}")
+    }
+    (0 until list.size()).map { recIdx =>
+      val d = list.get(recIdx).asInstanceOf[GenericRecord]
+      def str(n: String): Option[String] = d.get(n) match {
+        case null => None
+        case u: org.apache.avro.util.Utf8 => Some(u.toString)
+        case s: String => Some(s)
+        case other => throw new IllegalStateException(
+          s"$path: block $blockIdx delete record $n holds " +
+            s"${other.getClass.getSimpleName}")
+      }
+      val key = str("recordKey").getOrElse(
+        throw new IllegalStateException(
+          s"$path: block $blockIdx delete record $recIdx has a null " +
+            "recordKey"))
+      for (p <- str("partitionPath") if p != partition)
+        throw new IllegalStateException(
+          s"$path: block $blockIdx deletes key $key in partition '$p' " +
+            s"but the slice's partition is '$partition' — foreign log")
+      d.get("orderingVal") match {
+        case null =>
+        case n: Number if n.doubleValue() == 0.0 => // "no ordering"
+        case ov => throw new IllegalStateException(
+          s"$path: block $blockIdx delete record carries orderingVal " +
+            s"$ov — event-time-ordered deletes are outside HudiMorLite " +
+            "scope (merge order here is commit/arrival order)")
+      }
+      LogRecord(key, f"$ordPrefix%s|$recIdx%010d", deleted = true,
+        Seq.fill(nFields)(null))
+    }
   }
 
   /** Decode an AVRO_DATA_BLOCK's content: [4-byte format version]
@@ -309,7 +426,8 @@ object HudiMorLite {
     * against the output schema and must cover every output column. */
   private def decodeAvroBlock(path: String, blockIdx: Int,
                               schemaJson: String, content: Array[Byte],
-                              ordPrefix: String, fieldNames: Seq[String],
+                              ordPrefix: String, partition: String,
+                              fieldNames: Seq[String],
                               fieldTypes: Seq[DataType])
   : Seq[LogRecord] = {
     import org.apache.avro.Schema
@@ -321,6 +439,7 @@ object HudiMorLite {
         s"$path: block $blockIdx schema is ${schema.getType}, not a " +
           "record")
     val keyIdx = fieldNames.indexOf("_hoodie_record_key")
+    val partIdx = fieldNames.indexOf("_hoodie_partition_path")
     val reader = new GenericDatumReader[GenericRecord](schema)
     val in = new DataInputStream(
       new java.io.ByteArrayInputStream(content))
@@ -371,6 +490,13 @@ object HudiMorLite {
             s"$path: block $blockIdx record has no _hoodie_record_key")
           case k => k.toString
         }
+      // the merge keys on the SLICE's partition — a record claiming a
+      // different one would silently patch the wrong partition's rows
+      if (partIdx >= 0 && values(partIdx) != partition)
+        throw new IllegalStateException(
+          s"$path: block $blockIdx record (key $key) claims partition " +
+            s"'${values(partIdx)}' but the slice's partition is " +
+            s"'$partition' — foreign log")
       val deleted = field("_hoodie_is_deleted") match {
         case b: java.lang.Boolean => b.booleanValue()
         case _                    => false
@@ -379,49 +505,99 @@ object HudiMorLite {
     }
   }
 
+  /** Fixture-authoring block model for [[writeLogBlocks]]: an Avro
+    * data block (schema JSON + records as field→value maps; the
+    * ordinal override authors refusal fixtures) or a DELETE_BLOCK
+    * (hard-deleted (recordKey, partitionPath) pairs; `contentVersion`
+    * / `orderingVal` overrides author the version- and
+    * orderingVal-refusal fixtures). */
+  private[graft] sealed trait BlockSpec
+  private[graft] final case class AvroBlockSpec(
+      schemaJson: String, records: Seq[Map[String, Any]],
+      blockType: Int = AvroDataBlockOrdinal) extends BlockSpec
+  private[graft] final case class DeleteBlockSpec(
+      keys: Seq[(String, Option[String])],
+      contentVersion: Int = CurrentDeleteBlockVersion,
+      orderingVal: Option[Any] = None) extends BlockSpec
+
   /** Write a HoodieLogFormat log file — fixture/spec authoring, the
-    * exact inverse of [[decodeLogFile]]'s layout. Each block is
-    * (Avro schema JSON, records as field→value maps); `blockType`
-    * overrides the ordinal to author refusal fixtures. */
+    * exact inverse of [[decodeLogFile]]'s layout. */
   private[graft] def writeLogFile(path: String,
                                   blocks: Seq[(String,
                                     Seq[Map[String, Any]])],
                                   blockType: Int = AvroDataBlockOrdinal)
-  : Unit = {
+  : Unit = writeLogBlocks(path, blocks.map { case (sj, rs) =>
+    AvroBlockSpec(sj, rs, blockType) })
+
+  private[graft] def writeLogBlocks(path: String,
+                                    blocks: Seq[BlockSpec]): Unit = {
     import org.apache.avro.Schema
     import org.apache.avro.generic.{GenericData, GenericDatumWriter,
       GenericRecord}
     import org.apache.avro.io.EncoderFactory
+    def avroBytes(schema: Schema, rec: GenericRecord): Array[Byte] = {
+      val writer = new GenericDatumWriter[GenericRecord](schema)
+      val recBos = new ByteArrayOutputStream()
+      val enc = EncoderFactory.get().binaryEncoder(recBos, null)
+      writer.write(rec, enc)
+      enc.flush()
+      recBos.toByteArray
+    }
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
-    for ((schemaJson, records) <- blocks) {
-      val schema = new Schema.Parser().parse(schemaJson)
-      val writer = new GenericDatumWriter[GenericRecord](schema)
-      // content: [format version][record count][per record: len+avro]
-      val contentBos = new ByteArrayOutputStream()
-      val contentOut = new DataOutputStream(contentBos)
-      contentOut.writeInt(1)
-      contentOut.writeInt(records.size)
-      for (r <- records) {
-        val rec = new GenericData.Record(schema)
-        schema.getFields.forEach(f =>
-          rec.put(f.name(), r.getOrElse(f.name(), null)))
-        val recBos = new ByteArrayOutputStream()
-        val enc = EncoderFactory.get().binaryEncoder(recBos, null)
-        writer.write(rec, enc)
-        enc.flush()
-        contentOut.writeInt(recBos.size())
-        contentOut.write(recBos.toByteArray)
+    for (block <- blocks) {
+      // (blockType, header entries, content bytes) per block kind
+      val (blockType, headerEntries, content) = block match {
+        case AvroBlockSpec(schemaJson, records, bt) =>
+          val schema = new Schema.Parser().parse(schemaJson)
+          // content: [format version][record count][per rec: len+avro]
+          val contentBos = new ByteArrayOutputStream()
+          val contentOut = new DataOutputStream(contentBos)
+          contentOut.writeInt(1)
+          contentOut.writeInt(records.size)
+          for (r <- records) {
+            val rec = new GenericData.Record(schema)
+            schema.getFields.forEach(f =>
+              rec.put(f.name(), r.getOrElse(f.name(), null)))
+            val bytes = avroBytes(schema, rec)
+            contentOut.writeInt(bytes.length)
+            contentOut.write(bytes)
+          }
+          (bt, Seq(SchemaHeaderOrdinal -> schemaJson.getBytes("UTF-8")),
+            contentBos.toByteArray)
+        case DeleteBlockSpec(keys, version, orderingVal) =>
+          // content: [content version][payload length][Avro
+          // HoodieDeleteRecordList] — no SCHEMA header (the payload
+          // schema is the published constant, as in HoodieDeleteBlock)
+          val schema = new Schema.Parser().parse(DeleteRecordListSchema)
+          val itemSchema = schema.getField("deleteRecordList").schema()
+            .getElementType
+          val list = new java.util.ArrayList[GenericRecord]()
+          for ((k, p) <- keys) {
+            val d = new GenericData.Record(itemSchema)
+            d.put("recordKey", k)
+            d.put("partitionPath", p.orNull)
+            d.put("orderingVal", orderingVal.orNull)
+            list.add(d): Unit
+          }
+          val rec = new GenericData.Record(schema)
+          rec.put("deleteRecordList", list)
+          val payload = avroBytes(schema, rec)
+          val contentBos = new ByteArrayOutputStream()
+          val contentOut = new DataOutputStream(contentBos)
+          contentOut.writeInt(version)
+          contentOut.writeInt(payload.length)
+          contentOut.write(payload)
+          (DeleteBlockOrdinal, Nil, contentBos.toByteArray)
       }
-      val content = contentBos.toByteArray
-      // header map: one SCHEMA entry; footer map: empty
       val headerBos = new ByteArrayOutputStream()
       val headerOut = new DataOutputStream(headerBos)
-      headerOut.writeInt(1)
-      headerOut.writeInt(SchemaHeaderOrdinal)
-      val schemaBytes = schemaJson.getBytes("UTF-8")
-      headerOut.writeInt(schemaBytes.length)
-      headerOut.write(schemaBytes)
+      headerOut.writeInt(headerEntries.size)
+      for ((ord, bytes) <- headerEntries) {
+        headerOut.writeInt(ord)
+        headerOut.writeInt(bytes.length)
+        headerOut.write(bytes)
+      }
       val header = headerBos.toByteArray
       val footer = { val b = new ByteArrayOutputStream()
         new DataOutputStream(b).writeInt(0); b.toByteArray }
@@ -457,11 +633,27 @@ object HudiMorLite {
         s"$tableDir: base files carry no _hoodie_record_key — cannot " +
           "merge log records (populateMetaFields=false tables are " +
           "outside HudiMorLite scope)")
-    val logs: Seq[(String, String)] = snap.slices.flatMap { s =>
+    val logs: Seq[(String, String, String)] = snap.slices.flatMap { s =>
       s.logs.map(l =>
-        l.path -> f"${BigInt(l.instant)}%020d|${l.version}%010d")
+        (l.path, f"${BigInt(l.instant)}%020d|${l.version}%010d",
+          s.partition))
     }
     if (logs.isEmpty) return base
+    // record keys are only unique PER PARTITION under Hudi's default
+    // (non-global) index, so the merge keys on (partition, key). Base
+    // rows bring _hoodie_partition_path; without it a MULTI-partition
+    // table cannot disambiguate cross-partition key collisions —
+    // refuse rather than silently mis-patch
+    val PartCol = "_hoodie_partition_path"
+    val hasPartCol = base.columns.contains(PartCol)
+    val distinctParts =
+      logs.map(_._3).distinct ++ snap.slices.map(_.partition).distinct
+    if (!hasPartCol && distinctParts.distinct.size > 1)
+      throw new IllegalStateException(
+        s"$tableDir: multi-partition MOR table whose base files lack " +
+          s"$PartCol — record keys are only unique per partition " +
+          "(non-global index), so a key-only merge could silently " +
+          "patch the wrong partition's rows")
     val names = base.schema.fieldNames.toSeq
     val types = base.schema.fields.map(_.dataType).toSeq
     for ((nm, dt) <- names.zip(types)) dt match {
@@ -472,33 +664,46 @@ object HudiMorLite {
           "merging is flat-primitive scope in HudiMorLite")
     }
     // executor-side block decode: one task per log file (bounded list
-    // on the driver, record volume stays distributed)
+    // on the driver, record volume stays distributed); fan-out caps at
+    // the cluster's parallelism, not a constant
     val logSchema = StructType(
       StructField("_hml_key", StringType) ::
+        StructField("_hml_part", StringType) ::
         StructField("_hml_ord", StringType) ::
         StructField("_hml_deleted", BooleanType) ::
         base.schema.fields.toList)
     val rowsRdd = spark.sparkContext
-      .parallelize(logs, math.min(logs.size, 32).max(1))
-      .flatMap { case (path, ordPrefix) =>
-        decodeLogFile(path, ordPrefix, names, types).map(r =>
-          Row.fromSeq(r.key +: r.ord +: r.deleted +: r.values))
+      .parallelize(logs,
+        math.min(logs.size,
+          spark.sparkContext.defaultParallelism).max(1))
+      .flatMap { case (path, ordPrefix, partition) =>
+        decodeLogFile(path, partition, ordPrefix, names, types).map(r =>
+          Row.fromSeq(r.key +: partition +: r.ord +: r.deleted +:
+            r.values))
       }
     val logDf = spark.createDataFrame(rowsRdd, logSchema)
-    // winning record per key: ONE partial-combining max_by (the total
-    // order string encodes instant|logVersion|block|record), then
-    // winners patch the base — anti-join + union, no window
+    // winning record per (partition, key): ONE partial-combining
+    // max_by (the total order string encodes
+    // instant|logVersion|block|record — DELETE_BLOCK keys and soft
+    // deletes ride the same stream, so a later re-insert outranks its
+    // delete), then winners patch the base — anti-join + union, no
+    // window
     val payload = struct(
       (col("_hml_deleted") +: names.map(col)): _*)
     val winners = logDf
-      .groupBy(col("_hml_key"))
+      .groupBy(col("_hml_part"), col("_hml_key"))
       .agg(max_by(payload, col("_hml_ord")).as("_hml_top"))
     val patched = winners
       .filter(!col("_hml_top._hml_deleted"))
       .select(names.map(n => col(s"_hml_top.$n").as(n)): _*)
+    val joinCond =
+      if (hasPartCol)
+        base(PartCol) === col("_hml_part") &&
+          base("_hoodie_record_key") === col("_hml_key")
+      else base("_hoodie_record_key") === col("_hml_key")
     base
-      .join(winners.select(col("_hml_key")),
-        base("_hoodie_record_key") === col("_hml_key"), "left_anti")
+      .join(winners.select(col("_hml_part"), col("_hml_key")),
+        joinCond, "left_anti")
       .unionByName(patched)
   }
 }

@@ -133,20 +133,71 @@ class HudiMorSpec extends AnyFunSuite {
     assert(e.getMessage.contains("stale/foreign log"))
   }
 
+  private def chain(t: Throwable): Seq[String] =
+    Option(t).toSeq.flatMap(x =>
+      Option(x.getMessage).toSeq ++ chain(x.getCause))
+
+  test("DELETE_BLOCK hard-deletes its keys; a later re-insert " +
+    "survives; soft and hard deletes share one order stream") {
+    import spark.implicits._
+    val root = fixture("harddelete")
+    // log.1: block 0 upserts id 1 → 100, block 1 HARD-deletes ids 1,2
+    HudiMorLite.writeLogBlocks(s"$root/.g1_001.log.1", Seq(
+      HudiMorLite.AvroBlockSpec(avroSchema, Seq(rec(1, 100))),
+      HudiMorLite.DeleteBlockSpec(Seq(
+        "1" -> Some(""), "2" -> None))))
+    commit(root, "002", "deltacommit", ".g1_001.log.1")
+    val got = HudiMorLite.read(spark, root)
+      .select("id", "v").as[(Long, Long)].collect().sorted.toSeq
+    assert(got == Seq((0L, 0L), (3L, 9L), (4L, 12L)))
+    // log.2: re-insert id 2 at 55 — outranks its hard delete
+    HudiMorLite.writeLogBlocks(s"$root/.g1_001.log.2", Seq(
+      HudiMorLite.AvroBlockSpec(avroSchema, Seq(rec(2, 55)))))
+    commit(root, "003", "deltacommit", ".g1_001.log.2")
+    val got2 = HudiMorLite.read(spark, root)
+      .select("id", "v").as[(Long, Long)].collect().sorted.toSeq
+    assert(got2 == Seq((0L, 0L), (2L, 55L), (3L, 9L), (4L, 12L)))
+  }
+
+  test("DELETE_BLOCK content versions 1/2 (Kryo) refuse BY VERSION; " +
+    "non-trivial orderingVal refuses; foreign partitionPath refuses") {
+    val root = fixture("delversions")
+    HudiMorLite.writeLogBlocks(s"$root/.g1_001.log.1", Seq(
+      HudiMorLite.DeleteBlockSpec(Seq("1" -> None), contentVersion = 2)))
+    commit(root, "002", "deltacommit", ".g1_001.log.1")
+    val e = intercept[Exception] { HudiMorLite.read(spark, root).collect() }
+    assert(chain(e).exists(m => m.contains("content version 2") &&
+      m.contains("Kryo")))
+    // orderingVal: zero numerics mean "no ordering" and pass; anything
+    // else is event-time merge order — outside scope
+    HudiMorLite.writeLogBlocks(s"$root/.g1_001.log.1", Seq(
+      HudiMorLite.DeleteBlockSpec(Seq("1" -> None),
+        orderingVal = Some(0L))))
+    assert(!HudiMorLite.read(spark, root).filter(col("id") === 1)
+      .collect().nonEmpty)
+    HudiMorLite.writeLogBlocks(s"$root/.g1_001.log.1", Seq(
+      HudiMorLite.DeleteBlockSpec(Seq("1" -> None),
+        orderingVal = Some(42L))))
+    val e2 = intercept[Exception] { HudiMorLite.read(spark, root).collect() }
+    assert(chain(e2).exists(_.contains("orderingVal")))
+    // a delete claiming a partition other than the slice's refuses
+    HudiMorLite.writeLogBlocks(s"$root/.g1_001.log.1", Seq(
+      HudiMorLite.DeleteBlockSpec(Seq("1" -> Some("other_part")))))
+    val e3 = intercept[Exception] { HudiMorLite.read(spark, root).collect() }
+    assert(chain(e3).exists(_.contains("foreign log")))
+  }
+
   test("foreign block types, corrupt magic, and wrong format version " +
     "refuse loudly") {
     val root = fixture("badblocks")
-    // DELETE_BLOCK (ordinal 1): serialization varies across releases
+    // HFILE_DATA_BLOCK (ordinal 4) is outside scope
     HudiMorLite.writeLogFile(s"$root/.g1_001.log.1",
-      Seq(avroSchema -> Seq(rec(1, 1))), blockType = 1)
+      Seq(avroSchema -> Seq(rec(1, 1))), blockType = 4)
     commit(root, "002", "deltacommit", ".g1_001.log.1")
     val e = intercept[Exception] {
       HudiMorLite.read(spark, root).collect()
     }
-    def chain(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x =>
-        Option(x.getMessage).toSeq ++ chain(x.getCause))
-    assert(chain(e).exists(_.contains("DELETE_BLOCK")))
+    assert(chain(e).exists(_.contains("HFILE_DATA_BLOCK")))
     // corrupt magic
     val bytes = Files.readAllBytes(Paths.get(s"$root/.g1_001.log.1"))
     bytes(0) = '!'.toByte
@@ -165,6 +216,77 @@ class HudiMorSpec extends AnyFunSuite {
       HudiMorLite.read(spark, root).collect()
     }
     assert(chain(e3).exists(_.contains("log-format version")))
+  }
+
+  private val partAvroSchema =
+    """{"type":"record","name":"r","fields":[
+      | {"name":"_hoodie_record_key","type":"string"},
+      | {"name":"_hoodie_partition_path","type":"string"},
+      | {"name":"id","type":"long"},
+      | {"name":"v","type":"long"},
+      | {"name":"_hoodie_is_deleted","type":"boolean"}]}""".stripMargin
+
+  /** Partitioned MOR table: partitions A and B each hold ids 0..2
+    * under the SAME record keys (non-global index), A at v=id, B at
+    * v=id+100. `withPartCol=false` authors base files WITHOUT
+    * _hoodie_partition_path. */
+  private def partFixture(name: String, withPartCol: Boolean): String = {
+    val root = s"/tmp/graft_hudimorspec/$name"
+    rm(new java.io.File(root))
+    Files.createDirectories(Paths.get(root, ".hoodie"))
+    Files.writeString(Paths.get(root, ".hoodie", "hoodie.properties"),
+      "hoodie.table.type=MERGE_ON_READ\n")
+    val stats = Seq("A" -> 0L, "B" -> 100L).map { case (p, off) =>
+      var df = spark.range(0, 3).select(
+        col("id").cast("string").as("_hoodie_record_key"),
+        lit(p).as("_hoodie_partition_path"),
+        col("id"), (col("id") + off).as("v"))
+      if (!withPartCol) df = df.drop("_hoodie_partition_path")
+      val tmp = s"$root/_tmp"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val pf = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith(".")).get
+      Files.createDirectories(Paths.get(root, p))
+      assert(pf.renameTo(new java.io.File(s"$root/$p/g$p-0-0_001.parquet")))
+      rm(new java.io.File(tmp))
+      s""""$p":[{"fileId":"g$p","path":"$p/g$p-0-0_001.parquet","numWrites":1}]"""
+    }
+    Files.writeString(Paths.get(root, ".hoodie", "001.deltacommit"),
+      s"""{"partitionToWriteStats":{${stats.mkString(",")}}}""")
+    root
+  }
+
+  test("the merge keys on (partition, record key): a log in one " +
+    "partition never patches the same key elsewhere") {
+    import spark.implicits._
+    val root = partFixture("partitioned", withPartCol = true)
+    // partition A's log: upsert key 1 → 50, hard-delete key 2
+    HudiMorLite.writeLogBlocks(s"$root/A/.gA_001.log.1", Seq(
+      HudiMorLite.AvroBlockSpec(partAvroSchema, Seq(Map[String, Any](
+        "_hoodie_record_key" -> "1", "_hoodie_partition_path" -> "A",
+        "id" -> 1L, "v" -> 50L, "_hoodie_is_deleted" -> false))),
+      HudiMorLite.DeleteBlockSpec(Seq("2" -> Some("A")))))
+    Files.writeString(Paths.get(root, ".hoodie", "002.deltacommit"),
+      """{"partitionToWriteStats":{"A":[{"fileId":"gA","path":"A/.gA_001.log.1","numWrites":1}]}}""")
+    val got = HudiMorLite.read(spark, root)
+      .select(col("_hoodie_partition_path"), col("id"), col("v"))
+      .as[(String, Long, Long)].collect().sorted.toSeq
+    assert(got == Seq(("A", 0L, 0L), ("A", 1L, 50L),
+      ("B", 0L, 100L), ("B", 1L, 101L), ("B", 2L, 102L)))
+  }
+
+  test("a multi-partition table whose base files lack " +
+    "_hoodie_partition_path refuses the merge") {
+    val root = partFixture("partnocol", withPartCol = false)
+    HudiMorLite.writeLogBlocks(s"$root/A/.gA_001.log.1", Seq(
+      HudiMorLite.DeleteBlockSpec(Seq("2" -> Some("A")))))
+    Files.writeString(Paths.get(root, ".hoodie", "002.deltacommit"),
+      """{"partitionToWriteStats":{"A":[{"fileId":"gA","path":"A/.gA_001.log.1","numWrites":1}]}}""")
+    val e = intercept[IllegalStateException] {
+      HudiMorLite.read(spark, root)
+    }
+    assert(e.getMessage.contains("multi-partition"))
   }
 
   test("logs without a base file and COW tables refuse loudly") {
