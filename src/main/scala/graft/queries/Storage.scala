@@ -367,6 +367,18 @@ object Storage extends QueryModule {
     // metadata and Spark's field-id matching reads BOTH correctly in
     // one native scan, no per-file footer sweep. A name-resolving
     // reader would silently null every batch-A flag and hash-mismatch.
+    // Iceberg NAME MAPPING (`schema.name-mapping.default` — the
+    // spec's migration surface): the snapshot mixes an ID-LESS
+    // parquet file carrying pre-migration column names with a normal
+    // id-stamped file. One distributed footer sweep classifies them;
+    // the id-less file reads by its MAPPED names and projects back,
+    // the stamped file keeps field-id resolution. Mapping-less
+    // tables still refuse id-less files loudly (IcebergSpec).
+    "q436_iceberg_name_mapping" -> { (s, dir) =>
+      deltaCensus(graft.sources.IcebergLite
+        .read(s, authorIcebergNameMapTable(s, dir)))
+    },
+
     "q425_iceberg_rename" -> { (s, dir) =>
       graft.sources.IcebergLite.read(s, authorIcebergRenameTable(s, dir))
         .groupBy(col("l_flag"))
@@ -1763,6 +1775,103 @@ object Storage extends QueryModule {
           metaJson)
         Files.writeString(Paths.get(root, "metadata", "version-hint.text"),
           "2")
+        root
+      })
+    }
+
+  private val icebergNameMapMemo =
+    scala.collection.mutable.Map.empty[String, String]
+
+  /** Authors the MIGRATED Iceberg table used by q436: batch A
+    * (l_orderkey%10=0) is an ID-LESS parquet file carrying the
+    * PRE-MIGRATION column names (orderkey/quantity/extendedprice/
+    * returnflag — what a Hive/raw-parquet import leaves behind);
+    * batch B (=1) is a normal id-stamped file under the current
+    * names. The metadata's `schema.name-mapping.default` property
+    * (the spec's migration surface) assigns each field id both
+    * spellings, so A reads through the mapped-name leg and B through
+    * the field-id leg. Without the property, A's id-less footer
+    * refuses — the mapping-less refusal q425's machinery relies on
+    * stays. Memoized per sf-dir. */
+  private def authorIcebergNameMapTable(s: SparkSession,
+                                        dir: String): String =
+    icebergNameMapMemo.synchronized {
+      icebergNameMapMemo.getOrElseUpdate(dir, {
+        import java.nio.file.{Files, Paths}
+        val avroFmt = "org.apache.spark.sql.avro.AvroFileFormat"
+        val root =
+          s"/tmp/graft_iceberg/nmap_${Integer.toHexString(dir.hashCode)}"
+        def rm(p: java.io.File): Unit = {
+          if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+          p.delete(): Unit
+        }
+        rm(new java.io.File(root))
+        Files.createDirectories(Paths.get(root, "metadata"))
+        Files.createDirectories(Paths.get(root, "data"))
+        val src = Tables.df(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity"),
+            col("l_extendedprice"), col("l_returnflag"))
+        def writeOne(df: DataFrame, out: String): Unit = {
+          val tmp = s"$root/_tmp"
+          df.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(f => f.getName.endsWith(".parquet") &&
+              !f.getName.startsWith(".")).get
+          assert(part.renameTo(new java.io.File(s"$root/$out")))
+          rm(new java.io.File(tmp))
+        }
+        val oldNames = Map("l_orderkey" -> "orderkey",
+          "l_quantity" -> "quantity",
+          "l_extendedprice" -> "extendedprice",
+          "l_returnflag" -> "returnflag")
+        // batch A: OLD names, metadata force-EMPTIED so the parquet
+        // writer stamps no field ids (the migrated-file shape)
+        writeOne(src.filter(col("l_orderkey") % 10 === 0)
+          .select(src.columns.toSeq.map(c => col(c).as(oldNames(c),
+            org.apache.spark.sql.types.Metadata.empty)): _*),
+          "data/a.parquet")
+        writeOne(graft.sources.IcebergLite.stampFieldIds(
+          src.filter(col("l_orderkey") % 10 === 1), liFieldIds),
+          "data/b.parquet")
+        def writeAvro(df: DataFrame, rel: String): Unit = {
+          val tmp = s"$root/_tmpavro"
+          df.coalesce(1).write.mode("overwrite").format(avroFmt).save(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(f => f.getName.startsWith("part-")).get
+          assert(part.renameTo(new java.io.File(s"$root/$rel")))
+          rm(new java.io.File(tmp))
+        }
+        import s.implicits._
+        writeAvro(Seq((1, "data/a.parquet"), (1, "data/b.parquet"))
+          .toDF("status", "file_path")
+          .select(col("status"),
+            struct(col("file_path"), lit(0).as("content"))
+              .as("data_file")), "metadata/m-1.avro")
+        writeAvro(Seq("metadata/m-1.avro").toDF("manifest_path")
+          .select(col("manifest_path"), lit(0).as("content")),
+          "metadata/snap-1.avro")
+        val fields = Seq(
+          (1, "l_orderkey", "long"), (2, "l_quantity", "double"),
+          (3, "l_extendedprice", "double"), (4, "l_returnflag", "string"))
+        val fieldsJson = fields.map { case (i, n, t) =>
+          s"""{"id":$i,"name":${jstr(n)},"required":false,"type":${jstr(t)}}"""
+        }.mkString("[", ",", "]")
+        val mappingJson = fields.map { case (i, n, _) =>
+          s"""{"field-id":$i,"names":[${jstr(oldNames(n))},${jstr(n)}]}"""
+        }.mkString("[", ",", "]")
+        val metaJson =
+          s"""{"format-version":2,"table-uuid":"graft-q436","location":${jstr(root)},
+             |"current-schema-id":0,
+             |"schemas":[{"schema-id":0,"type":"struct","fields":$fieldsJson}],
+             |"properties":{"schema.name-mapping.default":${jstr(mappingJson)}},
+             |"current-snapshot-id":1,
+             |"snapshots":[
+             | {"snapshot-id":1,"manifest-list":"metadata/snap-1.avro"}
+             |]}""".stripMargin
+        Files.writeString(Paths.get(root, "metadata", "v1.metadata.json"),
+          metaJson)
+        Files.writeString(Paths.get(root, "metadata", "version-hint.text"),
+          "1")
         root
       })
     }
@@ -3284,6 +3393,16 @@ object Storage extends QueryModule {
         |ORDER BY l_returnflag""".stripMargin,
     // renamed table reads both old- and new-named files: batches A∪B,
     // flag column served under its CURRENT name l_flag
+    // mapped leg (batch A, old names, no ids) ∪ field-id leg (batch B)
+    "q436_iceberg_name_mapping" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_price
+        |FROM lineitem WHERE l_orderkey % 10 IN (0, 1)
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "q425_iceberg_rename" ->
       """SELECT l_returnflag AS l_flag, count(*) AS n,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)

@@ -21,6 +21,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * time-travel arguments a format cannot express (e.g. a version on
   * Hudi, whose instants are strings) refuse with the native reader
   * named.
+  *
+  * SESSION-WIDE SIDE EFFECT (documented contract): reading an
+  * Iceberg table or a Delta columnMapping mode=id table through here
+  * permanently enables `spark.sql.parquet.fieldId.read.enabled` on
+  * the session ([[IcebergLite.enableFieldIdRead]]). That is inert
+  * for read schemas without `parquet.field.id` metadata, but an
+  * unrelated read whose USER-SUPPLIED schema carries that metadata
+  * switches from name to id resolution afterward.
   */
 object GraftLake {
 

@@ -34,10 +34,13 @@ import org.json4s.jackson.JsonMethods
   * columns mid-history — old- and new-named parquet files in one
   * snapshot — reads correctly in one native scan with no per-file
   * footer sweep (plan time stays O(manifests), never O(data files)).
-  * A parquet file with NO stored ids fails loudly (name-mapping
-  * fallback for migrated files is outside lite scope); ORC files keep
-  * name resolution (Spark's ORC reader has no field-id surface)
-  * guarded by a bounded per-file footer check.
+  * A parquet file with NO stored ids fails loudly — UNLESS the table
+  * carries `schema.name-mapping.default` (the spec's migration
+  * surface for Hive/raw-parquet imports), in which case one
+  * distributed footer sweep classifies files and id-less ones read
+  * by their MAPPED name and project back to current names. ORC files
+  * keep name resolution (Spark's ORC reader has no field-id surface)
+  * guarded by the same distributed footer sweep.
   *
   * v2 POSITIONAL deletes (content=1) are READ: delete parquets carry
   * (file_path, pos) rows naming dead ordinals in specific data files;
@@ -92,7 +95,9 @@ object IcebergLite {
                             files: Seq[String],
                             deleteFiles: Seq[String] = Nil,
                             fileSeqs: Map[String, Long] = Map.empty,
-                            eqDeletes: Seq[EqDelete] = Nil)
+                            eqDeletes: Seq[EqDelete] = Nil,
+                            nameMapping: Option[Map[Int, Seq[String]]] =
+                              None)
 
   private implicit val fmts: Formats = DefaultFormats
 
@@ -145,11 +150,16 @@ object IcebergLite {
   /** Enable parquet field-id READ resolution on the session. The flag
     * only changes behavior for read schemas that carry [[FieldIdKey]]
     * metadata (everything else keeps name resolution), so leaving it
-    * on session-wide is inert outside the Iceberg scans that need it.
-    * A parquet file with NO stored field ids under an id-carrying
-    * read schema fails LOUDLY in Spark ("read schema expects field
-    * Ids") — name-mapping fallback for id-less migrated files is
-    * outside lite scope. */
+    * on session-wide is inert for every scan whose read schema has no
+    * ids. CAVEAT (documented contract of the GraftLake entry points):
+    * the mutation IS session-wide and permanent — an unrelated read
+    * in the same session whose USER-SUPPLIED schema happens to carry
+    * [[FieldIdKey]] metadata switches from name to id resolution
+    * after the first Iceberg/Delta-mode=id scan. A parquet file with
+    * NO stored field ids under an id-carrying read schema fails
+    * LOUDLY in Spark ("read schema expects field Ids") — unless the
+    * table declares `schema.name-mapping.default`, which [[read]]
+    * serves via [[scanData]]'s mapped legs. */
   def enableFieldIdRead(spark: SparkSession): Unit =
     spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
 
@@ -192,6 +202,39 @@ object IcebergLite {
       })
       case _ =>
         throw new IllegalStateException(s"$where: schema has no fields")
+    }
+
+  /** Parse the table property `schema.name-mapping.default` — the
+    * spec's MIGRATION surface: a JSON list of `{"field-id": N,
+    * "names": [...]}` entries assigning ids to the columns of files
+    * written WITHOUT stored field ids (tables migrated from Hive/raw
+    * parquet). Flat mappings only — an entry carrying nested `fields`
+    * refuses (nested types are outside lite scope anyway). */
+  private[graft] def parseNameMapping(json: String,
+                                      where: String): Map[Int, Seq[String]] =
+    (try JsonMethods.parse(json) catch { case e: Exception =>
+      throw new IllegalStateException(
+        s"$where: malformed schema.name-mapping.default (${e.getMessage})")
+    }) match {
+      case JArray(entries) => entries.map { e =>
+        (e \ "fields") match {
+          case JNothing | JNull =>
+          case _ => throw new IllegalStateException(
+            s"$where: name-mapping entry carries nested 'fields' — " +
+              "nested mappings are outside IcebergLite scope")
+        }
+        val id = (e \ "field-id").extractOpt[Int].getOrElse(
+          throw new IllegalStateException(
+            s"$where: name-mapping entry without a field-id"))
+        val names = (e \ "names") match {
+          case JArray(ns) => ns.map(_.extract[String])
+          case _ => throw new IllegalStateException(
+            s"$where: name-mapping entry for field-id $id has no names")
+        }
+        id -> names
+      }.toMap
+      case _ => throw new IllegalStateException(
+        s"$where: schema.name-mapping.default is not a JSON list")
     }
 
   /** Schema field ids → names (the spec's stable column identity;
@@ -414,7 +457,12 @@ object IcebergLite {
           s"${e.path}: data file without a sequence number in a table " +
             "carrying equality deletes — cannot order the delete"))
       }.toMap
-    Snapshot(wantedId, schema, files, posDeletes, fileSeqs, eqDeletes)
+    val nameMapping =
+      (meta \ "properties" \ "schema.name-mapping.default")
+        .extractOpt[String]
+        .map(parseNameMapping(_, metaFile.toString))
+    Snapshot(wantedId, schema, files, posDeletes, fileSeqs, eqDeletes,
+      nameMapping)
   }
 
   /** INCREMENTAL APPEND read (Iceberg's documented
@@ -485,16 +533,20 @@ object IcebergLite {
       // session flag routes the scan through id matching, so renamed
       // columns read correctly with NO per-file footer sweep. ORC has
       // no field-id surface in Spark, so ORC files keep name
-      // resolution guarded by a bounded footer check per file (a
-      // rename mid-history leaves a mix of old- and new-named files).
+      // resolution — guarded by ONE distributed footer sweep
+      // (executor-side reads, O(files) names collected; a rename
+      // mid-history leaves a mix of old- and new-named files).
       enableFieldIdRead(spark)
-      for (f <- snap.files if f.endsWith(".orc")) {
-        val footer = spark.read.orc(f).schema.fieldNames.toSet
-        val missing = snap.schema.fieldNames.filterNot(footer.contains)
-        if (missing.nonEmpty) throw new IllegalStateException(
-          s"IcebergLite: $f lacks columns ${missing.mkString(", ")} — " +
-            "the table likely renamed columns (ORC reads resolve by " +
-            "name; field-id resolution is parquet-only)")
+      val orcFiles = snap.files.filter(_.endsWith(".orc"))
+      if (orcFiles.nonEmpty) {
+        val footers = FooterSweep.orcColumns(spark, orcFiles)
+        for ((f, names) <- footers.toSeq.sortBy(_._1)) {
+          val missing = snap.schema.fieldNames.filterNot(names.toSet)
+          if (missing.nonEmpty) throw new IllegalStateException(
+            s"IcebergLite: $f lacks columns ${missing.mkString(", ")} — " +
+              "the table likely renamed columns (ORC reads resolve by " +
+              "name; field-id resolution is parquet-only)")
+        }
       }
       // ORC data files (file_format=ORC tables) ride the same
       // homogeneous vectorized scan; positional deletes are pinned to
@@ -508,7 +560,7 @@ object IcebergLite {
         if (!d.endsWith(".parquet")) throw new IllegalStateException(
           s"IcebergLite: delete file $d is not parquet — non-parquet " +
             "delete files are outside lite scope")
-      val data = ColumnarScan(spark, tableDir, Some(snap.schema), snap.files)
+      val data = scanData(spark, tableDir, snap)
       val afterPos =
         if (snap.deleteFiles.isEmpty) data
         else {
@@ -532,6 +584,92 @@ object IcebergLite {
         }
       if (snap.eqDeletes.isEmpty) afterPos
       else applyEqualityDeletes(spark, tableDir, snap, afterPos)
+    }
+  }
+
+  /** The snapshot's data scan. Without a name mapping this is ONE
+    * native columnar scan resolving parquet columns by field id (an
+    * id-less file under the id-carrying read schema fails LOUDLY in
+    * Spark). With the table property `schema.name-mapping.default`
+    * present — the spec's surface for tables MIGRATED from Hive/raw
+    * parquet, whose old files legally carry no ids — one distributed
+    * footer sweep classifies the parquet files: id-stamped files keep
+    * the field-id scan; id-less files read BY THE MAPPED NAME (each
+    * schema field's id looks up its candidate names; exactly one must
+    * match the file's columns — zero means null for optional / refuse
+    * for required, several refuse as ambiguous) and project back to
+    * current names, one scan leg per distinct name signature
+    * (signatures are schema-bounded, so legs stay a handful). A file
+    * mixing id-stamped and id-less columns refuses, as does a mapped
+    * table carrying delete files next to id-less data files (the
+    * delete joins key on `_metadata` of a single homogeneous scan). */
+  private def scanData(spark: SparkSession, tableDir: String,
+                       snap: Snapshot): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val parquetFiles = snap.files.filter(_.endsWith(".parquet"))
+    snap.nameMapping match {
+      case Some(mapping) if parquetFiles.nonEmpty =>
+        val fields = FooterSweep.parquetFields(spark, parquetFiles)
+        val idLess = fields.collect {
+          case (f, cols) if cols.forall(_._2.isEmpty) => f }.toSeq.sorted
+        val withIds = fields.collect {
+          case (f, cols) if cols.forall(_._2.nonEmpty) => f }.toSeq.sorted
+        val partial =
+          fields.keySet -- idLess.toSet -- withIds.toSet
+        if (partial.nonEmpty) throw new IllegalStateException(
+          s"IcebergLite: ${partial.toSeq.sorted.head} mixes id-stamped " +
+            "and id-less columns — cannot pick a resolution mode")
+        if (idLess.isEmpty)
+          ColumnarScan(spark, tableDir, Some(snap.schema), snap.files)
+        else {
+          if (snap.deleteFiles.nonEmpty || snap.eqDeletes.nonEmpty)
+            throw new IllegalStateException(
+              s"IcebergLite: delete files next to id-less data files " +
+                "under a name mapping — outside lite scope (the delete " +
+                "joins need one homogeneous scan)")
+          val idLeg =
+            if (withIds.isEmpty) Nil
+            else Seq(ColumnarScan(spark, tableDir, Some(snap.schema),
+              withIds))
+          // per id-less file: the stored name serving each schema field
+          val groups = idLess.groupBy { f =>
+            val present = fields(f).map(_._1).toSet
+            snap.schema.fields.toSeq.map { sf =>
+              val id = sf.metadata.getLong(FieldIdKey).toInt
+              val hits = mapping.getOrElse(id, Nil).filter(present)
+              hits match {
+                case Seq(one) => Some(one)
+                case Seq() =>
+                  if (!sf.nullable) throw new IllegalStateException(
+                    s"IcebergLite: $f has no column the name mapping " +
+                      s"assigns to required field ${sf.name} (id $id)")
+                  None
+                case many => throw new IllegalStateException(
+                  s"IcebergLite: $f matches field id $id under SEVERAL " +
+                    s"mapped names (${many.mkString(", ")}) — ambiguous")
+              }
+            }
+          }
+          val mappedLegs = groups.toSeq.sortBy(_._2.head)
+            .map { case (sig, fs) =>
+              val readSchema = StructType(
+                snap.schema.fields.toSeq.zip(sig).collect {
+                  // id-LESS read schema: field-id resolution must stay
+                  // inert for these files
+                  case (sf, Some(n)) => StructField(n, sf.dataType,
+                    sf.nullable)
+                })
+              spark.read.schema(readSchema).parquet(fs: _*)
+                .select(snap.schema.fields.toSeq.zip(sig).map {
+                  case (sf, Some(n)) => col(n).as(sf.name)
+                  case (sf, None) =>
+                    lit(null).cast(sf.dataType).as(sf.name)
+                }: _*)
+            }
+          (idLeg ++ mappedLegs).reduce(_ unionByName _)
+        }
+      case _ =>
+        ColumnarScan(spark, tableDir, Some(snap.schema), snap.files)
     }
   }
 

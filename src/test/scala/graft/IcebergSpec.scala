@@ -642,6 +642,102 @@ class IcebergSpec extends AnyFunSuite {
     assert(chain(e).exists(_.toLowerCase.contains("field id")))
   }
 
+  private def unstamped(root: String, out: String,
+                        df: org.apache.spark.sql.DataFrame): Unit = {
+    val tmp = s"$root/_tmpu"
+    import org.apache.spark.sql.types.Metadata
+    df.select(df.columns.toSeq.map(c =>
+      col(c).as(c, Metadata.empty)): _*)
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val p = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith(".")).get
+    assert(p.renameTo(new java.io.File(s"$root/$out")))
+    rm(new java.io.File(tmp))
+  }
+
+  private def addMapping(root: String, mapping: String): Unit = {
+    val metaPath = Paths.get(root, "metadata", "v3.metadata.json")
+    val meta = Files.readString(metaPath).replace(
+      """"current-schema-id":0,""",
+      s""""properties":{"schema.name-mapping.default":${
+        jstr(mapping)}},"current-schema-id":0,""")
+    Files.writeString(metaPath, meta): Unit
+  }
+
+  test("name mapping reads id-less old-named files next to " +
+    "id-stamped ones (one footer sweep, two legs)") {
+    import spark.implicits._
+    val root = fixture("nmap")
+    // f1 becomes an id-LESS file under PRE-MIGRATION names
+    unstamped(root, "data/f1.parquet",
+      spark.range(5, 10).select(col("id").as("id_old"),
+        (col("id") * 3).as("v_old")))
+    addMapping(root,
+      """[{"field-id":1,"names":["id_old","id"]},""" +
+        """{"field-id":2,"names":["v_old","v"]}]""")
+    // snapshot 1 holds BOTH f0 (id-stamped) and f1 (id-less, mapped)
+    val got = IcebergLite.read(spark, root, snapshotId = Some(1L))
+    assert(got.schema.fieldNames.toSeq == Seq("id", "v"))
+    assert(got.as[(Long, Long)].collect().sorted.toSeq ==
+      (0L to 9L).map(i => (i, i * 3)))
+  }
+
+  test("name mapping: several matching names refuse as ambiguous; " +
+    "an unmatched OPTIONAL field reads null; nested mappings refuse") {
+    import spark.implicits._
+    val root = fixture("nmapedge")
+    unstamped(root, "data/f1.parquet",
+      spark.range(5, 10).select(col("id").as("ia"),
+        (col("id") * 2).as("ib")))
+    addMapping(root,
+      """[{"field-id":1,"names":["ia","ib"]},""" +
+        """{"field-id":2,"names":["v_old"]}]""")
+    val e = intercept[IllegalStateException] {
+      IcebergLite.read(spark, root).collect()
+    }
+    assert(e.getMessage.contains("ambiguous"))
+    // field 1 matches ia alone; field 2 (optional) matches nothing →
+    // null column, never a silent wrong value
+    val root2 = fixture("nmapnull")
+    unstamped(root2, "data/f1.parquet",
+      spark.range(5, 10).select(col("id").as("ia"),
+        (col("id") * 2).as("ignored")))
+    addMapping(root2, """[{"field-id":1,"names":["ia"]},""" +
+      """{"field-id":2,"names":["v_old"]}]""")
+    val got = IcebergLite.read(spark, root2)
+      .as[(Long, Option[Long])].collect().sorted.toSeq
+    assert(got == (5L to 9L).map(i => (i, None)))
+    intercept[IllegalStateException] {
+      IcebergLite.parseNameMapping(
+        """[{"field-id":1,"names":["a"],"fields":[]}]""", "spec")
+    }
+  }
+
+  test("a file mixing id-stamped and id-less columns refuses; " +
+    "id-less files WITHOUT a mapping still refuse") {
+    val root = fixture("nmapmixed")
+    // one column carries a field id, the other does not
+    import org.apache.spark.sql.types.{Metadata, MetadataBuilder}
+    val tmp = s"$root/_tmpm"
+    spark.range(5, 10).select(
+      col("id").as("id",
+        new MetadataBuilder().putLong("parquet.field.id", 1L).build()),
+      (col("id") * 3).as("v", Metadata.empty))
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val p = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith(".")).get
+    assert(p.renameTo(new java.io.File(s"$root/data/f1.parquet")))
+    rm(new java.io.File(tmp))
+    addMapping(root, """[{"field-id":1,"names":["id"]},""" +
+      """{"field-id":2,"names":["v"]}]""")
+    val e = intercept[IllegalStateException] {
+      IcebergLite.read(spark, root).collect()
+    }
+    assert(e.getMessage.contains("mixes id-stamped"))
+  }
+
   test("missing metadata refuses loudly") {
     intercept[IllegalStateException] {
       IcebergLite.snapshot(spark, "/tmp/graft_icespec/nope")
