@@ -726,6 +726,21 @@ object Storage extends QueryModule {
         .orderBy(col("_row_kind"))
     },
 
+    // PARTITIONED Paimon changelog — each changelog manifest entry's
+    // _PARTITION BinaryRow decodes and the partition column attaches
+    // exactly like the batch path, so the census can group BY the
+    // partition column alongside _row_kind. The upsert commit's
+    // changelog per partition: +U doubled updates, -D deletes.
+    "q437_paimon_part_changelog" -> { (s, dir) =>
+      graft.sources.PaimonLite
+        .readChangelog(s, authorPaimonPartPkTable(s, dir), 2L)
+        .groupBy(col("o_orderstatus"), col("_row_kind"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_price"))
+        .orderBy(col("o_orderstatus"), col("_row_kind"))
+    },
+
     // STREAMING Delta-log read — DeltaStreamLite (v1 Source: offsets
     // are log versions, each micro-batch the files added in a version
     // range). The query authors an append-only Delta table commit by
@@ -828,6 +843,37 @@ object Storage extends QueryModule {
         q.processAllAvailable()
       } finally q.stop()
       s.table("q402_sink").orderBy(col("l_returnflag"))
+    },
+
+    // STREAMING over a PARTITIONED Paimon table — the census groups
+    // BY THE PARTITION COLUMN, which never sits in the data files:
+    // every value comes from the per-batch _PARTITION BinaryRow
+    // decode (initial snapshot AND incremental deltas), so a wrong
+    // decode or a dropped attachment hash-mismatches.
+    "q438_paimon_part_stream" -> { (s, dir) =>
+      val root = authorPaimonPartStreamTable(s, dir, upTo = 1)
+      s.catalog.dropTempView("q438_sink"): Unit
+      val stream = s.readStream
+        .format("org.apache.spark.sql.graftstream.PaimonStreamLite")
+        .option("path", root)
+        .option("maxSnapshotsPerTrigger", "1")
+        .load()
+      val agg = stream.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_qty"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_price"))
+      val q = agg.writeStream.outputMode("complete")
+        .format("memory").queryName("q438_sink").start()
+      try {
+        q.processAllAvailable()
+        appendPaimonPartSnapshot(s, dir, root, 2)
+        q.processAllAvailable()
+        appendPaimonPartSnapshot(s, dir, root, 3)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table("q438_sink").orderBy(col("l_returnflag"))
     },
 
     // STREAMING lakehouse ETL LOOP — DeltaStreamLite source →
@@ -2825,6 +2871,100 @@ object Storage extends QueryModule {
       Paths.get(root, "snapshot", "LATEST"), k.toString)
   }
 
+  /** Authors the PARTITIONED append-only Paimon table q438 streams
+    * from — the same snapshot cadence as [[authorPaimonStreamTable]]
+    * but partitioned by l_returnflag: each batch's rows split across
+    * `l_returnflag=<v>/bucket-0/` files (excluding the partition
+    * column, Paimon-style) and every manifest entry carries its
+    * _PARTITION BinaryRow. NOT memoized: the stream test appends
+    * snapshots mid-run. */
+  private def authorPaimonPartStreamTable(s: SparkSession, dir: String,
+                                          upTo: Int): String = {
+    import java.nio.file.{Files, Paths}
+    val root =
+      s"/tmp/graft_paimonstream/part_${Integer.toHexString(dir.hashCode)}"
+    def rm(p: java.io.File): Unit = {
+      if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+      p.delete(): Unit
+    }
+    rm(new java.io.File(root))
+    for (d <- Seq("snapshot", "schema", "manifest"))
+      Files.createDirectories(Paths.get(root, d))
+    Files.writeString(Paths.get(root, "schema", "schema-0"),
+      """{"id":0,"fields":[
+        | {"id":0,"name":"l_orderkey","type":"BIGINT"},
+        | {"id":1,"name":"l_quantity","type":"DOUBLE"},
+        | {"id":2,"name":"l_extendedprice","type":"DOUBLE"},
+        | {"id":3,"name":"l_returnflag","type":"STRING"}],
+        |"highestFieldId":3,"partitionKeys":["l_returnflag"],
+        |"primaryKeys":[],
+        |"options":{"file.format":"parquet"}}""".stripMargin)
+    for (k <- 1 to upTo) appendPaimonPartSnapshot(s, dir, root, k)
+    root
+  }
+
+  /** Appends snapshot `k` to the q438 partitioned stream table: batch
+    * (l_orderkey%10 == k-1) split per l_returnflag partition. */
+  private def appendPaimonPartSnapshot(s: SparkSession, dir: String,
+                                       root: String, k: Int): Unit = {
+    import java.nio.file.{Files, Paths}
+    val avroFmt = "org.apache.spark.sql.avro.AvroFileFormat"
+    def rm(p: java.io.File): Unit = {
+      if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+      p.delete(): Unit
+    }
+    val batch = Tables.df(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"),
+        col("l_extendedprice"), col("l_returnflag"))
+      .filter(col("l_orderkey") % 10 === (k - 1))
+    val flags = batch.select(col("l_returnflag")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    for (f <- flags) {
+      Files.createDirectories(
+        Paths.get(root, s"l_returnflag=$f", "bucket-0"))
+      val tmp = s"$root/_tmp"
+      batch.filter(col("l_returnflag") === f).drop("l_returnflag")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(p => p.getName.endsWith(".parquet") &&
+          !p.getName.startsWith(".")).get
+      assert(part.renameTo(new java.io.File(
+        s"$root/l_returnflag=$f/bucket-0/data-b$k.parquet")))
+      rm(new java.io.File(tmp))
+    }
+    def writeAvro(df: DataFrame, rel: String): Unit = {
+      val t2 = s"$root/_tmpavro"
+      df.coalesce(1).write.mode("overwrite").format(avroFmt).save(t2)
+      val p = new java.io.File(t2).listFiles()
+        .find(_.getName.startsWith("part-")).get
+      assert(p.renameTo(new java.io.File(s"$root/$rel")))
+      rm(new java.io.File(t2))
+    }
+    import s.implicits._
+    writeAvro(flags.map(f => (0, s"data-b$k.parquet",
+      graft.sources.BinaryRowCodec.encode(Seq(f),
+        Seq(org.apache.spark.sql.types.StringType))))
+      .toDF("_KIND", "_fn", "_PARTITION")
+      .select(col("_KIND"), col("_PARTITION"), lit(0).as("_BUCKET"),
+        struct(col("_fn").as("_FILE_NAME")).as("_FILE")),
+      s"manifest/m$k.avro")
+    def mlist(rel: String, names: Seq[String]): Unit =
+      writeAvro(
+        if (names.isEmpty) Seq.empty[String].toDF("_FILE_NAME")
+        else names.toDF("_FILE_NAME"), rel)
+    mlist(s"manifest/ml-base-$k.avro", (1 until k).map(i => s"m$i.avro"))
+    mlist(s"manifest/ml-delta-$k.avro", Seq(s"m$k.avro"))
+    graft.sources.AtomicFiles.write(
+      Paths.get(root, "snapshot", s"snapshot-$k"),
+      s"""{"version":3,"id":$k,"schemaId":0,
+         |"baseManifestList":"ml-base-$k.avro",
+         |"deltaManifestList":"ml-delta-$k.avro",
+         |"commitKind":"APPEND","commitUser":"graft",
+         |"commitIdentifier":$k,"timeMillis":0}""".stripMargin)
+    graft.sources.AtomicFiles.write(
+      Paths.get(root, "snapshot", "LATEST"), k.toString)
+  }
+
   private val paimonMemo = scala.collection.mutable.Map.empty[String, String]
 
   /** Authors the two-snapshot Paimon-layout append-only lineitem table
@@ -3182,6 +3322,9 @@ object Storage extends QueryModule {
               struct(col("_fn").as("_FILE_NAME")).as("_FILE")), rel)
         manifest("manifest/m-ins.avro", "kv-ins.parquet")
         manifest("manifest/m-ups.avro", "kv-ups.parquet")
+        // the upsert commit's CHANGELOG (producer=input materializes
+        // the raw input rows — here the same KeyValue file serves)
+        manifest("manifest/m-cl.avro", "kv-ups.parquet")
         def mlist(rel: String, names: String*): Unit =
           writeAvro(
             if (names.isEmpty) Seq.empty[String].toDF("_FILE_NAME")
@@ -3189,6 +3332,7 @@ object Storage extends QueryModule {
         mlist("manifest/ml-empty.avro")
         mlist("manifest/ml-ins.avro", "m-ins.avro")
         mlist("manifest/ml-ups.avro", "m-ups.avro")
+        mlist("manifest/ml-cl.avro", "m-cl.avro")
         Files.writeString(Paths.get(root, "schema", "schema-0"),
           """{"id":0,"fields":[
             | {"id":0,"name":"o_orderkey","type":"BIGINT"},
@@ -3198,16 +3342,18 @@ object Storage extends QueryModule {
             |"partitionKeys":["o_orderstatus"],
             |"primaryKeys":["o_orderstatus","o_orderkey"],
             |"options":{"file.format":"parquet"}}""".stripMargin)
-        def snapJson(id: Long, bs: String, dl: String): String =
+        def snapJson(id: Long, bs: String, dl: String,
+                     cl: Option[String] = None): String =
           s"""{"version":3,"id":$id,"schemaId":0,
              |"baseManifestList":${jstr(bs)},
-             |"deltaManifestList":${jstr(dl)},
+             |"deltaManifestList":${jstr(dl)},${cl.map(c =>
+            s""""changelogManifestList":${jstr(c)},""").getOrElse("")}
              |"commitKind":"APPEND","commitUser":"graft",
              |"commitIdentifier":$id,"timeMillis":0}""".stripMargin
         Files.writeString(Paths.get(root, "snapshot", "snapshot-1"),
           snapJson(1, "ml-empty.avro", "ml-ins.avro"))
         Files.writeString(Paths.get(root, "snapshot", "snapshot-2"),
-          snapJson(2, "ml-ins.avro", "ml-ups.avro"))
+          snapJson(2, "ml-ins.avro", "ml-ups.avro", Some("ml-cl.avro")))
         Files.writeString(Paths.get(root, "snapshot", "LATEST"), "2")
         root
       })
@@ -3759,6 +3905,32 @@ object Storage extends QueryModule {
         |FROM lineitem WHERE l_orderkey % 10 IN (0, 1, 2)
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    // partitioned stream: same batches, flag values via BinaryRow
+    "q438_paimon_part_stream" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_price
+        |FROM lineitem WHERE l_orderkey % 10 IN (0, 1, 2)
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    // partitioned changelog: +U/-D per partition from the upsert commit
+    "q437_paimon_part_changelog" ->
+      """WITH b AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        |  WHERE o_orderkey % 10 < 5),
+        |ch AS (
+        |  SELECT o_orderstatus, '+U' AS _row_kind,
+        |    o_totalprice * 2 AS p
+        |  FROM b WHERE o_orderkey % 10 IN (3, 4)
+        |  UNION ALL
+        |  SELECT o_orderstatus, '-D', o_totalprice
+        |  FROM b WHERE o_orderkey % 10 = 0)
+        |SELECT o_orderstatus, _row_kind, count(*) AS n,
+        | CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM ch GROUP BY o_orderstatus, _row_kind
+        |ORDER BY o_orderstatus, _row_kind""".stripMargin,
     // source commits 0,1,2 streamed through the sink = batches A∪B∪C
     "q403_delta_stream_sink" ->
       """SELECT l_returnflag, count(*) AS n,

@@ -55,8 +55,9 @@ import org.json4s.jackson.JsonMethods
   *  - primary-key tables with a NON-default merge engine
   *    (partial-update / aggregation / first-row) are refused;
   *  - partition keys of date/timestamp/float types are refused (path
-  *    spelling is writer-configurable); changelog and STREAMING reads
-  *    of partitioned tables are refused — batch reads support them;
+  *    spelling is writer-configurable); batch, changelog AND
+  *    streaming reads all serve partitioned tables (the change
+  *    surfaces decode _PARTITION exactly like the batch path);
   *  - parquet and ORC data files (Paimon's default file.format is
   *    orc); any other extension, or a snapshot mixing the two
   *    formats, is refused;
@@ -291,19 +292,8 @@ object PaimonLite {
 
     // validate partition-key types up front (path formatting and
     // BinaryRow decode both need the bounded primitive set)
-    val partTypes: Seq[DataType] = partitionKeys.map { k =>
-      val f = schema.find(_.name == k).getOrElse(
-        throw new IllegalStateException(
-          s"$schemaFile: partition key $k is not a schema field"))
-      f.dataType match {
-        case t @ (BooleanType | ByteType | ShortType | IntegerType |
-                  LongType | StringType) => t
-        case other => throw new IllegalStateException(
-          s"$schemaFile: partition key $k has type ${other.simpleString}" +
-            " — PaimonLite reads string/integral/boolean partition keys " +
-            "only (date/timestamp partition paths are outside lite scope)")
-      }
-    }
+    val partTypes: Seq[DataType] =
+      boundedPartTypes(schema, partitionKeys, schemaFile.toString)
 
     // replay ADD/DELETE per (partition, bucket, file name); later
     // entries win. Partition values ride each entry's _PARTITION
@@ -351,6 +341,54 @@ object PaimonLite {
       defaultPartName)
   }
 
+  /** The bounded partition-key types PaimonLite serves (path spelling
+    * and BinaryRow decode both need the primitive set); anything else
+    * refuses with the schema file named. */
+  private def boundedPartTypes(schema: StructType,
+                               partitionKeys: Seq[String],
+                               where: String): Seq[DataType] =
+    partitionKeys.map { k =>
+      val f = schema.find(_.name == k).getOrElse(
+        throw new IllegalStateException(
+          s"$where: partition key $k is not a schema field"))
+      f.dataType match {
+        case t @ (BooleanType | ByteType | ShortType | IntegerType |
+                  LongType | StringType) => t
+        case other => throw new IllegalStateException(
+          s"$where: partition key $k has type ${other.simpleString}" +
+            " — PaimonLite reads string/integral/boolean partition keys " +
+            "only (date/timestamp partition paths are outside lite scope)")
+      }
+    }
+
+  /** Scan APPEND-ONLY value files with their partition values
+    * attached as typed literal columns — one native columnar scan per
+    * PARTITION TUPLE (Paimon data files exclude partition columns;
+    * values come from the manifests' BinaryRows). Shared by the batch
+    * read, the changelog read and the streaming source. */
+  def scanAppendFiles(spark: SparkSession,
+                                     tableDir: String, schema: StructType,
+                                     partitionKeys: Seq[String],
+                                     defaultPartName: String,
+                                     files: Seq[DataFile]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    if (files.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val valueSchema = StructType(
+      schema.filterNot(f => partitionKeys.contains(f.name)))
+    files.groupBy(_.partition).toSeq
+      .sortBy(_._1.map(v => partPathValue(v, defaultPartName))
+        .mkString("/"))
+      .map { case (part, fl) =>
+        partitionKeys.zip(part).foldLeft(
+          ColumnarScan(spark, tableDir, Some(valueSchema),
+            fl.map(_.path))) { case (d, (k, v)) =>
+          d.withColumn(k, lit(v).cast(schema(k).dataType))
+        }.select(schema.fieldNames.map(col).toSeq: _*)
+      }.reduce(_ unionAll _)
+  }
+
   /** Hive-style escape set Paimon's partition paths use (published in
     * PartitionPathUtils, itself Hive's FileUtils.makePartName). */
   private val pathEscapeChars = ("\"#%'*/:=?\\{[]^" + "\u007f").toSet
@@ -390,11 +428,12 @@ object PaimonLite {
     if (!fs.exists(snapFile)) throw new IllegalArgumentException(
       s"$tableDir: snapshot $snapshotId not found")
     val snapJson = JsonMethods.parse(readText(fs, snapFile))
-    // value schema + KeyValue check ride the snapshot resolver
+    // value schema + KeyValue check ride the snapshot resolver;
+    // PARTITIONED tables decode each entry's _PARTITION BinaryRow and
+    // attach typed partition columns exactly like the batch path
     val snap = snapshot(spark, tableDir, Some(snapshotId))
-    if (snap.partitionKeys.nonEmpty) throw new IllegalStateException(
-      s"$tableDir: changelog reads on PARTITIONED tables are outside " +
-        "PaimonLite scope (batch reads support partitions)")
+    val partTypes = boundedPartTypes(snap.schema, snap.partitionKeys,
+      s"$tableDir changelog")
     def resolveManifest(name: String): String =
       if (name.startsWith("/") || name.contains("://") ||
         name.startsWith("file:")) resolve(tableDir, name)
@@ -412,12 +451,16 @@ object PaimonLite {
           "changelog reads need changelog-producer=input (or another " +
           "materializing producer)")
     }
-    val files = manifests.flatMap { mf =>
+    val files: Seq[DataFile] = manifests.flatMap { mf =>
       val p = resolveManifest(mf)
       val m = spark.read.format(AvroFmt).load(p)
       for (need <- Seq("_KIND", "_BUCKET", "_FILE"))
         if (!m.columns.contains(need)) throw new IllegalStateException(
           s"$p: manifest lacks $need")
+      if (snap.partitionKeys.nonEmpty && !m.columns.contains("_PARTITION"))
+        throw new IllegalStateException(
+          s"$p: partitioned table but the changelog manifest lacks " +
+            "_PARTITION — cannot place its files")
       m.collect().map { r =>
         if (r.getAs[Number]("_KIND").intValue() != 0)
           throw new IllegalStateException(
@@ -425,26 +468,42 @@ object PaimonLite {
         val bucket = r.getAs[Number]("_BUCKET").intValue()
         val name = r.getAs[org.apache.spark.sql.Row]("_FILE")
           .getAs[String]("_FILE_NAME")
-        s"$tableDir/bucket-$bucket/$name"
+        val part: Seq[Any] =
+          if (snap.partitionKeys.isEmpty) Nil
+          else BinaryRowCodec.decode(r.getAs[Array[Byte]]("_PARTITION"),
+            partTypes, s"$p ($name)")
+        val partDirs = snap.partitionKeys.zip(part).map { case (k, v) =>
+          s"$k=${partPathValue(v, snap.defaultPartName)}/"
+        }.mkString
+        DataFile(s"$tableDir/$partDirs" + s"bucket-$bucket/$name", part)
       }.toSeq
     }
+    val outSchema = StructType(snap.schema.fields :+
+      StructField("_row_kind", StringType, nullable = true))
     if (files.isEmpty)
       return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(snap.schema.fields :+
-          StructField("_row_kind", StringType, nullable = true)))
-    val raw = ColumnarScan(spark, tableDir, None, files)
-    val needed = Seq("_VALUE_KIND") ++ snap.schema.fieldNames
-    val missing = needed.filterNot(raw.columns.contains)
-    if (missing.nonEmpty) throw new IllegalStateException(
-      s"$tableDir: changelog files lack KeyValue columns " +
-        s"${missing.mkString(", ")}")
-    raw.select(snap.schema.fieldNames.map(col).toSeq :+
-      when(col("_VALUE_KIND").cast("int") === 0, "+I")
-        .when(col("_VALUE_KIND").cast("int") === 1, "-U")
-        .when(col("_VALUE_KIND").cast("int") === 2, "+U")
-        .when(col("_VALUE_KIND").cast("int") === 3, "-D")
-        .otherwise(null).as("_row_kind"): _*)
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+    val valueNames =
+      snap.schema.fieldNames.filterNot(snap.partitionKeys.contains)
+    files.groupBy(_.partition).toSeq
+      .sortBy(_._1.map(v => partPathValue(v, snap.defaultPartName))
+        .mkString("/"))
+      .map { case (part, fl) =>
+        val raw = ColumnarScan(spark, tableDir, None, fl.map(_.path))
+        val needed = Seq("_VALUE_KIND") ++ valueNames
+        val missing = needed.filterNot(raw.columns.contains)
+        if (missing.nonEmpty) throw new IllegalStateException(
+          s"$tableDir: changelog files lack KeyValue columns " +
+            s"${missing.mkString(", ")}")
+        snap.partitionKeys.zip(part).foldLeft(raw) { case (d, (k, v)) =>
+          d.withColumn(k, lit(v).cast(snap.schema(k).dataType))
+        }.select(snap.schema.fieldNames.map(col).toSeq :+
+          when(col("_VALUE_KIND").cast("int") === 0, "+I")
+            .when(col("_VALUE_KIND").cast("int") === 1, "-U")
+            .when(col("_VALUE_KIND").cast("int") === 2, "+U")
+            .when(col("_VALUE_KIND").cast("int") === 3, "-D")
+            .otherwise(null).as("_row_kind"): _*)
+      }.reduce(_ unionAll _)
   }
 
   /** Latest snapshot id: LATEST hint, else the highest snapshot-<N>.
@@ -509,11 +568,15 @@ object PaimonLite {
   }
 
   /** The data files ADDED by snapshot `id`'s DELTA manifest list — the
-    * per-commit change surface for streaming reads. APPEND-ONLY scope:
-    * a DELETE entry in the delta (compaction/overwrite) throws loudly,
-    * as does a snapshot whose JSON is gone (expired history). */
+    * per-commit change surface for streaming reads, PARTITION-AWARE
+    * (each entry's _PARTITION BinaryRow decodes through the snapshot's
+    * own schema, placing the file under its partition directory and
+    * carrying the typed values for column attachment). APPEND-ONLY
+    * scope: a DELETE entry in the delta (compaction/overwrite) throws
+    * loudly, as does a snapshot whose JSON is gone (expired
+    * history). */
   def deltaAdds(spark: SparkSession, tableDir: String,
-                id: Long): Seq[String] = {
+                id: Long): Seq[DataFile] = {
     val snapDir = new Path(tableDir, "snapshot")
     val fs = snapDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val snapFile = new Path(snapDir, s"snapshot-$id")
@@ -521,6 +584,38 @@ object PaimonLite {
       s"$tableDir: streaming range needs snapshot $id but its JSON is " +
         "gone (snapshot expiry passed the stream's offset)")
     val snap = JsonMethods.parse(readText(fs, snapFile))
+    // the commit's own schema document supplies partition keys/types
+    val schemaId = (snap \ "schemaId").extractOpt[Long].getOrElse(0L)
+    val schemaFile = new Path(tableDir, s"schema/schema-$schemaId")
+    if (!fs.exists(schemaFile)) throw new IllegalStateException(
+      s"$tableDir: schema/schema-$schemaId missing")
+    val schemaJson = JsonMethods.parse(readText(fs, schemaFile))
+    val partitionKeys: Seq[String] = (schemaJson \ "partitionKeys") match {
+      case JArray(ks) => ks.map(_.extract[String])
+      case _          => Nil
+    }
+    val defaultPartName =
+      (schemaJson \ "options" \ "partition.default-name")
+        .extractOpt[String].getOrElse("__DEFAULT_PARTITION__")
+    val partTypes: Seq[DataType] =
+      if (partitionKeys.isEmpty) Nil
+      else {
+        val schema = (schemaJson \ "fields") match {
+          case JArray(fls) => StructType(fls.map { f =>
+            val name = (f \ "name").extract[String]
+            (f \ "type") match {
+              case JString(t) =>
+                val (dt, nullable) = paimonType(t, schemaFile.toString)
+                StructField(name, dt, nullable)
+              case _ => throw new IllegalStateException(
+                s"$schemaFile: field $name has a non-primitive type")
+            }
+          })
+          case _ => throw new IllegalStateException(
+            s"$schemaFile: schema has no fields")
+        }
+        boundedPartTypes(schema, partitionKeys, schemaFile.toString)
+      }
     def resolveManifest(name: String): String =
       if (name.startsWith("/") || name.contains("://") ||
         name.startsWith("file:")) resolve(tableDir, name)
@@ -543,6 +638,10 @@ object PaimonLite {
       for (need <- Seq("_KIND", "_BUCKET", "_FILE"))
         if (!m.columns.contains(need)) throw new IllegalStateException(
           s"$p: manifest lacks $need")
+      if (partitionKeys.nonEmpty && !m.columns.contains("_PARTITION"))
+        throw new IllegalStateException(
+          s"$p: partitioned table but the delta manifest lacks " +
+            "_PARTITION — cannot place its files")
       m.collect().map { r =>
         val kind = r.getAs[Number]("_KIND").intValue()
         val bucket = r.getAs[Number]("_BUCKET").intValue()
@@ -555,7 +654,14 @@ object PaimonLite {
         if (!name.endsWith(".parquet") && !name.endsWith(".orc"))
           throw new IllegalStateException(
             s"$tableDir: data file $name is neither parquet nor orc")
-        s"$tableDir/bucket-$bucket/$name"
+        val part: Seq[Any] =
+          if (partitionKeys.isEmpty) Nil
+          else BinaryRowCodec.decode(r.getAs[Array[Byte]]("_PARTITION"),
+            partTypes, s"$p ($name)")
+        val partDirs = partitionKeys.zip(part).map { case (k, v) =>
+          s"$k=${partPathValue(v, defaultPartName)}/"
+        }.mkString
+        DataFile(s"$tableDir/$partDirs" + s"bucket-$bucket/$name", part)
       }.toSeq
     }
   }
@@ -588,14 +694,8 @@ object PaimonLite {
       .sortBy(_._1.map(v => partPathValue(v, snap.defaultPartName))
         .mkString("/"))
     if (snap.primaryKeys.isEmpty) {
-      val valueSchema = StructType(
-        snap.schema.filterNot(f => partCols.contains(f.name)))
-      groups.map { case (part, fl) =>
-        withPartitionCols(
-          ColumnarScan(spark, tableDir, Some(valueSchema), fl.map(_.path)),
-          part)
-          .select(snap.schema.fieldNames.map(col).toSeq: _*)
-      }.reduce(_ unionAll _)
+      scanAppendFiles(spark, tableDir, snap.schema, partCols,
+        snap.defaultPartName, snap.files)
     } else {
       // stored keys are the TRIMMED primary key (pk minus partition
       // keys — Paimon strips partition columns from the KeyValue key);

@@ -1,6 +1,6 @@
 package org.apache.spark.sql.graftstream
 
-import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
@@ -61,14 +61,6 @@ class PaimonStreamSource(spark: SparkSession, tableDir: String,
     s"$tableDir: primary-key table (keys ${initial.primaryKeys
       .mkString(", ")}) — PaimonStreamLite streams APPEND-ONLY tables " +
       "only (upsert changelogs are outside lite streaming scope)")
-  // partitioned streaming would need deltaAdds to decode _PARTITION
-  // and attach partition columns per batch — batch reads support
-  // partitions; streaming keeps the unpartitioned scope
-  if (initial.partitionKeys.nonEmpty) throw new IllegalStateException(
-    s"$tableDir: PARTITIONED table (keys ${initial.partitionKeys
-      .mkString(", ")}) — PaimonStreamLite streams unpartitioned " +
-      "tables only (batch reads support partitions)")
-
   override def schema: StructType = initial.schema
 
   override protected def latestOffset(): Long =
@@ -77,25 +69,24 @@ class PaimonStreamSource(spark: SparkSession, tableDir: String,
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val endId = ver(end)
     observe(endId)
-    val files = start match {
+    // PARTITIONED tables stream like they batch-read: each file
+    // carries its decoded _PARTITION values and the shared scan
+    // attaches them as typed literal columns per partition group
+    val files: Seq[PaimonLite.DataFile] = start match {
       case None =>
         // initial batch: the full snapshot at endId — schema pinned
         val snap = PaimonLite.snapshot(spark, tableDir, Some(endId))
         if (snap.schema.json != initial.schema.json)
           throw new IllegalStateException(
             s"$tableDir: schema changed mid-stream")
-        snap.files.map(_.path)
+        snap.files
       case Some(s) =>
         ((ver(s) + 1) to endId).flatMap(
           PaimonLite.deltaAdds(spark, tableDir, _))
     }
-    val batch =
-      if (files.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[Row], initial.schema)
-      else graft.sources.ColumnarScan(spark, tableDir,
-        Some(initial.schema), files)
-    asStreamingBatch(batch)
+    asStreamingBatch(PaimonLite.scanAppendFiles(spark, tableDir,
+      initial.schema, initial.partitionKeys, initial.defaultPartName,
+      files))
   }
 
   override def toString: String = s"PaimonStreamLite[$tableDir]"

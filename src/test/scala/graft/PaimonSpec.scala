@@ -533,17 +533,67 @@ class PaimonSpec extends AnyFunSuite {
     assert(e.getMessage.contains("partition key v"))
   }
 
-  test("partitioned changelog and streaming reads refuse loudly") {
-    val root = partFixture("partrefuse")
-    val e = intercept[IllegalStateException] {
-      PaimonLite.readChangelog(spark, root, 1L)
+  test("partitioned changelog read decodes _PARTITION and attaches " +
+    "typed partition columns per group") {
+    import graft.sources.BinaryRowCodec
+    import org.apache.spark.sql.types.StringType
+    import spark.implicits._
+    val root = s"/tmp/graft_paimonspec/partcl"
+    rm(new java.io.File(root))
+    for (d <- Seq("snapshot", "schema", "manifest"))
+      Files.createDirectories(Paths.get(root, d))
+    def writeAvro(d: org.apache.spark.sql.DataFrame, rel: String): Unit = {
+      val tmp = s"$root/_tmpavro"
+      d.coalesce(1).write.mode("overwrite").format(avroFmt).save(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.startsWith("part-")).get
+      assert(part.renameTo(new java.io.File(s"$root/$rel")))
+      rm(new java.io.File(tmp))
     }
-    assert(e.getMessage.contains("PARTITIONED"))
-    val e2 = intercept[IllegalStateException] {
-      new org.apache.spark.sql.graftstream.PaimonStreamSource(
-        spark, root, None)
+    // changelog KeyValue files under their partition dirs: p=a holds
+    // an insert and a delete, p=b an update-after
+    def cl(pv: String, rows: Seq[(Int, Long, Long)]): Unit = {
+      Files.createDirectories(Paths.get(root, s"p=$pv", "bucket-0"))
+      val tmp = s"$root/_tmp"
+      rows.toDF("_VALUE_KIND", "id", "v")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith(".")).get
+      assert(part.renameTo(
+        new java.io.File(s"$root/p=$pv/bucket-0/cl.parquet")))
+      rm(new java.io.File(tmp))
     }
-    assert(e2.getMessage.contains("PARTITIONED"))
+    cl("a", Seq((0, 0L, 1L), (3, 1L, 2L)))
+    cl("b", Seq((2, 0L, 9L)))
+    writeAvro(Seq("a", "b").map(v => (0, "cl.parquet",
+      BinaryRowCodec.encode(Seq(v), Seq(StringType))))
+      .toDF("_KIND", "_fn", "_PARTITION")
+      .select(col("_KIND"), col("_PARTITION"), lit(0).as("_BUCKET"),
+        struct(col("_fn").as("_FILE_NAME")).as("_FILE")),
+      "manifest/m-cl.avro")
+    writeAvro(Seq.empty[String].toDF("_FILE_NAME"), "manifest/ml-e.avro")
+    writeAvro(Seq("m-cl.avro").toDF("_FILE_NAME"), "manifest/ml-cl.avro")
+    Files.writeString(Paths.get(root, "schema", "schema-0"),
+      """{"id":0,"fields":[
+        | {"id":0,"name":"id","type":"BIGINT"},
+        | {"id":1,"name":"v","type":"BIGINT"},
+        | {"id":2,"name":"p","type":"STRING"}],
+        |"highestFieldId":2,"partitionKeys":["p"],
+        |"primaryKeys":["p","id"],"options":{}}""".stripMargin)
+    Files.writeString(Paths.get(root, "snapshot", "snapshot-1"),
+      """{"version":3,"id":1,"schemaId":0,
+        |"baseManifestList":"ml-e.avro","deltaManifestList":"ml-e.avro",
+        |"changelogManifestList":"ml-cl.avro",
+        |"commitKind":"APPEND","commitUser":"t","commitIdentifier":1,
+        |"timeMillis":0}""".stripMargin)
+    Files.writeString(Paths.get(root, "snapshot", "LATEST"), "1")
+    val got = PaimonLite.readChangelog(spark, root, 1L)
+    assert(got.schema.fieldNames.toSeq == Seq("id", "v", "p", "_row_kind"))
+    val rows = got.select("p", "id", "v", "_row_kind")
+      .as[(String, Long, Long, String)].collect().sorted.toSeq
+    assert(rows == Seq(("a", 0L, 1L, "+I"), ("a", 1L, 2L, "-D"),
+      ("b", 0L, 9L, "+U")))
   }
 
   test("ORC data files (Paimon's default format) read natively") {

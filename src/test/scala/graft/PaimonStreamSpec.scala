@@ -146,6 +146,82 @@ class PaimonStreamSpec extends AnyFunSuite {
       "restart must consume exactly the new snapshot — no loss, no replay")
   }
 
+  test("partitioned table streams with typed partition columns " +
+    "attached from the BinaryRow decode") {
+    import graft.sources.BinaryRowCodec
+    import org.apache.spark.sql.types.StringType
+    import spark.implicits._
+    val root = fixture("partstream")
+    Files.writeString(Paths.get(root, "schema", "schema-0"),
+      """{"id":0,"fields":[
+        | {"id":0,"name":"id","type":"BIGINT"},
+        | {"id":1,"name":"v","type":"BIGINT"},
+        | {"id":2,"name":"p","type":"STRING"}],
+        |"highestFieldId":2,"partitionKeys":["p"],"primaryKeys":[],
+        |"options":{}}""".stripMargin)
+    def writeAvro(df: org.apache.spark.sql.DataFrame, rel: String): Unit = {
+      val t2 = s"$root/_tmpavro"
+      df.coalesce(1).write.mode("overwrite")
+        .format("org.apache.spark.sql.avro.AvroFileFormat").save(t2)
+      val p = new java.io.File(t2).listFiles()
+        .find(_.getName.startsWith("part-")).get
+      assert(p.renameTo(new java.io.File(s"$root/$rel")))
+      rm(new java.io.File(t2))
+    }
+    def appendPart(k: Int, pVal: String): Unit = {
+      Files.createDirectories(Paths.get(root, s"p=$pVal", "bucket-0"))
+      val tmp = s"$root/_tmp"
+      spark.range(5L * (k - 1), 5L * (k - 1) + 5)
+        .select(col("id"), (col("id") * 2).as("v"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith(".")).get
+      assert(part.renameTo(
+        new java.io.File(s"$root/p=$pVal/bucket-0/f$k.parquet")))
+      rm(new java.io.File(tmp))
+      writeAvro(Seq((0, s"f$k.parquet",
+        BinaryRowCodec.encode(Seq(pVal), Seq(StringType))))
+        .toDF("_KIND", "_fn", "_PARTITION")
+        .select(col("_KIND"), col("_PARTITION"), lit(0).as("_BUCKET"),
+          struct(col("_fn").as("_FILE_NAME")).as("_FILE")),
+        s"manifest/m$k.avro")
+      def mlist(rel: String, names: Seq[String]): Unit =
+        writeAvro(
+          if (names.isEmpty) Seq.empty[String].toDF("_FILE_NAME")
+          else names.toDF("_FILE_NAME"), rel)
+      mlist(s"manifest/ml-base-$k.avro", (1 until k).map(i => s"m$i.avro"))
+      mlist(s"manifest/ml-delta-$k.avro", Seq(s"m$k.avro"))
+      graft.sources.AtomicFiles.write(
+        Paths.get(root, "snapshot", s"snapshot-$k"),
+        s"""{"version":3,"id":$k,"schemaId":0,
+           |"baseManifestList":"ml-base-$k.avro",
+           |"deltaManifestList":"ml-delta-$k.avro",
+           |"commitKind":"APPEND","commitUser":"t","commitIdentifier":$k,
+           |"timeMillis":0}""".stripMargin)
+      graft.sources.AtomicFiles.write(
+        Paths.get(root, "snapshot", "LATEST"), k.toString)
+    }
+    appendPart(1, "a")
+    val batches = mutable.ArrayBuffer.empty[Seq[(Long, String)]]
+    val q = stream(root).writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        val rows = df.select(col("id"), col("p"))
+          .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+        batches.synchronized { batches += rows.sorted: Unit }
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(batches.toList == List((0L to 4L).map(i => (i, "a"))))
+      appendPart(2, "b")
+      q.processAllAvailable()
+      assert(batches.toList.map(_.toList) == List(
+        (0L to 4L).map(i => (i, "a")).toList,
+        (5L to 9L).map(i => (i, "b")).toList))
+    } finally q.stop()
+  }
+
   test("a DELETE entry in a consumed delta fails loudly") {
     val root = fixture("delete")
     append(root, 1)
