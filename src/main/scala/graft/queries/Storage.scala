@@ -291,6 +291,18 @@ object Storage extends QueryModule {
       deltaCensus(graft.sources.DeltaLogLite.read(s, root))
     },
 
+    // SHALLOW CLONE shape — the clone's log re-lists the SOURCE
+    // table's live files as ABSOLUTE percent-encoded file: URIs
+    // (PROTOCOL.md: add.path is relative OR absolute). The clone dir
+    // holds ONLY _delta_log; every data byte reads from the source
+    // root, including the space-named batch-1 file whose encoding
+    // must survive the absolute spelling. Census = the source's
+    // current snapshot.
+    "q439_delta_shallow_clone" -> { (s, dir) =>
+      deltaCensus(graft.sources.DeltaLogLite
+        .read(s, authorDeltaCloneTable(s, dir)))
+    },
+
     // Same table, versionAsOf=0: time travel serves the PRE-remove
     // snapshot (A∪B) from the identical log — proving replay stops at
     // the requested version rather than always racing to latest.
@@ -1821,6 +1833,47 @@ object Storage extends QueryModule {
           metaJson)
         Files.writeString(Paths.get(root, "metadata", "version-hint.text"),
           "2")
+        root
+      })
+    }
+
+  private val deltaCloneMemo =
+    scala.collection.mutable.Map.empty[String, String]
+
+  /** Authors the SHALLOW-CLONE Delta table q439 reads: a fresh root
+    * whose single commit re-lists the q389 source table's CURRENT
+    * live files as absolute percent-encoded `file:` URIs — exactly
+    * what `CREATE TABLE ... SHALLOW CLONE` writes. No data files are
+    * copied. Memoized per sf-dir. */
+  private def authorDeltaCloneTable(s: SparkSession, dir: String): String =
+    deltaCloneMemo.synchronized {
+      deltaCloneMemo.getOrElseUpdate(dir, {
+        import java.nio.file.{Files, Paths}
+        val srcRoot = authorDeltaTable(s, dir)
+        val root =
+          s"/tmp/graft_delta/clone_${Integer.toHexString(dir.hashCode)}"
+        def rm(p: java.io.File): Unit = {
+          if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+          p.delete(): Unit
+        }
+        rm(new java.io.File(root))
+        Files.createDirectories(Paths.get(root, "_delta_log"))
+        val snap = graft.sources.DeltaLogLite.snapshot(s, srcRoot)
+        val metaData =
+          s"""{"metaData":{"id":"graft-q439","format":{"provider":"parquet","options":{}},"schemaString":${
+            jstr(snap.schema.json)},"partitionColumns":["l_returnflag"],"configuration":{},"createdTime":0}}"""
+        // source add.path values are already percent-encoded relative
+        // URIs; prefixing the file:-scheme source root keeps them
+        // spec-valid absolute URIs
+        val adds = snap.files.map { f =>
+          val pv = f.partitionValues.toSeq.sortBy(_._1)
+            .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+            .mkString("{", ",", "}")
+          s"""{"add":{"path":${jstr(s"file://$srcRoot/${f.path}")},"partitionValues":$pv,"size":1,"modificationTime":0,"dataChange":true}}"""
+        }
+        Files.writeString(Paths.get(root, "_delta_log",
+          f"${0L}%020d.json"),
+          (metaData +: adds).mkString("", "\n", "\n"))
         root
       })
     }
@@ -3499,6 +3552,16 @@ object Storage extends QueryModule {
         |ORDER BY l_returnflag""".stripMargin,
     // latest snapshot = batches B∪C (commit 1 removed batch A)
     "q389_delta_read" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_price
+        |FROM lineitem WHERE l_orderkey % 10 IN (1, 2)
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    // the clone re-lists the source's live files → q389's census
+    "q439_delta_shallow_clone" ->
       """SELECT l_returnflag, count(*) AS n,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
         |   AS sum_qty,

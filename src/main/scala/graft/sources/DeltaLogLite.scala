@@ -448,11 +448,28 @@ object DeltaLogLite {
           .getOrElse("lacks the required checkpointMetadata action") +
         s" — expected version $version")
     if (sidecars.nonEmpty) {
-      val sidecarPaths = sidecars.map { p =>
-        val abs = s"$tableDir/_delta_log/_sidecars/$p"
+      // sidecar `path` is URI-encoded and MAY be absolute per the
+      // spec; bare names resolve under _delta_log/_sidecars. Foreign
+      // schemes refuse like everywhere else.
+      val sidecarPaths = sidecars.map { raw =>
+        val uri = try new java.net.URI(raw)
+          catch { case e: java.net.URISyntaxException =>
+            throw new IllegalStateException(
+              s"$tableDir: undecodable sidecar path $raw " +
+                s"(${e.getMessage})")
+          }
+        Option(uri.getScheme).filter(_ != "file").foreach { s =>
+          throw new IllegalStateException(
+            s"$tableDir: sidecar $raw has unsupported scheme '$s://' — " +
+              "only file:// and relative names are in scope")
+        }
+        val decoded = uri.getPath
+        val abs =
+          if (decoded.startsWith("/")) decoded
+          else s"$tableDir/_delta_log/_sidecars/$decoded"
         if (!fs.exists(new Path(abs))) throw new IllegalStateException(
-          s"$tableDir: v2 checkpoint $version names sidecar $p but " +
-            "_delta_log/_sidecars does not hold it — reading without " +
+          s"$tableDir: v2 checkpoint $version names sidecar $raw but " +
+            s"$abs does not exist — reading without " +
             "it would silently drop live files")
         abs
       }
@@ -699,7 +716,15 @@ object DeltaLogLite {
               .map(r => (r.getString(0), r.getLong(1))).toSeq
           if (paths.forall(p => fs.exists(new Path(p))))
             txnsOfFrame(spark.read.parquet(paths: _*))
-          else v2Manifest(fs, tableDir, cv).toSeq.flatMap { m =>
+          else {
+            // same refusal as loadCheckpoint: silently yielding NO
+            // checkpoint txn history on a corrupt log could regress
+            // streaming exactly-once dedup state
+            val m = v2Manifest(fs, tableDir, cv).getOrElse(
+              throw new IllegalStateException(
+                s"$tableDir: checkpoint $cv unreadable — neither the " +
+                  s"classic names (${names.mkString(", ")}) nor a v2 " +
+                  "UUID-named manifest exist"))
             // v2: txn actions live in the MANIFEST (sidecars carry
             // only file actions per the spec)
             if (m.getName.endsWith(".json")) {
@@ -1033,7 +1058,7 @@ object DeltaLogLite {
     val descriptors: Seq[(String, String, Long, Int, Long, Array[Byte])] =
       files.flatMap { f =>
         f.deletionVector.map { dv =>
-          val dataPath = s"$tableDir/${decodeRelPath(f.path)}"
+          val dataPath = resolveAddPath(tableDir, f.path)
           if (dv.storageType == "i") {
             val decoded = base85Decode(dv.pathOrInlineDv)
             // base85 pads to 4-byte groups; sizeInBytes names the
@@ -1051,8 +1076,11 @@ object DeltaLogLite {
               dv.sizeInBytes, dv.cardinality, null)
         }
       }
+    // fan-out caps at the cluster's parallelism, not a constant — on
+    // a real cluster 10^5 descriptors should decode cluster-wide
     descriptors.toDS().repartition(
-      math.min(descriptors.size, 32).max(1))
+      math.min(descriptors.size,
+        spark.sparkContext.defaultParallelism).max(1))
       .flatMap { case (dataPath, dvPath, offset, size, card, inline) =>
         val dead =
           if (inline != null)
@@ -1098,7 +1126,7 @@ object DeltaLogLite {
       .sortBy(_._1.toSeq.sortBy(_._1).mkString("\u0000"))
     val parts = groups.map { case (pv, fl) =>
       val scan = spark.read.schema(dataSchema)
-        .parquet(fl.map(f => s"$tableDir/${decodeRelPath(f.path)}"): _*)
+        .parquet(fl.map(f => resolveAddPath(tableDir, f.path)): _*)
       // under deletion vectors the scan keeps its file identity and
       // row ordinal through the projection for the dead-row anti-join;
       // the metadata path is percent-DECODED (MetaPaths) so it compares
@@ -1133,22 +1161,30 @@ object DeltaLogLite {
     }
   }
 
-  /** `add.path` is RELATIVE to the table root and percent-encoded as
-    * an RFC 2396 URI per the public protocol (PROTOCOL.md "Add File
-    * and Remove File"); a file named `part a=b%25.parquet` arrives as
-    * `part%20a%3Db%2525.parquet`. Decode before touching the
-    * filesystem. Absolute-URI adds (shallow clones / external files)
-    * are outside Lite scope — loud failure, never a wrong path. */
-  private[graft] def decodeRelPath(raw: String): String = {
+  /** `add.path` is percent-encoded as an RFC 2396 URI per the public
+    * protocol (PROTOCOL.md "Add File and Remove File") and is either
+    * RELATIVE to the table root or ABSOLUTE — shallow clones and
+    * external-location files store absolute URIs. A file named
+    * `part a=b%25.parquet` arrives as `part%20a%3Db%2525.parquet`;
+    * decode before touching the filesystem. `file:`-scheme and plain
+    * absolute paths are served; any OTHER scheme (s3://, hdfs://, …)
+    * refuses loudly — never a wrong path. */
+  private[graft] def resolveAddPath(tableDir: String,
+                                    raw: String): String = {
     val uri = try new java.net.URI(raw)
       catch { case e: java.net.URISyntaxException =>
         throw new IllegalStateException(
           s"DeltaLogLite: undecodable add.path $raw (${e.getMessage})")
       }
-    if (uri.isAbsolute || raw.startsWith("/"))
+    Option(uri.getScheme).filter(_ != "file").foreach { s =>
       throw new IllegalStateException(
-        s"DeltaLogLite: absolute add.path not supported: $raw")
-    uri.getPath
+        s"DeltaLogLite: add.path $raw has unsupported scheme '$s://' — " +
+          "only file:// and table-relative paths are in scope")
+    }
+    val decoded = uri.getPath
+    if (decoded == null || decoded.isEmpty) throw new IllegalStateException(
+      s"DeltaLogLite: add.path $raw decodes to an empty path")
+    if (decoded.startsWith("/")) decoded else s"$tableDir/$decoded"
   }
 
   /** DataFrame over the snapshot: files grouped by partition tuple,

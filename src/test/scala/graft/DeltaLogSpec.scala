@@ -405,7 +405,9 @@ class DeltaLogSpec extends AnyFunSuite {
   private def writeV2Checkpoint(root: String, version: Long,
                                 schema: String,
                                 sidecars: Seq[(String, String)],
-                                declared: Option[Long]): Unit = {
+                                declared: Option[Long],
+                                manifestNames: Option[Seq[String]] = None)
+  : Unit = {
     Files.createDirectories(Paths.get(root, "_delta_log", "_sidecars"))
     def writeOne(df: org.apache.spark.sql.DataFrame, rel: String): Unit = {
       val tmp = s"$root/_tmpv2"
@@ -445,7 +447,7 @@ class DeltaLogSpec extends AnyFunSuite {
         array(lit("v2Checkpoint")).as("readerFeatures")), nul, nul))
     declared.foreach(v => df = df.unionAll(
       row(nul, nul, struct(lit(v).as("version")), nul)))
-    for ((name, _) <- sidecars)
+    for (name <- manifestNames.getOrElse(sidecars.map(_._1)))
       df = df.unionAll(row(nul, nul, nul,
         struct(lit(name).as("path"))))
     writeOne(df, s"_delta_log/${f"$version%020d"}.checkpoint." +
@@ -525,6 +527,44 @@ class DeltaLogSpec extends AnyFunSuite {
       DeltaLogLite.snapshot(spark, root3)
     }
     assert(e3.getMessage.contains("checkpointMetadata"))
+  }
+
+  test("v2 checkpoint: sidecar paths percent-decode and may be " +
+    "absolute file: URIs; foreign schemes refuse") {
+    val (root, schema) = fixture("v2scpaths")
+    // manifest spells one sidecar percent-encoded ("sc%2D0" → sc-0)
+    // and the other as an absolute file: URI — both spec-legal
+    writeV2Checkpoint(root, 1L, schema,
+      Seq("sc-0.parquet" -> "f0.parquet",
+        "sc-1.parquet" -> "f%20one.parquet"),
+      declared = Some(1L),
+      manifestNames = Some(Seq("sc%2D0.parquet",
+        s"file://$root/_delta_log/_sidecars/sc-1.parquet")))
+    assert(DeltaLogLite.read(spark, root).count() == 10)
+    val (root2, schema2) = fixture("v2scheme")
+    writeV2Checkpoint(root2, 1L, schema2,
+      Seq("sc-0.parquet" -> "f0.parquet"), declared = Some(1L),
+      manifestNames = Some(Seq("s3://bucket/sc-0.parquet")))
+    val e = intercept[IllegalStateException] {
+      DeltaLogLite.snapshot(spark, root2)
+    }
+    assert(e.getMessage.contains("unsupported scheme"))
+  }
+
+  test("txn lookup refuses when the checkpoint is unreadable instead " +
+    "of silently dropping dedup state") {
+    val (root, schema) = fixture("txnckpt")
+    writeV2Checkpoint(root, 1L, schema,
+      Seq("sc-0.parquet" -> "f0.parquet"), declared = Some(1L))
+    // destroy BOTH checkpoint spellings; _last_checkpoint still names
+    // version 1 — the exactly-once surface must refuse, not return None
+    Files.delete(Paths.get(root, "_delta_log",
+      f"${1L}%020d.checkpoint." +
+        "11112222-3333-4444-5555-666677778888.parquet"))
+    val e = intercept[IllegalStateException] {
+      DeltaLogLite.latestTxnVersion(spark, root, "streamA")
+    }
+    assert(e.getMessage.contains("unreadable"))
   }
 
   test("base85 (RFC 1924 alphabet, 4-byte groups) decodes known " +
@@ -857,16 +897,32 @@ class DeltaLogSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("commitInfo.timestamp"))
   }
 
-  test("absolute add.path refuses loudly; missing log refuses") {
+  test("absolute file: add.path reads (shallow-clone shape); foreign " +
+    "schemes refuse; missing log refuses") {
+    import spark.implicits._
     val (root, schema) = fixture("abs")
-    commit(root, 0, meta(schema), add("/etc/owned.parquet", "a"))
+    // a SECOND table dir plays the clone source: its file is named by
+    // an absolute file:-scheme URI from the reading table's log
+    val (srcRoot, _) = fixture("abssrc")
+    commit(root, 0, meta(schema), add("f0.parquet", "a"),
+      add(s"file://$srcRoot/f%20one.parquet", "b"))
+    val got = DeltaLogLite.read(spark, root)
+    assert(got.count() == 10)
+    assert(got.filter(col("part") === "b").select(col("id")).as[Long]
+      .collect().sorted.toSeq == (5L to 9L))
+    // bare absolute path spelling (no scheme) reads too
+    commit(root, 1, add(s"$srcRoot/f0.parquet", "c"))
+    assert(DeltaLogLite.read(spark, root).count() == 15)
+    // foreign schemes refuse loudly
+    commit(root, 2, add("s3://bucket/f.parquet", "d"))
     val e = intercept[IllegalStateException] {
       DeltaLogLite.read(spark, root)
     }
-    assert(e.getMessage.contains("absolute add.path"))
-    assert(DeltaLogLite.decodeRelPath("a%2Fb%20c.parquet") == "a/b c.parquet")
+    assert(e.getMessage.contains("unsupported scheme"))
+    assert(DeltaLogLite.resolveAddPath("/t", "a%2Fb%20c.parquet") ==
+      "/t/a/b c.parquet")
     intercept[IllegalStateException] {
-      DeltaLogLite.decodeRelPath("s3://bucket/f.parquet")
+      DeltaLogLite.resolveAddPath("/t", "s3://bucket/f.parquet")
     }
     intercept[IllegalStateException] {
       DeltaLogLite.snapshot(spark, "/tmp/graft_deltaspec/nope")
