@@ -61,14 +61,24 @@ object BinaryRowCodec {
         s"$where: BinaryRow field type ${dt.simpleString} is outside " +
           "codec scope")
       val off = nullBitsWidth(arity) + 8 * i
+      // fixed-width primitives are zero-padded to the 8-byte slot in
+      // the published layout (the writer zeroes its segment); junk in
+      // the high bytes means a mis-guessed layout — refuse instead of
+      // silently mis-reading
+      def padded(width: Int): Unit =
+        for (j <- (off + width) until (off + 8))
+          if (bytes(j) != 0) throw new IllegalStateException(
+            s"$where: BinaryRow field $i has non-zero padding byte " +
+              s"at slot offset ${j - off} — not a " +
+              s"${dt.simpleString} slot of this layout")
       if (isNull(i)) null
       else dt match {
-        case BooleanType => bytes(off) != 0
-        case ByteType    => bytes(off)
-        case ShortType   => bb.getShort(off)
-        case IntegerType | DateType => bb.getInt(off)
+        case BooleanType => padded(1); bytes(off) != 0
+        case ByteType    => padded(1); bytes(off)
+        case ShortType   => padded(2); bb.getShort(off)
+        case IntegerType | DateType => padded(4); bb.getInt(off)
         case LongType    => bb.getLong(off)
-        case FloatType   => bb.getFloat(off)
+        case FloatType   => padded(4); bb.getFloat(off)
         case DoubleType  => bb.getDouble(off)
         case StringType =>
           val slot = bb.getLong(off)

@@ -355,6 +355,21 @@ class PaimonSpec extends AnyFunSuite {
     intercept[IllegalStateException] {
       BinaryRowCodec.decode(bytes, Seq(DecimalType(20, 2)), "t")
     }
+    // a primitive slot with junk in its padding bytes refuses — the
+    // published layout zero-pads fixed-width slots, so non-zero high
+    // bytes mean a mis-guessed layout, never a value to mis-read
+    val intRow = BinaryRowCodec.encode(Seq(7), Seq(IntegerType))
+    val off = intRow.length - 8 // single int field's slot
+    intRow(off + 6) = 0x5a
+    val e = intercept[IllegalStateException] {
+      BinaryRowCodec.decode(intRow, Seq(IntegerType), "t")
+    }
+    assert(e.getMessage.contains("padding"))
+    // a LONG reinterpreted as INT refuses the same way (high bytes)
+    val longRow = BinaryRowCodec.encode(Seq(1L << 40), Seq(LongType))
+    intercept[IllegalStateException] {
+      BinaryRowCodec.decode(longRow, Seq(IntegerType), "t")
+    }
   }
 
   /** Partitioned append-only table (p STRING): p=a holds ids 0..4,
