@@ -3018,6 +3018,140 @@ object Storage extends QueryModule {
       Paths.get(root, "snapshot", "LATEST"), k.toString)
   }
 
+  /** Lay out an UNPARTITIONED Paimon PK table at `root`: each KeyValue
+    * frame (already carrying _KEY_o_orderkey / _SEQUENCE_NUMBER /
+    * _VALUE_KIND + value columns) becomes kv<i>.parquet in its own
+    * snapshot i+1. Shared by the merge-engine fixtures q440–q442. */
+  private def writePaimonPkLayout(root: String, options: String,
+                                  fieldsJson: String,
+                                  kvFrames: Seq[DataFrame]): Unit = {
+    import java.nio.file.{Files, Paths}
+    val avroFmt = "org.apache.spark.sql.avro.AvroFileFormat"
+    def rm(p: java.io.File): Unit = {
+      if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+      p.delete(): Unit
+    }
+    rm(new java.io.File(root))
+    for (d <- Seq("snapshot", "schema", "manifest", "bucket-0"))
+      Files.createDirectories(Paths.get(root, d))
+    def writeAvro(df: DataFrame, rel: String): Unit = {
+      val tmp = s"$root/_tmpavro"
+      df.coalesce(1).write.mode("overwrite").format(avroFmt).save(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.startsWith("part-")).get
+      assert(part.renameTo(new java.io.File(s"$root/$rel")))
+      rm(new java.io.File(tmp))
+    }
+    val session = kvFrames.head.sparkSession
+    import session.implicits._
+    kvFrames.zipWithIndex.foreach { case (df, i) =>
+      val tmp = s"$root/_tmp"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith(".")).get
+      assert(part.renameTo(
+        new java.io.File(s"$root/bucket-0/kv$i.parquet")))
+      rm(new java.io.File(tmp))
+      writeAvro(Seq((0, s"kv$i.parquet")).toDF("_KIND", "_fn")
+        .select(col("_KIND"), lit(0).as("_BUCKET"),
+          struct(col("_fn").as("_FILE_NAME")).as("_FILE")),
+        s"manifest/m-kv$i.avro")
+      writeAvro((0 until i).map(j => s"m-kv$j.avro") match {
+        case Nil => Seq.empty[String].toDF("_FILE_NAME")
+        case ns  => ns.toDF("_FILE_NAME")
+      }, s"manifest/ml-base-$i.avro")
+      writeAvro(Seq(s"m-kv$i.avro").toDF("_FILE_NAME"),
+        s"manifest/ml-delta-$i.avro")
+      Files.writeString(Paths.get(root, "snapshot", s"snapshot-${i + 1}"),
+        s"""{"version":3,"id":${i + 1},"schemaId":0,
+           |"baseManifestList":"ml-base-$i.avro",
+           |"deltaManifestList":"ml-delta-$i.avro",
+           |"commitKind":"APPEND","commitUser":"graft",
+           |"commitIdentifier":${i + 1},"timeMillis":0}""".stripMargin)
+    }
+    Files.writeString(Paths.get(root, "schema", "schema-0"),
+      s"""{"id":0,"fields":[$fieldsJson],"highestFieldId":2,
+         |"partitionKeys":[],"primaryKeys":["o_orderkey"],
+         |"options":$options}""".stripMargin)
+    Files.writeString(Paths.get(root, "snapshot", "LATEST"),
+      kvFrames.size.toString)
+  }
+
+  private val ordersPkFields =
+    """{"id":0,"name":"o_orderkey","type":"BIGINT"},
+      |{"id":1,"name":"o_totalprice","type":"DOUBLE"},
+      |{"id":2,"name":"o_orderstatus","type":"STRING"}""".stripMargin
+
+  /** Orders rows %10<5 as a KeyValue frame at `seq`/`kind`, with
+    * per-column null/multiplier shaping for the engine fixtures. */
+  private def ordersKv(s: SparkSession, dir: String, seq: Long,
+                       kind: Int, keyFilter: Column => Column,
+                       priceMult: Option[Double],
+                       status: Boolean): DataFrame = {
+    val base = Tables.df(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("o_orderstatus"))
+      .filter(col("o_orderkey") % 10 < 5)
+      .filter(keyFilter(col("o_orderkey")))
+    base.select(col("o_orderkey").as("_KEY_o_orderkey"),
+      lit(seq).as("_SEQUENCE_NUMBER"),
+      lit(kind).cast("tinyint").as("_VALUE_KIND"),
+      col("o_orderkey"),
+      priceMult.map(m => (col("o_totalprice") * m).as("o_totalprice"))
+        .getOrElse(lit(null).cast("double").as("o_totalprice")),
+      (if (status) col("o_orderstatus")
+       else lit(null).cast("string")).as("o_orderstatus"))
+  }
+
+  private val paimonEngineMemo =
+    scala.collection.mutable.Map.empty[String, String]
+
+  /** Authors the three merge-engine tables (partial-update /
+    * aggregation / first-row) q440–q442 read. Memoized per
+    * (sf-dir, engine). */
+  private def authorPaimonEngineTable(s: SparkSession, dir: String,
+                                      engine: String): String =
+    paimonEngineMemo.synchronized {
+      paimonEngineMemo.getOrElseUpdate(s"$dir/$engine", {
+        val root = s"/tmp/graft_paimon/eng_${engine.replace("-", "")}_" +
+          Integer.toHexString(dir.hashCode)
+        val frames = engine match {
+          case "partial-update" => Seq(
+            // seq1 +I: price + status, seq2 +U: ONLY status-less
+            // price-less priority fill... here: price NULLed, status
+            // kept NULL so the earlier values must survive
+            ordersKv(s, dir, 1L, 0, _ => lit(true), Some(1.0),
+              status = true),
+            ordersKv(s, dir, 2L, 2, k => (k % 10).isin(3, 4), None,
+              status = false))
+          case "aggregation" => Seq(
+            ordersKv(s, dir, 1L, 0, _ => lit(true), Some(1.0),
+              status = true),
+            // second +I adds price again for %10∈(3,4) → sum doubles;
+            // its NULL status must not erase under last_non_null
+            ordersKv(s, dir, 2L, 0, k => (k % 10).isin(3, 4), Some(1.0),
+              status = false))
+          case "first-row" => Seq(
+            ordersKv(s, dir, 1L, 0, _ => lit(true), Some(1.0),
+              status = true),
+            // later duplicate inserts at ×2 must LOSE to the first row
+            ordersKv(s, dir, 2L, 0, k => (k % 10).isin(3, 4), Some(2.0),
+              status = true))
+          case other => throw new IllegalArgumentException(other)
+        }
+        val options = engine match {
+          case "aggregation" =>
+            """{"merge-engine":"aggregation",
+              |"fields.o_totalprice.aggregate-function":"sum"}"""
+              .stripMargin
+          case e => s"""{"merge-engine":"$e"}"""
+        }
+        writePaimonPkLayout(root, options, ordersPkFields, frames)
+        root
+      })
+    }
+
   private val paimonMemo = scala.collection.mutable.Map.empty[String, String]
 
   /** Authors the two-snapshot Paimon-layout append-only lineitem table

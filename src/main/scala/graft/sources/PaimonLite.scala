@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.types._
 import org.json4s._
 import org.json4s.jackson.JsonMethods
@@ -29,17 +29,25 @@ import org.json4s.jackson.JsonMethods
   * are Spark's native vectorized parquet scans, keeping pushdown,
   * pruning and whole-stage codegen at 100 TB.
   *
-  * PRIMARY-KEY tables (the LSM side of Paimon) are READ for the
-  * DEFAULT `deduplicate` merge engine: PK data files store KeyValue
-  * rows — `_KEY_<pk>` columns, `_SEQUENCE_NUMBER` (bigint),
-  * `_VALUE_KIND` (RowKind byte: 0 = +I insert, 1 = -U update-before,
-  * 2 = +U update-after, 3 = -D delete) and the value columns — and
-  * the batch-read contract is "latest sequence per key wins; a
-  * winning delete drops the key". That merge is expressed Spark-first
-  * as groupBy + max_by over one orderable (sequence, kind, file)
-  * struct — a plain AGGREGATE that PARTIAL-COMBINES map-side, then
-  * ONE shuffle on the primary key; no level-aware driver logic, no
-  * window. Ties break deterministically by kind then file path.
+  * PRIMARY-KEY tables (the LSM side of Paimon) are READ for ALL FOUR
+  * published merge engines: PK data files store KeyValue rows —
+  * `_KEY_<pk>` columns, `_SEQUENCE_NUMBER` (bigint), `_VALUE_KIND`
+  * (RowKind byte: 0 = +I insert, 1 = -U update-before, 2 = +U
+  * update-after, 3 = -D delete) and the value columns — and every
+  * engine's merge is expressed Spark-first as ONE partial-combining
+  * AGGREGATE shuffled once on the primary key (no level-aware driver
+  * logic, no window), ordered by the (sequence, kind, file) struct:
+  *  - `deduplicate` (default): latest row per key via max_by; a
+  *    winning -D drops the key;
+  *  - `first-row`: FIRST row per key via min_by (insert-only engine);
+  *  - `partial-update`: per COLUMN, the latest NON-NULL value via
+  *    max_by over a null-gated ordering — later nulls never erase;
+  *  - `aggregation`: per COLUMN, the `fields.<col>.aggregate-function`
+  *    option's fold (sum/min/max in scope; unspecified fields default
+  *    to last_non_null_value per the docs).
+  * Engines other than deduplicate refuse retraction rows (-U/-D)
+  * PER ROW, and `fields.<col>.sequence-group` options refuse at plan
+  * time — both would silently fold wrong under these aggregates.
   *
   * PARTITIONED tables are READ: each manifest entry's `_PARTITION`
   * BinaryRow (layout: [[BinaryRowCodec]]) decodes to the partition
@@ -52,8 +60,9 @@ import org.json4s.jackson.JsonMethods
   * `partition.default-name`.
   *
   * Lite scope, loud failures (never silent wrong answers):
-  *  - primary-key tables with a NON-default merge engine
-  *    (partial-update / aggregation / first-row) are refused;
+  *  - primary-key merge engines OUTSIDE the published four, and
+  *    aggregation functions outside sum/min/max/last_non_null_value,
+  *    are refused;
   *  - partition keys of date/timestamp/float types are refused (path
   *    spelling is writer-configurable); batch, changelog AND
   *    streaming reads all serve partitioned tables (the change
@@ -78,7 +87,19 @@ object PaimonLite {
                             primaryKeys: Seq[String] = Nil,
                             partitionKeys: Seq[String] = Nil,
                             defaultPartName: String =
-                              "__DEFAULT_PARTITION__")
+                              "__DEFAULT_PARTITION__",
+                            mergeEngine: String = "deduplicate",
+                            fieldAggregates: Map[String, String] =
+                              Map.empty)
+
+  /** The published PK merge engines this reader serves. */
+  val MergeEngines: Set[String] =
+    Set("deduplicate", "partial-update", "aggregation", "first-row")
+
+  /** aggregation-engine per-field functions in scope (each folds into
+    * a partial-combining Spark aggregate). */
+  val SupportedAggregates: Set[String] =
+    Set("sum", "min", "max", "last_non_null_value")
 
   private implicit val fmts: Formats = DefaultFormats
 
@@ -233,17 +254,40 @@ object PaimonLite {
       s"$tableDir: schema/schema-$schemaId missing")
     val schemaJson = JsonMethods.parse(readText(fs, schemaFile))
     val primaryKeys: Seq[String] = (schemaJson \ "primaryKeys") match {
-      case JArray(ks) if ks.nonEmpty =>
-        // deduplicate (the default) is the only merge engine whose
-        // read contract is "latest sequence per key wins" — the others
-        // fold values across versions and need their own kernels
-        val engine = (schemaJson \ "options" \ "merge-engine")
-          .extractOpt[String].getOrElse("deduplicate")
-        if (engine != "deduplicate") throw new IllegalStateException(
-          s"$schemaFile: merge-engine=$engine — PaimonLite reads " +
-            "primary-key tables with the default deduplicate engine only")
-        ks.map(_.extract[String])
+      case JArray(ks) if ks.nonEmpty => ks.map(_.extract[String])
       case _ => Nil
+    }
+    // all four published PK merge engines are READ (each folds into a
+    // partial-combining aggregate — see read()); anything else refuses
+    val mergeEngine = (schemaJson \ "options" \ "merge-engine")
+      .extractOpt[String].getOrElse("deduplicate")
+    if (primaryKeys.nonEmpty && !MergeEngines.contains(mergeEngine))
+      throw new IllegalStateException(
+        s"$schemaFile: merge-engine=$mergeEngine — PaimonLite reads " +
+          s"${MergeEngines.mkString("/")} primary-key tables")
+    // aggregation engine: per-field functions from
+    // `fields.<col>.aggregate-function`; sequence groups change the
+    // ordering contract and are outside lite scope
+    val fieldAggregates: Map[String, String] = (schemaJson \ "options") match {
+      case JObject(opts) =>
+        opts.foreach { case (k, _) =>
+          if (k.startsWith("fields.") && k.endsWith(".sequence-group"))
+            throw new IllegalStateException(
+              s"$schemaFile: $k — sequence groups are outside " +
+                "PaimonLite scope (they change the per-field ordering)")
+        }
+        opts.collect {
+          case (k, JString(fn)) if k.startsWith("fields.") &&
+            k.endsWith(".aggregate-function") =>
+            val c = k.stripPrefix("fields.")
+              .stripSuffix(".aggregate-function")
+            if (!SupportedAggregates.contains(fn))
+              throw new IllegalStateException(
+                s"$schemaFile: aggregate-function=$fn for field $c — " +
+                  s"PaimonLite reads ${SupportedAggregates.mkString("/")}")
+            c -> fn
+        }.toMap
+      case _ => Map.empty
     }
     val partitionKeys: Seq[String] = (schemaJson \ "partitionKeys") match {
       case JArray(ks) => ks.map(_.extract[String])
@@ -338,7 +382,7 @@ object PaimonLite {
       DataFile(s"$tableDir/$partDirs" + s"bucket-$bucket/$name", part)
     }
     Snapshot(wantedId, schema, files, primaryKeys, partitionKeys,
-      defaultPartName)
+      defaultPartName, mergeEngine, fieldAggregates)
   }
 
   /** The bounded partition-key types PaimonLite serves (path spelling
@@ -721,26 +765,85 @@ object PaimonLite {
           scan.withColumn("_pm_file", col("_metadata.file_path"))
             .select((needed :+ "_pm_file").map(col).toSeq: _*), part)
       }.reduce(_ unionAll _)
-      // latest sequence per key wins; ties break by kind (an update
-      // outranks the insert it replaces) then file path — all three
-      // deterministic, folded into one orderable struct so the merge
-      // is max_by under a plain AGGREGATE: it PARTIAL-COMBINES
-      // map-side (each input partition keeps one candidate per key
-      // before the shuffle), where a window formulation would ship
-      // every version and sort whole partitions. A winning -D (3)
-      // deletes the key; a winning -U (1) cannot occur in stored
-      // KeyValues (retractions always precede their +U), so filtering
-      // to +I/+U is exact.
+      // every engine folds into ONE partial-combining AGGREGATE on
+      // the key (map-side combine keeps one candidate/accumulator per
+      // key per input partition before the single shuffle — a window
+      // formulation would ship every version and sort whole
+      // partitions). Ordering = (sequence, kind, file), all three
+      // deterministic.
       val ord = struct(col("_SEQUENCE_NUMBER"), col("_VALUE_KIND"),
         col("_pm_file"))
-      val payload = struct(
-        (col("_VALUE_KIND") +: snap.schema.fieldNames.toSeq.map(col)): _*)
-      raw
-        .groupBy((keyCols ++ partCols).map(col): _*)
-        .agg(max_by(payload, ord).as("_pm_top"))
-        .filter(col("_pm_top._VALUE_KIND").cast("int").isin(0, 2))
-        .select(snap.schema.fields.toSeq.map(f =>
-          col(s"_pm_top.${f.name}").cast(f.dataType).as(f.name)): _*)
+      val grouped = raw.groupBy((keyCols ++ partCols).map(col): _*)
+      /** Engines other than deduplicate cannot express retractions
+        * with these aggregates — a -U/-D row under them refuses
+        * PER ROW (assert_true in a kept filter) instead of silently
+        * folding wrong; this matches Paimon's own contract (e.g.
+        * partial-update "can not accept delete records"). */
+      def insertOnly(df: DataFrame, engine: String,
+                     allowed: Seq[Int]): DataFrame =
+        df.filter(assert_true(
+          col("_VALUE_KIND").cast("int")
+            .isin(allowed.map(Int.box): _*),
+          concat(lit(s"PaimonLite: $engine merge-engine met a row " +
+            "kind "), col("_VALUE_KIND").cast("int"),
+            lit(s" — only kinds ${allowed.mkString("/")} are inside " +
+              s"$engine scope (retractions cannot fold under these " +
+              "aggregates)"))).isNull)
+      /** last non-null value per column by the total order — null
+        * inputs never overwrite (max_by skips rows whose ordering
+        * expression is null, so nulls simply don't compete). */
+      def lastNonNull(c: String) =
+        max_by(col(c), when(col(c).isNotNull, ord)).as(c)
+      def out(df: DataFrame, colFor: String => Column): DataFrame =
+        df.select(snap.schema.fields.toSeq.map(f =>
+          colFor(f.name).cast(f.dataType).as(f.name)): _*)
+      snap.mergeEngine match {
+        case "deduplicate" =>
+          // latest sequence per key wins; a winning -D (3) deletes
+          // the key; a winning -U (1) cannot occur in stored
+          // KeyValues (retractions always precede their +U), so
+          // filtering to +I/+U is exact
+          val payload = struct(
+            (col("_VALUE_KIND") +:
+              snap.schema.fieldNames.toSeq.map(col)): _*)
+          out(grouped.agg(max_by(payload, ord).as("_pm_top"))
+            .filter(col("_pm_top._VALUE_KIND").cast("int").isin(0, 2)),
+            n => col(s"_pm_top.$n"))
+        case "first-row" =>
+          // FIRST row per key wins (insert-only engine): min_by over
+          // the same total order
+          val payload = struct(snap.schema.fieldNames.toSeq.map(col): _*)
+          out(insertOnly(raw, "first-row", Seq(0))
+            .groupBy((keyCols ++ partCols).map(col): _*)
+            .agg(min_by(payload, ord).as("_pm_top")),
+            n => col(s"_pm_top.$n"))
+        case "partial-update" =>
+          // per COLUMN: the latest NON-NULL value wins — a null in a
+          // later version never erases an earlier value
+          out(insertOnly(raw, "partial-update", Seq(0, 2))
+            .groupBy((keyCols ++ partCols).map(col): _*)
+            .agg(lastNonNull(valueNames.head),
+              valueNames.tail.map(lastNonNull).toSeq: _*),
+            col)
+        case "aggregation" =>
+          // per COLUMN: the declared aggregate-function folds the
+          // versions (sum/min/max); undeclared fields default to
+          // last_non_null_value per the docs
+          def fieldAgg(c: String) = snap.fieldAggregates.get(c) match {
+            case Some("sum") => sum(col(c)).as(c)
+            case Some("min") => min(col(c)).as(c)
+            case Some("max") => max(col(c)).as(c)
+            case _           => lastNonNull(c)
+          }
+          out(insertOnly(raw, "aggregation", Seq(0, 2))
+            .groupBy((keyCols ++ partCols).map(col): _*)
+            .agg(fieldAgg(valueNames.head),
+              valueNames.tail.map(fieldAgg).toSeq: _*),
+            col)
+        case other => throw new IllegalStateException(
+          s"$tableDir: merge-engine=$other — unreachable (gated in " +
+            "snapshot())")
+      }
     }
   }
 }

@@ -241,6 +241,152 @@ class PaimonSpec extends AnyFunSuite {
     root
   }
 
+  /** PK fixture with caller-supplied KeyValue frames: file i lands in
+    * its own snapshot i+1 (base re-lists earlier manifests). Each df
+    * must already carry _KEY_id / _SEQUENCE_NUMBER / _VALUE_KIND +
+    * the value columns named in `fields`. */
+  private def pkCustomFixture(name: String, options: String,
+                              fields: Seq[(String, String)],
+                              kvFiles: Seq[org.apache.spark.sql.DataFrame])
+  : String = {
+    val root = s"/tmp/graft_paimonspec/$name"
+    rm(new java.io.File(root))
+    for (d <- Seq("snapshot", "schema", "manifest", "bucket-0"))
+      Files.createDirectories(Paths.get(root, d))
+    def writeAvro(d: org.apache.spark.sql.DataFrame, rel: String): Unit = {
+      val tmp = s"$root/_tmpavro"
+      d.coalesce(1).write.mode("overwrite").format(avroFmt).save(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.startsWith("part-")).get
+      assert(part.renameTo(new java.io.File(s"$root/$rel")))
+      rm(new java.io.File(tmp))
+    }
+    import spark.implicits._
+    kvFiles.zipWithIndex.foreach { case (df, i) =>
+      val tmp = s"$root/_tmp"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith(".")).get
+      assert(part.renameTo(new java.io.File(s"$root/bucket-0/kv$i.parquet")))
+      rm(new java.io.File(tmp))
+      writeAvro(Seq((0, s"kv$i.parquet")).toDF("_KIND", "_fn")
+        .select(col("_KIND"), lit(0).as("_BUCKET"),
+          struct(col("_fn").as("_FILE_NAME")).as("_FILE")),
+        s"manifest/m-kv$i.avro")
+      writeAvro((0 until i).map(j => s"m-kv$j.avro") match {
+        case Nil => Seq.empty[String].toDF("_FILE_NAME")
+        case ns  => ns.toDF("_FILE_NAME")
+      }, s"manifest/ml-base-$i.avro")
+      writeAvro(Seq(s"m-kv$i.avro").toDF("_FILE_NAME"),
+        s"manifest/ml-delta-$i.avro")
+      Files.writeString(Paths.get(root, "snapshot", s"snapshot-${i + 1}"),
+        s"""{"version":3,"id":${i + 1},"schemaId":0,
+           |"baseManifestList":"ml-base-$i.avro",
+           |"deltaManifestList":"ml-delta-$i.avro",
+           |"commitKind":"APPEND","commitUser":"t",
+           |"commitIdentifier":${i + 1},"timeMillis":0}""".stripMargin)
+    }
+    val fjson = fields.zipWithIndex.map { case ((n, t), i) =>
+      s"""{"id":$i,"name":"$n","type":"$t"}""" }.mkString(",")
+    Files.writeString(Paths.get(root, "schema", "schema-0"),
+      s"""{"id":0,"fields":[$fjson],
+         |"highestFieldId":${fields.size - 1},"partitionKeys":[],
+         |"primaryKeys":["id"],"options":$options}""".stripMargin)
+    Files.writeString(Paths.get(root, "snapshot", "LATEST"),
+      kvFiles.size.toString)
+    root
+  }
+
+  test("partial-update engine: latest NON-NULL per column wins; " +
+    "retraction rows refuse per row") {
+    import spark.implicits._
+    def kv(rows: Seq[(Long, Option[Long], Option[Long])], seq: Long,
+           kind: Int) =
+      rows.toDF("id", "a", "b").select(col("id").as("_KEY_id"),
+        lit(seq).as("_SEQUENCE_NUMBER"),
+        lit(kind).cast("tinyint").as("_VALUE_KIND"),
+        col("id"), col("a"), col("b"))
+    val fields = Seq("id" -> "BIGINT", "a" -> "BIGINT", "b" -> "BIGINT")
+    val opts = """{"merge-engine":"partial-update"}"""
+    val root = pkCustomFixture("pupd", opts, fields, Seq(
+      kv(Seq((0L, Some(10L), None), (1L, Some(11L), None)), 1L, 0),
+      kv(Seq((0L, None, Some(7L)), (1L, Some(99L), None)), 2L, 2)))
+    val got = PaimonLite.read(spark, root)
+      .as[(Long, Option[Long], Option[Long])].collect().sorted.toSeq
+    // id0: a=10 survives the later null, b fills in; id1: a overwritten
+    assert(got == Seq((0L, Some(10L), Some(7L)),
+      (1L, Some(99L), None)))
+    // a -D row under partial-update refuses per row
+    val root2 = pkCustomFixture("pupdDel", opts, fields, Seq(
+      kv(Seq((0L, Some(1L), None)), 1L, 0),
+      kv(Seq((0L, None, None)), 2L, 3)))
+    val e = intercept[Exception] { PaimonLite.read(spark, root2).collect() }
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ chain(x.getCause))
+    assert(chain(e).exists(_.contains("partial-update")))
+    // sequence groups refuse at plan time
+    intercept[IllegalStateException] {
+      PaimonLite.snapshot(spark, pkCustomFixture("pupdSeq",
+        """{"merge-engine":"partial-update",
+          |"fields.b.sequence-group":"a"}""".stripMargin, fields, Seq(
+          kv(Seq((0L, Some(1L), None)), 1L, 0))))
+    }
+  }
+
+  test("aggregation engine: declared per-field folds, default " +
+    "last_non_null_value; unsupported functions refuse") {
+    import spark.implicits._
+    def kv(rows: Seq[(Long, Option[Long], Option[Long])], seq: Long) =
+      rows.toDF("id", "s", "m").select(col("id").as("_KEY_id"),
+        lit(seq).as("_SEQUENCE_NUMBER"),
+        lit(0).cast("tinyint").as("_VALUE_KIND"),
+        col("id"), col("s"), col("m"))
+    val fields = Seq("id" -> "BIGINT", "s" -> "BIGINT", "m" -> "BIGINT")
+    val root = pkCustomFixture("pagg",
+      """{"merge-engine":"aggregation",
+        |"fields.s.aggregate-function":"sum",
+        |"fields.m.aggregate-function":"max"}""".stripMargin, fields, Seq(
+        kv(Seq((0L, Some(5L), Some(3L)), (1L, Some(1L), Some(9L))), 1L),
+        kv(Seq((0L, Some(2L), Some(8L)), (1L, None, Some(4L))), 2L)))
+    val got = PaimonLite.read(spark, root)
+      .as[(Long, Option[Long], Option[Long])].collect().sorted.toSeq
+    assert(got == Seq((0L, Some(7L), Some(8L)), (1L, Some(1L), Some(9L))))
+    intercept[IllegalStateException] {
+      PaimonLite.snapshot(spark, pkCustomFixture("paggBad",
+        """{"merge-engine":"aggregation",
+          |"fields.s.aggregate-function":"product"}""".stripMargin,
+        fields, Seq(kv(Seq((0L, Some(1L), None)), 1L))))
+    }
+  }
+
+  test("first-row engine: the FIRST row per key wins; non-insert " +
+    "kinds refuse per row") {
+    import spark.implicits._
+    def kv(rows: Seq[(Long, Long)], seq: Long, kind: Int = 0) =
+      rows.toDF("id", "v").select(col("id").as("_KEY_id"),
+        lit(seq).as("_SEQUENCE_NUMBER"),
+        lit(kind).cast("tinyint").as("_VALUE_KIND"), col("id"), col("v"))
+    val fields = Seq("id" -> "BIGINT", "v" -> "BIGINT")
+    val opts = """{"merge-engine":"first-row"}"""
+    val root = pkCustomFixture("pfirst", opts, fields, Seq(
+      kv(Seq((0L, 1L), (1L, 2L)), 1L),
+      kv(Seq((1L, 99L), (2L, 30L)), 2L)))
+    val got = PaimonLite.read(spark, root)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(got == Seq((0L, 1L), (1L, 2L), (2L, 30L)))
+    // a +U under first-row refuses (insert-only engine)
+    val root2 = pkCustomFixture("pfirstU", opts, fields, Seq(
+      kv(Seq((0L, 1L)), 1L),
+      kv(Seq((0L, 9L)), 2L, kind = 2)))
+    val e = intercept[Exception] { PaimonLite.read(spark, root2).collect() }
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ chain(x.getCause))
+    assert(chain(e).exists(_.contains("first-row")))
+  }
+
   test("primary-key merge: latest sequence wins, winning delete drops key") {
     import spark.implicits._
     val root = pkFixture("pkmerge")
@@ -292,12 +438,12 @@ class PaimonSpec extends AnyFunSuite {
     }
   }
 
-  test("non-deduplicate merge engine refuses loudly") {
+  test("an unknown merge engine refuses loudly") {
     val e = intercept[IllegalStateException] {
       PaimonLite.snapshot(spark, pkFixture("pkeng",
-        options = """{"merge-engine":"partial-update"}"""))
+        options = """{"merge-engine":"made-up-engine"}"""))
     }
-    assert(e.getMessage.contains("partial-update"))
+    assert(e.getMessage.contains("made-up-engine"))
   }
 
   test("PK data file without KeyValue columns refuses loudly") {
