@@ -622,6 +622,20 @@ object Storage extends QueryModule {
         .orderBy(col("part"))
     },
 
+    // Hudi MOR ROLLBACK — a failed write's orphaned log block followed
+    // by its rollback COMMAND_BLOCK (the most common non-happy-path
+    // event in a production Hudi pipeline). The command invalidates
+    // exactly the blocks whose INSTANT_TIME header equals its
+    // TARGET_INSTANT_TIME, across log-file boundaries: the ×9/×7
+    // instant-003 junk must vanish, while the instant-002 block before
+    // it and the instant-004 block after it stand. An engine that
+    // ignored the rollback (or refused COMMAND_BLOCKs outright) fails
+    // this census.
+    "q443_hudi_mor_rollback" -> { (s, dir) =>
+      ordersCensus(graft.sources.HudiMorLite
+        .read(s, authorHudiMorRollbackTable(s, dir)))
+    },
+
     // Apache Paimon table read — the FOURTH lakehouse leg (reference
     // thirdparty/auron-paimon). The query authors a Paimon-layout
     // append-only table: snapshot/snapshot-<id> JSON + LATEST hint,
@@ -751,6 +765,35 @@ object Storage extends QueryModule {
           sum(col("o_totalprice").cast(DecimalType(18, 2)))
             .cast(DoubleType).as("sum_price"))
         .orderBy(col("o_orderstatus"), col("_row_kind"))
+    },
+
+    // Paimon PARTIAL-UPDATE merge engine — per column the latest
+    // NON-NULL value wins. Snapshot 2's +U rows (keys %10∈(3,4))
+    // carry NULL price and NULL status, so the seq-1 values must
+    // survive: an engine that let nulls overwrite (plain last-row)
+    // would zero out those keys and hash-mismatch.
+    "q440_paimon_partial_update" -> { (s, dir) =>
+      ordersCensus(graft.sources.PaimonLite
+        .read(s, authorPaimonEngineTable(s, dir, "partial-update")))
+    },
+
+    // Paimon AGGREGATION merge engine — o_totalprice declares
+    // aggregate-function=sum, so the second +I for keys %10∈(3,4)
+    // doubles their price; o_orderstatus is undeclared → defaults to
+    // last_non_null_value, so the second batch's NULL status must NOT
+    // erase the first (erasure moves rows to the NULL status group).
+    "q441_paimon_aggregation" -> { (s, dir) =>
+      ordersCensus(graft.sources.PaimonLite
+        .read(s, authorPaimonEngineTable(s, dir, "aggregation")))
+    },
+
+    // Paimon FIRST-ROW merge engine — the FIRST row per key wins.
+    // Snapshot 2 re-inserts keys %10∈(3,4) at ×2 price; those later
+    // duplicates must LOSE (a deduplicate/last-wins engine would keep
+    // the doubled prices and hash-mismatch).
+    "q442_paimon_first_row" -> { (s, dir) =>
+      ordersCensus(graft.sources.PaimonLite
+        .read(s, authorPaimonEngineTable(s, dir, "first-row")))
     },
 
     // STREAMING Delta-log read — DeltaStreamLite (v1 Source: offsets
@@ -1450,6 +1493,97 @@ object Storage extends QueryModule {
           Seq(graft.sources.HudiMorLite.AvroBlockSpec(avroSchema,
             recs(base.filter(col("o_orderkey") % 10 === 3), 3.0))))
         Files.writeString(Paths.get(root, ".hoodie", "003.deltacommit"),
+          s"""{"partitionToWriteStats":{${stat(".g1_001.log.2")}}}""")
+        root
+      })
+    }
+
+  private val hudiMorRbMemo =
+    scala.collection.mutable.Map.empty[String, String]
+
+  /** Authors the MOR table q443 reads — q431's layout plus a FAILED
+    * write and its ROLLBACK (HoodieCommandBlock): log.1 block 0
+    * (INSTANT_TIME 002) upserts %10∈(3,4) at ×2 and soft-deletes the
+    * %10=0 keys; log.1 block 1 (INSTANT_TIME 003 — the failed write)
+    * junk-upserts %10∈(1,2) at ×9 and resurrects the %10=0 keys at
+    * ×7; log.2 opens with the rollback COMMAND_BLOCK targeting
+    * instant 003 (CROSS-FILE, as Hudi's rollback appends to the file
+    * group's next log) and then upserts %10=1 at ×3 (INSTANT_TIME
+    * 004). The rolled-back block's rows must vanish; the blocks
+    * around it stand. Memoized per sf-dir. */
+  private def authorHudiMorRollbackTable(s: SparkSession,
+                                         dir: String): String =
+    hudiMorRbMemo.synchronized {
+      hudiMorRbMemo.getOrElseUpdate(dir, {
+        import java.nio.file.{Files, Paths}
+        val root =
+          s"/tmp/graft_hudi/morrb_${Integer.toHexString(dir.hashCode)}"
+        def rm(p: java.io.File): Unit = {
+          if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+          p.delete(): Unit
+        }
+        rm(new java.io.File(root))
+        Files.createDirectories(Paths.get(root, ".hoodie"))
+        Files.writeString(Paths.get(root, ".hoodie", "hoodie.properties"),
+          "hoodie.table.name=orders_mor_rb\n" +
+            "hoodie.table.type=MERGE_ON_READ\n")
+        val base = Tables.df(s, dir, "orders")
+          .select(col("o_orderkey").cast("string")
+            .as("_hoodie_record_key"),
+            col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+          .filter(col("o_orderkey") % 10 < 5)
+        val tmp = s"$root/_tmp"
+        base.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val pf = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.endsWith(".parquet") &&
+            !f.getName.startsWith(".")).get
+        assert(pf.renameTo(new java.io.File(s"$root/g1_0-0_001.parquet")))
+        rm(new java.io.File(tmp))
+        def stat(path: String): String =
+          s""""":[{"fileId":"g1","path":${jstr(path)},"numWrites":1}]"""
+        Files.writeString(Paths.get(root, ".hoodie", "001.deltacommit"),
+          s"""{"partitionToWriteStats":{${stat("g1_0-0_001.parquet")}}}""")
+        val avroSchema =
+          """{"type":"record","name":"r","fields":[
+            | {"name":"_hoodie_record_key","type":"string"},
+            | {"name":"o_orderkey","type":"long"},
+            | {"name":"o_totalprice","type":"double"},
+            | {"name":"o_orderstatus","type":"string"},
+            | {"name":"_hoodie_is_deleted","type":"boolean"}]}"""
+            .stripMargin
+        // bounded fixture-authoring collects (same grain as q431's)
+        def recs(df: DataFrame, mult: Double,
+                 deleted: Boolean = false): Seq[Map[String, Any]] =
+          df.select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderstatus")).collect().toSeq.map { r =>
+            Map[String, Any](
+              "_hoodie_record_key" -> r.getLong(0).toString,
+              "o_orderkey" -> r.getLong(0),
+              "o_totalprice" -> (r.getDouble(1) * mult),
+              "o_orderstatus" -> r.getString(2),
+              "_hoodie_is_deleted" -> deleted)
+          }
+        import graft.sources.HudiMorLite.{AvroBlockSpec, CommandBlockSpec}
+        graft.sources.HudiMorLite.writeLogBlocks(s"$root/.g1_001.log.1",
+          Seq(
+            AvroBlockSpec(avroSchema,
+              recs(base.filter((col("o_orderkey") % 10).isin(3, 4)), 2.0)
+                ++ recs(base.filter(col("o_orderkey") % 10 === 0), 1.0,
+                  deleted = true),
+              instantTime = Some("002")),
+            AvroBlockSpec(avroSchema,
+              recs(base.filter((col("o_orderkey") % 10).isin(1, 2)), 9.0)
+                ++ recs(base.filter(col("o_orderkey") % 10 === 0), 7.0),
+              instantTime = Some("003"))))
+        Files.writeString(Paths.get(root, ".hoodie", "002.deltacommit"),
+          s"""{"partitionToWriteStats":{${stat(".g1_001.log.1")}}}""")
+        graft.sources.HudiMorLite.writeLogBlocks(s"$root/.g1_001.log.2",
+          Seq(
+            CommandBlockSpec(Some("003")),
+            AvroBlockSpec(avroSchema,
+              recs(base.filter(col("o_orderkey") % 10 === 1), 3.0),
+              instantTime = Some("004"))))
+        Files.writeString(Paths.get(root, ".hoodie", "004.deltacommit"),
           s"""{"partitionToWriteStats":{${stat(".g1_001.log.2")}}}""")
         root
       })
@@ -4032,6 +4166,19 @@ object Storage extends QueryModule {
         |SELECT part, count(*) AS n,
         | CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM r GROUP BY part ORDER BY part""".stripMargin,
+    // rollback kills the instant-003 block (×9 on 1,2 + resurrection
+    // of 0); instant-002 (×2 on 3,4 + delete of 0) and instant-004
+    // (×3 on 1) stand
+    "q443_hudi_mor_rollback" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        | CAST(sum(CAST(CASE WHEN o_orderkey % 10 IN (3, 4)
+        |   THEN o_totalprice * 2
+        |   WHEN o_orderkey % 10 = 1 THEN o_totalprice * 3
+        |   ELSE o_totalprice END
+        |   AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderkey % 10 BETWEEN 1 AND 4
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     // per-partition PK merge, q407's upsert algebra in every partition
     "q427_paimon_partitioned_pk" ->
       """SELECT o_orderstatus, count(*) AS n,
@@ -4128,6 +4275,34 @@ object Storage extends QueryModule {
         | CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM ch GROUP BY o_orderstatus, _row_kind
         |ORDER BY o_orderstatus, _row_kind""".stripMargin,
+    // partial-update: the seq-2 all-NULL +U rows must not overwrite,
+    // so the merged table equals the seq-1 batch verbatim
+    "q440_paimon_partial_update" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_price
+        |FROM orders WHERE o_orderkey % 10 < 5
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+    // aggregation: sum-fold doubles price for %10∈(3,4); status rides
+    // last_non_null so the second batch's NULL never erases it
+    "q441_paimon_aggregation" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        | CAST(sum(CAST(CASE WHEN o_orderkey % 10 IN (3, 4)
+        |   THEN o_totalprice * 2 ELSE o_totalprice END
+        |   AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderkey % 10 < 5
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+    // first-row: the later ×2 duplicate inserts lose, so the merged
+    // table equals the seq-1 batch verbatim
+    "q442_paimon_first_row" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_price
+        |FROM orders WHERE o_orderkey % 10 < 5
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     // source commits 0,1,2 streamed through the sink = batches A∪B∪C
     "q403_delta_stream_sink" ->
       """SELECT l_returnflag, count(*) AS n,

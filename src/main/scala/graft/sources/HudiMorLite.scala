@@ -45,8 +45,16 @@ import org.json4s.jackson.JsonMethods
   * versions 1/2 (Kryo-serialized HoodieKey[]/DeleteRecord[]) refuse
   * BY VERSION, as do deletes carrying a non-trivial orderingVal
   * (event-time-ordered merge is outside lite scope — merge order
-  * here is commit/arrival order). COMMAND/HFILE/PARQUET/CDC blocks
-  * refuse loudly.
+  * here is commit/arrival order).
+  *
+  * COMMAND_BLOCK (HoodieCommandBlock — what a ROLLBACK of a failed
+  * MOR write appends): type ROLLBACK_PREVIOUS_BLOCK invalidates every
+  * earlier block in the slice's log stream whose INSTANT_TIME header
+  * equals the command's TARGET_INSTANT_TIME header (the published
+  * AbstractHoodieLogRecordReader semantics), across log-file
+  * boundaries. Unknown command types, rollbacks without a target, and
+  * rollbacks over blocks lacking INSTANT_TIME refuse loudly.
+  * HFILE/PARQUET/CDC/CORRUPT blocks refuse loudly.
   *
   * MERGE, Spark-first: base files are ONE native vectorized scan; log
   * files decode EXECUTOR-SIDE (a flatMap over the slice list — log
@@ -78,12 +86,20 @@ object HudiMorLite {
   private implicit val fmts: Formats = DefaultFormats
 
   private val Magic: Array[Byte] = "#HUDI#".getBytes("UTF-8")
+  // HoodieLogBlock.HeaderMetadataType ordinals (public enum)
+  private val InstantTimeHeaderOrdinal = 0
+  private val TargetInstantHeaderOrdinal = 1
   private val SchemaHeaderOrdinal = 2
+  private val CommandTypeHeaderOrdinal = 3
   private val BlockTypeNames = Seq("COMMAND_BLOCK", "DELETE_BLOCK",
     "CORRUPT_BLOCK", "AVRO_DATA_BLOCK", "HFILE_DATA_BLOCK",
     "PARQUET_DATA_BLOCK", "CDC_DATA_BLOCK")
+  private val CommandBlockOrdinal = 0
   private val DeleteBlockOrdinal = 1
   private val AvroDataBlockOrdinal = 3
+  // HoodieCommandBlockTypeEnum: ROLLBACK_BLOCK is the only published
+  // command type, ordinal 0
+  private val RollbackCommandType = "0"
 
   /** The published `HoodieDeleteRecordList` Avro schema (hudi-common/
     * src/main/avro/HoodieDeleteRecordList.avsc) — the version-3
@@ -257,23 +273,24 @@ object HudiMorLite {
                                             deleted: Boolean,
                                             values: Seq[Any])
 
-  /** Parse one log FILE's blocks (executor-side; byte layout in the
-    * object doc) and emit its records aligned to `fieldNames`/
-    * `fieldTypes`. `ordPrefix` is the (instant, version) order key;
-    * block/record indexes extend it to a total order. `partition` is
-    * the owning slice's partition path — a record claiming a
-    * different one refuses (the merge keys on it). */
-  private[graft] def decodeLogFile(path: String, partition: String,
-                                   ordPrefix: String,
-                                   fieldNames: Seq[String],
-                                   fieldTypes: Seq[DataType])
-  : Iterator[LogRecord] = {
+  /** One framed log block: its index in the file, type ordinal,
+    * decoded header map (ordinal → UTF-8 value) and raw content. */
+  private[graft] final case class RawBlock(path: String, blockIdx: Int,
+                                           blockType: Int,
+                                           headers: Map[Int, String],
+                                           content: Array[Byte])
+
+  /** Frame one log FILE into its blocks (byte layout in the object
+    * doc). AVRO_DATA / DELETE / COMMAND blocks pass through (COMMAND
+    * is interpreted by [[decodeSliceLogs]]); HFILE/PARQUET/CDC/
+    * CORRUPT/unknown refuse loudly. */
+  private[graft] def parseRawBlocks(path: String): Vector[RawBlock] = {
     val fsPath = new Path(path)
     val fs = fsPath.getFileSystem(new org.apache.hadoop.conf.Configuration())
     val in = new DataInputStream(new java.io.BufferedInputStream(
       fs.open(fsPath)))
     try {
-      val out = Vector.newBuilder[LogRecord]
+      val out = Vector.newBuilder[RawBlock]
       var blockIdx = 0
       var eof = false
       while (!eof) {
@@ -294,13 +311,14 @@ object HudiMorLite {
               "version 1)")
           val blockType = in.readInt()
           if (blockType != AvroDataBlockOrdinal &&
-            blockType != DeleteBlockOrdinal)
+            blockType != DeleteBlockOrdinal &&
+            blockType != CommandBlockOrdinal)
             throw new IllegalStateException(
               s"$path: block $blockIdx is " +
                 BlockTypeNames.lift(blockType)
                   .getOrElse(s"unknown type $blockType") +
-                " — AVRO_DATA_BLOCK and DELETE_BLOCK are HudiMorLite " +
-                "scope")
+                " — AVRO_DATA_BLOCK, DELETE_BLOCK and COMMAND_BLOCK " +
+                "are HudiMorLite scope")
           // header map: count, then (key ordinal, length, utf8 value).
           // Sizes are UNTRUSTED input — a garbage count/length must
           // refuse by name, not allocate gigabytes
@@ -318,7 +336,7 @@ object HudiMorLite {
               k -> new String(bytes, "UTF-8")
             }.toMap
           val contentLen = in.readLong()
-          if (contentLen < 8 || contentLen > Int.MaxValue)
+          if (contentLen < 0 || contentLen > Int.MaxValue)
             throw new IllegalStateException(
               s"$path: block $blockIdx claims content length $contentLen")
           val content = new Array[Byte](contentLen.toInt)
@@ -331,25 +349,94 @@ object HudiMorLite {
             in.readFully(bytes)
           }
           in.readLong()
-          val ord = f"$ordPrefix%s|$blockIdx%010d"
-          out ++= (if (blockType == DeleteBlockOrdinal)
-            decodeDeleteBlock(path, blockIdx, content, ord, partition,
-              fieldNames.size)
-          else {
-            // data blocks carry their Avro schema in the SCHEMA header
-            val schemaJson = headers.getOrElse(SchemaHeaderOrdinal,
-              throw new IllegalStateException(
-                s"$path: block $blockIdx carries no SCHEMA header — " +
-                  "cannot decode its Avro records"))
-            decodeAvroBlock(path, blockIdx, schemaJson, content, ord,
-              partition, fieldNames, fieldTypes)
-          })
+          out += RawBlock(path, blockIdx, blockType, headers, content)
           blockIdx += 1
         }
       }
-      out.result().iterator
+      out.result()
     } finally in.close()
   }
+
+  /** Decode ONE SLICE's ordered log files (executor-side) and emit
+    * records aligned to `fieldNames`/`fieldTypes`. Each file pairs
+    * with its (instant, version) `ordPrefix`; block/record indexes
+    * extend it to a total order. `partition` is the slice's partition
+    * path — a record claiming a different one refuses.
+    *
+    * ROLLBACKS (HoodieCommandBlock, the published semantics of
+    * AbstractHoodieLogRecordReader): a COMMAND_BLOCK of type
+    * ROLLBACK_PREVIOUS_BLOCK (COMMAND_BLOCK_TYPE header "0") removes
+    * every EARLIER block in the slice's log stream whose own
+    * INSTANT_TIME header equals the command's TARGET_INSTANT_TIME
+    * header — a failed write's orphaned blocks die to the rollback
+    * that follows them, across log-file boundaries (the rollback
+    * appends to a later log file of the same file group). An unknown
+    * command type, a rollback without a target, or a rollback over
+    * blocks that carry no INSTANT_TIME header (undecidable
+    * applicability) refuse loudly. */
+  private[graft] def decodeSliceLogs(files: Seq[(String, String)],
+                                     partition: String,
+                                     fieldNames: Seq[String],
+                                     fieldTypes: Seq[DataType])
+  : Iterator[LogRecord] = {
+    val live = scala.collection.mutable
+      .ArrayBuffer.empty[(String, RawBlock)] // (ordPrefix, block)
+    for ((path, ordPrefix) <- files; block <- parseRawBlocks(path)) {
+      if (block.blockType == CommandBlockOrdinal) {
+        val cmdType = block.headers.getOrElse(CommandTypeHeaderOrdinal,
+          throw new IllegalStateException(
+            s"$path: block ${block.blockIdx} is a COMMAND_BLOCK " +
+              "without a COMMAND_BLOCK_TYPE header"))
+        if (cmdType != RollbackCommandType)
+          throw new IllegalStateException(
+            s"$path: block ${block.blockIdx} is a COMMAND_BLOCK of " +
+              s"unknown type $cmdType — ROLLBACK_PREVIOUS_BLOCK (0) " +
+              "is the only published command type")
+        val target = block.headers.getOrElse(TargetInstantHeaderOrdinal,
+          throw new IllegalStateException(
+            s"$path: block ${block.blockIdx} is a rollback " +
+              "COMMAND_BLOCK without a TARGET_INSTANT_TIME header"))
+        live.filterInPlace { case (_, b) =>
+          b.headers.get(InstantTimeHeaderOrdinal) match {
+            case Some(instant) => instant != target
+            case None => throw new IllegalStateException(
+              s"${b.path}: block ${b.blockIdx} carries no INSTANT_TIME " +
+                s"header but a rollback targeting $target follows it — " +
+                "cannot decide whether the block is invalidated")
+          }
+        }: Unit
+      } else live += ((ordPrefix, block))
+    }
+    live.iterator.flatMap { case (ordPrefix, b) =>
+      val ord = f"$ordPrefix%s|${b.blockIdx}%010d"
+      if (b.content.length < 8) throw new IllegalStateException(
+        s"${b.path}: block ${b.blockIdx} holds ${b.content.length} " +
+          "content bytes — too short for a data/delete block")
+      if (b.blockType == DeleteBlockOrdinal)
+        decodeDeleteBlock(b.path, b.blockIdx, b.content, ord, partition,
+          fieldNames.size)
+      else {
+        // data blocks carry their Avro schema in the SCHEMA header
+        val schemaJson = b.headers.getOrElse(SchemaHeaderOrdinal,
+          throw new IllegalStateException(
+            s"${b.path}: block ${b.blockIdx} carries no SCHEMA header " +
+              "— cannot decode its Avro records"))
+        decodeAvroBlock(b.path, b.blockIdx, schemaJson, b.content, ord,
+          partition, fieldNames, fieldTypes)
+      }
+    }
+  }
+
+  /** Single-file convenience over [[decodeSliceLogs]] (spec surface;
+    * a rollback in this file can only target blocks before it in the
+    * SAME file). */
+  private[graft] def decodeLogFile(path: String, partition: String,
+                                   ordPrefix: String,
+                                   fieldNames: Seq[String],
+                                   fieldTypes: Seq[DataType])
+  : Iterator[LogRecord] =
+    decodeSliceLogs(Seq(path -> ordPrefix), partition, fieldNames,
+      fieldTypes)
 
   /** Decode a DELETE_BLOCK's content ([content version][payload
     * length][payload] — HoodieDeleteBlock): version 3 = binary-Avro
@@ -514,11 +601,19 @@ object HudiMorLite {
   private[graft] sealed trait BlockSpec
   private[graft] final case class AvroBlockSpec(
       schemaJson: String, records: Seq[Map[String, Any]],
-      blockType: Int = AvroDataBlockOrdinal) extends BlockSpec
+      blockType: Int = AvroDataBlockOrdinal,
+      instantTime: Option[String] = None) extends BlockSpec
   private[graft] final case class DeleteBlockSpec(
       keys: Seq[(String, Option[String])],
       contentVersion: Int = CurrentDeleteBlockVersion,
-      orderingVal: Option[Any] = None) extends BlockSpec
+      orderingVal: Option[Any] = None,
+      instantTime: Option[String] = None) extends BlockSpec
+  /** A HoodieCommandBlock: `commandType` "0" = ROLLBACK_PREVIOUS_BLOCK
+    * (the only published type; other values author refusal fixtures),
+    * targeting the blocks whose INSTANT_TIME equals `targetInstant`. */
+  private[graft] final case class CommandBlockSpec(
+      targetInstant: Option[String],
+      commandType: String = RollbackCommandType) extends BlockSpec
 
   /** Write a HoodieLogFormat log file — fixture/spec authoring, the
     * exact inverse of [[decodeLogFile]]'s layout. */
@@ -547,8 +642,11 @@ object HudiMorLite {
     val out = new DataOutputStream(bos)
     for (block <- blocks) {
       // (blockType, header entries, content bytes) per block kind
+      def instantHeader(it: Option[String]): Seq[(Int, Array[Byte])] =
+        it.toSeq.map(t =>
+          InstantTimeHeaderOrdinal -> t.getBytes("UTF-8"))
       val (blockType, headerEntries, content) = block match {
-        case AvroBlockSpec(schemaJson, records, bt) =>
+        case AvroBlockSpec(schemaJson, records, bt, instantTime) =>
           val schema = new Schema.Parser().parse(schemaJson)
           // content: [format version][record count][per rec: len+avro]
           val contentBos = new ByteArrayOutputStream()
@@ -563,9 +661,10 @@ object HudiMorLite {
             contentOut.writeInt(bytes.length)
             contentOut.write(bytes)
           }
-          (bt, Seq(SchemaHeaderOrdinal -> schemaJson.getBytes("UTF-8")),
+          (bt, instantHeader(instantTime) :+
+            (SchemaHeaderOrdinal -> schemaJson.getBytes("UTF-8")),
             contentBos.toByteArray)
-        case DeleteBlockSpec(keys, version, orderingVal) =>
+        case DeleteBlockSpec(keys, version, orderingVal, instantTime) =>
           // content: [content version][payload length][Avro
           // HoodieDeleteRecordList] — no SCHEMA header (the payload
           // schema is the published constant, as in HoodieDeleteBlock)
@@ -588,7 +687,16 @@ object HudiMorLite {
           contentOut.writeInt(version)
           contentOut.writeInt(payload.length)
           contentOut.write(payload)
-          (DeleteBlockOrdinal, Nil, contentBos.toByteArray)
+          (DeleteBlockOrdinal, instantHeader(instantTime),
+            contentBos.toByteArray)
+        case CommandBlockSpec(target, cmdType) =>
+          // command blocks carry their semantics entirely in headers;
+          // content is empty (as HoodieCommandBlock writes it)
+          (CommandBlockOrdinal,
+            (CommandTypeHeaderOrdinal -> cmdType.getBytes("UTF-8")) +:
+              target.toSeq.map(t =>
+                TargetInstantHeaderOrdinal -> t.getBytes("UTF-8")),
+            Array.emptyByteArray)
       }
       val headerBos = new ByteArrayOutputStream()
       val headerOut = new DataOutputStream(headerBos)
@@ -633,12 +741,16 @@ object HudiMorLite {
         s"$tableDir: base files carry no _hoodie_record_key — cannot " +
           "merge log records (populateMetaFields=false tables are " +
           "outside HudiMorLite scope)")
-    val logs: Seq[(String, String, String)] = snap.slices.flatMap { s =>
-      s.logs.map(l =>
-        (l.path, f"${BigInt(l.instant)}%020d|${l.version}%010d",
-          s.partition))
-    }
-    if (logs.isEmpty) return base
+    // one decode unit per SLICE (its ordered log files together):
+    // rollback COMMAND_BLOCKs invalidate earlier blocks of the same
+    // file group across file boundaries, so the slice is the smallest
+    // correct decode grain
+    val sliceLogs: Seq[(String, Seq[(String, String)])] =
+      snap.slices.filter(_.logs.nonEmpty).map { s =>
+        (s.partition, s.logs.map(l =>
+          (l.path, f"${BigInt(l.instant)}%020d|${l.version}%010d")))
+      }
+    if (sliceLogs.isEmpty) return base
     // record keys are only unique PER PARTITION under Hudi's default
     // (non-global) index, so the merge keys on (partition, key). Base
     // rows bring _hoodie_partition_path; without it a MULTI-partition
@@ -646,9 +758,9 @@ object HudiMorLite {
     // refuse rather than silently mis-patch
     val PartCol = "_hoodie_partition_path"
     val hasPartCol = base.columns.contains(PartCol)
-    val distinctParts =
-      logs.map(_._3).distinct ++ snap.slices.map(_.partition).distinct
-    if (!hasPartCol && distinctParts.distinct.size > 1)
+    val distinctParts2 =
+      (sliceLogs.map(_._1) ++ snap.slices.map(_.partition)).distinct
+    if (!hasPartCol && distinctParts2.size > 1)
       throw new IllegalStateException(
         s"$tableDir: multi-partition MOR table whose base files lack " +
           s"$PartCol — record keys are only unique per partition " +
@@ -663,8 +775,8 @@ object HudiMorLite {
         s"$tableDir: base column $nm is ${other.simpleString} — log " +
           "merging is flat-primitive scope in HudiMorLite")
     }
-    // executor-side block decode: one task per log file (bounded list
-    // on the driver, record volume stays distributed); fan-out caps at
+    // executor-side block decode: one task per SLICE (bounded list on
+    // the driver, record volume stays distributed); fan-out caps at
     // the cluster's parallelism, not a constant
     val logSchema = StructType(
       StructField("_hml_key", StringType) ::
@@ -673,11 +785,11 @@ object HudiMorLite {
         StructField("_hml_deleted", BooleanType) ::
         base.schema.fields.toList)
     val rowsRdd = spark.sparkContext
-      .parallelize(logs,
-        math.min(logs.size,
+      .parallelize(sliceLogs,
+        math.min(sliceLogs.size,
           spark.sparkContext.defaultParallelism).max(1))
-      .flatMap { case (path, ordPrefix, partition) =>
-        decodeLogFile(path, partition, ordPrefix, names, types).map(r =>
+      .flatMap { case (partition, files) =>
+        decodeSliceLogs(files, partition, names, types).map(r =>
           Row.fromSeq(r.key +: partition +: r.ord +: r.deleted +:
             r.values))
       }

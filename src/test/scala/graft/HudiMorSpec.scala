@@ -187,6 +187,81 @@ class HudiMorSpec extends AnyFunSuite {
     assert(chain(e3).exists(_.contains("foreign log")))
   }
 
+  test("a rollback COMMAND_BLOCK invalidates exactly the blocks with " +
+    "its target INSTANT_TIME — same file and across files") {
+    import spark.implicits._
+    val root = fixture("rollback")
+    // log.1: good block (instant 002, id1→100), failed block (instant
+    // 003, id2→999), rollback of 003 IN THE SAME FILE
+    HudiMorLite.writeLogBlocks(s"$root/.g1_001.log.1", Seq(
+      HudiMorLite.AvroBlockSpec(avroSchema, Seq(rec(1, 100)),
+        instantTime = Some("002")),
+      HudiMorLite.AvroBlockSpec(avroSchema, Seq(rec(2, 999)),
+        instantTime = Some("003")),
+      HudiMorLite.CommandBlockSpec(Some("003"))))
+    commit(root, "002", "deltacommit", ".g1_001.log.1")
+    val got = HudiMorLite.read(spark, root)
+      .select("id", "v").as[(Long, Long)].collect().sorted.toSeq
+    assert(got == Seq((0L, 0L), (1L, 100L), (2L, 6L), (3L, 9L),
+      (4L, 12L)))
+    // CROSS-FILE: log.2's failed block (instant 004, id3→888) is
+    // rolled back by a command in log.3; log.3 then appends a good
+    // instant-005 block (id4→55)
+    HudiMorLite.writeLogBlocks(s"$root/.g1_001.log.2", Seq(
+      HudiMorLite.AvroBlockSpec(avroSchema, Seq(rec(3, 888)),
+        instantTime = Some("004"))))
+    commit(root, "004", "deltacommit", ".g1_001.log.2")
+    HudiMorLite.writeLogBlocks(s"$root/.g1_001.log.3", Seq(
+      HudiMorLite.CommandBlockSpec(Some("004")),
+      HudiMorLite.AvroBlockSpec(avroSchema, Seq(rec(4, 55)),
+        instantTime = Some("005"))))
+    commit(root, "005", "deltacommit", ".g1_001.log.3")
+    val got2 = HudiMorLite.read(spark, root)
+      .select("id", "v").as[(Long, Long)].collect().sorted.toSeq
+    assert(got2 == Seq((0L, 0L), (1L, 100L), (2L, 6L), (3L, 9L),
+      (4L, 55L)))
+    // a DELETE_BLOCK is rolled back the same way (it carries
+    // INSTANT_TIME like any block)
+    HudiMorLite.writeLogBlocks(s"$root/.g1_001.log.4", Seq(
+      HudiMorLite.DeleteBlockSpec(Seq("1" -> None),
+        instantTime = Some("006")),
+      HudiMorLite.CommandBlockSpec(Some("006"))))
+    commit(root, "006", "deltacommit", ".g1_001.log.4")
+    assert(HudiMorLite.read(spark, root).select("id").as[Long]
+      .collect().sorted.toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+  }
+
+  test("unknown command types, targetless rollbacks, and rollbacks " +
+    "over INSTANT_TIME-less blocks refuse loudly") {
+    val root = fixture("rbrefuse")
+    // unknown command type
+    HudiMorLite.writeLogBlocks(s"$root/.g1_001.log.1", Seq(
+      HudiMorLite.CommandBlockSpec(Some("002"), commandType = "7")))
+    commit(root, "002", "deltacommit", ".g1_001.log.1")
+    val e = intercept[Exception] { HudiMorLite.read(spark, root).collect() }
+    assert(chain(e).exists(_.contains("unknown type 7")))
+    // rollback without TARGET_INSTANT_TIME
+    HudiMorLite.writeLogBlocks(s"$root/.g1_001.log.1", Seq(
+      HudiMorLite.CommandBlockSpec(None)))
+    val e2 = intercept[Exception] { HudiMorLite.read(spark, root).collect() }
+    assert(chain(e2).exists(_.contains("TARGET_INSTANT_TIME")))
+    // a rollback following a block with no INSTANT_TIME header is
+    // undecidable — refuse
+    HudiMorLite.writeLogBlocks(s"$root/.g1_001.log.1", Seq(
+      HudiMorLite.AvroBlockSpec(avroSchema, Seq(rec(1, 100))),
+      HudiMorLite.CommandBlockSpec(Some("002"))))
+    val e3 = intercept[Exception] { HudiMorLite.read(spark, root).collect() }
+    assert(chain(e3).exists(_.contains("no INSTANT_TIME")))
+    // a rollback targeting an instant no block carries is a no-op
+    HudiMorLite.writeLogBlocks(s"$root/.g1_001.log.1", Seq(
+      HudiMorLite.AvroBlockSpec(avroSchema, Seq(rec(1, 100)),
+        instantTime = Some("002")),
+      HudiMorLite.CommandBlockSpec(Some("999"))))
+    import spark.implicits._
+    assert(HudiMorLite.read(spark, root).filter(col("id") === 1)
+      .select("v").as[Long].head() == 100L)
+  }
+
   test("foreign block types, corrupt magic, and wrong format version " +
     "refuse loudly") {
     val root = fixture("badblocks")
