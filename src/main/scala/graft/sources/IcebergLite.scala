@@ -717,24 +717,25 @@ object IcebergLite {
             lit(" has no sequence-number entry — refusing to apply " +
               "equality deletes unordered")))))
       .drop("_ice_path", "_seq_path")
+    // delete-file columns resolve BY FIELD ID (a file written before
+    // a rename stores the old spelling): the read schema carries the
+    // ids under the CURRENT names. A requested id absent from a file
+    // would read silently null — and null-safe-match null keys — so
+    // every delete file's stored ids are checked first through ONE
+    // distributed footer sweep (never a sequential per-file driver
+    // loop; a CDC-heavy table can carry 10⁴ delete files).
+    val storedIds: Map[String, Set[Int]] = FooterSweep
+      .parquetFields(spark, snap.eqDeletes.map(_.path).distinct)
+      .map { case (f, fields) => f -> fields.flatMap(_._2).toSet }
     val applied = snap.eqDeletes
       .groupBy(_.cols).toSeq.sortBy(_._1.map(_._2).mkString(","))
       .foldLeft(withSeq) { case (acc, (cols, group)) =>
-        // delete-file columns resolve BY FIELD ID (a file written
-        // before a rename stores the old spelling): the read schema
-        // carries the ids under the CURRENT names. A requested id
-        // absent from the file would read silently null — and
-        // null-safe-match null keys — so each delete file's stored
-        // ids are checked first (bounded: one footer per delete file,
-        // the plan-time grain this module already works at).
         val delSchema = StructType(cols.map { case (id, c) =>
           StructField(c, snap.schema(c).dataType, nullable = true,
             new MetadataBuilder().putLong(FieldIdKey, id.toLong).build())
         })
         val delKeys = group.map { d =>
-          val stored = spark.read.parquet(d.path).schema.fields
-            .flatMap(f => if (f.metadata.contains(FieldIdKey))
-              Some(f.metadata.getLong(FieldIdKey).toInt) else None).toSet
+          val stored = storedIds.getOrElse(d.path, Set.empty)
           val missing = cols.filterNot(c => stored.contains(c._1))
           if (missing.nonEmpty) throw new IllegalStateException(
             s"IcebergLite: equality delete file ${d.path} lacks field " +
