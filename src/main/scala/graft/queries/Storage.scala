@@ -636,6 +636,17 @@ object Storage extends QueryModule {
         .read(s, authorHudiMorRollbackTable(s, dir)))
     },
 
+    // Hudi MOR EVENT-TIME merge (hoodie.table.precombine.field — the
+    // default CDC shape): merge order is (o_seq, arrival), so log.2's
+    // late-arriving ×5 at o_seq=20 loses to log.1's ×2 at o_seq=30,
+    // its ×4 at o_seq=25 beats the base's 10, and its ×9 at o_seq=5
+    // loses to the BASE row — an arrival-ordered merge (or one that
+    // skipped the base-vs-log comparison) hash-mismatches.
+    "q444_hudi_mor_precombine" -> { (s, dir) =>
+      ordersCensus(graft.sources.HudiMorLite
+        .read(s, authorHudiMorPrecombineTable(s, dir)))
+    },
+
     // Apache Paimon table read — the FOURTH lakehouse leg (reference
     // thirdparty/auron-paimon). The query authors a Paimon-layout
     // append-only table: snapshot/snapshot-<id> JSON + LATEST hint,
@@ -1584,6 +1595,94 @@ object Storage extends QueryModule {
               recs(base.filter(col("o_orderkey") % 10 === 1), 3.0),
               instantTime = Some("004"))))
         Files.writeString(Paths.get(root, ".hoodie", "004.deltacommit"),
+          s"""{"partitionToWriteStats":{${stat(".g1_001.log.2")}}}""")
+        root
+      })
+    }
+
+  private val hudiMorPcMemo =
+    scala.collection.mutable.Map.empty[String, String]
+
+  /** Authors the EVENT-TIME-merged MOR table q444 reads:
+    * hoodie.properties declares `hoodie.table.precombine.field=o_seq`
+    * and the base (orders %10<5) carries o_seq=10 everywhere. Log.1
+    * (instant 002) upserts %10∈(3,4) at ×2 with o_seq=30 and
+    * soft-deletes %10=0 at o_seq=50. Log.2 (instant 003 — LATER
+    * arrival) upserts %10∈(3,4) at ×5 with o_seq=20 (a late arrival
+    * with a LOWER ordering — must lose to log.1's 30), %10=1 at ×4
+    * with o_seq=25 (outranks the base's 10 — wins), and %10=2 at ×9
+    * with o_seq=5 (loses to the BASE row). Memoized per sf-dir. */
+  private def authorHudiMorPrecombineTable(s: SparkSession,
+                                           dir: String): String =
+    hudiMorPcMemo.synchronized {
+      hudiMorPcMemo.getOrElseUpdate(dir, {
+        import java.nio.file.{Files, Paths}
+        val root =
+          s"/tmp/graft_hudi/morpc_${Integer.toHexString(dir.hashCode)}"
+        def rm(p: java.io.File): Unit = {
+          if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+          p.delete(): Unit
+        }
+        rm(new java.io.File(root))
+        Files.createDirectories(Paths.get(root, ".hoodie"))
+        Files.writeString(Paths.get(root, ".hoodie", "hoodie.properties"),
+          "hoodie.table.name=orders_mor_pc\n" +
+            "hoodie.table.type=MERGE_ON_READ\n" +
+            "hoodie.table.precombine.field=o_seq\n")
+        val base = Tables.df(s, dir, "orders")
+          .select(col("o_orderkey").cast("string")
+            .as("_hoodie_record_key"),
+            col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"),
+            lit(10L).as("o_seq"))
+          .filter(col("o_orderkey") % 10 < 5)
+        val tmp = s"$root/_tmp"
+        base.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val pf = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.endsWith(".parquet") &&
+            !f.getName.startsWith(".")).get
+        assert(pf.renameTo(new java.io.File(s"$root/g1_0-0_001.parquet")))
+        rm(new java.io.File(tmp))
+        def stat(path: String): String =
+          s""""":[{"fileId":"g1","path":${jstr(path)},"numWrites":1}]"""
+        Files.writeString(Paths.get(root, ".hoodie", "001.deltacommit"),
+          s"""{"partitionToWriteStats":{${stat("g1_0-0_001.parquet")}}}""")
+        val avroSchema =
+          """{"type":"record","name":"r","fields":[
+            | {"name":"_hoodie_record_key","type":"string"},
+            | {"name":"o_orderkey","type":"long"},
+            | {"name":"o_totalprice","type":"double"},
+            | {"name":"o_orderstatus","type":"string"},
+            | {"name":"o_seq","type":"long"},
+            | {"name":"_hoodie_is_deleted","type":"boolean"}]}"""
+            .stripMargin
+        // bounded fixture-authoring collects (same grain as q431's)
+        def recs(df: DataFrame, mult: Double, seq: Long,
+                 deleted: Boolean = false): Seq[Map[String, Any]] =
+          df.select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderstatus")).collect().toSeq.map { r =>
+            Map[String, Any](
+              "_hoodie_record_key" -> r.getLong(0).toString,
+              "o_orderkey" -> r.getLong(0),
+              "o_totalprice" -> (r.getDouble(1) * mult),
+              "o_orderstatus" -> r.getString(2),
+              "o_seq" -> seq,
+              "_hoodie_is_deleted" -> deleted)
+          }
+        import graft.sources.HudiMorLite.AvroBlockSpec
+        def keys(ms: Int*) =
+          base.filter((col("o_orderkey") % 10).isin(ms.map(Int.box): _*))
+        graft.sources.HudiMorLite.writeLogBlocks(s"$root/.g1_001.log.1",
+          Seq(AvroBlockSpec(avroSchema,
+            recs(keys(3, 4), 2.0, seq = 30L)
+              ++ recs(keys(0), 1.0, seq = 50L, deleted = true))))
+        Files.writeString(Paths.get(root, ".hoodie", "002.deltacommit"),
+          s"""{"partitionToWriteStats":{${stat(".g1_001.log.1")}}}""")
+        graft.sources.HudiMorLite.writeLogBlocks(s"$root/.g1_001.log.2",
+          Seq(AvroBlockSpec(avroSchema,
+            recs(keys(3, 4), 5.0, seq = 20L)
+              ++ recs(keys(1), 4.0, seq = 25L)
+              ++ recs(keys(2), 9.0, seq = 5L))))
+        Files.writeString(Paths.get(root, ".hoodie", "003.deltacommit"),
           s"""{"partitionToWriteStats":{${stat(".g1_001.log.2")}}}""")
         root
       })
@@ -4166,6 +4265,19 @@ object Storage extends QueryModule {
         |SELECT part, count(*) AS n,
         | CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM r GROUP BY part ORDER BY part""".stripMargin,
+    // event-time merge: 3,4 → ×2 (seq30 beats the late seq20 ×5);
+    // 1 → ×4 (seq25 beats base 10); 2 → ×1 (seq5 loses to base);
+    // 0 dead (soft delete at seq50)
+    "q444_hudi_mor_precombine" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        | CAST(sum(CAST(CASE WHEN o_orderkey % 10 IN (3, 4)
+        |   THEN o_totalprice * 2
+        |   WHEN o_orderkey % 10 = 1 THEN o_totalprice * 4
+        |   ELSE o_totalprice END
+        |   AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderkey % 10 BETWEEN 1 AND 4
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     // rollback kills the instant-003 block (×9 on 1,2 + resurrection
     // of 0); instant-002 (×2 on 3,4 + delete of 0) and instant-004
     // (×3 on 1) stand

@@ -3,7 +3,7 @@ package graft.sources
 import java.io.{ByteArrayOutputStream, DataInputStream, DataOutputStream}
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.json4s._
@@ -43,9 +43,20 @@ import org.json4s.jackson.JsonMethods
   * record (hudi-common/src/main/avro/HoodieDeleteRecordList.avsc:
   * an array of (recordKey, partitionPath, orderingVal) records);
   * versions 1/2 (Kryo-serialized HoodieKey[]/DeleteRecord[]) refuse
-  * BY VERSION, as do deletes carrying a non-trivial orderingVal
-  * (event-time-ordered merge is outside lite scope — merge order
-  * here is commit/arrival order).
+  * BY VERSION.
+  *
+  * EVENT-TIME MERGE (`hoodie.table.precombine.field` in
+  * hoodie.properties — the default shape of a CDC-style Hudi
+  * pipeline): when declared, merge order becomes (precombine value,
+  * arrival) with ties going to the incoming record — the published
+  * DefaultHoodieRecordPayload semantics — applied log-vs-log and
+  * base-vs-log (a lower-ordering late arrival loses to the stored
+  * row). DELETE_BLOCK records must then carry a matching non-trivial
+  * orderingVal (a null/0 "natural order" delete wins at arrival
+  * regardless of event time — not foldable into one monotonic
+  * aggregate, refused loudly); soft deletes carry the precombine
+  * column like any record. WITHOUT a precombine field, merge order is
+  * commit/arrival order and a non-trivial delete orderingVal refuses.
   *
   * COMMAND_BLOCK (HoodieCommandBlock — what a ROLLBACK of a failed
   * MOR write appends): type ROLLBACK_PREVIOUS_BLOCK invalidates every
@@ -128,7 +139,8 @@ object HudiMorLite {
                              baseInstant: String, basePath: String,
                              logs: Seq[LogFile])
 
-  final case class MorSnapshot(instant: String, slices: Seq[FileSlice])
+  final case class MorSnapshot(instant: String, slices: Seq[FileSlice],
+                               precombineField: Option[String] = None)
 
   private def readText(fs: org.apache.hadoop.fs.FileSystem,
                        p: Path): String = {
@@ -157,11 +169,16 @@ object HudiMorLite {
     if (!fs.exists(hoodieDir))
       throw new IllegalStateException(s"$tableDir has no .hoodie directory")
     val props = new Path(hoodieDir, "hoodie.properties")
-    val tableType: Option[String] =
-      if (!fs.exists(props)) None
-      else readText(fs, props).linesIterator
-        .map(_.trim).find(_.startsWith("hoodie.table.type="))
-        .map(_.split("=", 2)(1).trim)
+    val propLines: Seq[String] =
+      if (!fs.exists(props)) Nil
+      else readText(fs, props).linesIterator.map(_.trim).toSeq
+    def prop(key: String): Option[String] = propLines
+      .find(_.startsWith(s"$key="))
+      .map(_.split("=", 2)(1).trim).filter(_.nonEmpty)
+    val tableType = prop("hoodie.table.type")
+    // the precombine (event-time ordering) field, as hoodie.properties
+    // publishes it — when set, the merge orders by it before arrival
+    val precombine = prop("hoodie.table.precombine.field")
     if (!tableType.contains("MERGE_ON_READ"))
       throw new IllegalStateException(
         s"$tableDir: hoodie.table.type=${tableType.getOrElse("<absent>")}" +
@@ -263,7 +280,7 @@ object HudiMorLite {
         logs.sortBy(l => (BigInt(l.instant), l.version))
           .map(l => l.copy(path = s"$tableDir/${l.path}")))
     }
-    MorSnapshot(wanted.last._1, slices)
+    MorSnapshot(wanted.last._1, slices, precombine)
   }
 
   /** One decoded log record: the record key, the total order among
@@ -377,7 +394,8 @@ object HudiMorLite {
   private[graft] def decodeSliceLogs(files: Seq[(String, String)],
                                      partition: String,
                                      fieldNames: Seq[String],
-                                     fieldTypes: Seq[DataType])
+                                     fieldTypes: Seq[DataType],
+                                     precombineIdx: Option[Int] = None)
   : Iterator[LogRecord] = {
     val live = scala.collection.mutable
       .ArrayBuffer.empty[(String, RawBlock)] // (ordPrefix, block)
@@ -414,7 +432,7 @@ object HudiMorLite {
           "content bytes — too short for a data/delete block")
       if (b.blockType == DeleteBlockOrdinal)
         decodeDeleteBlock(b.path, b.blockIdx, b.content, ord, partition,
-          fieldNames.size)
+          fieldNames.size, precombineIdx.map(i => i -> fieldTypes(i)))
       else {
         // data blocks carry their Avro schema in the SCHEMA header
         val schemaJson = b.headers.getOrElse(SchemaHeaderOrdinal,
@@ -443,11 +461,20 @@ object HudiMorLite {
     * [[DeleteRecordListSchema]]; versions 1/2 (Kryo) refuse BY
     * VERSION. Emitted records are hard deletes riding the SAME total
     * order as data-block records, so max_by decides delete-vs-
-    * re-insert races. A non-trivial orderingVal (event-time merge
-    * order) refuses — merge order here is commit/arrival order. */
+    * re-insert races.
+    *
+    * `precombine` = (field index, field type) when the table declares
+    * an event-time ordering field: the delete's orderingVal is then
+    * REQUIRED (null/0 means "natural order" — a win-at-arrival
+    * semantics that cannot fold into one monotonic aggregate, so it
+    * refuses loudly) and lands in the record's values at the
+    * precombine slot, where the merge ordering reads it. Without a
+    * precombine field the INVERSE holds: a non-trivial orderingVal
+    * refuses (merge order is commit/arrival order). */
   private def decodeDeleteBlock(path: String, blockIdx: Int,
                                 content: Array[Byte], ordPrefix: String,
-                                partition: String, nFields: Int)
+                                partition: String, nFields: Int,
+                                precombine: Option[(Int, DataType)])
   : Seq[LogRecord] = {
     import org.apache.avro.Schema
     import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
@@ -494,16 +521,50 @@ object HudiMorLite {
         throw new IllegalStateException(
           s"$path: block $blockIdx deletes key $key in partition '$p' " +
             s"but the slice's partition is '$partition' — foreign log")
-      d.get("orderingVal") match {
-        case null =>
-        case n: Number if n.doubleValue() == 0.0 => // "no ordering"
-        case ov => throw new IllegalStateException(
-          s"$path: block $blockIdx delete record carries orderingVal " +
-            s"$ov — event-time-ordered deletes are outside HudiMorLite " +
-            "scope (merge order here is commit/arrival order)")
+      val ordVal = d.get("orderingVal")
+      val values: Seq[Any] = precombine match {
+        case None =>
+          ordVal match {
+            case null =>
+            case n: Number if n.doubleValue() == 0.0 => // "no ordering"
+            case ov => throw new IllegalStateException(
+              s"$path: block $blockIdx delete record carries " +
+                s"orderingVal $ov but the table declares no precombine " +
+                "field — merge order here is commit/arrival order")
+          }
+          Seq.fill(nFields)(null)
+        case Some((pcIdx, pcType)) =>
+          val conv: Any = ordVal match {
+            case null => throw new IllegalStateException(
+              s"$path: block $blockIdx delete record carries no " +
+                "orderingVal but the table declares a precombine field " +
+                "— a natural-order delete wins at arrival regardless " +
+                "of event time, which cannot fold into the event-time " +
+                "merge; outside HudiMorLite scope")
+            case n: Number if n.doubleValue() == 0.0 =>
+              throw new IllegalStateException(
+                s"$path: block $blockIdx delete record carries the " +
+                  "default orderingVal 0 (natural order) but the table " +
+                  "declares a precombine field — outside HudiMorLite " +
+                  "scope (see the null-orderingVal refusal)")
+            case v => (v, pcType) match {
+              case (n: Number, LongType)    => n.longValue()
+              case (n: Number, IntegerType) => n.intValue()
+              case (n: Number, DoubleType)  => n.doubleValue()
+              case (n: Number, FloatType)   => n.floatValue()
+              case (u: org.apache.avro.util.Utf8, StringType) =>
+                u.toString
+              case (s: String, StringType)  => s
+              case (other, dt) => throw new IllegalStateException(
+                s"$path: block $blockIdx delete orderingVal holds " +
+                  s"${other.getClass.getSimpleName} but the precombine " +
+                  s"column is ${dt.simpleString} — incomparable")
+            }
+          }
+          Seq.tabulate(nFields)(i => if (i == pcIdx) conv else null)
       }
       LogRecord(key, f"$ordPrefix%s|$recIdx%010d", deleted = true,
-        Seq.fill(nFields)(null))
+        values)
     }
   }
 
@@ -775,6 +836,25 @@ object HudiMorLite {
         s"$tableDir: base column $nm is ${other.simpleString} — log " +
           "merging is flat-primitive scope in HudiMorLite")
     }
+    // event-time merge: when hoodie.properties declares a precombine
+    // field, the ordering becomes (precombine value, arrival) — the
+    // published DefaultHoodieRecordPayload semantics (higher ordering
+    // wins, ties go to the incoming record), applied log-vs-log AND
+    // base-vs-log
+    val pcField = snap.precombineField
+    for (pc <- pcField) {
+      if (!names.contains(pc)) throw new IllegalStateException(
+        s"$tableDir: hoodie.table.precombine.field=$pc is not a base " +
+          "column — cannot event-time-order the merge")
+      types(names.indexOf(pc)) match {
+        case LongType | IntegerType | DoubleType | FloatType |
+             StringType =>
+        case other => throw new IllegalStateException(
+          s"$tableDir: precombine field $pc is ${other.simpleString} — " +
+            "not an orderable event-time type in HudiMorLite")
+      }
+    }
+    val pcIdx = pcField.map(names.indexOf)
     // executor-side block decode: one task per SLICE (bounded list on
     // the driver, record volume stays distributed); fan-out caps at
     // the cluster's parallelism, not a constant
@@ -789,7 +869,7 @@ object HudiMorLite {
         math.min(sliceLogs.size,
           spark.sparkContext.defaultParallelism).max(1))
       .flatMap { case (partition, files) =>
-        decodeSliceLogs(files, partition, names, types).map(r =>
+        decodeSliceLogs(files, partition, names, types, pcIdx).map(r =>
           Row.fromSeq(r.key +: partition +: r.ord +: r.deleted +:
             r.values))
       }
@@ -798,24 +878,73 @@ object HudiMorLite {
     // max_by (the total order string encodes
     // instant|logVersion|block|record — DELETE_BLOCK keys and soft
     // deletes ride the same stream, so a later re-insert outranks its
-    // delete), then winners patch the base — anti-join + union, no
+    // delete; a precombine field PREPENDS the event-time value to that
+    // order), then winners patch the base — anti-join + union, no
     // window
+    def pcGuard(c: Column, what: String): Column =
+      when(c.isNull, raise_error(lit(
+        s"HudiMorLite: $tableDir: a $what carries a NULL precombine " +
+          "value — cannot event-time-order the merge"))).otherwise(c)
+    val ordExpr = pcField match {
+      case None     => col("_hml_ord")
+      case Some(pc) => struct(pcGuard(col(pc), "log record"),
+        col("_hml_ord"))
+    }
     val payload = struct(
       (col("_hml_deleted") +: names.map(col)): _*)
     val winners = logDf
       .groupBy(col("_hml_part"), col("_hml_key"))
-      .agg(max_by(payload, col("_hml_ord")).as("_hml_top"))
-    val patched = winners
-      .filter(!col("_hml_top._hml_deleted"))
-      .select(names.map(n => col(s"_hml_top.$n").as(n)): _*)
-    val joinCond =
-      if (hasPartCol)
-        base(PartCol) === col("_hml_part") &&
-          base("_hoodie_record_key") === col("_hml_key")
-      else base("_hoodie_record_key") === col("_hml_key")
-    base
-      .join(winners.select(col("_hml_part"), col("_hml_key")),
-        joinCond, "left_anti")
-      .unionByName(patched)
+      .agg(max_by(payload, ordExpr).as("_hml_top"))
+    pcField match {
+      case None =>
+        val patched = winners
+          .filter(!col("_hml_top._hml_deleted"))
+          .select(names.map(n => col(s"_hml_top.$n").as(n)): _*)
+        val joinCond =
+          if (hasPartCol)
+            base(PartCol) === col("_hml_part") &&
+              base("_hoodie_record_key") === col("_hml_key")
+          else base("_hoodie_record_key") === col("_hml_key")
+        base
+          .join(winners.select(col("_hml_part"), col("_hml_key")),
+            joinCond, "left_anti")
+          .unionByName(patched)
+      case Some(pc) =>
+        // a winner only REPLACES a base row it outranks (winner's
+        // event time >= the base row's); a lower-ordering late
+        // arrival loses to the stored row. Two bounded joins keep
+        // the scale shape: the anti-join removes outranked base
+        // rows, and the winners re-check against a 3-column base
+        // projection before emitting (new keys pass through).
+        val winKeys = winners.select(col("_hml_part"), col("_hml_key"),
+          col(s"_hml_top.$pc").as("_hml_pcv"))
+        val antiCond =
+          (if (hasPartCol)
+            base(PartCol) === winKeys("_hml_part") &&
+              base("_hoodie_record_key") === winKeys("_hml_key")
+          else base("_hoodie_record_key") === winKeys("_hml_key")) &&
+            winKeys("_hml_pcv") >= pcGuard(base(pc), "base row")
+        val kept = base.join(winKeys, antiCond, "left_anti")
+        val baseKeys = base.select(
+          (if (hasPartCol) base(PartCol)
+           else lit(null).cast(StringType)).as("_hb_part"),
+          base("_hoodie_record_key").as("_hb_key"),
+          base(pc).as("_hb_pcv"))
+        val patchCond =
+          if (hasPartCol)
+            col("_hml_part") === col("_hb_part") &&
+              col("_hml_key") === col("_hb_key")
+          else col("_hml_key") === col("_hb_key")
+        val patched = winners
+          .filter(!col("_hml_top._hml_deleted"))
+          .join(baseKeys, patchCond, "left")
+          // CASE keeps the null-guard out of the no-base-row branch
+          // (the outer join fills _hb_pcv with null there)
+          .filter(when(col("_hb_key").isNull, lit(true))
+            .otherwise(col(s"_hml_top.$pc") >=
+              pcGuard(col("_hb_pcv"), "base row")))
+          .select(names.map(n => col(s"_hml_top.$n").as(n)): _*)
+        kept.unionByName(patched)
+    }
   }
 }

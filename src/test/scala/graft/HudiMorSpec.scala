@@ -364,6 +364,116 @@ class HudiMorSpec extends AnyFunSuite {
     assert(e.getMessage.contains("multi-partition"))
   }
 
+  private val pcAvroSchema =
+    """{"type":"record","name":"r","fields":[
+      | {"name":"_hoodie_record_key","type":"string"},
+      | {"name":"id","type":"long"},
+      | {"name":"v","type":"long"},
+      | {"name":"ts","type":["null","long"],"default":null},
+      | {"name":"_hoodie_is_deleted","type":"boolean"}]}""".stripMargin
+
+  private def pcRec(id: Long, v: Long, ts: java.lang.Long,
+                    deleted: Boolean = false): Map[String, Any] =
+    Map("_hoodie_record_key" -> id.toString, "id" -> id, "v" -> v,
+      "ts" -> ts, "_hoodie_is_deleted" -> deleted)
+
+  /** MOR table with precombine field `ts`: base ids 0..4, v=id*3,
+    * ts=10. */
+  private def pcFixture(name: String): String = {
+    val root = s"/tmp/graft_hudimorspec/$name"
+    rm(new java.io.File(root))
+    Files.createDirectories(Paths.get(root, ".hoodie"))
+    Files.writeString(Paths.get(root, ".hoodie", "hoodie.properties"),
+      "hoodie.table.type=MERGE_ON_READ\n" +
+        "hoodie.table.precombine.field=ts\n")
+    val tmp = s"$root/_tmp"
+    spark.range(0, 5).select(col("id").cast("string")
+      .as("_hoodie_record_key"), col("id"), (col("id") * 3).as("v"),
+      lit(10L).as("ts"))
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val pf = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith(".")).get
+    assert(pf.renameTo(new java.io.File(s"$root/g1_0-0_001.parquet")))
+    rm(new java.io.File(tmp))
+    commit(root, "001", "deltacommit", "g1_0-0_001.parquet")
+    root
+  }
+
+  test("precombine field: the HIGHER event time wins log-vs-log and " +
+    "base-vs-log; equal orderings go to the incoming record") {
+    import spark.implicits._
+    val root = pcFixture("precombine")
+    // log.1: id1 → 100 at ts=30 (outranks base ts=10)
+    HudiMorLite.writeLogBlocks(s"$root/.g1_001.log.1", Seq(
+      HudiMorLite.AvroBlockSpec(pcAvroSchema, Seq(pcRec(1, 100, 30L)))))
+    commit(root, "002", "deltacommit", ".g1_001.log.1")
+    // log.2 (LATER arrival): id1 → 999 at ts=20 — loses to log.1's 30;
+    // id2 → 777 at ts=5 — loses to the BASE row's 10;
+    // id3 → 500 at ts=10 — TIES the base, incoming wins
+    HudiMorLite.writeLogBlocks(s"$root/.g1_001.log.2", Seq(
+      HudiMorLite.AvroBlockSpec(pcAvroSchema, Seq(
+        pcRec(1, 999, 20L), pcRec(2, 777, 5L), pcRec(3, 500, 10L)))))
+    commit(root, "003", "deltacommit", ".g1_001.log.2")
+    val got = HudiMorLite.read(spark, root)
+      .select("id", "v").as[(Long, Long)].collect().sorted.toSeq
+    assert(got == Seq((0L, 0L), (1L, 100L), (2L, 6L), (3L, 500L),
+      (4L, 12L)))
+  }
+
+  test("precombine deletes: a DELETE_BLOCK orders by its orderingVal " +
+    "— an outranked delete loses to the stored row; trivial " +
+    "orderingVal refuses") {
+    import spark.implicits._
+    val root = pcFixture("pcdelete")
+    // delete id1 at orderingVal 50 (outranks base ts=10) → dies;
+    // delete id4 at orderingVal 3 (loses to base ts=10) → survives
+    HudiMorLite.writeLogBlocks(s"$root/.g1_001.log.1", Seq(
+      HudiMorLite.DeleteBlockSpec(Seq("1" -> None),
+        orderingVal = Some(50L)),
+      HudiMorLite.DeleteBlockSpec(Seq("4" -> None),
+        orderingVal = Some(3L))))
+    commit(root, "002", "deltacommit", ".g1_001.log.1")
+    val got = HudiMorLite.read(spark, root)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(0L, 2L, 3L, 4L))
+    // a delete WITHOUT orderingVal in a precombine table refuses
+    // (natural-order deletes win at arrival — not foldable)
+    HudiMorLite.writeLogBlocks(s"$root/.g1_001.log.1", Seq(
+      HudiMorLite.DeleteBlockSpec(Seq("1" -> None))))
+    val e = intercept[Exception] { HudiMorLite.read(spark, root).collect() }
+    assert(chain(e).exists(_.contains("natural-order")))
+    // ... as does the explicit default 0
+    HudiMorLite.writeLogBlocks(s"$root/.g1_001.log.1", Seq(
+      HudiMorLite.DeleteBlockSpec(Seq("1" -> None),
+        orderingVal = Some(0L))))
+    val e2 = intercept[Exception] { HudiMorLite.read(spark, root).collect() }
+    assert(chain(e2).exists(_.contains("orderingVal 0")))
+  }
+
+  test("precombine refusals: unknown column, null event time in a " +
+    "log record") {
+    val root = pcFixture("pcrefuse")
+    Files.writeString(Paths.get(root, ".hoodie", "hoodie.properties"),
+      "hoodie.table.type=MERGE_ON_READ\n" +
+        "hoodie.table.precombine.field=nope\n")
+    HudiMorLite.writeLogBlocks(s"$root/.g1_001.log.1", Seq(
+      HudiMorLite.AvroBlockSpec(pcAvroSchema, Seq(pcRec(1, 100, 30L)))))
+    commit(root, "002", "deltacommit", ".g1_001.log.1")
+    val e = intercept[IllegalStateException] {
+      HudiMorLite.read(spark, root)
+    }
+    assert(e.getMessage.contains("not a base column"))
+    Files.writeString(Paths.get(root, ".hoodie", "hoodie.properties"),
+      "hoodie.table.type=MERGE_ON_READ\n" +
+        "hoodie.table.precombine.field=ts\n")
+    // a log record with a NULL ts cannot event-time-order
+    HudiMorLite.writeLogBlocks(s"$root/.g1_001.log.1", Seq(
+      HudiMorLite.AvroBlockSpec(pcAvroSchema, Seq(pcRec(1, 100, null)))))
+    val e2 = intercept[Exception] { HudiMorLite.read(spark, root).collect() }
+    assert(chain(e2).exists(_.contains("NULL precombine")))
+  }
+
   test("logs without a base file and COW tables refuse loudly") {
     val root = fixture("nolog")
     HudiMorLite.writeLogFile(s"$root/.g9_001.log.1",
