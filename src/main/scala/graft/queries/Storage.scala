@@ -807,6 +807,17 @@ object Storage extends QueryModule {
         .read(s, authorPaimonEngineTable(s, dir, "first-row")))
     },
 
+    // Paimon SEQUENCE GROUPS (partial-update): o_totalprice updates
+    // only when ITS sequence column o_psq advances — snapshot 2's
+    // o_psq=20 doubles (3,4); snapshot 3's o_psq=5 must NOT apply its
+    // ×9 to (2,3) even though its global sequence is the highest.
+    // o_orderstatus stays plain last-non-null (snapshot 2/3 nulls
+    // must not erase it).
+    "q445_paimon_sequence_group" -> { (s, dir) =>
+      ordersCensus(graft.sources.PaimonLite
+        .read(s, authorPaimonSeqGroupTable(s, dir)))
+    },
+
     // STREAMING Delta-log read — DeltaStreamLite (v1 Source: offsets
     // are log versions, each micro-batch the files added in a version
     // range). The query authors an append-only Delta table commit by
@@ -3257,7 +3268,8 @@ object Storage extends QueryModule {
     * snapshot i+1. Shared by the merge-engine fixtures q440–q442. */
   private def writePaimonPkLayout(root: String, options: String,
                                   fieldsJson: String,
-                                  kvFrames: Seq[DataFrame]): Unit = {
+                                  kvFrames: Seq[DataFrame],
+                                  highestFieldId: Int = 2): Unit = {
     import java.nio.file.{Files, Paths}
     val avroFmt = "org.apache.spark.sql.avro.AvroFileFormat"
     def rm(p: java.io.File): Unit = {
@@ -3304,7 +3316,7 @@ object Storage extends QueryModule {
            |"commitIdentifier":${i + 1},"timeMillis":0}""".stripMargin)
     }
     Files.writeString(Paths.get(root, "schema", "schema-0"),
-      s"""{"id":0,"fields":[$fieldsJson],"highestFieldId":2,
+      s"""{"id":0,"fields":[$fieldsJson],"highestFieldId":$highestFieldId,
          |"partitionKeys":[],"primaryKeys":["o_orderkey"],
          |"options":$options}""".stripMargin)
     Files.writeString(Paths.get(root, "snapshot", "LATEST"),
@@ -3381,6 +3393,63 @@ object Storage extends QueryModule {
           case e => s"""{"merge-engine":"$e"}"""
         }
         writePaimonPkLayout(root, options, ordersPkFields, frames)
+        root
+      })
+    }
+
+  private val paimonSgMemo =
+    scala.collection.mutable.Map.empty[String, String]
+
+  /** Authors the SEQUENCE-GROUP partial-update table q445 reads:
+    * o_psq is the sequence column for group {o_totalprice};
+    * o_orderstatus stays a plain (last-non-null) column. Snapshot 1
+    * inserts all %10<5 keys at ×1 price / o_psq=10 / real status.
+    * Snapshot 2 (+U) advances the group for %10∈(3,4): price ×2 at
+    * o_psq=20 (wins), status NULL (plain — must not erase). Snapshot
+    * 3 (+U) tries %10∈(2,3) at ×9 with o_psq=5 — BELOW both current
+    * group sequences, so the group must NOT update (a global-order
+    * merge would take the ×9). Memoized per (sf-dir). */
+  private def authorPaimonSeqGroupTable(s: SparkSession,
+                                        dir: String): String =
+    paimonSgMemo.synchronized {
+      paimonSgMemo.getOrElseUpdate(dir, {
+        val root =
+          s"/tmp/graft_paimon/sg_${Integer.toHexString(dir.hashCode)}"
+        def kvSg(seq: Long, kind: Int, keyFilter: Column => Column,
+                 priceMult: Option[Double], psq: Long,
+                 status: Boolean): DataFrame = {
+          val base = Tables.df(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_totalprice"),
+              col("o_orderstatus"))
+            .filter(col("o_orderkey") % 10 < 5)
+            .filter(keyFilter(col("o_orderkey")))
+          base.select(col("o_orderkey").as("_KEY_o_orderkey"),
+            lit(seq).as("_SEQUENCE_NUMBER"),
+            lit(kind).cast("tinyint").as("_VALUE_KIND"),
+            col("o_orderkey"),
+            priceMult.map(m => (col("o_totalprice") * m)
+              .as("o_totalprice"))
+              .getOrElse(lit(null).cast("double").as("o_totalprice")),
+            lit(psq).as("o_psq"),
+            (if (status) col("o_orderstatus")
+             else lit(null).cast("string")).as("o_orderstatus"))
+        }
+        val fields =
+          """{"id":0,"name":"o_orderkey","type":"BIGINT"},
+            |{"id":1,"name":"o_totalprice","type":"DOUBLE"},
+            |{"id":2,"name":"o_psq","type":"BIGINT"},
+            |{"id":3,"name":"o_orderstatus","type":"STRING"}"""
+            .stripMargin
+        val options =
+          """{"merge-engine":"partial-update",
+            |"fields.o_psq.sequence-group":"o_totalprice"}""".stripMargin
+        writePaimonPkLayout(root, options, fields, Seq(
+          kvSg(1L, 0, _ => lit(true), Some(1.0), psq = 10L,
+            status = true),
+          kvSg(2L, 2, k => (k % 10).isin(3, 4), Some(2.0), psq = 20L,
+            status = false),
+          kvSg(3L, 2, k => (k % 10).isin(2, 3), Some(9.0), psq = 5L,
+            status = false)), highestFieldId = 3)
         root
       })
     }
@@ -4412,6 +4481,17 @@ object Storage extends QueryModule {
       """SELECT o_orderstatus, count(*) AS n,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
         |   AS sum_price
+        |FROM orders WHERE o_orderkey % 10 < 5
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+    // sequence group: (3,4) ×2 from the o_psq=20 update; the
+    // o_psq=5 ×9 on (2,3) never applies; status survives the null
+    // updates
+    "q445_paimon_sequence_group" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        | CAST(sum(CAST(CASE WHEN o_orderkey % 10 IN (3, 4)
+        |   THEN o_totalprice * 2 ELSE o_totalprice END
+        |   AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders WHERE o_orderkey % 10 < 5
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,

@@ -90,7 +90,9 @@ object PaimonLite {
                               "__DEFAULT_PARTITION__",
                             mergeEngine: String = "deduplicate",
                             fieldAggregates: Map[String, String] =
-                              Map.empty)
+                              Map.empty,
+                            sequenceGroups: Seq[(String, Seq[String])] =
+                              Nil)
 
   /** The published PK merge engines this reader serves. */
   val MergeEngines: Set[String] =
@@ -266,16 +268,9 @@ object PaimonLite {
         s"$schemaFile: merge-engine=$mergeEngine — PaimonLite reads " +
           s"${MergeEngines.mkString("/")} primary-key tables")
     // aggregation engine: per-field functions from
-    // `fields.<col>.aggregate-function`; sequence groups change the
-    // ordering contract and are outside lite scope
+    // `fields.<col>.aggregate-function`
     val fieldAggregates: Map[String, String] = (schemaJson \ "options") match {
       case JObject(opts) =>
-        opts.foreach { case (k, _) =>
-          if (k.startsWith("fields.") && k.endsWith(".sequence-group"))
-            throw new IllegalStateException(
-              s"$schemaFile: $k — sequence groups are outside " +
-                "PaimonLite scope (they change the per-field ordering)")
-        }
         opts.collect {
           case (k, JString(fn)) if k.startsWith("fields.") &&
             k.endsWith(".aggregate-function") =>
@@ -309,6 +304,52 @@ object PaimonLite {
       case _ => throw new IllegalStateException(
         s"$schemaFile: schema has no fields")
     }
+
+    // partial-update SEQUENCE GROUPS (`fields.<seq-col>.sequence-group
+    // = c1,c2` — the published multi-stream-update surface): each
+    // group's member columns update only when ITS sequence column
+    // advances, nulls included (a "true partial-update"). Parsed and
+    // validated here; the fold lives in read(). Malformed specs —
+    // unknown columns, a key/partition column in a group, a column in
+    // two groups, or a group on an engine other than partial-update —
+    // refuse at plan time.
+    val sequenceGroups: Seq[(String, Seq[String])] =
+      (schemaJson \ "options") match {
+        case JObject(opts) =>
+          val groups = opts.collect {
+            case (k, JString(v)) if k.startsWith("fields.") &&
+              k.endsWith(".sequence-group") =>
+              k.stripPrefix("fields.").stripSuffix(".sequence-group") ->
+                v.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          }.sortBy(_._1)
+          if (groups.nonEmpty) {
+            if (mergeEngine != "partial-update")
+              throw new IllegalStateException(
+                s"$schemaFile: sequence groups under " +
+                  s"merge-engine=$mergeEngine — PaimonLite serves them " +
+                  "for partial-update only")
+            val names = schema.fieldNames.toSet
+            val reserved = (primaryKeys ++ partitionKeys).toSet
+            val seen = scala.collection.mutable.Set.empty[String]
+            for ((s, ms) <- groups) {
+              if (ms.isEmpty) throw new IllegalStateException(
+                s"$schemaFile: fields.$s.sequence-group names no columns")
+              for (c <- s +: ms) {
+                if (!names.contains(c)) throw new IllegalStateException(
+                  s"$schemaFile: sequence group of $s names unknown " +
+                    s"column $c")
+                if (reserved.contains(c)) throw new IllegalStateException(
+                  s"$schemaFile: sequence group of $s involves " +
+                    s"key/partition column $c")
+                if (!seen.add(c)) throw new IllegalStateException(
+                  s"$schemaFile: column $c appears in two sequence " +
+                    "groups (or as both a sequence column and a member)")
+              }
+            }
+          }
+          groups
+        case _ => Nil
+      }
 
     // bare names (the layout's convention) live under manifest/;
     // absolute/URI spellings go through the scheme-checked resolver
@@ -382,7 +423,7 @@ object PaimonLite {
       DataFile(s"$tableDir/$partDirs" + s"bucket-$bucket/$name", part)
     }
     Snapshot(wantedId, schema, files, primaryKeys, partitionKeys,
-      defaultPartName, mergeEngine, fieldAggregates)
+      defaultPartName, mergeEngine, fieldAggregates, sequenceGroups)
   }
 
   /** The bounded partition-key types PaimonLite serves (path spelling
@@ -819,12 +860,32 @@ object PaimonLite {
             n => col(s"_pm_top.$n"))
         case "partial-update" =>
           // per COLUMN: the latest NON-NULL value wins — a null in a
-          // later version never erases an earlier value
+          // later version never erases an earlier value. SEQUENCE
+          // GROUPS override that for their members: the group's
+          // columns come ATOMICALLY from the record with the highest
+          // non-null group-sequence value (ties to the later arrival,
+          // the engine's >= update rule), nulls included — a "true
+          // partial-update"; records whose group-sequence is null
+          // never touch the group. One max_by per group rides the
+          // same single partial-combining aggregate.
+          val sg = snap.sequenceGroups
+          val inGroup: Map[String, String] = sg.flatMap { case (s, ms) =>
+            (s +: ms).map(_ -> s)
+          }.toMap
+          val plainCols = valueNames.filterNot(inGroup.contains)
+          val aggs: Seq[Column] =
+            sg.map { case (s, ms) =>
+              max_by(struct((s +: ms).map(col): _*),
+                when(col(s).isNotNull, struct(col(s), ord)))
+                .as(s"_pm_sg_$s")
+            } ++ plainCols.map(lastNonNull)
           out(insertOnly(raw, "partial-update", Seq(0, 2))
             .groupBy((keyCols ++ partCols).map(col): _*)
-            .agg(lastNonNull(valueNames.head),
-              valueNames.tail.map(lastNonNull).toSeq: _*),
-            col)
+            .agg(aggs.head, aggs.tail: _*),
+            n => inGroup.get(n) match {
+              case Some(s) => col(s"_pm_sg_$s.$n")
+              case None    => col(n)
+            })
         case "aggregation" =>
           // per COLUMN: the declared aggregate-function folds the
           // versions (sum/min/max); undeclared fields default to

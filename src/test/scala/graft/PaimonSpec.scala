@@ -326,12 +326,77 @@ class PaimonSpec extends AnyFunSuite {
       Option(t).toSeq.flatMap(x =>
         Option(x.getMessage).toSeq ++ chain(x.getCause))
     assert(chain(e).exists(_.contains("partial-update")))
-    // sequence groups refuse at plan time
+    // a MALFORMED sequence group (unknown column) refuses at plan time
     intercept[IllegalStateException] {
       PaimonLite.snapshot(spark, pkCustomFixture("pupdSeq",
         """{"merge-engine":"partial-update",
-          |"fields.b.sequence-group":"a"}""".stripMargin, fields, Seq(
+          |"fields.b.sequence-group":"nope"}""".stripMargin, fields, Seq(
           kv(Seq((0L, Some(1L), None)), 1L, 0))))
+    }
+  }
+
+  test("partial-update sequence groups: a group's columns update " +
+    "only when ITS sequence advances, nulls included; null group-seq " +
+    "records never touch the group") {
+    import spark.implicits._
+    // fields: id (pk), a (member), sa (a's sequence), c (plain)
+    def kv(rows: Seq[(Long, Option[Long], Option[Long], Option[Long])],
+           seq: Long) =
+      rows.toDF("id", "a", "sa", "c").select(col("id").as("_KEY_id"),
+        lit(seq).as("_SEQUENCE_NUMBER"),
+        lit(0).cast("tinyint").as("_VALUE_KIND"),
+        col("id"), col("a"), col("sa"), col("c"))
+    val fields = Seq("id" -> "BIGINT", "a" -> "BIGINT",
+      "sa" -> "BIGINT", "c" -> "BIGINT")
+    val opts =
+      """{"merge-engine":"partial-update",
+        |"fields.sa.sequence-group":"a"}""".stripMargin
+    val root = pkCustomFixture("pupdSg", opts, fields, Seq(
+      kv(Seq(
+        (0L, Some(10L), Some(5L), Some(1L)),
+        (1L, Some(11L), Some(5L), Some(1L)),
+        (2L, Some(42L), None, Some(9L))), 1L),
+      kv(Seq(
+        // id0: group advances (7>5) → a overwrites WITH NULL;
+        //      c: plain last-non-null keeps 1
+        (0L, None, Some(7L), None),
+        // id1: group seq 3 < 5 → a/sa keep the first version;
+        //      c: plain → 2
+        (1L, Some(99L), Some(3L), Some(2L))), 2L)))
+    val got = PaimonLite.read(spark, root)
+      .as[(Long, Option[Long], Option[Long], Option[Long])]
+      .collect().sorted.toSeq
+    assert(got == Seq(
+      (0L, None, Some(7L), Some(1L)),
+      (1L, Some(11L), Some(5L), Some(2L)),
+      // id2's only record carries a NULL group-seq → the group was
+      // never updated (a/sa null); plain c reads 9
+      (2L, None, None, Some(9L))))
+    // the fold is still ONE aggregate, no window
+    val plan = PaimonLite.read(spark, root)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"sequence-group fold rides a window:\n$plan")
+    // refusals: a column in two groups; a key column in a group; a
+    // group on a non-partial-update engine
+    intercept[IllegalStateException] {
+      PaimonLite.snapshot(spark, pkCustomFixture("pupdSgDup",
+        """{"merge-engine":"partial-update",
+          |"fields.sa.sequence-group":"a",
+          |"fields.c.sequence-group":"a"}""".stripMargin, fields, Seq(
+          kv(Seq((0L, Some(1L), Some(1L), None)), 1L))))
+    }
+    intercept[IllegalStateException] {
+      PaimonLite.snapshot(spark, pkCustomFixture("pupdSgKey",
+        """{"merge-engine":"partial-update",
+          |"fields.sa.sequence-group":"id"}""".stripMargin, fields, Seq(
+          kv(Seq((0L, Some(1L), Some(1L), None)), 1L))))
+    }
+    intercept[IllegalStateException] {
+      PaimonLite.snapshot(spark, pkCustomFixture("pupdSgAgg",
+        """{"merge-engine":"aggregation",
+          |"fields.sa.sequence-group":"a"}""".stripMargin, fields, Seq(
+          kv(Seq((0L, Some(1L), Some(1L), None)), 1L))))
     }
   }
 
