@@ -386,6 +386,17 @@ object Storage extends QueryModule {
     // the id-less file reads by its MAPPED names and projects back,
     // the stamped file keeps field-id resolution. Mapping-less
     // tables still refuse id-less files loudly (IcebergSpec).
+    // MIGRATED Iceberg table + LATER v2 deletes — q436's name-mapped
+    // shape plus a positional delete (batch A's l_quantity<=5 row
+    // ordinals) and an equality delete (keys with l_quantity>40) at
+    // sequence 2. Deletes must apply across BOTH scan legs: the
+    // census hash-catches a delete that silently skipped the id-less
+    // (mapped) leg or the id-stamped leg.
+    "q446_iceberg_mapped_deletes" -> { (s, dir) =>
+      deltaCensus(graft.sources.IcebergLite
+        .read(s, authorIcebergMappedDeleteTable(s, dir)))
+    },
+
     "q436_iceberg_name_mapping" -> { (s, dir) =>
       deltaCensus(graft.sources.IcebergLite
         .read(s, authorIcebergNameMapTable(s, dir)))
@@ -2213,6 +2224,126 @@ object Storage extends QueryModule {
              |]}""".stripMargin
         Files.writeString(Paths.get(root, "metadata", "v1.metadata.json"),
           metaJson)
+        Files.writeString(Paths.get(root, "metadata", "version-hint.text"),
+          "1")
+        root
+      })
+    }
+
+  private val icebergNmapDelMemo =
+    scala.collection.mutable.Map.empty[String, String]
+
+  /** Authors the MIGRATED-table-with-deletes Iceberg table q446
+    * reads: batch A (l_orderkey%10=0) is ID-LESS under pre-migration
+    * names, batch B (=1) id-stamped under current names (q436's
+    * shape), and a LATER v2 writer added two delete files at sequence
+    * 2 — a POSITIONAL delete naming batch A's l_quantity<=5 row
+    * ordinals (read back from the file, like the DV fixtures) and an
+    * EQUALITY delete on field id 1 naming every l_orderkey with
+    * l_quantity>40 from either batch. The deletes must reach the
+    * mapped id-less leg and the field-id leg alike. Memoized per
+    * sf-dir. */
+  private def authorIcebergMappedDeleteTable(s: SparkSession,
+                                             dir: String): String =
+    icebergNmapDelMemo.synchronized {
+      icebergNmapDelMemo.getOrElseUpdate(dir, {
+        import java.nio.file.{Files, Paths}
+        val avroFmt = "org.apache.spark.sql.avro.AvroFileFormat"
+        val root =
+          s"/tmp/graft_iceberg/nmapdel_${Integer.toHexString(dir.hashCode)}"
+        def rm(p: java.io.File): Unit = {
+          if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+          p.delete(): Unit
+        }
+        rm(new java.io.File(root))
+        Files.createDirectories(Paths.get(root, "metadata"))
+        Files.createDirectories(Paths.get(root, "data"))
+        val src = Tables.df(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity"),
+            col("l_extendedprice"), col("l_returnflag"))
+        def writeOne(df: DataFrame, out: String): Unit = {
+          val tmp = s"$root/_tmp"
+          df.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(f => f.getName.endsWith(".parquet") &&
+              !f.getName.startsWith(".")).get
+          assert(part.renameTo(new java.io.File(s"$root/$out")))
+          rm(new java.io.File(tmp))
+        }
+        val oldNames = Map("l_orderkey" -> "orderkey",
+          "l_quantity" -> "quantity",
+          "l_extendedprice" -> "extendedprice",
+          "l_returnflag" -> "returnflag")
+        // batch A: OLD names, no field ids (the migrated-file shape)
+        writeOne(src.filter(col("l_orderkey") % 10 === 0)
+          .select(src.columns.toSeq.map(c => col(c).as(oldNames(c),
+            org.apache.spark.sql.types.Metadata.empty)): _*),
+          "data/a.parquet")
+        writeOne(graft.sources.IcebergLite.stampFieldIds(
+          src.filter(col("l_orderkey") % 10 === 1), liFieldIds),
+          "data/b.parquet")
+        // positional delete: batch A's l_quantity<=5 row ordinals,
+        // read back from the written file (bounded fixture collect)
+        import s.implicits._
+        val aPath = s"$root/data/a.parquet"
+        val deadPos = s.read.parquet(aPath)
+          .select(col("_metadata.row_index"))
+          .where(col("quantity") <= 5)
+          .as[Long].collect().toSeq.sorted
+        writeOne(deadPos.map(p => (aPath, p)).toDF("file_path", "pos"),
+          "data/pos.parquet")
+        // equality delete on l_orderkey (field id 1): keys with any
+        // l_quantity>40 in either batch
+        writeOne(graft.sources.IcebergLite.stampFieldIds(
+          src.filter(col("l_orderkey") % 10 < 2)
+            .filter(col("l_quantity") > 40)
+            .select(col("l_orderkey")).distinct(),
+          Map("l_orderkey" -> 1)), "data/eq.parquet")
+        def writeAvro(df: DataFrame, rel: String): Unit = {
+          val tmp = s"$root/_tmpavro"
+          df.coalesce(1).write.mode("overwrite").format(avroFmt).save(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(f => f.getName.startsWith("part-")).get
+          assert(part.renameTo(new java.io.File(s"$root/$rel")))
+          rm(new java.io.File(tmp))
+        }
+        def manifest(rel: String, path: String, content: Int,
+                     eqIds: Seq[Int]): Unit =
+          writeAvro(Seq((1, path)).toDF("status", "file_path")
+            .select(col("status"),
+              lit(null).cast("long").as("sequence_number"),
+              struct(col("file_path"), lit(content).as("content"),
+                (if (eqIds.isEmpty) lit(null).cast("array<int>")
+                 else array(eqIds.map(lit(_)): _*)).as("equality_ids"))
+                .as("data_file")), rel)
+        manifest("metadata/m-a.avro", "data/a.parquet", 0, Nil)
+        manifest("metadata/m-b.avro", "data/b.parquet", 0, Nil)
+        manifest("metadata/m-pos.avro", "data/pos.parquet", 1, Nil)
+        manifest("metadata/m-eq.avro", "data/eq.parquet", 2, Seq(1))
+        writeAvro(Seq(("metadata/m-a.avro", 0, 1L),
+          ("metadata/m-b.avro", 0, 1L),
+          ("metadata/m-pos.avro", 1, 2L),
+          ("metadata/m-eq.avro", 1, 2L))
+          .toDF("manifest_path", "content", "sequence_number"),
+          "metadata/snap-1.avro")
+        val fields = Seq(
+          (1, "l_orderkey", "long"), (2, "l_quantity", "double"),
+          (3, "l_extendedprice", "double"), (4, "l_returnflag", "string"))
+        val fieldsJson = fields.map { case (i, n, t) =>
+          s"""{"id":$i,"name":${jstr(n)},"required":false,"type":${jstr(t)}}"""
+        }.mkString("[", ",", "]")
+        val mappingJson = fields.map { case (i, n, _) =>
+          s"""{"field-id":$i,"names":[${jstr(oldNames(n))},${jstr(n)}]}"""
+        }.mkString("[", ",", "]")
+        Files.writeString(Paths.get(root, "metadata", "v1.metadata.json"),
+          s"""{"format-version":2,"table-uuid":"graft-q446","location":${jstr(root)},
+             |"current-schema-id":0,
+             |"schemas":[{"schema-id":0,"type":"struct","fields":$fieldsJson}],
+             |"properties":{"schema.name-mapping.default":${jstr(mappingJson)}},
+             |"current-snapshot-id":1,
+             |"snapshots":[
+             | {"snapshot-id":1,"manifest-list":"metadata/snap-1.avro"}
+             |]}""".stripMargin)
         Files.writeString(Paths.get(root, "metadata", "version-hint.text"),
           "1")
         root
@@ -4047,6 +4178,24 @@ object Storage extends QueryModule {
         |   AS sum_price
         |FROM lineitem WHERE l_orderkey % 10 IN (0, 1)
         |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    // migrated + deleted: pos-delete kills batch A's quantity<=5
+    // rows; eq-delete kills every key with any quantity>40 row
+    "q446_iceberg_mapped_deletes" ->
+      """WITH src AS (
+        |  SELECT l_orderkey, l_quantity, l_extendedprice, l_returnflag
+        |  FROM lineitem WHERE l_orderkey % 10 IN (0, 1)),
+        |live AS (
+        |  SELECT * FROM src
+        |  WHERE NOT (l_orderkey % 10 = 0 AND l_quantity <= 5)
+        |    AND l_orderkey NOT IN (
+        |      SELECT l_orderkey FROM src WHERE l_quantity > 40))
+        |SELECT l_returnflag, count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_price
+        |FROM live GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
     "q425_iceberg_rename" ->
       """SELECT l_returnflag AS l_flag, count(*) AS n,

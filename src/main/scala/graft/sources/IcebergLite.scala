@@ -560,7 +560,12 @@ object IcebergLite {
         if (!d.endsWith(".parquet")) throw new IllegalStateException(
           s"IcebergLite: delete file $d is not parquet — non-parquet " +
             "delete files are outside lite scope")
-      val data = scanData(spark, tableDir, snap)
+      // delete joins key on file identity/position, which only a scan
+      // relation can surface — so when deletes exist, scanData
+      // materializes _ice_path/_ice_pos PER LEG before any union (a
+      // name-mapped table's id-less files are then deletable too)
+      val needMeta = snap.deleteFiles.nonEmpty || snap.eqDeletes.nonEmpty
+      val data = scanData(spark, tableDir, snap, withMeta = needMeta)
       val afterPos =
         if (snap.deleteFiles.isEmpty) data
         else {
@@ -575,15 +580,13 @@ object IcebergLite {
             normPathCol(tableDir, col("file_path")).as("_del_path"),
             col("pos").cast("long").as("_del_pos"))
           data
-            .withColumn("_ice_path",
-              MetaPaths.decoded(col("_metadata.file_path")))
-            .withColumn("_ice_pos", col("_metadata.row_index"))
             .join(delSet, col("_ice_path") === col("_del_path") &&
               col("_ice_pos") === col("_del_pos"), "left_anti")
-            .drop("_ice_path", "_ice_pos")
         }
-      if (snap.eqDeletes.isEmpty) afterPos
-      else applyEqualityDeletes(spark, tableDir, snap, afterPos)
+      val afterEq =
+        if (snap.eqDeletes.isEmpty) afterPos
+        else applyEqualityDeletes(spark, tableDir, snap, afterPos)
+      if (needMeta) afterEq.drop("_ice_path", "_ice_pos") else afterEq
     }
   }
 
@@ -600,12 +603,23 @@ object IcebergLite {
     * for required, several refuse as ambiguous) and project back to
     * current names, one scan leg per distinct name signature
     * (signatures are schema-bounded, so legs stay a handful). A file
-    * mixing id-stamped and id-less columns refuses, as does a mapped
-    * table carrying delete files next to id-less data files (the
-    * delete joins key on `_metadata` of a single homogeneous scan). */
+    * mixing id-stamped and id-less columns refuses.
+    *
+    * `withMeta` materializes `_ice_path` (percent-decoded) and
+    * `_ice_pos` on every leg BEFORE any union — `_metadata` is only
+    * resolvable on a scan relation, so the delete joins read these
+    * columns instead. This is what lets a MIGRATED table (id-less
+    * files under a name mapping) keep serving v2 deletes written
+    * after the migration. */
   private def scanData(spark: SparkSession, tableDir: String,
-                       snap: Snapshot): DataFrame = {
+                       snap: Snapshot,
+                       withMeta: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions._
+    def meta(df: DataFrame): DataFrame =
+      if (!withMeta) df
+      else df.withColumn("_ice_path",
+        MetaPaths.decoded(col("_metadata.file_path")))
+        .withColumn("_ice_pos", col("_metadata.row_index"))
     val parquetFiles = snap.files.filter(_.endsWith(".parquet"))
     snap.nameMapping match {
       case Some(mapping) if parquetFiles.nonEmpty =>
@@ -620,17 +634,13 @@ object IcebergLite {
           s"IcebergLite: ${partial.toSeq.sorted.head} mixes id-stamped " +
             "and id-less columns — cannot pick a resolution mode")
         if (idLess.isEmpty)
-          ColumnarScan(spark, tableDir, Some(snap.schema), snap.files)
+          meta(ColumnarScan(spark, tableDir, Some(snap.schema),
+            snap.files))
         else {
-          if (snap.deleteFiles.nonEmpty || snap.eqDeletes.nonEmpty)
-            throw new IllegalStateException(
-              s"IcebergLite: delete files next to id-less data files " +
-                "under a name mapping — outside lite scope (the delete " +
-                "joins need one homogeneous scan)")
           val idLeg =
             if (withIds.isEmpty) Nil
-            else Seq(ColumnarScan(spark, tableDir, Some(snap.schema),
-              withIds))
+            else Seq(meta(ColumnarScan(spark, tableDir,
+              Some(snap.schema), withIds)))
           // per id-less file: the stored name serving each schema field
           val groups = idLess.groupBy { f =>
             val present = fields(f).map(_._1).toSet
@@ -650,6 +660,8 @@ object IcebergLite {
               }
             }
           }
+          val metaCols =
+            if (withMeta) Seq(col("_ice_path"), col("_ice_pos")) else Nil
           val mappedLegs = groups.toSeq.sortBy(_._2.head)
             .map { case (sig, fs) =>
               val readSchema = StructType(
@@ -659,17 +671,17 @@ object IcebergLite {
                   case (sf, Some(n)) => StructField(n, sf.dataType,
                     sf.nullable)
                 })
-              spark.read.schema(readSchema).parquet(fs: _*)
+              meta(spark.read.schema(readSchema).parquet(fs: _*))
                 .select(snap.schema.fields.toSeq.zip(sig).map {
                   case (sf, Some(n)) => col(n).as(sf.name)
                   case (sf, None) =>
                     lit(null).cast(sf.dataType).as(sf.name)
-                }: _*)
+                } ++ metaCols: _*)
             }
           (idLeg ++ mappedLegs).reduce(_ unionByName _)
         }
       case _ =>
-        ColumnarScan(spark, tableDir, Some(snap.schema), snap.files)
+        meta(ColumnarScan(spark, tableDir, Some(snap.schema), snap.files))
     }
   }
 
@@ -700,9 +712,14 @@ object IcebergLite {
     enableFieldIdRead(spark)
     val seqLookup = broadcast(
       snap.fileSeqs.toSeq.toDF("_seq_path", "_ice_seq"))
-    val withSeq = data
-      .withColumn("_ice_path",
+    // read() materializes _ice_path per scan leg (required for
+    // name-mapped unions, where _metadata no longer resolves); a raw
+    // single-scan caller (spec surface) still derives it here
+    val withPath =
+      if (data.columns.contains("_ice_path")) data
+      else data.withColumn("_ice_path",
         MetaPaths.decoded(col("_metadata.file_path")))
+    val withSeq = withPath
       .join(seqLookup, col("_ice_path") === col("_seq_path"), "left")
       // a data row whose seq lookup MISSED would carry a null
       // _ice_seq, null out the anti-join condition and silently

@@ -714,6 +714,87 @@ class IcebergSpec extends AnyFunSuite {
     }
   }
 
+  test("name mapping + deletes: v2 positional and equality deletes " +
+    "written after a migration reach the id-less mapped leg") {
+    import spark.implicits._
+    val root = s"/tmp/graft_icespec/nmapdel"
+    rm(new java.io.File(root))
+    Files.createDirectories(Paths.get(root, "metadata"))
+    Files.createDirectories(Paths.get(root, "data"))
+    def writeOne(df: org.apache.spark.sql.DataFrame, out: String): Unit = {
+      val tmp = s"$root/_tmp"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val p = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith(".")).get
+      assert(p.renameTo(new java.io.File(s"$root/$out")))
+      rm(new java.io.File(tmp))
+    }
+    // f0: id-stamped current names; f1: id-LESS pre-migration names
+    writeOne(IcebergLite.stampFieldIds(
+      spark.range(0, 5).select(col("id"), (col("id") * 3).as("v")),
+      Map("id" -> 1, "v" -> 2)), "data/f0.parquet")
+    import org.apache.spark.sql.types.Metadata
+    writeOne(spark.range(5, 10).select(
+      col("id").as("id_old", Metadata.empty),
+      (col("id") * 3).as("v_old", Metadata.empty)), "data/f1.parquet")
+    // positional delete: rows 0 and 2 OF THE ID-LESS FILE (ids 5, 7)
+    writeOne(Seq((s"$root/data/f1.parquet", 0L),
+      (s"$root/data/f1.parquet", 2L)).toDF("file_path", "pos"),
+      "data/pos.parquet")
+    // equality delete on field id 1: ids 1 (id-stamped file) and 6
+    // (id-less file) — the delete must reach BOTH legs
+    writeOne(IcebergLite.stampFieldIds(
+      Seq(1L, 6L).toDF("id"), Map("id" -> 1)), "data/eq.parquet")
+    def writeAvro(d: org.apache.spark.sql.DataFrame, rel: String): Unit = {
+      val tmp = s"$root/_tmpavro"
+      d.coalesce(1).write.mode("overwrite").format(avroFmt).save(tmp)
+      val p = new java.io.File(tmp).listFiles()
+        .find(_.getName.startsWith("part-")).get
+      assert(p.renameTo(new java.io.File(s"$root/$rel")))
+      rm(new java.io.File(tmp))
+    }
+    def manifest(rel: String, path: String, content: Int,
+                 eqIds: Seq[Int]): Unit =
+      writeAvro(Seq((1, path)).toDF("status", "file_path")
+        .select(col("status"),
+          lit(null).cast("long").as("sequence_number"),
+          struct(col("file_path"), lit(content).as("content"),
+            (if (eqIds.isEmpty) lit(null).cast("array<int>")
+             else array(eqIds.map(lit(_)): _*)).as("equality_ids"))
+            .as("data_file")), rel)
+    manifest("metadata/m-f0.avro", "data/f0.parquet", 0, Nil)
+    manifest("metadata/m-f1.avro", "data/f1.parquet", 0, Nil)
+    manifest("metadata/m-pos.avro", "data/pos.parquet", 1, Nil)
+    manifest("metadata/m-eq.avro", "data/eq.parquet", 2, Seq(1))
+    writeAvro(Seq(("metadata/m-f0.avro", 0, 1L),
+      ("metadata/m-f1.avro", 0, 1L),
+      ("metadata/m-pos.avro", 1, 2L),
+      ("metadata/m-eq.avro", 1, 2L))
+      .toDF("manifest_path", "content", "sequence_number"),
+      "metadata/snap-1.avro")
+    val mapping = """[{"field-id":1,"names":["id_old","id"]},""" +
+      """{"field-id":2,"names":["v_old","v"]}]"""
+    Files.writeString(Paths.get(root, "metadata", "v1.metadata.json"),
+      s"""{"format-version":2,"location":${jstr(root)},
+         |"properties":{"schema.name-mapping.default":${jstr(mapping)}},
+         |"current-schema-id":0,
+         |"schemas":[{"schema-id":0,"type":"struct","fields":[
+         |  {"id":1,"name":"id","required":false,"type":"long"},
+         |  {"id":2,"name":"v","required":false,"type":"long"}]}],
+         |"current-snapshot-id":1,
+         |"snapshots":[
+         | {"snapshot-id":1,"manifest-list":"metadata/snap-1.avro"}
+         |]}""".stripMargin)
+    Files.writeString(Paths.get(root, "metadata", "version-hint.text"), "1")
+    val got = IcebergLite.read(spark, root)
+    assert(got.schema.fieldNames.toSeq == Seq("id", "v"))
+    // survivors: 0,2,3,4 (1 eq-deleted) ∪ 8,9 (5,7 pos-deleted at
+    // rows 0/2 of the id-less file; 6 eq-deleted through the mapping)
+    assert(got.as[(Long, Long)].collect().sorted.toSeq ==
+      Seq(0L, 2L, 3L, 4L, 8L, 9L).map(i => (i, i * 3)))
+  }
+
   test("a file mixing id-stamped and id-less columns refuses; " +
     "id-less files WITHOUT a mapping still refuse") {
     val root = fixture("nmapmixed")
