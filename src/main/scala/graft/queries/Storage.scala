@@ -386,6 +386,18 @@ object Storage extends QueryModule {
     // the id-less file reads by its MAPPED names and projects back,
     // the stamped file keeps field-id resolution. Mapping-less
     // tables still refuse id-less files loudly (IcebergSpec).
+    // FORMAT-V3 Iceberg DELETION VECTORS — v3's replacement for
+    // positional delete files: one Puffin blob per data file (the
+    // published deletion-vector-v1 framing, spec-identical to Delta's
+    // DV serialization), navigated by the manifest's content_offset/
+    // content_size, decoded executor-side, anti-joined on
+    // (data file, ordinal). The census hash-catches any mis-decoded
+    // ordinal; framing mismatches refuse (IcebergSpec).
+    "q447_iceberg_v3_dv" -> { (s, dir) =>
+      deltaCensus(graft.sources.IcebergLite
+        .read(s, authorIcebergDvTable(s, dir)))
+    },
+
     // MIGRATED Iceberg table + LATER v2 deletes — q436's name-mapped
     // shape plus a positional delete (batch A's l_quantity<=5 row
     // ordinals) and an equality delete (keys with l_quantity>40) at
@@ -2350,6 +2362,116 @@ object Storage extends QueryModule {
       })
     }
 
+  private val icebergDvMemo =
+    scala.collection.mutable.Map.empty[String, String]
+
+  /** Authors the FORMAT-V3 Iceberg table q447 reads: one data file
+    * (lineitem %10=0) plus a Puffin file holding ONE
+    * deletion-vector-v1 blob marking every l_quantity>35 row ordinal
+    * dead (ordinals read back from the written file, like the Delta
+    * DV fixtures). The delete manifest entry carries the v3 surface —
+    * content=1 + referenced_data_file + content_offset/
+    * content_size_in_bytes + record_count — and the blob rides the
+    * published framing ([inner len BE][magic LE][portable roaring]
+    * [CRC-32 BE]) inside a PFA1-framed file. Memoized per sf-dir. */
+  private def authorIcebergDvTable(s: SparkSession, dir: String): String =
+    icebergDvMemo.synchronized {
+      icebergDvMemo.getOrElseUpdate(dir, {
+        import java.nio.file.{Files, Paths}
+        val avroFmt = "org.apache.spark.sql.avro.AvroFileFormat"
+        val root =
+          s"/tmp/graft_iceberg/dv3_${Integer.toHexString(dir.hashCode)}"
+        def rm(p: java.io.File): Unit = {
+          if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+          p.delete(): Unit
+        }
+        rm(new java.io.File(root))
+        Files.createDirectories(Paths.get(root, "metadata"))
+        Files.createDirectories(Paths.get(root, "data"))
+        val src = Tables.df(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity"),
+            col("l_extendedprice"), col("l_returnflag"))
+          .filter(col("l_orderkey") % 10 === 0)
+        val tmp = s"$root/_tmp"
+        graft.sources.IcebergLite.stampFieldIds(src, liFieldIds)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.endsWith(".parquet") &&
+            !f.getName.startsWith(".")).get
+        assert(part.renameTo(new java.io.File(s"$root/data/a.parquet")))
+        rm(new java.io.File(tmp))
+        // dead ordinals from the REAL file (authoring cannot drift)
+        val dead = s.read.parquet(s"$root/data/a.parquet")
+          .filter(col("l_quantity") > 35)
+          .select(col("_metadata.row_index")).collect()
+          .map(_.getLong(0)).sorted
+        val bmp = new org.roaringbitmap.RoaringBitmap()
+        dead.foreach(p => bmp.add(p.toInt))
+        val bos = new java.io.ByteArrayOutputStream()
+        val header = java.nio.ByteBuffer.allocate(16)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        header.putInt(1681511377) // magic
+        header.putLong(1L)        // one 32-bit bitmap
+        header.putInt(0)          // key (high 32 bits)
+        bos.write(header.array())
+        val dos = new java.io.DataOutputStream(bos)
+        bmp.serialize(dos)
+        dos.flush()
+        val data = bos.toByteArray
+        val crc = new java.util.zip.CRC32
+        crc.update(data)
+        val blob = java.nio.ByteBuffer.allocate(4 + data.length + 4)
+        blob.putInt(data.length)
+        blob.put(data)
+        blob.putInt(crc.getValue.toInt)
+        Files.write(Paths.get(root, "data", "dv.puffin"),
+          "PFA1".getBytes("UTF-8") ++ blob.array() ++
+            "PFA1".getBytes("UTF-8"))
+        def writeAvro(df: DataFrame, rel: String): Unit = {
+          val t = s"$root/_tmpavro"
+          df.coalesce(1).write.mode("overwrite").format(avroFmt).save(t)
+          val f = new java.io.File(t).listFiles()
+            .find(_.getName.startsWith("part-")).get
+          assert(f.renameTo(new java.io.File(s"$root/$rel")))
+          rm(new java.io.File(t))
+        }
+        import s.implicits._
+        writeAvro(Seq((1, "data/a.parquet")).toDF("status", "file_path")
+          .select(col("status"),
+            struct(col("file_path"), lit(0).as("content"))
+              .as("data_file")), "metadata/m-data.avro")
+        writeAvro(Seq((1, "data/dv.puffin", 1, "data/a.parquet", 4L,
+          (data.length + 8).toLong, dead.length.toLong))
+          .toDF("status", "file_path", "content", "referenced_data_file",
+            "content_offset", "content_size_in_bytes", "record_count")
+          .select(col("status"),
+            struct(col("file_path"), col("content"),
+              col("referenced_data_file"), col("content_offset"),
+              col("content_size_in_bytes"), col("record_count"))
+              .as("data_file")), "metadata/m-dv.avro")
+        writeAvro(Seq(("metadata/m-data.avro", 0),
+          ("metadata/m-dv.avro", 1)).toDF("manifest_path", "content"),
+          "metadata/snap-1.avro")
+        val fields = Seq(
+          (1, "l_orderkey", "long"), (2, "l_quantity", "double"),
+          (3, "l_extendedprice", "double"), (4, "l_returnflag", "string"))
+          .map { case (i, n, t) =>
+            s"""{"id":$i,"name":${jstr(n)},"required":false,"type":${jstr(t)}}"""
+          }.mkString("[", ",", "]")
+        Files.writeString(Paths.get(root, "metadata", "v1.metadata.json"),
+          s"""{"format-version":3,"table-uuid":"graft-q447","location":${jstr(root)},
+             |"current-schema-id":0,
+             |"schemas":[{"schema-id":0,"type":"struct","fields":$fields}],
+             |"current-snapshot-id":1,
+             |"snapshots":[
+             | {"snapshot-id":1,"manifest-list":"metadata/snap-1.avro"}
+             |]}""".stripMargin)
+        Files.writeString(Paths.get(root, "metadata", "version-hint.text"),
+          "1")
+        root
+      })
+    }
+
   private val deltaDvMemo =
     scala.collection.mutable.Map.empty[String, String]
 
@@ -4177,6 +4299,17 @@ object Storage extends QueryModule {
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
         |   AS sum_price
         |FROM lineitem WHERE l_orderkey % 10 IN (0, 1)
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    // v3 DV: every l_quantity>35 ordinal of the %10=0 batch is dead
+    "q447_iceberg_v3_dv" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_price
+        |FROM lineitem
+        |WHERE l_orderkey % 10 = 0 AND l_quantity <= 35
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
     // migrated + deleted: pos-delete kills batch A's quantity<=5

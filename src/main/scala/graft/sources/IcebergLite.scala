@@ -91,13 +91,22 @@ object IcebergLite {
   final case class EqDelete(path: String, seq: Long,
                             cols: Seq[(Int, String)])
 
+  /** One format-v3 DELETION VECTOR: the Puffin file holding the blob,
+    * the blob's offset/length inside it (served straight from the
+    * manifest's content_offset/content_size_in_bytes — no footer
+    * parse needed), its cardinality (the manifest's record_count, a
+    * decode-integrity check) and the ONE data file it applies to. */
+  final case class IceDv(path: String, offset: Long, size: Long,
+                         cardinality: Long, dataFile: String)
+
   final case class Snapshot(snapshotId: Long, schema: StructType,
                             files: Seq[String],
                             deleteFiles: Seq[String] = Nil,
                             fileSeqs: Map[String, Long] = Map.empty,
                             eqDeletes: Seq[EqDelete] = Nil,
                             nameMapping: Option[Map[Int, Seq[String]]] =
-                              None)
+                              None,
+                            dvs: Seq[IceDv] = Nil)
 
   private implicit val fmts: Formats = DefaultFormats
 
@@ -316,8 +325,9 @@ object IcebergLite {
     }
 
     val fv = (meta \ "format-version").extract[Int]
-    if (fv != 1 && fv != 2) throw new IllegalStateException(
-      s"$metaFile: format-version $fv unsupported (IcebergLite reads v1/v2)")
+    if (fv != 1 && fv != 2 && fv != 3) throw new IllegalStateException(
+      s"$metaFile: format-version $fv unsupported " +
+        "(IcebergLite reads v1/v2/v3)")
     val schemaFields = (meta \ "schemas") match {
       case JArray(ss) => // v2: pick current-schema-id
         val cur = (meta \ "current-schema-id").extractOpt[Int].getOrElse(0)
@@ -391,7 +401,11 @@ object IcebergLite {
       * manifest; `allowed` guards content placement (a data manifest
       * may only hold content=0 entries; a delete manifest 1 or 2). */
     final case class Entry(path: String, content: Int, seq: Option[Long],
-                           equalityIds: Seq[Int])
+                           equalityIds: Seq[Int],
+                           referencedDataFile: Option[String] = None,
+                           contentOffset: Option[Long] = None,
+                           contentSize: Option[Long] = None,
+                           recordCount: Option[Long] = None)
     def replay(manifests: Seq[(String, Option[Long])],
                allowed: Set[Int], what: String): Seq[Entry] =
       manifests.flatMap { case (mp, inherited) =>
@@ -423,7 +437,15 @@ object IcebergLite {
           // status 2 = DELETED (tombstone retained for one snapshot)
           if (status == 2) None
           else Some(Entry(resolve(tableDir, df.getAs[String]("file_path")),
-            content, seq, eqIds))
+            content, seq, eqIds,
+            fld(df, "referenced_data_file")(
+              df.getAs[String]("referenced_data_file")),
+            fld(df, "content_offset")(
+              df.getAs[Number]("content_offset").longValue()),
+            fld(df, "content_size_in_bytes")(
+              df.getAs[Number]("content_size_in_bytes").longValue()),
+            fld(df, "record_count")(
+              df.getAs[Number]("record_count").longValue())))
         }
       }
 
@@ -433,7 +455,39 @@ object IcebergLite {
     val delEntries = replay(withSeqs(deleteManifests), Set(1, 2), "delete")
 
     val files = dataEntries.map(_.path)
-    val posDeletes = delEntries.filter(_.content == 1).map(_.path)
+    // content=1 entries: format-v3 DELETION VECTORS carry
+    // referenced_data_file (+ blob offset/size in their Puffin file);
+    // plain positional delete FILES carry neither. The spec keys the
+    // split on the format version — v3 forbids position delete files
+    // and v1/v2 predate DVs — so a mismatch refuses loudly.
+    val (dvEntries, posEntries) =
+      delEntries.filter(_.content == 1)
+        .partition(_.referencedDataFile.nonEmpty)
+    if (fv < 3 && dvEntries.nonEmpty) throw new IllegalStateException(
+      s"$metaFile: deletion-vector entry ${dvEntries.head.path} in a " +
+        s"format-v$fv table — deletion vectors are a v3 feature")
+    if (fv >= 3 && posEntries.nonEmpty) throw new IllegalStateException(
+      s"$metaFile: position delete FILE ${posEntries.head.path} in a " +
+        "format-v3 table — v3 requires deletion vectors (position " +
+        "delete files must be rewritten on upgrade)")
+    val dvs = dvEntries.map { e =>
+      def need[T](v: Option[T], what: String): T = v.getOrElse(
+        throw new IllegalStateException(
+          s"${e.path}: deletion-vector entry without $what"))
+      IceDv(e.path, need(e.contentOffset, "content_offset"),
+        need(e.contentSize, "content_size_in_bytes"),
+        need(e.recordCount, "record_count (its cardinality)"),
+        resolve(tableDir, need(e.referencedDataFile,
+          "referenced_data_file")))
+    }
+    // the spec allows at most ONE DV per data file — duplicates would
+    // mean this reader missed whatever supersession rule produced them
+    dvs.groupBy(_.dataFile).foreach { case (f, ds) =>
+      if (ds.size > 1) throw new IllegalStateException(
+        s"$metaFile: ${ds.size} deletion vectors reference $f — the " +
+          "spec allows at most one per data file")
+    }
+    val posDeletes = posEntries.map(_.path)
     val eqDeletes = delEntries.filter(_.content == 2).map { e =>
       if (e.equalityIds.isEmpty) throw new IllegalStateException(
         s"${e.path}: equality delete file (content=2) without " +
@@ -462,7 +516,7 @@ object IcebergLite {
         .extractOpt[String]
         .map(parseNameMapping(_, metaFile.toString))
     Snapshot(wantedId, schema, files, posDeletes, fileSeqs, eqDeletes,
-      nameMapping)
+      nameMapping, dvs)
   }
 
   /** INCREMENTAL APPEND read (Iceberg's documented
@@ -478,7 +532,8 @@ object IcebergLite {
     val from = snapshot(spark, tableDir, Some(fromSnapshotId))
     val to = snapshot(spark, tableDir, Some(toSnapshotId))
     for (s <- Seq(from, to))
-      if (s.deleteFiles.nonEmpty || s.eqDeletes.nonEmpty)
+      if (s.deleteFiles.nonEmpty || s.eqDeletes.nonEmpty ||
+        s.dvs.nonEmpty)
         throw new IllegalStateException(
           s"$tableDir: snapshot ${s.snapshotId} carries delete files — " +
             "incremental reads are append-only scope")
@@ -498,6 +553,46 @@ object IcebergLite {
       enableFieldIdRead(spark) // schema carries ids; parquet matches by id
       ColumnarScan(spark, tableDir, Some(to.schema), newFiles)
     }
+  }
+
+  /** Decode one format-v3 DELETION-VECTOR blob from its Puffin file
+    * into dead row ordinals (executor-side). The blob layout
+    * (Puffin's deletion-vector-v1, spec-identical to Delta's DV
+    * serialization): [4-byte BE length of magic+vector][4-byte magic
+    * 1681511377 LE][64-bit portable RoaringBitmapArray][4-byte BE
+    * CRC-32 of magic+vector]. The leading file magic must read
+    * "PFA1"; length, magic, CRC and cardinality mismatches all refuse
+    * loudly — the payload decode is shared with
+    * [[DeltaLogLite.decodeDvPayload]]. */
+  private[graft] def decodePuffinDv(path: String, offset: Long,
+                                    size: Long, cardinality: Long)
+  : Iterator[Long] = {
+    val raf = new java.io.RandomAccessFile(path, "r")
+    try {
+      val fileMagic = new Array[Byte](4)
+      raf.seek(0)
+      raf.readFully(fileMagic)
+      if (!java.util.Arrays.equals(fileMagic, "PFA1".getBytes("UTF-8")))
+        throw new IllegalStateException(
+          s"$path: leading magic is not PFA1 — not a Puffin file")
+      raf.seek(offset)
+      val innerLen = raf.readInt() // big-endian
+      if (innerLen.toLong != size - 8) throw new IllegalStateException(
+        s"$path: deletion-vector blob at offset $offset stores inner " +
+          s"length $innerLen but the manifest's content size $size " +
+          s"implies ${size - 8}")
+      if (innerLen < 4) throw new IllegalStateException(
+        s"$path: deletion-vector blob at offset $offset claims inner " +
+          s"length $innerLen — too short for the magic")
+      val data = new Array[Byte](innerLen)
+      raf.readFully(data)
+      val storedCrc = raf.readInt() // big-endian
+      val crc = new java.util.zip.CRC32
+      crc.update(data)
+      if (storedCrc != crc.getValue.toInt) throw new IllegalStateException(
+        s"$path: deletion-vector checksum mismatch at offset $offset")
+      DeltaLogLite.decodeDvPayload(data, cardinality, s"$path@$offset")
+    } finally raf.close()
   }
 
   /** Canonicalize a STORED path column (delete rows' `file_path`
@@ -564,10 +659,31 @@ object IcebergLite {
       // relation can surface — so when deletes exist, scanData
       // materializes _ice_path/_ice_pos PER LEG before any union (a
       // name-mapped table's id-less files are then deletable too)
-      val needMeta = snap.deleteFiles.nonEmpty || snap.eqDeletes.nonEmpty
+      val needMeta = snap.deleteFiles.nonEmpty ||
+        snap.eqDeletes.nonEmpty || snap.dvs.nonEmpty
       val data = scanData(spark, tableDir, snap, withMeta = needMeta)
+      // format-v3 deletion vectors: decode blobs executor-side over
+      // the bounded descriptor list (dead-row volume never lands on
+      // the driver), anti-join on (data file, ordinal) — the same
+      // shape as positional delete files
+      val afterDv =
+        if (snap.dvs.isEmpty) data
+        else {
+          import spark.implicits._
+          val descriptors = snap.dvs.map(d =>
+            (d.path, d.offset, d.size, d.cardinality, d.dataFile))
+          val dead = descriptors.toDS()
+            .repartition(math.min(descriptors.size,
+              spark.sparkContext.defaultParallelism).max(1))
+            .flatMap { case (p, off, sz, card, dataFile) =>
+              decodePuffinDv(p, off, sz, card).map(pos =>
+                (dataFile, pos))
+            }.toDF("_dvp_path", "_dvp_pos")
+          data.join(dead, col("_ice_path") === col("_dvp_path") &&
+            col("_ice_pos") === col("_dvp_pos"), "left_anti")
+        }
       val afterPos =
-        if (snap.deleteFiles.isEmpty) data
+        if (snap.deleteFiles.isEmpty) afterDv
         else {
           val dels = spark.read.parquet(snap.deleteFiles: _*)
           if (!dels.columns.contains("file_path") ||
@@ -579,7 +695,7 @@ object IcebergLite {
           val delSet = dels.select(
             normPathCol(tableDir, col("file_path")).as("_del_path"),
             col("pos").cast("long").as("_del_pos"))
-          data
+          afterDv
             .join(delSet, col("_ice_path") === col("_del_path") &&
               col("_ice_pos") === col("_del_pos"), "left_anti")
         }

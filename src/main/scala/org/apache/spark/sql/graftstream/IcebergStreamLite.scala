@@ -105,8 +105,9 @@ class IcebergStreamSource(spark: SparkSession, tableDir: String,
   private def filesOf(id: Long): Set[String] = {
     cachedFiles.filter(_._1 == id).map(_._2).getOrElse {
       val snap = IcebergLite.snapshot(spark, tableDir, Some(id))
-      if (snap.deleteFiles.nonEmpty) throw new IllegalStateException(
-        s"$tableDir: snapshot $id carries positional delete files — " +
+      if (snap.deleteFiles.nonEmpty || snap.eqDeletes.nonEmpty ||
+        snap.dvs.nonEmpty) throw new IllegalStateException(
+        s"$tableDir: snapshot $id carries delete files — " +
           "streaming reads are append-only scope")
       if (snap.schema.json != initialSchema.json)
         throw new IllegalStateException(

@@ -123,12 +123,13 @@ class IcebergSpec extends AnyFunSuite {
     assert(IcebergLite.snapshot(spark, root).snapshotId == 2L)
   }
 
-  test("format-version 3 refuses loudly") {
-    val root = fixture("fv3", formatVersion = 3)
+  test("format-version 4 refuses loudly (v3 reads — see the " +
+    "deletion-vector test)") {
+    val root = fixture("fv4", formatVersion = 4)
     val e = intercept[IllegalStateException] {
       IcebergLite.snapshot(spark, root)
     }
-    assert(e.getMessage.contains("format-version 3"))
+    assert(e.getMessage.contains("format-version 4"))
   }
 
   test("nested column type refuses loudly") {
@@ -817,6 +818,148 @@ class IcebergSpec extends AnyFunSuite {
       IcebergLite.read(spark, root).collect()
     }
     assert(e.getMessage.contains("mixes id-stamped"))
+  }
+
+  /** [innerLen BE][magic 1681511377 LE][portable RoaringBitmapArray]
+    * [CRC-32 BE] — the Puffin deletion-vector-v1 blob (spec-identical
+    * to Delta's DV serialization). Returns the blob bytes. */
+  private def dvBlob(ordinals: Seq[Long]): Array[Byte] = {
+    val bmp = new org.roaringbitmap.RoaringBitmap()
+    ordinals.foreach(p => bmp.add(p.toInt))
+    val bos = new java.io.ByteArrayOutputStream()
+    val header = java.nio.ByteBuffer.allocate(16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    header.putInt(1681511377)
+    header.putLong(1L)
+    header.putInt(0)
+    bos.write(header.array())
+    val dos = new java.io.DataOutputStream(bos)
+    bmp.serialize(dos)
+    dos.flush()
+    val data = bos.toByteArray
+    val crc = new java.util.zip.CRC32
+    crc.update(data)
+    val blob = java.nio.ByteBuffer.allocate(4 + data.length + 4)
+    blob.putInt(data.length)
+    blob.put(data)
+    blob.putInt(crc.getValue.toInt)
+    blob.array()
+  }
+
+  test("format-v3 deletion vectors: Puffin blobs decode and anti-join " +
+    "by (data file, ordinal); framing mismatches refuse") {
+    import spark.implicits._
+    def author(name: String, formatVersion: Int = 3,
+               twoDvs: Boolean = false,
+               breakLen: Boolean = false,
+               breakCrc: Boolean = false,
+               plainPosDelete: Boolean = false): String = {
+      val root = s"/tmp/graft_icespec/$name"
+      rm(new java.io.File(root))
+      Files.createDirectories(Paths.get(root, "metadata"))
+      Files.createDirectories(Paths.get(root, "data"))
+      val tmp = s"$root/_tmp"
+      IcebergLite.stampFieldIds(
+        spark.range(0, 10).select(col("id"), (col("id") * 3).as("v")),
+        Map("id" -> 1, "v" -> 2))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val p = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith(".")).get
+      assert(p.renameTo(new java.io.File(s"$root/data/f0.parquet")))
+      rm(new java.io.File(tmp))
+      // puffin: leading magic + blob (ordinals 1, 3 dead) + trailing
+      // magic (the reader navigates by manifest offsets, per the spec)
+      val blob = dvBlob(Seq(1L, 3L))
+      if (breakLen) {
+        val bb = java.nio.ByteBuffer.wrap(blob)
+        bb.putInt(0, bb.getInt(0) + 1)
+      }
+      if (breakCrc) blob(blob.length - 1) =
+        (blob(blob.length - 1) ^ 0x55).toByte
+      val puffin = "PFA1".getBytes("UTF-8") ++ blob ++
+        "PFA1".getBytes("UTF-8")
+      Files.write(Paths.get(root, "data", "dv.puffin"), puffin)
+      def writeAvro(d: org.apache.spark.sql.DataFrame, rel: String): Unit = {
+        val t = s"$root/_tmpavro"
+        d.coalesce(1).write.mode("overwrite").format(avroFmt).save(t)
+        val f = new java.io.File(t).listFiles()
+          .find(_.getName.startsWith("part-")).get
+        assert(f.renameTo(new java.io.File(s"$root/$rel")))
+        rm(new java.io.File(t))
+      }
+      writeAvro(Seq((1, "data/f0.parquet")).toDF("status", "file_path")
+        .select(col("status"),
+          struct(col("file_path"), lit(0).as("content")).as("data_file")),
+        "metadata/m-data.avro")
+      def dvRow(path: String) = (1, path, 1, "data/f0.parquet",
+        4L, blob.length.toLong, 2L)
+      val dvRows =
+        if (plainPosDelete)
+          Seq((1, "data/pos.parquet", 1, null.asInstanceOf[String],
+            null.asInstanceOf[java.lang.Long],
+            null.asInstanceOf[java.lang.Long],
+            null.asInstanceOf[java.lang.Long]))
+            .toDF("status", "file_path", "content",
+              "referenced_data_file", "content_offset",
+              "content_size_in_bytes", "record_count")
+        else (if (twoDvs) Seq(dvRow("data/dv.puffin"),
+          dvRow("data/dv.puffin")) else Seq(dvRow("data/dv.puffin")))
+          .toDF("status", "file_path", "content", "referenced_data_file",
+            "content_offset", "content_size_in_bytes", "record_count")
+      writeAvro(dvRows.select(col("status"),
+        struct(col("file_path"), col("content"),
+          col("referenced_data_file"), col("content_offset"),
+          col("content_size_in_bytes"), col("record_count"))
+          .as("data_file")), "metadata/m-dv.avro")
+      writeAvro(Seq(("metadata/m-data.avro", 0),
+        ("metadata/m-dv.avro", 1)).toDF("manifest_path", "content"),
+        "metadata/snap-1.avro")
+      Files.writeString(Paths.get(root, "metadata", "v1.metadata.json"),
+        s"""{"format-version":$formatVersion,"location":${jstr(root)},
+           |"current-schema-id":0,
+           |"schemas":[{"schema-id":0,"type":"struct","fields":[
+           |  {"id":1,"name":"id","required":false,"type":"long"},
+           |  {"id":2,"name":"v","required":false,"type":"long"}]}],
+           |"current-snapshot-id":1,
+           |"snapshots":[
+           | {"snapshot-id":1,"manifest-list":"metadata/snap-1.avro"}
+           |]}""".stripMargin)
+      Files.writeString(
+        Paths.get(root, "metadata", "version-hint.text"), "1")
+      root
+    }
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ chain(x.getCause))
+    // happy path: ordinals 1 and 3 of f0 die
+    val got = IcebergLite.read(spark, author("dv3"))
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(got == Seq(0L, 2L, 4L, 5L, 6L, 7L, 8L, 9L).map(i => (i, i * 3)))
+    // framing refusals
+    val e1 = intercept[Exception] {
+      IcebergLite.read(spark, author("dv3len", breakLen = true)).collect()
+    }
+    assert(chain(e1).exists(_.contains("inner")))
+    val e2 = intercept[Exception] {
+      IcebergLite.read(spark, author("dv3crc", breakCrc = true)).collect()
+    }
+    assert(chain(e2).exists(_.contains("checksum")))
+    // structural refusals: two DVs per data file; a DV in a v2 table;
+    // a plain position delete FILE in a v3 table
+    val e3 = intercept[IllegalStateException] {
+      IcebergLite.snapshot(spark, author("dv3two", twoDvs = true))
+    }
+    assert(e3.getMessage.contains("at most one"))
+    val e4 = intercept[IllegalStateException] {
+      IcebergLite.snapshot(spark, author("dv3v2", formatVersion = 2))
+    }
+    assert(e4.getMessage.contains("v3 feature"))
+    val e5 = intercept[IllegalStateException] {
+      IcebergLite.snapshot(spark,
+        author("dv3pos", plainPosDelete = true))
+    }
+    assert(e5.getMessage.contains("position delete FILE"))
   }
 
   test("missing metadata refuses loudly") {
