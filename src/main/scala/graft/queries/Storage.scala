@@ -659,6 +659,17 @@ object Storage extends QueryModule {
         .read(s, authorHudiMorRollbackTable(s, dir)))
     },
 
+    // Hudi MOR PARQUET log blocks (hoodie.logfile.data.block.format=
+    // parquet — the recommended Spark-writer setting): q431's upsert/
+    // soft-delete algebra, but the log block's content is a complete
+    // parquet file decoded executor-side through parquet-hadoop over
+    // the block bytes. Same oracle as q431 — a reader that mis-parsed
+    // the embedded parquet hash-mismatches.
+    "q448_hudi_mor_parquet_block" -> { (s, dir) =>
+      ordersCensus(graft.sources.HudiMorLite
+        .read(s, authorHudiMorParquetTable(s, dir)))
+    },
+
     // Hudi MOR EVENT-TIME merge (hoodie.table.precombine.field — the
     // default CDC shape): merge order is (o_seq, arrival), so log.2's
     // late-arriving ×5 at o_seq=20 loses to log.1's ×2 at o_seq=30,
@@ -1539,6 +1550,67 @@ object Storage extends QueryModule {
             recs(base.filter(col("o_orderkey") % 10 === 3), 3.0))))
         Files.writeString(Paths.get(root, ".hoodie", "003.deltacommit"),
           s"""{"partitionToWriteStats":{${stat(".g1_001.log.2")}}}""")
+        root
+      })
+    }
+
+  private val hudiMorPqMemo =
+    scala.collection.mutable.Map.empty[String, String]
+
+  /** Authors the MOR table q448 reads — q431's algebra with the log
+    * block in PARQUET format (`hoodie.logfile.data.block.format=
+    * parquet`, the recommended Spark-writer setting): one
+    * PARQUET_DATA_BLOCK whose content is a complete parquet file
+    * upserting %10∈(3,4) at doubled price and soft-deleting %10=0.
+    * Memoized per sf-dir. */
+  private def authorHudiMorParquetTable(s: SparkSession,
+                                        dir: String): String =
+    hudiMorPqMemo.synchronized {
+      hudiMorPqMemo.getOrElseUpdate(dir, {
+        import java.nio.file.{Files, Paths}
+        val root =
+          s"/tmp/graft_hudi/morpq_${Integer.toHexString(dir.hashCode)}"
+        def rm(p: java.io.File): Unit = {
+          if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+          p.delete(): Unit
+        }
+        rm(new java.io.File(root))
+        Files.createDirectories(Paths.get(root, ".hoodie"))
+        Files.writeString(Paths.get(root, ".hoodie", "hoodie.properties"),
+          "hoodie.table.name=orders_mor_pq\n" +
+            "hoodie.table.type=MERGE_ON_READ\n")
+        val base = Tables.df(s, dir, "orders")
+          .select(col("o_orderkey").cast("string")
+            .as("_hoodie_record_key"),
+            col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+          .filter(col("o_orderkey") % 10 < 5)
+        def onePq(df: DataFrame, out: Option[String]): Array[Byte] = {
+          val tmp = s"$root/_tmp"
+          df.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(f => f.getName.endsWith(".parquet") &&
+              !f.getName.startsWith(".")).get
+          val bytes = Files.readAllBytes(part.toPath)
+          out.foreach(o => assert(
+            part.renameTo(new java.io.File(s"$root/$o"))))
+          rm(new java.io.File(tmp))
+          bytes
+        }
+        onePq(base, Some("g1_0-0_001.parquet")): Unit
+        def stat(path: String): String =
+          s""""":[{"fileId":"g1","path":${jstr(path)},"numWrites":1}]"""
+        Files.writeString(Paths.get(root, ".hoodie", "001.deltacommit"),
+          s"""{"partitionToWriteStats":{${stat("g1_0-0_001.parquet")}}}""")
+        val logRows = base.filter((col("o_orderkey") % 10).isin(3, 4))
+          .withColumn("o_totalprice", col("o_totalprice") * 2)
+          .withColumn("_hoodie_is_deleted", lit(false))
+          .unionByName(base.filter(col("o_orderkey") % 10 === 0)
+            .withColumn("_hoodie_is_deleted", lit(true)))
+        graft.sources.HudiMorLite.writeLogBlocks(s"$root/.g1_001.log.1",
+          Seq(graft.sources.HudiMorLite.ParquetBlockSpec(
+            onePq(logRows, None))))
+        Files.writeString(Paths.get(root, ".hoodie", "002.deltacommit"),
+          s"""{"partitionToWriteStats":{${stat(".g1_001.log.1")}}}""")
         root
       })
     }
@@ -4616,6 +4688,16 @@ object Storage extends QueryModule {
         |SELECT part, count(*) AS n,
         | CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM r GROUP BY part ORDER BY part""".stripMargin,
+    // parquet log block: q431's algebra — upserts double (3,4),
+    // soft deletes drop 0
+    "q448_hudi_mor_parquet_block" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        | CAST(sum(CAST(CASE WHEN o_orderkey % 10 IN (3, 4)
+        |   THEN o_totalprice * 2 ELSE o_totalprice END
+        |   AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderkey % 10 BETWEEN 1 AND 4
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     // event-time merge: 3,4 → ×2 (seq30 beats the late seq20 ×5);
     // 1 → ×4 (seq25 beats base 10); 2 → ×1 (seq5 loses to base);
     // 0 dead (soft delete at seq50)

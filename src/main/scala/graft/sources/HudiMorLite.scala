@@ -108,6 +108,7 @@ object HudiMorLite {
   private val CommandBlockOrdinal = 0
   private val DeleteBlockOrdinal = 1
   private val AvroDataBlockOrdinal = 3
+  private val ParquetDataBlockOrdinal = 5
   // HoodieCommandBlockTypeEnum: ROLLBACK_BLOCK is the only published
   // command type, ordinal 0
   private val RollbackCommandType = "0"
@@ -328,13 +329,14 @@ object HudiMorLite {
               "version 1)")
           val blockType = in.readInt()
           if (blockType != AvroDataBlockOrdinal &&
+            blockType != ParquetDataBlockOrdinal &&
             blockType != DeleteBlockOrdinal &&
             blockType != CommandBlockOrdinal)
             throw new IllegalStateException(
               s"$path: block $blockIdx is " +
                 BlockTypeNames.lift(blockType)
                   .getOrElse(s"unknown type $blockType") +
-                " — AVRO_DATA_BLOCK, DELETE_BLOCK and COMMAND_BLOCK " +
+                " — AVRO/PARQUET data, DELETE and COMMAND blocks " +
                 "are HudiMorLite scope")
           // header map: count, then (key ordinal, length, utf8 value).
           // Sizes are UNTRUSTED input — a garbage count/length must
@@ -433,6 +435,9 @@ object HudiMorLite {
       if (b.blockType == DeleteBlockOrdinal)
         decodeDeleteBlock(b.path, b.blockIdx, b.content, ord, partition,
           fieldNames.size, precombineIdx.map(i => i -> fieldTypes(i)))
+      else if (b.blockType == ParquetDataBlockOrdinal)
+        decodeParquetBlock(b.path, b.blockIdx, b.content, ord,
+          partition, fieldNames, fieldTypes)
       else {
         // data blocks carry their Avro schema in the SCHEMA header
         val schemaJson = b.headers.getOrElse(SchemaHeaderOrdinal,
@@ -653,6 +658,155 @@ object HudiMorLite {
     }
   }
 
+  /** In-memory parquet: the PARQUET_DATA_BLOCK payload is a complete
+    * parquet file in the block's content bytes (HoodieParquetDataBlock
+    * writes the serialized records straight through a parquet stream
+    * writer), so the executor-side decode reads it through
+    * parquet-hadoop over a byte-array [[org.apache.parquet.io
+    * .InputFile]] — no temp files, no driver round-trips. */
+  private final class BytesSeekableStream(bytes: Array[Byte])
+    extends org.apache.parquet.io.SeekableInputStream {
+    private var pos = 0
+    override def read(): Int =
+      if (pos >= bytes.length) -1
+      else { val b = bytes(pos) & 0xff; pos += 1; b }
+    override def read(b: Array[Byte], off: Int, len: Int): Int =
+      if (pos >= bytes.length) -1
+      else {
+        val n = math.min(len, bytes.length - pos)
+        System.arraycopy(bytes, pos, b, off, n); pos += n; n
+      }
+    override def getPos: Long = pos.toLong
+    override def seek(newPos: Long): Unit = pos = newPos.toInt
+    override def readFully(b: Array[Byte]): Unit =
+      readFully(b, 0, b.length)
+    override def readFully(b: Array[Byte], off: Int, len: Int): Unit = {
+      if (bytes.length - pos < len) throw new java.io.EOFException(
+        s"parquet block: read past end (pos=$pos, want=$len, " +
+          s"have=${bytes.length})")
+      System.arraycopy(bytes, pos, b, off, len); pos += len
+    }
+    override def read(buf: java.nio.ByteBuffer): Int =
+      if (pos >= bytes.length) -1
+      else {
+        val n = math.min(buf.remaining(), bytes.length - pos)
+        buf.put(bytes, pos, n); pos += n; n
+      }
+    override def readFully(buf: java.nio.ByteBuffer): Unit = {
+      val n = buf.remaining()
+      if (bytes.length - pos < n) throw new java.io.EOFException(
+        s"parquet block: read past end (pos=$pos, want=$n, " +
+          s"have=${bytes.length})")
+      buf.put(bytes, pos, n); pos += n
+    }
+  }
+  private final class BytesInputFile(bytes: Array[Byte])
+    extends org.apache.parquet.io.InputFile {
+    override def getLength: Long = bytes.length.toLong
+    override def newStream(): org.apache.parquet.io.SeekableInputStream =
+      new BytesSeekableStream(bytes)
+  }
+
+  /** Decode a PARQUET_DATA_BLOCK (`hoodie.logfile.data.block.format=
+    * parquet`, the recommended log format for Spark writers): the
+    * content IS a parquet file; rows resolve BY NAME against the
+    * output schema with the same contract as Avro blocks — every
+    * output column must exist, flat primitives only, the slice's
+    * partition is authoritative. */
+  private def decodeParquetBlock(path: String, blockIdx: Int,
+                                 content: Array[Byte], ordPrefix: String,
+                                 partition: String,
+                                 fieldNames: Seq[String],
+                                 fieldTypes: Seq[DataType])
+  : Seq[LogRecord] = {
+    import org.apache.parquet.example.data.Group
+    import org.apache.parquet.example.data.simple.convert.GroupRecordConverter
+    import org.apache.parquet.io.ColumnIOFactory
+    val reader =
+      try org.apache.parquet.hadoop.ParquetFileReader.open(
+        new BytesInputFile(content))
+      catch { case e: Exception => throw new IllegalStateException(
+        s"$path: block $blockIdx PARQUET_DATA_BLOCK content does not " +
+          s"parse as parquet: ${e.getMessage}")
+      }
+    try {
+      val schema = reader.getFooter.getFileMetaData.getSchema
+      val missing = fieldNames.filterNot(schema.containsField)
+      if (missing.nonEmpty) throw new IllegalStateException(
+        s"$path: block $blockIdx parquet records lack columns " +
+          s"${missing.mkString(", ")} — partial log records are " +
+          "outside HudiMorLite scope")
+      for (nm <- fieldNames :+ "_hoodie_is_deleted"
+           if schema.containsField(nm))
+        if (!schema.getType(schema.getFieldIndex(nm)).isPrimitive)
+          throw new IllegalStateException(
+            s"$path: block $blockIdx parquet column $nm is nested — " +
+              "outside HudiMorLite's flat-primitive scope")
+      val keyIdx = fieldNames.indexOf("_hoodie_record_key")
+      val partIdx = fieldNames.indexOf("_hoodie_partition_path")
+      val delIdx =
+        if (schema.containsField("_hoodie_is_deleted"))
+          schema.getFieldIndex("_hoodie_is_deleted") else -1
+      val out = Vector.newBuilder[LogRecord]
+      var recIdx = 0
+      var pages = reader.readNextRowGroup()
+      while (pages != null) {
+        val columnIO = new ColumnIOFactory().getColumnIO(schema)
+        val rr = columnIO.getRecordReader(pages,
+          new GroupRecordConverter(schema))
+        var i = 0L
+        while (i < pages.getRowCount) {
+          val g: Group = rr.read()
+          def prim(nm: String, dt: DataType): Any = {
+            val idx = schema.getFieldIndex(nm)
+            if (g.getFieldRepetitionCount(idx) == 0) null
+            else try dt match {
+              case LongType    => g.getLong(idx, 0)
+              case IntegerType => g.getInteger(idx, 0)
+              case DoubleType  => g.getDouble(idx, 0)
+              case FloatType   => g.getFloat(idx, 0)
+              case StringType  => g.getString(idx, 0)
+              case BooleanType => g.getBoolean(idx, 0)
+              case other => throw new IllegalStateException(
+                s"type ${other.simpleString} out of scope")
+            } catch {
+              case e: RuntimeException => throw new IllegalStateException(
+                s"$path: block $blockIdx parquet column $nm does not " +
+                  s"read as ${dt.simpleString}: ${e.getMessage}")
+            }
+          }
+          val values = fieldNames.zip(fieldTypes).map {
+            case (nm, dt) => prim(nm, dt) }
+          val key = if (keyIdx >= 0) values(keyIdx) match {
+            case s: String => s
+            case _ => throw new IllegalStateException(
+              s"$path: block $blockIdx parquet record $recIdx has a " +
+                "null _hoodie_record_key")
+          } else prim("_hoodie_record_key", StringType) match {
+            case s: String => s
+            case _ => throw new IllegalStateException(
+              s"$path: block $blockIdx parquet record $recIdx has no " +
+                "_hoodie_record_key")
+          }
+          if (partIdx >= 0 && values(partIdx) != partition)
+            throw new IllegalStateException(
+              s"$path: block $blockIdx record (key $key) claims " +
+                s"partition '${values(partIdx)}' but the slice's " +
+                s"partition is '$partition' — foreign log")
+          val deleted = delIdx >= 0 &&
+            g.getFieldRepetitionCount(delIdx) > 0 &&
+            g.getBoolean(delIdx, 0)
+          out += LogRecord(key, f"$ordPrefix%s|$recIdx%010d", deleted,
+            values)
+          recIdx += 1
+          i += 1
+        }
+        pages = reader.readNextRowGroup()
+      }
+      out.result()
+    } finally reader.close()
+  }
+
   /** Fixture-authoring block model for [[writeLogBlocks]]: an Avro
     * data block (schema JSON + records as field→value maps; the
     * ordinal override authors refusal fixtures) or a DELETE_BLOCK
@@ -675,6 +829,11 @@ object HudiMorLite {
   private[graft] final case class CommandBlockSpec(
       targetInstant: Option[String],
       commandType: String = RollbackCommandType) extends BlockSpec
+  /** A PARQUET_DATA_BLOCK: the content is the given parquet file's
+    * bytes verbatim (as HoodieParquetDataBlock writes them). */
+  private[graft] final case class ParquetBlockSpec(
+      parquetBytes: Array[Byte],
+      instantTime: Option[String] = None) extends BlockSpec
 
   /** Write a HoodieLogFormat log file — fixture/spec authoring, the
     * exact inverse of [[decodeLogFile]]'s layout. */
@@ -758,6 +917,9 @@ object HudiMorLite {
               target.toSeq.map(t =>
                 TargetInstantHeaderOrdinal -> t.getBytes("UTF-8")),
             Array.emptyByteArray)
+        case ParquetBlockSpec(parquetBytes, instantTime) =>
+          (ParquetDataBlockOrdinal, instantHeader(instantTime),
+            parquetBytes)
       }
       val headerBos = new ByteArrayOutputStream()
       val headerOut = new DataOutputStream(headerBos)

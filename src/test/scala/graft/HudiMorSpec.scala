@@ -262,6 +262,60 @@ class HudiMorSpec extends AnyFunSuite {
       .select("v").as[Long].head() == 100L)
   }
 
+  /** One coalesced parquet file's bytes for `df` — the
+    * PARQUET_DATA_BLOCK content shape. */
+  private def parquetBytes(df: org.apache.spark.sql.DataFrame)
+  : Array[Byte] = {
+    val tmp = s"/tmp/graft_hudimorspec/_pqtmp"
+    rm(new java.io.File(tmp))
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val p = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith(".")).get
+    val bytes = Files.readAllBytes(p.toPath)
+    rm(new java.io.File(tmp))
+    bytes
+  }
+
+  test("PARQUET_DATA_BLOCK: parquet log blocks merge like Avro ones; " +
+    "missing columns refuse") {
+    import spark.implicits._
+    val root = fixture("pqblock")
+    // parquet block: upsert id1 → 100, soft-delete id0 (same algebra
+    // as the happy-path Avro test)
+    HudiMorLite.writeLogBlocks(s"$root/.g1_001.log.1", Seq(
+      HudiMorLite.ParquetBlockSpec(parquetBytes(
+        Seq(("1", 1L, 100L, false), ("0", 0L, 0L, true))
+          .toDF("_hoodie_record_key", "id", "v", "_hoodie_is_deleted")))))
+    commit(root, "002", "deltacommit", ".g1_001.log.1")
+    val got = HudiMorLite.read(spark, root)
+      .select("id", "v").as[(Long, Long)].collect().sorted.toSeq
+    assert(got == Seq((1L, 100L), (2L, 6L), (3L, 9L), (4L, 12L)))
+    // a later AVRO block in the same stream outranks the parquet one
+    HudiMorLite.writeLogBlocks(s"$root/.g1_001.log.2", Seq(
+      HudiMorLite.AvroBlockSpec(avroSchema, Seq(rec(1, 77)))))
+    commit(root, "003", "deltacommit", ".g1_001.log.2")
+    assert(HudiMorLite.read(spark, root).filter(col("id") === 1)
+      .select("v").as[Long].head() == 77L)
+    // a parquet block lacking an output column refuses (partial
+    // records are outside scope — same contract as Avro blocks)
+    val root2 = fixture("pqmissing")
+    HudiMorLite.writeLogBlocks(s"$root2/.g1_001.log.1", Seq(
+      HudiMorLite.ParquetBlockSpec(parquetBytes(
+        Seq(("1", 1L)).toDF("_hoodie_record_key", "id")))))
+    commit(root2, "002", "deltacommit", ".g1_001.log.1")
+    val e = intercept[Exception] { HudiMorLite.read(spark, root2).collect() }
+    assert(chain(e).exists(_.contains("lack columns")))
+    // garbage content refuses as non-parquet
+    val root3 = fixture("pqgarbage")
+    HudiMorLite.writeLogBlocks(s"$root3/.g1_001.log.1", Seq(
+      HudiMorLite.ParquetBlockSpec(
+        Array.fill[Byte](64)(0x42))))
+    commit(root3, "002", "deltacommit", ".g1_001.log.1")
+    val e2 = intercept[Exception] { HudiMorLite.read(spark, root3).collect() }
+    assert(chain(e2).exists(_.contains("does not parse as parquet")))
+  }
+
   test("foreign block types, corrupt magic, and wrong format version " +
     "refuse loudly") {
     val root = fixture("badblocks")
