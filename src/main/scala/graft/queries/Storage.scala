@@ -841,6 +841,22 @@ object Storage extends QueryModule {
         .read(s, authorPaimonEngineTable(s, dir, "first-row")))
     },
 
+    // Paimon AGGREGATION functions beyond sum/min/max — count (NULL
+    // inputs don't count), last_value (a later NULL OVERWRITES, unlike
+    // the default last_non_null), bool_and, listagg ('|' delimiter,
+    // merge order). One single-row census folds all four so any
+    // mis-fold hash-mismatches.
+    "q449_paimon_agg_functions" -> { (s, dir) =>
+      graft.sources.PaimonLite
+        .read(s, authorPaimonAggXTable(s, dir))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_cnt")).as("sum_cnt"),
+          sum(col("o_last").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_last"),
+          sum(when(col("o_ba"), 1L).otherwise(0L)).as("n_ba"),
+          sum(length(col("o_tag")).cast("long")).as("tag_len"))
+    },
+
     // Paimon SEQUENCE GROUPS (partial-update): o_totalprice updates
     // only when ITS sequence column o_psq advances — snapshot 2's
     // o_psq=20 doubles (3,4); snapshot 3's o_psq=5 must NOT apply its
@@ -3722,6 +3738,64 @@ object Storage extends QueryModule {
       })
     }
 
+  private val paimonAggXMemo =
+    scala.collection.mutable.Map.empty[String, String]
+
+  /** Authors the aggregation-engine table q449 reads — one column per
+    * published fold beyond sum/min/max: o_cnt (count; NULL inputs
+    * don't count), o_last (last_value; a later NULL OVERWRITES),
+    * o_ba (bool_and), o_tag (listagg, '|' delimiter, merge order).
+    * Snapshot 1 inserts all %10<5 keys; snapshot 2 re-inserts
+    * %10∈(3,4) with o_cnt=1 / o_last=NULL / o_ba=false-on-3 /
+    * o_tag='Z'. Memoized per sf-dir. */
+  private def authorPaimonAggXTable(s: SparkSession,
+                                    dir: String): String =
+    paimonAggXMemo.synchronized {
+      paimonAggXMemo.getOrElseUpdate(dir, {
+        val root =
+          s"/tmp/graft_paimon/aggx_${Integer.toHexString(dir.hashCode)}"
+        val base = Tables.df(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderstatus"))
+          .filter(col("o_orderkey") % 10 < 5)
+        def kv(seq: Long, df: DataFrame): DataFrame =
+          df.select(col("o_orderkey").as("_KEY_o_orderkey"),
+            lit(seq).as("_SEQUENCE_NUMBER"),
+            lit(0).cast("tinyint").as("_VALUE_KIND"),
+            col("o_orderkey"), col("o_cnt"), col("o_last"),
+            col("o_ba"), col("o_tag"))
+        val kv1 = kv(1L, base
+          .withColumn("o_cnt",
+            when(col("o_orderkey") % 10 === 0,
+              lit(null).cast("bigint")).otherwise(lit(1L)))
+          .withColumn("o_last", col("o_totalprice"))
+          .withColumn("o_ba", lit(true))
+          .withColumn("o_tag", col("o_orderstatus")))
+        val kv2 = kv(2L, base
+          .filter((col("o_orderkey") % 10).isin(3, 4))
+          .withColumn("o_cnt", lit(1L))
+          .withColumn("o_last", lit(null).cast("double"))
+          .withColumn("o_ba", col("o_orderkey") % 10 =!= 3)
+          .withColumn("o_tag", lit("Z")))
+        val fields =
+          """{"id":0,"name":"o_orderkey","type":"BIGINT"},
+            |{"id":1,"name":"o_cnt","type":"BIGINT"},
+            |{"id":2,"name":"o_last","type":"DOUBLE"},
+            |{"id":3,"name":"o_ba","type":"BOOLEAN"},
+            |{"id":4,"name":"o_tag","type":"STRING"}""".stripMargin
+        val options =
+          """{"merge-engine":"aggregation",
+            |"fields.o_cnt.aggregate-function":"count",
+            |"fields.o_last.aggregate-function":"last_value",
+            |"fields.o_ba.aggregate-function":"bool_and",
+            |"fields.o_tag.aggregate-function":"listagg",
+            |"fields.o_tag.list-agg-delimiter":"|"}""".stripMargin
+        writePaimonPkLayout(root, options, fields, Seq(kv1, kv2),
+          highestFieldId = 4)
+        root
+      })
+    }
+
   private val paimonSgMemo =
     scala.collection.mutable.Map.empty[String, String]
 
@@ -4848,6 +4922,24 @@ object Storage extends QueryModule {
         |FROM orders WHERE o_orderkey % 10 < 5
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+    // agg functions: cnt 0/%10=0, 2/(3,4), 1 else; last NULLed for
+    // (3,4); ba false only for 3; tag grows "|Z" (2 chars) for (3,4)
+    "q449_paimon_agg_functions" ->
+      """WITH k AS (
+        |  SELECT o_orderkey % 10 AS m, o_totalprice, o_orderstatus
+        |  FROM orders WHERE o_orderkey % 10 < 5)
+        |SELECT count(*) AS n,
+        | CAST(sum(CASE WHEN m IN (3, 4) THEN 2
+        |   WHEN m = 0 THEN 0 ELSE 1 END) AS BIGINT) AS sum_cnt,
+        | CAST(sum(CASE WHEN m IN (3, 4) THEN NULL
+        |   ELSE CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)
+        |   AS sum_last,
+        | CAST(sum(CASE WHEN m = 3 THEN 0 ELSE 1 END) AS BIGINT)
+        |   AS n_ba,
+        | CAST(sum(length(o_orderstatus) +
+        |   CASE WHEN m IN (3, 4) THEN 2 ELSE 0 END) AS BIGINT)
+        |   AS tag_len
+        |FROM k""".stripMargin,
     // sequence group: (3,4) ×2 from the o_psq=20 update; the
     // o_psq=5 ×9 on (2,3) never applies; status survives the null
     // updates

@@ -92,7 +92,9 @@ object PaimonLite {
                             fieldAggregates: Map[String, String] =
                               Map.empty,
                             sequenceGroups: Seq[(String, Seq[String])] =
-                              Nil)
+                              Nil,
+                            fieldListaggDelims: Map[String, String] =
+                              Map.empty)
 
   /** The published PK merge engines this reader serves. */
   val MergeEngines: Set[String] =
@@ -100,8 +102,14 @@ object PaimonLite {
 
   /** aggregation-engine per-field functions in scope (each folds into
     * a partial-combining Spark aggregate). */
+  /** aggregation-engine per-field functions served (each folds into
+    * ONE partial-combining aggregate — see read()). Published
+    * functions outside this set (product, nested_update, collect,
+    * merge_map, sketches, …) refuse at plan time. */
   val SupportedAggregates: Set[String] =
-    Set("sum", "min", "max", "last_non_null_value")
+    Set("sum", "min", "max", "count", "bool_and", "bool_or",
+      "last_value", "last_non_null_value", "first_value",
+      "first_non_null_value", "listagg")
 
   private implicit val fmts: Formats = DefaultFormats
 
@@ -284,6 +292,16 @@ object PaimonLite {
         }.toMap
       case _ => Map.empty
     }
+    val fieldListaggDelims: Map[String, String] =
+      (schemaJson \ "options") match {
+        case JObject(opts) => opts.collect {
+          case (k, JString(d)) if k.startsWith("fields.") &&
+            k.endsWith(".list-agg-delimiter") =>
+            k.stripPrefix("fields.")
+              .stripSuffix(".list-agg-delimiter") -> d
+        }.toMap
+        case _ => Map.empty
+      }
     val partitionKeys: Seq[String] = (schemaJson \ "partitionKeys") match {
       case JArray(ks) => ks.map(_.extract[String])
       case _          => Nil
@@ -303,6 +321,25 @@ object PaimonLite {
       })
       case _ => throw new IllegalStateException(
         s"$schemaFile: schema has no fields")
+    }
+
+    // declared aggregate functions must name schema columns whose
+    // type can carry the fold — a mismatch would cast-coerce silently
+    for ((c, fn) <- fieldAggregates) {
+      if (!schema.fieldNames.contains(c)) throw new IllegalStateException(
+        s"$schemaFile: fields.$c.aggregate-function names unknown " +
+          "column")
+      val dt = schema(c).dataType
+      val ok = fn match {
+        case "sum" | "count"        => dt.isInstanceOf[NumericType]
+        case "bool_and" | "bool_or" => dt == BooleanType
+        case "listagg"              => dt == StringType
+        case _                      => true
+      }
+      if (!ok) throw new IllegalStateException(
+        s"$schemaFile: aggregate-function=$fn over $c's " +
+          s"${dt.simpleString} — the fold's result cannot live in " +
+          "that column type")
     }
 
     // partial-update SEQUENCE GROUPS (`fields.<seq-col>.sequence-group
@@ -423,7 +460,8 @@ object PaimonLite {
       DataFile(s"$tableDir/$partDirs" + s"bucket-$bucket/$name", part)
     }
     Snapshot(wantedId, schema, files, primaryKeys, partitionKeys,
-      defaultPartName, mergeEngine, fieldAggregates, sequenceGroups)
+      defaultPartName, mergeEngine, fieldAggregates, sequenceGroups,
+      fieldListaggDelims)
   }
 
   /** The bounded partition-key types PaimonLite serves (path spelling
@@ -888,13 +926,34 @@ object PaimonLite {
             })
         case "aggregation" =>
           // per COLUMN: the declared aggregate-function folds the
-          // versions (sum/min/max); undeclared fields default to
-          // last_non_null_value per the docs
+          // versions; undeclared fields default to
+          // last_non_null_value per the docs. Every function is a
+          // plain partial-combining Catalyst aggregate (listagg rides
+          // collect_list of (order, value) structs, sorted at the
+          // final step — merge order IS its concatenation order).
           def fieldAgg(c: String) = snap.fieldAggregates.get(c) match {
-            case Some("sum") => sum(col(c)).as(c)
-            case Some("min") => min(col(c)).as(c)
-            case Some("max") => max(col(c)).as(c)
-            case _           => lastNonNull(c)
+            case Some("sum")      => sum(col(c)).as(c)
+            case Some("min")      => min(col(c)).as(c)
+            case Some("max")      => max(col(c)).as(c)
+            case Some("count")    => count(col(c)).as(c)
+            case Some("bool_and") => bool_and(col(c)).as(c)
+            case Some("bool_or")  => bool_or(col(c)).as(c)
+            case Some("last_value") =>
+              // latest value INCLUDING nulls — a later null overwrites
+              max_by(struct(col(c).as("v")), ord).getField("v").as(c)
+            case Some("first_value") =>
+              min_by(struct(col(c).as("v")), ord).getField("v").as(c)
+            case Some("first_non_null_value") =>
+              min_by(col(c), when(col(c).isNotNull, ord)).as(c)
+            case Some("listagg") =>
+              val delim = snap.fieldListaggDelims.getOrElse(c, ",")
+              array_join(
+                transform(
+                  sort_array(collect_list(when(col(c).isNotNull,
+                    struct(ord.as("o"), col(c).as("v"))))),
+                  x => x.getField("v")),
+                delim).as(c)
+            case _ => lastNonNull(c)
           }
           out(insertOnly(raw, "aggregation", Seq(0, 2))
             .groupBy((keyCols ++ partCols).map(col): _*)

@@ -426,6 +426,66 @@ class PaimonSpec extends AnyFunSuite {
     }
   }
 
+  test("aggregation engine: count / bool_and / bool_or / last_value / " +
+    "first_value / first_non_null_value / listagg fold correctly; " +
+    "type mismatches refuse at plan time") {
+    import spark.implicits._
+    // fields: id pk, n (count), ba (bool_and), lv (last_value —
+    // a later NULL overwrites), fnn (first_non_null_value),
+    // s (listagg with a custom delimiter)
+    def kv(rows: Seq[(Long, Option[Long], Option[Boolean], Option[Long],
+                      Option[Long], Option[String])], seq: Long) =
+      rows.toDF("id", "n", "ba", "lv", "fnn", "s")
+        .select(col("id").as("_KEY_id"),
+          lit(seq).as("_SEQUENCE_NUMBER"),
+          lit(0).cast("tinyint").as("_VALUE_KIND"),
+          col("id"), col("n"), col("ba"), col("lv"), col("fnn"),
+          col("s"))
+    val fields = Seq("id" -> "BIGINT", "n" -> "BIGINT",
+      "ba" -> "BOOLEAN", "lv" -> "BIGINT", "fnn" -> "BIGINT",
+      "s" -> "STRING")
+    val opts =
+      """{"merge-engine":"aggregation",
+        |"fields.n.aggregate-function":"count",
+        |"fields.ba.aggregate-function":"bool_and",
+        |"fields.lv.aggregate-function":"last_value",
+        |"fields.fnn.aggregate-function":"first_non_null_value",
+        |"fields.s.aggregate-function":"listagg",
+        |"fields.s.list-agg-delimiter":"|"}""".stripMargin
+    val root = pkCustomFixture("paggX", opts, fields, Seq(
+      kv(Seq(
+        (0L, Some(7L), Some(true), Some(1L), None, Some("a")),
+        (1L, None, Some(true), Some(9L), Some(5L), None)), 1L),
+      kv(Seq(
+        (0L, Some(9L), Some(false), None, Some(4L), Some("b")),
+        (1L, Some(2L), Some(true), Some(8L), Some(6L), Some("x"))), 2L)))
+    val got = PaimonLite.read(spark, root)
+      .as[(Long, Long, Option[Boolean], Option[Long], Option[Long],
+        String)].collect().sorted.toSeq
+    assert(got == Seq(
+      // id0: count 2 non-null; true&&false; last_value NULL
+      // (overwrite); first non-null 4; "a|b" in merge order
+      (0L, 2L, Some(false), None, Some(4L), "a|b"),
+      // id1: count 1; true&&true; last 8; first non-null 5; "x"
+      (1L, 1L, Some(true), Some(8L), Some(5L), "x")))
+    // bool_and over a non-boolean column refuses at plan time
+    intercept[IllegalStateException] {
+      PaimonLite.snapshot(spark, pkCustomFixture("paggBadT",
+        """{"merge-engine":"aggregation",
+          |"fields.n.aggregate-function":"bool_and"}""".stripMargin,
+        fields, Seq(kv(Seq((0L, Some(1L), None, None, None, None)),
+          1L))))
+    }
+    // an aggregate naming an unknown column refuses at plan time
+    intercept[IllegalStateException] {
+      PaimonLite.snapshot(spark, pkCustomFixture("paggBadC",
+        """{"merge-engine":"aggregation",
+          |"fields.nope.aggregate-function":"sum"}""".stripMargin,
+        fields, Seq(kv(Seq((0L, Some(1L), None, None, None, None)),
+          1L))))
+    }
+  }
+
   test("first-row engine: the FIRST row per key wins; non-insert " +
     "kinds refuse per row") {
     import spark.implicits._
