@@ -659,6 +659,17 @@ object Storage extends QueryModule {
         .read(s, authorHudiMorRollbackTable(s, dir)))
     },
 
+    // Hudi INCREMENTAL query (hoodie.datasource.query.type=
+    // incremental): exactly the rows WRITTEN in (001, 002] — batch A's
+    // l_quantity>30 upserts at ×2 price (the rest of the REWRITTEN
+    // file is filtered out by _hoodie_commit_time) plus batch B.
+    // Untouched file groups are pruned from the scan up front
+    // (HudiSpec plan-asserts it).
+    "q450_hudi_incremental" -> { (s, dir) =>
+      deltaCensus(graft.sources.HudiCowLite
+        .readIncremental(s, authorHudiIncrementalTable(s, dir), "001"))
+    },
+
     // Hudi MOR PARQUET log blocks (hoodie.logfile.data.block.format=
     // parquet — the recommended Spark-writer setting): q431's upsert/
     // soft-delete algebra, but the log block's content is a complete
@@ -1566,6 +1577,73 @@ object Storage extends QueryModule {
             recs(base.filter(col("o_orderkey") % 10 === 3), 3.0))))
         Files.writeString(Paths.get(root, ".hoodie", "003.deltacommit"),
           s"""{"partitionToWriteStats":{${stat(".g1_001.log.2")}}}""")
+        root
+      })
+    }
+
+  private val hudiIncMemo =
+    scala.collection.mutable.Map.empty[String, String]
+
+  /** Authors the COW table q450 incremental-reads: commit 001 inserts
+    * batch A (l_orderkey%10=0, `_hoodie_commit_time`=001); commit 002
+    * REWRITES A's file group (the l_quantity>30 rows upserted at
+    * doubled price and commit time 002, the rest untouched at 001)
+    * and inserts batch B (%10=1) as a new group at 002. The
+    * incremental read over (001, 002] must serve exactly the upserted
+    * subset at ×2 plus batch B — rewritten-but-unchanged rows stay
+    * invisible. Memoized per sf-dir. */
+  private def authorHudiIncrementalTable(s: SparkSession,
+                                         dir: String): String =
+    hudiIncMemo.synchronized {
+      hudiIncMemo.getOrElseUpdate(dir, {
+        import java.nio.file.{Files, Paths}
+        val root =
+          s"/tmp/graft_hudi/inc_${Integer.toHexString(dir.hashCode)}"
+        def rm(p: java.io.File): Unit = {
+          if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+          p.delete(): Unit
+        }
+        rm(new java.io.File(root))
+        Files.createDirectories(Paths.get(root, ".hoodie"))
+        Files.writeString(Paths.get(root, ".hoodie", "hoodie.properties"),
+          "hoodie.table.name=li_inc\n" +
+            "hoodie.table.type=COPY_ON_WRITE\n")
+        val src = Tables.df(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity"),
+            col("l_extendedprice"), col("l_returnflag"))
+        def one(df: DataFrame, out: String): Unit = {
+          val tmp = s"$root/_tmp"
+          df.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(f => f.getName.endsWith(".parquet") &&
+              !f.getName.startsWith(".")).get
+          assert(part.renameTo(new java.io.File(s"$root/$out")))
+          rm(new java.io.File(tmp))
+        }
+        val a = src.filter(col("l_orderkey") % 10 === 0)
+        one(a.select(lit("001").as("_hoodie_commit_time"),
+          col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+          col("l_returnflag")), "gA_0-0_001.parquet")
+        one(a.select(
+          when(col("l_quantity") > 30, "002").otherwise("001")
+            .as("_hoodie_commit_time"),
+          col("l_orderkey"), col("l_quantity"),
+          when(col("l_quantity") > 30, col("l_extendedprice") * 2)
+            .otherwise(col("l_extendedprice")).as("l_extendedprice"),
+          col("l_returnflag")), "gA_0-0_002.parquet")
+        one(src.filter(col("l_orderkey") % 10 === 1)
+          .select(lit("002").as("_hoodie_commit_time"),
+            col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+            col("l_returnflag")), "gB_0-0_002.parquet")
+        def stat(fid: String, p: String): String =
+          s"""{"fileId":${jstr(fid)},"path":${jstr(p)},"numWrites":1}"""
+        Files.writeString(Paths.get(root, ".hoodie", "001.commit"),
+          s"""{"partitionToWriteStats":{"":[${
+            stat("gA", "gA_0-0_001.parquet")}]}}""")
+        Files.writeString(Paths.get(root, ".hoodie", "002.commit"),
+          s"""{"partitionToWriteStats":{"":[${
+            stat("gA", "gA_0-0_002.parquet")},${
+            stat("gB", "gB_0-0_002.parquet")}]}}""")
         root
       })
     }
@@ -4762,6 +4840,22 @@ object Storage extends QueryModule {
         |SELECT part, count(*) AS n,
         | CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM r GROUP BY part ORDER BY part""".stripMargin,
+    // incremental (001, 002]: A's quantity>30 upserts at ×2 + batch B
+    "q450_hudi_incremental" ->
+      """WITH inc AS (
+        |  SELECT l_returnflag, l_quantity,
+        |    l_extendedprice * 2 AS l_extendedprice
+        |  FROM lineitem WHERE l_orderkey % 10 = 0 AND l_quantity > 30
+        |  UNION ALL
+        |  SELECT l_returnflag, l_quantity, l_extendedprice
+        |  FROM lineitem WHERE l_orderkey % 10 = 1)
+        |SELECT l_returnflag, count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_price
+        |FROM inc GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     // parquet log block: q431's algebra — upserts double (3,4),
     // soft deletes drop 0
     "q448_hudi_mor_parquet_block" ->

@@ -55,7 +55,15 @@ import org.json4s.jackson.JsonMethods
   */
 object HudiCowLite {
 
-  final case class Snapshot(instant: String, files: Seq[String])
+  /** `fileInstants` maps each live base file to the LAST instant that
+    * wrote it; `commits` is the replayed timeline's instants in order;
+    * `hasReplace` flags a replacecommit anywhere in the replay (which
+    * moves rows across file groups, defeating file-level incremental
+    * pruning). */
+  final case class Snapshot(instant: String, files: Seq[String],
+                            fileInstants: Map[String, String] = Map.empty,
+                            commits: Seq[String] = Nil,
+                            hasReplace: Boolean = false)
 
   private implicit val fmts: Formats = DefaultFormats
 
@@ -127,9 +135,10 @@ object HudiCowLite {
       case None => commits
     }
 
-    // (partition, fileId) -> base file path; later commits win
+    // (partition, fileId) -> (base file path, writing instant); later
+    // commits win
     val groups = scala.collection.mutable.LinkedHashMap
-      .empty[(String, String), String]
+      .empty[(String, String), (String, String)]
     for ((instant, kind) <- wanted) {
       val p = new Path(hoodieDir, s"$instant.$kind")
       val json = try JsonMethods.parse(readText(fs, p))
@@ -169,7 +178,7 @@ object HudiCowLite {
               // base-file writes (new-file-group inserts) count
               if (kind == "deltacommit" && !path.endsWith(".parquet") &&
                 !path.endsWith(".orc")) ()
-              else groups((part, fileId)) = path
+              else groups((part, fileId)) = (path, instant)
             }
             case _ => throw new IllegalStateException(
               s"$tableDir: commit $instant partitionToWriteStats[$part] " +
@@ -180,7 +189,11 @@ object HudiCowLite {
           s"$tableDir: commit $instant has no partitionToWriteStats")
       }
     }
-    Snapshot(wanted.last._1, groups.values.toSeq.map(p => s"$tableDir/$p"))
+    Snapshot(wanted.last._1,
+      groups.values.toSeq.map { case (p, _) => s"$tableDir/$p" },
+      groups.values.map { case (p, i) => s"$tableDir/$p" -> i }.toMap,
+      wanted.map(_._1),
+      wanted.exists(_._2 == "replacecommit"))
   }
 
   /** Completed COMMIT instants in numeric order — the offset surface
@@ -232,5 +245,58 @@ object HudiCowLite {
     // (hoodie.table.base.file.format=ORC is a real deployment); one
     // homogeneous vectorized scan either way, mixed sets refused
     ColumnarScan(spark, tableDir, None, snap.files)
+  }
+
+  /** INCREMENTAL query (Hudi's documented
+    * `hoodie.datasource.query.type=incremental` with begin/end
+    * instant times): the rows WRITTEN by commits in
+    * (`beginInstant`, `endInstant`] — i.e. `_hoodie_commit_time`
+    * strictly after begin and at most end, begin exclusive per the
+    * published contract. COW scope (a MOR snapshot-incremental needs
+    * log merging — refused via the table-type gate).
+    *
+    * Scale shape: file groups UNTOUCHED in the range are pruned from
+    * the scan up front (each group's live file knows its last writing
+    * instant), so a thousand-commit table reads only the range's
+    * files; when a replacecommit (clustering) is in the replay, rows
+    * may have MOVED across groups, so the scan widens to the full
+    * snapshot and the `_hoodie_commit_time` predicate — pushed to the
+    * parquet scan — does the pruning via row-group statistics
+    * instead. Instants compare as strings (real Hudi instants are
+    * fixed-width timestamps); a mixed-width timeline would missort
+    * and refuses loudly. Base files without `_hoodie_commit_time`
+    * refuse (the filter would silently drop everything). */
+  def readIncremental(spark: SparkSession, tableDir: String,
+                      beginInstant: String,
+                      endInstant: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val snap = snapshot(spark, tableDir, endInstant)
+    val end = snap.instant
+    val widths = (snap.commits :+ beginInstant).map(_.length).distinct
+    if (widths.size > 1) throw new IllegalStateException(
+      s"$tableDir: timeline instants have mixed widths " +
+        s"(${widths.sorted.mkString(", ")}) — string-ordered " +
+        "incremental bounds would missort; outside HudiCowLite scope")
+    if (BigInt(beginInstant) >= BigInt(end))
+      throw new IllegalArgumentException(
+        s"$tableDir: beginInstant $beginInstant is not before the " +
+          s"end instant $end — empty incremental range")
+    val inRange = snap.commits
+      .filter(c => BigInt(c) > BigInt(beginInstant)).toSet
+    val files =
+      if (snap.hasReplace) snap.files
+      else snap.files.filter(f => inRange.contains(snap.fileInstants(f)))
+    if (files.isEmpty) throw new IllegalStateException(
+      s"$tableDir: no base file was written in ($beginInstant, $end] — " +
+        "nothing to read (COW carries no schema store to type an " +
+        "empty frame from)")
+    val df = ColumnarScan(spark, tableDir, None, files)
+    if (!df.columns.contains("_hoodie_commit_time"))
+      throw new IllegalStateException(
+        s"$tableDir: base files carry no _hoodie_commit_time — cannot " +
+          "bound the incremental read (populateMetaFields=false tables " +
+          "are outside scope)")
+    df.filter(col("_hoodie_commit_time") > lit(beginInstant) &&
+      col("_hoodie_commit_time") <= lit(end))
   }
 }

@@ -51,6 +51,83 @@ class HudiSpec extends AnyFunSuite {
     root
   }
 
+  /** COW table for incremental reads: group gA written at 001 (ids
+    * 0..4, _hoodie_commit_time=001) then REWRITTEN at 002 (ids 0..4
+    * keep 001 except id 1 upserted at 002 with v=99); group gB (ids
+    * 10..12) inserted at 002; group gC (ids 20..21) at 003. */
+  private def incFixture(name: String): String = {
+    val root = s"/tmp/graft_hudispec/$name"
+    rm(new java.io.File(root))
+    Files.createDirectories(Paths.get(root, ".hoodie"))
+    Files.writeString(Paths.get(root, ".hoodie", "hoodie.properties"),
+      "hoodie.table.name=t\nhoodie.table.type=COPY_ON_WRITE\n")
+    def one(df: org.apache.spark.sql.DataFrame, out: String): Unit = {
+      val tmp = s"$root/_tmp"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith(".")).get
+      assert(part.renameTo(new java.io.File(s"$root/$out")))
+      rm(new java.io.File(tmp))
+    }
+    def batch(ids: Range, ct: String) = spark.range(ids.start, ids.end)
+      .select(lit(ct).as("_hoodie_commit_time"), col("id"),
+        (col("id") * 2).as("v"))
+    one(batch(0 until 5, "001"), "gA_0-0_001.parquet")
+    one(batch(0 until 5, "001")
+      .withColumn("_hoodie_commit_time",
+        when(col("id") === 1, "002").otherwise(col("_hoodie_commit_time")))
+      .withColumn("v", when(col("id") === 1, 99L).otherwise(col("v"))),
+      "gA_0-0_002.parquet")
+    one(batch(10 until 13, "002"), "gB_0-0_002.parquet")
+    one(batch(20 until 22, "003"), "gC_0-0_003.parquet")
+    def commit(instant: String, stats: String): Unit =
+      Files.writeString(Paths.get(root, ".hoodie", s"$instant.commit"),
+        s"""{"partitionToWriteStats":{"":[$stats]}}""")
+    def stat(fid: String, p: String) =
+      s"""{"fileId":"$fid","path":"$p","numWrites":1}"""
+    commit("001", stat("gA", "gA_0-0_001.parquet"))
+    commit("002", stat("gA", "gA_0-0_002.parquet") + "," +
+      stat("gB", "gB_0-0_002.parquet"))
+    commit("003", stat("gC", "gC_0-0_003.parquet"))
+    root
+  }
+
+  test("incremental read serves exactly the rows written in " +
+    "(begin, end]; untouched file groups are pruned from the scan") {
+    import spark.implicits._
+    val root = incFixture("incremental")
+    // (001, 002]: id 1's upsert + batch B — nothing from 001 or 003
+    val got = HudiCowLite.readIncremental(spark, root, "001", Some("002"))
+      .select("id", "v").as[(Long, Long)].collect().sorted.toSeq
+    assert(got == Seq((1L, 99L), (10L, 20L), (11L, 22L), (12L, 24L)))
+    // (002, latest]: only batch C
+    assert(HudiCowLite.readIncremental(spark, root, "002")
+      .select("id").as[Long].collect().sorted.toSeq == Seq(20L, 21L))
+    // (001, 003]: gA v2 + gB + gC scanned; 001-rows filtered out
+    assert(HudiCowLite.readIncremental(spark, root, "001")
+      .count() == 6)
+    // file-level pruning: the (002, 003] scan must not list gA/gB
+    val plan = HudiCowLite.readIncremental(spark, root, "002")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("gA_0-0") && !plan.contains("gB_0-0"),
+      s"untouched groups not pruned:\n$plan")
+    // an empty range refuses; begin >= end refuses
+    intercept[IllegalArgumentException] {
+      HudiCowLite.readIncremental(spark, root, "003")
+    }
+    // missing _hoodie_commit_time refuses
+    val root2 = fixture("incnometa")
+    val e = intercept[IllegalStateException] {
+      HudiCowLite.readIncremental(spark, root2, "001")
+    }
+    assert(e.getMessage.contains("_hoodie_commit_time"))
+    // mixed-width instants refuse
+    intercept[IllegalStateException] {
+      HudiCowLite.readIncremental(spark, root, "1")
+    }
+  }
+
   test("latest base file per file group wins; older one is never read") {
     val root = fixture("happy")
     val snap = HudiCowLite.snapshot(spark, root)
