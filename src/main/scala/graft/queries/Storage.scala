@@ -386,6 +386,20 @@ object Storage extends QueryModule {
     // the id-less file reads by its MAPPED names and projects back,
     // the stamped file keeps field-id resolution. Mapping-less
     // tables still refuse id-less files loudly (IcebergSpec).
+    // v3 INITIAL-DEFAULT columns — batch A predates column l_bonus
+    // (its footer lacks id 5) so its rows read the default 7; batch B
+    // stores l_orderkey%5. One footer sweep splits the legs; the
+    // census sums l_bonus per flag, so a null-instead-of-default (or
+    // default-instead-of-stored) read hash-mismatches.
+    "q451_iceberg_initial_default" -> { (s, dir) =>
+      graft.sources.IcebergLite
+        .read(s, authorIcebergDefaultTable(s, dir))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_bonus")).as("sum_bonus"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // FORMAT-V3 Iceberg DELETION VECTORS — v3's replacement for
     // positional delete files: one Puffin blob per data file (the
     // published deletion-vector-v1 framing, spec-identical to Delta's
@@ -2528,6 +2542,86 @@ object Storage extends QueryModule {
       })
     }
 
+  private val icebergDefMemo =
+    scala.collection.mutable.Map.empty[String, String]
+
+  /** Authors the v3 INITIAL-DEFAULT table q451 reads: batch A
+    * (l_orderkey%10=0) written BEFORE column l_bonus (id 5,
+    * initial-default 7) existed — its footer lacks the id, so every A
+    * row must read 7; batch B (=1) written after, storing
+    * l_bonus = l_orderkey%5. Memoized per sf-dir. */
+  private def authorIcebergDefaultTable(s: SparkSession,
+                                        dir: String): String =
+    icebergDefMemo.synchronized {
+      icebergDefMemo.getOrElseUpdate(dir, {
+        import java.nio.file.{Files, Paths}
+        val avroFmt = "org.apache.spark.sql.avro.AvroFileFormat"
+        val root =
+          s"/tmp/graft_iceberg/def_${Integer.toHexString(dir.hashCode)}"
+        def rm(p: java.io.File): Unit = {
+          if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+          p.delete(): Unit
+        }
+        rm(new java.io.File(root))
+        Files.createDirectories(Paths.get(root, "metadata"))
+        Files.createDirectories(Paths.get(root, "data"))
+        val src = Tables.df(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity"),
+            col("l_extendedprice"), col("l_returnflag"))
+        def writeOne(df: DataFrame, out: String): Unit = {
+          val tmp = s"$root/_tmp"
+          df.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(f => f.getName.endsWith(".parquet") &&
+              !f.getName.startsWith(".")).get
+          assert(part.renameTo(new java.io.File(s"$root/$out")))
+          rm(new java.io.File(tmp))
+        }
+        val stamp = graft.sources.IcebergLite.stampFieldIds _
+        writeOne(stamp(src.filter(col("l_orderkey") % 10 === 0),
+          liFieldIds), "data/a.parquet")
+        writeOne(stamp(src.filter(col("l_orderkey") % 10 === 1)
+          .withColumn("l_bonus", col("l_orderkey") % 5),
+          liFieldIds + ("l_bonus" -> 5)), "data/b.parquet")
+        def writeAvro(df: DataFrame, rel: String): Unit = {
+          val tmp = s"$root/_tmpavro"
+          df.coalesce(1).write.mode("overwrite").format(avroFmt).save(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(f => f.getName.startsWith("part-")).get
+          assert(part.renameTo(new java.io.File(s"$root/$rel")))
+          rm(new java.io.File(tmp))
+        }
+        import s.implicits._
+        writeAvro(Seq((1, "data/a.parquet"), (1, "data/b.parquet"))
+          .toDF("status", "file_path")
+          .select(col("status"),
+            struct(col("file_path"), lit(0).as("content"))
+              .as("data_file")), "metadata/m-1.avro")
+        writeAvro(Seq("metadata/m-1.avro").toDF("manifest_path")
+          .select(col("manifest_path"), lit(0).as("content")),
+          "metadata/snap-1.avro")
+        val fields = (Seq(
+          (1, "l_orderkey", "long"), (2, "l_quantity", "double"),
+          (3, "l_extendedprice", "double"), (4, "l_returnflag", "string"))
+          .map { case (i, n, t) =>
+            s"""{"id":$i,"name":${jstr(n)},"required":false,"type":${jstr(t)}}"""
+          } :+
+          """{"id":5,"name":"l_bonus","required":false,"type":"long","initial-default":7}""")
+          .mkString("[", ",", "]")
+        Files.writeString(Paths.get(root, "metadata", "v1.metadata.json"),
+          s"""{"format-version":3,"table-uuid":"graft-q451","location":${jstr(root)},
+             |"current-schema-id":0,
+             |"schemas":[{"schema-id":0,"type":"struct","fields":$fields}],
+             |"current-snapshot-id":1,
+             |"snapshots":[
+             | {"snapshot-id":1,"manifest-list":"metadata/snap-1.avro"}
+             |]}""".stripMargin)
+        Files.writeString(Paths.get(root, "metadata", "version-hint.text"),
+          "1")
+        root
+      })
+    }
+
   private val icebergDvMemo =
     scala.collection.mutable.Map.empty[String, String]
 
@@ -4524,6 +4618,17 @@ object Storage extends QueryModule {
         |   AS sum_price
         |FROM lineitem WHERE l_orderkey % 10 IN (0, 1)
         |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    // initial-default: A rows read 7, B rows their stored %5 value
+    "q451_iceberg_initial_default" ->
+      """WITH src AS (
+        |  SELECT l_returnflag,
+        |    CASE WHEN l_orderkey % 10 = 0 THEN 7
+        |      ELSE l_orderkey % 5 END AS b
+        |  FROM lineitem WHERE l_orderkey % 10 IN (0, 1))
+        |SELECT l_returnflag, count(*) AS n,
+        | CAST(sum(b) AS BIGINT) AS sum_bonus
+        |FROM src GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
     // v3 DV: every l_quantity>35 ordinal of the %10=0 batch is dead
     "q447_iceberg_v3_dv" ->

@@ -156,6 +156,11 @@ object IcebergLite {
     * correctly without any per-file footer sweep. */
   val FieldIdKey = "parquet.field.id"
 
+  /** StructField metadata key carrying a v3 `initial-default` value
+    * (stringified primitive; cast back to the field type at plan
+    * time). */
+  val DefaultKey = "iceberg.initial-default"
+
   /** Enable parquet field-id READ resolution on the session. The flag
     * only changes behavior for read schemas that carry [[FieldIdKey]]
     * metadata (everything else keeps name resolution), so leaving it
@@ -206,8 +211,25 @@ object IcebergLite {
         val id = (f \ "id").extractOpt[Int].getOrElse(
           throw new IllegalStateException(
             s"$where: field $name has no id — malformed Iceberg schema"))
-        StructField(name, tpe, nullable = !required,
-          new MetadataBuilder().putLong(FieldIdKey, id.toLong).build())
+        // v3 column DEFAULTS: a field added with initial-default reads
+        // that value (not null) from files written BEFORE the add.
+        // The default rides the field metadata; scanData serves it
+        // through a per-file-presence leg split (see there). Values
+        // outside the flat-primitive set refuse.
+        val mb = new MetadataBuilder().putLong(FieldIdKey, id.toLong)
+        (f \ "initial-default") match {
+          case JNull | JNothing =>
+          case JInt(v)     => mb.putString(DefaultKey, v.toString): Unit
+          case JLong(v)    => mb.putString(DefaultKey, v.toString): Unit
+          case JDouble(v)  => mb.putString(DefaultKey, v.toString): Unit
+          case JDecimal(v) => mb.putString(DefaultKey, v.toString): Unit
+          case JString(v)  => mb.putString(DefaultKey, v): Unit
+          case JBool(v)    => mb.putString(DefaultKey, v.toString): Unit
+          case d => throw new IllegalStateException(
+            s"$where: field $name carries a non-primitive " +
+              s"initial-default $d — outside IcebergLite scope")
+        }
+        StructField(name, tpe, nullable = !required, mb.build())
       })
       case _ =>
         throw new IllegalStateException(s"$where: schema has no fields")
@@ -737,6 +759,52 @@ object IcebergLite {
         MetaPaths.decoded(col("_metadata.file_path")))
         .withColumn("_ice_pos", col("_metadata.row_index"))
     val parquetFiles = snap.files.filter(_.endsWith(".parquet"))
+    // v3 initial-defaults: a file written BEFORE a defaulted column
+    // was added must read the DEFAULT for it, a file written after
+    // reads its stored values (nulls included). One footer sweep
+    // splits the files by which defaulted ids are ABSENT; each
+    // absence signature becomes a leg whose missing columns are the
+    // default literals. Signatures are schema-bounded, so legs stay
+    // a handful at any file count.
+    val defaulted: Seq[StructField] = snap.schema.fields.toSeq
+      .filter(_.metadata.contains(DefaultKey))
+    if (defaulted.nonEmpty) {
+      if (snap.nameMapping.isDefined) throw new IllegalStateException(
+        s"IcebergLite: $tableDir declares BOTH a name mapping and " +
+          "initial-default columns — the combination is outside lite " +
+          "scope")
+      if (snap.files.exists(f => !f.endsWith(".parquet")))
+        throw new IllegalStateException(
+          s"IcebergLite: $tableDir: initial-default columns next to " +
+            "non-parquet data files — the footer-presence split is " +
+            "parquet scope")
+      def fid(sf: StructField): Int =
+        sf.metadata.getLong(FieldIdKey).toInt
+      def defLit(sf: StructField) = {
+        val raw = sf.metadata.getString(DefaultKey)
+        lit(raw).cast(sf.dataType).as(sf.name)
+      }
+      val fields = FooterSweep.parquetFields(spark, parquetFiles)
+      val defIds = defaulted.map(fid)
+      val groups = parquetFiles.groupBy { f =>
+        val present = fields(f).flatMap(_._2).toSet
+        defIds.filterNot(present.contains)
+      }
+      val metaCols =
+        if (withMeta) Seq(col("_ice_path"), col("_ice_pos")) else Nil
+      return groups.toSeq.sortBy(_._2.head).map { case (absent, fs) =>
+        if (absent.isEmpty)
+          meta(ColumnarScan(spark, tableDir, Some(snap.schema), fs))
+        else {
+          val readSchema = StructType(snap.schema.fields.toSeq
+            .filterNot(sf => absent.contains(fid(sf))))
+          meta(ColumnarScan(spark, tableDir, Some(readSchema), fs))
+            .select(snap.schema.fields.toSeq.map { sf =>
+              if (absent.contains(fid(sf))) defLit(sf) else col(sf.name)
+            } ++ metaCols: _*)
+        }
+      }.reduce(_ unionByName _)
+    }
     snap.nameMapping match {
       case Some(mapping) if parquetFiles.nonEmpty =>
         val fields = FooterSweep.parquetFields(spark, parquetFiles)

@@ -395,6 +395,47 @@ object PaimonLite {
         name.startsWith("file:")) resolve(tableDir, name)
       else s"$tableDir/manifest/$name"
 
+    // DELETION VECTORS mark rows dead OUTSIDE the KeyValue stream —
+    // a reader that ignored them would silently RESURRECT deleted
+    // rows, the one failure mode the lite contract forbids. Refuse at
+    // plan time, both via the table option and via the snapshot's
+    // index manifest (HASH entries — the dynamic-bucket writer index —
+    // are writer-side only and ignorable; anything else refuses).
+    (schemaJson \ "options" \ "deletion-vectors.enabled") match {
+      case JString(v) if v.equalsIgnoreCase("true") =>
+        throw new IllegalStateException(
+          s"$tableDir: deletion-vectors.enabled=true — PaimonLite " +
+            "does not serve deletion-vector tables (DV-deleted rows " +
+            "would silently resurrect)")
+      case _ =>
+    }
+    (snap \ "indexManifest") match {
+      case JString(im) if im.nonEmpty =>
+        val p = new Path(tableDir, s"manifest/$im")
+        if (fs.exists(p)) {
+          val idx = spark.read.format(AvroFmt).load(p.toString)
+          val typeCol =
+            if (idx.columns.contains("_INDEX_FILE")) Some("_INDEX_FILE._INDEX_TYPE")
+            else if (idx.columns.contains("_INDEX_TYPE")) Some("_INDEX_TYPE")
+            else None
+          val types = typeCol match {
+            case Some(c) => idx
+              .select(org.apache.spark.sql.functions.col(c))
+              .collect().map(_.getString(0)).toSet
+            case None => throw new IllegalStateException(
+              s"$p: index manifest without an _INDEX_TYPE column — " +
+                "cannot verify the index is ignorable")
+          }
+          val foreign = types - "HASH"
+          if (foreign.nonEmpty) throw new IllegalStateException(
+            s"$tableDir: snapshot $wantedId carries index entries of " +
+              s"type ${foreign.toSeq.sorted.mkString(", ")} — " +
+              "DELETION_VECTORS (and unknown index kinds) are outside " +
+              "PaimonLite scope; ignoring them would return wrong rows")
+        }
+      case _ =>
+    }
+
     // base (compacted history) + delta (this commit) manifest lists
     def manifestsOf(key: String): Seq[String] =
       (snap \ key) match {

@@ -132,6 +132,44 @@ class IcebergSpec extends AnyFunSuite {
     assert(e.getMessage.contains("format-version 4"))
   }
 
+  test("v3 initial-default: files written BEFORE the column add read " +
+    "the default; files carrying the column read stored values " +
+    "(nulls included)") {
+    import spark.implicits._
+    val root = fixture("initdefault", formatVersion = 3)
+    // add column w (id 3) with initial-default 42 to the schema
+    val metaPath = Paths.get(root, "metadata", "v3.metadata.json")
+    Files.writeString(metaPath, Files.readString(metaPath).replace(
+      """{"id":2,"name":"v","required":false,"type":"long"}]""",
+      """{"id":2,"name":"v","required":false,"type":"long"},
+        |  {"id":3,"name":"w","required":false,"type":"long",
+        |   "initial-default":42}]""".stripMargin))
+    // snapshot 1 = f0+f1, both written pre-add → w reads 42 everywhere
+    val got1 = IcebergLite.read(spark, root, snapshotId = Some(1L))
+      .select("id", "w").as[(Long, Option[Long])]
+      .collect().sorted.toSeq
+    assert(got1 == (0L to 9L).map(i => (i, Some(42L))))
+    // rewrite f1 WITH w stored (id*10; id 5 stores an explicit NULL
+    // that must SURVIVE — the default is not a coalesce)
+    val tmp = s"$root/_tmpw"
+    IcebergLite.stampFieldIds(
+      spark.range(5, 10).select(col("id"), (col("id") * 3).as("v"),
+        when(col("id") === 5, lit(null).cast("long"))
+          .otherwise(col("id") * 10).as("w")),
+      Map("id" -> 1, "v" -> 2, "w" -> 3))
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val p = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith(".")).get
+    assert(p.renameTo(new java.io.File(s"$root/data/f1.parquet")))
+    rm(new java.io.File(tmp))
+    val got2 = IcebergLite.read(spark, root, snapshotId = Some(1L))
+      .select("id", "w").as[(Long, Option[Long])]
+      .collect().sorted.toSeq
+    assert(got2 == (0L to 4L).map(i => (i, Some(42L))) ++
+      Seq((5L, None)) ++ (6L to 9L).map(i => (i, Some(i * 10))))
+  }
+
   test("nested column type refuses loudly") {
     val root = fixture("nested",
       fieldType = """{"type":"list","element":"long"}""")

@@ -563,6 +563,49 @@ class PaimonSpec extends AnyFunSuite {
     }
   }
 
+  test("deletion-vector tables refuse loudly (ignoring DVs would " +
+    "silently resurrect deleted rows); HASH index entries are " +
+    "ignorable") {
+    import spark.implicits._
+    // table option
+    val e = intercept[IllegalStateException] {
+      PaimonLite.snapshot(spark, pkFixture("pkdvopt",
+        options = """{"deletion-vectors.enabled":"true"}"""))
+    }
+    assert(e.getMessage.contains("deletion-vectors.enabled"))
+    // snapshot index manifest carrying a DELETION_VECTORS entry
+    def withIndex(name: String, indexType: String): String = {
+      val root = pkFixture(name)
+      val tmp = s"$root/_tmpidx"
+      Seq((0, indexType, "index-x-0"))
+        .toDF("_KIND", "_it", "_fn")
+        .select(col("_KIND"),
+          struct(col("_it").as("_INDEX_TYPE"),
+            col("_fn").as("_FILE_NAME")).as("_INDEX_FILE"))
+        .coalesce(1).write.mode("overwrite")
+        .format("org.apache.spark.sql.avro.AvroFileFormat").save(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.startsWith("part-")).get
+      assert(part.renameTo(
+        new java.io.File(s"$root/manifest/idx-$name.avro")))
+      rm(new java.io.File(tmp))
+      val snapPath = java.nio.file.Paths.get(root, "snapshot",
+        "snapshot-2")
+      val snapJson = java.nio.file.Files.readString(snapPath)
+      java.nio.file.Files.writeString(snapPath, snapJson.replace(
+        "\"commitKind\"",
+        s""""indexManifest":"idx-$name.avro","commitKind""""))
+      root
+    }
+    val e2 = intercept[IllegalStateException] {
+      PaimonLite.snapshot(spark, withIndex("pkdvidx", "DELETION_VECTORS"))
+    }
+    assert(e2.getMessage.contains("DELETION_VECTORS"))
+    // HASH (dynamic-bucket writer index) is writer-side only — reads fine
+    assert(PaimonLite.read(spark, withIndex("pkhashidx", "HASH"))
+      .count() > 0)
+  }
+
   test("an unknown merge engine refuses loudly") {
     val e = intercept[IllegalStateException] {
       PaimonLite.snapshot(spark, pkFixture("pkeng",
