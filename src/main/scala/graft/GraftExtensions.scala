@@ -21,6 +21,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftExtensions.functions.foreach { case (name, info, builder) =>
       e.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    GraftExtensions.tableFunctions.foreach { case (name, info, builder) =>
+      e.injectTableFunction((FunctionIdentifier(name), info, builder))
+    }
     // opt-in ANN rewrite (spark.graft.ann.lshRewrite.enabled)
     e.injectOptimizerRule(_ => graft.plans.GraftLshRewrite)
     // whole-operator path: as-of join logical node -> physical exec
@@ -105,6 +108,62 @@ object GraftExtensions {
     }
   }
 
+  /** SQL TABLE-function surface: `SELECT * FROM graft_lake('/path')`
+    * reads any of the four lakehouse formats via [[graft.sources
+    * .GraftLake]]'s layout detection, straight from SQL — the plan IS
+    * the native read (the builder returns GraftLake.read's analyzed
+    * plan, so pushdown/pruning/codegen are untouched). A second
+    * argument travels: an INT/LONG literal is a Delta version /
+    * Iceberg snapshot id / Paimon snapshot id; a STRING literal is a
+    * named ref (Iceberg branch/tag, Paimon tag). */
+  val tableFunctions: Seq[(String, ExpressionInfo,
+      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical
+        .LogicalPlan)] = Seq(
+    ("graft_lake",
+      new ExpressionInfo(graft.sources.GraftLake.getClass.getName,
+        "graft_lake"),
+      (es: Seq[Expression]) => {
+        def litStr(e: Expression, what: String): String = e match {
+          case l if l.foldable &&
+            l.dataType == org.apache.spark.sql.types.StringType =>
+            l.eval() match {
+              case s: org.apache.spark.unsafe.types.UTF8String =>
+                s.toString
+              case _ => throw new IllegalArgumentException(
+                s"graft_lake: $what must be a non-NULL STRING literal")
+            }
+          case other => throw new IllegalArgumentException(
+            s"graft_lake: $what must be a STRING literal, got $other")
+        }
+        require(es.nonEmpty && es.size <= 2,
+          s"graft_lake(path[, version|ref]) takes 1-2 arguments, " +
+            s"got ${es.size}")
+        val path = litStr(es.head, "the table path")
+        val spark = SparkSession.active
+        val df = if (es.size == 1) {
+          graft.sources.GraftLake.read(spark, path)
+        } else es(1) match {
+          case l if l.foldable && (l.dataType ==
+            org.apache.spark.sql.types.LongType || l.dataType ==
+            org.apache.spark.sql.types.IntegerType) =>
+            graft.sources.GraftLake.read(spark, path,
+              version = Some(l.eval() match {
+                case n: java.lang.Number => n.longValue()
+                case _ => throw new IllegalArgumentException(
+                  "graft_lake: the version must be a non-NULL " +
+                    "INT/LONG literal")
+              }))
+          case l if l.foldable && l.dataType ==
+            org.apache.spark.sql.types.StringType =>
+            graft.sources.GraftLake.read(spark, path,
+              ref = Some(litStr(l, "the ref")))
+          case other => throw new IllegalArgumentException(
+            "graft_lake: the second argument must be an INT/LONG " +
+              s"version or a STRING ref literal, got $other")
+        }
+        df.queryExecution.analyzed
+      }))
+
   /** Imperative registration on an existing session (used by the query
     * modules so the driver-created sessions get the SQL functions too).
     * `getOrCreate()` ignores withExtensions once a session exists, so
@@ -113,6 +172,10 @@ object GraftExtensions {
     functions.foreach { case (name, _, builder) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         name, builder, "built-in")
+    }
+    tableFunctions.foreach { case (name, _, builder) =>
+      spark.sessionState.tableFunctionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
     }
     if (!spark.experimental.extraStrategies.contains(
         graft.plans.GraftStrategies))

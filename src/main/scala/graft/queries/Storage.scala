@@ -787,6 +787,26 @@ object Storage extends QueryModule {
         .read(s, authorPaimonTable(s, dir), tag = Some("prewipe")))
     },
 
+    // SQL TABLE-FUNCTION surface: the same tag-travelled Paimon read
+    // as q433, but driven ENTIRELY from SQL — graft_lake('<root>',
+    // 'prewipe') resolves through GraftLake's layout detection and
+    // returns the native plan (GraftLakeSpec plan-asserts FileScan).
+    // A TVF that dropped the ref or re-planned through an RDD shim
+    // hash-mismatches or regresses the plan golden machinery.
+    "q452_graft_lake_sql" -> { (s, dir) =>
+      graft.GraftExtensions.register(s)
+      val root = authorPaimonTable(s, dir)
+      s.sql(
+        s"""SELECT l_returnflag, count(*) AS n,
+           | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+           |   AS sum_qty,
+           | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           |   AS sum_price
+           |FROM graft_lake('$root', 'prewipe')
+           |GROUP BY l_returnflag
+           |ORDER BY l_returnflag""".stripMargin)
+    },
+
     // PARTITIONED Paimon append-only table — partition values decode
     // from each manifest entry's _PARTITION BinaryRow (null bits +
     // 8-byte slots + var part, the published layout) and attach as
@@ -4611,6 +4631,16 @@ object Storage extends QueryModule {
     // flag column served under its CURRENT name l_flag
     // mapped leg (batch A, old names, no ids) ∪ field-id leg (batch B)
     "q436_iceberg_name_mapping" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_price
+        |FROM lineitem WHERE l_orderkey % 10 IN (0, 1)
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    // SQL TVF over the 'prewipe'-tagged Paimon table = q433's census
+    "q452_graft_lake_sql" ->
       """SELECT l_returnflag, count(*) AS n,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
         |   AS sum_qty,

@@ -39,6 +39,61 @@ class GraftLakeSpec extends AnyFunSuite {
       fresh("p", "snapshot", "schema")) == GraftLake.Paimon)
   }
 
+  test("graft_lake SQL table function: reads a Delta table from plain " +
+    "SQL with the native plan; version travel; literal gates refuse") {
+    import org.apache.spark.sql.functions._
+    // a minimal two-commit Delta table
+    val root = fresh("sqltvf", "_delta_log", "data")
+    def one(df: org.apache.spark.sql.DataFrame, out: String): Unit = {
+      val tmp = s"$root/_tmp"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val p = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith(".")).get
+      assert(p.renameTo(new java.io.File(s"$root/$out")))
+      rm(new java.io.File(tmp))
+    }
+    val a = spark.range(0, 5).select(col("id"), (col("id") * 2).as("v"))
+    one(a, "data/a.parquet")
+    one(spark.range(5, 8).select(col("id"), (col("id") * 2).as("v")),
+      "data/b.parquet")
+    def jstr(s: String) = "\"" + s + "\""
+    Files.writeString(Paths.get(root, "_delta_log",
+      f"${0L}%020d.json"),
+      s"""{"metaData":{"id":"tvf","format":{"provider":"parquet","options":{}},"schemaString":${
+        org.json4s.jackson.JsonMethods.compact(
+          org.json4s.JsonDSL.string2jvalue(a.schema.json))},"partitionColumns":[],"configuration":{},"createdTime":0}}
+         |{"add":{"path":"data/a.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}
+         |""".stripMargin)
+    Files.writeString(Paths.get(root, "_delta_log",
+      f"${1L}%020d.json"),
+      """{"add":{"path":"data/b.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""" + "\n")
+    GraftExtensions.register(spark)
+    // latest = both commits; version 0 travels to the first
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft_lake('$root')")
+      .head().getLong(0) == 8L)
+    assert(spark.sql(
+      s"SELECT sum(v) AS s FROM graft_lake('$root', 0)")
+      .head().getLong(0) == 20L)
+    // the TVF plan is the NATIVE scan (FileScan parquet, no RDD shim)
+    val plan = spark.sql(s"SELECT * FROM graft_lake('$root')")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("FileScan parquet"), s"not a native scan:\n$plan")
+    // non-literal / wrong-typed arguments refuse
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_lake('$root', 1.5)").collect()
+    }
+    assert(chain(e).exists(_.contains("INT/LONG")))
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_lake(42)").collect()
+    }
+    assert(chain(e2).exists(_.contains("STRING literal")))
+  }
+
+  private def chain(t: Throwable): Seq[String] =
+    Option(t).toSeq.flatMap(x =>
+      Option(x.getMessage).toSeq ++ chain(x.getCause))
+
   test("a bare metadata/ directory is NOT Iceberg (needs the hint or " +
     "a vN.metadata.json)") {
     val root = fresh("baremeta", "metadata")
