@@ -787,6 +787,22 @@ object Storage extends QueryModule {
         .read(s, authorPaimonTable(s, dir), tag = Some("prewipe")))
     },
 
+    // Iceberg METADATA TABLES — the snapshots/refs query surface
+    // (table$snapshots / table$refs in the library): joined here so
+    // one census pins ref→snapshot resolution AND the timestamp axis
+    // the time-travel reads rely on.
+    "q453_iceberg_metadata_tables" -> { (s, dir) =>
+      val root = authorIcebergTable(s, dir)
+      val snaps = graft.sources.IcebergLite
+        .metadataTable(s, root, "snapshots")
+      val refs = graft.sources.IcebergLite
+        .metadataTable(s, root, "refs")
+      refs.join(snaps, "snapshot_id")
+        .select(col("name"), col("type"), col("snapshot_id"),
+          col("timestamp_ms"))
+        .orderBy(col("name"))
+    },
+
     // SQL TABLE-FUNCTION surface: the same tag-travelled Paimon read
     // as q433, but driven ENTIRELY from SQL — graft_lake('<root>',
     // 'prewipe') resolves through GraftLake's layout detection and
@@ -4639,6 +4655,14 @@ object Storage extends QueryModule {
         |FROM lineitem WHERE l_orderkey % 10 IN (0, 1)
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    // metadata tables: the fixture's two refs joined to their
+    // snapshots' timestamps
+    "q453_iceberg_metadata_tables" ->
+      """SELECT * FROM (VALUES
+        |  ('main', 'branch', CAST(2 AS BIGINT), CAST(2000 AS BIGINT)),
+        |  ('v1', 'tag', CAST(1 AS BIGINT), CAST(1000 AS BIGINT)))
+        |  AS t(name, "type", snapshot_id, timestamp_ms)
+        |ORDER BY name""".stripMargin,
     // SQL TVF over the 'prewipe'-tagged Paimon table = q433's census
     "q452_graft_lake_sql" ->
       """SELECT l_returnflag, count(*) AS n,

@@ -541,6 +541,46 @@ object IcebergLite {
       nameMapping, dvs)
   }
 
+  /** Iceberg METADATA TABLES — the library's `table$snapshots` /
+    * `table$refs` query surface, served from the table metadata
+    * (bounded plan-time JSON, one small local relation):
+    *  - "snapshots": (snapshot_id, timestamp_ms, manifest_list)
+    *  - "refs": (name, type, snapshot_id) — type defaults to branch
+    *    per the spec when absent
+    * Other names refuse listing what exists (files/manifests/history
+    * need per-file stats this lite reader does not materialize). */
+  def metadataTable(spark: SparkSession, tableDir: String,
+                    table: String): DataFrame = {
+    import spark.implicits._
+    val (_, meta) = loadMeta(spark, tableDir)
+    table match {
+      case "snapshots" =>
+        val rows: Seq[(Long, Option[Long], String)] =
+          (meta \ "snapshots") match {
+            case JArray(ss) => ss.map { s =>
+              ((s \ "snapshot-id").extract[Long],
+                (s \ "timestamp-ms").extractOpt[Long],
+                (s \ "manifest-list").extract[String])
+            }
+            case _ => Nil
+          }
+        rows.toDF("snapshot_id", "timestamp_ms", "manifest_list")
+      case "refs" =>
+        val rows: Seq[(String, String, Long)] = (meta \ "refs") match {
+          case JObject(rs) => rs.map { case (n, v) =>
+            (n, (v \ "type").extractOpt[String].getOrElse("branch"),
+              (v \ "snapshot-id").extract[Long])
+          }
+          case _ => Nil
+        }
+        rows.toDF("name", "type", "snapshot_id")
+      case other => throw new IllegalArgumentException(
+        s"$tableDir: metadata table '$other' — IcebergLite serves " +
+          "snapshots and refs (files/manifests/history need per-file " +
+          "stats outside lite scope)")
+    }
+  }
+
   /** INCREMENTAL APPEND read (Iceberg's documented
     * start-snapshot-id/end-snapshot-id surface): the rows added
     * between two snapshots = one native scan of the END snapshot's

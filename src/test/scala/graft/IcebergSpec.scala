@@ -1000,6 +1000,23 @@ class IcebergSpec extends AnyFunSuite {
     assert(e5.getMessage.contains("position delete FILE"))
   }
 
+  test("metadata tables: snapshots/refs serve the metadata; unknown " +
+    "names refuse listing what exists") {
+    import spark.implicits._
+    val root = fixture("metatables")
+    assert(IcebergLite.metadataTable(spark, root, "snapshots")
+      .select("snapshot_id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L))
+    // the base fixture has no refs → empty frame, correct schema
+    val refs = IcebergLite.metadataTable(spark, root, "refs")
+    assert(refs.columns.toSeq == Seq("name", "type", "snapshot_id"))
+    assert(refs.count() == 0)
+    val e = intercept[IllegalArgumentException] {
+      IcebergLite.metadataTable(spark, root, "files")
+    }
+    assert(e.getMessage.contains("snapshots and refs"))
+  }
+
   test("missing metadata refuses loudly") {
     intercept[IllegalStateException] {
       IcebergLite.snapshot(spark, "/tmp/graft_icespec/nope")
