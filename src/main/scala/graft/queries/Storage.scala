@@ -787,6 +787,22 @@ object Storage extends QueryModule {
         .read(s, authorPaimonTable(s, dir), tag = Some("prewipe")))
     },
 
+    // Paimon SYSTEM TABLES — the snapshots/tags query surface
+    // (table$snapshots / table$tags in the library): snapshots
+    // left-join tags so one census pins ids, commit kinds, the
+    // timestamp axis AND the tag→snapshot pinning.
+    "q454_paimon_system_tables" -> { (s, dir) =>
+      val root = authorPaimonTable(s, dir)
+      val snaps = graft.sources.PaimonLite
+        .metadataTable(s, root, "snapshots")
+      val tags = graft.sources.PaimonLite
+        .metadataTable(s, root, "tags")
+      snaps.join(tags, Seq("snapshot_id"), "left")
+        .select(col("snapshot_id"), col("commit_kind"),
+          col("time_millis"), col("tag_name"))
+        .orderBy(col("snapshot_id"))
+    },
+
     // Iceberg METADATA TABLES — the snapshots/refs query surface
     // (table$snapshots / table$refs in the library): joined here so
     // one census pins ref→snapshot resolution AND the timestamp axis
@@ -4655,6 +4671,15 @@ object Storage extends QueryModule {
         |FROM lineitem WHERE l_orderkey % 10 IN (0, 1)
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    // system tables: snapshots 1/2 (APPEND, id*1000 ms), prewipe→1
+    "q454_paimon_system_tables" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'APPEND', CAST(1000 AS BIGINT),
+        |   'prewipe'),
+        |  (CAST(2 AS BIGINT), 'APPEND', CAST(2000 AS BIGINT),
+        |   CAST(NULL AS VARCHAR)))
+        |  AS t(snapshot_id, commit_kind, time_millis, tag_name)
+        |ORDER BY snapshot_id""".stripMargin,
     // metadata tables: the fixture's two refs joined to their
     // snapshots' timestamps
     "q453_iceberg_metadata_tables" ->

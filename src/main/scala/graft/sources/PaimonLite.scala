@@ -830,6 +830,59 @@ object PaimonLite {
     }
   }
 
+  /** Paimon SYSTEM TABLES — the library's `table$snapshots` /
+    * `table$tags` query surface, served from the snapshot/tag JSON
+    * files (bounded plan-time listing, one small local relation):
+    *  - "snapshots": (snapshot_id, schema_id, commit_kind,
+    *    commit_identifier, time_millis)
+    *  - "tags": (tag_name, snapshot_id) — each tag file pins a full
+    *    snapshot copy; the id is read from it
+    * Other names refuse listing what exists. */
+  def metadataTable(spark: SparkSession, tableDir: String,
+                    table: String): DataFrame = {
+    import spark.implicits._
+    val base = new Path(tableDir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    table match {
+      case "snapshots" =>
+        val snapDir = new Path(base, "snapshot")
+        if (!fs.exists(snapDir)) throw new IllegalStateException(
+          s"$tableDir: no snapshot/ directory")
+        val rows: Seq[(Long, Long, String, Long, Option[Long])] =
+          fs.listStatus(snapDir).toSeq.map(_.getPath.getName)
+            .collect { case n if n.matches("snapshot-\\d+") =>
+              n.stripPrefix("snapshot-").toLong }
+            .sorted.map { id =>
+              val j = JsonMethods.parse(
+                readText(fs, new Path(snapDir, s"snapshot-$id")))
+              (id, (j \ "schemaId").extractOpt[Long].getOrElse(0L),
+                (j \ "commitKind").extractOpt[String].getOrElse(""),
+                (j \ "commitIdentifier").extractOpt[Long].getOrElse(0L),
+                (j \ "timeMillis").extractOpt[Long])
+            }
+        rows.toDF("snapshot_id", "schema_id", "commit_kind",
+          "commit_identifier", "time_millis")
+      case "tags" =>
+        val tagDir = new Path(base, "tag")
+        val rows: Seq[(String, Long)] =
+          if (!fs.exists(tagDir)) Nil
+          else fs.listStatus(tagDir).toSeq.map(_.getPath.getName)
+            .collect { case n if n.startsWith("tag-") => n }
+            .sorted.map { n =>
+              val j = JsonMethods.parse(
+                readText(fs, new Path(tagDir, n)))
+              (n.stripPrefix("tag-"),
+                (j \ "id").extractOpt[Long].getOrElse(
+                  throw new IllegalStateException(
+                    s"$tableDir: tag file $n holds no snapshot id")))
+            }
+        rows.toDF("tag_name", "snapshot_id")
+      case other => throw new IllegalArgumentException(
+        s"$tableDir: system table '$other' — PaimonLite serves " +
+          "snapshots and tags")
+    }
+  }
+
   /** DataFrame over the snapshot's live files. One native columnar
     * scan per PARTITION TUPLE (Paimon data files exclude partition
     * columns — values come from the manifests' BinaryRows, attached
