@@ -673,6 +673,17 @@ object Storage extends QueryModule {
         .read(s, authorHudiMorRollbackTable(s, dir)))
     },
 
+    // Hudi MOR INCREMENTAL — the merged value of every key whose last
+    // change landed in (001, 003]: key 3 at ×5 (winner@003 over the
+    // @002 ×2), key 4 at ×2, the new g2 inserts; the soft-deleted
+    // %10=0 keys and the ct=001 rows stay invisible. Completes the
+    // query-type matrix (snapshot/read-optimized/incremental × COW/
+    // MOR).
+    "q455_hudi_mor_incremental" -> { (s, dir) =>
+      ordersCensus(graft.sources.HudiMorLite
+        .readIncremental(s, authorHudiMorIncTable(s, dir), "001"))
+    },
+
     // Hudi INCREMENTAL query (hoodie.datasource.query.type=
     // incremental): exactly the rows WRITTEN in (001, 002] — batch A's
     // l_quantity>30 upserts at ×2 price (the rest of the REWRITTEN
@@ -1643,6 +1654,103 @@ object Storage extends QueryModule {
             recs(base.filter(col("o_orderkey") % 10 === 3), 3.0))))
         Files.writeString(Paths.get(root, ".hoodie", "003.deltacommit"),
           s"""{"partitionToWriteStats":{${stat(".g1_001.log.2")}}}""")
+        root
+      })
+    }
+
+  private val hudiMorIncMemo =
+    scala.collection.mutable.Map.empty[String, String]
+
+  /** Authors the MOR table q455 incremental-reads: base g1 (orders
+    * %10<5, `_hoodie_commit_time`=001); deltacommit 002's log upserts
+    * %10∈(3,4) at ×2 (ct=002); deltacommit 003's log re-upserts %10=3
+    * at ×5 and soft-deletes %10=0 (ct=003) AND inserts new group g2
+    * (%10∈(5,6), ct=003). Incremental (001, 003] must serve the
+    * MERGED values of keys last changed in range — 3 at ×5, 4 at ×2 —
+    * plus g2's inserts; the deletes and the untouched ct=001 rows
+    * stay invisible. Memoized per sf-dir. */
+  private def authorHudiMorIncTable(s: SparkSession,
+                                    dir: String): String =
+    hudiMorIncMemo.synchronized {
+      hudiMorIncMemo.getOrElseUpdate(dir, {
+        import java.nio.file.{Files, Paths}
+        val root =
+          s"/tmp/graft_hudi/morinc_${Integer.toHexString(dir.hashCode)}"
+        def rm(p: java.io.File): Unit = {
+          if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+          p.delete(): Unit
+        }
+        rm(new java.io.File(root))
+        Files.createDirectories(Paths.get(root, ".hoodie"))
+        Files.writeString(Paths.get(root, ".hoodie", "hoodie.properties"),
+          "hoodie.table.name=orders_mor_inc\n" +
+            "hoodie.table.type=MERGE_ON_READ\n")
+        val src = Tables.df(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderstatus"))
+        def baseDf(filter: Column, ct: String): DataFrame =
+          src.filter(filter)
+            .select(col("o_orderkey").cast("string")
+              .as("_hoodie_record_key"),
+              lit(ct).as("_hoodie_commit_time"),
+              col("o_orderkey"), col("o_totalprice"),
+              col("o_orderstatus"))
+        def one(df: DataFrame, out: String): Unit = {
+          val tmp = s"$root/_tmp"
+          df.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(f => f.getName.endsWith(".parquet") &&
+              !f.getName.startsWith(".")).get
+          assert(part.renameTo(new java.io.File(s"$root/$out")))
+          rm(new java.io.File(tmp))
+        }
+        one(baseDf(col("o_orderkey") % 10 < 5, "001"),
+          "g1_0-0_001.parquet")
+        def stat(fid: String, p: String): String =
+          s"""{"fileId":${jstr(fid)},"path":${jstr(p)},"numWrites":1}"""
+        Files.writeString(Paths.get(root, ".hoodie", "001.deltacommit"),
+          s"""{"partitionToWriteStats":{"":[${
+            stat("g1", "g1_0-0_001.parquet")}]}}""")
+        val avroSchema =
+          """{"type":"record","name":"r","fields":[
+            | {"name":"_hoodie_record_key","type":"string"},
+            | {"name":"_hoodie_commit_time","type":"string"},
+            | {"name":"o_orderkey","type":"long"},
+            | {"name":"o_totalprice","type":"double"},
+            | {"name":"o_orderstatus","type":"string"},
+            | {"name":"_hoodie_is_deleted","type":"boolean"}]}"""
+            .stripMargin
+        def recs(filter: Column, mult: Double, ct: String,
+                 deleted: Boolean = false): Seq[Map[String, Any]] =
+          src.filter(filter)
+            .select(col("o_orderkey"), col("o_totalprice"),
+              col("o_orderstatus")).collect().toSeq.map { r =>
+              Map[String, Any](
+                "_hoodie_record_key" -> r.getLong(0).toString,
+                "_hoodie_commit_time" -> ct,
+                "o_orderkey" -> r.getLong(0),
+                "o_totalprice" -> (r.getDouble(1) * mult),
+                "o_orderstatus" -> r.getString(2),
+                "_hoodie_is_deleted" -> deleted)
+            }
+        import graft.sources.HudiMorLite.AvroBlockSpec
+        graft.sources.HudiMorLite.writeLogBlocks(s"$root/.g1_001.log.1",
+          Seq(AvroBlockSpec(avroSchema,
+            recs((col("o_orderkey") % 10).isin(3, 4), 2.0, "002"))))
+        Files.writeString(Paths.get(root, ".hoodie", "002.deltacommit"),
+          s"""{"partitionToWriteStats":{"":[${
+            stat("g1", ".g1_001.log.1")}]}}""")
+        graft.sources.HudiMorLite.writeLogBlocks(s"$root/.g1_001.log.2",
+          Seq(AvroBlockSpec(avroSchema,
+            recs(col("o_orderkey") % 10 === 3, 5.0, "003")
+              ++ recs(col("o_orderkey") % 10 === 0, 1.0, "003",
+                deleted = true))))
+        one(baseDf((col("o_orderkey") % 10).isin(5, 6), "003"),
+          "g2_0-0_003.parquet")
+        Files.writeString(Paths.get(root, ".hoodie", "003.deltacommit"),
+          s"""{"partitionToWriteStats":{"":[${
+            stat("g1", ".g1_001.log.2")},${
+            stat("g2", "g2_0-0_003.parquet")}]}}""")
         root
       })
     }
@@ -5024,6 +5132,21 @@ object Storage extends QueryModule {
         |SELECT part, count(*) AS n,
         | CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM r GROUP BY part ORDER BY part""".stripMargin,
+    // MOR incremental (001, 003]: 3 at ×5, 4 at ×2, g2 (5,6) at ×1
+    "q455_hudi_mor_incremental" ->
+      """WITH inc AS (
+        |  SELECT o_orderstatus, o_totalprice * 5 AS p FROM orders
+        |  WHERE o_orderkey % 10 = 3
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_totalprice * 2 FROM orders
+        |  WHERE o_orderkey % 10 = 4
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey % 10 IN (5, 6))
+        |SELECT o_orderstatus, count(*) AS n,
+        | CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM inc GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     // incremental (001, 002]: A's quantity>30 upserts at ×2 + batch B
     "q450_hudi_incremental" ->
       """WITH inc AS (

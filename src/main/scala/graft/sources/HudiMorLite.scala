@@ -141,7 +141,8 @@ object HudiMorLite {
                              logs: Seq[LogFile])
 
   final case class MorSnapshot(instant: String, slices: Seq[FileSlice],
-                               precombineField: Option[String] = None)
+                               precombineField: Option[String] = None,
+                               commits: Seq[String] = Nil)
 
   private def readText(fs: org.apache.hadoop.fs.FileSystem,
                        p: Path): String = {
@@ -281,7 +282,7 @@ object HudiMorLite {
         logs.sortBy(l => (BigInt(l.instant), l.version))
           .map(l => l.copy(path = s"$tableDir/${l.path}")))
     }
-    MorSnapshot(wanted.last._1, slices, precombine)
+    MorSnapshot(wanted.last._1, slices, precombine, wanted.map(_._1))
   }
 
   /** One decoded log record: the record key, the total order among
@@ -949,11 +950,22 @@ object HudiMorLite {
       bos.toByteArray): Unit
   }
 
-  /** MOR SNAPSHOT DataFrame: base scan patched by the winning log
-    * record per key (plan shape in the object doc). */
-  def read(spark: SparkSession, tableDir: String,
-           asOfInstant: Option[String] = None): DataFrame = {
-    val snap = snapshot(spark, tableDir, asOfInstant)
+  /** The shared merge inputs: the base scan, the per-(partition, key)
+    * winning log record (payload carries `_hml_ord` so callers can
+    * read the winning instant), and the join plumbing. */
+  private final case class MergeParts(base: DataFrame,
+                                      winners: DataFrame,
+                                      hasPartCol: Boolean,
+                                      names: Seq[String],
+                                      hadLogs: Boolean)
+
+  /** Build the shared merge inputs for `snap` (gates + base scan +
+    * executor-side log decode + the one partial-combining winner
+    * aggregate). `hadLogs = false` means the snapshot has no log
+    * files at all — `winners` is then unusable and `base` IS the
+    * table. */
+  private def buildMerge(spark: SparkSession, tableDir: String,
+                         snap: MorSnapshot): MergeParts = {
     if (snap.slices.isEmpty) throw new IllegalStateException(
       s"$tableDir: snapshot at ${snap.instant} resolves to zero file " +
         "slices — nothing to read")
@@ -973,7 +985,9 @@ object HudiMorLite {
         (s.partition, s.logs.map(l =>
           (l.path, f"${BigInt(l.instant)}%020d|${l.version}%010d")))
       }
-    if (sliceLogs.isEmpty) return base
+    if (sliceLogs.isEmpty)
+      return MergeParts(base, base.limit(0), hasPartCol = false,
+        base.schema.fieldNames.toSeq, hadLogs = false)
     // record keys are only unique PER PARTITION under Hudi's default
     // (non-global) index, so the merge keys on (partition, key). Base
     // rows bring _hoodie_partition_path; without it a MULTI-partition
@@ -1053,10 +1067,27 @@ object HudiMorLite {
         col("_hml_ord"))
     }
     val payload = struct(
-      (col("_hml_deleted") +: names.map(col)): _*)
+      (col("_hml_deleted") +: col("_hml_ord") +: names.map(col)): _*)
     val winners = logDf
       .groupBy(col("_hml_part"), col("_hml_key"))
       .agg(max_by(payload, ordExpr).as("_hml_top"))
+    MergeParts(base, winners, hasPartCol, names, hadLogs = true)
+  }
+
+  /** MOR SNAPSHOT DataFrame: base scan patched by the winning log
+    * record per key (plan shape in the object doc). */
+  def read(spark: SparkSession, tableDir: String,
+           asOfInstant: Option[String] = None): DataFrame = {
+    val snap = snapshot(spark, tableDir, asOfInstant)
+    val mp = buildMerge(spark, tableDir, snap)
+    if (!mp.hadLogs) return mp.base
+    val MergeParts(base, winners, hasPartCol, names, _) = mp
+    val PartCol = "_hoodie_partition_path"
+    val pcField = snap.precombineField
+    def pcGuard(c: Column, what: String): Column =
+      when(c.isNull, raise_error(lit(
+        s"HudiMorLite: $tableDir: a $what carries a NULL precombine " +
+          "value — cannot event-time-order the merge"))).otherwise(c)
     pcField match {
       case None =>
         val patched = winners
@@ -1108,5 +1139,70 @@ object HudiMorLite {
           .select(names.map(n => col(s"_hml_top.$n").as(n)): _*)
         kept.unionByName(patched)
     }
+  }
+
+  /** MOR INCREMENTAL query: the LATEST merged value of every row
+    * whose last change landed in (`beginInstant`, `endInstant`] —
+    * Hudi's `hoodie.datasource.query.type=incremental` on a
+    * MERGE_ON_READ table. Two sides, no window:
+    *  - log winners whose winning instant is in range (their ord
+    *    rides the winner payload) — a key patched in range surfaces
+    *    its merged value; a key whose winner is a delete stays
+    *    invisible (standard incremental omits deletes);
+    *  - base rows with `_hoodie_commit_time` in range that no log
+    *    record ever touched (new-file-group inserts; compaction
+    *    PRESERVES original commit times, so rewritten-but-unchanged
+    *    rows stay invisible) — requires the commit-time meta column,
+    *    refused when absent.
+    * Precombine (event-time) tables refuse: their merge order is the
+    * event time, which has no total order against the commit range.
+    * Mixed-width instants refuse (string-order hazard, as in
+    * [[HudiCowLite.readIncremental]]). */
+  def readIncremental(spark: SparkSession, tableDir: String,
+                      beginInstant: String,
+                      endInstant: Option[String] = None): DataFrame = {
+    val snap = snapshot(spark, tableDir, endInstant)
+    if (snap.precombineField.nonEmpty) throw new IllegalStateException(
+      s"$tableDir: incremental reads on a precombine (event-time) " +
+        "table are outside HudiMorLite scope — the merge order is the " +
+        "event time, which has no total order against a commit range")
+    val end = snap.instant
+    if (BigInt(beginInstant) >= BigInt(end))
+      throw new IllegalArgumentException(
+        s"$tableDir: beginInstant $beginInstant is not before the end " +
+          s"instant $end — empty incremental range")
+    val mp = buildMerge(spark, tableDir, snap)
+    val MergeParts(base, winners, hasPartCol, names, hadLogs) = mp
+    val CtCol = "_hoodie_commit_time"
+    if (!base.columns.contains(CtCol)) throw new IllegalStateException(
+      s"$tableDir: base files carry no $CtCol — cannot bound the " +
+        "incremental read (populateMetaFields=false tables are " +
+        "outside scope)")
+    val widths = (snap.commits :+ beginInstant).map(_.length).distinct
+    if (widths.size > 1) throw new IllegalStateException(
+      s"$tableDir: timeline instants have mixed widths " +
+        s"(${widths.sorted.mkString(", ")}) — string-ordered " +
+        "incremental bounds would missort; outside HudiMorLite scope")
+    val baseInRange = base
+      .filter(col(CtCol) > lit(beginInstant) && col(CtCol) <= lit(end))
+    if (!hadLogs) return baseInRange
+    val PartCol = "_hoodie_partition_path"
+    val joinCond =
+      if (hasPartCol)
+        base(PartCol) === col("_hml_part") &&
+          base("_hoodie_record_key") === col("_hml_key")
+      else base("_hoodie_record_key") === col("_hml_key")
+    val untouched = baseInRange
+      .join(winners.select(col("_hml_part"), col("_hml_key")),
+        joinCond, "left_anti")
+    // the winner payload's ord string is instant|version|block|record
+    // with the instant zero-padded to 20 digits
+    val winInstant = substring(col("_hml_top._hml_ord"), 1, 20)
+    val changed = winners
+      .filter(!col("_hml_top._hml_deleted"))
+      .filter(winInstant > lit(f"${BigInt(beginInstant)}%020d") &&
+        winInstant <= lit(f"${BigInt(end)}%020d"))
+      .select(names.map(n => col(s"_hml_top.$n").as(n)): _*)
+    untouched.unionByName(changed)
   }
 }

@@ -528,6 +528,93 @@ class HudiMorSpec extends AnyFunSuite {
     assert(chain(e2).exists(_.contains("NULL precombine")))
   }
 
+  private val ctAvroSchema =
+    """{"type":"record","name":"r","fields":[
+      | {"name":"_hoodie_record_key","type":"string"},
+      | {"name":"_hoodie_commit_time","type":"string"},
+      | {"name":"id","type":"long"},
+      | {"name":"v","type":"long"},
+      | {"name":"_hoodie_is_deleted","type":"boolean"}]}""".stripMargin
+
+  test("MOR incremental: log winners in range surface their merged " +
+    "value; untouched base rows gate on commit time; deletes stay " +
+    "invisible") {
+    import spark.implicits._
+    val root = s"/tmp/graft_hudimorspec/morinc"
+    rm(new java.io.File(root))
+    Files.createDirectories(Paths.get(root, ".hoodie"))
+    Files.writeString(Paths.get(root, ".hoodie", "hoodie.properties"),
+      "hoodie.table.type=MERGE_ON_READ\n")
+    def one(df: org.apache.spark.sql.DataFrame, out: String): Unit = {
+      val tmp = s"$root/_tmp"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val pf = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith(".")).get
+      assert(pf.renameTo(new java.io.File(s"$root/$out")))
+      rm(new java.io.File(tmp))
+    }
+    one(spark.range(0, 5).select(col("id").cast("string")
+      .as("_hoodie_record_key"), lit("001").as("_hoodie_commit_time"),
+      col("id"), (col("id") * 3).as("v")), "g1_0-0_001.parquet")
+    commit(root, "001", "deltacommit", "g1_0-0_001.parquet")
+    def ctRec(id: Long, v: Long, ct: String,
+              deleted: Boolean = false): Map[String, Any] =
+      Map("_hoodie_record_key" -> id.toString,
+        "_hoodie_commit_time" -> ct, "id" -> id, "v" -> v,
+        "_hoodie_is_deleted" -> deleted)
+    HudiMorLite.writeLogBlocks(s"$root/.g1_001.log.1", Seq(
+      HudiMorLite.AvroBlockSpec(ctAvroSchema,
+        Seq(ctRec(1, 100, "002")))))
+    commit(root, "002", "deltacommit", ".g1_001.log.1")
+    HudiMorLite.writeLogBlocks(s"$root/.g1_001.log.2", Seq(
+      HudiMorLite.AvroBlockSpec(ctAvroSchema,
+        Seq(ctRec(1, 111, "003"), ctRec(2, 0, "003", deleted = true)))))
+    // commit 003 also inserts a NEW file group g2 (ids 10, 11)
+    one(spark.range(10, 12).select(col("id").cast("string")
+      .as("_hoodie_record_key"), lit("003").as("_hoodie_commit_time"),
+      col("id"), (col("id") * 3).as("v")), "g2_0-0_003.parquet")
+    Files.writeString(Paths.get(root, ".hoodie", "003.deltacommit"),
+      """{"partitionToWriteStats":{"":[
+        |{"fileId":"g1","path":".g1_001.log.2","numWrites":1},
+        |{"fileId":"g2","path":"g2_0-0_003.parquet","numWrites":1}
+        |]}}""".stripMargin)
+    // (001, latest]: id1's merged 111, g2's inserts; id2's delete and
+    // the ct=001 rows invisible
+    val got = HudiMorLite.readIncremental(spark, root, "001")
+      .select("id", "v").as[(Long, Long)].collect().sorted.toSeq
+    assert(got == Seq((1L, 111L), (10L, 30L), (11L, 33L)))
+    // (001, 002]: only id1 at its AS-OF-002 merged value
+    assert(HudiMorLite.readIncremental(spark, root, "001", Some("002"))
+      .select("id", "v").as[(Long, Long)].collect().toSeq ==
+      Seq((1L, 100L)))
+    // begin >= end refuses; mixed-width begin refuses
+    intercept[IllegalArgumentException] {
+      HudiMorLite.readIncremental(spark, root, "003")
+    }
+    intercept[IllegalStateException] {
+      HudiMorLite.readIncremental(spark, root, "1")
+    }
+    // a precombine table refuses incremental
+    val root2 = pcFixture("morincpc")
+    HudiMorLite.writeLogBlocks(s"$root2/.g1_001.log.1", Seq(
+      HudiMorLite.AvroBlockSpec(pcAvroSchema, Seq(pcRec(1, 100, 30L)))))
+    commit(root2, "002", "deltacommit", ".g1_001.log.1")
+    val e = intercept[IllegalStateException] {
+      HudiMorLite.readIncremental(spark, root2, "001")
+    }
+    assert(e.getMessage.contains("precombine"))
+    // a base without _hoodie_commit_time refuses
+    val root3 = fixture("morincnoct")
+    HudiMorLite.writeLogBlocks(s"$root3/.g1_001.log.1", Seq(
+      HudiMorLite.AvroBlockSpec(avroSchema, Seq(rec(1, 100)))))
+    commit(root3, "002", "deltacommit", ".g1_001.log.1")
+    val e2 = intercept[IllegalStateException] {
+      HudiMorLite.readIncremental(spark, root3, "001")
+    }
+    assert(e2.getMessage.contains("_hoodie_commit_time"))
+  }
+
   test("logs without a base file and COW tables refuse loudly") {
     val root = fixture("nolog")
     HudiMorLite.writeLogFile(s"$root/.g9_001.log.1",
