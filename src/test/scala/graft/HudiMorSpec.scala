@@ -615,6 +615,80 @@ class HudiMorSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("_hoodie_commit_time"))
   }
 
+  test("randomized model check: the merged snapshot equals an " +
+    "in-order event-log fold, across upserts, soft/hard deletes and " +
+    "rolled-back commits") {
+    import spark.implicits._
+    for (seed <- Seq(11, 42, 1337)) {
+      val rnd = new scala.util.Random(seed)
+      val root = fixture(s"model$seed") // base ids 0..4, v = id*3
+      // model state: key -> Some(v) live / None tombstoned
+      val state = scala.collection.mutable.Map[Long, Option[Long]](
+        (0L to 4L).map(i => i -> Some(i * 3)): _*)
+      val nCommits = 3 + rnd.nextInt(3)
+      for (c <- 0 until nCommits) {
+        val instant = f"${(c + 2) * 10}%03d"
+        val failed = rnd.nextDouble() < 0.3
+        // 1..6 events, folded into blocks by kind runs
+        val events = (0 until (1 + rnd.nextInt(6))).map { _ =>
+          val key = rnd.nextInt(8).toLong // keys 0..7 (5..7 insert new)
+          rnd.nextInt(3) match {
+            case 0 => ("up", key, rnd.nextInt(1000).toLong)
+            case 1 => ("soft", key, 0L)
+            case 2 => ("hard", key, 0L)
+          }
+        }
+        val blocks = scala.collection.mutable
+          .ArrayBuffer.empty[HudiMorLite.BlockSpec]
+        var run = scala.collection.mutable
+          .ArrayBuffer.empty[(String, Long, Long)]
+        def flush(): Unit = if (run.nonEmpty) {
+          if (run.head._1 == "hard")
+            blocks += HudiMorLite.DeleteBlockSpec(
+              run.toSeq.map(e => e._2.toString -> None),
+              instantTime = Some(instant))
+          else blocks += HudiMorLite.AvroBlockSpec(avroSchema,
+            run.toSeq.map { case (k, key, v) =>
+              rec(key, v, deleted = k == "soft") },
+            instantTime = Some(instant))
+          run.clear()
+        }
+        for (e @ (kind, _, _) <- events) {
+          val isHard = kind == "hard"
+          if (run.nonEmpty && (run.head._1 == "hard") != isHard) flush()
+          run += e
+        }
+        flush()
+        HudiMorLite.writeLogBlocks(
+          s"$root/.g1_001.log.${(c + 1) * 10}", blocks.toSeq)
+        commit(root, instant, "deltacommit",
+          s".g1_001.log.${(c + 1) * 10}")
+        if (failed) {
+          // the rollback lands in its own LATER log file (cross-file),
+          // committed between this instant and the next
+          HudiMorLite.writeLogBlocks(
+            s"$root/.g1_001.log.${(c + 1) * 10 + 5}", Seq(
+              HudiMorLite.CommandBlockSpec(Some(instant))))
+          commit(root, f"${(c + 2) * 10 + 5}%03d", "deltacommit",
+            s".g1_001.log.${(c + 1) * 10 + 5}")
+        } else {
+          // apply to the model in event order
+          events.foreach {
+            case ("up", k, v)   => state(k) = Some(v)
+            case ("soft", k, _) => state(k) = None
+            case ("hard", k, _) => state(k) = None
+          }
+        }
+      }
+      val got = HudiMorLite.read(spark, root)
+        .select("id", "v").as[(Long, Long)].collect().sorted.toSeq
+      val want = state.toSeq.collect { case (k, Some(v)) => (k, v) }
+        .sorted
+      assert(got == want, s"seed $seed: model mismatch " +
+        s"(got $got, want $want)")
+    }
+  }
+
   test("logs without a base file and COW tables refuse loudly") {
     val root = fixture("nolog")
     HudiMorLite.writeLogFile(s"$root/.g9_001.log.1",
