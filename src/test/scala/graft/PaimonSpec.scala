@@ -563,6 +563,76 @@ class PaimonSpec extends AnyFunSuite {
     }
   }
 
+  test("randomized model check: every merge engine equals its " +
+    "in-order event fold") {
+    import spark.implicits._
+    val fields = Seq("id" -> "BIGINT", "a" -> "BIGINT", "b" -> "STRING")
+    def kvm(rows: Seq[(Long, Option[Long], Option[String], Int)],
+            seq: Long) =
+      rows.toDF("id", "a", "b", "k").select(col("id").as("_KEY_id"),
+        lit(seq).as("_SEQUENCE_NUMBER"),
+        col("k").cast("tinyint").as("_VALUE_KIND"),
+        col("id"), col("a"), col("b"))
+    for (seed <- Seq(7, 99);
+         engine <- Seq("deduplicate", "partial-update", "aggregation",
+           "first-row")) {
+      val rnd = new scala.util.Random(seed)
+      // per frame: UNIQUE keys (two same-key rows in one file would
+      // tie the whole (seq, kind, file) order — undefined in Paimon
+      // too); kinds drawn from the engine's legal set
+      val frames = (1 to 2 + rnd.nextInt(3)).map { s =>
+        val keys = rnd.shuffle((0L to 5L).toList)
+          .take(1 + rnd.nextInt(5))
+        s.toLong -> keys.map { k =>
+          val a = if (rnd.nextBoolean()) Some(rnd.nextInt(100).toLong)
+            else None
+          val b = if (rnd.nextBoolean()) Some(s"s${rnd.nextInt(5)}")
+            else None
+          val kind = engine match {
+            case "deduplicate" => Seq(0, 2, 3)(rnd.nextInt(3))
+            case "first-row"   => 0
+            case _             => Seq(0, 2)(rnd.nextInt(2))
+          }
+          (k, a, b, kind)
+        }
+      }
+      // in-order model fold
+      val state = scala.collection.mutable
+        .LinkedHashMap.empty[Long, (Option[Long], Option[String])]
+      val dead = scala.collection.mutable.Set.empty[Long]
+      for ((_, rows) <- frames; (k, a, b, kind) <- rows) engine match {
+        case "deduplicate" =>
+          if (kind == 3) { state.remove(k); dead += k }
+          else { state(k) = (a, b); dead -= k }
+        case "partial-update" =>
+          val prev = state.getOrElse(k, (None, None))
+          state(k) = (a.orElse(prev._1), b.orElse(prev._2))
+        case "aggregation" => // sum on a, last_non_null on b
+          val prev = state.getOrElse(k, (None, None))
+          val sa = (prev._1, a) match {
+            case (Some(x), Some(y)) => Some(x + y)
+            case (x, y)             => y.orElse(x)
+          }
+          state(k) = (sa, b.orElse(prev._2))
+        case "first-row" =>
+          if (!state.contains(k)) state(k) = (a, b)
+      }
+      val opts = engine match {
+        case "aggregation" =>
+          """{"merge-engine":"aggregation",
+            |"fields.a.aggregate-function":"sum"}""".stripMargin
+        case e => s"""{"merge-engine":"$e"}"""
+      }
+      val root = pkCustomFixture(s"model_${engine}_$seed", opts,
+        fields, frames.map { case (s, rows) => kvm(rows, s) })
+      val got = PaimonLite.read(spark, root)
+        .as[(Long, Option[Long], Option[String])].collect().sorted.toSeq
+      val want = state.toSeq.map { case (k, (a, b)) => (k, a, b) }.sorted
+      assert(got == want,
+        s"$engine/seed $seed: got $got, want $want")
+    }
+  }
+
   test("deletion-vector tables refuse loudly (ignoring DVs would " +
     "silently resurrect deleted rows); HASH index entries are " +
     "ignorable") {
