@@ -126,4 +126,42 @@ object GraftLake {
           asOfTimestampMs = timestampMs, tag = ref)
     }
   }
+
+  /** Detect + dispatch the INCREMENTAL (commit-range) read — Hudi's
+    * query surface, COW and MOR alike (begin exclusive, end
+    * inclusive, string instants). The other formats have their own
+    * change surfaces and refuse with the right reader named: Delta →
+    * CDF ([[DeltaLogLite.readChanges]]), Paimon → changelog
+    * ([[PaimonLite.readChangelog]]), Iceberg → incremental append by
+    * snapshot id ([[IcebergLite.readIncremental]]). */
+  def readIncremental(spark: SparkSession, tableDir: String,
+                      beginInstant: String,
+                      endInstant: Option[String] = None): DataFrame =
+    detect(spark, tableDir) match {
+      case Hudi =>
+        val props = new Path(tableDir, ".hoodie/hoodie.properties")
+        val fs = props.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val isMor = fs.exists(props) && {
+          val in = fs.open(props)
+          val text = try scala.io.Source.fromInputStream(in, "UTF-8")
+            .mkString finally in.close()
+          text.linesIterator.map(_.trim)
+            .exists(_ == "hoodie.table.type=MERGE_ON_READ")
+        }
+        if (isMor)
+          HudiMorLite.readIncremental(spark, tableDir, beginInstant,
+            endInstant)
+        else HudiCowLite.readIncremental(spark, tableDir, beginInstant,
+          endInstant)
+      case Delta => throw new IllegalArgumentException(
+        "GraftLake: Delta's change surface is the CHANGE DATA FEED — " +
+          "use DeltaLogLite.readChanges(fromVersion, toVersion)")
+      case Paimon => throw new IllegalArgumentException(
+        "GraftLake: Paimon's change surface is the CHANGELOG — use " +
+          "PaimonLite.readChangelog(snapshotId)")
+      case Iceberg => throw new IllegalArgumentException(
+        "GraftLake: Iceberg increments by SNAPSHOT ID — use " +
+          "IcebergLite.readIncremental(fromSnapshotId, toSnapshotId)")
+    }
 }

@@ -94,6 +94,38 @@ class GraftLakeSpec extends AnyFunSuite {
     Option(t).toSeq.flatMap(x =>
       Option(x.getMessage).toSeq ++ chain(x.getCause))
 
+  test("readIncremental dispatches to Hudi (COW/MOR); the other " +
+    "formats refuse naming their own change surface") {
+    // non-Hudi formats refuse with a pointer (detect-level fixtures
+    // suffice — the refusal fires before any metadata read)
+    val d = intercept[IllegalArgumentException] {
+      GraftLake.readIncremental(spark,
+        fresh("incd", "_delta_log"), "0")
+    }
+    assert(d.getMessage.contains("CHANGE DATA FEED"))
+    val p = intercept[IllegalArgumentException] {
+      GraftLake.readIncremental(spark,
+        fresh("incp", "snapshot", "schema"), "0")
+    }
+    assert(p.getMessage.contains("CHANGELOG"))
+    val ice = fresh("inci", "metadata")
+    Files.writeString(
+      Paths.get(ice, "metadata", "version-hint.text"), "1")
+    val i = intercept[IllegalArgumentException] {
+      GraftLake.readIncremental(spark, ice, "0")
+    }
+    assert(i.getMessage.contains("SNAPSHOT ID"))
+    // the Hudi dispatch reaches the native reader (the COW reader's
+    // own gates fire — proving the call routed)
+    val h = fresh("inch", ".hoodie")
+    Files.writeString(Paths.get(h, ".hoodie", "hoodie.properties"),
+      "hoodie.table.type=COPY_ON_WRITE\n")
+    val e = intercept[IllegalStateException] {
+      GraftLake.readIncremental(spark, h, "0")
+    }
+    assert(e.getMessage.contains("no completed commits"))
+  }
+
   test("a bare metadata/ directory is NOT Iceberg (needs the hint or " +
     "a vN.metadata.json)") {
     val root = fresh("baremeta", "metadata")
