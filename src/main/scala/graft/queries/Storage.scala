@@ -483,6 +483,24 @@ object Storage extends QueryModule {
         .orderBy(col("_change_type"), col("_commit_version"))
     },
 
+    // CDF on a COLUMN-MAPPED table — q420's change history, but data
+    // AND cdc files store physical column spellings (mode=name) while
+    // _change_type keeps its literal name; the reader resolves mapped
+    // fields by physical name and _change_type by name. A reader that
+    // applied the mapping to _change_type (or skipped it for the
+    // data columns) hash-mismatches or fails to resolve.
+    "q456_delta_cdf_mapped" -> { (s, dir) =>
+      val root = authorDeltaCdfMapTable(s, dir)
+      graft.sources.DeltaLogLite.readChanges(s, root, 0L, 1L)
+        .groupBy(col("_change_type"), col("_commit_version"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_qty"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_price"))
+        .orderBy(col("_change_type"), col("_commit_version"))
+    },
+
     // Paimon with ORC data files — the format's DEFAULT file.format,
     // so this is the layout most real Paimon tables actually have.
     // Same snapshot/manifest replay; the data scan dispatches to
@@ -3157,6 +3175,80 @@ object Storage extends QueryModule {
       })
     }
 
+  private val deltaCdfMapMemo =
+    scala.collection.mutable.Map.empty[String, String]
+
+  /** Authors the COLUMN-MAPPED CDF table q456 reads: q420's change
+    * history, but the table runs columnMapping mode=name — data AND
+    * cdc files store the physical spellings (pk/pq/pe/pf) while
+    * `_change_type` keeps its literal name, exactly as a mapped CDF
+    * writer lays it out. Memoized per sf-dir. */
+  private def authorDeltaCdfMapTable(s: SparkSession,
+                                     dir: String): String =
+    deltaCdfMapMemo.synchronized {
+      deltaCdfMapMemo.getOrElseUpdate(dir, {
+        import java.nio.file.{Files, Paths}
+        val root =
+          s"/tmp/graft_delta/cdfmap_${Integer.toHexString(dir.hashCode)}"
+        def rm(p: java.io.File): Unit = {
+          if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+          p.delete(): Unit
+        }
+        rm(new java.io.File(root))
+        Files.createDirectories(Paths.get(root, "_delta_log"))
+        Files.createDirectories(Paths.get(root, "data"))
+        Files.createDirectories(Paths.get(root, "_change_data"))
+        val phys = Map("l_orderkey" -> "pk", "l_quantity" -> "pq",
+          "l_extendedprice" -> "pe", "l_returnflag" -> "pf")
+        val a = Tables.df(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity"),
+            col("l_extendedprice"), col("l_returnflag"))
+          .filter((col("l_orderkey") % 10).isin(0, 1))
+        def toPhys(df: DataFrame): DataFrame =
+          df.select(df.columns.toSeq.map(c =>
+            col(c).as(phys.getOrElse(c, c))): _*)
+        def writeOne(df: DataFrame, rel: String): Unit = {
+          val tmp = s"$root/_tmp"
+          df.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(f => f.getName.endsWith(".parquet") &&
+              !f.getName.startsWith(".")).get
+          assert(part.renameTo(new java.io.File(s"$root/$rel")))
+          rm(new java.io.File(tmp))
+        }
+        writeOne(toPhys(a), "data/a.parquet")
+        val pre = a.filter(col("l_quantity") > 40)
+        val post = pre.withColumn("l_extendedprice",
+          col("l_extendedprice") * 2)
+        writeOne(toPhys(a.filter(col("l_quantity") <= 40)
+          .unionByName(post)), "data/a2.parquet")
+        writeOne(toPhys(
+          pre.withColumn("_change_type", lit("update_preimage"))
+            .unionByName(post.withColumn("_change_type",
+              lit("update_postimage")))),
+          "_change_data/cdc-1.parquet")
+        val fields = a.schema.fields.toSeq.map { f =>
+          s"""{"name":${jstr(f.name)},"type":${jstr(
+            f.dataType.typeName)},"nullable":true,"metadata":{"delta.columnMapping.physicalName":${jstr(phys(f.name))}}}"""
+        }.mkString("[", ",", "]")
+        val schemaJson = s"""{"type":"struct","fields":$fields}"""
+        val metaData =
+          s"""{"metaData":{"id":"graft-q456","format":{"provider":"parquet","options":{}},"schemaString":${jstr(schemaJson)},"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name","delta.enableChangeDataFeed":"true"},"createdTime":0}}"""
+        Files.writeString(Paths.get(root, "_delta_log", f"${0L}%020d.json"),
+          Seq("""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+            metaData,
+            s"""{"add":{"path":"data/a.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""")
+            .mkString("", "\n", "\n"))
+        Files.writeString(Paths.get(root, "_delta_log", f"${1L}%020d.json"),
+          Seq(
+            s"""{"cdc":{"path":"_change_data/cdc-1.parquet","partitionValues":{},"size":1,"dataChange":false}}""",
+            s"""{"remove":{"path":"data/a.parquet","deletionTimestamp":0,"dataChange":true}}""",
+            s"""{"add":{"path":"data/a2.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""")
+            .mkString("", "\n", "\n"))
+        root
+      })
+    }
+
   private val paimonOrcMemo =
     scala.collection.mutable.Map.empty[String, String]
 
@@ -4924,6 +5016,29 @@ object Storage extends QueryModule {
     // CDF census: inserts @v0 = batch A; pre/postimage @v1 = the
     // l_quantity > 40 slice (postimage doubles l_extendedprice)
     "q420_delta_cdf" ->
+      """WITH a AS (
+        |  SELECT l_quantity, l_extendedprice
+        |  FROM lineitem WHERE l_orderkey % 10 IN (0, 1)),
+        |ch AS (
+        |  SELECT 'insert' AS _change_type, 0 AS _commit_version,
+        |    l_quantity, l_extendedprice FROM a
+        |  UNION ALL
+        |  SELECT 'update_preimage', 1, l_quantity, l_extendedprice
+        |  FROM a WHERE l_quantity > 40
+        |  UNION ALL
+        |  SELECT 'update_postimage', 1, l_quantity,
+        |    l_extendedprice * 2
+        |  FROM a WHERE l_quantity > 40)
+        |SELECT _change_type, _commit_version, count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_price
+        |FROM ch
+        |GROUP BY _change_type, _commit_version
+        |ORDER BY _change_type, _commit_version""".stripMargin,
+    // mapped CDF: same change algebra as q420, through physical names
+    "q456_delta_cdf_mapped" ->
       """WITH a AS (
         |  SELECT l_quantity, l_extendedprice
         |  FROM lineitem WHERE l_orderkey % 10 IN (0, 1)),

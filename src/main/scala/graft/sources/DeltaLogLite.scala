@@ -773,9 +773,6 @@ object DeltaLogLite {
     val logDir = new Path(tableDir, "_delta_log")
     val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val snap = snapshot(spark, tableDir, Some(toVersion))
-    if (snap.physicalNames.nonEmpty) throw new IllegalStateException(
-      s"$tableDir: change-feed reads on column-mapped tables are " +
-        "outside DeltaLogLite scope")
     // CDF must be ON for the range to have been recorded (the
     // snapshot replay above already tracked the configuration)
     if (!snap.configuration.get("delta.enableChangeDataFeed")
@@ -827,10 +824,14 @@ object DeltaLogLite {
       }
       val changed: DataFrame =
         if (cdcFiles.nonEmpty) {
-          // cdc files carry the data columns + _change_type in-file
+          // cdc files carry the data columns (under the table's
+          // column-mapping mode, like any data file) + _change_type
+          // stored under its literal name — readFiles resolves mapped
+          // fields by physical name / field id and the unmapped
+          // _change_type by name
           val withCt = StructType(snap.schema.fields :+ ctField)
           readFiles(spark, tableDir, withCt, snap.partitionColumns,
-            cdcFiles)
+            cdcFiles, snap.physicalNames, snap.fieldIds)
         } else if (removes > 0) throw new IllegalStateException(
           s"$tableDir commit $v: dataChange remove/deletion-vector " +
             "without cdc files — its delete rows were never " +
@@ -838,7 +839,8 @@ object DeltaLogLite {
         else {
           // blind append: the adds ARE the inserts
           readFiles(spark, tableDir, snap.schema, snap.partitionColumns,
-            adds).withColumn("_change_type", lit("insert"))
+            adds, snap.physicalNames, snap.fieldIds)
+            .withColumn("_change_type", lit("insert"))
         }
       changed.withColumn("_commit_version", lit(v))
     }
@@ -1115,10 +1117,16 @@ object DeltaLogLite {
     val dataSchema = StructType(
       schema.filterNot(f => partColumns.contains(f.name))
         .map { f =>
-          if (byId) f.copy(metadata =
-            new org.apache.spark.sql.types.MetadataBuilder()
-              .withMetadata(f.metadata)
-              .putLong("parquet.field.id", fieldIds(f.name)).build())
+          // a field OUTSIDE the mapping (CDF's _change_type — cdc
+          // files store it under its literal name, unmapped and
+          // id-less) resolves by name either way
+          if (byId) fieldIds.get(f.name) match {
+            case Some(id) => f.copy(metadata =
+              new org.apache.spark.sql.types.MetadataBuilder()
+                .withMetadata(f.metadata)
+                .putLong("parquet.field.id", id).build())
+            case None => f
+          }
           else f.copy(name = phys(f.name))
         })
     val dataCols = schema.fieldNames.filterNot(partColumns.contains)

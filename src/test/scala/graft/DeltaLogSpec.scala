@@ -873,6 +873,54 @@ class DeltaLogSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("enableChangeDataFeed"))
   }
 
+  test("change feed on a COLUMN-MAPPED table: cdc files read under " +
+    "physical names, _change_type under its literal name; blind " +
+    "appends project back to logical names") {
+    import spark.implicits._
+    val root = "/tmp/graft_deltaspec/cdfmap"
+    def rm(p: java.io.File): Unit = {
+      if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+      p.delete(): Unit
+    }
+    rm(new java.io.File(root))
+    Files.createDirectories(Paths.get(root, "_delta_log"))
+    def writeOne(d: org.apache.spark.sql.DataFrame, rel: String): Unit = {
+      val tmp = s"$root/_tmp"
+      d.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith(".")).get
+      assert(part.renameTo(new java.io.File(s"$root/$rel")))
+      rm(new java.io.File(tmp))
+    }
+    // data + cdc files store PHYSICAL names; _change_type literal
+    val base = spark.range(0, 5).select(col("id").as("col-a"),
+      (col("id") * 2).as("col-b"))
+    writeOne(base, "f0.parquet")
+    writeOne(base.filter(col("col-a") === 1)
+      .select(col("col-a"), (col("col-b") * 10).as("col-b"),
+        lit("update_postimage").as("_change_type")), "cdc1.parquet")
+    def fld(name: String, phys: String): String =
+      s"""{"name":${jstr(name)},"type":"long","nullable":true,
+         |"metadata":{"delta.columnMapping.physicalName":${jstr(phys)}}}"""
+        .stripMargin.replace("\n", "")
+    val schema =
+      s"""{"type":"struct","fields":[${fld("id", "col-a")},${
+        fld("v", "col-b")}]}"""
+    val md =
+      s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":${jstr(schema)},"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name","delta.enableChangeDataFeed":"true"},"createdTime":0}}"""
+    commit(root, 0, protocol(2), md,
+      """{"add":{"path":"f0.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""")
+    commit(root, 1,
+      """{"cdc":{"path":"cdc1.parquet","partitionValues":{},"size":1,"dataChange":false}}""",
+      """{"add":{"path":"f0.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""")
+    val got = DeltaLogLite.readChanges(spark, root, 0L, 1L)
+      .select("id", "v", "_change_type", "_commit_version")
+      .as[(Long, Long, String, Long)].collect().sorted.toSeq
+    assert(got == ((0L to 4L).map(i => (i, i * 2, "insert", 0L)) :+
+      ((1L, 20L, "update_postimage", 1L))).sorted)
+  }
+
   test("timestamp travel rides commitInfo timestamps; unstamped/" +
     "too-early refuse loudly") {
     val (root, schema) = fixture("tstravel")
