@@ -919,6 +919,51 @@ class DeltaLogSpec extends AnyFunSuite {
       .as[(Long, Long, String, Long)].collect().sorted.toSeq
     assert(got == ((0L to 4L).map(i => (i, i * 2, "insert", 0L)) :+
       ((1L, 20L, "update_postimage", 1L))).sorted)
+
+    // mode=id: the cdc file's data columns resolve by FIELD ID while
+    // _change_type (id-less in the file) still resolves by name
+    val root2 = "/tmp/graft_deltaspec/cdfmapid"
+    rm(new java.io.File(root2))
+    Files.createDirectories(Paths.get(root2, "_delta_log"))
+    def writeTwo(d: org.apache.spark.sql.DataFrame, rel: String): Unit = {
+      val tmp = s"$root2/_tmp"
+      d.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith(".")).get
+      assert(part.renameTo(new java.io.File(s"$root2/$rel")))
+      rm(new java.io.File(tmp))
+    }
+    val stamped = graft.sources.IcebergLite.stampFieldIds(
+      spark.range(0, 3).select(col("id").as("col-a"),
+        (col("id") * 2).as("col-b")),
+      Map("col-a" -> 42, "col-b" -> 43))
+    writeTwo(stamped, "f0.parquet")
+    writeTwo(graft.sources.IcebergLite.stampFieldIds(
+      spark.range(0, 1).select(col("id").as("col-a"),
+        lit(99L).as("col-b")),
+      Map("col-a" -> 42, "col-b" -> 43))
+      .withColumn("_change_type", lit("update_postimage")),
+      "cdc1.parquet")
+    def fldId(name: String, phys: String, id: Int): String =
+      s"""{"name":${jstr(name)},"type":"long","nullable":true,
+         |"metadata":{"delta.columnMapping.id":$id,
+         |"delta.columnMapping.physicalName":${jstr(phys)}}}"""
+        .stripMargin.replace("\n", "")
+    val schema2 = s"""{"type":"struct","fields":[${
+      fldId("id", "col-a", 42)},${fldId("v", "col-b", 43)}]}"""
+    val md2 =
+      s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":${jstr(schema2)},"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id","delta.enableChangeDataFeed":"true"},"createdTime":0}}"""
+    commit(root2, 0, protocol(2), md2,
+      """{"add":{"path":"f0.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""")
+    commit(root2, 1,
+      """{"cdc":{"path":"cdc1.parquet","partitionValues":{},"size":1,"dataChange":false}}""",
+      """{"add":{"path":"f0.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""")
+    val got2 = DeltaLogLite.readChanges(spark, root2, 0L, 1L)
+      .select("id", "v", "_change_type")
+      .as[(Long, Long, String)].collect().sorted.toSeq
+    assert(got2 == ((0L to 2L).map(i => (i, i * 2, "insert")) :+
+      ((0L, 99L, "update_postimage"))).sorted)
   }
 
   test("timestamp travel rides commitInfo timestamps; unstamped/" +
