@@ -547,8 +547,11 @@ object IcebergLite {
     *  - "snapshots": (snapshot_id, timestamp_ms, manifest_list)
     *  - "refs": (name, type, snapshot_id) — type defaults to branch
     *    per the spec when absent
-    * Other names refuse listing what exists (files/manifests/history
-    * need per-file stats this lite reader does not materialize). */
+    *  - "history": (made_current_at, snapshot_id) from the metadata's
+    *    snapshot-log (the spec's current-snapshot lineage; empty when
+    *    the writer kept no log)
+    * Other names refuse listing what exists (files/manifests need
+    * per-file stats this lite reader does not materialize). */
   def metadataTable(spark: SparkSession, tableDir: String,
                     table: String): DataFrame = {
     import spark.implicits._
@@ -574,9 +577,18 @@ object IcebergLite {
           case _ => Nil
         }
         rows.toDF("name", "type", "snapshot_id")
+      case "history" =>
+        val rows: Seq[(Long, Long)] = (meta \ "snapshot-log") match {
+          case JArray(es) => es.map { e =>
+            ((e \ "timestamp-ms").extract[Long],
+              (e \ "snapshot-id").extract[Long])
+          }
+          case _ => Nil
+        }
+        rows.toDF("made_current_at", "snapshot_id")
       case other => throw new IllegalArgumentException(
         s"$tableDir: metadata table '$other' — IcebergLite serves " +
-          "snapshots and refs (files/manifests/history need per-file " +
+          "snapshots, refs and history (files/manifests need per-file " +
           "stats outside lite scope)")
     }
   }

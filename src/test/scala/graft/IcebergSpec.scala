@@ -1011,10 +1011,25 @@ class IcebergSpec extends AnyFunSuite {
     val refs = IcebergLite.metadataTable(spark, root, "refs")
     assert(refs.columns.toSeq == Seq("name", "type", "snapshot_id"))
     assert(refs.count() == 0)
+    // history: the snapshot-log lineage (empty when the writer kept
+    // no log — the fixture's metadata carries none)
+    val hist = IcebergLite.metadataTable(spark, root, "history")
+    assert(hist.columns.toSeq == Seq("made_current_at", "snapshot_id"))
+    assert(hist.count() == 0)
+    val metaPath = Paths.get(root, "metadata", "v3.metadata.json")
+    Files.writeString(metaPath, Files.readString(metaPath).replace(
+      """"current-snapshot-id":2,""",
+      """"current-snapshot-id":2,
+        |"snapshot-log":[
+        | {"timestamp-ms":1000,"snapshot-id":1},
+        | {"timestamp-ms":2000,"snapshot-id":2}],""".stripMargin))
+    assert(IcebergLite.metadataTable(spark, root, "history")
+      .as[(Long, Long)].collect().sorted.toSeq ==
+      Seq((1000L, 1L), (2000L, 2L)))
     val e = intercept[IllegalArgumentException] {
       IcebergLite.metadataTable(spark, root, "files")
     }
-    assert(e.getMessage.contains("snapshots and refs"))
+    assert(e.getMessage.contains("snapshots, refs and history"))
   }
 
   test("missing metadata refuses loudly") {
