@@ -691,6 +691,16 @@ object Storage extends QueryModule {
         .read(s, authorHudiMorRollbackTable(s, dir)))
     },
 
+    // GraftLake's INCREMENTAL dispatch — q455's MOR commit-range read
+    // driven through the one-entry-point UX face (format detection +
+    // table-type routing). Same oracle as q455: a dispatch that
+    // routed to the COW reader (or mis-detected the format) refuses
+    // or hash-mismatches.
+    "q457_graft_lake_incremental" -> { (s, dir) =>
+      ordersCensus(graft.sources.GraftLake
+        .readIncremental(s, authorHudiMorIncTable(s, dir), "001"))
+    },
+
     // Hudi MOR INCREMENTAL — the merged value of every key whose last
     // change landed in (001, 003]: key 3 at ×5 (winner@003 over the
     // @002 ×2), key 4 at ×2, the new g2 inserts; the soft-deleted
@@ -5247,6 +5257,21 @@ object Storage extends QueryModule {
         |SELECT part, count(*) AS n,
         | CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM r GROUP BY part ORDER BY part""".stripMargin,
+    // the dispatch serves q455's exact census
+    "q457_graft_lake_incremental" ->
+      """WITH inc AS (
+        |  SELECT o_orderstatus, o_totalprice * 5 AS p FROM orders
+        |  WHERE o_orderkey % 10 = 3
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_totalprice * 2 FROM orders
+        |  WHERE o_orderkey % 10 = 4
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey % 10 IN (5, 6))
+        |SELECT o_orderstatus, count(*) AS n,
+        | CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM inc GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     // MOR incremental (001, 003]: 3 at ×5, 4 at ×2, g2 (5,6) at ×1
     "q455_hudi_mor_incremental" ->
       """WITH inc AS (
