@@ -760,9 +760,11 @@ object DeltaLogLite {
     * `delta.enableChangeDataFeed=true` at `toVersion`; a cdc-less
     * commit with dataChange REMOVES is refused (its delete rows were
     * never materialized — serving the range would silently drop
-    * changes); column-mapped tables are refused (cdc files under
-    * mapping need the physical projection of a column the logical
-    * schema does not carry). Each version's files are one native
+    * changes). Column-mapped tables ARE served: cdc data columns
+    * resolve by physical name / field id exactly like data files,
+    * while the id-less `_change_type` column the writer adds resolves
+    * by its literal name (a mixed-resolution read schema per leg).
+    * Each version's files are one native
     * vectorized scan; the union is O(changed files), never a table
     * re-list. */
   def readChanges(spark: SparkSession, tableDir: String,
@@ -987,7 +989,7 @@ object DeltaLogLite {
   private[graft] def decodeDvFile(path: String, offset: Long,
                                   sizeInBytes: Int,
                                   cardinality: Long): Iterator[Long] = {
-    val raf = new java.io.RandomAccessFile(path, "r")
+    val raf = openBlobStream(path)
     try {
       raf.seek(0)
       val version = raf.readByte()
@@ -1007,6 +1009,17 @@ object DeltaLogLite {
         s"$path: deletion-vector checksum mismatch at offset $offset")
       decodeDvPayload(data, cardinality, path)
     } finally raf.close()
+  }
+
+  /** Open a deletion-vector blob file through the Hadoop filesystem
+    * of its OWN uri (executor-side; a fresh Configuration picks up
+    * the cluster's core-site) — seekable big-endian DataInput, same
+    * contract RandomAccessFile served, but scheme-aware so DV blobs
+    * on hdfs:// or object stores read exactly like local files. */
+  private[graft] def openBlobStream(path: String)
+  : org.apache.hadoop.fs.FSDataInputStream = {
+    val p = new Path(path)
+    p.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(p)
   }
 
   /** Decode a serialized deletion-vector PAYLOAD — [4-byte LE magic

@@ -74,6 +74,22 @@ object GraftLake {
     }
   }
 
+  /** Hudi table type from `.hoodie/hoodie.properties` — true when the
+    * table declares MERGE_ON_READ (a missing properties file reads as
+    * COW, Hudi's default). Shared by both dispatch surfaces. */
+  private[graft] def isMorTable(spark: SparkSession,
+                                tableDir: String): Boolean = {
+    val props = new Path(tableDir, ".hoodie/hoodie.properties")
+    val fs = props.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(props) && {
+      val in = fs.open(props)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString finally in.close()
+      text.linesIterator.map(_.trim)
+        .exists(_ == "hoodie.table.type=MERGE_ON_READ")
+    }
+  }
+
   /** Detect + dispatch. `version` is a Delta version / Iceberg
     * snapshot id / Paimon snapshot id (refused on Hudi — its instants
     * are strings; use [[HudiCowLite.read]]); `timestampMs` is Delta
@@ -108,17 +124,8 @@ object GraftLake {
           throw new IllegalArgumentException(
             "GraftLake: Hudi time travel takes STRING instants — use " +
               "HudiCowLite/HudiMorLite.read(asOfInstant=...) directly")
-        val props = new Path(tableDir, ".hoodie/hoodie.properties")
-        val fs = props.getFileSystem(
-          spark.sparkContext.hadoopConfiguration)
-        val isMor = fs.exists(props) && {
-          val in = fs.open(props)
-          val text = try scala.io.Source.fromInputStream(in, "UTF-8")
-            .mkString finally in.close()
-          text.linesIterator.map(_.trim)
-            .exists(_ == "hoodie.table.type=MERGE_ON_READ")
-        }
-        if (isMor && !readOptimized) HudiMorLite.read(spark, tableDir)
+        if (isMorTable(spark, tableDir) && !readOptimized)
+          HudiMorLite.read(spark, tableDir)
         else HudiCowLite.read(spark, tableDir,
           readOptimized = readOptimized)
       case Paimon =>
@@ -139,17 +146,7 @@ object GraftLake {
                       endInstant: Option[String] = None): DataFrame =
     detect(spark, tableDir) match {
       case Hudi =>
-        val props = new Path(tableDir, ".hoodie/hoodie.properties")
-        val fs = props.getFileSystem(
-          spark.sparkContext.hadoopConfiguration)
-        val isMor = fs.exists(props) && {
-          val in = fs.open(props)
-          val text = try scala.io.Source.fromInputStream(in, "UTF-8")
-            .mkString finally in.close()
-          text.linesIterator.map(_.trim)
-            .exists(_ == "hoodie.table.type=MERGE_ON_READ")
-        }
-        if (isMor)
+        if (isMorTable(spark, tableDir))
           HudiMorLite.readIncremental(spark, tableDir, beginInstant,
             endInstant)
         else HudiCowLite.readIncremental(spark, tableDir, beginInstant,

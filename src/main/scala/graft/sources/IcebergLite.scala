@@ -478,13 +478,16 @@ object IcebergLite {
 
     val files = dataEntries.map(_.path)
     // content=1 entries: format-v3 DELETION VECTORS carry
-    // referenced_data_file (+ blob offset/size in their Puffin file);
-    // plain positional delete FILES carry neither. The spec keys the
-    // split on the format version — v3 forbids position delete files
-    // and v1/v2 predate DVs — so a mismatch refuses loudly.
+    // content_offset/content_size_in_bytes (their blob location in a
+    // Puffin file) — both REQUIRED for DVs and required-null for
+    // position delete FILES. referenced_data_file is NOT the
+    // discriminator: v2 writers may set it on file-granularity
+    // position delete files too. The spec keys the split on the
+    // format version — v3 forbids position delete files and v1/v2
+    // predate DVs — so a mismatch refuses loudly.
     val (dvEntries, posEntries) =
       delEntries.filter(_.content == 1)
-        .partition(_.referencedDataFile.nonEmpty)
+        .partition(_.contentOffset.nonEmpty)
     if (fv < 3 && dvEntries.nonEmpty) throw new IllegalStateException(
       s"$metaFile: deletion-vector entry ${dvEntries.head.path} in a " +
         s"format-v$fv table — deletion vectors are a v3 feature")
@@ -641,7 +644,7 @@ object IcebergLite {
   private[graft] def decodePuffinDv(path: String, offset: Long,
                                     size: Long, cardinality: Long)
   : Iterator[Long] = {
-    val raf = new java.io.RandomAccessFile(path, "r")
+    val raf = DeltaLogLite.openBlobStream(path)
     try {
       val fileMagic = new Array[Byte](4)
       raf.seek(0)
@@ -834,7 +837,20 @@ object IcebergLite {
         sf.metadata.getLong(FieldIdKey).toInt
       def defLit(sf: StructField) = {
         val raw = sf.metadata.getString(DefaultKey)
-        lit(raw).cast(sf.dataType).as(sf.name)
+        sf.dataType match {
+          case BinaryType =>
+            // the spec's JSON single-value form for binary/fixed is a
+            // HEX string — casting the string would store its UTF-8
+            // bytes, a silently wrong default
+            if (raw.length % 2 != 0 ||
+              !raw.forall(c => Character.digit(c, 16) >= 0))
+              throw new IllegalStateException(
+                s"IcebergLite: field ${sf.name} carries a binary " +
+                  s"initial-default that is not a hex string: '$raw'")
+            lit(raw.grouped(2)
+              .map(Integer.parseInt(_, 16).toByte).toArray).as(sf.name)
+          case _ => lit(raw).cast(sf.dataType).as(sf.name)
+        }
       }
       val fields = FooterSweep.parquetFields(spark, parquetFiles)
       val defIds = defaulted.map(fid)

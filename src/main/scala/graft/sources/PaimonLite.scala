@@ -1029,7 +1029,11 @@ object PaimonLite {
             case Some("sum")      => sum(col(c)).as(c)
             case Some("min")      => min(col(c)).as(c)
             case Some("max")      => max(col(c)).as(c)
-            case Some("count")    => count(col(c)).as(c)
+            case Some("count")    =>
+              // count() returns BIGINT regardless of the declared
+              // column type (the gate admits any NumericType) — cast
+              // back so the output schema matches the table schema
+              count(col(c)).cast(snap.schema(c).dataType).as(c)
             case Some("bool_and") => bool_and(col(c)).as(c)
             case Some("bool_or")  => bool_or(col(c)).as(c)
             case Some("last_value") =>
