@@ -817,6 +817,18 @@ object Storage extends QueryModule {
         .read(s, authorPaimonPkTable(s, dir), snapshotId = Some(1L)))
     },
 
+    // Paimon DELETION VECTORS — deletion-vectors.enabled PK table:
+    // the snapshot's index manifest locates each data file's bitmap
+    // blob inside index/<file>, decoded executor-side and anti-joined
+    // on (file, row ordinal) BEFORE the LSM merge. Keys %10∈(0,1) die
+    // by DV alone (no -D row exists anywhere); %10∈(3,4) keep their
+    // seq-2 upserts (the DV also kills the superseded %10=3 base rows
+    // — merge and DV must agree). O(deleted rows) never on the driver.
+    "q458_paimon_dv" -> { (s, dir) =>
+      ordersCensus(graft.sources.PaimonLite
+        .read(s, authorPaimonDvTable(s, dir)))
+    },
+
     // Paimon TAG time travel — tag/tag-<name> files hold a full copy
     // of the pinned snapshot JSON (the expiry-proof travel axis; the
     // Iceberg analog is q432's refs). 'prewipe' pins snapshot 1, so
@@ -4484,6 +4496,144 @@ object Storage extends QueryModule {
       })
     }
 
+  private val paimonDvMemo =
+    scala.collection.mutable.Map.empty[String, String]
+
+  /** Authors the DELETION-VECTOR PK table q458 reads. Snapshot 1
+    * inserts all %10<5 keys (kv-base.parquet, seq 1). Snapshot 2 adds
+    * ×2 upserts for %10∈(3,4) (seq 2) AND an index manifest whose
+    * DELETION_VECTORS entry kills, inside kv-base.parquet, the rows
+    * of keys %10∈(0,1) (a plain DV delete — no -D row anywhere) plus
+    * the superseded %10=3 rows (what a lookup-compaction writer
+    * marks; the merge must agree). The DV index file is the real v1
+    * layout: version byte, [len][magic+32-bit RoaringBitmap][crc].
+    * Memoized per sf-dir. */
+  private def authorPaimonDvTable(s: SparkSession, dir: String): String =
+    paimonDvMemo.synchronized {
+      paimonDvMemo.getOrElseUpdate(dir, {
+        import java.nio.file.{Files, Paths}
+        val avroFmt = "org.apache.spark.sql.avro.AvroFileFormat"
+        val root =
+          s"/tmp/graft_paimon/dv_${Integer.toHexString(dir.hashCode)}"
+        def rm(p: java.io.File): Unit = {
+          if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+          p.delete(): Unit
+        }
+        rm(new java.io.File(root))
+        for (d <- Seq("snapshot", "schema", "manifest", "bucket-0",
+          "index"))
+          Files.createDirectories(Paths.get(root, d))
+        val base = Tables.df(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderstatus"))
+          .filter(col("o_orderkey") % 10 < 5)
+        def kv(df: DataFrame, seq: Long, kind: Int): DataFrame =
+          df.select(col("o_orderkey").as("_KEY_o_orderkey"),
+            lit(seq).as("_SEQUENCE_NUMBER"),
+            lit(kind).cast("tinyint").as("_VALUE_KIND"),
+            col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        def writeKv(df: DataFrame, name: String): String = {
+          val tmp = s"$root/_tmp"
+          df.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(f => f.getName.endsWith(".parquet") &&
+              !f.getName.startsWith(".")).get
+          assert(part.renameTo(new java.io.File(s"$root/bucket-0/$name")))
+          rm(new java.io.File(tmp))
+          name
+        }
+        val fa = writeKv(kv(base, 1L, 0), "kv-base.parquet")
+        val fb = writeKv(
+          kv(base.filter((col("o_orderkey") % 10).isin(3, 4))
+            .withColumn("o_totalprice", col("o_totalprice") * 2), 2L, 2),
+          "kv-ups.parquet")
+        // dead positions come from the WRITTEN file's own row ordinals
+        val deadPos = s.read.parquet(s"$root/bucket-0/$fa")
+          .select(col("_metadata.row_index"))
+          .where((col("o_orderkey") % 10).isin(0, 1, 3))
+          .collect().map(_.getLong(0).toInt).sorted
+        // v1 DV index file: [version 1][len BE][magic BE + bitmap][crc]
+        val bmp = new org.roaringbitmap.RoaringBitmap()
+        deadPos.foreach(bmp.add)
+        val bos = new java.io.ByteArrayOutputStream()
+        val dos = new java.io.DataOutputStream(bos)
+        dos.writeInt(1581511376)
+        bmp.serialize(dos)
+        dos.flush()
+        val blob = bos.toByteArray
+        val crc = new java.util.zip.CRC32
+        crc.update(blob)
+        val idxName = "index-dv-0"
+        val idxOut = new java.io.DataOutputStream(
+          new java.io.FileOutputStream(s"$root/index/$idxName"))
+        idxOut.writeByte(1)
+        idxOut.writeInt(blob.length)
+        idxOut.write(blob)
+        idxOut.writeInt(crc.getValue.toInt)
+        idxOut.close()
+        def writeAvro(df: DataFrame, rel: String): Unit = {
+          val tmp = s"$root/_tmpavro"
+          df.coalesce(1).write.mode("overwrite").format(avroFmt).save(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(f => f.getName.startsWith("part-")).get
+          assert(part.renameTo(new java.io.File(s"$root/$rel")))
+          rm(new java.io.File(tmp))
+        }
+        import s.implicits._
+        def manifest(rel: String, entries: (Int, String)*): Unit =
+          writeAvro(entries.toSeq.toDF("_KIND", "_fn")
+            .select(col("_KIND"), lit(0).as("_BUCKET"),
+              struct(col("_fn").as("_FILE_NAME")).as("_FILE")), rel)
+        manifest("manifest/m-base.avro", (0, fa))
+        manifest("manifest/m-ups.avro", (0, fb))
+        // index manifest: the real nested IndexManifestEntry shape
+        writeAvro(Seq(0).toDF("_KIND")
+          .select(col("_KIND"), lit(Array.empty[Byte]).as("_PARTITION"),
+            lit(0).as("_BUCKET"),
+            struct(lit("DELETION_VECTORS").as("_INDEX_TYPE"),
+              lit(idxName).as("_FILE_NAME"),
+              lit(9L + blob.length).as("_FILE_SIZE"),
+              lit(deadPos.length.toLong).as("_ROW_COUNT"),
+              array(struct(lit(fa).as("_FILE_NAME"),
+                lit(1).as("_OFFSET"),
+                lit(blob.length).as("_LENGTH"),
+                lit(deadPos.length.toLong).as("_CARDINALITY")))
+                .as("_DELETIONS_VECTORS_RANGES")).as("_INDEX_FILE")),
+          "manifest/idx-m-0.avro")
+        def manifestList(rel: String, names: String*): Unit =
+          writeAvro(
+            if (names.isEmpty) Seq.empty[String].toDF("_FILE_NAME")
+            else names.toSeq.toDF("_FILE_NAME"), rel)
+        manifestList("manifest/ml-empty.avro")
+        manifestList("manifest/ml-base.avro", "m-base.avro")
+        manifestList("manifest/ml-ups.avro", "m-ups.avro")
+        Files.writeString(Paths.get(root, "schema", "schema-0"),
+          """{"id":0,"fields":[
+            | {"id":0,"name":"o_orderkey","type":"BIGINT"},
+            | {"id":1,"name":"o_totalprice","type":"DOUBLE"},
+            | {"id":2,"name":"o_orderstatus","type":"STRING"}],
+            |"highestFieldId":2,"partitionKeys":[],
+            |"primaryKeys":["o_orderkey"],
+            |"options":{"file.format":"parquet",
+            | "deletion-vectors.enabled":"true"}}""".stripMargin)
+        Files.writeString(Paths.get(root, "snapshot", "snapshot-1"),
+          """{"version":3,"id":1,"schemaId":0,
+            |"baseManifestList":"ml-empty.avro",
+            |"deltaManifestList":"ml-base.avro",
+            |"commitKind":"APPEND","commitUser":"graft",
+            |"commitIdentifier":1,"timeMillis":0}""".stripMargin)
+        Files.writeString(Paths.get(root, "snapshot", "snapshot-2"),
+          """{"version":3,"id":2,"schemaId":0,
+            |"baseManifestList":"ml-base.avro",
+            |"deltaManifestList":"ml-ups.avro",
+            |"indexManifest":"idx-m-0.avro",
+            |"commitKind":"APPEND","commitUser":"graft",
+            |"commitIdentifier":2,"timeMillis":0}""".stripMargin)
+        Files.writeString(Paths.get(root, "snapshot", "LATEST"), "2")
+        root
+      })
+    }
+
   private val paimonPartMemo =
     scala.collection.mutable.Map.empty[String, String]
 
@@ -5198,6 +5348,15 @@ object Storage extends QueryModule {
         |   THEN o_totalprice * 2 ELSE o_totalprice END
         |   AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders WHERE o_orderkey % 10 BETWEEN 1 AND 4
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+    // DV kills %10∈(0,1) rows outright; %10∈(3,4) carry ×2 upserts
+    "q458_paimon_dv" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        | CAST(sum(CAST(CASE WHEN o_orderkey % 10 IN (3, 4)
+        |   THEN o_totalprice * 2 ELSE o_totalprice END
+        |   AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderkey % 10 IN (2, 3, 4)
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
     // the 'prewipe' tag pins snapshot 1 = batches A∪B

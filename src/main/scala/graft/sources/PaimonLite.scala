@@ -82,6 +82,14 @@ object PaimonLite {
     * `_PARTITION` BinaryRow — empty for unpartitioned tables. */
   final case class DataFile(path: String, partition: Seq[Any] = Nil)
 
+  /** One DELETION VECTOR: the bitmap blob's location inside its index
+    * file (`index/<name>`, byte `offset`, inner `length`) plus the
+    * data file whose row ordinals it kills. `cardinality` is the
+    * manifest-declared bit count (absent in older layouts; verified
+    * against the decoded bitmap when present). */
+  final case class Dv(indexPath: String, offset: Long, length: Int,
+                      cardinality: Option[Long], dataFile: String)
+
   final case class Snapshot(snapshotId: Long, schema: StructType,
                             files: Seq[DataFile],
                             primaryKeys: Seq[String] = Nil,
@@ -94,7 +102,8 @@ object PaimonLite {
                             sequenceGroups: Seq[(String, Seq[String])] =
                               Nil,
                             fieldListaggDelims: Map[String, String] =
-                              Map.empty)
+                              Map.empty,
+                            dvs: Seq[Dv] = Nil)
 
   /** The published PK merge engines this reader serves. */
   val MergeEngines: Set[String] =
@@ -395,47 +404,6 @@ object PaimonLite {
         name.startsWith("file:")) resolve(tableDir, name)
       else s"$tableDir/manifest/$name"
 
-    // DELETION VECTORS mark rows dead OUTSIDE the KeyValue stream —
-    // a reader that ignored them would silently RESURRECT deleted
-    // rows, the one failure mode the lite contract forbids. Refuse at
-    // plan time, both via the table option and via the snapshot's
-    // index manifest (HASH entries — the dynamic-bucket writer index —
-    // are writer-side only and ignorable; anything else refuses).
-    (schemaJson \ "options" \ "deletion-vectors.enabled") match {
-      case JString(v) if v.equalsIgnoreCase("true") =>
-        throw new IllegalStateException(
-          s"$tableDir: deletion-vectors.enabled=true — PaimonLite " +
-            "does not serve deletion-vector tables (DV-deleted rows " +
-            "would silently resurrect)")
-      case _ =>
-    }
-    (snap \ "indexManifest") match {
-      case JString(im) if im.nonEmpty =>
-        val p = new Path(tableDir, s"manifest/$im")
-        if (fs.exists(p)) {
-          val idx = spark.read.format(AvroFmt).load(p.toString)
-          val typeCol =
-            if (idx.columns.contains("_INDEX_FILE")) Some("_INDEX_FILE._INDEX_TYPE")
-            else if (idx.columns.contains("_INDEX_TYPE")) Some("_INDEX_TYPE")
-            else None
-          val types = typeCol match {
-            case Some(c) => idx
-              .select(org.apache.spark.sql.functions.col(c))
-              .collect().map(_.getString(0)).toSet
-            case None => throw new IllegalStateException(
-              s"$p: index manifest without an _INDEX_TYPE column — " +
-                "cannot verify the index is ignorable")
-          }
-          val foreign = types - "HASH"
-          if (foreign.nonEmpty) throw new IllegalStateException(
-            s"$tableDir: snapshot $wantedId carries index entries of " +
-              s"type ${foreign.toSeq.sorted.mkString(", ")} — " +
-              "DELETION_VECTORS (and unknown index kinds) are outside " +
-              "PaimonLite scope; ignoring them would return wrong rows")
-        }
-      case _ =>
-    }
-
     // base (compacted history) + delta (this commit) manifest lists
     def manifestsOf(key: String): Seq[String] =
       (snap \ key) match {
@@ -500,9 +468,125 @@ object PaimonLite {
       }.mkString
       DataFile(s"$tableDir/$partDirs" + s"bucket-$bucket/$name", part)
     }
+
+    // DELETION VECTORS mark rows dead OUTSIDE the KeyValue stream —
+    // a reader that ignored them would silently RESURRECT deleted
+    // rows. The snapshot's index manifest locates, per data file, the
+    // bitmap blob inside an index file under index/: each live entry
+    // of _INDEX_TYPE=DELETION_VECTORS carries _DELETIONS_VECTORS_RANGES
+    // = [(data file name, blob offset, inner length[, cardinality])].
+    // HASH entries (the dynamic-bucket writer index) are writer-side
+    // only and ignorable; unknown index kinds refuse — ignoring an
+    // index this reader cannot classify could return wrong rows.
+    val dvs: Seq[Dv] = (snap \ "indexManifest") match {
+      case JString(im) if im.nonEmpty =>
+        val p = new Path(tableDir, s"manifest/$im")
+        if (!fs.exists(p)) throw new IllegalStateException(
+          s"$tableDir: snapshot $wantedId declares indexManifest $im " +
+            "but the file is missing — its deletion vectors (if any) " +
+            "cannot be applied")
+        val idx = spark.read.format(AvroFmt).load(p.toString)
+        val nested = idx.columns.contains("_INDEX_FILE")
+        if (!nested && !idx.columns.contains("_INDEX_TYPE"))
+          throw new IllegalStateException(
+            s"$p: index manifest without an _INDEX_TYPE column — " +
+              "cannot classify its index entries")
+        // replay ADD/DELETE per (partition, bucket, index file name)
+        type Key = (Seq[Any], Int, String)
+        val liveIdx = scala.collection.mutable.LinkedHashMap
+          .empty[Key, (String, org.apache.spark.sql.Row)]
+        idx.collect().foreach { r =>
+          val kind =
+            if (idx.columns.contains("_KIND"))
+              r.getAs[Number]("_KIND").intValue()
+            else 0
+          val bucket =
+            if (idx.columns.contains("_BUCKET"))
+              r.getAs[Number]("_BUCKET").intValue()
+            else 0
+          val part: Seq[Any] =
+            if (partitionKeys.isEmpty) Nil
+            else if (!idx.columns.contains("_PARTITION"))
+              throw new IllegalStateException(
+                s"$p: partitioned table but the index manifest lacks " +
+                  "_PARTITION — cannot place its deletion vectors")
+            else BinaryRowCodec.decode(r.getAs[Array[Byte]]("_PARTITION"),
+              partTypes, s"$p (index entry)")
+          val meta =
+            if (nested) r.getAs[org.apache.spark.sql.Row]("_INDEX_FILE")
+            else r
+          val itype = meta.getAs[String]("_INDEX_TYPE")
+          val fname = meta.getAs[String]("_FILE_NAME")
+          kind match {
+            case 0 => liveIdx((part, bucket, fname)) = (itype, meta)
+            case 1 => liveIdx.remove((part, bucket, fname)): Unit
+            case k => throw new IllegalStateException(
+              s"$p: unknown index manifest entry kind $k for $fname")
+          }
+        }
+        liveIdx.toSeq.flatMap { case ((part, bucket, fname), (itype, meta)) =>
+          itype match {
+            case "HASH" => Nil
+            case "DELETION_VECTORS" =>
+              val rangesField = "_DELETIONS_VECTORS_RANGES"
+              if (!meta.schema.fieldNames.contains(rangesField) ||
+                meta.getAs[Any](rangesField) == null)
+                throw new IllegalStateException(
+                  s"$p: DELETION_VECTORS entry $fname without " +
+                    s"$rangesField — cannot locate its bitmaps")
+              val partDirs = partitionKeys.zip(part).map { case (k, v) =>
+                s"$k=${partPathValue(v, defaultPartName)}/"
+              }.mkString
+              meta.getAs[scala.collection.Seq[org.apache.spark.sql.Row]](
+                rangesField).map { rng =>
+                def need[T](n: String)(get: => T): T =
+                  if (rng.schema.fieldNames.contains(n) &&
+                    rng.getAs[Any](n) != null) get
+                  else throw new IllegalStateException(
+                    s"$p: deletion-vector range in $fname without $n")
+                val dataName = need("_FILE_NAME")(
+                  rng.getAs[String]("_FILE_NAME"))
+                val card =
+                  if (rng.schema.fieldNames.contains("_CARDINALITY") &&
+                    rng.getAs[Any]("_CARDINALITY") != null)
+                    Some(rng.getAs[Number]("_CARDINALITY").longValue())
+                  else None
+                Dv(s"$tableDir/index/$fname",
+                  need("_OFFSET")(
+                    rng.getAs[Number]("_OFFSET").longValue()),
+                  need("_LENGTH")(
+                    rng.getAs[Number]("_LENGTH").intValue()),
+                  card,
+                  s"$tableDir/$partDirs" + s"bucket-$bucket/$dataName")
+              }.toSeq
+            case other => throw new IllegalStateException(
+              s"$tableDir: snapshot $wantedId carries an index entry " +
+                s"of type $other — only HASH (ignorable) and " +
+                "DELETION_VECTORS are inside PaimonLite scope; " +
+                "ignoring an unknown index could return wrong rows")
+          }
+        }
+      case _ => Nil
+    }
+    if (dvs.nonEmpty) {
+      // one DV per data file, like Iceberg's v3 rule — duplicates
+      // would mean this reader missed a supersession rule
+      dvs.groupBy(_.dataFile).foreach { case (f, ds) =>
+        if (ds.size > 1) throw new IllegalStateException(
+          s"$tableDir: ${ds.size} deletion vectors reference $f — " +
+            "cannot know which supersedes")
+      }
+      if (primaryKeys.isEmpty) throw new IllegalStateException(
+        s"$tableDir: deletion vectors on an append-only table — " +
+          "PaimonLite serves DV tables with a primary key only")
+      if (files.exists(_.path.endsWith(".orc")))
+        throw new IllegalStateException(
+          s"$tableDir: deletion vectors over ORC data files — " +
+            "row-ordinal addressing is parquet-only in lite scope")
+    }
     Snapshot(wantedId, schema, files, primaryKeys, partitionKeys,
       defaultPartName, mergeEngine, fieldAggregates, sequenceGroups,
-      fieldListaggDelims)
+      fieldListaggDelims, dvs)
   }
 
   /** The bounded partition-key types PaimonLite serves (path spelling
@@ -551,6 +635,64 @@ object PaimonLite {
           d.withColumn(k, lit(v).cast(schema(k).dataType))
         }.select(schema.fieldNames.map(col).toSeq: _*)
       }.reduce(_ unionAll _)
+  }
+
+  /** Decode one DELETION-VECTOR bitmap from its index file into dead
+    * row ordinals (executor-side). The v1 index-file layout (Paimon's
+    * DeletionVectorsIndexFile): [1-byte version 1] then per bitmap
+    * [4-byte BE inner length][4-byte BE magic 1581511376 +
+    * 32-bit RoaringBitmap, portable format][4-byte BE CRC-32 of the
+    * inner bytes]. The manifest's offset points at the length prefix;
+    * its length is the inner byte count. Version, length, magic, CRC
+    * and cardinality mismatches all refuse loudly — a 64-bit bitmap
+    * table (deletion-vectors.bitmap64) lands on the magic check. */
+  private[graft] def decodeDvBlob(path: String, offset: Long,
+                                  length: Int,
+                                  cardinality: Option[Long])
+  : Iterator[Long] = {
+    val in = DeltaLogLite.openBlobStream(path)
+    try {
+      in.seek(0)
+      val version = in.readByte()
+      if (version != 1) throw new IllegalStateException(
+        s"$path: deletion-vector index file version $version " +
+          "(expected 1) — unknown layout; refusing rather than " +
+          "mis-reading")
+      in.seek(offset)
+      val storedLen = in.readInt() // big-endian
+      if (storedLen != length) throw new IllegalStateException(
+        s"$path: deletion-vector blob at offset $offset stores inner " +
+          s"length $storedLen but the index manifest says $length")
+      if (storedLen < 4) throw new IllegalStateException(
+        s"$path: deletion-vector blob at offset $offset claims inner " +
+          s"length $storedLen — too short for the magic")
+      val data = new Array[Byte](storedLen)
+      in.readFully(data)
+      val storedCrc = in.readInt()
+      val crc = new java.util.zip.CRC32
+      crc.update(data)
+      if (storedCrc != crc.getValue.toInt) throw new IllegalStateException(
+        s"$path: deletion-vector checksum mismatch at offset $offset")
+      val dis = new java.io.DataInputStream(
+        new java.io.ByteArrayInputStream(data))
+      val magic = dis.readInt()
+      if (magic != 1581511376) throw new IllegalStateException(
+        s"$path: deletion-vector magic $magic (expected 1581511376, " +
+          "the 32-bit bitmap serialization) — unknown serialization; " +
+          "refusing rather than mis-reading")
+      val bmp = new org.roaringbitmap.RoaringBitmap()
+      bmp.deserialize(dis)
+      for (card <- cardinality)
+        if (bmp.getLongCardinality != card) throw new IllegalStateException(
+          s"$path: deletion vector at offset $offset decodes " +
+            s"${bmp.getLongCardinality} ordinals but the index " +
+            s"manifest declares $card")
+      val it = bmp.getIntIterator
+      new Iterator[Long] {
+        def hasNext: Boolean = it.hasNext
+        def next(): Long = java.lang.Integer.toUnsignedLong(it.next())
+      }
+    } finally in.close()
   }
 
   /** Hive-style escape set Paimon's partition paths use (published in
@@ -754,6 +896,17 @@ object PaimonLite {
     if (!fs.exists(schemaFile)) throw new IllegalStateException(
       s"$tableDir: schema/schema-$schemaId missing")
     val schemaJson = JsonMethods.parse(readText(fs, schemaFile))
+    // a DV-enabled table's commits can kill rows via index files the
+    // delta manifest never mentions — streaming its ADDs would
+    // silently keep dead rows in the stream
+    (schemaJson \ "options" \ "deletion-vectors.enabled") match {
+      case JString(v) if v.equalsIgnoreCase("true") =>
+        throw new IllegalStateException(
+          s"$tableDir: deletion-vectors.enabled=true — the per-commit " +
+            "ADD surface cannot see DV kills; streaming DV tables is " +
+            "outside PaimonLite scope")
+      case _ =>
+    }
     val partitionKeys: Seq[String] = (schemaJson \ "partitionKeys") match {
       case JArray(ks) => ks.map(_.extract[String])
       case _          => Nil
@@ -927,17 +1080,48 @@ object PaimonLite {
       val valueNames = snap.schema.fieldNames.filterNot(partCols.contains)
       val needed = keyCols ++ Seq("_SEQUENCE_NUMBER", "_VALUE_KIND") ++
         valueNames
-      val raw = groups.map { case (part, fl) =>
+      val metaCols = if (snap.dvs.isEmpty) Nil else Seq("_pm_path", "_pm_pos")
+      val withDvs = groups.map { case (part, fl) =>
         val scan = ColumnarScan(spark, tableDir, None, fl.map(_.path))
         val missing = needed.filterNot(scan.columns.contains)
         if (missing.nonEmpty) throw new IllegalStateException(
           s"$tableDir: primary-key data files lack KeyValue columns " +
             s"${missing.mkString(", ")} — not a deduplicate-engine " +
             "parquet layout PaimonLite can merge")
+        val metaed = scan.withColumn("_pm_file", col("_metadata.file_path"))
+        val dved =
+          if (snap.dvs.isEmpty) metaed
+          // the DV join keys on the DECODED path (Spark's
+          // _metadata.file_path is percent-encoded) and the row
+          // ordinal, materialized per leg before the union
+          else metaed
+            .withColumn("_pm_path",
+              MetaPaths.decoded(col("_metadata.file_path")))
+            .withColumn("_pm_pos", col("_metadata.row_index"))
         withPartitionCols(
-          scan.withColumn("_pm_file", col("_metadata.file_path"))
-            .select((needed :+ "_pm_file").map(col).toSeq: _*), part)
+          dved.select((needed ++ Seq("_pm_file") ++ metaCols)
+            .map(col).toSeq: _*), part)
       }.reduce(_ unionAll _)
+      // DELETION VECTORS: decode bitmaps executor-side over the
+      // bounded descriptor list (dead-row volume never lands on the
+      // driver), anti-join on (data file, ordinal) BEFORE the merge —
+      // the same shape as IcebergLite's Puffin path
+      val raw =
+        if (snap.dvs.isEmpty) withDvs
+        else {
+          import spark.implicits._
+          val descriptors = snap.dvs.map(d =>
+            (d.indexPath, d.offset, d.length, d.cardinality, d.dataFile))
+          val dead = descriptors.toDS()
+            .repartition(math.min(descriptors.size,
+              spark.sparkContext.defaultParallelism).max(1))
+            .flatMap { case (p, off, len, card, dataFile) =>
+              decodeDvBlob(p, off, len, card).map(pos => (dataFile, pos))
+            }.toDF("_dvp_path", "_dvp_pos")
+          withDvs.join(dead, col("_pm_path") === col("_dvp_path") &&
+            col("_pm_pos") === col("_dvp_pos"), "left_anti")
+            .drop("_pm_path", "_pm_pos")
+        }
       // every engine folds into ONE partial-combining AGGREGATE on
       // the key (map-side combine keeps one candidate/accumulator per
       // key per input partition before the single shuffle — a window

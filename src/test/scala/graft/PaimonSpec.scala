@@ -633,47 +633,129 @@ class PaimonSpec extends AnyFunSuite {
     }
   }
 
-  test("deletion-vector tables refuse loudly (ignoring DVs would " +
-    "silently resurrect deleted rows); HASH index entries are " +
-    "ignorable") {
+  /** Patch `root`'s snapshot-2 with an index manifest holding one
+    * entry of `indexType`; when `positions` is set, a REAL v1 DV
+    * index file kills those kv0.parquet row ordinals (`version` /
+    * `magic` / `breakCrc` / `declaredCard` mangle the framing for the
+    * refusal rows). */
+  private def withIndex(name: String, indexType: String,
+                        positions: Option[Seq[Int]] = None,
+                        version: Int = 1, magic: Int = 1581511376,
+                        breakCrc: Boolean = false,
+                        declaredCard: Long = -1L): String = {
     import spark.implicits._
-    // table option
-    val e = intercept[IllegalStateException] {
-      PaimonLite.snapshot(spark, pkFixture("pkdvopt",
-        options = """{"deletion-vectors.enabled":"true"}"""))
+    val root = pkFixture(name)
+    val blobLen: Int = positions.map { ps =>
+      Files.createDirectories(Paths.get(root, "index"))
+      val bmp = new org.roaringbitmap.RoaringBitmap()
+      ps.foreach(bmp.add)
+      val bos = new java.io.ByteArrayOutputStream()
+      val dos = new java.io.DataOutputStream(bos)
+      dos.writeInt(magic)
+      bmp.serialize(dos)
+      dos.flush()
+      val blob = bos.toByteArray
+      val crc = new java.util.zip.CRC32
+      crc.update(blob)
+      val out = new java.io.DataOutputStream(
+        new java.io.FileOutputStream(s"$root/index/index-x-0"))
+      out.writeByte(version)
+      out.writeInt(blob.length)
+      out.write(blob)
+      out.writeInt(crc.getValue.toInt + (if (breakCrc) 1 else 0))
+      out.close()
+      blob.length
+    }.getOrElse(0)
+    val tmp = s"$root/_tmpidx"
+    val entry = Seq((0, indexType, "index-x-0"))
+      .toDF("_KIND", "_it", "_fn")
+    val withRanges = positions match {
+      case None => entry.select(col("_KIND"),
+        struct(col("_it").as("_INDEX_TYPE"),
+          col("_fn").as("_FILE_NAME")).as("_INDEX_FILE"))
+      case Some(ps) => entry.select(col("_KIND"),
+        struct(col("_it").as("_INDEX_TYPE"),
+          col("_fn").as("_FILE_NAME"),
+          array(struct(lit("kv0.parquet").as("_FILE_NAME"),
+            lit(1).as("_OFFSET"), lit(blobLen).as("_LENGTH"),
+            lit(if (declaredCard >= 0) declaredCard else ps.size.toLong)
+              .as("_CARDINALITY")))
+            .as("_DELETIONS_VECTORS_RANGES")).as("_INDEX_FILE"))
     }
-    assert(e.getMessage.contains("deletion-vectors.enabled"))
-    // snapshot index manifest carrying a DELETION_VECTORS entry
-    def withIndex(name: String, indexType: String): String = {
-      val root = pkFixture(name)
-      val tmp = s"$root/_tmpidx"
-      Seq((0, indexType, "index-x-0"))
-        .toDF("_KIND", "_it", "_fn")
-        .select(col("_KIND"),
-          struct(col("_it").as("_INDEX_TYPE"),
-            col("_fn").as("_FILE_NAME")).as("_INDEX_FILE"))
-        .coalesce(1).write.mode("overwrite")
-        .format("org.apache.spark.sql.avro.AvroFileFormat").save(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(_.getName.startsWith("part-")).get
-      assert(part.renameTo(
-        new java.io.File(s"$root/manifest/idx-$name.avro")))
-      rm(new java.io.File(tmp))
-      val snapPath = java.nio.file.Paths.get(root, "snapshot",
-        "snapshot-2")
-      val snapJson = java.nio.file.Files.readString(snapPath)
-      java.nio.file.Files.writeString(snapPath, snapJson.replace(
-        "\"commitKind\"",
-        s""""indexManifest":"idx-$name.avro","commitKind""""))
-      root
-    }
-    val e2 = intercept[IllegalStateException] {
-      PaimonLite.snapshot(spark, withIndex("pkdvidx", "DELETION_VECTORS"))
-    }
-    assert(e2.getMessage.contains("DELETION_VECTORS"))
+    withRanges.coalesce(1).write.mode("overwrite")
+      .format("org.apache.spark.sql.avro.AvroFileFormat").save(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(_.getName.startsWith("part-")).get
+    assert(part.renameTo(
+      new java.io.File(s"$root/manifest/idx-$name.avro")))
+    rm(new java.io.File(tmp))
+    val snapPath = java.nio.file.Paths.get(root, "snapshot",
+      "snapshot-2")
+    val snapJson = java.nio.file.Files.readString(snapPath)
+    java.nio.file.Files.writeString(snapPath, snapJson.replace(
+      "\"commitKind\"",
+      s""""indexManifest":"idx-$name.avro","commitKind""""))
+    root
+  }
+
+  test("deletion vectors kill rows before the merge; HASH index " +
+    "entries are ignorable") {
+    // kv0 = ids 0..4 (+I, v=id*3); kv1 = +U ids 1,2 → 100, -D id 0.
+    // Without a DV the latest read is (1,100),(2,100),(3,9),(4,12).
+    // The DV kills kv0's id-3 row (no -D exists for it anywhere) and
+    // the superseded id-1 base row (merge must agree with the DV).
+    val probe = pkFixture("pkdvprobe")
+    val pos = spark.read.parquet(s"$probe/bucket-0/kv0.parquet")
+      .select(col("_metadata.row_index"))
+      .where(col("id").isin(1, 3))
+      .collect().map(_.getLong(0).toInt).toSeq.sorted
+    val root = withIndex("pkdv", "DELETION_VECTORS", Some(pos))
+    val got = PaimonLite.read(spark, root)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 100L), (2L, 100L), (4L, 12L)))
     // HASH (dynamic-bucket writer index) is writer-side only — reads fine
     assert(PaimonLite.read(spark, withIndex("pkhashidx", "HASH"))
       .count() > 0)
+  }
+
+  test("unknown index-file formats refuse loudly (version, magic, " +
+    "checksum, cardinality, unknown kinds, missing ranges)") {
+    def failing(name: String, mangle: String => String): String = {
+      val e = intercept[Exception] {
+        PaimonLite.read(spark, mangle(name)).collect()
+      }
+      e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    }
+    val pos = Seq(0, 1)
+    assert(failing("pkdvver",
+      withIndex(_, "DELETION_VECTORS", Some(pos), version = 2))
+      .contains("version 2"))
+    assert(failing("pkdvmag",
+      withIndex(_, "DELETION_VECTORS", Some(pos), magic = 99))
+      .contains("magic"))
+    assert(failing("pkdvcrc",
+      withIndex(_, "DELETION_VECTORS", Some(pos), breakCrc = true))
+      .contains("checksum"))
+    assert(failing("pkdvcard",
+      withIndex(_, "DELETION_VECTORS", Some(pos), declaredCard = 7L))
+      .contains("declares 7"))
+    // an index TYPE this reader cannot classify refuses at plan time
+    val e = intercept[IllegalStateException] {
+      PaimonLite.snapshot(spark, withIndex("pkdvbsi", "BSI"))
+    }
+    assert(e.getMessage.contains("BSI"))
+    // a DELETION_VECTORS entry with no ranges cannot locate bitmaps
+    val e2 = intercept[IllegalStateException] {
+      PaimonLite.snapshot(spark, withIndex("pkdvnorng",
+        "DELETION_VECTORS"))
+    }
+    assert(e2.getMessage.contains("_DELETIONS_VECTORS_RANGES"))
+    // DV-enabled tables cannot stream (ADDs never see DV kills)
+    val e3 = intercept[IllegalStateException] {
+      PaimonLite.deltaAdds(spark, pkFixture("pkdvstream",
+        options = """{"deletion-vectors.enabled":"true"}"""), 2L)
+    }
+    assert(e3.getMessage.contains("deletion-vectors.enabled"))
   }
 
   test("an unknown merge engine refuses loudly") {
