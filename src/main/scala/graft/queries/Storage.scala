@@ -712,6 +712,18 @@ object Storage extends QueryModule {
         .readIncremental(s, authorHudiMorIncTable(s, dir), "001"))
     },
 
+    // Hudi MOR INCREMENTAL × PRECOMBINE: range membership is by the
+    // key's last ARRIVAL, the value by the EVENT-TIME merge. Over
+    // (002, 003]: keys %10∈(3,4) are selected by log.2's late ×5 at
+    // o_seq=20 but surface log.1's ×2 (o_seq=30 wins); %10=1 takes ×4
+    // (o_seq 25 > base 10); %10=2's ×9 at o_seq=5 LOSES to the base —
+    // the stored row surfaces; %10=0's winning delete stays invisible;
+    // g2's ct=003 inserts ride the untouched side.
+    "q459_hudi_mor_pc_incremental" -> { (s, dir) =>
+      ordersCensus(graft.sources.HudiMorLite
+        .readIncremental(s, authorHudiMorPcIncTable(s, dir), "002"))
+    },
+
     // Hudi INCREMENTAL query (hoodie.datasource.query.type=
     // incremental): exactly the rows WRITTEN in (001, 002] — batch A's
     // l_quantity>30 upserts at ×2 price (the rest of the REWRITTEN
@@ -1785,6 +1797,108 @@ object Storage extends QueryModule {
             recs(col("o_orderkey") % 10 === 3, 5.0, "003")
               ++ recs(col("o_orderkey") % 10 === 0, 1.0, "003",
                 deleted = true))))
+        one(baseDf((col("o_orderkey") % 10).isin(5, 6), "003"),
+          "g2_0-0_003.parquet")
+        Files.writeString(Paths.get(root, ".hoodie", "003.deltacommit"),
+          s"""{"partitionToWriteStats":{"":[${
+            stat("g1", ".g1_001.log.2")},${
+            stat("g2", "g2_0-0_003.parquet")}]}}""")
+        root
+      })
+    }
+
+  private val hudiMorPcIncMemo =
+    scala.collection.mutable.Map.empty[String, String]
+
+  /** Authors the PRECOMBINE × INCREMENTAL MOR table q459 reads. Base
+    * g1 at 001 (keys %10<5, o_seq=10, ct=001); log.1 arrives at 002
+    * (keys %10∈(3,4) ×2, seq 30); log.2 arrives at 003 — keys
+    * %10∈(3,4) ×5 at seq 20 (LATE: range-selected by arrival, loses
+    * the event-time merge to seq 30), key %10=1 ×4 seq 25 (wins vs
+    * base), key %10=2 ×9 seq 5 (loses to the base's seq 10 — the
+    * STORED row surfaces), key %10=0 delete at seq 50 (winning delete
+    * — omitted); base g2 at 003 inserts %10∈(5,6) (the untouched
+    * side). Memoized per sf-dir. */
+  private def authorHudiMorPcIncTable(s: SparkSession,
+                                      dir: String): String =
+    hudiMorPcIncMemo.synchronized {
+      hudiMorPcIncMemo.getOrElseUpdate(dir, {
+        import java.nio.file.{Files, Paths}
+        val root =
+          s"/tmp/graft_hudi/morpcinc_${Integer.toHexString(dir.hashCode)}"
+        def rm(p: java.io.File): Unit = {
+          if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+          p.delete(): Unit
+        }
+        rm(new java.io.File(root))
+        Files.createDirectories(Paths.get(root, ".hoodie"))
+        Files.writeString(Paths.get(root, ".hoodie", "hoodie.properties"),
+          "hoodie.table.name=orders_mor_pc_inc\n" +
+            "hoodie.table.type=MERGE_ON_READ\n" +
+            "hoodie.table.precombine.field=o_seq\n")
+        val src = Tables.df(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderstatus"))
+        def baseDf(filter: Column, ct: String): DataFrame =
+          src.filter(filter)
+            .select(col("o_orderkey").cast("string")
+              .as("_hoodie_record_key"),
+              lit(ct).as("_hoodie_commit_time"),
+              col("o_orderkey"), col("o_totalprice"),
+              col("o_orderstatus"), lit(10L).as("o_seq"))
+        def one(df: DataFrame, out: String): Unit = {
+          val tmp = s"$root/_tmp"
+          df.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(f => f.getName.endsWith(".parquet") &&
+              !f.getName.startsWith(".")).get
+          assert(part.renameTo(new java.io.File(s"$root/$out")))
+          rm(new java.io.File(tmp))
+        }
+        one(baseDf(col("o_orderkey") % 10 < 5, "001"),
+          "g1_0-0_001.parquet")
+        def stat(fid: String, p: String): String =
+          s"""{"fileId":${jstr(fid)},"path":${jstr(p)},"numWrites":1}"""
+        Files.writeString(Paths.get(root, ".hoodie", "001.deltacommit"),
+          s"""{"partitionToWriteStats":{"":[${
+            stat("g1", "g1_0-0_001.parquet")}]}}""")
+        val avroSchema =
+          """{"type":"record","name":"r","fields":[
+            | {"name":"_hoodie_record_key","type":"string"},
+            | {"name":"_hoodie_commit_time","type":"string"},
+            | {"name":"o_orderkey","type":"long"},
+            | {"name":"o_totalprice","type":"double"},
+            | {"name":"o_orderstatus","type":"string"},
+            | {"name":"o_seq","type":"long"},
+            | {"name":"_hoodie_is_deleted","type":"boolean"}]}"""
+            .stripMargin
+        def recs(ms: Seq[Int], mult: Double, ct: String, seq: Long,
+                 deleted: Boolean = false): Seq[Map[String, Any]] =
+          src.filter((col("o_orderkey") % 10).isin(ms.map(Int.box): _*))
+            .select(col("o_orderkey"), col("o_totalprice"),
+              col("o_orderstatus")).collect().toSeq.map { r =>
+              Map[String, Any](
+                "_hoodie_record_key" -> r.getLong(0).toString,
+                "_hoodie_commit_time" -> ct,
+                "o_orderkey" -> r.getLong(0),
+                "o_totalprice" -> (r.getDouble(1) * mult),
+                "o_orderstatus" -> r.getString(2),
+                "o_seq" -> seq,
+                "_hoodie_is_deleted" -> deleted)
+            }
+        import graft.sources.HudiMorLite.AvroBlockSpec
+        graft.sources.HudiMorLite.writeLogBlocks(s"$root/.g1_001.log.1",
+          Seq(AvroBlockSpec(avroSchema,
+            recs(Seq(3, 4), 2.0, "002", seq = 30L))))
+        Files.writeString(Paths.get(root, ".hoodie", "002.deltacommit"),
+          s"""{"partitionToWriteStats":{"":[${
+            stat("g1", ".g1_001.log.1")}]}}""")
+        graft.sources.HudiMorLite.writeLogBlocks(s"$root/.g1_001.log.2",
+          Seq(AvroBlockSpec(avroSchema,
+            recs(Seq(3, 4), 5.0, "003", seq = 20L)
+              ++ recs(Seq(1), 4.0, "003", seq = 25L)
+              ++ recs(Seq(2), 9.0, "003", seq = 5L)
+              ++ recs(Seq(0), 1.0, "003", seq = 50L, deleted = true))))
         one(baseDf((col("o_orderkey") % 10).isin(5, 6), "003"),
           "g2_0-0_003.parquet")
         Files.writeString(Paths.get(root, ".hoodie", "003.deltacommit"),
@@ -5442,6 +5556,22 @@ object Storage extends QueryModule {
         |  UNION ALL
         |  SELECT o_orderstatus, o_totalprice FROM orders
         |  WHERE o_orderkey % 10 IN (5, 6))
+        |SELECT o_orderstatus, count(*) AS n,
+        | CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM inc GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+    // MOR precombine incremental (002, 003]: arrival selects keys
+    // 1..4; event time picks ×4 / base ×1 / ×2 / ×2; g2 (5,6) at ×1
+    "q459_hudi_mor_pc_incremental" ->
+      """WITH inc AS (
+        |  SELECT o_orderstatus, o_totalprice * 4 AS p FROM orders
+        |  WHERE o_orderkey % 10 = 1
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_totalprice * 2 FROM orders
+        |  WHERE o_orderkey % 10 IN (3, 4)
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey % 10 IN (2, 5, 6))
         |SELECT o_orderstatus, count(*) AS n,
         | CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM inc GROUP BY o_orderstatus

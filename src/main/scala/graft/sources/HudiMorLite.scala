@@ -1068,9 +1068,14 @@ object HudiMorLite {
     }
     val payload = struct(
       (col("_hml_deleted") +: col("_hml_ord") +: names.map(col)): _*)
+    // _hml_arr = the key's LAST ARRIVAL ord (max over arrival alone).
+    // Under a precombine field the event-time winner's own _hml_ord
+    // can be an EARLIER arrival, but incremental range membership is
+    // by arrival — both ride the same single aggregate.
     val winners = logDf
       .groupBy(col("_hml_part"), col("_hml_key"))
-      .agg(max_by(payload, ordExpr).as("_hml_top"))
+      .agg(max_by(payload, ordExpr).as("_hml_top"),
+        max(col("_hml_ord")).as("_hml_arr"))
     MergeParts(base, winners, hasPartCol, names, hadLogs = true)
   }
 
@@ -1154,18 +1159,19 @@ object HudiMorLite {
     *    PRESERVES original commit times, so rewritten-but-unchanged
     *    rows stay invisible) — requires the commit-time meta column,
     *    refused when absent.
-    * Precombine (event-time) tables refuse: their merge order is the
-    * event time, which has no total order against the commit range.
+    * PRECOMBINE (event-time) tables: range membership is by the key's
+    * last ARRIVAL instant (`_hml_arr` — a key is "changed in range"
+    * when a log record for it landed there), but the EMITTED value is
+    * the event-time merge outcome: the (precombine, arrival) winner
+    * checked against the base row exactly like the snapshot read, so
+    * a late-arriving lower-ordering record selects its key into the
+    * range yet loses the merge — the stored row's value surfaces.
     * Mixed-width instants refuse (string-order hazard, as in
     * [[HudiCowLite.readIncremental]]). */
   def readIncremental(spark: SparkSession, tableDir: String,
                       beginInstant: String,
                       endInstant: Option[String] = None): DataFrame = {
     val snap = snapshot(spark, tableDir, endInstant)
-    if (snap.precombineField.nonEmpty) throw new IllegalStateException(
-      s"$tableDir: incremental reads on a precombine (event-time) " +
-        "table are outside HudiMorLite scope — the merge order is the " +
-        "event time, which has no total order against a commit range")
     val end = snap.instant
     if (BigInt(beginInstant) >= BigInt(end))
       throw new IllegalArgumentException(
@@ -1195,14 +1201,51 @@ object HudiMorLite {
     val untouched = baseInRange
       .join(winners.select(col("_hml_part"), col("_hml_key")),
         joinCond, "left_anti")
-    // the winner payload's ord string is instant|version|block|record
-    // with the instant zero-padded to 20 digits
-    val winInstant = substring(col("_hml_top._hml_ord"), 1, 20)
-    val changed = winners
-      .filter(!col("_hml_top._hml_deleted"))
-      .filter(winInstant > lit(f"${BigInt(beginInstant)}%020d") &&
-        winInstant <= lit(f"${BigInt(end)}%020d"))
-      .select(names.map(n => col(s"_hml_top.$n").as(n)): _*)
+    // the ord strings are instant|version|block|record with the
+    // instant zero-padded to 20 digits; range membership keys on the
+    // key's LAST ARRIVAL (= the winner's own arrival when there is no
+    // precombine field)
+    val arrInstant = substring(col("_hml_arr"), 1, 20)
+    val inRange = winners
+      .filter(arrInstant > lit(f"${BigInt(beginInstant)}%020d") &&
+        arrInstant <= lit(f"${BigInt(end)}%020d"))
+    val changed = snap.precombineField match {
+      case None =>
+        inRange
+          .filter(!col("_hml_top._hml_deleted"))
+          .select(names.map(n => col(s"_hml_top.$n").as(n)): _*)
+      case Some(pc) =>
+        // event-time outcome per selected key: the (precombine,
+        // arrival) winner replaces the base row only when it outranks
+        // it — a losing winner (late lower-ordering arrival, or a
+        // losing delete) surfaces the STORED row instead
+        def pcGuard(c: Column, what: String): Column =
+          when(c.isNull, raise_error(lit(
+            s"HudiMorLite: $tableDir: a $what carries a NULL " +
+              "precombine value — cannot event-time-order the merge")))
+            .otherwise(c)
+        val baseFull = base.select(
+          (if (hasPartCol) base(PartCol)
+           else lit(null).cast(StringType)).as("_hb_part") +:
+            base("_hoodie_record_key").as("_hb_key") +:
+            names.map(n => base(n).as(s"_hb_$n")): _*)
+        val patchCond =
+          if (hasPartCol)
+            col("_hml_part") === col("_hb_part") &&
+              col("_hml_key") === col("_hb_key")
+          else col("_hml_key") === col("_hb_key")
+        val winnerWins = col("_hb_key").isNull ||
+          col(s"_hml_top.$pc") >= pcGuard(col(s"_hb_$pc"), "base row")
+        inRange
+          .join(baseFull, patchCond, "left")
+          // a delete that WINS removes the key from the range's
+          // output (standard incremental omits deletes); a delete
+          // that LOSES leaves the stored row to surface
+          .filter(!(col("_hml_top._hml_deleted") && winnerWins))
+          .select(names.map(n =>
+            when(winnerWins, col(s"_hml_top.$n"))
+              .otherwise(col(s"_hb_$n")).as(n)): _*)
+    }
     untouched.unionByName(changed)
   }
 }

@@ -454,6 +454,45 @@ class HudiMorSpec extends AnyFunSuite {
     root
   }
 
+  private val pcCtAvroSchema =
+    """{"type":"record","name":"r","fields":[
+      | {"name":"_hoodie_record_key","type":"string"},
+      | {"name":"_hoodie_commit_time","type":"string"},
+      | {"name":"id","type":"long"},
+      | {"name":"v","type":"long"},
+      | {"name":"ts","type":["null","long"],"default":null},
+      | {"name":"_hoodie_is_deleted","type":"boolean"}]}""".stripMargin
+
+  private def pcCtRec(id: Long, v: Long, ts: java.lang.Long, ct: String,
+                      deleted: Boolean = false): Map[String, Any] =
+    Map("_hoodie_record_key" -> id.toString,
+      "_hoodie_commit_time" -> ct, "id" -> id, "v" -> v,
+      "ts" -> ts, "_hoodie_is_deleted" -> deleted)
+
+  /** Precombine MOR table whose base ALSO carries
+    * `_hoodie_commit_time` (incremental-readable): ids 0..4, v=id*3,
+    * ts=10, ct=001. */
+  private def pcCtFixture(name: String): String = {
+    val root = s"/tmp/graft_hudimorspec/$name"
+    rm(new java.io.File(root))
+    Files.createDirectories(Paths.get(root, ".hoodie"))
+    Files.writeString(Paths.get(root, ".hoodie", "hoodie.properties"),
+      "hoodie.table.type=MERGE_ON_READ\n" +
+        "hoodie.table.precombine.field=ts\n")
+    val tmp = s"$root/_tmp"
+    spark.range(0, 5).select(col("id").cast("string")
+      .as("_hoodie_record_key"), lit("001").as("_hoodie_commit_time"),
+      col("id"), (col("id") * 3).as("v"), lit(10L).as("ts"))
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val pf = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith(".")).get
+    assert(pf.renameTo(new java.io.File(s"$root/g1_0-0_001.parquet")))
+    rm(new java.io.File(tmp))
+    commit(root, "001", "deltacommit", "g1_0-0_001.parquet")
+    root
+  }
+
   test("precombine field: the HIGHER event time wins log-vs-log and " +
     "base-vs-log; equal orderings go to the incoming record") {
     import spark.implicits._
@@ -595,15 +634,25 @@ class HudiMorSpec extends AnyFunSuite {
     intercept[IllegalStateException] {
       HudiMorLite.readIncremental(spark, root, "1")
     }
-    // a precombine table refuses incremental
-    val root2 = pcFixture("morincpc")
+    // precombine × incremental: ARRIVAL selects the keys, EVENT TIME
+    // decides the value — a late lower-ordering record selects its
+    // key into the range yet the stored row's value surfaces
+    val root2 = pcCtFixture("morincpc")
     HudiMorLite.writeLogBlocks(s"$root2/.g1_001.log.1", Seq(
-      HudiMorLite.AvroBlockSpec(pcAvroSchema, Seq(pcRec(1, 100, 30L)))))
+      HudiMorLite.AvroBlockSpec(pcCtAvroSchema,
+        Seq(pcCtRec(1, 100, 30L, "002")))))
     commit(root2, "002", "deltacommit", ".g1_001.log.1")
-    val e = intercept[IllegalStateException] {
-      HudiMorLite.readIncremental(spark, root2, "001")
-    }
-    assert(e.getMessage.contains("precombine"))
+    HudiMorLite.writeLogBlocks(s"$root2/.g1_001.log.2", Seq(
+      HudiMorLite.AvroBlockSpec(pcCtAvroSchema, Seq(
+        pcCtRec(1, 999, 20L, "003"), // late, loses to ts=30
+        pcCtRec(2, 777, 5L, "003"),  // loses to the BASE's ts=10
+        pcCtRec(3, 500, 40L, "003"), // wins vs base
+        pcCtRec(0, 0, 50L, "003", deleted = true))))) // winning delete
+    commit(root2, "003", "deltacommit", ".g1_001.log.2")
+    val gotPc = HudiMorLite.readIncremental(spark, root2, "002")
+      .select("id", "v").as[(Long, Long)].collect().sorted.toSeq
+    assert(gotPc == Seq((1L, 100L), (2L, 6L), (3L, 500L)),
+      s"precombine incremental: $gotPc")
     // a base without _hoodie_commit_time refuses
     val root3 = fixture("morincnoct")
     HudiMorLite.writeLogBlocks(s"$root3/.g1_001.log.1", Seq(
@@ -686,6 +735,59 @@ class HudiMorSpec extends AnyFunSuite {
         .sorted
       assert(got == want, s"seed $seed: model mismatch " +
         s"(got $got, want $want)")
+    }
+  }
+
+  test("randomized model check: the precombine merge AND its " +
+    "incremental read equal an in-order payload fold (incoming wins " +
+    "on ts >= current), across seeds") {
+    import spark.implicits._
+    final case class St(v: Long, ts: Long, deleted: Boolean)
+    for (seed <- Seq(7, 99, 2024)) {
+      val rnd = new scala.util.Random(seed)
+      val root = pcCtFixture(s"pcmodel$seed")
+      // base = ids 0..4 → (id*3, ts 10, alive); keys 5..7 insert new
+      val state = scala.collection.mutable.Map[Long, St](
+        (0L to 4L).map(i => i -> St(i * 3, 10L, deleted = false)): _*)
+      val lastArrival = scala.collection.mutable.Map.empty[Long, String]
+      val nCommits = 3 + rnd.nextInt(3)
+      val instants = (0 until nCommits).map(c => f"${(c + 2) * 10}%03d")
+      for ((instant, c) <- instants.zipWithIndex) {
+        val events = (0 until (1 + rnd.nextInt(5))).map { _ =>
+          (rnd.nextInt(8).toLong, rnd.nextInt(1000).toLong,
+            rnd.nextInt(40).toLong, rnd.nextDouble() < 0.25)
+        }
+        HudiMorLite.writeLogBlocks(s"$root/.g1_001.log.${c + 1}", Seq(
+          HudiMorLite.AvroBlockSpec(pcCtAvroSchema, events.map {
+            case (k, v, ts, del) =>
+              pcCtRec(k, v, ts, instant, deleted = del) })))
+        commit(root, instant, "deltacommit", s".g1_001.log.${c + 1}")
+        events.foreach { case (k, v, ts, del) =>
+          lastArrival(k) = instant
+          // DefaultHoodieRecordPayload: incoming wins on ts >= current
+          if (state.get(k).forall(ts >= _.ts)) state(k) = St(v, ts, del)
+        }
+      }
+      val got = HudiMorLite.read(spark, root)
+        .select("id", "v").as[(Long, Long)].collect().sorted.toSeq
+      val want = state.toSeq
+        .collect { case (k, St(v, _, false)) => (k, v) }.sorted
+      assert(got == want,
+        s"seed $seed snapshot: got $got, want $want")
+      // incremental over a random (begin, latest] range: ARRIVAL
+      // selects the keys, the fold's outcome is the value
+      val begin = instants(rnd.nextInt(instants.size - 1))
+      val gotInc = HudiMorLite.readIncremental(spark, root, begin)
+        .select("id", "v").as[(Long, Long)].collect().sorted.toSeq
+      // base rows all carry ct=001 < begin, so only log-touched keys
+      // can surface; deleted outcomes stay invisible
+      val wantInc = state.toSeq.collect {
+        case (k, St(v, _, false))
+          if lastArrival.get(k).exists(_ > begin) => (k, v)
+      }.sorted
+      assert(gotInc == wantInc,
+        s"seed $seed incremental ($begin, latest]: got $gotInc, " +
+          s"want $wantInc")
     }
   }
 
