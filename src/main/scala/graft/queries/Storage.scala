@@ -882,6 +882,33 @@ object Storage extends QueryModule {
         .orderBy(col("name"))
     },
 
+    // Iceberg FILES metadata table — one row per LIVE data file of
+    // the current snapshot, projected from the data-manifest replay:
+    // file_format / record_count / file_size_in_bytes / identity
+    // partition (canonical JSON). The oracle recomputes each file's
+    // record_count from lineitem — a replay that dropped a file,
+    // resurrected a tombstone or mis-read a stat hash-mismatches.
+    "q460_iceberg_files_table" -> { (s, dir) =>
+      graft.sources.IcebergLite
+        .metadataTable(s, authorIcebergStatsTable(s, dir), "files")
+        .select(regexp_extract(col("file_path"), "([^/]+)$", 1)
+          .as("file_name"),
+          col("file_format"), col("record_count"),
+          (col("file_size_in_bytes") > 0).as("size_known"),
+          col("partition").as("part"))
+        .orderBy(col("file_name"))
+    },
+
+    // Iceberg PARTITIONS metadata table — the files rows grouped by
+    // partition: m=0 aggregates two files, m=1 one.
+    "q461_iceberg_partitions_table" -> { (s, dir) =>
+      graft.sources.IcebergLite
+        .metadataTable(s, authorIcebergStatsTable(s, dir), "partitions")
+        .select(col("partition").as("part"), col("record_count"),
+          col("file_count"))
+        .orderBy(col("part"))
+    },
+
     // SQL TABLE-FUNCTION surface: the same tag-travelled Paimon read
     // as q433, but driven ENTIRELY from SQL — graft_lake('<root>',
     // 'prewipe') resolves through GraftLake's layout detection and
@@ -2390,6 +2417,98 @@ object Storage extends QueryModule {
              |]}""".stripMargin
         Files.writeString(Paths.get(root, "metadata", "v1.metadata.json"),
           metaJson)
+        Files.writeString(Paths.get(root, "metadata", "version-hint.text"),
+          "1")
+        root
+      })
+    }
+
+  private val icebergStatsMemo =
+    scala.collection.mutable.Map.empty[String, String]
+
+  /** Authors the STATS-carrying Iceberg table q460/q461 read: one
+    * snapshot whose data manifest records, per the spec's required
+    * data_file fields, file_format / record_count /
+    * file_size_in_bytes / partition (identity on m = l_orderkey%10).
+    * Partition m=0 holds TWO files (l_quantity ≤ 25 and > 25), m=1
+    * one — so `partitions` aggregates 2+1 files into 2 rows. Counts
+    * and sizes are the REAL ones (spark counts + on-disk lengths).
+    * Memoized per sf-dir. */
+  private def authorIcebergStatsTable(s: SparkSession,
+                                      dir: String): String =
+    icebergStatsMemo.synchronized {
+      icebergStatsMemo.getOrElseUpdate(dir, {
+        import java.nio.file.{Files, Paths}
+        val avroFmt = "org.apache.spark.sql.avro.AvroFileFormat"
+        val root =
+          s"/tmp/graft_iceberg/stats_${Integer.toHexString(dir.hashCode)}"
+        def rm(p: java.io.File): Unit = {
+          if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+          p.delete(): Unit
+        }
+        rm(new java.io.File(root))
+        Files.createDirectories(Paths.get(root, "metadata"))
+        Files.createDirectories(Paths.get(root, "data"))
+        val src = Tables.df(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity"),
+            col("l_extendedprice"), col("l_returnflag"))
+        // (name, m, rows, bytes) per data file — real counts + sizes
+        def dataFile(name: String, m: Int,
+                     filter: Column): (String, Int, Long, Long) = {
+          val df = src.filter(filter)
+          val n = df.count()
+          val tmp = s"$root/_tmp"
+          graft.sources.IcebergLite.stampFieldIds(df, liFieldIds)
+            .coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(f => f.getName.endsWith(".parquet") &&
+              !f.getName.startsWith(".")).get
+          val out = new java.io.File(s"$root/data/$name")
+          assert(part.renameTo(out))
+          rm(new java.io.File(tmp))
+          (s"data/$name", m, n, out.length())
+        }
+        val files = Seq(
+          dataFile("f0a.parquet", 0,
+            col("l_orderkey") % 10 === 0 && col("l_quantity") <= 25),
+          dataFile("f0b.parquet", 0,
+            col("l_orderkey") % 10 === 0 && col("l_quantity") > 25),
+          dataFile("f1.parquet", 1, col("l_orderkey") % 10 === 1))
+        def writeAvro(df: DataFrame, rel: String): Unit = {
+          val tmp = s"$root/_tmpavro"
+          df.coalesce(1).write.mode("overwrite").format(avroFmt).save(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(f => f.getName.startsWith("part-")).get
+          assert(part.renameTo(new java.io.File(s"$root/$rel")))
+          rm(new java.io.File(tmp))
+        }
+        import s.implicits._
+        writeAvro(files.toDF("file_path", "m", "rc", "bytes")
+          .select(lit(1).as("status"),
+            struct(col("file_path"), lit(0).as("content"),
+              lit("PARQUET").as("file_format"),
+              col("rc").as("record_count"),
+              col("bytes").as("file_size_in_bytes"),
+              struct(col("m")).as("partition")).as("data_file")),
+          "metadata/m-stats.avro")
+        writeAvro(Seq("metadata/m-stats.avro").toDF("manifest_path")
+          .select(col("manifest_path"), lit(0).as("content")),
+          "metadata/snap-1.avro")
+        val fields = Seq(
+          (1, "l_orderkey", "long"), (2, "l_quantity", "double"),
+          (3, "l_extendedprice", "double"), (4, "l_returnflag", "string"))
+          .map { case (i, n, t) =>
+            s"""{"id":$i,"name":${jstr(n)},"required":false,"type":${jstr(t)}}"""
+          }.mkString("[", ",", "]")
+        Files.writeString(Paths.get(root, "metadata", "v1.metadata.json"),
+          s"""{"format-version":2,"table-uuid":"graft-q460",
+             |"location":${jstr(root)},"current-schema-id":0,
+             |"schemas":[{"schema-id":0,"type":"struct","fields":$fields}],
+             |"current-snapshot-id":1,
+             |"snapshots":[
+             | {"snapshot-id":1,"timestamp-ms":1000,
+             |  "manifest-list":"metadata/snap-1.avro"}
+             |]}""".stripMargin)
         Files.writeString(Paths.get(root, "metadata", "version-hint.text"),
           "1")
         root
@@ -5162,6 +5281,38 @@ object Storage extends QueryModule {
         |  ('v1', 'tag', CAST(1 AS BIGINT), CAST(1000 AS BIGINT)))
         |  AS t(name, "type", snapshot_id, timestamp_ms)
         |ORDER BY name""".stripMargin,
+    // files metadata: per-file record counts recomputed from lineitem
+    "q460_iceberg_files_table" ->
+      """WITH f AS (
+        |  SELECT 'f0a.parquet' AS file_name, '{"m":0}' AS part,
+        |    (SELECT count(*) FROM lineitem
+        |     WHERE l_orderkey % 10 = 0 AND l_quantity <= 25)
+        |      AS record_count
+        |  UNION ALL
+        |  SELECT 'f0b.parquet', '{"m":0}',
+        |    (SELECT count(*) FROM lineitem
+        |     WHERE l_orderkey % 10 = 0 AND l_quantity > 25)
+        |  UNION ALL
+        |  SELECT 'f1.parquet', '{"m":1}',
+        |    (SELECT count(*) FROM lineitem WHERE l_orderkey % 10 = 1))
+        |SELECT file_name, 'PARQUET' AS file_format,
+        |  CAST(record_count AS BIGINT) AS record_count,
+        |  CAST(1 AS BOOLEAN) AS size_known, part
+        |FROM f ORDER BY file_name""".stripMargin,
+    // partitions metadata: m=0 sums two files, m=1 one
+    "q461_iceberg_partitions_table" ->
+      """WITH p AS (
+        |  SELECT '{"m":0}' AS part,
+        |    (SELECT count(*) FROM lineitem WHERE l_orderkey % 10 = 0)
+        |      AS record_count,
+        |    2 AS file_count
+        |  UNION ALL
+        |  SELECT '{"m":1}',
+        |    (SELECT count(*) FROM lineitem WHERE l_orderkey % 10 = 1),
+        |    1)
+        |SELECT part, CAST(record_count AS BIGINT) AS record_count,
+        |  CAST(file_count AS BIGINT) AS file_count
+        |FROM p ORDER BY part""".stripMargin,
     // SQL TVF over the 'prewipe'-tagged Paimon table = q433's census
     "q452_graft_lake_sql" ->
       """SELECT l_returnflag, count(*) AS n,

@@ -544,6 +544,82 @@ object IcebergLite {
       nameMapping, dvs)
   }
 
+  /** Per-file rows of the CURRENT snapshot's DATA manifests — the
+    * bounded replay behind the `files`/`partitions` metadata tables:
+    * (path, file_format, record_count, file_size_in_bytes,
+    * partition-as-canonical-JSON). Stats the writer did not record
+    * come back None (real Iceberg manifests always carry
+    * record_count/file_size_in_bytes; `partitions` refuses on absent
+    * counts rather than mis-summing); file_format falls back to the
+    * extension — the same identity the scan itself keys on. */
+  private def dataFileStats(spark: SparkSession, tableDir: String)
+  : Seq[(String, String, Option[Long], Option[Long], Option[String])] = {
+    val (metaFile, meta) = loadMeta(spark, tableDir)
+    val curId = (meta \ "current-snapshot-id").extractOpt[Long]
+      .filter(_ != -1L).getOrElse(throw new IllegalStateException(
+        s"$metaFile: table has no current snapshot"))
+    val manifestList = ((meta \ "snapshots") match {
+      case JArray(ss) => ss.collectFirst {
+        case s if (s \ "snapshot-id").extract[Long] == curId =>
+          (s \ "manifest-list").extract[String]
+      }
+      case _ => None
+    }).getOrElse(throw new IllegalStateException(
+      s"$metaFile: current snapshot $curId not in snapshots"))
+    val ml = spark.read.format(AvroFmt).load(resolve(tableDir, manifestList))
+    if (!ml.columns.contains("manifest_path"))
+      throw new IllegalStateException(
+        s"$manifestList: manifest list lacks manifest_path")
+    val dataManifests = ml.collect().filter { r =>
+      !ml.columns.contains("content") || r.getAs[Any]("content") == null ||
+        r.getAs[Number]("content").intValue() == 0
+    }.map(_.getAs[String]("manifest_path")).toSeq
+    def jsonStr(s: String): String = "\"" + s.flatMap {
+      case '"'          => "\\\""
+      case '\\'         => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c            => c.toString
+    } + "\""
+    dataManifests.flatMap { mp =>
+      val p = resolve(tableDir, mp)
+      val m = spark.read.format(AvroFmt).load(p)
+      if (!m.columns.contains("data_file") || !m.columns.contains("status"))
+        throw new IllegalStateException(
+          s"$p: manifest lacks status/data_file fields")
+      m.collect().flatMap { r =>
+        val df = r.getAs[org.apache.spark.sql.Row]("data_file")
+        def fld[T](n: String)(get: => T): Option[T] =
+          if (df.schema.fieldNames.contains(n) &&
+            df.getAs[Any](n) != null) Some(get) else None
+        // status 2 = DELETED tombstone; content != 0 cannot appear in
+        // a data manifest (snapshot() enforces; tolerate here too)
+        if (r.getAs[Number]("status").intValue() == 2) None
+        else {
+          val path = resolve(tableDir, df.getAs[String]("file_path"))
+          val fmt = fld("file_format")(df.getAs[String]("file_format"))
+            .getOrElse(path.split('.').last.toUpperCase)
+          val partition = fld("partition")(
+            df.getAs[org.apache.spark.sql.Row]("partition")).map { pr =>
+            pr.schema.fieldNames.map { n =>
+              val v = pr.getAs[Any](n) match {
+                case null      => "null"
+                case s: String => jsonStr(s)
+                case other     => other.toString
+              }
+              s"${jsonStr(n)}:$v"
+            }.mkString("{", ",", "}")
+          }
+          Some((path, fmt,
+            fld("record_count")(
+              df.getAs[Number]("record_count").longValue()),
+            fld("file_size_in_bytes")(
+              df.getAs[Number]("file_size_in_bytes").longValue()),
+            partition))
+        }
+      }
+    }
+  }
+
   /** Iceberg METADATA TABLES — the library's `table$snapshots` /
     * `table$refs` query surface, served from the table metadata
     * (bounded plan-time JSON, one small local relation):
@@ -553,8 +629,15 @@ object IcebergLite {
     *  - "history": (made_current_at, snapshot_id) from the metadata's
     *    snapshot-log (the spec's current-snapshot lineage; empty when
     *    the writer kept no log)
-    * Other names refuse listing what exists (files/manifests need
-    * per-file stats this lite reader does not materialize). */
+    *  - "files": one row per LIVE data file of the current snapshot
+    *    (file_path, file_format, record_count, file_size_in_bytes,
+    *    partition as canonical JSON) from the data-manifest replay
+    *  - "partitions": the files rows grouped by partition
+    *    (partition, record_count, file_count) — refuses when a
+    *    manifest recorded no record_count (summing absent counts
+    *    would be silently wrong)
+    * Other names refuse listing what exists (manifests/entries need
+    * per-manifest stats this lite reader does not materialize). */
   def metadataTable(spark: SparkSession, tableDir: String,
                     table: String): DataFrame = {
     import spark.implicits._
@@ -589,10 +672,23 @@ object IcebergLite {
           case _ => Nil
         }
         rows.toDF("made_current_at", "snapshot_id")
+      case "files" =>
+        dataFileStats(spark, tableDir).toDF("file_path", "file_format",
+          "record_count", "file_size_in_bytes", "partition")
+      case "partitions" =>
+        val stats = dataFileStats(spark, tableDir)
+        for ((p, _, rc, _, _) <- stats if rc.isEmpty)
+          throw new IllegalStateException(
+            s"$tableDir: data file $p has no record_count in its " +
+              "manifest — the partitions table cannot sum absent counts")
+        stats.groupBy(_._5).toSeq.map { case (part, fs) =>
+          (part, fs.map(_._3.get).sum, fs.size.toLong)
+        }.toDF("partition", "record_count", "file_count")
       case other => throw new IllegalArgumentException(
         s"$tableDir: metadata table '$other' — IcebergLite serves " +
-          "snapshots, refs and history (files/manifests need per-file " +
-          "stats outside lite scope)")
+          "snapshots, refs, history, files and partitions " +
+          "(manifests/entries need per-manifest stats outside lite " +
+          "scope)")
     }
   }
 

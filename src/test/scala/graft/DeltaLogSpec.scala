@@ -990,6 +990,106 @@ class DeltaLogSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("commitInfo.timestamp"))
   }
 
+  test("randomized model check: every version of a random " +
+    "add/remove/DV commit sequence equals an in-memory file-set " +
+    "model, across seeds") {
+    import spark.implicits._
+    final case class F(name: String, rows: Seq[Long], dead: Set[Int])
+    for (seed <- Seq(13, 60, 947)) {
+      val rnd = new scala.util.Random(seed)
+      val root = s"/tmp/graft_deltaspec/model$seed"
+      def rm(p: java.io.File): Unit = {
+        if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+        p.delete(): Unit
+      }
+      rm(new java.io.File(root))
+      Files.createDirectories(Paths.get(root, "_delta_log"))
+      val schema = spark.range(0, 1)
+        .select(col("id"), (col("id") * 2).as("v")).schema.json
+      val metaLine =
+        s"""{"metaData":{"id":"m$seed","format":{"provider":"parquet",
+           |"options":{}},"schemaString":${jstr(schema)},
+           |"partitionColumns":[],"configuration":{},"createdTime":0}}"""
+          .stripMargin.replace("\n", "")
+      var nextBase = 0L
+      def newDataFile(): F = {
+        val n = 3 + rnd.nextInt(5)
+        val rows = (nextBase until nextBase + n).toSeq
+        nextBase += 100
+        val name = s"f${rows.head}.parquet"
+        val tmp = s"$root/_tmp"
+        spark.range(rows.head, rows.head + n)
+          .select(col("id"), (col("id") * 2).as("v"))
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val p = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.endsWith(".parquet") &&
+            !f.getName.startsWith(".")).get
+        assert(p.renameTo(new java.io.File(s"$root/$name")))
+        rm(new java.io.File(tmp))
+        F(name, rows, Set.empty)
+      }
+      def addLine(f: F, v: Long): String = {
+        val dv = if (f.dead.isEmpty) "" else {
+          // a fresh DV file per re-add: the descriptor's bitmap is
+          // the UNION of everything dead in the file so far
+          val size = writeDvFile(s"$root/dv-$v-${f.rows.head}.bin",
+            Seq(0 -> f.dead.toSeq.sorted))
+          s""","deletionVector":{"storageType":"p",
+             |"pathOrInlineDv":${jstr(s"$root/dv-$v-${f.rows.head}.bin")},
+             |"offset":1,"sizeInBytes":$size,
+             |"cardinality":${f.dead.size}}""".stripMargin.replace("\n", "")
+        }
+        s"""{"add":{"path":"${f.name}","partitionValues":{},"size":1,
+           |"modificationTime":0,"dataChange":true$dv}}"""
+          .stripMargin.replace("\n", "")
+      }
+      var live = Vector.empty[F]
+      val nVersions = 3 + rnd.nextInt(3)
+      val states =
+        scala.collection.mutable.ArrayBuffer.empty[(Long, Vector[F])]
+      for (v <- 0L until nVersions.toLong) {
+        val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+        if (v == 0L) {
+          lines += protocol(3, "deletionVectors")
+          lines += metaLine
+        }
+        val op = if (live.isEmpty) "add"
+          else Seq("add", "remove", "dv")(rnd.nextInt(3))
+        op match {
+          case "add" =>
+            val f = newDataFile()
+            live :+= f
+            lines += addLine(f, v)
+          case "remove" =>
+            val i = rnd.nextInt(live.size)
+            lines += s"""{"remove":{"path":"${live(i).name}",""" +
+              """"dataChange":true}}"""
+            live = live.patch(i, Nil, 1)
+          case "dv" =>
+            val i = rnd.nextInt(live.size)
+            val f = live(i).copy(dead = live(i).dead ++
+              (0 until (1 + rnd.nextInt(3))).map(_ =>
+                rnd.nextInt(live(i).rows.size)))
+            live = live.updated(i, f)
+            // the re-add with the new DV supersedes the previous
+            // entry for the same path in the log replay
+            lines += addLine(f, v)
+        }
+        commit(root, v, lines.toSeq: _*)
+        states += ((v, live))
+      }
+      for ((v, model) <- states) {
+        val got = DeltaLogLite.read(spark, root, versionAsOf = Some(v))
+          .select("id", "v").as[(Long, Long)].collect().sorted.toSeq
+        val want = model.flatMap(f => f.rows.zipWithIndex.collect {
+          case (id, ord) if !f.dead.contains(ord) => (id, id * 2)
+        }).sorted
+        assert(got == want,
+          s"seed $seed version $v: got $got, want $want")
+      }
+    }
+  }
+
   test("absolute file: add.path reads (shallow-clone shape); foreign " +
     "schemes refuse; missing log refuses") {
     import spark.implicits._

@@ -1026,10 +1026,151 @@ class IcebergSpec extends AnyFunSuite {
     assert(IcebergLite.metadataTable(spark, root, "history")
       .as[(Long, Long)].collect().sorted.toSeq ==
       Seq((1000L, 1L), (2000L, 2L)))
-    val e = intercept[IllegalArgumentException] {
-      IcebergLite.metadataTable(spark, root, "files")
+    // files: one row per LIVE data file of the current snapshot —
+    // the tombstoned f0 is gone; this fixture's manifests record no
+    // stats, so record_count/file_size come back null and the format
+    // falls back to the extension
+    val files = IcebergLite.metadataTable(spark, root, "files")
+    assert(files.columns.toSeq == Seq("file_path", "file_format",
+      "record_count", "file_size_in_bytes", "partition"))
+    val frows = files.collect()
+    assert(frows.length == 1 &&
+      frows(0).getString(0).endsWith("data/f1.parquet") &&
+      frows(0).getString(1) == "PARQUET" &&
+      frows(0).isNullAt(2) && frows(0).isNullAt(3) &&
+      frows(0).isNullAt(4), frows.mkString(", "))
+    // partitions refuses when record_count was never recorded
+    val ep = intercept[IllegalStateException] {
+      IcebergLite.metadataTable(spark, root, "partitions")
     }
-    assert(e.getMessage.contains("snapshots, refs and history"))
+    assert(ep.getMessage.contains("record_count"))
+    // unknown names refuse listing what exists
+    val e = intercept[IllegalArgumentException] {
+      IcebergLite.metadataTable(spark, root, "entries")
+    }
+    assert(e.getMessage.contains("files and partitions"))
+  }
+
+  test("randomized model check: every snapshot of a random " +
+    "add/remove/DV commit sequence equals an in-memory file-set " +
+    "model, across seeds") {
+    import spark.implicits._
+    // model: one table state per snapshot — live files, each with its
+    // row ids and the CURRENT union of DV-dead ordinals
+    final case class F(name: String, rows: Seq[Long], dead: Set[Int],
+                       dv: Option[(String, Long, Long)]) // path,off,size
+    for (seed <- Seq(5, 81, 713)) {
+      val rnd = new scala.util.Random(seed)
+      val root = s"/tmp/graft_icespec/icemodel$seed"
+      rm(new java.io.File(root))
+      Files.createDirectories(Paths.get(root, "metadata"))
+      Files.createDirectories(Paths.get(root, "data"))
+      def writeAvro(d: org.apache.spark.sql.DataFrame,
+                    rel: String): Unit = {
+        val t = s"$root/_tmpavro"
+        d.coalesce(1).write.mode("overwrite").format(avroFmt).save(t)
+        val f = new java.io.File(t).listFiles()
+          .find(_.getName.startsWith("part-")).get
+        assert(f.renameTo(new java.io.File(s"$root/$rel")))
+        rm(new java.io.File(t))
+      }
+      var nextBase = 0L
+      def newDataFile(s: Int): F = {
+        val n = 3 + rnd.nextInt(5)
+        val rows = (nextBase until nextBase + n).toSeq
+        nextBase += 100
+        val name = s"data/f${rows.head}.parquet"
+        val tmp = s"$root/_tmp"
+        IcebergLite.stampFieldIds(
+          spark.range(rows.head, rows.head + n)
+            .select(col("id"), (col("id") * 3).as("v")),
+          Map("id" -> 1, "v" -> 2))
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val p = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.endsWith(".parquet") &&
+            !f.getName.startsWith(".")).get
+        assert(p.renameTo(new java.io.File(s"$root/$name")))
+        rm(new java.io.File(tmp))
+        F(name, rows, Set.empty, None)
+      }
+      var live = Vector.empty[F]
+      val nSnaps = 3 + rnd.nextInt(3)
+      val states =
+        scala.collection.mutable.ArrayBuffer.empty[(Int, Vector[F])]
+      for (s <- 1 to nSnaps) {
+        var tombstone: Option[String] = None
+        val op = if (live.isEmpty) "add"
+          else Seq("add", "remove", "dv")(rnd.nextInt(3))
+        op match {
+          case "add" => live :+= newDataFile(s)
+          case "remove" =>
+            val i = rnd.nextInt(live.size)
+            tombstone = Some(live(i).name)
+            live = live.patch(i, Nil, 1)
+          case "dv" =>
+            val i = rnd.nextInt(live.size)
+            val f = live(i)
+            val dead = f.dead ++
+              (0 until (1 + rnd.nextInt(3))).map(_ =>
+                rnd.nextInt(f.rows.size))
+            // the spec's one-DV-per-file rule: a new DV carries the
+            // UNION (writers must merge), in its own Puffin file
+            val blob = dvBlob(dead.toSeq.sorted.map(_.toLong))
+            val pf = s"data/dv-$s-${f.rows.head}.puffin"
+            Files.write(Paths.get(root, pf),
+              "PFA1".getBytes("UTF-8") ++ blob)
+            live = live.updated(i, f.copy(dead = dead,
+              dv = Some((pf, 4L, blob.length.toLong))))
+        }
+        // per-snapshot manifests reflect the CURRENT state: all live
+        // files (plus this commit's status-2 tombstone, which the
+        // replay must drop) and every live DV
+        writeAvro((live.map(f => (if (s == 1) 1 else 0, f.name)) ++
+          tombstone.map(t => (2, t))).toDF("status", "file_path")
+          .select(col("status"),
+            struct(col("file_path"), lit(0).as("content"))
+              .as("data_file")), s"metadata/m-data-$s.avro")
+        val dvs = live.flatMap(f => f.dv.map(d =>
+          (1, d._1, 1, f.name, d._2, d._3, f.dead.size.toLong)))
+        if (dvs.nonEmpty)
+          writeAvro(dvs.toDF("status", "file_path", "content",
+            "referenced_data_file", "content_offset",
+            "content_size_in_bytes", "record_count")
+            .select(col("status"), struct(col("file_path"),
+              col("content"), col("referenced_data_file"),
+              col("content_offset"), col("content_size_in_bytes"),
+              col("record_count")).as("data_file")),
+            s"metadata/m-dv-$s.avro")
+        writeAvro((Seq((s"metadata/m-data-$s.avro", 0)) ++
+          (if (dvs.nonEmpty) Seq((s"metadata/m-dv-$s.avro", 1))
+           else Nil)).toDF("manifest_path", "content"),
+          s"metadata/snap-$s.avro")
+        states += ((s, live))
+      }
+      val snapsJson = (1 to nSnaps).map(s =>
+        s"""{"snapshot-id":$s,"manifest-list":"metadata/snap-$s.avro"}""")
+        .mkString("[", ",", "]")
+      Files.writeString(Paths.get(root, "metadata", "v1.metadata.json"),
+        s"""{"format-version":3,"location":${jstr(root)},
+           |"current-schema-id":0,
+           |"schemas":[{"schema-id":0,"type":"struct","fields":[
+           |  {"id":1,"name":"id","required":false,"type":"long"},
+           |  {"id":2,"name":"v","required":false,"type":"long"}]}],
+           |"current-snapshot-id":$nSnaps,
+           |"snapshots":$snapsJson}""".stripMargin)
+      Files.writeString(
+        Paths.get(root, "metadata", "version-hint.text"), "1")
+      for ((sid, model) <- states) {
+        val got = IcebergLite
+          .read(spark, root, snapshotId = Some(sid.toLong))
+          .as[(Long, Long)].collect().sorted.toSeq
+        val want = model.flatMap(f => f.rows.zipWithIndex.collect {
+          case (id, ord) if !f.dead.contains(ord) => (id, id * 3)
+        }).sorted
+        assert(got == want,
+          s"seed $seed snapshot $sid: got $got, want $want")
+      }
+    }
   }
 
   test("missing metadata refuses loudly") {
