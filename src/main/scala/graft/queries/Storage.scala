@@ -841,6 +841,21 @@ object Storage extends QueryModule {
         .read(s, authorPaimonDvTable(s, dir)))
     },
 
+    // Paimon FULL-COMPACTION changelog — the producer keeps no
+    // per-commit input files; its changelog is the merge diff of
+    // consecutive snapshots (one null-safe full-outer join of the two
+    // already-merged reads on the primary key): %10∈(3,4) emit
+    // -U(×1)/+U(×2) pairs, %10=0 emits -D, unchanged keys are silent.
+    "q462_paimon_fc_changelog" -> { (s, dir) =>
+      graft.sources.PaimonLite
+        .readChangelog(s, authorPaimonFcTable(s, dir), 2L)
+        .groupBy(col("_row_kind"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_price"))
+        .orderBy(col("_row_kind"), col("o_orderstatus"))
+    },
+
     // Paimon TAG time travel — tag/tag-<name> files hold a full copy
     // of the pinned snapshot JSON (the expiry-proof travel axis; the
     // Iceberg analog is q432's refs). 'prewipe' pins snapshot 1, so
@@ -4729,6 +4744,42 @@ object Storage extends QueryModule {
       })
     }
 
+  private val paimonFcMemo =
+    scala.collection.mutable.Map.empty[String, String]
+
+  /** Authors the changelog-producer=full-compaction PK table q462
+    * reads: snapshot 1 inserts all %10<5 keys; snapshot 2 upserts
+    * %10∈(3,4) at ×2 and -D-deletes %10=0 — with NO materialized
+    * changelog files (the producer's point), so the changelog is the
+    * merge diff of snapshots 2 and 1. Memoized per sf-dir. */
+  private def authorPaimonFcTable(s: SparkSession, dir: String): String =
+    paimonFcMemo.synchronized {
+      paimonFcMemo.getOrElseUpdate(dir, {
+        val root =
+          s"/tmp/graft_paimon/fc_${Integer.toHexString(dir.hashCode)}"
+        val base = Tables.df(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderstatus"))
+          .filter(col("o_orderkey") % 10 < 5)
+        def kv(df: DataFrame, seq: Long, kind: Int): DataFrame =
+          df.select(col("o_orderkey").as("_KEY_o_orderkey"),
+            lit(seq).as("_SEQUENCE_NUMBER"),
+            lit(kind).cast("tinyint").as("_VALUE_KIND"),
+            col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        writePaimonPkLayout(root,
+          """{"changelog-producer":"full-compaction",
+            |"file.format":"parquet"}""".stripMargin,
+          ordersPkFields, Seq(
+            kv(base, 1L, 0),
+            kv(base.filter((col("o_orderkey") % 10).isin(3, 4))
+              .withColumn("o_totalprice", col("o_totalprice") * 2),
+              2L, 2)
+              .unionByName(
+                kv(base.filter(col("o_orderkey") % 10 === 0), 2L, 3))))
+        root
+      })
+    }
+
   private val paimonDvMemo =
     scala.collection.mutable.Map.empty[String, String]
 
@@ -5624,6 +5675,22 @@ object Storage extends QueryModule {
         |FROM orders WHERE o_orderkey % 10 IN (2, 3, 4)
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+    // full-compaction diff of snap 2 vs 1: ±U pairs for %10∈(3,4),
+    // -D for %10=0
+    "q462_paimon_fc_changelog" ->
+      """WITH ch AS (
+        |  SELECT '-U' AS _row_kind, o_orderstatus,
+        |    o_totalprice AS p FROM orders WHERE o_orderkey % 10 IN (3, 4)
+        |  UNION ALL
+        |  SELECT '+U', o_orderstatus, o_totalprice * 2 FROM orders
+        |  WHERE o_orderkey % 10 IN (3, 4)
+        |  UNION ALL
+        |  SELECT '-D', o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey % 10 = 0)
+        |SELECT _row_kind, o_orderstatus, count(*) AS n,
+        | CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM ch GROUP BY _row_kind, o_orderstatus
+        |ORDER BY _row_kind, o_orderstatus""".stripMargin,
     // the 'prewipe' tag pins snapshot 1 = batches A∪B
     "q433_paimon_tag" ->
       """SELECT l_returnflag, count(*) AS n,

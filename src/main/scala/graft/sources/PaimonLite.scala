@@ -721,10 +721,21 @@ object PaimonLite {
     * rows as changelog files named by the snapshot's
     * `changelogManifestList`; this returns those rows as value
     * columns + `_row_kind` ('+I' / '-U' / '+U' / '-D') — each file one
-    * native vectorized scan, O(changed rows) total. A snapshot
-    * without a changelog (append-only tables, or producer=none)
-    * refuses loudly: synthesizing changes from LSM diffs would need
-    * the full merge of both snapshots. */
+    * native vectorized scan, O(changed rows) total.
+    *
+    * `changelog-producer=full-compaction` keeps no per-commit input
+    * files — its published semantics are the DIFF between consecutive
+    * compacted states. The lite rendering: the MERGE DIFF between
+    * this snapshot's read and the previous snapshot's, as one
+    * null-safe full-outer join on the primary key — new keys +I,
+    * vanished keys -D (the old row), changed keys -U (old) and +U
+    * (new), unchanged keys silent. Append-only full-compaction
+    * tables refuse (no key to diff on).
+    *
+    * A snapshot without a changelog under any other producer refuses
+    * loudly: synthesizing changes from LSM diffs would need the full
+    * merge of both snapshots — exactly what the full-compaction
+    * branch does explicitly. */
   def readChangelog(spark: SparkSession, tableDir: String,
                     snapshotId: Long): DataFrame = {
     import org.apache.spark.sql.functions._
@@ -734,6 +745,17 @@ object PaimonLite {
     if (!fs.exists(snapFile)) throw new IllegalArgumentException(
       s"$tableDir: snapshot $snapshotId not found")
     val snapJson = JsonMethods.parse(readText(fs, snapFile))
+    val producerSchemaId =
+      (snapJson \ "schemaId").extractOpt[Long].getOrElse(0L)
+    val producer = {
+      val sf = new Path(tableDir, s"schema/schema-$producerSchemaId")
+      if (!fs.exists(sf)) throw new IllegalStateException(
+        s"$tableDir: schema/schema-$producerSchemaId missing")
+      (JsonMethods.parse(readText(fs, sf)) \ "options" \
+        "changelog-producer").extractOpt[String].getOrElse("none")
+    }
+    if (producer == "full-compaction")
+      return mergeDiffChangelog(spark, tableDir, snapshotId)
     // value schema + KeyValue check ride the snapshot resolver;
     // PARTITIONED tables decode each entry's _PARTITION BinaryRow and
     // attach typed partition columns exactly like the batch path
@@ -810,6 +832,55 @@ object PaimonLite {
             .when(col("_VALUE_KIND").cast("int") === 3, "-D")
             .otherwise(null).as("_row_kind"): _*)
       }.reduce(_ unionAll _)
+  }
+
+  /** The full-compaction changelog: the MERGE DIFF between snapshot
+    * `snapshotId`'s read and snapshot `snapshotId - 1`'s (an absent
+    * previous snapshot diffs against empty — everything +I). One
+    * null-safe full-outer join on the primary key; each side is the
+    * engine's own merged read, so every merge engine's semantics
+    * carry over for free. Scale shape: both sides arrive already
+    * aggregated on the key, the join is the only extra exchange. */
+  private def mergeDiffChangelog(spark: SparkSession, tableDir: String,
+                                 snapshotId: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val snap = snapshot(spark, tableDir, Some(snapshotId))
+    if (snap.primaryKeys.isEmpty) throw new IllegalStateException(
+      s"$tableDir: changelog-producer=full-compaction on an " +
+        "append-only table — no primary key to diff on")
+    val keys = (snap.primaryKeys ++ snap.partitionKeys).distinct
+    val vals = snap.schema.fieldNames.toSeq.filterNot(keys.contains)
+    val names = snap.schema.fieldNames.toSeq
+    val cur = read(spark, tableDir, Some(snapshotId))
+    val snapDir = new Path(tableDir, "snapshot")
+    val fs = snapDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prev =
+      if (fs.exists(new Path(snapDir, s"snapshot-${snapshotId - 1}")))
+        read(spark, tableDir, Some(snapshotId - 1))
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        snap.schema)
+    val c = cur.select(names.map(n => col(n).as(s"_c_$n")): _*)
+    val p = prev.select(names.map(n => col(n).as(s"_p_$n")): _*)
+    val joined = c.join(p,
+      keys.map(k => col(s"_c_$k") <=> col(s"_p_$k")).reduce(_ && _),
+      "full_outer")
+    // primary-key columns are non-null in Paimon, so a null key marks
+    // the side as absent in the outer join
+    val hasC = col(s"_c_${keys.head}").isNotNull
+    val hasP = col(s"_p_${keys.head}").isNotNull
+    val changed =
+      if (vals.isEmpty) lit(false)
+      else !(struct(vals.map(n => col(s"_c_$n")): _*) <=>
+        struct(vals.map(n => col(s"_p_$n")): _*))
+    def side(prefix: String, kind: Column, keep: Column): DataFrame =
+      joined.filter(keep).select(
+        names.map(n => col(s"${prefix}_$n").as(n)) :+
+          kind.as("_row_kind"): _*)
+    side("_p", when(hasC, "-U").otherwise("-D"),
+      hasP && (!hasC || changed))
+      .unionByName(side("_c", when(hasP, "+U").otherwise("+I"),
+        hasC && (!hasP || changed)))
   }
 
   /** Latest snapshot id: LATEST hint, else the highest snapshot-<N>.

@@ -758,6 +758,24 @@ class PaimonSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("deletion-vectors.enabled"))
   }
 
+  test("full-compaction changelog: the merge diff of consecutive " +
+    "snapshots — ±U pairs for changed keys, -D for vanished, +I " +
+    "against an absent previous snapshot; unchanged keys silent") {
+    val root = pkFixture("pkfc",
+      options = """{"changelog-producer":"full-compaction"}""")
+    val got = PaimonLite.readChangelog(spark, root, 2L)
+      .collect().map(r => (r.getString(2), r.getLong(0), r.getLong(1)))
+      .sorted.toSeq
+    assert(got == Seq(("+U", 1L, 100L), ("+U", 2L, 100L),
+      ("-D", 0L, 0L), ("-U", 1L, 3L), ("-U", 2L, 6L)), got.toString)
+    // snapshot 1 diffs against EMPTY (no snapshot-0): everything +I
+    val first = PaimonLite.readChangelog(spark, root, 1L)
+      .collect().map(r => (r.getString(2), r.getLong(0), r.getLong(1)))
+      .sorted.toSeq
+    assert(first == (0L to 4L).map(i => ("+I", i, i * 3)).toSeq,
+      first.toString)
+  }
+
   test("an unknown merge engine refuses loudly") {
     val e = intercept[IllegalStateException] {
       PaimonLite.snapshot(spark, pkFixture("pkeng",
