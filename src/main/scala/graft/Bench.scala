@@ -68,7 +68,12 @@ object Bench {
     // round 16: the MOR hard-delete read — q431's path plus
     // DELETE_BLOCK decode riding the same order stream; the judge
     // named it the most complex read path after round 15's landing.
-    "q434_hudi_mor_hard_delete")
+    "q434_hudi_mor_hard_delete",
+    // round 17: the MOR event-time (precombine) merge — now the most
+    // complex MOR plan: (precombine, arrival) ordering applied
+    // log-vs-log AND base-vs-log, costing one extra bounded join
+    // (winners re-checked against a 3-column base projection).
+    "q444_hudi_mor_precombine")
 
   /** Drain the ContextCleaner so no prior query's cleanup I/O bills the
     * next timed region. A GC enqueues the dead weak refs; the cleaner
