@@ -162,6 +162,48 @@ object GraftExtensions {
               s"version or a STRING ref literal, got $other")
         }
         df.queryExecution.analyzed
+      }),
+    // `SELECT * FROM graft_lake_changes('/path', from, to)` — the
+    // row-level change surface ([[graft.sources.GraftLake
+    // .readChanges]]: Delta CDF / Iceberg net diff / Paimon changelog,
+    // one vocabulary) from SQL. Version arguments are plan-time
+    // INT/LONG literals, so the entry point stays bounded-metadata.
+    ("graft_lake_changes",
+      new ExpressionInfo(graft.sources.GraftLake.getClass.getName,
+        "graft_lake_changes"),
+      (es: Seq[Expression]) => {
+        val fn = "graft_lake_changes"
+        require(es.size == 3,
+          s"$fn(path, fromVersion, toVersion) takes 3 arguments, " +
+            s"got ${es.size}")
+        def litStr(e: Expression, what: String): String = e match {
+          case l if l.foldable &&
+            l.dataType == org.apache.spark.sql.types.StringType =>
+            l.eval() match {
+              case s: org.apache.spark.unsafe.types.UTF8String =>
+                s.toString
+              case _ => throw new IllegalArgumentException(
+                s"$fn: $what must be a non-NULL STRING literal")
+            }
+          case other => throw new IllegalArgumentException(
+            s"$fn: $what must be a STRING literal, got $other")
+        }
+        def litLong(e: Expression, what: String): Long = e match {
+          case l if l.foldable && (l.dataType ==
+            org.apache.spark.sql.types.LongType || l.dataType ==
+            org.apache.spark.sql.types.IntegerType) =>
+            l.eval() match {
+              case n: java.lang.Number => n.longValue()
+              case _ => throw new IllegalArgumentException(
+                s"$fn: $what must be a non-NULL INT/LONG literal")
+            }
+          case other => throw new IllegalArgumentException(
+            s"$fn: $what must be an INT/LONG literal, got $other")
+        }
+        graft.sources.GraftLake.readChanges(SparkSession.active,
+          litStr(es.head, "the table path"),
+          litLong(es(1), "fromVersion"), litLong(es(2), "toVersion"))
+          .queryExecution.analyzed
       }))
 
   /** Imperative registration on an existing session (used by the query

@@ -501,6 +501,27 @@ object Storage extends QueryModule {
         .orderBy(col("_change_type"), col("_commit_version"))
     },
 
+    // CDF SYNTHESIS — the protocol's fallback for commits that wrote
+    // no cdc files: dataChange adds are the inserts, removes are the
+    // deletes (the removed file's live content), and a file
+    // removed+re-added with a GROWN deletion vector contributes
+    // exactly the newly-dead rows (dvNew \ dvOld), never a whole-file
+    // churn. The fixture exercises all three: a pure file delete, a
+    // first DV, and a DV that grows. A reader that emitted the
+    // re-added file's full content (or dropped the file delete)
+    // hash-mismatches here.
+    "q464_delta_cdf_synth" -> { (s, dir) =>
+      val root = authorDeltaCdfSynthTable(s, dir)
+      graft.sources.DeltaLogLite.readChanges(s, root, 0L, 3L)
+        .groupBy(col("_change_type"), col("_commit_version"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_qty"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_price"))
+        .orderBy(col("_change_type"), col("_commit_version"))
+    },
+
     // Paimon with ORC data files — the format's DEFAULT file.format,
     // so this is the layout most real Paimon tables actually have.
     // Same snapshot/manifest replay; the data scan dispatches to
@@ -701,6 +722,45 @@ object Storage extends QueryModule {
         .readIncremental(s, authorHudiMorIncTable(s, dir), "001"))
     },
 
+    // GraftLake CHANGES dispatch — one entry point, one vocabulary
+    // over three change surfaces: Delta CDF (versions [0,3], the
+    // synthesized q464 table), the Iceberg net diff ((1,2], the q463
+    // table), and the Paimon changelog ((1,2], the q421 PK table with
+    // '+U'/'-D' row kinds mapped to update_postimage/delete). The
+    // census keys on (fmt, _change_type, _commit_version), so a wrong
+    // vocabulary map, a missed change class, or wrong version
+    // attribution hash-mismatches.
+    "q465_graft_lake_changes" -> { (s, dir) =>
+      def census(fmt: String, df: DataFrame): DataFrame =
+        df.groupBy(col("_change_type"), col("_commit_version"))
+          .agg(count(lit(1)).as("n"))
+          .select(lit(fmt).as("fmt"), col("_change_type"),
+            col("_commit_version").cast(LongType).as("_commit_version"),
+            col("n"))
+      census("delta", graft.sources.GraftLake.readChanges(
+        s, authorDeltaCdfSynthTable(s, dir), 0L, 3L))
+        .unionByName(census("iceberg", graft.sources.GraftLake
+          .readChanges(s, authorIcebergChangesTable(s, dir), 1L, 2L)))
+        .unionByName(census("paimon", graft.sources.GraftLake
+          .readChanges(s, authorPaimonPkTable(s, dir), 1L, 2L)))
+        .orderBy(col("fmt"), col("_change_type"), col("_commit_version"))
+    },
+
+    // The same change surface from SQL — the graft_lake_changes TABLE
+    // function over the Iceberg net-diff table; version arguments are
+    // plan-time literals (bounded-metadata entry point).
+    "q466_graft_lake_changes_sql" -> { (s, dir) =>
+      graft.GraftExtensions.register(s)
+      val root = authorIcebergChangesTable(s, dir)
+      s.sql(
+        s"""SELECT _change_type, count(*) AS n,
+           | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+           |   AS sum_qty
+           |FROM graft_lake_changes('$root', 1, 2)
+           |GROUP BY _change_type
+           |ORDER BY _change_type""".stripMargin)
+    },
+
     // Hudi MOR INCREMENTAL — the merged value of every key whose last
     // change landed in (001, 003]: key 3 at ×5 (winner@003 over the
     // @002 ×2), key 4 at ×2, the new g2 inserts; the soft-deleted
@@ -779,6 +839,29 @@ object Storage extends QueryModule {
       val root = authorIcebergStreamTable(s, dir, upTo = 3)
       deltaCensus(graft.sources.IcebergLite
         .readIncremental(s, root, fromSnapshotId = 1L, toSnapshotId = 3L))
+    },
+
+    // Iceberg incremental BEYOND append-only — the NET row-level diff
+    // of a range whose commits append a data file AND add delete
+    // surface (a GROWN deletion vector on an old file, a DV on the
+    // new file, an equality delete). Inserts = the new file's rows
+    // live at `to` (its own DV applied); deletes = old-file rows live
+    // at `from` but dead at `to`: the DV's growth by position, then
+    // the equality delete over the positional survivors (seq-gated —
+    // the new file's rows are NOT matched, its seq isn't below the
+    // delete's). A reader that emitted whole-file churn for the DV
+    // rewrite, applied the eq delete to the new file, or double-
+    // counted a row dead by both legs hash-mismatches here.
+    "q463_iceberg_changes" -> { (s, dir) =>
+      val root = authorIcebergChangesTable(s, dir)
+      graft.sources.IcebergLite.readChanges(s, root, 1L, 2L)
+        .groupBy(col("_change_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_qty"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_price"))
+        .orderBy(col("_change_type"))
     },
 
     // Iceberg timestamp travel: 1500ms lands between snapshot 1
@@ -3113,28 +3196,8 @@ object Storage extends QueryModule {
           .filter(col("l_quantity") > 35)
           .select(col("_metadata.row_index")).collect()
           .map(_.getLong(0)).sorted
-        val bmp = new org.roaringbitmap.RoaringBitmap()
-        dead.foreach(p => bmp.add(p.toInt))
-        val bos = new java.io.ByteArrayOutputStream()
-        val header = java.nio.ByteBuffer.allocate(16)
-          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-        header.putInt(1681511377) // magic
-        header.putLong(1L)        // one 32-bit bitmap
-        header.putInt(0)          // key (high 32 bits)
-        bos.write(header.array())
-        val dos = new java.io.DataOutputStream(bos)
-        bmp.serialize(dos)
-        dos.flush()
-        val data = bos.toByteArray
-        val crc = new java.util.zip.CRC32
-        crc.update(data)
-        val blob = java.nio.ByteBuffer.allocate(4 + data.length + 4)
-        blob.putInt(data.length)
-        blob.put(data)
-        blob.putInt(crc.getValue.toInt)
-        Files.write(Paths.get(root, "data", "dv.puffin"),
-          "PFA1".getBytes("UTF-8") ++ blob.array() ++
-            "PFA1".getBytes("UTF-8"))
+        val (puffin, contentSize) = puffinDvBytes(dead.toSeq)
+        Files.write(Paths.get(root, "data", "dv.puffin"), puffin)
         def writeAvro(df: DataFrame, rel: String): Unit = {
           val t = s"$root/_tmpavro"
           df.coalesce(1).write.mode("overwrite").format(avroFmt).save(t)
@@ -3149,7 +3212,7 @@ object Storage extends QueryModule {
             struct(col("file_path"), lit(0).as("content"))
               .as("data_file")), "metadata/m-data.avro")
         writeAvro(Seq((1, "data/dv.puffin", 1, "data/a.parquet", 4L,
-          (data.length + 8).toLong, dead.length.toLong))
+          contentSize, dead.length.toLong))
           .toDF("status", "file_path", "content", "referenced_data_file",
             "content_offset", "content_size_in_bytes", "record_count")
           .select(col("status"),
@@ -3239,37 +3302,16 @@ object Storage extends QueryModule {
           .filter(col("l_quantity") > 25)
           .select(col("_metadata.row_index")).collect()
           .map(_.getLong(0)).sorted
-        // RoaringBitmapArray portable payload: [n=1 LE][key=0 LE][bitmap]
-        val bmp = new org.roaringbitmap.RoaringBitmap()
-        dead.foreach(p => bmp.add(p.toInt))
-        val bos = new java.io.ByteArrayOutputStream()
-        val header = java.nio.ByteBuffer.allocate(16)
-          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-        header.putInt(1681511377) // magic
-        header.putLong(1L)        // one 32-bit bitmap
-        header.putInt(0)          // key (high 32 bits)
-        bos.write(header.array())
-        val dos = new java.io.DataOutputStream(bos)
-        bmp.serialize(dos)
-        dos.flush()
-        val data = bos.toByteArray
-        val crc = new java.util.zip.CRC32
-        crc.update(data)
-        val framed = java.nio.ByteBuffer.allocate(1 + 4 + data.length + 4)
-        framed.put(1.toByte)          // file version
-        framed.putInt(data.length)    // big-endian size
-        framed.put(data)
-        framed.putInt(crc.getValue.toInt)
+        val (framed, dataLen) = deltaDvFileBytes(dead.toSeq)
         val uuid = java.util.UUID.nameUUIDFromBytes(
           "graft-q424".getBytes("UTF-8"))
-        Files.write(Paths.get(root, s"deletion_vector_$uuid.bin"),
-          framed.array())
+        Files.write(Paths.get(root, s"deletion_vector_$uuid.bin"), framed)
         val uuidBytes = java.nio.ByteBuffer.allocate(16)
         uuidBytes.putLong(uuid.getMostSignificantBits)
         uuidBytes.putLong(uuid.getLeastSignificantBits)
         val dvId = base85Encode(uuidBytes.array())
         val dvJson =
-          s"""{"storageType":"u","pathOrInlineDv":${jstr(dvId)},"offset":1,"sizeInBytes":${data.length},"cardinality":${dead.length}}"""
+          s"""{"storageType":"u","pathOrInlineDv":${jstr(dvId)},"offset":1,"sizeInBytes":$dataLen,"cardinality":${dead.length}}"""
         val metaData =
           s"""{"metaData":{"id":"graft-q424","format":{"provider":"parquet","options":{}},"schemaString":${jstr(a.schema.json)},"partitionColumns":[],"configuration":{},"createdTime":0}}"""
         Files.writeString(Paths.get(root, "_delta_log", f"${0L}%020d.json"),
@@ -3514,6 +3556,151 @@ object Storage extends QueryModule {
             s"""{"cdc":{"path":"_change_data/cdc-1.parquet","partitionValues":{},"size":1,"dataChange":false}}""",
             s"""{"remove":{"path":"data/a.parquet","deletionTimestamp":0,"dataChange":true}}""",
             s"""{"add":{"path":"data/a2.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""")
+            .mkString("", "\n", "\n"))
+        root
+      })
+    }
+
+  /** Frame one Delta deletion-vector FILE for a single 32-bit roaring
+    * bitmap of dead ordinals — [version 1][BE size][LE magic 1681511377
+    * + RoaringBitmapArray portable (count=1, key=0, bitmap)][CRC32].
+    * Returns (framed file bytes, inner data length — the descriptor's
+    * sizeInBytes). */
+  private def deltaDvFileBytes(dead: Seq[Long]): (Array[Byte], Int) = {
+    val bmp = new org.roaringbitmap.RoaringBitmap()
+    dead.foreach(p => bmp.add(p.toInt))
+    val bos = new java.io.ByteArrayOutputStream()
+    val header = java.nio.ByteBuffer.allocate(16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    header.putInt(1681511377) // magic
+    header.putLong(1L)        // one 32-bit bitmap
+    header.putInt(0)          // key (high 32 bits)
+    bos.write(header.array())
+    val dos = new java.io.DataOutputStream(bos)
+    bmp.serialize(dos)
+    dos.flush()
+    val data = bos.toByteArray
+    val crc = new java.util.zip.CRC32
+    crc.update(data)
+    val framed = java.nio.ByteBuffer.allocate(1 + 4 + data.length + 4)
+    framed.put(1.toByte)          // file version
+    framed.putInt(data.length)    // big-endian size
+    framed.put(data)
+    framed.putInt(crc.getValue.toInt)
+    (framed.array(), data.length)
+  }
+
+  /** Frame one ICEBERG Puffin file holding a single deletion-vector-v1
+    * blob for the given dead ordinals — leading "PFA1" magic, then the
+    * blob ([BE size][LE magic 1681511377 + RoaringBitmapArray portable
+    * (count=1, key=0, bitmap)][CRC32]), then a trailing "PFA1" (the
+    * footer region the lite reader never parses — the manifest's
+    * content_offset/content_size address the blob directly). Returns
+    * (file bytes, the manifest's content_size_in_bytes — size field +
+    * data + CRC). content_offset is always 4 (right after the magic). */
+  private def puffinDvBytes(dead: Seq[Long]): (Array[Byte], Long) = {
+    val bmp = new org.roaringbitmap.RoaringBitmap()
+    dead.foreach(p => bmp.add(p.toInt))
+    val bos = new java.io.ByteArrayOutputStream()
+    val header = java.nio.ByteBuffer.allocate(16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    header.putInt(1681511377) // magic
+    header.putLong(1L)        // one 32-bit bitmap
+    header.putInt(0)          // key (high 32 bits)
+    bos.write(header.array())
+    val dos = new java.io.DataOutputStream(bos)
+    bmp.serialize(dos)
+    dos.flush()
+    val data = bos.toByteArray
+    val crc = new java.util.zip.CRC32
+    crc.update(data)
+    val blob = java.nio.ByteBuffer.allocate(4 + data.length + 4)
+    blob.putInt(data.length)
+    blob.put(data)
+    blob.putInt(crc.getValue.toInt)
+    ("PFA1".getBytes("UTF-8") ++ blob.array() ++
+      "PFA1".getBytes("UTF-8"), (data.length + 8).toLong)
+  }
+
+  private val deltaCdfSynthMemo =
+    scala.collection.mutable.Map.empty[String, String]
+
+  /** Authors the cdc-LESS CDF table q464 reads — every change class
+    * the protocol's synthesis fallback covers. Commit 0 blind-appends
+    * batches A (l_orderkey%10=0 → data/a.parquet) and B (%10=1 →
+    * data/b.parquet); commit 1 is a FILE-level delete (a pure remove
+    * of b.parquet — the shape a partition/file TRUNCATE writes);
+    * commit 2 row-level-deletes A's l_quantity>25 rows via a first
+    * deletion vector (remove + re-add of a.parquet); commit 3 GROWS
+    * the vector to also kill l_quantity<3 — its net change is ONLY
+    * the newly-dead rows. No commit writes cdc files, so every change
+    * row must be synthesized from the add/remove actions. Memoized
+    * per sf-dir. */
+  private def authorDeltaCdfSynthTable(s: SparkSession,
+                                       dir: String): String =
+    deltaCdfSynthMemo.synchronized {
+      deltaCdfSynthMemo.getOrElseUpdate(dir, {
+        import java.nio.file.{Files, Paths}
+        val root =
+          s"/tmp/graft_delta/cdfsynth_${Integer.toHexString(dir.hashCode)}"
+        def rm(p: java.io.File): Unit = {
+          if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+          p.delete(): Unit
+        }
+        rm(new java.io.File(root))
+        Files.createDirectories(Paths.get(root, "_delta_log"))
+        Files.createDirectories(Paths.get(root, "data"))
+        val src = Tables.df(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity"),
+            col("l_extendedprice"), col("l_returnflag"))
+        def writeOne(df: DataFrame, rel: String): Unit = {
+          val tmp = s"$root/_tmp"
+          df.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(f => f.getName.endsWith(".parquet") &&
+              !f.getName.startsWith(".")).get
+          assert(part.renameTo(new java.io.File(s"$root/$rel")))
+          rm(new java.io.File(tmp))
+        }
+        val a = src.filter(col("l_orderkey") % 10 === 0)
+        writeOne(a, "data/a.parquet")
+        writeOne(src.filter(col("l_orderkey") % 10 === 1),
+          "data/b.parquet")
+        // dead ordinals from the REAL file (authoring cannot drift)
+        def deadWhere(c: org.apache.spark.sql.Column): Seq[Long] =
+          s.read.parquet(s"$root/data/a.parquet").filter(c)
+            .select(col("_metadata.row_index")).collect()
+            .map(_.getLong(0)).sorted.toSeq
+        val dead1 = deadWhere(col("l_quantity") > 25)
+        val dead2 = deadWhere(col("l_quantity") > 25 ||
+          col("l_quantity") < 3)
+        def dvJson(name: String, dead: Seq[Long]): String = {
+          val (framed, dataLen) = deltaDvFileBytes(dead)
+          Files.write(Paths.get(root, name), framed)
+          s"""{"storageType":"p","pathOrInlineDv":${jstr(s"$root/$name")},"offset":1,"sizeInBytes":$dataLen,"cardinality":${dead.length}}"""
+        }
+        val dv1 = dvJson("dv1.bin", dead1)
+        val dv2 = dvJson("dv2.bin", dead2)
+        def addA(dv: Option[String]): String =
+          s"""{"add":{"path":"data/a.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true""" +
+            dv.map(j => s""","deletionVector":$j""").getOrElse("") + "}}"
+        def removeA(dv: Option[String]): String =
+          s"""{"remove":{"path":"data/a.parquet","deletionTimestamp":0,"dataChange":true""" +
+            dv.map(j => s""","deletionVector":$j""").getOrElse("") + "}}"
+        val metaData =
+          s"""{"metaData":{"id":"graft-q464","format":{"provider":"parquet","options":{}},"schemaString":${jstr(a.schema.json)},"partitionColumns":[],"configuration":{"delta.enableChangeDataFeed":"true"},"createdTime":0}}"""
+        Files.writeString(Paths.get(root, "_delta_log", f"${0L}%020d.json"),
+          Seq(
+            """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+            metaData, addA(None),
+            """{"add":{"path":"data/b.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""")
+            .mkString("", "\n", "\n"))
+        Files.writeString(Paths.get(root, "_delta_log", f"${1L}%020d.json"),
+          """{"remove":{"path":"data/b.parquet","deletionTimestamp":0,"dataChange":true}}""" + "\n")
+        Files.writeString(Paths.get(root, "_delta_log", f"${2L}%020d.json"),
+          Seq(removeA(None), addA(Some(dv1))).mkString("", "\n", "\n"))
+        Files.writeString(Paths.get(root, "_delta_log", f"${3L}%020d.json"),
+          Seq(removeA(Some(dv1)), addA(Some(dv2)))
             .mkString("", "\n", "\n"))
         root
       })
@@ -3929,6 +4116,141 @@ object Storage extends QueryModule {
              |]}""".stripMargin
         Files.writeString(Paths.get(root, "metadata", "v1.metadata.json"),
           metaJson)
+        Files.writeString(Paths.get(root, "metadata", "version-hint.text"),
+          "1")
+        root
+      })
+    }
+
+  private val icebergChangesMemo =
+    scala.collection.mutable.Map.empty[String, String]
+
+  /** Authors the two-snapshot format-v3 Iceberg table q463 diffs.
+    * Snapshot 1: data files a (l_orderkey%10=0) and b (%10=1) at
+    * sequence 1, plus a deletion vector on `a` killing l_quantity>45.
+    * Snapshot 2 (sequence 2): appends data file c (%10=2), REPLACES
+    * a's DV with a superset (l_quantity>35 — the v3 supersession
+    * rule), adds a DV on the new file c (l_quantity<2), and adds an
+    * equality delete on l_returnflag='R' (field id 4) at sequence 2 —
+    * which therefore matches only the seq-1 files a/b, never c. Dead
+    * ordinals derive from the REAL parquet files so authoring cannot
+    * drift. Memoized per sf-dir. */
+  private def authorIcebergChangesTable(s: SparkSession,
+                                        dir: String): String =
+    icebergChangesMemo.synchronized {
+      icebergChangesMemo.getOrElseUpdate(dir, {
+        import java.nio.file.{Files, Paths}
+        val avroFmt = "org.apache.spark.sql.avro.AvroFileFormat"
+        val root =
+          s"/tmp/graft_iceberg/changes_${Integer.toHexString(dir.hashCode)}"
+        def rm(p: java.io.File): Unit = {
+          if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+          p.delete(): Unit
+        }
+        rm(new java.io.File(root))
+        Files.createDirectories(Paths.get(root, "metadata"))
+        Files.createDirectories(Paths.get(root, "data"))
+        val src = Tables.df(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity"),
+            col("l_extendedprice"), col("l_returnflag"))
+        val stamp = graft.sources.IcebergLite.stampFieldIds _
+        def writeOne(df: DataFrame, out: String): Unit = {
+          val tmp = s"$root/_tmp"
+          df.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(f => f.getName.endsWith(".parquet") &&
+              !f.getName.startsWith(".")).get
+          assert(part.renameTo(new java.io.File(s"$root/$out")))
+          rm(new java.io.File(tmp))
+        }
+        for (b <- 0 to 2)
+          writeOne(stamp(src.filter(col("l_orderkey") % 10 === b),
+            liFieldIds), s"data/b$b.parquet")
+        // equality-delete parquet: only the equality column, footer
+        // carrying its field id
+        writeOne(stamp(src.filter(col("l_returnflag") === "R")
+          .select(col("l_returnflag")).distinct(),
+          Map("l_returnflag" -> 4)), "data/eq.parquet")
+        // DV puffins, dead ordinals from the REAL files
+        def deadOf(rel: String,
+                   c: org.apache.spark.sql.Column): Seq[Long] =
+          s.read.parquet(s"$root/$rel").filter(c)
+            .select(col("_metadata.row_index")).collect()
+            .map(_.getLong(0)).sorted.toSeq
+        def dvFile(rel: String, dead: Seq[Long]): (Long, Long) = {
+          val (bytes, contentSize) = puffinDvBytes(dead)
+          Files.write(Paths.get(root, rel), bytes)
+          (contentSize, dead.length.toLong)
+        }
+        val dv1 = dvFile("data/dv1.puffin",
+          deadOf("data/b0.parquet", col("l_quantity") > 45))
+        val dv2 = dvFile("data/dv2.puffin",
+          deadOf("data/b0.parquet", col("l_quantity") > 35))
+        val dv3 = dvFile("data/dv3.puffin",
+          deadOf("data/b2.parquet", col("l_quantity") < 2))
+        def writeAvro(df: DataFrame, rel: String): Unit = {
+          val tmp = s"$root/_tmpavro"
+          df.coalesce(1).write.mode("overwrite").format(avroFmt).save(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(_.getName.startsWith("part-")).get
+          assert(part.renameTo(new java.io.File(s"$root/$rel")))
+          rm(new java.io.File(tmp))
+        }
+        import s.implicits._
+        // one manifest per file; every optional spec field spelled out
+        def manifest(rel: String, path: String, content: Int,
+                     eqIds: Seq[Int],
+                     dv: Option[(String, (Long, Long))]): Unit =
+          writeAvro(Seq((1, path)).toDF("status", "file_path")
+            .select(col("status"),
+              struct(col("file_path"), lit(content).as("content"),
+                (if (eqIds.isEmpty) lit(null).cast("array<int>")
+                 else array(eqIds.map(lit(_)): _*)).as("equality_ids"),
+                dv.map(d => lit(d._1)).getOrElse(lit(null))
+                  .cast("string").as("referenced_data_file"),
+                dv.map(_ => lit(4L)).getOrElse(lit(null))
+                  .cast("long").as("content_offset"),
+                dv.map(d => lit(d._2._1)).getOrElse(lit(null))
+                  .cast("long").as("content_size_in_bytes"),
+                dv.map(d => lit(d._2._2)).getOrElse(lit(null))
+                  .cast("long").as("record_count"))
+                .as("data_file")), rel)
+        manifest("metadata/m-a.avro", "data/b0.parquet", 0, Nil, None)
+        manifest("metadata/m-b.avro", "data/b1.parquet", 0, Nil, None)
+        manifest("metadata/m-c.avro", "data/b2.parquet", 0, Nil, None)
+        manifest("metadata/m-dv1.avro", "data/dv1.puffin", 1, Nil,
+          Some(("data/b0.parquet", dv1)))
+        manifest("metadata/m-dv2.avro", "data/dv2.puffin", 1, Nil,
+          Some(("data/b0.parquet", dv2)))
+        manifest("metadata/m-dv3.avro", "data/dv3.puffin", 1, Nil,
+          Some(("data/b2.parquet", dv3)))
+        manifest("metadata/m-eq.avro", "data/eq.parquet", 2, Seq(4), None)
+        def manifestList(rel: String,
+                         rows: (String, Int, Long)*): Unit =
+          writeAvro(rows.toSeq
+            .toDF("manifest_path", "content", "sequence_number"), rel)
+        manifestList("metadata/snap-1.avro",
+          ("metadata/m-a.avro", 0, 1L), ("metadata/m-b.avro", 0, 1L),
+          ("metadata/m-dv1.avro", 1, 1L))
+        manifestList("metadata/snap-2.avro",
+          ("metadata/m-a.avro", 0, 1L), ("metadata/m-b.avro", 0, 1L),
+          ("metadata/m-c.avro", 0, 2L), ("metadata/m-dv2.avro", 1, 2L),
+          ("metadata/m-dv3.avro", 1, 2L), ("metadata/m-eq.avro", 1, 2L))
+        val fields = Seq(
+          (1, "l_orderkey", "long"), (2, "l_quantity", "double"),
+          (3, "l_extendedprice", "double"), (4, "l_returnflag", "string"))
+          .map { case (i, n, t) =>
+            s"""{"id":$i,"name":${jstr(n)},"required":false,"type":${jstr(t)}}"""
+          }.mkString("[", ",", "]")
+        Files.writeString(Paths.get(root, "metadata", "v1.metadata.json"),
+          s"""{"format-version":3,"table-uuid":"graft-q463","location":${jstr(root)},
+             |"current-schema-id":0,
+             |"schemas":[{"schema-id":0,"type":"struct","fields":$fields}],
+             |"current-snapshot-id":2,
+             |"snapshots":[
+             | {"snapshot-id":1,"manifest-list":"metadata/snap-1.avro"},
+             | {"snapshot-id":2,"manifest-list":"metadata/snap-2.avro"}
+             |]}""".stripMargin)
         Files.writeString(Paths.get(root, "metadata", "version-hint.text"),
           "1")
         root
@@ -5528,6 +5850,139 @@ object Storage extends QueryModule {
         |  SELECT 'update_postimage', 1, l_quantity,
         |    l_extendedprice * 2
         |  FROM a WHERE l_quantity > 40)
+        |SELECT _change_type, _commit_version, count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_price
+        |FROM ch
+        |GROUP BY _change_type, _commit_version
+        |ORDER BY _change_type, _commit_version""".stripMargin,
+    // one-vocabulary dispatch census: Delta CDF synthesis (versions
+    // 0-3 of the q464 table), Iceberg net diff at version 2 (the q463
+    // change classes), Paimon changelog at snapshot 2 ('+U' →
+    // update_postimage for %10∈(3,4), '-D' → delete for %10=0)
+    "q465_graft_lake_changes" ->
+      """WITH la AS (
+        |  SELECT l_quantity, l_returnflag
+        |  FROM lineitem WHERE l_orderkey % 10 = 0),
+        |lb AS (
+        |  SELECT l_quantity, l_returnflag
+        |  FROM lineitem WHERE l_orderkey % 10 = 1),
+        |lc AS (
+        |  SELECT l_quantity FROM lineitem WHERE l_orderkey % 10 = 2),
+        |ob AS (
+        |  SELECT o_orderkey FROM orders WHERE o_orderkey % 10 < 5),
+        |ch AS (
+        |  SELECT 'delta' AS fmt, 'insert' AS _change_type,
+        |    0 AS _commit_version FROM la
+        |  UNION ALL SELECT 'delta', 'insert', 0 FROM lb
+        |  UNION ALL SELECT 'delta', 'delete', 1 FROM lb
+        |  UNION ALL SELECT 'delta', 'delete', 2
+        |    FROM la WHERE l_quantity > 25
+        |  UNION ALL SELECT 'delta', 'delete', 3
+        |    FROM la WHERE l_quantity < 3
+        |  UNION ALL SELECT 'iceberg', 'insert', 2
+        |    FROM lc WHERE NOT l_quantity < 2
+        |  UNION ALL SELECT 'iceberg', 'delete', 2
+        |    FROM la WHERE l_quantity > 35 AND NOT l_quantity > 45
+        |  UNION ALL SELECT 'iceberg', 'delete', 2
+        |    FROM la WHERE NOT l_quantity > 35 AND l_returnflag = 'R'
+        |  UNION ALL SELECT 'iceberg', 'delete', 2
+        |    FROM lb WHERE l_returnflag = 'R'
+        |  UNION ALL SELECT 'paimon', 'update_postimage', 2
+        |    FROM ob WHERE o_orderkey % 10 IN (3, 4)
+        |  UNION ALL SELECT 'paimon', 'delete', 2
+        |    FROM ob WHERE o_orderkey % 10 = 0)
+        |SELECT fmt, _change_type, _commit_version, count(*) AS n
+        |FROM ch
+        |GROUP BY fmt, _change_type, _commit_version
+        |ORDER BY fmt, _change_type, _commit_version""".stripMargin,
+    // the SQL table-function surface over the q463 net diff
+    "q466_graft_lake_changes_sql" ->
+      """WITH a AS (
+        |  SELECT l_quantity, l_returnflag
+        |  FROM lineitem WHERE l_orderkey % 10 = 0),
+        |b AS (
+        |  SELECT l_quantity, l_returnflag
+        |  FROM lineitem WHERE l_orderkey % 10 = 1),
+        |c AS (
+        |  SELECT l_quantity FROM lineitem WHERE l_orderkey % 10 = 2),
+        |ch AS (
+        |  SELECT 'insert' AS _change_type, l_quantity
+        |  FROM c WHERE NOT l_quantity < 2
+        |  UNION ALL
+        |  SELECT 'delete', l_quantity
+        |  FROM a WHERE l_quantity > 35 AND NOT l_quantity > 45
+        |  UNION ALL
+        |  SELECT 'delete', l_quantity
+        |  FROM a WHERE NOT l_quantity > 35 AND l_returnflag = 'R'
+        |  UNION ALL
+        |  SELECT 'delete', l_quantity
+        |  FROM b WHERE l_returnflag = 'R')
+        |SELECT _change_type, count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_qty
+        |FROM ch
+        |GROUP BY _change_type
+        |ORDER BY _change_type""".stripMargin,
+    // Iceberg net diff of (1, 2]: inserts = new file C minus its own
+    // DV (l_quantity<2); deletes = A's DV growth (35<q<=45 — the >45
+    // rows were already dead at `from`), plus the eq delete
+    // (l_returnflag='R') over the positional SURVIVORS of the seq-1
+    // files A (q<=35) and B (all rows) — never the seq-2 file C
+    "q463_iceberg_changes" ->
+      """WITH a AS (
+        |  SELECT l_quantity, l_extendedprice, l_returnflag
+        |  FROM lineitem WHERE l_orderkey % 10 = 0),
+        |b AS (
+        |  SELECT l_quantity, l_extendedprice, l_returnflag
+        |  FROM lineitem WHERE l_orderkey % 10 = 1),
+        |c AS (
+        |  SELECT l_quantity, l_extendedprice
+        |  FROM lineitem WHERE l_orderkey % 10 = 2),
+        |ch AS (
+        |  SELECT 'insert' AS _change_type, l_quantity, l_extendedprice
+        |  FROM c WHERE NOT l_quantity < 2
+        |  UNION ALL
+        |  SELECT 'delete', l_quantity, l_extendedprice
+        |  FROM a WHERE l_quantity > 35 AND NOT l_quantity > 45
+        |  UNION ALL
+        |  SELECT 'delete', l_quantity, l_extendedprice
+        |  FROM a WHERE NOT l_quantity > 35 AND l_returnflag = 'R'
+        |  UNION ALL
+        |  SELECT 'delete', l_quantity, l_extendedprice
+        |  FROM b WHERE l_returnflag = 'R')
+        |SELECT _change_type, count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_price
+        |FROM ch
+        |GROUP BY _change_type
+        |ORDER BY _change_type""".stripMargin,
+    // synthesized CDF: inserts at 0 (A+B), B's file delete at 1, A's
+    // first DV (l_quantity>25) at 2, the vector's GROWTH (<3) at 3
+    "q464_delta_cdf_synth" ->
+      """WITH a AS (
+        |  SELECT l_quantity, l_extendedprice
+        |  FROM lineitem WHERE l_orderkey % 10 = 0),
+        |b AS (
+        |  SELECT l_quantity, l_extendedprice
+        |  FROM lineitem WHERE l_orderkey % 10 = 1),
+        |ch AS (
+        |  SELECT 'insert' AS _change_type, 0 AS _commit_version,
+        |    l_quantity, l_extendedprice FROM a
+        |  UNION ALL
+        |  SELECT 'insert', 0, l_quantity, l_extendedprice FROM b
+        |  UNION ALL
+        |  SELECT 'delete', 1, l_quantity, l_extendedprice FROM b
+        |  UNION ALL
+        |  SELECT 'delete', 2, l_quantity, l_extendedprice
+        |  FROM a WHERE l_quantity > 25
+        |  UNION ALL
+        |  SELECT 'delete', 3, l_quantity, l_extendedprice
+        |  FROM a WHERE l_quantity < 3)
         |SELECT _change_type, _commit_version, count(*) AS n,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
         |   AS sum_qty,

@@ -121,6 +121,23 @@ object DeltaLogLite {
 
   final case class AddFile(path: String, partitionValues: Map[String, String],
                            deletionVector: Option[DvDescriptor] = None)
+
+  /** Parse an action's `deletionVector` JSON (absent/null → None) —
+    * shared by the snapshot replay and the change-feed synthesis
+    * (remove actions carry the removed file's descriptor too). */
+  private def parseDvJson(d: JValue): Option[DvDescriptor] = d match {
+    case JNothing | JNull => None
+    case dv => Some(DvDescriptor(
+      (dv \ "storageType").extract[String],
+      (dv \ "pathOrInlineDv").extract[String],
+      // an ABSENT offset means the file holds a single DV whose data
+      // starts right after the 1-byte version — i.e. offset 1 per the
+      // protocol's on-disk layout
+      (dv \ "offset").extractOpt[Long].getOrElse(1L),
+      (dv \ "sizeInBytes").extract[Int],
+      (dv \ "cardinality").extract[Long]))
+  }
+
   final case class Snapshot(version: Long, schema: StructType,
                             partitionColumns: Seq[String], files: Seq[AddFile],
                             physicalNames: Map[String, String] = Map.empty,
@@ -412,15 +429,7 @@ object DeltaLogLite {
           case JNothing =>
           case add =>
             val path = (add \ "path").extract[String]
-            val dv = (add \ "deletionVector") match {
-              case JNothing | JNull => None
-              case d => Some(DvDescriptor(
-                (d \ "storageType").extract[String],
-                (d \ "pathOrInlineDv").extract[String],
-                (d \ "offset").extractOpt[Long].getOrElse(1L),
-                (d \ "sizeInBytes").extract[Int],
-                (d \ "cardinality").extract[Long]))
-            }
+            val dv = parseDvJson(add \ "deletionVector")
             live(path) = AddFile(path, (add \ "partitionValues")
               .extractOpt[Map[String, String]].getOrElse(Map.empty), dv)
         }
@@ -567,18 +576,7 @@ object DeltaLogLite {
           case JNothing =>
           case add =>
             val path = (add \ "path").extract[String]
-            val dv = (add \ "deletionVector") match {
-              case JNothing | JNull => None
-              case d => Some(DvDescriptor(
-                (d \ "storageType").extract[String],
-                (d \ "pathOrInlineDv").extract[String],
-                // an ABSENT offset means the file holds a single DV
-                // whose data starts right after the 1-byte version —
-                // i.e. offset 1 per the protocol's on-disk layout
-                (d \ "offset").extractOpt[Long].getOrElse(1L),
-                (d \ "sizeInBytes").extract[Int],
-                (d \ "cardinality").extract[Long]))
-            }
+            val dv = parseDvJson(add \ "deletionVector")
             val pv = (add \ "partitionValues")
               .extractOpt[Map[String, String]].getOrElse(Map.empty)
             live(path) = AddFile(path, pv, dv)
@@ -752,15 +750,20 @@ object DeltaLogLite {
     * changes COMPLETELY through those files (`_change_type` column:
     * insert / delete / update_preimage / update_postimage) and its
     * add/remove actions are ignored by CDF readers; a commit WITHOUT
-    * cdc actions is a blind append whose dataChange adds ARE its
-    * inserts. Output = data columns + `_change_type` +
-    * `_commit_version`.
+    * cdc actions synthesizes its changes from the dataChange actions —
+    * adds are inserts (each add's own DV applied), removes are deletes
+    * (the removed file's live content: its bytes minus the DV the
+    * remove action carries), and a file removed+re-added with a GROWN
+    * deletion vector contributes exactly the newly-dead rows as
+    * deletes (see [[synthesizeChanges]]). Output = data columns +
+    * `_change_type` + `_commit_version`.
     *
     * Lite scope, loud failures: the table must carry
     * `delta.enableChangeDataFeed=true` at `toVersion`; a cdc-less
-    * commit with dataChange REMOVES is refused (its delete rows were
-    * never materialized — serving the range would silently drop
-    * changes). Column-mapped tables ARE served: cdc data columns
+    * in-commit REWRITE (remove+re-add without a deletion vector) and a
+    * SHRINKING deletion vector (a restore) refuse — their change rows
+    * cannot be attributed by synthesis. Column-mapped tables ARE
+    * served: cdc data columns
     * resolve by physical name / field id exactly like data files,
     * while the id-less `_change_type` column the writer adds resolves
     * by its literal name (a mixed-resolution read schema per leg).
@@ -793,7 +796,7 @@ object DeltaLogLite {
         finally in.close()
       var cdcFiles = Vector.empty[AddFile]
       var adds = Vector.empty[AddFile]
-      var removes = 0
+      var removes = Vector.empty[AddFile]
       for (line <- text.linesIterator if line.trim.nonEmpty) {
         val action = try JsonMethods.parse(line)
           catch { case e: Exception => throw new IllegalStateException(
@@ -808,19 +811,26 @@ object DeltaLogLite {
         (action \ "add") match {
           case JNothing =>
           case a if (a \ "dataChange").extractOpt[Boolean].getOrElse(true) =>
-            // a DV on a cdc-less add is a row-level delete whose change
-            // rows were never materialized — treated like a bare remove
-            if ((a \ "deletionVector") != JNothing &&
-              (a \ "deletionVector") != JNull) removes += 1
             adds :+= AddFile((a \ "path").extract[String],
               (a \ "partitionValues").extractOpt[Map[String, String]]
-                .getOrElse(Map.empty))
+                .getOrElse(Map.empty),
+              parseDvJson(a \ "deletionVector"))
           case _ =>
         }
         (action \ "remove") match {
           case JNothing =>
           case r if (r \ "dataChange").extractOpt[Boolean].getOrElse(true) =>
-            removes += 1
+            val path = (r \ "path").extract[String]
+            val pv = (r \ "partitionValues")
+              .extractOpt[Map[String, String]].getOrElse(Map.empty)
+            if (snap.partitionColumns.nonEmpty && pv.isEmpty)
+              throw new IllegalStateException(
+                s"$tableDir commit $v: remove $path lacks " +
+                  "partitionValues on a partitioned table — cannot " +
+                  "synthesize its delete rows")
+            // the remove action carries the REMOVED file's deletion
+            // vector (the rows already dead before this commit)
+            removes :+= AddFile(path, pv, parseDvJson(r \ "deletionVector"))
           case _ =>
         }
       }
@@ -834,19 +844,88 @@ object DeltaLogLite {
           val withCt = StructType(snap.schema.fields :+ ctField)
           readFiles(spark, tableDir, withCt, snap.partitionColumns,
             cdcFiles, snap.physicalNames, snap.fieldIds)
-        } else if (removes > 0) throw new IllegalStateException(
-          s"$tableDir commit $v: dataChange remove/deletion-vector " +
-            "without cdc files — its delete rows were never " +
-            "materialized; serving the range would silently drop changes")
-        else {
-          // blind append: the adds ARE the inserts
-          readFiles(spark, tableDir, snap.schema, snap.partitionColumns,
-            adds, snap.physicalNames, snap.fieldIds)
-            .withColumn("_change_type", lit("insert"))
-        }
+        } else synthesizeChanges(spark, tableDir, snap, v, adds, removes)
       changed.withColumn("_commit_version", lit(v))
     }
     perVersion.reduce(_ unionAll _)
+  }
+
+  /** Change rows for ONE cdc-less commit, synthesized from its
+    * dataChange add/remove actions per the protocol's fallback rule:
+    * adds are the inserts (each file's own DV applied — a blind write
+    * may carry one), removes are the deletes (the removed file's
+    * content minus the DV it carried, i.e. the rows live at removal
+    * time). A file REMOVED AND RE-ADDED in the same commit is the
+    * deletion-vector row-level-delete flow — its net change is the
+    * rows NEWLY dead under the grown vector (dvNew \ dvOld), never a
+    * whole-file delete+insert churn. A shrinking vector (a restore)
+    * refuses: its change rows would be inserts this synthesis cannot
+    * attribute. All joins key on small descriptor-decoded dead sets;
+    * data files are scanned once each. */
+  private def synthesizeChanges(spark: SparkSession, tableDir: String,
+                                snap: Snapshot, v: Long,
+                                adds: Seq[AddFile],
+                                removes: Seq[AddFile]): DataFrame = {
+    val removedPaths = removes.map(_.path).toSet
+    val pairPaths = adds.map(_.path).toSet intersect removedPaths
+    val insertAdds = adds.filterNot(f => pairPaths(f.path))
+    val pureRemoves = removes.filterNot(f => pairPaths(f.path))
+    val inserts =
+      if (insertAdds.isEmpty) None
+      else Some(readFiles(spark, tableDir, snap.schema,
+        snap.partitionColumns, insertAdds, snap.physicalNames,
+        snap.fieldIds).withColumn("_change_type", lit("insert")))
+    val fileDeletes =
+      if (pureRemoves.isEmpty) None
+      else Some(readFiles(spark, tableDir, snap.schema,
+        snap.partitionColumns, pureRemoves, snap.physicalNames,
+        snap.fieldIds).withColumn("_change_type", lit("delete")))
+    val dvDeletes =
+      if (pairPaths.isEmpty) None
+      else {
+        val oldState = removes.filter(f => pairPaths(f.path))
+        val newState = adds.filter(f => pairPaths(f.path))
+        if (newState.forall(_.deletionVector.isEmpty))
+          throw new IllegalStateException(
+            s"$tableDir commit $v: files removed and re-added with no " +
+              "deletion vector and no cdc files — an in-commit rewrite " +
+              "is outside synthesized-CDF scope " +
+              s"(${pairPaths.toSeq.sorted.take(3).mkString(", ")})")
+        val deadOld = dvDeleteSet(spark, tableDir, oldState)
+          .withColumnRenamed("_dv_path", "_do_path")
+          .withColumnRenamed("_dv_pos", "_do_pos")
+        val deadNew = dvDeleteSet(spark, tableDir, newState)
+        // a position dead BEFORE but live AFTER = a restore — the
+        // protocol allows it, this synthesis cannot express it as a
+        // delete; check is bounded by the descriptor-decoded dead sets
+        val restored = deadOld.join(deadNew,
+          col("_do_path") === col("_dv_path") &&
+            col("_do_pos") === col("_dv_pos"), "left_anti").count()
+        if (restored > 0) throw new IllegalStateException(
+          s"$tableDir commit $v: a re-added file's deletion vector " +
+            s"SHRANK ($restored positions restored) — restores are " +
+            "outside synthesized-CDF scope")
+        val newlyDead = deadNew.join(deadOld,
+          col("_dv_path") === col("_do_path") &&
+            col("_dv_pos") === col("_do_pos"), "left_anti")
+        // rows live at v-1 (old DV applied) sitting at newly-dead
+        // positions ARE the commit's delete rows
+        val liveOld = readFiles(spark, tableDir, snap.schema,
+          snap.partitionColumns, oldState, snap.physicalNames,
+          snap.fieldIds, keepMeta = true)
+        Some(liveOld.join(newlyDead,
+          col("_dl_path") === col("_dv_path") &&
+            col("_dl_pos") === col("_dv_pos"), "left_semi")
+          .drop("_dl_path", "_dl_pos")
+          .withColumn("_change_type", lit("delete")))
+      }
+    val legs = Seq(inserts, fileDeletes, dvDeletes).flatten
+    if (legs.isEmpty)
+      // a metadata-only commit in range: zero change rows, full shape
+      readFiles(spark, tableDir, snap.schema, snap.partitionColumns,
+        Nil, snap.physicalNames, snap.fieldIds)
+        .withColumn("_change_type", lit("insert"))
+    else legs.reduce(_ unionAll _)
   }
 
   /** The files ADDED in commits (fromExclusive, toInclusive] — the
@@ -1117,9 +1196,10 @@ object DeltaLogLite {
                 schema: StructType, partColumns: Seq[String],
                 files: Seq[AddFile],
                 physicalNames: Map[String, String] = Map.empty,
-                fieldIds: Map[String, Long] = Map.empty): DataFrame = {
+                fieldIds: Map[String, Long] = Map.empty,
+                keepMeta: Boolean = false): DataFrame = {
     def phys(c: String): String = physicalNames.getOrElse(c, c)
-    val withDv = files.exists(_.deletionVector.nonEmpty)
+    val withDv = files.exists(_.deletionVector.nonEmpty) || keepMeta
     // mode=id: keep LOGICAL names in the read schema and resolve the
     // parquet columns by their stamped field ids (the physical names
     // in the file are ignored by id matching); mode=name: read under
@@ -1171,14 +1251,22 @@ object DeltaLogLite {
     }
     val unioned = parts.reduceOption(_ unionAll _).getOrElse(
       spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        if (!withDv) schema
+        else StructType(schema.fields ++ Seq(
+          org.apache.spark.sql.types.StructField("_dl_path",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("_dl_pos",
+            org.apache.spark.sql.types.LongType)))))
     if (!withDv) unioned
     else {
-      val dead = dvDeleteSet(spark, tableDir, files)
-      unioned
-        .join(dead, col("_dl_path") === col("_dv_path") &&
-          col("_dl_pos") === col("_dv_pos"), "left_anti")
-        .drop("_dl_path", "_dl_pos")
+      val afterDv =
+        if (files.exists(_.deletionVector.nonEmpty)) {
+          val dead = dvDeleteSet(spark, tableDir, files)
+          unioned.join(dead, col("_dl_path") === col("_dv_path") &&
+            col("_dl_pos") === col("_dv_pos"), "left_anti")
+        } else unioned
+      if (keepMeta) afterDv else afterDv.drop("_dl_path", "_dl_pos")
     }
   }
 

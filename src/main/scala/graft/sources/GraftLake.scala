@@ -161,4 +161,54 @@ object GraftLake {
         "GraftLake: Iceberg increments by SNAPSHOT ID — use " +
           "IcebergLite.readIncremental(fromSnapshotId, toSnapshotId)")
     }
+
+  /** Detect + dispatch the ROW-LEVEL CHANGE read — one entry point,
+    * one vocabulary: data columns + `_change_type` ('insert' /
+    * 'delete' / 'update_preimage' / 'update_postimage') +
+    * `_commit_version` (the format's own version axis). Range
+    * conventions are each format's native ones:
+    *  - Delta: CDF over versions [fromVersion, toVersion], BOTH
+    *    inclusive (the protocol's startingVersion convention) —
+    *    [[DeltaLogLite.readChanges]];
+    *  - Iceberg: the net diff between snapshot STATES
+    *    (fromVersion, toVersion] — [[IcebergLite.readChanges]];
+    *    `_commit_version` = toVersion (a net diff has no per-commit
+    *    attribution);
+    *  - Paimon: the changelogs of snapshots fromVersion+1 .. toVersion
+    *    ([[PaimonLite.readChangelog]] per snapshot), row kinds mapped
+    *    '+I'→insert, '-D'→delete, '-U'/'+U'→update_pre/postimage (an
+    *    unrecognized kind passes through VERBATIM — never a silent
+    *    null);
+    *  - Hudi: instants are STRINGS and its lite change surface is the
+    *    arrival-bounded incremental read — refuses naming
+    *    [[readIncremental]]. */
+  def readChanges(spark: SparkSession, tableDir: String,
+                  fromVersion: Long, toVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    detect(spark, tableDir) match {
+      case Delta =>
+        DeltaLogLite.readChanges(spark, tableDir, fromVersion, toVersion)
+      case Iceberg =>
+        IcebergLite.readChanges(spark, tableDir, fromVersion, toVersion)
+          .withColumn("_commit_version", lit(toVersion))
+      case Paimon =>
+        require(fromVersion < toVersion,
+          s"GraftLake: empty Paimon changelog range ($fromVersion, " +
+            s"$toVersion] — fromVersion must be below toVersion")
+        (fromVersion + 1 to toVersion).map { sid =>
+          PaimonLite.readChangelog(spark, tableDir, sid)
+            .withColumn("_change_type",
+              when(col("_row_kind") === "+I", "insert")
+                .when(col("_row_kind") === "-D", "delete")
+                .when(col("_row_kind") === "-U", "update_preimage")
+                .when(col("_row_kind") === "+U", "update_postimage")
+                .otherwise(col("_row_kind")))
+            .drop("_row_kind")
+            .withColumn("_commit_version", lit(sid))
+        }.reduce(_ unionAll _)
+      case Hudi => throw new IllegalArgumentException(
+        "GraftLake: Hudi's change surface takes STRING instants — use " +
+          "GraftLake.readIncremental(beginInstant[, endInstant])")
+    }
+  }
 }

@@ -728,6 +728,143 @@ object IcebergLite {
     }
   }
 
+  /** INCREMENTAL read BEYOND append-only: the NET row-level diff of a
+    * snapshot range (fromSnapshotId, toSnapshotId] whose commits
+    * APPEND data files and/or ADD delete surface (positional delete
+    * files, format-v3 deletion vectors, equality deletes) — the
+    * Iceberg library's changelog surface in net-changes form. Output =
+    * table columns + `_change_type` ('insert'/'delete'):
+    *  - INSERTS: rows of data files added in the range, as live at
+    *    `to` (a row inserted AND deleted inside the range nets out);
+    *  - DELETES: rows of pre-existing data files that are live at
+    *    `from` but dead at `to` — the `from`-live scan excludes
+    *    already-dead rows, so semi-joining `to`'s positional dead
+    *    keys (and matching `to`'s equality deletes) yields exactly
+    *    the newly-dead rows. Old data files are scanned ONCE for the
+    *    positional leg; an equality-delete leg costs one more pass
+    *    over the positional survivors (rare — CDC ranges are
+    *    overwhelmingly positional).
+    *
+    * Loud refusals (never a silent wrong diff): schema evolution in
+    * the range; a range that DROPS data files, positional delete
+    * files or equality deletes (rewrite/compaction — their net diff
+    * is not derivable from the manifests alone); a deletion vector
+    * that disappears or SHRINKS (v3 requires replacement DVs to be
+    * supersets; a shrink is a row restore this diff cannot
+    * attribute). */
+  def readChanges(spark: SparkSession, tableDir: String,
+                  fromSnapshotId: Long, toSnapshotId: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val from = snapshot(spark, tableDir, Some(fromSnapshotId))
+    val to = snapshot(spark, tableDir, Some(toSnapshotId))
+    if (to.schema.json != from.schema.json) throw new IllegalStateException(
+      s"$tableDir: schema changed between snapshots $fromSnapshotId and " +
+        s"$toSnapshotId — evolution is outside incremental scope")
+    val droppedData = from.files.toSet -- to.files.toSet
+    if (droppedData.nonEmpty) throw new IllegalStateException(
+      s"$tableDir: snapshot range ($fromSnapshotId, $toSnapshotId] DROPS " +
+        s"data files (${droppedData.toSeq.sorted.take(3).mkString(", ")}…)" +
+        " — rewrite/compaction is outside incremental-changes scope")
+    val droppedPos = from.deleteFiles.toSet -- to.deleteFiles.toSet
+    if (droppedPos.nonEmpty) throw new IllegalStateException(
+      s"$tableDir: snapshot range ($fromSnapshotId, $toSnapshotId] DROPS " +
+        s"positional delete files " +
+        s"(${droppedPos.toSeq.sorted.take(3).mkString(", ")}…) — delete " +
+        "compaction is outside incremental-changes scope")
+    val droppedEq =
+      from.eqDeletes.map(_.path).toSet -- to.eqDeletes.map(_.path).toSet
+    if (droppedEq.nonEmpty) throw new IllegalStateException(
+      s"$tableDir: snapshot range ($fromSnapshotId, $toSnapshotId] DROPS " +
+        s"equality delete files " +
+        s"(${droppedEq.toSeq.sorted.take(3).mkString(", ")}…) — delete " +
+        "compaction is outside incremental-changes scope")
+    for (d <- from.dvs) to.dvs.find(_.dataFile == d.dataFile) match {
+      case None => throw new IllegalStateException(
+        s"$tableDir: deletion vector of ${d.dataFile} disappears in " +
+          s"($fromSnapshotId, $toSnapshotId] — rewrite/restore is " +
+          "outside incremental-changes scope")
+      case Some(nd) if nd.cardinality < d.cardinality =>
+        throw new IllegalStateException(
+          s"$tableDir: deletion vector of ${d.dataFile} SHRINKS in " +
+            s"($fromSnapshotId, $toSnapshotId] (${d.cardinality} → " +
+            s"${nd.cardinality}) — a row restore is outside " +
+            "incremental-changes scope")
+      case _ =>
+    }
+    // same physical-scope gates as read(), on the superset surface
+    if ((to.deleteFiles.nonEmpty || to.dvs.nonEmpty) &&
+      (to.files.exists(_.endsWith(".orc")) ||
+        from.files.exists(_.endsWith(".orc"))))
+      throw new IllegalStateException(
+        s"IcebergLite: positional deletes over ORC data files — " +
+          "row-ordinal addressing is parquet-only in lite scope")
+    for (d <- to.deleteFiles ++ to.eqDeletes.map(_.path))
+      if (!d.endsWith(".parquet")) throw new IllegalStateException(
+        s"IcebergLite: delete file $d is not parquet — non-parquet " +
+          "delete files are outside lite scope")
+    val ct = "_change_type"
+    val outSchema = org.apache.spark.sql.types.StructType(
+      to.schema.fields :+ org.apache.spark.sql.types.StructField(
+        ct, org.apache.spark.sql.types.StringType, nullable = false))
+    val fromFiles = from.files.toSet
+    val newFiles = to.files.filterNot(fromFiles)
+    val inserts =
+      if (newFiles.isEmpty) None
+      else {
+        val snapNew = to.copy(files = newFiles,
+          dvs = to.dvs.filter(d => newFiles.contains(d.dataFile)))
+        val needMeta = snapNew.deleteFiles.nonEmpty ||
+          snapNew.eqDeletes.nonEmpty || snapNew.dvs.nonEmpty
+        val live = applyDeleteChain(spark, tableDir, snapNew,
+          scanData(spark, tableDir, snapNew, withMeta = needMeta))
+        Some((if (needMeta) live.drop("_ice_path", "_ice_pos") else live)
+          .withColumn(ct, lit("insert")))
+      }
+    val deletes =
+      if (from.files.isEmpty) None
+      else {
+        // rows of the old files live at `from` (its whole delete
+        // surface applied), row identity kept
+        val liveFrom = applyDeleteChain(spark, tableDir, from,
+          scanData(spark, tableDir, from, withMeta = true))
+        // `to`'s positional dead keys: liveFrom already excludes
+        // rows dead at `from`, so the semi join hits exactly the
+        // newly-dead ones — delete keys are small; old data files
+        // are scanned once
+        val oldDvs = to.dvs.filter(d => fromFiles.contains(d.dataFile))
+        val posKeys = Seq(
+          if (oldDvs.isEmpty) None
+          else Some(dvDeadSet(spark, oldDvs)
+            .toDF("_k_path", "_k_pos")),
+          if (to.deleteFiles.isEmpty) None
+          else Some(posDeadSet(spark, tableDir, to.deleteFiles)
+            .toDF("_k_path", "_k_pos"))).flatten
+          .reduceOption(_ unionAll _)
+        val byPos = posKeys.map(keys =>
+          liveFrom.join(keys, col("_ice_path") === col("_k_path") &&
+            col("_ice_pos") === col("_k_pos"), "left_semi"))
+        // equality deletes kill rows that SURVIVED the positional cut
+        // (no double count); matching is seq-gated like read()
+        val byEq =
+          if (to.eqDeletes.isEmpty) None
+          else {
+            val posSurvivors = posKeys.map(keys =>
+              liveFrom.join(keys,
+                col("_ice_path") === col("_k_path") &&
+                  col("_ice_pos") === col("_k_pos"), "left_anti"))
+              .getOrElse(liveFrom)
+            Some(applyEqualityDeletes(spark, tableDir, to, posSurvivors,
+              emitMatched = true))
+          }
+        Seq(byPos, byEq).flatten.reduceOption(_ unionAll _)
+          .map(_.drop("_ice_path", "_ice_pos")
+            .withColumn(ct, lit("delete")))
+      }
+    Seq(inserts, deletes).flatten.reduceOption(_ unionAll _)
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema))
+  }
+
   /** Decode one format-v3 DELETION-VECTOR blob from its Puffin file
     * into dead row ordinals (executor-side). The blob layout
     * (Puffin's deletion-vector-v1, spec-identical to Delta's DV
@@ -835,48 +972,66 @@ object IcebergLite {
       val needMeta = snap.deleteFiles.nonEmpty ||
         snap.eqDeletes.nonEmpty || snap.dvs.nonEmpty
       val data = scanData(spark, tableDir, snap, withMeta = needMeta)
-      // format-v3 deletion vectors: decode blobs executor-side over
-      // the bounded descriptor list (dead-row volume never lands on
-      // the driver), anti-join on (data file, ordinal) — the same
-      // shape as positional delete files
-      val afterDv =
-        if (snap.dvs.isEmpty) data
-        else {
-          import spark.implicits._
-          val descriptors = snap.dvs.map(d =>
-            (d.path, d.offset, d.size, d.cardinality, d.dataFile))
-          val dead = descriptors.toDS()
-            .repartition(math.min(descriptors.size,
-              spark.sparkContext.defaultParallelism).max(1))
-            .flatMap { case (p, off, sz, card, dataFile) =>
-              decodePuffinDv(p, off, sz, card).map(pos =>
-                (dataFile, pos))
-            }.toDF("_dvp_path", "_dvp_pos")
-          data.join(dead, col("_ice_path") === col("_dvp_path") &&
-            col("_ice_pos") === col("_dvp_pos"), "left_anti")
-        }
-      val afterPos =
-        if (snap.deleteFiles.isEmpty) afterDv
-        else {
-          val dels = spark.read.parquet(snap.deleteFiles: _*)
-          if (!dels.columns.contains("file_path") ||
-            !dels.columns.contains("pos"))
-            throw new IllegalStateException(
-              s"IcebergLite: positional delete files " +
-                s"${snap.deleteFiles.mkString(", ")} lack the spec's " +
-                "file_path/pos columns")
-          val delSet = dels.select(
-            normPathCol(tableDir, col("file_path")).as("_del_path"),
-            col("pos").cast("long").as("_del_pos"))
-          afterDv
-            .join(delSet, col("_ice_path") === col("_del_path") &&
-              col("_ice_pos") === col("_del_pos"), "left_anti")
-        }
-      val afterEq =
-        if (snap.eqDeletes.isEmpty) afterPos
-        else applyEqualityDeletes(spark, tableDir, snap, afterPos)
+      val afterEq = applyDeleteChain(spark, tableDir, snap, data)
       if (needMeta) afterEq.drop("_ice_path", "_ice_pos") else afterEq
     }
+  }
+
+  /** Apply a snapshot's full delete surface — format-v3 deletion
+    * vectors, v2 positional delete files, equality deletes — to a
+    * data scan that (when any exist) carries `_ice_path`/`_ice_pos`.
+    * DV blobs decode EXECUTOR-SIDE over the bounded descriptor list
+    * (dead-row volume never lands on the driver) and anti-join on
+    * (data file, ordinal) — the same shape as positional delete
+    * files. The meta columns are kept for the caller to drop. */
+  private def applyDeleteChain(spark: SparkSession, tableDir: String,
+                               snap: Snapshot,
+                               data: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val afterDv =
+      if (snap.dvs.isEmpty) data
+      else data.join(dvDeadSet(spark, snap.dvs),
+        col("_ice_path") === col("_dvp_path") &&
+          col("_ice_pos") === col("_dvp_pos"), "left_anti")
+    val afterPos =
+      if (snap.deleteFiles.isEmpty) afterDv
+      else afterDv.join(posDeadSet(spark, tableDir, snap.deleteFiles),
+        col("_ice_path") === col("_del_path") &&
+          col("_ice_pos") === col("_del_pos"), "left_anti")
+    if (snap.eqDeletes.isEmpty) afterPos
+    else applyEqualityDeletes(spark, tableDir, snap, afterPos)
+  }
+
+  /** (data file, dead ordinal) rows of a set of deletion vectors —
+    * Puffin blobs decoded executor-side. */
+  private def dvDeadSet(spark: SparkSession,
+                        dvs: Seq[IceDv]): DataFrame = {
+    import spark.implicits._
+    val descriptors = dvs.map(d =>
+      (d.path, d.offset, d.size, d.cardinality, d.dataFile))
+    descriptors.toDS()
+      .repartition(math.min(descriptors.size,
+        spark.sparkContext.defaultParallelism).max(1))
+      .flatMap { case (p, off, sz, card, dataFile) =>
+        decodePuffinDv(p, off, sz, card).map(pos => (dataFile, pos))
+      }.toDF("_dvp_path", "_dvp_pos")
+  }
+
+  /** (data file, dead ordinal) rows of a set of v2 positional delete
+    * files (their spec'd file_path/pos columns, paths normalized). */
+  private def posDeadSet(spark: SparkSession, tableDir: String,
+                         deleteFiles: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val dels = spark.read.parquet(deleteFiles: _*)
+    if (!dels.columns.contains("file_path") ||
+      !dels.columns.contains("pos"))
+      throw new IllegalStateException(
+        s"IcebergLite: positional delete files " +
+          s"${deleteFiles.mkString(", ")} lack the spec's " +
+          "file_path/pos columns")
+    dels.select(
+      normPathCol(tableDir, col("file_path")).as("_del_path"),
+      col("pos").cast("long").as("_del_pos"))
   }
 
   /** The snapshot's data scan. Without a name mapping this is ONE
@@ -1049,7 +1204,9 @@ object IcebergLite {
     * condition the single join expresses. */
   private[graft] def applyEqualityDeletes(spark: SparkSession,
                                           tableDir: String, snap: Snapshot,
-                                          data: DataFrame): DataFrame = {
+                                          data: DataFrame,
+                                          emitMatched: Boolean = false)
+  : DataFrame = {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     for (d <- snap.eqDeletes; (_, c) <- d.cols)
@@ -1057,14 +1214,19 @@ object IcebergLite {
         throw new IllegalStateException(
           s"IcebergLite: equality delete ${d.path} names column $c " +
             "absent from the table schema")
+    if (emitMatched)
+      require(data.columns.contains("_ice_path") &&
+        data.columns.contains("_ice_pos"),
+        "emitMatched needs _ice_path/_ice_pos for the matched-set dedup")
     enableFieldIdRead(spark)
     val seqLookup = broadcast(
       snap.fileSeqs.toSeq.toDF("_seq_path", "_ice_seq"))
     // read() materializes _ice_path per scan leg (required for
     // name-mapped unions, where _metadata no longer resolves); a raw
     // single-scan caller (spec surface) still derives it here
+    val hadPath = data.columns.contains("_ice_path")
     val withPath =
-      if (data.columns.contains("_ice_path")) data
+      if (hadPath) data
       else data.withColumn("_ice_path",
         MetaPaths.decoded(col("_metadata.file_path")))
     val withSeq = withPath
@@ -1081,7 +1243,7 @@ object IcebergLite {
             lit("IcebergLite: data file "), col("_ice_path"),
             lit(" has no sequence-number entry — refusing to apply " +
               "equality deletes unordered")))))
-      .drop("_ice_path", "_seq_path")
+      .drop("_seq_path")
     // delete-file columns resolve BY FIELD ID (a file written before
     // a rename stores the old spelling): the read schema carries the
     // ids under the CURRENT names. A requested id absent from a file
@@ -1092,31 +1254,52 @@ object IcebergLite {
     val storedIds: Map[String, Set[Int]] = FooterSweep
       .parquetFields(spark, snap.eqDeletes.map(_.path).distinct)
       .map { case (f, fields) => f -> fields.flatMap(_._2).toSet }
-    val applied = snap.eqDeletes
+    val groups = snap.eqDeletes
       .groupBy(_.cols).toSeq.sortBy(_._1.map(_._2).mkString(","))
-      .foldLeft(withSeq) { case (acc, (cols, group)) =>
-        val delSchema = StructType(cols.map { case (id, c) =>
-          StructField(c, snap.schema(c).dataType, nullable = true,
-            new MetadataBuilder().putLong(FieldIdKey, id.toLong).build())
-        })
-        val delKeys = group.map { d =>
-          val stored = storedIds.getOrElse(d.path, Set.empty)
-          val missing = cols.filterNot(c => stored.contains(c._1))
-          if (missing.nonEmpty) throw new IllegalStateException(
-            s"IcebergLite: equality delete file ${d.path} lacks field " +
-              s"ids ${missing.map(_._1).mkString(", ")} " +
-              s"(columns ${missing.map(_._2).mkString(", ")})")
-          spark.read.schema(delSchema).parquet(d.path)
-            .select(cols.map { case (_, c) => col(c).as(s"_del_$c") } :+
-              lit(d.seq).as("_del_seq"): _*)
-        }.reduce(_ unionAll _)
-          // one key at its highest delete sequence decides the row
-          .groupBy(cols.map { case (_, c) => col(s"_del_$c") }: _*)
-          .agg(max(col("_del_seq")).as("_del_seq"))
-        val cond = cols.map { case (_, c) => acc(c) <=> delKeys(s"_del_$c") }
-          .reduce(_ && _) && acc("_ice_seq") < delKeys("_del_seq")
-        acc.join(delKeys, cond, "left_anti")
+    def keysOf(cols: Seq[(Int, String)],
+               group: Seq[EqDelete]): DataFrame = {
+      val delSchema = StructType(cols.map { case (id, c) =>
+        StructField(c, snap.schema(c).dataType, nullable = true,
+          new MetadataBuilder().putLong(FieldIdKey, id.toLong).build())
+      })
+      group.map { d =>
+        val stored = storedIds.getOrElse(d.path, Set.empty)
+        val missing = cols.filterNot(c => stored.contains(c._1))
+        if (missing.nonEmpty) throw new IllegalStateException(
+          s"IcebergLite: equality delete file ${d.path} lacks field " +
+            s"ids ${missing.map(_._1).mkString(", ")} " +
+            s"(columns ${missing.map(_._2).mkString(", ")})")
+        spark.read.schema(delSchema).parquet(d.path)
+          .select(cols.map { case (_, c) => col(c).as(s"_del_$c") } :+
+            lit(d.seq).as("_del_seq"): _*)
+      }.reduce(_ unionAll _)
+        // one key at its highest delete sequence decides the row
+        .groupBy(cols.map { case (_, c) => col(s"_del_$c") }: _*)
+        .agg(max(col("_del_seq")).as("_del_seq"))
+    }
+    def matchCond(in: DataFrame, cols: Seq[(Int, String)],
+                  delKeys: DataFrame) =
+      cols.map { case (_, c) => in(c) <=> delKeys(s"_del_$c") }
+        .reduce(_ && _) && in("_ice_seq") < delKeys("_del_seq")
+    if (emitMatched) {
+      // rows MATCHED by any delete key (the inverse surface, for the
+      // incremental net-diff): one semi join per column set over the
+      // same input, deduped on row identity — matched volume is
+      // bounded by the delete keys' hit set, not the table
+      val legs = groups.map { case (cols, group) =>
+        val delKeys = keysOf(cols, group)
+        withSeq.join(delKeys, matchCond(withSeq, cols, delKeys),
+          "left_semi")
       }
-    applied.drop("_ice_seq")
+      legs.reduce(_ unionAll _)
+        .dropDuplicates("_ice_path", "_ice_pos").drop("_ice_seq")
+    } else {
+      val applied = groups.foldLeft(withSeq) { case (acc, (cols, group)) =>
+        val delKeys = keysOf(cols, group)
+        acc.join(delKeys, matchCond(acc, cols, delKeys), "left_anti")
+      }
+      val out = applied.drop("_ice_seq")
+      if (hadPath) out else out.drop("_ice_path")
+    }
   }
 }

@@ -853,13 +853,17 @@ class DeltaLogSpec extends AnyFunSuite {
     assert(got ==
       ((0L to 4L).map(i => (i, "insert", 0L)) :+ ((0L, "delete", 1L))).sorted)
 
-    // cdc-less dataChange remove: the range cannot be served
+    // cdc-less dataChange remove: synthesized per the protocol's
+    // fallback rule — the removed file's live content as deletes
     commit(root, 2,
       """{"remove":{"path":"f0.parquet","deletionTimestamp":0,"dataChange":true}}""")
-    val e = intercept[IllegalStateException] {
-      DeltaLogLite.readChanges(spark, root, 0L, 2L)
-    }
-    assert(e.getMessage.contains("without cdc files"))
+    val gotRm = DeltaLogLite.readChanges(spark, root, 0L, 2L)
+      .select("id", "_change_type", "_commit_version")
+      .as[(Long, String, Long)].collect().sorted.toSeq
+    assert(gotRm == (
+      (0L to 4L).map(i => (i, "insert", 0L)) ++
+        Seq((0L, "delete", 1L)) ++
+        (0L to 4L).map(i => (i, "delete", 2L))).sorted)
 
     // CDF off: refuse
     val mdOff = md.replace(
@@ -871,6 +875,70 @@ class DeltaLogSpec extends AnyFunSuite {
       DeltaLogLite.readChanges(spark, root, 0L, 1L)
     }
     assert(e2.getMessage.contains("enableChangeDataFeed"))
+  }
+
+  test("change feed synthesis: remove+re-add with a GROWN deletion " +
+    "vector emits exactly the newly-dead rows; a shrinking vector " +
+    "and a cdc-less in-commit rewrite refuse") {
+    import spark.implicits._
+    val root = "/tmp/graft_deltaspec/cdfsynth"
+    def rm(p: java.io.File): Unit = {
+      if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+      p.delete(): Unit
+    }
+    rm(new java.io.File(root))
+    Files.createDirectories(Paths.get(root, "_delta_log"))
+    val tmp = s"$root/_tmp"
+    spark.range(0, 6).select(col("id"), (col("id") * 3).as("v"))
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith(".")).get
+    assert(part.renameTo(new java.io.File(s"$root/f0.parquet")))
+    rm(new java.io.File(tmp))
+    val schema =
+      """{"type":"struct","fields":[
+        |{"name":"id","type":"long","nullable":true,"metadata":{}},
+        |{"name":"v","type":"long","nullable":true,"metadata":{}}]}"""
+        .stripMargin.replace("\n", "")
+    val md =
+      s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":${jstr(schema)},"partitionColumns":[],"configuration":{"delta.enableChangeDataFeed":"true"},"createdTime":0}}"""
+    def dvJson(file: String, size: Int, card: Int): String =
+      s"""{"storageType":"p","pathOrInlineDv":${jstr(s"$root/$file")},"offset":1,"sizeInBytes":$size,"cardinality":$card}"""
+    def addF0(dv: Option[String]): String =
+      s"""{"add":{"path":"f0.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true""" +
+        dv.map(j => s""","deletionVector":$j""").getOrElse("") + "}}"
+    def removeF0(dv: Option[String]): String =
+      s"""{"remove":{"path":"f0.parquet","deletionTimestamp":0,"dataChange":true""" +
+        dv.map(j => s""","deletionVector":$j""").getOrElse("") + "}}"
+    commit(root, 0, protocol(3, "deletionVectors"), md, addF0(None))
+    // commit 1: first DV kills ordinals {1,2}
+    val s1 = writeDvFile(s"$root/dv1.bin", Seq((0, Seq(1, 2))))
+    val dv1 = dvJson("dv1.bin", s1, 2)
+    commit(root, 1, removeF0(None), addF0(Some(dv1)))
+    // commit 2: the DV GROWS to {1,2,4} — net change is ordinal 4 only
+    val s2 = writeDvFile(s"$root/dv2.bin", Seq((0, Seq(1, 2, 4))))
+    val dv2 = dvJson("dv2.bin", s2, 3)
+    commit(root, 2, removeF0(Some(dv1)), addF0(Some(dv2)))
+    val got = DeltaLogLite.readChanges(spark, root, 0L, 2L)
+      .select("id", "_change_type", "_commit_version")
+      .as[(Long, String, Long)].collect().sorted.toSeq
+    assert(got == (
+      (0L to 5L).map(i => (i, "insert", 0L)) ++
+        Seq((1L, "delete", 1L), (2L, "delete", 1L),
+          (4L, "delete", 2L))).sorted)
+    // a SHRINKING vector (restore) refuses
+    commit(root, 3, removeF0(Some(dv2)), addF0(Some(dv1)))
+    val e = intercept[IllegalStateException] {
+      DeltaLogLite.readChanges(spark, root, 0L, 3L)
+    }
+    assert(e.getMessage.contains("SHRANK"))
+    // a cdc-less in-commit REWRITE (same path, no DV) refuses
+    commit(root, 3, removeF0(Some(dv2)), addF0(None))
+    val e2 = intercept[IllegalStateException] {
+      DeltaLogLite.readChanges(spark, root, 0L, 3L)
+    }
+    assert(e2.getMessage.contains("outside synthesized-CDF scope"))
   }
 
   test("change feed on a COLUMN-MAPPED table: cdc files read under " +
@@ -1087,6 +1155,120 @@ class DeltaLogSpec extends AnyFunSuite {
         assert(got == want,
           s"seed $seed version $v: got $got, want $want")
       }
+    }
+  }
+
+  test("randomized model check: the synthesized change feed of a " +
+    "random add/remove/DV-grow commit sequence equals the in-memory " +
+    "diff model, across seeds") {
+    import spark.implicits._
+    final case class F(name: String, rows: Seq[Long], dead: Set[Int],
+                       dvJson: Option[String])
+    for (seed <- Seq(7, 83, 402)) {
+      val rnd = new scala.util.Random(seed)
+      val root = s"/tmp/graft_deltaspec/cdfmodel$seed"
+      def rm(p: java.io.File): Unit = {
+        if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+        p.delete(): Unit
+      }
+      rm(new java.io.File(root))
+      Files.createDirectories(Paths.get(root, "_delta_log"))
+      val schema = spark.range(0, 1)
+        .select(col("id"), (col("id") * 2).as("v")).schema.json
+      val metaLine =
+        s"""{"metaData":{"id":"cm$seed","format":{"provider":"parquet",
+           |"options":{}},"schemaString":${jstr(schema)},
+           |"partitionColumns":[],"configuration":
+           |{"delta.enableChangeDataFeed":"true"},"createdTime":0}}"""
+          .stripMargin.replace("\n", "")
+      var nextBase = 0L
+      def newDataFile(): F = {
+        val n = 3 + rnd.nextInt(5)
+        val rows = (nextBase until nextBase + n).toSeq
+        nextBase += 100
+        val name = s"f${rows.head}.parquet"
+        val tmp = s"$root/_tmp"
+        spark.range(rows.head, rows.head + n)
+          .select(col("id"), (col("id") * 2).as("v"))
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val p = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.endsWith(".parquet") &&
+            !f.getName.startsWith(".")).get
+        assert(p.renameTo(new java.io.File(s"$root/$name")))
+        rm(new java.io.File(tmp))
+        F(name, rows, Set.empty, None)
+      }
+      // (re)stamp f's descriptor: a fresh DV file per version, bitmap
+      // = the UNION of everything dead in the file so far
+      def withDv(f: F, v: Long): F =
+        if (f.dead.isEmpty) f
+        else {
+          val p = s"$root/dv-$v-${f.rows.head}.bin"
+          val size = writeDvFile(p, Seq(0 -> f.dead.toSeq.sorted))
+          f.copy(dvJson = Some(
+            s"""{"storageType":"p","pathOrInlineDv":${jstr(p)},
+               |"offset":1,"sizeInBytes":$size,
+               |"cardinality":${f.dead.size}}"""
+              .stripMargin.replace("\n", "")))
+        }
+      def addLine(f: F): String =
+        s"""{"add":{"path":"${f.name}","partitionValues":{},"size":1,
+           |"modificationTime":0,"dataChange":true""".stripMargin
+          .replace("\n", "") +
+          f.dvJson.map(j => s""","deletionVector":$j""").getOrElse("") +
+          "}}"
+      def removeLine(f: F): String =
+        s"""{"remove":{"path":"${f.name}","dataChange":true""" +
+          f.dvJson.map(j => s""","deletionVector":$j""").getOrElse("") +
+          "}}"
+      var live = Vector.empty[F]
+      val nVersions = 4 + rnd.nextInt(3)
+      val expected =
+        scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+      for (v <- 0L until nVersions.toLong) {
+        val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+        if (v == 0L) {
+          lines += protocol(3, "deletionVectors")
+          lines += metaLine
+        }
+        val op = if (live.isEmpty) "add"
+          else Seq("add", "remove", "dv")(rnd.nextInt(3))
+        op match {
+          case "add" =>
+            val f = newDataFile()
+            live :+= f
+            lines += addLine(f)
+            expected ++= f.rows.map(id => (id, "insert", v))
+          case "remove" =>
+            val i = rnd.nextInt(live.size)
+            val f = live(i)
+            lines += removeLine(f)
+            live = live.patch(i, Nil, 1)
+            expected ++= f.rows.zipWithIndex.collect {
+              case (id, ord) if !f.dead.contains(ord) => (id, "delete", v)
+            }
+          case "dv" =>
+            val i = rnd.nextInt(live.size)
+            val old = live(i)
+            val grown = withDv(old.copy(dead = old.dead ++
+              (0 until (1 + rnd.nextInt(3))).map(_ =>
+                rnd.nextInt(old.rows.size))), v)
+            live = live.updated(i, grown)
+            // the remove carries the OLD descriptor, the re-add the
+            // grown one — the synthesized delete is their set diff
+            lines += removeLine(old)
+            lines += addLine(grown)
+            expected ++= (grown.dead -- old.dead).toSeq.sorted.map(ord =>
+              (old.rows(ord), "delete", v))
+        }
+        commit(root, v, lines.toSeq: _*)
+      }
+      val got = DeltaLogLite
+        .readChanges(spark, root, 0L, nVersions - 1L)
+        .select(col("id"), col("_change_type"), col("_commit_version"))
+        .as[(Long, String, Long)].collect().sorted.toSeq
+      assert(got == expected.sorted.toSeq,
+        s"seed $seed: got $got, want ${expected.sorted.toSeq}")
     }
   }
 

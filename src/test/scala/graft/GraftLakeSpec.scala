@@ -126,6 +126,58 @@ class GraftLakeSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no completed commits"))
   }
 
+  test("readChanges dispatches Delta CDF through the one vocabulary; " +
+    "Hudi and an empty Paimon range refuse") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // Delta passthrough: a blind append's synthesized inserts arrive
+    // with _change_type/_commit_version
+    val root = fresh("chgd", "_delta_log", "data")
+    def one(df: org.apache.spark.sql.DataFrame, out: String): Unit = {
+      val tmp = s"$root/_tmp"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val p = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith(".")).get
+      assert(p.renameTo(new java.io.File(s"$root/$out")))
+      rm(new java.io.File(tmp))
+    }
+    val a = spark.range(0, 5).select(col("id"), (col("id") * 2).as("v"))
+    one(a, "data/a.parquet")
+    Files.writeString(Paths.get(root, "_delta_log", f"${0L}%020d.json"),
+      s"""{"metaData":{"id":"chg","format":{"provider":"parquet","options":{}},"schemaString":${
+        org.json4s.jackson.JsonMethods.compact(
+          org.json4s.JsonDSL.string2jvalue(a.schema.json))},"partitionColumns":[],"configuration":{"delta.enableChangeDataFeed":"true"},"createdTime":0}}
+         |{"add":{"path":"data/a.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}
+         |""".stripMargin)
+    val got = GraftLake.readChanges(spark, root, 0L, 0L)
+      .select(col("id"), col("_change_type"), col("_commit_version"))
+      .as[(Long, String, Long)].collect().sorted.toSeq
+    assert(got == (0L to 4L).map(i => (i, "insert", 0L)))
+    // the SQL table function rides the same dispatch
+    GraftExtensions.register(spark)
+    assert(spark.sql(s"SELECT count(*) AS n FROM " +
+      s"graft_lake_changes('$root', 0, 0)").head().getLong(0) == 5L)
+    // non-literal version arguments refuse
+    val e0 = intercept[Exception] {
+      spark.sql(
+        s"SELECT * FROM graft_lake_changes('$root', 0, 1.5)").collect()
+    }
+    assert(chain(e0).exists(_.contains("INT/LONG")))
+    // Hudi: string-instant surface — refuses naming readIncremental
+    val h = fresh("chgh", ".hoodie")
+    val e1 = intercept[IllegalArgumentException] {
+      GraftLake.readChanges(spark, h, 0L, 1L)
+    }
+    assert(e1.getMessage.contains("readIncremental"))
+    // Paimon: an empty range refuses
+    val p = fresh("chgp", "snapshot", "schema")
+    val e2 = intercept[IllegalArgumentException] {
+      GraftLake.readChanges(spark, p, 2L, 2L)
+    }
+    assert(e2.getMessage.contains("empty Paimon changelog range"))
+  }
+
   test("a bare metadata/ directory is NOT Iceberg (needs the hint or " +
     "a vN.metadata.json)") {
     val root = fresh("baremeta", "metadata")

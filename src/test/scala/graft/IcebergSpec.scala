@@ -626,6 +626,128 @@ class IcebergSpec extends AnyFunSuite {
     assert(e.getMessage.contains("DROPS"))
   }
 
+  test("readChanges nets a delete-adding range: DV growth emits only " +
+    "newly-dead rows, eq deletes seq-gate past the new file; shrunk/" +
+    "vanished DVs and dropped files refuse") {
+    import spark.implicits._
+    def author(name: String, dv2: Option[Seq[Long]] = Some(Seq(1L, 3L, 5L)),
+               dropF0: Boolean = false): String = {
+      val root = s"/tmp/graft_icespec/$name"
+      rm(new java.io.File(root))
+      Files.createDirectories(Paths.get(root, "metadata"))
+      Files.createDirectories(Paths.get(root, "data"))
+      def one(df: org.apache.spark.sql.DataFrame, ids: Map[String, Int],
+              out: String): Unit = {
+        val tmp = s"$root/_tmp"
+        IcebergLite.stampFieldIds(df, ids)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.endsWith(".parquet") &&
+            !f.getName.startsWith(".")).get
+        assert(part.renameTo(new java.io.File(s"$root/$out")))
+        rm(new java.io.File(tmp))
+      }
+      val ids = Map("id" -> 1, "v" -> 2)
+      def batch(a: Long, b: Long) =
+        spark.range(a, b).select(col("id"), (col("id") * 3).as("v"))
+      one(batch(0, 10), ids, "data/f0.parquet")
+      one(batch(10, 15), ids, "data/f1.parquet")
+      // eq delete at seq 2 names ids {0, 10}: kills f0's 0 (seq 1<2),
+      // spares f1's 10 (seq 2, not strictly below)
+      one(Seq(0L, 10L).toDF("id"), Map("id" -> 1), "data/eq.parquet")
+      def writeAvro(d: org.apache.spark.sql.DataFrame, rel: String): Unit = {
+        val t = s"$root/_tmpavro"
+        d.coalesce(1).write.mode("overwrite").format(avroFmt).save(t)
+        val f = new java.io.File(t).listFiles()
+          .find(_.getName.startsWith("part-")).get
+        assert(f.renameTo(new java.io.File(s"$root/$rel")))
+        rm(new java.io.File(t))
+      }
+      def dvPuffin(rel: String, ordinals: Seq[Long]): Long = {
+        val blob = dvBlob(ordinals)
+        Files.write(Paths.get(root, rel), "PFA1".getBytes("UTF-8") ++
+          blob ++ "PFA1".getBytes("UTF-8"))
+        blob.length.toLong
+      }
+      val s1 = dvPuffin("data/dv1.puffin", Seq(1L, 3L))
+      val s2 = dv2.map(dvPuffin("data/dv2.puffin", _))
+      def manifest(rel: String, path: String, content: Int,
+                   eqIds: Seq[Int], dv: Option[(String, Long, Long)])
+      : Unit =
+        writeAvro(Seq((1, path)).toDF("status", "file_path")
+          .select(col("status"),
+            struct(col("file_path"), lit(content).as("content"),
+              (if (eqIds.isEmpty) lit(null).cast("array<int>")
+               else array(eqIds.map(lit(_)): _*)).as("equality_ids"),
+              dv.map(d => lit(d._1)).getOrElse(lit(null))
+                .cast("string").as("referenced_data_file"),
+              dv.map(_ => lit(4L)).getOrElse(lit(null))
+                .cast("long").as("content_offset"),
+              dv.map(d => lit(d._2)).getOrElse(lit(null))
+                .cast("long").as("content_size_in_bytes"),
+              dv.map(d => lit(d._3)).getOrElse(lit(null))
+                .cast("long").as("record_count")).as("data_file")), rel)
+      manifest("metadata/m-f0.avro", "data/f0.parquet", 0, Nil, None)
+      manifest("metadata/m-f1.avro", "data/f1.parquet", 0, Nil, None)
+      manifest("metadata/m-eq.avro", "data/eq.parquet", 2, Seq(1), None)
+      manifest("metadata/m-dv1.avro", "data/dv1.puffin", 1, Nil,
+        Some(("data/f0.parquet", s1, 2L)))
+      for (sz <- s2)
+        manifest("metadata/m-dv2.avro", "data/dv2.puffin", 1, Nil,
+          Some(("data/f0.parquet", sz, dv2.get.length.toLong)))
+      def mlist(rel: String, rows: (String, Int, Long)*): Unit =
+        writeAvro(rows.toSeq
+          .toDF("manifest_path", "content", "sequence_number"), rel)
+      mlist("metadata/snap-1.avro",
+        ("metadata/m-f0.avro", 0, 1L), ("metadata/m-dv1.avro", 1, 1L))
+      mlist("metadata/snap-2.avro",
+        (if (dropF0) Nil else Seq(("metadata/m-f0.avro", 0, 1L))) ++
+          Seq(("metadata/m-f1.avro", 0, 2L),
+            ("metadata/m-eq.avro", 1, 2L)) ++
+          s2.map(_ => ("metadata/m-dv2.avro", 1, 2L)).toSeq: _*)
+      Files.writeString(Paths.get(root, "metadata", "v1.metadata.json"),
+        s"""{"format-version":3,"location":${jstr(root)},
+           |"current-schema-id":0,
+           |"schemas":[{"schema-id":0,"type":"struct","fields":[
+           |  {"id":1,"name":"id","required":false,"type":"long"},
+           |  {"id":2,"name":"v","required":false,"type":"long"}]}],
+           |"current-snapshot-id":2,
+           |"snapshots":[
+           | {"snapshot-id":1,"manifest-list":"metadata/snap-1.avro"},
+           | {"snapshot-id":2,"manifest-list":"metadata/snap-2.avro"}
+           |]}""".stripMargin)
+      Files.writeString(
+        Paths.get(root, "metadata", "version-hint.text"), "1")
+      root
+    }
+    // happy: inserts = f1 (10..14, eq delete seq-gated off it);
+    // deletes = ordinal 5 (the DV's growth — 1,3 were already dead
+    // at `from`) plus id 0 (eq-matched among positional survivors)
+    val got = IcebergLite.readChanges(spark, author("chg"), 1L, 2L)
+      .select(col("id"), col("_change_type"))
+      .as[(Long, String)].collect().sorted.toSeq
+    assert(got == ((10L to 14L).map(i => (i, "insert")) ++
+      Seq((0L, "delete"), (5L, "delete"))).sorted)
+    // a SHRINKING replacement DV (a restore) refuses
+    val e1 = intercept[IllegalStateException] {
+      IcebergLite.readChanges(spark,
+        author("chgshrink", dv2 = Some(Seq(1L))), 1L, 2L)
+    }
+    assert(e1.getMessage.contains("SHRINKS"))
+    // a DV that disappears refuses
+    val e2 = intercept[IllegalStateException] {
+      IcebergLite.readChanges(spark,
+        author("chgvanish", dv2 = None), 1L, 2L)
+    }
+    assert(e2.getMessage.contains("disappears"))
+    // a range that drops a data file (rewrite/compaction) refuses
+    val e3 = intercept[IllegalStateException] {
+      IcebergLite.readChanges(spark,
+        author("chgdrop", dropF0 = true), 1L, 2L)
+    }
+    assert(e3.getMessage.contains("DROPS"))
+  }
+
   test("non-file scheme in a stored path refuses loudly") {
     val root = fixture("scheme")
     import spark.implicits._
