@@ -1170,6 +1170,75 @@ object Storage extends QueryModule {
       s.table("q400_sink").orderBy(col("l_returnflag"))
     },
 
+    // STREAMING Delta CHANGE FEED — DeltaStreamLite with
+    // readChangeFeed=true: the first batch is the observed snapshot as
+    // 'insert' rows at its version, each later batch is readChanges
+    // over (start, end]. The query appends a blind-append commit
+    // (synthesized inserts at v1) and then a cdc-less REMOVE commit
+    // (synthesized deletes of the removed file's content at v2) while
+    // draining, one version per trigger. The census keys on
+    // (_change_type, _commit_version) — a source that replayed the
+    // snapshot per batch, dropped the delete batch, or mis-attributed
+    // versions hash-mismatches.
+    "q467_delta_cdf_stream" -> { (s, dir) =>
+      val root = authorDeltaStreamTable(s, dir, upTo = 0, cdf = true)
+      s.catalog.dropTempView("q467_sink"): Unit
+      val stream = s.readStream
+        .format("org.apache.spark.sql.graftstream.DeltaStreamLite")
+        .option("path", root)
+        .option("maxVersionsPerTrigger", "1")
+        .option("readChangeFeed", "true")
+        .load()
+      val agg = stream
+        .groupBy(col("_change_type"), col("_commit_version"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_qty"))
+      val q = agg.writeStream.outputMode("complete")
+        .format("memory").queryName("q467_sink").start()
+      try {
+        q.processAllAvailable()
+        appendDeltaStreamCommit(s, dir, root, 1, cdf = true)
+        q.processAllAvailable()
+        graft.sources.AtomicFiles.write(
+          java.nio.file.Paths.get(root, "_delta_log", f"${2}%020d.json"),
+          """{"remove":{"path":"data/b1.parquet","deletionTimestamp":0,"dataChange":true}}""" + "\n")
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table("q467_sink")
+        .orderBy(col("_change_type"), col("_commit_version"))
+    },
+
+    // STREAMING Paimon CHANGELOG — PaimonStreamLite with
+    // readChangelog=true (the mode that SERVES the primary-key tables
+    // the append stream refuses): the first batch is snapshot 1's
+    // merged read as '+I', then snapshot 2 is published mid-stream and
+    // its input changelog arrives as one batch ('+U' ×2-priced upserts
+    // for %10∈(3,4), '-D' deletes for %10=0). The census keys on
+    // (_row_kind, _snapshot_id).
+    "q468_paimon_changelog_stream" -> { (s, dir) =>
+      val root = authorPaimonClStreamTable(s, dir)
+      s.catalog.dropTempView("q468_sink"): Unit
+      val stream = s.readStream
+        .format("org.apache.spark.sql.graftstream.PaimonStreamLite")
+        .option("path", root)
+        .option("maxSnapshotsPerTrigger", "1")
+        .option("readChangelog", "true")
+        .load()
+      val agg = stream.groupBy(col("_row_kind"), col("_snapshot_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_price"))
+      val q = agg.writeStream.outputMode("complete")
+        .format("memory").queryName("q468_sink").start()
+      try {
+        q.processAllAvailable()
+        appendPaimonClSnapshot(root)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table("q468_sink").orderBy(col("_row_kind"), col("_snapshot_id"))
+    },
+
     // STREAMING Iceberg read — IcebergStreamLite (v1 Source: offsets
     // are POSITIONS in the metadata's snapshots list; each micro-batch
     // is the file-set DIFFERENCE between consecutive snapshots, with
@@ -4263,10 +4332,11 @@ object Storage extends QueryModule {
     * memoized: the stream test appends commits mid-run, so each
     * invocation rebuilds from scratch for determinism. */
   private def authorDeltaStreamTable(s: SparkSession, dir: String,
-                                     upTo: Int): String = {
+                                     upTo: Int,
+                                     cdf: Boolean = false): String = {
     import java.nio.file.{Files, Paths}
-    val root =
-      s"/tmp/graft_deltastream/li_${Integer.toHexString(dir.hashCode)}"
+    val root = s"/tmp/graft_deltastream/" +
+      s"${if (cdf) "cdf" else "li"}_${Integer.toHexString(dir.hashCode)}"
     def rm(p: java.io.File): Unit = {
       if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
       p.delete(): Unit
@@ -4274,7 +4344,7 @@ object Storage extends QueryModule {
     rm(new java.io.File(root))
     Files.createDirectories(Paths.get(root, "_delta_log"))
     Files.createDirectories(Paths.get(root, "data"))
-    for (v <- 0 to upTo) appendDeltaStreamCommit(s, dir, root, v)
+    for (v <- 0 to upTo) appendDeltaStreamCommit(s, dir, root, v, cdf)
     root
   }
 
@@ -4282,7 +4352,8 @@ object Storage extends QueryModule {
     * (l_orderkey%10 == v) as data/b<v>.parquet and logs the add
     * (commit 0 also carries protocol + metaData). */
   private def appendDeltaStreamCommit(s: SparkSession, dir: String,
-                                      root: String, v: Int): Unit = {
+                                      root: String, v: Int,
+                                      cdf: Boolean = false): Unit = {
     import java.nio.file.{Files, Paths}
     def rm(p: java.io.File): Unit = {
       if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
@@ -4300,9 +4371,11 @@ object Storage extends QueryModule {
     val rel = s"data/b$v.parquet"
     assert(part.renameTo(new java.io.File(s"$root/$rel")))
     rm(new java.io.File(tmp))
+    val conf =
+      if (cdf) """{"delta.enableChangeDataFeed":"true"}""" else "{}"
     val head = if (v == 0)
       s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}
-         |{"metaData":{"id":"graft-q400","format":{"provider":"parquet","options":{}},"schemaString":${jstr(src.schema.json)},"partitionColumns":[],"configuration":{},"createdTime":0}}
+         |{"metaData":{"id":"graft-q400","format":{"provider":"parquet","options":{}},"schemaString":${jstr(src.schema.json)},"partitionColumns":[],"configuration":$conf,"createdTime":0}}
          |""".stripMargin
     else ""
     graft.sources.AtomicFiles.write(
@@ -5065,6 +5138,114 @@ object Storage extends QueryModule {
         root
       })
     }
+
+  /** Authors the PK table q468 streams the CHANGELOG of. Same content
+    * as [[authorPaimonPkTable]] (snapshot 1 inserts %10<5, snapshot 2
+    * upserts ×2 on %10∈(3,4) and deletes %10=0, changelog-producer=
+    * input materialization for snapshot 2) but a separate root with
+    * ONLY snapshot 1 published (LATEST=1) — the query publishes
+    * snapshot 2 mid-stream via [[appendPaimonClSnapshot]]. NOT
+    * memoized: each invocation rebuilds for determinism. */
+  private def authorPaimonClStreamTable(s: SparkSession,
+                                        dir: String): String = {
+    import java.nio.file.{Files, Paths}
+    val avroFmt = "org.apache.spark.sql.avro.AvroFileFormat"
+    val root =
+      s"/tmp/graft_paimonstream/cl_${Integer.toHexString(dir.hashCode)}"
+    def rm(p: java.io.File): Unit = {
+      if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+      p.delete(): Unit
+    }
+    rm(new java.io.File(root))
+    for (d <- Seq("snapshot", "schema", "manifest", "bucket-0"))
+      Files.createDirectories(Paths.get(root, d))
+    val base = Tables.df(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("o_orderstatus"))
+      .filter(col("o_orderkey") % 10 < 5)
+    def kv(df: DataFrame, seq: Long, kind: Int): DataFrame =
+      df.select(col("o_orderkey").as("_KEY_o_orderkey"),
+        lit(seq).as("_SEQUENCE_NUMBER"),
+        lit(kind).cast("tinyint").as("_VALUE_KIND"),
+        col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    def writeKv(df: DataFrame, name: String): String = {
+      val tmp = s"$root/_tmp"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith(".")).get
+      assert(part.renameTo(new java.io.File(s"$root/bucket-0/$name")))
+      rm(new java.io.File(tmp))
+      name
+    }
+    val fa = writeKv(kv(base, 1L, 0), "kv-inserts.parquet")
+    val upserts =
+      kv(base.filter((col("o_orderkey") % 10).isin(3, 4))
+        .withColumn("o_totalprice", col("o_totalprice") * 2), 2L, 2)
+        .unionByName(
+          kv(base.filter(col("o_orderkey") % 10 === 0), 2L, 3))
+    val fb = writeKv(upserts, "kv-upserts.parquet")
+    writeKv(upserts, "changelog-2.parquet"): Unit
+    def writeAvro(df: DataFrame, rel: String): Unit = {
+      val tmp = s"$root/_tmpavro"
+      df.coalesce(1).write.mode("overwrite").format(avroFmt).save(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-")).get
+      assert(part.renameTo(new java.io.File(s"$root/$rel")))
+      rm(new java.io.File(tmp))
+    }
+    import s.implicits._
+    def manifest(rel: String, entries: (Int, String)*): Unit =
+      writeAvro(entries.toSeq.toDF("_KIND", "_fn")
+        .select(col("_KIND"), lit(0).as("_BUCKET"),
+          struct(col("_fn").as("_FILE_NAME")).as("_FILE")), rel)
+    manifest("manifest/m-ins.avro", (0, fa))
+    manifest("manifest/m-ups.avro", (0, fb))
+    manifest("manifest/m-cl.avro", (0, "changelog-2.parquet"))
+    def manifestList(rel: String, names: String*): Unit =
+      writeAvro(
+        if (names.isEmpty) Seq.empty[String].toDF("_FILE_NAME")
+        else names.toSeq.toDF("_FILE_NAME"), rel)
+    manifestList("manifest/ml-empty.avro")
+    manifestList("manifest/ml-ins.avro", "m-ins.avro")
+    manifestList("manifest/ml-ups.avro", "m-ups.avro")
+    manifestList("manifest/ml-cl.avro", "m-cl.avro")
+    val schemaJson =
+      """{"id":0,"fields":[
+        | {"id":0,"name":"o_orderkey","type":"BIGINT"},
+        | {"id":1,"name":"o_totalprice","type":"DOUBLE"},
+        | {"id":2,"name":"o_orderstatus","type":"STRING"}],
+        |"highestFieldId":2,"partitionKeys":[],
+        |"primaryKeys":["o_orderkey"],
+        |"options":{"file.format":"parquet",
+        | "changelog-producer":"input"}}""".stripMargin
+    Files.writeString(Paths.get(root, "schema", "schema-0"), schemaJson)
+    Files.writeString(Paths.get(root, "snapshot", "snapshot-1"),
+      paimonClSnapJson(1, "ml-empty.avro", "ml-ins.avro"))
+    Files.writeString(Paths.get(root, "snapshot", "LATEST"), "1")
+    root
+  }
+
+  private def paimonClSnapJson(id: Long, bs: String, dl: String,
+                               cl: Option[String] = None): String =
+    s"""{"version":3,"id":$id,"schemaId":0,
+       |"baseManifestList":${jstr(bs)},
+       |"deltaManifestList":${jstr(dl)},""".stripMargin +
+      cl.map(c => s"""\n"changelogManifestList":${jstr(c)},""")
+        .getOrElse("") +
+      s"""\n"commitKind":"APPEND","commitUser":"graft",
+         |"commitIdentifier":$id,"timeMillis":0}""".stripMargin
+
+  /** Publishes q468's snapshot 2 (upserts + its input changelog) —
+    * snapshot file first, LATEST hint last, the format's own commit
+    * order. */
+  private def appendPaimonClSnapshot(root: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    Files.writeString(Paths.get(root, "snapshot", "snapshot-2"),
+      paimonClSnapJson(2, "ml-ins.avro", "ml-ups.avro",
+        Some("ml-cl.avro")))
+    Files.writeString(Paths.get(root, "snapshot", "LATEST"), "2")
+  }
 
   private val paimonFcMemo =
     scala.collection.mutable.Map.empty[String, String]
@@ -5858,6 +6039,43 @@ object Storage extends QueryModule {
         |FROM ch
         |GROUP BY _change_type, _commit_version
         |ORDER BY _change_type, _commit_version""".stripMargin,
+    // CDF stream: v0 snapshot as inserts (batch %10=0), v1's blind
+    // append as inserts (%10=1), v2's remove as deletes (%10=1)
+    "q467_delta_cdf_stream" ->
+      """WITH b0 AS (
+        |  SELECT l_quantity FROM lineitem WHERE l_orderkey % 10 = 0),
+        |b1 AS (
+        |  SELECT l_quantity FROM lineitem WHERE l_orderkey % 10 = 1),
+        |ch AS (
+        |  SELECT 'insert' AS _change_type, 0 AS _commit_version,
+        |    l_quantity FROM b0
+        |  UNION ALL SELECT 'insert', 1, l_quantity FROM b1
+        |  UNION ALL SELECT 'delete', 2, l_quantity FROM b1)
+        |SELECT _change_type, _commit_version, count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_qty
+        |FROM ch
+        |GROUP BY _change_type, _commit_version
+        |ORDER BY _change_type, _commit_version""".stripMargin,
+    // changelog stream: snapshot 1's merged read as +I, snapshot 2's
+    // input changelog as +U (×2 price, %10∈(3,4)) and -D (%10=0)
+    "q468_paimon_changelog_stream" ->
+      """WITH b AS (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_orderkey % 10 < 5),
+        |ch AS (
+        |  SELECT '+I' AS _row_kind, 1 AS _snapshot_id,
+        |    o_totalprice AS p FROM b
+        |  UNION ALL
+        |  SELECT '+U', 2, o_totalprice * 2
+        |  FROM b WHERE o_orderkey % 10 IN (3, 4)
+        |  UNION ALL
+        |  SELECT '-D', 2, o_totalprice FROM b WHERE o_orderkey % 10 = 0)
+        |SELECT _row_kind, _snapshot_id, count(*) AS n,
+        | CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM ch
+        |GROUP BY _row_kind, _snapshot_id
+        |ORDER BY _row_kind, _snapshot_id""".stripMargin,
     // one-vocabulary dispatch census: Delta CDF synthesis (versions
     // 0-3 of the q464 table), Iceberg net diff at version 2 (the q463
     // change classes), Paimon changelog at snapshot 2 ('+U' →

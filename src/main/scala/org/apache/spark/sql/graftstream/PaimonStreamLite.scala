@@ -19,6 +19,15 @@ import graft.sources.PaimonLite
   * stream start; each later batch = the union of `deltaAdds` over its
   * id range; `maxSnapshotsPerTrigger` caps ids per micro-batch.
   *
+  * `readChangelog=true` switches the source to the CHANGELOG stream —
+  * Paimon's own `scan.mode=latest-full` semantics re-expressed: the
+  * schema gains `_row_kind` ('+I'/'-U'/'+U'/'-D') + `_snapshot_id`,
+  * the first batch is the observed snapshot's MERGED read rendered as
+  * '+I' rows, and every later batch unions
+  * [[PaimonLite.readChangelog]] over its id range — the upsert path
+  * the append-only mode refuses, served through the format's own
+  * materialized change surface (or the full-compaction merge diff).
+  *
   * Scope, loud failures: APPEND-ONLY — a DELETE entry in a consumed
   * delta (compaction/overwrite), a mid-stream schema change, or an
   * expired range snapshot fails the query instead of streaming wrong
@@ -32,13 +41,20 @@ class PaimonStreamLite extends StreamSourceProvider with DataSourceRegister {
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "paimon-stream-lite: 'path' option is required"))
 
+  private def changelog(parameters: Map[String, String]): Boolean =
+    parameters.get("readChangelog").exists(_.toBoolean)
+
   override def sourceSchema(sqlContext: SQLContext,
                             schema: Option[StructType],
                             providerName: String,
                             parameters: Map[String, String])
-  : (String, StructType) =
+  : (String, StructType) = {
+    val s =
+      PaimonLite.snapshot(sqlContext.sparkSession, path(parameters)).schema
     (shortName(),
-      PaimonLite.snapshot(sqlContext.sparkSession, path(parameters)).schema)
+      if (changelog(parameters)) PaimonStreamSource.changelogSchema(s)
+      else s)
+  }
 
   override def createSource(sqlContext: SQLContext,
                             metadataPath: String,
@@ -46,22 +62,40 @@ class PaimonStreamLite extends StreamSourceProvider with DataSourceRegister {
                             providerName: String,
                             parameters: Map[String, String]): Source =
     new PaimonStreamSource(sqlContext.sparkSession, path(parameters),
-      parameters.get("maxSnapshotsPerTrigger").map(_.toLong))
+      parameters.get("maxSnapshotsPerTrigger").map(_.toLong),
+      readChangelog = changelog(parameters))
+}
+
+object PaimonStreamSource {
+  /** The changelog stream schema: value columns + the row kind and
+    * the producing snapshot id. */
+  def changelogSchema(dataSchema: StructType): StructType =
+    StructType(dataSchema.fields ++ Seq(
+      org.apache.spark.sql.types.StructField("_row_kind",
+        org.apache.spark.sql.types.StringType, nullable = true),
+      org.apache.spark.sql.types.StructField("_snapshot_id",
+        org.apache.spark.sql.types.LongType, nullable = false)))
 }
 
 class PaimonStreamSource(spark: SparkSession, tableDir: String,
-                         maxSnapshotsPerTrigger: Option[Long])
+                         maxSnapshotsPerTrigger: Option[Long],
+                         readChangelog: Boolean = false)
     extends LiteVersionedStreamSource(spark, maxSnapshotsPerTrigger) {
 
   private val initial = PaimonLite.snapshot(spark, tableDir)
-  // batch reads merge PK tables (PaimonLite.read); a STREAM over one
-  // would replay delta adds as appends — updates double-counted,
-  // deletes resurrected — so refuse loudly here
-  if (initial.primaryKeys.nonEmpty) throw new IllegalStateException(
-    s"$tableDir: primary-key table (keys ${initial.primaryKeys
-      .mkString(", ")}) — PaimonStreamLite streams APPEND-ONLY tables " +
-      "only (upsert changelogs are outside lite streaming scope)")
-  override def schema: StructType = initial.schema
+  // batch reads merge PK tables (PaimonLite.read); an APPEND-MODE
+  // stream over one would replay delta adds as appends — updates
+  // double-counted, deletes resurrected — so refuse loudly here; the
+  // CHANGELOG mode serves exactly that shape through the format's own
+  // change surface instead
+  if (initial.primaryKeys.nonEmpty && !readChangelog)
+    throw new IllegalStateException(
+      s"$tableDir: primary-key table (keys ${initial.primaryKeys
+        .mkString(", ")}) — PaimonStreamLite streams APPEND-ONLY " +
+        "tables only (stream the upserts with readChangelog=true)")
+  override def schema: StructType =
+    if (readChangelog) PaimonStreamSource.changelogSchema(initial.schema)
+    else initial.schema
 
   override protected def latestOffset(): Long =
     PaimonLite.latestSnapshotId(spark, tableDir)
@@ -69,6 +103,7 @@ class PaimonStreamSource(spark: SparkSession, tableDir: String,
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val endId = ver(end)
     observe(endId)
+    if (readChangelog) return asStreamingBatch(changelogBatch(start, endId))
     // PARTITIONED tables stream like they batch-read: each file
     // carries its decoded _PARTITION values and the shared scan
     // attaches them as typed literal columns per partition group
@@ -87,6 +122,34 @@ class PaimonStreamSource(spark: SparkSession, tableDir: String,
     asStreamingBatch(PaimonLite.scanAppendFiles(spark, tableDir,
       initial.schema, initial.partitionKeys, initial.defaultPartName,
       files))
+  }
+
+  /** One changelog micro-batch: the first batch is the observed
+    * snapshot's merged read as '+I' (latest-full's initial scan);
+    * later batches union the changelog of each id in (start, end]. */
+  private def changelogBatch(start: Option[Offset],
+                             endId: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    start match {
+      case None =>
+        val snap = PaimonLite.snapshot(spark, tableDir, Some(endId))
+        if (snap.schema.json != initial.schema.json)
+          throw new IllegalStateException(
+            s"$tableDir: schema changed mid-stream")
+        PaimonLite.read(spark, tableDir, snapshotId = Some(endId))
+          .withColumn("_row_kind", lit("+I"))
+          .withColumn("_snapshot_id", lit(endId))
+      case Some(s) =>
+        val startId = ver(s)
+        if (startId == endId)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            PaimonStreamSource.changelogSchema(initial.schema))
+        else ((startId + 1) to endId).map(sid =>
+          PaimonLite.readChangelog(spark, tableDir, sid)
+            .withColumn("_snapshot_id", lit(sid)))
+          .reduce(_ unionAll _)
+    }
   }
 
   override def toString: String = s"PaimonStreamLite[$tableDir]"

@@ -158,6 +158,61 @@ class DeltaStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("readChangeFeed streams change rows: snapshot as inserts, a " +
+    "blind append as inserts, a remove as deletes; a CDF-less table " +
+    "refuses") {
+    import spark.implicits._
+    val (root, schema) = fixture("cdf")
+    // commit 0 with CDF enabled (the plain append() writes no config)
+    val tmp = s"$root/_tmp"
+    spark.range(0, 5).select(col("id"), (col("id") * 2).as("v"))
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith(".")).get
+    assert(part.renameTo(new java.io.File(s"$root/b0.parquet")))
+    rm(new java.io.File(tmp))
+    graft.sources.AtomicFiles.write(
+      Paths.get(root, "_delta_log", f"${0L}%020d.json"),
+      s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":${jstr(schema)},"partitionColumns":[],"configuration":{"delta.enableChangeDataFeed":"true"},"createdTime":0}}
+         |{"add":{"path":"b0.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}
+         |""".stripMargin)
+    spark.catalog.dropTempView("ds_cdf_sink"): Unit
+    val q = spark.readStream.format(fmt)
+      .option("path", root).option("maxVersionsPerTrigger", "1")
+      .option("readChangeFeed", "true").load()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ds_cdf_sink").start()
+    try {
+      q.processAllAvailable()
+      append(root, schema, 1)
+      q.processAllAvailable()
+      Files.writeString(Paths.get(root, "_delta_log", f"${2L}%020d.json"),
+        """{"remove":{"path":"b1.parquet","deletionTimestamp":0,"dataChange":true}}
+          |""".stripMargin)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ds_cdf_sink")
+      .select(col("id"), col("_change_type"), col("_commit_version"))
+      .as[(Long, String, Long)].collect().sorted.toSeq
+    assert(got == ((0L to 4L).map(i => (i, "insert", 0L)) ++
+      (5L to 9L).map(i => (i, "insert", 1L)) ++
+      (5L to 9L).map(i => (i, "delete", 2L))).sorted)
+    // a table without delta.enableChangeDataFeed refuses the mode
+    val (root2, schema2) = fixture("cdfoff")
+    append(root2, schema2, 0)
+    val q2 = spark.readStream.format(fmt)
+      .option("path", root2).option("readChangeFeed", "true").load()
+      .writeStream.format("memory").queryName("ds_cdfoff_sink").start()
+    val e = intercept[StreamingQueryException] {
+      try q2.processAllAvailable() finally q2.stop()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ chain(x.getCause))
+    assert(chain(e).exists(_.contains("enableChangeDataFeed")))
+  }
+
   test("schema change mid-stream fails loudly") {
     val (root, schema) = fixture("schemachange")
     append(root, schema, 0)

@@ -222,6 +222,110 @@ class PaimonStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("readChangelog streams a PK table: merged snapshot as '+I', " +
+    "then each published changelog; append mode still refuses PK " +
+    "tables, pointing at the option") {
+    import spark.implicits._
+    val root = "/tmp/graft_paimonstreamspec/cl"
+    rm(new java.io.File(root))
+    for (d <- Seq("snapshot", "schema", "manifest", "bucket-0"))
+      Files.createDirectories(Paths.get(root, d))
+    Files.writeString(Paths.get(root, "schema", "schema-0"),
+      """{"id":0,"fields":[
+        | {"id":0,"name":"id","type":"BIGINT"},
+        | {"id":1,"name":"v","type":"BIGINT"}],
+        |"highestFieldId":1,"partitionKeys":[],"primaryKeys":["id"],
+        |"options":{"changelog-producer":"input"}}""".stripMargin)
+    def writeKv(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$root/_tmp"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith(".")).get
+      assert(part.renameTo(new java.io.File(s"$root/bucket-0/$name")))
+      rm(new java.io.File(tmp))
+    }
+    def kv(df: org.apache.spark.sql.DataFrame, seq: Long,
+           kind: Int): org.apache.spark.sql.DataFrame =
+      df.select(col("id").as("_KEY_id"),
+        lit(seq).as("_SEQUENCE_NUMBER"),
+        lit(kind).cast("tinyint").as("_VALUE_KIND"),
+        col("id"), col("v"))
+    val base = spark.range(0, 5).select(col("id"), (col("id") * 2).as("v"))
+    writeKv(kv(base, 1L, 0), "kv1.parquet")
+    val ups = kv(base.filter(col("id").isin(1, 2))
+      .withColumn("v", col("id") * 20), 2L, 2)
+      .unionByName(kv(base.filter(col("id") === 0), 2L, 3))
+    writeKv(ups, "kv2.parquet")
+    writeKv(ups, "changelog-2.parquet")
+    def writeAvro(df: org.apache.spark.sql.DataFrame, rel: String): Unit = {
+      val t2 = s"$root/_tmpavro"
+      df.coalesce(1).write.mode("overwrite")
+        .format("org.apache.spark.sql.avro.AvroFileFormat").save(t2)
+      val p = new java.io.File(t2).listFiles()
+        .find(_.getName.startsWith("part-")).get
+      assert(p.renameTo(new java.io.File(s"$root/$rel")))
+      rm(new java.io.File(t2))
+    }
+    def manifest(rel: String, fn: String): Unit =
+      writeAvro(Seq((0, fn)).toDF("_KIND", "_fn")
+        .select(col("_KIND"), lit(0).as("_BUCKET"),
+          struct(col("_fn").as("_FILE_NAME")).as("_FILE")), rel)
+    manifest("manifest/m1.avro", "kv1.parquet")
+    manifest("manifest/m2.avro", "kv2.parquet")
+    manifest("manifest/mcl.avro", "changelog-2.parquet")
+    def mlist(rel: String, names: String*): Unit =
+      writeAvro(
+        if (names.isEmpty) Seq.empty[String].toDF("_FILE_NAME")
+        else names.toSeq.toDF("_FILE_NAME"), rel)
+    mlist("manifest/ml-empty.avro")
+    mlist("manifest/ml-1.avro", "m1.avro")
+    mlist("manifest/ml-2.avro", "m2.avro")
+    mlist("manifest/ml-cl.avro", "mcl.avro")
+    def snap(id: Long, bs: String, dl: String,
+             cl: Option[String]): String =
+      s"""{"version":3,"id":$id,"schemaId":0,
+         |"baseManifestList":"$bs","deltaManifestList":"$dl","""
+        .stripMargin +
+        cl.map(c => s""""changelogManifestList":"$c",""").getOrElse("") +
+        s""""commitKind":"APPEND","commitUser":"t",
+           |"commitIdentifier":$id,"timeMillis":0}""".stripMargin
+    Files.writeString(Paths.get(root, "snapshot", "snapshot-1"),
+      snap(1, "ml-empty.avro", "ml-1.avro", None))
+    Files.writeString(Paths.get(root, "snapshot", "LATEST"), "1")
+    // append mode refuses the PK table, naming the changelog option
+    val e = intercept[Exception] {
+      stream(root).writeStream.format("memory")
+        .queryName("ps_clref_sink").start()
+        .processAllAvailable()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ chain(x.getCause))
+    assert(chain(e).exists(_.contains("readChangelog=true")))
+    // changelog mode: snapshot-1 merge as +I@1, then snapshot 2's
+    // changelog as one batch (+U@2 ×10-valued, -D@2)
+    spark.catalog.dropTempView("ps_cl_sink"): Unit
+    val q = spark.readStream.format(fmt)
+      .option("path", root).option("maxSnapshotsPerTrigger", "1")
+      .option("readChangelog", "true").load()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ps_cl_sink").start()
+    try {
+      q.processAllAvailable()
+      Files.writeString(Paths.get(root, "snapshot", "snapshot-2"),
+        snap(2, "ml-1.avro", "ml-2.avro", Some("ml-cl.avro")))
+      Files.writeString(Paths.get(root, "snapshot", "LATEST"), "2")
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ps_cl_sink")
+      .select(col("id"), col("v"), col("_row_kind"), col("_snapshot_id"))
+      .as[(Long, Long, String, Long)].collect().sorted.toSeq
+    assert(got == ((0L to 4L).map(i => (i, i * 2, "+I", 1L)) ++
+      Seq((0L, 0L, "-D", 2L), (1L, 20L, "+U", 2L),
+        (2L, 40L, "+U", 2L))).sorted)
+  }
+
   test("a DELETE entry in a consumed delta fails loudly") {
     val root = fixture("delete")
     append(root, 1)
