@@ -795,6 +795,24 @@ object Storage extends QueryModule {
         .readIncremental(s, authorHudiIncrementalTable(s, dir), "001"))
     },
 
+    // Hudi CDC read (hoodie.datasource.query.incremental.format=cdc,
+    // op-inference variant): commit 002 rewrites file group gA —
+    // the record-key diff of the two file versions emits deletes
+    // (%10=0, before image), update pre+post images (%10∈(3,4), ×2
+    // price), and stays SILENT on the carried %10∈(1,2) rows — while
+    // the new group gB arrives as inserts without a join. A reader
+    // emitting whole-file churn, or applying the op to the wrong
+    // image, hash-mismatches.
+    "q469_hudi_cdc" -> { (s, dir) =>
+      graft.sources.HudiCowLite
+        .readChanges(s, authorHudiCdcTable(s, dir), "001")
+        .groupBy(col("_change_type"), col("_commit_time"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_price"))
+        .orderBy(col("_change_type"), col("_commit_time"))
+    },
+
     // Hudi MOR PARQUET log blocks (hoodie.logfile.data.block.format=
     // parquet — the recommended Spark-writer setting): q431's upsert/
     // soft-delete algebra, but the log block's content is a complete
@@ -2157,6 +2175,75 @@ object Storage extends QueryModule {
           .select(lit("002").as("_hoodie_commit_time"),
             col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
             col("l_returnflag")), "gB_0-0_002.parquet")
+        def stat(fid: String, p: String): String =
+          s"""{"fileId":${jstr(fid)},"path":${jstr(p)},"numWrites":1}"""
+        Files.writeString(Paths.get(root, ".hoodie", "001.commit"),
+          s"""{"partitionToWriteStats":{"":[${
+            stat("gA", "gA_0-0_001.parquet")}]}}""")
+        Files.writeString(Paths.get(root, ".hoodie", "002.commit"),
+          s"""{"partitionToWriteStats":{"":[${
+            stat("gA", "gA_0-0_002.parquet")},${
+            stat("gB", "gB_0-0_002.parquet")}]}}""")
+        root
+      })
+    }
+
+  private val hudiCdcMemo =
+    scala.collection.mutable.Map.empty[String, String]
+
+  /** Authors the COW table q469 reads CHANGES from. Record key =
+    * o_orderkey (unique in orders). Commit 001 writes file group gA
+    * (all %10<5 keys). Commit 002 REWRITES gA — %10=0 keys deleted
+    * (absent from the new file), %10∈(3,4) upserted at ×2 price with
+    * ct=002, %10∈(1,2) carried unchanged at their ct=001 — and adds
+    * the new group gB (%10=5). The inferred CDC of (001, 002] must
+    * emit exactly: deletes (%10=0, before image), pre+post images
+    * (%10∈(3,4)), inserts (%10=5) — and stay SILENT on the carried
+    * %10∈(1,2) rows (a reader diffing whole files without the
+    * unchanged-key cut would emit them as churn). Memoized per
+    * sf-dir. */
+  private def authorHudiCdcTable(s: SparkSession, dir: String): String =
+    hudiCdcMemo.synchronized {
+      hudiCdcMemo.getOrElseUpdate(dir, {
+        import java.nio.file.{Files, Paths}
+        val root =
+          s"/tmp/graft_hudi/cdc_${Integer.toHexString(dir.hashCode)}"
+        def rm(p: java.io.File): Unit = {
+          if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+          p.delete(): Unit
+        }
+        rm(new java.io.File(root))
+        Files.createDirectories(Paths.get(root, ".hoodie"))
+        Files.writeString(Paths.get(root, ".hoodie", "hoodie.properties"),
+          "hoodie.table.name=o_cdc\n" +
+            "hoodie.table.type=COPY_ON_WRITE\n")
+        val src = Tables.df(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderstatus"))
+        def withMeta(df: DataFrame, ct: Column): DataFrame =
+          df.select(ct.as("_hoodie_commit_time"),
+            col("o_orderkey").cast(StringType).as("_hoodie_record_key"),
+            col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        def one(df: DataFrame, out: String): Unit = {
+          val tmp = s"$root/_tmp"
+          df.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(f => f.getName.endsWith(".parquet") &&
+              !f.getName.startsWith(".")).get
+          assert(part.renameTo(new java.io.File(s"$root/$out")))
+          rm(new java.io.File(tmp))
+        }
+        val base = src.filter(col("o_orderkey") % 10 < 5)
+        one(withMeta(base, lit("001")), "gA_0-0_001.parquet")
+        one(withMeta(
+          base.filter(col("o_orderkey") % 10 =!= 0)
+            .withColumn("o_totalprice",
+              when((col("o_orderkey") % 10).isin(3, 4),
+                col("o_totalprice") * 2).otherwise(col("o_totalprice"))),
+          when((col("o_orderkey") % 10).isin(3, 4), "002")
+            .otherwise("001")), "gA_0-0_002.parquet")
+        one(withMeta(src.filter(col("o_orderkey") % 10 === 5),
+          lit("002")), "gB_0-0_002.parquet")
         def stat(fid: String, p: String): String =
           s"""{"fileId":${jstr(fid)},"path":${jstr(p)},"numWrites":1}"""
         Files.writeString(Paths.get(root, ".hoodie", "001.commit"),
@@ -6039,6 +6126,28 @@ object Storage extends QueryModule {
         |FROM ch
         |GROUP BY _change_type, _commit_version
         |ORDER BY _change_type, _commit_version""".stripMargin,
+    // inferred CDC of (001, 002]: gA's rewrite diffs to deletes
+    // (%10=0), pre+post images (%10∈(3,4)); gB inserts (%10=5);
+    // carried %10∈(1,2) rows silent
+    "q469_hudi_cdc" ->
+      """WITH b AS (
+        |  SELECT o_orderkey, o_totalprice FROM orders),
+        |ch AS (
+        |  SELECT 'delete' AS _change_type, o_totalprice AS p
+        |  FROM b WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT 'update_preimage', o_totalprice
+        |  FROM b WHERE o_orderkey % 10 IN (3, 4)
+        |  UNION ALL
+        |  SELECT 'update_postimage', o_totalprice * 2
+        |  FROM b WHERE o_orderkey % 10 IN (3, 4)
+        |  UNION ALL
+        |  SELECT 'insert', o_totalprice FROM b WHERE o_orderkey % 10 = 5)
+        |SELECT _change_type, '002' AS _commit_time, count(*) AS n,
+        | CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM ch
+        |GROUP BY _change_type
+        |ORDER BY _change_type, _commit_time""".stripMargin,
     // CDF stream: v0 snapshot as inserts (batch %10=0), v1's blind
     // append as inserts (%10=1), v2's remove as deletes (%10=1)
     "q467_delta_cdf_stream" ->

@@ -208,7 +208,9 @@ object GraftLake {
         }.reduce(_ unionAll _)
       case Hudi => throw new IllegalArgumentException(
         "GraftLake: Hudi's change surface takes STRING instants — use " +
-          "GraftLake.readIncremental(beginInstant[, endInstant])")
+          "HudiCowLite.readChanges(beginInstant[, endInstant]) for " +
+          "row-level CDC, or GraftLake.readIncremental for " +
+          "arrival-bounded rows")
     }
   }
 }

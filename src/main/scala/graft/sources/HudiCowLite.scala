@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
@@ -63,7 +63,9 @@ object HudiCowLite {
   final case class Snapshot(instant: String, files: Seq[String],
                             fileInstants: Map[String, String] = Map.empty,
                             commits: Seq[String] = Nil,
-                            hasReplace: Boolean = false)
+                            hasReplace: Boolean = false,
+                            groups: Map[(String, String), String] =
+                              Map.empty)
 
   private implicit val fmts: Formats = DefaultFormats
 
@@ -193,7 +195,8 @@ object HudiCowLite {
       groups.values.toSeq.map { case (p, _) => s"$tableDir/$p" },
       groups.values.map { case (p, i) => s"$tableDir/$p" -> i }.toMap,
       wanted.map(_._1),
-      wanted.exists(_._2 == "replacecommit"))
+      wanted.exists(_._2 == "replacecommit"),
+      groups.map { case (g, (p, _)) => g -> s"$tableDir/$p" }.toMap)
   }
 
   /** Completed COMMIT instants in numeric order — the offset surface
@@ -298,5 +301,133 @@ object HudiCowLite {
           "are outside scope)")
     df.filter(col("_hoodie_commit_time") > lit(beginInstant) &&
       col("_hoodie_commit_time") <= lit(end))
+  }
+
+  /** ROW-LEVEL CHANGE read — Hudi's CDC query shape
+    * (`hoodie.datasource.query.incremental.format=cdc`) re-expressed
+    * as the op-inference variant the format itself specifies for
+    * `cdc.supplemental.logging.mode=op_key_only`: COW rewrites a
+    * whole file per touched file group, so each commit's changes ARE
+    * the record-key diff between the group's new file and its
+    * previous one. Output = data columns (hoodie meta columns
+    * stripped) + `_change_type` ('insert' / 'delete' /
+    * 'update_preimage' / 'update_postimage') + `_commit_time` (the
+    * producing instant).
+    *
+    * Per in-range commit: groups REWRITTEN at the commit full-outer
+    * join old-vs-new on `_hoodie_record_key` (new-only key → insert,
+    * old-only → delete with the before image, both with changed data
+    * → pre+post images; unchanged keys silent); groups NEW at the
+    * commit emit as inserts without a join. Scale shape: each commit
+    * scans only its touched groups' two file versions — bounded by
+    * write volume, never table size; the timeline replay is bounded
+    * commit-JSON metadata.
+    *
+    * Loud refusals: MOR tables (the snapshot gate — log merging);
+    * a replacecommit in range (clustering moves rows without changing
+    * them — not a data change, and the group-grain diff cannot tell a
+    * move from churn); a file group that DISAPPEARS without a
+    * replacecommit (cleaner artifacts); base files without
+    * `_hoodie_record_key` (populateMetaFields=false — no key to diff
+    * on). */
+  def readChanges(spark: SparkSession, tableDir: String,
+                  beginInstant: String,
+                  endInstant: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val snapEnd = snapshot(spark, tableDir, endInstant)
+    val end = snapEnd.instant
+    val widths = (snapEnd.commits :+ beginInstant).map(_.length).distinct
+    if (widths.size > 1) throw new IllegalStateException(
+      s"$tableDir: timeline instants have mixed widths " +
+        s"(${widths.sorted.mkString(", ")}) — string-ordered " +
+        "incremental bounds would missort; outside HudiCowLite scope")
+    if (BigInt(beginInstant) >= BigInt(end))
+      throw new IllegalArgumentException(
+        s"$tableDir: beginInstant $beginInstant is not before the " +
+          s"end instant $end — empty change range")
+    val all = snapEnd.commits
+    val inRange = all.filter(c => BigInt(c) > BigInt(beginInstant))
+    val hoodieDir = new Path(tableDir, ".hoodie")
+    val fs = hoodieDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (c <- inRange)
+      if (fs.exists(new Path(hoodieDir, s"$c.replacecommit")))
+        throw new IllegalStateException(
+          s"$tableDir: replacecommit $c in ($beginInstant, $end] — " +
+            "clustering moves rows without changing them; not a data " +
+            "change, outside the CDC read")
+    val perCommit = inRange.map { c =>
+      val idx = all.indexOf(c)
+      val prevGroups =
+        if (idx == 0) Map.empty[(String, String), String]
+        else snapshot(spark, tableDir, Some(all(idx - 1))).groups
+      (c, prevGroups, snapshot(spark, tableDir, Some(c)).groups)
+    }
+    val metaCols = Set("_hoodie_commit_time", "_hoodie_commit_seqno",
+      "_hoodie_record_key", "_hoodie_partition_path", "_hoodie_file_name")
+    def needKey(df: DataFrame): DataFrame = {
+      if (!df.columns.contains("_hoodie_record_key"))
+        throw new IllegalStateException(
+          s"$tableDir: base files carry no _hoodie_record_key — " +
+            "cannot diff changes (populateMetaFields=false tables are " +
+            "outside scope)")
+      df
+    }
+    val legs = perCommit.flatMap { case (c, prevG, curG) =>
+      val gone = prevG.keySet -- curG.keySet
+      if (gone.nonEmpty) throw new IllegalStateException(
+        s"$tableDir: file group ${gone.head} disappears at commit $c " +
+          "without a replacecommit — cannot attribute its rows")
+      val touched = curG.filter { case (g, p) => !prevG.get(g).contains(p) }
+      if (touched.isEmpty) None
+      else {
+        val rewritten = touched.filter { case (g, _) => prevG.contains(g) }
+        val fresh = touched.filterNot { case (g, _) => prevG.contains(g) }
+        val inserts =
+          if (fresh.isEmpty) None
+          else {
+            val df = needKey(ColumnarScan(spark, tableDir, None,
+              fresh.values.toSeq.sorted))
+            val dataCols = df.columns.filterNot(metaCols).toSeq
+            Some(df.select(dataCols.map(col): _*)
+              .withColumn("_change_type", lit("insert")))
+          }
+        val diffs =
+          if (rewritten.isEmpty) None
+          else {
+            val newDf = needKey(ColumnarScan(spark, tableDir, None,
+              rewritten.values.toSeq.sorted))
+            val oldDf = needKey(ColumnarScan(spark, tableDir, None,
+              rewritten.keys.map(prevG).toSeq.sorted))
+            val dataCols = newDf.columns.filterNot(metaCols).toSeq
+            val key = "_hoodie_record_key"
+            val n = newDf.select((key +: dataCols).map(x =>
+              col(x).as(s"_n_$x")): _*)
+            val o = oldDf.select((key +: dataCols).map(x =>
+              col(x).as(s"_o_$x")): _*)
+            val joined = n.join(o, col(s"_n_$key") <=> col(s"_o_$key"),
+              "full_outer")
+            // record keys are non-null: a null side marks absence
+            val hasN = col(s"_n_$key").isNotNull
+            val hasO = col(s"_o_$key").isNotNull
+            val changed = !(struct(dataCols.map(x => col(s"_n_$x")): _*)
+              <=> struct(dataCols.map(x => col(s"_o_$x")): _*))
+            def side(p: String, kind: Column, keep: Column): DataFrame =
+              joined.filter(keep).select(
+                dataCols.map(x => col(s"${p}_$x").as(x)) :+
+                  kind.as("_change_type"): _*)
+            Some(side("_o", when(hasN, "update_preimage")
+              .otherwise("delete"), hasO && (!hasN || changed))
+              .unionByName(side("_n", when(hasO, "update_postimage")
+                .otherwise("insert"), hasN && (!hasO || changed))))
+          }
+        Seq(inserts, diffs).flatten.reduceOption(_ unionAll _)
+          .map(_.withColumn("_commit_time", lit(c)))
+      }
+    }
+    if (legs.isEmpty) throw new IllegalStateException(
+      s"$tableDir: no commit in ($beginInstant, $end] touched any " +
+        "file group — nothing to read (COW carries no schema store " +
+        "to type an empty frame from)")
+    legs.reduce(_ unionAll _)
   }
 }

@@ -128,6 +128,87 @@ class HudiSpec extends AnyFunSuite {
     }
   }
 
+  test("readChanges infers CDC from the file-group diff: deletes/pre/" +
+    "post/inserts exact, carried rows silent; replacecommits and " +
+    "key-less files refuse") {
+    import spark.implicits._
+    def author(name: String, withKey: Boolean = true,
+               replace: Boolean = false): String = {
+      val root = s"/tmp/graft_hudispec/$name"
+      rm(new java.io.File(root))
+      Files.createDirectories(Paths.get(root, ".hoodie"))
+      Files.writeString(Paths.get(root, ".hoodie", "hoodie.properties"),
+        "hoodie.table.name=t\nhoodie.table.type=COPY_ON_WRITE\n")
+      def one(df: org.apache.spark.sql.DataFrame, out: String): Unit = {
+        val tmp = s"$root/_tmp"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.endsWith(".parquet") &&
+            !f.getName.startsWith(".")).get
+        assert(part.renameTo(new java.io.File(s"$root/$out")))
+        rm(new java.io.File(tmp))
+      }
+      def batch(ids: Seq[Long], ct: String) = {
+        val base = ids.toDF("id")
+          .select(lit(ct).as("_hoodie_commit_time"), col("id"))
+        (if (withKey) base.withColumn("_hoodie_record_key",
+          col("id").cast("string")) else base)
+          .withColumn("v", col("id") * 2)
+      }
+      // gA v1: ids 0..4, v=2id; v2: id 0 deleted, id 1 → v=99,
+      // ids 2..4 carried; gB: ids 10..11 new
+      one(batch(0L to 4L, "001"), "gA_0-0_001.parquet")
+      one(batch(1L to 4L, "001")
+        .withColumn("v",
+          when(col("id") === 1, 99L).otherwise(col("v")))
+        .withColumn("_hoodie_commit_time",
+          when(col("id") === 1, "002")
+            .otherwise(col("_hoodie_commit_time"))),
+        "gA_0-0_002.parquet")
+      one(batch(10L to 11L, "002"), "gB_0-0_002.parquet")
+      def stat(fid: String, p: String) =
+        s"""{"fileId":"$fid","path":"$p","numWrites":1}"""
+      Files.writeString(Paths.get(root, ".hoodie", "001.commit"),
+        s"""{"partitionToWriteStats":{"":[${
+          stat("gA", "gA_0-0_001.parquet")}]}}""")
+      val k2 = if (replace) "replacecommit" else "commit"
+      val body2 =
+        s"""{"partitionToWriteStats":{"":[${
+          stat("gA", "gA_0-0_002.parquet")},${
+          stat("gB", "gB_0-0_002.parquet")}]}""" +
+          (if (replace)
+            ""","partitionToReplaceFileIds":{"":["gA"]}}""" else "}")
+      Files.writeString(Paths.get(root, ".hoodie", s"002.$k2"), body2)
+      root
+    }
+    val got = HudiCowLite.readChanges(spark, author("cdc"), "001")
+      .select(col("id"), col("v"), col("_change_type"),
+        col("_commit_time"))
+      .as[(Long, Long, String, String)].collect().sorted.toSeq
+    assert(got == Seq(
+      (0L, 0L, "delete", "002"),
+      (1L, 2L, "update_preimage", "002"),
+      (1L, 99L, "update_postimage", "002"),
+      (10L, 20L, "insert", "002"),
+      (11L, 22L, "insert", "002")).sorted)
+    // a replacecommit in range refuses (not a data change)
+    val e1 = intercept[IllegalStateException] {
+      HudiCowLite.readChanges(spark, author("cdcrep", replace = true),
+        "001")
+    }
+    assert(e1.getMessage.contains("replacecommit"))
+    // key-less base files refuse
+    val e2 = intercept[IllegalStateException] {
+      HudiCowLite.readChanges(spark,
+        author("cdcnokey", withKey = false), "001").collect()
+    }
+    assert(e2.getMessage.contains("_hoodie_record_key"))
+    // an empty range refuses
+    intercept[IllegalArgumentException] {
+      HudiCowLite.readChanges(spark, author("cdcempty"), "002")
+    }
+  }
+
   test("latest base file per file group wins; older one is never read") {
     val root = fixture("happy")
     val snap = HudiCowLite.snapshot(spark, root)
