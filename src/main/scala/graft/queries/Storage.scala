@@ -1257,6 +1257,36 @@ object Storage extends QueryModule {
       s.table("q468_sink").orderBy(col("_row_kind"), col("_snapshot_id"))
     },
 
+    // STREAMING through the ONE entry point — GraftLake.readStream
+    // detects the layout (Delta here) and dispatches to its
+    // graftstream source with options passed through verbatim
+    // (readChangeFeed reaches DeltaStreamLite). Same drain
+    // choreography as q467; the census keys on _change_type alone, so
+    // a dispatch to the wrong source or dropped options
+    // hash-mismatches.
+    "q470_graft_lake_stream" -> { (s, dir) =>
+      val root = authorDeltaStreamTable(s, dir, upTo = 0, cdf = true)
+      s.catalog.dropTempView("q470_sink"): Unit
+      val stream = graft.sources.GraftLake.readStream(s, root,
+        Map("readChangeFeed" -> "true", "maxVersionsPerTrigger" -> "1"))
+      val agg = stream.groupBy(col("_change_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_price"))
+      val q = agg.writeStream.outputMode("complete")
+        .format("memory").queryName("q470_sink").start()
+      try {
+        q.processAllAvailable()
+        appendDeltaStreamCommit(s, dir, root, 1, cdf = true)
+        q.processAllAvailable()
+        graft.sources.AtomicFiles.write(
+          java.nio.file.Paths.get(root, "_delta_log", f"${2}%020d.json"),
+          """{"remove":{"path":"data/b1.parquet","deletionTimestamp":0,"dataChange":true}}""" + "\n")
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table("q470_sink").orderBy(col("_change_type"))
+    },
+
     // STREAMING Iceberg read — IcebergStreamLite (v1 Source: offsets
     // are POSITIONS in the metadata's snapshots list; each micro-batch
     // is the file-set DIFFERENCE between consecutive snapshots, with
@@ -6148,6 +6178,23 @@ object Storage extends QueryModule {
         |FROM ch
         |GROUP BY _change_type
         |ORDER BY _change_type, _commit_time""".stripMargin,
+    // dispatch-streamed CDF: inserts = batches %10∈(0,1), deletes =
+    // the removed %10=1 batch
+    "q470_graft_lake_stream" ->
+      """WITH b0 AS (
+        |  SELECT l_extendedprice FROM lineitem WHERE l_orderkey % 10 = 0),
+        |b1 AS (
+        |  SELECT l_extendedprice FROM lineitem WHERE l_orderkey % 10 = 1),
+        |ch AS (
+        |  SELECT 'insert' AS _change_type, l_extendedprice FROM b0
+        |  UNION ALL SELECT 'insert', l_extendedprice FROM b1
+        |  UNION ALL SELECT 'delete', l_extendedprice FROM b1)
+        |SELECT _change_type, count(*) AS n,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_price
+        |FROM ch
+        |GROUP BY _change_type
+        |ORDER BY _change_type""".stripMargin,
     // CDF stream: v0 snapshot as inserts (batch %10=0), v1's blind
     // append as inserts (%10=1), v2's remove as deletes (%10=1)
     "q467_delta_cdf_stream" ->

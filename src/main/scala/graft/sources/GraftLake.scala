@@ -213,4 +213,29 @@ object GraftLake {
           "arrival-bounded rows")
     }
   }
+
+  /** The graftstream SOURCE format serving this table's layout — the
+    * streaming face of [[detect]]. */
+  def streamFormat(spark: SparkSession, tableDir: String): String =
+    "org.apache.spark.sql.graftstream." + (detect(spark, tableDir) match {
+      case Delta   => "DeltaStreamLite"
+      case Iceberg => "IcebergStreamLite"
+      case Hudi    => "HudiStreamLite"
+      case Paimon  => "PaimonStreamLite"
+    })
+
+  /** Detect + dispatch the STREAMING read: one entry point over the
+    * four graftstream sources. `options` pass through to the resolved
+    * source verbatim (each source refuses unknown semantics its own
+    * way — e.g. `readChangeFeed` is Delta's, `readChangelog`
+    * Paimon's); the per-trigger rate-limit knob keeps each format's
+    * own name (maxVersionsPerTrigger / maxSnapshotsPerTrigger /
+    * maxCommitsPerTrigger). */
+  def readStream(spark: SparkSession, tableDir: String,
+                 options: Map[String, String] = Map.empty): DataFrame =
+    options.foldLeft(
+      spark.readStream.format(streamFormat(spark, tableDir))
+        .option("path", tableDir)) {
+      case (r, (k, v)) => r.option(k, v)
+    }.load()
 }

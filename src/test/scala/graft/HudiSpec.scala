@@ -209,6 +209,90 @@ class HudiSpec extends AnyFunSuite {
     }
   }
 
+  test("randomized model check: the inferred CDC of every commit " +
+    "range equals the in-memory key-diff model, across seeds") {
+    import spark.implicits._
+    for (seed <- Seq(19, 244, 871)) {
+      val rnd = new scala.util.Random(seed)
+      val root = s"/tmp/graft_hudispec/cdcmodel$seed"
+      rm(new java.io.File(root))
+      Files.createDirectories(Paths.get(root, ".hoodie"))
+      Files.writeString(Paths.get(root, ".hoodie", "hoodie.properties"),
+        "hoodie.table.name=t\nhoodie.table.type=COPY_ON_WRITE\n")
+      def writeGroup(rows: Seq[(Long, Long)], ct: String,
+                     out: String): Unit = {
+        val tmp = s"$root/_tmp"
+        rows.toDF("id", "v")
+          .select(lit(ct).as("_hoodie_commit_time"),
+            col("id").cast("string").as("_hoodie_record_key"),
+            col("id"), col("v"))
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.endsWith(".parquet") &&
+            !f.getName.startsWith(".")).get
+        assert(part.renameTo(new java.io.File(s"$root/$out")))
+        rm(new java.io.File(tmp))
+      }
+      var groups = Map.empty[String, Map[Long, Long]]
+      var nextKey = 0L
+      val nCommits = 3 + rnd.nextInt(3)
+      val instants = (1 to nCommits).map(i => f"$i%03d")
+      val expected = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Seq[(Long, Long, String)])]
+      for ((ct, i) <- instants.zipWithIndex) {
+        val op = if (groups.isEmpty) "add"
+          else Seq("add", "rewrite")(rnd.nextInt(2))
+        val (fid, changes) = op match {
+          case "add" =>
+            val g = s"g$ct"
+            val n = 3 + rnd.nextInt(4)
+            val rows = (nextKey until nextKey + n).map(k => k -> k * 2)
+            nextKey += 100
+            groups += g -> rows.toMap
+            writeGroup(rows, ct, s"${g}_0-0_$ct.parquet")
+            (g, rows.map { case (k, v) => (k, v, "insert") })
+          case "rewrite" =>
+            val g = groups.keys.toSeq.sorted.apply(rnd.nextInt(groups.size))
+            val old = groups(g)
+            val fates = old.toSeq.sortBy(_._1).map { case (k, v) =>
+              (k, v, rnd.nextInt(10))
+            }
+            val kept = fates.collect {
+              case (k, v, f) if f >= 3 && f < 7 => k -> v // carried
+              case (k, v, f) if f >= 7 => k -> (v + 1000L * (i + 1))
+            }
+            groups += g -> kept.toMap
+            writeGroup(kept, ct, s"${g}_0-0_$ct.parquet")
+            (g, fates.flatMap {
+              case (k, v, f) if f < 3 => Seq((k, v, "delete"))
+              case (k, v, f) if f >= 7 =>
+                Seq((k, v, "update_preimage"),
+                  (k, v + 1000L * (i + 1), "update_postimage"))
+              case _ => Nil
+            })
+        }
+        Files.writeString(Paths.get(root, ".hoodie", s"$ct.commit"),
+          s"""{"partitionToWriteStats":{"":[{"fileId":"$fid","path":"${fid}_0-0_$ct.parquet","numWrites":1}]}}""")
+        expected += ((ct, changes))
+      }
+      for (from <- instants.init) {
+        val want = expected.filter(_._1 > from).flatMap {
+          case (ct, chs) => chs.map { case (k, v, t) => (k, v, t, ct) }
+        }.sorted.toSeq
+        // every commit writes a file, so the range always reads — a
+        // commit whose rewrite only carried rows contributes zero
+        // change rows, which the model must agree with
+        val got = HudiCowLite.readChanges(spark, root, from)
+          .select(col("id"), col("v"), col("_change_type"),
+            col("_commit_time"))
+          .as[(Long, Long, String, String)].collect().sorted.toSeq
+        assert(got == want,
+          s"seed $seed range ($from, ${instants.last}]: got $got, " +
+            s"want $want")
+      }
+    }
+  }
+
   test("latest base file per file group wins; older one is never read") {
     val root = fixture("happy")
     val snap = HudiCowLite.snapshot(spark, root)
