@@ -510,6 +510,59 @@ object Storage extends QueryModule {
     // first DV, and a DV that grows. A reader that emitted the
     // re-added file's full content (or dropped the file delete)
     // hash-mismatches here.
+    // OPTIMIZE/compaction: rewrite the DV-carrying two-file table into
+    // ONE fresh file via a dataChange=false commit. The census reads
+    // BOTH surfaces after the rewrite: the batch read (must equal the
+    // pre-compaction live rows — A's q<=25 plus all of B, the vector
+    // materialized away) and the change feed across the WHOLE history
+    // including the compaction version (must contain ONLY commits 0-1's
+    // changes — a compactor that emitted churn adds rows here and
+    // hash-mismatches).
+    "q471_delta_compact" -> { (s, dir) =>
+      val root = authorDeltaCompactTable(s, dir)
+      val v = graft.sources.DeltaLogLite.compact(s, root)
+      val readSide = graft.sources.DeltaLogLite.read(s, root)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_qty"))
+        .select(lit("read").as("surface"),
+          col("l_returnflag").as("k"), col("n"), col("sum_qty"))
+      val cdfSide = graft.sources.DeltaLogLite.readChanges(s, root, 0L, v)
+        .groupBy(col("_change_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_qty"))
+        .select(lit("cdf").as("surface"),
+          col("_change_type").as("k"), col("n"), col("sum_qty"))
+      readSide.unionByName(cdfSide).orderBy(col("surface"), col("k"))
+    },
+
+    // Iceberg rewrite-data-files: pack the live rows — DV on A
+    // (q>35) and the seq-2 equality delete (flag R) both
+    // materialized — into one file under a REPLACE snapshot. The
+    // census reads TWO surfaces: the post-compaction read (must equal
+    // the pre-compaction live rows — no R group at all) and a time
+    // travel to the PRE-compaction snapshot (history intact: the R
+    // rows of the raw files still visible minus the delete surface —
+    // identical here, proving travel still resolves; the row counts
+    // pin that the replace snapshot didn't rewrite history).
+    "q472_iceberg_compact" -> { (s, dir) =>
+      val root = authorIcebergCompactTable(s, dir)
+      val newId = graft.sources.IcebergLite.compact(s, root)
+      def census(surface: String, df: DataFrame): DataFrame =
+        df.groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast(DecimalType(18, 2)))
+              .cast(DoubleType).as("sum_qty"))
+          .select(lit(surface).as("surface"), col("l_returnflag"),
+            col("n"), col("sum_qty"))
+      census("compacted", graft.sources.IcebergLite.read(s, root))
+        .unionByName(census("travel", graft.sources.IcebergLite
+          .read(s, root, snapshotId = Some(newId - 1))))
+        .orderBy(col("surface"), col("l_returnflag"))
+    },
+
     "q464_delta_cdf_synth" -> { (s, dir) =>
       val root = authorDeltaCdfSynthTable(s, dir)
       graft.sources.DeltaLogLite.readChanges(s, root, 0L, 3L)
@@ -4308,6 +4361,161 @@ object Storage extends QueryModule {
       })
     }
 
+  /** Authors the Delta table q471 COMPACTS: commit 0 blind-appends
+    * batches A (%10=0) and B (%10=1); commit 1 row-level-deletes A's
+    * l_quantity>25 via a deletion vector (remove + re-add). NOT
+    * memoized — the query appends a compaction commit, so each
+    * invocation rebuilds for determinism. */
+  private def authorDeltaCompactTable(s: SparkSession,
+                                      dir: String): String = {
+    import java.nio.file.{Files, Paths}
+    val root =
+      s"/tmp/graft_delta/compact_${Integer.toHexString(dir.hashCode)}"
+    def rm(p: java.io.File): Unit = {
+      if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+      p.delete(): Unit
+    }
+    rm(new java.io.File(root))
+    Files.createDirectories(Paths.get(root, "_delta_log"))
+    Files.createDirectories(Paths.get(root, "data"))
+    val src = Tables.df(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"),
+        col("l_extendedprice"), col("l_returnflag"))
+    def writeOne(df: DataFrame, rel: String): Unit = {
+      val tmp = s"$root/_tmp"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith(".")).get
+      assert(part.renameTo(new java.io.File(s"$root/$rel")))
+      rm(new java.io.File(tmp))
+    }
+    val a = src.filter(col("l_orderkey") % 10 === 0)
+    writeOne(a, "data/a.parquet")
+    writeOne(src.filter(col("l_orderkey") % 10 === 1), "data/b.parquet")
+    val dead = s.read.parquet(s"$root/data/a.parquet")
+      .filter(col("l_quantity") > 25)
+      .select(col("_metadata.row_index")).collect()
+      .map(_.getLong(0)).sorted.toSeq
+    val (framed, dataLen) = deltaDvFileBytes(dead)
+    Files.write(Paths.get(root, "dv1.bin"), framed)
+    val dv =
+      s"""{"storageType":"p","pathOrInlineDv":${jstr(s"$root/dv1.bin")},"offset":1,"sizeInBytes":$dataLen,"cardinality":${dead.length}}"""
+    val metaData =
+      s"""{"metaData":{"id":"graft-q471","format":{"provider":"parquet","options":{}},"schemaString":${jstr(a.schema.json)},"partitionColumns":[],"configuration":{"delta.enableChangeDataFeed":"true"},"createdTime":0}}"""
+    Files.writeString(Paths.get(root, "_delta_log", f"${0L}%020d.json"),
+      Seq(
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+        metaData,
+        """{"add":{"path":"data/a.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""",
+        """{"add":{"path":"data/b.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""")
+        .mkString("", "\n", "\n"))
+    Files.writeString(Paths.get(root, "_delta_log", f"${1L}%020d.json"),
+      Seq(
+        """{"remove":{"path":"data/a.parquet","deletionTimestamp":0,"dataChange":true}}""",
+        s"""{"add":{"path":"data/a.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true,"deletionVector":$dv}}""")
+        .mkString("", "\n", "\n"))
+    root
+  }
+
+  /** Authors the format-v3 Iceberg table q472 COMPACTS: files a
+    * (%10=0) and b (%10=1) at sequence 1, a deletion vector on `a`
+    * (l_quantity>35), and an equality delete on l_returnflag='R' at
+    * sequence 2 — every delete surface the rewrite must materialize.
+    * NOT memoized — the query publishes a replace snapshot, so each
+    * invocation rebuilds for determinism. */
+  private def authorIcebergCompactTable(s: SparkSession,
+                                        dir: String): String = {
+    import java.nio.file.{Files, Paths}
+    val avroFmt = "org.apache.spark.sql.avro.AvroFileFormat"
+    val root =
+      s"/tmp/graft_iceberg/compact_${Integer.toHexString(dir.hashCode)}"
+    def rm(p: java.io.File): Unit = {
+      if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+      p.delete(): Unit
+    }
+    rm(new java.io.File(root))
+    Files.createDirectories(Paths.get(root, "metadata"))
+    Files.createDirectories(Paths.get(root, "data"))
+    val src = Tables.df(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"),
+        col("l_extendedprice"), col("l_returnflag"))
+    val stamp = graft.sources.IcebergLite.stampFieldIds _
+    def writeOne(df: DataFrame, out: String): Unit = {
+      val tmp = s"$root/_tmp"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith(".")).get
+      assert(part.renameTo(new java.io.File(s"$root/$out")))
+      rm(new java.io.File(tmp))
+    }
+    writeOne(stamp(src.filter(col("l_orderkey") % 10 === 0), liFieldIds),
+      "data/a.parquet")
+    writeOne(stamp(src.filter(col("l_orderkey") % 10 === 1), liFieldIds),
+      "data/b.parquet")
+    writeOne(stamp(src.filter(col("l_returnflag") === "R")
+      .select(col("l_returnflag")).distinct(),
+      Map("l_returnflag" -> 4)), "data/eq.parquet")
+    val dead = s.read.parquet(s"$root/data/a.parquet")
+      .filter(col("l_quantity") > 35)
+      .select(col("_metadata.row_index")).collect()
+      .map(_.getLong(0)).sorted.toSeq
+    val (puffin, contentSize) = puffinDvBytes(dead)
+    Files.write(Paths.get(root, "data", "dv.puffin"), puffin)
+    def writeAvro(df: DataFrame, rel: String): Unit = {
+      val tmp = s"$root/_tmpavro"
+      df.coalesce(1).write.mode("overwrite").format(avroFmt).save(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.startsWith("part-")).get
+      assert(part.renameTo(new java.io.File(s"$root/$rel")))
+      rm(new java.io.File(tmp))
+    }
+    import s.implicits._
+    def manifest(rel: String, path: String, content: Int,
+                 eqIds: Seq[Int], dv: Boolean): Unit =
+      writeAvro(Seq((1, path)).toDF("status", "file_path")
+        .select(col("status"),
+          struct(col("file_path"), lit(content).as("content"),
+            (if (eqIds.isEmpty) lit(null).cast("array<int>")
+             else array(eqIds.map(lit(_)): _*)).as("equality_ids"),
+            (if (dv) lit("data/a.parquet") else lit(null))
+              .cast("string").as("referenced_data_file"),
+            (if (dv) lit(4L) else lit(null))
+              .cast("long").as("content_offset"),
+            (if (dv) lit(contentSize) else lit(null))
+              .cast("long").as("content_size_in_bytes"),
+            (if (dv) lit(dead.length.toLong) else lit(null))
+              .cast("long").as("record_count")).as("data_file")), rel)
+    manifest("metadata/m-a.avro", "data/a.parquet", 0, Nil, dv = false)
+    manifest("metadata/m-b.avro", "data/b.parquet", 0, Nil, dv = false)
+    manifest("metadata/m-dv.avro", "data/dv.puffin", 1, Nil, dv = true)
+    manifest("metadata/m-eq.avro", "data/eq.parquet", 2, Seq(4),
+      dv = false)
+    writeAvro(Seq(
+      ("metadata/m-a.avro", 0, 1L), ("metadata/m-b.avro", 0, 1L),
+      ("metadata/m-dv.avro", 1, 1L), ("metadata/m-eq.avro", 1, 2L))
+      .toDF("manifest_path", "content", "sequence_number"),
+      "metadata/snap-1.avro")
+    val fields = Seq(
+      (1, "l_orderkey", "long"), (2, "l_quantity", "double"),
+      (3, "l_extendedprice", "double"), (4, "l_returnflag", "string"))
+      .map { case (i, n, t) =>
+        s"""{"id":$i,"name":${jstr(n)},"required":false,"type":${jstr(t)}}"""
+      }.mkString("[", ",", "]")
+    Files.writeString(Paths.get(root, "metadata", "v1.metadata.json"),
+      s"""{"format-version":3,"table-uuid":"graft-q472","location":${jstr(root)},
+         |"current-schema-id":0,
+         |"schemas":[{"schema-id":0,"type":"struct","fields":$fields}],
+         |"current-snapshot-id":1,
+         |"snapshots":[
+         | {"snapshot-id":1,"manifest-list":"metadata/snap-1.avro"}
+         |]}""".stripMargin)
+    Files.writeString(Paths.get(root, "metadata", "version-hint.text"),
+      "1")
+    root
+  }
+
   private val icebergChangesMemo =
     scala.collection.mutable.Map.empty[String, String]
 
@@ -6156,6 +6364,57 @@ object Storage extends QueryModule {
         |FROM ch
         |GROUP BY _change_type, _commit_version
         |ORDER BY _change_type, _commit_version""".stripMargin,
+    // both surfaces = the live rows: A minus q>35 minus flag R, plus
+    // B minus flag R — identical censuses under 'compacted' and
+    // 'travel'
+    "q472_iceberg_compact" ->
+      """WITH live AS (
+        |  SELECT l_quantity, l_returnflag
+        |  FROM lineitem
+        |  WHERE l_orderkey % 10 = 0 AND NOT l_quantity > 35
+        |    AND l_returnflag <> 'R'
+        |  UNION ALL
+        |  SELECT l_quantity, l_returnflag
+        |  FROM lineitem
+        |  WHERE l_orderkey % 10 = 1 AND l_returnflag <> 'R'),
+        |both_ AS (
+        |  SELECT 'compacted' AS surface, l_returnflag, l_quantity
+        |  FROM live
+        |  UNION ALL
+        |  SELECT 'travel', l_returnflag, l_quantity FROM live)
+        |SELECT surface, l_returnflag, count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_qty
+        |FROM both_
+        |GROUP BY surface, l_returnflag
+        |ORDER BY surface, l_returnflag""".stripMargin,
+    // post-compaction: read = A(q<=25) ∪ B; cdf = commits 0-1 only
+    // (inserts A∪B, deletes A's q>25) — zero rows from the rewrite
+    "q471_delta_compact" ->
+      """WITH a AS (
+        |  SELECT l_quantity, l_returnflag
+        |  FROM lineitem WHERE l_orderkey % 10 = 0),
+        |b AS (
+        |  SELECT l_quantity, l_returnflag
+        |  FROM lineitem WHERE l_orderkey % 10 = 1),
+        |rows_ AS (
+        |  SELECT 'read' AS surface, l_returnflag AS k, l_quantity
+        |  FROM a WHERE NOT l_quantity > 25
+        |  UNION ALL
+        |  SELECT 'read', l_returnflag, l_quantity FROM b
+        |  UNION ALL
+        |  SELECT 'cdf', 'insert', l_quantity FROM a
+        |  UNION ALL
+        |  SELECT 'cdf', 'insert', l_quantity FROM b
+        |  UNION ALL
+        |  SELECT 'cdf', 'delete', l_quantity
+        |  FROM a WHERE l_quantity > 25)
+        |SELECT surface, k, count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_qty
+        |FROM rows_
+        |GROUP BY surface, k
+        |ORDER BY surface, k""".stripMargin,
     // inferred CDC of (001, 002]: gA's rewrite diffs to deletes
     // (%10=0), pre+post images (%10∈(3,4)); gB inserts (%10=5);
     // carried %10∈(1,2) rows silent

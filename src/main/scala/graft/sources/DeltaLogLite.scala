@@ -1311,4 +1311,83 @@ object DeltaLogLite {
     readFiles(spark, tableDir, snap.schema, snap.partitionColumns,
       snap.files, snap.physicalNames, snap.fieldIds)
   }
+
+  /** OPTIMIZE/compaction: rewrite the table's live rows into
+    * `numFiles` fresh parquet files and commit the swap with
+    * `dataChange=false` on every action — the protocol's marker for
+    * a rearrangement that changes no data, which CDF consumers
+    * ([[readChanges]] included) and incremental readers skip by
+    * contract. Deletion vectors are MATERIALIZED: the rewrite reads
+    * the DV-applied live rows, so the new files carry no vectors
+    * (OPTIMIZE's purge semantics) while the removes re-state each
+    * dropped file's descriptor verbatim. Returns the committed
+    * version.
+    *
+    * Scale shape: ONE distributed scan of the live rows, an
+    * executor-side parquet write, then O(files) driver renames + one
+    * JSON append — the same cost envelope as the streaming sink's
+    * commit. Single-writer scope (no optimistic-concurrency retry
+    * loop).
+    *
+    * Loud refusals: partitioned tables (bin-packing must stay inside
+    * a partition — outside lite scope) and column-mapped tables (the
+    * rewrite would have to re-stamp physical names / field ids). */
+  def compact(spark: SparkSession, tableDir: String,
+              numFiles: Int = 1): Long = {
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    val snap = snapshot(spark, tableDir)
+    if (snap.partitionColumns.nonEmpty) throw new IllegalStateException(
+      s"$tableDir: partitioned table (${snap.partitionColumns
+        .mkString(", ")}) — per-partition bin-packing is outside " +
+        "lite compaction scope")
+    if (snap.physicalNames.nonEmpty || snap.fieldIds.nonEmpty)
+      throw new IllegalStateException(
+        s"$tableDir: column-mapped table — the rewrite would need to " +
+          "re-stamp physical names / field ids; outside lite scope")
+    if (snap.files.isEmpty) throw new IllegalStateException(
+      s"$tableDir: nothing to compact (no live files)")
+    def jq(s: String): String = "\"" + s.flatMap {
+      case '"'          => "\\\""
+      case '\\'         => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c            => c.toString
+    } + "\""
+    val version = snap.version + 1
+    // one distributed scan of the live rows (DVs applied), packed
+    val tmp = s"$tableDir/_tmp_compact"
+    readFiles(spark, tableDir, snap.schema, Nil, snap.files)
+      .coalesce(numFiles).write.mode("overwrite").parquet(tmp)
+    val parts = new java.io.File(tmp).listFiles().toSeq
+      .filter(f => f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith("."))
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(tableDir, "data"))
+    val rels = parts.zipWithIndex.map { case (f, i) =>
+      val rel = s"data/compact-${version}_$i.parquet"
+      if (!f.renameTo(new java.io.File(s"$tableDir/$rel")))
+        throw new IllegalStateException(
+          s"$tableDir: could not move ${f.getName} into the table")
+      rel
+    }
+    def rmr(p: java.io.File): Unit = {
+      if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rmr))
+      p.delete(): Unit
+    }
+    rmr(new java.io.File(tmp))
+    def dvJson(d: DvDescriptor): String =
+      s"""{"storageType":${jq(d.storageType)},"pathOrInlineDv":${
+        jq(d.pathOrInlineDv)},"offset":${d.offset},"sizeInBytes":${
+        d.sizeInBytes},"cardinality":${d.cardinality}}"""
+    val removes = snap.files.sortBy(_.path).map(f =>
+      s"""{"remove":{"path":${jq(f.path)},"deletionTimestamp":0,"dataChange":false""" +
+        f.deletionVector.map(d => s""","deletionVector":${dvJson(d)}""")
+          .getOrElse("") + "}}")
+    val adds = rels.map(rel =>
+      s"""{"add":{"path":${jq(rel)},"partitionValues":{},"size":1,"modificationTime":0,"dataChange":false}}""")
+    AtomicFiles.write(
+      java.nio.file.Paths.get(tableDir, "_delta_log",
+        f"$version%020d.json"),
+      (removes ++ adds).mkString("", "\n", "\n"), replace = false)
+    version
+  }
 }

@@ -1302,4 +1302,122 @@ object IcebergLite {
       if (hadPath) out else out.drop("_ice_path")
     }
   }
+
+  /** REWRITE-DATA-FILES compaction (the library's
+    * `rewrite_data_files` + `rewrite_position_delete_files` in one
+    * move): pack the current snapshot's LIVE rows — every delete
+    * surface applied: positional files, format-v3 deletion vectors,
+    * equality deletes — into `numFiles` fresh id-stamped parquet
+    * files, publish a REPLACE snapshot whose manifest list carries
+    * ONLY the new data manifest (the old data and delete manifests
+    * drop out), and roll the metadata version. All other metadata
+    * (refs, properties, schemas, format-version) is carried verbatim,
+    * so tags/branches keep pinning their historical snapshots.
+    * Returns the new snapshot id.
+    *
+    * Incremental/changes consumers see this correctly by refusing:
+    * the replace snapshot DROPS files, which [[readIncremental]] and
+    * [[readChanges]] name loudly rather than mis-serving as churn.
+    *
+    * Scale shape: one distributed live-row scan + executor parquet
+    * write, then O(1) driver metadata writes. Single-writer scope.
+    * Loud refusals: partitioned tables (per-partition packing is
+    * outside lite scope). */
+  def compact(spark: SparkSession, tableDir: String,
+              numFiles: Int = 1): Long = {
+    import org.apache.spark.sql.functions.{col, lit, struct}
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    val (metaFile, meta) = loadMeta(spark, tableDir)
+    def specFields(j: JValue): Seq[JValue] = j match {
+      case JArray(fs) => fs
+      case _ => Nil
+    }
+    val partitioned =
+      specFields(meta \ "partition-spec").nonEmpty ||
+        ((meta \ "partition-specs") match {
+          case JArray(specs) =>
+            specs.exists(sp => specFields(sp \ "fields").nonEmpty)
+          case _ => false
+        })
+    if (partitioned) throw new IllegalStateException(
+      s"$tableDir: partitioned table — per-partition packing is " +
+        "outside lite compaction scope")
+    val snap = snapshot(spark, tableDir)
+    if (snap.files.isEmpty) throw new IllegalStateException(
+      s"$tableDir: nothing to compact (no data files)")
+    val ids: Map[String, Int] = snap.schema.fields.map { f =>
+      if (!f.metadata.contains(FieldIdKey)) throw new IllegalStateException(
+        s"$tableDir: schema field ${f.name} carries no field id — " +
+          "cannot stamp the rewrite")
+      f.name -> f.metadata.getLong(FieldIdKey).toInt
+    }.toMap
+    val newSnapId = snapshotIds(spark, tableDir).max + 1
+    // one distributed scan of the live rows (full delete surface
+    // applied), id-stamped so the spec's column identity survives
+    val tmp = s"$tableDir/_tmp_compact"
+    stampFieldIds(read(spark, tableDir), ids)
+      .coalesce(numFiles).write.mode("overwrite").parquet(tmp)
+    val parts = new java.io.File(tmp).listFiles().toSeq
+      .filter(f => f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith("."))
+    val rels = parts.zipWithIndex.map { case (f, i) =>
+      val rel = s"data/compact-${newSnapId}_$i.parquet"
+      if (!f.renameTo(new java.io.File(s"$tableDir/$rel")))
+        throw new IllegalStateException(
+          s"$tableDir: could not move ${f.getName} into the table")
+      rel
+    }
+    def rmr(p: java.io.File): Unit = {
+      if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rmr))
+      p.delete(): Unit
+    }
+    rmr(new java.io.File(tmp))
+    def writeAvro(df: DataFrame, rel: String): Unit = {
+      val t2 = s"$tableDir/_tmpavro"
+      df.coalesce(1).write.mode("overwrite").format(AvroFmt).save(t2)
+      val p = new java.io.File(t2).listFiles()
+        .find(_.getName.startsWith("part-")).get
+      if (!p.renameTo(new java.io.File(s"$tableDir/$rel")))
+        throw new IllegalStateException(s"$tableDir: could not place $rel")
+      rmr(new java.io.File(t2))
+    }
+    import spark.implicits._
+    writeAvro(rels.toDF("_fp")
+      .select(lit(1).as("status"),
+        struct(col("_fp").as("file_path"), lit(0).as("content"))
+          .as("data_file")),
+      s"metadata/m-compact-$newSnapId.avro")
+    writeAvro(Seq((s"metadata/m-compact-$newSnapId.avro", 0))
+      .toDF("manifest_path", "content"),
+      s"metadata/snap-$newSnapId.avro")
+    // roll the metadata: append the replace snapshot, point current at
+    // it, carry EVERYTHING else verbatim (refs keep their pins)
+    val newSnapJson: JValue = JObject(
+      "snapshot-id" -> JInt(newSnapId),
+      "manifest-list" -> JString(s"metadata/snap-$newSnapId.avro"),
+      "summary" -> JObject("operation" -> JString("replace")))
+    val withSnap = meta transformField {
+      case ("snapshots", JArray(ss)) =>
+        ("snapshots", JArray(ss :+ newSnapJson))
+      case ("current-snapshot-id", _) =>
+        ("current-snapshot-id", JInt(newSnapId))
+    }
+    val metaName = metaFile.getName
+    val version = metaName.stripPrefix("v")
+      .stripSuffix(".metadata.json").toLong + 1
+    try AtomicFiles.write(
+      java.nio.file.Paths.get(tableDir, "metadata",
+        s"v$version.metadata.json"),
+      JsonMethods.compact(JsonMethods.render(withSnap)), replace = false)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalStateException(
+          s"$tableDir: metadata v$version already exists — another " +
+            "writer is active (single-writer scope)")
+    }
+    AtomicFiles.write(
+      java.nio.file.Paths.get(tableDir, "metadata", "version-hint.text"),
+      version.toString)
+    newSnapId
+  }
 }

@@ -1272,6 +1272,71 @@ class DeltaLogSpec extends AnyFunSuite {
     }
   }
 
+  test("compact rewrites live rows into one dataChange=false commit: " +
+    "read unchanged, one file, DVs materialized, CDF sees nothing; " +
+    "partitioned and column-mapped tables refuse") {
+    import spark.implicits._
+    val root = "/tmp/graft_deltaspec/compact"
+    def rm(p: java.io.File): Unit = {
+      if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+      p.delete(): Unit
+    }
+    rm(new java.io.File(root))
+    Files.createDirectories(Paths.get(root, "_delta_log"))
+    def one(df: org.apache.spark.sql.DataFrame, out: String): Unit = {
+      val tmp = s"$root/_tmp"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith(".")).get
+      assert(part.renameTo(new java.io.File(s"$root/$out")))
+      rm(new java.io.File(tmp))
+    }
+    val df = spark.range(0, 10).select(col("id"), (col("id") * 2).as("v"))
+    one(df.filter(col("id") < 5), "f0.parquet")
+    one(df.filter(col("id") >= 5), "f1.parquet")
+    val schema = df.schema.json
+    // DV on f0 kills ordinals 1, 3 (ids 1, 3)
+    val size = writeDvFile(s"$root/dv.bin", Seq((0, Seq(1, 3))))
+    val dv =
+      s"""{"storageType":"p","pathOrInlineDv":${jstr(s"$root/dv.bin")},"offset":1,"sizeInBytes":$size,"cardinality":2}"""
+    commit(root, 0, protocol(3, "deletionVectors"),
+      s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":${jstr(schema)},"partitionColumns":[],"configuration":{"delta.enableChangeDataFeed":"true"},"createdTime":0}}""",
+      s"""{"add":{"path":"f0.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true,"deletionVector":$dv}}""",
+      """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""")
+    val before = DeltaLogLite.read(spark, root)
+      .as[(Long, Long)].collect().sorted.toSeq
+    val v = DeltaLogLite.compact(spark, root)
+    assert(v == 1L)
+    val after = DeltaLogLite.read(spark, root)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(after == before &&
+      after == Seq(0L, 2L, 4L, 5L, 6L, 7L, 8L, 9L).map(i => (i, i * 2)))
+    // one live file, vector materialized away
+    val snap = DeltaLogLite.snapshot(spark, root)
+    assert(snap.files.size == 1 &&
+      snap.files.forall(_.deletionVector.isEmpty))
+    // the compaction version contributes ZERO change rows
+    assert(DeltaLogLite.readChanges(spark, root, v, v).count() == 0L)
+    // compacting twice is idempotent on content
+    assert(DeltaLogLite.compact(spark, root) == 2L)
+    assert(DeltaLogLite.read(spark, root)
+      .as[(Long, Long)].collect().sorted.toSeq == after)
+    // partitioned tables refuse
+    val root2 = "/tmp/graft_deltaspec/compactpart"
+    rm(new java.io.File(root2))
+    Files.createDirectories(Paths.get(root2, "_delta_log"))
+    val schemaP = spark.range(0, 1)
+      .select(col("id"), lit("x").as("p")).schema.json
+    commit(root2, 0,
+      s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":${jstr(schemaP)},"partitionColumns":["p"],"configuration":{},"createdTime":0}}""",
+      """{"add":{"path":"p=x/f0.parquet","partitionValues":{"p":"x"},"size":1,"modificationTime":0,"dataChange":true}}""")
+    val e = intercept[IllegalStateException] {
+      DeltaLogLite.compact(spark, root2)
+    }
+    assert(e.getMessage.contains("partitioned"))
+  }
+
   test("absolute file: add.path reads (shallow-clone shape); foreign " +
     "schemes refuse; missing log refuses") {
     import spark.implicits._

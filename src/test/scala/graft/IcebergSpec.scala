@@ -874,6 +874,50 @@ class IcebergSpec extends AnyFunSuite {
     }
   }
 
+  test("compact publishes a replace snapshot: read unchanged, one " +
+    "file, history travelable, incremental-across refuses; " +
+    "partitioned tables refuse") {
+    import spark.implicits._
+    val root = fixture("compact")
+    val before = IcebergLite.read(spark, root)
+      .as[(Long, Long)].collect().sorted.toSeq
+    val newId = IcebergLite.compact(spark, root)
+    assert(newId == 3L) // snapshots 1, 2 existed
+    val after = IcebergLite.read(spark, root)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(after == before)
+    val snap = IcebergLite.snapshot(spark, root)
+    assert(snap.snapshotId == newId && snap.files.size == 1 &&
+      snap.deleteFiles.isEmpty && snap.dvs.isEmpty &&
+      snap.eqDeletes.isEmpty)
+    // pre-compaction snapshots still travel
+    assert(IcebergLite.read(spark, root, Some(1L)).count() == 10L)
+    // the metadata version rolled and the hint follows it
+    assert(Files.readString(
+      Paths.get(root, "metadata", "version-hint.text")).trim == "4")
+    // an incremental range crossing the replace refuses loudly
+    val e = intercept[IllegalStateException] {
+      IcebergLite.readIncremental(spark, root, 2L, newId)
+    }
+    assert(e.getMessage.contains("DROPS"))
+    // compacting again rolls forward and stays content-identical
+    assert(IcebergLite.compact(spark, root) == newId + 1)
+    assert(IcebergLite.read(spark, root)
+      .as[(Long, Long)].collect().sorted.toSeq == after)
+    // a partitioned table refuses
+    val root2 = fixture("compactpart")
+    val meta = Files.readString(
+      Paths.get(root2, "metadata", "v3.metadata.json"))
+    Files.writeString(Paths.get(root2, "metadata", "v3.metadata.json"),
+      meta.replace("\"current-schema-id\":0,",
+        """"partition-spec":[{"name":"id","transform":"identity","source-id":1,"field-id":1000}],
+          |"current-schema-id":0,""".stripMargin))
+    val e2 = intercept[IllegalStateException] {
+      IcebergLite.compact(spark, root2)
+    }
+    assert(e2.getMessage.contains("partitioned"))
+  }
+
   test("non-file scheme in a stored path refuses loudly") {
     val root = fixture("scheme")
     import spark.implicits._
