@@ -866,6 +866,51 @@ object Storage extends QueryModule {
         .orderBy(col("_change_type"), col("_commit_time"))
     },
 
+    // Hudi CLUSTERING (replacecommit): pack both file groups into one
+    // new group; rows keep their original _hoodie_commit_time, so the
+    // census reads TWO surfaces — the post-cluster snapshot (A with
+    // ×2 price on q>30 plus B, unchanged by the move) and the
+    // incremental query ACROSS the replacecommit (the hasReplace
+    // widened-scan path: exactly the ct=002 rows — A's upserts at ×2
+    // plus B — proving the filter still prunes rows the clustering
+    // rewrote but did not change).
+    "q473_hudi_cluster" -> { (s, dir) =>
+      val root = authorHudiClusterTable(s, dir)
+      graft.sources.HudiCowLite.cluster(s, root): Unit
+      def census(surface: String, df: DataFrame): DataFrame =
+        df.groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+              .cast(DoubleType).as("sum_price"))
+          .select(lit(surface).as("surface"), col("l_returnflag"),
+            col("n"), col("sum_price"))
+      census("read", graft.sources.HudiCowLite.read(s, root))
+        .unionByName(census("incremental", graft.sources.HudiCowLite
+          .readIncremental(s, root, "001")))
+        .orderBy(col("surface"), col("l_returnflag"))
+    },
+
+    // Paimon FULL COMPACTION (commitKind=COMPACT): pack the two
+    // append-only batches into one file under a compaction snapshot;
+    // the census reads the post-compaction snapshot AND time travel
+    // to the pre-compaction one — identical rows prove the rewrite
+    // changed layout, not content, and history stays readable.
+    "q474_paimon_compact" -> { (s, dir) =>
+      val root = authorPaimonCompactTable(s, dir)
+      val newId = graft.sources.PaimonLite.compact(s, root)
+      def census(surface: String, df: DataFrame): DataFrame =
+        df.groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2)))
+              .cast(DoubleType).as("sum_price"))
+          .select(lit(surface).as("surface"), col("o_orderstatus"),
+            col("n"), col("sum_price"))
+      census("compacted", graft.sources.PaimonLite.read(s, root))
+        .unionByName(census("travel", graft.sources.PaimonLite
+          .read(s, root, snapshotId = Some(newId - 1))))
+        .orderBy(col("surface"), col("o_orderstatus"))
+    },
+
     // Hudi MOR PARQUET log blocks (hoodie.logfile.data.block.format=
     // parquet — the recommended Spark-writer setting): q431's upsert/
     // soft-delete algebra, but the log block's content is a complete
@@ -2270,6 +2315,137 @@ object Storage extends QueryModule {
         root
       })
     }
+
+  /** Authors the COW table q473 CLUSTERS: group gA at 001 (batch
+    * %10=0, rewritten at 002 with l_quantity>30 upserted at ×2
+    * price), group gB at 002 (batch %10=1) — the q450 shape on its
+    * own root. NOT memoized — the query appends a replacecommit, so
+    * each invocation rebuilds. */
+  private def authorHudiClusterTable(s: SparkSession,
+                                     dir: String): String = {
+    import java.nio.file.{Files, Paths}
+    val root =
+      s"/tmp/graft_hudi/cluster_${Integer.toHexString(dir.hashCode)}"
+    def rm(p: java.io.File): Unit = {
+      if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+      p.delete(): Unit
+    }
+    rm(new java.io.File(root))
+    Files.createDirectories(Paths.get(root, ".hoodie"))
+    Files.writeString(Paths.get(root, ".hoodie", "hoodie.properties"),
+      "hoodie.table.name=li_cluster\n" +
+        "hoodie.table.type=COPY_ON_WRITE\n")
+    val src = Tables.df(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"),
+        col("l_extendedprice"), col("l_returnflag"))
+    def one(df: DataFrame, out: String): Unit = {
+      val tmp = s"$root/_tmp"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith(".")).get
+      assert(part.renameTo(new java.io.File(s"$root/$out")))
+      rm(new java.io.File(tmp))
+    }
+    val a = src.filter(col("l_orderkey") % 10 === 0)
+    one(a.select(lit("001").as("_hoodie_commit_time"),
+      col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+      col("l_returnflag")), "gA_0-0_001.parquet")
+    one(a.select(
+      when(col("l_quantity") > 30, "002").otherwise("001")
+        .as("_hoodie_commit_time"),
+      col("l_orderkey"), col("l_quantity"),
+      when(col("l_quantity") > 30, col("l_extendedprice") * 2)
+        .otherwise(col("l_extendedprice")).as("l_extendedprice"),
+      col("l_returnflag")), "gA_0-0_002.parquet")
+    one(src.filter(col("l_orderkey") % 10 === 1)
+      .select(lit("002").as("_hoodie_commit_time"),
+        col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+        col("l_returnflag")), "gB_0-0_002.parquet")
+    def stat(fid: String, p: String): String =
+      s"""{"fileId":${jstr(fid)},"path":${jstr(p)},"numWrites":1}"""
+    Files.writeString(Paths.get(root, ".hoodie", "001.commit"),
+      s"""{"partitionToWriteStats":{"":[${
+        stat("gA", "gA_0-0_001.parquet")}]}}""")
+    Files.writeString(Paths.get(root, ".hoodie", "002.commit"),
+      s"""{"partitionToWriteStats":{"":[${
+        stat("gA", "gA_0-0_002.parquet")},${
+        stat("gB", "gB_0-0_002.parquet")}]}}""")
+    root
+  }
+
+  /** Authors the append-only Paimon table q474 COMPACTS: snapshot 1
+    * adds batch %10=0, snapshot 2 adds %10=1 (cumulative base lists).
+    * NOT memoized — the query publishes a COMPACT snapshot. */
+  private def authorPaimonCompactTable(s: SparkSession,
+                                       dir: String): String = {
+    import java.nio.file.{Files, Paths}
+    val avroFmt = "org.apache.spark.sql.avro.AvroFileFormat"
+    val root =
+      s"/tmp/graft_paimon/compact_${Integer.toHexString(dir.hashCode)}"
+    def rm(p: java.io.File): Unit = {
+      if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+      p.delete(): Unit
+    }
+    rm(new java.io.File(root))
+    for (d <- Seq("snapshot", "schema", "manifest", "bucket-0"))
+      Files.createDirectories(Paths.get(root, d))
+    val src = Tables.df(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("o_orderstatus"))
+    def writeData(df: DataFrame, name: String): Unit = {
+      val tmp = s"$root/_tmp"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith(".")).get
+      assert(part.renameTo(new java.io.File(s"$root/bucket-0/$name")))
+      rm(new java.io.File(tmp))
+    }
+    writeData(src.filter(col("o_orderkey") % 10 === 0), "f1.parquet")
+    writeData(src.filter(col("o_orderkey") % 10 === 1), "f2.parquet")
+    def writeAvro(df: DataFrame, rel: String): Unit = {
+      val tmp = s"$root/_tmpavro"
+      df.coalesce(1).write.mode("overwrite").format(avroFmt).save(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.startsWith("part-")).get
+      assert(part.renameTo(new java.io.File(s"$root/$rel")))
+      rm(new java.io.File(tmp))
+    }
+    import s.implicits._
+    def manifest(rel: String, fn: String): Unit =
+      writeAvro(Seq((0, fn)).toDF("_KIND", "_fn")
+        .select(col("_KIND"), lit(0).as("_BUCKET"),
+          struct(col("_fn").as("_FILE_NAME")).as("_FILE")), rel)
+    manifest("manifest/m1.avro", "f1.parquet")
+    manifest("manifest/m2.avro", "f2.parquet")
+    def mlist(rel: String, names: String*): Unit =
+      writeAvro(
+        if (names.isEmpty) Seq.empty[String].toDF("_FILE_NAME")
+        else names.toSeq.toDF("_FILE_NAME"), rel)
+    mlist("manifest/ml-empty.avro")
+    mlist("manifest/ml-1.avro", "m1.avro")
+    mlist("manifest/ml-2.avro", "m2.avro")
+    Files.writeString(Paths.get(root, "schema", "schema-0"),
+      """{"id":0,"fields":[
+        | {"id":0,"name":"o_orderkey","type":"BIGINT"},
+        | {"id":1,"name":"o_totalprice","type":"DOUBLE"},
+        | {"id":2,"name":"o_orderstatus","type":"STRING"}],
+        |"highestFieldId":2,"partitionKeys":[],"primaryKeys":[],
+        |"options":{"file.format":"parquet"}}""".stripMargin)
+    def snapJson(id: Long, bs: String, dl: String): String =
+      s"""{"version":3,"id":$id,"schemaId":0,
+         |"baseManifestList":${jstr(bs)},
+         |"deltaManifestList":${jstr(dl)},
+         |"commitKind":"APPEND","commitUser":"graft",
+         |"commitIdentifier":$id,"timeMillis":0}""".stripMargin
+    Files.writeString(Paths.get(root, "snapshot", "snapshot-1"),
+      snapJson(1, "ml-empty.avro", "ml-1.avro"))
+    Files.writeString(Paths.get(root, "snapshot", "snapshot-2"),
+      snapJson(2, "ml-1.avro", "ml-2.avro"))
+    Files.writeString(Paths.get(root, "snapshot", "LATEST"), "2")
+    root
+  }
 
   private val hudiCdcMemo =
     scala.collection.mutable.Map.empty[String, String]
@@ -6364,6 +6540,49 @@ object Storage extends QueryModule {
         |FROM ch
         |GROUP BY _change_type, _commit_version
         |ORDER BY _change_type, _commit_version""".stripMargin,
+    // read = A (×2 price on q>30) ∪ B; incremental (001, 003] = the
+    // ct=002 rows only: A's q>30 upserts at ×2 plus B
+    "q473_hudi_cluster" ->
+      """WITH a AS (
+        |  SELECT l_quantity, l_extendedprice, l_returnflag
+        |  FROM lineitem WHERE l_orderkey % 10 = 0),
+        |b AS (
+        |  SELECT l_quantity, l_extendedprice, l_returnflag
+        |  FROM lineitem WHERE l_orderkey % 10 = 1),
+        |rows_ AS (
+        |  SELECT 'read' AS surface, l_returnflag,
+        |    CASE WHEN l_quantity > 30 THEN l_extendedprice * 2
+        |         ELSE l_extendedprice END AS p
+        |  FROM a
+        |  UNION ALL
+        |  SELECT 'read', l_returnflag, l_extendedprice FROM b
+        |  UNION ALL
+        |  SELECT 'incremental', l_returnflag, l_extendedprice * 2
+        |  FROM a WHERE l_quantity > 30
+        |  UNION ALL
+        |  SELECT 'incremental', l_returnflag, l_extendedprice FROM b)
+        |SELECT surface, l_returnflag, count(*) AS n,
+        | CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM rows_
+        |GROUP BY surface, l_returnflag
+        |ORDER BY surface, l_returnflag""".stripMargin,
+    // both surfaces = the two appended batches, unchanged by the
+    // compaction rewrite
+    "q474_paimon_compact" ->
+      """WITH live AS (
+        |  SELECT o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey % 10 IN (0, 1)),
+        |both_ AS (
+        |  SELECT 'compacted' AS surface, o_orderstatus, o_totalprice
+        |  FROM live
+        |  UNION ALL
+        |  SELECT 'travel', o_orderstatus, o_totalprice FROM live)
+        |SELECT surface, o_orderstatus, count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_price
+        |FROM both_
+        |GROUP BY surface, o_orderstatus
+        |ORDER BY surface, o_orderstatus""".stripMargin,
     // both surfaces = the live rows: A minus q>35 minus flag R, plus
     // B minus flag R — identical censuses under 'compacted' and
     // 'travel'

@@ -430,4 +430,80 @@ object HudiCowLite {
         "to type an empty frame from)")
     legs.reduce(_ unionAll _)
   }
+
+  /** CLUSTERING (Hudi's replacecommit flow, the format's OPTIMIZE):
+    * pack every live file group's rows into `numFiles` fresh base
+    * files under new file groups and publish ONE replacecommit that
+    * replaces all prior groups — rows keep their original
+    * `_hoodie_commit_time`, so the incremental query's
+    * widened-scan-plus-commit-filter path (the [[readIncremental]]
+    * `hasReplace` branch) still serves ranges correctly, and the CDC
+    * read keeps refusing ranges that cross it (clustering is not a
+    * data change). Returns the new instant.
+    *
+    * Scale shape: one distributed scan + executor parquet write, then
+    * O(files) renames and one JSON write. Single-writer scope. Loud
+    * refusals: MOR tables (the snapshot gate), multi-partition tables
+    * (per-partition packing is outside lite scope). */
+  def cluster(spark: SparkSession, tableDir: String,
+              numFiles: Int = 1): String = {
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    val snap = snapshot(spark, tableDir)
+    val parts = snap.groups.keys.map(_._1).toSet
+    if (parts.size > 1) throw new IllegalStateException(
+      s"$tableDir: ${parts.size} partitions — per-partition packing " +
+        "is outside lite clustering scope")
+    val partition = parts.headOption.getOrElse("")
+    val width = snap.commits.map(_.length).distinct match {
+      case Seq(w) => w
+      case ws => throw new IllegalStateException(
+        s"$tableDir: timeline instants have mixed widths " +
+          s"(${ws.sorted.mkString(", ")}) — cannot mint the next")
+    }
+    val instant = {
+      val next = BigInt(snap.instant) + 1
+      val s = next.toString
+      if (s.length > width) throw new IllegalStateException(
+        s"$tableDir: next instant $s overflows the timeline's " +
+          s"$width-char width")
+      ("0" * (width - s.length)) + s
+    }
+    val tmp = s"$tableDir/_tmp_cluster"
+    read(spark, tableDir).coalesce(numFiles)
+      .write.mode("overwrite").parquet(tmp)
+    val files = new java.io.File(tmp).listFiles().toSeq
+      .filter(f => f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith("."))
+    val stats = files.zipWithIndex.map { case (f, i) =>
+      val fid = s"cl$instant-$i"
+      val rel = (if (partition.isEmpty) "" else s"$partition/") +
+        s"${fid}_0-0_$instant.parquet"
+      if (!f.renameTo(new java.io.File(s"$tableDir/$rel")))
+        throw new IllegalStateException(
+          s"$tableDir: could not move ${f.getName} into the table")
+      (fid, rel)
+    }
+    def rmr(p: java.io.File): Unit = {
+      if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rmr))
+      p.delete(): Unit
+    }
+    rmr(new java.io.File(tmp))
+    def jq(s: String): String = "\"" + s.flatMap {
+      case '"'          => "\\\""
+      case '\\'         => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c            => c.toString
+    } + "\""
+    val replaced = snap.groups.keys.map(_._2).toSeq.sorted
+      .map(jq).mkString("[", ",", "]")
+    val writeStats = stats.map { case (fid, rel) =>
+      s"""{"fileId":${jq(fid)},"path":${jq(rel)},"numWrites":1}"""
+    }.mkString("[", ",", "]")
+    graft.sources.AtomicFiles.write(
+      java.nio.file.Paths.get(tableDir, ".hoodie",
+        s"$instant.replacecommit"),
+      s"""{"partitionToReplaceFileIds":{${jq(partition)}:$replaced},"partitionToWriteStats":{${jq(partition)}:$writeStats}}""",
+      replace = false)
+    instant
+  }
 }

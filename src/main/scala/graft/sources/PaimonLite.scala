@@ -1319,4 +1319,88 @@ object PaimonLite {
       }
     }
   }
+
+  /** FULL COMPACTION of an append-only table (the format's
+    * `compact` procedure at full depth): pack the current snapshot's
+    * rows into `numFiles` fresh data files and publish a
+    * `commitKind=COMPACT` snapshot whose BASE manifest list holds
+    * only the new files (delta empty) — exactly how Paimon's own
+    * compaction snapshots look to this reader's base+delta replay.
+    * Earlier snapshots keep reading (time travel intact). Returns the
+    * new snapshot id.
+    *
+    * Scale shape: one distributed scan + executor parquet write, then
+    * O(1) driver metadata writes. Single-writer scope. Loud refusals:
+    * PRIMARY-KEY tables (the LSM merge rewrite would need per-row
+    * sequence bookkeeping this reader does not carry) and partitioned
+    * tables (per-partition packing is outside lite scope). */
+  def compact(spark: SparkSession, tableDir: String,
+              numFiles: Int = 1): Long = {
+    import org.apache.spark.sql.functions.{col, lit, struct}
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    val snap = snapshot(spark, tableDir)
+    if (snap.primaryKeys.nonEmpty) throw new IllegalStateException(
+      s"$tableDir: primary-key table (keys ${snap.primaryKeys
+        .mkString(", ")}) — the LSM merge rewrite needs per-row " +
+        "sequence bookkeeping; outside lite compaction scope")
+    if (snap.partitionKeys.nonEmpty) throw new IllegalStateException(
+      s"$tableDir: partitioned table — per-partition packing is " +
+        "outside lite compaction scope")
+    if (snap.files.isEmpty) throw new IllegalStateException(
+      s"$tableDir: nothing to compact (no data files)")
+    val snapDir = new Path(tableDir, "snapshot")
+    val fs = snapDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val schemaId = (JsonMethods.parse(readText(fs,
+      new Path(snapDir, s"snapshot-${snap.snapshotId}"))) \ "schemaId")
+      .extractOpt[Long].getOrElse(0L)
+    val newId = latestSnapshotId(spark, tableDir) + 1
+    val tmp = s"$tableDir/_tmp_compact"
+    read(spark, tableDir).coalesce(numFiles)
+      .write.mode("overwrite").parquet(tmp)
+    val parts = new java.io.File(tmp).listFiles().toSeq
+      .filter(f => f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith("."))
+    val names = parts.zipWithIndex.map { case (f, i) =>
+      val name = s"compact-${newId}_$i.parquet"
+      if (!f.renameTo(new java.io.File(s"$tableDir/bucket-0/$name")))
+        throw new IllegalStateException(
+          s"$tableDir: could not move ${f.getName} into bucket-0")
+      name
+    }
+    def rmr(p: java.io.File): Unit = {
+      if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rmr))
+      p.delete(): Unit
+    }
+    rmr(new java.io.File(tmp))
+    def writeAvro(df: DataFrame, rel: String): Unit = {
+      val t2 = s"$tableDir/_tmpavro"
+      df.coalesce(1).write.mode("overwrite").format(AvroFmt).save(t2)
+      val p = new java.io.File(t2).listFiles()
+        .find(_.getName.startsWith("part-")).get
+      if (!p.renameTo(new java.io.File(s"$tableDir/$rel")))
+        throw new IllegalStateException(s"$tableDir: could not place $rel")
+      rmr(new java.io.File(t2))
+    }
+    import spark.implicits._
+    writeAvro(names.toDF("_fn")
+      .select(lit(0).as("_KIND"), lit(0).as("_BUCKET"),
+        struct(col("_fn").as("_FILE_NAME")).as("_FILE")),
+      s"manifest/m-compact-$newId.avro")
+    writeAvro(Seq(s"m-compact-$newId.avro").toDF("_FILE_NAME"),
+      s"manifest/ml-compact-$newId.avro")
+    writeAvro(Seq.empty[String].toDF("_FILE_NAME"),
+      s"manifest/ml-compact-empty-$newId.avro")
+    AtomicFiles.write(
+      java.nio.file.Paths.get(tableDir, "snapshot", s"snapshot-$newId"),
+      s"""{"version":3,"id":$newId,"schemaId":$schemaId,
+         |"baseManifestList":"ml-compact-$newId.avro",
+         |"deltaManifestList":"ml-compact-empty-$newId.avro",
+         |"commitKind":"COMPACT","commitUser":"graft",
+         |"commitIdentifier":$newId,"timeMillis":0}""".stripMargin,
+      replace = false)
+    AtomicFiles.write(
+      java.nio.file.Paths.get(tableDir, "snapshot", "LATEST"),
+      newId.toString)
+    newId
+  }
 }

@@ -293,6 +293,35 @@ class HudiSpec extends AnyFunSuite {
     }
   }
 
+  test("cluster packs all groups under one replacecommit: read " +
+    "unchanged, incremental still commit-filters, CDC across refuses") {
+    import spark.implicits._
+    val root = incFixture("cluster")
+    val before = HudiCowLite.read(spark, root)
+      .select("id", "v").as[(Long, Long)].collect().sorted.toSeq
+    val instant = HudiCowLite.cluster(spark, root)
+    assert(instant == "004")
+    val after = HudiCowLite.read(spark, root)
+      .select("id", "v").as[(Long, Long)].collect().sorted.toSeq
+    assert(after == before)
+    val snap = HudiCowLite.snapshot(spark, root)
+    assert(snap.groups.size == 1 && snap.hasReplace)
+    // incremental across the replacecommit: the widened scan's
+    // commit-time filter still serves exactly the (002, 004] writes
+    assert(HudiCowLite.readIncremental(spark, root, "002")
+      .select("id").as[Long].collect().sorted.toSeq == Seq(20L, 21L))
+    // the CDC read refuses a range crossing the replacecommit
+    val e = intercept[IllegalStateException] {
+      HudiCowLite.readChanges(spark, root, "002")
+    }
+    assert(e.getMessage.contains("replacecommit"))
+    // clustering twice stays content-identical
+    assert(HudiCowLite.cluster(spark, root) == "005")
+    assert(HudiCowLite.read(spark, root)
+      .select("id", "v").as[(Long, Long)].collect().sorted.toSeq ==
+      after)
+  }
+
   test("latest base file per file group wins; older one is never read") {
     val root = fixture("happy")
     val snap = HudiCowLite.snapshot(spark, root)

@@ -97,6 +97,36 @@ class PaimonSpec extends AnyFunSuite {
     root
   }
 
+  test("compact publishes a COMPACT snapshot: read unchanged, one " +
+    "file, history travelable; PK and partitioned tables refuse") {
+    import spark.implicits._
+    val root = fixture("compact")
+    val before = PaimonLite.read(spark, root)
+      .as[(Long, Long)].collect().sorted.toSeq
+    val newId = PaimonLite.compact(spark, root)
+    assert(newId == 3L)
+    val after = PaimonLite.read(spark, root)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(after == before)
+    assert(PaimonLite.snapshot(spark, root).files.size == 1)
+    // pre-compaction snapshots still travel
+    assert(PaimonLite.read(spark, root, snapshotId = Some(2L))
+      .as[(Long, Long)].collect().sorted.toSeq == before)
+    // a COMPACT snapshot's delta is empty: the stream surface sees
+    // zero new adds for it
+    assert(PaimonLite.deltaAdds(spark, root, newId).isEmpty)
+    // compacting twice stays content-identical
+    assert(PaimonLite.compact(spark, root) == 4L)
+    assert(PaimonLite.read(spark, root)
+      .as[(Long, Long)].collect().sorted.toSeq == after)
+    // a primary-key table refuses
+    val e = intercept[IllegalStateException] {
+      PaimonLite.compact(spark,
+        pkFixture("compactpk"))
+    }
+    assert(e.getMessage.contains("primary-key"))
+  }
+
   test("base+delta replay nets ADD/DELETE: f0 dropped, f2 added") {
     val root = fixture("happy")
     val snap = PaimonLite.snapshot(spark, root)
