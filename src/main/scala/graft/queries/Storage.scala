@@ -866,6 +866,27 @@ object Storage extends QueryModule {
         .orderBy(col("_change_type"), col("_commit_time"))
     },
 
+    // the COMPACTION dispatch: all four formats' tables packed
+    // through ONE entry point, then read back through the same — a
+    // wrong dispatch (or a rewrite that churns content) shifts a
+    // format's census and hash-mismatches. Reuses the four dedicated
+    // fixtures; each format's own surface invariants are pinned by
+    // q471-q474.
+    "q475_graft_lake_compact" -> { (s, dir) =>
+      import graft.sources.GraftLake
+      val tables = Seq(
+        "delta" -> authorDeltaCompactTable(s, dir),
+        "iceberg" -> authorIcebergCompactTable(s, dir),
+        "hudi" -> authorHudiClusterTable(s, dir),
+        "paimon" -> authorPaimonCompactTable(s, dir))
+      tables.map { case (fmt, root) =>
+        GraftLake.compact(s, root): Unit
+        GraftLake.read(s, root)
+          .agg(count(lit(1)).as("n"))
+          .select(lit(fmt).as("fmt"), col("n"))
+      }.reduce(_ unionByName _).orderBy(col("fmt"))
+    },
+
     // Hudi CLUSTERING (replacecommit): pack both file groups into one
     // new group; rows keep their original _hoodie_commit_time, so the
     // census reads TWO surfaces — the post-cluster snapshot (A with
@@ -6540,6 +6561,26 @@ object Storage extends QueryModule {
         |FROM ch
         |GROUP BY _change_type, _commit_version
         |ORDER BY _change_type, _commit_version""".stripMargin,
+    // per-format post-compaction row counts: delta = A(q<=25)+B,
+    // iceberg = A(q<=35, flag≠R)+B(flag≠R), hudi = A+B (upserts keep
+    // the count), paimon = orders %10∈(0,1)
+    "q475_graft_lake_compact" ->
+      """WITH counts AS (
+        |  SELECT 'delta' AS fmt, count(*) AS n FROM lineitem
+        |  WHERE (l_orderkey % 10 = 0 AND NOT l_quantity > 25)
+        |     OR l_orderkey % 10 = 1
+        |  UNION ALL
+        |  SELECT 'iceberg', count(*) FROM lineitem
+        |  WHERE ((l_orderkey % 10 = 0 AND NOT l_quantity > 35)
+        |      OR l_orderkey % 10 = 1)
+        |    AND l_returnflag <> 'R'
+        |  UNION ALL
+        |  SELECT 'hudi', count(*) FROM lineitem
+        |  WHERE l_orderkey % 10 IN (0, 1)
+        |  UNION ALL
+        |  SELECT 'paimon', count(*) FROM orders
+        |  WHERE o_orderkey % 10 IN (0, 1))
+        |SELECT fmt, n FROM counts ORDER BY fmt""".stripMargin,
     // read = A (×2 price on q>30) ∪ B; incremental (001, 003] = the
     // ct=002 rows only: A's q>30 upserts at ×2 plus B
     "q473_hudi_cluster" ->

@@ -214,6 +214,26 @@ object GraftLake {
     }
   }
 
+  /** Detect + dispatch the COMPACTION/OPTIMIZE write: Delta OPTIMIZE
+    * ([[DeltaLogLite.compact]]), Iceberg rewrite-data-files
+    * ([[IcebergLite.compact]]), Hudi clustering
+    * ([[HudiCowLite.cluster]] — COW only, the MOR gate fires inside),
+    * Paimon full compaction ([[PaimonLite.compact]]). Returns the new
+    * version marker rendered as a string (Delta version / Iceberg
+    * snapshot id / Hudi instant / Paimon snapshot id) — each format's
+    * own axis. */
+  def compact(spark: SparkSession, tableDir: String,
+              numFiles: Int = 1): String =
+    detect(spark, tableDir) match {
+      case Delta =>
+        DeltaLogLite.compact(spark, tableDir, numFiles).toString
+      case Iceberg =>
+        IcebergLite.compact(spark, tableDir, numFiles).toString
+      case Hudi => HudiCowLite.cluster(spark, tableDir, numFiles)
+      case Paimon =>
+        PaimonLite.compact(spark, tableDir, numFiles).toString
+    }
+
   /** The graftstream SOURCE format serving this table's layout — the
     * streaming face of [[detect]]. */
   def streamFormat(spark: SparkSession, tableDir: String): String =
