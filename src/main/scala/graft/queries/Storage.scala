@@ -887,6 +887,33 @@ object Storage extends QueryModule {
       }.reduce(_ unionByName _).orderBy(col("fmt"))
     },
 
+    // EXPIRE-SNAPSHOTS after a compaction — the standard maintenance
+    // pair: the rewrite makes the old snapshot's files orphans, the
+    // expiry drops the snapshot and deletes them. The census reads
+    // the surviving snapshot plus the snapshots metadata table (must
+    // be exactly ONE row left); a reader that kept serving the
+    // expired snapshot, or an expiry that deleted a still-referenced
+    // file, breaks one of the two surfaces.
+    "q476_iceberg_expire" -> { (s, dir) =>
+      import graft.sources.IcebergLite
+      val root = authorIcebergCompactTable(s, dir)
+      IcebergLite.compact(s, root): Unit
+      val expired = IcebergLite.expireSnapshots(s, root, keepLast = 1)
+      require(expired == Seq(1L), s"expected to expire 1, got $expired")
+      IcebergLite.read(s, root)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_qty"))
+        .select(lit("read").as("surface"),
+          col("l_returnflag").as("k"), col("n"), col("sum_qty"))
+        .unionByName(IcebergLite.metadataTable(s, root, "snapshots")
+          .agg(count(lit(1)).as("n"))
+          .select(lit("meta").as("surface"), lit("snapshots").as("k"),
+            col("n"), lit(null).cast(DoubleType).as("sum_qty")))
+        .orderBy(col("surface"), col("k"))
+    },
+
     // Hudi CLUSTERING (replacecommit): pack both file groups into one
     // new group; rows keep their original _hoodie_commit_time, so the
     // census reads TWO surfaces — the post-cluster snapshot (A with
@@ -909,6 +936,31 @@ object Storage extends QueryModule {
         .unionByName(census("incremental", graft.sources.HudiCowLite
           .readIncremental(s, root, "001")))
         .orderBy(col("surface"), col("l_returnflag"))
+    },
+
+    // Paimon EXPIRE-SNAPSHOTS after compaction: both pre-compaction
+    // snapshots expire (their files deleted as orphans), the COMPACT
+    // snapshot survives alone — census + the snapshots system table
+    // count pin both surfaces.
+    "q477_paimon_expire" -> { (s, dir) =>
+      import graft.sources.PaimonLite
+      val root = authorPaimonCompactTable(s, dir)
+      PaimonLite.compact(s, root): Unit
+      val expired = PaimonLite.expireSnapshots(s, root, keepLast = 1)
+      require(expired == Seq(1L, 2L),
+        s"expected to expire 1,2, got $expired")
+      PaimonLite.read(s, root)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_price"))
+        .select(lit("read").as("surface"),
+          col("o_orderstatus").as("k"), col("n"), col("sum_price"))
+        .unionByName(PaimonLite.metadataTable(s, root, "snapshots")
+          .agg(count(lit(1)).as("n"))
+          .select(lit("meta").as("surface"), lit("snapshots").as("k"),
+            col("n"), lit(null).cast(DoubleType).as("sum_price")))
+        .orderBy(col("surface"), col("k"))
     },
 
     // Paimon FULL COMPACTION (commitKind=COMPACT): pack the two
@@ -6581,6 +6633,27 @@ object Storage extends QueryModule {
         |  SELECT 'paimon', count(*) FROM orders
         |  WHERE o_orderkey % 10 IN (0, 1))
         |SELECT fmt, n FROM counts ORDER BY fmt""".stripMargin,
+    // post-expiry: the live-rows census plus exactly one surviving
+    // snapshot row
+    "q476_iceberg_expire" ->
+      """WITH live AS (
+        |  SELECT l_quantity, l_returnflag
+        |  FROM lineitem
+        |  WHERE l_orderkey % 10 = 0 AND NOT l_quantity > 35
+        |    AND l_returnflag <> 'R'
+        |  UNION ALL
+        |  SELECT l_quantity, l_returnflag
+        |  FROM lineitem
+        |  WHERE l_orderkey % 10 = 1 AND l_returnflag <> 'R'),
+        |rows_ AS (
+        |  SELECT 'read' AS surface, l_returnflag AS k, count(*) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS sum_qty
+        |  FROM live GROUP BY l_returnflag
+        |  UNION ALL
+        |  SELECT 'meta', 'snapshots', 1, CAST(NULL AS DOUBLE))
+        |SELECT surface, k, n, sum_qty FROM rows_
+        |ORDER BY surface, k""".stripMargin,
     // read = A (×2 price on q>30) ∪ B; incremental (001, 003] = the
     // ct=002 rows only: A's q>30 upserts at ×2 plus B
     "q473_hudi_cluster" ->
@@ -6607,6 +6680,21 @@ object Storage extends QueryModule {
         |FROM rows_
         |GROUP BY surface, l_returnflag
         |ORDER BY surface, l_returnflag""".stripMargin,
+    // post-expiry: the two batches' census plus exactly one surviving
+    // snapshot row
+    "q477_paimon_expire" ->
+      """WITH live AS (
+        |  SELECT o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey % 10 IN (0, 1)),
+        |rows_ AS (
+        |  SELECT 'read' AS surface, o_orderstatus AS k, count(*) AS n,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS sum_price
+        |  FROM live GROUP BY o_orderstatus
+        |  UNION ALL
+        |  SELECT 'meta', 'snapshots', 1, CAST(NULL AS DOUBLE))
+        |SELECT surface, k, n, sum_price FROM rows_
+        |ORDER BY surface, k""".stripMargin,
     // both surfaces = the two appended batches, unchanged by the
     // compaction rewrite
     "q474_paimon_compact" ->

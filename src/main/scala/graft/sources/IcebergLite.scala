@@ -1420,4 +1420,85 @@ object IcebergLite {
       version.toString)
     newSnapId
   }
+
+  /** EXPIRE-SNAPSHOTS maintenance (the library's `expire_snapshots`
+    * procedure): retain the LAST `keepLast` snapshots
+    * (metadata-list order — append-only history), roll a metadata
+    * version whose snapshots array holds only the retained ones, and
+    * DELETE every file referenced ONLY by expired snapshots — their
+    * manifest lists, manifests, data files, delete files, and DV
+    * Puffin files. Travel to an expired id then refuses through
+    * [[snapshot]]'s own unknown-id gate, listing what remains.
+    * Returns the expired snapshot ids (empty when nothing expires).
+    *
+    * Loud refusals: a named ref (branch/tag) pinning an expiring
+    * snapshot — expiry would break the pin, so drop the ref first.
+    * All work is bounded metadata (one manifest-list + manifest read
+    * per snapshot) plus O(orphans) deletes. Single-writer scope. */
+  def expireSnapshots(spark: SparkSession, tableDir: String,
+                      keepLast: Int = 1): Seq[Long] = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val (metaFile, meta) = loadMeta(spark, tableDir)
+    val ids = snapshotIds(spark, tableDir)
+    if (ids.size <= keepLast) return Nil
+    val (expired, retained) = ids.splitAt(ids.size - keepLast)
+    (meta \ "refs") match {
+      case JObject(refs) => refs.foreach { case (name, r) =>
+        (r \ "snapshot-id").extractOpt[Long].foreach { sid =>
+          if (expired.contains(sid)) throw new IllegalStateException(
+            s"$tableDir: ref '$name' pins snapshot $sid, which this " +
+              s"expiry would drop — remove the ref first")
+        }
+      }
+      case _ =>
+    }
+    // every path a snapshot references: its manifest list, manifests,
+    // and data/delete/DV files (all resolved for set comparison)
+    def pathsOf(sid: Long): Set[String] = {
+      val ml = (meta \ "snapshots") match {
+        case JArray(ss) => ss.find(s =>
+          (s \ "snapshot-id").extractOpt[Long].contains(sid))
+          .map(s => (s \ "manifest-list").extract[String]).getOrElse(
+            throw new IllegalStateException(
+              s"$tableDir: snapshot $sid missing from metadata"))
+        case _ => throw new IllegalStateException(
+          s"$tableDir: metadata has no snapshots array")
+      }
+      val mlResolved = resolve(tableDir, ml)
+      val manifests = spark.read.format(AvroFmt).load(mlResolved)
+        .collect().map(r => r.getAs[String]("manifest_path")).toSeq
+      val snap = snapshot(spark, tableDir, Some(sid))
+      (Seq(mlResolved) ++ manifests.map(resolve(tableDir, _)) ++
+        snap.files ++ snap.deleteFiles ++ snap.eqDeletes.map(_.path) ++
+        snap.dvs.map(_.path)).toSet
+    }
+    val retainedPaths = retained.flatMap(pathsOf).toSet
+    val orphans = expired.flatMap(pathsOf).toSet -- retainedPaths
+    // roll the metadata FIRST (a crash between steps leaves a valid
+    // table plus unreferenced files — never a dangling reference)
+    val withSnaps = meta transformField {
+      case ("snapshots", JArray(ss)) =>
+        ("snapshots", JArray(ss.filter(s =>
+          (s \ "snapshot-id").extractOpt[Long].exists(retained.contains))))
+    }
+    val version = metaFile.getName.stripPrefix("v")
+      .stripSuffix(".metadata.json").toLong + 1
+    try AtomicFiles.write(
+      java.nio.file.Paths.get(tableDir, "metadata",
+        s"v$version.metadata.json"),
+      JsonMethods.compact(JsonMethods.render(withSnaps)),
+      replace = false)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalStateException(
+          s"$tableDir: metadata v$version already exists — another " +
+            "writer is active (single-writer scope)")
+    }
+    AtomicFiles.write(
+      java.nio.file.Paths.get(tableDir, "metadata", "version-hint.text"),
+      version.toString)
+    orphans.toSeq.sorted.foreach(p =>
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p)): Unit)
+    expired
+  }
 }

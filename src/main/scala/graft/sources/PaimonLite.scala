@@ -1403,4 +1403,83 @@ object PaimonLite {
       newId.toString)
     newId
   }
+
+  /** EXPIRE-SNAPSHOTS maintenance (snapshot.num-retained at work):
+    * retain the LAST `keepLast` numbered snapshots, delete the
+    * expired snapshot files, and delete every manifest/data file
+    * referenced ONLY by expired snapshots. TAGS are the format's
+    * expiry-proof axis — each holds its own snapshot copy — so every
+    * tag's file references are treated as retained (the tag keeps
+    * reading after the expiry, exactly the q433 contract). Travel to
+    * an expired NUMBERED id then refuses through [[snapshot]]'s own
+    * missing-file gate. Returns the expired ids.
+    *
+    * Loud refusal: an expired snapshot that carries a
+    * changelogManifestList — changelog retention is its own knob
+    * (changelog.num-retained); expiring under it silently truncates
+    * the change feed, so refuse instead. Bounded metadata work plus
+    * O(orphans) deletes; single-writer scope. */
+  def expireSnapshots(spark: SparkSession, tableDir: String,
+                      keepLast: Int = 1): Seq[Long] = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val snapDir = new Path(tableDir, "snapshot")
+    val fs = snapDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(snapDir))
+      throw new IllegalStateException(s"$tableDir has no snapshot directory")
+    val ids = fs.listStatus(snapDir).toSeq.map(_.getPath.getName)
+      .collect { case n if n.matches("snapshot-\\d+") =>
+        n.stripPrefix("snapshot-").toLong }.sorted
+    if (ids.size <= keepLast) return Nil
+    val (expired, retained) = ids.splitAt(ids.size - keepLast)
+    // paths one snapshot document references: its two manifest lists,
+    // their manifests, and the data files
+    def pathsOf(id: Option[Long], tag: Option[String]): Set[String] = {
+      val json = JsonMethods.parse(readText(fs,
+        id.map(i => new Path(snapDir, s"snapshot-$i"))
+          .getOrElse(new Path(tableDir, s"tag/tag-${tag.get}"))))
+      val lists = Seq("baseManifestList", "deltaManifestList",
+        "changelogManifestList").flatMap(k =>
+        (json \ k).extractOpt[String])
+      if (id.exists(expired.contains) &&
+        (json \ "changelogManifestList").extractOpt[String].nonEmpty)
+        throw new IllegalStateException(
+          s"$tableDir: snapshot ${id.get} carries a changelog — " +
+            "changelog retention is its own knob " +
+            "(changelog.num-retained); refusing to expire under it")
+      val manifests = lists.flatMap { l =>
+        val p = new Path(tableDir, s"manifest/$l")
+        if (!fs.exists(p)) Nil
+        else spark.read.format(AvroFmt).load(p.toString).collect()
+          .map(_.getAs[String]("_FILE_NAME")).toSeq
+      }
+      val dataFiles = snapshot(spark, tableDir,
+        snapshotId = id, tag = tag).files.map(_.path)
+      (lists.map(l => s"$tableDir/manifest/$l") ++
+        manifests.map(m => s"$tableDir/manifest/$m") ++
+        dataFiles).toSet
+    }
+    val tagNames: Seq[String] = {
+      val tagDir = new Path(tableDir, "tag")
+      if (!fs.exists(tagDir)) Nil
+      else fs.listStatus(tagDir).toSeq.map(_.getPath.getName)
+        .collect { case n if n.startsWith("tag-") =>
+          n.stripPrefix("tag-") }
+    }
+    val expiredPaths = expired.map(i => pathsOf(Some(i), None))
+    val retainedPaths =
+      (retained.map(i => pathsOf(Some(i), None)) ++
+        tagNames.map(t => pathsOf(None, Some(t)))).toSet.flatten
+    val orphans = expiredPaths.toSet.flatten -- retainedPaths
+    // drop the expired snapshot documents FIRST (a crash between
+    // steps leaves a valid table plus unreferenced files), then the
+    // orphans, then the EARLIEST hint
+    expired.foreach(i =>
+      fs.delete(new Path(snapDir, s"snapshot-$i"), false): Unit)
+    orphans.toSeq.sorted.foreach(p =>
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p)): Unit)
+    AtomicFiles.write(
+      java.nio.file.Paths.get(tableDir, "snapshot", "EARLIEST"),
+      retained.head.toString)
+    expired
+  }
 }

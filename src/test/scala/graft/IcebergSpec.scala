@@ -918,6 +918,44 @@ class IcebergSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("partitioned"))
   }
 
+  test("expireSnapshots drops history and deletes orphans only: " +
+    "expired travel refuses, retained read intact, shared manifests " +
+    "survive; a pinning ref refuses") {
+    import spark.implicits._
+    val root = fixture("expire")
+    assert(IcebergLite.expireSnapshots(spark, root, keepLast = 2)
+      == Nil) // nothing to expire at keepLast=2
+    val expired = IcebergLite.expireSnapshots(spark, root, keepLast = 1)
+    assert(expired == Seq(1L))
+    // retained read intact; expired travel refuses, naming what's left
+    assert(IcebergLite.read(spark, root)
+      .as[(Long, Long)].collect().sorted.toSeq ==
+      (5L to 9L).map(i => (i, i * 3)))
+    val e = intercept[IllegalArgumentException] {
+      IcebergLite.snapshot(spark, root, Some(1L))
+    }
+    assert(e.getMessage.contains("snapshot 1"))
+    // orphans deleted: snapshot 1's own manifest list and manifest,
+    // and f0 (tombstoned at 2 — referenced only by snapshot 1's data
+    // manifest); f1 and snapshot 2's manifests survive
+    assert(!Files.exists(Paths.get(root, "metadata", "snap-1.avro")))
+    assert(!Files.exists(Paths.get(root, "metadata", "m1.avro")))
+    assert(!Files.exists(Paths.get(root, "data", "f0.parquet")))
+    assert(Files.exists(Paths.get(root, "data", "f1.parquet")))
+    assert(Files.exists(Paths.get(root, "metadata", "m2b.avro")))
+    // a ref pinning an expiring snapshot refuses
+    val root2 = fixture("expireref")
+    val mf = Paths.get(root2, "metadata", "v3.metadata.json")
+    Files.writeString(mf, Files.readString(mf).replace(
+      "\"current-snapshot-id\":2,",
+      """"refs":{"old":{"snapshot-id":1,"type":"tag"}},
+        |"current-snapshot-id":2,""".stripMargin))
+    val e2 = intercept[IllegalStateException] {
+      IcebergLite.expireSnapshots(spark, root2, keepLast = 1)
+    }
+    assert(e2.getMessage.contains("ref 'old' pins"))
+  }
+
   test("non-file scheme in a stored path refuses loudly") {
     val root = fixture("scheme")
     import spark.implicits._

@@ -127,6 +127,38 @@ class PaimonSpec extends AnyFunSuite {
     assert(e.getMessage.contains("primary-key"))
   }
 
+  test("expireSnapshots drops history and deletes orphans; a TAG's " +
+    "files survive expiry and the tag keeps reading") {
+    import spark.implicits._
+    // no tag: snapshot 1 expires, its orphans (f0, ml-empty) go
+    val root = fixture("expire")
+    assert(PaimonLite.expireSnapshots(spark, root, keepLast = 2) == Nil)
+    assert(PaimonLite.expireSnapshots(spark, root, keepLast = 1)
+      == Seq(1L))
+    assert(PaimonLite.read(spark, root)
+      .as[(Long, Long)].collect().sorted.toSeq ==
+      ((5L to 12L).map(i => (i, i * 3))))
+    intercept[IllegalArgumentException] {
+      PaimonLite.snapshot(spark, root, Some(1L))
+    }
+    assert(!Files.exists(Paths.get(root, "bucket-0", "f0.parquet")))
+    assert(Files.exists(Paths.get(root, "bucket-0", "f1.parquet")))
+    assert(Files.exists(Paths.get(root, "manifest", "m-add01.avro")))
+    assert(Files.readString(
+      Paths.get(root, "snapshot", "EARLIEST")).trim == "2")
+    // with a tag pinning snapshot 1: f0 SURVIVES and the tag reads
+    val root2 = fixture("expiretag")
+    Files.createDirectories(Paths.get(root2, "tag"))
+    Files.copy(Paths.get(root2, "snapshot", "snapshot-1"),
+      Paths.get(root2, "tag", "tag-keep"))
+    assert(PaimonLite.expireSnapshots(spark, root2, keepLast = 1)
+      == Seq(1L))
+    assert(Files.exists(Paths.get(root2, "bucket-0", "f0.parquet")))
+    assert(PaimonLite.read(spark, root2, tag = Some("keep"))
+      .as[(Long, Long)].collect().sorted.toSeq ==
+      (0L to 9L).map(i => (i, i * 3)))
+  }
+
   test("base+delta replay nets ADD/DELETE: f0 dropped, f2 added") {
     val root = fixture("happy")
     val snap = PaimonLite.snapshot(spark, root)
