@@ -538,6 +538,51 @@ object Storage extends QueryModule {
       readSide.unionByName(cdfSide).orderBy(col("surface"), col("k"))
     },
 
+    // Delta VACUUM after OPTIMIZE — the protocol's reclaim op at
+    // retention 0: the superseded originals (a.parquet, b.parquet)
+    // and the materialized-away DV file go; the packed file stays.
+    // The census reads the post-vacuum table plus the deleted-file
+    // count (exactly 3 — a vacuum that reached the live file breaks
+    // the read, one that missed a file breaks the count).
+    "q478_delta_vacuum" -> { (s, dir) =>
+      import graft.sources.DeltaLogLite
+      val root = authorDeltaCompactTable(s, dir)
+      DeltaLogLite.compact(s, root): Unit
+      val deleted = DeltaLogLite.vacuum(s, root)
+      DeltaLogLite.read(s, root)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_qty"))
+        .select(lit("read").as("surface"),
+          col("l_returnflag").as("k"), col("n"), col("sum_qty"))
+        .unionByName(s.range(1).select(lit("vacuum").as("surface"),
+          lit("deleted").as("k"), lit(deleted.size.toLong).as("n"),
+          lit(null).cast(DoubleType).as("sum_qty")))
+        .orderBy(col("surface"), col("k"))
+    },
+
+    // Hudi CLEAN after clustering — KEEP_LATEST_FILE_VERSIONS: the
+    // three superseded base files (gA's two versions, gB's one) go;
+    // the clustered file stays; the clean marker is not a data commit.
+    "q479_hudi_clean" -> { (s, dir) =>
+      import graft.sources.HudiCowLite
+      val root = authorHudiClusterTable(s, dir)
+      HudiCowLite.cluster(s, root): Unit
+      val deleted = HudiCowLite.clean(s, root)
+      HudiCowLite.read(s, root)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_price"))
+        .select(lit("read").as("surface"),
+          col("l_returnflag").as("k"), col("n"), col("sum_price"))
+        .unionByName(s.range(1).select(lit("clean").as("surface"),
+          lit("deleted").as("k"), lit(deleted.size.toLong).as("n"),
+          lit(null).cast(DoubleType).as("sum_price")))
+        .orderBy(col("surface"), col("k"))
+    },
+
     // Iceberg rewrite-data-files: pack the live rows — DV on A
     // (q>35) and the seq-2 equality delete (flag R) both
     // materialized — into one file under a REPLACE snapshot. The
@@ -6736,6 +6781,40 @@ object Storage extends QueryModule {
         |FROM both_
         |GROUP BY surface, l_returnflag
         |ORDER BY surface, l_returnflag""".stripMargin,
+    // post-vacuum read = A(q<=25) ∪ B; exactly 3 files reclaimed
+    "q478_delta_vacuum" ->
+      """WITH live AS (
+        |  SELECT l_quantity, l_returnflag
+        |  FROM lineitem
+        |  WHERE (l_orderkey % 10 = 0 AND NOT l_quantity > 25)
+        |     OR l_orderkey % 10 = 1),
+        |rows_ AS (
+        |  SELECT 'read' AS surface, l_returnflag AS k, count(*) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS sum_qty
+        |  FROM live GROUP BY l_returnflag
+        |  UNION ALL
+        |  SELECT 'vacuum', 'deleted', 3, CAST(NULL AS DOUBLE))
+        |SELECT surface, k, n, sum_qty FROM rows_
+        |ORDER BY surface, k""".stripMargin,
+    // post-clean read = A(×2 on q>30) ∪ B; exactly 3 files reclaimed
+    "q479_hudi_clean" ->
+      """WITH live AS (
+        |  SELECT l_returnflag,
+        |    CASE WHEN l_quantity > 30 THEN l_extendedprice * 2
+        |         ELSE l_extendedprice END AS p
+        |  FROM lineitem WHERE l_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT l_returnflag, l_extendedprice
+        |  FROM lineitem WHERE l_orderkey % 10 = 1),
+        |rows_ AS (
+        |  SELECT 'read' AS surface, l_returnflag AS k, count(*) AS n,
+        |    CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |  FROM live GROUP BY l_returnflag
+        |  UNION ALL
+        |  SELECT 'clean', 'deleted', 3, CAST(NULL AS DOUBLE))
+        |SELECT surface, k, n, sum_price FROM rows_
+        |ORDER BY surface, k""".stripMargin,
     // post-compaction: read = A(q<=25) ∪ B; cdf = commits 0-1 only
     // (inserts A∪B, deletes A's q>25) — zero rows from the rewrite
     "q471_delta_compact" ->

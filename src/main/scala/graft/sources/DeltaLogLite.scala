@@ -1390,4 +1390,68 @@ object DeltaLogLite {
       (removes ++ adds).mkString("", "\n", "\n"), replace = false)
     version
   }
+
+  /** VACUUM (retention 0 — the lite rendering of the protocol's
+    * file-reclaim op): delete every data/DV file the log EVER
+    * referenced that the CURRENT snapshot no longer does. Time travel
+    * to versions needing a vacuumed file then fails at scan time —
+    * exactly the documented VACUUM trade-off. Files resolving OUTSIDE
+    * the table root (shallow-clone sources, external locations) are
+    * never deleted — a clone's vacuum must not reach into its source
+    * table. Returns the deleted paths.
+    *
+    * Loud refusal: checkpointed tables (the pre-checkpoint history is
+    * no longer replayable JSON, so "ever referenced" cannot be
+    * reconstructed — vacuum under checkpoints needs the checkpoint's
+    * own remove-tombstone bookkeeping, outside lite scope).
+    * Single-writer scope; bounded log-JSON work + O(deleted) FS ops. */
+  def vacuum(spark: SparkSession, tableDir: String): Seq[String] = {
+    val logDir = new Path(tableDir, "_delta_log")
+    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(logDir)) throw new IllegalStateException(
+      s"$tableDir has no _delta_log directory")
+    if (fs.exists(new Path(logDir, "_last_checkpoint")))
+      throw new IllegalStateException(
+        s"$tableDir: checkpointed table — pre-checkpoint history is " +
+          "not replayable JSON, so the ever-referenced file set " +
+          "cannot be reconstructed; vacuum under checkpoints is " +
+          "outside lite scope")
+    val commits = fs.listStatus(logDir).toSeq.map(_.getPath)
+      .filter(_.getName.matches("\\d{20}\\.json"))
+      .sortBy(_.getName)
+    // every file any add/remove action ever referenced (data + DV)
+    val referenced = scala.collection.mutable.LinkedHashSet.empty[String]
+    for (p <- commits) {
+      val in = fs.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString finally in.close()
+      for (line <- text.linesIterator if line.trim.nonEmpty) {
+        val action = JsonMethods.parse(line)
+        for (side <- Seq("add", "remove")) (action \ side) match {
+          case JNothing =>
+          case a =>
+            (a \ "path").extractOpt[String].foreach(raw =>
+              referenced += resolveAddPath(tableDir, raw))
+            // inline ('i') vectors reference no file
+            parseDvJson(a \ "deletionVector")
+              .filter(_.storageType != "i")
+              .foreach(dv => referenced += dvFilePath(tableDir, dv))
+        }
+      }
+    }
+    val snap = snapshot(spark, tableDir)
+    val live: Set[String] =
+      (snap.files.map(f => resolveAddPath(tableDir, f.path)) ++
+        snap.files.flatMap(_.deletionVector)
+          .filter(_.storageType != "i")
+          .map(dvFilePath(tableDir, _))).toSet
+    val rootPrefix = new java.io.File(tableDir).getCanonicalPath + "/"
+    val deleted = (referenced -- live).toSeq.sorted.filter { p =>
+      // never reach outside the table root (clone sources)
+      new java.io.File(p).getCanonicalPath.startsWith(rootPrefix) && {
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p))
+      }
+    }
+    deleted
+  }
 }

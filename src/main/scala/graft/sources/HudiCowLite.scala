@@ -506,4 +506,51 @@ object HudiCowLite {
       replace = false)
     instant
   }
+
+  /** CLEAN (KEEP_LATEST_FILE_VERSIONS at retention 1 — the reclaim op
+    * after upserts/clustering): delete every base file under the
+    * table that the CURRENT snapshot does not reference — superseded
+    * file-group versions and replaced groups. Time travel to instants
+    * needing a cleaned file then fails at scan time, the documented
+    * clean trade-off. A `<instant>.clean` marker lands on the
+    * timeline (completed-commit listings ignore it — clean is not a
+    * data commit). Hidden/underscore-prefixed entries and `.hoodie`
+    * are never touched (MOR log files are dot-prefixed), and MOR
+    * tables refuse through the snapshot gate. Returns deleted
+    * paths. */
+  def clean(spark: SparkSession, tableDir: String): Seq[String] = {
+    val snap = snapshot(spark, tableDir)
+    val live = snap.files
+      .map(p => new java.io.File(p).getCanonicalPath).toSet
+    def walk(dir: java.io.File): Seq[java.io.File] =
+      Option(dir.listFiles()).toSeq.flatten.flatMap { f =>
+        if (f.getName.startsWith(".") || f.getName.startsWith("_")) Nil
+        else if (f.isDirectory) walk(f)
+        else if (f.getName.endsWith(".parquet") ||
+          f.getName.endsWith(".orc")) Seq(f)
+        else Nil
+      }
+    val deleted = walk(new java.io.File(tableDir))
+      .filterNot(f => live.contains(f.getCanonicalPath))
+      .sortBy(_.getPath)
+      .filter(_.delete())
+      .map(_.getPath)
+    val width = snap.commits.map(_.length).max
+    val next = {
+      // mint past BOTH data commits and earlier clean markers
+      val hoodieDir = new Path(tableDir, ".hoodie")
+      val fs =
+        hoodieDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val cleans = fs.listStatus(hoodieDir).toSeq.map(_.getPath.getName)
+        .collect { case n if n.matches("\\d+\\.clean") =>
+          BigInt(n.stripSuffix(".clean")) }
+      val s = ((cleans :+ BigInt(snap.instant)).max + 1).toString
+      ("0" * ((width - s.length).max(0))) + s
+    }
+    graft.sources.AtomicFiles.write(
+      java.nio.file.Paths.get(tableDir, ".hoodie", s"$next.clean"),
+      s"""{"policy":"KEEP_LATEST_FILE_VERSIONS","filesDeleted":${deleted.size}}""",
+      replace = false)
+    deleted
+  }
 }

@@ -1322,6 +1322,29 @@ class DeltaLogSpec extends AnyFunSuite {
     assert(DeltaLogLite.compact(spark, root) == 2L)
     assert(DeltaLogLite.read(spark, root)
       .as[(Long, Long)].collect().sorted.toSeq == after)
+    // VACUUM reclaims the superseded files (f0, f1, dv.bin, the first
+    // compaction's file) and never the live one; travel to vacuumed
+    // versions then fails at scan, current reads stay green
+    val deleted = DeltaLogLite.vacuum(spark, root)
+    assert(deleted.size == 4, s"deleted: $deleted")
+    assert(deleted.exists(_.endsWith("f0.parquet")) &&
+      deleted.exists(_.endsWith("dv.bin")) &&
+      deleted.exists(_.endsWith("compact-1_0.parquet")))
+    assert(DeltaLogLite.read(spark, root)
+      .as[(Long, Long)].collect().sorted.toSeq == after)
+    intercept[Exception] {
+      DeltaLogLite.read(spark, root, versionAsOf = Some(0L)).collect()
+    }
+    // vacuum twice: nothing left to reclaim
+    assert(DeltaLogLite.vacuum(spark, root) == Nil)
+    // checkpointed tables refuse
+    Files.writeString(Paths.get(root, "_delta_log", "_last_checkpoint"),
+      """{"version":1,"size":1}""")
+    val ev = intercept[IllegalStateException] {
+      DeltaLogLite.vacuum(spark, root)
+    }
+    assert(ev.getMessage.contains("checkpoint"))
+    Files.delete(Paths.get(root, "_delta_log", "_last_checkpoint"))
     // partitioned tables refuse
     val root2 = "/tmp/graft_deltaspec/compactpart"
     rm(new java.io.File(root2))

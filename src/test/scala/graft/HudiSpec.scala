@@ -320,6 +320,19 @@ class HudiSpec extends AnyFunSuite {
     assert(HudiCowLite.read(spark, root)
       .select("id", "v").as[(Long, Long)].collect().sorted.toSeq ==
       after)
+    // CLEAN reclaims every superseded base file (gA's two versions,
+    // gB, gC, the first clustering's file) and never the live one;
+    // the clean marker is NOT a completed data commit
+    val deleted = HudiCowLite.clean(spark, root)
+    assert(deleted.size == 5, s"deleted: $deleted")
+    assert(deleted.exists(_.contains("gA_0-0_001")) &&
+      deleted.exists(_.contains("cl004")))
+    assert(HudiCowLite.read(spark, root)
+      .select("id", "v").as[(Long, Long)].collect().sorted.toSeq ==
+      after)
+    assert(!HudiCowLite.completedCommits(spark, root).contains("006"))
+    // clean twice: nothing left
+    assert(HudiCowLite.clean(spark, root) == Nil)
   }
 
   test("latest base file per file group wins; older one is never read") {
