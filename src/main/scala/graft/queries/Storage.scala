@@ -959,6 +959,31 @@ object Storage extends QueryModule {
         .orderBy(col("surface"), col("k"))
     },
 
+    // MOR CLUSTERING — the compaction a MERGE_ON_READ table lives on:
+    // the snapshot view's merged rows (upserts at ×2, %10=0 deletes
+    // dropped) materialize into a fresh base group under one
+    // replacecommit. The census reads BOTH query modes after it:
+    // snapshot (unchanged by the move) and READ-OPTIMIZED — which
+    // before clustering served the raw base and now MUST equal the
+    // merged rows, the operational point of compacting.
+    "q480_hudi_mor_cluster" -> { (s, dir) =>
+      import graft.sources.{HudiCowLite, HudiMorLite}
+      val root = authorHudiMorSnapTableAt(s, dir,
+        s"/tmp/graft_hudi/morcluster_${Integer.toHexString(dir.hashCode)}")
+      HudiMorLite.cluster(s, root): Unit
+      def census(surface: String, df: DataFrame): DataFrame =
+        df.groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2)))
+              .cast(DoubleType).as("sum_price"))
+          .select(lit(surface).as("surface"), col("o_orderstatus"),
+            col("n"), col("sum_price"))
+      census("snapshot", HudiMorLite.read(s, root))
+        .unionByName(census("ro",
+          HudiCowLite.read(s, root, readOptimized = true)))
+        .orderBy(col("surface"), col("o_orderstatus"))
+    },
+
     // Hudi CLUSTERING (replacecommit): pack both file groups into one
     // new group; rows keep their original _hoodie_commit_time, so the
     // census reads TWO surfaces — the post-cluster snapshot (A with
@@ -2024,10 +2049,16 @@ object Storage extends QueryModule {
   private def authorHudiMorSnapTable(s: SparkSession,
                                      dir: String): String =
     hudiMorSnapMemo.synchronized {
-      hudiMorSnapMemo.getOrElseUpdate(dir, {
+      hudiMorSnapMemo.getOrElseUpdate(dir,
+        authorHudiMorSnapTableAt(s, dir,
+          s"/tmp/graft_hudi/morsnap_${Integer.toHexString(dir.hashCode)}"))
+    }
+
+  /** The q431 layout at an explicit root (q480 clusters its own
+    * fresh copy, so the memoized table stays untouched). */
+  private def authorHudiMorSnapTableAt(s: SparkSession, dir: String,
+                                       root: String): String = {
         import java.nio.file.{Files, Paths}
-        val root =
-          s"/tmp/graft_hudi/morsnap_${Integer.toHexString(dir.hashCode)}"
         def rm(p: java.io.File): Unit = {
           if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
           p.delete(): Unit
@@ -2084,8 +2115,7 @@ object Storage extends QueryModule {
         Files.writeString(Paths.get(root, ".hoodie", "002.deltacommit"),
           s"""{"partitionToWriteStats":{${stat(".g1_001.log.1")}}}""")
         root
-      })
-    }
+  }
 
   private val hudiMorDelMemo =
     scala.collection.mutable.Map.empty[String, String]
@@ -6781,6 +6811,24 @@ object Storage extends QueryModule {
         |FROM both_
         |GROUP BY surface, l_returnflag
         |ORDER BY surface, l_returnflag""".stripMargin,
+    // both modes serve the merged rows: %10∈(1,2) original, (3,4) at
+    // ×2 price, %10=0 deleted
+    "q480_hudi_mor_cluster" ->
+      """WITH merged AS (
+        |  SELECT o_orderstatus,
+        |    CASE WHEN o_orderkey % 10 IN (3, 4) THEN o_totalprice * 2
+        |         ELSE o_totalprice END AS p
+        |  FROM orders
+        |  WHERE o_orderkey % 10 < 5 AND o_orderkey % 10 <> 0),
+        |both_ AS (
+        |  SELECT 'snapshot' AS surface, o_orderstatus, p FROM merged
+        |  UNION ALL
+        |  SELECT 'ro', o_orderstatus, p FROM merged)
+        |SELECT surface, o_orderstatus, count(*) AS n,
+        | CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM both_
+        |GROUP BY surface, o_orderstatus
+        |ORDER BY surface, o_orderstatus""".stripMargin,
     // post-vacuum read = A(q<=25) ∪ B; exactly 3 files reclaimed
     "q478_delta_vacuum" ->
       """WITH live AS (

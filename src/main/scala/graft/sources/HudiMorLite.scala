@@ -1248,4 +1248,74 @@ object HudiMorLite {
     }
     untouched.unionByName(changed)
   }
+
+  /** CLUSTERING on MERGE_ON_READ (the insert-overwrite/clustering
+    * replacecommit flow): materialize the SNAPSHOT view's merged rows
+    * — upserts applied, winning deletes dropped, event-time ordering
+    * honored — into `numFiles` fresh base files under new file groups
+    * and publish one replacecommit replacing every prior group. The
+    * logs' effects become visible to READ-OPTIMIZED consumers (the
+    * operational point of compacting a MOR table), and the table's
+    * current state carries no log files. Returns the new instant.
+    *
+    * Scale shape: ONE merged snapshot scan (the same plan as
+    * [[read]]) + executor parquet write + O(files) renames and one
+    * JSON write. Single-writer scope; multi-partition tables refuse
+    * (per-partition packing is outside lite scope). */
+  def cluster(spark: SparkSession, tableDir: String,
+              numFiles: Int = 1): String = {
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    val snap = snapshot(spark, tableDir)
+    val parts = snap.slices.map(_.partition).toSet
+    if (parts.size > 1) throw new IllegalStateException(
+      s"$tableDir: ${parts.size} partitions — per-partition packing " +
+        "is outside lite clustering scope")
+    val partition = parts.headOption.getOrElse("")
+    val widths = snap.commits.map(_.length).distinct
+    if (widths.size != 1) throw new IllegalStateException(
+      s"$tableDir: timeline instants have mixed widths " +
+        s"(${widths.sorted.mkString(", ")}) — cannot mint the next")
+    val width = widths.head
+    val instant = {
+      val s = (BigInt(snap.instant) + 1).toString
+      if (s.length > width) throw new IllegalStateException(
+        s"$tableDir: next instant $s overflows the timeline's " +
+          s"$width-char width")
+      ("0" * (width - s.length)) + s
+    }
+    val merged = read(spark, tableDir)
+    val tmp = s"$tableDir/_tmp_cluster"
+    merged.coalesce(numFiles).write.mode("overwrite").parquet(tmp)
+    val files = new java.io.File(tmp).listFiles().toSeq
+      .filter(f => f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith("."))
+    def jq(s: String): String = "\"" + s.flatMap {
+      case '"'          => "\\\""
+      case '\\'         => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c            => c.toString
+    } + "\""
+    val stats = files.zipWithIndex.map { case (f, i) =>
+      val fid = s"cl$instant-$i"
+      val rel = (if (partition.isEmpty) "" else s"$partition/") +
+        s"${fid}_0-0_$instant.parquet"
+      if (!f.renameTo(new java.io.File(s"$tableDir/$rel")))
+        throw new IllegalStateException(
+          s"$tableDir: could not move ${f.getName} into the table")
+      s"""{"fileId":${jq(fid)},"path":${jq(rel)},"numWrites":1}"""
+    }.mkString("[", ",", "]")
+    def rmr(p: java.io.File): Unit = {
+      if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rmr))
+      p.delete(): Unit
+    }
+    rmr(new java.io.File(tmp))
+    val replaced = snap.slices.map(_.fileId).sorted
+      .map(jq).mkString("[", ",", "]")
+    graft.sources.AtomicFiles.write(
+      java.nio.file.Paths.get(tableDir, ".hoodie",
+        s"$instant.replacecommit"),
+      s"""{"partitionToReplaceFileIds":{${jq(partition)}:$replaced},"partitionToWriteStats":{${jq(partition)}:$stats}}""",
+      replace = false)
+    instant
+  }
 }

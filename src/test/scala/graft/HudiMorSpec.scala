@@ -5,7 +5,7 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.sources.HudiMorLite
+import graft.sources.{HudiCowLite, HudiMorLite}
 
 /** HudiMorLite contract: timeline → file slices (base + ordered
   * logs, compaction starts a new slice), HoodieLogFormat block
@@ -76,6 +76,34 @@ class HudiMorSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("max_by"), s"merge does not ride max_by:\n$plan")
     assert(!plan.contains("Window"), s"merge rides a window:\n$plan")
+  }
+
+  test("cluster materializes the merged view into a fresh base group: " +
+    "snapshot unchanged, READ-OPTIMIZED now serves the merge, no logs " +
+    "left in the state") {
+    import spark.implicits._
+    val root = fixture("cluster")
+    HudiMorLite.writeLogFile(s"$root/.g1_001.log.1",
+      Seq(avroSchema -> Seq(rec(1, 100), rec(0, 0, deleted = true))))
+    commit(root, "002", "deltacommit", ".g1_001.log.1")
+    val before = HudiMorLite.read(spark, root)
+      .select("id", "v").as[(Long, Long)].collect().sorted.toSeq
+    // pre-clustering, the RO view serves the RAW base (id 0 alive,
+    // id 1 unpatched)
+    assert(HudiCowLite.read(spark, root, readOptimized = true)
+      .select("id", "v").as[(Long, Long)].collect().sorted.toSeq ==
+      (0L to 4L).map(i => (i, i * 3)))
+    val instant = HudiMorLite.cluster(spark, root)
+    assert(instant == "003")
+    val snap = HudiMorLite.snapshot(spark, root)
+    assert(snap.slices.size == 1 && snap.slices.head.logs.isEmpty)
+    assert(HudiMorLite.read(spark, root)
+      .select("id", "v").as[(Long, Long)].collect().sorted.toSeq ==
+      before)
+    // the operational point: RO now equals the merge
+    assert(HudiCowLite.read(spark, root, readOptimized = true)
+      .select("id", "v").as[(Long, Long)].collect().sorted.toSeq ==
+      before)
   }
 
   test("later blocks and later log files win; delete then re-insert " +
