@@ -73,7 +73,14 @@ object Bench {
     // complex MOR plan: (precombine, arrival) ordering applied
     // log-vs-log AND base-vs-log, costing one extra bounded join
     // (winners re-checked against a 3-column base projection).
-    "q444_hudi_mor_precombine")
+    "q444_hudi_mor_precombine",
+    // round 17: the Iceberg NET ROW DIFF — the round's most complex
+    // new read plan: three delete-surface legs (DV growth by
+    // position, positional keys, seq-gated equality deletes over
+    // positional survivors) against a from-live scan, plus the
+    // new-file insert leg. Fixture authoring is memoized, so
+    // min-of-two times the READ.
+    "q463_iceberg_changes")
 
   /** Drain the ContextCleaner so no prior query's cleanup I/O bills the
     * next timed region. A GC enqueues the dead weak refs; the cleaner
