@@ -1360,6 +1360,145 @@ class DeltaLogSpec extends AnyFunSuite {
     assert(e.getMessage.contains("partitioned"))
   }
 
+  test("randomized maintenance model check: reads stay model-equal " +
+    "through add/remove/DV-grow commits, a compaction leaves the CDF " +
+    "silent, a vacuum keeps the live read and kills old travel") {
+    import spark.implicits._
+    final case class F(name: String, rows: Seq[Long], dead: Set[Int],
+                       dvJson: Option[String])
+    for (seed <- Seq(5, 311, 926)) {
+      val rnd = new scala.util.Random(seed)
+      val root = s"/tmp/graft_deltaspec/maint$seed"
+      def rm(p: java.io.File): Unit = {
+        if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+        p.delete(): Unit
+      }
+      rm(new java.io.File(root))
+      Files.createDirectories(Paths.get(root, "_delta_log"))
+      val schema = spark.range(0, 1)
+        .select(col("id"), (col("id") * 2).as("v")).schema.json
+      val metaLine =
+        s"""{"metaData":{"id":"mm$seed","format":{"provider":"parquet",
+           |"options":{}},"schemaString":${jstr(schema)},
+           |"partitionColumns":[],"configuration":
+           |{"delta.enableChangeDataFeed":"true"},"createdTime":0}}"""
+          .stripMargin.replace("\n", "")
+      var nextBase = 0L
+      def newDataFile(): F = {
+        val n = 3 + rnd.nextInt(5)
+        val rows = (nextBase until nextBase + n).toSeq
+        nextBase += 100
+        val name = s"f${rows.head}.parquet"
+        val tmp = s"$root/_tmp"
+        spark.range(rows.head, rows.head + n)
+          .select(col("id"), (col("id") * 2).as("v"))
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val p = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.endsWith(".parquet") &&
+            !f.getName.startsWith(".")).get
+        assert(p.renameTo(new java.io.File(s"$root/$name")))
+        rm(new java.io.File(tmp))
+        F(name, rows, Set.empty, None)
+      }
+      def withDv(f: F, v: Long): F =
+        if (f.dead.isEmpty) f
+        else {
+          val p = s"$root/dv-$v-${f.rows.head}.bin"
+          val size = writeDvFile(p, Seq(0 -> f.dead.toSeq.sorted))
+          f.copy(dvJson = Some(
+            s"""{"storageType":"p","pathOrInlineDv":${jstr(p)},
+               |"offset":1,"sizeInBytes":$size,
+               |"cardinality":${f.dead.size}}"""
+              .stripMargin.replace("\n", "")))
+        }
+      def addLine(f: F): String =
+        s"""{"add":{"path":"${f.name}","partitionValues":{},"size":1,
+           |"modificationTime":0,"dataChange":true""".stripMargin
+          .replace("\n", "") +
+          f.dvJson.map(j => s""","deletionVector":$j""").getOrElse("") +
+          "}}"
+      def removeLine(f: F): String =
+        s"""{"remove":{"path":"${f.name}","dataChange":true""" +
+          f.dvJson.map(j => s""","deletionVector":$j""").getOrElse("") +
+          "}}"
+      var live = Vector.empty[F]
+      def modelRows: Seq[(Long, Long)] =
+        live.flatMap(f => f.rows.zipWithIndex.collect {
+          case (id, ord) if !f.dead.contains(ord) => (id, id * 2)
+        }).sorted
+      def readRows: Seq[(Long, Long)] =
+        DeltaLogLite.read(spark, root)
+          .select("id", "v").as[(Long, Long)].collect().sorted.toSeq
+      val expected =
+        scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+      val nVersions = 4 + rnd.nextInt(3)
+      for (v <- 0L until nVersions.toLong) {
+        val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+        if (v == 0L) {
+          lines += protocol(3, "deletionVectors")
+          lines += metaLine
+        }
+        val op = if (live.isEmpty) "add"
+          else Seq("add", "remove", "dv")(rnd.nextInt(3))
+        op match {
+          case "add" =>
+            val f = newDataFile()
+            live :+= f
+            lines += addLine(f)
+            expected ++= f.rows.map(id => (id, "insert", v))
+          case "remove" =>
+            val i = rnd.nextInt(live.size)
+            val f = live(i)
+            lines += removeLine(f)
+            live = live.patch(i, Nil, 1)
+            expected ++= f.rows.zipWithIndex.collect {
+              case (id, ord) if !f.dead.contains(ord) => (id, "delete", v)
+            }
+          case "dv" =>
+            val i = rnd.nextInt(live.size)
+            val old = live(i)
+            val grown = withDv(old.copy(dead = old.dead ++
+              (0 until (1 + rnd.nextInt(3))).map(_ =>
+                rnd.nextInt(old.rows.size))), v)
+            live = live.updated(i, grown)
+            lines += removeLine(old)
+            lines += addLine(grown)
+            expected ++= (grown.dead -- old.dead).toSeq.sorted.map(ord =>
+              (old.rows(ord), "delete", v))
+        }
+        commit(root, v, lines.toSeq: _*)
+        // INVARIANT 1: the live read matches the model at EVERY step
+        assert(readRows == modelRows, s"seed $seed after commit $v")
+      }
+      // an emptied table cannot compact — top it up through the log
+      if (live.isEmpty) {
+        val f = newDataFile()
+        live :+= f
+        commit(root, nVersions.toLong, addLine(f))
+        expected ++= f.rows.map(id => (id, "insert", nVersions.toLong))
+      }
+      // INVARIANT 2: compaction preserves the read and the FULL-range
+      // change feed (its commit contributes zero rows)
+      val cv = DeltaLogLite.compact(spark, root)
+      assert(readRows == modelRows, s"seed $seed post-compaction")
+      val feed = DeltaLogLite.readChanges(spark, root, 0L, cv)
+        .select(col("id"), col("_change_type"), col("_commit_version"))
+        .as[(Long, String, Long)].collect().sorted.toSeq
+      assert(feed == expected.sorted.toSeq, s"seed $seed CDF drifted")
+      // INVARIANT 3: vacuum keeps the live read; travel to version 0
+      // dies exactly when v0's own file was reclaimed (it survives
+      // when that file is still live, possibly under a newer DV)
+      val deleted = DeltaLogLite.vacuum(spark, root)
+      assert(readRows == modelRows, s"seed $seed post-vacuum")
+      if (deleted.exists(_.endsWith("/f0.parquet"))) {
+        intercept[Exception] {
+          DeltaLogLite.read(spark, root, versionAsOf = Some(0L))
+            .collect()
+        }
+      }
+    }
+  }
+
   test("absolute file: add.path reads (shallow-clone shape); foreign " +
     "schemes refuse; missing log refuses") {
     import spark.implicits._
