@@ -956,6 +956,135 @@ class IcebergSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("ref 'old' pins"))
   }
 
+  test("randomized maintenance model check: compaction preserves the " +
+    "live read AND every prior snapshot's travel over a random " +
+    "append/DV-grow history; expiry then drops exactly that history") {
+    import spark.implicits._
+    final case class F(name: String, rows: Seq[Long], dead: Set[Int],
+                       dvManifest: Option[String])
+    for (seed <- Seq(23, 418, 779)) {
+      val rnd = new scala.util.Random(seed)
+      val root = s"/tmp/graft_icespec/maint$seed"
+      rm(new java.io.File(root))
+      Files.createDirectories(Paths.get(root, "metadata"))
+      Files.createDirectories(Paths.get(root, "data"))
+      def writeAvro(d: org.apache.spark.sql.DataFrame, rel: String): Unit = {
+        val t = s"$root/_tmpavro"
+        d.coalesce(1).write.mode("overwrite").format(avroFmt).save(t)
+        val f = new java.io.File(t).listFiles()
+          .find(_.getName.startsWith("part-")).get
+        assert(f.renameTo(new java.io.File(s"$root/$rel")))
+        rm(new java.io.File(t))
+      }
+      def dataManifest(rel: String, path: String): Unit =
+        writeAvro(Seq((1, path)).toDF("status", "file_path")
+          .select(col("status"),
+            struct(col("file_path"), lit(0).as("content"))
+              .as("data_file")), rel)
+      def dvManifest(rel: String, path: String, dataFile: String,
+                     size: Long, card: Long): Unit =
+        writeAvro(Seq((1, path)).toDF("status", "file_path")
+          .select(col("status"),
+            struct(col("file_path"), lit(1).as("content"),
+              lit(dataFile).as("referenced_data_file"),
+              lit(4L).as("content_offset"),
+              lit(size).as("content_size_in_bytes"),
+              lit(card).as("record_count")).as("data_file")),
+          rel)
+      var nextBase = 0L
+      var files = Vector.empty[F]
+      def newDataFile(sid: Long): F = {
+        val n = 3 + rnd.nextInt(5)
+        val rows = (nextBase until nextBase + n).toSeq
+        nextBase += 100
+        val name = s"f$sid"
+        val tmp = s"$root/_tmp"
+        IcebergLite.stampFieldIds(
+          spark.range(rows.head, rows.head + n)
+            .select(col("id"), (col("id") * 3).as("v")),
+          Map("id" -> 1, "v" -> 2))
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val p = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.endsWith(".parquet") &&
+            !f.getName.startsWith(".")).get
+        assert(p.renameTo(new java.io.File(s"$root/data/$name.parquet")))
+        rm(new java.io.File(tmp))
+        dataManifest(s"metadata/m-$name.avro", s"data/$name.parquet")
+        F(name, rows, Set.empty, None)
+      }
+      val nSnaps = 3 + rnd.nextInt(3)
+      val states =
+        scala.collection.mutable.ArrayBuffer.empty[(Long, Vector[F])]
+      for (sid <- 1L to nSnaps.toLong) {
+        val op = if (files.isEmpty) "add"
+          else Seq("add", "dv")(rnd.nextInt(2))
+        op match {
+          case "add" => files :+= newDataFile(sid)
+          case "dv" =>
+            val i = rnd.nextInt(files.size)
+            val old = files(i)
+            val dead = old.dead ++ (0 until (1 + rnd.nextInt(3)))
+              .map(_ => rnd.nextInt(old.rows.size))
+            val blob = dvBlob(dead.toSeq.sorted.map(_.toLong))
+            val dvRel = s"data/dv-$sid-${old.name}.puffin"
+            Files.write(Paths.get(root, dvRel),
+              "PFA1".getBytes("UTF-8") ++ blob ++
+                "PFA1".getBytes("UTF-8"))
+            val mRel = s"metadata/m-dv-$sid-${old.name}.avro"
+            dvManifest(mRel, dvRel, s"data/${old.name}.parquet",
+              blob.length.toLong, dead.size.toLong)
+            files = files.updated(i,
+              old.copy(dead = dead, dvManifest = Some(mRel)))
+        }
+        writeAvro(
+          (files.map(f => (s"metadata/m-${f.name}.avro", 0)) ++
+            files.flatMap(_.dvManifest).map((_, 1)))
+            .toDF("manifest_path", "content"),
+          s"metadata/snap-$sid.avro")
+        states += ((sid, files))
+      }
+      val snapsJson = (1L to nSnaps.toLong).map(sid =>
+        s"""{"snapshot-id":$sid,"manifest-list":"metadata/snap-$sid.avro"}""")
+        .mkString(",")
+      Files.writeString(Paths.get(root, "metadata", "v1.metadata.json"),
+        s"""{"format-version":3,"location":${jstr(root)},
+           |"current-schema-id":0,
+           |"schemas":[{"schema-id":0,"type":"struct","fields":[
+           |  {"id":1,"name":"id","required":false,"type":"long"},
+           |  {"id":2,"name":"v","required":false,"type":"long"}]}],
+           |"current-snapshot-id":$nSnaps,
+           |"snapshots":[$snapsJson]}""".stripMargin)
+      Files.writeString(
+        Paths.get(root, "metadata", "version-hint.text"), "1")
+      def rowsOf(fs: Vector[F]): Seq[(Long, Long)] =
+        fs.flatMap(f => f.rows.zipWithIndex.collect {
+          case (id, ord) if !f.dead.contains(ord) => (id, id * 3)
+        }).sorted
+      def readAt(sid: Option[Long]): Seq[(Long, Long)] =
+        IcebergLite.read(spark, root, sid)
+          .as[(Long, Long)].collect().sorted.toSeq
+      assert(readAt(None) == rowsOf(states.last._2), s"seed $seed base")
+      // compaction: live read AND every prior snapshot's travel intact
+      val newId = IcebergLite.compact(spark, root)
+      assert(readAt(None) == rowsOf(states.last._2),
+        s"seed $seed post-compaction")
+      for ((sid, st) <- states)
+        assert(readAt(Some(sid)) == rowsOf(st),
+          s"seed $seed travel to $sid post-compaction")
+      // expiry: only the compacted snapshot survives; expired ids
+      // refuse; the live read is untouched
+      val expired = IcebergLite.expireSnapshots(spark, root, keepLast = 1)
+      assert(expired == (1L to nSnaps.toLong), s"seed $seed expired set")
+      assert(readAt(None) == rowsOf(states.last._2),
+        s"seed $seed post-expiry")
+      for (sid <- expired)
+        intercept[IllegalArgumentException] {
+          IcebergLite.snapshot(spark, root, Some(sid))
+        }
+      assert(IcebergLite.snapshot(spark, root).snapshotId == newId)
+    }
+  }
+
   test("non-file scheme in a stored path refuses loudly") {
     val root = fixture("scheme")
     import spark.implicits._
