@@ -774,6 +774,17 @@ object PaimonLite {
           throw new IllegalStateException(
             s"$p: manifest list lacks _FILE_NAME")
         df.collect().map(_.getAs[String]("_FILE_NAME")).toSeq
+      case _
+        if (snapJson \ "commitKind").extractOpt[String]
+          .contains("COMPACT") =>
+        // a compaction rearranges files without changing data — its
+        // changelog is EMPTY, and consumers skip it (the format's own
+        // stream semantics); refusing here would wedge every range
+        // crossing a compaction
+        return spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(snap.schema.fields :+
+            StructField("_row_kind", StringType, nullable = true)))
       case _ => throw new IllegalStateException(
         s"$tableDir: snapshot $snapshotId has no changelogManifestList — " +
           "changelog reads need changelog-producer=input (or another " +

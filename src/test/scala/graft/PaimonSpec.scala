@@ -614,7 +614,8 @@ class PaimonSpec extends AnyFunSuite {
     assert(got == Seq((1L, 100L), (2L, 100L), (3L, 9L), (4L, 12L)))
   }
 
-  test("changelog read refuses a snapshot without a changelog") {
+  test("changelog read refuses a snapshot without a changelog; a " +
+    "COMPACT snapshot is an EMPTY changelog, not a refusal") {
     val root = pkFixture("pkcl")
     val e = intercept[IllegalStateException] {
       PaimonLite.readChangelog(spark, root, 2L)
@@ -623,6 +624,19 @@ class PaimonSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       PaimonLite.readChangelog(spark, root, 42L)
     }
+    // a compaction rearranges files without changing data: consumers
+    // skip it — zero rows, full changelog shape
+    val snap2 = Files.readString(
+      Paths.get(root, "snapshot", "snapshot-2"))
+    Files.writeString(Paths.get(root, "snapshot", "snapshot-3"),
+      snap2.replace("\"id\":2", "\"id\":3")
+        .replace("\"commitKind\":\"APPEND\"",
+          "\"commitKind\":\"COMPACT\""))
+    Files.writeString(Paths.get(root, "snapshot", "LATEST"), "3")
+    val got = PaimonLite.readChangelog(spark, root, 3L)
+    assert(got.count() == 0L)
+    assert(got.columns.toSeq ==
+      Seq("id", "v", "_row_kind"))
   }
 
   test("randomized model check: every merge engine equals its " +
