@@ -930,12 +930,16 @@ object DeltaLogLite {
 
   /** The files ADDED in commits (fromExclusive, toInclusive] — the
     * incremental-batch surface for streaming reads. APPEND-ONLY scope,
-    * loud failures: a `remove` action in the range throws (emitting
-    * around it would stream wrong results — Delta's own source fails
-    * these without ignoreDeletes), as does a metaData action that
-    * CHANGES the schema mid-stream (schema evolution is outside lite
-    * scope), a version gap, or a range commit whose JSON was cleaned
-    * up. Protocol actions in the range are gated like snapshot(). */
+    * loud failures: a DATA-CHANGING `remove` action in the range
+    * throws (emitting around it would stream wrong results — Delta's
+    * own source fails these without ignoreDeletes), as does a metaData
+    * action that CHANGES the schema mid-stream (schema evolution is
+    * outside lite scope), a version gap, or a range commit whose JSON
+    * was cleaned up. `dataChange=false` actions — a COMPACTION's file
+    * swap — are SKIPPED entirely per the protocol's contract: the
+    * removes changed no rows, and the re-listed adds hold rows the
+    * stream already served (emitting them would duplicate). Protocol
+    * actions in the range are gated like snapshot(). */
   def addsBetween(spark: SparkSession, tableDir: String,
                   fromExclusive: Long, toInclusive: Long,
                   expectedSchemaJson: String): Seq[AddFile] = {
@@ -958,6 +962,10 @@ object DeltaLogLite {
           }
         (action \ "remove") match {
           case JNothing =>
+          // dataChange=false removes are a COMPACTION's file swap —
+          // no rows changed, streams skip them by protocol contract
+          case rm if !(rm \ "dataChange").extractOpt[Boolean]
+            .getOrElse(true) =>
           case rm => throw new IllegalStateException(
             s"$tableDir commit $v: remove ${(rm \ "path").extractOpt[String]
               .getOrElse("?")} — streaming reads are append-only scope " +
@@ -981,6 +989,11 @@ object DeltaLogLite {
         }
         (action \ "add") match {
           case JNothing =>
+          // dataChange=false adds re-list rows the stream already
+          // served (the compaction's packed files) — emitting them
+          // would DUPLICATE; streams skip them by protocol contract
+          case add if !(add \ "dataChange").extractOpt[Boolean]
+            .getOrElse(true) =>
           case add =>
             val path = (add \ "path").extract[String]
             (add \ "deletionVector") match {

@@ -8,6 +8,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQueryException
 import org.scalatest.funsuite.AnyFunSuite
 
+import graft.sources.DeltaLogLite
+
 /** DeltaStreamLite contract: version-grain offsets, per-commit
   * micro-batches under maxVersionsPerTrigger=1, checkpoint restart
   * resuming exactly after the committed version (SerializedOffset
@@ -138,6 +140,29 @@ class DeltaStreamSpec extends AnyFunSuite {
       q.processAllAvailable()
       assert(seen.sorted.toList == (5L to 19L).toList)
     } finally q.stop()
+  }
+
+  test("a compaction mid-stream is skipped — no wedge, no duplicate " +
+    "rows; a dataChange remove still fails loudly") {
+    import spark.implicits._
+    val (root, schema) = fixture("compactskip")
+    append(root, schema, 0)
+    spark.catalog.dropTempView("ds_cskip_sink"): Unit
+    val q = stream(root).writeStream.outputMode("append")
+      .format("memory").queryName("ds_cskip_sink").start()
+    try {
+      q.processAllAvailable()
+      // commit 1: OPTIMIZE — dataChange=false remove+add of b0's swap
+      DeltaLogLite.compact(spark, root): Unit
+      q.processAllAvailable()
+      append(root, schema, 2)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ds_cskip_sink")
+      .select(col("id")).as[Long].collect().sorted.toSeq
+    // b0's rows once (initial snapshot), b2's rows once — the
+    // compaction's re-listed file never re-emits
+    assert(got == (0L to 4L) ++ (10L to 14L))
   }
 
   test("remove mid-stream fails loudly (append-only scope)") {
