@@ -317,6 +317,18 @@ object IcebergLite {
       case _ => Nil
     }
 
+  /** Each snapshot's `summary.operation` (None when unstamped), by id
+    * — the surface streaming consumers use to SKIP replace/rewrite
+    * snapshots (the library's streaming-skip-overwrite-snapshots). */
+  def snapshotOperations(spark: SparkSession,
+                         tableDir: String): Map[Long, Option[String]] =
+    (loadMeta(spark, tableDir)._2 \ "snapshots") match {
+      case JArray(ss) => ss.map(s =>
+        (s \ "snapshot-id").extract[Long] ->
+          (s \ "summary" \ "operation").extractOpt[String]).toMap
+      case _ => Map.empty
+    }
+
   /** Resolve the table's snapshot: latest metadata version (via
     * version-hint.text, else the highest v<N>.metadata.json), then the
     * current snapshot, `snapshotId`, a named `ref` (the metadata's

@@ -29,6 +29,15 @@ import graft.sources.IcebergLite
   * streams. A snapshot that DROPS a file visible in its predecessor
   * (overwrite/rewrite/delete), carries positional-delete files, or an
   * offset id expired out of the history fails the query.
+  *
+  * `skipOverwriteSnapshots=true` (the library's
+  * streaming-skip-overwrite-snapshots) walks the range snapshot by
+  * snapshot and SKIPS those whose `summary.operation` is `replace` —
+  * a compaction's packed files re-list rows the stream already
+  * served, so emitting them would duplicate and refusing would wedge;
+  * appends before and after the replace still emit exactly once. A
+  * snapshot that drops files WITHOUT declaring itself a replace still
+  * refuses.
   */
 class IcebergStreamLite extends StreamSourceProvider with DataSourceRegister {
 
@@ -52,11 +61,13 @@ class IcebergStreamLite extends StreamSourceProvider with DataSourceRegister {
                             providerName: String,
                             parameters: Map[String, String]): Source =
     new IcebergStreamSource(sqlContext.sparkSession, path(parameters),
-      parameters.get("maxSnapshotsPerTrigger").map(_.toLong))
+      parameters.get("maxSnapshotsPerTrigger").map(_.toLong),
+      parameters.get("skipOverwriteSnapshots").exists(_.toBoolean))
 }
 
 class IcebergStreamSource(spark: SparkSession, tableDir: String,
-                          maxSnapshotsPerTrigger: Option[Long])
+                          maxSnapshotsPerTrigger: Option[Long],
+                          skipOverwriteSnapshots: Boolean = false)
     extends LiteVersionedStreamSource(spark, maxSnapshotsPerTrigger) {
 
   private val initialSchema: StructType =
@@ -117,12 +128,49 @@ class IcebergStreamSource(spark: SparkSession, tableDir: String,
     }
   }
 
+  /** Per-snapshot walk of (startId, endId]: replace-operation
+    * snapshots contribute NOTHING (their packed files re-list
+    * already-served rows); every other snapshot must be a pure append
+    * over its immediate predecessor and contributes its additions.
+    * O(snapshots-in-range) bounded manifest replays. */
+  private def walkSkippingReplaces(startId: Long,
+                                   endId: Long): Set[String] = {
+    val hist = history()
+    val from = hist.indexOf(startId)
+    val to = hist.indexOf(endId)
+    if (from < 0 || to < 0) throw new IllegalStateException(
+      s"$tableDir: snapshot $startId or $endId left the table " +
+        "history (expired/rewritten) — cannot walk the range")
+    val ops = IcebergLite.snapshotOperations(spark, tableDir)
+    var prevFiles = filesOf(startId)
+    var emit = Set.empty[String]
+    for (sid <- hist.slice(from + 1, to + 1)) {
+      val cur = filesOf(sid)
+      if (ops.get(sid).flatten.contains("replace")) {
+        // a compaction: nothing to emit, the packed state becomes
+        // the new baseline
+      } else {
+        val dropped = prevFiles -- cur
+        if (dropped.nonEmpty) throw new IllegalStateException(
+          s"$tableDir: snapshot $sid DROPS files " +
+            s"(${dropped.take(3).mkString(", ")}…) without declaring " +
+            "operation=replace — overwrite/delete mid-stream is " +
+            "outside append-only streaming scope")
+        emit ++= cur -- prevFiles
+      }
+      prevFiles = cur
+    }
+    emit
+  }
+
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val endId = ver(end)
     lastId = endId
     val endFiles = filesOf(endId)
     val newFiles = start match {
       case None => endFiles // initial batch: full snapshot
+      case Some(s) if skipOverwriteSnapshots =>
+        walkSkippingReplaces(ver(s), endId)
       case Some(s) =>
         val startFiles = filesOf(ver(s))
         val dropped = startFiles -- endFiles

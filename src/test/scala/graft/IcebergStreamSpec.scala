@@ -8,6 +8,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQueryException
 import org.scalatest.funsuite.AnyFunSuite
 
+import org.apache.spark.sql.graftstream.IcebergStreamSource
+
 /** Shared append-only Iceberg test-table authoring, used by
   * [[IcebergStreamSpec]] (source) and [[IcebergSinkSpec]] (loop). */
 private[graft] object IcebergStreamFixture {
@@ -28,7 +30,7 @@ private[graft] object IcebergStreamFixture {
     Files.createDirectories(Paths.get(root, "data"))
   }
 
-  private def writeAvro(root: String,
+  private[graft] def writeAvro(root: String,
                         df: org.apache.spark.sql.DataFrame,
                         rel: String): Unit = {
     val t2 = s"$root/_tmpavro"
@@ -122,6 +124,82 @@ class IcebergStreamSpec extends AnyFunSuite {
       q.processAllAvailable()
       assert(batches.toList == List((0L, 0L, 9L), (1L, 10L, 14L)))
     } finally q.stop()
+  }
+
+  test("skipOverwriteSnapshots rides across a compaction: the replace " +
+    "snapshot emits nothing, later appends emit exactly once; the " +
+    "default mode still refuses the drop") {
+    import spark.implicits._
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val root = fixture("skipreplace")
+    append(root, 1)
+    append(root, 2)
+    spark.catalog.dropTempView("is_skip_sink"): Unit
+    val q = spark.readStream.format(fmt)
+      .option("path", root).option("maxSnapshotsPerTrigger", "1")
+      .option("skipOverwriteSnapshots", "true").load()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("is_skip_sink").start()
+    try {
+      q.processAllAvailable() // initial: snapshots 1+2 (ids 0..9)
+      // snapshot 3: REWRITE-DATA-FILES (summary.operation=replace)
+      graft.sources.IcebergLite.compact(spark, root): Unit
+      q.processAllAvailable() // skipped — no wedge, no duplicates
+      // snapshot 4: a plain append on TOP of the compacted state
+      val tmp = s"$root/_tmp"
+      graft.sources.IcebergLite.stampFieldIds(
+        spark.range(20, 25).select(col("id"), (col("id") * 2).as("v")),
+        Map("id" -> 1, "v" -> 2))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith(".")).get
+      assert(part.renameTo(new java.io.File(s"$root/data/b4.parquet")))
+      rm(new java.io.File(tmp))
+      IcebergStreamFixture.writeAvro(root,
+        Seq((1, "data/b4.parquet")).toDF("status", "file_path")
+          .select(col("status"),
+            struct(col("file_path"), lit(0).as("content"))
+              .as("data_file")), "metadata/m4.avro")
+      IcebergStreamFixture.writeAvro(root,
+        Seq(("metadata/m-compact-3.avro", 0), ("metadata/m4.avro", 0))
+          .toDF("manifest_path", "content"), "metadata/snap-4.avro")
+      implicit val fmts: Formats = DefaultFormats
+      val v3 = JsonMethods.parse(Files.readString(
+        Paths.get(root, "metadata", "v3.metadata.json")))
+      val v4 = v3 transformField {
+        case ("snapshots", JArray(ss)) => ("snapshots", JArray(ss :+
+          JObject("snapshot-id" -> JInt(4),
+            "manifest-list" -> JString("metadata/snap-4.avro"),
+            "summary" -> JObject("operation" -> JString("append")))))
+        case ("current-snapshot-id", _) => ("current-snapshot-id", JInt(4))
+      }
+      Files.writeString(Paths.get(root, "metadata", "v4.metadata.json"),
+        JsonMethods.compact(JsonMethods.render(v4)))
+      Files.writeString(
+        Paths.get(root, "metadata", "version-hint.text"), "4")
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("is_skip_sink")
+      .select(col("id")).as[Long].collect().sorted.toSeq
+    assert(got == (0L to 9L) ++ (20L to 24L), s"got $got")
+    // without the option the same range refuses loudly
+    val q2 = stream(root).writeStream
+      .format("memory").queryName("is_noskip_sink").start()
+    // a fresh stream's initial batch is the full current snapshot —
+    // fine; the refusal needs a replace INSIDE a consumed range, so
+    // drive getBatch directly over (2, 3]
+    q2.stop()
+    val src = new IcebergStreamSource(spark, root, None)
+    val e = intercept[IllegalStateException] {
+      src.getBatch(
+        Some(org.apache.spark.sql.execution.streaming.runtime
+          .LongOffset(2L)),
+        org.apache.spark.sql.execution.streaming.runtime.LongOffset(3L))
+        .collect()
+    }
+    assert(e.getMessage.contains("DROPS"))
   }
 
   test("a snapshot that DROPS files fails loudly (overwrite scope)") {
