@@ -885,12 +885,22 @@ object DeltaLogLite {
       else {
         val oldState = removes.filter(f => pairPaths(f.path))
         val newState = adds.filter(f => pairPaths(f.path))
-        if (newState.forall(_.deletionVector.isEmpty))
-          throw new IllegalStateException(
-            s"$tableDir commit $v: files removed and re-added with no " +
-              "deletion vector and no cdc files — an in-commit rewrite " +
-              "is outside synthesized-CDF scope " +
-              s"(${pairPaths.toSeq.sorted.take(3).mkString(", ")})")
+        // gate PER pair file, not whole-commit: a mixed commit (one
+        // file with a grown DV, another re-added bare) must still
+        // refuse the bare file, and a file whose re-add DROPS its DV
+        // is a restore (the old dead rows came back), not a rewrite
+        val oldByPath = oldState.map(f => f.path -> f).toMap
+        newState.filter(_.deletionVector.isEmpty).foreach { f =>
+          if (oldByPath(f.path).deletionVector.nonEmpty)
+            throw new IllegalStateException(
+              s"$tableDir commit $v: re-added file ${f.path} DROPPED " +
+                "its deletion vector — a restore is outside " +
+                "synthesized-CDF scope")
+          else throw new IllegalStateException(
+            s"$tableDir commit $v: file ${f.path} removed and re-added " +
+              "with no deletion vector and no cdc files — an in-commit " +
+              "rewrite is outside synthesized-CDF scope")
+        }
         val deadOld = dvDeleteSet(spark, tableDir, oldState)
           .withColumnRenamed("_dv_path", "_do_path")
           .withColumnRenamed("_dv_pos", "_do_pos")
@@ -1342,23 +1352,39 @@ object DeltaLogLite {
     * commit. Single-writer scope (no optimistic-concurrency retry
     * loop).
     *
-    * Loud refusals: partitioned tables (bin-packing must stay inside
-    * a partition — outside lite scope) and column-mapped tables (the
-    * rewrite would have to re-stamp physical names / field ids). */
+    * Partitioned tables bin-pack WITHIN each partition: the one scan
+    * is salted on (partition columns, bin) so each partition's rows
+    * land in at most `numFiles` tasks, and the `partitionBy` write
+    * splits each task by partition directory — at most `numFiles`
+    * files per partition, still one job. New add actions re-stamp
+    * each file's partitionValues (parsed back from the Hive-escaped
+    * directory names) and its ACTUAL byte size — external readers
+    * plan on `size`, so a placeholder would break them.
+    *
+    * Loud refusals: column-mapped tables (the rewrite would have to
+    * re-stamp physical names / field ids) and null partition values
+    * (`__HIVE_DEFAULT_PARTITION__` round-tripping is outside lite
+    * scope). */
   def compact(spark: SparkSession, tableDir: String,
               numFiles: Int = 1): Long = {
     require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
     val snap = snapshot(spark, tableDir)
-    if (snap.partitionColumns.nonEmpty) throw new IllegalStateException(
-      s"$tableDir: partitioned table (${snap.partitionColumns
-        .mkString(", ")}) — per-partition bin-packing is outside " +
-        "lite compaction scope")
     if (snap.physicalNames.nonEmpty || snap.fieldIds.nonEmpty)
       throw new IllegalStateException(
         s"$tableDir: column-mapped table — the rewrite would need to " +
           "re-stamp physical names / field ids; outside lite scope")
     if (snap.files.isEmpty) throw new IllegalStateException(
       s"$tableDir: nothing to compact (no live files)")
+    val partCols = snap.partitionColumns
+    snap.files.foreach { f =>
+      partCols.foreach { c =>
+        if (f.partitionValues.getOrElse(c, null) == null)
+          throw new IllegalStateException(
+            s"$tableDir: file ${f.path} has a NULL value for partition " +
+              s"column $c — null-partition compaction is outside lite " +
+              "scope")
+      }
+    }
     def jq(s: String): String = "\"" + s.flatMap {
       case '"'          => "\\\""
       case '\\'         => "\\\\"
@@ -1366,37 +1392,80 @@ object DeltaLogLite {
       case c            => c.toString
     } + "\""
     val version = snap.version + 1
+    val fs = new Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // one distributed scan of the live rows (DVs applied), packed
-    val tmp = s"$tableDir/_tmp_compact"
-    readFiles(spark, tableDir, snap.schema, Nil, snap.files)
-      .coalesce(numFiles).write.mode("overwrite").parquet(tmp)
-    val parts = new java.io.File(tmp).listFiles().toSeq
-      .filter(f => f.getName.endsWith(".parquet") &&
-        !f.getName.startsWith("."))
-    java.nio.file.Files.createDirectories(
-      java.nio.file.Paths.get(tableDir, "data"))
-    val rels = parts.zipWithIndex.map { case (f, i) =>
-      val rel = s"data/compact-${version}_$i.parquet"
-      if (!f.renameTo(new java.io.File(s"$tableDir/$rel")))
+    val tmp = new Path(tableDir, "_tmp_compact")
+    val live = readFiles(spark, tableDir, snap.schema, partCols,
+      snap.files, snap.physicalNames, snap.fieldIds)
+    val packed =
+      if (partCols.isEmpty) live.coalesce(numFiles)
+      else live
+        .withColumn("_graft_bin",
+          pmod(monotonically_increasing_id(), lit(numFiles.toLong)))
+        .repartition((partCols :+ "_graft_bin").map(col): _*)
+        .drop("_graft_bin")
+    packed.write.mode("overwrite")
+      .partitionBy(partCols: _*).parquet(tmp.toString)
+    // (escaped partition dir chain, unescaped values, file) per output
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    def walkTmp(dir: org.apache.hadoop.fs.Path, relDir: Seq[String],
+                pv: Seq[(String, String)])
+      : Seq[(Seq[String], Seq[(String, String)],
+             org.apache.hadoop.fs.FileStatus)] =
+      fs.listStatus(dir).toSeq.sortBy(_.getPath.getName).flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) Nil
+        else if (st.isDirectory) {
+          val i = n.indexOf('=')
+          if (i < 0) throw new IllegalStateException(
+            s"$tableDir: unexpected non-partition directory $n in the " +
+              "compaction staging output")
+          val rawVal = n.substring(i + 1)
+          if (rawVal == ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
+            throw new IllegalStateException(
+              s"$tableDir: compaction produced a null-partition " +
+                s"directory $n — outside lite scope")
+          walkTmp(st.getPath, relDir :+ n,
+            pv :+ (ExternalCatalogUtils.unescapePathName(n.substring(0, i))
+              -> ExternalCatalogUtils.unescapePathName(rawVal)))
+        } else if (n.endsWith(".parquet")) Seq((relDir, pv, st))
+        else Nil
+      }
+    val outputs = walkTmp(tmp, Nil, Nil)
+    // add.path is an RFC 2396 URI — percent-encode the literal FS rel
+    // path (the dirs keep their Hive-escaped names on disk) so
+    // resolveAddPath's decode lands back on the real file
+    def uriEncode(rel: String): String =
+      new java.net.URI(null, null, rel, null).toASCIIString
+    val moved = outputs.zipWithIndex.map { case ((relDir, pv, st), i) =>
+      val dirRel = if (relDir.isEmpty) Seq("data") else relDir
+      val rel = (dirRel :+ s"compact-${version}_$i.parquet").mkString("/")
+      val dest = new Path(tableDir, rel)
+      fs.mkdirs(dest.getParent)
+      if (!fs.rename(st.getPath, dest))
         throw new IllegalStateException(
-          s"$tableDir: could not move ${f.getName} into the table")
-      rel
+          s"$tableDir: could not move ${st.getPath.getName} into the " +
+            "table")
+      (rel, pv, st.getLen)
     }
-    def rmr(p: java.io.File): Unit = {
-      if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rmr))
-      p.delete(): Unit
-    }
-    rmr(new java.io.File(tmp))
+    fs.delete(tmp, true)
     def dvJson(d: DvDescriptor): String =
       s"""{"storageType":${jq(d.storageType)},"pathOrInlineDv":${
         jq(d.pathOrInlineDv)},"offset":${d.offset},"sizeInBytes":${
         d.sizeInBytes},"cardinality":${d.cardinality}}"""
+    def pvJson(pv: Seq[(String, String)]): String =
+      pv.map { case (k, v) => s"${jq(k)}:${jq(v)}" }
+        .mkString("{", ",", "}")
     val removes = snap.files.sortBy(_.path).map(f =>
-      s"""{"remove":{"path":${jq(f.path)},"deletionTimestamp":0,"dataChange":false""" +
+      s"""{"remove":{"path":${jq(f.path)},"deletionTimestamp":0,"dataChange":false,"partitionValues":${
+        pvJson(f.partitionValues.toSeq.sortBy(_._1))}""" +
         f.deletionVector.map(d => s""","deletionVector":${dvJson(d)}""")
           .getOrElse("") + "}}")
-    val adds = rels.map(rel =>
-      s"""{"add":{"path":${jq(rel)},"partitionValues":{},"size":1,"modificationTime":0,"dataChange":false}}""")
+    val adds = moved.map { case (rel, pv, size) =>
+      s"""{"add":{"path":${jq(uriEncode(rel))},"partitionValues":${
+        pvJson(pv)},"size":$size,"modificationTime":0,"dataChange":false}}"""
+    }
     AtomicFiles.write(
       java.nio.file.Paths.get(tableDir, "_delta_log",
         f"$version%020d.json"),

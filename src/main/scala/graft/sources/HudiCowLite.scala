@@ -535,7 +535,15 @@ object HudiCowLite {
       .sortBy(_.getPath)
       .filter(_.delete())
       .map(_.getPath)
-    val width = snap.commits.map(_.length).max
+    // same minting contract as cluster(): a mixed-width timeline or a
+    // width-overflowing next instant would missort string-ordered
+    // timeline listings — refuse loudly instead of padding past it
+    val width = snap.commits.map(_.length).distinct match {
+      case Seq(w) => w
+      case ws => throw new IllegalStateException(
+        s"$tableDir: timeline instants have mixed widths " +
+          s"(${ws.sorted.mkString(", ")}) — cannot mint the next")
+    }
     val next = {
       // mint past BOTH data commits and earlier clean markers
       val hoodieDir = new Path(tableDir, ".hoodie")
@@ -545,7 +553,10 @@ object HudiCowLite {
         .collect { case n if n.matches("\\d+\\.clean") =>
           BigInt(n.stripSuffix(".clean")) }
       val s = ((cleans :+ BigInt(snap.instant)).max + 1).toString
-      ("0" * ((width - s.length).max(0))) + s
+      if (s.length > width) throw new IllegalStateException(
+        s"$tableDir: next instant $s overflows the timeline's " +
+          s"$width-char width")
+      ("0" * (width - s.length)) + s
     }
     graft.sources.AtomicFiles.write(
       java.nio.file.Paths.get(tableDir, ".hoodie", s"$next.clean"),

@@ -1332,28 +1332,45 @@ object IcebergLite {
     * [[readChanges]] name loudly rather than mis-serving as churn.
     *
     * Scale shape: one distributed live-row scan + executor parquet
-    * write, then O(1) driver metadata writes. Single-writer scope.
-    * Loud refusals: partitioned tables (per-partition packing is
-    * outside lite scope). */
+    * write, then O(files) driver footer reads + metadata writes.
+    * Single-writer scope.
+    *
+    * Partitioned tables pack WITHIN each partition: the one scan is
+    * salted on (partition source columns, bin) and written through
+    * `partitionBy` on DUPLICATED partition columns, so the identity
+    * columns stay IN the data files (the spec stores them there —
+    * this reader scans them natively) while the writer guarantees
+    * partition-pure files. The new manifest is spec-complete: each
+    * data_file carries file_format, record_count (from the parquet
+    * footer), file_size_in_bytes, and the typed partition struct —
+    * external readers plan on these, so placeholders would break
+    * them.
+    *
+    * Loud refusals: non-identity partition transforms (bucket/
+    * truncate/temporal value recomputation is outside lite scope),
+    * null partition values, and partition source types beyond
+    * int/long/string/date/boolean. */
   def compact(spark: SparkSession, tableDir: String,
               numFiles: Int = 1): Long = {
-    import org.apache.spark.sql.functions.{col, lit, struct}
+    import org.apache.spark.sql.functions.{col, lit, struct,
+      monotonically_increasing_id, pmod}
     require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
     val (metaFile, meta) = loadMeta(spark, tableDir)
     def specFields(j: JValue): Seq[JValue] = j match {
       case JArray(fs) => fs
       case _ => Nil
     }
-    val partitioned =
-      specFields(meta \ "partition-spec").nonEmpty ||
-        ((meta \ "partition-specs") match {
-          case JArray(specs) =>
-            specs.exists(sp => specFields(sp \ "fields").nonEmpty)
-          case _ => false
-        })
-    if (partitioned) throw new IllegalStateException(
-      s"$tableDir: partitioned table — per-partition packing is " +
-        "outside lite compaction scope")
+    // the CURRENT partition spec (default-spec-id under v2
+    // partition-specs; the flat legacy partition-spec otherwise)
+    val curSpecFields: Seq[JValue] = (meta \ "partition-specs") match {
+      case JArray(specs) if specs.nonEmpty =>
+        val chosen = (meta \ "default-spec-id").extractOpt[Int]
+          .flatMap(id => specs.find(s =>
+            (s \ "spec-id").extractOpt[Int].contains(id)))
+          .orElse(specs.lastOption)
+        chosen.map(s => specFields(s \ "fields")).getOrElse(Nil)
+      case _ => specFields(meta \ "partition-spec")
+    }
     val snap = snapshot(spark, tableDir)
     if (snap.files.isEmpty) throw new IllegalStateException(
       s"$tableDir: nothing to compact (no data files)")
@@ -1363,27 +1380,93 @@ object IcebergLite {
           "cannot stamp the rewrite")
       f.name -> f.metadata.getLong(FieldIdKey).toInt
     }.toMap
+    val idToName = ids.map(_.swap)
+    // identity transforms only: (spec field name, source column name)
+    val partFields: Seq[(String, String)] = curSpecFields.map { f =>
+      val transform = (f \ "transform").extract[String]
+      if (transform != "identity") throw new IllegalStateException(
+        s"$tableDir: partition transform '$transform' — only identity " +
+          "partitioning is inside lite compaction scope")
+      val srcId = (f \ "source-id").extract[Int]
+      val src = idToName.getOrElse(srcId, throw new IllegalStateException(
+        s"$tableDir: partition source-id $srcId not in the schema"))
+      ((f \ "name").extract[String], src)
+    }
     val newSnapId = snapshotIds(spark, tableDir).max + 1
+    val fs = new Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // one distributed scan of the live rows (full delete surface
     // applied), id-stamped so the spec's column identity survives
-    val tmp = s"$tableDir/_tmp_compact"
-    stampFieldIds(read(spark, tableDir), ids)
-      .coalesce(numFiles).write.mode("overwrite").parquet(tmp)
-    val parts = new java.io.File(tmp).listFiles().toSeq
-      .filter(f => f.getName.endsWith(".parquet") &&
-        !f.getName.startsWith("."))
-    val rels = parts.zipWithIndex.map { case (f, i) =>
-      val rel = s"data/compact-${newSnapId}_$i.parquet"
-      if (!f.renameTo(new java.io.File(s"$tableDir/$rel")))
-        throw new IllegalStateException(
-          s"$tableDir: could not move ${f.getName} into the table")
-      rel
+    val tmp = new Path(tableDir, "_tmp_compact")
+    val stamped = stampFieldIds(read(spark, tableDir), ids)
+    if (partFields.isEmpty)
+      stamped.coalesce(numFiles).write.mode("overwrite")
+        .parquet(tmp.toString)
+    else {
+      // partitionBy consumes its columns, so duplicate the identity
+      // sources under gpart_* — the data files keep the real
+      // columns, the writer still splits by partition directory
+      val dup = partFields.foldLeft(stamped) { case (df, (name, src)) =>
+        df.withColumn(s"gpart_$name", col(src))
+      }
+      dup.withColumn("_graft_bin",
+          pmod(monotonically_increasing_id(), lit(numFiles.toLong)))
+        .repartition((partFields.map(p => s"gpart_${p._1}") :+
+          "_graft_bin").map(col): _*)
+        .drop("_graft_bin")
+        .write.mode("overwrite")
+        .partitionBy(partFields.map(p => s"gpart_${p._1}"): _*)
+        .parquet(tmp.toString)
     }
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    // walk the staging output: (escaped dir values in spec order,
+    // unescaped values, file status)
+    def walkTmp(dir: Path, raws: Seq[String], vals: Seq[String])
+      : Seq[(Seq[String], Seq[String],
+             org.apache.hadoop.fs.FileStatus)] =
+      fs.listStatus(dir).toSeq.sortBy(_.getPath.getName).flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) Nil
+        else if (st.isDirectory) {
+          val i = n.indexOf('=')
+          if (i < 0) throw new IllegalStateException(
+            s"$tableDir: unexpected non-partition directory $n in the " +
+              "compaction staging output")
+          val rawVal = n.substring(i + 1)
+          if (rawVal == ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
+            throw new IllegalStateException(
+              s"$tableDir: compaction produced a null-partition " +
+                s"directory $n — outside lite scope")
+          walkTmp(st.getPath, raws :+ rawVal,
+            vals :+ ExternalCatalogUtils.unescapePathName(rawVal))
+        } else if (n.endsWith(".parquet")) Seq((raws, vals, st))
+        else Nil
+      }
+    val outputs = walkTmp(tmp, Nil, Nil)
+    // move into the table under the spec-field names, read each
+    // footer's row count (O(files) bounded driver work)
+    val moved = outputs.zipWithIndex.map { case ((raws, vals, st), i) =>
+      val dirs = partFields.map(_._1).zip(raws)
+        .map { case (n, raw) => s"$n=$raw" }
+      val rel = (("data" +: dirs) :+
+        s"compact-${newSnapId}_$i.parquet").mkString("/")
+      val dest = new Path(tableDir, rel)
+      fs.mkdirs(dest.getParent)
+      if (!fs.rename(st.getPath, dest))
+        throw new IllegalStateException(
+          s"$tableDir: could not move ${st.getPath.getName} into the " +
+            "table")
+      val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          dest, spark.sparkContext.hadoopConfiguration))
+      val recordCount = try footer.getRecordCount finally footer.close()
+      (rel, vals, recordCount, fs.getFileStatus(dest).getLen)
+    }
+    fs.delete(tmp, true)
     def rmr(p: java.io.File): Unit = {
       if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rmr))
       p.delete(): Unit
     }
-    rmr(new java.io.File(tmp))
     def writeAvro(df: DataFrame, rel: String): Unit = {
       val t2 = s"$tableDir/_tmpavro"
       df.coalesce(1).write.mode("overwrite").format(AvroFmt).save(t2)
@@ -1394,11 +1477,59 @@ object IcebergLite {
       rmr(new java.io.File(t2))
     }
     import spark.implicits._
-    writeAvro(rels.toDF("_fp")
-      .select(lit(1).as("status"),
-        struct(col("_fp").as("file_path"), lit(0).as("content"))
-          .as("data_file")),
-      s"metadata/m-compact-$newSnapId.avro")
+    // typed partition values for the manifest struct (the spec's
+    // data_file.partition): parse the dir-name string back under the
+    // source column's type
+    def typedPart(vals: Seq[String]): Seq[Any] =
+      partFields.zip(vals).map { case ((_, src), v) =>
+        snap.schema(src).dataType match {
+          case org.apache.spark.sql.types.IntegerType => v.toInt
+          case org.apache.spark.sql.types.LongType    => v.toLong
+          case org.apache.spark.sql.types.StringType  => v
+          case org.apache.spark.sql.types.BooleanType => v.toBoolean
+          case org.apache.spark.sql.types.DateType =>
+            java.sql.Date.valueOf(v)
+          case dt => throw new IllegalStateException(
+            s"$tableDir: partition source $src has type $dt — outside " +
+              "lite compaction scope (int/long/string/boolean/date)")
+        }
+      }
+    val manifestDf: DataFrame = {
+      val baseCols = Seq(
+        col("_fp").as("file_path"), lit(0).as("content"),
+        lit("PARQUET").as("file_format"),
+        col("_rc").as("record_count"),
+        col("_sz").as("file_size_in_bytes"))
+      if (partFields.isEmpty)
+        moved.map(m => (m._1, m._3, m._4)).toDF("_fp", "_rc", "_sz")
+          .select(lit(1).as("status"), struct(baseCols: _*).as("data_file"))
+      else {
+        val partSchema = org.apache.spark.sql.types.StructType(
+          partFields.map { case (n, src) =>
+            org.apache.spark.sql.types.StructField(n,
+              snap.schema(src).dataType.asInstanceOf[
+                org.apache.spark.sql.types.DataType])
+          })
+        val rowSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("_fp",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("_rc",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("_sz",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("_pv", partSchema)))
+        val rows = moved.map { case (rel, vals, rc, sz) =>
+          org.apache.spark.sql.Row(rel, rc, sz,
+            org.apache.spark.sql.Row(typedPart(vals): _*))
+        }
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1), rowSchema)
+          .select(lit(1).as("status"),
+            struct(baseCols :+ col("_pv").as("partition"): _*)
+              .as("data_file"))
+      }
+    }
+    writeAvro(manifestDf, s"metadata/m-compact-$newSnapId.avro")
     writeAvro(Seq((s"metadata/m-compact-$newSnapId.avro", 0))
       .toDF("manifest_path", "content"),
       s"metadata/snap-$newSnapId.avro")
@@ -1454,6 +1585,17 @@ object IcebergLite {
     val ids = snapshotIds(spark, tableDir)
     if (ids.size <= keepLast) return Nil
     val (expired, retained) = ids.splitAt(ids.size - keepLast)
+    // the main table pointer is a pin too: a rolled-back table whose
+    // current-snapshot-id targets an older snapshot must not have that
+    // snapshot expired out from under it (same contract as named refs)
+    (meta \ "current-snapshot-id").extractOpt[Long]
+      .filter(_ != -1L).foreach { cur =>
+        if (expired.contains(cur)) throw new IllegalStateException(
+          s"$tableDir: current-snapshot-id $cur is not among the last " +
+            s"$keepLast snapshots (rolled-back table) — this expiry " +
+            "would drop the CURRENT snapshot; roll forward or raise " +
+            "keepLast")
+      }
     (meta \ "refs") match {
       case JObject(refs) => refs.foreach { case (name, r) =>
         (r \ "snapshot-id").extractOpt[Long].foreach { sid =>
@@ -1509,8 +1651,15 @@ object IcebergLite {
     AtomicFiles.write(
       java.nio.file.Paths.get(tableDir, "metadata", "version-hint.text"),
       version.toString)
-    orphans.toSeq.sorted.foreach(p =>
-      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p)): Unit)
+    // Iceberg metadata routinely carries absolute paths that can live
+    // OUTSIDE the table root (imported/registered files, shared
+    // locations) — never delete those, mirroring DeltaLogLite.vacuum's
+    // rootPrefix guard for clone sources.
+    val rootPrefix = new java.io.File(tableDir).getCanonicalPath + "/"
+    orphans.toSeq.sorted
+      .filter(p => new java.io.File(p).getCanonicalPath.startsWith(rootPrefix))
+      .foreach(p =>
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p)): Unit)
     expired
   }
 }

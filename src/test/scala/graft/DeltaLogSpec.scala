@@ -1274,7 +1274,8 @@ class DeltaLogSpec extends AnyFunSuite {
 
   test("compact rewrites live rows into one dataChange=false commit: " +
     "read unchanged, one file, DVs materialized, CDF sees nothing; " +
-    "partitioned and column-mapped tables refuse") {
+    "partitioned tables pack within each partition with re-stamped " +
+    "partitionValues and real sizes") {
     import spark.implicits._
     val root = "/tmp/graft_deltaspec/compact"
     def rm(p: java.io.File): Unit = {
@@ -1345,19 +1346,61 @@ class DeltaLogSpec extends AnyFunSuite {
     }
     assert(ev.getMessage.contains("checkpoint"))
     Files.delete(Paths.get(root, "_delta_log", "_last_checkpoint"))
-    // partitioned tables refuse
+    // partitioned tables bin-pack WITHIN each partition: 2 partitions
+    // × 2 files each compact to 1 file per partition, read unchanged,
+    // partitionValues re-stamped, actual byte sizes in the adds
     val root2 = "/tmp/graft_deltaspec/compactpart"
     rm(new java.io.File(root2))
     Files.createDirectories(Paths.get(root2, "_delta_log"))
+    def oneAt(df: org.apache.spark.sql.DataFrame, out: String): Unit = {
+      val tmp = s"$root2/_tmp"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith(".")).get
+      Files.createDirectories(
+        Paths.get(s"$root2/$out").getParent)
+      assert(part.renameTo(new java.io.File(s"$root2/$out")))
+      rm(new java.io.File(tmp))
+    }
+    val dfP = spark.range(0, 20).select(col("id"))
+    oneAt(dfP.filter(col("id") < 5), "p=x/f0.parquet")
+    oneAt(dfP.filter(col("id") >= 5 && col("id") < 10), "p=x/f1.parquet")
+    oneAt(dfP.filter(col("id") >= 10 && col("id") < 15), "p=y/f2.parquet")
+    oneAt(dfP.filter(col("id") >= 15), "p=y/f3.parquet")
     val schemaP = spark.range(0, 1)
       .select(col("id"), lit("x").as("p")).schema.json
     commit(root2, 0,
-      s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":${jstr(schemaP)},"partitionColumns":["p"],"configuration":{},"createdTime":0}}""",
-      """{"add":{"path":"p=x/f0.parquet","partitionValues":{"p":"x"},"size":1,"modificationTime":0,"dataChange":true}}""")
-    val e = intercept[IllegalStateException] {
-      DeltaLogLite.compact(spark, root2)
+      s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":${jstr(schemaP)},"partitionColumns":["p"],"configuration":{"delta.enableChangeDataFeed":"true"},"createdTime":0}}""",
+      """{"add":{"path":"p=x/f0.parquet","partitionValues":{"p":"x"},"size":1,"modificationTime":0,"dataChange":true}}""",
+      """{"add":{"path":"p=x/f1.parquet","partitionValues":{"p":"x"},"size":1,"modificationTime":0,"dataChange":true}}""",
+      """{"add":{"path":"p=y/f2.parquet","partitionValues":{"p":"y"},"size":1,"modificationTime":0,"dataChange":true}}""",
+      """{"add":{"path":"p=y/f3.parquet","partitionValues":{"p":"y"},"size":1,"modificationTime":0,"dataChange":true}}""")
+    val beforeP = DeltaLogLite.read(spark, root2)
+      .as[(Long, String)].collect().sorted.toSeq
+    assert(beforeP.size == 20)
+    val vP = DeltaLogLite.compact(spark, root2)
+    assert(vP == 1L)
+    assert(DeltaLogLite.read(spark, root2)
+      .as[(Long, String)].collect().sorted.toSeq == beforeP)
+    val snapP = DeltaLogLite.snapshot(spark, root2)
+    // one file per partition, values re-stamped, real sizes
+    assert(snapP.files.size == 2)
+    assert(snapP.files.map(_.partitionValues).toSet ==
+      Set(Map("p" -> "x"), Map("p" -> "y")))
+    snapP.files.foreach { f =>
+      val len = new java.io.File(
+        DeltaLogLite.resolveAddPath(root2, f.path)).length()
+      assert(len > 100, s"${f.path}: stamped file missing or tiny")
     }
-    assert(e.getMessage.contains("partitioned"))
+    // sizes stamped in the commit JSON match the real files
+    val addSizes = Files.readString(
+      Paths.get(root2, "_delta_log", f"${1L}%020d.json"))
+      .linesIterator.filter(_.contains("\"add\"")).toSeq
+    assert(addSizes.forall(!_.contains("\"size\":1,")),
+      "compaction adds must stamp actual byte sizes, not a placeholder")
+    // the compaction version contributes ZERO change rows
+    assert(DeltaLogLite.readChanges(spark, root2, vP, vP).count() == 0L)
   }
 
   test("randomized maintenance model check: reads stay model-equal " +

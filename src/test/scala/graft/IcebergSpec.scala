@@ -876,7 +876,8 @@ class IcebergSpec extends AnyFunSuite {
 
   test("compact publishes a replace snapshot: read unchanged, one " +
     "file, history travelable, incremental-across refuses; " +
-    "partitioned tables refuse") {
+    "partitioned tables pack per partition with spec-complete " +
+    "manifests; non-identity transforms refuse") {
     import spark.implicits._
     val root = fixture("compact")
     val before = IcebergLite.read(spark, root)
@@ -904,18 +905,96 @@ class IcebergSpec extends AnyFunSuite {
     assert(IcebergLite.compact(spark, root) == newId + 1)
     assert(IcebergLite.read(spark, root)
       .as[(Long, Long)].collect().sorted.toSeq == after)
-    // a partitioned table refuses
-    val root2 = fixture("compactpart")
-    val meta = Files.readString(
-      Paths.get(root2, "metadata", "v3.metadata.json"))
+    // a partitioned table (identity transform) packs WITHIN each
+    // partition and stamps a spec-complete manifest
+    val root2 = "/tmp/graft_icespec/compactpart2"
+    rm(new java.io.File(root2))
+    Files.createDirectories(Paths.get(root2, "metadata"))
+    Files.createDirectories(Paths.get(root2, "data"))
+    val dfP = spark.range(0, 20).select(col("id"),
+      when(col("id") < 10, "x").otherwise("y").as("p"))
+    def oneP(filter: org.apache.spark.sql.Column, out: String): Unit = {
+      val tmp = s"$root2/_tmp"
+      IcebergLite.stampFieldIds(dfP.filter(filter),
+        Map("id" -> 1, "p" -> 2))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith(".")).get
+      assert(part.renameTo(new java.io.File(s"$root2/$out")))
+      rm(new java.io.File(tmp))
+    }
+    oneP(col("id") < 5, "data/g0.parquet")
+    oneP(col("id") >= 5 && col("id") < 10, "data/g1.parquet")
+    oneP(col("id") >= 10 && col("id") < 15, "data/g2.parquet")
+    oneP(col("id") >= 15, "data/g3.parquet")
+    def writeAvroP(d: org.apache.spark.sql.DataFrame, rel: String): Unit = {
+      val tmp = s"$root2/_tmpavro"
+      d.coalesce(1).write.mode("overwrite").format(avroFmt).save(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.startsWith("part-")).get
+      assert(part.renameTo(new java.io.File(s"$root2/$rel")))
+      rm(new java.io.File(tmp))
+    }
+    writeAvroP(Seq("data/g0.parquet", "data/g1.parquet",
+      "data/g2.parquet", "data/g3.parquet").toDF("file_path")
+      .select(lit(1).as("status"),
+        struct(col("file_path"), lit(0).as("content")).as("data_file")),
+      "metadata/m1.avro")
+    writeAvroP(Seq("metadata/m1.avro").toDF("manifest_path")
+      .select(col("manifest_path"), lit(0).as("content")),
+      "metadata/snap-1.avro")
+    Files.writeString(Paths.get(root2, "metadata", "v1.metadata.json"),
+      s"""{"format-version":2,"location":${jstr(root2)},
+         |"current-schema-id":0,
+         |"schemas":[{"schema-id":0,"type":"struct","fields":[
+         |  {"id":1,"name":"id","required":false,"type":"long"},
+         |  {"id":2,"name":"p","required":false,"type":"string"}]}],
+         |"partition-specs":[{"spec-id":0,"fields":[
+         |  {"name":"p","transform":"identity","source-id":2,"field-id":1000}]}],
+         |"default-spec-id":0,
+         |"current-snapshot-id":1,
+         |"snapshots":[
+         | {"snapshot-id":1,"manifest-list":"metadata/snap-1.avro"}]}"""
+        .stripMargin)
+    Files.writeString(
+      Paths.get(root2, "metadata", "version-hint.text"), "1")
+    val beforeP = IcebergLite.read(spark, root2)
+      .as[(Long, String)].collect().sorted.toSeq
+    assert(beforeP.size == 20)
+    val idP = IcebergLite.compact(spark, root2)
+    assert(idP == 2L)
+    assert(IcebergLite.read(spark, root2)
+      .as[(Long, String)].collect().sorted.toSeq == beforeP)
+    // one file per partition; spec-complete manifest rows feed the
+    // files/partitions metadata tables (record_count, size, partition)
+    val snapP = IcebergLite.snapshot(spark, root2)
+    assert(snapP.files.size == 2)
+    val filesMeta = IcebergLite.metadataTable(spark, root2, "files")
+      .select(col("record_count"), col("file_size_in_bytes"),
+        col("partition"))
+      .as[(Long, Long, String)].collect().sorted.toSeq
+    assert(filesMeta.map(_._1) == Seq(10L, 10L))
+    assert(filesMeta.forall(_._2 > 100L))
+    assert(filesMeta.map(_._3).toSet ==
+      Set("""{"p":"x"}""", """{"p":"y"}"""))
+    val partsMeta = IcebergLite
+      .metadataTable(spark, root2, "partitions")
+      .as[(String, Long, Long)].collect().sorted.toSeq
+    assert(partsMeta == Seq(("""{"p":"x"}""", 10L, 1L),
+      ("""{"p":"y"}""", 10L, 1L)))
+    // a NON-identity transform refuses loudly
+    val metaP = Files.readString(
+      Paths.get(root2, "metadata", "v2.metadata.json"))
     Files.writeString(Paths.get(root2, "metadata", "v3.metadata.json"),
-      meta.replace("\"current-schema-id\":0,",
-        """"partition-spec":[{"name":"id","transform":"identity","source-id":1,"field-id":1000}],
-          |"current-schema-id":0,""".stripMargin))
+      metaP.replace("\"transform\":\"identity\"",
+        "\"transform\":\"bucket[4]\""))
+    Files.writeString(
+      Paths.get(root2, "metadata", "version-hint.text"), "3")
     val e2 = intercept[IllegalStateException] {
       IcebergLite.compact(spark, root2)
     }
-    assert(e2.getMessage.contains("partitioned"))
+    assert(e2.getMessage.contains("identity"))
   }
 
   test("expireSnapshots drops history and deletes orphans only: " +
