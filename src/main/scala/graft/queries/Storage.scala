@@ -1794,6 +1794,198 @@ object Storage extends QueryModule {
         q.processAllAvailable()
       } finally q.stop()
       deltaCensus(graft.sources.HudiCowLite.read(s, dest))
+    },
+
+    // PARTITIONED Delta OPTIMIZE — per-partition bin-packing from ONE
+    // scan: 2 files per l_returnflag partition pack to 1, the read is
+    // unchanged, partitionValues re-stamp, and the CDF stays silent
+    // across the compaction version. A compactor that crossed
+    // partition boundaries, dropped a partition, or churned the CDF
+    // breaks a surface and hash-mismatches.
+    "q481_delta_compact_part" -> { (s, dir) =>
+      import graft.sources.DeltaLogLite
+      val root = authorDeltaPartCompactTable(s, dir)
+      val v = DeltaLogLite.compact(s, root)
+      val read = DeltaLogLite.read(s, root)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_qty"))
+        .select(lit("read").as("surface"),
+          col("l_returnflag").as("k"), col("n"), col("sum_qty"))
+      val snap = DeltaLogLite.snapshot(s, root)
+      val fileRows = snap.files
+        .groupBy(_.partitionValues.getOrElse("l_returnflag", ""))
+        .toSeq.map { case (f, fs2) => (f, fs2.size.toLong) }
+      import s.implicits._
+      val files = fileRows.toDF("k", "n")
+        .select(lit("files").as("surface"), col("k"), col("n"),
+          lit(null).cast(DoubleType).as("sum_qty"))
+      val cdf = s.range(1).select(lit("cdf").as("surface"),
+        lit("rows").as("k"),
+        lit(DeltaLogLite.readChanges(s, root, v, v).count()).as("n"),
+        lit(null).cast(DoubleType).as("sum_qty"))
+      read.unionByName(files).unionByName(cdf)
+        .orderBy(col("surface"), col("k"))
+    },
+
+    // PARTITIONED Iceberg rewrite-data-files: per-identity-partition
+    // packing with a SPEC-COMPLETE manifest — record_count,
+    // file_size_in_bytes and the typed partition struct feed the
+    // files/partitions metadata tables, which this census reads
+    // alongside the data. Placeholder stats or cross-partition files
+    // shift the metadata rows and hash-mismatch.
+    "q482_iceberg_compact_part" -> { (s, dir) =>
+      import graft.sources.IcebergLite
+      val root = authorIcebergPartCompactTable(s, dir)
+      IcebergLite.compact(s, root): Unit
+      val read = IcebergLite.read(s, root)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_qty"))
+        .select(lit("read").as("surface"),
+          col("l_returnflag").as("k"), col("n"), col("sum_qty"))
+      val parts = IcebergLite.metadataTable(s, root, "partitions")
+        .select(lit("parts").as("surface"), col("partition").as("k"),
+          col("file_count").as("n"),
+          col("record_count").cast(DoubleType).as("sum_qty"))
+      read.unionByName(parts).orderBy(col("surface"), col("k"))
+    },
+
+    // PARTITIONED Paimon full compaction: per-partition packing with
+    // BinaryRow-encoded partition values round-tripped through the
+    // writer's staging dirs back into the manifest. The census reads
+    // the post-compaction table per partition plus the per-partition
+    // live file count from the snapshot replay.
+    "q483_paimon_compact_part" -> { (s, dir) =>
+      import graft.sources.PaimonLite
+      val root = authorPaimonPartCompactTable(s, dir)
+      PaimonLite.compact(s, root): Unit
+      val read = PaimonLite.read(s, root)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_qty"))
+        .select(lit("read").as("surface"),
+          col("l_returnflag").as("k"), col("n"), col("sum_qty"))
+      val snap = PaimonLite.snapshot(s, root)
+      import s.implicits._
+      val files = snap.files.groupBy(_.partition.headOption
+          .map(String.valueOf).getOrElse(""))
+        .toSeq.map { case (f, fs2) => (f, fs2.size.toLong) }
+        .toDF("k", "n")
+        .select(lit("files").as("surface"), col("k"), col("n"),
+          lit(null).cast(DoubleType).as("sum_qty"))
+      read.unionByName(files).orderBy(col("surface"), col("k"))
+    },
+
+    // MULTI-PARTITION Hudi clustering: per-partition packing rides
+    // the _hoodie_partition_path meta column through one scan; each
+    // partition's two file groups replace into one, under one
+    // replacecommit listing BOTH partitions. The census reads the
+    // post-clustering table per flag plus the per-partition group
+    // count from the snapshot.
+    "q484_hudi_cluster_part" -> { (s, dir) =>
+      import graft.sources.HudiCowLite
+      val root = authorHudiPartClusterTable(s, dir)
+      HudiCowLite.cluster(s, root): Unit
+      val read = HudiCowLite.read(s, root)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_qty"))
+        .select(lit("read").as("surface"),
+          col("l_returnflag").as("k"), col("n"), col("sum_qty"))
+      val snap = HudiCowLite.snapshot(s, root)
+      import s.implicits._
+      val groups = snap.groups.keys.toSeq.groupBy(_._1)
+        .toSeq.map { case (p, gs) => (p, gs.size.toLong) }
+        .toDF("k", "n")
+        .select(lit("groups").as("surface"), col("k"), col("n"),
+          lit(null).cast(DoubleType).as("sum_qty"))
+      read.unionByName(groups).orderBy(col("surface"), col("k"))
+    },
+
+    // Delta VACUUM under a CLASSIC CHECKPOINT — the op long-lived
+    // tables need most, exactly where checkpoints live: the
+    // checkpoint's remove tombstone (f0) and the surviving JSON's
+    // remove (f1) both reclaim; the live file survives. A vacuum
+    // that missed the checkpoint tombstones under-deletes; one that
+    // reached the live file breaks the read.
+    "q485_delta_vacuum_ckpt" -> { (s, dir) =>
+      import graft.sources.DeltaLogLite
+      val root = authorDeltaCkptVacuumTable(s, dir)
+      val deleted = DeltaLogLite.vacuum(s, root)
+      DeltaLogLite.read(s, root)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_qty"))
+        .select(lit("read").as("surface"),
+          col("l_returnflag").as("k"), col("n"), col("sum_qty"))
+        .unionByName(s.range(1).select(lit("vacuum").as("surface"),
+          lit("deleted").as("k"), lit(deleted.size.toLong).as("n"),
+          lit(null).cast(DoubleType).as("sum_qty")))
+        .orderBy(col("surface"), col("k"))
+    },
+
+    // changelog-producer=LOOKUP — the recommended low-latency
+    // producer: the APPEND snapshot's changelog is EMPTY (deferred),
+    // the lookup COMPACT snapshot carries the deferred NORMALIZED
+    // -U/+U rows. The census unions both snapshots' changelogs by
+    // row kind — a reader that refused the append snapshot errors,
+    // one that skipped the compact changelog loses every row.
+    "q486_paimon_lookup_changelog" -> { (s, dir) =>
+      import graft.sources.PaimonLite
+      val root = authorPaimonLookupTable(s, dir)
+      PaimonLite.readChangelog(s, root, 2L)
+        .unionByName(PaimonLite.readChangelog(s, root, 3L))
+        .groupBy(col("_row_kind"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_price"))
+        .orderBy(col("_row_kind"))
+    },
+
+    // Iceberg manifests + entries METADATA TABLES over a compacted
+    // partitioned table: ONE data manifest whose entry stats are the
+    // spec-complete rewrite's record counts. The census joins both
+    // tables' aggregates — absent stats (the pre-round boundary) or
+    // a miscounted manifest shift a row.
+    "q487_iceberg_manifests_meta" -> { (s, dir) =>
+      import graft.sources.IcebergLite
+      val root = authorIcebergPartCompactTable(s, dir)
+      IcebergLite.compact(s, root): Unit
+      val manifests = IcebergLite.metadataTable(s, root, "manifests")
+        .groupBy(col("content"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("added_files_count")).cast(DoubleType).as("v"))
+        .select(lit("manifests").as("surface"),
+          col("content").cast(StringType).as("k"), col("n"), col("v"))
+      val entries = IcebergLite.metadataTable(s, root, "entries")
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("record_count")).cast(DoubleType).as("v"))
+        .select(lit("entries").as("surface"),
+          col("status").cast(StringType).as("k"), col("n"), col("v"))
+      manifests.unionByName(entries).orderBy(col("surface"), col("k"))
+    },
+
+    // Hudi WRITTEN CDC (RFC-51 cdcStats + CDC_DATA_BLOCK): commit 002
+    // rewrote EVERY key — half with unchanged values. The written
+    // changelog records updates for all of them; a file diff sees
+    // only the changed half. Matching this census therefore PROVES
+    // the CDC block is decoded, not inferred.
+    "q488_hudi_cdc_exact" -> { (s, dir) =>
+      import graft.sources.HudiCowLite
+      val root = authorHudiExactCdcTable(s, dir)
+      HudiCowLite.readChanges(s, root, "001")
+        .groupBy(col("_change_type"), col("_commit_time"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_price"))
+        .orderBy(col("_change_type"), col("_commit_time"))
     }
   )
 
@@ -4742,6 +4934,509 @@ object Storage extends QueryModule {
     root
   }
 
+  /** Authors the PARTITIONED Delta table q481 COMPACTS: partition
+    * column l_returnflag (log-only, per the protocol), TWO data
+    * files per partition from the %10<2 lineitem subset, CDF on.
+    * NOT memoized — the query appends a compaction commit. */
+  private def authorDeltaPartCompactTable(s: SparkSession,
+                                          dir: String): String = {
+    import java.nio.file.{Files, Paths}
+    val root =
+      s"/tmp/graft_delta/partcompact_${Integer.toHexString(dir.hashCode)}"
+    def rm(p: java.io.File): Unit = {
+      if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+      p.delete(): Unit
+    }
+    rm(new java.io.File(root))
+    Files.createDirectories(Paths.get(root, "_delta_log"))
+    val src = Tables.df(s, dir, "lineitem")
+      .filter(col("l_orderkey") % 10 < 2)
+      .select(col("l_orderkey"), col("l_quantity"),
+        col("l_extendedprice"), col("l_returnflag"))
+    val flags = src.select(col("l_returnflag")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    def writeOne(df: DataFrame, rel: String): Unit = {
+      val tmp = s"$root/_tmp"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith(".")).get
+      Files.createDirectories(Paths.get(s"$root/$rel").getParent)
+      assert(part.renameTo(new java.io.File(s"$root/$rel")))
+      rm(new java.io.File(tmp))
+    }
+    val adds = flags.flatMap { f =>
+      Seq(0, 1).map { half =>
+        val rel = s"l_returnflag=$f/f$half.parquet"
+        writeOne(src.filter(col("l_returnflag") === f &&
+          col("l_orderkey") % 2 === half).drop("l_returnflag"), rel)
+        s"""{"add":{"path":${jstr(rel)},"partitionValues":{"l_returnflag":${
+          jstr(f)}},"size":1,"modificationTime":0,"dataChange":true}}"""
+      }
+    }
+    val metaData =
+      s"""{"metaData":{"id":"graft-q481","format":{"provider":"parquet","options":{}},"schemaString":${
+        jstr(src.schema.json)},"partitionColumns":["l_returnflag"],"configuration":{"delta.enableChangeDataFeed":"true"},"createdTime":0}}"""
+    Files.writeString(Paths.get(root, "_delta_log", f"${0L}%020d.json"),
+      (metaData +: adds).mkString("", "\n", "\n"))
+    root
+  }
+
+  /** Authors the identity-PARTITIONED Iceberg table q482 COMPACTS
+    * (and q487 reads metadata from): partition spec identity on
+    * l_returnflag, TWO id-stamped files per flag from the %10<2
+    * lineitem subset (identity columns live IN the files, per the
+    * spec). NOT memoized — the queries publish replace snapshots. */
+  private def authorIcebergPartCompactTable(s: SparkSession,
+                                            dir: String): String = {
+    import java.nio.file.{Files, Paths}
+    val avroFmt = "org.apache.spark.sql.avro.AvroFileFormat"
+    val root =
+      s"/tmp/graft_iceberg/partcompact_${Integer.toHexString(dir.hashCode)}"
+    def rm(p: java.io.File): Unit = {
+      if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+      p.delete(): Unit
+    }
+    rm(new java.io.File(root))
+    Files.createDirectories(Paths.get(root, "metadata"))
+    Files.createDirectories(Paths.get(root, "data"))
+    val src = Tables.df(s, dir, "lineitem")
+      .filter(col("l_orderkey") % 10 < 2)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+    val ids = Map("l_orderkey" -> 1, "l_quantity" -> 2,
+      "l_returnflag" -> 3)
+    val flags = src.select(col("l_returnflag")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    def writeOne(df: DataFrame, rel: String): Unit = {
+      val tmp = s"$root/_tmp"
+      graft.sources.IcebergLite.stampFieldIds(df, ids)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith(".")).get
+      Files.createDirectories(Paths.get(s"$root/$rel").getParent)
+      assert(part.renameTo(new java.io.File(s"$root/$rel")))
+      rm(new java.io.File(tmp))
+    }
+    val rels = flags.flatMap { f =>
+      Seq(0, 1).map { half =>
+        val rel = s"data/l_returnflag=$f/f$half.parquet"
+        writeOne(src.filter(col("l_returnflag") === f &&
+          col("l_orderkey") % 2 === half), rel)
+        rel
+      }
+    }
+    def writeAvro(df: DataFrame, rel: String): Unit = {
+      val tmp = s"$root/_tmpavro"
+      df.coalesce(1).write.mode("overwrite").format(avroFmt).save(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.startsWith("part-")).get
+      assert(part.renameTo(new java.io.File(s"$root/$rel")))
+      rm(new java.io.File(tmp))
+    }
+    import s.implicits._
+    writeAvro(rels.toDF("file_path")
+      .select(lit(1).as("status"),
+        struct(col("file_path"), lit(0).as("content")).as("data_file")),
+      "metadata/m1.avro")
+    writeAvro(Seq("metadata/m1.avro").toDF("manifest_path")
+      .select(col("manifest_path"), lit(0).as("content")),
+      "metadata/snap-1.avro")
+    Files.writeString(Paths.get(root, "metadata", "v1.metadata.json"),
+      s"""{"format-version":2,"location":${jstr(root)},
+         |"current-schema-id":0,
+         |"schemas":[{"schema-id":0,"type":"struct","fields":[
+         |  {"id":1,"name":"l_orderkey","required":false,"type":"long"},
+         |  {"id":2,"name":"l_quantity","required":false,"type":"double"},
+         |  {"id":3,"name":"l_returnflag","required":false,"type":"string"}]}],
+         |"partition-specs":[{"spec-id":0,"fields":[
+         |  {"name":"l_returnflag","transform":"identity","source-id":3,"field-id":1000}]}],
+         |"default-spec-id":0,
+         |"current-snapshot-id":1,
+         |"snapshots":[
+         | {"snapshot-id":1,"manifest-list":"metadata/snap-1.avro"}]}"""
+        .stripMargin)
+    Files.writeString(
+      Paths.get(root, "metadata", "version-hint.text"), "1")
+    root
+  }
+
+  /** Authors the PARTITIONED Paimon append table q483 COMPACTS:
+    * partition key l_returnflag, two value files per flag (partition
+    * column EXCLUDED from the files, values ride the manifest's
+    * BinaryRows). NOT memoized — the query publishes a COMPACT
+    * snapshot. */
+  private def authorPaimonPartCompactTable(s: SparkSession,
+                                           dir: String): String = {
+    import java.nio.file.{Files, Paths}
+    val avroFmt = "org.apache.spark.sql.avro.AvroFileFormat"
+    val root =
+      s"/tmp/graft_paimon/partcompact_${Integer.toHexString(dir.hashCode)}"
+    def rm(p: java.io.File): Unit = {
+      if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+      p.delete(): Unit
+    }
+    rm(new java.io.File(root))
+    for (d <- Seq("snapshot", "schema", "manifest"))
+      Files.createDirectories(Paths.get(root, d))
+    val src = Tables.df(s, dir, "lineitem")
+      .filter(col("l_orderkey") % 10 < 2)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+    val flags = src.select(col("l_returnflag")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    def writeOne(df: DataFrame, flag: String, name: String): Unit = {
+      val tmp = s"$root/_tmp"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith(".")).get
+      Files.createDirectories(
+        Paths.get(root, s"l_returnflag=$flag", "bucket-0"))
+      assert(part.renameTo(new java.io.File(
+        s"$root/l_returnflag=$flag/bucket-0/$name")))
+      rm(new java.io.File(tmp))
+    }
+    val entries = flags.flatMap { f =>
+      Seq(0, 1).map { half =>
+        val name = s"f$half.parquet"
+        writeOne(src.filter(col("l_returnflag") === f &&
+          col("l_orderkey") % 2 === half).drop("l_returnflag"), f, name)
+        (f, name)
+      }
+    }
+    def writeAvro(df: DataFrame, rel: String): Unit = {
+      val tmp = s"$root/_tmpavro"
+      df.coalesce(1).write.mode("overwrite").format(avroFmt).save(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.startsWith("part-")).get
+      assert(part.renameTo(new java.io.File(s"$root/$rel")))
+      rm(new java.io.File(tmp))
+    }
+    import s.implicits._
+    writeAvro(entries.map { case (f, name) =>
+      (0, graft.sources.BinaryRowCodec.encode(Seq(f),
+        Seq(org.apache.spark.sql.types.StringType)), name)
+    }.toDF("_KIND", "_PARTITION", "_fn")
+      .select(col("_KIND"), col("_PARTITION"), lit(0).as("_BUCKET"),
+        struct(col("_fn").as("_FILE_NAME")).as("_FILE")),
+      "manifest/m1.avro")
+    writeAvro(Seq.empty[String].toDF("_FILE_NAME"),
+      "manifest/ml-empty.avro")
+    writeAvro(Seq("m1.avro").toDF("_FILE_NAME"), "manifest/ml-1.avro")
+    Files.writeString(Paths.get(root, "schema", "schema-0"),
+      """{"id":0,"fields":[
+        | {"id":0,"name":"l_orderkey","type":"BIGINT"},
+        | {"id":1,"name":"l_quantity","type":"DOUBLE"},
+        | {"id":2,"name":"l_returnflag","type":"STRING"}],
+        |"highestFieldId":2,"partitionKeys":["l_returnflag"],
+        |"primaryKeys":[],"options":{"file.format":"parquet"}}"""
+        .stripMargin)
+    Files.writeString(Paths.get(root, "snapshot", "snapshot-1"),
+      """{"version":3,"id":1,"schemaId":0,
+        |"baseManifestList":"ml-empty.avro",
+        |"deltaManifestList":"ml-1.avro",
+        |"commitKind":"APPEND","commitUser":"graft",
+        |"commitIdentifier":1,"timeMillis":0}""".stripMargin)
+    Files.writeString(Paths.get(root, "snapshot", "LATEST"), "1")
+    root
+  }
+
+  /** Authors the multi-partition Hudi COW table q484 CLUSTERS:
+    * partition paths `flag=<l_returnflag>`, TWO file groups per
+    * partition, base files carrying `_hoodie_record_key` and
+    * `_hoodie_partition_path` (the attribution column per-partition
+    * packing rides). NOT memoized — the query appends a
+    * replacecommit. */
+  private def authorHudiPartClusterTable(s: SparkSession,
+                                         dir: String): String = {
+    import java.nio.file.{Files, Paths}
+    val root =
+      s"/tmp/graft_hudi/partcluster_${Integer.toHexString(dir.hashCode)}"
+    def rm(p: java.io.File): Unit = {
+      if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+      p.delete(): Unit
+    }
+    rm(new java.io.File(root))
+    Files.createDirectories(Paths.get(root, ".hoodie"))
+    Files.writeString(Paths.get(root, ".hoodie", "hoodie.properties"),
+      "hoodie.table.name=li_partcluster\n" +
+        "hoodie.table.type=COPY_ON_WRITE\n")
+    val src = Tables.df(s, dir, "lineitem")
+      .filter(col("l_orderkey") % 10 < 2)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_returnflag"))
+    val flags = src.select(col("l_returnflag")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    def one(df: DataFrame, rel: String): Unit = {
+      val tmp = s"$root/_tmp"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith(".")).get
+      Files.createDirectories(Paths.get(s"$root/$rel").getParent)
+      assert(part.renameTo(new java.io.File(s"$root/$rel")))
+      rm(new java.io.File(tmp))
+    }
+    def stat(fid: String, p: String): String =
+      s"""{"fileId":${jstr(fid)},"path":${jstr(p)},"numWrites":1}"""
+    val statsByPart = flags.map { f =>
+      val partPath = s"flag=$f"
+      val stats = Seq(0, 1).map { half =>
+        val fid = s"g$f$half"
+        val rel = s"$partPath/${fid}_0-0_001.parquet"
+        one(src.filter(col("l_returnflag") === f &&
+          col("l_orderkey") % 2 === half)
+          .select(lit("001").as("_hoodie_commit_time"),
+            concat_ws("-", col("l_orderkey"), col("l_linenumber"))
+              .as("_hoodie_record_key"),
+            lit(partPath).as("_hoodie_partition_path"),
+            col("l_orderkey"), col("l_quantity"),
+            col("l_extendedprice"), col("l_returnflag")), rel)
+        stat(fid, rel)
+      }
+      s"${jstr(partPath)}:${stats.mkString("[", ",", "]")}"
+    }
+    Files.writeString(Paths.get(root, ".hoodie", "001.commit"),
+      s"""{"partitionToWriteStats":{${statsByPart.mkString(",")}}}""")
+    root
+  }
+
+  /** Authors the CHECKPOINTED Delta table q485 VACUUMS: the
+    * checkpoint at v1 carries live add f1 plus the EXPIRED remove
+    * tombstone of f0 (commits 0-1's JSON is gone — the protocol
+    * keeps tombstones in checkpoints for exactly this reclaim
+    * bookkeeping); JSON commit 2 supersedes f1 with f2. NOT
+    * memoized — the query deletes files. */
+  private def authorDeltaCkptVacuumTable(s: SparkSession,
+                                         dir: String): String = {
+    import java.nio.file.{Files, Paths}
+    val root =
+      s"/tmp/graft_delta/ckptvacuum_${Integer.toHexString(dir.hashCode)}"
+    def rm(p: java.io.File): Unit = {
+      if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+      p.delete(): Unit
+    }
+    rm(new java.io.File(root))
+    Files.createDirectories(Paths.get(root, "_delta_log"))
+    val src = Tables.df(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+    def writeOne(df: DataFrame, rel: String): Unit = {
+      val tmp = s"$root/_tmp"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith(".")).get
+      assert(part.renameTo(new java.io.File(s"$root/$rel")))
+      rm(new java.io.File(tmp))
+    }
+    writeOne(src.filter(col("l_orderkey") % 10 === 0), "f0.parquet")
+    writeOne(src.filter(col("l_orderkey") % 10 === 1), "f1.parquet")
+    writeOne(src.filter(col("l_orderkey") % 10 === 2), "f2.parquet")
+    val addT = "struct<path:string,partitionValues:map<string,string>>"
+    val removeT = "struct<path:string>"
+    val metaT = "struct<schemaString:string," +
+      "partitionColumns:array<string>>"
+    val frame = s.range(1).select(
+        lit(null).cast(addT).as("add"),
+        lit(null).cast(removeT).as("remove"),
+        struct(lit(src.schema.json).as("schemaString"),
+          array().cast("array<string>").as("partitionColumns"))
+          .as("metaData"))
+      .unionByName(s.range(1).select(
+        struct(lit("f1.parquet").as("path"),
+          map().cast("map<string,string>").as("partitionValues"))
+          .as("add"),
+        lit(null).cast(removeT).as("remove"),
+        lit(null).cast(metaT).as("metaData")))
+      .unionByName(s.range(1).select(
+        lit(null).cast(addT).as("add"),
+        struct(lit("f0.parquet").as("path")).as("remove"),
+        lit(null).cast(metaT).as("metaData")))
+    val tmpC = s"$root/_tmpckpt"
+    frame.coalesce(1).write.mode("overwrite").parquet(tmpC)
+    val ckpt = new java.io.File(tmpC).listFiles()
+      .find(f => f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith(".")).get
+    assert(ckpt.renameTo(new java.io.File(
+      s"$root/_delta_log/${f"${1L}%020d"}.checkpoint.parquet")))
+    rm(new java.io.File(tmpC))
+    Files.writeString(Paths.get(root, "_delta_log", "_last_checkpoint"),
+      """{"version":1}""")
+    Files.writeString(Paths.get(root, "_delta_log", f"${2L}%020d.json"),
+      Seq(
+        """{"remove":{"path":"f1.parquet","deletionTimestamp":0,"dataChange":true}}""",
+        """{"add":{"path":"f2.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""")
+        .mkString("", "\n", "\n"))
+    root
+  }
+
+  /** Authors the changelog-producer=LOOKUP Paimon PK table q486
+    * reads: snapshot 1 inserts %10<5 keys; snapshot 2 APPENDS the
+    * ×2 upserts of %10∈(3,4) with NO changelog (lookup DEFERS it);
+    * snapshot 3 is the lookup COMPACT snapshot carrying the deferred
+    * NORMALIZED changelog (-U old / +U new). NOT memoized. */
+  private def authorPaimonLookupTable(s: SparkSession,
+                                      dir: String): String = {
+    import java.nio.file.{Files, Paths}
+    val avroFmt = "org.apache.spark.sql.avro.AvroFileFormat"
+    val root =
+      s"/tmp/graft_paimon/lookup_${Integer.toHexString(dir.hashCode)}"
+    def rm(p: java.io.File): Unit = {
+      if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+      p.delete(): Unit
+    }
+    rm(new java.io.File(root))
+    for (d <- Seq("snapshot", "schema", "manifest", "bucket-0"))
+      Files.createDirectories(Paths.get(root, d))
+    val base = Tables.df(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("o_orderstatus"))
+      .filter(col("o_orderkey") % 10 < 5)
+    def kv(df: DataFrame, seq: Long, kind: Int): DataFrame =
+      df.select(col("o_orderkey").as("_KEY_o_orderkey"),
+        lit(seq).as("_SEQUENCE_NUMBER"),
+        lit(kind).cast("tinyint").as("_VALUE_KIND"),
+        col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    def writeKv(df: DataFrame, name: String): Unit = {
+      val tmp = s"$root/_tmp"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith(".")).get
+      assert(part.renameTo(new java.io.File(s"$root/bucket-0/$name")))
+      rm(new java.io.File(tmp))
+    }
+    writeKv(kv(base, 1L, 0), "kv-ins.parquet")
+    val upSrc = base.filter((col("o_orderkey") % 10).isin(3, 4))
+    writeKv(kv(upSrc.withColumn("o_totalprice",
+      col("o_totalprice") * 2), 2L, 0), "kv-ups.parquet")
+    // the lookup compaction's NORMALIZED changelog: -U old, +U new
+    writeKv(kv(upSrc, 2L, 1).unionByName(
+      kv(upSrc.withColumn("o_totalprice", col("o_totalprice") * 2),
+        2L, 2)), "changelog-3.parquet")
+    def writeAvro(df: DataFrame, rel: String): Unit = {
+      val tmp = s"$root/_tmpavro"
+      df.coalesce(1).write.mode("overwrite").format(avroFmt).save(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.startsWith("part-")).get
+      assert(part.renameTo(new java.io.File(s"$root/$rel")))
+      rm(new java.io.File(tmp))
+    }
+    import s.implicits._
+    def manifest(rel: String, entries: (Int, String)*): Unit =
+      writeAvro(entries.toSeq.toDF("_KIND", "_fn")
+        .select(col("_KIND"), lit(0).as("_BUCKET"),
+          struct(col("_fn").as("_FILE_NAME")).as("_FILE")), rel)
+    manifest("manifest/m-ins.avro", (0, "kv-ins.parquet"))
+    manifest("manifest/m-ups.avro", (0, "kv-ups.parquet"))
+    manifest("manifest/m-cl.avro", (0, "changelog-3.parquet"))
+    def mlist(rel: String, names: String*): Unit =
+      writeAvro(
+        if (names.isEmpty) Seq.empty[String].toDF("_FILE_NAME")
+        else names.toSeq.toDF("_FILE_NAME"), rel)
+    mlist("manifest/ml-empty.avro")
+    mlist("manifest/ml-ins.avro", "m-ins.avro")
+    mlist("manifest/ml-ups.avro", "m-ups.avro")
+    mlist("manifest/ml-cl.avro", "m-cl.avro")
+    Files.writeString(Paths.get(root, "schema", "schema-0"),
+      """{"id":0,"fields":[
+        | {"id":0,"name":"o_orderkey","type":"BIGINT"},
+        | {"id":1,"name":"o_totalprice","type":"DOUBLE"},
+        | {"id":2,"name":"o_orderstatus","type":"STRING"}],
+        |"highestFieldId":2,"partitionKeys":[],
+        |"primaryKeys":["o_orderkey"],
+        |"options":{"file.format":"parquet",
+        | "changelog-producer":"lookup"}}""".stripMargin)
+    def snapJson(id: Long, bs: String, dl: String, kind: String,
+                 cl: Option[String]): String =
+      s"""{"version":3,"id":$id,"schemaId":0,
+         |"baseManifestList":${jstr(bs)},
+         |"deltaManifestList":${jstr(dl)},""".stripMargin +
+        cl.map(c => s"""\n"changelogManifestList":${jstr(c)},""")
+          .getOrElse("") +
+        s"""\n"commitKind":${jstr(kind)},"commitUser":"graft",
+           |"commitIdentifier":$id,"timeMillis":0}""".stripMargin
+    Files.writeString(Paths.get(root, "snapshot", "snapshot-1"),
+      snapJson(1, "ml-empty.avro", "ml-ins.avro", "APPEND", None))
+    Files.writeString(Paths.get(root, "snapshot", "snapshot-2"),
+      snapJson(2, "ml-ins.avro", "ml-ups.avro", "APPEND", None))
+    Files.writeString(Paths.get(root, "snapshot", "snapshot-3"),
+      snapJson(3, "ml-ups.avro", "ml-empty.avro", "COMPACT",
+        Some("ml-cl.avro")))
+    Files.writeString(Paths.get(root, "snapshot", "LATEST"), "3")
+    root
+  }
+
+  /** Authors the Hudi COW table q488 reads the WRITTEN CDC of:
+    * commit 001 inserts the %10<2 orders; commit 002 rewrites group
+    * g with %10=1 values ×2 AND %10=0 values UNCHANGED — but the
+    * commit's cdcStats-declared CDC log file records updates for
+    * BOTH halves (the unchanged-value rewrite is invisible to any
+    * file diff, so matching the oracle PROVES the block is read).
+    * NOT memoized. */
+  private def authorHudiExactCdcTable(s: SparkSession,
+                                      dir: String): String = {
+    import java.nio.file.{Files, Paths}
+    val root =
+      s"/tmp/graft_hudi/exactcdc_${Integer.toHexString(dir.hashCode)}"
+    def rm(p: java.io.File): Unit = {
+      if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+      p.delete(): Unit
+    }
+    rm(new java.io.File(root))
+    Files.createDirectories(Paths.get(root, ".hoodie"))
+    Files.writeString(Paths.get(root, ".hoodie", "hoodie.properties"),
+      "hoodie.table.name=o_exactcdc\n" +
+        "hoodie.table.type=COPY_ON_WRITE\n")
+    val src = Tables.df(s, dir, "orders")
+      .filter(col("o_orderkey") % 10 < 2)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    def withMeta(df: DataFrame): DataFrame =
+      df.select(lit("001").as("_hoodie_commit_time"),
+        col("o_orderkey").cast(StringType).as("_hoodie_record_key"),
+        col("o_orderkey"), col("o_totalprice"))
+    def one(df: DataFrame, out: String): Unit = {
+      val tmp = s"$root/_tmp"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith(".")).get
+      assert(part.renameTo(new java.io.File(s"$root/$out")))
+      rm(new java.io.File(tmp))
+    }
+    one(withMeta(src), "g_0-0_001.parquet")
+    val rewritten = src.withColumn("o_totalprice",
+      when(col("o_orderkey") % 10 === 1, col("o_totalprice") * 2)
+        .otherwise(col("o_totalprice")))
+    one(withMeta(rewritten), "g_0-0_002.parquet")
+    // the written CDC: an update record for EVERY key, including the
+    // value-unchanged %10=0 half a diff would never see
+    val images = src.select(
+        to_json(struct(col("o_orderkey"), col("o_totalprice")))
+          .as("before"),
+        to_json(struct(col("o_orderkey"),
+          when(col("o_orderkey") % 10 === 1, col("o_totalprice") * 2)
+            .otherwise(col("o_totalprice")).as("o_totalprice")))
+          .as("after"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    graft.sources.HudiMorLite.writeLogFile(s"$root/.g_cdc_002.log.1",
+      Seq(graft.sources.HudiMorLite.CdcSchema -> images.map {
+        case (b, a) => Map[String, Any]("op" -> "u", "ts_ms" -> "0",
+          "before" -> b, "after" -> a)
+      }),
+      blockType = graft.sources.HudiMorLite.CdcDataBlockOrdinal)
+    def stat(fid: String, p: String, extra: String = ""): String =
+      s"""{"fileId":${jstr(fid)},"path":${jstr(p)},"numWrites":1$extra}"""
+    Files.writeString(Paths.get(root, ".hoodie", "001.commit"),
+      s"""{"partitionToWriteStats":{"":[${
+        stat("g", "g_0-0_001.parquet")}]}}""")
+    Files.writeString(Paths.get(root, ".hoodie", "002.commit"),
+      s"""{"partitionToWriteStats":{"":[${
+        stat("g", "g_0-0_002.parquet",
+          ""","cdcStats":{".g_cdc_002.log.1":1}""")}]}}""")
+    root
+  }
+
   /** Authors the format-v3 Iceberg table q472 COMPACTS: files a
     * (%10=0) and b (%10=1) at sequence 1, a deletion vector on `a`
     * (l_quantity>35), and an equality delete on l_returnflag='R' at
@@ -7662,6 +8357,141 @@ object Storage extends QueryModule {
         |   AS sum_price
         |FROM lineitem WHERE l_orderkey % 10 IN (0, 1)
         |GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin
+        |ORDER BY l_returnflag""".stripMargin,
+    // partitioned OPTIMIZE: read unchanged per flag, ONE file per
+    // partition after packing, zero CDF rows at the compaction
+    "q481_delta_compact_part" ->
+      """WITH src AS (
+        |  SELECT l_returnflag, l_quantity FROM lineitem
+        |  WHERE l_orderkey % 10 < 2),
+        |rows_ AS (
+        |  SELECT 'read' AS surface, l_returnflag AS k, count(*) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS sum_qty
+        |  FROM src GROUP BY l_returnflag
+        |  UNION ALL
+        |  SELECT 'files', l_returnflag, 1, CAST(NULL AS DOUBLE)
+        |  FROM (SELECT DISTINCT l_returnflag FROM src)
+        |  UNION ALL
+        |  SELECT 'cdf', 'rows', 0, CAST(NULL AS DOUBLE))
+        |SELECT surface, k, n, sum_qty FROM rows_
+        |ORDER BY surface, k""".stripMargin,
+    // partitioned rewrite-data-files: read per flag + the partitions
+    // metadata table (1 file per partition, record_count = real rows)
+    "q482_iceberg_compact_part" ->
+      """WITH src AS (
+        |  SELECT l_returnflag, l_quantity FROM lineitem
+        |  WHERE l_orderkey % 10 < 2),
+        |rows_ AS (
+        |  SELECT 'read' AS surface, l_returnflag AS k, count(*) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS sum_qty
+        |  FROM src GROUP BY l_returnflag
+        |  UNION ALL
+        |  SELECT 'parts', '{"l_returnflag":"' || l_returnflag || '"}',
+        |    1, CAST(count(*) AS DOUBLE)
+        |  FROM src GROUP BY l_returnflag)
+        |SELECT surface, k, n, sum_qty FROM rows_
+        |ORDER BY surface, k""".stripMargin,
+    // partitioned Paimon compaction: read per flag + one live file
+    // per partition after packing
+    "q483_paimon_compact_part" ->
+      """WITH src AS (
+        |  SELECT l_returnflag, l_quantity FROM lineitem
+        |  WHERE l_orderkey % 10 < 2),
+        |rows_ AS (
+        |  SELECT 'read' AS surface, l_returnflag AS k, count(*) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS sum_qty
+        |  FROM src GROUP BY l_returnflag
+        |  UNION ALL
+        |  SELECT 'files', l_returnflag, 1, CAST(NULL AS DOUBLE)
+        |  FROM (SELECT DISTINCT l_returnflag FROM src))
+        |SELECT surface, k, n, sum_qty FROM rows_
+        |ORDER BY surface, k""".stripMargin,
+    // multi-partition clustering: read per flag + one file group per
+    // flag=<f> partition after packing
+    "q484_hudi_cluster_part" ->
+      """WITH src AS (
+        |  SELECT l_returnflag, l_quantity FROM lineitem
+        |  WHERE l_orderkey % 10 < 2),
+        |rows_ AS (
+        |  SELECT 'read' AS surface, l_returnflag AS k, count(*) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS sum_qty
+        |  FROM src GROUP BY l_returnflag
+        |  UNION ALL
+        |  SELECT 'groups', 'flag=' || l_returnflag, 1,
+        |    CAST(NULL AS DOUBLE)
+        |  FROM (SELECT DISTINCT l_returnflag FROM src))
+        |SELECT surface, k, n, sum_qty FROM rows_
+        |ORDER BY surface, k""".stripMargin,
+    // checkpointed vacuum: the checkpoint tombstone (f0 = %10=0) and
+    // the JSON remove (f1 = %10=1) reclaim — 2 deletes; live = %10=2
+    "q485_delta_vacuum_ckpt" ->
+      """WITH live AS (
+        |  SELECT l_returnflag, l_quantity FROM lineitem
+        |  WHERE l_orderkey % 10 = 2),
+        |rows_ AS (
+        |  SELECT 'read' AS surface, l_returnflag AS k, count(*) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS sum_qty
+        |  FROM live GROUP BY l_returnflag
+        |  UNION ALL
+        |  SELECT 'vacuum', 'deleted', 2, CAST(NULL AS DOUBLE))
+        |SELECT surface, k, n, sum_qty FROM rows_
+        |ORDER BY surface, k""".stripMargin,
+    // lookup changelog: the append snapshot is EMPTY; the compact
+    // snapshot carries -U (old) / +U (doubled) for %10∈(3,4)
+    "q486_paimon_lookup_changelog" ->
+      """WITH up AS (
+        |  SELECT o_totalprice FROM orders
+        |  WHERE o_orderkey % 10 IN (3, 4)),
+        |rows_ AS (
+        |  SELECT '-U' AS _row_kind, count(*) AS n,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS sum_price
+        |  FROM up
+        |  UNION ALL
+        |  SELECT '+U', count(*),
+        |    CAST(sum(CAST(o_totalprice * 2 AS DECIMAL(18,2)))
+        |      AS DOUBLE)
+        |  FROM up)
+        |SELECT _row_kind, n, sum_price FROM rows_
+        |ORDER BY _row_kind""".stripMargin,
+    // post-compaction metadata: ONE data manifest adding one file per
+    // partition; its entries' record_count sums to the live rows
+    "q487_iceberg_manifests_meta" ->
+      """WITH src AS (
+        |  SELECT l_returnflag FROM lineitem WHERE l_orderkey % 10 < 2),
+        |rows_ AS (
+        |  SELECT 'manifests' AS surface, '0' AS k, 1 AS n,
+        |    CAST((SELECT count(DISTINCT l_returnflag) FROM src)
+        |      AS DOUBLE) AS v
+        |  UNION ALL
+        |  SELECT 'entries', '1',
+        |    (SELECT count(DISTINCT l_returnflag) FROM src),
+        |    CAST((SELECT count(*) FROM src) AS DOUBLE))
+        |SELECT surface, k, n, v FROM rows_
+        |ORDER BY surface, k""".stripMargin,
+    // the WRITTEN CDC records an update for EVERY %10<2 key — the
+    // unchanged %10=0 half included, which a file diff cannot see
+    "q488_hudi_cdc_exact" ->
+      """WITH src AS (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_orderkey % 10 < 2),
+        |rows_ AS (
+        |  SELECT 'update_postimage' AS _change_type,
+        |    '002' AS _commit_time, count(*) AS n,
+        |    CAST(sum(CAST(CASE WHEN o_orderkey % 10 = 1
+        |      THEN o_totalprice * 2 ELSE o_totalprice END
+        |      AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |  FROM src
+        |  UNION ALL
+        |  SELECT 'update_preimage', '002', count(*),
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |  FROM src)
+        |SELECT _change_type, _commit_time, n, sum_price FROM rows_
+        |ORDER BY _change_type, _commit_time""".stripMargin
   )
 }

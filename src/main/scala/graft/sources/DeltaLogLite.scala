@@ -1482,27 +1482,65 @@ object DeltaLogLite {
     * never deleted — a clone's vacuum must not reach into its source
     * table. Returns the deleted paths.
     *
-    * Loud refusal: checkpointed tables (the pre-checkpoint history is
-    * no longer replayable JSON, so "ever referenced" cannot be
-    * reconstructed — vacuum under checkpoints needs the checkpoint's
-    * own remove-tombstone bookkeeping, outside lite scope).
-    * Single-writer scope; bounded log-JSON work + O(deleted) FS ops. */
+    * CHECKPOINTED tables vacuum too: the checkpoint parquet carries
+    * the pre-checkpoint state as add rows PLUS expired `remove`
+    * tombstones (the protocol keeps them in checkpoints for exactly
+    * this reclaim bookkeeping), so the ever-referenced set is the
+    * checkpoint's add+remove paths plus whatever surviving JSON
+    * commits reference. Classic single/multi-part checkpoint names
+    * only — a v2 UUID-manifest checkpoint refuses loudly (its
+    * tombstones ride sidecars, outside lite vacuum scope).
+    * Single-writer scope; bounded log-grain work + O(deleted) FS
+    * ops. */
   def vacuum(spark: SparkSession, tableDir: String): Seq[String] = {
     val logDir = new Path(tableDir, "_delta_log")
     val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(logDir)) throw new IllegalStateException(
       s"$tableDir has no _delta_log directory")
-    if (fs.exists(new Path(logDir, "_last_checkpoint")))
-      throw new IllegalStateException(
-        s"$tableDir: checkpointed table — pre-checkpoint history is " +
-          "not replayable JSON, so the ever-referenced file set " +
-          "cannot be reconstructed; vacuum under checkpoints is " +
-          "outside lite scope")
+    // every file any add/remove action ever referenced (data + DV):
+    // seed from the checkpoint's add + remove-tombstone rows when one
+    // exists, then layer every surviving JSON commit on top
+    val referenced = scala.collection.mutable.LinkedHashSet.empty[String]
+    lastCheckpoint(fs, logDir, tableDir).foreach { case (v, parts) =>
+      val names = parts match {
+        case Some(n) => (1 to n).map(i =>
+          f"$v%020d.checkpoint.$i%010d.$n%010d.parquet")
+        case None => Seq(f"$v%020d.checkpoint.parquet")
+      }
+      val paths = names.map(n => s"$tableDir/_delta_log/$n")
+      if (!paths.forall(p => fs.exists(new Path(p))))
+        throw new IllegalStateException(
+          s"$tableDir: checkpoint $v lacks the classic parquet names " +
+            s"(${names.mkString(", ")}) — v2 UUID-manifest checkpoints " +
+            "keep their tombstones in sidecars; vacuum there is " +
+            "outside lite scope")
+      val df = spark.read.parquet(paths: _*)
+      val dvT = "struct<storageType:string,pathOrInlineDv:string," +
+        "offset:bigint,sizeInBytes:int,cardinality:bigint>"
+      for (side <- Seq("add", "remove") if df.columns.contains(side)) {
+        val hasDv = df.schema.find(_.name == side).map(_.dataType).exists {
+          case s: StructType => s.fieldNames.contains("deletionVector")
+          case _             => false
+        }
+        val dvCol = if (hasDv) col(s"$side.deletionVector").cast(dvT)
+                    else lit(null).cast(dvT)
+        df.select(col(s"$side.path"), dvCol)
+          .where(col(s"$side.path").isNotNull).collect()
+          .foreach { r =>
+            referenced += resolveAddPath(tableDir, r.getString(0))
+            Option(r.getStruct(1)).foreach { d =>
+              val dv = DvDescriptor(d.getString(0), d.getString(1),
+                Option(d.get(2)).map(_.asInstanceOf[Long]).getOrElse(1L),
+                d.getInt(3), d.getLong(4))
+              if (dv.storageType != "i")
+                referenced += dvFilePath(tableDir, dv)
+            }
+          }
+      }
+    }
     val commits = fs.listStatus(logDir).toSeq.map(_.getPath)
       .filter(_.getName.matches("\\d{20}\\.json"))
       .sortBy(_.getName)
-    // every file any add/remove action ever referenced (data + DV)
-    val referenced = scala.collection.mutable.LinkedHashSet.empty[String]
     for (p <- commits) {
       val in = fs.open(p)
       val text = try scala.io.Source.fromInputStream(in, "UTF-8")

@@ -304,12 +304,24 @@ object HudiCowLite {
   }
 
   /** ROW-LEVEL CHANGE read — Hudi's CDC query shape
-    * (`hoodie.datasource.query.incremental.format=cdc`) re-expressed
-    * as the op-inference variant the format itself specifies for
-    * `cdc.supplemental.logging.mode=op_key_only`: COW rewrites a
-    * whole file per touched file group, so each commit's changes ARE
-    * the record-key diff between the group's new file and its
-    * previous one. Output = data columns (hoodie meta columns
+    * (`hoodie.datasource.query.incremental.format=cdc`). Two paths
+    * per commit, the format's own precedence:
+    *
+    *  - EXACT: a commit whose write stats carry `cdcStats` (RFC-51 —
+    *    the writer persisted CDC log files with the before/after row
+    *    images) serves the WRITTEN changelog: the files' CDC blocks
+    *    decode executor-side ([[HudiMorLite.decodeCdcFile]]) and the
+    *    JSON images parse under the table schema (FAILFAST). The
+    *    written record is authoritative — a key rewritten with an
+    *    unchanged value is an update HERE but invisible to a diff.
+    *  - INFERRED fallback for cdc-less commits, the op-inference
+    *    variant the format specifies for
+    *    `cdc.supplemental.logging.mode=op_key_only`: COW rewrites a
+    *    whole file per touched file group, so each commit's changes
+    *    ARE the record-key diff between the group's new file and its
+    *    previous one.
+    *
+    * Output = data columns (hoodie meta columns
     * stripped) + `_change_type` ('insert' / 'delete' /
     * 'update_preimage' / 'update_postimage') + `_commit_time` (the
     * producing instant).
@@ -372,11 +384,67 @@ object HudiCowLite {
             "outside scope)")
       df
     }
+    // a commit whose write stats carry cdcStats (RFC-51: the writer
+    // persisted exact CDC log files) serves the WRITTEN changelog —
+    // the inferred file diff is only the fallback for cdc-less
+    // commits. The written record is authoritative: e.g. a key
+    // rewritten with an UNCHANGED value appears in the written CDC
+    // as an update but is invisible to a value diff.
+    def cdcFilesOf(c: String): Seq[String] =
+      Seq("commit", "deltacommit")
+        .map(k => new Path(hoodieDir, s"$c.$k")).find(fs.exists)
+        .toSeq.flatMap { p =>
+          (JsonMethods.parse(readText(fs, p)) \
+            "partitionToWriteStats") match {
+            case JObject(parts) => parts.flatMap {
+              case (_, JArray(stats)) => stats.flatMap { st =>
+                (st \ "cdcStats") match {
+                  case JObject(m) => m.map(_._1)
+                  case _          => Nil
+                }
+              }
+              case _ => Nil
+            }
+            case _ => Nil
+          }
+        }
+    def exactCdcLeg(c: String, cdcFiles: Seq[String],
+                    curG: Map[(String, String), String]): DataFrame = {
+      import spark.implicits._
+      val schemaDf = ColumnarScan(spark, tableDir, None,
+        curG.values.toSeq.sorted)
+      val dataCols = schemaDf.columns.filterNot(metaCols).toSeq
+      val rowSchema = org.apache.spark.sql.types.StructType(
+        schemaDf.schema.fields.filter(f => dataCols.contains(f.name)))
+      val abs = cdcFiles.map(rel => s"$tableDir/$rel").sorted
+      // executor-side block decode, partition-parallel over files
+      val raw = spark.sparkContext
+        .parallelize(abs, math.max(1, math.min(abs.size, 32)))
+        .flatMap(p => HudiMorLite.decodeCdcFile(p))
+        .toDF("op", "before", "after")
+      val opts = Map("mode" -> "FAILFAST")
+      def leg(opv: String, side: String, kind: String): DataFrame =
+        raw.filter(col("op") === opv)
+          .filter(when(col(side).isNull, raise_error(lit(
+            s"$tableDir commit $c: a CDC '$opv' record lacks its " +
+              s"$side image")).isNull).otherwise(lit(true)))
+          .select(from_json(col(side), rowSchema, opts).as("_img"))
+          .select(dataCols.map(n => col(s"_img.$n").as(n)) :+
+            lit(kind).as("_change_type"): _*)
+      Seq(leg("i", "after", "insert"), leg("d", "before", "delete"),
+        leg("u", "before", "update_preimage"),
+        leg("u", "after", "update_postimage")).reduce(_ unionAll _)
+    }
     val legs = perCommit.flatMap { case (c, prevG, curG) =>
       val gone = prevG.keySet -- curG.keySet
       if (gone.nonEmpty) throw new IllegalStateException(
         s"$tableDir: file group ${gone.head} disappears at commit $c " +
           "without a replacecommit — cannot attribute its rows")
+      val cdc = cdcFilesOf(c)
+      if (cdc.nonEmpty)
+        Some(exactCdcLeg(c, cdc, curG)
+          .withColumn("_commit_time", lit(c)))
+      else {
       val touched = curG.filter { case (g, p) => !prevG.get(g).contains(p) }
       if (touched.isEmpty) None
       else {
@@ -423,6 +491,7 @@ object HudiCowLite {
         Seq(inserts, diffs).flatten.reduceOption(_ unionAll _)
           .map(_.withColumn("_commit_time", lit(c)))
       }
+      }
     }
     if (legs.isEmpty) throw new IllegalStateException(
       s"$tableDir: no commit in ($beginInstant, $end] touched any " +
@@ -442,69 +511,160 @@ object HudiCowLite {
     * data change). Returns the new instant.
     *
     * Scale shape: one distributed scan + executor parquet write, then
-    * O(files) renames and one JSON write. Single-writer scope. Loud
-    * refusals: MOR tables (the snapshot gate), multi-partition tables
-    * (per-partition packing is outside lite scope). */
+    * O(files) renames + footer reads and one JSON write.
+    * Single-writer scope. Loud refusals: MOR tables (the snapshot
+    * gate); multi-partition tables without the
+    * `_hoodie_partition_path` meta column (row→partition attribution
+    * needs it — Hudi populates it unless
+    * hoodie.populate.meta.fields=false). */
   def cluster(spark: SparkSession, tableDir: String,
               numFiles: Int = 1): String = {
     require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
     val snap = snapshot(spark, tableDir)
     val parts = snap.groups.keys.map(_._1).toSet
-    if (parts.size > 1) throw new IllegalStateException(
-      s"$tableDir: ${parts.size} partitions — per-partition packing " +
-        "is outside lite clustering scope")
-    val partition = parts.headOption.getOrElse("")
-    val width = snap.commits.map(_.length).distinct match {
+    val instant = mintInstant(tableDir, snap.commits, snap.instant)
+    val moved = clusterWrite(spark, tableDir, read(spark, tableDir),
+      parts, instant, numFiles)
+    val byPart = moved.groupBy(_._1)
+    val replacedByPart = snap.groups.keys.toSeq.groupBy(_._1)
+      .map { case (p, ks) => p -> ks.map(_._2).sorted }
+    val partitions = (byPart.keySet ++ replacedByPart.keySet).toSeq.sorted
+    graft.sources.AtomicFiles.write(
+      java.nio.file.Paths.get(tableDir, ".hoodie",
+        s"$instant.replacecommit"),
+      replaceCommitJson(partitions,
+        p => replacedByPart.getOrElse(p, Nil),
+        p => byPart.getOrElse(p, Nil).map(m => (m._2, m._3, m._4))),
+      replace = false)
+    instant
+  }
+
+  /** Mint the next timeline instant under the fixed-width contract:
+    * mixed-width timelines and width overflow refuse loudly
+    * (string-ordered listings would missort). */
+  private[sources] def mintInstant(tableDir: String,
+                                   commits: Seq[String],
+                                   last: String): String = {
+    val width = commits.map(_.length).distinct match {
       case Seq(w) => w
       case ws => throw new IllegalStateException(
         s"$tableDir: timeline instants have mixed widths " +
           s"(${ws.sorted.mkString(", ")}) — cannot mint the next")
     }
-    val instant = {
-      val next = BigInt(snap.instant) + 1
-      val s = next.toString
-      if (s.length > width) throw new IllegalStateException(
-        s"$tableDir: next instant $s overflows the timeline's " +
-          s"$width-char width")
-      ("0" * (width - s.length)) + s
-    }
-    val tmp = s"$tableDir/_tmp_cluster"
-    read(spark, tableDir).coalesce(numFiles)
-      .write.mode("overwrite").parquet(tmp)
-    val files = new java.io.File(tmp).listFiles().toSeq
-      .filter(f => f.getName.endsWith(".parquet") &&
-        !f.getName.startsWith("."))
-    val stats = files.zipWithIndex.map { case (f, i) =>
-      val fid = s"cl$instant-$i"
-      val rel = (if (partition.isEmpty) "" else s"$partition/") +
-        s"${fid}_0-0_$instant.parquet"
-      if (!f.renameTo(new java.io.File(s"$tableDir/$rel")))
+    val s = (BigInt(last) + 1).toString
+    if (s.length > width) throw new IllegalStateException(
+      s"$tableDir: next instant $s overflows the timeline's " +
+        s"$width-char width")
+    ("0" * (width - s.length)) + s
+  }
+
+  /** The shared clustering write (COW + MOR): pack `merged` into
+    * `numFiles` files per partition from ONE distributed scan and
+    * move them into the table as new file groups. Single-partition
+    * tables coalesce directly; multi-partition tables ride the
+    * `_hoodie_partition_path` meta column through a salted
+    * `partitionBy` staging write (refusing when the column is absent
+    * — attribution would need a per-file map this scan does not
+    * carry). Returns (partition, fileId, relative path, numWrites
+    * from the parquet footer) per new file. */
+  private[sources] def clusterWrite(spark: SparkSession,
+                                    tableDir: String,
+                                    merged: DataFrame,
+                                    parts: Set[String], instant: String,
+                                    numFiles: Int)
+    : Seq[(String, String, String, Long)] = {
+    import org.apache.spark.sql.functions.{col, lit,
+      monotonically_increasing_id, pmod}
+    val fs = new Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(tableDir, "_tmp_cluster")
+    val multi = parts.size > 1
+    if (multi) {
+      if (parts.contains("")) throw new IllegalStateException(
+        s"$tableDir: a multi-partition table with an EMPTY partition " +
+          "path — outside lite clustering scope")
+      if (!merged.columns.contains("_hoodie_partition_path"))
         throw new IllegalStateException(
-          s"$tableDir: could not move ${f.getName} into the table")
-      (fid, rel)
+          s"$tableDir: ${parts.size} partitions but no " +
+            "_hoodie_partition_path meta column — cannot attribute " +
+            "rows to partitions for per-partition packing")
+      merged
+        .withColumn("gpart", col("_hoodie_partition_path"))
+        .withColumn("_graft_bin",
+          pmod(monotonically_increasing_id(), lit(numFiles.toLong)))
+        .repartition(col("gpart"), col("_graft_bin"))
+        .drop("_graft_bin")
+        .write.mode("overwrite").partitionBy("gpart")
+        .parquet(tmp.toString)
+    } else
+      merged.coalesce(numFiles).write.mode("overwrite")
+        .parquet(tmp.toString)
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val outputs: Seq[(String, org.apache.hadoop.fs.FileStatus)] =
+      if (!multi)
+        fs.listStatus(tmp).toSeq.sortBy(_.getPath.getName)
+          .filter(st => st.getPath.getName.endsWith(".parquet") &&
+            !st.getPath.getName.startsWith("."))
+          .map(st => (parts.headOption.getOrElse(""), st))
+      else fs.listStatus(tmp).toSeq.sortBy(_.getPath.getName).flatMap {
+        dir =>
+          val n = dir.getPath.getName
+          if (!dir.isDirectory || !n.startsWith("gpart=")) Nil
+          else {
+            val raw = n.stripPrefix("gpart=")
+            if (raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
+              throw new IllegalStateException(
+                s"$tableDir: clustering produced a null-partition " +
+                  "directory — _hoodie_partition_path carried nulls")
+            val part = ExternalCatalogUtils.unescapePathName(raw)
+            fs.listStatus(dir.getPath).toSeq.sortBy(_.getPath.getName)
+              .filter(st => st.getPath.getName.endsWith(".parquet") &&
+                !st.getPath.getName.startsWith("."))
+              .map(st => (part, st))
+          }
+      }
+    val moved = outputs.zipWithIndex.map { case ((part, st), i) =>
+      val fid = s"cl$instant-$i"
+      val rel = (if (part.isEmpty) "" else s"$part/") +
+        s"${fid}_0-0_$instant.parquet"
+      val dest = new Path(tableDir, rel)
+      fs.mkdirs(dest.getParent)
+      if (!fs.rename(st.getPath, dest))
+        throw new IllegalStateException(
+          s"$tableDir: could not move ${st.getPath.getName} into the " +
+            "table")
+      val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          dest, spark.sparkContext.hadoopConfiguration))
+      val rc = try footer.getRecordCount finally footer.close()
+      (part, fid, rel, rc)
     }
-    def rmr(p: java.io.File): Unit = {
-      if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rmr))
-      p.delete(): Unit
-    }
-    rmr(new java.io.File(tmp))
+    fs.delete(tmp, true)
+    moved
+  }
+
+  /** Render a replacecommit's JSON for `partitions`, with the
+    * replaced file ids and the (fileId, path, numWrites) write stats
+    * supplied per partition. */
+  private[sources] def replaceCommitJson(partitions: Seq[String],
+      replaced: String => Seq[String],
+      writes: String => Seq[(String, String, Long)]): String = {
     def jq(s: String): String = "\"" + s.flatMap {
       case '"'          => "\\\""
       case '\\'         => "\\\\"
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c            => c.toString
     } + "\""
-    val replaced = snap.groups.keys.map(_._2).toSeq.sorted
-      .map(jq).mkString("[", ",", "]")
-    val writeStats = stats.map { case (fid, rel) =>
-      s"""{"fileId":${jq(fid)},"path":${jq(rel)},"numWrites":1}"""
-    }.mkString("[", ",", "]")
-    graft.sources.AtomicFiles.write(
-      java.nio.file.Paths.get(tableDir, ".hoodie",
-        s"$instant.replacecommit"),
-      s"""{"partitionToReplaceFileIds":{${jq(partition)}:$replaced},"partitionToWriteStats":{${jq(partition)}:$writeStats}}""",
-      replace = false)
-    instant
+    val repl = partitions.map { p =>
+      s"${jq(p)}:${replaced(p).map(jq).mkString("[", ",", "]")}"
+    }.mkString("{", ",", "}")
+    val stats = partitions.map { p =>
+      val ws = writes(p).map { case (fid, rel, nw) =>
+        s"""{"fileId":${jq(fid)},"path":${jq(rel)},"numWrites":$nw}"""
+      }.mkString("[", ",", "]")
+      s"${jq(p)}:$ws"
+    }.mkString("{", ",", "}")
+    s"""{"partitionToReplaceFileIds":$repl,"partitionToWriteStats":$stats}"""
   }
 
   /** CLEAN (KEEP_LATEST_FILE_VERSIONS at retention 1 — the reclaim op

@@ -109,6 +109,19 @@ object HudiMorLite {
   private val DeleteBlockOrdinal = 1
   private val AvroDataBlockOrdinal = 3
   private val ParquetDataBlockOrdinal = 5
+  private[graft] val CdcDataBlockOrdinal = 6
+
+  /** The debezium-style CDC record schema (RFC-51 / HoodieCDCUtils,
+    * supplemental logging mode `data_before_after` — the richest
+    * published mode): `op` is i/u/d, `before`/`after` are the row
+    * images as JSON strings (null on the side an op lacks). */
+  private[graft] val CdcSchema: String =
+    """{"type":"record","name":"HoodieCdcRecord","fields":[
+      | {"name":"op","type":["null","string"],"default":null},
+      | {"name":"ts_ms","type":["null","string"],"default":null},
+      | {"name":"before","type":["null","string"],"default":null},
+      | {"name":"after","type":["null","string"],"default":null}]}"""
+      .stripMargin
   // HoodieCommandBlockTypeEnum: ROLLBACK_BLOCK is the only published
   // command type, ordinal 0
   private val RollbackCommandType = "0"
@@ -303,7 +316,13 @@ object HudiMorLite {
     * doc). AVRO_DATA / DELETE / COMMAND blocks pass through (COMMAND
     * is interpreted by [[decodeSliceLogs]]); HFILE/PARQUET/CDC/
     * CORRUPT/unknown refuse loudly. */
-  private[graft] def parseRawBlocks(path: String): Vector[RawBlock] = {
+  private[graft] def parseRawBlocks(path: String,
+                                    allowed: Set[Int] = Set(
+                                      AvroDataBlockOrdinal,
+                                      ParquetDataBlockOrdinal,
+                                      DeleteBlockOrdinal,
+                                      CommandBlockOrdinal))
+  : Vector[RawBlock] = {
     val fsPath = new Path(path)
     val fs = fsPath.getFileSystem(new org.apache.hadoop.conf.Configuration())
     val in = new DataInputStream(new java.io.BufferedInputStream(
@@ -329,16 +348,14 @@ object HudiMorLite {
             s"$path: log-format version $fmtVersion (HudiMorLite reads " +
               "version 1)")
           val blockType = in.readInt()
-          if (blockType != AvroDataBlockOrdinal &&
-            blockType != ParquetDataBlockOrdinal &&
-            blockType != DeleteBlockOrdinal &&
-            blockType != CommandBlockOrdinal)
+          if (!allowed.contains(blockType))
             throw new IllegalStateException(
               s"$path: block $blockIdx is " +
                 BlockTypeNames.lift(blockType)
                   .getOrElse(s"unknown type $blockType") +
-                " — AVRO/PARQUET data, DELETE and COMMAND blocks " +
-                "are HudiMorLite scope")
+                " — this read serves " +
+                allowed.toSeq.sorted.flatMap(BlockTypeNames.lift)
+                  .mkString(", "))
           // header map: count, then (key ordinal, length, utf8 value).
           // Sizes are UNTRUSTED input — a garbage count/length must
           // refuse by name, not allocate gigabytes
@@ -375,6 +392,55 @@ object HudiMorLite {
       }
       out.result()
     } finally in.close()
+  }
+
+  /** Decode one CDC log file (RFC-51: a HoodieLogFormat file holding
+    * CDC_DATA_BLOCKs whose records carry op + before/after JSON row
+    * images) into (op, before, after) triples. Executor-side byte
+    * work — callers parallelize over files. A non-CDC block inside a
+    * CDC file, an unknown op, or a missing op refuse loudly; the
+    * JSON images are parsed downstream with the table schema
+    * (FAILFAST, so a corrupt image refuses there, never nulls). */
+  private[graft] def decodeCdcFile(path: String)
+  : Seq[(String, Option[String], Option[String])] = {
+    import org.apache.avro.Schema
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    import org.apache.avro.io.DecoderFactory
+    parseRawBlocks(path, allowed = Set(CdcDataBlockOrdinal))
+      .flatMap { b =>
+        val schemaJson = b.headers
+          .getOrElse(SchemaHeaderOrdinal, CdcSchema)
+        val schema = new Schema.Parser().parse(schemaJson)
+        val reader = new GenericDatumReader[GenericRecord](schema)
+        val in = new DataInputStream(
+          new java.io.ByteArrayInputStream(b.content))
+        def sane(v: Int, what: String): Int = {
+          if (v < 0 || v > b.content.length)
+            throw new IllegalStateException(
+              s"$path: block ${b.blockIdx} claims $what of $v over " +
+                s"${b.content.length} content bytes — corrupt")
+          v
+        }
+        in.readInt() // content format version
+        val n = sane(in.readInt(), "record count")
+        (0 until n).map { recIdx =>
+          val bytes =
+            new Array[Byte](sane(in.readInt(), "record length"))
+          in.readFully(bytes)
+          val rec = reader.read(null,
+            DecoderFactory.get().binaryDecoder(bytes, null))
+          def str(name: String): Option[String] =
+            if (rec.getSchema.getField(name) == null) None
+            else Option(rec.get(name)).map(_.toString)
+          val op = str("op").getOrElse(throw new IllegalStateException(
+            s"$path: block ${b.blockIdx} CDC record $recIdx has no op"))
+          if (!Set("i", "u", "d").contains(op))
+            throw new IllegalStateException(
+              s"$path: block ${b.blockIdx} CDC record $recIdx has " +
+                s"op '$op' — i/u/d are the published operations")
+          (op, str("before"), str("after"))
+        }
+      }
   }
 
   /** Decode ONE SLICE's ordered log files (executor-side) and emit
@@ -1259,62 +1325,30 @@ object HudiMorLite {
     * current state carries no log files. Returns the new instant.
     *
     * Scale shape: ONE merged snapshot scan (the same plan as
-    * [[read]]) + executor parquet write + O(files) renames and one
-    * JSON write. Single-writer scope; multi-partition tables refuse
-    * (per-partition packing is outside lite scope). */
+    * [[read]]) + executor parquet write + O(files) renames + footer
+    * reads and one JSON write. Single-writer scope. Multi-partition
+    * tables pack per partition via the `_hoodie_partition_path` meta
+    * column ([[HudiCowLite.clusterWrite]] — refusing when the merged
+    * view lacks it). */
   def cluster(spark: SparkSession, tableDir: String,
               numFiles: Int = 1): String = {
     require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
     val snap = snapshot(spark, tableDir)
     val parts = snap.slices.map(_.partition).toSet
-    if (parts.size > 1) throw new IllegalStateException(
-      s"$tableDir: ${parts.size} partitions — per-partition packing " +
-        "is outside lite clustering scope")
-    val partition = parts.headOption.getOrElse("")
-    val widths = snap.commits.map(_.length).distinct
-    if (widths.size != 1) throw new IllegalStateException(
-      s"$tableDir: timeline instants have mixed widths " +
-        s"(${widths.sorted.mkString(", ")}) — cannot mint the next")
-    val width = widths.head
-    val instant = {
-      val s = (BigInt(snap.instant) + 1).toString
-      if (s.length > width) throw new IllegalStateException(
-        s"$tableDir: next instant $s overflows the timeline's " +
-          s"$width-char width")
-      ("0" * (width - s.length)) + s
-    }
-    val merged = read(spark, tableDir)
-    val tmp = s"$tableDir/_tmp_cluster"
-    merged.coalesce(numFiles).write.mode("overwrite").parquet(tmp)
-    val files = new java.io.File(tmp).listFiles().toSeq
-      .filter(f => f.getName.endsWith(".parquet") &&
-        !f.getName.startsWith("."))
-    def jq(s: String): String = "\"" + s.flatMap {
-      case '"'          => "\\\""
-      case '\\'         => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c            => c.toString
-    } + "\""
-    val stats = files.zipWithIndex.map { case (f, i) =>
-      val fid = s"cl$instant-$i"
-      val rel = (if (partition.isEmpty) "" else s"$partition/") +
-        s"${fid}_0-0_$instant.parquet"
-      if (!f.renameTo(new java.io.File(s"$tableDir/$rel")))
-        throw new IllegalStateException(
-          s"$tableDir: could not move ${f.getName} into the table")
-      s"""{"fileId":${jq(fid)},"path":${jq(rel)},"numWrites":1}"""
-    }.mkString("[", ",", "]")
-    def rmr(p: java.io.File): Unit = {
-      if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rmr))
-      p.delete(): Unit
-    }
-    rmr(new java.io.File(tmp))
-    val replaced = snap.slices.map(_.fileId).sorted
-      .map(jq).mkString("[", ",", "]")
+    val instant = HudiCowLite.mintInstant(tableDir, snap.commits,
+      snap.instant)
+    val moved = HudiCowLite.clusterWrite(spark, tableDir,
+      read(spark, tableDir), parts, instant, numFiles)
+    val byPart = moved.groupBy(_._1)
+    val replacedByPart = snap.slices.groupBy(_.partition)
+      .map { case (p, ss) => p -> ss.map(_.fileId).sorted }
+    val partitions = (byPart.keySet ++ replacedByPart.keySet).toSeq.sorted
     graft.sources.AtomicFiles.write(
       java.nio.file.Paths.get(tableDir, ".hoodie",
         s"$instant.replacecommit"),
-      s"""{"partitionToReplaceFileIds":{${jq(partition)}:$replaced},"partitionToWriteStats":{${jq(partition)}:$stats}}""",
+      HudiCowLite.replaceCommitJson(partitions,
+        p => replacedByPart.getOrElse(p, Nil),
+        p => byPart.getOrElse(p, Nil).map(m => (m._2, m._3, m._4))),
       replace = false)
     instant
   }

@@ -648,8 +648,16 @@ object IcebergLite {
     *    (partition, record_count, file_count) — refuses when a
     *    manifest recorded no record_count (summing absent counts
     *    would be silently wrong)
-    * Other names refuse listing what exists (manifests/entries need
-    * per-manifest stats this lite reader does not materialize). */
+    *  - "manifests": one row per manifest of the current snapshot's
+    *    manifest list (path, length from the filesystem, content —
+    *    0 data / 1 deletes — and the added/existing/deleted entry
+    *    counts from each manifest's own status column); the
+    *    metadata-bloat debugging surface
+    *  - "entries": one row per manifest ENTRY across the current
+    *    snapshot's manifests (manifest_path, status, file_path,
+    *    content, record_count, file_size_in_bytes) — stats the
+    *    writer did not record come back null
+    * Other names refuse listing what exists. */
   def metadataTable(spark: SparkSession, tableDir: String,
                     table: String): DataFrame = {
     import spark.implicits._
@@ -696,11 +704,78 @@ object IcebergLite {
         stats.groupBy(_._5).toSeq.map { case (part, fs) =>
           (part, fs.map(_._3.get).sum, fs.size.toLong)
         }.toDF("partition", "record_count", "file_count")
+      case "manifests" | "entries" =>
+        val curId = (meta \ "current-snapshot-id").extractOpt[Long]
+          .filter(_ != -1L).getOrElse(throw new IllegalStateException(
+            s"$tableDir: table has no current snapshot"))
+        val manifestList = ((meta \ "snapshots") match {
+          case JArray(ss) => ss.collectFirst {
+            case s if (s \ "snapshot-id").extract[Long] == curId =>
+              (s \ "manifest-list").extract[String]
+          }
+          case _ => None
+        }).getOrElse(throw new IllegalStateException(
+          s"$tableDir: current snapshot $curId not in snapshots"))
+        val ml = spark.read.format(AvroFmt)
+          .load(resolve(tableDir, manifestList))
+        if (!ml.columns.contains("manifest_path"))
+          throw new IllegalStateException(
+            s"$manifestList: manifest list lacks manifest_path")
+        val manifests: Seq[(String, Int)] = ml.collect().map { r =>
+          val content =
+            if (ml.columns.contains("content") &&
+              r.getAs[Any]("content") != null)
+              r.getAs[Number]("content").intValue()
+            else 0
+          (r.getAs[String]("manifest_path"), content)
+        }.toSeq
+        // one bounded replay serves both shapes: each manifest's
+        // entries with status + the stats its writer recorded
+        val entryRows: Seq[(String, Int, Int, String, Int,
+                            Option[Long], Option[Long])] =
+          manifests.flatMap { case (mp, content) =>
+            val p = resolve(tableDir, mp)
+            val m = spark.read.format(AvroFmt).load(p)
+            if (!m.columns.contains("data_file") ||
+              !m.columns.contains("status"))
+              throw new IllegalStateException(
+                s"$p: manifest lacks status/data_file fields")
+            m.collect().map { r =>
+              val df = r.getAs[org.apache.spark.sql.Row]("data_file")
+              def fld[T](n: String)(get: => T): Option[T] =
+                if (df.schema.fieldNames.contains(n) &&
+                  df.getAs[Any](n) != null) Some(get) else None
+              (p, content, r.getAs[Number]("status").intValue(),
+                df.getAs[String]("file_path"),
+                fld("content")(df.getAs[Number]("content").intValue())
+                  .getOrElse(0),
+                fld("record_count")(
+                  df.getAs[Number]("record_count").longValue()),
+                fld("file_size_in_bytes")(
+                  df.getAs[Number]("file_size_in_bytes").longValue()))
+            }
+          }
+        if (table == "entries")
+          entryRows.toDF("manifest_path", "manifest_content", "status",
+            "file_path", "content", "record_count", "file_size_in_bytes")
+        else {
+          val fs = new org.apache.hadoop.fs.Path(tableDir)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val byManifest = entryRows.groupBy(m => (m._1, m._2))
+          manifests.map { case (mp, content) =>
+            val p = resolve(tableDir, mp)
+            val es = byManifest.getOrElse((p, content), Nil)
+            (p, fs.getFileStatus(new org.apache.hadoop.fs.Path(p)).getLen,
+              content,
+              es.count(_._3 == 1).toLong, es.count(_._3 == 0).toLong,
+              es.count(_._3 == 2).toLong)
+          }.toDF("path", "length", "content", "added_files_count",
+            "existing_files_count", "deleted_files_count")
+        }
       case other => throw new IllegalArgumentException(
         s"$tableDir: metadata table '$other' — IcebergLite serves " +
-          "snapshots, refs, history, files and partitions " +
-          "(manifests/entries need per-manifest stats outside lite " +
-          "scope)")
+          "snapshots, refs, history, files, partitions, manifests " +
+          "and entries")
     }
   }
 
@@ -1463,18 +1538,15 @@ object IcebergLite {
       (rel, vals, recordCount, fs.getFileStatus(dest).getLen)
     }
     fs.delete(tmp, true)
-    def rmr(p: java.io.File): Unit = {
-      if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rmr))
-      p.delete(): Unit
-    }
     def writeAvro(df: DataFrame, rel: String): Unit = {
-      val t2 = s"$tableDir/_tmpavro"
-      df.coalesce(1).write.mode("overwrite").format(AvroFmt).save(t2)
-      val p = new java.io.File(t2).listFiles()
+      val t2 = new Path(tableDir, "_tmpavro")
+      df.coalesce(1).write.mode("overwrite").format(AvroFmt)
+        .save(t2.toString)
+      val p = fs.listStatus(t2).map(_.getPath)
         .find(_.getName.startsWith("part-")).get
-      if (!p.renameTo(new java.io.File(s"$tableDir/$rel")))
+      if (!fs.rename(p, new Path(tableDir, rel)))
         throw new IllegalStateException(s"$tableDir: could not place $rel")
-      rmr(new java.io.File(t2))
+      fs.delete(t2, true): Unit
     }
     import spark.implicits._
     // typed partition values for the manifest struct (the spec's

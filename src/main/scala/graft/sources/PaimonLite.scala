@@ -732,6 +732,16 @@ object PaimonLite {
     * (new), unchanged keys silent. Append-only full-compaction
     * tables refuse (no key to diff on).
     *
+    * `changelog-producer=lookup` (the recommended low-latency
+    * producer) materializes NORMALIZED changelog files — old values
+    * looked up at compaction time — under the same per-snapshot
+    * `changelogManifestList`, usually on the COMPACT snapshot that
+    * ran the lookup. The replay is therefore the same file scan as
+    * `input`; a lookup snapshot WITHOUT changelog files (the append
+    * commit whose changes are still deferred to the next lookup
+    * compaction) is an EMPTY changelog, not a refusal — its rows
+    * surface on the compaction snapshot.
+    *
     * A snapshot without a changelog under any other producer refuses
     * loudly: synthesizing changes from LSM diffs would need the full
     * merge of both snapshots — exactly what the full-compaction
@@ -785,10 +795,19 @@ object PaimonLite {
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           StructType(snap.schema.fields :+
             StructField("_row_kind", StringType, nullable = true)))
+      case _ if producer == "lookup" =>
+        // lookup DEFERS a commit's changelog to the next lookup
+        // compaction: an append snapshot without changelog files is
+        // an empty changelog, never missing data — its rows surface
+        // on the COMPACT snapshot's changelogManifestList above
+        return spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(snap.schema.fields :+
+            StructField("_row_kind", StringType, nullable = true)))
       case _ => throw new IllegalStateException(
         s"$tableDir: snapshot $snapshotId has no changelogManifestList — " +
-          "changelog reads need changelog-producer=input (or another " +
-          "materializing producer)")
+          "changelog reads need changelog-producer=input, lookup, or " +
+          "full-compaction (a materializing producer)")
     }
     val files: Seq[DataFile] = manifests.flatMap { mf =>
       val p = resolveManifest(mf)
@@ -1341,61 +1360,135 @@ object PaimonLite {
     * new snapshot id.
     *
     * Scale shape: one distributed scan + executor parquet write, then
-    * O(1) driver metadata writes. Single-writer scope. Loud refusals:
-    * PRIMARY-KEY tables (the LSM merge rewrite would need per-row
-    * sequence bookkeeping this reader does not carry) and partitioned
-    * tables (per-partition packing is outside lite scope). */
+    * O(files) driver footer reads + metadata writes. Single-writer
+    * scope.
+    *
+    * Partitioned tables pack WITHIN each partition: the one scan is
+    * salted on (partition keys, bin) and written through
+    * `partitionBy` (Paimon data files EXCLUDE partition columns —
+    * values ride each manifest entry's `_PARTITION` BinaryRow, which
+    * this writer encodes back with [[BinaryRowCodec]]). The manifest
+    * entries are stats-complete: `_FILE_SIZE` and `_ROW_COUNT` come
+    * from the real file and its parquet footer, so a library reader
+    * planning on stats sees truth, not placeholders.
+    *
+    * Loud refusals: PRIMARY-KEY tables (the LSM merge rewrite would
+    * need per-row sequence bookkeeping this reader does not carry)
+    * and null partition values. */
   def compact(spark: SparkSession, tableDir: String,
               numFiles: Int = 1): Long = {
-    import org.apache.spark.sql.functions.{col, lit, struct}
+    import org.apache.spark.sql.functions.{col, lit, struct,
+      monotonically_increasing_id, pmod}
     require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
     val snap = snapshot(spark, tableDir)
     if (snap.primaryKeys.nonEmpty) throw new IllegalStateException(
       s"$tableDir: primary-key table (keys ${snap.primaryKeys
         .mkString(", ")}) — the LSM merge rewrite needs per-row " +
         "sequence bookkeeping; outside lite compaction scope")
-    if (snap.partitionKeys.nonEmpty) throw new IllegalStateException(
-      s"$tableDir: partitioned table — per-partition packing is " +
-        "outside lite compaction scope")
     if (snap.files.isEmpty) throw new IllegalStateException(
       s"$tableDir: nothing to compact (no data files)")
+    val partKeys = snap.partitionKeys
+    val partTypes: Seq[DataType] =
+      if (partKeys.isEmpty) Nil
+      else partKeys.map(k => snap.schema(k).dataType)
     val snapDir = new Path(tableDir, "snapshot")
     val fs = snapDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val schemaId = (JsonMethods.parse(readText(fs,
       new Path(snapDir, s"snapshot-${snap.snapshotId}"))) \ "schemaId")
       .extractOpt[Long].getOrElse(0L)
     val newId = latestSnapshotId(spark, tableDir) + 1
-    val tmp = s"$tableDir/_tmp_compact"
-    read(spark, tableDir).coalesce(numFiles)
-      .write.mode("overwrite").parquet(tmp)
-    val parts = new java.io.File(tmp).listFiles().toSeq
-      .filter(f => f.getName.endsWith(".parquet") &&
-        !f.getName.startsWith("."))
-    val names = parts.zipWithIndex.map { case (f, i) =>
-      val name = s"compact-${newId}_$i.parquet"
-      if (!f.renameTo(new java.io.File(s"$tableDir/bucket-0/$name")))
-        throw new IllegalStateException(
-          s"$tableDir: could not move ${f.getName} into bucket-0")
-      name
+    val tmp = new Path(tableDir, "_tmp_compact")
+    val live = read(spark, tableDir)
+    if (partKeys.isEmpty)
+      live.coalesce(numFiles).write.mode("overwrite")
+        .parquet(tmp.toString)
+    else live
+      .withColumn("_graft_bin",
+        pmod(monotonically_increasing_id(), lit(numFiles.toLong)))
+      .repartition((partKeys :+ "_graft_bin").map(col): _*)
+      .drop("_graft_bin")
+      .write.mode("overwrite").partitionBy(partKeys: _*)
+      .parquet(tmp.toString)
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    // walk the staging output: (unescaped string values, file status)
+    def walkTmp(dir: Path, vals: Seq[String])
+      : Seq[(Seq[String], org.apache.hadoop.fs.FileStatus)] =
+      fs.listStatus(dir).toSeq.sortBy(_.getPath.getName).flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) Nil
+        else if (st.isDirectory) {
+          val i = n.indexOf('=')
+          if (i < 0) throw new IllegalStateException(
+            s"$tableDir: unexpected non-partition directory $n in the " +
+              "compaction staging output")
+          val rawVal = n.substring(i + 1)
+          if (rawVal == ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
+            throw new IllegalStateException(
+              s"$tableDir: compaction produced a null-partition " +
+                s"directory $n — outside lite scope")
+          walkTmp(st.getPath,
+            vals :+ ExternalCatalogUtils.unescapePathName(rawVal))
+        } else if (n.endsWith(".parquet")) Seq((vals, st))
+        else Nil
+      }
+    // typed partition tuple from the dir-name strings, under the
+    // schema's bounded partition types (same set the decode serves)
+    def typed(vals: Seq[String]): Seq[Any] =
+      partTypes.zip(vals).map {
+        case (BooleanType, v) => v.toBoolean
+        case (ByteType, v)    => v.toByte
+        case (ShortType, v)   => v.toShort
+        case (IntegerType, v) => v.toInt
+        case (LongType, v)    => v.toLong
+        case (StringType, v)  => v
+        case (dt, _) => throw new IllegalStateException(
+          s"$tableDir: partition type ${dt.simpleString} — outside " +
+            "lite compaction scope")
+      }
+    // move into the table under the format's own partition-path
+    // spelling, read each parquet footer's row count (O(files))
+    val moved = walkTmp(tmp, Nil).zipWithIndex.map {
+      case ((vals, st), i) =>
+        val part = typed(vals)
+        val partDirs = partKeys.zip(part).map { case (k, v) =>
+          s"$k=${partPathValue(v, snap.defaultPartName)}/"
+        }.mkString
+        val name = s"compact-${newId}_$i.parquet"
+        val dest = new Path(tableDir, s"${partDirs}bucket-0/$name")
+        fs.mkdirs(dest.getParent)
+        if (!fs.rename(st.getPath, dest))
+          throw new IllegalStateException(
+            s"$tableDir: could not move ${st.getPath.getName} into " +
+              s"${partDirs}bucket-0")
+        val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            dest, spark.sparkContext.hadoopConfiguration))
+        val rc = try footer.getRecordCount finally footer.close()
+        (name, part, rc, fs.getFileStatus(dest).getLen)
     }
-    def rmr(p: java.io.File): Unit = {
-      if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rmr))
-      p.delete(): Unit
-    }
-    rmr(new java.io.File(tmp))
+    fs.delete(tmp, true)
     def writeAvro(df: DataFrame, rel: String): Unit = {
-      val t2 = s"$tableDir/_tmpavro"
-      df.coalesce(1).write.mode("overwrite").format(AvroFmt).save(t2)
-      val p = new java.io.File(t2).listFiles()
+      val t2 = new Path(tableDir, "_tmpavro")
+      df.coalesce(1).write.mode("overwrite").format(AvroFmt)
+        .save(t2.toString)
+      val p = fs.listStatus(t2).map(_.getPath)
         .find(_.getName.startsWith("part-")).get
-      if (!p.renameTo(new java.io.File(s"$tableDir/$rel")))
+      val dest = new Path(tableDir, rel)
+      fs.mkdirs(dest.getParent)
+      if (!fs.rename(p, dest))
         throw new IllegalStateException(s"$tableDir: could not place $rel")
-      rmr(new java.io.File(t2))
+      fs.delete(t2, true): Unit
     }
     import spark.implicits._
-    writeAvro(names.toDF("_fn")
-      .select(lit(0).as("_KIND"), lit(0).as("_BUCKET"),
-        struct(col("_fn").as("_FILE_NAME")).as("_FILE")),
+    val entries = moved.map { case (name, part, rc, sz) =>
+      (name, if (partKeys.isEmpty) null
+             else BinaryRowCodec.encode(part, partTypes), rc, sz)
+    }
+    writeAvro(entries.toDF("_fn", "_part", "_rc", "_sz")
+      .select(lit(0).as("_KIND"), col("_part").as("_PARTITION"),
+        lit(0).as("_BUCKET"),
+        struct(col("_fn").as("_FILE_NAME"), col("_sz").as("_FILE_SIZE"),
+          col("_rc").as("_ROW_COUNT")).as("_FILE")),
       s"manifest/m-compact-$newId.avro")
     writeAvro(Seq(s"m-compact-$newId.avro").toDF("_FILE_NAME"),
       s"manifest/ml-compact-$newId.avro")

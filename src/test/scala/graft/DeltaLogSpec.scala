@@ -1403,6 +1403,90 @@ class DeltaLogSpec extends AnyFunSuite {
     assert(DeltaLogLite.readChanges(spark, root2, vP, vP).count() == 0L)
   }
 
+  test("vacuum under a classic checkpoint: the checkpoint's remove " +
+    "tombstones and the surviving JSON both feed the reclaim set; " +
+    "missing classic names refuse") {
+    import spark.implicits._
+    val root = "/tmp/graft_deltaspec/vacuumckpt"
+    def rm(p: java.io.File): Unit = {
+      if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+      p.delete(): Unit
+    }
+    rm(new java.io.File(root))
+    Files.createDirectories(Paths.get(root, "_delta_log"))
+    val df = spark.range(0, 15).select(col("id"), (col("id") * 2).as("v"))
+    def one(filter: org.apache.spark.sql.Column, out: String): Unit = {
+      val tmp = s"$root/_tmp"
+      df.filter(filter).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith(".")).get
+      assert(part.renameTo(new java.io.File(s"$root/$out")))
+      rm(new java.io.File(tmp))
+    }
+    one(col("id") < 5, "f0.parquet")
+    one(col("id") >= 5 && col("id") < 10, "f1.parquet")
+    one(col("id") >= 10, "f2.parquet")
+    val schema = df.schema.json
+    // checkpoint at v1: live add f1 + EXPIRED remove tombstone f0
+    // (commits 0-1's JSON is gone — the checkpoint is the only
+    // record that f0 was ever referenced)
+    val addT = "struct<path:string,partitionValues:map<string,string>>"
+    val removeT = "struct<path:string>"
+    val metaT = "struct<schemaString:string," +
+      "partitionColumns:array<string>>"
+    val frame = spark.range(1).select(
+        lit(null).cast(addT).as("add"), lit(null).cast(removeT)
+          .as("remove"),
+        struct(lit(schema).as("schemaString"),
+          array().cast("array<string>").as("partitionColumns"))
+          .as("metaData"))
+      .unionByName(spark.range(1).select(
+        struct(lit("f1.parquet").as("path"),
+          map().cast("map<string,string>").as("partitionValues"))
+          .as("add"),
+        lit(null).cast(removeT).as("remove"),
+        lit(null).cast(metaT).as("metaData")))
+      .unionByName(spark.range(1).select(
+        lit(null).cast(addT).as("add"),
+        struct(lit("f0.parquet").as("path")).as("remove"),
+        lit(null).cast(metaT).as("metaData")))
+    val tmpC = s"$root/_tmpckpt"
+    frame.coalesce(1).write.mode("overwrite").parquet(tmpC)
+    val ckpt = new java.io.File(tmpC).listFiles()
+      .find(f => f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith(".")).get
+    assert(ckpt.renameTo(new java.io.File(
+      s"$root/_delta_log/${f"${1L}%020d"}.checkpoint.parquet")))
+    rm(new java.io.File(tmpC))
+    Files.writeString(Paths.get(root, "_delta_log", "_last_checkpoint"),
+      """{"version":1}""")
+    // commit 2: f1 superseded by f2
+    commit(root, 2,
+      """{"remove":{"path":"f1.parquet","deletionTimestamp":0,"dataChange":true}}""",
+      """{"add":{"path":"f2.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""")
+    val deleted = DeltaLogLite.vacuum(spark, root)
+    assert(deleted.map(p => p.split('/').last).sorted ==
+      Seq("f0.parquet", "f1.parquet"), s"deleted: $deleted")
+    assert(DeltaLogLite.read(spark, root)
+      .as[(Long, Long)].collect().sorted.toSeq ==
+      (10L to 14L).map(i => (i, i * 2)))
+    // travel to the pre-vacuum version now fails at scan
+    intercept[Exception] {
+      DeltaLogLite.read(spark, root, versionAsOf = Some(1L)).collect()
+    }
+    // a checkpoint without its classic parquet names refuses loudly
+    val root2 = "/tmp/graft_deltaspec/vacuumckptv2"
+    rm(new java.io.File(root2))
+    Files.createDirectories(Paths.get(root2, "_delta_log"))
+    Files.writeString(Paths.get(root2, "_delta_log", "_last_checkpoint"),
+      """{"version":3}""")
+    val e = intercept[IllegalStateException] {
+      DeltaLogLite.vacuum(spark, root2)
+    }
+    assert(e.getMessage.contains("classic parquet names"))
+  }
+
   test("randomized maintenance model check: reads stay model-equal " +
     "through add/remove/DV-grow commits, a compaction leaves the CDF " +
     "silent, a vacuum keeps the live read and kills old travel") {

@@ -106,6 +106,63 @@ class HudiMorSpec extends AnyFunSuite {
       before)
   }
 
+  test("multi-partition MOR cluster packs per partition via " +
+    "_hoodie_partition_path: logs fold in, replacecommit carries " +
+    "both partitions") {
+    import spark.implicits._
+    val root = "/tmp/graft_hudimorspec/clusterpart"
+    rm(new java.io.File(root))
+    Files.createDirectories(Paths.get(root, ".hoodie"))
+    Files.writeString(Paths.get(root, ".hoodie", "hoodie.properties"),
+      "hoodie.table.type=MERGE_ON_READ\n")
+    def one(ids: Range, part: String, out: String): Unit = {
+      val tmp = s"$root/_tmp"
+      spark.range(ids.start, ids.end).select(
+        col("id").cast("string").as("_hoodie_record_key"),
+        lit(s"p=$part").as("_hoodie_partition_path"),
+        col("id"), (col("id") * 3).as("v"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val pf = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith(".")).get
+      Files.createDirectories(Paths.get(s"$root/$out").getParent)
+      assert(pf.renameTo(new java.io.File(s"$root/$out")))
+      rm(new java.io.File(tmp))
+    }
+    one(0 until 5, "x", "p=x/gx_0-0_001.parquet")
+    one(10 until 15, "y", "p=y/gy_0-0_001.parquet")
+    Files.writeString(Paths.get(root, ".hoodie", "001.deltacommit"),
+      """{"partitionToWriteStats":{"p=x":[{"fileId":"gx","path":"p=x/gx_0-0_001.parquet","numWrites":5}],"p=y":[{"fileId":"gy","path":"p=y/gy_0-0_001.parquet","numWrites":5}]}}""")
+    // a log upsert in p=x only: id 1 -> 100
+    val partSchema =
+      """{"type":"record","name":"r","fields":[
+        | {"name":"_hoodie_record_key","type":"string"},
+        | {"name":"_hoodie_partition_path","type":"string"},
+        | {"name":"id","type":"long"},
+        | {"name":"v","type":"long"},
+        | {"name":"_hoodie_is_deleted","type":"boolean"}]}""".stripMargin
+    HudiMorLite.writeLogFile(s"$root/p=x/.gx_001.log.1",
+      Seq(partSchema -> Seq(Map("_hoodie_record_key" -> "1",
+        "_hoodie_partition_path" -> "p=x", "id" -> 1L, "v" -> 100L,
+        "_hoodie_is_deleted" -> false))))
+    Files.writeString(Paths.get(root, ".hoodie", "002.deltacommit"),
+      """{"partitionToWriteStats":{"p=x":[{"fileId":"gx","path":"p=x/.gx_001.log.1","numWrites":1}]}}""")
+    val before = HudiMorLite.read(spark, root)
+      .select("id", "v").as[(Long, Long)].collect().sorted.toSeq
+    assert(before.contains((1L, 100L)) && before.size == 10)
+    val instant = HudiMorLite.cluster(spark, root)
+    assert(instant == "003")
+    val snap = HudiMorLite.snapshot(spark, root)
+    assert(snap.slices.size == 2 && snap.slices.forall(_.logs.isEmpty))
+    assert(snap.slices.map(_.partition).toSet == Set("p=x", "p=y"))
+    assert(HudiMorLite.read(spark, root)
+      .select("id", "v").as[(Long, Long)].collect().sorted.toSeq ==
+      before)
+    // the rewritten base files live under their partition dirs
+    assert(snap.slices.forall(s =>
+      s.basePath.contains(s"/${s.partition}/cl003")))
+  }
+
   test("later blocks and later log files win; delete then re-insert " +
     "resurrects") {
     import spark.implicits._

@@ -209,6 +209,191 @@ class HudiSpec extends AnyFunSuite {
     }
   }
 
+  test("readChanges serves the WRITTEN CDC when cdcStats names CDC " +
+    "log files: records a diff cannot see surface; bad ops refuse; " +
+    "cdc-less commits in the same range still infer") {
+    import spark.implicits._
+    import graft.sources.HudiMorLite
+    val root = "/tmp/graft_hudispec/exactcdc"
+    rm(new java.io.File(root))
+    Files.createDirectories(Paths.get(root, ".hoodie"))
+    Files.writeString(Paths.get(root, ".hoodie", "hoodie.properties"),
+      "hoodie.table.name=t\nhoodie.table.type=COPY_ON_WRITE\n")
+    def one(df: org.apache.spark.sql.DataFrame, out: String): Unit = {
+      val tmp = s"$root/_tmp"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith(".")).get
+      assert(part.renameTo(new java.io.File(s"$root/$out")))
+      rm(new java.io.File(tmp))
+    }
+    def batch(ids: Seq[Long], ct: String) = ids.toDF("id")
+      .select(lit(ct).as("_hoodie_commit_time"),
+        col("id").cast("string").as("_hoodie_record_key"),
+        col("id"), (col("id") * 2).as("v"))
+    one(batch(0L to 2L, "001"), "g_0-0_001.parquet")
+    // 002 rewrites g with IDENTICAL content — a diff sees nothing
+    one(batch(0L to 2L, "001"), "g_0-0_002.parquet")
+    // ...but the WRITTEN CDC declares an update for id 1 (same value)
+    // and an insert... no: i with after for id 7 would break read;
+    // keep: updates for ids 1 and 2 with unchanged values
+    def img(id: Long, v: Long): String = s"""{"id":$id,"v":$v}"""
+    HudiMorLite.writeLogFile(s"$root/.g_cdc_002.log.1",
+      Seq(HudiMorLite.CdcSchema -> Seq(
+        Map[String, Any]("op" -> "u", "before" -> img(1, 2),
+          "after" -> img(1, 2)),
+        Map[String, Any]("op" -> "u", "before" -> img(2, 4),
+          "after" -> img(2, 4)))),
+      blockType = HudiMorLite.CdcDataBlockOrdinal)
+    def stat(fid: String, p: String, extra: String = "") =
+      s"""{"fileId":"$fid","path":"$p","numWrites":1$extra}"""
+    Files.writeString(Paths.get(root, ".hoodie", "001.commit"),
+      s"""{"partitionToWriteStats":{"":[${
+        stat("g", "g_0-0_001.parquet")}]}}""")
+    Files.writeString(Paths.get(root, ".hoodie", "002.commit"),
+      s"""{"partitionToWriteStats":{"":[${
+        stat("g", "g_0-0_002.parquet",
+          ""","cdcStats":{".g_cdc_002.log.1":1}""")}]}}""")
+    // a cdc-less commit 003 inserts group h — inferred leg
+    one(batch(Seq(9L), "003"), "h_0-0_003.parquet")
+    Files.writeString(Paths.get(root, ".hoodie", "003.commit"),
+      s"""{"partitionToWriteStats":{"":[${
+        stat("h", "h_0-0_003.parquet")}]}}""")
+    val got = HudiCowLite.readChanges(spark, root, "001")
+      .select(col("id"), col("v"), col("_change_type"),
+        col("_commit_time"))
+      .as[(Long, Long, String, String)].collect().sorted.toSeq
+    // the unchanged-value updates are ONLY visible via the written
+    // CDC; the inferred path contributes 003's insert
+    assert(got == Seq(
+      (1L, 2L, "update_preimage", "002"),
+      (1L, 2L, "update_postimage", "002"),
+      (2L, 4L, "update_preimage", "002"),
+      (2L, 4L, "update_postimage", "002"),
+      (9L, 18L, "insert", "003")).sorted, got.toString)
+    // an unknown op refuses loudly
+    HudiMorLite.writeLogFile(s"$root/.g_cdc_bad.log.1",
+      Seq(HudiMorLite.CdcSchema -> Seq(
+        Map[String, Any]("op" -> "x", "before" -> img(1, 2),
+          "after" -> img(1, 2)))),
+      blockType = HudiMorLite.CdcDataBlockOrdinal)
+    val e = intercept[Exception] {
+      HudiMorLite.decodeCdcFile(s"$root/.g_cdc_bad.log.1")
+    }
+    assert(e.getMessage.contains("op 'x'"))
+    // a missing image refuses at read time (raise_error in the plan)
+    HudiMorLite.writeLogFile(s"$root/.g_cdc_noimg.log.1",
+      Seq(HudiMorLite.CdcSchema -> Seq(
+        Map[String, Any]("op" -> "u", "before" -> img(1, 2)))),
+      blockType = HudiMorLite.CdcDataBlockOrdinal)
+    Files.writeString(Paths.get(root, ".hoodie", "004.commit"),
+      s"""{"partitionToWriteStats":{"":[${
+        stat("g", "g_0-0_002.parquet",
+          ""","cdcStats":{".g_cdc_noimg.log.1":1}""")}]}}""")
+    val e2 = intercept[Exception] {
+      HudiCowLite.readChanges(spark, root, "003").collect()
+    }
+    assert(e2.getMessage.contains("lacks its after image") ||
+      Option(e2.getCause).exists(
+        _.getMessage.contains("lacks its after image")))
+  }
+
+  test("randomized maintenance model check: reads stay model-equal " +
+    "through insert/cluster/clean sequences over two partitions, " +
+    "across seeds") {
+    import spark.implicits._
+    for (seed <- Seq(31, 507, 948)) {
+      val rnd = new scala.util.Random(seed)
+      val root = s"/tmp/graft_hudispec/maint$seed"
+      rm(new java.io.File(root))
+      Files.createDirectories(Paths.get(root, ".hoodie"))
+      Files.writeString(Paths.get(root, ".hoodie", "hoodie.properties"),
+        "hoodie.table.name=t\nhoodie.table.type=COPY_ON_WRITE\n")
+      val partitions = Seq("p=x", "p=y")
+      def writeGroup(rows: Seq[(Long, Long)], part: String, ct: String,
+                     out: String): Unit = {
+        val tmp = s"$root/_tmp"
+        rows.toDF("id", "v")
+          .select(lit(ct).as("_hoodie_commit_time"),
+            col("id").cast("string").as("_hoodie_record_key"),
+            lit(part).as("_hoodie_partition_path"),
+            col("id"), col("v"))
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val f = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.endsWith(".parquet") &&
+            !f.getName.startsWith(".")).get
+        Files.createDirectories(Paths.get(s"$root/$out").getParent)
+        assert(f.renameTo(new java.io.File(s"$root/$out")))
+        rm(new java.io.File(tmp))
+      }
+      // model: the live rows per partition (clustering and cleaning
+      // must never change them); instants minted in order
+      var model = Map.empty[String, Set[(Long, Long)]]
+        .withDefaultValue(Set.empty)
+      var nextKey = 0L
+      var instant = 0
+      def check(): Unit = {
+        val got = HudiCowLite.read(spark, root)
+          .select(col("_hoodie_partition_path"), col("id"), col("v"))
+          .as[(String, Long, Long)].collect()
+          .groupBy(_._1).map { case (p, rs) =>
+            p -> rs.map(r => (r._2, r._3)).toSet
+          }
+        assert(got == model.filter(_._2.nonEmpty),
+          s"seed $seed after instant $instant")
+      }
+      val nOps = 6 + rnd.nextInt(4)
+      for (_ <- 1 to nOps) {
+        instant += 1
+        val ct = f"$instant%03d"
+        val op =
+          if (model.values.forall(_.isEmpty)) "insert"
+          else Seq("insert", "insert", "cluster", "clean")(rnd.nextInt(4))
+        op match {
+          case "insert" =>
+            val part = partitions(rnd.nextInt(2))
+            val n = 2 + rnd.nextInt(4)
+            val rows = (nextKey until nextKey + n).map(k => k -> k * 3)
+            nextKey += 100
+            val fid = s"g$ct"
+            val rel = s"$part/${fid}_0-0_$ct.parquet"
+            writeGroup(rows, part, ct, rel)
+            Files.writeString(Paths.get(root, ".hoodie", s"$ct.commit"),
+              s"""{"partitionToWriteStats":{"$part":[{"fileId":"$fid","path":"$rel","numWrites":${rows.size}}]}}""")
+            model += part -> (model(part) ++ rows)
+          case "cluster" =>
+            assert(HudiCowLite.cluster(spark, root) == ct)
+            // per-partition packing: one group per non-empty partition
+            val snap = HudiCowLite.snapshot(spark, root)
+            val perPart = snap.groups.keys.toSeq.groupBy(_._1)
+            assert(perPart.forall(_._2.size == 1),
+              s"seed $seed: $perPart")
+          case "clean" =>
+            instant -= 1 // clean mints its own marker, not a commit
+            HudiCowLite.clean(spark, root): Unit
+        }
+        check()
+      }
+      // a final cluster + clean leaves exactly one file per live
+      // partition on disk (plus the timeline)
+      instant += 1
+      HudiCowLite.cluster(spark, root): Unit
+      HudiCowLite.clean(spark, root): Unit
+      check()
+      val live = HudiCowLite.snapshot(spark, root).files.toSet
+      def walk(d: java.io.File): Seq[java.io.File] =
+        Option(d.listFiles()).toSeq.flatten.flatMap { f =>
+          if (f.getName.startsWith(".") || f.getName.startsWith("_")) Nil
+          else if (f.isDirectory) walk(f)
+          else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+        }
+      assert(walk(new java.io.File(root))
+        .map(_.getCanonicalPath).toSet ==
+        live.map(p => new java.io.File(p).getCanonicalPath))
+    }
+  }
+
   test("randomized model check: the inferred CDC of every commit " +
     "range equals the in-memory key-diff model, across seeds") {
     import spark.implicits._
@@ -333,6 +518,75 @@ class HudiSpec extends AnyFunSuite {
     assert(!HudiCowLite.completedCommits(spark, root).contains("006"))
     // clean twice: nothing left
     assert(HudiCowLite.clean(spark, root) == Nil)
+  }
+
+  test("multi-partition cluster packs per partition via " +
+    "_hoodie_partition_path; tables lacking the meta column refuse") {
+    import spark.implicits._
+    def build(name: String, withMeta: Boolean): String = {
+      val root = s"/tmp/graft_hudispec/$name"
+      rm(new java.io.File(root))
+      Files.createDirectories(Paths.get(root, ".hoodie"))
+      Files.writeString(Paths.get(root, ".hoodie", "hoodie.properties"),
+        "hoodie.table.name=t\nhoodie.table.type=COPY_ON_WRITE\n")
+      def one(df: org.apache.spark.sql.DataFrame, out: String): Unit = {
+        val tmp = s"$root/_tmp"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.endsWith(".parquet") &&
+            !f.getName.startsWith(".")).get
+        Files.createDirectories(Paths.get(s"$root/$out").getParent)
+        assert(part.renameTo(new java.io.File(s"$root/$out")))
+        rm(new java.io.File(tmp))
+      }
+      def batch(ids: Range, part: String) = {
+        val b = spark.range(ids.start, ids.end)
+          .select(col("id"), (col("id") * 2).as("v"))
+        if (withMeta)
+          b.withColumn("_hoodie_partition_path", lit(s"p=$part"))
+        else b
+      }
+      one(batch(0 until 3, "x"), "p=x/gx1_0-0_001.parquet")
+      one(batch(3 until 5, "x"), "p=x/gx2_0-0_001.parquet")
+      one(batch(10 until 14, "y"), "p=y/gy1_0-0_001.parquet")
+      one(batch(14 until 15, "y"), "p=y/gy2_0-0_001.parquet")
+      def stat(fid: String, p: String) =
+        s"""{"fileId":"$fid","path":"$p","numWrites":1}"""
+      Files.writeString(Paths.get(root, ".hoodie", "001.commit"),
+        s"""{"partitionToWriteStats":{"p=x":[${stat("gx1",
+          "p=x/gx1_0-0_001.parquet")},${stat("gx2",
+          "p=x/gx2_0-0_001.parquet")}],"p=y":[${stat("gy1",
+          "p=y/gy1_0-0_001.parquet")},${stat("gy2",
+          "p=y/gy2_0-0_001.parquet")}]}}""")
+      root
+    }
+    val root = build("clusterpart", withMeta = true)
+    val before = HudiCowLite.read(spark, root)
+      .select("id", "v").as[(Long, Long)].collect().sorted.toSeq
+    assert(before.size == 10)
+    val instant = HudiCowLite.cluster(spark, root)
+    assert(instant == "002")
+    assert(HudiCowLite.read(spark, root)
+      .select("id", "v").as[(Long, Long)].collect().sorted.toSeq ==
+      before)
+    val snap = HudiCowLite.snapshot(spark, root)
+    // one new file group per partition, placed under its partition dir
+    assert(snap.groups.size == 2)
+    assert(snap.groups.keys.map(_._1).toSet == Set("p=x", "p=y"))
+    assert(snap.files.forall(f =>
+      f.contains("/p=x/cl002") || f.contains("/p=y/cl002")))
+    // write stats carry REAL row counts per partition
+    val commitJson = Files.readString(
+      Paths.get(root, ".hoodie", "002.replacecommit"))
+    assert(commitJson.contains("\"numWrites\":5"))
+    assert(!commitJson.contains("\"numWrites\":1,") &&
+      !commitJson.contains("\"numWrites\":1}"))
+    // without the meta column, multi-partition clustering refuses
+    val root2 = build("clusterpartbare", withMeta = false)
+    val e = intercept[IllegalStateException] {
+      HudiCowLite.cluster(spark, root2)
+    }
+    assert(e.getMessage.contains("_hoodie_partition_path"))
   }
 
   test("latest base file per file group wins; older one is never read") {

@@ -1582,11 +1582,28 @@ class IcebergSpec extends AnyFunSuite {
       IcebergLite.metadataTable(spark, root, "partitions")
     }
     assert(ep.getMessage.contains("record_count"))
+    // entries serves one row per manifest entry (stats absent → null)
+    val entries = IcebergLite.metadataTable(spark, root, "entries")
+      .select("status", "file_path", "record_count")
+      .collect().sortBy(_.getInt(0))
+    assert(entries.length == 2) // m2del's tombstone + m2b's existing
+    assert(entries.map(_.getInt(0)).toSeq.sorted == Seq(0, 2))
+    assert(entries.forall(_.isNullAt(2)))
+    // manifests serves per-manifest rows with entry counts
+    val mrows = IcebergLite.metadataTable(spark, root, "manifests")
+      .select("content", "added_files_count", "existing_files_count",
+        "deleted_files_count", "length")
+      .collect()
+    assert(mrows.length == 2) // m2del + m2b
+    assert(mrows.map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))).toSet == Set((0, 0L, 0L, 1L), (0, 0L, 1L, 0L)))
+    assert(mrows.forall(_.getLong(4) > 0L))
     // unknown names refuse listing what exists
     val e = intercept[IllegalArgumentException] {
-      IcebergLite.metadataTable(spark, root, "entries")
+      IcebergLite.metadataTable(spark, root, "all_files")
     }
-    assert(e.getMessage.contains("files and partitions"))
+    assert(e.getMessage.contains("manifests") &&
+      e.getMessage.contains("entries"))
   }
 
   test("randomized model check: every snapshot of a random " +

@@ -98,7 +98,9 @@ class PaimonSpec extends AnyFunSuite {
   }
 
   test("compact publishes a COMPACT snapshot: read unchanged, one " +
-    "file, history travelable; PK and partitioned tables refuse") {
+    "file, history travelable; partitioned tables pack per " +
+    "partition with BinaryRow-stamped stats-complete manifests; PK " +
+    "and null-partition tables refuse") {
     import spark.implicits._
     val root = fixture("compact")
     val before = PaimonLite.read(spark, root)
@@ -125,6 +127,37 @@ class PaimonSpec extends AnyFunSuite {
         pkFixture("compactpk"))
     }
     assert(e.getMessage.contains("primary-key"))
+    // a partitioned table (no nulls) packs per partition: values
+    // round-trip through the writer's escaped dirs back into
+    // BinaryRow-encoded manifest entries with real stats
+    val rootP = partFixture("compactpart", withNull = false)
+    val beforeP = PaimonLite.read(spark, rootP)
+      .select("id", "v", "p").as[(Long, Long, String)]
+      .collect().sorted.toSeq
+    assert(beforeP.size == 10)
+    val idP = PaimonLite.compact(spark, rootP)
+    assert(idP == 2L)
+    assert(PaimonLite.read(spark, rootP)
+      .select("id", "v", "p").as[(Long, Long, String)]
+      .collect().sorted.toSeq == beforeP)
+    val snapP = PaimonLite.snapshot(spark, rootP)
+    // one file per partition (3 partitions incl. the escaped a:b)
+    assert(snapP.files.size == 3)
+    assert(snapP.files.map(_.partition).toSet ==
+      Set(Seq("a"), Seq("b"), Seq("a:b")))
+    // stats-complete manifest: _FILE_SIZE/_ROW_COUNT are real
+    val mf = spark.read.format(avroFmt)
+      .load(s"$rootP/manifest/m-compact-2.avro")
+      .select(col("_FILE._FILE_SIZE"), col("_FILE._ROW_COUNT"))
+      .as[(Long, Long)].collect().toSeq
+    assert(mf.map(_._2).sorted == Seq(2L, 3L, 5L))
+    assert(mf.forall(_._1 > 100L))
+    // a null partition refuses loudly
+    val rootN = partFixture("compactnull", withNull = true)
+    val eN = intercept[IllegalStateException] {
+      PaimonLite.compact(spark, rootN)
+    }
+    assert(eN.getMessage.contains("null-partition"))
   }
 
   test("expireSnapshots drops history and deletes orphans; a TAG's " +
@@ -614,6 +647,71 @@ class PaimonSpec extends AnyFunSuite {
     assert(got == Seq((1L, 100L), (2L, 100L), (3L, 9L), (4L, 12L)))
   }
 
+  test("changelog-producer=lookup: an append snapshot is an EMPTY " +
+    "changelog (deferred), the lookup COMPACT snapshot serves the " +
+    "normalized rows") {
+    import spark.implicits._
+    val root = pkFixture("pklookup",
+      options = """{"changelog-producer":"lookup"}""")
+    // snapshot 2 (APPEND, no changelogManifestList): EMPTY, not a
+    // refusal — lookup defers to the next compaction
+    val cl2 = PaimonLite.readChangelog(spark, root, 2L)
+    assert(cl2.columns.toSeq == Seq("id", "v", "_row_kind"))
+    assert(cl2.count() == 0)
+    // publish the lookup COMPACT snapshot with the deferred
+    // NORMALIZED changelog: -U/+U for ids 1,2 and -D for id 0
+    def writeKv(df: org.apache.spark.sql.DataFrame, out: String): Unit = {
+      val tmp = s"$root/_tmp"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith(".")).get
+      assert(part.renameTo(new java.io.File(s"$root/bucket-0/$out")))
+      rm(new java.io.File(tmp))
+    }
+    def kvRows(rows: Seq[(Long, Long)], kind: Int) =
+      rows.toDF("id", "v").select(col("id").as("_KEY_id"),
+        lit(2L).as("_SEQUENCE_NUMBER"),
+        lit(kind).cast("tinyint").as("_VALUE_KIND"),
+        col("id"), col("v"))
+    writeKv(kvRows(Seq((1L, 3L), (2L, 6L)), 1)
+      .unionByName(kvRows(Seq((1L, 100L), (2L, 100L)), 2))
+      .unionByName(kvRows(Seq((0L, 0L)), 3)), "changelog-3.parquet")
+    def writeAvro(d: org.apache.spark.sql.DataFrame, rel: String): Unit = {
+      val tmp = s"$root/_tmpavro"
+      d.coalesce(1).write.mode("overwrite").format(avroFmt).save(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.startsWith("part-")).get
+      assert(part.renameTo(new java.io.File(s"$root/$rel")))
+      rm(new java.io.File(tmp))
+    }
+    writeAvro(Seq((0, "changelog-3.parquet")).toDF("_KIND", "_fn")
+      .select(col("_KIND"), lit(0).as("_BUCKET"),
+        struct(col("_fn").as("_FILE_NAME")).as("_FILE")),
+      "manifest/m-cl3.avro")
+    writeAvro(Seq("m-cl3.avro").toDF("_FILE_NAME"),
+      "manifest/ml-cl3.avro")
+    Files.writeString(Paths.get(root, "snapshot", "snapshot-3"),
+      """{"version":3,"id":3,"schemaId":0,
+        |"baseManifestList":"ml-kv1.avro",
+        |"deltaManifestList":"ml-empty.avro",
+        |"changelogManifestList":"ml-cl3.avro",
+        |"commitKind":"COMPACT","commitUser":"t","commitIdentifier":3,
+        |"timeMillis":0}""".stripMargin)
+    Files.writeString(Paths.get(root, "snapshot", "LATEST"), "3")
+    val cl3 = PaimonLite.readChangelog(spark, root, 3L)
+      .select("id", "v", "_row_kind").as[(Long, Long, String)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(cl3 == Seq((0L, 0L, "-D"), (1L, 3L, "-U"), (1L, 100L, "+U"),
+      (2L, 6L, "-U"), (2L, 100L, "+U")))
+    // a producer that materializes NOTHING still refuses by name
+    val rootN = pkFixture("pknone")
+    val eN = intercept[IllegalStateException] {
+      PaimonLite.readChangelog(spark, rootN, 2L)
+    }
+    assert(eN.getMessage.contains("lookup"))
+  }
+
   test("changelog read refuses a snapshot without a changelog; a " +
     "COMPACT snapshot is an EMPTY changelog, not a refusal") {
     val root = pkFixture("pkcl")
@@ -637,6 +735,132 @@ class PaimonSpec extends AnyFunSuite {
     assert(got.count() == 0L)
     assert(got.columns.toSeq ==
       Seq("id", "v", "_row_kind"))
+  }
+
+  test("randomized maintenance model check: append/compact/expire " +
+    "sequences stay model-equal — travel serves retained snapshots, " +
+    "expired ones refuse, tagged files survive — across seeds") {
+    import spark.implicits._
+    for (seed <- Seq(47, 613, 882)) {
+      val rnd = new scala.util.Random(seed)
+      val root = s"/tmp/graft_paimonspec/maint$seed"
+      rm(new java.io.File(root))
+      for (d <- Seq("snapshot", "schema", "manifest", "bucket-0", "tag"))
+        Files.createDirectories(Paths.get(root, d))
+      Files.writeString(Paths.get(root, "schema", "schema-0"),
+        """{"id":0,"fields":[
+          | {"id":0,"name":"id","type":"BIGINT"},
+          | {"id":1,"name":"v","type":"BIGINT"}],
+          |"highestFieldId":1,"partitionKeys":[],"primaryKeys":[],
+          |"options":{"file.format":"parquet"}}""".stripMargin)
+      def writeAvro(d: org.apache.spark.sql.DataFrame, rel: String): Unit = {
+        val tmp = s"$root/_tmpavro"
+        d.coalesce(1).write.mode("overwrite").format(avroFmt).save(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.startsWith("part-")).get
+        assert(part.renameTo(new java.io.File(s"$root/$rel")))
+        rm(new java.io.File(tmp))
+      }
+      writeAvro(Seq.empty[String].toDF("_FILE_NAME"),
+        "manifest/ml-empty.avro")
+      // model: rows per snapshot id (cumulative appends; a COMPACT
+      // snapshot repeats its predecessor's rows), live = newest
+      var perSnap = Map.empty[Long, Set[(Long, Long)]]
+      var expired = Set.empty[Long]
+      var tagged = Map.empty[String, Long]
+      var manifests = Seq.empty[String] // live data manifests, in order
+      var snapId = 0L
+      var nextKey = 0L
+      def publish(base: Seq[String], delta: Seq[String],
+                  kind: String): Unit = {
+        val bs = s"ml-base-$snapId.avro"
+        val ds = s"ml-delta-$snapId.avro"
+        writeAvro(if (base.isEmpty) Seq.empty[String].toDF("_FILE_NAME")
+          else base.toDF("_FILE_NAME"), s"manifest/$bs")
+        writeAvro(if (delta.isEmpty) Seq.empty[String].toDF("_FILE_NAME")
+          else delta.toDF("_FILE_NAME"), s"manifest/$ds")
+        Files.writeString(Paths.get(root, "snapshot", s"snapshot-$snapId"),
+          s"""{"version":3,"id":$snapId,"schemaId":0,
+             |"baseManifestList":"$bs","deltaManifestList":"$ds",
+             |"commitKind":"$kind","commitUser":"t",
+             |"commitIdentifier":$snapId,"timeMillis":0}""".stripMargin)
+        Files.writeString(Paths.get(root, "snapshot", "LATEST"),
+          snapId.toString)
+      }
+      def check(): Unit = {
+        for ((id, rows) <- perSnap) {
+          if (expired(id))
+            intercept[Exception] {
+              PaimonLite.read(spark, root, Some(id)).collect()
+            }
+          else
+            assert(PaimonLite.read(spark, root, Some(id))
+              .as[(Long, Long)].collect().toSet == rows,
+              s"seed $seed snapshot $id")
+        }
+        for ((tag, id) <- tagged)
+          assert(PaimonLite.read(spark, root, tag = Some(tag))
+            .as[(Long, Long)].collect().toSet == perSnap(id),
+            s"seed $seed tag $tag")
+      }
+      val nOps = 6 + rnd.nextInt(4)
+      for (_ <- 1 to nOps) {
+        val op =
+          if (snapId == 0L) "append"
+          else Seq("append", "append", "compact", "expire",
+            "tag")(rnd.nextInt(5))
+        op match {
+          case "append" =>
+            snapId += 1
+            val n = 2 + rnd.nextInt(4)
+            val rows = (nextKey until nextKey + n).map(k => (k, k * 7))
+            nextKey += 100
+            val fn = s"f$snapId.parquet"
+            val tmp = s"$root/_tmp"
+            rows.toDF("id", "v").coalesce(1)
+              .write.mode("overwrite").parquet(tmp)
+            val pf = new java.io.File(tmp).listFiles()
+              .find(f => f.getName.endsWith(".parquet") &&
+                !f.getName.startsWith(".")).get
+            assert(pf.renameTo(new java.io.File(s"$root/bucket-0/$fn")))
+            rm(new java.io.File(tmp))
+            val mf = s"m$snapId.avro"
+            writeAvro(Seq((0, fn)).toDF("_KIND", "_fn")
+              .select(col("_KIND"), lit(0).as("_BUCKET"),
+                struct(col("_fn").as("_FILE_NAME")).as("_FILE")),
+              s"manifest/$mf")
+            publish(manifests, Seq(mf), "APPEND")
+            manifests = manifests :+ mf
+            perSnap += snapId ->
+              (perSnap.getOrElse(snapId - 1, Set.empty) ++ rows)
+          case "compact" =>
+            val prev = perSnap(snapId)
+            snapId += 1
+            assert(PaimonLite.compact(spark, root) == snapId)
+            // the replay now serves the packed manifest; track it
+            manifests = Seq(s"m-compact-$snapId.avro")
+            perSnap += snapId -> prev
+            // a COMPACT snapshot's delta is empty to the stream
+            assert(PaimonLite.deltaAdds(spark, root, snapId).isEmpty)
+          case "expire" =>
+            val keep = 1 + rnd.nextInt(2)
+            val ids = perSnap.keySet -- expired
+            val dropped = PaimonLite.expireSnapshots(spark, root, keep)
+            val wantDropped = ids.toSeq.sorted.dropRight(keep)
+            assert(dropped.sorted == wantDropped.sorted,
+              s"seed $seed: dropped $dropped want $wantDropped")
+            expired ++= dropped
+          case "tag" =>
+            val name = s"t$snapId"
+            if (!tagged.contains(name)) {
+              Files.copy(Paths.get(root, "snapshot", s"snapshot-$snapId"),
+                Paths.get(root, "tag", s"tag-$name"))
+              tagged += name -> snapId
+            }
+        }
+        check()
+      }
+    }
   }
 
   test("randomized model check: every merge engine equals its " +
@@ -936,7 +1160,8 @@ class PaimonSpec extends AnyFunSuite {
     * the DEFAULT (null) partition ids 5..7, and p=`a:b` (needs path
     * escaping → `p=a%3Ab/`) ids 8..9. Data files carry only (id, v);
     * partition values ride the manifest's _PARTITION BinaryRows. */
-  private def partFixture(name: String): String = {
+  private def partFixture(name: String,
+                          withNull: Boolean = true): String = {
     import graft.sources.BinaryRowCodec
     import org.apache.spark.sql.types.StringType
     val root = s"/tmp/graft_paimonspec/$name"
@@ -956,7 +1181,8 @@ class PaimonSpec extends AnyFunSuite {
       rm(new java.io.File(tmp))
     }
     one(col("id") < 5, "a")
-    one(col("id") >= 5 && col("id") < 8, "__DEFAULT_PARTITION__")
+    one(col("id") >= 5 && col("id") < 8,
+      if (withNull) "__DEFAULT_PARTITION__" else "b")
     one(col("id") >= 8, "a%3Ab")
     def writeAvro(d: org.apache.spark.sql.DataFrame, rel: String): Unit = {
       val tmp = s"$root/_tmpavro"
@@ -967,8 +1193,9 @@ class PaimonSpec extends AnyFunSuite {
       rm(new java.io.File(tmp))
     }
     import spark.implicits._
-    writeAvro(Seq[Any]("a", null, "a:b").map(v => (0, "data.parquet",
-      BinaryRowCodec.encode(Seq(v), Seq(StringType))))
+    writeAvro(Seq[Any]("a", if (withNull) null else "b", "a:b")
+      .map(v => (0, "data.parquet",
+        BinaryRowCodec.encode(Seq(v), Seq(StringType))))
       .toDF("_KIND", "_fn", "_PARTITION")
       .select(col("_KIND"), col("_PARTITION"), lit(0).as("_BUCKET"),
         struct(col("_fn").as("_FILE_NAME")).as("_FILE")),
