@@ -1972,6 +1972,38 @@ object Storage extends QueryModule {
       manifests.unionByName(entries).orderBy(col("surface"), col("k"))
     },
 
+    // ONE maintenance vocabulary across the four formats: compact
+    // through the dispatcher, then EXPIRE where the format's reclaim
+    // axis is snapshot-grain (Iceberg/Paimon) and RECLAIM where it is
+    // file-grain (Delta VACUUM / Hudi CLEAN). The census reads every
+    // table after its maintenance plus the op's own count — a
+    // dispatcher that routed an op to the wrong format surface (or a
+    // maintenance op that touched live data) shifts a row.
+    "q489_graft_lake_maintenance" -> { (s, dir) =>
+      import graft.sources.GraftLake
+      val tables = Seq(
+        "delta" -> authorDeltaCompactTable(s, dir),
+        "iceberg" -> authorIcebergCompactTable(s, dir),
+        "hudi" -> authorHudiClusterTable(s, dir),
+        "paimon" -> authorPaimonCompactTable(s, dir))
+      tables.foreach { case (_, r) => GraftLake.compact(s, r): Unit }
+      val maint = tables.map { case (fmt, r) =>
+        val n = fmt match {
+          case "delta" | "hudi" => GraftLake.reclaim(s, r).size.toLong
+          case _                => GraftLake.expire(s, r).size.toLong
+        }
+        (fmt, n)
+      }
+      import s.implicits._
+      val reads = tables.map { case (fmt, r) =>
+        GraftLake.read(s, r).agg(count(lit(1)).as("n"))
+          .select(lit(fmt).as("fmt"), lit("read").as("k"), col("n"))
+      }.reduce(_ unionByName _)
+      reads.unionByName(maint.toDF("fmt", "n")
+        .select(col("fmt"), lit("maint").as("k"), col("n")))
+        .orderBy(col("fmt"), col("k"))
+    },
+
     // Hudi WRITTEN CDC (RFC-51 cdcStats + CDC_DATA_BLOCK): commit 002
     // rewrote EVERY key — half with unchanged values. The written
     // changelog records updates for all of them; a file diff sees
@@ -8474,6 +8506,31 @@ object Storage extends QueryModule {
         |    CAST((SELECT count(*) FROM src) AS DOUBLE))
         |SELECT surface, k, n, v FROM rows_
         |ORDER BY surface, k""".stripMargin,
+    // post-maintenance reads: delta = A(q<=25)∪B live rows with 3
+    // files vacuumed (a, b, the DV); iceberg = the q472 live set with
+    // its ONE pre-compaction snapshot expired; hudi = the clustered
+    // %10<2 rows with 3 superseded bases cleaned; paimon = %10<2
+    // orders with snapshots 1-2 expired
+    "q489_graft_lake_maintenance" ->
+      """WITH rows_ AS (
+        |  SELECT 'delta' AS fmt, 'read' AS k,
+        |    (SELECT count(*) FROM lineitem
+        |     WHERE (l_orderkey % 10 = 0 AND NOT l_quantity > 25)
+        |        OR l_orderkey % 10 = 1) AS n
+        |  UNION ALL SELECT 'delta', 'maint', CAST(3 AS BIGINT)
+        |  UNION ALL SELECT 'iceberg', 'read',
+        |    (SELECT count(*) FROM lineitem
+        |     WHERE ((l_orderkey % 10 = 0 AND NOT l_quantity > 35)
+        |         OR l_orderkey % 10 = 1) AND l_returnflag <> 'R')
+        |  UNION ALL SELECT 'iceberg', 'maint', CAST(1 AS BIGINT)
+        |  UNION ALL SELECT 'hudi', 'read',
+        |    (SELECT count(*) FROM lineitem WHERE l_orderkey % 10 < 2)
+        |  UNION ALL SELECT 'hudi', 'maint', CAST(3 AS BIGINT)
+        |  UNION ALL SELECT 'paimon', 'read',
+        |    (SELECT count(*) FROM orders WHERE o_orderkey % 10 < 2)
+        |  UNION ALL SELECT 'paimon', 'maint', CAST(2 AS BIGINT))
+        |SELECT fmt, k, n FROM rows_
+        |ORDER BY fmt, k""".stripMargin,
     // the WRITTEN CDC records an update for EVERY %10<2 key — the
     // unchanged %10=0 half included, which a file diff cannot see
     "q488_hudi_cdc_exact" ->

@@ -229,9 +229,50 @@ object GraftLake {
         DeltaLogLite.compact(spark, tableDir, numFiles).toString
       case Iceberg =>
         IcebergLite.compact(spark, tableDir, numFiles).toString
-      case Hudi => HudiCowLite.cluster(spark, tableDir, numFiles)
+      case Hudi =>
+        // MOR clustering materializes the merged view (logs fold into
+        // fresh base files); COW packs base files — each table type's
+        // own op
+        if (isMorTable(spark, tableDir))
+          HudiMorLite.cluster(spark, tableDir, numFiles)
+        else HudiCowLite.cluster(spark, tableDir, numFiles)
       case Paimon =>
         PaimonLite.compact(spark, tableDir, numFiles).toString
+    }
+
+  /** Detect + dispatch SNAPSHOT EXPIRY — the history-retention op:
+    * Iceberg expire-snapshots ([[IcebergLite.expireSnapshots]]) and
+    * Paimon snapshot retention ([[PaimonLite.expireSnapshots]]),
+    * returning the expired ids. Delta and Hudi keep NO snapshot list
+    * to expire — their reclaim axis is file-grain
+    * ([[reclaim]]: VACUUM / CLEAN) — so they refuse naming it rather
+    * than silently no-op. */
+  def expire(spark: SparkSession, tableDir: String,
+             keepLast: Int = 1): Seq[Long] =
+    detect(spark, tableDir) match {
+      case Iceberg =>
+        IcebergLite.expireSnapshots(spark, tableDir, keepLast)
+      case Paimon =>
+        PaimonLite.expireSnapshots(spark, tableDir, keepLast)
+      case f => throw new IllegalArgumentException(
+        s"$tableDir: ${f.name} has no snapshot-expiry op — its " +
+          "reclaim axis is file-grain; use GraftLake.reclaim " +
+          "(Delta VACUUM / Hudi CLEAN)")
+    }
+
+  /** Detect + dispatch FILE RECLAIM — the dead-file deletion op:
+    * Delta VACUUM ([[DeltaLogLite.vacuum]]) and Hudi CLEAN
+    * ([[HudiCowLite.clean]]), returning the deleted paths. Iceberg
+    * and Paimon reclaim THROUGH snapshot expiry (orphan deletion is
+    * part of [[expire]]) — they refuse pointing there rather than
+    * silently no-op. */
+  def reclaim(spark: SparkSession, tableDir: String): Seq[String] =
+    detect(spark, tableDir) match {
+      case Delta => DeltaLogLite.vacuum(spark, tableDir)
+      case Hudi  => HudiCowLite.clean(spark, tableDir)
+      case f => throw new IllegalArgumentException(
+        s"$tableDir: ${f.name} reclaims files through snapshot " +
+          "expiry — use GraftLake.expire")
     }
 
   /** The graftstream SOURCE format serving this table's layout — the

@@ -264,4 +264,44 @@ class GraftLakeSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("no snapshot"))
   }
+
+  test("maintenance dispatch: expire is snapshot-grain (Iceberg/" +
+    "Paimon), reclaim is file-grain (Delta/Hudi); the wrong axis " +
+    "refuses naming the right one; MOR compact routes to the merged " +
+    "clustering") {
+    // wrong-axis refusals name the correct entry point
+    val delta = fresh("mntd", "_delta_log")
+    val eD = intercept[IllegalArgumentException] {
+      GraftLake.expire(spark, delta)
+    }
+    assert(eD.getMessage.contains("GraftLake.reclaim"))
+    val ice = fresh("mnti", "metadata")
+    Files.writeString(
+      Paths.get(ice, "metadata", "version-hint.text"), "1")
+    val eI = intercept[IllegalArgumentException] {
+      GraftLake.reclaim(spark, ice)
+    }
+    assert(eI.getMessage.contains("GraftLake.expire"))
+    val hudi = fresh("mnth", ".hoodie")
+    intercept[IllegalArgumentException] {
+      GraftLake.expire(spark, hudi)
+    }
+    val paimon = fresh("mntp", "snapshot", "schema")
+    intercept[IllegalArgumentException] {
+      GraftLake.reclaim(spark, paimon)
+    }
+    // a MOR table's compact dispatches to HudiMorLite.cluster — the
+    // empty MOR fixture fails inside the MOR snapshot resolver (no
+    // completed commits), proving the routing (the COW path would
+    // refuse the table TYPE instead)
+    Files.writeString(
+      Paths.get(hudi, ".hoodie", "hoodie.properties"),
+      "hoodie.table.type=MERGE_ON_READ\n")
+    val eM = intercept[IllegalStateException] {
+      GraftLake.compact(spark, hudi)
+    }
+    assert(!eM.getMessage.contains("COPY_ON_WRITE") &&
+      !eM.getMessage.contains("MERGE_ON_READ"),
+      s"MOR compact should route to HudiMorLite: ${eM.getMessage}")
+  }
 }

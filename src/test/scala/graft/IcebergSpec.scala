@@ -983,6 +983,25 @@ class IcebergSpec extends AnyFunSuite {
       .as[(String, Long, Long)].collect().sorted.toSeq
     assert(partsMeta == Seq(("""{"p":"x"}""", 10L, 1L),
       ("""{"p":"y"}""", 10L, 1L)))
+    // expiry × partitioned metadata: dropping the pre-compaction
+    // snapshot deletes only its orphans; the partitions metadata
+    // table still serves the live per-partition stats and expired
+    // travel refuses
+    assert(IcebergLite.expireSnapshots(spark, root2, keepLast = 1)
+      == Seq(1L))
+    assert(IcebergLite.metadataTable(spark, root2, "partitions")
+      .as[(String, Long, Long)].collect().sorted.toSeq ==
+      Seq(("""{"p":"x"}""", 10L, 1L), ("""{"p":"y"}""", 10L, 1L)))
+    assert(IcebergLite.read(spark, root2)
+      .as[(Long, String)].collect().sorted.toSeq == beforeP)
+    intercept[IllegalArgumentException] {
+      IcebergLite.snapshot(spark, root2, Some(1L))
+    }
+    // the pre-compaction partition files are reclaimed, the packed
+    // per-partition files survive
+    assert(!Files.exists(Paths.get(root2, "data", "g0.parquet")))
+    assert(Files.exists(Paths.get(root2, "data", "p=x",
+      "compact-2_0.parquet")))
     // a NON-identity transform refuses loudly
     val metaP = Files.readString(
       Paths.get(root2, "metadata", "v2.metadata.json"))
