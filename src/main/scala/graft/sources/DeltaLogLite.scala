@@ -1482,16 +1482,17 @@ object DeltaLogLite {
     * never deleted — a clone's vacuum must not reach into its source
     * table. Returns the deleted paths.
     *
-    * CHECKPOINTED tables vacuum too: the checkpoint parquet carries
-    * the pre-checkpoint state as add rows PLUS expired `remove`
+    * CHECKPOINTED tables vacuum too: the checkpoint carries the
+    * pre-checkpoint state as add rows PLUS expired `remove`
     * tombstones (the protocol keeps them in checkpoints for exactly
     * this reclaim bookkeeping), so the ever-referenced set is the
     * checkpoint's add+remove paths plus whatever surviving JSON
-    * commits reference. Classic single/multi-part checkpoint names
-    * only — a v2 UUID-manifest checkpoint refuses loudly (its
-    * tombstones ride sidecars, outside lite vacuum scope).
-    * Single-writer scope; bounded log-grain work + O(deleted) FS
-    * ops. */
+    * commits reference. Both checkpoint layouts serve: the classic
+    * single/multi-part parquet names AND the v2 UUID-named manifest,
+    * whose file actions (tombstones included) ride its sidecars — a
+    * named sidecar that is MISSING refuses (vacuuming without its
+    * tombstones would strand files silently). Single-writer scope;
+    * bounded log-grain work + O(deleted) FS ops. */
   def vacuum(spark: SparkSession, tableDir: String): Seq[String] = {
     val logDir = new Path(tableDir, "_delta_log")
     val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1499,43 +1500,114 @@ object DeltaLogLite {
       s"$tableDir has no _delta_log directory")
     // every file any add/remove action ever referenced (data + DV):
     // seed from the checkpoint's add + remove-tombstone rows when one
-    // exists, then layer every surviving JSON commit on top
+    // exists — classic parquet names OR the v2 UUID manifest + its
+    // sidecars (the file actions ride the sidecars there) — then
+    // layer every surviving JSON commit on top
     val referenced = scala.collection.mutable.LinkedHashSet.empty[String]
     lastCheckpoint(fs, logDir, tableDir).foreach { case (v, parts) =>
+      def absorbRefs(df: DataFrame): Unit = {
+        val dvT = "struct<storageType:string,pathOrInlineDv:string," +
+          "offset:bigint,sizeInBytes:int,cardinality:bigint>"
+        for (side <- Seq("add", "remove") if df.columns.contains(side)) {
+          val hasDv = df.schema.find(_.name == side).map(_.dataType)
+            .exists {
+              case s: StructType => s.fieldNames.contains("deletionVector")
+              case _             => false
+            }
+          val dvCol = if (hasDv) col(s"$side.deletionVector").cast(dvT)
+                      else lit(null).cast(dvT)
+          df.select(col(s"$side.path"), dvCol)
+            .where(col(s"$side.path").isNotNull).collect()
+            .foreach { r =>
+              referenced += resolveAddPath(tableDir, r.getString(0))
+              Option(r.getStruct(1)).foreach { d =>
+                val dv = DvDescriptor(d.getString(0), d.getString(1),
+                  Option(d.get(2)).map(_.asInstanceOf[Long])
+                    .getOrElse(1L),
+                  d.getInt(3), d.getLong(4))
+                if (dv.storageType != "i")
+                  referenced += dvFilePath(tableDir, dv)
+              }
+            }
+        }
+      }
       val names = parts match {
         case Some(n) => (1 to n).map(i =>
           f"$v%020d.checkpoint.$i%010d.$n%010d.parquet")
         case None => Seq(f"$v%020d.checkpoint.parquet")
       }
       val paths = names.map(n => s"$tableDir/_delta_log/$n")
-      if (!paths.forall(p => fs.exists(new Path(p))))
-        throw new IllegalStateException(
-          s"$tableDir: checkpoint $v lacks the classic parquet names " +
-            s"(${names.mkString(", ")}) — v2 UUID-manifest checkpoints " +
-            "keep their tombstones in sidecars; vacuum there is " +
-            "outside lite scope")
-      val df = spark.read.parquet(paths: _*)
-      val dvT = "struct<storageType:string,pathOrInlineDv:string," +
-        "offset:bigint,sizeInBytes:int,cardinality:bigint>"
-      for (side <- Seq("add", "remove") if df.columns.contains(side)) {
-        val hasDv = df.schema.find(_.name == side).map(_.dataType).exists {
-          case s: StructType => s.fieldNames.contains("deletionVector")
-          case _             => false
-        }
-        val dvCol = if (hasDv) col(s"$side.deletionVector").cast(dvT)
-                    else lit(null).cast(dvT)
-        df.select(col(s"$side.path"), dvCol)
-          .where(col(s"$side.path").isNotNull).collect()
-          .foreach { r =>
-            referenced += resolveAddPath(tableDir, r.getString(0))
-            Option(r.getStruct(1)).foreach { d =>
-              val dv = DvDescriptor(d.getString(0), d.getString(1),
-                Option(d.get(2)).map(_.asInstanceOf[Long]).getOrElse(1L),
-                d.getInt(3), d.getLong(4))
-              if (dv.storageType != "i")
-                referenced += dvFilePath(tableDir, dv)
+      if (paths.forall(p => fs.exists(new Path(p))))
+        absorbRefs(spark.read.parquet(paths: _*))
+      else {
+        if (parts.exists(_ => paths.exists(p => fs.exists(new Path(p)))))
+          throw new IllegalStateException(
+            s"$tableDir: multi-part checkpoint $v is missing parts " +
+              s"(expected ${names.mkString(", ")})")
+        val manifest = v2Manifest(fs, tableDir, v).getOrElse(
+          throw new IllegalStateException(
+            s"$tableDir: checkpoint $v unreadable — neither the " +
+              s"classic names (${names.mkString(", ")}) nor a v2 " +
+              "UUID-named manifest exist"))
+        var sidecars = Vector.empty[String]
+        if (manifest.getName.endsWith(".json")) {
+          val in = fs.open(manifest)
+          val text = try scala.io.Source
+            .fromInputStream(in, "UTF-8").mkString finally in.close()
+          for (line <- text.linesIterator if line.trim.nonEmpty) {
+            val action = try JsonMethods.parse(line)
+              catch { case e: Exception =>
+                throw new IllegalStateException(
+                  s"$manifest: malformed action JSON (${e.getMessage})")
+              }
+            (action \ "sidecar" \ "path").extractOpt[String]
+              .foreach(p => sidecars :+= p)
+            for (side <- Seq("add", "remove")) (action \ side) match {
+              case JNothing =>
+              case a =>
+                (a \ "path").extractOpt[String].foreach(raw =>
+                  referenced += resolveAddPath(tableDir, raw))
+                parseDvJson(a \ "deletionVector")
+                  .filter(_.storageType != "i")
+                  .foreach(dv => referenced += dvFilePath(tableDir, dv))
             }
           }
+        } else {
+          val df = spark.read.parquet(manifest.toString)
+          absorbRefs(df)
+          if (df.columns.contains("sidecar"))
+            sidecars = df.select(col("sidecar.path"))
+              .where(col("sidecar.path").isNotNull)
+              .collect().map(_.getString(0)).toVector
+        }
+        // sidecar resolution mirrors the snapshot path; a MISSING
+        // sidecar refuses — vacuuming without its tombstones would
+        // under-build the referenced set and strand files silently
+        val sidecarPaths = sidecars.map { raw =>
+          val uri = try new java.net.URI(raw)
+            catch { case e: java.net.URISyntaxException =>
+              throw new IllegalStateException(
+                s"$tableDir: undecodable sidecar path $raw " +
+                  s"(${e.getMessage})")
+            }
+          Option(uri.getScheme).filter(_ != "file").foreach { s =>
+            throw new IllegalStateException(
+              s"$tableDir: sidecar $raw has unsupported scheme " +
+                s"'$s://' — only file:// and relative names are in " +
+                "scope")
+          }
+          val decoded = uri.getPath
+          val abs =
+            if (decoded.startsWith("/")) decoded
+            else s"$tableDir/_delta_log/_sidecars/$decoded"
+          if (!fs.exists(new Path(abs))) throw new IllegalStateException(
+            s"$tableDir: v2 checkpoint $v names sidecar $raw but " +
+              s"$abs does not exist — vacuuming without it would " +
+              "strand its files")
+          abs
+        }
+        if (sidecarPaths.nonEmpty)
+          absorbRefs(spark.read.parquet(sidecarPaths: _*))
       }
     }
     val commits = fs.listStatus(logDir).toSeq.map(_.getPath)

@@ -1475,16 +1475,143 @@ class DeltaLogSpec extends AnyFunSuite {
     intercept[Exception] {
       DeltaLogLite.read(spark, root, versionAsOf = Some(1L)).collect()
     }
-    // a checkpoint without its classic parquet names refuses loudly
+    // a V2 UUID-manifest checkpoint vacuums too: the sidecar carries
+    // the add + remove tombstone, and a named-but-missing sidecar
+    // refuses
     val root2 = "/tmp/graft_deltaspec/vacuumckptv2"
     rm(new java.io.File(root2))
-    Files.createDirectories(Paths.get(root2, "_delta_log"))
+    Files.createDirectories(Paths.get(root2, "_delta_log", "_sidecars"))
+    def one2(filter: org.apache.spark.sql.Column, out: String): Unit = {
+      val tmp = s"$root2/_tmp"
+      df.filter(filter).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith(".")).get
+      assert(part.renameTo(new java.io.File(s"$root2/$out")))
+      rm(new java.io.File(tmp))
+    }
+    one2(col("id") < 5, "f0.parquet")
+    one2(col("id") >= 5 && col("id") < 10, "f1.parquet")
+    one2(col("id") >= 10, "f2.parquet")
+    val sideFrame = spark.range(1).select(
+        struct(lit("f1.parquet").as("path"),
+          map().cast("map<string,string>").as("partitionValues"))
+          .as("add"),
+        lit(null).cast(removeT).as("remove"))
+      .unionByName(spark.range(1).select(
+        lit(null).cast(addT).as("add"),
+        struct(lit("f0.parquet").as("path")).as("remove")))
+    val tmpS = s"$root2/_tmpside"
+    sideFrame.coalesce(1).write.mode("overwrite").parquet(tmpS)
+    val side = new java.io.File(tmpS).listFiles()
+      .find(f => f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith(".")).get
+    assert(side.renameTo(new java.io.File(
+      s"$root2/_delta_log/_sidecars/s1.parquet")))
+    rm(new java.io.File(tmpS))
+    Files.writeString(Paths.get(root2, "_delta_log",
+      f"${1L}%020d.checkpoint.aa11bb.json"),
+      Seq(
+        """{"checkpointMetadata":{"version":1}}""",
+        s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":${jstr(schema)},"partitionColumns":[],"configuration":{},"createdTime":0}}""",
+        """{"sidecar":{"path":"s1.parquet"}}""")
+        .mkString("", "\n", "\n"))
     Files.writeString(Paths.get(root2, "_delta_log", "_last_checkpoint"),
-      """{"version":3}""")
+      """{"version":1}""")
+    commit(root2, 2,
+      """{"remove":{"path":"f1.parquet","deletionTimestamp":0,"dataChange":true}}""",
+      """{"add":{"path":"f2.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""")
+    val deleted2 = DeltaLogLite.vacuum(spark, root2)
+    assert(deleted2.map(_.split('/').last).sorted ==
+      Seq("f0.parquet", "f1.parquet"), s"deleted: $deleted2")
+    assert(DeltaLogLite.read(spark, root2)
+      .as[(Long, Long)].collect().sorted.toSeq ==
+      (10L to 14L).map(i => (i, i * 2)))
+    // a named-but-missing sidecar refuses
+    Files.delete(Paths.get(root2, "_delta_log", "_sidecars",
+      "s1.parquet"))
     val e = intercept[IllegalStateException] {
       DeltaLogLite.vacuum(spark, root2)
     }
-    assert(e.getMessage.contains("classic parquet names"))
+    assert(e.getMessage.contains("sidecar"))
+  }
+
+  test("randomized PARTITIONED maintenance model check: per-partition " +
+    "packing preserves the read with one file and re-stamped values " +
+    "per partition, the CDF stays silent, vacuum reclaims exactly the " +
+    "superseded files, across seeds") {
+    import spark.implicits._
+    for (seed <- Seq(11, 402, 737)) {
+      val rnd = new scala.util.Random(seed)
+      val root = s"/tmp/graft_deltaspec/partmaint$seed"
+      def rm(p: java.io.File): Unit = {
+        if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+        p.delete(): Unit
+      }
+      rm(new java.io.File(root))
+      Files.createDirectories(Paths.get(root, "_delta_log"))
+      val partitions = (0 until (2 + rnd.nextInt(2))).map(i => s"p$i")
+      val schemaP = spark.range(0, 1)
+        .select(col("id"), lit("x").as("part")).schema.json
+      var model = Map.empty[String, Set[Long]].withDefaultValue(Set.empty)
+      var nextKey = 0L
+      var nFiles = 0
+      var v = -1L
+      def writeFile(rows: Seq[Long], rel: String): Unit = {
+        val tmp = s"$root/_tmp"
+        rows.toDF("id").coalesce(1)
+          .write.mode("overwrite").parquet(tmp)
+        val f = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.endsWith(".parquet") &&
+            !f.getName.startsWith(".")).get
+        Files.createDirectories(Paths.get(s"$root/$rel").getParent)
+        assert(f.renameTo(new java.io.File(s"$root/$rel")))
+        rm(new java.io.File(tmp))
+      }
+      // commits: each adds 1-2 files to random partitions
+      val nCommits = 2 + rnd.nextInt(3)
+      for (_ <- 0 until nCommits) {
+        v += 1
+        val adds = (0 until (1 + rnd.nextInt(2))).map { _ =>
+          val part = partitions(rnd.nextInt(partitions.size))
+          val n = 2 + rnd.nextInt(3)
+          val rows = (nextKey until nextKey + n).toSeq
+          nextKey += 100
+          val rel = s"$part/f$nFiles.parquet"
+          nFiles += 1
+          writeFile(rows, rel)
+          model += part -> (model(part) ++ rows)
+          s"""{"add":{"path":${jstr(rel)},"partitionValues":{"part":${
+            jstr(part)}},"size":1,"modificationTime":0,"dataChange":true}}"""
+        }
+        val lines =
+          if (v == 0L)
+            s"""{"metaData":{"id":"pm$seed","format":{"provider":"parquet","options":{}},"schemaString":${
+              jstr(schemaP)},"partitionColumns":["part"],"configuration":{"delta.enableChangeDataFeed":"true"},"createdTime":0}}""" +: adds
+          else adds
+        commit(root, v, lines: _*)
+      }
+      def read(): Map[String, Set[Long]] =
+        DeltaLogLite.read(spark, root).as[(Long, String)].collect()
+          .groupBy(_._2).map { case (p, rs) => p -> rs.map(_._1).toSet }
+      assert(read() == model.filter(_._2.nonEmpty), s"seed $seed pre")
+      val cv = DeltaLogLite.compact(spark, root)
+      assert(read() == model.filter(_._2.nonEmpty),
+        s"seed $seed post-compact")
+      val snap = DeltaLogLite.snapshot(spark, root)
+      val byPart = snap.files.groupBy(
+        _.partitionValues.getOrElse("part", ""))
+      assert(byPart.keySet == model.filter(_._2.nonEmpty).keySet &&
+        byPart.forall(_._2.size == 1), s"seed $seed: $byPart")
+      assert(DeltaLogLite.readChanges(spark, root, cv, cv).count() == 0L)
+      val deleted = DeltaLogLite.vacuum(spark, root)
+      assert(deleted.size == nFiles, s"seed $seed: $deleted")
+      assert(read() == model.filter(_._2.nonEmpty),
+        s"seed $seed post-vacuum")
+      intercept[Exception] {
+        DeltaLogLite.read(spark, root, versionAsOf = Some(0L)).collect()
+      }
+    }
   }
 
   test("randomized maintenance model check: reads stay model-equal " +
