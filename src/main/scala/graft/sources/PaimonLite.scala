@@ -1518,13 +1518,21 @@ object PaimonLite {
     * an expired NUMBERED id then refuses through [[snapshot]]'s own
     * missing-file gate. Returns the expired ids.
     *
-    * Loud refusal: an expired snapshot that carries a
-    * changelogManifestList — changelog retention is its own knob
-    * (changelog.num-retained); expiring under it silently truncates
-    * the change feed, so refuse instead. Bounded metadata work plus
+    * CHANGELOGS: by default an expired snapshot that carries a
+    * changelogManifestList refuses — changelog retention is its own
+    * knob (changelog.num-retained), and expiring under it silently
+    * truncates the change feed. `dropChangelogs=true` opts into
+    * expiring the changelog WITH the snapshot (the format's behavior
+    * when no separate changelog retention is configured): the
+    * expired snapshot's changelog manifests AND data files — located
+    * exactly as the changelog reader would, partition dirs included —
+    * become orphan candidates, while retained/tagged snapshots'
+    * changelogs always survive. Reading the expired changelog then
+    * refuses through the snapshot gate. Bounded metadata work plus
     * O(orphans) deletes; single-writer scope. */
   def expireSnapshots(spark: SparkSession, tableDir: String,
-                      keepLast: Int = 1): Seq[Long] = {
+                      keepLast: Int = 1,
+                      dropChangelogs: Boolean = false): Seq[Long] = {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
     val snapDir = new Path(tableDir, "snapshot")
     val fs = snapDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1535,8 +1543,69 @@ object PaimonLite {
         n.stripPrefix("snapshot-").toLong }.sorted
     if (ids.size <= keepLast) return Nil
     val (expired, retained) = ids.splitAt(ids.size - keepLast)
-    // paths one snapshot document references: its two manifest lists,
-    // their manifests, and the data files
+    // the changelog DATA files a snapshot's changelogManifestList
+    // names (built exactly like the changelog reader's paths) — they
+    // live outside the base/delta replay, so expiry must account for
+    // them explicitly
+    def changelogFiles(json: JValue): Set[String] =
+      (json \ "changelogManifestList").extractOpt[String] match {
+        case None => Set.empty
+        case Some(l) =>
+          val schemaId = (json \ "schemaId").extractOpt[Long]
+            .getOrElse(0L)
+          val sf = new Path(tableDir, s"schema/schema-$schemaId")
+          val sjson = JsonMethods.parse(readText(fs, sf))
+          val partitionKeys = (sjson \ "partitionKeys") match {
+            case JArray(ks) => ks.map(_.extract[String])
+            case _          => Nil
+          }
+          val defaultName =
+            (sjson \ "options" \ "partition.default-name")
+              .extractOpt[String].getOrElse("__DEFAULT_PARTITION__")
+          val partTypes: Seq[DataType] = partitionKeys.map { k =>
+            (sjson \ "fields") match {
+              case JArray(fls) =>
+                fls.find(f =>
+                  (f \ "name").extractOpt[String].contains(k)) match {
+                  case Some(f) => (f \ "type") match {
+                    case JString(t) => paimonType(t, sf.toString)._1
+                    case _ => throw new IllegalStateException(
+                      s"$sf: partition key $k has a non-primitive type")
+                  }
+                  case None => throw new IllegalStateException(
+                    s"$sf: partition key $k is not a schema field")
+                }
+              case _ => throw new IllegalStateException(
+                s"$sf: schema has no fields array")
+            }
+          }
+          val lp = new Path(tableDir, s"manifest/$l")
+          if (!fs.exists(lp)) Set.empty
+          else spark.read.format(AvroFmt).load(lp.toString).collect()
+            .map(_.getAs[String]("_FILE_NAME")).toSet
+            .flatMap { (mf: String) =>
+              val mp = new Path(tableDir, s"manifest/$mf")
+              if (!fs.exists(mp)) Set.empty[String]
+              else spark.read.format(AvroFmt).load(mp.toString)
+                .collect().map { r =>
+                  val bucket = r.getAs[Number]("_BUCKET").intValue()
+                  val name = r.getAs[org.apache.spark.sql.Row]("_FILE")
+                    .getAs[String]("_FILE_NAME")
+                  val part: Seq[Any] =
+                    if (partitionKeys.isEmpty) Nil
+                    else BinaryRowCodec.decode(
+                      r.getAs[Array[Byte]]("_PARTITION"), partTypes,
+                      mp.toString)
+                  val partDirs = partitionKeys.zip(part)
+                    .map { case (k, v) =>
+                      s"$k=${partPathValue(v, defaultName)}/"
+                    }.mkString
+                  s"$tableDir/$partDirs" + s"bucket-$bucket/$name"
+                }.toSet
+            }
+      }
+    // paths one snapshot document references: its manifest lists,
+    // their manifests, the data files, and its changelog files
     def pathsOf(id: Option[Long], tag: Option[String]): Set[String] = {
       val json = JsonMethods.parse(readText(fs,
         id.map(i => new Path(snapDir, s"snapshot-$i"))
@@ -1544,12 +1613,13 @@ object PaimonLite {
       val lists = Seq("baseManifestList", "deltaManifestList",
         "changelogManifestList").flatMap(k =>
         (json \ k).extractOpt[String])
-      if (id.exists(expired.contains) &&
+      if (!dropChangelogs && id.exists(expired.contains) &&
         (json \ "changelogManifestList").extractOpt[String].nonEmpty)
         throw new IllegalStateException(
           s"$tableDir: snapshot ${id.get} carries a changelog — " +
             "changelog retention is its own knob " +
-            "(changelog.num-retained); refusing to expire under it")
+            "(changelog.num-retained); pass dropChangelogs=true to " +
+            "expire the changelog with the snapshot")
       val manifests = lists.flatMap { l =>
         val p = new Path(tableDir, s"manifest/$l")
         if (!fs.exists(p)) Nil
@@ -1560,7 +1630,7 @@ object PaimonLite {
         snapshotId = id, tag = tag).files.map(_.path)
       (lists.map(l => s"$tableDir/manifest/$l") ++
         manifests.map(m => s"$tableDir/manifest/$m") ++
-        dataFiles).toSet
+        dataFiles ++ changelogFiles(json)).toSet
     }
     val tagNames: Seq[String] = {
       val tagDir = new Path(tableDir, "tag")

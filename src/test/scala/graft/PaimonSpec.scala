@@ -712,6 +712,86 @@ class PaimonSpec extends AnyFunSuite {
     assert(eN.getMessage.contains("lookup"))
   }
 
+  test("expiry × changelogs: the default refuses an expired " +
+    "changelog-carrying snapshot; dropChangelogs=true expires its " +
+    "changelog files with it while retained changelogs survive") {
+    import spark.implicits._
+    val root = pkFixture("clexpire",
+      options = """{"changelog-producer":"input"}""")
+    def writeKv(df: org.apache.spark.sql.DataFrame, out: String): Unit = {
+      val tmp = s"$root/_tmp"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith(".")).get
+      assert(part.renameTo(new java.io.File(s"$root/bucket-0/$out")))
+      rm(new java.io.File(tmp))
+    }
+    def writeAvro(d: org.apache.spark.sql.DataFrame, rel: String): Unit = {
+      val tmp = s"$root/_tmpavro"
+      d.coalesce(1).write.mode("overwrite").format(avroFmt).save(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.startsWith("part-")).get
+      assert(part.renameTo(new java.io.File(s"$root/$rel")))
+      rm(new java.io.File(tmp))
+    }
+    def clFile(rows: Seq[(Long, Long)], out: String): Unit =
+      writeKv(rows.toDF("id", "v").select(col("id").as("_KEY_id"),
+        lit(2L).as("_SEQUENCE_NUMBER"),
+        lit(2).cast("tinyint").as("_VALUE_KIND"), col("id"), col("v")),
+        out)
+    def manifest(rel: String, fn: String): Unit =
+      writeAvro(Seq((0, fn)).toDF("_KIND", "_fn")
+        .select(col("_KIND"), lit(0).as("_BUCKET"),
+          struct(col("_fn").as("_FILE_NAME")).as("_FILE")), rel)
+    def mlist(rel: String, names: String*): Unit =
+      writeAvro(names.toDF("_FILE_NAME"), rel)
+    // snapshot 2 gains an input changelog; snapshot 3 (same state)
+    // carries its own
+    clFile(Seq((1L, 100L), (2L, 100L)), "changelog-2.parquet")
+    clFile(Seq((3L, 9L)), "changelog-3.parquet")
+    manifest("manifest/m-cl2.avro", "changelog-2.parquet")
+    manifest("manifest/m-cl3.avro", "changelog-3.parquet")
+    mlist("manifest/ml-cl2.avro", "m-cl2.avro")
+    mlist("manifest/ml-cl3.avro", "m-cl3.avro")
+    mlist("manifest/ml-all.avro", "m-kv0.avro", "m-kv1.avro")
+    Files.writeString(Paths.get(root, "snapshot", "snapshot-2"),
+      """{"version":3,"id":2,"schemaId":0,
+        |"baseManifestList":"ml-kv0.avro",
+        |"deltaManifestList":"ml-kv1.avro",
+        |"changelogManifestList":"ml-cl2.avro",
+        |"commitKind":"APPEND","commitUser":"t","commitIdentifier":2,
+        |"timeMillis":0}""".stripMargin)
+    Files.writeString(Paths.get(root, "snapshot", "snapshot-3"),
+      """{"version":3,"id":3,"schemaId":0,
+        |"baseManifestList":"ml-all.avro",
+        |"deltaManifestList":"ml-empty.avro",
+        |"changelogManifestList":"ml-cl3.avro",
+        |"commitKind":"APPEND","commitUser":"t","commitIdentifier":3,
+        |"timeMillis":0}""".stripMargin)
+    Files.writeString(Paths.get(root, "snapshot", "LATEST"), "3")
+    // default: refuse (snapshot 2 would lose its changelog silently)
+    val e = intercept[IllegalStateException] {
+      PaimonLite.expireSnapshots(spark, root, keepLast = 1)
+    }
+    assert(e.getMessage.contains("dropChangelogs"))
+    // opted in: snapshots 1-2 expire WITH snapshot 2's changelog;
+    // snapshot 3's changelog and the live read survive
+    assert(PaimonLite.expireSnapshots(spark, root, keepLast = 1,
+      dropChangelogs = true) == Seq(1L, 2L))
+    assert(!Files.exists(
+      Paths.get(root, "bucket-0", "changelog-2.parquet")))
+    assert(Files.exists(
+      Paths.get(root, "bucket-0", "changelog-3.parquet")))
+    assert(PaimonLite.readChangelog(spark, root, 3L).count() == 1L)
+    assert(PaimonLite.read(spark, root)
+      .as[(Long, Long)].collect().sorted.toSeq ==
+      Seq((1L, 100L), (2L, 100L), (3L, 9L), (4L, 12L)))
+    intercept[Exception] {
+      PaimonLite.readChangelog(spark, root, 2L)
+    }
+  }
+
   test("changelog read refuses a snapshot without a changelog; a " +
     "COMPACT snapshot is an EMPTY changelog, not a refusal") {
     val root = pkFixture("pkcl")
