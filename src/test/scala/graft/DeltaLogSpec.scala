@@ -1370,22 +1370,30 @@ class DeltaLogSpec extends AnyFunSuite {
     oneAt(dfP.filter(col("id") >= 15), "p=y/f3.parquet")
     val schemaP = spark.range(0, 1)
       .select(col("id"), lit("x").as("p")).schema.json
-    commit(root2, 0,
+    // a deletion vector on p=x/f0 (ordinals 1, 3 = ids 1, 3): the
+    // per-partition rewrite must materialize it away
+    val sizeP = writeDvFile(s"$root2/dvp.bin", Seq((0, Seq(1, 3))))
+    val dvP =
+      s"""{"storageType":"p","pathOrInlineDv":${jstr(s"$root2/dvp.bin")},"offset":1,"sizeInBytes":$sizeP,"cardinality":2}"""
+    commit(root2, 0, protocol(3, "deletionVectors"),
       s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":${jstr(schemaP)},"partitionColumns":["p"],"configuration":{"delta.enableChangeDataFeed":"true"},"createdTime":0}}""",
-      """{"add":{"path":"p=x/f0.parquet","partitionValues":{"p":"x"},"size":1,"modificationTime":0,"dataChange":true}}""",
+      s"""{"add":{"path":"p=x/f0.parquet","partitionValues":{"p":"x"},"size":1,"modificationTime":0,"dataChange":true,"deletionVector":$dvP}}""",
       """{"add":{"path":"p=x/f1.parquet","partitionValues":{"p":"x"},"size":1,"modificationTime":0,"dataChange":true}}""",
       """{"add":{"path":"p=y/f2.parquet","partitionValues":{"p":"y"},"size":1,"modificationTime":0,"dataChange":true}}""",
       """{"add":{"path":"p=y/f3.parquet","partitionValues":{"p":"y"},"size":1,"modificationTime":0,"dataChange":true}}""")
     val beforeP = DeltaLogLite.read(spark, root2)
       .as[(Long, String)].collect().sorted.toSeq
-    assert(beforeP.size == 20)
+    assert(beforeP.size == 18 && !beforeP.exists(r =>
+      r._1 == 1L || r._1 == 3L))
     val vP = DeltaLogLite.compact(spark, root2)
     assert(vP == 1L)
     assert(DeltaLogLite.read(spark, root2)
       .as[(Long, String)].collect().sorted.toSeq == beforeP)
     val snapP = DeltaLogLite.snapshot(spark, root2)
-    // one file per partition, values re-stamped, real sizes
+    // one file per partition, values re-stamped, real sizes, the
+    // vector materialized away
     assert(snapP.files.size == 2)
+    assert(snapP.files.forall(_.deletionVector.isEmpty))
     assert(snapP.files.map(_.partitionValues).toSet ==
       Set(Map("p" -> "x"), Map("p" -> "y")))
     snapP.files.foreach { f =>
@@ -1475,6 +1483,13 @@ class DeltaLogSpec extends AnyFunSuite {
     intercept[Exception] {
       DeltaLogLite.read(spark, root, versionAsOf = Some(1L)).collect()
     }
+    // compaction composes with the checkpoint: the rewrite reads the
+    // checkpoint-resolved snapshot and commits the next version
+    assert(DeltaLogLite.compact(spark, root) == 3L)
+    assert(DeltaLogLite.read(spark, root)
+      .as[(Long, Long)].collect().sorted.toSeq ==
+      (10L to 14L).map(i => (i, i * 2)))
+    assert(DeltaLogLite.snapshot(spark, root).files.size == 1)
     // a V2 UUID-manifest checkpoint vacuums too: the sidecar carries
     // the add + remove tombstone, and a named-but-missing sidecar
     // refuses
