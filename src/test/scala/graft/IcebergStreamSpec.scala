@@ -175,9 +175,13 @@ class IcebergStreamSpec extends AnyFunSuite {
             "summary" -> JObject("operation" -> JString("append")))))
         case ("current-snapshot-id", _) => ("current-snapshot-id", JInt(4))
       }
-      Files.writeString(Paths.get(root, "metadata", "v4.metadata.json"),
+      // ATOMIC publishes — the stream's poll thread reads these
+      // concurrently; a plain writeString can expose a truncated hint
+      // (one full-suite flake read an EMPTY hint → "v.metadata.json")
+      graft.sources.AtomicFiles.write(
+        Paths.get(root, "metadata", "v4.metadata.json"),
         JsonMethods.compact(JsonMethods.render(v4)))
-      Files.writeString(
+      graft.sources.AtomicFiles.write(
         Paths.get(root, "metadata", "version-hint.text"), "4")
       q.processAllAvailable()
     } finally q.stop()
