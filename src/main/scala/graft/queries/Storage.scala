@@ -1960,7 +1960,7 @@ object Storage extends QueryModule {
       val manifests = IcebergLite.metadataTable(s, root, "manifests")
         .groupBy(col("content"))
         .agg(count(lit(1)).as("n"),
-          sum(col("added_files_count")).cast(DoubleType).as("v"))
+          sum(col("added_data_files_count")).cast(DoubleType).as("v"))
         .select(lit("manifests").as("surface"),
           col("content").cast(StringType).as("k"), col("n"), col("v"))
       val entries = IcebergLite.metadataTable(s, root, "entries")
@@ -2002,6 +2002,98 @@ object Storage extends QueryModule {
       reads.unionByName(maint.toDF("fmt", "n")
         .select(col("fmt"), lit("maint").as("k"), col("n")))
         .orderBy(col("fmt"), col("k"))
+    },
+
+    // Delta ROW-LEVEL DELETE (the deletion-vector write path): one
+    // distributed predicate scan grows a per-file DV executor-side;
+    // the read excludes the dead rows and the CDF reports EXACTLY
+    // them. A delete that silently dropped/kept extra rows shifts the
+    // read census; one that mis-attributed changes shifts the cdf.
+    "q490_delta_delete" -> { (s, dir) =>
+      import graft.sources.DeltaLogLite
+      val root = authorDeltaDeleteTable(s, dir)
+      val v = DeltaLogLite.delete(s, root, col("l_quantity") > 25)
+      val read = DeltaLogLite.read(s, root)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_qty"))
+        .select(lit("read").as("surface"),
+          col("l_returnflag").as("k"), col("n"), col("sum_qty"))
+      val cdf = DeltaLogLite.readChanges(s, root, v, v)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_qty"))
+        .select(lit("cdf").as("surface"),
+          col("l_returnflag").as("k"), col("n"), col("sum_qty"))
+      import s.implicits._
+      val files = Seq(
+        ("files", "live",
+          DeltaLogLite.snapshot(s, root).files.size.toLong))
+        .toDF("surface", "k", "n")
+        .withColumn("sum_qty", lit(null).cast(DoubleType))
+      read.unionByName(cdf).unionByName(files)
+        .orderBy(col("surface"), col("k"))
+    },
+
+    // Hudi UPSERT with the WRITTEN CDC (writeCdc=true): touched
+    // groups rewrite by record key (updated rows stamp the new
+    // instant, survivors keep theirs), NEW keys land in a fresh
+    // group, and readChanges serves the update images from the
+    // written RFC-51 changelog plus the new group's inferred inserts.
+    "q491_hudi_upsert" -> { (s, dir) =>
+      import graft.sources.HudiCowLite
+      val root = authorHudiUpsertTable(s, dir)
+      val src = Tables.df(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      val updates = src.filter(col("o_orderkey") % 10 === 1)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .unionByName(src.filter(col("o_orderkey") % 10 === 2))
+        .withColumn("_hoodie_record_key",
+          col("o_orderkey").cast(StringType))
+      HudiCowLite.upsert(s, root, updates, writeCdc = true): Unit
+      val read = HudiCowLite.read(s, root)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_price"))
+        .select(lit("read").as("surface"),
+          col("o_orderstatus").as("k"), col("n"), col("sum_price"))
+      val cdc = HudiCowLite.readChanges(s, root, "001")
+        .groupBy(col("_change_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_price"))
+        .select(lit("cdc").as("surface"),
+          col("_change_type").as("k"), col("n"), col("sum_price"))
+      read.unionByName(cdc).orderBy(col("surface"), col("k"))
+    },
+
+    // Paimon PRIMARY-KEY full compaction: the LSM merge (deduplicate
+    // engine — %10∈(3,4) upserted ×2 at seq 2, %10=0 deleted) folds
+    // into ONE +I file in bucket-0 with re-stamped winning sequences;
+    // the read is unchanged and pre-compaction snapshots still
+    // travel. A compaction that dropped a live key, resurrected the
+    // deleted one, or collapsed the merge wrong shifts the census.
+    "q492_paimon_pk_compact" -> { (s, dir) =>
+      import graft.sources.PaimonLite
+      val root = authorPaimonPkCompactTable(s, dir)
+      PaimonLite.compact(s, root): Unit
+      val read = PaimonLite.read(s, root)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_price"))
+        .select(lit("read").as("surface"),
+          col("o_orderstatus").as("k"), col("n"), col("sum_price"))
+      import s.implicits._
+      val files = Seq(("files", "live",
+        PaimonLite.snapshot(s, root).files.size.toLong))
+        .toDF("surface", "k", "n")
+        .withColumn("sum_price", lit(null).cast(DoubleType))
+      read.unionByName(files).orderBy(col("surface"), col("k"))
     },
 
     // Hudi WRITTEN CDC (RFC-51 cdcStats + CDC_DATA_BLOCK): commit 002
@@ -4914,6 +5006,84 @@ object Storage extends QueryModule {
     * l_quantity>25 via a deletion vector (remove + re-add). NOT
     * memoized — the query appends a compaction commit, so each
     * invocation rebuilds for determinism. */
+  /** Authors the unpartitioned two-file Delta table q490 DELETES
+    * from (lineitem %10<2 split by orderkey parity, CDF on). NOT
+    * memoized — the query commits a delete. */
+  private def authorDeltaDeleteTable(s: SparkSession,
+                                     dir: String): String = {
+    import java.nio.file.{Files, Paths}
+    val root =
+      s"/tmp/graft_delta/rowdel_${Integer.toHexString(dir.hashCode)}"
+    def rm(p: java.io.File): Unit = {
+      if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+      p.delete(): Unit
+    }
+    rm(new java.io.File(root))
+    Files.createDirectories(Paths.get(root, "_delta_log"))
+    Files.createDirectories(Paths.get(root, "data"))
+    val src = Tables.df(s, dir, "lineitem")
+      .filter(col("l_orderkey") % 10 < 2)
+      .select(col("l_orderkey"), col("l_quantity"),
+        col("l_returnflag"))
+    def writeOne(df: DataFrame, rel: String): Unit = {
+      val tmp = s"$root/_tmp"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith(".")).get
+      assert(part.renameTo(new java.io.File(s"$root/$rel")))
+      rm(new java.io.File(tmp))
+    }
+    writeOne(src.filter(col("l_orderkey") % 2 === 0), "data/a.parquet")
+    writeOne(src.filter(col("l_orderkey") % 2 === 1), "data/b.parquet")
+    val metaData =
+      s"""{"metaData":{"id":"graft-q490","format":{"provider":"parquet","options":{}},"schemaString":${jstr(src.schema.json)},"partitionColumns":[],"configuration":{"delta.enableChangeDataFeed":"true"},"createdTime":0}}"""
+    Files.writeString(Paths.get(root, "_delta_log", f"${0L}%020d.json"),
+      Seq(metaData,
+        """{"add":{"path":"data/a.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""",
+        """{"add":{"path":"data/b.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""")
+        .mkString("", "\n", "\n"))
+    root
+  }
+
+  /** Authors the two-group Hudi COW orders table q491 UPSERTS into
+    * (gA = %10=0, gB = %10=1 at instant 001). NOT memoized — the
+    * query commits an upsert. */
+  private def authorHudiUpsertTable(s: SparkSession,
+                                    dir: String): String = {
+    import java.nio.file.{Files, Paths}
+    val root =
+      s"/tmp/graft_hudi/upsert_${Integer.toHexString(dir.hashCode)}"
+    def rm(p: java.io.File): Unit = {
+      if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+      p.delete(): Unit
+    }
+    rm(new java.io.File(root))
+    Files.createDirectories(Paths.get(root, ".hoodie"))
+    Files.writeString(Paths.get(root, ".hoodie", "hoodie.properties"),
+      "hoodie.table.name=orders\nhoodie.table.type=COPY_ON_WRITE\n")
+    val src = Tables.df(s, dir, "orders")
+      .select(lit("001").as("_hoodie_commit_time"),
+        col("o_orderkey").cast(StringType).as("_hoodie_record_key"),
+        col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    def writeOne(df: DataFrame, rel: String): Unit = {
+      val tmp = s"$root/_tmp"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith(".")).get
+      assert(part.renameTo(new java.io.File(s"$root/$rel")))
+      rm(new java.io.File(tmp))
+    }
+    writeOne(src.filter(col("o_orderkey") % 10 === 0),
+      "gA_0-0_001.parquet")
+    writeOne(src.filter(col("o_orderkey") % 10 === 1),
+      "gB_0-0_001.parquet")
+    Files.writeString(Paths.get(root, ".hoodie", "001.commit"),
+      s"""{"partitionToWriteStats":{"":[{"fileId":"gA","path":"gA_0-0_001.parquet","numWrites":1},{"fileId":"gB","path":"gB_0-0_001.parquet","numWrites":1}]}}""")
+    root
+  }
+
   private def authorDeltaCompactTable(s: SparkSession,
                                       dir: String): String = {
     import java.nio.file.{Files, Paths}
@@ -6422,11 +6592,25 @@ object Storage extends QueryModule {
     * KIND, not by null-ness. Memoized per sf-dir. */
   private def authorPaimonPkTable(s: SparkSession, dir: String): String =
     paimonPkMemo.synchronized {
-      paimonPkMemo.getOrElseUpdate(dir, {
+      paimonPkMemo.getOrElseUpdate(dir,
+        buildPaimonPkTable(s, dir,
+          s"/tmp/graft_paimon/pk_${Integer.toHexString(dir.hashCode)}"))
+    }
+
+  /** The PK-table q492 FULL-COMPACTS: same content as
+    * [[authorPaimonPkTable]] but NOT memoized (the query appends a
+    * COMPACT snapshot) and under its own root. */
+  private def authorPaimonPkCompactTable(s: SparkSession,
+                                         dir: String): String =
+    buildPaimonPkTable(s, dir,
+      s"/tmp/graft_paimon/pkcompact_${Integer.toHexString(dir.hashCode)}")
+
+  private def buildPaimonPkTable(s: SparkSession, dir: String,
+                                 root: String): String = {
+    locally {
+      locally {
         import java.nio.file.{Files, Paths}
         val avroFmt = "org.apache.spark.sql.avro.AvroFileFormat"
-        val root =
-          s"/tmp/graft_paimon/pk_${Integer.toHexString(dir.hashCode)}"
         def rm(p: java.io.File): Unit = {
           if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
           p.delete(): Unit
@@ -6512,8 +6696,9 @@ object Storage extends QueryModule {
           snapJson(2, "ml-ins.avro", "ml-ups.avro", Some("ml-cl.avro")))
         Files.writeString(Paths.get(root, "snapshot", "LATEST"), "2")
         root
-      })
+      }
     }
+  }
 
   /** Authors the PK table q468 streams the CHANGELOG of. Same content
     * as [[authorPaimonPkTable]] (snapshot 1 inserts %10<5, snapshot 2
@@ -8531,6 +8716,67 @@ object Storage extends QueryModule {
         |  UNION ALL SELECT 'paimon', 'maint', CAST(2 AS BIGINT))
         |SELECT fmt, k, n FROM rows_
         |ORDER BY fmt, k""".stripMargin,
+    // row-level delete: the read loses exactly the q>25 rows, the
+    // CDF reports exactly them, both files stay live (DV-carrying)
+    "q490_delta_delete" ->
+      """WITH src AS (
+        |  SELECT l_returnflag, l_quantity FROM lineitem
+        |  WHERE l_orderkey % 10 < 2),
+        |rows_ AS (
+        |  SELECT 'read' AS surface, l_returnflag AS k, count(*) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS sum_qty
+        |  FROM src WHERE NOT l_quantity > 25 GROUP BY l_returnflag
+        |  UNION ALL
+        |  SELECT 'cdf', l_returnflag, count(*),
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |  FROM src WHERE l_quantity > 25 GROUP BY l_returnflag
+        |  UNION ALL
+        |  SELECT 'files', 'live', 2, CAST(NULL AS DOUBLE))
+        |SELECT surface, k, n, sum_qty FROM rows_
+        |ORDER BY surface, k""".stripMargin,
+    // upsert: %10=1 doubled (update images in the WRITTEN CDC),
+    // %10=2 inserted as a new group, %10=0 carried untouched
+    "q491_hudi_upsert" ->
+      """WITH upd AS (
+        |  SELECT o_totalprice FROM orders WHERE o_orderkey % 10 = 1),
+        |ins AS (
+        |  SELECT o_totalprice FROM orders WHERE o_orderkey % 10 = 2),
+        |rows_ AS (
+        |  SELECT 'read' AS surface, o_orderstatus AS k, count(*) AS n,
+        |    CAST(sum(CAST(CASE WHEN o_orderkey % 10 = 1
+        |      THEN o_totalprice * 2 ELSE o_totalprice END
+        |      AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |  FROM orders WHERE o_orderkey % 10 < 3 GROUP BY o_orderstatus
+        |  UNION ALL
+        |  SELECT 'cdc', 'insert', count(*),
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |  FROM ins
+        |  UNION ALL
+        |  SELECT 'cdc', 'update_preimage', count(*),
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |  FROM upd
+        |  UNION ALL
+        |  SELECT 'cdc', 'update_postimage', count(*),
+        |    CAST(sum(CAST(o_totalprice * 2 AS DECIMAL(18,2)))
+        |      AS DOUBLE)
+        |  FROM upd)
+        |SELECT surface, k, n, sum_price FROM rows_
+        |ORDER BY surface, k""".stripMargin,
+    // PK full compaction: the merged state (%10∈(1..4) live, (3,4)
+    // doubled, 0 deleted) lands in ONE bucket-0 file
+    "q492_paimon_pk_compact" ->
+      """WITH rows_ AS (
+        |  SELECT 'read' AS surface, o_orderstatus AS k, count(*) AS n,
+        |    CAST(sum(CAST(CASE WHEN o_orderkey % 10 IN (3, 4)
+        |      THEN o_totalprice * 2 ELSE o_totalprice END
+        |      AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |  FROM orders WHERE o_orderkey % 10 IN (1, 2, 3, 4)
+        |  GROUP BY o_orderstatus
+        |  UNION ALL
+        |  SELECT 'files', 'live', 1, CAST(NULL AS DOUBLE))
+        |SELECT surface, k, n, sum_price FROM rows_
+        |ORDER BY surface, k""".stripMargin,
     // the WRITTEN CDC records an update for EVERY %10<2 key — the
     // unchanged %10=0 half included, which a file diff cannot see
     "q488_hudi_cdc_exact" ->

@@ -17,6 +17,43 @@ import java.nio.file.{Files, Path, StandardCopyOption}
   *    writer's commit instead of failing loudly.)
   */
 object AtomicFiles {
+
+  /** Scheme-aware publication for table roots that may be qualified
+    * URIs (file:/…, hdfs://…): local filesystems route through the
+    * strict link(2) no-replace guard below; remote filesystems write
+    * a sibling temp file and publish via the FS's own rename —
+    * no-replace there is an exists-check plus HDFS's
+    * no-overwrite-on-rename contract (single-writer scope, like every
+    * maintenance writer using this). java.nio would treat
+    * "file:/a/b" as a RELATIVE path named "file:" and silently write
+    * outside the table. */
+  def write(fs: org.apache.hadoop.fs.FileSystem,
+            path: org.apache.hadoop.fs.Path, text: String,
+            replace: Boolean): Unit = {
+    val qualified = fs.makeQualified(path)
+    if (qualified.toUri.getScheme == "file")
+      write(java.nio.file.Paths.get(qualified.toUri.getPath), text,
+        replace)
+    else {
+      val tmp = new org.apache.hadoop.fs.Path(qualified.getParent,
+        s".${qualified.getName}.${java.util.UUID.randomUUID()}.tmp")
+      val out = fs.create(tmp, false)
+      try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      if (!replace && fs.exists(qualified)) {
+        fs.delete(tmp, false)
+        throw new java.nio.file.FileAlreadyExistsException(
+          qualified.toString)
+      }
+      if (replace && fs.exists(qualified)) fs.delete(qualified, false)
+      if (!fs.rename(tmp, qualified)) {
+        fs.delete(tmp, false)
+        throw new IllegalStateException(
+          s"AtomicFiles: could not publish $qualified")
+      }
+    }
+  }
+
   def write(path: Path, text: String, replace: Boolean = true): Unit = {
     val tmp = path.resolveSibling(
       s".${path.getFileName}.${java.util.UUID.randomUUID()}.tmp")

@@ -142,7 +142,9 @@ object DeltaLogLite {
                             partitionColumns: Seq[String], files: Seq[AddFile],
                             physicalNames: Map[String, String] = Map.empty,
                             configuration: Map[String, String] = Map.empty,
-                            fieldIds: Map[String, Long] = Map.empty)
+                            fieldIds: Map[String, Long] = Map.empty,
+                            minReaderVersion: Int = 1,
+                            readerFeatures: Set[String] = Set.empty)
 
   private final case class Protocol(minReaderVersion: Int,
                                     readerFeatures: Set[String])
@@ -592,7 +594,9 @@ object DeltaLogLite {
     protocol.foreach(gateProtocol(tableDir, _))
     val (phys, ids) = columnMapping(tableDir, sch, conf)
     Snapshot(wanted.lastOption.map(_._1).getOrElse(base), sch, partCols,
-      live.values.toSeq, phys, conf, ids)
+      live.values.toSeq, phys, conf, ids,
+      protocol.map(_.minReaderVersion).getOrElse(1),
+      protocol.map(_.readerFeatures).getOrElse(Set.empty))
   }
 
   /** Resolve `timestampAsOf` to a version: the LATEST commit whose
@@ -1054,6 +1058,41 @@ object DeltaLogLite {
     out.array()
   }
 
+  /** Encode bytes as RFC-1924 base85 (inverse of [[base85Decode]]):
+    * every 4 bytes are one big-endian 32-bit group rendered as 5
+    * alphabet chars — the spelling Delta uses for deletion-vector
+    * UUIDs in `u`-storage descriptors. */
+  private[graft] def base85Encode(bytes: Array[Byte]): String = {
+    if (bytes.length % 4 != 0) throw new IllegalStateException(
+      s"DeltaLogLite: base85 payload length ${bytes.length} is not a " +
+        "multiple of 4")
+    val sb = new StringBuilder(bytes.length / 4 * 5)
+    var i = 0
+    while (i < bytes.length) {
+      var acc = ((bytes(i) & 0xffL) << 24) | ((bytes(i + 1) & 0xffL) << 16) |
+        ((bytes(i + 2) & 0xffL) << 8) | (bytes(i + 3) & 0xffL)
+      val group = new Array[Char](5)
+      var j = 4
+      while (j >= 0) {
+        group(j) = base85Alphabet((acc % 85).toInt); acc /= 85; j -= 1
+      }
+      sb.appendAll(group)
+      i += 4
+    }
+    sb.toString
+  }
+
+  /** File-identity JOIN form: the decoded "/"-rooted spelling
+    * [[MetaPaths.decoded]] produces on the scan side. A
+    * file:-qualified tableDir would otherwise key descriptors as
+    * `file:/…` against a scan side spelled `/…` — the anti-join
+    * would miss and silently resurrect deleted rows. Join keys ONLY;
+    * filesystem operations keep the original spelling (stripping a
+    * scheme there would misroute on a cluster whose DEFAULT fs is
+    * remote). */
+  private def joinForm(p: String): String =
+    p.replaceFirst("^file:/+", "/")
+
   /** Resolve a FILE-BACKED DV descriptor to the absolute path of its
     * `.bin` file. `u`: the LAST 20 chars of pathOrInlineDv are the
     * base85 UUID, any leading chars are the random directory prefix;
@@ -1175,7 +1214,7 @@ object DeltaLogLite {
     val descriptors: Seq[(String, String, Long, Int, Long, Array[Byte])] =
       files.flatMap { f =>
         f.deletionVector.map { dv =>
-          val dataPath = resolveAddPath(tableDir, f.path)
+          val dataPath = joinForm(resolveAddPath(tableDir, f.path))
           if (dv.storageType == "i") {
             val decoded = base85Decode(dv.pathOrInlineDv)
             // base85 pads to 4-byte groups; sizeInBytes names the
@@ -1376,6 +1415,26 @@ object DeltaLogLite {
     if (snap.files.isEmpty) throw new IllegalStateException(
       s"$tableDir: nothing to compact (no live files)")
     val partCols = snap.partitionColumns
+    // bounded partition source types, same set the Iceberg path
+    // gates: timestamp/decimal/binary values can round-trip through
+    // Spark's Hive-escaped directory rendering with a DIFFERENT
+    // string form than the original log (e.g. '2020-01-01 00:00:00'
+    // vs the writer's), silently changing the log's partition
+    // encoding for external readers
+    partCols.foreach { c =>
+      snap.schema(c).dataType match {
+        case org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.StringType |
+             org.apache.spark.sql.types.DateType |
+             org.apache.spark.sql.types.BooleanType => ()
+        case dt => throw new IllegalStateException(
+          s"$tableDir: partition column $c has type ${dt.simpleString} " +
+            "— directory-name round-tripping beyond " +
+            "int/long/string/date/boolean is outside lite compaction " +
+            "scope")
+      }
+    }
     snap.files.foreach { f =>
       partCols.foreach { c =>
         if (f.partitionValues.getOrElse(c, null) == null)
@@ -1398,11 +1457,17 @@ object DeltaLogLite {
     val tmp = new Path(tableDir, "_tmp_compact")
     val live = readFiles(spark, tableDir, snap.schema, partCols,
       snap.files, snap.physicalNames, snap.fieldIds)
+    // the bin salt must be DETERMINISTIC under task retries: a
+    // recomputed monotonically_increasing_id after some reducers
+    // already fetched can silently duplicate or drop rows
+    // (SPARK-23207 class) — and this rewrites the user's table. A
+    // content hash recomputes identically on every attempt.
     val packed =
       if (partCols.isEmpty) live.coalesce(numFiles)
       else live
         .withColumn("_graft_bin",
-          pmod(monotonically_increasing_id(), lit(numFiles.toLong)))
+          pmod(xxhash64(live.columns.map(col).toSeq: _*),
+            lit(numFiles.toLong)))
         .repartition((partCols :+ "_graft_bin").map(col): _*)
         .drop("_graft_bin")
     packed.write.mode("overwrite")
@@ -1466,10 +1531,197 @@ object DeltaLogLite {
       s"""{"add":{"path":${jq(uriEncode(rel))},"partitionValues":${
         pvJson(pv)},"size":$size,"modificationTime":0,"dataChange":false}}"""
     }
-    AtomicFiles.write(
-      java.nio.file.Paths.get(tableDir, "_delta_log",
-        f"$version%020d.json"),
+    AtomicFiles.write(fs,
+      new Path(tableDir, f"_delta_log/$version%020d.json"),
       (removes ++ adds).mkString("", "\n", "\n"), replace = false)
+    version
+  }
+
+  /** JSON string literal with control-char escaping — shared by the
+    * write paths' hand-rendered action lines. */
+  private def jsonStr(s: String): String = "\"" + s.flatMap {
+    case '"'          => "\\\""
+    case '\\'         => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c            => c.toString
+  } + "\""
+
+  /** Serialize dead row ordinals into the deletion-vector PAYLOAD
+    * layout [[decodeDvPayload]] reads — [4-byte LE magic][8-byte LE
+    * bitmap count][per bitmap: 4-byte LE key + standard 32-bit
+    * roaring bitmap, keys ascending] — and return (payload,
+    * cardinality). Runs executor-side in [[delete]]'s per-file
+    * groups. */
+  private[graft] def encodeDvPayload(positions: Iterator[Long])
+  : (Array[Byte], Long) = {
+    val byKey = scala.collection.mutable.TreeMap
+      .empty[Int, org.roaringbitmap.RoaringBitmap]
+    var card = 0L
+    positions.foreach { pos =>
+      byKey.getOrElseUpdate((pos >>> 32).toInt,
+        new org.roaringbitmap.RoaringBitmap()).add(pos.toInt)
+      card += 1
+    }
+    val size = 4 + 8 +
+      byKey.valuesIterator.map(4 + _.serializedSizeInBytes()).sum
+    val bb = java.nio.ByteBuffer.allocate(size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(1681511377)
+    bb.putLong(byKey.size.toLong)
+    byKey.foreach { case (k, bmp) => bb.putInt(k); bmp.serialize(bb) }
+    (bb.array(), card)
+  }
+
+  /** Write one deletion-vector `.bin` file under the published
+    * framing — [1-byte version][4-byte BE size][payload][4-byte BE
+    * CRC32] — through the path's OWN Hadoop filesystem
+    * (executor-side; symmetric with [[decodeDvFile]]). */
+  private[graft] def writeDvFile(path: String,
+                                 payload: Array[Byte]): Unit = {
+    val p = new Path(path)
+    val out = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      .create(p, false)
+    try {
+      out.writeByte(1)
+      out.writeInt(payload.length) // big-endian, like the decode's read
+      out.write(payload)
+      val crc = new java.util.zip.CRC32
+      crc.update(payload)
+      out.writeInt(crc.getValue.toInt)
+    } finally out.close()
+  }
+
+  /** ROW-LEVEL DELETE (the protocol's deletion-vector flow — the most
+    * common lakehouse mutation): commit version N+1 in which every
+    * file holding rows matching `condition` is removed and re-added
+    * with a GROWN deletion vector covering (its old dead rows ∪ the
+    * newly matched ones); a file whose rows ALL die is removed
+    * outright (no re-add). Readers then exclude the rows via the
+    * standard DV anti-join; [[readChanges]]'s synthesis emits exactly
+    * the newly-dead rows as CDF deletes (the grown-vector rule), and
+    * a later [[compact]] purges the vectors / [[vacuum]] reclaims the
+    * `.bin` files — the full lifecycle composes. Returns the
+    * committed version (the CURRENT version, with no commit, when
+    * nothing matched — a no-op delete is not a table change).
+    *
+    * Scale shape: ONE distributed scan of the live rows under the
+    * predicate; per-file dead sets serialize to roaring bitmaps and
+    * write their `.bin` files EXECUTOR-side (a billion matched rows
+    * never visit the driver); the driver handles only O(affected
+    * files) descriptors + footer row counts + one JSON append.
+    * Single-writer scope.
+    *
+    * PROTOCOL: when the table does not already declare
+    * deletionVectors, the commit upgrades it (minReaderVersion 3 /
+    * minWriterVersion 7) carrying the snapshot's existing
+    * readerFeatures forward — exactly what enabling DVs on a live
+    * table does. Column-mapped tables ARE served: the predicate binds
+    * to logical columns, the vectors are positional, and the
+    * re-added file is byte-identical. */
+  def delete(spark: SparkSession, tableDir: String,
+             condition: org.apache.spark.sql.Column): Long = {
+    import spark.implicits._
+    val snap = snapshot(spark, tableDir)
+    if (snap.files.isEmpty) throw new IllegalStateException(
+      s"$tableDir: nothing to delete from (no live files)")
+    val fs = new Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val withMeta = readFiles(spark, tableDir, snap.schema,
+      snap.partitionColumns, snap.files, snap.physicalNames,
+      snap.fieldIds, keepMeta = true)
+    val matched = withMeta.filter(condition)
+      .select(col("_dl_path").as("_path"), col("_dl_pos").as("_pos"))
+    // bounded driver work: the affected FILE list, never matched rows
+    val affected = matched.select("_path").distinct()
+      .as[String].collect().sorted
+    if (affected.isEmpty) return snap.version
+    val byKey: Map[String, AddFile] = snap.files
+      .map(f => joinForm(resolveAddPath(tableDir, f.path)) -> f).toMap
+    affected.foreach { p =>
+      if (!byKey.contains(p)) throw new IllegalStateException(
+        s"$tableDir: matched file $p is not in the snapshot — " +
+          "file-identity mismatch")
+    }
+    // full-file detection needs each affected file's TOTAL row count
+    // (parquet footer, O(affected) driver reads)
+    val rowCounts: Map[String, Long] = affected.map { p =>
+      val real = resolveAddPath(tableDir, byKey(p).path)
+      val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new Path(real), spark.sparkContext.hadoopConfiguration))
+      p -> (try footer.getRecordCount finally footer.close())
+    }.toMap
+    // the new vector is the UNION: old dead rows (the scan already
+    // excluded them from `matched`, so the sets are disjoint) plus
+    // the newly matched ones
+    val affectedSet = affected.toSet
+    val withOldDv = snap.files.filter(f => f.deletionVector.nonEmpty &&
+      affectedSet(joinForm(resolveAddPath(tableDir, f.path))))
+    val fullDead =
+      if (withOldDv.isEmpty) matched
+      else matched.union(dvDeleteSet(spark, tableDir, withOldDv)
+        .select(col("_dv_path").as("_path"), col("_dv_pos").as("_pos")))
+    val rcB = spark.sparkContext.broadcast(rowCounts)
+    val tableDirB = tableDir
+    // (join path, b85 uuid | null, sizeInBytes, cardinality): per-file
+    // bitmap build + .bin write run EXECUTOR-side; fully-dead files
+    // return no descriptor (they are removed outright)
+    val results: Seq[(String, String, Int, Long)] = fullDead
+      .as[(String, Long)].groupByKey(_._1)
+      .mapGroups { (path, it) =>
+        val (payload, card) = encodeDvPayload(it.map(_._2))
+        if (card == rcB.value(path)) (path, null: String, 0, card)
+        else {
+          val uuid = java.util.UUID.randomUUID()
+          val ub = java.nio.ByteBuffer.allocate(16)
+          ub.putLong(uuid.getMostSignificantBits)
+          ub.putLong(uuid.getLeastSignificantBits)
+          writeDvFile(s"$tableDirB/deletion_vector_$uuid.bin", payload)
+          (path, base85Encode(ub.array()), payload.length, card)
+        }
+      }.collect().toSeq.sortBy(_._1)
+    def pvJson(pv: Map[String, String]): String =
+      pv.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v)}" }
+        .mkString("{", ",", "}")
+    def dvJson(d: DvDescriptor): String =
+      s"""{"storageType":${jsonStr(d.storageType)},"pathOrInlineDv":${
+        jsonStr(d.pathOrInlineDv)},"offset":${d.offset},"sizeInBytes":${
+        d.sizeInBytes},"cardinality":${d.cardinality}}"""
+    val protocolLine: Option[String] =
+      if (snap.minReaderVersion >= 3 &&
+        snap.readerFeatures.contains("deletionVectors")) None
+      else {
+        val mapped = snap.physicalNames.nonEmpty || snap.fieldIds.nonEmpty
+        val feats = (snap.readerFeatures ++
+          (if (mapped) Set("columnMapping") else Set.empty[String]) +
+          "deletionVectors").toSeq.sorted
+        val arr = feats.map(jsonStr).mkString("[", ",", "]")
+        Some(s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":$arr,"writerFeatures":$arr}}""")
+      }
+    val lines = protocolLine.toSeq ++ results.flatMap {
+      case (path, b85, size, card) =>
+        val f = byKey(path)
+        val remove =
+          s"""{"remove":{"path":${jsonStr(f.path)},"deletionTimestamp":0,"dataChange":true,"partitionValues":${
+            pvJson(f.partitionValues)}""" +
+            f.deletionVector.map(d => s""","deletionVector":${dvJson(d)}""")
+              .getOrElse("") + "}}"
+        if (b85 == null) Seq(remove)
+        else {
+          val real = resolveAddPath(tableDir, f.path)
+          val len = fs.getFileStatus(new Path(real)).getLen
+          val add =
+            s"""{"add":{"path":${jsonStr(f.path)},"partitionValues":${
+              pvJson(f.partitionValues)},"size":$len,"modificationTime":0,"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":${
+              jsonStr(b85)},"offset":1,"sizeInBytes":$size,"cardinality":$card}}}"""
+          Seq(remove, add)
+        }
+    }
+    val version = snap.version + 1
+    AtomicFiles.write(fs,
+      new Path(tableDir, f"_delta_log/$version%020d.json"),
+      lines.mkString("", "\n", "\n"), replace = false)
     version
   }
 
@@ -1637,12 +1889,22 @@ object DeltaLogLite {
         snap.files.flatMap(_.deletionVector)
           .filter(_.storageType != "i")
           .map(dvFilePath(tableDir, _))).toSet
-    val rootPrefix = new java.io.File(tableDir).getCanonicalPath + "/"
+    // delete through the table's OWN Hadoop filesystem (hdfs:// and
+    // object-store roots reclaim exactly like file://; java.io/NIO
+    // would silently reclaim nothing there). Containment rides
+    // QUALIFIED paths; a '..' component can dodge a string-prefix
+    // guard, so it disqualifies outright.
+    val rootQ = fs.makeQualified(new Path(tableDir)).toString + "/"
     val deleted = (referenced -- live).toSeq.sorted.filter { p =>
+      val q = fs.makeQualified(new Path(p))
       // never reach outside the table root (clone sources)
-      new java.io.File(p).getCanonicalPath.startsWith(rootPrefix) && {
-        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p))
-      }
+      q.toString.startsWith(rootQ) &&
+        !q.toUri.getPath.split('/').contains("..") &&
+        fs.exists(q) && {
+          if (!fs.delete(q, false)) throw new IllegalStateException(
+            s"$tableDir: vacuum could not delete $p")
+          true
+        }
     }
     deleted
   }

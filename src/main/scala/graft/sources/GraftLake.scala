@@ -246,14 +246,23 @@ object GraftLake {
     * returning the expired ids. Delta and Hudi keep NO snapshot list
     * to expire — their reclaim axis is file-grain
     * ([[reclaim]]: VACUUM / CLEAN) — so they refuse naming it rather
-    * than silently no-op. */
+    * than silently no-op. `dropChangelogs` is Paimon's
+    * changelog-retention opt-in (expire a changelog-carrying snapshot
+    * WITH its changelog); the other formats have no changelog axis,
+    * so passing it true anywhere else refuses rather than silently
+    * ignoring the ask. */
   def expire(spark: SparkSession, tableDir: String,
-             keepLast: Int = 1): Seq[Long] =
+             keepLast: Int = 1,
+             dropChangelogs: Boolean = false): Seq[Long] =
     detect(spark, tableDir) match {
       case Iceberg =>
+        if (dropChangelogs) throw new IllegalArgumentException(
+          s"$tableDir: dropChangelogs is Paimon's changelog-retention " +
+            "axis — Iceberg snapshots carry no changelog to drop")
         IcebergLite.expireSnapshots(spark, tableDir, keepLast)
       case Paimon =>
-        PaimonLite.expireSnapshots(spark, tableDir, keepLast)
+        PaimonLite.expireSnapshots(spark, tableDir, keepLast,
+          dropChangelogs)
       case f => throw new IllegalArgumentException(
         s"$tableDir: ${f.name} has no snapshot-expiry op — its " +
           "reclaim axis is file-grain; use GraftLake.reclaim " +

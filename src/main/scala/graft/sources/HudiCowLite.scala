@@ -307,18 +307,22 @@ object HudiCowLite {
     * (`hoodie.datasource.query.incremental.format=cdc`). Two paths
     * per commit, the format's own precedence:
     *
-    *  - EXACT: a commit whose write stats carry `cdcStats` (RFC-51 —
-    *    the writer persisted CDC log files with the before/after row
-    *    images) serves the WRITTEN changelog: the files' CDC blocks
-    *    decode executor-side ([[HudiMorLite.decodeCdcFile]]) and the
-    *    JSON images parse under the table schema (FAILFAST). The
-    *    written record is authoritative — a key rewritten with an
-    *    unchanged value is an update HERE but invisible to a diff.
-    *  - INFERRED fallback for cdc-less commits, the op-inference
-    *    variant the format specifies for
-    *    `cdc.supplemental.logging.mode=op_key_only`: COW rewrites a
-    *    whole file per touched file group, so each commit's changes
-    *    ARE the record-key diff between the group's new file and its
+    *  - EXACT: a write stat that carries `cdcStats` (RFC-51 — the
+    *    writer persisted CDC log files with the before/after row
+    *    images) serves ITS FILE GROUP's changes from the WRITTEN
+    *    changelog: the files' CDC blocks decode executor-side
+    *    ([[HudiMorLite.decodeCdcFile]]) and the JSON images parse
+    *    under the table schema (FAILFAST). The written record is
+    *    authoritative — a key rewritten with an unchanged value is an
+    *    update HERE but invisible to a diff. CDC files are PER FILE
+    *    GROUP, so the exact leg covers only the groups that logged
+    *    them.
+    *  - INFERRED for the commit's OTHER touched groups (and wholly
+    *    cdc-less commits) — e.g. insert-only new groups, which write
+    *    no CDC file — the op-inference variant the format specifies
+    *    for `cdc.supplemental.logging.mode=op_key_only`: COW rewrites
+    *    a whole file per touched file group, so each group's changes
+    *    ARE the record-key diff between its new file and its
     *    previous one.
     *
     * Output = data columns (hoodie meta columns
@@ -390,24 +394,35 @@ object HudiCowLite {
     // commits. The written record is authoritative: e.g. a key
     // rewritten with an UNCHANGED value appears in the written CDC
     // as an update but is invisible to a value diff.
-    def cdcFilesOf(c: String): Seq[String] =
+    // RFC-51 CDC files are PER FILE GROUP: each write stat that
+    // logged CDC carries its own cdcStats. Key the CDC files by
+    // (partition, fileId) so the exact leg covers exactly the groups
+    // the writer logged — a commit that also creates insert-only
+    // groups (which write no CDC file) keeps those on the inferred
+    // diff instead of silently losing them.
+    def cdcStatsOf(c: String): Map[(String, String), Seq[String]] =
       Seq("commit", "deltacommit")
         .map(k => new Path(hoodieDir, s"$c.$k")).find(fs.exists)
         .toSeq.flatMap { p =>
           (JsonMethods.parse(readText(fs, p)) \
             "partitionToWriteStats") match {
             case JObject(parts) => parts.flatMap {
-              case (_, JArray(stats)) => stats.flatMap { st =>
+              case (part, JArray(stats)) => stats.flatMap { st =>
                 (st \ "cdcStats") match {
-                  case JObject(m) => m.map(_._1)
-                  case _          => Nil
+                  case JObject(m) if m.nonEmpty =>
+                    val fid = (st \ "fileId").extractOpt[String]
+                      .getOrElse(throw new IllegalStateException(
+                        s"$tableDir: commit $c has cdcStats on a " +
+                          "writeStat without a fileId"))
+                    Seq((part, fid) -> m.map(_._1))
+                  case _ => Nil
                 }
               }
               case _ => Nil
             }
             case _ => Nil
           }
-        }
+        }.toMap
     def exactCdcLeg(c: String, cdcFiles: Seq[String],
                     curG: Map[(String, String), String]): DataFrame = {
       import spark.implicits._
@@ -440,13 +455,18 @@ object HudiCowLite {
       if (gone.nonEmpty) throw new IllegalStateException(
         s"$tableDir: file group ${gone.head} disappears at commit $c " +
           "without a replacecommit — cannot attribute its rows")
-      val cdc = cdcFilesOf(c)
-      if (cdc.nonEmpty)
-        Some(exactCdcLeg(c, cdc, curG)
-          .withColumn("_commit_time", lit(c)))
-      else {
-      val touched = curG.filter { case (g, p) => !prevG.get(g).contains(p) }
-      if (touched.isEmpty) None
+      val cdcByGroup = cdcStatsOf(c)
+      val exactLeg =
+        if (cdcByGroup.isEmpty) None
+        else Some(exactCdcLeg(c,
+          cdcByGroup.values.flatten.toSeq.distinct.sorted, curG))
+      // the inferred diff covers the commit's remaining touched
+      // groups — groups the writer logged CDC for are served by the
+      // written record only (authoritative, and a second diff leg
+      // would double-count them)
+      val touched = curG.filter { case (g, p) =>
+        !prevG.get(g).contains(p) && !cdcByGroup.contains(g) }
+      val inferredLeg = if (touched.isEmpty) None
       else {
         val rewritten = touched.filter { case (g, _) => prevG.contains(g) }
         val fresh = touched.filterNot { case (g, _) => prevG.contains(g) }
@@ -489,9 +509,9 @@ object HudiCowLite {
                 .otherwise("insert"), hasN && (!hasO || changed))))
           }
         Seq(inserts, diffs).flatten.reduceOption(_ unionAll _)
-          .map(_.withColumn("_commit_time", lit(c)))
       }
-      }
+      Seq(exactLeg, inferredLeg).flatten.reduceOption(_ unionAll _)
+        .map(_.withColumn("_commit_time", lit(c)))
     }
     if (legs.isEmpty) throw new IllegalStateException(
       s"$tableDir: no commit in ($beginInstant, $end] touched any " +
@@ -529,14 +549,352 @@ object HudiCowLite {
     val replacedByPart = snap.groups.keys.toSeq.groupBy(_._1)
       .map { case (p, ks) => p -> ks.map(_._2).sorted }
     val partitions = (byPart.keySet ++ replacedByPart.keySet).toSeq.sorted
-    graft.sources.AtomicFiles.write(
-      java.nio.file.Paths.get(tableDir, ".hoodie",
-        s"$instant.replacecommit"),
+    val fs = new Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.sources.AtomicFiles.write(fs,
+      new Path(tableDir, s".hoodie/$instant.replacecommit"),
       replaceCommitJson(partitions,
         p => replacedByPart.getOrElse(p, Nil),
         p => byPart.getOrElse(p, Nil).map(m => (m._2, m._3, m._4))),
       replace = false)
     instant
+  }
+
+  private val MetaColumns = Set("_hoodie_commit_time",
+    "_hoodie_commit_seqno", "_hoodie_record_key",
+    "_hoodie_partition_path", "_hoodie_file_name")
+
+  /** The "/"-rooted join spelling shared with [[MetaPaths.decoded]] —
+    * a file:-qualified tableDir must key file identity identically on
+    * both sides or rows silently mis-route. */
+  private def normPath(p: String): String =
+    p.replaceFirst("^file:/+", "/")
+
+  /** UPSERT by `_hoodie_record_key` — the COW write path (Hudi's
+    * default `upsert` operation, the write twin of [[readChanges]]):
+    * every file group holding an updated key is REWRITTEN at a fresh
+    * instant (survivors keep their original `_hoodie_commit_time`,
+    * updated rows stamp the new one — exactly the record-grain
+    * freshness Hudi's meta columns carry), and keys new to the table
+    * land in ONE new file group per partition. Publishes
+    * `<instant>.commit` whose partitionToWriteStats names every
+    * written base file. Returns the new instant.
+    *
+    * `updates` must carry `_hoodie_record_key` plus every data
+    * column; multi-partition tables also need
+    * `_hoodie_partition_path` to route NEW keys (existing keys keep
+    * their group's partition). `writeCdc=true` additionally persists
+    * the RFC-51 changelog: each rewritten group gets a CDC log file
+    * of 'u' records with before/after JSON images and its write stat
+    * carries `cdcStats` — so [[readChanges]] serves the WRITTEN
+    * record (unchanged-value rewrites included, which the inferred
+    * diff cannot see).
+    *
+    * Scale shape: route/merge/write is ONE distributed plan (updates
+    * join the key→group scan, survivors anti-join the update keys,
+    * one shuffle on the target group id); the driver handles only the
+    * bounded touched-group list, footer row counts and the commit
+    * JSON. CDC logs write EXECUTOR-side per group. Single-writer
+    * scope. Loud refusals: MOR tables (snapshot gate), duplicate keys
+    * in one batch (ambiguous last-writer), key-less base files,
+    * missing data columns. */
+  def upsert(spark: SparkSession, tableDir: String, updates: DataFrame,
+             writeCdc: Boolean = false): String = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val snap = snapshot(spark, tableDir)
+    val instant = mintInstant(tableDir, snap.commits, snap.instant)
+    val fs = new Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val key = "_hoodie_record_key"
+    if (!updates.columns.contains(key)) throw new IllegalStateException(
+      s"$tableDir: upsert input carries no $key column")
+    if (updates.groupBy(col(key)).count()
+        .filter(col("count") > 1).limit(1).count() > 0)
+      throw new IllegalStateException(
+        s"$tableDir: upsert batch has DUPLICATE record keys — " +
+          "last-writer order would be ambiguous")
+    val cur0 = ColumnarScan(spark, tableDir, None, snap.files)
+    if (!cur0.columns.contains(key)) throw new IllegalStateException(
+      s"$tableDir: base files carry no $key — " +
+        "populateMetaFields=false tables are outside upsert scope")
+    val tableCols = cur0.columns.toSeq
+    val dataCols = tableCols.filterNot(MetaColumns)
+    val missing = dataCols.filterNot(updates.columns.contains)
+    if (missing.nonEmpty) throw new IllegalStateException(
+      s"$tableDir: upsert input lacks data columns " +
+        missing.mkString(", "))
+    val parts = snap.groups.keys.map(_._1).toSet
+    val multi = parts.size > 1
+    if (multi && !updates.columns.contains("_hoodie_partition_path"))
+      throw new IllegalStateException(
+        s"$tableDir: ${parts.size} partitions but the upsert input " +
+          "has no _hoodie_partition_path — cannot route NEW keys")
+    val pathToGroup: Map[String, (String, String)] =
+      snap.groups.map { case (g, p) => normPath(p) -> g }
+    val cur = cur0.withColumn("_g_path",
+      MetaPaths.decoded(col("_metadata.file_path")))
+    // route each update key to its current group (record keys are
+    // unique per Hudi's own table invariant)
+    val routed = updates.join(
+      cur.select(col(key).as("_uk"), col("_g_path")),
+      updates(key) === col("_uk"), "left").drop("_uk")
+    // bounded driver work: the touched FILE list, never row volume
+    val touchedPaths = routed.where(col("_g_path").isNotNull)
+      .select("_g_path").distinct().as[String].collect().sorted
+    touchedPaths.foreach { p =>
+      if (!pathToGroup.contains(p)) throw new IllegalStateException(
+        s"$tableDir: matched file $p is not in the snapshot — " +
+          "file-identity mismatch")
+    }
+    val newPartExpr =
+      if (multi) col("_hoodie_partition_path")
+      else lit(parts.headOption.getOrElse(""))
+    val newParts = routed.where(col("_g_path").isNull)
+      .select(newPartExpr.as("_p")).distinct().as[String]
+      .collect().sorted
+    if (multi && newParts.exists(p => p == null || p.isEmpty))
+      throw new IllegalStateException(
+        s"$tableDir: a NEW key routes to a null/empty partition " +
+          "path on a multi-partition table — outside upsert scope")
+    val newFidByPart: Map[String, String] =
+      newParts.zipWithIndex.map { case (p, i) =>
+        p -> s"u$instant-$i" }.toMap
+    val gidPartDf = (
+      pathToGroup.toSeq.map { case (p, (part, fid)) => (p, part, fid) })
+      .toDF("_g_path", "_g_part", "_g_fid")
+    val newFidDf = newFidByPart.toSeq.toDF("_n_part", "_n_fid")
+    def stampTo(df: DataFrame, partCol: org.apache.spark.sql.Column,
+                fidCol: org.apache.spark.sql.Column): DataFrame =
+      df.select(tableCols.map {
+        case "_hoodie_commit_time" => lit(instant)
+          .as("_hoodie_commit_time")
+        case "_hoodie_record_key" => col(key).cast("string").as(key)
+        case "_hoodie_partition_path" => partCol
+          .as("_hoodie_partition_path")
+        case "_hoodie_commit_seqno" => lit(s"${instant}_0_0")
+          .as("_hoodie_commit_seqno")
+        case "_hoodie_file_name" => concat(fidCol,
+          lit(s"_0-0_$instant.parquet")).as("_hoodie_file_name")
+        case c => col(c).cast(cur0.schema(c).dataType).as(c)
+      } :+ fidCol.as("_gid"): _*)
+    val updExisting = stampTo(
+      routed.where(col("_g_path").isNotNull)
+        .join(broadcast(gidPartDf), "_g_path"),
+      col("_g_part"), col("_g_fid"))
+    val updNew = stampTo(
+      routed.where(col("_g_path").isNull).withColumn("_n_part",
+        newPartExpr).join(broadcast(newFidDf), "_n_part"),
+      col("_n_part"), col("_n_fid"))
+    val touchedDf = touchedPaths.map(p =>
+      (p, pathToGroup(p)._2)).toSeq.toDF("_g_path", "_g_fid")
+    val touchedCur = cur.join(broadcast(touchedDf), "_g_path")
+    val survivors = touchedCur
+      .join(updates.select(col(key).as("_uk")),
+        col(key) === col("_uk"), "left_anti")
+      .select(tableCols.map(col) :+ col("_g_fid").as("_gid"): _*)
+    val merged = updExisting.unionByName(updNew)
+      .unionByName(survivors)
+    val gidToPart: Map[String, String] =
+      pathToGroup.collect { case (p, (part, fid))
+        if touchedPaths.contains(p) => fid -> part } ++
+        newFidByPart.map(_.swap)
+    val moved = writeGroups(spark, tableDir, merged, gidToPart, instant)
+    // per-group CDC logs (RFC-51): 'u' records with before/after
+    // JSON images of the DATA columns, written executor-side
+    val cdcByFid: Map[String, String] =
+      if (!writeCdc || touchedPaths.isEmpty) Map.empty
+      else {
+        val before = touchedCur
+          .join(updates.select(col(key).as("_uk")),
+            col(key) === col("_uk"), "left_semi")
+          .select(col("_g_fid").as("_gid"), col(key).as("_ck"),
+            to_json(struct(dataCols.map(col): _*)).as("_before"))
+        val after = updExisting
+          .select(col("_gid").as("_gid2"), col(key).as("_ck2"),
+            to_json(struct(dataCols.map(col): _*)).as("_after"))
+        val pairs = before.join(after,
+          col("_gid") === col("_gid2") && col("_ck") === col("_ck2"))
+          .select(col("_gid"), col("_before"), col("_after"))
+        val gidToPartB = spark.sparkContext.broadcast(gidToPart)
+        val tableDirB = tableDir
+        val instantB = instant
+        pairs.as[(String, String, String)].groupByKey(_._1)
+          .mapGroups { (gid, it) =>
+            val recs = it.map { case (_, b, a) =>
+              Map[String, Any]("op" -> "u", "before" -> b, "after" -> a)
+            }.toSeq
+            val part = gidToPartB.value(gid)
+            val rel = (if (part.isEmpty) "" else s"$part/") +
+              s".${gid}_cdc_$instantB.log.1"
+            HudiMorLite.writeLogFile(s"$tableDirB/$rel",
+              Seq(HudiMorLite.CdcSchema -> recs),
+              blockType = HudiMorLite.CdcDataBlockOrdinal)
+            (gid, rel)
+          }.collect().toMap
+      }
+    commitJson(spark, tableDir, fs, instant, moved, cdcByFid)
+    instant
+  }
+
+  /** ROW-LEVEL DELETE by predicate — the COW delete path: every file
+    * group holding matching rows is rewritten WITHOUT them (a group
+    * whose rows ALL match is advanced to an EMPTY base file — the
+    * group stays, its rows are gone; dropping the group outright is a
+    * replacecommit, which is clustering's move, not a data change).
+    * [[readChanges]]' inferred diff then reports exactly the deleted
+    * rows (old-only keys) with their before images. Returns the new
+    * instant — the CURRENT one, with no commit, when nothing matched.
+    * Scale/refusal envelope shared with [[upsert]]. */
+  def delete(spark: SparkSession, tableDir: String,
+             condition: Column): String = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val snap = snapshot(spark, tableDir)
+    val instant = mintInstant(tableDir, snap.commits, snap.instant)
+    val fs = new Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur0 = ColumnarScan(spark, tableDir, None, snap.files)
+    if (!cur0.columns.contains("_hoodie_record_key"))
+      throw new IllegalStateException(
+        s"$tableDir: base files carry no _hoodie_record_key — " +
+          "populateMetaFields=false tables are outside delete scope")
+    val tableCols = cur0.columns.toSeq
+    val pathToGroup: Map[String, (String, String)] =
+      snap.groups.map { case (g, p) => normPath(p) -> g }
+    val cur = cur0.withColumn("_g_path",
+      MetaPaths.decoded(col("_metadata.file_path")))
+    val touchedPaths = cur.filter(condition).select("_g_path")
+      .distinct().as[String].collect().sorted
+    if (touchedPaths.isEmpty) return snap.instant
+    touchedPaths.foreach { p =>
+      if (!pathToGroup.contains(p)) throw new IllegalStateException(
+        s"$tableDir: matched file $p is not in the snapshot — " +
+          "file-identity mismatch")
+    }
+    val touchedDf = touchedPaths.map(p =>
+      (p, pathToGroup(p)._2)).toSeq.toDF("_g_path", "_g_fid")
+    // DELETE WHERE semantics: only rows where the predicate is TRUE
+    // die — a NULL predicate keeps its row (plain !condition would
+    // silently delete it)
+    val survivors = cur.join(broadcast(touchedDf), "_g_path")
+      .filter(!coalesce(condition, lit(false)))
+      .select(tableCols.map(col) :+ col("_g_fid").as("_gid"): _*)
+    val gidToPart: Map[String, String] =
+      pathToGroup.collect { case (p, (part, fid))
+        if touchedPaths.contains(p) => fid -> part }.toMap
+    val written = writeGroups(spark, tableDir, survivors, gidToPart,
+      instant)
+    // a fully-deleted group emits no staging file — advance it with
+    // an EMPTY base (bounded by the dead-group count)
+    val writtenFids = written.map(_._2).toSet
+    val empties = gidToPart.keySet.diff(writtenFids).toSeq.sorted.map {
+      fid =>
+        val part = gidToPart(fid)
+        val rel = (if (part.isEmpty) "" else s"$part/") +
+          s"${fid}_0-0_$instant.parquet"
+        val tmp = new Path(tableDir, s"_tmp_del_$fid")
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          cur0.schema).coalesce(1)
+          .write.mode("overwrite").parquet(tmp.toString)
+        val src = fs.listStatus(tmp).map(_.getPath)
+          .find(p => p.getName.endsWith(".parquet") &&
+            !p.getName.startsWith(".")).getOrElse(
+            throw new IllegalStateException(
+              s"$tableDir: empty rewrite for group $fid produced no " +
+                "parquet"))
+        val dest = new Path(tableDir, rel)
+        fs.mkdirs(dest.getParent)
+        if (!fs.rename(src, dest)) throw new IllegalStateException(
+          s"$tableDir: could not place $rel")
+        fs.delete(tmp, true)
+        (part, fid, rel, 0L)
+    }
+    commitJson(spark, tableDir, fs, instant, written ++ empties,
+      Map.empty)
+    instant
+  }
+
+  /** Shared group-grain rewrite write: `rows` carry the full table
+    * schema plus a `_gid` target-group column; one shuffle on `_gid`,
+    * a `partitionBy` staging write, then O(groups) moves into each
+    * group's partition directory + footer row counts. Returns
+    * (partition, fileId, relative path, numWrites) per written
+    * file. */
+  private def writeGroups(spark: SparkSession, tableDir: String,
+                          rows: DataFrame,
+                          gidToPart: Map[String, String],
+                          instant: String)
+  : Seq[(String, String, String, Long)] = {
+    import org.apache.spark.sql.functions.col
+    val fs = new Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(tableDir, "_tmp_write")
+    rows.repartition(col("_gid")).write.mode("overwrite")
+      .partitionBy("_gid").parquet(tmp.toString)
+    val moved = fs.listStatus(tmp).toSeq.sortBy(_.getPath.getName)
+      .flatMap { dir =>
+        val n = dir.getPath.getName
+        if (!dir.isDirectory || !n.startsWith("_gid=")) Nil
+        else {
+          val fid = org.apache.spark.sql.catalyst.catalog
+            .ExternalCatalogUtils.unescapePathName(n.stripPrefix("_gid="))
+          val files = fs.listStatus(dir.getPath).toSeq
+            .map(_.getPath)
+            .filter(p => p.getName.endsWith(".parquet") &&
+              !p.getName.startsWith("."))
+          if (files.size != 1) throw new IllegalStateException(
+            s"$tableDir: group $fid staged ${files.size} files — " +
+              "expected exactly one after the _gid shuffle")
+          val part = gidToPart.getOrElse(fid,
+            throw new IllegalStateException(
+              s"$tableDir: staged group $fid has no partition mapping"))
+          val rel = (if (part.isEmpty) "" else s"$part/") +
+            s"${fid}_0-0_$instant.parquet"
+          val dest = new Path(tableDir, rel)
+          fs.mkdirs(dest.getParent)
+          if (!fs.rename(files.head, dest))
+            throw new IllegalStateException(
+              s"$tableDir: could not move group $fid into the table")
+          val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              dest, spark.sparkContext.hadoopConfiguration))
+          val rc = try footer.getRecordCount finally footer.close()
+          Seq((part, fid, rel, rc))
+        }
+      }
+    fs.delete(tmp, true)
+    moved
+  }
+
+  /** Render + publish `<instant>.commit` for the write paths:
+    * partitionToWriteStats grouped by partition, each stat carrying
+    * fileId/path/numWrites and — when the writer persisted CDC — its
+    * `cdcStats`. */
+  private def commitJson(spark: SparkSession, tableDir: String,
+                         fs: org.apache.hadoop.fs.FileSystem,
+                         instant: String,
+                         written: Seq[(String, String, String, Long)],
+                         cdcByFid: Map[String, String]): Unit = {
+    def jq(s: String): String = "\"" + s.flatMap {
+      case '"'          => "\\\""
+      case '\\'         => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c            => c.toString
+    } + "\""
+    val byPart = written.groupBy(_._1)
+    val stats = byPart.toSeq.sortBy(_._1).map { case (part, ws) =>
+      val arr = ws.sortBy(_._2).map { case (_, fid, rel, nw) =>
+        s"""{"fileId":${jq(fid)},"path":${jq(rel)},"numWrites":$nw""" +
+          cdcByFid.get(fid).map(rel2 =>
+            s""","cdcStats":{${jq(rel2)}:1}""").getOrElse("") + "}"
+      }.mkString("[", ",", "]")
+      s"${jq(part)}:$arr"
+    }.mkString("{", ",", "}")
+    graft.sources.AtomicFiles.write(fs,
+      new Path(tableDir, s".hoodie/$instant.commit"),
+      s"""{"partitionToWriteStats":$stats}""", replace = false)
   }
 
   /** Mint the next timeline instant under the fixed-width contract:
@@ -573,8 +931,7 @@ object HudiCowLite {
                                     parts: Set[String], instant: String,
                                     numFiles: Int)
     : Seq[(String, String, String, Long)] = {
-    import org.apache.spark.sql.functions.{col, lit,
-      monotonically_increasing_id, pmod}
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
     val fs = new Path(tableDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(tableDir, "_tmp_cluster")
@@ -588,10 +945,14 @@ object HudiCowLite {
           s"$tableDir: ${parts.size} partitions but no " +
             "_hoodie_partition_path meta column — cannot attribute " +
             "rows to partitions for per-partition packing")
+      // deterministic salt: a retry-recomputed
+      // monotonically_increasing_id can silently duplicate/drop rows
+      // mid-shuffle (SPARK-23207 class) — fatal in a table rewrite
       merged
         .withColumn("gpart", col("_hoodie_partition_path"))
         .withColumn("_graft_bin",
-          pmod(monotonically_increasing_id(), lit(numFiles.toLong)))
+          pmod(xxhash64(merged.columns.map(col).toSeq: _*),
+            lit(numFiles.toLong)))
         .repartition(col("gpart"), col("_graft_bin"))
         .drop("_graft_bin")
         .write.mode("overwrite").partitionBy("gpart")
@@ -680,21 +1041,38 @@ object HudiCowLite {
     * paths. */
   def clean(spark: SparkSession, tableDir: String): Seq[String] = {
     val snap = snapshot(spark, tableDir)
+    val root = new Path(tableDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rootQ = fs.makeQualified(root).toString
     val live = snap.files
-      .map(p => new java.io.File(p).getCanonicalPath).toSet
-    def walk(dir: java.io.File): Seq[java.io.File] =
-      Option(dir.listFiles()).toSeq.flatten.flatMap { f =>
-        if (f.getName.startsWith(".") || f.getName.startsWith("_")) Nil
-        else if (f.isDirectory) walk(f)
-        else if (f.getName.endsWith(".parquet") ||
-          f.getName.endsWith(".orc")) Seq(f)
-        else Nil
+      .map(p => fs.makeQualified(new Path(p)).toString).toSet
+    // one recursive Hadoop listing (hdfs:// and object-store roots
+    // clean exactly like file://, and at millions of files a remote
+    // listing beats a driver-side java.io walk); hidden and
+    // underscore-prefixed components (.hoodie, MOR dot-logs, staging
+    // dirs) are never touched
+    val candidates = Seq.newBuilder[Path]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val q = st.getPath.toString
+      if (q.startsWith(rootQ + "/")) {
+        val rel = q.stripPrefix(rootQ + "/")
+        val comps = rel.split('/')
+        if (comps.forall(c => !c.startsWith(".") && !c.startsWith("_")) &&
+          (rel.endsWith(".parquet") || rel.endsWith(".orc")) &&
+          !live.contains(q))
+          candidates += st.getPath
       }
-    val deleted = walk(new java.io.File(tableDir))
-      .filterNot(f => live.contains(f.getCanonicalPath))
-      .sortBy(_.getPath)
-      .filter(_.delete())
-      .map(_.getPath)
+    }
+    // a file that fails to delete refuses loudly — silently dropping
+    // it from the returned list would report a clean that did not run
+    val deleted = candidates.result().sortBy(_.toString).map { p =>
+      if (!fs.delete(p, false)) throw new IllegalStateException(
+        s"$tableDir: clean could not delete $p")
+      Option(p.toUri.getScheme).filter(_ != "file")
+        .map(_ => p.toString).getOrElse(p.toUri.getPath)
+    }
     // same minting contract as cluster(): a mixed-width timeline or a
     // width-overflowing next instant would missort string-ordered
     // timeline listings — refuse loudly instead of padding past it
@@ -707,8 +1085,6 @@ object HudiCowLite {
     val next = {
       // mint past BOTH data commits and earlier clean markers
       val hoodieDir = new Path(tableDir, ".hoodie")
-      val fs =
-        hoodieDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val cleans = fs.listStatus(hoodieDir).toSeq.map(_.getPath.getName)
         .collect { case n if n.matches("\\d+\\.clean") =>
           BigInt(n.stripSuffix(".clean")) }
@@ -718,8 +1094,8 @@ object HudiCowLite {
           s"$width-char width")
       ("0" * (width - s.length)) + s
     }
-    graft.sources.AtomicFiles.write(
-      java.nio.file.Paths.get(tableDir, ".hoodie", s"$next.clean"),
+    graft.sources.AtomicFiles.write(fs,
+      new Path(tableDir, s".hoodie/$next.clean"),
       s"""{"policy":"KEEP_LATEST_FILE_VERSIONS","filesDeleted":${deleted.size}}""",
       replace = false)
     deleted

@@ -1012,8 +1012,13 @@ object HudiMorLite {
       out.writeLong(6L + 8L + blockLen) // total incl. magic + len field
     }
     out.flush()
-    java.nio.file.Files.write(java.nio.file.Paths.get(path),
-      bos.toByteArray): Unit
+    // the path's OWN Hadoop filesystem: executor-side callers (the
+    // upsert writer's per-group CDC logs) and scheme-qualified roots
+    // both work; java.nio would treat "file:/a" as a relative path
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fsOut = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      .create(p, true)
+    try fsOut.write(bos.toByteArray) finally fsOut.close()
   }
 
   /** The shared merge inputs: the base scan, the per-(partition, key)
@@ -1344,8 +1349,9 @@ object HudiMorLite {
       .map { case (p, ss) => p -> ss.map(_.fileId).sorted }
     val partitions = (byPart.keySet ++ replacedByPart.keySet).toSeq.sorted
     graft.sources.AtomicFiles.write(
-      java.nio.file.Paths.get(tableDir, ".hoodie",
-        s"$instant.replacecommit"),
+      new Path(tableDir).getFileSystem(
+        spark.sparkContext.hadoopConfiguration),
+      new Path(tableDir, s".hoodie/$instant.replacecommit"),
       HudiCowLite.replaceCommitJson(partitions,
         p => replacedByPart.getOrElse(p, Nil),
         p => byPart.getOrElse(p, Nil).map(m => (m._2, m._3, m._4))),

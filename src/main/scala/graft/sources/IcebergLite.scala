@@ -649,10 +649,13 @@ object IcebergLite {
     *    manifest recorded no record_count (summing absent counts
     *    would be silently wrong)
     *  - "manifests": one row per manifest of the current snapshot's
-    *    manifest list (path, length from the filesystem, content —
-    *    0 data / 1 deletes — and the added/existing/deleted entry
-    *    counts from each manifest's own status column); the
-    *    metadata-bloat debugging surface
+    *    manifest list, under the format's own metadata-table spelling
+    *    (path, length — the list's manifest_length when recorded,
+    *    filesystem fallback — content 0 data / 1 deletes, and
+    *    added/existing/deleted_data_files_count +
+    *    added/existing/deleted_delete_files_count from each
+    *    manifest's own status column); the metadata-bloat debugging
+    *    surface
     *  - "entries": one row per manifest ENTRY across the current
     *    snapshot's manifests (manifest_path, status, file_path,
     *    content, record_count, file_size_in_bytes) — stats the
@@ -721,19 +724,28 @@ object IcebergLite {
         if (!ml.columns.contains("manifest_path"))
           throw new IllegalStateException(
             s"$manifestList: manifest list lacks manifest_path")
-        val manifests: Seq[(String, Int)] = ml.collect().map { r =>
-          val content =
-            if (ml.columns.contains("content") &&
-              r.getAs[Any]("content") != null)
-              r.getAs[Number]("content").intValue()
-            else 0
-          (r.getAs[String]("manifest_path"), content)
-        }.toSeq
+        val manifests: Seq[(String, Int, Option[Long])] =
+          ml.collect().map { r =>
+            val content =
+              if (ml.columns.contains("content") &&
+                r.getAs[Any]("content") != null)
+                r.getAs[Number]("content").intValue()
+              else 0
+            // the manifest list's own manifest_length is the spec's
+            // source of truth; the filesystem is only the fallback for
+            // lists (like this writer's compaction lists) without it
+            val len =
+              if (ml.columns.contains("manifest_length") &&
+                r.getAs[Any]("manifest_length") != null)
+                Some(r.getAs[Number]("manifest_length").longValue())
+              else None
+            (r.getAs[String]("manifest_path"), content, len)
+          }.toSeq
         // one bounded replay serves both shapes: each manifest's
         // entries with status + the stats its writer recorded
         val entryRows: Seq[(String, Int, Int, String, Int,
                             Option[Long], Option[Long])] =
-          manifests.flatMap { case (mp, content) =>
+          manifests.flatMap { case (mp, content, _) =>
             val p = resolve(tableDir, mp)
             val m = spark.read.format(AvroFmt).load(p)
             if (!m.columns.contains("data_file") ||
@@ -762,15 +774,26 @@ object IcebergLite {
           val fs = new org.apache.hadoop.fs.Path(tableDir)
             .getFileSystem(spark.sparkContext.hadoopConfiguration)
           val byManifest = entryRows.groupBy(m => (m._1, m._2))
-          manifests.map { case (mp, content) =>
+          // Iceberg's own manifests-table spelling: data counts for
+          // data manifests (content 0), delete counts for delete
+          // manifests (content 1) — tooling written against the
+          // format's metadata-table schema resolves these names
+          manifests.map { case (mp, content, len) =>
             val p = resolve(tableDir, mp)
             val es = byManifest.getOrElse((p, content), Nil)
-            (p, fs.getFileStatus(new org.apache.hadoop.fs.Path(p)).getLen,
+            def cnt(status: Int, forContent: Int): Long =
+              if (content == forContent) es.count(_._3 == status).toLong
+              else 0L
+            (p,
+              len.getOrElse(fs.getFileStatus(
+                new org.apache.hadoop.fs.Path(p)).getLen),
               content,
-              es.count(_._3 == 1).toLong, es.count(_._3 == 0).toLong,
-              es.count(_._3 == 2).toLong)
-          }.toDF("path", "length", "content", "added_files_count",
-            "existing_files_count", "deleted_files_count")
+              cnt(1, 0), cnt(0, 0), cnt(2, 0),
+              cnt(1, 1), cnt(0, 1), cnt(2, 1))
+          }.toDF("path", "length", "content",
+            "added_data_files_count", "existing_data_files_count",
+            "deleted_data_files_count", "added_delete_files_count",
+            "existing_delete_files_count", "deleted_delete_files_count")
         }
       case other => throw new IllegalArgumentException(
         s"$tableDir: metadata table '$other' — IcebergLite serves " +
@@ -1427,8 +1450,8 @@ object IcebergLite {
     * int/long/string/date/boolean. */
   def compact(spark: SparkSession, tableDir: String,
               numFiles: Int = 1): Long = {
-    import org.apache.spark.sql.functions.{col, lit, struct,
-      monotonically_increasing_id, pmod}
+    import org.apache.spark.sql.functions.{col, lit, struct, pmod,
+      xxhash64}
     require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
     val (metaFile, meta) = loadMeta(spark, tableDir)
     def specFields(j: JValue): Seq[JValue] = j match {
@@ -1484,8 +1507,12 @@ object IcebergLite {
       val dup = partFields.foldLeft(stamped) { case (df, (name, src)) =>
         df.withColumn(s"gpart_$name", col(src))
       }
+      // deterministic salt: a retry-recomputed
+      // monotonically_increasing_id can silently duplicate/drop rows
+      // mid-shuffle (SPARK-23207 class) — fatal in a table rewrite
       dup.withColumn("_graft_bin",
-          pmod(monotonically_increasing_id(), lit(numFiles.toLong)))
+          pmod(xxhash64(stamped.columns.map(col).toSeq: _*),
+            lit(numFiles.toLong)))
         .repartition((partFields.map(p => s"gpart_${p._1}") :+
           "_graft_bin").map(col): _*)
         .drop("_graft_bin")
@@ -1620,9 +1647,8 @@ object IcebergLite {
     val metaName = metaFile.getName
     val version = metaName.stripPrefix("v")
       .stripSuffix(".metadata.json").toLong + 1
-    try AtomicFiles.write(
-      java.nio.file.Paths.get(tableDir, "metadata",
-        s"v$version.metadata.json"),
+    try AtomicFiles.write(fs,
+      new Path(tableDir, s"metadata/v$version.metadata.json"),
       JsonMethods.compact(JsonMethods.render(withSnap)), replace = false)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
@@ -1630,9 +1656,9 @@ object IcebergLite {
           s"$tableDir: metadata v$version already exists — another " +
             "writer is active (single-writer scope)")
     }
-    AtomicFiles.write(
-      java.nio.file.Paths.get(tableDir, "metadata", "version-hint.text"),
-      version.toString)
+    AtomicFiles.write(fs,
+      new Path(tableDir, "metadata/version-hint.text"),
+      version.toString, replace = true)
     newSnapId
   }
 
@@ -1709,9 +1735,10 @@ object IcebergLite {
     }
     val version = metaFile.getName.stripPrefix("v")
       .stripSuffix(".metadata.json").toLong + 1
-    try AtomicFiles.write(
-      java.nio.file.Paths.get(tableDir, "metadata",
-        s"v$version.metadata.json"),
+    val fs = new Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try AtomicFiles.write(fs,
+      new Path(tableDir, s"metadata/v$version.metadata.json"),
       JsonMethods.compact(JsonMethods.render(withSnaps)),
       replace = false)
     catch {
@@ -1720,18 +1747,25 @@ object IcebergLite {
           s"$tableDir: metadata v$version already exists — another " +
             "writer is active (single-writer scope)")
     }
-    AtomicFiles.write(
-      java.nio.file.Paths.get(tableDir, "metadata", "version-hint.text"),
-      version.toString)
+    AtomicFiles.write(fs,
+      new Path(tableDir, "metadata/version-hint.text"),
+      version.toString, replace = true)
     // Iceberg metadata routinely carries absolute paths that can live
     // OUTSIDE the table root (imported/registered files, shared
     // locations) — never delete those, mirroring DeltaLogLite.vacuum's
-    // rootPrefix guard for clone sources.
-    val rootPrefix = new java.io.File(tableDir).getCanonicalPath + "/"
-    orphans.toSeq.sorted
-      .filter(p => new java.io.File(p).getCanonicalPath.startsWith(rootPrefix))
-      .foreach(p =>
-        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p)): Unit)
+    // root-containment guard for clone sources. Deletion rides the
+    // table's OWN Hadoop filesystem (hdfs://, object stores) with
+    // QUALIFIED-path containment; a failed delete of an existing file
+    // refuses loudly rather than silently stranding it.
+    val rootQ = fs.makeQualified(new Path(tableDir)).toString + "/"
+    orphans.toSeq.sorted.foreach { p =>
+      val q = fs.makeQualified(new Path(p))
+      if (q.toString.startsWith(rootQ) &&
+        !q.toUri.getPath.split('/').contains("..") &&
+        fs.exists(q) && !fs.delete(q, false))
+        throw new IllegalStateException(
+          s"$tableDir: expiry could not delete orphan $p")
+    }
     expired
   }
 }

@@ -1372,21 +1372,31 @@ object PaimonLite {
     * from the real file and its parquet footer, so a library reader
     * planning on stats sees truth, not placeholders.
     *
-    * Loud refusals: PRIMARY-KEY tables (the LSM merge rewrite would
-    * need per-row sequence bookkeeping this reader does not carry)
-    * and null partition values. */
+    * PRIMARY-KEY tables run the LSM full-compaction rewrite instead
+    * ([[compactPk]]): per (partition, bucket), the bucket's KeyValue
+    * files fold under the table's merge engine into ONE file of `+I`
+    * rows whose `_SEQUENCE_NUMBER` is re-stamped per key (the
+    * winning/max sequence — min under first-row — so LATER writes
+    * still override exactly as before), and the deletion-vector index
+    * drops out (the dead rows are materialized away). `numFiles` is
+    * ignored there: one-file-per-bucket IS full compaction's shape.
+    * Remaining PK refusals: `changelog-producer=lookup` /
+    * `full-compaction` (those demand a FULL_COMPACTION changelog on
+    * compact snapshots — our manifests carry no level metadata to
+    * diff the previous compacted state from, and silently emitting
+    * none would truncate the change feed).
+    *
+    * Loud refusals: null partition values. */
   def compact(spark: SparkSession, tableDir: String,
               numFiles: Int = 1): Long = {
-    import org.apache.spark.sql.functions.{col, lit, struct,
-      monotonically_increasing_id, pmod}
+    import org.apache.spark.sql.functions.{col, lit, struct, pmod,
+      xxhash64}
     require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
     val snap = snapshot(spark, tableDir)
-    if (snap.primaryKeys.nonEmpty) throw new IllegalStateException(
-      s"$tableDir: primary-key table (keys ${snap.primaryKeys
-        .mkString(", ")}) — the LSM merge rewrite needs per-row " +
-        "sequence bookkeeping; outside lite compaction scope")
     if (snap.files.isEmpty) throw new IllegalStateException(
       s"$tableDir: nothing to compact (no data files)")
+    if (snap.primaryKeys.nonEmpty)
+      return compactPk(spark, tableDir, snap)
     val partKeys = snap.partitionKeys
     val partTypes: Seq[DataType] =
       if (partKeys.isEmpty) Nil
@@ -1402,9 +1412,13 @@ object PaimonLite {
     if (partKeys.isEmpty)
       live.coalesce(numFiles).write.mode("overwrite")
         .parquet(tmp.toString)
+    // deterministic salt: a retry-recomputed
+    // monotonically_increasing_id can silently duplicate/drop rows
+    // mid-shuffle (SPARK-23207 class) — fatal in a table rewrite
     else live
       .withColumn("_graft_bin",
-        pmod(monotonically_increasing_id(), lit(numFiles.toLong)))
+        pmod(xxhash64(live.columns.map(col).toSeq: _*),
+          lit(numFiles.toLong)))
       .repartition((partKeys :+ "_graft_bin").map(col): _*)
       .drop("_graft_bin")
       .write.mode("overwrite").partitionBy(partKeys: _*)
@@ -1494,17 +1508,201 @@ object PaimonLite {
       s"manifest/ml-compact-$newId.avro")
     writeAvro(Seq.empty[String].toDF("_FILE_NAME"),
       s"manifest/ml-compact-empty-$newId.avro")
-    AtomicFiles.write(
-      java.nio.file.Paths.get(tableDir, "snapshot", s"snapshot-$newId"),
+    AtomicFiles.write(fs,
+      new Path(tableDir, s"snapshot/snapshot-$newId"),
       s"""{"version":3,"id":$newId,"schemaId":$schemaId,
          |"baseManifestList":"ml-compact-$newId.avro",
          |"deltaManifestList":"ml-compact-empty-$newId.avro",
          |"commitKind":"COMPACT","commitUser":"graft",
          |"commitIdentifier":$newId,"timeMillis":0}""".stripMargin,
       replace = false)
-    AtomicFiles.write(
-      java.nio.file.Paths.get(tableDir, "snapshot", "LATEST"),
-      newId.toString)
+    AtomicFiles.write(fs,
+      new Path(tableDir, "snapshot/LATEST"),
+      newId.toString, replace = true)
+    newId
+  }
+
+  /** LSM FULL COMPACTION of a primary-key table (see [[compact]]'s
+    * scaladoc for the contract): fold each (partition, bucket)'s
+    * KeyValue files into one `+I`-only file under the table's merge
+    * engine, publish a COMPACT snapshot, return its id. The merge
+    * itself is [[read]]'s own engine fold (deduplicate /
+    * partial-update / aggregation / first-row, DVs applied); this
+    * writer adds the per-key sequence re-stamp and bucket
+    * preservation (future writes hash keys to buckets — collapsing
+    * them would corrupt the table for the owning engine). */
+  private def compactPk(spark: SparkSession, tableDir: String,
+                        snap: Snapshot): Long = {
+    import org.apache.spark.sql.functions._
+    val snapDir = new Path(tableDir, "snapshot")
+    val fs = snapDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val snapJson = JsonMethods.parse(readText(fs,
+      new Path(snapDir, s"snapshot-${snap.snapshotId}")))
+    val schemaId = (snapJson \ "schemaId").extractOpt[Long].getOrElse(0L)
+    val producer = {
+      val sf = new Path(tableDir, s"schema/schema-$schemaId")
+      (JsonMethods.parse(readText(fs, sf)) \ "options" \
+        "changelog-producer").extractOpt[String].getOrElse("none")
+    }
+    if (producer == "lookup" || producer == "full-compaction")
+      throw new IllegalStateException(
+        s"$tableDir: changelog-producer=$producer demands a " +
+          "FULL_COMPACTION changelog on compact snapshots — these " +
+          "manifests carry no level metadata to diff the previous " +
+          "compacted state from, and emitting none would silently " +
+          "truncate the change feed; outside lite compaction scope")
+    val partCols = snap.partitionKeys
+    val partTypes = boundedPartTypes(snap.schema, partCols,
+      s"$tableDir compact")
+    val trimmed = snap.primaryKeys.filterNot(partCols.contains)
+    val keyCols = trimmed.map(k => s"_KEY_$k")
+    val valueNames = snap.schema.fieldNames
+      .filterNot(partCols.contains).toSeq
+    // merged state: the read contract itself (engine fold + DVs)
+    val merged = read(spark, tableDir)
+    // winning sequence + home bucket per key from the raw KeyValue
+    // scan: re-stamping MAX (MIN under first-row) keeps every future
+    // write's override semantics exactly
+    val groups = snap.files.groupBy(_.partition).toSeq
+      .sortBy(_._1.map(v => partPathValue(v, snap.defaultPartName))
+        .mkString("/"))
+    val raw = groups.map { case (part, fl) =>
+      val scan = ColumnarScan(spark, tableDir, None, fl.map(_.path))
+      val missing = (keyCols :+ "_SEQUENCE_NUMBER")
+        .filterNot(scan.columns.contains)
+      if (missing.nonEmpty) throw new IllegalStateException(
+        s"$tableDir: primary-key data files lack KeyValue columns " +
+          s"${missing.mkString(", ")} — cannot compact")
+      val based = scan.select(
+        (keyCols :+ "_SEQUENCE_NUMBER").map(col) :+
+          regexp_extract(col("_metadata.file_path"),
+            "/bucket-(\\d+)/", 1).cast("int").as("_pc_bucket"): _*)
+      partCols.zip(part).foldLeft(based) { case (d, (k, v)) =>
+        d.withColumn(k, lit(v).cast(snap.schema(k).dataType))
+      }
+    }.reduce(_ unionAll _)
+    val seqF =
+      if (snap.mergeEngine == "first-row") min(col("_SEQUENCE_NUMBER"))
+      else max(col("_SEQUENCE_NUMBER"))
+    val seqAgg = raw
+      .groupBy((keyCols ++ partCols).map(col): _*)
+      .agg(seqF.as("_pc_seq"), min(col("_pc_bucket")).as("_pc_bucket"))
+      .select(keyCols.map(col) ++
+        partCols.map(k => col(k).as(s"_pcp_$k")) ++
+        Seq(col("_pc_seq"), col("_pc_bucket")): _*)
+    val joinCond = (trimmed.map(k => merged(k) <=> col(s"_KEY_$k")) ++
+      partCols.map(k => merged(k) <=> col(s"_pcp_$k"))).reduce(_ && _)
+    val kv = merged.join(seqAgg, joinCond)
+      .select(trimmed.map(k => col(s"_KEY_$k")) ++
+        Seq(col("_pc_seq").as("_SEQUENCE_NUMBER"),
+          lit(0).as("_VALUE_KIND")) ++
+        valueNames.map(n => merged(n).as(n)) ++
+        partCols.map(k => merged(k).as(s"_gp_$k")) :+
+        col("_pc_bucket").as("_gbucket"): _*)
+    val newId = latestSnapshotId(spark, tableDir) + 1
+    val tmp = new Path(tableDir, "_tmp_compact")
+    // one task — hence one file — per (partition, bucket)
+    kv.repartition((partCols.map(k => s"_gp_$k") :+ "_gbucket")
+        .map(col): _*)
+      .write.mode("overwrite")
+      .partitionBy(partCols.map(k => s"_gp_$k") :+ "_gbucket": _*)
+      .parquet(tmp.toString)
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    def walkTmp(dir: Path, vals: Seq[String])
+      : Seq[(Seq[String], Int, org.apache.hadoop.fs.FileStatus)] =
+      fs.listStatus(dir).toSeq.sortBy(_.getPath.getName).flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("_gbucket=")) {
+          val b = n.stripPrefix("_gbucket=").toInt
+          fs.listStatus(st.getPath).toSeq.sortBy(_.getPath.getName)
+            .filter(f => f.getPath.getName.endsWith(".parquet") &&
+              !f.getPath.getName.startsWith("."))
+            .map(f => (vals, b, f))
+        } else if (n.startsWith("_") || n.startsWith(".")) Nil
+        else if (st.isDirectory) {
+          val i = n.indexOf('=')
+          if (i < 0) throw new IllegalStateException(
+            s"$tableDir: unexpected non-partition directory $n in the " +
+              "compaction staging output")
+          val rawVal = n.substring(i + 1)
+          if (rawVal == ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
+            throw new IllegalStateException(
+              s"$tableDir: compaction produced a null-partition " +
+                s"directory $n — outside lite scope")
+          walkTmp(st.getPath,
+            vals :+ ExternalCatalogUtils.unescapePathName(rawVal))
+        } else Nil
+      }
+    def typed(vals: Seq[String]): Seq[Any] =
+      partTypes.zip(vals).map {
+        case (BooleanType, v) => v.toBoolean
+        case (ByteType, v)    => v.toByte
+        case (ShortType, v)   => v.toShort
+        case (IntegerType, v) => v.toInt
+        case (LongType, v)    => v.toLong
+        case (StringType, v)  => v
+        case (dt, _) => throw new IllegalStateException(
+          s"$tableDir: partition type ${dt.simpleString} — outside " +
+            "lite compaction scope")
+      }
+    val moved = walkTmp(tmp, Nil).zipWithIndex.map {
+      case ((vals, bucket, st), i) =>
+        val part = typed(vals)
+        val partDirs = partCols.zip(part).map { case (k, v) =>
+          s"$k=${partPathValue(v, snap.defaultPartName)}/"
+        }.mkString
+        val name = s"compact-${newId}_$i.parquet"
+        val dest = new Path(tableDir, s"${partDirs}bucket-$bucket/$name")
+        fs.mkdirs(dest.getParent)
+        if (!fs.rename(st.getPath, dest))
+          throw new IllegalStateException(
+            s"$tableDir: could not move ${st.getPath.getName} into " +
+              s"${partDirs}bucket-$bucket")
+        val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            dest, spark.sparkContext.hadoopConfiguration))
+        val rc = try footer.getRecordCount finally footer.close()
+        (name, part, bucket, rc, fs.getFileStatus(dest).getLen)
+    }
+    fs.delete(tmp, true)
+    def writeAvro(df: DataFrame, rel: String): Unit = {
+      val t2 = new Path(tableDir, "_tmpavro")
+      df.coalesce(1).write.mode("overwrite").format(AvroFmt)
+        .save(t2.toString)
+      val p = fs.listStatus(t2).map(_.getPath)
+        .find(_.getName.startsWith("part-")).get
+      val dest = new Path(tableDir, rel)
+      fs.mkdirs(dest.getParent)
+      if (!fs.rename(p, dest))
+        throw new IllegalStateException(s"$tableDir: could not place $rel")
+      fs.delete(t2, true): Unit
+    }
+    import spark.implicits._
+    val entries = moved.map { case (name, part, bucket, rc, sz) =>
+      (name, if (partCols.isEmpty) null
+             else BinaryRowCodec.encode(part, partTypes), bucket, rc, sz)
+    }
+    writeAvro(entries.toDF("_fn", "_part", "_bucket", "_rc", "_sz")
+      .select(lit(0).as("_KIND"), col("_part").as("_PARTITION"),
+        col("_bucket").as("_BUCKET"),
+        struct(col("_fn").as("_FILE_NAME"), col("_sz").as("_FILE_SIZE"),
+          col("_rc").as("_ROW_COUNT")).as("_FILE")),
+      s"manifest/m-compact-$newId.avro")
+    writeAvro(Seq(s"m-compact-$newId.avro").toDF("_FILE_NAME"),
+      s"manifest/ml-compact-$newId.avro")
+    writeAvro(Seq.empty[String].toDF("_FILE_NAME"),
+      s"manifest/ml-compact-empty-$newId.avro")
+    AtomicFiles.write(fs,
+      new Path(tableDir, s"snapshot/snapshot-$newId"),
+      s"""{"version":3,"id":$newId,"schemaId":$schemaId,
+         |"baseManifestList":"ml-compact-$newId.avro",
+         |"deltaManifestList":"ml-compact-empty-$newId.avro",
+         |"commitKind":"COMPACT","commitUser":"graft",
+         |"commitIdentifier":$newId,"timeMillis":0}""".stripMargin,
+      replace = false)
+    AtomicFiles.write(fs,
+      new Path(tableDir, "snapshot/LATEST"),
+      newId.toString, replace = true)
     newId
   }
 
@@ -1649,11 +1847,21 @@ object PaimonLite {
     // orphans, then the EARLIEST hint
     expired.foreach(i =>
       fs.delete(new Path(snapDir, s"snapshot-$i"), false): Unit)
-    orphans.toSeq.sorted.foreach(p =>
-      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p)): Unit)
-    AtomicFiles.write(
-      java.nio.file.Paths.get(tableDir, "snapshot", "EARLIEST"),
-      retained.head.toString)
+    // orphan deletion rides the table's OWN Hadoop filesystem
+    // (hdfs://, object stores) with qualified-path containment; a
+    // failed delete of an existing file refuses loudly
+    val rootQ = fs.makeQualified(new Path(tableDir)).toString + "/"
+    orphans.toSeq.sorted.foreach { p =>
+      val q = fs.makeQualified(new Path(p))
+      if (q.toString.startsWith(rootQ) &&
+        !q.toUri.getPath.split('/').contains("..") &&
+        fs.exists(q) && !fs.delete(q, false))
+        throw new IllegalStateException(
+          s"$tableDir: expiry could not delete orphan $p")
+    }
+    AtomicFiles.write(fs,
+      new Path(tableDir, "snapshot/EARLIEST"),
+      retained.head.toString, replace = true)
     expired
   }
 }

@@ -1799,4 +1799,87 @@ class DeltaLogSpec extends AnyFunSuite {
       DeltaLogLite.snapshot(spark, "/tmp/graft_deltaspec/nope")
     }
   }
+
+  test("row-level DELETE: grown deletion vectors exclude matched rows, " +
+    "CDF reports exactly the newly-dead rows, a fully-dead file is " +
+    "removed outright, and compact+vacuum complete the lifecycle") {
+    import spark.implicits._
+    val (root, schema) = fixture("rowdelete")
+    // CDF on so readChanges serves the range
+    val metaCdf =
+      s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":${jstr(schema)},"partitionColumns":["part"],"configuration":{"delta.enableChangeDataFeed":"true"},"createdTime":0}}"""
+    commit(root, 0, metaCdf, add("f0.parquet", "a"),
+      add("f%20one.parquet", "b"))
+    def ids(): Seq[Long] = DeltaLogLite.read(spark, root)
+      .select("id").as[Long].collect().sorted.toSeq
+    // delete odd ids: both files grow a DV; no rewrite of data bytes
+    assert(DeltaLogLite.delete(spark, root, col("id") % 2 === 1) == 1L)
+    assert(ids() == Seq(0L, 2L, 4L, 6L, 8L))
+    val snap1 = DeltaLogLite.snapshot(spark, root)
+    assert(snap1.files.size == 2 &&
+      snap1.files.forall(_.deletionVector.nonEmpty))
+    // the commit upgraded the protocol to declare deletionVectors
+    assert(snap1.minReaderVersion == 3 &&
+      snap1.readerFeatures.contains("deletionVectors"))
+    val cdf1 = DeltaLogLite.readChanges(spark, root, 1, 1)
+      .select(col("id"), col("_change_type"))
+      .as[(Long, String)].collect().sorted.toSeq
+    assert(cdf1 == Seq(1L, 3L, 5L, 7L, 9L).map(i => (i, "delete")))
+    // second delete kills the REST of 'f one' (5..9 now all dead):
+    // full-file → removed outright, no re-add
+    assert(DeltaLogLite.delete(spark, root, col("id") >= 6) == 2L)
+    assert(ids() == Seq(0L, 2L, 4L))
+    val snap2 = DeltaLogLite.snapshot(spark, root)
+    assert(snap2.files.map(_.path) == Seq("f0.parquet"))
+    val cdf2 = DeltaLogLite.readChanges(spark, root, 2, 2)
+      .select(col("id"), col("_change_type"))
+      .as[(Long, String)].collect().sorted.toSeq
+    assert(cdf2 == Seq(6L, 8L).map(i => (i, "delete")))
+    // a no-match delete commits NOTHING
+    assert(DeltaLogLite.delete(spark, root, col("id") > 100) == 2L)
+    assert(DeltaLogLite.latestVersion(spark, root) == 2L)
+    // compact purges the vector; vacuum reclaims the originals + bins
+    assert(DeltaLogLite.compact(spark, root) == 3L)
+    assert(DeltaLogLite.snapshot(spark, root).files
+      .forall(_.deletionVector.isEmpty))
+    assert(ids() == Seq(0L, 2L, 4L))
+    val deleted = DeltaLogLite.vacuum(spark, root)
+    // two .bin files were ever written (v1's per-file vectors); the
+    // full-file v2 delete wrote none
+    assert(deleted.exists(_.endsWith("f0.parquet")) &&
+      deleted.exists(_.endsWith("f one.parquet")) &&
+      deleted.count(_.endsWith(".bin")) == 2, s"deleted: $deleted")
+    assert(ids() == Seq(0L, 2L, 4L))
+  }
+
+  test("base85 encode/decode round-trips") {
+    val bytes = Array.tabulate[Byte](16)(i => (i * 17 - 128).toByte)
+    assert(DeltaLogLite.base85Decode(
+      DeltaLogLite.base85Encode(bytes)).toSeq == bytes.toSeq)
+  }
+
+  test("file:-qualified URI roots: compact and vacuum run end-to-end " +
+    "through Hadoop FS (java.io/NIO would silently reclaim nothing)") {
+    import spark.implicits._
+    val (bare, schema) = fixture("uriroot")
+    commit(bare, 0, meta(schema), add("f0.parquet", "a"),
+      add("f%20one.parquet", "b"))
+    // every op takes the QUALIFIED root — nothing below may fall back
+    // to java.io path handling
+    val root = s"file:$bare"
+    val before = DeltaLogLite.read(spark, root)
+      .as[(Long, Long, String)].collect().sorted.toSeq
+    assert(before.size == 10)
+    assert(DeltaLogLite.compact(spark, root) == 1L)
+    assert(DeltaLogLite.read(spark, root)
+      .as[(Long, Long, String)].collect().sorted.toSeq == before)
+    // vacuum reclaims the two superseded originals and nothing else;
+    // the compacted read stays green
+    val deleted = DeltaLogLite.vacuum(spark, root)
+    assert(deleted.map(_.split('/').last).sorted ==
+      Seq("f one.parquet", "f0.parquet"), s"deleted: $deleted")
+    assert(DeltaLogLite.read(spark, root)
+      .as[(Long, Long, String)].collect().sorted.toSeq == before)
+    assert(DeltaLogLite.vacuum(spark, root) == Nil)
+  }
 }

@@ -299,6 +299,216 @@ class HudiSpec extends AnyFunSuite {
         _.getMessage.contains("lacks its after image")))
   }
 
+  test("cdcStats is PER FILE GROUP: a commit logging CDC for one " +
+    "group while creating an insert-only group keeps BOTH — the " +
+    "written record for the logged group, the inferred diff for the " +
+    "rest") {
+    import spark.implicits._
+    import graft.sources.HudiMorLite
+    val root = "/tmp/graft_hudispec/mixedcdc"
+    rm(new java.io.File(root))
+    Files.createDirectories(Paths.get(root, ".hoodie"))
+    Files.writeString(Paths.get(root, ".hoodie", "hoodie.properties"),
+      "hoodie.table.name=t\nhoodie.table.type=COPY_ON_WRITE\n")
+    def one(df: org.apache.spark.sql.DataFrame, out: String): Unit = {
+      val tmp = s"$root/_tmp"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith(".")).get
+      assert(part.renameTo(new java.io.File(s"$root/$out")))
+      rm(new java.io.File(tmp))
+    }
+    def batch(ids: Seq[Long], ct: String) = ids.toDF("id")
+      .select(lit(ct).as("_hoodie_commit_time"),
+        col("id").cast("string").as("_hoodie_record_key"),
+        col("id"), (col("id") * 2).as("v"))
+    one(batch(0L to 2L, "001"), "g_0-0_001.parquet")
+    // ONE commit 002: rewrites g with identical content (CDC logged —
+    // unchanged-value updates a diff cannot see) AND creates the
+    // insert-only group h, which writes NO CDC file
+    one(batch(0L to 2L, "001"), "g_0-0_002.parquet")
+    one(batch(Seq(7L), "002"), "h_0-0_002.parquet")
+    def img(id: Long, v: Long): String = s"""{"id":$id,"v":$v}"""
+    HudiMorLite.writeLogFile(s"$root/.g_cdc_002.log.1",
+      Seq(HudiMorLite.CdcSchema -> Seq(
+        Map[String, Any]("op" -> "u", "before" -> img(1, 2),
+          "after" -> img(1, 2)))),
+      blockType = HudiMorLite.CdcDataBlockOrdinal)
+    def stat(fid: String, p: String, extra: String = "") =
+      s"""{"fileId":"$fid","path":"$p","numWrites":1$extra}"""
+    Files.writeString(Paths.get(root, ".hoodie", "001.commit"),
+      s"""{"partitionToWriteStats":{"":[${
+        stat("g", "g_0-0_001.parquet")}]}}""")
+    Files.writeString(Paths.get(root, ".hoodie", "002.commit"),
+      s"""{"partitionToWriteStats":{"":[${
+        stat("g", "g_0-0_002.parquet",
+          ""","cdcStats":{".g_cdc_002.log.1":1}""")},${
+        stat("h", "h_0-0_002.parquet")}]}}""")
+    val got = HudiCowLite.readChanges(spark, root, "001")
+      .select(col("id"), col("v"), col("_change_type"),
+        col("_commit_time"))
+      .as[(Long, Long, String, String)].collect().sorted.toSeq
+    // commit-global CDC handling would LOSE h's insert; group-grain
+    // inference without the CDC leg would LOSE the unchanged update
+    assert(got == Seq(
+      (1L, 2L, "update_preimage", "002"),
+      (1L, 2L, "update_postimage", "002"),
+      (7L, 14L, "insert", "002")).sorted, got.toString)
+  }
+
+  test("file:-qualified URI root: cluster and clean run end-to-end " +
+    "through Hadoop FS (a java.io walk of a scheme-prefixed root " +
+    "finds nothing and silently reclaims nothing)") {
+    import spark.implicits._
+    val bare = "/tmp/graft_hudispec/uriroot"
+    rm(new java.io.File(bare))
+    Files.createDirectories(Paths.get(bare, ".hoodie"))
+    Files.writeString(Paths.get(bare, ".hoodie", "hoodie.properties"),
+      "hoodie.table.name=t\nhoodie.table.type=COPY_ON_WRITE\n")
+    def one(df: org.apache.spark.sql.DataFrame, out: String): Unit = {
+      val tmp = s"$bare/_tmp"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith(".")).get
+      assert(part.renameTo(new java.io.File(s"$bare/$out")))
+      rm(new java.io.File(tmp))
+    }
+    def batch(ids: Seq[Long], ct: String) = ids.toDF("id")
+      .select(lit(ct).as("_hoodie_commit_time"),
+        col("id").cast("string").as("_hoodie_record_key"),
+        lit("").as("_hoodie_partition_path"),
+        col("id"), (col("id") * 2).as("v"))
+    one(batch(0L to 4L, "001"), "gA_0-0_001.parquet")
+    one(batch(5L to 7L, "002"), "gB_0-0_002.parquet")
+    def stat(fid: String, p: String) =
+      s"""{"fileId":"$fid","path":"$p","numWrites":1}"""
+    Files.writeString(Paths.get(bare, ".hoodie", "001.commit"),
+      s"""{"partitionToWriteStats":{"":[${
+        stat("gA", "gA_0-0_001.parquet")}]}}""")
+    Files.writeString(Paths.get(bare, ".hoodie", "002.commit"),
+      s"""{"partitionToWriteStats":{"":[${
+        stat("gB", "gB_0-0_002.parquet")}]}}""")
+    val root = s"file:$bare"
+    val before = HudiCowLite.read(spark, root)
+      .select("id", "v").as[(Long, Long)].collect().sorted.toSeq
+    assert(before.size == 8)
+    assert(HudiCowLite.cluster(spark, root) == "003")
+    assert(HudiCowLite.read(spark, root)
+      .select("id", "v").as[(Long, Long)].collect().sorted.toSeq ==
+      before)
+    // clean reclaims the two superseded bases through Hadoop FS
+    val deleted = HudiCowLite.clean(spark, root)
+    assert(deleted.map(_.split('/').last).sorted ==
+      Seq("gA_0-0_001.parquet", "gB_0-0_002.parquet"),
+      s"deleted: $deleted")
+    assert(HudiCowLite.read(spark, root)
+      .select("id", "v").as[(Long, Long)].collect().sorted.toSeq ==
+      before)
+    assert(HudiCowLite.clean(spark, root) == Nil)
+  }
+
+  test("upsert rewrites touched groups by record key, routes new keys " +
+    "to a fresh group, and the inferred CDC reports exactly the " +
+    "changes; writeCdc additionally surfaces unchanged-value " +
+    "rewrites; delete advances fully-dead groups to empty bases") {
+    import spark.implicits._
+    def author(name: String): String = {
+      val root = s"/tmp/graft_hudispec/$name"
+      rm(new java.io.File(root))
+      Files.createDirectories(Paths.get(root, ".hoodie"))
+      Files.writeString(Paths.get(root, ".hoodie", "hoodie.properties"),
+        "hoodie.table.name=t\nhoodie.table.type=COPY_ON_WRITE\n")
+      def one(df: org.apache.spark.sql.DataFrame, out: String): Unit = {
+        val tmp = s"$root/_tmp"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.endsWith(".parquet") &&
+            !f.getName.startsWith(".")).get
+        assert(part.renameTo(new java.io.File(s"$root/$out")))
+        rm(new java.io.File(tmp))
+      }
+      def batch(ids: Seq[Long], ct: String) = ids.toDF("id")
+        .select(lit(ct).as("_hoodie_commit_time"),
+          col("id").cast("string").as("_hoodie_record_key"),
+          col("id"), (col("id") * 2).as("v"))
+      one(batch(0L to 4L, "001"), "gA_0-0_001.parquet")
+      one(batch(10L to 11L, "002"), "gB_0-0_002.parquet")
+      def stat(fid: String, p: String) =
+        s"""{"fileId":"$fid","path":"$p","numWrites":1}"""
+      Files.writeString(Paths.get(root, ".hoodie", "001.commit"),
+        s"""{"partitionToWriteStats":{"":[${
+          stat("gA", "gA_0-0_001.parquet")}]}}""")
+      Files.writeString(Paths.get(root, ".hoodie", "002.commit"),
+        s"""{"partitionToWriteStats":{"":[${
+          stat("gB", "gB_0-0_002.parquet")}]}}""")
+      root
+    }
+    // updates: id 1 → v=99 (gA), id 10 → v=20 UNCHANGED (gB),
+    // id 20 → NEW key
+    def updates = Seq((1L, 99L), (10L, 20L), (20L, 40L)).toDF("id", "v")
+      .withColumn("_hoodie_record_key", col("id").cast("string"))
+    val root = author("upsert")
+    assert(HudiCowLite.upsert(spark, root, updates) == "003")
+    val got = HudiCowLite.read(spark, root)
+      .select("id", "v").as[(Long, Long)].collect().sorted.toSeq
+    assert(got == Seq((0L, 0L), (1L, 99L), (2L, 4L), (3L, 6L),
+      (4L, 8L), (10L, 20L), (11L, 22L), (20L, 40L)))
+    // carried rows KEEP their commit time; upserted rows stamp 003
+    val times = HudiCowLite.read(spark, root)
+      .select(col("id"), col("_hoodie_commit_time"))
+      .as[(Long, String)].collect().toMap
+    assert(times(1L) == "003" && times(2L) == "001" &&
+      times(10L) == "003" && times(20L) == "003")
+    // inferred CDC: id 1's update + id 20's insert; id 10's
+    // unchanged-value rewrite is invisible to a diff
+    val cdc = HudiCowLite.readChanges(spark, root, "002")
+      .select(col("id"), col("v"), col("_change_type"))
+      .as[(Long, Long, String)].collect().sorted.toSeq
+    assert(cdc == Seq((1L, 2L, "update_preimage"),
+      (1L, 99L, "update_postimage"), (20L, 40L, "insert")).sorted,
+      cdc.toString)
+    // writeCdc: the WRITTEN record surfaces id 10's unchanged rewrite
+    val root2 = author("upsertcdc")
+    assert(HudiCowLite.upsert(spark, root2, updates,
+      writeCdc = true) == "003")
+    val cdc2 = HudiCowLite.readChanges(spark, root2, "002")
+      .select(col("id"), col("v"), col("_change_type"))
+      .as[(Long, Long, String)].collect().sorted.toSeq
+    assert(cdc2 == Seq((1L, 2L, "update_preimage"),
+      (1L, 99L, "update_postimage"), (10L, 20L, "update_preimage"),
+      (10L, 20L, "update_postimage"), (20L, 40L, "insert")).sorted,
+      cdc2.toString)
+    // duplicate keys in one batch refuse
+    val eDup = intercept[IllegalStateException] {
+      HudiCowLite.upsert(spark, root,
+        updates.unionByName(updates))
+    }
+    assert(eDup.getMessage.contains("DUPLICATE"))
+    // DELETE: kill id 0 (partial gA) and ALL of gB — gB advances to
+    // an empty base, its rows gone, the group intact
+    val root3 = author("hudidelete")
+    assert(HudiCowLite.delete(spark, root3,
+      col("id") === 0 || col("id") >= 10) == "003")
+    val got3 = HudiCowLite.read(spark, root3)
+      .select("id", "v").as[(Long, Long)].collect().sorted.toSeq
+    assert(got3 == Seq((1L, 2L), (2L, 4L), (3L, 6L), (4L, 8L)))
+    val cdc3 = HudiCowLite.readChanges(spark, root3, "002")
+      .select(col("id"), col("_change_type"))
+      .as[(Long, String)].collect().sorted.toSeq
+    assert(cdc3 == Seq((0L, "delete"), (10L, "delete"),
+      (11L, "delete")), cdc3.toString)
+    // a no-match delete commits NOTHING
+    assert(HudiCowLite.delete(spark, root3, col("id") > 100) == "003")
+    // NULL predicate rows survive (DELETE WHERE semantics)
+    val root4 = author("hudidelnull")
+    assert(HudiCowLite.delete(spark, root4,
+      when(col("id") < 2, lit(true))) == "003")
+    assert(HudiCowLite.read(spark, root4).select("id").as[Long]
+      .collect().sorted.toSeq == Seq(2L, 3L, 4L, 10L, 11L))
+  }
+
   test("randomized maintenance model check: reads stay model-equal " +
     "through insert/cluster/clean sequences over two partitions, " +
     "across seeds") {

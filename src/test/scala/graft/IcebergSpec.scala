@@ -1608,10 +1608,12 @@ class IcebergSpec extends AnyFunSuite {
     assert(entries.length == 2) // m2del's tombstone + m2b's existing
     assert(entries.map(_.getInt(0)).toSeq.sorted == Seq(0, 2))
     assert(entries.forall(_.isNullAt(2)))
-    // manifests serves per-manifest rows with entry counts
+    // manifests serves per-manifest rows with entry counts under the
+    // format's own metadata-table spelling
     val mrows = IcebergLite.metadataTable(spark, root, "manifests")
-      .select("content", "added_files_count", "existing_files_count",
-        "deleted_files_count", "length")
+      .select("content", "added_data_files_count",
+        "existing_data_files_count", "deleted_data_files_count",
+        "length")
       .collect()
     assert(mrows.length == 2) // m2del + m2b
     assert(mrows.map(r => (r.getInt(0), r.getLong(1), r.getLong(2),

@@ -99,8 +99,8 @@ class PaimonSpec extends AnyFunSuite {
 
   test("compact publishes a COMPACT snapshot: read unchanged, one " +
     "file, history travelable; partitioned tables pack per " +
-    "partition with BinaryRow-stamped stats-complete manifests; PK " +
-    "and null-partition tables refuse") {
+    "partition with BinaryRow-stamped stats-complete manifests; " +
+    "null-partition tables refuse") {
     import spark.implicits._
     val root = fixture("compact")
     val before = PaimonLite.read(spark, root)
@@ -121,12 +121,8 @@ class PaimonSpec extends AnyFunSuite {
     assert(PaimonLite.compact(spark, root) == 4L)
     assert(PaimonLite.read(spark, root)
       .as[(Long, Long)].collect().sorted.toSeq == after)
-    // a primary-key table refuses
-    val e = intercept[IllegalStateException] {
-      PaimonLite.compact(spark,
-        pkFixture("compactpk"))
-    }
-    assert(e.getMessage.contains("primary-key"))
+    // primary-key tables compact through the LSM full-compaction
+    // path — covered by its own test below
     // a partitioned table (no nulls) packs per partition: values
     // round-trip through the writer's escaped dirs back into
     // BinaryRow-encoded manifest entries with real stats
@@ -158,6 +154,97 @@ class PaimonSpec extends AnyFunSuite {
       PaimonLite.compact(spark, rootN)
     }
     assert(eN.getMessage.contains("null-partition"))
+  }
+
+  test("primary-key FULL COMPACTION: the engine fold lands in one " +
+    "+I file per bucket with re-stamped winning sequences, read " +
+    "unchanged, later writes still override, first-row keeps MIN, " +
+    "changelog-demanding producers refuse") {
+    import spark.implicits._
+    val root = pkFixture("pkcompact")
+    val before = PaimonLite.read(spark, root)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(before == Seq((1L, 100L), (2L, 100L), (3L, 9L), (4L, 12L)))
+    assert(PaimonLite.compact(spark, root) == 3L)
+    assert(PaimonLite.read(spark, root)
+      .as[(Long, Long)].collect().sorted.toSeq == before)
+    val snap = PaimonLite.snapshot(spark, root)
+    assert(snap.files.size == 1 &&
+      snap.files.head.path.contains("/bucket-0/"))
+    // the compacted file is +I-only KeyValue with the WINNING
+    // sequence per key (max under deduplicate)
+    val kvf = spark.read.parquet(snap.files.head.path)
+    assert(kvf.columns.toSeq == Seq("_KEY_id", "_SEQUENCE_NUMBER",
+      "_VALUE_KIND", "id", "v"))
+    assert(kvf.select("_VALUE_KIND").distinct()
+      .collect().map(_.getInt(0)).toSeq == Seq(0))
+    assert(kvf.select("id", "_SEQUENCE_NUMBER").as[(Long, Long)]
+      .collect().toMap == Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L))
+    // time travel to pre-compaction snapshots stays intact
+    assert(PaimonLite.read(spark, root, Some(1L))
+      .as[(Long, Long)].collect().sorted.toSeq ==
+      (0L to 4L).map(i => (i, i * 3)))
+    // a LATER write (snapshot 4, sequence 3) still overrides the
+    // re-stamped rows — the override contract survives compaction
+    def writeAvro(d: org.apache.spark.sql.DataFrame, rel: String): Unit = {
+      val tmp = s"$root/_tmpavro"
+      d.coalesce(1).write.mode("overwrite").format(avroFmt).save(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.startsWith("part-")).get
+      assert(part.renameTo(new java.io.File(s"$root/$rel")))
+      rm(new java.io.File(tmp))
+    }
+    val late = Seq((3L, 777L)).toDF("id", "v")
+      .select(col("id").as("_KEY_id"), lit(3L).as("_SEQUENCE_NUMBER"),
+        lit(2).cast("tinyint").as("_VALUE_KIND"), col("id"), col("v"))
+    val tmp2 = s"$root/_tmpl"
+    late.coalesce(1).write.mode("overwrite").parquet(tmp2)
+    val lp = new java.io.File(tmp2).listFiles()
+      .find(f => f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith(".")).get
+    assert(lp.renameTo(new java.io.File(s"$root/bucket-0/kv2.parquet")))
+    rm(new java.io.File(tmp2))
+    writeAvro(Seq((0, "kv2.parquet")).toDF("_KIND", "_fn")
+      .select(col("_KIND"), lit(0).as("_BUCKET"),
+        struct(col("_fn").as("_FILE_NAME")).as("_FILE")),
+      "manifest/m-kv2.avro")
+    writeAvro(Seq("m-kv2.avro").toDF("_FILE_NAME"),
+      "manifest/ml-kv2.avro")
+    Files.writeString(Paths.get(root, "snapshot", "snapshot-4"),
+      s"""{"version":3,"id":4,"schemaId":0,
+         |"baseManifestList":"ml-compact-3.avro",
+         |"deltaManifestList":"ml-kv2.avro",
+         |"commitKind":"APPEND","commitUser":"t","commitIdentifier":4,
+         |"timeMillis":0}""".stripMargin)
+    Files.writeString(Paths.get(root, "snapshot", "LATEST"), "4")
+    assert(PaimonLite.read(spark, root)
+      .as[(Long, Long)].collect().sorted.toSeq ==
+      Seq((1L, 100L), (2L, 100L), (3L, 777L), (4L, 12L)))
+    // FIRST-ROW re-stamps MIN so later writes still LOSE
+    def kvF(rows: Seq[(Long, Long)], seq: Long, kind: Int = 0) =
+      rows.toDF("id", "v").select(col("id").as("_KEY_id"),
+        lit(seq).as("_SEQUENCE_NUMBER"),
+        lit(kind).cast("tinyint").as("_VALUE_KIND"), col("id"), col("v"))
+    val fr = pkCustomFixture("pkcfirst",
+      """{"merge-engine":"first-row"}""",
+      Seq("id" -> "BIGINT", "v" -> "BIGINT"), Seq(
+        kvF(Seq((0L, 1L), (1L, 2L)), 1L),
+        kvF(Seq((1L, 99L), (2L, 30L)), 2L)))
+    assert(PaimonLite.compact(spark, fr) == 3L)
+    val frSnap = PaimonLite.snapshot(spark, fr)
+    assert(spark.read.parquet(frSnap.files.head.path)
+      .select("id", "_SEQUENCE_NUMBER").as[(Long, Long)]
+      .collect().toMap == Map(0L -> 1L, 1L -> 1L, 2L -> 2L))
+    assert(PaimonLite.read(spark, fr)
+      .as[(Long, Long)].collect().sorted.toSeq ==
+      Seq((0L, 1L), (1L, 2L), (2L, 30L)))
+    // changelog-demanding producers refuse loudly
+    val lk = pkFixture("pkclookup",
+      options = """{"changelog-producer":"lookup"}""")
+    val e = intercept[IllegalStateException] {
+      PaimonLite.compact(spark, lk)
+    }
+    assert(e.getMessage.contains("changelog-producer=lookup"))
   }
 
   test("expireSnapshots drops history and deletes orphans; a TAG's " +
