@@ -80,7 +80,13 @@ object Bench {
     // positional survivors) against a from-live scan, plus the
     // new-file insert leg. Fixture authoring is memoized, so
     // min-of-two times the READ.
-    "q463_iceberg_changes")
+    "q463_iceberg_changes",
+    // round 19: the first benched MAINTENANCE WRITE — partitioned
+    // Delta OPTIMIZE. The source table is memoized per JVM; each pass
+    // copies it and compacts the COPY, so the timed region is
+    // copy + rewrite + census read, never fixture authoring. Total
+    // re-baselines accordingly.
+    "q493_delta_compact_bench")
 
   /** Drain the ContextCleaner so no prior query's cleanup I/O bills the
     * next timed region. A GC enqueues the dead weak refs; the cleaner

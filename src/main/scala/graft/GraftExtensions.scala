@@ -204,7 +204,107 @@ object GraftExtensions {
           litStr(es.head, "the table path"),
           litLong(es(1), "fromVersion"), litLong(es(2), "toVersion"))
           .queryExecution.analyzed
+      }),
+    // CALL-style MAINTENANCE from pure SQL — the write twins of
+    // graft_lake/graft_lake_changes, each running its dispatcher
+    // ([[graft.sources.GraftLake]] compact/expire/reclaim, format
+    // detected from the layout, wrong-axis refusals preserved) and
+    // returning the op's result as rows:
+    //   SELECT * FROM graft_lake_compact('/path'[, numFiles])
+    //     → one row (version STRING — the format's own axis);
+    //   SELECT * FROM graft_lake_expire('/path'[, keepLast
+    //     [, dropChangelogs]]) → one row per expired snapshot id;
+    //   SELECT * FROM graft_lake_reclaim('/path')
+    //     → one row per deleted file path.
+    // The op runs when the query is ANALYZED (CALL semantics — the
+    // statement IS the action), with literal-only arguments so the
+    // entry point stays bounded.
+    ("graft_lake_compact",
+      new ExpressionInfo(graft.sources.GraftLake.getClass.getName,
+        "graft_lake_compact"),
+      (es: Seq[Expression]) => {
+        val fn = "graft_lake_compact"
+        require(es.size == 1 || es.size == 2,
+          s"$fn(path[, numFiles]) takes 1-2 arguments, got ${es.size}")
+        val spark = SparkSession.active
+        val n = if (es.size < 2) 1
+          else maintLitLong(fn, es(1), "numFiles").toInt
+        val v = graft.sources.GraftLake.compact(spark,
+          maintLitStr(fn, es.head, "the table path"), n)
+        import spark.implicits._
+        Seq(v).toDF("version").queryExecution.analyzed
+      }),
+    ("graft_lake_expire",
+      new ExpressionInfo(graft.sources.GraftLake.getClass.getName,
+        "graft_lake_expire"),
+      (es: Seq[Expression]) => {
+        val fn = "graft_lake_expire"
+        require(es.size >= 1 && es.size <= 3,
+          s"$fn(path[, keepLast[, dropChangelogs]]) takes 1-3 " +
+            s"arguments, got ${es.size}")
+        val spark = SparkSession.active
+        val keep = if (es.size < 2) 1
+          else maintLitLong(fn, es(1), "keepLast").toInt
+        val drop = es.size >= 3 && maintLitBool(fn, es(2),
+          "dropChangelogs")
+        val ids = graft.sources.GraftLake.expire(spark,
+          maintLitStr(fn, es.head, "the table path"), keep, drop)
+        import spark.implicits._
+        ids.toDF("expired_snapshot_id").queryExecution.analyzed
+      }),
+    ("graft_lake_reclaim",
+      new ExpressionInfo(graft.sources.GraftLake.getClass.getName,
+        "graft_lake_reclaim"),
+      (es: Seq[Expression]) => {
+        val fn = "graft_lake_reclaim"
+        require(es.size == 1,
+          s"$fn(path) takes 1 argument, got ${es.size}")
+        val spark = SparkSession.active
+        val deleted = graft.sources.GraftLake.reclaim(spark,
+          maintLitStr(fn, es.head, "the table path"))
+        import spark.implicits._
+        deleted.toDF("deleted_path").queryExecution.analyzed
       }))
+
+  private def maintLitStr(fn: String, e: Expression,
+                          what: String): String = e match {
+    case l if l.foldable &&
+      l.dataType == org.apache.spark.sql.types.StringType =>
+      l.eval() match {
+        case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+        case _ => throw new IllegalArgumentException(
+          s"$fn: $what must be a non-NULL STRING literal")
+      }
+    case other => throw new IllegalArgumentException(
+      s"$fn: $what must be a STRING literal, got $other")
+  }
+
+  private def maintLitLong(fn: String, e: Expression,
+                           what: String): Long = e match {
+    case l if l.foldable && (l.dataType ==
+      org.apache.spark.sql.types.LongType || l.dataType ==
+      org.apache.spark.sql.types.IntegerType) =>
+      l.eval() match {
+        case n: java.lang.Number => n.longValue()
+        case _ => throw new IllegalArgumentException(
+          s"$fn: $what must be a non-NULL INT/LONG literal")
+      }
+    case other => throw new IllegalArgumentException(
+      s"$fn: $what must be an INT/LONG literal, got $other")
+  }
+
+  private def maintLitBool(fn: String, e: Expression,
+                           what: String): Boolean = e match {
+    case l if l.foldable &&
+      l.dataType == org.apache.spark.sql.types.BooleanType =>
+      l.eval() match {
+        case b: java.lang.Boolean => b.booleanValue()
+        case _ => throw new IllegalArgumentException(
+          s"$fn: $what must be a non-NULL BOOLEAN literal")
+      }
+    case other => throw new IllegalArgumentException(
+      s"$fn: $what must be a BOOLEAN literal, got $other")
+  }
 
   /** Imperative registration on an existing session (used by the query
     * modules so the driver-created sessions get the SQL functions too).

@@ -2096,6 +2096,70 @@ object Storage extends QueryModule {
       read.unionByName(files).orderBy(col("surface"), col("k"))
     },
 
+    // The BENCHED maintenance path: partitioned Delta OPTIMIZE over a
+    // MEMOIZED source (authored once per JVM) — each invocation
+    // copies the source, compacts the copy and reads the census, so
+    // bench passes time the maintenance op itself, never fixture
+    // authoring. Keeps compaction cost visible round-over-round
+    // instead of adjudicated by roster exemption.
+    "q493_delta_compact_bench" -> { (s, dir) =>
+      import graft.sources.DeltaLogLite
+      import org.apache.hadoop.fs.{FileUtil, Path => HPath}
+      val src = authorDeltaBenchCompactSrc(s, dir)
+      val root =
+        s"/tmp/graft_delta/benchrun_${Integer.toHexString(dir.hashCode)}"
+      val conf = s.sparkContext.hadoopConfiguration
+      val hfs = new HPath(root).getFileSystem(conf)
+      hfs.delete(new HPath(root), true)
+      if (!FileUtil.copy(hfs, new HPath(src), hfs, new HPath(root),
+        false, conf)) throw new IllegalStateException(
+        s"q493: could not stage a copy of $src")
+      DeltaLogLite.compact(s, root): Unit
+      val read = DeltaLogLite.read(s, root)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_qty"))
+        .select(lit("read").as("surface"),
+          col("l_returnflag").as("k"), col("n"), col("sum_qty"))
+      import s.implicits._
+      val files = DeltaLogLite.snapshot(s, root).files
+        .groupBy(_.partitionValues("l_returnflag")).toSeq
+        .map { case (f, fl) => (f, fl.size.toLong) }
+        .toDF("k", "n")
+        .select(lit("files").as("surface"), col("k"), col("n"),
+          lit(null).cast(DoubleType).as("sum_qty"))
+      read.unionByName(files).orderBy(col("surface"), col("k"))
+    },
+
+    // Iceberg EQUALITY-DELETE WRITE: our writer commits a content=2
+    // delete file (keys = every orderkey holding a q>40 line) at
+    // sequence max-live+1; our own reader then serves the PK-style
+    // delete — every line of a matched order dies, strict-seq
+    // ordering intact. A writer that mis-stamped sequences or
+    // mis-listed existing manifests shifts the census.
+    "q494_iceberg_eq_delete_write" -> { (s, dir) =>
+      import graft.sources.IcebergLite
+      val root = authorIcebergSeqTable(s, dir)
+      val keys = IcebergLite.read(s, root)
+        .filter(col("l_quantity") > 40)
+        .select(col("l_orderkey")).distinct()
+      IcebergLite.eqDelete(s, root, keys): Unit
+      val read = IcebergLite.read(s, root)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_qty"))
+        .select(lit("read").as("surface"),
+          col("l_returnflag").as("k"), col("n"), col("sum_qty"))
+      import s.implicits._
+      val dels = Seq(("deletes", "files",
+        IcebergLite.snapshot(s, root).eqDeletes.size.toLong))
+        .toDF("surface", "k", "n")
+        .withColumn("sum_qty", lit(null).cast(DoubleType))
+      read.unionByName(dels).orderBy(col("surface"), col("k"))
+    },
+
     // Hudi WRITTEN CDC (RFC-51 cdcStats + CDC_DATA_BLOCK): commit 002
     // rewrote EVERY key — half with unchanged values. The written
     // changelog records updates for all of them; a file diff sees
@@ -5001,6 +5065,79 @@ object Storage extends QueryModule {
       })
     }
 
+  /** Authors the SEQUENCE-STAMPED Iceberg table q494 writes an
+    * equality delete into: two data files (orderkey parity split of
+    * %10<2) listed at sequences 1 and 2 — the gate
+    * [[graft.sources.IcebergLite.eqDelete]] demands. NOT memoized —
+    * the query commits a delete snapshot. */
+  private def authorIcebergSeqTable(s: SparkSession,
+                                    dir: String): String = {
+    import java.nio.file.{Files, Paths}
+    val avroFmt = "org.apache.spark.sql.avro.AvroFileFormat"
+    val root =
+      s"/tmp/graft_iceberg/eqwrite_${Integer.toHexString(dir.hashCode)}"
+    def rm(p: java.io.File): Unit = {
+      if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+      p.delete(): Unit
+    }
+    rm(new java.io.File(root))
+    Files.createDirectories(Paths.get(root, "metadata"))
+    Files.createDirectories(Paths.get(root, "data"))
+    val src = Tables.df(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+      .filter(col("l_orderkey") % 10 < 2)
+    val ids = Map("l_orderkey" -> 1, "l_quantity" -> 2,
+      "l_returnflag" -> 3)
+    def writeOne(df: DataFrame, out: String): Unit = {
+      val tmp = s"$root/_tmp"
+      graft.sources.IcebergLite.stampFieldIds(df, ids)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith(".")).get
+      assert(part.renameTo(new java.io.File(s"$root/$out")))
+      rm(new java.io.File(tmp))
+    }
+    writeOne(src.filter(col("l_orderkey") % 2 === 0), "data/a.parquet")
+    writeOne(src.filter(col("l_orderkey") % 2 === 1), "data/b.parquet")
+    def writeAvro(df: DataFrame, rel: String): Unit = {
+      val tmp = s"$root/_tmpavro"
+      df.coalesce(1).write.mode("overwrite").format(avroFmt).save(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-")).get
+      assert(part.renameTo(new java.io.File(s"$root/$rel")))
+      rm(new java.io.File(tmp))
+    }
+    import s.implicits._
+    def manifest(rel: String, path: String): Unit =
+      writeAvro(Seq((1, path)).toDF("status", "file_path")
+        .select(col("status"),
+          struct(col("file_path"), lit(0).as("content")).as("data_file")),
+        rel)
+    manifest("metadata/m-a.avro", "data/a.parquet")
+    manifest("metadata/m-b.avro", "data/b.parquet")
+    writeAvro(Seq(("metadata/m-a.avro", 0, 1L),
+      ("metadata/m-b.avro", 0, 2L))
+      .toDF("manifest_path", "content", "sequence_number"),
+      "metadata/snap-1.avro")
+    val fields = Seq((1, "l_orderkey", "long"),
+      (2, "l_quantity", "double"), (3, "l_returnflag", "string"))
+      .map { case (i, n, t) =>
+        s"""{"id":$i,"name":${jstr(n)},"required":false,"type":${jstr(t)}}"""
+      }.mkString("[", ",", "]")
+    Files.writeString(Paths.get(root, "metadata", "v1.metadata.json"),
+      s"""{"format-version":2,"table-uuid":"graft-q494","location":${jstr(root)},
+         |"current-schema-id":0,
+         |"schemas":[{"schema-id":0,"type":"struct","fields":$fields}],
+         |"current-snapshot-id":1,
+         |"snapshots":[
+         | {"snapshot-id":1,"manifest-list":"metadata/snap-1.avro"}
+         |]}""".stripMargin)
+    Files.writeString(Paths.get(root, "metadata", "version-hint.text"),
+      "1")
+    root
+  }
+
   /** Authors the Delta table q471 COMPACTS: commit 0 blind-appends
     * batches A (%10=0) and B (%10=1); commit 1 row-level-deletes A's
     * l_quantity>25 via a deletion vector (remove + re-add). NOT
@@ -5141,10 +5278,31 @@ object Storage extends QueryModule {
     * files per partition from the %10<2 lineitem subset, CDF on.
     * NOT memoized — the query appends a compaction commit. */
   private def authorDeltaPartCompactTable(s: SparkSession,
-                                          dir: String): String = {
+                                          dir: String): String =
+    buildDeltaPartTable(s, dir,
+      s"/tmp/graft_delta/partcompact_${Integer.toHexString(dir.hashCode)}",
+      mod = 2)
+
+  private val deltaBenchSrcMemo =
+    scala.collection.mutable.Map.empty[String, String]
+
+  /** The MEMOIZED source table for the benched compaction (q493):
+    * authored ONCE per JVM so bench passes time the COMPACTION (copy
+    * + rewrite + census read), never the authoring's Spark jobs. A
+    * bigger slice (%10<5) than the correctness fixtures so the
+    * rewrite has real weight at sf0.1. */
+  private def authorDeltaBenchCompactSrc(s: SparkSession,
+                                         dir: String): String =
+    deltaBenchSrcMemo.synchronized {
+      deltaBenchSrcMemo.getOrElseUpdate(dir,
+        buildDeltaPartTable(s, dir,
+          s"/tmp/graft_delta/benchsrc_${Integer.toHexString(dir.hashCode)}",
+          mod = 5))
+    }
+
+  private def buildDeltaPartTable(s: SparkSession, dir: String,
+                                  root: String, mod: Int): String = {
     import java.nio.file.{Files, Paths}
-    val root =
-      s"/tmp/graft_delta/partcompact_${Integer.toHexString(dir.hashCode)}"
     def rm(p: java.io.File): Unit = {
       if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
       p.delete(): Unit
@@ -5152,7 +5310,7 @@ object Storage extends QueryModule {
     rm(new java.io.File(root))
     Files.createDirectories(Paths.get(root, "_delta_log"))
     val src = Tables.df(s, dir, "lineitem")
-      .filter(col("l_orderkey") % 10 < 2)
+      .filter(col("l_orderkey") % 10 < mod)
       .select(col("l_orderkey"), col("l_quantity"),
         col("l_extendedprice"), col("l_returnflag"))
     val flags = src.select(col("l_returnflag")).distinct()
@@ -8776,6 +8934,40 @@ object Storage extends QueryModule {
         |  UNION ALL
         |  SELECT 'files', 'live', 1, CAST(NULL AS DOUBLE))
         |SELECT surface, k, n, sum_price FROM rows_
+        |ORDER BY surface, k""".stripMargin,
+    // benched compaction: read unchanged over %10<5, one file per
+    // partition after packing
+    "q493_delta_compact_bench" ->
+      """WITH src AS (
+        |  SELECT l_returnflag, l_quantity FROM lineitem
+        |  WHERE l_orderkey % 10 < 5),
+        |rows_ AS (
+        |  SELECT 'read' AS surface, l_returnflag AS k, count(*) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS sum_qty
+        |  FROM src GROUP BY l_returnflag
+        |  UNION ALL
+        |  SELECT 'files', l_returnflag, 1, CAST(NULL AS DOUBLE)
+        |  FROM (SELECT DISTINCT l_returnflag FROM src))
+        |SELECT surface, k, n, sum_qty FROM rows_
+        |ORDER BY surface, k""".stripMargin,
+    // equality-delete write: PK-style — EVERY line of an orderkey
+    // holding any q>40 line dies; one delete file in the snapshot
+    "q494_iceberg_eq_delete_write" ->
+      """WITH src AS (
+        |  SELECT l_orderkey, l_quantity, l_returnflag FROM lineitem
+        |  WHERE l_orderkey % 10 < 2),
+        |live AS (
+        |  SELECT * FROM src WHERE l_orderkey NOT IN (
+        |    SELECT DISTINCT l_orderkey FROM src WHERE l_quantity > 40)),
+        |rows_ AS (
+        |  SELECT 'read' AS surface, l_returnflag AS k, count(*) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS sum_qty
+        |  FROM live GROUP BY l_returnflag
+        |  UNION ALL
+        |  SELECT 'deletes', 'files', 1, CAST(NULL AS DOUBLE))
+        |SELECT surface, k, n, sum_qty FROM rows_
         |ORDER BY surface, k""".stripMargin,
     // the WRITTEN CDC records an update for EVERY %10<2 key — the
     // unchanged %10=0 half included, which a file diff cannot see

@@ -1400,18 +1400,20 @@ object DeltaLogLite {
     * directory names) and its ACTUAL byte size — external readers
     * plan on `size`, so a placeholder would break them.
     *
-    * Loud refusals: column-mapped tables (the rewrite would have to
-    * re-stamp physical names / field ids) and null partition values
+    * COLUMN-MAPPED tables compact too: the rewritten files carry the
+    * mapping's PHYSICAL column names (mode=name) and stamped
+    * parquet field ids (mode=id), and partition directories — hence
+    * the re-stamped partitionValues keys — use physical names, as
+    * the protocol requires.
+    *
+    * Loud refusals: null partition values
     * (`__HIVE_DEFAULT_PARTITION__` round-tripping is outside lite
-    * scope). */
+    * scope) and partition source types beyond
+    * int/long/string/date/boolean. */
   def compact(spark: SparkSession, tableDir: String,
               numFiles: Int = 1): Long = {
     require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
     val snap = snapshot(spark, tableDir)
-    if (snap.physicalNames.nonEmpty || snap.fieldIds.nonEmpty)
-      throw new IllegalStateException(
-        s"$tableDir: column-mapped table — the rewrite would need to " +
-          "re-stamp physical names / field ids; outside lite scope")
     if (snap.files.isEmpty) throw new IllegalStateException(
       s"$tableDir: nothing to compact (no live files)")
     val partCols = snap.partitionColumns
@@ -1437,7 +1439,9 @@ object DeltaLogLite {
     }
     snap.files.foreach { f =>
       partCols.foreach { c =>
-        if (f.partitionValues.getOrElse(c, null) == null)
+        // partitionValues are keyed by PHYSICAL name under mapping
+        val key = snap.physicalNames.getOrElse(c, c)
+        if (f.partitionValues.getOrElse(key, null) == null)
           throw new IllegalStateException(
             s"$tableDir: file ${f.path} has a NULL value for partition " +
               s"column $c — null-partition compaction is outside lite " +
@@ -1470,8 +1474,35 @@ object DeltaLogLite {
             lit(numFiles.toLong)))
         .repartition((partCols :+ "_graft_bin").map(col): _*)
         .drop("_graft_bin")
-    packed.write.mode("overwrite")
-      .partitionBy(partCols: _*).parquet(tmp.toString)
+    // COLUMN-MAPPED tables rewrite UNDER their mapping: mode=name
+    // files carry physical column names; mode=id files additionally
+    // stamp parquet.field.id into their footers (Spark's field-id
+    // writer), and the staging partition dirs — hence the re-stamped
+    // partitionValues keys — use physical names, exactly as the
+    // protocol keys them
+    def physOf(c: String): String = snap.physicalNames.getOrElse(c, c)
+    val outDf =
+      if (snap.physicalNames.isEmpty) packed
+      else {
+        val renamed = packed.select(
+          packed.columns.map(c => col(c).as(physOf(c))).toSeq: _*)
+        if (snap.fieldIds.isEmpty) renamed
+        else {
+          spark.conf.set("spark.sql.parquet.fieldId.write.enabled",
+            "true")
+          val physToLogical = snap.physicalNames.map(_.swap)
+          renamed.select(renamed.columns.map { pc =>
+            snap.fieldIds.get(physToLogical.getOrElse(pc, pc)) match {
+              case Some(id) => col(pc).as(pc,
+                new org.apache.spark.sql.types.MetadataBuilder()
+                  .putLong("parquet.field.id", id).build())
+              case None => col(pc)
+            }
+          }.toSeq: _*)
+        }
+      }
+    outDf.write.mode("overwrite")
+      .partitionBy(partCols.map(physOf): _*).parquet(tmp.toString)
     // (escaped partition dir chain, unescaped values, file) per output
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
     def walkTmp(dir: org.apache.hadoop.fs.Path, relDir: Seq[String],
@@ -1579,8 +1610,15 @@ object DeltaLogLite {
   private[graft] def writeDvFile(path: String,
                                  payload: Array[Byte]): Unit = {
     val p = new Path(path)
-    val out = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-      .create(p, false)
+    // unwrap ChecksumFileSystem (the local default): .crc sidecars
+    // are not part of the Delta layout and would orphan under vacuum
+    val fs = p.getFileSystem(
+      new org.apache.hadoop.conf.Configuration()) match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem =>
+        c.getRawFileSystem
+      case f => f
+    }
+    val out = fs.create(p, false)
     try {
       out.writeByte(1)
       out.writeInt(payload.length) // big-endian, like the decode's read

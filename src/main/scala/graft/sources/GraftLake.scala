@@ -269,6 +269,36 @@ object GraftLake {
           "(Delta VACUUM / Hudi CLEAN)")
     }
 
+  /** Detect + dispatch the ROW-LEVEL DELETE write — the most common
+    * lakehouse mutation, one vocabulary: Delta commits deletion
+    * vectors ([[DeltaLogLite.delete]], returns the new version), Hudi
+    * COW rewrites the touched file groups ([[HudiCowLite.delete]],
+    * returns the new instant). Formats whose delete axis is KEYED
+    * rather than predicated refuse naming the right entry point:
+    * Iceberg's is the equality-delete write
+    * ([[IcebergLite.eqDelete]]), Paimon's is a `-D` KeyValue row a
+    * PK writer appends (outside lite write scope). Returns the new
+    * version marker as a string — the CURRENT one when nothing
+    * matched (a no-op delete is not a table change). */
+  def delete(spark: SparkSession, tableDir: String,
+             condition: org.apache.spark.sql.Column): String =
+    detect(spark, tableDir) match {
+      case Delta =>
+        DeltaLogLite.delete(spark, tableDir, condition).toString
+      case Hudi =>
+        if (isMorTable(spark, tableDir)) throw new IllegalArgumentException(
+          s"$tableDir: MERGE_ON_READ delete needs a log-block write — " +
+            "outside lite write scope (COW tables delete via " +
+            "HudiCowLite.delete)")
+        HudiCowLite.delete(spark, tableDir, condition)
+      case Iceberg => throw new IllegalArgumentException(
+        s"$tableDir: Iceberg's row-level delete axis is KEYED — use " +
+          "IcebergLite.eqDelete(keys) for PK-style equality deletes")
+      case Paimon => throw new IllegalArgumentException(
+        s"$tableDir: Paimon deletes are -D KeyValue rows a PK writer " +
+          "appends — outside GraftLake's predicate-delete scope")
+    }
+
   /** Detect + dispatch FILE RECLAIM — the dead-file deletion op:
     * Delta VACUUM ([[DeltaLogLite.vacuum]]) and Hudi CLEAN
     * ([[HudiCowLite.clean]]), returning the deleted paths. Iceberg

@@ -868,11 +868,11 @@ object HudiCowLite {
     moved
   }
 
-  /** Render + publish `<instant>.commit` for the write paths:
-    * partitionToWriteStats grouped by partition, each stat carrying
-    * fileId/path/numWrites and — when the writer persisted CDC — its
-    * `cdcStats`. */
-  private def commitJson(spark: SparkSession, tableDir: String,
+  /** Render + publish `<instant>.commit` for the write paths (shared
+    * with [[HudiMorLite.compactLogs]]): partitionToWriteStats grouped
+    * by partition, each stat carrying fileId/path/numWrites and —
+    * when the writer persisted CDC — its `cdcStats`. */
+  private[sources] def commitJson(spark: SparkSession, tableDir: String,
                          fs: org.apache.hadoop.fs.FileSystem,
                          instant: String,
                          written: Seq[(String, String, String, Long)],

@@ -1014,10 +1014,19 @@ object HudiMorLite {
     out.flush()
     // the path's OWN Hadoop filesystem: executor-side callers (the
     // upsert writer's per-group CDC logs) and scheme-qualified roots
-    // both work; java.nio would treat "file:/a" as a relative path
+    // both work; java.nio would treat "file:/a" as a relative path.
+    // UNWRAP ChecksumFileSystem (the local default): its .crc
+    // sidecars are not part of the Hudi layout, and real Hudi log
+    // files are not checksum-shadowed — a reader/mutator of the raw
+    // bytes must see exactly the log format, nothing else.
     val p = new org.apache.hadoop.fs.Path(path)
-    val fsOut = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-      .create(p, true)
+    val fs0 = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = fs0 match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem =>
+        c.getRawFileSystem
+      case f => f
+    }
+    val fsOut = fs.create(p, true)
     try fsOut.write(bos.toByteArray) finally fsOut.close()
   }
 
@@ -1153,8 +1162,14 @@ object HudiMorLite {
   /** MOR SNAPSHOT DataFrame: base scan patched by the winning log
     * record per key (plan shape in the object doc). */
   def read(spark: SparkSession, tableDir: String,
-           asOfInstant: Option[String] = None): DataFrame = {
-    val snap = snapshot(spark, tableDir, asOfInstant)
+           asOfInstant: Option[String] = None): DataFrame =
+    readSnapshot(spark, tableDir, snapshot(spark, tableDir, asOfInstant))
+
+  /** The merge over an EXPLICIT snapshot — [[read]]'s body, also the
+    * per-slice unit [[compactLogs]] folds one file group with (a
+    * single-slice MorSnapshot merges exactly that group). */
+  private def readSnapshot(spark: SparkSession, tableDir: String,
+                           snap: MorSnapshot): DataFrame = {
     val mp = buildMerge(spark, tableDir, snap)
     if (!mp.hadLogs) return mp.base
     val MergeParts(base, winners, hasPartCol, names, _) = mp
@@ -1356,6 +1371,80 @@ object HudiMorLite {
         p => replacedByPart.getOrElse(p, Nil),
         p => byPart.getOrElse(p, Nil).map(m => (m._2, m._3, m._4))),
       replace = false)
+    instant
+  }
+
+  /** INLINE LOG COMPACTION — Hudi's MOR compaction proper (the
+    * `<instant>.commit` a scheduled compaction completes as): every
+    * file slice CARRYING LOGS folds its base + ordered log blocks
+    * into ONE fresh base file under the SAME file group at a new
+    * instant; groups without logs are untouched (unlike [[cluster]],
+    * which rewrites every group into new ones under a
+    * replacecommit). Merged rows keep their original per-record
+    * `_hoodie_commit_time`, so incremental reads stay exact across
+    * the compaction. Readers then serve the group base-only until new
+    * logs arrive (the snapshot replay's base-write-starts-a-slice
+    * rule). Returns the new instant.
+    *
+    * Scale shape: one bounded merge job PER log-carrying group — the
+    * same per-group grain Hudi's own compaction plans tasks at; the
+    * driver loop is bounded by the group count, all row volume stays
+    * distributed inside each group's merge. Single-writer scope. Loud
+    * refusal when NO slice carries logs (nothing to compact — the
+    * no-log rewrite is clustering). */
+  def compactLogs(spark: SparkSession, tableDir: String): String = {
+    val snap = snapshot(spark, tableDir)
+    val withLogs = snap.slices.filter(_.logs.nonEmpty)
+    if (withLogs.isEmpty) throw new IllegalStateException(
+      s"$tableDir: no file slice carries log files — nothing to " +
+        "log-compact (pack base files with cluster() instead)")
+    val instant = HudiCowLite.mintInstant(tableDir, snap.commits,
+      snap.instant)
+    val fs = new Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val written = withLogs.sortBy(s => (s.partition, s.fileId)).map {
+      slice =>
+        val merged = readSnapshot(spark, tableDir,
+          snap.copy(slices = Seq(slice)))
+        val rel = (if (slice.partition.isEmpty) ""
+                   else s"${slice.partition}/") +
+          s"${slice.fileId}_0-0_$instant.parquet"
+        val tmp = new Path(tableDir, s"_tmp_logcompact")
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val staged = fs.listStatus(tmp).map(_.getPath)
+          .find(p => p.getName.endsWith(".parquet") &&
+            !p.getName.startsWith("."))
+        val dest = new Path(tableDir, rel)
+        fs.mkdirs(dest.getParent)
+        staged match {
+          case Some(p) =>
+            if (!fs.rename(p, dest)) throw new IllegalStateException(
+              s"$tableDir: could not place $rel")
+          case None =>
+            // every row of the slice died in its logs: advance the
+            // group with an EMPTY base (the group stays, rows gone)
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              merged.schema).coalesce(1)
+              .write.mode("overwrite").parquet(tmp.toString)
+            val p2 = fs.listStatus(tmp).map(_.getPath)
+              .find(p => p.getName.endsWith(".parquet") &&
+                !p.getName.startsWith(".")).getOrElse(
+                throw new IllegalStateException(
+                  s"$tableDir: empty rewrite for ${slice.fileId} " +
+                    "produced no parquet"))
+            if (!fs.rename(p2, dest)) throw new IllegalStateException(
+              s"$tableDir: could not place $rel")
+        }
+        fs.delete(tmp, true)
+        val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            dest, spark.sparkContext.hadoopConfiguration))
+        val rc = try footer.getRecordCount finally footer.close()
+        (slice.partition, slice.fileId, rel, rc)
+    }
+    HudiCowLite.commitJson(spark, tableDir, fs, instant, written,
+      Map.empty)
     instant
   }
 }

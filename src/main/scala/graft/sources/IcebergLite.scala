@@ -1444,10 +1444,16 @@ object IcebergLite {
     * external readers plan on these, so placeholders would break
     * them.
     *
-    * Loud refusals: non-identity partition transforms (bucket/
-    * truncate/temporal value recomputation is outside lite scope),
-    * null partition values, and partition source types beyond
-    * int/long/string/date/boolean. */
+    * Partition TRANSFORMS are recomputed at rewrite time from the
+    * spec ([[IcebergTransforms]]): identity, bucket[N] with the
+    * format's exact murmur3 (int/long/string/date), truncate[W]
+    * (int/long/string, toward negative infinity) and
+    * days/months/years (date) — the manifest's partition struct
+    * carries the TRANSFORM result type (e.g. int bucket ordinals).
+    *
+    * Loud refusals: transform/source combinations beyond the above
+    * (hours, timestamp sources, …), null partition values, and
+    * partition source types beyond int/long/string/date/boolean. */
   def compact(spark: SparkSession, tableDir: String,
               numFiles: Int = 1): Long = {
     import org.apache.spark.sql.functions.{col, lit, struct, pmod,
@@ -1479,17 +1485,20 @@ object IcebergLite {
       f.name -> f.metadata.getLong(FieldIdKey).toInt
     }.toMap
     val idToName = ids.map(_.swap)
-    // identity transforms only: (spec field name, source column name)
-    val partFields: Seq[(String, String)] = curSpecFields.map { f =>
-      val transform = (f \ "transform").extract[String]
-      if (transform != "identity") throw new IllegalStateException(
-        s"$tableDir: partition transform '$transform' — only identity " +
-          "partitioning is inside lite compaction scope")
-      val srcId = (f \ "source-id").extract[Int]
-      val src = idToName.getOrElse(srcId, throw new IllegalStateException(
-        s"$tableDir: partition source-id $srcId not in the schema"))
-      ((f \ "name").extract[String], src)
-    }
+    // resolve each spec field's TRANSFORM (identity, bucket[N],
+    // truncate[W], days/months/years — [[IcebergTransforms]]) over
+    // its source column; unsupported combinations refuse loudly there
+    val partFields: Seq[(IcebergTransforms.Resolved, String)] =
+      curSpecFields.map { f =>
+        val transform = (f \ "transform").extract[String]
+        val srcId = (f \ "source-id").extract[Int]
+        val src = idToName.getOrElse(srcId,
+          throw new IllegalStateException(
+            s"$tableDir: partition source-id $srcId not in the schema"))
+        (IcebergTransforms.resolve(tableDir,
+          (f \ "name").extract[String], transform,
+          snap.schema(src).dataType), src)
+      }
     val newSnapId = snapshotIds(spark, tableDir).max + 1
     val fs = new Path(tableDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1501,11 +1510,11 @@ object IcebergLite {
       stamped.coalesce(numFiles).write.mode("overwrite")
         .parquet(tmp.toString)
     else {
-      // partitionBy consumes its columns, so duplicate the identity
-      // sources under gpart_* — the data files keep the real
-      // columns, the writer still splits by partition directory
-      val dup = partFields.foldLeft(stamped) { case (df, (name, src)) =>
-        df.withColumn(s"gpart_$name", col(src))
+      // partitionBy consumes its columns, so stage each spec field's
+      // TRANSFORMED value under gpart_* — the data files keep the
+      // real columns, the writer still splits by partition directory
+      val dup = partFields.foldLeft(stamped) { case (df, (r, src)) =>
+        df.withColumn(s"gpart_${r.name}", r.expr(col(src)))
       }
       // deterministic salt: a retry-recomputed
       // monotonically_increasing_id can silently duplicate/drop rows
@@ -1513,11 +1522,11 @@ object IcebergLite {
       dup.withColumn("_graft_bin",
           pmod(xxhash64(stamped.columns.map(col).toSeq: _*),
             lit(numFiles.toLong)))
-        .repartition((partFields.map(p => s"gpart_${p._1}") :+
+        .repartition((partFields.map(p => s"gpart_${p._1.name}") :+
           "_graft_bin").map(col): _*)
         .drop("_graft_bin")
         .write.mode("overwrite")
-        .partitionBy(partFields.map(p => s"gpart_${p._1}"): _*)
+        .partitionBy(partFields.map(p => s"gpart_${p._1.name}"): _*)
         .parquet(tmp.toString)
     }
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
@@ -1548,7 +1557,7 @@ object IcebergLite {
     // move into the table under the spec-field names, read each
     // footer's row count (O(files) bounded driver work)
     val moved = outputs.zipWithIndex.map { case ((raws, vals, st), i) =>
-      val dirs = partFields.map(_._1).zip(raws)
+      val dirs = partFields.map(_._1.name).zip(raws)
         .map { case (n, raw) => s"$n=$raw" }
       val rel = (("data" +: dirs) :+
         s"compact-${newSnapId}_$i.parquet").mkString("/")
@@ -1578,21 +1587,9 @@ object IcebergLite {
     import spark.implicits._
     // typed partition values for the manifest struct (the spec's
     // data_file.partition): parse the dir-name string back under the
-    // source column's type
+    // TRANSFORM's result type
     def typedPart(vals: Seq[String]): Seq[Any] =
-      partFields.zip(vals).map { case ((_, src), v) =>
-        snap.schema(src).dataType match {
-          case org.apache.spark.sql.types.IntegerType => v.toInt
-          case org.apache.spark.sql.types.LongType    => v.toLong
-          case org.apache.spark.sql.types.StringType  => v
-          case org.apache.spark.sql.types.BooleanType => v.toBoolean
-          case org.apache.spark.sql.types.DateType =>
-            java.sql.Date.valueOf(v)
-          case dt => throw new IllegalStateException(
-            s"$tableDir: partition source $src has type $dt — outside " +
-              "lite compaction scope (int/long/string/boolean/date)")
-        }
-      }
+      partFields.zip(vals).map { case ((r, _), v) => r.parse(v) }
     val manifestDf: DataFrame = {
       val baseCols = Seq(
         col("_fp").as("file_path"), lit(0).as("content"),
@@ -1604,10 +1601,8 @@ object IcebergLite {
           .select(lit(1).as("status"), struct(baseCols: _*).as("data_file"))
       else {
         val partSchema = org.apache.spark.sql.types.StructType(
-          partFields.map { case (n, src) =>
-            org.apache.spark.sql.types.StructField(n,
-              snap.schema(src).dataType.asInstanceOf[
-                org.apache.spark.sql.types.DataType])
+          partFields.map { case (r, _) =>
+            org.apache.spark.sql.types.StructField(r.name, r.resultType)
           })
         val rowSchema = org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("_fp",
@@ -1646,6 +1641,171 @@ object IcebergLite {
     }
     val metaName = metaFile.getName
     val version = metaName.stripPrefix("v")
+      .stripSuffix(".metadata.json").toLong + 1
+    try AtomicFiles.write(fs,
+      new Path(tableDir, s"metadata/v$version.metadata.json"),
+      JsonMethods.compact(JsonMethods.render(withSnap)), replace = false)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalStateException(
+          s"$tableDir: metadata v$version already exists — another " +
+            "writer is active (single-writer scope)")
+    }
+    AtomicFiles.write(fs,
+      new Path(tableDir, "metadata/version-hint.text"),
+      version.toString, replace = true)
+    newSnapId
+  }
+
+  /** EQUALITY-DELETE write (format v2 row-level deletes, the
+    * PK-style flow): commit a content=2 delete file whose rows are
+    * `keys`' DISTINCT tuples — every data row matching one of them
+    * null-safely on the key columns dies, provided its data file's
+    * sequence number is STRICTLY LOWER than the delete's (so rows
+    * re-inserted at or after the delete survive, the spec's rule this
+    * reader already enforces). The new snapshot re-lists every
+    * existing manifest with its original sequence number and adds ONE
+    * delete manifest stamped `sequence = max(all live sequences) + 1`.
+    * Returns the new snapshot id.
+    *
+    * SEQUENCE GATE (what makes the write sound): every live entry of
+    * the current snapshot must resolve a sequence number (its own or
+    * the manifest-list row's inherited one) — a seq-less data file
+    * cannot be ordered against the delete, so the write REFUSES
+    * rather than committing a delete that readers must then refuse.
+    *
+    * Scale shape: the key set writes as one distributed-scan-derived
+    * parquet file (delete keys are change-volume, not table-volume);
+    * everything else is bounded manifest metadata. Single-writer
+    * scope. */
+  def eqDelete(spark: SparkSession, tableDir: String,
+               keys: DataFrame): Long = {
+    import org.apache.spark.sql.functions.{array, col, lit, struct}
+    import spark.implicits._
+    val (metaFile, meta) = loadMeta(spark, tableDir)
+    val snap = snapshot(spark, tableDir)
+    if (snap.files.isEmpty) throw new IllegalStateException(
+      s"$tableDir: no data files to delete from")
+    require(keys.columns.nonEmpty, "eqDelete needs at least one key column")
+    val eqIds: Seq[Int] = keys.columns.toSeq.map { c =>
+      val f = snap.schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalStateException(
+          s"$tableDir: eqDelete key column $c is not in the schema"))
+      if (!f.metadata.contains(FieldIdKey)) throw new IllegalStateException(
+        s"$tableDir: schema field $c carries no field id — cannot " +
+          "stamp equality_ids")
+      f.metadata.getLong(FieldIdKey).toInt
+    }
+    val fs = new Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val curId = (meta \ "current-snapshot-id").extractOpt[Long]
+      .filter(_ != -1L).getOrElse(throw new IllegalStateException(
+        s"$tableDir: table has no current snapshot"))
+    val mlRel = ((meta \ "snapshots") match {
+      case JArray(ss) => ss.collectFirst {
+        case s if (s \ "snapshot-id").extractOpt[Long].contains(curId) =>
+          (s \ "manifest-list").extract[String]
+      }
+      case _ => None
+    }).getOrElse(throw new IllegalStateException(
+      s"$tableDir: current snapshot $curId not in snapshots"))
+    val ml = spark.read.format(AvroFmt).load(resolve(tableDir, mlRel))
+    if (!ml.columns.contains("manifest_path"))
+      throw new IllegalStateException(
+        s"$tableDir: manifest list lacks manifest_path")
+    val oldRows: Seq[(String, Option[Int], Option[Long])] =
+      ml.collect().toSeq.map { r =>
+        val content =
+          if (ml.columns.contains("content") &&
+            r.getAs[Any]("content") != null)
+            Some(r.getAs[Number]("content").intValue())
+          else None
+        val seq =
+          if (ml.columns.contains("sequence_number") &&
+            r.getAs[Any]("sequence_number") != null)
+            Some(r.getAs[Number]("sequence_number").longValue())
+          else None
+        (r.getAs[String]("manifest_path"), content, seq)
+      }
+    // the sequence gate + the new delete's sequence (max live + 1)
+    var maxSeq = 0L
+    oldRows.foreach { case (mp, _, listSeq) =>
+      val p = resolve(tableDir, mp)
+      val m = spark.read.format(AvroFmt).load(p)
+      m.collect().foreach { r =>
+        val status = r.getAs[Number]("status").intValue()
+        if (status != 2) {
+          val entrySeq =
+            if (m.columns.contains("sequence_number") &&
+              r.getAs[Any]("sequence_number") != null)
+              Some(r.getAs[Number]("sequence_number").longValue())
+            else None
+          entrySeq.orElse(listSeq) match {
+            case Some(sq) => maxSeq = math.max(maxSeq, sq)
+            case None => throw new IllegalStateException(
+              s"$p: live manifest entry without a resolvable sequence " +
+                "number — an equality delete cannot be ordered " +
+                "against it; outside eqDelete scope")
+          }
+        }
+      }
+    }
+    val newSeq = maxSeq + 1
+    val newSnapId = snapshotIds(spark, tableDir).max + 1
+    // the delete file itself: distinct key tuples, field ids stamped
+    val delRel = s"data/eqdel-$newSnapId.parquet"
+    val tmp = new Path(tableDir, "_tmp_eqdel")
+    stampFieldIds(keys.distinct(),
+      keys.columns.zip(eqIds).toMap)
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val staged = fs.listStatus(tmp).map(_.getPath)
+      .find(p => p.getName.endsWith(".parquet") &&
+        !p.getName.startsWith(".")).getOrElse(
+        throw new IllegalStateException(
+          s"$tableDir: eqDelete staged no parquet"))
+    val dest = new Path(tableDir, delRel)
+    fs.mkdirs(dest.getParent)
+    if (!fs.rename(staged, dest)) throw new IllegalStateException(
+      s"$tableDir: could not place $delRel")
+    fs.delete(tmp, true)
+    val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        dest, spark.sparkContext.hadoopConfiguration))
+    val rc = try footer.getRecordCount finally footer.close()
+    val size = fs.getFileStatus(dest).getLen
+    def writeAvro(df: DataFrame, rel: String): Unit = {
+      val t2 = new Path(tableDir, "_tmpavro")
+      df.coalesce(1).write.mode("overwrite").format(AvroFmt)
+        .save(t2.toString)
+      val p = fs.listStatus(t2).map(_.getPath)
+        .find(_.getName.startsWith("part-")).get
+      if (!fs.rename(p, new Path(tableDir, rel)))
+        throw new IllegalStateException(s"$tableDir: could not place $rel")
+      fs.delete(t2, true): Unit
+    }
+    writeAvro(Seq((1, newSeq, delRel))
+      .toDF("status", "sequence_number", "file_path")
+      .select(col("status"), col("sequence_number"),
+        struct(col("file_path"), lit(2).as("content"),
+          array(eqIds.map(lit(_)): _*).as("equality_ids"),
+          lit(rc).as("record_count"),
+          lit(size).as("file_size_in_bytes")).as("data_file")),
+      s"metadata/m-eqdel-$newSnapId.avro")
+    writeAvro((oldRows :+ ((s"metadata/m-eqdel-$newSnapId.avro",
+      Some(1): Option[Int], Some(newSeq): Option[Long])))
+      .toDF("manifest_path", "content", "sequence_number"),
+      s"metadata/snap-$newSnapId.avro")
+    val newSnapJson: JValue = JObject(
+      "snapshot-id" -> JInt(newSnapId),
+      "manifest-list" -> JString(s"metadata/snap-$newSnapId.avro"),
+      "summary" -> JObject("operation" -> JString("delete")))
+    val withSnap = meta transformField {
+      case ("snapshots", JArray(ss)) =>
+        ("snapshots", JArray(ss :+ newSnapJson))
+      case ("current-snapshot-id", _) =>
+        ("current-snapshot-id", JInt(newSnapId))
+    }
+    val version = metaFile.getName.stripPrefix("v")
       .stripSuffix(".metadata.json").toLong + 1
     try AtomicFiles.write(fs,
       new Path(tableDir, s"metadata/v$version.metadata.json"),

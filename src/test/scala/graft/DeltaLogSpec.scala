@@ -331,6 +331,81 @@ class DeltaLogSpec extends AnyFunSuite {
       (0L to 4L).map(i => (i, i * 2, "a")))
   }
 
+  test("columnMapping compaction: the rewrite re-stamps PHYSICAL " +
+    "column names (mode=name) and parquet field ids (mode=id), " +
+    "partitionValues stay physically keyed, reads stay model-equal") {
+    import spark.implicits._
+    def author(name: String, mode: String): String = {
+      val root = s"/tmp/graft_deltaspec/$name"
+      def rm(p: java.io.File): Unit = {
+        if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+        p.delete(): Unit
+      }
+      rm(new java.io.File(root))
+      Files.createDirectories(Paths.get(root, "_delta_log"))
+      def one(df: org.apache.spark.sql.DataFrame, out: String): Unit = {
+        val tmp = s"$root/_tmp"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val pf = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.endsWith(".parquet") &&
+            !f.getName.startsWith(".")).get
+        assert(pf.renameTo(new java.io.File(s"$root/$out")))
+        rm(new java.io.File(tmp))
+      }
+      // two data files under PHYSICAL names (id-mode files also get
+      // stamped field ids, as an id-mode writer would produce)
+      def mk(lo: Long, hi: Long) = {
+        val base = spark.range(lo, hi).select(col("id").as("col-aa"),
+          (col("id") * 2).as("col-bb"))
+        if (mode == "id")
+          graft.sources.IcebergLite.stampFieldIds(base,
+            Map("col-aa" -> 1, "col-bb" -> 2))
+        else base
+      }
+      one(mk(0, 5), "f0.parquet")
+      one(mk(5, 10), "f1.parquet")
+      def fld(n: String, tpe: String, phys: String, id: Int): String =
+        s"""{"name":${jstr(n)},"type":${jstr(tpe)},"nullable":true,
+           |"metadata":{"delta.columnMapping.id":$id,
+           |"delta.columnMapping.physicalName":${jstr(phys)}}}"""
+          .stripMargin.replace("\n", "")
+      val schema = s"""{"type":"struct","fields":[${fld("id", "long",
+        "col-aa", 1)},${fld("v", "long", "col-bb", 2)},${fld("part",
+        "string", "col-pp", 3)}]}"""
+      val md =
+        s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":${jstr(schema)},"partitionColumns":["part"],"configuration":{"delta.columnMapping.mode":${jstr(mode)}},"createdTime":0}}"""
+      commit(root, 0, protocol(2), md,
+        s"""{"add":{"path":"f0.parquet","partitionValues":{"col-pp":"a"},"size":1,"modificationTime":0,"dataChange":true}}""",
+        s"""{"add":{"path":"f1.parquet","partitionValues":{"col-pp":"b"},"size":1,"modificationTime":0,"dataChange":true}}""")
+      root
+    }
+    for (mode <- Seq("name", "id")) {
+      val root = author(s"cmapcompact$mode", mode)
+      val before = DeltaLogLite.read(spark, root)
+        .as[(Long, Long, String)].collect().sorted.toSeq
+      assert(before.size == 10)
+      assert(DeltaLogLite.compact(spark, root) == 1L)
+      assert(DeltaLogLite.read(spark, root)
+        .as[(Long, Long, String)].collect().sorted.toSeq == before,
+        s"mode=$mode")
+      val snap = DeltaLogLite.snapshot(spark, root)
+      // one file per partition, partitionValues keyed PHYSICALLY
+      assert(snap.files.size == 2 &&
+        snap.files.forall(_.partitionValues.keySet == Set("col-pp")),
+        s"mode=$mode: ${snap.files}")
+      // the rewritten files carry PHYSICAL column names
+      val newFile = DeltaLogLite.resolveAddPath(root,
+        snap.files.head.path)
+      val footerCols = spark.read.parquet(newFile).schema
+      assert(footerCols.fieldNames.toSeq == Seq("col-aa", "col-bb"),
+        s"mode=$mode: ${footerCols.fieldNames.toSeq}")
+      if (mode == "id")
+        // ...and stamped field ids, so id-resolution readers match
+        assert(footerCols.fields.forall(f =>
+          f.metadata.contains("parquet.field.id")), s"mode=$mode")
+    }
+  }
+
   test("columnMapping metadata-less fields refuse loudly under both " +
     "modes") {
     val (root, schema) = fixture("cmap")

@@ -94,6 +94,61 @@ class GraftLakeSpec extends AnyFunSuite {
     Option(t).toSeq.flatMap(x =>
       Option(x.getMessage).toSeq ++ chain(x.getCause))
 
+  test("SQL maintenance surface: graft_lake_compact / reclaim run the " +
+    "dispatchers from plain SQL and return the op's rows; expire on " +
+    "a file-grain format refuses naming reclaim") {
+    import org.apache.spark.sql.functions._
+    // the same minimal two-commit Delta table as the read TVF test
+    val root = fresh("sqlmaint", "_delta_log", "data")
+    def one(df: org.apache.spark.sql.DataFrame, out: String): Unit = {
+      val tmp = s"$root/_tmp"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val p = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith(".")).get
+      assert(p.renameTo(new java.io.File(s"$root/$out")))
+      rm(new java.io.File(tmp))
+    }
+    val a = spark.range(0, 5).select(col("id"), (col("id") * 2).as("v"))
+    one(a, "data/a.parquet")
+    one(spark.range(5, 8).select(col("id"), (col("id") * 2).as("v")),
+      "data/b.parquet")
+    Files.writeString(Paths.get(root, "_delta_log",
+      f"${0L}%020d.json"),
+      s"""{"metaData":{"id":"m","format":{"provider":"parquet","options":{}},"schemaString":${
+        org.json4s.jackson.JsonMethods.compact(
+          org.json4s.JsonDSL.string2jvalue(a.schema.json))},"partitionColumns":[],"configuration":{},"createdTime":0}}
+         |{"add":{"path":"data/a.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}
+         |{"add":{"path":"data/b.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}
+         |""".stripMargin)
+    GraftExtensions.register(spark)
+    // compact from SQL returns the new version on the format's axis
+    assert(spark.sql(
+      s"SELECT * FROM graft_lake_compact('$root')")
+      .head().getString(0) == "1")
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft_lake('$root')")
+      .head().getLong(0) == 8L)
+    // reclaim (Delta → VACUUM) returns the two superseded originals
+    val reclaimed = spark.sql(
+      s"SELECT deleted_path FROM graft_lake_reclaim('$root') " +
+        "ORDER BY deleted_path")
+      .collect().map(_.getString(0)).toSeq
+    assert(reclaimed.size == 2 &&
+      reclaimed.exists(_.endsWith("a.parquet")), reclaimed.toString)
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft_lake('$root')")
+      .head().getLong(0) == 8L)
+    // expire on a file-grain format refuses naming the right axis
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_lake_expire('$root')").collect()
+    }
+    assert(chain(e).exists(_.contains("reclaim")))
+    // literal gates refuse
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_lake_compact(42)").collect()
+    }
+    assert(chain(e2).exists(_.contains("STRING literal")))
+  }
+
   test("readIncremental dispatches to Hudi (COW/MOR); the other " +
     "formats refuse naming their own change surface") {
     // non-Hudi formats refuse with a pointer (detect-level fixtures

@@ -106,6 +106,51 @@ class HudiMorSpec extends AnyFunSuite {
       before)
   }
 
+  test("compactLogs folds ONLY log-carrying slices into fresh bases " +
+    "under the SAME file group: snapshot unchanged, RO serves the " +
+    "merge, untouched groups keep their base, log-less tables refuse") {
+    import spark.implicits._
+    val root = fixture("logcompact")
+    // group g2: a second, LOG-LESS group that must stay untouched
+    val tmp = s"$root/_tmp2"
+    spark.range(10, 13).select(col("id").cast("string")
+      .as("_hoodie_record_key"), col("id"), (col("id") * 3).as("v"))
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val pf = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith(".")).get
+    assert(pf.renameTo(new java.io.File(s"$root/g2_0-0_002.parquet")))
+    rm(new java.io.File(tmp))
+    commit(root, "002", "deltacommit", "g2_0-0_002.parquet",
+      fileId = "g2")
+    HudiMorLite.writeLogFile(s"$root/.g1_001.log.1",
+      Seq(avroSchema -> Seq(rec(1, 100), rec(0, 0, deleted = true))))
+    commit(root, "003", "deltacommit", ".g1_001.log.1")
+    val before = HudiMorLite.read(spark, root)
+      .select("id", "v").as[(Long, Long)].collect().sorted.toSeq
+    assert(before == (Seq((1L, 100L), (2L, 6L), (3L, 9L), (4L, 12L)) ++
+      Seq(10L, 11L, 12L).map(i => (i, i * 3))).sorted)
+    val instant = HudiMorLite.compactLogs(spark, root)
+    assert(instant == "004")
+    val snap = HudiMorLite.snapshot(spark, root)
+    // g1 advanced to a fresh base at 004; g2 UNTOUCHED at its 002 base
+    assert(snap.slices.forall(_.logs.isEmpty))
+    val byFid = snap.slices.map(s => s.fileId -> s.baseInstant).toMap
+    assert(byFid == Map("g1" -> "004", "g2" -> "002"), byFid.toString)
+    assert(HudiMorLite.read(spark, root)
+      .select("id", "v").as[(Long, Long)].collect().sorted.toSeq ==
+      before)
+    // the operational point: READ-OPTIMIZED now equals the merge
+    assert(HudiCowLite.read(spark, root, readOptimized = true)
+      .select("id", "v").as[(Long, Long)].collect().sorted.toSeq ==
+      before)
+    // nothing left to log-compact → refuses naming cluster
+    val e = intercept[IllegalStateException] {
+      HudiMorLite.compactLogs(spark, root)
+    }
+    assert(e.getMessage.contains("cluster"))
+  }
+
   test("multi-partition MOR cluster packs per partition via " +
     "_hoodie_partition_path: logs fold in, replacecommit carries " +
     "both partitions") {

@@ -325,6 +325,50 @@ class IcebergSpec extends AnyFunSuite {
     assert(e.getMessage.contains("sequence number"))
   }
 
+  test("equality-delete WRITE: the committed delete file kills " +
+    "matching keys through our own reader, sequences stamp " +
+    "max-live+1, history travels, and seq-less tables refuse") {
+    import spark.implicits._
+    // a table whose manifests resolve no sequence numbers cannot
+    // ORDER the delete — the WRITE refuses (committing anyway would
+    // just make every read refuse)
+    val r0 = fixture("eqwrite0")
+    val e0 = intercept[IllegalStateException] {
+      IcebergLite.eqDelete(spark, r0, Seq(1L).toDF("id"))
+    }
+    assert(e0.getMessage.contains("sequence"))
+    // a sequence-correct table (data at seq 1, an empty delete at
+    // seq 2 — the no-op delete just seq-stamps the fixture)
+    val root = fixture("eqwrite")
+    addEqDelete(root, Seq.empty[Long].toDF("id"), fieldId = 1,
+      dataSeq = 1L, delSeq = 2L)
+    assert(IcebergLite.read(spark, root).count() == 10)
+    val newId = IcebergLite.eqDelete(spark, root,
+      Seq(0L, 7L).toDF("id"))
+    assert(newId == 4L)
+    val got = IcebergLite.read(spark, root)
+      .select("id", "v").as[(Long, Long)].collect().sorted.toSeq
+    assert(got == (0L to 9L).filterNot(Set(0L, 7L))
+      .map(i => (i, i * 3)), got.toString)
+    // the written delete carries seq 3 = max(1, 2) + 1
+    assert(IcebergLite.snapshot(spark, root).eqDeletes
+      .exists(d => d.seq == 3L &&
+        d.path.endsWith("eqdel-4.parquet")))
+    // history travels: the pre-delete snapshot still reads 10 rows
+    assert(IcebergLite.read(spark, root, snapshotId = Some(3L))
+      .count() == 10)
+    // a second delete on ANOTHER column composes (v=9 is id 3)
+    assert(IcebergLite.eqDelete(spark, root, Seq(9L).toDF("v")) == 5L)
+    assert(IcebergLite.read(spark, root).select("id").as[Long]
+      .collect().sorted.toSeq ==
+      Seq(1L, 2L, 4L, 5L, 6L, 8L, 9L))
+    // unknown key columns refuse
+    val e1 = intercept[IllegalStateException] {
+      IcebergLite.eqDelete(spark, root, Seq(1L).toDF("nope"))
+    }
+    assert(e1.getMessage.contains("nope"))
+  }
+
   test("equality delete naming an unknown field id refuses loudly") {
     import spark.implicits._
     val root = fixture("eqbadid")
@@ -1002,18 +1046,118 @@ class IcebergSpec extends AnyFunSuite {
     assert(!Files.exists(Paths.get(root2, "data", "g0.parquet")))
     assert(Files.exists(Paths.get(root2, "data", "p=x",
       "compact-2_0.parquet")))
-    // a NON-identity transform refuses loudly
+    // a transform outside scope (hours needs a timestamp source)
+    // refuses loudly; bucket/truncate/temporal transforms compact —
+    // covered by their own test below
     val metaP = Files.readString(
       Paths.get(root2, "metadata", "v2.metadata.json"))
     Files.writeString(Paths.get(root2, "metadata", "v3.metadata.json"),
       metaP.replace("\"transform\":\"identity\"",
-        "\"transform\":\"bucket[4]\""))
+        "\"transform\":\"hours\""))
     Files.writeString(
       Paths.get(root2, "metadata", "version-hint.text"), "3")
     val e2 = intercept[IllegalStateException] {
       IcebergLite.compact(spark, root2)
     }
-    assert(e2.getMessage.contains("identity"))
+    assert(e2.getMessage.contains("hours"))
+  }
+
+  test("partition transforms: the spec's murmur3 test vectors pin the " +
+    "bucket hash; bucket/truncate/days compaction re-computes " +
+    "partition values and stamps transform-typed manifests") {
+    import spark.implicits._
+    import graft.sources.IcebergTransforms
+    // iceberg.apache.org/spec Appendix B test vectors — a
+    // mis-implemented hash would silently mis-bucket every row
+    assert(IcebergTransforms.hashLong(34L) == 2017239379)
+    assert(IcebergTransforms.hashString("iceberg") == 1210000089)
+    // date 2017-11-16 is epoch day 17486; dates hash as longs
+    assert(java.time.LocalDate.of(2017, 11, 16).toEpochDay == 17486L)
+    assert(IcebergTransforms.hashLong(17486L) == -653330422)
+    // truncate[10] of ints truncates toward NEGATIVE infinity
+    val tr = IcebergTransforms.resolve("t", "i_trunc", "truncate[10]",
+      org.apache.spark.sql.types.IntegerType)
+    assert(Seq(-1, 0, 9, 10, -10, -11).toDF("v")
+      .select(tr.expr(col("v"))).as[Int].collect().toSeq ==
+      Seq(-10, 0, 0, 10, -10, -20))
+    // end-to-end: a table partitioned by bucket[4](id) packs per
+    // bucket ordinal, the manifest partition struct is INT-typed,
+    // and the read is unchanged
+    val root = "/tmp/graft_icespec/compactbucket"
+    rm(new java.io.File(root))
+    Files.createDirectories(Paths.get(root, "metadata"))
+    Files.createDirectories(Paths.get(root, "data"))
+    val df = spark.range(0, 40).select(col("id"),
+      concat(lit("w"), (col("id") % 7).cast("string")).as("s"))
+    def one(filter: org.apache.spark.sql.Column, out: String): Unit = {
+      val tmp = s"$root/_tmp"
+      IcebergLite.stampFieldIds(df.filter(filter),
+        Map("id" -> 1, "s" -> 2))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith(".")).get
+      assert(part.renameTo(new java.io.File(s"$root/$out")))
+      rm(new java.io.File(tmp))
+    }
+    one(col("id") < 20, "data/h0.parquet")
+    one(col("id") >= 20, "data/h1.parquet")
+    def writeAvro(d: org.apache.spark.sql.DataFrame,
+                  rel: String): Unit = {
+      val tmp = s"$root/_tmpavro"
+      d.coalesce(1).write.mode("overwrite").format(avroFmt).save(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.startsWith("part-")).get
+      assert(part.renameTo(new java.io.File(s"$root/$rel")))
+      rm(new java.io.File(tmp))
+    }
+    writeAvro(Seq("data/h0.parquet", "data/h1.parquet").toDF("file_path")
+      .select(lit(1).as("status"),
+        struct(col("file_path"), lit(0).as("content")).as("data_file")),
+      "metadata/m1.avro")
+    writeAvro(Seq("metadata/m1.avro").toDF("manifest_path")
+      .select(col("manifest_path"), lit(0).as("content")),
+      "metadata/snap-1.avro")
+    Files.writeString(Paths.get(root, "metadata", "v1.metadata.json"),
+      s"""{"format-version":2,"location":${jstr(root)},
+         |"current-schema-id":0,
+         |"schemas":[{"schema-id":0,"type":"struct","fields":[
+         |  {"id":1,"name":"id","required":false,"type":"long"},
+         |  {"id":2,"name":"s","required":false,"type":"string"}]}],
+         |"partition-specs":[{"spec-id":0,"fields":[
+         |  {"name":"id_bucket","transform":"bucket[4]","source-id":1,"field-id":1000}]}],
+         |"default-spec-id":0,
+         |"current-snapshot-id":1,
+         |"snapshots":[
+         | {"snapshot-id":1,"manifest-list":"metadata/snap-1.avro"}]}"""
+        .stripMargin)
+    Files.writeString(
+      Paths.get(root, "metadata", "version-hint.text"), "1")
+    val before = IcebergLite.read(spark, root)
+      .as[(Long, String)].collect().sorted.toSeq
+    assert(before.size == 40)
+    assert(IcebergLite.compact(spark, root) == 2L)
+    assert(IcebergLite.read(spark, root)
+      .as[(Long, String)].collect().sorted.toSeq == before)
+    // per-bucket packing: files land under id_bucket=<ordinal> dirs,
+    // partition values in the manifest are the INT ordinals, and the
+    // ordinals are the spec hash's (cross-checked per row)
+    val filesMeta = IcebergLite.metadataTable(spark, root, "files")
+      .select(col("file_path"), col("partition"))
+      .as[(String, String)].collect().toSeq
+    val buckets = (0L until 40L)
+      .map(i => IcebergTransforms.bucketLong(i, 4)).toSet
+    assert(filesMeta.size == buckets.size)
+    assert(filesMeta.map(_._2).toSet ==
+      buckets.map(b => s"""{"id_bucket":$b}"""))
+    for ((fp, pj) <- filesMeta) {
+      val b = pj.stripPrefix("""{"id_bucket":""").stripSuffix("}").toInt
+      val ids = spark.read.parquet(fp).select("id").as[Long]
+        .collect().toSeq
+      assert(ids.nonEmpty &&
+        ids.forall(i => IcebergTransforms.bucketLong(i, 4) == b),
+        s"bucket dir $b holds a foreign id")
+    }
   }
 
   test("expireSnapshots drops history and deletes orphans only: " +
