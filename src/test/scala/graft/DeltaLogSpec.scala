@@ -1705,8 +1705,9 @@ class DeltaLogSpec extends AnyFunSuite {
   }
 
   test("randomized maintenance model check: reads stay model-equal " +
-    "through add/remove/DV-grow commits, a compaction leaves the CDF " +
-    "silent, a vacuum keeps the live read and kills old travel") {
+    "through add/remove/DV-grow commits AND the real row-level DELETE " +
+    "writer, a compaction leaves the CDF silent, a vacuum keeps the " +
+    "live read and kills old travel") {
     import spark.implicits._
     final case class F(name: String, rows: Seq[Long], dead: Set[Int],
                        dvJson: Option[String])
@@ -1820,6 +1821,48 @@ class DeltaLogSpec extends AnyFunSuite {
         live :+= f
         commit(root, nVersions.toLong, addLine(f))
         expected ++= f.rows.map(id => (id, "insert", nVersions.toLong))
+      }
+      // INVARIANT 1b: the REAL row-level DELETE writer composes with
+      // the hand-authored history — two predicate deletes, each
+      // model-tracked (a file whose rows all die is dropped; others
+      // grow their DV), the read model-equal after each, the CDF
+      // rows exact (checked with the full feed below)
+      for (_ <- 1 to 2) {
+        val r = rnd.nextInt(10)
+        val matchByFile: Vector[Set[Int]] = live.map(f =>
+          f.rows.zipWithIndex.collect {
+            case (id, ord) if id % 10 == r && !f.dead.contains(ord) =>
+              ord
+          }.toSet)
+        val curV = DeltaLogLite.latestVersion(spark, root)
+        val dv2 = DeltaLogLite.delete(spark, root, col("id") % 10 === r)
+        if (matchByFile.forall(_.isEmpty))
+          // no matching rows → NO commit (a no-op delete is not a
+          // table change)
+          assert(dv2 == curV, s"seed $seed no-op delete committed")
+        else {
+          assert(dv2 == curV + 1, s"seed $seed delete version")
+          expected ++= live.zip(matchByFile).flatMap {
+            case (f, newly) =>
+              newly.toSeq.sorted.map(ord =>
+                (f.rows(ord), "delete", dv2))
+          }
+          live = live.zip(matchByFile).flatMap { case (f, newly) =>
+            val dead2 = f.dead ++ newly
+            if (dead2.size == f.rows.size) None
+            else Some(f.copy(dead = dead2))
+          }
+        }
+        assert(readRows == modelRows, s"seed $seed post-delete")
+        // a delete can empty the table (deletes on an empty table —
+        // and the compaction below — refuse); top it back up
+        if (live.isEmpty) {
+          val f = newDataFile()
+          live :+= f
+          val tv = DeltaLogLite.latestVersion(spark, root) + 1
+          commit(root, tv, addLine(f))
+          expected ++= f.rows.map(id => (id, "insert", tv))
+        }
       }
       // INVARIANT 2: compaction preserves the read and the FULL-range
       // change feed (its commit contributes zero rows)

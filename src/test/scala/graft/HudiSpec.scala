@@ -510,8 +510,8 @@ class HudiSpec extends AnyFunSuite {
   }
 
   test("randomized maintenance model check: reads stay model-equal " +
-    "through insert/cluster/clean sequences over two partitions, " +
-    "across seeds") {
+    "through insert/UPSERT/DELETE/cluster/clean sequences over two " +
+    "partitions, across seeds") {
     import spark.implicits._
     for (seed <- Seq(31, 507, 948)) {
       val rnd = new scala.util.Random(seed)
@@ -559,7 +559,8 @@ class HudiSpec extends AnyFunSuite {
         val ct = f"$instant%03d"
         val op =
           if (model.values.forall(_.isEmpty)) "insert"
-          else Seq("insert", "insert", "cluster", "clean")(rnd.nextInt(4))
+          else Seq("insert", "insert", "cluster", "clean",
+            "upsert", "rowdelete")(rnd.nextInt(6))
         op match {
           case "insert" =>
             val part = partitions(rnd.nextInt(2))
@@ -579,6 +580,46 @@ class HudiSpec extends AnyFunSuite {
             val perPart = snap.groups.keys.toSeq.groupBy(_._1)
             assert(perPart.forall(_._2.size == 1),
               s"seed $seed: $perPart")
+          case "upsert" =>
+            // the REAL writer: updated keys rewrite their groups in
+            // place, new keys land in a fresh group per partition
+            val existing = model.toSeq.flatMap { case (p, rs) =>
+              rs.toSeq.map(r => (p, r)) }
+            val picks = rnd.shuffle(existing).take(1 + rnd.nextInt(3))
+            val newN = rnd.nextInt(2)
+            val newRows = (nextKey until nextKey + newN)
+              .map(k => k -> k * 7)
+            nextKey += 100
+            val newPart = partitions(rnd.nextInt(2))
+            val upd = (picks.map { case (p, (k, _)) =>
+              (k, k * 5 + 1, p) } ++
+              newRows.map { case (k, v) => (k, v, newPart) })
+              .toDF("id", "v", "_hoodie_partition_path")
+              .withColumn("_hoodie_record_key",
+                col("id").cast("string"))
+            assert(HudiCowLite.upsert(spark, root, upd) == ct,
+              s"seed $seed upsert instant")
+            model = picks.foldLeft(model) { case (m, (p, (k, v))) =>
+              m + (p -> (m(p) - ((k, v)) + ((k, k * 5 + 1))))
+            }
+            model += newPart -> (model(newPart) ++ newRows)
+          case "rowdelete" =>
+            // the REAL writer: matching rows die, a fully-matched
+            // group advances to an empty base; no match → NO commit
+            val r = rnd.nextInt(3)
+            val matching = model.toSeq.flatMap { case (p, rs) =>
+              rs.toSeq.filter(_._1 % 3 == r).map(p -> _) }
+            val got = HudiCowLite.delete(spark, root,
+              col("id") % 3 === r)
+            if (matching.isEmpty) {
+              instant -= 1 // a no-op delete is not a table change
+              assert(got != ct, s"seed $seed no-op delete committed")
+            } else {
+              assert(got == ct, s"seed $seed delete instant")
+              model = matching.foldLeft(model) { case (m, (p, row)) =>
+                m + (p -> (m(p) - row))
+              }
+            }
           case "clean" =>
             instant -= 1 // clean mints its own marker, not a commit
             HudiCowLite.clean(spark, root): Unit

@@ -1092,12 +1092,86 @@ class PaimonSpec extends AnyFunSuite {
       }
       val root = pkCustomFixture(s"model_${engine}_$seed", opts,
         fields, frames.map { case (s, rows) => kvm(rows, s) })
-      val got = PaimonLite.read(spark, root)
+      def readRows = PaimonLite.read(spark, root)
         .as[(Long, Option[Long], Option[String])].collect().sorted.toSeq
       val want = state.toSeq.map { case (k, (a, b)) => (k, a, b) }.sorted
-      assert(got == want,
-        s"$engine/seed $seed: got $got, want $want")
+      assert(readRows == want,
+        s"$engine/seed $seed: got $readRows, want $want")
+      // FULL COMPACTION must preserve the fold exactly (one +I file,
+      // re-stamped sequences) — and the fold must keep working for
+      // LATER writes: an appended frame merges against the compacted
+      // state as if compaction never happened
+      val compactId = PaimonLite.compact(spark, root)
+      assert(readRows == want,
+        s"$engine/seed $seed post-compaction: got $readRows")
+      assert(PaimonLite.snapshot(spark, root).files.size == 1)
+      val lateSeq = frames.size + 1L
+      val lateKeys = rnd.shuffle((0L to 5L).toList).take(2)
+      val lateRows = lateKeys.map(k =>
+        (k, Some(rnd.nextInt(100).toLong): Option[Long],
+          Some(s"z${rnd.nextInt(5)}"): Option[String], 0))
+      for ((k, a, b, _) <- lateRows) engine match {
+        case "deduplicate"    => state(k) = (a, b); dead -= k
+        case "partial-update" =>
+          val prev = state.getOrElse(k, (None, None))
+          state(k) = (a.orElse(prev._1), b.orElse(prev._2))
+        case "aggregation" =>
+          val prev = state.getOrElse(k, (None, None))
+          val sa = (prev._1, a) match {
+            case (Some(x), Some(y)) => Some(x + y)
+            case (x, y)             => y.orElse(x)
+          }
+          state(k) = (sa, b.orElse(prev._2))
+        case "first-row" =>
+          if (!state.contains(k)) state(k) = (a, b)
+      }
+      appendPkFrame(root, kvm(lateRows, lateSeq), compactId,
+        s"ml-compact-$compactId.avro")
+      val want2 = state.toSeq.map { case (k, (a, b)) => (k, a, b) }.sorted
+      assert(readRows == want2,
+        s"$engine/seed $seed post-compaction append: got $readRows, " +
+          s"want $want2")
     }
+  }
+
+  /** Append one KeyValue frame as snapshot `baseId`+1 whose base
+    * manifest list is `baseList` — the later-write leg of the
+    * compaction model check. */
+  private def appendPkFrame(root: String,
+                            kv: org.apache.spark.sql.DataFrame,
+                            baseId: Long, baseList: String): Unit = {
+    import spark.implicits._
+    def writeAvro(d: org.apache.spark.sql.DataFrame, rel: String): Unit = {
+      val tmp = s"$root/_tmpavro"
+      d.coalesce(1).write.mode("overwrite").format(avroFmt).save(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.startsWith("part-")).get
+      assert(part.renameTo(new java.io.File(s"$root/$rel")))
+      rm(new java.io.File(tmp))
+    }
+    val newId = baseId + 1
+    val tmp = s"$root/_tmpl"
+    kv.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val lp = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith(".")).get
+    assert(lp.renameTo(
+      new java.io.File(s"$root/bucket-0/kv-late-$newId.parquet")))
+    rm(new java.io.File(tmp))
+    writeAvro(Seq((0, s"kv-late-$newId.parquet")).toDF("_KIND", "_fn")
+      .select(col("_KIND"), lit(0).as("_BUCKET"),
+        struct(col("_fn").as("_FILE_NAME")).as("_FILE")),
+      s"manifest/m-late-$newId.avro")
+    writeAvro(Seq(s"m-late-$newId.avro").toDF("_FILE_NAME"),
+      s"manifest/ml-late-$newId.avro")
+    Files.writeString(Paths.get(root, "snapshot", s"snapshot-$newId"),
+      s"""{"version":3,"id":$newId,"schemaId":0,
+         |"baseManifestList":"$baseList",
+         |"deltaManifestList":"ml-late-$newId.avro",
+         |"commitKind":"APPEND","commitUser":"t",
+         |"commitIdentifier":$newId,"timeMillis":0}""".stripMargin)
+    Files.writeString(Paths.get(root, "snapshot", "LATEST"),
+      newId.toString)
   }
 
   /** Patch `root`'s snapshot-2 with an index manifest holding one
