@@ -2160,6 +2160,34 @@ object Storage extends QueryModule {
       read.unionByName(dels).orderBy(col("surface"), col("k"))
     },
 
+    // Delta ROW-LEVEL UPDATE: matched rows (q>25) die under grown
+    // DVs and rewrite (+100) into fresh files, and the commit WRITES
+    // its cdc actions — the CDF serves exact update_pre/postimages
+    // (the synthesized fallback would render them delete+insert, a
+    // different census). A writer that lost rows, double-applied the
+    // SET, or mis-imaged the cdc shifts a row.
+    "q495_delta_update" -> { (s, dir) =>
+      import graft.sources.DeltaLogLite
+      val root = authorDeltaDeleteTable(s, dir, tag = "rowupd")
+      val v = DeltaLogLite.update(s, root, col("l_quantity") > 25,
+        Map("l_quantity" -> (col("l_quantity") + 100)))
+      val read = DeltaLogLite.read(s, root)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_qty"))
+        .select(lit("read").as("surface"),
+          col("l_returnflag").as("k"), col("n"), col("sum_qty"))
+      val cdf = DeltaLogLite.readChanges(s, root, v, v)
+        .groupBy(col("_change_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_qty"))
+        .select(lit("cdf").as("surface"),
+          col("_change_type").as("k"), col("n"), col("sum_qty"))
+      read.unionByName(cdf).orderBy(col("surface"), col("k"))
+    },
+
     // Hudi WRITTEN CDC (RFC-51 cdcStats + CDC_DATA_BLOCK): commit 002
     // rewrote EVERY key — half with unchanged values. The written
     // changelog records updates for all of them; a file diff sees
@@ -5144,13 +5172,14 @@ object Storage extends QueryModule {
     * memoized — the query appends a compaction commit, so each
     * invocation rebuilds for determinism. */
   /** Authors the unpartitioned two-file Delta table q490 DELETES
-    * from (lineitem %10<2 split by orderkey parity, CDF on). NOT
-    * memoized — the query commits a delete. */
-  private def authorDeltaDeleteTable(s: SparkSession,
-                                     dir: String): String = {
+    * from / q495 UPDATES (lineitem %10<2 split by orderkey parity,
+    * CDF on; `tag` keeps the two queries' roots separate). NOT
+    * memoized — each query commits a mutation. */
+  private def authorDeltaDeleteTable(s: SparkSession, dir: String,
+                                     tag: String = "rowdel"): String = {
     import java.nio.file.{Files, Paths}
     val root =
-      s"/tmp/graft_delta/rowdel_${Integer.toHexString(dir.hashCode)}"
+      s"/tmp/graft_delta/${tag}_${Integer.toHexString(dir.hashCode)}"
     def rm(p: java.io.File): Unit = {
       if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
       p.delete(): Unit
@@ -8967,6 +8996,30 @@ object Storage extends QueryModule {
         |  FROM live GROUP BY l_returnflag
         |  UNION ALL
         |  SELECT 'deletes', 'files', 1, CAST(NULL AS DOUBLE))
+        |SELECT surface, k, n, sum_qty FROM rows_
+        |ORDER BY surface, k""".stripMargin,
+    // row-level update: q>25 rows gain +100; the written cdc images
+    // both sides exactly
+    "q495_delta_update" ->
+      """WITH src AS (
+        |  SELECT l_returnflag, l_quantity FROM lineitem
+        |  WHERE l_orderkey % 10 < 2),
+        |upd AS (SELECT l_quantity FROM src WHERE l_quantity > 25),
+        |rows_ AS (
+        |  SELECT 'read' AS surface, l_returnflag AS k, count(*) AS n,
+        |    CAST(sum(CAST(CASE WHEN l_quantity > 25
+        |      THEN l_quantity + 100 ELSE l_quantity END
+        |      AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |  FROM src GROUP BY l_returnflag
+        |  UNION ALL
+        |  SELECT 'cdf', 'update_preimage', count(*),
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |  FROM upd
+        |  UNION ALL
+        |  SELECT 'cdf', 'update_postimage', count(*),
+        |    CAST(sum(CAST(l_quantity + 100 AS DECIMAL(18,2)))
+        |      AS DOUBLE)
+        |  FROM upd)
         |SELECT surface, k, n, sum_qty FROM rows_
         |ORDER BY surface, k""".stripMargin,
     // the WRITTEN CDC records an update for EVERY %10<2 key — the

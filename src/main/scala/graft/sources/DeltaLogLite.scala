@@ -1658,7 +1658,6 @@ object DeltaLogLite {
     * re-added file is byte-identical. */
   def delete(spark: SparkSession, tableDir: String,
              condition: org.apache.spark.sql.Column): Long = {
-    import spark.implicits._
     val snap = snapshot(spark, tableDir)
     if (snap.files.isEmpty) throw new IllegalStateException(
       s"$tableDir: nothing to delete from (no live files)")
@@ -1669,12 +1668,60 @@ object DeltaLogLite {
       snap.fieldIds, keepMeta = true)
     val matched = withMeta.filter(condition)
       .select(col("_dl_path").as("_path"), col("_dl_pos").as("_pos"))
+    val (byKey, results) = growDeadVectors(spark, tableDir, snap, matched)
+    if (results.isEmpty) return snap.version
+    val version = snap.version + 1
+    val lines = protocolUpgradeLine(snap).toSeq ++
+      dvCommitLines(tableDir, fs, byKey, results)
+    AtomicFiles.write(fs,
+      new Path(tableDir, f"_delta_log/$version%020d.json"),
+      lines.mkString("", "\n", "\n"), replace = false)
+    version
+  }
+
+  private def pvJson(pv: Map[String, String]): String =
+    pv.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v)}" }
+      .mkString("{", ",", "}")
+
+  private def dvDescJson(d: DvDescriptor): String =
+    s"""{"storageType":${jsonStr(d.storageType)},"pathOrInlineDv":${
+      jsonStr(d.pathOrInlineDv)},"offset":${d.offset},"sizeInBytes":${
+      d.sizeInBytes},"cardinality":${d.cardinality}}"""
+
+  /** The protocol action a DV-writing commit must carry when the
+    * table does not already declare deletionVectors (minReaderVersion
+    * 3 / minWriterVersion 7, the snapshot's existing readerFeatures
+    * carried forward). */
+  private def protocolUpgradeLine(snap: Snapshot): Option[String] =
+    if (snap.minReaderVersion >= 3 &&
+      snap.readerFeatures.contains("deletionVectors")) None
+    else {
+      val mapped = snap.physicalNames.nonEmpty || snap.fieldIds.nonEmpty
+      val feats = (snap.readerFeatures ++
+        (if (mapped) Set("columnMapping") else Set.empty[String]) +
+        "deletionVectors").toSeq.sorted
+      val arr = feats.map(jsonStr).mkString("[", ",", "]")
+      Some(s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":$arr,"writerFeatures":$arr}}""")
+    }
+
+  /** Grow each affected file's deletion vector over the matched
+    * (join path, row ordinal) rows — the shared engine of [[delete]]
+    * and [[update]]. Per-file bitmap build + `.bin` write run
+    * EXECUTOR-side; the driver sees only O(affected files)
+    * descriptors. Returns the snapshot's join-form file map plus, per
+    * affected file, (join path, b85 DV uuid | null when ALL rows
+    * died, sizeInBytes, cardinality) — empty when nothing matched. */
+  private def growDeadVectors(spark: SparkSession, tableDir: String,
+                              snap: Snapshot, matched: DataFrame)
+  : (Map[String, AddFile], Seq[(String, String, Int, Long)]) = {
+    import spark.implicits._
     // bounded driver work: the affected FILE list, never matched rows
     val affected = matched.select("_path").distinct()
       .as[String].collect().sorted
-    if (affected.isEmpty) return snap.version
     val byKey: Map[String, AddFile] = snap.files
       .map(f => joinForm(resolveAddPath(tableDir, f.path)) -> f).toMap
+    if (affected.isEmpty) return (byKey, Nil)
     affected.foreach { p =>
       if (!byKey.contains(p)) throw new IllegalStateException(
         s"$tableDir: matched file $p is not in the snapshot — " +
@@ -1701,9 +1748,6 @@ object DeltaLogLite {
         .select(col("_dv_path").as("_path"), col("_dv_pos").as("_pos")))
     val rcB = spark.sparkContext.broadcast(rowCounts)
     val tableDirB = tableDir
-    // (join path, b85 uuid | null, sizeInBytes, cardinality): per-file
-    // bitmap build + .bin write run EXECUTOR-side; fully-dead files
-    // return no descriptor (they are removed outright)
     val results: Seq[(String, String, Int, Long)] = fullDead
       .as[(String, Long)].groupByKey(_._1)
       .mapGroups { (path, it) =>
@@ -1718,45 +1762,175 @@ object DeltaLogLite {
           (path, base85Encode(ub.array()), payload.length, card)
         }
       }.collect().toSeq.sortBy(_._1)
-    def pvJson(pv: Map[String, String]): String =
-      pv.toSeq.sortBy(_._1)
-        .map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v)}" }
-        .mkString("{", ",", "}")
-    def dvJson(d: DvDescriptor): String =
-      s"""{"storageType":${jsonStr(d.storageType)},"pathOrInlineDv":${
-        jsonStr(d.pathOrInlineDv)},"offset":${d.offset},"sizeInBytes":${
-        d.sizeInBytes},"cardinality":${d.cardinality}}"""
-    val protocolLine: Option[String] =
-      if (snap.minReaderVersion >= 3 &&
-        snap.readerFeatures.contains("deletionVectors")) None
+    (byKey, results)
+  }
+
+  /** The remove(+re-add-with-grown-DV) action lines for
+    * [[growDeadVectors]]' results — fully-dead files remove outright,
+    * the rest re-add byte-identical under their new vector. */
+  private def dvCommitLines(tableDir: String,
+                            fs: org.apache.hadoop.fs.FileSystem,
+                            byKey: Map[String, AddFile],
+                            results: Seq[(String, String, Int, Long)])
+  : Seq[String] =
+    results.flatMap { case (path, b85, size, card) =>
+      val f = byKey(path)
+      val remove =
+        s"""{"remove":{"path":${jsonStr(f.path)},"deletionTimestamp":0,"dataChange":true,"partitionValues":${
+          pvJson(f.partitionValues)}""" +
+          f.deletionVector.map(d => s""","deletionVector":${dvDescJson(d)}""")
+            .getOrElse("") + "}}"
+      if (b85 == null) Seq(remove)
       else {
-        val mapped = snap.physicalNames.nonEmpty || snap.fieldIds.nonEmpty
-        val feats = (snap.readerFeatures ++
-          (if (mapped) Set("columnMapping") else Set.empty[String]) +
-          "deletionVectors").toSeq.sorted
-        val arr = feats.map(jsonStr).mkString("[", ",", "]")
-        Some(s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":$arr,"writerFeatures":$arr}}""")
+        val real = resolveAddPath(tableDir, f.path)
+        val len = fs.getFileStatus(new Path(real)).getLen
+        val add =
+          s"""{"add":{"path":${jsonStr(f.path)},"partitionValues":${
+            pvJson(f.partitionValues)},"size":$len,"modificationTime":0,"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":${
+            jsonStr(b85)},"offset":1,"sizeInBytes":$size,"cardinality":$card}}}"""
+        Seq(remove, add)
       }
-    val lines = protocolLine.toSeq ++ results.flatMap {
-      case (path, b85, size, card) =>
-        val f = byKey(path)
-        val remove =
-          s"""{"remove":{"path":${jsonStr(f.path)},"deletionTimestamp":0,"dataChange":true,"partitionValues":${
-            pvJson(f.partitionValues)}""" +
-            f.deletionVector.map(d => s""","deletionVector":${dvJson(d)}""")
-              .getOrElse("") + "}}"
-        if (b85 == null) Seq(remove)
-        else {
-          val real = resolveAddPath(tableDir, f.path)
-          val len = fs.getFileStatus(new Path(real)).getLen
-          val add =
-            s"""{"add":{"path":${jsonStr(f.path)},"partitionValues":${
-              pvJson(f.partitionValues)},"size":$len,"modificationTime":0,"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":${
-              jsonStr(b85)},"offset":1,"sizeInBytes":$size,"cardinality":$card}}}"""
-          Seq(remove, add)
-        }
     }
+
+  /** Stage-write `df` into the table split by its partition columns
+    * (consumed by the staging write, exactly like [[compact]]'s
+    * rewrite) and move each file to
+    * `<base>/<partition dirs>/<namePrefix>-<i>.parquet`. Returns
+    * (relative path, unescaped (col, value) pairs, byte size) per
+    * file. Null partition values refuse, as everywhere. */
+  private def stagePartitionedWrite(spark: SparkSession, tableDir: String,
+                                    fs: org.apache.hadoop.fs.FileSystem,
+                                    df: DataFrame, partCols: Seq[String],
+                                    base: Seq[String], namePrefix: String)
+  : Seq[(String, Seq[(String, String)], Long)] = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val tmp = new Path(tableDir, s"_tmp_$namePrefix")
+    (if (partCols.isEmpty) df.write else df.write.partitionBy(partCols: _*))
+      .mode("overwrite").parquet(tmp.toString)
+    def walkTmp(dir: Path, pv: Seq[(String, String)])
+      : Seq[(Seq[(String, String)], Seq[String],
+             org.apache.hadoop.fs.FileStatus)] =
+      fs.listStatus(dir).toSeq.sortBy(_.getPath.getName).flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) Nil
+        else if (st.isDirectory) {
+          val i = n.indexOf('=')
+          if (i < 0) throw new IllegalStateException(
+            s"$tableDir: unexpected non-partition directory $n in the " +
+              "staging output")
+          val rawVal = n.substring(i + 1)
+          if (rawVal == ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
+            throw new IllegalStateException(
+              s"$tableDir: staging produced a null-partition " +
+                s"directory $n — outside lite scope")
+          walkTmp(st.getPath,
+            pv :+ (ExternalCatalogUtils.unescapePathName(n.substring(0, i))
+              -> ExternalCatalogUtils.unescapePathName(rawVal)))
+            .map { case (p, dirs, f) => (p, n +: dirs, f) }
+        } else if (n.endsWith(".parquet")) Seq((pv, Nil, st))
+        else Nil
+      }
+    val moved = walkTmp(tmp, Nil).zipWithIndex.map {
+      case ((pv, dirs, st), i) =>
+        val rel = ((base ++ dirs) :+ s"$namePrefix-$i.parquet")
+          .mkString("/")
+        val dest = new Path(tableDir, rel)
+        fs.mkdirs(dest.getParent)
+        if (!fs.rename(st.getPath, dest))
+          throw new IllegalStateException(
+            s"$tableDir: could not move ${st.getPath.getName} into the " +
+              "table")
+        (rel, pv, fs.getFileStatus(dest).getLen)
+    }
+    fs.delete(tmp, true)
+    moved
+  }
+
+  /** ROW-LEVEL UPDATE (the DML trio's third leg next to [[delete]]
+    * and [[compact]]): every row matching `condition` is rewritten
+    * with `set`'s column expressions applied — the old positions die
+    * under grown deletion vectors (fully-matched files remove
+    * outright), the updated rows land in fresh per-partition data
+    * files, and — when the table has CDF enabled — the commit writes
+    * `cdc` actions carrying the EXACT update_preimage /
+    * update_postimage rows, which [[readChanges]] then serves
+    * verbatim (the protocol's rule: a cdc-bearing commit describes
+    * its changes completely through those files). Returns the
+    * committed version — the CURRENT one, with no commit, when
+    * nothing matched.
+    *
+    * Scale shape: ONE distributed predicate scan feeds both the
+    * executor-side DV growth ([[growDeadVectors]]) and the
+    * distributed new-file/cdc writes; the driver handles O(affected
+    * files) metadata. Single-writer scope. Loud refusals: SET on a
+    * partition column (the row would change partitions — a move this
+    * writer does not express), unknown SET columns, column-mapped
+    * tables (the new files would need re-stamped physical names /
+    * field ids), null partition values. */
+  def update(spark: SparkSession, tableDir: String,
+             condition: org.apache.spark.sql.Column,
+             set: Map[String, org.apache.spark.sql.Column]): Long = {
+    val snap = snapshot(spark, tableDir)
+    if (snap.files.isEmpty) throw new IllegalStateException(
+      s"$tableDir: nothing to update (no live files)")
+    require(set.nonEmpty, "update needs at least one SET column")
+    if (snap.physicalNames.nonEmpty || snap.fieldIds.nonEmpty)
+      throw new IllegalStateException(
+        s"$tableDir: column-mapped table — the update's new files " +
+          "would need re-stamped physical names / field ids; outside " +
+          "lite scope")
+    set.keys.foreach { c =>
+      if (!snap.schema.fieldNames.contains(c))
+        throw new IllegalStateException(
+          s"$tableDir: SET column $c is not in the schema")
+      if (snap.partitionColumns.contains(c))
+        throw new IllegalStateException(
+          s"$tableDir: SET touches partition column $c — a " +
+            "partition-moving update is outside lite scope")
+    }
+    val fs = new Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val withMeta = readFiles(spark, tableDir, snap.schema,
+      snap.partitionColumns, snap.files, snap.physicalNames,
+      snap.fieldIds, keepMeta = true)
+    val matchedRows = withMeta.filter(condition)
+    val matched = matchedRows
+      .select(col("_dl_path").as("_path"), col("_dl_pos").as("_pos"))
+    val (byKey, dvResults) = growDeadVectors(spark, tableDir, snap, matched)
+    if (dvResults.isEmpty) return snap.version
     val version = snap.version + 1
+    val pre = matchedRows.drop("_dl_path", "_dl_pos")
+    val updated = set.foldLeft(pre) { case (df, (c, e)) =>
+      df.withColumn(c, e.cast(snap.schema(c).dataType))
+    }.select(snap.schema.fieldNames.map(col).toSeq: _*)
+    val partCols = snap.partitionColumns
+    val dataBase = if (partCols.isEmpty) Seq("data") else Nil
+    val newAdds = stagePartitionedWrite(spark, tableDir, fs, updated,
+      partCols, dataBase, s"update-$version")
+    def uriEncode(rel: String): String =
+      new java.net.URI(null, null, rel, null).toASCIIString
+    // exact written CDF, only when the table records a change feed
+    val cdcLines: Seq[String] =
+      if (!snap.configuration.get("delta.enableChangeDataFeed")
+        .contains("true")) Nil
+      else {
+        val cdcDf = pre.withColumn("_change_type",
+          lit("update_preimage"))
+          .unionByName(updated.withColumn("_change_type",
+            lit("update_postimage")))
+        stagePartitionedWrite(spark, tableDir, fs, cdcDf, partCols,
+          Seq("_change_data"), s"cdc-$version").map {
+          case (rel, pv, size) =>
+            s"""{"cdc":{"path":${jsonStr(uriEncode(rel))},"partitionValues":${
+              pvJson(pv.toMap)},"size":$size,"dataChange":false}}"""
+        }
+      }
+    val addLines = newAdds.map { case (rel, pv, size) =>
+      s"""{"add":{"path":${jsonStr(uriEncode(rel))},"partitionValues":${
+        pvJson(pv.toMap)},"size":$size,"modificationTime":0,"dataChange":true}}"""
+    }
+    val lines = protocolUpgradeLine(snap).toSeq ++ cdcLines ++
+      dvCommitLines(tableDir, fs, byKey, dvResults) ++ addLines
     AtomicFiles.write(fs,
       new Path(tableDir, f"_delta_log/$version%020d.json"),
       lines.mkString("", "\n", "\n"), replace = false)

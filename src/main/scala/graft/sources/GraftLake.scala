@@ -299,6 +299,31 @@ object GraftLake {
           "appends — outside GraftLake's predicate-delete scope")
     }
 
+  /** Detect + dispatch the ROW-LEVEL UPDATE write: Delta rewrites
+    * matched rows under grown deletion vectors with WRITTEN cdc
+    * images ([[DeltaLogLite.update]]). The other formats' update
+    * axes are KEYED writes and refuse naming them: Hudi updates by
+    * upserting the new row version ([[HudiCowLite.upsert]]), Iceberg
+    * deletes-then-appends around [[IcebergLite.eqDelete]], Paimon
+    * appends a higher-sequence KeyValue row (outside lite write
+    * scope). */
+  def update(spark: SparkSession, tableDir: String,
+             condition: org.apache.spark.sql.Column,
+             set: Map[String, org.apache.spark.sql.Column]): String =
+    detect(spark, tableDir) match {
+      case Delta =>
+        DeltaLogLite.update(spark, tableDir, condition, set).toString
+      case Hudi => throw new IllegalArgumentException(
+        s"$tableDir: Hudi updates by RECORD KEY — upsert the new row " +
+          "versions via HudiCowLite.upsert")
+      case Iceberg => throw new IllegalArgumentException(
+        s"$tableDir: Iceberg's lite update axis is keyed — " +
+          "IcebergLite.eqDelete the old keys, then append the new rows")
+      case Paimon => throw new IllegalArgumentException(
+        s"$tableDir: Paimon updates are higher-sequence KeyValue rows " +
+          "a PK writer appends — outside GraftLake's update scope")
+    }
+
   /** Detect + dispatch FILE RECLAIM — the dead-file deletion op:
     * Delta VACUUM ([[DeltaLogLite.vacuum]]) and Hudi CLEAN
     * ([[HudiCowLite.clean]]), returning the deleted paths. Iceberg

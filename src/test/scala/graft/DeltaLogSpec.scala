@@ -1970,6 +1970,67 @@ class DeltaLogSpec extends AnyFunSuite {
     assert(ids() == Seq(0L, 2L, 4L))
   }
 
+  test("row-level UPDATE: matched rows rewrite under grown DVs plus " +
+    "fresh per-partition files, the commit's WRITTEN cdc serves exact " +
+    "update images, partition-moving/unknown SETs refuse") {
+    import spark.implicits._
+    val (root, schema) = fixture("rowupdate")
+    val metaCdf =
+      s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":${jstr(schema)},"partitionColumns":["part"],"configuration":{"delta.enableChangeDataFeed":"true"},"createdTime":0}}"""
+    commit(root, 0, metaCdf, add("f0.parquet", "a"),
+      add("f%20one.parquet", "b"))
+    val v = DeltaLogLite.update(spark, root, col("id") % 2 === 1,
+      Map("v" -> (col("v") + 1000)))
+    assert(v == 1L)
+    val got = DeltaLogLite.read(spark, root)
+      .select("id", "v", "part").as[(Long, Long, String)]
+      .collect().sorted.toSeq
+    assert(got == (0L to 9L).map(i =>
+      (i, i * 2 + (if (i % 2 == 1) 1000L else 0L),
+        if (i < 5) "a" else "b")), got.toString)
+    // old files live under grown DVs; one NEW file per partition
+    val snap = DeltaLogLite.snapshot(spark, root)
+    assert(snap.files.size == 4, snap.files.map(_.path).toString)
+    assert(snap.files.count(_.deletionVector.nonEmpty) == 2)
+    // the WRITTEN cdc serves exact update images (the synthesized
+    // fallback would call these delete+insert)
+    val cdf = DeltaLogLite.readChanges(spark, root, v, v)
+      .select(col("id"), col("v"), col("_change_type"))
+      .as[(Long, Long, String)].collect().sorted.toSeq
+    val odd = Seq(1L, 3L, 5L, 7L, 9L)
+    assert(cdf == (odd.map(i => (i, i * 2, "update_preimage")) ++
+      odd.map(i => (i, i * 2 + 1000, "update_postimage"))).sorted,
+      cdf.toString)
+    // CDF files live under _change_data with partition values
+    assert(new java.io.File(s"$root/_change_data").exists())
+    // a second update composes (hits BOTH original and new files)
+    val v2 = DeltaLogLite.update(spark, root, col("id") === 2,
+      Map("v" -> lit(777L)))
+    assert(v2 == 2L)
+    assert(DeltaLogLite.read(spark, root)
+      .filter(col("id") === 2).select("v").as[Long].head() == 777L)
+    // a no-match update commits NOTHING
+    assert(DeltaLogLite.update(spark, root, col("id") > 100,
+      Map("v" -> lit(0L))) == 2L)
+    assert(DeltaLogLite.latestVersion(spark, root) == 2L)
+    // SET on a partition column / unknown column refuses
+    val e1 = intercept[IllegalStateException] {
+      DeltaLogLite.update(spark, root, col("id") === 0,
+        Map("part" -> lit("c")))
+    }
+    assert(e1.getMessage.contains("partition column"))
+    val e2 = intercept[IllegalStateException] {
+      DeltaLogLite.update(spark, root, col("id") === 0,
+        Map("nope" -> lit(1L)))
+    }
+    assert(e2.getMessage.contains("nope"))
+    // the lifecycle composes: compact + vacuum keep the read green
+    DeltaLogLite.compact(spark, root): Unit
+    DeltaLogLite.vacuum(spark, root): Unit
+    assert(DeltaLogLite.read(spark, root)
+      .filter(col("id") === 2).select("v").as[Long].head() == 777L)
+  }
+
   test("base85 encode/decode round-trips") {
     val bytes = Array.tabulate[Byte](16)(i => (i * 17 - 128).toByte)
     assert(DeltaLogLite.base85Decode(

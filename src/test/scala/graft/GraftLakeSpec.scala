@@ -147,6 +147,15 @@ class GraftLakeSpec extends AnyFunSuite {
       spark.sql("SELECT * FROM graft_lake_compact(42)").collect()
     }
     assert(chain(e2).exists(_.contains("STRING literal")))
+    // the predicate DML dispatches: delete commits on Delta; update
+    // runs the DV+cdc rewrite (CDF off here, so no cdc leg)
+    assert(GraftLake.update(spark, root, col("id") === 0,
+      Map("v" -> lit(99L))) == "2")
+    assert(GraftLake.read(spark, root).filter(col("id") === 0)
+      .select("v").collect().head.getLong(0) == 99L)
+    assert(GraftLake.delete(spark, root, col("id") >= 6) == "3")
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft_lake('$root')")
+      .head().getLong(0) == 6L)
   }
 
   test("readIncremental dispatches to Hudi (COW/MOR); the other " +
