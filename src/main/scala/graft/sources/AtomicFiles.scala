@@ -45,7 +45,25 @@ object AtomicFiles {
         throw new java.nio.file.FileAlreadyExistsException(
           qualified.toString)
       }
-      if (replace && fs.exists(qualified)) fs.delete(qualified, false)
+      if (replace) {
+        // replace must be ONE rename with overwrite semantics — a
+        // delete-then-rename leaves a window (and a crash state) in
+        // which the published pointer (version-hint.text, LATEST)
+        // does not exist at all. FileContext.rename(OVERWRITE) is the
+        // public API carrying HDFS's atomic-overwrite rename; only an
+        // FS with no AbstractFileSystem binding falls back to the
+        // windowed path.
+        try {
+          val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+            qualified.toUri, fs.getConf)
+          fc.rename(tmp, qualified,
+            org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+          return
+        } catch {
+          case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+            if (fs.exists(qualified)) fs.delete(qualified, false)
+        }
+      }
       if (!fs.rename(tmp, qualified)) {
         fs.delete(tmp, false)
         throw new IllegalStateException(

@@ -144,10 +144,15 @@ object DeltaLogLite {
                             configuration: Map[String, String] = Map.empty,
                             fieldIds: Map[String, Long] = Map.empty,
                             minReaderVersion: Int = 1,
-                            readerFeatures: Set[String] = Set.empty)
+                            readerFeatures: Set[String] = Set.empty,
+                            minWriterVersion: Int = 2,
+                            writerFeatures: Set[String] = Set.empty)
 
   private final case class Protocol(minReaderVersion: Int,
-                                    readerFeatures: Set[String])
+                                    readerFeatures: Set[String],
+                                    minWriterVersion: Int = 2,
+                                    writerFeatures: Set[String] =
+                                      Set.empty)
 
   /** Reader features this lite reader genuinely satisfies; anything
     * else is a loud refusal, never a silent wrong answer.
@@ -291,11 +296,22 @@ object DeltaLogLite {
         if (nested("protocol", "readerFeatures"))
           col("protocol.readerFeatures")
         else lit(null).cast("array<string>")
-      val ps = df.select(col("protocol.minReaderVersion"), featCol)
+      val mwvCol =
+        if (nested("protocol", "minWriterVersion"))
+          col("protocol.minWriterVersion")
+        else lit(null).cast("int")
+      val wFeatCol =
+        if (nested("protocol", "writerFeatures"))
+          col("protocol.writerFeatures")
+        else lit(null).cast("array<string>")
+      val ps = df.select(col("protocol.minReaderVersion"), featCol,
+          mwvCol, wFeatCol)
         .where(col("protocol.minReaderVersion").isNotNull).collect()
       ps.lastOption.foreach { r =>
         protocol = Some(Protocol(r.getInt(0),
-          Option(r.getSeq[String](1)).getOrElse(Nil).toSet))
+          Option(r.getSeq[String](1)).getOrElse(Nil).toSet,
+          if (r.isNullAt(2)) 2 else r.getInt(2),
+          Option(r.getSeq[String](3)).getOrElse(Nil).toSet))
       }
     }
     if (cols.contains("add")) {
@@ -425,6 +441,9 @@ object DeltaLogLite {
           case pr => protocol = Some(Protocol(
             (pr \ "minReaderVersion").extractOpt[Int].getOrElse(1),
             (pr \ "readerFeatures").extractOpt[Seq[String]]
+              .getOrElse(Nil).toSet,
+            (pr \ "minWriterVersion").extractOpt[Int].getOrElse(2),
+            (pr \ "writerFeatures").extractOpt[Seq[String]]
               .getOrElse(Nil).toSet))
         }
         (action \ "add") match {
@@ -572,7 +591,10 @@ object DeltaLogLite {
                 s"$tableDir commit $v: protocol without minReaderVersion"))
             val feats = (pr \ "readerFeatures")
               .extractOpt[Seq[String]].getOrElse(Nil).toSet
-            protocol = Some(Protocol(mrv, feats))
+            protocol = Some(Protocol(mrv, feats,
+              (pr \ "minWriterVersion").extractOpt[Int].getOrElse(2),
+              (pr \ "writerFeatures").extractOpt[Seq[String]]
+                .getOrElse(Nil).toSet))
         }
         (action \ "add") match {
           case JNothing =>
@@ -596,7 +618,9 @@ object DeltaLogLite {
     Snapshot(wanted.lastOption.map(_._1).getOrElse(base), sch, partCols,
       live.values.toSeq, phys, conf, ids,
       protocol.map(_.minReaderVersion).getOrElse(1),
-      protocol.map(_.readerFeatures).getOrElse(Set.empty))
+      protocol.map(_.readerFeatures).getOrElse(Set.empty),
+      protocol.map(_.minWriterVersion).getOrElse(2),
+      protocol.map(_.writerFeatures).getOrElse(Set.empty))
   }
 
   /** Resolve `timestampAsOf` to a version: the LATEST commit whose
@@ -1488,8 +1512,6 @@ object DeltaLogLite {
           packed.columns.map(c => col(c).as(physOf(c))).toSeq: _*)
         if (snap.fieldIds.isEmpty) renamed
         else {
-          spark.conf.set("spark.sql.parquet.fieldId.write.enabled",
-            "true")
           val physToLogical = snap.physicalNames.map(_.swap)
           renamed.select(renamed.columns.map { pc =>
             snap.fieldIds.get(physToLogical.getOrElse(pc, pc)) match {
@@ -1501,8 +1523,21 @@ object DeltaLogLite {
           }.toSeq: _*)
         }
       }
-    outDf.write.mode("overwrite")
+    // mode=id staging needs the field-id parquet writer — flip the
+    // session flag only AROUND this write and restore it, so one
+    // maintenance call never changes how unrelated later writes in
+    // the session stamp their footers
+    val fieldIdKey = "spark.sql.parquet.fieldId.write.enabled"
+    val prevFieldId =
+      if (snap.fieldIds.isEmpty) None
+      else Some(spark.conf.getOption(fieldIdKey))
+    prevFieldId.foreach(_ => spark.conf.set(fieldIdKey, "true"))
+    try outDf.write.mode("overwrite")
       .partitionBy(partCols.map(physOf): _*).parquet(tmp.toString)
+    finally prevFieldId.foreach {
+      case Some(v) => spark.conf.set(fieldIdKey, v)
+      case None    => spark.conf.unset(fieldIdKey)
+    }
     // (escaped partition dir chain, unescaped values, file) per output
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
     def walkTmp(dir: org.apache.hadoop.fs.Path, relDir: Seq[String],
@@ -1606,14 +1641,17 @@ object DeltaLogLite {
   /** Write one deletion-vector `.bin` file under the published
     * framing — [1-byte version][4-byte BE size][payload][4-byte BE
     * CRC32] — through the path's OWN Hadoop filesystem
-    * (executor-side; symmetric with [[decodeDvFile]]). */
-  private[graft] def writeDvFile(path: String,
-                                 payload: Array[Byte]): Unit = {
+    * (executor-side; symmetric with [[decodeDvFile]]). `conf` must be
+    * the SESSION's hadoopConfiguration (broadcast into the closure) —
+    * a bare `new Configuration()` would drop `spark.hadoop.*`-borne
+    * object-store credentials exactly on these writes. */
+  private[graft] def writeDvFile(path: String, payload: Array[Byte],
+                                 conf: org.apache.hadoop.conf.Configuration)
+  : Unit = {
     val p = new Path(path)
     // unwrap ChecksumFileSystem (the local default): .crc sidecars
     // are not part of the Delta layout and would orphan under vacuum
-    val fs = p.getFileSystem(
-      new org.apache.hadoop.conf.Configuration()) match {
+    val fs = p.getFileSystem(conf) match {
       case c: org.apache.hadoop.fs.ChecksumFileSystem =>
         c.getRawFileSystem
       case f => f
@@ -1689,20 +1727,46 @@ object DeltaLogLite {
       jsonStr(d.pathOrInlineDv)},"offset":${d.offset},"sizeInBytes":${
       d.sizeInBytes},"cardinality":${d.cardinality}}"""
 
+  /** The writer features a LEGACY minWriterVersion implies
+    * (PROTOCOL.md's table-features upgrade rule: moving to
+    * minWriterVersion 7 must carry every feature the old version
+    * number granted implicitly, or an external writer honoring
+    * writerFeatures silently stops enforcing/producing them). */
+  private def legacyWriterFeatures(minWriterVersion: Int): Set[String] =
+    Seq(2 -> Set("appendOnly", "invariants"),
+        3 -> Set("checkConstraints"),
+        4 -> Set("changeDataFeed", "generatedColumns"),
+        5 -> Set("columnMapping"),
+        6 -> Set("identityColumns"))
+      .filter(_._1 <= minWriterVersion).flatMap(_._2).toSet
+
   /** The protocol action a DV-writing commit must carry when the
     * table does not already declare deletionVectors (minReaderVersion
-    * 3 / minWriterVersion 7, the snapshot's existing readerFeatures
-    * carried forward). */
+    * 3 / minWriterVersion 7). READER features carry the snapshot's
+    * existing set forward; WRITER features must ALSO carry every
+    * legacy feature the pre-upgrade minWriterVersion implied plus the
+    * config-activated ones — notably changeDataFeed when
+    * delta.enableChangeDataFeed=true (dropping it would tell an
+    * external writer to stop producing CDC on a table whose config
+    * still demands it). */
   private def protocolUpgradeLine(snap: Snapshot): Option[String] =
     if (snap.minReaderVersion >= 3 &&
       snap.readerFeatures.contains("deletionVectors")) None
     else {
       val mapped = snap.physicalNames.nonEmpty || snap.fieldIds.nonEmpty
-      val feats = (snap.readerFeatures ++
+      val readerFeats = (snap.readerFeatures ++
         (if (mapped) Set("columnMapping") else Set.empty[String]) +
         "deletionVectors").toSeq.sorted
-      val arr = feats.map(jsonStr).mkString("[", ",", "]")
-      Some(s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":$arr,"writerFeatures":$arr}}""")
+      val writerFeats = (snap.writerFeatures ++
+        (if (snap.minWriterVersion >= 7) Set.empty[String]
+         else legacyWriterFeatures(snap.minWriterVersion)) ++
+        (if (snap.configuration.get("delta.enableChangeDataFeed")
+          .contains("true")) Set("changeDataFeed")
+         else Set.empty[String]) ++
+        readerFeats).toSeq.distinct.sorted
+      val rArr = readerFeats.map(jsonStr).mkString("[", ",", "]")
+      val wArr = writerFeats.map(jsonStr).mkString("[", ",", "]")
+      Some(s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":$rArr,"writerFeatures":$wArr}}""")
     }
 
   /** Grow each affected file's deletion vector over the matched
@@ -1747,6 +1811,11 @@ object DeltaLogLite {
       else matched.union(dvDeleteSet(spark, tableDir, withOldDv)
         .select(col("_dv_path").as("_path"), col("_dv_pos").as("_pos")))
     val rcB = spark.sparkContext.broadcast(rowCounts)
+    // the SESSION's hadoop conf rides into the executor closure —
+    // spark.hadoop.*-borne credentials must reach the DV writes
+    val confB = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
     val tableDirB = tableDir
     val results: Seq[(String, String, Int, Long)] = fullDead
       .as[(String, Long)].groupByKey(_._1)
@@ -1758,7 +1827,8 @@ object DeltaLogLite {
           val ub = java.nio.ByteBuffer.allocate(16)
           ub.putLong(uuid.getMostSignificantBits)
           ub.putLong(uuid.getLeastSignificantBits)
-          writeDvFile(s"$tableDirB/deletion_vector_$uuid.bin", payload)
+          writeDvFile(s"$tableDirB/deletion_vector_$uuid.bin", payload,
+            confB.value.value)
           (path, base85Encode(ub.array()), payload.length, card)
         }
       }.collect().toSeq.sortBy(_._1)

@@ -596,8 +596,11 @@ object HudiCowLite {
     * bounded touched-group list, footer row counts and the commit
     * JSON. CDC logs write EXECUTOR-side per group. Single-writer
     * scope. Loud refusals: MOR tables (snapshot gate), duplicate keys
-    * in one batch (ambiguous last-writer), key-less base files,
-    * missing data columns. */
+    * in one batch (ambiguous last-writer), a key living in MULTIPLE
+    * file groups (keys are only unique per partition under the
+    * non-global index — a key-only route would duplicate the row into
+    * every matching group), key-less base files, missing data
+    * columns. */
   def upsert(spark: SparkSession, tableDir: String, updates: DataFrame,
              writeCdc: Boolean = false): String = {
     import org.apache.spark.sql.functions._
@@ -609,11 +612,6 @@ object HudiCowLite {
     val key = "_hoodie_record_key"
     if (!updates.columns.contains(key)) throw new IllegalStateException(
       s"$tableDir: upsert input carries no $key column")
-    if (updates.groupBy(col(key)).count()
-        .filter(col("count") > 1).limit(1).count() > 0)
-      throw new IllegalStateException(
-        s"$tableDir: upsert batch has DUPLICATE record keys — " +
-          "last-writer order would be ambiguous")
     val cur0 = ColumnarScan(spark, tableDir, None, snap.files)
     if (!cur0.columns.contains(key)) throw new IllegalStateException(
       s"$tableDir: base files carry no $key — " +
@@ -634,11 +632,31 @@ object HudiCowLite {
       snap.groups.map { case (g, p) => normPath(p) -> g }
     val cur = cur0.withColumn("_g_path",
       MetaPaths.decoded(col("_metadata.file_path")))
-    // route each update key to its current group (record keys are
-    // unique per Hudi's own table invariant)
+    // route each update key to its current group. Record keys are
+    // only unique PER PARTITION under Hudi's default (non-global)
+    // index, so a key living in TWO partitions fans the join out —
+    // the same ONE bounded aggregate that catches duplicate keys in
+    // the batch catches the fan-out (either way a key yields >1
+    // routed row), replacing the old separate pre-flight scan of the
+    // updates input
     val routed = updates.join(
       cur.select(col(key).as("_uk"), col("_g_path")),
       updates(key) === col("_uk"), "left").drop("_uk")
+    val ambiguous = routed.groupBy(col(key))
+      .agg(count(lit(1)).as("_nrows"),
+        countDistinct(col("_g_path")).as("_ngroups"))
+      .filter(col("_nrows") > 1)
+      .select(col(key), col("_ngroups")).limit(1).collect()
+    ambiguous.headOption.foreach { r =>
+      if (r.getLong(1) > 1L) throw new IllegalStateException(
+        s"$tableDir: record key ${r.get(0)} lives in MULTIPLE file " +
+          "groups (record keys are only unique per partition under " +
+          "the non-global index) — a key-only upsert would write the " +
+          "row into every matching group; route by partition instead")
+      else throw new IllegalStateException(
+        s"$tableDir: upsert batch has DUPLICATE record keys " +
+          s"(e.g. ${r.get(0)}) — last-writer order would be ambiguous")
+    }
     // bounded driver work: the touched FILE list, never row volume
     val touchedPaths = routed.where(col("_g_path").isNotNull)
       .select("_g_path").distinct().as[String].collect().sorted
@@ -717,6 +735,11 @@ object HudiCowLite {
           col("_gid") === col("_gid2") && col("_ck") === col("_ck2"))
           .select(col("_gid"), col("_before"), col("_after"))
         val gidToPartB = spark.sparkContext.broadcast(gidToPart)
+        // session hadoop conf into the executor closure —
+        // spark.hadoop.*-borne credentials must reach the log writes
+        val confB = spark.sparkContext.broadcast(
+          new org.apache.spark.util.SerializableConfiguration(
+            spark.sparkContext.hadoopConfiguration))
         val tableDirB = tableDir
         val instantB = instant
         pairs.as[(String, String, String)].groupByKey(_._1)
@@ -729,7 +752,8 @@ object HudiCowLite {
               s".${gid}_cdc_$instantB.log.1"
             HudiMorLite.writeLogFile(s"$tableDirB/$rel",
               Seq(HudiMorLite.CdcSchema -> recs),
-              blockType = HudiMorLite.CdcDataBlockOrdinal)
+              blockType = HudiMorLite.CdcDataBlockOrdinal,
+              conf = confB.value.value)
             (gid, rel)
           }.collect().toMap
       }

@@ -902,17 +902,26 @@ object HudiMorLite {
       parquetBytes: Array[Byte],
       instantTime: Option[String] = None) extends BlockSpec
 
-  /** Write a HoodieLogFormat log file — fixture/spec authoring, the
-    * exact inverse of [[decodeLogFile]]'s layout. */
+  /** Write a HoodieLogFormat log file — fixture/spec authoring AND
+    * the write paths' executor-side log emission, the exact inverse
+    * of [[decodeLogFile]]'s layout. Executor-side callers MUST pass
+    * the session's hadoopConfiguration (broadcast) as `conf` — the
+    * bare-Configuration default is for driver-side fixtures only
+    * (spark.hadoop.*-borne credentials don't reach core-site.xml). */
   private[graft] def writeLogFile(path: String,
                                   blocks: Seq[(String,
                                     Seq[Map[String, Any]])],
-                                  blockType: Int = AvroDataBlockOrdinal)
+                                  blockType: Int = AvroDataBlockOrdinal,
+                                  conf: org.apache.hadoop.conf.Configuration =
+                                    new org.apache.hadoop.conf.Configuration())
   : Unit = writeLogBlocks(path, blocks.map { case (sj, rs) =>
-    AvroBlockSpec(sj, rs, blockType) })
+    AvroBlockSpec(sj, rs, blockType) }, conf)
 
   private[graft] def writeLogBlocks(path: String,
-                                    blocks: Seq[BlockSpec]): Unit = {
+                                    blocks: Seq[BlockSpec],
+                                    conf: org.apache.hadoop.conf.Configuration =
+                                      new org.apache.hadoop.conf.Configuration())
+  : Unit = {
     import org.apache.avro.Schema
     import org.apache.avro.generic.{GenericData, GenericDatumWriter,
       GenericRecord}
@@ -1020,7 +1029,7 @@ object HudiMorLite {
     // files are not checksum-shadowed — a reader/mutator of the raw
     // bytes must see exactly the log format, nothing else.
     val p = new org.apache.hadoop.fs.Path(path)
-    val fs0 = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs0 = p.getFileSystem(conf)
     val fs = fs0 match {
       case c: org.apache.hadoop.fs.ChecksumFileSystem =>
         c.getRawFileSystem

@@ -1926,7 +1926,11 @@ class DeltaLogSpec extends AnyFunSuite {
     // CDF on so readChanges serves the range
     val metaCdf =
       s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":${jstr(schema)},"partitionColumns":["part"],"configuration":{"delta.enableChangeDataFeed":"true"},"createdTime":0}}"""
-    commit(root, 0, metaCdf, add("f0.parquet", "a"),
+    // explicit LEGACY protocol (1, 4) — the CDF-enabled shape a real
+    // pre-table-features writer leaves behind
+    commit(root, 0,
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""",
+      metaCdf, add("f0.parquet", "a"),
       add("f%20one.parquet", "b"))
     def ids(): Seq[Long] = DeltaLogLite.read(spark, root)
       .select("id").as[Long].collect().sorted.toSeq
@@ -1939,6 +1943,15 @@ class DeltaLogSpec extends AnyFunSuite {
     // the commit upgraded the protocol to declare deletionVectors
     assert(snap1.minReaderVersion == 3 &&
       snap1.readerFeatures.contains("deletionVectors"))
+    // ... and the upgrade carried every LEGACY writer feature the old
+    // minWriterVersion=4 implied — notably changeDataFeed (the table's
+    // config still demands CDC; an external writer honoring
+    // writerFeatures would otherwise silently stop writing it)
+    assert(snap1.minWriterVersion == 7 &&
+      Set("appendOnly", "invariants", "checkConstraints",
+        "changeDataFeed", "generatedColumns", "deletionVectors")
+        .subsetOf(snap1.writerFeatures),
+      snap1.writerFeatures.toSeq.sorted.toString)
     val cdf1 = DeltaLogLite.readChanges(spark, root, 1, 1)
       .select(col("id"), col("_change_type"))
       .as[(Long, String)].collect().sorted.toSeq

@@ -509,6 +509,48 @@ class HudiSpec extends AnyFunSuite {
       .collect().sorted.toSeq == Seq(2L, 3L, 4L, 10L, 11L))
   }
 
+  test("upsert refuses a record key living in MULTIPLE file groups " +
+    "(non-global index: keys are only unique per partition — a " +
+    "key-only route would duplicate the row into every group)") {
+    import spark.implicits._
+    val root = "/tmp/graft_hudispec/multigroupkey"
+    rm(new java.io.File(root))
+    Files.createDirectories(Paths.get(root, ".hoodie"))
+    Files.writeString(Paths.get(root, ".hoodie", "hoodie.properties"),
+      "hoodie.table.name=t\nhoodie.table.type=COPY_ON_WRITE\n")
+    def one(df: org.apache.spark.sql.DataFrame, out: String): Unit = {
+      val tmp = s"$root/_tmp"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith(".")).get
+      Files.createDirectories(Paths.get(s"$root/$out").getParent)
+      assert(part.renameTo(new java.io.File(s"$root/$out")))
+      rm(new java.io.File(tmp))
+    }
+    // the SAME record key "7" in two partitions — legal under Hudi's
+    // default non-global index
+    def batch(part: String) = Seq(7L).toDF("id")
+      .select(lit("001").as("_hoodie_commit_time"),
+        col("id").cast("string").as("_hoodie_record_key"),
+        lit(part).as("_hoodie_partition_path"),
+        col("id"), (col("id") * 2).as("v"))
+    one(batch("p=x"), "p=x/gX_0-0_001.parquet")
+    one(batch("p=y"), "p=y/gY_0-0_001.parquet")
+    Files.writeString(Paths.get(root, ".hoodie", "001.commit"),
+      """{"partitionToWriteStats":{"p=x":[{"fileId":"gX","path":"p=x/gX_0-0_001.parquet","numWrites":1}],"p=y":[{"fileId":"gY","path":"p=y/gY_0-0_001.parquet","numWrites":1}]}}""")
+    val updates = Seq((7L, 99L)).toDF("id", "v")
+      .withColumn("_hoodie_record_key", col("id").cast("string"))
+      .withColumn("_hoodie_partition_path", lit("p=x"))
+    val e = intercept[IllegalStateException] {
+      HudiCowLite.upsert(spark, root, updates)
+    }
+    assert(e.getMessage.contains("MULTIPLE file groups"), e.getMessage)
+    // the refusal left the table untouched
+    assert(HudiCowLite.read(spark, root).select("v").as[Long]
+      .collect().sorted.toSeq == Seq(14L, 14L))
+  }
+
   test("randomized maintenance model check: reads stay model-equal " +
     "through insert/UPSERT/DELETE/cluster/clean sequences over two " +
     "partitions, across seeds") {
