@@ -567,7 +567,7 @@ object HudiCowLite {
   /** The "/"-rooted join spelling shared with [[MetaPaths.decoded]] —
     * a file:-qualified tableDir must key file identity identically on
     * both sides or rows silently mis-route. */
-  private def normPath(p: String): String =
+  private[sources] def normPath(p: String): String =
     p.replaceFirst("^file:/+", "/")
 
   /** UPSERT by `_hoodie_record_key` — the COW write path (Hudi's
@@ -812,32 +812,54 @@ object HudiCowLite {
     // a fully-deleted group emits no staging file — advance it with
     // an EMPTY base (bounded by the dead-group count)
     val writtenFids = written.map(_._2).toSet
-    val empties = gidToPart.keySet.diff(writtenFids).toSeq.sorted.map {
-      fid =>
-        val part = gidToPart(fid)
-        val rel = (if (part.isEmpty) "" else s"$part/") +
-          s"${fid}_0-0_$instant.parquet"
-        val tmp = new Path(tableDir, s"_tmp_del_$fid")
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          cur0.schema).coalesce(1)
-          .write.mode("overwrite").parquet(tmp.toString)
-        val src = fs.listStatus(tmp).map(_.getPath)
-          .find(p => p.getName.endsWith(".parquet") &&
-            !p.getName.startsWith(".")).getOrElse(
-            throw new IllegalStateException(
-              s"$tableDir: empty rewrite for group $fid produced no " +
-                "parquet"))
-        val dest = new Path(tableDir, rel)
-        fs.mkdirs(dest.getParent)
-        if (!fs.rename(src, dest)) throw new IllegalStateException(
-          s"$tableDir: could not place $rel")
-        fs.delete(tmp, true)
-        (part, fid, rel, 0L)
-    }
+    val empties = emptyBases(spark, tableDir, fs, cur0.schema,
+      gidToPart.keySet.diff(writtenFids).toSeq.sorted, gidToPart,
+      instant)
     commitJson(spark, tableDir, fs, instant, written ++ empties,
       Map.empty)
     instant
+  }
+
+  /** Advance fully-dead file groups to EMPTY base files (the group
+    * stays, its rows are gone — dropping a group outright is a
+    * replacecommit, i.e. clustering, not a data change). ONE empty
+    * parquet is staged by a single job and FS-COPIED to each dead
+    * group — O(dead groups) bounded metadata ops, never a Spark job
+    * per group. Shared by [[delete]] and
+    * [[HudiMorLite.compactLogs]]. */
+  private[sources] def emptyBases(spark: SparkSession, tableDir: String,
+                                  fs: org.apache.hadoop.fs.FileSystem,
+                                  schema: org.apache.spark.sql.types.StructType,
+                                  fids: Seq[String],
+                                  gidToPart: Map[String, String],
+                                  instant: String)
+  : Seq[(String, String, String, Long)] = {
+    if (fids.isEmpty) return Nil
+    val tmp = new Path(tableDir, "_tmp_emptybase")
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val src = fs.listStatus(tmp).map(_.getPath)
+      .find(p => p.getName.endsWith(".parquet") &&
+        !p.getName.startsWith(".")).getOrElse(
+        throw new IllegalStateException(
+          s"$tableDir: empty-base staging produced no parquet"))
+    val out = fids.map { fid =>
+      val part = gidToPart.getOrElse(fid,
+        throw new IllegalStateException(
+          s"$tableDir: dead group $fid has no partition mapping"))
+      val rel = (if (part.isEmpty) "" else s"$part/") +
+        s"${fid}_0-0_$instant.parquet"
+      val dest = new Path(tableDir, rel)
+      fs.mkdirs(dest.getParent)
+      if (!org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dest, false,
+        spark.sparkContext.hadoopConfiguration))
+        throw new IllegalStateException(
+          s"$tableDir: could not place $rel")
+      (part, fid, rel, 0L)
+    }
+    fs.delete(tmp, true)
+    out
   }
 
   /** Shared group-grain rewrite write: `rows` carry the full table
@@ -846,7 +868,7 @@ object HudiCowLite {
     * group's partition directory + footer row counts. Returns
     * (partition, fileId, relative path, numWrites) per written
     * file. */
-  private def writeGroups(spark: SparkSession, tableDir: String,
+  private[sources] def writeGroups(spark: SparkSession, tableDir: String,
                           rows: DataFrame,
                           gidToPart: Map[String, String],
                           instant: String)

@@ -1052,38 +1052,54 @@ object HudiMorLite {
     * executor-side log decode + the one partial-combining winner
     * aggregate). `hadLogs = false` means the snapshot has no log
     * files at all — `winners` is then unusable and `base` IS the
-    * table. */
+    * table. `keepGid = true` additionally threads each row's FILE
+    * GROUP id through the merge as a `_gid` column (base rows from a
+    * broadcast basePath→fileId map, log winners from their slice) —
+    * the group-grain tag [[compactLogs]]' one distributed rewrite
+    * shuffles on. */
   private def buildMerge(spark: SparkSession, tableDir: String,
-                         snap: MorSnapshot): MergeParts = {
+                         snap: MorSnapshot,
+                         keepGid: Boolean = false): MergeParts = {
     if (snap.slices.isEmpty) throw new IllegalStateException(
       s"$tableDir: snapshot at ${snap.instant} resolves to zero file " +
         "slices — nothing to read")
-    val base = ColumnarScan(spark, tableDir, None,
+    val base0 = ColumnarScan(spark, tableDir, None,
       snap.slices.map(_.basePath))
-    if (!base.columns.contains("_hoodie_record_key"))
+    if (!base0.columns.contains("_hoodie_record_key"))
       throw new IllegalStateException(
         s"$tableDir: base files carry no _hoodie_record_key — cannot " +
           "merge log records (populateMetaFields=false tables are " +
           "outside HudiMorLite scope)")
+    val base =
+      if (!keepGid) base0
+      else {
+        import spark.implicits._
+        val pathFid = snap.slices.map(s =>
+          HudiCowLite.normPath(s.basePath) -> s.fileId)
+          .toDF("_g_path", "_gid")
+        base0.withColumn("_g_path",
+          MetaPaths.decoded(col("_metadata.file_path")))
+          .join(broadcast(pathFid), "_g_path").drop("_g_path")
+      }
     // one decode unit per SLICE (its ordered log files together):
     // rollback COMMAND_BLOCKs invalidate earlier blocks of the same
     // file group across file boundaries, so the slice is the smallest
     // correct decode grain
-    val sliceLogs: Seq[(String, Seq[(String, String)])] =
+    val sliceLogs: Seq[(String, String, Seq[(String, String)])] =
       snap.slices.filter(_.logs.nonEmpty).map { s =>
-        (s.partition, s.logs.map(l =>
+        (s.partition, s.fileId, s.logs.map(l =>
           (l.path, f"${BigInt(l.instant)}%020d|${l.version}%010d")))
       }
     if (sliceLogs.isEmpty)
       return MergeParts(base, base.limit(0), hasPartCol = false,
-        base.schema.fieldNames.toSeq, hadLogs = false)
+        base0.schema.fieldNames.toSeq, hadLogs = false)
     // record keys are only unique PER PARTITION under Hudi's default
     // (non-global) index, so the merge keys on (partition, key). Base
     // rows bring _hoodie_partition_path; without it a MULTI-partition
     // table cannot disambiguate cross-partition key collisions —
     // refuse rather than silently mis-patch
     val PartCol = "_hoodie_partition_path"
-    val hasPartCol = base.columns.contains(PartCol)
+    val hasPartCol = base0.columns.contains(PartCol)
     val distinctParts2 =
       (sliceLogs.map(_._1) ++ snap.slices.map(_.partition)).distinct
     if (!hasPartCol && distinctParts2.size > 1)
@@ -1092,8 +1108,8 @@ object HudiMorLite {
           s"$PartCol — record keys are only unique per partition " +
           "(non-global index), so a key-only merge could silently " +
           "patch the wrong partition's rows")
-    val names = base.schema.fieldNames.toSeq
-    val types = base.schema.fields.map(_.dataType).toSeq
+    val names = base0.schema.fieldNames.toSeq
+    val types = base0.schema.fields.map(_.dataType).toSeq
     for ((nm, dt) <- names.zip(types)) dt match {
       case LongType | IntegerType | DoubleType | FloatType |
            StringType | BooleanType =>
@@ -1126,17 +1142,18 @@ object HudiMorLite {
     val logSchema = StructType(
       StructField("_hml_key", StringType) ::
         StructField("_hml_part", StringType) ::
+        StructField("_hml_gid", StringType) ::
         StructField("_hml_ord", StringType) ::
         StructField("_hml_deleted", BooleanType) ::
-        base.schema.fields.toList)
+        base0.schema.fields.toList)
     val rowsRdd = spark.sparkContext
       .parallelize(sliceLogs,
         math.min(sliceLogs.size,
           spark.sparkContext.defaultParallelism).max(1))
-      .flatMap { case (partition, files) =>
+      .flatMap { case (partition, fileId, files) =>
         decodeSliceLogs(files, partition, names, types, pcIdx).map(r =>
-          Row.fromSeq(r.key +: partition +: r.ord +: r.deleted +:
-            r.values))
+          Row.fromSeq(r.key +: partition +: fileId +: r.ord +:
+            r.deleted +: r.values))
       }
     val logDf = spark.createDataFrame(rowsRdd, logSchema)
     // winning record per (partition, key): ONE partial-combining
@@ -1156,7 +1173,8 @@ object HudiMorLite {
         col("_hml_ord"))
     }
     val payload = struct(
-      (col("_hml_deleted") +: col("_hml_ord") +: names.map(col)): _*)
+      (col("_hml_deleted") +: col("_hml_ord") +: col("_hml_gid") +:
+        names.map(col)): _*)
     // _hml_arr = the key's LAST ARRIVAL ord (max over arrival alone).
     // Under a precombine field the event-time winner's own _hml_ord
     // can be an EARLIER arrival, but incremental range membership is
@@ -1175,14 +1193,18 @@ object HudiMorLite {
     readSnapshot(spark, tableDir, snapshot(spark, tableDir, asOfInstant))
 
   /** The merge over an EXPLICIT snapshot — [[read]]'s body, also the
-    * per-slice unit [[compactLogs]] folds one file group with (a
-    * single-slice MorSnapshot merges exactly that group). */
+    * distributed rewrite [[compactLogs]] runs over the log-carrying
+    * groups (with `keepGid = true`, which tags every merged row with
+    * its file group id as `_gid`). */
   private def readSnapshot(spark: SparkSession, tableDir: String,
-                           snap: MorSnapshot): DataFrame = {
-    val mp = buildMerge(spark, tableDir, snap)
+                           snap: MorSnapshot,
+                           keepGid: Boolean = false): DataFrame = {
+    val mp = buildMerge(spark, tableDir, snap, keepGid)
     if (!mp.hadLogs) return mp.base
     val MergeParts(base, winners, hasPartCol, names, _) = mp
     val PartCol = "_hoodie_partition_path"
+    def gidCol: Seq[Column] =
+      if (keepGid) Seq(col("_hml_top._hml_gid").as("_gid")) else Nil
     val pcField = snap.precombineField
     def pcGuard(c: Column, what: String): Column =
       when(c.isNull, raise_error(lit(
@@ -1192,7 +1214,8 @@ object HudiMorLite {
       case None =>
         val patched = winners
           .filter(!col("_hml_top._hml_deleted"))
-          .select(names.map(n => col(s"_hml_top.$n").as(n)): _*)
+          .select(names.map(n => col(s"_hml_top.$n").as(n)) ++
+            gidCol: _*)
         val joinCond =
           if (hasPartCol)
             base(PartCol) === col("_hml_part") &&
@@ -1236,7 +1259,8 @@ object HudiMorLite {
           .filter(when(col("_hb_key").isNull, lit(true))
             .otherwise(col(s"_hml_top.$pc") >=
               pcGuard(col("_hb_pcv"), "base row")))
-          .select(names.map(n => col(s"_hml_top.$n").as(n)): _*)
+          .select(names.map(n => col(s"_hml_top.$n").as(n)) ++
+            gidCol: _*)
         kept.unionByName(patched)
     }
   }
@@ -1395,12 +1419,18 @@ object HudiMorLite {
     * logs arrive (the snapshot replay's base-write-starts-a-slice
     * rule). Returns the new instant.
     *
-    * Scale shape: one bounded merge job PER log-carrying group — the
-    * same per-group grain Hudi's own compaction plans tasks at; the
-    * driver loop is bounded by the group count, all row volume stays
-    * distributed inside each group's merge. Single-writer scope. Loud
-    * refusal when NO slice carries logs (nothing to compact — the
-    * no-log rewrite is clustering). */
+    * Scale shape: ONE distributed job for ALL log-carrying groups —
+    * the merge runs with every row tagged by its file group id
+    * (`keepGid`), one shuffle on that id packs each group into
+    * exactly one staged file ([[HudiCowLite.writeGroups]] — the same
+    * repartition+partitionBy shape [[DeltaLogLite.compact]] stages
+    * with), and the driver handles only the O(groups) move pass +
+    * footer row counts + one commit JSON. A thousand-slice table
+    * compacts in one job, not a thousand. Groups whose every row died
+    * in the logs advance to EMPTY bases via one staged empty parquet
+    * FS-copied per dead group. Single-writer scope. Loud refusal when
+    * NO slice carries logs (nothing to compact — the no-log rewrite
+    * is clustering). */
   def compactLogs(spark: SparkSession, tableDir: String): String = {
     val snap = snapshot(spark, tableDir)
     val withLogs = snap.slices.filter(_.logs.nonEmpty)
@@ -1411,49 +1441,22 @@ object HudiMorLite {
       snap.instant)
     val fs = new Path(tableDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val written = withLogs.sortBy(s => (s.partition, s.fileId)).map {
-      slice =>
-        val merged = readSnapshot(spark, tableDir,
-          snap.copy(slices = Seq(slice)))
-        val rel = (if (slice.partition.isEmpty) ""
-                   else s"${slice.partition}/") +
-          s"${slice.fileId}_0-0_$instant.parquet"
-        val tmp = new Path(tableDir, s"_tmp_logcompact")
-        merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val staged = fs.listStatus(tmp).map(_.getPath)
-          .find(p => p.getName.endsWith(".parquet") &&
-            !p.getName.startsWith("."))
-        val dest = new Path(tableDir, rel)
-        fs.mkdirs(dest.getParent)
-        staged match {
-          case Some(p) =>
-            if (!fs.rename(p, dest)) throw new IllegalStateException(
-              s"$tableDir: could not place $rel")
-          case None =>
-            // every row of the slice died in its logs: advance the
-            // group with an EMPTY base (the group stays, rows gone)
-            spark.createDataFrame(
-              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-              merged.schema).coalesce(1)
-              .write.mode("overwrite").parquet(tmp.toString)
-            val p2 = fs.listStatus(tmp).map(_.getPath)
-              .find(p => p.getName.endsWith(".parquet") &&
-                !p.getName.startsWith(".")).getOrElse(
-                throw new IllegalStateException(
-                  s"$tableDir: empty rewrite for ${slice.fileId} " +
-                    "produced no parquet"))
-            if (!fs.rename(p2, dest)) throw new IllegalStateException(
-              s"$tableDir: could not place $rel")
-        }
-        fs.delete(tmp, true)
-        val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-            dest, spark.sparkContext.hadoopConfiguration))
-        val rc = try footer.getRecordCount finally footer.close()
-        (slice.partition, slice.fileId, rel, rc)
-    }
-    HudiCowLite.commitJson(spark, tableDir, fs, instant, written,
-      Map.empty)
+    // the merged view of EXACTLY the log-carrying groups, every row
+    // tagged with its file group id
+    val merged = readSnapshot(spark, tableDir,
+      snap.copy(slices = withLogs), keepGid = true)
+    val gidToPart = withLogs.map(s => s.fileId -> s.partition).toMap
+    val written = HudiCowLite.writeGroups(spark, tableDir, merged,
+      gidToPart, instant)
+    // fully-dead groups staged nothing: advance them to empty bases
+    val writtenFids = written.map(_._2).toSet
+    val empties = HudiCowLite.emptyBases(spark, tableDir, fs,
+      org.apache.spark.sql.types.StructType(
+        merged.schema.fields.filterNot(_.name == "_gid")),
+      gidToPart.keySet.diff(writtenFids).toSeq.sorted, gidToPart,
+      instant)
+    HudiCowLite.commitJson(spark, tableDir, fs, instant,
+      written ++ empties, Map.empty)
     instant
   }
 }

@@ -1562,25 +1562,46 @@ object PaimonLite {
     val merged = read(spark, tableDir)
     // winning sequence + home bucket per key from the raw KeyValue
     // scan: re-stamping MAX (MIN under first-row) keeps every future
-    // write's override semantics exactly
-    val groups = snap.files.groupBy(_.partition).toSeq
-      .sortBy(_._1.map(v => partPathValue(v, snap.defaultPartName))
-        .mkString("/"))
-    val raw = groups.map { case (part, fl) =>
-      val scan = ColumnarScan(spark, tableDir, None, fl.map(_.path))
-      val missing = (keyCols :+ "_SEQUENCE_NUMBER")
-        .filterNot(scan.columns.contains)
-      if (missing.nonEmpty) throw new IllegalStateException(
-        s"$tableDir: primary-key data files lack KeyValue columns " +
-          s"${missing.mkString(", ")} — cannot compact")
-      val based = scan.select(
-        (keyCols :+ "_SEQUENCE_NUMBER").map(col) :+
-          regexp_extract(col("_metadata.file_path"),
-            "/bucket-(\\d+)/", 1).cast("int").as("_pc_bucket"): _*)
-      partCols.zip(part).foldLeft(based) { case (d, (k, v)) =>
-        d.withColumn(k, lit(v).cast(snap.schema(k).dataType))
+    // write's override semantics exactly. ONE scan of every live
+    // file — partition values come from a broadcast file→partition
+    // map keyed on the decoded `_metadata.file_path` (a per-partition
+    // scan branch + unionAll would blow the PLAN up linear in the
+    // partition count at thousands of partitions).
+    val scan = ColumnarScan(spark, tableDir, None,
+      snap.files.map(_.path))
+    val missing = (keyCols :+ "_SEQUENCE_NUMBER")
+      .filterNot(scan.columns.contains)
+    if (missing.nonEmpty) throw new IllegalStateException(
+      s"$tableDir: primary-key data files lack KeyValue columns " +
+        s"${missing.mkString(", ")} — cannot compact")
+    val based = scan.select(
+      (keyCols :+ "_SEQUENCE_NUMBER").map(col) ++ Seq(
+        regexp_extract(col("_metadata.file_path"),
+          "/bucket-(\\d+)/", 1).cast("int").as("_pc_bucket"),
+        MetaPaths.decoded(col("_metadata.file_path"))
+          .as("_pc_path")): _*)
+    val raw =
+      if (partCols.isEmpty) based.drop("_pc_path")
+      else {
+        val pathPartSchema = StructType(
+          StructField("_pc_path", StringType) +:
+            StructField("_pc_hit", BooleanType) +:
+            partCols.map(k => StructField(k, snap.schema(k).dataType)))
+        val pathPartRows = snap.files.map(f => org.apache.spark.sql.Row
+          .fromSeq(HudiCowLite.normPath(f.path) +: true +: f.partition))
+        val pathPartDf = spark.createDataFrame(
+          spark.sparkContext.parallelize(pathPartRows, 1),
+          pathPartSchema)
+        based.join(broadcast(pathPartDf), Seq("_pc_path"), "left")
+          // partition values may legitimately be null (default
+          // partition), so membership rides an explicit hit marker —
+          // an unmatched file must refuse, never silently drop rows
+          .filter(when(col("_pc_hit").isNull, raise_error(lit(
+            s"$tableDir: a scanned KeyValue row's file is not in the " +
+              "snapshot's file→partition map — file-identity mismatch")))
+            .otherwise(lit(true)))
+          .drop("_pc_path", "_pc_hit")
       }
-    }.reduce(_ unionAll _)
     val seqF =
       if (snap.mergeEngine == "first-row") min(col("_SEQUENCE_NUMBER"))
       else max(col("_SEQUENCE_NUMBER"))

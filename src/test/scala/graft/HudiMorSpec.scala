@@ -151,6 +151,93 @@ class HudiMorSpec extends AnyFunSuite {
     assert(e.getMessage.contains("cluster"))
   }
 
+  test("compactLogs is ONE distributed rewrite over ALL log-carrying " +
+    "slices — the Spark job count stays bounded as slices grow (a " +
+    "per-slice loop would submit jobs linear in the slice count); a " +
+    "fully-dead slice advances to an empty base in the same pass") {
+    import spark.implicits._
+    val root = "/tmp/graft_hudimorspec/onejob"
+    rm(new java.io.File(root))
+    Files.createDirectories(Paths.get(root, ".hoodie"))
+    Files.writeString(Paths.get(root, ".hoodie", "hoodie.properties"),
+      "hoodie.table.type=MERGE_ON_READ\n")
+    val nGroups = 12
+    // ONE staged write fans out the 12 bases (ids g*100..g*100+4)
+    val tmp = s"$root/_tmp"
+    spark.range(0, nGroups.toLong * 100 + 5)
+      .filter(col("id") % 100 < 5)
+      .select(col("id").cast("string").as("_hoodie_record_key"),
+        (col("id") / 100).cast("int").as("_g"),
+        col("id"), (col("id") * 3).as("v"))
+      .repartition(col("_g")).write.mode("overwrite")
+      .partitionBy("_g").parquet(tmp)
+    val stats = (0 until nGroups).map { g =>
+      val dir = new java.io.File(s"$tmp/_g=$g")
+      val pf = dir.listFiles().find(f =>
+        f.getName.endsWith(".parquet") && !f.getName.startsWith(".")).get
+      val name = s"g${g}_0-0_001.parquet"
+      assert(pf.renameTo(new java.io.File(s"$root/$name")))
+      s"""{"fileId":"g$g","path":"$name","numWrites":5}"""
+    }
+    rm(new java.io.File(tmp))
+    Files.writeString(Paths.get(root, ".hoodie", "001.commit"),
+      s"""{"partitionToWriteStats":{"":[${stats.mkString(",")}]}}""")
+    // one log per group: patch key g*100 to v=999; group 3's log
+    // soft-deletes ALL its rows instead (the empty-base leg)
+    val logStats = (0 until nGroups).map { g =>
+      val recs =
+        if (g == 3) (0 until 5).map(i =>
+          rec(300L + i, 0, deleted = true))
+        else Seq(rec(g * 100L, 999))
+      HudiMorLite.writeLogFile(s"$root/.g${g}_001.log.1",
+        Seq(avroSchema -> recs))
+      s"""{"fileId":"g$g","path":".g${g}_001.log.1","numWrites":1}"""
+    }
+    Files.writeString(Paths.get(root, ".hoodie", "002.deltacommit"),
+      s"""{"partitionToWriteStats":{"":[${logStats.mkString(",")}]}}""")
+    val before = HudiMorLite.read(spark, root)
+      .select("id", "v").as[(Long, Long)].collect().sorted.toSeq
+    // count jobs DURING the compaction
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(): Unit
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val instant =
+      try {
+        val i = HudiMorLite.compactLogs(spark, root)
+        // listener events are async — let the bus drain
+        var last = -1
+        var stable = 0
+        while (stable < 5) {
+          Thread.sleep(100)
+          if (jobs.get() == last) stable += 1
+          else { last = jobs.get(); stable = 0 }
+        }
+        i
+      } finally spark.sparkContext.removeSparkListener(listener)
+    // the OLD per-slice loop submitted >= 2 jobs per slice (24+ here);
+    // the one-rewrite shape is a small constant independent of slices
+    assert(jobs.get() <= 15,
+      s"compactLogs submitted ${jobs.get()} jobs for $nGroups slices " +
+        "— not the one-distributed-rewrite shape")
+    assert(instant == "003")
+    val snap = HudiMorLite.snapshot(spark, root)
+    assert(snap.slices.size == nGroups &&
+      snap.slices.forall(_.logs.isEmpty))
+    assert(snap.slices.forall(_.baseInstant == "003"))
+    val after = HudiMorLite.read(spark, root)
+      .select("id", "v").as[(Long, Long)].collect().sorted.toSeq
+    assert(after == before, s"merged view changed: $after vs $before")
+    // group 3 is EMPTY but alive; the patched keys carry v=999
+    assert(!after.exists(t => t._1 >= 300 && t._1 < 305))
+    assert((0 until nGroups).filter(_ != 3)
+      .forall(g => after.contains((g * 100L, 999L))))
+  }
+
   test("multi-partition MOR cluster packs per partition via " +
     "_hoodie_partition_path: logs fold in, replacecommit carries " +
     "both partitions") {
