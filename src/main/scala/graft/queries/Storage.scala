@@ -2188,6 +2188,52 @@ object Storage extends QueryModule {
       read.unionByName(cdf).orderBy(col("surface"), col("k"))
     },
 
+    // Hudi MOR ROW-LEVEL WRITES (the format's cheap-mutation point —
+    // log-block APPENDS, never base rewrites): upsert patches %10=1
+    // at ×2 and inserts the %10=5 keys log-borne, delete kills %10=0
+    // via a DELETE_BLOCK, update triples %10=2 in place, and
+    // compactLogs folds all appended blocks into a fresh base. The
+    // read census checks the merge; the incremental census checks
+    // per-record commit-time stamping SURVIVED the compaction (only
+    // the written keys changed in range); one file slice, zero logs
+    // after the fold.
+    "q496_hudi_mor_write" -> { (s, dir) =>
+      import graft.sources.HudiMorLite
+      val root = authorHudiMorWriteTable(s, dir)
+      val src = Tables.df(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      val updates = src.filter(col("o_orderkey") % 10 === 1)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .unionByName(src.filter(col("o_orderkey") % 10 === 5))
+        .withColumn("_hoodie_record_key",
+          col("o_orderkey").cast(StringType))
+      HudiMorLite.upsert(s, root, updates): Unit
+      HudiMorLite.delete(s, root, col("o_orderkey") % 10 === 0): Unit
+      HudiMorLite.update(s, root, col("o_orderkey") % 10 === 2,
+        Map("o_totalprice" -> (col("o_totalprice") * 3))): Unit
+      HudiMorLite.compactLogs(s, root): Unit
+      def census(df: DataFrame, surface: String): DataFrame =
+        df.groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2)))
+              .cast(DoubleType).as("sum_price"))
+          .select(lit(surface).as("surface"),
+            col("o_orderstatus").as("k"), col("n"), col("sum_price"))
+      val read = census(HudiMorLite.read(s, root), "read")
+      val inc = census(
+        HudiMorLite.readIncremental(s, root, "001"), "inc")
+      import s.implicits._
+      val snap = HudiMorLite.snapshot(s, root)
+      val files = Seq(
+        ("files", "slices", snap.slices.size.toLong),
+        ("files", "logs", snap.slices.map(_.logs.size.toLong).sum))
+        .toDF("surface", "k", "n")
+        .withColumn("sum_price", lit(null).cast(DoubleType))
+      read.unionByName(inc).unionByName(files)
+        .orderBy(col("surface"), col("k"))
+    },
+
     // Hudi WRITTEN CDC (RFC-51 cdcStats + CDC_DATA_BLOCK): commit 002
     // rewrote EVERY key — half with unchanged values. The written
     // changelog records updates for all of them; a file diff sees
@@ -2523,6 +2569,43 @@ object Storage extends QueryModule {
         Files.writeString(Paths.get(root, ".hoodie", "002.deltacommit"),
           s"""{"partitionToWriteStats":{${stat(".g1_001.log.1")}}}""")
         root
+  }
+
+  /** Authors the FRESH MOR table q496's writers mutate (NOT memoized
+    * — the query upserts/deletes/updates/compacts it, so every
+    * invocation starts from the same clean state): one file group,
+    * orders %10<5 with `_hoodie_commit_time`=001 so incremental
+    * reads bound across the writes. */
+  private def authorHudiMorWriteTable(s: SparkSession,
+                                      dir: String): String = {
+    import java.nio.file.{Files, Paths}
+    val root =
+      s"/tmp/graft_hudi/morwrite_${Integer.toHexString(dir.hashCode)}"
+    def rm(p: java.io.File): Unit = {
+      if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+      p.delete(): Unit
+    }
+    rm(new java.io.File(root))
+    Files.createDirectories(Paths.get(root, ".hoodie"))
+    Files.writeString(Paths.get(root, ".hoodie", "hoodie.properties"),
+      "hoodie.table.name=orders_mor_write\n" +
+        "hoodie.table.type=MERGE_ON_READ\n")
+    val base = Tables.df(s, dir, "orders")
+      .select(col("o_orderkey").cast("string")
+        .as("_hoodie_record_key"),
+        lit("001").as("_hoodie_commit_time"),
+        col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .filter(col("o_orderkey") % 10 < 5)
+    val tmp = s"$root/_tmp"
+    base.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val pf = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith(".")).get
+    assert(pf.renameTo(new java.io.File(s"$root/g1_0-0_001.parquet")))
+    rm(new java.io.File(tmp))
+    Files.writeString(Paths.get(root, ".hoodie", "001.deltacommit"),
+      s"""{"partitionToWriteStats":{"":[{"fileId":"g1","path":"g1_0-0_001.parquet","numWrites":1}]}}""")
+    root
   }
 
   private val hudiMorDelMemo =
@@ -9021,6 +9104,33 @@ object Storage extends QueryModule {
         |      AS DOUBLE)
         |  FROM upd)
         |SELECT surface, k, n, sum_qty FROM rows_
+        |ORDER BY surface, k""".stripMargin,
+    // MOR log-block writes: %10=1 doubled, %10=5 inserted, %10=0
+    // deleted, %10=2 tripled; incremental (001, ...] serves exactly
+    // the written keys (commit stamps survive the compaction); one
+    // slice, zero logs after the fold
+    "q496_hudi_mor_write" ->
+      """WITH final AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 10 = 1 THEN o_totalprice * 2
+        |         WHEN o_orderkey % 10 = 2 THEN o_totalprice * 3
+        |         ELSE o_totalprice END AS p
+        |  FROM orders
+        |  WHERE o_orderkey % 10 IN (1, 2, 3, 4, 5)),
+        |rows_ AS (
+        |  SELECT 'read' AS surface, o_orderstatus AS k, count(*) AS n,
+        |    CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |  FROM final GROUP BY o_orderstatus
+        |  UNION ALL
+        |  SELECT 'inc', o_orderstatus, count(*),
+        |    CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE)
+        |  FROM final WHERE o_orderkey % 10 IN (1, 2, 5)
+        |  GROUP BY o_orderstatus
+        |  UNION ALL
+        |  SELECT 'files', 'slices', 1, CAST(NULL AS DOUBLE)
+        |  UNION ALL
+        |  SELECT 'files', 'logs', 0, CAST(NULL AS DOUBLE))
+        |SELECT surface, k, n, sum_price FROM rows_
         |ORDER BY surface, k""".stripMargin,
     // the WRITTEN CDC records an update for EVERY %10<2 key — the
     // unchanged %10=0 half included, which a file diff cannot see

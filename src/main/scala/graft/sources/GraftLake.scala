@@ -272,12 +272,14 @@ object GraftLake {
   /** Detect + dispatch the ROW-LEVEL DELETE write — the most common
     * lakehouse mutation, one vocabulary: Delta commits deletion
     * vectors ([[DeltaLogLite.delete]], returns the new version), Hudi
-    * COW rewrites the touched file groups ([[HudiCowLite.delete]],
-    * returns the new instant). Formats whose delete axis is KEYED
-    * rather than predicated refuse naming the right entry point:
-    * Iceberg's is the equality-delete write
-    * ([[IcebergLite.eqDelete]]), Paimon's is a `-D` KeyValue row a
-    * PK writer appends (outside lite write scope). Returns the new
+    * COW rewrites the touched file groups ([[HudiCowLite.delete]]),
+    * Hudi MOR appends DELETE_BLOCKs to the touched slices' logs
+    * ([[HudiMorLite.delete]] — the format's cheap-mutation point),
+    * both returning the new instant. Formats whose delete axis is
+    * KEYED rather than predicated refuse naming the right entry
+    * point: Iceberg's is the equality-delete write
+    * ([[IcebergLite.eqDelete]]), Paimon's is a `-D` KeyValue row the
+    * PK writer appends ([[PaimonLite.deleteKeys]]). Returns the new
     * version marker as a string — the CURRENT one when nothing
     * matched (a no-op delete is not a table change). */
   def delete(spark: SparkSession, tableDir: String,
@@ -286,42 +288,44 @@ object GraftLake {
       case Delta =>
         DeltaLogLite.delete(spark, tableDir, condition).toString
       case Hudi =>
-        if (isMorTable(spark, tableDir)) throw new IllegalArgumentException(
-          s"$tableDir: MERGE_ON_READ delete needs a log-block write — " +
-            "outside lite write scope (COW tables delete via " +
-            "HudiCowLite.delete)")
-        HudiCowLite.delete(spark, tableDir, condition)
+        if (isMorTable(spark, tableDir))
+          HudiMorLite.delete(spark, tableDir, condition)
+        else HudiCowLite.delete(spark, tableDir, condition)
       case Iceberg => throw new IllegalArgumentException(
         s"$tableDir: Iceberg's row-level delete axis is KEYED — use " +
           "IcebergLite.eqDelete(keys) for PK-style equality deletes")
       case Paimon => throw new IllegalArgumentException(
         s"$tableDir: Paimon deletes are -D KeyValue rows a PK writer " +
-          "appends — outside GraftLake's predicate-delete scope")
+          "appends — use PaimonLite.deleteKeys")
     }
 
   /** Detect + dispatch the ROW-LEVEL UPDATE write: Delta rewrites
     * matched rows under grown deletion vectors with WRITTEN cdc
-    * images ([[DeltaLogLite.update]]). The other formats' update
-    * axes are KEYED writes and refuse naming them: Hudi updates by
-    * upserting the new row version ([[HudiCowLite.upsert]]), Iceberg
+    * images ([[DeltaLogLite.update]]); Hudi COW rewrites the touched
+    * groups through an upsert of the SET-applied rows
+    * ([[HudiCowLite.update]]); Hudi MOR appends the SET-applied rows
+    * as data blocks to their own slices' logs
+    * ([[HudiMorLite.update]]). The remaining formats' update axes
+    * are KEYED writes and refuse naming them: Iceberg
     * deletes-then-appends around [[IcebergLite.eqDelete]], Paimon
-    * appends a higher-sequence KeyValue row (outside lite write
-    * scope). */
+    * upserts higher-sequence KeyValue rows
+    * ([[PaimonLite.upsert]]). */
   def update(spark: SparkSession, tableDir: String,
              condition: org.apache.spark.sql.Column,
              set: Map[String, org.apache.spark.sql.Column]): String =
     detect(spark, tableDir) match {
       case Delta =>
         DeltaLogLite.update(spark, tableDir, condition, set).toString
-      case Hudi => throw new IllegalArgumentException(
-        s"$tableDir: Hudi updates by RECORD KEY — upsert the new row " +
-          "versions via HudiCowLite.upsert")
+      case Hudi =>
+        if (isMorTable(spark, tableDir))
+          HudiMorLite.update(spark, tableDir, condition, set)
+        else HudiCowLite.update(spark, tableDir, condition, set)
       case Iceberg => throw new IllegalArgumentException(
         s"$tableDir: Iceberg's lite update axis is keyed — " +
           "IcebergLite.eqDelete the old keys, then append the new rows")
       case Paimon => throw new IllegalArgumentException(
         s"$tableDir: Paimon updates are higher-sequence KeyValue rows " +
-          "a PK writer appends — outside GraftLake's update scope")
+          "— use PaimonLite.upsert")
     }
 
   /** Detect + dispatch FILE RECLAIM — the dead-file deletion op:

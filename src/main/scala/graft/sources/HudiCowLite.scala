@@ -560,7 +560,7 @@ object HudiCowLite {
     instant
   }
 
-  private val MetaColumns = Set("_hoodie_commit_time",
+  private[sources] val MetaColumns = Set("_hoodie_commit_time",
     "_hoodie_commit_seqno", "_hoodie_record_key",
     "_hoodie_partition_path", "_hoodie_file_name")
 
@@ -862,6 +862,35 @@ object HudiCowLite {
     out
   }
 
+  /** ROW-LEVEL UPDATE by predicate on COPY_ON_WRITE — composed over
+    * [[upsert]]: rows matching `condition` rewrite with `set` applied
+    * and upsert back under their own record keys (their file groups
+    * rewrite, survivors keep their commit times — the COW write
+    * economics). SET on a hoodie meta column or an unknown column
+    * refuses. Returns the new instant — the CURRENT one, with no
+    * commit, when nothing matched. */
+  def update(spark: SparkSession, tableDir: String, condition: Column,
+             set: Map[String, Column]): String = {
+    import org.apache.spark.sql.functions.col
+    val snap = snapshot(spark, tableDir)
+    val cur = read(spark, tableDir)
+    require(set.nonEmpty, "update needs at least one SET column")
+    set.keys.foreach { c =>
+      if (!cur.columns.contains(c)) throw new IllegalStateException(
+        s"$tableDir: SET column $c is not in the schema")
+      if (MetaColumns.contains(c)) throw new IllegalStateException(
+        s"$tableDir: SET touches hoodie meta column $c — outside " +
+          "update scope")
+    }
+    val matched = cur.filter(condition)
+    if (matched.limit(1).count() == 0) return snap.instant
+    val updated = set.foldLeft(matched) { case (df, (c, e)) =>
+      df.withColumn(c, e.cast(cur.schema(c).dataType))
+    }
+    upsert(spark, tableDir,
+      updated.select(cur.columns.map(col).toSeq: _*))
+  }
+
   /** Shared group-grain rewrite write: `rows` carry the full table
     * schema plus a `_gid` target-group column; one shuffle on `_gid`,
     * a `partitionBy` staging write, then O(groups) moves into each
@@ -922,7 +951,8 @@ object HudiCowLite {
                          fs: org.apache.hadoop.fs.FileSystem,
                          instant: String,
                          written: Seq[(String, String, String, Long)],
-                         cdcByFid: Map[String, String]): Unit = {
+                         cdcByFid: Map[String, String],
+                         kind: String = "commit"): Unit = {
     def jq(s: String): String = "\"" + s.flatMap {
       case '"'          => "\\\""
       case '\\'         => "\\\\"
@@ -939,7 +969,7 @@ object HudiCowLite {
       s"${jq(part)}:$arr"
     }.mkString("{", ",", "}")
     graft.sources.AtomicFiles.write(fs,
-      new Path(tableDir, s".hoodie/$instant.commit"),
+      new Path(tableDir, s".hoodie/$instant.$kind"),
       s"""{"partitionToWriteStats":$stats}""", replace = false)
   }
 

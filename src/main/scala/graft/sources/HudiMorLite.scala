@@ -889,7 +889,10 @@ object HudiMorLite {
       keys: Seq[(String, Option[String])],
       contentVersion: Int = CurrentDeleteBlockVersion,
       orderingVal: Option[Any] = None,
-      instantTime: Option[String] = None) extends BlockSpec
+      instantTime: Option[String] = None,
+      // per-key ordering values (aligned with `keys`) — the write
+      // path's precombine stamps; overrides `orderingVal` when set
+      orderingVals: Seq[Any] = Nil) extends BlockSpec
   /** A HoodieCommandBlock: `commandType` "0" = ROLLBACK_PREVIOUS_BLOCK
     * (the only published type; other values author refusal fixtures),
     * targeting the blocks whose INSTANT_TIME equals `targetInstant`. */
@@ -960,19 +963,26 @@ object HudiMorLite {
           (bt, instantHeader(instantTime) :+
             (SchemaHeaderOrdinal -> schemaJson.getBytes("UTF-8")),
             contentBos.toByteArray)
-        case DeleteBlockSpec(keys, version, orderingVal, instantTime) =>
+        case DeleteBlockSpec(keys, version, orderingVal, instantTime,
+            orderingVals) =>
           // content: [content version][payload length][Avro
           // HoodieDeleteRecordList] — no SCHEMA header (the payload
           // schema is the published constant, as in HoodieDeleteBlock)
+          if (orderingVals.nonEmpty && orderingVals.size != keys.size)
+            throw new IllegalArgumentException(
+              s"$path: ${orderingVals.size} orderingVals for " +
+                s"${keys.size} delete keys")
           val schema = new Schema.Parser().parse(DeleteRecordListSchema)
           val itemSchema = schema.getField("deleteRecordList").schema()
             .getElementType
           val list = new java.util.ArrayList[GenericRecord]()
-          for ((k, p) <- keys) {
+          for (((k, p), i) <- keys.zipWithIndex) {
             val d = new GenericData.Record(itemSchema)
             d.put("recordKey", k)
             d.put("partitionPath", p.orNull)
-            d.put("orderingVal", orderingVal.orNull)
+            d.put("orderingVal",
+              if (orderingVals.nonEmpty) orderingVals(i)
+              else orderingVal.orNull)
             list.add(d): Unit
           }
           val rec = new GenericData.Record(schema)
@@ -1457,6 +1467,296 @@ object HudiMorLite {
       instant)
     HudiCowLite.commitJson(spark, tableDir, fs, instant,
       written ++ empties, Map.empty)
+    instant
+  }
+
+  /** Render the base schema as the Avro record schema the appended
+    * data blocks carry (all fields nullable unions — the exact shape
+    * [[decodeAvroBlock]] reads back). Flat primitives only; a column
+    * name that is not a legal Avro name refuses. */
+  private def avroSchemaFor(names: Seq[String],
+                            types: Seq[DataType]): String = {
+    def jq(s: String) = "\"" + s + "\""
+    val fields = names.zip(types).map { case (n, dt) =>
+      if (!n.matches("[A-Za-z_][A-Za-z0-9_]*"))
+        throw new IllegalStateException(
+          s"column '$n' is not a legal Avro field name — outside " +
+            "HudiMorLite write scope")
+      val t = dt match {
+        case LongType    => "long"
+        case IntegerType => "int"
+        case DoubleType  => "double"
+        case FloatType   => "float"
+        case StringType  => "string"
+        case BooleanType => "boolean"
+        case other => throw new IllegalStateException(
+          s"column $n is ${other.simpleString} — log-block writes are " +
+            "flat-primitive scope in HudiMorLite")
+      }
+      s"""{"name":${jq(n)},"type":["null","$t"],"default":null}"""
+    }
+    s"""{"type":"record","name":"r","fields":[${fields.mkString(",")}]}"""
+  }
+
+  /** Append ONE log block per touched slice, EXECUTOR-side: `rows`
+    * arrive tagged with their target group (`_gid`), group on it, and
+    * each group's records serialize into a single AVRO_DATA_BLOCK
+    * (or DELETE_BLOCK) appended as the slice's next log file —
+    * `.<fileId>_<baseInstant>.log.<maxVersion+1>`, INSTANT_TIME
+    * header stamped so a later rollback can target the write. The
+    * driver sees only the O(touched slices) write-stat list. Returns
+    * (partition, fileId, relative log path, record count) per
+    * written log — EMPTY (and nothing written) when `rows` is empty,
+    * so callers can skip the commit. */
+  private def appendRowBlocks(spark: SparkSession, tableDir: String,
+                              snap: MorSnapshot, instant: String,
+                              rows: DataFrame, names: Seq[String],
+                              types: Seq[DataType], deleteMode: Boolean)
+  : Seq[(String, String, String, Long)] = {
+    val sliceInfo: Map[String, (String, String, Int)] =
+      snap.slices.map(s => s.fileId ->
+        ((s.partition, s.baseInstant,
+          s.logs.map(_.version).foldLeft(0)(math.max) + 1))).toMap
+    val schemaJson = if (deleteMode) null
+      else avroSchemaFor(names, types)
+    val hasOrdering = deleteMode && rows.columns.contains("_pcv")
+    val infoB = spark.sparkContext.broadcast(sliceInfo)
+    val confB = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    val tableDirB = tableDir
+    val instantB = instant
+    val namesL = names
+    rows.rdd.map(r => (r.getString(r.fieldIndex("_gid")), r))
+      .groupByKey()
+      .map { case (gid, rs) =>
+        val (part, baseInstant, ver) = infoB.value.getOrElse(gid,
+          throw new IllegalStateException(
+            s"$tableDirB: rows route to unknown file group $gid"))
+        val rel = (if (part.isEmpty) "" else s"$part/") +
+          s".${gid}_$baseInstant.log.$ver"
+        val n =
+          if (deleteMode) {
+            var keys = Vector.empty[(String, Option[String])]
+            var ords = Vector.empty[Any]
+            rs.foreach { r =>
+              keys :+= (r.getString(r.fieldIndex("_k")) -> Some(part))
+              if (hasOrdering) ords :+= r.get(r.fieldIndex("_pcv"))
+            }
+            writeLogBlocks(s"$tableDirB/$rel",
+              Seq(DeleteBlockSpec(keys,
+                instantTime = Some(instantB), orderingVals = ords)),
+              confB.value.value)
+            keys.size
+          } else {
+            val recs = rs.iterator.map { r =>
+              namesL.map(n2 => n2 -> r.get(r.fieldIndex(n2))).toMap
+            }.toSeq
+            writeLogBlocks(s"$tableDirB/$rel",
+              Seq(AvroBlockSpec(schemaJson, recs,
+                instantTime = Some(instantB))),
+              confB.value.value)
+            recs.size
+          }
+        (part, gid, rel, n.toLong)
+      }.collect().toSeq.sortBy(_._2)
+  }
+
+  /** The shared write-path preamble: snapshot, minted instant, base
+    * schema (names/types) and the key-column gate. */
+  private def writePreamble(spark: SparkSession, tableDir: String)
+  : (MorSnapshot, String, DataFrame, Seq[String], Seq[DataType]) = {
+    val snap = snapshot(spark, tableDir)
+    val instant = HudiCowLite.mintInstant(tableDir, snap.commits,
+      snap.instant)
+    val base0 = ColumnarScan(spark, tableDir, None,
+      snap.slices.map(_.basePath))
+    if (!base0.columns.contains("_hoodie_record_key"))
+      throw new IllegalStateException(
+        s"$tableDir: base files carry no _hoodie_record_key — " +
+          "populateMetaFields=false tables are outside write scope")
+    (snap, instant, base0, base0.schema.fieldNames.toSeq,
+      base0.schema.fields.map(_.dataType).toSeq)
+  }
+
+  /** UPSERT by `_hoodie_record_key` — the MERGE_ON_READ write path
+    * (Hudi's cheap-mutation point: a log-block APPEND, never a base
+    * rewrite): each update key's records land as ONE
+    * AVRO_DATA_BLOCK appended to its current slice's log at a fresh
+    * deltacommit; keys NEW to the table append to their partition's
+    * first (smallest-fileId) slice — a log record whose key is
+    * absent from the base is the format's log-borne insert, served
+    * by the standard merge. Precombine tables order by the updates'
+    * own event-time column (a lower-ordering update loses to the
+    * stored row — DefaultHoodieRecordPayload semantics, exactly what
+    * the read serves). Returns the new instant.
+    *
+    * Scale shape: ONE routing join of the updates against the merged
+    * key→group view, then one shuffle on the target group id with
+    * the block writes running EXECUTOR-side ([[appendRowBlocks]]) —
+    * the driver handles the bounded write-stat list and one
+    * deltacommit JSON. Single-writer scope. Loud refusals: duplicate
+    * keys in one batch / a key living in multiple groups (the COW
+    * upsert's ambiguity contract), a NEW key routing to a partition
+    * with no file slice, missing data columns, non-flat-primitive
+    * schemas. */
+  def upsert(spark: SparkSession, tableDir: String,
+             updates: DataFrame): String = {
+    import spark.implicits._
+    val (snap, instant, base0, names, types) =
+      writePreamble(spark, tableDir)
+    val key = "_hoodie_record_key"
+    if (!updates.columns.contains(key)) throw new IllegalStateException(
+      s"$tableDir: upsert input carries no $key column")
+    val dataCols = names.filterNot(HudiCowLite.MetaColumns)
+    val missing = dataCols.filterNot(updates.columns.contains)
+    if (missing.nonEmpty) throw new IllegalStateException(
+      s"$tableDir: upsert input lacks data columns " +
+        missing.mkString(", "))
+    avroSchemaFor(names, types): Unit // gate types/names up front
+    val view = readSnapshot(spark, tableDir, snap, keepGid = true)
+    val routed = updates.join(
+      view.select(col(key).as("_uk"), col("_gid")),
+      updates(key) === col("_uk"), "left").drop("_uk")
+    val ambiguous = routed.groupBy(col(key))
+      .agg(count(lit(1)).as("_nrows"),
+        countDistinct(col("_gid")).as("_ngroups"))
+      .filter(col("_nrows") > 1)
+      .select(col(key), col("_ngroups")).limit(1).collect()
+    ambiguous.headOption.foreach { r =>
+      if (r.getLong(1) > 1L) throw new IllegalStateException(
+        s"$tableDir: record key ${r.get(0)} lives in MULTIPLE file " +
+          "groups (record keys are only unique per partition under " +
+          "the non-global index) — a key-only upsert would patch " +
+          "every matching group; route by partition instead")
+      else throw new IllegalStateException(
+        s"$tableDir: upsert batch has DUPLICATE record keys " +
+          s"(e.g. ${r.get(0)}) — last-writer order would be ambiguous")
+    }
+    val parts = snap.slices.map(_.partition).distinct
+    val multi = parts.size > 1
+    if (multi && !updates.columns.contains("_hoodie_partition_path"))
+      throw new IllegalStateException(
+        s"$tableDir: ${parts.size} partitions but the upsert input " +
+          "has no _hoodie_partition_path — cannot route NEW keys")
+    val firstSlice: Map[String, String] = snap.slices
+      .groupBy(_.partition).map { case (p, ss) =>
+        p -> ss.map(_.fileId).min }
+    val newPartExpr =
+      if (multi) col("_hoodie_partition_path")
+      else lit(parts.headOption.getOrElse(""))
+    val newParts = routed.where(col("_gid").isNull)
+      .select(newPartExpr.as("_p")).distinct().as[String]
+      .collect().sorted
+    newParts.foreach { p =>
+      if (p == null || !firstSlice.contains(p))
+        throw new IllegalStateException(
+          s"$tableDir: a NEW key routes to partition " +
+            s"'${Option(p).getOrElse("<null>")}' which has no file " +
+            "slice to host its log — outside MOR upsert scope")
+    }
+    val newFidDf = newParts.toSeq.map(p => (p, firstSlice(p)))
+      .toDF("_n_part", "_n_fid")
+    val withGid = routed.withColumn("_n_part", newPartExpr)
+      .join(broadcast(newFidDf), Seq("_n_part"), "left")
+      .withColumn("_gid", coalesce(col("_gid"), col("_n_fid")))
+      .drop("_n_part", "_n_fid")
+    val gidPartDf = snap.slices.map(s => (s.fileId, s.partition))
+      .toDF("_gid", "_g_part")
+    val stamped = withGid.join(broadcast(gidPartDf), Seq("_gid"))
+      .select(names.map {
+        case "_hoodie_commit_time" =>
+          lit(instant).as("_hoodie_commit_time")
+        case `key` => col(key).cast(StringType).as(key)
+        case "_hoodie_partition_path" =>
+          col("_g_part").as("_hoodie_partition_path")
+        case "_hoodie_commit_seqno" =>
+          lit(s"${instant}_0_0").as("_hoodie_commit_seqno")
+        case "_hoodie_file_name" => concat(col("_gid"),
+          lit(s"_0-0_$instant")).as("_hoodie_file_name")
+        case c => col(c).cast(types(names.indexOf(c))).as(c)
+      } :+ col("_gid"): _*)
+    val written = appendRowBlocks(spark, tableDir, snap, instant,
+      stamped, names, types, deleteMode = false)
+    if (written.isEmpty) return snap.instant
+    val fs = new Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    HudiCowLite.commitJson(spark, tableDir, fs, instant, written,
+      Map.empty, kind = "deltacommit")
+    instant
+  }
+
+  /** ROW-LEVEL DELETE by predicate on MERGE_ON_READ — a
+    * DELETE_BLOCK append per touched slice (what a Spark-SQL
+    * `DELETE FROM` writes on a MOR table), never a base rewrite:
+    * rows matching `condition` on the SNAPSHOT view die as hard
+    * deletes in their slice's next log file. Precombine tables stamp
+    * each delete's orderingVal with the dying row's OWN event-time
+    * value — ties go to the incoming record, so the delete wins at
+    * the stored row's ordering, exactly the published
+    * DefaultHoodieRecordPayload fold (a row whose precombine value
+    * is 0 refuses through the reader's natural-order gate). Returns
+    * the new instant — the CURRENT one, with no commit, when nothing
+    * matched. Scale shape and refusal envelope shared with
+    * [[upsert]]. */
+  def delete(spark: SparkSession, tableDir: String,
+             condition: Column): String = {
+    val (snap, instant, _, _, _) = writePreamble(spark, tableDir)
+    val view = readSnapshot(spark, tableDir, snap, keepGid = true)
+    val matched = view.filter(condition).select(
+      Seq(col("_hoodie_record_key").as("_k"), col("_gid")) ++
+        snap.precombineField.map(pc => col(pc).as("_pcv")): _*)
+    val written = appendRowBlocks(spark, tableDir, snap, instant,
+      matched, Nil, Nil, deleteMode = true)
+    if (written.isEmpty) return snap.instant
+    val fs = new Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    HudiCowLite.commitJson(spark, tableDir, fs, instant, written,
+      Map.empty, kind = "deltacommit")
+    instant
+  }
+
+  /** ROW-LEVEL UPDATE by predicate on MERGE_ON_READ: rows matching
+    * `condition` on the SNAPSHOT view rewrite with `set` applied and
+    * append as data blocks to their OWN slices' logs (their group
+    * assignment never moves — the merge keys on (partition, key)).
+    * SET on a hoodie meta column or an unknown column refuses; SET
+    * on the precombine column keeps the format's event-time
+    * semantics (a lowered value loses to the stored row). Returns
+    * the new instant — the CURRENT one, with no commit, when nothing
+    * matched. */
+  def update(spark: SparkSession, tableDir: String, condition: Column,
+             set: Map[String, Column]): String = {
+    val (snap, instant, base0, names, types) =
+      writePreamble(spark, tableDir)
+    require(set.nonEmpty, "update needs at least one SET column")
+    set.keys.foreach { c =>
+      if (!names.contains(c)) throw new IllegalStateException(
+        s"$tableDir: SET column $c is not in the schema")
+      if (HudiCowLite.MetaColumns.contains(c))
+        throw new IllegalStateException(
+          s"$tableDir: SET touches hoodie meta column $c — outside " +
+            "update scope")
+    }
+    val view = readSnapshot(spark, tableDir, snap, keepGid = true)
+    val matched = view.filter(condition)
+    val updated = set.foldLeft(matched) { case (df, (c, e)) =>
+      df.withColumn(c, e.cast(types(names.indexOf(c))))
+    }
+    val stamped = updated.select(names.map {
+      case "_hoodie_commit_time" =>
+        lit(instant).as("_hoodie_commit_time")
+      case "_hoodie_commit_seqno" =>
+        lit(s"${instant}_0_0").as("_hoodie_commit_seqno")
+      case c => col(c)
+    } :+ col("_gid"): _*)
+    val written = appendRowBlocks(spark, tableDir, snap, instant,
+      stamped, names, types, deleteMode = false)
+    if (written.isEmpty) return snap.instant
+    val fs = new Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    HudiCowLite.commitJson(spark, tableDir, fs, instant, written,
+      Map.empty, kind = "deltacommit")
     instant
   }
 }

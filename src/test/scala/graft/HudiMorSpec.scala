@@ -881,6 +881,176 @@ class HudiMorSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("_hoodie_commit_time"))
   }
 
+  /** q431-style base WITH `_hoodie_commit_time` (001) so incremental
+    * reads bound — the write-path tests' fixture. */
+  private def ctFixture(name: String): String = {
+    val root = s"/tmp/graft_hudimorspec/$name"
+    rm(new java.io.File(root))
+    Files.createDirectories(Paths.get(root, ".hoodie"))
+    Files.writeString(Paths.get(root, ".hoodie", "hoodie.properties"),
+      "hoodie.table.type=MERGE_ON_READ\n")
+    val tmp = s"$root/_tmp"
+    spark.range(0, 5).select(col("id").cast("string")
+      .as("_hoodie_record_key"), lit("001").as("_hoodie_commit_time"),
+      col("id"), (col("id") * 3).as("v"))
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val pf = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith(".")).get
+    assert(pf.renameTo(new java.io.File(s"$root/g1_0-0_001.parquet")))
+    rm(new java.io.File(tmp))
+    commit(root, "001", "deltacommit", "g1_0-0_001.parquet")
+    root
+  }
+
+  test("MOR row-level writes: upsert appends data blocks to the " +
+    "slice's log (existing keys patch, NEW keys insert log-borne), " +
+    "delete appends DELETE_BLOCKs, update rewrites matched rows in " +
+    "place, incremental reads report exactly the change, and " +
+    "compactLogs folds the appended blocks; no-match writes commit " +
+    "nothing") {
+    import spark.implicits._
+    val root = ctFixture("writeops")
+    def rows(): Seq[(Long, Long)] = HudiMorLite.read(spark, root)
+      .select("id", "v").as[(Long, Long)].collect().sorted.toSeq
+    // UPSERT: patch id 1 → 100, insert NEW key 9 → 90
+    val updates = Seq((1L, 100L), (9L, 90L)).toDF("id", "v")
+      .withColumn("_hoodie_record_key", col("id").cast("string"))
+    assert(HudiMorLite.upsert(spark, root, updates) == "002")
+    assert(rows() == Seq((0L, 0L), (1L, 100L), (2L, 6L), (3L, 9L),
+      (4L, 12L), (9L, 90L)))
+    // the write APPENDED a log — base untouched, one log on the slice
+    val snap1 = HudiMorLite.snapshot(spark, root)
+    assert(snap1.slices.size == 1 &&
+      snap1.slices.head.baseInstant == "001" &&
+      snap1.slices.head.logs.map(_.path.split('/').last) ==
+        Seq(".g1_001.log.1"))
+    // incremental (001, 002]: exactly the upserted keys
+    assert(HudiMorLite.readIncremental(spark, root, "001")
+      .select("id", "v").as[(Long, Long)].collect().sorted.toSeq ==
+      Seq((1L, 100L), (9L, 90L)))
+    // upserted rows stamp the new commit time; survivors keep 001
+    val times = HudiMorLite.read(spark, root)
+      .select(col("id"), col("_hoodie_commit_time"))
+      .as[(Long, String)].collect().toMap
+    assert(times(1L) == "002" && times(9L) == "002" &&
+      times(0L) == "001")
+    // DELETE by predicate: id 2 and the log-borne 9 die
+    assert(HudiMorLite.delete(spark, root,
+      col("id") === 2 || col("id") === 9) == "003")
+    assert(rows() == Seq((0L, 0L), (1L, 100L), (3L, 9L), (4L, 12L)))
+    // UPDATE by predicate
+    assert(HudiMorLite.update(spark, root, col("id") === 3,
+      Map("v" -> (col("v") + 1000))) == "004")
+    assert(rows() == Seq((0L, 0L), (1L, 100L), (3L, 1009L),
+      (4L, 12L)))
+    // no-match delete/update commit NOTHING
+    assert(HudiMorLite.delete(spark, root, col("id") > 100) == "004")
+    assert(HudiMorLite.update(spark, root, col("id") > 100,
+      Map("v" -> lit(0L))) == "004")
+    // SET on a meta column / unknown column refuses
+    assert(intercept[IllegalStateException] {
+      HudiMorLite.update(spark, root, col("id") === 0,
+        Map("_hoodie_record_key" -> lit("x")))
+    }.getMessage.contains("meta column"))
+    assert(intercept[IllegalStateException] {
+      HudiMorLite.update(spark, root, col("id") === 0,
+        Map("nope" -> lit(0L)))
+    }.getMessage.contains("nope"))
+    // duplicate keys in one batch refuse
+    assert(intercept[IllegalStateException] {
+      HudiMorLite.upsert(spark, root, updates.unionByName(updates))
+    }.getMessage.contains("DUPLICATE"))
+    // compactLogs folds ALL the appended blocks into a fresh base
+    val before = rows()
+    HudiMorLite.compactLogs(spark, root): Unit
+    val snap2 = HudiMorLite.snapshot(spark, root)
+    assert(snap2.slices.forall(_.logs.isEmpty))
+    assert(rows() == before)
+    // GraftLake routes the MOR arms (the r19 refusals are gone)
+    assert(graft.sources.GraftLake.delete(spark, root,
+      col("id") === 4) == "006")
+    assert(rows() == Seq((0L, 0L), (1L, 100L), (3L, 1009L)))
+    assert(graft.sources.GraftLake.update(spark, root,
+      col("id") === 0, Map("v" -> lit(7L))) == "007")
+    assert(rows() == Seq((0L, 7L), (1L, 100L), (3L, 1009L)))
+  }
+
+  test("MOR writes on a PRECOMBINE table: the delete's orderingVal " +
+    "stamps the dying row's own event time (so it wins at-arrival " +
+    "ties), and an upsert whose event time is LOWER than the stored " +
+    "row's loses the merge — DefaultHoodieRecordPayload semantics " +
+    "end-to-end through the writers") {
+    import spark.implicits._
+    val root = pcCtFixture("writepc") // ids 0..4, v=id*3, ts=10
+    def rows(): Seq[(Long, Long)] = HudiMorLite.read(spark, root)
+      .select("id", "v").as[(Long, Long)].collect().sorted.toSeq
+    // upsert id 1 at HIGHER ts → wins; id 2 at LOWER ts → loses
+    val ups = Seq((1L, 111L, 20L), (2L, 222L, 5L))
+      .toDF("id", "v", "ts")
+      .withColumn("_hoodie_record_key", col("id").cast("string"))
+    assert(HudiMorLite.upsert(spark, root, ups) == "002")
+    assert(rows() == Seq((0L, 0L), (1L, 111L), (2L, 6L), (3L, 9L),
+      (4L, 12L)))
+    // delete id 3: the DELETE_BLOCK carries ts=10 (the stored row's
+    // own ordering) — ties go to the incoming record, so it wins
+    assert(HudiMorLite.delete(spark, root, col("id") === 3) == "003")
+    assert(rows() == Seq((0L, 0L), (1L, 111L), (2L, 6L), (4L, 12L)))
+    // compact folds the precombine merge exactly
+    val before = rows()
+    HudiMorLite.compactLogs(spark, root): Unit
+    assert(rows() == before)
+  }
+
+  test("randomized WRITE-OP model check: upsert/delete/update/" +
+    "compactLogs sequences keep the read model-equal, across seeds") {
+    import spark.implicits._
+    for (seed <- Seq(17, 404, 9090)) {
+      val rnd = new scala.util.Random(seed)
+      val root = ctFixture(s"writemodel$seed")
+      val model = scala.collection.mutable.Map[Long, Long](
+        (0L to 4L).map(i => i -> i * 3): _*)
+      def check(tag: String): Unit = {
+        val got = HudiMorLite.read(spark, root)
+          .select("id", "v").as[(Long, Long)].collect().sorted.toSeq
+        assert(got == model.toSeq.sorted,
+          s"seed $seed after $tag: got $got, want ${model.toSeq.sorted}")
+      }
+      val nOps = 5 + rnd.nextInt(4)
+      for (op <- 1 to nOps) {
+        rnd.nextInt(4) match {
+          case 0 => // upsert a random batch (may insert new keys)
+            val ks = rnd.shuffle((0L to 9L).toList)
+              .take(1 + rnd.nextInt(4))
+            val vs = ks.map(k => (k, rnd.nextInt(1000).toLong))
+            HudiMorLite.upsert(spark, root, vs.toDF("id", "v")
+              .withColumn("_hoodie_record_key",
+                col("id").cast("string"))): Unit
+            vs.foreach { case (k, v) => model(k) = v }
+          case 1 => // predicate delete
+            val m = 2 + rnd.nextInt(3)
+            val r = rnd.nextInt(m)
+            HudiMorLite.delete(spark, root, col("id") % m === r): Unit
+            model.keys.filter(_ % m == r).toSeq
+              .foreach(model.remove)
+          case 2 => // predicate update
+            val m = 2 + rnd.nextInt(3)
+            val r = rnd.nextInt(m)
+            val add = rnd.nextInt(100).toLong
+            HudiMorLite.update(spark, root, col("id") % m === r,
+              Map("v" -> (col("v") + add))): Unit
+            model.keys.filter(_ % m == r).toSeq
+              .foreach(k => model(k) = model(k) + add)
+          case 3 =>
+            if (HudiMorLite.snapshot(spark, root).slices
+              .exists(_.logs.nonEmpty))
+              HudiMorLite.compactLogs(spark, root): Unit
+        }
+        check(s"op $op")
+      }
+    }
+  }
+
   test("randomized model check: the merged snapshot equals an " +
     "in-order event-log fold, across upserts, soft/hard deletes and " +
     "rolled-back commits") {
