@@ -2188,6 +2188,46 @@ object Storage extends QueryModule {
       read.unionByName(cdf).orderBy(col("surface"), col("k"))
     },
 
+    // Paimon PRIMARY-KEY WRITES (the format's write path — +I/-D
+    // KeyValue rows at a fresh max sequence, one delta APPEND
+    // snapshot per batch): upsert doubles %10=1 and inserts the NEW
+    // %10∈(5,6) keys, deleteKeys drops %10=0, and the PK full
+    // compaction folds the writer's rows into one +I file. Snapshot 1
+    // still time-travels to the pre-write state — the writer's delta
+    // snapshots preserve history.
+    "q497_paimon_pk_write" -> { (s, dir) =>
+      import graft.sources.PaimonLite
+      val root = authorPaimonPkWriteTable(s, dir)
+      val src = Tables.df(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus"))
+      val ups = src.filter(col("o_orderkey") % 10 === 1)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .unionByName(src.filter((col("o_orderkey") % 10).isin(5, 6)))
+      PaimonLite.upsert(s, root, ups): Unit
+      PaimonLite.deleteKeys(s, root,
+        src.filter(col("o_orderkey") % 10 === 0)
+          .select(col("o_orderkey"))): Unit
+      PaimonLite.compact(s, root): Unit
+      def census(df: DataFrame, surface: String): DataFrame =
+        df.groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2)))
+              .cast(DoubleType).as("sum_price"))
+          .select(lit(surface).as("surface"),
+            col("o_orderstatus").as("k"), col("n"), col("sum_price"))
+      val read = census(PaimonLite.read(s, root), "read")
+      val travel = census(
+        PaimonLite.read(s, root, snapshotId = Some(1L)), "travel")
+      import s.implicits._
+      val files = Seq(("files", "live",
+        PaimonLite.snapshot(s, root).files.size.toLong))
+        .toDF("surface", "k", "n")
+        .withColumn("sum_price", lit(null).cast(DoubleType))
+      read.unionByName(travel).unionByName(files)
+        .orderBy(col("surface"), col("k"))
+    },
+
     // Hudi MOR ROW-LEVEL WRITES (the format's cheap-mutation point —
     // log-block APPENDS, never base rewrites): upsert patches %10=1
     // at ×2 and inserts the %10=5 keys log-borne, delete kills %10=0
@@ -6875,6 +6915,72 @@ object Storage extends QueryModule {
     buildPaimonPkTable(s, dir,
       s"/tmp/graft_paimon/pkcompact_${Integer.toHexString(dir.hashCode)}")
 
+  /** The FRESH deduplicate PK table q497's writers mutate (NOT
+    * memoized — upsert/delete/compact change it, so every invocation
+    * restarts clean): one snapshot, orders %10<5 as +I KeyValue rows
+    * at sequence 1 under bucket-0. */
+  private def authorPaimonPkWriteTable(s: SparkSession,
+                                       dir: String): String = {
+    import java.nio.file.{Files, Paths}
+    val root =
+      s"/tmp/graft_paimon/pkwrite_${Integer.toHexString(dir.hashCode)}"
+    val avroFmt = "org.apache.spark.sql.avro.AvroFileFormat"
+    def rm(p: java.io.File): Unit = {
+      if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+      p.delete(): Unit
+    }
+    rm(new java.io.File(root))
+    for (d <- Seq("snapshot", "schema", "manifest", "bucket-0"))
+      Files.createDirectories(Paths.get(root, d))
+    val base = Tables.df(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("o_orderstatus"))
+      .filter(col("o_orderkey") % 10 < 5)
+      .select(col("o_orderkey").as("_KEY_o_orderkey"),
+        lit(1L).as("_SEQUENCE_NUMBER"),
+        lit(0).cast("tinyint").as("_VALUE_KIND"),
+        col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    val tmp = s"$root/_tmp"
+    base.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith(".")).get
+    assert(part.renameTo(new java.io.File(s"$root/bucket-0/kv0.parquet")))
+    rm(new java.io.File(tmp))
+    def writeAvro(df: DataFrame, rel: String): Unit = {
+      val t2 = s"$root/_tmpavro"
+      df.coalesce(1).write.mode("overwrite").format(avroFmt).save(t2)
+      val p = new java.io.File(t2).listFiles()
+        .find(_.getName.startsWith("part-")).get
+      assert(p.renameTo(new java.io.File(s"$root/$rel")))
+      rm(new java.io.File(t2))
+    }
+    import s.implicits._
+    writeAvro(Seq((0, "kv0.parquet")).toDF("_KIND", "_fn")
+      .select(col("_KIND"), lit(0).as("_BUCKET"),
+        struct(col("_fn").as("_FILE_NAME")).as("_FILE")),
+      "manifest/m-0.avro")
+    writeAvro(Seq.empty[String].toDF("_FILE_NAME"),
+      "manifest/ml-empty.avro")
+    writeAvro(Seq("m-0.avro").toDF("_FILE_NAME"), "manifest/ml-0.avro")
+    Files.writeString(Paths.get(root, "schema", "schema-0"),
+      """{"id":0,"fields":[
+        | {"id":0,"name":"o_orderkey","type":"BIGINT"},
+        | {"id":1,"name":"o_totalprice","type":"DOUBLE"},
+        | {"id":2,"name":"o_orderstatus","type":"STRING"}],
+        |"highestFieldId":2,"partitionKeys":[],
+        |"primaryKeys":["o_orderkey"],
+        |"options":{"file.format":"parquet"}}""".stripMargin)
+    Files.writeString(Paths.get(root, "snapshot", "snapshot-1"),
+      """{"version":3,"id":1,"schemaId":0,
+        |"baseManifestList":"ml-empty.avro",
+        |"deltaManifestList":"ml-0.avro",
+        |"commitKind":"APPEND","commitUser":"graft",
+        |"commitIdentifier":1,"timeMillis":0}""".stripMargin)
+    Files.writeString(Paths.get(root, "snapshot", "LATEST"), "1")
+    root
+  }
+
   private def buildPaimonPkTable(s: SparkSession, dir: String,
                                  root: String): String = {
     locally {
@@ -9104,6 +9210,29 @@ object Storage extends QueryModule {
         |      AS DOUBLE)
         |  FROM upd)
         |SELECT surface, k, n, sum_qty FROM rows_
+        |ORDER BY surface, k""".stripMargin,
+    // PK writes: %10=1 doubled, %10∈(5,6) inserted, %10=0 deleted;
+    // snapshot 1 still travels to the original base; one file after
+    // the PK compaction
+    "q497_paimon_pk_write" ->
+      """WITH final AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 10 = 1 THEN o_totalprice * 2
+        |         ELSE o_totalprice END AS p
+        |  FROM orders
+        |  WHERE o_orderkey % 10 IN (1, 2, 3, 4, 5, 6)),
+        |rows_ AS (
+        |  SELECT 'read' AS surface, o_orderstatus AS k, count(*) AS n,
+        |    CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |  FROM final GROUP BY o_orderstatus
+        |  UNION ALL
+        |  SELECT 'travel', o_orderstatus, count(*),
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |  FROM orders WHERE o_orderkey % 10 < 5
+        |  GROUP BY o_orderstatus
+        |  UNION ALL
+        |  SELECT 'files', 'live', 1, CAST(NULL AS DOUBLE))
+        |SELECT surface, k, n, sum_price FROM rows_
         |ORDER BY surface, k""".stripMargin,
     // MOR log-block writes: %10=1 doubled, %10=5 inserted, %10=0
     // deleted, %10=2 tripled; incremental (001, ...] serves exactly

@@ -1522,6 +1522,57 @@ object PaimonLite {
     newId
   }
 
+  /** ONE scan of a PK table's live KeyValue files projecting the
+    * trimmed key columns, `_SEQUENCE_NUMBER`, the home bucket
+    * (`_pc_bucket`, parsed from the file path) and the partition
+    * columns — the latter from a broadcast file→partition map keyed
+    * on the decoded `_metadata.file_path` (a per-partition scan
+    * branch + unionAll would blow the PLAN up linear in the partition
+    * count at thousands of partitions). Loud refusal when a scanned
+    * row's file is not in the map (identity mismatch — silently
+    * dropping it would corrupt the fold). Shared by [[compactPk]]
+    * and the PK writer. */
+  private def rawKvScan(spark: SparkSession, tableDir: String,
+                        snap: Snapshot, keyCols: Seq[String])
+  : DataFrame = {
+    import org.apache.spark.sql.functions._
+    val partCols = snap.partitionKeys
+    val scan = ColumnarScan(spark, tableDir, None,
+      snap.files.map(_.path))
+    val missing = (keyCols :+ "_SEQUENCE_NUMBER")
+      .filterNot(scan.columns.contains)
+    if (missing.nonEmpty) throw new IllegalStateException(
+      s"$tableDir: primary-key data files lack KeyValue columns " +
+        s"${missing.mkString(", ")} — not a KeyValue parquet layout")
+    val based = scan.select(
+      (keyCols :+ "_SEQUENCE_NUMBER").map(col) ++ Seq(
+        regexp_extract(col("_metadata.file_path"),
+          "/bucket-(\\d+)/", 1).cast("int").as("_pc_bucket"),
+        MetaPaths.decoded(col("_metadata.file_path"))
+          .as("_pc_path")): _*)
+    if (partCols.isEmpty) based.drop("_pc_path")
+    else {
+      val pathPartSchema = StructType(
+        StructField("_pc_path", StringType) +:
+          StructField("_pc_hit", BooleanType) +:
+          partCols.map(k => StructField(k, snap.schema(k).dataType)))
+      val pathPartRows = snap.files.map(f => org.apache.spark.sql.Row
+        .fromSeq(HudiCowLite.normPath(f.path) +: true +: f.partition))
+      val pathPartDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(pathPartRows, 1),
+        pathPartSchema)
+      based.join(broadcast(pathPartDf), Seq("_pc_path"), "left")
+        // partition values may legitimately be null (default
+        // partition), so membership rides an explicit hit marker —
+        // an unmatched file must refuse, never silently drop rows
+        .filter(when(col("_pc_hit").isNull, raise_error(lit(
+          s"$tableDir: a scanned KeyValue row's file is not in the " +
+            "snapshot's file→partition map — file-identity mismatch")))
+          .otherwise(lit(true)))
+        .drop("_pc_path", "_pc_hit")
+    }
+  }
+
   /** LSM FULL COMPACTION of a primary-key table (see [[compact]]'s
     * scaladoc for the contract): fold each (partition, bucket)'s
     * KeyValue files into one `+I`-only file under the table's merge
@@ -1562,46 +1613,8 @@ object PaimonLite {
     val merged = read(spark, tableDir)
     // winning sequence + home bucket per key from the raw KeyValue
     // scan: re-stamping MAX (MIN under first-row) keeps every future
-    // write's override semantics exactly. ONE scan of every live
-    // file — partition values come from a broadcast file→partition
-    // map keyed on the decoded `_metadata.file_path` (a per-partition
-    // scan branch + unionAll would blow the PLAN up linear in the
-    // partition count at thousands of partitions).
-    val scan = ColumnarScan(spark, tableDir, None,
-      snap.files.map(_.path))
-    val missing = (keyCols :+ "_SEQUENCE_NUMBER")
-      .filterNot(scan.columns.contains)
-    if (missing.nonEmpty) throw new IllegalStateException(
-      s"$tableDir: primary-key data files lack KeyValue columns " +
-        s"${missing.mkString(", ")} — cannot compact")
-    val based = scan.select(
-      (keyCols :+ "_SEQUENCE_NUMBER").map(col) ++ Seq(
-        regexp_extract(col("_metadata.file_path"),
-          "/bucket-(\\d+)/", 1).cast("int").as("_pc_bucket"),
-        MetaPaths.decoded(col("_metadata.file_path"))
-          .as("_pc_path")): _*)
-    val raw =
-      if (partCols.isEmpty) based.drop("_pc_path")
-      else {
-        val pathPartSchema = StructType(
-          StructField("_pc_path", StringType) +:
-            StructField("_pc_hit", BooleanType) +:
-            partCols.map(k => StructField(k, snap.schema(k).dataType)))
-        val pathPartRows = snap.files.map(f => org.apache.spark.sql.Row
-          .fromSeq(HudiCowLite.normPath(f.path) +: true +: f.partition))
-        val pathPartDf = spark.createDataFrame(
-          spark.sparkContext.parallelize(pathPartRows, 1),
-          pathPartSchema)
-        based.join(broadcast(pathPartDf), Seq("_pc_path"), "left")
-          // partition values may legitimately be null (default
-          // partition), so membership rides an explicit hit marker —
-          // an unmatched file must refuse, never silently drop rows
-          .filter(when(col("_pc_hit").isNull, raise_error(lit(
-            s"$tableDir: a scanned KeyValue row's file is not in the " +
-              "snapshot's file→partition map — file-identity mismatch")))
-            .otherwise(lit(true)))
-          .drop("_pc_path", "_pc_hit")
-      }
+    // write's override semantics exactly
+    val raw = rawKvScan(spark, tableDir, snap, keyCols)
     val seqF =
       if (snap.mergeEngine == "first-row") min(col("_SEQUENCE_NUMBER"))
       else max(col("_SEQUENCE_NUMBER"))
@@ -1621,7 +1634,48 @@ object PaimonLite {
         partCols.map(k => merged(k).as(s"_gp_$k")) :+
         col("_pc_bucket").as("_gbucket"): _*)
     val newId = latestSnapshotId(spark, tableDir) + 1
-    val tmp = new Path(tableDir, "_tmp_compact")
+    val moved = stageKvWrite(spark, tableDir, fs, snap, kv, "compact",
+      newId)
+    import spark.implicits._
+    writeAvroFile(spark, fs, tableDir,
+      kvManifestDf(spark, moved, partCols, partTypes),
+      s"manifest/m-compact-$newId.avro")
+    writeAvroFile(spark, fs, tableDir,
+      Seq(s"m-compact-$newId.avro").toDF("_FILE_NAME"),
+      s"manifest/ml-compact-$newId.avro")
+    writeAvroFile(spark, fs, tableDir,
+      Seq.empty[String].toDF("_FILE_NAME"),
+      s"manifest/ml-compact-empty-$newId.avro")
+    AtomicFiles.write(fs,
+      new Path(tableDir, s"snapshot/snapshot-$newId"),
+      s"""{"version":3,"id":$newId,"schemaId":$schemaId,
+         |"baseManifestList":"ml-compact-$newId.avro",
+         |"deltaManifestList":"ml-compact-empty-$newId.avro",
+         |"commitKind":"COMPACT","commitUser":"graft",
+         |"commitIdentifier":$newId,"timeMillis":0}""".stripMargin,
+      replace = false)
+    AtomicFiles.write(fs,
+      new Path(tableDir, "snapshot/LATEST"),
+      newId.toString, replace = true)
+    newId
+  }
+
+  /** Stage `kv` rows (KeyValue columns + `_gp_<partCol>`/`_gbucket`
+    * routing columns, consumed by the staging `partitionBy`) into ONE
+    * file per (partition, bucket) and move each into the table as
+    * `<partition dirs>/bucket-<b>/<prefix>-<newId>_<i>.parquet`.
+    * Returns (file name, typed partition values, bucket, footer row
+    * count, byte size) per file — stats-complete manifest inputs. */
+  private def stageKvWrite(spark: SparkSession, tableDir: String,
+                           fs: org.apache.hadoop.fs.FileSystem,
+                           snap: Snapshot, kv: DataFrame,
+                           prefix: String, newId: Long)
+  : Seq[(String, Seq[Any], Int, Long, Long)] = {
+    import org.apache.spark.sql.functions.col
+    val partCols = snap.partitionKeys
+    val partTypes = boundedPartTypes(snap.schema, partCols,
+      s"$tableDir $prefix")
+    val tmp = new Path(tableDir, s"_tmp_$prefix")
     // one task — hence one file — per (partition, bucket)
     kv.repartition((partCols.map(k => s"_gp_$k") :+ "_gbucket")
         .map(col): _*)
@@ -1644,11 +1698,11 @@ object PaimonLite {
           val i = n.indexOf('=')
           if (i < 0) throw new IllegalStateException(
             s"$tableDir: unexpected non-partition directory $n in the " +
-              "compaction staging output")
+              s"$prefix staging output")
           val rawVal = n.substring(i + 1)
           if (rawVal == ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
             throw new IllegalStateException(
-              s"$tableDir: compaction produced a null-partition " +
+              s"$tableDir: $prefix staged a null-partition " +
                 s"directory $n — outside lite scope")
           walkTmp(st.getPath,
             vals :+ ExternalCatalogUtils.unescapePathName(rawVal))
@@ -1664,7 +1718,7 @@ object PaimonLite {
         case (StringType, v)  => v
         case (dt, _) => throw new IllegalStateException(
           s"$tableDir: partition type ${dt.simpleString} — outside " +
-            "lite compaction scope")
+            "lite write scope")
       }
     val moved = walkTmp(tmp, Nil).zipWithIndex.map {
       case ((vals, bucket, st), i) =>
@@ -1672,7 +1726,7 @@ object PaimonLite {
         val partDirs = partCols.zip(part).map { case (k, v) =>
           s"$k=${partPathValue(v, snap.defaultPartName)}/"
         }.mkString
-        val name = s"compact-${newId}_$i.parquet"
+        val name = s"$prefix-${newId}_$i.parquet"
         val dest = new Path(tableDir, s"${partDirs}bucket-$bucket/$name")
         fs.mkdirs(dest.getParent)
         if (!fs.rename(st.getPath, dest))
@@ -1686,39 +1740,232 @@ object PaimonLite {
         (name, part, bucket, rc, fs.getFileStatus(dest).getLen)
     }
     fs.delete(tmp, true)
-    def writeAvro(df: DataFrame, rel: String): Unit = {
-      val t2 = new Path(tableDir, "_tmpavro")
-      df.coalesce(1).write.mode("overwrite").format(AvroFmt)
-        .save(t2.toString)
-      val p = fs.listStatus(t2).map(_.getPath)
-        .find(_.getName.startsWith("part-")).get
-      val dest = new Path(tableDir, rel)
-      fs.mkdirs(dest.getParent)
-      if (!fs.rename(p, dest))
-        throw new IllegalStateException(s"$tableDir: could not place $rel")
-      fs.delete(t2, true): Unit
-    }
+    moved
+  }
+
+  /** Single-file Avro placement for manifests / manifest lists. */
+  private def writeAvroFile(spark: SparkSession,
+                            fs: org.apache.hadoop.fs.FileSystem,
+                            tableDir: String, df: DataFrame,
+                            rel: String): Unit = {
+    val t2 = new Path(tableDir, "_tmpavro")
+    df.coalesce(1).write.mode("overwrite").format(AvroFmt)
+      .save(t2.toString)
+    val p = fs.listStatus(t2).map(_.getPath)
+      .find(_.getName.startsWith("part-")).get
+    val dest = new Path(tableDir, rel)
+    fs.mkdirs(dest.getParent)
+    if (!fs.rename(p, dest))
+      throw new IllegalStateException(s"$tableDir: could not place $rel")
+    fs.delete(t2, true): Unit
+  }
+
+  /** The ADD (`_KIND`=0) manifest rows for [[stageKvWrite]]'s output:
+    * partition as a [[BinaryRowCodec]] blob, stats from the real
+    * file. */
+  private def kvManifestDf(spark: SparkSession,
+                           moved: Seq[(String, Seq[Any], Int, Long,
+                             Long)],
+                           partCols: Seq[String],
+                           partTypes: Seq[DataType]): DataFrame = {
+    import org.apache.spark.sql.functions._
     import spark.implicits._
-    val entries = moved.map { case (name, part, bucket, rc, sz) =>
+    moved.map { case (name, part, bucket, rc, sz) =>
       (name, if (partCols.isEmpty) null
              else BinaryRowCodec.encode(part, partTypes), bucket, rc, sz)
-    }
-    writeAvro(entries.toDF("_fn", "_part", "_bucket", "_rc", "_sz")
+    }.toDF("_fn", "_part", "_bucket", "_rc", "_sz")
       .select(lit(0).as("_KIND"), col("_part").as("_PARTITION"),
         col("_bucket").as("_BUCKET"),
         struct(col("_fn").as("_FILE_NAME"), col("_sz").as("_FILE_SIZE"),
-          col("_rc").as("_ROW_COUNT")).as("_FILE")),
-      s"manifest/m-compact-$newId.avro")
-    writeAvro(Seq(s"m-compact-$newId.avro").toDF("_FILE_NAME"),
-      s"manifest/ml-compact-$newId.avro")
-    writeAvro(Seq.empty[String].toDF("_FILE_NAME"),
-      s"manifest/ml-compact-empty-$newId.avro")
+          col("_rc").as("_ROW_COUNT")).as("_FILE"))
+  }
+
+  /** UPSERT into a PRIMARY-KEY table — the format's write path: the
+    * rows land as `+I` KeyValue rows at a sequence number ABOVE every
+    * stored one, in a fresh file per (partition, bucket), published
+    * as a delta (`commitKind=APPEND`) snapshot; the read's own
+    * LSM fold then applies the table's merge engine — deduplicate
+    * takes the new version, partial-update folds its non-null
+    * columns (ABSENT input columns write as null, i.e. a true
+    * partial update), aggregation accumulates it, first-row keeps
+    * the stored row (the engine's contract — an upsert cannot
+    * override first-row). Returns the new snapshot id.
+    *
+    * Input must carry the primary-key and partition columns; missing
+    * VALUE columns write as null. Existing keys route to their home
+    * bucket (observed from one raw KeyValue scan); NEW keys route to
+    * their partition's single observed bucket — a multi-bucket
+    * partition refuses new keys (Paimon's key-hash bucket assignment
+    * is outside lite scope), an empty table bootstraps bucket-0.
+    *
+    * Scale shape: ONE raw scan (max sequence + key→bucket map), one
+    * routing join, one shuffle into per-(partition, bucket) staged
+    * files; O(files) driver moves + bounded metadata. Single-writer
+    * scope. Loud refusals: a changelog-demanding producer (input /
+    * lookup / full-compaction — this writer emits no changelog, and
+    * silently skipping it would truncate the feed), duplicate keys
+    * in one batch, missing key/partition columns, append-only
+    * tables (no primary key — append through the sink). */
+  def upsert(spark: SparkSession, tableDir: String,
+             rows: DataFrame): Long =
+    writeKv(spark, tableDir, rows, deleteMode = false)
+
+  /** DELETE by primary key — a `-D` KeyValue row per key at a
+    * sequence above every stored one ([[upsert]]'s envelope):
+    * the read's deduplicate fold then drops the key. Engines other
+    * than deduplicate refuse (retractions cannot fold under their
+    * aggregates — the read side would refuse the row anyway, this
+    * writer refuses BEFORE corrupting the table). `keys` carries the
+    * primary-key + partition columns. */
+  def deleteKeys(spark: SparkSession, tableDir: String,
+                 keys: DataFrame): Long =
+    writeKv(spark, tableDir, keys, deleteMode = true)
+
+  private def writeKv(spark: SparkSession, tableDir: String,
+                      input: DataFrame, deleteMode: Boolean): Long = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val snap = snapshot(spark, tableDir)
+    if (snap.primaryKeys.isEmpty) throw new IllegalStateException(
+      s"$tableDir: append-only table (no primary key) — KeyValue " +
+        "writes need a PK; append through the Paimon sink instead")
+    val op = if (deleteMode) "deleteKeys" else "upsert"
+    if (deleteMode && snap.mergeEngine != "deduplicate")
+      throw new IllegalStateException(
+        s"$tableDir: merge-engine=${snap.mergeEngine} cannot fold -D " +
+          "retractions — key deletes are deduplicate-engine scope " +
+          "(this matches the read side's own per-row refusal)")
+    val snapDir = new Path(tableDir, "snapshot")
+    val fs = snapDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val snapJson = JsonMethods.parse(readText(fs,
+      new Path(snapDir, s"snapshot-${snap.snapshotId}")))
+    val schemaId = (snapJson \ "schemaId").extractOpt[Long].getOrElse(0L)
+    val producer = {
+      val sf = new Path(tableDir, s"schema/schema-$schemaId")
+      (JsonMethods.parse(readText(fs, sf)) \ "options" \
+        "changelog-producer").extractOpt[String].getOrElse("none")
+    }
+    if (producer != "none") throw new IllegalStateException(
+      s"$tableDir: changelog-producer=$producer demands changelog " +
+        s"files describing this write — $op emits none, and silently " +
+        "skipping them would truncate the change feed; outside lite " +
+        "write scope")
+    val partCols = snap.partitionKeys
+    val partTypes = boundedPartTypes(snap.schema, partCols,
+      s"$tableDir $op")
+    val trimmed = snap.primaryKeys.filterNot(partCols.contains)
+    if (trimmed.isEmpty) throw new IllegalStateException(
+      s"$tableDir: primary key (${snap.primaryKeys.mkString(", ")}) " +
+        "has no column outside the partition key — not a mergeable " +
+        "KeyValue layout")
+    val keyCols = trimmed.map(k => s"_KEY_$k")
+    val valueNames = snap.schema.fieldNames
+      .filterNot(partCols.contains).toSeq
+    val needIn = trimmed ++ partCols
+    val missingIn = needIn.filterNot(input.columns.contains)
+    if (missingIn.nonEmpty) throw new IllegalStateException(
+      s"$tableDir: $op input lacks key/partition columns " +
+        missingIn.mkString(", "))
+    if (input.groupBy(needIn.map(col): _*).count()
+        .filter(col("count") > 1).limit(1).count() > 0)
+      throw new IllegalStateException(
+        s"$tableDir: $op batch has DUPLICATE primary keys — " +
+          "fold order within one sequence number would be ambiguous")
+    // one raw scan serves BOTH the max stored sequence and the
+    // key→bucket / partition→bucket routing maps
+    val hasFiles = snap.files.nonEmpty
+    val (maxSeq, seqType, kindType, kb, pb) =
+      if (!hasFiles)
+        (0L, LongType: DataType, ByteType: DataType,
+          spark.emptyDataFrame, spark.emptyDataFrame)
+      else {
+        val raw = rawKvScan(spark, tableDir, snap, keyCols)
+        val kindT = ColumnarScan(spark, tableDir, None,
+          snap.files.map(_.path)).schema
+          .find(_.name == "_VALUE_KIND").map(_.dataType)
+          .getOrElse(ByteType)
+        val seqT = raw.schema("_SEQUENCE_NUMBER").dataType
+        val ms = raw.agg(max(col("_SEQUENCE_NUMBER").cast(LongType)))
+          .as[Option[Long]].head().getOrElse(0L)
+        val kbDf = raw.groupBy((keyCols ++ partCols).map(col): _*)
+          .agg(min(col("_pc_bucket")).as("_kb_b"))
+          .select(keyCols.map(k => col(k).as(s"_kbk$k")) ++
+            partCols.map(k => col(k).as(s"_kbp_$k")) :+
+            col("_kb_b"): _*)
+        val pbDf = raw.groupBy(partCols.map(col): _*)
+          .agg(countDistinct(col("_pc_bucket")).as("_pb_n"),
+            min(col("_pc_bucket")).as("_pb_b"))
+          .select(partCols.map(k => col(k).as(s"_pbp_$k")) ++
+            Seq(col("_pb_n"), col("_pb_b")): _*)
+        (ms, seqT, kindT, kbDf, pbDf)
+      }
+    // the KeyValue row shape + routing columns
+    val shaped = input.select(
+      trimmed.map(k => col(k).cast(snap.schema(k).dataType)
+        .as(s"_KEY_$k")) ++
+        partCols.map(k => col(k).cast(snap.schema(k).dataType)
+          .as(s"_gp_$k")) ++
+        valueNames.map { v =>
+          (if (input.columns.contains(v))
+            col(v).cast(snap.schema(v).dataType)
+          else lit(null).cast(snap.schema(v).dataType)).as(v)
+        }: _*)
+    val routed =
+      if (!hasFiles) shaped.withColumn("_gbucket", lit(0))
+      else {
+        val kbCond = (trimmed.map(k =>
+          col(s"_KEY_$k") <=> col(s"_kbk_KEY_$k")) ++
+          partCols.map(k => col(s"_gp_$k") <=> col(s"_kbp_$k")))
+          .reduce(_ && _)
+        val j1 = shaped.join(broadcast(kb), kbCond, "left")
+          .drop((keyCols.map(k => s"_kbk$k") ++
+            partCols.map(k => s"_kbp_$k")): _*)
+        val pbCond =
+          if (partCols.isEmpty) lit(true)
+          else partCols.map(k => col(s"_gp_$k") <=> col(s"_pbp_$k"))
+            .reduce(_ && _)
+        val j2 = j1.join(broadcast(pb), pbCond, "left")
+          .drop(partCols.map(k => s"_pbp_$k"): _*)
+        j2.withColumn("_gbucket", coalesce(col("_kb_b"),
+          when(col("_pb_n") === 1, col("_pb_b")),
+          raise_error(concat(
+            lit(s"PaimonLite: $tableDir: a NEW key routes to a " +
+              "partition with "),
+            coalesce(col("_pb_n").cast("string"), lit("no")),
+            lit(" observed buckets — Paimon's key-hash bucket " +
+              "assignment is outside lite write scope " +
+              "(single-bucket partitions take inserts)")))
+            .cast("int")))
+          .drop("_kb_b", "_pb_n", "_pb_b")
+      }
+    val kv = routed
+      .withColumn("_SEQUENCE_NUMBER", lit(maxSeq + 1).cast(seqType))
+      .withColumn("_VALUE_KIND",
+        lit(if (deleteMode) 3 else 0).cast(kindType))
+      .select(keyCols.map(col) ++
+        Seq(col("_SEQUENCE_NUMBER"), col("_VALUE_KIND")) ++
+        valueNames.map(col) ++
+        partCols.map(k => col(s"_gp_$k")) :+ col("_gbucket"): _*)
+    val newId = latestSnapshotId(spark, tableDir) + 1
+    val moved = stageKvWrite(spark, tableDir, fs, snap, kv, "kv", newId)
+    writeAvroFile(spark, fs, tableDir,
+      kvManifestDf(spark, moved, partCols, partTypes),
+      s"manifest/m-kv-$newId.avro")
+    // base = everything the previous snapshot covered; delta = new
+    val baseNames = manifestNames(spark, tableDir, snap.snapshotId)
+    writeAvroFile(spark, fs, tableDir,
+      (if (baseNames.isEmpty) Seq.empty[String] else baseNames)
+        .toDF("_FILE_NAME"),
+      s"manifest/ml-kv-base-$newId.avro")
+    writeAvroFile(spark, fs, tableDir,
+      Seq(s"m-kv-$newId.avro").toDF("_FILE_NAME"),
+      s"manifest/ml-kv-delta-$newId.avro")
     AtomicFiles.write(fs,
       new Path(tableDir, s"snapshot/snapshot-$newId"),
       s"""{"version":3,"id":$newId,"schemaId":$schemaId,
-         |"baseManifestList":"ml-compact-$newId.avro",
-         |"deltaManifestList":"ml-compact-empty-$newId.avro",
-         |"commitKind":"COMPACT","commitUser":"graft",
+         |"baseManifestList":"ml-kv-base-$newId.avro",
+         |"deltaManifestList":"ml-kv-delta-$newId.avro",
+         |"commitKind":"APPEND","commitUser":"graft",
          |"commitIdentifier":$newId,"timeMillis":0}""".stripMargin,
       replace = false)
     AtomicFiles.write(fs,

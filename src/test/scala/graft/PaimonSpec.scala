@@ -1131,7 +1131,123 @@ class PaimonSpec extends AnyFunSuite {
       assert(readRows == want2,
         s"$engine/seed $seed post-compaction append: got $readRows, " +
           s"want $want2")
+      // WRITER leg: rows appended through PaimonLite.upsert (fresh
+      // max sequence, +I kind) must fold under the same engine model
+      val wRows = rnd.shuffle((0L to 6L).toList).take(2).map { k =>
+        (k,
+          if (rnd.nextBoolean()) Some(rnd.nextInt(100).toLong)
+          else None: Option[Long],
+          if (rnd.nextBoolean()) Some(s"w${rnd.nextInt(5)}")
+          else None: Option[String])
+      }
+      PaimonLite.upsert(spark, root, wRows.toDF("id", "a", "b")): Unit
+      for ((k, a, b) <- wRows) engine match {
+        case "deduplicate" => state(k) = (a, b); dead -= k
+        case "partial-update" =>
+          val prev = state.getOrElse(k, (None, None))
+          state(k) = (a.orElse(prev._1), b.orElse(prev._2))
+        case "aggregation" =>
+          val prev = state.getOrElse(k, (None, None))
+          val sa = (prev._1, a) match {
+            case (Some(x), Some(y)) => Some(x + y)
+            case (x, y)             => y.orElse(x)
+          }
+          state(k) = (sa, b.orElse(prev._2))
+        case "first-row" =>
+          if (!state.contains(k)) state(k) = (a, b)
+      }
+      def want3 = state.toSeq.map { case (k, (a, b)) => (k, a, b) }
+        .sorted
+      assert(readRows == want3,
+        s"$engine/seed $seed after WRITER upsert: got $readRows, " +
+          s"want $want3")
+      if (engine == "deduplicate") {
+        // -D deletes ride deleteKeys; other engines refuse them
+        state.keys.toSeq.sorted.headOption.foreach { dk =>
+          PaimonLite.deleteKeys(spark, root, Seq(dk).toDF("id")): Unit
+          state.remove(dk): Unit
+          assert(readRows == want3,
+            s"$engine/seed $seed after WRITER delete: got $readRows")
+        }
+      } else {
+        val e = intercept[IllegalStateException] {
+          PaimonLite.deleteKeys(spark, root, Seq(0L).toDF("id"))
+        }
+        assert(e.getMessage.contains("retractions"), e.getMessage)
+      }
+      // and the PK compaction folds the WRITER's rows exactly
+      PaimonLite.compact(spark, root): Unit
+      assert(readRows == want3,
+        s"$engine/seed $seed post-writer compaction: got $readRows")
     }
+  }
+
+  test("PK writer refusals: duplicate batch keys, changelog-demanding " +
+    "producers, missing key columns, append-only tables; a " +
+    "partial-update upsert MISSING a value column writes null (the " +
+    "true partial update)") {
+    import spark.implicits._
+    val fields = Seq("id" -> "BIGINT", "a" -> "BIGINT", "b" -> "STRING")
+    def kvm(rows: Seq[(Long, Option[Long], Option[String])], seq: Long) =
+      rows.toDF("id", "a", "b").select(col("id").as("_KEY_id"),
+        lit(seq).as("_SEQUENCE_NUMBER"),
+        lit(0).cast("tinyint").as("_VALUE_KIND"),
+        col("id"), col("a"), col("b"))
+    val root = pkCustomFixture("pkwriter_pu",
+      """{"merge-engine":"partial-update"}""", fields,
+      Seq(kvm(Seq((1L, Some(10L), Some("x"))), 1)))
+    // upsert WITHOUT column b: a true partial update — a survives
+    // only if the input's null does not overwrite... b keeps "x"
+    PaimonLite.upsert(spark, root, Seq((1L, 99L)).toDF("id", "a")): Unit
+    assert(PaimonLite.read(spark, root)
+      .as[(Long, Option[Long], Option[String])].collect().toSeq ==
+      Seq((1L, Some(99L), Some("x"))))
+    // duplicate keys in one batch refuse
+    assert(intercept[IllegalStateException] {
+      PaimonLite.upsert(spark, root,
+        Seq((1L, 1L), (1L, 2L)).toDF("id", "a"))
+    }.getMessage.contains("DUPLICATE"))
+    // missing key column refuses
+    assert(intercept[IllegalStateException] {
+      PaimonLite.upsert(spark, root, Seq(1L).toDF("a"))
+    }.getMessage.contains("id"))
+    // changelog-demanding producer refuses
+    val rootCl = pkCustomFixture("pkwriter_cl",
+      """{"merge-engine":"deduplicate","changelog-producer":"input"}""",
+      fields, Seq(kvm(Seq((1L, Some(10L), Some("x"))), 1)))
+    assert(intercept[IllegalStateException] {
+      PaimonLite.upsert(spark, rootCl, Seq((1L, 2L)).toDF("id", "a"))
+    }.getMessage.contains("changelog-producer"))
+    // append-only tables (no PK) refuse naming the sink
+    val rootAo = s"/tmp/graft_paimonspec/pkwriter_ao"
+    rm(new java.io.File(rootAo))
+    for (d <- Seq("snapshot", "schema", "manifest", "bucket-0"))
+      Files.createDirectories(Paths.get(rootAo, d))
+    Files.writeString(Paths.get(rootAo, "schema", "schema-0"),
+      """{"id":0,"fields":[{"id":0,"name":"id","type":"BIGINT"}],
+        |"highestFieldId":0,"partitionKeys":[],"primaryKeys":[],
+        |"options":{}}""".stripMargin)
+    // one empty snapshot so snapshot() resolves
+    def writeAvro0(d: org.apache.spark.sql.DataFrame, rel: String): Unit = {
+      val tmp = s"$rootAo/_tmpavro"
+      d.coalesce(1).write.mode("overwrite").format(avroFmt).save(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.startsWith("part-")).get
+      assert(part.renameTo(new java.io.File(s"$rootAo/$rel")))
+      rm(new java.io.File(tmp))
+    }
+    writeAvro0(Seq.empty[String].toDF("_FILE_NAME"),
+      "manifest/ml-0.avro")
+    Files.writeString(Paths.get(rootAo, "snapshot", "snapshot-1"),
+      """{"version":3,"id":1,"schemaId":0,
+        |"baseManifestList":"ml-0.avro",
+        |"deltaManifestList":"ml-0.avro",
+        |"commitKind":"APPEND","commitUser":"t",
+        |"commitIdentifier":1,"timeMillis":0}""".stripMargin)
+    Files.writeString(Paths.get(rootAo, "snapshot", "LATEST"), "1")
+    assert(intercept[IllegalStateException] {
+      PaimonLite.upsert(spark, rootAo, Seq(1L).toDF("id"))
+    }.getMessage.contains("primary key"))
   }
 
   /** Append one KeyValue frame as snapshot `baseId`+1 whose base
