@@ -2188,6 +2188,91 @@ object Storage extends QueryModule {
       read.unionByName(cdf).orderBy(col("surface"), col("k"))
     },
 
+    // Iceberg TRANSFORM compaction: a table partitioned by
+    // bucket[4](o_orderkey) rewrites into one file PER BUCKET ORDINAL
+    // computed from the spec's own murmur3 (Appendix B vectors pinned
+    // in IcebergSpec) — the read census is unchanged, the file count
+    // is the bucket count, and every row in every compacted file
+    // hashes to its file's ordinal (checked in ONE job over the
+    // compacted files; a mis-implemented hash census-breaks here).
+    "q498_iceberg_transform_compact" -> { (s, dir) =>
+      import graft.sources.{IcebergLite, IcebergTransforms}
+      val root = authorIcebergBucketTable(s, dir)
+      IcebergLite.compact(s, root): Unit
+      val read = IcebergLite.read(s, root)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_price"))
+        .select(lit("read").as("surface"),
+          col("o_orderstatus").as("k"), col("n"), col("sum_price"))
+      import s.implicits._
+      val filePaths = IcebergLite.metadataTable(s, root, "files")
+        .select(col("file_path")).as[String].collect().sorted
+      val tr = IcebergTransforms.resolve(root, "o_bucket", "bucket[4]",
+        LongType)
+      val consistent = s.read.parquet(filePaths: _*)
+        .withColumn("_b", regexp_extract(col("_metadata.file_path"),
+          "o_bucket=(\\d+)", 1).cast("int"))
+        .agg(min((tr.expr(col("o_orderkey")) === col("_b"))
+          .cast(LongType))).head().getLong(0)
+      val facts = Seq(
+        ("files", "live", filePaths.size.toLong),
+        ("transform", "consistent", consistent))
+        .toDF("surface", "k", "n")
+        .withColumn("sum_price", lit(null).cast(DoubleType))
+      read.unionByName(facts).orderBy(col("surface"), col("k"))
+    },
+
+    // Delta COLUMN-MAPPED (mode=id) compaction: the rewrite must
+    // re-stamp PHYSICAL column names and parquet field ids — the
+    // original files store ROTATED names where only the ids carry
+    // identity, so a name-keeping rewrite would census-break the
+    // id-resolving read, and the physical_ok row additionally pins
+    // that each compacted footer's col-N field carries id N.
+    "q499_delta_mapped_compact" -> { (s, dir) =>
+      import graft.sources.DeltaLogLite
+      val root = buildDeltaIdMappedTable(s, dir,
+        s"/tmp/graft_delta/cmapidw_${Integer.toHexString(dir.hashCode)}")
+      DeltaLogLite.compact(s, root): Unit
+      val read = DeltaLogLite.read(s, root)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_qty"))
+        .select(lit("read").as("surface"),
+          col("l_returnflag").as("k"), col("n"), col("sum_qty"))
+      import s.implicits._
+      val snapAfter = DeltaLogLite.snapshot(s, root)
+      val files = snapAfter.files
+        .map(f => (f.partitionValues("col-4"), 1L))
+        .groupBy(_._1).toSeq
+        .map { case (rf, fl) => ("files", rf, fl.size.toLong) }
+        .toDF("surface", "k", "n")
+        .withColumn("sum_qty", lit(null).cast(DoubleType))
+      val physOk = snapAfter.files.forall { f =>
+        val real = DeltaLogLite.resolveAddPath(root, f.path)
+        val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(real),
+            s.sparkContext.hadoopConfiguration))
+        try {
+          val sch = footer.getFooter.getFileMetaData.getSchema
+          (1 to 3).forall { i =>
+            sch.containsField(s"col-$i") &&
+              Option(sch.getType(sch.getFieldIndex(s"col-$i")).getId)
+                .exists(_.intValue == i)
+          }
+        } finally footer.close()
+      }
+      val mapped = Seq(("mapped", "physical_ok",
+        if (physOk) 1L else 0L))
+        .toDF("surface", "k", "n")
+        .withColumn("sum_qty", lit(null).cast(DoubleType))
+      read.unionByName(files).unionByName(mapped)
+        .orderBy(col("surface"), col("k"))
+    },
+
     // Paimon PRIMARY-KEY WRITES (the format's write path — +I/-D
     // KeyValue rows at a fresh max sequence, one delta APPEND
     // snapshot per batch): upsert doubles %10=1 and inserts the NEW
@@ -4990,10 +5075,18 @@ object Storage extends QueryModule {
   private def authorDeltaIdMappedTable(s: SparkSession,
                                        dir: String): String =
     deltaIdMappedMemo.synchronized {
-      deltaIdMappedMemo.getOrElseUpdate(dir, {
+      deltaIdMappedMemo.getOrElseUpdate(dir,
+        buildDeltaIdMappedTable(s, dir,
+          s"/tmp/graft_delta/cmapid_${Integer.toHexString(dir.hashCode)}"))
+    }
+
+  /** The q429 mode=id layout at an explicit root (q499 compacts its
+    * own fresh copy, so the memoized read table stays untouched). */
+  private def buildDeltaIdMappedTable(s: SparkSession, dir: String,
+                                      root: String): String =
+    locally {
+      locally {
         import java.nio.file.{Files, Paths}
-        val root =
-          s"/tmp/graft_delta/cmapid_${Integer.toHexString(dir.hashCode)}"
         def rm(p: java.io.File): Unit = {
           if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
           p.delete(): Unit
@@ -5037,7 +5130,7 @@ object Storage extends QueryModule {
         Files.writeString(Paths.get(root, "_delta_log", f"${0L}%020d.json"),
           lines.mkString("", "\n", "\n"))
         root
-      })
+      }
     }
 
   private val deltaInlineDvMemo =
@@ -6914,6 +7007,77 @@ object Storage extends QueryModule {
                                          dir: String): String =
     buildPaimonPkTable(s, dir,
       s"/tmp/graft_paimon/pkcompact_${Integer.toHexString(dir.hashCode)}")
+
+  /** The FRESH bucket[4]-partitioned Iceberg table q498 compacts (NOT
+    * memoized — compaction mutates it): two unpartitioned-on-disk
+    * data files of orders %10<2 under a bucket[4](o_orderkey) spec;
+    * the compaction computes the partition values from the spec's
+    * murmur3 at rewrite time. */
+  private def authorIcebergBucketTable(s: SparkSession,
+                                       dir: String): String = {
+    import java.nio.file.{Files, Paths}
+    val root =
+      s"/tmp/graft_iceberg/bucket_${Integer.toHexString(dir.hashCode)}"
+    val avroFmt = "org.apache.spark.sql.avro.AvroFileFormat"
+    def rm(p: java.io.File): Unit = {
+      if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+      p.delete(): Unit
+    }
+    rm(new java.io.File(root))
+    Files.createDirectories(Paths.get(root, "metadata"))
+    Files.createDirectories(Paths.get(root, "data"))
+    val src = Tables.df(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("o_orderstatus"))
+      .filter(col("o_orderkey") % 10 < 2)
+    def one(f: org.apache.spark.sql.Column, out: String): Unit = {
+      val tmp = s"$root/_tmp"
+      graft.sources.IcebergLite.stampFieldIds(src.filter(f),
+        Map("o_orderkey" -> 1, "o_totalprice" -> 2,
+          "o_orderstatus" -> 3))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(p => p.getName.endsWith(".parquet") &&
+          !p.getName.startsWith(".")).get
+      assert(part.renameTo(new java.io.File(s"$root/$out")))
+      rm(new java.io.File(tmp))
+    }
+    one(col("o_orderkey") % 10 === 0, "data/h0.parquet")
+    one(col("o_orderkey") % 10 === 1, "data/h1.parquet")
+    def writeAvro(d: DataFrame, rel: String): Unit = {
+      val tmp = s"$root/_tmpavro"
+      d.coalesce(1).write.mode("overwrite").format(avroFmt).save(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.startsWith("part-")).get
+      assert(part.renameTo(new java.io.File(s"$root/$rel")))
+      rm(new java.io.File(tmp))
+    }
+    import s.implicits._
+    writeAvro(Seq("data/h0.parquet", "data/h1.parquet").toDF("file_path")
+      .select(lit(1).as("status"),
+        struct(col("file_path"), lit(0).as("content")).as("data_file")),
+      "metadata/m1.avro")
+    writeAvro(Seq("metadata/m1.avro").toDF("manifest_path")
+      .select(col("manifest_path"), lit(0).as("content")),
+      "metadata/snap-1.avro")
+    Files.writeString(Paths.get(root, "metadata", "v1.metadata.json"),
+      s"""{"format-version":2,"location":${jstr(root)},
+         |"current-schema-id":0,
+         |"schemas":[{"schema-id":0,"type":"struct","fields":[
+         |  {"id":1,"name":"o_orderkey","required":false,"type":"long"},
+         |  {"id":2,"name":"o_totalprice","required":false,"type":"double"},
+         |  {"id":3,"name":"o_orderstatus","required":false,"type":"string"}]}],
+         |"partition-specs":[{"spec-id":0,"fields":[
+         |  {"name":"o_bucket","transform":"bucket[4]","source-id":1,"field-id":1000}]}],
+         |"default-spec-id":0,
+         |"current-snapshot-id":1,
+         |"snapshots":[
+         | {"snapshot-id":1,"manifest-list":"metadata/snap-1.avro"}]}"""
+        .stripMargin)
+    Files.writeString(
+      Paths.get(root, "metadata", "version-hint.text"), "1")
+    root
+  }
 
   /** The FRESH deduplicate PK table q497's writers mutate (NOT
     * memoized — upsert/delete/compact change it, so every invocation
@@ -9209,6 +9373,42 @@ object Storage extends QueryModule {
         |    CAST(sum(CAST(l_quantity + 100 AS DECIMAL(18,2)))
         |      AS DOUBLE)
         |  FROM upd)
+        |SELECT surface, k, n, sum_qty FROM rows_
+        |ORDER BY surface, k""".stripMargin,
+    // transform compaction: census unchanged over %10<2, one file per
+    // bucket ordinal (all 4 occupied at every sf), every row hashing
+    // to its file's bucket
+    "q498_iceberg_transform_compact" ->
+      """WITH src AS (
+        |  SELECT o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey % 10 < 2),
+        |rows_ AS (
+        |  SELECT 'read' AS surface, o_orderstatus AS k, count(*) AS n,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS sum_price
+        |  FROM src GROUP BY o_orderstatus
+        |  UNION ALL
+        |  SELECT 'files', 'live', 4, CAST(NULL AS DOUBLE)
+        |  UNION ALL
+        |  SELECT 'transform', 'consistent', 1, CAST(NULL AS DOUBLE))
+        |SELECT surface, k, n, sum_price FROM rows_
+        |ORDER BY surface, k""".stripMargin,
+    // mapped compaction: census unchanged over %10<2, one file per
+    // returnflag partition, physical names/ids re-stamped
+    "q499_delta_mapped_compact" ->
+      """WITH src AS (
+        |  SELECT l_returnflag, l_quantity FROM lineitem
+        |  WHERE l_orderkey % 10 < 2),
+        |rows_ AS (
+        |  SELECT 'read' AS surface, l_returnflag AS k, count(*) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS sum_qty
+        |  FROM src GROUP BY l_returnflag
+        |  UNION ALL
+        |  SELECT 'files', l_returnflag, 1, CAST(NULL AS DOUBLE)
+        |  FROM (SELECT DISTINCT l_returnflag FROM src)
+        |  UNION ALL
+        |  SELECT 'mapped', 'physical_ok', 1, CAST(NULL AS DOUBLE))
         |SELECT surface, k, n, sum_qty FROM rows_
         |ORDER BY surface, k""".stripMargin,
     // PK writes: %10=1 doubled, %10∈(5,6) inserted, %10=0 deleted;
