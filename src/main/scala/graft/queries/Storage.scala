@@ -2188,6 +2188,41 @@ object Storage extends QueryModule {
       read.unionByName(cdf).orderBy(col("surface"), col("k"))
     },
 
+    // Iceberg ONE-SNAPSHOT keyed UPDATE: eq-delete + append land in a
+    // SINGLE snapshot at one sequence (strict data_seq < delete_seq
+    // keeps the appended versions alive) — %10=1 keys update to ×2,
+    // %10=5 keys insert, and time travel to the pre-update snapshot
+    // shows the original rows: a reader sees the delete and append
+    // together or not at all.
+    "q500_iceberg_keyed_update" -> { (s, dir) =>
+      import graft.sources.IcebergLite
+      val root = authorIcebergKeyedTable(s, dir)
+      val src = Tables.df(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus"))
+      val ups = src.filter(col("o_orderkey") % 10 === 1)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .unionByName(src.filter(col("o_orderkey") % 10 === 5))
+      IcebergLite.upsertKeyed(s, root, ups, Seq("o_orderkey")): Unit
+      def census(df: DataFrame, surface: String): DataFrame =
+        df.groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2)))
+              .cast(DoubleType).as("sum_price"))
+          .select(lit(surface).as("surface"),
+            col("o_orderstatus").as("k"), col("n"), col("sum_price"))
+      val read = census(IcebergLite.read(s, root), "read")
+      val travel = census(
+        IcebergLite.read(s, root, snapshotId = Some(1L)), "travel")
+      import s.implicits._
+      val snaps = Seq(("snapshots", "count",
+        IcebergLite.snapshotIds(s, root).size.toLong))
+        .toDF("surface", "k", "n")
+        .withColumn("sum_price", lit(null).cast(DoubleType))
+      read.unionByName(travel).unionByName(snaps)
+        .orderBy(col("surface"), col("k"))
+    },
+
     // Iceberg TRANSFORM compaction: a table partitioned by
     // bucket[4](o_orderkey) rewrites into one file PER BUCKET ORDINAL
     // computed from the spec's own murmur3 (Appendix B vectors pinned
@@ -7008,6 +7043,70 @@ object Storage extends QueryModule {
     buildPaimonPkTable(s, dir,
       s"/tmp/graft_paimon/pkcompact_${Integer.toHexString(dir.hashCode)}")
 
+  /** The FRESH unpartitioned Iceberg table q500's keyed update
+    * mutates (NOT memoized): one snapshot of orders %10<5,
+    * field-id-stamped. */
+  private def authorIcebergKeyedTable(s: SparkSession,
+                                      dir: String): String = {
+    import java.nio.file.{Files, Paths}
+    val root =
+      s"/tmp/graft_iceberg/keyed_${Integer.toHexString(dir.hashCode)}"
+    val avroFmt = "org.apache.spark.sql.avro.AvroFileFormat"
+    def rm(p: java.io.File): Unit = {
+      if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+      p.delete(): Unit
+    }
+    rm(new java.io.File(root))
+    Files.createDirectories(Paths.get(root, "metadata"))
+    Files.createDirectories(Paths.get(root, "data"))
+    val src = Tables.df(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("o_orderstatus"))
+      .filter(col("o_orderkey") % 10 < 5)
+    val tmp = s"$root/_tmp"
+    graft.sources.IcebergLite.stampFieldIds(src,
+      Map("o_orderkey" -> 1, "o_totalprice" -> 2, "o_orderstatus" -> 3))
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(p => p.getName.endsWith(".parquet") &&
+        !p.getName.startsWith(".")).get
+    assert(part.renameTo(new java.io.File(s"$root/data/h0.parquet")))
+    rm(new java.io.File(tmp))
+    def writeAvro(d: DataFrame, rel: String): Unit = {
+      val t2 = s"$root/_tmpavro"
+      d.coalesce(1).write.mode("overwrite").format(avroFmt).save(t2)
+      val p = new java.io.File(t2).listFiles()
+        .find(_.getName.startsWith("part-")).get
+      assert(p.renameTo(new java.io.File(s"$root/$rel")))
+      rm(new java.io.File(t2))
+    }
+    import s.implicits._
+    writeAvro(Seq((1, 1L, "data/h0.parquet"))
+      .toDF("status", "sequence_number", "file_path")
+      .select(col("status"), col("sequence_number"),
+        struct(col("file_path"), lit(0).as("content")).as("data_file")),
+      "metadata/m1.avro")
+    writeAvro(Seq(("metadata/m1.avro", 0, 1L))
+      .toDF("manifest_path", "content", "sequence_number"),
+      "metadata/snap-1.avro")
+    Files.writeString(Paths.get(root, "metadata", "v1.metadata.json"),
+      s"""{"format-version":2,"location":${jstr(root)},
+         |"current-schema-id":0,
+         |"schemas":[{"schema-id":0,"type":"struct","fields":[
+         |  {"id":1,"name":"o_orderkey","required":false,"type":"long"},
+         |  {"id":2,"name":"o_totalprice","required":false,"type":"double"},
+         |  {"id":3,"name":"o_orderstatus","required":false,"type":"string"}]}],
+         |"partition-specs":[{"spec-id":0,"fields":[]}],
+         |"default-spec-id":0,
+         |"current-snapshot-id":1,
+         |"snapshots":[
+         | {"snapshot-id":1,"manifest-list":"metadata/snap-1.avro"}]}"""
+        .stripMargin)
+    Files.writeString(
+      Paths.get(root, "metadata", "version-hint.text"), "1")
+    root
+  }
+
   /** The FRESH bucket[4]-partitioned Iceberg table q498 compacts (NOT
     * memoized — compaction mutates it): two unpartitioned-on-disk
     * data files of orders %10<2 under a bucket[4](o_orderkey) spec;
@@ -9374,6 +9473,28 @@ object Storage extends QueryModule {
         |      AS DOUBLE)
         |  FROM upd)
         |SELECT surface, k, n, sum_qty FROM rows_
+        |ORDER BY surface, k""".stripMargin,
+    // one-snapshot keyed update: %10=1 doubled, %10=5 inserted, the
+    // pre-update snapshot travels, exactly 2 snapshots exist
+    "q500_iceberg_keyed_update" ->
+      """WITH final AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 10 = 1 THEN o_totalprice * 2
+        |         ELSE o_totalprice END AS p
+        |  FROM orders
+        |  WHERE o_orderkey % 10 <= 5),
+        |rows_ AS (
+        |  SELECT 'read' AS surface, o_orderstatus AS k, count(*) AS n,
+        |    CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |  FROM final GROUP BY o_orderstatus
+        |  UNION ALL
+        |  SELECT 'travel', o_orderstatus, count(*),
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |  FROM orders WHERE o_orderkey % 10 < 5
+        |  GROUP BY o_orderstatus
+        |  UNION ALL
+        |  SELECT 'snapshots', 'count', 2, CAST(NULL AS DOUBLE))
+        |SELECT surface, k, n, sum_price FROM rows_
         |ORDER BY surface, k""".stripMargin,
     // transform compaction: census unchanged over %10<2, one file per
     // bucket ordinal (all 4 occupied at every sf), every row hashing

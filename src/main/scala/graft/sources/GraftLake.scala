@@ -321,8 +321,9 @@ object GraftLake {
           HudiMorLite.update(spark, tableDir, condition, set)
         else HudiCowLite.update(spark, tableDir, condition, set)
       case Iceberg => throw new IllegalArgumentException(
-        s"$tableDir: Iceberg's lite update axis is keyed — " +
-          "IcebergLite.eqDelete the old keys, then append the new rows")
+        s"$tableDir: Iceberg's lite update axis is keyed — use " +
+          "IcebergLite.upsertKeyed(rows, keyCols) for the atomic " +
+          "one-snapshot delete+append")
       case Paimon => throw new IllegalArgumentException(
         s"$tableDir: Paimon updates are higher-sequence KeyValue rows " +
           "— use PaimonLite.upsert")

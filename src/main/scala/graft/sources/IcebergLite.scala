@@ -1678,26 +1678,13 @@ object IcebergLite {
     * parquet file (delete keys are change-volume, not table-volume);
     * everything else is bounded manifest metadata. Single-writer
     * scope. */
-  def eqDelete(spark: SparkSession, tableDir: String,
-               keys: DataFrame): Long = {
-    import org.apache.spark.sql.functions.{array, col, lit, struct}
-    import spark.implicits._
-    val (metaFile, meta) = loadMeta(spark, tableDir)
-    val snap = snapshot(spark, tableDir)
-    if (snap.files.isEmpty) throw new IllegalStateException(
-      s"$tableDir: no data files to delete from")
-    require(keys.columns.nonEmpty, "eqDelete needs at least one key column")
-    val eqIds: Seq[Int] = keys.columns.toSeq.map { c =>
-      val f = snap.schema.fields.find(_.name == c).getOrElse(
-        throw new IllegalStateException(
-          s"$tableDir: eqDelete key column $c is not in the schema"))
-      if (!f.metadata.contains(FieldIdKey)) throw new IllegalStateException(
-        s"$tableDir: schema field $c carries no field id — cannot " +
-          "stamp equality_ids")
-      f.metadata.getLong(FieldIdKey).toInt
-    }
-    val fs = new Path(tableDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+  /** The CURRENT snapshot's manifest-list rows (path, content,
+    * sequence) plus the max live sequence number — the write paths'
+    * shared preamble. A live entry with no resolvable sequence
+    * refuses (a new delete could not be ordered against it). */
+  private def liveManifestRows(spark: SparkSession, tableDir: String,
+                               meta: JValue)
+  : (Seq[(String, Option[Int], Option[Long])], Long) = {
     val curId = (meta \ "current-snapshot-id").extractOpt[Long]
       .filter(_ != -1L).getOrElse(throw new IllegalStateException(
         s"$tableDir: table has no current snapshot"))
@@ -1727,7 +1714,6 @@ object IcebergLite {
           else None
         (r.getAs[String]("manifest_path"), content, seq)
       }
-    // the sequence gate + the new delete's sequence (max live + 1)
     var maxSeq = 0L
     oldRows.foreach { case (mp, _, listSeq) =>
       val p = resolve(tableDir, mp)
@@ -1744,12 +1730,36 @@ object IcebergLite {
             case Some(sq) => maxSeq = math.max(maxSeq, sq)
             case None => throw new IllegalStateException(
               s"$p: live manifest entry without a resolvable sequence " +
-                "number — an equality delete cannot be ordered " +
-                "against it; outside eqDelete scope")
+                "number — a new write cannot be ordered against it; " +
+                "outside lite write scope")
           }
         }
       }
     }
+    (oldRows, maxSeq)
+  }
+
+  def eqDelete(spark: SparkSession, tableDir: String,
+               keys: DataFrame): Long = {
+    import org.apache.spark.sql.functions.{array, col, lit, struct}
+    import spark.implicits._
+    val (metaFile, meta) = loadMeta(spark, tableDir)
+    val snap = snapshot(spark, tableDir)
+    if (snap.files.isEmpty) throw new IllegalStateException(
+      s"$tableDir: no data files to delete from")
+    require(keys.columns.nonEmpty, "eqDelete needs at least one key column")
+    val eqIds: Seq[Int] = keys.columns.toSeq.map { c =>
+      val f = snap.schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalStateException(
+          s"$tableDir: eqDelete key column $c is not in the schema"))
+      if (!f.metadata.contains(FieldIdKey)) throw new IllegalStateException(
+        s"$tableDir: schema field $c carries no field id — cannot " +
+          "stamp equality_ids")
+      f.metadata.getLong(FieldIdKey).toInt
+    }
+    val fs = new Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (oldRows, maxSeq) = liveManifestRows(spark, tableDir, meta)
     val newSeq = maxSeq + 1
     val newSnapId = snapshotIds(spark, tableDir).max + 1
     // the delete file itself: distinct key tuples, field ids stamped
@@ -1795,10 +1805,23 @@ object IcebergLite {
       Some(1): Option[Int], Some(newSeq): Option[Long])))
       .toDF("manifest_path", "content", "sequence_number"),
       s"metadata/snap-$newSnapId.avro")
+    rollMetadata(fs, tableDir, metaFile, meta, newSnapId, "delete")
+    newSnapId
+  }
+
+  /** Append snapshot `newSnapId` (manifest list
+    * `metadata/snap-<id>.avro`, already written) to the metadata and
+    * publish the next version — the write paths' shared ATOMIC
+    * commit: a reader resolves either the old metadata or the new
+    * one, never half a snapshot. */
+  private def rollMetadata(fs: org.apache.hadoop.fs.FileSystem,
+                           tableDir: String, metaFile: Path,
+                           meta: JValue, newSnapId: Long,
+                           operation: String): Unit = {
     val newSnapJson: JValue = JObject(
       "snapshot-id" -> JInt(newSnapId),
       "manifest-list" -> JString(s"metadata/snap-$newSnapId.avro"),
-      "summary" -> JObject("operation" -> JString("delete")))
+      "summary" -> JObject("operation" -> JString(operation)))
     val withSnap = meta transformField {
       case ("snapshots", JArray(ss)) =>
         ("snapshots", JArray(ss :+ newSnapJson))
@@ -1819,6 +1842,138 @@ object IcebergLite {
     AtomicFiles.write(fs,
       new Path(tableDir, "metadata/version-hint.text"),
       version.toString, replace = true)
+  }
+
+  /** ONE-SNAPSHOT keyed UPDATE (upsert): commit an equality-delete
+    * file on `keyCols` AND the new row versions in a SINGLE snapshot
+    * — both manifests at the same fresh sequence number, so the
+    * spec's STRICT `data_seq < delete_seq` ordering kills exactly the
+    * OLD versions while the appended rows survive, and a reader at
+    * any snapshot sees the delete and the append together or not at
+    * all (the two-snapshot eqDelete+append composition is not atomic;
+    * this is). Keys new to the table simply insert (their delete
+    * matches nothing). Returns the new snapshot id.
+    *
+    * Scale shape: the delete file is the rows' DISTINCT key tuples;
+    * the data files stage through one executor write (each staged
+    * part becomes a manifest entry); the driver handles bounded
+    * manifest metadata + one atomic metadata roll. Single-writer
+    * scope. Loud refusals: partitioned tables (the appended files
+    * would need partition values — outside lite write scope), rows
+    * missing schema columns, key columns without field ids. */
+  def upsertKeyed(spark: SparkSession, tableDir: String,
+                  rows: DataFrame, keyCols: Seq[String]): Long = {
+    import org.apache.spark.sql.functions.{array, col, lit, struct}
+    import spark.implicits._
+    val (metaFile, meta) = loadMeta(spark, tableDir)
+    val snap = snapshot(spark, tableDir)
+    require(keyCols.nonEmpty, "upsertKeyed needs at least one key column")
+    val defSpecId = (meta \ "default-spec-id").extractOpt[Int].getOrElse(0)
+    (meta \ "partition-specs") match {
+      case JArray(specs) =>
+        specs.find(sp =>
+          (sp \ "spec-id").extractOpt[Int].contains(defSpecId))
+          .foreach { sp => (sp \ "fields") match {
+            case JArray(pfs) if pfs.nonEmpty =>
+              throw new IllegalStateException(
+                s"$tableDir: partitioned table — upsertKeyed's " +
+                  "appended files would need partition values; " +
+                  "outside lite write scope")
+            case _ =>
+          } }
+      case _ =>
+    }
+    val missing = snap.schema.fieldNames.filterNot(rows.columns.contains)
+    if (missing.nonEmpty) throw new IllegalStateException(
+      s"$tableDir: upsertKeyed input lacks schema columns " +
+        missing.mkString(", "))
+    def fieldId(c: String): Int = {
+      val f = snap.schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalStateException(
+          s"$tableDir: column $c is not in the schema"))
+      if (!f.metadata.contains(FieldIdKey))
+        throw new IllegalStateException(
+          s"$tableDir: schema field $c carries no field id — cannot " +
+            "stamp the write")
+      f.metadata.getLong(FieldIdKey).toInt
+    }
+    val eqIds = keyCols.map(fieldId)
+    val allIds = snap.schema.fieldNames.map(c => c -> fieldId(c)).toMap
+    val fs = new Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (oldRows, maxSeq) = liveManifestRows(spark, tableDir, meta)
+    val newSeq = maxSeq + 1
+    val newSnapId = snapshotIds(spark, tableDir).max + 1
+    def moveStaged(tmp: Path, relPrefix: String)
+    : Seq[(String, Long, Long)] = {
+      val parts = fs.listStatus(tmp).map(_.getPath)
+        .filter(p => p.getName.endsWith(".parquet") &&
+          !p.getName.startsWith(".")).sortBy(_.getName)
+      if (parts.isEmpty) throw new IllegalStateException(
+        s"$tableDir: $relPrefix staged no parquet")
+      val out = parts.zipWithIndex.map { case (p, i) =>
+        val rel = s"$relPrefix-${newSnapId}_$i.parquet"
+        val dest = new Path(tableDir, rel)
+        fs.mkdirs(dest.getParent)
+        if (!fs.rename(p, dest)) throw new IllegalStateException(
+          s"$tableDir: could not place $rel")
+        val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            dest, spark.sparkContext.hadoopConfiguration))
+        val rc = try footer.getRecordCount finally footer.close()
+        (rel, rc, fs.getFileStatus(dest).getLen)
+      }.toSeq
+      fs.delete(tmp, true)
+      out
+    }
+    // the delete leg: the rows' DISTINCT key tuples
+    val tmpDel = new Path(tableDir, "_tmp_upskdel")
+    stampFieldIds(rows.select(keyCols.map(col): _*).distinct(),
+      keyCols.zip(eqIds).toMap)
+      .coalesce(1).write.mode("overwrite").parquet(tmpDel.toString)
+    val Seq((delRel, delRc, delSize)) = moveStaged(tmpDel, "data/upskdel")
+    // the data leg: the new row versions, full schema, ids stamped
+    val tmpData = new Path(tableDir, "_tmp_upskdata")
+    stampFieldIds(
+      rows.select(snap.schema.fields.toSeq.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)): _*), allIds)
+      .write.mode("overwrite").parquet(tmpData.toString)
+    val dataFiles = moveStaged(tmpData, "data/upskdata")
+    def writeAvro(df: DataFrame, rel: String): Unit = {
+      val t2 = new Path(tableDir, "_tmpavro")
+      df.coalesce(1).write.mode("overwrite").format(AvroFmt)
+        .save(t2.toString)
+      val p = fs.listStatus(t2).map(_.getPath)
+        .find(_.getName.startsWith("part-")).get
+      if (!fs.rename(p, new Path(tableDir, rel)))
+        throw new IllegalStateException(s"$tableDir: could not place $rel")
+      fs.delete(t2, true): Unit
+    }
+    writeAvro(Seq((1, newSeq, delRel))
+      .toDF("status", "sequence_number", "file_path")
+      .select(col("status"), col("sequence_number"),
+        struct(col("file_path"), lit(2).as("content"),
+          array(eqIds.map(lit(_)): _*).as("equality_ids"),
+          lit(delRc).as("record_count"),
+          lit(delSize).as("file_size_in_bytes")).as("data_file")),
+      s"metadata/m-upskdel-$newSnapId.avro")
+    writeAvro(dataFiles
+      .toDF("file_path", "record_count", "file_size_in_bytes")
+      .select(lit(1).as("status"), lit(newSeq).as("sequence_number"),
+        struct(col("file_path"), lit(0).as("content"),
+          col("record_count"), col("file_size_in_bytes"))
+          .as("data_file")),
+      s"metadata/m-upskdata-$newSnapId.avro")
+    // BOTH new manifests ride ONE manifest list at ONE sequence — the
+    // atomicity the two-snapshot composition lacks
+    writeAvro((oldRows ++ Seq(
+      (s"metadata/m-upskdel-$newSnapId.avro",
+        Some(1): Option[Int], Some(newSeq): Option[Long]),
+      (s"metadata/m-upskdata-$newSnapId.avro",
+        Some(0): Option[Int], Some(newSeq): Option[Long])))
+      .toDF("manifest_path", "content", "sequence_number"),
+      s"metadata/snap-$newSnapId.avro")
+    rollMetadata(fs, tableDir, metaFile, meta, newSnapId, "overwrite")
     newSnapId
   }
 

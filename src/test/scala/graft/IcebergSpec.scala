@@ -369,6 +369,48 @@ class IcebergSpec extends AnyFunSuite {
     assert(e1.getMessage.contains("nope"))
   }
 
+  test("upsertKeyed: the equality delete AND the appended row " +
+    "versions land in ONE snapshot at ONE sequence — a reader at any " +
+    "snapshot sees both or neither; new keys insert; refusals fire") {
+    import spark.implicits._
+    val root = fixture("upskeyed")
+    addEqDelete(root, Seq.empty[Long].toDF("id"), fieldId = 1,
+      dataSeq = 1L, delSeq = 2L)
+    val before = IcebergLite.snapshotIds(spark, root)
+    def rows(sid: Option[Long] = None): Seq[(Long, Long)] =
+      IcebergLite.read(spark, root, snapshotId = sid)
+        .select("id", "v").as[(Long, Long)].collect().sorted.toSeq
+    val orig = rows()
+    // update keys 0 and 7, insert NEW key 20 — one call, ONE snapshot
+    val newId = IcebergLite.upsertKeyed(spark, root,
+      Seq((0L, 100L), (7L, 700L), (20L, 2000L)).toDF("id", "v"),
+      Seq("id"))
+    assert(IcebergLite.snapshotIds(spark, root) == before :+ newId,
+      "the keyed update must add exactly ONE snapshot")
+    assert(rows() == ((1L to 9L).filterNot(_ == 7L).map(i => (i, i * 3))
+      ++ Seq((0L, 100L), (7L, 700L), (20L, 2000L))).sorted)
+    // atomicity's read side: the PRE-update CURRENT snapshot (3)
+    // shows neither the delete nor the append
+    assert(rows(Some(3L)) == orig)
+    // delete and data ride the same fresh sequence (max-live 2 + 1);
+    // strict data_seq < delete_seq keeps the appended versions alive
+    assert(IcebergLite.snapshot(spark, root).eqDeletes
+      .exists(_.seq == 3L))
+    // a second keyed update composes on top
+    assert(IcebergLite.upsertKeyed(spark, root,
+      Seq((20L, 1L)).toDF("id", "v"), Seq("id")) == newId + 1)
+    assert(rows().contains((20L, 1L)))
+    // refusals: missing schema column, unknown key column
+    assert(intercept[IllegalStateException] {
+      IcebergLite.upsertKeyed(spark, root, Seq(1L).toDF("id"),
+        Seq("id"))
+    }.getMessage.contains("v"))
+    assert(intercept[IllegalStateException] {
+      IcebergLite.upsertKeyed(spark, root,
+        Seq((1L, 1L)).toDF("id", "v"), Seq("nope"))
+    }.getMessage.contains("nope"))
+  }
+
   test("equality delete naming an unknown field id refuses loudly") {
     import spark.implicits._
     val root = fixture("eqbadid")
