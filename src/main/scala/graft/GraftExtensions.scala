@@ -264,6 +264,27 @@ object GraftExtensions {
           maintLitStr(fn, es.head, "the table path"))
         import spark.implicits._
         deleted.toDF("deleted_path").queryExecution.analyzed
+      }),
+    // row-level DML from pure SQL — the delete twin of the
+    // maintenance TVFs: the predicate arrives as a SQL string
+    // (literal-only arguments keep the entry point bounded), parses
+    // through the session's own expression parser, and runs the
+    // format-dispatched delete; returns the new version marker.
+    //   SELECT * FROM graft_lake_delete('/path', 'id % 2 = 1')
+    ("graft_lake_delete",
+      new ExpressionInfo(graft.sources.GraftLake.getClass.getName,
+        "graft_lake_delete"),
+      (es: Seq[Expression]) => {
+        val fn = "graft_lake_delete"
+        require(es.size == 2,
+          s"$fn(path, predicateSql) takes 2 arguments, got ${es.size}")
+        val spark = SparkSession.active
+        val v = graft.sources.GraftLake.delete(spark,
+          maintLitStr(fn, es.head, "the table path"),
+          org.apache.spark.sql.functions.expr(
+            maintLitStr(fn, es(1), "the predicate SQL")))
+        import spark.implicits._
+        Seq(v).toDF("version").queryExecution.analyzed
       }))
 
   private def maintLitStr(fn: String, e: Expression,

@@ -2188,6 +2188,39 @@ object Storage extends QueryModule {
       read.unionByName(cdf).orderBy(col("surface"), col("k"))
     },
 
+    // SQL row-level DML + the keyed-upsert facade: graft_lake_delete
+    // kills q>40 from PLAIN SQL (the predicate string parses through
+    // the session parser), then GraftLake.upsert MERGES one row per
+    // %10=1 orderkey (all surviving lines of those orders die under
+    // DVs, the new rows append) — the census sees exactly the
+    // remaining %10=0 lines plus one 777/U row per upserted key.
+    "q501_graft_lake_dml" -> { (s, dir) =>
+      graft.GraftExtensions.register(s)
+      val root = authorDeltaDeleteTable(s, dir, tag = "sqldml")
+      s.sql(s"SELECT * FROM graft_lake_delete('$root', " +
+        "'l_quantity > 40')").collect(): Unit
+      val ups = Tables.df(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 10 === 1)
+        .select(col("l_orderkey")).distinct()
+        .withColumn("l_quantity", lit(777.0))
+        .withColumn("l_returnflag", lit("U"))
+      graft.sources.GraftLake.upsert(s, root, ups,
+        Seq("l_orderkey")): Unit
+      val read = graft.sources.GraftLake.read(s, root)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_qty"))
+        .select(lit("read").as("surface"),
+          col("l_returnflag").as("k"), col("n"), col("sum_qty"))
+      import s.implicits._
+      val vers = Seq(("versions", "latest",
+        graft.sources.DeltaLogLite.latestVersion(s, root)))
+        .toDF("surface", "k", "n")
+        .withColumn("sum_qty", lit(null).cast(DoubleType))
+      read.unionByName(vers).orderBy(col("surface"), col("k"))
+    },
+
     // Iceberg ONE-SNAPSHOT keyed UPDATE: eq-delete + append land in a
     // SINGLE snapshot at one sequence (strict data_seq < delete_seq
     // keeps the appended versions alive) — %10=1 keys update to ×2,
@@ -9472,6 +9505,31 @@ object Storage extends QueryModule {
         |    CAST(sum(CAST(l_quantity + 100 AS DECIMAL(18,2)))
         |      AS DOUBLE)
         |  FROM upd)
+        |SELECT surface, k, n, sum_qty FROM rows_
+        |ORDER BY surface, k""".stripMargin,
+    // SQL delete (q>40) then keyed upsert: %10=0 lines with q<=40
+    // survive; every %10=1 orderkey collapses to one 777/U row
+    "q501_graft_lake_dml" ->
+      """WITH src AS (
+        |  SELECT l_orderkey, l_quantity, l_returnflag FROM lineitem
+        |  WHERE l_orderkey % 10 < 2),
+        |kept AS (
+        |  SELECT l_returnflag, l_quantity FROM src
+        |  WHERE l_quantity <= 40 AND l_orderkey % 10 = 0),
+        |ups AS (
+        |  SELECT DISTINCT l_orderkey FROM lineitem
+        |  WHERE l_orderkey % 10 = 1),
+        |rows_ AS (
+        |  SELECT 'read' AS surface, l_returnflag AS k, count(*) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS sum_qty
+        |  FROM kept GROUP BY l_returnflag
+        |  UNION ALL
+        |  SELECT 'read', 'U', count(*),
+        |    CAST(sum(CAST(777.0 AS DECIMAL(18,2))) AS DOUBLE)
+        |  FROM ups
+        |  UNION ALL
+        |  SELECT 'versions', 'latest', 2, CAST(NULL AS DOUBLE))
         |SELECT surface, k, n, sum_qty FROM rows_
         |ORDER BY surface, k""".stripMargin,
     // one-snapshot keyed update: %10=1 doubled, %10=5 inserted, the

@@ -2007,6 +2007,109 @@ object DeltaLogLite {
     version
   }
 
+  /** KEYED UPSERT — the delete+append pair a MERGE compiles to, in
+    * ONE commit: every stored row whose key tuple (null-safe over
+    * `keyCols`) appears in `rows` dies under grown deletion vectors
+    * (fully-matched files remove outright), and ALL input rows land
+    * in fresh per-partition data files — new keys simply insert, and
+    * a row may change partitions (its old position dies wherever it
+    * was; the new row lands under its own values). CDF-enabled
+    * tables write the cdc actions a MERGE produces:
+    * update_pre/postimages for keys that existed, inserts for new
+    * ones. Returns the committed version (a pure-insert upsert still
+    * commits — it appends).
+    *
+    * Scale shape: ONE semi-join of the table scan against the
+    * distinct input keys feeds the executor-side DV growth; the
+    * appends/cdc stage through distributed writes; the driver
+    * handles O(affected files) metadata. Single-writer scope. Loud
+    * refusals: duplicate key tuples in one batch, unknown key
+    * columns, rows missing schema columns, column-mapped tables. */
+  def upsertKeyed(spark: SparkSession, tableDir: String,
+                  rows: DataFrame, keyCols: Seq[String]): Long = {
+    val snap = snapshot(spark, tableDir)
+    require(keyCols.nonEmpty, "upsertKeyed needs at least one key column")
+    if (snap.physicalNames.nonEmpty || snap.fieldIds.nonEmpty)
+      throw new IllegalStateException(
+        s"$tableDir: column-mapped table — the upsert's new files " +
+          "would need re-stamped physical names / field ids; outside " +
+          "lite scope")
+    keyCols.foreach { c =>
+      if (!snap.schema.fieldNames.contains(c))
+        throw new IllegalStateException(
+          s"$tableDir: key column $c is not in the schema")
+    }
+    val missingCols = snap.schema.fieldNames
+      .filterNot(rows.columns.contains)
+    if (missingCols.nonEmpty) throw new IllegalStateException(
+      s"$tableDir: upsert input lacks schema columns " +
+        missingCols.mkString(", "))
+    if (rows.groupBy(keyCols.map(col): _*).count()
+        .filter(col("count") > 1).limit(1).count() > 0)
+      throw new IllegalStateException(
+        s"$tableDir: upsert batch has DUPLICATE key tuples — " +
+          "last-writer order would be ambiguous")
+    val fs = new Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val typed = rows.select(snap.schema.fields.toSeq.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)): _*)
+    val keysDf = typed.select(keyCols.map(c =>
+      col(c).as(s"_uk_$c")): _*).distinct()
+    val keyCond = keyCols.map(c => col(c) <=> col(s"_uk_$c"))
+      .reduce(_ && _)
+    val withMeta = readFiles(spark, tableDir, snap.schema,
+      snap.partitionColumns, snap.files, snap.physicalNames,
+      snap.fieldIds, keepMeta = true)
+    val matchedRows = withMeta.join(keysDf, keyCond, "left_semi")
+    val matched = matchedRows
+      .select(col("_dl_path").as("_path"), col("_dl_pos").as("_pos"))
+    val (byKey, dvResults) = growDeadVectors(spark, tableDir, snap,
+      matched)
+    val version = snap.version + 1
+    val partCols = snap.partitionColumns
+    val dataBase = if (partCols.isEmpty) Seq("data") else Nil
+    val newAdds = stagePartitionedWrite(spark, tableDir, fs, typed,
+      partCols, dataBase, s"upsert-$version")
+    def uriEncode(rel: String): String =
+      new java.net.URI(null, null, rel, null).toASCIIString
+    val cdcLines: Seq[String] =
+      if (!snap.configuration.get("delta.enableChangeDataFeed")
+        .contains("true")) Nil
+      else {
+        // MERGE-shaped change record: pre/post images for keys that
+        // existed, inserts for the rest
+        val exKeys = matchedRows.select(keyCols.map(c =>
+          col(c).as(s"_uk_$c")): _*).distinct()
+        val pre = matchedRows.drop("_dl_path", "_dl_pos")
+          .withColumn("_change_type", lit("update_preimage"))
+        val post = typed.join(exKeys, keyCond, "left_semi")
+          .withColumn("_change_type", lit("update_postimage"))
+        val ins = typed.join(exKeys, keyCond, "left_anti")
+          .withColumn("_change_type", lit("insert"))
+        val cdcDf = pre.unionByName(post).unionByName(ins)
+        stagePartitionedWrite(spark, tableDir, fs, cdcDf, partCols,
+          Seq("_change_data"), s"cdc-$version").map {
+          case (rel, pv, size) =>
+            s"""{"cdc":{"path":${jsonStr(uriEncode(rel))},"partitionValues":${
+              pvJson(pv.toMap)},"size":$size,"dataChange":false}}"""
+        }
+      }
+    val addLines = newAdds.map { case (rel, pv, size) =>
+      s"""{"add":{"path":${jsonStr(uriEncode(rel))},"partitionValues":${
+        pvJson(pv.toMap)},"size":$size,"modificationTime":0,"dataChange":true}}"""
+    }
+    // a pure-insert upsert grows no vectors — don't upgrade the
+    // protocol for a feature the commit doesn't use
+    val lines =
+      (if (dvResults.nonEmpty) protocolUpgradeLine(snap).toSeq
+       else Nil) ++ cdcLines ++
+        dvCommitLines(tableDir, fs, byKey, dvResults) ++ addLines
+    AtomicFiles.write(fs,
+      new Path(tableDir, f"_delta_log/$version%020d.json"),
+      lines.mkString("", "\n", "\n"), replace = false)
+    version
+  }
+
   /** VACUUM (retention 0 — the lite rendering of the protocol's
     * file-reclaim op): delete every data/DV file the log EVER
     * referenced that the CURRENT snapshot no longer does. Time travel

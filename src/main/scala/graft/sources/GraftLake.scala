@@ -329,6 +329,54 @@ object GraftLake {
           "— use PaimonLite.upsert")
     }
 
+  /** Detect + dispatch the KEYED UPSERT — one vocabulary over all
+    * four formats' merge-by-key writes: `rows` carries the new row
+    * versions (full table schema), `keyCols` names the match key.
+    * Delta runs the MERGE-shaped one-commit delete+append
+    * ([[DeltaLogLite.upsertKeyed]]); Iceberg the atomic one-snapshot
+    * eq-delete+append ([[IcebergLite.upsertKeyed]]); Hudi stamps the
+    * single key column into `_hoodie_record_key` and routes COW
+    * group rewrites ([[HudiCowLite.upsert]]) or MOR log-block
+    * appends ([[HudiMorLite.upsert]]); Paimon appends
+    * higher-sequence KeyValue rows ([[PaimonLite.upsert]]) — its
+    * table DEFINES the key, so `keyCols` must equal the declared
+    * primary key (silently merging under a different key would
+    * betray the caller). Returns the new version marker as a
+    * string. */
+  def upsert(spark: SparkSession, tableDir: String,
+             rows: DataFrame, keyCols: Seq[String]): String = {
+    require(keyCols.nonEmpty, "upsert needs at least one key column")
+    detect(spark, tableDir) match {
+      case Delta =>
+        DeltaLogLite.upsertKeyed(spark, tableDir, rows, keyCols)
+          .toString
+      case Iceberg =>
+        IcebergLite.upsertKeyed(spark, tableDir, rows, keyCols)
+          .toString
+      case Hudi =>
+        if (keyCols.size != 1) throw new IllegalArgumentException(
+          s"$tableDir: Hudi's record key is ONE string column — " +
+            s"composite facade keys (${keyCols.mkString(", ")}) are " +
+            "outside scope; pre-encode them into _hoodie_record_key " +
+            "and call the Hudi writer directly")
+        val keyed = rows.withColumn("_hoodie_record_key",
+          org.apache.spark.sql.functions.col(keyCols.head)
+            .cast("string"))
+        if (isMorTable(spark, tableDir))
+          HudiMorLite.upsert(spark, tableDir, keyed)
+        else HudiCowLite.upsert(spark, tableDir, keyed)
+      case Paimon =>
+        val declared = PaimonLite.snapshot(spark, tableDir).primaryKeys
+        if (declared.toSet != keyCols.toSet)
+          throw new IllegalArgumentException(
+            s"$tableDir: the table's primary key is " +
+              s"(${declared.mkString(", ")}) but the upsert asked for " +
+              s"(${keyCols.mkString(", ")}) — Paimon merges under the " +
+              "TABLE's key; pass it exactly")
+        PaimonLite.upsert(spark, tableDir, rows).toString
+    }
+  }
+
   /** Detect + dispatch FILE RECLAIM — the dead-file deletion op:
     * Delta VACUUM ([[DeltaLogLite.vacuum]]) and Hudi CLEAN
     * ([[HudiCowLite.clean]]), returning the deleted paths. Iceberg

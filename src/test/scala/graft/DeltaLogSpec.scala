@@ -2044,6 +2044,64 @@ class DeltaLogSpec extends AnyFunSuite {
       .filter(col("id") === 2).select("v").as[Long].head() == 777L)
   }
 
+  test("keyed UPSERT: ONE commit kills the old key versions under " +
+    "grown DVs and appends the new rows (partition moves included), " +
+    "the cdc images a MERGE, and a pure-insert upsert neither grows " +
+    "vectors nor upgrades the protocol") {
+    import spark.implicits._
+    val (root, schema) = fixture("upsertkeyed")
+    val metaCdf =
+      s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":${jstr(schema)},"partitionColumns":["part"],"configuration":{"delta.enableChangeDataFeed":"true"},"createdTime":0}}"""
+    commit(root, 0, metaCdf, add("f0.parquet", "a"),
+      add("f%20one.parquet", "b"))
+    def got(): Seq[(Long, Long, String)] = DeltaLogLite
+      .read(spark, root).select("id", "v", "part")
+      .as[(Long, Long, String)].collect().sorted.toSeq
+    // pure insert first: no DV growth, no protocol upgrade
+    val v1 = DeltaLogLite.upsertKeyed(spark, root,
+      Seq((30L, 300L, "a")).toDF("id", "v", "part"), Seq("id"))
+    assert(v1 == 1L)
+    val snap1 = DeltaLogLite.snapshot(spark, root)
+    assert(snap1.minReaderVersion == 1 &&
+      snap1.files.forall(_.deletionVector.isEmpty),
+      "a pure-insert upsert must not upgrade the protocol or grow DVs")
+    assert(got().contains((30L, 300L, "a")))
+    // MERGE: update key 1 (stays in a), MOVE key 7 from b to a,
+    // insert key 40
+    val v2 = DeltaLogLite.upsertKeyed(spark, root,
+      Seq((1L, 111L, "a"), (7L, 777L, "a"), (40L, 400L, "b"))
+        .toDF("id", "v", "part"), Seq("id"))
+    assert(v2 == 2L)
+    val after = got()
+    assert(after.contains((1L, 111L, "a")) &&
+      after.contains((7L, 777L, "a")) &&
+      after.contains((40L, 400L, "b")) &&
+      !after.exists(r => r._1 == 7L && r._3 == "b"), after.toString)
+    assert(after.size == 12) // 10 original + 30 + 40
+    // the cdc images a MERGE: pre/post for 1 and 7, insert for 40
+    val cdf = DeltaLogLite.readChanges(spark, root, v2, v2)
+      .select(col("id"), col("v"), col("_change_type"))
+      .as[(Long, Long, String)].collect().sorted.toSeq
+    assert(cdf == Seq((1L, 2L, "update_preimage"),
+      (1L, 111L, "update_postimage"), (7L, 14L, "update_preimage"),
+      (7L, 777L, "update_postimage"), (40L, 400L, "insert")).sorted,
+      cdf.toString)
+    // duplicate key tuples refuse; missing columns refuse
+    assert(intercept[IllegalStateException] {
+      DeltaLogLite.upsertKeyed(spark, root,
+        Seq((1L, 1L, "a"), (1L, 2L, "a")).toDF("id", "v", "part"),
+        Seq("id"))
+    }.getMessage.contains("DUPLICATE"))
+    assert(intercept[IllegalStateException] {
+      DeltaLogLite.upsertKeyed(spark, root,
+        Seq(1L).toDF("id"), Seq("id"))
+    }.getMessage.contains("v"))
+    // the lifecycle composes
+    DeltaLogLite.compact(spark, root): Unit
+    DeltaLogLite.vacuum(spark, root): Unit
+    assert(got() == after)
+  }
+
   test("base85 encode/decode round-trips") {
     val bytes = Array.tabulate[Byte](16)(i => (i * 17 - 128).toByte)
     assert(DeltaLogLite.base85Decode(

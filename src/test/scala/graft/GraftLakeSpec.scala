@@ -158,6 +158,88 @@ class GraftLakeSpec extends AnyFunSuite {
       .head().getLong(0) == 6L)
   }
 
+  test("SQL row-level DML: graft_lake_delete runs the predicate " +
+    "delete from plain SQL; GraftLake.upsert merges by key on Delta " +
+    "and refuses composite Hudi keys / foreign Paimon keys by name") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = fresh("sqldml", "_delta_log", "data")
+    def one(df: org.apache.spark.sql.DataFrame, out: String): Unit = {
+      val tmp = s"$root/_tmp"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val p = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith(".")).get
+      assert(p.renameTo(new java.io.File(s"$root/$out")))
+      rm(new java.io.File(tmp))
+    }
+    val a = spark.range(0, 8).select(col("id"), (col("id") * 2).as("v"))
+    one(a, "data/a.parquet")
+    Files.writeString(Paths.get(root, "_delta_log",
+      f"${0L}%020d.json"),
+      s"""{"metaData":{"id":"dml","format":{"provider":"parquet","options":{}},"schemaString":${
+        org.json4s.jackson.JsonMethods.compact(
+          org.json4s.JsonDSL.string2jvalue(a.schema.json))},"partitionColumns":[],"configuration":{},"createdTime":0}}
+         |{"add":{"path":"data/a.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}
+         |""".stripMargin)
+    GraftExtensions.register(spark)
+    // DELETE from pure SQL: the predicate string parses through the
+    // session's own expression parser and commits a DV delete
+    assert(spark.sql(
+      s"SELECT * FROM graft_lake_delete('$root', 'id % 2 = 1')")
+      .head().getString(0) == "1")
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft_lake('$root')")
+      .head().getLong(0) == 4L)
+    // literal gates refuse
+    val e0 = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_lake_delete(42, 'x')").collect()
+    }
+    assert(chain(e0).exists(_.contains("STRING literal")))
+    // the UPSERT facade: Delta merges by key (update 0, insert 100)
+    assert(GraftLake.upsert(spark, root,
+      Seq((0L, 999L), (100L, 1L)).toDF("id", "v"), Seq("id")) == "2")
+    val got = GraftLake.read(spark, root)
+      .select("id", "v").as[(Long, Long)].collect().sorted.toSeq
+    assert(got == Seq((0L, 999L), (2L, 4L), (4L, 8L), (6L, 12L),
+      (100L, 1L)))
+    // Hudi: composite facade keys refuse by name
+    val h = fresh("upsh", ".hoodie")
+    Files.writeString(Paths.get(h, ".hoodie", "hoodie.properties"),
+      "hoodie.table.type=COPY_ON_WRITE\n")
+    val e1 = intercept[IllegalArgumentException] {
+      GraftLake.upsert(spark, h,
+        Seq((1L, 2L)).toDF("a", "b"), Seq("a", "b"))
+    }
+    assert(e1.getMessage.contains("ONE string column"))
+    // Paimon: the table DEFINES its key — a foreign key refuses
+    val p = fresh("upsp", "snapshot", "schema", "manifest")
+    Files.writeString(Paths.get(p, "schema", "schema-0"),
+      """{"id":0,"fields":[{"id":0,"name":"id","type":"BIGINT"},
+        |{"id":1,"name":"v","type":"BIGINT"}],
+        |"highestFieldId":1,"partitionKeys":[],"primaryKeys":["id"],
+        |"options":{}}""".stripMargin)
+    val tmpAv = s"$p/_tmpavro"
+    Seq.empty[String].toDF("_FILE_NAME").coalesce(1)
+      .write.mode("overwrite")
+      .format("org.apache.spark.sql.avro.AvroFileFormat").save(tmpAv)
+    val av = new java.io.File(tmpAv).listFiles()
+      .find(_.getName.startsWith("part-")).get
+    assert(av.renameTo(new java.io.File(s"$p/manifest/ml-0.avro")))
+    rm(new java.io.File(tmpAv))
+    Files.writeString(Paths.get(p, "snapshot", "snapshot-1"),
+      """{"version":3,"id":1,"schemaId":0,
+        |"baseManifestList":"ml-0.avro",
+        |"deltaManifestList":"ml-0.avro",
+        |"commitKind":"APPEND","commitUser":"t",
+        |"commitIdentifier":1,"timeMillis":0}""".stripMargin)
+    Files.writeString(Paths.get(p, "snapshot", "LATEST"), "1")
+    val e2 = intercept[IllegalArgumentException] {
+      GraftLake.upsert(spark, p,
+        Seq((1L, 2L)).toDF("id", "v"), Seq("v"))
+    }
+    assert(e2.getMessage.contains("primary key"), e2.getMessage)
+  }
+
   test("readIncremental dispatches to Hudi (COW/MOR); the other " +
     "formats refuse naming their own change surface") {
     // non-Hudi formats refuse with a pointer (detect-level fixtures
