@@ -2188,6 +2188,36 @@ object Storage extends QueryModule {
       read.unionByName(cdf).orderBy(col("surface"), col("k"))
     },
 
+    // Delta COLUMN-MAPPED (mode=id) row-level UPDATE: the rewrite
+    // must re-stamp the new data AND cdc files with physical names /
+    // field ids (keeping _change_type literal) — a name-keeping
+    // staging write would census-break the id-resolving read, and
+    // the written CDF must image the update exactly across the
+    // mapping.
+    "q502_delta_mapped_update" -> { (s, dir) =>
+      import graft.sources.DeltaLogLite
+      val root = buildDeltaIdMappedTable(s, dir,
+        s"/tmp/graft_delta/cmapidu_${Integer.toHexString(dir.hashCode)}",
+        cdf = true)
+      val v = DeltaLogLite.update(s, root, col("l_quantity") > 25,
+        Map("l_quantity" -> (col("l_quantity") + 100)))
+      val read = DeltaLogLite.read(s, root)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_qty"))
+        .select(lit("read").as("surface"),
+          col("l_returnflag").as("k"), col("n"), col("sum_qty"))
+      val cdf = DeltaLogLite.readChanges(s, root, v, v)
+        .groupBy(col("_change_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_qty"))
+        .select(lit("cdf").as("surface"),
+          col("_change_type").as("k"), col("n"), col("sum_qty"))
+      read.unionByName(cdf).orderBy(col("surface"), col("k"))
+    },
+
     // SQL row-level DML + the keyed-upsert facade: graft_lake_delete
     // kills q>40 from PLAIN SQL (the predicate string parses through
     // the session parser), then GraftLake.upsert MERGES one row per
@@ -5149,9 +5179,11 @@ object Storage extends QueryModule {
     }
 
   /** The q429 mode=id layout at an explicit root (q499 compacts its
-    * own fresh copy, so the memoized read table stays untouched). */
+    * own fresh copy, so the memoized read table stays untouched;
+    * q502 additionally turns the change feed on). */
   private def buildDeltaIdMappedTable(s: SparkSession, dir: String,
-                                      root: String): String =
+                                      root: String,
+                                      cdf: Boolean = false): String =
     locally {
       locally {
         import java.nio.file.{Files, Paths}
@@ -5193,7 +5225,9 @@ object Storage extends QueryModule {
           s"""{"type":"struct","fields":[${fld("l_orderkey", "long", 1)},${fld("l_quantity", "double", 2)},${fld("l_extendedprice", "double", 3)},${fld("l_returnflag", "string", 4)}]}"""
         val lines = Seq(
           """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
-          s"""{"metaData":{"id":"graft-q429","format":{"provider":"parquet","options":{}},"schemaString":${jstr(schema)},"partitionColumns":["l_returnflag"],"configuration":{"delta.columnMapping.mode":"id","delta.columnMapping.maxColumnId":"4"},"createdTime":0}}""") ++
+          s"""{"metaData":{"id":"graft-q429","format":{"provider":"parquet","options":{}},"schemaString":${jstr(schema)},"partitionColumns":["l_returnflag"],"configuration":{"delta.columnMapping.mode":"id","delta.columnMapping.maxColumnId":"4"${
+            if (cdf) ""","delta.enableChangeDataFeed":"true"""" else ""
+          }},"createdTime":0}}""") ++
           adds
         Files.writeString(Paths.get(root, "_delta_log", f"${0L}%020d.json"),
           lines.mkString("", "\n", "\n"))
@@ -9489,6 +9523,30 @@ object Storage extends QueryModule {
       """WITH src AS (
         |  SELECT l_returnflag, l_quantity FROM lineitem
         |  WHERE l_orderkey % 10 < 2),
+        |upd AS (SELECT l_quantity FROM src WHERE l_quantity > 25),
+        |rows_ AS (
+        |  SELECT 'read' AS surface, l_returnflag AS k, count(*) AS n,
+        |    CAST(sum(CAST(CASE WHEN l_quantity > 25
+        |      THEN l_quantity + 100 ELSE l_quantity END
+        |      AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |  FROM src GROUP BY l_returnflag
+        |  UNION ALL
+        |  SELECT 'cdf', 'update_preimage', count(*),
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |  FROM upd
+        |  UNION ALL
+        |  SELECT 'cdf', 'update_postimage', count(*),
+        |    CAST(sum(CAST(l_quantity + 100 AS DECIMAL(18,2)))
+        |      AS DOUBLE)
+        |  FROM upd)
+        |SELECT surface, k, n, sum_qty FROM rows_
+        |ORDER BY surface, k""".stripMargin,
+    // mapped update: q>25 rows gain +100 through the id-resolving
+    // read; the written cdc images both sides exactly
+    "q502_delta_mapped_update" ->
+      """WITH src AS (
+        |  SELECT l_returnflag, l_quantity FROM lineitem
+        |  WHERE l_orderkey % 10 IN (0, 1)),
         |upd AS (SELECT l_quantity FROM src WHERE l_quantity > 25),
         |rows_ AS (
         |  SELECT 'read' AS surface, l_returnflag AS k, count(*) AS n,

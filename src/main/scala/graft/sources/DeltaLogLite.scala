@@ -1862,21 +1862,63 @@ object DeltaLogLite {
       }
     }
 
+  /** Re-stamp `df` (logical column names) under the snapshot's
+    * COLUMN MAPPING: mode=name renames to physical names; mode=id
+    * additionally attaches `parquet.field.id` metadata (the staging
+    * write must then run with the field-id writer flag — see
+    * [[stagePartitionedWrite]]'s `fieldIdWrite`). Identity when the
+    * table is unmapped. Columns in `keep` pass through under their
+    * literal names (the protocol stores `_change_type` unmapped in
+    * cdc files). */
+  private def stampMapped(snap: Snapshot, df: DataFrame,
+                          keep: Set[String] = Set.empty): DataFrame = {
+    if (snap.physicalNames.isEmpty) return df
+    def physOf(c: String): String =
+      if (keep(c)) c else snap.physicalNames.getOrElse(c, c)
+    val renamed = df.select(
+      df.columns.map(c => col(c).as(physOf(c))).toSeq: _*)
+    if (snap.fieldIds.isEmpty) renamed
+    else {
+      val physToLogical = snap.physicalNames.map(_.swap)
+      renamed.select(renamed.columns.map { pc =>
+        snap.fieldIds.get(physToLogical.getOrElse(pc, pc)) match {
+          case Some(id) => col(pc).as(pc,
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .putLong("parquet.field.id", id).build())
+          case None => col(pc)
+        }
+      }.toSeq: _*)
+    }
+  }
+
   /** Stage-write `df` into the table split by its partition columns
     * (consumed by the staging write, exactly like [[compact]]'s
     * rewrite) and move each file to
     * `<base>/<partition dirs>/<namePrefix>-<i>.parquet`. Returns
     * (relative path, unescaped (col, value) pairs, byte size) per
-    * file. Null partition values refuse, as everywhere. */
+    * file. Null partition values refuse, as everywhere.
+    * `fieldIdWrite` flips the parquet field-id writer flag around
+    * the staging write (and restores it) — required when `df`
+    * carries [[stampMapped]] mode=id metadata. */
   private def stagePartitionedWrite(spark: SparkSession, tableDir: String,
                                     fs: org.apache.hadoop.fs.FileSystem,
                                     df: DataFrame, partCols: Seq[String],
-                                    base: Seq[String], namePrefix: String)
+                                    base: Seq[String], namePrefix: String,
+                                    fieldIdWrite: Boolean = false)
   : Seq[(String, Seq[(String, String)], Long)] = {
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
     val tmp = new Path(tableDir, s"_tmp_$namePrefix")
-    (if (partCols.isEmpty) df.write else df.write.partitionBy(partCols: _*))
+    val fieldIdKey = "spark.sql.parquet.fieldId.write.enabled"
+    val prev = if (fieldIdWrite) Some(spark.conf.getOption(fieldIdKey))
+      else None
+    prev.foreach(_ => spark.conf.set(fieldIdKey, "true"))
+    try (if (partCols.isEmpty) df.write
+         else df.write.partitionBy(partCols: _*))
       .mode("overwrite").parquet(tmp.toString)
+    finally prev.foreach {
+      case Some(v) => spark.conf.set(fieldIdKey, v)
+      case None    => spark.conf.unset(fieldIdKey)
+    }
     def walkTmp(dir: Path, pv: Seq[(String, String)])
       : Seq[(Seq[(String, String)], Seq[String],
              org.apache.hadoop.fs.FileStatus)] =
@@ -1925,18 +1967,21 @@ object DeltaLogLite {
     * `cdc` actions carrying the EXACT update_preimage /
     * update_postimage rows, which [[readChanges]] then serves
     * verbatim (the protocol's rule: a cdc-bearing commit describes
-    * its changes completely through those files). Returns the
-    * committed version — the CURRENT one, with no commit, when
-    * nothing matched.
+    * its changes completely through those files). COLUMN-MAPPED
+    * tables update too: the new data and cdc files re-stamp the
+    * mapping's PHYSICAL names (mode=name) and parquet field ids
+    * (mode=id) — `_change_type` stays literal, as the protocol
+    * stores it — and partition directories/values key by physical
+    * name. Returns the committed version — the CURRENT one, with no
+    * commit, when nothing matched.
     *
     * Scale shape: ONE distributed predicate scan feeds both the
     * executor-side DV growth ([[growDeadVectors]]) and the
     * distributed new-file/cdc writes; the driver handles O(affected
     * files) metadata. Single-writer scope. Loud refusals: SET on a
     * partition column (the row would change partitions — a move this
-    * writer does not express), unknown SET columns, column-mapped
-    * tables (the new files would need re-stamped physical names /
-    * field ids), null partition values. */
+    * writer does not express), unknown SET columns, null partition
+    * values. */
   def update(spark: SparkSession, tableDir: String,
              condition: org.apache.spark.sql.Column,
              set: Map[String, org.apache.spark.sql.Column]): Long = {
@@ -1944,11 +1989,6 @@ object DeltaLogLite {
     if (snap.files.isEmpty) throw new IllegalStateException(
       s"$tableDir: nothing to update (no live files)")
     require(set.nonEmpty, "update needs at least one SET column")
-    if (snap.physicalNames.nonEmpty || snap.fieldIds.nonEmpty)
-      throw new IllegalStateException(
-        s"$tableDir: column-mapped table — the update's new files " +
-          "would need re-stamped physical names / field ids; outside " +
-          "lite scope")
     set.keys.foreach { c =>
       if (!snap.schema.fieldNames.contains(c))
         throw new IllegalStateException(
@@ -1974,9 +2014,14 @@ object DeltaLogLite {
       df.withColumn(c, e.cast(snap.schema(c).dataType))
     }.select(snap.schema.fieldNames.map(col).toSeq: _*)
     val partCols = snap.partitionColumns
+    // mapped tables stage under PHYSICAL names (+ field ids) — the
+    // same re-stamp the compaction rewrite performs
+    def physOf(c: String): String = snap.physicalNames.getOrElse(c, c)
+    val fieldIdWrite = snap.fieldIds.nonEmpty
     val dataBase = if (partCols.isEmpty) Seq("data") else Nil
-    val newAdds = stagePartitionedWrite(spark, tableDir, fs, updated,
-      partCols, dataBase, s"update-$version")
+    val newAdds = stagePartitionedWrite(spark, tableDir, fs,
+      stampMapped(snap, updated), partCols.map(physOf), dataBase,
+      s"update-$version", fieldIdWrite)
     def uriEncode(rel: String): String =
       new java.net.URI(null, null, rel, null).toASCIIString
     // exact written CDF, only when the table records a change feed
@@ -1988,8 +2033,10 @@ object DeltaLogLite {
           lit("update_preimage"))
           .unionByName(updated.withColumn("_change_type",
             lit("update_postimage")))
-        stagePartitionedWrite(spark, tableDir, fs, cdcDf, partCols,
-          Seq("_change_data"), s"cdc-$version").map {
+        stagePartitionedWrite(spark, tableDir, fs,
+          stampMapped(snap, cdcDf, keep = Set("_change_type")),
+          partCols.map(physOf), Seq("_change_data"), s"cdc-$version",
+          fieldIdWrite).map {
           case (rel, pv, size) =>
             s"""{"cdc":{"path":${jsonStr(uriEncode(rel))},"partitionValues":${
               pvJson(pv.toMap)},"size":$size,"dataChange":false}}"""
