@@ -86,7 +86,12 @@ object Bench {
     // copies it and compacts the COPY, so the timed region is
     // copy + rewrite + census read, never fixture authoring. Total
     // re-baselines accordingly.
-    "q493_delta_compact_bench")
+    "q493_delta_compact_bench",
+    // round 20: the second benched maintenance write — Iceberg
+    // bucket[4]-TRANSFORM compaction (the murmur3 partition rewrite),
+    // same memoize-and-copy methodology as q493. Total re-baselines
+    // accordingly.
+    "q503_iceberg_compact_bench")
 
   /** Drain the ContextCleaner so no prior query's cleanup I/O bills the
     * next timed region. A GC enqueues the dead weak refs; the cleaner

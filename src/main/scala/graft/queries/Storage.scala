@@ -2188,6 +2188,47 @@ object Storage extends QueryModule {
       read.unionByName(cdf).orderBy(col("surface"), col("k"))
     },
 
+    // The SECOND benched maintenance path (q493's memoize-and-copy
+    // methodology on Iceberg): bucket[4]-transform compaction over a
+    // MEMOIZED source — each invocation copies the source, compacts
+    // the copy (murmur3 bucket ordinals computed at rewrite time) and
+    // reads the census, so the number tracks the transform rewrite,
+    // never fixture authoring.
+    "q503_iceberg_compact_bench" -> { (s, dir) =>
+      import graft.sources.IcebergLite
+      import org.apache.hadoop.fs.{FileUtil, Path => HPath}
+      val src = authorIcebergBenchCompactSrc(s, dir)
+      val root =
+        s"/tmp/graft_iceberg/benchrun_${Integer.toHexString(dir.hashCode)}"
+      val conf = s.sparkContext.hadoopConfiguration
+      // copy through the RAW local FS: ChecksumFileSystem would write
+      // .crc sidecars that go stale when the compaction REPLACES
+      // version-hint.text through AtomicFiles' nio path
+      val hfs = new HPath(root).getFileSystem(conf) match {
+        case c: org.apache.hadoop.fs.ChecksumFileSystem =>
+          c.getRawFileSystem
+        case f => f
+      }
+      hfs.delete(new HPath(root), true)
+      if (!FileUtil.copy(hfs, new HPath(src), hfs, new HPath(root),
+        false, conf)) throw new IllegalStateException(
+        s"q503: could not stage a copy of $src")
+      IcebergLite.compact(s, root): Unit
+      val read = IcebergLite.read(s, root)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_qty"))
+        .select(lit("read").as("surface"),
+          col("l_returnflag").as("k"), col("n"), col("sum_qty"))
+      import s.implicits._
+      val files = Seq(("files", "live",
+        IcebergLite.snapshot(s, root).files.size.toLong))
+        .toDF("surface", "k", "n")
+        .withColumn("sum_qty", lit(null).cast(DoubleType))
+      read.unionByName(files).orderBy(col("surface"), col("k"))
+    },
+
     // Delta COLUMN-MAPPED (mode=id) row-level UPDATE: the rewrite
     // must re-stamp the new data AND cdc files with physical names /
     // field ids (keeping _change_type literal) — a name-keeping
@@ -7110,6 +7151,85 @@ object Storage extends QueryModule {
     buildPaimonPkTable(s, dir,
       s"/tmp/graft_paimon/pkcompact_${Integer.toHexString(dir.hashCode)}")
 
+  private val icebergBenchSrcMemo =
+    scala.collection.mutable.Map.empty[String, String]
+
+  /** The MEMOIZED bucket[4] Iceberg source q503 copies per bench
+    * pass: lineitem %10<5 across four unpartitioned-on-disk files
+    * under a bucket[4](l_orderkey) spec — the compaction computes
+    * the bucket ordinals from the spec's murmur3 at rewrite time. */
+  private def authorIcebergBenchCompactSrc(s: SparkSession,
+                                           dir: String): String =
+    icebergBenchSrcMemo.synchronized {
+      icebergBenchSrcMemo.getOrElseUpdate(dir, {
+        import java.nio.file.{Files, Paths}
+        val root =
+          s"/tmp/graft_iceberg/benchsrc_${Integer.toHexString(dir.hashCode)}"
+        val avroFmt = "org.apache.spark.sql.avro.AvroFileFormat"
+        def rm(p: java.io.File): Unit = {
+          if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+          p.delete(): Unit
+        }
+        rm(new java.io.File(root))
+        Files.createDirectories(Paths.get(root, "metadata"))
+        Files.createDirectories(Paths.get(root, "data"))
+        val src = Tables.df(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity"),
+            col("l_returnflag"))
+          .filter(col("l_orderkey") % 10 < 5)
+        val names = (0 until 4).map { q =>
+          val tmp = s"$root/_tmp"
+          graft.sources.IcebergLite.stampFieldIds(
+            src.filter(col("l_orderkey") % 4 === q),
+            Map("l_orderkey" -> 1, "l_quantity" -> 2,
+              "l_returnflag" -> 3))
+            .coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(p => p.getName.endsWith(".parquet") &&
+              !p.getName.startsWith(".")).get
+          val rel = s"data/h$q.parquet"
+          assert(part.renameTo(new java.io.File(s"$root/$rel")))
+          rm(new java.io.File(tmp))
+          rel
+        }
+        def writeAvro(d: DataFrame, rel: String): Unit = {
+          val t2 = s"$root/_tmpavro"
+          d.coalesce(1).write.mode("overwrite").format(avroFmt).save(t2)
+          val p = new java.io.File(t2).listFiles()
+            .find(_.getName.startsWith("part-")).get
+          assert(p.renameTo(new java.io.File(s"$root/$rel")))
+          rm(new java.io.File(t2))
+        }
+        import s.implicits._
+        writeAvro(names.toDF("file_path")
+          .select(lit(1).as("status"),
+            struct(col("file_path"), lit(0).as("content"))
+              .as("data_file")),
+          "metadata/m1.avro")
+        writeAvro(Seq("metadata/m1.avro").toDF("manifest_path")
+          .select(col("manifest_path"), lit(0).as("content")),
+          "metadata/snap-1.avro")
+        Files.writeString(
+          Paths.get(root, "metadata", "v1.metadata.json"),
+          s"""{"format-version":2,"location":${jstr(root)},
+             |"current-schema-id":0,
+             |"schemas":[{"schema-id":0,"type":"struct","fields":[
+             |  {"id":1,"name":"l_orderkey","required":false,"type":"long"},
+             |  {"id":2,"name":"l_quantity","required":false,"type":"double"},
+             |  {"id":3,"name":"l_returnflag","required":false,"type":"string"}]}],
+             |"partition-specs":[{"spec-id":0,"fields":[
+             |  {"name":"lo_bucket","transform":"bucket[4]","source-id":1,"field-id":1000}]}],
+             |"default-spec-id":0,
+             |"current-snapshot-id":1,
+             |"snapshots":[
+             | {"snapshot-id":1,"manifest-list":"metadata/snap-1.avro"}]}"""
+            .stripMargin)
+        Files.writeString(
+          Paths.get(root, "metadata", "version-hint.text"), "1")
+        root
+      })
+    }
+
   /** The FRESH unpartitioned Iceberg table q500's keyed update
     * mutates (NOT memoized): one snapshot of orders %10<5,
     * field-id-stamped. */
@@ -9539,6 +9659,21 @@ object Storage extends QueryModule {
         |    CAST(sum(CAST(l_quantity + 100 AS DECIMAL(18,2)))
         |      AS DOUBLE)
         |  FROM upd)
+        |SELECT surface, k, n, sum_qty FROM rows_
+        |ORDER BY surface, k""".stripMargin,
+    // benched transform compaction: census unchanged over %10<5, one
+    // file per bucket ordinal after the rewrite
+    "q503_iceberg_compact_bench" ->
+      """WITH src AS (
+        |  SELECT l_returnflag, l_quantity FROM lineitem
+        |  WHERE l_orderkey % 10 < 5),
+        |rows_ AS (
+        |  SELECT 'read' AS surface, l_returnflag AS k, count(*) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS sum_qty
+        |  FROM src GROUP BY l_returnflag
+        |  UNION ALL
+        |  SELECT 'files', 'live', 4, CAST(NULL AS DOUBLE))
         |SELECT surface, k, n, sum_qty FROM rows_
         |ORDER BY surface, k""".stripMargin,
     // mapped update: q>25 rows gain +100 through the id-resolving
