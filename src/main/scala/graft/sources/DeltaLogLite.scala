@@ -2069,18 +2069,15 @@ object DeltaLogLite {
     * Scale shape: ONE semi-join of the table scan against the
     * distinct input keys feeds the executor-side DV growth; the
     * appends/cdc stage through distributed writes; the driver
-    * handles O(affected files) metadata. Single-writer scope. Loud
-    * refusals: duplicate key tuples in one batch, unknown key
-    * columns, rows missing schema columns, column-mapped tables. */
+    * handles O(affected files) metadata. COLUMN-MAPPED tables serve
+    * too (new data/cdc files re-stamp physical names and field ids,
+    * like [[update]]). Single-writer scope. Loud refusals: duplicate
+    * key tuples in one batch, unknown key columns, rows missing
+    * schema columns. */
   def upsertKeyed(spark: SparkSession, tableDir: String,
                   rows: DataFrame, keyCols: Seq[String]): Long = {
     val snap = snapshot(spark, tableDir)
     require(keyCols.nonEmpty, "upsertKeyed needs at least one key column")
-    if (snap.physicalNames.nonEmpty || snap.fieldIds.nonEmpty)
-      throw new IllegalStateException(
-        s"$tableDir: column-mapped table — the upsert's new files " +
-          "would need re-stamped physical names / field ids; outside " +
-          "lite scope")
     keyCols.foreach { c =>
       if (!snap.schema.fieldNames.contains(c))
         throw new IllegalStateException(
@@ -2114,9 +2111,14 @@ object DeltaLogLite {
       matched)
     val version = snap.version + 1
     val partCols = snap.partitionColumns
+    // mapped tables stage under PHYSICAL names (+ field ids), like
+    // update()'s rewrite
+    def physOf(c: String): String = snap.physicalNames.getOrElse(c, c)
+    val fieldIdWrite = snap.fieldIds.nonEmpty
     val dataBase = if (partCols.isEmpty) Seq("data") else Nil
-    val newAdds = stagePartitionedWrite(spark, tableDir, fs, typed,
-      partCols, dataBase, s"upsert-$version")
+    val newAdds = stagePartitionedWrite(spark, tableDir, fs,
+      stampMapped(snap, typed), partCols.map(physOf), dataBase,
+      s"upsert-$version", fieldIdWrite)
     def uriEncode(rel: String): String =
       new java.net.URI(null, null, rel, null).toASCIIString
     val cdcLines: Seq[String] =
@@ -2134,8 +2136,10 @@ object DeltaLogLite {
         val ins = typed.join(exKeys, keyCond, "left_anti")
           .withColumn("_change_type", lit("insert"))
         val cdcDf = pre.unionByName(post).unionByName(ins)
-        stagePartitionedWrite(spark, tableDir, fs, cdcDf, partCols,
-          Seq("_change_data"), s"cdc-$version").map {
+        stagePartitionedWrite(spark, tableDir, fs,
+          stampMapped(snap, cdcDf, keep = Set("_change_type")),
+          partCols.map(physOf), Seq("_change_data"), s"cdc-$version",
+          fieldIdWrite).map {
           case (rel, pv, size) =>
             s"""{"cdc":{"path":${jsonStr(uriEncode(rel))},"partitionValues":${
               pvJson(pv.toMap)},"size":$size,"dataChange":false}}"""
