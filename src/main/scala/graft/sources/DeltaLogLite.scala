@@ -119,8 +119,22 @@ object DeltaLogLite {
                                 offset: Long, sizeInBytes: Int,
                                 cardinality: Long)
 
+  /** `stats` is the add action's RAW statistics JSON string when the
+    * writer recorded one — kept unparsed (the replay must not pay a
+    * per-add JSON parse for a field only the DV writers read, and
+    * only for their O(affected) files). */
   final case class AddFile(path: String, partitionValues: Map[String, String],
-                           deletionVector: Option[DvDescriptor] = None)
+                           deletionVector: Option[DvDescriptor] = None,
+                           stats: Option[String] = None)
+
+  /** The add-stats `numRecords`, if `stats` parses and carries one —
+    * malformed stats fall back to None (the caller footer-reads), a
+    * stats string is advisory, never a refusal. */
+  private def statsNumRecords(f: AddFile): Option[Long] =
+    f.stats.flatMap { s =>
+      try (JsonMethods.parse(s) \ "numRecords").extractOpt[Long]
+      catch { case _: Exception => None }
+    }
 
   /** Parse an action's `deletionVector` JSON (absent/null → None) —
     * shared by the snapshot replay and the change-feed synthesis
@@ -321,7 +335,11 @@ object DeltaLogLite {
         if (nested("add", "deletionVector"))
           col("add.deletionVector").cast(dvT)
         else lit(null).cast(dvT)
-      df.select(col("add.path"), col("add.partitionValues"), dvCol)
+      val statsCol =
+        if (nested("add", "stats")) col("add.stats").cast("string")
+        else lit(null).cast("string")
+      df.select(col("add.path"), col("add.partitionValues"), dvCol,
+          statsCol)
         .where(col("add.path").isNotNull).collect()
         .foreach { r =>
           val dv = Option(r.getStruct(2)).map { d =>
@@ -333,7 +351,8 @@ object DeltaLogLite {
           }
           val pv = Option(r.getMap[String, String](1))
             .map(_.toMap).getOrElse(Map.empty[String, String])
-          live(r.getString(0)) = AddFile(r.getString(0), pv, dv)
+          live(r.getString(0)) = AddFile(r.getString(0), pv, dv,
+            Option(r.getString(3)))
         }
     }
     (schema, partCols, conf, protocol)
@@ -452,7 +471,8 @@ object DeltaLogLite {
             val path = (add \ "path").extract[String]
             val dv = parseDvJson(add \ "deletionVector")
             live(path) = AddFile(path, (add \ "partitionValues")
-              .extractOpt[Map[String, String]].getOrElse(Map.empty), dv)
+              .extractOpt[Map[String, String]].getOrElse(Map.empty), dv,
+              (add \ "stats").extractOpt[String])
         }
       }
       state = (schema, partCols, conf, protocol)
@@ -603,7 +623,8 @@ object DeltaLogLite {
             val dv = parseDvJson(add \ "deletionVector")
             val pv = (add \ "partitionValues")
               .extractOpt[Map[String, String]].getOrElse(Map.empty)
-            live(path) = AddFile(path, pv, dv)
+            live(path) = AddFile(path, pv, dv,
+              (add \ "stats").extractOpt[String])
         }
         (action \ "remove") match {
           case JNothing =>
@@ -1791,14 +1812,18 @@ object DeltaLogLite {
         s"$tableDir: matched file $p is not in the snapshot — " +
           "file-identity mismatch")
     }
-    // full-file detection needs each affected file's TOTAL row count
-    // (parquet footer, O(affected) driver reads)
+    // full-file detection needs each affected file's TOTAL row count:
+    // the add action's stats.numRecords when the writer recorded one
+    // (zero driver I/O), the parquet footer otherwise — either way
+    // bounded to the O(affected) files
     val rowCounts: Map[String, Long] = affected.map { p =>
-      val real = resolveAddPath(tableDir, byKey(p).path)
-      val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new Path(real), spark.sparkContext.hadoopConfiguration))
-      p -> (try footer.getRecordCount finally footer.close())
+      p -> statsNumRecords(byKey(p)).getOrElse {
+        val real = resolveAddPath(tableDir, byKey(p).path)
+        val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new Path(real), spark.sparkContext.hadoopConfiguration))
+        try footer.getRecordCount finally footer.close()
+      }
     }.toMap
     // the new vector is the UNION: old dead rows (the scan already
     // excluded them from `matched`, so the sets are disjoint) plus

@@ -2044,6 +2044,33 @@ class DeltaLogSpec extends AnyFunSuite {
       .filter(col("id") === 2).select("v").as[Long].head() == 777L)
   }
 
+  test("DV growth reads row counts from add-action stats.numRecords " +
+    "when present (no driver footer I/O) — full-file removal and " +
+    "partial re-add both exact; malformed stats fall back to the " +
+    "footer instead of refusing") {
+    import spark.implicits._
+    val (root, schema) = fixture("statscounts")
+    def addS(path: String, part: String, stats: String): String =
+      s"""{"add":{"path":${jstr(path)},"partitionValues":{"part":${
+        jstr(part)}},"size":1,"modificationTime":0,"dataChange":true,"stats":${
+        jstr(stats)}}}"""
+    // f0 (ids 0-4) carries CORRECT stats; 'f one' (ids 5-9) carries
+    // MALFORMED stats (the footer fallback must serve it)
+    commit(root, 0, meta(schema),
+      addS("f0.parquet", "a", """{"numRecords":5,"minValues":{}}"""),
+      addS("f%20one.parquet", "b", "not json"))
+    // kill ALL of f0 (stats say 5 = matched count → removed outright)
+    // and PART of 'f one' (footer fallback → DV re-add)
+    assert(DeltaLogLite.delete(spark, root,
+      col("id") < 5 || col("id") === 7) == 1L)
+    assert(DeltaLogLite.read(spark, root).select("id").as[Long]
+      .collect().sorted.toSeq == Seq(5L, 6L, 8L, 9L))
+    val snap = DeltaLogLite.snapshot(spark, root)
+    assert(snap.files.map(_.path) == Seq("f%20one.parquet"),
+      snap.files.map(_.path).toString)
+    assert(snap.files.head.deletionVector.exists(_.cardinality == 1))
+  }
+
   test("keyed UPSERT: ONE commit kills the old key versions under " +
     "grown DVs and appends the new rows (partition moves included), " +
     "the cdc images a MERGE, and a pure-insert upsert neither grows " +
