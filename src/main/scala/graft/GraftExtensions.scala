@@ -285,6 +285,30 @@ object GraftExtensions {
             maintLitStr(fn, es(1), "the predicate SQL")))
         import spark.implicits._
         Seq(v).toDF("version").queryExecution.analyzed
+      }),
+    //   SELECT * FROM graft_lake_update('/p', 'id = 3', 'v', 'v + 1')
+    // — the update twin: one SET column per call (the literal-only
+    // TVF surface can't carry a map; chain calls for multi-column
+    // SETs), both predicate and SET expression parsed through the
+    // session parser.
+    ("graft_lake_update",
+      new ExpressionInfo(graft.sources.GraftLake.getClass.getName,
+        "graft_lake_update"),
+      (es: Seq[Expression]) => {
+        val fn = "graft_lake_update"
+        require(es.size == 4,
+          s"$fn(path, predicateSql, setColumn, setExprSql) takes 4 " +
+            s"arguments, got ${es.size}")
+        val spark = SparkSession.active
+        val v = graft.sources.GraftLake.update(spark,
+          maintLitStr(fn, es.head, "the table path"),
+          org.apache.spark.sql.functions.expr(
+            maintLitStr(fn, es(1), "the predicate SQL")),
+          Map(maintLitStr(fn, es(2), "the SET column") ->
+            org.apache.spark.sql.functions.expr(
+              maintLitStr(fn, es(3), "the SET expression SQL"))))
+        import spark.implicits._
+        Seq(v).toDF("version").queryExecution.analyzed
       }))
 
   private def maintLitStr(fn: String, e: Expression,

@@ -275,12 +275,12 @@ object GraftLake {
     * COW rewrites the touched file groups ([[HudiCowLite.delete]]),
     * Hudi MOR appends DELETE_BLOCKs to the touched slices' logs
     * ([[HudiMorLite.delete]] — the format's cheap-mutation point),
-    * both returning the new instant. Formats whose delete axis is
-    * KEYED rather than predicated refuse naming the right entry
-    * point: Iceberg's is the equality-delete write
-    * ([[IcebergLite.eqDelete]]), Paimon's is a `-D` KeyValue row the
-    * PK writer appends ([[PaimonLite.deleteKeys]]). Returns the new
-    * version marker as a string — the CURRENT one when nothing
+    * both returning the new instant; Paimon PK tables COMPOSE — the
+    * predicate selects keys on the merged view and
+    * [[PaimonLite.deleteKeys]] appends their `-D` rows (deduplicate
+    * engine, the writer's own gate). Iceberg's delete axis stays
+    * KEYED and refuses naming [[IcebergLite.eqDelete]]. Returns the
+    * new version marker as a string — the CURRENT one when nothing
     * matched (a no-op delete is not a table change). */
   def delete(spark: SparkSession, tableDir: String,
              condition: org.apache.spark.sql.Column): String =
@@ -294,9 +294,21 @@ object GraftLake {
       case Iceberg => throw new IllegalArgumentException(
         s"$tableDir: Iceberg's row-level delete axis is KEYED — use " +
           "IcebergLite.eqDelete(keys) for PK-style equality deletes")
-      case Paimon => throw new IllegalArgumentException(
-        s"$tableDir: Paimon deletes are -D KeyValue rows a PK writer " +
-          "appends — use PaimonLite.deleteKeys")
+      case Paimon =>
+        // composition: the predicate selects keys on the MERGED view,
+        // the PK writer appends their -D rows (deduplicate-engine
+        // scope — the writer's own gate names it; a no-match delete
+        // is not a table change)
+        val snapP = PaimonLite.snapshot(spark, tableDir)
+        if (snapP.primaryKeys.isEmpty)
+          throw new IllegalArgumentException(
+            s"$tableDir: append-only Paimon table (no primary key) — " +
+              "no row identity to delete by")
+        val need = (snapP.primaryKeys ++ snapP.partitionKeys).distinct
+        val keys = PaimonLite.read(spark, tableDir).filter(condition)
+          .select(need.map(org.apache.spark.sql.functions.col): _*)
+        if (keys.limit(1).count() == 0) snapP.snapshotId.toString
+        else PaimonLite.deleteKeys(spark, tableDir, keys).toString
     }
 
   /** Detect + dispatch the ROW-LEVEL UPDATE write: Delta rewrites

@@ -202,6 +202,12 @@ class GraftLakeSpec extends AnyFunSuite {
       .select("id", "v").as[(Long, Long)].collect().sorted.toSeq
     assert(got == Seq((0L, 999L), (2L, 4L), (4L, 8L), (6L, 12L),
       (100L, 1L)))
+    // UPDATE from pure SQL: predicate + SET expression both parse
+    // through the session parser
+    assert(spark.sql(s"SELECT * FROM graft_lake_update('$root', " +
+      "'id = 2', 'v', 'v + 70')").head().getString(0) == "3")
+    assert(GraftLake.read(spark, root).filter(col("id") === 2)
+      .select("v").as[Long].head() == 74L)
     // Hudi: composite facade keys refuse by name
     val h = fresh("upsh", ".hoodie")
     Files.writeString(Paths.get(h, ".hoodie", "hoodie.properties"),
@@ -238,6 +244,60 @@ class GraftLakeSpec extends AnyFunSuite {
         Seq((1L, 2L)).toDF("id", "v"), Seq("v"))
     }
     assert(e2.getMessage.contains("primary key"), e2.getMessage)
+  }
+
+  test("Paimon PREDICATE delete composes through the dispatch: the " +
+    "predicate selects keys on the merged view, -D rows append; " +
+    "no-match commits nothing; append-only tables refuse") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = fresh("paimonpdel", "snapshot", "schema", "manifest",
+      "bucket-0")
+    def writeAvro(d: org.apache.spark.sql.DataFrame, rel: String): Unit = {
+      val tmp = s"$root/_tmpavro"
+      d.coalesce(1).write.mode("overwrite")
+        .format("org.apache.spark.sql.avro.AvroFileFormat").save(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.startsWith("part-")).get
+      assert(part.renameTo(new java.io.File(s"$root/$rel")))
+      rm(new java.io.File(tmp))
+    }
+    val kv = spark.range(0, 6).select(col("id").as("_KEY_id"),
+      lit(1L).as("_SEQUENCE_NUMBER"),
+      lit(0).cast("tinyint").as("_VALUE_KIND"),
+      col("id"), (col("id") * 2).as("v"))
+    val tmpKv = s"$root/_tmpkv"
+    kv.coalesce(1).write.mode("overwrite").parquet(tmpKv)
+    val pf = new java.io.File(tmpKv).listFiles()
+      .find(f => f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith(".")).get
+    assert(pf.renameTo(new java.io.File(s"$root/bucket-0/kv0.parquet")))
+    rm(new java.io.File(tmpKv))
+    writeAvro(Seq((0, "kv0.parquet")).toDF("_KIND", "_fn")
+      .select(col("_KIND"), lit(0).as("_BUCKET"),
+        struct(col("_fn").as("_FILE_NAME")).as("_FILE")),
+      "manifest/m-0.avro")
+    writeAvro(Seq.empty[String].toDF("_FILE_NAME"),
+      "manifest/ml-empty.avro")
+    writeAvro(Seq("m-0.avro").toDF("_FILE_NAME"), "manifest/ml-0.avro")
+    Files.writeString(Paths.get(root, "schema", "schema-0"),
+      """{"id":0,"fields":[{"id":0,"name":"id","type":"BIGINT"},
+        |{"id":1,"name":"v","type":"BIGINT"}],
+        |"highestFieldId":1,"partitionKeys":[],"primaryKeys":["id"],
+        |"options":{}}""".stripMargin)
+    Files.writeString(Paths.get(root, "snapshot", "snapshot-1"),
+      """{"version":3,"id":1,"schemaId":0,
+        |"baseManifestList":"ml-empty.avro",
+        |"deltaManifestList":"ml-0.avro",
+        |"commitKind":"APPEND","commitUser":"t",
+        |"commitIdentifier":1,"timeMillis":0}""".stripMargin)
+    Files.writeString(Paths.get(root, "snapshot", "LATEST"), "1")
+    // the predicate runs on the MERGED view's value column
+    assert(GraftLake.delete(spark, root, col("v") >= 8) == "2")
+    assert(GraftLake.read(spark, root).select("id").as[Long]
+      .collect().sorted.toSeq == Seq(0L, 1L, 2L, 3L))
+    // no-match: the CURRENT snapshot id, no commit
+    assert(GraftLake.delete(spark, root, col("v") > 100) == "2")
   }
 
   test("readIncremental dispatches to Hudi (COW/MOR); the other " +
