@@ -1798,14 +1798,19 @@ object PaimonLite {
     * partition refuses new keys (Paimon's key-hash bucket assignment
     * is outside lite scope), an empty table bootstraps bucket-0.
     *
+    * `changelog-producer=input` tables WRITE their changelog too:
+    * the input rows are the changelog by that producer's definition,
+    * so each staged KV file gains a changelog sibling named by the
+    * snapshot's changelogManifestList — [[readChangelog]] then serves
+    * exactly this write. Compaction-materialized producers
+    * (lookup / full-compaction) refuse, as [[compactPk]] does.
+    *
     * Scale shape: ONE raw scan (max sequence + key→bucket map), one
     * routing join, one shuffle into per-(partition, bucket) staged
     * files; O(files) driver moves + bounded metadata. Single-writer
-    * scope. Loud refusals: a changelog-demanding producer (input /
-    * lookup / full-compaction — this writer emits no changelog, and
-    * silently skipping it would truncate the feed), duplicate keys
-    * in one batch, missing key/partition columns, append-only
-    * tables (no primary key — append through the sink). */
+    * scope. Loud refusals: duplicate keys in one batch, missing
+    * key/partition columns, append-only tables (no primary key —
+    * append through the sink). */
   def upsert(spark: SparkSession, tableDir: String,
              rows: DataFrame): Long =
     writeKv(spark, tableDir, rows, deleteMode = false)
@@ -1845,11 +1850,17 @@ object PaimonLite {
       (JsonMethods.parse(readText(fs, sf)) \ "options" \
         "changelog-producer").extractOpt[String].getOrElse("none")
     }
-    if (producer != "none") throw new IllegalStateException(
-      s"$tableDir: changelog-producer=$producer demands changelog " +
-        s"files describing this write — $op emits none, and silently " +
-        "skipping them would truncate the change feed; outside lite " +
-        "write scope")
+    // producer=input: the INPUT rows ARE the changelog — this writer
+    // emits them as changelog files beside the data (below). The
+    // compaction-materialized producers demand a changelog this
+    // writer cannot derive (it would need the pre-write merged state
+    // per key) — refuse, as compactPk does.
+    if (producer != "none" && producer != "input")
+      throw new IllegalStateException(
+        s"$tableDir: changelog-producer=$producer materializes its " +
+          s"changelog at COMPACTION — $op cannot derive it, and " +
+          "silently skipping it would truncate the change feed; " +
+          "outside lite write scope")
     val partCols = snap.partitionKeys
     val partTypes = boundedPartTypes(snap.schema, partCols,
       s"$tableDir $op")
@@ -1960,13 +1971,45 @@ object PaimonLite {
     writeAvroFile(spark, fs, tableDir,
       Seq(s"m-kv-$newId.avro").toDF("_FILE_NAME"),
       s"manifest/ml-kv-delta-$newId.avro")
+    // producer=input: the written rows ARE the changelog — copy each
+    // staged KV file as a changelog sibling (bounded O(files) FS
+    // copies; same content by the producer's definition), manifest
+    // them, and point the snapshot's changelogManifestList at them so
+    // readChangelog serves exactly this write
+    val changelogLine =
+      if (producer != "input") ""
+      else {
+        val clMoved = moved.map { case (name, part, bucket, rc, sz) =>
+          val partDirs = partCols.zip(part).map { case (k, v) =>
+            s"$k=${partPathValue(v, snap.defaultPartName)}/"
+          }.mkString
+          val src = new Path(tableDir,
+            s"${partDirs}bucket-$bucket/$name")
+          val clName = s"changelog-$name"
+          val dest = new Path(tableDir,
+            s"${partDirs}bucket-$bucket/$clName")
+          if (!org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dest,
+            false, spark.sparkContext.hadoopConfiguration))
+            throw new IllegalStateException(
+              s"$tableDir: could not place changelog file $clName")
+          (clName, part, bucket, rc, sz)
+        }
+        writeAvroFile(spark, fs, tableDir,
+          kvManifestDf(spark, clMoved, partCols, partTypes),
+          s"manifest/m-kv-cl-$newId.avro")
+        writeAvroFile(spark, fs, tableDir,
+          Seq(s"m-kv-cl-$newId.avro").toDF("_FILE_NAME"),
+          s"manifest/ml-kv-cl-$newId.avro")
+        s"""\n"changelogManifestList":"ml-kv-cl-$newId.avro","""
+      }
     AtomicFiles.write(fs,
       new Path(tableDir, s"snapshot/snapshot-$newId"),
       s"""{"version":3,"id":$newId,"schemaId":$schemaId,
          |"baseManifestList":"ml-kv-base-$newId.avro",
-         |"deltaManifestList":"ml-kv-delta-$newId.avro",
-         |"commitKind":"APPEND","commitUser":"graft",
-         |"commitIdentifier":$newId,"timeMillis":0}""".stripMargin,
+         |"deltaManifestList":"ml-kv-delta-$newId.avro",""".stripMargin +
+        changelogLine +
+        s"""\n"commitKind":"APPEND","commitUser":"graft",
+           |"commitIdentifier":$newId,"timeMillis":0}""".stripMargin,
       replace = false)
     AtomicFiles.write(fs,
       new Path(tableDir, "snapshot/LATEST"),

@@ -1211,13 +1211,42 @@ class PaimonSpec extends AnyFunSuite {
     assert(intercept[IllegalStateException] {
       PaimonLite.upsert(spark, root, Seq(1L).toDF("a"))
     }.getMessage.contains("id"))
-    // changelog-demanding producer refuses
+    // compaction-materialized producers refuse
     val rootCl = pkCustomFixture("pkwriter_cl",
-      """{"merge-engine":"deduplicate","changelog-producer":"input"}""",
+      """{"merge-engine":"deduplicate","changelog-producer":"lookup"}""",
       fields, Seq(kvm(Seq((1L, Some(10L), Some("x"))), 1)))
     assert(intercept[IllegalStateException] {
       PaimonLite.upsert(spark, rootCl, Seq((1L, 2L)).toDF("id", "a"))
     }.getMessage.contains("changelog-producer"))
+    // producer=input WRITES its changelog: the input rows come back
+    // through readChangelog with their kinds, and the merged read
+    // still folds
+    val rootIn = pkCustomFixture("pkwriter_in",
+      """{"merge-engine":"deduplicate","changelog-producer":"input"}""",
+      fields, Seq(kvm(Seq((1L, Some(10L), Some("x")),
+        (2L, Some(20L), Some("y"))), 1)))
+    val upId = PaimonLite.upsert(spark, rootIn,
+      Seq((1L, 99L, "z"), (5L, 50L, "w")).toDF("id", "a", "b"))
+    assert(PaimonLite.readChangelog(spark, rootIn, upId)
+      .select("id", "a", "b", "_row_kind")
+      .as[(Long, Option[Long], Option[String], String)]
+      .collect().sorted.toSeq ==
+      Seq((1L, Some(99L), Some("z"), "+I"),
+        (5L, Some(50L), Some("w"), "+I")))
+    val delId = PaimonLite.deleteKeys(spark, rootIn,
+      Seq(2L).toDF("id"))
+    assert(PaimonLite.readChangelog(spark, rootIn, delId)
+      .select("id", "_row_kind").as[(Long, String)]
+      .collect().toSeq == Seq((2L, "-D")))
+    assert(PaimonLite.read(spark, rootIn)
+      .as[(Long, Option[Long], Option[String])].collect().sorted
+      .toSeq == Seq((1L, Some(99L), Some("z")),
+      (5L, Some(50L), Some("w"))))
+    // the earlier snapshots' changelog reads stay intact (no
+    // changelog for the fixture snapshot → refuses naming producers)
+    assert(intercept[IllegalStateException] {
+      PaimonLite.readChangelog(spark, rootIn, 1L)
+    }.getMessage.contains("changelogManifestList"))
     // append-only tables (no PK) refuse naming the sink
     val rootAo = s"/tmp/graft_paimonspec/pkwriter_ao"
     rm(new java.io.File(rootAo))
