@@ -2188,6 +2188,34 @@ object Storage extends QueryModule {
       read.unionByName(cdf).orderBy(col("surface"), col("k"))
     },
 
+    // Iceberg PREDICATE DELETE — the merge-on-read DELETE WRITE
+    // (positional delete files): o_totalprice > 200000 rows die by
+    // (file, ordinal) through the GraftLake dispatch (all four
+    // formats now serve the predicate delete); the pre-delete
+    // snapshot travels; one content=1 delete file in the snapshot.
+    "q504_iceberg_pos_delete_write" -> { (s, dir) =>
+      import graft.sources.{GraftLake, IcebergLite}
+      val root = authorIcebergKeyedTable(s, dir, tag = "posdel")
+      GraftLake.delete(s, root, col("o_totalprice") > 200000): Unit
+      def census(df: DataFrame, surface: String): DataFrame =
+        df.groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2)))
+              .cast(DoubleType).as("sum_price"))
+          .select(lit(surface).as("surface"),
+            col("o_orderstatus").as("k"), col("n"), col("sum_price"))
+      val read = census(IcebergLite.read(s, root), "read")
+      val travel = census(
+        IcebergLite.read(s, root, snapshotId = Some(1L)), "travel")
+      import s.implicits._
+      val dels = Seq(("deletes", "files",
+        IcebergLite.snapshot(s, root).deleteFiles.size.toLong))
+        .toDF("surface", "k", "n")
+        .withColumn("sum_price", lit(null).cast(DoubleType))
+      read.unionByName(travel).unionByName(dels)
+        .orderBy(col("surface"), col("k"))
+    },
+
     // The SECOND benched maintenance path (q493's memoize-and-copy
     // methodology on Iceberg): bucket[4]-transform compaction over a
     // MEMOIZED source — each invocation copies the source, compacts
@@ -7230,14 +7258,14 @@ object Storage extends QueryModule {
       })
     }
 
-  /** The FRESH unpartitioned Iceberg table q500's keyed update
-    * mutates (NOT memoized): one snapshot of orders %10<5,
-    * field-id-stamped. */
-  private def authorIcebergKeyedTable(s: SparkSession,
-                                      dir: String): String = {
+  /** The FRESH unpartitioned Iceberg table q500's keyed update and
+    * q504's predicate delete mutate (NOT memoized; `tag` keeps their
+    * roots apart): one snapshot of orders %10<5, field-id-stamped. */
+  private def authorIcebergKeyedTable(s: SparkSession, dir: String,
+                                      tag: String = "keyed"): String = {
     import java.nio.file.{Files, Paths}
     val root =
-      s"/tmp/graft_iceberg/keyed_${Integer.toHexString(dir.hashCode)}"
+      s"/tmp/graft_iceberg/${tag}_${Integer.toHexString(dir.hashCode)}"
     val avroFmt = "org.apache.spark.sql.avro.AvroFileFormat"
     def rm(p: java.io.File): Unit = {
       if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
@@ -9660,6 +9688,26 @@ object Storage extends QueryModule {
         |      AS DOUBLE)
         |  FROM upd)
         |SELECT surface, k, n, sum_qty FROM rows_
+        |ORDER BY surface, k""".stripMargin,
+    // positional delete write: price>200000 rows die, the pre-delete
+    // snapshot travels, one delete file
+    "q504_iceberg_pos_delete_write" ->
+      """WITH src AS (
+        |  SELECT o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey % 10 < 5),
+        |rows_ AS (
+        |  SELECT 'read' AS surface, o_orderstatus AS k, count(*) AS n,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS sum_price
+        |  FROM src WHERE NOT o_totalprice > 200000
+        |  GROUP BY o_orderstatus
+        |  UNION ALL
+        |  SELECT 'travel', o_orderstatus, count(*),
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |  FROM src GROUP BY o_orderstatus
+        |  UNION ALL
+        |  SELECT 'deletes', 'files', 1, CAST(NULL AS DOUBLE))
+        |SELECT surface, k, n, sum_price FROM rows_
         |ORDER BY surface, k""".stripMargin,
     // benched transform compaction: census unchanged over %10<5, one
     // file per bucket ordinal after the rewrite

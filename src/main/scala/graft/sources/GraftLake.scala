@@ -275,13 +275,14 @@ object GraftLake {
     * COW rewrites the touched file groups ([[HudiCowLite.delete]]),
     * Hudi MOR appends DELETE_BLOCKs to the touched slices' logs
     * ([[HudiMorLite.delete]] — the format's cheap-mutation point),
-    * both returning the new instant; Paimon PK tables COMPOSE — the
-    * predicate selects keys on the merged view and
-    * [[PaimonLite.deleteKeys]] appends their `-D` rows (deduplicate
-    * engine, the writer's own gate). Iceberg's delete axis stays
-    * KEYED and refuses naming [[IcebergLite.eqDelete]]. Returns the
-    * new version marker as a string — the CURRENT one when nothing
-    * matched (a no-op delete is not a table change). */
+    * both returning the new instant; Iceberg commits POSITIONAL
+    * delete files — the merge-on-read DELETE ([[IcebergLite.delete]]);
+    * Paimon PK tables COMPOSE — the predicate selects keys on the
+    * merged view and [[PaimonLite.deleteKeys]] appends their `-D`
+    * rows (deduplicate engine, the writer's own gate). ALL FOUR
+    * formats serve the predicate delete. Returns the new version
+    * marker as a string — the CURRENT one when nothing matched (a
+    * no-op delete is not a table change). */
   def delete(spark: SparkSession, tableDir: String,
              condition: org.apache.spark.sql.Column): String =
     detect(spark, tableDir) match {
@@ -291,9 +292,8 @@ object GraftLake {
         if (isMorTable(spark, tableDir))
           HudiMorLite.delete(spark, tableDir, condition)
         else HudiCowLite.delete(spark, tableDir, condition)
-      case Iceberg => throw new IllegalArgumentException(
-        s"$tableDir: Iceberg's row-level delete axis is KEYED — use " +
-          "IcebergLite.eqDelete(keys) for PK-style equality deletes")
+      case Iceberg =>
+        IcebergLite.delete(spark, tableDir, condition).toString
       case Paimon =>
         // composition: the predicate selects keys on the MERGED view,
         // the PK writer appends their -D rows (deduplicate-engine

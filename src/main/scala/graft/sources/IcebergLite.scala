@@ -1844,6 +1844,106 @@ object IcebergLite {
       version.toString, replace = true)
   }
 
+  /** Move every staged parquet under `tmp` into the table as
+    * `<relPrefix>-<snapId>_<i>.parquet`, returning (relative path,
+    * footer row count, byte size) per file — the write paths' shared
+    * staging finish. */
+  private def moveStagedParquet(spark: SparkSession, tableDir: String,
+                                fs: org.apache.hadoop.fs.FileSystem,
+                                tmp: Path, relPrefix: String,
+                                newSnapId: Long)
+  : Seq[(String, Long, Long)] = {
+    val parts = fs.listStatus(tmp).map(_.getPath)
+      .filter(p => p.getName.endsWith(".parquet") &&
+        !p.getName.startsWith(".")).sortBy(_.getName)
+    if (parts.isEmpty) throw new IllegalStateException(
+      s"$tableDir: $relPrefix staged no parquet")
+    val out = parts.zipWithIndex.map { case (p, i) =>
+      val rel = s"$relPrefix-${newSnapId}_$i.parquet"
+      val dest = new Path(tableDir, rel)
+      fs.mkdirs(dest.getParent)
+      if (!fs.rename(p, dest)) throw new IllegalStateException(
+        s"$tableDir: could not place $rel")
+      val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          dest, spark.sparkContext.hadoopConfiguration))
+      val rc = try footer.getRecordCount finally footer.close()
+      (rel, rc, fs.getFileStatus(dest).getLen)
+    }.toSeq
+    fs.delete(tmp, true)
+    out
+  }
+
+  /** ROW-LEVEL DELETE by predicate — Iceberg's merge-on-read DELETE
+    * (`write.delete.mode=merge-on-read`): rows matching `condition`
+    * on the CURRENT resolved view (existing DV/positional/equality
+    * deletes applied first — a row already dead never re-deletes)
+    * die as POSITIONAL delete files: the spec's (file_path, pos)
+    * parquet rows, sorted by file then ordinal, field ids 2147483546/
+    * 2147483545 stamped, committed as one content=1 (DELETES)
+    * manifest at a fresh sequence in a new snapshot. The standard
+    * positional anti-join then serves the delete; data appended
+    * AFTER it lives in new files and is untouched. Returns the new
+    * snapshot id — the CURRENT one, with no commit, when nothing
+    * matched.
+    *
+    * Scale shape: ONE resolved scan under the predicate feeds the
+    * distributed delete-file write (matched positions never visit
+    * the driver; several staged files each become a manifest entry);
+    * the driver handles bounded manifest metadata + one atomic
+    * metadata roll. Single-writer scope. */
+  def delete(spark: SparkSession, tableDir: String,
+             condition: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.{col, lit, struct}
+    import spark.implicits._
+    val (metaFile, meta) = loadMeta(spark, tableDir)
+    val snap = snapshot(spark, tableDir)
+    if (snap.files.isEmpty) throw new IllegalStateException(
+      s"$tableDir: no data files to delete from")
+    val fs = new Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val data = scanData(spark, tableDir, snap, withMeta = true)
+    val live = applyDeleteChain(spark, tableDir, snap, data)
+    val matched = live.filter(condition)
+      .select(col("_ice_path").as("file_path"),
+        col("_ice_pos").cast("long").as("pos"))
+    if (matched.limit(1).count() == 0) return snap.snapshotId
+    val (oldRows, maxSeq) = liveManifestRows(spark, tableDir, meta)
+    val newSeq = maxSeq + 1
+    val newSnapId = snapshotIds(spark, tableDir).max + 1
+    // the spec orders positional delete rows by (file_path, pos);
+    // a range-partitioned sorted write keeps every staged file sorted
+    val tmp = new Path(tableDir, "_tmp_posdel")
+    stampFieldIds(matched.orderBy(col("file_path"), col("pos")),
+      Map("file_path" -> 2147483546, "pos" -> 2147483545))
+      .write.mode("overwrite").parquet(tmp.toString)
+    val delFiles = moveStagedParquet(spark, tableDir, fs, tmp,
+      "data/posdel", newSnapId)
+    def writeAvro(df: DataFrame, rel: String): Unit = {
+      val t2 = new Path(tableDir, "_tmpavro")
+      df.coalesce(1).write.mode("overwrite").format(AvroFmt)
+        .save(t2.toString)
+      val p = fs.listStatus(t2).map(_.getPath)
+        .find(_.getName.startsWith("part-")).get
+      if (!fs.rename(p, new Path(tableDir, rel)))
+        throw new IllegalStateException(s"$tableDir: could not place $rel")
+      fs.delete(t2, true): Unit
+    }
+    writeAvro(delFiles
+      .toDF("file_path", "record_count", "file_size_in_bytes")
+      .select(lit(1).as("status"), lit(newSeq).as("sequence_number"),
+        struct(col("file_path"), lit(1).as("content"),
+          col("record_count"), col("file_size_in_bytes"))
+          .as("data_file")),
+      s"metadata/m-posdel-$newSnapId.avro")
+    writeAvro((oldRows :+ ((s"metadata/m-posdel-$newSnapId.avro",
+      Some(1): Option[Int], Some(newSeq): Option[Long])))
+      .toDF("manifest_path", "content", "sequence_number"),
+      s"metadata/snap-$newSnapId.avro")
+    rollMetadata(fs, tableDir, metaFile, meta, newSnapId, "delete")
+    newSnapId
+  }
+
   /** ONE-SNAPSHOT keyed UPDATE (upsert): commit an equality-delete
     * file on `keyCols` AND the new row versions in a SINGLE snapshot
     * — both manifests at the same fresh sequence number, so the
@@ -1905,27 +2005,8 @@ object IcebergLite {
     val newSeq = maxSeq + 1
     val newSnapId = snapshotIds(spark, tableDir).max + 1
     def moveStaged(tmp: Path, relPrefix: String)
-    : Seq[(String, Long, Long)] = {
-      val parts = fs.listStatus(tmp).map(_.getPath)
-        .filter(p => p.getName.endsWith(".parquet") &&
-          !p.getName.startsWith(".")).sortBy(_.getName)
-      if (parts.isEmpty) throw new IllegalStateException(
-        s"$tableDir: $relPrefix staged no parquet")
-      val out = parts.zipWithIndex.map { case (p, i) =>
-        val rel = s"$relPrefix-${newSnapId}_$i.parquet"
-        val dest = new Path(tableDir, rel)
-        fs.mkdirs(dest.getParent)
-        if (!fs.rename(p, dest)) throw new IllegalStateException(
-          s"$tableDir: could not place $rel")
-        val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-            dest, spark.sparkContext.hadoopConfiguration))
-        val rc = try footer.getRecordCount finally footer.close()
-        (rel, rc, fs.getFileStatus(dest).getLen)
-      }.toSeq
-      fs.delete(tmp, true)
-      out
-    }
+    : Seq[(String, Long, Long)] =
+      moveStagedParquet(spark, tableDir, fs, tmp, relPrefix, newSnapId)
     // the delete leg: the rows' DISTINCT key tuples
     val tmpDel = new Path(tableDir, "_tmp_upskdel")
     stampFieldIds(rows.select(keyCols.map(col): _*).distinct(),

@@ -369,6 +369,43 @@ class IcebergSpec extends AnyFunSuite {
     assert(e1.getMessage.contains("nope"))
   }
 
+  test("predicate DELETE commits POSITIONAL delete files (the " +
+    "merge-on-read DELETE): matched view rows die by (file, ordinal), " +
+    "already-dead rows never re-delete, history travels, appends " +
+    "after the delete are untouched, no-match commits nothing") {
+    import spark.implicits._
+    val root = fixture("posdelwrite")
+    addEqDelete(root, Seq.empty[Long].toDF("id"), fieldId = 1,
+      dataSeq = 1L, delSeq = 2L)
+    def ids(sid: Option[Long] = None): Seq[Long] =
+      IcebergLite.read(spark, root, snapshotId = sid)
+        .select("id").as[Long].collect().sorted.toSeq
+    assert(ids() == (0L to 9L))
+    // delete v > 21 (ids 8, 9)
+    val d1 = IcebergLite.delete(spark, root, col("v") > 21)
+    assert(d1 == 4L)
+    assert(ids() == (0L to 7L))
+    // the committed delete file is the spec's positional shape
+    val snap = IcebergLite.snapshot(spark, root)
+    assert(snap.deleteFiles.exists(_.contains("posdel-4")),
+      snap.deleteFiles.toString)
+    // history travels to the pre-delete view
+    assert(ids(Some(3L)) == (0L to 9L))
+    // a second delete COMPOSES over the resolved view: id<2 dies,
+    // the already-dead 8/9 never re-match (their positions would
+    // double-delete harmlessly, but the view no longer shows them)
+    assert(IcebergLite.delete(spark, root, col("id") < 2) == 5L)
+    assert(ids() == (2L to 7L))
+    // no-match: the CURRENT snapshot, no commit
+    assert(IcebergLite.delete(spark, root, col("id") > 100) == 5L)
+    assert(IcebergLite.snapshotIds(spark, root).max == 5L)
+    // an append AFTER the delete lives in a new file — untouched by
+    // the earlier positional deletes
+    assert(IcebergLite.upsertKeyed(spark, root,
+      Seq((0L, 111L)).toDF("id", "v"), Seq("id")) == 6L)
+    assert(ids() == (0L +: (2L to 7L)))
+  }
+
   test("upsertKeyed: the equality delete AND the appended row " +
     "versions land in ONE snapshot at ONE sequence — a reader at any " +
     "snapshot sees both or neither; new keys insert; refusals fire") {
