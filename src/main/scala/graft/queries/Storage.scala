@@ -2216,6 +2216,31 @@ object Storage extends QueryModule {
         .orderBy(col("surface"), col("k"))
     },
 
+    // The predicate-UPDATE matrix's two NEW arms through one
+    // dispatch: Iceberg commits the merge-on-read UPDATE (positional
+    // deletes + rewrites in ONE snapshot), Paimon composes the
+    // SET-applied merged rows back through the PK writer — with this,
+    // GraftLake.update (and .delete) serve all four formats.
+    "q505_lake_update_matrix" -> { (s, dir) =>
+      import graft.sources.{GraftLake, IcebergLite, PaimonLite}
+      val iroot = authorIcebergKeyedTable(s, dir, tag = "upd")
+      GraftLake.update(s, iroot, col("o_orderkey") % 10 === 2,
+        Map("o_totalprice" -> (col("o_totalprice") * 3))): Unit
+      val proot = authorPaimonPkWriteTable(s, dir)
+      GraftLake.update(s, proot, col("o_orderkey") % 10 === 3,
+        Map("o_totalprice" -> (col("o_totalprice") * 2))): Unit
+      def census(df: DataFrame, fmt: String): DataFrame =
+        df.groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2)))
+              .cast(DoubleType).as("sum_price"))
+          .select(lit(fmt).as("fmt"),
+            col("o_orderstatus").as("k"), col("n"), col("sum_price"))
+      census(IcebergLite.read(s, iroot), "iceberg")
+        .unionByName(census(PaimonLite.read(s, proot), "paimon"))
+        .orderBy(col("fmt"), col("k"))
+    },
+
     // The SECOND benched maintenance path (q493's memoize-and-copy
     // methodology on Iceberg): bucket[4]-transform compaction over a
     // MEMOIZED source — each invocation copies the source, compacts
@@ -9689,6 +9714,26 @@ object Storage extends QueryModule {
         |  FROM upd)
         |SELECT surface, k, n, sum_qty FROM rows_
         |ORDER BY surface, k""".stripMargin,
+    // predicate updates on the two newly-served arms: %10=2 tripled
+    // on the Iceberg table, %10=3 doubled on the Paimon table
+    "q505_lake_update_matrix" ->
+      """WITH src AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey % 10 < 5),
+        |rows_ AS (
+        |  SELECT 'iceberg' AS fmt, o_orderstatus AS k, count(*) AS n,
+        |    CAST(sum(CAST(CASE WHEN o_orderkey % 10 = 2
+        |      THEN o_totalprice * 3 ELSE o_totalprice END
+        |      AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |  FROM src GROUP BY o_orderstatus
+        |  UNION ALL
+        |  SELECT 'paimon', o_orderstatus, count(*),
+        |    CAST(sum(CAST(CASE WHEN o_orderkey % 10 = 3
+        |      THEN o_totalprice * 2 ELSE o_totalprice END
+        |      AS DECIMAL(18,2))) AS DOUBLE)
+        |  FROM src GROUP BY o_orderstatus)
+        |SELECT fmt, k, n, sum_price FROM rows_
+        |ORDER BY fmt, k""".stripMargin,
     // positional delete write: price>200000 rows die, the pre-delete
     // snapshot travels, one delete file
     "q504_iceberg_pos_delete_write" ->

@@ -318,10 +318,14 @@ object GraftLake {
     * ([[HudiCowLite.update]]); Hudi MOR appends the SET-applied rows
     * as data blocks to their own slices' logs
     * ([[HudiMorLite.update]]). The remaining formats' update axes
-    * are KEYED writes and refuse naming them: Iceberg
-    * deletes-then-appends around [[IcebergLite.eqDelete]], Paimon
-    * upserts higher-sequence KeyValue rows
-    * ([[PaimonLite.upsert]]). */
+    * are served too: Iceberg commits the merge-on-read UPDATE —
+    * positional deletes + the rewritten rows in ONE snapshot
+    * ([[IcebergLite.update]]); Paimon PK tables COMPOSE — the
+    * SET-applied matched rows of the merged view upsert back as
+    * higher-sequence KeyValue rows ([[PaimonLite.upsert]],
+    * deduplicate-engine scope: partial-update and aggregation would
+    * FOLD the rewrite into the old value instead of replacing it, so
+    * they refuse). ALL FOUR formats serve the predicate update. */
   def update(spark: SparkSession, tableDir: String,
              condition: org.apache.spark.sql.Column,
              set: Map[String, org.apache.spark.sql.Column]): String =
@@ -332,13 +336,39 @@ object GraftLake {
         if (isMorTable(spark, tableDir))
           HudiMorLite.update(spark, tableDir, condition, set)
         else HudiCowLite.update(spark, tableDir, condition, set)
-      case Iceberg => throw new IllegalArgumentException(
-        s"$tableDir: Iceberg's lite update axis is keyed — use " +
-          "IcebergLite.upsertKeyed(rows, keyCols) for the atomic " +
-          "one-snapshot delete+append")
-      case Paimon => throw new IllegalArgumentException(
-        s"$tableDir: Paimon updates are higher-sequence KeyValue rows " +
-          "— use PaimonLite.upsert")
+      case Iceberg =>
+        IcebergLite.update(spark, tableDir, condition, set).toString
+      case Paimon =>
+        val snapP = PaimonLite.snapshot(spark, tableDir)
+        if (snapP.primaryKeys.isEmpty)
+          throw new IllegalArgumentException(
+            s"$tableDir: append-only Paimon table (no primary key) — " +
+              "no row identity to update by")
+        if (snapP.mergeEngine != "deduplicate")
+          throw new IllegalArgumentException(
+            s"$tableDir: merge-engine=${snapP.mergeEngine} would FOLD " +
+              "the rewritten row into the stored value instead of " +
+              "replacing it — predicate update is deduplicate-engine " +
+              "scope")
+        val view = PaimonLite.read(spark, tableDir)
+        set.keys.foreach { c =>
+          if (!view.columns.contains(c))
+            throw new IllegalArgumentException(
+              s"$tableDir: SET column $c is not in the schema")
+          if (snapP.primaryKeys.contains(c) ||
+            snapP.partitionKeys.contains(c))
+            throw new IllegalArgumentException(
+              s"$tableDir: SET touches key/partition column $c — a " +
+                "key-moving update is outside scope")
+        }
+        val matched = view.filter(condition)
+        if (matched.limit(1).count() == 0) snapP.snapshotId.toString
+        else {
+          val updated = set.foldLeft(matched) { case (df, (c, e)) =>
+            df.withColumn(c, e.cast(snapP.schema(c).dataType))
+          }
+          PaimonLite.upsert(spark, tableDir, updated).toString
+        }
     }
 
   /** Detect + dispatch the KEYED UPSERT — one vocabulary over all

@@ -1944,6 +1944,122 @@ object IcebergLite {
     newSnapId
   }
 
+  /** ROW-LEVEL UPDATE by predicate — merge-on-read UPDATE
+    * (`write.update.mode=merge-on-read`), ONE snapshot: rows matching
+    * `condition` on the resolved view die as POSITIONAL delete files
+    * while their SET-applied rewrites append as new data files, both
+    * manifests riding one manifest list at one fresh sequence — a
+    * reader at any snapshot sees the delete and the rewrite together
+    * or not at all. Returns the new snapshot id — the CURRENT one,
+    * with no commit, when nothing matched.
+    *
+    * Scale shape: ONE resolved scan under the predicate feeds both
+    * distributed writes; bounded driver metadata + one atomic roll.
+    * Single-writer scope. Loud refusals: unknown SET columns,
+    * partitioned tables (the appended files would need partition
+    * values — outside lite write scope). */
+  def update(spark: SparkSession, tableDir: String,
+             condition: org.apache.spark.sql.Column,
+             set: Map[String, org.apache.spark.sql.Column]): Long = {
+    import org.apache.spark.sql.functions.{col, lit, struct}
+    import spark.implicits._
+    val (metaFile, meta) = loadMeta(spark, tableDir)
+    val snap = snapshot(spark, tableDir)
+    if (snap.files.isEmpty) throw new IllegalStateException(
+      s"$tableDir: no data files to update")
+    require(set.nonEmpty, "update needs at least one SET column")
+    set.keys.foreach { c =>
+      if (!snap.schema.fieldNames.contains(c))
+        throw new IllegalStateException(
+          s"$tableDir: SET column $c is not in the schema")
+    }
+    val defSpecId = (meta \ "default-spec-id").extractOpt[Int].getOrElse(0)
+    (meta \ "partition-specs") match {
+      case JArray(specs) =>
+        specs.find(sp =>
+          (sp \ "spec-id").extractOpt[Int].contains(defSpecId))
+          .foreach { sp => (sp \ "fields") match {
+            case JArray(pfs) if pfs.nonEmpty =>
+              throw new IllegalStateException(
+                s"$tableDir: partitioned table — update's appended " +
+                  "files would need partition values; outside lite " +
+                  "write scope")
+            case _ =>
+          } }
+      case _ =>
+    }
+    val fs = new Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val data = scanData(spark, tableDir, snap, withMeta = true)
+    val live = applyDeleteChain(spark, tableDir, snap, data)
+    val matchedRows = live.filter(condition)
+    val matched = matchedRows
+      .select(col("_ice_path").as("file_path"),
+        col("_ice_pos").cast("long").as("pos"))
+    if (matched.limit(1).count() == 0) return snap.snapshotId
+    val (oldRows, maxSeq) = liveManifestRows(spark, tableDir, meta)
+    val newSeq = maxSeq + 1
+    val newSnapId = snapshotIds(spark, tableDir).max + 1
+    val tmpDel = new Path(tableDir, "_tmp_updposdel")
+    stampFieldIds(matched.orderBy(col("file_path"), col("pos")),
+      Map("file_path" -> 2147483546, "pos" -> 2147483545))
+      .write.mode("overwrite").parquet(tmpDel.toString)
+    val delFiles = moveStagedParquet(spark, tableDir, fs, tmpDel,
+      "data/upddel", newSnapId)
+    def fieldId(c: String): Int = {
+      val f = snap.schema.fields.find(_.name == c).get
+      if (!f.metadata.contains(FieldIdKey))
+        throw new IllegalStateException(
+          s"$tableDir: schema field $c carries no field id — cannot " +
+            "stamp the rewrite")
+      f.metadata.getLong(FieldIdKey).toInt
+    }
+    val updated = set.foldLeft(
+      matchedRows.drop("_ice_path", "_ice_pos")) { case (df, (c, e)) =>
+      df.withColumn(c, e.cast(snap.schema(c).dataType))
+    }.select(snap.schema.fields.toSeq.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)): _*)
+    val tmpData = new Path(tableDir, "_tmp_upddata")
+    stampFieldIds(updated,
+      snap.schema.fieldNames.map(c => c -> fieldId(c)).toMap)
+      .write.mode("overwrite").parquet(tmpData.toString)
+    val dataFiles = moveStagedParquet(spark, tableDir, fs, tmpData,
+      "data/upddata", newSnapId)
+    def writeAvro(df: DataFrame, rel: String): Unit = {
+      val t2 = new Path(tableDir, "_tmpavro")
+      df.coalesce(1).write.mode("overwrite").format(AvroFmt)
+        .save(t2.toString)
+      val p = fs.listStatus(t2).map(_.getPath)
+        .find(_.getName.startsWith("part-")).get
+      if (!fs.rename(p, new Path(tableDir, rel)))
+        throw new IllegalStateException(s"$tableDir: could not place $rel")
+      fs.delete(t2, true): Unit
+    }
+    writeAvro(delFiles
+      .toDF("file_path", "record_count", "file_size_in_bytes")
+      .select(lit(1).as("status"), lit(newSeq).as("sequence_number"),
+        struct(col("file_path"), lit(1).as("content"),
+          col("record_count"), col("file_size_in_bytes"))
+          .as("data_file")),
+      s"metadata/m-upddel-$newSnapId.avro")
+    writeAvro(dataFiles
+      .toDF("file_path", "record_count", "file_size_in_bytes")
+      .select(lit(1).as("status"), lit(newSeq).as("sequence_number"),
+        struct(col("file_path"), lit(0).as("content"),
+          col("record_count"), col("file_size_in_bytes"))
+          .as("data_file")),
+      s"metadata/m-upddata-$newSnapId.avro")
+    writeAvro((oldRows ++ Seq(
+      (s"metadata/m-upddel-$newSnapId.avro",
+        Some(1): Option[Int], Some(newSeq): Option[Long]),
+      (s"metadata/m-upddata-$newSnapId.avro",
+        Some(0): Option[Int], Some(newSeq): Option[Long])))
+      .toDF("manifest_path", "content", "sequence_number"),
+      s"metadata/snap-$newSnapId.avro")
+    rollMetadata(fs, tableDir, metaFile, meta, newSnapId, "overwrite")
+    newSnapId
+  }
+
   /** ONE-SNAPSHOT keyed UPDATE (upsert): commit an equality-delete
     * file on `keyCols` AND the new row versions in a SINGLE snapshot
     * — both manifests at the same fresh sequence number, so the

@@ -298,6 +298,18 @@ class GraftLakeSpec extends AnyFunSuite {
       .collect().sorted.toSeq == Seq(0L, 1L, 2L, 3L))
     // no-match: the CURRENT snapshot id, no commit
     assert(GraftLake.delete(spark, root, col("v") > 100) == "2")
+    // predicate UPDATE composes the same way (deduplicate engine:
+    // the rewritten row REPLACES the stored one)
+    assert(GraftLake.update(spark, root, col("id") === 1,
+      Map("v" -> (col("v") + 50))) == "3")
+    assert(GraftLake.read(spark, root).select("id", "v")
+      .as[(Long, Long)].collect().sorted.toSeq ==
+      Seq((0L, 0L), (1L, 52L), (2L, 4L), (3L, 6L)))
+    // key-moving SETs refuse
+    assert(intercept[IllegalArgumentException] {
+      GraftLake.update(spark, root, col("id") === 1,
+        Map("id" -> lit(9L)))
+    }.getMessage.contains("key"))
   }
 
   test("readIncremental dispatches to Hudi (COW/MOR); the other " +

@@ -404,6 +404,24 @@ class IcebergSpec extends AnyFunSuite {
     assert(IcebergLite.upsertKeyed(spark, root,
       Seq((0L, 111L)).toDF("id", "v"), Seq("id")) == 6L)
     assert(ids() == (0L +: (2L to 7L)))
+    // predicate UPDATE: ONE snapshot kills the matched positions and
+    // appends the SET-applied rewrites — both-or-neither at any
+    // snapshot
+    def rows(sid: Option[Long] = None): Seq[(Long, Long)] =
+      IcebergLite.read(spark, root, snapshotId = sid)
+        .select("id", "v").as[(Long, Long)].collect().sorted.toSeq
+    val preUpd = rows()
+    assert(IcebergLite.update(spark, root, col("id") === 4,
+      Map("v" -> (col("v") + 1000))) == 7L)
+    assert(rows().contains((4L, 1012L)) && rows().size == preUpd.size)
+    assert(rows(Some(6L)) == preUpd)
+    // no-match update commits nothing; unknown SET column refuses
+    assert(IcebergLite.update(spark, root, col("id") > 100,
+      Map("v" -> lit(0L))) == 7L)
+    assert(intercept[IllegalStateException] {
+      IcebergLite.update(spark, root, col("id") === 0,
+        Map("nope" -> lit(0L)))
+    }.getMessage.contains("nope"))
   }
 
   test("upsertKeyed: the equality delete AND the appended row " +
