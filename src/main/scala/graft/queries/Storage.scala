@@ -2195,7 +2195,9 @@ object Storage extends QueryModule {
     // snapshot travels; one content=1 delete file in the snapshot.
     "q504_iceberg_pos_delete_write" -> { (s, dir) =>
       import graft.sources.{GraftLake, IcebergLite}
-      val root = authorIcebergKeyedTable(s, dir, tag = "posdel")
+      // tag must dodge q396's memoized ".../posdel_" fixture root —
+      // this query MUTATES its table
+      val root = authorIcebergKeyedTable(s, dir, tag = "pdelwrite")
       GraftLake.delete(s, root, col("o_totalprice") > 200000): Unit
       def census(df: DataFrame, surface: String): DataFrame =
         df.groupBy(col("o_orderstatus"))
