@@ -1526,24 +1526,7 @@ object DeltaLogLite {
     // partitionValues keys — use physical names, exactly as the
     // protocol keys them
     def physOf(c: String): String = snap.physicalNames.getOrElse(c, c)
-    val outDf =
-      if (snap.physicalNames.isEmpty) packed
-      else {
-        val renamed = packed.select(
-          packed.columns.map(c => col(c).as(physOf(c))).toSeq: _*)
-        if (snap.fieldIds.isEmpty) renamed
-        else {
-          val physToLogical = snap.physicalNames.map(_.swap)
-          renamed.select(renamed.columns.map { pc =>
-            snap.fieldIds.get(physToLogical.getOrElse(pc, pc)) match {
-              case Some(id) => col(pc).as(pc,
-                new org.apache.spark.sql.types.MetadataBuilder()
-                  .putLong("parquet.field.id", id).build())
-              case None => col(pc)
-            }
-          }.toSeq: _*)
-        }
-      }
+    val outDf = stampMapped(snap, packed)
     // mode=id staging needs the field-id parquet writer — flip the
     // session flag only AROUND this write and restore it, so one
     // maintenance call never changes how unrelated later writes in
@@ -1879,9 +1862,16 @@ object DeltaLogLite {
       else {
         val real = resolveAddPath(tableDir, f.path)
         val len = fs.getFileStatus(new Path(real)).getLen
+        // DV growth never changes the file's PHYSICAL row count, so
+        // the original add's stats carry forward verbatim — dropping
+        // them would push every later delete/update on this file
+        // back to driver-side footer reads (and cost external
+        // readers their min/max pruning)
+        val statsPart = f.stats
+          .map(s => s""","stats":${jsonStr(s)}""").getOrElse("")
         val add =
           s"""{"add":{"path":${jsonStr(f.path)},"partitionValues":${
-            pvJson(f.partitionValues)},"size":$len,"modificationTime":0,"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":${
+            pvJson(f.partitionValues)},"size":$len,"modificationTime":0,"dataChange":true$statsPart,"deletionVector":{"storageType":"u","pathOrInlineDv":${
             jsonStr(b85)},"offset":1,"sizeInBytes":$size,"cardinality":$card}}}"""
         Seq(remove, add)
       }
@@ -2113,15 +2103,17 @@ object DeltaLogLite {
     if (missingCols.nonEmpty) throw new IllegalStateException(
       s"$tableDir: upsert input lacks schema columns " +
         missingCols.mkString(", "))
-    if (rows.groupBy(keyCols.map(col): _*).count()
-        .filter(col("count") > 1).limit(1).count() > 0)
-      throw new IllegalStateException(
-        s"$tableDir: upsert batch has DUPLICATE key tuples — " +
-          "last-writer order would be ambiguous")
     val fs = new Path(tableDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val typed = rows.select(snap.schema.fields.toSeq.map(f =>
       col(f.name).cast(f.dataType).as(f.name)): _*)
+    // duplicate check runs on the CAST keys — raw keys that collapse
+    // under the schema cast ("1" vs "01" into a long) are duplicates
+    if (typed.groupBy(keyCols.map(col): _*).count()
+        .filter(col("count") > 1).limit(1).count() > 0)
+      throw new IllegalStateException(
+        s"$tableDir: upsert batch has DUPLICATE key tuples — " +
+          "last-writer order would be ambiguous")
     val keysDf = typed.select(keyCols.map(c =>
       col(c).as(s"_uk_$c")): _*).distinct()
     val keyCond = keyCols.map(c => col(c) <=> col(s"_uk_$c"))

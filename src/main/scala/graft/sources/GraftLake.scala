@@ -295,20 +295,7 @@ object GraftLake {
       case Iceberg =>
         IcebergLite.delete(spark, tableDir, condition).toString
       case Paimon =>
-        // composition: the predicate selects keys on the MERGED view,
-        // the PK writer appends their -D rows (deduplicate-engine
-        // scope — the writer's own gate names it; a no-match delete
-        // is not a table change)
-        val snapP = PaimonLite.snapshot(spark, tableDir)
-        if (snapP.primaryKeys.isEmpty)
-          throw new IllegalArgumentException(
-            s"$tableDir: append-only Paimon table (no primary key) — " +
-              "no row identity to delete by")
-        val need = (snapP.primaryKeys ++ snapP.partitionKeys).distinct
-        val keys = PaimonLite.read(spark, tableDir).filter(condition)
-          .select(need.map(org.apache.spark.sql.functions.col): _*)
-        if (keys.limit(1).count() == 0) snapP.snapshotId.toString
-        else PaimonLite.deleteKeys(spark, tableDir, keys).toString
+        PaimonLite.delete(spark, tableDir, condition).toString
     }
 
   /** Detect + dispatch the ROW-LEVEL UPDATE write: Delta rewrites
@@ -339,36 +326,7 @@ object GraftLake {
       case Iceberg =>
         IcebergLite.update(spark, tableDir, condition, set).toString
       case Paimon =>
-        val snapP = PaimonLite.snapshot(spark, tableDir)
-        if (snapP.primaryKeys.isEmpty)
-          throw new IllegalArgumentException(
-            s"$tableDir: append-only Paimon table (no primary key) — " +
-              "no row identity to update by")
-        if (snapP.mergeEngine != "deduplicate")
-          throw new IllegalArgumentException(
-            s"$tableDir: merge-engine=${snapP.mergeEngine} would FOLD " +
-              "the rewritten row into the stored value instead of " +
-              "replacing it — predicate update is deduplicate-engine " +
-              "scope")
-        val view = PaimonLite.read(spark, tableDir)
-        set.keys.foreach { c =>
-          if (!view.columns.contains(c))
-            throw new IllegalArgumentException(
-              s"$tableDir: SET column $c is not in the schema")
-          if (snapP.primaryKeys.contains(c) ||
-            snapP.partitionKeys.contains(c))
-            throw new IllegalArgumentException(
-              s"$tableDir: SET touches key/partition column $c — a " +
-                "key-moving update is outside scope")
-        }
-        val matched = view.filter(condition)
-        if (matched.limit(1).count() == 0) snapP.snapshotId.toString
-        else {
-          val updated = set.foldLeft(matched) { case (df, (c, e)) =>
-            df.withColumn(c, e.cast(snapP.schema(c).dataType))
-          }
-          PaimonLite.upsert(spark, tableDir, updated).toString
-        }
+        PaimonLite.update(spark, tableDir, condition, set).toString
     }
 
   /** Detect + dispatch the KEYED UPSERT — one vocabulary over all

@@ -1087,9 +1087,20 @@ object HudiMorLite {
         val pathFid = snap.slices.map(s =>
           HudiCowLite.normPath(s.basePath) -> s.fileId)
           .toDF("_g_path", "_gid")
+        // LEFT join + loud guard: a base path the slice map cannot
+        // resolve must fail the job, not silently drop its rows from
+        // the merge (compactLogs rewrites groups from this frame —
+        // an inner join here would be permanent row loss)
         base0.withColumn("_g_path",
           MetaPaths.decoded(col("_metadata.file_path")))
-          .join(broadcast(pathFid), "_g_path").drop("_g_path")
+          .join(broadcast(pathFid), Seq("_g_path"), "left")
+          .withColumn("_gid", when(col("_gid").isNull,
+            raise_error(concat(lit(
+              s"HudiMorLite: $tableDir: base file "), col("_g_path"),
+              lit(" resolves to no file slice — dropping its rows " +
+                "would corrupt the group rewrite"))))
+            .otherwise(col("_gid")))
+          .drop("_g_path")
       }
     // one decode unit per SLICE (its ordered log files together):
     // rollback COMMAND_BLOCKs invalidate earlier blocks of the same

@@ -1574,16 +1574,8 @@ object IcebergLite {
       (rel, vals, recordCount, fs.getFileStatus(dest).getLen)
     }
     fs.delete(tmp, true)
-    def writeAvro(df: DataFrame, rel: String): Unit = {
-      val t2 = new Path(tableDir, "_tmpavro")
-      df.coalesce(1).write.mode("overwrite").format(AvroFmt)
-        .save(t2.toString)
-      val p = fs.listStatus(t2).map(_.getPath)
-        .find(_.getName.startsWith("part-")).get
-      if (!fs.rename(p, new Path(tableDir, rel)))
-        throw new IllegalStateException(s"$tableDir: could not place $rel")
-      fs.delete(t2, true): Unit
-    }
+    def writeAvro(df: DataFrame, rel: String): Unit =
+      writeAvroFile(spark, fs, tableDir, df, rel)
     import spark.implicits._
     // typed partition values for the manifest struct (the spec's
     // data_file.partition): parse the dir-name string back under the
@@ -1783,16 +1775,8 @@ object IcebergLite {
         dest, spark.sparkContext.hadoopConfiguration))
     val rc = try footer.getRecordCount finally footer.close()
     val size = fs.getFileStatus(dest).getLen
-    def writeAvro(df: DataFrame, rel: String): Unit = {
-      val t2 = new Path(tableDir, "_tmpavro")
-      df.coalesce(1).write.mode("overwrite").format(AvroFmt)
-        .save(t2.toString)
-      val p = fs.listStatus(t2).map(_.getPath)
-        .find(_.getName.startsWith("part-")).get
-      if (!fs.rename(p, new Path(tableDir, rel)))
-        throw new IllegalStateException(s"$tableDir: could not place $rel")
-      fs.delete(t2, true): Unit
-    }
+    def writeAvro(df: DataFrame, rel: String): Unit =
+      writeAvroFile(spark, fs, tableDir, df, rel)
     writeAvro(Seq((1, newSeq, delRel))
       .toDF("status", "sequence_number", "file_path")
       .select(col("status"), col("sequence_number"),
@@ -1842,6 +1826,28 @@ object IcebergLite {
     AtomicFiles.write(fs,
       new Path(tableDir, "metadata/version-hint.text"),
       version.toString, replace = true)
+  }
+
+  /** Stage `df` as ONE avro file and place it at `tableDir/rel` —
+    * the write paths' shared manifest/manifest-list/snapshot
+    * finish. Driver-bounded: every caller hands it O(files) manifest
+    * metadata, never data rows. */
+  private def writeAvroFile(spark: SparkSession,
+                            fs: org.apache.hadoop.fs.FileSystem,
+                            tableDir: String, df: DataFrame,
+                            rel: String): Unit = {
+    val t2 = new Path(tableDir, "_tmpavro")
+    df.coalesce(1).write.mode("overwrite").format(AvroFmt)
+      .save(t2.toString)
+    val p = fs.listStatus(t2).map(_.getPath)
+      .find(_.getName.startsWith("part-")).getOrElse(
+        throw new IllegalStateException(
+          s"$tableDir: avro staging produced no part file for $rel"))
+    val dest = new Path(tableDir, rel)
+    fs.mkdirs(dest.getParent)
+    if (!fs.rename(p, dest))
+      throw new IllegalStateException(s"$tableDir: could not place $rel")
+    fs.delete(t2, true): Unit
   }
 
   /** Move every staged parquet under `tmp` into the table as
@@ -1919,16 +1925,8 @@ object IcebergLite {
       .write.mode("overwrite").parquet(tmp.toString)
     val delFiles = moveStagedParquet(spark, tableDir, fs, tmp,
       "data/posdel", newSnapId)
-    def writeAvro(df: DataFrame, rel: String): Unit = {
-      val t2 = new Path(tableDir, "_tmpavro")
-      df.coalesce(1).write.mode("overwrite").format(AvroFmt)
-        .save(t2.toString)
-      val p = fs.listStatus(t2).map(_.getPath)
-        .find(_.getName.startsWith("part-")).get
-      if (!fs.rename(p, new Path(tableDir, rel)))
-        throw new IllegalStateException(s"$tableDir: could not place $rel")
-      fs.delete(t2, true): Unit
-    }
+    def writeAvro(df: DataFrame, rel: String): Unit =
+      writeAvroFile(spark, fs, tableDir, df, rel)
     writeAvro(delFiles
       .toDF("file_path", "record_count", "file_size_in_bytes")
       .select(lit(1).as("status"), lit(newSeq).as("sequence_number"),
@@ -2025,16 +2023,8 @@ object IcebergLite {
       .write.mode("overwrite").parquet(tmpData.toString)
     val dataFiles = moveStagedParquet(spark, tableDir, fs, tmpData,
       "data/upddata", newSnapId)
-    def writeAvro(df: DataFrame, rel: String): Unit = {
-      val t2 = new Path(tableDir, "_tmpavro")
-      df.coalesce(1).write.mode("overwrite").format(AvroFmt)
-        .save(t2.toString)
-      val p = fs.listStatus(t2).map(_.getPath)
-        .find(_.getName.startsWith("part-")).get
-      if (!fs.rename(p, new Path(tableDir, rel)))
-        throw new IllegalStateException(s"$tableDir: could not place $rel")
-      fs.delete(t2, true): Unit
-    }
+    def writeAvro(df: DataFrame, rel: String): Unit =
+      writeAvroFile(spark, fs, tableDir, df, rel)
     writeAvro(delFiles
       .toDF("file_path", "record_count", "file_size_in_bytes")
       .select(lit(1).as("status"), lit(newSeq).as("sequence_number"),
@@ -2123,29 +2113,33 @@ object IcebergLite {
     def moveStaged(tmp: Path, relPrefix: String)
     : Seq[(String, Long, Long)] =
       moveStagedParquet(spark, tableDir, fs, tmp, relPrefix, newSnapId)
+    // both legs run off the SCHEMA-CAST rows so the equality-delete
+    // file's key columns carry the table's types, and the duplicate
+    // check sees keys that collapse under the cast
+    val typed = rows.select(snap.schema.fields.toSeq.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)): _*)
+    // duplicate key tuples in one batch would BOTH survive: the data
+    // leg appends them at newSeq while the delete leg (same newSeq,
+    // strict data_seq < delete_seq) kills neither — refuse loudly
+    // like the Delta/Paimon/Hudi keyed writers
+    if (typed.groupBy(keyCols.map(col): _*).count()
+        .filter(col("count") > 1).limit(1).count() > 0)
+      throw new IllegalStateException(
+        s"$tableDir: upsert batch has DUPLICATE key tuples — both " +
+          "copies would survive the same-sequence equality delete")
     // the delete leg: the rows' DISTINCT key tuples
     val tmpDel = new Path(tableDir, "_tmp_upskdel")
-    stampFieldIds(rows.select(keyCols.map(col): _*).distinct(),
+    stampFieldIds(typed.select(keyCols.map(col): _*).distinct(),
       keyCols.zip(eqIds).toMap)
       .coalesce(1).write.mode("overwrite").parquet(tmpDel.toString)
     val Seq((delRel, delRc, delSize)) = moveStaged(tmpDel, "data/upskdel")
     // the data leg: the new row versions, full schema, ids stamped
     val tmpData = new Path(tableDir, "_tmp_upskdata")
-    stampFieldIds(
-      rows.select(snap.schema.fields.toSeq.map(f =>
-        col(f.name).cast(f.dataType).as(f.name)): _*), allIds)
+    stampFieldIds(typed, allIds)
       .write.mode("overwrite").parquet(tmpData.toString)
     val dataFiles = moveStaged(tmpData, "data/upskdata")
-    def writeAvro(df: DataFrame, rel: String): Unit = {
-      val t2 = new Path(tableDir, "_tmpavro")
-      df.coalesce(1).write.mode("overwrite").format(AvroFmt)
-        .save(t2.toString)
-      val p = fs.listStatus(t2).map(_.getPath)
-        .find(_.getName.startsWith("part-")).get
-      if (!fs.rename(p, new Path(tableDir, rel)))
-        throw new IllegalStateException(s"$tableDir: could not place $rel")
-      fs.delete(t2, true): Unit
-    }
+    def writeAvro(df: DataFrame, rel: String): Unit =
+      writeAvroFile(spark, fs, tableDir, df, rel)
     writeAvro(Seq((1, newSeq, delRel))
       .toDF("status", "sequence_number", "file_path")
       .select(col("status"), col("sequence_number"),

@@ -1826,6 +1826,75 @@ object PaimonLite {
                  keys: DataFrame): Long =
     writeKv(spark, tableDir, keys, deleteMode = true)
 
+  /** PREDICATE DELETE by composition: the predicate selects key
+    * tuples on the MERGED view, [[deleteKeys]] appends their `-D`
+    * rows (deduplicate-engine scope — the writer's own gate names
+    * it). A no-match delete is not a table change — returns the
+    * CURRENT snapshot id. The matched-key frame persists across the
+    * writer's routing/staging jobs so the merged-view scan runs
+    * once, not once per job. */
+  def delete(spark: SparkSession, tableDir: String,
+             condition: Column): Long = {
+    import org.apache.spark.sql.functions.col
+    val snap = snapshot(spark, tableDir)
+    if (snap.primaryKeys.isEmpty)
+      throw new IllegalArgumentException(
+        s"$tableDir: append-only Paimon table (no primary key) — " +
+          "no row identity to delete by")
+    val need = (snap.primaryKeys ++ snap.partitionKeys).distinct
+    val keys = read(spark, tableDir).filter(condition)
+      .select(need.map(col): _*).persist()
+    try {
+      if (keys.limit(1).count() == 0) snap.snapshotId
+      else deleteKeys(spark, tableDir, keys)
+    } finally { keys.unpersist(); () }
+  }
+
+  /** PREDICATE UPDATE by composition: the SET-applied matched rows
+    * of the merged view upsert back as higher-sequence KeyValue rows
+    * ([[upsert]]). Deduplicate-engine scope — partial-update and
+    * aggregation would FOLD the rewrite into the stored value
+    * instead of replacing it, so they refuse; SETs touching key or
+    * partition columns refuse (a key-moving update is outside
+    * scope). A no-match update returns the CURRENT snapshot id. */
+  def update(spark: SparkSession, tableDir: String,
+             condition: Column,
+             set: Map[String, Column]): Long = {
+    val snap = snapshot(spark, tableDir)
+    if (snap.primaryKeys.isEmpty)
+      throw new IllegalArgumentException(
+        s"$tableDir: append-only Paimon table (no primary key) — " +
+          "no row identity to update by")
+    if (snap.mergeEngine != "deduplicate")
+      throw new IllegalArgumentException(
+        s"$tableDir: merge-engine=${snap.mergeEngine} would FOLD " +
+          "the rewritten row into the stored value instead of " +
+          "replacing it — predicate update is deduplicate-engine " +
+          "scope")
+    val view = read(spark, tableDir)
+    set.keys.foreach { c =>
+      if (!view.columns.contains(c))
+        throw new IllegalArgumentException(
+          s"$tableDir: SET column $c is not in the schema")
+      if (snap.primaryKeys.contains(c) ||
+        snap.partitionKeys.contains(c))
+        throw new IllegalArgumentException(
+          s"$tableDir: SET touches key/partition column $c — a " +
+            "key-moving update is outside scope")
+    }
+    val matched = view.filter(condition).persist()
+    try {
+      if (matched.limit(1).count() == 0) snap.snapshotId
+      else {
+        val updated = set.foldLeft(matched: DataFrame) {
+          case (df, (c, e)) =>
+            df.withColumn(c, e.cast(snap.schema(c).dataType))
+        }
+        upsert(spark, tableDir, updated)
+      }
+    } finally { matched.unpersist(); () }
+  }
+
   private def writeKv(spark: SparkSession, tableDir: String,
                       input: DataFrame, deleteMode: Boolean): Long = {
     import org.apache.spark.sql.functions._
@@ -1877,11 +1946,6 @@ object PaimonLite {
     if (missingIn.nonEmpty) throw new IllegalStateException(
       s"$tableDir: $op input lacks key/partition columns " +
         missingIn.mkString(", "))
-    if (input.groupBy(needIn.map(col): _*).count()
-        .filter(col("count") > 1).limit(1).count() > 0)
-      throw new IllegalStateException(
-        s"$tableDir: $op batch has DUPLICATE primary keys — " +
-          "fold order within one sequence number would be ambiguous")
     // one raw scan serves BOTH the max stored sequence and the
     // key→bucket / partition→bucket routing maps
     val hasFiles = snap.files.nonEmpty
@@ -1921,6 +1985,16 @@ object PaimonLite {
             col(v).cast(snap.schema(v).dataType)
           else lit(null).cast(snap.schema(v).dataType)).as(v)
         }: _*)
+    // duplicate check runs on the CAST key tuple — raw keys that
+    // collapse under the schema cast ("1" vs "01" into a long) are
+    // duplicates too, and the fold order within one sequence number
+    // would be ambiguous
+    if (shaped.groupBy((keyCols.map(k => col(k)) ++
+        partCols.map(k => col(s"_gp_$k"))): _*).count()
+        .filter(col("count") > 1).limit(1).count() > 0)
+      throw new IllegalStateException(
+        s"$tableDir: $op batch has DUPLICATE primary keys — " +
+          "fold order within one sequence number would be ambiguous")
     val routed =
       if (!hasFiles) shaped.withColumn("_gbucket", lit(0))
       else {

@@ -2069,6 +2069,26 @@ class DeltaLogSpec extends AnyFunSuite {
     assert(snap.files.map(_.path) == Seq("f%20one.parquet"),
       snap.files.map(_.path).toString)
     assert(snap.files.head.deletionVector.exists(_.cardinality == 1))
+    // stats RIDE the re-add: a partial kill of a stats-carrying file
+    // keeps numRecords on the grown-DV add, so the SECOND delete's
+    // full-file detection is still driver-I/O-free — and the union
+    // with the existing DV reaches full-dead removal exactly
+    val root2 = fixture("statscarry")._1
+    commit(root2, 0, meta(schema),
+      addS("f0.parquet", "a", """{"numRecords":5,"minValues":{}}"""),
+      addS("f%20one.parquet", "b", """{"numRecords":5}"""))
+    assert(DeltaLogLite.delete(spark, root2, col("id") === 1) == 1L)
+    val s2 = DeltaLogLite.snapshot(spark, root2)
+    val f0 = s2.files.find(_.path == "f0.parquet").get
+    assert(f0.deletionVector.exists(_.cardinality == 1))
+    assert(f0.stats.contains("""{"numRecords":5,"minValues":{}}"""),
+      f0.stats.toString)
+    // ids 0,2,3,4 die → 1 (old DV) + 4 = 5 = numRecords → removal
+    assert(DeltaLogLite.delete(spark, root2, col("id") < 5) == 2L)
+    assert(DeltaLogLite.snapshot(spark, root2).files.map(_.path) ==
+      Seq("f%20one.parquet"))
+    assert(DeltaLogLite.read(spark, root2).select("id").as[Long]
+      .collect().sorted.toSeq == (5L to 9L))
   }
 
   test("keyed UPSERT: ONE commit kills the old key versions under " +
@@ -2117,6 +2137,13 @@ class DeltaLogSpec extends AnyFunSuite {
     assert(intercept[IllegalStateException] {
       DeltaLogLite.upsertKeyed(spark, root,
         Seq((1L, 1L, "a"), (1L, 2L, "a")).toDF("id", "v", "part"),
+        Seq("id"))
+    }.getMessage.contains("DUPLICATE"))
+    // keys that COLLAPSE under the schema cast ("1" vs "01" into the
+    // long key) are duplicates too — the check runs on the cast rows
+    assert(intercept[IllegalStateException] {
+      DeltaLogLite.upsertKeyed(spark, root,
+        Seq(("1", 1L, "a"), ("01", 2L, "a")).toDF("id", "v", "part"),
         Seq("id"))
     }.getMessage.contains("DUPLICATE"))
     assert(intercept[IllegalStateException] {

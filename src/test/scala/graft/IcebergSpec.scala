@@ -455,6 +455,18 @@ class IcebergSpec extends AnyFunSuite {
     assert(IcebergLite.upsertKeyed(spark, root,
       Seq((20L, 1L)).toDF("id", "v"), Seq("id")) == newId + 1)
     assert(rows().contains((20L, 1L)))
+    // duplicate key tuples refuse — the data leg would append BOTH
+    // at the delete leg's own sequence, so both would survive the
+    // strict data_seq < delete_seq kill
+    assert(intercept[IllegalStateException] {
+      IcebergLite.upsertKeyed(spark, root,
+        Seq((1L, 10L), (1L, 20L)).toDF("id", "v"), Seq("id"))
+    }.getMessage.contains("DUPLICATE"))
+    // keys that COLLAPSE under the schema cast are duplicates too
+    assert(intercept[IllegalStateException] {
+      IcebergLite.upsertKeyed(spark, root,
+        Seq(("1", 10L), ("01", 20L)).toDF("id", "v"), Seq("id"))
+    }.getMessage.contains("DUPLICATE"))
     // refusals: missing schema column, unknown key column
     assert(intercept[IllegalStateException] {
       IcebergLite.upsertKeyed(spark, root, Seq(1L).toDF("id"),

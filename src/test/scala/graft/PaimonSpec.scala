@@ -1207,6 +1207,12 @@ class PaimonSpec extends AnyFunSuite {
       PaimonLite.upsert(spark, root,
         Seq((1L, 1L), (1L, 2L)).toDF("id", "a"))
     }.getMessage.contains("DUPLICATE"))
+    // keys that COLLAPSE under the schema cast ("1" vs "01" into the
+    // BIGINT key) are duplicates too — the check runs on the cast rows
+    assert(intercept[IllegalStateException] {
+      PaimonLite.upsert(spark, root,
+        Seq(("1", 1L), ("01", 2L)).toDF("id", "a"))
+    }.getMessage.contains("DUPLICATE"))
     // missing key column refuses
     assert(intercept[IllegalStateException] {
       PaimonLite.upsert(spark, root, Seq(1L).toDF("a"))
