@@ -2382,6 +2382,57 @@ object Storage extends QueryModule {
         .orderBy(col("surface"), col("k"))
     },
 
+    // Iceberg PARTITIONED row-level DML: on an identity-partitioned
+    // (o_orderstatus) table, a PARTITION-MOVING predicate update
+    // (%10==3 → status 'X') stages its rewrite under the recomputed
+    // partition value, then a keyed upsert (%10==1 doubled, %10==5
+    // new keys) spans partitions — the DML-staged files land under
+    // o_orderstatus=<v> dirs whose rows all match their dir
+    // (partition/consistent=1, one job over the staged files), the
+    // read census reflects both writes, and snapshot-1 travel is the
+    // untouched base.
+    "q506_iceberg_part_dml" -> { (s, dir) =>
+      import graft.sources.IcebergLite
+      val root = authorIcebergKeyedTable(s, dir, tag = "pkeyed",
+        partitioned = true)
+      IcebergLite.update(s, root, col("o_orderkey") % 10 === 3,
+        Map("o_orderstatus" -> lit("X"))): Unit
+      val src = Tables.df(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus"))
+      val ups = src.filter(col("o_orderkey") % 10 === 1)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .unionByName(src.filter(col("o_orderkey") % 10 === 5))
+      IcebergLite.upsertKeyed(s, root, ups, Seq("o_orderkey")): Unit
+      def census(df: DataFrame, surface: String): DataFrame =
+        df.groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2)))
+              .cast(DoubleType).as("sum_price"))
+          .select(lit(surface).as("surface"),
+            col("o_orderstatus").as("k"), col("n"), col("sum_price"))
+      val read = census(IcebergLite.read(s, root), "read")
+      val travel = census(
+        IcebergLite.read(s, root, snapshotId = Some(1L)), "travel")
+      import s.implicits._
+      val staged = IcebergLite.metadataTable(s, root, "files")
+        .select(col("file_path")).as[String].collect().sorted
+        .filter(_.contains("o_orderstatus="))
+      val consistent = s.read.parquet(staged.toIndexedSeq: _*)
+        .withColumn("_pv", regexp_extract(col("_metadata.file_path"),
+          "o_orderstatus=([^/]+)", 1))
+        .agg(min((col("_pv") === col("o_orderstatus"))
+          .cast(LongType))).head().getLong(0)
+      val facts = Seq(
+        ("snapshots", "count",
+          IcebergLite.snapshotIds(s, root).size.toLong),
+        ("partition", "consistent", consistent))
+        .toDF("surface", "k", "n")
+        .withColumn("sum_price", lit(null).cast(DoubleType))
+      read.unionByName(travel).unionByName(facts)
+        .orderBy(col("surface"), col("k"))
+    },
+
     // Iceberg TRANSFORM compaction: a table partitioned by
     // bucket[4](o_orderkey) rewrites into one file PER BUCKET ORDINAL
     // computed from the spec's own murmur3 (Appendix B vectors pinned
@@ -7289,7 +7340,9 @@ object Storage extends QueryModule {
     * q504's predicate delete mutate (NOT memoized; `tag` keeps their
     * roots apart): one snapshot of orders %10<5, field-id-stamped. */
   private def authorIcebergKeyedTable(s: SparkSession, dir: String,
-                                      tag: String = "keyed"): String = {
+                                      tag: String = "keyed",
+                                      partitioned: Boolean = false)
+  : String = {
     import java.nio.file.{Files, Paths}
     val root =
       s"/tmp/graft_iceberg/${tag}_${Integer.toHexString(dir.hashCode)}"
@@ -7338,7 +7391,11 @@ object Storage extends QueryModule {
          |  {"id":1,"name":"o_orderkey","required":false,"type":"long"},
          |  {"id":2,"name":"o_totalprice","required":false,"type":"double"},
          |  {"id":3,"name":"o_orderstatus","required":false,"type":"string"}]}],
-         |"partition-specs":[{"spec-id":0,"fields":[]}],
+         |"partition-specs":[{"spec-id":0,"fields":[${
+      if (partitioned)
+        """{"name":"o_orderstatus","transform":"identity",""" +
+          """"source-id":3,"field-id":1000}"""
+      else ""}]}],
          |"default-spec-id":0,
          |"current-snapshot-id":1,
          |"snapshots":[
@@ -9840,6 +9897,35 @@ object Storage extends QueryModule {
         |  GROUP BY o_orderstatus
         |  UNION ALL
         |  SELECT 'snapshots', 'count', 2, CAST(NULL AS DOUBLE))
+        |SELECT surface, k, n, sum_price FROM rows_
+        |ORDER BY surface, k""".stripMargin,
+    // partitioned DML: update moves %10==3 to status 'X' (price
+    // kept), the keyed upsert doubles %10==1 prices and inserts
+    // %10==5 keys; travel is the %10<5 base; 3 snapshots
+    // (initial/update/upsert); every DML-staged file is
+    // partition-pure (consistent=1)
+    "q506_iceberg_part_dml" ->
+      """WITH final AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 10 = 3 THEN 'X'
+        |         ELSE o_orderstatus END AS k,
+        |    CASE WHEN o_orderkey % 10 = 1 THEN o_totalprice * 2
+        |         ELSE o_totalprice END AS p
+        |  FROM orders
+        |  WHERE o_orderkey % 10 <= 5),
+        |rows_ AS (
+        |  SELECT 'read' AS surface, k, count(*) AS n,
+        |    CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |  FROM final GROUP BY k
+        |  UNION ALL
+        |  SELECT 'travel', o_orderstatus, count(*),
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |  FROM orders WHERE o_orderkey % 10 < 5
+        |  GROUP BY o_orderstatus
+        |  UNION ALL
+        |  SELECT 'snapshots', 'count', 3, CAST(NULL AS DOUBLE)
+        |  UNION ALL
+        |  SELECT 'partition', 'consistent', 1, CAST(NULL AS DOUBLE))
         |SELECT surface, k, n, sum_price FROM rows_
         |ORDER BY surface, k""".stripMargin,
     // transform compaction: census unchanged over %10<2, one file per

@@ -1993,10 +1993,12 @@ object DeltaLogLite {
     * Scale shape: ONE distributed predicate scan feeds both the
     * executor-side DV growth ([[growDeadVectors]]) and the
     * distributed new-file/cdc writes; the driver handles O(affected
-    * files) metadata. Single-writer scope. Loud refusals: SET on a
-    * partition column (the row would change partitions — a move this
-    * writer does not express), unknown SET columns, null partition
-    * values. */
+    * files) metadata. PARTITION-MOVING SETs serve: the staged write
+    * partitions by the POST-SET values, so the rewrite lands under
+    * its new partition while the old position dies where it was
+    * (the same machinery [[upsertKeyed]]'s partition moves ride).
+    * Single-writer scope. Loud refusals: unknown SET columns, null
+    * partition values. */
   def update(spark: SparkSession, tableDir: String,
              condition: org.apache.spark.sql.Column,
              set: Map[String, org.apache.spark.sql.Column]): Long = {
@@ -2008,11 +2010,12 @@ object DeltaLogLite {
       if (!snap.schema.fieldNames.contains(c))
         throw new IllegalStateException(
           s"$tableDir: SET column $c is not in the schema")
-      if (snap.partitionColumns.contains(c))
-        throw new IllegalStateException(
-          s"$tableDir: SET touches partition column $c — a " +
-            "partition-moving update is outside lite scope")
     }
+    // SETs on partition columns serve: the staged write partitions
+    // by the POST-SET row values, so a partition-moving update lands
+    // its rewrites under their new partition dirs while the old
+    // positions die under DVs wherever they were — the same
+    // machinery upsertKeyed's partition moves already ride
     val fs = new Path(tableDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val withMeta = readFiles(spark, tableDir, snap.schema,

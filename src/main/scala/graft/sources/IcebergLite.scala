@@ -1460,21 +1460,6 @@ object IcebergLite {
       xxhash64}
     require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
     val (metaFile, meta) = loadMeta(spark, tableDir)
-    def specFields(j: JValue): Seq[JValue] = j match {
-      case JArray(fs) => fs
-      case _ => Nil
-    }
-    // the CURRENT partition spec (default-spec-id under v2
-    // partition-specs; the flat legacy partition-spec otherwise)
-    val curSpecFields: Seq[JValue] = (meta \ "partition-specs") match {
-      case JArray(specs) if specs.nonEmpty =>
-        val chosen = (meta \ "default-spec-id").extractOpt[Int]
-          .flatMap(id => specs.find(s =>
-            (s \ "spec-id").extractOpt[Int].contains(id)))
-          .orElse(specs.lastOption)
-        chosen.map(s => specFields(s \ "fields")).getOrElse(Nil)
-      case _ => specFields(meta \ "partition-spec")
-    }
     val snap = snapshot(spark, tableDir)
     if (snap.files.isEmpty) throw new IllegalStateException(
       s"$tableDir: nothing to compact (no data files)")
@@ -1484,104 +1469,19 @@ object IcebergLite {
           "cannot stamp the rewrite")
       f.name -> f.metadata.getLong(FieldIdKey).toInt
     }.toMap
-    val idToName = ids.map(_.swap)
-    // resolve each spec field's TRANSFORM (identity, bucket[N],
-    // truncate[W], days/months/years — [[IcebergTransforms]]) over
-    // its source column; unsupported combinations refuse loudly there
-    val partFields: Seq[(IcebergTransforms.Resolved, String)] =
-      curSpecFields.map { f =>
-        val transform = (f \ "transform").extract[String]
-        val srcId = (f \ "source-id").extract[Int]
-        val src = idToName.getOrElse(srcId,
-          throw new IllegalStateException(
-            s"$tableDir: partition source-id $srcId not in the schema"))
-        (IcebergTransforms.resolve(tableDir,
-          (f \ "name").extract[String], transform,
-          snap.schema(src).dataType), src)
-      }
+    val partFields = resolvedPartFields(tableDir, meta, snap)
     val newSnapId = snapshotIds(spark, tableDir).max + 1
     val fs = new Path(tableDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // one distributed scan of the live rows (full delete surface
-    // applied), id-stamped so the spec's column identity survives
-    val tmp = new Path(tableDir, "_tmp_compact")
+    // applied), id-stamped so the spec's column identity survives,
+    // packed into numFiles under the deterministic content-hash salt
     val stamped = stampFieldIds(read(spark, tableDir), ids)
-    if (partFields.isEmpty)
-      stamped.coalesce(numFiles).write.mode("overwrite")
-        .parquet(tmp.toString)
-    else {
-      // partitionBy consumes its columns, so stage each spec field's
-      // TRANSFORMED value under gpart_* — the data files keep the
-      // real columns, the writer still splits by partition directory
-      val dup = partFields.foldLeft(stamped) { case (df, (r, src)) =>
-        df.withColumn(s"gpart_${r.name}", r.expr(col(src)))
-      }
-      // deterministic salt: a retry-recomputed
-      // monotonically_increasing_id can silently duplicate/drop rows
-      // mid-shuffle (SPARK-23207 class) — fatal in a table rewrite
-      dup.withColumn("_graft_bin",
-          pmod(xxhash64(stamped.columns.map(col).toSeq: _*),
-            lit(numFiles.toLong)))
-        .repartition((partFields.map(p => s"gpart_${p._1.name}") :+
-          "_graft_bin").map(col): _*)
-        .drop("_graft_bin")
-        .write.mode("overwrite")
-        .partitionBy(partFields.map(p => s"gpart_${p._1.name}"): _*)
-        .parquet(tmp.toString)
-    }
-    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-    // walk the staging output: (escaped dir values in spec order,
-    // unescaped values, file status)
-    def walkTmp(dir: Path, raws: Seq[String], vals: Seq[String])
-      : Seq[(Seq[String], Seq[String],
-             org.apache.hadoop.fs.FileStatus)] =
-      fs.listStatus(dir).toSeq.sortBy(_.getPath.getName).flatMap { st =>
-        val n = st.getPath.getName
-        if (n.startsWith("_") || n.startsWith(".")) Nil
-        else if (st.isDirectory) {
-          val i = n.indexOf('=')
-          if (i < 0) throw new IllegalStateException(
-            s"$tableDir: unexpected non-partition directory $n in the " +
-              "compaction staging output")
-          val rawVal = n.substring(i + 1)
-          if (rawVal == ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
-            throw new IllegalStateException(
-              s"$tableDir: compaction produced a null-partition " +
-                s"directory $n — outside lite scope")
-          walkTmp(st.getPath, raws :+ rawVal,
-            vals :+ ExternalCatalogUtils.unescapePathName(rawVal))
-        } else if (n.endsWith(".parquet")) Seq((raws, vals, st))
-        else Nil
-      }
-    val outputs = walkTmp(tmp, Nil, Nil)
-    // move into the table under the spec-field names, read each
-    // footer's row count (O(files) bounded driver work)
-    val moved = outputs.zipWithIndex.map { case ((raws, vals, st), i) =>
-      val dirs = partFields.map(_._1.name).zip(raws)
-        .map { case (n, raw) => s"$n=$raw" }
-      val rel = (("data" +: dirs) :+
-        s"compact-${newSnapId}_$i.parquet").mkString("/")
-      val dest = new Path(tableDir, rel)
-      fs.mkdirs(dest.getParent)
-      if (!fs.rename(st.getPath, dest))
-        throw new IllegalStateException(
-          s"$tableDir: could not move ${st.getPath.getName} into the " +
-            "table")
-      val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          dest, spark.sparkContext.hadoopConfiguration))
-      val recordCount = try footer.getRecordCount finally footer.close()
-      (rel, vals, recordCount, fs.getFileStatus(dest).getLen)
-    }
-    fs.delete(tmp, true)
+    val moved = stageTransformed(spark, tableDir, fs, stamped,
+      partFields, "compact", newSnapId, packFiles = Some(numFiles))
     def writeAvro(df: DataFrame, rel: String): Unit =
       writeAvroFile(spark, fs, tableDir, df, rel)
     import spark.implicits._
-    // typed partition values for the manifest struct (the spec's
-    // data_file.partition): parse the dir-name string back under the
-    // TRANSFORM's result type
-    def typedPart(vals: Seq[String]): Seq[Any] =
-      partFields.zip(vals).map { case ((r, _), v) => r.parse(v) }
     val manifestDf: DataFrame = {
       val baseCols = Seq(
         col("_fp").as("file_path"), lit(0).as("content"),
@@ -1592,10 +1492,7 @@ object IcebergLite {
         moved.map(m => (m._1, m._3, m._4)).toDF("_fp", "_rc", "_sz")
           .select(lit(1).as("status"), struct(baseCols: _*).as("data_file"))
       else {
-        val partSchema = org.apache.spark.sql.types.StructType(
-          partFields.map { case (r, _) =>
-            org.apache.spark.sql.types.StructField(r.name, r.resultType)
-          })
+        val (partSchema, typed) = typedPartRows(moved, partFields)
         val rowSchema = org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("_fp",
             org.apache.spark.sql.types.StringType),
@@ -1604,9 +1501,8 @@ object IcebergLite {
           org.apache.spark.sql.types.StructField("_sz",
             org.apache.spark.sql.types.LongType),
           org.apache.spark.sql.types.StructField("_pv", partSchema)))
-        val rows = moved.map { case (rel, vals, rc, sz) =>
-          org.apache.spark.sql.Row(rel, rc, sz,
-            org.apache.spark.sql.Row(typedPart(vals): _*))
+        val rows = typed.map { case (rel, pv, rc, sz) =>
+          org.apache.spark.sql.Row(rel, rc, sz, pv)
         }
         spark.createDataFrame(
           spark.sparkContext.parallelize(rows, 1), rowSchema)
@@ -1854,6 +1750,198 @@ object IcebergLite {
     * `<relPrefix>-<snapId>_<i>.parquet`, returning (relative path,
     * footer row count, byte size) per file — the write paths' shared
     * staging finish. */
+  /** Resolve the CURRENT partition spec's transform fields over
+    * `snap`'s schema — (resolved transform, source column) per spec
+    * field, EMPTY for an unpartitioned table. v2 tables choose the
+    * default-spec-id entry of partition-specs; legacy tables the
+    * flat partition-spec. Unsupported transform/source combinations
+    * refuse loudly in [[IcebergTransforms.resolve]]. */
+  private def resolvedPartFields(tableDir: String, meta: JValue,
+                                 snap: Snapshot)
+  : Seq[(IcebergTransforms.Resolved, String)] = {
+    def specFields(j: JValue): Seq[JValue] = j match {
+      case JArray(fs) => fs
+      case _ => Nil
+    }
+    val cur: Seq[JValue] = (meta \ "partition-specs") match {
+      case JArray(specs) if specs.nonEmpty =>
+        val chosen = (meta \ "default-spec-id").extractOpt[Int]
+          .flatMap(id => specs.find(s =>
+            (s \ "spec-id").extractOpt[Int].contains(id)))
+          .orElse(specs.lastOption)
+        chosen.map(s => specFields(s \ "fields")).getOrElse(Nil)
+      case _ => specFields(meta \ "partition-spec")
+    }
+    val idToName = snap.schema.fields.flatMap { f =>
+      if (f.metadata.contains(FieldIdKey))
+        Some(f.metadata.getLong(FieldIdKey).toInt -> f.name)
+      else None
+    }.toMap
+    cur.map { f =>
+      val transform = (f \ "transform").extract[String]
+      val srcId = (f \ "source-id").extract[Int]
+      val src = idToName.getOrElse(srcId,
+        throw new IllegalStateException(
+          s"$tableDir: partition source-id $srcId not in the schema"))
+      (IcebergTransforms.resolve(tableDir,
+        (f \ "name").extract[String], transform,
+        snap.schema(src).dataType), src)
+    }
+  }
+
+  /** Stage `df` (already field-id-stamped) under the spec's
+    * TRANSFORM partitioning and move every staged parquet into the
+    * table as `data/<field>=<val>/…/<tag>-<snapId>_<i>.parquet`,
+    * returning (relative path, UNESCAPED partition values in spec
+    * order, footer row count, byte size) per file — the shared
+    * staging finish of [[compact]], [[update]] and [[upsertKeyed]].
+    *
+    * `packFiles = Some(n)` packs the write into n files per
+    * partition under a DETERMINISTIC content-hash salt (a
+    * retry-recomputed monotonically_increasing_id can silently
+    * duplicate/drop rows mid-shuffle, SPARK-23207 class — fatal in a
+    * table rewrite); None shuffles one file per partition (the DML
+    * append shape — bounded file counts without a repack job).
+    * Unpartitioned specs stage flat under `data/`. Null partition
+    * values refuse (outside lite scope). */
+  private def stageTransformed(spark: SparkSession, tableDir: String,
+                               fs: org.apache.hadoop.fs.FileSystem,
+                               df: DataFrame,
+                               partFields: Seq[(IcebergTransforms.Resolved, String)],
+                               tag: String, snapId: Long,
+                               packFiles: Option[Int])
+  : Seq[(String, Seq[String], Long, Long)] = {
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    val tmp = new Path(tableDir, s"_tmp_$tag")
+    if (partFields.isEmpty) {
+      val packed = packFiles.map(df.coalesce).getOrElse(df)
+      packed.write.mode("overwrite").parquet(tmp.toString)
+    } else {
+      // partitionBy consumes its columns, so stage each spec field's
+      // TRANSFORMED value under gpart_* — the data files keep the
+      // real columns, the writer still splits by partition directory
+      val gparts = partFields.map(p => s"gpart_${p._1.name}")
+      val dup = partFields.foldLeft(df) { case (d, (r, src)) =>
+        d.withColumn(s"gpart_${r.name}", r.expr(col(src)))
+      }
+      val shuffled = packFiles match {
+        case Some(n) => dup
+          .withColumn("_graft_bin",
+            pmod(xxhash64(df.columns.map(col).toSeq: _*),
+              lit(n.toLong)))
+          .repartition((gparts :+ "_graft_bin").map(col): _*)
+          .drop("_graft_bin")
+        case None => dup.repartition(gparts.map(col): _*)
+      }
+      shuffled.write.mode("overwrite")
+        .partitionBy(gparts: _*).parquet(tmp.toString)
+    }
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    // walk the staging output: (escaped dir values in spec order,
+    // unescaped values, file status)
+    def walkTmp(dir: Path, raws: Seq[String], vals: Seq[String])
+      : Seq[(Seq[String], Seq[String],
+             org.apache.hadoop.fs.FileStatus)] =
+      fs.listStatus(dir).toSeq.sortBy(_.getPath.getName).flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) Nil
+        else if (st.isDirectory) {
+          val i = n.indexOf('=')
+          if (i < 0) throw new IllegalStateException(
+            s"$tableDir: unexpected non-partition directory $n in " +
+              "the staging output")
+          val rawVal = n.substring(i + 1)
+          if (rawVal == ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
+            throw new IllegalStateException(
+              s"$tableDir: the $tag write produced a null-partition " +
+                s"directory $n — outside lite scope")
+          walkTmp(st.getPath, raws :+ rawVal,
+            vals :+ ExternalCatalogUtils.unescapePathName(rawVal))
+        } else if (n.endsWith(".parquet")) Seq((raws, vals, st))
+        else Nil
+      }
+    val outputs = walkTmp(tmp, Nil, Nil)
+    if (outputs.isEmpty) throw new IllegalStateException(
+      s"$tableDir: $tag staged no parquet")
+    // move into the table under the spec-field names, read each
+    // footer's row count (O(files) bounded driver work)
+    val moved = outputs.zipWithIndex.map { case ((raws, vals, st), i) =>
+      val dirs = partFields.map(_._1.name).zip(raws)
+        .map { case (nm, raw) => s"$nm=$raw" }
+      val rel = (("data" +: dirs) :+
+        s"$tag-${snapId}_$i.parquet").mkString("/")
+      val dest = new Path(tableDir, rel)
+      fs.mkdirs(dest.getParent)
+      if (!fs.rename(st.getPath, dest))
+        throw new IllegalStateException(
+          s"$tableDir: could not move ${st.getPath.getName} into " +
+            "the table")
+      val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          dest, spark.sparkContext.hadoopConfiguration))
+      val recordCount = try footer.getRecordCount finally footer.close()
+      (rel, vals, recordCount, fs.getFileStatus(dest).getLen)
+    }
+    fs.delete(tmp, true)
+    moved
+  }
+
+  /** The typed partition struct rows for [[stageTransformed]]'s
+    * output — each file's dir-name values parsed back under the
+    * TRANSFORM result types, as (rel, typed Row, rc, size); the
+    * manifest writers attach them as the spec's
+    * `data_file.partition`. */
+  private def typedPartRows(
+      moved: Seq[(String, Seq[String], Long, Long)],
+      partFields: Seq[(IcebergTransforms.Resolved, String)])
+  : (org.apache.spark.sql.types.StructType,
+     Seq[(String, org.apache.spark.sql.Row, Long, Long)]) = {
+    val partSchema = org.apache.spark.sql.types.StructType(
+      partFields.map { case (r, _) =>
+        org.apache.spark.sql.types.StructField(r.name, r.resultType)
+      })
+    (partSchema, moved.map { case (rel, vals, rc, sz) =>
+      (rel, org.apache.spark.sql.Row(
+        partFields.zip(vals).map { case ((r, _), v) => r.parse(v) }: _*),
+        rc, sz)
+    })
+  }
+
+  /** The content=0 DATA manifest rows for a [[stageTransformed]]
+    * output at one explicit sequence number — the typed partition
+    * struct attaches when the spec is partitioned ([[typedPartRows]]),
+    * so external planners and the `files`/`partitions` metadata
+    * tables see real partition tuples for DML-appended files. */
+  private def stagedDataManifestDf(spark: SparkSession,
+      moved: Seq[(String, Seq[String], Long, Long)],
+      partFields: Seq[(IcebergTransforms.Resolved, String)],
+      seq: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, struct}
+    import spark.implicits._
+    val baseCols = Seq(col("_fp").as("file_path"),
+      lit(0).as("content"),
+      col("_rc").as("record_count"),
+      col("_sz").as("file_size_in_bytes"))
+    if (partFields.isEmpty)
+      moved.map(m => (m._1, m._3, m._4)).toDF("_fp", "_rc", "_sz")
+        .select(lit(1).as("status"), lit(seq).as("sequence_number"),
+          struct(baseCols: _*).as("data_file"))
+    else {
+      val (partSchema, typed) = typedPartRows(moved, partFields)
+      val rowSchema = StructType(Seq(
+        StructField("_fp", StringType), StructField("_rc", LongType),
+        StructField("_sz", LongType), StructField("_pv", partSchema)))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          typed.map { case (rel, pv, rc, sz) =>
+            org.apache.spark.sql.Row(rel, rc, sz, pv) }, 1),
+        rowSchema)
+        .select(lit(1).as("status"), lit(seq).as("sequence_number"),
+          struct(baseCols :+ col("_pv").as("partition"): _*)
+            .as("data_file"))
+    }
+  }
+
   private def moveStagedParquet(spark: SparkSession, tableDir: String,
                                 fs: org.apache.hadoop.fs.FileSystem,
                                 tmp: Path, relPrefix: String,
@@ -1953,9 +2041,15 @@ object IcebergLite {
     *
     * Scale shape: ONE resolved scan under the predicate feeds both
     * distributed writes; bounded driver metadata + one atomic roll.
-    * Single-writer scope. Loud refusals: unknown SET columns,
-    * partitioned tables (the appended files would need partition
-    * values — outside lite write scope). */
+    * PARTITIONED tables serve: the rewrite leg stages under the
+    * spec's transforms (identity/bucket/truncate/temporal —
+    * [[stageTransformed]], compact's own path) and its manifest
+    * entries carry the typed partition struct, so a SET that moves a
+    * row across partitions lands it under its recomputed values; the
+    * positional delete files are path-scoped (this reader applies
+    * them by file path, partition-independent). Single-writer scope.
+    * Loud refusals: unknown SET columns, unsupported
+    * transform/source combinations, null partition values. */
   def update(spark: SparkSession, tableDir: String,
              condition: org.apache.spark.sql.Column,
              set: Map[String, org.apache.spark.sql.Column]): Long = {
@@ -1971,21 +2065,11 @@ object IcebergLite {
         throw new IllegalStateException(
           s"$tableDir: SET column $c is not in the schema")
     }
-    val defSpecId = (meta \ "default-spec-id").extractOpt[Int].getOrElse(0)
-    (meta \ "partition-specs") match {
-      case JArray(specs) =>
-        specs.find(sp =>
-          (sp \ "spec-id").extractOpt[Int].contains(defSpecId))
-          .foreach { sp => (sp \ "fields") match {
-            case JArray(pfs) if pfs.nonEmpty =>
-              throw new IllegalStateException(
-                s"$tableDir: partitioned table — update's appended " +
-                  "files would need partition values; outside lite " +
-                  "write scope")
-            case _ =>
-          } }
-      case _ =>
-    }
+    // partitioned tables SERVE: the rewrite leg stages under the
+    // spec's transforms exactly like compact's rewrite, so a SET
+    // that moves a row across partitions lands it under its new
+    // values (recomputed from the row at stage time)
+    val partFields = resolvedPartFields(tableDir, meta, snap)
     val fs = new Path(tableDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val data = scanData(spark, tableDir, snap, withMeta = true)
@@ -2017,12 +2101,10 @@ object IcebergLite {
       df.withColumn(c, e.cast(snap.schema(c).dataType))
     }.select(snap.schema.fields.toSeq.map(f =>
       col(f.name).cast(f.dataType).as(f.name)): _*)
-    val tmpData = new Path(tableDir, "_tmp_upddata")
-    stampFieldIds(updated,
-      snap.schema.fieldNames.map(c => c -> fieldId(c)).toMap)
-      .write.mode("overwrite").parquet(tmpData.toString)
-    val dataFiles = moveStagedParquet(spark, tableDir, fs, tmpData,
-      "data/upddata", newSnapId)
+    val dataFiles = stageTransformed(spark, tableDir, fs,
+      stampFieldIds(updated,
+        snap.schema.fieldNames.map(c => c -> fieldId(c)).toMap),
+      partFields, "upddata", newSnapId, packFiles = None)
     def writeAvro(df: DataFrame, rel: String): Unit =
       writeAvroFile(spark, fs, tableDir, df, rel)
     writeAvro(delFiles
@@ -2032,12 +2114,8 @@ object IcebergLite {
           col("record_count"), col("file_size_in_bytes"))
           .as("data_file")),
       s"metadata/m-upddel-$newSnapId.avro")
-    writeAvro(dataFiles
-      .toDF("file_path", "record_count", "file_size_in_bytes")
-      .select(lit(1).as("status"), lit(newSeq).as("sequence_number"),
-        struct(col("file_path"), lit(0).as("content"),
-          col("record_count"), col("file_size_in_bytes"))
-          .as("data_file")),
+    writeAvro(stagedDataManifestDf(spark, dataFiles, partFields,
+      newSeq),
       s"metadata/m-upddata-$newSnapId.avro")
     writeAvro((oldRows ++ Seq(
       (s"metadata/m-upddel-$newSnapId.avro",
@@ -2063,10 +2141,16 @@ object IcebergLite {
     * Scale shape: the delete file is the rows' DISTINCT key tuples;
     * the data files stage through one executor write (each staged
     * part becomes a manifest entry); the driver handles bounded
-    * manifest metadata + one atomic metadata roll. Single-writer
-    * scope. Loud refusals: partitioned tables (the appended files
-    * would need partition values — outside lite write scope), rows
-    * missing schema columns, key columns without field ids. */
+    * manifest metadata + one atomic metadata roll. PARTITIONED
+    * tables serve: the data leg stages under the spec's transforms
+    * with typed partition structs in its manifest
+    * ([[stageTransformed]], compact's own path); the equality-delete
+    * file stays GLOBAL — the spec admits equality deletes under an
+    * unpartitioned spec that apply to the whole table, which is
+    * exactly how this reader applies them (key match + strict
+    * sequence ordering, partition-independent). Single-writer scope.
+    * Loud refusals: duplicate key tuples in one batch, rows missing
+    * schema columns, key columns without field ids. */
   def upsertKeyed(spark: SparkSession, tableDir: String,
                   rows: DataFrame, keyCols: Seq[String]): Long = {
     import org.apache.spark.sql.functions.{array, col, lit, struct}
@@ -2074,21 +2158,9 @@ object IcebergLite {
     val (metaFile, meta) = loadMeta(spark, tableDir)
     val snap = snapshot(spark, tableDir)
     require(keyCols.nonEmpty, "upsertKeyed needs at least one key column")
-    val defSpecId = (meta \ "default-spec-id").extractOpt[Int].getOrElse(0)
-    (meta \ "partition-specs") match {
-      case JArray(specs) =>
-        specs.find(sp =>
-          (sp \ "spec-id").extractOpt[Int].contains(defSpecId))
-          .foreach { sp => (sp \ "fields") match {
-            case JArray(pfs) if pfs.nonEmpty =>
-              throw new IllegalStateException(
-                s"$tableDir: partitioned table — upsertKeyed's " +
-                  "appended files would need partition values; " +
-                  "outside lite write scope")
-            case _ =>
-          } }
-      case _ =>
-    }
+    // partitioned tables SERVE: the data leg stages under the spec's
+    // transforms; the equality delete stays global (see scaladoc)
+    val partFields = resolvedPartFields(tableDir, meta, snap)
     val missing = snap.schema.fieldNames.filterNot(rows.columns.contains)
     if (missing.nonEmpty) throw new IllegalStateException(
       s"$tableDir: upsertKeyed input lacks schema columns " +
@@ -2133,11 +2205,12 @@ object IcebergLite {
       keyCols.zip(eqIds).toMap)
       .coalesce(1).write.mode("overwrite").parquet(tmpDel.toString)
     val Seq((delRel, delRc, delSize)) = moveStaged(tmpDel, "data/upskdel")
-    // the data leg: the new row versions, full schema, ids stamped
-    val tmpData = new Path(tableDir, "_tmp_upskdata")
-    stampFieldIds(typed, allIds)
-      .write.mode("overwrite").parquet(tmpData.toString)
-    val dataFiles = moveStaged(tmpData, "data/upskdata")
+    // the data leg: the new row versions, full schema, ids stamped,
+    // staged under the spec's transforms (typed partition structs in
+    // the manifest when partitioned)
+    val dataFiles = stageTransformed(spark, tableDir, fs,
+      stampFieldIds(typed, allIds), partFields, "upskdata",
+      newSnapId, packFiles = None)
     def writeAvro(df: DataFrame, rel: String): Unit =
       writeAvroFile(spark, fs, tableDir, df, rel)
     writeAvro(Seq((1, newSeq, delRel))
@@ -2148,12 +2221,8 @@ object IcebergLite {
           lit(delRc).as("record_count"),
           lit(delSize).as("file_size_in_bytes")).as("data_file")),
       s"metadata/m-upskdel-$newSnapId.avro")
-    writeAvro(dataFiles
-      .toDF("file_path", "record_count", "file_size_in_bytes")
-      .select(lit(1).as("status"), lit(newSeq).as("sequence_number"),
-        struct(col("file_path"), lit(0).as("content"),
-          col("record_count"), col("file_size_in_bytes"))
-          .as("data_file")),
+    writeAvro(stagedDataManifestDf(spark, dataFiles, partFields,
+      newSeq),
       s"metadata/m-upskdata-$newSnapId.avro")
     // BOTH new manifests ride ONE manifest list at ONE sequence — the
     // atomicity the two-snapshot composition lacks

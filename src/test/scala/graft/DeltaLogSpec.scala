@@ -2026,12 +2026,22 @@ class DeltaLogSpec extends AnyFunSuite {
     assert(DeltaLogLite.update(spark, root, col("id") > 100,
       Map("v" -> lit(0L))) == 2L)
     assert(DeltaLogLite.latestVersion(spark, root) == 2L)
-    // SET on a partition column / unknown column refuses
-    val e1 = intercept[IllegalStateException] {
-      DeltaLogLite.update(spark, root, col("id") === 0,
-        Map("part" -> lit("c")))
-    }
-    assert(e1.getMessage.contains("partition column"))
+    // a PARTITION-MOVING SET serves: the rewrite lands under the new
+    // partition dir, the old position dies where it was, and the cdc
+    // images carry the move
+    val v3 = DeltaLogLite.update(spark, root, col("id") === 0,
+      Map("part" -> lit("c")))
+    assert(v3 == 3L)
+    assert(DeltaLogLite.read(spark, root)
+      .filter(col("id") === 0).select("part").as[String]
+      .head() == "c")
+    assert(DeltaLogLite.read(spark, root).count() == 10)
+    val cdfMove = DeltaLogLite.readChanges(spark, root, v3, v3)
+      .select(col("id"), col("part"), col("_change_type"))
+      .as[(Long, String, String)].collect().sorted.toSeq
+    assert(cdfMove == Seq((0L, "a", "update_preimage"),
+      (0L, "c", "update_postimage")), cdfMove.toString)
+    // an unknown SET column refuses
     val e2 = intercept[IllegalStateException] {
       DeltaLogLite.update(spark, root, col("id") === 0,
         Map("nope" -> lit(1L)))

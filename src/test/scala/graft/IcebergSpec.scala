@@ -1269,6 +1269,109 @@ class IcebergSpec extends AnyFunSuite {
     }
   }
 
+  test("partitioned DML: predicate update stages the rewrite under " +
+    "the spec's transforms (partition-moving SETs land under the " +
+    "recomputed values); keyed upsert spans partitions with a global " +
+    "equality delete; manifests carry typed partition structs") {
+    import spark.implicits._
+    val root = "/tmp/graft_icespec/partdml"
+    rm(new java.io.File(root))
+    Files.createDirectories(Paths.get(root, "metadata"))
+    Files.createDirectories(Paths.get(root, "data"))
+    // identity-partitioned (p): x holds ids 0-9, y holds ids 10-19
+    val df = spark.range(0, 20).select(col("id"),
+      when(col("id") < 10, "x").otherwise("y").as("p"))
+    def one(filter: org.apache.spark.sql.Column, out: String): Unit = {
+      val tmp = s"$root/_tmp"
+      IcebergLite.stampFieldIds(df.filter(filter),
+        Map("id" -> 1, "p" -> 2))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith(".")).get
+      assert(part.renameTo(new java.io.File(s"$root/$out")))
+      rm(new java.io.File(tmp))
+    }
+    one(col("id") < 10, "data/g0.parquet")
+    one(col("id") >= 10, "data/g1.parquet")
+    def writeAvro(d: org.apache.spark.sql.DataFrame,
+                  rel: String): Unit = {
+      val tmp = s"$root/_tmpavro"
+      d.coalesce(1).write.mode("overwrite").format(avroFmt).save(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.startsWith("part-")).get
+      assert(part.renameTo(new java.io.File(s"$root/$rel")))
+      rm(new java.io.File(tmp))
+    }
+    writeAvro(Seq("data/g0.parquet", "data/g1.parquet").toDF("file_path")
+      .select(lit(1).as("status"),
+        struct(col("file_path"), lit(0).as("content")).as("data_file")),
+      "metadata/m1.avro")
+    writeAvro(Seq(("metadata/m1.avro", 0, 1L))
+      .toDF("manifest_path", "content", "sequence_number"),
+      "metadata/snap-1.avro")
+    Files.writeString(Paths.get(root, "metadata", "v1.metadata.json"),
+      s"""{"format-version":2,"location":${jstr(root)},
+         |"current-schema-id":0,
+         |"schemas":[{"schema-id":0,"type":"struct","fields":[
+         |  {"id":1,"name":"id","required":false,"type":"long"},
+         |  {"id":2,"name":"p","required":false,"type":"string"}]}],
+         |"partition-specs":[{"spec-id":0,"fields":[
+         |  {"name":"p","transform":"identity","source-id":2,"field-id":1000}]}],
+         |"default-spec-id":0,
+         |"current-snapshot-id":1,
+         |"snapshots":[
+         | {"snapshot-id":1,"manifest-list":"metadata/snap-1.avro"}]}"""
+        .stripMargin)
+    Files.writeString(
+      Paths.get(root, "metadata", "version-hint.text"), "1")
+    def rows(sid: Option[Long] = None): Seq[(Long, String)] =
+      IcebergLite.read(spark, root, snapshotId = sid)
+        .select("id", "p").as[(Long, String)].collect().sorted.toSeq
+    val orig = rows()
+    assert(orig.size == 20)
+    // PARTITION-MOVING predicate update: id 3 moves x → y; the
+    // rewrite lands under data/p=y with the recomputed value
+    assert(IcebergLite.update(spark, root, col("id") === 3,
+      Map("p" -> lit("y"))) == 2L)
+    val afterUpd = rows()
+    assert(afterUpd == orig.map { case (i, p) =>
+      (i, if (i == 3) "y" else p) })
+    assert(rows(Some(1L)) == orig)
+    assert(Files.exists(
+      Paths.get(root, "data", "p=y", "upddata-2_0.parquet")))
+    // the new manifest entry carries the typed partition struct
+    val updMeta = IcebergLite.metadataTable(spark, root, "files")
+      .select(col("file_path"), col("partition"))
+      .as[(String, String)].collect()
+      .filter(_._1.contains("upddata"))
+    assert(updMeta.map(_._2).toSeq == Seq("""{"p":"y"}"""),
+      updMeta.mkString(", "))
+    // keyed upsert across partitions: 5 moves to y, 12 moves to x,
+    // 100 inserts under x — the data leg splits per partition, the
+    // equality delete kills the old versions GLOBALLY
+    assert(IcebergLite.upsertKeyed(spark, root,
+      Seq((5L, "y"), (12L, "x"), (100L, "x")).toDF("id", "p"),
+      Seq("id")) == 3L)
+    assert(rows() == (afterUpd.filterNot(r =>
+      r._1 == 5L || r._1 == 12L) ++
+      Seq((5L, "y"), (12L, "x"), (100L, "x"))).sorted)
+    // both-or-neither atomicity: the pre-upsert snapshot is intact
+    assert(rows(Some(2L)) == afterUpd)
+    // per-partition staged files + the flat global eq-delete file
+    assert(Files.exists(
+      Paths.get(root, "data", "p=x", "upskdata-3_0.parquet")))
+    assert(Files.exists(
+      Paths.get(root, "data", "p=y", "upskdata-3_1.parquet")))
+    assert(Files.exists(
+      Paths.get(root, "data", "upskdel-3_0.parquet")))
+    // compaction composes on top of the DML (same staging machinery)
+    assert(IcebergLite.compact(spark, root) == 4L)
+    assert(rows() == (afterUpd.filterNot(r =>
+      r._1 == 5L || r._1 == 12L) ++
+      Seq((5L, "y"), (12L, "x"), (100L, "x"))).sorted)
+  }
+
   test("expireSnapshots drops history and deletes orphans only: " +
     "expired travel refuses, retained read intact, shared manifests " +
     "survive; a pinning ref refuses") {
