@@ -1471,6 +1471,15 @@ object IcebergLite {
     }.toMap
     val partFields = resolvedPartFields(tableDir, meta, snap)
     val newSnapId = snapshotIds(spark, tableDir).max + 1
+    // stamp the replace manifest at a FRESH resolvable sequence when
+    // the pre-compact sequences resolve, so row-level DML writers
+    // can order themselves against the compacted table (a rewrite
+    // commits at a new data sequence — its rows already carry every
+    // prior delete applied); legacy seq-less tables keep the
+    // unstamped list, preserving their read behavior
+    val compactSeq: Option[Long] =
+      scala.util.Try(liveManifestRows(spark, tableDir, meta)._2)
+        .toOption.map(_ + 1)
     val fs = new Path(tableDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // one distributed scan of the live rows (full delete surface
@@ -1512,8 +1521,12 @@ object IcebergLite {
       }
     }
     writeAvro(manifestDf, s"metadata/m-compact-$newSnapId.avro")
-    writeAvro(Seq((s"metadata/m-compact-$newSnapId.avro", 0))
-      .toDF("manifest_path", "content"),
+    writeAvro(compactSeq match {
+      case Some(sq) => Seq((s"metadata/m-compact-$newSnapId.avro", 0, sq))
+        .toDF("manifest_path", "content", "sequence_number")
+      case None => Seq((s"metadata/m-compact-$newSnapId.avro", 0))
+        .toDF("manifest_path", "content")
+    },
       s"metadata/snap-$newSnapId.avro")
     // roll the metadata: append the replace snapshot, point current at
     // it, carry EVERYTHING else verbatim (refs keep their pins)

@@ -1539,6 +1539,137 @@ class IcebergSpec extends AnyFunSuite {
     }
   }
 
+  test("randomized DML model check: random keyed-upsert / predicate " +
+    "update / predicate delete / compact sequences on a PARTITIONED " +
+    "table match an in-memory key model at every step, and every " +
+    "prior snapshot still travels to its model state") {
+    import spark.implicits._
+    for (seed <- Seq(11, 402)) {
+      val rnd = new scala.util.Random(seed)
+      val root = s"/tmp/graft_icespec/dmlmodel$seed"
+      rm(new java.io.File(root))
+      Files.createDirectories(Paths.get(root, "metadata"))
+      Files.createDirectories(Paths.get(root, "data"))
+      val parts = Seq("a", "b", "c")
+      // bootstrap: ids 0-9, v = id*2, p = a/b split, one flat file
+      val df0 = spark.range(0, 10).select(col("id"),
+        (col("id") * 2).as("v"),
+        when(col("id") < 5, "a").otherwise("b").as("p"))
+      val tmp = s"$root/_tmp"
+      IcebergLite.stampFieldIds(df0,
+        Map("id" -> 1, "v" -> 2, "p" -> 3))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part0 = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith(".")).get
+      assert(part0.renameTo(new java.io.File(s"$root/data/g0.parquet")))
+      rm(new java.io.File(tmp))
+      def writeAvro(d: org.apache.spark.sql.DataFrame,
+                    rel: String): Unit = {
+        val t = s"$root/_tmpavro"
+        d.coalesce(1).write.mode("overwrite").format(avroFmt).save(t)
+        val f = new java.io.File(t).listFiles()
+          .find(_.getName.startsWith("part-")).get
+        assert(f.renameTo(new java.io.File(s"$root/$rel")))
+        rm(new java.io.File(t))
+      }
+      writeAvro(Seq((1, 1L, "data/g0.parquet"))
+        .toDF("status", "sequence_number", "file_path")
+        .select(col("status"), col("sequence_number"),
+          struct(col("file_path"), lit(0).as("content"))
+            .as("data_file")), "metadata/m1.avro")
+      writeAvro(Seq(("metadata/m1.avro", 0, 1L))
+        .toDF("manifest_path", "content", "sequence_number"),
+        "metadata/snap-1.avro")
+      Files.writeString(Paths.get(root, "metadata", "v1.metadata.json"),
+        s"""{"format-version":2,"location":${jstr(root)},
+           |"current-schema-id":0,
+           |"schemas":[{"schema-id":0,"type":"struct","fields":[
+           |  {"id":1,"name":"id","required":false,"type":"long"},
+           |  {"id":2,"name":"v","required":false,"type":"long"},
+           |  {"id":3,"name":"p","required":false,"type":"string"}]}],
+           |"partition-specs":[{"spec-id":0,"fields":[
+           |  {"name":"p","transform":"identity","source-id":3,"field-id":1000}]}],
+           |"default-spec-id":0,
+           |"current-snapshot-id":1,
+           |"snapshots":[
+           | {"snapshot-id":1,"manifest-list":"metadata/snap-1.avro"}]}"""
+          .stripMargin)
+      Files.writeString(
+        Paths.get(root, "metadata", "version-hint.text"), "1")
+      // the model: key -> (v, p)
+      var model: Map[Long, (Long, String)] =
+        (0L until 10L).map(i =>
+          i -> (i * 2, if (i < 5) "a" else "b")).toMap
+      def modelRows = model.toSeq
+        .map { case (k, (v, p)) => (k, v, p) }.sorted
+      def readAt(sid: Option[Long] = None): Seq[(Long, Long, String)] =
+        IcebergLite.read(spark, root, snapshotId = sid)
+          .select("id", "v", "p").as[(Long, Long, String)]
+          .collect().sorted.toSeq
+      val states = scala.collection.mutable.ArrayBuffer(
+        (1L, modelRows))
+      var nextNew = 100L
+      for (_ <- 1 to 6) {
+        val curId = IcebergLite.snapshot(spark, root).snapshotId
+        rnd.nextInt(4) match {
+          case 0 => // keyed upsert: existing + new keys, random v/p
+            val existing = rnd.shuffle(model.keys.toSeq)
+              .take(1 + rnd.nextInt(3))
+            val fresh = (0 until rnd.nextInt(2)).map { _ =>
+              nextNew += 1; nextNew }
+            val batch = (existing ++ fresh).distinct.map(k =>
+              (k, rnd.nextInt(1000).toLong,
+                parts(rnd.nextInt(parts.size))))
+            val sid = IcebergLite.upsertKeyed(spark, root,
+              batch.toDF("id", "v", "p"), Seq("id"))
+            assert(sid == curId + 1, s"seed $seed upsert snapshot")
+            model ++= batch.map { case (k, v, p) => k -> (v, p) }
+            states += ((sid, modelRows))
+          case 1 => // predicate update, sometimes partition-moving
+            val r = rnd.nextInt(3).toLong
+            val move = rnd.nextBoolean()
+            val tgt = parts(rnd.nextInt(parts.size))
+            val matches = model.filter(_._1 % 3 == r)
+            val sid = IcebergLite.update(spark, root,
+              col("id") % 3 === r,
+              if (move) Map("v" -> (col("v") + 10000), "p" -> lit(tgt))
+              else Map("v" -> (col("v") + 10000)))
+            if (matches.isEmpty)
+              assert(sid == curId, s"seed $seed no-match update")
+            else {
+              assert(sid == curId + 1, s"seed $seed update snapshot")
+              model ++= matches.map { case (k, (v, p)) =>
+                k -> (v + 10000, if (move) tgt else p) }
+              states += ((sid, modelRows))
+            }
+          case 2 => // predicate delete on a random key slice
+            val doomed = rnd.shuffle(model.keys.toSeq)
+              .take(rnd.nextInt(3))
+            val sid = IcebergLite.delete(spark, root,
+              if (doomed.isEmpty) lit(false)
+              else col("id").isInCollection(doomed))
+            if (doomed.isEmpty)
+              assert(sid == curId, s"seed $seed no-match delete")
+            else {
+              assert(sid == curId + 1, s"seed $seed delete snapshot")
+              model --= doomed
+              states += ((sid, modelRows))
+            }
+          case 3 => // compact: content-neutral
+            val sid = IcebergLite.compact(spark, root)
+            assert(sid == curId + 1, s"seed $seed compact snapshot")
+            states += ((sid, modelRows))
+        }
+        assert(readAt() == modelRows, s"seed $seed live read")
+      }
+      // every recorded snapshot travels to its model state
+      for ((sid, st) <- states)
+        assert(readAt(Some(sid)) == st,
+          s"seed $seed travel to $sid")
+    }
+  }
+
   test("non-file scheme in a stored path refuses loudly") {
     val root = fixture("scheme")
     import spark.implicits._
