@@ -1582,7 +1582,14 @@ object DeltaLogLite {
         throw new IllegalStateException(
           s"$tableDir: could not move ${st.getPath.getName} into the " +
             "table")
-      (rel, pv, st.getLen)
+      // footer row count (O(outputs) bounded driver work) → the
+      // add's stats.numRecords, so post-compact deletes/updates take
+      // the stats fast path instead of re-reading footers
+      val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          dest, spark.sparkContext.hadoopConfiguration))
+      val rc = try footer.getRecordCount finally footer.close()
+      (rel, pv, st.getLen, rc)
     }
     fs.delete(tmp, true)
     def dvJson(d: DvDescriptor): String =
@@ -1597,9 +1604,10 @@ object DeltaLogLite {
         pvJson(f.partitionValues.toSeq.sortBy(_._1))}""" +
         f.deletionVector.map(d => s""","deletionVector":${dvJson(d)}""")
           .getOrElse("") + "}}")
-    val adds = moved.map { case (rel, pv, size) =>
+    val adds = moved.map { case (rel, pv, size, rc) =>
       s"""{"add":{"path":${jq(uriEncode(rel))},"partitionValues":${
-        pvJson(pv)},"size":$size,"modificationTime":0,"dataChange":false}}"""
+        pvJson(pv)},"size":$size,"modificationTime":0,"dataChange":false,"stats":${
+        jq(s"""{"numRecords":$rc}""")}}}"""
     }
     AtomicFiles.write(fs,
       new Path(tableDir, f"_delta_log/$version%020d.json"),
