@@ -106,7 +106,13 @@ object IcebergLite {
                             eqDeletes: Seq[EqDelete] = Nil,
                             nameMapping: Option[Map[Int, Seq[String]]] =
                               None,
-                            dvs: Seq[IceDv] = Nil)
+                            dvs: Seq[IceDv] = Nil,
+                            // max resolvable sequence over the live
+                            // manifest entries; None when any live
+                            // entry lacks one (legacy seq-less
+                            // tables) — free at parse time, spares
+                            // the writers a manifest re-read
+                            maxSeq: Option[Long] = None)
 
   private implicit val fmts: Formats = DefaultFormats
 
@@ -552,8 +558,15 @@ object IcebergLite {
       (meta \ "properties" \ "schema.name-mapping.default")
         .extractOpt[String]
         .map(parseNameMapping(_, metaFile.toString))
+    val liveMaxSeq: Option[Long] = {
+      val entries = dataEntries ++ delEntries
+      if (entries.isEmpty) Some(0L)
+      else if (entries.forall(_.seq.nonEmpty))
+        Some(entries.flatMap(_.seq).max)
+      else None
+    }
     Snapshot(wantedId, schema, files, posDeletes, fileSeqs, eqDeletes,
-      nameMapping, dvs)
+      nameMapping, dvs, liveMaxSeq)
   }
 
   /** Per-file rows of the CURRENT snapshot's DATA manifests — the
@@ -1476,10 +1489,9 @@ object IcebergLite {
     // can order themselves against the compacted table (a rewrite
     // commits at a new data sequence — its rows already carry every
     // prior delete applied); legacy seq-less tables keep the
-    // unstamped list, preserving their read behavior
-    val compactSeq: Option[Long] =
-      scala.util.Try(liveManifestRows(spark, tableDir, meta)._2)
-        .toOption.map(_ + 1)
+    // unstamped list, preserving their read behavior. snap.maxSeq
+    // comes free from the snapshot parse — no manifest re-read.
+    val compactSeq: Option[Long] = snap.maxSeq.map(_ + 1)
     val fs = new Path(tableDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // one distributed scan of the live rows (full delete surface
