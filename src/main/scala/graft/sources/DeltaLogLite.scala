@@ -1928,7 +1928,7 @@ object DeltaLogLite {
                                     df: DataFrame, partCols: Seq[String],
                                     base: Seq[String], namePrefix: String,
                                     fieldIdWrite: Boolean = false)
-  : Seq[(String, Seq[(String, String)], Long)] = {
+  : Seq[(String, Seq[(String, String)], Long, Long)] = {
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
     val tmp = new Path(tableDir, s"_tmp_$namePrefix")
     val fieldIdKey = "spark.sql.parquet.fieldId.write.enabled"
@@ -1975,7 +1975,14 @@ object DeltaLogLite {
           throw new IllegalStateException(
             s"$tableDir: could not move ${st.getPath.getName} into the " +
               "table")
-        (rel, pv, fs.getFileStatus(dest).getLen)
+        // footer row count (O(staged files) bounded driver work) —
+        // the add actions stamp it as stats.numRecords so later
+        // deletes/updates keep the stats fast path
+        val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            dest, spark.sparkContext.hadoopConfiguration))
+        val rc = try footer.getRecordCount finally footer.close()
+        (rel, pv, fs.getFileStatus(dest).getLen, rc)
     }
     fs.delete(tmp, true)
     moved
@@ -2063,14 +2070,15 @@ object DeltaLogLite {
           stampMapped(snap, cdcDf, keep = Set("_change_type")),
           partCols.map(physOf), Seq("_change_data"), s"cdc-$version",
           fieldIdWrite).map {
-          case (rel, pv, size) =>
+          case (rel, pv, size, _) =>
             s"""{"cdc":{"path":${jsonStr(uriEncode(rel))},"partitionValues":${
               pvJson(pv.toMap)},"size":$size,"dataChange":false}}"""
         }
       }
-    val addLines = newAdds.map { case (rel, pv, size) =>
+    val addLines = newAdds.map { case (rel, pv, size, rc) =>
       s"""{"add":{"path":${jsonStr(uriEncode(rel))},"partitionValues":${
-        pvJson(pv.toMap)},"size":$size,"modificationTime":0,"dataChange":true}}"""
+        pvJson(pv.toMap)},"size":$size,"modificationTime":0,"dataChange":true,"stats":${
+        jsonStr(s"""{"numRecords":$rc}""")}}}"""
     }
     val lines = protocolUpgradeLine(snap).toSeq ++ cdcLines ++
       dvCommitLines(tableDir, fs, byKey, dvResults) ++ addLines
@@ -2168,14 +2176,15 @@ object DeltaLogLite {
           stampMapped(snap, cdcDf, keep = Set("_change_type")),
           partCols.map(physOf), Seq("_change_data"), s"cdc-$version",
           fieldIdWrite).map {
-          case (rel, pv, size) =>
+          case (rel, pv, size, _) =>
             s"""{"cdc":{"path":${jsonStr(uriEncode(rel))},"partitionValues":${
               pvJson(pv.toMap)},"size":$size,"dataChange":false}}"""
         }
       }
-    val addLines = newAdds.map { case (rel, pv, size) =>
+    val addLines = newAdds.map { case (rel, pv, size, rc) =>
       s"""{"add":{"path":${jsonStr(uriEncode(rel))},"partitionValues":${
-        pvJson(pv.toMap)},"size":$size,"modificationTime":0,"dataChange":true}}"""
+        pvJson(pv.toMap)},"size":$size,"modificationTime":0,"dataChange":true,"stats":${
+        jsonStr(s"""{"numRecords":$rc}""")}}}"""
     }
     // a pure-insert upsert grows no vectors — don't upgrade the
     // protocol for a feature the commit doesn't use

@@ -1498,41 +1498,26 @@ object IcebergLite {
     // applied), id-stamped so the spec's column identity survives,
     // packed into numFiles under the deterministic content-hash salt
     val stamped = stampFieldIds(read(spark, tableDir), ids)
-    val moved = stageTransformed(spark, tableDir, fs, stamped,
+    val moved = try stageTransformed(spark, tableDir, fs, stamped,
       partFields, "compact", newSnapId, packFiles = Some(numFiles))
+    catch {
+      // a partitioned staging write of ZERO live rows produces no
+      // part files at all — refuse with the real story rather than
+      // rewriting a fully-deleted table into an empty snapshot
+      case e: IllegalStateException
+        if e.getMessage != null &&
+          e.getMessage.contains("staged no parquet") =>
+        throw new IllegalStateException(
+          s"$tableDir: compaction found NO live rows (every row is " +
+            "deleted) — nothing to rewrite; expire snapshots and " +
+            "reclaim files instead", e)
+    }
     def writeAvro(df: DataFrame, rel: String): Unit =
       writeAvroFile(spark, fs, tableDir, df, rel)
     import spark.implicits._
-    val manifestDf: DataFrame = {
-      val baseCols = Seq(
-        col("_fp").as("file_path"), lit(0).as("content"),
-        lit("PARQUET").as("file_format"),
-        col("_rc").as("record_count"),
-        col("_sz").as("file_size_in_bytes"))
-      if (partFields.isEmpty)
-        moved.map(m => (m._1, m._3, m._4)).toDF("_fp", "_rc", "_sz")
-          .select(lit(1).as("status"), struct(baseCols: _*).as("data_file"))
-      else {
-        val (partSchema, typed) = typedPartRows(moved, partFields)
-        val rowSchema = org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("_fp",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("_rc",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("_sz",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("_pv", partSchema)))
-        val rows = typed.map { case (rel, pv, rc, sz) =>
-          org.apache.spark.sql.Row(rel, rc, sz, pv)
-        }
-        spark.createDataFrame(
-          spark.sparkContext.parallelize(rows, 1), rowSchema)
-          .select(lit(1).as("status"),
-            struct(baseCols :+ col("_pv").as("partition"): _*)
-              .as("data_file"))
-      }
-    }
-    writeAvro(manifestDf, s"metadata/m-compact-$newSnapId.avro")
+    writeAvro(stagedDataManifestDf(spark, moved, partFields,
+      seq = None, fileFormat = true),
+      s"metadata/m-compact-$newSnapId.avro")
     writeAvro(compactSeq match {
       case Some(sq) => Seq((s"metadata/m-compact-$newSnapId.avro", 0, sq))
         .toDF("manifest_path", "content", "sequence_number")
@@ -1771,10 +1756,6 @@ object IcebergLite {
     fs.delete(t2, true): Unit
   }
 
-  /** Move every staged parquet under `tmp` into the table as
-    * `<relPrefix>-<snapId>_<i>.parquet`, returning (relative path,
-    * footer row count, byte size) per file — the write paths' shared
-    * staging finish. */
   /** Resolve the CURRENT partition spec's transform fields over
     * `snap`'s schema — (resolved transform, source column) per spec
     * field, EMPTY for an unpartitioned table. v2 tables choose the
@@ -1933,24 +1914,30 @@ object IcebergLite {
   }
 
   /** The content=0 DATA manifest rows for a [[stageTransformed]]
-    * output at one explicit sequence number — the typed partition
-    * struct attaches when the spec is partitioned ([[typedPartRows]]),
-    * so external planners and the `files`/`partitions` metadata
-    * tables see real partition tuples for DML-appended files. */
+    * output — the typed partition struct attaches when the spec is
+    * partitioned ([[typedPartRows]]), so external planners and the
+    * `files`/`partitions` metadata tables see real partition tuples.
+    * `seq = Some(n)` stamps each entry's sequence_number (the DML
+    * writers' explicit form); None leaves it to manifest-list
+    * inheritance (compact's form). `fileFormat` adds the "PARQUET"
+    * literal compact's entries carry. */
   private def stagedDataManifestDf(spark: SparkSession,
       moved: Seq[(String, Seq[String], Long, Long)],
       partFields: Seq[(IcebergTransforms.Resolved, String)],
-      seq: Long): DataFrame = {
+      seq: Option[Long], fileFormat: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit, struct}
     import spark.implicits._
     val baseCols = Seq(col("_fp").as("file_path"),
-      lit(0).as("content"),
-      col("_rc").as("record_count"),
-      col("_sz").as("file_size_in_bytes"))
+      lit(0).as("content")) ++
+      (if (fileFormat) Seq(lit("PARQUET").as("file_format")) else Nil) ++
+      Seq(col("_rc").as("record_count"),
+        col("_sz").as("file_size_in_bytes"))
+    val headCols = Seq(lit(1).as("status")) ++
+      seq.map(sq => lit(sq).as("sequence_number"))
     if (partFields.isEmpty)
       moved.map(m => (m._1, m._3, m._4)).toDF("_fp", "_rc", "_sz")
-        .select(lit(1).as("status"), lit(seq).as("sequence_number"),
-          struct(baseCols: _*).as("data_file"))
+        .select(headCols :+
+          struct(baseCols: _*).as("data_file"): _*)
     else {
       val (partSchema, typed) = typedPartRows(moved, partFields)
       val rowSchema = StructType(Seq(
@@ -1961,12 +1948,17 @@ object IcebergLite {
           typed.map { case (rel, pv, rc, sz) =>
             org.apache.spark.sql.Row(rel, rc, sz, pv) }, 1),
         rowSchema)
-        .select(lit(1).as("status"), lit(seq).as("sequence_number"),
+        .select(headCols :+
           struct(baseCols :+ col("_pv").as("partition"): _*)
-            .as("data_file"))
+            .as("data_file"): _*)
     }
   }
 
+  /** Move every staged parquet under `tmp` into the table as
+    * `<relPrefix>-<snapId>_<i>.parquet`, returning (relative path,
+    * footer row count, byte size) per file — the FLAT (unpartitioned
+    * dir) staging finish the delete-file legs use;
+    * [[stageTransformed]] is the partition-aware sibling. */
   private def moveStagedParquet(spark: SparkSession, tableDir: String,
                                 fs: org.apache.hadoop.fs.FileSystem,
                                 tmp: Path, relPrefix: String,
@@ -2140,7 +2132,7 @@ object IcebergLite {
           .as("data_file")),
       s"metadata/m-upddel-$newSnapId.avro")
     writeAvro(stagedDataManifestDf(spark, dataFiles, partFields,
-      newSeq),
+      seq = Some(newSeq)),
       s"metadata/m-upddata-$newSnapId.avro")
     writeAvro((oldRows ++ Seq(
       (s"metadata/m-upddel-$newSnapId.avro",
@@ -2247,7 +2239,7 @@ object IcebergLite {
           lit(delSize).as("file_size_in_bytes")).as("data_file")),
       s"metadata/m-upskdel-$newSnapId.avro")
     writeAvro(stagedDataManifestDf(spark, dataFiles, partFields,
-      newSeq),
+      seq = Some(newSeq)),
       s"metadata/m-upskdata-$newSnapId.avro")
     // BOTH new manifests ride ONE manifest list at ONE sequence — the
     // atomicity the two-snapshot composition lacks

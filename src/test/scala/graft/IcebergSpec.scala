@@ -1656,10 +1656,17 @@ class IcebergSpec extends AnyFunSuite {
               model --= doomed
               states += ((sid, modelRows))
             }
-          case 3 => // compact: content-neutral
-            val sid = IcebergLite.compact(spark, root)
-            assert(sid == curId + 1, s"seed $seed compact snapshot")
-            states += ((sid, modelRows))
+          case 3 => // compact: content-neutral (a fully-deleted
+            // table refuses compaction — nothing to rewrite)
+            if (model.isEmpty)
+              assert(intercept[IllegalStateException] {
+                IcebergLite.compact(spark, root)
+              }.getMessage.contains("NO live rows"))
+            else {
+              val sid = IcebergLite.compact(spark, root)
+              assert(sid == curId + 1, s"seed $seed compact snapshot")
+              states += ((sid, modelRows))
+            }
         }
         assert(readAt() == modelRows, s"seed $seed live read")
       }
