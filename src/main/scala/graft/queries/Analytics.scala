@@ -300,26 +300,40 @@ object Analytics extends QueryModule {
     // deterministic. The fact is scanned once per channel for the
     // build sets + once for the agg, same as Q14's design.
     "q154_channel_intersect" -> { (s, dir) =>
-      def chParts(status: String, out: String) = {
-        val o = Tables.df(s, dir, "orders")
-          .filter(col("o_orderstatus") === status)
-          .select(col("o_orderkey").as(s"ok_$out"))
-        Tables.df(s, dir, "lineitem")
-          .join(broadcast(o), col("l_orderkey") === col(s"ok_$out"))
-          .select(col("l_partkey").as(out)).distinct()
-      }
-      val common = chParts("O", "pk_o")
-        .join(broadcast(chParts("F", "pk_f")),
-          col("pk_o") <=> col("pk_f"), "left_semi")
-        .join(broadcast(chParts("P", "pk_p")),
-          col("pk_o") <=> col("pk_p"), "left_semi")
-        .select(col("pk_o").as("l_partkey"))
-      Tables.df(s, dir, "lineitem")
-        .join(broadcast(common), Seq("l_partkey"), "left_semi")
-        .join(broadcast(Tables.df(s, dir, "part")),
+      // r20 optimization: the literal Q14 shape scanned the fact once
+      // per channel for the INTERSECT build sets (3 scans + 3 DISTINCT
+      // shuffles + 2 semi-joins) and a 4th time for the revenue agg.
+      // Channel membership is a per-PART predicate, so ONE part-grain
+      // census computes all three channel flags AND the exact-decimal
+      // revenue/count partials in a single fact scan + a single partkey
+      // shuffle; INTERSECT becomes a flag conjunction on the census row
+      // and the brand agg re-sums the (order-insensitive) decimal
+      // partials — bit-identical revenue, one fact pass instead of
+      // four. The orders side joins hint-free: AQE broadcasts it at
+      // this scale, a co-partitioned shuffle join serves 100 TB (the
+      // old per-channel broadcast of filtered ORDER KEYS was itself
+      // fact-sized at scale — this also removes that liability).
+      val ostat = Tables.df(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      val perPart = Tables.df(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"),
+          col("l_extendedprice"), col("l_discount"))
+        .join(ostat, col("l_orderkey") === col("o_orderkey"), "left")
+        .groupBy(col("l_partkey"))
+        .agg(
+          max(when(col("o_orderstatus") === "O", 1)).as("in_o"),
+          max(when(col("o_orderstatus") === "F", 1)).as("in_f"),
+          max(when(col("o_orderstatus") === "P", 1)).as("in_p"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(D4)).as("rev_part"),
+          count(lit(1)).as("n_part"))
+        .filter(col("in_o") === 1 && col("in_f") === 1 &&
+          col("in_p") === 1)
+      perPart.join(broadcast(Tables.df(s, dir, "part")),
           col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"))
-        .agg(rev.as("revenue"), count(lit(1)).as("n_items"))
+        .agg(sum(col("rev_part")).cast(DoubleType).as("revenue"),
+          sum(col("n_part")).as("n_items"))
         .orderBy(col("p_brand"))
     },
 

@@ -54,11 +54,41 @@ object Analytics4 extends QueryModule {
       .join(o.toDF("s2", "y").hint("shuffle_hash"),
         col("s1") === col("s2") && col("x") < col("y"))
       .select(col("x"), col("y"))
-    val nTri = wedges
+    // Bloom prefilter on the closing semi-join (r20 optimization, guide
+    // §3.2): the wedge stream is O(m^1.5) and at sf0.1 carries 41M rows
+    // into the exchange while only ~4.6% close a triangle. An exact-m
+    // Bloom filter over the canonical edge keys drops non-candidate
+    // wedges MAP-SIDE, before the exchange, shrinking the close's
+    // shuffle to triangles + 1% false positives; the semi-join after it
+    // re-checks exactly, so false positives cannot change the count.
+    // m comes from one bounded count over the already-checkpointed edge
+    // blocks. Scale gate: past bloomMaxEdges (default 2e8 ≈ 240 MB of
+    // filter) the broadcast cost outweighs the shuffle saving — skip
+    // the prefilter and keep the plain semi-join, same results.
+    val m = e.count()
+    val bloomMax = e.sparkSession.conf
+      .getOption("spark.graft.triangle.bloomMaxEdges").map(_.toLong)
+      .getOrElse(200000000L)
+    val wedgesPre =
+      if (m > 0 && m <= bloomMax) {
+        val bf = e.stat.bloomFilter(xxhash64(col("u"), col("v")), m, 0.01)
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        val mightContain = org.apache.spark.sql.graft.ColumnBridge.column(
+          org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+            org.apache.spark.sql.graft.ColumnBridge.expression(
+              lit(bos.toByteArray)),
+            org.apache.spark.sql.graft.ColumnBridge.expression(
+              xxhash64(col("x"), col("y")))))
+        wedges.filter(mightContain)
+      } else wedges
+    val nTri = wedgesPre
       .join(e.hint("shuffle_hash"),
         col("x") === col("u") && col("y") === col("v"), "leftsemi")
       .agg(count(lit(1)).as("n_triangles"))
-    val nEdges = e.agg(count(lit(1)).as("n_edges"))
+    // n_edges IS the bounded count already taken for the Bloom sizing —
+    // reuse it as a literal instead of re-aggregating the edge list
+    val nEdges = e.sparkSession.range(1).select(lit(m).as("n_edges"))
     val nWedges = deg.agg(
       expr("sum(d * (d - 1)) div 2").as("n_open_wedges"))
     nEdges.crossJoin(nWedges).crossJoin(nTri)

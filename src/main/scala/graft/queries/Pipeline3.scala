@@ -69,7 +69,15 @@ object Pipeline3 extends QueryModule {
     // place and builds the (node-count-sized, ≪ edges) label side.
     // With the map-side partial min in the groupBy, the per-round
     // shuffle volume is label-table-sized, never edge-list-sized.
-    val edges = edgesIn.repartition(col("src")).localCheckpoint()
+    // LAZY checkpoints throughout the loop (r20 optimization): the
+    // convergence probe below is an action anyway, so it doubles as the
+    // materialization trigger for each round's checkpoint — one job per
+    // round where eager checkpointing paid a count job AND a sum job.
+    // Blocks still persist on first computation (localCheckpoint marks
+    // the RDD before the action runs), lineage is still cut per round,
+    // and the free-after-materialize ordering is preserved by freeing
+    // the superseded round only after labelSum(next) returns.
+    val edges = edgesIn.repartition(col("src")).localCheckpoint(false)
     // overflow-safe monotone convergence probe: a bigint sum(root)
     // wraps SILENTLY on overflow, so with large/hashed node ids a
     // wrapped cur could read >= prev while labels are still changing —
@@ -90,7 +98,7 @@ object Pipeline3 extends QueryModule {
       .agg(min(col("dst")).as("mn"))
       .select(col("src").as("node"),
         least(col("mn"), col("src")).as("root"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     var prev: BigDecimal = null // first round always runs
     var cur = labelSum(labels)
     var iters = 0
@@ -110,14 +118,15 @@ object Pipeline3 extends QueryModule {
       val next = hopped.join(byNode.hint("shuffle_hash"),
           hopped("root") === byNode("r_node"))
         .select(col("node"), least(col("root"), col("r_root")).as("root"))
-        .localCheckpoint()
-      // next is materialized (localCheckpoint is eager) — the previous
-      // round's label blocks are now dead; free them instead of waiting
-      // for a driver GC (see freeCheckpoint)
+        .localCheckpoint(false)
+      prev = cur
+      // ONE action: computes the convergence sum and, as a side effect,
+      // materializes next's checkpoint blocks (the lazy-checkpoint
+      // fusion above). Only then are the superseded round's blocks dead
+      // — free them instead of waiting for a driver GC (freeCheckpoint).
+      cur = labelSum(next)
       freeCheckpoint(labels)
       labels = next
-      prev = cur
-      cur = labelSum(labels)
       iters += 1
     }
     // the result is checkpointed, so the edge-list blocks are no longer
