@@ -1023,23 +1023,33 @@ object Analytics4 extends QueryModule {
     // and the dims (part/customer/nation) broadcast onto the paired
     // result, not into each leg.
     "q239_repeat_buyers" -> { (s, dir) =>
-      def side(y: Int, tag: String): DataFrame =
-        Tables.df(s, dir, "lineitem")
-          .select(col("l_orderkey"), col("l_partkey"),
-            (col("l_extendedprice").cast(DecimalType(12, 2)) *
-              (lit(1).cast(DecimalType(4, 2)) -
-                col("l_discount").cast(DecimalType(4, 2))))
-              .as("val"))
-          .join(Tables.df(s, dir, "orders")
-              .filter(year(col("o_orderdate")) === y)
-              .select(col("o_orderkey"), col("o_custkey")),
-            col("l_orderkey") === col("o_orderkey"))
-          .groupBy(col("o_custkey").as(s"ck_$tag"),
-            col("l_partkey").as(s"pk_$tag"))
-          .agg(sum(col("val")).as(s"spend_$tag"))
-      val a = side(1996, "a")
-      val b = side(1997, "b")
-      a.join(b, col("ck_a") === col("ck_b") && col("pk_a") === col("pk_b"))
+      // r20 optimization: the two near-equal year-legs each scanned
+      // lineitem + orders, aggregated to (cust, part) grain, then
+      // self-paired — two fact passes and two census shuffles deciding
+      // what ONE pass can: year-conditional decimal partials in a
+      // single (cust, part) census; a pair is a repeat buyer iff both
+      // year sums are non-null (the inner self-join's condition,
+      // row-for-row). The decimal partials re-sum identically (exact
+      // addition, order-insensitive), so values are bit-identical;
+      // at 100 TB this halves the fact passes and drops the pairing
+      // join outright.
+      val census = Tables.df(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"),
+          (col("l_extendedprice").cast(DecimalType(12, 2)) *
+            (lit(1).cast(DecimalType(4, 2)) -
+              col("l_discount").cast(DecimalType(4, 2))))
+            .as("val"))
+        .join(Tables.df(s, dir, "orders")
+            .filter(year(col("o_orderdate")).isin(1996, 1997))
+            .select(col("o_orderkey"), col("o_custkey"),
+              year(col("o_orderdate")).as("yr")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").as("ck_a"),
+          col("l_partkey").as("pk_a"))
+        .agg(sum(when(col("yr") === 1996, col("val"))).as("spend_a"),
+          sum(when(col("yr") === 1997, col("val"))).as("spend_b"))
+        .filter(col("spend_a").isNotNull && col("spend_b").isNotNull)
+      census
         .join(broadcast(Tables.df(s, dir, "part")
             .select(col("p_partkey"), col("p_brand"))),
           col("pk_a") === col("p_partkey"))

@@ -171,6 +171,17 @@ object OptProbe {
         Pipeline3.connectedComponents(edges)
       }
       timed("labels count")(println("n=" + labels.count()))
+      jobStats(s, "cc (current)") {
+        Pipeline3.connectedComponents(edges).count()
+      }
+      jobStats(s, "ccQuad") {
+        ccQuad(edges).count()
+      }
+      val qDf = ccQuad(edges)
+      val diffQ = labels.toDF("n1", "r1").join(qDf.toDF("n2", "r2"),
+        col("n1") === col("n2") && col("r1") === col("r2"), "full_outer")
+        .filter(col("n1").isNull || col("n2").isNull).count()
+      println(s"cc-vs-ccQuad mismatches=$diffQ")
       timed("full q129") {
         graft.SparkEntry.queries("q129_dedup_pipeline")(s, dir).count()
       }
@@ -217,6 +228,15 @@ object OptProbe {
       jobStats(s, "ccLazy over pairs") {
         ccLazy(edges).count()
       }
+      jobStats(s, "ccQuad over pairs") {
+        ccQuad(edges).count()
+      }
+      val qDf = ccQuad(edges)
+      val aQ = Pipeline3.connectedComponents(edges)
+      val diffQ = aQ.toDF("n1", "r1").join(qDf.toDF("n2", "r2"),
+        col("n1") === col("n2") && col("r1") === col("r2"), "full_outer")
+        .filter(col("n1").isNull || col("n2").isNull).count()
+      println(s"cc-vs-ccQuad mismatches=$diffQ")
       // equivalence: same (node -> root) map
       val aDf = Pipeline3.connectedComponents(edges)
       val bDf = ccLazy(edges)
@@ -270,6 +290,49 @@ object OptProbe {
     }
     freeCk(edges)
     println(s"ccLazy iters=$iters")
+    labels
+  }
+
+  /** Prototype: lazy CC with TWO shortcut hops per round (pointer
+    * quadrupling) — fewer rounds on chain-y graphs at +1 label-sized
+    * exchange per round. */
+  private def ccQuad(edgesIn: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val edges = edgesIn.repartition(col("src")).localCheckpoint(false)
+    def labelSum(df: DataFrame): BigDecimal = {
+      val r = df.agg(sum(col("root").cast(DecimalType(38, 0))).as("s"))
+        .head()
+      if (r.isNullAt(0)) BigDecimal(0) else BigDecimal(r.getDecimal(0))
+    }
+    def shortcut(df: DataFrame): DataFrame = {
+      val byNode = df.select(col("node").as("r_node"),
+        col("root").as("r_root"))
+      df.join(byNode.hint("shuffle_hash"), df("root") === byNode("r_node"))
+        .select(col("node"), least(col("root"), col("r_root")).as("root"))
+    }
+    var labels = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("mn"))
+      .select(col("src").as("node"),
+        least(col("mn"), col("src")).as("root"))
+      .localCheckpoint(false)
+    var prev: BigDecimal = null
+    var cur = labelSum(labels)
+    var iters = 0
+    while ((prev == null || cur < prev) && iters < 64) {
+      val hopped = edges.join(labels.hint("shuffle_hash"),
+          edges("src") === labels("node"))
+        .select(col("dst").as("node"), col("root"))
+        .union(labels)
+        .groupBy(col("node")).agg(min(col("root")).as("root"))
+      val next = shortcut(shortcut(hopped)).localCheckpoint(false)
+      prev = cur
+      cur = labelSum(next)
+      freeCk(labels)
+      labels = next
+      iters += 1
+    }
+    freeCk(edges)
+    println(s"ccQuad iters=$iters")
     labels
   }
 

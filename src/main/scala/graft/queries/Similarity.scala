@@ -130,14 +130,24 @@ object Similarity extends QueryModule {
     * a one-time build written out partitioned by cell. Shared by q111
     * and the cell-balance spec (PipelineSpec). */
   private[graft] def ivfAssigned(s: SparkSession, dir: String): DataFrame = {
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("csim").desc, col("cent_id"))
-    corpus(s, dir).crossJoin(broadcast(ivfCentroids(s, dir)))
-      .select(col("vec_id"), col("v"), col("cent_id"),
-        round(cosine(col("cv"), col("v")), 6).as("csim"))
-      .withColumn("rk", row_number().over(wAssign))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("v"), col("cent_id").as("cell"))
+    // r20 optimization: nearest-centroid used to explode corpus×k
+    // (vector, centroid) rows and window-pick rk=1 — a corpus-sized
+    // SHUFFLE for a 16-way argmax. The k centroids now collapse to ONE
+    // broadcast array row and the argmax is a map-side array_min over
+    // struct(-csim, cent_id) (same (csim desc, cent_id) ordering, so
+    // cell assignment is row-identical): the index build has no
+    // exchange at all — the shape the 100 TB design note always
+    // claimed ("one corpus-wide argmax").
+    val centsArr = ivfCentroids(s, dir)
+      .agg(array_sort(collect_list(struct(col("cent_id"), col("cv"))))
+        .as("cents"))
+    corpus(s, dir).crossJoin(broadcast(centsArr))
+      .select(col("vec_id"), col("v"),
+        array_min(transform(col("cents"),
+          c0 => struct(
+            (-round(cosine(c0.getField("cv"), col("v")), 6)).as("nsim"),
+            c0.getField("cent_id").as("cent_id"))))
+          .getField("cent_id").as("cell"))
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -583,6 +593,12 @@ object Similarity extends QueryModule {
       val codebook = c.filter(col("vec_id") >= 100 && col("vec_id") < 116)
         .select((col("vec_id") - 100).as("cent_id"),
           posexplode(subvectors(col("v"))).as(Seq("j", "cv")))
+      // r20 note: a map-side array_min encode (broadcast codebook
+      // array, no window) was prototyped and A/B-measured SLOWER here
+      // (2.1–2.5 s → 3.0–4.2 s, bench methodology, 3 reps each): the
+      // per-element interpreted struct-ordering comparisons cost more
+      // than the (vec_id, j) exchange + sort they replace at this
+      // codebook size. Kept the window form; see OPTIMIZATION_r20.md.
       val subv = c.select(col("vec_id"),
         posexplode(subvectors(col("v"))).as(Seq("j", "sv")))
       val wCode = Window.partitionBy(col("vec_id"), col("j"))

@@ -477,14 +477,19 @@ class PlanSpec extends AnyFunSuite {
         .findFirstIn(p).isDefined, p.take(3000))
   }
 
-  test("q239 repeat buyers: each leg aggregates BEFORE the self-pair " +
-    "and no fact-x-fact join survives (position-independent — the " +
-    "build side of the near-equal legs is an AQE coin flip)") {
+  test("q239 repeat buyers: ONE fact pass — the year-conditional " +
+    "census partial-aggregates below the dim joins (r20 fusion of the " +
+    "former two-leg self-pair), no fact-x-fact join anywhere") {
     val p = finalPlan("q239_repeat_buyers")
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
-    // both census legs partial-aggregate below the pairing join
+    // both year sums partial-aggregate map-side in the single census
     assert("partial_sum".r.findAllIn(p).size >= 2, p.take(3000))
+    // the fusion's point: exactly one lineitem scan feeds the query
+    val finalSection = p.split("== Initial Plan ==").head
+    assert(finalSection.split('\n')
+      .count(l => l.contains("FileScan parquet") &&
+        l.contains("lineitem")) === 1, finalSection.take(3000))
   }
 
   test("q385 rank alignment: both global ranks ride PartitionSweep " +
