@@ -32,7 +32,11 @@ object Analytics4 extends QueryModule {
     // at sf0.1 that alone is most of the runtime. localCheckpoint (the
     // CC-loop pattern, Pipeline3) computes it once; the bench's
     // between-query quiesce frees the blocks.
-    val e = eIn.localCheckpoint()
+    // lazy checkpoint (r20): the bounded edge count below (taken anyway
+    // to size the Bloom prefilter) doubles as the materialization
+    // action — one pass over the edge build instead of checkpoint-count
+    // + count (the CC-loop fusion, same rationale)
+    val e = eIn.localCheckpoint(false)
     val deg = e.select(col("u").as("x"))
       .union(e.select(col("v").as("x")))
       .groupBy(col("x")).agg(count(lit(1)).as("d"))
