@@ -186,9 +186,14 @@ object Bench {
         name -> math.min(once(), once())
       }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // 3-decimal seconds: the driver keeps only a 2000-char tail of
+    // stdout, and 9-decimal seconds × 57 queries (~2,600 chars) clipped
+    // the JSON head since r18, leaving PERF blind (parsed=null). At
+    // f"%.3f" the line is ~1,400 chars with headroom to ~90 queries;
+    // 1 ms resolution is far below the run-to-run noise floor.
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = f"${results.map(_._2).sum}%.3f"
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

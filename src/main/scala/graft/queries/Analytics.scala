@@ -287,22 +287,16 @@ object Analytics extends QueryModule {
 
     // TPC-DS Q14 shape: INTERSECT-heavy cross-channel match — parts
     // sold through ALL THREE order-status "channels", then revenue by
-    // brand restricted to those parts. The INTERSECTs are written as
-    // the distinct + left-semi joins Spark's own
-    // ReplaceIntersectWithSemiJoin rewrite produces (the oracle keeps
-    // the literal INTERSECT SQL) — hand-written because that rewrite
-    // DROPS broadcast hints placed on intersect operands (it runs
-    // after EliminateResolvedHint), and without a pinned build side
-    // AQE's runtime shuffled→broadcast conversion races on
-    // stage-completion order for these near-equal channel sets and
-    // flips the plan run to run. The sets are bounded by |part|, so
-    // broadcasting every semi build side is scale-safe AND
-    // deterministic. The fact is scanned once per channel for the
-    // build sets + once for the agg, same as Q14's design.
+    // brand restricted to those parts (the oracle keeps the literal
+    // INTERSECT SQL; Spark computes the same sets as flag conjunctions
+    // on one part-grain census — see the r20 note below).
     "q154_channel_intersect" -> { (s, dir) =>
       // r20 optimization: the literal Q14 shape scanned the fact once
       // per channel for the INTERSECT build sets (3 scans + 3 DISTINCT
-      // shuffles + 2 semi-joins) and a 4th time for the revenue agg.
+      // shuffles + 2 semi-joins, each semi build side broadcast-hinted
+      // because ReplaceIntersectWithSemiJoin drops operand hints and
+      // AQE's runtime conversion raced on these near-equal sets) and a
+      // 4th time for the revenue agg.
       // Channel membership is a per-PART predicate, so ONE part-grain
       // census computes all three channel flags AND the exact-decimal
       // revenue/count partials in a single fact scan + a single partkey

@@ -24,7 +24,15 @@ object Analytics4 extends QueryModule {
     * its (x < y) endpoints are themselves a canonical edge — an equi
     * semi-join, never a θ-join. Factored out so GraphSpec can drive it
     * with known-count graphs (K4, paths, cycles) independent of the
-    * fixture. */
+    * fixture.
+    *
+    * NOTE (r20 Bloom prefilter): construction is EAGER — building the
+    * returned frame runs the full edge build (the checkpoint-
+    * materializing edge count that sizes the Bloom filter, plus the
+    * filter aggregate itself) and bakes n_edges/the filter bytes into
+    * the plan as literals frozen at construction time. Fine for the
+    * bench/oracle contract (callers always execute); plan-only callers
+    * (explain, golden tests) pay those bounded jobs too. */
   private[graft] def triangleStats(eIn: DataFrame): DataFrame = {
     // The edge list feeds FOUR consumers (degree count, orientation,
     // the closing-edge probe, the edge census); without materialization
@@ -73,18 +81,18 @@ object Analytics4 extends QueryModule {
     val bloomMax = e.sparkSession.conf
       .getOption("spark.graft.triangle.bloomMaxEdges").map(_.toLong)
       .getOrElse(200000000L)
+    // r21 (ADVICE r20): the filter rides a sparkContext.broadcast
+    // referenced from a codegen'd expression instead of being INLINED
+    // as a plan Literal — one driver copy instead of three, no
+    // multi-MB (at the gate, multi-hundred-MB) literal for optimizer
+    // transforms to copy or explain output to hex-expand. Same 1% fpp
+    // sizing, same exact semi-join after it, same results.
     val wedgesPre =
       if (m > 0 && m <= bloomMax) {
         val bf = e.stat.bloomFilter(xxhash64(col("u"), col("v")), m, 0.01)
-        val bos = new java.io.ByteArrayOutputStream()
-        bf.writeTo(bos)
-        val mightContain = org.apache.spark.sql.graft.ColumnBridge.column(
-          org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-            org.apache.spark.sql.graft.ColumnBridge.expression(
-              lit(bos.toByteArray)),
-            org.apache.spark.sql.graft.ColumnBridge.expression(
-              xxhash64(col("x"), col("y")))))
-        wedges.filter(mightContain)
+        val bfB = e.sparkSession.sparkContext.broadcast(bf)
+        wedges.filter(graft.functions.BloomMightContainBroadcast
+          .col(bfB, xxhash64(col("x"), col("y"))))
       } else wedges
     val nTri = wedgesPre
       .join(e.hint("shuffle_hash"),
@@ -1318,14 +1326,22 @@ object Analytics4 extends QueryModule {
         // a second partial-combinable aggregate instead of a per-round
         // window SORT of the (node, label) table. shuffle_hash on the
         // node-grain labels side: builds the hash map on the SMALL
-        // relation and spares the edge-grain side a per-round sort
+        // relation and spares the edge-grain side a per-round sort.
+        // r21: the argmax is the custom flat-buffer DeclarativeAggregate
+        // (ArgMaxLong.argmaxCountMinLabel) instead of
+        // max_by(lab, struct(c, -lab)) — the struct buffer is not
+        // UnsafeRow-mutable, so the mode step planned as a SortAggregate
+        // (a full sort of the (node, label) table per round); two long
+        // buffer slots make it HashAggregate-eligible with identical
+        // values, and labels stay full 64-bit (no ≥2^31 packed-long
+        // cliff — the encoding r20 rightly rejected).
         labels = directed
           .join(labels.hint("shuffle_hash"), col("dst") === col("node"))
           .select(col("src").as("v"), col("lab"))
           .groupBy(col("v"), col("lab")).agg(count(lit(1)).as("c"))
           .groupBy(col("v"))
-          .agg(max_by(col("lab"), struct(col("c"), (-col("lab")).as("t")))
-            .as("lab"))
+          .agg(graft.functions.ArgMaxLong
+            .argmaxCountMinLabel(col("lab"), col("c")).as("lab"))
           .select(col("v").as("node"), col("lab"))
       }
       labels.select(col("node").as("part_id"),

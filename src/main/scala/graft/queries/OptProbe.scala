@@ -228,6 +228,15 @@ object OptProbe {
       jobStats(s, "ccLazy over pairs") {
         ccLazy(edges).count()
       }
+      jobStats(s, "ccAqeOff over pairs") {
+        ccAqeOff(edges).count()
+      }
+      val offDf = ccAqeOff(edges)
+      val aOff = Pipeline3.connectedComponents(edges)
+      val diffOff = aOff.toDF("n1", "r1").join(offDf.toDF("n2", "r2"),
+        col("n1") === col("n2") && col("r1") === col("r2"), "full_outer")
+        .filter(col("n1").isNull || col("n2").isNull).count()
+      println(s"cc-vs-ccAqeOff mismatches=$diffOff")
       jobStats(s, "ccQuad over pairs") {
         ccQuad(edges).count()
       }
@@ -334,6 +343,19 @@ object OptProbe {
     freeCk(edges)
     println(s"ccQuad iters=$iters")
     labels
+  }
+
+  /** Prototype: the CC loop with AQE disabled for the loop's own jobs
+    * only (VERDICT r20 item 5 — the residual ~7 jobs/round is AQE
+    * re-planning per tiny stage). The final labels are materialized
+    * checkpoint blocks, so downstream consumers see a LogicalRDD and
+    * the restored conf. */
+  private def ccAqeOff(edgesIn: DataFrame): DataFrame = {
+    val s = edgesIn.sparkSession
+    val prev = s.conf.get("spark.sql.adaptive.enabled")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    try ccLazy(edgesIn)
+    finally s.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
   private def freeCk(df: DataFrame): Unit =

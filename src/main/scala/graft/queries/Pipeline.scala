@@ -91,6 +91,19 @@ object Pipeline extends QueryModule {
     // merge (JaccardSortedLongs) — identical values to string-set
     // jaccard modulo 64-bit hash collisions, at a fraction of the cost
     // and an 8-bytes-per-token re-attach payload.
+    //
+    // r21 negative result, REVERTED: a single-pass GATHER re-attach
+    // (explode each pair into its two ids, join toks ONCE, fold back
+    // with a per-(a_id,b_id) argmin) was prototyped to halve the toks
+    // passes — and measured q129 6.1–6.8 s → 9.0–9.3 s in alternating
+    // same-window A/B (3 reps/side): the pair-grain fold is an
+    // array-buffer SortAggregate shuffling token payloads, while the
+    // two-join shape below already broadcasts toks ONCE and reuses it
+    // for both sides (ReusedExchange in the q97 golden), so there is
+    // no second tokenization pass to save here. At a scale where toks
+    // cannot broadcast, the same fold re-appears as a candidate-sized
+    // shuffle — revisit only with evidence the planner's two shuffled
+    // re-attach joins do not share the toks exchange.
     val toks = docsIn.select(col("doc_id"), tokenHashSet(col("text")).as("tok"))
     lshCandidatePairs(docsIn, bands, rows)
       .join(toks.select(col("doc_id").as("a_id"), col("tok").as("tok_a")), "a_id")
