@@ -29,11 +29,20 @@ object PlanSnap {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     Files.createDirectories(Paths.get(outDir))
+    // GRAFT_PLANSNAP_EXEC=1: execute the query first and snapshot the
+    // POST-AQE final plan — runtime effects (exchange-stage reuse,
+    // AQE join conversions, coalesced reads) are invisible in the
+    // pre-execution formatted plan under AdaptiveSparkPlan.
+    val exec = sys.env.contains("GRAFT_PLANSNAP_EXEC")
     names.foreach { name =>
       SparkEntry.queries.get(name) match {
         case Some(fn) =>
           try {
-            val plan = fn(spark, sfDir).queryExecution.explainString(
+            val df = fn(spark, sfDir)
+            // toRdd executes THIS QueryExecution (count() would plan
+            // its own), so the explain below prints isFinalPlan=true
+            if (exec) df.queryExecution.toRdd.count(): Unit
+            val plan = df.queryExecution.explainString(
               org.apache.spark.sql.execution.FormattedMode)
             Files.write(Paths.get(outDir, s"${name}_$tag.txt"),
               plan.getBytes("UTF-8"))

@@ -61,7 +61,16 @@ object Analytics4 extends QueryModule {
     // shuffle_hash on both heavy joins: the apex self-join builds one
     // out-edge partition per apex hash, and the close builds the
     // edge-list side (m rows, far smaller than the m^1.5 wedge stream)
-    // — SMJ would SORT the wedge stream, the dominant cost at sf0.1
+    // — SMJ would SORT the wedge stream, the dominant cost at sf0.1.
+    // r21 examined, left: the PRE-AQE plan prints the orientation
+    // subtree twice (deg broadcast 4×), but the EXECUTED plan shows
+    // AQE's stage cache already reuses the apex exchange and the deg
+    // broadcasts (ReusedExchange in
+    // plans/r21/q227_triangle_count_before_exec.txt); an explicit
+    // repartition + identical-subtree self-join (the lshCandidatePairs
+    // pattern) measured FLAT in alternating A/B (4.31–4.61 s vs
+    // 4.22–4.93 s) while pinning the partition count against AQE —
+    // reverted, no evidence the coalescing hurts here.
     val wedges = o.toDF("s1", "x")
       .join(o.toDF("s2", "y").hint("shuffle_hash"),
         col("s1") === col("s2") && col("x") < col("y"))

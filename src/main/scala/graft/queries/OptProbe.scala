@@ -41,6 +41,14 @@ object OptProbe {
       case "dedup" => dedup(spark, dir)
       case "semantic" => semantic(spark, dir)
       case "lp" => lp(spark, dir)
+      case "q" =>
+        // jobs/stages/tasks of ONE named query, two passes (pass 1
+        // authors memoized fixtures; pass 2 is the bench-comparable
+        // read-only shape)
+        val name = args(2)
+        val fn = graft.SparkEntry.queries(name)
+        for (pass <- 1 to 2)
+          jobStats(spark, s"p$pass $name")(fn(spark, dir).count())
       case "survey" =>
         // jobs/stages/tasks per bench query — outliers are where fixed
         // scheduling overhead (not data) is the cost at this scale.

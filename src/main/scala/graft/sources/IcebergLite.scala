@@ -861,12 +861,12 @@ object IcebergLite {
     *    `to` (a row inserted AND deleted inside the range nets out);
     *  - DELETES: rows of pre-existing data files that are live at
     *    `from` but dead at `to` — the `from`-live scan excludes
-    *    already-dead rows, so semi-joining `to`'s positional dead
-    *    keys (and matching `to`'s equality deletes) yields exactly
-    *    the newly-dead rows. Old data files are scanned ONCE for the
-    *    positional leg; an equality-delete leg costs one more pass
-    *    over the positional survivors (rare — CDC ranges are
-    *    overwhelmingly positional).
+    *    already-dead rows, so flagging `to`'s positional dead keys
+    *    (and `to`'s seq-gated equality deletes) marks exactly the
+    *    newly-dead rows. Old data files are scanned ONCE for both
+    *    legs (r21): the positional keys left-join a flag and the
+    *    equality deletes flag-match on the same stream, the row is a
+    *    delete iff either flag is set.
     *
     * Loud refusals (never a silent wrong diff): schema evolution in
     * the range; a range that DROPS data files, positional delete
@@ -943,18 +943,33 @@ object IcebergLite {
         Some((if (needMeta) live.drop("_ice_path", "_ice_pos") else live)
           .withColumn(ct, lit("insert")))
       }
+    val oldDvs = to.dvs.filter(d => fromFiles.contains(d.dataFile))
     val deletes =
-      if (from.files.isEmpty) None
+      if (from.files.isEmpty ||
+        (oldDvs.isEmpty && to.deleteFiles.isEmpty && to.eqDeletes.isEmpty))
+        None
       else {
         // rows of the old files live at `from` (its whole delete
-        // surface applied), row identity kept
+        // surface applied), row identity kept.
+        //
+        // r21 (guide §1.2 — remove passes): the positional and
+        // equality legs used to BRANCH twice from this scan (a semi
+        // join for the positional dead keys, then the equality matcher
+        // over a second, anti-joined branch) — two full scans of the
+        // old data files, two applications of from's delete chain. One
+        // pass now FLAGS each live row instead: left-join the (deduped)
+        // positional dead keys, flag-match the seq-gated equality
+        // deletes, keep rows dead by either. Same set — the old union
+        // was pos ∪ (eq ∖ pos) = pos ∨ eq — and row identity is unique
+        // on the single stream, so no dedup is needed. (One refusal
+        // became stricter: the equality legs' sequence-number guard now
+        // also sees positionally-dead rows, so a file with NO sequence
+        // entry refuses even if every matched row was positionally
+        // dead — consistent with read()'s loud-refusal rule.)
         val liveFrom = applyDeleteChain(spark, tableDir, from,
           scanData(spark, tableDir, from, withMeta = true))
-        // `to`'s positional dead keys: liveFrom already excludes
-        // rows dead at `from`, so the semi join hits exactly the
-        // newly-dead ones — delete keys are small; old data files
-        // are scanned once
-        val oldDvs = to.dvs.filter(d => fromFiles.contains(d.dataFile))
+        // `to`'s positional dead keys: liveFrom already excludes rows
+        // dead at `from`, so the flag hits exactly the newly-dead ones
         val posKeys = Seq(
           if (oldDvs.isEmpty) None
           else Some(dvDeadSet(spark, oldDvs)
@@ -963,25 +978,27 @@ object IcebergLite {
           else Some(posDeadSet(spark, tableDir, to.deleteFiles)
             .toDF("_k_path", "_k_pos"))).flatten
           .reduceOption(_ unionAll _)
-        val byPos = posKeys.map(keys =>
-          liveFrom.join(keys, col("_ice_path") === col("_k_path") &&
-            col("_ice_pos") === col("_k_pos"), "left_semi"))
-        // equality deletes kill rows that SURVIVED the positional cut
-        // (no double count); matching is seq-gated like read()
-        val byEq =
-          if (to.eqDeletes.isEmpty) None
-          else {
-            val posSurvivors = posKeys.map(keys =>
-              liveFrom.join(keys,
+        val posFlagged = posKeys match {
+          case Some(keys) =>
+            // a (path, pos) can be dead by a DV AND a positional
+            // delete file — dedup the keys so the join is
+            // row-preserving
+            liveFrom.join(keys.dropDuplicates("_k_path", "_k_pos"),
                 col("_ice_path") === col("_k_path") &&
-                  col("_ice_pos") === col("_k_pos"), "left_anti"))
-              .getOrElse(liveFrom)
-            Some(applyEqualityDeletes(spark, tableDir, to, posSurvivors,
-              emitMatched = true))
-          }
-        Seq(byPos, byEq).flatten.reduceOption(_ unionAll _)
-          .map(_.drop("_ice_path", "_ice_pos")
-            .withColumn(ct, lit("delete")))
+                  col("_ice_pos") === col("_k_pos"), "left_outer")
+              .withColumn("_pos_dead", col("_k_path").isNotNull)
+              .drop("_k_path", "_k_pos")
+          case None => liveFrom.withColumn("_pos_dead", lit(false))
+        }
+        val eqFlagged =
+          if (to.eqDeletes.isEmpty)
+            posFlagged.withColumn("_eq_dead", lit(false))
+          else applyEqualityDeletes(spark, tableDir, to, posFlagged,
+            flagAs = Some("_eq_dead"))
+        Some(eqFlagged
+          .filter(col("_pos_dead") || col("_eq_dead"))
+          .drop("_pos_dead", "_eq_dead", "_ice_path", "_ice_pos")
+          .withColumn(ct, lit("delete")))
       }
     Seq(inserts, deletes).flatten.reduceOption(_ unionAll _)
       .getOrElse(spark.createDataFrame(
@@ -1325,10 +1342,19 @@ object IcebergLite {
     * matched by delete rows at several sequences survives only if its
     * own sequence is ≥ the delete MAX — exactly the per-row `<`
     * condition the single join expresses. */
+  /** `flagAs = Some(name)`: instead of filtering (anti) or emitting
+    * the matched rows, RETURN the input rows unchanged plus a boolean
+    * column `name` = "this row is killed by some equality delete"
+    * (null-safe key match, seq-gated as always). Row-preserving by
+    * construction — each column set's keys collapse to one row per
+    * key tuple (max delete seq), so the per-set LEFT joins cannot
+    * duplicate — which is what lets [[readChanges]] fold its
+    * positional and equality legs into ONE pass over the old files
+    * (r21). */
   private[graft] def applyEqualityDeletes(spark: SparkSession,
                                           tableDir: String, snap: Snapshot,
                                           data: DataFrame,
-                                          emitMatched: Boolean = false)
+                                          flagAs: Option[String] = None)
   : DataFrame = {
     import org.apache.spark.sql.functions._
     import spark.implicits._
@@ -1337,10 +1363,6 @@ object IcebergLite {
         throw new IllegalStateException(
           s"IcebergLite: equality delete ${d.path} names column $c " +
             "absent from the table schema")
-    if (emitMatched)
-      require(data.columns.contains("_ice_path") &&
-        data.columns.contains("_ice_pos"),
-        "emitMatched needs _ice_path/_ice_pos for the matched-set dedup")
     enableFieldIdRead(spark)
     val seqLookup = broadcast(
       snap.fileSeqs.toSeq.toDF("_seq_path", "_ice_seq"))
@@ -1404,18 +1426,26 @@ object IcebergLite {
                   delKeys: DataFrame) =
       cols.map { case (_, c) => in(c) <=> delKeys(s"_del_$c") }
         .reduce(_ && _) && in("_ice_seq") < delKeys("_del_seq")
-    if (emitMatched) {
-      // rows MATCHED by any delete key (the inverse surface, for the
-      // incremental net-diff): one semi join per column set over the
-      // same input, deduped on row identity — matched volume is
-      // bounded by the delete keys' hit set, not the table
-      val legs = groups.map { case (cols, group) =>
-        val delKeys = keysOf(cols, group)
-        withSeq.join(delKeys, matchCond(withSeq, cols, delKeys),
-          "left_semi")
+    if (flagAs.isDefined) {
+      // flag mode (the incremental net-diff's single-pass shape): one
+      // LEFT join per column set over the same input; a row matches at
+      // most one (unique, max-seq) key row per set, so the joins are
+      // row-preserving and the flag is just "any set's key survived
+      // the join" — no second branch over the input, no identity dedup
+      val bits = groups.indices.map(i => s"_eq_hit_$i")
+      val flagged = groups.zipWithIndex.foldLeft(withSeq) {
+        case (acc, ((cols, group), i)) =>
+          val delKeys = keysOf(cols, group)
+          acc.join(delKeys, matchCond(acc, cols, delKeys), "left_outer")
+            .withColumn(bits(i), col("_del_seq").isNotNull)
+            .drop(cols.map { case (_, c) => s"_del_$c" } :+ "_del_seq": _*)
       }
-      legs.reduce(_ unionAll _)
-        .dropDuplicates("_ice_path", "_ice_pos").drop("_ice_seq")
+      val out = flagged
+        .withColumn(flagAs.get,
+          bits.map(col).reduceOption(_ || _).getOrElse(lit(false)))
+        .drop(bits: _*)
+        .drop("_ice_seq")
+      if (hadPath) out else out.drop("_ice_path")
     } else {
       val applied = groups.foldLeft(withSeq) { case (acc, (cols, group)) =>
         val delKeys = keysOf(cols, group)

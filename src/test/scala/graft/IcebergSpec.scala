@@ -902,12 +902,20 @@ class IcebergSpec extends AnyFunSuite {
   }
 
   test("randomized model check: readChanges over every (from, latest) " +
-    "range of a random append/DV-grow snapshot sequence equals the " +
-    "in-memory diff model, across seeds") {
+    "range of a random append/DV-grow/positional-delete-file/equality-" +
+    "delete snapshot sequence equals the in-memory diff model, across " +
+    "seeds") {
     import spark.implicits._
+    // seq = the file's data sequence number (the snapshot that added
+    // it) — the equality deletes' strict `<` gate consults it.
+    // Format version is per seed: v3 tables mutate through DVs (v3
+    // forbids positional delete FILES), v2 tables through positional
+    // delete files (v2 predates DVs) — both alongside equality
+    // deletes, matching the reader's format gates.
     final case class F(name: String, rows: Seq[Long], dead: Set[Int],
-                       dvManifest: Option[String])
-    for (seed <- Seq(11, 77, 503)) {
+                       dvManifest: Option[String], seq: Long)
+    for (seed <- Seq(11, 77, 503, 1201)) {
+      val fv = if (seed < 100) 3 else 2
       val rnd = new scala.util.Random(seed)
       val root = s"/tmp/graft_icespec/chgmodel$seed"
       rm(new java.io.File(root))
@@ -936,35 +944,66 @@ class IcebergSpec extends AnyFunSuite {
               lit(size).as("content_size_in_bytes"),
               lit(card).as("record_count")).as("data_file")),
           rel)
+      // positional delete FILE manifest: content=1, NO
+      // referenced_data_file (that field is what marks a DV)
+      def posManifest(rel: String, path: String): Unit =
+        writeAvro(Seq((1, path)).toDF("status", "file_path")
+          .select(col("status"),
+            struct(col("file_path"), lit(1).as("content"))
+              .as("data_file")), rel)
+      // equality delete manifest: content=2 + equality_ids
+      def eqManifest(rel: String, path: String, ids: Seq[Int]): Unit =
+        writeAvro(Seq((1, path)).toDF("status", "file_path")
+          .select(col("status"),
+            struct(col("file_path"), lit(2).as("content"),
+              array(ids.map(lit(_)): _*).as("equality_ids"))
+              .as("data_file")), rel)
+      def writeParquet(df: org.apache.spark.sql.DataFrame,
+                       rel: String): Unit = {
+        val tmp = s"$root/_tmp"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val p = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.endsWith(".parquet") &&
+            !f.getName.startsWith(".")).get
+        assert(p.renameTo(new java.io.File(s"$root/$rel")))
+        rm(new java.io.File(tmp))
+      }
       var nextBase = 0L
       var files = Vector.empty[F]
+      // accumulated delete-surface manifests beyond the per-file DV
+      // (positional delete files + equality deletes), with the
+      // manifest-list sequence number they were committed at
+      var extraDelManifests = Vector.empty[(String, Long)]
+      // equality deletes in force: (matched id values, delete seq)
+      var eqDels = Vector.empty[(Set[Long], Long)]
       def newDataFile(sid: Long): F = {
         val n = 3 + rnd.nextInt(5)
         val rows = (nextBase until nextBase + n).toSeq
         nextBase += 100
         val name = s"f$sid"
-        val tmp = s"$root/_tmp"
-        IcebergLite.stampFieldIds(
+        writeParquet(IcebergLite.stampFieldIds(
           spark.range(rows.head, rows.head + n)
             .select(col("id"), (col("id") * 3).as("v")),
-          Map("id" -> 1, "v" -> 2))
-          .coalesce(1).write.mode("overwrite").parquet(tmp)
-        val p = new java.io.File(tmp).listFiles()
-          .find(f => f.getName.endsWith(".parquet") &&
-            !f.getName.startsWith(".")).get
-        assert(p.renameTo(new java.io.File(s"$root/data/$name.parquet")))
-        rm(new java.io.File(tmp))
+          Map("id" -> 1, "v" -> 2)), s"data/$name.parquet")
         dataManifest(s"metadata/m-$name.avro", s"data/$name.parquet")
-        F(name, rows, Set.empty, None)
+        F(name, rows, Set.empty, None, sid)
       }
-      val nSnaps = 3 + rnd.nextInt(3)
-      val states =
-        scala.collection.mutable.ArrayBuffer.empty[(Long, Vector[F])]
+      val nSnaps = 4 + rnd.nextInt(3)
+      val states = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Vector[F], Vector[(Set[Long], Long)])]
+      // data-file seq = the snapshot that added it; DV/posdel/eqdel
+      // manifests commit at their own snapshot's seq — the manifest
+      // list carries sequence_number so the equality gate resolves
+      var manifestSeq = Map.empty[String, Long]
       for (sid <- 1L to nSnaps.toLong) {
-        val op = if (files.isEmpty) "add"
-          else Seq("add", "dv")(rnd.nextInt(2))
+        val ops =
+          if (fv >= 3) Seq("add", "dv", "eqdel")
+          else Seq("add", "posdel", "eqdel")
+        val op = if (files.isEmpty) "add" else ops(rnd.nextInt(ops.size))
         op match {
-          case "add" => files :+= newDataFile(sid)
+          case "add" =>
+            files :+= newDataFile(sid)
+            manifestSeq += (s"metadata/m-f$sid.avro" -> sid)
           case "dv" =>
             val i = rnd.nextInt(files.size)
             val old = files(i)
@@ -979,21 +1018,58 @@ class IcebergSpec extends AnyFunSuite {
             val mRel = s"metadata/m-dv-$sid-${old.name}.avro"
             dvManifest(mRel, dvRel, s"data/${old.name}.parquet",
               blob.length.toLong, dead.size.toLong)
+            manifestSeq += (mRel -> sid)
             files = files.updated(i,
               old.copy(dead = dead, dvManifest = Some(mRel)))
+          case "posdel" =>
+            // a v2 positional delete file over 1-2 (possibly already
+            // dead — the overlap must not double count) ordinals of
+            // one existing file
+            val i = rnd.nextInt(files.size)
+            val old = files(i)
+            val ords = (0 until (1 + rnd.nextInt(2)))
+              .map(_ => rnd.nextInt(old.rows.size)).toSet
+            val rel = s"data/pd-$sid.parquet"
+            writeParquet(
+              ords.toSeq.sorted
+                .map(o => (s"data/${old.name}.parquet", o.toLong))
+                .toDF("file_path", "pos"), rel)
+            val mRel = s"metadata/m-pd-$sid.avro"
+            posManifest(mRel, rel)
+            manifestSeq += (mRel -> sid)
+            extraDelManifests :+= ((mRel, sid))
+            files = files.updated(i, old.copy(dead = old.dead ++ ords))
+          case "eqdel" =>
+            // an equality delete on `id` values of 1-2 random existing
+            // rows (dead or alive) — strict seq gating means it only
+            // kills rows of files committed BEFORE this snapshot
+            val vals = (0 until (1 + rnd.nextInt(2))).map { _ =>
+              val f = files(rnd.nextInt(files.size))
+              f.rows(rnd.nextInt(f.rows.size))
+            }.toSet
+            val rel = s"data/eq-$sid.parquet"
+            writeParquet(IcebergLite.stampFieldIds(
+              vals.toSeq.sorted.toDF("id"), Map("id" -> 1)), rel)
+            val mRel = s"metadata/m-eq-$sid.avro"
+            eqManifest(mRel, rel, Seq(1))
+            manifestSeq += (mRel -> sid)
+            extraDelManifests :+= ((mRel, sid))
+            eqDels :+= ((vals, sid))
         }
         writeAvro(
           (files.map(f => (s"metadata/m-${f.name}.avro", 0)) ++
-            files.flatMap(_.dvManifest).map((_, 1)))
-            .toDF("manifest_path", "content"),
+            files.flatMap(_.dvManifest).map((_, 1)) ++
+            extraDelManifests.map { case (m, _) => (m, 1) })
+            .map { case (m, c) => (m, c, manifestSeq(m)) }
+            .toDF("manifest_path", "content", "sequence_number"),
           s"metadata/snap-$sid.avro")
-        states += ((sid, files))
+        states += ((sid, files, eqDels))
       }
       val snapsJson = (1L to nSnaps.toLong).map(sid =>
         s"""{"snapshot-id":$sid,"manifest-list":"metadata/snap-$sid.avro"}""")
         .mkString(",")
       Files.writeString(Paths.get(root, "metadata", "v1.metadata.json"),
-        s"""{"format-version":3,"location":${jstr(root)},
+        s"""{"format-version":$fv,"location":${jstr(root)},
            |"current-schema-id":0,
            |"schemas":[{"schema-id":0,"type":"struct","fields":[
            |  {"id":1,"name":"id","required":false,"type":"long"},
@@ -1002,19 +1078,31 @@ class IcebergSpec extends AnyFunSuite {
            |"snapshots":[$snapsJson]}""".stripMargin)
       Files.writeString(
         Paths.get(root, "metadata", "version-hint.text"), "1")
-      val toState = states.last._2
-      for ((from, fromState) <- states.init) {
+      val (_, toState, toEqs) = states.last
+      def eqDead(fileSeq: Long, id: Long,
+                 eqs: Vector[(Set[Long], Long)]): Boolean =
+        eqs.exists { case (vals, dseq) =>
+          vals.contains(id) && fileSeq < dseq }
+      for ((from, fromState, fromEqs) <- states.init) {
         val fromNames = fromState.map(_.name).toSet
         val want = (
+          // inserts: new files' rows live at `to` — positional AND
+          // equality surfaces both apply (a row inserted and killed
+          // inside the range nets out)
           toState.filterNot(f => fromNames(f.name)).flatMap(f =>
             f.rows.zipWithIndex.collect {
-              case (id, ord) if !f.dead.contains(ord) => (id, "insert")
+              case (id, ord) if !f.dead.contains(ord) &&
+                !eqDead(f.seq, id, toEqs) => (id, "insert")
             }) ++
+            // deletes: old files' rows live at `from` (its full delete
+            // surface), dead at `to` by either surface
             fromState.flatMap { f0 =>
               val f1 = toState.find(_.name == f0.name).get
               f0.rows.zipWithIndex.collect {
                 case (id, ord) if !f0.dead.contains(ord) &&
-                  f1.dead.contains(ord) => (id, "delete")
+                  !eqDead(f0.seq, id, fromEqs) &&
+                  (f1.dead.contains(ord) ||
+                    eqDead(f1.seq, id, toEqs)) => (id, "delete")
               }
             }).sorted
         val got = IcebergLite
