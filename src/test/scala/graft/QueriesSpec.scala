@@ -17,6 +17,12 @@ object TestSession {
       // can exercise spill-reader row reuse (AsOfJoinSpec); test-scale
       // sorts stay under it except where a spec overshoots on purpose
       .config("spark.shuffle.spill.numElementsForceSpillThreshold", "65536")
+      // r21 (driver flake hardening, same reasoning as Verify): the
+      // r20 driver box failed 1 of 469 tests that two builder runs of
+      // the identical tree pass — a loaded co-tenant box can push a
+      // broadcast build past the 300 s default and throw. Correctness
+      // suites should wait on a slow box, not fail on it.
+      .config("spark.sql.broadcastTimeout", "1800")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
@@ -33,7 +39,19 @@ class QueriesSpec extends AnyFunSuite {
 
   test("every query runs and returns rows at sf0.001") {
     val empties = SparkEntry.queries.flatMap { case (name, fn) =>
-      val n = fn(spark, sf).count()
+      // one retry per query (mirrors Verify, r21): the queries are
+      // deterministic, so a second attempt only changes the outcome
+      // when the first failure was transient (loaded-box timeout,
+      // fetch failure) — a genuinely broken query still fails twice
+      // and the ORIGINAL exception is what surfaces
+      val n =
+        try fn(spark, sf).count()
+        catch { case e1: Throwable =>
+          System.err.println(
+            s"[QueriesSpec] $name failed once, retrying: ${e1.getMessage}")
+          try fn(spark, sf).count()
+          catch { case _: Throwable => throw e1 }
+        }
       if (n == 0) Some(name) else None
     }
     assert(empties.isEmpty, s"queries with 0 rows: $empties")
